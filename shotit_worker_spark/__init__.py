@@ -1,0 +1,22 @@
+"""shotit_worker_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of shotit/shotit-worker.
+
+The reference system (four Node.js workers: watcher, hasher, loader,
+searcher) is a video-frame vector-search pipeline: sample video frames,
+extract image descriptors, dedup, L2-normalize, bulk-load a vector index,
+and serve top-k inner-product search. This package re-expresses every one
+of those operators — plus the relational/text/dedup/streaming surface a
+large-scale training-data pipeline needs — as idiomatic Spark DataFrame
+plans (see SURVEY.md §2.12 for the declared operator inventory).
+
+Layout:
+    session     — SparkSession factory (AQE on, UTC, Arrow on)
+    sources     — parquet/binary/streaming readers for the fixture tables
+    functions   — pure Catalyst column expressions (vector/text/scalar kernels)
+    operators   — composite DataFrame operators (dedup, similarity, relational)
+    index       — IVF-style ANN index build + nprobe search (SURVEY §4.3)
+    plans       — end-to-end pipelines (ingest/loader transform, search)
+    streaming   — Structured Streaming wrappers (windows, ingest)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,139 @@
+"""Text-analysis kernels for the LLM-data-pipeline surface (SURVEY §2.12
+"text analysis" row; north-star ops over the `documents` fixture).
+
+All pure Catalyst expressions; tokenization is deliberately simple
+(lowercase, split on non-alphanumeric runs) so the DuckDB oracle can
+reproduce it byte-for-byte with regexp_split_to_array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram-free language-ID
+# heuristic. Public common-word lists; deliberately small and fixed so the
+# heuristic is deterministic and oracle-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "on", "as", "at", "by", "be", "are", "was", "this"]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: ColumnOrName) -> Column:
+    """lowercase → split on non-alphanumeric runs → drop empties."""
+    toks = F.split(F.lower(_col(text)), TOKEN_SPLIT_PATTERN)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(text: ColumnOrName) -> Column:
+    """Whitespace-ish token count (the `wc -w` analog)."""
+    return F.size(tokenize(text))
+
+
+def char_count(text: ColumnOrName) -> Column:
+    return F.length(_col(text))
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _col(text)
+    stripped = F.regexp_replace(t, "[A-Za-z0-9 ]", "")
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(t).cast("double")
+    )
+
+
+def stopword_ratio(text: ColumnOrName, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokenize(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    presence of stopwords (a crude boilerplate/gibberish filter, the
+    standard pre-training cleanup signal)."""
+    t = _col(text)
+    len_ok = (F.length(t) >= 20) & (F.length(t) <= 100000)
+    mean_tok_len = F.when(token_count(t) == 0, F.lit(0.0)).otherwise(
+        F.length(t).cast("double") / token_count(t).cast("double")
+    )
+    tok_len_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    return (
+        len_ok.cast("double") * 0.4
+        + tok_len_ok.cast("double") * 0.2
+        + (punct_ratio(t) < 0.2).cast("double") * 0.2
+        + (stopword_ratio(t) > 0.05).cast("double") * 0.2
+    )
+
+
+def lang_marker_hits(text: ColumnOrName, lang: str) -> Column:
+    """Count of tokens matching `lang`'s marker list."""
+    toks = tokenize(text)
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """Pick the language whose marker list hits most tokens; ties and
+    zero-hit rows → 'und'. Deterministic tie-break: higher count wins,
+    then lexicographic language code."""
+    t = _col(text)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # strict > with ascending iteration: on equal counts the first
+    # (lexicographically smaller) language code wins
+    for lang in sorted(LANG_MARKERS):
+        hits = lang_marker_hits(t, lang)
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def fingerprint(text: ColumnOrName) -> Column:
+    """Deterministic polynomial rolling hash of the normalized token
+    stream (document fingerprinting for near-dup candidate keys):
+
+        h = fold(tokens_joined_chars, h*31 + ascii(c) mod 1e9+7)
+
+    Stays in bigint range (mod < 2^30, so h*31+c < 2^35).
+    """
+    joined = F.concat_ws(" ", tokenize(_col(text)))
+    chars = F.split(joined, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c).cast("bigint"))
+        % FINGERPRINT_MOD,
+    )
+
+
+def ngrams(tokens: ColumnOrName, n: int) -> Column:
+    """Token n-grams as space-joined strings (shingles for MinHash/Jaccard).
+
+    Array expression: for i in 1..len-n+1 join tokens[i..i+n-1].
+    Documents shorter than n tokens yield an empty array.
+    """
+    toks = _col(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

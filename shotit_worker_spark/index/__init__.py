@@ -1,0 +1,1 @@
+from .ivf import IVFIndex, assign_centroids, build_ivf, ivf_search

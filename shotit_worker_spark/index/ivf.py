@@ -1,0 +1,176 @@
+"""IVF-style ANN index as a Spark-native table layout (SURVEY §4.3).
+
+Replaces Milvus IVF_SQ8 (/root/reference/loader.js:329-335, nlist=128,
+metric=IP) + nprobe search (/root/reference/searcher.js:105, nprobe=10)
+with tables + plans — no Catalyst extension needed, partition pruning
+does the work:
+
+  build:  KMeans(k=nlist, fixed seed) on the L2-normalized vectors
+          → `centroids` (nlist × dim, driver-held, tiny)
+          → assign centroid_id = argmax IP(centroid, v)
+          → index table written partitionBy(centroid_id)
+  search: score query against nlist centroids driver-side (nlist ≤ a few
+          hundred → microseconds) → take nprobe best → WHERE centroid_id
+          IN (...) (static partition pruning: only nprobe/nlist of the
+          data is read) → flat dot-product → ORDER BY score DESC LIMIT k.
+
+At 100 TB the index table is ~nlist directories of parquet; a query
+touches nprobe of them — the same pruning Milvus does, expressed as
+storage layout. Centroid assignment is a vectorized pandas UDF (numpy
+matmul over Arrow batches) because a 128-way argmax in pure column
+expressions would materialize 128 dot products as separate columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..functions import vector as V
+
+DEFAULT_NLIST = 128  # loader.js:334
+DEFAULT_NPROBE = 10  # searcher.js:105
+DEFAULT_TOPK = 15  # searcher.js:103
+KMEANS_SEED = 42
+
+
+def _fit_centroids(
+    index_rows: DataFrame, vec_col: str, nlist: int, seed: int, sample_cap: int
+) -> np.ndarray:
+    """KMeans centroids via MLlib (distributed — scales to the full corpus).
+
+    Falls back to a numpy Lloyd iteration when the corpus has fewer rows
+    than `nlist` would need (tiny fixtures), keeping the seed fixed either
+    way so builds are reproducible (SURVEY §5.2.3 pins the seed).
+    """
+    n = index_rows.count()
+    k = min(nlist, max(1, n))
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = index_rows.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+        return np.array([c.toArray() for c in model.clusterCenters()])
+    except Exception:
+        # numpy fallback: sample to the driver (bounded by sample_cap)
+        rows = (
+            index_rows.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample_cap)
+            .collect()
+        )
+        x = np.array([r["v"] for r in rows])
+        rng = np.random.RandomState(seed)
+        centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+        for _ in range(20):
+            assign = np.argmax(x @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = x[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+        return centroids
+
+
+def assign_centroids(
+    index_rows: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
+) -> DataFrame:
+    """Add centroid_id = argmax_c IP(centroid_c, vector).
+
+    Vectorized pandas UDF: each Arrow batch becomes one numpy matmul
+    (batch × dim) @ (dim × nlist) — executor-side, no shuffle.
+    """
+    c_t = centroids.T.copy()
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmax(x @ c_t, axis=1).astype(np.int32))
+
+    return index_rows.withColumn("centroid_id", _assign(F.col(vec_col)))
+
+
+@dataclass
+class IVFIndex:
+    """A built IVF index: partitioned parquet table + driver-held centroids."""
+
+    path: str
+    centroids: np.ndarray  # (nlist, dim)
+    vec_col: str = "vector"
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def probe_ids(self, query: np.ndarray, nprobe: int = DEFAULT_NPROBE) -> list[int]:
+        scores = self.centroids @ np.asarray(query, dtype=np.float64)
+        order = np.argsort(-scores, kind="stable")
+        return [int(i) for i in order[: min(nprobe, len(order))]]
+
+    def search(
+        self,
+        spark: SparkSession,
+        query: np.ndarray,
+        k: int = DEFAULT_TOPK,
+        nprobe: int = DEFAULT_NPROBE,
+        id_col: str = "hash_id",
+        tie_col: str | None = "primary_key",
+    ) -> DataFrame:
+        """nprobe search: partition-pruned scan → flat IP score → top-k."""
+        probes = self.probe_ids(query, nprobe)
+        df = self.load(spark).filter(F.col("centroid_id").isin(probes))
+        order = [F.col("score").desc()] + ([F.col(tie_col).asc()] if tie_col else [])
+        cols = [id_col, *([tie_col] if tie_col else [])]
+        return (
+            df.select(
+                *cols, V.dot_literal(self.vec_col, list(query)).alias("score")
+            )
+            .orderBy(*order)
+            .limit(k)
+        )
+
+
+def build_ivf(
+    index_rows: DataFrame,
+    path: str,
+    nlist: int = DEFAULT_NLIST,
+    seed: int = KMEANS_SEED,
+    vec_col: str = "vector",
+    sample_cap: int = 200_000,
+) -> IVFIndex:
+    """Build the IVF layout: fit centroids, assign, write partitioned.
+
+    Replaces K5 (`createIndex IVF_SQ8 nlist=128`, loader.js:329-335).
+    SQ8 quantization is deliberately deferred (float32 parquet + zstd is
+    already compact; SURVEY §4.3 step 4 keeps it as an optional knob).
+    """
+    centroids = _fit_centroids(index_rows, vec_col, nlist, seed, sample_cap)
+    assigned = assign_centroids(index_rows, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return IVFIndex(path=path, centroids=centroids, vec_col=vec_col)
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: IVFIndex,
+    query: np.ndarray,
+    k: int = DEFAULT_TOPK,
+    nprobe: int = DEFAULT_NPROBE,
+    **kwargs,
+) -> DataFrame:
+    return index.search(spark, query, k=k, nprobe=nprobe, **kwargs)
+
+
+def recall_at_k(approx: list, exact: list) -> float:
+    """|approx ∩ exact| / |exact| on id lists (the §5.2.3 recall gate)."""
+    if not exact:
+        return 1.0
+    return len(set(approx) & set(exact)) / len(exact)

@@ -1,0 +1,303 @@
+"""Deduplication operators.
+
+Reference semantics plus the LLM-data-pipeline dedup family:
+
+  D1  sequential_dedup     — the reference's order-dependent ingest dedup
+                             (/root/reference/loader.js:202-212)
+  D2  dedup_by_key         — idempotent insert by primary key
+                             (/root/reference/loader.js:63-68, :245)
+  --  exact_dedup_text     — exact content dedup by md5 (hash-groupBy)
+  --  minhash_signatures / minhash_lsh_candidates — MinHash + banded LSH
+  --  simhash64            — 64-bit SimHash fingerprint
+  --  ngram_jaccard_pairs  — n-gram Jaccard similarity on candidate pairs
+
+All of these shuffle only on their key columns; candidate generation is
+band-bucketed so the pairwise work never goes O(n²) at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+# ---------------------------------------------------------------------------
+# D1 — the reference's sequential ingest dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_KEPT_WINDOW = 24  # last N *kept* frames compared (loader.js:206)
+DEDUP_TIME_WINDOW = 2.0  # seconds (loader.js:207)
+
+
+def sequential_dedup_pandas(
+    pdf: pd.DataFrame,
+    kept_window: int = DEDUP_KEPT_WINDOW,
+    time_window: float = DEDUP_TIME_WINDOW,
+    time_col: str = "time",
+    hi_col: str = "hi",
+) -> pd.DataFrame:
+    """Pure-pandas reimplementation of the reference loop
+    (/root/reference/loader.js:202-212), used per group by
+    `sequential_dedup` and directly by the differential tests.
+
+    Scan rows in ascending time order; drop a row iff any of the last
+    `kept_window` KEPT rows that are strictly less than `time_window`
+    seconds older has an identical `hi`. The comparison set is the kept
+    list (order-dependent), which is why this is not a window function.
+    """
+    pdf = pdf.sort_values(time_col, kind="mergesort")
+    kept_idx: list[int] = []
+    times = pdf[time_col].to_numpy()
+    his = pdf[hi_col].to_numpy()
+    for i in range(len(pdf)):
+        dup = False
+        for j in reversed(kept_idx[-kept_window:]):
+            if times[i] - times[j] >= time_window:
+                break  # kept list is time-ascending; older entries only get older
+            if his[j] == his[i]:
+                dup = True
+                break
+        if not dup:
+            kept_idx.append(i)
+    return pdf.iloc[kept_idx]
+
+
+def sequential_dedup(
+    hashes: DataFrame,
+    file_col: str = "file",
+    time_col: str = "time",
+    hi_col: str = "hi",
+    kept_window: int = DEDUP_KEPT_WINDOW,
+    time_window: float = DEDUP_TIME_WINDOW,
+) -> DataFrame:
+    """D1 as a grouped-map pandas UDF over `groupBy(file)`.
+
+    Per-video groups are bounded (~12 fps × hours ≤ ~10⁵ rows), so the
+    Python loop is cheap per group and the operator scales horizontally
+    with the number of videos — the shuffle key is `file`, same as every
+    other per-video stage, so under one repartition the pipeline reuses
+    the partitioning.
+    """
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return sequential_dedup_pandas(
+            pdf, kept_window, time_window, time_col=time_col, hi_col=hi_col
+        )
+
+    return hashes.groupBy(file_col).applyInPandas(_apply, schema=hashes.schema)
+
+
+# ---------------------------------------------------------------------------
+# D2 — dedup by key (idempotent insert)
+# ---------------------------------------------------------------------------
+
+
+def dedup_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column] | None = None
+) -> DataFrame:
+    """Keep exactly one row per key. With `order_cols`, keeps the first row
+    in that order (deterministic winner — Delta-MERGE semantics without
+    Delta); without, Spark's dropDuplicates (arbitrary but stable-per-run
+    winner). Shuffles once on the key."""
+    if order_cols is None:
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact text dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: group identical md5(text), keep the lowest id.
+
+    One hash-shuffle on the digest; at 100 TB this is the cheapest dedup
+    pass and runs first in the dedup cascade.
+    """
+    return dedup_by_key(
+        docs.withColumn("content_md5", F.md5(F.col(text_col))),
+        ["content_md5"],
+        order_cols=[F.col(id_col).asc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+# Deterministic, engine-independent hash family so both the Spark path and
+# any oracle reimplementation agree: h_i(s) = bigint(xxhash64(s, seed=i)).
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature over token n-gram shingles.
+
+    (id, signature: array<bigint>[num_hashes]). Row-local (no shuffle):
+    tokenize → shingle → per-seed min of xxhash64. Empty shingle sets get
+    an all-NULL signature and never collide.
+    """
+    # NB: one-arg closures built via factory — a `lambda s, i=i:` default-arg
+    # form has arity 2, which PySpark's HOF binding interprets as
+    # (element, index) and silently passes the array index as `i`.
+    def _hasher(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    shingles = TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    num_bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures.
+
+    Split each signature into `num_bands` bands, bucket-join on
+    (band_id, band_hash): docs sharing any full band become a candidate
+    pair. Shuffle is on the band hash (pre-aggregated per bucket), never
+    an O(n²) cross join — the scale path for near-dup at 100 TB.
+    Returns distinct (a_id, b_id), a < b.
+    """
+    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+    if sig_len_row is None:
+        return signatures.sparkSession.createDataFrame([], f"a_id long, b_id long")
+    rows_per_band = max(1, sig_len_row["n"] // num_bands)
+
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("signature"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).filter(F.col("band_hash").isNotNull())
+
+    a = banded.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("a_id")
+    )
+    b = banded.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("b_id")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    (a_id, b_id, jaccard). Joins the candidate list (small relative to
+    the corpus) twice against per-doc shingle sets; set math via
+    array_intersect/array_union on deduped shingle arrays.
+    """
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n)).alias(
+            "shingles"
+        ),
+    )
+    a = shingle_sets.select(
+        F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")
+    )
+    b = shingle_sets.select(
+        F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union.cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens: bit b of the fingerprint is 1 iff the
+    sum over tokens of sign(bit b of xxhash64(token)) is positive.
+
+    Row-local expression (no shuffle, no UDF): per bit, count tokens with
+    the bit set vs total. Near-dups then hamming-join on the fingerprint.
+    Returns (id, simhash: bigint).
+    """
+    def _bit_pred(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    toks = TX.tokenize(F.col(text_col))
+    # materialize token hashes once per row (named struct boundary below),
+    # then count set bits per position
+    hashed = docs.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("h"),
+        F.size(toks).alias("n"),
+    )
+    bit_terms = []
+    for b in range(64):
+        ones = F.size(F.filter(F.col("h"), _bit_pred(b)))
+        # majority of tokens have bit b set → fingerprint bit b = 1
+        bit = F.when(ones * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bit_terms.append(F.shiftleft(bit, b))
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp.bitwiseOR(t)
+    return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Popcount of XOR of two 64-bit fingerprints (via bin() ones count)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))

@@ -1,0 +1,61 @@
+"""Relational composite operators (SURVEY §2.12 scaffolding rows).
+
+Spark SQL provides the relational core natively; these helpers encode the
+patterns the declared surface commits to (top-k per group, positional
+zip-join, set ops with stable semantics) so queries stay declarative and
+Catalyst keeps choosing the physical strategy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """row_number() <= k per group with a total deterministic order.
+
+    Single shuffle on the group key; AQE handles skewed groups.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def positional_zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    key_cols: Sequence[str] = (),
+    order_left: Sequence[Column] | None = None,
+    order_right: Sequence[Column] | None = None,
+) -> DataFrame:
+    """J1: i-th left row ↔ i-th right row (optionally per key group).
+
+    Mirrors the reference's frames↔timecodes zip
+    (/root/reference/hasher.js:105-112): the i-th thumbnail joins the i-th
+    pts_time, extra rows on either side are dropped (inner join on
+    position, like `slice(0, timeCodeList.length)`).
+
+    Implemented as row_number over an explicit order + equi-join on
+    (key…, pos) — a plain shuffle join Catalyst can plan freely.
+    """
+    wl = Window.partitionBy(*key_cols).orderBy(
+        *(order_left or [F.monotonically_increasing_id()])
+    )
+    wr = Window.partitionBy(*key_cols).orderBy(
+        *(order_right or [F.monotonically_increasing_id()])
+    )
+    lt = left.select(*key_cols, *left_cols).withColumn("__pos", F.row_number().over(wl))
+    rt = right.select(*key_cols, *right_cols).withColumn("__pos", F.row_number().over(wr))
+    return lt.join(rt, [*key_cols, "__pos"], "inner").drop("__pos")

@@ -1,0 +1,139 @@
+"""Similarity-search operators (SURVEY §2.5 J2, §4.3 step 5).
+
+The reference's query path is a single-vector Milvus top-k search
+(/root/reference/searcher.js:99-107: topk=15, metric=IP over L2-normalized
+vectors). Here:
+
+  - `exact_topk`       — one query vector vs the corpus, brute force.
+    The oracle path: ORDER BY score DESC LIMIT k compiles to
+    TakeOrderedAndProject (no full sort, per-partition heaps + driver
+    merge) — this scales to 100 TB corpora as a single map + tiny reduce.
+  - `knn_join`         — many queries at once (batch search; SURVEY §4.3
+    step 5 — where Spark beats the one-query-at-a-time reference).
+    Broadcast the query side; per-query top-k via window rank.
+  - `near_dup_pairs`   — self-join similarity above a threshold
+    (embedding-cosine near-dup for the LLM-pipeline surface).
+
+Tie-break everywhere: (score DESC, id ASC) — the engine's declared order
+(SURVEY §5.2.2; the reference leaves Milvus tie order unspecified).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def score_ip(vec_col: str, query: Sequence[float]) -> Column:
+    """Inner-product score against a constant query vector."""
+    return V.dot_literal(vec_col, query)
+
+
+def exact_topk(
+    index_df: DataFrame,
+    query: Sequence[float],
+    k: int = 15,
+    vec_col: str = "vector",
+    id_col: str = "hash_id",
+    tie_col: str | None = "primary_key",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Brute-force top-k by inner product (the exact oracle for J2).
+
+    Physical shape: scan → per-row flat dot product (codegen) →
+    TakeOrderedAndProject. One pass over the corpus, no shuffle beyond
+    the k-row merge at the driver.
+    """
+    order = [F.col("score").desc()]
+    if tie_col:
+        order.append(F.col(tie_col).asc())
+    cols = [id_col, *([tie_col] if tie_col else []), *extra_cols]
+    return (
+        index_df.select(*cols, score_ip(vec_col, query).alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    index_df: DataFrame,
+    k: int = 15,
+    query_vec_col: str = "query_vec",
+    query_id_col: str = "query_id",
+    vec_col: str = "vector",
+    id_col: str = "hash_id",
+    tie_col: str = "primary_key",
+    metric: str = "ip",
+) -> DataFrame:
+    """Batched multi-query exact top-k: every query row gets its k nearest
+    corpus rows.
+
+    Plan: broadcast the (small) query side into a nested-loop join against
+    the corpus — the corpus never shuffles; only the (n_queries × k)
+    candidate set moves. Per-query ranking is a window over score with the
+    declared tie-break. With Q queries this is one corpus scan total,
+    vs. Q scans for the loop-over-queries formulation.
+    """
+    if metric == "ip":
+        score = V.dot(F.col("q." + query_vec_col), F.col("i." + vec_col))
+    elif metric == "cosine":
+        score = V.cosine_similarity(F.col("q." + query_vec_col), F.col("i." + vec_col))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    out_cols = [
+        F.col("q." + query_id_col).alias(query_id_col),
+        F.col("i." + id_col).alias(id_col),
+        score.alias("score"),
+    ]
+    if tie_col != id_col:
+        out_cols.insert(2, F.col("i." + tie_col).alias(tie_col))
+    joined = (
+        F.broadcast(queries_df.alias("q")).crossJoin(index_df.alias("i")).select(*out_cols)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(tie_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """All pairs (a, b), a < b, with similarity >= threshold.
+
+    Brute-force O(n²) self-join — the exact oracle for near-dup detection.
+    At 100-TB scale use the LSH-bucketed variant (operators.dedup.
+    minhash_lsh_candidates / index.ivf assignment) to generate candidates
+    and this scorer only within buckets.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        # normalize each side ONCE (n rows), so the O(n²) pair stage does a
+        # single dot product instead of dot + two norms per pair
+        prepped = df.select(F.col(id_col).alias("id"), V.l2_normalize(v).alias("nv"))
+    elif metric == "ip":
+        prepped = df.select(F.col(id_col).alias("id"), v.alias("nv"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    a = prepped.select(F.col("id").alias("a_id"), F.col("nv").alias("a_vec"))
+    b = prepped.select(F.col("id").alias("b_id"), F.col("nv").alias("b_vec"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", V.dot("a_vec", "b_vec").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,81 @@
+"""Streaming ingest wrappers (SURVEY §2.9 T1-T5, M5).
+
+The reference's watcher/job-queue machinery (chokidar + WebSocket credits
++ acks + reconnect loops) maps to Structured Streaming's native
+semantics: the file source lists completed files exactly once (T1),
+checkpointing + idempotent writes give at-least-once with safe replays
+(T2/D2), and micro-batch triggers replace the hand-rolled single-flight
+queue (T4/O4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import scalar as SC
+
+
+def stream_parquet_source(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source micro-batch stream over a parquet directory (S1 analog:
+    new-file detection, exactly-once per file; backpressure via
+    maxFilesPerTrigger — the reference's ws credit system, S2/S3)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_binary_source(spark: SparkSession, path: str, glob: str = "*.mp4") -> DataFrame:
+    """Binary-file stream for video blobs (watcher S1: only .mp4 accepted,
+    ≥2 path levels — P2/P3 predicates applied at the source)."""
+    df = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.filter(SC.path_depth(F.col("path")) >= 2)
+
+
+def streaming_dedup_within_watermark(
+    df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming approximation of D1 (documented divergence, SURVEY §2.8):
+    drops duplicate keys within the watermark horizon. Batch
+    `operators.dedup.sequential_dedup` is the semantic source of truth."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Idempotent parquet sink with checkpoint (T2: at-least-once + replay
+    safety; the D2 key-dedup downstream makes it effectively-once)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_batchlike(query_starter, timeout_sec: float = 120.0) -> None:
+    """Start a stream, drain everything available, stop (test harness)."""
+    q = query_starter()
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()

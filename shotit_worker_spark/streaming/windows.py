@@ -1,0 +1,94 @@
+"""Event-time windowed aggregation (SURVEY §2.12 streaming row).
+
+The reference has no event-time windows (SURVEY §2.9) — event time exists
+only as the frame timecode. These wrappers provide the declared streaming
+surface over the `events` fixture: tumbling/sliding/session windows with
+watermark-based late-data drop. Each works on both a batch DataFrame
+(stream-batch equivalence testing) and a streaming one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg_exprs() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    ]
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count/sum/avg per key. `watermark` only applies on
+    streaming inputs (late rows beyond it are dropped)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
+        .agg(*_agg_exprs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len, slide).alias("win"), F.col(key_col))
+        .agg(*_agg_exprs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per key with the given inactivity gap."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(*_agg_exprs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )

@@ -1,0 +1,119 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every queries() entry at a given sf dir through Spark AND its
+oracle_sql() through DuckDB, canonicalizes (column-name sort, %.4f on
+floats, ISO timestamps, row sort), and diffs. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from shotit_worker_spark.session import get_spark
+
+
+def canon_value(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.4f}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append("|".join(canon_value(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in entrymod.__dict__.get("TABLES", None) or [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:400]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: columns differ spark={sorted(scols)} "
+                  f"duck={sorted(dcols)}")
+            continue
+        s = canon_rows(scols, srows)
+        d = canon_rows(dcols, drows)
+        if len(s) != len(d):
+            failures.append(name)
+            print(f"FAIL {name}: row counts differ spark={len(s)} duck={len(d)}")
+            print("  spark sample:", s[:2])
+            print("  duck  sample:", d[:2])
+            continue
+        bad = [(a, b) for a, b in zip(s, d) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)}/{len(s)} canonical rows differ; first:")
+            for a, b in bad[:3]:
+                print(f"  spark: {a[:200]}")
+                print(f"  duck : {b[:200]}")
+            continue
+        print(f"PASS {name} ({len(s)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
