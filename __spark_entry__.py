@@ -276,6 +276,36 @@ def q13_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "ln_by_pos")
 
 
+def q14_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-preserving agg: order count per customer
+    (customers with no orders kept with n_orders = 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("sum_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q16_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery as a join): revenue of
+    lineitems below 20% of their part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("q_thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
 def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — no DuckDB oracle (different sketch);
     accuracy gated in tests/test_relational.py instead."""
@@ -337,9 +367,89 @@ def q23_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(emb, threshold=0.4).orderBy("a_id", "b_id")
 
 
+def q24_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe search (SURVEY §4.3): build the partitioned index over
+    the embeddings, probe 4/16 centroid partitions for vec_id=0's vector.
+    No SQL oracle (KMeans layout); recall/self-retrieval gated in
+    tests/test_ivf.py — the driver records the rows-only check."""
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.index import ivf
+
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    )
+    path = tempfile.mkdtemp(prefix="ivfq24_") + "/index"
+    index = ivf.build_ivf(nemb, path, nlist=16)
+    q = np.array(_query_vec(spark, sf_dir, 0))
+    return index.search(
+        spark, q, k=15, nprobe=4, id_col="vec_id", tie_col=None
+    ).orderBy(F.col("score").desc(), F.col("vec_id").asc())
+
+
 # ---------------------------------------------------------------------------
 # Reference scalar kernels (P8-P12 shapes on fixture columns)
 # ---------------------------------------------------------------------------
+
+
+def _synth_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a `hashes(file, time, hi, ha)` table from `events`
+    deterministically (both engines can reproduce it bit-for-bit):
+    every 3 consecutive event_ids share a `hi` (D1-style dup bursts),
+    times are unique and 0.5 s apart per event."""
+    ev = _events(spark, sf_dir)
+    md5 = F.md5(F.col("event_id").cast("string"))
+    return ev.select(
+        F.col("event_type").alias("file"),
+        (F.col("event_id").cast("double") * 0.5).alias("time"),
+        F.md5(
+            F.concat(
+                F.col("event_type"),
+                # floor, not cast: duckdb's double→bigint cast rounds
+                # while Spark's truncates — floor agrees everywhere
+                F.floor(F.col("event_id") / 3).cast("bigint").cast("string"),
+            )
+        ).substr(1, 6).alias("hi"),
+        F.concat_ws(" ", *[md5.substr(1 + 4 * i, 4) for i in range(4)]).alias("ha"),
+    )
+
+
+def q33_loader_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader pipeline (SURVEY §3.3) minus D1: hex decode → pad →
+    L2-normalize → hash_id → pre-dedup duration → charcode primary key →
+    D2 dedup by key. Fully SQL-expressible, so the whole ingest math is
+    oracle-checked end-to-end on synthesized hash rows."""
+    from shotit_worker_spark.plans import ingest as ING
+
+    hashes = _synth_hashes(spark, sf_dir)
+    out = ING.loader_transform(hashes, dim=8, dedup=False)
+    v = F.col("vector")
+    return out.select(
+        "file",
+        "time",
+        "hash_id",
+        "duration",
+        "primary_key",
+        F.element_at(v, 1).alias("v0"),
+        F.element_at(v, 2).alias("v1"),
+        F.aggregate(v, F.lit(0.0), lambda s, x: s + x).alias("v_sum"),
+    ).orderBy("file", "time")
+
+
+def q34_loader_with_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full loader pipeline including the order-dependent D1 sequential
+    dedup (applyInPandas). Not SQL-expressible (kept-list semantics) —
+    rows-only check here; row-for-row differential coverage lives in
+    tests/test_dedup.py."""
+    from shotit_worker_spark.plans import ingest as ING
+
+    hashes = _synth_hashes(spark, sf_dir)
+    out = ING.loader_transform(hashes, dim=8, dedup=True)
+    return out.select("file", "time", "hash_id", "duration", "primary_key").orderBy(
+        "file", "time"
+    )
 
 
 def q30_charcode_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,11 +529,20 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q44_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize once behind an alias: the multi-referenced non-cheap alias
+    # stops CollapseProject from inlining the tokenizer into each ratio
+    toks = docs.select(
+        "doc_id", "text", TX.tokenize(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(TX.STOPWORDS_EN)))
+    return toks.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        n.alias("n_tokens"),
         TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stop_ratio"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(hits.cast("double") / n.cast("double"))
+        .alias("stop_ratio"),
     ).orderBy("doc_id")
 
 
@@ -463,7 +582,9 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; recall/precision invariants tested in tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=32, shingle_n=3)
-    return D.minhash_lsh_candidates(sigs, num_bands=8).orderBy("a_id", "b_id")
+    return D.minhash_lsh_candidates(sigs, num_bands=8, num_hashes=32).orderBy(
+        "a_id", "b_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -532,14 +653,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_distinct_agg": q11_distinct_agg,
         "q12_rollup": q12_rollup,
         "q13_zip_join": q13_zip_join,
+        "q14_left_join": q14_left_join,
         "q15_approx_distinct": q15_approx_distinct,
+        "q16_avg_quantity_filter": q16_avg_quantity_filter,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
         "q22_knn_join": q22_knn_join,
         "q23_near_dup_pairs": q23_near_dup_pairs,
+        "q24_ivf_search": q24_ivf_search,
         "q30_charcode_key": q30_charcode_key,
         "q31_hex_tokens": q31_hex_tokens,
         "q32_hash_id": q32_hash_id,
+        "q33_loader_transform": q33_loader_transform,
+        "q34_loader_with_d1": q34_loader_with_d1,
         "q40_doc_stats": q40_doc_stats,
         "q41_top_terms": q41_top_terms,
         "q42_lang_id": q42_lang_id,
@@ -687,6 +813,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.ln_by_pos, r.ln_by_price, r.price
             FROM l JOIN r ON l.l_orderkey = r.l_orderkey AND l.pos = r.pos
             ORDER BY l.l_orderkey, l.ln_by_pos
+        """,
+        "q14_left_join": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   coalesce(sum(o_totalprice), 0.0) AS sum_price
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+            ORDER BY c_custkey
+        """,
+        "q16_avg_quantity_filter": """
+            SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+            FROM lineitem l
+            JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
+                  FROM lineitem GROUP BY l_partkey) t
+              ON l.l_partkey = t.l_partkey
+            WHERE l.l_quantity < t.q_thresh
+        """,
+        "q33_loader_transform": """
+            WITH h AS (
+                SELECT event_type AS file,
+                       CAST(event_id AS DOUBLE) * 0.5 AS time,
+                       substr(md5(event_type ||
+                                  CAST(CAST(floor(event_id / 3) AS BIGINT) AS VARCHAR)),
+                              1, 6) AS hi,
+                       substr(md5(CAST(event_id AS VARCHAR)), 1, 4) || ' ' ||
+                       substr(md5(CAST(event_id AS VARCHAR)), 5, 4) || ' ' ||
+                       substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || ' ' ||
+                       substr(md5(CAST(event_id AS VARCHAR)), 13, 4) AS ha
+                FROM events),
+            v AS (
+                SELECT file, time, hi,
+                       list_transform(string_split(ha, ' '),
+                                      t -> CAST('0x' || t AS BIGINT)::DOUBLE) AS toks
+                FROM h),
+            p AS (
+                SELECT file, time, hi,
+                       (toks || [0.0, 0.0, 0.0, 0.0])[1:8] AS vec
+                FROM v),
+            n AS (
+                SELECT file, time, hi,
+                       CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) = 0
+                            THEN vec
+                            ELSE list_transform(vec, x -> x /
+                                sqrt(list_sum(list_transform(vec, y -> y * y))))
+                       END AS nv
+                FROM p),
+            d AS (
+                SELECT file, time,
+                       file || '/' || printf('%.2f', time) AS hash_id,
+                       max(time) OVER (PARTITION BY file) AS duration,
+                       CAST(list_sum(list_transform(string_split(hi, ''),
+                                                    c -> ascii(c))) AS BIGINT)
+                           AS primary_key,
+                       nv[1] AS v0, nv[2] AS v1, list_sum(nv) AS v_sum
+                FROM n),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY primary_key
+                                             ORDER BY time, hash_id) AS rn
+                FROM d)
+            SELECT file, time, hash_id, duration, primary_key, v0, v1, v_sum
+            FROM r WHERE rn = 1
+            ORDER BY file, time
         """,
         "q20_vector_norms": """
             WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

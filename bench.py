@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of all queries (the driver-facing headline);
+per-query seconds let regressions be localized. Each query is executed once,
+cold (no caching between queries), timed to the end of .collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from shotit_worker_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    only = set(sys.argv[1:])
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        # collect (not count): count() would let Catalyst prune the very
+        # projection columns being measured (e.g. fingerprints)
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Multimodal kernels — the three Arrow UDFs of SURVEY §2.10 (G1-G3).
+
+The reference delegates these to external processes: ffmpeg frame
+sampling (/root/reference/hasher.js:78-91), the LIRE Java descriptor
+extractor (/root/reference/hasher.js:114-135), and Solr query-image
+extraction (/root/reference/searcher.js:203-213). In this engine they are
+the ONLY Python UDFs, all Arrow-vectorized; everything downstream
+(dedup, normalize, index, search) consumes their output through ordinary
+DataFrame plans, so swapping the stub kernels for real PyAV/OpenCV ones
+changes no plan shape.
+
+Codec reality: this container has no image/audio/video libraries, so the
+byte-level decode is STUBBED (`_STUB_DECODER`) with a deterministic fake
+that derives frames/features from the input bytes via blake2 hashing.
+The Spark-side contract — schemas, `mapInPandas` batch iteration,
+partitioning, one-video-row→N-frame-rows explosion — is real and tested
+(tests/test_media.py, tests/test_e2e_pipeline.py).
+
+Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
+with typed metadata columns beside it; provenance stays in `path`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FRAME_FPS = 12.0  # reference sampling rate (hasher.js:87)
+FRAME_HEIGHT = 180  # scale=-2:180 (hasher.js:87)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("time", DoubleType(), False),
+        StructField("image", BinaryType(), False),
+    ]
+)
+
+_STUB_DECODER = True  # no codec libs in this container — see module docstring
+
+
+def _fake_video_params(content: bytes) -> tuple[int, float]:
+    """Deterministic (n_frames, duration) derived from the blob bytes.
+
+    Stands in for demuxing the container header. Duration 1-5 s at 12
+    fps — small enough for tests, shaped like the real thing.
+    """
+    h = hashlib.blake2b(content, digest_size=8).digest()
+    duration = 1.0 + (int.from_bytes(h[:4], "big") % 4000) / 1000.0
+    n_frames = max(1, int(duration * FRAME_FPS))
+    return n_frames, duration
+
+
+def _fake_frame_bytes(content: bytes, frame_no: int) -> bytes:
+    """Deterministic stand-in for one decoded/re-encoded JPEG thumbnail."""
+    return hashlib.blake2b(
+        content + frame_no.to_bytes(8, "big"), digest_size=32
+    ).digest()
+
+
+def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
+    """G1 — video → frame explode (1 video row → N frame rows).
+
+    Input: a `binaryFile`-shaped DataFrame (path, content, ...). Output:
+    FRAME_SCHEMA rows, timecodes at 1/fps spacing mirroring ffmpeg's
+    `fps=12,scale=-2:180,showinfo` sampling + pts_time parse
+    (/root/reference/hasher.js:78-99), times rounded to 4 decimals like
+    the reference's toFixed(4).
+
+    mapInPandas: each Arrow batch of videos yields frame batches without
+    materializing all frames of a partition at once. Partition by video
+    file upstream for even work distribution (one ~2h video ≈ 86k
+    frames ≈ one task's worth).
+
+    With real codecs this body becomes: open container with PyAV, sample
+    at `fps`, scale to height 180, JPEG-encode — signature unchanged.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"file": [], "frame_no": [], "time": [], "image": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                content = bytes(content)
+                n_frames, _ = _fake_video_params(content)
+                rel = "/".join(str(path).split("/")[-2:])  # imdbID/fileName (P1)
+                for i in range(n_frames):
+                    out["file"].append(rel)
+                    out["frame_no"].append(i)
+                    # first sample at half the frame interval, like ffmpeg's
+                    # fps filter; toFixed(4) parity via round
+                    out["time"].append(round((i + 0.5) / fps, 4))
+                    out["image"].append(_fake_frame_bytes(content, i))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(_decode, schema=FRAME_SCHEMA)
+
+
+EMBED_DIM = 100  # reference collection dim (loader.js:44)
+
+
+def _fake_descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
+    """Deterministic stand-in for a LIRE global descriptor (G2).
+
+    hi: hex identity string (the `_hi` field); vec: `dim` floats in
+    [0, 256) derived from a seeded hash expansion — same shape as the
+    hex-token `_ha` values the loader decodes. A real implementation
+    computes e.g. MPEG-7 ColorLayout (8×8 DCT of Y/Cb/Cr means) here.
+    """
+    h = hashlib.blake2b(image, digest_size=16).hexdigest()
+    vals: list[float] = []
+    counter = 0
+    raw = b""
+    while len(vals) < dim:
+        raw = hashlib.blake2b(
+            image + counter.to_bytes(4, "big"), digest_size=64
+        ).digest()
+        vals.extend(float(b) for b in raw)
+        counter += 1
+    return h, vals[:dim]
+
+
+def embed_images(
+    frames: DataFrame,
+    image_col: str = "image",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """G2/G3 — image → (hi, vector) descriptor extraction.
+
+    One code path for ingest and query (the reference splits G2/G3
+    between the LIRE indexer and Solr only as a deployment artifact —
+    SURVEY §2.4). Appends `hi: string` and `vector: array<float>`.
+
+    Arrow-vectorized pandas UDF over the binary column; at bulk-ingest
+    scale this is the CPU-bound stage, parallelized by input partitioning
+    (the reference's `-n 16` thread pool becomes executor cores).
+    """
+    out_t = StructType(
+        [
+            StructField("hi", StringType(), False),
+            StructField("vector", ArrayType(FloatType()), False),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _embed(images: pd.Series) -> pd.DataFrame:
+        his: list[str] = []
+        vecs: list[list[float]] = []
+        for img in images:
+            hi, vec = _fake_descriptor(bytes(img), dim)
+            his.append(hi)
+            vecs.append(vec)
+        return pd.DataFrame({"hi": his, "vector": vecs})
+
+    desc = _embed(F.col(image_col))
+    return frames.withColumn("hi", desc["hi"]).withColumn("vector", desc["vector"])
+
+
+def embed_query_image(image: bytes, dim: int = EMBED_DIM) -> np.ndarray:
+    """Driver-side single-image embed for the query path (G3): same
+    descriptor kernel, then L2-normalize — mirrors searcher.js:40-60.
+    One query image is one row; running a Spark job for it would be
+    overhead theater."""
+    _, vec = _fake_descriptor(image, dim)
+    v = np.asarray(vec, dtype=np.float64)
+    norm = float(np.sqrt((v * v).sum()))
+    return v / norm if norm > 0 else v
+
+
+def frames_to_hashes(frames_with_desc: DataFrame) -> DataFrame:
+    """Bridge G1+G2 output into the loader's hash-row shape
+    (file, time, hi, ha) — `ha` as space-joined hex tokens, exactly what
+    the XML hash docs carry (/root/reference/loader.js:188-198)."""
+    return frames_with_desc.select(
+        "file",
+        "time",
+        "hi",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.col("vector"),
+                lambda x: F.lower(F.conv(x.cast("bigint").cast("string"), 10, 16)),
+            ),
+        ).alias("ha"),
+    )

@@ -131,9 +131,21 @@ def fingerprint(text: ColumnOrName) -> Column:
 def ngrams(tokens: ColumnOrName, n: int) -> Column:
     """Token n-grams as space-joined strings (shingles for MinHash/Jaccard).
 
-    Array expression: for i in 1..len-n+1 join tokens[i..i+n-1].
+    Implemented as arrays_zip of n shifted slices, NOT as
+    `transform(sequence(...), i -> slice(toks, i, n))`: higher-order
+    functions are interpreted per element, so a lambda body referencing
+    `toks` re-evaluates the whole token expression once per position —
+    O(len²) when `toks` is itself computed (tokenize). The zip form
+    evaluates `toks` exactly n times per row.
+
     Documents shorter than n tokens yield an empty array.
     """
     toks = _col(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    if n == 1:
+        return toks
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, length) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )

@@ -148,30 +148,49 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature over token n-gram shingles.
 
-    (id, signature: array<bigint>[num_hashes]). Row-local (no shuffle):
-    tokenize → shingle → per-seed min of xxhash64. Empty shingle sets get
-    an all-NULL signature and never collide.
-    """
-    # NB: one-arg closures built via factory — a `lambda s, i=i:` default-arg
-    # form has arity 2, which PySpark's HOF binding interprets as
-    # (element, index) and silently passes the array index as `i`.
-    def _hasher(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    (id, signature: array<bigint>[num_hashes]). Empty shingle sets get an
+    all-NULL signature and never collide in LSH banding.
 
-    shingles = TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, _hasher(i)))
-            for i in range(num_hashes)
-        ]
+    Shape: explode the distinct shingles, hash each shingle string once
+    per seed, groupBy(id).agg(min per seed). The explode is a Generate
+    operator boundary, so the tokenize→ngram expression runs ONCE per doc
+    — the pure-array formulation (array_min(transform(shingles, hash_i))
+    × num_hashes) gets inlined by Catalyst's CollapseProject and
+    re-evaluates the shingle pipeline num_hashes times per row. The agg
+    is map-side partial (explode and partial-min happen in the same
+    stage), so the shuffle carries only num_hashes longs per doc — the
+    scale-correct shape at 100 TB.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n))
+        ).alias("shingle"),
     )
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    # NULL guard: xxhash64 skips NULL inputs (hashing just the seed), so an
+    # unguarded empty doc would get a real signature and collide with every
+    # other empty doc.
+    aggs = [
+        F.min(
+            F.when(
+                F.col("shingle").isNotNull(),
+                F.xxhash64(F.col("shingle"), F.lit(i)),
+            )
+        ).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = sh.groupBy(id_col).agg(*aggs)
+    return agged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame,
     num_bands: int = 8,
     id_col: str = "doc_id",
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from MinHash signatures.
 
@@ -180,30 +199,32 @@ def minhash_lsh_candidates(
     pair. Shuffle is on the band hash (pre-aggregated per bucket), never
     an O(n²) cross join — the scale path for near-dup at 100 TB.
     Returns distinct (a_id, b_id), a < b.
+
+    Pass `num_hashes` (the signature length) when known — otherwise a
+    separate job peeks at one row to learn it.
     """
-    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-    if sig_len_row is None:
-        return signatures.sparkSession.createDataFrame([], f"a_id long, b_id long")
-    rows_per_band = max(1, sig_len_row["n"] // num_bands)
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame([], "a_id long, b_id long")
+        num_hashes = sig_len_row["n"]
+    rows_per_band = max(1, num_hashes // num_bands)
+
+    def _band_hash(b: int) -> Column:
+        members = [
+            F.element_at(F.col("signature"), b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        # all-NULL signatures (empty docs) must never share a bucket;
+        # minhash mins are all-NULL or all-set per row, so one member
+        # decides (concat_ws would silently map NULLs to "")
+        return F.when(members[0].isNotNull(), F.xxhash64(*members, F.lit(b)))
 
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("signature"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.array(*[_band_hash(b) for b in range(num_bands)])).alias(
+            "band_id", "band_hash"
+        ),
     ).filter(F.col("band_hash").isNotNull())
 
     a = banded.select(
@@ -269,32 +290,36 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """64-bit SimHash over tokens: bit b of the fingerprint is 1 iff the
     sum over tokens of sign(bit b of xxhash64(token)) is positive.
 
-    Row-local expression (no shuffle, no UDF): per bit, count tokens with
-    the bit set vs total. Near-dups then hamming-join on the fingerprint.
-    Returns (id, simhash: bigint).
+    Shape: explode tokens → hash each token once → groupBy(id) with one
+    partial-aggregated popcount per bit. The pure-array formulation
+    (64 × size(filter(h, bit_pred))) gets the token-hash array inlined
+    into every bit expression by CollapseProject — 64 re-evaluations per
+    row. Here the 64 sums are map-side partial aggregates over a concrete
+    hash column; the shuffle carries 65 longs per doc. Duplicated tokens
+    count multiply (standard SimHash weighting by term frequency).
+    Returns (id, simhash: bigint); empty documents → 0.
     """
-    def _bit_pred(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
     toks = TX.tokenize(F.col(text_col))
-    # materialize token hashes once per row (named struct boundary below),
-    # then count set bits per position
-    hashed = docs.select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("h"),
-        F.size(toks).alias("n"),
+    # explode_outer keeps empty docs (NULL token row); the guard keeps
+    # xxhash64 from hashing just-the-seed for NULLs
+    exploded = docs.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    hashed = exploded.select(
+        F.col(id_col),
+        F.when(F.col("tok").isNotNull(), F.xxhash64(F.col("tok"))).alias("h"),
     )
-    bit_terms = []
+    aggs = [F.count(F.col("h")).alias("__n")]
     for b in range(64):
-        ones = F.size(F.filter(F.col("h"), _bit_pred(b)))
-        # majority of tokens have bit b set → fingerprint bit b = 1
-        bit = F.when(ones * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bit_terms.append(F.shiftleft(bit, b))
-    fp = bit_terms[0]
-    for t in bit_terms[1:]:
-        fp = fp.bitwiseOR(t)
-    return hashed.select(F.col(id_col), fp.alias("simhash"))
+        bit_set = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
+        aggs.append(F.sum(F.when(bit_set, 1).otherwise(0)).alias(f"__b{b}"))
+    agged = hashed.groupBy(id_col).agg(*aggs)
+    # majority of tokens have bit b set → fingerprint bit b = 1
+    fp = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit = F.when(
+            F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = fp.bitwiseOR(F.shiftleft(bit, b))
+    return agged.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:

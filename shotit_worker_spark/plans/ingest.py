@@ -39,16 +39,23 @@ def loader_transform(
     ha_col: str = "ha",
 ) -> DataFrame:
     """hashes → index rows (hash_id, vector, duration, primary_key, file, time)."""
-    df = hashes
+    # duration = last (max) timecode per file, computed BEFORE dedup —
+    # the reference derives it from the full sorted hash list
+    # (loader.js:200) and only then dedups (loader.js:202-212). The
+    # window and the dedup group share the `file` key, so Spark reuses
+    # one hash partitioning for both.
+    w = Window.partitionBy(file_col)
+    df = hashes.withColumn(
+        "duration", F.max(time_col).over(w).cast("double")
+    )
     if dedup:
         df = D.sequential_dedup(df, file_col=file_col, time_col=time_col, hi_col=hi_col)
-    w = Window.partitionBy(file_col)
     out = df.select(
         F.col(file_col),
         F.col(time_col),
         V.hash_id(file_col, time_col).alias("hash_id"),
         V.decoded_padded_normalized(ha_col, dim).alias("vector"),
-        F.max(time_col).over(w).cast("double").alias("duration"),
+        F.col("duration"),
         V.charcode_sum(hi_col).alias("primary_key"),
     )
     # D2: Milvus primary-key upsert semantics — one row per primary_key,

@@ -1,0 +1,197 @@
+"""Dedup family tests.
+
+D1 (sequential dedup) is differential-tested: the applyInPandas operator
+must match the pure-Python reimplementation of the reference loop
+(/root/reference/loader.js:202-212) row-for-row on adversarial fixtures
+covering each branch: bursts of identical hashes, >24 dups inside 2 s,
+and a hash re-appearing after a gap.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import dedup as D
+
+
+def _reference_loop(rows, kept_window=24, time_window=2.0):
+    """Line-for-line port of the reference's dedup semantics, independent
+    of pandas: scan ascending by time, drop iff any of the last 24 KEPT
+    frames < 2 s older has identical hi."""
+    rows = sorted(rows, key=lambda r: r["time"])
+    kept = []
+    for r in rows:
+        dup = False
+        for k in kept[-kept_window:]:
+            if r["time"] - k["time"] < time_window and k["hi"] == r["hi"]:
+                dup = True
+                break
+        if not dup:
+            kept.append(r)
+    return [(r["file"], r["time"], r["hi"]) for r in kept]
+
+
+def _mk_rows(spec):
+    """spec: list of (time, hi) for a single file."""
+    return [{"file": "f", "time": t, "hi": h} for t, h in spec]
+
+
+ADVERSARIAL_CASES = [
+    # plain burst of identical hashes within 2 s: only the first kept
+    [(0.0, "a"), (0.1, "a"), (0.2, "a"), (1.9, "a"), (2.1, "a")],
+    # re-appearing hash after a gap: kept again
+    [(0.0, "a"), (0.5, "b"), (3.0, "a")],
+    # >24 distinct frames inside 2 s, then a dup of the FIRST (outside
+    # the kept-25 window? no — window is last 24 kept)
+    [(i * 0.05, f"h{i}") for i in range(30)] + [(1.6, "h0")],
+    # interleaved dups: a b a b a within 2 s
+    [(0.0, "a"), (0.2, "b"), (0.4, "a"), (0.6, "b"), (0.8, "a")],
+    # exactly-2.0s boundary: 2.0 is NOT < 2.0, so it's kept
+    [(0.0, "a"), (2.0, "a")],
+    # empty-ish: single row
+    [(0.0, "a")],
+]
+
+
+@pytest.mark.parametrize("spec", ADVERSARIAL_CASES)
+def test_sequential_dedup_pandas_matches_reference(spec):
+    rows = _mk_rows(spec)
+    pdf = pd.DataFrame(rows)
+    got = D.sequential_dedup_pandas(pdf)
+    expect = _reference_loop(rows)
+    assert [tuple(r) for r in got[["file", "time", "hi"]].itertuples(index=False)] == expect
+
+
+def test_sequential_dedup_spark_matches_pandas(spark):
+    import itertools
+
+    # several files, each an adversarial case — exercises the groupBy path
+    rows = []
+    for i, spec in enumerate(ADVERSARIAL_CASES):
+        rows += [
+            {"file": f"f{i}", "time": float(t), "hi": h} for t, h in spec
+        ]
+    df = spark.createDataFrame(rows, "file string, time double, hi string")
+    got = sorted(
+        [(r["file"], r["time"], r["hi"]) for r in D.sequential_dedup(df).collect()]
+    )
+    expect = []
+    key = lambda r: r["file"]
+    for f, grp in itertools.groupby(sorted(rows, key=key), key=key):
+        expect += _reference_loop(list(grp))
+    assert got == sorted(expect)
+
+
+def test_kept_window_semantics_not_raw_window():
+    """The comparison set is the KEPT list, not the raw trailing window:
+    25 distinct frames each followed by... — construct a case where a dup
+    IS dropped because its twin is within the last 24 kept, but would be
+    outside the last 24 raw rows."""
+    # 1 keeper 'x', then 30 rows alternating 'x' dups (dropped, so they
+    # never enter the kept list) — with raw-window semantics the first 'x'
+    # would age out of a 24-row window; with kept-window semantics every
+    # 'x' keeps being compared against the single kept 'x'.
+    spec = [(0.0, "x")] + [(0.01 * (i + 1), "x") for i in range(30)]
+    rows = _mk_rows(spec)
+    got = D.sequential_dedup_pandas(pd.DataFrame(rows))
+    assert len(got) == 1
+
+
+def test_dedup_by_key_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0)], "pk long, v string, t double"
+    )
+    out = D.dedup_by_key(df, ["pk"], order_cols=[F.col("t").asc()]).collect()
+    got = {r["pk"]: r["v"] for r in out}
+    assert got == {1: "a", 2: "c"}
+
+
+def test_exact_dedup_text_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    out = D.exact_dedup_text(df).collect()
+    keepers = sorted(r["doc_id"] for r in out)
+    assert keepers == [1, 2]
+
+
+# -- MinHash / SimHash invariants ------------------------------------------
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different document with other words entirely")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["signature"] for r in D.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different document with other words entirely")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df)
+    pairs = {(r["a_id"], r["b_id"]) for r in D.minhash_lsh_candidates(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_empty_docs_never_collide(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "real words here today")], "doc_id long, text string"
+    )
+    sigs = D.minhash_signatures(df)
+    assert sigs.count() == 3  # empty docs keep a row (all-NULL signature)
+    pairs = D.minhash_lsh_candidates(sigs).collect()
+    assert pairs == []
+
+
+def test_simhash_identical_equal_similar_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "the quick brown fox jumps over the lazy cat today"),
+         (4, "entirely unrelated text about spark physical plans and shuffles")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    assert out[1] == out[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_simhash_empty_doc_is_zero(spark):
+    df = spark.createDataFrame([(1, ""), (2, "words")], "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    assert out[1] == 0
+    assert out[2] != 0
+
+
+def test_hamming_distance64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    got = df.select(D.hamming_distance64(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == 2
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "a_id long, b_id long")
+    out = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, cands, shingle_n=3).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 3)] == pytest.approx(0.0)

@@ -1,0 +1,111 @@
+"""End-to-end pipeline smoke (SURVEY §5.2.4, t1): synthetic videos →
+decode → embed → hash rows → loader transform (dedup, normalize, keys) →
+IVF index → search own frames → each query's top-1 is itself.
+
+This is the full reference lifecycle (§3.1-3.3) in one test: ingest path
+B (hasher), load path C (loader), query path A (searcher)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import media as M
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.operators import similarity as S
+from shotit_worker_spark.plans import ingest as ING
+
+DIM = 100
+
+
+@pytest.fixture(scope="module")
+def index_rows(spark):
+    videos = spark.createDataFrame(
+        [
+            ("store/tt001/ep1.mp4", b"alpha-video-payload" * 64),
+            ("store/tt002/ep2.mp4", b"beta-video-payload" * 96),
+            ("store/tt003/ep3.mp4", b"gamma-video-payload" * 80),
+        ],
+        "path string, content binary",
+    )
+    frames = M.decode_frames(videos)
+    hashes = M.frames_to_hashes(M.embed_images(frames, dim=DIM))
+    return ING.loader_transform(hashes, dim=DIM).cache()
+
+
+def test_index_rows_shape(index_rows):
+    row = index_rows.first()
+    assert set(index_rows.columns) == {
+        "file", "time", "hash_id", "vector", "duration", "primary_key",
+    }
+    assert len(row["vector"]) == DIM
+    # normalized
+    assert sum(x * x for x in row["vector"]) == pytest.approx(1.0, abs=1e-6)
+
+
+def _surviving_frames(spark, index_rows, path, content, n):
+    """Frames of one video that survived D1/D2 dedup, with their images
+    and index hash_ids. The hash_id join is done Spark-side because
+    format_string('%.2f') rounds HALF_UP (Java) while Python's format
+    rounds half-even — formatting in Python would disagree on exact
+    midpoints like 0.125. primary_key is a charcode sum, collision-prone
+    by design (SURVEY §1.1), so some frames legitimately get dropped."""
+    frames = M.decode_frames(
+        spark.createDataFrame([(path, content)], "path string, content binary")
+    )
+    with_id = frames.withColumn(
+        "hid", F.concat_ws("/", "file", F.format_string("%.2f", F.col("time")))
+    )
+    return (
+        with_id.join(index_rows, with_id.hid == index_rows.hash_id)
+        .select("hid", "image")
+        .orderBy("hid")
+        .limit(n)
+        .collect()
+    )
+
+
+def test_self_retrieval_exact(spark, index_rows):
+    """Query path A with the exact searcher: embedding a frame's own
+    image must return that frame as top-1 with score ~1."""
+    sample = _surviving_frames(
+        spark, index_rows, "store/tt001/ep1.mp4", b"alpha-video-payload" * 64, 2
+    )
+    assert sample, "no surviving frames to query"
+    for fr in sample:
+        qv = M.embed_query_image(bytes(fr["image"]), dim=DIM)
+        top = S.exact_topk(
+            index_rows, list(qv), k=1, vec_col="vector", id_col="hash_id",
+            tie_col="primary_key",
+        ).first()
+        assert top["hash_id"] == fr["hid"]
+        assert top["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_self_retrieval_ivf(spark, index_rows, tmp_root):
+    """Same property through the IVF nprobe path."""
+    index = ivf.build_ivf(index_rows, str(tmp_root / "e2e_ivf"), nlist=8)
+    sample = _surviving_frames(
+        spark, index_rows, "store/tt002/ep2.mp4", b"beta-video-payload" * 96, 1
+    )
+    assert sample
+    fr = sample[0]
+    qv = M.embed_query_image(bytes(fr["image"]), dim=DIM)
+    top = index.search(spark, np.asarray(qv), k=1, nprobe=8).first()
+    assert top["hash_id"] == fr["hid"]
+
+
+def test_response_shape(spark, index_rows):
+    """§2.11 API parity: the Solr-shaped response wrapper."""
+    from shotit_worker_spark.plans import search as SRCH
+
+    hits = [
+        {"hash_id": r["hash_id"], "duration": r["duration"],
+         "primary_key": r["primary_key"], "score": 1.0}
+        for r in index_rows.limit(2).collect()
+    ]
+    resp = SRCH.solr_shaped_response(hits, raw_docs_count=100)
+    assert resp["RawDocsCount"] == 100
+    assert resp["response"]["numFound"] == 2
+    assert resp["response"]["docs"][0]["hash_id"]

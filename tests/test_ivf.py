@@ -1,0 +1,91 @@
+"""IVF index tests: build determinism, recall gate vs the exact oracle,
+self-retrieval (SURVEY §5.2.3-4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.operators import similarity as S
+
+NLIST = 16
+NPROBE = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        V.l2_normalize(V.to_double_array("embedding")).alias("vector"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_root):
+    return ivf.build_ivf(corpus, str(tmp_root / "ivf"), nlist=NLIST)
+
+
+def test_centroids_shape_and_determinism(spark, corpus, index, tmp_root):
+    assert index.centroids.shape[0] <= NLIST
+    again = ivf.build_ivf(corpus, str(tmp_root / "ivf2"), nlist=NLIST)
+    assert np.allclose(index.centroids, again.centroids)
+
+
+def test_partitioned_layout(spark, index):
+    df = index.load(spark)
+    assert "centroid_id" in df.columns
+    n_parts = df.select("centroid_id").distinct().count()
+    assert 1 < n_parts <= NLIST
+
+
+def test_self_retrieval_top1(spark, corpus, index):
+    for vid in [0, 7, 123]:
+        q = np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+        top = index.search(spark, q, k=1, nprobe=NPROBE, id_col="vec_id",
+                           tie_col=None).first()
+        assert top["vec_id"] == vid
+        assert top["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_recall_at_15_floor(spark, corpus, index):
+    """nprobe=4/nlist=16 = 25% of lists scanned; recall@15 averaged over
+    queries must clear the pinned floor (reference offers none; we pin
+    empirically per SURVEY §5.2.3 and freeze the KMeans seed). The
+    fixture embeddings are near-uniform random, the hardest case for IVF
+    (true neighbors scatter across lists); observed recall is 0.48, so
+    the regression floor is pinned just below at 0.45."""
+    recalls = []
+    for vid in [1, 42, 99, 250, 400]:
+        q = np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+        approx = [
+            r["vec_id"]
+            for r in index.search(spark, q, k=15, nprobe=NPROBE,
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        exact = [
+            r["vec_id"]
+            for r in S.exact_topk(corpus, list(q), k=15, vec_col="vector",
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        recalls.append(ivf.recall_at_k(approx, exact))
+    assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_full_probe_equals_exact(spark, corpus, index):
+    """nprobe = nlist must reproduce the exact oracle identically."""
+    q = np.array(corpus.filter(F.col("vec_id") == 9).first()["vector"])
+    approx = [
+        r["vec_id"]
+        for r in index.search(spark, q, k=15, nprobe=NLIST,
+                              id_col="vec_id", tie_col=None).collect()
+    ]
+    exact = [
+        r["vec_id"]
+        for r in S.exact_topk(corpus, list(q), k=15, vec_col="vector",
+                              id_col="vec_id", tie_col=None).collect()
+    ]
+    assert approx == exact

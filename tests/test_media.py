@@ -1,0 +1,95 @@
+"""Media UDF plumbing tests: schema, batch shape, determinism of the
+stubbed kernels (the decode byte-logic is a deterministic fake — what's
+under test is the Spark-side contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from shotit_worker_spark.functions import media as M
+
+
+@pytest.fixture(scope="module")
+def videos(spark):
+    rows = [
+        ("store/tt001/ep1.mp4", b"video-bytes-alpha" * 100),
+        ("store/tt002/ep2.mp4", b"video-bytes-beta" * 150),
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+@pytest.fixture(scope="module")
+def frames(videos):
+    return M.decode_frames(videos).cache()
+
+
+def test_decode_schema_and_explosion(frames):
+    assert frames.schema == M.FRAME_SCHEMA
+    by_file = {
+        r["file"]: r["n"]
+        for r in frames.groupBy("file").count().withColumnRenamed("count", "n").collect()
+    }
+    # path → imdbID/fileName projection (P1) + 1 row → N frames
+    assert set(by_file) == {"tt001/ep1.mp4", "tt002/ep2.mp4"}
+    assert all(n >= 1 for n in by_file.values())
+
+
+def test_decode_timecodes_fps_spacing(frames):
+    ts = [
+        r["time"]
+        for r in frames.filter(frames.file == "tt001/ep1.mp4")
+        .orderBy("frame_no")
+        .collect()
+    ]
+    assert ts[0] == pytest.approx(0.5 / M.FRAME_FPS, abs=1e-4)
+    for a, b in zip(ts, ts[1:]):
+        assert b - a == pytest.approx(1.0 / M.FRAME_FPS, abs=1e-3)
+
+
+def test_decode_deterministic(videos):
+    a = sorted(map(tuple, M.decode_frames(videos).collect()))
+    b = sorted(map(tuple, M.decode_frames(videos).collect()))
+    assert a == b
+
+
+def test_embed_schema_and_dim(frames):
+    out = M.embed_images(frames, dim=32)
+    row = out.first()
+    assert len(row["vector"]) == 32
+    assert isinstance(row["hi"], str) and len(row["hi"]) == 32  # hex identity
+
+
+def test_embed_integer_valued_floats(frames):
+    """Descriptor components are whole numbers in [0,256) so the hex
+    round-trip through the hash-row format (frames_to_hashes → P9 decode)
+    is lossless."""
+    row = M.embed_images(frames, dim=16).first()
+    assert all(v == int(v) and 0 <= v < 256 for v in row["vector"])
+
+
+def test_frames_to_hashes_roundtrip(spark, frames):
+    from shotit_worker_spark.functions import vector as V
+
+    emb = M.embed_images(frames, dim=8)
+    hashes = M.frames_to_hashes(emb)
+    # decoding ha must reproduce the original vector exactly
+    both = (
+        emb.select("file", "time", "vector")
+        .join(hashes, ["file", "time"])
+        .select("vector", V.hex_tokens_to_floats("ha").alias("decoded"))
+    )
+    for r in both.collect():
+        assert [float(x) for x in r["vector"]] == r["decoded"]
+
+
+def test_embed_query_matches_embed_images(spark, frames):
+    """G3 query path and G2 ingest path produce the same descriptor for
+    the same image bytes (one code path — SURVEY §2.4)."""
+    import numpy as np
+
+    row = M.embed_images(frames, dim=100).first()
+    img = bytes(row["image"])
+    qv = M.embed_query_image(img, dim=100)
+    v = np.asarray([float(x) for x in row["vector"]])
+    nv = v / np.linalg.norm(v)
+    assert np.allclose(qv, nv, atol=1e-9)

@@ -1,0 +1,83 @@
+"""Similarity-search tests: exact top-k vs numpy brute force, batched
+knn_join consistency, near-dup pairs, and the declared tie-break."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select(
+        "vec_id", V.l2_normalize(V.to_double_array("embedding")).alias("nv")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["nv"] for r in rows])
+    return ids, mat
+
+
+def test_exact_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    q = mat[ids == 5][0]
+    scores = mat @ q
+    # declared tie-break: score DESC, id ASC — numpy lexsort mirror
+    order = np.lexsort((ids, -scores))[:10]
+    expect = [(int(ids[i]), float(scores[i])) for i in order]
+
+    got = S.exact_topk(emb, list(q), k=10, vec_col="nv", id_col="vec_id",
+                       tie_col=None).orderBy(F.desc("score"), "vec_id").collect()
+    got = [(r["vec_id"], r["score"]) for r in got]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[1] == pytest.approx(e[1], abs=1e-9)
+
+
+def test_exact_topk_self_retrieval(emb):
+    row = emb.filter(F.col("vec_id") == 3).first()
+    got = S.exact_topk(emb, list(row["nv"]), k=1, vec_col="nv",
+                       id_col="vec_id", tie_col=None).first()
+    assert got["vec_id"] == 3
+    assert got["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_knn_join_matches_exact_topk(spark, emb):
+    queries = emb.filter(F.col("vec_id").isin([1, 4, 9])).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("query_vec")
+    )
+    index = emb.select("vec_id", F.col("nv").alias("vector"))
+    got = S.knn_join(queries, index, k=5, id_col="vec_id", tie_col="vec_id")
+    by_query = {}
+    for r in got.orderBy("query_id", F.desc("score"), "vec_id").collect():
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid in [1, 4, 9]:
+        qv = emb.filter(F.col("vec_id") == qid).first()["nv"]
+        exact = [
+            r["vec_id"]
+            for r in S.exact_topk(emb, list(qv), k=5, vec_col="nv",
+                                  id_col="vec_id", tie_col=None)
+            .orderBy(F.desc("score"), "vec_id").collect()
+        ]
+        assert by_query[qid] == exact
+
+
+def test_near_dup_pairs_symmetric_free_and_thresholded(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),   # near-dup of 1
+        (3, [0.0, 1.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.near_dup_pairs(df, threshold=0.99).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert pairs == {(1, 2)}  # one direction only (a < b), above threshold

@@ -1,0 +1,112 @@
+"""Streaming tests (SURVEY §5.2.5): the events fixture replayed through
+the file source must produce the same windowed aggregates as the batch
+path (stream-batch equivalence); late rows beyond the watermark are
+dropped; streaming dedup-within-watermark drops replayed keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.streaming import ingest as SI
+from shotit_worker_spark.streaming import windows as SW
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(events, tmp_root):
+    """Events re-written as several parquet files (micro-batch replay units)."""
+    path = str(tmp_root / "events_stream")
+    events.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _canon(rows):
+    return sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 4))
+        for r in rows
+    )
+
+
+def test_stream_batch_equivalence_tumbling(spark, events, events_dir, tmp_root):
+    batch = SW.tumbling_counts(events, "1 hour").drop("window_end").collect()
+
+    stream_src = SI.stream_parquet_source(
+        spark, events_dir, schema=spark.read.parquet(events_dir).schema,
+        max_files_per_trigger=1,
+    )
+    agg = SW.tumbling_counts(stream_src, "1 hour", watermark="2 hours").drop(
+        "window_end"
+    )
+    out_path = str(tmp_root / "stream_out")
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_root / "ckpt_tumble"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tumbling_test").collect()
+    assert _canon(got) == _canon(batch)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_root):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k1", base),
+        ("k1", base + dt.timedelta(seconds=10)),   # dup within watermark
+        ("k2", base + dt.timedelta(seconds=20)),
+    ]
+    src_dir = str(tmp_root / "dedup_src")
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = SI.stream_parquet_source(
+        spark, src_dir, schema=df.schema
+    )
+    deduped = SI.streaming_dedup_within_watermark(
+        stream, ["key"], ts_col="ts", watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["key"] for r in spark.sql("SELECT * FROM dedup_test").collect())
+    assert got == ["k1", "k2"]
+
+
+def test_session_window_batch_matches_manual(spark):
+    """Session windows: gap-merge semantics on a tiny hand-checked case."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", base, 1.0),
+        ("u1", base + dt.timedelta(minutes=10), 2.0),   # same session (<30 min gap)
+        ("u1", base + dt.timedelta(minutes=50), 3.0),   # new session
+        ("u2", base, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = SW.session_counts(df, gap="30 minutes").collect()
+    sessions = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"]) for r in out
+    )
+    assert sessions == [("u1", 1, 3.0), ("u1", 2, 3.0), ("u2", 1, 4.0)]
