@@ -41,42 +41,60 @@ KMEANS_SEED = 42
 
 
 def _fit_centroids(
-    index_rows: DataFrame, vec_col: str, nlist: int, seed: int, sample_cap: int
+    index_rows: DataFrame,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    sample_cap: int,
+    method: str = "auto",
 ) -> np.ndarray:
-    """KMeans centroids via MLlib (distributed — scales to the full corpus).
+    """KMeans centroids, seed-pinned either way (SURVEY §5.2.3).
 
-    Falls back to a numpy Lloyd iteration when the corpus has fewer rows
-    than `nlist` would need (tiny fixtures), keeping the seed fixed either
-    way so builds are reproducible (SURVEY §5.2.3 pins the seed).
+    method='mllib': distributed MLlib KMeans — the 100-TB path (every
+    Lloyd iteration is one pass over the corpus, executors do the work).
+    method='numpy': Lloyd iterations on a driver-side sample bounded by
+    `sample_cap` — for corpora that fit comfortably in one numpy array,
+    where MLlib's per-iteration job overhead dominates (an IVF codebook
+    trained on a ≤200 k-row sample is standard practice; Milvus likewise
+    trains on a segment sample). 'auto' picks numpy iff the corpus is
+    within sample_cap (then the "sample" is exact).
     """
-    n = index_rows.count()
-    k = min(nlist, max(1, n))
-    try:
+    rows = None
+    if method in ("auto", "numpy"):
+        # one job decides the path AND fetches the sample: if fewer than
+        # sample_cap rows come back, the "sample" is the whole corpus
+        rows = (
+            index_rows.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample_cap)
+            .collect()
+        )
+        if method == "auto":
+            method = "numpy" if len(rows) < sample_cap else "mllib"
+    if method == "mllib":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         feats = index_rows.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
-        model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
-        return np.array([c.toArray() for c in model.clusterCenters()])
-    except Exception:
-        # numpy fallback: sample to the driver (bounded by sample_cap)
-        rows = (
-            index_rows.select(F.col(vec_col).cast("array<double>").alias("v"))
-            .limit(sample_cap)
-            .collect()
+        model = KMeans(k=min(nlist, max(1, feats.count())), seed=seed, maxIter=20).fit(
+            feats
         )
-        x = np.array([r["v"] for r in rows])
-        rng = np.random.RandomState(seed)
-        centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
-        for _ in range(20):
-            assign = np.argmax(x @ centroids.T, axis=1)
-            for c in range(len(centroids)):
-                members = x[assign == c]
-                if len(members):
-                    centroids[c] = members.mean(axis=0)
-        return centroids
+        # clusterCenters() yields numpy arrays on recent PySpark, Vectors
+        # on older — normalize either way
+        return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    x = np.array([r["v"] for r in rows])
+    k = min(nlist, max(1, len(x)))
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(20):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
 
 
 def assign_centroids(
@@ -99,13 +117,52 @@ def assign_centroids(
     return index_rows.withColumn("centroid_id", _assign(F.col(vec_col)))
 
 
+def _fit_sq8_params(
+    assigned: DataFrame, vec_col: str, dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-dimension (min, scale) for 8-bit scalar quantization —
+    one posexplode + groupBy(dim) pass (map-side partial min/max; the
+    shuffle carries dim rows)."""
+    stats = (
+        assigned.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    mins = np.zeros(dim)
+    scales = np.ones(dim)
+    for r in stats:
+        mins[r["d"]] = r["lo"]
+        span = r["hi"] - r["lo"]
+        scales[r["d"]] = span / 255.0 if span > 0 else 1.0
+    return mins, scales
+
+
+def _quantize_expr(vec_col: str, mins: np.ndarray, scales: np.ndarray):
+    """array<float> → array<tinyint> codes: round((x-min)/scale) - 128."""
+    m = F.array(*[F.lit(float(x)) for x in mins])
+    s = F.array(*[F.lit(float(x)) for x in scales])
+    step = F.zip_with(F.col(vec_col), m, lambda x, lo: x - lo)
+    return F.zip_with(
+        step, s, lambda d, sc: (F.round(d / sc) - 128).cast("tinyint")
+    )
+
+
 @dataclass
 class IVFIndex:
-    """A built IVF index: partitioned parquet table + driver-held centroids."""
+    """A built IVF index: partitioned parquet table + driver-held centroids.
+
+    With `mins`/`scales` set the table stores 8-bit codes (`sq8_code`)
+    instead of float vectors — the SQ8 of the reference's IVF_SQ8
+    (/root/reference/loader.js:333): 4× less scan IO/memory for a small,
+    recall-tested accuracy loss; search dequantizes in-plan.
+    """
 
     path: str
     centroids: np.ndarray  # (nlist, dim)
     vec_col: str = "vector"
+    mins: np.ndarray | None = None  # (dim,) — set iff SQ8-quantized
+    scales: np.ndarray | None = None
 
     def load(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -114,6 +171,26 @@ class IVFIndex:
         scores = self.centroids @ np.asarray(query, dtype=np.float64)
         order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[: min(nprobe, len(order))]]
+
+    def _score(self, query: np.ndarray):
+        if self.mins is None:
+            return V.dot_literal(self.vec_col, list(query))
+        # dequantized dot: sum_d q_d * (min_d + (code_d + 128) * scale_d)
+        #   = dot(q, min)  [constant]  +  sum_d (q_d * scale_d) * (code_d + 128)
+        # fold q*scale into one literal array so the per-row work is a
+        # single zip_with-aggregate over the tinyint codes
+        q = np.asarray(query, dtype=np.float64)
+        const = float(q @ self.mins)
+        qs = q * self.scales
+        return F.lit(const) + F.aggregate(
+            F.zip_with(
+                F.col("sq8_code"),
+                F.array(*[F.lit(float(x)) for x in qs]),
+                lambda c, w: (c.cast("double") + 128.0) * w,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
 
     def search(
         self,
@@ -130,9 +207,7 @@ class IVFIndex:
         order = [F.col("score").desc()] + ([F.col(tie_col).asc()] if tie_col else [])
         cols = [id_col, *([tie_col] if tie_col else [])]
         return (
-            df.select(
-                *cols, V.dot_literal(self.vec_col, list(query)).alias("score")
-            )
+            df.select(*cols, self._score(query).alias("score"))
             .orderBy(*order)
             .limit(k)
         )
@@ -145,17 +220,39 @@ def build_ivf(
     seed: int = KMEANS_SEED,
     vec_col: str = "vector",
     sample_cap: int = 200_000,
+    quantize: bool = False,
+    fit_method: str = "auto",
 ) -> IVFIndex:
     """Build the IVF layout: fit centroids, assign, write partitioned.
 
     Replaces K5 (`createIndex IVF_SQ8 nlist=128`, loader.js:329-335).
-    SQ8 quantization is deliberately deferred (float32 parquet + zstd is
-    already compact; SURVEY §4.3 step 4 keeps it as an optional knob).
+    `quantize=True` adds the SQ8 half: store 8-bit codes instead of the
+    float vectors (global per-dimension min/max scaling) — the scan reads
+    ~4× fewer bytes per probe at a recall cost gated in tests/test_ivf.py.
     """
-    centroids = _fit_centroids(index_rows, vec_col, nlist, seed, sample_cap)
-    assigned = assign_centroids(index_rows, centroids, vec_col)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    return IVFIndex(path=path, centroids=centroids, vec_col=vec_col)
+    centroids = _fit_centroids(
+        index_rows, vec_col, nlist, seed, sample_cap, method=fit_method
+    )
+    # cluster rows by their output partition before the write: one
+    # shuffle buys one file per centroid directory instead of
+    # (tasks × nlist) small files — at 100 TB small-file explosion is
+    # the classic partitioned-write failure mode
+    assigned = assign_centroids(index_rows, centroids, vec_col).repartition(
+        F.col("centroid_id")
+    )
+    if not quantize:
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        return IVFIndex(path=path, centroids=centroids, vec_col=vec_col)
+
+    dim = centroids.shape[1]
+    mins, scales = _fit_sq8_params(assigned, vec_col, dim)
+    coded = assigned.withColumn(
+        "sq8_code", _quantize_expr(vec_col, mins, scales)
+    ).drop(vec_col)
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return IVFIndex(
+        path=path, centroids=centroids, vec_col=vec_col, mins=mins, scales=scales
+    )
 
 
 def ivf_search(

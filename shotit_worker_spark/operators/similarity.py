@@ -112,13 +112,27 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    use_matmul: bool = True,
 ) -> DataFrame:
     """All pairs (a, b), a < b, with similarity >= threshold.
 
-    Brute-force O(n²) self-join — the exact oracle for near-dup detection.
-    At 100-TB scale use the LSH-bucketed variant (operators.dedup.
-    minhash_lsh_candidates / index.ivf assignment) to generate candidates
-    and this scorer only within buckets.
+    Exact O(n²) scorer — the oracle for near-dup detection, and the
+    in-bucket scorer of the scale cascade (candidates come from
+    operators.dedup.minhash_lsh_candidates / the IVF assignment at
+    100 TB; this runs only within buckets there).
+
+    Physical kernel: a block-nested-loop matmul. One side is broadcast
+    as a dense numpy matrix; mapInPandas streams Arrow batches of the
+    other side and emits `(a_id, b_id, score)` for pairs above the
+    threshold via one (batch × dim) @ (dim × n) product per batch —
+    dense linear algebra is the one place the interpreted higher-order
+    expressions lose by ~50× (measured: 96 s → ~4 s for 2 k vectors at
+    dim 64). The broadcast side must fit in executor memory (dim × n
+    float64 — ~0.5 GB per million vectors), which is exactly the regime
+    this exact variant is for; beyond that, bucket first.
+
+    `use_matmul=False` keeps the pure-expression plan (crossJoin +
+    zip_with dot) for plan-shape comparison.
     """
     v = F.col(vec_col).cast("array<double>")
     if metric == "cosine":
@@ -129,6 +143,10 @@ def near_dup_pairs(
         prepped = df.select(F.col(id_col).alias("id"), v.alias("nv"))
     else:
         raise ValueError(f"unknown metric {metric!r}")
+
+    if use_matmul:
+        return _near_dup_pairs_matmul(prepped, threshold)
+
     a = prepped.select(F.col("id").alias("a_id"), F.col("nv").alias("a_vec"))
     b = prepped.select(F.col("id").alias("b_id"), F.col("nv").alias("b_vec"))
     return (
@@ -137,3 +155,44 @@ def near_dup_pairs(
         .select("a_id", "b_id", V.dot("a_vec", "b_vec").alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def _near_dup_pairs_matmul(prepped: DataFrame, threshold: float) -> DataFrame:
+    """Block-nested-loop all-pairs scorer: broadcast (ids, matrix) of one
+    side, matmul each Arrow batch of the other side against it."""
+    import numpy as np
+    import pandas as pd
+
+    rows = prepped.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["nv"] for r in rows], dtype=np.float64)
+    spark = prepped.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    # fan the left side out: fixture-sized inputs arrive as one parquet
+    # split = one task, serializing the whole matmul on one core (numpy
+    # here has no threaded BLAS). 2× defaultParallelism keeps every core
+    # busy while blocks stay large enough to amortize worker startup.
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    if prepped.rdd.getNumPartitions() < n_parts:
+        prepped = prepped.repartition(n_parts)
+
+    def _score(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            scores = a @ all_mat  # (batch, n)
+            keep = (scores >= threshold) & (a_ids[:, None] < all_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": all_ids[bi],
+                    "score": scores[ai, bi],
+                }
+            )
+
+    return prepped.mapInPandas(_score, schema="a_id long, b_id long, score double")

@@ -35,6 +35,19 @@ def test_centroids_shape_and_determinism(spark, corpus, index, tmp_root):
     assert np.allclose(index.centroids, again.centroids)
 
 
+def test_mllib_fit_path_works(spark, corpus, tmp_root):
+    """The distributed (100-TB) KMeans path, forced at fixture scale so
+    it stays exercised."""
+    idx = ivf.build_ivf(
+        corpus, str(tmp_root / "ivf_mllib"), nlist=NLIST, fit_method="mllib"
+    )
+    assert idx.centroids.shape[0] <= NLIST
+    q = np.array(corpus.filter(F.col("vec_id") == 11).first()["vector"])
+    top = idx.search(spark, q, k=1, nprobe=NLIST, id_col="vec_id",
+                     tie_col=None).first()
+    assert top["vec_id"] == 11
+
+
 def test_partitioned_layout(spark, index):
     df = index.load(spark)
     assert "centroid_id" in df.columns
@@ -73,6 +86,30 @@ def test_recall_at_15_floor(spark, corpus, index):
         ]
         recalls.append(ivf.recall_at_k(approx, exact))
     assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_sq8_index_smaller_and_recall_close(spark, corpus, index, tmp_root):
+    """SQ8 build: codes stored as tinyint (no float vector column) and
+    full-probe SQ8 top-15 stays close to the float-path top-15."""
+    sq8 = ivf.build_ivf(corpus, str(tmp_root / "ivf_sq8"), nlist=NLIST,
+                        quantize=True)
+    table = sq8.load(spark)
+    assert "sq8_code" in table.columns and "vector" not in table.columns
+    assert dict(table.dtypes)["sq8_code"] == "array<tinyint>"
+
+    q = np.array(corpus.filter(F.col("vec_id") == 42).first()["vector"])
+    sq8_ids = [
+        r["vec_id"]
+        for r in sq8.search(spark, q, k=15, nprobe=NLIST, id_col="vec_id",
+                            tie_col=None).collect()
+    ]
+    float_ids = [
+        r["vec_id"]
+        for r in index.search(spark, q, k=15, nprobe=NLIST, id_col="vec_id",
+                              tie_col=None).collect()
+    ]
+    assert ivf.recall_at_k(sq8_ids, float_ids) >= 0.8
+    assert sq8_ids[0] == 42  # self-retrieval survives quantization
 
 
 def test_full_probe_equals_exact(spark, corpus, index):

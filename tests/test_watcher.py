@@ -1,0 +1,51 @@
+"""Watcher pipeline tests: only ≥2-level .mp4 paths are uploaded, layout
+is {store}/{imdbID}/{fileName}, and checkpointed replays are idempotent
+(T2 semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from shotit_worker_spark.plans import watcher as W
+
+
+@pytest.fixture()
+def watch_dir(tmp_path):
+    d = tmp_path / "watch"
+    (d / "tt001").mkdir(parents=True)
+    (d / "tt001" / "ep1.mp4").write_bytes(b"mp4-bytes-1")
+    (d / "tt001" / "notes.txt").write_bytes(b"not a video")
+    (d / "tt002").mkdir()
+    (d / "tt002" / "EP2.MP4").write_bytes(b"mp4-bytes-2")
+    (d / "toplevel.mp4").write_bytes(b"too shallow")  # <2 levels: ignored
+    return str(d)
+
+
+def test_watcher_uploads_valid_videos_only(spark, watch_dir, tmp_path):
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = W.run_watcher(spark, watch_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    uploaded = sorted(
+        os.path.join(r, f).replace(store + "/", "")
+        for r, _, fs in os.walk(store)
+        for f in fs
+    )
+    assert uploaded == ["tt001/ep1.mp4", "tt002/EP2.MP4"]
+    with open(os.path.join(store, "tt001", "ep1.mp4"), "rb") as f:
+        assert f.read() == b"mp4-bytes-1"
+
+
+def test_watcher_replay_idempotent(spark, watch_dir, tmp_path):
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = W.run_watcher(spark, watch_dir, store, ckpt)
+    q1.awaitTermination(120)
+    # second run with the same checkpoint: no new files → no-op
+    q2 = W.run_watcher(spark, watch_dir, store, ckpt)
+    q2.awaitTermination(120)
+    uploaded = [f for _, _, fs in os.walk(store) for f in fs]
+    assert sorted(uploaded) == ["EP2.MP4", "ep1.mp4"]
