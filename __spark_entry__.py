@@ -323,16 +323,22 @@ def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 L2-normalize: per-vector norm + stats of the normalized vector."""
+    """P11 L2-normalize: per-vector norm + stats of the normalized vector.
+
+    `nv` is computed once behind a multi-referenced alias boundary —
+    inlining it into sum/min/max would evaluate the normalize pipeline
+    three times per row."""
     emb = _t(spark, sf_dir, "embeddings")
     v = V.to_double_array("embedding")
-    nv = V.l2_normalize(v)
-    return emb.select(
+    staged = emb.select(
+        "vec_id", V.l2_norm(v).alias("norm"), V.l2_normalize(v).alias("nv")
+    )
+    return staged.select(
         "vec_id",
-        V.l2_norm(v).alias("norm"),
-        F.aggregate(nv, F.lit(0.0), lambda s, x: s + x).alias("sum_nv"),
-        F.array_min(nv).alias("vmin"),
-        F.array_max(nv).alias("vmax"),
+        "norm",
+        F.aggregate(F.col("nv"), F.lit(0.0), lambda s, x: s + x).alias("sum_nv"),
+        F.array_min("nv").alias("vmin"),
+        F.array_max("nv").alias("vmax"),
     ).orderBy("vec_id")
 
 
@@ -517,9 +523,10 @@ def q41_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id("text").alias("pred_lang")).orderBy(
-        "doc_id"
-    )
+    toks = docs.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", TX.lang_id_from_tokens("toks").alias("pred_lang")
+    ).orderBy("doc_id")
 
 
 def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

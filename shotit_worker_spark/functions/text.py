@@ -89,21 +89,28 @@ def lang_marker_hits(text: ColumnOrName, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
 
 
-def lang_id(text: ColumnOrName) -> Column:
-    """Pick the language whose marker list hits most tokens; ties and
-    zero-hit rows → 'und'. Deterministic tie-break: higher count wins,
-    then lexicographic language code."""
-    t = _col(text)
+def lang_id_from_tokens(tokens: ColumnOrName) -> Column:
+    """lang_id over a pre-tokenized column. Prefer this behind an alias
+    boundary when scoring many rows — `lang_id(text)` inlines the
+    tokenizer into every language's filter (4× per row)."""
+    toks = _col(tokens)
     best = F.lit("und")
     best_hits = F.lit(0)
     # strict > with ascending iteration: on equal counts the first
     # (lexicographically smaller) language code wins
     for lang in sorted(LANG_MARKERS):
-        hits = lang_marker_hits(t, lang)
+        hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
         take = hits > best_hits
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_hits = F.when(take, hits).otherwise(best_hits)
     return best
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """Pick the language whose marker list hits most tokens; ties and
+    zero-hit rows → 'und'. Deterministic tie-break: higher count wins,
+    then lexicographic language code."""
+    return lang_id_from_tokens(tokenize(_col(text)))
 
 
 FINGERPRINT_MOD = 1_000_000_007

@@ -66,6 +66,11 @@ def l2_normalize(vec: ColumnOrName) -> Column:
     Mirrors /root/reference/loader.js:120-128 (write side) and
     searcher.js:52-60 (query side) — one code path for both, so
     inner product == cosine similarity on stored vectors.
+
+    Float64-policy divergence (SURVEY §5.4): components below ~1e-154
+    underflow x*x to 0 here, while the reference's BigDecimal norm would
+    not; real descriptor values are integers in [0, 256), far from that
+    regime.
     """
     v = _col(vec)
     norm = l2_norm(v)

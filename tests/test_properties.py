@@ -1,0 +1,193 @@
+"""Property-based tests (hypothesis) for the kernel surface.
+
+Spark-side properties batch many generated inputs into ONE job per
+hypothesis example (max_examples kept small — each example costs a Spark
+round-trip); the D1 dedup differential is pure Python and runs at full
+example count.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import text as TX
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.operators import dedup as D
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+spark_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _batch(spark, values, col_type, expr):
+    df = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
+    return [r["out"] for r in df.select(expr(F.col("v")).alias("out")).collect()]
+
+
+# -- P12 charcode sum -------------------------------------------------------
+
+
+@spark_settings
+@given(st.lists(ascii_text, min_size=1, max_size=50))
+def test_charcode_sum_matches_python(spark, texts):
+    got = _batch(spark, texts, "string", V.charcode_sum)
+    expect = [sum(ord(c) for c in t) for t in texts]
+    assert got == expect
+
+
+# -- P9 hex decode ----------------------------------------------------------
+
+
+hex_token = st.text(alphabet="0123456789abcdef", min_size=1, max_size=6)
+
+
+@spark_settings
+@given(st.lists(st.lists(hex_token, max_size=8), min_size=1, max_size=30))
+def test_hex_decode_matches_python(spark, token_lists):
+    strs = [" ".join(toks) for toks in token_lists]
+    got = _batch(spark, strs, "string", V.hex_tokens_to_floats)
+    expect = [[float(int(t, 16)) for t in toks] for toks in token_lists]
+    assert got == expect
+
+
+# -- P10/P11 pad + normalize ------------------------------------------------
+
+
+# components are 0 or of sane magnitude: denormal inputs underflow x*x in
+# float64 (documented policy divergence from the reference's BigDecimal
+# norm — see functions/vector.py l2_normalize)
+vectors = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False).filter(
+        lambda x: x == 0 or abs(x) >= 1e-3
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@spark_settings
+@given(st.lists(vectors, min_size=1, max_size=30))
+def test_pad_then_normalize_properties(spark, vecs):
+    dim = 8
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    out = df.select(
+        V.l2_normalize(V.pad_vector(F.col("v"), dim)).alias("nv")
+    ).collect()
+    for row, v in zip(out, vecs):
+        nv = row["nv"]
+        assert len(nv) == dim
+        norm = math.sqrt(sum(x * x for x in nv))
+        truncated = v[:dim]
+        if any(x != 0 for x in truncated):
+            assert norm == pytest.approx(1.0, abs=1e-6)
+        else:
+            assert norm == 0.0
+
+
+# -- tokenize ---------------------------------------------------------------
+
+
+@spark_settings
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_tokenize_matches_python(spark, texts):
+    got = _batch(spark, texts, "string", TX.tokenize)
+    expect = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t != ""] for s in texts
+    ]
+    assert got == expect
+
+
+# -- fingerprint ------------------------------------------------------------
+
+
+def _py_fingerprint(text: str) -> int:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t != ""]
+    h = 0
+    for c in " ".join(toks):
+        h = (h * TX.FINGERPRINT_BASE + ord(c)) % TX.FINGERPRINT_MOD
+    return h
+
+
+@spark_settings
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_fingerprint_matches_python(spark, texts):
+    got = _batch(spark, texts, "string", TX.fingerprint)
+    assert got == [_py_fingerprint(t) for t in texts]
+
+
+# -- D1 sequential dedup: pandas impl vs straight reference loop ------------
+# (pure Python — no Spark — so this runs at full hypothesis power)
+
+
+dedup_spec = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=20, allow_nan=False),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(dedup_spec)
+def test_sequential_dedup_random_specs(spec):
+    # unique times: equal timestamps make the scan order ambiguous (the
+    # reference sorts by time only; ties depend on input order)
+    seen = set()
+    rows = []
+    for t, h in spec:
+        if t not in seen:
+            seen.add(t)
+            rows.append({"file": "f", "time": t, "hi": h})
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows)
+    got = D.sequential_dedup_pandas(pdf)
+
+    ordered = sorted(rows, key=lambda r: r["time"])
+    kept = []
+    for r in ordered:
+        dup = any(
+            r["time"] - k["time"] < D.DEDUP_TIME_WINDOW and k["hi"] == r["hi"]
+            for k in kept[-D.DEDUP_KEPT_WINDOW:]
+        )
+        if not dup:
+            kept.append(r)
+    assert [tuple(r) for r in got[["time", "hi"]].itertuples(index=False)] == [
+        (k["time"], k["hi"]) for k in kept
+    ]
+
+
+# -- simhash hamming vs token overlap (monotonicity smoke) ------------------
+
+
+def test_minhash_similarity_monotone(spark):
+    """Docs sharing more shingles share more signature positions (a
+    statistical property; checked on a fixed, clearly-separated trio)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+            (3, "one two three four five six seven eight"),       # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["signature"] for r in D.minhash_signatures(df).collect()}
+
+    def overlap(a, b):
+        return sum(1 for x, y in zip(a, b) if x == y)
+
+    assert overlap(sigs[1], sigs[2]) > overlap(sigs[1], sigs[3])
