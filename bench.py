@@ -32,9 +32,14 @@ def main() -> None:
     only = set(sys.argv[1:])
 
     spark = get_spark("bench")
-    # warm the JVM/codegen once so the first measured query isn't taxed
-    # with session startup (we measure queries, not JVM boot)
+    # warm the JVM/codegen AND the python-worker fleet once so the first
+    # measured query isn't taxed with process boot (32 workers importing
+    # pandas/pyarrow costs tens of seconds on a contended box; we measure
+    # queries, not interpreter startup)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

@@ -38,6 +38,12 @@ DEFAULT_NLIST = 128  # loader.js:334
 DEFAULT_NPROBE = 10  # searcher.js:105
 DEFAULT_TOPK = 15  # searcher.js:103
 KMEANS_SEED = 42
+# auto codebook-fit switchover: below this the driver-side Lloyd loop wins
+# (no job-per-iteration overhead); above it the work is real FLOPs and the
+# distributed path wins — this interpreter's numpy has no threaded BLAS,
+# so driver-side matmuls run single-core (measured: 100 k×64, k=128,
+# 20 iters ≈ 3 min driver-side vs well under a minute in MLlib)
+NUMPY_FIT_CAP = 20_000
 
 
 def _fit_centroids(
@@ -62,14 +68,15 @@ def _fit_centroids(
     rows = None
     if method in ("auto", "numpy"):
         # one job decides the path AND fetches the sample: if fewer than
-        # sample_cap rows come back, the "sample" is the whole corpus
+        # the cap rows come back, the "sample" is the whole corpus
+        cap = min(sample_cap, NUMPY_FIT_CAP) if method == "auto" else sample_cap
         rows = (
             index_rows.select(F.col(vec_col).cast("array<double>").alias("v"))
-            .limit(sample_cap)
+            .limit(cap)
             .collect()
         )
         if method == "auto":
-            method = "numpy" if len(rows) < sample_cap else "mllib"
+            method = "numpy" if len(rows) < cap else "mllib"
     if method == "mllib":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector

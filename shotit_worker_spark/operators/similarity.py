@@ -44,10 +44,27 @@ def exact_topk(
 ) -> DataFrame:
     """Brute-force top-k by inner product (the exact oracle for J2).
 
-    Physical shape: scan → per-row flat dot product (codegen) →
-    TakeOrderedAndProject. One pass over the corpus, no shuffle beyond
-    the k-row merge at the driver.
+    Physical shape: scan → per-batch matmul score (the one-query case of
+    the knn_join kernel) → per-partition top-k → k-row driver merge. One
+    pass over the corpus, no shuffle. With `extra_cols` (or
+    `use_matmul=False` via knn_join) falls back to the pure-expression
+    plan: per-row fold dot → TakeOrderedAndProject — same result, ~10×
+    slower per row at dim 64.
     """
+    if not extra_cols:
+        spark = index_df.sparkSession
+        queries_df = spark.createDataFrame(
+            [(0, [float(x) for x in query])], "query_id long, query_vec array<double>"
+        )
+        out = _knn_join_matmul(
+            queries_df, index_df, k, "query_vec", "query_id", vec_col,
+            id_col, tie_col or id_col,
+        ).drop("query_id")
+        order = [F.col("score").desc()]
+        if tie_col:
+            order.append(F.col(tie_col).asc())
+        return out.orderBy(*order).limit(k)
+
     order = [F.col("score").desc()]
     if tie_col:
         order.append(F.col(tie_col).asc())
@@ -69,16 +86,29 @@ def knn_join(
     id_col: str = "hash_id",
     tie_col: str = "primary_key",
     metric: str = "ip",
+    use_matmul: bool = True,
 ) -> DataFrame:
     """Batched multi-query exact top-k: every query row gets its k nearest
     corpus rows.
 
-    Plan: broadcast the (small) query side into a nested-loop join against
-    the corpus — the corpus never shuffles; only the (n_queries × k)
-    candidate set moves. Per-query ranking is a window over score with the
-    declared tie-break. With Q queries this is one corpus scan total,
-    vs. Q scans for the loop-over-queries formulation.
+    Plan: broadcast the (small) query side against the corpus — the
+    corpus never shuffles; only (n_queries × k) candidates per partition
+    move. With Q queries this is one corpus scan total, vs. Q scans for
+    the loop-over-queries formulation.
+
+    Physical kernel (`use_matmul`, ip metric): the query matrix rides a
+    broadcast variable; mapInPandas scores each Arrow batch of the corpus
+    with one (batch × dim) @ (dim × Q) product and emits only each
+    batch's per-query top-k by the declared (score DESC, tie ASC) order —
+    a batch's top-k superset of the global top-k, so the final window
+    rank over ≤ k × n_batches candidates is exact. Measured ~100× over
+    the interpreted zip_with dot at 64 queries × 100 k corpus.
     """
+    if metric == "ip" and use_matmul:
+        return _knn_join_matmul(
+            queries_df, index_df, k, query_vec_col, query_id_col, vec_col,
+            id_col, tie_col,
+        )
     if metric == "ip":
         score = V.dot(F.col("q." + query_vec_col), F.col("i." + vec_col))
     elif metric == "cosine":
@@ -101,6 +131,75 @@ def knn_join(
     )
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _knn_join_matmul(
+    queries_df: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    query_vec_col: str,
+    query_id_col: str,
+    vec_col: str,
+    id_col: str,
+    tie_col: str,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in qrows]
+    q_mat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64).T  # (dim, Q)
+    spark = queries_df.sparkSession
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qmat = spark.sparkContext.broadcast(q_mat)
+
+    keep_tie = tie_col != id_col
+    in_cols = [id_col, *( [tie_col] if keep_tie else []), vec_col]
+    src = index_df.select(*in_cols)
+
+    def _score(batches):
+        qids, qmat = b_qids.value, b_qmat.value
+        nq = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scores = x @ qmat  # (batch, Q)
+            ids = pdf[id_col].to_numpy()
+            ties = pdf[tie_col].to_numpy() if keep_tie else ids
+            out = {query_id_col: [], id_col: [], "score": []}
+            if keep_tie:
+                out[tie_col] = []
+            kk = min(k, len(pdf))
+            for qi in range(nq):
+                col = scores[:, qi]
+                # top-k by (score DESC, tie ASC): argpartition prunes,
+                # lexsort settles the declared order inside the slice
+                part = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+                order = part[np.lexsort((ties[part], -col[part]))]
+                out[query_id_col].extend([qids[qi]] * len(order))
+                out[id_col].extend(ids[order])
+                out["score"].extend(col[order])
+                if keep_tie:
+                    out[tie_col].extend(ties[order])
+            yield pd.DataFrame(out)
+
+    id_t = src.schema[id_col].dataType.simpleString()
+    q_t = queries_df.schema[query_id_col].dataType.simpleString()
+    fields = [f"{query_id_col} {q_t}", f"{id_col} {id_t}"]
+    if keep_tie:
+        fields.append(f"{tie_col} {src.schema[tie_col].dataType.simpleString()}")
+    fields.append("score double")
+    cand = src.mapInPandas(_score, schema=", ".join(fields))
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(tie_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("rank")
     )

@@ -1,0 +1,149 @@
+"""Scale stress: run the dedup cascade / text kernels / ANN paths on a
+synthesized corpus ~20-50× the sf0.1 fixtures and report rows/sec.
+
+The fixtures cap at 5 k documents / 2 k vectors — too small to expose a
+quadratic stage or a shuffle explosion. This synthesizes (deterministically,
+in Spark itself — no fixture files touched) a corpus big enough that any
+O(n²) or per-row-re-evaluation regression is unmissable, and prints one
+JSON line per measurement. Results land in SCALE_NOTES.md.
+
+Usage: python tools/scale_stress.py [n_docs] [n_vecs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import text as TX
+from shotit_worker_spark.operators import dedup as D
+from shotit_worker_spark.operators import similarity as S
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+DIM = 64
+
+
+def synth_docs(spark, n):
+    """~30-word pseudo-documents from md5 chains; ~10% exact duplicates
+    (doc_id rounded down to a multiple of 10 for one doc in ten)."""
+    base = spark.range(n).withColumn(
+        "src_id",
+        F.when(F.col("id") % 10 == 9, (F.col("id") / 10).cast("long") * 10)
+        .otherwise(F.col("id")),
+    )
+    words = F.array(
+        *[F.substring(F.md5(F.concat(F.col("src_id").cast("string"), F.lit(f"w{i}"))), 1, 6)
+          for i in range(30)]
+    )
+    return base.select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def synth_vecs(spark, n, dim):
+    """Deterministic pseudo-random unit-ish vectors (hash-derived)."""
+    comps = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"d{i}"))), 1, 6), 16, 10)
+                .cast("double")
+                / F.lit(16777215.0)
+                - 0.5
+            )
+            for i in range(dim)
+        ]
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), comps.alias("embedding"))
+
+
+def bench(name, n_rows, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(json.dumps({
+        "op": name, "rows_in": n_rows, "result_rows": out,
+        "sec": round(dt, 2), "rows_per_sec": int(n_rows / dt) if dt else None,
+    }))
+
+
+def main():
+    spark = get_spark("scale-stress")
+    spark.range(100).count()
+    # boot the python-worker fleet before timing pandas-UDF operators
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    tmp = tempfile.mkdtemp(prefix="scale_")
+
+    docs_path = f"{tmp}/docs"
+    synth_docs(spark, N_DOCS).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    bench("exact_dedup_md5", N_DOCS, lambda: D.exact_dedup_text(docs).count())
+    bench("minhash_signatures_32", N_DOCS,
+          lambda: D.minhash_signatures(docs, num_hashes=32, shingle_n=3).count())
+
+    sigs_path = f"{tmp}/sigs"
+    D.minhash_signatures(docs, num_hashes=32, shingle_n=3).write.mode(
+        "overwrite").parquet(sigs_path)
+    sigs = spark.read.parquet(sigs_path)
+    bench("minhash_lsh_candidates", N_DOCS,
+          lambda: D.minhash_lsh_candidates(sigs, num_bands=8, num_hashes=32).count())
+    bench("simhash64", N_DOCS, lambda: D.simhash64(docs).count())
+    bench("fingerprint", N_DOCS,
+          lambda: docs.select(TX.fingerprint("text").alias("fp"))
+          .agg(F.max("fp")).collect() and N_DOCS)
+    bench("tokenize_explode_count", N_DOCS,
+          lambda: docs.select(F.explode(TX.tokenize("text"))).count())
+
+    vecs_path = f"{tmp}/vecs"
+    synth_vecs(spark, N_VECS, DIM).write.mode("overwrite").parquet(vecs_path)
+    vecs = spark.read.parquet(vecs_path)
+    from shotit_worker_spark.functions import vector as V
+
+    nvecs_path = f"{tmp}/nvecs"
+    vecs.select("vec_id", V.l2_normalize(V.to_double_array("embedding")).alias(
+        "vector")).write.mode("overwrite").parquet(nvecs_path)
+    nvecs = spark.read.parquet(nvecs_path)
+
+    qv = nvecs.filter(F.col("vec_id") == 0).first()["vector"]
+    bench("exact_topk_bruteforce", N_VECS,
+          lambda: S.exact_topk(nvecs, qv, k=15, vec_col="vector",
+                               id_col="vec_id", tie_col=None).count())
+
+    queries = nvecs.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("vector").alias("query_vec"))
+    bench("knn_join_64q", N_VECS,
+          lambda: S.knn_join(queries, nvecs, k=10, vec_col="vector",
+                             id_col="vec_id", tie_col="vec_id").count())
+
+    t0 = time.time()
+    idx = ivf.build_ivf(nvecs, f"{tmp}/ivf", nlist=128)
+    print(json.dumps({"op": "ivf_build_128", "rows_in": N_VECS,
+                      "sec": round(time.time() - t0, 2)}))
+    bench("ivf_search_nprobe10", N_VECS,
+          lambda: idx.search(spark, np.asarray(qv), k=15, nprobe=10,
+                             id_col="vec_id", tie_col=None).count())
+
+    t0 = time.time()
+    sq8 = ivf.build_ivf(nvecs, f"{tmp}/ivf8", nlist=128, quantize=True)
+    print(json.dumps({"op": "ivf_sq8_build_128", "rows_in": N_VECS,
+                      "sec": round(time.time() - t0, 2)}))
+    bench("ivf_sq8_search_nprobe10", N_VECS,
+          lambda: sq8.search(spark, np.asarray(qv), k=15, nprobe=10,
+                             id_col="vec_id", tie_col=None).count())
+
+
+if __name__ == "__main__":
+    main()
