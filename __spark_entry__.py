@@ -322,6 +322,52 @@ def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q17_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (rowsBetween): running order total per customer."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q18_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⋈ part with a LIKE predicate feeding a
+    conditional aggregate (string predicates + broadcast dim join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev)
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over two keys (all 4 grouping sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def q20_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 L2-normalize: per-vector norm + stats of the normalized vector.
 
@@ -663,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_left_join": q14_left_join,
         "q15_approx_distinct": q15_approx_distinct,
         "q16_avg_quantity_filter": q16_avg_quantity_filter,
+        "q17_running_sum": q17_running_sum,
+        "q18_promo_revenue": q18_promo_revenue,
+        "q19_cube": q19_cube,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
         "q22_knn_join": q22_knn_join,
@@ -820,6 +869,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.ln_by_pos, r.ln_by_price, r.price
             FROM l JOIN r ON l.l_orderkey = r.l_orderkey AND l.pos = r.pos
             ORDER BY l.l_orderkey, l.ln_by_pos
+        """,
+        "q17_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_total
+            FROM orders WHERE o_custkey <= 50
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "q18_promo_revenue": """
+            SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END) * 100.0
+                   / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q19_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders, sum(o_totalprice) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "q14_left_join": """
             SELECT c_custkey,
