@@ -1,0 +1,39 @@
+"""SQL API surface: the fixture tables registered as views are queryable
+through spark.sql with results identical to the DataFrame formulation
+(same Catalyst plans underneath — this pins the registration plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.sources import tables as T
+
+
+def test_register_views_and_sql_equivalence(spark, sf_dir):
+    T.register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).collect()
+
+    cust = T.load_table(spark, "customer", sf_dir)
+    nation = T.load_table(spark, "nation", sf_dir)
+    df_rows = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+    assert len(sql_rows) > 0
+
+
+def test_all_fixture_tables_load(spark, sf_dir):
+    loaded = T.load_tables(spark, sf_dir)
+    assert set(loaded) == set(T.TABLE_NAMES)
+    for name, df in loaded.items():
+        assert len(df.columns) > 0, name
