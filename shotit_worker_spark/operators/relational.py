@@ -31,6 +31,33 @@ def topk_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where a few hot keys dominate the left side: salt the
+    skewed side into `salt_buckets` sub-keys and explode the other side
+    once per bucket, so one hot key spreads across `salt_buckets` tasks
+    instead of stalling a single reducer.
+
+    AQE's skew-join split (on in this engine's sessions) handles most
+    skew at runtime; this explicit form is for the cases AQE can't touch
+    — skew into an aggregation-after-join, or a deliberately pinned
+    partitioning. The replicated side is replicated `salt_buckets`× —
+    use for genuinely small right sides only (same regime as broadcast).
+    """
+    salted_l = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_r = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
 def positional_zip_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,53 @@
+"""Relational composite operator tests: top-k per group, salted join
+equivalence, approx_count_distinct accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import relational as R
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)], "g string, v int"
+    )
+    out = R.topk_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 8), ("b", 9)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: one hot key with 1000 rows
+    left = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(2, i) for i in range(5)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "miss")], "k long, name string")
+    plain = (
+        left.join(right, "k")
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    salted = (
+        R.salted_join(left, right, "k", salt_buckets=8)
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = spark.createDataFrame([(1, i) for i in range(1000)], "k long, v long")
+    right = spark.createDataFrame([(1, "hot")], "k long, name string")
+    joined = R.salted_join(left, right, "k", salt_buckets=8)
+    assert joined.count() == 1000  # inner join preserves every left row once
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_partkey").alias("n")).first()["n"]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.15  # HLL++ within 3× declared rsd
