@@ -645,6 +645,21 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q54_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming-join near-dup pairs. The fixture corpus has
+    no near-identical texts, so near-dups are planted deterministically:
+    each doc_id < 50 gets a sibling (doc_id+100000) with one appended
+    token — a one-token edit flips few fingerprint bits. No SQL oracle
+    (xxhash64 family); banding exactness is pinned in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" sentinel")).alias("text"),
+    )
+    fps = D.simhash64(docs.unionByName(perturbed))
+    return D.simhash_near_dup_pairs(fps, max_hamming=3).orderBy("a_id", "b_id")
+
+
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 JSON decode: extract props.k, aggregate per event type."""
     ev = _events(spark, sf_dir)
@@ -731,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
         "q53_minhash_lsh": q53_minhash_lsh,
+        "q54_simhash_pairs": q54_simhash_pairs,
         "q60_json_extract": q60_json_extract,
         "q61_tumbling": q61_tumbling,
         "q62_sliding": q62_sliding,

@@ -326,3 +326,62 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     """Popcount of XOR of two 64-bit fingerprints (via bin() ones count)."""
     x = a.bitwiseXOR(b)
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates via banded bucket-join, then
+    an exact hamming filter.
+
+    Pigeonhole guarantee: two fingerprints within hamming distance d
+    share at least one of `num_bands` bands untouched when
+    d < num_bands, so banding on 64/num_bands-bit slices finds every
+    pair with hamming ≤ num_bands - 1 (default: 4 bands ⇒ exact for
+    ≤ 3). The shuffle is on (band_id, band_value) buckets — the same
+    linear-ish shape as MinHash LSH, no O(n²) stage.
+
+    Returns (a_id, b_id, hamming), a < b, hamming ≤ max_hamming.
+    """
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"banding with {num_bands} bands only guarantees recall for "
+            f"hamming <= {num_bands - 1}; got max_hamming={max_hamming}"
+        )
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), b * bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_value"),
+    )
+    a = banded.select(
+        "band_id", "band_value", F.col(id_col).alias("a_id"), F.col(hash_col).alias("a_fp")
+    )
+    b = banded.select(
+        "band_id", "band_value", F.col(id_col).alias("b_id"), F.col(hash_col).alias("b_fp")
+    )
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            hamming_distance64(F.col("a_fp"), F.col("b_fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -179,6 +179,33 @@ def test_simhash_empty_doc_is_zero(spark):
     assert out[2] != 0
 
 
+def test_simhash_near_dup_pairs_banded(spark):
+    """Banded hamming join: exact for hamming <= num_bands - 1."""
+    rows = [
+        (1, 0b1010_1100_0011),
+        (2, 0b1010_1100_0010),          # hamming 1 from #1
+        (3, 0b1010_1100_0011 ^ 0b111),  # hamming 3 from #1
+        (4, -1),                        # far from everything (~60 bits)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 3
+    assert out[(2, 3)] == 2
+    assert not any(4 in pair for pair in out)
+
+
+def test_simhash_near_dup_guard(spark):
+    df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash_near_dup_pairs(df, max_hamming=4, num_bands=4)
+
+
 def test_hamming_distance64(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     got = df.select(D.hamming_distance64(F.col("a"), F.col("b")).alias("d")).first()["d"]
