@@ -1,0 +1,79 @@
+"""Maintenance — the engine's analog of the reference's daily flush cron
+(/root/reference/loader.js:388-398, SURVEY §2.9 T6).
+
+Milvus needs a periodic flush for segment hygiene; a parquet-table engine
+needs small-file compaction instead: streaming ingest and fine-grained
+partitioned writes accumulate files far below the ideal scan unit, and at
+100 TB the file-listing + open overhead dominates scans long before data
+volume does.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Rewrite a parquet directory with consolidated files.
+
+    With `partition_cols` the data is clustered so each partition
+    directory gets one writer (same shape as the IVF build's
+    repartition-before-write); without, AQE coalescing picks the file
+    count. The rewrite goes to a sibling temp dir then swaps via rename,
+    so a failure mid-compaction leaves the original intact (readers at
+    100-TB scale would use a table format's atomic commit instead — the
+    swap is the filesystem stand-in for that contract).
+
+    Returns {files_before, files_after, rows}.
+    """
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    writer = df
+    if partition_cols:
+        from pyspark.sql import functions as F
+
+        writer = df.repartition(*[F.col(c) for c in partition_cols])
+        (
+            writer.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        (
+            df.coalesce(max(1, rows // max_records_per_file + 1))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(tmp)
+        )
+
+    old = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(path),
+        "rows": rows,
+    }

@@ -1,0 +1,36 @@
+"""Compaction job tests: fewer files, identical data, partition layout
+preserved."""
+
+from __future__ import annotations
+
+from shotit_worker_spark.plans import maintenance as MNT
+
+
+def test_compact_flat_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS v")
+    df.repartition(40).write.parquet(path)  # 40 small files
+
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    stats = MNT.compact_parquet_table(spark, path)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 10_000
+    assert before == after
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(5_000).selectExpr("id", "CAST(id % 4 AS INT) AS part")
+    df.repartition(16).write.partitionBy("part").parquet(path)  # ≤64 files
+
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    stats = MNT.compact_parquet_table(spark, path, partition_cols=["part"])
+    after_df = spark.read.parquet(path)
+    after = sorted(tuple(r) for r in after_df.collect())
+
+    assert stats["files_after"] <= 8  # ~1 file per partition dir
+    assert before == after
+    assert after_df.select("part").distinct().count() == 4

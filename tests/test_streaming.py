@@ -61,6 +61,30 @@ def test_stream_batch_equivalence_tumbling(spark, events, events_dir, tmp_root):
     assert _canon(got) == _canon(batch)
 
 
+def test_stream_batch_equivalence_sliding(spark, events, events_dir, tmp_root):
+    batch = SW.sliding_counts(events, "1 hour", "30 minutes").drop(
+        "window_end"
+    ).collect()
+    stream_src = SI.stream_parquet_source(
+        spark, events_dir, schema=spark.read.parquet(events_dir).schema,
+        max_files_per_trigger=2,
+    )
+    agg = SW.sliding_counts(
+        stream_src, "1 hour", "30 minutes", watermark="2 hours"
+    ).drop("window_end")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_root / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sliding_test").collect()
+    assert _canon(got) == _canon(batch)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_root):
     import datetime as dt
 
