@@ -150,9 +150,22 @@ def _knn_join_matmul(
     import pandas as pd
 
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    spark = queries_df.sparkSession
+    keep_tie_early = tie_col != id_col
+    if not qrows:
+        # zero queries: an empty result with the output schema (the
+        # matmul path would otherwise hit a zero-dim product in the UDF)
+        id_t0 = index_df.schema[id_col].dataType.simpleString()
+        q_t0 = queries_df.schema[query_id_col].dataType.simpleString()
+        fields0 = [f"{query_id_col} {q_t0}", f"{id_col} {id_t0}"]
+        if keep_tie_early:
+            fields0.append(
+                f"{tie_col} {index_df.schema[tie_col].dataType.simpleString()}"
+            )
+        fields0.append("score double")
+        return spark.createDataFrame([], ", ".join(fields0))
     q_ids = [r[query_id_col] for r in qrows]
     q_mat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64).T  # (dim, Q)
-    spark = queries_df.sparkSession
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qmat = spark.sparkContext.broadcast(q_mat)
 

@@ -71,6 +71,28 @@ def test_knn_join_matches_exact_topk(spark, emb):
         assert by_query[qid] == exact
 
 
+def test_empty_inputs_yield_empty_results(spark):
+    """Degenerate inputs through every search operator: no crashes, empty
+    outputs with the right schema (the matmul kernels must not attempt
+    zero-dim products)."""
+    empty = spark.createDataFrame([], "vec_id long, vector array<double>")
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, vector array<double>")
+    assert S.exact_topk(empty, [1.0, 0.0], k=5, vec_col="vector",
+                        id_col="vec_id", tie_col=None).count() == 0
+    assert S.near_dup_pairs(empty, 0.5, id_col="vec_id",
+                            vec_col="vector").count() == 0
+    q = empty.select(F.col("vec_id").alias("query_id"),
+                     F.col("vector").alias("query_vec"))
+    out = S.knn_join(q, one, k=3, vec_col="vector", id_col="vec_id",
+                     tie_col="vec_id")
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "score"}
+    q1 = one.select(F.col("vec_id").alias("query_id"),
+                    F.col("vector").alias("query_vec"))
+    assert S.knn_join(q1, empty, k=3, vec_col="vector", id_col="vec_id",
+                      tie_col="vec_id").count() == 0
+
+
 def test_near_dup_pairs_symmetric_free_and_thresholded(spark):
     rows = [
         (1, [1.0, 0.0]),
