@@ -22,13 +22,21 @@ def stream_parquet_source(
     path: str,
     schema,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """File-source micro-batch stream over a parquet directory (S1 analog:
     new-file detection, exactly-once per file; backpressure via
-    maxFilesPerTrigger — the reference's ws credit system, S2/S3)."""
+    maxFilesPerTrigger — the reference's ws credit system, S2/S3).
+    `glob` filters leaf file names; `recursive` descends subdirectories
+    (e.g. one written-parquet directory per replay chunk)."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     return reader.load(path)
 
 

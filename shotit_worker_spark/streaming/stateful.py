@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's D1 sequential dedup (/root/reference/loader.js:202-212)
+runs inside the loader process as an in-memory loop over one video's
+frames. Batch-side we express it as a grouped-map pandas UDF
+(operators/dedup.sequential_dedup). This module is the *streaming*
+analog: the same semantics as a keyed stateful operator, so frames can
+be deduped incrementally as micro-batches of a video arrive — the shape
+a 1000-executor ingest pipeline needs (state lives in the state store,
+partitioned by file; no per-video driver loop).
+
+Semantics note: the batch operator totally orders each file by time
+before scanning. A stream cannot re-sort the past, so this operator
+assumes per-file time-ascending arrival ACROSS micro-batches (true for
+the watcher/decoder pipeline: frames are emitted in decode order) and
+sorts WITHIN each micro-batch. Under that assumption the kept set is
+identical to the batch operator's — pinned by the stream-batch
+equivalence test (tests/test_streaming_stateful.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import DEDUP_KEPT_WINDOW, DEDUP_TIME_WINDOW
+
+# state per file: the last `kept_window` KEPT (time, hi) pairs — all the
+# reference loop ever looks back at, so the state is O(kept_window) per
+# key no matter how long the video runs
+_STATE_SCHEMA = "times array<double>, his array<string>"
+
+
+def streaming_sequential_dedup(
+    hashes: DataFrame,
+    file_col: str = "file",
+    time_col: str = "time",
+    hi_col: str = "hi",
+    kept_window: int = DEDUP_KEPT_WINDOW,
+    time_window: float = DEDUP_TIME_WINDOW,
+) -> DataFrame:
+    """D1 as a keyed stateful streaming operator.
+
+    groupBy(file).applyInPandasWithState: per key, state carries the tail
+    of the kept list (≤ kept_window (time, hi) pairs); each micro-batch
+    continues the reference scan from that tail and emits only the newly
+    kept rows (append mode). Output schema == input schema.
+    """
+    out_schema = hashes.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            times, his = state.get
+            kept = list(zip(times, his))
+        else:
+            kept = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            t_arr = pdf[time_col].to_numpy()
+            h_arr = pdf[hi_col].to_numpy()
+            kept_rows: list[int] = []
+            for i in range(len(pdf)):
+                dup = False
+                for kt, kh in reversed(kept[-kept_window:]):
+                    if t_arr[i] - kt >= time_window:
+                        break  # kept tail is time-ascending
+                    if kh == h_arr[i]:
+                        dup = True
+                        break
+                if not dup:
+                    kept.append((float(t_arr[i]), h_arr[i]))
+                    kept_rows.append(i)
+            if kept_rows:
+                yield pdf.iloc[kept_rows][out_cols]
+        tail = kept[-kept_window:]
+        state.update(([t for t, _ in tail], [h for _, h in tail]))
+
+    return hashes.groupBy(file_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
