@@ -30,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions import vector as V
 
@@ -105,23 +105,50 @@ def _fit_centroids(
 
 
 def assign_centroids(
-    index_rows: DataFrame, centroids: np.ndarray, vec_col: str = "vector"
+    index_rows: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    n_assign: int = 1,
 ) -> DataFrame:
     """Add centroid_id = argmax_c IP(centroid_c, vector).
 
     Vectorized pandas UDF: each Arrow batch becomes one numpy matmul
     (batch × dim) @ (dim × nlist) — executor-side, no shuffle.
+
+    `n_assign > 1` replicates each row into its top-n_assign lists
+    (multi-assignment / spilled IVF): storage grows ×n_assign, but a
+    neighbor near a Voronoi boundary is now reachable from either side,
+    which is the standard recall lever when the data gives KMeans little
+    cluster structure. Search dedups the copies (see IVFIndex.search).
     """
     c_t = centroids.T.copy()
 
-    @F.pandas_udf(IntegerType())
-    def _assign(vecs: pd.Series) -> pd.Series:
+    if n_assign <= 1:
+
+        @F.pandas_udf(IntegerType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            if x.size == 0:
+                return pd.Series([], dtype="int32")
+            return pd.Series(np.argmax(x @ c_t, axis=1).astype(np.int32))
+
+        return index_rows.withColumn("centroid_id", _assign(F.col(vec_col)))
+
+    a = min(n_assign, c_t.shape[1])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign_multi(vecs: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64)
         if x.size == 0:
-            return pd.Series([], dtype="int32")
-        return pd.Series(np.argmax(x @ c_t, axis=1).astype(np.int32))
+            return pd.Series([], dtype="object")
+        scores = x @ c_t
+        # top-a lists per row; order within the a doesn't matter for layout
+        top = np.argpartition(-scores, a - 1, axis=1)[:, :a].astype(np.int32)
+        return pd.Series(list(top))
 
-    return index_rows.withColumn("centroid_id", _assign(F.col(vec_col)))
+    return index_rows.withColumn(
+        "centroid_id", F.explode(_assign_multi(F.col(vec_col)))
+    )
 
 
 def _fit_sq8_params(
@@ -145,6 +172,32 @@ def _fit_sq8_params(
     return mins, scales
 
 
+def _fit_sq8_params_per_centroid(
+    assigned: DataFrame, vec_col: str, dim: int, nlist: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-centroid per-dimension (min, scale): one groupBy(centroid_id, d)
+    pass (shuffle carries nlist × dim rows — still tiny). Within a list
+    the coordinate ranges are narrower than globally, so the 256 steps
+    land closer together — finer codes for the same byte budget, the
+    refinement Milvus/FAISS get from training SQ on residuals."""
+    stats = (
+        assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("d", "x")
+        )
+        .groupBy("centroid_id", "d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    mins = np.zeros((nlist, dim))
+    scales = np.ones((nlist, dim))
+    for r in stats:
+        c = r["centroid_id"]
+        mins[c, r["d"]] = r["lo"]
+        span = r["hi"] - r["lo"]
+        scales[c, r["d"]] = span / 255.0 if span > 0 else 1.0
+    return mins, scales
+
+
 def _quantize_expr(vec_col: str, mins: np.ndarray, scales: np.ndarray):
     """array<float> → array<tinyint> codes: round((x-min)/scale) - 128."""
     m = F.array(*[F.lit(float(x)) for x in mins])
@@ -162,14 +215,22 @@ class IVFIndex:
     With `mins`/`scales` set the table stores 8-bit codes (`sq8_code`)
     instead of float vectors — the SQ8 of the reference's IVF_SQ8
     (/root/reference/loader.js:333): 4× less scan IO/memory for a small,
-    recall-tested accuracy loss; search dequantizes in-plan.
+    recall-tested accuracy loss; search dequantizes in-plan. Shapes:
+    (dim,) for global quantization, (nlist, dim) for per-centroid.
+    `n_assign > 1` marks a multi-assignment layout (rows replicated into
+    their top-n lists); search folds the copies back to one row per id.
     """
 
     path: str
     centroids: np.ndarray  # (nlist, dim)
     vec_col: str = "vector"
-    mins: np.ndarray | None = None  # (dim,) — set iff SQ8-quantized
+    mins: np.ndarray | None = None  # set iff SQ8-quantized
     scales: np.ndarray | None = None
+    n_assign: int = 1
+
+    @property
+    def sq8_per_centroid(self) -> bool:
+        return self.mins is not None and self.mins.ndim == 2
 
     def load(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -179,24 +240,56 @@ class IVFIndex:
         order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[: min(nprobe, len(order))]]
 
-    def _score(self, query: np.ndarray):
+    def _scored(self, df: DataFrame, query: np.ndarray, cols: list[str]) -> DataFrame:
+        """Project (cols..., score) — dequantizing in-plan when SQ8."""
         if self.mins is None:
-            return V.dot_literal(self.vec_col, list(query))
+            return df.select(
+                *cols, V.dot_literal(self.vec_col, list(query)).alias("score")
+            )
         # dequantized dot: sum_d q_d * (min_d + (code_d + 128) * scale_d)
         #   = dot(q, min)  [constant]  +  sum_d (q_d * scale_d) * (code_d + 128)
-        # fold q*scale into one literal array so the per-row work is a
-        # single zip_with-aggregate over the tinyint codes
         q = np.asarray(query, dtype=np.float64)
-        const = float(q @ self.mins)
-        qs = q * self.scales
-        return F.lit(const) + F.aggregate(
+        if not self.sq8_per_centroid:
+            # fold q*scale into one literal array so the per-row work is a
+            # single zip_with-aggregate over the tinyint codes
+            const = float(q @ self.mins)
+            qs = q * self.scales
+            score = F.lit(const) + F.aggregate(
+                F.zip_with(
+                    F.col("sq8_code"),
+                    F.array(*[F.lit(float(x)) for x in qs]),
+                    lambda c, w: (c.cast("double") + 128.0) * w,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            return df.select(*cols, score.alias("score"))
+        # per-centroid params: the per-list constants fold driver-side into
+        # a tiny (nlist-row) broadcast-joined table — no per-row branching,
+        # and the plan size stays O(1) in nprobe
+        spark = df.sparkSession
+        params = spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    float(q @ self.mins[c]),
+                    [float(x) for x in q * self.scales[c]],
+                )
+                for c in range(len(self.centroids))
+            ],
+            "centroid_id int, __const double, __qs array<double>",
+        )
+        score = F.col("__const") + F.aggregate(
             F.zip_with(
                 F.col("sq8_code"),
-                F.array(*[F.lit(float(x)) for x in qs]),
+                F.col("__qs"),
                 lambda c, w: (c.cast("double") + 128.0) * w,
             ),
             F.lit(0.0),
             lambda s, x: s + x,
+        )
+        return df.join(F.broadcast(params), "centroid_id").select(
+            *cols, score.alias("score")
         )
 
     def search(
@@ -208,16 +301,21 @@ class IVFIndex:
         id_col: str = "hash_id",
         tie_col: str | None = "primary_key",
     ) -> DataFrame:
-        """nprobe search: partition-pruned scan → flat IP score → top-k."""
+        """nprobe search: partition-pruned scan → flat IP score → top-k.
+
+        Multi-assignment layouts score a replicated row once per probed
+        copy; a groupBy(id).max(score) folds them (the shuffle is over the
+        probed subset only — nprobe/nlist of the table)."""
         probes = self.probe_ids(query, nprobe)
         df = self.load(spark).filter(F.col("centroid_id").isin(probes))
-        order = [F.col("score").desc()] + ([F.col(tie_col).asc()] if tie_col else [])
-        cols = [id_col, *([tie_col] if tie_col else [])]
-        return (
-            df.select(*cols, self._score(query).alias("score"))
-            .orderBy(*order)
-            .limit(k)
+        cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
+        scored = self._scored(df, query, cols)
+        if self.n_assign > 1:
+            scored = scored.groupBy(*cols).agg(F.max("score").alias("score"))
+        order = [F.col("score").desc()] + (
+            [F.col(tie_col).asc()] if tie_col else []
         )
+        return scored.orderBy(*order).limit(k)
 
 
 def build_ivf(
@@ -229,13 +327,18 @@ def build_ivf(
     sample_cap: int = 200_000,
     quantize: bool = False,
     fit_method: str = "auto",
+    n_assign: int = 1,
+    sq8_mode: str = "global",
 ) -> IVFIndex:
     """Build the IVF layout: fit centroids, assign, write partitioned.
 
     Replaces K5 (`createIndex IVF_SQ8 nlist=128`, loader.js:329-335).
     `quantize=True` adds the SQ8 half: store 8-bit codes instead of the
-    float vectors (global per-dimension min/max scaling) — the scan reads
-    ~4× fewer bytes per probe at a recall cost gated in tests/test_ivf.py.
+    float vectors — the scan reads ~4× fewer bytes per probe at a recall
+    cost gated in tests/test_ivf.py. `sq8_mode='per_centroid'` fits the
+    (min, scale) grid per list instead of globally (finer codes, same
+    byte budget). `n_assign > 1` replicates rows into their top-n lists
+    for recall (see assign_centroids).
     """
     centroids = _fit_centroids(
         index_rows, vec_col, nlist, seed, sample_cap, method=fit_method
@@ -244,21 +347,55 @@ def build_ivf(
     # shuffle buys one file per centroid directory instead of
     # (tasks × nlist) small files — at 100 TB small-file explosion is
     # the classic partitioned-write failure mode
-    assigned = assign_centroids(index_rows, centroids, vec_col).repartition(
-        F.col("centroid_id")
-    )
+    assigned = assign_centroids(
+        index_rows, centroids, vec_col, n_assign=n_assign
+    ).repartition(F.col("centroid_id"))
     if not quantize:
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-        return IVFIndex(path=path, centroids=centroids, vec_col=vec_col)
+        return IVFIndex(
+            path=path, centroids=centroids, vec_col=vec_col, n_assign=n_assign
+        )
 
     dim = centroids.shape[1]
-    mins, scales = _fit_sq8_params(assigned, vec_col, dim)
-    coded = assigned.withColumn(
-        "sq8_code", _quantize_expr(vec_col, mins, scales)
-    ).drop(vec_col)
+    if sq8_mode == "per_centroid":
+        # the multi-pass fit (stats job + quantize job) re-reads the
+        # assignment — cache it so the pandas-UDF assign runs once
+        assigned = assigned.cache()
+        mins, scales = _fit_sq8_params_per_centroid(
+            assigned, vec_col, dim, len(centroids)
+        )
+        spark = index_rows.sparkSession
+        params = spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in mins[c]], [float(x) for x in scales[c]])
+                for c in range(len(centroids))
+            ],
+            "centroid_id int, __mins array<double>, __scales array<double>",
+        )
+        step = F.zip_with(F.col(vec_col), F.col("__mins"), lambda x, lo: x - lo)
+        code = F.zip_with(
+            step, F.col("__scales"), lambda d, sc: (F.round(d / sc) - 128).cast("tinyint")
+        )
+        coded = (
+            assigned.join(F.broadcast(params), "centroid_id")
+            .withColumn("sq8_code", code)
+            .drop(vec_col, "__mins", "__scales")
+        )
+    elif sq8_mode == "global":
+        mins, scales = _fit_sq8_params(assigned, vec_col, dim)
+        coded = assigned.withColumn(
+            "sq8_code", _quantize_expr(vec_col, mins, scales)
+        ).drop(vec_col)
+    else:
+        raise ValueError(f"unknown sq8_mode {sq8_mode!r}")
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     return IVFIndex(
-        path=path, centroids=centroids, vec_col=vec_col, mins=mins, scales=scales
+        path=path,
+        centroids=centroids,
+        vec_col=vec_col,
+        mins=mins,
+        scales=scales,
+        n_assign=n_assign,
     )
 
 

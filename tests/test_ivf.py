@@ -112,6 +112,78 @@ def test_sq8_index_smaller_and_recall_close(spark, corpus, index, tmp_root):
     assert sq8_ids[0] == 42  # self-retrieval survives quantization
 
 
+def test_sq8_per_centroid_at_least_as_accurate(spark, corpus, index, tmp_root):
+    """Per-centroid (min, scale) grids quantize over narrower ranges than
+    one global grid, so the SQ8 ordering should track the float ordering
+    at least as well — compared at full probe so only quantization (not
+    pruning) differs."""
+    g = ivf.build_ivf(corpus, str(tmp_root / "ivf_sq8g"), nlist=NLIST,
+                      quantize=True, sq8_mode="global")
+    p = ivf.build_ivf(corpus, str(tmp_root / "ivf_sq8p"), nlist=NLIST,
+                      quantize=True, sq8_mode="per_centroid")
+    assert p.sq8_per_centroid and not g.sq8_per_centroid
+    g_err, p_err, p_rec = [], [], []
+    for vid in [7, 42, 311]:
+        q = np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+        truth = {
+            r["vec_id"]: r["score"]
+            for r in index.search(spark, q, k=15, nprobe=NLIST,
+                                  id_col="vec_id", tie_col=None).collect()
+        }
+        for idx, errs in ((g, g_err), (p, p_err)):
+            got = {
+                r["vec_id"]: r["score"]
+                for r in idx.search(spark, q, k=200, nprobe=NLIST,
+                                    id_col="vec_id", tie_col=None).collect()
+            }
+            errs += [abs(got[v] - s) for v, s in truth.items() if v in got]
+        ids = [
+            r["vec_id"]
+            for r in p.search(spark, q, k=15, nprobe=NLIST,
+                              id_col="vec_id", tie_col=None).collect()
+        ]
+        assert ids[0] == vid
+        p_rec.append(ivf.recall_at_k(ids, list(truth)))
+    # narrower per-list ranges → smaller quantization steps → the SQ8
+    # scores sit closer to the float scores
+    assert sum(p_err) / len(p_err) < sum(g_err) / len(g_err)
+    assert sum(p_rec) / len(p_rec) >= 0.9
+
+
+def test_multi_assign_improves_recall(spark, corpus, index, tmp_root):
+    """n_assign=2 at the same nprobe must lift recall@15 (boundary
+    neighbors become reachable) and must not emit duplicate ids."""
+    multi = ivf.build_ivf(corpus, str(tmp_root / "ivf_ma"), nlist=NLIST,
+                          n_assign=2)
+    # layout really is replicated: ~2× rows
+    n_base = index.load(spark).count()
+    n_multi = multi.load(spark).count()
+    assert n_multi > int(1.5 * n_base)
+
+    single, multi_r = [], []
+    for vid in [1, 42, 99, 250, 400]:
+        q = np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+        exact = [
+            r["vec_id"]
+            for r in S.exact_topk(corpus, list(q), k=15, vec_col="vector",
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        m_ids = [
+            r["vec_id"]
+            for r in multi.search(spark, q, k=15, nprobe=NPROBE,
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        assert len(m_ids) == len(set(m_ids)), "copies must be folded"
+        s_ids = [
+            r["vec_id"]
+            for r in index.search(spark, q, k=15, nprobe=NPROBE,
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        single.append(ivf.recall_at_k(s_ids, exact))
+        multi_r.append(ivf.recall_at_k(m_ids, exact))
+    assert sum(multi_r) > sum(single)
+
+
 def test_full_probe_equals_exact(spark, corpus, index):
     """nprobe = nlist must reproduce the exact oracle identically."""
     q = np.array(corpus.filter(F.col("vec_id") == 9).first()["vector"])
