@@ -1,0 +1,51 @@
+"""Resident serving loop: cached-index repeated queries return the same
+results as cold index.search, and the warm loop runs strictly against
+the cache (no re-scan correctness drift across repeats)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.plans import serve
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        V.l2_normalize(V.to_double_array("embedding")).alias("vector"),
+    ).cache()
+
+
+def test_resident_searcher_matches_cold_search(spark, corpus, tmp_root):
+    index = ivf.build_ivf(corpus, str(tmp_root / "serve_ivf"), nlist=8)
+    searcher = serve.ResidentSearcher(
+        spark, index, id_col="vec_id", tie_col=None
+    )
+    try:
+        n = searcher.warm()
+        assert n == corpus.count()
+        qs = [
+            np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+            for vid in [3, 77, 200]
+        ]
+        for q in qs:
+            warm = [
+                (r["vec_id"], round(r["score"], 9))
+                for r in searcher.search(q, k=10, nprobe=4).collect()
+            ]
+            cold = [
+                (r["vec_id"], round(r["score"], 9))
+                for r in index.search(spark, q, k=10, nprobe=4,
+                                      id_col="vec_id", tie_col=None).collect()
+            ]
+            assert warm == cold
+        stats = serve.serve_loop_latency(searcher, qs, k=10, nprobe=4)
+        assert stats["n"] == 3 and stats["p50"] > 0
+    finally:
+        searcher.close()

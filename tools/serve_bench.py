@@ -1,0 +1,68 @@
+"""Serving-latency harness: build an IVF index over the sf-dir embeddings,
+hold it resident (ResidentSearcher), drive repeated single-query top-k,
+print latency stats. Usage: python tools/serve_bench.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.plans import serve
+from shotit_worker_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("serve-bench")
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            V.l2_normalize(V.to_double_array("embedding")).alias("vector"),
+        )
+    )
+    tmp = f"/tmp/serve_bench_ivf_{os.getpid()}"
+    t0 = time.time()
+    index = ivf.build_ivf(corpus, tmp, nlist=128)
+    build_s = time.time() - t0
+
+    searcher = serve.ResidentSearcher(spark, index, id_col="vec_id", tie_col=None)
+    t0 = time.time()
+    n_rows = searcher.warm()
+    warm_s = time.time() - t0
+
+    rng = np.random.RandomState(7)
+    ids = rng.choice(n_rows, size=n_queries, replace=False)
+    qdf = corpus.filter(F.col("vec_id").isin([int(i) for i in ids])).collect()
+    queries = [np.array(r["vector"]) for r in qdf]
+
+    stats = serve.serve_loop_latency(searcher, queries, k=15, nprobe=10)
+    searcher.close()
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "build_sec": round(build_s, 3),
+                "warm_sec": round(warm_s, 3),
+                "p50_sec": round(stats["p50"], 4),
+                "p95_sec": round(stats["p95"], 4),
+                "mean_sec": round(stats["mean"], 4),
+                "n_queries": stats["n"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
