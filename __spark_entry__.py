@@ -441,6 +441,19 @@ def q24_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score").desc(), F.col("vec_id").asc())
 
 
+def q25_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup at scale: SRP-LSH (random-hyperplane) bucket-join
+    candidates, exact in-bucket verify (operators/similarity.
+    srp_near_dup_pairs). Seed-pinned so the run is deterministic, but
+    recall is probabilistic by construction — no SQL oracle (precision
+    vs q23's exact pairs and planted-dup recall are gated in
+    tests/test_srp_lsh.py; the driver records the rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return S.srp_near_dup_pairs(
+        emb, threshold=0.4, num_bits=8, num_tables=6
+    ).orderBy("a_id", "b_id")
+
+
 # ---------------------------------------------------------------------------
 # Reference scalar kernels (P8-P12 shapes on fixture columns)
 # ---------------------------------------------------------------------------
@@ -732,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_knn_join": q22_knn_join,
         "q23_near_dup_pairs": q23_near_dup_pairs,
         "q24_ivf_search": q24_ivf_search,
+        "q25_srp_near_dup": q25_srp_near_dup,
         "q30_charcode_key": q30_charcode_key,
         "q31_hex_tokens": q31_hex_tokens,
         "q32_hash_id": q32_hash_id,

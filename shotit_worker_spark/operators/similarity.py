@@ -22,6 +22,9 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,9 +149,6 @@ def _knn_join_matmul(
     id_col: str,
     tie_col: str,
 ) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
     spark = queries_df.sparkSession
     keep_tie_early = tie_col != id_col
@@ -269,12 +269,102 @@ def near_dup_pairs(
     )
 
 
+def srp_sketches(
+    df: DataFrame,
+    num_bits: int = 8,
+    num_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection (SimHash-for-vectors) sketches.
+
+    Per table t: sketch_t = the `num_bits` sign bits of v @ R_t packed
+    into one long (R ~ N(0,1), seed-pinned, broadcast). Two vectors at
+    cosine similarity s agree on one bit with p = 1 - acos(s)/π, so a
+    whole num_bits-sketch collides with p^num_bits — the classic
+    cosine-LSH family (Charikar '02). Vectorized pandas UDF: one
+    (batch × dim) @ (dim × tables·bits) matmul per Arrow batch, then a
+    packbits fold. Returns (id, sketches: array<bigint>[num_tables]).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id {id_t}, sketches array<bigint>"
+        )
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, num_tables * num_bits))
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(num_bits, dtype=np.int64))  # bit-pack weights
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sketch(vecs: pd.Series) -> pd.Series:
+        r = b_planes.value
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="object")
+        bits = (x @ r) > 0  # (batch, tables*bits)
+        packed = bits.reshape(len(x), -1, len(weights)) @ weights  # (batch, tables)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return df.select(
+        F.col(id_col).alias("id"), _sketch(F.col(vec_col).cast("array<double>")).alias("sketches")
+    )
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_bits: int = 8,
+    num_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: SRP-LSH candidates, exact verify.
+
+    The cascade the 100-TB path needs where the exact `near_dup_pairs`
+    matmul (broadcast one whole side) stops fitting: bucket-join on
+    (table_id, sketch) — shuffle on bucket keys, never O(n²) — then score
+    only in-bucket candidate pairs exactly and keep score >= threshold.
+    Precision is exact (every emitted pair is verified); recall is the
+    LSH collision probability, gated in tests on planted duplicates.
+    Returns (a_id, b_id, score), a < b.
+    """
+    sk = srp_sketches(df, num_bits, num_tables, seed, id_col, vec_col)
+    banded = sk.select(
+        "id",
+        F.posexplode("sketches").alias("table_id", "sketch"),
+    )
+    a = banded.select("table_id", "sketch", F.col("id").alias("a_id"))
+    b = banded.select("table_id", "sketch", F.col("id").alias("b_id"))
+    cands = (
+        a.join(b, ["table_id", "sketch"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    nv = df.select(
+        F.col(id_col).alias("id"),
+        V.l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    av = nv.select(F.col("id").alias("a_id"), F.col("nv").alias("a_vec"))
+    bv = nv.select(F.col("id").alias("b_id"), F.col("nv").alias("b_vec"))
+    return (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select("a_id", "b_id", V.dot("a_vec", "b_vec").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _near_dup_pairs_matmul(prepped: DataFrame, threshold: float) -> DataFrame:
     """Block-nested-loop all-pairs scorer: broadcast (ids, matrix) of one
     side, matmul each Arrow batch of the other side against it."""
-    import numpy as np
-    import pandas as pd
-
     rows = prepped.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["nv"] for r in rows], dtype=np.float64)

@@ -1,0 +1,63 @@
+"""SRP (random-hyperplane) LSH near-dup cascade: exact precision, gated
+recall on planted duplicates, and bucket-join (not O(n²)) candidate
+generation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import similarity as S
+
+N_BASE = 300
+N_PLANTED = 40
+DIM = 16
+THRESHOLD = 0.92
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Random base vectors plus `N_PLANTED` slightly-perturbed copies —
+    (base i, copy N_BASE+i) are the planted near-dup pairs (cos > 0.99);
+    random base pairs at dim 16 essentially never clear 0.92."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    copies = base[:N_PLANTED] + rng.normal(scale=0.02, size=(N_PLANTED, DIM))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (N_BASE + i, [float(x) for x in v]) for i, v in enumerate(copies)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_srp_pairs_subset_of_exact_and_recall(spark, planted):
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in S.near_dup_pairs(planted, THRESHOLD).collect()
+    }
+    got = S.srp_near_dup_pairs(planted, THRESHOLD).collect()
+    got_pairs = {(r["a_id"], r["b_id"]) for r in got}
+    # precision is exact: every emitted pair is verified against the
+    # true cosine, so it must appear in the exact all-pairs output
+    assert got_pairs <= exact
+    for r in got:
+        assert r["score"] >= THRESHOLD
+    # recall on the planted duplicates (cos ~0.999; per-bit collision
+    # ~0.99, 8-bit sketch ~0.92, 6 tables -> miss prob ~1e-7 per pair)
+    planted_pairs = {(i, N_BASE + i) for i in range(N_PLANTED)}
+    found = len(got_pairs & planted_pairs)
+    assert found / N_PLANTED >= 0.9
+
+
+def test_srp_sketches_deterministic(spark, planted):
+    a = {r["id"]: r["sketches"] for r in S.srp_sketches(planted).collect()}
+    b = {r["id"]: r["sketches"] for r in S.srp_sketches(planted).collect()}
+    assert a == b
+    assert all(len(v) == 6 for v in a.values())
+
+
+def test_srp_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.srp_near_dup_pairs(empty, 0.9).count() == 0
