@@ -612,6 +612,23 @@ def q44_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace-ish vs BPE-pre-tokenizer counts per
+    (lang, source) — the pre-training "how many tokens is this corpus"
+    pass. The BPE split is one JVM regexp (functions/text.
+    bpe_token_count), lookahead-free so DuckDB's RE2 runs the same
+    pattern as the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(TX.token_count("text").cast("bigint")).alias("sum_ws_tokens"),
+            F.sum(TX.bpe_token_count("text").cast("bigint")).alias("sum_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -756,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_lang_id": q42_lang_id,
         "q43_fingerprint": q43_fingerprint,
         "q44_quality": q44_quality,
+        "q45_token_budget": q45_token_budget,
         "q50_exact_dedup": q50_exact_dedup,
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
@@ -1130,6 +1148,14 @@ def oracle_sql() -> dict[str, str]:
                              'a','an','on','as','at','by','be','are','was','this')))
                              * 1.0 / len({tok}) END AS stop_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "q45_token_budget": f"""
+            SELECT lang,
+                   sum(CAST(len({tok}) AS BIGINT)) AS sum_ws_tokens,
+                   sum(CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                       AS BIGINT)) AS sum_bpe_tokens
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "q50_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id

@@ -47,6 +47,23 @@ def char_count(text: ColumnOrName) -> Column:
     return F.length(_col(text))
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so the same regex
+# runs under both Java regex (Spark) and RE2 (DuckDB oracle):
+# contractions | space?-letters | space?-digits | space?-symbols | spaces
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(text: ColumnOrName) -> Column:
+    """Approximate LLM token count: the number of BPE *pre-tokenization*
+    pieces (the GPT-2 split regex, minus its trailing-space lookahead).
+    Real BPE merges happen within pieces, so this lower-bounds piece
+    count and tracks tokenizer cost well enough for data budgeting —
+    without shipping a vocab. Pure JVM regexp, no UDF."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def punct_ratio(text: ColumnOrName) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     t = _col(text)
