@@ -184,6 +184,125 @@ def embed_query_image(image: bytes, dim: int = EMBED_DIM) -> np.ndarray:
     return v / norm if norm > 0 else v
 
 
+def sample_frames(
+    frames: DataFrame,
+    target_fps: float,
+    source_fps: float = FRAME_FPS,
+    frame_no_col: str = "frame_no",
+) -> DataFrame:
+    """Frame sampling as a pure relational filter: keep every
+    round(source_fps/target_fps)-th frame. No UDF — the predicate
+    reaches the scan, so a 12→1 fps downsample prunes 11/12 of the rows
+    before any downstream (embed) work runs. Use AFTER decode when
+    frames are materialized; to skip decode work entirely, pass a lower
+    `fps` to decode_frames instead (ffmpeg-side sampling)."""
+    if target_fps >= source_fps:
+        return frames
+    step = max(1, int(round(source_fps / target_fps)))
+    return frames.filter((F.col(frame_no_col) % step) == 0)
+
+
+def resize_images(
+    frames: DataFrame,
+    height: int = FRAME_HEIGHT,
+    image_col: str = "image",
+) -> DataFrame:
+    """Image resize (scale=-2:height, the reference's ffmpeg geometry —
+    hasher.js:87): binary in → binary + (width, height) metadata out.
+
+    Arrow-vectorized pandas UDF returning a struct column; the decode/
+    resample/encode kernel is STUBBED (deterministic fake dims from the
+    byte hash, even-width like ffmpeg's -2). With PIL/OpenCV installed
+    the body becomes decode → resize(LANCZOS) → encode; the schema,
+    batching, and plan shape don't change.
+    """
+    out_t = StructType(
+        [
+            StructField("image", BinaryType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _resize(images: pd.Series) -> pd.DataFrame:
+        imgs: list[bytes] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        for img in images:
+            img = bytes(img)
+            # fake source aspect ratio in [4:3, 21:9], quantized even width
+            h8 = hashlib.blake2b(img, digest_size=8).digest()
+            aspect = 4 / 3 + (int.from_bytes(h8[:2], "big") % 1000) / 1000.0
+            w = int(round(height * aspect / 2)) * 2
+            imgs.append(
+                hashlib.blake2b(
+                    img + b"resize" + height.to_bytes(4, "big"), digest_size=32
+                ).digest()
+            )
+            ws.append(w)
+            hs.append(height)
+        return pd.DataFrame({"image": imgs, "width": ws, "height": hs})
+
+    resized = _resize(F.col(image_col))
+    return (
+        frames.withColumn("__r", resized)
+        .withColumn(image_col, F.col("__r.image"))
+        .withColumn("width", F.col("__r.width"))
+        .withColumn("height", F.col("__r.height"))
+        .drop("__r")
+    )
+
+
+AUDIO_FEATURE_DIM = 32
+
+
+def audio_features(
+    audio: DataFrame,
+    dim: int = AUDIO_FEATURE_DIM,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Audio → fixed-dim feature row (the audio leg of the multimodal
+    surface): (file, duration_sec, sample_rate, features: array<float>).
+
+    mapInPandas over binaryFile rows, one row per clip. The decode +
+    MFCC-ish kernel is STUBBED (deterministic fake duration/rate/
+    features from byte hashes); with librosa/soundfile the body becomes
+    load → resample → log-mel pooling at the same schema. Features feed
+    the same similarity/dedup operators as image vectors.
+    """
+    out_t = StructType(
+        [
+            StructField("file", StringType(), False),
+            StructField("duration_sec", DoubleType(), False),
+            StructField("sample_rate", LongType(), False),
+            StructField("features", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "file": [], "duration_sec": [], "sample_rate": [], "features": []
+            }
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                content = bytes(content)
+                h = hashlib.blake2b(content, digest_size=16).digest()
+                out["file"].append("/".join(str(path).split("/")[-2:]))
+                out["duration_sec"].append(
+                    1.0 + (int.from_bytes(h[:4], "big") % 30000) / 1000.0
+                )
+                out["sample_rate"].append(
+                    [16000, 22050, 44100][int.from_bytes(h[4:6], "big") % 3]
+                )
+                raw = hashlib.blake2b(content + b"mfcc", digest_size=dim).digest()
+                out["features"].append([float(b) / 255.0 for b in raw])
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(_extract, schema=out_t)
+
+
 def frames_to_hashes(frames_with_desc: DataFrame) -> DataFrame:
     """Bridge G1+G2 output into the loader's hash-row shape
     (file, time, hi, ha) — `ha` as space-joined hex tokens, exactly what

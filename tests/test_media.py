@@ -93,3 +93,45 @@ def test_embed_query_matches_embed_images(spark, frames):
     v = np.asarray([float(x) for x in row["vector"]])
     nv = v / np.linalg.norm(v)
     assert np.allclose(qv, nv, atol=1e-9)
+
+
+def test_sample_frames_every_nth(frames):
+    total = frames.count()
+    sampled = M.sample_frames(frames, target_fps=3.0)  # 12 → 3 fps: keep 1/4
+    got = sampled.collect()
+    assert all(r["frame_no"] % 4 == 0 for r in got)
+    assert abs(len(got) - total / 4) <= 2  # per-file rounding slack
+    # no-op when target >= source
+    assert M.sample_frames(frames, target_fps=24.0).count() == total
+
+
+def test_resize_images_schema_and_determinism(frames):
+    out = M.resize_images(frames, height=180)
+    rows = out.limit(5).collect()
+    assert {"width", "height"} <= set(out.columns)
+    for r in rows:
+        assert r["height"] == 180
+        assert r["width"] % 2 == 0 and r["width"] >= 180  # ffmpeg -2 parity
+    # deterministic kernel: same input -> same bytes
+    a = sorted((r["file"], r["frame_no"], bytes(r["image"]).hex())
+               for r in out.collect())
+    b = sorted((r["file"], r["frame_no"], bytes(r["image"]).hex())
+               for r in M.resize_images(frames, height=180).collect())
+    assert a == b
+
+
+def test_audio_features_shape(spark):
+    clips = spark.createDataFrame(
+        [
+            ("store/pod1/ep1.wav", b"audio-bytes-one" * 64),
+            ("store/pod2/ep2.wav", b"audio-bytes-two" * 80),
+        ],
+        "path string, content binary",
+    )
+    out = M.audio_features(clips).collect()
+    assert {r["file"] for r in out} == {"pod1/ep1.wav", "pod2/ep2.wav"}
+    for r in out:
+        assert len(r["features"]) == M.AUDIO_FEATURE_DIM
+        assert r["sample_rate"] in (16000, 22050, 44100)
+        assert 1.0 <= r["duration_sec"] <= 31.0
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
