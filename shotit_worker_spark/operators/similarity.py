@@ -324,6 +324,7 @@ def srp_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP-LSH candidates, exact verify.
 
@@ -334,12 +335,34 @@ def srp_near_dup_pairs(
     Precision is exact (every emitted pair is verified); recall is the
     LSH collision probability, gated in tests on planted duplicates.
     Returns (a_id, b_id, score), a < b.
+
+    Sizing rule (measured in SCALE_NOTES.md): in-bucket work is
+    quadratic PER BUCKET, so pick num_bits ≈ log2(n_rows / 4) — e.g. 16
+    bits for 100 k near-uniform rows (8 bits there means ~390-row
+    buckets → ~10⁸ candidate pairs and a dead executor). Lost recall is
+    bought back with more tables, not fewer bits. `max_bucket_size`
+    drops oversized buckets outright (FAISS-style guard): a bucket far
+    above the expected n/2^bits is a low-information hash collision
+    cluster, and skipping it bounds the worst case regardless of data
+    skew — set it whenever the input distribution is unknown.
     """
     sk = srp_sketches(df, num_bits, num_tables, seed, id_col, vec_col)
     banded = sk.select(
         "id",
         F.posexplode("sketches").alias("table_id", "sketch"),
     )
+    if max_bucket_size is not None:
+        # one aggregation on the same (table_id, sketch) key the join
+        # shuffles on — AQE reuses the exchange; oversized buckets are
+        # dropped before any pairs are generated
+        sizes = banded.groupBy("table_id", "sketch").agg(
+            F.count("*").alias("__bn")
+        )
+        banded = (
+            banded.join(sizes, ["table_id", "sketch"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = banded.select("table_id", "sketch", F.col("id").alias("a_id"))
     b = banded.select("table_id", "sketch", F.col("id").alias("b_id"))
     cands = (

@@ -144,6 +144,15 @@ def main():
           lambda: sq8.search(spark, np.asarray(qv), k=15, nprobe=10,
                              id_col="vec_id", tie_col=None).count())
 
+    # bits sized to the corpus (see srp_near_dup_pairs docstring):
+    # 16 bits ≈ log2(100k/4) buckets; bucket cap guards residual skew
+    bench("srp_sketches_8x16", N_VECS,
+          lambda: S.srp_sketches(vecs, num_bits=16, num_tables=8).count())
+    bench("srp_near_dup_t0.9_16bit", N_VECS,
+          lambda: S.srp_near_dup_pairs(vecs, threshold=0.9, num_bits=16,
+                                       num_tables=8,
+                                       max_bucket_size=64).count())
+
 
 if __name__ == "__main__":
     main()
