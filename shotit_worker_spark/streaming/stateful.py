@@ -42,6 +42,7 @@ def streaming_sequential_dedup(
     hi_col: str = "hi",
     kept_window: int = DEDUP_KEPT_WINDOW,
     time_window: float = DEDUP_TIME_WINDOW,
+    state_ttl_secs: float | None = None,
 ) -> DataFrame:
     """D1 as a keyed stateful streaming operator.
 
@@ -49,15 +50,33 @@ def streaming_sequential_dedup(
     of the kept list (≤ kept_window (time, hi) pairs); each micro-batch
     continues the reference scan from that tail and emits only the newly
     kept rows (append mode). Output schema == input schema.
+
+    `state_ttl_secs` expires idle keys (processing-time timeout): a
+    long-running ingest sees an unbounded stream of distinct files, and
+    without a TTL the state store grows monotonically — per-key state is
+    tiny (≤ kept_window pairs) but key count isn't. A finished video
+    stops producing frames, so an idle key's tail is dead weight; the
+    TTL drops it, and the only behavior change if the same file somehow
+    resumed later is re-admitting a frame the dropped tail would have
+    suppressed — exactly the batch semantics of processing that resumed
+    chunk standalone.
     """
     out_schema = hashes.schema
     out_cols = [f.name for f in out_schema.fields]
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_secs
+        else GroupStateTimeout.NoTimeout
+    )
 
     def _update(
         key: Tuple[Any, ...],
         pdf_iter: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_secs and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             times, his = state.get
             kept = list(zip(times, his))
@@ -83,11 +102,13 @@ def streaming_sequential_dedup(
                 yield pdf.iloc[kept_rows][out_cols]
         tail = kept[-kept_window:]
         state.update(([t for t, _ in tail], [h for _, h in tail]))
+        if state_ttl_secs:
+            state.setTimeoutDuration(int(state_ttl_secs * 1000))
 
     return hashes.groupBy(file_col).applyInPandasWithState(
         _update,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -134,3 +134,39 @@ def test_session_window_batch_matches_manual(spark):
         (r["user_id"], r["n_events"], r["sum_value"]) for r in out
     )
     assert sessions == [("u1", 1, 3.0), ("u1", 2, 3.0), ("u2", 1, 4.0)]
+
+
+def test_stream_session_windows_subset_of_batch(spark, events, events_dir, tmp_root):
+    """Session windows under a real stream (append mode): only sessions
+    closed by the final watermark are emitted, so the streamed result
+    must be a subset of the batch result — and non-trivially so (the
+    fixture spans days, the watermark lag is 2 h, so almost every
+    session closes)."""
+    batch = {
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 4))
+        for r in SW.session_counts(
+            events, gap="30 minutes", key_col="event_type"
+        ).drop("window_end").collect()
+    }
+    stream_src = SI.stream_parquet_source(
+        spark, events_dir, schema=spark.read.parquet(events_dir).schema,
+        max_files_per_trigger=2,
+    )
+    agg = SW.session_counts(
+        stream_src, gap="30 minutes", key_col="event_type", watermark="2 hours"
+    ).drop("window_end")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_session"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 4))
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    assert got <= batch
+    assert len(got) >= len(batch) * 0.9

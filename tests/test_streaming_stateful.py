@@ -70,3 +70,31 @@ def test_stateful_dedup_stream_matches_batch(spark, tmp_root):
     assert got == batch
     # sanity: the dedup actually dropped the duplicate rows
     assert len(got) < len(ROWS)
+
+
+def test_stateful_dedup_with_ttl_still_matches_batch(spark, tmp_root):
+    """With a generous TTL (no expiry within the run) results must be
+    identical to batch; exercises the ProcessingTimeTimeout wiring
+    (setTimeoutDuration + hasTimedOut branch)."""
+    df = spark.createDataFrame(ROWS, "file string, time double, hi string")
+    batch = sorted(tuple(r) for r in D.sequential_dedup(df).collect())
+
+    src_dir = tmp_root / "d1_ttl_stream"
+    src_dir.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "chunk0"))
+
+    stream = SI.stream_parquet_source(
+        spark, str(src_dir), schema=df.schema, glob="*.parquet", recursive=True
+    )
+    deduped = ST.streaming_sequential_dedup(stream, state_ttl_secs=3600.0)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("d1_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_d1_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM d1_ttl").collect())
+    assert got == batch
