@@ -1,0 +1,116 @@
+"""HTTP serving facade — the reference's API surface (SURVEY §2.11) over
+the resident searcher.
+
+Replicates the searcher process's endpoints (/root/reference/
+searcher.js:139-237) with the stdlib http.server (no web framework in
+this container, and none needed — the handler is a thin shim; all real
+work is the ResidentSearcher's cached Spark plan):
+
+  GET  /         → "OK" (health check, searcher.js:139-141)
+  POST /search   → body = query image bytes → embed (G3 kernel) →
+                   resident top-k → Solr-shaped JSON envelope
+                   (searcher.js:223-232); 501 on engine error
+                   (searcher.js:234-236)
+
+Deliberately absent: /uploadImage + /retriveImage existed only to ferry
+the query image into Solr's extract handler — our embed runs in-process,
+so the temp-image round-trip has no reason to exist (SURVEY §2.2 K7).
+The reference's 100 req/s/IP rate limit and CORS are deployment-proxy
+concerns, not engine semantics.
+
+Serving note: one HTTP worker thread per server; requests serialize into
+Spark jobs on the shared cached plan (~p50 in SCALE_NOTES.md). A real
+deployment would front N replicas of this process or move to Spark
+Connect; the engine-side contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from ..functions.media import EMBED_DIM, embed_query_image
+from .search import solr_shaped_response
+from .serve import ResidentSearcher
+
+MAX_BODY_BYTES = 10 * 1024 * 1024  # 10 MB upload cap (searcher.js:119)
+
+
+class SearchHTTPServer:
+    """Tiny HTTP facade over a warmed ResidentSearcher."""
+
+    def __init__(
+        self,
+        searcher: ResidentSearcher,
+        dim: int = EMBED_DIM,
+        k: int = 15,
+        nprobe: int = 10,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.searcher = searcher
+        self.raw_docs = searcher.warm()
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            def do_GET(self):
+                if self.path == "/":
+                    body = b"OK"
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                if self.path != "/search":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self.send_response(413)
+                    self.end_headers()
+                    return
+                image = self.rfile.read(n)
+                try:
+                    q = embed_query_image(image, dim=dim)
+                    hits = [
+                        r.asDict()
+                        for r in outer.searcher.search(
+                            q, k=k, nprobe=nprobe
+                        ).collect()
+                    ]
+                    payload = json.dumps(
+                        solr_shaped_response(hits, outer.raw_docs)
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except Exception:  # noqa: BLE001 — 501 parity, searcher.js:234
+                    self.send_response(501)
+                    self.end_headers()
+
+        self._httpd = HTTPServer((host, port), _Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)

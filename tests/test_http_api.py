@@ -1,0 +1,72 @@
+"""End-to-end API parity: ingest images through the G2 kernel, build the
+IVF layout, serve over HTTP, query with raw image bytes — the top hit
+must be the ingested copy of the query image, in the reference's
+Solr-shaped envelope (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import media as M
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.plans import http_api, serve
+
+IMAGES = [(i, f"image-bytes-{i}".encode() * 50) for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_root):
+    frames = spark.createDataFrame(IMAGES, "img_id long, image binary")
+    corpus = M.embed_images(frames).select(
+        "img_id", V.l2_normalize(V.to_double_array("vector")).alias("vector")
+    )
+    index = ivf.build_ivf(corpus, str(tmp_root / "http_ivf"), nlist=4)
+    searcher = serve.ResidentSearcher(spark, index, id_col="img_id", tie_col=None)
+    srv = http_api.SearchHTTPServer(searcher, k=5, nprobe=4)
+    srv.start()
+    yield srv
+    srv.stop()
+    searcher.close()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def test_health_check(server):
+    with urllib.request.urlopen(_url(server, "/")) as r:
+        assert r.status == 200
+        assert r.read() == b"OK"
+
+
+def test_search_self_retrieval_solr_shape(server):
+    req = urllib.request.Request(
+        _url(server, "/search"), data=IMAGES[7][1], method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        body = json.load(r)
+    # envelope parity (searcher.js:223-232)
+    assert set(body) == {
+        "RawDocsCount", "RawDocsSearchTime", "ReRankSearchTime", "response"
+    }
+    assert body["RawDocsCount"] == len(IMAGES)
+    docs = body["response"]["docs"]
+    assert body["response"]["numFound"] == len(docs) == 5
+    # the ingested copy of the query image is the top hit at score ~1
+    assert docs[0]["img_id"] == 7
+    assert docs[0]["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_unknown_path_404(server):
+    try:
+        urllib.request.urlopen(_url(server, "/nope"))
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
