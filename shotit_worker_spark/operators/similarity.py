@@ -325,6 +325,7 @@ def srp_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP-LSH candidates, exact verify.
 
@@ -345,6 +346,16 @@ def srp_near_dup_pairs(
     above the expected n/2^bits is a low-information hash collision
     cluster, and skipping it bounds the worst case regardless of data
     skew — set it whenever the input distribution is unknown.
+
+    `probe_hamming=1` is multi-probe LSH: one join side also posts to
+    every bucket at Hamming distance 1 from its sketch, so pairs whose
+    sketches disagree in exactly one bit still meet. At cosine s the
+    expected disagreeing bits per table is num_bits·(1-p); catching
+    d ≤ 1 multiplies per-table recall severalfold (measured in
+    tests/test_srp_lsh.py) for a (1+num_bits)× row expansion on ONE
+    side — usually far cheaper than the equivalent extra tables, and
+    only the explode grows: bucket contents per probe stay the same
+    size, so the in-bucket quadratic term is unchanged.
     """
     sk = srp_sketches(df, num_bits, num_tables, seed, id_col, vec_col)
     banded = sk.select(
@@ -363,7 +374,24 @@ def srp_near_dup_pairs(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    a = banded.select("table_id", "sketch", F.col("id").alias("a_id"))
+    probed = banded
+    if probe_hamming:
+        if probe_hamming != 1:
+            raise ValueError("only probe_hamming in (0, 1) is supported")
+        # A-side posts to its own bucket + all Hamming-1 neighbors; the
+        # a_id < b_id filter still sees every qualifying pair exactly
+        # once per (table, bucket) because B stays exact
+        flips = F.array(
+            F.col("sketch"),
+            *[
+                F.col("sketch").bitwiseXOR(F.lit(1 << b))
+                for b in range(num_bits)
+            ],
+        )
+        probed = banded.select(
+            "id", "table_id", F.explode(flips).alias("sketch")
+        )
+    a = probed.select("table_id", "sketch", F.col("id").alias("a_id"))
     b = banded.select("table_id", "sketch", F.col("id").alias("b_id"))
     cands = (
         a.join(b, ["table_id", "sketch"])

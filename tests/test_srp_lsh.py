@@ -61,3 +61,38 @@ def test_srp_sketches_deterministic(spark, planted):
 def test_srp_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert S.srp_near_dup_pairs(empty, 0.9).count() == 0
+
+
+def test_multi_probe_lifts_recall(spark):
+    """Hamming-1 multi-probe at ONE table must beat exact-bucket recall
+    (all inputs seed-pinned — these numbers are deterministic: measured
+    0.375 exact vs 0.700 probed on this fixture)."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    copies = base[:N_PLANTED] + rng.normal(
+        scale=0.08, size=(N_PLANTED, DIM)
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (N_BASE + i, [float(x) for x in v]) for i, v in enumerate(copies)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted_pairs = {(i, N_BASE + i) for i in range(N_PLANTED)}
+
+    def recall(probe):
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in S.srp_near_dup_pairs(
+                df, 0.9, num_bits=12, num_tables=1, probe_hamming=probe
+            ).collect()
+        }
+        assert got <= {
+            (r["a_id"], r["b_id"])
+            for r in S.near_dup_pairs(df, 0.9).collect()
+        }  # precision stays exact under probing
+        return len(got & planted_pairs) / N_PLANTED
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 + 0.2
+    assert r1 >= 0.6
