@@ -300,12 +300,22 @@ class IVFIndex:
         nprobe: int = DEFAULT_NPROBE,
         id_col: str = "hash_id",
         tie_col: str | None = "primary_key",
+        rerank_factor: int | None = None,
     ) -> DataFrame:
         """nprobe search: partition-pruned scan → flat IP score → top-k.
 
         Multi-assignment layouts score a replicated row once per probed
         copy; a groupBy(id).max(score) folds them (the shuffle is over the
-        probed subset only — nprobe/nlist of the table)."""
+        probed subset only — nprobe/nlist of the table).
+
+        `rerank_factor` (SQ8 + keep_vectors builds only): the quantized
+        scan ranks a candidate pool of k×factor, then the stored float
+        vectors of just that pool are fetched and scored exactly — the
+        classic coarse-then-refine split. Parquet column pruning makes
+        this nearly free: the coarse pass reads only `sq8_code`, the
+        refine pass reads `vector` for a broadcast-joined handful of
+        rows. Final ordering is exact-over-pool, so any SQ8 ordering
+        error inside the pool is corrected."""
         probes = self.probe_ids(query, nprobe)
         df = self.load(spark).filter(F.col("centroid_id").isin(probes))
         cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
@@ -315,6 +325,21 @@ class IVFIndex:
         order = [F.col("score").desc()] + (
             [F.col(tie_col).asc()] if tie_col else []
         )
+        if rerank_factor:
+            if self.mins is None:
+                raise ValueError("rerank_factor only applies to SQ8 indexes")
+            if self.vec_col not in df.columns:
+                raise ValueError(
+                    "rerank needs the float vectors stored — build with "
+                    "keep_vectors=True"
+                )
+            pool = scored.orderBy(*order).limit(k * rerank_factor).select(*cols)
+            refine = df.select(*cols, self.vec_col)
+            if self.n_assign > 1:
+                refine = refine.dropDuplicates(cols)
+            scored = F.broadcast(pool).join(refine, cols).select(
+                *cols, V.dot_literal(self.vec_col, list(query)).alias("score")
+            )
         return scored.orderBy(*order).limit(k)
 
 
@@ -329,6 +354,7 @@ def build_ivf(
     fit_method: str = "auto",
     n_assign: int = 1,
     sq8_mode: str = "global",
+    keep_vectors: bool = False,
 ) -> IVFIndex:
     """Build the IVF layout: fit centroids, assign, write partitioned.
 
@@ -338,7 +364,10 @@ def build_ivf(
     cost gated in tests/test_ivf.py. `sq8_mode='per_centroid'` fits the
     (min, scale) grid per list instead of globally (finer codes, same
     byte budget). `n_assign > 1` replicates rows into their top-n lists
-    for recall (see assign_centroids).
+    for recall (see assign_centroids). `keep_vectors=True` stores the
+    float vectors BESIDE the codes: parquet column pruning keeps the
+    coarse scan reading only `sq8_code`, while `search(rerank_factor=…)`
+    fetches vectors for just its candidate pool (coarse-then-refine).
     """
     centroids = _fit_centroids(
         index_rows, vec_col, nlist, seed, sample_cap, method=fit_method
@@ -379,13 +408,17 @@ def build_ivf(
         coded = (
             assigned.join(F.broadcast(params), "centroid_id")
             .withColumn("sq8_code", code)
-            .drop(vec_col, "__mins", "__scales")
+            .drop("__mins", "__scales")
         )
+        if not keep_vectors:
+            coded = coded.drop(vec_col)
     elif sq8_mode == "global":
         mins, scales = _fit_sq8_params(assigned, vec_col, dim)
         coded = assigned.withColumn(
             "sq8_code", _quantize_expr(vec_col, mins, scales)
-        ).drop(vec_col)
+        )
+        if not keep_vectors:
+            coded = coded.drop(vec_col)
     else:
         raise ValueError(f"unknown sq8_mode {sq8_mode!r}")
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)

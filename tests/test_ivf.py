@@ -198,3 +198,30 @@ def test_full_probe_equals_exact(spark, corpus, index):
                               id_col="vec_id", tie_col=None).collect()
     ]
     assert approx == exact
+
+
+def test_sq8_rerank_recovers_float_ordering(spark, corpus, index, tmp_root):
+    """keep_vectors + rerank: the SQ8 coarse pass picks a k×4 pool, the
+    float refine must reproduce the float index's top-15 exactly (any
+    quantization ordering error inside the pool is corrected)."""
+    sq8 = ivf.build_ivf(corpus, str(tmp_root / "ivf_sq8rr"), nlist=NLIST,
+                        quantize=True, sq8_mode="per_centroid",
+                        keep_vectors=True)
+    assert "vector" in sq8.load(spark).columns
+    for vid in [7, 42, 311]:
+        q = np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"])
+        reranked = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in sq8.search(spark, q, k=15, nprobe=NLIST, id_col="vec_id",
+                                tie_col=None, rerank_factor=4).collect()
+        ]
+        exact = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in index.search(spark, q, k=15, nprobe=NLIST,
+                                  id_col="vec_id", tie_col=None).collect()
+        ]
+        assert reranked == exact
+    # guard rails: rerank demands SQ8 + stored vectors
+    with pytest.raises(ValueError):
+        index.search(spark, q, k=5, rerank_factor=2, id_col="vec_id",
+                     tie_col=None)
