@@ -368,6 +368,41 @@ def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per order-status, one aggregate column per priority
+    bucket. Spark's df.pivot compiles to exactly the conditional-agg plan
+    (one pass, map-side partials) the SQL oracle spells out — no
+    wide-to-long shuffle gymnastics."""
+    orders = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.sum("o_totalprice"))
+        .orderBy("o_orderstatus")
+    )
+    renames = {p: f"sum_p{p[0]}" for p in pri}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the same continuous
+    interpolation definition, so values hash-match exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q20_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 L2-normalize: per-vector norm + stats of the normalized vector.
 
@@ -763,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_near_dup_pairs": q23_near_dup_pairs,
         "q24_ivf_search": q24_ivf_search,
         "q25_srp_near_dup": q25_srp_near_dup,
+        "q26_pivot": q26_pivot,
+        "q27_percentiles": q27_percentiles,
         "q30_charcode_key": q30_charcode_key,
         "q31_hex_tokens": q31_hex_tokens,
         "q32_hash_id": q32_hash_id,
@@ -942,6 +979,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "q26_pivot": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS "sum_p1",
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS "sum_p2",
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS "sum_p3",
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS "sum_p4",
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS "sum_p5"
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q27_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_extendedprice, 0.9) AS p90_price,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q14_left_join": """
             SELECT c_custkey,
