@@ -552,6 +552,32 @@ def q34_loader_with_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval range join (operators/relational.range_join):
+    for each purchase, the count and value-sum of the same user's clicks
+    in the preceding hour. A raw inequality join would be a nested loop;
+    the operator's time-bucket rewrite keeps it an equi-join."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = R.range_join(
+        purchases, clicks, "ts", "ts", lower_sec=-3600.0, upper_sec=0.0,
+        keys=["user_id"],
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_prior_clicks"),
+            F.sum("value").alias("sum_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q30_charcode_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 charcode-sum primary key (loader.js:131-143) over doc prefixes."""
     docs = _t(spark, sf_dir, "documents")
@@ -800,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_srp_near_dup": q25_srp_near_dup,
         "q26_pivot": q26_pivot,
         "q27_percentiles": q27_percentiles,
+        "q28_range_join": q28_range_join,
         "q30_charcode_key": q30_charcode_key,
         "q31_hex_tokens": q31_hex_tokens,
         "q32_hash_id": q32_hash_id,
@@ -995,6 +1022,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.9) AS p90_price,
                    count(*) AS n_items
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q28_range_join": """
+            SELECT p.event_id AS event_id,
+                   count(*) AS n_prior_clicks,
+                   sum(c.value) AS sum_click_value
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         "q14_left_join": """
             SELECT c_custkey,

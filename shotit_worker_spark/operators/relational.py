@@ -86,3 +86,64 @@ def positional_zip_join(
     lt = left.select(*key_cols, *left_cols).withColumn("__pos", F.row_number().over(wl))
     rt = right.select(*key_cols, *right_cols).withColumn("__pos", F.row_number().over(wr))
     return lt.join(rt, [*key_cols, "__pos"], "inner").drop("__pos")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: float,
+    upper_sec: float,
+    keys: Sequence[str] = (),
+    bucket_sec: float | None = None,
+) -> DataFrame:
+    """Interval range join: pairs where
+    left_ts + lower_sec <= right_ts <= left_ts + upper_sec
+    (plus optional equi `keys`), without a nested-loop plan.
+
+    Spark has no native range join, and a raw inequality join compiles
+    to BroadcastNestedLoopJoin — O(|L|·|R|) and a dead executor at any
+    real scale. The scale-correct shape is the classic bucketing
+    rewrite: quantize time into `bucket_sec`-wide buckets, explode each
+    LEFT row to the (at most ⌈span/bucket⌉+1) buckets its window
+    overlaps, equi-join on (bucket, keys...) — an ordinary shuffled
+    hash/sort-merge join Catalyst and AQE can plan — then apply the
+    exact interval predicate. Work scales with rows × bucket occupancy
+    instead of |L|·|R|. Default bucket = the window span (each left row
+    explodes to ≤ 2 buckets).
+
+    Column collisions: right columns keep their names; overlapping
+    names get a `r_` prefix on the right side.
+    """
+    span = upper_sec - lower_sec
+    if span < 0:
+        raise ValueError("upper_sec must be >= lower_sec")
+    w = float(bucket_sec or max(span, 1e-9))
+    renames = {
+        c: f"r_{c}" for c in right.columns if c in left.columns and c not in keys
+    }
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    r_ts_col = renames.get(right_ts, right_ts)
+    lsec = F.unix_micros(F.col(left_ts)) / F.lit(1e6)
+    rsec = F.unix_micros(F.col(r_ts_col)) / F.lit(1e6)
+
+    lt = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + F.lit(lower_sec)) / F.lit(w)),
+                F.floor((lsec + F.lit(upper_sec)) / F.lit(w)),
+            )
+        ),
+    )
+    rt = r.withColumn("__bucket", F.floor(rsec / F.lit(w)))
+    return (
+        lt.join(rt, ["__bucket", *keys])
+        .filter(
+            (rsec >= lsec + F.lit(lower_sec)) & (rsec <= lsec + F.lit(upper_sec))
+        )
+        .drop("__bucket")
+    )

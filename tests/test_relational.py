@@ -51,3 +51,48 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("n")
     ).first()["n"]
     assert abs(approx - exact) / exact < 0.15  # HLL++ within 3× declared rsd
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join ≡ the naive inequality join on a fixture with
+    boundary hits (exactly ±window), bucket-edge crossings, and key
+    mismatches — across several bucket widths."""
+    import datetime as dt
+
+    from shotit_worker_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (1, "u1", base),
+        (2, "u1", base + dt.timedelta(seconds=90)),
+        (3, "u2", base + dt.timedelta(seconds=3600)),
+    ]
+    rrows = [
+        ("u1", base - dt.timedelta(seconds=60), 1.0),   # exactly at lower bound of id=1
+        ("u1", base, 2.0),                              # upper bound of id=1
+        ("u1", base + dt.timedelta(seconds=89), 3.0),   # in id=2's window
+        ("u1", base + dt.timedelta(seconds=91), 4.0),   # after id=2 → excluded
+        ("u2", base + dt.timedelta(seconds=3599), 5.0), # id=3's window
+        ("u2", base - dt.timedelta(seconds=30), 6.0),   # wrong time for u2
+        ("u3", base, 7.0),                              # no matching left key
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id string, ts timestamp, value double")
+
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts >= l.ts - INTERVAL 60 SECONDS AND r.ts <= l.ts"
+        ))
+        .select(F.col("l.event_id"), F.col("r.value"))
+    )
+    expect = sorted((r["event_id"], r["value"]) for r in naive.collect())
+    assert expect  # fixture actually produces matches
+
+    for bucket in (None, 30.0, 7.0):
+        got = R.range_join(
+            left, right, "ts", "ts", lower_sec=-60.0, upper_sec=0.0,
+            keys=["user_id"], bucket_sec=bucket,
+        ).select("event_id", "value")
+        assert sorted((r["event_id"], r["value"]) for r in got.collect()) == expect
