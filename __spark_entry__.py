@@ -578,6 +578,28 @@ def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/relational.asof_join): each
+    purchase matched to the same user's most recent click at or before
+    it — one union + one window shuffle, no inequality nested loop.
+    Oracle: DuckDB's native ASOF JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        R.asof_join(
+            purchases, clicks, "ts", "ts", keys=["user_id"],
+            right_cols=["value"], how="inner",
+        )
+        .select("event_id", F.col("asof_value").alias("last_click_value"))
+        .orderBy("event_id")
+    )
+
+
 def q30_charcode_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 charcode-sum primary key (loader.js:131-143) over doc prefixes."""
     docs = _t(spark, sf_dir, "documents")
@@ -827,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_pivot": q26_pivot,
         "q27_percentiles": q27_percentiles,
         "q28_range_join": q28_range_join,
+        "q29_asof_join": q29_asof_join,
         "q30_charcode_key": q30_charcode_key,
         "q31_hex_tokens": q31_hex_tokens,
         "q32_hash_id": q32_hash_id,
@@ -1033,6 +1056,15 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= p.ts
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
             GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        "q29_asof_join": """
+            SELECT p.event_id AS event_id, c.value AS last_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY event_id
         """,
         "q14_left_join": """
             SELECT c_custkey,

@@ -147,3 +147,68 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the single most recent
+    right row with right_ts <= left_ts (per key). The time-series join
+    Spark lacks natively (pandas merge_asof / DuckDB ASOF JOIN).
+
+    Plan shape: tag the two sides, align schemas, UNION, then one window
+    per key ordered by (ts, side) carrying `last(right_col, ignorenulls)`
+    forward — the match for every left row materializes in a SINGLE
+    shuffle on the key, instead of a nested-loop inequality join or a
+    per-left-row subquery. Equal timestamps match (right sorts first).
+    `how='left'` keeps unmatched left rows with NULL right columns.
+
+    Output: all left columns + `right_cols` (prefixed `asof_`).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    l_cols = left.columns
+    l_part = left.select(
+        *l_cols,
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in right_cols],
+    )
+    r_part = right.select(
+        *[
+            F.col(k) if k in right.columns else F.lit(None).alias(k)
+            for k in keys
+        ],
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    ).select(*l_cols, "__is_left", "__ts", *[f"asof_{c}" for c in right_cols])
+    unioned = l_part.unionByName(r_part)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "__is_left",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.max(F.when(F.col("__is_left") == 0, F.col("__ts"))).over(w).alias(
+            "__matched"
+        ),
+    )
+    out = carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    if how == "inner":
+        out = out.filter(F.col("__matched").isNotNull())
+    return out.drop("__matched")

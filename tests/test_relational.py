@@ -96,3 +96,43 @@ def test_range_join_matches_naive(spark):
             keys=["user_id"], bucket_sec=bucket,
         ).select("event_id", "value")
         assert sorted((r["event_id"], r["value"]) for r in got.collect()) == expect
+
+
+def test_asof_join_matches_naive(spark):
+    """asof_join ≡ naive most-recent-match (window over inequality join)
+    including equal-timestamp matches, unmatched lefts (inner vs left),
+    and multiple right rows per key."""
+    import datetime as dt
+
+    from shotit_worker_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (1, "u1", base + dt.timedelta(seconds=100)),
+        (2, "u1", base + dt.timedelta(seconds=50)),   # equal-ts match
+        (3, "u2", base + dt.timedelta(seconds=10)),   # before any right → unmatched
+        (4, "u3", base + dt.timedelta(seconds=500)),
+    ]
+    rrows = [
+        ("u1", base + dt.timedelta(seconds=50), 1.0),
+        ("u1", base + dt.timedelta(seconds=99), 2.0),
+        ("u2", base + dt.timedelta(seconds=20), 3.0),
+        ("u3", base + dt.timedelta(seconds=400), 4.0),
+        ("u3", base + dt.timedelta(seconds=450), 5.0),
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id string, ts timestamp, value double")
+
+    got_inner = {
+        (r["event_id"], r["asof_value"])
+        for r in R.asof_join(left, right, "ts", "ts", keys=["user_id"],
+                             right_cols=["value"]).collect()
+    }
+    assert got_inner == {(1, 2.0), (2, 1.0), (4, 5.0)}
+
+    got_left = {
+        (r["event_id"], r["asof_value"])
+        for r in R.asof_join(left, right, "ts", "ts", keys=["user_id"],
+                             right_cols=["value"], how="left").collect()
+    }
+    assert got_left == {(1, 2.0), (2, 1.0), (3, None), (4, 5.0)}
