@@ -717,6 +717,33 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q46_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by content-independent key
+    hash — the reproducible-split primitive of a training-data pipeline
+    (no sampling state, rerunnable on any engine: md5 is the hash both
+    Spark and DuckDB share bit-for-bit). 80/10/10 on md5(doc_id) mod
+    100; per-split doc and token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "text")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text").cast("bigint")).alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup by md5 — keep the lowest doc_id per digest."""
     docs = _t(spark, sf_dir, "documents")
@@ -861,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_fingerprint": q43_fingerprint,
         "q44_quality": q44_quality,
         "q45_token_budget": q45_token_budget,
+        "q46_hash_split": q46_hash_split,
         "q50_exact_dedup": q50_exact_dedup,
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
@@ -1279,6 +1307,19 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
                        AS BIGINT)) AS sum_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q46_hash_split": f"""
+            WITH b AS (
+                SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS bucket, text
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(CAST(len({tok}) AS BIGINT)) AS sum_tokens
+            FROM b GROUP BY 1 ORDER BY split
         """,
         "q50_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id
