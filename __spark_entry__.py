@@ -16,7 +16,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -744,6 +744,41 @@ def q46_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order)
+    to consecutive shards of ~8192 tokens by running token sum — the
+    batch-construction pass of a pretraining pipeline. One window over
+    the global order; shard id = floor((cumsum - tokens) / budget), i.e.
+    a doc starts a new shard when the budget would otherwise overflow
+    (approximate first-fit in arrival order). Returns per-shard document
+    and token counts.
+
+    Scale note: a global-order cumsum funnels through one task. At real
+    scale, pack per partition key instead (e.g. per hash-split shard of
+    q46, or per source): same window with partitionBy, embarrassingly
+    parallel, and shard ids get a partition prefix — global order across
+    shards is never a training requirement."""
+    budget = 8192
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.token_count("text").cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    with_shard = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return (
+        with_shard.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup by md5 — keep the lowest doc_id per digest."""
     docs = _t(spark, sf_dir, "documents")
@@ -889,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_quality": q44_quality,
         "q45_token_budget": q45_token_budget,
         "q46_hash_split": q46_hash_split,
+        "q47_sequence_pack": q47_sequence_pack,
         "q50_exact_dedup": q50_exact_dedup,
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
@@ -1320,6 +1356,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    sum(CAST(len({tok}) AS BIGINT)) AS sum_tokens
             FROM b GROUP BY 1 ORDER BY split
+        """,
+        "q47_sequence_pack": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                            / 8192.0) AS BIGINT) AS shard
+                FROM t
+            )
+            SELECT shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+            FROM s GROUP BY shard ORDER BY shard
         """,
         "q50_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id
