@@ -864,7 +864,7 @@ def q62_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q63_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return SW.session_counts(ev, gap="30 minutes").orderBy(
         "user_id", "window_start"
@@ -917,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_hash_id": q32_hash_id,
         "q33_loader_transform": q33_loader_transform,
         "q34_loader_with_d1": q34_loader_with_d1,
+        "q35_session": q35_session,
         "q40_doc_stats": q40_doc_stats,
         "q41_top_terms": q41_top_terms,
         "q42_lang_id": q42_lang_id,
@@ -933,7 +934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_json_extract": q60_json_extract,
         "q61_tumbling": q61_tumbling,
         "q62_sliding": q62_sliding,
-        "q63_session": q63_session,
     }
 
 
@@ -1338,10 +1338,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q45_token_budget": f"""
             SELECT lang,
-                   sum(CAST(len({tok}) AS BIGINT)) AS sum_ws_tokens,
-                   sum(CAST(len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
-                       AS BIGINT)) AS sum_bpe_tokens
+                   CAST(sum(len({tok})) AS BIGINT) AS sum_ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))
+                       AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q46_hash_split": f"""
@@ -1354,7 +1354,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'valid'
                         ELSE 'test' END AS split,
                    count(*) AS n_docs,
-                   sum(CAST(len({tok}) AS BIGINT)) AS sum_tokens
+                   CAST(sum(len({tok})) AS BIGINT) AS sum_tokens
             FROM b GROUP BY 1 ORDER BY split
         """,
         "q47_sequence_pack": f"""
@@ -1368,7 +1368,8 @@ def oracle_sql() -> dict[str, str]:
                             / 8192.0) AS BIGINT) AS shard
                 FROM t
             )
-            SELECT shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM s GROUP BY shard ORDER BY shard
         """,
         "q50_exact_dedup": """
@@ -1393,7 +1394,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q60_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -1418,7 +1420,7 @@ def oracle_sql() -> dict[str, str]:
                    avg(value) AS avg_value
             FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
-        "q63_session": """
+        "q35_session": """
             WITH o AS (SELECT user_id, ts, value,
                               lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS pts

@@ -29,12 +29,25 @@ def canon_value(v):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas renders SQL NULL in float columns as NaN; the driver
+            # hash-matched q07's NULL lags in r1, so NaN must canon as NULL.
+            return "NULL"
         return f"{v:.4f}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(canon_value(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.floating):
+            return canon_value(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+    except ImportError:
+        pass
     return str(v)
 
 
@@ -82,8 +95,13 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # Fetch through pandas — the driver's harness does, and DuckDB
+            # HUGEINT (e.g. sum(BIGINT)) becomes float64 there ("3549.0"),
+            # which fetchall() (Python ints) would silently mask (r1 bug:
+            # q45/q46/q47/q60 passed here but failed the driver).
+            ddf = rel.df()
+            dcols = [str(c) for c in ddf.columns]
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
