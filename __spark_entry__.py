@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from shotit_worker_spark.functions import text as TX
 from shotit_worker_spark.functions import vector as V
 from shotit_worker_spark.operators import dedup as D
+from shotit_worker_spark.operators import packing as P
 from shotit_worker_spark.operators import relational as R
 from shotit_worker_spark.operators import similarity as S
 from shotit_worker_spark.streaming import windows as SW
@@ -717,6 +718,21 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hash_split(key: str = "doc_id") -> F.Column:
+    """80/10/10 train/valid/test split label from md5(key) mod 100 —
+    content-independent, deterministic, engine-portable (md5 is bit-for-
+    bit shared between Spark and DuckDB)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def q46_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test split by content-independent key
     hash — the reproducible-split primitive of a training-data pipeline
@@ -724,17 +740,8 @@ def q46_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB share bit-for-bit). 80/10/10 on md5(doc_id) mod
     100; per-split doc and token counts."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select(split.alias("split"), "text")
+        docs.select(_hash_split().alias("split"), "text")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -753,22 +760,15 @@ def q47_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approximate first-fit in arrival order). Returns per-shard document
     and token counts.
 
-    Scale note: a global-order cumsum funnels through one task. At real
-    scale, pack per partition key instead (e.g. per hash-split shard of
-    q46, or per source): same window with partitionBy, embarrassingly
-    parallel, and shard ids get a partition prefix — global order across
-    shards is never a training requirement."""
-    budget = 8192
+    This is the SMALL-SCALE ORACLE form (operators.packing.
+    sequence_pack_global — one task computes the global running sum,
+    row-count guarded). The declared scale operator is the partitioned
+    form, exercised by q48_partitioned_pack."""
     docs = _t(spark, sf_dir, "documents")
-    toks = TX.token_count("text").cast("bigint")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    with_shard = docs.select(
-        "doc_id",
-        toks.alias("n_tokens"),
-    ).withColumn(
-        "shard",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    staged = docs.select(
+        "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
     )
+    with_shard = P.sequence_pack_global(staged, budget=8192)
     return (
         with_shard.groupBy("shard")
         .agg(
@@ -776,6 +776,31 @@ def q47_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
         .orderBy("shard")
+    )
+
+
+def q48_partitioned_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sequence packing — the 100-TB form of q47. Documents
+    are first split train/valid/test by the q46 hash split, then packed
+    into ~8192-token shards INDEPENDENTLY per split: the running-sum
+    window is partitionBy(split), so packing is one shuffle on the split
+    key and every partition packs in parallel (no single-task funnel).
+    Shard identity is (split, local_shard). Returns per-shard document
+    and token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        _hash_split().alias("split"),
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    packed = P.sequence_pack(staged, pack_keys=["split"], budget=8192)
+    return (
+        packed.groupBy("split", "local_shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("split", "local_shard")
     )
 
 
@@ -926,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_token_budget": q45_token_budget,
         "q46_hash_split": q46_hash_split,
         "q47_sequence_pack": q47_sequence_pack,
+        "q48_partitioned_pack": q48_partitioned_pack,
         "q50_exact_dedup": q50_exact_dedup,
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
@@ -1371,6 +1397,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM s GROUP BY shard ORDER BY shard
+        """,
+        "q48_partitioned_pack": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS bucket,
+                       CAST(len({tok}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), t AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM b
+            ), s AS (
+                SELECT split, n_tokens,
+                       CAST(floor((sum(n_tokens) OVER (PARTITION BY split
+                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                                - n_tokens) / 8192.0) AS BIGINT) AS local_shard
+                FROM t
+            )
+            SELECT split, local_shard, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM s GROUP BY split, local_shard ORDER BY split, local_shard
         """,
         "q50_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id

@@ -1,1 +1,1 @@
-from . import dedup, relational, similarity
+from . import dedup, packing, relational, similarity

@@ -1,0 +1,92 @@
+"""Token-budget sequence packing.
+
+The batch-construction pass of a pretraining pipeline: assign documents,
+in a deterministic order, to consecutive shards of ~budget tokens by
+running token sum (approximate first-fit in arrival order — a document
+starts a new shard when the budget would otherwise overflow).
+
+Scale design: the partitioned form (`sequence_pack`) is the declared
+operator. Packing runs independently per pack key (e.g. the train/valid/
+test hash split, or a source/date bucket), so the running-sum window is
+``partitionBy(keys)`` — one shuffle on the keys, every partition packed
+in parallel, no single-task funnel. Shard identity is the composite
+(key..., local_shard); global shard order across keys is never a
+training requirement. The unpartitioned form (`sequence_pack_global`)
+funnels the whole corpus through ONE task and exists only as the
+small-scale differential oracle for the partitioned path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sequence_pack", "sequence_pack_global"]
+
+
+def _pack_shard(order_cols: list[str], token_col: str, budget: int,
+                partition_cols: list[str] | None) -> Column:
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    cumsum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return F.floor(cumsum_before / F.lit(budget))
+
+
+def sequence_pack(
+    df: DataFrame,
+    pack_keys: list[str],
+    token_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    budget: int = 8192,
+    shard_col: str = "local_shard",
+) -> DataFrame:
+    """Assign each row a ``shard_col`` within its pack key.
+
+    ``df`` must already carry ``token_col`` (per-row token count) and the
+    ``pack_keys`` columns. Rows are packed in ``order_cols`` order
+    (default ``["doc_id"]``) independently per key. The output shard id
+    is local to its key — callers that need a flat id can concatenate
+    (key..., shard_col), which stays deterministic and collision-free.
+
+    Re-expresses the packing stage the reference's loader performs
+    implicitly when batching hash uploads (reference: loader.js:235-236
+    chunks the deduped hash list into 1000-row insert units); here the
+    budget is tokens rather than rows, per the LLM-pipeline brief.
+    """
+    if not pack_keys:
+        raise ValueError(
+            "pack_keys must be non-empty; use sequence_pack_global "
+            "(small-scale oracle only) for unpartitioned packing"
+        )
+    order_cols = order_cols or ["doc_id"]
+    return df.withColumn(
+        shard_col, _pack_shard(order_cols, token_col, budget, pack_keys)
+    )
+
+
+def sequence_pack_global(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    budget: int = 8192,
+    shard_col: str = "shard",
+    max_rows: int = 1_000_000,
+) -> DataFrame:
+    """Unpartitioned packing — ONE task computes the global running sum.
+
+    Small-scale oracle regime only: used to differential-test
+    ``sequence_pack`` and by the q47 oracle query. Guarded by
+    ``max_rows`` so the single-task plan cannot silently run at scale.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"sequence_pack_global is a single-task plan; input has {n} rows "
+            f"(> max_rows={max_rows}). Use sequence_pack(pack_keys=...) — "
+            "the partitioned form — at scale."
+        )
+    order_cols = order_cols or ["doc_id"]
+    return df.withColumn(
+        shard_col, _pack_shard(order_cols, token_col, budget, None)
+    )

@@ -1,0 +1,74 @@
+"""Sequence packing: partitioned (scale path) vs global (oracle path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import text as TX
+from shotit_worker_spark.operators import packing as P
+
+
+def _staged(spark, sf_dir, with_key=False):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = [
+        F.col("doc_id"),
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+    ]
+    if with_key:
+        cols.append((F.col("doc_id") % 3).alias("k"))
+    return docs.select(*cols)
+
+
+def test_partitioned_matches_global_per_key(spark, sf_dir):
+    """Packing each key's rows with the global form must reproduce the
+    partitioned form exactly — the partitioned operator is just the
+    global recurrence run independently per key."""
+    staged = _staged(spark, sf_dir, with_key=True).cache()
+    got = {
+        (r.k, r.doc_id): r.local_shard
+        for r in P.sequence_pack(staged, pack_keys=["k"], budget=4096).collect()
+    }
+    for k in range(3):
+        sub = staged.filter(F.col("k") == k)
+        want = {
+            r.doc_id: r.shard
+            for r in P.sequence_pack_global(sub, budget=4096).collect()
+        }
+        assert {d: s for (kk, d), s in got.items() if kk == k} == want
+    staged.unpersist()
+
+
+def test_shards_respect_budget(spark, sf_dir):
+    """No shard exceeds the budget unless a single doc alone does, and
+    consecutive docs that fit share a shard (first-fit semantics)."""
+    budget = 4096
+    packed = P.sequence_pack(
+        _staged(spark, sf_dir, with_key=True), pack_keys=["k"], budget=budget
+    )
+    stats = (
+        packed.groupBy("k", "local_shard")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    # A shard holds docs whose prior cumsum lies in [s*B, (s+1)*B), so its
+    # total is at most B plus its last (overflowing) doc.
+    for r in stats:
+        assert r.tot <= budget + r.mx
+    # every key packs from shard 0 upward with no gaps
+    by_key = {}
+    for r in stats:
+        by_key.setdefault(r.k, []).append(r.local_shard)
+    for shards in by_key.values():
+        assert sorted(shards) == list(range(len(shards)))
+
+
+def test_global_guard_raises(spark, sf_dir):
+    staged = _staged(spark, sf_dir)
+    with pytest.raises(ValueError, match="single-task"):
+        P.sequence_pack_global(staged, max_rows=10)
+
+
+def test_empty_pack_keys_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="pack_keys"):
+        P.sequence_pack(_staged(spark, sf_dir), pack_keys=[])
