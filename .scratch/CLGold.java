@@ -1,0 +1,20 @@
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
+import java.io.File;
+
+public class CLGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      ColorLayoutImpl cl = new ColorLayoutImpl(64, 28, ImageIO.read(new File(p)));
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t").append(cl.getNumberOfYCoeff()).append("\t")
+        .append(cl.getNumberOfCCoeff()).append("\tY:");
+      for (int v : cl.getYCoeff()) sb.append(v).append(",");
+      sb.append("\tCb:");
+      for (int v : cl.getCbCoeff()) sb.append(v).append(",");
+      sb.append("\tCr:");
+      for (int v : cl.getCrCoeff()) sb.append(v).append(",");
+      System.out.println(sb);
+    }
+  }
+}

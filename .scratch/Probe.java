@@ -1,0 +1,24 @@
+import java.lang.reflect.Method;
+import javax.imageio.ImageIO;
+import java.io.File;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
+
+public class Probe {
+  public static void main(String[] a) throws Exception {
+    Class<?> c = ColorLayoutImpl.class;
+    Method ydc = c.getDeclaredMethod("quant_ydc", int.class);
+    Method cdc = c.getDeclaredMethod("quant_cdc", int.class);
+    Method ac = c.getDeclaredMethod("quant_ac", int.class);
+    ydc.setAccessible(true); cdc.setAccessible(true); ac.setAccessible(true);
+    for (int i : new int[]{0, 10, 64, 65, 96, 97, 125, 126, 160, 161, 192, 193, 255})
+      System.out.println("ydc(" + i + ")=" + ydc.invoke(null, i) + " cdc=" + cdc.invoke(null, i));
+    for (int i : new int[]{-256, -128, -64, -10, 0, 10, 63, 64, 127, 128, 255})
+      System.out.println("ac(" + i + ")=" + ac.invoke(null, i));
+    // raw shape + dct of uniform gray: use reflection on fields
+    ColorLayoutImpl cl = new ColorLayoutImpl(64, 28, ImageIO.read(new File("uniform_gray.png")));
+    java.lang.reflect.Field sf = c.getDeclaredField("shape");
+    sf.setAccessible(true);
+    int[][] s = (int[][]) sf.get(cl);
+    System.out.println("dctY[0..4] = " + s[0][0] + "," + s[0][1] + "," + s[0][2] + " cb0=" + s[1][0] + " cr0=" + s[2][0]);
+  }
+}

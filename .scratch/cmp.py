@@ -1,0 +1,21 @@
+import sys, numpy as np
+sys.path.insert(0, "/root/repo")
+from shotit_worker_spark.functions import colorlayout as CL
+
+ok = True
+for line in open("goldens_6428.txt"):
+    parts = line.strip().split("\t")
+    path = parts[0]
+    name = path.rsplit("/", 1)[-1].replace(".png", "")
+    gy = [int(x) for x in parts[3][2:].rstrip(",").split(",")]
+    gcb = [int(x) for x in parts[4][3:].rstrip(",").split(",")]
+    gcr = [int(x) for x in parts[5][3:].rstrip(",").split(",")]
+    rgb = np.load(f"{name}.npy")
+    y, cb, cr = CL.color_layout(rgb, n_y=64, n_c=28)
+    m = (list(y) == gy[:64]) and (list(cb) == gcb[:28]) and (list(cr) == gcr[:28])
+    print(name, "MATCH" if m else "MISMATCH")
+    if not m:
+        ok = False
+        print("  y  got :", list(y)[:16]); print("  y  want:", gy[:16])
+        print("  cb got :", list(cb)[:10]); print("  cb want:", gcb[:10])
+print("ALL MATCH" if ok else "FAIL")

@@ -1,0 +1,30 @@
+import struct, zlib, numpy as np
+
+def write_png(path, rgb: np.ndarray):
+    h, w, _ = rgb.shape
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    raw = b"".join(b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(42)
+    # 1: uniform mid-gray; 2: uniform color; 3: horizontal gradient; 4: noise; 5: blocks
+    imgs = {
+        "uniform_gray": np.full((180, 320, 3), 128, np.uint8),
+        "uniform_red": np.tile(np.array([[[200, 30, 60]]], np.uint8), (180, 320, 1)),
+        "hgrad": np.tile(np.linspace(0, 255, 320, dtype=np.uint8)[None, :, None], (180, 1, 3)),
+        "noise": rng.integers(0, 256, (180, 320, 3), dtype=np.uint8),
+        "blocks": np.kron(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), np.ones((24, 40, 1), np.uint8)),
+    }
+    with open("frames.txt", "w") as f:
+        for name, arr in imgs.items():
+            write_png(f"{name}.png", arr)
+            np.save(f"{name}.npy", arr)
+            f.write(f"/root/repo/.scratch/{name}.png\n")

@@ -1,0 +1,193 @@
+"""Pure-stdlib image codec: PNG and PPM decode/encode to numpy RGB.
+
+The container has no image libraries, but PNG (zlib + per-scanline
+filters, RFC 2083) and binary PPM are decodable with the standard
+library alone. This gives the media pipeline REAL image bytes end to
+end — G1 emits PPM thumbnails, G2 decodes them and computes the real
+MPEG-7 ColorLayout descriptor — instead of hash-derived fakes. The
+reference's ffmpeg/LIRE stages consume/produce real JPEG files
+(/root/reference/hasher.js:78-135); JPEG entropy coding is out of scope
+here, so PPM/PNG stand in as the thumbnail wire format (sniffed by
+magic bytes — scalar.sniff_media_type covers the same P14 role).
+
+Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB),
+4 (gray+alpha), 6 (RGBA), no interlace. Gray expands to RGB; alpha is
+dropped (descriptors are RGB-only). Palette/16-bit/interlaced raise
+``UnsupportedImageError`` — callers fall back to the stub kernel.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedImageError",
+    "decode_image",
+    "encode_ppm",
+    "encode_png",
+    "sniff_format",
+]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedImageError(ValueError):
+    """Bytes are not a decodable PNG/PPM image."""
+
+
+def sniff_format(data: bytes) -> str | None:
+    if data[:8] == _PNG_MAGIC:
+        return "png"
+    if data[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode PNG or PPM bytes to an (H, W, 3) uint8 RGB array."""
+    fmt = sniff_format(bytes(data))
+    if fmt == "png":
+        return _decode_png(bytes(data))
+    if fmt == "ppm":
+        return _decode_ppm(bytes(data))
+    raise UnsupportedImageError("not a PNG or PPM image")
+
+
+# -- PPM (P6, maxval 255) ---------------------------------------------------
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise UnsupportedImageError(f"PPM maxval {maxval} != 255")
+    need = w * h * 3
+    raster = data[pos : pos + need]
+    if len(raster) != need:
+        raise UnsupportedImageError("PPM raster truncated")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+# -- PNG --------------------------------------------------------------------
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + body + crc
+        if typ == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+                raise UnsupportedImageError(
+                    f"PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace} unsupported"
+                )
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise UnsupportedImageError("PNG missing IHDR/IDAT")
+    nch = _CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedImageError("PNG scanline data size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, line = raw[y, 0], raw[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            line = _defilter_serial(ftype, line, prev, nch)
+        else:
+            raise UnsupportedImageError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    px = out.reshape(height, width, nch)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # 6: drop alpha
+
+
+def _defilter_serial(
+    ftype: int, line: np.ndarray, prev: np.ndarray, nch: int
+) -> np.ndarray:
+    cur = line.astype(np.int32)
+    up = prev.astype(np.int32)
+    out = np.zeros_like(cur)
+    for i in range(len(cur)):
+        a = out[i - nch] if i >= nch else 0  # left
+        b = up[i]  # up
+        if ftype == 1:
+            pred = a
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            c = up[i - nch] if i >= nch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (cur[i] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG (filter 0 scanlines) — enough for ImageIO/browser
+    consumption and for the LIRE golden harness."""
+    h, w = rgb.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    arr = rgb.astype(np.uint8)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

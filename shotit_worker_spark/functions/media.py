@@ -6,15 +6,24 @@ extractor (/root/reference/hasher.js:114-135), and Solr query-image
 extraction (/root/reference/searcher.js:203-213). In this engine they are
 the ONLY Python UDFs, all Arrow-vectorized; everything downstream
 (dedup, normalize, index, search) consumes their output through ordinary
-DataFrame plans, so swapping the stub kernels for real PyAV/OpenCV ones
-changes no plan shape.
+DataFrame plans, so changing a kernel changes no plan shape.
 
-Codec reality: this container has no image/audio/video libraries, so the
-byte-level decode is STUBBED (`_STUB_DECODER`) with a deterministic fake
-that derives frames/features from the input bytes via blake2 hashing.
-The Spark-side contract — schemas, `mapInPandas` batch iteration,
-partitioning, one-video-row→N-frame-rows explosion — is real and tested
-(tests/test_media.py, tests/test_e2e_pipeline.py).
+Kernel reality, per stage:
+
+- G2/G3 descriptor (`embed_images` / `embed_query_image`): REAL — the
+  MPEG-7 ColorLayout of `functions/colorlayout.py`, bit-exact against
+  the reference's own lire.jar, computed on images decoded by the
+  pure-stdlib PNG/PPM codec (`functions/imagecodec.py`). Bytes that are
+  not decodable images fall back to the legacy blake2 fake so the
+  plumbing stays total.
+- Image resize (`resize_images`): REAL bilinear resample + PPM re-encode
+  for decodable images; stub fallback otherwise.
+- G1 video demux/decode: STUBBED — no video codec exists without
+  external libraries. The fake emits DETERMINISTIC REAL PPM IMAGES
+  (seeded block scenes), so everything downstream of G1 exercises the
+  real image path. With PyAV installed the body becomes
+  open-container → sample at fps → scale → encode; signature unchanged.
+- Audio features: STUBBED (no audio codec), plumbing real.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -30,6 +39,9 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from . import colorlayout as CL
+from . import imagecodec as IC
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -54,7 +66,10 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-_STUB_DECODER = True  # no codec libs in this container — see module docstring
+_STUB_VIDEO_DECODER = True  # no video codec libs — see module docstring
+
+_SYN_FRAME_H = 48  # synthetic thumbnail geometry (aspect 5:3, like
+_SYN_FRAME_W = 80  # scale=-2:180 output halved twice)
 
 
 def _fake_video_params(content: bytes) -> tuple[int, float]:
@@ -69,11 +84,20 @@ def _fake_video_params(content: bytes) -> tuple[int, float]:
     return n_frames, duration
 
 
-def _fake_frame_bytes(content: bytes, frame_no: int) -> bytes:
-    """Deterministic stand-in for one decoded/re-encoded JPEG thumbnail."""
-    return hashlib.blake2b(
-        content + frame_no.to_bytes(8, "big"), digest_size=32
-    ).digest()
+def _synthetic_frame_image(content: bytes, frame_no: int) -> bytes:
+    """Deterministic stand-in for one decoded thumbnail — a REAL PPM
+    image (seeded 8×8-block scene upscaled to 80×48), so the downstream
+    descriptor/resize kernels run their real code paths on it."""
+    seed = int.from_bytes(
+        hashlib.blake2b(
+            content + frame_no.to_bytes(8, "big"), digest_size=8
+        ).digest(),
+        "big",
+    )
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8, 1), dtype=np.uint8))
+    return IC.encode_ppm(img)
 
 
 def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
@@ -107,7 +131,7 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
                     # first sample at half the frame interval, like ffmpeg's
                     # fps filter; toFixed(4) parity via round
                     out["time"].append(round((i + 0.5) / fps, 4))
-                    out["image"].append(_fake_frame_bytes(content, i))
+                    out["image"].append(_synthetic_frame_image(content, i))
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(_decode, schema=FRAME_SCHEMA)
@@ -117,13 +141,11 @@ EMBED_DIM = 100  # reference collection dim (loader.js:44)
 
 
 def _fake_descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
-    """Deterministic stand-in for a LIRE global descriptor (G2).
-
-    hi: hex identity string (the `_hi` field); vec: `dim` floats in
-    [0, 256) derived from a seeded hash expansion — same shape as the
-    hex-token `_ha` values the loader decodes. A real implementation
-    computes e.g. MPEG-7 ColorLayout (8×8 DCT of Y/Cb/Cr means) here.
-    """
+    """Fallback descriptor for bytes that are not decodable images:
+    deterministic blake2 expansion, hi = hex identity. Keeps the
+    pipeline total on arbitrary binary input (e.g. corrupt thumbnails),
+    mirroring the reference's behavior of still indexing whatever LIRE
+    emits for odd inputs."""
     h = hashlib.blake2b(image, digest_size=16).hexdigest()
     vals: list[float] = []
     counter = 0
@@ -137,12 +159,37 @@ def _fake_descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
     return h, vals[:dim]
 
 
+def _descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
+    """G2 kernel: MPEG-7 ColorLayout (functions/colorlayout.py — bit-
+    exact vs the reference's lire.jar, reference hasher.js:114-135 `-y
+    cl`) on PNG/PPM-decodable bytes; blake2 fallback otherwise.
+
+    The full 64/28/28 coefficient grid (120 values) is padded/truncated
+    to `dim`, the same P10 pad/truncate the reference's loader applies
+    to hash-token vectors (loader.js getNormalizedCharCodesVector(…,
+    100, 1)). hi is the hex of the full quantized grid — the `_hi`
+    feature-identity role (exact-dup detection in D1)."""
+    try:
+        rgb = IC.decode_image(image)
+    except IC.UnsupportedImageError:
+        return _fake_descriptor(image, dim)
+    vec = CL.descriptor_vector(rgb, n_y=64, n_c=28)
+    hi = bytes(vec.astype(np.uint8)).hex()
+    if len(vec) >= dim:
+        out = vec[:dim]
+    else:
+        out = np.zeros(dim, dtype=np.float64)
+        out[: len(vec)] = vec
+    return hi, [float(x) for x in out]
+
+
 def embed_images(
     frames: DataFrame,
     image_col: str = "image",
     dim: int = EMBED_DIM,
 ) -> DataFrame:
-    """G2/G3 — image → (hi, vector) descriptor extraction.
+    """G2/G3 — image → (hi, vector) descriptor extraction: REAL MPEG-7
+    ColorLayout for decodable images (see `_descriptor`).
 
     One code path for ingest and query (the reference splits G2/G3
     between the LIRE indexer and Solr only as a deployment artifact —
@@ -164,7 +211,7 @@ def embed_images(
         his: list[str] = []
         vecs: list[list[float]] = []
         for img in images:
-            hi, vec = _fake_descriptor(bytes(img), dim)
+            hi, vec = _descriptor(bytes(img), dim)
             his.append(hi)
             vecs.append(vec)
         return pd.DataFrame({"hi": his, "vector": vecs})
@@ -178,7 +225,7 @@ def embed_query_image(image: bytes, dim: int = EMBED_DIM) -> np.ndarray:
     descriptor kernel, then L2-normalize — mirrors searcher.js:40-60.
     One query image is one row; running a Spark job for it would be
     overhead theater."""
-    _, vec = _fake_descriptor(image, dim)
+    _, vec = _descriptor(image, dim)
     v = np.asarray(vec, dtype=np.float64)
     norm = float(np.sqrt((v * v).sum()))
     return v / norm if norm > 0 else v
@@ -210,11 +257,10 @@ def resize_images(
     """Image resize (scale=-2:height, the reference's ffmpeg geometry —
     hasher.js:87): binary in → binary + (width, height) metadata out.
 
-    Arrow-vectorized pandas UDF returning a struct column; the decode/
-    resample/encode kernel is STUBBED (deterministic fake dims from the
-    byte hash, even-width like ffmpeg's -2). With PIL/OpenCV installed
-    the body becomes decode → resize(LANCZOS) → encode; the schema,
-    batching, and plan shape don't change.
+    REAL for decodable images: bilinear resample to `height`, width
+    chosen to keep aspect and forced even (ffmpeg's -2), re-encoded as
+    PPM. Undecodable bytes fall back to a deterministic stub so the
+    column stays total. Arrow-vectorized pandas UDF returning a struct.
     """
     out_t = StructType(
         [
@@ -231,15 +277,23 @@ def resize_images(
         hs: list[int] = []
         for img in images:
             img = bytes(img)
-            # fake source aspect ratio in [4:3, 21:9], quantized even width
-            h8 = hashlib.blake2b(img, digest_size=8).digest()
-            aspect = 4 / 3 + (int.from_bytes(h8[:2], "big") % 1000) / 1000.0
-            w = int(round(height * aspect / 2)) * 2
-            imgs.append(
-                hashlib.blake2b(
-                    img + b"resize" + height.to_bytes(4, "big"), digest_size=32
-                ).digest()
-            )
+            try:
+                rgb = IC.decode_image(img)
+                src_h, src_w = rgb.shape[:2]
+                w = max(2, int(round(src_w * height / src_h / 2)) * 2)
+                resized = _bilinear_resize(rgb, height, w)
+                imgs.append(IC.encode_ppm(resized))
+            except IC.UnsupportedImageError:
+                # fake source aspect in [4:3, ~21:9], even width
+                h8 = hashlib.blake2b(img, digest_size=8).digest()
+                aspect = 4 / 3 + (int.from_bytes(h8[:2], "big") % 1000) / 1000.0
+                w = int(round(height * aspect / 2)) * 2
+                imgs.append(
+                    hashlib.blake2b(
+                        img + b"resize" + height.to_bytes(4, "big"),
+                        digest_size=32,
+                    ).digest()
+                )
             ws.append(w)
             hs.append(height)
         return pd.DataFrame({"image": imgs, "width": ws, "height": hs})
@@ -252,6 +306,26 @@ def resize_images(
         .withColumn("height", F.col("__r.height"))
         .drop("__r")
     )
+
+
+def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pixel-center-aligned bilinear resample, (H, W, 3) uint8 → same."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5
+    y0f = np.floor(ys)
+    x0f = np.floor(xs)
+    wy = (ys - y0f)[:, None, None]
+    wx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 AUDIO_FEATURE_DIM = 32

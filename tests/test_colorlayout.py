@@ -1,0 +1,200 @@
+"""ColorLayout descriptor: LIRE bit-parity goldens + hand-computed DCT
+properties + codec round-trips. No Spark needed — pure numpy."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import colorlayout as CL
+from shotit_worker_spark.functions import imagecodec as IC
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "colorlayout.json")
+
+
+def _golden_images():
+    spec = importlib.util.spec_from_file_location(
+        "gen_colorlayout_goldens",
+        os.path.join(HERE, "..", "tools", "gen_colorlayout_goldens.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.synthetic_test_images()
+
+
+def test_lire_bit_parity():
+    """Every coefficient matches descriptors computed by the reference's
+    own lire.jar (tools/gen_colorlayout_goldens.py) — flat, gradient,
+    noise, block, and non-multiple-of-8 images."""
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        # the jar harness dumps the full 64-coeff arrays; the descriptor
+        # at (n_y, n_c) is their prefix
+        y, cb, cr = CL.color_layout(arr, n_y=64, n_c=28)
+        assert list(y) == goldens[name]["y"][:64], f"{name}: Y mismatch"
+        assert list(cb) == goldens[name]["cb"][:28], f"{name}: Cb mismatch"
+        assert list(cr) == goldens[name]["cr"][:28], f"{name}: Cr mismatch"
+
+
+def test_default_counts_are_lire_defaults():
+    img = _golden_images()["noise"]
+    y, cb, cr = CL.color_layout(img)
+    full_y, full_cb, full_cr = CL.color_layout(img, n_y=64, n_c=28)
+    assert len(y) == 21 and len(cb) == 6 and len(cr) == 6
+    assert list(y) == list(full_y[:21])
+    assert list(cb) == list(full_cb[:6])
+
+
+def test_dct_dc_hand_computed():
+    """Uniform gray 128: Y truncates to 125 per pixel (IEEE association
+    makes 0.299*128+0.587*128+0.114*128 land just under 128.0), DCT DC
+    = floor(125 * 8 * 0.3535534^2 * 8 + 0.499999) = 1000, so
+    Y[0] = quant_ydc(1000 >> 3 = 125) >> 1 = (32 + 29) >> 1 = 30; all
+    ACs quantize from 0 to 128 >> 3 = 16. Chroma: shape 128 exactly,
+    DC 1024, quant_cdc(128) = 16 + (128 - 112) = 32."""
+    img = np.full((64, 64, 3), 128, np.uint8)
+    y, cb, cr = CL.color_layout(img, n_y=64, n_c=28)
+    assert y[0] == 30
+    assert cb[0] == 32 and cr[0] == 32
+    assert set(y[1:]) == {16} and set(cb[1:]) == {16} and set(cr[1:]) == {16}
+
+
+def test_dct_first_ac_sign_tracks_gradient():
+    """A left-dark/right-bright image puts its energy in the first
+    horizontal AC coefficient; mirroring the image flips that
+    coefficient to the other side of the zero point (quant_ac biases
+    zero to 128, so >>3 centers at 16)."""
+    grad = np.tile(
+        np.linspace(0, 255, 320, dtype=np.uint8)[None, :, None], (180, 1, 3)
+    )
+    y_ltr, _, _ = CL.color_layout(grad, n_y=64, n_c=28)
+    y_rtl, _, _ = CL.color_layout(grad[:, ::-1], n_y=64, n_c=28)
+    # zigzag position 1 is the (0,1) horizontal AC
+    assert y_ltr[1] < 16 < y_rtl[1]
+    assert y_ltr[0] == y_rtl[0]  # DC invariant under mirroring
+
+
+def test_descriptor_vector_and_hex():
+    img = _golden_images()["blocks"]
+    v = CL.descriptor_vector(img)
+    assert v.shape == (120,) and v.dtype == np.float64
+    hx = CL.descriptor_hex(img)
+    assert len(hx) == 240
+    assert bytes.fromhex(hx) == bytes(v.astype(np.uint8))
+
+
+def test_quantizer_tables_match_probed_lire_values():
+    """Spot values probed from lire.jar via reflection (quant_ydc /
+    quant_cdc / quant_ac private statics)."""
+    ydc = {0: 0, 10: 2, 64: 16, 96: 32, 97: 33, 125: 61, 126: 62,
+           160: 96, 192: 112, 255: 127}
+    cdc = {0: 0, 96: 8, 125: 29, 126: 30, 160: 56, 192: 63, 255: 63}
+    for i, want in ydc.items():
+        assert CL._quant_ydc(i) == want, f"ydc({i})"
+    for i, want in cdc.items():
+        assert CL._quant_cdc(i) == want, f"cdc({i})"
+    ac = {-256: 0, -128: 32, -64: 64, -10: 118, 0: 128, 10: 138,
+          63: 191, 64: 192, 127: 223, 128: 224, 255: 255}
+    got = CL._quant_ac(np.array(list(ac)))
+    assert list(got) == list(ac.values())
+
+
+def test_png_roundtrip_and_ppm_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (23, 41, 3), dtype=np.uint8)
+    assert np.array_equal(IC.decode_image(IC.encode_png(img)), img)
+    assert np.array_equal(IC.decode_image(IC.encode_ppm(img)), img)
+
+
+def test_png_filtered_decode():
+    """Decode a PNG using Sub/Up/Average/Paeth filters (written by a
+    tiny re-filtering encoder here) — exercises the defilter paths."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 13, 3), dtype=np.uint8)
+    import struct
+    import zlib
+
+    raw = bytearray()
+    prev = np.zeros(13 * 3, dtype=np.int32)
+    for y in range(8):
+        line = img[y].ravel().astype(np.int32)
+        ftype = [1, 2, 3, 4][y % 4]
+        enc = np.zeros_like(line)
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = line
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 8, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(IC.decode_image(png), img)
+
+
+def test_gray_and_rgba_png():
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(6))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 6, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = IC.decode_image(png)
+    assert out.shape == (6, 9, 3)
+    assert np.array_equal(out[..., 0], gray)
+    assert np.array_equal(out[..., 1], gray)
+
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(5))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(IC.decode_image(png), rgba[..., :3])
+
+
+def test_unsupported_raises():
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_image(b"\x00\x01\x02 not an image")
+
+
+def test_l2_norm_of_descriptor_reasonable():
+    """Descriptors are small nonneg ints; downstream l2-normalize must
+    never divide by zero on real images (DC of any image is > 0)."""
+    for arr in _golden_images().values():
+        v = CL.descriptor_vector(arr)
+        assert math.sqrt(float((v * v).sum())) > 0

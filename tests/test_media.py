@@ -56,7 +56,31 @@ def test_embed_schema_and_dim(frames):
     out = M.embed_images(frames, dim=32)
     row = out.first()
     assert len(row["vector"]) == 32
-    assert isinstance(row["hi"], str) and len(row["hi"]) == 32  # hex identity
+    # hex identity of the full 120-coeff ColorLayout grid (real kernel)
+    assert isinstance(row["hi"], str) and len(row["hi"]) == 240
+
+
+def test_embed_is_real_colorlayout(frames):
+    """The G2 kernel on G1's (real PPM) frames is the bit-exact MPEG-7
+    ColorLayout — recompute locally from the decoded image."""
+    from shotit_worker_spark.functions import colorlayout as CL
+    from shotit_worker_spark.functions import imagecodec as IC
+
+    rows = M.embed_images(frames, dim=120).limit(5).collect()
+    for r in rows:
+        rgb = IC.decode_image(bytes(r["image"]))
+        want = CL.descriptor_vector(rgb, n_y=64, n_c=28)
+        assert [float(x) for x in r["vector"]] == [float(x) for x in want]
+        assert r["hi"] == CL.descriptor_hex(rgb)
+
+
+def test_embed_fallback_on_undecodable_bytes(spark):
+    garbage = spark.createDataFrame(
+        [("x/y.mp4", 0, 0.5, b"not-an-image-at-all")],
+        "file string, frame_no long, time double, image binary",
+    )
+    row = M.embed_images(garbage, dim=16).first()
+    assert len(row["vector"]) == 16 and len(row["hi"]) == 32  # blake2 path
 
 
 def test_embed_integer_valued_floats(frames):

@@ -1,0 +1,116 @@
+"""Generate LIRE golden descriptors for the ColorLayout parity test.
+
+Writes tests/goldens/colorlayout.json by running the reference's own
+lire.jar (ColorLayoutImpl, via a tiny reflection-free Java harness
+compiled on the fly) on deterministic synthetic images. Needs javac +
+/root/reference/jar/lire.jar — run once when regenerating goldens; the
+committed JSON is what tests consume.
+
+Usage: python tools/gen_colorlayout_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from shotit_worker_spark.functions.imagecodec import encode_png
+
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
+import java.io.File;
+
+public class CLGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      ColorLayoutImpl cl = new ColorLayoutImpl(64, 28, ImageIO.read(new File(p)));
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (int v : cl.getYCoeff()) sb.append(v).append(",");
+      sb.append("\t");
+      for (int v : cl.getCbCoeff()) sb.append(v).append(",");
+      sb.append("\t");
+      for (int v : cl.getCrCoeff()) sb.append(v).append(",");
+      System.out.println(sb);
+    }
+  }
+}
+"""
+
+
+def synthetic_test_images() -> dict[str, np.ndarray]:
+    """Deterministic RGB images covering flat, gradient, noise, and
+    block-structured content plus non-multiple-of-8 geometry. The parity
+    test regenerates these from the same code, so goldens stay valid as
+    long as this function is unchanged."""
+    rng = np.random.default_rng(42)
+    imgs = {
+        "uniform_gray": np.full((180, 320, 3), 128, np.uint8),
+        "uniform_red": np.tile(
+            np.array([[[200, 30, 60]]], np.uint8), (180, 320, 1)
+        ),
+        "hgrad": np.tile(
+            np.linspace(0, 255, 320, dtype=np.uint8)[None, :, None],
+            (180, 1, 3),
+        ),
+        "noise": rng.integers(0, 256, (180, 320, 3), dtype=np.uint8),
+        "blocks": np.kron(
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+            np.ones((24, 40, 1), np.uint8),
+        ),
+        "odd_geometry": rng.integers(0, 256, (37, 61, 3), dtype=np.uint8),
+        "vgrad_small": np.tile(
+            np.linspace(10, 245, 45, dtype=np.uint8)[:, None, None],
+            (1, 80, 3),
+        ),
+    }
+    return imgs
+
+
+def main() -> None:
+    out_path = os.path.join(REPO, "tests", "goldens", "colorlayout.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    imgs = synthetic_test_images()
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "CLGold.java"), "w") as f:
+            f.write(HARNESS)
+        subprocess.run(
+            ["javac", "-cp", LIRE_JAR, "CLGold.java"], cwd=td, check=True
+        )
+        paths = []
+        for name, arr in imgs.items():
+            p = os.path.join(td, f"{name}.png")
+            with open(p, "wb") as f:
+                f.write(encode_png(arr))
+            paths.append(p)
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "CLGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        goldens = {}
+        for line in res.stdout.strip().splitlines():
+            path, ys, cbs, crs = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            goldens[name] = {
+                "y": [int(v) for v in ys.rstrip(",").split(",")],
+                "cb": [int(v) for v in cbs.rstrip(",").split(",")],
+                "cr": [int(v) for v in crs.rstrip(",").split(",")],
+            }
+    with open(out_path, "w") as f:
+        json.dump(goldens, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(goldens)} images)")
+
+
+if __name__ == "__main__":
+    main()
