@@ -92,6 +92,10 @@ def _fit_centroids(
         return np.array([np.asarray(c) for c in model.clusterCenters()])
 
     x = np.array([r["v"] for r in rows])
+    if len(x) == 0:
+        raise ValueError(
+            "build_ivf: input DataFrame has no rows — cannot fit centroids"
+        )
     k = min(nlist, max(1, len(x)))
     rng = np.random.RandomState(seed)
     centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()

@@ -174,11 +174,19 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_cols = left.columns
+    # Carry the matched right row as ONE struct, not per-column lasts:
+    # last(col, ignorenulls) per column would substitute an OLDER
+    # non-null value when the most recent right row holds NULL in that
+    # column, diverging from pandas/DuckDB ASOF semantics. A struct is
+    # null only for left rows, so ignorenulls skips exactly those and
+    # NULL fields of the matched row stay NULL.
+    rtypes = dict(right.dtypes)
+    struct_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
     l_part = left.select(
         *l_cols,
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in right_cols],
+        F.lit(None).cast(struct_ddl).alias("__r"),
     )
     r_part = right.select(
         *[
@@ -188,8 +196,8 @@ def asof_join(
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
-    ).select(*l_cols, "__is_left", "__ts", *[f"asof_{c}" for c in right_cols])
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    ).select(*l_cols, "__is_left", "__ts", "__r")
     unioned = l_part.unionByName(r_part)
 
     w = (
@@ -197,13 +205,11 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rlast = F.last("__r", ignorenulls=True).over(w)
     carried = unioned.select(
         *l_cols,
         "__is_left",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        *[rlast[c].alias(f"asof_{c}") for c in right_cols],
         F.max(F.when(F.col("__is_left") == 0, F.col("__ts"))).over(w).alias(
             "__matched"
         ),

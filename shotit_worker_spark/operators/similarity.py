@@ -225,6 +225,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     metric: str = "cosine",
     use_matmul: bool = True,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs (a, b), a < b, with similarity >= threshold.
 
@@ -245,6 +246,11 @@ def near_dup_pairs(
 
     `use_matmul=False` keeps the pure-expression plan (crossJoin +
     zip_with dot) for plan-shape comparison.
+
+    `max_rows` hard-guards the driver collect of the broadcast side:
+    above it the call raises instead of silently pulling the corpus
+    onto the driver — use `srp_near_dup_pairs` (the bucketed SRP-LSH
+    cascade) at scale.
     """
     v = F.col(vec_col).cast("array<double>")
     if metric == "cosine":
@@ -257,6 +263,15 @@ def near_dup_pairs(
         raise ValueError(f"unknown metric {metric!r}")
 
     if use_matmul:
+        n = prepped.count()
+        if n > max_rows:
+            raise ValueError(
+                f"near_dup_pairs is the exact O(n^2) oracle and collects "
+                f"the corpus to the driver; input has {n} rows "
+                f"(> max_rows={max_rows}). Use srp_near_dup_pairs (the "
+                f"bucketed SRP-LSH cascade) at scale, or raise max_rows "
+                f"deliberately."
+            )
         return _near_dup_pairs_matmul(prepped, threshold)
 
     a = prepped.select(F.col("id").alias("a_id"), F.col("nv").alias("a_vec"))

@@ -1,0 +1,151 @@
+"""S6/S8 — LIRE-Solr ``.xml.xz`` hash-artifact ingestion.
+
+The reference's loader downloads per-episode artifacts named
+``{imdbID}/{fileName}.xml.xz``: an xz-compressed ``<add>`` document
+whose ``<doc>`` children carry ``<field name="id">`` (timecode seconds,
+written by the hasher's post-processing — hasher.js:138-161),
+``<field name="{algo}_hi">`` (feature identity) and
+``<field name="{algo}_ha">`` (space-joined hex hash tokens); it lzma-
+decompresses and XML-parses them into hash rows
+(/root/reference/loader.js:183-198). This module gives a user migrating
+an existing shotit corpus the same ingest path, Spark-shaped:
+
+- ``read_lire_xml_xz`` scans artifacts with ``binaryFile`` (one row per
+  artifact) and decompresses + parses per file inside ``mapInPandas``.
+  xz streams aren't splittable, so per-file parallelism is the natural
+  unit — identical to the reference's one-worker-per-file model, but
+  scheduled by Spark across executors. Output is the engine's canonical
+  ``hashes(file, time, hi, ha)`` shape, ready for
+  ``plans.ingest.loader_transform``.
+- ``hashes_to_lire_xml`` / ``write_lire_xml_xz`` produce byte-compatible
+  artifacts (the hasher's upload format, hasher.js:166-170) for
+  round-tripping and for exporting back to a reference deployment.
+
+Python's stdlib ``lzma`` is the xz codec both directions.
+"""
+
+from __future__ import annotations
+
+import lzma
+import os
+import re
+from collections.abc import Iterator
+from xml.etree import ElementTree
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HASHES_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("time", DoubleType(), False),
+        StructField("hi", StringType(), False),
+        StructField("ha", StringType(), False),
+    ]
+)
+
+_SUFFIX = re.compile(r"\.xml\.xz$")
+
+
+def _artifact_file_id(path: str) -> str:
+    """`{...}/imdbID/fileName.xml.xz` → `imdbID/fileName` (the P1 path
+    projection the loader applies to its job payloads)."""
+    parts = str(path).rstrip("/").split("/")
+    tail = "/".join(parts[-2:]) if len(parts) >= 2 else parts[-1]
+    return _SUFFIX.sub("", tail)
+
+
+def parse_lire_xml(xml_text: str, file_id: str, algo: str = "cl") -> list[dict]:
+    """One artifact's XML → hash-row dicts (loader.js:190-198 semantics:
+    take id/hi/ha per <doc>, times as floats; ordering is left to the
+    downstream plan, which sorts per file anyway)."""
+    root = ElementTree.fromstring(xml_text)
+    hi_name, ha_name = f"{algo}_hi", f"{algo}_ha"
+    rows = []
+    for doc in root.iter("doc"):
+        fields = {
+            f.get("name"): (f.text or "") for f in doc if f.tag == "field"
+        }
+        if "id" not in fields:
+            continue
+        rows.append(
+            {
+                "file": file_id,
+                "time": float(fields["id"]),
+                "hi": fields.get(hi_name, ""),
+                "ha": fields.get(ha_name, ""),
+            }
+        )
+    return rows
+
+
+def read_lire_xml_xz(
+    spark: SparkSession, path: str, algo: str = "cl"
+) -> DataFrame:
+    """Scan a directory (recursively) of ``*.xml.xz`` artifacts into the
+    canonical hashes DataFrame."""
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml.xz")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"file": [], "time": [], "hi": [], "ha": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                xml_text = lzma.decompress(bytes(content)).decode("utf-8")
+                for row in parse_lire_xml(xml_text, _artifact_file_id(p), algo):
+                    for k in out:
+                        out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_parse, schema=HASHES_SCHEMA)
+
+
+def hashes_to_lire_xml(rows: list[dict], algo: str = "cl") -> str:
+    """Hash rows of ONE file → the artifact XML text (one `<doc>` per
+    line inside `<add>`, ascending time — the hasher's output shape,
+    hasher.js:141-161)."""
+    hi_name, ha_name = f"{algo}_hi", f"{algo}_ha"
+    lines = ["<add>"]
+    for r in sorted(rows, key=lambda r: float(r["time"])):
+        lines.append(
+            "<doc>"
+            f'<field name="id">{r["time"]}</field>'
+            f'<field name="{hi_name}">{escape(str(r["hi"]))}</field>'
+            f'<field name="{ha_name}">{escape(str(r["ha"]))}</field>'
+            "</doc>"
+        )
+    lines.append("</add>")
+    return "\n".join(lines)
+
+
+def write_lire_xml_xz(
+    hashes: DataFrame, out_dir: str, algo: str = "cl", preset: int = 6
+) -> list[str]:
+    """Export hashes as one ``{file}.xml.xz`` artifact per source file
+    (the hasher's PUT payload, xz preset 6 like the reference's
+    lzma compress default). Small-export utility: collects per-file
+    groups to the driver; artifact count, not row count, is the scale
+    axis here (one artifact per episode)."""
+    written = []
+    pdf = hashes.select("file", "time", "hi", "ha").toPandas()
+    for file_id, grp in pdf.groupby("file", sort=True):
+        xml_text = hashes_to_lire_xml(grp.to_dict("records"), algo)
+        dest = os.path.join(out_dir, f"{file_id}.xml.xz")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(dest, "wb") as f:
+            f.write(lzma.compress(xml_text.encode("utf-8"), preset=preset))
+        written.append(dest)
+    return written

@@ -225,3 +225,13 @@ def test_sq8_rerank_recovers_float_ordering(spark, corpus, index, tmp_root):
     with pytest.raises(ValueError):
         index.search(spark, q, k=5, rerank_factor=2, id_col="vec_id",
                      tie_col=None)
+
+
+def test_build_ivf_empty_input_raises(spark, tmp_root):
+    import pytest
+
+    from shotit_worker_spark.index import ivf as IVF
+
+    empty = spark.createDataFrame([], "hash_id string, vector array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        IVF.build_ivf(empty, str(tmp_root / "empty_ivf"), nlist=4)

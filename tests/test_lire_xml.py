@@ -1,0 +1,92 @@
+"""S6/S8 round-trip: hashes → .xml.xz artifacts → hashes → loader
+pipeline, matching the direct (parquet-shaped) path row-for-row."""
+
+from __future__ import annotations
+
+import lzma
+import os
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.plans import ingest as ING
+from shotit_worker_spark.sources import lire_xml as LX
+
+
+def _hashes(spark):
+    rows = [
+        # two files, dup bursts sharing hi (D1 fodder), unsorted input
+        ("tt001/ep1.mp4", 1.0, "aa11bb", "00ff 10a0 7f03 0001"),
+        ("tt001/ep1.mp4", 0.5, "aa11bb", "00ff 10a0 7f03 0001"),
+        ("tt001/ep1.mp4", 4.25, "cc22dd", "1234 abcd 00ff 8001"),
+        ("tt002/ep2.mkv", 0.75, "ee33ff", "dead beef 0102 0304"),
+        ("tt002/ep2.mkv", 9.5, "ee33ff", "dead beef 0102 0304"),
+    ]
+    return spark.createDataFrame(
+        rows, "file string, time double, hi string, ha string"
+    )
+
+
+def test_roundtrip_artifacts_match_direct_path(spark, tmp_root):
+    out_dir = str(tmp_root / "artifacts")
+    src = _hashes(spark)
+    written = LX.write_lire_xml_xz(src, out_dir)
+    assert sorted(os.path.basename(p) for p in written) == [
+        "ep1.mp4.xml.xz", "ep2.mkv.xml.xz"
+    ]
+    back = LX.read_lire_xml_xz(spark, out_dir)
+    assert back.schema == LX.HASHES_SCHEMA
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+    # the ingested artifacts drive the loader pipeline identically
+    direct = ING.loader_transform(src, dim=8, dedup=True)
+    via_xml = ING.loader_transform(back, dim=8, dedup=True)
+    da = sorted(map(tuple, direct.collect()))
+    db = sorted(map(tuple, via_xml.collect()))
+    assert da == db
+
+
+def test_reads_reference_shaped_artifact(spark, tmp_root):
+    """An artifact written byte-for-byte like the hasher's post-processed
+    output (one <doc> per line inside <add>, timecode ids — reference
+    hasher.js:141-161) parses to the right rows."""
+    xml_text = "\n".join(
+        [
+            "<add>",
+            '<doc><field name="id">0.5417</field>'
+            '<field name="cl_hi">FQkJCQ==</field>'
+            '<field name="cl_ha">af3 1b60 9a8 b14</field></doc>',
+            '<doc><field name="id">1.2917</field>'
+            '<field name="cl_hi">GQoJDA==</field>'
+            '<field name="cl_ha">11c0 9f2 77a 8b3</field></doc>',
+            "</add>",
+        ]
+    )
+    d = tmp_root / "ref" / "tt777"
+    os.makedirs(d, exist_ok=True)
+    with open(d / "episode 1.mp4.xml.xz", "wb") as f:
+        f.write(lzma.compress(xml_text.encode()))
+    got = (
+        LX.read_lire_xml_xz(spark, str(tmp_root / "ref"))
+        .orderBy("time")
+        .collect()
+    )
+    assert [r["file"] for r in got] == ["tt777/episode 1.mp4"] * 2
+    assert [r["time"] for r in got] == [0.5417, 1.2917]
+    assert got[0]["hi"] == "FQkJCQ=="
+    assert got[1]["ha"] == "11c0 9f2 77a 8b3"
+
+
+def test_parse_skips_docless_fields_and_handles_algo(spark):
+    xml_text = (
+        "<add>"
+        '<doc><field name="id">2.0</field>'
+        '<field name="eh_hi">X</field><field name="eh_ha">1 2</field></doc>'
+        "<doc><field name='noid'>z</field></doc>"
+        "</add>"
+    )
+    rows = LX.parse_lire_xml(xml_text, "a/b.mp4", algo="eh")
+    assert rows == [
+        {"file": "a/b.mp4", "time": 2.0, "hi": "X", "ha": "1 2"}
+    ]

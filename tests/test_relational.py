@@ -136,3 +136,24 @@ def test_asof_join_matches_naive(spark):
                              right_cols=["value"], how="left").collect()
     }
     assert got_left == {(1, 2.0), (2, 1.0), (3, None), (4, 5.0)}
+
+
+def test_asof_join_carries_null_fields_of_matched_row(spark):
+    """If the most recent right row holds NULL in a carried column, the
+    join must yield NULL — not an older non-null value (pandas/DuckDB
+    ASOF parity)."""
+    left = spark.createDataFrame(
+        [("u1", 10.0), ("u1", 20.0)], "user_id string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5.0, 1.0), ("u1", 15.0, None)],
+        "user_id string, ts double, value double",
+    )
+    got = {
+        r["ts"]: r["asof_value"]
+        for r in R.asof_join(
+            left, right, "ts", "ts", keys=["user_id"], right_cols=["value"]
+        ).collect()
+    }
+    assert got[10.0] == 1.0
+    assert got[20.0] is None  # matched row (ts=15) has NULL value

@@ -103,3 +103,16 @@ def test_near_dup_pairs_symmetric_free_and_thresholded(spark):
     out = S.near_dup_pairs(df, threshold=0.99).collect()
     pairs = {(r["a_id"], r["b_id"]) for r in out}
     assert pairs == {(1, 2)}  # one direction only (a < b), above threshold
+
+
+def test_near_dup_pairs_guards_driver_collect(spark):
+    """The exact path must refuse to collect a large corpus (the 100-TB
+    footgun) and point at the SRP-LSH cascade instead."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="srp_near_dup_pairs"):
+        S.near_dup_pairs(df, threshold=0.9, max_rows=10)
+    # under the cap it still runs
+    assert S.near_dup_pairs(df, threshold=0.999999, max_rows=100).count() >= 0
