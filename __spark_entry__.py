@@ -804,6 +804,66 @@ def q48_partitioned_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality gate (SURVEY §5.2.3): recall of the
+    IVF nprobe path vs the EXACT top-k, computed by two independent
+    kernels — index.search_batch (declarative HOF-dot over the pruned
+    partition scan) against operators.similarity.knn_join (broadcast
+    matmul). Two checks in one result:
+
+    - full probe (nprobe = nlist): every partition scanned, so recall
+      vs exact must be EXACTLY 1.0 — a correctness gate on the IVF
+      scoring/layout itself, not just quality;
+    - nprobe=4 of 16: recall floor 0.40 (random fixture embeddings
+      scatter true neighbors across lists; observed ≈ 0.5 — see
+      tests/test_ivf.py). floor_met booleans are sf-independent, so the
+      oracle is a constants table: any regression flips a row to false
+      → driver-red."""
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.index import ivf
+
+    n_queries, k = 10, 15
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    )
+    path = tempfile.mkdtemp(prefix="ivfq49_") + "/index"
+    index = ivf.build_ivf(nemb, path, nlist=16)
+    qrows = (
+        nemb.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    queries = [(int(r["vec_id"]), np.asarray(r["vector"])) for r in qrows]
+
+    exact = S.knn_join(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in q]) for qid, q in queries],
+            "query_id long, query_vec array<double>",
+        ),
+        nemb,
+        k=k,
+        vec_col="vector",
+        id_col="vec_id",
+        tie_col="vec_id",
+    ).select("query_id", "vec_id")
+
+    def mean_recall(nprobe: int) -> float:
+        approx = index.search_batch(
+            spark, queries, k=k, nprobe=nprobe, id_col="vec_id", tie_col="vec_id"
+        ).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        return hits / (len(queries) * k)
+
+    rows = [
+        ("full16", len(queries), mean_recall(16) == 1.0),
+        ("nprobe4", len(queries), mean_recall(4) >= 0.40),
+    ]
+    return spark.createDataFrame(
+        rows, "probe_mode string, n_queries long, floor_met boolean"
+    ).orderBy("probe_mode")
+
+
 def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup by md5 — keep the lowest doc_id per digest."""
     docs = _t(spark, sf_dir, "documents")
@@ -952,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_hash_split": q46_hash_split,
         "q47_sequence_pack": q47_sequence_pack,
         "q48_partitioned_pack": q48_partitioned_pack,
+        "q49_ivf_recall": q49_ivf_recall,
         "q50_exact_dedup": q50_exact_dedup,
         "q51_ngram_jaccard": q51_ngram_jaccard,
         "q52_simhash": q52_simhash,
@@ -1421,6 +1482,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, local_shard, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM s GROUP BY split, local_shard ORDER BY split, local_shard
+        """,
+        "q49_ivf_recall": """
+            SELECT * FROM (VALUES
+                ('full16', CAST(10 AS BIGINT), true),
+                ('nprobe4', CAST(10 AS BIGINT), true)
+            ) AS t(probe_mode, n_queries, floor_met)
+            ORDER BY probe_mode
         """,
         "q50_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
@@ -345,6 +345,66 @@ class IVFIndex:
                 *cols, V.dot_literal(self.vec_col, list(query)).alias("score")
             )
         return scored.orderBy(*order).limit(k)
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = DEFAULT_TOPK,
+        nprobe: int = DEFAULT_NPROBE,
+        id_col: str = "hash_id",
+        tie_col: str | None = "primary_key",
+    ) -> DataFrame:
+        """Batch nprobe search — ONE job for all queries.
+
+        Each query probes its own nprobe lists; the (query_id,
+        centroid_id, qvec) probe table is broadcast (queries are the
+        small side by design) and joined against the index scan filtered
+        to the UNION of probed partitions, so the corpus is read once
+        for the whole batch, partition-pruned, and never shuffled except
+        for the per-query top-k (a window over the probed subset). This
+        is the ANN analogue of operators.similarity.knn_join, on the
+        IVF layout instead of the full corpus.
+
+        Float-vector scoring: requires the stored ``vec_col`` (non-SQ8
+        build, or ``keep_vectors=True``). Returns (query_id, id_col,
+        [tie_col,] score) rows, top-k per query.
+        """
+        pairs = []
+        probed: set[int] = set()
+        for qid, q in queries:
+            qv = [float(x) for x in np.asarray(q, dtype=np.float64)]
+            for c in self.probe_ids(q, nprobe):
+                pairs.append((int(qid), int(c), qv))
+                probed.add(int(c))
+        probe_df = spark.createDataFrame(
+            pairs, "query_id long, centroid_id int, __q array<double>"
+        )
+        df = self.load(spark).filter(
+            F.col("centroid_id").isin(sorted(probed))
+        )
+        if self.vec_col not in df.columns:
+            raise ValueError(
+                "search_batch scores stored float vectors — build the "
+                "index unquantized or with keep_vectors=True"
+            )
+        cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
+        scored = df.join(F.broadcast(probe_df), "centroid_id").select(
+            "query_id", *cols, V.dot(self.vec_col, "__q").alias("score")
+        )
+        if self.n_assign > 1:
+            scored = scored.groupBy("query_id", *cols).agg(
+                F.max("score").alias("score")
+            )
+        order = [F.col("score").desc()] + (
+            [F.col(tie_col).asc()] if tie_col else []
+        )
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__rank")
+        )
 
 
 def build_ivf(

@@ -235,3 +235,35 @@ def test_build_ivf_empty_input_raises(spark, tmp_root):
     empty = spark.createDataFrame([], "hash_id string, vector array<double>")
     with pytest.raises(ValueError, match="no rows"):
         IVF.build_ivf(empty, str(tmp_root / "empty_ivf"), nlist=4)
+
+
+def test_search_batch_matches_sequential_search(spark, corpus, index):
+    """Batch search (one job, broadcast probe table) returns exactly the
+    per-query results of the single-query path."""
+    qids = [0, 7, 123]
+    queries = [
+        (vid, np.array(corpus.filter(F.col("vec_id") == vid).first()["vector"]))
+        for vid in qids
+    ]
+    batch = index.search_batch(
+        spark, queries, k=5, nprobe=NPROBE, id_col="vec_id", tie_col="vec_id"
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for vid, q in queries:
+        single = index.search(
+            spark, q, k=5, nprobe=NPROBE, id_col="vec_id", tie_col="vec_id"
+        ).collect()
+        want = [(r["vec_id"], round(r["score"], 9)) for r in single]
+        assert got[vid] == want, f"query {vid}"
+
+
+def test_search_batch_rejects_codes_only_index(spark, corpus, tmp_root):
+    idx = ivf.build_ivf(
+        corpus, str(tmp_root / "ivf_sq8_codes"), nlist=NLIST, quantize=True
+    )
+    q = np.array(corpus.first()["vector"])
+    with pytest.raises(ValueError, match="keep_vectors"):
+        idx.search_batch(spark, [(0, q)], k=3, nprobe=2, id_col="vec_id",
+                         tie_col=None)
