@@ -930,6 +930,71 @@ def q54_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(fps, max_hamming=3).orderBy("a_id", "b_id")
 
 
+def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition & lexical diversity — the Gopher-style
+    pretraining quality signals: duplicate-trigram fraction and
+    type-token ratio per document. Token and trigram arrays are computed
+    ONCE behind non-cheap aliases (CollapseProject keeps multi-referenced
+    non-cheap aliases materialized — the q44 pattern), then referenced by
+    the ratio expressions; pure Catalyst, one scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        TX.tokenize("text").alias("tk"),
+        TX.ngrams(TX.tokenize("text"), 3).alias("tg"),
+    )
+    n_tok = F.size("tk")
+    n_tri = F.size("tg")
+    return staged.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.array_distinct("tk")).cast("double") / n_tok.cast("double")
+        )
+        .alias("ttr"),
+        F.when(n_tri == 0, F.lit(0.0))
+        .otherwise(
+            1.0
+            - F.size(F.array_distinct("tg")).cast("double")
+            / n_tri.cast("double")
+        )
+        .alias("dup_trigram_ratio"),
+    ).orderBy("doc_id")
+
+
+def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the standard pretraining hygiene pass:
+    flag train-split documents sharing any 5-gram with the held-out
+    valid split (the q46 hash split). Both sides explode per-doc
+    DISTINCT 5-grams; the probe side dedups globally and the overlap is
+    one equi-join on the gram — at 100 TB this is a plain shuffle join
+    on a hash key (salt if one gram dominates), never O(n·m). Returns
+    the one-row contamination summary."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        _hash_split().alias("split"),
+        F.array_distinct(TX.ngrams(TX.tokenize("text"), 5)).alias("g5"),
+    )
+    train = staged.filter(F.col("split") == "train").select(
+        "doc_id", F.explode("g5").alias("gram")
+    )
+    probe = (
+        staged.filter(F.col("split") == "valid")
+        .select(F.explode("g5").alias("gram"))
+        .distinct()
+    )
+    n_train = staged.filter(F.col("split") == "train").agg(
+        F.count("*").alias("n_train_docs")
+    )
+    n_probe = probe.agg(F.count("*").alias("n_probe_grams"))
+    n_cont = train.join(probe, "gram").agg(
+        F.countDistinct("doc_id").alias("n_contaminated_docs")
+    )
+    return n_train.crossJoin(n_cont).crossJoin(n_probe)
+
+
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 JSON decode: extract props.k, aggregate per event type."""
     ev = _events(spark, sf_dir)
@@ -1028,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_simhash": q52_simhash,
         "q53_minhash_lsh": q53_minhash_lsh,
         "q54_simhash_pairs": q54_simhash_pairs,
+        "q55_repetition": q55_repetition,
+        "q57_decontaminate": q57_decontaminate,
         "q60_json_extract": q60_json_extract,
         "q61_tumbling": q61_tumbling,
         "q62_sliding": q62_sliding,
@@ -1519,6 +1586,53 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY a_id
+        """,
+        "q55_repetition": f"""
+            WITH s AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), t AS (
+                SELECT doc_id, tk,
+                       list_transform(
+                           range(1, greatest(len(tk) - 2, 0) + 1),
+                           i -> array_to_string(tk[i:i+2], ' ')) AS tg
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(len(tk) AS INT) AS n_tokens,
+                   CASE WHEN len(tk) = 0 THEN 0.0
+                        ELSE len(list_distinct(tk)) * 1.0 / len(tk)
+                   END AS ttr,
+                   CASE WHEN len(tg) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(tg)) * 1.0 / len(tg)
+                   END AS dup_trigram_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "q57_decontaminate": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS bucket,
+                       {tok} AS tk
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'valid'
+                            ELSE 'test' END AS split,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(tk) - 4, 0) + 1),
+                           i -> array_to_string(tk[i:i+4], ' '))) AS g5
+                FROM b
+            ), tr AS (
+                SELECT doc_id, unnest(g5) AS gram FROM t WHERE split = 'train'
+            ), va AS (
+                SELECT DISTINCT unnest(g5) AS gram FROM t WHERE split = 'valid'
+            )
+            SELECT (SELECT count(*) FROM t WHERE split = 'train')
+                       AS n_train_docs,
+                   (SELECT count(DISTINCT tr.doc_id)
+                    FROM tr JOIN va USING (gram)) AS n_contaminated_docs,
+                   (SELECT count(*) FROM va) AS n_probe_grams
         """,
         "q60_json_extract": """
             SELECT event_type,
