@@ -1,0 +1,17 @@
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
+import java.io.File;
+
+public class EHGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      EdgeHistogram eh = new EdgeHistogram();
+      eh.extract(ImageIO.read(new File(p)));
+      double[] v = eh.getFeatureVector();
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
+  }
+}

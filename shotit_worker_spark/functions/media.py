@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from . import colorlayout as CL
+from . import edgehistogram as EH
 from . import imagecodec as IC
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -159,21 +160,31 @@ def _fake_descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
     return h, vals[:dim]
 
 
-def _descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
-    """G2 kernel: MPEG-7 ColorLayout (functions/colorlayout.py — bit-
-    exact vs the reference's lire.jar, reference hasher.js:114-135 `-y
-    cl`) on PNG/PPM-decodable bytes; blake2 fallback otherwise.
+def _descriptor(
+    image: bytes, dim: int, algo: str = "cl"
+) -> tuple[str, list[float]]:
+    """G2 kernel: a real MPEG-7 descriptor on PNG/PPM-decodable bytes
+    (blake2 fallback otherwise). `algo` selects from the reference's
+    whitelist (hasher.js:28-43): 'cl' = ColorLayout (functions/
+    colorlayout.py), 'eh' = EdgeHistogram (functions/edgehistogram.py)
+    — both bit-exact vs the reference's lire.jar.
 
-    The full 64/28/28 coefficient grid (120 values) is padded/truncated
-    to `dim`, the same P10 pad/truncate the reference's loader applies
-    to hash-token vectors (loader.js getNormalizedCharCodesVector(…,
-    100, 1)). hi is the hex of the full quantized grid — the `_hi`
-    feature-identity role (exact-dup detection in D1)."""
+    The natural descriptor (120 CL coeffs / 80 EH bins) is padded/
+    truncated to `dim`, the same P10 pad/truncate the reference's
+    loader applies to hash-token vectors (loader.js
+    getNormalizedCharCodesVector(…, 100, 1)). hi is the hex of the full
+    quantized descriptor — the `_hi` feature-identity role (exact-dup
+    detection in D1)."""
     try:
         rgb = IC.decode_image(image)
     except IC.UnsupportedImageError:
         return _fake_descriptor(image, dim)
-    vec = CL.descriptor_vector(rgb, n_y=64, n_c=28)
+    if algo == "cl":
+        vec = CL.descriptor_vector(rgb, n_y=64, n_c=28)
+    elif algo == "eh":
+        vec = EH.edge_histogram(rgb).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported descriptor algo {algo!r} (cl, eh)")
     hi = bytes(vec.astype(np.uint8)).hex()
     if len(vec) >= dim:
         out = vec[:dim]
@@ -187,6 +198,7 @@ def embed_images(
     frames: DataFrame,
     image_col: str = "image",
     dim: int = EMBED_DIM,
+    algo: str = "cl",
 ) -> DataFrame:
     """G2/G3 — image → (hi, vector) descriptor extraction: REAL MPEG-7
     ColorLayout for decodable images (see `_descriptor`).
@@ -211,7 +223,7 @@ def embed_images(
         his: list[str] = []
         vecs: list[list[float]] = []
         for img in images:
-            hi, vec = _descriptor(bytes(img), dim)
+            hi, vec = _descriptor(bytes(img), dim, algo)
             his.append(hi)
             vecs.append(vec)
         return pd.DataFrame({"hi": his, "vector": vecs})
@@ -220,12 +232,14 @@ def embed_images(
     return frames.withColumn("hi", desc["hi"]).withColumn("vector", desc["vector"])
 
 
-def embed_query_image(image: bytes, dim: int = EMBED_DIM) -> np.ndarray:
+def embed_query_image(
+    image: bytes, dim: int = EMBED_DIM, algo: str = "cl"
+) -> np.ndarray:
     """Driver-side single-image embed for the query path (G3): same
     descriptor kernel, then L2-normalize — mirrors searcher.js:40-60.
     One query image is one row; running a Spark job for it would be
     overhead theater."""
-    _, vec = _descriptor(image, dim)
+    _, vec = _descriptor(image, dim, algo)
     v = np.asarray(vec, dtype=np.float64)
     norm = float(np.sqrt((v * v).sum()))
     return v / norm if norm > 0 else v

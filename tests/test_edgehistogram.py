@@ -1,0 +1,64 @@
+"""EdgeHistogram descriptor: LIRE bit-parity goldens + structural
+properties. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from shotit_worker_spark.functions import edgehistogram as EH
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "edgehistogram.json")
+
+
+def test_lire_bit_parity():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        got = list(EH.edge_histogram(arr))
+        assert got == goldens[name]["bins"], f"{name}: EH mismatch"
+
+
+def test_flat_images_have_no_edges():
+    """Uniform images produce zero edge energy: every bin quantizes to
+    level 0."""
+    img = np.full((180, 320, 3), 77, np.uint8)
+    assert set(EH.edge_histogram(img)) == {0}
+
+
+def test_vertical_stripes_fill_vertical_bins():
+    """Strong vertical stripes put energy in the vertical slot (bin
+    offset 0) of every subimage, and none in the horizontal slot."""
+    img = np.zeros((160, 320, 3), np.uint8)
+    img[:, ::8] = 255
+    bins = EH.edge_histogram(img)
+    vert = bins[0::5]
+    horiz = bins[1::5]
+    assert vert.max() > 0
+    assert set(horiz) == {0}
+
+
+def test_transpose_swaps_vertical_and_horizontal():
+    rng = np.random.default_rng(3)
+    img = np.kron(
+        rng.integers(0, 256, (27, 1, 3), dtype=np.uint8),
+        np.ones((6, 160, 1), np.uint8),
+    )[:160]  # 6px horizontal bands, misaligned with the 4px block grid
+    bins = EH.edge_histogram(img)
+    bins_t = EH.edge_histogram(np.transpose(img, (1, 0, 2)))
+    # total edge mass is preserved-ish; the dominant slot flips
+    assert bins[1::5].sum() > bins[0::5].sum()
+    assert bins_t[0::5].sum() > bins_t[1::5].sum()
+
+
+def test_output_range():
+    for arr in _golden_images().values():
+        bins = EH.edge_histogram(arr)
+        assert bins.shape == (80,)
+        assert bins.min() >= 0 and bins.max() <= 7

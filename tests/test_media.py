@@ -4,6 +4,7 @@ under test is the Spark-side contract)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from shotit_worker_spark.functions import media as M
@@ -159,3 +160,16 @@ def test_audio_features_shape(spark):
         assert r["sample_rate"] in (16000, 22050, 44100)
         assert 1.0 <= r["duration_sec"] <= 31.0
         assert all(0.0 <= x <= 1.0 for x in r["features"])
+
+
+def test_embed_algo_eh(frames):
+    """The 'eh' whitelist algo produces real EdgeHistogram descriptors
+    through the same UDF plumbing."""
+    from shotit_worker_spark.functions import edgehistogram as EH
+    from shotit_worker_spark.functions import imagecodec as IC
+
+    row = M.embed_images(frames, dim=80, algo="eh").first()
+    rgb = IC.decode_image(bytes(row["image"]))
+    want = list(EH.edge_histogram(rgb))
+    assert [int(v) for v in row["vector"]] == want
+    assert row["hi"] == bytes(np.uint8(want)).hex()

@@ -1,8 +1,9 @@
-"""Generate LIRE golden descriptors for the ColorLayout parity test.
+"""Generate LIRE golden descriptors for the descriptor parity tests.
 
-Writes tests/goldens/colorlayout.json by running the reference's own
-lire.jar (ColorLayoutImpl, via a tiny reflection-free Java harness
-compiled on the fly) on deterministic synthetic images. Needs javac +
+Writes tests/goldens/colorlayout.json AND tests/goldens/
+edgehistogram.json by running the reference's own lire.jar
+(ColorLayoutImpl / EdgeHistogram, via tiny Java harnesses compiled on
+the fly) on deterministic synthetic images. Needs javac +
 /root/reference/jar/lire.jar — run once when regenerating goldens; the
 committed JSON is what tests consume.
 
@@ -48,6 +49,26 @@ public class CLGold {
 }
 """
 
+EH_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
+import java.io.File;
+
+public class EHGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      EdgeHistogram eh = new EdgeHistogram();
+      eh.extract(ImageIO.read(new File(p)));
+      double[] v = eh.getFeatureVector();
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
+  }
+}
+"""
+
 
 def synthetic_test_images() -> dict[str, np.ndarray]:
     """Deterministic RGB images covering flat, gradient, noise, and
@@ -79,37 +100,57 @@ def synthetic_test_images() -> dict[str, np.ndarray]:
 
 
 def main() -> None:
-    out_path = os.path.join(REPO, "tests", "goldens", "colorlayout.json")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    goldens_dir = os.path.join(REPO, "tests", "goldens")
+    os.makedirs(goldens_dir, exist_ok=True)
     imgs = synthetic_test_images()
     with tempfile.TemporaryDirectory(dir=REPO) as td:
-        with open(os.path.join(td, "CLGold.java"), "w") as f:
-            f.write(HARNESS)
-        subprocess.run(
-            ["javac", "-cp", LIRE_JAR, "CLGold.java"], cwd=td, check=True
-        )
+        for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS)):
+            with open(os.path.join(td, fname), "w") as f:
+                f.write(src)
+            subprocess.run(
+                ["javac", "-cp", LIRE_JAR, fname], cwd=td, check=True
+            )
         paths = []
         for name, arr in imgs.items():
             p = os.path.join(td, f"{name}.png")
             with open(p, "wb") as f:
                 f.write(encode_png(arr))
             paths.append(p)
+
         res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "CLGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
-        goldens = {}
+        cl_goldens = {}
         for line in res.stdout.strip().splitlines():
             path, ys, cbs, crs = line.split("\t")
             name = os.path.basename(path)[: -len(".png")]
-            goldens[name] = {
+            cl_goldens[name] = {
                 "y": [int(v) for v in ys.rstrip(",").split(",")],
                 "cb": [int(v) for v in cbs.rstrip(",").split(",")],
                 "cr": [int(v) for v in crs.rstrip(",").split(",")],
             }
-    with open(out_path, "w") as f:
-        json.dump(goldens, f, indent=1, sort_keys=True)
-    print(f"wrote {out_path} ({len(goldens)} images)")
+
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "EHGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        eh_goldens = {}
+        for line in res.stdout.strip().splitlines():
+            path, vals = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            eh_goldens[name] = {
+                "bins": [int(v) for v in vals.rstrip(",").split(",")]
+            }
+
+    for fname, data in (
+        ("colorlayout.json", cl_goldens),
+        ("edgehistogram.json", eh_goldens),
+    ):
+        out_path = os.path.join(goldens_dir, fname)
+        with open(out_path, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path} ({len(data)} images)")
 
 
 if __name__ == "__main__":
