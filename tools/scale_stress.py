@@ -153,6 +153,64 @@ def main():
                                        num_tables=8,
                                        max_bucket_size=64).count())
 
+    # batch ANN: 64 queries in ONE job against the IVF layout
+    qrows = nvecs.filter(F.col("vec_id") < 64).collect()
+    qbatch = [(int(r["vec_id"]), np.asarray(r["vector"])) for r in qrows]
+    bench("ivf_search_batch_64q_nprobe10", N_VECS,
+          lambda: idx.search_batch(spark, qbatch, k=15, nprobe=10,
+                                   id_col="vec_id", tie_col=None).count())
+
+    # partitioned sequence packing at 10× docs (pure window math — no
+    # text needed): 1M rows, 16 pack keys, budget 8192
+    from shotit_worker_spark.operators import packing as P
+
+    pack_n = N_DOCS * 10
+    staged = spark.range(pack_n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).cast("string").alias("k"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+         .cast("bigint") % 900 + 100).alias("n_tokens"),
+    )
+    bench(f"sequence_pack_16key_{pack_n//1000}k", pack_n,
+          lambda: P.sequence_pack(staged, pack_keys=["k"], budget=8192)
+          .groupBy("k", "local_shard").count().count())
+
+    # decontamination: 5-gram overlap of a 90/10 doc split
+    dsplit = docs.withColumn(
+        "part", F.when(F.col("doc_id") % 10 == 0, "valid").otherwise("train")
+    ).withColumn("g5", F.array_distinct(TX.ngrams(TX.tokenize("text"), 5)))
+    tr = dsplit.filter(F.col("part") == "train").select(
+        "doc_id", F.explode("g5").alias("gram"))
+    va = dsplit.filter(F.col("part") == "valid").select(
+        F.explode("g5").alias("gram")).distinct()
+    bench("decontaminate_5gram", N_DOCS,
+          lambda: tr.join(va, "gram").select("doc_id").distinct().count())
+
+    # real descriptor kernel throughput (ColorLayout & EdgeHistogram over
+    # 80×48 PPM thumbnails via the embed UDF)
+    from shotit_worker_spark.functions import media as M
+
+    n_frames = 20_000
+    videos = spark.range(64).select(
+        F.concat(F.lit("store/tt"), F.col("id").cast("string"),
+                 F.lit("/ep.mp4")).alias("path"),
+        F.md5(F.col("id").cast("string")).cast("binary").alias("content"),
+    )
+    frames_path = f"{tmp}/frames"
+    fr = M.decode_frames(videos)
+    # replicate frames to reach n_frames
+    reps = max(1, n_frames // max(1, fr.count()))
+    fr.crossJoin(spark.range(reps)).drop("id").write.mode(
+        "overwrite").parquet(frames_path)
+    frames = spark.read.parquet(frames_path)
+    nf = frames.count()
+    bench(f"colorlayout_embed_{nf//1000}k", nf,
+          lambda: M.embed_images(frames, dim=100, algo="cl")
+          .select(F.max(F.element_at("vector", 1))).collect() and nf)
+    bench(f"edgehistogram_embed_{nf//1000}k", nf,
+          lambda: M.embed_images(frames, dim=80, algo="eh")
+          .select(F.max(F.element_at("vector", 1))).collect() and nf)
+
 
 if __name__ == "__main__":
     main()
