@@ -366,31 +366,63 @@ class IVFIndex:
         is the ANN analogue of operators.similarity.knn_join, on the
         IVF layout instead of the full corpus.
 
-        Float-vector scoring: requires the stored ``vec_col`` (non-SQ8
-        build, or ``keep_vectors=True``). Returns (query_id, id_col,
-        [tie_col,] score) rows, top-k per query.
+        SQ8 indexes score the tinyint codes directly: the probe table
+        carries the per-(query, centroid) dequantization constants
+        (``const = q·min``, ``qs = q*scale`` — per-centroid when the
+        build used per-centroid SQ8, since probe rows ARE
+        query×centroid pairs), so no float vectors are needed. Returns
+        (query_id, id_col, [tie_col,] score) rows, top-k per query.
         """
+        sq8 = self.mins is not None
         pairs = []
         probed: set[int] = set()
         for qid, q in queries:
-            qv = [float(x) for x in np.asarray(q, dtype=np.float64)]
+            qv = np.asarray(q, dtype=np.float64)
             for c in self.probe_ids(q, nprobe):
-                pairs.append((int(qid), int(c), qv))
+                if not sq8:
+                    pairs.append((int(qid), int(c), [float(x) for x in qv]))
+                elif self.sq8_per_centroid:
+                    pairs.append((
+                        int(qid), int(c), float(qv @ self.mins[c]),
+                        [float(x) for x in qv * self.scales[c]],
+                    ))
+                else:
+                    pairs.append((
+                        int(qid), int(c), float(qv @ self.mins),
+                        [float(x) for x in qv * self.scales],
+                    ))
                 probed.add(int(c))
-        probe_df = spark.createDataFrame(
-            pairs, "query_id long, centroid_id int, __q array<double>"
-        )
         df = self.load(spark).filter(
             F.col("centroid_id").isin(sorted(probed))
         )
-        if self.vec_col not in df.columns:
-            raise ValueError(
-                "search_batch scores stored float vectors — build the "
-                "index unquantized or with keep_vectors=True"
-            )
         cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
+        if sq8:
+            probe_df = spark.createDataFrame(
+                pairs,
+                "query_id long, centroid_id int, __const double, "
+                "__qs array<double>",
+            )
+            score = F.col("__const") + F.aggregate(
+                F.zip_with(
+                    F.col("sq8_code"),
+                    F.col("__qs"),
+                    lambda c, w: (c.cast("double") + 128.0) * w,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        else:
+            probe_df = spark.createDataFrame(
+                pairs, "query_id long, centroid_id int, __q array<double>"
+            )
+            if self.vec_col not in df.columns:
+                raise ValueError(
+                    "search_batch on a float index needs the stored "
+                    "vector column"
+                )
+            score = V.dot(self.vec_col, "__q")
         scored = df.join(F.broadcast(probe_df), "centroid_id").select(
-            "query_id", *cols, V.dot(self.vec_col, "__q").alias("score")
+            "query_id", *cols, score.alias("score")
         )
         if self.n_assign > 1:
             scored = scored.groupBy("query_id", *cols).agg(

@@ -259,11 +259,28 @@ def test_search_batch_matches_sequential_search(spark, corpus, index):
         assert got[vid] == want, f"query {vid}"
 
 
-def test_search_batch_rejects_codes_only_index(spark, corpus, tmp_root):
-    idx = ivf.build_ivf(
-        corpus, str(tmp_root / "ivf_sq8_codes"), nlist=NLIST, quantize=True
-    )
-    q = np.array(corpus.first()["vector"])
-    with pytest.raises(ValueError, match="keep_vectors"):
-        idx.search_batch(spark, [(0, q)], k=3, nprobe=2, id_col="vec_id",
-                         tie_col=None)
+def test_search_batch_sq8_matches_single(spark, corpus, tmp_root):
+    """Batch search on SQ8 indexes scores the codes via per-pair
+    dequantization params — identical to the single-query SQ8 path,
+    for both global and per-centroid quantization."""
+    for mode in ("global", "per_centroid"):
+        idx = ivf.build_ivf(
+            corpus, str(tmp_root / f"ivf_sq8_b_{mode}"), nlist=NLIST,
+            quantize=True, sq8_mode=mode,
+        )
+        qids = [0, 42]
+        queries = [
+            (v, np.array(corpus.filter(F.col("vec_id") == v).first()["vector"]))
+            for v in qids
+        ]
+        batch = idx.search_batch(spark, queries, k=5, nprobe=NPROBE,
+                                 id_col="vec_id", tie_col="vec_id").collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], round(r["score"], 9)))
+        for vid, q in queries:
+            single = idx.search(spark, q, k=5, nprobe=NPROBE,
+                                id_col="vec_id", tie_col="vec_id").collect()
+            want = [(r["vec_id"], round(r["score"], 9)) for r in single]
+            assert got[vid] == want, f"{mode} query {vid}"
