@@ -1,0 +1,17 @@
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.OpponentHistogram;
+import java.io.File;
+
+public class OHGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      OpponentHistogram oh = new OpponentHistogram();
+      oh.extract(ImageIO.read(new File(p)));
+      double[] v = oh.getFeatureVector();
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
+  }
+}

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from . import colorlayout as CL
 from . import edgehistogram as EH
 from . import imagecodec as IC
+from . import opponenthistogram as OH
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -183,8 +184,12 @@ def _descriptor(
         vec = CL.descriptor_vector(rgb, n_y=64, n_c=28)
     elif algo == "eh":
         vec = EH.edge_histogram(rgb).astype(np.float64)
+    elif algo == "oh":
+        vec = OH.opponent_histogram(rgb).astype(np.float64)
     else:
-        raise ValueError(f"unsupported descriptor algo {algo!r} (cl, eh)")
+        raise ValueError(
+            f"unsupported descriptor algo {algo!r} (cl, eh, oh)"
+        )
     hi = bytes(vec.astype(np.uint8)).hex()
     if len(vec) >= dim:
         out = vec[:dim]

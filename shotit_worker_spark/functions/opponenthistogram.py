@@ -1,0 +1,65 @@
+"""Opponent-color histogram descriptor — pure numpy, bit-exact vs LIRE.
+
+Third algo of the reference's descriptor whitelist (`oh` in
+/root/reference/hasher.js:28-43; class net/semanticmetadata/lire/
+imageanalysis/features/global/OpponentHistogram in its lire.jar): a
+64-bin (4×4×4) histogram of interior pixels in the opponent color
+space (van de Sande et al., "Evaluating Color Descriptors for Object
+and Scene Recognition", TPAMI 2010), max-normalized to 7-bit counts.
+
+Behavioral notes for exactness (recovered from the jar, verified by
+goldens in tests/goldens/opponenthistogram.json):
+
+- Only interior pixels count: x ∈ [1, w-2], y ∈ [1, h-2].
+- LIRE swaps its √3/√6 constants (the field named ``sq6`` holds
+  sqrt(3) and ``sq3`` holds sqrt(6)), so o2 divides by √3 and o3 by
+  √6. The normalization then cancels the constant in real arithmetic —
+  o2 → (R+G-2B+510)/1020, o3 → (R+G+B)/765 — but the division order
+  is preserved here so float rounding at bin boundaries matches.
+- Bin index = min(floor(o1*4), 3) + 4*min(floor(o2*4), 3)
+  + 16*min(3, floor(o3*4)); final counts are
+  ``(byte) floor(127 * count / max_count)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["opponent_histogram", "BIN_COUNT"]
+
+BIN_COUNT = 64
+
+_SQ2 = float(np.sqrt(2.0))
+_SQ6 = float(np.sqrt(3.0))  # LIRE's field naming swap, kept faithfully
+_SQ3 = float(np.sqrt(6.0))
+
+
+def opponent_histogram(rgb: np.ndarray) -> np.ndarray:
+    """64 max-normalized 7-bit bins (int64, each 0..127) of an
+    (H, W, 3) uint8 RGB image — bit-identical to LIRE's
+    OpponentHistogram/getFeatureVector."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    if h < 3 or w < 3:
+        return np.zeros(BIN_COUNT, dtype=np.int64)
+    interior = rgb[1 : h - 1, 1 : w - 1].astype(np.float64)
+    r, g, b = interior[..., 0], interior[..., 1], interior[..., 2]
+
+    o1 = (r - g) / _SQ2
+    o2 = (r + g - 2.0 * b) / _SQ6
+    o3 = (r + g + b) / _SQ3
+    o1 = (o1 + 255.0 / _SQ2) / (510.0 / _SQ2)
+    o2 = (o2 + 510.0 / _SQ6) / (1020.0 / _SQ6)
+    o3 = o3 / (765.0 / _SQ3)
+
+    idx = (
+        np.minimum(np.floor(o1 * 4.0), 3.0).astype(np.int64)
+        + 4 * np.minimum(np.floor(o2 * 4.0), 3.0).astype(np.int64)
+        + 16 * np.minimum(3.0, np.floor(o3 * 4.0)).astype(np.int64)
+    )
+    counts = np.bincount(idx.ravel(), minlength=BIN_COUNT).astype(np.float64)
+    mx = counts.max()
+    if mx == 0.0:
+        return np.zeros(BIN_COUNT, dtype=np.int64)
+    return np.floor(127.0 * (counts / mx)).astype(np.int64)

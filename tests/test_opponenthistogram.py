@@ -1,0 +1,57 @@
+"""OpponentHistogram descriptor: LIRE bit-parity goldens + properties.
+Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from shotit_worker_spark.functions import opponenthistogram as OH
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "opponenthistogram.json")
+
+
+def test_lire_bit_parity():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        got = list(OH.opponent_histogram(arr))
+        assert got == goldens[name]["bins"], f"{name}: OH mismatch"
+
+
+def test_uniform_image_single_bin():
+    """A flat image puts every interior pixel in one bin (127) and the
+    rest at 0."""
+    img = np.full((32, 32, 3), 200, np.uint8)
+    bins = OH.opponent_histogram(img)
+    assert (bins == 127).sum() == 1
+    assert (bins == 0).sum() == 63
+
+
+def test_max_normalized_range_and_tiny_image():
+    for arr in _golden_images().values():
+        bins = OH.opponent_histogram(arr)
+        assert bins.shape == (64,)
+        assert bins.max() == 127 and bins.min() >= 0
+    assert list(OH.opponent_histogram(np.zeros((2, 2, 3), np.uint8))) == [0] * 64
+
+
+def test_borders_excluded():
+    """Only interior pixels count: changing the border must not change
+    the descriptor."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    noisy = img.copy()
+    noisy[0, :] = 255 - noisy[0, :]
+    noisy[-1, :] = 0
+    noisy[:, 0] = 7
+    noisy[:, -1] = 250
+    assert np.array_equal(
+        OH.opponent_histogram(img), OH.opponent_histogram(noisy)
+    )

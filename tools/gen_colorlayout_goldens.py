@@ -49,6 +49,26 @@ public class CLGold {
 }
 """
 
+OH_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.OpponentHistogram;
+import java.io.File;
+
+public class OHGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      OpponentHistogram oh = new OpponentHistogram();
+      oh.extract(ImageIO.read(new File(p)));
+      double[] v = oh.getFeatureVector();
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
+  }
+}
+"""
+
 EH_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
@@ -104,7 +124,8 @@ def main() -> None:
     os.makedirs(goldens_dir, exist_ok=True)
     imgs = synthetic_test_images()
     with tempfile.TemporaryDirectory(dir=REPO) as td:
-        for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS)):
+        for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS),
+                           ("OHGold.java", OH_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
             subprocess.run(
@@ -143,9 +164,22 @@ def main() -> None:
                 "bins": [int(v) for v in vals.rstrip(",").split(",")]
             }
 
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "OHGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        oh_goldens = {}
+        for line in res.stdout.strip().splitlines():
+            path, vals = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            oh_goldens[name] = {
+                "bins": [int(v) for v in vals.rstrip(",").split(",")]
+            }
+
     for fname, data in (
         ("colorlayout.json", cl_goldens),
         ("edgehistogram.json", eh_goldens),
+        ("opponenthistogram.json", oh_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)
         with open(out_path, "w") as f:
