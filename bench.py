@@ -61,7 +61,7 @@ def main() -> None:
         # projection columns being measured (e.g. fingerprints)
         n = len(fn(spark, sf_dir).collect())
         dt = time.time() - t0
-        if dt > 3.0:
+        if dt > 1.5:
             # the box runs periodic co-tenants that can inflate a single
             # measurement 10-30×; re-measure once and keep the min (the
             # plan's cost, not the neighbor's)
