@@ -1,0 +1,31 @@
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.EdgeHistogramImplementation;
+import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
+import java.io.File;
+
+public class DistGold {
+  public static void main(String[] args) throws Exception {
+    // all pairs of the given images: CL similarity + EH distance
+    int n = args.length;
+    ColorLayoutImpl[] cls = new ColorLayoutImpl[n];
+    EdgeHistogram[] ehs = new EdgeHistogram[n];
+    for (int i = 0; i < n; i++) {
+      cls[i] = new ColorLayoutImpl(64, 28, ImageIO.read(new File(args[i])));
+      ehs[i] = new EdgeHistogram();
+      ehs[i].extract(ImageIO.read(new File(args[i])));
+    }
+    for (int a = 0; a < n; a++)
+      for (int b = a + 1; b < n; b++) {
+        double cl = ColorLayoutImpl.getSimilarity(
+            cls[a].getYCoeff(), cls[a].getCbCoeff(), cls[a].getCrCoeff(),
+            cls[b].getYCoeff(), cls[b].getCbCoeff(), cls[b].getCrCoeff());
+        double[] va = ehs[a].getFeatureVector();
+        double[] vb = ehs[b].getFeatureVector();
+        int[] ia = new int[80]; int[] ib = new int[80];
+        for (int i = 0; i < 80; i++) { ia[i] = (int) va[i]; ib[i] = (int) vb[i]; }
+        double eh = EdgeHistogramImplementation.calculateDistance(ia, ib);
+        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh);
+      }
+  }
+}

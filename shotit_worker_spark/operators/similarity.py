@@ -464,3 +464,48 @@ def _near_dup_pairs_matmul(prepped: DataFrame, threshold: float) -> DataFrame:
             )
 
     return prepped.mapInPandas(_score, schema="a_id long, b_id long, score double")
+
+
+def descriptor_topk(
+    df: DataFrame,
+    query,
+    k: int = 15,
+    metric: str = "cl",
+    id_col: str = "hash_id",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Top-k by a LIRE descriptor-space matching distance (ascending —
+    these are distances, not scores), entirely in Catalyst (J2 with the
+    reference's own metric instead of inner product).
+
+    metric='cl': `df` carries array columns (cl_y, cl_cb, cl_cr);
+    `query` is the (y, cb, cr) coefficient triple — distance is the
+    MPEG-7 weighted channel norm (functions/colorlayout.distance_col,
+    golden-pinned vs the jar). metric='eh': `df` carries `eh_bins`
+    (80-element array); `query` is the bin array — distance is LIRE's
+    dequantized-L1 + weighted code-L1
+    (functions/edgehistogram.distance_col).
+
+    Plan shape: one projection + TakeOrderedAndProject — the scan prunes
+    to the descriptor columns, no shuffle beyond the top-k."""
+    from ..functions import colorlayout as CL
+    from ..functions import edgehistogram as EH
+
+    if metric == "cl":
+        qy, qcb, qcr = query
+        dist = CL.distance_col(
+            F.col("cl_y"), F.col("cl_cb"), F.col("cl_cr"), qy, qcb, qcr
+        )
+    elif metric == "eh":
+        dist = EH.distance_col(F.col("eh_bins"), query)
+    else:
+        raise ValueError(f"unknown descriptor metric {metric!r} (cl, eh)")
+    order = [F.col("distance").asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    return (
+        df.select(id_col, *([tie_col] if tie_col and tie_col != id_col else []),
+                  dist.alias("distance"))
+        .orderBy(*order)
+        .limit(k)
+    )

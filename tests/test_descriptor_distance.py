@@ -1,0 +1,101 @@
+"""LIRE descriptor-space distances: golden parity (numpy) and
+Catalyst-expression equivalence (Spark)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import colorlayout as CL
+from shotit_worker_spark.functions import edgehistogram as EH
+from shotit_worker_spark.operators import similarity as S
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "descriptor_distances.json")
+
+
+def _descriptors():
+    out = {}
+    for name, arr in _golden_images().items():
+        # n_c=64: the jar's golden harness uses ColorLayoutImpl's full
+        # 64-length chroma arrays, and the distance truncates to the
+        # shorter pair anyway
+        out[name] = (CL.color_layout(arr, n_y=64, n_c=64),
+                     EH.edge_histogram(arr))
+    return out
+
+
+def test_distances_match_jar_goldens():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    desc = _descriptors()
+    assert len(goldens) == 21  # 7 choose 2
+    for row in goldens:
+        (y1, cb1, cr1), eh1 = desc[row["a"]]
+        (y2, cb2, cr2), eh2 = desc[row["b"]]
+        cl_d = CL.similarity(y1, cb1, cr1, y2, cb2, cr2)
+        eh_d = EH.distance(eh1, eh2)
+        assert cl_d == pytest.approx(row["cl_similarity"], abs=1e-9)
+        assert eh_d == pytest.approx(row["eh_distance"], abs=1e-9)
+
+
+def test_distance_cols_match_numpy(spark):
+    desc = _descriptors()
+    names = sorted(desc)
+    rows = [
+        (
+            i,
+            [int(v) for v in desc[n][0][0]],
+            [int(v) for v in desc[n][0][1]],
+            [int(v) for v in desc[n][0][2]],
+            [int(v) for v in desc[n][1]],
+        )
+        for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, cl_y array<int>, cl_cb array<int>, cl_cr array<int>, "
+        "eh_bins array<int>",
+    )
+    qname = names[0]
+    (qy, qcb, qcr), qeh = desc[qname]
+    got = df.select(
+        "id",
+        CL.distance_col(F.col("cl_y"), F.col("cl_cb"), F.col("cl_cr"),
+                        qy, qcb, qcr).alias("cl_d"),
+        EH.distance_col(F.col("eh_bins"), qeh).alias("eh_d"),
+    ).collect()
+    for r in got:
+        n = names[r["id"]]
+        (y2, cb2, cr2), eh2 = desc[n]
+        assert r["cl_d"] == pytest.approx(
+            CL.similarity(qy, qcb, qcr, y2, cb2, cr2), abs=1e-9)
+        assert r["eh_d"] == pytest.approx(EH.distance(qeh, eh2), abs=1e-9)
+
+
+def test_descriptor_topk_orders_by_distance(spark):
+    desc = _descriptors()
+    names = sorted(desc)
+    rows = [
+        (
+            i,
+            [int(v) for v in desc[n][0][0]],
+            [int(v) for v in desc[n][0][1]],
+            [int(v) for v in desc[n][0][2]],
+        )
+        for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cl_y array<int>, cl_cb array<int>, cl_cr array<int>"
+    )
+    q = desc[names[2]][0]
+    got = S.descriptor_topk(df, q, k=3, metric="cl", id_col="id",
+                            tie_col="id").collect()
+    # self-match first at distance 0
+    assert got[0]["id"] == 2 and got[0]["distance"] == 0.0
+    assert got[0]["distance"] <= got[1]["distance"] <= got[2]["distance"]

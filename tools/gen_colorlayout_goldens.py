@@ -69,6 +69,39 @@ public class OHGold {
 }
 """
 
+DIST_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
+import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.EdgeHistogramImplementation;
+import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
+import java.io.File;
+
+public class DistGold {
+  public static void main(String[] args) throws Exception {
+    int n = args.length;
+    ColorLayoutImpl[] cls = new ColorLayoutImpl[n];
+    EdgeHistogram[] ehs = new EdgeHistogram[n];
+    for (int i = 0; i < n; i++) {
+      cls[i] = new ColorLayoutImpl(64, 28, ImageIO.read(new File(args[i])));
+      ehs[i] = new EdgeHistogram();
+      ehs[i].extract(ImageIO.read(new File(args[i])));
+    }
+    for (int a = 0; a < n; a++)
+      for (int b = a + 1; b < n; b++) {
+        double cl = ColorLayoutImpl.getSimilarity(
+            cls[a].getYCoeff(), cls[a].getCbCoeff(), cls[a].getCrCoeff(),
+            cls[b].getYCoeff(), cls[b].getCbCoeff(), cls[b].getCrCoeff());
+        double[] va = ehs[a].getFeatureVector();
+        double[] vb = ehs[b].getFeatureVector();
+        int[] ia = new int[80]; int[] ib = new int[80];
+        for (int i = 0; i < 80; i++) { ia[i] = (int) va[i]; ib[i] = (int) vb[i]; }
+        double eh = EdgeHistogramImplementation.calculateDistance(ia, ib);
+        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh);
+      }
+  }
+}
+"""
+
 EH_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
@@ -125,7 +158,8 @@ def main() -> None:
     imgs = synthetic_test_images()
     with tempfile.TemporaryDirectory(dir=REPO) as td:
         for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS),
-                           ("OHGold.java", OH_HARNESS)):
+                           ("OHGold.java", OH_HARNESS),
+                           ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
             subprocess.run(
@@ -176,10 +210,25 @@ def main() -> None:
                 "bins": [int(v) for v in vals.rstrip(",").split(",")]
             }
 
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "DistGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        dist_goldens = []
+        for line in res.stdout.strip().splitlines():
+            pa, pb, cl, eh = line.split("|")
+            dist_goldens.append({
+                "a": os.path.basename(pa)[: -len(".png")],
+                "b": os.path.basename(pb)[: -len(".png")],
+                "cl_similarity": float(cl),
+                "eh_distance": float(eh),
+            })
+
     for fname, data in (
         ("colorlayout.json", cl_goldens),
         ("edgehistogram.json", eh_goldens),
         ("opponenthistogram.json", oh_goldens),
+        ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)
         with open(out_path, "w") as f:
