@@ -985,14 +985,41 @@ def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("g5").alias("gram"))
         .distinct()
     )
-    n_train = staged.filter(F.col("split") == "train").agg(
-        F.count("*").alias("n_train_docs")
+    # combine the three scalar summaries via union + one aggregation —
+    # joining 1-row frames would plan as a nested-loop join (Catalyst
+    # folds any literal join key to true), which the plan audit rightly
+    # dislikes
+    def tagged(df, col, name):
+        return df.select(
+            F.lit(name).alias("m"), F.col(col).cast("long").alias("v")
+        )
+
+    parts = tagged(
+        staged.filter(F.col("split") == "train").agg(
+            F.count("*").alias("c")
+        ),
+        "c", "n_train_docs",
+    ).unionByName(
+        tagged(
+            train.join(probe, "gram").agg(
+                F.countDistinct("doc_id").alias("c")
+            ),
+            "c", "n_contaminated_docs",
+        )
+    ).unionByName(
+        tagged(probe.agg(F.count("*").alias("c")), "c", "n_probe_grams")
     )
-    n_probe = probe.agg(F.count("*").alias("n_probe_grams"))
-    n_cont = train.join(probe, "gram").agg(
-        F.countDistinct("doc_id").alias("n_contaminated_docs")
+    return parts.groupBy().agg(
+        F.max(F.when(F.col("m") == "n_train_docs", F.col("v"))).alias(
+            "n_train_docs"
+        ),
+        F.max(F.when(F.col("m") == "n_contaminated_docs", F.col("v"))).alias(
+            "n_contaminated_docs"
+        ),
+        F.max(F.when(F.col("m") == "n_probe_grams", F.col("v"))).alias(
+            "n_probe_grams"
+        ),
     )
-    return n_train.crossJoin(n_cont).crossJoin(n_probe)
 
 
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
