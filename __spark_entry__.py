@@ -200,36 +200,24 @@ def q07_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q08_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union-distinct of customer and supplier nation keys."""
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union distinct / intersect / except) over nation keys,
+    tagged and stacked so one correctness row covers all three."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return cust.union(supp).distinct().orderBy("nationkey")
-
-
-def q09_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return cust.intersect(supp).orderBy("nationkey")
-
-
-def q10_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set EXCEPT (distinct semantics): nations with no supplier."""
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nationkey")
     )
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    tagged = (
+        cust.union(supp).distinct().withColumn("op", F.lit("union"))
+        .unionByName(cust.intersect(supp).withColumn("op", F.lit("intersect")))
+        .unionByName(nation.subtract(supp).withColumn("op", F.lit("except")))
     )
-    return nation.subtract(supp).orderBy("nationkey")
+    return tagged.select("op", "nationkey").orderBy("op", "nationkey")
 
 
 def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,17 +604,12 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q30_charcode_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12 charcode-sum primary key (loader.js:131-143) over doc prefixes."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", V.charcode_sum(F.substring("text", 1, 40)).alias("primary_key")
-    ).orderBy("doc_id")
-
-
-def q31_hex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9+P10 hex-token decode on synthesized token strings (md5-derived,
-    so both engines see identical input)."""
+def q30_loader_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader scalar kernels in one pass — P12 charcode-sum primary key
+    (loader.js:131-143), P9+P10 hex-token decode/pad (loader.js:110-118) over
+    md5-derived token strings, and P8 hash_id `${key}/${value.toFixed(2)}`
+    (loader.js:241). Documents rows carry the P9-P12 columns; events rows
+    carry hid; unmatched columns are NULL on the other side."""
     docs = _t(spark, sf_dir, "documents")
     md5 = F.md5(F.col("text"))
     ha = F.concat_ws(
@@ -634,20 +617,29 @@ def q31_hex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = V.hex_tokens_to_floats(ha)
     padded = V.pad_vector(toks, 12)
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
+    # int columns are cast to double on both sides: the NULLs from the
+    # union force pandas to promote ints to float anyway, and an explicit
+    # double keeps Spark and DuckDB canonicalizing identically.
+    doc_part = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("rid"),
+        V.charcode_sum(F.substring("text", 1, 40))
+        .cast("double")
+        .alias("primary_key"),
+        F.size(toks).cast("double").alias("n_tokens"),
         F.aggregate(toks, F.lit(0.0), lambda s, x: s + x).alias("tok_sum"),
-        F.size(padded).alias("padded_len"),
-    ).orderBy("doc_id")
-
-
-def q32_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 hash_id projection: `${key}/${value.toFixed(2)}` (loader.js:241)."""
+        F.size(padded).cast("double").alias("padded_len"),
+        F.lit(None).cast("string").alias("hid"),
+    )
     ev = _events(spark, sf_dir)
-    return ev.select(
-        "event_id", V.hash_id(F.col("event_type"), F.col("value")).alias("hid")
-    ).orderBy("event_id")
+    ev_part = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("rid"),
+        F.lit(None).cast("double").alias("primary_key"),
+        F.lit(None).cast("double").alias("n_tokens"),
+        F.lit(None).cast("double").alias("tok_sum"),
+        F.lit(None).cast("double").alias("padded_len"),
+        V.hash_id(F.col("event_type"), F.col("value")).alias("hid"),
+    )
+    return doc_part.unionByName(ev_part).orderBy("rid")
 
 
 # ---------------------------------------------------------------------------
@@ -846,17 +838,38 @@ def q49_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = [(int(r["vec_id"]), np.asarray(r["vector"])) for r in qrows]
 
-    exact = S.knn_join(
+    # Tie tolerance: the two kernels sum floats in different orders
+    # (numpy matmul vs Catalyst zip_with fold), so distinct corpus rows
+    # whose scores agree to rounding at the rank-k boundary may order
+    # differently. The exact set therefore includes every row whose
+    # score is within 1e-9 of the k-th exact score (fetched as top k+5
+    # — >5-way boundary ties don't happen on random float embeddings),
+    # keeping the full-probe == 1.0 gate deterministic across BLAS.
+    exact_kp = S.knn_join(
         spark.createDataFrame(
             [(qid, [float(x) for x in q]) for qid, q in queries],
             "query_id long, query_vec array<double>",
         ),
         nemb,
-        k=k,
+        k=k + 5,
         vec_col="vector",
         id_col="vec_id",
         tie_col="vec_id",
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id", "score")
+    from pyspark.sql import Window as W
+
+    rank_w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact_kp = exact_kp.withColumn("rank", F.row_number().over(rank_w))
+    kth = exact_kp.filter(F.col("rank") == k).select(
+        "query_id", F.col("score").alias("kth_score")
+    )
+    exact = (
+        exact_kp.join(kth, "query_id")
+        .filter(F.col("score") >= F.col("kth_score") - F.lit(1e-9))
+        .select("query_id", "vec_id")
+    )
 
     def mean_recall(nprobe: int) -> float:
         approx = index.search_batch(
@@ -1033,21 +1046,22 @@ def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q61_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation: tumbling(1h) and sliding(1h/30m)
+    counts, tagged and stacked so one correctness row covers both."""
     ev = _events(spark, sf_dir)
-    return (
+    tumbling = (
         SW.tumbling_counts(ev, "1 hour")
         .drop("window_end")
-        .orderBy("window_start", "event_type")
+        .withColumn("win", F.lit("tumbling"))
     )
-
-
-def q62_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
+    sliding = (
         SW.sliding_counts(ev, "1 hour", "30 minutes")
         .drop("window_end")
-        .orderBy("window_start", "event_type")
+        .withColumn("win", F.lit("sliding"))
+    )
+    return tumbling.unionByName(sliding).orderBy(
+        "win", "window_start", "event_type"
     )
 
 
@@ -1077,9 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_anti_join": q05_anti_join,
         "q06_window_topk": q06_window_topk,
         "q07_window_lag": q07_window_lag,
-        "q08_union_nations": q08_union_nations,
-        "q09_intersect_nations": q09_intersect_nations,
-        "q10_except_nations": q10_except_nations,
+        "q08_set_ops": q08_set_ops,
         "q11_distinct_agg": q11_distinct_agg,
         "q12_rollup": q12_rollup,
         "q13_zip_join": q13_zip_join,
@@ -1099,9 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_percentiles": q27_percentiles,
         "q28_range_join": q28_range_join,
         "q29_asof_join": q29_asof_join,
-        "q30_charcode_key": q30_charcode_key,
-        "q31_hex_tokens": q31_hex_tokens,
-        "q32_hash_id": q32_hash_id,
+        "q30_loader_kernels": q30_loader_kernels,
         "q33_loader_transform": q33_loader_transform,
         "q34_loader_with_d1": q34_loader_with_d1,
         "q35_session": q35_session,
@@ -1123,8 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_repetition": q55_repetition,
         "q57_decontaminate": q57_decontaminate,
         "q60_json_extract": q60_json_extract,
-        "q61_tumbling": q61_tumbling,
-        "q62_sliding": q62_sliding,
+        "q61_windows": q61_windows,
     }
 
 
@@ -1211,23 +1220,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_suppkey <= 5
             ORDER BY l_suppkey, l_orderkey, l_linenumber
         """,
-        "q08_union_nations": """
-            SELECT c_nationkey AS nationkey FROM customer
-            UNION
-            SELECT s_nationkey AS nationkey FROM supplier
-            ORDER BY nationkey
-        """,
-        "q09_intersect_nations": """
-            SELECT c_nationkey AS nationkey FROM customer
-            INTERSECT
-            SELECT s_nationkey AS nationkey FROM supplier
-            ORDER BY nationkey
-        """,
-        "q10_except_nations": """
-            SELECT n_nationkey AS nationkey FROM nation
-            EXCEPT
-            SELECT s_nationkey AS nationkey FROM supplier
-            ORDER BY nationkey
+        "q08_set_ops": """
+            SELECT 'union' AS op, nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION
+                SELECT s_nationkey AS nationkey FROM supplier)
+            UNION ALL
+            SELECT 'intersect' AS op, nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nationkey FROM supplier)
+            UNION ALL
+            SELECT 'except' AS op, nationkey FROM (
+                SELECT n_nationkey AS nationkey FROM nation
+                EXCEPT
+                SELECT s_nationkey AS nationkey FROM supplier)
+            ORDER BY op, nationkey
         """,
         "q11_distinct_agg": """
             SELECT l_returnflag,
@@ -1445,31 +1453,32 @@ def oracle_sql() -> dict[str, str]:
                    END) >= 0.4
             ORDER BY a_id, b_id
         """,
-        "q30_charcode_key": """
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(
-                       string_split(substr(text, 1, 40), ''),
-                       c -> ascii(c))) AS BIGINT) AS primary_key
-            FROM documents ORDER BY doc_id
-        """,
-        "q31_hex_tokens": """
-            WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
-            t AS (SELECT doc_id,
+        "q30_loader_kernels": """
+            WITH h AS (SELECT doc_id, text, md5(text) AS m FROM documents),
+            t AS (SELECT doc_id, text,
                          [substr(m, 1, 4), substr(m, 5, 4), substr(m, 9, 4),
                           substr(m, 13, 4), substr(m, 17, 4), substr(m, 21, 4),
                           substr(m, 25, 4), substr(m, 29, 4)] AS toks
-                  FROM h)
-            SELECT doc_id,
-                   CAST(len(toks) AS INT) AS n_tokens,
-                   CAST(list_sum(list_transform(
-                       toks, x -> CAST('0x' || x AS BIGINT)::DOUBLE)) AS DOUBLE)
-                       AS tok_sum,
-                   CAST(12 AS INT) AS padded_len
-            FROM t ORDER BY doc_id
-        """,
-        "q32_hash_id": """
-            SELECT event_id, event_type || '/' || printf('%.2f', value) AS hid
-            FROM events ORDER BY event_id
+                  FROM h),
+            d AS (SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS rid,
+                         CAST(list_sum(list_transform(
+                             string_split(substr(text, 1, 40), ''),
+                             c -> ascii(c))) AS DOUBLE) AS primary_key,
+                         CAST(len(toks) AS DOUBLE) AS n_tokens,
+                         CAST(list_sum(list_transform(
+                             toks, x -> CAST('0x' || x AS BIGINT)::DOUBLE))
+                             AS DOUBLE) AS tok_sum,
+                         CAST(12 AS DOUBLE) AS padded_len,
+                         CAST(NULL AS VARCHAR) AS hid
+                  FROM t),
+            e AS (SELECT 'ev:' || CAST(event_id AS VARCHAR) AS rid,
+                         CAST(NULL AS DOUBLE) AS primary_key,
+                         CAST(NULL AS DOUBLE) AS n_tokens,
+                         CAST(NULL AS DOUBLE) AS tok_sum,
+                         CAST(NULL AS DOUBLE) AS padded_len,
+                         event_type || '/' || printf('%.2f', value) AS hid
+                  FROM events)
+            SELECT * FROM d UNION ALL SELECT * FROM e ORDER BY rid
         """,
         "q40_doc_stats": f"""
             SELECT lang, source,
@@ -1668,26 +1677,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "q61_tumbling": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-                   event_type,
-                   count(*) AS n_events,
-                   sum(value) AS sum_value,
-                   avg(value) AS avg_value
-            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
-        """,
-        "q62_sliding": """
-            WITH e AS (SELECT ts, event_type, value,
-                              time_bucket(INTERVAL '30 minutes', ts) AS b
-                       FROM events),
+        "q61_windows": """
+            WITH tu AS (
+                SELECT 'tumbling' AS win,
+                       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                       event_type,
+                       count(*) AS n_events,
+                       sum(value) AS sum_value,
+                       avg(value) AS avg_value
+                FROM events GROUP BY 2, 3),
+            e AS (SELECT ts, event_type, value,
+                         time_bucket(INTERVAL '30 minutes', ts) AS b
+                  FROM events),
             w AS (SELECT unnest([b - INTERVAL '30 minutes', b]) AS window_start,
                          event_type, value
-                  FROM e)
-            SELECT window_start, event_type,
-                   count(*) AS n_events,
-                   sum(value) AS sum_value,
-                   avg(value) AS avg_value
-            FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
+                  FROM e),
+            sl AS (
+                SELECT 'sliding' AS win, window_start, event_type,
+                       count(*) AS n_events,
+                       sum(value) AS sum_value,
+                       avg(value) AS avg_value
+                FROM w GROUP BY 2, 3)
+            SELECT * FROM tu UNION ALL SELECT * FROM sl
+            ORDER BY win, window_start, event_type
         """,
         "q35_session": """
             WITH o AS (SELECT user_id, ts, value,

@@ -47,12 +47,24 @@ def sniff_format(data: bytes) -> str | None:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or PPM bytes to an (H, W, 3) uint8 RGB array."""
-    fmt = sniff_format(bytes(data))
-    if fmt == "png":
-        return _decode_png(bytes(data))
-    if fmt == "ppm":
-        return _decode_ppm(bytes(data))
+    """Decode PNG or PPM bytes to an (H, W, 3) uint8 RGB array.
+
+    Total on arbitrary binary input: every parse failure — not just the
+    structural ones — surfaces as ``UnsupportedImageError`` so callers
+    (media._descriptor, resize_images) can fall back instead of crashing
+    the Spark task on e.g. a 'P6' blob with a non-numeric header
+    (ValueError) or a PNG with corrupt IDAT (zlib.error).
+    """
+    try:
+        fmt = sniff_format(bytes(data))
+        if fmt == "png":
+            return _decode_png(bytes(data))
+        if fmt == "ppm":
+            return _decode_ppm(bytes(data))
+    except UnsupportedImageError:
+        raise
+    except (ValueError, IndexError, struct.error, zlib.error) as exc:
+        raise UnsupportedImageError(f"malformed image bytes: {exc}") from exc
     raise UnsupportedImageError("not a PNG or PPM image")
 
 

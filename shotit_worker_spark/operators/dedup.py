@@ -323,9 +323,9 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:
-    """Popcount of XOR of two 64-bit fingerprints (via bin() ones count)."""
-    x = a.bitwiseXOR(b)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    """Popcount of XOR of two 64-bit fingerprints (JVM bit_count — no
+    per-pair string allocation in the candidate-join hot path)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_near_dup_pairs(

@@ -2,8 +2,14 @@
 
 The batch-construction pass of a pretraining pipeline: assign documents,
 in a deterministic order, to consecutive shards of ~budget tokens by
-running token sum (approximate first-fit in arrival order — a document
-starts a new shard when the budget would otherwise overflow).
+boundary-straddling cumulative-sum bucketing: a document's shard is
+``floor(cumsum_of_tokens_before_it / budget)``. The running sum never
+resets at a shard boundary, so a document that straddles a boundary is
+counted into the shard it started in and that shard may exceed the
+budget by up to one document (this is NOT greedy first-fit, which would
+close a shard as soon as the next document overflows; the cumsum form
+is chosen because it is a single window expression — and an exact SQL
+oracle — while first-fit is inherently sequential per key).
 
 Scale design: the partitioned form (`sequence_pack`) is the declared
 operator. Packing runs independently per pack key (e.g. the train/valid/

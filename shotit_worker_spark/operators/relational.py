@@ -127,8 +127,11 @@ def range_join(
     for old, new in renames.items():
         r = r.withColumnRenamed(old, new)
     r_ts_col = renames.get(right_ts, right_ts)
-    lsec = F.unix_micros(F.col(left_ts)) / F.lit(1e6)
-    rsec = F.unix_micros(F.col(r_ts_col)) / F.lit(1e6)
+    # cast("timestamp") first: parquet written without a timezone reads as
+    # TIMESTAMP_NTZ, which unix_micros rejects. Both sides get the same
+    # session-timezone interpretation, so interval arithmetic is unaffected.
+    lsec = F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(1e6)
+    rsec = F.unix_micros(F.col(r_ts_col).cast("timestamp")) / F.lit(1e6)
 
     lt = left.withColumn(
         "__bucket",

@@ -17,9 +17,11 @@ an existing shotit corpus the same ingest path, Spark-shaped:
   scheduled by Spark across executors. Output is the engine's canonical
   ``hashes(file, time, hi, ha)`` shape, ready for
   ``plans.ingest.loader_transform``.
-- ``hashes_to_lire_xml`` / ``write_lire_xml_xz`` produce byte-compatible
-  artifacts (the hasher's upload format, hasher.js:166-170) for
-  round-tripping and for exporting back to a reference deployment.
+- ``hashes_to_lire_xml`` / ``write_lire_xml_xz`` produce structurally
+  compatible artifacts (the hasher's upload format, hasher.js:166-170)
+  for round-tripping and for exporting back to a reference deployment
+  (times render as float repr, not the hasher's ``toFixed(4)`` — exact
+  ``parseFloat`` round-trip, not byte identity).
 
 Python's stdlib ``lzma`` is the xz codec both directions.
 """
@@ -131,21 +133,53 @@ def hashes_to_lire_xml(rows: list[dict], algo: str = "cl") -> str:
     return "\n".join(lines)
 
 
+def _safe_artifact_dest(out_dir: str, file_id: str) -> str:
+    """Resolve `{out_dir}/{file_id}.xml.xz`, rejecting file ids that would
+    escape out_dir (`..` segments, absolute paths, empty segments) —
+    `file` is data-derived and must not become a path traversal."""
+    segs = str(file_id).split("/")
+    if os.path.isabs(str(file_id)) or any(s in ("", ".", "..") for s in segs):
+        raise ValueError(f"unsafe artifact file id: {file_id!r}")
+    dest = os.path.normpath(os.path.join(out_dir, f"{file_id}.xml.xz"))
+    if not dest.startswith(os.path.abspath(out_dir) + os.sep):
+        raise ValueError(f"artifact path escapes out_dir: {file_id!r}")
+    return dest
+
+
 def write_lire_xml_xz(
     hashes: DataFrame, out_dir: str, algo: str = "cl", preset: int = 6
 ) -> list[str]:
     """Export hashes as one ``{file}.xml.xz`` artifact per source file
     (the hasher's PUT payload, xz preset 6 like the reference's
-    lzma compress default). Small-export utility: collects per-file
-    groups to the driver; artifact count, not row count, is the scale
-    axis here (one artifact per episode)."""
-    written = []
-    pdf = hashes.select("file", "time", "hi", "ha").toPandas()
-    for file_id, grp in pdf.groupby("file", sort=True):
-        xml_text = hashes_to_lire_xml(grp.to_dict("records"), algo)
-        dest = os.path.join(out_dir, f"{file_id}.xml.xz")
+    lzma compress default).
+
+    Partition-parallel: ``groupBy(file).applyInPandas`` writes each
+    artifact inside its own task, so nothing but the O(#artifacts) path
+    list ever reaches the driver — the write path scales on the same
+    axis as the read path. ``out_dir`` must be visible to the executors
+    (local FS in local mode; a shared/NFS/object mount on a cluster).
+
+    Format compatibility: the artifact is structurally identical to the
+    hasher's output (one ``<doc>`` per line inside ``<add>``, ascending
+    time). Times are written as Python float repr, which ``parseFloat``
+    round-trips exactly but is not byte-identical to the reference's
+    ``toFixed(4)`` rendering (hasher.js:97) — semantic, not byte,
+    compatibility is the contract here.
+    """
+    out_dir_abs = os.path.abspath(out_dir)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        file_id = pdf["file"].iloc[0]
+        dest = _safe_artifact_dest(out_dir_abs, file_id)
+        xml_text = hashes_to_lire_xml(pdf.to_dict("records"), algo)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         with open(dest, "wb") as f:
             f.write(lzma.compress(xml_text.encode("utf-8"), preset=preset))
-        written.append(dest)
-    return written
+        return pd.DataFrame({"path": [dest]})
+
+    out = (
+        hashes.select("file", "time", "hi", "ha")
+        .groupBy("file")
+        .applyInPandas(_write, schema="path string")
+    )
+    return sorted(r["path"] for r in out.collect())

@@ -57,6 +57,10 @@ def streaming_dedup_within_watermark(
     """Streaming approximation of D1 (documented divergence, SURVEY §2.8):
     drops duplicate keys within the watermark horizon. Batch
     `operators.dedup.sequential_dedup` is the semantic source of truth."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # NTZ parquet timestamps: withWatermark requires TimestampType;
+        # session tz is pinned UTC so the cast is wall-clock identical.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 

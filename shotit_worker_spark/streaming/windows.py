@@ -13,6 +13,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TimestampType.
+
+    Parquet written without timezone metadata reads back as TIMESTAMP_NTZ,
+    which `withWatermark` rejects. The session timezone is pinned UTC
+    (session.py), so the cast is wall-clock identical; applying it on both
+    batch and streaming inputs keeps stream==batch equivalence exact."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def _agg_exprs() -> list[Column]:
     return [
         F.count("*").alias("n_events"),
@@ -30,6 +42,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Tumbling-window count/sum/avg per key. `watermark` only applies on
     streaming inputs (late rows beyond it are dropped)."""
+    df = _event_time(df, ts_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
@@ -54,6 +67,7 @@ def sliding_counts(
     key_col: str = "event_type",
     watermark: str | None = None,
 ) -> DataFrame:
+    df = _event_time(df, ts_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
@@ -78,6 +92,7 @@ def session_counts(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Session windows per key with the given inactivity gap."""
+    df = _event_time(df, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
