@@ -44,6 +44,7 @@ from . import colorlayout as CL
 from . import edgehistogram as EH
 from . import imagecodec as IC
 from . import opponenthistogram as OH
+from . import scalablecolor as SCD
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -186,11 +187,24 @@ def _descriptor(
         vec = EH.edge_histogram(rgb).astype(np.float64)
     elif algo == "oh":
         vec = OH.opponent_histogram(rgb).astype(np.float64)
+    elif algo == "sc":
+        # ScalableColor coefficients are SIGNED (-255..255). The generic
+        # embedding/hash-token pipeline requires non-negative integer
+        # tokens (P9 hex decode has no sign convention — the reference's
+        # own tokens are BitSampling hashes, never negative), so this
+        # adapter shifts by +255 on BOTH ingest and query paths —
+        # self-consistent for the J2 cosine/IP pipeline. The true signed
+        # LIRE metric (L1) lives in operators/similarity.descriptor_topk
+        # metric='sc' over the raw sc_bins column.
+        vec = (SCD.scalable_color(rgb) + 255).astype(np.float64)
     else:
         raise ValueError(
-            f"unsupported descriptor algo {algo!r} (cl, eh, oh)"
+            f"unsupported descriptor algo {algo!r} (cl, eh, oh, sc)"
         )
-    hi = bytes(vec.astype(np.uint8)).hex()
+    # Identity hex of the quantized descriptor (the `_hi` role). Bytes are
+    # the low 8 bits of each coefficient — sc coefficients can be negative,
+    # so wrap explicitly (two's complement) instead of a float->uint8 cast.
+    hi = bytes((vec.astype(np.int64) & 0xFF).astype(np.uint8)).hex()
     if len(vec) >= dim:
         out = vec[:dim]
     else:

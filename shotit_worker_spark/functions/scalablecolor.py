@@ -1,0 +1,195 @@
+"""MPEG-7 ScalableColor descriptor — pure numpy, bit-exact vs LIRE.
+
+Fourth algo of the reference's descriptor whitelist (`sc` in
+/root/reference/hasher.js:28-43; class net/semanticmetadata/lire/
+imageanalysis/features/global/ScalableColor extending mpeg7/
+ScalableColorImpl in its lire.jar): a 256-bin HSV histogram
+(16H x 4S x 4V), nonlinearly quantized, Haar-transformed via a
+butterfly table, subband-reordered and per-coefficient offset/clipped.
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/scalablecolor.json):
+
+- Integer HSV (ScalableColorImpl.convertRgbToHsv): v = max(r,g,b);
+  s = (max-min)*255/max with Java integer division; h from the 6-case
+  sector formula in doubles, then (int)(h/6*255). Black (max==0) and
+  gray (max==min) short-circuit to h=s=0 wthout touching v's path.
+- Bin indices are simple shifts: h*16/256, s*4/256, v*4/256 computed
+  in float32, which for 8-bit inputs is exactly >>4 / >>6 / >>6.
+- Histogram flattening order is [v][s][h] (v outermost), i.e.
+  flat[v*64 + s*16 + h].
+- QuantizeHistogram and the HaarTransform input copy iterate only the
+  first ``NumberOfCoefficients`` (= 64 for the default constructor the
+  indexer uses) of the 256 bins — bins 64..255 enter the transform as
+  ZERO. This is faithful to the jar (a LIRE quirk), not a choice.
+- Quantization: q1 = trunc(2047*bin/total + 0.49999) clipped to 2047;
+  then q2 = 15 if q1 > 818.8 else trunc(15*pow(q1/818.8, 0.4) + 0.5),
+  clipped to 15.
+- Haar: 255 sequential butterflies (sum/diff pairs) over a 16x16
+  matrix laid out m[i%16][i//16], indexed by the jar's `tabelle`;
+  then reorder by `sorttab`; then per-coefficient subtract
+  ``QUANT[i][0]`` and clip to ±``QUANT[i][2]`` (hsv_hir_quant_lin_5).
+  NumberOfBitplanesDiscarded is 0 in the default path, so
+  red_bits_pro_bin_5 is a no-op.
+- The feature vector is the first 64 coefficients with positions 0
+  and 1 forced to 0 (ScalableColor.getFeatureVector copies from index
+  2 *preserving* indices — again faithful to the jar).
+
+Distance (ScalableColorImpl.getSimilarity / getDistance) is the L1
+distance over the 64 stored coefficients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .scalablecolor_tables import QUANT, SORTTAB, TABELLE
+
+__all__ = [
+    "scalable_color",
+    "haar_histogram",
+    "sc_distance",
+    "distance_col",
+    "COEFF_COUNT",
+]
+
+COEFF_COUNT = 64
+
+_TAB_A_ROW = np.asarray(TABELLE[0], dtype=np.int64)
+_TAB_A_COL = np.asarray(TABELLE[1], dtype=np.int64)
+_TAB_B_ROW = np.asarray(TABELLE[2], dtype=np.int64)
+_TAB_B_COL = np.asarray(TABELLE[3], dtype=np.int64)
+_SORTTAB = np.asarray(SORTTAB, dtype=np.int64)
+_QUANT = np.asarray(QUANT, dtype=np.int64)
+
+
+def _hsv_int(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LIRE's integer RGB->HSV (convertRgbToHsv), vectorized.
+
+    Returns (h, s, v) int64 arrays in [0, 255]."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+
+    v = mx
+    # s = (max - min) * 255 / max, Java idiv (operands >= 0 -> floor ok);
+    # guarded: max == 0 -> s = 0.
+    safe_mx = np.where(mx == 0, 1, mx)
+    s = (mx - mn) * 255 // safe_mx
+    s = np.where(mx == 0, 0, s)
+
+    # Sector selection replicates the jar's comparison tree exactly:
+    #   g > b:  r > g -> case 0;  b > r -> case 1;  else case 2
+    #   g <= b: r > b -> case 3;  g > r -> case 4;  else case 5
+    gb = g > b
+    case0 = gb & (r > g)
+    case1 = gb & ~case0 & (b > r)
+    case2 = gb & ~case0 & ~case1
+    case3 = ~gb & (r > b)
+    case4 = ~gb & ~case3 & (g > r)
+    case5 = ~gb & ~case3 & ~case4
+
+    rf, gf, bf = r.astype(np.float64), g.astype(np.float64), b.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hf = np.select(
+            [case0, case1, case2, case3, case4, case5],
+            [
+                1.0 - (rf - gf) / (rf - bf),
+                3.0 - (gf - bf) / (gf - rf),
+                1.0 + (gf - rf) / (gf - bf),
+                5.0 + (rf - bf) / (rf - gf),
+                3.0 + (bf - gf) / (bf - rf),
+                5.0 - (bf - rf) / (bf - gf),
+            ],
+        )
+    # max == min (incl. black) lanes produce NaN/inf in the vectorized
+    # formula; they're masked to h = 0 below, zero them pre-cast.
+    hf = np.nan_to_num(hf, nan=0.0, posinf=0.0, neginf=0.0)
+    h = np.trunc(hf / 6.0 * 255.0).astype(np.int64)
+    h = np.where(mx == mn, 0, h)
+    return h, s, v
+
+
+def haar_histogram(rgb: np.ndarray, n_coeff: int = COEFF_COUNT) -> np.ndarray:
+    """The full 256-int Haar-transformed histogram
+    (ScalableColorImpl.haarTransformedHistogram) of an (H, W, 3) uint8
+    RGB image."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h, s, v = _hsv_int(rgb)
+
+    # _Quant bin indices: *16/256, *4/256, *4/256 in float32 == shifts.
+    flat_idx = ((v >> 6) * 64 + (s >> 6) * 16 + (h >> 4)).ravel()
+    hist = np.bincount(flat_idx, minlength=256).astype(np.int64)
+    total = int(hist.sum())
+
+    # QuantizeHistogram — only the first n_coeff bins, faithfully.
+    head = hist[:n_coeff].astype(np.float64)
+    if total > 0:
+        q1 = np.trunc(2047.0 * (head / float(total)) + 0.49999)
+    else:
+        q1 = np.zeros_like(head)
+    q1 = np.minimum(q1, 2047.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        powed = np.trunc(15.0 * np.power(q1 / 818.8, 0.4) + 0.5)
+    q2 = np.where(q1 > 818.8, 15.0, powed)
+    q2 = np.minimum(q2, 15.0)
+
+    histogram = np.zeros(256, dtype=np.int64)
+    histogram[:n_coeff] = q2.astype(np.int64)
+
+    # histo_3d_hirarch_5: matrix[i % 16][i // 16] = histogram[i], then 255
+    # sequential sum/diff butterflies. Sequential by construction (later
+    # butterflies read earlier results), so a plain loop over the table.
+    m = histogram.reshape(16, 16).T.copy()
+    for k in range(255):
+        ar, ac = _TAB_A_ROW[k], _TAB_A_COL[k]
+        br, bc = _TAB_B_ROW[k], _TAB_B_COL[k]
+        sm = m[ar, ac] + m[br, bc]
+        df = m[br, bc] - m[ar, ac]
+        m[ar, ac] = sm
+        m[br, bc] = df
+    transformed = m.T.ravel()
+
+    # sorttab reorder + per-coefficient offset/clip.
+    out = transformed[_SORTTAB]
+    out = out - _QUANT[:, 0]
+    out = np.clip(out, -_QUANT[:, 2], _QUANT[:, 2])
+    return out.astype(np.int64)
+
+
+def scalable_color(rgb: np.ndarray) -> np.ndarray:
+    """64-int ScalableColor feature vector, bit-identical to LIRE's
+    ScalableColor.getFeatureVector (coefficients 0 and 1 are zero)."""
+    haar = haar_histogram(rgb)
+    out = np.zeros(COEFF_COUNT, dtype=np.int64)
+    out[2:] = haar[2:COEFF_COUNT]
+    return out
+
+
+def sc_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """L1 distance over the stored coefficients
+    (ScalableColorImpl.getSimilarity, used by getDistance).
+
+    The matching state is ``haar_histogram(rgb)[:64]`` — the serialized
+    form getByteArrayRepresentation carries, INCLUDING coefficients 0
+    and 1 that getFeatureVector zeroes. Golden-pinned vs the jar in
+    tests/goldens/descriptor_distances.json."""
+    return float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+
+
+def distance_col(bins_col, query_bins):
+    """ScalableColor matching distance as a Catalyst Column: integer L1
+    between a 64-int array column and a driver-side query vector —
+    whole-stage-codegen'd, no Python in the scoring path."""
+    from pyspark.sql import functions as F
+
+    q = F.array(*[F.lit(int(v)) for v in query_bins])
+    return F.aggregate(
+        F.zip_with(bins_col, q, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )

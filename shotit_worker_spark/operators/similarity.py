@@ -484,12 +484,16 @@ def descriptor_topk(
     golden-pinned vs the jar). metric='eh': `df` carries `eh_bins`
     (80-element array); `query` is the bin array — distance is LIRE's
     dequantized-L1 + weighted code-L1
-    (functions/edgehistogram.distance_col).
+    (functions/edgehistogram.distance_col). metric='sc': `df` carries
+    `sc_bins` (64-int array); `query` is the bin array — distance is
+    the integer L1 of ScalableColorImpl.getSimilarity
+    (functions/scalablecolor.distance_col).
 
     Plan shape: one projection + TakeOrderedAndProject — the scan prunes
     to the descriptor columns, no shuffle beyond the top-k."""
     from ..functions import colorlayout as CL
     from ..functions import edgehistogram as EH
+    from ..functions import scalablecolor as SCD
 
     if metric == "cl":
         qy, qcb, qcr = query
@@ -498,8 +502,10 @@ def descriptor_topk(
         )
     elif metric == "eh":
         dist = EH.distance_col(F.col("eh_bins"), query)
+    elif metric == "sc":
+        dist = SCD.distance_col(F.col("sc_bins"), query)
     else:
-        raise ValueError(f"unknown descriptor metric {metric!r} (cl, eh)")
+        raise ValueError(f"unknown descriptor metric {metric!r} (cl, eh, sc)")
     order = [F.col("distance").asc()] + (
         [F.col(tie_col).asc()] if tie_col else []
     )

@@ -96,6 +96,69 @@ def test_self_retrieval_ivf(spark, index_rows, tmp_root):
     assert top["hash_id"] == fr["hid"]
 
 
+@pytest.mark.parametrize("algo", ["cl", "eh", "oh", "sc"])
+def test_self_retrieval_per_algo(spark, algo):
+    """The multi-algo pipeline end-to-end (P4 whitelist): ingest + query
+    with each implemented descriptor — embedding a frame's own image
+    must return that frame as top-1 with score ~1.
+
+    Frames are pixel-noise PPMs built directly (not the video stub,
+    whose 8x8-uniform-block scenes align with EdgeHistogram's 2x2
+    macro-blocks and legitimately produce an all-zero edge histogram —
+    noise gives every descriptor a nonzero signal to retrieve on)."""
+    import numpy as np
+
+    from shotit_worker_spark.functions import imagecodec as IC
+
+    rng = np.random.default_rng(hash(algo) % (2**32))
+
+    def _frame_img() -> bytes:
+        # per-frame random DARK color cast + strong pixel noise: distinct
+        # color histograms (cl/oh/sc separate) AND dense local gradients
+        # (eh nonzero). Dark casts matter for sc: LIRE's default-path
+        # ScalableColor quantizes only histogram bins 0..63 — the V<64
+        # slice — so only the dark-pixel distribution discriminates
+        # (jar quirk, replicated bit-exactly; see functions/
+        # scalablecolor.py). iid noise alone degenerates sc to ties.
+        cast = rng.integers(5, 85, (1, 1, 3))
+        noise = rng.integers(-45, 46, (48, 80, 3))
+        return IC.encode_ppm(
+            np.clip(cast + noise, 0, 255).astype(np.uint8)
+        )
+
+    frames = spark.createDataFrame(
+        [
+            (f"store/tt9{algo}/ep.mp4", i, float(i) / 12.0, _frame_img())
+            for i in range(8)
+        ],
+        M.FRAME_SCHEMA,
+    )
+    rows = ING.loader_transform(
+        M.frames_to_hashes(M.embed_images(frames, dim=DIM, algo=algo)),
+        dim=DIM,
+    ).cache()
+    with_id = frames.withColumn(
+        "hid", F.concat_ws("/", "file", F.format_string("%.2f", F.col("time")))
+    )
+    sample = (
+        with_id.join(rows, with_id.hid == rows.hash_id)
+        .select("hid", "image")
+        .orderBy("hid")
+        .limit(1)
+        .collect()
+    )
+    assert sample, f"no surviving frames for algo={algo}"
+    fr = sample[0]
+    qv = M.embed_query_image(bytes(fr["image"]), dim=DIM, algo=algo)
+    assert float(np.abs(qv).sum()) > 0, f"algo={algo} produced a zero vector"
+    top = S.exact_topk(
+        rows, list(qv), k=1, vec_col="vector", id_col="hash_id",
+        tie_col="primary_key",
+    ).first()
+    assert top["hash_id"] == fr["hid"]
+    assert top["score"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_response_shape(spark, index_rows):
     """§2.11 API parity: the Solr-shaped response wrapper."""
     from shotit_worker_spark.plans import search as SRCH

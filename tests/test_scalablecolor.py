@@ -1,0 +1,71 @@
+"""ScalableColor descriptor: LIRE bit-parity goldens + properties.
+Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from shotit_worker_spark.functions import scalablecolor as SC
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "scalablecolor.json")
+
+
+def test_lire_bit_parity_haar_and_feature():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        haar = list(SC.haar_histogram(arr))
+        feat = list(SC.scalable_color(arr))
+        assert haar == goldens[name]["haar"], f"{name}: haar mismatch"
+        assert feat == goldens[name]["feature"], f"{name}: feature mismatch"
+
+
+def test_feature_shape_and_zeroed_head():
+    """getFeatureVector copies haar coefficients preserving indices from
+    2, so positions 0 and 1 are always zero (jar quirk, replicated)."""
+    for arr in _golden_images().values():
+        feat = SC.scalable_color(arr)
+        assert feat.shape == (64,)
+        assert feat[0] == 0 and feat[1] == 0
+
+
+def test_hsv_int_reference_values():
+    """Spot-check the integer HSV conversion against hand-computed
+    values of LIRE's sector formula."""
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [128, 128, 128], [0, 0, 0]]],
+        np.uint8,
+    )
+    h, s, v = SC._hsv_int(img)
+    # red:   case3 (g<=b, r>b):  h = (int)((5 + 255/255) / 6 * 255) = 255
+    # green: case2 (g>b, r<=g):  h = (int)((1 + 255/255) / 6 * 255) = 85
+    #        (2.0/6.0*255.0 rounds to exactly 85.0 in doubles)
+    # blue:  case5:              h = (int)((5 - 255/255) / 6 * 255) = 170
+    assert list(h[0]) == [255, 85, 170, 0, 0]
+    assert list(s[0]) == [255, 255, 255, 0, 0]
+    assert list(v[0]) == [255, 255, 255, 128, 0]
+
+
+def test_scale_invariance_of_quantized_histogram():
+    """The histogram is total-normalized before quantization, so tiling
+    an image (4x the pixels, same distribution) gives the same
+    descriptor."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    tiled = np.tile(img, (2, 2, 1))
+    assert np.array_equal(SC.scalable_color(img), SC.scalable_color(tiled))
+
+
+def test_sc_distance_matches_l1():
+    rng = np.random.default_rng(3)
+    a = rng.integers(-255, 256, 64)
+    b = rng.integers(-255, 256, 64)
+    assert SC.sc_distance(a, b) == float(np.abs(a - b).sum())
+    assert SC.sc_distance(a, a) == 0.0

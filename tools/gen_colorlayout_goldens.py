@@ -74,6 +74,7 @@ import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayoutImpl;
 import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.EdgeHistogramImplementation;
 import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
+import net.semanticmetadata.lire.imageanalysis.features.global.ScalableColor;
 import java.io.File;
 
 public class DistGold {
@@ -81,10 +82,13 @@ public class DistGold {
     int n = args.length;
     ColorLayoutImpl[] cls = new ColorLayoutImpl[n];
     EdgeHistogram[] ehs = new EdgeHistogram[n];
+    ScalableColor[] scs = new ScalableColor[n];
     for (int i = 0; i < n; i++) {
       cls[i] = new ColorLayoutImpl(64, 28, ImageIO.read(new File(args[i])));
       ehs[i] = new EdgeHistogram();
       ehs[i].extract(ImageIO.read(new File(args[i])));
+      scs[i] = new ScalableColor();
+      scs[i].extract(ImageIO.read(new File(args[i])));
     }
     for (int a = 0; a < n; a++)
       for (int b = a + 1; b < n; b++) {
@@ -96,8 +100,32 @@ public class DistGold {
         int[] ia = new int[80]; int[] ib = new int[80];
         for (int i = 0; i < 80; i++) { ia[i] = (int) va[i]; ib[i] = (int) vb[i]; }
         double eh = EdgeHistogramImplementation.calculateDistance(ia, ib);
-        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh);
+        double sc = scs[a].getDistance(scs[b]);
+        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh + "|" + sc);
       }
+  }
+}
+"""
+
+SC_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.ScalableColor;
+import java.io.File;
+
+public class SCGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      ScalableColor sc = new ScalableColor();
+      sc.extract(ImageIO.read(new File(p)));
+      int[] haar = sc.getHaarTransformedHistogram();
+      double[] v = sc.getFeatureVector();
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (int d : haar) sb.append(d).append(",");
+      sb.append("\t");
+      for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
   }
 }
 """
@@ -159,6 +187,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory(dir=REPO) as td:
         for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS),
                            ("OHGold.java", OH_HARNESS),
+                           ("SCGold.java", SC_HARNESS),
                            ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
@@ -211,23 +240,38 @@ def main() -> None:
             }
 
         res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "SCGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        sc_goldens = {}
+        for line in res.stdout.strip().splitlines():
+            path, haar, feat = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            sc_goldens[name] = {
+                "haar": [int(v) for v in haar.rstrip(",").split(",")],
+                "feature": [int(v) for v in feat.rstrip(",").split(",")],
+            }
+
+        res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "DistGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
         dist_goldens = []
         for line in res.stdout.strip().splitlines():
-            pa, pb, cl, eh = line.split("|")
+            pa, pb, cl, eh, sc = line.split("|")
             dist_goldens.append({
                 "a": os.path.basename(pa)[: -len(".png")],
                 "b": os.path.basename(pb)[: -len(".png")],
                 "cl_similarity": float(cl),
                 "eh_distance": float(eh),
+                "sc_distance": float(sc),
             })
 
     for fname, data in (
         ("colorlayout.json", cl_goldens),
         ("edgehistogram.json", eh_goldens),
         ("opponenthistogram.json", oh_goldens),
+        ("scalablecolor.json", sc_goldens),
         ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)

@@ -1,0 +1,99 @@
+"""Regenerate shotit_worker_spark/functions/scalablecolor_tables.py.
+
+Dumps the ScalableColorImpl static tables (tabelle / sorttab /
+scalableColorQuantValues) out of the reference's lire.jar via a tiny
+reflection probe compiled on the fly. Needs javac + the jar — run once
+when regenerating; the committed module is what the kernel imports.
+
+Usage: python tools/gen_scalablecolor_tables.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+PROBE = r"""
+import java.lang.reflect.Field;
+public class TableDump {
+  public static void main(String[] args) throws Exception {
+    Class<?> c = Class.forName(
+        "net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ScalableColorImpl");
+    Field ft = c.getDeclaredField("tabelle"); ft.setAccessible(true);
+    int[][] tab = (int[][]) ft.get(null);
+    Field fs = c.getDeclaredField("sorttab"); fs.setAccessible(true);
+    int[] sorttab = (int[]) fs.get(null);
+    Field fq = c.getDeclaredField("scalableColorQuantValues"); fq.setAccessible(true);
+    int[][] qv = (int[][]) fq.get(null);
+    StringBuilder sb = new StringBuilder();
+    sb.append("{\"tabelle\":[");
+    for (int i = 0; i < tab.length; i++) {
+      sb.append(i > 0 ? "," : "").append("[");
+      for (int j = 0; j < tab[i].length; j++)
+        sb.append(j > 0 ? "," : "").append(tab[i][j]);
+      sb.append("]");
+    }
+    sb.append("],\"sorttab\":[");
+    for (int i = 0; i < sorttab.length; i++)
+      sb.append(i > 0 ? "," : "").append(sorttab[i]);
+    sb.append("],\"quant\":[");
+    for (int i = 0; i < qv.length; i++) {
+      sb.append(i > 0 ? "," : "").append("[");
+      for (int j = 0; j < qv[i].length; j++)
+        sb.append(j > 0 ? "," : "").append(qv[i][j]);
+      sb.append("]");
+    }
+    sb.append("]}");
+    System.out.println(sb);
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "TableDump.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(["javac", "-cp", LIRE_JAR, "TableDump.java"], cwd=td, check=True)
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "TableDump"],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+    d = json.loads(res.stdout)
+    dest = os.path.join(
+        REPO, "shotit_worker_spark", "functions", "scalablecolor_tables.py"
+    )
+    with open(dest, "w") as f:
+        f.write(
+            '"""Static tables for the MPEG-7 ScalableColor descriptor.\n\n'
+            "Values extracted from the reference's lire.jar\n"
+            "(net/semanticmetadata/lire/imageanalysis/features/global/mpeg7/\n"
+            "ScalableColorImpl.class static initializer) via reflection — the\n"
+            "same tables appear in the public LIRE source and in the MPEG-7 XM\n"
+            "reference software. Regenerate with tools/gen_scalablecolor_tables.py.\n"
+            '"""\n\n'
+        )
+        f.write(
+            "# tabelle[0..3][k]: Haar butterfly index pairs (row-a, col-a, row-b,\n"
+            "# col-b) applied sequentially over a 16x16 matrix; tabelle[4][k] is a\n"
+            "# level tag used only by the 16-coefficient variant.\n"
+        )
+        f.write("TABELLE = %r\n\n" % (d["tabelle"],))
+        f.write("# sorttab: post-transform coefficient reordering (subband scan order).\n")
+        f.write("SORTTAB = %r\n\n" % (d["sorttab"],))
+        f.write(
+            "# quant[i] = (offset, bits, clip): per-coefficient offset-subtract and\n"
+            "# symmetric clip used by hsv_hir_quant_lin_5 / red_bits_pro_bin_5.\n"
+        )
+        f.write("QUANT = %r\n" % (d["quant"],))
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
