@@ -1,0 +1,335 @@
+"""CEDD descriptor — pure numpy, bit-exact vs LIRE.
+
+Fifth algo of the reference's descriptor whitelist (`ce` in
+/root/reference/hasher.js:28-43; class net/semanticmetadata/lire/
+imageanalysis/features/global/CEDD in its lire.jar): the Color and
+Edge Directivity Descriptor of Chatzichristofis & Boutalis (ICVS
+2008) — a 144-bin histogram (6 texture classes x 24 fuzzy color
+shades), 3-bit quantized.
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/cedd.json):
+
+- Block grid: 1600 target blocks when min(w,h) >= 80, 400 when
+  40 <= min < 80, else a fixed 2x2 step. Step = floor(side /
+  sqrt(N)) forced even; the scanned extent is Step * int(sqrt(N))
+  (or 2 * (side >> 1) in the small-image path) — trailing pixels are
+  cropped.
+- Texture unit (MPEG-7-style 2x2 quadrant filters on luma
+  0.114B + 0.587G + 0.299R, summed in that order): per-quadrant sums
+  are truncated via (int)(area * 4.0 / blockpixels); five mask
+  responses are max-normalized, then thresholds T0=14 (on the
+  UN-normalized max), T1=0.68, T2=T3=0.98 classify the block into
+  any subset of {non-edge} or {non-directional, horizontal, vertical,
+  45deg, 135deg} — a block can vote into several texture bands, or
+  none (max >= T0 but no mask over threshold).
+- Color unit: per-block integer mean RGB (Java idiv), integer HSV
+  (RGB2HSV.ApplyFilter: h in 0..359 via the 60/119/239/359 sector
+  formula with d2i truncation), fuzzy 10-bin (48 three-input rules,
+  trapezoid memberships, MultiParticipate defuzzification: every
+  firing rule adds min of its activations), fuzzy 24-bin hue
+  expansion (2x2 sat/val sets -> 3 shades; bins 0-2 pass through).
+- Accumulation order is preserved exactly (cumsum over blocks in scan
+  order — numpy's pairwise sum would drift last bits vs Java's
+  sequential adds).
+- Normalization by the histogram total, then per-band 8-entry
+  codebook quantization (CEDDQuant: argmin of |x - code/1e6| with
+  strict <, first index wins) to values 0..7.
+
+Distance (CEDD.getDistance) is 100 - 100 * Tanimoto coefficient over
+the normalized byte histograms (0 if both empty, 100 if exactly one
+is empty).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cedd_tables import (
+    F10_HUE,
+    F10_RULES,
+    F10_SAT,
+    F10_VAL,
+    F24_RULES,
+    F24_SAT,
+    F24_VAL,
+    QUANT_TABLES,
+)
+
+__all__ = ["cedd", "cedd_distance", "distance_col", "BIN_COUNT"]
+
+BIN_COUNT = 144
+
+_T0, _T1, _T2, _T3 = 14.0, 0.68, 0.98, 0.98
+_SQRT2 = float(np.sqrt(2.0))
+
+_F10_RULES = np.asarray(F10_RULES, dtype=np.int64)
+_F24_RULES = np.asarray(F24_RULES, dtype=np.int64)
+_QUANT = [np.asarray(t, dtype=np.float64) / 1e6 for t in QUANT_TABLES]
+
+
+def _trapezoid_activations(x: np.ndarray, table: list[float]) -> np.ndarray:
+    """(n,) values -> (n, n_sets) activations for the 4-point trapezoid
+    sets of `table` (Fuzzy10Bin.FindMembershipValueForTriangles)."""
+    n_sets = len(table) // 4
+    out = np.zeros((x.shape[0], n_sets), dtype=np.float64)
+    for i in range(n_sets):
+        a, b, c, d = table[4 * i : 4 * i + 4]
+        full = (x >= b) & (x <= c)
+        rise = (x >= a) & (x < b)
+        fall = (x > c) & (x <= d)
+        out[full, i] = 1.0
+        if b != a:
+            out[rise, i] = (x[rise] - a) / (b - a)
+        if c != d:
+            out[fall, i] = (x[fall] - c) / (c - d) + 1.0
+    return out
+
+
+def _rgb2hsv_int(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """CEDD's integer RGB->HSV (cedd/RGB2HSV.ApplyFilter), vectorized.
+    h in 0..359 (int), s and v in 0..255 (int)."""
+    mx = np.maximum(np.maximum(r, g), b).astype(np.float64)
+    mn = np.minimum(np.minimum(r, g), b).astype(np.float64)
+    v = np.trunc(mx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.trunc(255.0 - 255.0 * (mn / mx))
+    s = np.where(mx == 0, 0.0, s)
+
+    imax = np.trunc(mx)
+    span = mx - mn
+    rf, gf, bf = r.astype(np.float64), g.astype(np.float64), b.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # integer multiplies (60 * (g-b)) happen in int, then i2d —
+        # exact for 8-bit inputs, so float multiply is identical.
+        h_r_pos = np.trunc(60.0 * (gf - bf) / span)
+        h_r_neg = np.trunc(359.0 + 60.0 * (gf - bf) / span)
+        h_g = np.trunc(119.0 + 60.0 * (bf - rf) / span)
+        h_b = np.trunc(239.0 + 60.0 * (rf - gf) / span)
+    is_r = imax == r
+    is_g = ~is_r & (imax == g)
+    is_b = ~is_r & ~is_g & (imax == b)
+    h = np.select(
+        [is_r & (g >= b), is_r & (g < b), is_g, is_b],
+        [h_r_pos, h_r_neg, h_g, h_b],
+        default=0.0,
+    )
+    h = np.where(mx == mn, 0.0, h)
+    h = np.nan_to_num(h, nan=0.0, posinf=0.0, neginf=0.0)
+    return h, s, v
+
+
+def _fuzzy10(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(n,) int HSV -> (n, 10) fuzzy color histogram (method 2:
+    MultiParticipate_Defazzificator — every firing rule adds the min of
+    its three activations)."""
+    h_act = _trapezoid_activations(h, F10_HUE)
+    s_act = _trapezoid_activations(s, F10_SAT)
+    v_act = _trapezoid_activations(v, F10_VAL)
+    out = np.zeros((h.shape[0], 10), dtype=np.float64)
+    for i1, i2, i3, dest in _F10_RULES:
+        a1, a2, a3 = h_act[:, i1], s_act[:, i2], v_act[:, i3]
+        fire = (a1 > 0) & (a2 > 0) & (a3 > 0)
+        out[:, dest] += np.where(
+            fire, np.minimum(np.minimum(a1, a2), a3), 0.0
+        )
+    return out
+
+
+def _fuzzy24(
+    s: np.ndarray, v: np.ndarray, f10: np.ndarray
+) -> np.ndarray:
+    """(n,) int SV + (n, 10) fuzzy10 -> (n, 24) hue-expanded histogram."""
+    s_act = _trapezoid_activations(s, F24_SAT)
+    v_act = _trapezoid_activations(v, F24_VAL)
+    temp = f10[:, 3:10].sum(axis=1)
+    rt = np.zeros((s.shape[0], 3), dtype=np.float64)
+    for i1, i2, dest in _F24_RULES:
+        a1, a2 = s_act[:, i1], v_act[:, i2]
+        fire = (a1 > 0) & (a2 > 0)
+        rt[:, dest] += np.where(fire, np.minimum(a1, a2), 0.0)
+    rt[temp <= 0] = 0.0
+
+    out = np.zeros((s.shape[0], 24), dtype=np.float64)
+    out[:, 0:3] = f10[:, 0:3]
+    for i in range(3, 10):
+        base = (i - 2) * 3
+        out[:, base + 0] = f10[:, i] * rt[:, 0]
+        out[:, base + 1] = f10[:, i] * rt[:, 1]
+        out[:, base + 2] = f10[:, i] * rt[:, 2]
+    return out
+
+
+def _seq_sum(a: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Strictly left-to-right float summation (Java loop order) —
+    np.sum's pairwise reduction would differ in the last bits."""
+    if a.shape[axis] == 0:
+        return np.zeros(tuple(s for i, s in enumerate(a.shape) if i != axis))
+    return np.cumsum(a, axis=axis).take(-1, axis=axis)
+
+
+def cedd(rgb: np.ndarray) -> np.ndarray:
+    """144-int CEDD histogram (each 0..7), bit-identical to LIRE's
+    CEDD.getFeatureVector / getByteHistogram."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h_img, w_img = rgb.shape[:2]
+
+    n_blocks = -1
+    if min(w_img, h_img) >= 80:
+        n_blocks = 1600
+    elif min(w_img, h_img) >= 40:
+        n_blocks = 400
+    step_x = step_y = 2
+    if n_blocks > 0:
+        step_x = int(np.floor(w_img / np.sqrt(n_blocks)))
+        step_y = int(np.floor(h_img / np.sqrt(n_blocks)))
+        if step_x % 2 != 0:
+            step_x -= 1
+        if step_y % 2 != 0:
+            step_y -= 1
+        max_x = step_x * int(np.sqrt(n_blocks))
+        max_y = step_y * int(np.sqrt(n_blocks))
+    else:
+        max_x = step_x * (w_img >> 1)
+        max_y = step_y * (h_img >> 1)
+    if max_x == 0 or max_y == 0 or step_x == 0 or step_y == 0:
+        return np.zeros(BIN_COUNT, dtype=np.int64)
+
+    crop = rgb[:max_y, :max_x].astype(np.float64)
+    r8 = rgb[:max_y, :max_x, 0].astype(np.int64)
+    g8 = rgb[:max_y, :max_x, 1].astype(np.int64)
+    b8 = rgb[:max_y, :max_x, 2].astype(np.int64)
+    # luma in the jar's add order: (0.114*B + 0.587*G) + 0.299*R
+    luma = (0.114 * crop[..., 2] + 0.587 * crop[..., 1]) + 0.299 * crop[..., 0]
+
+    nby, nbx = max_y // step_y, max_x // step_x
+    nb = nby * nbx
+    hy, hx = step_y // 2, step_x // 2
+
+    # (nby, 2, hy, nbx, 2, hx) quadrant view; quadrant pixel order is
+    # row-major (y outer, x inner) like the jar's scan, so cumsum along
+    # the flattened quadrant axis reproduces its sequential adds.
+    q = luma.reshape(nby, 2, hy, nbx, 2, hx)
+    q = q.transpose(0, 3, 1, 4, 2, 5).reshape(nb, 2, 2, hy * hx)
+    qsum = _seq_sum(q, axis=3)  # (nb, 2, 2) in [qy][qx] order
+    area = np.trunc(qsum * 4.0 / float(step_x * step_y))
+    a1 = area[:, 0, 0]
+    a2 = area[:, 0, 1]
+    a3 = area[:, 1, 0]
+    a4 = area[:, 1, 1]
+
+    m1 = np.abs(((a1 * 2.0 + a2 * -2.0) + a3 * -2.0) + a4 * 2.0)
+    m2 = np.abs(((a1 * 1.0 + a2 * 1.0) + a3 * -1.0) + a4 * -1.0)
+    m3 = np.abs(((a1 * 1.0 + a2 * -1.0) + a3 * 1.0) + a4 * -1.0)
+    m4 = np.abs(((a1 * _SQRT2 + a2 * 0.0) + a3 * 0.0) + a4 * -_SQRT2)
+    m5 = np.abs(((a1 * 0.0 + a2 * _SQRT2) + a3 * -_SQRT2) + a4 * 0.0)
+    mmax = np.maximum(m1, np.maximum(m2, np.maximum(m3, np.maximum(m4, m5))))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m1n, m2n, m3n, m4n, m5n = (m / mmax for m in (m1, m2, m3, m4, m5))
+
+    non_edge = mmax < _T0
+    texture = np.zeros((nb, 6), dtype=bool)
+    texture[:, 0] = non_edge
+    with np.errstate(invalid="ignore"):
+        texture[:, 1] = ~non_edge & (m1n > _T1)
+        texture[:, 2] = ~non_edge & (m2n > _T2)
+        texture[:, 3] = ~non_edge & (m3n > _T2)
+        texture[:, 4] = ~non_edge & (m4n > _T3)
+        texture[:, 5] = ~non_edge & (m5n > _T3)
+
+    npix = step_x * step_y
+    mean_r = (
+        r8.reshape(nby, step_y, nbx, step_x).transpose(0, 2, 1, 3)
+        .reshape(nb, npix).sum(axis=1) // npix
+    )
+    mean_g = (
+        g8.reshape(nby, step_y, nbx, step_x).transpose(0, 2, 1, 3)
+        .reshape(nb, npix).sum(axis=1) // npix
+    )
+    mean_b = (
+        b8.reshape(nby, step_y, nbx, step_x).transpose(0, 2, 1, 3)
+        .reshape(nb, npix).sum(axis=1) // npix
+    )
+
+    hh, ss, vv = _rgb2hsv_int(mean_r, mean_g, mean_b)
+    f10 = _fuzzy10(hh, ss, vv)
+    f24 = _fuzzy24(ss, vv, f10)
+
+    # hist[24*t + j] = sequential sum over blocks (scan order) of
+    # f24[block, j] where the block voted into texture band t.
+    hist = np.zeros(BIN_COUNT, dtype=np.float64)
+    for t in range(6):
+        contrib = np.where(texture[:, t : t + 1], f24, 0.0)
+        hist[24 * t : 24 * t + 24] = _seq_sum(contrib, axis=0)
+
+    total = _seq_sum(hist[:, None], axis=0)[0]
+    if total > 0:
+        hist = hist / total
+
+    out = np.zeros(BIN_COUNT, dtype=np.int64)
+    for band in range(6):
+        codes = _QUANT[band]
+        seg = hist[24 * band : 24 * band + 24]
+        dists = np.abs(seg[:, None] - codes[None, :])
+        # argmin with strict < and first-index-wins, starting from
+        # min = 1.0 with default index 0 (the jar's loop semantics).
+        best = np.zeros(24, dtype=np.int64)
+        mins = np.ones(24, dtype=np.float64)
+        for j in range(8):
+            better = dists[:, j] < mins
+            mins = np.where(better, dists[:, j], mins)
+            best = np.where(better, j, best)
+        out[24 * band : 24 * band + 24] = best
+    return out
+
+
+def cedd_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """CEDD.getDistance: 100 - 100 * Tanimoto coefficient of the two
+    144-value histograms (0 if both empty, 100 if exactly one empty)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    sum_a = float(a.sum())
+    sum_b = float(b.sum())
+    if sum_a == 0.0 and sum_b == 0.0:
+        return 0.0
+    if sum_a == 0.0 or sum_b == 0.0:
+        return 100.0
+    # getDistance normalizes OTHER by its sum into iTmp1 and SELF into
+    # iTmp2; Tanimoto is symmetric in the resulting expression.
+    na = a / sum_a
+    nb_ = b / sum_b
+    t1 = float((na * nb_).sum())
+    t2 = float((nb_ * nb_).sum())
+    t3 = float((na * na).sum())
+    return 100.0 - 100.0 * (t1 / (t2 + t3 - t1))
+
+
+def distance_col(bins_col, query_bins):
+    """CEDD/FCTH/JCD Tanimoto matching distance as a Catalyst Column:
+    100 - 100*T between a histogram array column and a driver-side query
+    histogram — whole-stage-codegen'd, no Python in the scoring path.
+    The query-side sum and normalized values fold to constants."""
+    from pyspark.sql import functions as F
+
+    q = np.asarray(query_bins, dtype=np.float64)
+    sum_q = float(q.sum())
+    row_sum = F.aggregate(
+        bins_col, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    if sum_q == 0.0:
+        return F.when(row_sum == 0.0, F.lit(0.0)).otherwise(F.lit(100.0))
+    nq = q / sum_q
+    qcol = F.array(*[F.lit(float(v)) for v in nq])
+    t3 = F.lit(float((nq * nq).sum()))
+    nb = F.transform(bins_col, lambda x: x.cast("double") / row_sum)
+    t1 = F.aggregate(
+        F.zip_with(nb, qcol, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    t2 = F.aggregate(
+        F.transform(nb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.when(row_sum == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) * (t1 / (t2 + t3 - t1))
+    )

@@ -1,0 +1,232 @@
+"""FCTH and JCD descriptors — pure numpy, bit-exact vs LIRE.
+
+Whitelist algos `fc` and `jc` (/root/reference/hasher.js:28-43; jar
+classes net/semanticmetadata/lire/imageanalysis/features/global/FCTH
+and JCD): the Fuzzy Color and Texture Histogram of Chatzichristofis &
+Boutalis (WIAMIS 2008) — 192 bins (8 Haar-wavelet texture classes x 24
+fuzzy color shades) — and the Joint Composite Descriptor, a 168-bin
+merge of CEDD and FCTH.
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/fcth.json / jcd.json):
+
+- Luma is (int)(0.114B + 0.587G + 0.299R) per pixel (d2i truncation,
+  unlike CEDD which keeps the double).
+- Step = floor(side / 40) forced even, floored at 4; the block loops
+  run while start < side - Step (strict — the final partial row AND
+  the final full block row are both skipped, faithfully).
+- Each block maps onto a 4x4 cell grid by quarter thresholds (integer
+  division); cell sums divide by their own pixel counts.
+- One 2x2 Haar pass per quadrant of the cell grid: low-pass mean kept
+  as double, |vertical| / |horizontal| / |diagonal| responses pass
+  through (byte)(int) — an int8 two's-complement WRAP for responses
+  over 127 (jar quirk, replicated). F1/F2/F3 are the RMS-like square
+  sums (sqrt of 0.25 * sum of squares) of the vertical / horizontal /
+  diagonal quadrants.
+- FuzzyFCTHpart.ApplyFilter receives (F3, F2, F1) in THAT order —
+  its "Horizontal" input gets the diagonal energy (faithful to the
+  jar). 2 trapezoid sets per input, 8 three-input rules, participate
+  defuzzification; the block's 24-bin color histogram scales into the
+  192-bin histogram which accumulates across blocks inside the fuzzy
+  unit (sequential adds — reproduced via cumsum in scan order).
+- Normalization by the total, then FCTHQuant (8 codebooks of 8,
+  argmin with strict <, defaults to 0) to values 0..7.
+- JCD.joinHistograms folds FCTH's 8 bands pairwise (b and b+4) and
+  interleaves with CEDD's 6 bands into 7 x 24 = 168 bins, averaging
+  where both contribute.
+
+Distances: FCTH.getDistance and JCD.getDistance are the same Tanimoto
+form as CEDD's (cedd.cedd_distance works for all three).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cedd import _fuzzy10, _fuzzy24, _rgb2hsv_int, _seq_sum, _trapezoid_activations
+from .fcth_tables import FP_E, FP_H, FP_RULES, FP_V, QUANT_TABLES
+
+__all__ = ["fcth", "jcd", "join_histograms", "BIN_COUNT", "JCD_BIN_COUNT"]
+
+BIN_COUNT = 192
+JCD_BIN_COUNT = 168
+
+_FP_RULES = np.asarray(FP_RULES, dtype=np.int64)
+_QUANT = [np.asarray(t, dtype=np.float64) / 1e6 for t in QUANT_TABLES]
+
+
+def _byte_wrap(x: np.ndarray) -> np.ndarray:
+    """Java (byte)(int) cast: truncate to int32, wrap to int8."""
+    return np.trunc(x).astype(np.int64).astype(np.int8).astype(np.float64)
+
+
+def fcth(rgb: np.ndarray) -> np.ndarray:
+    """192-int FCTH histogram (each 0..7), bit-identical to LIRE's
+    FCTH.getFeatureVector on a freshly extracted image."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h_img, w_img = rgb.shape[:2]
+
+    step_x = int(np.floor(w_img / np.sqrt(1600.0)))
+    step_y = int(np.floor(h_img / np.sqrt(1600.0)))
+    if step_x % 2 != 0:
+        step_x -= 1
+    if step_y % 2 != 0:
+        step_y -= 1
+    step_x = max(step_x, 4)
+    step_y = max(step_y, 4)
+
+    ys = np.arange(0, max(0, h_img - step_y), step_y)
+    xs = np.arange(0, max(0, w_img - step_x), step_x)
+    # blocks starting at y < h-step_y may still end within the image;
+    # the jar never reads past (start + step - 1), which is < side here.
+    if len(ys) == 0 or len(xs) == 0:
+        return np.zeros(BIN_COUNT, dtype=np.int64)
+    nby, nbx = len(ys), len(xs)
+    nb = nby * nbx
+
+    rgbi = rgb.astype(np.int64)
+    r8, g8, b8 = rgbi[..., 0], rgbi[..., 1], rgbi[..., 2]
+    grey = np.trunc(
+        (0.114 * rgb[..., 2].astype(np.float64)
+         + 0.587 * rgb[..., 1].astype(np.float64))
+        + 0.299 * rgb[..., 0].astype(np.float64)
+    )
+
+    # Gather every block as a (nb, step_y, step_x) stack (blocks can
+    # overlap nothing here; strides via fancy indexing keep scan order).
+    yy = ys[:, None, None, None] + np.arange(step_y)[None, None, :, None]
+    xx = xs[None, :, None, None] + np.arange(step_x)[None, None, None, :]
+    blk_grey = grey[yy, xx].reshape(nb, step_y, step_x)
+    blk_r = r8[yy, xx].reshape(nb, step_y, step_x)
+    blk_g = g8[yy, xx].reshape(nb, step_y, step_x)
+    blk_b = b8[yy, xx].reshape(nb, step_y, step_x)
+
+    # 4x4 cell index per local pixel (quarter thresholds, int division).
+    def _cell_idx(offsets: np.ndarray, step: int) -> np.ndarray:
+        c = np.zeros_like(offsets)
+        c[offsets >= step // 4] = 1
+        c[offsets >= step // 2] = 2
+        c[offsets >= 3 * step // 4] = 3
+        return c
+
+    cx = _cell_idx(np.arange(step_x), step_x)  # local x -> cell col
+    cy = _cell_idx(np.arange(step_y), step_y)  # local y -> cell row
+    # cell[cx][cy] in the jar is indexed [x-cell][y-cell]; build sums
+    # via bincount over a combined (x-cell, y-cell) key. Luma values are
+    # integer-valued doubles, so sum order cannot change the result.
+    key = (cx[None, :] * 4 + cy[:, None]).ravel()  # (step_y*step_x,)
+    flat = blk_grey.reshape(nb, -1)
+    cell_sum = np.zeros((nb, 16), dtype=np.float64)
+    cell_cnt = np.bincount(key, minlength=16).astype(np.float64)
+    for cell in range(16):
+        mask = key == cell
+        if mask.any():
+            cell_sum[:, cell] = flat[:, mask].sum(axis=1)
+    m = (cell_sum / cell_cnt[None, :]).reshape(nb, 4, 4)  # [xcell][ycell]
+
+    # One Haar pass per 2x2 quadrant of the cell grid; index explicitly
+    # to keep the jar's (x-cell, y-cell) orientation.
+    def cellv(i, j):
+        return m[:, i, j]
+
+    f1s = np.zeros(nb)
+    f2s = np.zeros(nb)
+    f3s = np.zeros(nb)
+    vert = np.zeros((nb, 2, 2))
+    horz = np.zeros((nb, 2, 2))
+    diag = np.zeros((nb, 2, 2))
+    for i in range(2):
+        for j in range(2):
+            av = cellv(2 * i, 2 * j)
+            bv = cellv(2 * i + 1, 2 * j)
+            cv = cellv(2 * i, 2 * j + 1)
+            dv = cellv(2 * i + 1, 2 * j + 1)
+            vert[:, i, j] = _byte_wrap(np.abs(((-av - bv) + cv) + dv))
+            horz[:, i, j] = _byte_wrap(np.abs(((av - bv) + cv) - dv))
+            diag[:, i, j] = _byte_wrap(np.abs(((-av + bv) + cv) - dv))
+    # F1/F2/F3: sqrt of sequential sum of 0.25*x^2 over (i outer, j
+    # inner) — four terms, replicate the add order exactly.
+    for i in range(2):
+        for j in range(2):
+            f1s = f1s + 0.25 * vert[:, i, j] ** 2
+            f2s = f2s + 0.25 * horz[:, i, j] ** 2
+            f3s = f3s + 0.25 * diag[:, i, j] ** 2
+    f1 = np.sqrt(f1s)
+    f2 = np.sqrt(f2s)
+    f3 = np.sqrt(f3s)
+
+    npix = step_x * step_y
+    mean_r = blk_r.reshape(nb, -1).sum(axis=1) // npix
+    mean_g = blk_g.reshape(nb, -1).sum(axis=1) // npix
+    mean_b = blk_b.reshape(nb, -1).sum(axis=1) // npix
+
+    hh, ss, vv = _rgb2hsv_int(mean_r, mean_g, mean_b)
+    f10 = _fuzzy10(hh, ss, vv)
+    f24 = _fuzzy24(ss, vv, f10)
+
+    # FuzzyFCTHpart: "Horizontal" input <- F3, "Vertical" <- F2,
+    # "Energy" <- F1 (the jar's argument order).
+    h_act = _trapezoid_activations(f3, FP_H)
+    v_act = _trapezoid_activations(f2, FP_V)
+    e_act = _trapezoid_activations(f1, FP_E)
+    rt = np.zeros((nb, 8), dtype=np.float64)
+    for i1, i2, i3, dest in _FP_RULES:
+        a1, a2, a3 = h_act[:, i1], v_act[:, i2], e_act[:, i3]
+        fire = (a1 > 0) & (a2 > 0) & (a3 > 0)
+        rt[:, dest] += np.where(
+            fire, np.minimum(np.minimum(a1, a2), a3), 0.0
+        )
+
+    hist = np.zeros(BIN_COUNT, dtype=np.float64)
+    for t in range(8):
+        contrib = np.where(rt[:, t : t + 1] > 0, rt[:, t : t + 1] * f24, 0.0)
+        contrib = np.where(f24 > 0, contrib, 0.0)
+        hist[24 * t : 24 * t + 24] = _seq_sum(contrib, axis=0)
+
+    total = _seq_sum(hist[:, None], axis=0)[0]
+    if total > 0:
+        hist = hist / total
+
+    out = np.zeros(BIN_COUNT, dtype=np.int64)
+    for band in range(8):
+        codes = _QUANT[band]
+        seg = hist[24 * band : 24 * band + 24]
+        dists = np.abs(seg[:, None] - codes[None, :])
+        best = np.zeros(24, dtype=np.int64)
+        mins = np.ones(24, dtype=np.float64)
+        for j in range(8):
+            better = dists[:, j] < mins
+            mins = np.where(better, dists[:, j], mins)
+            best = np.where(better, j, best)
+        out[24 * band : 24 * band + 24] = best
+    return out
+
+
+def join_histograms(cedd_hist: np.ndarray, fcth_hist: np.ndarray) -> np.ndarray:
+    """JCD.joinHistograms: fold FCTH bands (b, b+4) pairwise, interleave
+    with CEDD bands into 168 bins. Returns float64 (averaged bins are
+    half-integers)."""
+    c = np.asarray(cedd_hist, dtype=np.float64)
+    f = np.asarray(fcth_hist, dtype=np.float64)
+    t0 = f[0:24] + f[96:120]
+    t1 = f[24:48] + f[120:144]
+    t2 = f[48:72] + f[144:168]
+    t3 = f[72:96] + f[168:192]
+    out = np.zeros(JCD_BIN_COUNT, dtype=np.float64)
+    out[0:24] = (t0 + c[0:24]) / 2.0
+    out[24:48] = (t1 + c[48:72]) / 2.0
+    out[48:72] = c[96:120]
+    out[72:96] = (t2 + c[72:96]) / 2.0
+    out[96:120] = c[120:144]
+    out[120:144] = t3
+    out[144:168] = c[24:48]
+    return out
+
+
+def jcd(rgb: np.ndarray) -> np.ndarray:
+    """168-value JCD vector (float64 — averaged bins are half-integers),
+    bit-identical to LIRE's JCD.getFeatureVector."""
+    from .cedd import cedd as _cedd
+
+    return join_histograms(_cedd(rgb), fcth(rgb))

@@ -40,8 +40,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from . import cedd as CE
 from . import colorlayout as CL
 from . import edgehistogram as EH
+from . import fcth as FC
 from . import imagecodec as IC
 from . import opponenthistogram as OH
 from . import scalablecolor as SCD
@@ -197,9 +199,19 @@ def _descriptor(
         # LIRE metric (L1) lives in operators/similarity.descriptor_topk
         # metric='sc' over the raw sc_bins column.
         vec = (SCD.scalable_color(rgb) + 255).astype(np.float64)
+    elif algo == "ce":
+        vec = CE.cedd(rgb).astype(np.float64)
+    elif algo == "fc":
+        vec = FC.fcth(rgb).astype(np.float64)
+    elif algo == "jc":
+        # JCD averages CEDD/FCTH bands into half-integers; double them
+        # so the hex-token round-trip stays lossless (the jar's own
+        # byte serialization stores JCD values x2 for the same reason).
+        vec = FC.jcd(rgb) * 2.0
     else:
         raise ValueError(
-            f"unsupported descriptor algo {algo!r} (cl, eh, oh, sc)"
+            f"unsupported descriptor algo {algo!r} "
+            "(cl, eh, oh, sc, ce, fc, jc)"
         )
     # Identity hex of the quantized descriptor (the `_hi` role). Bytes are
     # the low 8 bits of each coefficient — sc coefficients can be negative,

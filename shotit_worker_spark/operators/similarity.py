@@ -487,10 +487,14 @@ def descriptor_topk(
     (functions/edgehistogram.distance_col). metric='sc': `df` carries
     `sc_bins` (64-int array); `query` is the bin array — distance is
     the integer L1 of ScalableColorImpl.getSimilarity
-    (functions/scalablecolor.distance_col).
+    (functions/scalablecolor.distance_col). metric='ce'/'fc'/'jc':
+    `df` carries `ce_bins` / `fc_bins` / `jc_bins` histogram arrays —
+    distance is LIRE's Tanimoto form 100 - 100*T
+    (functions/cedd.distance_col, shared by all three).
 
     Plan shape: one projection + TakeOrderedAndProject — the scan prunes
     to the descriptor columns, no shuffle beyond the top-k."""
+    from ..functions import cedd as CE
     from ..functions import colorlayout as CL
     from ..functions import edgehistogram as EH
     from ..functions import scalablecolor as SCD
@@ -504,8 +508,12 @@ def descriptor_topk(
         dist = EH.distance_col(F.col("eh_bins"), query)
     elif metric == "sc":
         dist = SCD.distance_col(F.col("sc_bins"), query)
+    elif metric in ("ce", "fc", "jc"):
+        dist = CE.distance_col(F.col(f"{metric}_bins"), query)
     else:
-        raise ValueError(f"unknown descriptor metric {metric!r} (cl, eh, sc)")
+        raise ValueError(
+            f"unknown descriptor metric {metric!r} (cl, eh, sc, ce, fc, jc)"
+        )
     order = [F.col("distance").asc()] + (
         [F.col(tie_col).asc()] if tie_col else []
     )

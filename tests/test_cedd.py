@@ -1,0 +1,88 @@
+"""CEDD / FCTH / JCD descriptors: LIRE bit-parity goldens + properties.
+Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from shotit_worker_spark.functions import cedd as CE
+from shotit_worker_spark.functions import fcth as FC
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "cedd.json")
+
+
+def test_lire_bit_parity():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        assert list(CE.cedd(arr)) == goldens[name]["cedd"], f"{name}: cedd"
+        assert list(FC.fcth(arr)) == goldens[name]["fcth"], f"{name}: fcth"
+        got_jcd = [float(v) for v in FC.jcd(arr)]
+        assert got_jcd == goldens[name]["jcd"], f"{name}: jcd"
+
+
+def test_shapes_and_ranges():
+    for arr in _golden_images().values():
+        ce = CE.cedd(arr)
+        fc = FC.fcth(arr)
+        jc = FC.jcd(arr)
+        assert ce.shape == (144,) and fc.shape == (192,) and jc.shape == (168,)
+        assert ce.min() >= 0 and ce.max() <= 7
+        assert fc.min() >= 0 and fc.max() <= 7
+        # JCD folds FCTH band pairs (sum, up to 14) and averages with
+        # CEDD bands -> 0..14 in half steps
+        assert jc.min() >= 0 and jc.max() <= 14
+        assert np.allclose(jc * 2, np.round(jc * 2))
+
+
+def test_rgb2hsv_int_spot_values():
+    """CEDD's RGB2HSV has its own integer sector formula (0..359 hue,
+    distinct from ScalableColor's 0..255 one)."""
+    r = np.array([255, 0, 0, 128, 200])
+    g = np.array([0, 255, 0, 128, 100])
+    b = np.array([0, 0, 255, 128, 50])
+    h, s, v = CE._rgb2hsv_int(r, g, b)
+    # red: h = 60*(0-0)/255 = 0; green: 119 + 60*(0-0)/255 = 119;
+    # blue: 239 + 60*(0-0)/255 = 239; gray: max==min -> 0;
+    # (200,100,50): max=r, g>=b -> 60*(100-50)/150 = 20
+    assert list(h) == [0, 119, 239, 0, 20]
+    assert list(v) == [255, 255, 255, 128, 200]
+    assert list(s) == [255, 255, 255, 0, int(255 - 255 * 50 / 200)]
+
+
+def test_uniform_image_single_color_band():
+    """A flat image has every block non-edge (texture band 0) with one
+    dominant fuzzy color, so all nonzero CEDD bins live in bins 0..23."""
+    img = np.full((96, 96, 3), 200, np.uint8)
+    ce = CE.cedd(img)
+    assert ce[24:].sum() == 0
+    assert ce[:24].sum() > 0
+
+
+def test_jcd_join_structure():
+    """joinHistograms: pure CEDD bands 96.. and 120.. map to JCD slots
+    48..71 and 96..119 unchanged."""
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 8, 144)
+    f = rng.integers(0, 8, 192)
+    j = FC.join_histograms(c, f)
+    assert np.array_equal(j[48:72], c[96:120].astype(np.float64))
+    assert np.array_equal(j[96:120], c[120:144].astype(np.float64))
+    assert np.array_equal(j[120:144], (f[72:96] + f[168:192]).astype(np.float64))
+
+
+def test_tanimoto_distance_properties():
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 8, 144)
+    b = rng.integers(0, 8, 144)
+    assert CE.cedd_distance(a, a) == 0.0
+    assert CE.cedd_distance(a, b) == CE.cedd_distance(b, a)
+    assert CE.cedd_distance(np.zeros(144), np.zeros(144)) == 0.0
+    assert CE.cedd_distance(a, np.zeros(144)) == 100.0

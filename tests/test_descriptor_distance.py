@@ -10,8 +10,10 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from shotit_worker_spark.functions import cedd as CEDD
 from shotit_worker_spark.functions import colorlayout as CL
 from shotit_worker_spark.functions import edgehistogram as EH
+from shotit_worker_spark.functions import fcth as FC
 from shotit_worker_spark.functions import scalablecolor as SC
 from shotit_worker_spark.operators import similarity as S
 from tests.test_colorlayout import _golden_images
@@ -31,7 +33,10 @@ def _descriptors():
         # including coefficients 0 and 1 that getFeatureVector zeroes.
         out[name] = (CL.color_layout(arr, n_y=64, n_c=64),
                      EH.edge_histogram(arr),
-                     SC.haar_histogram(arr)[:64])
+                     SC.haar_histogram(arr)[:64],
+                     CEDD.cedd(arr),
+                     FC.fcth(arr),
+                     FC.jcd(arr))
     return out
 
 
@@ -41,14 +46,20 @@ def test_distances_match_jar_goldens():
     desc = _descriptors()
     assert len(goldens) == 21  # 7 choose 2
     for row in goldens:
-        (y1, cb1, cr1), eh1, sc1 = desc[row["a"]]
-        (y2, cb2, cr2), eh2, sc2 = desc[row["b"]]
+        (y1, cb1, cr1), eh1, sc1, ce1, fc1, jc1 = desc[row["a"]]
+        (y2, cb2, cr2), eh2, sc2, ce2, fc2, jc2 = desc[row["b"]]
         cl_d = CL.similarity(y1, cb1, cr1, y2, cb2, cr2)
         eh_d = EH.distance(eh1, eh2)
         sc_d = SC.sc_distance(sc1, sc2)
         assert cl_d == pytest.approx(row["cl_similarity"], abs=1e-9)
         assert eh_d == pytest.approx(row["eh_distance"], abs=1e-9)
         assert sc_d == pytest.approx(row["sc_distance"], abs=1e-9)
+        assert CEDD.cedd_distance(ce1, ce2) == pytest.approx(
+            row["ce_distance"], abs=1e-9)
+        assert CEDD.cedd_distance(fc1, fc2) == pytest.approx(
+            row["fc_distance"], abs=1e-9)
+        assert CEDD.cedd_distance(jc1, jc2) == pytest.approx(
+            row["jc_distance"], abs=1e-9)
 
 
 def test_distance_cols_match_numpy(spark):
@@ -62,30 +73,39 @@ def test_distance_cols_match_numpy(spark):
             [int(v) for v in desc[n][0][2]],
             [int(v) for v in desc[n][1]],
             [int(v) for v in desc[n][2]],
+            [int(v) for v in desc[n][3]],
+            [float(v) for v in desc[n][5]],
         )
         for i, n in enumerate(names)
     ]
     df = spark.createDataFrame(
         rows,
         "id long, cl_y array<int>, cl_cb array<int>, cl_cr array<int>, "
-        "eh_bins array<int>, sc_bins array<int>",
+        "eh_bins array<int>, sc_bins array<int>, ce_bins array<int>, "
+        "jc_bins array<double>",
     )
     qname = names[0]
-    (qy, qcb, qcr), qeh, qsc = desc[qname]
+    (qy, qcb, qcr), qeh, qsc, qce, _, qjc = desc[qname]
     got = df.select(
         "id",
         CL.distance_col(F.col("cl_y"), F.col("cl_cb"), F.col("cl_cr"),
                         qy, qcb, qcr).alias("cl_d"),
         EH.distance_col(F.col("eh_bins"), qeh).alias("eh_d"),
         SC.distance_col(F.col("sc_bins"), qsc).alias("sc_d"),
+        CEDD.distance_col(F.col("ce_bins"), qce).alias("ce_d"),
+        CEDD.distance_col(F.col("jc_bins"), qjc).alias("jc_d"),
     ).collect()
     for r in got:
         n = names[r["id"]]
-        (y2, cb2, cr2), eh2, sc2 = desc[n]
+        (y2, cb2, cr2), eh2, sc2, ce2, _, jc2 = desc[n]
         assert r["cl_d"] == pytest.approx(
             CL.similarity(qy, qcb, qcr, y2, cb2, cr2), abs=1e-9)
         assert r["eh_d"] == pytest.approx(EH.distance(qeh, eh2), abs=1e-9)
         assert r["sc_d"] == SC.sc_distance(qsc, sc2)
+        assert r["ce_d"] == pytest.approx(
+            CEDD.cedd_distance(qce, ce2), abs=1e-9)
+        assert r["jc_d"] == pytest.approx(
+            CEDD.cedd_distance(qjc, jc2), abs=1e-9)
 
 
 def test_descriptor_topk_orders_by_distance(spark):

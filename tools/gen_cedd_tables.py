@@ -1,0 +1,121 @@
+"""Regenerate shotit_worker_spark/functions/cedd_tables.py.
+
+Dumps the CEDD fuzzy-unit tables (trapezoid membership values, fuzzy
+rule definitions) and the 6 CEDDQuant quantization tables out of the
+reference's lire.jar via a reflection probe compiled on the fly. The
+same values appear in the public LIRE source (package
+net.semanticmetadata.lire.imageanalysis.features.global.cedd).
+
+Usage: python tools/gen_cedd_tables.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+PROBE = r"""
+import java.lang.reflect.Field;
+
+public class CeddDump {
+  static StringBuilder sb = new StringBuilder();
+  static void arr(String name, double[] a) {
+    sb.append("\"").append(name).append("\":[");
+    for (int i = 0; i < a.length; i++) sb.append(i>0?",":"").append(a[i]);
+    sb.append("],");
+  }
+  static void arr2(String name, int[][] a) {
+    sb.append("\"").append(name).append("\":[");
+    for (int i = 0; i < a.length; i++) {
+      sb.append(i>0?",":"").append("[");
+      for (int j = 0; j < a[i].length; j++) sb.append(j>0?",":"").append(a[i][j]);
+      sb.append("]");
+    }
+    sb.append("],");
+  }
+  static Object get(Object o, String f) throws Exception {
+    Field fl = o.getClass().getDeclaredField(f); fl.setAccessible(true); return fl.get(o);
+  }
+  public static void main(String[] args) throws Exception {
+    Object f10 = Class.forName("net.semanticmetadata.lire.imageanalysis.features.global.cedd.Fuzzy10Bin")
+        .getConstructor(boolean.class).newInstance(false);
+    Object f24 = Class.forName("net.semanticmetadata.lire.imageanalysis.features.global.cedd.Fuzzy24Bin")
+        .getConstructor(boolean.class).newInstance(false);
+    Object q = Class.forName("net.semanticmetadata.lire.imageanalysis.features.global.cedd.CEDDQuant")
+        .getConstructor().newInstance();
+    sb.append("{");
+    arr("f10_hue", (double[]) get(f10, "HueMembershipValues"));
+    arr("f10_sat", (double[]) get(f10, "SaturationMembershipValues"));
+    arr("f10_val", (double[]) get(f10, "ValueMembershipValues"));
+    arr2("f10_rules", (int[][]) get(f10, "Fuzzy10BinRulesDefinition"));
+    arr("f24_sat", (double[]) get(f24, "SaturationMembershipValues"));
+    arr("f24_val", (double[]) get(f24, "ValueMembershipValues"));
+    arr2("f24_rules", (int[][]) get(f24, "Fuzzy24BinRulesDefinition"));
+    Field qt = q.getClass().getDeclaredField("QuantTable"); qt.setAccessible(true);
+    arr("quant1", (double[]) qt.get(null));
+    arr("quant2", (double[]) get(q, "QuantTable2"));
+    arr("quant3", (double[]) get(q, "QuantTable3"));
+    arr("quant4", (double[]) get(q, "QuantTable4"));
+    arr("quant5", (double[]) get(q, "QuantTable5"));
+    arr("quant6", (double[]) get(q, "QuantTable6"));
+    sb.setLength(sb.length() - 1);
+    sb.append("}");
+    System.out.println(sb);
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "CeddDump.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(["javac", "-cp", LIRE_JAR, "CeddDump.java"], cwd=td, check=True)
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "CeddDump"],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+    d = json.loads(res.stdout)
+    dest = os.path.join(REPO, "shotit_worker_spark", "functions", "cedd_tables.py")
+    with open(dest, "w") as f:
+        f.write(
+            '"""Static tables for the CEDD descriptor\'s fuzzy units.\n\n'
+            "Values extracted from the reference's lire.jar (package\n"
+            "net/semanticmetadata/lire/imageanalysis/features/global/cedd)\n"
+            "via reflection — the same tables appear in the public LIRE\n"
+            "source. Regenerate with tools/gen_cedd_tables.py.\n"
+            '"""\n\n'
+            "# Trapezoid membership tables: groups of 4 (a, b, c, d) per fuzzy\n"
+            "# set — activation 1 on [b, c], rising on [a, b), falling on (c, d].\n"
+        )
+        for k in ("f10_hue", "f10_sat", "f10_val"):
+            f.write(f"{k.upper()} = {d[k]!r}\n")
+        f.write(
+            "\n# Fuzzy rules (input-set indices + output bin). 10-bin: "
+            "(hue, sat, val, out).\n"
+        )
+        f.write(f"F10_RULES = {d['f10_rules']!r}\n\n")
+        f.write("# 24-bin hue-expansion unit: 2 sat sets x 2 val sets -> 3 shades.\n")
+        for k in ("f24_sat", "f24_val"):
+            f.write(f"{k.upper()} = {d[k]!r}\n")
+        f.write(f"F24_RULES = {d['f24_rules']!r}\n\n")
+        f.write(
+            "# CEDDQuant: 8-entry codebooks (divide by 1e6) per 24-bin texture\n"
+            "# band, in band order (no-edge, non-directional, horizontal,\n"
+            "# vertical, 45-degree, 135-degree).\n"
+        )
+        f.write(
+            "QUANT_TABLES = [\n"
+            + "".join(f"    {d['quant%d' % i]!r},\n" for i in range(1, 7))
+            + "]\n"
+        )
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()

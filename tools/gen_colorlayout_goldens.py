@@ -75,6 +75,9 @@ import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.ColorLayout
 import net.semanticmetadata.lire.imageanalysis.features.global.mpeg7.EdgeHistogramImplementation;
 import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
 import net.semanticmetadata.lire.imageanalysis.features.global.ScalableColor;
+import net.semanticmetadata.lire.imageanalysis.features.global.CEDD;
+import net.semanticmetadata.lire.imageanalysis.features.global.FCTH;
+import net.semanticmetadata.lire.imageanalysis.features.global.JCD;
 import java.io.File;
 
 public class DistGold {
@@ -83,12 +86,21 @@ public class DistGold {
     ColorLayoutImpl[] cls = new ColorLayoutImpl[n];
     EdgeHistogram[] ehs = new EdgeHistogram[n];
     ScalableColor[] scs = new ScalableColor[n];
+    CEDD[] ces = new CEDD[n];
+    FCTH[] fcs = new FCTH[n];
+    JCD[] jcs = new JCD[n];
     for (int i = 0; i < n; i++) {
       cls[i] = new ColorLayoutImpl(64, 28, ImageIO.read(new File(args[i])));
       ehs[i] = new EdgeHistogram();
       ehs[i].extract(ImageIO.read(new File(args[i])));
       scs[i] = new ScalableColor();
       scs[i].extract(ImageIO.read(new File(args[i])));
+      ces[i] = new CEDD();
+      ces[i].extract(ImageIO.read(new File(args[i])));
+      fcs[i] = new FCTH();
+      fcs[i].extract(ImageIO.read(new File(args[i])));
+      jcs[i] = new JCD();
+      jcs[i].extract(ImageIO.read(new File(args[i])));
     }
     for (int a = 0; a < n; a++)
       for (int b = a + 1; b < n; b++) {
@@ -101,7 +113,11 @@ public class DistGold {
         for (int i = 0; i < 80; i++) { ia[i] = (int) va[i]; ib[i] = (int) vb[i]; }
         double eh = EdgeHistogramImplementation.calculateDistance(ia, ib);
         double sc = scs[a].getDistance(scs[b]);
-        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh + "|" + sc);
+        double ce = ces[a].getDistance(ces[b]);
+        double fc = fcs[a].getDistance(fcs[b]);
+        double jc = jcs[a].getDistance(jcs[b]);
+        System.out.println(args[a] + "|" + args[b] + "|" + cl + "|" + eh
+            + "|" + sc + "|" + ce + "|" + fc + "|" + jc);
       }
   }
 }
@@ -124,6 +140,35 @@ public class SCGold {
       for (int d : haar) sb.append(d).append(",");
       sb.append("\t");
       for (double d : v) sb.append((int) d).append(",");
+      System.out.println(sb);
+    }
+  }
+}
+"""
+
+CE_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.CEDD;
+import net.semanticmetadata.lire.imageanalysis.features.global.FCTH;
+import net.semanticmetadata.lire.imageanalysis.features.global.JCD;
+import java.io.File;
+
+public class CEGold {
+  public static void main(String[] args) throws Exception {
+    for (String p : args) {
+      CEDD ce = new CEDD();
+      ce.extract(ImageIO.read(new File(p)));
+      FCTH fc = new FCTH();
+      fc.extract(ImageIO.read(new File(p)));
+      JCD jc = new JCD();
+      jc.extract(ImageIO.read(new File(p)));
+      StringBuilder sb = new StringBuilder();
+      sb.append(p).append("\t");
+      for (double d : ce.getFeatureVector()) sb.append((int) d).append(",");
+      sb.append("\t");
+      for (double d : fc.getFeatureVector()) sb.append((int) d).append(",");
+      sb.append("\t");
+      for (double d : jc.getFeatureVector()) sb.append(d).append(",");
       System.out.println(sb);
     }
   }
@@ -188,6 +233,7 @@ def main() -> None:
         for fname, src in (("CLGold.java", HARNESS), ("EHGold.java", EH_HARNESS),
                            ("OHGold.java", OH_HARNESS),
                            ("SCGold.java", SC_HARNESS),
+                           ("CEGold.java", CE_HARNESS),
                            ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
@@ -253,18 +299,35 @@ def main() -> None:
             }
 
         res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "CEGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        ce_goldens = {}
+        for line in res.stdout.strip().splitlines():
+            path, ce, fc, jc = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            ce_goldens[name] = {
+                "cedd": [int(v) for v in ce.rstrip(",").split(",")],
+                "fcth": [int(v) for v in fc.rstrip(",").split(",")],
+                "jcd": [float(v) for v in jc.rstrip(",").split(",")],
+            }
+
+        res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "DistGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
         dist_goldens = []
         for line in res.stdout.strip().splitlines():
-            pa, pb, cl, eh, sc = line.split("|")
+            pa, pb, cl, eh, sc, ce, fc, jc = line.split("|")
             dist_goldens.append({
                 "a": os.path.basename(pa)[: -len(".png")],
                 "b": os.path.basename(pb)[: -len(".png")],
                 "cl_similarity": float(cl),
                 "eh_distance": float(eh),
                 "sc_distance": float(sc),
+                "ce_distance": float(ce),
+                "fc_distance": float(fc),
+                "jc_distance": float(jc),
             })
 
     for fname, data in (
@@ -272,6 +335,7 @@ def main() -> None:
         ("edgehistogram.json", eh_goldens),
         ("opponenthistogram.json", oh_goldens),
         ("scalablecolor.json", sc_goldens),
+        ("cedd.json", ce_goldens),
         ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)

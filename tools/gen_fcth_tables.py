@@ -1,0 +1,111 @@
+"""Regenerate shotit_worker_spark/functions/fcth_tables.py.
+
+Dumps the FCTH texture-unit membership/rule tables and the 8 FCTHQuant
+codebooks out of the reference's lire.jar via a reflection probe. The
+fcth package's Fuzzy10Bin/Fuzzy24Bin tables are verified identical to
+the cedd package's (the kernel reuses cedd_tables for those).
+
+Usage: python tools/gen_fcth_tables.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+PROBE = r"""
+import java.lang.reflect.Field;
+
+public class FcthDump {
+  static StringBuilder sb = new StringBuilder();
+  static void arr(String name, double[] a) {
+    sb.append("\"").append(name).append("\":[");
+    for (int i = 0; i < a.length; i++) sb.append(i>0?",":"").append(a[i]);
+    sb.append("],");
+  }
+  static void arr2(String name, int[][] a) {
+    sb.append("\"").append(name).append("\":[");
+    for (int i = 0; i < a.length; i++) {
+      sb.append(i>0?",":"").append("[");
+      for (int j = 0; j < a[i].length; j++) sb.append(j>0?",":"").append(a[i][j]);
+      sb.append("]");
+    }
+    sb.append("],");
+  }
+  static Object get(Object o, String f) throws Exception {
+    Field fl = o.getClass().getDeclaredField(f); fl.setAccessible(true); return fl.get(o);
+  }
+  public static void main(String[] args) throws Exception {
+    String pkg = "net.semanticmetadata.lire.imageanalysis.features.global.fcth.";
+    Object c10 = Class.forName(
+        "net.semanticmetadata.lire.imageanalysis.features.global.cedd.Fuzzy10Bin")
+        .getConstructor(boolean.class).newInstance(false);
+    Object f10 = Class.forName(pkg + "Fuzzy10Bin").getConstructor(boolean.class).newInstance(false);
+    if (!java.util.Arrays.equals((double[]) get(c10, "HueMembershipValues"),
+                                 (double[]) get(f10, "HueMembershipValues")))
+      throw new IllegalStateException("fcth Fuzzy10Bin diverged from cedd's");
+    Object fp = Class.forName(pkg + "FuzzyFCTHpart").getConstructor().newInstance();
+    Object q = Class.forName(pkg + "FCTHQuant").getConstructor().newInstance();
+    sb.append("{");
+    arr("fp_h", (double[]) get(fp, "HorizontalMembershipValues"));
+    arr("fp_v", (double[]) get(fp, "VerticalMembershipValues"));
+    arr("fp_e", (double[]) get(fp, "EnergyMembershipValues"));
+    arr2("fp_rules", (int[][]) get(fp, "RulesDefinition"));
+    Field qt = q.getClass().getDeclaredField("QuantTable"); qt.setAccessible(true);
+    arr("quant1", (double[]) qt.get(null));
+    for (int i = 2; i <= 8; i++) arr("quant" + i, (double[]) get(q, "QuantTable" + i));
+    sb.setLength(sb.length() - 1);
+    sb.append("}");
+    System.out.println(sb);
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "FcthDump.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(["javac", "-cp", LIRE_JAR, "FcthDump.java"], cwd=td, check=True)
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "FcthDump"],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+    d = json.loads(res.stdout)
+    dest = os.path.join(REPO, "shotit_worker_spark", "functions", "fcth_tables.py")
+    with open(dest, "w") as f:
+        f.write(
+            '"""Static tables for the FCTH descriptor\'s texture unit.\n\n'
+            "Values extracted from the reference's lire.jar (package\n"
+            "net/semanticmetadata/lire/imageanalysis/features/global/fcth)\n"
+            "via reflection — the same tables appear in the public LIRE\n"
+            "source. The fcth Fuzzy10Bin/Fuzzy24Bin tables are identical to\n"
+            "the cedd package's (asserted at dump time); the kernel imports\n"
+            "those from cedd_tables. Regenerate with tools/gen_fcth_tables.py.\n"
+            '"""\n\n'
+            "# Trapezoid membership tables (a, b, c, d) for the three wavelet\n"
+            "# energies; each has 2 sets (low / high).\n"
+        )
+        for k in ("fp_h", "fp_v", "fp_e"):
+            f.write(f"{k.upper()} = {d[k]!r}\n")
+        f.write("\n# 8 texture rules: (h_set, v_set, e_set, out).\n")
+        f.write(f"FP_RULES = {d['fp_rules']!r}\n\n")
+        f.write(
+            "# FCTHQuant: 8-entry codebooks (divide by 1e6) per 24-bin "
+            "texture band.\n"
+        )
+        f.write(
+            "QUANT_TABLES = [\n"
+            + "".join(f"    {d['quant%d' % i]!r},\n" for i in range(1, 9))
+            + "]\n"
+        )
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
