@@ -1,0 +1,69 @@
+"""LIRE BitSampling LSH — reference-compatible `_ha` hash tokens.
+
+The reference's indexer (hasher.js:116-133, ParallelSolrIndexer with
+BitSampling enabled by default) hashes every descriptor into 100
+12-bit LSH tokens, rendered as space-joined lowercase hex — the
+`<algo>_ha` field its loader re-decodes into the search vector
+(loader.js:108-130). This module reproduces those tokens bit-exactly:
+
+- The projection tensor (100 bundles x 12 bits x 640 dims, float32)
+  is the jar's own `LshBitSampling.obj` resource
+  (net/semanticmetadata/lire/indexers/hashing/LshBitSampling.obj),
+  extracted by tools/gen_bitsampling_data.py into
+  data/bitsampling_hashes.npz. Same bytes -> same hashes.
+- BitSampling.generateHashes: hash[i] = sum_j 2^j * (dot_ij >= 0)
+  where dot_ij = hashes[i][j][:len(v)] . v. The jar reads the floats
+  into doubles, so the matmul here runs in float64.
+- Tokens are Integer.toHexString: lowercase, no zero padding.
+
+Verified against the jar by tests/goldens/bitsampling.json (per-algo
+image -> token-string goldens plus random-vector kernel goldens).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["generate_hashes", "ha_tokens", "decode_ha", "NUM_BUNDLES", "NUM_BITS"]
+
+NUM_BUNDLES = 100
+NUM_BITS = 12
+MAX_DIMS = 640
+
+_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                     "bitsampling_hashes.npz")
+_tensor: np.ndarray | None = None
+
+
+def _hashes() -> np.ndarray:
+    global _tensor
+    if _tensor is None:
+        _tensor = np.load(_DATA)["hashes"].astype(np.float64)
+    return _tensor
+
+
+def generate_hashes(vec: np.ndarray) -> np.ndarray:
+    """BitSampling.generateHashes: (d,) feature vector (d <= 640) ->
+    (100,) int64 hash values in [0, 4095]."""
+    v = np.asarray(vec, dtype=np.float64)
+    if v.ndim != 1 or v.shape[0] > MAX_DIMS:
+        raise ValueError(f"expected a 1-D vector of <= {MAX_DIMS} dims")
+    h = _hashes()[:, :, : v.shape[0]]
+    dots = h @ v  # (bundles, bits)
+    bits = (dots >= 0).astype(np.int64)
+    weights = (1 << np.arange(NUM_BITS, dtype=np.int64))[None, :]
+    return (bits * weights).sum(axis=1)
+
+
+def ha_tokens(vec: np.ndarray) -> str:
+    """The `_ha` field payload: space-joined lowercase unpadded hex of
+    the 100 hashes (Integer.toHexString rendering)."""
+    return " ".join(format(int(x), "x") for x in generate_hashes(vec))
+
+
+def decode_ha(ha: str) -> np.ndarray:
+    """Inverse of the loader's parse (loader.js:110): hex tokens ->
+    float64 hash-value vector."""
+    return np.asarray([int(t, 16) for t in ha.split(" ")], dtype=np.float64)

@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from . import bitsampling as BS
 from . import cedd as CE
 from . import colorlayout as CL
 from . import edgehistogram as EH
@@ -164,6 +165,32 @@ def _fake_descriptor(image: bytes, dim: int) -> tuple[str, list[float]]:
     return h, vals[:dim]
 
 
+def reference_feature_vector(rgb: np.ndarray, algo: str) -> np.ndarray:
+    """The EXACT per-algo feature vector the reference's indexer feeds
+    BitSampling (each jar class's getFeatureVector with its default
+    constructor): cl = ColorLayout(21, 6) -> 33 dims, eh = 80 bins,
+    oh = 64 bins, sc = 64 coeffs (head zeroed), ce = 144, fc = 192,
+    jc = 168 (raw half-integer averages)."""
+    if algo == "cl":
+        y, cb, cr = CL.color_layout(rgb, n_y=21, n_c=6)
+        return np.concatenate([y, cb, cr]).astype(np.float64)
+    if algo == "eh":
+        return EH.edge_histogram(rgb).astype(np.float64)
+    if algo == "oh":
+        return OH.opponent_histogram(rgb).astype(np.float64)
+    if algo == "sc":
+        return SCD.scalable_color(rgb).astype(np.float64)
+    if algo == "ce":
+        return CE.cedd(rgb).astype(np.float64)
+    if algo == "fc":
+        return FC.fcth(rgb).astype(np.float64)
+    if algo == "jc":
+        return FC.jcd(rgb)
+    raise ValueError(
+        f"unsupported descriptor algo {algo!r} (cl, eh, oh, sc, ce, fc, jc)"
+    )
+
+
 def _descriptor(
     image: bytes, dim: int, algo: str = "cl"
 ) -> tuple[str, list[float]]:
@@ -225,27 +252,49 @@ def _descriptor(
     return hi, [float(x) for x in out]
 
 
+def image_ha_tokens(image: bytes, algo: str = "cl") -> str:
+    """Reference-compatible `_ha` token string for one image: the jar's
+    per-algo feature vector through BitSampling (functions/bitsampling),
+    rendered as space-joined lowercase hex — value-compatible with an
+    artifact produced by the reference's own indexer for the same
+    image. Total: undecodable bytes hash the blake2 fallback vector
+    (deterministic, engine-internal)."""
+    try:
+        rgb = IC.decode_image(image)
+        ref_vec = reference_feature_vector(rgb, algo)
+    except IC.UnsupportedImageError:
+        _, vals = _fake_descriptor(image, EMBED_DIM)
+        ref_vec = np.asarray(vals, dtype=np.float64)
+    return BS.ha_tokens(ref_vec)
+
+
 def embed_images(
     frames: DataFrame,
     image_col: str = "image",
     dim: int = EMBED_DIM,
     algo: str = "cl",
 ) -> DataFrame:
-    """G2/G3 — image → (hi, vector) descriptor extraction: REAL MPEG-7
-    ColorLayout for decodable images (see `_descriptor`).
+    """G2/G3 — image → (hi, vector, ha) descriptor extraction: REAL
+    MPEG-7/LIRE descriptors for decodable images (see `_descriptor`).
 
     One code path for ingest and query (the reference splits G2/G3
     between the LIRE indexer and Solr only as a deployment artifact —
-    SURVEY §2.4). Appends `hi: string` and `vector: array<float>`.
+    SURVEY §2.4). Appends `hi: string` (descriptor identity hex),
+    `vector: array<float>` (the descriptor-space embedding), and
+    `ha: string` — the reference-compatible BitSampling token string
+    (`image_ha_tokens`), value-identical to what the reference's own
+    indexer emits for the same image.
 
     Arrow-vectorized pandas UDF over the binary column; at bulk-ingest
     scale this is the CPU-bound stage, parallelized by input partitioning
-    (the reference's `-n 16` thread pool becomes executor cores).
+    (the reference's `-n 16` thread pool becomes executor cores). One
+    decode serves descriptor, identity, and hash outputs.
     """
     out_t = StructType(
         [
             StructField("hi", StringType(), False),
             StructField("vector", ArrayType(FloatType()), False),
+            StructField("ha", StringType(), False),
         ]
     )
 
@@ -253,25 +302,51 @@ def embed_images(
     def _embed(images: pd.Series) -> pd.DataFrame:
         his: list[str] = []
         vecs: list[list[float]] = []
+        has: list[str] = []
         for img in images:
-            hi, vec = _descriptor(bytes(img), dim, algo)
+            img = bytes(img)
+            hi, vec = _descriptor(img, dim, algo)
             his.append(hi)
             vecs.append(vec)
-        return pd.DataFrame({"hi": his, "vector": vecs})
+            has.append(image_ha_tokens(img, algo))
+        return pd.DataFrame({"hi": his, "vector": vecs, "ha": has})
 
     desc = _embed(F.col(image_col))
-    return frames.withColumn("hi", desc["hi"]).withColumn("vector", desc["vector"])
+    return (
+        frames.withColumn("hi", desc["hi"])
+        .withColumn("vector", desc["vector"])
+        .withColumn("ha", desc["ha"])
+    )
 
 
 def embed_query_image(
-    image: bytes, dim: int = EMBED_DIM, algo: str = "cl"
+    image: bytes,
+    dim: int = EMBED_DIM,
+    algo: str = "cl",
+    space: str = "hash",
 ) -> np.ndarray:
-    """Driver-side single-image embed for the query path (G3): same
-    descriptor kernel, then L2-normalize — mirrors searcher.js:40-60.
-    One query image is one row; running a Spark job for it would be
-    overhead theater."""
-    _, vec = _descriptor(image, dim, algo)
-    v = np.asarray(vec, dtype=np.float64)
+    """Driver-side single-image embed for the query path (G3),
+    L2-normalized — mirrors searcher.js:40-60. One query image is one
+    row; running a Spark job for it would be overhead theater.
+
+    space='hash' (default, reference parity): the BitSampling hash
+    values (`image_ha_tokens`), padded/truncated to `dim` and
+    normalized — EXACTLY the vector the reference's loader builds from
+    `_ha` (getNormalizedCharCodesVector, loader.js:108-130), so queries
+    match an index ingested through `frames_to_hashes`.
+    space='descriptor': the raw descriptor-space embedding (the
+    engine's `vector` column) for descriptor-space search."""
+    if space == "hash":
+        v = BS.decode_ha(image_ha_tokens(image, algo))
+        if len(v) >= dim:
+            v = v[:dim]
+        else:
+            v = np.concatenate([v, np.zeros(dim - len(v))])
+    elif space == "descriptor":
+        _, vec = _descriptor(image, dim, algo)
+        v = np.asarray(vec, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown embed space {space!r} (hash, descriptor)")
     norm = float(np.sqrt((v * v).sum()))
     return v / norm if norm > 0 else v
 
@@ -425,7 +500,15 @@ def audio_features(
 def frames_to_hashes(frames_with_desc: DataFrame) -> DataFrame:
     """Bridge G1+G2 output into the loader's hash-row shape
     (file, time, hi, ha) — `ha` as space-joined hex tokens, exactly what
-    the XML hash docs carry (/root/reference/loader.js:188-198)."""
+    the XML hash docs carry (/root/reference/loader.js:188-198).
+
+    When the input carries the `ha` column from `embed_images`, those
+    are REAL BitSampling tokens — value-compatible with
+    reference-produced artifacts for the same image. A legacy input
+    without `ha` falls back to hex-encoding the descriptor vector
+    (engine-internal, self-consistent but not reference-valued)."""
+    if "ha" in frames_with_desc.columns:
+        return frames_with_desc.select("file", "time", "hi", "ha")
     return frames_with_desc.select(
         "file",
         "time",

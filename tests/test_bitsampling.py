@@ -1,0 +1,61 @@
+"""BitSampling `_ha` parity: engine tokens == jar tokens for every
+implemented algo on the golden images. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from shotit_worker_spark.functions import bitsampling as BS
+from shotit_worker_spark.functions import imagecodec as IC
+from shotit_worker_spark.functions import media as M
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "bitsampling.json")
+
+ALGOS = ["cl", "eh", "oh", "sc", "ce", "fc", "jc"]
+
+
+def test_ha_tokens_match_jar_per_algo():
+    """image -> reference feature vector -> BitSampling -> hex tokens,
+    end-to-end equal to the jar's BitSampling.generateHashes over each
+    feature class's default getFeatureVector."""
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        png = IC.encode_png(arr)
+        for algo in ALGOS:
+            got = M.image_ha_tokens(png, algo)
+            assert got == goldens[name][algo], f"{name}/{algo}: _ha mismatch"
+
+
+def test_hash_range_and_count():
+    rng = np.random.default_rng(2)
+    h = BS.generate_hashes(rng.normal(0, 10, 120))
+    assert h.shape == (100,)
+    assert h.min() >= 0 and h.max() <= 4095
+
+
+def test_ha_decode_roundtrip():
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 10, 33)
+    ha = BS.ha_tokens(v)
+    back = BS.decode_ha(ha)
+    assert np.array_equal(back, BS.generate_hashes(v).astype(np.float64))
+
+
+def test_query_vector_matches_loader_decode():
+    """embed_query_image(space='hash') must equal the loader's
+    getNormalizedCharCodesVector over the engine's own _ha tokens —
+    the query and index sides of the reference pipeline agree."""
+    img = _golden_images()["noise"]
+    png = IC.encode_png(img)
+    qv = M.embed_query_image(png, dim=100, algo="cl")
+    raw = BS.decode_ha(M.image_ha_tokens(png, "cl"))
+    expect = raw / np.sqrt((raw * raw).sum())
+    assert np.allclose(qv, expect, atol=1e-12)

@@ -22,8 +22,14 @@ IMAGES = [(i, f"image-bytes-{i}".encode() * 50) for i in range(40)]
 @pytest.fixture(scope="module")
 def server(spark, tmp_root):
     frames = spark.createDataFrame(IMAGES, "img_id long, image binary")
+    # hash-space corpus (the reference pipeline: `_ha` tokens decoded and
+    # normalized, loader.js:108-130) — matches embed_query_image's
+    # default hash space on the serving path.
     corpus = M.embed_images(frames).select(
-        "img_id", V.l2_normalize(V.to_double_array("vector")).alias("vector")
+        "img_id",
+        V.l2_normalize(V.pad_vector(V.hex_tokens_to_floats("ha"), 100)).alias(
+            "vector"
+        ),
     )
     index = ivf.build_ivf(corpus, str(tmp_root / "http_ivf"), nlist=4)
     searcher = serve.ResidentSearcher(spark, index, id_col="img_id", tie_col=None)

@@ -93,31 +93,42 @@ def test_embed_integer_valued_floats(frames):
 
 
 def test_frames_to_hashes_roundtrip(spark, frames):
+    """`ha` is the BitSampling token string; the loader's P9 hex decode
+    must reproduce exactly the hash values the engine computes
+    driver-side for the same image bytes (reference-valued tokens)."""
+    from shotit_worker_spark.functions import bitsampling as BS
     from shotit_worker_spark.functions import vector as V
 
     emb = M.embed_images(frames, dim=8)
     hashes = M.frames_to_hashes(emb)
-    # decoding ha must reproduce the original vector exactly
     both = (
-        emb.select("file", "time", "vector")
+        emb.select("file", "time", "image")
         .join(hashes, ["file", "time"])
-        .select("vector", V.hex_tokens_to_floats("ha").alias("decoded"))
+        .select("image", V.hex_tokens_to_floats("ha").alias("decoded"))
     )
     for r in both.collect():
-        assert [float(x) for x in r["vector"]] == r["decoded"]
+        expect = BS.decode_ha(M.image_ha_tokens(bytes(r["image"]), "cl"))
+        assert r["decoded"] == [float(x) for x in expect]
 
 
 def test_embed_query_matches_embed_images(spark, frames):
-    """G3 query path and G2 ingest path produce the same descriptor for
-    the same image bytes (one code path — SURVEY §2.4)."""
+    """G3 query path and G2 ingest path agree: the hash-space query
+    vector equals the L2-normalized decode of the ingest row's `ha`
+    (one code path — SURVEY §2.4)."""
     import numpy as np
+
+    from shotit_worker_spark.functions import bitsampling as BS
 
     row = M.embed_images(frames, dim=100).first()
     img = bytes(row["image"])
     qv = M.embed_query_image(img, dim=100)
-    v = np.asarray([float(x) for x in row["vector"]])
+    v = BS.decode_ha(row["ha"])
     nv = v / np.linalg.norm(v)
     assert np.allclose(qv, nv, atol=1e-9)
+    # descriptor space still matches the vector column
+    qd = M.embed_query_image(img, dim=100, space="descriptor")
+    d = np.asarray([float(x) for x in row["vector"]])
+    assert np.allclose(qd, d / np.linalg.norm(d), atol=1e-6)
 
 
 def test_sample_frames_every_nth(frames):

@@ -1,0 +1,71 @@
+"""Regenerate shotit_worker_spark/functions/data/bitsampling_hashes.npz.
+
+Extracts the BitSampling LSH projection tensor (100 bundles x 12 bits
+x 640 dims) from the reference jar's own LshBitSampling.obj resource
+via BitSampling.readHashFunctions(), so engine `_ha` tokens match the
+reference's deployments bit-for-bit.
+
+Usage: python tools/gen_bitsampling_data.py
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+PROBE = r"""
+import net.semanticmetadata.lire.indexers.hashing.BitSampling;
+import java.io.DataOutputStream;
+import java.io.FileOutputStream;
+import java.io.BufferedOutputStream;
+
+public class BSDump {
+  public static void main(String[] args) throws Exception {
+    double[][][] h = BitSampling.readHashFunctions();
+    DataOutputStream out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(args[0])));
+    out.writeInt(h.length);
+    out.writeInt(h[0].length);
+    out.writeInt(h[0][0].length);
+    for (double[][] a : h) for (double[] b : a) for (double v : b)
+      out.writeFloat((float) v);
+    out.close();
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "BSDump.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(["javac", "-cp", LIRE_JAR, "BSDump.java"], cwd=td, check=True)
+        bin_path = os.path.join(td, "bs_hashes.bin")
+        subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "BSDump", bin_path],
+            cwd=td, check=True,
+        )
+        with open(bin_path, "rb") as f:
+            nb, bits, dims = struct.unpack(">iii", f.read(12))
+            arr = (
+                np.frombuffer(f.read(), dtype=">f4")
+                .astype(np.float32)
+                .reshape(nb, bits, dims)
+            )
+    dest = os.path.join(
+        REPO, "shotit_worker_spark", "functions", "data", "bitsampling_hashes.npz"
+    )
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    np.savez_compressed(dest, hashes=arr)
+    print(f"wrote {dest} ({nb}x{bits}x{dims})")
+
+
+if __name__ == "__main__":
+    main()

@@ -175,6 +175,41 @@ public class CEGold {
 }
 """
 
+BS_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.GlobalFeature;
+import net.semanticmetadata.lire.imageanalysis.features.global.*;
+import net.semanticmetadata.lire.indexers.hashing.BitSampling;
+import java.io.File;
+
+public class BSGold {
+  public static void main(String[] args) throws Exception {
+    BitSampling.readHashFunctions();
+    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc"};
+    for (String p : args) {
+      for (String algo : algos) {
+        GlobalFeature f;
+        switch (algo) {
+          case "cl": f = new ColorLayout(); break;
+          case "eh": f = new EdgeHistogram(); break;
+          case "oh": f = new OpponentHistogram(); break;
+          case "sc": f = new ScalableColor(); break;
+          case "ce": f = new CEDD(); break;
+          case "fc": f = new FCTH(); break;
+          default: f = new JCD(); break;
+        }
+        f.extract(ImageIO.read(new File(p)));
+        int[] h = BitSampling.generateHashes(f.getFeatureVector());
+        StringBuilder sb = new StringBuilder();
+        sb.append(p).append("\t").append(algo).append("\t");
+        for (int x : h) sb.append(Integer.toHexString(x)).append(" ");
+        System.out.println(sb.toString().trim());
+      }
+    }
+  }
+}
+"""
+
 EH_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.EdgeHistogram;
@@ -234,6 +269,7 @@ def main() -> None:
                            ("OHGold.java", OH_HARNESS),
                            ("SCGold.java", SC_HARNESS),
                            ("CEGold.java", CE_HARNESS),
+                           ("BSGold.java", BS_HARNESS),
                            ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
@@ -313,6 +349,16 @@ def main() -> None:
             }
 
         res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "BSGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        bs_goldens: dict = {}
+        for line in res.stdout.strip().splitlines():
+            path, algo, toks = line.split("\t")
+            name = os.path.basename(path)[: -len(".png")]
+            bs_goldens.setdefault(name, {})[algo] = toks
+
+        res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "DistGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
@@ -336,6 +382,7 @@ def main() -> None:
         ("opponenthistogram.json", oh_goldens),
         ("scalablecolor.json", sc_goldens),
         ("cedd.json", ce_goldens),
+        ("bitsampling.json", bs_goldens),
         ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)
