@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from shotit_worker_spark.functions import text as TX
 from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.operators import decontam as DC
 from shotit_worker_spark.operators import dedup as D
 from shotit_worker_spark.operators import packing as P
 from shotit_worker_spark.operators import relational as R
@@ -977,61 +978,24 @@ def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination, the standard pretraining hygiene pass:
-    flag train-split documents sharing any 5-gram with the held-out
-    valid split (the q46 hash split). Both sides explode per-doc
-    DISTINCT 5-grams; the probe side dedups globally and the overlap is
-    one equi-join on the gram — at 100 TB this is a plain shuffle join
-    on a hash key (salt if one gram dominates), never O(n·m). Returns
-    the one-row contamination summary."""
+    """Benchmark decontamination via the library operator
+    (operators/decontam.py): flag train-split documents sharing any
+    5-gram with the held-out valid split (the q46 hash split). The
+    staged (doc_id, split, g5) table is computed ONCE and cached —
+    Catalyst has no common-subexpression reuse across the summary's
+    three consumers, so without the cache the tokenize/ngram pipeline
+    (the expensive part) would run three times. At 100 TB the same
+    spot is a MEMORY_AND_DISK persist or checkpoint of the gram table."""
     docs = _t(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         _hash_split().alias("split"),
         F.array_distinct(TX.ngrams(TX.tokenize("text"), 5)).alias("g5"),
-    )
-    train = staged.filter(F.col("split") == "train").select(
-        "doc_id", F.explode("g5").alias("gram")
-    )
-    probe = (
-        staged.filter(F.col("split") == "valid")
-        .select(F.explode("g5").alias("gram"))
-        .distinct()
-    )
-    # combine the three scalar summaries via union + one aggregation —
-    # joining 1-row frames would plan as a nested-loop join (Catalyst
-    # folds any literal join key to true), which the plan audit rightly
-    # dislikes
-    def tagged(df, col, name):
-        return df.select(
-            F.lit(name).alias("m"), F.col(col).cast("long").alias("v")
-        )
-
-    parts = tagged(
-        staged.filter(F.col("split") == "train").agg(
-            F.count("*").alias("c")
-        ),
-        "c", "n_train_docs",
-    ).unionByName(
-        tagged(
-            train.join(probe, "gram").agg(
-                F.countDistinct("doc_id").alias("c")
-            ),
-            "c", "n_contaminated_docs",
-        )
-    ).unionByName(
-        tagged(probe.agg(F.count("*").alias("c")), "c", "n_probe_grams")
-    )
-    return parts.groupBy().agg(
-        F.max(F.when(F.col("m") == "n_train_docs", F.col("v"))).alias(
-            "n_train_docs"
-        ),
-        F.max(F.when(F.col("m") == "n_contaminated_docs", F.col("v"))).alias(
-            "n_contaminated_docs"
-        ),
-        F.max(F.when(F.col("m") == "n_probe_grams", F.col("v"))).alias(
-            "n_probe_grams"
-        ),
+    ).cache()
+    train = staged.filter(F.col("split") == "train")
+    probe = staged.filter(F.col("split") == "valid")
+    return DC.decontamination_summary(
+        train, probe, id_col="doc_id", gram_col="g5"
     )
 
 

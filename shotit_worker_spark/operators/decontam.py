@@ -1,0 +1,128 @@
+"""Benchmark decontamination — the standard pretraining hygiene pass.
+
+Flag training documents that share any n-gram with a held-out probe
+corpus (eval/valid splits, benchmark suites). No reference analogue —
+this is one of the LLM-data-pipeline operators the engine adds beyond
+the reference's own surface (SURVEY §2.12).
+
+Scale design (100 TB posture):
+- Both sides explode per-document DISTINCT n-grams; the overlap is ONE
+  shuffle equi-join on the gram string — never O(n_train x n_probe).
+  A dominant gram is a skew key like any other: AQE skew-join splits
+  it, or salt the gram column upstream.
+- The probe side dedups globally BEFORE the join, so the join's right
+  side is |unique probe grams|, not |probe docs x grams|.
+- `cache=True` persists the staged (id, gram) table when the caller
+  consumes it more than once (flags + summary): Catalyst has no
+  common-subexpression reuse across join branches, so without it the
+  tokenize/ngram pipeline would run once per consumer. At cluster
+  scale prefer `persist(StorageLevel.MEMORY_AND_DISK)` or a checkpoint
+  of the gram table; the mechanism is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+__all__ = ["gram_table", "decontaminate", "decontamination_summary"]
+
+
+def _grams(text_col: str, n: int) -> Column:
+    return F.array_distinct(TX.ngrams(TX.tokenize(text_col), n))
+
+
+def gram_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    gram_col: str | None = None,
+) -> DataFrame:
+    """(id, gram) pairs — one row per distinct n-gram per document.
+    `gram_col` names a precomputed array column to reuse an existing
+    tokenization; documents with no grams drop out (explode)."""
+    src = F.col(gram_col) if gram_col else _grams(text_col, n)
+    return docs.select(F.col(id_col), F.explode(src).alias("gram"))
+
+
+def decontaminate(
+    train: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    gram_col: str | None = None,
+) -> DataFrame:
+    """`train` with an `is_contaminated` boolean appended: true iff the
+    document shares at least one n-gram with any probe document.
+
+    Plan shape: explode both sides, distinct the probe grams, one
+    equi-join on gram, distinct contaminated ids, left join back —
+    three shuffles on high-cardinality keys, all AQE-coalescible."""
+    probe_grams = gram_table(probe, text_col, id_col, n, gram_col).select(
+        "gram"
+    ).distinct()
+    contaminated = (
+        gram_table(train, text_col, id_col, n, gram_col)
+        .join(probe_grams, "gram")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return train.join(contaminated, id_col, "left").na.fill(
+        {"is_contaminated": False}
+    )
+
+
+def decontamination_summary(
+    train: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    gram_col: str | None = None,
+) -> DataFrame:
+    """One-row contamination report: (n_train_docs, n_contaminated_docs,
+    n_probe_grams).
+
+    The three scalars are combined via union + one aggregation — joining
+    1-row frames would plan as a nested-loop join (Catalyst folds any
+    literal join key to true)."""
+    train_grams = gram_table(train, text_col, id_col, n, gram_col)
+    probe_grams = gram_table(probe, text_col, id_col, n, gram_col).select(
+        "gram"
+    ).distinct()
+
+    def tagged(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("m"), F.col(col).cast("long").alias("v")
+        )
+
+    parts = (
+        tagged(train.agg(F.count("*").alias("c")), "c", "n_train_docs")
+        .unionByName(
+            tagged(
+                train_grams.join(probe_grams, "gram").agg(
+                    F.countDistinct(id_col).alias("c")
+                ),
+                "c", "n_contaminated_docs",
+            )
+        )
+        .unionByName(
+            tagged(probe_grams.agg(F.count("*").alias("c")), "c", "n_probe_grams")
+        )
+    )
+    return parts.groupBy().agg(
+        F.max(F.when(F.col("m") == "n_train_docs", F.col("v"))).alias(
+            "n_train_docs"
+        ),
+        F.max(F.when(F.col("m") == "n_contaminated_docs", F.col("v"))).alias(
+            "n_contaminated_docs"
+        ),
+        F.max(F.when(F.col("m") == "n_probe_grams", F.col("v"))).alias(
+            "n_probe_grams"
+        ),
+    )

@@ -1,0 +1,75 @@
+"""Decontamination operator: flag semantics, summary consistency, and
+edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import decontam as DC
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flags_exact_overlap(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated content with different words entirely here"),
+        (3, "shared secret phrase appears in this training document verbatim"),
+    ])
+    probe = _docs(spark, [
+        (10, "evaluation set has the shared secret phrase appears in it"),
+        (11, "the quick brown fox jumps over something else"),
+    ])
+    out = {r["doc_id"]: r["is_contaminated"]
+           for r in DC.decontaminate(train, probe).collect()}
+    # doc 1 shares "the quick brown fox jumps"; doc 3 shares
+    # "shared secret phrase appears in"; doc 2 shares nothing
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_no_probe_grams_means_clean(spark):
+    train = _docs(spark, [(1, "one two three four five six")])
+    probe = _docs(spark, [(10, "too short")])  # < 5 tokens -> no 5-grams
+    out = DC.decontaminate(train, probe).collect()
+    assert [r["is_contaminated"] for r in out] == [False]
+
+
+def test_summary_matches_flags(spark):
+    train = _docs(spark, [
+        (i, f"document number {i} padding words alpha beta gamma delta")
+        for i in range(20)
+    ] + [(99, "the exact contaminated sentence with five grams inside it")])
+    probe = _docs(spark, [
+        (200, "probe carries the exact contaminated sentence with five grams"),
+    ])
+    summary = DC.decontamination_summary(train, probe).first()
+    flags = DC.decontaminate(train, probe)
+    n_contaminated = flags.filter(F.col("is_contaminated")).count()
+    assert summary["n_train_docs"] == 21
+    assert summary["n_contaminated_docs"] == n_contaminated == 1
+    assert summary["n_probe_grams"] > 0
+
+
+def test_gram_col_passthrough_matches_internal(spark):
+    """A precomputed gram array column (the staged-reuse path q57 takes)
+    must give identical results to internal tokenization."""
+    from shotit_worker_spark.functions import text as TX
+
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "nothing in common with anything else whatsoever today"),
+    ])
+    probe = _docs(spark, [(9, "alpha beta gamma delta epsilon")])
+    staged_train = train.withColumn(
+        "g5", F.array_distinct(TX.ngrams(TX.tokenize("text"), 5))
+    )
+    staged_probe = probe.withColumn(
+        "g5", F.array_distinct(TX.ngrams(TX.tokenize("text"), 5))
+    )
+    a = DC.decontamination_summary(train, probe).first()
+    b = DC.decontamination_summary(
+        staged_train, staged_probe, gram_col="g5"
+    ).first()
+    assert a.asDict() == b.asDict()
