@@ -1,0 +1,147 @@
+"""AutoColorCorrelogram descriptor — pure numpy, bit-exact vs LIRE.
+
+Whitelist algo `ac` (/root/reference/hasher.js:28-43; jar class
+net/semanticmetadata/lire/imageanalysis/features/global/
+AutoColorCorrelogram, default NaiveHuangAlgorithm extractor): for each
+of 64 HSV colors and each Chebyshev distance d in {1,2,3,4}, the
+probability that a pixel at ring distance d has the same color,
+quantized to floor(16 * p_est) — 256 dims (Huang et al., "Image
+Indexing Using Color Correlograms", CVPR 1997).
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/fuzzyopponent.json):
+
+- AC has its OWN integer HSV: s = (int)((max-min)/max * 255f) in
+  float32; h = 60 * sector (float32, +360 if negative) truncated;
+  v = max.
+- Color bin = (int)(h/45f)*8 + (int)(s/64f)*2 + (int)(v/128f), all in
+  float32 with final truncation.
+- Ring counting: the full 8d-offset Chebyshev ring per pixel, both
+  coordinates bounds-checked; matches accumulate per (color,
+  distance).
+- Normalization (only where the color occurs):
+  floor(16.0 * (count / ((hist*8f) * d))) with the ratio in float32
+  and the 16x scale in float64 — replicated with explicit float32
+  arithmetic. (The jar counts matches by += 1f in float32; exact up
+  to 2^24 matches per cell, same as the int counts used here.)
+
+Distance (getDistance) is Jensen-Shannon divergence over the 64x4
+correlogram.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["auto_color_correlogram", "ac_jsd", "DESC_LEN"]
+
+DESC_LEN = 256
+_DISTANCES = (1, 2, 3, 4)
+
+
+def _hsv_ac(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+
+    s = np.zeros_like(mx)
+    nz = mx != 0
+    sf = (
+        (mx - mn).astype(np.float32)[nz]
+        / mx.astype(np.float32)[nz]
+        * np.float32(255.0)
+    )
+    s[nz] = np.trunc(sf).astype(np.int64)
+
+    delta = (mx - mn).astype(np.float32)
+    rf = (g - b).astype(np.float32)
+    gf = (b - r).astype(np.float32)
+    bf = (r - g).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h_r = rf / delta
+        h_g = np.float32(2.0) + gf / delta
+        h_b = np.float32(4.0) + bf / delta
+    is_r = r == mx
+    is_g = ~is_r & (g == mx)
+    is_b = ~is_r & ~is_g & (b == mx)
+    hf = np.select([is_r, is_g, is_b], [h_r, h_g, h_b], default=np.float32(0.0))
+    hf = (hf * np.float32(60.0)).astype(np.float32)
+    hf = np.where(hf < 0, hf + np.float32(360.0), hf)
+    hf = np.nan_to_num(hf, nan=0.0, posinf=0.0, neginf=0.0)
+    h = np.trunc(hf).astype(np.int64)
+    h = np.where(mx == mn, 0, h)
+    return h, s, mx
+
+
+def ac_jsd(a: np.ndarray, b: np.ndarray) -> float:
+    """AutoColorCorrelogram's PRIVATE jsd over its float correlogram —
+    unlike MetricsUtils.jsd it keeps ratios and the running sum in
+    float32 (only the log runs in double), re-truncating after every
+    element. Bit-exact vs the jar's getDistance."""
+    af = np.asarray(a, dtype=np.float32).ravel()
+    bf = np.asarray(b, dtype=np.float32).ravel()
+    acc = np.float32(0.0)
+    for x, y in zip(af, bf):
+        ta = 0.0
+        tb = 0.0
+        if x > 0:
+            ta = float(x / np.float32(2.0)) * float(
+                np.log(float(np.float32(2.0) * x / (x + y)))
+            )
+        if y > 0:
+            tb = float(y / np.float32(2.0)) * float(
+                np.log(float(np.float32(2.0) * y / (x + y)))
+            )
+        acc = np.float32(float(acc) + ta + tb)
+    return float(acc)
+
+
+def auto_color_correlogram(rgb: np.ndarray) -> np.ndarray:
+    """256-length descriptor (float64; values 0..16), bit-identical to
+    LIRE's AutoColorCorrelogram.getFeatureVector (default config:
+    64 colors, distances 1-4, naive extractor)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h, s, v = _hsv_ac(rgb)
+    # quantize in float32: hIdx*2f*4f + sIdx*2f + vIdx, truncated.
+    h_idx = np.trunc(h.astype(np.float32) / np.float32(45.0)).astype(np.int64)
+    s_idx = np.trunc(s.astype(np.float32) / np.float32(64.0)).astype(np.int64)
+    v_idx = np.trunc(v.astype(np.float32) / np.float32(128.0)).astype(np.int64)
+    a = h_idx * 8 + s_idx * 2 + v_idx  # (H, W) color indices 0..63
+
+    hist = np.bincount(a.ravel(), minlength=64)[:64]
+    hgt, wdt = a.shape
+    corr = np.zeros((64, 4), dtype=np.float64)
+
+    for di, d in enumerate(_DISTANCES):
+        offsets = (
+            [(dx, -d) for dx in range(-d, d + 1)]
+            + [(dx, d) for dx in range(-d, d + 1)]
+            + [(-d, dy) for dy in range(-d + 1, d)]
+            + [(d, dy) for dy in range(-d + 1, d)]
+        )
+        counts = np.zeros(64, dtype=np.int64)
+        for dx, dy in offsets:
+            # valid region where (x+dx, y+dy) stays inside; orientation
+            # (rows vs cols) is symmetric for the full ring.
+            y0, y1 = max(0, -dy), min(hgt, hgt - dy)
+            x0, x1 = max(0, -dx), min(wdt, wdt - dx)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            base = a[y0:y1, x0:x1]
+            shifted = a[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
+            eq = base == shifted
+            if eq.any():
+                counts += np.bincount(base[eq].ravel(), minlength=64)[:64]
+        nz = hist > 0
+        denom = (
+            hist.astype(np.float32) * np.float32(8.0) * np.float32(d)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = counts.astype(np.float32) / denom
+        col = np.floor(16.0 * ratio.astype(np.float64))
+        corr[nz, di] = col[nz].astype(np.float32)
+
+    return corr.ravel().astype(np.float64)

@@ -1,0 +1,203 @@
+"""FuzzyOpponentHistogram descriptor — pure numpy, bit-exact vs LIRE.
+
+Whitelist algo `fo` (/root/reference/hasher.js:28-43; jar class
+net/semanticmetadata/lire/imageanalysis/features/global/
+FuzzyOpponentHistogram): fuzzy-membership opponent-color bins crossed
+with an 8-neighbor brighter-than-center count, max-normalized to 7-bit
+values.
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/fuzzyopponent.json):
+
+- Interior pixels only (x, y in [1, side-2]).
+- Opponent axes share OpponentHistogram's swapped sqrt constants
+  (field `sq6` holds sqrt(3), `sq3` holds sqrt(6)); same
+  normalization to [0, 1].
+- Fuzzy membership: 4 sets with hard plateaus and 0.1-wide linear
+  crossfades at 0.15-0.25, 0.45-0.55, 0.75-0.85.
+- The brightness count compares the 8 grayscale neighbors against the
+  center, where grayscale is Java2D's TYPE_BYTE_GRAY blit:
+  (77r + 150g + 29b + 128) >> 8 (validated exact against the JRE on
+  65k random triples).
+- The (i, j, k) fuzzy-combination bin index is i + 3j + 9k — with 4
+  sets per axis this COLLIDES across combinations (the 64-row
+  histogram uses only rows 0..39, several shared); likewise the final
+  64x9 histogram flattens as row + 27*col, overwriting earlier rows.
+  Both are jar quirks replicated faithfully.
+- Final values: floor(127 * h / max(h)) per surviving cell.
+
+Distance (getDistance) is Jensen-Shannon divergence
+(MetricsUtils.jsd) over the 576-length descriptor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "fuzzy_opponent_histogram",
+    "java_gray",
+    "jsd",
+    "jsd_distance_col",
+    "DESC_LEN",
+]
+
+DESC_LEN = 576
+
+_SQ2 = float(np.sqrt(2.0))
+_SQ6 = float(np.sqrt(3.0))  # LIRE's field naming swap, kept faithfully
+_SQ3 = float(np.sqrt(6.0))
+
+
+def java_gray(rgb: np.ndarray) -> np.ndarray:
+    """Java2D sRGB -> TYPE_BYTE_GRAY blit, per pixel (int64)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    return (r * 77 + g * 150 + b * 29 + 128) >> 8
+
+
+def _fuzzy_membership(v: np.ndarray) -> np.ndarray:
+    """(n,) values in [0,1] -> (n, 4) memberships (getFuzzyMembership)."""
+    out = np.zeros(v.shape + (4,), dtype=np.float64)
+    out[v <= 0.15, 0] = 1.0
+    m = (v > 0.15) & (v < 0.25)
+    out[m, 0] = (v[m] - 0.15) * 10.0
+    out[m, 1] = 1.0 - out[m, 0]
+    out[(v >= 0.25) & (v <= 0.45), 1] = 1.0
+    m = (v > 0.45) & (v < 0.55)
+    out[m, 1] = (v[m] - 0.45) * 10.0
+    out[m, 2] = 1.0 - out[m, 1]
+    out[(v >= 0.55) & (v <= 0.75), 2] = 1.0
+    m = (v > 0.75) & (v < 0.85)
+    out[m, 2] = (v[m] - 0.75) * 10.0
+    out[m, 3] = 1.0 - out[m, 2]
+    out[v >= 0.85, 3] = 1.0
+    return out
+
+
+def jsd(a: np.ndarray, b: np.ndarray) -> float:
+    """MetricsUtils.jsd (double[] variant) — the matching distance of
+    FuzzyOpponentHistogram / JointHistogram / AutoColorCorrelogram:
+    sum of (p/2)*log(2p/(p+q)) terms, each guarded to 0 when its side
+    is not positive."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    s = a + b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(a > 0, (a / 2.0) * np.log(2.0 * a / s), 0.0)
+        tb = np.where(b > 0, (b / 2.0) * np.log(2.0 * b / s), 0.0)
+    return float((ta + tb).sum())
+
+
+def jsd_distance_col(bins_col, query_bins):
+    """The same Jensen-Shannon divergence as a Catalyst Column against
+    a driver-side query vector — whole-stage-codegen'd, no Python in
+    the scoring path."""
+    from pyspark.sql import functions as F
+
+    q = F.array(*[F.lit(float(v)) for v in query_bins])
+    term = F.zip_with(
+        bins_col,
+        q,
+        lambda x, y: (
+            F.when(
+                x.cast("double") > 0,
+                (x.cast("double") / 2.0)
+                * F.log(2.0 * x.cast("double") / (x.cast("double") + y)),
+            ).otherwise(0.0)
+            + F.when(
+                y > 0, (y / 2.0) * F.log(2.0 * y / (x.cast("double") + y))
+            ).otherwise(0.0)
+        ),
+    )
+    return F.aggregate(term, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def fuzzy_opponent_histogram(rgb: np.ndarray) -> np.ndarray:
+    """576-length descriptor (float64; integer-valued where written),
+    bit-identical to LIRE's FuzzyOpponentHistogram.getFeatureVector."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h_img, w_img = rgb.shape[:2]
+    hist = np.zeros((64, 9), dtype=np.float64)
+    if h_img >= 3 and w_img >= 3:
+        interior = rgb[1 : h_img - 1, 1 : w_img - 1].astype(np.float64)
+        r = interior[..., 0]
+        g = interior[..., 1]
+        b = interior[..., 2]
+        o1 = (r - g) / _SQ2
+        o2 = (r + g - 2.0 * b) / _SQ6
+        o3 = (r + g + b) / _SQ3
+        o1 = (o1 + 255.0 / _SQ2) / (510.0 / _SQ2)
+        o2 = (o2 + 510.0 / _SQ6) / (1020.0 / _SQ6)
+        o3 = o3 / (765.0 / _SQ3)
+
+        f1 = _fuzzy_membership(o1.ravel())  # (n, 4)
+        f2 = _fuzzy_membership(o2.ravel())
+        f3 = _fuzzy_membership(o3.ravel())
+
+        gray = java_gray(rgb)
+        center = gray[1 : h_img - 1, 1 : w_img - 1]
+        count = np.zeros_like(center)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = gray[1 + dy : h_img - 1 + dy, 1 + dx : w_img - 1 + dx]
+                count += (nb > center).astype(np.int64)
+        count = count.ravel()
+
+        # bin = i + 3j + 9k over 4x4x4 fuzzy sets — colliding indices
+        # accumulate additively in the jar too (same += target), so a
+        # bincount-style scatter-add over (bin, count) is exact up to
+        # float add order; contributions are products of memberships
+        # added per pixel. Pixel iteration order is column-major in the
+        # jar (x outer); replicate with per-cell cumulative adds.
+        # Build (n, 64) contribution matrix sparsely: only up to 2 sets
+        # per axis are nonzero -> up to 8 combinations per pixel.
+        n = f1.shape[0]
+        contrib_bins = []
+        contrib_vals = []
+        for i in range(4):
+            a1 = f1[:, i]
+            if not (a1 != 0).any():
+                continue
+            for j in range(4):
+                a2 = f2[:, j]
+                both = (a1 != 0) & (a2 != 0)
+                if not both.any():
+                    continue
+                for k in range(4):
+                    a3 = f3[:, k]
+                    m = both & (a3 != 0)
+                    if not m.any():
+                        continue
+                    binno = i + 3 * j + 9 * k
+                    v = np.where(m, a1 * f2[:, j] * a3, 0.0)
+                    contrib_bins.append(binno)
+                    contrib_vals.append(v)
+        # per (bin, count) cell: sequential sum over pixels in the
+        # jar's x-outer/y-inner scan order.
+        ny, nx = center.shape
+        order = (
+            np.arange(n).reshape(ny, nx).T.ravel()
+        )  # column-major pixel order
+        cnt_ord = count[order]
+        for binno, v in zip(contrib_bins, contrib_vals):
+            v_ord = v[order]
+            for c in range(9):
+                sel = cnt_ord == c
+                if sel.any():
+                    hist[binno, c] += np.cumsum(v_ord[sel])[-1]
+
+    mx = hist.max()
+    desc = np.zeros(DESC_LEN, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = np.floor(127.0 * (hist / mx)) if mx > 0 else np.zeros_like(hist)
+    # descriptor[row + 27*col] — later rows overwrite earlier ones on
+    # collision (row-major write order), jar quirk kept.
+    for row in range(64):
+        for col in range(9):
+            desc[row + 27 * col] = vals[row, col]
+    return desc

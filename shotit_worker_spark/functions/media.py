@@ -40,12 +40,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from . import autocorrelogram as AC
 from . import bitsampling as BS
 from . import cedd as CE
 from . import colorlayout as CL
 from . import edgehistogram as EH
 from . import fcth as FC
+from . import fuzzyopponent as FO
 from . import imagecodec as IC
+from . import jointhistogram as JH
 from . import opponenthistogram as OH
 from . import scalablecolor as SCD
 from pyspark.sql import functions as F
@@ -186,8 +189,15 @@ def reference_feature_vector(rgb: np.ndarray, algo: str) -> np.ndarray:
         return FC.fcth(rgb).astype(np.float64)
     if algo == "jc":
         return FC.jcd(rgb)
+    if algo == "fo":
+        return FO.fuzzy_opponent_histogram(rgb)
+    if algo == "jh":
+        return JH.joint_histogram(rgb)
+    if algo == "ac":
+        return AC.auto_color_correlogram(rgb)
     raise ValueError(
-        f"unsupported descriptor algo {algo!r} (cl, eh, oh, sc, ce, fc, jc)"
+        f"unsupported descriptor algo {algo!r} "
+        "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac)"
     )
 
 
@@ -235,10 +245,16 @@ def _descriptor(
         # so the hex-token round-trip stays lossless (the jar's own
         # byte serialization stores JCD values x2 for the same reason).
         vec = FC.jcd(rgb) * 2.0
+    elif algo == "fo":
+        vec = FO.fuzzy_opponent_histogram(rgb)
+    elif algo == "jh":
+        vec = JH.joint_histogram(rgb)
+    elif algo == "ac":
+        vec = AC.auto_color_correlogram(rgb)
     else:
         raise ValueError(
             f"unsupported descriptor algo {algo!r} "
-            "(cl, eh, oh, sc, ce, fc, jc)"
+            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac)"
         )
     # Identity hex of the quantized descriptor (the `_hi` role). Bytes are
     # the low 8 bits of each coefficient — sc coefficients can be negative,

@@ -491,11 +491,15 @@ def descriptor_topk(
     `df` carries `ce_bins` / `fc_bins` / `jc_bins` histogram arrays —
     distance is LIRE's Tanimoto form 100 - 100*T
     (functions/cedd.distance_col, shared by all three).
+    metric='fo'/'jh'/'ac': `df` carries `fo_bins` / `jh_bins` /
+    `ac_bins` arrays — distance is Jensen-Shannon divergence
+    (functions/fuzzyopponent.jsd_distance_col, shared by all three).
 
     Plan shape: one projection + TakeOrderedAndProject — the scan prunes
     to the descriptor columns, no shuffle beyond the top-k."""
     from ..functions import cedd as CE
     from ..functions import colorlayout as CL
+    from ..functions import fuzzyopponent as FOM
     from ..functions import edgehistogram as EH
     from ..functions import scalablecolor as SCD
 
@@ -510,9 +514,12 @@ def descriptor_topk(
         dist = SCD.distance_col(F.col("sc_bins"), query)
     elif metric in ("ce", "fc", "jc"):
         dist = CE.distance_col(F.col(f"{metric}_bins"), query)
+    elif metric in ("fo", "jh", "ac"):
+        dist = FOM.jsd_distance_col(F.col(f"{metric}_bins"), query)
     else:
         raise ValueError(
-            f"unknown descriptor metric {metric!r} (cl, eh, sc, ce, fc, jc)"
+            f"unknown descriptor metric {metric!r} "
+            "(cl, eh, sc, ce, fc, jc, fo, jh, ac)"
         )
     order = [F.col("distance").asc()] + (
         [F.col(tie_col).asc()] if tie_col else []

@@ -96,7 +96,9 @@ def test_self_retrieval_ivf(spark, index_rows, tmp_root):
     assert top["hash_id"] == fr["hid"]
 
 
-@pytest.mark.parametrize("algo", ["cl", "eh", "oh", "sc", "ce", "fc", "jc"])
+@pytest.mark.parametrize(
+    "algo", ["cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac"]
+)
 def test_self_retrieval_per_algo(spark, algo):
     """The multi-algo pipeline end-to-end (P4 whitelist): ingest + query
     with each implemented descriptor — embedding a frame's own image

@@ -1,0 +1,88 @@
+"""FuzzyOpponentHistogram / JointHistogram / AutoColorCorrelogram:
+LIRE bit-parity goldens + JSD distance parity. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import autocorrelogram as AC
+from shotit_worker_spark.functions import fuzzyopponent as FO
+from shotit_worker_spark.functions import jointhistogram as JH
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "extradescriptors.json")
+
+
+def _kernels(arr):
+    return {
+        "fo": FO.fuzzy_opponent_histogram(arr),
+        "jh": JH.joint_histogram(arr),
+        "ac": AC.auto_color_correlogram(arr),
+    }
+
+
+def test_lire_bit_parity_features():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)["features"]
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        got = _kernels(arr)
+        for algo in ("fo", "jh", "ac"):
+            assert [float(v) for v in got[algo]] == goldens[name][algo], (
+                f"{name}/{algo}: feature mismatch"
+            )
+
+
+def test_lire_distance_parity_jsd():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)["distances"]
+    imgs = _golden_images()
+    desc = {n: _kernels(a) for n, a in imgs.items()}
+    assert len(goldens) == 21
+    for row in goldens:
+        for algo in ("fo", "jh"):
+            got = FO.jsd(desc[row["a"]][algo], desc[row["b"]][algo])
+            assert got == pytest.approx(row[algo], abs=1e-9), (
+                f"{row['a']}|{row['b']}/{algo}"
+            )
+        # ac's getDistance uses its own float32 jsd variant
+        got = AC.ac_jsd(desc[row["a"]]["ac"], desc[row["b"]]["ac"])
+        assert got == pytest.approx(row["ac"], abs=1e-12), (
+            f"{row['a']}|{row['b']}/ac"
+        )
+
+
+def test_shapes_and_ranges():
+    for arr in _golden_images().values():
+        k = _kernels(arr)
+        assert k["fo"].shape == (576,)
+        assert k["jh"].shape == (576,)
+        assert k["ac"].shape == (256,)
+        assert k["jh"].min() >= 0 and k["jh"].max() <= 127
+        assert k["ac"].min() >= 0 and k["ac"].max() <= 16
+
+
+def test_java_gray_formula():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    gray = FO.java_gray(img)
+    expect = (
+        img[..., 0].astype(np.int64) * 77
+        + img[..., 1].astype(np.int64) * 150
+        + img[..., 2].astype(np.int64) * 29
+        + 128
+    ) >> 8
+    assert np.array_equal(gray, expect)
+
+
+def test_tiny_images_total():
+    tiny = np.zeros((2, 2, 3), np.uint8)
+    assert FO.fuzzy_opponent_histogram(tiny).shape == (576,)
+    assert JH.joint_histogram(tiny).shape == (576,)
+    assert AC.auto_color_correlogram(tiny).shape == (256,)

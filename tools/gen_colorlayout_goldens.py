@@ -146,6 +146,45 @@ public class SCGold {
 }
 """
 
+EX_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.FuzzyOpponentHistogram;
+import net.semanticmetadata.lire.imageanalysis.features.global.AutoColorCorrelogram;
+import net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram;
+import java.io.File;
+
+public class EXGold {
+  public static void main(String[] args) throws Exception {
+    int n = args.length;
+    FuzzyOpponentHistogram[] fos = new FuzzyOpponentHistogram[n];
+    JointHistogram[] jhs = new JointHistogram[n];
+    AutoColorCorrelogram[] acs = new AutoColorCorrelogram[n];
+    for (int i = 0; i < n; i++) {
+      fos[i] = new FuzzyOpponentHistogram();
+      fos[i].extract(ImageIO.read(new File(args[i])));
+      jhs[i] = new JointHistogram();
+      jhs[i].extract(ImageIO.read(new File(args[i])));
+      acs[i] = new AutoColorCorrelogram();
+      acs[i].extract(ImageIO.read(new File(args[i])));
+      StringBuilder sb = new StringBuilder();
+      sb.append("F\t").append(args[i]).append("\t");
+      for (double d : fos[i].getFeatureVector()) sb.append(d).append(",");
+      sb.append("\t");
+      for (double d : jhs[i].getFeatureVector()) sb.append(d).append(",");
+      sb.append("\t");
+      for (double d : acs[i].getFeatureVector()) sb.append(d).append(",");
+      System.out.println(sb);
+    }
+    for (int a = 0; a < n; a++)
+      for (int b = a + 1; b < n; b++)
+        System.out.println("D\t" + args[a] + "\t" + args[b] + "\t"
+            + fos[a].getDistance(fos[b]) + "\t"
+            + jhs[a].getDistance(jhs[b]) + "\t"
+            + acs[a].getDistance(acs[b]));
+  }
+}
+"""
+
 CE_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.CEDD;
@@ -185,7 +224,7 @@ import java.io.File;
 public class BSGold {
   public static void main(String[] args) throws Exception {
     BitSampling.readHashFunctions();
-    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc"};
+    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac"};
     for (String p : args) {
       for (String algo : algos) {
         GlobalFeature f;
@@ -196,6 +235,9 @@ public class BSGold {
           case "sc": f = new ScalableColor(); break;
           case "ce": f = new CEDD(); break;
           case "fc": f = new FCTH(); break;
+          case "fo": f = new FuzzyOpponentHistogram(); break;
+          case "jh": f = new net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram(); break;
+          case "ac": f = new AutoColorCorrelogram(); break;
           default: f = new JCD(); break;
         }
         f.extract(ImageIO.read(new File(p)));
@@ -270,6 +312,7 @@ def main() -> None:
                            ("SCGold.java", SC_HARNESS),
                            ("CEGold.java", CE_HARNESS),
                            ("BSGold.java", BS_HARNESS),
+                           ("EXGold.java", EX_HARNESS),
                            ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
@@ -349,6 +392,29 @@ def main() -> None:
             }
 
         res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "EXGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        ex_goldens: dict = {"features": {}, "distances": []}
+        for line in res.stdout.strip().splitlines():
+            parts = line.split("\t")
+            if parts[0] == "F":
+                name = os.path.basename(parts[1])[: -len(".png")]
+                ex_goldens["features"][name] = {
+                    "fo": [float(v) for v in parts[2].rstrip(",").split(",")],
+                    "jh": [float(v) for v in parts[3].rstrip(",").split(",")],
+                    "ac": [float(v) for v in parts[4].rstrip(",").split(",")],
+                }
+            else:
+                ex_goldens["distances"].append({
+                    "a": os.path.basename(parts[1])[: -len(".png")],
+                    "b": os.path.basename(parts[2])[: -len(".png")],
+                    "fo": float(parts[3]),
+                    "jh": float(parts[4]),
+                    "ac": float(parts[5]),
+                })
+
+        res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "BSGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
@@ -383,6 +449,7 @@ def main() -> None:
         ("scalablecolor.json", sc_goldens),
         ("cedd.json", ce_goldens),
         ("bitsampling.json", bs_goldens),
+        ("extradescriptors.json", ex_goldens),
         ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)
