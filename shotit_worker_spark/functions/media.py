@@ -50,6 +50,7 @@ from . import fuzzyopponent as FO
 from . import imagecodec as IC
 from . import jointhistogram as JH
 from . import opponenthistogram as OH
+from . import phog as PH
 from . import scalablecolor as SCD
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -195,9 +196,11 @@ def reference_feature_vector(rgb: np.ndarray, algo: str) -> np.ndarray:
         return JH.joint_histogram(rgb)
     if algo == "ac":
         return AC.auto_color_correlogram(rgb)
+    if algo == "ph":
+        return PH.phog(rgb)
     raise ValueError(
         f"unsupported descriptor algo {algo!r} "
-        "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac)"
+        "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph)"
     )
 
 
@@ -251,10 +254,12 @@ def _descriptor(
         vec = JH.joint_histogram(rgb)
     elif algo == "ac":
         vec = AC.auto_color_correlogram(rgb)
+    elif algo == "ph":
+        vec = PH.phog(rgb)
     else:
         raise ValueError(
             f"unsupported descriptor algo {algo!r} "
-            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac)"
+            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph)"
         )
     # Identity hex of the quantized descriptor (the `_hi` role). Bytes are
     # the low 8 bits of each coefficient — sc coefficients can be negative,

@@ -1,0 +1,228 @@
+"""PHOG descriptor — pure numpy, bit-exact vs LIRE.
+
+Whitelist algo `ph` (/root/reference/hasher.js:28-43; jar class
+net/semanticmetadata/lire/imageanalysis/features/global/PHOG): a
+pyramid histogram of oriented gradients over Canny-style edges
+(Bosch, Zisserman & Munoz, "Representing shape with a spatial pyramid
+kernel", CIVR 2007) — 30 orientation bins at pyramid levels 0/1/2 =
+630 dims, 4-bit quantized per cell.
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/phog.json):
+
+- Grayscale is ColorConvertOp(CS_GRAY) — the ICC/LCMS path, NOT the
+  drawImage blit. Its 24-bit RGB -> gray mapping is shipped verbatim
+  as a LUT extracted from the JRE (data/ccop_gray_lut.npz,
+  tools/gen_ccop_gray_lut.py); validated on 60k random triples.
+- Sobel 3x3 with zeroed borders; direction = atan(gy/gx) (PI/2 where
+  gx == 0, no atan2 — the jar quirk that folds opposite gradients).
+- Non-max suppression in 4 sectors at +-PI/8 / +-3PI/8 with STRICT
+  greater-than against both neighbors; survivors with magnitude > 60
+  become edge pixels (the 128 "weak" branch is dead code — the
+  low/high thresholds are swapped in the jar, so hysteresis never
+  fires; replicated by simply skipping it).
+- Per-cell histogram: bin position (dir/PI + 0.5) * 30; integer hits
+  add 1, fractional hits split (ang - floor) to the floor bin and
+  (ceil - ang) to the ceil bin (that orientation of the split is the
+  jar's, kept verbatim), bin 30 wraps to 0. Accumulation follows the
+  jar's x-outer/y-inner scan (cumsum order).
+- Cells: level 0 full frame; level 1 the four (w/2 x h/2) quadrants;
+  level 2 sixteen (w/4 x h/4) cells in x-outer order. Each cell is
+  max-normalized to floor(15*h/max) clamped to 15.
+
+Distance (getDistance) is L1 over the 630 byte values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["phog", "ccop_gray", "BINS", "DESC_LEN"]
+
+BINS = 30
+DESC_LEN = BINS + 4 * BINS + 16 * BINS  # 630
+
+_LUT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "ccop_gray_lut.npz"
+)
+_lut: np.ndarray | None = None
+
+_PI_8 = np.pi / 8.0
+_3PI_8 = 3.0 * np.pi / 8.0
+
+# fdlibm s_atan.c constants (public netlib source) — Java's Math.atan is
+# fdlibm, which differs from the platform libm in the last ulp on ~25%
+# of inputs; those flips cross PHOG's bin/quantization boundaries.
+_ATANHI = np.array([
+    4.63647609000806093515e-01, 7.85398163397448278999e-01,
+    9.82793723247329054082e-01, 1.57079632679489655800e+00])
+_ATANLO = np.array([
+    2.26987774529616870924e-17, 3.06161699786838301793e-17,
+    1.39033110312309984516e-17, 6.12323399573676603587e-17])
+_AT = np.array([
+    3.33333333333329318027e-01, -1.99999999998764832476e-01,
+    1.42857142725034663711e-01, -1.11111104054623557880e-01,
+    9.09088713343650656196e-02, -7.69187620504482999495e-02,
+    6.66107313738753120669e-02, -5.83357013379057348645e-02,
+    4.97687799461593236017e-02, -3.65315727442169155270e-02,
+    1.62858201153657823623e-02])
+
+
+def java_atan(x: np.ndarray) -> np.ndarray:
+    """Vectorized fdlibm atan — bit-identical to Java Math.atan
+    (validated on 8k probe values incl. all segment boundaries)."""
+    x = np.asarray(x, dtype=np.float64)
+    sign = np.signbit(x)
+    ax = np.abs(x)
+    ix = (ax.view(np.uint64) >> np.uint64(32)).astype(np.int64)
+
+    huge_m = ix >= 0x44100000  # |x| >= 2^66
+    tiny_m = (ix < 0x3E200000) & ~huge_m  # |x| < 2^-29
+    id_m1 = (ix < 0x3FDC0000) & ~huge_m & ~tiny_m  # |x| < 0.4375
+    seg0 = (ix >= 0x3FDC0000) & (ix < 0x3FE60000) & ~huge_m
+    seg1 = (ix >= 0x3FE60000) & (ix < 0x3FF30000) & ~huge_m
+    seg2 = (ix >= 0x3FF30000) & (ix < 0x40038000) & ~huge_m
+    seg3 = (ix >= 0x40038000) & ~huge_m
+
+    t = ax.copy()
+    t = np.where(seg0, (2.0 * ax - 1.0) / (2.0 + ax), t)
+    t = np.where(seg1, (ax - 1.0) / (ax + 1.0), t)
+    t = np.where(seg2, (ax - 1.5) / (1.0 + 1.5 * ax), t)
+    with np.errstate(divide="ignore"):
+        t = np.where(seg3, -1.0 / ax, t)
+    t = np.where(id_m1, x, t)
+
+    z = t * t
+    w = z * z
+    s1 = z * (_AT[0] + w * (_AT[2] + w * (_AT[4] + w * (_AT[6] + w * (_AT[8] + w * _AT[10])))))
+    s2 = w * (_AT[1] + w * (_AT[3] + w * (_AT[5] + w * (_AT[7] + w * _AT[9]))))
+
+    res_id = t - t * (s1 + s2)  # |x| < 0.4375 (sign carried by t = x)
+    idsel = np.select([seg0, seg1, seg2, seg3], [0, 1, 2, 3], default=0)
+    res_seg = _ATANHI[idsel] - ((t * (s1 + s2) - _ATANLO[idsel]) - t)
+    res_seg = np.where(sign, -res_seg, res_seg)
+    res_huge = np.where(sign, -(_ATANHI[3] + _ATANLO[3]), _ATANHI[3] + _ATANLO[3])
+
+    out = np.where(
+        huge_m, res_huge, np.where(tiny_m, x, np.where(id_m1, res_id, res_seg))
+    )
+    return np.where(np.isnan(x), x, out)
+
+
+def ccop_gray(rgb: np.ndarray) -> np.ndarray:
+    """Java ColorConvertOp(CS_GRAY) sRGB -> gray, per pixel (int64) —
+    exact LUT extracted from the JRE."""
+    global _lut
+    if _lut is None:
+        _lut = np.load(_LUT_PATH)["lut"]
+    idx = (
+        (rgb[..., 0].astype(np.int64) << 16)
+        | (rgb[..., 1].astype(np.int64) << 8)
+        | rgb[..., 2].astype(np.int64)
+    )
+    return _lut[idx].astype(np.int64)
+
+
+def _cell_histogram(
+    edge: np.ndarray, dirs: np.ndarray, x0: int, y0: int, ww: int, hh: int
+) -> np.ndarray:
+    """One pyramid cell: 30-bin direction histogram over edge pixels,
+    max-normalized and 4-bit quantized (PHOG.getHistogram)."""
+    hist = np.zeros(BINS, dtype=np.float64)
+    if ww <= 0 or hh <= 0:
+        return hist
+    e = edge[y0 : y0 + hh, x0 : x0 + ww]
+    d = dirs[y0 : y0 + hh, x0 : x0 + ww]
+    sel = (e < 50).T.ravel()  # x-outer scan order
+    if sel.any():
+        ang = ((d.T.ravel()[sel] / np.pi) + 0.5) * BINS
+        fl = np.floor(ang)
+        exact = ang == fl
+        fi = fl.astype(np.int64)
+        fi[fi == BINS] = 0
+        ci = np.ceil(ang).astype(np.int64)
+        ci[ci == BINS] = 0
+        frac = ang - fl
+        cfrac = np.ceil(ang) - ang
+        for b in range(BINS):
+            contrib = (
+                np.where(exact & (fi == b), 1.0, 0.0)
+                + np.where(~exact & (fi == b), frac, 0.0)
+                + np.where(~exact & (ci == b), cfrac, 0.0)
+            )
+            if contrib.any():
+                hist[b] = np.cumsum(contrib)[-1]
+    mx = hist.max()
+    if mx > 0:
+        hist = np.minimum(15.0, np.floor(15.0 * hist / mx))
+    return hist
+
+
+def phog(rgb: np.ndarray) -> np.ndarray:
+    """630-length descriptor (float64; values 0..15), bit-identical to
+    LIRE's PHOG.getFeatureVector."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h_img, w_img = rgb.shape[:2]
+    gray = ccop_gray(rgb).astype(np.float64)
+
+    gx = np.zeros((h_img, w_img), dtype=np.float64)
+    gy = np.zeros((h_img, w_img), dtype=np.float64)
+    if h_img >= 3 and w_img >= 3:
+        a = gray
+        # gx: left column minus right column ([1,2,1] weights)
+        gx[1:-1, 1:-1] = (
+            a[:-2, :-2] + 2.0 * a[1:-1, :-2] + a[2:, :-2]
+            - a[:-2, 2:] - 2.0 * a[1:-1, 2:] - a[2:, 2:]
+        )
+        # gy: top row minus bottom row
+        gy[1:-1, 1:-1] = (
+            a[:-2, :-2] + 2.0 * a[:-2, 1:-1] + a[:-2, 2:]
+            - a[2:, :-2] - 2.0 * a[2:, 1:-1] - a[2:, 2:]
+        )
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dirs = np.where(gx != 0.0, java_atan(gy / gx), np.pi / 2.0)
+    mag = np.sqrt(gy * gy + gx * gx)
+
+    edge = np.full((h_img, w_img), 255, dtype=np.int64)
+    if h_img >= 3 and w_img >= 3:
+        d = dirs[1:-1, 1:-1]
+        m = mag[1:-1, 1:-1]
+        sect_a = (d < _PI_8) & (d >= -_PI_8)
+        sect_b = ~sect_a & (d < _3PI_8) & (d >= _PI_8)
+        sect_c = ~sect_a & ~sect_b & ((d < -_3PI_8) | (d >= _3PI_8))
+        sect_d = ~sect_a & ~sect_b & ~sect_c & (d < -_PI_8) & (d >= -_3PI_8)
+
+        def nb(dy, dx):
+            return mag[1 + dy : h_img - 1 + dy, 1 + dx : w_img - 1 + dx]
+
+        keep = (
+            (sect_a & (m > nb(0, 1)) & (m > nb(0, -1)))
+            | (sect_b & (m > nb(-1, -1)) & (m > nb(1, 1)))
+            | (sect_c & (m > nb(1, 0)) & (m > nb(-1, 0)))
+            | (sect_d & (m > nb(-1, 1)) & (m > nb(1, -1)))
+        )
+        is_edge = keep & (m > 60.0)
+        edge[1:-1, 1:-1] = np.where(is_edge, 0, 255)
+    # hysteresis is a no-op in the jar (thresholds swapped -> no weak
+    # pixels are ever produced); faithfully skipped.
+
+    out = np.zeros(DESC_LEN, dtype=np.float64)
+    out[0:BINS] = _cell_histogram(edge, dirs, 0, 0, w_img, h_img)
+    w2, h2 = w_img // 2, h_img // 2
+    out[BINS : 2 * BINS] = _cell_histogram(edge, dirs, 0, 0, w2, h2)
+    out[2 * BINS : 3 * BINS] = _cell_histogram(edge, dirs, w2, 0, w2, h2)
+    out[3 * BINS : 4 * BINS] = _cell_histogram(edge, dirs, 0, h2, w2, h2)
+    out[4 * BINS : 5 * BINS] = _cell_histogram(edge, dirs, w2, h2, w2, h2)
+    w4, h4 = w_img // 4, h_img // 4
+    k = 5
+    for i in range(4):
+        for j in range(4):
+            out[k * BINS : (k + 1) * BINS] = _cell_histogram(
+                edge, dirs, i * w4, j * h4, w4, h4
+            )
+            k += 1
+    return np.trunc(out)

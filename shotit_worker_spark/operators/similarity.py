@@ -516,10 +516,13 @@ def descriptor_topk(
         dist = CE.distance_col(F.col(f"{metric}_bins"), query)
     elif metric in ("fo", "jh", "ac"):
         dist = FOM.jsd_distance_col(F.col(f"{metric}_bins"), query)
+    elif metric == "ph":
+        # PHOG.getDistance is plain L1 — same integer-L1 column as sc.
+        dist = SCD.distance_col(F.col("ph_bins"), query)
     else:
         raise ValueError(
             f"unknown descriptor metric {metric!r} "
-            "(cl, eh, sc, ce, fc, jc, fo, jh, ac)"
+            "(cl, eh, sc, ce, fc, jc, fo, jh, ac, ph)"
         )
     order = [F.col("distance").asc()] + (
         [F.col(tie_col).asc()] if tie_col else []

@@ -12,6 +12,7 @@ import pytest
 from shotit_worker_spark.functions import autocorrelogram as AC
 from shotit_worker_spark.functions import fuzzyopponent as FO
 from shotit_worker_spark.functions import jointhistogram as JH
+from shotit_worker_spark.functions import phog as PH
 from tests.test_colorlayout import _golden_images
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -23,6 +24,7 @@ def _kernels(arr):
         "fo": FO.fuzzy_opponent_histogram(arr),
         "jh": JH.joint_histogram(arr),
         "ac": AC.auto_color_correlogram(arr),
+        "ph": PH.phog(arr),
     }
 
 
@@ -33,7 +35,7 @@ def test_lire_bit_parity_features():
     assert set(goldens) == set(imgs)
     for name, arr in imgs.items():
         got = _kernels(arr)
-        for algo in ("fo", "jh", "ac"):
+        for algo in ("fo", "jh", "ac", "ph"):
             assert [float(v) for v in got[algo]] == goldens[name][algo], (
                 f"{name}/{algo}: feature mismatch"
             )
@@ -56,6 +58,11 @@ def test_lire_distance_parity_jsd():
         assert got == pytest.approx(row["ac"], abs=1e-12), (
             f"{row['a']}|{row['b']}/ac"
         )
+        # ph's getDistance is plain L1
+        got = float(
+            np.abs(desc[row["a"]]["ph"] - desc[row["b"]]["ph"]).sum()
+        )
+        assert got == row["ph"], f"{row['a']}|{row['b']}/ph"
 
 
 def test_shapes_and_ranges():
@@ -64,8 +71,10 @@ def test_shapes_and_ranges():
         assert k["fo"].shape == (576,)
         assert k["jh"].shape == (576,)
         assert k["ac"].shape == (256,)
+        assert k["ph"].shape == (630,)
         assert k["jh"].min() >= 0 and k["jh"].max() <= 127
         assert k["ac"].min() >= 0 and k["ac"].max() <= 16
+        assert k["ph"].min() >= 0 and k["ph"].max() <= 15
 
 
 def test_java_gray_formula():
@@ -86,3 +95,16 @@ def test_tiny_images_total():
     assert FO.fuzzy_opponent_histogram(tiny).shape == (576,)
     assert JH.joint_histogram(tiny).shape == (576,)
     assert AC.auto_color_correlogram(tiny).shape == (256,)
+    assert PH.phog(tiny).shape == (630,)
+
+
+def test_java_atan_bit_parity_sample():
+    """fdlibm atan must agree with numpy's arctan to within 1 ulp and
+    reproduce the segment boundaries exactly (full Java parity is
+    pinned by the PHOG feature goldens)."""
+    xs = np.array([0.0, 0.4375, 0.6875, 1.1875, 2.4375, -1.0, 1e-300,
+                   1e300, -3.5, 0.1234567])
+    got = PH.java_atan(xs)
+    ref = np.arctan(xs)
+    ulps = np.abs(got.view(np.int64) - ref.view(np.int64))
+    assert ulps.max() <= 1

@@ -1,0 +1,71 @@
+"""Regenerate shotit_worker_spark/functions/data/ccop_gray_lut.npz.
+
+PHOG's grayscale stage is Java2D's ColorConvertOp(CS_GRAY) — an
+ICC/LCMS transform with internal fixed-point tables that no closed
+formula reproduces bit-exactly. This tool extracts the complete
+24-bit RGB -> 8-bit gray mapping from the JRE itself (one 4096x4096
+conversion covering every color) so the kernel can replicate it
+verbatim.
+
+Usage: python tools/gen_ccop_gray_lut.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = r"""
+import java.awt.color.ColorSpace;
+import java.awt.image.BufferedImage;
+import java.awt.image.ColorConvertOp;
+import java.awt.image.DataBufferByte;
+import java.io.BufferedOutputStream;
+import java.io.FileOutputStream;
+
+public class GrayLUT {
+  public static void main(String[] args) throws Exception {
+    ColorConvertOp op = new ColorConvertOp(
+        ColorSpace.getInstance(ColorSpace.CS_GRAY), null);
+    BufferedImage src = new BufferedImage(4096, 4096, BufferedImage.TYPE_INT_RGB);
+    int[] row = new int[4096];
+    for (int yy = 0; yy < 4096; yy++) {
+      for (int xx = 0; xx < 4096; xx++) row[xx] = yy * 4096 + xx;
+      src.setRGB(0, yy, 4096, 1, row, 0, 4096);
+    }
+    BufferedImage gray = new BufferedImage(4096, 4096, BufferedImage.TYPE_BYTE_GRAY);
+    op.filter(src, gray);
+    byte[] data = ((DataBufferByte) gray.getRaster().getDataBuffer()).getData();
+    BufferedOutputStream out = new BufferedOutputStream(new FileOutputStream(args[0]));
+    out.write(data);
+    out.close();
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "GrayLUT.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(["javac", "GrayLUT.java"], cwd=td, check=True)
+        bin_path = os.path.join(td, "lut.bin")
+        subprocess.run(
+            ["java", "-Xmx2g", "-cp", ".", "GrayLUT", bin_path], cwd=td, check=True
+        )
+        lut = np.fromfile(bin_path, dtype=np.uint8)
+    assert lut.shape == (1 << 24,)
+    dest = os.path.join(
+        REPO, "shotit_worker_spark", "functions", "data", "ccop_gray_lut.npz"
+    )
+    np.savez_compressed(dest, lut=lut)
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()

@@ -150,6 +150,7 @@ EX_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.FuzzyOpponentHistogram;
 import net.semanticmetadata.lire.imageanalysis.features.global.AutoColorCorrelogram;
+import net.semanticmetadata.lire.imageanalysis.features.global.PHOG;
 import net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram;
 import java.io.File;
 
@@ -159,6 +160,7 @@ public class EXGold {
     FuzzyOpponentHistogram[] fos = new FuzzyOpponentHistogram[n];
     JointHistogram[] jhs = new JointHistogram[n];
     AutoColorCorrelogram[] acs = new AutoColorCorrelogram[n];
+    PHOG[] phs = new PHOG[n];
     for (int i = 0; i < n; i++) {
       fos[i] = new FuzzyOpponentHistogram();
       fos[i].extract(ImageIO.read(new File(args[i])));
@@ -166,6 +168,8 @@ public class EXGold {
       jhs[i].extract(ImageIO.read(new File(args[i])));
       acs[i] = new AutoColorCorrelogram();
       acs[i].extract(ImageIO.read(new File(args[i])));
+      phs[i] = new PHOG();
+      phs[i].extract(ImageIO.read(new File(args[i])));
       StringBuilder sb = new StringBuilder();
       sb.append("F\t").append(args[i]).append("\t");
       for (double d : fos[i].getFeatureVector()) sb.append(d).append(",");
@@ -173,6 +177,8 @@ public class EXGold {
       for (double d : jhs[i].getFeatureVector()) sb.append(d).append(",");
       sb.append("\t");
       for (double d : acs[i].getFeatureVector()) sb.append(d).append(",");
+      sb.append("\t");
+      for (double d : phs[i].getFeatureVector()) sb.append(d).append(",");
       System.out.println(sb);
     }
     for (int a = 0; a < n; a++)
@@ -180,7 +186,8 @@ public class EXGold {
         System.out.println("D\t" + args[a] + "\t" + args[b] + "\t"
             + fos[a].getDistance(fos[b]) + "\t"
             + jhs[a].getDistance(jhs[b]) + "\t"
-            + acs[a].getDistance(acs[b]));
+            + acs[a].getDistance(acs[b]) + "\t"
+            + phs[a].getDistance(phs[b]));
   }
 }
 """
@@ -224,7 +231,7 @@ import java.io.File;
 public class BSGold {
   public static void main(String[] args) throws Exception {
     BitSampling.readHashFunctions();
-    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac"};
+    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph"};
     for (String p : args) {
       for (String algo : algos) {
         GlobalFeature f;
@@ -236,6 +243,7 @@ public class BSGold {
           case "ce": f = new CEDD(); break;
           case "fc": f = new FCTH(); break;
           case "fo": f = new FuzzyOpponentHistogram(); break;
+          case "ph": f = new PHOG(); break;
           case "jh": f = new net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram(); break;
           case "ac": f = new AutoColorCorrelogram(); break;
           default: f = new JCD(); break;
@@ -404,6 +412,7 @@ def main() -> None:
                     "fo": [float(v) for v in parts[2].rstrip(",").split(",")],
                     "jh": [float(v) for v in parts[3].rstrip(",").split(",")],
                     "ac": [float(v) for v in parts[4].rstrip(",").split(",")],
+                    "ph": [float(v) for v in parts[5].rstrip(",").split(",")],
                 }
             else:
                 ex_goldens["distances"].append({
@@ -412,6 +421,7 @@ def main() -> None:
                     "fo": float(parts[3]),
                     "jh": float(parts[4]),
                     "ac": float(parts[5]),
+                    "ph": float(parts[6]),
                 })
 
         res = subprocess.run(
