@@ -1,0 +1,288 @@
+"""ACCID descriptor — pure numpy, bit-exact vs LIRE.
+
+Twelfth and final algo of the reference's descriptor whitelist (`ad` in
+/root/reference/hasher.js:28-43; jar class net/semanticmetadata/lire/
+imageanalysis/features/global/ACCID): saliency-filtered fuzzy color
+histogram over pattern-mask responses at three scales — 5 pattern
+categories x 24 fuzzy color shades = 120 dims, min-max normalized and
+quantized to floor(v * 32767).
+
+Behavioral notes for exactness (recovered from the jar bytecode,
+verified by goldens in tests/goldens/accid.json):
+
+- The image scales to 600x600 via Graphics2D bilinear drawImage —
+  replicated bit-exactly by functions/javascaler.
+- Per 10x10 block, the best-responding of 58 binary pattern masks
+  (accid_tables, via the block's HALF-UP-rounded BT.601 luma): score =
+  |mean(on) - mean(off)| * 100/255 with strict > updates (index 58 =
+  no response). The masks index the block as [x][y] — replicated by
+  transposing the mask against the (y, x) luma block.
+- The 600-scale scores aggregate into a 6x6 grid with the jar's
+  banded layout (filterF); global and per-band means are
+  threshold-adjusted by the cross-scale coefficient-of-variation
+  ratios of the 600/300/150 smaps, then blocks scoring below their
+  grid cell are suppressed (mask := 58).
+- The 150-scale smap is thresholded at 0.9*mean; the 300-scale smap
+  gets its own mean/CV threshold pass (filteringMethodM). The
+  combination step (ScaleFiltering) suppresses a 600-block only where
+  BOTH its 2x2-expanded 300-scale parent AND its 4x4-expanded
+  150-scale parent are suppressed and the block was not already 58 —
+  the jar reaches this via an in-place mutation of the original array
+  plus three copies, replicated here by set logic. Zero scores
+  become 30.
+- The descriptor accumulates each block's fuzzy 24-bin color histogram
+  (cedd fuzzy units on integer mean RGB / 100 per block) into one of 5
+  mask-pattern categories, weighted by score/100.
+- quantizeFeature: (v - min) / (max - min), then floor(v * 32767).
+
+Distance (getDistance) is MetricsUtils.jsd (the double variant —
+functions/fuzzyopponent.jsd works unchanged).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .accid_tables import PMASKS, WHITE
+from .cedd import _fuzzy10, _fuzzy24, _rgb2hsv_int
+from .javascaler import scale_bilinear
+
+__all__ = ["accid", "DESC_LEN"]
+
+DESC_LEN = 120
+
+# masks index blocks as [x][y]; transpose once so they apply to (y, x)
+# luma blocks directly. Shape (58, 100) over flattened (y, x).
+_MASK_POS = (
+    np.asarray(PMASKS[:58], dtype=np.int64) > 0
+).transpose(0, 2, 1).reshape(58, 100)
+_WHITE = np.asarray(WHITE, dtype=np.float64)
+
+# mask index -> pattern category (ComputeDesc's range chain)
+_CATEGORY = np.empty(59, dtype=np.int64)
+for _m in range(59):
+    if _m <= 8 or 54 <= _m <= 57:
+        _CATEGORY[_m] = 0
+    elif _m <= 24:
+        _CATEGORY[_m] = 1
+    elif _m <= 37:
+        _CATEGORY[_m] = 2
+    elif _m <= 53:
+        _CATEGORY[_m] = 3
+    else:
+        _CATEGORY[_m] = 4
+
+
+def _blocks10(arr2d: np.ndarray) -> np.ndarray:
+    """(H, W) -> (nblocks, 100) 10x10 blocks, row-major block order,
+    (y, x) flattening within a block."""
+    h, w = arr2d.shape
+    nby, nbx = h // 10, w // 10
+    return (
+        arr2d[: nby * 10, : nbx * 10]
+        .reshape(nby, 10, nbx, 10)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * nbx, 100)
+    )
+
+
+def _create_smap(rgb: np.ndarray) -> np.ndarray:
+    """(nblocks, 2) [best_mask, best_score] per 10x10 block
+    (ACCID.createSmap)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    luma = np.floor((0.299 * r + 0.587 * g) + 0.114 * b + 0.5)
+    blocks = _blocks10(luma)  # (nb, 100)
+    on_sums = blocks @ _MASK_POS.T.astype(np.float64)  # (nb, 58)
+    totals = blocks.sum(axis=1)[:, None]
+    m1 = on_sums / _WHITE[None, :]
+    m0 = (totals - on_sums) / (100.0 - _WHITE[None, :])
+    scores = np.abs(m1 - m0) * 100.0 / 255.0
+    best = np.argmax(scores, axis=1)
+    bestv = scores[np.arange(len(best)), best]
+    out = np.zeros((blocks.shape[0], 2), dtype=np.float64)
+    out[:, 0] = np.where(bestv > 0.0, best, 58)
+    out[:, 1] = np.where(bestv > 0.0, bestv, 0.0)
+    return out
+
+
+_F_CELLS = []  # (band, offset_multiple, grid_row, grid_col) for the 6x6 layout
+for _band in range(6):
+    for _seg in range(6):
+        if _band < 3:
+            _F_CELLS.append((_band, _seg, _seg // 2, 2 * _band + (_seg & 1)))
+        else:
+            _F_CELLS.append((_band, _seg, 3 + _seg // 2, (_band - 3) * 2 + (_seg & 1)))
+
+
+def _filter_f(smap: np.ndarray) -> np.ndarray:
+    """6x6 banded score sums over the 60x60 block grid (ACCID.filterF)."""
+    n = smap.shape[0]
+    band_len = n // 6
+    side = int(np.sqrt(n))
+    seg = side // 6
+    grid = np.zeros((6, 6), dtype=np.float64)
+    for band in range(6):
+        for row in range(band * band_len, band * band_len + band_len, side):
+            for j in range(seg):
+                idx = row + j
+                for k in range(6):
+                    _, _, gr, gc = _F_CELLS[band * 6 + k]
+                    grid[gr, gc] += smap[idx + k * seg, 1]
+    return grid
+
+
+def _cv(scores: np.ndarray) -> tuple[float, float]:
+    """(mean, std/mean guard-0) with the jar's n-1 variance."""
+    mean = float(np.cumsum(scores)[-1]) / len(scores)
+    var = float(np.cumsum((scores - mean) * (scores - mean))[-1]) / (
+        len(scores) - 1
+    )
+    std = float(np.sqrt(var))
+    return mean, (std / mean if mean > 0 else 0.0)
+
+
+def accid(rgb: np.ndarray) -> np.ndarray:
+    """120-length descriptor (float64; values 0..32767), bit-identical
+    to LIRE's ACCID.getFeatureVector."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    img600 = scale_bilinear(rgb, 600, 600)
+    smap_f = _create_smap(img600)
+
+    fgrid = _filter_f(smap_f)
+    band_means = np.zeros(6)
+    global_mean = 0.0
+    for i in range(6):
+        for j in range(6):
+            fgrid[i, j] /= 100.0
+            band_means[i] += fgrid[i, j]
+        band_means[i] /= 6.0
+        global_mean += band_means[i]
+    global_mean /= 6.0
+
+    f_mean, f_cv = _cv(smap_f[:, 1])
+
+    img300 = scale_bilinear(img600, 300, 300)
+    smap_m = _create_smap(img300)
+    m_mean, m_cv = _cv(smap_m[:, 1])
+
+    img150 = scale_bilinear(img300, 150, 150)
+    smap_s = _create_smap(img150)
+    # filteringMethodS: threshold at 0.9*mean, suppress, return CV
+    # (CV division is unguarded in the jar; images are never empty here)
+    s_mean = float(np.cumsum(smap_s[:, 1])[-1]) / len(smap_s)
+    s_var = float(
+        np.cumsum((smap_s[:, 1] - s_mean) * (smap_s[:, 1] - s_mean))[-1]
+    ) / (len(smap_s) - 1)
+    s_cv = float(np.sqrt(s_var)) / s_mean if s_mean != 0 else float("nan")
+    smap_s[smap_s[:, 1] < 0.9 * s_mean, 0] = 58
+
+    # filteringMethodF: threshold adjustment + 600-smap suppression
+    if f_cv < 1.0:
+        thr = global_mean * (1.0 + (f_cv + m_cv + s_cv) / 3.0)
+    else:
+        thr = global_mean * f_cv
+    for i in range(6):
+        if thr >= band_means[i]:
+            band_means[i] = band_means[i] * (1.0 + (1.0 - band_means[i] / thr))
+        else:
+            band_means[i] = thr * (1.0 + (1.0 - thr / band_means[i]))
+    for i in range(6):
+        for j in range(6):
+            if fgrid[i, j] < band_means[i]:
+                fgrid[i, j] = band_means[i] + 1.0 if band_means[i] < 5.0 else band_means[i]
+    n = smap_f.shape[0]
+    band_len = n // 6
+    side = int(np.sqrt(n))
+    seg = side // 6
+    for band in range(6):
+        for row in range(band * band_len, band * band_len + band_len, side):
+            for j in range(seg):
+                idx = row + j
+                for k in range(6):
+                    _, _, gr, gc = _F_CELLS[band * 6 + k]
+                    if smap_f[idx + k * seg, 1] < fgrid[gr, gc]:
+                        smap_f[idx + k * seg, 0] = 58
+    # filteringMethodM: threshold adjustment + 300-smap suppression
+    mgrid = np.zeros(4)
+    for i9 in range(0, 450, 30):
+        for i10 in range(15):
+            i2 = i9 + i10
+            mgrid[0] += smap_m[i2, 1]
+            mgrid[1] += smap_m[i2 + 15, 1]
+            mgrid[2] += smap_m[i2 + 450, 1]
+            mgrid[3] += smap_m[i2 + 465, 1]
+    mgrid /= 225.0
+    if m_cv < 1.0:
+        thr_m = m_mean * (1.0 + (f_cv + m_cv + s_cv) / 3.0)
+    else:
+        thr_m = m_mean * m_cv
+    for i in range(4):
+        if thr_m >= mgrid[i]:
+            mgrid[i] = mgrid[i] * (1.0 + (1.0 - mgrid[i] / thr_m))
+        else:
+            mgrid[i] = thr_m * (1.0 + (1.0 - thr_m / mgrid[i]))
+    for i16 in range(0, 450, 30):
+        for i17 in range(15):
+            idx = i16 + i17
+            if smap_m[idx, 1] < mgrid[0]:
+                smap_m[idx, 0] = 58.0
+            if smap_m[idx + 15, 1] < mgrid[1]:
+                smap_m[idx + 15, 0] = 58.0
+            if smap_m[idx + 450, 1] < mgrid[2]:
+                smap_m[idx + 450, 0] = 58.0
+            if smap_m[idx + 465, 1] < mgrid[3]:
+                smap_m[idx + 465, 0] = 58.0
+
+    # ScaleFiltering: suppress where the 2x2-expanded 300-parent AND the
+    # 4x4-expanded 150-parent are both 58 and the block was not already
+    s_on_f = np.zeros(3600, dtype=bool)
+    for i9 in range(15):
+        for i10 in range(60):
+            i7 = i10 + i9 * 240
+            i8 = i10 // 4 + 15 * i9
+            if smap_s[i8, 0] == 58.0:
+                s_on_f[[i7, i7 + 60, i7 + 120, i7 + 180]] = True
+    m_on_f = np.zeros(3600, dtype=bool)
+    for i9 in range(30):
+        for i10 in range(60):
+            i7 = i10 + i9 * 120
+            i8 = i10 // 2 + 30 * i9
+            if smap_m[i8, 0] == 58.0:
+                m_on_f[[i7, i7 + 60]] = True
+    combined = smap_f.copy()
+    pre58 = combined[:, 0] == 58.0
+    combined[(m_on_f | pre58) & (s_on_f | pre58) & ~pre58, 0] = 58.0
+    combined[combined[:, 1] == 0.0, 1] = 30.0
+
+    # ComputeDesc over img600 blocks
+    ch = img600.astype(np.int64)
+    sum_r = _blocks10(ch[..., 0]).sum(axis=1)
+    sum_g = _blocks10(ch[..., 1]).sum(axis=1)
+    sum_b = _blocks10(ch[..., 2]).sum(axis=1)
+    mean_r = sum_r // 100
+    mean_g = sum_g // 100
+    mean_b = sum_b // 100
+    hh, ss, vv = _rgb2hsv_int(mean_r, mean_g, mean_b)
+    f10 = _fuzzy10(hh, ss, vv)
+    f24 = _fuzzy24(ss, vv, f10)  # (3600, 24)
+
+    cats = _CATEGORY[combined[:, 0].astype(np.int64)]
+    weights = combined[:, 1] / 100.0
+    desc = np.zeros(DESC_LEN, dtype=np.float64)
+    contrib = f24 * weights[:, None]
+    for cat in range(5):
+        sel = cats == cat
+        if sel.any():
+            # sequential add order over blocks, per bin (cumsum)
+            desc[cat * 24 : cat * 24 + 24] = np.cumsum(contrib[sel], axis=0)[-1]
+
+    # quantizeFeature: min-max normalize then floor(v * 32767)
+    mx = desc.max()
+    mn = desc.min()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = (desc - mn) / (mx - mn)
+    norm = np.nan_to_num(norm, nan=0.0, posinf=0.0, neginf=0.0)
+    return np.floor(norm * 32767.0)

@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from . import accid as AD
 from . import autocorrelogram as AC
 from . import bitsampling as BS
 from . import cedd as CE
@@ -198,9 +199,11 @@ def reference_feature_vector(rgb: np.ndarray, algo: str) -> np.ndarray:
         return AC.auto_color_correlogram(rgb)
     if algo == "ph":
         return PH.phog(rgb)
+    if algo == "ad":
+        return AD.accid(rgb)
     raise ValueError(
         f"unsupported descriptor algo {algo!r} "
-        "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph)"
+        "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph, ad)"
     )
 
 
@@ -256,10 +259,12 @@ def _descriptor(
         vec = AC.auto_color_correlogram(rgb)
     elif algo == "ph":
         vec = PH.phog(rgb)
+    elif algo == "ad":
+        vec = AD.accid(rgb)
     else:
         raise ValueError(
             f"unsupported descriptor algo {algo!r} "
-            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph)"
+            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph, ad)"
         )
     # Identity hex of the quantized descriptor (the `_hi` role). Bytes are
     # the low 8 bits of each coefficient — sc coefficients can be negative,

@@ -514,15 +514,17 @@ def descriptor_topk(
         dist = SCD.distance_col(F.col("sc_bins"), query)
     elif metric in ("ce", "fc", "jc"):
         dist = CE.distance_col(F.col(f"{metric}_bins"), query)
-    elif metric in ("fo", "jh", "ac"):
+    elif metric in ("fo", "jh", "ad"):
         dist = FOM.jsd_distance_col(F.col(f"{metric}_bins"), query)
+    elif metric == "ac":
+        dist = FOM.jsd_distance_col(F.col("ac_bins"), query)
     elif metric == "ph":
         # PHOG.getDistance is plain L1 — same integer-L1 column as sc.
         dist = SCD.distance_col(F.col("ph_bins"), query)
     else:
         raise ValueError(
             f"unknown descriptor metric {metric!r} "
-            "(cl, eh, sc, ce, fc, jc, fo, jh, ac, ph)"
+            "(cl, eh, sc, ce, fc, jc, fo, jh, ac, ph, ad)"
         )
     order = [F.col("distance").asc()] + (
         [F.col(tie_col).asc()] if tie_col else []

@@ -1,0 +1,63 @@
+"""ACCID descriptor + Java2D bilinear scaler: LIRE bit-parity goldens.
+Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import accid as AD
+from shotit_worker_spark.functions import fuzzyopponent as FO
+from shotit_worker_spark.functions.javascaler import scale_bilinear
+from tests.test_colorlayout import _golden_images
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDENS = os.path.join(HERE, "goldens", "accid.json")
+
+
+def test_lire_bit_parity_features():
+    with open(GOLDENS) as f:
+        goldens = json.load(f)["features"]
+    imgs = _golden_images()
+    assert set(goldens) == set(imgs)
+    for name, arr in imgs.items():
+        got = [float(v) for v in AD.accid(arr)]
+        assert got == goldens[name], f"{name}: accid mismatch"
+
+
+def test_lire_distance_parity():
+    """ACCID.getDistance is MetricsUtils.jsd (double variant)."""
+    with open(GOLDENS) as f:
+        g = json.load(f)
+    imgs = _golden_images()
+    desc = {n: AD.accid(a) for n, a in imgs.items()}
+    assert len(g["distances"]) == 21
+    for row in g["distances"]:
+        got = FO.jsd(desc[row["a"]], desc[row["b"]])
+        assert got == pytest.approx(row["ad"], abs=1e-9), (
+            f"{row['a']}|{row['b']}"
+        )
+
+
+def test_shape_and_range():
+    for arr in list(_golden_images().values())[:2]:
+        d = AD.accid(arr)
+        assert d.shape == (120,)
+        assert d.min() >= 0 and d.max() <= 32767
+        # min-max normalization pins the extremes
+        assert d.max() == 32767.0 or d.max() == 0.0
+
+
+def test_scaler_identity_and_shapes():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (45, 80, 3), dtype=np.uint8)
+    up = scale_bilinear(img, 600, 600)
+    assert up.shape == (600, 600, 3) and up.dtype == np.uint8
+    # corner maps to the clamped source corner
+    assert np.array_equal(up[0, 0], img[0, 0])
+    # 2:1 downscale of a flat image is exact
+    flat = np.full((10, 10, 3), 77, np.uint8)
+    assert (scale_bilinear(flat, 5, 5) == 77).all()

@@ -97,7 +97,8 @@ def test_self_retrieval_ivf(spark, index_rows, tmp_root):
 
 
 @pytest.mark.parametrize(
-    "algo", ["cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph"]
+    "algo",
+    ["cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph", "ad"],
 )
 def test_self_retrieval_per_algo(spark, algo):
     """The multi-algo pipeline end-to-end (P4 whitelist): ingest + query

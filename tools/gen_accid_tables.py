@@ -1,0 +1,81 @@
+"""Regenerate shotit_worker_spark/functions/accid_tables.py.
+
+Dumps the ACCID pattern masks (59 x 10 x 10 binary patterns + their
+white-pixel counts) from the reference's lire.jar accid.PMasks class
+via reflection.
+
+Usage: python tools/gen_accid_tables.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIRE_JAR = "/root/reference/jar/lire.jar"
+
+PROBE = r"""
+public class PMaskDump {
+  public static void main(String[] args) throws Exception {
+    Object pm = Class.forName(
+        "net.semanticmetadata.lire.imageanalysis.features.global.accid.PMasks")
+        .getConstructor().newInstance();
+    int[][][] masks = (int[][][]) pm.getClass().getMethod("getPmasks").invoke(pm);
+    int[] white = (int[]) pm.getClass().getMethod("getMaskWhite").invoke(pm);
+    StringBuilder sb = new StringBuilder();
+    sb.append("{\"pmasks\":[");
+    for (int i = 0; i < masks.length; i++) {
+      sb.append(i > 0 ? "," : "").append("[");
+      for (int j = 0; j < masks[i].length; j++) {
+        sb.append(j > 0 ? "," : "").append("[");
+        for (int k = 0; k < masks[i][j].length; k++)
+          sb.append(k > 0 ? "," : "").append(masks[i][j][k]);
+        sb.append("]");
+      }
+      sb.append("]");
+    }
+    sb.append("],\"white\":[");
+    for (int i = 0; i < white.length; i++)
+      sb.append(i > 0 ? "," : "").append(white[i]);
+    sb.append("]}");
+    System.out.println(sb);
+  }
+}
+"""
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory(dir=REPO) as td:
+        with open(os.path.join(td, "PMaskDump.java"), "w") as f:
+            f.write(PROBE)
+        subprocess.run(
+            ["javac", "-cp", LIRE_JAR, "PMaskDump.java"], cwd=td, check=True
+        )
+        res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "PMaskDump"],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+    d = json.loads(res.stdout)
+    dest = os.path.join(REPO, "shotit_worker_spark", "functions", "accid_tables.py")
+    with open(dest, "w") as f:
+        f.write(
+            '"""Static tables for the ACCID descriptor.\n\n'
+            "Pattern masks extracted from the reference's lire.jar\n"
+            "(net/semanticmetadata/lire/imageanalysis/features/global/accid/\n"
+            "PMasks) via reflection — the same tables appear in the public\n"
+            "LIRE source. Regenerate with tools/gen_accid_tables.py.\n"
+            '"""\n\n'
+            "# 59 binary 10x10 patterns (index 58 is the all-zero 'none'\n"
+            "# sentinel row); WHITE[k] = number of nonzero cells of mask k\n"
+            "# (58 entries — the sentinel has none).\n"
+        )
+        f.write("PMASKS = %r\n\n" % (d["pmasks"],))
+        f.write("WHITE = %r\n" % (d["white"],))
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()

@@ -192,6 +192,31 @@ public class EXGold {
 }
 """
 
+AD_HARNESS = r"""
+import javax.imageio.ImageIO;
+import net.semanticmetadata.lire.imageanalysis.features.global.ACCID;
+import java.io.File;
+
+public class ADGold {
+  public static void main(String[] args) throws Exception {
+    int n = args.length;
+    ACCID[] ads = new ACCID[n];
+    for (int i = 0; i < n; i++) {
+      ads[i] = new ACCID();
+      ads[i].extract(ImageIO.read(new File(args[i])));
+      StringBuilder sb = new StringBuilder();
+      sb.append("F\t").append(args[i]).append("\t");
+      for (double d : ads[i].getFeatureVector()) sb.append(d).append(",");
+      System.out.println(sb);
+    }
+    for (int a = 0; a < n; a++)
+      for (int b = a + 1; b < n; b++)
+        System.out.println("D\t" + args[a] + "\t" + args[b] + "\t"
+            + ads[a].getDistance(ads[b]));
+  }
+}
+"""
+
 CE_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.CEDD;
@@ -231,7 +256,7 @@ import java.io.File;
 public class BSGold {
   public static void main(String[] args) throws Exception {
     BitSampling.readHashFunctions();
-    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph"};
+    String[] algos = {"cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph", "ad"};
     for (String p : args) {
       for (String algo : algos) {
         GlobalFeature f;
@@ -244,6 +269,7 @@ public class BSGold {
           case "fc": f = new FCTH(); break;
           case "fo": f = new FuzzyOpponentHistogram(); break;
           case "ph": f = new PHOG(); break;
+          case "ad": f = new ACCID(); break;
           case "jh": f = new net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram(); break;
           case "ac": f = new AutoColorCorrelogram(); break;
           default: f = new JCD(); break;
@@ -321,6 +347,7 @@ def main() -> None:
                            ("CEGold.java", CE_HARNESS),
                            ("BSGold.java", BS_HARNESS),
                            ("EXGold.java", EX_HARNESS),
+                           ("ADGold.java", AD_HARNESS),
                            ("DistGold.java", DIST_HARNESS)):
             with open(os.path.join(td, fname), "w") as f:
                 f.write(src)
@@ -425,6 +452,25 @@ def main() -> None:
                 })
 
         res = subprocess.run(
+            ["java", "-cp", f"{LIRE_JAR}:.", "ADGold", *paths],
+            cwd=td, check=True, capture_output=True, text=True,
+        )
+        ad_goldens: dict = {"features": {}, "distances": []}
+        for line in res.stdout.strip().splitlines():
+            parts = line.split("\t")
+            if parts[0] == "F":
+                name = os.path.basename(parts[1])[: -len(".png")]
+                ad_goldens["features"][name] = [
+                    float(v) for v in parts[2].rstrip(",").split(",")
+                ]
+            else:
+                ad_goldens["distances"].append({
+                    "a": os.path.basename(parts[1])[: -len(".png")],
+                    "b": os.path.basename(parts[2])[: -len(".png")],
+                    "ad": float(parts[3]),
+                })
+
+        res = subprocess.run(
             ["java", "-cp", f"{LIRE_JAR}:.", "BSGold", *paths],
             cwd=td, check=True, capture_output=True, text=True,
         )
@@ -460,6 +506,7 @@ def main() -> None:
         ("cedd.json", ce_goldens),
         ("bitsampling.json", bs_goldens),
         ("extradescriptors.json", ex_goldens),
+        ("accid.json", ad_goldens),
         ("descriptor_distances.json", dist_goldens),
     ):
         out_path = os.path.join(goldens_dir, fname)
