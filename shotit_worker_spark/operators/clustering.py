@@ -1,0 +1,145 @@
+"""Near-duplicate clustering — the dedup endgame.
+
+The pair-producing operators (operators/dedup: MinHash-LSH, SimHash,
+n-gram Jaccard; operators/similarity: embedding cosine) stop at
+candidate PAIRS. A production dedup pass must then group pairs into
+connected components and keep one canonical document per component.
+No reference analogue — this is part of the LLM-data-pipeline surface
+the engine adds beyond the reference (SURVEY §2.12).
+
+Scale design (100 TB posture):
+- Connected components via iterative min-label propagation: each round
+  every node adopts the minimum label in its closed neighborhood. A
+  round is one shuffle (edge join + groupBy min); rounds needed =
+  graph diameter in label-hops, which alternating propagation bounds
+  by O(log n) for the near-dup graphs seen in practice (dup clusters
+  are small and dense; chains are adversarial but still converge).
+- Convergence is detected with a count of changed labels — one extra
+  action per round on an aggregated frame, not a collect of data.
+- Each round's labels are eagerly localCheckpoint-ed: the lineage is
+  truncated every round (the classic iterative-Spark trap — without
+  it, any cache miss recomputes through every earlier round and the
+  wall-clock per iteration explodes), and the checkpoint doubles as
+  the materialization the convergence count needs anyway.
+- Canonical selection is a window rank over cluster_id — one shuffle,
+  AQE-coalescible, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "near_dup_clusters", "keep_canonical"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    `component` is the minimum node id of its connected component.
+
+    Min-label propagation with path halving to a fixpoint: each round
+    labels[n] = min(labels[n], min neighbor label, labels[labels[n]]).
+    The label-of-label hop halves pointer chains, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 40-node path
+    needs ~7 rounds, not 40. Raises after max_iter (an unconverged
+    clustering is wrong, not approximate)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # min label among neighbors, then min with own label
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # path halving: label <- min(label, label-of-label). Labels are
+        # always node ids, so the lookup is a self-join on the frame.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """`docs` with a `cluster_id` appended: the component id for docs in
+    any near-dup pair, the doc's own id for singletons."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        docs.join(comp, docs[id_col] == comp.node, "left")
+        .drop("node")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+
+
+def keep_canonical(
+    clustered: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """One row per cluster: the canonical document. Default winner is
+    the smallest id (deterministic); `priority_col` prefers the largest
+    priority first (e.g. a quality score), id as tiebreak."""
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        clustered.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank")
+    )

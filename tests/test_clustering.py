@@ -1,0 +1,86 @@
+"""Near-dup clustering: connected components, cluster assignment, and
+canonical selection — including chain topologies and an end-to-end
+MinHash-LSH -> cluster -> canonical pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import clustering as C
+from shotit_worker_spark.operators import dedup as D
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a_id long, b_id long")
+
+
+def test_components_basic(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)])
+    comp = {r["node"]: r["component"]
+            for r in C.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_components_chain_converges(spark):
+    """A 40-node path is the adversarial diameter case for label
+    propagation; must still converge within max_iter."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)])
+    comp = C.connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in comp)
+    assert len(comp) == 41
+
+
+def test_components_nonconvergence_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(12)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components(pairs, max_iter=1)
+
+
+def test_cluster_assignment_with_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(0, 1), (1, 2)])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in C.near_dup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+
+
+def test_keep_canonical_min_id_and_priority(spark):
+    clustered = spark.createDataFrame(
+        [(1, 0, 0.2), (2, 0, 0.9), (3, 0, 0.9), (7, 7, 0.1)],
+        "doc_id long, cluster_id long, quality double",
+    )
+    by_id = C.keep_canonical(clustered)
+    assert sorted(r["doc_id"] for r in by_id.collect()) == [1, 7]
+    by_quality = C.keep_canonical(clustered, priority_col="quality")
+    # quality 0.9 tie -> smaller id wins
+    assert sorted(r["doc_id"] for r in by_quality.collect()) == [2, 7]
+
+
+def test_end_to_end_minhash_cluster_dedup(spark):
+    """Planted duplicate family + distinct docs: LSH pairs -> clusters
+    -> one canonical survivor per family."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a sunny windowsill nearby every single morning"
+    )
+    rows = [(i, base) for i in range(4)]  # exact dup family
+    rows += [(10 + i, base + f" extra tail token{i}") for i in range(3)]
+    rows += [
+        (100, "completely different content about spark query planning"),
+        (101, "another unrelated document mentioning parquet and arrow"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_candidates(D.minhash_signatures(docs))
+    clustered = C.near_dup_clusters(docs, pairs)
+    kept = C.keep_canonical(clustered)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # the 7 near-dup docs collapse into one cluster (all share the long
+    # base shingles); the two distinct docs survive as singletons
+    assert 100 in kept_ids and 101 in kept_ids
+    assert len(kept_ids) < 9
+    # every cluster keeps exactly one row
+    assert kept.count() == clustered.select("cluster_id").distinct().count()
