@@ -76,26 +76,29 @@ def _fuzzy_membership(v: np.ndarray) -> np.ndarray:
     return out
 
 
-def jsd(a: np.ndarray, b: np.ndarray) -> float:
-    """MetricsUtils.jsd (double[] variant) — the matching distance of
-    FuzzyOpponentHistogram / JointHistogram / AutoColorCorrelogram:
-    sum of (p/2)*log(2p/(p+q)) terms, each guarded to 0 when its side
-    is not positive."""
+def jsd(a: np.ndarray, b: np.ndarray, half: bool = True) -> float:
+    """MetricsUtils.jsd — the matching distance of
+    FuzzyOpponentHistogram / JointHistogram / ACCID (double[] variant,
+    (p/2)*log(2p/(p+q)) terms) and, with ``half=False``, of
+    OpponentHistogram (the byte[] variant omits the /2). Terms are
+    guarded to 0 when their side is not positive."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     s = a + b
+    scale = 0.5 if half else 1.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        ta = np.where(a > 0, (a / 2.0) * np.log(2.0 * a / s), 0.0)
-        tb = np.where(b > 0, (b / 2.0) * np.log(2.0 * b / s), 0.0)
+        ta = np.where(a > 0, (a * scale) * np.log(2.0 * a / s), 0.0)
+        tb = np.where(b > 0, (b * scale) * np.log(2.0 * b / s), 0.0)
     return float((ta + tb).sum())
 
 
-def jsd_distance_col(bins_col, query_bins):
+def jsd_distance_col(bins_col, query_bins, half: bool = True):
     """The same Jensen-Shannon divergence as a Catalyst Column against
     a driver-side query vector — whole-stage-codegen'd, no Python in
     the scoring path."""
     from pyspark.sql import functions as F
 
+    scale = 0.5 if half else 1.0
     q = F.array(*[F.lit(float(v)) for v in query_bins])
     term = F.zip_with(
         bins_col,
@@ -103,11 +106,11 @@ def jsd_distance_col(bins_col, query_bins):
         lambda x, y: (
             F.when(
                 x.cast("double") > 0,
-                (x.cast("double") / 2.0)
+                (x.cast("double") * scale)
                 * F.log(2.0 * x.cast("double") / (x.cast("double") + y)),
             ).otherwise(0.0)
             + F.when(
-                y > 0, (y / 2.0) * F.log(2.0 * y / (x.cast("double") + y))
+                y > 0, (y * scale) * F.log(2.0 * y / (x.cast("double") + y))
             ).otherwise(0.0)
         ),
     )

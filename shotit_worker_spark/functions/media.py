@@ -278,6 +278,85 @@ def _descriptor(
     return hi, [float(x) for x in out]
 
 
+DESCRIPTOR_COLUMN_SCHEMAS = {
+    "cl": "cl_y array<int>, cl_cb array<int>, cl_cr array<int>",
+    "eh": "eh_bins array<int>",
+    "oh": "oh_bins array<int>",
+    "sc": "sc_bins array<int>",
+    "ce": "ce_bins array<int>",
+    "fc": "fc_bins array<int>",
+    "jc": "jc_bins array<double>",
+    "fo": "fo_bins array<double>",
+    "jh": "jh_bins array<double>",
+    "ac": "ac_bins array<double>",
+    "ph": "ph_bins array<int>",
+    "ad": "ad_bins array<double>",
+}
+
+
+def descriptor_columns(
+    frames: DataFrame,
+    algo: str = "cl",
+    image_col: str = "image",
+    n_y: int = 64,
+    n_c: int = 28,
+) -> DataFrame:
+    """Append the TYPED raw-descriptor column(s) that
+    operators/similarity.descriptor_topk scores with the reference's
+    own matching metrics: `cl` -> (cl_y, cl_cb, cl_cr) coefficient
+    arrays; every other algo -> a single `{algo}_bins` array (for `sc`
+    the stored state is haar[0:64], the serialized form getDistance
+    compares). Undecodable bytes yield NULL columns — descriptor_topk
+    sorts them last.
+
+    Arrow-vectorized pandas UDF over the binary column; the descriptor
+    columns parquet-prune independently of the embedding columns, so a
+    descriptor-space search scans only what it scores."""
+    if algo not in DESCRIPTOR_COLUMN_SCHEMAS:
+        raise ValueError(
+            f"unsupported descriptor algo {algo!r} "
+            f"({', '.join(DESCRIPTOR_COLUMN_SCHEMAS)})"
+        )
+    schema = DESCRIPTOR_COLUMN_SCHEMAS[algo]
+    out_t = schema  # pandas_udf accepts the DDL string
+
+    @F.pandas_udf(out_t)
+    def _desc(images: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {}
+        names = [c.split()[0] for c in schema.split(", ")]
+        for n in names:
+            cols[n] = []
+        for img in images:
+            try:
+                rgb = IC.decode_image(bytes(img))
+            except IC.UnsupportedImageError:
+                for n in names:
+                    cols[n].append(None)
+                continue
+            if algo == "cl":
+                y, cb, cr = CL.color_layout(rgb, n_y=n_y, n_c=n_c)
+                cols["cl_y"].append([int(v) for v in y])
+                cols["cl_cb"].append([int(v) for v in cb])
+                cols["cl_cr"].append([int(v) for v in cr])
+            elif algo == "sc":
+                cols["sc_bins"].append(
+                    [int(v) for v in SCD.haar_histogram(rgb)[:64]]
+                )
+            else:
+                vec = reference_feature_vector(rgb, algo)
+                if schema.endswith("array<int>"):
+                    cols[names[0]].append([int(v) for v in vec])
+                else:
+                    cols[names[0]].append([float(v) for v in vec])
+        return pd.DataFrame(cols)
+
+    d = _desc(F.col(image_col))
+    out = frames
+    for c in [c.split()[0] for c in schema.split(", ")]:
+        out = out.withColumn(c, d[c])
+    return out
+
+
 def image_ha_tokens(image: bytes, algo: str = "cl") -> str:
     """Reference-compatible `_ha` token string for one image: the jar's
     per-algo feature vector through BitSampling (functions/bitsampling),

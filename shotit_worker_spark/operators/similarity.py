@@ -514,19 +514,20 @@ def descriptor_topk(
         dist = SCD.distance_col(F.col("sc_bins"), query)
     elif metric in ("ce", "fc", "jc"):
         dist = CE.distance_col(F.col(f"{metric}_bins"), query)
-    elif metric in ("fo", "jh", "ad"):
+    elif metric in ("fo", "jh", "ad", "ac"):
         dist = FOM.jsd_distance_col(F.col(f"{metric}_bins"), query)
-    elif metric == "ac":
-        dist = FOM.jsd_distance_col(F.col("ac_bins"), query)
+    elif metric == "oh":
+        # OpponentHistogram.getDistance is the byte[] jsd — no /2 factor
+        dist = FOM.jsd_distance_col(F.col("oh_bins"), query, half=False)
     elif metric == "ph":
         # PHOG.getDistance is plain L1 — same integer-L1 column as sc.
         dist = SCD.distance_col(F.col("ph_bins"), query)
     else:
         raise ValueError(
             f"unknown descriptor metric {metric!r} "
-            "(cl, eh, sc, ce, fc, jc, fo, jh, ac, ph, ad)"
+            "(cl, eh, oh, sc, ce, fc, jc, fo, jh, ac, ph, ad)"
         )
-    order = [F.col("distance").asc()] + (
+    order = [F.col("distance").asc_nulls_last()] + (
         [F.col(tie_col).asc()] if tie_col else []
     )
     return (

@@ -1,0 +1,84 @@
+"""Descriptor-space search end-to-end from image bytes: the
+descriptor-column ingest (media.descriptor_columns) feeding
+descriptor_topk in every implemented LIRE metric — a query image's own
+ingested copy must rank first at distance 0."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import colorlayout as CL
+from shotit_worker_spark.functions import imagecodec as IC
+from shotit_worker_spark.functions import media as M
+from shotit_worker_spark.operators import similarity as S
+
+N_IMAGES = 6
+
+
+@pytest.fixture(scope="module")
+def image_rows(spark):
+    rng = np.random.default_rng(77)
+    rows = []
+    arrays = {}
+    for i in range(N_IMAGES):
+        # split content: a dark-cast half (sc's default path only
+        # discriminates on the V<64 histogram slice — jar quirk, see
+        # functions/scalablecolor.py) and a bright noisy half (ph needs
+        # Sobel magnitudes above 60, which dark content can't produce
+        # after the ICC gray conversion)
+        dark = np.clip(
+            rng.integers(5, 75, (1, 1, 3)) + rng.integers(-35, 36, (48, 40, 3)),
+            0, 255,
+        )
+        bright = np.clip(
+            rng.integers(120, 220, (1, 1, 3))
+            + rng.integers(-90, 91, (48, 40, 3)),
+            0, 255,
+        )
+        arr = np.concatenate([dark, bright], axis=1).astype(np.uint8)
+        arrays[i] = arr
+        rows.append((i, IC.encode_ppm(arr)))
+    df = spark.createDataFrame(rows, "img_id long, image binary")
+    return df, arrays
+
+
+@pytest.mark.parametrize(
+    "metric",
+    ["cl", "eh", "oh", "sc", "ce", "fc", "jc", "fo", "jh", "ac", "ph", "ad"],
+)
+def test_self_retrieval_in_lire_metric(spark, image_rows, metric):
+    df, arrays = image_rows
+    table = M.descriptor_columns(df, algo=metric).cache()
+    qarr = arrays[3]
+    if metric == "cl":
+        query = CL.color_layout(qarr, n_y=64, n_c=28)
+    elif metric == "sc":
+        from shotit_worker_spark.functions import scalablecolor as SC
+
+        query = SC.haar_histogram(qarr)[:64]
+    else:
+        query = M.reference_feature_vector(qarr, metric)
+    top = S.descriptor_topk(
+        table, query, k=2, metric=metric, id_col="img_id", tie_col="img_id"
+    ).collect()
+    assert top[0]["img_id"] == 3
+    assert top[0]["distance"] == pytest.approx(0.0, abs=1e-9)
+    assert top[1]["distance"] >= top[0]["distance"]
+
+
+def test_null_descriptors_sort_last(spark):
+    rows = [
+        (0, IC.encode_ppm(np.full((20, 20, 3), 128, np.uint8))),
+        (1, b"not-an-image"),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, image binary")
+    table = M.descriptor_columns(df, algo="eh")
+    query = M.reference_feature_vector(
+        np.full((20, 20, 3), 128, np.uint8), "eh"
+    )
+    got = S.descriptor_topk(
+        table, query, k=2, metric="eh", id_col="img_id", tie_col="img_id"
+    ).collect()
+    assert got[0]["img_id"] == 0
+    assert got[1]["distance"] is None

@@ -63,6 +63,14 @@ def test_lire_distance_parity_jsd():
             np.abs(desc[row["a"]]["ph"] - desc[row["b"]]["ph"]).sum()
         )
         assert got == row["ph"], f"{row['a']}|{row['b']}/ph"
+        # oh's getDistance is the byte[] jsd variant (no /2 factor)
+        from shotit_worker_spark.functions import opponenthistogram as OH
+        oh_a = OH.opponent_histogram(imgs[row["a"]])
+        oh_b = OH.opponent_histogram(imgs[row["b"]])
+        got = FO.jsd(oh_a, oh_b, half=False)
+        assert got == pytest.approx(row["oh"], abs=1e-9), (
+            f"{row['a']}|{row['b']}/oh"
+        )
 
 
 def test_shapes_and_ranges():

@@ -150,6 +150,7 @@ EX_HARNESS = r"""
 import javax.imageio.ImageIO;
 import net.semanticmetadata.lire.imageanalysis.features.global.FuzzyOpponentHistogram;
 import net.semanticmetadata.lire.imageanalysis.features.global.AutoColorCorrelogram;
+import net.semanticmetadata.lire.imageanalysis.features.global.OpponentHistogram;
 import net.semanticmetadata.lire.imageanalysis.features.global.PHOG;
 import net.semanticmetadata.lire.imageanalysis.features.global.joint.JointHistogram;
 import java.io.File;
@@ -161,6 +162,7 @@ public class EXGold {
     JointHistogram[] jhs = new JointHistogram[n];
     AutoColorCorrelogram[] acs = new AutoColorCorrelogram[n];
     PHOG[] phs = new PHOG[n];
+    OpponentHistogram[] ohs = new OpponentHistogram[n];
     for (int i = 0; i < n; i++) {
       fos[i] = new FuzzyOpponentHistogram();
       fos[i].extract(ImageIO.read(new File(args[i])));
@@ -170,6 +172,8 @@ public class EXGold {
       acs[i].extract(ImageIO.read(new File(args[i])));
       phs[i] = new PHOG();
       phs[i].extract(ImageIO.read(new File(args[i])));
+      ohs[i] = new OpponentHistogram();
+      ohs[i].extract(ImageIO.read(new File(args[i])));
       StringBuilder sb = new StringBuilder();
       sb.append("F\t").append(args[i]).append("\t");
       for (double d : fos[i].getFeatureVector()) sb.append(d).append(",");
@@ -187,7 +191,8 @@ public class EXGold {
             + fos[a].getDistance(fos[b]) + "\t"
             + jhs[a].getDistance(jhs[b]) + "\t"
             + acs[a].getDistance(acs[b]) + "\t"
-            + phs[a].getDistance(phs[b]));
+            + phs[a].getDistance(phs[b]) + "\t"
+            + ohs[a].getDistance(ohs[b]));
   }
 }
 """
@@ -449,6 +454,7 @@ def main() -> None:
                     "jh": float(parts[4]),
                     "ac": float(parts[5]),
                     "ph": float(parts[6]),
+                    "oh": float(parts[7]),
                 })
 
         res = subprocess.run(
