@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_clusters", "keep_canonical"]
+__all__ = [
+    "connected_components",
+    "near_dup_clusters",
+    "keep_canonical",
+    "fuzzy_dedup",
+]
 
 
 def connected_components(
@@ -122,6 +127,49 @@ def near_dup_clusters(
         .drop("node")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
         .drop("component")
+    )
+
+
+def fuzzy_dedup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """The complete fuzzy-dedup pass in one call: MinHash signatures ->
+    banded-LSH candidate pairs -> exact n-gram Jaccard verification at
+    `threshold` -> connected components -> one canonical document per
+    cluster (smallest id, or best `priority_col`).
+
+    Returns the surviving docs with their `cluster_id` (duplicates
+    dropped). Every stage is the corresponding library operator, so the
+    composition inherits their scale shapes: signature map-side
+    aggregation, band-bucket join (never O(n^2)), candidate-only
+    verification, O(log diameter) clustering."""
+    from . import dedup as D
+
+    sigs = D.minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    candidates = D.minhash_lsh_candidates(
+        sigs, num_bands=num_bands, id_col=id_col, num_hashes=num_hashes
+    )
+    verified = (
+        D.ngram_jaccard_pairs(
+            docs, candidates, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
+    )
+    clustered = near_dup_clusters(docs, verified, id_col=id_col)
+    return keep_canonical(
+        clustered, id_col=id_col, priority_col=priority_col
     )
 
 

@@ -60,6 +60,26 @@ def test_keep_canonical_min_id_and_priority(spark):
     assert sorted(r["doc_id"] for r in by_quality.collect()) == [2, 7]
 
 
+def test_fuzzy_dedup_one_call(spark):
+    """The composed pipeline: duplicates collapse, distinct docs and the
+    per-cluster canonical survive, threshold controls the boundary."""
+    base = (
+        "shared long document body with enough distinct shingles to "
+        "band and verify reliably across the whole minhash pipeline"
+    )
+    rows = [(i, base, float(i)) for i in range(5)]          # dup family
+    rows += [(50, "totally different text about query planning", 0.5),
+             (51, "yet another unrelated corpus document here", 0.5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    kept = C.fuzzy_dedup(docs, threshold=0.8)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 50, 51]
+    # priority picks the highest-quality member instead of the min id
+    kept_q = C.fuzzy_dedup(docs, threshold=0.8, priority_col="quality")
+    ids_q = sorted(r["doc_id"] for r in kept_q.collect())
+    assert ids_q == [4, 50, 51]
+
+
 def test_end_to_end_minhash_cluster_dedup(spark):
     """Planted duplicate family + distinct docs: LSH pairs -> clusters
     -> one canonical survivor per family."""
