@@ -214,3 +214,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def stress_clustering(spark):
+    """Connected-components at 100 k nodes: planted dup clusters of
+    mixed sizes plus a long chain (adversarial diameter)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.operators import clustering as C
+
+    # 20 k clusters of 5 = 100 k nodes as star edges, plus a 1 k chain
+    stars = spark.range(20_000).selectExpr(
+        "id * 5 as a_id", "explode(sequence(id*5+1, id*5+4)) as b_id"
+    )
+    chain = spark.range(1_000).selectExpr(
+        "200000 + id as a_id", "200001 + id as b_id"
+    )
+    pairs = stars.union(chain)
+    t0 = time.time()
+    comp = C.connected_components(pairs)
+    n_components = comp.select("component").distinct().count()
+    dt = time.time() - t0
+    print(f"clustering_100k: {dt:.1f}s, components={n_components} "
+          f"(expect 20001)")
+
+
+if __name__ == "__main__" and "--clustering" in __import__("sys").argv:
+    from shotit_worker_spark.session import get_spark
+
+    stress_clustering(get_spark("stress-clustering"))
