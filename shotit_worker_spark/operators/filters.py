@@ -1,0 +1,80 @@
+"""Corpus quality filtering — the selection pass of a pretraining
+pipeline, composed from the text kernels (functions/text). No reference
+analogue; part of the LLM-data-pipeline surface (SURVEY §2.12).
+
+Every rule is a pure Catalyst predicate over one scan — a filter
+pipeline of N rules is still ONE pass with all predicates pushed into
+the same stage (and down to the parquet scan where possible). The
+`keep_report` variant tags instead of dropping, so a single job yields
+both the survivors and per-rule rejection counts (the observability a
+100-TB filtering run needs — rerunning per rule would multiply scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+__all__ = ["quality_rules", "quality_filter", "keep_report"]
+
+
+def quality_rules(
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+    min_quality: float = 0.25,
+    languages: list[str] | None = None,
+) -> dict[str, Column]:
+    """Named boolean keep-predicates (True = keep), Gopher-style:
+    length bounds, punctuation share, stopword floor (gibberish
+    detector), composite quality floor, and an optional language
+    whitelist via the n-gram marker heuristic."""
+    c = F.col(text_col)
+    rules: dict[str, Column] = {
+        "min_tokens": TX.token_count(c) >= min_tokens,
+        "max_tokens": TX.token_count(c) <= max_tokens,
+        "punct": TX.punct_ratio(c) <= max_punct_ratio,
+        "stopwords": TX.stopword_ratio(c) >= min_stopword_ratio,
+        "quality": TX.quality_score(c) >= min_quality,
+    }
+    if languages:
+        rules["language"] = TX.lang_id(c).isin(list(languages))
+    return rules
+
+
+def keep_report(
+    docs: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(tagged_docs, report): docs with a boolean column per rule plus
+    `keep` (AND of all), and a one-row report counting failures per
+    rule and total survivors — both from the SAME tagged frame, so the
+    expensive text expressions evaluate once per row."""
+    tagged = docs
+    keep = F.lit(True)
+    for name, pred in rules.items():
+        tagged = tagged.withColumn(f"rule_{name}", pred)
+        keep = keep & F.col(f"rule_{name}")
+    tagged = tagged.withColumn("keep", keep)
+    report = tagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        *[
+            F.sum((~F.col(f"rule_{name}")).cast("long")).alias(f"fail_{name}")
+            for name in rules
+        ],
+    )
+    return tagged, report
+
+
+def quality_filter(docs: DataFrame, rules: dict[str, Column] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Survivors only — one scan, all predicates in one stage."""
+    rules = rules if rules is not None else quality_rules(text_col)
+    pred = F.lit(True)
+    for p in rules.values():
+        pred = pred & p
+    return docs.filter(pred)

@@ -1,0 +1,65 @@
+"""Corpus quality filtering: rule semantics, report consistency, and
+single-pass shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import filters as QF
+
+GOOD = (
+    "This is a reasonably long document with normal punctuation and "
+    "plenty of the usual stopwords that a quality filter expects to "
+    "see in natural running text of this kind."
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),
+        (2, "too short"),
+        (3, "!!! ??? ;;; ### $$$ %%% &&& *** ((( ))) @@@ ^^^ ~~~ |||"),
+        (4, "zx qv jk wq xz vq kj qw zz vv kk ww xx qq jj jq qj zv vz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_filter_drops_junk(spark):
+    kept = QF.quality_filter(_docs(spark))
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_keep_report_counts_match_filter(spark):
+    docs = _docs(spark)
+    rules = QF.quality_rules()
+    tagged, report = QF.keep_report(docs, rules)
+    rep = report.first()
+    assert rep["n_docs"] == 4
+    assert rep["n_kept"] == QF.quality_filter(docs, rules).count() == 1
+    # every failed doc fails at least one named rule
+    failed = tagged.filter(~F.col("keep"))
+    rule_cols = [f"rule_{n}" for n in rules]
+    for r in failed.collect():
+        assert not all(r[c] for c in rule_cols)
+
+
+def test_language_whitelist(spark):
+    rows = [
+        (1, GOOD),
+        (2, "der schnelle braune fuchs springt und die katze schaut zu "
+            "während die sonne über dem haus scheint und die kinder "
+            "spielen mit dem ball in dem garten neben der straße"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = QF.quality_rules(languages=["en"], min_stopword_ratio=0.0)
+    kept = QF.quality_filter(docs, rules)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_single_scan_plan(spark, tmp_root):
+    """All rules must evaluate in one pass over one scan."""
+    path = str(tmp_root / "qf_docs")
+    _docs(spark).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    plan = QF.quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
