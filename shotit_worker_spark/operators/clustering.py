@@ -35,6 +35,7 @@ __all__ = [
     "near_dup_clusters",
     "keep_canonical",
     "fuzzy_dedup",
+    "embedding_dedup",
 ]
 
 
@@ -168,6 +169,35 @@ def fuzzy_dedup(
         .select("a_id", "b_id")
     )
     clustered = near_dup_clusters(docs, verified, id_col=id_col)
+    return keep_canonical(
+        clustered, id_col=id_col, priority_col=priority_col
+    )
+
+
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 8,
+    num_tables: int = 6,
+    priority_col: str | None = None,
+    **srp_kwargs,
+) -> DataFrame:
+    """Embedding-space fuzzy dedup in one call: SRP-LSH candidate pairs
+    verified at cosine `threshold` (operators/similarity.
+    srp_near_dup_pairs — bucket-join, exact precision) -> connected
+    components -> one canonical row per cluster. Rows must carry
+    L2-normalized vectors in `vec_col`. The scale analogue of
+    `fuzzy_dedup` for `array<float>` columns."""
+    from . import similarity as S
+
+    pairs = S.srp_near_dup_pairs(
+        embeddings, threshold=threshold, num_bits=num_bits,
+        num_tables=num_tables, id_col=id_col, vec_col=vec_col,
+        **srp_kwargs,
+    ).select("a_id", "b_id")
+    clustered = near_dup_clusters(embeddings, pairs, id_col=id_col)
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col
     )

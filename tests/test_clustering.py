@@ -80,6 +80,29 @@ def test_fuzzy_dedup_one_call(spark):
     assert ids_q == [4, 50, 51]
 
 
+def test_embedding_dedup_one_call(spark):
+    """SRP-LSH -> cluster -> canonical over normalized embeddings:
+    planted duplicate directions collapse, distinct directions stay."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    base = rng.normal(0, 1, 16)
+    base /= np.linalg.norm(base)
+    for i in range(5):  # near-identical family around `base`
+        v = base + rng.normal(0, 0.005, 16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(50, 54):  # distinct directions
+        v = rng.normal(0, 1, 16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = C.embedding_dedup(emb, threshold=0.98, num_bits=4, num_tables=8)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert ids == [0, 50, 51, 52, 53]
+
+
 def test_end_to_end_minhash_cluster_dedup(spark):
     """Planted duplicate family + distinct docs: LSH pairs -> clusters
     -> one canonical survivor per family."""
