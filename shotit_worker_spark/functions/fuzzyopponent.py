@@ -181,18 +181,21 @@ def fuzzy_opponent_histogram(rgb: np.ndarray) -> np.ndarray:
                     contrib_bins.append(binno)
                     contrib_vals.append(v)
         # per (bin, count) cell: sequential sum over pixels in the
-        # jar's x-outer/y-inner scan order.
+        # jar's x-outer/y-inner scan order. The per-count pixel indices
+        # are precomputed once (ascending pixel order, so gathering
+        # through them preserves the sequential add order bit-exactly).
         ny, nx = center.shape
         order = (
             np.arange(n).reshape(ny, nx).T.ravel()
         )  # column-major pixel order
         cnt_ord = count[order]
+        idx_per_count = [np.nonzero(cnt_ord == c)[0] for c in range(9)]
         for binno, v in zip(contrib_bins, contrib_vals):
             v_ord = v[order]
             for c in range(9):
-                sel = cnt_ord == c
-                if sel.any():
-                    hist[binno, c] += np.cumsum(v_ord[sel])[-1]
+                seg = v_ord[idx_per_count[c]]
+                if seg.size:
+                    hist[binno, c] += np.cumsum(seg)[-1]
 
     mx = hist.max()
     desc = np.zeros(DESC_LEN, dtype=np.float64)
