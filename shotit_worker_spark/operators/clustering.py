@@ -36,6 +36,7 @@ __all__ = [
     "keep_canonical",
     "fuzzy_dedup",
     "embedding_dedup",
+    "simhash_dedup",
 ]
 
 
@@ -169,6 +170,32 @@ def fuzzy_dedup(
         .select("a_id", "b_id")
     )
     clustered = near_dup_clusters(docs, verified, id_col=id_col)
+    return keep_canonical(
+        clustered, id_col=id_col, priority_col=priority_col
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """SimHash-based fuzzy dedup in one call: 64-bit fingerprints ->
+    banded bucket-join candidates with the pigeonhole-EXACT hamming
+    filter (every pair with hamming <= num_bands-1 is found) ->
+    connected components -> one canonical document per cluster. The
+    third dedup family next to `fuzzy_dedup` (Jaccard) and
+    `embedding_dedup` (cosine)."""
+    from . import dedup as D
+
+    fp = D.simhash64(docs, text_col=text_col, id_col=id_col)
+    pairs = D.simhash_near_dup_pairs(
+        fp, max_hamming=max_hamming, num_bands=num_bands, id_col=id_col
+    ).select("a_id", "b_id")
+    clustered = near_dup_clusters(docs, pairs, id_col=id_col)
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col
     )

@@ -80,6 +80,26 @@ def test_fuzzy_dedup_one_call(spark):
     assert ids_q == [4, 50, 51]
 
 
+def test_simhash_dedup_one_call(spark):
+    """Identical docs share a fingerprint (hamming 0) and collapse; a
+    lightly perturbed doc within the hamming budget joins the cluster;
+    distinct docs survive."""
+    base = (
+        "a long shared body of text with many stable tokens that give "
+        "the simhash a strong majority in every bit position overall"
+    )
+    rows = [(i, base) for i in range(3)]
+    rows += [(10, base + " tinychange")]
+    rows += [(50, "completely different words about columnar storage"),
+             (51, "unrelated sentences describing adaptive execution")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = C.simhash_dedup(docs, max_hamming=3)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 50 in ids and 51 in ids
+    assert len([i for i in ids if i < 50]) in (1, 2)  # family collapsed
+    assert 0 in ids
+
+
 def test_embedding_dedup_one_call(spark):
     """SRP-LSH -> cluster -> canonical over normalized embeddings:
     planted duplicate directions collapse, distinct directions stay."""
