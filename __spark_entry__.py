@@ -1075,6 +1075,7 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three gate consumers below — cache the (doc_id, simhash) result so
     # the partial-agg plan runs once, not per count
     fps = D.simhash64(docs.unionByName(copies).unionByName(empty)).cache()
+    fps.count()  # materialize: the gate agg below reads fps twice
 
     staged = docs.filter(F.col("doc_id") < 100).select(
         "doc_id",
@@ -1096,28 +1097,43 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp2 = fp2.bitwiseOR(F.shiftleft(bit, b))
     arrayform = staged.select("doc_id", fp2.alias("simhash2"))
 
-    mismatches = (
-        fps.join(arrayform, "doc_id")
-        .filter(F.col("simhash") != F.col("simhash2"))
-        .count()
-    )
-    twins = (
+    # all three checks in ONE aggregation job: left-join the sample
+    # array-form and the twin mapping onto the cached fingerprints and
+    # reduce with conditional sums
+    twin = (
         fps.filter(F.col("doc_id") >= 100000)
         .filter(F.col("doc_id") < 999999)
-        .select((F.col("doc_id") - 100000).alias("doc_id"), "simhash")
-        .alias("t")
-        .join(fps.alias("o"), "doc_id")
-        .filter(F.col("t.simhash") != F.col("o.simhash"))
-        .count()
+        .select((F.col("doc_id") - 100000).alias("doc_id"), F.col("simhash").alias("twin_fp"))
     )
-    empty_fp = (
-        fps.filter(F.col("doc_id") == 999999).select("simhash").first()["simhash"]
+    agg = (
+        fps.join(arrayform, "doc_id", "left")
+        .join(twin, "doc_id", "left")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("simhash2").isNotNull()
+                    & (F.col("simhash") != F.col("simhash2")),
+                    1,
+                ).otherwise(0)
+            ).alias("mismatches"),
+            F.sum(
+                F.when(
+                    F.col("twin_fp").isNotNull()
+                    & (F.col("simhash") != F.col("twin_fp")),
+                    1,
+                ).otherwise(0)
+            ).alias("twin_diffs"),
+            F.max(
+                F.when(F.col("doc_id") == 999999, F.abs(F.col("simhash")))
+            ).alias("empty_fp"),
+        )
+        .first()
     )
     fps.unpersist()
     rows = [
-        ("arrayform_match", mismatches == 0),
-        ("dup_text_same_fp", twins == 0),
-        ("empty_doc_zero", int(empty_fp) == 0),
+        ("arrayform_match", int(agg["mismatches"] or 0) == 0),
+        ("dup_text_same_fp", int(agg["twin_diffs"] or 0) == 0),
+        ("empty_doc_zero", int(agg["empty_fp"] or 0) == 0),
     ]
     return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
 
@@ -1152,20 +1168,12 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(999998, ""), (999999, "")], "doc_id long, text string"
     )
     corpus = docs.unionByName(copies).unionByName(empties)
-    # sigs feed candidate generation AND the banding-soundness re-check;
-    # cands feed three gate counts — cache both so the shingle-explode
-    # agg and the band-bucket join each run once
+    # sigs feed candidate generation (both join sides) AND the banding-
+    # soundness re-check — cache + materialize so the shingle-explode agg
+    # runs once; then ONE aggregation job covers three of the four gates
     sigs = D.minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
-    cands = D.minhash_lsh_candidates(sigs, num_bands=8, num_hashes=32).cache()
-
-    planted_found = cands.filter(
-        (F.col("b_id") == F.col("a_id") + 100000) & (F.col("a_id") < 25)
-    ).count()
-    planted_pairs = copies.select(
-        (F.col("doc_id") - 100000).alias("a_id"), F.col("doc_id").alias("b_id")
-    )
-    verified = D.ngram_jaccard_pairs(corpus, planted_pairs, shingle_n=3)
-    n_verified_1 = verified.filter(F.col("jaccard") > 1.0 - 1e-12).count()
+    sigs.count()
+    cands = D.minhash_lsh_candidates(sigs, num_bands=8, num_hashes=32)
 
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("signature").alias("a_sig"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("signature").alias("b_sig"))
@@ -1174,18 +1182,48 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b: F.slice(F.col("a_sig"), b * 4 + 1, 4)
         == F.slice(F.col("b_sig"), b * 4 + 1, 4),
     )
-    unsound = (
-        cands.join(sa, "a_id").join(sb, "b_id").filter(~shares_band).count()
+    agg = (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b_id") == F.col("a_id") + 100000)
+                    & (F.col("a_id") < 25),
+                    1,
+                ).otherwise(0)
+            ).alias("planted_found"),
+            F.sum(F.when(shares_band, 0).otherwise(1)).alias("unsound"),
+            F.sum(
+                F.when(
+                    F.col("a_id").isin(999998, 999999)
+                    | F.col("b_id").isin(999998, 999999),
+                    1,
+                ).otherwise(0)
+            ).alias("empty_hits"),
+        )
+        .first()
     )
-    empty_hits = cands.filter(
-        F.col("a_id").isin(999998, 999999) | F.col("b_id").isin(999998, 999999)
-    ).count()
     sigs.unpersist()
-    cands.unpersist()
+
+    # exact-Jaccard verify of the planted pairs only (50 docs, not the
+    # corpus — the verify stage itself is exercised at full width by q51)
+    planted_pairs = copies.select(
+        (F.col("doc_id") - 100000).alias("a_id"), F.col("doc_id").alias("b_id")
+    )
+    planted_docs = docs.filter(F.col("doc_id") < 25).unionByName(copies)
+    n_verified_1 = (
+        D.ngram_jaccard_pairs(planted_docs, planted_pairs, shingle_n=3)
+        .filter(F.col("jaccard") > 1.0 - 1e-12)
+        .count()
+    )
     rows = [
-        ("banding_sound", unsound == 0),
-        ("empty_never_collides", empty_hits == 0),
-        ("planted_recall_1", planted_found == n_planted and n_planted > 0),
+        ("banding_sound", int(agg["unsound"] or 0) == 0),
+        ("empty_never_collides", int(agg["empty_hits"] or 0) == 0),
+        (
+            "planted_recall_1",
+            int(agg["planted_found"] or 0) == n_planted and n_planted > 0,
+        ),
         ("planted_verified_1", n_verified_1 == n_planted),
     ]
     return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
