@@ -1356,9 +1356,15 @@ def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     train = staged.filter(F.col("split") == "train")
     probe = staged.filter(F.col("split") == "valid")
-    return DC.decontamination_summary(
+    summary = DC.decontamination_summary(
         train, probe, id_col="doc_id", gram_col="g5"
     )
+    # materialize while the cache is hot, then release it — a lazy
+    # return would leave the (doc_id, split, g5) blocks pinned in
+    # executor storage for the rest of the session (ADVICE r3)
+    rows = summary.collect()
+    staged.unpersist()
+    return spark.createDataFrame(rows, summary.schema)
 
 
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1825,10 +1831,10 @@ def oracle_sql() -> dict[str, str]:
         "q42_lang_id": f"""
             WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
             hits AS (SELECT doc_id,
-                len(list_filter(tk, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS de,
-                len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS en,
-                len(list_filter(tk, t -> t IN ('el','la','que','de','los','una','es','por','con','para'))) AS es,
-                len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','une','dans','que','pour'))) AS fr
+                len(list_distinct(list_intersect(tk, ['der','die','und','das','ist','nicht','ein','mit','zu','den']))) AS de,
+                len(list_distinct(list_intersect(tk, ['the','and','of','to','is','in','that','it','for','with']))) AS en,
+                len(list_distinct(list_intersect(tk, ['el','la','que','de','los','una','es','por','con','para']))) AS es,
+                len(list_distinct(list_intersect(tk, ['le','la','et','les','des','est','une','dans','que','pour']))) AS fr
                 FROM toks)
             SELECT doc_id,
                    CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'

@@ -9,7 +9,7 @@ quantized to floor(16 * p_est) — 256 dims (Huang et al., "Image
 Indexing Using Color Correlograms", CVPR 1997).
 
 Behavioral notes for exactness (recovered from the jar bytecode,
-verified by goldens in tests/goldens/fuzzyopponent.json):
+verified by goldens in tests/goldens/extradescriptors.json):
 
 - AC has its OWN integer HSV: s = (int)((max-min)/max * 255f) in
   float32; h = 60 * sector (float32, +360 if negative) truncated;
@@ -96,6 +96,45 @@ def ac_jsd(a: np.ndarray, b: np.ndarray) -> float:
             )
         acc = np.float32(float(acc) + ta + tb)
     return float(acc)
+
+
+def ac_jsd_distance_col(bins_col, query_bins):
+    """`ac_jsd` as a Catalyst Column against a driver-side query vector —
+    the float32-faithful SQL scoring path for metric='ac' (the generic
+    fuzzyopponent.jsd_distance_col accumulates in double and diverges
+    from the jar in low-order bits; near-ties could order differently).
+
+    float32 emulation without a float32 ALU: every elementary op runs in
+    double and re-truncates with cast("float"). That is EXACT — the
+    correlogram values are small integers (0..16, binary32-representable)
+    and binary64 carries > 2×24+2 significand bits, so
+    round_f32(op_f64(a, b)) == op_f32(a, b) for +, −, ×, ÷ (Figueroa's
+    double-rounding theorem). The per-element accumulate mirrors the
+    jar's `acc = (float)(acc + ta + tb)` left-to-right double chain.
+    """
+    from pyspark.sql import functions as F
+
+    q = F.array(*[F.lit(float(v)) for v in query_bins])
+
+    def _terms(x, y):
+        # x, y are exact small integers: x/2 and the ratio operands are
+        # binary32 values, so the double op + float cast is bit-faithful
+        ratio_a = ((2.0 * x) / (x + y)).cast("float").cast("double")
+        ratio_b = ((2.0 * y) / (x + y)).cast("float").cast("double")
+        half_a = (x / 2.0).cast("float").cast("double")
+        half_b = (y / 2.0).cast("float").cast("double")
+        ta = F.when(x > 0, half_a * F.log(ratio_a)).otherwise(0.0)
+        tb = F.when(y > 0, half_b * F.log(ratio_b)).otherwise(0.0)
+        return F.struct(ta.alias("ta"), tb.alias("tb"))
+
+    pairs = F.zip_with(bins_col, q, _terms)
+    acc = F.aggregate(
+        pairs,
+        F.lit(0.0).cast("float"),
+        # (float)((double)acc + ta + tb), left-associated like the jar
+        lambda acc, s: ((acc.cast("double") + s["ta"]) + s["tb"]).cast("float"),
+    )
+    return acc.cast("double")
 
 
 def auto_color_correlogram(rgb: np.ndarray) -> np.ndarray:

@@ -8,7 +8,7 @@ fuzzy color shades) — and the Joint Composite Descriptor, a 168-bin
 merge of CEDD and FCTH.
 
 Behavioral notes for exactness (recovered from the jar bytecode,
-verified by goldens in tests/goldens/fcth.json / jcd.json):
+verified by goldens in tests/goldens/cedd.json):
 
 - Luma is (int)(0.114B + 0.587G + 0.299R) per pixel (d2i truncation,
   unlike CEDD which keeps the double).

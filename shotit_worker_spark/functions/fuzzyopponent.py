@@ -7,7 +7,7 @@ with an 8-neighbor brighter-than-center count, max-normalized to 7-bit
 values.
 
 Behavioral notes for exactness (recovered from the jar bytecode,
-verified by goldens in tests/goldens/fuzzyopponent.json):
+verified by goldens in tests/goldens/extradescriptors.json):
 
 - Interior pixels only (x, y in [1, side-2]).
 - Opponent axes share OpponentHistogram's swapped sqrt constants

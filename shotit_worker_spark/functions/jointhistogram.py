@@ -8,7 +8,7 @@ brighter-than-center grayscale count (9 values), max-normalized to
 7-bit values — 576 dims.
 
 Behavioral notes for exactness (recovered from the jar bytecode,
-verified by goldens in tests/goldens/fuzzyopponent.json):
+verified by goldens in tests/goldens/extradescriptors.json):
 
 - Interior pixels only; color bin = round(b/85) + 4*round(g/85)
   + 16*round(r/85) (Java Math.round = floor(x + 0.5)).

@@ -8,7 +8,7 @@ kernel", CIVR 2007) — 30 orientation bins at pyramid levels 0/1/2 =
 630 dims, 4-bit quantized per cell.
 
 Behavioral notes for exactness (recovered from the jar bytecode,
-verified by goldens in tests/goldens/phog.json):
+verified by goldens in tests/goldens/extradescriptors.json):
 
 - Grayscale is ColorConvertOp(CS_GRAY) — the ICC/LCMS path, NOT the
   drawImage blit. Its 24-bit RGB -> gray mapping is shipped verbatim

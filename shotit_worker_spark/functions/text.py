@@ -101,22 +101,34 @@ def quality_score(text: ColumnOrName) -> Column:
 
 
 def lang_marker_hits(text: ColumnOrName, lang: str) -> Column:
-    """Count of tokens matching `lang`'s marker list."""
-    toks = tokenize(text)
-    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+    """Count of DISTINCT marker tokens from `lang`'s list present in the
+    text (array_intersect semantics — see lang_id_from_tokens)."""
+    return F.size(_marker_hits(tokenize(text), lang))
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    return F.array_intersect(
+        toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    )
 
 
 def lang_id_from_tokens(tokens: ColumnOrName) -> Column:
     """lang_id over a pre-tokenized column. Prefer this behind an alias
     boundary when scoring many rows — `lang_id(text)` inlines the
-    tokenizer into every language's filter (4× per row)."""
+    tokenizer into every language's score expression (4× per row).
+
+    Scoring: number of DISTINCT marker tokens present, via
+    array_intersect — a JVM-codegen set intersection, ~40× cheaper per
+    row than counting occurrences with an interpreted filter lambda
+    (VERDICT r3 #6), and just as discriminative for 10-marker lists.
+    """
     toks = _col(tokens)
     best = F.lit("und")
     best_hits = F.lit(0)
     # strict > with ascending iteration: on equal counts the first
     # (lexicographically smaller) language code wins
     for lang in sorted(LANG_MARKERS):
-        hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+        hits = F.size(_marker_hits(toks, lang))
         take = hits > best_hits
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_hits = F.when(take, hits).otherwise(best_hits)
@@ -124,9 +136,9 @@ def lang_id_from_tokens(tokens: ColumnOrName) -> Column:
 
 
 def lang_id(text: ColumnOrName) -> Column:
-    """Pick the language whose marker list hits most tokens; ties and
-    zero-hit rows → 'und'. Deterministic tie-break: higher count wins,
-    then lexicographic language code."""
+    """Pick the language with the most distinct marker-token hits; ties
+    and zero-hit rows → 'und'. Deterministic tie-break: higher count
+    wins, then lexicographic language code."""
     return lang_id_from_tokens(tokenize(_col(text)))
 
 

@@ -514,8 +514,15 @@ def descriptor_topk(
         dist = SCD.distance_col(F.col("sc_bins"), query)
     elif metric in ("ce", "fc", "jc"):
         dist = CE.distance_col(F.col(f"{metric}_bins"), query)
-    elif metric in ("fo", "jh", "ad", "ac"):
+    elif metric in ("fo", "jh", "ad"):
         dist = FOM.jsd_distance_col(F.col(f"{metric}_bins"), query)
+    elif metric == "ac":
+        # AutoColorCorrelogram.getDistance is the float32-accumulating
+        # private jsd — score with the bit-faithful float32 emulation,
+        # not the double-precision generic (autocorrelogram.ac_jsd)
+        from ..functions import autocorrelogram as ACG
+
+        dist = ACG.ac_jsd_distance_col(F.col("ac_bins"), query)
     elif metric == "oh":
         # OpponentHistogram.getDistance is the byte[] jsd — no /2 factor
         dist = FOM.jsd_distance_col(F.col("oh_bins"), query, half=False)

@@ -129,3 +129,32 @@ def test_descriptor_topk_orders_by_distance(spark):
     # self-match first at distance 0
     assert got[0]["id"] == 2 and got[0]["distance"] == 0.0
     assert got[0]["distance"] <= got[1]["distance"] <= got[2]["distance"]
+
+
+def test_ac_distance_col_bit_exact_vs_float32_jsd(spark):
+    """metric='ac' must score with the jar's float32-accumulating jsd
+    (autocorrelogram.ac_jsd), not the double-precision generic — the
+    Catalyst float32 emulation is bit-exact (== not approx)."""
+    import json as _json
+
+    from shotit_worker_spark.functions import autocorrelogram as ACG
+
+    with open(os.path.join(HERE, "goldens", "extradescriptors.json")) as f:
+        feats = _json.load(f)["features"]
+    names = sorted(feats)
+    acs = {n: [float(v) for v in feats[n]["ac"]] for n in names}
+    df = spark.createDataFrame(
+        [(i, acs[n]) for i, n in enumerate(names)],
+        "id long, ac_bins array<double>",
+    )
+    q = acs[names[0]]
+    got = df.select(
+        "id", ACG.ac_jsd_distance_col(F.col("ac_bins"), q).alias("d")
+    ).collect()
+    for r in got:
+        expect = ACG.ac_jsd(np.asarray(q), np.asarray(acs[names[r["id"]]]))
+        assert r["d"] == expect, names[r["id"]]
+    top = S.descriptor_topk(
+        df, q, k=3, metric="ac", id_col="id", tie_col="id"
+    ).collect()
+    assert top[0]["id"] == 0 and top[0]["distance"] == 0.0
