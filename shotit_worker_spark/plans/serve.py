@@ -50,6 +50,20 @@ class ResidentSearcher:
         # blocks instead of re-listing parquet partitions
         self._table = index.load(spark).persist(StorageLevel.MEMORY_AND_DISK)
 
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "hash_id",
+        tie_col: str | None = "primary_key",
+    ) -> "ResidentSearcher":
+        """Serve an index built by a PREVIOUS session: reopen from the
+        sidecar (IVFIndex.open — no refit) and hold it resident. This is
+        the real serving boot path: the index job and the serving tier
+        are different applications."""
+        return cls(spark, IVFIndex.open(spark, path), id_col, tie_col)
+
     def warm(self) -> int:
         """Materialize the cache; returns row count (one full pass)."""
         return self._table.count()

@@ -284,3 +284,56 @@ def test_search_batch_sq8_matches_single(spark, corpus, tmp_root):
                                 id_col="vec_id", tie_col="vec_id").collect()
             want = [(r["vec_id"], round(r["score"], 9)) for r in single]
             assert got[vid] == want, f"{mode} query {vid}"
+
+
+def test_open_reopens_without_refit(spark, corpus, index):
+    """IVFIndex.open(path) must reconstruct the index from the sidecar
+    alone — identical search results, no KMeans, no data scan."""
+    reopened = ivf.IVFIndex.open(spark, index.path)
+    assert np.array_equal(reopened.centroids, index.centroids)
+    assert reopened.vec_col == index.vec_col
+    assert reopened.n_assign == index.n_assign
+    assert reopened.mins is None and reopened.scales is None
+    q = np.asarray(
+        corpus.filter(F.col("vec_id") == 7).first()["vector"]
+    )
+    a = index.search(spark, q, k=10, nprobe=NPROBE, id_col="vec_id",
+                     tie_col="vec_id").collect()
+    b = reopened.search(spark, q, k=10, nprobe=NPROBE, id_col="vec_id",
+                        tie_col="vec_id").collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
+def test_open_roundtrips_sq8_per_centroid(spark, corpus, tmp_root):
+    """The quantized per-centroid + multi-assign layout carries the most
+    sidecar state (nlist×dim mins/scales, n_assign) — full roundtrip."""
+    built = ivf.build_ivf(
+        corpus,
+        str(tmp_root / "ivf_open_sq8"),
+        nlist=NLIST,
+        quantize=True,
+        sq8_mode="per_centroid",
+        n_assign=2,
+    )
+    reopened = ivf.IVFIndex.open(spark, built.path)
+    assert reopened.sq8_per_centroid
+    assert reopened.n_assign == 2
+    assert np.array_equal(reopened.mins, built.mins)
+    assert np.array_equal(reopened.scales, built.scales)
+    q = np.asarray(corpus.filter(F.col("vec_id") == 3).first()["vector"])
+    a = built.search(spark, q, k=10, nprobe=NPROBE, id_col="vec_id",
+                     tie_col="vec_id").collect()
+    b = reopened.search(spark, q, k=10, nprobe=NPROBE, id_col="vec_id",
+                        tie_col="vec_id").collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
+def test_open_missing_sidecar_raises(spark, tmp_root):
+    import py4j.protocol
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        ivf.IVFIndex.open(spark, str(tmp_root / "no_such_index"))

@@ -49,3 +49,24 @@ def test_resident_searcher_matches_cold_search(spark, corpus, tmp_root):
         assert stats["n"] == 3 and stats["p50"] > 0
     finally:
         searcher.close()
+
+
+def test_resident_searcher_open_from_sidecar(spark, corpus, tmp_root):
+    """Boot the serving tier from the on-disk index alone (the cross-
+    application path: build job writes, serve job opens)."""
+    path = str(tmp_root / "serve_ivf_open")
+    built = ivf.build_ivf(corpus, path, nlist=8)
+    searcher = serve.ResidentSearcher.open(
+        spark, path, id_col="vec_id", tie_col=None
+    )
+    try:
+        searcher.warm()
+        q = np.array(corpus.filter(F.col("vec_id") == 42).first()["vector"])
+        got = searcher.search(q, k=5, nprobe=8).collect()
+        cold = built.search(
+            spark, q, k=5, nprobe=8, id_col="vec_id", tie_col=None
+        ).collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in cold]
+        assert got[0]["vec_id"] == 42
+    finally:
+        searcher.close()
