@@ -16,18 +16,27 @@ Scale design (100 TB posture):
   are small and dense; chains are adversarial but still converge).
 - Convergence is detected with a count of changed labels — one extra
   action per round on an aggregated frame, not a collect of data.
-- Each round's labels are eagerly localCheckpoint-ed: the lineage is
-  truncated every round (the classic iterative-Spark trap — without
-  it, any cache miss recomputes through every earlier round and the
-  wall-clock per iteration explodes), and the checkpoint doubles as
-  the materialization the convergence count needs anyway.
+- Each round's labels are eagerly materialized with truncated lineage
+  (the classic iterative-Spark trap — without it, any cache miss
+  recomputes through every earlier round and the wall-clock per
+  iteration explodes), and the materialization doubles as what the
+  convergence count needs anyway. Two modes:
+    * default: localCheckpoint — fastest, but blocks are pinned to
+      executors (non-reliable), so an executor loss mid-iteration
+      fails the job;
+    * checkpoint_dir=...: each round round-trips through parquet under
+      the given fault-tolerant path — any executor can re-read it, the
+      real-cluster posture for long iterative jobs.
+  In BOTH modes superseded rounds are freed eagerly (blocks
+  unpersisted / round directories deleted), so storage is O(2 rounds),
+  not O(iterations).
 - Canonical selection is a window rank over cluster_id — one shuffle,
   AQE-coalescible, no driver materialization.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -40,11 +49,33 @@ __all__ = [
 ]
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jsc = spark.sparkContext._jsc.sc()
+    ids, it = set(), jsc.getPersistentRDDs().toList().iterator()
+    while it.hasNext():
+        ids.add(int(it.next()._1()))
+    return ids
+
+
+def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
+    jsc = spark.sparkContext._jsc.sc()
+    for rid in ids:
+        jsc.unpersistRDD(rid, False)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`, where
     `component` is the minimum node id of its connected component.
@@ -54,18 +85,47 @@ def connected_components(
     The label-of-label hop halves pointer chains, so convergence is
     O(log diameter) rounds instead of O(diameter) — a 40-node path
     needs ~7 rounds, not 40. Raises after max_iter (an unconverged
-    clustering is wrong, not approximate)."""
+    clustering is wrong, not approximate).
+
+    `checkpoint_dir` switches per-round materialization from
+    localCheckpoint (executor-pinned blocks — fast, but an executor
+    loss mid-iteration kills the job) to a parquet round-trip under a
+    fault-tolerant path — the posture for real clusters (VERDICT r3
+    #5). Superseded rounds are freed eagerly either way. With a
+    checkpoint_dir the RETURNED frame still reads the final round's
+    files, so the directory must outlive consumption of the result.
+    """
     spark = pairs.sparkSession
+
+    def _materialize(df: DataFrame, tag: str) -> tuple[DataFrame, set]:
+        """Truncate lineage + materialize; returns (frame, handle) where
+        handle identifies resources to free once the round is superseded
+        (RDD block ids, or the parquet path)."""
+        if checkpoint_dir is None:
+            before = _persistent_rdd_ids(spark)
+            out = df.localCheckpoint(eager=True)
+            return out, _persistent_rdd_ids(spark) - before
+        path = f"{checkpoint_dir.rstrip('/')}/cc_{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), {path}
+
+    def _free(handle: set) -> None:
+        if checkpoint_dir is None:
+            _unpersist_rdds(spark, handle)
+        else:
+            for path in handle:
+                _delete_path(spark, path)
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    edges, edges_handle = _materialize(edges, "edges")
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels, labels_handle = _materialize(labels, "round_init")
 
     for it in range(max_iter):
         # min label among neighbors, then min with own label
@@ -97,20 +157,25 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels, new_handle = _materialize(new_labels, f"round_{it}")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        # the old round is now fully superseded (the changed-count was
+        # its last consumer) — free its blocks/files so storage stays
+        # O(2 rounds) across the iteration, not O(iterations)
+        _free(labels_handle)
+        labels, labels_handle = new_labels, new_handle
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
+    _free(edges_handle)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -120,10 +185,13 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """`docs` with a `cluster_id` appended: the component id for docs in
     any near-dup pair, the doc's own id for singletons."""
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(
+        pairs, a_col, b_col, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.join(comp, docs[id_col] == comp.node, "left")
         .drop("node")
@@ -141,6 +209,7 @@ def fuzzy_dedup(
     num_bands: int = 8,
     shingle_n: int = 3,
     priority_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The complete fuzzy-dedup pass in one call: MinHash signatures ->
     banded-LSH candidate pairs -> exact n-gram Jaccard verification at
@@ -169,7 +238,9 @@ def fuzzy_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id")
     )
-    clustered = near_dup_clusters(docs, verified, id_col=id_col)
+    clustered = near_dup_clusters(
+        docs, verified, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col
     )
@@ -182,6 +253,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     priority_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SimHash-based fuzzy dedup in one call: 64-bit fingerprints ->
     banded bucket-join candidates with the pigeonhole-EXACT hamming
@@ -195,7 +267,9 @@ def simhash_dedup(
     pairs = D.simhash_near_dup_pairs(
         fp, max_hamming=max_hamming, num_bands=num_bands, id_col=id_col
     ).select("a_id", "b_id")
-    clustered = near_dup_clusters(docs, pairs, id_col=id_col)
+    clustered = near_dup_clusters(
+        docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col
     )
@@ -209,6 +283,7 @@ def embedding_dedup(
     num_bits: int = 8,
     num_tables: int = 6,
     priority_col: str | None = None,
+    checkpoint_dir: str | None = None,
     **srp_kwargs,
 ) -> DataFrame:
     """Embedding-space fuzzy dedup in one call: SRP-LSH candidate pairs
@@ -224,7 +299,9 @@ def embedding_dedup(
         num_tables=num_tables, id_col=id_col, vec_col=vec_col,
         **srp_kwargs,
     ).select("a_id", "b_id")
-    clustered = near_dup_clusters(embeddings, pairs, id_col=id_col)
+    clustered = near_dup_clusters(
+        embeddings, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col
     )

@@ -147,3 +147,38 @@ def test_end_to_end_minhash_cluster_dedup(spark):
     assert len(kept_ids) < 9
     # every cluster keeps exactly one row
     assert kept.count() == clustered.select("cluster_id").distinct().count()
+
+
+def test_components_reliable_checkpoint_mode(spark, tmp_root):
+    """checkpoint_dir mode: identical result via parquet round-trips,
+    and superseded round directories are deleted eagerly (storage stays
+    O(2 rounds), not O(iterations))."""
+    import os
+
+    ckpt = str(tmp_root / "cc_ckpt")
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)] + [(100, 101)])
+    comp = {
+        r["node"]: r["component"]
+        for r in C.connected_components(
+            pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert all(v == 0 for n, v in comp.items() if n <= 40)
+    assert comp[100] == 100 and comp[101] == 100
+    leftovers = sorted(os.listdir(ckpt))
+    # only the final round's data may remain (plus nothing else): edges
+    # and every superseded round were deleted
+    assert len(leftovers) == 1 and leftovers[0].startswith("cc_round_"), leftovers
+
+
+def test_components_local_mode_frees_superseded_blocks(spark):
+    """Default localCheckpoint mode must not accumulate one pinned RDD
+    per iteration: after convergence at most the final round's blocks
+    (plus any pre-existing persistents) survive."""
+    before = C._persistent_rdd_ids(spark)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)])
+    C.connected_components(pairs).collect()
+    created = C._persistent_rdd_ids(spark) - before
+    # a 40-chain needs ~7 rounds → without eager freeing this would be
+    # ~2 per round + edges + init (15+); with it only the final round
+    assert len(created) <= 2, created
