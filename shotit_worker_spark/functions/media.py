@@ -18,12 +18,16 @@ Kernel reality, per stage:
   plumbing stays total.
 - Image resize (`resize_images`): REAL bilinear resample + PPM re-encode
   for decodable images; stub fallback otherwise.
-- G1 video demux/decode: STUBBED — no video codec exists without
-  external libraries. The fake emits DETERMINISTIC REAL PPM IMAGES
-  (seeded block scenes), so everything downstream of G1 exercises the
-  real image path. With PyAV installed the body becomes
-  open-container → sample at fps → scale → encode; signature unchanged.
-- Audio features: STUBBED (no audio codec), plumbing real.
+- G1 video demux/decode: REAL for Y4M (YUV4MPEG2) containers — pure
+  stdlib demux + numpy BT.601 decode (`functions/videocodec.py`),
+  sampled and scaled like the reference's ffmpeg invocation. Other
+  container bytes fall back to the deterministic stub (no compressed
+  codec exists without external libraries); the fake emits REAL PPM
+  images (seeded block scenes) so downstream stays on the real image
+  path either way. With PyAV the fallback becomes open-container →
+  sample at fps → scale → encode; signature unchanged.
+- Audio features: REAL for PCM WAV (stdlib `wave` + numpy FFT);
+  stub fallback for other bytes.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -53,6 +57,7 @@ from . import jointhistogram as JH
 from . import opponenthistogram as OH
 from . import phog as PH
 from . import scalablecolor as SCD
+from . import videocodec as VC
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -111,6 +116,38 @@ def _synthetic_frame_image(content: bytes, frame_no: int) -> bytes:
     return IC.encode_ppm(img)
 
 
+def _sample_y4m(
+    content: bytes, fps: float
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for Y4M containers: demux (functions/videocodec.py),
+    sample at `fps`, scale to height FRAME_HEIGHT with even width
+    (ffmpeg's `fps=12,scale=-2:180`, hasher.js:87), PPM-encode.
+
+    Sampling mirrors the stub's ffmpeg-fps-filter convention: output
+    timestamps (i + 0.5)/fps for i in [0, floor(duration·fps)), each
+    served by the source frame whose display interval contains it.
+    Decodes each source frame at most once (single forward pass) and
+    only the frames actually sampled."""
+    hdr = VC.parse_header(content)
+    n_src = VC.frame_count(content)
+    duration = n_src * hdr.fps_den / hdr.fps_num
+    n_out = max(1, int(duration * fps))
+    # source index for each output slot; clamp to the last real frame
+    wanted: dict[int, list[int]] = {}
+    for i in range(n_out):
+        t = (i + 0.5) / fps
+        j = min(n_src - 1, int(t * hdr.fps))
+        wanted.setdefault(j, []).append(i)
+    out_w = max(2, 2 * round(hdr.width * FRAME_HEIGHT / hdr.height / 2))
+    for j, rgb in enumerate(VC.iter_frames(content)):
+        if j not in wanted:
+            continue
+        scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
+        ppm = IC.encode_ppm(scaled)
+        for i in wanted[j]:
+            yield i, round((i + 0.5) / fps, 4), ppm
+
+
 def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
     """G1 — video → frame explode (1 video row → N frame rows).
 
@@ -120,13 +157,17 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
     (/root/reference/hasher.js:78-99), times rounded to 4 decimals like
     the reference's toFixed(4).
 
+    Container support: Y4M (YUV4MPEG2) blobs demux + decode FOR REAL —
+    pure-stdlib slicing + numpy color conversion (_sample_y4m); other
+    bytes fall back to the deterministic synthetic-scene stub (no
+    compressed-codec libraries exist in this environment; with PyAV the
+    fallback body becomes open-container → sample → scale → encode,
+    signature unchanged).
+
     mapInPandas: each Arrow batch of videos yields frame batches without
     materializing all frames of a partition at once. Partition by video
     file upstream for even work distribution (one ~2h video ≈ 86k
     frames ≈ one task's worth).
-
-    With real codecs this body becomes: open container with PyAV, sample
-    at `fps`, scale to height 180, JPEG-encode — signature unchanged.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,8 +175,15 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
             out: dict[str, list] = {"file": [], "frame_no": [], "time": [], "image": []}
             for path, content in zip(pdf["path"], pdf["content"]):
                 content = bytes(content)
-                n_frames, _ = _fake_video_params(content)
                 rel = "/".join(str(path).split("/")[-2:])  # imdbID/fileName (P1)
+                if VC.is_y4m(content):
+                    for i, t, ppm in _sample_y4m(content, fps):
+                        out["file"].append(rel)
+                        out["frame_no"].append(i)
+                        out["time"].append(t)
+                        out["image"].append(ppm)
+                    continue
+                n_frames, _ = _fake_video_params(content)
                 for i in range(n_frames):
                     out["file"].append(rel)
                     out["frame_no"].append(i)
@@ -565,11 +613,14 @@ def audio_features(
     """Audio → fixed-dim feature row (the audio leg of the multimodal
     surface): (file, duration_sec, sample_rate, features: array<float>).
 
-    mapInPandas over binaryFile rows, one row per clip. The decode +
-    MFCC-ish kernel is STUBBED (deterministic fake duration/rate/
-    features from byte hashes); with librosa/soundfile the body becomes
-    load → resample → log-mel pooling at the same schema. Features feed
-    the same similarity/dedup operators as image vectors.
+    mapInPandas over binaryFile rows, one row per clip. PCM WAV
+    (RIFF/WAVE, 8/16/32-bit integer) decodes FOR REAL — stdlib `wave`
+    + a numpy Hann-windowed average power spectrum pooled into `dim`
+    log-energy bands (_wav_features; VERDICT r3 #4). Non-WAV bytes keep
+    the deterministic blake2 stub so the plumbing stays total; with
+    librosa/soundfile that fallback becomes load → resample → log-mel
+    pooling at the same schema. Features feed the same similarity/dedup
+    operators as image vectors.
     """
     out_t = StructType(
         [
@@ -587,8 +638,20 @@ def audio_features(
             }
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 content = bytes(content)
-                h = hashlib.blake2b(content, digest_size=16).digest()
                 out["file"].append("/".join(str(path).split("/")[-2:]))
+                real = None
+                if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                    try:
+                        real = _wav_features(content, dim)
+                    except Exception:
+                        real = None  # malformed RIFF → stub fallback
+                if real is not None:
+                    duration, sr, feats = real
+                    out["duration_sec"].append(duration)
+                    out["sample_rate"].append(sr)
+                    out["features"].append(feats)
+                    continue
+                h = hashlib.blake2b(content, digest_size=16).digest()
                 out["duration_sec"].append(
                     1.0 + (int.from_bytes(h[:4], "big") % 30000) / 1000.0
                 )
@@ -600,6 +663,49 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(_extract, schema=out_t)
+
+
+_WAV_WIN = 1024  # analysis window (Hann) — ~23 ms at 44.1 kHz
+_WAV_HOP = 512
+
+
+def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+    """REAL audio kernel for PCM WAV: stdlib `wave` decode → mono mix →
+    Hann-windowed average power spectrum (numpy rfft) → `dim` equal
+    frequency bands of log10(1 + mean power). Returns
+    (duration_sec, sample_rate, features). Raises on non-PCM payloads
+    (caller falls back to the stub)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n, sr, ch, sw = (
+            w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
+        )
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    duration = n / float(sr)
+    if len(x) < _WAV_WIN:
+        x = np.pad(x, (0, _WAV_WIN - len(x)))
+    n_frames = 1 + (len(x) - _WAV_WIN) // _WAV_HOP
+    idx = np.arange(_WAV_WIN)[None, :] + _WAV_HOP * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(_WAV_WIN)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mean_power = power.mean(axis=0)  # (513,)
+    # pool into dim equal bands (drop the tail remainder bins)
+    per = len(mean_power) // dim
+    banded = mean_power[: per * dim].reshape(dim, per).mean(axis=1)
+    feats = [float(v) for v in np.log10(1.0 + banded).astype(np.float32)]
+    return duration, int(sr), feats
 
 
 def frames_to_hashes(frames_with_desc: DataFrame) -> DataFrame:

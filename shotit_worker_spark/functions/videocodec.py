@@ -1,0 +1,173 @@
+"""Pure-stdlib Y4M (YUV4MPEG2) demuxer/decoder — the one container the
+environment lets G1 decode for real (VERDICT r3 #3).
+
+The reference samples frames with ffmpeg (`fps=12,scale=-2:180`,
+/root/reference/hasher.js:78-91). Y4M is ffmpeg's own uncompressed
+interchange format (`ffmpeg -i in.mp4 out.y4m`): a one-line ASCII
+header, then `FRAME\n` + raw planar YUV per frame — demuxable with
+slicing alone, no codec.
+
+Supported: C420 family (C420, C420jpeg, C420mpeg2, C420paldv — all
+share the plane layout; the sited-chroma distinctions only matter to a
+resampling filter), C422, C444, and Cmono. Color conversion is
+ITU-R BT.601 limited range (the ffmpeg default for yuv420p), chroma
+upsampled nearest-neighbor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["Y4MError", "Y4MHeader", "is_y4m", "parse_header", "iter_frames"]
+
+MAGIC = b"YUV4MPEG2 "
+
+
+class Y4MError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Y4MHeader:
+    width: int
+    height: int
+    fps_num: int
+    fps_den: int
+    colorspace: str  # normalized: "420", "422", "444", "mono"
+    data_offset: int  # first byte after the stream header's \n
+
+    @property
+    def fps(self) -> float:
+        return self.fps_num / self.fps_den
+
+    @property
+    def frame_bytes(self) -> int:
+        y = self.width * self.height
+        if self.colorspace == "mono":
+            return y
+        if self.colorspace == "420":
+            return y + 2 * ((self.width // 2) * (self.height // 2))
+        if self.colorspace == "422":
+            return y + 2 * ((self.width // 2) * self.height)
+        return 3 * y  # 444
+
+
+def is_y4m(content: bytes) -> bool:
+    return content[: len(MAGIC)] == MAGIC
+
+
+def parse_header(content: bytes) -> Y4MHeader:
+    if not is_y4m(content):
+        raise Y4MError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise Y4MError("unterminated Y4M stream header")
+    width = height = None
+    fps_num, fps_den = 25, 1  # Y4M default when F is absent
+    colorspace = "420"  # spec default C420
+    for tok in content[len(MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            if val.startswith("420"):
+                colorspace = "420"
+            elif val.startswith("422"):
+                colorspace = "422"
+            elif val.startswith("444"):
+                colorspace = "444"
+            elif val.startswith("mono"):
+                colorspace = "mono"
+            else:
+                raise Y4MError(f"unsupported Y4M colorspace C{val}")
+        # X/I/A params are metadata — ignored
+    if not width or not height:
+        raise Y4MError("Y4M header missing W/H")
+    if fps_num <= 0 or fps_den <= 0:
+        raise Y4MError("Y4M header has non-positive frame rate")
+    return Y4MHeader(width, height, fps_num, fps_den, colorspace, nl + 1)
+
+
+def _yuv_to_rgb(
+    y: np.ndarray, u: np.ndarray | None, v: np.ndarray | None
+) -> np.ndarray:
+    """BT.601 limited-range YUV → uint8 RGB; chroma already full-size."""
+    c = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    if u is None:
+        g = np.clip(np.round(c), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    d = u.astype(np.float64) - 128.0
+    e = v.astype(np.float64) - 128.0
+    r = c + 1.402 * (255.0 / 224.0) * e
+    g = c - (0.114 * 1.772 / 0.587) * (255.0 / 224.0) * d \
+        - (0.299 * 1.402 / 0.587) * (255.0 / 224.0) * e
+    b = c + 1.772 * (255.0 / 224.0) * d
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _upsample(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor chroma upsample to (h, w)."""
+    ry = h // plane.shape[0]
+    rx = w // plane.shape[1]
+    return np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+
+
+def iter_frames(content: bytes) -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) uint8 RGB arrays, one per FRAME chunk."""
+    hdr = parse_header(content)
+    pos = hdr.data_offset
+    w, h = hdr.width, hdr.height
+    n_y = w * h
+    while pos < len(content):
+        nl = content.find(b"\n", pos)
+        if nl < 0 or content[pos : pos + 5] != b"FRAME":
+            raise Y4MError(f"bad FRAME marker at byte {pos}")
+        pos = nl + 1
+        raw = content[pos : pos + hdr.frame_bytes]
+        if len(raw) < hdr.frame_bytes:
+            raise Y4MError("truncated Y4M frame payload")
+        pos += hdr.frame_bytes
+        y = np.frombuffer(raw, np.uint8, n_y).reshape(h, w)
+        if hdr.colorspace == "mono":
+            yield _yuv_to_rgb(y, None, None)
+            continue
+        if hdr.colorspace == "420":
+            cw, ch = w // 2, h // 2
+        elif hdr.colorspace == "422":
+            cw, ch = w // 2, h
+        else:
+            cw, ch = w, h
+        n_c = cw * ch
+        u = np.frombuffer(raw, np.uint8, n_c, n_y).reshape(ch, cw)
+        v = np.frombuffer(raw, np.uint8, n_c, n_y + n_c).reshape(ch, cw)
+        yield _yuv_to_rgb(y, _upsample(u, h, w), _upsample(v, h, w))
+
+
+def frame_count(content: bytes) -> int:
+    """Number of FRAME chunks, by arithmetic on the fixed frame size —
+    no decode (each chunk is len('FRAME\\n') + frame_bytes)."""
+    hdr = parse_header(content)
+    body = len(content) - hdr.data_offset
+    per = 6 + hdr.frame_bytes
+    if body % per:
+        # tolerate frame-header params (rare): fall back to a scan
+        n, pos = 0, hdr.data_offset
+        while pos < len(content):
+            nl = content.find(b"\n", pos)
+            if nl < 0:
+                break
+            n += 1
+            pos = nl + 1 + hdr.frame_bytes
+        return n
+    return body // per
