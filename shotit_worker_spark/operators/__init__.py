@@ -1,1 +1,1 @@
-from . import dedup, packing, relational, similarity
+from . import dedup, packing, relational, rerank, similarity

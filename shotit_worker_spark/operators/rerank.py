@@ -1,0 +1,186 @@
+"""Two-stage retrieval re-ranking (LLM-pipeline surface; VERDICT r3 #9).
+
+The reference serves single-stage ANN results straight to the client
+(/root/reference/searcher.js:99-115: Milvus top-15, no second pass). A
+production retrieval pipeline at 100 TB is two-stage: a cheap ANN/LSH
+recall stage produces a small candidate set per query, then an expensive
+pairwise scorer (a cross-encoder, a learned ranker, an exact metric the
+index only approximates) re-scores the candidates and the final top-k is
+taken in the *re-ranked* order.
+
+This module pins that shape:
+
+  - `rerank`          — score (query, candidate) rows with a pluggable
+    batch scorer, keep per-query top-k by the re-ranked order.
+  - `overlap_scorer`  — a real, deterministic lexical scorer (token-set
+    F1) usable as the pairwise stage anywhere a model isn't available —
+    and as the test oracle for the plumbing. A neural cross-encoder
+    drops in with the same signature (pd.DataFrame -> 1-D scores).
+
+Scale shape: the candidate table is |Q| × depth rows — thousands, not
+the corpus — so the expensive scorer never sees unselected rows. The
+scorer runs executor-side over Arrow batches (mapInPandas); an optional
+round-robin repartition spreads the (costly) batches across the cluster
+even when one retrieval partition produced most candidates. The final
+per-query top-k is a window rank over ≤ |Q| × depth rows.
+
+Tie-break matches the module convention (SURVEY §5.2.2): score DESC,
+id ASC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Scorer = Callable[[pd.DataFrame], "np.ndarray | pd.Series"]
+
+
+def overlap_scorer(
+    query_col: str = "query_text", doc_col: str = "doc_text"
+) -> Scorer:
+    """Token-set F1 between query text and candidate text.
+
+    A real lexical re-ranker (the classic cheap cross-encoder stand-in):
+    F1 of the whitespace-token sets,
+      p = |Q ∩ D| / |D|,  r = |Q ∩ D| / |Q|,  score = 2pr / (p + r),
+    0.0 when either side is empty or the overlap is empty. Deterministic,
+    so tests can replay it row-by-row in pure pandas.
+    """
+
+    def _score(pdf: pd.DataFrame) -> np.ndarray:
+        out = np.zeros(len(pdf), dtype=np.float64)
+        for i, (q, d) in enumerate(zip(pdf[query_col], pdf[doc_col])):
+            qs = set(str(q).lower().split()) if q is not None else set()
+            ds = set(str(d).lower().split()) if d is not None else set()
+            if not qs or not ds:
+                continue
+            inter = len(qs & ds)
+            if not inter:
+                continue
+            p, r = inter / len(ds), inter / len(qs)
+            out[i] = 2.0 * p * r / (p + r)
+        return out
+
+    return _score
+
+
+def rerank(
+    candidates: DataFrame,
+    scorer: Scorer,
+    k: int = 15,
+    query_id_col: str = "query_id",
+    id_col: str = "hash_id",
+    score_col: str = "rerank_score",
+    tie_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Re-score candidate rows with `scorer`, keep per-query top-k.
+
+    `candidates` carries one row per (query, candidate) pair with every
+    feature column the scorer reads already joined in (query text /
+    candidate text / first-stage score / raw vectors — whatever the
+    scorer wants). `scorer` receives each Arrow batch as a pandas
+    DataFrame and returns one float score per row; it runs executor-side,
+    so a model handle should be constructed lazily inside the closure
+    (once per python worker), never serialized from the driver.
+
+    `num_partitions` round-robin-repartitions the candidate table before
+    scoring — with a genuinely expensive scorer this is the knob that
+    turns "one fat partition from the retrieval stage" into even
+    cluster-wide batches. Leave None to score in place (no shuffle).
+
+    Output: the input columns plus `score_col`, ≤ k rows per query, in
+    no global order (order within a query is recovered by the caller's
+    ORDER BY — the driver-side `.collect()` of a serving path sorts k
+    rows, not the candidate table).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    src = candidates if num_partitions is None else candidates.repartition(num_partitions)
+    # build a fresh StructType — StructType.add mutates in place, and
+    # df.schema is cached on the DataFrame
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField(score_col, DoubleType())]
+    )
+
+    def _apply(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scores = np.asarray(scorer(pdf), dtype=np.float64)
+            if scores.shape != (len(pdf),):
+                raise ValueError(
+                    f"scorer returned shape {scores.shape}, expected ({len(pdf)},)"
+                )
+            res = pdf.copy()
+            res[score_col] = scores
+            yield res
+
+    scored = src.mapInPandas(_apply, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col or id_col).asc()
+    )
+    return (
+        scored.withColumn("__rr_rank", F.row_number().over(w))
+        .filter(F.col("__rr_rank") <= k)
+        .drop("__rr_rank")
+    )
+
+
+def retrieve_rerank(
+    queries_df: DataFrame,
+    index_df: DataFrame,
+    query_features: DataFrame,
+    doc_features: DataFrame,
+    scorer: Scorer,
+    k: int = 15,
+    depth: int = 60,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "hash_id",
+    vec_col: str = "vector",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The full two-stage pipeline in one call.
+
+    Stage 1 recalls `depth` candidates per query with the exact batch
+    kNN kernel (swap in `IVFIndex.search_batch` at index scale — any
+    (query_id, id, score) candidate table works); stage 2 broadcasts the
+    small feature tables onto the candidates and re-ranks to `k`.
+
+    `depth` is the recall/cost dial: stage-2 cost is |Q| × depth scorer
+    calls, independent of corpus size.
+    """
+    from .similarity import knn_join
+
+    if depth < k:
+        raise ValueError(f"depth {depth} must be >= k {k}")
+    cand = knn_join(
+        queries_df,
+        index_df,
+        k=depth,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        id_col=id_col,
+        tie_col=id_col,
+    ).withColumnRenamed("score", "retrieval_score")
+    feats = cand.join(F.broadcast(query_features), query_id_col).join(
+        F.broadcast(doc_features), id_col
+    )
+    return rerank(
+        feats,
+        scorer,
+        k=k,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )

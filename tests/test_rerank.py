@@ -1,0 +1,141 @@
+"""Two-stage retrieval re-ranking (operators/rerank.py).
+
+Checks, against a pure-pandas replay of the same deterministic scorer:
+  - rerank() keeps exactly the per-query top-k in (score DESC, id ASC)
+    order, scores bit-identical to the row-by-row oracle;
+  - the repartitioned path returns the same rows (scoring is
+    partitioning-independent);
+  - retrieve_rerank() composes stage 1 (exact batch kNN) and stage 2
+    end-to-end on the sf0.001 embeddings + documents fixtures;
+  - scorer shape errors surface, k<=0 / depth<k raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators.rerank import (
+    overlap_scorer,
+    rerank,
+    retrieve_rerank,
+)
+
+
+def _oracle_f1(q: str, d: str) -> float:
+    qs, ds = set(q.lower().split()), set(d.lower().split())
+    if not qs or not ds:
+        return 0.0
+    inter = len(qs & ds)
+    if not inter:
+        return 0.0
+    p, r = inter / len(ds), inter / len(qs)
+    return 2.0 * p * r / (p + r)
+
+
+@pytest.fixture(scope="module")
+def candidates(spark, sf_dir):
+    """(query_id, hash_id, query_text, doc_text): each of 4 query docs
+    paired with 25 candidate docs — a realistic post-ANN candidate table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = (
+        docs.filter(F.col("doc_id") < 4)
+        .select(F.col("doc_id").alias("query_id"), F.col("text").alias("query_text"))
+    )
+    cands = docs.filter(F.col("doc_id") % 20 < 1).select(
+        F.col("doc_id").alias("hash_id"), F.col("text").alias("doc_text")
+    )
+    return F.broadcast(qs).crossJoin(cands)
+
+
+def test_rerank_matches_pandas_oracle(spark, candidates):
+    k = 5
+    got = (
+        rerank(candidates, overlap_scorer(), k=k)
+        .orderBy("query_id", F.col("rerank_score").desc(), "hash_id")
+        .toPandas()
+    )
+    src = candidates.toPandas()
+    src["rerank_score"] = [
+        _oracle_f1(q, d) for q, d in zip(src["query_text"], src["doc_text"])
+    ]
+    expect = (
+        src.sort_values(["rerank_score", "hash_id"], ascending=[False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .sort_values(["query_id", "rerank_score", "hash_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(expect["query_id"])
+    assert list(got["hash_id"]) == list(expect["hash_id"])
+    np.testing.assert_array_equal(
+        got["rerank_score"].to_numpy(), expect["rerank_score"].to_numpy()
+    )
+    assert (got.groupby("query_id").size() <= k).all()
+
+
+def test_rerank_partitioning_independent(spark, candidates):
+    base = rerank(candidates, overlap_scorer(), k=7)
+    shuffled = rerank(candidates, overlap_scorer(), k=7, num_partitions=13)
+    key = ["query_id", "hash_id", "rerank_score"]
+    a = base.select(*key).orderBy(*key).toPandas()
+    b = shuffled.select(*key).orderBy(*key).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rerank_improves_on_retrieval_order(spark, candidates):
+    """The point of the second stage: the reranked top-1 has the maximal
+    pairwise score among candidates (a first-stage order need not)."""
+    out = rerank(candidates, overlap_scorer(), k=1).toPandas()
+    src = candidates.toPandas()
+    for _, row in out.iterrows():
+        pool = src[src["query_id"] == row["query_id"]]
+        best = max(
+            _oracle_f1(q, d) for q, d in zip(pool["query_text"], pool["doc_text"])
+        )
+        assert row["rerank_score"] == best
+
+
+def test_retrieve_rerank_end_to_end(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("hash_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = emb.filter(F.col("hash_id") < 3).select(
+        F.col("hash_id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    qf = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    df = docs.select(F.col("doc_id").alias("hash_id"), F.col("text").alias("doc_text"))
+    out = retrieve_rerank(
+        queries, emb, qf, df, overlap_scorer(), k=5, depth=20
+    ).toPandas()
+    assert set(out.groupby("query_id").size()) == {5}
+    assert {"retrieval_score", "rerank_score", "query_text", "doc_text"} <= set(
+        out.columns
+    )
+    # stage 1 bounded the pool: every survivor came from the depth-20
+    # candidate set of its query (self-pair present with retrieval score
+    # == ||v||² for the self query, so depth recall is sane)
+    assert (out.groupby("query_id").size() <= 20).all()
+
+
+def test_rerank_guards(spark, candidates):
+    with pytest.raises(ValueError, match="k must be positive"):
+        rerank(candidates, overlap_scorer(), k=0)
+
+    def bad_scorer(pdf):
+        return np.zeros(len(pdf) + 1)
+
+    with pytest.raises(Exception, match="scorer returned shape"):
+        rerank(candidates, bad_scorer, k=3).collect()
+
+    emb = candidates.sparkSession.range(1)
+    with pytest.raises(ValueError, match="depth"):
+        retrieve_rerank(emb, emb, emb, emb, overlap_scorer(), k=10, depth=5)
