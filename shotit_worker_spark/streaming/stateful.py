@@ -1,4 +1,5 @@
-"""Custom stateful streaming operators (applyInPandasWithState).
+"""Custom stateful streaming operators (applyInPandasWithState and its
+Spark 4.x successor transformWithStateInPandas).
 
 The reference's D1 sequential dedup (/root/reference/loader.js:202-212)
 runs inside the loader process as an in-memory loop over one video's
@@ -111,4 +112,99 @@ def streaming_sequential_dedup(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def streaming_sequential_dedup_tws(
+    hashes: DataFrame,
+    file_col: str = "file",
+    time_col: str = "time",
+    hi_col: str = "hi",
+    kept_window: int = DEDUP_KEPT_WINDOW,
+    time_window: float = DEDUP_TIME_WINDOW,
+    state_ttl_secs: float | None = None,
+) -> DataFrame:
+    """D1 on the Spark 4.x `transformWithStateInPandas` API.
+
+    Same semantics and state shape as `streaming_sequential_dedup`
+    (stream≡batch pinned by the same equivalence test), expressed as a
+    `StatefulProcessor` so the operator lives on the current arbitrary-
+    state API before `applyInPandasWithState` deprecates:
+
+      - the kept tail is a named ValueState ("kept_tail", ≤ kept_window
+        (time, hi) pairs);
+      - `state_ttl_secs` maps to the state store's native per-value TTL
+        (no hand-rolled timeout branch — expiry is the store's job);
+      - requires the RocksDB state store provider
+        (`spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider`),
+        which is also the provider a production deployment wants: state
+        is spilled off-heap and changelog-checkpointed instead of living
+        in executor heap like the default HDFS-backed map.
+
+    Runtime dependency: transformWithState's Python state client talks
+    protobuf to the JVM, so `google.protobuf` (shipped with
+    `pyspark[connect]`) must be importable on the workers — this module
+    raises up front with a clear message where it isn't (the equivalence
+    test skips there; `streaming_sequential_dedup` covers the same
+    semantics on the dependency-free API).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pip install 'pyspark[connect]' or protobuf); use "
+            "streaming_sequential_dedup (applyInPandasWithState) where "
+            "it is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = hashes.schema
+    out_cols = [f.name for f in out_schema.fields]
+    ttl_ms = int(state_ttl_secs * 1000) if state_ttl_secs else None
+
+    class _D1Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tail = handle.getValueState(
+                "kept_tail", _STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            got = self._tail.get() if self._tail.exists() else None
+            kept = list(zip(got[0], got[1])) if got else []
+            for pdf in rows:
+                pdf = pdf.sort_values(time_col, kind="mergesort")
+                t_arr = pdf[time_col].to_numpy()
+                h_arr = pdf[hi_col].to_numpy()
+                kept_rows: list[int] = []
+                for i in range(len(pdf)):
+                    dup = False
+                    for kt, kh in reversed(kept[-kept_window:]):
+                        if t_arr[i] - kt >= time_window:
+                            break  # kept tail is time-ascending
+                        if kh == h_arr[i]:
+                            dup = True
+                            break
+                    if not dup:
+                        kept.append((float(t_arr[i]), h_arr[i]))
+                        kept_rows.append(i)
+                if kept_rows:
+                    yield pdf.iloc[kept_rows][out_cols]
+            tail = kept[-kept_window:]
+            self._tail.update(([t for t, _ in tail], [h for _, h in tail]))
+
+        def close(self) -> None:
+            pass
+
+    # TTL needs the processing-time clock; without one, "None" avoids
+    # per-batch timestamp bookkeeping entirely
+    time_mode = "ProcessingTime" if ttl_ms else "None"
+    return hashes.groupBy(file_col).transformWithStateInPandas(
+        _D1Processor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode=time_mode,
     )

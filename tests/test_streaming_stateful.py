@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from shotit_worker_spark.operators import dedup as D
 from shotit_worker_spark.streaming import ingest as SI
 from shotit_worker_spark.streaming import stateful as ST
@@ -70,6 +72,81 @@ def test_stateful_dedup_stream_matches_batch(spark, tmp_root):
     assert got == batch
     # sanity: the dedup actually dropped the duplicate rows
     assert len(got) < len(ROWS)
+
+
+def test_tws_dedup_stream_matches_batch(spark, tmp_root):
+    """Same chunked replay through the transformWithStateInPandas
+    variant (Spark 4.x arbitrary-state API, RocksDB provider): kept set
+    must equal the batch operator's and the applyInPandasWithState
+    path's. Skips where google.protobuf (the transformWithState state
+    client's wire format) isn't installed — the operator itself raises a
+    guided ImportError there, asserted below."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState python client needs protobuf",
+    )
+    df = spark.createDataFrame(ROWS, "file string, time double, hi string")
+    batch = sorted(tuple(r) for r in D.sequential_dedup(df).collect())
+
+    src_dir = tmp_root / "d1_tws_stream"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate(CHUNKS):
+        chunk = df.filter(f"time >= {lo} AND time < {hi}").coalesce(1)
+        p = str(src_dir / f"chunk{i}")
+        chunk.write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + i * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SI.stream_parquet_source(
+            spark,
+            str(src_dir),
+            schema=df.schema,
+            max_files_per_trigger=1,
+            glob="*.parquet",
+            recursive=True,
+        )
+        deduped = ST.streaming_sequential_dedup_tws(stream)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("d1_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_root / "ckpt_d1_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM d1_tws").collect())
+    assert got == batch
+    assert len(got) < len(ROWS)
+
+
+def test_tws_dedup_guided_error_without_protobuf(spark):
+    """Where protobuf is absent the operator must fail fast at plan time
+    with a message pointing at the dependency-free API, not crash the
+    streaming python runner mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf installed — guard not reachable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(ROWS, "file string, time double, hi string")
+    with pytest.raises(ImportError, match="streaming_sequential_dedup"):
+        ST.streaming_sequential_dedup_tws(df)
 
 
 def test_stateful_dedup_with_ttl_still_matches_batch(spark, tmp_root):
