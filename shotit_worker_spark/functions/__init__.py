@@ -1,1 +1,1 @@
-from . import scalar, text, vector
+from . import pii, scalar, text, vector

@@ -1,0 +1,106 @@
+"""PII detection and redaction kernels (LLM-pipeline surface).
+
+The reference processes images, not text, so there is no counterpart
+op; this covers the scrubbing step every public-web training corpus
+runs before anything else touches the text. Rules follow the common
+public-pipeline practice (regex families for emails / IPs / phones /
+government-ID shapes / key-shaped secrets) — pure JVM `regexp_replace`
+/ `regexp_count` chains, no UDF, so detection and redaction both ride
+whole-stage codegen and the report is one scan.
+
+These are *shape* matchers (precision over recall, like the public
+corpus pipelines'): they flag things formatted like PII. Semantic
+validation (checksums, allocation ranges) is out of scope by design —
+at corpus scale false positives cost a token, false negatives leak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+# name → (java_regex, replacement_tag); applied in this order, so the
+# more specific shapes (card, ssn) win over the generic digit-run
+# matchers (phone) that would otherwise eat their prefix
+PII_RULES: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "credit_card": (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b", "<CARD>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (
+        r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}\b",
+        "<PHONE>",
+    ),
+    "secret_key": (r"\b(?:AKIA[0-9A-Z]{16}|(?:sk|pk|ghp)_[A-Za-z0-9]{16,})\b", "<KEY>"),
+}
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def pii_count(text: ColumnOrName, rule: str) -> Column:
+    """Match count for one rule (0 for empty/NULL text)."""
+    pattern, _ = PII_RULES[rule]
+    return F.coalesce(
+        F.regexp_count(_col(text), F.lit(pattern)), F.lit(0)
+    )
+
+
+def redact_pii(
+    text: ColumnOrName, rules: list[str] | None = None
+) -> Column:
+    """Replace every match with its rule's tag, rules applied in
+    PII_RULES order (specific before generic — see module docstring)."""
+    out = _col(text)
+    for name in rules or list(PII_RULES):
+        pattern, tag = PII_RULES[name]
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_flags(text: ColumnOrName, rules: list[str] | None = None) -> Column:
+    """Struct of booleans, one field per rule — the cheap per-doc gate
+    a filtering stage broadcasts decisions from."""
+    return F.struct(
+        *[
+            (pii_count(text, name) > 0).alias(name)
+            for name in (rules or list(PII_RULES))
+        ]
+    )
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-level audit: per rule, how many documents hit and how many
+    total matches. N rules = ONE scan (a single aggregate over counter
+    columns, same shape as operators.filters.keep_report); the unpivot
+    to (rule, docs_hit, total_matches) rows touches R aggregated values,
+    not data.
+    """
+    names = rules or list(PII_RULES)
+    aggs = []
+    for name in names:
+        c = pii_count(text_col, name)
+        aggs.append(F.sum((c > 0).cast("long")).alias(f"__docs_{name}"))
+        aggs.append(F.sum(c.cast("long")).alias(f"__hits_{name}"))
+    totals = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__docs_{name}").alias("docs_hit"),
+                F.col(f"__hits_{name}").alias("total_matches"),
+            )
+            for name in names
+        ]
+    )
+    return (
+        totals.select(F.explode(pairs).alias("r"))
+        .select("r.rule", "r.docs_hit", "r.total_matches")
+    )

@@ -1,1 +1,1 @@
-from . import dedup, packing, relational, rerank, similarity
+from . import chunking, dedup, packing, relational, rerank, similarity

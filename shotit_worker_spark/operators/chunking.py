@@ -1,0 +1,87 @@
+"""Document chunking for context-window prep (LLM-pipeline surface).
+
+The reference has no text pipeline (it ships image descriptors;
+/root/reference/hasher.js), but every large-scale training/RAG corpus
+needs the split-into-overlapping-chunks step between cleaning and
+tokenization. This is that operator, pure Catalyst:
+
+  split → sequence(starts) → posexplode → slice → concat_ws
+
+No UDF, no shuffle: chunking is embarrassingly row-parallel, so the
+plan is a single projection stage over the scan — at 100 TB the cost is
+the read plus the (output-sized) write, and the explode multiplies rows
+*within* partitions without moving data. Skew only follows document
+length, which the corpus-quality filters bound upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Split on whitespace runs, dropping empty edge tokens.
+
+    Unlike functions.text.tokenize this PRESERVES the original words
+    (case, punctuation) — chunk text must re-join into readable text,
+    not into the normalized token stream the stats kernels use.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding-window chunking: one output row per (doc, chunk).
+
+    Window starts advance by `chunk_tokens - overlap_tokens`; each chunk
+    carries up to `chunk_tokens` whitespace tokens, consecutive chunks
+    share `overlap_tokens`. The last window may be shorter; a start
+    whose window would add no new tokens beyond the previous chunk's
+    coverage is not emitted (starts stop at n_tokens - overlap_tokens),
+    so every chunk contributes novel text. Documents with no tokens
+    produce no rows.
+
+    Output: (id_col, *keep_cols, chunk_id, chunk_text, n_tokens) with
+    chunk_id 0-based in document order. Deterministic, so exact-dedup
+    downstream of chunking is stable across runs.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = whitespace_tokens(text_col)
+    with_toks = df.select(
+        id_col, *keep_cols, toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    # last emitted start: the largest multiple of `step` still < n - overlap
+    # (always >= 0, so the first window exists even for tiny docs)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - overlap_tokens - 1, F.lit(0)), F.lit(step)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        with_toks.select(
+            id_col,
+            *keep_cols,
+            "__toks",
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            "chunk_id",
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Document chunking (operators/chunking.py): hand-computed windows,
+python-oracle replay over fixture docs, full-coverage / novel-tail
+properties, and guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators.chunking import chunk_documents
+
+
+def _oracle_chunks(text: str, chunk: int, overlap: int):
+    toks = text.split()
+    if not toks:
+        return []
+    step = chunk - overlap
+    starts = list(range(0, max(len(toks) - overlap - 1, 0) + 1, step))
+    return [
+        (ci, " ".join(toks[s : s + chunk]), len(toks[s : s + chunk]))
+        for ci, s in enumerate(starts)
+    ]
+
+
+def test_hand_computed_windows(spark):
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 11 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap_tokens=1)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    # step 3, starts [0,3,6,9]
+    assert got == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+        (3, "t9 t10", 2),
+    ]
+
+
+def test_matches_python_oracle_on_fixtures(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=32, overlap_tokens=8, keep_cols=("lang",))
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        )
+    for doc_id, text in texts.items():
+        expect = _oracle_chunks(text, 32, 8)
+        assert by_doc.get(doc_id, []) == expect, f"doc {doc_id}"
+
+
+def test_coverage_and_novelty(spark, sf_dir):
+    """Every source token lands in some chunk, and stripping each
+    chunk's leading overlap reconstructs the token stream exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    chunk, overlap = 16, 4
+    rows = (
+        chunk_documents(docs, chunk_tokens=chunk, overlap_tokens=overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    by_doc: dict[int, list[list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split())
+    for doc_id, toks in texts.items():
+        chunks = by_doc[doc_id]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[-overlap:] if len(c) >= overlap else True
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == toks, f"doc {doc_id}"
+
+
+def test_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "only three tokens"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap_tokens=2).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 3 and out[0]["n_tokens"] == 3
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
