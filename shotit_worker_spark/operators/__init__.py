@@ -1,1 +1,1 @@
-from . import chunking, dedup, packing, relational, rerank, similarity
+from . import chunking, dedup, mixing, packing, relational, rerank, similarity

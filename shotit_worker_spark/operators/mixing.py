@@ -1,0 +1,147 @@
+"""Corpus mixing: weighted per-source sampling to a token budget
+(LLM-pipeline surface).
+
+Training mixes are specified as "X% of the token budget from source A,
+Y% from B" with sources up- or down-sampled to hit their share — the
+step public pipelines run between per-source cleaning and the final
+shuffle. No counterpart in the reference (an image system).
+
+Spark-first shape:
+  1. ONE aggregation computes per-source token totals (a broadcast-sized
+     table — sources number dozens, not millions).
+  2. Each source's sampling ratio r = target_tokens / available_tokens
+     becomes `floor(r)` full copies of every document plus one extra
+     copy admitted with probability `r - floor(r)` — decided by a
+     DETERMINISTIC per-document hash, not `rand()`, so the mix is
+     reproducible run-to-run and resumable shard-by-shard.
+  3. The copy fan-out is explode(sequence(...)) inside the projection:
+     row-parallel, no shuffle; the only movement is the 1-row-per-source
+     plan constants riding the closure.
+
+Down-sampling keeps a hash-uniform subset (every doc decided
+independently — no sort, no windows); up-sampling emits an `epoch`
+column (0-based copy index) so downstream global shuffles spread the
+copies instead of co-locating them.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_token_count
+
+# hash bucket granularity for the fractional-admission decision; 1e6
+# buckets keeps the quantization error of any fraction below 1e-6
+_BUCKETS = 1_000_000
+
+
+def _unit_hash(id_col: str, seed: int, salt: str) -> Column:
+    """Deterministic uniform [0, 1) per (id, seed, salt)."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed), F.lit(salt))
+    return (F.pmod(h, F.lit(_BUCKETS))).cast("double") / _BUCKETS
+
+
+def mix_corpora(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    seed: int = 0,
+    max_epochs: int = 16,
+) -> DataFrame:
+    """Sample each source to its share of `token_budget` tokens.
+
+    `weights` are relative (normalized internally); sources absent from
+    the dict are dropped. Token counts come from `token_count_col` if
+    given, else the BPE pre-tokenizer estimate over `text_col`.
+
+    The realized token count per source lands within one document of
+    `budget * weight` in expectation; exactness to the document is
+    deliberately NOT promised — an exact cut needs a global sort by
+    hash and a running-sum cutoff (a shuffle), while the hash-admission
+    plan is a pure projection. For budget >> max doc length the
+    relative error is negligible.
+
+    `max_epochs` guards runaway up-sampling (a tiny source asked to
+    fill a huge share): exceeding it raises rather than silently
+    exploding the row count 1000×.
+
+    Output: input columns + `epoch` (0-based copy index) + `n_tokens`.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else bpe_token_count(text_col)
+    )
+    base = df.filter(F.col(source_col).isin(list(weights))).withColumn(
+        "n_tokens", n_tok.cast("long")
+    )
+    # one small agg: available tokens per source (collect is O(#sources))
+    avail = {
+        r[source_col]: r["avail"]
+        for r in base.groupBy(source_col).agg(F.sum("n_tokens").alias("avail")).collect()
+    }
+    ratios: dict[str, float] = {}
+    for src, w in weights.items():
+        if src not in avail or not avail[src]:
+            continue
+        r = (token_budget * w / total_w) / avail[src]
+        if r > max_epochs:
+            raise ValueError(
+                f"source {src!r} needs {r:.1f} epochs to fill its share "
+                f"(> max_epochs={max_epochs}); lower its weight or raise "
+                f"max_epochs"
+            )
+        ratios[src] = r
+    if not ratios:
+        return base.withColumn("epoch", F.lit(0)).limit(0)
+
+    # per-source copy count: floor(r) guaranteed epochs + 1 more with
+    # probability frac(r), hash-decided per document
+    u = _unit_hash(id_col, seed, "mix_admit")
+    whole = {s: int(math.floor(r)) for s, r in ratios.items()}
+    frac = {s: r - whole[s] for s, r in ratios.items()}
+    expr = F.lit(None).cast("int")
+    for src in ratios:
+        n = F.lit(whole[src]) + (u < F.lit(frac[src])).cast("int")
+        expr = F.when(F.col(source_col) == src, n).otherwise(expr)
+    return (
+        base.withColumn("__copies", expr)
+        .filter(F.col("__copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+        .drop("__copies")
+    )
+
+
+def mixing_report(
+    mixed: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Achieved mix: per source, documents (with copies), realized
+    tokens, and realized share — one aggregation, compare against the
+    requested weights in the caller."""
+    agg = mixed.groupBy(source_col).agg(
+        F.count("*").alias("rows"),
+        F.count_distinct(id_col).alias("unique_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    # R-row input (R = #sources): the empty-frame window is fine here
+    total = F.sum("tokens").over(Window.partitionBy())
+    return agg.select(
+        source_col,
+        "rows",
+        "unique_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / total).alias("share"),
+    ).orderBy(source_col)

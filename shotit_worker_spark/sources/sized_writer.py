@@ -1,0 +1,94 @@
+"""Size-targeted parquet sink (the small-files / giant-files problem).
+
+At 100 TB the file layout IS the performance contract of every
+downstream scan: thousands of KB-sized files drown the driver in
+listing + task overhead, while multi-GB files break scan parallelism
+and retry granularity. The reference never faces this (it writes one
+artifact per video — /root/reference/hasher.js output files); a Spark
+corpus sink must decide file counts explicitly.
+
+`write_sized_parquet` sizes the output from the data itself:
+
+  1. estimate bytes/row from a driver-side sample, scaled by a
+     parquet compression ratio (conservative default, overridable when
+     the caller has measured their corpus);
+  2. count rows (one cheap agg job over the same cached input);
+  3. repartition to ceil(total_bytes / target_file_bytes) and write —
+     round-robin for even file sizes, or hash on `partition_cols` worth
+     of output partitioning.
+
+Two jobs + the write: at scale the estimate job reads one partition's
+worth of sample, not the corpus. `maxRecordsPerFile` is additionally
+set from the estimate as a belt-and-braces cap so a skewed partition
+can't emit a giant file even under hash partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# parquet-on-disk ÷ in-memory-arrow, measured on the text-heavy fixture
+# tables (snappy): text compresses ~2-4×; 0.45 deliberately overshoots
+# (smaller assumed ratio → more bytes assumed → more files of smaller
+# size) because too-small files are recoverable by compaction while a
+# 10 GB file is a scan-time problem forever
+DEFAULT_COMPRESSION_RATIO = 0.45
+
+
+def estimate_row_bytes(
+    df: DataFrame, sample_rows: int = 2_000, compression_ratio: float = DEFAULT_COMPRESSION_RATIO
+) -> float:
+    """Approximate on-disk bytes per row from a `limit(sample_rows)`
+    sample (reads one partition's worth of input, not the corpus)."""
+    sample = df.limit(sample_rows).toPandas()
+    if not len(sample):
+        return 1.0
+    mem = float(sample.memory_usage(index=False, deep=True).sum())
+    return max(mem / len(sample) * compression_ratio, 1.0)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 256,
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "error",
+    compression_ratio: float = DEFAULT_COMPRESSION_RATIO,
+    sample_rows: int = 2_000,
+) -> dict:
+    """Write `df` as parquet files of ~`target_file_mb` each.
+
+    With `partition_cols` the data is hash-distributed on those columns
+    (so each output directory's files stay target-sized on average and
+    downstream co-partitioned reads work); without, round-robin
+    repartition gives uniformly sized files. Returns the sizing
+    decision ({rows, est_row_bytes, n_files}) so pipelines can log it.
+    """
+    if target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be positive, got {target_file_mb}")
+    target_bytes = int(target_file_mb * (1 << 20))
+    row_bytes = estimate_row_bytes(df, sample_rows, compression_ratio)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows * row_bytes / target_bytes))
+    out = (
+        df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        if partition_cols
+        else df.repartition(n_files)
+    )
+    rows_per_file = max(1, int(target_bytes / row_bytes))
+    writer = (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return {
+        "rows": n_rows,
+        "est_row_bytes": row_bytes,
+        "n_files": n_files,
+        "max_records_per_file": rows_per_file,
+    }

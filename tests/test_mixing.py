@@ -1,0 +1,128 @@
+"""Corpus mixing (operators/mixing.py): python-oracle replay of the
+hash-admission sampling, determinism, up-sampling epochs, realized-share
+tolerance, and guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators.mixing import (
+    _BUCKETS,
+    mix_corpora,
+    mixing_report,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ratios(spark, df, weights, budget):
+    """Replay the ratio computation with Spark-computed token counts."""
+    from shotit_worker_spark.functions.text import bpe_token_count
+
+    avail = {
+        r["source"]: r["a"]
+        for r in df.filter(F.col("source").isin(list(weights)))
+        .groupBy("source")
+        .agg(F.sum(bpe_token_count("text")).alias("a"))
+        .collect()
+    }
+    tw = sum(weights.values())
+    return {s: (budget * w / tw) / avail[s] for s, w in weights.items()}
+
+
+def test_downsample_matches_hash_oracle(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    weights = {"src0": 1.0, "src1": 1.0}
+    # half the combined available tokens → both ratios ≈ 0.5 (true
+    # down-sampling, sensitive to any admission-hash drift)
+    probe = _ratios(spark, docs, weights, 1000)
+    budget = int(1000 / max(probe.values()) * 0.5)
+    ratios = _ratios(spark, docs, weights, budget)
+    assert all(r < 1 for r in ratios.values())
+
+    mixed = mix_corpora(docs, weights, budget, seed=7)
+    got = {(r["doc_id"], r["epoch"]) for r in mixed.collect()}
+
+    # replay admission: u = pmod(xxhash64(doc_id, seed, salt), B)/B < frac
+    u_rows = docs.filter(F.col("source").isin(["src0", "src1"])).select(
+        "doc_id",
+        "source",
+        (
+            F.pmod(F.xxhash64("doc_id", F.lit(7), F.lit("mix_admit")), F.lit(_BUCKETS))
+            .cast("double")
+            / _BUCKETS
+        ).alias("u"),
+    )
+    expect = {
+        (r["doc_id"], 0)
+        for r in u_rows.collect()
+        if r["u"] < ratios[r["source"]]
+    }
+    assert got == expect
+    assert 0 < len(got) < 50  # genuinely sampled, not all/none
+
+
+def test_deterministic_and_seed_sensitive(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = {"src2": 3.0, "src3": 1.0}
+    a = sorted(tuple(r) for r in mix_corpora(docs, w, 3000, seed=1).select("doc_id", "epoch").collect())
+    b = sorted(tuple(r) for r in mix_corpora(docs, w, 3000, seed=1).select("doc_id", "epoch").collect())
+    c = sorted(tuple(r) for r in mix_corpora(docs, w, 3000, seed=2).select("doc_id", "epoch").collect())
+    assert a == b
+    assert a != c
+
+
+def test_upsampling_emits_epochs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    weights = {"src4": 1.0}
+    # budget ≈ 2.5× the source's tokens → every doc twice + ~half thrice
+    from shotit_worker_spark.functions.text import bpe_token_count
+
+    avail = (
+        docs.filter(F.col("source") == "src4")
+        .agg(F.sum(bpe_token_count("text")).alias("a"))
+        .first()["a"]
+    )
+    budget = int(avail * 2.5)
+    mixed = mix_corpora(docs, weights, budget, seed=3)
+    per_doc = (
+        mixed.groupBy("doc_id").agg(F.count("*").alias("n"), F.max("epoch").alias("me"))
+        .collect()
+    )
+    assert per_doc and all(r["n"] in (2, 3) for r in per_doc)
+    assert all(r["me"] == r["n"] - 1 for r in per_doc)
+    n3 = sum(1 for r in per_doc if r["n"] == 3)
+    assert 0 < n3 < len(per_doc)  # the fractional epoch is hash-split
+
+
+def test_realized_share_tracks_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    weights = {"src5": 3.0, "src6": 1.0}
+    budget = 6000
+    mixed = mix_corpora(docs, weights, budget, seed=5)
+    rep = {r["source"]: r for r in mixing_report(mixed).collect()}
+    shares = {s: rep[s]["share"] for s in weights}
+    assert shares["src5"] > shares["src6"]
+    # loose tolerance: 25 docs/source → per-doc granularity is coarse
+    assert shares["src5"] == pytest.approx(0.75, abs=0.15)
+    total = sum(rep[s]["tokens"] for s in weights)
+    assert total == pytest.approx(budget, rel=0.25)
+
+
+def test_excluded_source_dropped_and_guards(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mixed = mix_corpora(docs, {"src7": 1.0}, 2000, seed=0)
+    assert mixed.filter(F.col("source") != "src7").count() == 0
+
+    with pytest.raises(ValueError, match="token_budget"):
+        mix_corpora(docs, {"src0": 1.0}, 0)
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpora(docs, {"src0": 0.0}, 100)
+    with pytest.raises(ValueError, match="max_epochs"):
+        mix_corpora(docs, {"src0": 1.0}, 10**9, max_epochs=4)

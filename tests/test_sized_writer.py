@@ -1,0 +1,73 @@
+"""Size-targeted parquet sink (sources/sized_writer.py): file counts
+track the target size, data round-trips exactly, partitioned layout,
+and guards."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.sources.sized_writer import (
+    estimate_row_bytes,
+    write_sized_parquet,
+)
+
+
+def _parquet_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def test_roundtrip_and_file_sizing(spark, sf_dir, tmp_root):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_root / "sized_flat")
+    # tiny target → multiple files even at sf0.001
+    info = write_sized_parquet(docs, out, target_file_mb=0.02)
+    files = _parquet_files(out)
+    assert len(files) == info["n_files"] > 1
+    # files are roughly even: no file more than 3× the target
+    assert max(os.path.getsize(f) for f in files) < 3 * 0.02 * (1 << 20)
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+
+def test_single_file_when_target_large(spark, sf_dir, tmp_root):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_root / "sized_one")
+    info = write_sized_parquet(docs, out, target_file_mb=512)
+    assert info["n_files"] == 1
+    assert len(_parquet_files(out)) == 1
+
+
+def test_partitioned_layout(spark, sf_dir, tmp_root):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source").isin(["src0", "src1", "src2"])
+    )
+    out = str(tmp_root / "sized_part")
+    write_sized_parquet(docs, out, target_file_mb=0.05, partition_cols=("source",))
+    dirs = {d for d in os.listdir(out) if d.startswith("source=")}
+    assert dirs == {"source=src0", "source=src1", "source=src2"}
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning works on the layout
+    assert back.filter(F.col("source") == "src1").count() == 25
+
+
+def test_estimate_and_guards(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rb = estimate_row_bytes(docs)
+    # fixture docs are a few hundred chars: estimate must be sane
+    assert 10 < rb < 10_000
+    empty = docs.limit(0)
+    assert estimate_row_bytes(empty) == 1.0
+    with pytest.raises(ValueError, match="target_file_mb"):
+        write_sized_parquet(docs, "/tmp/nope", target_file_mb=0)
