@@ -125,6 +125,24 @@ def mix_corpora(
     )
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    seed: int = 0,
+    id_cols: tuple[str, ...] = ("doc_id", "epoch"),
+) -> DataFrame:
+    """Reproducible global shuffle for training order.
+
+    Sort by xxhash64(*id_cols, seed): Spark range-partitions on the
+    hash (sampled boundaries), so the "shuffle" is one sort-shuffle
+    with near-uniform partitions — the standard scale answer to
+    "randomize 100 TB deterministically". Copies of an up-sampled
+    document (different `epoch`) hash apart, which is exactly why
+    mix_corpora emits the epoch index. Same seed → same order,
+    different seed → a fresh permutation.
+    """
+    return df.orderBy(F.xxhash64(*id_cols, F.lit(seed)))
+
+
 def mixing_report(
     mixed: DataFrame, source_col: str = "source", id_col: str = "doc_id"
 ) -> DataFrame:

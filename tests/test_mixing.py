@@ -115,6 +115,29 @@ def test_realized_share_tracks_weights(spark, sf_dir):
     assert total == pytest.approx(budget, rel=0.25)
 
 
+def test_deterministic_shuffle(spark, sf_dir):
+    from shotit_worker_spark.operators.mixing import shuffle_deterministic
+
+    docs = _docs(spark, sf_dir)
+    mixed = mix_corpora(docs, {"src8": 1.0, "src9": 2.0}, 5000, seed=4)
+    a = [tuple(r) for r in shuffle_deterministic(mixed, seed=11).select("doc_id", "epoch").collect()]
+    b = [tuple(r) for r in shuffle_deterministic(mixed, seed=11).select("doc_id", "epoch").collect()]
+    c = [tuple(r) for r in shuffle_deterministic(mixed, seed=12).select("doc_id", "epoch").collect()]
+    assert a == b  # reproducible
+    assert sorted(a) == sorted(c) and a != c  # same multiset, new order
+    # copies of the same doc are spread, not adjacent: for every
+    # upsampled doc the epoch-copies must not all be consecutive
+    pos = {}
+    for i, (d, e) in enumerate(a):
+        pos.setdefault(d, []).append(i)
+    multi = {d: p for d, p in pos.items() if len(p) > 1}
+    if multi:
+        spread = sum(
+            1 for p in multi.values() if max(p) - min(p) >= len(p)
+        )
+        assert spread > len(multi) * 0.5
+
+
 def test_excluded_source_dropped_and_guards(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     mixed = mix_corpora(docs, {"src7": 1.0}, 2000, seed=0)

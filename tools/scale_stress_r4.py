@@ -1,0 +1,128 @@
+"""Round-4 operator stress: chunking, PII, mixing/shuffle, rerank at
+100 k-document scale (fixtures cap at 5 k). Deterministic synthesized
+corpus, one JSON line per measurement; results land in SCALE_NOTES.md.
+
+Usage: python tools/scale_stress_r4.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import pii as P
+from shotit_worker_spark.operators import chunking as CH
+from shotit_worker_spark.operators import mixing as MX
+from shotit_worker_spark.operators import rerank as RR
+from shotit_worker_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+
+
+def synth_docs(spark, n, words=120):
+    """~`words`-word pseudo-docs with a source column (8 sources) and
+    planted PII in 1 doc per 50."""
+    wcols = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}"))), 1, 6
+            )
+            for i in range(words)
+        ]
+    )
+    text = F.concat_ws(" ", wcols)
+    text = F.when(
+        F.col("id") % 50 == 0,
+        F.concat(text, F.lit(" reach me at user@example.com or 555-123-4567")),
+    ).otherwise(text)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 8).cast("string")).alias("source"),
+        text.alias("text"),
+    )
+
+
+def bench(name, n_rows, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "rows_in": n_rows,
+                "result_rows": out,
+                "sec": round(dt, 2),
+                "rows_per_sec": int(n_rows / dt) if dt else None,
+            }
+        )
+    )
+
+
+def main():
+    spark = get_spark("stress-r4", shuffle_partitions=32)
+    docs = synth_docs(spark, N_DOCS).cache()
+    docs.count()
+
+    bench(
+        "chunk_documents_64_16",
+        N_DOCS,
+        lambda: CH.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16).count(),
+    )
+    bench(
+        "pii_report_6rules",
+        N_DOCS,
+        lambda: P.pii_report(docs).count(),
+    )
+    bench(
+        "redact_pii",
+        N_DOCS,
+        # sum of redacted lengths so the replace chain can't be pruned
+        lambda: int(
+            docs.agg(F.sum(F.length(P.redact_pii("text")))).first()[0] > 0
+        ),
+    )
+    bench(
+        "mix_8src_upsample",
+        N_DOCS,
+        lambda: MX.mix_corpora(
+            docs,
+            {f"src{i}": float(i + 1) for i in range(8)},
+            token_budget=N_DOCS * 180,
+            seed=1,
+        ).count(),
+    )
+    mixed = MX.mix_corpora(
+        docs, {f"src{i}": 1.0 for i in range(8)}, token_budget=N_DOCS * 60, seed=2
+    )
+    bench(
+        "mix_then_shuffle",
+        N_DOCS,
+        lambda: MX.shuffle_deterministic(mixed).write.mode("overwrite").format("noop").save(),
+    )
+
+    # rerank: 64 queries × 200 candidates = 12.8 k scored pairs
+    qs = docs.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cs = docs.filter(F.col("doc_id") % 500 < 1).select(
+        F.col("doc_id").alias("hash_id"), F.col("text").alias("doc_text")
+    )
+    cand = F.broadcast(qs).crossJoin(cs)
+    n_pairs = 64 * (N_DOCS // 500)
+    bench(
+        f"rerank_{n_pairs}_pairs",
+        n_pairs,
+        lambda: RR.rerank(cand, RR.overlap_scorer(), k=15, num_partitions=32).count(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
