@@ -1,19 +1,18 @@
-"""Pure-stdlib image codec: PNG and PPM decode/encode to numpy RGB.
+"""Pure-stdlib image codec: PNG, JPEG, and PPM decode to numpy RGB.
 
 The container has no image libraries, but PNG (zlib + per-scanline
-filters, RFC 2083) and binary PPM are decodable with the standard
-library alone. This gives the media pipeline REAL image bytes end to
-end — G1 emits PPM thumbnails, G2 decodes them and computes the real
-MPEG-7 ColorLayout descriptor — instead of hash-derived fakes. The
-reference's ffmpeg/LIRE stages consume/produce real JPEG files
-(/root/reference/hasher.js:78-135); JPEG entropy coding is out of scope
-here, so PPM/PNG stand in as the thumbnail wire format (sniffed by
-magic bytes — scalar.sniff_media_type covers the same P14 role).
+filters, RFC 2083), baseline JPEG (see jpegcodec — bit-exact against
+the JRE's libjpeg-derived decoder), and binary PPM are decodable with
+the standard library + numpy alone. This gives the media pipeline REAL
+image bytes end to end, in the reference's own wire format: its ffmpeg
+stage emits JPEG thumbnails and its search API accepts jpeg/png bodies
+(/root/reference/hasher.js:83-85, searcher.js:133-141).
 
 Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB),
 4 (gray+alpha), 6 (RGBA), no interlace. Gray expands to RGB; alpha is
 dropped (descriptors are RGB-only). Palette/16-bit/interlaced raise
 ``UnsupportedImageError`` — callers fall back to the stub kernel.
+JPEG: baseline/extended-sequential huffman (progressive raises).
 """
 
 from __future__ import annotations
@@ -43,6 +42,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"P6":
         return "ppm"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -61,11 +62,17 @@ def decode_image(data: bytes) -> np.ndarray:
             return _decode_png(bytes(data))
         if fmt == "ppm":
             return _decode_ppm(bytes(data))
+        if fmt == "jpeg":
+            from .jpegcodec import decode_jpeg
+
+            return decode_jpeg(bytes(data))
     except UnsupportedImageError:
         raise
     except (ValueError, IndexError, struct.error, zlib.error) as exc:
+        # includes jpegcodec.JPEGError (a ValueError): unsupported
+        # process / corrupt stream both mean "fall back", not "crash"
         raise UnsupportedImageError(f"malformed image bytes: {exc}") from exc
-    raise UnsupportedImageError("not a PNG or PPM image")
+    raise UnsupportedImageError("not a PNG, JPEG, or PPM image")
 
 
 # -- PPM (P6, maxval 255) ---------------------------------------------------

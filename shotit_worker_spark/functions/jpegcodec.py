@@ -1,0 +1,448 @@
+"""Pure-numpy baseline JPEG decoder (ITU T.81 SOF0/SOF1).
+
+Closes the image-format parity gap with the reference, whose search API
+accepts JPEG bodies (/root/reference/searcher.js:133-141, jpeg/png) and
+whose ffmpeg thumbnail pipeline emits JPEG frames
+(/root/reference/hasher.js:83-85) — until now the engine's stdlib codec
+handled only PNG/PPM. No codec library exists in this environment, so
+the decoder is built from the spec, with the three stages that define
+output values implemented to match classic libjpeg-6b defaults (which
+is what `javax.imageio` ships), so decodes are BIT-EXACT against the
+Java reference decoder (pinned by tests/goldens/jpeg/*, generated via
+tools/gen_jpeg_goldens.py):
+
+  - integer IDCT     == jidctint.c `jpeg_idct_islow` (13-bit fixed
+                        point, two passes, DESCALE rounding);
+  - chroma upsample  == jdsample.c `h2v1/h2v2_fancy_upsample`
+                        (triangle filter, the library default);
+  - color conversion == jdcolor.c fixed-point YCbCr→RGB tables
+                        (SCALEBITS=16, per-channel rounding).
+
+Scope: baseline + extended-sequential huffman (SOF0/SOF1), 8-bit,
+1-component grayscale or 3-component YCbCr with any h/v sampling
+factors in {1,2}, restart intervals. Progressive (SOF2+) and
+arithmetic coding raise JPEGError. The entropy decode is a per-symbol
+Python loop (~tens of ms for a 320×180 frame — same order as the
+heavier LIRE kernels); everything after the Huffman stage is
+vectorized numpy over all blocks at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class JPEGError(ValueError):
+    """Malformed or unsupported JPEG input."""
+
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_SOF_BASELINE = {0xC0, 0xC1}
+_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+class _Huff:
+    """Canonical Huffman table in the mincode/maxcode/valptr form."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, counts: bytes, vals: bytes):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        p = 0
+        for l in range(1, 17):
+            n = counts[l - 1]
+            if n:
+                self.valptr[l] = p
+                self.mincode[l] = code
+                code += n
+                p += n
+                self.maxcode[l] = code - 1
+            code <<= 1
+
+
+class _Bits:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def get(self, k: int) -> int:
+        acc, n, i, d = self.acc, self.n, self.i, self.d
+        while n < k:
+            # past the segment end, pad with 1-bits (T.81 F.2.2.5 treats
+            # the marker as an endless 1-fill)
+            b = d[i] if i < len(d) else 0xFF
+            i += 1
+            acc = ((acc << 8) | b) & 0xFFFFFFFF
+            n += 8
+        n -= k
+        self.acc, self.n, self.i = acc, n, i
+        return (acc >> n) & ((1 << k) - 1)
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_sym(bits: _Bits, tbl: _Huff) -> int:
+    code = bits.get(1)
+    l = 1
+    while code > tbl.maxcode[l]:
+        code = (code << 1) | bits.get(1)
+        l += 1
+        if l > 16:
+            raise JPEGError("corrupt huffman stream")
+    return tbl.vals[tbl.valptr[l] + code - tbl.mincode[l]]
+
+
+def _idct_islow(coef: np.ndarray) -> np.ndarray:
+    """jidctint.c jpeg_idct_islow, vectorized over (N, 8, 8) blocks.
+
+    Input: dequantized coefficients in natural (row-major) order.
+    Output: (N, 8, 8) uint8 samples (+128 level shift, clamped).
+    """
+    C = 13  # CONST_BITS
+    P = 2  # PASS1_BITS
+    F_0_298631336, F_0_390180644 = 2446, 3196
+    F_0_541196100, F_0_765366865 = 4433, 6270
+    F_0_899976223, F_1_175875602 = 7373, 9633
+    F_1_501321110, F_1_847759065 = 12299, 15137
+    F_1_961570560, F_2_053119869 = 16069, 16819
+    F_2_562915447, F_3_072711026 = 20995, 25172
+
+    def descale(x, n):
+        return (x + (1 << (n - 1))) >> n
+
+    def pass_(d, shift_out):
+        # d: (..., 8) along the transformed axis, int64
+        d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+        d4, d5, d6, d7 = d[..., 4], d[..., 5], d[..., 6], d[..., 7]
+        z1 = (d2 + d6) * F_0_541196100
+        tmp2 = z1 - d6 * F_1_847759065
+        tmp3 = z1 + d2 * F_0_765366865
+        tmp0 = (d0 + d4) << C
+        tmp1 = (d0 - d4) << C
+        t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+        t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+        t0, t1, t2, t3 = d7, d5, d3, d1
+        z1 = t0 + t3
+        z2 = t1 + t2
+        z3 = t0 + t2
+        z4 = t1 + t3
+        z5 = (z3 + z4) * F_1_175875602
+        t0 = t0 * F_0_298631336
+        t1 = t1 * F_2_053119869
+        t2 = t2 * F_3_072711026
+        t3 = t3 * F_1_501321110
+        z1 = -z1 * F_0_899976223
+        z2 = -z2 * F_2_562915447
+        z3 = -z3 * F_1_961570560 + z5
+        z4 = -z4 * F_0_390180644 + z5
+        t0 += z1 + z3
+        t1 += z2 + z4
+        t2 += z2 + z3
+        t3 += z1 + z4
+        out = np.empty_like(d)
+        out[..., 0] = descale(t10 + t3, shift_out)
+        out[..., 7] = descale(t10 - t3, shift_out)
+        out[..., 1] = descale(t11 + t2, shift_out)
+        out[..., 6] = descale(t11 - t2, shift_out)
+        out[..., 2] = descale(t12 + t1, shift_out)
+        out[..., 5] = descale(t12 - t1, shift_out)
+        out[..., 3] = descale(t13 + t0, shift_out)
+        out[..., 4] = descale(t13 - t0, shift_out)
+        return out
+
+    x = coef.astype(np.int64)
+    # pass 1: columns (transform axis = rows index), DESCALE(CONST-PASS1)
+    x = pass_(np.swapaxes(x, -1, -2), C - P)
+    x = np.swapaxes(x, -1, -2)
+    # pass 2: rows, DESCALE(CONST+PASS1+3)
+    x = pass_(x, C + P + 3)
+    return np.clip(x + 128, 0, 255).astype(np.uint8)
+
+
+def _fancy_h2(x: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1 fancy horizontal 2× (triangle filter) along axis=-1.
+
+    Works on int32 'column sums' too (h2v2 second stage) via the
+    (bias, shift) variant the caller selects.
+    """
+    n = x.shape[-1]
+    out = np.empty(x.shape[:-1] + (2 * n,), dtype=np.int32)
+    xi = x.astype(np.int32)
+    left = np.concatenate([xi[..., :1], xi[..., :-1]], axis=-1)
+    right = np.concatenate([xi[..., 1:], xi[..., -1:]], axis=-1)
+    out[..., 0::2] = (xi * 3 + left + 1) >> 2
+    out[..., 1::2] = (xi * 3 + right + 2) >> 2
+    # edge columns replicate per jdsample.c
+    out[..., 0] = xi[..., 0]
+    out[..., -1] = xi[..., -1]
+    return out
+
+
+def _fancy_h2v2(x: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2_fancy_upsample: vertical triangle into 'colsums',
+    then horizontal triangle on the 4×-scaled sums."""
+    xi = x.astype(np.int32)
+    up = np.concatenate([xi[:1], xi[:-1]], axis=0)
+    down = np.concatenate([xi[1:], xi[-1:]], axis=0)
+    # output rows 2r (nearer = row above) and 2r+1 (nearer = row below)
+    sums_a = xi * 3 + up
+    sums_b = xi * 3 + down
+    h, w = xi.shape
+    out = np.empty((2 * h, 2 * w), dtype=np.int32)
+    for sums, rows in ((sums_a, slice(0, None, 2)), (sums_b, slice(1, None, 2))):
+        left = np.concatenate([sums[:, :1], sums[:, :-1]], axis=1)
+        right = np.concatenate([sums[:, 1:], sums[:, -1:]], axis=1)
+        o = np.empty((h, 2 * w), dtype=np.int32)
+        o[:, 0::2] = (sums * 3 + left + 8) >> 4
+        o[:, 1::2] = (sums * 3 + right + 7) >> 4
+        o[:, 0] = (sums[:, 0] * 4 + 8) >> 4
+        o[:, -1] = (sums[:, -1] * 4 + 7) >> 4
+        out[rows] = o
+    return out
+
+
+def _upsample(plane: np.ndarray, hs: int, vs: int, h: int, w: int) -> np.ndarray:
+    """Upsample one chroma plane by (hs, vs) ∈ {1,2}² then crop."""
+    if hs == 1 and vs == 1:
+        out = plane.astype(np.int32)
+    elif hs == 2 and vs == 2:
+        out = _fancy_h2v2(plane)
+    elif hs == 2 and vs == 1:
+        out = _fancy_h2(plane)
+    elif hs == 1 and vs == 2:
+        out = _fancy_h2(plane.T).T
+    else:  # pragma: no cover - sampling factors validated upstream
+        raise JPEGError(f"unsupported upsampling {hs}x{vs}")
+    return out[:h, :w]
+
+
+# jdcolor.c fixed-point constants: FIX(x) = round(x * 2^16)
+_SCALE = 16
+_HALF = 1 << (_SCALE - 1)
+_FIX_1_40200, _FIX_1_77200 = 91881, 116130
+_FIX_0_71414, _FIX_0_34414 = 46802, 22554
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yw = y.astype(np.int32)
+    cbx = cb.astype(np.int32) - 128
+    crx = cr.astype(np.int32) - 128
+    r = yw + ((_FIX_1_40200 * crx + _HALF) >> _SCALE)
+    b = yw + ((_FIX_1_77200 * cbx + _HALF) >> _SCALE)
+    g = yw + ((-_FIX_0_34414 * cbx + _HALF - _FIX_0_71414 * crx) >> _SCALE)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode to (H, W, 3) uint8 RGB (grayscale replicated to 3)."""
+    if not is_jpeg(data):
+        raise JPEGError("not a JPEG (missing SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _Huff] = {}
+    ac_tabs: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None  # (h, w, components)
+    scan = None
+
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JPEGError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 15
+                i += 1
+                if prec:
+                    q = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    q = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = q
+                qtables[tid] = nat
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                nsym = sum(counts)
+                vals = body[i + 17 : i + 17 + nsym]
+                (ac_tabs if cls else dc_tabs)[tid] = _Huff(counts, vals)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker in _SOF_BASELINE:
+            if body[0] != 8:
+                raise JPEGError(f"unsupported sample precision {body[0]}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise JPEGError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise JPEGError(f"unsupported sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = (h, w, comps)
+        elif marker in _SOF_UNSUPPORTED:
+            raise JPEGError(
+                f"unsupported JPEG process (marker 0xFF{marker:02X}; only "
+                "baseline/extended-sequential huffman is implemented)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JPEGError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            scan = sel
+            break
+        # APPn / COM / others: skipped
+
+    if frame is None or scan is None:
+        raise JPEGError("missing SOF/SOS")
+    h, w, comps = frame
+
+    # entropy-coded data: from pos to EOI; split at restart markers and
+    # strip 0xFF00 stuffing per interval
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        end = n
+    ecs = data[pos:end]
+    intervals = []
+    start = 0
+    i = 0
+    while i < len(ecs) - 1:
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            intervals.append(ecs[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    intervals.append(ecs[start:])
+    intervals = [seg.replace(b"\xff\x00", b"\xff") for seg in intervals]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient store: (blocks_y, blocks_x, 64)
+    stores = []
+    for c in comps:
+        bx, by = mcux * c["h"], mcuy * c["v"]
+        stores.append(np.zeros((by, bx, 64), dtype=np.int32))
+
+    preds = [0] * len(comps)
+    bits = _Bits(intervals[0])
+    seg_idx = 0
+    mcus_done = 0
+    zz = ZIGZAG  # local
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcus_done == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(intervals):
+                    raise JPEGError("missing restart segment")
+                bits = _Bits(intervals[seg_idx])
+                preds = [0] * len(comps)
+                mcus_done = 0
+            for ci, c in enumerate(comps):
+                try:
+                    dc_t = dc_tabs[scan[c["id"]][0]]
+                    ac_t = ac_tabs[scan[c["id"]][1]]
+                except KeyError as e:
+                    raise JPEGError("missing huffman table") from e
+                st = stores[ci]
+                for by_ in range(c["v"]):
+                    for bx_ in range(c["h"]):
+                        blk = st[my * c["v"] + by_, mx * c["h"] + bx_]
+                        t = _decode_sym(bits, dc_t)
+                        diff = _extend(bits.get(t), t) if t else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(bits, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break
+                                k += 16
+                            else:
+                                k += r
+                                if k > 63:
+                                    raise JPEGError("coefficient overrun")
+                                blk[zz[k]] = _extend(bits.get(s), s)
+                                k += 1
+            mcus_done += 1
+
+    # vectorized tail: dequant → IDCT → plane assembly → upsample → color
+    planes = []
+    for ci, c in enumerate(comps):
+        st = stores[ci]
+        by, bx, _ = st.shape
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JPEGError("missing quant table")
+        deq = st.astype(np.int64) * q  # natural order already
+        samples = _idct_islow(deq.reshape(-1, 8, 8)).reshape(by, bx, 8, 8)
+        plane = samples.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # crop to this component's true extent before upsampling
+        ch = -(-h * c["v"] // vmax)
+        cw = -(-w * c["h"] // hmax)
+        planes.append(plane[:ch, :cw])
+
+    if len(comps) == 1:
+        y = planes[0][:h, :w]
+        return np.repeat(y[:, :, None], 3, axis=2)
+
+    y = planes[0][:h, :w].astype(np.int32)
+    cb = _upsample(planes[1], hmax // comps[1]["h"], vmax // comps[1]["v"], h, w)
+    cr = _upsample(planes[2], hmax // comps[2]["h"], vmax // comps[2]["v"], h, w)
+    return _ycc_to_rgb(y, cb, cr)

@@ -1,0 +1,80 @@
+"""Baseline JPEG decoder (functions/jpegcodec.py) vs the JRE's own
+codec: every committed golden JPEG (tools/gen_jpeg_goldens.py encodes
+synthetic images with javax.imageio and dumps ITS decode of the same
+bytes) must decode BIT-EXACTLY — pinning the libjpeg-islow IDCT, fancy
+chroma upsampling, and fixed-point color conversion all at once. Plus
+the unsupported/corrupt error surface and the decode_image/descriptor
+integration."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import imagecodec as IC
+from shotit_worker_spark.functions.jpegcodec import JPEGError, decode_jpeg, is_jpeg
+
+GOLD_DIR = os.path.join(os.path.dirname(__file__), "goldens", "jpeg")
+RASTERS = np.load(os.path.join(GOLD_DIR, "java_rasters.npz"))
+CASES = sorted(
+    os.path.basename(p)[:-4]
+    for p in glob.glob(os.path.join(GOLD_DIR, "*.jpg"))
+    if "progressive" not in p
+)
+
+
+def _jpg(name: str) -> bytes:
+    with open(os.path.join(GOLD_DIR, f"{name}.jpg"), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_bit_exact_vs_java(name):
+    got = decode_jpeg(_jpg(name))
+    exp = RASTERS[name]
+    if exp.shape[2] == 1:  # grayscale replicates to 3 channels
+        exp = np.repeat(exp, 3, axis=2)
+    assert got.shape == exp.shape
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_progressive_raises():
+    data = _jpg("progressive_32x32")
+    with pytest.raises(JPEGError, match="unsupported JPEG process"):
+        decode_jpeg(data)
+    # decode_image maps it to the total error type callers catch
+    with pytest.raises(IC.UnsupportedImageError):
+        IC.decode_image(data)
+
+
+def test_corrupt_and_sniff():
+    assert is_jpeg(b"\xff\xd8\xff\xe0")
+    assert not is_jpeg(b"\x89PNG")
+    with pytest.raises(JPEGError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 10)
+    # truncated golden: structural failure, not a crash
+    data = _jpg("q75_64x48")
+    with pytest.raises((JPEGError, IC.UnsupportedImageError)):
+        IC.decode_image(data[:40])
+    assert IC.sniff_format(data) == "jpeg"
+
+
+def test_decode_image_integration():
+    got = IC.decode_image(_jpg("q75_64x48"))
+    np.testing.assert_array_equal(got, RASTERS["q75_64x48"])
+
+
+def test_descriptor_pipeline_consumes_jpeg():
+    """The LIRE descriptor path must run on JPEG bytes for REAL (not the
+    fallback fake): the UDF kernel output on the jpeg must equal the
+    descriptor computed directly from the Java-decoded raster."""
+    from shotit_worker_spark.functions.media import reference_feature_vector
+
+    data = _jpg("q75_frame_180x320")
+    rgb = RASTERS["q75_frame_180x320"]
+    via_decode = reference_feature_vector(IC.decode_image(data), "cl")
+    direct = reference_feature_vector(rgb, "cl")
+    np.testing.assert_array_equal(via_decode, direct)

@@ -1,0 +1,156 @@
+"""Generate JPEG decoder parity goldens via the JRE's own codec.
+
+Writes tests/goldens/jpeg/*.jpg (encoded by javax.imageio from
+deterministic synthetic images) plus java_rasters.npz (the SAME files
+decoded back by javax.imageio — classic libjpeg-6b semantics). The
+committed artifacts are what tests/test_jpegcodec.py consumes: the
+pure-numpy decoder must reproduce the Java rasters bit-exactly.
+
+Cases cover: 4:2:0 color at two qualities, odd dimensions, tiny images,
+a 320x180 thumbnail-sized frame (the reference's scale target),
+grayscale (single component), and one progressive file (which must
+raise, not mis-decode).
+
+Usage: python tools/gen_jpeg_goldens.py   (needs javac/java)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from shotit_worker_spark.functions.imagecodec import encode_png
+
+OUT_DIR = os.path.join(REPO, "tests", "goldens", "jpeg")
+
+HARNESS = r"""
+import javax.imageio.*;
+import javax.imageio.stream.*;
+import java.awt.image.*;
+import java.io.*;
+import java.util.Iterator;
+
+public class JpegGold {
+  public static void main(String[] args) throws Exception {
+    // args: inPng outJpg quality gray(0/1) progressive(0/1) outRaw
+    BufferedImage img = ImageIO.read(new File(args[0]));
+    boolean gray = args[3].equals("1");
+    if (gray) {
+      BufferedImage g = new BufferedImage(
+          img.getWidth(), img.getHeight(), BufferedImage.TYPE_BYTE_GRAY);
+      g.getGraphics().drawImage(img, 0, 0, null);
+      img = g;
+    }
+    Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
+    ImageWriter w = it.next();
+    ImageWriteParam p = w.getDefaultWriteParam();
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+    p.setCompressionQuality(Float.parseFloat(args[2]));
+    if (args[4].equals("1"))
+      p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+    ImageOutputStream ios = ImageIO.createImageOutputStream(new File(args[1]));
+    w.setOutput(ios);
+    w.write(null, new IIOImage(img, null, null), p);
+    ios.close();
+    w.dispose();
+
+    BufferedImage dec = ImageIO.read(new File(args[1]));
+    DataOutputStream out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(args[5])));
+    int W = dec.getWidth(), H = dec.getHeight();
+    int C = gray ? 1 : 3;
+    out.writeInt(H); out.writeInt(W); out.writeInt(C);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++) {
+        if (gray) {
+          out.writeByte(dec.getRaster().getSample(x, y, 0));
+        } else {
+          int rgb = dec.getRGB(x, y);
+          out.writeByte((rgb >> 16) & 255);
+          out.writeByte((rgb >> 8) & 255);
+          out.writeByte(rgb & 255);
+        }
+      }
+    out.close();
+  }
+}
+"""
+
+
+def synth_image(name: str, h: int, w: int) -> np.ndarray:
+    """Deterministic RGB content mixing gradients, edges, and LCG noise."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx // 8 + yy // 8) % 2 * 255).astype(np.uint8)  # checkers: sharp edges
+    # LCG noise, seeded by the case name for variety
+    seed = sum(name.encode()) & 0xFFFF
+    state = np.uint64(seed * 2654435761 % (2**31) + 12345)
+    lcg = np.empty(h * w, dtype=np.uint64)
+    s = int(state)
+    for i in range(h * w):
+        s = (1103515245 * s + 12345) % (1 << 31)
+        lcg[i] = s
+    noise = (lcg % 64).astype(np.uint8).reshape(h, w)
+    img = np.stack([r, g, b], axis=-1)
+    img[..., 0] = np.clip(img[..., 0].astype(int) + noise - 32, 0, 255)
+    img[..., 2] = np.clip(img[..., 2].astype(int) - noise + 32, 0, 255)
+    return img.astype(np.uint8)
+
+
+CASES = [
+    # name, h, w, quality, gray, progressive
+    ("q75_64x48", 48, 64, 0.75, False, False),
+    ("q92_64x48", 48, 64, 0.92, False, False),
+    ("q75_odd_23x37", 23, 37, 0.75, False, False),
+    ("q75_tiny_8x8", 8, 8, 0.75, False, False),
+    ("q75_frame_180x320", 180, 320, 0.75, False, False),
+    ("q50_frame_180x320", 180, 320, 0.50, False, False),
+    ("q75_gray_48x64", 48, 64, 0.75, True, False),
+    ("progressive_32x32", 32, 32, 0.75, False, True),
+]
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "JpegGold.java")
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-d", td, src], check=True)
+
+        rasters = {}
+        for name, h, w, q, gray, prog in CASES:
+            png = os.path.join(td, f"{name}.png")
+            with open(png, "wb") as f:
+                f.write(encode_png(synth_image(name, h, w)))
+            jpg = os.path.join(OUT_DIR, f"{name}.jpg")
+            raw = os.path.join(td, f"{name}.raw")
+            subprocess.run(
+                [
+                    "java", "-cp", td, "JpegGold",
+                    png, jpg, str(q), "1" if gray else "0",
+                    "1" if prog else "0", raw,
+                ],
+                check=True,
+            )
+            with open(raw, "rb") as f:
+                hh = int.from_bytes(f.read(4), "big")
+                ww = int.from_bytes(f.read(4), "big")
+                cc = int.from_bytes(f.read(4), "big")
+                arr = np.frombuffer(f.read(), dtype=np.uint8).reshape(hh, ww, cc)
+            rasters[name] = arr
+            print(f"{name}: jpeg {os.path.getsize(jpg)} B, raster {arr.shape}")
+        np.savez_compressed(os.path.join(OUT_DIR, "java_rasters.npz"), **rasters)
+    print(f"wrote {len(CASES)} cases to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
