@@ -116,36 +116,64 @@ def _synthetic_frame_image(content: bytes, frame_no: int) -> bytes:
     return IC.encode_ppm(img)
 
 
-def _sample_y4m(
-    content: bytes, fps: float
+def _sample_decoded(
+    n_src: int,
+    src_fps: float,
+    src_w: int,
+    src_h: int,
+    frames: Iterator[np.ndarray],
+    fps: float,
 ) -> Iterator[tuple[int, float, bytes]]:
-    """REAL G1 for Y4M containers: demux (functions/videocodec.py),
-    sample at `fps`, scale to height FRAME_HEIGHT with even width
-    (ffmpeg's `fps=12,scale=-2:180`, hasher.js:87), PPM-encode.
+    """Shared G1 sampling core: sample a decoded frame stream at `fps`,
+    scale to height FRAME_HEIGHT with even width (ffmpeg's
+    `fps=12,scale=-2:180`, hasher.js:87), PPM-encode.
 
     Sampling mirrors the stub's ffmpeg-fps-filter convention: output
     timestamps (i + 0.5)/fps for i in [0, floor(duration·fps)), each
     served by the source frame whose display interval contains it.
     Decodes each source frame at most once (single forward pass) and
     only the frames actually sampled."""
-    hdr = VC.parse_header(content)
-    n_src = VC.frame_count(content)
-    duration = n_src * hdr.fps_den / hdr.fps_num
+    duration = n_src / src_fps
     n_out = max(1, int(duration * fps))
     # source index for each output slot; clamp to the last real frame
     wanted: dict[int, list[int]] = {}
     for i in range(n_out):
         t = (i + 0.5) / fps
-        j = min(n_src - 1, int(t * hdr.fps))
+        j = min(n_src - 1, int(t * src_fps))
         wanted.setdefault(j, []).append(i)
-    out_w = max(2, 2 * round(hdr.width * FRAME_HEIGHT / hdr.height / 2))
-    for j, rgb in enumerate(VC.iter_frames(content)):
+    out_w = max(2, 2 * round(src_w * FRAME_HEIGHT / src_h / 2))
+    for j, rgb in enumerate(frames):
         if j not in wanted:
             continue
         scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
         ppm = IC.encode_ppm(scaled)
         for i in wanted[j]:
             yield i, round((i + 0.5) / fps, 4), ppm
+
+
+def _sample_y4m(
+    content: bytes, fps: float
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for Y4M containers (demux: functions/videocodec.py)."""
+    hdr = VC.parse_header(content)
+    n_src = VC.frame_count(content)
+    yield from _sample_decoded(
+        n_src, hdr.fps, hdr.width, hdr.height, VC.iter_frames(content), fps
+    )
+
+
+def _sample_avi(
+    content: bytes, fps: float
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for MJPEG AVI (RIFF demux + bit-exact jpegcodec)."""
+    info = VC.parse_avi(content)
+    n_src = VC.avi_frame_count(content)
+    if n_src == 0:
+        return
+    yield from _sample_decoded(
+        n_src, info.fps, info.width, info.height,
+        VC.iter_avi_frames(content), fps,
+    )
 
 
 def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
@@ -157,12 +185,13 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
     (/root/reference/hasher.js:78-99), times rounded to 4 decimals like
     the reference's toFixed(4).
 
-    Container support: Y4M (YUV4MPEG2) blobs demux + decode FOR REAL —
-    pure-stdlib slicing + numpy color conversion (_sample_y4m); other
-    bytes fall back to the deterministic synthetic-scene stub (no
-    compressed-codec libraries exist in this environment; with PyAV the
-    fallback body becomes open-container → sample → scale → encode,
-    signature unchanged).
+    Container support: Y4M (YUV4MPEG2) and MJPEG AVI blobs demux +
+    decode FOR REAL — pure-stdlib slicing + numpy color conversion /
+    the bit-exact baseline JPEG decoder (_sample_y4m, _sample_avi);
+    other bytes fall back to the deterministic synthetic-scene stub
+    (no inter-frame codec libraries exist in this environment; with
+    PyAV the fallback body becomes open-container → sample → scale →
+    encode, signature unchanged).
 
     mapInPandas: each Arrow batch of videos yields frame batches without
     materializing all frames of a partition at once. Partition by video
@@ -176,8 +205,18 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 content = bytes(content)
                 rel = "/".join(str(path).split("/")[-2:])  # imdbID/fileName (P1)
+                sampler = None
                 if VC.is_y4m(content):
-                    for i, t, ppm in _sample_y4m(content, fps):
+                    sampler = _sample_y4m
+                elif VC.is_avi(content):
+                    try:  # MJPEG only; other AVI codecs fall to the stub
+                        VC.parse_avi(content)
+                        probe = next(VC.iter_avi_frames(content), None)
+                        sampler = _sample_avi if probe is not None else None
+                    except VC.AVIError:
+                        sampler = None
+                if sampler is not None:
+                    for i, t, ppm in sampler(content, fps):
                         out["file"].append(rel)
                         out["frame_no"].append(i)
                         out["time"].append(t)

@@ -21,7 +21,19 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["Y4MError", "Y4MHeader", "is_y4m", "parse_header", "iter_frames"]
+__all__ = [
+    "Y4MError",
+    "Y4MHeader",
+    "is_y4m",
+    "parse_header",
+    "iter_frames",
+    "AVIError",
+    "AVIInfo",
+    "is_avi",
+    "parse_avi",
+    "iter_avi_frames",
+    "avi_frame_count",
+]
 
 MAGIC = b"YUV4MPEG2 "
 
@@ -171,3 +183,121 @@ def frame_count(content: bytes) -> int:
             pos = nl + 1 + hdr.frame_bytes
         return n
     return body // per
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, '00dc' chunks of baseline JPEG)
+# ---------------------------------------------------------------------------
+#
+# The second real-G1 container: ffmpeg's `-c:v mjpeg out.avi` wraps one
+# standalone JPEG per frame in a RIFF AVI — demuxable with struct
+# slicing, decodable with the bit-exact jpegcodec. Covers the reference
+# shape directly: its own thumbnails ARE JPEGs (hasher.js:83-85), so an
+# MJPEG AVI is "the reference's frame stream in a box".
+
+AVI_MAGIC_RIFF = b"RIFF"
+AVI_MAGIC_TYPE = b"AVI "
+
+
+class AVIError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class AVIInfo:
+    width: int
+    height: int
+    fps_num: int  # dwRate
+    fps_den: int  # dwScale
+    codec: str  # fccHandler of the vids stream, lowercased
+    stream_no: int  # index of the vids stream among all streams
+
+    @property
+    def fps(self) -> float:
+        return self.fps_num / self.fps_den
+
+
+def is_avi(content: bytes) -> bool:
+    return (
+        len(content) >= 12
+        and content[:4] == AVI_MAGIC_RIFF
+        and content[8:12] == AVI_MAGIC_TYPE
+    )
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for sibling chunks."""
+    while pos + 8 <= end:
+        fcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield fcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def parse_avi(content: bytes) -> AVIInfo:
+    if not is_avi(content):
+        raise AVIError("not a RIFF AVI")
+    width = height = 0
+    stream_idx = -1
+    vids = None
+    for fcc, start, size in _riff_chunks(content, 12, len(content)):
+        if fcc != b"LIST" or content[start : start + 4] != b"hdrl":
+            continue
+        for f2, s2, z2 in _riff_chunks(content, start + 4, start + size):
+            if f2 == b"avih":
+                width = int.from_bytes(content[s2 + 32 : s2 + 36], "little")
+                height = int.from_bytes(content[s2 + 36 : s2 + 40], "little")
+            elif f2 == b"LIST" and content[s2 : s2 + 4] == b"strl":
+                stream_idx += 1
+                for f3, s3, z3 in _riff_chunks(content, s2 + 4, s2 + z2):
+                    if f3 != b"strh":
+                        continue
+                    if content[s3 : s3 + 4] == b"vids" and vids is None:
+                        handler = content[s3 + 4 : s3 + 8].decode("ascii", "replace")
+                        scale = int.from_bytes(content[s3 + 20 : s3 + 24], "little")
+                        rate = int.from_bytes(content[s3 + 24 : s3 + 28], "little")
+                        vids = (stream_idx, handler.strip("\x00").lower(), scale, rate)
+    if vids is None:
+        raise AVIError("no video (vids) stream in AVI")
+    sno, handler, scale, rate = vids
+    if not scale or not rate:
+        raise AVIError("vids stream missing dwScale/dwRate")
+    return AVIInfo(width, height, rate, scale, handler, sno)
+
+
+def iter_avi_video_chunks(content: bytes) -> Iterator[bytes]:
+    """Yield the raw payload of each video frame chunk ('NNdc'/'NNdb'
+    for the vids stream), in stream order. Handles 'rec ' sub-lists."""
+    info = parse_avi(content)
+    tag = b"%02d" % info.stream_no
+
+    def _walk(pos: int, end: int) -> Iterator[bytes]:
+        for fcc, start, size in _riff_chunks(content, pos, end):
+            if fcc == b"LIST" and content[start : start + 4] == b"rec ":
+                yield from _walk(start + 4, start + size)
+            elif fcc[:2] == tag and fcc[2:4] in (b"dc", b"db"):
+                yield content[start : start + size]
+
+    for fcc, start, size in _riff_chunks(content, 12, len(content)):
+        if fcc == b"LIST" and content[start : start + 4] == b"movi":
+            yield from _walk(start + 4, start + size)
+
+
+def iter_avi_frames(content: bytes) -> Iterator[np.ndarray]:
+    """Decode an MJPEG AVI to RGB frames. Non-MJPEG codecs raise
+    AVIError (only intra-frame JPEG is decodable without codec libs)."""
+    info = parse_avi(content)
+    if info.codec not in ("mjpg", "mjpeg", ""):
+        raise AVIError(f"unsupported AVI codec {info.codec!r} (MJPEG only)")
+    from .jpegcodec import JPEGError, decode_jpeg
+
+    for chunk in iter_avi_video_chunks(content):
+        try:
+            yield decode_jpeg(chunk)
+        except JPEGError as e:
+            raise AVIError(f"bad MJPEG frame: {e}") from e
+
+
+def avi_frame_count(content: bytes) -> int:
+    """Frame count by chunk scan — no decode."""
+    return sum(1 for _ in iter_avi_video_chunks(content))

@@ -4,9 +4,12 @@ under test is the Spark-side contract)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
+from shotit_worker_spark.functions import imagecodec as IC
 from shotit_worker_spark.functions import media as M
 
 
@@ -265,6 +268,92 @@ def test_y4m_frames_feed_real_descriptors(spark):
     assert len(hashed) > 0
     his = {r["hi"] for r in hashed}
     assert len(his) == 4  # one identity per distinct source frame
+
+
+# ---------------------------------------------------------------------------
+# REAL G1: MJPEG AVI demux/decode (RIFF + bit-exact jpegcodec)
+# ---------------------------------------------------------------------------
+
+_AVI_PATH = os.path.join(os.path.dirname(__file__), "goldens", "mjpeg_32f_25fps.avi")
+_AVI_META = os.path.join(os.path.dirname(__file__), "goldens", "mjpeg_32f_25fps.json")
+
+
+def _avi_fixture():
+    import json
+
+    with open(_AVI_PATH, "rb") as f:
+        data = f.read()
+    with open(_AVI_META) as f:
+        meta = json.load(f)
+    return data, meta
+
+
+def test_avi_demux_metadata_and_order():
+    from shotit_worker_spark.functions import videocodec as VC
+
+    data, meta = _avi_fixture()
+    assert VC.is_avi(data) and not VC.is_y4m(data)
+    info = VC.parse_avi(data)
+    assert (info.width, info.height) == (meta["width"], meta["height"])
+    assert info.fps == meta["fps"] and info.codec == "mjpg"
+    assert VC.avi_frame_count(data) == meta["n_frames"]
+    frames = list(VC.iter_avi_frames(data))
+    assert len(frames) == meta["n_frames"]
+    assert frames[0].shape == (meta["height"], meta["width"], 3)
+    # frame ORDER: per-frame blue mean tracks the source pattern
+    # (monotone ramp), within JPEG-loss tolerance
+    blues = [f[..., 2].mean() for f in frames]
+    for got, src in zip(blues, meta["src_blue_mean"]):
+        assert abs(got - src) < 2.0
+    assert all(b1 < b2 for b1, b2 in zip(blues, blues[1:]))
+
+
+def test_avi_decode_frames_sampling(spark):
+    """32 source frames at 25 fps = 1.28 s; sampled at 12 fps ->
+    floor(1.28*12) = 15 output frames, times (i+0.5)/12, scaled to
+    320x180 (scale=-2:180 of 64x36)."""
+    data, meta = _avi_fixture()
+    videos = spark.createDataFrame(
+        [("store/tt7/clip.avi", data)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    assert len(rows) == 15
+    assert [r["time"] for r in rows] == [
+        round((i + 0.5) / 12.0, 4) for i in range(15)
+    ]
+    img0 = IC.decode_image(bytes(rows[0]["image"]))
+    assert img0.shape == (180, 320, 3)
+    # sampled frames come from distinct sources j = floor(t*25): strictly
+    # ramping blue channel
+    blues = [IC.decode_image(bytes(r["image"]))[..., 2].mean() for r in rows]
+    assert all(b1 < b2 for b1, b2 in zip(blues, blues[1:]))
+
+
+def test_avi_non_mjpeg_falls_back_to_stub(spark):
+    from shotit_worker_spark.functions import videocodec as VC
+
+    data, _ = _avi_fixture()
+    foreign = data.replace(b"MJPG", b"XVID")
+    with pytest.raises(VC.AVIError, match="unsupported AVI codec"):
+        next(VC.iter_avi_frames(foreign))
+    videos = spark.createDataFrame(
+        [("store/tt7/clip.avi", foreign)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos).collect()
+    assert len(rows) > 0  # stub path produced synthetic frames
+    img = IC.decode_image(bytes(rows[0]["image"]))
+    assert img.shape != (180, 320, 3)  # synthetic geometry, not sampled
+
+
+def test_avi_frames_feed_real_descriptors(spark):
+    data, _ = _avi_fixture()
+    videos = spark.createDataFrame(
+        [("store/tt7/clip.avi", data)], "path string, content binary"
+    )
+    hashed = M.embed_images(M.decode_frames(videos)).collect()
+    assert len(hashed) == 15
+    # moving pattern -> distinct frames -> distinct hash identities
+    assert len({r["hi"] for r in hashed}) == 15
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,152 @@
+"""Generate the committed MJPEG-AVI fixture for the G1 decode tests.
+
+Synthesizes a deterministic moving-pattern clip, encodes each frame to
+JPEG with the JRE's codec (same harness family as gen_jpeg_goldens),
+wraps the frames in a minimal RIFF AVI (avih + strl/strh/strf + movi,
+written right here — the writer doubles as documentation of exactly
+which container fields the demuxer relies on), and records expected
+metadata plus per-frame mean RGB in a sidecar JSON for spot checks.
+
+Usage: python tools/gen_mjpeg_fixture.py   (needs javac/java)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from shotit_worker_spark.functions.imagecodec import encode_png
+
+OUT_AVI = os.path.join(REPO, "tests", "goldens", "mjpeg_32f_25fps.avi")
+OUT_META = os.path.join(REPO, "tests", "goldens", "mjpeg_32f_25fps.json")
+
+W, H = 64, 36
+N_FRAMES = 32
+FPS_RATE, FPS_SCALE = 25, 1
+
+HARNESS = r"""
+import javax.imageio.*;
+import javax.imageio.stream.*;
+import java.awt.image.*;
+import java.io.*;
+import java.util.Iterator;
+
+public class FrameJpeg {
+  public static void main(String[] args) throws Exception {
+    // args: pairs of inPng outJpg
+    Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
+    ImageWriter w = it.next();
+    ImageWriteParam p = w.getDefaultWriteParam();
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+    p.setCompressionQuality(0.8f);
+    for (int i = 0; i + 1 < args.length; i += 2) {
+      BufferedImage img = ImageIO.read(new File(args[i]));
+      ImageOutputStream ios = ImageIO.createImageOutputStream(new File(args[i + 1]));
+      w.setOutput(ios);
+      w.write(null, new IIOImage(img, null, null), p);
+      ios.close();
+    }
+    w.dispose();
+  }
+}
+"""
+
+
+def synth_frame(i: int) -> np.ndarray:
+    """A gradient background with a block moving left→right per frame."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.stack(
+        [
+            (xx * 255 // (W - 1)).astype(np.uint8),
+            (yy * 255 // (H - 1)).astype(np.uint8),
+            np.full((H, W), 40 + 4 * i, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    x0 = (i * 2) % (W - 12)
+    img[10:22, x0 : x0 + 12] = (255, 255, 255)
+    return img
+
+
+def _chunk(fcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def build_avi(jpegs: list[bytes]) -> bytes:
+    usec_per_frame = 1_000_000 * FPS_SCALE // FPS_RATE
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * FPS_RATE, 0, 0x10,  # AVIF_HASINDEX off: 0x10=HASINDEX; keep 0x10 anyway
+        len(jpegs), 0, 1, max_bytes, W, H, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, FPS_SCALE, FPS_RATE, 0,
+                      len(jpegs), max_bytes, 0xFFFFFFFF, 0, 0)
+        + struct.pack("<4H", 0, 0, W, H)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, 24, b"MJPG",
+                       W * H * 3, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "FrameJpeg.java")
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-d", td, src], check=True)
+        args = []
+        for i in range(N_FRAMES):
+            png = os.path.join(td, f"f{i:03d}.png")
+            with open(png, "wb") as f:
+                f.write(encode_png(synth_frame(i)))
+            args += [png, os.path.join(td, f"f{i:03d}.jpg")]
+        subprocess.run(["java", "-cp", td, "FrameJpeg", *args], check=True)
+        jpegs = [
+            open(os.path.join(td, f"f{i:03d}.jpg"), "rb").read()
+            for i in range(N_FRAMES)
+        ]
+    avi = build_avi(jpegs)
+    with open(OUT_AVI, "wb") as f:
+        f.write(avi)
+
+    # spot-check values: per-frame mean of the SOURCE pattern's blue
+    # channel (monotone in i) lets tests confirm frame ORDER without
+    # committing rasters
+    meta = {
+        "n_frames": N_FRAMES,
+        "fps": FPS_RATE / FPS_SCALE,
+        "width": W,
+        "height": H,
+        "src_blue_mean": [float(synth_frame(i)[..., 2].mean()) for i in range(N_FRAMES)],
+    }
+    with open(OUT_META, "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {OUT_AVI} ({len(avi)} B), {N_FRAMES} frames")
+
+
+if __name__ == "__main__":
+    main()
