@@ -13,19 +13,22 @@ Kernel reality, per stage:
 - G2/G3 descriptor (`embed_images` / `embed_query_image`): REAL — the
   MPEG-7 ColorLayout of `functions/colorlayout.py`, bit-exact against
   the reference's own lire.jar, computed on images decoded by the
-  pure-stdlib PNG/PPM codec (`functions/imagecodec.py`). Bytes that are
-  not decodable images fall back to the legacy blake2 fake so the
-  plumbing stays total.
+  pure-stdlib PNG/JPEG/PPM codecs (`functions/imagecodec.py`,
+  `functions/jpegcodec.py` — JPEG is the reference's own wire format,
+  decoded bit-exact vs the JRE codec). Bytes that are not decodable
+  images fall back to the legacy blake2 fake so the plumbing stays
+  total.
 - Image resize (`resize_images`): REAL bilinear resample + PPM re-encode
   for decodable images; stub fallback otherwise.
 - G1 video demux/decode: REAL for Y4M (YUV4MPEG2) containers — pure
-  stdlib demux + numpy BT.601 decode (`functions/videocodec.py`),
-  sampled and scaled like the reference's ffmpeg invocation. Other
-  container bytes fall back to the deterministic stub (no compressed
-  codec exists without external libraries); the fake emits REAL PPM
-  images (seeded block scenes) so downstream stays on the real image
-  path either way. With PyAV the fallback becomes open-container →
-  sample at fps → scale → encode; signature unchanged.
+  stdlib demux + numpy BT.601 decode (`functions/videocodec.py`) — and
+  for MJPEG AVI (RIFF demux + the bit-exact JPEG decoder), sampled and
+  scaled like the reference's ffmpeg invocation. Other container bytes
+  (inter-frame codecs: h264 etc.) fall back to the deterministic stub;
+  the fake emits REAL PPM images (seeded block scenes) so downstream
+  stays on the real image path either way. With PyAV the fallback
+  becomes open-container → sample at fps → scale → encode; signature
+  unchanged.
 - Audio features: REAL for PCM WAV (stdlib `wave` + numpy FFT);
   stub fallback for other bytes.
 

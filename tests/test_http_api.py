@@ -76,3 +76,44 @@ def test_unknown_path_404(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+def test_search_accepts_jpeg_body(spark, tmp_root):
+    """The reference's API takes jpeg/png bodies (searcher.js:133-141).
+    Ingest the golden JPEGs through the REAL descriptor path, query with
+    raw JPEG bytes over HTTP: self-retrieval top-1."""
+    import glob
+    import os
+
+    gold = sorted(
+        p
+        for p in glob.glob(
+            os.path.join(os.path.dirname(__file__), "goldens", "jpeg", "*.jpg")
+        )
+        if "progressive" not in p
+    )
+    imgs = [(i, open(p, "rb").read()) for i, p in enumerate(gold)]
+    frames = spark.createDataFrame(imgs, "img_id long, image binary")
+    corpus = M.embed_images(frames).select(
+        "img_id",
+        V.l2_normalize(V.pad_vector(V.hex_tokens_to_floats("ha"), 100)).alias(
+            "vector"
+        ),
+    )
+    index = ivf.build_ivf(corpus, str(tmp_root / "jpeg_ivf"), nlist=2)
+    searcher = serve.ResidentSearcher(spark, index, id_col="img_id", tie_col=None)
+    srv = http_api.SearchHTTPServer(searcher, k=3, nprobe=2)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            _url(srv, "/search"), data=imgs[4][1], method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = json.load(r)
+        docs = body["response"]["docs"]
+        assert docs[0]["img_id"] == 4
+        assert docs[0]["score"] == pytest.approx(1.0, abs=1e-9)
+    finally:
+        srv.stop()
+        searcher.close()
