@@ -315,6 +315,70 @@ class IVFIndex:
     def load(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
+    def add(self, new_rows: DataFrame) -> None:
+        """Incremental insert — K3 parity: the reference loader streams
+        2000-row batches into the LIVE collection with the index already
+        built (/root/reference/loader.js:267-288); Milvus assigns them to
+        existing IVF lists without refitting. Same here: assign to the
+        EXISTING centroids, quantize with the EXISTING SQ8 params, and
+        append into the partitioned layout (no rebuild, no refit — one
+        assignment pass over just the new rows).
+
+        Values outside the fitted SQ8 range CLAMP to the code range
+        (the fit never saw them); heavy distribution drift therefore
+        degrades recall rather than corrupting codes — rebuild via
+        build_ivf when drift warrants, exactly like re-indexing a Milvus
+        collection. Works on indexes reopened with `IVFIndex.open` in a
+        fresh session (the sidecar carries everything `add` needs).
+        """
+        spark = new_rows.sparkSession
+        existing_cols = spark.read.parquet(self.path).columns
+        assigned = assign_centroids(
+            new_rows, self.centroids, self.vec_col, n_assign=self.n_assign
+        ).repartition(F.col("centroid_id"))
+        if self.mins is not None:
+            keep_vec = self.vec_col in existing_cols
+
+            def _clamped(d, sc):
+                return (
+                    F.least(F.greatest(F.round(d / sc), F.lit(0.0)), F.lit(255.0))
+                    - 128
+                ).cast("tinyint")
+
+            if self.sq8_per_centroid:
+                params = spark.createDataFrame(
+                    [
+                        (
+                            int(c),
+                            [float(x) for x in self.mins[c]],
+                            [float(x) for x in self.scales[c]],
+                        )
+                        for c in range(len(self.centroids))
+                    ],
+                    "centroid_id int, __mins array<double>, __scales array<double>",
+                )
+                step = F.zip_with(
+                    F.col(self.vec_col), F.col("__mins"), lambda x, lo: x - lo
+                )
+                code = F.zip_with(step, F.col("__scales"), _clamped)
+                assigned = (
+                    assigned.join(F.broadcast(params), "centroid_id")
+                    .withColumn("sq8_code", code)
+                    .drop("__mins", "__scales")
+                )
+            else:
+                m = F.array(*[F.lit(float(x)) for x in self.mins])
+                s = F.array(*[F.lit(float(x)) for x in self.scales])
+                step = F.zip_with(F.col(self.vec_col), m, lambda x, lo: x - lo)
+                assigned = assigned.withColumn(
+                    "sq8_code", F.zip_with(step, s, _clamped)
+                )
+            if not keep_vec:
+                assigned = assigned.drop(self.vec_col)
+        assigned.select(*existing_cols).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self.path)
+
     def probe_ids(self, query: np.ndarray, nprobe: int = DEFAULT_NPROBE) -> list[int]:
         scores = self.centroids @ np.asarray(query, dtype=np.float64)
         order = np.argsort(-scores, kind="stable")

@@ -337,3 +337,74 @@ def test_open_missing_sidecar_raises(spark, tmp_root):
 
     with pytest.raises(py4j.protocol.Py4JJavaError):
         ivf.IVFIndex.open(spark, str(tmp_root / "no_such_index"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental insert (K3 parity: IVFIndex.add)
+# ---------------------------------------------------------------------------
+
+
+def test_add_float_index_then_full_probe_is_exact(spark, corpus, tmp_root):
+    """Build on half the corpus, add() the other half: full-probe search
+    over the grown index must equal brute force over the FULL corpus —
+    assignment quality can't hide at nprobe=nlist."""
+    first = corpus.filter(F.col("vec_id") < 250)
+    rest = corpus.filter(F.col("vec_id") >= 250)
+    idx = ivf.build_ivf(first, str(tmp_root / "ivf_add"), nlist=NLIST)
+    idx.add(rest)
+    assert idx.load(spark).count() == corpus.count()
+    # self-retrieval of an ADDED vector
+    q = np.array(corpus.filter(F.col("vec_id") == 400).first()["vector"])
+    got = idx.search(spark, q, k=10, nprobe=NLIST, id_col="vec_id",
+                     tie_col=None).collect()
+    exact = S.exact_topk(corpus, list(q), k=10, vec_col="vector",
+                         id_col="vec_id", tie_col=None).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    assert got[0]["vec_id"] == 400
+
+
+def test_add_works_on_reopened_sq8_index(spark, corpus, tmp_root):
+    """The serving lifecycle: build+persist in one 'session', open() and
+    add() later — codes use the sidecar's SQ8 params, clamped."""
+    first = corpus.filter(F.col("vec_id") < 250)
+    rest = corpus.filter(F.col("vec_id") >= 250)
+    path = str(tmp_root / "ivf_add_sq8")
+    ivf.build_ivf(first, path, nlist=NLIST, quantize=True,
+                  sq8_mode="per_centroid")
+    reopened = ivf.IVFIndex.open(spark, path)
+    reopened.add(rest)
+    df = reopened.load(spark)
+    assert df.count() == corpus.count()
+    assert "sq8_code" in df.columns and "vector" not in df.columns
+    q = np.array(corpus.filter(F.col("vec_id") == 311).first()["vector"])
+    top = reopened.search(spark, q, k=1, nprobe=NLIST, id_col="vec_id",
+                          tie_col=None).first()
+    assert top["vec_id"] == 311
+
+
+def test_add_clamps_out_of_range_vectors(spark, corpus, tmp_root):
+    """Vectors far outside the fitted SQ8 range must clamp into valid
+    tinyint codes (never NULL/wrapped), and the index stays searchable."""
+    first = corpus.filter(F.col("vec_id") < 250)
+    path = str(tmp_root / "ivf_add_clamp")
+    idx = ivf.build_ivf(first, path, nlist=NLIST, quantize=True)
+    dim = idx.centroids.shape[1]
+    wild = spark.createDataFrame(
+        [(99001, [10.0] * dim), (99002, [-10.0] * dim)],
+        "vec_id long, vector array<double>",
+    )
+    idx.add(wild)
+    codes = (
+        idx.load(spark)
+        .filter(F.col("vec_id") >= 99001)
+        .select(F.explode("sq8_code").alias("c"))
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
+             F.sum(F.col("c").isNull().cast("int")).alias("nulls"))
+        .first()
+    )
+    assert codes["nulls"] == 0
+    assert -128 <= codes["lo"] <= codes["hi"] <= 127
+    q = np.ones(dim) / np.sqrt(dim)
+    got = idx.search(spark, q, k=3, nprobe=NLIST, id_col="vec_id",
+                     tie_col=None).collect()
+    assert len(got) == 3
