@@ -446,3 +446,280 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     cb = _upsample(planes[1], hmax // comps[1]["h"], vmax // comps[1]["v"], h, w)
     cr = _upsample(planes[2], hmax // comps[2]["h"], vmax // comps[2]["v"], h, w)
     return _ycc_to_rgb(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG ENCODER (Annex K tables, 4:2:0 or 4:4:4)
+# ---------------------------------------------------------------------------
+#
+# Completes wire-format parity for G1: the reference's ffmpeg stage
+# emits JPEG thumbnails (`-q:v 2`, hasher.js:83-85), so decode_frames
+# can hand downstream stages the same format the reference stores.
+# Standard T.81 Annex K quantization + huffman tables (the tables every
+# libjpeg-written file carries), libjpeg's quality→scale mapping, float
+# FDCT. Any spec-conforming decoder reads the output; round-trip is
+# pinned against BOTH this module's own decoder and the JRE decoder
+# (tools/gen_jpeg_goldens.py provenance harness family).
+
+_QL_BASE = np.array(  # Annex K.1 luminance
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64).reshape(8, 8)
+_QC_BASE = np.array(  # Annex K.1 chrominance
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 huffman tables as (counts[16], symbols) — byte-identical to
+# the DHT segments libjpeg/javax.imageio write into every baseline file
+_HUFF_DC_L = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_HUFF_DC_C = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_HUFF_AC_L = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]),
+    bytes([
+        1, 2, 3, 0, 4, 17, 5, 18, 33, 49, 65, 6, 19, 81, 97, 7, 34, 113,
+        20, 50, 129, 145, 161, 8, 35, 66, 177, 193, 21, 82, 209, 240, 36,
+        51, 98, 114, 130, 9, 10, 22, 23, 24, 25, 26, 37, 38, 39, 40, 41,
+        42, 52, 53, 54, 55, 56, 57, 58, 67, 68, 69, 70, 71, 72, 73, 74,
+        83, 84, 85, 86, 87, 88, 89, 90, 99, 100, 101, 102, 103, 104, 105,
+        106, 115, 116, 117, 118, 119, 120, 121, 122, 131, 132, 133, 134,
+        135, 136, 137, 138, 146, 147, 148, 149, 150, 151, 152, 153, 154,
+        162, 163, 164, 165, 166, 167, 168, 169, 170, 178, 179, 180, 181,
+        182, 183, 184, 185, 186, 194, 195, 196, 197, 198, 199, 200, 201,
+        202, 210, 211, 212, 213, 214, 215, 216, 217, 218, 225, 226, 227,
+        228, 229, 230, 231, 232, 233, 234, 241, 242, 243, 244, 245, 246,
+        247, 248, 249, 250,
+    ]),
+)
+_HUFF_AC_C = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]),
+    bytes([
+        0, 1, 2, 3, 17, 4, 5, 33, 49, 6, 18, 65, 81, 7, 97, 113, 19, 34,
+        50, 129, 8, 20, 66, 145, 161, 177, 193, 9, 35, 51, 82, 240, 21,
+        98, 114, 209, 10, 22, 36, 52, 225, 37, 241, 23, 24, 25, 26, 38,
+        39, 40, 41, 42, 53, 54, 55, 56, 57, 58, 67, 68, 69, 70, 71, 72,
+        73, 74, 83, 84, 85, 86, 87, 88, 89, 90, 99, 100, 101, 102, 103,
+        104, 105, 106, 115, 116, 117, 118, 119, 120, 121, 122, 130, 131,
+        132, 133, 134, 135, 136, 137, 138, 146, 147, 148, 149, 150, 151,
+        152, 153, 154, 162, 163, 164, 165, 166, 167, 168, 169, 170, 178,
+        179, 180, 181, 182, 183, 184, 185, 186, 194, 195, 196, 197, 198,
+        199, 200, 201, 202, 210, 211, 212, 213, 214, 215, 216, 217, 218,
+        226, 227, 228, 229, 230, 231, 232, 233, 234, 242, 243, 244, 245,
+        246, 247, 248, 249, 250,
+    ]),
+)
+
+
+def _enc_codes(counts: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical order (encoder-side _Huff)."""
+    out = {}
+    code = 0
+    p = 0
+    for l in range(1, 17):
+        for _ in range(counts[l - 1]):
+            out[vals[p]] = (code, l)
+            code += 1
+            p += 1
+        code <<= 1
+    return out
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg jpeg_quality_scaling + jpeg_add_quant_table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+_DCT_M = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        u, x = np.mgrid[0:8, 0:8]
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] /= np.sqrt(2.0)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _plane_coeffs(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """(H, W) samples → (by, bx, 64) quantized zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        .astype(np.float64) - 128.0
+    )
+    m = _dct_matrix()
+    coef = np.einsum("ux,...xy,vy->...uv", m, blocks, m)
+    q = np.round(coef / qtable).astype(np.int64)
+    # natural → zigzag order (zz[k] = natural[ZIGZAG[k]], the decoder's
+    # inverse convention)
+    return q.reshape(ph // 8, pw // 8, 64)[:, :, ZIGZAG]
+
+
+def _encode_block(
+    bw: _BitWriter, zz: np.ndarray, pred: int,
+    dc: dict, ac: dict,
+) -> int:
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    code, length = dc[t]
+    bw.put(code, length)
+    if t:
+        bits = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.put(bits & ((1 << t) - 1), t)
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac[0xF0]  # ZRL
+            bw.put(c, l)
+            run -= 16
+        s = abs(v).bit_length()
+        c, l = ac[(run << 4) | s]
+        bw.put(c, l)
+        bits = v if v >= 0 else v + (1 << s) - 1
+        bw.put(bits & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 63:
+        c, l = ac[0x00]  # EOB
+        bw.put(c, l)
+    return int(zz[0])
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 75, subsample: bool = True) -> bytes:
+    """Encode (H, W, 3) uint8 RGB to baseline JFIF JPEG bytes.
+
+    `subsample=True` writes 4:2:0 (the libjpeg/ffmpeg default shape),
+    False writes 4:4:4. Grayscale callers pass a replicated-channel
+    array and accept the (identical-chroma) color encoding.
+    """
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise JPEGError(f"expected (H, W, 3) RGB, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    if not h or not w:
+        raise JPEGError("empty image")
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.round(128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b), 0, 255)
+    cr = np.clip(np.round(128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b), 0, 255)
+    if subsample:
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        def down(p):
+            p = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+            return np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            )
+        cb, cr = down(cb), down(cr)
+        hs, vs = 2, 2
+    else:
+        hs, vs = 1, 1
+
+    ql = _scaled_qtable(_QL_BASE, quality)
+    qc = _scaled_qtable(_QC_BASE, quality)
+    cy = _plane_coeffs(y, ql)
+    ccb = _plane_coeffs(cb, qc)
+    ccr = _plane_coeffs(cr, qc)
+
+    dc_l, ac_l = _enc_codes(*_HUFF_DC_L), _enc_codes(*_HUFF_AC_L)
+    dc_c, ac_c = _enc_codes(*_HUFF_DC_C), _enc_codes(*_HUFF_AC_C)
+
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    # Y store must cover mcuy*vs x mcux*hs blocks (pad with DC-only
+    # blocks replicating the edge — already true via edge padding when
+    # dims round up; guard the general case)
+    def _grow(st, by, bx):
+        gy, gx = max(0, by - st.shape[0]), max(0, bx - st.shape[1])
+        if gy or gx:
+            st = np.pad(st, ((0, gy), (0, gx), (0, 0)), mode="edge")
+        return st
+    cy = _grow(cy, mcuy * vs, mcux * hs)
+    ccb = _grow(ccb, mcuy, mcux)
+    ccr = _grow(ccr, mcuy, mcux)
+
+    bw = _BitWriter()
+    py = pcb = pcr = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by_ in range(vs):
+                for bx_ in range(hs):
+                    py = _encode_block(
+                        bw, cy[my * vs + by_, mx * hs + bx_], py, dc_l, ac_l
+                    )
+            pcb = _encode_block(bw, ccb[my, mx], pcb, dc_c, ac_c)
+            pcr = _encode_block(bw, ccr[my, mx], pcr, dc_c, ac_c)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(q.reshape(64)[z]) for z in ZIGZAG))
+
+    def dht(cls: int, tid: int, tbl: tuple[bytes, bytes]) -> bytes:
+        counts, vals = tbl
+        return seg(0xC4, bytes([(cls << 4) | tid]) + counts + vals)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+            [3,
+             1, (hs << 4) | vs, 0,
+             2, 0x11, 1,
+             3, 0x11, 1]
+        ),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc) + sof
+        + dht(0, 0, _HUFF_DC_L) + dht(1, 0, _HUFF_AC_L)
+        + dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
+        + sos + bytes(bw.buf) + b"\xff\xd9"
+    )

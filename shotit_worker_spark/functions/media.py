@@ -103,7 +103,9 @@ def _fake_video_params(content: bytes) -> tuple[int, float]:
     return n_frames, duration
 
 
-def _synthetic_frame_image(content: bytes, frame_no: int) -> bytes:
+def _synthetic_frame_image(
+    content: bytes, frame_no: int, encoder=None
+) -> bytes:
     """Deterministic stand-in for one decoded thumbnail — a REAL PPM
     image (seeded 8×8-block scene upscaled to 80×48), so the downstream
     descriptor/resize kernels run their real code paths on it."""
@@ -116,7 +118,7 @@ def _synthetic_frame_image(content: bytes, frame_no: int) -> bytes:
     rng = np.random.default_rng(seed)
     blocks = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
     img = np.kron(blocks, np.ones((8, 8, 1), dtype=np.uint8))
-    return IC.encode_ppm(img)
+    return (encoder or IC.encode_ppm)(img)
 
 
 def _sample_decoded(
@@ -126,6 +128,7 @@ def _sample_decoded(
     src_h: int,
     frames: Iterator[np.ndarray],
     fps: float,
+    encoder=None,
 ) -> Iterator[tuple[int, float, bytes]]:
     """Shared G1 sampling core: sample a decoded frame stream at `fps`,
     scale to height FRAME_HEIGHT with even width (ffmpeg's
@@ -149,24 +152,25 @@ def _sample_decoded(
         if j not in wanted:
             continue
         scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
-        ppm = IC.encode_ppm(scaled)
+        blob = (encoder or IC.encode_ppm)(scaled)
         for i in wanted[j]:
-            yield i, round((i + 0.5) / fps, 4), ppm
+            yield i, round((i + 0.5) / fps, 4), blob
 
 
 def _sample_y4m(
-    content: bytes, fps: float
+    content: bytes, fps: float, encoder=None
 ) -> Iterator[tuple[int, float, bytes]]:
     """REAL G1 for Y4M containers (demux: functions/videocodec.py)."""
     hdr = VC.parse_header(content)
     n_src = VC.frame_count(content)
     yield from _sample_decoded(
-        n_src, hdr.fps, hdr.width, hdr.height, VC.iter_frames(content), fps
+        n_src, hdr.fps, hdr.width, hdr.height, VC.iter_frames(content), fps,
+        encoder,
     )
 
 
 def _sample_avi(
-    content: bytes, fps: float
+    content: bytes, fps: float, encoder=None
 ) -> Iterator[tuple[int, float, bytes]]:
     """REAL G1 for MJPEG AVI (RIFF demux + bit-exact jpegcodec)."""
     info = VC.parse_avi(content)
@@ -175,11 +179,13 @@ def _sample_avi(
         return
     yield from _sample_decoded(
         n_src, info.fps, info.width, info.height,
-        VC.iter_avi_frames(content), fps,
+        VC.iter_avi_frames(content), fps, encoder,
     )
 
 
-def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
+def decode_frames(
+    videos: DataFrame, fps: float = FRAME_FPS, thumb_format: str = "ppm"
+) -> DataFrame:
     """G1 — video → frame explode (1 video row → N frame rows).
 
     Input: a `binaryFile`-shaped DataFrame (path, content, ...). Output:
@@ -196,11 +202,28 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
     PyAV the fallback body becomes open-container → sample → scale →
     encode, signature unchanged).
 
+    `thumb_format`: "ppm" (default; uncompressed, cheapest to re-decode
+    downstream) or "jpeg" — the reference's own thumbnail wire format
+    (`-q:v 2` ffmpeg output, hasher.js:83-85), written by the
+    interoperable encoder in functions/jpegcodec (~10× smaller frames
+    when the frame table itself is persisted or shipped).
+
     mapInPandas: each Arrow batch of videos yields frame batches without
     materializing all frames of a partition at once. Partition by video
     file upstream for even work distribution (one ~2h video ≈ 86k
     frames ≈ one task's worth).
     """
+    if thumb_format == "ppm":
+        encoder = IC.encode_ppm
+    elif thumb_format == "jpeg":
+        from .jpegcodec import encode_jpeg
+
+        # -q:v 2 is near the top of ffmpeg's mjpeg quality ladder;
+        # quality 93 lands in the same quant-table ballpark
+        def encoder(img):
+            return encode_jpeg(img, quality=93)
+    else:
+        raise ValueError(f"unknown thumb_format {thumb_format!r}")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,7 +242,7 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
                     except VC.AVIError:
                         sampler = None
                 if sampler is not None:
-                    for i, t, ppm in sampler(content, fps):
+                    for i, t, ppm in sampler(content, fps, encoder):
                         out["file"].append(rel)
                         out["frame_no"].append(i)
                         out["time"].append(t)
@@ -232,7 +255,9 @@ def decode_frames(videos: DataFrame, fps: float = FRAME_FPS) -> DataFrame:
                     # first sample at half the frame interval, like ffmpeg's
                     # fps filter; toFixed(4) parity via round
                     out["time"].append(round((i + 0.5) / fps, 4))
-                    out["image"].append(_synthetic_frame_image(content, i))
+                    out["image"].append(
+                        _synthetic_frame_image(content, i, encoder)
+                    )
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(_decode, schema=FRAME_SCHEMA)

@@ -78,3 +78,83 @@ def test_descriptor_pipeline_consumes_jpeg():
     via_decode = reference_feature_vector(IC.decode_image(data), "cl")
     direct = reference_feature_vector(rgb, "cl")
     np.testing.assert_array_equal(via_decode, direct)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (encode_jpeg): round-trip through the bit-exact decoder
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((xx + yy) * 127 // max(h + w - 2, 1)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def test_encode_roundtrip_quality():
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    img = _smooth(48, 64)
+    for subsample in (True, False):
+        data = encode_jpeg(img, quality=92, subsample=subsample)
+        assert is_jpeg(data) and data.endswith(b"\xff\xd9")
+        back = decode_jpeg(data)
+        assert back.shape == img.shape
+        diff = np.abs(back.astype(int) - img.astype(int))
+        # smooth content at q92: tight reconstruction
+        assert diff.mean() < 2.0 and diff.max() <= 20
+
+
+def test_encode_sizes_and_edge_dims():
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    for h, w in [(1, 1), (8, 8), (23, 37), (17, 16)]:
+        img = _smooth(h, w)
+        back = decode_jpeg(encode_jpeg(img, quality=85))
+        assert back.shape == (h, w, 3)
+    # higher quality -> bigger file, better reconstruction
+    img = _smooth(64, 64)
+    lo = encode_jpeg(img, quality=30)
+    hi = encode_jpeg(img, quality=95)
+    assert len(hi) > len(lo)
+    d_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    d_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    assert d_hi < d_lo
+
+
+def test_encode_guards():
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    with pytest.raises(JPEGError, match="RGB"):
+        encode_jpeg(np.zeros((4, 4), np.uint8))
+    with pytest.raises(JPEGError, match="empty"):
+        encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+
+
+def test_decode_frames_jpeg_thumbnails(spark):
+    """G1 with thumb_format='jpeg': frames are valid JPEGs the pipeline
+    decodes, matching the reference's thumbnail wire format."""
+    from shotit_worker_spark.functions import media as M
+
+    avi = os.path.join(GOLD_DIR, "..", "mjpeg_32f_25fps.avi")
+    with open(avi, "rb") as f:
+        data = f.read()
+    videos = spark.createDataFrame(
+        [("store/tt7/clip.avi", data)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos, thumb_format="jpeg").orderBy("frame_no").collect()
+    assert len(rows) == 15
+    img = IC.decode_image(bytes(rows[0]["image"]))
+    assert IC.sniff_format(bytes(rows[0]["image"])) == "jpeg"
+    assert img.shape == (180, 320, 3)
+    # jpeg thumbs are much smaller than the PPM equivalents
+    ppm_rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    assert len(bytes(rows[0]["image"])) < len(bytes(ppm_rows[0]["image"])) / 5
+    with pytest.raises(ValueError, match="thumb_format"):
+        M.decode_frames(videos, thumb_format="gif")
