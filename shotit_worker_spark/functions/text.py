@@ -185,3 +185,64 @@ def ngrams(tokens: ColumnOrName, n: int) -> Column:
     return F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
+
+
+# -- normalization (the cleaning pass upstream of dedup/fingerprint) --------
+
+# typographic → ASCII map applied by normalize_text: curly quotes,
+# dashes, ellipsis, NBSP — the handful of codepoints that otherwise
+# split "identical" web text into distinct dedup keys
+_TRANSLATE_SRC = "‘’‚“”„–—… "
+_TRANSLATE_DST = "'''\"\"\"--. "
+_CONTROL_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(
+    text: ColumnOrName,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    ascii_punct: bool = True,
+) -> Column:
+    """Canonicalize raw web/corpus text — pure Catalyst (translate +
+    regexp_replace + trim), so the pass rides whole-stage codegen in
+    the same scan as whatever consumes it.
+
+    Scope is the cheap, always-safe subset: control-char strip,
+    typographic-punctuation folding, whitespace collapse, optional
+    lowercasing. Unicode NFC (combining-mark composition) genuinely
+    needs a table lookup — use `normalize_text_nfc` (Arrow UDF) when
+    the corpus mixes composed/decomposed forms; chain it BEFORE this.
+    """
+    out = _col(text)
+    if strip_control:
+        out = F.regexp_replace(out, _CONTROL_PATTERN, " ")
+    if ascii_punct:
+        out = F.translate(out, _TRANSLATE_SRC, _TRANSLATE_DST)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def normalize_text_nfc(text: ColumnOrName) -> Column:
+    """Unicode NFC composition (é as one codepoint, not e+◌́) — the one
+    normalization step Catalyst has no builtin for. Arrow-batched
+    pandas UDF over unicodedata; everything else in this module stays
+    JVM-side, so use this only when the corpus actually mixes forms."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # real class objects, not strings: `from __future__ import
+    # annotations` would stringify inline hints and break pyspark's
+    # signature inspection
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(_col(text))

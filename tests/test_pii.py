@@ -103,3 +103,58 @@ def test_report_single_scan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = P.pii_report(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# text normalization (functions/text.py normalize_text / _nfc)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_matches_python_oracle(spark):
+    import re as _re
+
+    from shotit_worker_spark.functions import text as TX
+
+    rows = [
+        (0, "a‘b’c “q” – x — y…maybe z"),
+        (1, "ctrl\x00\x08\x1f chars\x7f here"),
+        (2, "  lots\t\tof\n\n whitespace   "),
+        (3, None),
+        (4, "Already Clean."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", TX.normalize_text("text", lowercase=True).alias("n")
+        ).collect()
+    }
+
+    def oracle(t):
+        if t is None:
+            return None
+        t = _re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ", t)
+        t = t.translate(str.maketrans(TX._TRANSLATE_SRC, TX._TRANSLATE_DST))
+        t = _re.sub(r"\s+", " ", t).strip()
+        return t.lower()
+
+    for rid, t in rows:
+        assert got[rid] == oracle(t), rid
+    # idempotent
+    again = df.select(
+        TX.normalize_text(TX.normalize_text("text", lowercase=True), lowercase=True).alias("n")
+    ).collect()
+    assert [r["n"] for r in again] == [got[r[0]] for r in rows]
+
+
+def test_normalize_nfc(spark):
+    import unicodedata
+
+    from shotit_worker_spark.functions import text as TX
+
+    decomposed = "éclair résumé"  # e + combining acute
+    df = spark.createDataFrame([(0, decomposed), (1, None)], "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", TX.normalize_text_nfc("text").alias("n")).collect()}
+    assert got[0] == unicodedata.normalize("NFC", decomposed)
+    assert "́" not in got[0]  # composed
+    assert got[1] is None
