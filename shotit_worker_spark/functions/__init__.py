@@ -1,1 +1,1 @@
-from . import pii, scalar, text, vector
+from . import pii, scalar, text, urls, vector

@@ -1,0 +1,117 @@
+"""URL/domain kernels for web-corpus filtering (LLM-pipeline surface).
+
+Every public web-scale pipeline filters by domain (blocklists,
+allowlists, per-domain caps) before anything expensive touches the
+text. Pure Catalyst: `parse_url` (JVM builtin) does the parsing, the
+suffix logic is expression arithmetic, and the blocklist filter is a
+broadcast join — so domain filtering costs one scan at 100 TB.
+
+The registered-domain step uses a deliberately small embedded
+second-level-suffix set (co.uk, com.au, …) rather than the full public
+suffix list: corpus filtering needs "same registrant bucket", not
+browser-grade cookie scoping, and the small set keeps the expression a
+literal `isin`. Swap in the full PSL as a broadcast table if a corpus
+demands it — the join shape is already what that needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+# common second-level public suffixes: "a.b.tld" where b.tld is in this
+# set registers at THREE labels (example.co.uk), else two (example.com)
+SECOND_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.nz", "co.za", "com.tr", "com.tw", "com.sg",
+]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def extract_host(url: ColumnOrName) -> Column:
+    """Lowercased hostname (NULL for unparseable), `www.` stripped.
+
+    `try_parse_url`, not `parse_url`: web-corpus url columns always
+    contain garbage, and the strict variant fails the whole task on the
+    first bad row (ANSI INVALID_URL)."""
+    host = F.lower(F.try_parse_url(_col(url), F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registered_domain(host: ColumnOrName) -> Column:
+    """Registrant bucket of a hostname: last 2 labels, or last 3 when
+    the trailing 2 form a known second-level suffix (see module note).
+    NULL-safe; a bare TLD or empty string passes through unchanged."""
+    h = _col(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))  # concat_ws would fold NULL to ""
+        .when(n <= 2, h)
+        .when(last2.isin(SECOND_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def url_domain(url: ColumnOrName) -> Column:
+    """URL → registered domain in one expression."""
+    return registered_domain(extract_host(url))
+
+
+def filter_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (mode='block') or keep (mode='allow') rows whose URL's
+    registered domain is in the list.
+
+    A python list compiles to a literal `isin` predicate (pushed into
+    the scan); a DataFrame blocklist (column `domain`) becomes a
+    broadcast semi/anti join — the shape a multi-million-entry
+    production blocklist needs. Rows with unparseable URLs (NULL
+    domain) are DROPPED in allow mode and KEPT in block mode (a
+    blocklist names bad domains; no domain ≠ bad domain).
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    dom = url_domain(url_col)
+    if isinstance(blocklist, DataFrame):
+        if "domain" not in blocklist.columns:
+            raise ValueError("blocklist DataFrame needs a 'domain' column")
+        tagged = df.withColumn("__dom", dom)
+        joined = tagged.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("__dom")).distinct()),
+            "__dom",
+            "left_semi" if mode == "allow" else "left_anti",
+        )
+        return joined.drop("__dom")
+    hits = dom.isin([d.lower() for d in blocklist])
+    if mode == "allow":
+        return df.filter(hits)
+    return df.filter(~F.coalesce(hits, F.lit(False)))
+
+
+def domain_report(
+    df: DataFrame, url_col: str = "url", top_n: int = 100
+) -> DataFrame:
+    """Docs per registered domain, descending — the per-domain-cap /
+    blocklist-candidate view. One groupBy; top_n bounds the driver
+    result."""
+    return (
+        df.groupBy(url_domain(url_col).alias("domain"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.col("docs").desc(), F.col("domain").asc())
+        .limit(top_n)
+    )

@@ -1,0 +1,79 @@
+"""URL/domain kernels (functions/urls.py): host extraction, registered
+domain (incl. second-level suffixes), block/allow filters in both the
+literal-isin and broadcast-join forms, NULL policy, and the report."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import urls as U
+
+ROWS = [
+    (0, "https://www.example.com/page?q=1"),
+    (1, "http://blog.example.com/post"),
+    (2, "https://news.bbc.co.uk/story"),
+    (3, "http://sub.deep.example.co.jp/x"),
+    (4, "https://spam.biz/"),
+    (5, "not a url at all"),
+    (6, None),
+    (7, "https://EXAMPLE.com/UPPER"),
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(ROWS, "id long, url string")
+
+
+def test_host_and_registered_domain(urls_df):
+    got = {
+        r["id"]: (r["host"], r["dom"])
+        for r in urls_df.select(
+            "id",
+            U.extract_host("url").alias("host"),
+            U.url_domain("url").alias("dom"),
+        ).collect()
+    }
+    assert got[0] == ("example.com", "example.com")  # www stripped
+    assert got[1] == ("blog.example.com", "example.com")
+    assert got[2] == ("news.bbc.co.uk", "bbc.co.uk")  # 2nd-level suffix
+    assert got[3] == ("sub.deep.example.co.jp", "example.co.jp")
+    assert got[4] == ("spam.biz", "spam.biz")
+    assert got[7] == ("example.com", "example.com")  # lowercased
+    assert got[6] == (None, None)
+
+
+def test_block_and_allow_list_literal(urls_df):
+    blocked = U.filter_domains(urls_df, ["spam.biz", "bbc.co.uk"], mode="block")
+    ids = {r["id"] for r in blocked.collect()}
+    assert 4 not in ids and 2 not in ids
+    assert {5, 6} <= ids  # unparseable/NULL kept in block mode
+
+    allowed = U.filter_domains(urls_df, ["example.com"], mode="allow")
+    assert {r["id"] for r in allowed.collect()} == {0, 1, 7}
+
+
+def test_blocklist_dataframe_broadcast_join(spark, urls_df):
+    bl = spark.createDataFrame([("spam.biz",), ("example.co.jp",)], "domain string")
+    out = U.filter_domains(urls_df, bl, mode="block")
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {0, 1, 2, 5, 6, 7}
+    assert "__dom" not in out.columns
+    allowed = U.filter_domains(urls_df, bl, mode="allow")
+    assert {r["id"] for r in allowed.collect()} == {3, 4}
+
+
+def test_domain_report(urls_df):
+    rep = U.domain_report(urls_df, top_n=2).collect()
+    assert rep[0]["domain"] == "example.com" and rep[0]["docs"] == 3
+    assert len(rep) == 2
+
+
+def test_guards(spark, urls_df):
+    with pytest.raises(ValueError, match="mode"):
+        U.filter_domains(urls_df, ["x.com"], mode="drop")
+    bad = spark.createDataFrame([("a.com",)], "d string")
+    with pytest.raises(ValueError, match="domain"):
+        U.filter_domains(urls_df, bad)
