@@ -191,3 +191,70 @@ def test_minhash_similarity_monotone(spark):
         return sum(1 for x, y in zip(a, b) if x == y)
 
     assert overlap(sigs[1], sigs[2]) > overlap(sigs[1], sigs[3])
+
+# -- JPEG codec roundtrip (pure python, no Spark job) -----------------------
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([55, 80, 95]),
+    subsample=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_total_and_bounded(h, w, seed, quality, subsample):
+    """encode∘decode is total on arbitrary uint8 RGB: shape/dtype
+    preserved, output valid, luma error bounded (chroma may smear under
+    4:2:0 — that's the format, not a bug)."""
+    import numpy as np
+
+    from shotit_worker_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=quality, subsample=subsample)
+    assert data[:3] == b"\xff\xd8\xff" and data.endswith(b"\xff\xd9")
+    back = decode_jpeg(data)
+    assert back.shape == img.shape and back.dtype == np.uint8
+    # luma comparison: Y is never subsampled, so its error is quant-bounded
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert np.abs(luma(back) - luma(img)).mean() < 32
+
+
+@given(
+    texts=st.lists(ascii_text, min_size=1, max_size=8),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+@spark_settings
+def test_chunking_reconstructs_token_stream(spark, texts, chunk, overlap):
+    """Property: stripping each chunk's leading overlap re-concatenates
+    to the document's exact whitespace-token stream, for arbitrary text
+    and window geometry."""
+    from shotit_worker_spark.operators.chunking import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        chunk_documents(df, chunk_tokens=chunk, overlap_tokens=overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict[int, list[list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split())
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == toks
