@@ -631,12 +631,20 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 75, subsample: bool = True) -> bytes:
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 75,
+    subsample: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode (H, W, 3) uint8 RGB to baseline JFIF JPEG bytes.
 
     `subsample=True` writes 4:2:0 (the libjpeg/ffmpeg default shape),
     False writes 4:4:4. Grayscale callers pass a replicated-channel
     array and accept the (identical-chroma) color encoding.
+    `restart_interval > 0` emits a DRI segment and RSTn markers every
+    that many MCUs (the resync points ffmpeg's MJPEG streams carry) —
+    also the round-trip exercise for the decoder's restart path.
     """
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise JPEGError(f"expected (H, W, 3) RGB, got {rgb.shape}")
@@ -685,8 +693,17 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75, subsample: bool = True) -> b
 
     bw = _BitWriter()
     py = pcb = pcr = 0
+    mcus_done = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcus_done == restart_interval:
+                # byte-align (1-padding), emit RSTn, reset DC predictors
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                py = pcb = pcr = 0
+                mcus_done = 0
             for by_ in range(vs):
                 for bx_ in range(hs):
                     py = _encode_block(
@@ -694,6 +711,7 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75, subsample: bool = True) -> b
                     )
             pcb = _encode_block(bw, ccb[my, mx], pcb, dc_c, ac_c)
             pcr = _encode_block(bw, ccr[my, mx], pcr, dc_c, ac_c)
+            mcus_done += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -717,9 +735,14 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75, subsample: bool = True) -> b
         ),
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc) + sof
         + dht(0, 0, _HUFF_DC_L) + dht(1, 0, _HUFF_AC_L)
         + dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
-        + sos + bytes(bw.buf) + b"\xff\xd9"
+        + dri + sos + bytes(bw.buf) + b"\xff\xd9"
     )

@@ -158,3 +158,20 @@ def test_decode_frames_jpeg_thumbnails(spark):
     assert len(bytes(rows[0]["image"])) < len(bytes(ppm_rows[0]["image"])) / 5
     with pytest.raises(ValueError, match="thumb_format"):
         M.decode_frames(videos, thumb_format="gif")
+
+
+def test_restart_interval_roundtrip():
+    """DRI/RSTn path: restart markers change the byte stream, not the
+    decoded values — exercises the decoder's restart-segment split and
+    DC-predictor reset against the markerless encoding of the same
+    coefficients."""
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 85))
+    for ri in (1, 3, 7):
+        data = encode_jpeg(img, 85, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+        np.testing.assert_array_equal(decode_jpeg(data), plain)
