@@ -7,9 +7,12 @@ Reference semantics plus the LLM-data-pipeline dedup family:
   D2  dedup_by_key         — idempotent insert by primary key
                              (/root/reference/loader.js:63-68, :245)
   --  exact_dedup_text     — exact content dedup by md5 (hash-groupBy)
-  --  minhash_signatures / minhash_lsh_candidates — MinHash + banded LSH
+  --  minhash_signatures / minhash_band_table / minhash_lsh_candidates
+                           — MinHash + banded LSH
   --  simhash64            — 64-bit SimHash fingerprint
   --  ngram_jaccard_pairs  — n-gram Jaccard similarity on candidate pairs
+  --  exact_dedup_incremental / fuzzy_dedup_incremental — batch-vs-corpus
+                           dedup against digest / band-table manifests
 
 All of these shuffle only on their key columns; candidate generation is
 band-bucketed so the pairwise work never goes O(n²) at scale.
@@ -186,6 +189,44 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    signatures: DataFrame,
+    num_bands: int = 8,
+    id_col: str = "doc_id",
+    num_hashes: int | None = None,
+) -> DataFrame | None:
+    """(id, band_id, band_hash) — the LSH bucket membership table.
+
+    This is also the MANIFEST FORMAT for incremental dedup: persist it
+    per corpus snapshot and feed it to `fuzzy_dedup_incremental` so the
+    next crawl deduplicates against history without re-signing the
+    corpus. Returns None for an empty signature frame (unknown width).
+    """
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+        if sig_len_row is None:
+            return None
+        num_hashes = sig_len_row["n"]
+    rows_per_band = max(1, num_hashes // num_bands)
+
+    def _band_hash(b: int) -> Column:
+        members = [
+            F.element_at(F.col("signature"), b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        # all-NULL signatures (empty docs) must never share a bucket;
+        # minhash mins are all-NULL or all-set per row, so one member
+        # decides (concat_ws would silently map NULLs to "")
+        return F.when(members[0].isNotNull(), F.xxhash64(*members, F.lit(b)))
+
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[_band_hash(b) for b in range(num_bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    ).filter(F.col("band_hash").isNotNull())
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     num_bands: int = 8,
@@ -203,29 +244,9 @@ def minhash_lsh_candidates(
     Pass `num_hashes` (the signature length) when known — otherwise a
     separate job peeks at one row to learn it.
     """
-    if num_hashes is None:
-        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-        if sig_len_row is None:
-            return signatures.sparkSession.createDataFrame([], "a_id long, b_id long")
-        num_hashes = sig_len_row["n"]
-    rows_per_band = max(1, num_hashes // num_bands)
-
-    def _band_hash(b: int) -> Column:
-        members = [
-            F.element_at(F.col("signature"), b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        # all-NULL signatures (empty docs) must never share a bucket;
-        # minhash mins are all-NULL or all-set per row, so one member
-        # decides (concat_ws would silently map NULLs to "")
-        return F.when(members[0].isNotNull(), F.xxhash64(*members, F.lit(b)))
-
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[_band_hash(b) for b in range(num_bands)])).alias(
-            "band_id", "band_hash"
-        ),
-    ).filter(F.col("band_hash").isNotNull())
+    banded = minhash_band_table(signatures, num_bands, id_col, num_hashes)
+    if banded is None:
+        return signatures.sparkSession.createDataFrame([], "a_id long, b_id long")
 
     a = banded.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("a_id")
@@ -385,3 +406,85 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (crawl N+1 vs the historical corpus)
+# ---------------------------------------------------------------------------
+#
+# Production corpora grow by batches; re-deduplicating the whole corpus
+# per batch is O(corpus) per crawl. These operators dedup a NEW batch
+# against lightweight MANIFESTS of what's already kept — a digest column
+# (exact) or the minhash band table (fuzzy) — so per-batch cost is
+# O(batch + manifest join), mirroring how IVFIndex.add grows the index
+# without a rebuild.
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "content_md5",
+) -> DataFrame:
+    """Exact dedup of a new batch against history, then within itself.
+
+    `seen_digests` carries one `digest_col` column (the running
+    manifest; `exact_dedup_incremental(...).select(digest_col)` of each
+    accepted batch appends to it). Anti-join on the digest — one
+    hash-shuffle keyed exactly like exact_dedup_text. Output keeps the
+    batch's lowest id per novel digest, with `digest_col` attached for
+    the caller's manifest append.
+    """
+    hashed = new_docs.withColumn(digest_col, F.md5(F.col(text_col)))
+    novel = hashed.join(
+        seen_digests.select(digest_col).distinct(), digest_col, "left_anti"
+    )
+    return dedup_by_key(novel, [digest_col], order_cols=[F.col(id_col).asc()])
+
+
+def fuzzy_dedup_incremental(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a new batch against a band-table manifest.
+
+    A new document is dropped when ANY of its minhash bands collides
+    with a band in `seen_bands` (minhash_band_table of the kept corpus).
+    Collision-implies-duplicate (no exact-Jaccard verify): the verify
+    stage needs the historical shingle sets, which a manifest this
+    shape deliberately doesn't carry — precision is the banding's
+    (tunable via num_bands/num_hashes: fewer, wider bands = higher
+    collision threshold). Within-batch near-dups are the existing
+    clustering.fuzzy_dedup's job; run it on the survivors.
+
+    Returns (survivors, new_bands_of_survivors) — append the second to
+    the manifest for the next batch. Shuffle shape: one band-hash join
+    against the manifest, never O(batch × corpus).
+    """
+    sigs = minhash_signatures(
+        new_docs, num_hashes=num_hashes, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    new_bands = minhash_band_table(sigs, num_bands, id_col, num_hashes)
+    if new_bands is None:
+        return new_docs, new_docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, band_id int, band_hash bigint"
+        )
+    hits = (
+        new_bands.join(
+            seen_bands.select("band_id", "band_hash").distinct(),
+            ["band_id", "band_hash"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_docs.join(hits, id_col, "left_anti")
+    kept_bands = new_bands.join(hits, id_col, "left_anti")
+    return survivors, kept_bands

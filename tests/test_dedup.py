@@ -222,3 +222,88 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
            for r in D.ngram_jaccard_pairs(docs, cands, shingle_n=3).collect()}
     assert out[(1, 2)] == pytest.approx(1.0)
     assert out[(1, 3)] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch vs corpus manifests)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_incremental(spark):
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_dedup_text,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    manifest = exact_dedup_text(corpus).select("content_md5")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),      # dup of corpus doc 0 -> dropped
+            (11, "epsilon zeta"),    # novel
+            (12, "epsilon zeta"),    # within-batch dup of 11 -> dropped
+            (13, "gamma delta"),     # dup of corpus doc 1 -> dropped
+            (14, "eta theta"),       # novel
+        ],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup_incremental(batch, manifest)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 14]
+    # manifest append round 2: re-presenting the same batch drops all
+    manifest2 = manifest.unionByName(kept.select("content_md5"))
+    again = exact_dedup_incremental(batch, manifest2)
+    assert again.count() == 0
+
+
+def test_fuzzy_dedup_incremental(spark):
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts compile recursive grammars beneath the observatory"
+    )
+    other = (
+        "completely different content about submarine volcanoes and "
+        "fermented tea ceremonies in the northern archipelago basin"
+    )
+    corpus = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    sigs = minhash_signatures(corpus)
+    manifest = minhash_band_table(sigs)
+    batch = spark.createDataFrame(
+        [
+            (10, base),                          # verbatim dup -> dropped
+            (11, base.replace("lazy", "sleepy")),  # near-dup -> dropped
+            (12, other),                         # novel -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept, kept_bands = fuzzy_dedup_incremental(batch, manifest)
+    assert [r["doc_id"] for r in kept.collect()] == [12]
+    # returned bands cover exactly the survivors
+    assert {r["doc_id"] for r in kept_bands.select("doc_id").distinct().collect()} == {12}
+    # round 2 with the appended manifest: doc 12's twin now drops too
+    manifest2 = manifest.select("band_id", "band_hash").unionByName(
+        kept_bands.select("band_id", "band_hash")
+    )
+    batch2 = spark.createDataFrame([(20, other)], "doc_id long, text string")
+    kept2, _ = fuzzy_dedup_incremental(batch2, manifest2)
+    assert kept2.count() == 0
+
+
+def test_fuzzy_incremental_empty_batch(spark):
+    from shotit_worker_spark.operators.dedup import fuzzy_dedup_incremental
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    manifest = spark.createDataFrame([], "doc_id long, band_id int, band_hash bigint")
+    kept, bands = fuzzy_dedup_incremental(empty, manifest)
+    assert kept.count() == 0 and bands.count() == 0
