@@ -16,7 +16,7 @@ demands it — the join shape is already what that needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
@@ -114,4 +114,38 @@ def domain_report(
         .agg(F.count("*").alias("docs"))
         .orderBy(F.col("docs").desc(), F.col("domain").asc())
         .limit(top_n)
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most `max_docs` documents per registered domain — the
+    anti-spam cap every web corpus applies after blocklisting.
+
+    Winners are the top rows by `order_col` (a quality score usually;
+    `descending=False` for ascending metrics like perplexity), or an
+    arbitrary-but-deterministic hash order when None. One window over
+    the domain — same shuffle key as domain_report, so the two share a
+    partitioning when chained. NULL-domain rows (unparseable URLs) form
+    their own bucket and get capped like any other; filter them first
+    if they should be exempt.
+    """
+    if max_docs <= 0:
+        raise ValueError(f"max_docs must be positive, got {max_docs}")
+    if order_col is None:
+        order = [F.xxhash64(F.col(url_col)).asc()]
+    else:
+        order = [
+            F.col(order_col).desc() if descending else F.col(order_col).asc()
+        ]
+    w = Window.partitionBy(url_domain(url_col)).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_docs)
+        .drop("__rank")
     )

@@ -77,3 +77,26 @@ def test_guards(spark, urls_df):
     bad = spark.createDataFrame([("a.com",)], "d string")
     with pytest.raises(ValueError, match="domain"):
         U.filter_domains(urls_df, bad)
+
+
+def test_cap_per_domain(spark):
+    from shotit_worker_spark.functions.urls import cap_per_domain
+
+    rows = [
+        (i, f"https://farm.example.com/p{i}", float(i)) for i in range(6)
+    ] + [(10, "https://rare.org/x", 0.5), (11, "not a url", 1.0), (12, "also not", 2.0)]
+    df = spark.createDataFrame(rows, "id long, url string, score double")
+    capped = cap_per_domain(df, 2, order_col="score")
+    got = sorted(r["id"] for r in capped.collect())
+    # example.com keeps its 2 highest scores (ids 4, 5); rare.org keeps
+    # its only doc; the NULL-domain bucket keeps its top 2 (both rows)
+    assert got == [4, 5, 10, 11, 12]
+    # deterministic hash order when no score given
+    a = sorted(r["id"] for r in cap_per_domain(df, 1).collect())
+    b = sorted(r["id"] for r in cap_per_domain(df, 1).collect())
+    assert a == b and len(a) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        cap_per_domain(df, 0)

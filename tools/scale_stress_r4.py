@@ -25,13 +25,13 @@ from shotit_worker_spark.session import get_spark
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 
 
-def synth_docs(spark, n, words=120):
+def synth_docs(spark, n, words=120, salt=""):
     """~`words`-word pseudo-docs with a source column (8 sources) and
     planted PII in 1 doc per 50."""
     wcols = F.array(
         *[
             F.substring(
-                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}"))), 1, 6
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}{salt}"))), 1, 6
             )
             for i in range(words)
         ]
@@ -106,6 +106,35 @@ def main():
         N_DOCS,
         lambda: MX.shuffle_deterministic(mixed).write.mode("overwrite").format("noop").save(),
     )
+
+    # incremental dedup: 100 k corpus manifest vs a 10 k batch with 20%
+    # planted dups (exact twins of corpus docs)
+    from shotit_worker_spark.operators import dedup as DD
+
+    corpus_sigs = DD.minhash_signatures(docs)
+    manifest = DD.minhash_band_table(corpus_sigs).cache()
+    manifest.count()
+    batch = synth_docs(spark, 10_000, salt="b2").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    # make 20% of the batch exact twins of corpus docs (same text)
+    twins = docs.filter(F.col("doc_id") % 50 < 10).limit(2_000).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "source", "text"
+    )
+    batch = batch.limit(8_000).unionByName(twins)
+    bench(
+        "exact_dedup_incremental_10k_vs_100k",
+        10_000,
+        lambda: DD.exact_dedup_incremental(
+            batch, docs.select(F.md5("text").alias("content_md5"))
+        ).count(),
+    )
+    bench(
+        "fuzzy_dedup_incremental_10k_vs_100k",
+        10_000,
+        lambda: DD.fuzzy_dedup_incremental(batch, manifest)[0].count(),
+    )
+    manifest.unpersist()
 
     # rerank: 64 queries × 200 candidates = 12.8 k scored pairs
     qs = docs.filter(F.col("doc_id") < 64).select(
