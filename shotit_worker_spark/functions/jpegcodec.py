@@ -639,9 +639,10 @@ def encode_jpeg(
 ) -> bytes:
     """Encode (H, W, 3) uint8 RGB to baseline JFIF JPEG bytes.
 
-    `subsample=True` writes 4:2:0 (the libjpeg/ffmpeg default shape),
-    False writes 4:4:4. Grayscale callers pass a replicated-channel
-    array and accept the (identical-chroma) color encoding.
+    `subsample`: True/"420" writes 4:2:0 (the libjpeg/ffmpeg default
+    shape), "422" horizontal-only chroma subsampling, False/"444" full
+    chroma. Grayscale callers pass a replicated-channel array and
+    accept the (identical-chroma) color encoding.
     `restart_interval > 0` emits a DRI segment and RSTn markers every
     that many MCUs (the resync points ffmpeg's MJPEG streams carry) —
     also the round-trip exercise for the decoder's restart path.
@@ -651,20 +652,28 @@ def encode_jpeg(
     h, w = rgb.shape[:2]
     if not h or not w:
         raise JPEGError("empty image")
+    mode = {True: "420", False: "444"}.get(subsample, subsample)
+    if mode not in ("420", "422", "444"):
+        raise JPEGError(f"unknown subsampling {subsample!r}")
     f = rgb.astype(np.float64)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
     cb = np.clip(np.round(128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b), 0, 255)
     cr = np.clip(np.round(128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b), 0, 255)
-    if subsample:
-        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+    if mode != "444":
+        vstep = 2 if mode == "420" else 1
+        eh = -(-h // vstep) * vstep
+        ew = -(-w // 2) * 2
+
         def down(p):
             p = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
-            return np.round(
-                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
-            )
+            cols = (p[:, 0::2] + p[:, 1::2]) / 2.0
+            if vstep == 2:
+                cols = (cols[0::2, :] + cols[1::2, :]) / 2.0
+            return np.round(cols)
+
         cb, cr = down(cb), down(cr)
-        hs, vs = 2, 2
+        hs, vs = 2, vstep
     else:
         hs, vs = 1, 1
 

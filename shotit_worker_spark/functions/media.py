@@ -593,15 +593,27 @@ def resize_images(
     frames: DataFrame,
     height: int = FRAME_HEIGHT,
     image_col: str = "image",
+    out_format: str = "ppm",
 ) -> DataFrame:
     """Image resize (scale=-2:height, the reference's ffmpeg geometry —
     hasher.js:87): binary in → binary + (width, height) metadata out.
 
     REAL for decodable images: bilinear resample to `height`, width
     chosen to keep aspect and forced even (ffmpeg's -2), re-encoded as
-    PPM. Undecodable bytes fall back to a deterministic stub so the
-    column stays total. Arrow-vectorized pandas UDF returning a struct.
+    PPM or JPEG (`out_format` — "jpeg" is the reference's own thumbnail
+    format, ~10× smaller when the resized table persists). Undecodable
+    bytes fall back to a deterministic stub so the column stays total.
+    Arrow-vectorized pandas UDF returning a struct.
     """
+    if out_format == "ppm":
+        _enc = IC.encode_ppm
+    elif out_format == "jpeg":
+        from .jpegcodec import encode_jpeg
+
+        def _enc(img):
+            return encode_jpeg(img, quality=93)
+    else:
+        raise ValueError(f"unknown out_format {out_format!r}")
     out_t = StructType(
         [
             StructField("image", BinaryType(), False),
@@ -622,7 +634,7 @@ def resize_images(
                 src_h, src_w = rgb.shape[:2]
                 w = max(2, int(round(src_w * height / src_h / 2)) * 2)
                 resized = _bilinear_resize(rgb, height, w)
-                imgs.append(IC.encode_ppm(resized))
+                imgs.append(_enc(resized))
             except IC.UnsupportedImageError:
                 # fake source aspect in [4:3, ~21:9], even width
                 h8 = hashlib.blake2b(img, digest_size=8).digest()

@@ -175,3 +175,41 @@ def test_restart_interval_roundtrip():
         assert b"\xff\xdd" in data  # DRI present
         assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
         np.testing.assert_array_equal(decode_jpeg(data), plain)
+
+
+def test_subsample_modes_roundtrip():
+    """All three chroma layouts round-trip through the decoder —
+    including 4:2:2, whose h2v1 fancy-upsample path nothing else
+    exercises. Smooth content: mode only changes chroma fidelity."""
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    img = _smooth(37, 53)
+    sizes = {}
+    for mode in ("420", "422", "444"):
+        data = encode_jpeg(img, quality=90, subsample=mode)
+        back = decode_jpeg(data)
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).mean() < 4.0
+        sizes[mode] = len(data)
+    # 444 carries 2-4x the chroma blocks; 420-vs-422 ordering is
+    # content-dependent on smooth gradients, so only pin the big gap
+    assert max(sizes["420"], sizes["422"]) < sizes["444"]
+    with pytest.raises(JPEGError, match="unknown subsampling"):
+        encode_jpeg(img, subsample="411")
+
+
+def test_resize_images_jpeg_output(spark):
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.imagecodec import encode_ppm
+
+    img = _smooth(90, 160)
+    frames = spark.createDataFrame(
+        [(0, encode_ppm(img))], "img_id long, image binary"
+    )
+    out = M.resize_images(frames, height=36, out_format="jpeg").collect()
+    blob = bytes(out[0]["resized"]["image"]) if "resized" in out[0].asDict() else bytes(out[0]["image"])
+    assert IC.sniff_format(blob) == "jpeg"
+    dec = IC.decode_image(blob)
+    assert dec.shape == (36, 64, 3)
+    with pytest.raises(ValueError, match="out_format"):
+        M.resize_images(frames, out_format="bmp")
