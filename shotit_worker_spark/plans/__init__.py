@@ -1,1 +1,1 @@
-from . import ingest, search
+from . import corpus, ingest, search

@@ -1,0 +1,141 @@
+"""End-to-end corpus preparation: the whole LLM-data pipeline in one
+declared plan.
+
+The reference's analog is §3.2's ingest chain (video → frames →
+descriptors → dedup → load); for text corpora the industry-standard
+chain is
+
+    normalize → domain filter → PII scrub → quality filter →
+    exact dedup → fuzzy dedup → mix to token budget →
+    deterministic shuffle → size-targeted write
+
+`prepare_corpus` composes exactly the library operators for each stage
+(every one individually scale-audited in SCALE_NOTES.md), with each
+stage optional, and returns a per-stage row-count report so a run is
+auditable. Laziness note: stages chain as ONE logical plan wherever
+Spark allows — narrow stages (normalize/filters/redact) fuse into a
+single scan; only dedup/mix/shuffle introduce their own shuffles, each
+keyed as its operator documents. `report=True` adds one count() job per
+enabled stage (off for production runs, on for audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import pii as PII
+from ..functions import text as TX
+from ..functions import urls as U
+from ..operators import clustering as CL
+from ..operators import dedup as D
+from ..operators import mixing as MX
+from ..sources.sized_writer import write_sized_parquet
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    out_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    url_col: str | None = None,
+    normalize: bool = True,
+    domain_blocklist: list[str] | DataFrame | None = None,
+    max_docs_per_domain: int | None = None,
+    redact: bool = False,
+    quality: bool | dict[str, Column] = True,
+    exact_dedup: bool = True,
+    fuzzy_threshold: float | None = 0.8,
+    weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    shuffle_seed: int | None = 0,
+    target_file_mb: float = 256,
+    report: bool = False,
+) -> dict:
+    """Run the corpus-prep chain; write parquet if `out_path` is given.
+
+    Stage order and defaults follow the public-pipeline convention
+    (cheap scans first, shuffling dedups after the row count has been
+    cut, sampling/order last). `weights`+`token_budget` enable the
+    mixing stage; `fuzzy_threshold=None` skips near-dup dedup;
+    `quality` accepts a custom rule dict (operators.filters shape).
+
+    Returns {"df": final DataFrame, "stages": {name: rows}|None,
+    "write": sized-writer info|None}. The returned df is the lazy plan
+    when `report=False` — callers can extend it before any job runs.
+    """
+    from ..operators import filters as FL
+
+    stages: dict[str, int] | None = {} if report else None
+    cur = docs
+
+    def _mark(name: str) -> None:
+        if stages is not None:
+            stages[name] = cur.count()
+
+    _mark("input")
+    if normalize:
+        cur = cur.withColumn(text_col, TX.normalize_text(text_col))
+        _mark("normalize")
+    if url_col is not None and domain_blocklist is not None:
+        cur = U.filter_domains(cur, domain_blocklist, url_col=url_col)
+        _mark("domain_blocklist")
+    if url_col is not None and max_docs_per_domain:
+        cur = U.cap_per_domain(cur, max_docs_per_domain, url_col=url_col)
+        _mark("domain_cap")
+    if redact:
+        cur = cur.withColumn(text_col, PII.redact_pii(text_col))
+        _mark("redact")
+    if quality:
+        rules = quality if isinstance(quality, dict) else None
+        cur = FL.quality_filter(cur, rules=rules, text_col=text_col)
+        _mark("quality")
+    if exact_dedup:
+        cur = D.exact_dedup_text(cur, text_col=text_col, id_col=id_col).drop(
+            "content_md5"
+        )
+        _mark("exact_dedup")
+    if fuzzy_threshold is not None:
+        cur = CL.fuzzy_dedup(
+            cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
+        ).drop("cluster_id")
+        _mark("fuzzy_dedup")
+    if weights is not None and token_budget is not None:
+        cur = MX.mix_corpora(
+            cur,
+            weights,
+            token_budget,
+            source_col=source_col,
+            id_col=id_col,
+            text_col=text_col,
+            seed=shuffle_seed or 0,
+        )
+        _mark("mix")
+    elif shuffle_seed is not None:
+        # shuffle wants the epoch column mixing would have added
+        cur = cur.withColumn("epoch", F.lit(0))
+
+    write_info = None
+    if shuffle_seed is not None:
+        # materialize the permutation key so the sized writer can
+        # range-partition on it — files then PRESERVE the shuffled
+        # order (a round-robin write would scramble it again)
+        key = F.xxhash64(F.col(id_col), F.col("epoch"), F.lit(shuffle_seed))
+        keyed = cur.withColumn("__shuffle_key", key)
+        if out_path is not None:
+            write_info = write_sized_parquet(
+                keyed,
+                out_path,
+                target_file_mb=target_file_mb,
+                mode="overwrite",
+                order_col="__shuffle_key",
+                drop_order_col=True,
+            )
+        cur = keyed.orderBy("__shuffle_key").drop("__shuffle_key")
+        _mark("shuffle")
+    elif out_path is not None:
+        write_info = write_sized_parquet(
+            cur, out_path, target_file_mb=target_file_mb, mode="overwrite"
+        )
+    return {"df": cur, "stages": stages, "write": write_info}

@@ -58,26 +58,39 @@ def write_sized_parquet(
     mode: str = "error",
     compression_ratio: float = DEFAULT_COMPRESSION_RATIO,
     sample_rows: int = 2_000,
+    order_col: str | None = None,
+    drop_order_col: bool = False,
 ) -> dict:
     """Write `df` as parquet files of ~`target_file_mb` each.
 
     With `partition_cols` the data is hash-distributed on those columns
     (so each output directory's files stay target-sized on average and
     downstream co-partitioned reads work); without, round-robin
-    repartition gives uniformly sized files. Returns the sizing
+    repartition gives uniformly sized files. With `order_col` the files
+    PRESERVE a global order (repartitionByRange + sortWithinPartitions
+    on that column — what a shuffled training corpus needs, since a
+    round-robin repartition would scramble it); `drop_order_col` elides
+    a synthetic sort key from the written schema. Returns the sizing
     decision ({rows, est_row_bytes, n_files}) so pipelines can log it.
     """
     if target_file_mb <= 0:
         raise ValueError(f"target_file_mb must be positive, got {target_file_mb}")
+    if order_col is not None and partition_cols:
+        raise ValueError("order_col and partition_cols are mutually exclusive")
     target_bytes = int(target_file_mb * (1 << 20))
     row_bytes = estimate_row_bytes(df, sample_rows, compression_ratio)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows * row_bytes / target_bytes))
-    out = (
-        df.repartition(n_files, *[F.col(c) for c in partition_cols])
-        if partition_cols
-        else df.repartition(n_files)
-    )
+    if order_col is not None:
+        out = df.repartitionByRange(n_files, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+        if drop_order_col:
+            out = out.drop(order_col)
+    elif partition_cols:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+    else:
+        out = df.repartition(n_files)
     rows_per_file = max(1, int(target_bytes / row_bytes))
     writer = (
         out.write.mode(mode)

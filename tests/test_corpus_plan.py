@@ -1,0 +1,156 @@
+"""End-to-end corpus preparation (plans/corpus.py): the full
+normalize → scrub → filter → dedup → mix → shuffle → sized-write chain
+on the documents fixture, stage report semantics, order preservation
+in the written files, and stage toggles."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.plans.corpus import prepare_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant: one exact dup, one PII doc, one junk doc
+    extra = spark.createDataFrame(
+        [
+            (900001, base.first()["text"], "en", "src0", 1),
+            (
+                900002,
+                "email me: a@b.com "
+                + "the quick brown fox is in the garden and it is resting " * 8,
+                "en",
+                "src1",
+                1,
+            ),
+            (900003, "#$%^&*" * 50, "en", "src1", 1),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra)
+
+
+def test_full_chain_with_report(spark, docs, tmp_root):
+    out = str(tmp_root / "corpus_full")
+    res = prepare_corpus(
+        docs,
+        out,
+        redact=True,
+        weights={f"src{i}": 1.0 for i in range(20)},
+        token_budget=20_000,
+        shuffle_seed=7,
+        target_file_mb=0.05,
+        report=True,
+    )
+    st = res["stages"]
+    assert st["input"] == docs.count()
+    # monotone shrink through the cleaning stages
+    assert st["quality"] <= st["redact"] <= st["normalize"] == st["input"]
+    assert st["exact_dedup"] < st["quality"]  # planted dup died
+    assert st["fuzzy_dedup"] <= st["exact_dedup"]
+    assert res["write"]["n_files"] >= 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == st["shuffle"]
+    assert "__shuffle_key" not in back.columns
+    # redaction happened before the write (mix admission may or may not
+    # sample the planted doc — the raw address must never appear)
+    assert back.filter(F.col("text").contains("a@b.com")).count() == 0
+    # junk doc filtered
+    assert back.filter(F.col("doc_id") == 900003).count() == 0
+
+
+def test_redaction_visible_without_sampling(spark, docs):
+    res = prepare_corpus(
+        docs,
+        None,
+        redact=True,
+        quality=False,
+        exact_dedup=False,
+        fuzzy_threshold=None,
+        shuffle_seed=None,
+    )
+    df = res["df"]
+    assert df.filter(F.col("text").contains("a@b.com")).count() == 0
+    assert df.filter(F.col("text").contains("<EMAIL>")).count() == 1
+
+
+def test_written_order_matches_returned_order(spark, docs, tmp_root):
+    out = str(tmp_root / "corpus_order")
+    res = prepare_corpus(
+        docs,
+        out,
+        fuzzy_threshold=None,
+        shuffle_seed=3,
+        target_file_mb=0.02,
+    )
+    returned = [r["doc_id"] for r in res["df"].select("doc_id").collect()]
+    # read files back in filename order: global order must match the
+    # returned (shuffled) order — the writer range-partitioned on the key
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(out, "part-*"))
+        if f.endswith(".parquet")
+    )
+    assert len(files) > 1
+    from_files = []
+    for f in files:
+        from_files += [
+            r["doc_id"] for r in spark.read.parquet(f).select("doc_id").collect()
+        ]
+    assert from_files == returned
+    # seed changes the permutation
+    res2 = prepare_corpus(docs, None, fuzzy_threshold=None, shuffle_seed=4)
+    other = [r["doc_id"] for r in res2["df"].select("doc_id").collect()]
+    assert other != returned and sorted(other) == sorted(returned)
+
+
+def test_stage_toggles_lazy(spark, docs):
+    res = prepare_corpus(
+        docs,
+        None,
+        normalize=False,
+        quality=False,
+        exact_dedup=False,
+        fuzzy_threshold=None,
+        shuffle_seed=None,
+        redact=False,
+    )
+    assert res["stages"] is None and res["write"] is None
+    # nothing enabled → the plan is the input, untouched
+    assert res["df"].count() == docs.count()
+
+
+def test_url_stages(spark, docs):
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    res = prepare_corpus(
+        with_urls,
+        None,
+        url_col="url",
+        domain_blocklist=["src0.example.com"],
+        max_docs_per_domain=5,
+        fuzzy_threshold=None,
+        exact_dedup=False,
+        quality=False,
+        shuffle_seed=None,
+        report=True,
+    )
+    df = res["df"]
+    assert df.filter(F.col("source") == "src0").count() == 0
+    per = df.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert per <= 5
