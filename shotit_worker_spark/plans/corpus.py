@@ -69,10 +69,22 @@ def prepare_corpus(
 
     stages: dict[str, int] | None = {} if report else None
     cur = docs
+    prev_cached: DataFrame | None = None
 
     def _mark(name: str) -> None:
-        if stages is not None:
-            stages[name] = cur.count()
+        # report mode materializes each stage ONCE (persist + count),
+        # releasing the previous stage's blocks — without this, every
+        # count() re-executes the whole upstream chain (quadratic in
+        # stages, with fuzzy dedup in the middle). Production runs keep
+        # report=False: one action, one pass, no pinned storage.
+        nonlocal cur, prev_cached
+        if stages is None:
+            return
+        cur = cur.persist()
+        stages[name] = cur.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cur
 
     _mark("input")
     if normalize:
@@ -97,6 +109,12 @@ def prepare_corpus(
         )
         _mark("exact_dedup")
     if fuzzy_threshold is not None:
+        # fuzzy dedup's clustering loop runs several internal actions
+        # (signature/candidate jobs, per-round label propagation), each
+        # of which would re-execute the whole uncached upstream chain —
+        # persist the cleaned corpus once here (report mode already did)
+        if stages is None:
+            cur = cur.persist()
         cur = CL.fuzzy_dedup(
             cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
         ).drop("cluster_id")

@@ -22,18 +22,36 @@ from shotit_worker_spark.operators import mixing as MX
 from shotit_worker_spark.operators import rerank as RR
 from shotit_worker_spark.session import get_spark
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_DOCS = int(_pos[0]) if _pos else 100_000
 
 
-def synth_docs(spark, n, words=120, salt=""):
+STOPS = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"]
+
+
+def synth_docs(spark, n, words=120, salt="", natural=False):
     """~`words`-word pseudo-docs with a source column (8 sources) and
-    planted PII in 1 doc per 50."""
+    planted PII in 1 doc per 50. `natural=True` interleaves stopwords
+    so the docs pass the Gopher-style quality rules (the plain md5-word
+    form is all-gibberish by construction and fails the stopword
+    floor — correct behavior for the filter, wrong corpus for a
+    full-chain stress)."""
     wcols = F.array(
         *[
-            F.substring(
-                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}{salt}"))), 1, 6
-            )
+            c
             for i in range(words)
+            for c in (
+                [F.lit(STOPS[i % len(STOPS)])] if natural and i % 3 == 0 else []
+            )
+            + [
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit(f"w{i}{salt}"))
+                    ),
+                    1,
+                    6,
+                )
+            ]
         ]
     )
     text = F.concat_ws(" ", wcols)
@@ -153,5 +171,43 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--corpus" not in sys.argv:
     main()
+
+
+def stress_corpus_plan(n_docs=100_000):
+    """The whole prepare_corpus chain at 100 k docs with a sized write."""
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.plans.corpus import prepare_corpus
+
+    spark = get_spark("stress-corpus", shuffle_partitions=32)
+    docs = synth_docs(spark, n_docs, natural=True).cache()
+    docs.count()
+    out = tempfile.mkdtemp(prefix="corpus_stress_")
+    try:
+        t0 = time.time()
+        res = prepare_corpus(
+            docs,
+            out + "/corpus",
+            redact=True,
+            weights={f"src{i}": 1.0 for i in range(8)},
+            token_budget=n_docs * 120,
+            shuffle_seed=1,
+            target_file_mb=8,
+        )
+        dt = time.time() - t0
+        print(json.dumps({
+            "op": "prepare_corpus_full_chain", "rows_in": n_docs,
+            "result_rows": res["write"]["rows"], "sec": round(dt, 2),
+            "rows_per_sec": int(n_docs / dt), "n_files": res["write"]["n_files"],
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+if "--corpus" in sys.argv:
+    stress_corpus_plan()
+    sys.exit(0)
