@@ -1,0 +1,179 @@
+"""BPE tokenizer training + encoding (LLM-pipeline surface).
+
+`functions.text.bpe_token_count` estimates token counts with the GPT-2
+pre-tokenizer regex alone; this module adds the real thing: train a
+byte-pair-encoding merge table on a corpus and encode/count with it.
+
+Spark-first shape (the reason this scales): BPE training never needs
+the corpus — it needs the WORD HISTOGRAM (Sennrich et al., 2016 train
+on word frequencies). So the distributed part is exactly ONE
+aggregation job (pre-tokenize → explode → count), whose output is
+vocabulary-sized (≤ a few million rows), optionally truncated to the
+top-N words (the frequency tail can't affect early merges). The greedy
+merge loop then runs driver-side on that histogram — the textbook
+algorithm, seconds of CPU — and the learned merge ranks broadcast back
+into an Arrow-batched encode UDF. 100 TB of text, one wide job.
+
+Determinism: ties in pair frequency break lexicographically, so the
+same corpus always yields the same merge table.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import BPE_SPLIT_PATTERN
+
+END = "</w>"  # end-of-word sentinel, per the original BPE formulation
+
+
+def word_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int | None = 1_000_000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(word, count) over the GPT-2 pre-tokenized corpus — the ONLY
+    distributed step of BPE training. Map-side partial counts; the
+    shuffle carries distinct words, not the corpus. `max_words` keeps
+    the driver-side table bounded (tail words can't affect merges
+    ranked by frequency)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    pieces = F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0)
+    words = (
+        docs.select(F.explode(pieces).alias("word"))
+        .select(F.trim(F.col("word")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    if max_words:
+        words = words.orderBy(F.col("count").desc(), F.col("word").asc()).limit(
+            max_words
+        )
+    return words
+
+
+def train_bpe_from_histogram(
+    histogram: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning on a (word, count) histogram — pure
+    Python on a vocabulary-sized input (the classic algorithm; not a
+    Spark job by design, see module docstring)."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [END], int(c)) for w, c in histogram if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # highest count, ties broken by lexicographically smallest pair
+        # — deterministic for reproducible vocabularies
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for i, (syms, c) in enumerate(words):
+            j = 0
+            out = []
+            n = len(syms)
+            while j < n:
+                if j < n - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (out, c)
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 1000,
+    text_col: str = "text",
+    max_words: int | None = 1_000_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """One-call training: histogram job + driver-side merge loop."""
+    hist = [
+        (r["word"], r["count"])
+        for r in word_histogram(docs, text_col, max_words, lowercase).collect()
+    ]
+    return train_bpe_from_histogram(hist, num_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_udf(
+    merges: list[tuple[str, str]], lowercase: bool = True
+) -> "callable":
+    """Arrow-batched UDF factory: text → array<string> of BPE tokens.
+
+    The merge ranks ride the closure (broadcast with the serialized UDF
+    — a few MB for a 50 k-merge vocabulary); per-word encodes are
+    memoized per Python worker, so hot words cost one dict lookup.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    import re
+
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    cache: dict[str, list[str]] = {}
+
+    def _encode_text(t):
+        if t is None:
+            return []
+        if lowercase:
+            t = t.lower()
+        out: list[str] = []
+        for piece in pat.findall(t):
+            piece = piece.strip()
+            if not piece:
+                continue
+            toks = cache.get(piece)
+            if toks is None:
+                toks = _encode_word(piece, ranks)
+                if len(cache) < 500_000:
+                    cache[piece] = toks
+            out.extend(toks)
+        return out
+
+    def _batch(s):
+        return s.map(_encode_text)
+
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_batch, "array<string>")
+
+
+def bpe_token_count_trained(
+    text: Column | str, merges: list[tuple[str, str]], lowercase: bool = True
+) -> Column:
+    """Exact token count under a trained merge table (vs text.py's
+    pre-tokenizer lower bound)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(bpe_encode_udf(merges, lowercase)(col))

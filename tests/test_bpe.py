@@ -1,0 +1,99 @@
+"""BPE training + encoding (functions/bpe.py): hand-worked merges on a
+tiny histogram, determinism, Spark-histogram == python-Counter parity,
+round-trip token concatenation, trained-count vs pre-tokenizer bound,
+and the memoized encode UDF on the fixture corpus."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import bpe as B
+from shotit_worker_spark.functions.text import BPE_SPLIT_PATTERN
+
+
+def test_hand_worked_merges():
+    # classic example: low/lower/lowest family
+    hist = [("low", 5), ("lower", 2), ("lowest", 6)]
+    merges = B.train_bpe_from_histogram(hist, 4)
+    # pair counts round 1: (l,o)=13, (o,w)=13, (w,</w>)=5, (w,e)=8, ...
+    # max 13 tie → lexicographic: ('l','o') < ('o','w')
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")  # now (lo,w)=13 dominates
+    # after "low": (low,e)=8 beats (low,</w>)=5
+    assert merges[2] == ("low", "e")
+    assert merges[3] == ("lowe", "s")
+    encoded = B._encode_word("lowest", {tuple(m): i for i, m in enumerate(merges)})
+    assert encoded == ["lowes", "t", B.END]  # merges applied in rank order
+
+
+def test_histogram_matches_python_counter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    got = {
+        r["word"]: r["count"]
+        for r in B.word_histogram(docs, max_words=None).collect()
+    }
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    expect: Counter = Counter()
+    for r in docs.select("text").collect():
+        for piece in pat.findall(r["text"].lower()):
+            piece = piece.strip()
+            if piece:
+                expect[piece] += 1
+    assert got == dict(expect)
+
+
+def test_train_deterministic_and_encode_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    m1 = B.train_bpe(docs, num_merges=60, max_words=None)
+    m2 = B.train_bpe(docs, num_merges=60, max_words=None)
+    assert m1 == m2 and len(m1) == 60
+
+    enc = B.bpe_encode_udf(m1)
+    rows = docs.select("text", enc(F.col("text")).alias("toks")).collect()
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    for r in rows[:20]:
+        # concatenating tokens (minus sentinels) reproduces the
+        # pre-tokenized text exactly — BPE is lossless
+        rebuilt = "".join(r["toks"]).replace(B.END, "")
+        pieces = "".join(
+            p.strip() for p in pat.findall(r["text"].lower()) if p.strip()
+        )
+        assert rebuilt == pieces
+
+
+def test_trained_count_at_most_char_count_and_merges_help(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    few = B.train_bpe(docs, num_merges=5, max_words=None)
+    many = B.train_bpe(docs, num_merges=200, max_words=None)
+    counts = docs.select(
+        B.bpe_token_count_trained("text", few).alias("few"),
+        B.bpe_token_count_trained("text", many).alias("many"),
+    ).agg(F.sum("few").alias("few"), F.sum("many").alias("many")).first()
+    # more merges → never more tokens, and materially fewer here
+    assert counts["many"] < counts["few"]
+
+
+def test_max_words_truncation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = B.word_histogram(docs, max_words=10).collect()
+    assert len(top) == 10
+    full = B.word_histogram(docs, max_words=None)
+    top_counts = sorted((r["count"] for r in top), reverse=True)
+    best_full = [
+        r["count"]
+        for r in full.orderBy(F.col("count").desc(), F.col("word").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert top_counts == sorted(best_full, reverse=True)
