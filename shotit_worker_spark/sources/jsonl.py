@@ -1,0 +1,90 @@
+"""JSONL corpus source/sink — the interchange format text corpora ship
+in (one JSON object per line, typically gzip members per shard).
+
+Thin by design: Spark's native json reader already handles line-split
+JSON, .gz/.zst codecs, and malformed-row policies; this wraps it with
+the corpus-specific decisions so every pipeline entry point makes them
+the same way:
+
+  - an EXPLICIT schema (never inference — schema inference is a full
+    extra pass over 100 TB before the real one);
+  - PERMISSIVE corrupt-line handling with the bad line preserved in
+    `_corrupt_record` (web-scale jsonl always has some), plus a helper
+    to count/split them;
+  - a deterministic synthetic doc_id for corpora that ship without one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# the common-crawl-style document schema most public corpora use a
+# subset of; pass your own to load_jsonl_corpus for anything else
+DEFAULT_SCHEMA = (
+    "text string, url string, source string, lang string, "
+    "timestamp string, meta map<string,string>"
+)
+CORRUPT_COL = "_corrupt_record"
+
+
+def load_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = DEFAULT_SCHEMA,
+    add_doc_id: bool = True,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read a jsonl/jsonl.gz corpus with the fixed policy above.
+
+    `add_doc_id` synthesizes a deterministic id from
+    xxhash64(input file, text) — stable across reruns and cluster
+    layouts (unlike monotonically_increasing_id), collision-safe in the
+    only way that matters for a corpus: two rows colliding implies same
+    file + same text, which dedup would fold anyway. `keep_corrupt`
+    retains unparseable lines (NULL fields + raw line in
+    `_corrupt_record`) for auditing; default drops them.
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = schema.add(CORRUPT_COL, "string")
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if add_doc_id:
+        df = df.withColumn(
+            "doc_id", F.xxhash64(F.input_file_name(), F.col("text"))
+        )
+    if not keep_corrupt:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
+
+
+def corrupt_line_count(df: DataFrame) -> int:
+    """Audit helper for keep_corrupt=True loads.
+
+    Spark refuses queries that reference ONLY the corrupt-record column
+    of a raw json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    documented workaround is materializing the frame first, so this
+    caches for the count and releases the blocks after.
+    """
+    if CORRUPT_COL not in df.columns:
+        return 0
+    cached = df.cache()
+    try:
+        return cached.filter(F.col(CORRUPT_COL).isNotNull()).count()
+    finally:
+        cached.unpersist()
+
+
+def write_jsonl_corpus(
+    df: DataFrame, path: str, compression: str = "gzip", mode: str = "error"
+) -> None:
+    """One jsonl(.gz) shard per partition — size the partitioning with
+    sized_writer-style repartition upstream when shard size matters."""
+    df.write.mode(mode).option("compression", compression).json(path)

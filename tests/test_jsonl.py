@@ -1,0 +1,72 @@
+"""JSONL corpus source (sources/jsonl.py): gz round-trip, corrupt-line
+policy, deterministic doc ids, custom schema."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.sources import jsonl as J
+
+DOCS = [
+    {"text": "the first document", "url": "https://a.com/1", "source": "web",
+     "lang": "en", "timestamp": "2026-01-01", "meta": {"k": "v"}},
+    {"text": "the second document", "url": "https://b.org/2", "source": "web",
+     "lang": "en", "timestamp": "2026-01-02", "meta": {}},
+    {"text": "dokument drei", "url": None, "source": "books", "lang": "de",
+     "timestamp": None, "meta": None},
+]
+
+
+def _write_shard(path, rows, corrupt_lines=0):
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        for i in range(corrupt_lines):
+            f.write(f"{{not valid json #{i}\n")
+
+
+def test_roundtrip_and_corrupt_policy(spark, tmp_root):
+    src = tmp_root / "jsonl_src"
+    src.mkdir()
+    _write_shard(str(src / "shard-000.jsonl.gz"), DOCS[:2], corrupt_lines=2)
+    _write_shard(str(src / "shard-001.jsonl.gz"), DOCS[2:])
+
+    df = J.load_jsonl_corpus(spark, str(src))
+    rows = {r["text"]: r for r in df.collect()}
+    assert set(rows) == {d["text"] for d in DOCS}
+    assert rows["the first document"]["meta"]["k"] == "v"
+    assert "_corrupt_record" not in df.columns
+    # doc ids: present, distinct, deterministic across re-reads
+    ids1 = sorted(r["doc_id"] for r in df.collect())
+    ids2 = sorted(r["doc_id"] for r in J.load_jsonl_corpus(spark, str(src)).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 3
+
+    kept = J.load_jsonl_corpus(spark, str(src), keep_corrupt=True)
+    assert J.corrupt_line_count(kept) == 2
+    assert kept.count() == 5
+
+    # round-trip through the writer
+    out = str(tmp_root / "jsonl_out")
+    J.write_jsonl_corpus(df.drop("doc_id"), out)
+    back = J.load_jsonl_corpus(spark, out, add_doc_id=False)
+    assert {r["text"] for r in back.collect()} == set(rows)
+    gz = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert gz  # compressed shards
+
+
+def test_custom_schema(spark, tmp_root):
+    src = tmp_root / "jsonl_custom"
+    src.mkdir()
+    _write_shard(
+        str(src / "s.jsonl.gz"),
+        [{"body": "alpha", "score": 1.5}, {"body": "beta", "score": 2.0}],
+    )
+    df = J.load_jsonl_corpus(
+        spark, str(src), schema="body string, score double", add_doc_id=False
+    )
+    assert df.columns == ["body", "score"]
+    assert df.agg(F.sum("score")).first()[0] == 3.5
