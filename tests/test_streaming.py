@@ -170,3 +170,58 @@ def test_stream_session_windows_subset_of_batch(spark, events, events_dir, tmp_r
     }
     assert got <= batch
     assert len(got) >= len(batch) * 0.9
+
+
+def test_corpus_cleaning_kernels_under_streaming(spark, tmp_root):
+    """The corpus-prep cleaning kernels (normalize, PII redact, quality
+    predicates, chunking) are stateless Catalyst/codegen expressions, so
+    they must run unchanged inside a Structured Streaming micro-batch —
+    pinning that a streaming ingest can clean documents on the way in."""
+    from shotit_worker_spark.functions import pii as PII
+    from shotit_worker_spark.functions import text as TX
+    from shotit_worker_spark.operators.chunking import chunk_documents
+    from shotit_worker_spark.streaming import ingest as SI
+
+    rows = [
+        (1, "Contact  me:\t a@b.com  " + "the quick brown fox is here " * 6),
+        (2, "“smart quotes” and\x00control " + "and it is the thing that is " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_root / "corpus_stream_src"
+    src.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
+
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=df.schema, glob="*.parquet", recursive=True
+    )
+    cleaned = stream.withColumn(
+        "text", PII.redact_pii(TX.normalize_text("text"))
+    ).withColumn("n_tokens", TX.token_count("text"))
+    chunked = chunk_documents(cleaned, chunk_tokens=8, overlap_tokens=2,
+                              keep_cols=("n_tokens",))
+    q = (
+        chunked.writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_corpus_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM corpus_stream").collect()
+    assert got
+    full = " ".join(r["chunk_text"] for r in got if r["doc_id"] == 1)
+    assert "a@b.com" not in full and "<EMAIL>" in full
+    d2 = " ".join(r["chunk_text"] for r in got if r["doc_id"] == 2)
+    assert "\x00" not in d2 and "“" not in d2
+    # streaming output == batch output of the same plan
+    batch_chunks = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(
+            df.withColumn("text", PII.redact_pii(TX.normalize_text("text")))
+            .withColumn("n_tokens", TX.token_count("text")),
+            chunk_tokens=8, overlap_tokens=2, keep_cols=("n_tokens",),
+        ).collect()
+    )
+    stream_chunks = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in got)
+    assert stream_chunks == batch_chunks
