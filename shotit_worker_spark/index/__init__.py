@@ -1,1 +1,2 @@
 from .ivf import IVFIndex, assign_centroids, build_ivf, ivf_search
+from .pq import IVFPQIndex, build_ivfpq

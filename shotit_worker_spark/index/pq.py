@@ -1,0 +1,322 @@
+"""IVF_PQ: product-quantized IVF index (the third Milvus index family
+beside IVF_FLAT / IVF_SQ8 — the reference deploys IVF_SQ8,
+/root/reference/loader.js:333; PQ is what the same deployments move to
+when the vector table outgrows SQ8's 1 byte/dim).
+
+Product quantization (Jégou et al., 2011): split each D-dim vector
+into `m` subvectors, KMeans each subspace into 256 centroids, store
+one byte per subspace — m bytes/vector total (dim-64 → 8 bytes at m=8,
+32× under float32, 8× under SQ8). Search scores codes WITHOUT
+reconstruction via asymmetric distance computation (ADC): per query,
+precompute LUT[j][k] = <q_j, codebook_j[k]> (an (m, 256) table),
+then every row's inner product with the query is m table lookups.
+
+Spark shapes, mirroring index/ivf.py:
+  - codebooks fit on a driver-side sample (numpy Lloyd per subspace —
+    codebook training is sample-based in FAISS/Milvus too);
+  - encoding is a vectorized Arrow UDF (m small matmuls per batch);
+  - the layout is the same centroid-partitioned parquet, so partition
+    pruning, `open()` sidecar persistence, and incremental `add()`
+    carry over;
+  - ADC scoring is a mapInPandas kernel over the probed partitions —
+    one numpy gather per batch, the corpus never shuffles; the final
+    top-k is TakeOrderedAndProject / a per-query window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ivf import (
+    DEFAULT_NLIST,
+    DEFAULT_NPROBE,
+    DEFAULT_TOPK,
+    KMEANS_SEED,
+    _fit_centroids,
+    _read_meta,
+    _write_meta,
+    assign_centroids,
+)
+
+
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Plain L2 Lloyd on a numpy sample (codebook training).
+
+    Distances via argmax(2<x,c> − ||c||²) — an (n, k) matmul, never the
+    (n, k, d) broadcast difference (which is hundreds of GB at the
+    200 k-sample cap)."""
+    k = min(k, len(x))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(2.0 * (x @ cents.T) - (cents**2).sum(axis=1), axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def fit_pq_codebooks(
+    sample: np.ndarray, m: int, seed: int = KMEANS_SEED, ksub: int = 256
+) -> np.ndarray:
+    """(m, ksub, D/m) codebooks from a (n, D) sample."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub]),
+                ksub,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _encode_codes_udf(codebooks: np.ndarray, vec_col: str):
+    """array<double> vector → array<tinyint>[m] PQ codes (Arrow UDF;
+    per-subspace nearest centroid via ||x-c||² = ||x||² - 2<x,c> + ||c||²,
+    one (batch, dsub) @ (dsub, ksub) product per subspace)."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    cb_norm = (cb**2).sum(axis=2)  # (m, ksub)
+
+    def _enc(s: pd.Series) -> pd.Series:
+        x = np.array(s.tolist(), dtype=np.float64)
+        out = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            # argmin distance == argmax (2<x,c> - ||c||²)
+            out[:, j] = np.argmax(2.0 * (sub @ cb[j].T) - cb_norm[j], axis=1)
+        return pd.Series([(row - 128).astype(np.int8).tolist() for row in out])
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_enc, "array<tinyint>")(F.col(vec_col))
+
+
+@dataclass
+class IVFPQIndex:
+    """Built IVF_PQ index: centroid-partitioned parquet of `pq_code`
+    columns + driver-held coarse centroids and codebooks."""
+
+    path: str
+    centroids: np.ndarray  # (nlist, D)
+    codebooks: np.ndarray  # (m, 256, D/m)
+    vec_col: str = "vector"
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    def save_meta(self, spark: SparkSession) -> None:
+        _write_meta(
+            spark,
+            self.path,
+            {
+                "format_version": 1,
+                "kind": "ivf_pq",
+                "vec_col": self.vec_col,
+                "nlist": int(len(self.centroids)),
+                "dim": int(self.centroids.shape[1]),
+                "m": int(self.m),
+                "centroids": self.centroids.tolist(),
+                "codebooks": self.codebooks.tolist(),
+            },
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
+        meta = _read_meta(spark, path)
+        if meta.get("kind") != "ivf_pq":
+            raise ValueError(f"not an IVF_PQ index sidecar at {path}")
+        return cls(
+            path=path,
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            codebooks=np.asarray(meta["codebooks"], dtype=np.float64),
+            vec_col=meta["vec_col"],
+        )
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def probe_ids(self, query: np.ndarray, nprobe: int) -> list[int]:
+        scores = self.centroids @ np.asarray(query, dtype=np.float64)
+        order = np.argsort(-scores, kind="stable")
+        return [int(i) for i in order[: min(nprobe, len(order))]]
+
+    def _lut(self, query: np.ndarray) -> np.ndarray:
+        """(m, 256) ADC table: LUT[j][k] = <q_j, codebook_j[k]>."""
+        q = np.asarray(query, dtype=np.float64)
+        m, ksub, dsub = self.codebooks.shape
+        return np.einsum(
+            "jd,jkd->jk", q.reshape(m, dsub), self.codebooks
+        )
+
+    def _adc_scored(
+        self, df: DataFrame, luts: dict[int, np.ndarray], probes: dict[int, list[int]],
+        cols: list[str],
+    ) -> DataFrame:
+        """mapInPandas ADC kernel: for each row, score against every
+        query whose probe set includes the row's centroid. `luts` maps
+        query_id → (m, 256); `probes` maps query_id → centroid ids."""
+        spark = df.sparkSession
+        m = self.m
+        # centroid → [query_id] inverted once, broadcast with the LUT stack
+        qids = sorted(luts)
+        lut_stack = np.stack([luts[q] for q in qids])  # (Q, m, 256)
+        cent_to_q: dict[int, list[int]] = {}
+        for qi, qid in enumerate(qids):
+            for c in probes[qid]:
+                cent_to_q.setdefault(int(c), []).append(qi)
+        b_lut = spark.sparkContext.broadcast(lut_stack)
+        b_map = spark.sparkContext.broadcast(cent_to_q)
+        b_qids = spark.sparkContext.broadcast(qids)
+
+        src = df.select(*cols, "pq_code", "centroid_id")
+        id_fields = ", ".join(
+            f"{c} {dict(df.dtypes)[c]}" for c in cols
+        )
+
+        def _score(batches):
+            lut, cmap, qlist = b_lut.value, b_map.value, b_qids.value
+            rng_m = np.arange(m)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64) + 128
+                cents = pdf["centroid_id"].to_numpy()
+                out_cols: dict[str, list] = {"query_id": [], "score": []}
+                for c in cols:
+                    out_cols[c] = []
+                for cent in np.unique(cents):
+                    hits = cmap.get(int(cent))
+                    if not hits:
+                        continue
+                    mask = cents == cent
+                    sub = codes[mask]  # (n, m)
+                    for qi in hits:
+                        s = lut[qi][rng_m, sub].sum(axis=1)  # (n,)
+                        out_cols["query_id"].extend(
+                            [qlist[qi]] * len(s)
+                        )
+                        out_cols["score"].extend(s)
+                        for c in cols:
+                            out_cols[c].extend(pdf[c].to_numpy()[mask])
+                yield pd.DataFrame(out_cols)
+
+        return src.mapInPandas(
+            _score, schema=f"query_id long, score double, {id_fields}"
+        )
+
+    def search(
+        self,
+        spark: SparkSession,
+        query: np.ndarray,
+        k: int = DEFAULT_TOPK,
+        nprobe: int = DEFAULT_NPROBE,
+        id_col: str = "hash_id",
+        tie_col: str | None = "primary_key",
+    ) -> DataFrame:
+        probes = self.probe_ids(query, nprobe)
+        df = self.load(spark).filter(F.col("centroid_id").isin(probes))
+        cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
+        scored = self._adc_scored(
+            df, {0: self._lut(query)}, {0: probes}, cols
+        ).drop("query_id")
+        order = [F.col("score").desc()] + ([F.col(tie_col).asc()] if tie_col else [])
+        return scored.select(*cols, "score").orderBy(*order).limit(k)
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = DEFAULT_TOPK,
+        nprobe: int = DEFAULT_NPROBE,
+        id_col: str = "hash_id",
+        tie_col: str | None = "primary_key",
+    ) -> DataFrame:
+        luts = {int(qid): self._lut(q) for qid, q in queries}
+        probes = {int(qid): self.probe_ids(q, nprobe) for qid, q in queries}
+        union = sorted({c for ps in probes.values() for c in ps})
+        df = self.load(spark).filter(F.col("centroid_id").isin(union))
+        cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
+        scored = self._adc_scored(df, luts, probes, cols)
+        order = [F.col("score").desc()] + ([F.col(tie_col).asc()] if tie_col else [])
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.select("query_id", *cols, "score")
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__rank")
+        )
+
+    def add(self, new_rows: DataFrame) -> None:
+        """Incremental insert with the EXISTING coarse centroids and
+        codebooks — same contract as IVFIndex.add."""
+        spark = new_rows.sparkSession
+        existing_cols = spark.read.parquet(self.path).columns
+        assigned = assign_centroids(
+            new_rows, self.centroids, self.vec_col
+        ).repartition(F.col("centroid_id"))
+        coded = assigned.withColumn(
+            "pq_code", _encode_codes_udf(self.codebooks, self.vec_col)
+        ).drop(self.vec_col)
+        coded.select(*existing_cols).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self.path)
+
+
+def build_ivfpq(
+    index_rows: DataFrame,
+    path: str,
+    nlist: int = DEFAULT_NLIST,
+    m: int = 8,
+    seed: int = KMEANS_SEED,
+    vec_col: str = "vector",
+    sample_cap: int = 200_000,
+    fit_method: str = "auto",
+) -> IVFPQIndex:
+    """Fit coarse centroids + PQ codebooks, encode, write partitioned.
+
+    Codebooks train on the same driver-side sample regime as the coarse
+    quantizer (`sample_cap`); at 100 TB both fits see a sample while
+    encoding/layout run distributed — the FAISS/Milvus training shape.
+    """
+    centroids = _fit_centroids(
+        index_rows, vec_col, nlist, seed, sample_cap, method=fit_method
+    )
+    sample = np.array(
+        [
+            r["v"]
+            for r in index_rows.select(
+                F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .limit(sample_cap)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        raise ValueError("build_ivfpq: input DataFrame has no rows")
+    codebooks = fit_pq_codebooks(sample, m, seed)
+    assigned = assign_centroids(index_rows, centroids, vec_col).repartition(
+        F.col("centroid_id")
+    )
+    coded = assigned.withColumn(
+        "pq_code", _encode_codes_udf(codebooks, vec_col)
+    ).drop(vec_col)
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    index = IVFPQIndex(
+        path=path, centroids=centroids, codebooks=codebooks, vec_col=vec_col
+    )
+    index.save_meta(index_rows.sparkSession)
+    return index

@@ -1,0 +1,152 @@
+"""IVF_PQ (index/pq.py): encode correctness vs a numpy oracle, ADC
+score == reconstructed-vector dot, recall floor vs the exact kernel at
+full probe, batch≡single, open() persistence, incremental add, and the
+m-bytes storage win."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.functions import vector as V
+from shotit_worker_spark.index import pq as PQ
+from shotit_worker_spark.operators import similarity as S
+
+NLIST = 8
+M = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        V.l2_normalize(V.to_double_array("embedding")).alias("vector"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_root):
+    return PQ.build_ivfpq(corpus, str(tmp_root / "ivfpq"), nlist=NLIST, m=M)
+
+
+def _vecs(corpus):
+    return {r["vec_id"]: np.array(r["vector"]) for r in corpus.collect()}
+
+
+def test_codes_match_numpy_oracle(spark, corpus, index):
+    df = index.load(spark)
+    rows = {r["vec_id"]: np.array(r["pq_code"], dtype=np.int64) + 128 for r in df.collect()}
+    vecs = _vecs(corpus)
+    cb = index.codebooks
+    m, ksub, dsub = cb.shape
+    for vid in list(vecs)[:40]:
+        v = vecs[vid]
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            expect = int(np.argmin(((cb[j] - sub) ** 2).sum(axis=1)))
+            assert rows[vid][j] == expect, (vid, j)
+
+
+def test_adc_equals_reconstructed_dot(spark, corpus, index):
+    """ADC's LUT-sum must equal the dot product with the PQ-reconstructed
+    vector exactly (it's the same sum, associativity aside)."""
+    vecs = _vecs(corpus)
+    q = vecs[3]
+    got = {
+        r["vec_id"]: r["score"]
+        for r in index.search(
+            spark, q, k=500, nprobe=NLIST, id_col="vec_id", tie_col=None
+        ).collect()
+    }
+    df = index.load(spark)
+    codes = {r["vec_id"]: np.array(r["pq_code"], dtype=np.int64) + 128 for r in df.collect()}
+    cb = index.codebooks
+    m, ksub, dsub = cb.shape
+    for vid in list(got)[:50]:
+        recon = np.concatenate([cb[j][codes[vid][j]] for j in range(m)])
+        assert got[vid] == pytest.approx(float(recon @ q), rel=1e-9)
+
+
+def test_recall_floor_vs_exact(spark, corpus, index):
+    vecs = _vecs(corpus)
+    hits = 0
+    total = 0
+    for vid in [0, 7, 42, 123, 321]:
+        q = vecs[vid]
+        approx = [
+            r["vec_id"]
+            for r in index.search(
+                spark, q, k=10, nprobe=NLIST, id_col="vec_id", tie_col=None
+            ).collect()
+        ]
+        exact = [
+            r["vec_id"]
+            for r in S.exact_topk(
+                corpus, list(q), k=10, vec_col="vector", id_col="vec_id",
+                tie_col=None,
+            ).collect()
+        ]
+        hits += len(set(approx) & set(exact))
+        total += 10
+    # PQ at m=8 over dim-64 normalized embeddings: lossy but useful;
+    # the floor catches codebook/ADC regressions without flaking
+    assert hits / total >= 0.5
+    # self-retrieval: the query's own code should rank it near the top
+    top = [
+        r["vec_id"]
+        for r in index.search(spark, vecs[7], k=5, nprobe=NLIST,
+                              id_col="vec_id", tie_col=None).collect()
+    ]
+    assert 7 in top
+
+
+def test_batch_matches_single(spark, corpus, index):
+    vecs = _vecs(corpus)
+    queries = [(11, vecs[11]), (22, vecs[22]), (33, vecs[33])]
+    batch = index.search_batch(
+        spark, queries, k=5, nprobe=3, id_col="vec_id", tie_col=None
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for qid, q in queries:
+        single = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in index.search(
+                spark, q, k=5, nprobe=3, id_col="vec_id", tie_col=None
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+
+def test_open_and_add(spark, corpus, tmp_root):
+    first = corpus.filter(F.col("vec_id") < 250)
+    rest = corpus.filter(F.col("vec_id") >= 250)
+    path = str(tmp_root / "ivfpq_add")
+    PQ.build_ivfpq(first, path, nlist=NLIST, m=M)
+    reopened = PQ.IVFPQIndex.open(spark, path)
+    # ksub may be < 256 when the training sample is smaller
+    assert reopened.codebooks.shape[0] == M
+    assert reopened.codebooks.shape[2] == 64 // M
+    reopened.add(rest)
+    df = reopened.load(spark)
+    assert df.count() == corpus.count()
+    vecs = _vecs(corpus)
+    top = [
+        r["vec_id"]
+        for r in reopened.search(spark, vecs[400], k=5, nprobe=NLIST,
+                                 id_col="vec_id", tie_col=None).collect()
+    ]
+    assert 400 in top
+
+
+def test_storage_is_m_bytes(spark, index):
+    df = index.load(spark)
+    row = df.first()
+    assert len(row["pq_code"]) == M
+    assert "vector" not in df.columns
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.fit_pq_codebooks(np.zeros((10, 62)), M)
