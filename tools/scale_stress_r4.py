@@ -242,3 +242,66 @@ def stress_bpe(n_docs=100_000):
 if "--bpe" in sys.argv:
     stress_bpe()
     sys.exit(0)
+
+
+def stress_ivfpq(n_vecs=100_000, dim=64):
+    """IVF_PQ at 100 k vectors: build (fit+encode+write), single and
+    batch ADC search."""
+    import tempfile
+    import shutil
+
+    import numpy as np
+
+    from shotit_worker_spark.index import pq as PQ
+
+    spark = get_spark("stress-ivfpq", shuffle_partitions=32)
+    comps = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"d{i}"))),
+                        1, 6,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / F.lit(16777215.0)
+                - 0.5
+            )
+            for i in range(dim)
+        ]
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), comps.alias("vector")
+    ).cache()
+    vecs.count()
+    out = tempfile.mkdtemp(prefix="ivfpq_stress_")
+    try:
+        t0 = time.time()
+        idx = PQ.build_ivfpq(vecs, out + "/idx", nlist=64, m=8, sample_cap=20_000)
+        t_build = time.time() - t0
+        q = np.array(vecs.filter(F.col("vec_id") == 17).first()["vector"])
+        t0 = time.time()
+        top = idx.search(spark, q, k=15, nprobe=8, id_col="vec_id", tie_col=None).collect()
+        t_search = time.time() - t0
+        qs = [(i, np.array(r["vector"])) for i, r in enumerate(
+            vecs.filter(F.col("vec_id") < 32).collect())]
+        t0 = time.time()
+        n_batch = idx.search_batch(spark, qs, k=15, nprobe=8,
+                                   id_col="vec_id", tie_col=None).count()
+        t_batch = time.time() - t0
+        print(json.dumps({
+            "op": "ivfpq_100k", "rows_in": n_vecs,
+            "build_sec": round(t_build, 2), "search_sec": round(t_search, 2),
+            "batch32_sec": round(t_batch, 2),
+            "self_in_top15": any(r["vec_id"] == 17 for r in top),
+            "batch_rows": n_batch,
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+if "--ivfpq" in sys.argv:
+    stress_ivfpq()
+    sys.exit(0)
