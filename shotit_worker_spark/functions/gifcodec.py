@@ -1,0 +1,244 @@
+"""Pure-python GIF decoder (87a/89a, incl. animation).
+
+Web corpora are full of GIFs; the reference's sniff falls back to
+"jpg" for anything non-PNG (/root/reference/searcher.js:151-155), but a
+corpus pipeline should decode them for real. GIF is fully
+deterministic (palette + LZW, no lossy stage), so decode parity with
+any correct reader is bit-exact.
+
+Supported: global/local color tables, interlacing, transparency,
+graphic-control disposal methods 0-3 (3 = restore-to-previous),
+per-frame delays (centiseconds → the variable-rate timeline G1
+sampling uses). Malformed input raises GIFError.
+
+Frames are composited to full-canvas RGB the way a viewer shows them:
+the canvas starts as the background color, each frame draws its
+(possibly partial, possibly transparent) rect, and disposal decides
+what the NEXT frame starts from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["GIFError", "GIFInfo", "is_gif", "parse_gif_info", "iter_gif_frames"]
+
+
+class GIFError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class GIFInfo:
+    width: int
+    height: int
+    n_frames: int
+    delays_cs: tuple[int, ...]  # per-frame delay, centiseconds (0 = unset)
+
+    @property
+    def duration(self) -> float:
+        # viewers clamp 0/1cs delays to ~10 cs; use the raw sum with a
+        # 1 cs floor so a zero-delay GIF still has a timeline
+        return sum(max(d, 1) for d in self.delays_cs) / 100.0
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> np.ndarray:
+    """GIF LZW: variable-width codes LSB-first, dictionary resets on
+    CLEAR, stops at END or when `expected` pixels are out."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+
+    bitpos = 0
+    total_bits = len(data) * 8
+    buf = int.from_bytes(data, "little")
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    prev: tuple[int, ...] | None = None
+    while n_out < expected:
+        if bitpos + width > total_bits:
+            break  # truncated stream: return what decoded
+        code = (buf >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise GIFError("bad first LZW code")
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise GIFError("LZW code out of sequence")
+        take = min(len(entry), expected - n_out)
+        out[n_out : n_out + take] = entry[:take]
+        n_out += take
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if n_out < expected:
+        out[n_out:] = 0  # pad truncated frames with index 0
+    return out
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    out = np.empty_like(idx)
+    rows = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out[rows] = idx
+    return out
+
+
+def _blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at pos."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise GIFError("truncated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        parts.append(data[pos : pos + n])
+        pos += n
+    return b"".join(parts), pos
+
+
+def _parse(data: bytes):
+    """Yield composited RGB frames + delays; shared by info & iter."""
+    if not is_gif(data):
+        raise GIFError("not a GIF")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    if gct is not None and bg_index < len(gct):
+        canvas = np.tile(gct[bg_index], (h, w, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+
+    delay_cs = 0
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            body, pos = _blocks(data, pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                disposal = (body[0] >> 2) & 0x07
+                transparent = body[3] if body[0] & 0x01 else None
+                delay_cs = int.from_bytes(body[1:3], "little")
+            continue
+        if b != 0x2C:
+            raise GIFError(f"unexpected block 0x{b:02X} at {pos}")
+        # image descriptor
+        left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+        fw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        fh = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        fpacked = data[pos + 9]
+        pos += 10
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                n, 3
+            )
+            pos += 3 * n
+        if table is None:
+            raise GIFError("image with no color table")
+        mcs = data[pos]
+        pos += 1
+        raw, pos = _blocks(data, pos)
+        idx = _lzw_decode(mcs, raw, fw * fh).reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _deinterlace(idx)
+
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + fh, left : left + fw]
+        safe_idx = np.minimum(idx, len(table) - 1)
+        drawn = table[safe_idx]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            rect[...] = np.where(mask, drawn, rect)
+        else:
+            rect[...] = drawn
+        yield canvas.copy(), delay_cs
+
+        if disposal == 2:  # restore to background
+            if gct is not None and bg_index < len(gct):
+                canvas[top : top + fh, left : left + fw] = gct[bg_index]
+            else:
+                canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+        delay_cs = 0
+        transparent = None
+        disposal = 0
+
+
+def parse_gif_info(data: bytes) -> GIFInfo:
+    w = int.from_bytes(data[6:8], "little") if is_gif(data) else 0
+    h = int.from_bytes(data[8:10], "little") if is_gif(data) else 0
+    delays = tuple(d for _, d in _parse(data))
+    if not delays:
+        raise GIFError("GIF contains no image blocks")
+    return GIFInfo(w, h, len(delays), delays)
+
+
+def iter_gif_frames(data: bytes) -> Iterator[np.ndarray]:
+    for frame, _ in _parse(data):
+        yield frame
+
+
+def gif_frame_times(data: bytes) -> list[float]:
+    """Start time (seconds) of each frame on the playback timeline
+    (delays floored to 1 cs like viewers treat 0-delay frames)."""
+    times = []
+    t = 0.0
+    for _, d in _parse(data):
+        times.append(t)
+        t += max(d, 1) / 100.0
+    return times

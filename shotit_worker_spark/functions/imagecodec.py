@@ -44,6 +44,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -66,13 +68,21 @@ def decode_image(data: bytes) -> np.ndarray:
             from .jpegcodec import decode_jpeg
 
             return decode_jpeg(bytes(data))
+        if fmt == "gif":
+            from .gifcodec import iter_gif_frames
+
+            # still-image semantics: the first composited frame
+            frame = next(iter_gif_frames(bytes(data)), None)
+            if frame is None:
+                raise UnsupportedImageError("GIF with no image blocks")
+            return frame
     except UnsupportedImageError:
         raise
     except (ValueError, IndexError, struct.error, zlib.error) as exc:
         # includes jpegcodec.JPEGError (a ValueError): unsupported
         # process / corrupt stream both mean "fall back", not "crash"
         raise UnsupportedImageError(f"malformed image bytes: {exc}") from exc
-    raise UnsupportedImageError("not a PNG, JPEG, or PPM image")
+    raise UnsupportedImageError("not a PNG, JPEG, GIF, or PPM image")
 
 
 # -- PPM (P6, maxval 255) ---------------------------------------------------

@@ -157,6 +157,38 @@ def _sample_decoded(
             yield i, round((i + 0.5) / fps, 4), blob
 
 
+def _sample_gif(
+    content: bytes, fps: float, encoder=None
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for animated GIF — the first VARIABLE-frame-rate
+    container (per-frame delays, functions/gifcodec.py). Output slots
+    at t=(i+0.5)/fps map onto the source frame whose display interval
+    [start_j, start_{j+1}) contains t."""
+    import bisect
+
+    from . import gifcodec as GC
+
+    starts = GC.gif_frame_times(content)
+    if not starts:
+        return
+    info = GC.parse_gif_info(content)
+    duration = info.duration
+    n_out = max(1, int(duration * fps))
+    wanted: dict[int, list[int]] = {}
+    for i in range(n_out):
+        t = (i + 0.5) / fps
+        j = max(0, min(len(starts) - 1, bisect.bisect_right(starts, t) - 1))
+        wanted.setdefault(j, []).append(i)
+    out_w = max(2, 2 * round(info.width * FRAME_HEIGHT / info.height / 2))
+    for j, rgb in enumerate(GC.iter_gif_frames(content)):
+        if j not in wanted:
+            continue
+        scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
+        blob = (encoder or IC.encode_ppm)(scaled)
+        for i in wanted[j]:
+            yield i, round((i + 0.5) / fps, 4), blob
+
+
 def _sample_y4m(
     content: bytes, fps: float, encoder=None
 ) -> Iterator[tuple[int, float, bytes]]:
@@ -234,6 +266,14 @@ def decode_frames(
                 sampler = None
                 if VC.is_y4m(content):
                     sampler = _sample_y4m
+                elif content[:6] in (b"GIF87a", b"GIF89a"):
+                    from . import gifcodec as GC
+
+                    try:  # multi-frame GIFs sample like video; damaged fall to stub
+                        if GC.parse_gif_info(content).n_frames >= 1:
+                            sampler = _sample_gif
+                    except GC.GIFError:
+                        sampler = None
                 elif VC.is_avi(content):
                     try:  # MJPEG only; other AVI codecs fall to the stub
                         VC.parse_avi(content)

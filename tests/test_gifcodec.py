@@ -1,0 +1,124 @@
+"""GIF decoder (functions/gifcodec.py): bit-exact vs the JRE on
+single-frame goldens, the committed animated fixture's frames /
+timeline / contents, disposal + transparency semantics on hand-built
+streams, decode_image integration, and G1 variable-rate sampling."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import gifcodec as GC
+from shotit_worker_spark.functions import imagecodec as IC
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens", "gif")
+
+
+def _read(name):
+    with open(os.path.join(GOLD, name), "rb") as f:
+        return f.read()
+
+
+def test_single_frame_bit_exact_vs_java():
+    rasters = np.load(os.path.join(GOLD, "java_rasters.npz"))
+    for name in ("grad_48x64", "noise_23x37"):
+        data = _read(f"{name}.gif")
+        assert GC.is_gif(data) and IC.sniff_format(data) == "gif"
+        frames = list(GC.iter_gif_frames(data))
+        assert len(frames) == 1
+        np.testing.assert_array_equal(frames[0], rasters[name])
+        np.testing.assert_array_equal(IC.decode_image(data), rasters[name])
+
+
+def test_animated_fixture_frames_and_timeline():
+    data = _read("anim_12f.gif")
+    with open(os.path.join(GOLD, "anim_12f.json")) as f:
+        meta = json.load(f)
+    info = GC.parse_gif_info(data)
+    assert info.n_frames == meta["n_frames"]
+    assert list(info.delays_cs) == meta["delays_cs"]
+    assert (info.width, info.height) == (meta["width"], meta["height"])
+    frames = list(GC.iter_gif_frames(data))
+    for f, expect_red in zip(frames, meta["red_mean"]):
+        assert f[..., 0].mean() == pytest.approx(expect_red)
+    times = GC.gif_frame_times(data)
+    assert times[0] == 0.0
+    assert times == sorted(times)
+    assert times[-1] + info.delays_cs[-1] / 100.0 == pytest.approx(info.duration)
+
+
+def _mini_gif(disposal, transparent=None):
+    """2-frame 4x4: frame 1 full red; frame 2 a 2x2 green patch (index
+    3 transparent when requested)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_gif_goldens import build_animated_gif
+
+    palette = np.array(
+        [[0, 0, 255], [255, 0, 0], [0, 255, 0], [9, 9, 9]], dtype=np.uint8
+    )
+    f1 = np.ones((4, 4), dtype=np.uint8)
+    f2 = np.full((4, 4), 3 if transparent is not None else 0, dtype=np.uint8)
+    f2[1:3, 1:3] = 2
+    return build_animated_gif(
+        [f1, f2], palette, [10, 10], [disposal, 0], transparent=transparent
+    )
+
+
+def test_disposal_and_transparency():
+    # disposal 1 (leave) + transparency: frame 2 shows frame 1's red
+    # outside the green patch
+    frames = list(GC.iter_gif_frames(_mini_gif(disposal=1, transparent=3)))
+    assert tuple(frames[1][0, 0]) == (255, 0, 0)  # preserved
+    assert tuple(frames[1][1, 1]) == (0, 255, 0)  # drawn
+    # disposal 2 (restore background) + transparency: outside pixels
+    # return to the background color (index 0 = blue)
+    frames = list(GC.iter_gif_frames(_mini_gif(disposal=2, transparent=3)))
+    assert tuple(frames[1][0, 0]) == (0, 0, 255)
+    assert tuple(frames[1][1, 1]) == (0, 255, 0)
+    # no transparency: frame 2 overwrites fully
+    frames = list(GC.iter_gif_frames(_mini_gif(disposal=1)))
+    assert tuple(frames[1][0, 0]) == (0, 0, 255)
+
+
+def test_errors():
+    with pytest.raises(GC.GIFError):
+        GC.parse_gif_info(b"NOTAGIF")
+    with pytest.raises((GC.GIFError, IC.UnsupportedImageError)):
+        IC.decode_image(_read("anim_12f.gif")[:40])
+
+
+def test_gif_g1_variable_rate_sampling(spark):
+    """decode_frames on the animated fixture: 1.6 s timeline at 12 fps
+    → 19 output frames; each maps to the source frame whose display
+    interval covers its timestamp (variable delays!)."""
+    from shotit_worker_spark.functions import media as M
+
+    data = _read("anim_12f.gif")
+    videos = spark.createDataFrame(
+        [("store/tt5/loop.gif", data)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    assert len(rows) == 19  # int(1.6 * 12)
+    assert [r["time"] for r in rows] == [round((i + 0.5) / 12.0, 4) for i in range(19)]
+    img0 = IC.decode_image(bytes(rows[0]["image"]))
+    # scale=-2:180 of 40x30 → 240x180
+    assert img0.shape == (180, 240, 3)
+    # hand-check the variable-rate mapping for a few slots: source
+    # starts are [0.0, .2, .3, .4, .6, .7, .8, 1.0, 1.1, 1.2, 1.4, 1.5]
+    starts = GC.gif_frame_times(data)
+    frames = list(GC.iter_gif_frames(data))
+    import bisect
+
+    for i in (0, 3, 7, 18):
+        t = (i + 0.5) / 12.0
+        j = max(0, bisect.bisect_right(starts, t) - 1)
+        got = IC.decode_image(bytes(rows[i]["image"]))
+        # red-channel mean survives bilinear scaling approximately
+        assert abs(
+            float(got[..., 0].mean()) - float(frames[j][..., 0].mean())
+        ) < 3.0

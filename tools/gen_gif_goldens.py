@@ -1,0 +1,223 @@
+"""Generate GIF decoder goldens.
+
+Two artifact families under tests/goldens/gif/:
+  - single-frame GIFs written + decoded by the JRE (same harness family
+    as gen_jpeg_goldens): our decoder must match the Java rasters
+    BIT-EXACTLY (GIF has no lossy stage);
+  - an ANIMATED fixture built right here by a minimal pure-python GIF
+    writer (literal-code LZW with periodic CLEARs — valid, uncompressed)
+    with known palette/delays/disposals, plus a JSON of the expected
+    per-frame canvases' checksums and timeline.
+
+Usage: python tools/gen_gif_goldens.py   (needs javac/java)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from shotit_worker_spark.functions.imagecodec import encode_png
+
+OUT_DIR = os.path.join(REPO, "tests", "goldens", "gif")
+
+HARNESS = r"""
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.*;
+public class GifGold {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    ImageIO.write(img, "gif", new File(a[1]));
+    BufferedImage dec = ImageIO.read(new File(a[1]));
+    DataOutputStream out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(a[2])));
+    int W = dec.getWidth(), H = dec.getHeight();
+    out.writeInt(H); out.writeInt(W);
+    for (int y = 0; y < H; y++) for (int x = 0; x < W; x++) {
+      int rgb = dec.getRGB(x, y);
+      out.writeByte((rgb>>16)&255); out.writeByte((rgb>>8)&255);
+      out.writeByte(rgb&255);
+    }
+    out.close();
+  }
+}
+"""
+
+
+def synth(name: str, h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    if name.startswith("noise"):
+        rng = np.random.default_rng(sum(name.encode()))
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((xx // 4 + yy // 4) % 2 * 200 + 20).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+# ---- minimal GIF writer (literal-code LZW) --------------------------------
+
+
+def _lzw_literal(indices: np.ndarray, mcs: int) -> bytes:
+    """Encode pixel indices as literal LZW codes with CLEARs emitted
+    before the decoder's code width would grow — valid, uncompressed."""
+    clear = 1 << mcs
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    # decoder's next_code starts at clear+2 and grows by 1 per emitted
+    # literal (after the first); clear again before width would bump
+    budget = (1 << width) - (clear + 2) - 1
+    count = 0
+    for v in indices.ravel().tolist():
+        if count >= budget:
+            put(clear)
+            count = 0
+        put(int(v))
+        count += 1
+    put(clear + 1)  # END
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def build_animated_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_cs: list[int],
+    disposals: list[int],
+    transparent: int | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """frames: index arrays (h, w) into `palette` (n<=128, so mcs=7)."""
+    h, w = frames[0].shape
+    n = len(palette)
+    assert n <= 128
+    gct_bits = max(1, (n - 1).bit_length())
+    gct_n = 1 << gct_bits
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (gct_bits - 1))  # GCT flag + size
+    out.append(bg_index)
+    out.append(0)
+    gct = np.zeros((gct_n, 3), dtype=np.uint8)
+    gct[:n] = palette
+    out += gct.tobytes()
+    for idx, delay, disp in zip(frames, delays_cs, disposals):
+        flags = (disp & 7) << 2
+        tr = 0
+        if transparent is not None:
+            flags |= 1
+            tr = transparent
+        out += bytes([0x21, 0xF9, 4, flags]) + delay.to_bytes(2, "little") + bytes(
+            [tr, 0]
+        )
+        out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)  # no LCT, no interlace
+        out.append(mcs)
+        out += _sub_blocks(_lzw_literal(idx, mcs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "GifGold.java")
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-d", td, src], check=True)
+        rasters = {}
+        for name, h, w in [("grad_48x64", 48, 64), ("noise_23x37", 23, 37)]:
+            png = os.path.join(td, f"{name}.png")
+            with open(png, "wb") as f:
+                f.write(encode_png(synth(name, h, w)))
+            gif = os.path.join(OUT_DIR, f"{name}.gif")
+            raw = os.path.join(td, f"{name}.raw")
+            subprocess.run(
+                ["java", "-cp", td, "GifGold", png, gif, raw], check=True
+            )
+            with open(raw, "rb") as f:
+                hh = int.from_bytes(f.read(4), "big")
+                ww = int.from_bytes(f.read(4), "big")
+                rasters[name] = np.frombuffer(f.read(), dtype=np.uint8).reshape(
+                    hh, ww, 3
+                )
+            print(f"{name}: {os.path.getsize(gif)} B")
+        np.savez_compressed(os.path.join(OUT_DIR, "java_rasters.npz"), **rasters)
+
+    # animated fixture: 40x30 canvas, 12 frames, moving block over a
+    # striped background, varying delays, disposal 1 (leave)
+    h, w = 30, 40
+    palette = np.array(
+        [[10, 10, 40], [240, 240, 240], [200, 40, 40], [40, 200, 40]],
+        dtype=np.uint8,
+    )
+    frames = []
+    delays = []
+    for i in range(12):
+        idx = np.zeros((h, w), dtype=np.uint8)
+        idx[:, (np.arange(w) // 5) % 2 == 1] = 1
+        x0 = (i * 3) % (w - 8)
+        idx[10:18, x0 : x0 + 8] = 2 if i % 2 == 0 else 3
+        frames.append(idx)
+        delays.append(10 if i % 3 else 20)  # 0.1 s / 0.2 s mix
+    data = build_animated_gif(frames, palette, delays, [1] * 12)
+    with open(os.path.join(OUT_DIR, "anim_12f.gif"), "wb") as f:
+        f.write(data)
+    meta = {
+        "n_frames": 12,
+        "delays_cs": delays,
+        "width": w,
+        "height": h,
+        "palette": palette.tolist(),
+        # expected per-frame mean of the red channel (tracks the block
+        # color alternation), for order/content spot checks
+        "red_mean": [
+            float(palette[idx][..., 0].mean()) for idx in frames
+        ],
+    }
+    with open(os.path.join(OUT_DIR, "anim_12f.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"anim_12f.gif: {len(data)} B, duration {sum(delays)/100.0}s")
+
+
+if __name__ == "__main__":
+    main()
