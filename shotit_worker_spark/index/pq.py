@@ -113,6 +113,7 @@ class IVFPQIndex:
     centroids: np.ndarray  # (nlist, D)
     codebooks: np.ndarray  # (m, 256, D/m)
     vec_col: str = "vector"
+    n_assign: int = 1  # interface parity with IVFIndex (no multi-assign)
 
     @property
     def m(self) -> int:
@@ -217,6 +218,15 @@ class IVFPQIndex:
         return src.mapInPandas(
             _score, schema=f"query_id long, score double, {id_fields}"
         )
+
+    def _scored(self, df: DataFrame, query: np.ndarray, cols: list[str]) -> DataFrame:
+        """IVFIndex-interface scoring hook (plans/serve.ResidentSearcher
+        calls this on its pre-filtered cached table): ADC against every
+        centroid — the df's own filter decides what actually scores."""
+        all_probes = list(range(len(self.centroids)))
+        return self._adc_scored(
+            df, {0: self._lut(query)}, {0: all_probes}, cols
+        ).drop("query_id")
 
     def search(
         self,

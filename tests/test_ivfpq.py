@@ -150,3 +150,28 @@ def test_storage_is_m_bytes(spark, index):
     assert "vector" not in df.columns
     with pytest.raises(ValueError, match="not divisible"):
         PQ.fit_pq_codebooks(np.zeros((10, 62)), M)
+
+
+def test_resident_searcher_serves_pq(spark, corpus, index):
+    """The serving tier is index-family-agnostic: ResidentSearcher's
+    cached-table path works over IVF_PQ via the _scored hook, results
+    identical to IVFPQIndex.search at the same nprobe."""
+    from shotit_worker_spark.plans.serve import ResidentSearcher
+
+    searcher = ResidentSearcher(spark, index, id_col="vec_id", tie_col=None)
+    try:
+        vecs = _vecs(corpus)
+        q = vecs[42]
+        served = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in searcher.search(q, k=5, nprobe=NLIST).collect()
+        ]
+        direct = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in index.search(
+                spark, q, k=5, nprobe=NLIST, id_col="vec_id", tie_col=None
+            ).collect()
+        ]
+        assert served == direct
+    finally:
+        searcher.close()
