@@ -29,8 +29,8 @@ Kernel reality, per stage:
   stays on the real image path either way. With PyAV the fallback
   becomes open-container → sample at fps → scale → encode; signature
   unchanged.
-- Audio features: REAL for PCM WAV (stdlib `wave` + numpy FFT);
-  stub fallback for other bytes.
+- Audio features: REAL for PCM WAV and AIFF/AIFF-C (stdlib `wave` /
+  `aifc` + numpy FFT); stub fallback for other bytes.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -733,13 +733,14 @@ def audio_features(
     surface): (file, duration_sec, sample_rate, features: array<float>).
 
     mapInPandas over binaryFile rows, one row per clip. PCM WAV
-    (RIFF/WAVE, 8/16/32-bit integer) decodes FOR REAL — stdlib `wave`
-    + a numpy Hann-windowed average power spectrum pooled into `dim`
-    log-energy bands (_wav_features; VERDICT r3 #4). Non-WAV bytes keep
-    the deterministic blake2 stub so the plumbing stays total; with
-    librosa/soundfile that fallback becomes load → resample → log-mel
-    pooling at the same schema. Features feed the same similarity/dedup
-    operators as image vectors.
+    (RIFF/WAVE, 8/16/32-bit integer) and PCM AIFF/AIFF-C decode FOR
+    REAL — stdlib `wave`/`aifc` + a numpy Hann-windowed average power
+    spectrum pooled into `dim` log-energy bands (_wav_features /
+    _aiff_features; VERDICT r3 #4). Other bytes keep the deterministic
+    blake2 stub so the plumbing stays total; with librosa/soundfile
+    that fallback becomes load → resample → log-mel pooling at the
+    same schema. Features feed the same similarity/dedup operators as
+    image vectors.
     """
     out_t = StructType(
         [
@@ -764,6 +765,13 @@ def audio_features(
                         real = _wav_features(content, dim)
                     except Exception:
                         real = None  # malformed RIFF → stub fallback
+                elif content[:4] == b"FORM" and content[8:12] in (
+                    b"AIFF", b"AIFC",
+                ):
+                    try:
+                        real = _aiff_features(content, dim)
+                    except Exception:
+                        real = None  # malformed/compressed → stub
                 if real is not None:
                     duration, sr, feats = real
                     out["duration_sec"].append(duration)
@@ -812,6 +820,48 @@ def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
         raise ValueError(f"unsupported WAV sample width {sw}")
     if ch > 1:
         x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return _spectral_features(x, n, sr, dim)
+
+
+def _aiff_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+    """REAL audio kernel for PCM AIFF/AIFF-C: stdlib `aifc` decode
+    (big-endian samples), same spectral pooling as WAV. `aifc` is
+    removed in Python 3.13 — ImportError falls back to the stub like
+    any other undecodable format."""
+    import io
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    with aifc.open(io.BytesIO(content), "rb") as a:
+        n, sr, ch, sw = (
+            a.getnframes(), a.getframerate(), a.getnchannels(), a.getsampwidth()
+        )
+        comp = a.getcomptype()
+        raw = a.readframes(n)
+    if comp not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFF compression {comp!r}")
+    # aifc returns 'sowt' (little-endian AIFC) already byte-swapped
+    if sw == 2:
+        x = np.frombuffer(raw, ">i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = np.frombuffer(raw, "i1").astype(np.float64) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, ">i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF sample width {sw}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return _spectral_features(x, n, sr, dim)
+
+
+def _spectral_features(
+    x: np.ndarray, n: int, sr: int, dim: int
+) -> tuple[float, int, list[float]]:
+    """Shared spectral pooling: Hann-windowed average power spectrum →
+    `dim` equal log-energy bands (see _wav_features docstring)."""
     duration = n / float(sr)
     if len(x) < _WAV_WIN:
         x = np.pad(x, (0, _WAV_WIN - len(x)))

@@ -415,3 +415,56 @@ def test_wav_features_deterministic_and_stub_fallback(spark):
     assert rows["a/one.wav"]["features"] == rows["b/two.wav"]["features"]
     # malformed RIFF falls back to the stub (still total, still 32-dim)
     assert len(rows["c/bad.wav"]["features"]) == M.AUDIO_FEATURE_DIM
+
+
+def _make_aiff(freq_hz=880.0, sr=8000, seconds=0.5):
+    import io
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    # amplitude matches _make_wav's 0.8 so the WAV/AIFF feature-parity
+    # check compares identical sample streams
+    x = (0.8 * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(">i2")
+
+    class _KeepOpen(io.BytesIO):  # aifc.close() closes the target file
+        def close(self):
+            pass
+
+    buf = _KeepOpen()
+    with aifc.open(buf, "wb") as a:
+        a.setnchannels(1)
+        a.setsampwidth(2)
+        a.setframerate(sr)
+        a.writeframes(x.tobytes())
+    return bytes(buf.getbuffer())
+
+
+def test_aiff_audio_features_real(spark):
+    """PCM AIFF decodes for real: a pure tone's energy concentrates in
+    the band containing its frequency, and metadata is exact."""
+    data = _make_aiff()
+    df = spark.createDataFrame(
+        [("store/tt1/clip.aiff", data)], "path string, content binary"
+    )
+    row = M.audio_features(df).first()
+    assert row["sample_rate"] == 8000
+    assert row["duration_sec"] == pytest.approx(0.5, abs=1e-6)
+    feats = np.array(row["features"])
+    # 880 Hz at sr 8000, rfft bins 0..4000 Hz over len(feats) bands
+    band = int(880 / (4000 / len(feats)))
+    assert feats.argmax() in (band - 1, band, band + 1)
+    # WAV of the same tone yields the SAME features (shared kernel)
+    wav_row = M.audio_features(
+        spark.createDataFrame(
+            [("store/tt1/clip.wav", _make_wav(freq_hz=880.0, sr=8000, seconds=0.5))],
+            "path string, content binary",
+        )
+    ).first()
+    np.testing.assert_allclose(
+        np.array(wav_row["features"]), feats, rtol=1e-6
+    )
