@@ -21,10 +21,12 @@ Kernel reality, per stage:
 - Image resize (`resize_images`): REAL bilinear resample + PPM re-encode
   for decodable images; stub fallback otherwise.
 - G1 video demux/decode: REAL for Y4M (YUV4MPEG2) containers — pure
-  stdlib demux + numpy BT.601 decode (`functions/videocodec.py`) — and
-  for MJPEG AVI (RIFF demux + the bit-exact JPEG decoder), sampled and
-  scaled like the reference's ffmpeg invocation. Other container bytes
-  (inter-frame codecs: h264 etc.) fall back to the deterministic stub;
+  stdlib demux + numpy BT.601 decode (`functions/videocodec.py`) — for
+  MJPEG AVI (RIFF demux + the bit-exact JPEG decoder), and for animated
+  GIF (`functions/gifcodec.py`, variable-frame-rate timeline), sampled
+  and scaled like the reference's ffmpeg invocation. Other container
+  bytes (inter-frame codecs: h264 etc.) fall back to the deterministic
+  stub;
   the fake emits REAL PPM images (seeded block scenes) so downstream
   stays on the real image path either way. With PyAV the fallback
   becomes open-container → sample at fps → scale → encode; signature
@@ -85,7 +87,10 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-_STUB_VIDEO_DECODER = True  # no video codec libs — see module docstring
+# Real demux/decode: Y4M, MJPEG-AVI, animated GIF. The stub remains only
+# for inter-frame compressed codecs (h264/vp9/...), which need external
+# codec libraries this environment lacks — see module docstring.
+_STUB_INTERFRAME_CODECS = True
 
 _SYN_FRAME_H = 48  # synthetic thumbnail geometry (aspect 5:3, like
 _SYN_FRAME_W = 80  # scale=-2:180 output halved twice)
