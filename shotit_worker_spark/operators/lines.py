@@ -1,0 +1,131 @@
+"""Line-level boilerplate removal — the web-corpus cleaning pass that
+drops lines repeated across many documents (nav bars, cookie banners,
+footers). Standard pretraining-pipeline step (CCNet / RefinedWeb style);
+no reference analogue — part of the LLM-data-pipeline surface
+(SURVEY §2.12).
+
+Scale shape (the part that matters at 100 TB):
+
+- Document-frequency counting aggregates on ``xxhash64(normalized
+  line)`` — the shuffle carries 8-byte keys, never line text. Per-doc
+  duplicate lines are collapsed with ``array_distinct`` BEFORE the
+  explode, so each (doc, line) pair ships once and the count is a true
+  document frequency without an expensive ``countDistinct``.
+- Only lines at or above the threshold survive the HAVING — the
+  frequent-line table is small relative to the corpus (boilerplate is,
+  by definition, the repeated tail), so the per-document probe is a
+  broadcast LEFT SEMI against line hashes; the probe stage is map-only
+  on the corpus side.
+- The regroup of matched hashes shuffles only (doc_id, hash) HITS —
+  bounded by the boilerplate match count, not the corpus. The final
+  join attaches one small array per matched doc; with AQE it broadcasts
+  when the hit table is small, else it is the single corpus shuffle of
+  the pass. The rewrite itself (filter lines whose hash is in the
+  per-doc hit array, rejoin with \\n) is positional and map-side, so
+  surviving lines keep their original order and original bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_line_key",
+    "line_frequencies",
+    "remove_boilerplate_lines",
+]
+
+
+def normalized_line_key(line: Column) -> Column:
+    """Canonical form used for cross-document line matching: trimmed,
+    whitespace-collapsed, lowercased. Pure Catalyst."""
+    return F.lower(F.trim(F.regexp_replace(line, "\\s+", " ")))
+
+
+def _distinct_line_hashes(text_col: str) -> Column:
+    """array<long>: xxhash64 of each distinct non-empty normalized line
+    of the document."""
+    lines = F.split(F.col(text_col), "\n")
+    keys = F.transform(lines, normalized_line_key)
+    keys = F.filter(keys, lambda k: k != F.lit(""))
+    return F.array_distinct(F.transform(keys, lambda k: F.xxhash64(k)))
+
+
+def line_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Document frequency per normalized line, over hashed keys.
+
+    Returns ``(line_hash: long, df: long)`` for lines present in at
+    least ``min_docs`` documents. One explode + one hash-agg shuffle of
+    8-byte keys (map-side partial counts apply); per-document repeats
+    are collapsed before the explode so ``df`` counts documents, not
+    occurrences. Persist the result to apply one corpus-wide count to
+    many shards (the incremental posture, like minhash_band_table).
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    hashes = docs.select(
+        F.explode(_distinct_line_hashes(text_col)).alias("line_hash")
+    )
+    return (
+        hashes.groupBy("line_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_docs))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str | None = None,
+    frequent: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with lines appearing in >= ``min_docs``
+    documents removed, preserving the original order (and original,
+    un-normalized bytes) of the surviving lines. Lines that normalize
+    to empty are never removed (they are structure, not boilerplate,
+    and carry no cross-document signal).
+
+    ``frequent`` lets callers reuse / persist a precomputed
+    :func:`line_frequencies` table — e.g. counted once over the full
+    corpus, applied shard-by-shard, or counted on corpus+batch and
+    applied to the batch (the incremental posture). When omitted it is
+    computed from ``docs`` itself.
+    """
+    out_col = out_col or text_col
+    freq = (
+        frequent
+        if frequent is not None
+        else line_frequencies(docs, text_col, min_docs)
+    )
+
+    hit = "__bl_hits"
+    # per-doc boilerplate hashes: map-side explode of distinct hashes,
+    # broadcast semi-join the frequent set, regroup hits only.
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_distinct_line_hashes(text_col)).alias("line_hash"),
+        )
+        .join(F.broadcast(freq.select("line_hash")), "line_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("line_hash").alias(hit))
+    )
+
+    joined = docs.join(hits, id_col, "left").withColumn(
+        hit, F.coalesce(F.col(hit), F.array().cast("array<long>"))
+    )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (normalized_line_key(ln) == F.lit(""))
+        | ~F.array_contains(F.col(hit), F.xxhash64(normalized_line_key(ln))),
+    )
+    return joined.withColumn(out_col, F.array_join(kept, "\n")).drop(hit)

@@ -1,0 +1,173 @@
+"""Line-level boilerplate removal (operators/lines): differential vs a
+pure-python reference, normalization matching, incremental reuse."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import lines as L
+
+
+def _norm(line: str) -> str:
+    return re.sub(r"\s+", " ", line).strip().lower()
+
+
+def _py_reference(texts: dict[str, str], min_docs: int) -> dict[str, str]:
+    """Independent implementation: df per normalized line, remove."""
+    df: dict[str, int] = {}
+    for t in texts.values():
+        for key in {_norm(ln) for ln in t.split("\n")} - {""}:
+            df[key] = df.get(key, 0) + 1
+    frequent = {k for k, v in df.items() if v >= min_docs}
+    out = {}
+    for doc_id, t in texts.items():
+        kept = [
+            ln
+            for ln in t.split("\n")
+            if _norm(ln) == "" or _norm(ln) not in frequent
+        ]
+        out[doc_id] = "\n".join(kept)
+    return out
+
+
+BOILER = "Cookie Policy | Accept All"
+FOOTER = "(c) 2026 Example Corp -- all rights reserved"
+
+
+def _mk_docs(spark, texts: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], ["doc_id", "text"]
+    )
+
+
+def test_removes_shared_lines_keeps_unique(spark):
+    texts = {
+        "a": f"{BOILER}\nunique alpha content\n{FOOTER}",
+        "b": f"{BOILER}\nunique beta content\n{FOOTER}",
+        "c": "entirely original document\nwith two lines",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(_mk_docs(spark, texts)).collect()
+    }
+    assert out == _py_reference(texts, 2)
+    assert out["a"] == "unique alpha content"
+    assert out["c"] == texts["c"]  # untouched doc passes through byte-exact
+
+
+def test_normalized_matching_preserves_original_bytes(spark):
+    # whitespace/case variants of the same boilerplate line all match;
+    # surviving lines keep their original (un-normalized) bytes.
+    texts = {
+        "a": "  COOKIE  policy | accept all \nKeep  Me As-Is",
+        "b": "cookie policy | accept all\nother",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(_mk_docs(spark, texts)).collect()
+    }
+    assert out["a"] == "Keep  Me As-Is"
+    assert out["b"] == "other"
+
+
+def test_within_doc_repeat_is_not_df(spark):
+    # same line 3x in ONE doc: df == 1, stays below min_docs=2.
+    texts = {"a": "repeat\nrepeat\nrepeat\nbody", "b": "unrelated"}
+    out = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(_mk_docs(spark, texts)).collect()
+    }
+    assert out["a"] == texts["a"]
+
+
+def test_blank_lines_survive(spark):
+    texts = {
+        "a": f"{BOILER}\n\npara one\n\npara two",
+        "b": f"{BOILER}\n\nother body",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(_mk_docs(spark, texts)).collect()
+    }
+    assert out["a"] == "\npara one\n\npara two"
+    assert out["b"] == "\nother body"
+
+
+def test_line_frequencies_counts_documents(spark):
+    texts = {
+        "a": f"{BOILER}\n{BOILER}\nx",
+        "b": f"{BOILER}\ny",
+        "c": "z",
+    }
+    freq = L.line_frequencies(_mk_docs(spark, texts), min_docs=2).collect()
+    assert len(freq) == 1
+    assert freq[0]["df"] == 2  # documents, not occurrences
+
+
+def test_incremental_reuse_of_frequent_table(spark):
+    # count on the corpus, apply to a NEW batch that never saw the agg.
+    corpus = {f"c{i}": f"{BOILER}\ncorpus body {i}" for i in range(5)}
+    freq = L.line_frequencies(_mk_docs(spark, corpus), min_docs=3)
+    batch = _mk_docs(spark, {"n1": f"{BOILER}\nnovel text"})
+    out = L.remove_boilerplate_lines(batch, frequent=freq).collect()
+    assert out[0]["text"] == "novel text"
+
+
+def test_differential_random_corpus(spark):
+    rng = random.Random(42)
+    pool = [BOILER, FOOTER, "Subscribe to our newsletter!", "Home > News"]
+    texts = {}
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.4:
+                ln = rng.choice(pool)
+                if rng.random() < 0.3:  # normalization variant
+                    ln = "  " + ln.upper().replace(" ", "  ")
+                lines.append(ln)
+            else:
+                lines.append(
+                    " ".join(
+                        rng.choice(["lorem", "ipsum", "dolor", "sit", "amet"])
+                        for _ in range(rng.randint(2, 6))
+                    )
+                    + f" {i}"
+                )
+        texts[f"d{i:03d}"] = "\n".join(lines)
+    for min_docs in (2, 5):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in L.remove_boilerplate_lines(
+                _mk_docs(spark, texts), min_docs=min_docs
+            ).collect()
+        }
+        assert got == _py_reference(texts, min_docs)
+
+
+def test_out_col_and_schema(spark):
+    texts = {"a": f"{BOILER}\nbody a", "b": f"{BOILER}\nbody b"}
+    df = L.remove_boilerplate_lines(_mk_docs(spark, texts), out_col="clean")
+    assert set(df.columns) == {"doc_id", "text", "clean"}
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["a"]["text"] == texts["a"]
+    assert rows["a"]["clean"] == "body a"
+
+
+def test_plan_broadcast_semi_probe(spark, tmp_root):
+    """The frequent-set probe must be a broadcast LEFT SEMI join — the
+    corpus-side explode stage stays map-only (no shuffle for the probe)."""
+    path = str(tmp_root / "bl_docs")
+    _mk_docs(spark, {"a": f"{BOILER}\nbody a", "b": f"{BOILER}\nbody b"}).write.mode(
+        "overwrite"
+    ).parquet(path)
+    docs = spark.read.parquet(path)
+    plan = (
+        L.remove_boilerplate_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
