@@ -1,0 +1,261 @@
+"""N-gram language-model perplexity scoring — the CCNet-style corpus
+quality signal (score every document by a small LM trained on a clean
+reference corpus; high perplexity ⇒ out-of-domain / gibberish). No
+reference analogue; part of the LLM-data-pipeline surface (SURVEY
+§2.12). Smoothing is Stupid Backoff (Brants et al. 2007, "Large
+Language Models in Machine Translation") — the count-ratio scheme
+designed precisely for distributed count tables.
+
+Scale shape:
+
+- Training is ONE explode + hash-agg per order over the padded token
+  stream (map-side partial counts); ``min_count`` pruning keeps the
+  higher-order tables sparse. This is the classic MapReduce LM-count
+  job — it is how the Stupid Backoff paper built its 2-trillion-token
+  tables.
+- Scoring explodes each document once into per-position n-grams; every
+  lower-order gram and context is DERIVED from that one array by
+  slicing (no second explode), then resolved with one left join per
+  (order, role) against the count tables, keyed on ``xxhash64(gram)``
+  so shuffles carry 8-byte keys. Small models broadcast (the common
+  case — a pruned 3-gram model of a reference corpus is MBs); huge
+  models degrade to shuffle equi-joins, which still never materialize
+  the cross product.
+- The per-document reduce is a plain hash aggregation of log-scores.
+
+Collision note: count tables are joined on 64-bit xxhash64 of the gram
+string. Two distinct grams colliding would merge their counts — at
+p ≈ n²/2⁶⁵ this is negligible for any real vocabulary, and Stupid
+Backoff scores are heuristic (unnormalized) to begin with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+__all__ = ["NGramLM", "train_ngram_lm"]
+
+PAD = "<s>"  # sentence-start pad; cannot collide with tokenize() output
+             # (tokenize lowercases and strips non-alphanumerics)
+
+
+def _padded_tokens(text_col: str, n: int) -> Column:
+    toks = TX.tokenize(F.col(text_col))
+    pads = F.array(*[F.lit(PAD)] * (n - 1))
+    return F.concat(pads, toks)
+
+
+def _gram_join(words: Column, start: int, length: int) -> Column:
+    """Space-joined sub-gram of an n-token window (1-based start)."""
+    return F.concat_ws(" ", F.slice(words, start, length))
+
+
+class NGramLM:
+    """A trained Stupid-Backoff model: one (gram, count) DataFrame per
+    order 1..n plus the real-token total. Build with
+    :func:`train_ngram_lm`, reload with :meth:`open`."""
+
+    def __init__(
+        self,
+        n: int,
+        alpha: float,
+        total_tokens: int,
+        counts: dict[int, DataFrame],
+        ctx_counts: dict[int, DataFrame],
+    ):
+        self.n = n
+        self.alpha = alpha
+        self.total_tokens = total_tokens
+        self.counts = counts          # order -> (gram, gram_hash, cnt)
+        self.ctx_counts = ctx_counts  # order -> (ctx, ctx_hash, cnt): Σ_w c(ctx w)
+
+    # -- scoring ----------------------------------------------------------
+
+    def score(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        broadcast_model: bool = True,
+    ) -> DataFrame:
+        """Per-document ``(id_col, n_tokens, avg_logprob, perplexity)``.
+
+        avg_logprob = mean over token positions of log10 S(w|context);
+        perplexity = 10^(-avg_logprob). Empty documents score NULL
+        avg_logprob and perplexity (no positions). Positions are scored
+        with full n-length windows thanks to ``<s>`` padding, exactly
+        as trained.
+
+        ``broadcast_model=False`` drops the broadcast hints for count
+        tables too large for executor memory (shuffle equi-joins).
+        """
+        n = self.n
+        padded = _padded_tokens(text_col, n)
+        # one explode: per position, the n-token window ending there.
+        # NB: sequence(1, 0) steps BACKWARD in Spark — guard num < 1.
+        num = F.size(padded) - (n - 1)
+        idx = F.when(num < 1, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), num)
+        )
+        windows = F.transform(idx, lambda i: F.slice(padded, i, n))
+        pos = docs.select(
+            F.col(id_col), F.explode_outer(windows).alias("__w")
+        )
+
+        # derive every gram/context from the window by slicing:
+        # order-k gram ends at the window's last token; its context is
+        # the same window minus the last token.
+        probes: list[tuple[str, Column]] = []  # (colname, gram string)
+        for k in range(1, n + 1):
+            probes.append((f"__g{k}", _gram_join(F.col("__w"), n - k + 1, k)))
+            if k > 1:
+                probes.append(
+                    (f"__c{k}", _gram_join(F.col("__w"), n - k + 1, k - 1))
+                )
+        pos = pos.select(
+            id_col,
+            F.col("__w").isNotNull().alias("__has"),
+            *[F.xxhash64(expr).alias(name) for name, expr in probes],
+        )
+
+        # resolve counts: one left join per probe column. `__gK` probes
+        # the order-K gram table; `__cK` probes the order-K context
+        # (prefix-sum) table.
+        for name, _ in probes:
+            k = int(name[3:])
+            role = name[2]  # g = gram count, c = context count
+            if role == "g":
+                tbl = self.counts[k].select(
+                    F.col("gram_hash").alias(name),
+                    F.col("cnt").alias(f"__n{k}_g"),
+                )
+            else:
+                tbl = self.ctx_counts[k].select(
+                    F.col("ctx_hash").alias(name),
+                    F.col("cnt").alias(f"__n{k}_c"),
+                )
+            if broadcast_model:
+                tbl = F.broadcast(tbl)
+            pos = pos.join(tbl, name, "left")
+
+        # Stupid Backoff chain: S_k = c(gram_k)/c(ctx_k) when the gram
+        # was seen, else alpha * S_{k-1}; S_1 floors unseen unigrams at
+        # count 1 (the <unk> analog).
+        total = F.lit(float(self.total_tokens))
+        score = F.coalesce(F.col("__n1_g").cast("double"), F.lit(1.0)) / total
+        for k in range(2, n + 1):
+            ratio = F.col(f"__n{k}_g").cast("double") / F.col(
+                f"__n{k}_c"
+            ).cast("double")
+            score = F.when(
+                F.col(f"__n{k}_g").isNotNull() & F.col(f"__n{k}_c").isNotNull(),
+                ratio,
+            ).otherwise(F.lit(self.alpha) * score)
+
+        scored = pos.withColumn(
+            "__lp", F.when(F.col("__has"), F.log10(score))
+        )
+        agg = scored.groupBy(id_col).agg(
+            F.count("__lp").alias("n_tokens"),
+            F.avg("__lp").alias("avg_logprob"),
+        )
+        return agg.select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            F.pow(F.lit(10.0), -F.col("avg_logprob")).alias("perplexity"),
+        )
+
+    # -- persistence (sidecar layout, like index/ivf) ----------------------
+
+    def save(self, path: str) -> None:
+        """Persist count tables (parquet per order) + meta JSON so a
+        fresh session can score without retraining."""
+        for k, df in self.counts.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, f"order={k}"))
+        for k, df in self.ctx_counts.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, f"ctx={k}"))
+        meta = {
+            "n": self.n,
+            "alpha": self.alpha,
+            "total_tokens": self.total_tokens,
+        }
+        with open(os.path.join(path, "ngram_lm_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "NGramLM":
+        with open(os.path.join(path, "ngram_lm_meta.json")) as f:
+            meta = json.load(f)
+        counts = {
+            k: spark.read.parquet(os.path.join(path, f"order={k}"))
+            for k in range(1, meta["n"] + 1)
+        }
+        ctx = {
+            k: spark.read.parquet(os.path.join(path, f"ctx={k}"))
+            for k in range(2, meta["n"] + 1)
+        }
+        return cls(meta["n"], meta["alpha"], meta["total_tokens"], counts, ctx)
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+    alpha: float = 0.4,
+) -> NGramLM:
+    """Count-table training over the padded token stream: one explode +
+    one hash aggregation per order 1..n. Tables carry both the gram
+    string (debuggability / persistence) and its xxhash64 join key.
+
+    Gram counts only cover grams ending at a REAL token (scored
+    positions never end at a pad, so pad-ending grams would be dead
+    rows). Context counts are exact prefix sums c(ctx) = Σ_w c(ctx w),
+    aggregated from the UNPRUNED gram table of the same order — so
+    ``min_count`` pruning (orders >= 2; unigrams stay complete, they are
+    the backoff floor) discounts pruned mass instead of losing it. The
+    one driver-side action is an O(1) scalar (total real-token count);
+    count tables never leave the cluster.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    padded = docs.select(_padded_tokens(text_col, n).alias("__toks"))
+    counts: dict[int, DataFrame] = {}
+    ctxs: dict[int, DataFrame] = {}
+    for k in range(1, n + 1):
+        grams = padded.select(
+            F.explode(TX.ngrams(F.col("__toks"), k)).alias("gram")
+        )
+        if k < n:
+            # k-grams of the padded stream include pad-ending windows
+            # (the first k-1 positions); scored grams always end real.
+            grams = grams.filter(~F.col("gram").endswith(F.lit(PAD)))
+        cnt = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        if k >= 2:
+            prefix = F.expr(
+                "substring(gram, 1, length(gram) - length(element_at(split(gram, ' '), -1)) - 1)"
+            )
+            ctxs[k] = (
+                cnt.select(prefix.alias("ctx"), "cnt")
+                .groupBy("ctx")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select("ctx", F.xxhash64("ctx").alias("ctx_hash"), "cnt")
+            )
+            if min_count > 1:
+                cnt = cnt.filter(F.col("cnt") >= min_count)
+        counts[k] = cnt.select(
+            "gram", F.xxhash64("gram").alias("gram_hash"), "cnt"
+        )
+    total = (
+        counts[1].agg(F.sum("cnt")).collect()[0][0]
+    )
+    return NGramLM(n, alpha, int(total or 0), counts, ctxs)

@@ -1,0 +1,170 @@
+"""Stupid-Backoff n-gram LM (operators/ngram_lm): differential scoring
+vs a pure-python reference, perplexity sanity, persistence round-trip."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from shotit_worker_spark.operators import ngram_lm as NL
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _ref_train(texts, n, min_count):
+    counts = {k: Counter() for k in range(1, n + 1)}
+    for t in texts:
+        padded = [NL.PAD] * (n - 1) + _tok(t)
+        for i in range(n - 1, len(padded)):
+            for k in range(1, n + 1):
+                counts[k][tuple(padded[i - k + 1 : i + 1])] += 1
+    ctxs = {
+        k: sum(
+            (Counter({g[:-1]: c}) for g, c in counts[k].items()), Counter()
+        )
+        for k in range(2, n + 1)
+    }
+    pruned = {1: counts[1]}
+    for k in range(2, n + 1):
+        pruned[k] = Counter(
+            {g: c for g, c in counts[k].items() if c >= min_count}
+        )
+    total = sum(counts[1].values())
+    return pruned, ctxs, total
+
+
+def _ref_score(text, n, alpha, pruned, ctxs, total):
+    toks = _tok(text)
+    padded = [NL.PAD] * (n - 1) + toks
+    lps = []
+    for i in range(n - 1, len(padded)):
+        s = (pruned[1].get((padded[i],)) or 1) / total
+        for k in range(2, n + 1):
+            g = tuple(padded[i - k + 1 : i + 1])
+            c = pruned[k].get(g)
+            cc = ctxs[k].get(g[:-1])
+            if c is not None and cc is not None:
+                s = c / cc
+            else:
+                s = alpha * s
+        lps.append(math.log10(s))
+    if not lps:
+        return 0, None
+    return len(lps), sum(lps) / len(lps)
+
+
+WORDS = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "big", "red"]
+
+
+def _corpus(rng, n_docs):
+    texts = {}
+    for i in range(n_docs):
+        texts[f"d{i:03d}"] = " ".join(
+            rng.choice(WORDS) for _ in range(rng.randint(3, 25))
+        )
+    return texts
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], ["doc_id", "text"]
+    )
+
+
+@pytest.mark.parametrize("n,min_count", [(3, 1), (3, 2), (2, 1), (1, 1)])
+def test_differential_vs_python(spark, n, min_count):
+    rng = random.Random(7 + n * 10 + min_count)
+    train = _corpus(rng, 40)
+    held_out = _corpus(rng, 10)
+    held_out["empty"] = ""
+    held_out["punct_only"] = "?!. --"
+
+    lm = NL.train_ngram_lm(
+        _mk(spark, train), n=n, min_count=min_count, alpha=0.4
+    )
+    pruned, ctxs, total = _ref_train(list(train.values()), n, min_count)
+    assert lm.total_tokens == total
+
+    got = {
+        r["doc_id"]: r for r in lm.score(_mk(spark, held_out)).collect()
+    }
+    assert set(got) == set(held_out)
+    for doc_id, text in held_out.items():
+        n_tok, want_lp = _ref_score(text, n, 0.4, pruned, ctxs, total)
+        row = got[doc_id]
+        assert row["n_tokens"] == n_tok, doc_id
+        if want_lp is None:
+            assert row["avg_logprob"] is None
+            assert row["perplexity"] is None
+        else:
+            assert row["avg_logprob"] == pytest.approx(want_lp, rel=1e-9)
+            assert row["perplexity"] == pytest.approx(
+                10.0 ** (-want_lp), rel=1e-9
+            )
+
+
+def test_perplexity_separates_in_domain_from_salad(spark):
+    rng = random.Random(99)
+    # in-domain: a strongly patterned corpus (fixed phrase pool)
+    phrases = [
+        "the cat sat on the mat",
+        "the dog ran fast",
+        "the big red dog sat",
+    ]
+    train = {f"t{i}": rng.choice(phrases) for i in range(60)}
+    lm = NL.train_ngram_lm(_mk(spark, train), n=3)
+    probe = {
+        "in_domain": "the cat sat on the mat",
+        "salad": "mat the fast on red cat big the dog ran",
+        "oov": "zyxwvu qponml kjihgf",
+    }
+    got = {r["doc_id"]: r["perplexity"] for r in lm.score(_mk(spark, probe)).collect()}
+    assert got["in_domain"] < got["salad"] < got["oov"]
+
+
+def test_save_open_roundtrip(spark, tmp_root):
+    rng = random.Random(3)
+    train = _corpus(rng, 30)
+    probe = _corpus(rng, 8)
+    lm = NL.train_ngram_lm(_mk(spark, train), n=3, min_count=2)
+    path = str(tmp_root / "ngram_lm")
+    lm.save(path)
+    reopened = NL.NGramLM.open(spark, path)
+    assert reopened.n == 3 and reopened.total_tokens == lm.total_tokens
+    a = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score(_mk(spark, probe)).collect()
+    }
+    b = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in reopened.score(_mk(spark, probe)).collect()
+    }
+    assert a == b
+
+
+def test_broadcast_plan(spark):
+    rng = random.Random(5)
+    train = _corpus(rng, 10)
+    lm = NL.train_ngram_lm(_mk(spark, train), n=3)
+    plan = (
+        lm.score(_mk(spark, train))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_validation(spark):
+    df = _mk(spark, {"a": "x"})
+    with pytest.raises(ValueError):
+        NL.train_ngram_lm(df, n=0)
+    with pytest.raises(ValueError):
+        NL.train_ngram_lm(df, alpha=0.0)
