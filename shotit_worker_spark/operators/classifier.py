@@ -1,0 +1,140 @@
+"""Hashed n-gram quality classifier — the fastText-shaped learned
+filter of pretraining pipelines (label a small seed set "keep"/"drop",
+train a linear model over hashed token n-grams, score the whole
+corpus). This is the GPT-3/CCNet "quality classifier" step. No
+reference analogue; part of the LLM-data-pipeline surface (SURVEY
+§2.12).
+
+Spark-first shape:
+
+- Featurization is ``HashingTF`` over the shared tokenizer
+  (functions/text.tokenize) plus optional bigrams — feature hashing
+  needs NO vocabulary pass, so scoring is a single map-only stage over
+  the corpus (the 100-TB posture: train once on thousands of labeled
+  docs, score billions unlabeled).
+- The model is MLlib ``LogisticRegression`` — executor-parallel
+  L-BFGS; the fitted coefficient vector broadcasts with the scoring
+  task. No Python UDF anywhere: tokenize/ngrams are Catalyst,
+  HashingTF and the model transform are JVM-side.
+- ``save``/``open`` use MLlib's native PipelineModel persistence, so a
+  fresh session scores without retraining (same posture as
+  IVFIndex.open / NGramLM.open).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+__all__ = [
+    "train_quality_classifier",
+    "score_quality",
+    "classifier_filter",
+    "open_quality_classifier",
+]
+
+_FEATURES = "__qc_features"
+_TERMS = "__qc_terms"
+
+
+def _terms_col(text_col: str, use_bigrams: bool):
+    toks = TX.tokenize(F.col(text_col))
+    if not use_bigrams:
+        return toks
+    return F.concat(toks, TX.ngrams(toks, 2))
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    use_bigrams: bool = True,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit the hashing-TF → logistic-regression pipeline on a labeled
+    seed set (``label_col``: 1.0 = keep, 0.0 = drop). Returns a
+    PipelineModel whose ``transform`` adds probability/prediction.
+
+    The pipeline owns only JVM stages; the terms array is materialized
+    as a column before fitting so the SAME Catalyst tokenizer serves
+    train and score (MLlib's Tokenizer splits differently).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    prepared = labeled.withColumn(
+        _TERMS, _terms_col(text_col, use_bigrams)
+    ).withColumn(label_col, F.col(label_col).cast("double"))
+    pipe = Pipeline(
+        stages=[
+            HashingTF(
+                inputCol=_TERMS, outputCol=_FEATURES, numFeatures=num_features
+            ),
+            LogisticRegression(
+                featuresCol=_FEATURES,
+                labelCol=label_col,
+                regParam=reg_param,
+                elasticNetParam=0.0,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
+    )
+    model = pipe.fit(prepared)
+    # remember the featurization config for score_quality
+    model._qc_text_col = text_col
+    model._qc_use_bigrams = use_bigrams
+    return model
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str | None = None,
+    use_bigrams: bool | None = None,
+    prob_col: str = "keep_prob",
+) -> DataFrame:
+    """Append ``prob_col`` = P(keep) to ``docs``. Map-only: hashing +
+    a broadcast coefficient dot product per row, no shuffle.
+
+    ``text_col``/``use_bigrams`` default to the training configuration
+    (carried on the model in-session); pass them explicitly after
+    :func:`open_quality_classifier` (MLlib persistence round-trips only
+    the JVM stages).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    text_col = text_col or getattr(model, "_qc_text_col", "text")
+    if use_bigrams is None:
+        use_bigrams = getattr(model, "_qc_use_bigrams", True)
+    prepared = docs.withColumn(_TERMS, _terms_col(text_col, use_bigrams))
+    scored = model.transform(prepared)
+    return scored.withColumn(
+        prob_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop(_TERMS, _FEATURES, "rawPrediction", "probability", "prediction")
+
+
+def classifier_filter(
+    docs: DataFrame,
+    model,
+    min_prob: float = 0.5,
+    text_col: str | None = None,
+    use_bigrams: bool | None = None,
+) -> DataFrame:
+    """Survivors with P(keep) >= ``min_prob`` (probability column
+    dropped — composes with operators/filters rules)."""
+    scored = score_quality(docs, model, text_col, use_bigrams, "__qc_p")
+    return scored.filter(F.col("__qc_p") >= min_prob).drop("__qc_p")
+
+
+def open_quality_classifier(spark: SparkSession, path: str):
+    """Load a saved PipelineModel (``model.save(path)``) for scoring in
+    a fresh session."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)

@@ -1,0 +1,98 @@
+"""Hashed n-gram quality classifier (operators/classifier): separability
+on synthetic clean-vs-gibberish corpora, persistence, filter semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from shotit_worker_spark.operators import classifier as QC
+
+CLEAN_WORDS = (
+    "the cat sat on a mat and the dog ran to the red barn with his friend "
+    "every morning they walk along the river and watch the boats go by"
+).split()
+
+
+def _clean_doc(rng):
+    return " ".join(rng.choice(CLEAN_WORDS) for _ in range(rng.randint(8, 30)))
+
+
+def _gibberish_doc(rng):
+    return " ".join(
+        "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(rng.randint(4, 12)))
+        for _ in range(rng.randint(8, 30))
+    )
+
+
+def _labeled(spark, rng, n_each):
+    rows = [(f"c{i}", _clean_doc(rng), 1.0) for i in range(n_each)] + [
+        (f"g{i}", _gibberish_doc(rng), 0.0) for i in range(n_each)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_separates_clean_from_gibberish(spark):
+    rng = random.Random(11)
+    train = _labeled(spark, rng, 60)
+    test = _labeled(spark, rng, 25)
+    model = QC.train_quality_classifier(train, num_features=1 << 14)
+    scored = QC.score_quality(test, model)
+    assert "keep_prob" in scored.columns
+    rows = scored.collect()
+    correct = sum(
+        1 for r in rows if (r["keep_prob"] >= 0.5) == (r["label"] == 1.0)
+    )
+    assert correct / len(rows) >= 0.95
+    # filter keeps (mostly) the clean half
+    kept = QC.classifier_filter(test, model).collect()
+    ids = {r["doc_id"] for r in kept}
+    clean_ids = {r["doc_id"] for r in test.collect() if r["label"] == 1.0}
+    assert len(ids & clean_ids) / len(clean_ids) >= 0.9
+    assert len(ids - clean_ids) <= 3
+
+
+def test_scoring_is_map_only(spark):
+    rng = random.Random(12)
+    train = _labeled(spark, rng, 20)
+    model = QC.train_quality_classifier(train, num_features=1 << 12)
+    plan = (
+        QC.score_quality(train, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: hash + broadcast dot product
+
+
+def test_save_open_roundtrip(spark, tmp_root):
+    rng = random.Random(13)
+    train = _labeled(spark, rng, 30)
+    probe = _labeled(spark, rng, 10)
+    model = QC.train_quality_classifier(train, num_features=1 << 13)
+    path = str(tmp_root / "quality_clf")
+    model.save(path)
+    reopened = QC.open_quality_classifier(spark, path)
+    a = {
+        r["doc_id"]: r["keep_prob"]
+        for r in QC.score_quality(probe, model).collect()
+    }
+    b = {
+        r["doc_id"]: r["keep_prob"]
+        for r in QC.score_quality(
+            probe, reopened, text_col="text", use_bigrams=True
+        ).collect()
+    }
+    assert a == pytest.approx(b)
+
+
+def test_schema_passthrough(spark):
+    rng = random.Random(14)
+    train = _labeled(spark, rng, 15)
+    model = QC.train_quality_classifier(train, num_features=1 << 12)
+    docs = spark.createDataFrame(
+        [("x", "the cat sat", 7)], ["doc_id", "text", "extra"]
+    )
+    out = QC.score_quality(docs, model)
+    assert set(out.columns) == {"doc_id", "text", "extra", "keep_prob"}
