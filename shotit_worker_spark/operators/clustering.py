@@ -46,6 +46,8 @@ __all__ = [
     "fuzzy_dedup",
     "embedding_dedup",
     "simhash_dedup",
+    "cluster_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -325,3 +327,133 @@ def keep_canonical(
         .filter(F.col("__rank") == 1)
         .drop("__rank")
     )
+
+
+def cluster_near_dup_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    max_cluster_size: int = 20_000,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs: for each ``cluster_col``
+    group, all (a_id, b_id) with IP >= ``threshold`` (vectors must be
+    L2-normalized). One shuffle by cluster, then a per-group Arrow
+    batch → a single numpy Gram matrix — O(c²·dim) per cluster, which
+    is exactly the SemDeDup contract: the clustering step bounds c, so
+    the quadratic term never sees the corpus. Groups larger than
+    ``max_cluster_size`` raise with the remedy (more clusters) rather
+    than silently going quadratic on the whole corpus."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_size:
+            raise ValueError(
+                f"cluster {pdf.iloc[0][cluster_col]} has {len(pdf)} rows > "
+                f"max_cluster_size={max_cluster_size}; raise num_clusters "
+                f"so the per-cluster Gram matrix stays bounded"
+            )
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        iu = np.triu_indices(len(pdf), k=1)
+        mask = (x @ x.T)[iu] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame({"a_id": ids[iu[0][mask]], "b_id": ids[iu[1][mask]]})
+
+    return assigned.groupBy(cluster_col).applyInPandas(_pairs, out_schema)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_clusters: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    max_cluster_size: int = 20_000,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+    kmeans_method: str = "auto",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, find near-duplicates ONLY within each cluster
+    (exact pairwise cosine on the small per-cluster Gram matrix), keep
+    one representative per duplicate group.
+
+    Complementary to :func:`embedding_dedup` (SRP-LSH): LSH buckets by
+    random hyperplanes and can split a duplicate pair across buckets
+    (probabilistic recall); SemDeDup buckets by LEARNED structure and is
+    exact within clusters — it only misses pairs that k-means separates,
+    which at the paper's operating point (high threshold, duplicates
+    are near-identical points) is the rarer failure.
+
+    ``keep`` selects the surviving representative per duplicate group:
+      * ``"far"``  — farthest from its centroid (the paper's choice:
+        keeps the most atypical example, pruning toward diversity);
+      * ``"near"`` — closest to its centroid;
+      * ``"min_id"`` — smallest id (fully deterministic across seeds).
+
+    Vectors must be L2-normalized. Scale shape: MLlib/sampled k-means
+    (one pass per Lloyd iteration), map-only assignment vs broadcast
+    centroids, one shuffle by cluster for the Gram pass, then the
+    standard components + canonical window."""
+    from ..index.ivf import _fit_centroids, assign_centroids
+
+    if keep not in ("far", "near", "min_id"):
+        raise ValueError(f"keep must be far|near|min_id, got {keep!r}")
+
+    centroids = _fit_centroids(
+        embeddings, vec_col, num_clusters, seed,
+        sample_cap=200_000, method=kmeans_method,
+    )
+    # normalize centroids so centroid similarity is cosine, like the pairs
+    import numpy as np
+
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    unit_centroids = centroids / np.where(norms == 0, 1.0, norms)
+
+    assigned = assign_centroids(embeddings, centroids, vec_col=vec_col)
+
+    priority_col = None
+    if keep in ("far", "near"):
+        import pandas as pd
+        from pyspark.sql.types import DoubleType
+
+        sign = -1.0 if keep == "far" else 1.0
+
+        def _centroid_sim(vecs, cids):
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            if x.size == 0:
+                return pd.Series([], dtype="float64")
+            c = unit_centroids[cids.to_numpy()]
+            return pd.Series(sign * np.einsum("ij,ij->i", x, c))
+
+        # real class objects: `from __future__ import annotations` would
+        # stringify inline hints and break pyspark signature inspection
+        _centroid_sim.__annotations__ = {
+            "vecs": pd.Series, "cids": pd.Series, "return": pd.Series
+        }
+        _centroid_sim = F.pandas_udf(_centroid_sim, DoubleType())
+
+        priority_col = "__sd_priority"
+        assigned = assigned.withColumn(
+            priority_col, _centroid_sim(F.col(vec_col), F.col("centroid_id"))
+        )
+
+    pairs = cluster_near_dup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col,
+        max_cluster_size=max_cluster_size,
+    ).select("a_id", "b_id")
+    clustered = near_dup_clusters(
+        assigned, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    kept = keep_canonical(
+        clustered, id_col=id_col, priority_col=priority_col
+    )
+    return kept.drop(priority_col) if priority_col else kept

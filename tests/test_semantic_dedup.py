@@ -1,0 +1,136 @@
+"""SemDeDup-style cluster-scoped embedding dedup (operators/clustering.
+semantic_dedup / cluster_near_dup_pairs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators import clustering as C
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def _planted(rng, dim=16, topics=4, groups_per_topic=2, group_size=3,
+             singletons_per_topic=2, noise=0.01, lone_noise=0.35):
+    """Near-orthogonal topic axes; per topic: tight duplicate groups
+    (cosine ~0.999 within group) + well-separated singletons."""
+    rows = []
+    expected_groups = []  # list of sets of vec ids that must collapse
+    vid = 0
+    for t in range(topics):
+        axis = np.zeros(dim)
+        axis[t * (dim // topics)] = 1.0
+        for g in range(groups_per_topic):
+            base = _unit(axis + 0.2 * rng.standard_normal(dim))
+            members = []
+            for _ in range(group_size):
+                rows.append((vid, _unit(base + noise * rng.standard_normal(dim)).tolist()))
+                members.append(vid)
+                vid += 1
+            expected_groups.append(set(members))
+        for _ in range(singletons_per_topic):
+            rows.append((vid, _unit(axis + lone_noise * rng.standard_normal(dim)).tolist()))
+            vid += 1
+    return rows, expected_groups
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cluster_near_dup_pairs_matches_brute_force(spark):
+    rng = np.random.default_rng(21)
+    rows, _ = _planted(rng)
+    # hand-assign clusters: two arbitrary halves
+    assigned = [(i, v, i % 2) for i, v in rows]
+    df = spark.createDataFrame(
+        assigned, "vec_id long, embedding array<double>, centroid_id int"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in C.cluster_near_dup_pairs(df, threshold=0.98).collect()
+    }
+    want = set()
+    for i, vi, ci in assigned:
+        for j, vj, cj in assigned:
+            if i < j and ci == cj and np.dot(vi, vj) >= 0.98:
+                want.add((i, j))
+    assert got == want
+
+
+def test_cluster_size_guard(spark):
+    rng = np.random.default_rng(22)
+    rows, _ = _planted(rng)
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    with pytest.raises(Exception, match="max_cluster_size"):
+        C.cluster_near_dup_pairs(df, threshold=0.9, max_cluster_size=4).collect()
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    rng = np.random.default_rng(23)
+    rows, groups = _planted(rng)
+    total = len(rows)
+    dupes_removed = sum(len(g) - 1 for g in groups)
+    kept = C.semantic_dedup(
+        _df(spark, rows), threshold=0.97, num_clusters=4, keep="min_id"
+    ).collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    assert len(kept) == total - dupes_removed
+    for g in groups:
+        assert len(kept_ids & g) == 1
+        assert min(g) in kept_ids  # min_id canonical
+    # singletons all survive
+    grouped = set().union(*groups)
+    assert (set(range(total)) - grouped) <= kept_ids
+
+
+def test_keep_far_prefers_atypical_member(spark):
+    # single cluster: k-means(k=1) centroid == mean, so the paper's
+    # keep="far" rule is exactly computable here.
+    rng = np.random.default_rng(24)
+    axis = np.zeros(8)
+    axis[0] = 1.0
+    base = _unit(axis)
+    group = [
+        (0, _unit(base + 0.005 * rng.standard_normal(8)).tolist()),
+        (1, _unit(base + 0.005 * rng.standard_normal(8)).tolist()),
+        (2, _unit(base + 0.05 * rng.standard_normal(8)).tolist()),  # atypical
+    ]
+    lone = [(3, _unit(np.ones(8)).tolist())]
+    rows = group + lone
+    kept = C.semantic_dedup(
+        _df(spark, rows), threshold=0.97, num_clusters=1, keep="far",
+        kmeans_method="numpy",
+    ).collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    assert 3 in kept_ids
+    # expected survivor: group member with smallest cosine to the mean
+    x = np.array([v for _, v in rows])
+    centroid = _unit(x.mean(axis=0))
+    sims = x[:3] @ centroid
+    assert {int(np.argmin(sims)), 3} == kept_ids
+
+
+def test_on_fixture_embeddings(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.functions.vector import l2_normalize
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    )
+    n = emb.count()
+    kept = C.semantic_dedup(emb, threshold=0.99, num_clusters=8, keep="far")
+    rows = kept.collect()
+    ids = [r["vec_id"] for r in rows]
+    assert 0 < len(ids) <= n
+    assert len(ids) == len(set(ids))
+    assert set(kept.columns) >= {"vec_id", "embedding", "cluster_id"}
