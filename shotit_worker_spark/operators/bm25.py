@@ -1,0 +1,177 @@
+"""BM25 lexical retrieval — the inverted-index recall stage of a
+two-stage retrieval pipeline (pairs with operators/rerank the way the
+embedding kNN of operators/similarity does, but over terms). No
+reference analogue; part of the LLM-data-pipeline surface (SURVEY
+§2.12). Scoring is the Robertson/Sparck-Jones BM25 with the Lucene
+idf variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+Spark-first shape — the index IS a DataFrame:
+
+- Postings are ``(term_hash, doc_id, tf)`` built by one explode + one
+  hash aggregation; per-document lengths ride along in the postings
+  rows (denormalized at build time), so scoring needs NO join against
+  a doc-stats table. Terms are xxhash64-keyed: shuffles and the index
+  on disk carry 8-byte keys, never strings.
+- Scoring a query batch is: explode query terms (with idf and query
+  tf resolved against the broadcast dictionary — the dictionary is
+  df-per-term, vocabulary-sized, the small side by construction),
+  join postings on term_hash (the ONE corpus-sized join, an equi-join
+  on the index's own layout), partial-agg the per-(query, doc) score,
+  window top-k. Nothing driver-side except N and avgdl (two O(1)
+  scalars fixed at build).
+- ``save``/``open`` persist postings + dictionary parquet with a meta
+  sidecar (same posture as IVFIndex/NGramLM: build once, serve from
+  any session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+__all__ = ["BM25Index", "build_bm25"]
+
+
+def _term_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = TX.tokenize(F.col(text_col))
+    return docs.select(
+        F.col(id_col), F.explode(toks).alias("term"), F.size(toks).alias("dl")
+    )
+
+
+class BM25Index:
+    """postings: (term_hash, doc_id, tf, dl); dictionary: (term,
+    term_hash, df); n_docs/avgdl: scalars fixed at build."""
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        dictionary: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        id_col: str = "doc_id",
+    ):
+        self.postings = postings
+        self.dictionary = dictionary
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.id_col = id_col
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        text_col: str = "text",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-k ``(query_id, doc_id, score)`` per query, score =
+        Σ_t qtf·idf(t)·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+        Ties broken by ascending doc id (deterministic)."""
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(TX.tokenize(F.col(text_col))).alias("term"),
+            )
+            .groupBy(query_id_col, "term")
+            .agg(F.count("*").alias("qtf"))
+        )
+        # resolve idf against the dictionary; unseen terms have no
+        # postings and contribute nothing — drop them here. The QUERY
+        # side broadcasts (it is the small side by construction: a few
+        # terms per query); the vocabulary-sized dictionary stays
+        # distributed and is scanned map-side.
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        probe = self.dictionary.join(
+            F.broadcast(qterms), "term", "inner"
+        ).select(
+            query_id_col, "term_hash", "qtf", idf.alias("idf")
+        )
+
+        tf = F.col("tf").cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+        )
+        contrib = (
+            F.col("qtf") * F.col("idf") * tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
+        scored = (
+            self.postings.join(F.broadcast(probe), "term_hash")
+            .groupBy(query_id_col, self.id_col)
+            .agg(F.sum(contrib).alias("score"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__rank")
+        )
+
+    def save(self, path: str) -> None:
+        self.postings.write.mode("overwrite").parquet(
+            os.path.join(path, "postings")
+        )
+        self.dictionary.write.mode("overwrite").parquet(
+            os.path.join(path, "dictionary")
+        )
+        meta = {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "id_col": self.id_col,
+        }
+        with open(os.path.join(path, "bm25_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "BM25Index":
+        with open(os.path.join(path, "bm25_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark.read.parquet(os.path.join(path, "postings")),
+            spark.read.parquet(os.path.join(path, "dictionary")),
+            meta["n_docs"],
+            meta["avgdl"],
+            meta["id_col"],
+        )
+
+
+def build_bm25(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> BM25Index:
+    """One explode + two hash aggregations (postings by (term, doc),
+    dictionary by term) + one O(1) scalar action (N, avgdl)."""
+    rows = _term_rows(docs, text_col, id_col)
+    postings = (
+        rows.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .select(
+            F.xxhash64("term").alias("term_hash"), id_col, "tf", "dl"
+        )
+    )
+    dictionary = (
+        rows.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select("term", F.xxhash64("term").alias("term_hash"), "df")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(TX.tokenize(F.col(text_col)))).alias("avgdl"),
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        raise ValueError("build_bm25: empty corpus")
+    return BM25Index(postings, dictionary, n_docs, float(stats["avgdl"]), id_col)

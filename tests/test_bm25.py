@@ -1,0 +1,137 @@
+"""BM25 retrieval (operators/bm25): differential scoring vs a
+pure-python reference, self-retrieval, persistence round-trip."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from shotit_worker_spark.operators import bm25 as B
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _ref_scores(texts: dict, query: str, k1=1.2, b=0.75):
+    toks = {d: _tok(t) for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    scores = {}
+    qtf = Counter(_tok(query))
+    for d, ts in toks.items():
+        tf = Counter(ts)
+        s = 0.0
+        for term, qn in qtf.items():
+            if term not in tf:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            s += (
+                qn
+                * idf
+                * tf[term]
+                * (k1 + 1)
+                / (tf[term] + k1 * (1 - b + b * len(ts) / avgdl))
+            )
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+WORDS = "the cat sat mat dog ran fast red barn river boat walk morning".split()
+
+
+def _corpus(rng, n):
+    return {
+        i: " ".join(rng.choice(WORDS) for _ in range(rng.randint(5, 40)))
+        for i in range(n)
+    }
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+def test_differential_vs_python(spark):
+    rng = random.Random(31)
+    texts = _corpus(rng, 50)
+    idx = B.build_bm25(_docs_df(spark, texts))
+    queries = {
+        0: "cat sat on the mat",
+        1: "red dog ran fast fast",  # repeated query term -> qtf=2
+        2: "zzznope unseen terms only",
+    }
+    qdf = spark.createDataFrame(
+        sorted(queries.items()), "query_id long, text string"
+    )
+    got = idx.search(qdf, k=1000).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for qid, qtext in queries.items():
+        want = _ref_scores(texts, qtext)
+        have = by_q.get(qid, {})
+        assert set(have) == set(want), qid
+        for d in want:
+            assert have[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_topk_and_tiebreak(spark):
+    texts = {1: "alpha beta", 2: "alpha beta", 3: "alpha", 4: "gamma"}
+    idx = B.build_bm25(_docs_df(spark, texts))
+    qdf = spark.createDataFrame([(0, "alpha beta")], "query_id long, text string")
+    rows = idx.search(qdf, k=2).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: -r["score"])] == [1, 2]
+
+
+def test_self_retrieval(spark):
+    rng = random.Random(32)
+    texts = _corpus(rng, 40)
+    idx = B.build_bm25(_docs_df(spark, texts))
+    probe_ids = [3, 17, 29]
+    qdf = spark.createDataFrame(
+        [(i, texts[i]) for i in probe_ids], "query_id long, text string"
+    )
+    rows = idx.search(qdf, k=1).collect()
+    got = {r["query_id"]: r["doc_id"] for r in rows}
+    # a document queried with its own full text must score itself top-1
+    # unless another doc is a superset — with random 5-40-token docs the
+    # reference scores agree, so check against the oracle's argmax.
+    for qid in probe_ids:
+        want = _ref_scores(texts, texts[qid])
+        best = max(want.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert got[qid] == best
+
+
+def test_save_open_roundtrip(spark, tmp_root):
+    rng = random.Random(33)
+    texts = _corpus(rng, 30)
+    idx = B.build_bm25(_docs_df(spark, texts))
+    path = str(tmp_root / "bm25")
+    idx.save(path)
+    reopened = B.BM25Index.open(spark, path)
+    qdf = spark.createDataFrame([(0, "cat dog river")], "query_id long, text string")
+    a = {(r["query_id"], r["doc_id"]): r["score"] for r in idx.search(qdf).collect()}
+    b = {(r["query_id"], r["doc_id"]): r["score"] for r in reopened.search(qdf).collect()}
+    assert a == pytest.approx(b)
+
+
+def test_broadcast_plan_and_empty_guard(spark):
+    rng = random.Random(34)
+    texts = _corpus(rng, 20)
+    idx = B.build_bm25(_docs_df(spark, texts))
+    qdf = spark.createDataFrame([(0, "cat")], "query_id long, text string")
+    plan = idx.search(qdf)._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized postings join must be against a broadcast probe
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="empty"):
+        B.build_bm25(_docs_df(spark, {}).filter("doc_id is not null"))
