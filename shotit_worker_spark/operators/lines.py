@@ -34,6 +34,7 @@ __all__ = [
     "normalized_line_key",
     "line_frequencies",
     "remove_boilerplate_lines",
+    "remove_boilerplate_lines_static",
 ]
 
 
@@ -56,6 +57,7 @@ def line_frequencies(
     docs: DataFrame,
     text_col: str = "text",
     min_docs: int = 2,
+    keep_lines: bool = False,
 ) -> DataFrame:
     """Document frequency per normalized line, over hashed keys.
 
@@ -65,16 +67,35 @@ def line_frequencies(
     are collapsed before the explode so ``df`` counts documents, not
     occurrences. Persist the result to apply one corpus-wide count to
     many shards (the incremental posture, like minhash_band_table).
+
+    ``keep_lines=True`` additionally carries the normalized line text
+    (``line`` column) — the shuffle then ships strings, so reserve it
+    for building the human-auditable manifest that
+    :func:`remove_boilerplate_lines_static` consumes (the streaming
+    posture needs the strings: Python-side matching can't reproduce
+    xxhash64).
     """
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    hashes = docs.select(
-        F.explode(_distinct_line_hashes(text_col)).alias("line_hash")
+    if not keep_lines:
+        hashes = docs.select(
+            F.explode(_distinct_line_hashes(text_col)).alias("line_hash")
+        )
+        return (
+            hashes.groupBy("line_hash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= F.lit(min_docs))
+        )
+    raw = F.split(F.col(text_col), "\n")
+    keys = F.filter(
+        F.transform(raw, normalized_line_key), lambda k: k != F.lit("")
     )
+    lines = docs.select(F.explode(F.array_distinct(keys)).alias("line"))
     return (
-        hashes.groupBy("line_hash")
+        lines.groupBy("line")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= F.lit(min_docs))
+        .select("line", F.xxhash64("line").alias("line_hash"), "df")
     )
 
 
@@ -129,3 +150,58 @@ def remove_boilerplate_lines(
         | ~F.array_contains(F.col(hit), F.xxhash64(normalized_line_key(ln))),
     )
     return joined.withColumn(out_col, F.array_join(kept, "\n")).drop(hit)
+
+
+def remove_boilerplate_lines_static(
+    docs: DataFrame,
+    frequent_lines,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map-only boilerplate removal against a FIXED normalized-line set
+    (an iterable of strings — e.g. `line_frequencies(keep_lines=True)`
+    collected from a periodic corpus job). Because there is no per-doc
+    regroup, this form runs unchanged under Structured Streaming
+    (append mode) — the incremental-ingest posture: count on the
+    corpus, scrub the stream.
+
+    The set broadcasts inside an Arrow `mapInPandas`; line
+    normalization replicates :func:`normalized_line_key` exactly
+    (ASCII whitespace class, matching Java's default `\\s`). Same
+    rewrite semantics as :func:`remove_boilerplate_lines`: surviving
+    lines keep their original bytes and order; lines normalizing to
+    empty always survive.
+    """
+    import re
+
+    out = out_col or text_col
+    frequent = frozenset(frequent_lines)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _norm(line: str) -> str:
+        return ws.sub(" ", line).strip().lower()
+
+    schema = docs.schema if out in docs.columns else None
+    if schema is None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            docs.schema.fields + [StructField(out, StringType(), True)]
+        )
+
+    def _scrub(batches):
+        for pdf in batches:
+            def _rewrite(t):
+                if t is None:
+                    return None
+                kept = [
+                    ln
+                    for ln in t.split("\n")
+                    if (k := _norm(ln)) == "" or k not in frequent
+                ]
+                return "\n".join(kept)
+
+            pdf[out] = pdf[text_col].map(_rewrite)
+            yield pdf
+
+    return docs.mapInPandas(_scrub, schema)

@@ -171,3 +171,41 @@ def test_plan_broadcast_semi_probe(spark, tmp_root):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_static_form_matches_join_form(spark):
+    rng = random.Random(77)
+    texts = {}
+    for i in range(40):
+        lns = [f"body line {i} {rng.randint(0, 9)}"]
+        if i % 2 == 0:
+            lns.insert(0, "  " + BOILER.upper())
+        if i % 3 == 0:
+            lns.append(FOOTER)
+        texts[f"d{i:02d}"] = "\n".join(lns)
+    docs = _mk_docs(spark, texts)
+    want = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    manifest = [
+        r["line"]
+        for r in L.line_frequencies(docs, min_docs=5, keep_lines=True).collect()
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines_static(docs, manifest).collect()
+    }
+    assert got == want
+
+
+def test_keep_lines_manifest_hashes_consistent(spark):
+    texts = {"a": f"{BOILER}\nx", "b": f"  {BOILER.lower()}  \ny"}
+    with_lines = L.line_frequencies(
+        _mk_docs(spark, texts), min_docs=2, keep_lines=True
+    ).collect()
+    hash_only = L.line_frequencies(_mk_docs(spark, texts), min_docs=2).collect()
+    assert {r["line_hash"] for r in with_lines} == {
+        r["line_hash"] for r in hash_only
+    }
+    assert with_lines[0]["line"] == BOILER.lower()

@@ -225,3 +225,75 @@ def test_corpus_cleaning_kernels_under_streaming(spark, tmp_root):
     )
     stream_chunks = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in got)
     assert stream_chunks == batch_chunks
+
+
+def test_static_boilerplate_and_classifier_under_streaming(spark, tmp_root):
+    """The streaming corpus-scrub posture: a frequent-line manifest
+    counted on the corpus + a trained quality classifier, both applied
+    to a document STREAM (map-only forms); stream output == batch."""
+    import random
+
+    from shotit_worker_spark.operators import lines as LN
+    from shotit_worker_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from shotit_worker_spark.streaming import ingest as SI
+
+    boiler = "click here to accept cookies"
+    rng = random.Random(41)
+    words = "the cat sat mat dog ran red barn river".split()
+    corpus_rows = [
+        (i, boiler + "\n" + " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    manifest = [
+        r["line"]
+        for r in LN.line_frequencies(
+            corpus, min_docs=10, keep_lines=True
+        ).collect()
+    ]
+    labeled = corpus.withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    model = train_quality_classifier(labeled, num_features=1 << 12)
+
+    batch_rows = [
+        (100 + i, boiler + "\n" + " ".join(rng.choice(words) for _ in range(10)))
+        for i in range(6)
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    src = tmp_root / "scrub_stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    def scrub(df):
+        cleaned = LN.remove_boilerplate_lines_static(df, manifest)
+        return score_quality(
+            cleaned, model, text_col="text", use_bigrams=True
+        )
+
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=batch.schema, glob="*.parquet", recursive=True
+    )
+    q = (
+        scrub(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_scrub_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["text"], round(r["keep_prob"], 9))
+        for r in spark.sql("SELECT * FROM scrub_stream").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"], round(r["keep_prob"], 9))
+        for r in scrub(batch).collect()
+    )
+    assert got == want
+    assert got and all(boiler not in t for _, t, _p in got)

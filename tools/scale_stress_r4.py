@@ -336,7 +336,13 @@ def stress_new_ops_r4b(n_docs=100_000):
     bench(
         "boilerplate_remove_100k",
         n_docs,
-        lambda: LN.remove_boilerplate_lines(docs, min_docs=1000).count(),
+        # sum of rewritten lengths so the rewrite can't be pruned
+        lambda: int(
+            LN.remove_boilerplate_lines(docs, min_docs=1000)
+            .agg(F.sum(F.length("text")))
+            .first()[0]
+            > 0
+        ),
     )
 
     t0 = time.time()
@@ -369,9 +375,10 @@ def stress_new_ops_r4b(n_docs=100_000):
     bench(
         "classifier_score_100k",
         n_docs,
-        lambda: QC.score_quality(docs, model)
-        .agg(F.sum("keep_prob"))
-        .count(),
+        lambda: int(
+            QC.score_quality(docs, model).agg(F.sum("keep_prob")).first()[0]
+            > 0
+        ),
     )
 
     # embeddings with planted duplicate pairs (id, id+1 identical base)
