@@ -1,0 +1,174 @@
+"""Duplicate-span removal — window-hash approximation of ExactSubstr
+dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+Models Better", arXiv:2107.06499): find runs of >= ``min_tokens``
+whitespace tokens that occur more than once across the corpus and cut
+them out of the text, keeping (optionally) the globally-first
+occurrence. Completes the dedup ladder: document-level (exact/fuzzy),
+line-level (operators/lines), span-level (here). No reference
+analogue; part of the LLM-data-pipeline surface (SURVEY §2.12).
+
+Approximation note: the paper builds a corpus-wide suffix array; this
+operator instead hashes every ``min_tokens``-token rolling window and
+marks windows whose hash repeats. Any duplicated run of length
+>= min_tokens contains at least one duplicated window, so recall over
+paper-eligible spans is 1 (up to 64-bit hash collisions); the cut
+region snaps to window boundaries (the union of marked windows), which
+can trim up to min_tokens-1 extra tokens at each end of a maximal run
+— the same granularity trade every hash-window dedup (e.g. the
+deduplicate-text-datasets bloom-filter mode) makes.
+
+Scale shape:
+
+- Window hashing is map-side (token n-grams via the shifted-slice zip,
+  hashed to 8 bytes). The ONE corpus-sized shuffle is the
+  ``groupBy(window_hash)`` occurrence count — 8-byte keys, map-side
+  partial counts.
+- Only duplicated hashes (the small tail) proceed: the dup set joins
+  back as a broadcast semi-probe, and the keep="first" rank runs on
+  dup rows only.
+- Span merge + rewrite is one ``applyInPandas`` over MARKED docs only;
+  untouched documents never leave the scan and pass through
+  byte-exact.
+
+Rewrite fidelity: matching and rewrite run on the raw
+whitespace-token stream (case-sensitive, punctuation intact — "exact
+substring" in the paper's sense); a rewritten document re-joins its
+surviving tokens with single spaces, so original runs of whitespace
+are not preserved in rewritten docs (documented trade; token streams
+are what the downstream tokenizer consumes anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["duplicate_spans", "remove_duplicate_spans"]
+
+
+def _window_hashes(text_col: str, min_tokens: int):
+    """array<long>: xxhash64 of each min_tokens-token window (raw
+    whitespace tokens), via the shifted-slice zip (O(m·n) like
+    functions/text.ngrams, never the O(m·n²) HOF trap)."""
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")
+    )
+    n = min_tokens
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, length) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+) -> DataFrame:
+    """Merged duplicated token ranges per document:
+    ``(id_col, start, end)`` with token indices, end exclusive,
+    overlapping/adjacent windows coalesced.
+
+    ``keep="first"`` spares each window's globally-first occurrence
+    (ordered by (doc id, position) — deterministic); ``keep="none"``
+    marks every occurrence (the decontamination posture).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be first|none, got {keep!r}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(_window_hashes(text_col, min_tokens)).alias(
+            "pos", "whash"
+        ),
+    )
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+    )
+    marked = wins.join(F.broadcast(dup.select("whash")), "whash", "left_semi")
+    if keep == "first":
+        w = Window.partitionBy("whash").orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        marked = (
+            marked.withColumn("__occ_rank", F.row_number().over(w))
+            .filter(F.col("__occ_rank") > 1)
+            .drop("__occ_rank")
+        )
+
+    # merge [pos, pos+min_tokens) ranges per doc: sorted positions fold
+    # into disjoint spans — dup rows only, tiny relative to the corpus
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, start int, end int"
+
+    def _merge(pdf):
+        import pandas as pd
+
+        rows = []
+        doc = pdf.iloc[0][id_col]
+        start = end = None
+        for p in sorted(pdf["pos"].tolist()):
+            if start is None:
+                start, end = p, p + min_tokens
+            elif p <= end:
+                end = p + min_tokens
+            else:
+                rows.append((doc, start, end))
+                start, end = p, p + min_tokens
+        if start is not None:
+            rows.append((doc, start, end))
+        return pd.DataFrame(rows, columns=[id_col, "start", "end"])
+
+    return marked.groupBy(id_col).applyInPandas(_merge, out_schema)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+    out_col: str | None = None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with duplicated spans cut out. Documents
+    without spans pass through byte-exact; rewritten documents re-join
+    surviving raw tokens with single spaces (see module docstring).
+    A document that is entirely duplicated rewrites to "".
+
+    ``spans`` reuses a precomputed :func:`duplicate_spans` frame.
+    """
+    out_col = out_col or text_col
+    sp = (
+        spans
+        if spans is not None
+        else duplicate_spans(docs, min_tokens, text_col, id_col, keep)
+    )
+    per_doc = sp.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "end")).alias("__spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    rewritten = F.array_join(kept, " ")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+            rewritten
+        ),
+    ).drop("__spans")

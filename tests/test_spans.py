@@ -1,0 +1,162 @@
+"""Duplicate-span removal (operators/spans): differential vs a
+pure-python window-hash reference, keep semantics, byte fidelity."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from shotit_worker_spark.operators import spans as SP
+
+
+def _toks(s):
+    return [t for t in re.split(r"\s+", s) if t]
+
+
+def _ref(texts: dict[int, str], L: int, keep: str):
+    toks = {d: _toks(s) for d, s in texts.items()}
+    wins: dict[str, list] = {}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - L + 1):
+            wins.setdefault(" ".join(toks[d][p : p + L]), []).append((d, p))
+    marked: dict[int, list[int]] = {d: [] for d in toks}
+    for lst in wins.values():
+        if len(lst) >= 2:
+            lst = sorted(lst)
+            for d, p in lst[1:] if keep == "first" else lst:
+                marked[d].append(p)
+    spans, out = {}, {}
+    for d, ps in marked.items():
+        merged, s, e = [], None, None
+        for p in sorted(ps):
+            if s is None:
+                s, e = p, p + L
+            elif p <= e:
+                e = p + L
+            else:
+                merged.append((s, e))
+                s, e = p, p + L
+        if s is not None:
+            merged.append((s, e))
+        spans[d] = merged
+        if not merged:
+            out[d] = texts[d]
+        else:
+            out[d] = " ".join(
+                t
+                for i, t in enumerate(toks[d])
+                if not any(a <= i < b for a, b in merged)
+            )
+    return spans, out
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+def _words(rng, n):
+    pool = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    return " ".join(rng.choice(pool) + str(rng.randint(0, 99)) for _ in range(n))
+
+
+def test_shared_passage_keep_first(spark):
+    rng = random.Random(51)
+    passage = _words(rng, 60)
+    texts = {
+        1: _words(rng, 20) + " " + passage + " " + _words(rng, 15),
+        2: _words(rng, 30) + " " + passage,
+        3: _words(rng, 40),
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(_df(spark, texts), min_tokens=50).collect()
+    }
+    _, want = _ref(texts, 50, "first")
+    assert out == want
+    # doc 1 (globally first) keeps the passage; doc 2 loses it
+    assert passage in out[1]
+    assert passage not in out[2]
+    assert out[3] == texts[3]  # untouched doc byte-exact
+
+
+def test_keep_none_cuts_all_occurrences(spark):
+    rng = random.Random(52)
+    passage = _words(rng, 55)
+    texts = {1: passage + " " + _words(rng, 10), 2: _words(rng, 10) + " " + passage}
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            _df(spark, texts), min_tokens=50, keep="none"
+        ).collect()
+    }
+    _, want = _ref(texts, 50, "none")
+    assert out == want
+    assert passage not in out[1] and passage not in out[2]
+
+
+def test_entirely_duplicated_doc_becomes_empty(spark):
+    rng = random.Random(53)
+    passage = _words(rng, 50)
+    texts = {1: passage, 2: passage, 3: _words(rng, 12)}
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            _df(spark, texts), min_tokens=50, keep="none"
+        ).collect()
+    }
+    assert out[1] == "" and out[2] == "" and out[3] == texts[3]
+
+
+def test_untouched_docs_preserve_whitespace_bytes(spark):
+    texts = {1: "weird\t\twhitespace\n\n  kept   intact", 2: "another doc here"}
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(_df(spark, texts), min_tokens=3).collect()
+    }
+    assert out == texts
+
+
+def test_spans_merge_hand_checked(spark):
+    # doc 2 copies tokens 0..7 of doc 1 (L=4 -> marked windows at
+    # positions 0..4 merge into one [0, 8) span in doc 2)
+    texts = {1: "a b c d e f g h tail1 tail2", 2: "a b c d e f g h other stuff"}
+    spans = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in SP.duplicate_spans(_df(spark, texts), min_tokens=4).collect()
+    }
+    assert spans == {(2, 0, 8)}
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_differential_random_corpus(spark, keep):
+    rng = random.Random(54)
+    chunks = [_words(rng, 14) for _ in range(4)]
+    texts = {}
+    for d in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.45:
+                parts.append(rng.choice(chunks))
+            else:
+                parts.append(_words(rng, rng.randint(3, 18)))
+        texts[d] = " ".join(parts)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            _df(spark, texts), min_tokens=10, keep=keep
+        ).collect()
+    }
+    _, want = _ref(texts, 10, keep)
+    assert got == want
+
+
+def test_validation(spark):
+    df = _df(spark, {1: "x"})
+    with pytest.raises(ValueError, match="keep"):
+        SP.duplicate_spans(df, keep="bogus")
+    with pytest.raises(ValueError, match="min_tokens"):
+        SP.duplicate_spans(df, min_tokens=0)
