@@ -184,3 +184,41 @@ def retrieve_rerank(
         id_col=id_col,
         num_partitions=num_partitions,
     )
+
+
+def bm25_retrieve_rerank(
+    queries_df: DataFrame,
+    bm25_index,
+    query_features: DataFrame,
+    doc_features: DataFrame,
+    scorer: Scorer,
+    k: int = 15,
+    depth: int = 60,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Lexical-recall variant of :func:`retrieve_rerank`: stage 1 is a
+    BM25 batch search (operators/bm25) instead of embedding kNN — the
+    classic BM25 → cross-encoder pipeline. Same contract: stage-2 cost
+    is |Q| × depth scorer calls, independent of corpus size; the
+    candidate table carries `retrieval_score` (BM25) for scorers that
+    want to blend it."""
+    if depth < k:
+        raise ValueError(f"depth {depth} must be >= k {k}")
+    id_col = bm25_index.id_col
+    cand = bm25_index.search(
+        queries_df, k=depth, query_id_col=query_id_col,
+        text_col=query_text_col,
+    ).withColumnRenamed("score", "retrieval_score")
+    feats = cand.join(F.broadcast(query_features), query_id_col).join(
+        F.broadcast(doc_features), id_col
+    )
+    return rerank(
+        feats,
+        scorer,
+        k=k,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )

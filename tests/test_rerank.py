@@ -139,3 +139,41 @@ def test_rerank_guards(spark, candidates):
     emb = candidates.sparkSession.range(1)
     with pytest.raises(ValueError, match="depth"):
         retrieve_rerank(emb, emb, emb, emb, overlap_scorer(), k=10, depth=5)
+
+
+def test_bm25_retrieve_rerank_e2e(spark):
+    """Lexical two-stage pipeline: BM25 recall -> token-F1 re-rank; the
+    doc sharing the most query vocabulary wins after re-ranking."""
+    import random
+
+    from shotit_worker_spark.operators import bm25 as B
+    from shotit_worker_spark.operators.rerank import (
+        bm25_retrieve_rerank,
+        overlap_scorer,
+    )
+
+    rng = random.Random(61)
+    words = "cat dog barn river boat walk morning mat red fast".split()
+    texts = {
+        i: " ".join(rng.choice(words) for _ in range(15)) for i in range(40)
+    }
+    texts[7] = "the cat sat on the red mat by the river"  # target
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    idx = B.build_bm25(docs)
+
+    queries = spark.createDataFrame(
+        [(0, "cat on the red mat river")], "query_id long, text string"
+    )
+    qf = queries.select("query_id", F.col("text").alias("query_text"))
+    df_feats = docs.select("doc_id", F.col("text").alias("doc_text"))
+    out = bm25_retrieve_rerank(
+        queries, idx, qf, df_feats,
+        overlap_scorer("query_text", "doc_text"),
+        k=3, depth=15,
+    ).collect()
+    assert len(out) == 3
+    best = max(out, key=lambda r: r["rerank_score"])
+    assert best["doc_id"] == 7
+    assert {"retrieval_score", "rerank_score"} <= set(out[0].asDict())
