@@ -7,8 +7,8 @@ chain is
 
     boilerplate-line removal → normalize → domain filter → PII scrub →
     quality filter (heuristic rules, learned classifier, LM
-    perplexity) → exact dedup → fuzzy dedup → mix to token budget →
-    deterministic shuffle → size-targeted write
+    perplexity) → exact dedup → span dedup → fuzzy dedup →
+    mix to token budget → deterministic shuffle → size-targeted write
 
 `prepare_corpus` composes exactly the library operators for each stage
 (every one individually scale-audited in SCALE_NOTES.md), with each
@@ -52,6 +52,7 @@ def prepare_corpus(
     perplexity_lm=None,
     max_perplexity: float | None = None,
     exact_dedup: bool = True,
+    span_min_tokens: int | None = None,
     fuzzy_threshold: float | None = 0.8,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
@@ -151,6 +152,17 @@ def prepare_corpus(
             "content_md5"
         )
         _mark("exact_dedup")
+    if span_min_tokens is not None:
+        # between exact and fuzzy doc dedup: cut cross-document
+        # repeated runs (operators/spans) after whole-doc copies are
+        # gone, before near-dup docs are clustered on the cleaned text
+        from ..operators import spans as SPN
+
+        cur = SPN.remove_duplicate_spans(
+            cur, min_tokens=span_min_tokens, text_col=text_col,
+            id_col=id_col,
+        )
+        _mark("span_dedup")
     if fuzzy_threshold is not None:
         # fuzzy dedup's clustering loop runs several internal actions
         # (signature/candidate jobs, per-round label propagation), each

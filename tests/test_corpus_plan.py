@@ -210,3 +210,24 @@ def test_learned_filter_stages(spark, docs, tmp_root):
     assert stages["boilerplate"] == stages["input"]  # rewrite, not drop
     assert stages["perplexity"] <= stages["quality_model"] <= stages["boilerplate"]
     assert stages["perplexity"] > 0
+
+
+def test_span_dedup_stage(spark, docs):
+    passage = " ".join(f"sp{i}" for i in range(12))
+    planted = docs.limit(10).withColumn(
+        "text", F.concat(F.lit(passage + " "), F.col("text"))
+    )
+    res = prepare_corpus(
+        planted,
+        None,
+        normalize=False,
+        quality=False,
+        exact_dedup=False,
+        span_min_tokens=10,
+        fuzzy_threshold=None,
+        shuffle_seed=None,
+        report=True,
+    )
+    df = res["df"]
+    assert res["stages"]["span_dedup"] == res["stages"]["input"]
+    assert df.filter(F.col("text").contains("sp0 sp1")).count() == 1
