@@ -172,6 +172,103 @@ class NGramLM:
             F.pow(F.lit(10.0), -F.col("avg_logprob")).alias("perplexity"),
         )
 
+    def score_local(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_entries: int = 20_000_000,
+    ) -> DataFrame:
+        """Same result as :meth:`score`, computed map-only: the count
+        tables are collected into plain dicts and broadcast into one
+        Arrow ``mapInPandas`` pass — no per-position explode, no joins,
+        no shuffle (the in-memory-KenLM posture CCNet serves with).
+
+        This is the LOW-LATENCY path, not the bulk path: scoring is a
+        per-position Python loop, measured SLOWER than the join path at
+        corpus scale (75 s vs 51 s at the 100 k stress — the JVM
+        broadcast joins win on bulk throughput). Use it for small
+        query/serving batches where the join plan's 5-join startup
+        dominates, or under Structured Streaming (no streaming-side
+        aggregation). Guarded at ``max_entries`` total model rows;
+        beyond that use :meth:`score`.
+
+        Lookups are keyed on the same string grams as training; scores
+        are bit-identical to the join path up to float summation order
+        (both sum per-position log10 left-to-right per document).
+        """
+        total_entries = sum(
+            df.count() for df in self.counts.values()
+        ) + sum(df.count() for df in self.ctx_counts.values())
+        if total_entries > max_entries:
+            raise ValueError(
+                f"model has {total_entries} entries > max_entries="
+                f"{max_entries}; use score() (join path) instead"
+            )
+        import pandas as pd
+
+        n, alpha = self.n, self.alpha
+        total = float(self.total_tokens)
+        grams = {
+            k: dict(
+                (r["gram"], r["cnt"]) for r in df.select("gram", "cnt").collect()
+            )
+            for k, df in self.counts.items()
+        }
+        ctxs = {
+            k: dict(
+                (r["ctx"], r["cnt"]) for r in df.select("ctx", "cnt").collect()
+            )
+            for k, df in self.ctx_counts.items()
+        }
+        spark = docs.sparkSession
+        bc = spark.sparkContext.broadcast((grams, ctxs))
+        import re
+
+        splitter = re.compile(r"[^a-z0-9]+")
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, n_tokens bigint, avg_logprob double, "
+            "perplexity double"
+        )
+
+        def _score(batches):
+            import math
+
+            g, c = bc.value
+            for pdf in batches:
+                rows = []
+                for doc, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [
+                        t for t in splitter.split((text or "").lower()) if t
+                    ]
+                    padded = [PAD] * (n - 1) + toks
+                    lp = 0.0
+                    m = len(toks)
+                    for i in range(n - 1, len(padded)):
+                        s = (g[1].get(padded[i]) or 1) / total
+                        for k in range(2, n + 1):
+                            gram = " ".join(padded[i - k + 1 : i + 1])
+                            cnt = g[k].get(gram)
+                            ctx = c[k].get(" ".join(padded[i - k + 1 : i]))
+                            if cnt is not None and ctx is not None:
+                                s = cnt / ctx
+                            else:
+                                s = alpha * s
+                        lp += math.log10(s)
+                    if m:
+                        avg = lp / m
+                        rows.append((doc, m, avg, 10.0 ** (-avg)))
+                    else:
+                        rows.append((doc, 0, None, None))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "n_tokens", "avg_logprob", "perplexity"],
+                )
+
+        return docs.mapInPandas(_score, out_schema)
+
     # -- persistence (sidecar layout, like index/ivf) ----------------------
 
     def save(self, path: str) -> None:

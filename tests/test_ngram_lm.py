@@ -168,3 +168,29 @@ def test_validation(spark):
         NL.train_ngram_lm(df, n=0)
     with pytest.raises(ValueError):
         NL.train_ngram_lm(df, alpha=0.0)
+
+
+def test_score_local_matches_join_path(spark):
+    rng = random.Random(71)
+    train = _corpus(rng, 40)
+    probe = _corpus(rng, 12)
+    probe["empty"] = ""
+    lm = NL.train_ngram_lm(_mk(spark, train), n=3, min_count=2)
+    a = {r["doc_id"]: r for r in lm.score(_mk(spark, probe)).collect()}
+    b = {r["doc_id"]: r for r in lm.score_local(_mk(spark, probe)).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d]["n_tokens"] == b[d]["n_tokens"]
+        if a[d]["avg_logprob"] is None:
+            assert b[d]["avg_logprob"] is None
+        else:
+            assert b[d]["avg_logprob"] == pytest.approx(
+                a[d]["avg_logprob"], rel=1e-9
+            )
+
+
+def test_score_local_size_guard(spark):
+    rng = random.Random(72)
+    lm = NL.train_ngram_lm(_mk(spark, _corpus(rng, 20)), n=3)
+    with pytest.raises(ValueError, match="max_entries"):
+        lm.score_local(_mk(spark, _corpus(rng, 3)), max_entries=5)
