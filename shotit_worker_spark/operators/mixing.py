@@ -163,3 +163,73 @@ def mixing_report(
         "tokens",
         (F.col("tokens").cast("double") / total).alias("share"),
     ).orderBy(source_col)
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_lm,
+    raw_lm,
+    n_select: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169): pick the `n_select` raw documents that
+    look most like a TARGET domain, by importance weight
+
+        log w(doc) = log p_target(doc) − log p_raw(doc)
+
+    under two hashed n-gram LMs — here the two operators/ngram_lm
+    Stupid-Backoff models (train `target_lm` on the in-domain seed,
+    `raw_lm` on a raw-corpus sample). Per-token avg log-probs make the
+    weight length-invariant, like the paper's unigram-normalized form.
+
+    Sampling is the Gumbel-top-k trick: key = log w / temperature + G,
+    with G = −log(−log u) and u a DETERMINISTIC per-(doc, seed) hash
+    uniform — a distributed weighted sample WITHOUT replacement in one
+    sort-limit, reproducible run-to-run (same posture as mix_corpora's
+    hash admission; `temperature → 0` degrades to deterministic top-k
+    by weight). Scale shape: two LM scoring passes (their documented
+    shapes), one map-side key projection, one TakeOrdered(n_select).
+
+    Returns the selected docs with `dsir_logw` attached. Documents the
+    LMs cannot score (empty after tokenization) are excluded.
+    """
+    if n_select <= 0:
+        raise ValueError(f"n_select must be positive, got {n_select}")
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    t_scores = target_lm.score(raw_docs, text_col=text_col, id_col=id_col)
+    r_scores = raw_lm.score(raw_docs, text_col=text_col, id_col=id_col)
+    logw = (
+        t_scores.select(id_col, F.col("avg_logprob").alias("__t_lp"))
+        .join(
+            r_scores.select(id_col, F.col("avg_logprob").alias("__r_lp")),
+            id_col,
+        )
+        .filter(F.col("__t_lp").isNotNull() & F.col("__r_lp").isNotNull())
+        .select(
+            id_col, (F.col("__t_lp") - F.col("__r_lp")).alias("dsir_logw")
+        )
+    )
+    u = _unit_hash(id_col, seed, "dsir")
+    # guard u=0 (−log(−log 0) = −inf): nudge into (0, 1)
+    gumbel = -F.log(-F.log(u + F.lit(0.5 / _BUCKETS)))
+    key = (
+        F.col("dsir_logw") / F.lit(temperature) + gumbel
+        if temperature > 0
+        else F.col("dsir_logw")
+    )
+    chosen = (
+        logw.withColumn("__dsir_key", key)
+        .orderBy(F.col("__dsir_key").desc(), F.col(id_col).asc())
+        .limit(n_select)
+        .select(id_col, "dsir_logw")
+    )
+    # the chosen-id table is n_select rows of (id, double): broadcast
+    # while that is executor-sized, fall back to a shuffle join beyond
+    if n_select <= 2_000_000:
+        chosen = F.broadcast(chosen)
+    return raw_docs.join(chosen, id_col)
