@@ -48,6 +48,7 @@ __all__ = [
     "simhash_dedup",
     "cluster_near_dup_pairs",
     "semantic_dedup",
+    "image_dedup",
 ]
 
 
@@ -457,3 +458,47 @@ def semantic_dedup(
         clustered, id_col=id_col, priority_col=priority_col
     )
     return kept.drop(priority_col) if priority_col else kept
+
+
+def image_dedup(
+    images: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "image_id",
+    image_col: str = "image",
+    algo: str = "cl",
+    priority_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    **srp_kwargs,
+) -> DataFrame:
+    """Near-duplicate IMAGE dedup: the multimodal composition of the
+    media surface and the embedding-dedup endgame. Raw image bytes →
+    real LIRE descriptor vectors (functions/media.embed_images, the
+    same G2 kernel the search index uses, L2-normalized) → SRP-LSH
+    candidate pairs verified at cosine `threshold` → connected
+    components → one canonical image per cluster.
+
+    Decode happens ONCE per image in the embed UDF; everything after
+    is the documented embedding_dedup shape (bucketed candidates, no
+    all-pairs). Undecodable bytes embed as NULL and pass through as
+    singletons (never dropped silently — count them upstream with
+    functions/scalar.sniff_image_format if a corpus audit is needed).
+    """
+    from ..functions.media import embed_images
+    from ..functions.vector import l2_normalize
+
+    embedded = embed_images(images, image_col=image_col, algo=algo)
+    ok = embedded.filter(F.col("vector").isNotNull()).withColumn(
+        "vector", l2_normalize(F.col("vector"))
+    )
+    bad = embedded.filter(F.col("vector").isNull())
+    kept = embedding_dedup(
+        ok,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col="vector",
+        priority_col=priority_col,
+        checkpoint_dir=checkpoint_dir,
+        **srp_kwargs,
+    )
+    bad = bad.withColumn("cluster_id", F.col(id_col))
+    return kept.unionByName(bad.select(*kept.columns))

@@ -1,0 +1,49 @@
+"""Image near-dup dedup (operators/clustering.image_dedup): the
+multimodal composition — raw bytes → LIRE descriptor → SRP/cosine
+dedup. Planted near-identical renders collapse; distinct images and
+undecodable bytes survive."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from shotit_worker_spark.functions.imagecodec import encode_ppm
+from shotit_worker_spark.operators.clustering import image_dedup
+
+
+def _render(seed, jitter=0):
+    """Deterministic 48x32 gradient+blocks scene; `jitter` nudges pixel
+    values slightly (a re-encode/resize artifact stand-in)."""
+    rng = np.random.default_rng(seed)
+    h, w = 32, 48
+    x = np.linspace(0, 255, w, dtype=np.float64)
+    img = np.zeros((h, w, 3))
+    img[..., 0] = x[None, :]
+    img[..., 1] = np.linspace(0, 255, h)[:, None]
+    img[..., 2] = rng.integers(0, 255, size=(4, 6)).repeat(8, 0).repeat(8, 1)
+    if jitter:
+        img = img + rng.integers(-jitter, jitter + 1, size=img.shape)
+    return encode_ppm(np.clip(img, 0, 255).astype(np.uint8))
+
+
+def test_image_dedup_collapses_near_identical(spark):
+    rows = []
+    # three near-dup variants of scene A, two of scene B, one unique C
+    for i, j in [(0, 0), (1, 1), (2, 2)]:
+        rows.append((f"a{i}", _render(7, jitter=j)))
+    for i, j in [(0, 0), (1, 2)]:
+        rows.append((f"b{i}", _render(99, jitter=j)))
+    rows.append(("c0", _render(1234)))
+    rows.append(("broken", b"not an image at all"))
+    images = spark.createDataFrame(rows, "image_id string, image binary")
+
+    kept = image_dedup(
+        images, threshold=0.995, num_bits=4, num_tables=8
+    ).collect()
+    kept_ids = {r["image_id"] for r in kept}
+    assert "broken" in kept_ids          # undecodable passes through
+    assert "c0" in kept_ids              # unique scene survives
+    assert len(kept_ids & {"a0", "a1", "a2"}) == 1
+    assert len(kept_ids & {"b0", "b1"}) == 1
+    clusters = {r["image_id"]: r["cluster_id"] for r in kept}
+    assert clusters["broken"] == "broken"  # singleton cluster id = own id
