@@ -1,0 +1,108 @@
+"""Corpus datacard — the one-scan audit summary a dataset release
+ships with (HuggingFace dataset-card / Dolma-report shape): volume,
+length distribution, language mix, quality, PII exposure, and exact-dup
+rate, globally and per source. No reference analogue; part of the
+LLM-data-pipeline surface (SURVEY §2.12).
+
+Shape: every metric is computed from ONE tagged projection of the
+corpus — the expensive text expressions (tokenize, quality, PII
+counts) evaluate once per row behind alias boundaries (the q55
+CollapseProject lesson), then a single hash aggregation produces the
+summary. `per_source` reuses the SAME tagged frame grouped by source:
+two jobs, each one scan, no joins. countDistinct(digest) is the one
+memory-heavy term (distinct set per partition); it is approximated
+with approx_count_distinct at a documented 2% rsd — a datacard is a
+report, not a dedup gate (operators/dedup holds the exact path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import pii as PII
+from ..functions import text as TX
+
+__all__ = ["corpus_datacard"]
+
+_LANGS = sorted(TX.LANG_MARKERS) + ["und"]
+
+
+def _tagged(docs: DataFrame, text_col: str, with_pii: bool) -> DataFrame:
+    c = F.col(text_col)
+    out = docs.select(
+        "*",
+        TX.tokenize(c).alias("__toks"),
+        F.length(c).alias("__chars"),
+        TX.bpe_token_count(c).alias("__bpe"),
+        TX.quality_score(c).alias("__quality"),
+        F.md5(c).alias("__digest"),
+        *(
+            [
+                sum(
+                    (PII.pii_count(text_col, r) for r in PII.PII_RULES),
+                    F.lit(0),
+                ).alias("__pii")
+            ]
+            if with_pii
+            else []
+        ),
+    )
+    return out.select(
+        "*",
+        F.size("__toks").alias("__ntok"),
+        TX.lang_id_from_tokens(F.col("__toks")).alias("__lang"),
+    )
+
+
+def _aggs(with_pii: bool):
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.sum("__bpe").alias("total_bpe_pieces"),
+        F.avg("__ntok").alias("mean_tokens"),
+        F.expr(
+            "percentile_approx(__ntok, array(0.1, 0.5, 0.9, 0.99))"
+        ).alias("token_percentiles"),
+        F.avg("__quality").alias("mean_quality"),
+        F.avg((F.col("__quality") >= 0.5).cast("double")).alias(
+            "quality_pass_rate"
+        ),
+        F.approx_count_distinct("__digest", 0.02).alias(
+            "approx_distinct_docs"
+        ),
+    ]
+    for lang in _LANGS:
+        aggs.append(
+            F.sum((F.col("__lang") == lang).cast("long")).alias(
+                f"docs_{lang}"
+            )
+        )
+    if with_pii:
+        aggs.append(F.sum("__pii").alias("pii_matches"))
+        aggs.append(
+            F.sum((F.col("__pii") > 0).cast("long")).alias("docs_with_pii")
+        )
+    return aggs
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = None,
+    with_pii: bool = True,
+) -> dict:
+    """{"summary": 1-row DataFrame, "per_source": DataFrame | None}.
+
+    Both outputs are lazy single-scan aggregations over the same tagged
+    projection; nothing is collected here.
+    """
+    tagged = _tagged(docs, text_col, with_pii)
+    summary = tagged.agg(*_aggs(with_pii))
+    per_source = (
+        tagged.groupBy(source_col).agg(*_aggs(with_pii))
+        if source_col
+        else None
+    )
+    return {"summary": summary, "per_source": per_source}

@@ -1,0 +1,68 @@
+"""Corpus datacard (plans/datacard): value checks on a hand-built
+corpus, fixture smoke, single-scan plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.plans.datacard import corpus_datacard
+
+DOCS = [
+    # doc_id, text, source
+    (1, "the cat is in the garden and it is resting for a while", "web"),
+    (2, "the cat is in the garden and it is resting for a while", "web"),  # exact dup
+    (3, "der hund ist nicht mit der katze und das ist zu viel", "web"),
+    (4, "email me at a@b.com or 10.0.0.1 for the thing that it is", "books"),
+    (5, "", "books"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_summary_values(spark):
+    card = corpus_datacard(_df(spark), source_col="source")
+    row = card["summary"].first()
+    assert row["n_docs"] == 5
+    assert row["total_chars"] == sum(len(t) for _, t, _s in DOCS)
+    import re
+
+    n_tok = lambda t: len(  # noqa: E731
+        [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+    )
+    assert row["total_tokens"] == sum(n_tok(t) for _, t, _s in DOCS)
+    assert row["docs_en"] == 3
+    assert row["docs_de"] == 1
+    assert row["docs_und"] == 1  # empty doc
+    # 4 distinct texts among 5 docs (2% rsd ≈ exact at this size)
+    assert row["approx_distinct_docs"] == 4
+    assert row["pii_matches"] == 2  # email + ipv4
+    assert row["docs_with_pii"] == 1
+    assert row["token_percentiles"][1] >= 1  # median tokens
+
+    per = {r["source"]: r for r in card["per_source"].collect()}
+    assert per["web"]["n_docs"] == 3 and per["books"]["n_docs"] == 2
+    assert per["books"]["pii_matches"] == 2
+    assert per["web"]["pii_matches"] == 0
+
+
+def test_single_scan_plan(spark, tmp_root):
+    path = str(tmp_root / "datacard_docs")
+    _df(spark).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    card = corpus_datacard(docs, source_col="source")
+    for df in (card["summary"], card["per_source"]):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+
+
+def test_fixture_smoke(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    card = corpus_datacard(docs, source_col="source", with_pii=False)
+    row = card["summary"].first()
+    assert row["n_docs"] == docs.count()
+    assert row["total_tokens"] > 0
+    lang_total = sum(row[f"docs_{lg}"] for lg in ("de", "en", "es", "fr", "und"))
+    assert lang_total == row["n_docs"]
+    assert "pii_matches" not in row.asDict()
