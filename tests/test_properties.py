@@ -258,3 +258,99 @@ def test_chunking_reconstructs_token_stream(spark, texts, chunk, overlap):
         for c in chunks[1:]:
             rebuilt.extend(c[overlap:])
         assert rebuilt == toks
+
+
+# -- line-level boilerplate: static form == join form -----------------------
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["Cookie  Banner", "cookie banner", "unique %d", "", "  ", "word"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+@spark_settings
+def test_boilerplate_static_equals_join_form(spark, texts, min_docs):
+    from shotit_worker_spark.operators import lines as L
+
+    docs = spark.createDataFrame(
+        [
+            (i, "\n".join(ln % i if "%d" in ln else ln for ln in lns))
+            for i, lns in enumerate(texts)
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines(docs, min_docs=min_docs).collect()
+    }
+    manifest = [
+        r["line"]
+        for r in L.line_frequencies(
+            docs, min_docs=min_docs, keep_lines=True
+        ).collect()
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in L.remove_boilerplate_lines_static(docs, manifest).collect()
+    }
+    assert got == want
+
+
+# -- span dedup: kept+cut windows partition the token stream ----------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    min_tokens=st.integers(min_value=2, max_value=5),
+    keep=st.sampled_from(["first", "none"]),
+)
+@spark_settings
+def test_span_rewrite_partitions_token_stream(spark, seed, min_tokens, keep):
+    """Surviving tokens of every doc are a subsequence of its original
+    token stream, and every CUT position is covered by a reported span
+    (and vice versa)."""
+    import random as _random
+
+    from shotit_worker_spark.operators import spans as SP
+
+    rng = _random.Random(seed)
+    chunk = " ".join(f"c{seed % 7}w{j}" for j in range(min_tokens + 2))
+    texts = {}
+    for d in range(6):
+        parts = [
+            chunk if rng.random() < 0.5 else f"u{d}x{i}"
+            for i in range(rng.randint(1, 5))
+        ]
+        texts[d] = " ".join(parts)
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    spans = {}
+    for r in SP.duplicate_spans(docs, min_tokens=min_tokens, keep=keep).collect():
+        spans.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            docs, min_tokens=min_tokens, keep=keep
+        ).collect()
+    }
+    for d, orig in texts.items():
+        toks = orig.split()
+        cut = {
+            i for s, e in spans.get(d, []) for i in range(s, e)
+        }
+        expect = [t for i, t in enumerate(toks) if i not in cut]
+        if cut:
+            assert out[d].split() == expect
+            assert all(0 <= i < len(toks) for i in cut)
+        else:
+            assert out[d] == orig
