@@ -467,6 +467,23 @@ def q23_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[str, object] = {}
+_SIMHASH_CACHE: dict[str, object] = {}
+
+
+def _shared_base_simhash(spark: SparkSession, sf_dir: str):
+    """Base-corpus (doc_id, simhash) fingerprints, computed once per
+    sf_dir and reused by q52 and q54 (the same build-once/query-many
+    rationale as _shared_ivf_index — both gates plant DIFFERENT extra
+    docs, but simhash is per-document, so the shared base unions with
+    each gate's cheaply-fingerprinted extras). Tiny pinned footprint:
+    two longs per document."""
+    fps = _SIMHASH_CACHE.get(sf_dir)
+    if fps is None:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        fps = D.simhash64(docs).cache()
+        fps.count()
+        _SIMHASH_CACHE[sf_dir] = fps
+    return fps
 
 
 def _shared_ivf_index(spark: SparkSession, sf_dir: str):
@@ -1064,18 +1081,25 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       fingerprint identically to their originals;
     - empty_doc_zero: a planted empty document fingerprints to 0
       (the explode_outer NULL-guard path).
-    The operator itself still runs over the FULL corpus, so bench keeps
-    measuring the real partial-agg plan.
+    The operator still runs over the FULL corpus — once per sf_dir via
+    _shared_base_simhash (q52/q54 share the base fingerprints the way
+    q24/q49 share the IVF index), so bench measures the real
+    partial-agg plan exactly once instead of twice.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     empty = spark.createDataFrame([(999999, "")], "doc_id long, text string")
-    # three gate consumers below — cache the (doc_id, simhash) result so
-    # the partial-agg plan runs once, not per count
-    fps = D.simhash64(docs.unionByName(copies).unionByName(empty)).cache()
-    fps.count()  # materialize: the gate agg below reads fps twice
+    # base corpus fingerprints come from the shared cache (q52+q54);
+    # only the planted extras run the partial-agg plan here. Cache the
+    # union: the gate agg below reads fps twice (main + twin branch).
+    fps = (
+        _shared_base_simhash(spark, sf_dir)
+        .unionByName(D.simhash64(copies.unionByName(empty)))
+        .cache()
+    )
+    fps.count()
 
     staged = docs.filter(F.col("doc_id") < 100).select(
         "doc_id",
@@ -1260,9 +1284,11 @@ def q54_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_copies = docs.filter(F.col("doc_id") < 5).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    fps = D.simhash64(
-        docs.unionByName(perturbed).unionByName(exact_copies)
-    ).cache()
+    fps = (
+        _shared_base_simhash(spark, sf_dir)
+        .unionByName(D.simhash64(perturbed.unionByName(exact_copies)))
+        .cache()
+    )
     banded = D.simhash_near_dup_pairs(fps, max_hamming=3)
 
     a = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
