@@ -137,6 +137,11 @@ def prepare_corpus(
         )
         _mark("quality_model")
     if perplexity_lm is not None and max_perplexity is not None:
+        # the semi-join reads `cur` on BOTH sides (docs + the scored
+        # frame derived from them) — persist so the upstream chain
+        # (normalize/boilerplate/filters) executes once, not twice
+        if stages is None:
+            cur = cur.persist()
         ppl = perplexity_lm.score(cur, text_col=text_col, id_col=id_col)
         cur = cur.join(
             ppl.filter(
@@ -155,9 +160,15 @@ def prepare_corpus(
     if span_min_tokens is not None:
         # between exact and fuzzy doc dedup: cut cross-document
         # repeated runs (operators/spans) after whole-doc copies are
-        # gone, before near-dup docs are clustered on the cleaned text
+        # gone, before near-dup docs are clustered on the cleaned text.
+        # The span operator reads its input ~4× (window hashing, dup
+        # probe, span join, rewrite) — persist so the upstream chain
+        # executes once (the fuzzy-dedup lesson; measured unrunnable
+        # at 100 k without it when the LM/classifier stages precede).
         from ..operators import spans as SPN
 
+        if stages is None:
+            cur = cur.persist()
         cur = SPN.remove_duplicate_spans(
             cur, min_tokens=span_min_tokens, text_col=text_col,
             id_col=id_col,
