@@ -174,4 +174,7 @@ def build_bm25(
     n_docs = int(stats["n"] or 0)
     if n_docs == 0:
         raise ValueError("build_bm25: empty corpus")
+    if stats["avgdl"] is None:
+        # rows exist but every text is NULL — avg() skips nulls
+        raise ValueError("build_bm25: corpus has no tokenizable text")
     return BM25Index(postings, dictionary, n_docs, float(stats["avgdl"]), id_col)

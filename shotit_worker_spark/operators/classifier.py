@@ -32,6 +32,7 @@ __all__ = [
     "train_quality_classifier",
     "score_quality",
     "classifier_filter",
+    "save_quality_classifier",
     "open_quality_classifier",
 ]
 
@@ -41,9 +42,11 @@ _TERMS = "__qc_terms"
 
 def _terms_col(text_col: str, use_bigrams: bool):
     toks = TX.tokenize(F.col(text_col))
-    if not use_bigrams:
-        return toks
-    return F.concat(toks, TX.ngrams(toks, 2))
+    if use_bigrams:
+        toks = F.concat(toks, TX.ngrams(toks, 2))
+    # NULL text → empty terms (HashingTF's UDF NPEs on a NULL array;
+    # a null doc should score as featureless, not kill the job)
+    return F.coalesce(toks, F.array().cast("array<string>"))
 
 
 def train_quality_classifier(
@@ -132,9 +135,39 @@ def classifier_filter(
     return scored.filter(F.col("__qc_p") >= min_prob).drop("__qc_p")
 
 
+def save_quality_classifier(model, path: str) -> None:
+    """Persist the PipelineModel PLUS its featurization config
+    (text_col / use_bigrams) as a JSON sidecar — MLlib persistence only
+    round-trips the JVM stages, and scoring with the wrong bigram
+    setting would silently hash terms the model never saw."""
+    import json
+    import os
+
+    model.save(path)
+    meta = {
+        "text_col": getattr(model, "_qc_text_col", "text"),
+        "use_bigrams": getattr(model, "_qc_use_bigrams", True),
+    }
+    with open(os.path.join(path, "quality_clf_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def open_quality_classifier(spark: SparkSession, path: str):
-    """Load a saved PipelineModel (``model.save(path)``) for scoring in
-    a fresh session."""
+    """Load a saved classifier for scoring in a fresh session. Restores
+    the featurization config from :func:`save_quality_classifier`'s
+    sidecar when present; a bare ``model.save(path)`` directory loads
+    too, but then ``score_quality`` needs text_col/use_bigrams passed
+    explicitly (defaults assume bigrams on)."""
+    import json
+    import os
+
     from pyspark.ml import PipelineModel
 
-    return PipelineModel.load(path)
+    model = PipelineModel.load(path)
+    meta_path = os.path.join(path, "quality_clf_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        model._qc_text_col = meta["text_col"]
+        model._qc_use_bigrams = meta["use_bigrams"]
+    return model

@@ -404,7 +404,11 @@ def semantic_dedup(
     (one pass per Lloyd iteration), map-only assignment vs broadcast
     centroids, one shuffle by cluster for the Gram pass, then the
     standard components + canonical window."""
-    from ..index.ivf import _fit_centroids, assign_centroids
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    from ..index.ivf import _fit_centroids
 
     if keep not in ("far", "near", "min_id"):
         raise ValueError(f"keep must be far|near|min_id, got {keep!r}")
@@ -414,12 +418,26 @@ def semantic_dedup(
         sample_cap=200_000, method=kmeans_method,
     )
     # normalize centroids so centroid similarity is cosine, like the pairs
-    import numpy as np
-
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
     unit_centroids = centroids / np.where(norms == 0, 1.0, norms)
 
-    assigned = assign_centroids(embeddings, centroids, vec_col=vec_col)
+    # NEAREST-centroid assignment (argmin ||x−c|| = argmax x·c − ½||c||²),
+    # NOT the IVF layout's argmax inner product: k-means centroids have
+    # unequal norms, and an IP-argmax warps Voronoi cells toward large-
+    # norm centroids — a near-dup pair straddling that warp would land
+    # in different clusters and silently survive dedup.
+    c_t = centroids.T.copy()
+    half_sq = 0.5 * (centroids * centroids).sum(axis=1)
+
+    def _assign_nearest(vecs):
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmax(x @ c_t - half_sq, axis=1).astype(np.int32))
+
+    _assign_nearest.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    assign_udf = F.pandas_udf(_assign_nearest, IntegerType())
+    assigned = embeddings.withColumn("centroid_id", assign_udf(F.col(vec_col)))
 
     priority_col = None
     if keep in ("far", "near"):

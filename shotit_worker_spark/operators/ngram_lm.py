@@ -98,15 +98,16 @@ class NGramLM:
         n = self.n
         padded = _padded_tokens(text_col, n)
         # one explode: per position, the n-token window ending there.
-        # NB: sequence(1, 0) steps BACKWARD in Spark — guard num < 1.
-        num = F.size(padded) - (n - 1)
-        idx = F.when(num < 1, F.array().cast("array<int>")).otherwise(
-            F.sequence(F.lit(1), num)
-        )
-        windows = F.transform(idx, lambda i: F.slice(padded, i, n))
+        # Windows come from TX.ngrams' shifted-slice zip (padded
+        # evaluates n times per ROW) — NOT transform(sequence, i ->
+        # slice(padded, i, n)), whose lambda re-evaluates the tokenize
+        # chain once per POSITION (the O(len²) HOF trap text.ngrams
+        # documents). The exploded gram string re-splits into its n
+        # tokens per row, a cheap op on an n-element literal.
         pos = docs.select(
-            F.col(id_col), F.explode_outer(windows).alias("__w")
-        )
+            F.col(id_col),
+            F.explode_outer(TX.ngrams(padded, n)).alias("__g"),
+        ).withColumn("__w", F.split(F.col("__g"), " "))
 
         # derive every gram/context from the window by slicing:
         # order-k gram ends at the window's last token; its context is
@@ -197,35 +198,37 @@ class NGramLM:
         are bit-identical to the join path up to float summation order
         (both sum per-position log10 left-to-right per document).
         """
-        total_entries = sum(
-            df.count() for df in self.counts.values()
-        ) + sum(df.count() for df in self.ctx_counts.values())
-        if total_entries > max_entries:
-            raise ValueError(
-                f"model has {total_entries} entries > max_entries="
-                f"{max_entries}; use score() (join path) instead"
-            )
         import pandas as pd
 
         n, alpha = self.n, self.alpha
         total = float(self.total_tokens)
-        grams = {
-            k: dict(
-                (r["gram"], r["cnt"]) for r in df.select("gram", "cnt").collect()
-            )
-            for k, df in self.counts.items()
-        }
-        ctxs = {
-            k: dict(
-                (r["ctx"], r["cnt"]) for r in df.select("ctx", "cnt").collect()
-            )
-            for k, df in self.ctx_counts.items()
-        }
+
+        # ONE job per table: a size-bounded collect (limit max_entries+1)
+        # both fetches the dict AND enforces the guard — counting first
+        # would run every (possibly uncached) table's lineage twice,
+        # doubling exactly the path that exists for low latency.
+        budget = max_entries
+
+        def _fetch(df, key_col):
+            nonlocal budget
+            rows = df.select(key_col, "cnt").limit(budget + 1).collect()
+            if len(rows) > budget:
+                raise ValueError(
+                    f"model exceeds max_entries={max_entries}; use "
+                    f"score() (join path) instead"
+                )
+            budget -= len(rows)
+            return {r[key_col]: r["cnt"] for r in rows}
+
+        grams = {k: _fetch(df, "gram") for k, df in self.counts.items()}
+        ctxs = {k: _fetch(df, "ctx") for k, df in self.ctx_counts.items()}
         spark = docs.sparkSession
         bc = spark.sparkContext.broadcast((grams, ctxs))
         import re
 
-        splitter = re.compile(r"[^a-z0-9]+")
+        # the SAME pattern TX.tokenize compiles JVM-side — one source
+        # of truth, so the two scoring paths can never tokenize apart
+        splitter = re.compile(TX.TOKEN_SPLIT_PATTERN)
 
         id_type = docs.schema[id_col].dataType.simpleString()
         out_schema = (

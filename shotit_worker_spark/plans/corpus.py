@@ -85,13 +85,27 @@ def prepare_corpus(
     stages: dict[str, int] | None = {} if report else None
     cur = docs
     prev_cached: DataFrame | None = None
+    pinned: list[DataFrame] = []
+
+    def _pin() -> None:
+        # non-report mode: lazily persist the input of a multi-consumer
+        # stage (perplexity semi-join reads it twice; span dedup ~4x;
+        # fuzzy dedup many times) so the final action computes the
+        # upstream chain once. Pins stay cached until the caller
+        # releases them — they are returned under "pinned" so a long-
+        # lived session can unpersist after consuming the result.
+        nonlocal cur
+        if stages is None:
+            cur = cur.persist()
+            pinned.append(cur)
 
     def _mark(name: str) -> None:
         # report mode materializes each stage ONCE (persist + count),
         # releasing the previous stage's blocks — without this, every
         # count() re-executes the whole upstream chain (quadratic in
         # stages, with fuzzy dedup in the middle). Production runs keep
-        # report=False: one action, one pass, no pinned storage.
+        # report=False: one action, one pass; only multi-consumer
+        # stage inputs pin (see _pin — returned for caller release).
         nonlocal cur, prev_cached
         if stages is None:
             return
@@ -138,10 +152,9 @@ def prepare_corpus(
         _mark("quality_model")
     if perplexity_lm is not None and max_perplexity is not None:
         # the semi-join reads `cur` on BOTH sides (docs + the scored
-        # frame derived from them) — persist so the upstream chain
+        # frame derived from them) — pin so the upstream chain
         # (normalize/boilerplate/filters) executes once, not twice
-        if stages is None:
-            cur = cur.persist()
+        _pin()
         ppl = perplexity_lm.score(cur, text_col=text_col, id_col=id_col)
         cur = cur.join(
             ppl.filter(
@@ -167,8 +180,7 @@ def prepare_corpus(
         # at 100 k without it when the LM/classifier stages precede).
         from ..operators import spans as SPN
 
-        if stages is None:
-            cur = cur.persist()
+        _pin()
         cur = SPN.remove_duplicate_spans(
             cur, min_tokens=span_min_tokens, text_col=text_col,
             id_col=id_col,
@@ -180,7 +192,7 @@ def prepare_corpus(
         # of which would re-execute the whole uncached upstream chain —
         # persist the cleaned corpus once here (report mode already did)
         if stages is None:
-            cur = cur.persist()
+            _pin()
         cur = CL.fuzzy_dedup(
             cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
         ).drop("cluster_id")
@@ -222,4 +234,5 @@ def prepare_corpus(
         write_info = write_sized_parquet(
             cur, out_path, target_file_mb=target_file_mb, mode="overwrite"
         )
-    return {"df": cur, "stages": stages, "write": write_info}
+    return {"df": cur, "stages": stages, "write": write_info,
+            "pinned": pinned}

@@ -135,3 +135,11 @@ def test_broadcast_plan_and_empty_guard(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="empty"):
         B.build_bm25(_docs_df(spark, {}).filter("doc_id is not null"))
+
+
+def test_all_null_text_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tokenizable"):
+        B.build_bm25(docs)

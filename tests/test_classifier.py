@@ -96,3 +96,30 @@ def test_schema_passthrough(spark):
     )
     out = QC.score_quality(docs, model)
     assert set(out.columns) == {"doc_id", "text", "extra", "keep_prob"}
+
+
+def test_null_text_scores_instead_of_crashing(spark):
+    rng = random.Random(15)
+    model = QC.train_quality_classifier(_labeled(spark, rng, 15), num_features=1 << 12)
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", None)],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["keep_prob"] for r in QC.score_quality(docs, model).collect()}
+    assert set(rows) == {"a", "b"}
+    assert 0.0 <= rows["b"] <= 1.0  # featureless doc gets the bias-only score
+
+
+def test_sidecar_restores_featurization(spark, tmp_root):
+    rng = random.Random(16)
+    train = _labeled(spark, rng, 25)
+    model = QC.train_quality_classifier(
+        train, num_features=1 << 13, use_bigrams=False
+    )
+    path = str(tmp_root / "clf_sidecar")
+    QC.save_quality_classifier(model, path)
+    reopened = QC.open_quality_classifier(spark, path)
+    # no explicit args: the sidecar must supply use_bigrams=False
+    a = {r["doc_id"]: r["keep_prob"] for r in QC.score_quality(train, model).collect()}
+    b = {r["doc_id"]: r["keep_prob"] for r in QC.score_quality(train, reopened).collect()}
+    assert a == pytest.approx(b)
