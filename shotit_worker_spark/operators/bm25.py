@@ -119,6 +119,52 @@ class BM25Index:
             .drop("__rank")
         )
 
+    def add(self, new_docs: DataFrame, text_col: str = "text") -> None:
+        """Incremental insert (the K3 posture of IVFIndex.add and the
+        dedup manifests): fold a new document batch into the index
+        without rebuilding. Postings for the batch append (they are
+        per-document, disjoint from existing rows); the dictionary
+        merges by term (df adds), and n_docs/avgdl update in closed
+        form from the batch's totals. Scoring afterwards reflects the
+        grown corpus exactly — verified against a from-scratch build.
+
+        In-memory operation: pair with :meth:`save` to persist the
+        grown index. Batch stats cost one O(1) action.
+        """
+        rows = _term_rows(new_docs, text_col, self.id_col)
+        new_postings = (
+            rows.groupBy(self.id_col, "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .select(
+                F.xxhash64("term").alias("term_hash"), self.id_col, "tf", "dl"
+            )
+        )
+        new_dict = (
+            rows.select(self.id_col, "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        merged = (
+            self.dictionary.select("term", "df")
+            .unionByName(new_dict)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .select("term", F.xxhash64("term").alias("term_hash"), "df")
+        )
+        stats = new_docs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(TX.tokenize(F.col(text_col)))).alias("toks"),
+        ).first()
+        n_new = int(stats["n"] or 0)
+        if n_new == 0:
+            return
+        total_tokens = self.avgdl * self.n_docs + float(stats["toks"] or 0)
+        self.postings = self.postings.unionByName(new_postings)
+        self.dictionary = merged
+        self.n_docs += n_new
+        self.avgdl = total_tokens / self.n_docs
+
     def save(self, path: str) -> None:
         self.postings.write.mode("overwrite").parquet(
             os.path.join(path, "postings")

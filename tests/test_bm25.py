@@ -143,3 +143,37 @@ def test_all_null_text_guard(spark):
     )
     with pytest.raises(ValueError, match="tokenizable"):
         B.build_bm25(docs)
+
+
+def test_incremental_add_matches_full_rebuild(spark):
+    rng = random.Random(35)
+    texts = _corpus(rng, 30)
+    batch = {100 + i: t for i, t in _corpus(rng, 10).items()}
+    grown = B.build_bm25(_docs_df(spark, texts))
+    grown.add(_docs_df(spark, batch))
+    rebuilt = B.build_bm25(_docs_df(spark, {**texts, **batch}))
+    assert grown.n_docs == rebuilt.n_docs
+    assert grown.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+    qdf = spark.createDataFrame(
+        [(0, "cat dog river boat"), (1, "the red barn")],
+        "query_id long, text string",
+    )
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in grown.search(qdf, k=1000).collect()
+    }
+    b = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in rebuilt.search(qdf, k=1000).collect()
+    }
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key] == pytest.approx(b[key], rel=1e-9)
+
+
+def test_add_empty_batch_noop(spark):
+    rng = random.Random(36)
+    idx = B.build_bm25(_docs_df(spark, _corpus(rng, 10)))
+    n, avgdl = idx.n_docs, idx.avgdl
+    idx.add(_docs_df(spark, {}).filter("doc_id is not null"))
+    assert idx.n_docs == n and idx.avgdl == avgdl

@@ -297,3 +297,59 @@ def test_static_boilerplate_and_classifier_under_streaming(spark, tmp_root):
     )
     assert got == want
     assert got and all(boiler not in t for _, t, _p in got)
+
+
+def test_ngram_lm_score_local_under_streaming(spark, tmp_root):
+    """score_local is map-only (dict broadcast, no joins/aggregation),
+    so it must run unchanged on a document stream — the serving-side
+    perplexity-filter posture; stream output == batch output."""
+    import random
+
+    from shotit_worker_spark.operators.ngram_lm import train_ngram_lm
+    from shotit_worker_spark.streaming import ingest as SI
+
+    rng = random.Random(43)
+    words = "the cat sat mat dog ran red barn river".split()
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(12)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(corpus, n=2)
+
+    batch = spark.createDataFrame(
+        [
+            (100 + i, " ".join(rng.choice(words) for _ in range(8)))
+            for i in range(5)
+        ]
+        + [(200, "")],
+        "doc_id long, text string",
+    )
+    src = tmp_root / "lm_stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=batch.schema, glob="*.parquet", recursive=True
+    )
+    q = (
+        lm.score_local(stream)
+        .writeStream.format("memory")
+        .queryName("lm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_lm_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["avg_logprob"])
+        for r in spark.sql("SELECT * FROM lm_stream").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tokens"], r["avg_logprob"])
+        for r in lm.score_local(batch).collect()
+    )
+    assert got == want and len(got) == 6
