@@ -887,17 +887,11 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hash_split(key: str = "doc_id") -> F.Column:
     """80/10/10 train/valid/test split label from md5(key) mod 100 —
-    content-independent, deterministic, engine-portable (md5 is bit-for-
-    bit shared between Spark and DuckDB)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-    return (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    the library operator (operators/mixing.hash_split), so the q46
+    oracle row pins the promoted implementation."""
+    from shotit_worker_spark.operators.mixing import hash_split
+
+    return hash_split(key)
 
 
 def q46_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:

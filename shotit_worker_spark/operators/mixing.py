@@ -233,3 +233,34 @@ def dsir_select(
     if n_select <= 2_000_000:
         chosen = F.broadcast(chosen)
     return raw_docs.join(chosen, id_col)
+
+
+def hash_split(
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+) -> Column:
+    """Deterministic dataset-split label from md5(key) mod 100 —
+    content-independent, rerunnable on any engine (md5 is bit-for-bit
+    portable; exercised as the q46 DuckDB-oracle query). Default
+    80/10/10 train/valid/test; pass `fractions` (label → share, summing
+    to <= 1.0, remainder → last label) to customize. Pure Catalyst, no
+    state, no shuffle — the split survives reprocessing, engine swaps,
+    and partial reruns because it depends only on the key."""
+    fractions = fractions or {"train": 0.80, "valid": 0.10, "test": 0.10}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError(f"invalid fractions {fractions}")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to > 1: {fractions}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    labels = list(fractions)
+    expr = None
+    upper = 0.0
+    for label in labels[:-1]:
+        upper += fractions[label] * 100
+        cond = bucket < F.lit(int(round(upper)))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)

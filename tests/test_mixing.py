@@ -207,3 +207,35 @@ def test_dsir_select_prefers_target_domain(spark):
         reverse=True,
     )[:20]
     assert got == {-negd for _w, negd in all_w}
+
+
+def test_hash_split_fractions(spark):
+    from shotit_worker_spark.operators.mixing import hash_split
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    # default 80/10/10
+    got = {
+        r["split"]: r["n"]
+        for r in docs.select(hash_split().alias("split"))
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {"train", "valid", "test"}
+    assert abs(got["train"] / 10_000 - 0.80) < 0.02
+    assert abs(got["valid"] / 10_000 - 0.10) < 0.01
+    # custom fractions; remainder goes to the last label
+    got2 = {
+        r["split"]: r["n"]
+        for r in docs.select(
+            hash_split(fractions={"a": 0.5, "b": 0.5}).alias("split")
+        ).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got2) == {"a", "b"}
+    assert abs(got2["a"] / 10_000 - 0.5) < 0.02
+    # determinism: same label for the same key across calls
+    one = docs.select("doc_id", hash_split().alias("s1"))
+    two = one.withColumn("s2", hash_split())
+    assert two.filter(F.col("s1") != F.col("s2")).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(fractions={"a": 0.7, "b": 0.6})
