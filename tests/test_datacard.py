@@ -66,3 +66,14 @@ def test_fixture_smoke(spark, sf_dir):
     lang_total = sum(row[f"docs_{lg}"] for lg in ("de", "en", "es", "fr", "und"))
     assert lang_total == row["n_docs"]
     assert "pii_matches" not in row.asDict()
+
+
+def test_null_text_counts_as_und(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat is here", "w"), (2, None, "w")],
+        "doc_id long, text string, source string",
+    )
+    row = corpus_datacard(docs, source_col="source")["summary"].first()
+    assert row["n_docs"] == 2
+    assert row["docs_en"] == 1 and row["docs_und"] == 1
+    assert row["total_tokens"] == 4  # NULL doc contributes nothing
