@@ -222,3 +222,62 @@ def bm25_retrieve_rerank(
         id_col=id_col,
         num_partitions=num_partitions,
     )
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 15,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "hash_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: given N candidate tables (e.g. BM25
+    lexical + embedding kNN), fuse per (query, doc) as
+
+        rrf = Σ_systems 1 / (rrf_k + rank_in_system)
+
+    (rank is 1-based within each system by its own score, descending,
+    doc id ascending on ties). Rank-based fusion needs no score
+    calibration between systems — exactly why it is the default hybrid
+    combiner. Returns per-query top-k (query_id, id, rrf_score).
+
+    Scale shape: one window per input table (each partitioned by
+    query, already the retrieval output's shape), a unionByName, one
+    (query, doc) aggregation, one top-k window — candidate-table
+    sized throughout, never corpus-sized.
+    """
+    if not results:
+        raise ValueError("rrf_fuse: need at least one result table")
+    if k <= 0 or rrf_k <= 0:
+        raise ValueError(f"k and rrf_k must be positive, got {k}, {rrf_k}")
+    ranked = []
+    for df in results:
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        ranked.append(
+            df.select(
+                query_id_col,
+                id_col,
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(rrf_k)) + F.row_number().over(w))
+                ).alias("__rrf_part"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    fused = allr.groupBy(query_id_col, id_col).agg(
+        F.sum("__rrf_part").alias("rrf_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -177,3 +177,92 @@ def test_bm25_retrieve_rerank_e2e(spark):
     best = max(out, key=lambda r: r["rerank_score"])
     assert best["doc_id"] == 7
     assert {"retrieval_score", "rerank_score"} <= set(out[0].asDict())
+
+
+def test_rrf_fuse_matches_python(spark):
+    """RRF over a lexical and a vector result table == hand-computed
+    reciprocal-rank sums; a doc ranked well by BOTH systems beats a doc
+    that tops only one."""
+    from shotit_worker_spark.operators.rerank import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, "a", 9.0), (0, "b", 7.0), (0, "c", 5.0)],
+        "query_id long, hash_id string, score double",
+    )
+    vec = spark.createDataFrame(
+        [(0, "b", 0.9), (0, "c", 0.8), (0, "d", 0.7)],
+        "query_id long, hash_id string, score double",
+    )
+    out = {
+        r["hash_id"]: r["rrf_score"]
+        for r in rrf_fuse([lex, vec], k=10, rrf_k=60).collect()
+    }
+    want = {
+        "a": 1 / 61,
+        "b": 1 / 62 + 1 / 61,
+        "c": 1 / 63 + 1 / 62,
+        "d": 1 / 63,
+    }
+    assert set(out) == set(want)
+    for d in want:
+        assert out[d] == pytest.approx(want[d], rel=1e-12)
+    assert max(out, key=out.get) == "b"  # consensus beats single-system top
+
+    # ties within a system rank deterministically by id
+    tied = spark.createDataFrame(
+        [(0, "y", 1.0), (0, "x", 1.0)],
+        "query_id long, hash_id string, score double",
+    )
+    t = {r["hash_id"]: r["rrf_score"] for r in rrf_fuse([tied]).collect()}
+    assert t["x"] > t["y"]
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_retrieval_fixture_e2e(spark, sf_dir):
+    """BM25 + embedding-kNN fused with RRF on the FIXTURE tables: the
+    full hybrid retrieval story on real test data. Queries are built
+    from documents whose own vectors exist, so both systems rank the
+    source doc highly and fusion must keep it on top."""
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.functions.vector import l2_normalize
+    from shotit_worker_spark.operators import bm25 as B
+    from shotit_worker_spark.operators.rerank import rrf_fuse
+    from shotit_worker_spark.operators.similarity import knn_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", l2_normalize(F.col("embedding")).alias("vector"))
+    )
+    probe_ids = [3, 17]
+    idx = B.build_bm25(docs)
+    lex = idx.search(
+        docs.filter(F.col("doc_id").isin(probe_ids)).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=20,
+    ).withColumnRenamed("doc_id", "hash_id")
+    queries = (
+        emb.filter(F.col("vec_id").isin(probe_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("vector").alias("query_vec"))
+    )
+    vec = knn_join(
+        queries, emb, k=20, id_col="vec_id", vec_col="vector",
+        query_vec_col="query_vec", tie_col="vec_id",
+    ).withColumnRenamed("vec_id", "hash_id")
+    fused = rrf_fuse([lex, vec], k=5)
+    rows = fused.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rrf_score"], r["hash_id"]))
+    for qid in probe_ids:
+        top = max(by_q[qid])[1]
+        assert top == qid  # self-retrieval survives fusion
