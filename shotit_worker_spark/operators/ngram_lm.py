@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 
-__all__ = ["NGramLM", "train_ngram_lm"]
+__all__ = [
+    "NGramLM",
+    "train_ngram_lm",
+    "paragraph_perplexities",
+    "remove_high_perplexity_paragraphs",
+]
 
 PAD = "<s>"  # sentence-start pad; cannot collide with tokenize() output
              # (tokenize lowercases and strips non-alphanumerics)
@@ -359,3 +364,95 @@ def train_ngram_lm(
         counts[1].agg(F.sum("cnt")).collect()[0][0]
     )
     return NGramLM(n, alpha, int(total or 0), counts, ctxs)
+
+
+_PARA_KEY_SEP = "\x1f"  # unit separator: cannot appear in doc ids sanely
+
+
+def paragraph_perplexities(
+    docs: DataFrame,
+    lm: NGramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_local: bool = False,
+) -> DataFrame:
+    """Per-PARAGRAPH perplexity — CCNet's actual filtering granularity
+    (a good page can carry one boilerplate/spam paragraph; scoring
+    whole documents averages it away). Paragraphs are ``\\n\\n``-split
+    segments; returns ``(id_col, para_pos, n_tokens, avg_logprob,
+    perplexity)`` with ``para_pos`` the 0-based original position.
+
+    One map-side posexplode; each paragraph scores as its own unit
+    through :meth:`NGramLM.score` (or ``score_local`` when
+    ``use_local`` — the small-batch/streaming path), with fresh
+    ``<s>`` context per paragraph.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias(
+            "para_pos", "__para"
+        ),
+    ).withColumn(
+        "__pk",
+        F.concat_ws(
+            _PARA_KEY_SEP, F.col(id_col).cast("string"), F.col("para_pos")
+        ),
+    )
+    scorer = lm.score_local if use_local else lm.score
+    scored = scorer(
+        paras.select("__pk", F.col("__para").alias("__ptext")),
+        text_col="__ptext",
+        id_col="__pk",
+    )
+    split_key = F.split(F.col("__pk"), _PARA_KEY_SEP)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return scored.select(
+        split_key.getItem(0).cast(id_type).alias(id_col),
+        split_key.getItem(1).cast("int").alias("para_pos"),
+        "n_tokens",
+        "avg_logprob",
+        "perplexity",
+    )
+
+
+def remove_high_perplexity_paragraphs(
+    docs: DataFrame,
+    lm: NGramLM,
+    max_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with paragraphs whose LM perplexity exceeds
+    ``max_perplexity`` removed (empty/unscorable paragraphs are KEPT —
+    they are structure, not evidence). Documents where nothing is
+    dropped pass through byte-exact; rewritten documents re-join their
+    surviving paragraphs with ``\\n\\n`` (separator runs normalize,
+    same trade as operators/spans documents for whitespace).
+
+    Scale shape: the paragraph scoring pass (its documented shape) +
+    one regroup of DROPPED positions only + a broadcast-or-shuffle
+    attach, mirroring operators/lines: untouched docs never regroup.
+    """
+    out_col = out_col or text_col
+    ppl = paragraph_perplexities(docs, lm, text_col, id_col)
+    dropped = (
+        ppl.filter(
+            F.col("perplexity").isNotNull()
+            & (F.col("perplexity") > max_perplexity)
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("para_pos").alias("__drop"))
+    )
+    joined = docs.join(dropped, id_col, "left")
+    paras = F.split(F.col(text_col), "\n\n")
+    kept = F.filter(
+        paras,
+        lambda p, i: ~F.array_contains(F.col("__drop"), i),
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__drop").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, "\n\n")
+        ),
+    ).drop("__drop")

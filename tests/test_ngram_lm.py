@@ -194,3 +194,74 @@ def test_score_local_size_guard(spark):
     lm = NL.train_ngram_lm(_mk(spark, _corpus(rng, 20)), n=3)
     with pytest.raises(ValueError, match="max_entries"):
         lm.score_local(_mk(spark, _corpus(rng, 3)), max_entries=5)
+
+
+def test_paragraph_filtering(spark):
+    """Paragraph-level perplexity (the CCNet granularity): a clean doc
+    carrying ONE gibberish paragraph keeps its clean paragraphs and
+    loses only the bad one; clean-only docs pass through byte-exact."""
+    rng = random.Random(91)
+    clean = lambda: " ".join(  # noqa: E731
+        rng.choice(WORDS) for _ in range(rng.randint(8, 15))
+    )
+    train = {f"t{i}": clean() for i in range(60)}
+    lm = NL.train_ngram_lm(_mk(spark, train), n=2)
+
+    gibberish = "zqxvj wkpfh grmbl xztqw vbnmk"
+    texts = {
+        "mixed": clean() + "\n\n" + gibberish + "\n\n" + clean(),
+        "all_clean": clean() + "\n\n" + clean(),
+        "weird_ws": clean() + "\n\n\n" + clean(),  # untouched -> byte-exact
+    }
+    probe = _mk(spark, texts)
+
+    # per-paragraph scores line up with per-"document" scores of the
+    # same paragraph texts
+    ppl = {
+        (r["doc_id"], r["para_pos"]): r["perplexity"]
+        for r in NL.paragraph_perplexities(probe, lm).collect()
+    }
+    assert ppl[("mixed", 1)] > ppl[("mixed", 0)]
+    solo = lm.score(
+        _mk(spark, {"g": gibberish})
+    ).first()["perplexity"]
+    assert ppl[("mixed", 1)] == pytest.approx(solo, rel=1e-9)
+
+    cut = max(ppl[("mixed", 0)], ppl[("mixed", 2)], ppl[("all_clean", 0)],
+              ppl[("all_clean", 1)]) * 1.5
+    assert solo > cut
+    out = {
+        r["doc_id"]: r["text"]
+        for r in NL.remove_high_perplexity_paragraphs(
+            probe, lm, max_perplexity=cut
+        ).collect()
+    }
+    parts = texts["mixed"].split("\n\n")
+    assert out["mixed"] == parts[0] + "\n\n" + parts[2]
+    assert out["all_clean"] == texts["all_clean"]
+    assert out["weird_ws"] == texts["weird_ws"]  # byte-exact passthrough
+
+
+def test_paragraph_local_path_matches_join_path(spark):
+    rng = random.Random(92)
+    train = _corpus(rng, 30)
+    lm = NL.train_ngram_lm(_mk(spark, train), n=2)
+    probe = _mk(
+        spark,
+        {"a": "the cat sat\n\ndog ran fast", "b": "", "c": "mat"},
+    )
+    a = {
+        (r["doc_id"], r["para_pos"]): (r["n_tokens"], r["avg_logprob"])
+        for r in NL.paragraph_perplexities(probe, lm).collect()
+    }
+    b = {
+        (r["doc_id"], r["para_pos"]): (r["n_tokens"], r["avg_logprob"])
+        for r in NL.paragraph_perplexities(probe, lm, use_local=True).collect()
+    }
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0]
+        if a[key][1] is None:
+            assert b[key][1] is None
+        else:
+            assert b[key][1] == pytest.approx(a[key][1], rel=1e-9)
