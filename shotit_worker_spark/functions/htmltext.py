@@ -1,0 +1,145 @@
+"""HTML → text extraction — the step between a WARC crawl and the
+text-cleaning chain (trafilatura/jusText's job, reduced to the robust
+stdlib core: tag-aware text extraction, not readability heuristics —
+those belong to the quality filters downstream). No reference
+analogue; part of the LLM-data-pipeline surface (SURVEY §2.12).
+
+Implementation: Python's ``html.parser.HTMLParser`` (an HTML5-ish
+tokenizer that never throws on broken markup) inside an Arrow
+``mapInPandas`` — the same slow-path budget as the media codecs: real
+parsing can't be a Catalyst regex (nesting, CDATA, entities,
+script/style payloads all defeat regexes), so it rides a vectorized
+batch UDF and everything downstream stays JVM-side.
+
+Extraction rules (the common-denominator of public pipelines):
+- ``script``/``style``/``noscript``/``template``/``svg`` subtrees drop;
+- block-level elements (p, div, li, br, headings, tr, …) emit newline
+  boundaries, inline elements don't — so paragraphs survive for the
+  paragraph-level operators (lines, ngram_lm);
+- entities/charrefs decode (``&amp;`` → ``&``), whitespace collapses
+  per line, empty lines collapse to paragraph breaks;
+- an optional title column from ``<title>``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+
+__all__ = ["extract_html_text", "html_to_text"]
+
+_SKIP = {"script", "style", "noscript", "template", "svg", "head"}
+_BLOCK = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section",
+    "article", "header", "footer", "nav", "aside", "figure",
+    "figcaption", "hr", "form",
+}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self._skip_depth = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+        if tag == "title":
+            self._in_title = True
+        if tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "title":
+            self._in_title = False
+        if tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._skip_depth == 0:
+            self.parts.append(data)
+
+
+def html_to_text(markup: str) -> tuple[str, str]:
+    """(text, title) for one HTML document — pure python, reused by
+    tests as the row-level oracle. Lines whitespace-collapse; runs of
+    blank lines become one paragraph break (``\\n\\n``)."""
+    p = _TextExtractor()
+    try:
+        p.feed(markup)
+        p.close()
+    except Exception:
+        pass  # HTMLParser is forgiving; belt-and-braces for exotic input
+    raw_lines = "".join(p.parts).split("\n")
+    lines = [" ".join(ln.split()) for ln in raw_lines]
+    out: list[str] = []
+    blank = True  # swallow leading blanks
+    for ln in lines:
+        if ln:
+            out.append(ln)
+            blank = False
+        elif not blank:
+            out.append("")
+            blank = True
+    while out and out[-1] == "":
+        out.pop()
+    text = "\n".join(out)
+    return text, " ".join("".join(p.title_parts).split())
+
+
+def extract_html_text(
+    docs: DataFrame,
+    html_col: str = "payload",
+    out_col: str = "text",
+    title_col: str | None = "title",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Append extracted ``out_col`` (and ``title_col``) from an HTML
+    column (binary or string; binary decodes as ``encoding`` with
+    replacement — charset sniffing beyond UTF-8 is out of scope and
+    flagged by the quality filters instead). NULL input → NULL output.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    new_fields = [StructField(out_col, StringType(), True)]
+    if title_col:
+        new_fields.append(StructField(title_col, StringType(), True))
+    out_schema = StructType(
+        [f for f in docs.schema.fields if f.name not in {out_col, title_col}]
+        + new_fields
+    )
+    keep_cols = [f.name for f in docs.schema.fields
+                 if f.name not in {out_col, title_col}]
+
+    def _extract(batches):
+        for pdf in batches:
+            texts, titles = [], []
+            for val in pdf[html_col]:
+                if val is None:
+                    texts.append(None)
+                    titles.append(None)
+                    continue
+                markup = (
+                    bytes(val).decode(encoding, "replace")
+                    if not isinstance(val, str)
+                    else val
+                )
+                text, title = html_to_text(markup)
+                texts.append(text)
+                titles.append(title)
+            out = pdf[keep_cols].copy()
+            out[out_col] = texts
+            if title_col:
+                out[title_col] = titles
+            yield out
+
+    return docs.mapInPandas(_extract, out_schema)

@@ -1,0 +1,161 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common Crawl ingestion
+format, the de-facto front door of web-scale LLM corpora. Pure-stdlib
+parse (gzip + header grammar), no external WARC library. No reference
+analogue; part of the LLM-data-pipeline surface (SURVEY §2.12).
+
+Spark shape: ``binaryFile`` scan → ``mapInPandas`` record parser. WARC
+files are concatenated gzip members (one per record) or plain
+concatenated records; either way the format is NOT block-splittable,
+so the parallelism unit is the FILE — exactly how Common Crawl ships
+(segments of ~1 GB × 64 000 files per crawl, far more files than
+executors; per-file tasks saturate any cluster). Payload bytes stay
+binary; response records carry the HTTP body separately so the HTML
+extractor (functions/html) can consume it without re-parsing headers.
+
+Record grammar implemented: ``WARC/1.0`` / ``WARC/1.1`` version line,
+CRLF header block (``WARC-Type``, ``WARC-Target-URI``, ``WARC-Date``,
+``Content-Length``, ``Content-Type``), ``Content-Length``-delimited
+block, CRLF CRLF record separator. For ``response`` records the block
+is an HTTP message: status line + headers + body, split on the first
+CRLFCRLF.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_warc", "parse_warc_bytes", "WARC_SCHEMA"]
+
+WARC_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "http_status int, http_content_type string, payload binary"
+)
+
+
+def _iter_records(raw: bytes):
+    """Yield (headers: dict, block: bytes) per WARC record. Handles
+    multi-member gzip (Common Crawl's layout) and uncompressed input."""
+    if raw[:2] == b"\x1f\x8b":
+        # concatenated gzip members: GzipFile reads them all in sequence
+        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        header_end = raw.find(b"\r\n\r\n", pos)
+        if header_end < 0:
+            return
+        header_block = raw[pos:header_end].decode("utf-8", "replace")
+        lines = header_block.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"not a WARC record at byte {pos}: {lines[0][:40]!r}"
+            )
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            key, _, val = line.partition(":")
+            headers[key.strip().lower()] = val.strip()
+        length = int(headers.get("content-length", "0"))
+        body_start = header_end + 4
+        yield headers, raw[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response message."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, block
+    head = block[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    status = None
+    ctype = None
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    for line in lines[1:]:
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "content-type":
+            ctype = val.strip()
+            break
+    return status, ctype, block[sep + 4 :]
+
+
+def parse_warc_bytes(name: str, raw: bytes) -> list[tuple]:
+    """All records of one WARC file as WARC_SCHEMA tuples. ``response``
+    records split their HTTP envelope; other types (request, metadata,
+    warcinfo, conversion) carry the raw block as payload."""
+    rows = []
+    for headers, block in _iter_records(raw):
+        wtype = headers.get("warc-type", "")
+        status, http_ctype, payload = (None, None, block)
+        if wtype == "response":
+            status, http_ctype, payload = _split_http(block)
+        rows.append(
+            (
+                name,
+                headers.get("warc-record-id", ""),
+                wtype,
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("content-type"),
+                status,
+                http_ctype,
+                payload,
+            )
+        )
+    return rows
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC records under ``path`` as a DataFrame (WARC_SCHEMA).
+
+    ``record_types`` prunes early inside the parser (responses are
+    what a corpus pipeline wants; pass ``()`` for everything). The
+    binaryFile scan carries whole files — correct for WARC's
+    non-splittable layout; file count is the parallelism axis.
+    """
+    import pandas as pd
+
+    wanted = set(record_types)
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                for row in parse_warc_bytes(name, bytes(content)):
+                    if not wanted or row[2] in wanted:
+                        out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_file", "record_id", "warc_type", "target_uri",
+                    "warc_date", "content_type", "http_status",
+                    "http_content_type", "payload",
+                ],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse, WARC_SCHEMA)

@@ -1,0 +1,127 @@
+"""WARC source (sources/warc) + HTML text extraction
+(functions/htmltext): record grammar round-trip, Common Crawl-style
+multi-member gzip, HTTP envelope splitting, and the full
+crawl → text → cleaning-ready pipeline."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from gen_warc_fixture import build_fixture, http_response, warc_record  # noqa: E402
+
+from shotit_worker_spark.functions.htmltext import (  # noqa: E402
+    extract_html_text,
+    html_to_text,
+)
+from shotit_worker_spark.sources.warc import parse_warc_bytes, read_warc  # noqa: E402
+
+HTML_A = (
+    b"<html><head><title>Page A</title><style>.x{color:red}</style></head>"
+    b"<body><h1>Heading</h1><p>First para &amp; entity.</p>"
+    b"<script>ignore_me();</script><div>Second para</div></body></html>"
+)
+HTML_B = (
+    b"<html><body><ul><li>alpha</li><li>beta</li></ul>"
+    b"<p>closing  text</p></body></html>"
+)
+
+
+def _records():
+    return [
+        warc_record(
+            "warcinfo", b"software: test\r\n", content_type="application/warc-fields"
+        ),
+        warc_record(
+            "response", http_response(HTML_A), uri="https://a.example/x",
+            record_id="<urn:uuid:aaa>",
+        ),
+        warc_record(
+            "request", b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            uri="https://a.example/x",
+            content_type="application/http; msgtype=request",
+        ),
+        warc_record(
+            "response", http_response(HTML_B, status=404),
+            uri="https://b.example/y", record_id="<urn:uuid:bbb>",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("gzipped", [True, False])
+def test_parse_roundtrip(gzipped):
+    raw = build_fixture(_records(), gzipped=gzipped)
+    rows = parse_warc_bytes("f.warc.gz", raw)
+    assert [r[2] for r in rows] == ["warcinfo", "response", "request", "response"]
+    resp = rows[1]
+    assert resp[3] == "https://a.example/x"
+    assert resp[4] == "2026-08-14T00:00:00Z"
+    assert resp[6] == 200
+    assert resp[7] == "text/html; charset=utf-8"
+    assert bytes(resp[8]) == HTML_A  # HTTP envelope stripped
+    assert rows[3][6] == 404
+
+
+def test_read_warc_filters_and_parallel_files(spark, tmp_root):
+    d = tmp_root / "warc_src"
+    d.mkdir()
+    (d / "part1.warc.gz").write_bytes(build_fixture(_records()))
+    (d / "part2.warc").write_bytes(build_fixture(_records(), gzipped=False))
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 4  # responses only, 2 per file
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert {r["target_uri"] for r in rows} == {
+        "https://a.example/x", "https://b.example/y"
+    }
+    everything = read_warc(spark, str(d), record_types=()).collect()
+    assert len(everything) == 8
+
+
+def test_crawl_to_text_pipeline(spark, tmp_root):
+    """WARC -> HTML text -> the cleaning chain's input shape."""
+    from pyspark.sql import functions as F
+
+    d = tmp_root / "warc_pipe"
+    d.mkdir()
+    (d / "crawl.warc.gz").write_bytes(build_fixture(_records()))
+    pages = read_warc(spark, str(d)).filter(F.col("http_status") == 200)
+    docs = extract_html_text(pages).select(
+        F.col("target_uri").alias("url"), "title", "text"
+    )
+    rows = {r["url"]: r for r in docs.collect()}
+    a = rows["https://a.example/x"]
+    assert a["title"] == "Page A"
+    assert a["text"] == "Heading\n\nFirst para & entity.\n\nSecond para"
+    assert "ignore_me" not in a["text"] and ".x{" not in a["text"]
+
+
+def test_html_to_text_oracle_parity(spark):
+    """The Spark column output equals the row-level python function."""
+    markups = [HTML_A.decode(), HTML_B.decode(), "", "plain no tags", None]
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(markups)], "doc_id long, payload string"
+    )
+    got = {r["doc_id"]: (r["text"], r["title"])
+           for r in extract_html_text(df).collect()}
+    for i, m in enumerate(markups):
+        if m is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == html_to_text(m)
+
+
+def test_malformed_html_never_raises():
+    bad = "<p><b>unclosed <div></span>&bogus; <<< >>> \x00"
+    text, _ = html_to_text(bad)
+    assert "unclosed" in text
+
+
+def test_bad_warc_raises():
+    with pytest.raises(ValueError, match="not a WARC record"):
+        parse_warc_bytes("x", b"GARBAGE\r\n\r\nstuff")

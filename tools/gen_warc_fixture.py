@@ -1,0 +1,49 @@
+"""Build tiny WARC fixtures for tests — a pure-python WARC/1.0 writer
+(the committed test fixtures under tests/goldens are regenerable from
+here; the writer doubles as documentation of the record grammar the
+reader in sources/warc.py parses)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+
+def warc_record(
+    warc_type: str,
+    body: bytes,
+    uri: str | None = None,
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+    date: str = "2026-08-14T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    headers = [
+        "WARC/1.0",
+        f"WARC-Type: {warc_type}",
+        f"WARC-Record-ID: {record_id}",
+        f"WARC-Date: {date}",
+        f"Content-Type: {content_type}",
+        f"Content-Length: {len(body)}",
+    ]
+    if uri:
+        headers.insert(2, f"WARC-Target-URI: {uri}")
+    head = "\r\n".join(headers).encode() + b"\r\n\r\n"
+    return head + body + b"\r\n\r\n"
+
+
+def http_response(html: bytes, status: int = 200,
+                  ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n"
+    ).encode() + html
+
+
+def build_fixture(records: list[bytes], gzipped: bool = True) -> bytes:
+    if not gzipped:
+        return b"".join(records)
+    out = io.BytesIO()
+    # Common Crawl layout: one gzip MEMBER per record
+    for rec in records:
+        out.write(gzip.compress(rec))
+    return out.getvalue()
