@@ -413,3 +413,97 @@ def stress_new_ops_r4b(n_docs=100_000):
 if "--r4b" in sys.argv:
     stress_new_ops_r4b()
     sys.exit(0)
+
+
+def stress_new_ops_r4c(n_docs=100_000):
+    """Session-4 second wave: span dedup, BM25 build/search, the
+    all-stages prepare_corpus chain, WARC->text ingestion."""
+    import tempfile
+
+    from shotit_worker_spark.operators import bm25 as BM
+    from shotit_worker_spark.operators import spans as SP
+    from shotit_worker_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from shotit_worker_spark.operators.ngram_lm import train_ngram_lm
+    from shotit_worker_spark.plans.corpus import prepare_corpus
+
+    spark = get_spark("stress-r4c", shuffle_partitions=32)
+    base = synth_docs(spark, n_docs, natural=True)
+    passage = " ".join(f"sharedtok{i}" for i in range(60))
+    docs = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(passage + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    ).cache()
+    docs.count()
+
+    bench(
+        "duplicate_spans_100k",
+        n_docs,
+        lambda: SP.duplicate_spans(docs, min_tokens=50).count(),
+    )
+    bench(
+        "remove_duplicate_spans_100k",
+        n_docs,
+        lambda: int(
+            SP.remove_duplicate_spans(docs, min_tokens=50)
+            .agg(F.sum(F.length("text")))
+            .first()[0]
+            > 0
+        ),
+    )
+
+    t0 = time.time()
+    idx = BM.build_bm25(docs)
+    idx.postings = idx.postings.cache()
+    n_post = idx.postings.count()
+    idx.dictionary = idx.dictionary.cache()
+    idx.dictionary.count()
+    print(json.dumps({
+        "op": "bm25_build_100k", "rows_in": n_docs,
+        "result_rows": n_post, "sec": round(time.time() - t0, 2),
+    }))
+    queries = docs.limit(64).select(F.col("doc_id").alias("query_id"), "text")
+    bench(
+        "bm25_search_64q_100k",
+        64,
+        lambda: idx.search(queries, k=10).count(),
+    )
+
+    # all-stages chain (learned models trained on subsets)
+    lined = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((\S+ ){10})", "$1\n")
+    ).cache()
+    lined.count()
+    labeled = lined.limit(4_000).withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    model = train_quality_classifier(labeled, num_features=1 << 16)
+    lm = train_ngram_lm(lined.limit(10_000), n=3, min_count=2)
+    for d in list(lm.counts.values()) + list(lm.ctx_counts.values()):
+        d.cache().count()
+    out = tempfile.mkdtemp(prefix="r4c_chain_") + "/out"
+    t0 = time.time()
+    prepare_corpus(
+        lined, out,
+        boilerplate_min_docs=1000, quality=True,
+        quality_model=model, min_keep_prob=0.0,
+        perplexity_lm=lm, max_perplexity=1e9,
+        exact_dedup=True, span_min_tokens=50, fuzzy_threshold=0.8,
+        weights={f"src{i}": 1.0 for i in range(8)},
+        token_budget=5_000_000, shuffle_seed=7,
+    )
+    n_out = spark.read.parquet(out).count()
+    print(json.dumps({
+        "op": "prepare_corpus_all_stages_100k", "rows_in": n_docs,
+        "result_rows": n_out, "sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if "--r4c" in sys.argv:
+    stress_new_ops_r4c()
+    sys.exit(0)
