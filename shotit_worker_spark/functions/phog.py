@@ -94,14 +94,19 @@ def java_atan(x: np.ndarray) -> np.ndarray:
         t = np.where(seg3, -1.0 / ax, t)
     t = np.where(id_m1, x, t)
 
-    z = t * t
-    w = z * z
-    s1 = z * (_AT[0] + w * (_AT[2] + w * (_AT[4] + w * (_AT[6] + w * (_AT[8] + w * _AT[10])))))
-    s2 = w * (_AT[1] + w * (_AT[3] + w * (_AT[5] + w * (_AT[7] + w * _AT[9]))))
+    # t still holds ±inf/huge values in lanes masked out by huge_m —
+    # the polynomial below overflows / produces NaN THERE, but those
+    # lanes are discarded by the final np.where. Silence locally so
+    # real warnings elsewhere stay visible.
+    with np.errstate(over="ignore", invalid="ignore"):
+        z = t * t
+        w = z * z
+        s1 = z * (_AT[0] + w * (_AT[2] + w * (_AT[4] + w * (_AT[6] + w * (_AT[8] + w * _AT[10])))))
+        s2 = w * (_AT[1] + w * (_AT[3] + w * (_AT[5] + w * (_AT[7] + w * _AT[9]))))
 
-    res_id = t - t * (s1 + s2)  # |x| < 0.4375 (sign carried by t = x)
-    idsel = np.select([seg0, seg1, seg2, seg3], [0, 1, 2, 3], default=0)
-    res_seg = _ATANHI[idsel] - ((t * (s1 + s2) - _ATANLO[idsel]) - t)
+        res_id = t - t * (s1 + s2)  # |x| < 0.4375 (sign carried by t = x)
+        idsel = np.select([seg0, seg1, seg2, seg3], [0, 1, 2, 3], default=0)
+        res_seg = _ATANHI[idsel] - ((t * (s1 + s2) - _ATANLO[idsel]) - t)
     res_seg = np.where(sign, -res_seg, res_seg)
     res_huge = np.where(sign, -(_ATANHI[3] + _ATANLO[3]), _ATANHI[3] + _ATANLO[3])
 

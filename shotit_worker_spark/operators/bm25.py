@@ -55,12 +55,25 @@ class BM25Index:
         n_docs: int,
         avgdl: float,
         id_col: str = "doc_id",
+        total_tokens: float | None = None,
+        n_scored: int | None = None,
     ):
         self.postings = postings
         self.dictionary = dictionary
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.id_col = id_col
+        # exact token totals, kept so incremental add() updates avgdl
+        # in closed form without drift: avgdl is averaged over docs
+        # with tokenizable text (n_scored) while n_docs counts all
+        # rows, so reconstructing the total as avgdl*n_docs is wrong
+        # whenever the corpus had NULL-text docs. Older persisted
+        # indexes lack these — fall back to the old reconstruction.
+        self.total_tokens = (
+            float(total_tokens) if total_tokens is not None
+            else avgdl * n_docs
+        )
+        self.n_scored = n_scored if n_scored is not None else n_docs
 
     def search(
         self,
@@ -152,18 +165,28 @@ class BM25Index:
             .agg(F.sum("df").alias("df"))
             .select("term", F.xxhash64("term").alias("term_hash"), "df")
         )
+        sizes = F.size(TX.tokenize(F.col(text_col)))
         stats = new_docs.agg(
             F.count("*").alias("n"),
-            F.sum(F.size(TX.tokenize(F.col(text_col)))).alias("toks"),
+            F.sum(sizes).alias("toks"),
+            F.count(sizes).alias("n_scored"),
         ).first()
         n_new = int(stats["n"] or 0)
         if n_new == 0:
             return
-        total_tokens = self.avgdl * self.n_docs + float(stats["toks"] or 0)
+        # precondition (documented, not re-scanned on the hot path):
+        # new_docs' ids are disjoint from the indexed corpus — a
+        # re-inserted id would double-count df and duplicate postings.
+        # Callers with untrusted batches should anti-join first:
+        #   new_docs.join(index.postings.select(id).distinct(),
+        #                 id, "left_anti")
+        self.total_tokens += float(stats["toks"] or 0)
+        self.n_scored += int(stats["n_scored"] or 0)
         self.postings = self.postings.unionByName(new_postings)
         self.dictionary = merged
         self.n_docs += n_new
-        self.avgdl = total_tokens / self.n_docs
+        if self.n_scored > 0:
+            self.avgdl = self.total_tokens / self.n_scored
 
     def save(self, path: str) -> None:
         self.postings.write.mode("overwrite").parquet(
@@ -176,6 +199,8 @@ class BM25Index:
             "n_docs": self.n_docs,
             "avgdl": self.avgdl,
             "id_col": self.id_col,
+            "total_tokens": self.total_tokens,
+            "n_scored": self.n_scored,
         }
         with open(os.path.join(path, "bm25_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -190,6 +215,8 @@ class BM25Index:
             meta["n_docs"],
             meta["avgdl"],
             meta["id_col"],
+            total_tokens=meta.get("total_tokens"),
+            n_scored=meta.get("n_scored"),
         )
 
 
@@ -213,9 +240,12 @@ def build_bm25(
         .agg(F.count("*").alias("df"))
         .select("term", F.xxhash64("term").alias("term_hash"), "df")
     )
+    sizes = F.size(TX.tokenize(F.col(text_col)))
     stats = docs.agg(
         F.count("*").alias("n"),
-        F.avg(F.size(TX.tokenize(F.col(text_col)))).alias("avgdl"),
+        F.avg(sizes).alias("avgdl"),
+        F.sum(sizes).alias("toks"),
+        F.count(sizes).alias("n_scored"),
     ).first()
     n_docs = int(stats["n"] or 0)
     if n_docs == 0:
@@ -223,4 +253,12 @@ def build_bm25(
     if stats["avgdl"] is None:
         # rows exist but every text is NULL — avg() skips nulls
         raise ValueError("build_bm25: corpus has no tokenizable text")
-    return BM25Index(postings, dictionary, n_docs, float(stats["avgdl"]), id_col)
+    return BM25Index(
+        postings,
+        dictionary,
+        n_docs,
+        float(stats["avgdl"]),
+        id_col,
+        total_tokens=float(stats["toks"] or 0),
+        n_scored=int(stats["n_scored"] or 0),
+    )

@@ -217,8 +217,13 @@ def dsir_select(
     u = _unit_hash(id_col, seed, "dsir")
     # guard u=0 (−log(−log 0) = −inf): nudge into (0, 1)
     gumbel = -F.log(-F.log(u + F.lit(0.5 / _BUCKETS)))
+    # dsir_logw is in log10 units (NGramLM avg_logprob is log10) but
+    # the Gumbel term is natural-log scaled — convert before adding so
+    # the sample is ∝ w^(1/T), not w^(1/(T·ln10)) (the effective
+    # temperature would silently be ~2.3× the caller's otherwise)
+    ln_w = F.col("dsir_logw") * F.lit(math.log(10.0))
     key = (
-        F.col("dsir_logw") / F.lit(temperature) + gumbel
+        ln_w / F.lit(temperature) + gumbel
         if temperature > 0
         else F.col("dsir_logw")
     )

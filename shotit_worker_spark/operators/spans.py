@@ -111,6 +111,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: str = "first",
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Merged duplicated token ranges per document:
     ``(id_col, start, end)`` with token indices, end exclusive,
@@ -119,6 +120,14 @@ def duplicate_spans(
     ``keep="first"`` spares each window's globally-first occurrence
     (ordered by (doc id, position) — deterministic); ``keep="none"``
     marks every occurrence (the decontamination posture).
+
+    ``broadcast_dups=True`` (default) hints the duplicated-window hash
+    set into a broadcast semi-join — right for the common case where
+    dup windows are a small fraction of the corpus. On a HEAVILY
+    duplicated corpus (the very case span dedup targets) that set is
+    unbounded; pass ``broadcast_dups=False`` to drop the hint and let
+    AQE pick broadcast vs shuffle from the measured size (the
+    NGramLM.score ``broadcast_model=False`` posture).
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be first|none, got {keep!r}")
@@ -136,7 +145,10 @@ def duplicate_spans(
         .agg(F.count("*").alias("occ"))
         .filter(F.col("occ") >= 2)
     )
-    marked = wins.join(F.broadcast(dup.select("whash")), "whash", "left_semi")
+    dup_keys = dup.select("whash")
+    if broadcast_dups:
+        dup_keys = F.broadcast(dup_keys)
+    marked = wins.join(dup_keys, "whash", "left_semi")
     if keep == "first":
         w = Window.partitionBy("whash").orderBy(
             F.col(id_col).asc(), F.col("pos").asc()
@@ -181,6 +193,7 @@ def remove_duplicate_spans(
     keep: str = "first",
     out_col: str | None = None,
     spans: DataFrame | None = None,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Rewrite ``text_col`` with duplicated spans cut out. Documents
     without spans pass through byte-exact; rewritten documents re-join
@@ -193,7 +206,10 @@ def remove_duplicate_spans(
     sp = (
         spans
         if spans is not None
-        else duplicate_spans(docs, min_tokens, text_col, id_col, keep)
+        else duplicate_spans(
+            docs, min_tokens, text_col, id_col, keep,
+            broadcast_dups=broadcast_dups,
+        )
     )
     per_doc = sp.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "end")).alias("__spans")

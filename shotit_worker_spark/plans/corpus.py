@@ -82,6 +82,22 @@ def prepare_corpus(
     """
     from ..operators import filters as FL
 
+    # paired parameters: supplying exactly one is a silent no-op the
+    # caller almost certainly didn't intend (an unfiltered corpus with
+    # no "perplexity" stage row) — fail loudly, like weights+budget
+    if (perplexity_lm is None) != (max_perplexity is None):
+        raise ValueError(
+            "perplexity_lm and max_perplexity must be provided together "
+            f"(got perplexity_lm={'set' if perplexity_lm is not None else None}, "
+            f"max_perplexity={max_perplexity!r})"
+        )
+    if (weights is None) != (token_budget is None):
+        raise ValueError(
+            "weights and token_budget must be provided together "
+            f"(got weights={'set' if weights is not None else None}, "
+            f"token_budget={token_budget!r})"
+        )
+
     stages: dict[str, int] | None = {} if report else None
     cur = docs
     prev_cached: DataFrame | None = None

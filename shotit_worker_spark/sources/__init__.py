@@ -1,2 +1,2 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
-from . import jsonl, lire_xml, sized_writer
+from . import jsonl, lire_xml, sized_writer, warc

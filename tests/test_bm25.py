@@ -177,3 +177,36 @@ def test_add_empty_batch_noop(spark):
     n, avgdl = idx.n_docs, idx.avgdl
     idx.add(_docs_df(spark, {}).filter("doc_id is not null"))
     assert idx.n_docs == n and idx.avgdl == avgdl
+
+
+def test_add_with_null_text_docs_no_avgdl_drift(spark):
+    # r4 ADVICE: reconstructing total tokens as avgdl*n_docs drifted
+    # when the original corpus had NULL-text rows (avgdl averages over
+    # non-NULL texts, n_docs counts all). total_tokens/n_scored are
+    # now tracked explicitly — grown must equal rebuild exactly.
+    rng = random.Random(37)
+    texts = _corpus(rng, 20)
+    base = _docs_df(spark, texts).unionByName(
+        spark.createDataFrame(
+            [(900, None), (901, None)], "doc_id long, text string"
+        )
+    )
+    batch = {100 + i: t for i, t in _corpus(rng, 8).items()}
+    grown = B.build_bm25(base)
+    grown.add(_docs_df(spark, batch))
+    rebuilt = B.build_bm25(
+        base.unionByName(_docs_df(spark, batch))
+    )
+    assert grown.n_docs == rebuilt.n_docs
+    assert grown.n_scored == rebuilt.n_scored
+    assert grown.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+
+
+def test_save_open_preserves_token_totals(spark, tmp_root):
+    rng = random.Random(38)
+    idx = B.build_bm25(_docs_df(spark, _corpus(rng, 12)))
+    path = str(tmp_root / "bm25_tok")
+    idx.save(path)
+    reopened = B.BM25Index.open(spark, path)
+    assert reopened.total_tokens == pytest.approx(idx.total_tokens)
+    assert reopened.n_scored == idx.n_scored

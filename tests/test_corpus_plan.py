@@ -231,3 +231,16 @@ def test_span_dedup_stage(spark, docs):
     df = res["df"]
     assert res["stages"]["span_dedup"] == res["stages"]["input"]
     assert df.filter(F.col("text").contains("sp0 sp1")).count() == 1
+
+
+def test_paired_params_validation(spark, docs):
+    # r4 ADVICE: supplying exactly one of a stage's paired params was a
+    # silent no-op (unfiltered corpus, no stage row) — now raises.
+    with pytest.raises(ValueError, match="perplexity"):
+        prepare_corpus(docs, None, max_perplexity=100.0)
+    with pytest.raises(ValueError, match="perplexity"):
+        prepare_corpus(docs, None, perplexity_lm=object())
+    with pytest.raises(ValueError, match="token_budget"):
+        prepare_corpus(docs, None, weights={"a": 1.0})
+    with pytest.raises(ValueError, match="token_budget"):
+        prepare_corpus(docs, None, token_budget=1000)

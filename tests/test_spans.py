@@ -160,3 +160,25 @@ def test_validation(spark):
         SP.duplicate_spans(df, keep="bogus")
     with pytest.raises(ValueError, match="min_tokens"):
         SP.duplicate_spans(df, min_tokens=0)
+
+
+def test_broadcast_opt_out_same_result(spark):
+    # r4 ADVICE: the dup-window set is unbounded on heavily-duplicated
+    # corpora; broadcast_dups=False drops the hint (AQE decides).
+    # Results must be identical either way.
+    rng = random.Random(55)
+    chunk = _words(rng, 12)
+    texts = {d: f"{chunk} {_words(rng, 5)} {chunk}" for d in range(12)}
+    a = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            _df(spark, texts), min_tokens=10
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            _df(spark, texts), min_tokens=10, broadcast_dups=False
+        ).collect()
+    }
+    assert a == b
