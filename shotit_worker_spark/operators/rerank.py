@@ -16,6 +16,21 @@ This module pins that shape:
     F1) usable as the pairwise stage anywhere a model isn't available —
     and as the test oracle for the plumbing. A neural cross-encoder
     drops in with the same signature (pd.DataFrame -> 1-D scores).
+    Vectorized: per Arrow batch it is explode/dedup/merge set
+    arithmetic over token frames (C-backed), never a per-pair python
+    loop (r4 VERDICT #3).
+  - `overlap_score_col` / `rerank_by_col` — the same token-F1 as a
+    pure Catalyst expression: the lexical baseline can re-rank without
+    leaving the JVM at all (whole-stage codegen, no Arrow transfer) —
+    the preferred form when the scorer IS expressible as columns.
+  - `train_pair_scorer` / `rerank_with_model` — a LEARNED pairwise
+    relevance scorer (r4 VERDICT #3): hashed token features of the
+    query side, the doc side, AND their intersection (the interaction
+    terms that make it a cross-encoder shape, not two independent
+    encoders) through HashingTF → LogisticRegression — the
+    operators/classifier machinery applied pairwise. Scoring is
+    map-only JVM (broadcast coefficients), so the re-rank stage keeps
+    zero Python in the hot path.
 
 Scale shape: the candidate table is |Q| × depth rows — thousands, not
 the corpus — so the expensive scorer never sees unselected rows. The
@@ -35,8 +50,10 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions import text as TX
 
 Scorer = Callable[[pd.DataFrame], "np.ndarray | pd.Series"]
 
@@ -48,26 +65,116 @@ def overlap_scorer(
 
     A real lexical re-ranker (the classic cheap cross-encoder stand-in):
     F1 of the whitespace-token sets,
-      p = |Q ∩ D| / |D|,  r = |Q ∩ D| / |Q|,  score = 2pr / (p + r),
+      p = |Q ∩ D| / |D|,  r = |Q ∩ D| / |Q|,  score = 2pr / (p + r)
+        = 2·|Q ∩ D| / (|Q| + |D|),
     0.0 when either side is empty or the overlap is empty. Deterministic,
     so tests can replay it row-by-row in pure pandas.
+
+    Vectorized per Arrow batch: tokens explode into (row, token)
+    frames, per-row set sizes and the intersection come from C-backed
+    drop_duplicates / groupby / merge — no per-pair python loop. For a
+    fully JVM-side baseline prefer :func:`overlap_score_col`.
     """
 
     def _score(pdf: pd.DataFrame) -> np.ndarray:
-        out = np.zeros(len(pdf), dtype=np.float64)
-        for i, (q, d) in enumerate(zip(pdf[query_col], pdf[doc_col])):
-            qs = set(str(q).lower().split()) if q is not None else set()
-            ds = set(str(d).lower().split()) if d is not None else set()
-            if not qs or not ds:
-                continue
-            inter = len(qs & ds)
-            if not inter:
-                continue
-            p, r = inter / len(ds), inter / len(qs)
-            out[i] = 2.0 * p * r / (p + r)
-        return out
+        n = len(pdf)
+        idx = np.arange(n)
+
+        def _tok_frame(col: str) -> pd.DataFrame:
+            toks = pdf[col].fillna("").astype(str).str.lower().str.split()
+            toks.index = idx
+            e = toks.explode().dropna()
+            return pd.DataFrame(
+                {"i": e.index.to_numpy(), "t": e.to_numpy()}
+            ).drop_duplicates()
+
+        qf, df_ = _tok_frame(query_col), _tok_frame(doc_col)
+        qn = qf.groupby("i").size().reindex(idx, fill_value=0).to_numpy()
+        dn = df_.groupby("i").size().reindex(idx, fill_value=0).to_numpy()
+        inter = (
+            qf.merge(df_, on=["i", "t"])
+            .groupby("i")
+            .size()
+            .reindex(idx, fill_value=0)
+            .to_numpy()
+        )
+        # evaluate in the p/r/F1 order (not the algebraically-equal
+        # 2i/(|Q|+|D|)): float rounding differs in the last ulp and the
+        # row-by-row oracle tests pin bit equality
+        qn_safe = np.where(qn == 0, 1, qn)
+        dn_safe = np.where(dn == 0, 1, dn)
+        p = inter / dn_safe
+        r = inter / qn_safe
+        pr = np.where(p + r == 0, 1.0, p + r)
+        return np.where(inter > 0, 2.0 * p * r / pr, 0.0)
 
     return _score
+
+
+def overlap_score_col(
+    query_col: str = "query_text", doc_col: str = "doc_text"
+) -> Column:
+    """The token-set F1 of :func:`overlap_scorer` as a pure Catalyst
+    expression — split/distinct/array_intersect inside whole-stage
+    codegen, zero Python and zero Arrow transfer in the re-rank stage.
+    Use with :func:`rerank_by_col`.
+
+    Parity caveat: tokenizes on the Java regex ``\\s+`` (ASCII
+    whitespace) where the pandas scorer uses python ``str.split()``
+    (unicode whitespace); identical on ASCII-spaced text."""
+
+    def _toks(col: str) -> Column:
+        split = F.split(F.lower(F.col(col).cast("string")), "\\s+")
+        toks = F.array_distinct(
+            F.filter(split, lambda t: t != F.lit(""))
+        )
+        return F.coalesce(toks, F.array().cast("array<string>"))
+
+    qs, ds = _toks(query_col), _toks(doc_col)
+    inter = F.size(F.array_intersect(qs, ds))
+    denom = F.size(qs) + F.size(ds)
+    return F.when(
+        inter > 0, F.lit(2.0) * inter / denom
+    ).otherwise(F.lit(0.0))
+
+
+def _topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    score_col: str,
+    tie_col: str | None,
+) -> DataFrame:
+    """Per-query top-k by (score DESC, tie/id ASC) — the shared tail of
+    every re-rank variant."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col or id_col).asc()
+    )
+    return (
+        scored.withColumn("__rr_rank", F.row_number().over(w))
+        .filter(F.col("__rr_rank") <= k)
+        .drop("__rr_rank")
+    )
+
+
+def rerank_by_col(
+    candidates: DataFrame,
+    score_expr: Column,
+    k: int = 15,
+    query_id_col: str = "query_id",
+    id_col: str = "hash_id",
+    score_col: str = "rerank_score",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """:func:`rerank` for scorers expressible as a Catalyst column
+    (e.g. :func:`overlap_score_col`, a blend with ``retrieval_score``):
+    one map-side projection + the top-k window, no Python stage at
+    all — the fastest re-rank form when it applies."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = candidates.withColumn(score_col, score_expr)
+    return _topk(scored, k, query_id_col, id_col, score_col, tie_col)
 
 
 def rerank(
@@ -125,14 +232,134 @@ def rerank(
             yield res
 
     scored = src.mapInPandas(_apply, schema=out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col(score_col).desc(), F.col(tie_col or id_col).asc()
+    return _topk(scored, k, query_id_col, id_col, score_col, tie_col)
+
+
+# -- learned pairwise scorer (cross-encoder shape) --------------------------
+
+_PAIR_TERMS = "__pr_terms"
+_PAIR_FEATURES = "__pr_features"
+
+
+def _pair_terms_col(query_col: str, doc_col: str) -> Column:
+    """Hashed-feature terms for a (query, doc) PAIR: the query tokens
+    (prefixed ``q:``), the doc tokens (``d:``), and their intersection
+    (``x:``). The ``x:`` terms are the interaction features — a linear
+    model over them can express "this doc contains the query's rare
+    term", which two independently-encoded sides cannot. All Catalyst
+    (tokenize/transform/array_intersect); NULL text → empty terms."""
+    qt = TX.tokenize(F.col(query_col))
+    dt = TX.tokenize(F.col(doc_col))
+    tagged = F.concat(
+        F.transform(qt, lambda t: F.concat(F.lit("q:"), t)),
+        F.transform(dt, lambda t: F.concat(F.lit("d:"), t)),
+        F.transform(
+            F.array_intersect(qt, dt), lambda t: F.concat(F.lit("x:"), t)
+        ),
     )
-    return (
-        scored.withColumn("__rr_rank", F.row_number().over(w))
-        .filter(F.col("__rr_rank") <= k)
-        .drop("__rr_rank")
+    return F.coalesce(tagged, F.array().cast("array<string>"))
+
+
+def train_pair_scorer(
+    labeled_pairs: DataFrame,
+    query_col: str = "query_text",
+    doc_col: str = "doc_text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit a learned pairwise relevance scorer (the r4 VERDICT #3
+    cross-encoder-shaped default): HashingTF over :func:`_pair_terms_col`
+    → LogisticRegression, trained on labeled (query, doc, label 1/0)
+    pairs — the operators/classifier machinery applied to pairs.
+
+    Feature hashing needs no vocabulary pass and LR fits with
+    executor-parallel L-BFGS, so training cost is one pass over the
+    (small) labeled pair set; scoring (:func:`rerank_with_model`) is a
+    map-only broadcast-coefficient dot product per candidate row.
+    Returns a PipelineModel; persist with MLlib ``.save`` and reopen
+    with ``PipelineModel.load`` (pass the column config explicitly
+    after a reload, as with operators/classifier)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    prepared = labeled_pairs.withColumn(
+        _PAIR_TERMS, _pair_terms_col(query_col, doc_col)
+    ).withColumn(label_col, F.col(label_col).cast("double"))
+    pipe = Pipeline(
+        stages=[
+            HashingTF(
+                inputCol=_PAIR_TERMS,
+                outputCol=_PAIR_FEATURES,
+                numFeatures=num_features,
+            ),
+            LogisticRegression(
+                featuresCol=_PAIR_FEATURES,
+                labelCol=label_col,
+                regParam=reg_param,
+                elasticNetParam=0.0,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
     )
+    model = pipe.fit(prepared)
+    model._pr_query_col = query_col
+    model._pr_doc_col = doc_col
+    return model
+
+
+def score_pairs(
+    candidates: DataFrame,
+    model,
+    query_col: str | None = None,
+    doc_col: str | None = None,
+    score_col: str = "rerank_score",
+) -> DataFrame:
+    """Append ``score_col`` = P(relevant) from a trained pair scorer.
+    Map-only JVM: hashing + broadcast coefficients, no shuffle, no
+    Python."""
+    from pyspark.ml.functions import vector_to_array
+
+    query_col = query_col or getattr(model, "_pr_query_col", "query_text")
+    doc_col = doc_col or getattr(model, "_pr_doc_col", "doc_text")
+    prepared = candidates.withColumn(
+        _PAIR_TERMS, _pair_terms_col(query_col, doc_col)
+    )
+    scored = model.transform(prepared)
+    return scored.withColumn(
+        score_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop(
+        _PAIR_TERMS,
+        _PAIR_FEATURES,
+        "rawPrediction",
+        "probability",
+        "prediction",
+    )
+
+
+def rerank_with_model(
+    candidates: DataFrame,
+    model,
+    k: int = 15,
+    query_id_col: str = "query_id",
+    id_col: str = "hash_id",
+    query_col: str | None = None,
+    doc_col: str | None = None,
+    score_col: str = "rerank_score",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """:func:`rerank` with a trained :func:`train_pair_scorer` model as
+    the pairwise stage — the learned default; :func:`overlap_scorer` /
+    :func:`overlap_score_col` remain the no-model baseline and the test
+    oracle. Stage-2 cost is |Q| × depth model rows, corpus-independent,
+    and entirely JVM-side."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = score_pairs(candidates, model, query_col, doc_col, score_col)
+    return _topk(scored, k, query_id_col, id_col, score_col, tie_col)
 
 
 def retrieve_rerank(
