@@ -1,0 +1,219 @@
+"""In-engine text embedder (operators/embedding): tf-idf random
+projection — determinism, cosine geometry, the SemDeDup text path
+end-to-end, persistence, and the map-only plan pin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import embedding as E
+
+
+WORDS = (
+    "spark query table scan merge sort filter join shuffle batch "
+    "row column index vector stream window state codec parquet"
+).split()
+
+
+def _docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+def _corpus(rng, n):
+    return {
+        i: " ".join(rng.choice(WORDS) for _ in range(rng.randint(8, 30)))
+        for i in range(n)
+    }
+
+
+def _vecs(emb, docs):
+    return {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in emb.embed(docs).select("doc_id", "embedding").collect()
+    }
+
+
+def test_deterministic_and_normalized(spark):
+    rng = random.Random(71)
+    docs = _docs(spark, _corpus(rng, 40))
+    emb = E.train_text_embedder(docs, dim=64, seed=7)
+    a, b = _vecs(emb, docs), _vecs(emb, docs)
+    for d in a:
+        np.testing.assert_array_equal(a[d], b[d])
+        assert np.linalg.norm(a[d]) == pytest.approx(1.0, abs=1e-12)
+    assert all(len(v) == 64 for v in a.values())
+
+
+def test_order_invariance_and_separation(spark):
+    # same token multiset (a paraphrase's bag-of-words) => identical
+    # embedding; disjoint vocabulary => cosine well below any
+    # near-dup threshold
+    texts = {
+        0: "spark query table scan merge sort filter join",
+        1: "join filter sort merge scan table query spark",  # reordered
+        2: "stream window state codec parquet batch row column",
+    }
+    docs = _docs(spark, texts)
+    emb = E.train_text_embedder(docs, dim=64, min_df=1)
+    v = _vecs(emb, docs)
+    assert float(v[0] @ v[1]) == pytest.approx(1.0, abs=1e-12)
+    assert abs(float(v[0] @ v[2])) < 0.6
+
+
+def test_near_paraphrase_high_cosine(spark):
+    # one word swapped out of ~20: cosine stays near 1 (the SemDeDup
+    # operating point), while unrelated docs stay far
+    rng = random.Random(72)
+    base = [rng.choice(WORDS) for _ in range(20)]
+    para = list(base)
+    para[3] = "swapped"
+    texts = {0: " ".join(base), 1: " ".join(para)}
+    texts.update({i: t for i, t in _corpus(rng, 30).items() if i >= 2})
+    docs = _docs(spark, texts)
+    # dim=256: the JL error band (~1/sqrt(dim)) must sit well under the
+    # true-cosine gap for the margin to be meaningful (deterministic
+    # seed, so this is a fixed value, not a flaky sample)
+    emb = E.train_text_embedder(docs, dim=256, min_df=1)
+    v = _vecs(emb, docs)
+    # the swapped-in word is unseen => carries default_idf (the rarest-
+    # possible weight), so the true tf-idf cosine is ~0.9; measured
+    # deterministic value here is 0.889
+    assert float(v[0] @ v[1]) > 0.85
+
+
+def test_empty_and_null_embed_to_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark query table"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    emb = E.train_text_embedder(docs, dim=32, min_df=1)
+    v = _vecs(emb, docs)
+    assert np.linalg.norm(v[1]) == 0.0
+    assert np.linalg.norm(v[2]) == 0.0
+    assert np.linalg.norm(v[0]) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_embed_is_map_only(spark):
+    rng = random.Random(73)
+    docs = _docs(spark, _corpus(rng, 20))
+    emb = E.train_text_embedder(docs, dim=16)
+    plan = (
+        emb.embed(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # scoring must not shuffle
+
+
+def test_jl_inner_product_preservation(spark):
+    # JL sanity: projected cosines track the exact hashed tf-idf
+    # cosines within the ~1/sqrt(dim) band at dim=256
+    rng = random.Random(74)
+    texts = _corpus(rng, 30)
+    docs = _docs(spark, texts)
+    dim = 256
+    emb = E.train_text_embedder(docs, dim=dim, min_df=1, seed=3)
+    v = _vecs(emb, docs)
+
+    def exact_vec(t):
+        from collections import Counter
+        import re
+
+        tf = Counter(
+            x for x in re.split(r"[^a-z0-9]+", t.lower()) if x
+        )
+        return {
+            w: (1.0 + math.log(c)) * emb.idf.get(w, emb.default_idf)
+            for w, c in tf.items()
+        }
+
+    def exact_cos(a, b):
+        na = math.sqrt(sum(x * x for x in a.values()))
+        nb = math.sqrt(sum(x * x for x in b.values()))
+        dot = sum(a[w] * b.get(w, 0.0) for w in a)
+        return dot / (na * nb)
+
+    ids = sorted(texts)[:10]
+    errs = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ex = exact_cos(exact_vec(texts[ids[i]]), exact_vec(texts[ids[j]]))
+            got = float(v[ids[i]] @ v[ids[j]])
+            errs.append(abs(got - ex))
+    # 3 sigma of the JL error at dim=256 is ~0.19; mean error much lower
+    assert max(errs) < 0.25
+    assert sum(errs) / len(errs) < 0.08
+
+
+def test_text_semantic_dedup_e2e(spark):
+    # the r4 VERDICT #4 "done" gate: raw text -> embed -> semantic_dedup
+    # collapses planted paraphrase groups and keeps distinct docs
+    from shotit_worker_spark.operators import clustering as CL
+
+    rng = random.Random(75)
+    texts = _corpus(rng, 60)
+    planted_groups = {}
+    next_id = 1000
+    for gid in range(5):
+        base = texts[gid].split()
+        group = [gid]
+        for _ in range(2):  # two paraphrases per group
+            para = list(base)
+            rng.shuffle(para)
+            texts[next_id] = " ".join(para)
+            group.append(next_id)
+            next_id += 1
+        planted_groups[gid] = group
+    docs = _docs(spark, texts)
+    emb = E.train_text_embedder(docs, dim=64, min_df=1)
+    vecs = emb.embed(docs).select("doc_id", "embedding")
+    kept = CL.semantic_dedup(
+        vecs,
+        threshold=0.95,
+        num_clusters=4,
+        id_col="doc_id",
+        vec_col="embedding",
+        keep="min_id",
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for gid, group in planted_groups.items():
+        survivors = kept_ids & set(group)
+        assert survivors == {min(group)}, (gid, survivors)
+    # distinct docs (8+ random words from a 20-word vocab) may collide
+    # occasionally; require the vast majority to survive
+    originals = {i for i in texts if i < 1000 and i >= 5}
+    assert len(kept_ids & originals) >= len(originals) - 3
+
+
+def test_save_open_roundtrip(spark, tmp_root):
+    rng = random.Random(76)
+    docs = _docs(spark, _corpus(rng, 25))
+    emb = E.train_text_embedder(docs, dim=48, seed=11)
+    path = str(tmp_root / "text_embedder")
+    emb.save(path, spark)
+    reopened = E.TextEmbedder.open(spark, path)
+    assert reopened.dim == emb.dim and reopened.seed == emb.seed
+    assert reopened.default_idf == emb.default_idf
+    assert reopened.idf == emb.idf
+    a, b = _vecs(emb, docs), _vecs(reopened, docs)
+    for d in a:
+        np.testing.assert_array_equal(a[d], b[d])
+
+
+def test_validation(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dim"):
+        E.train_text_embedder(docs, dim=0)
+    with pytest.raises(ValueError, match="min_df"):
+        E.train_text_embedder(docs, min_df=0)
+    with pytest.raises(ValueError, match="empty"):
+        E.train_text_embedder(docs.filter("doc_id < 0"))
