@@ -42,6 +42,8 @@ from ..functions import text as TX
 __all__ = [
     "NGramLM",
     "train_ngram_lm",
+    "KneserNeyLM",
+    "train_kn_lm",
     "paragraph_perplexities",
     "remove_high_perplexity_paragraphs",
 ]
@@ -364,6 +366,280 @@ def train_ngram_lm(
         counts[1].agg(F.sum("cnt")).collect()[0][0]
     )
     return NGramLM(n, alpha, int(total or 0), counts, ctxs)
+
+
+# -- interpolated Kneser–Ney (r4 VERDICT #5) --------------------------------
+
+_SUFFIX_EXPR = (
+    "substring(gram, length(element_at(split(gram, ' '), 1)) + 2)"
+)
+
+
+def _estimate_discount(cnt_df: DataFrame, fallback: float = 0.75) -> float:
+    """Good-Turing-style absolute discount D = n1 / (n1 + 2·n2) from a
+    count table's count-of-counts (Ney et al. 1994) — the standard KN
+    discount estimate; degenerate distributions fall back to 0.75."""
+    row = cnt_df.agg(
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("cnt") == 2, 1)).alias("n2"),
+    ).first()
+    n1, n2 = int(row["n1"]), int(row["n2"])
+    if n1 <= 0 or n1 + 2 * n2 <= 0:
+        return fallback
+    d = n1 / (n1 + 2.0 * n2)
+    return d if 0.0 < d < 1.0 else fallback
+
+
+class KneserNeyLM:
+    """An interpolated Kneser–Ney model (Kneser & Ney 1995; Chen &
+    Goodman 1999) over the SAME distributed count-table layout as
+    :class:`NGramLM` — different probability assembly. CCNet-style
+    perplexity filtering canonically uses a KN model; Stupid Backoff
+    (:func:`train_ngram_lm`) stays the default because its count-ratio
+    scheme is what scales to web-corpus tables, but this option matches
+    the literature's operating point for trainable-size reference LMs.
+
+    Per level k the tables carry:
+
+    - ``numer[k]`` — the level's numerator counts keyed by gram hash:
+      raw counts at the top order, CONTINUATION counts N1+(·, gram)
+      (distinct left-extensions, from the order-k+1 table's suffixes)
+      at every lower order — the KN signature: lower orders model how
+      many contexts a gram completes, not how often it occurs;
+    - ``denom[k]`` (k ≥ 2) — per context: the level's total mass and
+      the distinct-continuation type count T(ctx) that weights the
+      backoff: P_k = max(c−D,0)/total + D·T/total · P_{k−1}; an unseen
+      context passes straight through to P_{k−1}.
+    - unigram base: P₁(w) = (max(N1+(·,w) − D₁, 0) + D₁) / N2 with
+      N2 = distinct bigram types — the uniform-interpolation term
+      D₁·V/N2 · 1/V collapses to D₁/N2, so unseen words keep positive
+      mass and log scores never hit −inf.
+
+    Discounts are per-level Ney estimates (:func:`_estimate_discount`)
+    unless a fixed ``discount`` is passed. Scoring output matches
+    NGramLM.score: ``(id_col, n_tokens, avg_logprob[log10],
+    perplexity)``; scale shape is identical (one window explode, three
+    8-byte-hash broadcast joins per level, one hash agg)."""
+
+    def __init__(
+        self,
+        n: int,
+        discounts: dict[int, float],
+        n2_types: int,
+        numer: dict[int, DataFrame],
+        denom: dict[int, DataFrame],
+    ):
+        self.n = n
+        self.discounts = discounts
+        self.n2_types = n2_types
+        self.numer = numer  # order -> (gram, gram_hash, cnt)
+        self.denom = denom  # order -> (ctx, ctx_hash, total, types)
+
+    def score(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        broadcast_model: bool = True,
+    ) -> DataFrame:
+        """Per-document ``(id_col, n_tokens, avg_logprob, perplexity)``
+        under interpolated KN — same contract and plan shape as
+        NGramLM.score (one explode, per-level hash joins, one agg)."""
+        n = self.n
+        padded = _padded_tokens(text_col, n)
+        pos = docs.select(
+            F.col(id_col),
+            F.explode_outer(TX.ngrams(padded, n)).alias("__g"),
+        ).withColumn("__w", F.split(F.col("__g"), " "))
+
+        probes: list[tuple[str, Column]] = []
+        for k in range(1, n + 1):
+            probes.append((f"__g{k}", _gram_join(F.col("__w"), n - k + 1, k)))
+            if k > 1:
+                probes.append(
+                    (f"__c{k}", _gram_join(F.col("__w"), n - k + 1, k - 1))
+                )
+        pos = pos.select(
+            id_col,
+            F.col("__w").isNotNull().alias("__has"),
+            *[F.xxhash64(expr).alias(name) for name, expr in probes],
+        )
+        for name, _ in probes:
+            k = int(name[3:])
+            role = name[2]
+            if role == "g":
+                tbl = self.numer[k].select(
+                    F.col("gram_hash").alias(name),
+                    F.col("cnt").alias(f"__kn{k}"),
+                )
+            else:
+                tbl = self.denom[k].select(
+                    F.col("ctx_hash").alias(name),
+                    F.col("total").alias(f"__kd{k}"),
+                    F.col("types").alias(f"__kt{k}"),
+                )
+            if broadcast_model:
+                tbl = F.broadcast(tbl)
+            pos = pos.join(tbl, name, "left")
+
+        d1 = F.lit(self.discounts[1])
+        p = (
+            F.greatest(
+                F.coalesce(F.col("__kn1").cast("double"), F.lit(0.0)) - d1,
+                F.lit(0.0),
+            )
+            + d1
+        ) / F.lit(float(self.n2_types))
+        for k in range(2, n + 1):
+            dk = F.lit(self.discounts[k])
+            total = F.col(f"__kd{k}").cast("double")
+            types = F.col(f"__kt{k}").cast("double")
+            num = F.greatest(
+                F.coalesce(F.col(f"__kn{k}").cast("double"), F.lit(0.0))
+                - dk,
+                F.lit(0.0),
+            )
+            pk = num / total + dk * types / total * p
+            p = F.when(F.col(f"__kd{k}").isNotNull(), pk).otherwise(p)
+
+        scored = pos.withColumn(
+            "__lp", F.when(F.col("__has"), F.log10(p))
+        )
+        agg = scored.groupBy(id_col).agg(
+            F.count("__lp").alias("n_tokens"),
+            F.avg("__lp").alias("avg_logprob"),
+        )
+        return agg.select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            F.pow(F.lit(10.0), -F.col("avg_logprob")).alias("perplexity"),
+        )
+
+    def save(self, path: str) -> None:
+        for k, df in self.numer.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"kn_numer={k}")
+            )
+        for k, df in self.denom.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"kn_denom={k}")
+            )
+        meta = {
+            "n": self.n,
+            "discounts": {str(k): v for k, v in self.discounts.items()},
+            "n2_types": self.n2_types,
+        }
+        with open(os.path.join(path, "kn_lm_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "KneserNeyLM":
+        with open(os.path.join(path, "kn_lm_meta.json")) as f:
+            meta = json.load(f)
+        n = meta["n"]
+        numer = {
+            k: spark.read.parquet(os.path.join(path, f"kn_numer={k}"))
+            for k in range(1, n + 1)
+        }
+        denom = {
+            k: spark.read.parquet(os.path.join(path, f"kn_denom={k}"))
+            for k in range(2, n + 1)
+        }
+        return cls(
+            n,
+            {int(k): v for k, v in meta["discounts"].items()},
+            meta["n2_types"],
+            numer,
+            denom,
+        )
+
+
+def train_kn_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    discount: float | None = None,
+) -> KneserNeyLM:
+    """Train an interpolated Kneser–Ney model (n ≥ 2): the Stupid-
+    Backoff count jobs (one explode + hash agg per order, unpruned)
+    plus per-order derived tables —
+
+    - continuation counts: one groupBy over the order-k+1 table's
+      suffix strings (distinct rows ARE distinct left-extensions, so
+      ``count(*)`` is N1+ without a countDistinct);
+    - per-context totals AND type counts in a single aggregation per
+      level (sum + count over the same grouping);
+    - two O(1) scalar actions: the distinct-bigram total N2 and the
+      per-level discount estimates (or the fixed ``discount``).
+
+    KN needs UNPRUNED tables (continuation statistics break under
+    min_count pruning), so there is no min_count knob — prune by
+    training on less data instead."""
+    if n < 2:
+        raise ValueError(f"KN needs n >= 2, got {n}")
+    padded = docs.select(_padded_tokens(text_col, n).alias("__toks"))
+    raw: dict[int, DataFrame] = {}
+    for k in range(1, n + 1):
+        grams = padded.select(
+            F.explode(TX.ngrams(F.col("__toks"), k)).alias("gram")
+        )
+        if k < n:
+            grams = grams.filter(~F.col("gram").endswith(F.lit(PAD)))
+        raw[k] = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+
+    numer: dict[int, DataFrame] = {}
+    denom: dict[int, DataFrame] = {}
+    # top order: raw counts; context totals + follow types in one agg
+    numer[n] = raw[n].select(
+        "gram", F.xxhash64("gram").alias("gram_hash"), "cnt"
+    )
+    prefix = F.expr(
+        "substring(gram, 1, length(gram) - length(element_at(split(gram, ' '), -1)) - 1)"
+    )
+    denom[n] = (
+        raw[n]
+        .select(prefix.alias("ctx"), "cnt")
+        .groupBy("ctx")
+        .agg(F.sum("cnt").alias("total"), F.count("*").alias("types"))
+        .select("ctx", F.xxhash64("ctx").alias("ctx_hash"), "total", "types")
+    )
+    # lower orders: continuation counts from the next order's suffixes
+    for k in range(1, n):
+        cont = (
+            raw[k + 1]
+            .select(F.expr(_SUFFIX_EXPR).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        numer[k] = cont.select(
+            "gram", F.xxhash64("gram").alias("gram_hash"), "cnt"
+        )
+        if k >= 2:
+            denom[k] = (
+                cont.select(prefix.alias("ctx"), "cnt")
+                .groupBy("ctx")
+                .agg(
+                    F.sum("cnt").alias("total"),
+                    F.count("*").alias("types"),
+                )
+                .select(
+                    "ctx", F.xxhash64("ctx").alias("ctx_hash"),
+                    "total", "types",
+                )
+            )
+    n2_types = raw[2].count()
+    if n2_types == 0:
+        raise ValueError("train_kn_lm: corpus has no scorable bigrams")
+    if discount is not None:
+        if not 0.0 < discount < 1.0:
+            raise ValueError(f"discount must be in (0,1), got {discount}")
+        discounts = {k: discount for k in range(1, n + 1)}
+    else:
+        discounts = {
+            k: _estimate_discount(numer[k]) for k in range(1, n + 1)
+        }
+    return KneserNeyLM(n, discounts, n2_types, numer, denom)
 
 
 _PARA_KEY_SEP = "\x1f"  # unit separator: cannot appear in doc ids sanely

@@ -265,3 +265,145 @@ def test_paragraph_local_path_matches_join_path(spark):
             assert b[key][1] is None
         else:
             assert b[key][1] == pytest.approx(a[key][1], rel=1e-9)
+
+
+# -- r5: interpolated Kneser-Ney option -------------------------------------
+
+
+def _kn_ref_train(texts, n):
+    counts = {k: Counter() for k in range(1, n + 1)}
+    for t in texts:
+        padded = [NL.PAD] * (n - 1) + _tok(t)
+        for i in range(len(padded)):
+            if padded[i] == NL.PAD:
+                continue
+            for k in range(1, n + 1):
+                if i - k + 1 < 0:
+                    continue
+                counts[k][tuple(padded[i - k + 1 : i + 1])] += 1
+    numer = {n: counts[n]}
+    for k in range(1, n):
+        cont = Counter()
+        for g in counts[k + 1]:
+            cont[g[1:]] += 1
+        numer[k] = cont
+    denom = {}
+    d = Counter()
+    types = Counter()
+    for g, c in counts[n].items():
+        d[g[:-1]] += c
+        types[g[:-1]] += 1
+    denom[n] = (d, types)
+    for k in range(2, n):
+        d = Counter()
+        types = Counter()
+        for g, c in numer[k].items():
+            d[g[:-1]] += c
+            types[g[:-1]] += 1
+        denom[k] = (d, types)
+    n2 = len(counts[2])
+    discounts = {}
+    for k in range(1, n + 1):
+        n1 = sum(1 for c in numer[k].values() if c == 1)
+        n2_ = sum(1 for c in numer[k].values() if c == 2)
+        if n1 <= 0 or n1 + 2 * n2_ <= 0:
+            discounts[k] = 0.75
+        else:
+            dd = n1 / (n1 + 2.0 * n2_)
+            discounts[k] = dd if 0.0 < dd < 1.0 else 0.75
+    return numer, denom, n2, discounts
+
+
+def _kn_ref_score(text, n, numer, denom, n2, discounts):
+    toks = _tok(text)
+    padded = [NL.PAD] * (n - 1) + toks
+    lps = []
+    for i in range(n - 1, len(padded)):
+        w = padded[i]
+        d1 = discounts[1]
+        p = (max((numer[1].get((w,)) or 0) - d1, 0.0) + d1) / n2
+        for k in range(2, n + 1):
+            g = tuple(padded[i - k + 1 : i + 1])
+            ctx = g[:-1]
+            dt, ttypes = denom[k]
+            if ctx in dt:
+                dk = discounts[k]
+                num = max((numer[k].get(g) or 0) - dk, 0.0)
+                p = num / dt[ctx] + dk * ttypes[ctx] / dt[ctx] * p
+        lps.append(math.log10(p))
+    if not lps:
+        return 0, None
+    return len(lps), sum(lps) / len(lps)
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_kn_differential_vs_python(spark, n):
+    rng = random.Random(41 + n)
+    texts = _corpus(rng, 40)
+    lm = NL.train_kn_lm(_mk(spark, texts), n=n)
+    numer, denom, n2, discounts = _kn_ref_train(texts.values(), n)
+    assert lm.n2_types == n2
+    for k in range(1, n + 1):
+        assert lm.discounts[k] == pytest.approx(discounts[k], abs=1e-12)
+    probe = dict(list(texts.items())[:10])
+    probe["oov"] = "zz qq ww unseen tokens entirely"
+    probe["empty"] = ""
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in lm.score(_mk(spark, probe)).collect()
+    }
+    for d, t in probe.items():
+        rn, ravg = _kn_ref_score(t, n, numer, denom, n2, discounts)
+        en, eavg = got[d]
+        assert en == rn, d
+        if ravg is None:
+            assert eavg is None, d
+        else:
+            assert eavg == pytest.approx(ravg, abs=1e-9), d
+
+
+def test_kn_perplexity_ordering(spark):
+    rng = random.Random(99)
+    phrases = [
+        "the cat sat on the mat",
+        "the dog ran fast",
+        "the big red dog sat",
+    ]
+    train = {f"t{i}": rng.choice(phrases) for i in range(60)}
+    lm = NL.train_kn_lm(_mk(spark, train), n=3)
+    probe = {
+        "in_domain": "the cat sat on the mat",
+        "salad": "mat the fast on red cat big the dog ran",
+        "oov": "zyxwvu qponml kjihgf",
+    }
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.score(_mk(spark, probe)).collect()
+    }
+    assert got["in_domain"] < got["salad"] < got["oov"]
+
+
+def test_kn_save_open_roundtrip(spark, tmp_root):
+    rng = random.Random(43)
+    texts = _corpus(rng, 25)
+    lm = NL.train_kn_lm(_mk(spark, texts), n=3)
+    path = str(tmp_root / "kn_lm")
+    lm.save(path)
+    reopened = NL.KneserNeyLM.open(spark, path)
+    assert reopened.n == lm.n and reopened.n2_types == lm.n2_types
+    assert reopened.discounts == lm.discounts
+    probe = _mk(spark, dict(list(texts.items())[:8]))
+    a = {r["doc_id"]: r["avg_logprob"] for r in lm.score(probe).collect()}
+    b = {
+        r["doc_id"]: r["avg_logprob"] for r in reopened.score(probe).collect()
+    }
+    for d in a:
+        assert a[d] == pytest.approx(b[d], abs=1e-12)
+
+
+def test_kn_validation(spark):
+    df = _mk(spark, {"a": "x y"})
+    with pytest.raises(ValueError, match="n >= 2"):
+        NL.train_kn_lm(df, n=1)
+    with pytest.raises(ValueError, match="discount"):
+        NL.train_kn_lm(df, n=2, discount=1.5)
