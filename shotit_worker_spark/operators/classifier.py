@@ -34,6 +34,10 @@ __all__ = [
     "classifier_filter",
     "save_quality_classifier",
     "open_quality_classifier",
+    "train_lang_classifier",
+    "predict_lang",
+    "save_lang_classifier",
+    "open_lang_classifier",
 ]
 
 _FEATURES = "__qc_features"
@@ -170,4 +174,152 @@ def open_quality_classifier(spark: SparkSession, path: str):
             meta = json.load(f)
         model._qc_text_col = meta["text_col"]
         model._qc_use_bigrams = meta["use_bigrams"]
+    return model
+
+
+# -- learned language-id (r4 VERDICT #6) ------------------------------------
+
+_LC_CHARS = "__lc_chars"
+_LC_FEATURES = "__lc_features"
+
+
+def _char_ngram_terms(text_col: str, n: int) -> "F.Column":
+    """Hashed-feature terms for language-id: character n-grams of the
+    lowercased text with whitespace runs collapsed to '_' (so word
+    boundaries are features too — 'e_' vs 'eː' separates languages
+    better than interior grams alone). Pure Catalyst: one split to a
+    char array + the shifted-slice zip n-gram (no per-position lambda
+    re-evaluation)."""
+    cleaned = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+", "_"
+    )
+    chars = F.filter(F.split(cleaned, ""), lambda c: c != F.lit(""))
+    return TX.ngrams(chars, n)
+
+
+def train_lang_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    ngram: int = 3,
+    num_features: int = 1 << 16,
+    reg_param: float = 1e-4,
+    max_iter: int = 60,
+):
+    """Learned language-id: hashed character n-grams → multinomial
+    logistic regression (the fastText-langid shape on MLlib parts).
+
+    When to prefer this over ``functions.text.lang_id`` (the marker
+    heuristic): markers are 10 stopwords per language — free, fully
+    deterministic, and exactly reproducible in the DuckDB oracle (the
+    q42 form), but blind to languages without a marker list, to short
+    texts that hit no stopword, and to near-miss text (markers of two
+    languages present). The char-n-gram model scores EVERY trigram, so
+    it degrades gracefully on short/mixed text and extends to any
+    language you can label examples for — the production choice once
+    labeled data exists. Keep the heuristic for oracle-checkable
+    pipelines and zero-training bootstraps.
+
+    Returns a PipelineModel (StringIndexer → HashingTF → multinomial
+    LR → IndexToString), so ``transform`` adds ``pred_lang`` directly.
+    Scoring is map-only JVM: hashing + one broadcast coefficient
+    matrix."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, StringIndexer
+
+    # the label indexer is fit OUTSIDE the pipeline: scoring must not
+    # require the label column to be present on unlabeled input
+    indexer = StringIndexer(
+        inputCol=label_col, outputCol="__lc_label", handleInvalid="error"
+    ).fit(labeled)
+    prepared = indexer.transform(labeled).withColumn(
+        _LC_CHARS, _char_ngram_terms(text_col, ngram)
+    )
+    pipe = Pipeline(
+        stages=[
+            HashingTF(
+                inputCol=_LC_CHARS,
+                outputCol=_LC_FEATURES,
+                numFeatures=num_features,
+            ),
+            LogisticRegression(
+                featuresCol=_LC_FEATURES,
+                labelCol="__lc_label",
+                family="multinomial",
+                regParam=reg_param,
+                elasticNetParam=0.0,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
+    )
+    model = pipe.fit(prepared)
+    model._lc_text_col = text_col
+    model._lc_ngram = ngram
+    model._lc_labels = list(indexer.labels)
+    return model
+
+
+def predict_lang(
+    docs: DataFrame,
+    model,
+    text_col: str | None = None,
+    ngram: int | None = None,
+    out_col: str = "pred_lang",
+) -> DataFrame:
+    """Append ``out_col`` (the predicted language code) to ``docs``.
+    Map-only: char-gram hashing + a broadcast coefficient matrix.
+    ``labels`` come from the training session (``model._lc_labels``);
+    after an MLlib reload pass text_col/ngram explicitly and set
+    ``model._lc_labels`` from the saved sidecar."""
+    from pyspark.ml.feature import IndexToString
+
+    text_col = text_col or getattr(model, "_lc_text_col", "text")
+    ngram = ngram or getattr(model, "_lc_ngram", 3)
+    labels = getattr(model, "_lc_labels")
+    decoder = IndexToString(
+        inputCol="prediction", outputCol=out_col, labels=labels
+    )
+    prepared = docs.withColumn(_LC_CHARS, _char_ngram_terms(text_col, ngram))
+    scored = decoder.transform(model.transform(prepared))
+    return scored.drop(
+        _LC_CHARS,
+        _LC_FEATURES,
+        "__lc_label",
+        "rawPrediction",
+        "probability",
+        "prediction",
+    )
+
+
+def save_lang_classifier(model, path: str) -> None:
+    """Persist the PipelineModel plus the featurization config AND the
+    label decoding order — MLlib round-trips only the JVM stages, and
+    predictions are indices without the label list."""
+    import json
+    import os
+
+    model.save(path)
+    meta = {
+        "text_col": getattr(model, "_lc_text_col", "text"),
+        "ngram": getattr(model, "_lc_ngram", 3),
+        "labels": getattr(model, "_lc_labels"),
+    }
+    with open(os.path.join(path, "lang_clf_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def open_lang_classifier(spark: SparkSession, path: str):
+    import json
+    import os
+
+    from pyspark.ml import PipelineModel
+
+    model = PipelineModel.load(path)
+    with open(os.path.join(path, "lang_clf_meta.json")) as f:
+        meta = json.load(f)
+    model._lc_text_col = meta["text_col"]
+    model._lc_ngram = meta["ngram"]
+    model._lc_labels = meta["labels"]
     return model

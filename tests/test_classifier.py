@@ -123,3 +123,92 @@ def test_sidecar_restores_featurization(spark, tmp_root):
     a = {r["doc_id"]: r["keep_prob"] for r in QC.score_quality(train, model).collect()}
     b = {r["doc_id"]: r["keep_prob"] for r in QC.score_quality(train, reopened).collect()}
     assert a == pytest.approx(b)
+
+
+# -- r5: learned language-id ------------------------------------------------
+
+# deterministic per-language fixtures: the marker stopwords plus a
+# language-flavored content vocabulary (distinct char-gram profiles)
+_LANG_VOCAB = {
+    "en": (
+        "the and of to is in that it for with house water light "
+        "morning people through should thought street knowledge"
+    ).split(),
+    "de": (
+        "der die und das ist nicht ein mit zu den haus wasser licht "
+        "morgen leute durch sollte gedanke strasse wissen schaft"
+    ).split(),
+    "fr": (
+        "le la et les des est une dans que pour maison eau lumiere "
+        "matin gens travers devrait pensee rue connaissance"
+    ).split(),
+    "es": (
+        "el la que de los una es por con para casa agua luz manana "
+        "gente traves deberia pensamiento calle conocimiento"
+    ).split(),
+}
+
+
+def _lang_docs(rng, n_per_lang, id_base=0):
+    rows = []
+    i = id_base
+    for lang, vocab in sorted(_LANG_VOCAB.items()):
+        for _ in range(n_per_lang):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+            rows.append((i, text, lang))
+            i += 1
+    return rows
+
+
+def test_lang_classifier_heldout_accuracy(spark):
+    rng = random.Random(61)
+    train = spark.createDataFrame(
+        _lang_docs(rng, 80), "doc_id long, text string, lang string"
+    )
+    heldout_rows = _lang_docs(random.Random(62), 25, id_base=10_000)
+    heldout = spark.createDataFrame(
+        heldout_rows, "doc_id long, text string, lang string"
+    )
+    model = QC.train_lang_classifier(train)
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in QC.predict_lang(heldout.drop("lang"), model)
+        .select("doc_id", "pred_lang")
+        .collect()
+    }
+    correct = sum(1 for d, t, lang in heldout_rows if got[d] == lang)
+    assert correct / len(heldout_rows) >= 0.95  # the VERDICT #6 gate
+
+
+def test_lang_classifier_map_only_and_schema(spark):
+    rng = random.Random(63)
+    train = spark.createDataFrame(
+        _lang_docs(rng, 30), "doc_id long, text string, lang string"
+    )
+    model = QC.train_lang_classifier(train)
+    docs = train.drop("lang")
+    out = QC.predict_lang(docs, model)
+    assert set(out.columns) == {"doc_id", "text", "pred_lang"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_lang_classifier_save_open(spark, tmp_root):
+    rng = random.Random(64)
+    train = spark.createDataFrame(
+        _lang_docs(rng, 30), "doc_id long, text string, lang string"
+    )
+    model = QC.train_lang_classifier(train)
+    path = str(tmp_root / "lang_clf")
+    QC.save_lang_classifier(model, path)
+    reopened = QC.open_lang_classifier(spark, path)
+    docs = train.drop("lang").limit(40)
+    a = {
+        r["doc_id"]: r["pred_lang"]
+        for r in QC.predict_lang(docs, model).collect()
+    }
+    b = {
+        r["doc_id"]: r["pred_lang"]
+        for r in QC.predict_lang(docs, reopened).collect()
+    }
+    assert a == b
