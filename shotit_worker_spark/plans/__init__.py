@@ -1,1 +1,1 @@
-from . import corpus, ingest, search
+from . import corpus, crawl, ingest, search

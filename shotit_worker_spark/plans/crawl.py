@@ -1,0 +1,139 @@
+"""Streaming crawl front end (r4 VERDICT #7): WARC → HTML text →
+static boilerplate scrub → normalize → PII redact, composed from
+stages that are ALL map-only — so the exact same chain runs as a batch
+job over an archive and under Structured Streaming (append mode) over
+a landing directory, with no stateful operator and no divergence to
+document. Pinned by the stream≡batch test in tests/test_warc.py.
+
+This is the incremental-ingest posture of a crawl pipeline: the
+corpus-wide statistics (frequent boilerplate lines, dedup manifests,
+idf tables) come from periodic BATCH jobs over the accumulated corpus;
+the stream consumes their frozen outputs (`frequent_lines` here, the
+operators/dedup manifests downstream) and stays stateless. Stateful
+cleaning (cross-document dedup, fuzzy clustering) happens in the batch
+compaction pass, exactly as in prepare_corpus.
+
+Scale shape: parallelism axis is the WARC file (Common Crawl ships
+64 k files/crawl); every stage below is one mapInPandas or codegen
+projection over the record stream — zero shuffles end to end. At
+1000 executors the chain is embarrassingly parallel; backpressure via
+``maxFilesPerTrigger`` (the S2/S3 credit analog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import htmltext as H
+from ..functions import pii as PII
+from ..functions import text as TX
+from ..operators import lines as LN
+from ..sources import warc as W
+
+__all__ = ["crawl_text", "crawl_text_stream"]
+
+
+def _clean_chain(
+    records: DataFrame,
+    frequent_lines: Iterable[str] | None,
+    normalize: bool,
+    redact: bool,
+    min_status: int,
+    max_status: int,
+) -> DataFrame:
+    """The shared map-only chain over parsed WARC records."""
+    html = records.filter(
+        F.col("http_status").between(min_status, max_status)
+        & F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
+            "html"
+        )
+    )
+    out = H.extract_html_text(html, html_col="payload", out_col="text")
+    if frequent_lines is not None:
+        # BEFORE normalize: the whitespace collapse erases the line
+        # structure the static scrub matches on (prepare_corpus order)
+        out = LN.remove_boilerplate_lines_static(
+            out, frequent_lines, text_col="text"
+        )
+    if normalize:
+        out = out.withColumn("text", TX.normalize_text(F.col("text")))
+    if redact:
+        out = out.withColumn("text", PII.redact_pii(F.col("text")))
+    return out.select(
+        "warc_file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "title",
+        "text",
+    )
+
+
+def crawl_text(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    frequent_lines: Iterable[str] | None = None,
+    normalize: bool = True,
+    redact: bool = True,
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """Batch form: WARC archive → cleaned text rows ``(warc_file,
+    record_id, target_uri, warc_date, http_status, title, text)``.
+
+    ``frequent_lines`` is a frozen normalized-line set from a periodic
+    ``lines.line_frequencies(keep_lines=True)`` corpus job; omit to
+    skip the boilerplate scrub (e.g. on the very first crawl, before a
+    corpus exists to count over)."""
+    return _clean_chain(
+        W.read_warc(spark, path, glob=glob),
+        frequent_lines,
+        normalize,
+        redact,
+        min_status,
+        max_status,
+    )
+
+
+def crawl_text_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    frequent_lines: Iterable[str] | None = None,
+    normalize: bool = True,
+    redact: bool = True,
+    min_status: int = 200,
+    max_status: int = 299,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming form of :func:`crawl_text` — identical stages over a
+    ``readStream`` binaryFile source (append mode; no watermark needed,
+    nothing is stateful). ``max_files_per_trigger`` is the
+    backpressure dial: WARC parse cost is per-file, so bounding files
+    per micro-batch bounds batch latency."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # streaming sources can't infer — binaryFile's fixed schema
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
+    return _clean_chain(
+        W.records_from_files(files),
+        frequent_lines,
+        normalize,
+        redact,
+        min_status,
+        max_status,
+    )

@@ -27,7 +27,7 @@ import io
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "parse_warc_bytes", "WARC_SCHEMA"]
+__all__ = ["read_warc", "records_from_files", "parse_warc_bytes", "WARC_SCHEMA"]
 
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
@@ -118,19 +118,14 @@ def parse_warc_bytes(name: str, raw: bytes) -> list[tuple]:
     return rows
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    glob: str = "*.warc*",
-    record_types: tuple[str, ...] = ("response",),
+def records_from_files(
+    files: DataFrame, record_types: tuple[str, ...] = ("response",)
 ) -> DataFrame:
-    """WARC records under ``path`` as a DataFrame (WARC_SCHEMA).
-
-    ``record_types`` prunes early inside the parser (responses are
-    what a corpus pipeline wants; pass ``()`` for everything). The
-    binaryFile scan carries whole files — correct for WARC's
-    non-splittable layout; file count is the parallelism axis.
-    """
+    """Parse a ``(path, content)`` binaryFile frame into WARC records
+    (WARC_SCHEMA). Map-only (one mapInPandas stage), so it runs
+    identically over a batch scan and a Structured Streaming
+    binaryFile source — the shared core of :func:`read_warc` and
+    plans/crawl."""
     import pandas as pd
 
     wanted = set(record_types)
@@ -151,11 +146,26 @@ def read_warc(
                 ],
             )
 
+    return files.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC records under ``path`` as a DataFrame (WARC_SCHEMA).
+
+    ``record_types`` prunes early inside the parser (responses are
+    what a corpus pipeline wants; pass ``()`` for everything). The
+    binaryFile scan carries whole files — correct for WARC's
+    non-splittable layout; file count is the parallelism axis.
+    """
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select("path", "content")
     )
-    return files.mapInPandas(_parse, WARC_SCHEMA)
+    return records_from_files(files, record_types)

@@ -125,3 +125,90 @@ def test_malformed_html_never_raises():
 def test_bad_warc_raises():
     with pytest.raises(ValueError, match="not a WARC record"):
         parse_warc_bytes("x", b"GARBAGE\r\n\r\nstuff")
+
+
+# -- r5: streaming crawl front end (plans/crawl) ----------------------------
+
+BOILER = b"<p>SUBSCRIBE TO OUR NEWSLETTER</p>"
+
+
+def _crawl_fixture_files(tmp_path, n_files=3):
+    """n gzipped WARC files, each with two HTML responses carrying a
+    shared boilerplate line, one non-HTML response, one 404."""
+    paths = []
+    for i in range(n_files):
+        recs = []
+        for j in range(2):
+            body = (
+                b"<html><head><title>T" + str(i).encode() + b"</title></head>"
+                b"<body>" + BOILER + b"<p>Real content "
+                + f"{i}-{j} with mail a.b@example.com</p>".encode()
+                + b"<p>tail  text</p></body></html>"
+            )
+            recs.append(
+                warc_record(
+                    "response", http_response(body),
+                    uri=f"https://site{i}.example/p{j}",
+                    record_id=f"<urn:uuid:f{i}r{j}>",
+                )
+            )
+        recs.append(
+            warc_record(
+                "response",
+                http_response(b"{}", ctype="application/json"),
+                uri=f"https://site{i}.example/api",
+                record_id=f"<urn:uuid:f{i}json>",
+            )
+        )
+        recs.append(
+            warc_record(
+                "response", http_response(b"<html>gone</html>", status=404),
+                uri=f"https://site{i}.example/404",
+                record_id=f"<urn:uuid:f{i}404>",
+            )
+        )
+        p = tmp_path / f"crawl-{i:02d}.warc.gz"
+        p.write_bytes(build_fixture(recs, gzipped=True))
+        paths.append(p)
+    return paths
+
+
+def test_crawl_stream_equals_batch(spark, tmp_path):
+    from shotit_worker_spark.plans import crawl as CR
+
+    _crawl_fixture_files(tmp_path)
+    frequent = ["subscribe to our newsletter"]
+
+    batch = CR.crawl_text(
+        spark, str(tmp_path), frequent_lines=frequent
+    )
+    brows = {
+        r["record_id"]: (r["target_uri"], r["title"], r["text"])
+        for r in batch.collect()
+    }
+    # only the 2xx HTML responses survive; boilerplate line scrubbed,
+    # PII redacted, whitespace normalized
+    assert len(brows) == 6
+    for _, (_, title, text) in brows.items():
+        assert "subscribe" not in text.lower()
+        assert "a.b@example.com" not in text
+        assert "Real content" in text
+        assert "tail text" in text  # normalize collapsed the run
+
+    stream = CR.crawl_text_stream(
+        spark, str(tmp_path), frequent_lines=frequent,
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("crawl_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    srows = {
+        r["record_id"]: (r["target_uri"], r["title"], r["text"])
+        for r in spark.sql("select * from crawl_sink").collect()
+    }
+    assert srows == brows
