@@ -77,3 +77,259 @@ def compact_parquet_table(
         "files_after": _count_files(path),
         "rows": rows,
     }
+
+
+# -- IVF index maintenance (r4 VERDICT #8) ----------------------------------
+#
+# The reference rebuilds a Milvus collection when its index degrades;
+# the parquet-IVF analog needs two jobs: (a) DRIFT detection — after
+# enough out-of-distribution adds, the frozen centroids stop
+# partitioning the data well and nprobe recall decays; (b) COMPACTION —
+# incremental `IVFIndex.add` appends one file per batch per touched
+# list, and the small files eventually dominate probe latency.
+
+
+def _ivf_float_vec(spark: SparkSession, index, df):
+    """A float-vector column for stats/rebuild: the stored vectors when
+    present, else the SQ8 codes dequantized with the index params
+    (x = (code + 128) · scale + min — the search path's expansion)."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    if index.vec_col in cols:
+        return df, index.vec_col
+    if index.mins is None or "sq8_code" not in cols:
+        raise ValueError(
+            f"index at {index.path} has neither {index.vec_col!r} nor "
+            "sq8_code columns"
+        )
+    out_col = "__mx_vec"
+    if index.sq8_per_centroid:
+        params = spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    [float(x) for x in index.mins[c]],
+                    [float(x) for x in index.scales[c]],
+                )
+                for c in range(len(index.centroids))
+            ],
+            "centroid_id int, __mins array<double>, __scales array<double>",
+        )
+        df = df.join(F.broadcast(params), "centroid_id")
+        dec = F.zip_with(
+            F.zip_with(
+                F.col("sq8_code"),
+                F.col("__scales"),
+                lambda c, s: (c.cast("double") + 128.0) * s,
+            ),
+            F.col("__mins"),
+            lambda v, lo: v + lo,
+        )
+        return df.withColumn(out_col, dec).drop("__mins", "__scales"), out_col
+    m = F.array(*[F.lit(float(x)) for x in index.mins])
+    s = F.array(*[F.lit(float(x)) for x in index.scales])
+    dec = F.zip_with(
+        F.zip_with(
+            F.col("sq8_code"), s, lambda c, sc: (c.cast("double") + 128.0) * sc
+        ),
+        m,
+        lambda v, lo: v + lo,
+    )
+    return df.withColumn(out_col, dec), out_col
+
+
+def ivf_residual_stats(spark: SparkSession, index) -> dict:
+    """One aggregation over the index table: mean squared residual to
+    the assigned centroid (the k-means objective the build minimized —
+    THE drift signal: out-of-distribution adds raise it) plus list-size
+    balance (max/mean — skewed lists break the nprobe cost model).
+    SQ8 layouts dequantize in-plan; the scan stays one job."""
+    from pyspark.sql import functions as F
+
+    df = index.load(spark)
+    df, vcol = _ivf_float_vec(spark, index, df)
+    cents = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(index.centroids)
+        ],
+        "centroid_id int, __cent array<double>",
+    )
+    res = F.aggregate(
+        F.zip_with(
+            F.col(vcol), F.col("__cent"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per_list = (
+        df.join(F.broadcast(cents), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(res).alias("res_sum"),
+        )
+    )
+    row = per_list.agg(
+        F.sum("n").alias("rows"),
+        F.sum("res_sum").alias("res_total"),
+        F.max("n").alias("max_list"),
+        F.avg("n").alias("mean_list"),
+    ).first()
+    rows = int(row["rows"] or 0)
+    return {
+        "rows": rows,
+        "mean_residual": (
+            float(row["res_total"]) / rows if rows else 0.0
+        ),
+        "max_list": int(row["max_list"] or 0),
+        "imbalance": (
+            float(row["max_list"]) / float(row["mean_list"])
+            if row["mean_list"]
+            else 0.0
+        ),
+    }
+
+
+def record_ivf_baseline(spark: SparkSession, index) -> dict:
+    """Compute the post-build residual stats and persist them into the
+    index's meta sidecar as the drift baseline. Call once right after
+    ``build_ivf`` (and again after a rebuild)."""
+    from ..index.ivf import _read_meta, _write_meta
+
+    stats = ivf_residual_stats(spark, index)
+    meta = _read_meta(spark, index.path)
+    meta["baseline"] = stats
+    _write_meta(spark, index.path, meta)
+    return stats
+
+
+def ivf_drift(
+    spark: SparkSession,
+    index,
+    residual_ratio: float = 1.5,
+    max_imbalance: float = 8.0,
+) -> dict:
+    """Drift report vs the recorded baseline: ``needs_rebuild`` is true
+    when the mean residual grew past ``residual_ratio`` × baseline or a
+    list outgrew ``max_imbalance`` × the mean (the two ways adds erode
+    an IVF layout: centroids in the wrong place, lists too fat to
+    probe). Cost: the one stats aggregation."""
+    from ..index.ivf import _read_meta
+
+    meta = _read_meta(spark, index.path)
+    baseline = meta.get("baseline")
+    if baseline is None:
+        raise ValueError(
+            f"no drift baseline recorded for {index.path} — call "
+            "record_ivf_baseline(spark, index) after building"
+        )
+    stats = ivf_residual_stats(spark, index)
+    grew = (
+        stats["mean_residual"]
+        > residual_ratio * max(baseline["mean_residual"], 1e-12)
+    )
+    fat = stats["imbalance"] > max_imbalance
+    return {
+        "stats": stats,
+        "baseline": baseline,
+        "residual_ratio": (
+            stats["mean_residual"] / max(baseline["mean_residual"], 1e-12)
+        ),
+        "needs_rebuild": bool(grew or fat),
+    }
+
+
+def rebuild_if_drifted(
+    spark: SparkSession,
+    index,
+    residual_ratio: float = 1.5,
+    max_imbalance: float = 8.0,
+    id_col: str | None = None,
+    **build_kwargs,
+):
+    """Check drift; when past threshold, rebuild the index IN PLACE
+    from its own rows (fresh KMeans + fresh SQ8 fit on the CURRENT
+    distribution) and re-record the baseline. Returns ``(index,
+    report)`` — the same index object if no rebuild was needed.
+
+    Build parameters default to the current layout (nlist, n_assign,
+    quantize mode); override via ``build_kwargs``. A multi-assign
+    layout replicates rows, so ``id_col`` is required then to fold
+    replicas before re-assigning. The rebuild writes to a sibling temp
+    dir and swaps, the compact_parquet_table crash posture."""
+    from pyspark.sql import functions as F
+
+    from ..index.ivf import build_ivf
+
+    report = ivf_drift(spark, index, residual_ratio, max_imbalance)
+    if not report["needs_rebuild"]:
+        return index, report
+
+    if index.n_assign > 1 and id_col is None:
+        raise ValueError(
+            "multi-assign layout replicates rows: pass id_col so the "
+            "rebuild can fold replicas"
+        )
+    df = index.load(spark)
+    if index.n_assign > 1:
+        df = df.dropDuplicates([id_col])
+    df, vcol = _ivf_float_vec(spark, index, df)
+    rows = df.drop("centroid_id", "sq8_code")
+    if vcol != index.vec_col:
+        rows = rows.withColumnRenamed(vcol, index.vec_col)
+    params = {
+        "nlist": len(index.centroids),
+        "n_assign": index.n_assign,
+        "quantize": index.mins is not None,
+        "sq8_mode": (
+            "per_centroid" if index.sq8_per_centroid else "global"
+        ),
+        "keep_vectors": index.mins is not None
+        and index.vec_col in index.load(spark).columns,
+        "vec_col": index.vec_col,
+    }
+    params.update(build_kwargs)
+
+    tmp = f"{index.path}.rebuild-{uuid.uuid4().hex[:8]}"
+    # sever lineage BEFORE the swap: build_ivf runs several jobs over
+    # these rows and nothing may re-read the directory being replaced
+    # (cache() could evict and recompute; localCheckpoint cannot)
+    rows = rows.localCheckpoint(eager=True)
+    new_index = build_ivf(rows, tmp, **params)
+    old = f"{index.path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
+    os.rename(index.path, old)
+    os.rename(tmp, index.path)
+    shutil.rmtree(old)
+    new_index.path = index.path
+    new_index.save_meta(spark)
+    record_ivf_baseline(spark, new_index)
+    report["rebuilt"] = True
+    return new_index, report
+
+
+def compact_ivf(
+    spark: SparkSession,
+    index,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction for an IVF table: incremental ``add``
+    appends a file per touched list per batch; this folds each
+    centroid directory back to consolidated files (same swap-safety as
+    compact_parquet_table) and re-writes the meta sidecar the swap
+    drops. Search results are bit-identical before/after — the layout
+    changes, the rows don't (pinned in tests)."""
+    from ..index.ivf import _read_meta, _write_meta
+
+    # the swap replaces the whole directory — capture the sidecar
+    # (centroids, SQ8 params, drift baseline) and restore it after
+    meta = _read_meta(spark, index.path)
+    stats = compact_parquet_table(
+        spark,
+        index.path,
+        partition_cols=["centroid_id"],
+        max_records_per_file=max_records_per_file,
+    )
+    _write_meta(spark, index.path, meta)
+    return stats

@@ -34,3 +34,141 @@ def test_compact_partitioned_table(spark, tmp_path):
     assert stats["files_after"] <= 8  # ~1 file per partition dir
     assert before == after
     assert after_df.select("part").distinct().count() == 4
+
+# -- r5: IVF drift detection / rebuild / compaction -------------------------
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.index import ivf
+
+
+def _clustered_vecs(spark, n, dim=8, n_clusters=4, seed=5, id_base=0,
+                    spread=0.05, centers=None):
+    rng = np.random.RandomState(seed)
+    if centers is None:
+        centers = rng.randn(n_clusters, dim) * 3.0
+    rows = []
+    for i in range(n):
+        c = centers[i % len(centers)]
+        v = c + rng.randn(dim) * spread
+        rows.append((id_base + i, [float(x) for x in v]))
+    return centers, spark.createDataFrame(
+        rows, "vec_id long, vector array<double>"
+    )
+
+
+def test_drift_stats_and_baseline(spark, tmp_path):
+    centers, df = _clustered_vecs(spark, 400)
+    idx = ivf.build_ivf(df, str(tmp_path / "ivf_drift"), nlist=4)
+    base = MNT.record_ivf_baseline(spark, idx)
+    assert base["rows"] == 400
+    assert base["mean_residual"] > 0
+    report = MNT.ivf_drift(spark, idx)
+    assert not report["needs_rebuild"]
+    assert report["residual_ratio"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_in_distribution_adds_do_not_trigger(spark, tmp_path):
+    centers, df = _clustered_vecs(spark, 400)
+    idx = ivf.build_ivf(df, str(tmp_path / "ivf_ok"), nlist=4)
+    MNT.record_ivf_baseline(spark, idx)
+    _, batch = _clustered_vecs(
+        spark, 100, seed=6, id_base=10_000, centers=centers
+    )
+    idx.add(batch)
+    report = MNT.ivf_drift(spark, idx)
+    assert not report["needs_rebuild"]
+
+
+def test_drifted_adds_trigger_and_rebuild_fixes(spark, tmp_path):
+    centers, df = _clustered_vecs(spark, 400)
+    path = str(tmp_path / "ivf_bad")
+    idx = ivf.build_ivf(df, path, nlist=4)
+    MNT.record_ivf_baseline(spark, idx)
+    # out-of-distribution: a new far-away cluster the centroids never saw
+    far = np.ones((1, 8)) * 25.0
+    _, batch = _clustered_vecs(
+        spark, 200, seed=7, id_base=20_000, centers=far
+    )
+    idx.add(batch)
+    report = MNT.ivf_drift(spark, idx)
+    assert report["needs_rebuild"]
+    assert report["residual_ratio"] > 1.5
+
+    new_idx, rep = MNT.rebuild_if_drifted(spark, idx)
+    assert rep.get("rebuilt")
+    assert new_idx.path == path
+    # fresh centroids fit the grown distribution: drift clears
+    after = MNT.ivf_drift(spark, new_idx)
+    assert not after["needs_rebuild"]
+    # and every row survived the swap
+    assert new_idx.load(spark).count() == 600
+    # a query from the new cluster retrieves its own cluster (vectors
+    # are unnormalized, so IP top-1 is a cluster-mate, not necessarily
+    # the query row itself)
+    q = np.array(
+        new_idx.load(spark).filter(F.col("vec_id") == 20_005).first()["vector"]
+    )
+    top = new_idx.search(spark, q, k=1, nprobe=4, id_col="vec_id",
+                         tie_col=None).first()
+    assert top["vec_id"] >= 20_000
+
+
+def test_rebuild_noop_below_threshold(spark, tmp_path):
+    centers, df = _clustered_vecs(spark, 300)
+    idx = ivf.build_ivf(df, str(tmp_path / "ivf_noop"), nlist=4)
+    MNT.record_ivf_baseline(spark, idx)
+    same, rep = MNT.rebuild_if_drifted(spark, idx)
+    assert same is idx and not rep.get("rebuilt")
+
+
+def test_drift_requires_baseline(spark, tmp_path):
+    _, df = _clustered_vecs(spark, 100)
+    idx = ivf.build_ivf(df, str(tmp_path / "ivf_nobase"), nlist=4)
+    with pytest.raises(ValueError, match="baseline"):
+        MNT.ivf_drift(spark, idx)
+
+
+def test_compact_ivf_preserves_search_and_meta(spark, tmp_path):
+    centers, df = _clustered_vecs(spark, 300)
+    path = str(tmp_path / "ivf_compact")
+    idx = ivf.build_ivf(df, path, nlist=4, quantize=True,
+                        sq8_mode="per_centroid")
+    MNT.record_ivf_baseline(spark, idx)
+    # many small incremental adds -> small-file buildup
+    for b in range(4):
+        _, batch = _clustered_vecs(
+            spark, 25, seed=10 + b, id_base=30_000 + b * 100, centers=centers
+        )
+        idx.add(batch)
+    qids = [3, 30_005]
+    reopened = ivf.IVFIndex.open(spark, path)
+
+    def results(ix):
+        out = {}
+        for qid in qids:
+            vdf, vcol = MNT._ivf_float_vec(spark, ix, ix.load(spark))
+            q = np.array(
+                vdf.filter(F.col("vec_id") == qid).first()[vcol]
+            )
+            out[qid] = [
+                (r["vec_id"], round(r["score"], 9))
+                for r in ix.search(
+                    spark, q, k=10, nprobe=4, id_col="vec_id",
+                    tie_col="vec_id",
+                ).collect()
+            ]
+        return out
+
+    before = results(reopened)
+    stats = MNT.compact_ivf(spark, reopened)
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["rows"] == 400
+    after_idx = ivf.IVFIndex.open(spark, path)  # sidecar survived the swap
+    after = results(after_idx)
+    assert after == before
+    # drift baseline survived too
+    report = MNT.ivf_drift(spark, after_idx)
+    assert "needs_rebuild" in report
