@@ -1,0 +1,142 @@
+"""Round-5 operator stress: re-rank scorer paths, text embedder, and
+Kneser-Ney LM at 100 k scale (fixtures cap at 5 k). Deterministic
+synthesized corpus, one JSON line per measurement; results land in
+SCALE_NOTES.md.
+
+Usage: python tools/scale_stress_r5.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import embedding as E
+from shotit_worker_spark.operators import ngram_lm as NL
+from shotit_worker_spark.operators import rerank as RR
+from shotit_worker_spark.session import get_spark
+
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_DOCS = int(_pos[0]) if _pos else 100_000
+
+
+def bench(name: str, n: int, fn) -> None:
+    fn()  # warm (python-worker fleet, codegen)
+    t0 = time.time()
+    fn()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "n": n,
+                "sec": round(dt, 2),
+                "rows_per_sec": round(n / dt) if dt > 0 else None,
+            }
+        )
+    )
+
+
+def synth_docs(spark, n, words=40, vocab=5000):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        (
+                            F.xxhash64(F.col("id") * 31 + F.lit(i)) % vocab
+                        ).cast("string"),
+                    )
+                    for i in range(words)
+                ],
+            ).alias("text"),
+        )
+        .repartition(32)
+    )
+
+
+def main() -> None:
+    spark = get_spark("stress-r5", shuffle_partitions=32)
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    docs = synth_docs(spark, N_DOCS).cache()
+    docs.count()
+
+    # text embedder: train (df job) + map-only 64-d embed
+    emb = {}
+
+    def _train_embed():
+        emb["m"] = E.train_text_embedder(docs, dim=64)
+
+    bench("text_embedder_train", N_DOCS, _train_embed)
+    bench(
+        "text_embedder_embed_64d",
+        N_DOCS,
+        lambda: emb["m"].embed(docs).count(),
+    )
+
+    # Kneser-Ney: train + score (low-vocab corpus so trigrams repeat)
+    kdocs = synth_docs(spark, N_DOCS, words=30, vocab=200).cache()
+    kdocs.count()
+    kn = {}
+
+    def _train_kn():
+        kn["m"] = NL.train_kn_lm(kdocs, n=3)
+
+    bench("kn_lm_train_n3", N_DOCS, _train_kn)
+    bench("kn_lm_score", N_DOCS, lambda: kn["m"].score(kdocs).count())
+    kdocs.unpersist()
+
+    # re-rank scorer paths at 64 queries x 2000 candidates = 128 k pairs
+    qs = docs.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cs = docs.filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").alias("hash_id"), F.col("text").alias("doc_text")
+    )
+    cand = F.broadcast(qs).crossJoin(cs).repartition(32).cache()
+    n_pairs = cand.count()
+    bench(
+        f"rerank_pandas_f1_{n_pairs}_pairs",
+        n_pairs,
+        lambda: RR.rerank(
+            cand, RR.overlap_scorer(), k=15, num_partitions=32
+        ).count(),
+    )
+    bench(
+        f"rerank_catalyst_f1_{n_pairs}_pairs",
+        n_pairs,
+        lambda: RR.rerank_by_col(
+            cand, RR.overlap_score_col(), k=15
+        ).count(),
+    )
+    train_pairs = cand.limit(5000).withColumn(
+        "label", (F.col("hash_id") % 2 == 0).cast("double")
+    )
+    model = RR.train_pair_scorer(
+        train_pairs, query_col="query_text", doc_col="doc_text"
+    )
+    bench(
+        f"rerank_learned_{n_pairs}_pairs",
+        n_pairs,
+        lambda: RR.rerank_with_model(
+            cand, model, k=15, query_col="query_text", doc_col="doc_text"
+        ).count(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
