@@ -51,9 +51,14 @@ def prepare_corpus(
     min_keep_prob: float = 0.5,
     perplexity_lm=None,
     max_perplexity: float | None = None,
+    lang_keep: list[str] | None = None,
+    lang_model=None,
     exact_dedup: bool = True,
     span_min_tokens: int | None = None,
     fuzzy_threshold: float | None = 0.8,
+    semantic_threshold: float | None = None,
+    embedder=None,
+    semantic_clusters: int | None = None,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     shuffle_seed: int | None = 0,
@@ -72,9 +77,19 @@ def prepare_corpus(
     structure that normalize's whitespace collapse erases, and the
     quality rules then judge the cleaned text. `quality_model` (a trained operators/classifier
     PipelineModel) and `perplexity_lm` + `max_perplexity` (a trained
-    operators/ngram_lm NGramLM) add the learned filter passes after
-    the heuristic rules — the standard escalation: cheap Catalyst
-    rules cut volume first, model scoring runs on the survivors.
+    operators/ngram_lm NGramLM — or a KneserNeyLM, same score
+    contract) add the learned filter passes after the heuristic
+    rules — the standard escalation: cheap Catalyst rules cut volume
+    first, model scoring runs on the survivors.
+
+    `lang_keep` filters to a language set right after normalize —
+    with `lang_model` (a trained classifier.train_lang_classifier
+    model) via its map-only scorer, else via the marker heuristic
+    (functions/text.lang_id). `semantic_threshold` enables SemDeDup
+    after fuzzy dedup: `embedder` (operators/embedding.TextEmbedder)
+    embeds the surviving text — when omitted one is trained on those
+    survivors (one extra df job); `semantic_clusters` defaults to
+    ~n/5000 (the SemDeDup sizing rule), which costs one count().
 
     Returns {"df": final DataFrame, "stages": {name: rows}|None,
     "write": sized-writer info|None}. The returned df is the lazy plan
@@ -90,6 +105,18 @@ def prepare_corpus(
             "perplexity_lm and max_perplexity must be provided together "
             f"(got perplexity_lm={'set' if perplexity_lm is not None else None}, "
             f"max_perplexity={max_perplexity!r})"
+        )
+    if lang_model is not None and lang_keep is None:
+        raise ValueError(
+            "lang_model without lang_keep is a no-op — pass the "
+            "language codes to keep"
+        )
+    if semantic_threshold is None and (
+        embedder is not None or semantic_clusters is not None
+    ):
+        raise ValueError(
+            "embedder/semantic_clusters without semantic_threshold is "
+            "a no-op — pass the cosine threshold to enable SemDeDup"
         )
     if (weights is None) != (token_budget is None):
         raise ValueError(
@@ -146,6 +173,21 @@ def prepare_corpus(
     if normalize:
         cur = cur.withColumn(text_col, TX.normalize_text(text_col))
         _mark("normalize")
+    if lang_keep is not None:
+        if lang_model is not None:
+            from ..operators import classifier as QC
+
+            scored = QC.predict_lang(
+                cur, lang_model, text_col=text_col, out_col="__pc_lang"
+            )
+        else:
+            scored = cur.withColumn(
+                "__pc_lang", TX.lang_id(F.col(text_col))
+            )
+        cur = scored.filter(
+            F.col("__pc_lang").isin(list(lang_keep))
+        ).drop("__pc_lang")
+        _mark("lang_filter")
     if url_col is not None and domain_blocklist is not None:
         cur = U.filter_domains(cur, domain_blocklist, url_col=url_col)
         _mark("domain_blocklist")
@@ -213,6 +255,33 @@ def prepare_corpus(
             cur, threshold=fuzzy_threshold, id_col=id_col, text_col=text_col
         ).drop("cluster_id")
         _mark("fuzzy_dedup")
+    if semantic_threshold is not None:
+        # SemDeDup on the lexical-dedup survivors: paraphrase-level
+        # twins that shingle/simhash families miss. The embed pass and
+        # the clustering loop both re-read the survivors — pin once.
+        from ..operators import embedding as EM
+
+        if stages is None:
+            _pin()
+        emb = embedder
+        if emb is None:
+            # train on the survivors themselves (one df job); at scale
+            # pass a corpus-trained TextEmbedder instead
+            emb = EM.train_text_embedder(cur, text_col=text_col)
+        clusters = semantic_clusters
+        if clusters is None:
+            clusters = max(2, cur.count() // 5000)  # the n/5k rule
+        vecs = emb.embed(cur, text_col=text_col, out_col="__pc_emb")
+        kept = CL.semantic_dedup(
+            vecs.select(id_col, "__pc_emb"),
+            threshold=semantic_threshold,
+            num_clusters=clusters,
+            id_col=id_col,
+            vec_col="__pc_emb",
+            keep="min_id",
+        )
+        cur = cur.join(kept.select(id_col), id_col, "left_semi")
+        _mark("semantic_dedup")
     if weights is not None and token_budget is not None:
         cur = MX.mix_corpora(
             cur,

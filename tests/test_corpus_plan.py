@@ -244,3 +244,77 @@ def test_paired_params_validation(spark, docs):
         prepare_corpus(docs, None, weights={"a": 1.0})
     with pytest.raises(ValueError, match="token_budget"):
         prepare_corpus(docs, None, token_budget=1000)
+
+
+# -- r5: language filter + SemDeDup stages; KN as perplexity_lm -------------
+
+
+def test_lang_filter_stage_marker_heuristic(spark, docs):
+    planted = docs.limit(30).unionByName(
+        spark.createDataFrame(
+            [
+                (910001, "der hund ist nicht mit der katze und das haus",
+                 "de", "srcx", 1),
+                (910002, "le chat est dans la maison et les chiens pour",
+                 "fr", "srcx", 1),
+            ],
+            docs.schema,
+        )
+    )
+    res = prepare_corpus(
+        planted, None, quality=False, exact_dedup=False,
+        fuzzy_threshold=None, shuffle_seed=None, lang_keep=["de", "fr"],
+        report=True,
+    )
+    ids = {r["doc_id"] for r in res["df"].select("doc_id").collect()}
+    assert ids == {910001, 910002}
+    assert res["stages"]["lang_filter"] == 2
+
+
+def test_semantic_dedup_stage_collapses_paraphrases(spark, docs):
+    import random
+
+    rng = random.Random(7)
+    base_rows = docs.limit(40).collect()
+    # paraphrase = shuffled token order of an existing doc (identical
+    # bag-of-words -> cosine 1.0 for the tf-idf embedder)
+    paras = []
+    for i, r in enumerate(base_rows[:5]):
+        toks = r["text"].split()
+        rng.shuffle(toks)
+        paras.append((920000 + i, " ".join(toks), r["lang"], r["source"], 1))
+    planted = docs.limit(40).unionByName(
+        spark.createDataFrame(paras, docs.schema)
+    )
+    res = prepare_corpus(
+        planted, None, normalize=False, quality=False, exact_dedup=False,
+        fuzzy_threshold=None, shuffle_seed=None,
+        semantic_threshold=0.99, semantic_clusters=4,
+        report=True,
+    )
+    ids = {r["doc_id"] for r in res["df"].select("doc_id").collect()}
+    assert not (ids & {920000 + i for i in range(5)})  # copies gone
+    assert res["stages"]["semantic_dedup"] == 40  # originals survive
+
+
+def test_kn_lm_works_as_perplexity_filter(spark, docs):
+    from shotit_worker_spark.operators import ngram_lm as NL
+
+    lm = NL.train_kn_lm(docs.limit(100), n=2)
+    res = prepare_corpus(
+        docs.limit(50), None, quality=False, exact_dedup=False,
+        fuzzy_threshold=None, shuffle_seed=None,
+        perplexity_lm=lm, max_perplexity=1e9,
+        report=True,
+    )
+    # permissive threshold: every scorable doc passes through the stage
+    assert res["stages"]["perplexity"] == 50
+
+
+def test_new_stage_param_validation(spark, docs):
+    with pytest.raises(ValueError, match="lang_keep"):
+        prepare_corpus(docs, None, lang_model=object())
+    with pytest.raises(ValueError, match="semantic_threshold"):
+        prepare_corpus(docs, None, embedder=object())
+    with pytest.raises(ValueError, match="semantic_threshold"):
+        prepare_corpus(docs, None, semantic_clusters=8)
