@@ -417,3 +417,40 @@ def test_score_pairs_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan  # scoring itself must not shuffle
+
+
+def test_bm25_recall_learned_rerank_e2e(spark):
+    # the full two-stage production shape: BM25 lexical recall ->
+    # learned pairwise re-rank. The planted-relevance corpus gives the
+    # lexical stage good recall (marker term matches) but a confounded
+    # ordering; the learned stage must put the relevant doc first.
+    from shotit_worker_spark.operators import bm25 as B
+    from shotit_worker_spark.operators.rerank import (
+        rerank_with_model,
+        train_pair_scorer,
+    )
+
+    train, _ = _planted_pairs(spark, seed=31)
+    model = train_pair_scorer(train.drop("query_id", "hash_id"))
+
+    test, relevant = _planted_pairs(spark, seed=32)
+    corpus = test.select("hash_id", F.col("doc_text").alias("text")).distinct()
+    idx = B.build_bm25(corpus, id_col="hash_id")
+    queries = test.select(
+        "query_id", F.col("query_text").alias("text")
+    ).distinct()
+    cand = idx.search(queries, k=10).withColumnRenamed(
+        "score", "retrieval_score"
+    )
+    feats = cand.join(
+        F.broadcast(queries.withColumnRenamed("text", "query_text")),
+        "query_id",
+    ).join(
+        F.broadcast(corpus.withColumnRenamed("text", "doc_text")), "hash_id"
+    )
+    top1 = {
+        r["query_id"]: r["hash_id"]
+        for r in rerank_with_model(feats, model, k=1).collect()
+    }
+    hits = sum(1 for q, d in relevant.items() if top1.get(q) == d)
+    assert hits >= len(relevant) - 1  # recall stage may miss at most one

@@ -353,3 +353,112 @@ def test_ngram_lm_score_local_under_streaming(spark, tmp_root):
         for r in lm.score_local(batch).collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_quality_classifier_scoring_under_streaming(spark, tmp_root):
+    """score_quality is map-only (hashing + broadcast coefficients),
+    so the learned quality filter runs unchanged on a document stream —
+    with the streaming crawl front end this closes the learned-stage
+    streaming story; stream output == batch output."""
+    import random
+
+    from shotit_worker_spark.operators import classifier as QC
+    from shotit_worker_spark.streaming import ingest as SI
+
+    rng = random.Random(44)
+    good = "the cat sat on the mat and the dog ran fast".split()
+    labeled = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(good) for _ in range(10)), 1.0)
+            for i in range(30)
+        ]
+        + [
+            (100 + i, " ".join(f"zx{rng.randint(0, 999)}" for _ in range(10)), 0.0)
+            for i in range(30)
+        ],
+        "doc_id long, text string, label double",
+    )
+    model = QC.train_quality_classifier(labeled)
+
+    batch = spark.createDataFrame(
+        [
+            (200, " ".join(rng.choice(good) for _ in range(8))),
+            (201, " ".join(f"zx{rng.randint(0, 999)}" for _ in range(8))),
+            (202, None),
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_root / "qc_stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=batch.schema, glob="*.parquet", recursive=True
+    )
+    q = (
+        QC.score_quality(stream, model)
+        .writeStream.format("memory")
+        .queryName("qc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_qc_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], round(r["keep_prob"], 9))
+        for r in spark.sql("SELECT * FROM qc_stream").collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["keep_prob"], 9))
+        for r in QC.score_quality(batch, model).collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_text_embedder_under_streaming(spark, tmp_root):
+    """embed() is one mapInPandas stage — the embedding front end of
+    streaming ingest (embed on arrival, IVFIndex.add in foreachBatch);
+    stream vectors == batch vectors."""
+    import random
+
+    from shotit_worker_spark.operators import embedding as E
+    from shotit_worker_spark.streaming import ingest as SI
+
+    rng = random.Random(45)
+    words = "spark table scan merge sort filter join shuffle".split()
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(10)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    emb = E.train_text_embedder(corpus, dim=16, min_df=1)
+
+    batch = corpus.filter("doc_id < 5")
+    src = tmp_root / "emb_stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=batch.schema, glob="*.parquet", recursive=True
+    )
+    q = (
+        emb.embed(stream)
+        .writeStream.format("memory")
+        .queryName("emb_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_root / "ckpt_emb_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in spark.sql("SELECT * FROM emb_stream").collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in emb.embed(batch).collect()
+    }
+    assert got == want and len(got) == 5
