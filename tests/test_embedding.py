@@ -217,3 +217,32 @@ def test_validation(spark):
         E.train_text_embedder(docs, min_df=0)
     with pytest.raises(ValueError, match="empty"):
         E.train_text_embedder(docs.filter("doc_id < 0"))
+
+
+def test_text_to_ivf_search_e2e(spark, tmp_root):
+    # raw text -> embed -> IVF build -> self-retrieval: the in-engine
+    # embedder feeds the index path directly (normalized vectors, so
+    # IP top-1 IS the query document)
+    from shotit_worker_spark.index import ivf
+
+    rng = random.Random(77)
+    texts = _corpus(rng, 120)
+    docs = _docs(spark, texts)
+    emb = E.train_text_embedder(docs, dim=64, min_df=1)
+    vecs = emb.embed(docs).select(
+        "doc_id", F.col("embedding").alias("vector")
+    )
+    idx = ivf.build_ivf(vecs, str(tmp_root / "text_ivf"), nlist=8)
+    hits = 0
+    probes = [0, 17, 63]
+    for d in probes:
+        q = np.array(
+            vecs.filter(F.col("doc_id") == d).first()["vector"]
+        )
+        top = idx.search(
+            spark, q, k=1, nprobe=8, id_col="doc_id", tie_col="doc_id"
+        ).first()
+        hits += int(top["doc_id"] == d)
+    # full probe + unique bags-of-words: exact self-retrieval unless a
+    # doc has an identical-cosine twin; allow at most one such tie
+    assert hits >= len(probes) - 1
