@@ -92,16 +92,36 @@ def compact_parquet_table(
 def _ivf_float_vec(spark: SparkSession, index, df):
     """A float-vector column for stats/rebuild: the stored vectors when
     present, else the SQ8 codes dequantized with the index params
-    (x = (code + 128) · scale + min — the search path's expansion)."""
+    (x = (code + 128) · scale + min — the search path's expansion),
+    else PQ codes reconstructed from the codebooks (the ADC centroids —
+    the best available proxy for the original vectors)."""
     from pyspark.sql import functions as F
 
     cols = df.columns
     if index.vec_col in cols:
         return df, index.vec_col
-    if index.mins is None or "sq8_code" not in cols:
+    if getattr(index, "codebooks", None) is not None and "pq_code" in cols:
+        import numpy as np
+        import pandas as pd
+
+        cb = index.codebooks.astype(np.float64)  # (m, 256, dsub)
+        m = cb.shape[0]
+
+        def _recon(s: pd.Series) -> pd.Series:
+            codes = np.array(s.tolist(), dtype=np.int64) + 128  # (n, m)
+            parts = [cb[j][codes[:, j]] for j in range(m)]
+            return pd.Series(
+                [row.tolist() for row in np.concatenate(parts, axis=1)]
+            )
+
+        _recon.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        out_col = "__mx_vec"
+        udf = F.pandas_udf(_recon, "array<double>")
+        return df.withColumn(out_col, udf(F.col("pq_code"))), out_col
+    if getattr(index, "mins", None) is None or "sq8_code" not in cols:
         raise ValueError(
-            f"index at {index.path} has neither {index.vec_col!r} nor "
-            "sq8_code columns"
+            f"index at {index.path} has neither {index.vec_col!r}, "
+            "sq8_code, nor pq_code columns"
         )
     out_col = "__mx_vec"
     if index.sq8_per_centroid:
@@ -255,13 +275,13 @@ def rebuild_if_drifted(
     report)`` — the same index object if no rebuild was needed.
 
     Build parameters default to the current layout (nlist, n_assign,
-    quantize mode); override via ``build_kwargs``. A multi-assign
+    quantize mode — or nlist/m for an IVF_PQ index, rebuilt via
+    build_ivfpq from codebook-reconstructed vectors when the float
+    column was dropped); override via ``build_kwargs``. A multi-assign
     layout replicates rows, so ``id_col`` is required then to fold
     replicas before re-assigning. The rebuild writes to a sibling temp
     dir and swaps, the compact_parquet_table crash posture."""
     from pyspark.sql import functions as F
-
-    from ..index.ivf import build_ivf
 
     report = ivf_drift(spark, index, residual_ratio, max_imbalance)
     if not report["needs_rebuild"]:
@@ -272,24 +292,36 @@ def rebuild_if_drifted(
             "multi-assign layout replicates rows: pass id_col so the "
             "rebuild can fold replicas"
         )
+    is_pq = getattr(index, "codebooks", None) is not None
     df = index.load(spark)
     if index.n_assign > 1:
         df = df.dropDuplicates([id_col])
     df, vcol = _ivf_float_vec(spark, index, df)
-    rows = df.drop("centroid_id", "sq8_code")
+    rows = df.drop("centroid_id", "sq8_code", "pq_code")
     if vcol != index.vec_col:
         rows = rows.withColumnRenamed(vcol, index.vec_col)
-    params = {
-        "nlist": len(index.centroids),
-        "n_assign": index.n_assign,
-        "quantize": index.mins is not None,
-        "sq8_mode": (
-            "per_centroid" if index.sq8_per_centroid else "global"
-        ),
-        "keep_vectors": index.mins is not None
-        and index.vec_col in index.load(spark).columns,
-        "vec_col": index.vec_col,
-    }
+    if is_pq:
+        from ..index.pq import build_ivfpq as _builder
+
+        params = {
+            "nlist": len(index.centroids),
+            "m": index.m,
+            "vec_col": index.vec_col,
+        }
+    else:
+        from ..index.ivf import build_ivf as _builder
+
+        params = {
+            "nlist": len(index.centroids),
+            "n_assign": index.n_assign,
+            "quantize": index.mins is not None,
+            "sq8_mode": (
+                "per_centroid" if index.sq8_per_centroid else "global"
+            ),
+            "keep_vectors": index.mins is not None
+            and index.vec_col in index.load(spark).columns,
+            "vec_col": index.vec_col,
+        }
     params.update(build_kwargs)
 
     tmp = f"{index.path}.rebuild-{uuid.uuid4().hex[:8]}"
@@ -297,7 +329,7 @@ def rebuild_if_drifted(
     # these rows and nothing may re-read the directory being replaced
     # (cache() could evict and recompute; localCheckpoint cannot)
     rows = rows.localCheckpoint(eager=True)
-    new_index = build_ivf(rows, tmp, **params)
+    new_index = _builder(rows, tmp, **params)
     old = f"{index.path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
     os.rename(index.path, old)
     os.rename(tmp, index.path)

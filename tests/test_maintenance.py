@@ -172,3 +172,34 @@ def test_compact_ivf_preserves_search_and_meta(spark, tmp_path):
     # drift baseline survived too
     report = MNT.ivf_drift(spark, after_idx)
     assert "needs_rebuild" in report
+
+
+def test_pq_drift_and_compaction(spark, tmp_path):
+    from shotit_worker_spark.index import pq as PQ
+
+    centers, df = _clustered_vecs(spark, 400, dim=8)
+    path = str(tmp_path / "pq_maint")
+    idx = PQ.build_ivfpq(df, path, nlist=4, m=4)
+    base = MNT.record_ivf_baseline(spark, idx)
+    assert base["rows"] == 400
+    # in-distribution adds: no trigger
+    _, batch = _clustered_vecs(spark, 80, seed=8, id_base=40_000,
+                               centers=centers)
+    idx.add(batch)
+    assert not MNT.ivf_drift(spark, idx)["needs_rebuild"]
+    # compaction preserves rows and the sidecar
+    stats = MNT.compact_ivf(spark, idx)
+    assert stats["rows"] == 480
+    reopened = PQ.IVFPQIndex.open(spark, path)
+    assert MNT.ivf_drift(spark, reopened)  # baseline still readable
+    # out-of-distribution adds: trigger + rebuild via build_ivfpq
+    far = np.full((1, 8), 30.0)
+    _, ood = _clustered_vecs(spark, 150, seed=9, id_base=50_000,
+                             centers=far)
+    reopened.add(ood)
+    rep = MNT.ivf_drift(spark, reopened)
+    assert rep["needs_rebuild"]
+    new_idx, out = MNT.rebuild_if_drifted(spark, reopened)
+    assert out.get("rebuilt")
+    assert new_idx.load(spark).count() == 630
+    assert not MNT.ivf_drift(spark, new_idx)["needs_rebuild"]
