@@ -87,9 +87,10 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-# Real demux/decode: Y4M, MJPEG-AVI, animated GIF. The stub remains only
-# for inter-frame compressed codecs (h264/vp9/...), which need external
-# codec libraries this environment lacks — see module docstring.
+# Real demux/decode: Y4M, MJPEG-AVI, animated GIF; real DEMUX for .mp4
+# (functions/mp4 — true timeline/keyframes/payloads). The stub remains
+# only for the inter-frame pixel step (h264/vp9/...), which needs
+# external codec libraries this environment lacks — see module docstring.
 _STUB_INTERFRAME_CODECS = True
 
 _SYN_FRAME_H = 48  # synthetic thumbnail geometry (aspect 5:3, like
@@ -220,6 +221,42 @@ def _sample_avi(
     )
 
 
+def _sample_mp4(
+    content: bytes, fps: float, encoder=None
+) -> Iterator[tuple[int, float, bytes]]:
+    """G1 for real .mp4 (the reference's ONLY accepted input,
+    watcher.js:25-29): the ISOBMFF demux is REAL (functions/mp4 —
+    sample table, stts/ctts timeline, stss keyframes, per-sample NAL
+    payloads), so the sampling grid maps output slots onto the TRUE
+    presentation timeline exactly as ffmpeg's fps filter would. Only
+    the pixel step (entropy-decoding inter-frame AVC) remains the
+    labeled deterministic stub — seeded from each sample's ACTUAL
+    payload bytes, so frame identity tracks the real bitstream."""
+    import bisect
+
+    from . import mp4 as MP
+
+    track = MP.parse_mp4(content)
+    if not track.samples:
+        return
+    order = sorted(track.samples, key=lambda s: (s.pts, s.index))
+    pts = [s.pts for s in order]
+    tail = pts[-1] - pts[-2] if len(pts) > 1 else 1.0 / fps
+    duration = max(track.duration, pts[-1] + tail)
+    n_out = max(1, int(duration * fps))
+    img_cache: dict[int, bytes] = {}
+    for i in range(n_out):
+        t = (i + 0.5) / fps
+        j = max(0, min(len(pts) - 1, bisect.bisect_right(pts, t) - 1))
+        s = order[j]
+        img = img_cache.get(j)
+        if img is None:
+            payload = MP.read_sample(content, s)
+            img = _synthetic_frame_image(payload, s.index, encoder)
+            img_cache[j] = img
+        yield i, round(t, 4), img
+
+
 def decode_frames(
     videos: DataFrame, fps: float = FRAME_FPS, thumb_format: str = "ppm"
 ) -> DataFrame:
@@ -234,6 +271,10 @@ def decode_frames(
     Container support: Y4M (YUV4MPEG2) and MJPEG AVI blobs demux +
     decode FOR REAL — pure-stdlib slicing + numpy color conversion /
     the bit-exact baseline JPEG decoder (_sample_y4m, _sample_avi);
+    real .mp4 demuxes FOR REAL too (functions/mp4: ISOBMFF sample
+    tables, stts/ctts timeline, stss keyframes) with only the AVC
+    pixel step stubbed (_sample_mp4 — seeded from the true per-sample
+    NAL payloads);
     other bytes fall back to the deterministic synthetic-scene stub
     (no inter-frame codec libraries exist in this environment; with
     PyAV the fallback body becomes open-container → sample → scale →
@@ -286,6 +327,15 @@ def decode_frames(
                         sampler = _sample_avi if probe is not None else None
                     except VC.AVIError:
                         sampler = None
+                else:
+                    from . import mp4 as MP
+
+                    if MP.is_mp4(content):
+                        try:  # real demux; damaged/fragmented → stub
+                            if MP.parse_mp4(content).samples:
+                                sampler = _sample_mp4
+                        except MP.MP4Error:
+                            sampler = None
                 if sampler is not None:
                     for i, t, ppm in sampler(content, fps, encoder):
                         out["file"].append(rel)

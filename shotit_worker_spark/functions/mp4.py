@@ -1,0 +1,415 @@
+"""MP4 / ISOBMFF (ISO 14496-12) demuxer — pure stdlib, no codec libs.
+
+The reference's ONLY accepted ingest format is ``.mp4``
+(/root/reference/watcher.js:25-29); its hasher shells out to ffmpeg for
+both demux and decode (/root/reference/hasher.js:78-91). This module
+implements the DEMUX half from the spec: box walk, sample tables, and
+AVC decoder-config extraction, so G1 on real .mp4 files gets
+
+- the true per-sample timeline (stts decode deltas + optional ctts
+  composition offsets, in media-timescale units),
+- true keyframe structure (stss sync-sample table),
+- each sample's exact byte range in the file (stsc/stco|co64/stsz
+  walk) and its AVC NAL units (length-prefixed per avcC),
+- the track's declared geometry and SPS/PPS parameter sets.
+
+The PIXEL step (entropy-decoding H.264 macroblocks) still requires a
+codec library this environment lacks; functions/media keeps its
+clearly-labeled deterministic stub for that one step, now seeded from
+the REAL sample payload and stamped with the REAL sample timestamps —
+the sampling grid, timecodes, durations, and frame identities match
+what ffmpeg's ``fps=12`` filter would produce on the same file.
+
+Box coverage: ftyp, moov/mvhd, trak/tkhd, mdia/mdhd/hdlr,
+minf/stbl/{stsd(avc1|avc3/avcC), stts, ctts(v0/v1), stss, stsz/stz2,
+stsc, stco, co64}. 64-bit largesize boxes and co64 offsets supported.
+Fragmented MP4 (moof) is out of scope and raises — Common Crawl-era
+web video is overwhelmingly progressive; fMP4 needs a segment walk
+that belongs in a streaming source.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+__all__ = [
+    "MP4Error",
+    "Mp4Sample",
+    "Mp4VideoTrack",
+    "is_mp4",
+    "parse_mp4",
+    "read_sample",
+    "iter_nals",
+    "mp4_duration",
+]
+
+
+class MP4Error(ValueError):
+    """Malformed or unsupported ISOBMFF input."""
+
+
+def is_mp4(data: bytes) -> bool:
+    """ftyp (or styp) as the first box — the ISOBMFF signature."""
+    return len(data) >= 8 and data[4:8] in (b"ftyp", b"styp")
+
+
+@dataclass(frozen=True)
+class Mp4Sample:
+    index: int       # 0-based sample number
+    offset: int      # absolute file offset of the sample's first byte
+    size: int        # bytes
+    dts: float       # decode time, seconds
+    pts: float       # presentation time, seconds (dts + ctts offset)
+    keyframe: bool   # listed in stss (all samples when stss absent)
+
+
+@dataclass(frozen=True)
+class Mp4VideoTrack:
+    codec: str            # stsd entry fourcc, e.g. "avc1"
+    width: int
+    height: int
+    timescale: int        # media timescale (mdhd)
+    duration: float       # track media duration, seconds
+    sps: tuple[bytes, ...]
+    pps: tuple[bytes, ...]
+    nal_length_size: int  # avcC lengthSizeMinusOne + 1 (0 if no avcC)
+    samples: tuple[Mp4Sample, ...]
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise MP4Error(f"truncated largesize box at {pos}")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise MP4Error(
+                f"box {fourcc!r} at {pos} overruns its container "
+                f"(size {size}, container end {end})"
+            )
+        yield fourcc, body, pos + size
+        pos += size
+    if pos != end:
+        raise MP4Error(f"trailing bytes in container at {pos}..{end}")
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, b, e in _iter_boxes(data, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def _fullbox(data: bytes, start: int) -> tuple[int, int, int]:
+    """(version, flags, body_start_after_header)."""
+    v = data[start]
+    flags = int.from_bytes(data[start + 1 : start + 4], "big")
+    return v, flags, start + 4
+
+
+def _parse_stts(data: bytes, b: int, e: int) -> list[tuple[int, int]]:
+    _, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    out = []
+    p += 4
+    for _ in range(n):
+        cnt, delta = struct.unpack_from(">II", data, p)
+        out.append((cnt, delta))
+        p += 8
+    return out
+
+
+def _parse_ctts(data: bytes, b: int, e: int) -> list[tuple[int, int]]:
+    v, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    out = []
+    p += 4
+    for _ in range(n):
+        if v == 0:
+            cnt, off = struct.unpack_from(">II", data, p)
+        else:  # version 1: signed offsets (negative ctts, common w/ B-frames)
+            cnt, off = struct.unpack_from(">Ii", data, p)
+        out.append((cnt, off))
+        p += 8
+    return out
+
+
+def _parse_stss(data: bytes, b: int, e: int) -> set[int]:
+    _, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    p += 4
+    return {
+        struct.unpack_from(">I", data, p + 4 * i)[0] - 1  # 1-based → 0-based
+        for i in range(n)
+    }
+
+
+def _parse_stsz(data: bytes, b: int, e: int) -> list[int]:
+    _, _, p = _fullbox(data, b)
+    fixed, n = struct.unpack_from(">II", data, p)
+    p += 8
+    if fixed:
+        return [fixed] * n
+    return list(struct.unpack_from(f">{n}I", data, p))
+
+
+def _parse_stsc(data: bytes, b: int, e: int) -> list[tuple[int, int, int]]:
+    _, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    out = []
+    p += 4
+    for _ in range(n):
+        first_chunk, per_chunk, desc = struct.unpack_from(">III", data, p)
+        out.append((first_chunk, per_chunk, desc))
+        p += 12
+    return out
+
+
+def _parse_stco(data: bytes, b: int, e: int, wide: bool) -> list[int]:
+    _, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    p += 4
+    fmt = ">Q" if wide else ">I"
+    step = 8 if wide else 4
+    return [
+        struct.unpack_from(fmt, data, p + step * i)[0] for i in range(n)
+    ]
+
+
+def _parse_avcc(data: bytes, b: int, e: int):
+    """avcC (ISO 14496-15): SPS/PPS arrays + NAL length size."""
+    p = b
+    if data[p] != 1:
+        raise MP4Error(f"avcC configurationVersion {data[p]} != 1")
+    nal_len = (data[p + 4] & 0x03) + 1
+    n_sps = data[p + 5] & 0x1F
+    p += 6
+    sps = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", data, p)
+        sps.append(data[p + 2 : p + 2 + ln])
+        p += 2 + ln
+    n_pps = data[p]
+    p += 1
+    pps = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", data, p)
+        pps.append(data[p + 2 : p + 2 + ln])
+        p += 2 + ln
+    return tuple(sps), tuple(pps), nal_len
+
+
+def _parse_stsd_video(data: bytes, b: int, e: int):
+    """First video sample entry: (fourcc, width, height, sps, pps,
+    nal_length_size)."""
+    _, _, p = _fullbox(data, b)
+    (n,) = struct.unpack_from(">I", data, p)
+    p += 4
+    for _ in range(n):
+        (size,) = struct.unpack_from(">I", data, p)
+        fourcc = data[p + 4 : p + 8].decode("latin-1")
+        entry_end = p + size
+        # VisualSampleEntry: 8 hdr + 6 reserved + 2 data_ref + 16 predefined
+        # + width(2) height(2) ...
+        width, height = struct.unpack_from(">HH", data, p + 32)
+        sps: tuple = ()
+        pps: tuple = ()
+        nal_len = 0
+        # child boxes start after the 86-byte VisualSampleEntry body
+        child = p + 86
+        if child < entry_end:
+            found = _find(data, child, entry_end, b"avcC")
+            if found:
+                sps, pps, nal_len = _parse_avcc(data, *found)
+        return fourcc, width, height, sps, pps, nal_len
+    raise MP4Error("stsd has no sample entries")
+
+
+def parse_mp4(data: bytes) -> Mp4VideoTrack:
+    """Sample table of the FIRST video track (the reference pipeline is
+    single-video-stream). Raises :class:`MP4Error` on malformed input,
+    fragmented files, or when no video track exists."""
+    if not is_mp4(data):
+        raise MP4Error("no ftyp box — not an ISOBMFF file")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise MP4Error("no moov box (fragmented/streaming mp4 unsupported)")
+    if _find(data, 0, len(data), b"moof") is not None:
+        raise MP4Error("fragmented mp4 (moof) unsupported")
+    for fc, tb, te in _iter_boxes(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _find(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(data, *mdia, b"mdhd")
+        if mdhd is None:
+            raise MP4Error("video trak without mdhd")
+        v, _, p = _fullbox(data, mdhd[0])
+        if v == 1:
+            timescale, dur = struct.unpack_from(">IQ", data, p + 16)
+        else:
+            timescale, dur = struct.unpack_from(">II", data, p + 8)
+        if timescale == 0:
+            raise MP4Error("mdhd timescale 0")
+        minf = _find(data, *mdia, b"minf")
+        if minf is None:
+            raise MP4Error("video trak without minf")
+        stbl = _find(data, *minf, b"stbl")
+        if stbl is None:
+            raise MP4Error("video trak without stbl")
+        boxes = {
+            fc: (bb, be) for fc, bb, be in _iter_boxes(data, *stbl)
+        }
+        for req in (b"stsd", b"stts", b"stsz", b"stsc"):
+            if req not in boxes:
+                raise MP4Error(f"stbl missing {req.decode()}")
+        if b"stco" not in boxes and b"co64" not in boxes:
+            raise MP4Error("stbl missing stco/co64")
+        fourcc, width, height, sps, pps, nal_len = _parse_stsd_video(
+            data, *boxes[b"stsd"]
+        )
+        stts = _parse_stts(data, *boxes[b"stts"])
+        sizes = _parse_stsz(data, *boxes[b"stsz"])
+        stsc = _parse_stsc(data, *boxes[b"stsc"])
+        offsets = (
+            _parse_stco(data, *boxes[b"co64"], wide=True)
+            if b"co64" in boxes
+            else _parse_stco(data, *boxes[b"stco"], wide=False)
+        )
+        sync = (
+            _parse_stss(data, *boxes[b"stss"])
+            if b"stss" in boxes
+            else None  # absent stss ⇒ every sample is sync (spec)
+        )
+        ctts = (
+            _parse_ctts(data, *boxes[b"ctts"]) if b"ctts" in boxes else []
+        )
+
+        n = len(sizes)
+        # decode times: cumulative stts deltas
+        dts_units = []
+        t = 0
+        for cnt, delta in stts:
+            for _ in range(cnt):
+                if len(dts_units) == n:
+                    break
+                dts_units.append(t)
+                t += delta
+        if len(dts_units) != n:
+            raise MP4Error(
+                f"stts covers {len(dts_units)} samples, stsz has {n}"
+            )
+        # composition offsets
+        cts_off = []
+        for cnt, off in ctts:
+            cts_off.extend([off] * cnt)
+        if ctts and len(cts_off) < n:
+            raise MP4Error(
+                f"ctts covers {len(cts_off)} samples, stsz has {n}"
+            )
+        # sample file offsets via the stsc/stco walk
+        sample_offsets = [0] * n
+        si = 0
+        n_chunks = len(offsets)
+        for ci in range(n_chunks):
+            # samples-per-chunk for chunk ci+1: last stsc entry whose
+            # first_chunk <= ci+1
+            per = 0
+            for first_chunk, per_chunk, _desc in stsc:
+                if first_chunk <= ci + 1:
+                    per = per_chunk
+                else:
+                    break
+            pos = offsets[ci]
+            for _ in range(per):
+                if si >= n:
+                    break
+                sample_offsets[si] = pos
+                pos += sizes[si]
+                si += 1
+        if si != n:
+            raise MP4Error(
+                f"stsc/stco walk placed {si} of {n} samples"
+            )
+
+        samples = tuple(
+            Mp4Sample(
+                index=i,
+                offset=sample_offsets[i],
+                size=sizes[i],
+                dts=dts_units[i] / timescale,
+                pts=(dts_units[i] + (cts_off[i] if ctts else 0)) / timescale,
+                keyframe=(sync is None or i in sync),
+            )
+            for i in range(n)
+        )
+        return Mp4VideoTrack(
+            codec=fourcc,
+            width=width,
+            height=height,
+            timescale=timescale,
+            duration=dur / timescale,
+            sps=sps,
+            pps=pps,
+            nal_length_size=nal_len,
+            samples=samples,
+        )
+    raise MP4Error("no video track")
+
+
+def read_sample(data: bytes, sample: Mp4Sample) -> bytes:
+    """The sample's raw bytes (length-prefixed AVC NAL units)."""
+    end = sample.offset + sample.size
+    if end > len(data):
+        raise MP4Error(
+            f"sample {sample.index} [{sample.offset}, {end}) overruns "
+            f"file of {len(data)} bytes"
+        )
+    return data[sample.offset : end]
+
+
+def iter_nals(sample_bytes: bytes, nal_length_size: int) -> list[bytes]:
+    """Split a length-prefixed AVC sample into NAL units (ISO 14496-15
+    sample format; the avcC ``lengthSizeMinusOne`` governs the prefix
+    width)."""
+    if nal_length_size not in (1, 2, 4):
+        raise MP4Error(f"unsupported NAL length size {nal_length_size}")
+    out = []
+    pos = 0
+    n = len(sample_bytes)
+    while pos < n:
+        if pos + nal_length_size > n:
+            raise MP4Error(f"truncated NAL length prefix at {pos}")
+        ln = int.from_bytes(
+            sample_bytes[pos : pos + nal_length_size], "big"
+        )
+        pos += nal_length_size
+        if pos + ln > n:
+            raise MP4Error(f"NAL at {pos} overruns sample ({ln} bytes)")
+        out.append(sample_bytes[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def mp4_duration(data: bytes) -> float:
+    """Video duration in seconds — the A1 'per-file max timecode'
+    source for real .mp4 input (the reference takes the last frame's
+    timecode, loader.js:200; the sample table's last pts + its share
+    of duration is the container-accurate equivalent)."""
+    track = parse_mp4(data)
+    if not track.samples:
+        return 0.0
+    return max(track.duration, max(s.pts for s in track.samples))

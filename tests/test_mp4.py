@@ -1,0 +1,154 @@
+"""MP4/ISOBMFF demuxer (functions/mp4): sample-table round-trip vs the
+fixture writer's ground truth, NAL splitting, keyframe/ctts/co64
+paths, malformed-input raises, and the G1 integration (real timeline,
+stubbed pixels)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from gen_mp4_fixture import build_mp4, make_nal, sample_bytes  # noqa: E402
+
+from shotit_worker_spark.functions import mp4 as M  # noqa: E402
+
+
+def _samples(n, base=40):
+    out = []
+    for i in range(n):
+        nals = [make_nal(5 if i % 4 == 0 else 1, bytes([i]) * (base + i))]
+        if i % 3 == 0:
+            nals.append(make_nal(6, b"sei" + bytes([i])))
+        out.append(sample_bytes(nals))
+    return out
+
+
+def test_sample_table_round_trip():
+    payloads = _samples(10)
+    deltas = [1066, 1067, 1067] * 3 + [1066]  # ~12 fps at 12800
+    keyframes = [0, 4, 8]
+    data, offsets = build_mp4(payloads, deltas, keyframes=keyframes)
+    assert M.is_mp4(data)
+    track = M.parse_mp4(data)
+    assert track.codec == "avc1"
+    assert (track.width, track.height) == (320, 180)
+    assert track.timescale == 12800
+    assert track.duration == pytest.approx(sum(deltas) / 12800)
+    assert len(track.samples) == 10
+    dts = 0
+    for i, s in enumerate(track.samples):
+        assert s.index == i
+        assert s.offset == offsets[i]
+        assert s.size == len(payloads[i])
+        assert s.dts == pytest.approx(dts / 12800)
+        assert s.pts == s.dts  # no ctts
+        assert s.keyframe == (i in keyframes)
+        assert M.read_sample(data, s) == payloads[i]
+        dts += deltas[i]
+    assert track.sps and track.pps and track.nal_length_size == 4
+
+
+def test_nal_splitting():
+    nals = [make_nal(5, b"idr-frame"), make_nal(6, b"sei")]
+    sb = sample_bytes(nals)
+    assert M.iter_nals(sb, 4) == nals
+    sb2 = sample_bytes(nals, nal_length_size=2)
+    assert M.iter_nals(sb2, 2) == nals
+    with pytest.raises(M.MP4Error, match="overruns"):
+        M.iter_nals(sb[:-2], 4)
+    with pytest.raises(M.MP4Error, match="length size"):
+        M.iter_nals(sb, 3)
+
+
+def test_ctts_and_no_stss():
+    payloads = _samples(6)
+    deltas = [1000] * 6
+    ctts = [0, 2000, -1000, 0, 2000, -1000]
+    data, _ = build_mp4(payloads, deltas, ctts_offsets=ctts)
+    track = M.parse_mp4(data)
+    # absent stss => all samples sync (spec)
+    assert all(s.keyframe for s in track.samples)
+    for i, s in enumerate(track.samples):
+        assert s.pts == pytest.approx((1000 * i + ctts[i]) / 12800)
+
+
+def test_co64_and_odd_chunking():
+    payloads = _samples(7)
+    deltas = [512] * 7
+    data, offsets = build_mp4(
+        payloads, deltas, samples_per_chunk=3, co64=True
+    )
+    track = M.parse_mp4(data)
+    assert [s.offset for s in track.samples] == offsets
+    assert [s.size for s in track.samples] == [len(p) for p in payloads]
+
+
+def test_duration_helper():
+    payloads = _samples(5)
+    deltas = [12800] * 5  # 1 s per sample
+    data, _ = build_mp4(payloads, deltas)
+    assert M.mp4_duration(data) == pytest.approx(5.0)
+
+
+def test_malformed_inputs_raise():
+    payloads = _samples(3)
+    data, _ = build_mp4(payloads, [100] * 3)
+    with pytest.raises(M.MP4Error, match="ftyp"):
+        M.parse_mp4(b"\x00" * 64)
+    with pytest.raises(M.MP4Error, match="moov"):
+        M.parse_mp4(data[: data.index(b"moov") - 4])
+    # stts/stsz mismatch: lie about the sample count in stsz
+    broken = data.replace(
+        (3).to_bytes(4, "big") + b"\x00\x00\x00d",  # stts entry (3, 100)
+        (2).to_bytes(4, "big") + b"\x00\x00\x00d",
+        1,
+    )
+    with pytest.raises(M.MP4Error):
+        M.parse_mp4(broken)
+
+
+def test_g1_decode_frames_real_mp4_timeline(spark, tmp_path):
+    """decode_frames on a real .mp4 container: REAL demuxed pts drive
+    the fps sampling grid; the pixel step stays the labeled stub seeded
+    from each sample's actual NAL payload."""
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.functions import media as MD
+
+    # 24 samples at exactly 24 fps (timescale 24, delta 1) -> 1 s video;
+    # fps=12 sampling targets (i+0.5)/12 for i in 0..11
+    payloads = _samples(24, base=20)
+    data, _ = build_mp4(
+        payloads, [1] * 24, timescale=24, keyframes=[0, 8, 16]
+    )
+    viddir = tmp_path / "vids" / "tt0000001"
+    viddir.mkdir(parents=True)
+    (viddir / "ep1.mp4").write_bytes(data)
+
+    videos = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path / "vids"))
+        .select("path", "content")
+    )
+    frames = MD.decode_frames(videos, fps=12).orderBy("frame_no").collect()
+    assert len(frames) == 12
+    assert frames[0]["file"] == "tt0000001/ep1.mp4"
+    for i, r in enumerate(frames):
+        # output-slot times, the shared sampler convention
+        assert r["time"] == pytest.approx((i + 0.5) / 12, abs=1e-4)
+        assert r["image"][:2] == b"P6"  # stub emits a real PPM
+    # each slot maps to a DISTINCT demuxed sample (24 sources, 12
+    # slots, 2:1) and the stub is seeded from the sample's real
+    # payload, so all 12 frame images differ
+    assert len({bytes(r["image"]) for r in frames}) == 12
+    # determinism: same file -> same frames
+    again = MD.decode_frames(videos, fps=12).orderBy("frame_no").collect()
+    assert [bytes(r["image"]) for r in again] == [
+        bytes(r["image"]) for r in frames
+    ]

@@ -1,0 +1,197 @@
+"""Minimal valid ISOBMFF/MP4 writer for demuxer tests — builds a
+progressive single-video-track file (ftyp + mdat + moov with full
+sample tables) from a list of fake AVC samples. The payloads are
+length-prefixed pseudo-NALs, NOT real H.264 — the demuxer under test
+never entropy-decodes them.
+
+Layout note: mdat is written before moov and the stco offsets point
+into it, so the parser exercises absolute-offset resolution exactly as
+on ffmpeg-written files (which default to mdat-first too).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def box(fourcc: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I4sQ", 1, fourcc, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), fourcc) + payload
+
+
+def fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return box(
+        fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload
+    )
+
+
+def make_nal(nal_type: int, body: bytes) -> bytes:
+    """One pseudo-NAL: header byte (forbidden_zero=0, nri=3, type) + body."""
+    return bytes([0x60 | (nal_type & 0x1F)]) + body
+
+
+def sample_bytes(nals: list[bytes], nal_length_size: int = 4) -> bytes:
+    out = b""
+    for n in nals:
+        out += len(n).to_bytes(nal_length_size, "big") + n
+    return out
+
+
+def avcc(sps: list[bytes], pps: list[bytes], nal_length_size: int = 4) -> bytes:
+    body = bytes([1, 0x64, 0x00, 0x28, 0xFC | (nal_length_size - 1)])
+    body += bytes([0xE0 | len(sps)])
+    for s in sps:
+        body += struct.pack(">H", len(s)) + s
+    body += bytes([len(pps)])
+    for p in pps:
+        body += struct.pack(">H", len(p)) + p
+    return box(b"avcC", body)
+
+
+def build_mp4(
+    samples: list[bytes],
+    deltas: list[int],
+    timescale: int = 12800,
+    keyframes: list[int] | None = None,
+    ctts_offsets: list[int] | None = None,
+    samples_per_chunk: int = 2,
+    width: int = 320,
+    height: int = 180,
+    sps: list[bytes] | None = None,
+    pps: list[bytes] | None = None,
+    co64: bool = False,
+    nal_length_size: int = 4,
+) -> tuple[bytes, list[int]]:
+    """Returns (file_bytes, absolute_sample_offsets). ``deltas`` are
+    per-sample decode deltas in timescale units; ``keyframes`` is a
+    0-based sample index list (None ⇒ omit stss ⇒ all sync);
+    ``ctts_offsets`` per-sample composition offsets (None ⇒ omit ctts).
+    """
+    assert len(samples) == len(deltas)
+    n = len(samples)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+
+    # mdat with known layout: chunks of `samples_per_chunk`
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_body_off = len(ftyp) + 8
+    sample_offsets = []
+    pos = mdat_body_off
+    for s in samples:
+        sample_offsets.append(pos)
+        pos += len(s)
+    chunk_offsets = [
+        sample_offsets[i] for i in range(0, n, samples_per_chunk)
+    ]
+
+    duration = sum(deltas)
+    mvhd = fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(
+            ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+        + struct.pack(">I", 0) + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(
+            ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b"")
+    )
+    dinf = box(b"dinf", dref)
+
+    sps = sps or [make_nal(7, b"fake-sps")]
+    pps = pps or [make_nal(8, b"fake-pps")]
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref
+        + b"\x00" * 16                               # predefined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame count
+        + b"\x00" * 32                               # compressor name
+        + struct.pack(">H", 0x0018) + struct.pack(">h", -1)
+        + avcc(sps, pps, nal_length_size)
+    )
+    avc1 = box(b"avc1", entry)
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+
+    # stts: run-length encode deltas
+    runs = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = fullbox(
+        b"stts", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    stsz = fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stsc = fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", 1) + struct.pack(">III", 1, samples_per_chunk, 1),
+    )
+    if co64:
+        stco = fullbox(
+            b"co64", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = fullbox(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl_children = stsd + stts + stsz + stsc + stco
+    if keyframes is not None:
+        stbl_children += fullbox(
+            b"stss", 0, 0,
+            struct.pack(">I", len(keyframes))
+            + b"".join(struct.pack(">I", k + 1) for k in keyframes),
+        )
+    if ctts_offsets is not None:
+        assert len(ctts_offsets) == n
+        cruns = []
+        for o in ctts_offsets:
+            if cruns and cruns[-1][1] == o:
+                cruns[-1][0] += 1
+            else:
+                cruns.append([1, o])
+        stbl_children += fullbox(
+            b"ctts", 1, 0,
+            struct.pack(">I", len(cruns))
+            + b"".join(struct.pack(">Ii", c, o) for c, o in cruns),
+        )
+    stbl = box(b"stbl", stbl_children)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, sample_offsets
