@@ -24,9 +24,13 @@ Kernel reality, per stage:
   stdlib demux + numpy BT.601 decode (`functions/videocodec.py`) — for
   MJPEG AVI (RIFF demux + the bit-exact JPEG decoder), and for animated
   GIF (`functions/gifcodec.py`, variable-frame-rate timeline), sampled
-  and scaled like the reference's ffmpeg invocation. Other container
-  bytes (inter-frame codecs: h264 etc.) fall back to the deterministic
-  stub;
+  and scaled like the reference's ffmpeg invocation. Real `.mp4` (the
+  reference's only accepted input) DEMUXES for real too —
+  `functions/mp4` supplies the true stts/ctts timeline, stss keyframes,
+  and per-sample AVC payloads — with only the inter-frame PIXEL step
+  (h264 entropy decode) falling back to the deterministic stub, seeded
+  from each sample's actual bitstream bytes. Unrecognized container
+  bytes fall back entirely;
   the fake emits REAL PPM images (seeded block scenes) so downstream
   stays on the real image path either way. With PyAV the fallback
   becomes open-container → sample at fps → scale → encode; signature
