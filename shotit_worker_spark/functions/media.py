@@ -226,7 +226,7 @@ def _sample_avi(
 
 
 def _sample_mp4(
-    content: bytes, fps: float, encoder=None
+    content: bytes, fps: float, encoder=None, track=None
 ) -> Iterator[tuple[int, float, bytes]]:
     """G1 for real .mp4 (the reference's ONLY accepted input,
     watcher.js:25-29): the ISOBMFF demux is REAL (functions/mp4 —
@@ -235,12 +235,18 @@ def _sample_mp4(
     presentation timeline exactly as ffmpeg's fps filter would. Only
     the pixel step (entropy-decoding inter-frame AVC) remains the
     labeled deterministic stub — seeded from each sample's ACTUAL
-    payload bytes, so frame identity tracks the real bitstream."""
+    payload bytes, so frame identity tracks the real bitstream.
+
+    ``track`` reuses a caller's parse (decode_frames probes the file
+    first — a feature-length sample table shouldn't be built twice);
+    parse_mp4 bounds-checks every sample at parse time, so truncated
+    files were rejected to the stub before this generator runs."""
     import bisect
 
     from . import mp4 as MP
 
-    track = MP.parse_mp4(content)
+    if track is None:
+        track = MP.parse_mp4(content)
     if not track.samples:
         return
     order = sorted(track.samples, key=lambda s: (s.pts, s.index))
@@ -335,9 +341,13 @@ def decode_frames(
                     from . import mp4 as MP
 
                     if MP.is_mp4(content):
-                        try:  # real demux; damaged/fragmented → stub
-                            if MP.parse_mp4(content).samples:
-                                sampler = _sample_mp4
+                        try:  # real demux; damaged/fragmented/truncated
+                            # → stub (parse_mp4 wraps corrupt-box errors
+                            # and bounds-checks samples at parse time)
+                            track = MP.parse_mp4(content)
+                            if track.samples:
+                                def sampler(c, f, e=None, _t=track):
+                                    return _sample_mp4(c, f, e, track=_t)
                         except MP.MP4Error:
                             sampler = None
                 if sampler is not None:

@@ -162,6 +162,25 @@ def _parse_stsz(data: bytes, b: int, e: int) -> list[int]:
     return list(struct.unpack_from(f">{n}I", data, p))
 
 
+def _parse_stz2(data: bytes, b: int, e: int) -> list[int]:
+    """Compact sample sizes (field_size 4/8/16 bits)."""
+    _, _, p = _fullbox(data, b)
+    field_size = data[p + 3]
+    (n,) = struct.unpack_from(">I", data, p + 4)
+    p += 8
+    if field_size == 16:
+        return list(struct.unpack_from(f">{n}H", data, p))
+    if field_size == 8:
+        return list(data[p : p + n])
+    if field_size == 4:
+        out = []
+        for i in range(n):
+            byte = data[p + i // 2]
+            out.append((byte >> 4) if i % 2 == 0 else (byte & 0x0F))
+        return out
+    raise MP4Error(f"stz2 field_size {field_size} not in (4, 8, 16)")
+
+
 def _parse_stsc(data: bytes, b: int, e: int) -> list[tuple[int, int, int]]:
     _, _, p = _fullbox(data, b)
     (n,) = struct.unpack_from(">I", data, p)
@@ -237,7 +256,20 @@ def _parse_stsd_video(data: bytes, b: int, e: int):
 def parse_mp4(data: bytes) -> Mp4VideoTrack:
     """Sample table of the FIRST video track (the reference pipeline is
     single-video-stream). Raises :class:`MP4Error` on malformed input,
-    fragmented files, or when no video track exists."""
+    fragmented files, or when no video track exists — including corrupt
+    box contents (struct/index errors are wrapped, so callers need one
+    except clause) and samples whose byte range overruns the file
+    (truncated-in-transit downloads fail AT PARSE TIME, before any
+    sampler iterates)."""
+    try:
+        return _parse_mp4_inner(data)
+    except MP4Error:
+        raise
+    except (struct.error, IndexError, OverflowError, MemoryError) as exc:
+        raise MP4Error(f"corrupt box contents: {exc}") from exc
+
+
+def _parse_mp4_inner(data: bytes) -> Mp4VideoTrack:
     if not is_mp4(data):
         raise MP4Error("no ftyp box — not an ISOBMFF file")
     moov = _find(data, 0, len(data), b"moov")
@@ -273,16 +305,22 @@ def parse_mp4(data: bytes) -> Mp4VideoTrack:
         boxes = {
             fc: (bb, be) for fc, bb, be in _iter_boxes(data, *stbl)
         }
-        for req in (b"stsd", b"stts", b"stsz", b"stsc"):
+        for req in (b"stsd", b"stts", b"stsc"):
             if req not in boxes:
                 raise MP4Error(f"stbl missing {req.decode()}")
+        if b"stsz" not in boxes and b"stz2" not in boxes:
+            raise MP4Error("stbl missing stsz/stz2")
         if b"stco" not in boxes and b"co64" not in boxes:
             raise MP4Error("stbl missing stco/co64")
         fourcc, width, height, sps, pps, nal_len = _parse_stsd_video(
             data, *boxes[b"stsd"]
         )
         stts = _parse_stts(data, *boxes[b"stts"])
-        sizes = _parse_stsz(data, *boxes[b"stsz"])
+        sizes = (
+            _parse_stsz(data, *boxes[b"stsz"])
+            if b"stsz" in boxes
+            else _parse_stz2(data, *boxes[b"stz2"])
+        )
         stsc = _parse_stsc(data, *boxes[b"stsc"])
         offsets = (
             _parse_stco(data, *boxes[b"co64"], wide=True)
@@ -320,19 +358,20 @@ def parse_mp4(data: bytes) -> Mp4VideoTrack:
             raise MP4Error(
                 f"ctts covers {len(cts_off)} samples, stsz has {n}"
             )
-        # sample file offsets via the stsc/stco walk
+        # sample file offsets via the stsc/stco walk — a single
+        # advancing index into stsc (entries are first_chunk-ascending
+        # per spec), so the walk is O(samples + stsc entries), not
+        # O(chunks × entries): a 2-hour interleaved file has ~86k
+        # chunks and can carry ~as many stsc entries
         sample_offsets = [0] * n
         si = 0
         n_chunks = len(offsets)
+        sc = 0  # current stsc entry
+        per = 0
         for ci in range(n_chunks):
-            # samples-per-chunk for chunk ci+1: last stsc entry whose
-            # first_chunk <= ci+1
-            per = 0
-            for first_chunk, per_chunk, _desc in stsc:
-                if first_chunk <= ci + 1:
-                    per = per_chunk
-                else:
-                    break
+            while sc < len(stsc) and stsc[sc][0] <= ci + 1:
+                per = stsc[sc][1]
+                sc += 1
             pos = offsets[ci]
             for _ in range(per):
                 if si >= n:
@@ -344,6 +383,15 @@ def parse_mp4(data: bytes) -> Mp4VideoTrack:
             raise MP4Error(
                 f"stsc/stco walk placed {si} of {n} samples"
             )
+        # bounds: every sample's byte range must sit inside the file —
+        # truncated downloads fail here, not mid-sampler
+        for i in range(n):
+            if sample_offsets[i] + sizes[i] > len(data):
+                raise MP4Error(
+                    f"sample {i} [{sample_offsets[i]}, "
+                    f"{sample_offsets[i] + sizes[i]}) overruns file of "
+                    f"{len(data)} bytes (truncated?)"
+                )
 
         samples = tuple(
             Mp4Sample(

@@ -578,7 +578,12 @@ def train_kn_lm(
     training on less data instead."""
     if n < 2:
         raise ValueError(f"KN needs n >= 2, got {n}")
-    padded = docs.select(_padded_tokens(text_col, n).alias("__toks"))
+    # training runs n+2 driver actions (per-level discount estimates +
+    # the N2 scalar) whose lineage all starts at the tokenize/explode of
+    # the source — persist the padded token stream so the source is
+    # scanned once, not once per action (released before returning;
+    # the model's count tables re-derive lazily like NGramLM's)
+    padded = docs.select(_padded_tokens(text_col, n).alias("__toks")).persist()
     raw: dict[int, DataFrame] = {}
     for k in range(1, n + 1):
         grams = padded.select(
@@ -628,17 +633,22 @@ def train_kn_lm(
                     "total", "types",
                 )
             )
-    n2_types = raw[2].count()
-    if n2_types == 0:
-        raise ValueError("train_kn_lm: corpus has no scorable bigrams")
-    if discount is not None:
-        if not 0.0 < discount < 1.0:
-            raise ValueError(f"discount must be in (0,1), got {discount}")
-        discounts = {k: discount for k in range(1, n + 1)}
-    else:
-        discounts = {
-            k: _estimate_discount(numer[k]) for k in range(1, n + 1)
-        }
+    try:
+        n2_types = raw[2].count()
+        if n2_types == 0:
+            raise ValueError("train_kn_lm: corpus has no scorable bigrams")
+        if discount is not None:
+            if not 0.0 < discount < 1.0:
+                raise ValueError(
+                    f"discount must be in (0,1), got {discount}"
+                )
+            discounts = {k: discount for k in range(1, n + 1)}
+        else:
+            discounts = {
+                k: _estimate_discount(numer[k]) for k in range(1, n + 1)
+            }
+    finally:
+        padded.unpersist()
     return KneserNeyLM(n, discounts, n2_types, numer, denom)
 
 

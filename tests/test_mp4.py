@@ -152,3 +152,76 @@ def test_g1_decode_frames_real_mp4_timeline(spark, tmp_path):
     assert [bytes(r["image"]) for r in again] == [
         bytes(r["image"]) for r in frames
     ]
+
+
+# -- r5 review fixes: error wrapping, bounds, stz2, multi-entry stsc --------
+
+
+def test_corrupt_box_contents_raise_mp4error_not_struct_error():
+    payloads = _samples(4)
+    data, _ = build_mp4(payloads, [100] * 4)
+    # flip the stts entry count to a huge value -> unpack runs off the
+    # end; the contract is MP4Error, never struct.error/IndexError
+    idx = data.index(b"stts") + 8
+    broken = data[:idx] + b"\x00\xff\xff\xff" + data[idx + 4 :]
+    with pytest.raises(M.MP4Error):
+        M.parse_mp4(broken)
+    # truncated mid-box
+    with pytest.raises(M.MP4Error):
+        M.parse_mp4(data[: len(data) // 2])
+
+
+def test_truncated_file_rejected_at_parse_time():
+    payloads = _samples(6)
+    data, offsets = build_mp4(payloads, [100] * 6)
+    # moov is at the tail; cutting mdat bytes while keeping moov intact
+    # needs moov-first layout — simulate by relocating: parse the good
+    # file, then shrink mdat via slicing out payload bytes after moov
+    # was already read is impossible here, so instead lie in stco:
+    # shift the last chunk offset past EOF
+    last_off = offsets[-2]  # chunk start (samples_per_chunk=2)
+    needle = last_off.to_bytes(4, "big")
+    broken = data.replace(needle, (len(data) + 1000).to_bytes(4, "big"), 1)
+    with pytest.raises(M.MP4Error, match="overruns file"):
+        M.parse_mp4(broken)
+
+
+def test_stz2_sample_sizes():
+    payloads = _samples(5)
+    data, offsets = build_mp4(payloads, [100] * 5, stz2=True)
+    track = M.parse_mp4(data)
+    assert [s.size for s in track.samples] == [len(p) for p in payloads]
+    assert [s.offset for s in track.samples] == offsets
+    for s in track.samples:
+        assert M.read_sample(data, s) == payloads[s.index]
+
+
+def test_multi_entry_stsc_walk():
+    payloads = _samples(9)
+    data, offsets = build_mp4(
+        payloads, [100] * 9, chunk_plan=[1, 3, 2, 3]
+    )
+    track = M.parse_mp4(data)
+    assert [s.offset for s in track.samples] == offsets
+    assert [M.read_sample(data, s) for s in track.samples] == payloads
+
+
+def test_g1_damaged_mp4_falls_to_stub(spark, tmp_path):
+    from shotit_worker_spark.functions import media as MD
+
+    payloads = _samples(4)
+    data, _ = build_mp4(payloads, [3200] * 4)
+    idx = data.index(b"stts") + 8
+    broken = data[:idx] + b"\x00\xff\xff\xff" + data[idx + 4 :]
+    d = tmp_path / "bad" / "tt1"
+    d.mkdir(parents=True)
+    (d / "x.mp4").write_bytes(broken)
+    videos = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path / "bad"))
+        .select("path", "content")
+    )
+    rows = MD.decode_frames(videos, fps=12).collect()
+    assert rows  # stub produced frames; the task did NOT die
+    assert all(bytes(r["image"])[:2] == b"P6" for r in rows)

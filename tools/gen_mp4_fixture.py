@@ -56,23 +56,28 @@ def build_mp4(
     keyframes: list[int] | None = None,
     ctts_offsets: list[int] | None = None,
     samples_per_chunk: int = 2,
+    chunk_plan: list[int] | None = None,
     width: int = 320,
     height: int = 180,
     sps: list[bytes] | None = None,
     pps: list[bytes] | None = None,
     co64: bool = False,
+    stz2: bool = False,
     nal_length_size: int = 4,
 ) -> tuple[bytes, list[int]]:
     """Returns (file_bytes, absolute_sample_offsets). ``deltas`` are
     per-sample decode deltas in timescale units; ``keyframes`` is a
     0-based sample index list (None ⇒ omit stss ⇒ all sync);
-    ``ctts_offsets`` per-sample composition offsets (None ⇒ omit ctts).
+    ``ctts_offsets`` per-sample composition offsets (None ⇒ omit ctts);
+    ``chunk_plan`` an explicit samples-per-chunk list (sums to n) that
+    overrides the uniform ``samples_per_chunk`` — varied counts produce
+    a MULTI-ENTRY stsc, exercising the parser's advancing walk.
     """
     assert len(samples) == len(deltas)
     n = len(samples)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
 
-    # mdat with known layout: chunks of `samples_per_chunk`
+    # mdat with known layout
     mdat_payload = b"".join(samples)
     mdat = box(b"mdat", mdat_payload)
     mdat_body_off = len(ftyp) + 8
@@ -81,9 +86,20 @@ def build_mp4(
     for s in samples:
         sample_offsets.append(pos)
         pos += len(s)
-    chunk_offsets = [
-        sample_offsets[i] for i in range(0, n, samples_per_chunk)
-    ]
+    if chunk_plan is None:
+        chunk_plan = []
+        left = n
+        while left > 0:
+            take = min(samples_per_chunk, left)
+            chunk_plan.append(take)
+            left -= take
+    assert sum(chunk_plan) == n
+    chunk_firsts = []
+    acc = 0
+    for c in chunk_plan:
+        chunk_firsts.append(acc)
+        acc += c
+    chunk_offsets = [sample_offsets[i] for i in chunk_firsts]
 
     duration = sum(deltas)
     mvhd = fullbox(
@@ -148,14 +164,30 @@ def build_mp4(
         struct.pack(">I", len(runs))
         + b"".join(struct.pack(">II", c, d) for c, d in runs),
     )
-    stsz = fullbox(
-        b"stsz", 0, 0,
-        struct.pack(">II", 0, n)
-        + b"".join(struct.pack(">I", len(s)) for s in samples),
-    )
+    if stz2:
+        stsz = fullbox(
+            b"stz2", 0, 0,
+            b"\x00\x00\x00\x10" + struct.pack(">I", n)  # field_size 16
+            + b"".join(struct.pack(">H", len(s)) for s in samples),
+        )
+    else:
+        stsz = fullbox(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+    # stsc: run-length over the chunk plan (spec: entries apply from
+    # first_chunk until the next entry)
+    sc_entries = []
+    for ci, cnt in enumerate(chunk_plan):
+        if not sc_entries or sc_entries[-1][1] != cnt:
+            sc_entries.append((ci + 1, cnt))
     stsc = fullbox(
         b"stsc", 0, 0,
-        struct.pack(">I", 1) + struct.pack(">III", 1, samples_per_chunk, 1),
+        struct.pack(">I", len(sc_entries))
+        + b"".join(
+            struct.pack(">III", fc, cnt, 1) for fc, cnt in sc_entries
+        ),
     )
     if co64:
         stco = fullbox(
