@@ -149,3 +149,99 @@ def cap_per_domain(
         .filter(F.col("__rank") <= max_docs)
         .drop("__rank")
     )
+
+
+# -- canonicalization + URL-level dedup (r5) --------------------------------
+
+# query parameters that never change the fetched document: analytics
+# attribution (utm_*), click identifiers, session tokens. The canonical
+# form drops them so syndication-tracking variants of one page collapse
+# to one crawl-dedup key (the CCNet/RefinedWeb "URL dedup" pass).
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid"
+    r"|yclid|_ga|_gl|ref|ref_src|spm|s_kwcid|sessionid|phpsessid"
+    r"|jsessionid|sid)$"
+)
+
+
+def canonical_url(url: ColumnOrName) -> Column:
+    """Canonical dedup key for a URL — pure Catalyst, one projection:
+
+    - scheme and host lowercased; ``www.`` and default ports stripped
+      (``http://…:80`` ≡ ``http://…``, ``https://…:443`` ≡ …);
+    - the fragment dropped (never sent to the server);
+    - tracking query parameters removed (:data:`TRACKING_PARAM_PATTERN`)
+      and the survivors SORTED — ``?b=2&a=1`` ≡ ``?a=1&b=2``;
+    - a trailing ``/`` on a non-root path dropped.
+
+    NULL/unparseable input → NULL (try_parse_url semantics), so garbage
+    rows never kill the scan. This is a dedup KEY, not a fetchable URL:
+    two pages that differ only in stripped components WILL collapse —
+    exactly the point — so keep the original column beside it."""
+    u = _col(url)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = extract_host(u)
+    raw_auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    port = F.regexp_extract(raw_auth, r":(\d+)$", 1)
+    keep_port = (
+        (port != F.lit(""))
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda kv: (kv != F.lit(""))
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).rlike(
+            TRACKING_PARAM_PATTERN
+        ),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        scheme.isNull() | host.isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            path,
+            F.when(
+                sorted_q != F.lit(""), F.concat(F.lit("?"), sorted_q)
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def dedup_by_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Keep one document per canonical URL (lowest id — deterministic),
+    appending ``out_col``. Rows whose URL is NULL/unparseable have no
+    key and all survive (they fall through to the content-dedup passes
+    downstream). One projection + one window on the canonical key —
+    URL dedup is the cheapest dedup pass, which is why crawl pipelines
+    run it FIRST, before any text is even extracted."""
+    keyed = docs.withColumn(out_col, canonical_url(F.col(url_col)))
+    w = Window.partitionBy(out_col).orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn(
+            "__url_rank",
+            F.when(F.col(out_col).isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .filter(F.col("__url_rank") == 1)
+        .drop("__url_rank")
+    )

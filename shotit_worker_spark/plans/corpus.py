@@ -41,6 +41,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     source_col: str = "source",
     url_col: str | None = None,
+    url_dedup: bool = False,
     normalize: bool = True,
     domain_blocklist: list[str] | DataFrame | None = None,
     max_docs_per_domain: int | None = None,
@@ -82,7 +83,10 @@ def prepare_corpus(
     rules — the standard escalation: cheap Catalyst rules cut volume
     first, model scoring runs on the survivors.
 
-    `lang_keep` filters to a language set right after normalize —
+    `url_dedup` (requires `url_col`) keeps one document per canonical
+    URL (functions/urls.canonical_url) as the FIRST dedup pass — the
+    cheapest one, run before any text processing, the crawl-pipeline
+    convention. `lang_keep` filters to a language set right after normalize —
     with `lang_model` (a trained classifier.train_lang_classifier
     model) via its map-only scorer, else via the marker heuristic
     (functions/text.lang_id). `semantic_threshold` enables SemDeDup
@@ -106,6 +110,8 @@ def prepare_corpus(
             f"(got perplexity_lm={'set' if perplexity_lm is not None else None}, "
             f"max_perplexity={max_perplexity!r})"
         )
+    if url_dedup and url_col is None:
+        raise ValueError("url_dedup requires url_col")
     if lang_model is not None and lang_keep is None:
         raise ValueError(
             "lang_model without lang_keep is a no-op — pass the "
@@ -159,6 +165,11 @@ def prepare_corpus(
         prev_cached = cur
 
     _mark("input")
+    if url_dedup:
+        cur = U.dedup_by_url(cur, url_col=url_col, id_col=id_col).drop(
+            "canonical_url"
+        )
+        _mark("url_dedup")
     if boilerplate_min_docs is not None:
         # BEFORE normalize: normalize_text collapses newlines, which
         # erases the line structure this stage matches on. (Line keys

@@ -318,3 +318,23 @@ def test_new_stage_param_validation(spark, docs):
         prepare_corpus(docs, None, embedder=object())
     with pytest.raises(ValueError, match="semantic_threshold"):
         prepare_corpus(docs, None, semantic_clusters=8)
+
+
+def test_url_dedup_stage(spark, docs):
+    planted = docs.limit(20).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") < 4,
+            F.lit("https://www.example.com/same?utm_source=x"),
+        ).otherwise(
+            F.concat(F.lit("https://example.com/p/"), F.col("doc_id"))
+        ),
+    )
+    res = prepare_corpus(
+        planted, None, url_col="url", url_dedup=True, quality=False,
+        exact_dedup=False, fuzzy_threshold=None, shuffle_seed=None,
+        report=True,
+    )
+    assert res["stages"]["url_dedup"] == 17  # 4 same-page variants -> 1
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_corpus(planted, None, url_dedup=True)

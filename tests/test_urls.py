@@ -100,3 +100,108 @@ def test_cap_per_domain(spark):
 
     with _pytest.raises(ValueError, match="max_docs"):
         cap_per_domain(df, 0)
+
+
+# -- r5: URL canonicalization + URL-level dedup -----------------------------
+
+
+def _canon_ref(url):
+    """Pure-python reference of canonical_url's documented rules."""
+    import re
+    from urllib.parse import urlsplit
+
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return None
+    if not p.scheme or not p.hostname:
+        return None
+    scheme = p.scheme.lower()
+    host = re.sub(r"^www\.", "", p.hostname.lower())
+    port = ""
+    if p.port is not None and not (
+        (scheme == "http" and p.port == 80)
+        or (scheme == "https" and p.port == 443)
+    ):
+        port = f":{p.port}"
+    path = p.path or ""
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    track = re.compile(
+        r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|igshid|mc_cid"
+        r"|mc_eid|yclid|_ga|_gl|ref|ref_src|spm|s_kwcid|sessionid"
+        r"|phpsessid|jsessionid|sid)$"
+    )
+    params = sorted(
+        kv
+        for kv in p.query.split("&")
+        if kv and not track.match(kv.split("=", 1)[0].lower())
+    )
+    q = "&".join(params)
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "")
+
+
+CANON_CASES = [
+    "https://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+    "http://example.com:80/page/",
+    "http://example.com:8080/page",
+    "https://sub.example.co.uk/x?gclid=123",
+    "https://example.com/?fbclid=abc&keep=1",
+    "https://example.com",
+    "http://example.com/a?z=9&a=1&m=5",
+    "https://example.com/path?sessionid=deadbeef",
+    "not a url at all",
+    None,
+]
+
+
+def test_canonical_url_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(CANON_CASES)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", U.canonical_url("url").alias("c")
+        ).collect()
+    }
+    for i, u in enumerate(CANON_CASES):
+        want = _canon_ref(u) if u is not None else None
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_url_collapses_variants(spark):
+    variants = [
+        "https://www.example.com/article?utm_campaign=x&id=7",
+        "https://example.com/article/?id=7",
+        "https://EXAMPLE.com:443/article?id=7&fbclid=zzz",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants)], "doc_id long, url string"
+    )
+    keys = {
+        r["c"]
+        for r in df.select(U.canonical_url("url").alias("c")).collect()
+    }
+    assert keys == {"https://example.com/article?id=7"}
+
+
+def test_dedup_by_url(spark):
+    rows = [
+        (0, "https://www.example.com/a?utm_source=x"),
+        (1, "https://example.com/a"),          # same canonical as 0
+        (2, "https://example.com/b"),
+        (3, None),                              # keyless: survives
+        (4, "::not-a-url::"),                   # keyless: survives
+        (5, "https://example.com/a/"),          # same canonical as 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = U.dedup_by_url(df)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 2, 3, 4}
+    canon = {
+        r["doc_id"]: r["canonical_url"] for r in kept.collect()
+    }
+    assert canon[0] == "https://example.com/a"
+    assert canon[3] is None and canon[4] is None
