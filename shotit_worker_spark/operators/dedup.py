@@ -488,3 +488,66 @@ def fuzzy_dedup_incremental(
     survivors = new_docs.join(hits, id_col, "left_anti")
     kept_bands = new_bands.join(hits, id_col, "left_anti")
     return survivors, kept_bands
+
+
+def plan_lsh_bands(
+    threshold: float,
+    num_hashes: int = 32,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Pick the MinHash-LSH banding (bands b × rows r = num_hashes)
+    for a Jaccard threshold — the S-curve calculation (Leskovec/
+    Rajaraman/Ullman ch. 3) done properly instead of eyeballed:
+
+        P(candidate | similarity s) = 1 − (1 − s^r)^b
+
+    For each divisor split (b, r) the expected error integrates the
+    S-curve miss mass above the threshold (false negatives, weighted
+    ``fn_weight``) and the catch mass below it (false positives,
+    weighted ``fp_weight``) under a uniform similarity prior —
+    dedup callers usually weight misses heavier (a survived duplicate
+    poisons training; a false candidate just costs one exact-verify
+    join row). Returns the chosen plan plus the candidate table:
+
+        {"num_bands": b, "rows_per_band": r, "threshold_50": t50,
+         "expected_error": e, "candidates": [...]}
+
+    ``threshold_50`` = (1/b)^(1/r), where the S-curve crosses 0.5 —
+    the classic rule of thumb; the exact integral picks the same b for
+    the common cases and resolves the ties the rule of thumb can't.
+    Driver-side arithmetic only (no Spark job) — feed ``num_bands``
+    into :func:`minhash_lsh_candidates` / :func:`minhash_band_table`.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    candidates = []
+    steps = 400
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        # integrate FN mass above t and FP mass below t (midpoint rule)
+        fn = fp = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= threshold:
+                fn += (1.0 - p) / steps
+            else:
+                fp += p / steps
+        err = fn_weight * fn + fp_weight * fp
+        candidates.append(
+            {
+                "num_bands": b,
+                "rows_per_band": r,
+                "threshold_50": (1.0 / b) ** (1.0 / r),
+                "fn_mass": fn,
+                "fp_mass": fp,
+                "expected_error": err,
+            }
+        )
+    best = min(candidates, key=lambda c: c["expected_error"])
+    return {**best, "candidates": candidates}

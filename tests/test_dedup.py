@@ -9,6 +9,8 @@ and a hash re-appearing after a gap.
 
 from __future__ import annotations
 
+import random
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -307,3 +309,66 @@ def test_fuzzy_incremental_empty_batch(spark):
     manifest = spark.createDataFrame([], "doc_id long, band_id int, band_hash bigint")
     kept, bands = fuzzy_dedup_incremental(empty, manifest)
     assert kept.count() == 0 and bands.count() == 0
+
+
+# -- r5: LSH band planner ---------------------------------------------------
+
+
+def test_plan_lsh_bands_math_and_monotonicity():
+    from shotit_worker_spark.operators.dedup import plan_lsh_bands
+
+    plan = plan_lsh_bands(0.8, num_hashes=32)
+    assert plan["num_bands"] * plan["rows_per_band"] == 32
+    # hand-checked S-curve midpoint: (1/b)^(1/r) must straddle ~0.8
+    assert 0.5 < plan["threshold_50"] < 0.95
+    # pure-python replay of the integral for the chosen split
+    b, r = plan["num_bands"], plan["rows_per_band"]
+    fn = fp = 0.0
+    for i in range(400):
+        s = (i + 0.5) / 400
+        p = 1.0 - (1.0 - s**r) ** b
+        if s >= 0.8:
+            fn += (1.0 - p) / 400
+        else:
+            fp += p / 400
+    assert plan["fn_mass"] == pytest.approx(fn)
+    assert plan["fp_mass"] == pytest.approx(fp)
+    # the chosen split beats every other divisor split
+    for c in plan["candidates"]:
+        assert plan["expected_error"] <= c["expected_error"] + 1e-12
+    # higher thresholds want MORE rows per band (steeper curve, higher
+    # crossover): t=0.9's r must be >= t=0.5's
+    lo = plan_lsh_bands(0.5, num_hashes=32)
+    hi = plan_lsh_bands(0.9, num_hashes=32)
+    assert hi["rows_per_band"] >= lo["rows_per_band"]
+    with pytest.raises(ValueError, match="threshold"):
+        plan_lsh_bands(1.5)
+
+
+def test_planned_bands_find_planted_dups(spark):
+    from shotit_worker_spark.operators import dedup as DD
+
+    rng = random.Random(91)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = {}
+    for d in range(60):
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(40))
+    # planted near-dups: copy with 2 tokens changed (high Jaccard)
+    for d in range(10):
+        toks = texts[d].split()
+        toks[5] = "CHANGED"
+        toks[20] = "ALSO"
+        texts[1000 + d] = " ".join(toks)
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    plan = DD.plan_lsh_bands(0.7, num_hashes=32, fn_weight=4.0)
+    sigs = DD.minhash_signatures(df)
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in DD.minhash_lsh_candidates(
+            sigs, num_bands=plan["num_bands"]
+        ).collect()
+    }
+    for d in range(10):
+        assert (d, 1000 + d) in cands or (1000 + d, d) in cands
