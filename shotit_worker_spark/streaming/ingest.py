@@ -91,3 +91,56 @@ def run_batchlike(query_starter, timeout_sec: float = 120.0) -> None:
     finally:
         if q.isActive:
             q.stop()
+
+
+def stream_index_ingest(
+    stream_df: DataFrame,
+    index,
+    checkpoint: str,
+    embedder=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_manifest: DataFrame | None = None,
+) -> StreamingQuery:
+    """Continuous index ingestion — the K3/K4 lifecycle under
+    Structured Streaming: each micro-batch optionally embeds raw text
+    (operators/embedding.TextEmbedder, map-only), optionally drops ids
+    already indexed (anti-join against a small broadcastable manifest —
+    the incremental-dedup posture; the reference's D2 idempotency), and
+    folds into the LIVE index with ``index.add`` (IVFIndex or
+    IVFPQIndex: assign to existing centroids, quantize/encode with
+    existing params, append partitions — no refit per batch, exactly
+    the reference loader's stream-into-built-collection shape,
+    loader.js:267-288).
+
+    foreachBatch + checkpoint give at-least-once per batch; ``add``
+    appends, so a replayed batch duplicates rows — pair with
+    ``dedup_manifest`` (or run compact_ivf + a dedup pass on the
+    maintenance cron) for effective-once, as documented for K1/T2.
+    Drift accumulates across adds: schedule plans/maintenance.ivf_drift
+    on the same cron that compacts."""
+    from pyspark.sql import functions as F
+
+    vec_col = index.vec_col
+
+    def _fold(batch_df, batch_id: int) -> None:
+        rows = batch_df
+        if dedup_manifest is not None:
+            rows = rows.join(
+                F.broadcast(dedup_manifest.select(id_col)), id_col,
+                "left_anti",
+            )
+        if embedder is not None:
+            rows = embedder.embed(
+                rows, text_col=text_col, out_col=vec_col
+            ).drop(text_col)
+        if rows.isEmpty():
+            return
+        index.add(rows.select(id_col, vec_col))
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

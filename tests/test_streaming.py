@@ -462,3 +462,89 @@ def test_text_embedder_under_streaming(spark, tmp_root):
         for r in emb.embed(batch).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_stream_index_ingest_e2e(spark, tmp_root):
+    """The full streaming ingest lifecycle: raw text docs arrive on a
+    file stream, embed in-engine, fold into a LIVE IVF index via
+    foreachBatch add — then a search over the grown index retrieves
+    the streamed documents (self-retrieval, normalized vectors)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.index import ivf
+    from shotit_worker_spark.operators import embedding as E
+    from shotit_worker_spark.streaming import ingest as SI
+
+    rng = random.Random(46)
+    words = (
+        "spark table scan merge sort filter join shuffle batch row "
+        "column index vector stream window"
+    ).split()
+    texts = {
+        i: " ".join(rng.choice(words) for _ in range(12)) for i in range(80)
+    }
+    corpus = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    emb = E.train_text_embedder(corpus, dim=32, min_df=1)
+    base_vecs = emb.embed(corpus, out_col="vector").select(
+        "doc_id", "vector"
+    )
+    idx = ivf.build_ivf(
+        base_vecs, str(tmp_root / "stream_ivf"), nlist=4
+    )
+
+    # new docs arrive on a stream (unique new vocab-combination rows)
+    new_texts = {
+        1000 + i: " ".join(rng.choice(words) for _ in range(12)) + f" novel{i}"
+        for i in range(6)
+    }
+    batch = spark.createDataFrame(
+        sorted(new_texts.items()), "doc_id long, text string"
+    )
+    src = tmp_root / "ingest_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=batch.schema, glob="*.parquet",
+        recursive=True,
+    )
+    q = SI.stream_index_ingest(
+        stream,
+        idx,
+        checkpoint=str(tmp_root / "ckpt_index_ingest"),
+        embedder=emb,
+        dedup_manifest=corpus.select("doc_id"),
+    )
+    q.awaitTermination(120)
+
+    grown = idx.load(spark)
+    assert grown.count() == 86
+    # streamed docs are retrievable: full-probe self-retrieval
+    probe_vec = np.array(
+        emb.embed(batch.filter("doc_id = 1003"), out_col="v")
+        .select("v")
+        .first()["v"]
+    )
+    top = idx.search(
+        spark, probe_vec, k=1, nprobe=4, id_col="doc_id", tie_col="doc_id"
+    ).first()
+    assert top["doc_id"] == 1003
+    # manifest dedup: replaying ids already indexed adds nothing
+    dup = corpus.limit(3)
+    dup.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    q2 = SI.stream_index_ingest(
+        SI.stream_parquet_source(
+            spark, str(src), schema=batch.schema, glob="*.parquet",
+            recursive=True,
+        ),
+        idx,
+        checkpoint=str(tmp_root / "ckpt_index_ingest"),
+        embedder=emb,
+        dedup_manifest=corpus.select("doc_id"),
+    )
+    q2.awaitTermination(120)
+    assert idx.load(spark).count() == 86  # b1's rows were all known ids
