@@ -269,3 +269,46 @@ def hash_split(
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last = F.lit(labels[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def temperature_weights(
+    df: DataFrame,
+    temperature: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> dict[str, float]:
+    """Per-source mixing weights from measured token mass with a
+    sampling temperature τ — the standard multilingual/multi-source
+    rebalancing dial (mBERT/XLM-R exponential smoothing; Gopher/LLaMA
+    report their mixtures in this form):
+
+        w_s ∝ n_s^(1/τ)
+
+    τ=1 reproduces natural proportions; τ→∞ approaches uniform (small
+    sources up-weighted); τ<1 sharpens toward the big sources. Returns
+    a normalized dict to feed straight into :func:`mix_corpora` —
+    which re-normalizes anyway, so the absolute scale is cosmetic.
+
+    Cost: ONE aggregation over the corpus (or over a manifest table —
+    pass the per-source totals frame with `token_count_col` to skip
+    the text scan, the mix_corpora recount posture)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = F.col(token_count_col) if token_count_col else bpe_token_count(
+        F.col(text_col)
+    )
+    rows = (
+        df.groupBy(source_col)
+        .agg(F.sum(counts).cast("double").alias("__toks"))
+        .collect()
+    )
+    raw = {
+        r[source_col]: float(r["__toks"] or 0.0) ** (1.0 / temperature)
+        for r in rows
+        if r[source_col] is not None and (r["__toks"] or 0.0) > 0
+    }
+    total = sum(raw.values())
+    if total <= 0:
+        raise ValueError("temperature_weights: no tokenizable sources")
+    return {s: w / total for s, w in raw.items()}

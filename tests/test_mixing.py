@@ -239,3 +239,62 @@ def test_hash_split_fractions(spark):
 
     with _pytest.raises(ValueError):
         hash_split(fractions={"a": 0.7, "b": 0.6})
+
+
+# -- r5: temperature-based source weighting ---------------------------------
+
+
+def test_temperature_weights_math(spark):
+    from shotit_worker_spark.operators.mixing import temperature_weights
+
+    rows = []
+    # three sources with token masses ~ 8:4:1 (8/4/1 docs x 10 words)
+    for s, n_docs in (("big", 8), ("mid", 4), ("tiny", 1)):
+        for i in range(n_docs):
+            rows.append((f"{s}{i}", s, "alpha beta gamma delta " * 2 + "end"))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    w1 = temperature_weights(df, temperature=1.0)
+    # tau=1: natural proportions
+    assert w1["big"] == pytest.approx(8 / 13, rel=1e-9)
+    assert w1["tiny"] == pytest.approx(1 / 13, rel=1e-9)
+
+    w_inf = temperature_weights(df, temperature=1e9)
+    for v in w_inf.values():
+        assert v == pytest.approx(1 / 3, rel=1e-6)  # tau→inf: uniform
+
+    w_sharp = temperature_weights(df, temperature=0.5)
+    assert w_sharp["big"] > w1["big"]  # tau<1 sharpens to big sources
+
+    # exact check of the power law at tau=2
+    w2 = temperature_weights(df, temperature=2.0)
+    import math
+
+    masses = {"big": 8.0, "mid": 4.0, "tiny": 1.0}
+    tot = sum(math.sqrt(m) for m in masses.values())
+    for s, m in masses.items():
+        assert w2[s] == pytest.approx(math.sqrt(m) / tot, rel=1e-9)
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights(df, temperature=0)
+
+
+def test_temperature_weights_feed_mix(spark):
+    from shotit_worker_spark.operators.mixing import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    rows = []
+    for s, n_docs in (("big", 40), ("tiny", 5)):
+        for i in range(n_docs):
+            rows.append((f"{s}{i}", s, "tok " * 20))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    w = temperature_weights(df, temperature=4.0)
+    mixed = mix_corpora(df, w, token_budget=400, source_col="source")
+    shares = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # tau=4 pulls tiny's share far above its 1/9 natural proportion
+    assert shares.get("tiny", 0) >= 5
