@@ -71,3 +71,65 @@ def test_estimate_and_guards(spark, sf_dir):
     assert estimate_row_bytes(empty) == 1.0
     with pytest.raises(ValueError, match="target_file_mb"):
         write_sized_parquet(docs, "/tmp/nope", target_file_mb=0)
+
+
+# -- r5: dataset manifest ---------------------------------------------------
+
+
+def test_manifest_round_trip_and_verify(spark, tmp_path):
+    import hashlib
+    import os
+
+    from shotit_worker_spark.sources.sized_writer import (
+        verify_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "ds")
+    df = spark.range(5_000).selectExpr("id", "id % 7 AS v")
+    df.repartition(4).write.parquet(path)
+
+    manifest = write_manifest(spark, path)
+    rows = manifest.collect()
+    files = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert {r["file_name"] for r in rows} == set(files)
+    assert sum(r["rows"] for r in rows) == 5_000
+    # bytes + md5 match the filesystem exactly
+    for r in rows:
+        blob = open(os.path.join(path, r["file_name"]), "rb").read()
+        assert r["bytes"] == len(blob)
+        assert r["md5"] == hashlib.md5(blob).hexdigest()
+
+    # pristine copy verifies clean
+    assert verify_manifest(spark, path, manifest).count() == 0
+
+    # corrupt one file -> "changed"; delete one -> "missing";
+    # add one -> "extra"
+    victim = os.path.join(path, files[0])
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[:-4] + b"XXXX")
+    # drop the local-FS .crc sidecar so the corruption surfaces as a
+    # parquet footer failure (the real-object-store path), not a
+    # Hadoop ChecksumFileSystem error that hides the file entirely
+    crc = os.path.join(path, f".{files[0]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    os.remove(os.path.join(path, files[1]))
+    extra = os.path.join(path, "part-extra.parquet")
+    spark.range(3).coalesce(1).write.parquet(str(tmp_path / "one"))
+    one = [
+        f
+        for f in os.listdir(str(tmp_path / "one"))
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(os.path.join(str(tmp_path / "one"), one), extra)
+
+    problems = {
+        r["file_name"]: r["problem"]
+        for r in verify_manifest(spark, path, manifest).collect()
+    }
+    assert problems[files[0]] == "changed"
+    assert problems[files[1]] == "missing"
+    assert problems["part-extra.parquet"] == "extra"
