@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sequence_pack", "sequence_pack_global"]
+__all__ = ["sequence_pack", "sequence_pack_global", "sequence_pack_nosplit"]
 
 
 def _pack_shard(order_cols: list[str], token_col: str, budget: int,
@@ -96,3 +96,92 @@ def sequence_pack_global(
     return df.withColumn(
         shard_col, _pack_shard(order_cols, token_col, budget, None)
     )
+
+
+def sequence_pack_nosplit(
+    df: DataFrame,
+    pack_keys: list[str],
+    token_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    budget: int = 8192,
+    shard_col: str = "local_shard",
+    order: str = "arrival",
+    oversize: str = "own_shard",
+) -> DataFrame:
+    """Packing under the NO-OVERFLOW discipline: a shard never exceeds
+    ``budget`` tokens (the cumsum form lets the straddling document
+    overshoot — right for pretraining streams that split documents at
+    shard boundaries, wrong for SFT/eval batching where documents must
+    stay whole and the overflow would be truncated away).
+
+    Greedy next-fit is inherently sequential, so it runs as ONE
+    applyInPandas pass per pack key — partition-parallel across keys
+    (the same scale posture as `sequence_pack`: keys are the
+    parallelism axis, a single key's rows must fit one task).
+
+    ``order``:
+      * ``"arrival"`` — next-fit in ``order_cols`` order (default
+        ``doc_id``): preserves an upstream curriculum/shuffle order;
+      * ``"length_desc"`` — first-fit-decreasing flavor: sort by token
+        count descending (ties by ``order_cols``) before packing.
+        Classic bin-packing: FFD wastes ≤ ~22% in the adversarial
+        worst case and far less in practice, at the cost of reordering
+        documents within the key.
+
+    ``oversize``: a document alone exceeding the budget gets its own
+    shard (``"own_shard"``) or raises (``"error"``). Deterministic for
+    a fixed input either way."""
+    import pandas as pd
+
+    if not pack_keys:
+        raise ValueError("pack_keys must be non-empty")
+    if order not in ("arrival", "length_desc"):
+        raise ValueError(f"order must be arrival|length_desc, got {order!r}")
+    if oversize not in ("own_shard", "error"):
+        raise ValueError(
+            f"oversize must be own_shard|error, got {oversize!r}"
+        )
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order_cols = order_cols or ["doc_id"]
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, `{shard_col}` bigint"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if order == "length_desc":
+            pdf = pdf.sort_values(
+                [token_col, *order_cols],
+                ascending=[False] + [True] * len(order_cols),
+            )
+        else:
+            pdf = pdf.sort_values(order_cols)
+        shards = []
+        shard = 0
+        used = 0
+        for tok in pdf[token_col]:
+            t = int(tok)
+            if t > budget:
+                if oversize == "error":
+                    raise ValueError(
+                        f"document of {t} tokens exceeds budget {budget}"
+                    )
+                # own shard: close the current one if it has content
+                if used > 0:
+                    shard += 1
+                shards.append(shard)
+                shard += 1
+                used = 0
+                continue
+            if used + t > budget:
+                shard += 1
+                used = 0
+            shards.append(shard)
+            used += t
+        out = pdf.copy()
+        out[shard_col] = shards
+        return out
+
+    return df.groupBy(*pack_keys).applyInPandas(_pack, out_schema)

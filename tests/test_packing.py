@@ -72,3 +72,104 @@ def test_global_guard_raises(spark, sf_dir):
 def test_empty_pack_keys_rejected(spark, sf_dir):
     with pytest.raises(ValueError, match="pack_keys"):
         P.sequence_pack(_staged(spark, sf_dir), pack_keys=[])
+
+
+# -- r5: no-overflow packing ------------------------------------------------
+
+
+def _nosplit_ref(rows, budget, order, oversize="own_shard"):
+    """Pure-python replay of sequence_pack_nosplit for one key."""
+    if order == "length_desc":
+        rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    else:
+        rows = sorted(rows, key=lambda r: r[0])
+    out = {}
+    shard = used = 0
+    for doc_id, tok in rows:
+        if tok > budget:
+            if used > 0:
+                shard += 1
+            out[doc_id] = shard
+            shard += 1
+            used = 0
+            continue
+        if used + tok > budget:
+            shard += 1
+            used = 0
+        out[doc_id] = shard
+        used += tok
+    return out
+
+
+@pytest.mark.parametrize("order", ["arrival", "length_desc"])
+def test_nosplit_differential_and_budget_invariant(spark, order):
+    import random
+
+    from shotit_worker_spark.operators.packing import sequence_pack_nosplit
+
+    rng = random.Random(81)
+    rows = [
+        (i, f"k{i % 3}", rng.randint(50, 900)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, n_tokens long")
+    got = {
+        (r["split"], r["doc_id"]): r["local_shard"]
+        for r in sequence_pack_nosplit(
+            df, ["split"], budget=2048, order=order
+        ).collect()
+    }
+    for key in ("k0", "k1", "k2"):
+        ref = _nosplit_ref(
+            [(i, t) for i, k, t in rows if k == key], 2048, order
+        )
+        for doc_id, shard in ref.items():
+            assert got[(key, doc_id)] == shard, (key, doc_id)
+    # the invariant the cumsum form cannot give: no shard over budget
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    toks = {(k, i): t for i, k, t in rows}
+    for (key, doc_id), shard in got.items():
+        fill[(key, shard)] += toks[(key, doc_id)]
+    assert all(v <= 2048 for v in fill.values())
+
+
+def test_nosplit_ffd_improves_fill(spark):
+    import random
+
+    from shotit_worker_spark.operators.packing import sequence_pack_nosplit
+
+    rng = random.Random(82)
+    # adversarial for arrival order: big docs interleaved with small
+    sizes = []
+    for i in range(120):
+        sizes.append(rng.choice([900, 800, 150, 120, 90]))
+    df = spark.createDataFrame(
+        [(i, "k", s) for i, s in enumerate(sizes)],
+        "doc_id long, split string, n_tokens long",
+    )
+
+    def n_shards(order):
+        out = sequence_pack_nosplit(df, ["split"], budget=1024, order=order)
+        return out.select("local_shard").distinct().count()
+
+    assert n_shards("length_desc") <= n_shards("arrival")
+
+
+def test_nosplit_oversize_paths(spark):
+    from shotit_worker_spark.operators.packing import sequence_pack_nosplit
+
+    df = spark.createDataFrame(
+        [(0, "k", 100), (1, "k", 5000), (2, "k", 100)],
+        "doc_id long, split string, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: r["local_shard"]
+        for r in sequence_pack_nosplit(df, ["split"], budget=1024).collect()
+    }
+    # the giant doc sits alone; neighbors pack around it
+    assert got[1] not in {got[0], got[2]}
+    with pytest.raises(Exception, match="exceeds budget"):
+        sequence_pack_nosplit(
+            df, ["split"], budget=1024, oversize="error"
+        ).collect()
