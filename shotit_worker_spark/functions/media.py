@@ -251,8 +251,15 @@ def _sample_mp4(
         return
     order = sorted(track.samples, key=lambda s: (s.pts, s.index))
     pts = [s.pts for s in order]
+    # Duration is bounded by the SAMPLE timeline, never by the mdhd
+    # header alone: a hostile/corrupt file declaring a huge duration
+    # over one sample would otherwise make n_out explode (billions of
+    # output slots). The last sample may display at most one generous
+    # frame interval past its pts; mdhd only wins within that bound.
     tail = pts[-1] - pts[-2] if len(pts) > 1 else 1.0 / fps
-    duration = max(track.duration, pts[-1] + tail)
+    tail = min(max(tail, 1.0 / fps), 10.0)
+    duration = min(max(track.duration, 0.0), pts[-1] + tail)
+    duration = max(duration, pts[-1] + 1.0 / fps)
     n_out = max(1, int(duration * fps))
     img_cache: dict[int, bytes] = {}
     for i in range(n_out):

@@ -116,11 +116,22 @@ def _fullbox(data: bytes, start: int) -> tuple[int, int, int]:
     return v, flags, start + 4
 
 
+def _check_entries(fourcc: str, n: int, p: int, e: int, entry: int) -> None:
+    """Entry count must fit the box body — a corrupt count otherwise
+    silently decodes SIBLING boxes' bytes as table entries."""
+    if n < 0 or p + n * entry > e:
+        raise MP4Error(
+            f"{fourcc} declares {n} entries but its box has only "
+            f"{e - p} bytes"
+        )
+
+
 def _parse_stts(data: bytes, b: int, e: int) -> list[tuple[int, int]]:
     _, _, p = _fullbox(data, b)
     (n,) = struct.unpack_from(">I", data, p)
-    out = []
     p += 4
+    _check_entries("stts", n, p, e, 8)
+    out = []
     for _ in range(n):
         cnt, delta = struct.unpack_from(">II", data, p)
         out.append((cnt, delta))
@@ -131,8 +142,9 @@ def _parse_stts(data: bytes, b: int, e: int) -> list[tuple[int, int]]:
 def _parse_ctts(data: bytes, b: int, e: int) -> list[tuple[int, int]]:
     v, _, p = _fullbox(data, b)
     (n,) = struct.unpack_from(">I", data, p)
-    out = []
     p += 4
+    _check_entries("ctts", n, p, e, 8)
+    out = []
     for _ in range(n):
         if v == 0:
             cnt, off = struct.unpack_from(">II", data, p)
@@ -147,6 +159,7 @@ def _parse_stss(data: bytes, b: int, e: int) -> set[int]:
     _, _, p = _fullbox(data, b)
     (n,) = struct.unpack_from(">I", data, p)
     p += 4
+    _check_entries("stss", n, p, e, 4)
     return {
         struct.unpack_from(">I", data, p + 4 * i)[0] - 1  # 1-based → 0-based
         for i in range(n)
@@ -159,6 +172,7 @@ def _parse_stsz(data: bytes, b: int, e: int) -> list[int]:
     p += 8
     if fixed:
         return [fixed] * n
+    _check_entries("stsz", n, p, e, 4)
     return list(struct.unpack_from(f">{n}I", data, p))
 
 
@@ -169,10 +183,17 @@ def _parse_stz2(data: bytes, b: int, e: int) -> list[int]:
     (n,) = struct.unpack_from(">I", data, p + 4)
     p += 8
     if field_size == 16:
+        _check_entries("stz2", n, p, e, 2)
         return list(struct.unpack_from(f">{n}H", data, p))
     if field_size == 8:
+        _check_entries("stz2", n, p, e, 1)
         return list(data[p : p + n])
     if field_size == 4:
+        if p + (n + 1) // 2 > e:
+            raise MP4Error(
+                f"stz2 declares {n} nibble entries but its box has only "
+                f"{e - p} bytes"
+            )
         out = []
         for i in range(n):
             byte = data[p + i // 2]
@@ -184,8 +205,9 @@ def _parse_stz2(data: bytes, b: int, e: int) -> list[int]:
 def _parse_stsc(data: bytes, b: int, e: int) -> list[tuple[int, int, int]]:
     _, _, p = _fullbox(data, b)
     (n,) = struct.unpack_from(">I", data, p)
-    out = []
     p += 4
+    _check_entries("stsc", n, p, e, 12)
+    out = []
     for _ in range(n):
         first_chunk, per_chunk, desc = struct.unpack_from(">III", data, p)
         out.append((first_chunk, per_chunk, desc))
@@ -199,6 +221,7 @@ def _parse_stco(data: bytes, b: int, e: int, wide: bool) -> list[int]:
     p += 4
     fmt = ">Q" if wide else ">I"
     step = 8 if wide else 4
+    _check_entries("co64" if wide else "stco", n, p, e, step)
     return [
         struct.unpack_from(fmt, data, p + step * i)[0] for i in range(n)
     ]

@@ -193,6 +193,9 @@ def canonical_url(url: ColumnOrName) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, F.lit(1), F.length(path) - 1),
     ).otherwise(path)
+    # RFC 3986 §6.2.3: for http(s) the empty path ≡ "/" — fold the bare
+    # root to "" so example.com and example.com/ share one key
+    path = F.when(path == F.lit("/"), F.lit("")).otherwise(path)
     query = F.try_parse_url(u, F.lit("QUERY"))
     params = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
@@ -234,14 +237,16 @@ def dedup_by_url(
     URL dedup is the cheapest dedup pass, which is why crawl pipelines
     run it FIRST, before any text is even extracted."""
     keyed = docs.withColumn(out_col, canonical_url(F.col(url_col)))
+    # keyless rows NEVER enter the window: at web scale a few percent
+    # of garbage URLs is hundreds of millions of rows all hashing to
+    # the single NULL partition — a guaranteed straggler/OOM. Their
+    # rank is 1 by construction, so split and union instead.
+    keyless = keyed.filter(F.col(out_col).isNull())
     w = Window.partitionBy(out_col).orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn(
-            "__url_rank",
-            F.when(F.col(out_col).isNull(), F.lit(1)).otherwise(
-                F.row_number().over(w)
-            ),
-        )
+    kept = (
+        keyed.filter(F.col(out_col).isNotNull())
+        .withColumn("__url_rank", F.row_number().over(w))
         .filter(F.col("__url_rank") == 1)
         .drop("__url_rank")
     )
+    return kept.unionByName(keyless)

@@ -122,11 +122,13 @@ def sequence_pack_nosplit(
     ``order``:
       * ``"arrival"`` — next-fit in ``order_cols`` order (default
         ``doc_id``): preserves an upstream curriculum/shuffle order;
-      * ``"length_desc"`` — first-fit-decreasing flavor: sort by token
-        count descending (ties by ``order_cols``) before packing.
-        Classic bin-packing: FFD wastes ≤ ~22% in the adversarial
-        worst case and far less in practice, at the cost of reordering
-        documents within the key.
+      * ``"length_desc"`` — first-fit decreasing: sort by token count
+        descending (ties by ``order_cols``), then place each document
+        in the FIRST open shard with room (closed shards are revisited
+        — true FFD, with its 11/9·OPT+6/9 bound), at the cost of
+        reordering documents within the key and an O(docs × shards)
+        worst-case scan per key (task-sized by construction; the scan
+        short-circuits on the first fit).
 
     ``oversize``: a document alone exceeding the budget gets its own
     shard (``"own_shard"``) or raises (``"error"``). Deterministic for
@@ -156,30 +158,53 @@ def sequence_pack_nosplit(
                 [token_col, *order_cols],
                 ascending=[False] + [True] * len(order_cols),
             )
+            # true first-fit decreasing: keep every shard open
+            remaining: list[int] = []
+            shards = []
+            for tok in pdf[token_col]:
+                t = int(tok)
+                if t > budget:
+                    if oversize == "error":
+                        raise ValueError(
+                            f"document of {t} tokens exceeds budget "
+                            f"{budget}"
+                        )
+                    shards.append(len(remaining))
+                    remaining.append(0)  # full: nothing else fits
+                    continue
+                for j, room in enumerate(remaining):
+                    if room >= t:
+                        shards.append(j)
+                        remaining[j] = room - t
+                        break
+                else:
+                    shards.append(len(remaining))
+                    remaining.append(budget - t)
         else:
-            pdf = pdf.sort_values(order_cols)
-        shards = []
-        shard = 0
-        used = 0
-        for tok in pdf[token_col]:
-            t = int(tok)
-            if t > budget:
-                if oversize == "error":
-                    raise ValueError(
-                        f"document of {t} tokens exceeds budget {budget}"
-                    )
-                # own shard: close the current one if it has content
-                if used > 0:
+            # arrival order: next-fit (preserves the upstream order —
+            # revisiting closed shards would interleave it)
+            shards = []
+            shard = 0
+            used = 0
+            for tok in pdf[token_col]:
+                t = int(tok)
+                if t > budget:
+                    if oversize == "error":
+                        raise ValueError(
+                            f"document of {t} tokens exceeds budget "
+                            f"{budget}"
+                        )
+                    if used > 0:
+                        shard += 1
+                    shards.append(shard)
                     shard += 1
+                    used = 0
+                    continue
+                if used + t > budget:
+                    shard += 1
+                    used = 0
                 shards.append(shard)
-                shard += 1
-                used = 0
-                continue
-            if used + t > budget:
-                shard += 1
-                used = 0
-            shards.append(shard)
-            used += t
+                used += t
         out = pdf.copy()
         out[shard_col] = shards
         return out

@@ -107,31 +107,27 @@ def write_sized_parquet(
     }
 
 
-def write_manifest(
-    spark,
-    data_path: str,
-    manifest_path: str | None = None,
-    checksum: bool = True,
-) -> DataFrame:
-    """Dataset manifest for a written parquet directory: one row per
-    data file with ``(file_name, bytes, rows, md5)`` — the
-    reproducibility artifact a released training corpus ships beside
-    the data (consumers verify their copy file-by-file; a regenerated
-    dataset diffs against the old manifest instead of re-reading 100 TB
-    of parquet).
+def _manifest_df(spark, data_path: str, checksum: bool) -> DataFrame:
+    """The manifest as a lazy DataFrame (shared by write + verify —
+    verification must not need write access beside the data). One
+    file-parallel binaryFile pass; rows come from the parquet FOOTER
+    via pyarrow (no schema inference, no column scan) and a torn file
+    yields NULL rows/md5 for its own row instead of failing the job.
 
-    ONE file-parallel binaryFile pass: bytes from the listing, md5 over
-    the content, and the row count from the parquet FOOTER metadata
-    (pyarrow) — no schema inference, no column scan, and a torn file
-    yields ``rows``/``md5`` NULL for that one row instead of failing
-    the job (the property a verification tool must have). The manifest
-    keys on FILE NAME, not full path, so a relocated copy verifies.
-    Writes a single parquet file under ``manifest_path`` (default
-    ``<data_path>_manifest``) and returns it as a DataFrame."""
+    Keys are paths RELATIVE to ``data_path`` (not basenames): Spark's
+    dynamic-partition writes reuse basenames across partition
+    directories, and a relocated copy still verifies because only the
+    root moves."""
     import hashlib as _hashlib
     import io as _io
 
     from pyspark.sql import functions as F
+
+    root = data_path.rstrip("/")
+    for pref in ("file://", "file:"):
+        if root.startswith(pref):
+            root = root[len(pref):]
+            break
 
     files = (
         spark.read.format("binaryFile")
@@ -145,11 +141,22 @@ def write_manifest(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def rel(uri: str) -> str:
+            s_ = uri
+            for pref in ("file://", "file:"):
+                if s_.startswith(pref):
+                    s_ = s_[len(pref):]
+                    break
+            i = s_.find(root)
+            if i >= 0:
+                return s_[i + len(root):].lstrip("/")
+            return s_.rsplit("/", 1)[-1]
+
         for pdf in batches:
             names, sizes, rows, md5s = [], [], [], []
             for path_, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
-                names.append(str(path_).rsplit("/", 1)[-1])
+                names.append(rel(str(path_)))
                 sizes.append(len(blob))
                 md5s.append(
                     _hashlib.md5(blob).hexdigest() if checksum else None
@@ -169,9 +176,26 @@ def write_manifest(
                 }
             )
 
-    manifest = files.mapInPandas(
+    return files.mapInPandas(
         _stats, "file_name string, bytes long, rows long, md5 string"
     ).orderBy("file_name")
+
+
+def write_manifest(
+    spark,
+    data_path: str,
+    manifest_path: str | None = None,
+    checksum: bool = True,
+) -> DataFrame:
+    """Dataset manifest for a written parquet directory: one row per
+    data file with ``(file_name, bytes, rows, md5)`` — the
+    reproducibility artifact a released training corpus ships beside
+    the data (consumers verify their copy file-by-file; a regenerated
+    dataset diffs against the old manifest instead of re-reading 100 TB
+    of parquet). See :func:`_manifest_df` for the pass shape. Writes a
+    single parquet file under ``manifest_path`` (default
+    ``<data_path>_manifest``) and returns it as a DataFrame."""
+    manifest = _manifest_df(spark, data_path, checksum)
     out = manifest_path or data_path.rstrip("/") + "_manifest"
     manifest.coalesce(1).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
@@ -187,15 +211,11 @@ def verify_manifest(
     mismatch, with a ``problem`` column (``missing`` — in the manifest
     but not on disk; ``extra`` — on disk but not in the manifest;
     ``changed`` — size/checksum/row drift). Empty result ⇒ verified.
-    Same two file-parallel passes as :func:`write_manifest`."""
+    READ-ONLY: the recomputed side stays a lazy DataFrame (a consumer
+    on a read-only mount — the released-corpus norm — can verify)."""
     from pyspark.sql import functions as F
 
-    current = write_manifest(
-        spark,
-        data_path,
-        manifest_path=data_path.rstrip("/") + "_manifest_check",
-        checksum=checksum,
-    )
+    current = _manifest_df(spark, data_path, checksum)
     m = manifest.select(
         "file_name",
         F.col("bytes").alias("m_bytes"),

@@ -101,6 +101,7 @@ def stream_index_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     dedup_manifest: DataFrame | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Continuous index ingestion — the K3/K4 lifecycle under
     Structured Streaming: each micro-batch optionally embeds raw text
@@ -118,7 +119,13 @@ def stream_index_ingest(
     ``dedup_manifest`` (or run compact_ivf + a dedup pass on the
     maintenance cron) for effective-once, as documented for K1/T2.
     Drift accumulates across adds: schedule plans/maintenance.ivf_drift
-    on the same cron that compacts."""
+    on the same cron that compacts.
+
+    Trigger: ``processing_time=None`` (default) drains the current
+    backlog and terminates (availableNow — the batch-ish test/catch-up
+    form); pass e.g. ``processing_time="30 seconds"`` for the
+    CONTINUOUS ingest posture where files landing after start keep
+    folding in until the query is stopped."""
     from pyspark.sql import functions as F
 
     vec_col = index.vec_col
@@ -134,13 +141,16 @@ def stream_index_ingest(
             rows = embedder.embed(
                 rows, text_col=text_col, out_col=vec_col
             ).drop(text_col)
-        if rows.isEmpty():
-            return
+        # no isEmpty() pre-check: it would run the anti-join + embed
+        # UDF once just to answer the question and then AGAIN for the
+        # write; add() on an empty batch appends no files
         index.add(rows.select(id_col, vec_col))
 
-    return (
-        stream_df.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

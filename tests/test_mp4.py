@@ -225,3 +225,49 @@ def test_g1_damaged_mp4_falls_to_stub(spark, tmp_path):
     rows = MD.decode_frames(videos, fps=12).collect()
     assert rows  # stub produced frames; the task did NOT die
     assert all(bytes(r["image"])[:2] == b"P6" for r in rows)
+
+
+def test_inflated_entry_count_inside_file_raises():
+    # review r5-2: a corrupt ctts/stts entry count whose reads stay
+    # INSIDE the file must raise (box-bound check), not silently decode
+    # sibling boxes' bytes as table entries
+    payloads = _samples(6)
+    data, _ = build_mp4(
+        payloads, [1000] * 6, ctts_offsets=[0, 0, 0, 0, 0, 0]
+    )
+    idx = data.index(b"ctts") + 8
+    count = int.from_bytes(data[idx : idx + 4], "big")
+    broken = data[:idx] + (count + 2).to_bytes(4, "big") + data[idx + 4 :]
+    with pytest.raises(M.MP4Error, match="declares"):
+        M.parse_mp4(broken)
+
+
+def test_huge_declared_duration_is_bounded(spark, tmp_path):
+    # review r5-1: one real sample + an absurd mdhd duration must not
+    # make the sampler emit billions of frames — duration is bounded by
+    # the sample timeline (+ a capped tail)
+    from shotit_worker_spark.functions import media as MD
+
+    payloads = _samples(2)
+    data, _ = build_mp4(payloads, [1, 1], timescale=1)
+    # inflate the mdhd duration field (v0: timescale at +12, dur at +16)
+    idx = data.index(b"mdhd") + 4  # fullbox version/flags
+    dur_off = idx + 4 + 8 + 4  # +ver/flags +times +timescale
+    assert int.from_bytes(data[dur_off : dur_off + 4], "big") == 2
+    broken = (
+        data[:dur_off] + (0x7FFFFFFF).to_bytes(4, "big") + data[dur_off + 4 :]
+    )
+    track = M.parse_mp4(broken)
+    assert track.duration > 1e8  # the header really is absurd
+    d = tmp_path / "huge" / "tt2"
+    d.mkdir(parents=True)
+    (d / "x.mp4").write_bytes(broken)
+    videos = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path / "huge"))
+        .select("path", "content")
+    )
+    rows = MD.decode_frames(videos, fps=12).collect()
+    # pts[-1]=1s + capped tail (<=10s) at 12 fps: at most ~132 slots
+    assert 0 < len(rows) <= 140

@@ -79,11 +79,25 @@ def test_empty_pack_keys_rejected(spark, sf_dir):
 
 def _nosplit_ref(rows, budget, order, oversize="own_shard"):
     """Pure-python replay of sequence_pack_nosplit for one key."""
+    out = {}
     if order == "length_desc":
         rows = sorted(rows, key=lambda r: (-r[1], r[0]))
-    else:
-        rows = sorted(rows, key=lambda r: r[0])
-    out = {}
+        remaining = []
+        for doc_id, tok in rows:
+            if tok > budget:
+                out[doc_id] = len(remaining)
+                remaining.append(0)
+                continue
+            for j, room in enumerate(remaining):
+                if room >= tok:
+                    out[doc_id] = j
+                    remaining[j] = room - tok
+                    break
+            else:
+                out[doc_id] = len(remaining)
+                remaining.append(budget - tok)
+        return out
+    rows = sorted(rows, key=lambda r: r[0])
     shard = used = 0
     for doc_id, tok in rows:
         if tok > budget:
@@ -154,6 +168,28 @@ def test_nosplit_ffd_improves_fill(spark):
         return out.select("local_shard").distinct().count()
 
     assert n_shards("length_desc") <= n_shards("arrival")
+
+
+def test_nosplit_ffd_revisits_closed_shards(spark):
+    # the review's counterexample: [6,6,6,4,4,4] at budget 10 —
+    # next-fit-decreasing gives 5 shards, true FFD gives 3
+    from shotit_worker_spark.operators.packing import sequence_pack_nosplit
+
+    df = spark.createDataFrame(
+        [(i, "k", t) for i, t in enumerate([6, 6, 6, 4, 4, 4])],
+        "doc_id long, split string, n_tokens long",
+    )
+    out = sequence_pack_nosplit(
+        df, ["split"], budget=10, order="length_desc"
+    )
+    assert out.select("local_shard").distinct().count() == 3
+    fills = {
+        r["local_shard"]: r["s"]
+        for r in out.groupBy("local_shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert all(v == 10 for v in fills.values())
 
 
 def test_nosplit_oversize_paths(spark):

@@ -133,3 +133,24 @@ def test_manifest_round_trip_and_verify(spark, tmp_path):
     assert problems[files[0]] == "changed"
     assert problems[files[1]] == "missing"
     assert problems["part-extra.parquet"] == "extra"
+
+
+def test_manifest_partitioned_layout_unique_keys(spark, tmp_path):
+    # dynamic-partition writes reuse basenames across partition dirs —
+    # manifest keys are RELATIVE paths, so each file stays unique and
+    # a pristine partitioned copy verifies clean
+    from shotit_worker_spark.sources.sized_writer import (
+        verify_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "pds")
+    df = spark.range(2_000).selectExpr("id", "CAST(id % 3 AS INT) AS part")
+    df.repartition(2).write.partitionBy("part").parquet(path)
+    manifest = write_manifest(spark, path)
+    rows = manifest.collect()
+    names = [r["file_name"] for r in rows]
+    assert len(names) == len(set(names))  # unique despite shared basenames
+    assert all("part=" in n for n in names)  # relative paths carried
+    assert sum(r["rows"] for r in rows) == 2_000
+    assert verify_manifest(spark, path, manifest).count() == 0

@@ -132,6 +132,8 @@ def _canon_ref(url):
         r"|mc_eid|yclid|_ga|_gl|ref|ref_src|spm|s_kwcid|sessionid"
         r"|phpsessid|jsessionid|sid)$"
     )
+    if path == "/":
+        path = ""
     params = sorted(
         kv
         for kv in p.query.split("&")
@@ -148,6 +150,7 @@ CANON_CASES = [
     "https://sub.example.co.uk/x?gclid=123",
     "https://example.com/?fbclid=abc&keep=1",
     "https://example.com",
+    "https://example.com/",
     "http://example.com/a?z=9&a=1&m=5",
     "https://example.com/path?sessionid=deadbeef",
     "not a url at all",
