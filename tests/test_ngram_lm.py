@@ -407,3 +407,30 @@ def test_kn_validation(spark):
         NL.train_kn_lm(df, n=1)
     with pytest.raises(ValueError, match="discount"):
         NL.train_kn_lm(df, n=2, discount=1.5)
+
+
+def test_kn_paragraph_filtering_composes(spark):
+    # the KN model drops into the CCNet-granularity paragraph filter
+    # unchanged (same .score contract as Stupid Backoff)
+    rng = random.Random(44)
+    phrases = ["the cat sat on the mat", "the dog ran fast"]
+    train = {f"t{i}": rng.choice(phrases) for i in range(60)}
+    lm = NL.train_kn_lm(_mk(spark, train), n=2)
+    docs = _mk(
+        spark,
+        {
+            "mixed": "the cat sat on the mat\n\nzz qq gibberish ww vv\n\n"
+            "the dog ran fast"
+        },
+    )
+    ppl = {
+        r["para_pos"]: r["perplexity"]
+        for r in NL.paragraph_perplexities(docs, lm).collect()
+    }
+    assert ppl[1] > ppl[0] and ppl[1] > ppl[2]
+    cleaned = NL.remove_high_perplexity_paragraphs(
+        docs, lm, max_perplexity=(ppl[0] + ppl[1]) / 2
+    ).first()["text"]
+    assert "gibberish" not in cleaned
+    assert "the cat sat on the mat" in cleaned
+    assert "the dog ran fast" in cleaned

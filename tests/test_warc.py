@@ -212,3 +212,45 @@ def test_crawl_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from crawl_sink").collect()
     }
     assert srows == brows
+
+
+def test_crawl_to_prepared_corpus_two_calls(spark, tmp_path):
+    """The full crawl-to-corpus story in two calls: crawl_text over a
+    WARC archive, prepare_corpus over its rows (URL dedup on the real
+    target_uri, normalize, exact dedup) — pinning that the two plans
+    compose without glue code."""
+    from shotit_worker_spark.plans import crawl as CR
+    from shotit_worker_spark.plans.corpus import prepare_corpus
+    from pyspark.sql import functions as F
+
+    _crawl_fixture_files(tmp_path, n_files=3)
+    texts = CR.crawl_text(
+        spark, str(tmp_path),
+        frequent_lines=["subscribe to our newsletter"],
+    )
+    docs = texts.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "text",
+        F.lit("crawl").alias("source"),
+    )
+    res = prepare_corpus(
+        docs,
+        None,
+        url_col="url",
+        url_dedup=True,
+        quality=False,
+        exact_dedup=True,
+        fuzzy_threshold=None,
+        shuffle_seed=None,
+        report=True,
+    )
+    # 6 html pages, all distinct urls and (after the per-page markers)
+    # distinct texts -> everything survives; stage rows prove each
+    # stage actually ran on the crawl output
+    assert res["stages"]["input"] == 6
+    assert res["stages"]["url_dedup"] == 6
+    assert res["stages"]["exact_dedup"] == 6
+    out = res["df"].collect()
+    assert all("subscribe" not in r["text"].lower() for r in out)
+    assert all("Real content" in r["text"] for r in out)
