@@ -250,3 +250,75 @@ def dedup_by_url(
         .drop("__url_rank")
     )
     return kept.unionByName(keyless)
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    suffixes: DataFrame,
+    host_col: str,
+    out_col: str = "registered_domain",
+    max_labels: int = 5,
+) -> DataFrame:
+    """Registered domain against a FULL suffix table (the public suffix
+    list posture the embedded :data:`SECOND_LEVEL_SUFFIXES` set
+    deliberately approximates — see module docstring). ``suffixes`` is
+    a one-column DataFrame (``suffix``) of public suffixes (e.g. the
+    PSL's ICANN section, loaded by the caller — this environment ships
+    no copy).
+
+    Shape: each host explodes into its trailing 1..``max_labels``-label
+    candidate suffixes (PSL entries beyond 4 labels are exotic), the
+    candidates broadcast-semi-join the suffix table, the LONGEST match
+    wins per host, and the registrant is that match plus one more
+    label. Hosts matching no suffix fall back to the last-2-labels
+    rule; hosts that ARE a bare suffix return NULL (no registrant).
+    One explode + one broadcast join + one max-aggregation — corpus
+    rows never shuffle wider than (host, matched-length)."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    cands = F.filter(
+        F.array(
+            *[
+                F.when(
+                    n >= k,
+                    F.array_join(F.slice(parts, n - k + 1, k), "."),
+                )
+                for k in range(1, max_labels + 1)
+            ]
+        ),
+        lambda c: c.isNotNull(),
+    )
+    exploded = df.select(
+        F.col(host_col).alias("__host"), F.explode(cands).alias("__cand")
+    )
+    matched = (
+        exploded.join(
+            F.broadcast(
+                suffixes.select(F.col("suffix").alias("__cand")).distinct()
+            ),
+            "__cand",
+        )
+        .groupBy("__host")
+        .agg(
+            F.max(
+                F.size(F.split(F.col("__cand"), r"\."))
+            ).alias("__sfx_labels")
+        )
+    )
+    joined = df.join(
+        matched, F.col(host_col) == F.col("__host"), "left"
+    ).drop("__host")
+    parts2 = F.split(F.col(host_col), r"\.")
+    n2 = F.size(parts2)
+    reg_labels = F.col("__sfx_labels") + 1
+    reg = F.when(
+        F.col("__sfx_labels").isNull(),
+        registered_domain(F.col(host_col)),  # no PSL hit: 2-label rule
+    ).when(
+        n2 < reg_labels, F.lit(None).cast("string")  # host IS a suffix
+    ).otherwise(
+        F.array_join(
+            F.slice(parts2, n2 - reg_labels + 1, reg_labels), "."
+        )
+    )
+    return joined.withColumn(out_col, reg).drop("__sfx_labels")

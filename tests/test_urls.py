@@ -208,3 +208,27 @@ def test_dedup_by_url(spark):
     }
     assert canon[0] == "https://example.com/a"
     assert canon[3] is None and canon[4] is None
+
+
+def test_registered_domain_psl_table(spark):
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("github.io",), ("uk",), ("io",)],
+        "suffix string",
+    )
+    hosts = [
+        (0, "a.b.example.co.uk", "example.co.uk"),   # 2-label suffix
+        (1, "www2.example.com", "example.com"),       # 1-label suffix
+        (2, "user.github.io", "user.github.io"),      # 2-label PSL entry
+        (3, "deep.sub.user.github.io", "user.github.io"),
+        (4, "example.zz", "example.zz"),              # no PSL hit: 2-label rule
+        (5, "co.uk", None),                           # host IS a suffix
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in hosts], "doc_id long, host string"
+    )
+    got = {
+        r["doc_id"]: r["registered_domain"]
+        for r in U.registered_domain_psl(df, psl, "host").collect()
+    }
+    for i, h, want in hosts:
+        assert got[i] == want, (h, got[i], want)
