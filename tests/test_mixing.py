@@ -298,3 +298,36 @@ def test_temperature_weights_feed_mix(spark):
     }
     # tau=4 pulls tiny's share far above its 1/9 natural proportion
     assert shares.get("tiny", 0) >= 5
+
+
+def test_dsir_with_kn_models(spark):
+    # DSIR's LM slots accept the Kneser-Ney model (same .score
+    # contract): in-domain enrichment holds with KN weights too
+    import random
+
+    from shotit_worker_spark.operators.mixing import dsir_select
+    from shotit_worker_spark.operators.ngram_lm import train_kn_lm
+
+    rng = random.Random(83)
+    target_words = "the cat sat on the mat by the red barn".split()
+    offdom_words = "zorp qux flib wub tron glak vex nid polt brim".split()
+
+    def doc(words):
+        return " ".join(rng.choice(words) for _ in range(rng.randint(8, 20)))
+
+    target_seed = spark.createDataFrame(
+        [(f"t{i}", doc(target_words)) for i in range(40)], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(i, doc(target_words if i % 2 == 0 else offdom_words))
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    picked = dsir_select(
+        raw, train_kn_lm(target_seed, n=2), train_kn_lm(raw, n=2),
+        n_select=50, seed=3,
+    )
+    rows = picked.collect()
+    assert len(rows) == 50
+    in_domain = sum(1 for r in rows if r["doc_id"] % 2 == 0)
+    assert in_domain >= 40  # strong enrichment over the 50% base rate
