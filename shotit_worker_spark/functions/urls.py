@@ -257,68 +257,84 @@ def registered_domain_psl(
     suffixes: DataFrame,
     host_col: str,
     out_col: str = "registered_domain",
-    max_labels: int = 5,
+    max_rules: int = 500_000,
 ) -> DataFrame:
-    """Registered domain against a FULL suffix table (the public suffix
-    list posture the embedded :data:`SECOND_LEVEL_SUFFIXES` set
-    deliberately approximates — see module docstring). ``suffixes`` is
-    a one-column DataFrame (``suffix``) of public suffixes (e.g. the
-    PSL's ICANN section, loaded by the caller — this environment ships
-    no copy).
+    """Registered domain under FULL public-suffix-list semantics — the
+    posture the embedded :data:`SECOND_LEVEL_SUFFIXES` set deliberately
+    approximates. ``suffixes`` is a one-column DataFrame (``suffix``)
+    of PSL rules AS PUBLISHED: literal suffixes (``co.uk``), wildcard
+    rules (``*.ck`` — any single label under ck is a suffix), and
+    exception rules (``!www.ck`` — carves a registrant back out of a
+    wildcard). publicsuffix.org algorithm: exception rules prevail,
+    else the longest matching rule; no match ⇒ the implicit ``*`` rule
+    (last label is the suffix, registrant = last two labels). A host
+    that IS a bare suffix has no registrant → NULL.
 
-    Shape: each host explodes into its trailing 1..``max_labels``-label
-    candidate suffixes (PSL entries beyond 4 labels are exotic), the
-    candidates broadcast-semi-join the suffix table, the LONGEST match
-    wins per host, and the registrant is that match plus one more
-    label. Hosts matching no suffix fall back to the last-2-labels
-    rule; hosts that ARE a bare suffix return NULL (no registrant).
-    One explode + one broadcast join + one max-aggregation — corpus
-    rows never shuffle wider than (host, matched-length)."""
-    parts = F.split(F.col(host_col), r"\.")
-    n = F.size(parts)
-    cands = F.filter(
-        F.array(
-            *[
-                F.when(
-                    n >= k,
-                    F.array_join(F.slice(parts, n - k + 1, k), "."),
-                )
-                for k in range(1, max_labels + 1)
-            ]
-        ),
-        lambda c: c.isNotNull(),
-    )
-    exploded = df.select(
-        F.col(host_col).alias("__host"), F.explode(cands).alias("__cand")
-    )
-    matched = (
-        exploded.join(
-            F.broadcast(
-                suffixes.select(F.col("suffix").alias("__cand")).distinct()
-            ),
-            "__cand",
+    Scale shape: the PSL is RULE-small (≈10k lines), so the rules
+    collect to the driver once (guarded by ``max_rules``) and ship in
+    the task closure; matching is ONE map-only Arrow stage per corpus
+    row — zero shuffles, no joins, corpus columns never move."""
+    import pandas as pd
+
+    if "suffix" not in suffixes.columns:
+        raise ValueError("suffixes DataFrame needs a 'suffix' column")
+    n_rules = suffixes.count()
+    if n_rules > max_rules:
+        raise ValueError(
+            f"suffix table has {n_rules} rows (> max_rules={max_rules}) — "
+            "not a public suffix list; this path broadcasts rules in the "
+            "closure"
         )
-        .groupBy("__host")
-        .agg(
-            F.max(
-                F.size(F.split(F.col("__cand"), r"\."))
-            ).alias("__sfx_labels")
-        )
-    )
-    joined = df.join(
-        matched, F.col(host_col) == F.col("__host"), "left"
-    ).drop("__host")
-    parts2 = F.split(F.col(host_col), r"\.")
-    n2 = F.size(parts2)
-    reg_labels = F.col("__sfx_labels") + 1
-    reg = F.when(
-        F.col("__sfx_labels").isNull(),
-        registered_domain(F.col(host_col)),  # no PSL hit: 2-label rule
-    ).when(
-        n2 < reg_labels, F.lit(None).cast("string")  # host IS a suffix
-    ).otherwise(
-        F.array_join(
-            F.slice(parts2, n2 - reg_labels + 1, reg_labels), "."
-        )
-    )
-    return joined.withColumn(out_col, reg).drop("__sfx_labels")
+    exact: set[str] = set()
+    wildcard_base: set[str] = set()
+    exception: set[str] = set()
+    for r in suffixes.select("suffix").collect():
+        rule = (r["suffix"] or "").strip().lower()
+        if not rule:
+            continue
+        if rule.startswith("!"):
+            exception.add(rule[1:])
+        elif rule.startswith("*."):
+            wildcard_base.add(rule[2:])
+        else:
+            exact.add(rule)
+
+    def _reg(hosts: pd.Series) -> pd.Series:
+        out = []
+        for h in hosts:
+            if h is None:
+                out.append(None)
+                continue
+            labels = str(h).lower().split(".")
+            n = len(labels)
+            sfx_len = None
+            # exception rules prevail (PSL: "If more than one rule
+            # matches, the prevailing rule is the exception rule")
+            for k in range(n, 0, -1):
+                cand = ".".join(labels[n - k:])
+                if cand in exception:
+                    sfx_len = k - 1  # the exception IS a registrant
+                    break
+            if sfx_len is None:
+                best = 0
+                for k in range(1, n + 1):
+                    cand = ".".join(labels[n - k:])
+                    if cand in exact and k > best:
+                        best = k
+                    # '*.X' matches one extra label under X
+                    if k >= 2 and ".".join(labels[n - k + 1:]) in (
+                        wildcard_base
+                    ):
+                        if k > best:
+                            best = k
+                sfx_len = best if best else 1  # implicit '*' rule
+            reg_len = sfx_len + 1
+            if n < reg_len:
+                out.append(None)  # host IS a public suffix
+            else:
+                out.append(".".join(labels[n - reg_len:]))
+        return pd.Series(out, dtype="object")
+
+    _reg.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
+    reg_udf = F.pandas_udf(_reg, "string")
+    return df.withColumn(out_col, reg_udf(F.col(host_col)))

@@ -211,24 +211,39 @@ def test_dedup_by_url(spark):
 
 
 def test_registered_domain_psl_table(spark):
+    # real PSL rule kinds: literal, wildcard (*.ck), exception (!www.ck)
     psl = spark.createDataFrame(
-        [("com",), ("co.uk",), ("github.io",), ("uk",), ("io",)],
+        [("com",), ("co.uk",), ("github.io",), ("uk",), ("io",),
+         ("*.ck",), ("!www.ck",), ("ck",)],
         "suffix string",
     )
     hosts = [
-        (0, "a.b.example.co.uk", "example.co.uk"),   # 2-label suffix
-        (1, "www2.example.com", "example.com"),       # 1-label suffix
-        (2, "user.github.io", "user.github.io"),      # 2-label PSL entry
+        (0, "a.b.example.co.uk", "example.co.uk"),   # 2-label literal
+        (1, "www2.example.com", "example.com"),       # 1-label literal
+        (2, "user.github.io", "user.github.io"),      # 2-label literal
         (3, "deep.sub.user.github.io", "user.github.io"),
-        (4, "example.zz", "example.zz"),              # no PSL hit: 2-label rule
+        (4, "example.zz", "example.zz"),              # implicit * rule
         (5, "co.uk", None),                           # host IS a suffix
+        # wildcard: gov.ck is a public suffix via *.ck
+        (6, "foo.gov.ck", "foo.gov.ck"),
+        (7, "deep.foo.gov.ck", "foo.gov.ck"),
+        (8, "gov.ck", None),                          # matches *.ck itself
+        # exception: !www.ck carves www.ck out as a registrant
+        (9, "www.ck", "www.ck"),
+        (10, "sub.www.ck", "www.ck"),
+        (11, None, None),                             # NULL passthrough
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in hosts], "doc_id long, host string"
     )
-    got = {
-        r["doc_id"]: r["registered_domain"]
-        for r in U.registered_domain_psl(df, psl, "host").collect()
-    }
+    out = U.registered_domain_psl(df, psl, "host")
+    got = {r["doc_id"]: r["registered_domain"] for r in out.collect()}
     for i, h, want in hosts:
         assert got[i] == want, (h, got[i], want)
+    # map-only: the corpus never shuffles for PSL matching
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="suffix"):
+        U.registered_domain_psl(
+            df, psl.withColumnRenamed("suffix", "domain"), "host"
+        )
