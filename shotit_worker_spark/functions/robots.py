@@ -1,0 +1,150 @@
+"""robots.txt compliance filtering for crawl-derived corpora.
+
+Responsible web-corpus pipelines drop pages a site's robots.txt
+disallows (the C4/RefinedWeb hygiene posture — over-blocking is safe,
+under-blocking is not). The rules usually come from the crawl ITSELF:
+Common Crawl archives each host's ``/robots.txt`` response alongside
+the pages, so the pipeline is crawl → extract rules → filter the same
+crawl, no extra fetching.
+
+Scope (documented simplification): the original REP ``User-agent: *``
+groups and their ``Disallow`` prefix rules. ``Allow`` rules and
+non-``*`` agent groups are IGNORED, which only ever drops MORE pages —
+the conservative direction for corpus hygiene (a compliance filter
+must never under-block; a page wrongly dropped costs one document).
+``Disallow:`` with an empty value permits everything (per spec).
+
+Scale shape: rules are host-count-sized (one robots.txt per host, a
+handful of prefixes each) — they aggregate to one array per host and
+broadcast; the page-side check is a broadcast LEFT join plus an
+``exists(prefixes, startswith)`` predicate riding the same scan. Zero
+corpus shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urls import extract_host
+
+__all__ = [
+    "parse_robots_txt",
+    "robots_rules",
+    "robots_rules_from_crawl",
+    "filter_robots_disallowed",
+]
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """Disallow prefixes applying to ``user_agent`` (exact group match;
+    the default ``*`` is what a generic corpus crawler honors). Groups
+    per REP: ``User-agent`` lines open a group (several in a row share
+    it), ``Disallow`` lines attach to the open group; comments (#) and
+    blank lines per spec. Empty ``Disallow:`` means allow-all and
+    contributes no prefix."""
+    prefixes: list[str] = []
+    active = False
+    saw_rule_in_group = False
+    ua = user_agent.lower()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if saw_rule_in_group:
+                # a new group starts; reset membership
+                active = False
+                saw_rule_in_group = False
+            if val.lower() == ua:
+                active = True
+        elif key in ("disallow", "allow"):
+            saw_rule_in_group = True
+            if key == "disallow" and active and val:
+                prefixes.append(val)
+    return prefixes
+
+
+def robots_rules(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into ``(host, prefix)`` rows —
+    one mapInPandas stage over the (host-count-sized) robots table."""
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf in batches:
+            hosts, prefs = [], []
+            for h, t in zip(pdf[host_col], pdf[text_col]):
+                if h is None:
+                    continue
+                body = t if isinstance(t, str) else (
+                    bytes(t).decode("utf-8", "replace") if t is not None
+                    else ""
+                )
+                for p in parse_robots_txt(body, user_agent):
+                    hosts.append(h)
+                    prefs.append(p)
+            yield pd.DataFrame({"host": hosts, "prefix": prefs})
+
+    return docs.select(host_col, text_col).mapInPandas(
+        _parse, "host string, prefix string"
+    )
+
+
+def robots_rules_from_crawl(
+    records: DataFrame, user_agent: str = "*"
+) -> DataFrame:
+    """Extract ``(host, prefix)`` rules from a WARC record frame
+    (sources/warc WARC_SCHEMA): the crawl's own ``/robots.txt``
+    responses ARE the rule source — no extra fetching. Non-2xx robots
+    responses are skipped (an unfetchable robots.txt blocks nothing,
+    matching crawler behavior)."""
+    robots = records.filter(
+        F.col("http_status").between(200, 299)
+        & F.lower(F.coalesce(F.col("target_uri"), F.lit(""))).rlike(
+            r"^https?://[^/]+/robots\.txt(\?.*)?$"
+        )
+    ).select(
+        extract_host(F.col("target_uri")).alias("host"),
+        F.col("payload").alias("text"),
+    )
+    return robots_rules(robots, user_agent=user_agent)
+
+
+def filter_robots_disallowed(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL path falls under a Disallow prefix of its
+    host's rules. Hosts with no rules (or unparseable URLs) pass —
+    robots filtering removes KNOWN-disallowed pages, nothing else.
+    One small aggregation of the rules + a broadcast LEFT join + an
+    ``exists`` predicate; the corpus never shuffles."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list("prefix").alias("__rb_prefixes")
+    )
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    tagged = docs.withColumn(
+        "__rb_host", extract_host(F.col(url_col))
+    ).withColumn("__rb_path", path)
+    joined = tagged.join(F.broadcast(per_host),
+                         F.col("__rb_host") == F.col("host"), "left")
+    blocked = F.exists(
+        F.col("__rb_prefixes"),
+        lambda p: F.col("__rb_path").startswith(p),
+    )
+    return (
+        joined.filter(~F.coalesce(blocked, F.lit(False)))
+        .drop("__rb_host", "__rb_path", "host", "__rb_prefixes")
+    )

@@ -1,0 +1,140 @@
+"""robots.txt compliance filtering (functions/robots): parser groups,
+rule extraction from a WARC crawl, and the conservative page filter."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from gen_warc_fixture import build_fixture, http_response, warc_record  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.functions import robots as RB  # noqa: E402
+
+
+ROBOTS_A = """\
+# comment line
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok
+Disallow:
+
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_parse_robots_groups_and_comments():
+    got = RB.parse_robots_txt(ROBOTS_A)
+    # only the * group's non-empty Disallows; Allow ignored
+    # (conservative), googlebot/otherbot groups skipped
+    assert got == ["/private/", "/tmp"]
+    assert RB.parse_robots_txt(ROBOTS_A, user_agent="googlebot") == [
+        "/google-only/"
+    ]
+    assert RB.parse_robots_txt("") == []
+    assert RB.parse_robots_txt(None) == []
+    # shared group: two user-agents over one rule block
+    shared = "User-agent: a\nUser-agent: *\nDisallow: /x/"
+    assert RB.parse_robots_txt(shared) == ["/x/"]
+
+
+def test_filter_robots_disallowed(spark):
+    rules = spark.createDataFrame(
+        [("site.example", "/private/"), ("site.example", "/tmp")],
+        "host string, prefix string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "https://site.example/public/page"),
+            (1, "https://site.example/private/secret"),
+            (2, "https://www.site.example/tmpfile"),   # /tmp prefix hits
+            (3, "https://other.example/private/fine"),  # no rules: passes
+            (4, None),                                  # unparseable: passes
+            (5, "https://site.example"),                # root: passes
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in RB.filter_robots_disallowed(docs, rules).collect()}
+    assert kept == {0, 3, 4, 5}
+
+
+def test_rules_from_crawl_and_filter_e2e(spark, tmp_path):
+    """The closed loop: the crawl's own robots.txt responses filter the
+    crawl's own pages — no external rule source."""
+    from shotit_worker_spark.sources.warc import read_warc
+
+    recs = [
+        warc_record(
+            "response",
+            http_response(
+                b"User-agent: *\r\nDisallow: /members/\r\n",
+                ctype="text/plain",
+            ),
+            uri="https://a.example/robots.txt",
+            record_id="<urn:uuid:rob-a>",
+        ),
+        warc_record(
+            "response", http_response(b"<html><body>open</body></html>"),
+            uri="https://a.example/articles/1",
+            record_id="<urn:uuid:a1>",
+        ),
+        warc_record(
+            "response", http_response(b"<html><body>blocked</body></html>"),
+            uri="https://a.example/members/profile",
+            record_id="<urn:uuid:a2>",
+        ),
+        # a 404 robots.txt blocks nothing
+        warc_record(
+            "response", http_response(b"nope", status=404),
+            uri="https://b.example/robots.txt",
+            record_id="<urn:uuid:rob-b>",
+        ),
+        warc_record(
+            "response", http_response(b"<html><body>fine</body></html>"),
+            uri="https://b.example/members/anything",
+            record_id="<urn:uuid:b1>",
+        ),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(build_fixture(recs, gzipped=True))
+    records = read_warc(spark, str(tmp_path))
+    rules = RB.robots_rules_from_crawl(records)
+    assert {(r["host"], r["prefix"]) for r in rules.collect()} == {
+        ("a.example", "/members/")
+    }
+    pages = records.filter(
+        ~F.col("target_uri").contains("robots.txt")
+    ).select("record_id", F.col("target_uri").alias("url"))
+    kept = {
+        r["record_id"]
+        for r in RB.filter_robots_disallowed(pages, rules).collect()
+    }
+    assert kept == {"<urn:uuid:a1>", "<urn:uuid:b1>"}
+
+
+def test_filter_is_broadcast_no_corpus_shuffle(spark):
+    rules = spark.createDataFrame(
+        [("x.example", "/no/")], "host string, prefix string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"https://x.example/p{i}") for i in range(50)],
+        "doc_id long, url string",
+    )
+    plan = (
+        RB.filter_robots_disallowed(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
