@@ -1,1 +1,1 @@
-from . import bpe, pii, scalar, text, urls, vector
+from . import bpe, pii, robots, scalar, text, urls, vector
