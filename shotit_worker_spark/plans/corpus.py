@@ -42,6 +42,7 @@ def prepare_corpus(
     source_col: str = "source",
     url_col: str | None = None,
     url_dedup: bool = False,
+    robots_rules: DataFrame | None = None,
     normalize: bool = True,
     domain_blocklist: list[str] | DataFrame | None = None,
     max_docs_per_domain: int | None = None,
@@ -86,7 +87,10 @@ def prepare_corpus(
     `url_dedup` (requires `url_col`) keeps one document per canonical
     URL (functions/urls.canonical_url) as the FIRST dedup pass — the
     cheapest one, run before any text processing, the crawl-pipeline
-    convention. `lang_keep` filters to a language set right after normalize —
+    convention. `robots_rules` (requires `url_col`; a (host, prefix)
+    frame — typically functions/robots.robots_rules_from_crawl over
+    the same archive) drops robots-disallowed pages immediately after,
+    before any compute is spent on them. `lang_keep` filters to a language set right after normalize —
     with `lang_model` (a trained classifier.train_lang_classifier
     model) via its map-only scorer, else via the marker heuristic
     (functions/text.lang_id). `semantic_threshold` enables SemDeDup
@@ -112,6 +116,8 @@ def prepare_corpus(
         )
     if url_dedup and url_col is None:
         raise ValueError("url_dedup requires url_col")
+    if robots_rules is not None and url_col is None:
+        raise ValueError("robots_rules requires url_col")
     if lang_model is not None and lang_keep is None:
         raise ValueError(
             "lang_model without lang_keep is a no-op — pass the "
@@ -170,6 +176,11 @@ def prepare_corpus(
             "canonical_url"
         )
         _mark("url_dedup")
+    if robots_rules is not None:
+        from ..functions import robots as RB
+
+        cur = RB.filter_robots_disallowed(cur, robots_rules, url_col=url_col)
+        _mark("robots")
     if boilerplate_min_docs is not None:
         # BEFORE normalize: normalize_text collapses newlines, which
         # erases the line structure this stage matches on. (Line keys

@@ -338,3 +338,34 @@ def test_url_dedup_stage(spark, docs):
     assert res["stages"]["url_dedup"] == 17  # 4 same-page variants -> 1
     with pytest.raises(ValueError, match="url_col"):
         prepare_corpus(planted, None, url_dedup=True)
+
+
+def test_robots_stage(spark, docs):
+    from shotit_worker_spark.functions import robots as RB  # noqa: F401
+
+    planted = docs.limit(20).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://site.example/private/p"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("https://site.example/pub/p"), F.col("doc_id"))
+        ),
+    )
+    rules = spark.createDataFrame(
+        [("site.example", "/private/")], "host string, prefix string"
+    )
+    res = prepare_corpus(
+        planted, None, url_col="url", robots_rules=rules, quality=False,
+        exact_dedup=False, fuzzy_threshold=None, shuffle_seed=None,
+        report=True,
+    )
+    assert res["stages"]["robots"] == 15  # 5 of 20 disallowed
+    assert all(
+        "/private/" not in r["url"] for r in res["df"].select("url").collect()
+    )
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_corpus(planted.drop("url"), None, robots_rules=rules)
