@@ -1,0 +1,197 @@
+"""Paragraph-level exact dedup — the CCNet-style cleaning pass that
+removes paragraphs repeated across documents (mirrored articles, boiler
+blocks bigger than a line, syndicated intros). Complements the other
+dedup granularities already in the engine: whole-document
+(operators/dedup), line (operators/lines), and token-window span
+(operators/spans). No reference analogue — part of the LLM-data-pipeline
+surface (SURVEY §2.12).
+
+Paragraph = a ``\\n\\n``-delimited block (the fixed literal separator
+makes split/rejoin an exact inverse, so the rewrite is byte- and
+order-preserving for surviving paragraphs, like operators/lines).
+Matching uses the same canonical form as lines: trimmed,
+whitespace-collapsed, lowercased; blocks that normalize to empty are
+structure, never dedup targets.
+
+Two removal semantics:
+
+- ``mode="all"`` — drop EVERY occurrence of a paragraph present in
+  >= ``min_docs`` documents (boilerplate semantics; the paragraph is
+  noise wherever it appears).
+- ``mode="keep_first"`` — keep the globally FIRST occurrence (ordered
+  by (id, position)) and drop the rest (CCNet dedup semantics; the
+  content is real, the copies are not).
+
+Scale shape (the part that matters at 100 TB):
+
+- Frequency counting aggregates on ``xxhash64(normalized paragraph)``
+  — the shuffle carries 8-byte keys, never paragraph text; per-doc
+  repeats collapse with ``array_distinct`` before the explode so the
+  count is a true document frequency with map-side partial aggs.
+- ``mode="all"`` then follows the lines.py probe shape exactly:
+  broadcast LEFT SEMI of per-doc hashes against the (small, by
+  definition) frequent set, regroup HITS only, map-side rewrite.
+- ``mode="keep_first"`` ranks only occurrences of FREQUENT paragraphs
+  (semi-join first), so the rank window shuffles |frequent
+  occurrences| rows of (hash, id, pos) — bounded by the duplicate
+  mass, not the corpus. Losers regroup per doc (drops only), and the
+  rewrite drops by position — one small left join against the corpus,
+  broadcast under AQE when the loser set is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lines import normalized_line_key
+
+__all__ = [
+    "normalized_paragraph_key",
+    "paragraph_frequencies",
+    "remove_duplicate_paragraphs",
+]
+
+_SEP = "\n\n"
+_SEP_RE = "\\n\\n"  # F.split takes a regex; this matches the literal
+
+
+def normalized_paragraph_key(para: Column) -> Column:
+    """Canonical form for cross-document paragraph matching — identical
+    to the line key (trim, collapse whitespace, lowercase); newlines
+    INSIDE a paragraph collapse too, so soft-wrapping differences do
+    not defeat the match."""
+    return normalized_line_key(para)
+
+
+def _paras(text_col: str) -> Column:
+    return F.split(F.col(text_col), _SEP_RE)
+
+
+def _distinct_para_hashes(text_col: str) -> Column:
+    keys = F.transform(_paras(text_col), normalized_paragraph_key)
+    keys = F.filter(keys, lambda k: k != F.lit(""))
+    return F.array_distinct(F.transform(keys, lambda k: F.xxhash64(k)))
+
+
+def paragraph_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep_paragraphs: bool = False,
+) -> DataFrame:
+    """Document frequency per normalized paragraph, over hashed keys.
+
+    Returns ``(para_hash: long, df: long)`` for paragraphs present in
+    at least ``min_docs`` documents. One explode + one hash-agg shuffle
+    of 8-byte keys; per-document repeats are collapsed before the
+    explode so ``df`` counts documents. Persist the result to apply one
+    corpus-wide count to many shards (the incremental posture, like
+    line_frequencies).
+
+    ``keep_paragraphs=True`` carries the normalized paragraph text
+    (``para`` column) for human-auditable manifests — the shuffle then
+    ships strings; reserve it for audits.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if not keep_paragraphs:
+        hashes = docs.select(
+            F.explode(_distinct_para_hashes(text_col)).alias("para_hash")
+        )
+        return (
+            hashes.groupBy("para_hash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= F.lit(min_docs))
+        )
+    keys = F.filter(
+        F.transform(_paras(text_col), normalized_paragraph_key),
+        lambda k: k != F.lit(""),
+    )
+    paras = docs.select(F.explode(F.array_distinct(keys)).alias("para"))
+    return (
+        paras.groupBy("para")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_docs))
+        .select("para", F.xxhash64("para").alias("para_hash"), "df")
+    )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    mode: str = "keep_first",
+    out_col: str | None = None,
+    frequent: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with cross-document duplicate paragraphs
+    removed, preserving the original order and bytes of the survivors
+    (paragraphs rejoin with the literal ``\\n\\n`` separator; blocks
+    normalizing to empty always survive).
+
+    ``mode="all"`` removes every occurrence of a paragraph seen in
+    >= ``min_docs`` docs; ``mode="keep_first"`` keeps the first
+    occurrence in ``(id_col, position)`` order and removes the rest.
+    ``frequent`` reuses a persisted :func:`paragraph_frequencies` table
+    (count once over the corpus, apply shard-by-shard).
+    """
+    if mode not in ("all", "keep_first"):
+        raise ValueError(f"mode must be 'all' or 'keep_first', got {mode!r}")
+    out_col = out_col or text_col
+    freq = (
+        frequent
+        if frequent is not None
+        else paragraph_frequencies(docs, text_col, min_docs)
+    )
+
+    hit = "__pd_hits"
+    if mode == "all":
+        hits = (
+            docs.select(
+                F.col(id_col),
+                F.explode(_distinct_para_hashes(text_col)).alias("para_hash"),
+            )
+            .join(
+                F.broadcast(freq.select("para_hash")), "para_hash", "left_semi"
+            )
+            .groupBy(id_col)
+            .agg(F.collect_list("para_hash").alias(hit))
+        )
+        joined = docs.join(hits, id_col, "left").withColumn(
+            hit, F.coalesce(F.col(hit), F.array().cast("array<long>"))
+        )
+        kept = F.filter(
+            _paras(text_col),
+            lambda p: (normalized_paragraph_key(p) == F.lit(""))
+            | ~F.array_contains(
+                F.col(hit), F.xxhash64(normalized_paragraph_key(p))
+            ),
+        )
+        return joined.withColumn(out_col, F.array_join(kept, _SEP)).drop(hit)
+
+    # keep_first: rank occurrences of frequent paragraphs globally and
+    # drop rank > 1. Only frequent occurrences enter the window shuffle.
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(_paras(text_col)).alias("__pos", "__para"),
+    ).withColumn("para_hash", F.xxhash64(normalized_paragraph_key("__para")))
+    occ = occ.filter(
+        normalized_paragraph_key("__para") != F.lit("")
+    ).join(F.broadcast(freq.select("para_hash")), "para_hash", "left_semi")
+    w = Window.partitionBy("para_hash").orderBy(F.col(id_col), F.col("__pos"))
+    drops = (
+        occ.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias(hit))
+    )
+    joined = docs.join(drops, id_col, "left").withColumn(
+        hit, F.coalesce(F.col(hit), F.array().cast("array<int>"))
+    )
+    paras = _paras(text_col)
+    kept = F.filter(
+        paras, lambda p, i: ~F.array_contains(F.col(hit), i)
+    )
+    return joined.withColumn(out_col, F.array_join(kept, _SEP)).drop(hit)

@@ -1,0 +1,194 @@
+"""Paragraph-level dedup (operators/paragraphs): differential vs a
+pure-python reference for both modes, byte preservation, manifest
+reuse (incremental posture)."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import paragraphs as P
+
+
+def _norm(p: str) -> str:
+    return re.sub(r"\s+", " ", p).strip().lower()
+
+
+def _py_reference(
+    texts: dict[str, str], min_docs: int, mode: str
+) -> dict[str, str]:
+    """Independent implementation over (doc order = sorted ids)."""
+    df: dict[str, int] = {}
+    for t in texts.values():
+        for key in {_norm(p) for p in t.split("\n\n")} - {""}:
+            df[key] = df.get(key, 0) + 1
+    frequent = {k for k, v in df.items() if v >= min_docs}
+    out = {}
+    seen: set[str] = set()
+    for doc_id in sorted(texts):
+        kept = []
+        for p in texts[doc_id].split("\n\n"):
+            k = _norm(p)
+            if k == "" or k not in frequent:
+                kept.append(p)
+            elif mode == "keep_first" and k not in seen:
+                seen.add(k)
+                kept.append(p)
+        out[doc_id] = "\n\n".join(kept)
+    return out
+
+
+SHARED = "This syndicated intro paragraph\nappears everywhere."
+FOOT = "Contact  us at  EXAMPLE dot COM"
+
+
+def _mk(spark, texts: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], ["doc_id", "text"]
+    )
+
+
+def _texts(n_docs: int = 40, seed: int = 7) -> dict[str, str]:
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = {}
+    for i in range(n_docs):
+        paras = [f"unique lead {i} " + " ".join(rng.choices(words, k=6))]
+        if i % 2 == 0:
+            paras.append(SHARED)
+        if i % 3 == 0:
+            paras.append(FOOT.upper() if i % 6 == 0 else FOOT)
+        paras.append(" ".join(rng.choices(words, k=8)) + f" tail {i}")
+        texts[f"d{i:03d}"] = "\n\n".join(paras)
+    return texts
+
+
+@pytest.mark.parametrize("mode", ["all", "keep_first"])
+def test_differential_vs_python(spark, mode):
+    texts = _texts()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in P.remove_duplicate_paragraphs(
+            _mk(spark, texts), min_docs=2, mode=mode
+        ).collect()
+    }
+    assert got == _py_reference(texts, 2, mode)
+
+
+def test_keep_first_keeps_exactly_one_occurrence(spark):
+    texts = _texts()
+    out = P.remove_duplicate_paragraphs(
+        _mk(spark, texts), min_docs=2, mode="keep_first"
+    ).collect()
+    n_shared = sum(
+        1
+        for r in out
+        for p in r["text"].split("\n\n")
+        if _norm(p) == _norm(SHARED)
+    )
+    assert n_shared == 1
+    # ... and it is the first occurrence in (doc_id, pos) order: d000
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    assert SHARED in by_id["d000"]
+
+
+def test_all_mode_removes_every_occurrence(spark):
+    texts = _texts()
+    out = P.remove_duplicate_paragraphs(
+        _mk(spark, texts), min_docs=2, mode="all"
+    ).collect()
+    for r in out:
+        for p in r["text"].split("\n\n"):
+            assert _norm(p) != _norm(SHARED)
+
+
+def test_survivor_bytes_and_order_preserved(spark):
+    texts = {
+        "a": "First  Para with  spacing\n\n" + SHARED + "\n\nlast one",
+        "b": SHARED + "\n\nonly mine",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in P.remove_duplicate_paragraphs(
+            _mk(spark, texts), min_docs=2, mode="all"
+        ).collect()
+    }
+    assert out["a"] == "First  Para with  spacing\n\nlast one"
+    assert out["b"] == "only mine"
+
+
+def test_empty_normalizing_blocks_survive(spark):
+    # a run of 4 newlines yields a middle block of "" — structure, kept
+    texts = {
+        "a": "alpha\n\n\n\nbeta\n\n" + SHARED,
+        "b": SHARED + "\n\ngamma",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in P.remove_duplicate_paragraphs(
+            _mk(spark, texts), min_docs=2, mode="all"
+        ).collect()
+    }
+    assert out["a"] == "alpha\n\n\n\nbeta"
+
+
+def test_frequencies_count_documents_not_occurrences(spark):
+    texts = {
+        "a": SHARED + "\n\n" + SHARED,  # twice in ONE doc
+        "b": "something else entirely",
+    }
+    freq = P.paragraph_frequencies(_mk(spark, texts), min_docs=2)
+    assert freq.count() == 0  # df=1 despite two occurrences
+
+
+def test_within_doc_repeat_of_frequent_para_keep_first(spark):
+    texts = {
+        "a": SHARED + "\n\nmiddle bit\n\n" + SHARED,
+        "b": SHARED + "\n\nother doc",
+    }
+    out = {
+        r["doc_id"]: r["text"]
+        for r in P.remove_duplicate_paragraphs(
+            _mk(spark, texts), min_docs=2, mode="keep_first"
+        ).collect()
+    }
+    assert out["a"] == SHARED + "\n\nmiddle bit"
+    assert out["b"] == "other doc"
+
+
+def test_precomputed_manifest_reuse(spark):
+    # incremental posture: count on the corpus, apply to a shard
+    texts = _texts()
+    corpus = _mk(spark, texts)
+    freq = P.paragraph_frequencies(corpus, min_docs=2)
+    shard = corpus.filter(F.col("doc_id") < "d010")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in P.remove_duplicate_paragraphs(
+            shard, min_docs=2, mode="all", frequent=freq
+        ).collect()
+    }
+    ref = _py_reference(texts, 2, "all")
+    for doc_id in got:
+        assert got[doc_id] == ref[doc_id]
+
+
+def test_keep_paragraphs_manifest_matches_hashes(spark):
+    texts = _texts()
+    docs = _mk(spark, texts)
+    withp = P.paragraph_frequencies(docs, min_docs=2, keep_paragraphs=True)
+    plain = P.paragraph_frequencies(docs, min_docs=2)
+    a = {(r["para_hash"], r["df"]) for r in withp.collect()}
+    b = {(r["para_hash"], r["df"]) for r in plain.collect()}
+    assert a == b and len(a) >= 2
+
+
+def test_bad_args_raise(spark):
+    docs = _mk(spark, {"a": "x"})
+    with pytest.raises(ValueError):
+        P.paragraph_frequencies(docs, min_docs=0)
+    with pytest.raises(ValueError):
+        P.remove_duplicate_paragraphs(docs, mode="bogus")
