@@ -80,6 +80,12 @@ from pyspark.sql.types import (
 )
 
 FRAME_FPS = 12.0  # reference sampling rate (hasher.js:87)
+# hostile-input ceilings for the mp4 sampling grid (_sample_mp4): an
+# attacker-controlled stts timeline must never turn into an unbounded
+# driver/executor loop. 24 h of output frames, or 10 min of duplicated
+# stills per real sample, whichever is smaller.
+_MAX_MEDIA_SECONDS = 24 * 3600
+_MAX_DUP_PER_SAMPLE = int(600 * FRAME_FPS)
 FRAME_HEIGHT = 180  # scale=-2:180 (hasher.js:87)
 
 FRAME_SCHEMA = StructType(
@@ -260,7 +266,21 @@ def _sample_mp4(
     tail = min(max(tail, 1.0 / fps), 10.0)
     duration = min(max(track.duration, 0.0), pts[-1] + tail)
     duration = max(duration, pts[-1] + 1.0 / fps)
+    # The SAMPLE timeline itself can be hostile too: stts deltas are
+    # attacker-controlled 32-bit counts, so two samples with
+    # delta≈2^31 at timescale=1 put pts[-1] in the billions of seconds
+    # and the mdhd clamp above never engages. Bound the emitted grid
+    # absolutely (no real ffmpeg input exceeds ~24 h) AND relatively
+    # (a legitimate slideshow duplicates each source frame a bounded
+    # number of times — 10 min of stills per sample at fps=12 is
+    # already absurd); past either bound the tail slots are dropped
+    # rather than looped over.
     n_out = max(1, int(duration * fps))
+    n_out = min(
+        n_out,
+        int(_MAX_MEDIA_SECONDS * fps),
+        len(order) * _MAX_DUP_PER_SAMPLE,
+    )
     img_cache: dict[int, bytes] = {}
     for i in range(n_out):
         t = (i + 0.5) / fps

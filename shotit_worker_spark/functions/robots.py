@@ -7,46 +7,63 @@ Common Crawl archives each host's ``/robots.txt`` response alongside
 the pages, so the pipeline is crawl → extract rules → filter the same
 crawl, no extra fetching.
 
-Scope (documented simplification): the original REP ``User-agent: *``
-groups and their ``Disallow`` prefix rules. ``Allow`` rules and
-non-``*`` agent groups are IGNORED, which only ever drops MORE pages —
-the conservative direction for corpus hygiene (a compliance filter
-must never under-block; a page wrongly dropped costs one document).
-``Disallow:`` with an empty value permits everything (per spec).
+Semantics (RFC 9309, the Robots Exclusion Protocol):
+
+- group selection: the group(s) whose ``User-agent`` token matches the
+  crawler's product token (case-insensitive); if none match, the ``*``
+  group(s). Several matching groups combine.
+- rule matching: patterns are octet prefixes of the URI **path plus
+  query** with ``*`` (any run of octets) and a trailing ``$`` (end
+  anchor) — so ``/private*``, ``/*?`` and ``/search?q=`` all match the
+  way real robots files intend.
+- precedence: the longest (most-specific) matching pattern wins; on an
+  Allow/Disallow tie at equal length, Allow wins.
+
+``honor_allow`` (default False — the conservative corpus-hygiene mode)
+controls whether Allow rules participate: when off, ANY matching
+Disallow blocks the page, which can only over-block relative to full
+REP — the documented-safe direction. A site publishing ``Disallow: /``
++ ``Allow: /public/`` is dropped entirely in conservative mode and
+correctly kept under ``honor_allow=True``.
 
 Scale shape: rules are host-count-sized (one robots.txt per host, a
-handful of prefixes each) — they aggregate to one array per host and
+handful of patterns each) — pattern→regex translation happens on the
+RULES side in pure Catalyst, they aggregate to one array per host and
 broadcast; the page-side check is a broadcast LEFT join plus an
-``exists(prefixes, startswith)`` predicate riding the same scan. Zero
+``array_max`` over the matching rules riding the same scan. Zero
 corpus shuffles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .urls import extract_host
 
 __all__ = [
     "parse_robots_txt",
+    "parse_robots_rules",
     "robots_rules",
     "robots_rules_from_crawl",
     "filter_robots_disallowed",
 ]
 
 
-def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
-    """Disallow prefixes applying to ``user_agent`` (exact group match;
-    the default ``*`` is what a generic corpus crawler honors). Groups
-    per REP: ``User-agent`` lines open a group (several in a row share
-    it), ``Disallow`` lines attach to the open group; comments (#) and
-    blank lines per spec. Empty ``Disallow:`` means allow-all and
-    contributes no prefix."""
-    prefixes: list[str] = []
-    active = False
-    saw_rule_in_group = False
-    ua = user_agent.lower()
+def parse_robots_rules(
+    text: str, user_agent: str = "*"
+) -> list[tuple[str, str]]:
+    """``(rule, pattern)`` pairs (rule ∈ ``allow``/``disallow``)
+    applying to ``user_agent`` per RFC 9309 group selection: groups
+    whose ``User-agent`` token equals the crawler's token
+    (case-insensitive) apply; if none do, the ``*`` groups apply; all
+    applicable groups combine. Several ``User-agent`` lines in a row
+    share one group; comments (#) and blank lines per spec. An empty
+    rule value (``Disallow:`` = allow-all) contributes nothing."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    in_rules = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -55,17 +72,34 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            if saw_rule_in_group:
-                # a new group starts; reset membership
-                active = False
-                saw_rule_in_group = False
-            if val.lower() == ua:
-                active = True
-        elif key in ("disallow", "allow"):
-            saw_rule_in_group = True
-            if key == "disallow" and active and val:
-                prefixes.append(val)
-    return prefixes
+            if in_rules:
+                if cur_uas:
+                    groups.append((cur_uas, cur_rules))
+                cur_uas, cur_rules, in_rules = [], [], False
+            cur_uas.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val:
+                cur_rules.append((key, val))
+    if cur_uas:
+        groups.append((cur_uas, cur_rules))
+    ua = user_agent.lower()
+    picked = [g for g in groups if ua in g[0]]
+    if not picked and ua != "*":
+        picked = [g for g in groups if "*" in g[0]]
+    return [r for g in picked for r in g[1]]
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """Disallow patterns applying to ``user_agent`` — the conservative
+    subset of :func:`parse_robots_rules` (Allow rules omitted)."""
+    return [
+        p for rule, p in parse_robots_rules(text, user_agent)
+        if rule == "disallow"
+    ]
+
+
+_RULES_SCHEMA = "host string, rule string, pattern string"
 
 
 def robots_rules(
@@ -74,13 +108,14 @@ def robots_rules(
     text_col: str = "text",
     user_agent: str = "*",
 ) -> DataFrame:
-    """Parse per-host robots.txt bodies into ``(host, prefix)`` rows —
-    one mapInPandas stage over the (host-count-sized) robots table."""
+    """Parse per-host robots.txt bodies into ``(host, rule, pattern)``
+    rows (rule ∈ allow/disallow) — one mapInPandas stage over the
+    (host-count-sized) robots table."""
     import pandas as pd
 
     def _parse(batches):
         for pdf in batches:
-            hosts, prefs = [], []
+            hosts, rules, pats = [], [], []
             for h, t in zip(pdf[host_col], pdf[text_col]):
                 if h is None:
                     continue
@@ -88,20 +123,23 @@ def robots_rules(
                     bytes(t).decode("utf-8", "replace") if t is not None
                     else ""
                 )
-                for p in parse_robots_txt(body, user_agent):
+                for rule, p in parse_robots_rules(body, user_agent):
                     hosts.append(h)
-                    prefs.append(p)
-            yield pd.DataFrame({"host": hosts, "prefix": prefs})
+                    rules.append(rule)
+                    pats.append(p)
+            yield pd.DataFrame(
+                {"host": hosts, "rule": rules, "pattern": pats}
+            )
 
     return docs.select(host_col, text_col).mapInPandas(
-        _parse, "host string, prefix string"
+        _parse, _RULES_SCHEMA
     )
 
 
 def robots_rules_from_crawl(
     records: DataFrame, user_agent: str = "*"
 ) -> DataFrame:
-    """Extract ``(host, prefix)`` rules from a WARC record frame
+    """Extract ``(host, rule, pattern)`` rules from a WARC record frame
     (sources/warc WARC_SCHEMA): the crawl's own ``/robots.txt``
     responses ARE the rule source — no extra fetching. Non-2xx robots
     responses are skipped (an unfetchable robots.txt blocks nothing,
@@ -118,33 +156,95 @@ def robots_rules_from_crawl(
     return robots_rules(robots, user_agent=user_agent)
 
 
+def _pattern_regex(pattern: Column) -> Column:
+    """Translate a robots path pattern to an anchored Java regex, in
+    pure Catalyst (it runs per RULE row — host-count-sized, never over
+    the corpus): escape regex metacharacters, then ``*`` → ``.*`` and
+    a trailing ``$`` → end anchor."""
+    ends = pattern.endswith("$")
+    body = F.when(
+        ends, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    escaped = F.regexp_replace(
+        body, r"([.^$|?*+()\[\]{}\\])", r"\\$1"
+    )
+    wild = F.replace(escaped, F.lit(r"\*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def filter_robots_disallowed(
     docs: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    honor_allow: bool = False,
 ) -> DataFrame:
-    """Drop rows whose URL path falls under a Disallow prefix of its
-    host's rules. Hosts with no rules (or unparseable URLs) pass —
-    robots filtering removes KNOWN-disallowed pages, nothing else.
-    One small aggregation of the rules + a broadcast LEFT join + an
-    ``exists`` predicate; the corpus never shuffles."""
-    per_host = rules.groupBy("host").agg(
-        F.collect_list("prefix").alias("__rb_prefixes")
+    """Drop rows whose URL falls under its host's robots rules. Hosts
+    with no rules (or unparseable URLs) pass — robots filtering removes
+    KNOWN-disallowed pages, nothing else.
+
+    ``rules`` is a ``(host, rule, pattern)`` frame from
+    :func:`robots_rules`; a legacy ``(host, prefix)`` frame is accepted
+    and treated as disallow-only. Matching is RFC 9309: patterns (with
+    ``*``/``$`` wildcards) match the path+query octets, the longest
+    matching pattern wins, Allow beats Disallow on a length tie. With
+    ``honor_allow=False`` (default) Allow rules are ignored — ANY
+    matching Disallow blocks; strictly over-blocks, never under-blocks.
+
+    One small projection+aggregation of the rules + a broadcast LEFT
+    join + an ``array_max`` predicate; the corpus never shuffles. The
+    rules-side host column is renamed before the join so a docs frame
+    that already has a ``host`` column is never ambiguous."""
+    cols = set(rules.columns)
+    if "pattern" not in cols and "prefix" in cols:
+        rules = rules.select(
+            "host",
+            F.lit("disallow").alias("rule"),
+            F.col("prefix").alias("pattern"),
+        )
+    if not honor_allow:
+        rules = rules.filter(F.col("rule") == "disallow")
+    compiled = rules.select(
+        F.col("host").alias("__rb_rule_host"),
+        F.struct(
+            F.length("pattern").alias("prec"),
+            F.when(F.col("rule") == "allow", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("allow"),
+            _pattern_regex(F.col("pattern")).alias("regex"),
+        ).alias("__rb_rule"),
+    )
+    per_host = compiled.groupBy("__rb_rule_host").agg(
+        F.collect_list("__rb_rule").alias("__rb_rules")
     )
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
     path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    query = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("QUERY")), F.lit("")
+    )
+    target = F.when(
+        query == F.lit(""), path
+    ).otherwise(F.concat(path, F.lit("?"), query))
     tagged = docs.withColumn(
         "__rb_host", extract_host(F.col(url_col))
-    ).withColumn("__rb_path", path)
-    joined = tagged.join(F.broadcast(per_host),
-                         F.col("__rb_host") == F.col("host"), "left")
-    blocked = F.exists(
-        F.col("__rb_prefixes"),
-        lambda p: F.col("__rb_path").startswith(p),
+    ).withColumn("__rb_target", target)
+    joined = tagged.join(
+        F.broadcast(per_host),
+        F.col("__rb_host") == F.col("__rb_rule_host"),
+        "left",
     )
+    matching = F.filter(
+        F.col("__rb_rules"),
+        lambda r: F.regexp_like(F.col("__rb_target"), r["regex"]),
+    )
+    best = F.array_max(
+        F.transform(matching, lambda r: F.struct(r["prec"], r["allow"]))
+    )
+    blocked = (F.size(matching) > 0) & (best["allow"] == 0)
     return (
         joined.filter(~F.coalesce(blocked, F.lit(False)))
-        .drop("__rb_host", "__rb_path", "host", "__rb_prefixes")
+        .drop("__rb_host", "__rb_target", "__rb_rule_host", "__rb_rules")
     )

@@ -157,14 +157,20 @@ def cap_per_domain(
 # attribution (utm_*), click identifiers, session tokens. The canonical
 # form drops them so syndication-tracking variants of one page collapse
 # to one crawl-dedup key (the CCNet/RefinedWeb "URL dedup" pass).
+# Deliberately ABSENT: short ambiguous names that select content on
+# real sites — `ref` (branch on code hosts), `sid` (story id on CMSes).
+# Stripping those silently drops genuinely distinct documents; callers
+# whose corpus is known-clean can pass a wider pattern per call.
 TRACKING_PARAM_PATTERN = (
     r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid"
-    r"|yclid|_ga|_gl|ref|ref_src|spm|s_kwcid|sessionid|phpsessid"
-    r"|jsessionid|sid)$"
+    r"|yclid|_ga|_gl|ref_src|spm|s_kwcid|sessionid|phpsessid"
+    r"|jsessionid)$"
 )
 
 
-def canonical_url(url: ColumnOrName) -> Column:
+def canonical_url(
+    url: ColumnOrName, tracking_param_pattern: str = TRACKING_PARAM_PATTERN
+) -> Column:
     """Canonical dedup key for a URL — pure Catalyst, one projection:
 
     - scheme and host lowercased; ``www.`` and default ports stripped
@@ -201,7 +207,7 @@ def canonical_url(url: ColumnOrName) -> Column:
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda kv: (kv != F.lit(""))
         & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).rlike(
-            TRACKING_PARAM_PATTERN
+            tracking_param_pattern
         ),
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
@@ -229,6 +235,7 @@ def dedup_by_url(
     url_col: str = "url",
     id_col: str = "doc_id",
     out_col: str = "canonical_url",
+    tracking_param_pattern: str = TRACKING_PARAM_PATTERN,
 ) -> DataFrame:
     """Keep one document per canonical URL (lowest id — deterministic),
     appending ``out_col``. Rows whose URL is NULL/unparseable have no
@@ -236,7 +243,9 @@ def dedup_by_url(
     downstream). One projection + one window on the canonical key —
     URL dedup is the cheapest dedup pass, which is why crawl pipelines
     run it FIRST, before any text is even extracted."""
-    keyed = docs.withColumn(out_col, canonical_url(F.col(url_col)))
+    keyed = docs.withColumn(
+        out_col, canonical_url(F.col(url_col), tracking_param_pattern)
+    )
     # keyless rows NEVER enter the window: at web scale a few percent
     # of garbage URLs is hundreds of millions of rows all hashing to
     # the single NULL partition — a guaranteed straggler/OOM. Their

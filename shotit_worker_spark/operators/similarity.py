@@ -90,6 +90,7 @@ def knn_join(
     tie_col: str = "primary_key",
     metric: str = "ip",
     use_matmul: bool = True,
+    max_queries: int = 16384,
 ) -> DataFrame:
     """Batched multi-query exact top-k: every query row gets its k nearest
     corpus rows.
@@ -106,11 +107,15 @@ def knn_join(
     a batch's top-k superset of the global top-k, so the final window
     rank over ≤ k × n_batches candidates is exact. Measured ~100× over
     the interpreted zip_with dot at 64 queries × 100 k corpus.
+
+    ``max_queries`` guards the driver-side materialization of the query
+    frame (the one place this operator collects): past it the call
+    raises and names ``IVFIndex.search_batch`` as the scale path.
     """
     if metric == "ip" and use_matmul:
         return _knn_join_matmul(
             queries_df, index_df, k, query_vec_col, query_id_col, vec_col,
-            id_col, tie_col,
+            id_col, tie_col, max_queries,
         )
     if metric == "ip":
         score = V.dot(F.col("q." + query_vec_col), F.col("i." + vec_col))
@@ -148,8 +153,24 @@ def _knn_join_matmul(
     vec_col: str,
     id_col: str,
     tie_col: str,
+    max_queries: int = 16384,
 ) -> DataFrame:
-    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    # The query side is DRIVER-materialized (it rides a broadcast into
+    # the matmul kernel), so it must be provably small. limit(n+1)
+    # instead of count() — one job, no second scan.
+    qrows = (
+        queries_df.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join matmul path collects the query side to the driver; "
+            f"got >{max_queries} query rows. For large query sets use "
+            f"IVFIndex.search_batch (index/ivf.py) — it shuffles queries "
+            f"to their probed partitions instead of broadcasting them — "
+            f"or raise max_queries explicitly if the driver can hold it."
+        )
     spark = queries_df.sparkSession
     keep_tie_early = tie_col != id_col
     if not qrows:

@@ -87,7 +87,7 @@ def prepare_corpus(
     `url_dedup` (requires `url_col`) keeps one document per canonical
     URL (functions/urls.canonical_url) as the FIRST dedup pass — the
     cheapest one, run before any text processing, the crawl-pipeline
-    convention. `robots_rules` (requires `url_col`; a (host, prefix)
+    convention. `robots_rules` (requires `url_col`; a (host, rule, pattern)
     frame — typically functions/robots.robots_rules_from_crawl over
     the same archive) drops robots-disallowed pages immediately after,
     before any compute is spent on them. `lang_keep` filters to a language set right after normalize —

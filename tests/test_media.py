@@ -468,3 +468,34 @@ def test_aiff_audio_features_real(spark):
     np.testing.assert_allclose(
         np.array(wav_row["features"]), feats, rtol=1e-6
     )
+
+
+def test_mp4_hostile_timeline_bounded():
+    """A crafted stts timeline (2 samples, timescale=1, delta≈2^31) must
+    not turn the sampling grid into billions of loop iterations (r5
+    ADVICE): output is clamped by _MAX_MEDIA_SECONDS / dup-per-sample."""
+    import itertools
+    import time
+
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.mp4 import Mp4Sample, Mp4VideoTrack
+
+    huge = 2.0 ** 31
+    track = Mp4VideoTrack(
+        codec="avc1", width=16, height=16, timescale=1, duration=huge,
+        sps=(), pps=(), nal_length_size=4,
+        samples=(
+            Mp4Sample(0, 0, 4, 0.0, 0.0, True),
+            Mp4Sample(1, 4, 4, huge, huge, False),
+        ),
+    )
+    t0 = time.time()
+    frames = list(itertools.islice(
+        M._sample_mp4(b"\x00" * 8, fps=12.0, track=track), 10_000_000
+    ))
+    elapsed = time.time() - t0
+    cap = min(
+        int(M._MAX_MEDIA_SECONDS * 12.0), 2 * M._MAX_DUP_PER_SAMPLE
+    )
+    assert len(frames) <= cap
+    assert elapsed < 60.0

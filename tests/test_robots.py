@@ -36,9 +36,10 @@ Disallow: /
 
 def test_parse_robots_groups_and_comments():
     got = RB.parse_robots_txt(ROBOTS_A)
-    # only the * group's non-empty Disallows; Allow ignored
-    # (conservative), googlebot/otherbot groups skipped
+    # only the * group's non-empty Disallows; parse_robots_txt is the
+    # conservative (Disallow-only) view; googlebot/otherbot groups skipped
     assert got == ["/private/", "/tmp"]
+    # specific group wins over *; REP: ONLY the specific group applies
     assert RB.parse_robots_txt(ROBOTS_A, user_agent="googlebot") == [
         "/google-only/"
     ]
@@ -47,6 +48,14 @@ def test_parse_robots_groups_and_comments():
     # shared group: two user-agents over one rule block
     shared = "User-agent: a\nUser-agent: *\nDisallow: /x/"
     assert RB.parse_robots_txt(shared) == ["/x/"]
+    # REP group selection: a UA with no specific group falls back to *
+    assert RB.parse_robots_txt(shared, user_agent="mycrawler") == ["/x/"]
+    # full-rule view keeps Allow lines with their group
+    assert RB.parse_robots_rules(ROBOTS_A) == [
+        ("disallow", "/private/"),
+        ("disallow", "/tmp"),
+        ("allow", "/private/ok"),
+    ]
 
 
 def test_filter_robots_disallowed(spark):
@@ -109,9 +118,9 @@ def test_rules_from_crawl_and_filter_e2e(spark, tmp_path):
     (tmp_path / "c.warc.gz").write_bytes(build_fixture(recs, gzipped=True))
     records = read_warc(spark, str(tmp_path))
     rules = RB.robots_rules_from_crawl(records)
-    assert {(r["host"], r["prefix"]) for r in rules.collect()} == {
-        ("a.example", "/members/")
-    }
+    assert {
+        (r["host"], r["rule"], r["pattern"]) for r in rules.collect()
+    } == {("a.example", "disallow", "/members/")}
     pages = records.filter(
         ~F.col("target_uri").contains("robots.txt")
     ).select("record_id", F.col("target_uri").alias("url"))
@@ -138,3 +147,81 @@ def test_filter_is_broadcast_no_corpus_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _kept(spark, rules_rows, urls, **kw):
+    rules = spark.createDataFrame(rules_rows, "host string, rule string, pattern string")
+    docs = spark.createDataFrame(
+        list(enumerate(urls)), "doc_id long, url string"
+    )
+    return {
+        r["doc_id"]
+        for r in RB.filter_robots_disallowed(docs, rules, **kw).collect()
+    }
+
+
+def test_wildcard_and_query_matching(spark):
+    """RFC 9309 wildcards: the r5 literal-prefix form UNDER-blocked on
+    `*`, `$`, and `?` rules — the direction the module guarantees
+    cannot happen. Pinned here."""
+    host = "w.example"
+    rules = [
+        (host, "disallow", "/private*"),     # prefix wildcard
+        (host, "disallow", "/*?"),           # any URL with a query
+        (host, "disallow", "/search?q="),    # query-string rule
+        (host, "disallow", "/exact$"),       # end anchor
+        (host, "disallow", "/a*b/"),         # infix wildcard
+        (host, "disallow", "/lit.x"),        # regex metachar stays literal
+    ]
+    urls = [
+        f"https://{host}/private/doc",    # 0 blocked (/private*)
+        f"https://{host}/page?track=1",   # 1 blocked (/*?)
+        f"https://{host}/search?q=beer",  # 2 blocked (query rule)
+        f"https://{host}/exact",          # 3 blocked ($ anchor)
+        f"https://{host}/exactly",        # 4 KEPT ($ anchor must not match)
+        f"https://{host}/aXYZb/c",        # 5 blocked (infix *)
+        f"https://{host}/lit.x",          # 6 blocked
+        f"https://{host}/litax",          # 7 KEPT (dot is literal)
+        f"https://{host}/open",           # 8 KEPT
+    ]
+    assert _kept(spark, rules, urls) == {4, 7, 8}
+
+
+def test_allow_longest_match_precedence(spark):
+    """REP precedence: longest matching pattern wins; Allow wins ties.
+    The VERDICT's canonical case — `Disallow: /` + `Allow: /public/`
+    — keeps the public pages under honor_allow=True and (documented)
+    drops the whole site in conservative mode."""
+    host = "p.example"
+    rules = [
+        (host, "disallow", "/"),
+        (host, "allow", "/public/"),
+        (host, "disallow", "/public/secret/"),
+        (host, "allow", "/dual"),   # equal length vs the next line
+        (host, "disallow", "/dual"),  # tie → Allow wins
+    ]
+    urls = [
+        f"https://{host}/public/page",          # 0 kept (allow longer than /)
+        f"https://{host}/elsewhere",            # 1 blocked (/)
+        f"https://{host}/public/secret/x",      # 2 blocked (longest)
+        f"https://{host}/dual/page",            # 3 kept (tie → allow)
+    ]
+    assert _kept(spark, rules, urls, honor_allow=True) == {0, 3}
+    # conservative mode ignores Allow: everything under / is dropped
+    assert _kept(spark, rules, urls, honor_allow=False) == set()
+
+
+def test_docs_frame_with_host_column_not_ambiguous(spark):
+    """The join must not collide with a user 'host' column (r5 ADVICE:
+    bare F.col('host') join was ambiguous / silently dropped it)."""
+    rules = spark.createDataFrame(
+        [("h.example", "disallow", "/no/")],
+        "host string, rule string, pattern string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "https://h.example/no/x", "keep-me"),
+         (1, "https://h.example/yes", "keep-me-too")],
+        "doc_id long, url string, host string",
+    )
+    out = RB.filter_robots_disallowed(docs, rules).collect()
+    assert {(r["doc_id"], r["host"]) for r in out} == {(1, "keep-me-too")}

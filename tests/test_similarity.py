@@ -116,3 +116,22 @@ def test_near_dup_pairs_guards_driver_collect(spark):
         S.near_dup_pairs(df, threshold=0.9, max_rows=10)
     # under the cap it still runs
     assert S.near_dup_pairs(df, threshold=0.999999, max_rows=100).count() >= 0
+
+
+def test_knn_join_guards_query_side_collect(spark):
+    """The matmul kernel collects the query side to the driver; past
+    max_queries it must raise and name the scale path (r5 VERDICT: the
+    one unguarded driver materialization left)."""
+    q = spark.range(5).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("query_vec"),
+    )
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, vector array<double>"
+    )
+    with pytest.raises(ValueError, match="search_batch"):
+        S.knn_join(q, idx, k=1, vec_col="vector", id_col="vec_id",
+                   tie_col="vec_id", max_queries=3)
+    # at exactly the cap it still runs
+    assert S.knn_join(q, idx, k=1, vec_col="vector", id_col="vec_id",
+                      tie_col="vec_id", max_queries=5).count() == 5
