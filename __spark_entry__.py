@@ -1714,6 +1714,469 @@ def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 enforcement rotation (r5 VERDICT #1): constants gates for the
+# round-5 operator wave — interpolated Kneser–Ney, the text embedder,
+# the learned pairwise re-ranker, no-overflow packing — plus a
+# FULL-VALUE oracle for URL canonicalization. Same q49/q63 pattern:
+# engine output vs an independent reimplementation / stated expected
+# values; a regression flips a boolean row and the driver records a
+# hash mismatch.
+# ---------------------------------------------------------------------------
+
+
+def q67_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney LM (operators/ngram_lm.train_kn_lm)
+    constants gate: the engine's distributed continuation-count tables,
+    per-level Ney discount estimates, and join-based scoring are
+    compared against an embedded pure-python reimplementation of Chen &
+    Goodman's interpolated KN (same tokenize, <s> padding, N1+
+    continuation counts, per-context total/type masses, D·T/total
+    backoff weights, unigram D1/N2 floor). Gates: discount + N2 parity
+    to 1e-12, per-doc score parity to 1e-9 including OOV-only and
+    empty probes, perplexity = 10^-avg_logprob."""
+    import math
+    import re
+    from collections import Counter
+
+    from shotit_worker_spark.operators import ngram_lm as NL
+
+    n = 3
+    # 120 tiny docs: the gate's cost is per-job scheduling overhead
+    # (KN training runs n+2 small actions), not data — collapse to a
+    # couple of partitions so each action is 2 tasks, not 32
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .coalesce(2)
+    )
+    probes = spark.createDataFrame(
+        [(9001, ""), (9002, "zzq qqw wwz unseen tokens entirely")],
+        "doc_id long, text string",
+    )
+    scored_docs = docs.select("doc_id", "text").unionByName(probes)
+    lm = NL.train_kn_lm(docs, n=n)
+    eng = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["perplexity"])
+        for r in lm.score(scored_docs).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in scored_docs.select("doc_id", "text").collect()
+    }
+    train_texts = [texts[d] for d in sorted(texts) if d < 9000]
+
+    def tok(s: str) -> list[str]:
+        return [t for t in re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+
+    counts: dict[int, Counter] = {k: Counter() for k in range(1, n + 1)}
+    for t in train_texts:
+        padded = [NL.PAD] * (n - 1) + tok(t)
+        for i in range(len(padded)):
+            if padded[i] == NL.PAD:
+                continue
+            for k in range(1, n + 1):
+                if i - k + 1 < 0:
+                    continue
+                counts[k][tuple(padded[i - k + 1 : i + 1])] += 1
+    numer: dict[int, Counter] = {n: counts[n]}
+    for k in range(1, n):
+        cont: Counter = Counter()
+        for g in counts[k + 1]:
+            cont[g[1:]] += 1
+        numer[k] = cont
+    denom: dict[int, tuple[Counter, Counter]] = {}
+    for k in range(2, n + 1):
+        src = counts[n] if k == n else numer[k]
+        d_, ty = Counter(), Counter()
+        for g, c in src.items():
+            d_[g[:-1]] += c
+            ty[g[:-1]] += 1
+        denom[k] = (d_, ty)
+    n2 = len(counts[2])
+    discounts: dict[int, float] = {}
+    for k in range(1, n + 1):
+        n1 = sum(1 for c in numer[k].values() if c == 1)
+        n2_ = sum(1 for c in numer[k].values() if c == 2)
+        if n1 <= 0 or n1 + 2 * n2_ <= 0:
+            discounts[k] = 0.75
+        else:
+            dd = n1 / (n1 + 2.0 * n2_)
+            discounts[k] = dd if 0.0 < dd < 1.0 else 0.75
+
+    def ref_score(t: str) -> tuple[int, float | None]:
+        toks = tok(t)
+        padded = [NL.PAD] * (n - 1) + toks
+        lps = []
+        for i in range(n - 1, len(padded)):
+            w = padded[i]
+            d1 = discounts[1]
+            p = (max((numer[1].get((w,)) or 0) - d1, 0.0) + d1) / n2
+            for k in range(2, n + 1):
+                g = tuple(padded[i - k + 1 : i + 1])
+                ctx = g[:-1]
+                dt, ttypes = denom[k]
+                if ctx in dt:
+                    dk = discounts[k]
+                    num = max((numer[k].get(g) or 0) - dk, 0.0)
+                    p = num / dt[ctx] + dk * ttypes[ctx] / dt[ctx] * p
+            lps.append(math.log10(p))
+        if not lps:
+            return 0, None
+        return len(lps), sum(lps) / len(lps)
+
+    model_ok = int(lm.n2_types) == n2 and all(
+        abs(lm.discounts[k] - discounts[k]) <= 1e-12
+        for k in range(1, n + 1)
+    )
+    score_ok = True
+    ppl_ok = True
+    for d, t in texts.items():
+        rn, ravg = ref_score(t)
+        en, eavg, eppl = eng[d]
+        if en != rn or (ravg is None) != (eavg is None):
+            score_ok = False
+        elif ravg is not None and abs(eavg - ravg) > 1e-9:
+            score_ok = False
+        if eavg is not None and eppl is not None:
+            if abs(eppl - 10.0 ** (-eavg)) > 1e-9 * max(1.0, eppl):
+                ppl_ok = False
+    rows = [
+        ("model_parity", 1, model_ok),
+        ("perplexity_form", len(texts), ppl_ok),
+        ("score_parity", len(texts), score_ok),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+def q68_text_embedder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text embedder (operators/embedding) constants gate:
+    the embedder is a pure function of (text, seed, dim) — md5 sign
+    rows, exact tf-idf — so every check is deterministic. Gates:
+    bit-exact determinism across two independent embed() runs, unit L2
+    norms, identical-text copies embed to identical vectors, and the
+    text→embed→SemDeDup e2e collapse: 30 planted exact copies
+    (doc_id+10000) are all removed while every original survives (the
+    fixture's measured max original-pair cosine is 0.9658 ≤ dim=64's
+    0.9632 band — both far under the 0.99 threshold — and the embedder
+    has no randomness, so the margin is exact, not statistical)."""
+    import numpy as np
+
+    from shotit_worker_spark.operators import clustering as CL
+    from shotit_worker_spark.operators import embedding as EM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    emb = EM.train_text_embedder(docs, dim=64, min_df=2)
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(copies)
+    embedded = emb.embed(all_docs).select("doc_id", "embedding")
+    a = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in embedded.collect()
+    }
+    b = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in emb.embed(all_docs).select("doc_id", "embedding").collect()
+    }
+    det_ok = all(np.array_equal(a[d], b[d]) for d in a)
+    norm_ok = all(
+        abs(float(np.linalg.norm(v)) - 1.0) <= 1e-9 for v in a.values()
+    )
+    copy_ok = all(
+        np.array_equal(a[d], a[d - 10000]) for d in a if d >= 10000
+    )
+    kept = CL.semantic_dedup(
+        embedded,
+        threshold=0.99,
+        num_clusters=8,
+        id_col="doc_id",
+        vec_col="embedding",
+        keep="min_id",
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    base_ids = {d for d in a if d < 10000}
+    planted = {d for d in a if d >= 10000}
+    rows = [
+        ("copies_identical", len(planted), copy_ok),
+        ("copies_removed", len(planted), not (planted & kept_ids)),
+        ("determinism", len(a), det_ok),
+        ("originals_kept", len(base_ids), kept_ids == base_ids),
+        ("unit_norm", len(a), norm_ok),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+def _rerank_planted_pairs(spark: SparkSession, seed: int):
+    """Labeled (query, doc) pairs whose relevance the token-F1 baseline
+    CANNOT see: heavy filler overlap everywhere, the true signal a rare
+    marker token present only in the relevant doc (the test_rerank
+    fixture, embedded so the gate is self-contained)."""
+    import random
+
+    rng = random.Random(seed)
+    filler = "the quick brown fox jumps over the lazy dog".split()
+    rows = []
+    relevant = {}
+    for q in range(12):
+        qtext = f"rel{q} " + " ".join(rng.choice(filler) for _ in range(4))
+        for d in range(18):
+            doc_id = q * 100 + d
+            if d == 0:
+                dtext = f"rel{q} payload " + " ".join(
+                    rng.choice(filler) for _ in range(2)
+                )
+                relevant[q] = doc_id
+            else:
+                dtext = " ".join(rng.choice(filler) for _ in range(6))
+            rows.append((q, doc_id, qtext, dtext, 1.0 if d == 0 else 0.0))
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, hash_id long, query_text string, "
+        "doc_text string, label double",
+    )
+    return df, relevant
+
+
+def q69_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned pairwise re-ranker (operators/rerank.train_pair_scorer /
+    rerank_with_model) constants gate: on planted-relevance pairs the
+    trained scorer must place the relevant doc first for EVERY query
+    (the marker interaction feature is fully learnable) and beat the
+    token-F1 lexical baseline (which the confounded overlap defeats by
+    construction). Also gates bit parity of the zero-Python Catalyst
+    scoring path (rerank_by_col + overlap_score_col) against the
+    Arrow-vectorized pandas scorer on the same pairs."""
+    from shotit_worker_spark.operators.rerank import (
+        overlap_score_col,
+        overlap_scorer,
+        rerank,
+        rerank_by_col,
+        rerank_with_model,
+        train_pair_scorer,
+    )
+
+    train, _ = _rerank_planted_pairs(spark, seed=7)
+    test, relevant = _rerank_planted_pairs(spark, seed=99)
+    # 216 test pairs land in 32 createDataFrame slices; 2 partitions
+    # keep the four Arrow scoring jobs from paying 32 task launches
+    test = test.coalesce(2)
+    # 216 training pairs: one partition keeps each of L-BFGS's
+    # treeAggregate rounds a single task; 10 iterations converge the
+    # fully-separable marker feature with margin (probed: top-1 is
+    # already perfect after ONE iteration; pytest pins the same outcome
+    # at the operator default of 50)
+    model = train_pair_scorer(
+        train.drop("query_id", "hash_id").coalesce(1), max_iter=10
+    )
+
+    def top1_hits(result_df) -> int:
+        rows = (
+            result_df.orderBy(
+                "query_id", F.col("rerank_score").desc(), "hash_id"
+            )
+            .select("query_id", "hash_id")
+            .collect()
+        )
+        best: dict[int, int] = {}
+        for r in rows:
+            best.setdefault(r["query_id"], r["hash_id"])
+        return sum(1 for q, d in relevant.items() if best.get(q) == d)
+
+    learned = top1_hits(rerank_with_model(test.drop("label"), model, k=1))
+    baseline = top1_hits(rerank(test.drop("label"), overlap_scorer(), k=1))
+    pandas_scored = rerank(test.drop("label"), overlap_scorer(), k=18)
+    catalyst_scored = rerank_by_col(
+        test.drop("label"), overlap_score_col(), k=18
+    )
+    key = lambda r: (r["query_id"], r["hash_id"])  # noqa: E731
+    ps = {
+        key(r): r["rerank_score"]
+        for r in pandas_scored.select(
+            "query_id", "hash_id", "rerank_score"
+        ).collect()
+    }
+    cs = {
+        key(r): r["rerank_score"]
+        for r in catalyst_scored.select(
+            "query_id", "hash_id", "rerank_score"
+        ).collect()
+    }
+    # same selected pairs, scores within 1e-12 (the two forms evaluate
+    # the algebraically-equal F1 in different operation orders, so the
+    # last ulp can differ — the pinned band from test_rerank)
+    parity = ps.keys() == cs.keys() and all(
+        abs(ps[k] - cs[k]) <= 1e-12 for k in ps
+    )
+    rows = [
+        ("beats_lexical", baseline, learned > baseline),
+        ("catalyst_parity", len(ps), parity),
+        ("learned_top1_all", len(relevant), learned == len(relevant)),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+def q70_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.canonical_url), FULL-VALUE
+    oracle: seven variant forms per document — case/www/default-port
+    noise, kept non-default ports, tracking-param stripping (with the
+    ambiguous `ref` param KEPT per the r5 ADVICE fix), query sorting +
+    fragment dropping, root-path folding, and unparseable garbage →
+    NULL — are canonicalized by the engine while the DuckDB SQL states
+    the expected canonical string for each variant outright, so the
+    hash check pins every output byte (1400 rows)."""
+    from shotit_worker_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    h = F.concat(
+        F.lit("ex"), (F.col("doc_id") % 37).cast("string"), F.lit(".example")
+    )
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://"), h, F.lit("/articles/"), i)
+    variants = [
+        ("v0", base),
+        (
+            "v1",
+            # scheme/host/port noise uppercased; the PATH stays lower —
+            # paths are case-sensitive and canonical_url must preserve
+            # them (uppercasing the whole URL would test the wrong
+            # thing: a canonicalizer that lowercases paths is broken)
+            F.concat(
+                F.upper(F.concat(F.lit("https://www."), h, F.lit(":443"))),
+                F.lit("/articles/"), i, F.lit("/"),
+            ),
+        ),
+        (
+            "v2",
+            F.concat(
+                F.lit("http://"), h, F.lit(":8080/articles/"), i,
+                F.lit("?utm_source=rss&fbclid=x1"),
+            ),
+        ),
+        ("v3", F.concat(base, F.lit("?b=2&a=1#frag"))),
+        ("v4", F.concat(base, F.lit("?ref=main&utm_campaign=x"))),
+        ("v5", F.concat(F.lit("https://"), h, F.lit("/"))),
+        ("v6", F.concat(F.lit("not a url "), i)),
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(tag).alias("variant"), url.alias("url"))
+            for tag, url in variants
+        ]
+    )
+    ex = docs.select("doc_id", F.explode(arr).alias("v")).select(
+        "doc_id",
+        F.col("v.variant").alias("variant"),
+        F.col("v.url").alias("url"),
+    )
+    return ex.select(
+        "doc_id",
+        "variant",
+        U.canonical_url(F.col("url")).alias("canon"),
+    ).orderBy("doc_id", "variant")
+
+
+def q71_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-overflow packing (operators/packing.sequence_pack_nosplit)
+    constants gate over both disciplines — next-fit (arrival order) and
+    first-fit-decreasing: shards never exceed the budget (the operator's
+    defining invariant, which the cumsum form deliberately lacks), rows
+    and tokens are conserved per pack key, a planted oversize document
+    is isolated in its own shard, assignment is deterministic across
+    runs, and FFD respects its theoretical 11/9·OPT + 6/9 bin bound
+    against the per-key capacity lower bound."""
+    import math
+    from collections import defaultdict
+
+    from shotit_worker_spark.operators import packing as PK
+
+    budget = 256
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("doc_id") == 0, F.lit(999))
+            .otherwise((F.col("n_chars") % 97) + 1)
+            .alias("n_tokens"),
+        )
+    )
+    inp = {
+        r["doc_id"]: (r["source"], r["n_tokens"])
+        for r in docs.collect()
+    }
+
+    def assignments(order: str) -> dict[int, tuple[str, int]]:
+        packed = PK.sequence_pack_nosplit(
+            docs, ["source"], budget=budget, order=order
+        )
+        return {
+            r["doc_id"]: (r["source"], r["local_shard"])
+            for r in packed.collect()
+        }
+
+    nf = assignments("arrival")
+    ffd = assignments("length_desc")
+    nf2 = assignments("arrival")
+
+    def check(asg: dict[int, tuple[str, int]]) -> tuple[bool, bool, bool, int]:
+        loads: dict[tuple[str, int], int] = defaultdict(int)
+        rows_per: dict[tuple[str, int], int] = defaultdict(int)
+        for d, shard in asg.items():
+            loads[shard] += inp[d][1]
+            rows_per[shard] += 1
+        over_shard = asg.get(0)
+        budget_ok = all(
+            load <= budget for s, load in loads.items() if s != over_shard
+        )
+        oversize_ok = rows_per.get(over_shard) == 1
+        conserved = set(asg) == set(inp) and all(
+            asg[d][0] == inp[d][0] for d in inp
+        )
+        return budget_ok, oversize_ok, conserved, len(loads)
+
+    nf_budget, nf_over, nf_cons, _nf_bins = check(nf)
+    ffd_budget, ffd_over, ffd_cons, _ = check(ffd)
+    # FFD bound per key (excluding the oversize doc, which lawfully
+    # owns one extra bin on each side): bins <= (11*OPT + 6)/9 with
+    # OPT >= ceil(tokens/budget)
+    key_tokens: dict[str, int] = defaultdict(int)
+    key_bins: dict[str, set] = defaultdict(set)
+    for d, (src, tok) in inp.items():
+        if d == 0:
+            continue
+        key_tokens[src] += tok
+        key_bins[src].add(ffd[d])
+    ffd_bound_ok = all(
+        len(key_bins[src])
+        <= math.ceil((11 * math.ceil(key_tokens[src] / budget) + 6) / 9)
+        for src in key_tokens
+    )
+    rows = [
+        ("deterministic", len(inp), nf == nf2),
+        ("ffd_bound", len(key_tokens), ffd_bound_ok),
+        ("ffd_budget", len(inp), ffd_budget and ffd_cons),
+        ("ffd_oversize_isolated", 1, ffd_over),
+        ("nf_budget", len(inp), nf_budget and nf_cons),
+        ("nf_oversize_isolated", 1, nf_over),
+    ]
+    return spark.createDataFrame(
+        rows, "gate string, n long, ok boolean"
+    ).orderBy("gate")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1727,19 +2190,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_nation": q02_revenue_by_nation,
-        "q03_top_revenue_orders": q03_top_revenue_orders,
+        "q67_kn_lm": q67_kn_lm,
         "q04_semi_join": q04_semi_join,
         "q05_anti_join": q05_anti_join,
         "q06_window_topk": q06_window_topk,
-        "q07_window_lag": q07_window_lag,
+        "q68_text_embedder": q68_text_embedder,
         "q08_set_ops": q08_set_ops,
         "q62_boilerplate": q62_boilerplate,
         "q63_ngram_lm": q63_ngram_lm,
         "q13_zip_join": q13_zip_join,
-        "q14_left_join": q14_left_join,
-        "q15_approx_distinct": q15_approx_distinct,
+        "q69_learned_rerank": q69_learned_rerank,
+        "q70_url_canonical": q70_url_canonical,
         "q64_bm25": q64_bm25,
-        "q17_running_sum": q17_running_sum,
+        "q71_pack_nosplit": q71_pack_nosplit,
         "q65_span_dedup": q65_span_dedup,
         "q19_cube": q19_cube,
         "q66_semantic_dedup": q66_semantic_dedup,
@@ -1775,15 +2238,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_decontaminate": q57_decontaminate,
         "q60_json_extract": q60_json_extract,
         "q61_windows": q61_windows,
-        # --- positions 51-55: the r4 VERDICT cap probe. The driver has
-        # recorded exactly 50 rows every round (r1 dropped the 51st);
-        # these five redundant-coverage relational queries sit past the
-        # cap ON PURPOSE — if CORRECTNESS_r05 records >50 rows the cap
-        # is gone and nothing was lost; if it records 50, only rows
-        # whose operator coverage overlaps q01/q02/q19/q48 drop out.
+        # --- positions 51-60: past the driver's (twice-probed) 50-row
+        # recording cap. Round-6 rotation per r5 VERDICT #1: the five
+        # new r5-wave gates (q67-q71) moved INTO the recorded window,
+        # displacing five redundant-coverage relational rows (q03 ~
+        # q02+q06, q07/q17 ~ q06+q61's window family, q14 ~ the
+        # q04/q05/q29 join family, q15 = a built-in HLL wrapper); the
+        # r4-displaced five stay here too. ALL ten displaced rows keep
+        # independent verification: every one was driver-hash-green in
+        # r4 or r5, and tests/test_displaced_oracle.py replays the
+        # driver's exact canonical-hash compare on them each pytest run.
+        "q03_top_revenue_orders": q03_top_revenue_orders,
+        "q07_window_lag": q07_window_lag,
         "q11_distinct_agg": q11_distinct_agg,
         "q12_rollup": q12_rollup,
+        "q14_left_join": q14_left_join,
+        "q15_approx_distinct": q15_approx_distinct,
         "q16_avg_quantity_filter": q16_avg_quantity_filter,
+        "q17_running_sum": q17_running_sum,
         "q18_promo_revenue": q18_promo_revenue,
         "q47_sequence_pack": q47_sequence_pack,
     }
@@ -2520,6 +2992,77 @@ def oracle_sql() -> dict[str, str]:
                 ('copies_removed', CAST(50 AS BIGINT), true),
                 ('count_exact', CAST(500 AS BIGINT), true),
                 ('originals_kept', CAST(500 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q67_kn_lm": """
+            SELECT * FROM (VALUES
+                ('model_parity', CAST(1 AS BIGINT), true),
+                ('perplexity_form', CAST(122 AS BIGINT), true),
+                ('score_parity', CAST(122 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q68_text_embedder": """
+            SELECT * FROM (VALUES
+                ('copies_identical', CAST(30 AS BIGINT), true),
+                ('copies_removed', CAST(30 AS BIGINT), true),
+                ('determinism', CAST(330 AS BIGINT), true),
+                ('originals_kept', CAST(300 AS BIGINT), true),
+                ('unit_norm', CAST(330 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q69_learned_rerank": """
+            -- n on beats_lexical is the lexical baseline's top-1 hit
+            -- count on the seed-99 planted pairs: fully deterministic
+            -- (fixed RNG construction, float-deterministic F1 scorer,
+            -- (score DESC, hash_id ASC) tie-break)
+            SELECT * FROM (VALUES
+                ('beats_lexical', CAST(3 AS BIGINT), true),
+                ('catalyst_parity', CAST(216 AS BIGINT), true),
+                ('learned_top1_all', CAST(12 AS BIGINT), true)
+            ) AS t(gate, n, ok)
+            ORDER BY gate
+        """,
+        "q70_url_canonical": """
+            WITH d AS (
+                SELECT doc_id,
+                       'ex' || CAST(doc_id % 37 AS VARCHAR) || '.example'
+                           AS h,
+                       CAST(doc_id AS VARCHAR) AS i
+                FROM documents WHERE doc_id < 200)
+            SELECT doc_id, variant, canon FROM (
+                SELECT doc_id, 'v0' AS variant,
+                       'https://' || h || '/articles/' || i AS canon FROM d
+                UNION ALL
+                SELECT doc_id, 'v1',
+                       'https://' || h || '/articles/' || i FROM d
+                UNION ALL
+                SELECT doc_id, 'v2',
+                       'http://' || h || ':8080/articles/' || i FROM d
+                UNION ALL
+                SELECT doc_id, 'v3',
+                       'https://' || h || '/articles/' || i || '?a=1&b=2'
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'v4',
+                       'https://' || h || '/articles/' || i || '?ref=main'
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'v5', 'https://' || h FROM d
+                UNION ALL
+                SELECT doc_id, 'v6', CAST(NULL AS VARCHAR) FROM d)
+            ORDER BY doc_id, variant
+        """,
+        "q71_pack_nosplit": """
+            SELECT * FROM (VALUES
+                ('deterministic', CAST(400 AS BIGINT), true),
+                ('ffd_bound', CAST(20 AS BIGINT), true),
+                ('ffd_budget', CAST(400 AS BIGINT), true),
+                ('ffd_oversize_isolated', CAST(1 AS BIGINT), true),
+                ('nf_budget', CAST(400 AS BIGINT), true),
+                ('nf_oversize_isolated', CAST(1 AS BIGINT), true)
             ) AS t(gate, n, ok)
             ORDER BY gate
         """,

@@ -92,7 +92,14 @@ def train_quality_classifier(
             ),
         ]
     )
-    model = pipe.fit(prepared)
+    # persist across L-BFGS's repeated training-set passes — MLlib's
+    # instance cache does not cover the tokenize lineage above the
+    # pipeline (see rerank.train_pair_scorer: 9.1 s -> 0.6 s measured)
+    prepared = prepared.persist()
+    try:
+        model = pipe.fit(prepared)
+    finally:
+        prepared.unpersist()
     # remember the featurization config for score_quality
     model._qc_text_col = text_col
     model._qc_use_bigrams = use_bigrams
@@ -254,7 +261,11 @@ def train_lang_classifier(
             ),
         ]
     )
-    model = pipe.fit(prepared)
+    prepared = prepared.persist()
+    try:
+        model = pipe.fit(prepared)
+    finally:
+        prepared.unpersist()
     model._lc_text_col = text_col
     model._lc_ngram = ngram
     model._lc_labels = list(indexer.labels)
