@@ -12,7 +12,8 @@ Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB),
 4 (gray+alpha), 6 (RGBA), no interlace. Gray expands to RGB; alpha is
 dropped (descriptors are RGB-only). Palette/16-bit/interlaced raise
 ``UnsupportedImageError`` — callers fall back to the stub kernel.
-JPEG: baseline/extended-sequential huffman (progressive raises).
+JPEG: baseline/extended-sequential AND progressive huffman (see
+functions/jpegcodec); lossless/arithmetic raise.
 """
 
 from __future__ import annotations

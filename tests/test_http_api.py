@@ -85,6 +85,9 @@ def test_search_accepts_jpeg_body(spark, tmp_root):
     import glob
     import os
 
+    # corpus = the baseline goldens only: each progressive golden is a
+    # near-identical twin of a baseline one, which would make top-1
+    # self-retrieval ambiguous. One progressive file queries below.
     gold = sorted(
         p
         for p in glob.glob(
@@ -114,6 +117,25 @@ def test_search_accepts_jpeg_body(spark, tmp_root):
         docs = body["response"]["docs"]
         assert docs[0]["img_id"] == 4
         assert docs[0]["score"] == pytest.approx(1.0, abs=1e-9)
+        # r6: a PROGRESSIVE jpeg body decodes for real and retrieves
+        # its baseline twin (same synthetic scene, different coding)
+        prog = open(
+            os.path.join(
+                os.path.dirname(__file__), "goldens", "jpeg",
+                "progressive_frame_180x320.jpg",
+            ),
+            "rb",
+        ).read()
+        twin_id = next(
+            i for i, p in enumerate(gold) if p.endswith("q75_frame_180x320.jpg")
+        )
+        req = urllib.request.Request(
+            _url(srv, "/search"), data=prog, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = json.load(r)
+        assert body["response"]["docs"][0]["img_id"] == twin_id
     finally:
         srv.stop()
         searcher.close()

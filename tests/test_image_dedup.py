@@ -47,3 +47,32 @@ def test_image_dedup_collapses_near_identical(spark):
     assert len(kept_ids & {"b0", "b1"}) == 1
     clusters = {r["image_id"]: r["cluster_id"] for r in kept}
     assert clusters["broken"] == "broken"  # singleton cluster id = own id
+
+
+def test_progressive_and_baseline_jpeg_twins_collapse(spark):
+    """r6: progressive JPEGs decode for REAL, so the progressive and
+    baseline encodes of the same scene are near-dups that collapse to
+    one survivor (before, progressive fell to the blake2 fallback and
+    was a permanent singleton)."""
+    import os
+
+    gold = os.path.join(os.path.dirname(__file__), "goldens", "jpeg")
+
+    def _b(name):
+        with open(os.path.join(gold, name), "rb") as f:
+            return f.read()
+
+    images = spark.createDataFrame(
+        [
+            ("base", _b("q75_frame_180x320.jpg")),
+            ("prog", _b("progressive_frame_180x320.jpg")),
+            ("other", _b("progressive_32x32.jpg")),
+        ],
+        "image_id string, image binary",
+    )
+    kept = image_dedup(
+        images, threshold=0.995, num_bits=4, num_tables=8
+    ).collect()
+    kept_ids = {r["image_id"] for r in kept}
+    assert "other" in kept_ids
+    assert len(kept_ids & {"base", "prog"}) == 1

@@ -1,10 +1,11 @@
-"""Baseline JPEG decoder (functions/jpegcodec.py) vs the JRE's own
-codec: every committed golden JPEG (tools/gen_jpeg_goldens.py encodes
-synthetic images with javax.imageio and dumps ITS decode of the same
-bytes) must decode BIT-EXACTLY — pinning the libjpeg-islow IDCT, fancy
-chroma upsampling, and fixed-point color conversion all at once. Plus
-the unsupported/corrupt error surface and the decode_image/descriptor
-integration."""
+"""JPEG decoder (functions/jpegcodec.py) vs the JRE's own codec: every
+committed golden JPEG (tools/gen_jpeg_goldens.py encodes synthetic
+images with javax.imageio — baseline AND progressive — and dumps ITS
+decode of the same bytes) must decode BIT-EXACTLY — pinning the
+libjpeg-islow IDCT, fancy chroma upsampling, fixed-point color
+conversion, and (r6) the jdphuff.c progressive scan decoders all at
+once. Plus the unsupported/corrupt error surface and the
+decode_image/descriptor integration."""
 
 from __future__ import annotations
 
@@ -22,7 +23,6 @@ RASTERS = np.load(os.path.join(GOLD_DIR, "java_rasters.npz"))
 CASES = sorted(
     os.path.basename(p)[:-4]
     for p in glob.glob(os.path.join(GOLD_DIR, "*.jpg"))
-    if "progressive" not in p
 )
 
 
@@ -41,13 +41,22 @@ def test_bit_exact_vs_java(name):
     np.testing.assert_array_equal(got, exp)
 
 
-def test_progressive_raises():
+def test_progressive_is_sof2_and_decodes():
+    """The goldens' progressive files really are SOF2 (otherwise the
+    parametrized bit-exact check above would prove nothing new), and
+    they decode through decode_image like any baseline file."""
     data = _jpg("progressive_32x32")
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    got = IC.decode_image(data)
+    np.testing.assert_array_equal(got, RASTERS["progressive_32x32"])
+
+
+def test_lossless_sof3_still_raises():
+    """The unsupported-process surface survives the progressive
+    enablement: a (synthetic) SOF3 header must raise, not mis-decode."""
+    data = _jpg("progressive_32x32").replace(b"\xff\xc2", b"\xff\xc3", 1)
     with pytest.raises(JPEGError, match="unsupported JPEG process"):
         decode_jpeg(data)
-    # decode_image maps it to the total error type callers catch
-    with pytest.raises(IC.UnsupportedImageError):
-        IC.decode_image(data)
 
 
 def test_corrupt_and_sniff():

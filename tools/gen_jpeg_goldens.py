@@ -114,7 +114,15 @@ CASES = [
     ("q75_frame_180x320", 180, 320, 0.75, False, False),
     ("q50_frame_180x320", 180, 320, 0.50, False, False),
     ("q75_gray_48x64", 48, 64, 0.75, True, False),
+    # progressive (SOF2): decoded for real since r6 — goldens cover
+    # color 4:2:0, odd dims (non-interleaved partial-MCU block grids),
+    # grayscale, the 320x180 thumbnail frame, and a high-quality file
+    # (longer refinement scans)
     ("progressive_32x32", 32, 32, 0.75, False, True),
+    ("progressive_odd_23x37", 23, 37, 0.75, False, True),
+    ("progressive_gray_48x64", 48, 64, 0.75, True, True),
+    ("progressive_frame_180x320", 180, 320, 0.75, False, True),
+    ("progressive_q92_64x48", 48, 64, 0.92, False, True),
 ]
 
 
