@@ -23,9 +23,16 @@ what ffmpeg's ``fps=12`` filter would produce on the same file.
 Box coverage: ftyp, moov/mvhd, trak/tkhd, mdia/mdhd/hdlr,
 minf/stbl/{stsd(avc1|avc3/avcC), stts, ctts(v0/v1), stss, stsz/stz2,
 stsc, stco, co64}. 64-bit largesize boxes and co64 offsets supported.
-Fragmented MP4 (moof) is out of scope and raises — Common Crawl-era
-web video is overwhelmingly progressive; fMP4 needs a segment walk
-that belongs in a streaming source.
+
+FRAGMENTED MP4 (r6): files carrying moof fragments (DASH/CMAF-style)
+demux through the segment walk — mvex/trex track defaults, per-
+fragment tfhd (base-data-offset / default-base-is-moof, per-fragment
+defaults), tfdt decode-time anchors, and trun sample runs (data
+offsets, per-sample durations/sizes/flags, v0/v1 composition offsets,
+first-sample-flags). Keyframes come from the sample_is_non_sync_sample
+flag bit. The moov must be present for configuration (a bare styp
+media segment without its init segment raises — pair them upstream);
+hybrid files with BOTH stbl samples and fragments raise as unsupported.
 """
 
 from __future__ import annotations
@@ -276,14 +283,182 @@ def _parse_stsd_video(data: bytes, b: int, e: int):
     raise MP4Error("stsd has no sample entries")
 
 
+def _parse_tkhd_track_id(data: bytes, b: int) -> int:
+    v, _, p = _fullbox(data, b)
+    if v == 1:
+        return struct.unpack_from(">I", data, p + 16)[0]
+    return struct.unpack_from(">I", data, p + 8)[0]
+
+
+def _parse_trex(data: bytes, b: int, e: int) -> tuple[int, dict]:
+    """(track_id, defaults) from one trex box."""
+    _, _, p = _fullbox(data, b)
+    tid, _desc, dur, size, flags = struct.unpack_from(">5I", data, p)
+    return tid, {"duration": dur, "size": size, "flags": flags}
+
+
+# tfhd flag bits (ISO 14496-12 §8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+# trun flag bits (§8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+# sample_flags: sample_is_non_sync_sample (§8.8.3.1)
+_SAMPLE_NON_SYNC = 0x00010000
+
+
+def _parse_fragments(
+    data: bytes,
+    track_id: int,
+    timescale: int,
+    trex_default: dict,
+) -> tuple[list[Mp4Sample], int]:
+    """Walk every top-level moof and collect the video track's samples,
+    plus the end decode time (timescale units) — the fragmented file's
+    true duration source (mdhd duration is typically 0 in fMP4).
+
+    Decode time runs across fragments, re-anchored by tfdt when
+    present; data offsets resolve against tfhd's base_data_offset, or
+    the moof start under default-base-is-moof (also the spec's implicit
+    base for a fragment's first traf — the only traf we read)."""
+    samples: list[Mp4Sample] = []
+    running_dts = 0  # timescale units
+    for fc, fb, fe in _iter_boxes(data, 0, len(data)):
+        if fc != b"moof":
+            continue
+        moof_pos = fb - 8  # box header start (base for default-base-is-moof)
+        for tfc, tb, te in _iter_boxes(data, fb, fe):
+            if tfc != b"traf":
+                continue
+            tfhd = _find(data, tb, te, b"tfhd")
+            if tfhd is None:
+                raise MP4Error("traf without tfhd")
+            _, tf_flags, p = _fullbox(data, tfhd[0])
+            (tid,) = struct.unpack_from(">I", data, p)
+            p += 4
+            if tid != track_id:
+                continue
+            base = None
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                (base,) = struct.unpack_from(">Q", data, p)
+                p += 8
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                p += 4
+            defaults = dict(trex_default)
+            if tf_flags & _TFHD_DEFAULT_DURATION:
+                (defaults["duration"],) = struct.unpack_from(">I", data, p)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                (defaults["size"],) = struct.unpack_from(">I", data, p)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_FLAGS:
+                (defaults["flags"],) = struct.unpack_from(">I", data, p)
+                p += 4
+            if base is None:
+                # default-base-is-moof, or the spec's implicit base for
+                # the fragment's first traf — both the moof start
+                base = moof_pos
+            tfdt = _find(data, tb, te, b"tfdt")
+            if tfdt is not None:
+                v, _, dp = _fullbox(data, tfdt[0])
+                if v == 1:
+                    (running_dts,) = struct.unpack_from(">Q", data, dp)
+                else:
+                    (running_dts,) = struct.unpack_from(">I", data, dp)
+            cursor = None  # absolute offset of the next sample byte
+            for rfc, rb, re_ in _iter_boxes(data, tb, te):
+                if rfc != b"trun":
+                    continue
+                v, fl, p2 = _fullbox(data, rb)
+                (cnt,) = struct.unpack_from(">I", data, p2)
+                p2 += 4
+                per = (
+                    (4 if fl & _TRUN_SAMPLE_DURATION else 0)
+                    + (4 if fl & _TRUN_SAMPLE_SIZE else 0)
+                    + (4 if fl & _TRUN_SAMPLE_FLAGS else 0)
+                    + (4 if fl & _TRUN_SAMPLE_CTS else 0)
+                )
+                head = (
+                    (4 if fl & _TRUN_DATA_OFFSET else 0)
+                    + (4 if fl & _TRUN_FIRST_SAMPLE_FLAGS else 0)
+                )
+                _check_entries("trun", cnt, p2 + head, re_, per)
+                if fl & _TRUN_DATA_OFFSET:
+                    (doff,) = struct.unpack_from(">i", data, p2)
+                    p2 += 4
+                    cursor = base + doff
+                elif cursor is None:
+                    cursor = base
+                first_flags = None
+                if fl & _TRUN_FIRST_SAMPLE_FLAGS:
+                    (first_flags,) = struct.unpack_from(">I", data, p2)
+                    p2 += 4
+                for i in range(cnt):
+                    if fl & _TRUN_SAMPLE_DURATION:
+                        (dur,) = struct.unpack_from(">I", data, p2)
+                        p2 += 4
+                    else:
+                        dur = defaults["duration"]
+                    if fl & _TRUN_SAMPLE_SIZE:
+                        (size,) = struct.unpack_from(">I", data, p2)
+                        p2 += 4
+                    else:
+                        size = defaults["size"]
+                    if fl & _TRUN_SAMPLE_FLAGS:
+                        (sflags,) = struct.unpack_from(">I", data, p2)
+                        p2 += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    else:
+                        sflags = defaults["flags"]
+                    if fl & _TRUN_SAMPLE_CTS:
+                        if v == 0:
+                            (cts,) = struct.unpack_from(">I", data, p2)
+                        else:
+                            (cts,) = struct.unpack_from(">i", data, p2)
+                        p2 += 4
+                    else:
+                        cts = 0
+                    if cursor + size > len(data):
+                        raise MP4Error(
+                            f"fragment sample {len(samples)} "
+                            f"[{cursor}, {cursor + size}) overruns file "
+                            f"of {len(data)} bytes (truncated?)"
+                        )
+                    samples.append(
+                        Mp4Sample(
+                            index=len(samples),
+                            offset=cursor,
+                            size=size,
+                            dts=running_dts / timescale,
+                            pts=(running_dts + cts) / timescale,
+                            keyframe=not (sflags & _SAMPLE_NON_SYNC),
+                        )
+                    )
+                    cursor += size
+                    running_dts += dur
+            break  # only the video traf of this moof
+    return samples, running_dts
+
+
 def parse_mp4(data: bytes) -> Mp4VideoTrack:
     """Sample table of the FIRST video track (the reference pipeline is
-    single-video-stream). Raises :class:`MP4Error` on malformed input,
-    fragmented files, or when no video track exists — including corrupt
-    box contents (struct/index errors are wrapped, so callers need one
-    except clause) and samples whose byte range overruns the file
-    (truncated-in-transit downloads fail AT PARSE TIME, before any
-    sampler iterates)."""
+    single-video-stream), progressive OR fragmented. Raises
+    :class:`MP4Error` on malformed input or when no video track
+    exists — including corrupt box contents (struct/index errors are
+    wrapped, so callers need one except clause) and samples whose byte
+    range overruns the file (truncated-in-transit downloads fail AT
+    PARSE TIME, before any sampler iterates)."""
     try:
         return _parse_mp4_inner(data)
     except MP4Error:
@@ -297,9 +472,10 @@ def _parse_mp4_inner(data: bytes) -> Mp4VideoTrack:
         raise MP4Error("no ftyp box — not an ISOBMFF file")
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
-        raise MP4Error("no moov box (fragmented/streaming mp4 unsupported)")
-    if _find(data, 0, len(data), b"moof") is not None:
-        raise MP4Error("fragmented mp4 (moof) unsupported")
+        raise MP4Error(
+            "no moov box (a bare media segment needs its init segment)"
+        )
+    fragmented = _find(data, 0, len(data), b"moof") is not None
     for fc, tb, te in _iter_boxes(data, *moov):
         if fc != b"trak":
             continue
@@ -358,6 +534,42 @@ def _parse_mp4_inner(data: bytes) -> Mp4VideoTrack:
         ctts = (
             _parse_ctts(data, *boxes[b"ctts"]) if b"ctts" in boxes else []
         )
+
+        if fragmented:
+            if sizes:
+                raise MP4Error(
+                    "hybrid mp4 (stbl samples AND moof fragments) "
+                    "unsupported"
+                )
+            tkhd = _find(data, tb, te, b"tkhd")
+            if tkhd is None:
+                raise MP4Error("fragmented video trak without tkhd")
+            track_id = _parse_tkhd_track_id(data, tkhd[0])
+            trex_default = {"duration": 0, "size": 0, "flags": 0}
+            mvex = _find(data, *moov, b"mvex")
+            if mvex is not None:
+                for xfc, xb, xe in _iter_boxes(data, *mvex):
+                    if xfc == b"trex":
+                        tid, d = _parse_trex(data, xb, xe)
+                        if tid == track_id:
+                            trex_default = d
+            frag_samples, end_dts = _parse_fragments(
+                data, track_id, timescale, trex_default
+            )
+            frag_dur = max(dur, end_dts) / timescale
+            if frag_samples:
+                frag_dur = max(frag_dur, max(s.pts for s in frag_samples))
+            return Mp4VideoTrack(
+                codec=fourcc,
+                width=width,
+                height=height,
+                timescale=timescale,
+                duration=frag_dur,
+                sps=sps,
+                pps=pps,
+                nal_length_size=nal_len,
+                samples=tuple(frag_samples),
+            )
 
         n = len(sizes)
         # decode times: cumulative stts deltas

@@ -6,6 +6,7 @@ stubbed pixels)."""
 from __future__ import annotations
 
 import os
+import struct
 import sys
 
 import pytest
@@ -271,3 +272,126 @@ def test_huge_declared_duration_is_bounded(spark, tmp_path):
     rows = MD.decode_frames(videos, fps=12).collect()
     # pts[-1]=1s + capped tail (<=10s) at 12 fps: at most ~132 slots
     assert 0 < len(rows) <= 140
+
+
+# -- r6: fragmented MP4 (moof segment walk) ---------------------------------
+
+from gen_mp4_fixture import box, build_fmp4  # noqa: E402
+
+
+def _twin_tables(prog_track, frag_track, prog_data, frag_data):
+    """(size, dts, pts, keyframe, payload) rows for both tracks."""
+    def rows(track, data):
+        return [
+            (s.size, round(s.dts, 9), round(s.pts, 9), s.keyframe,
+             M.read_sample(data, s))
+            for s in track.samples
+        ]
+    return rows(prog_track, prog_data), rows(frag_track, frag_data)
+
+
+def test_fragmented_twin_matches_progressive():
+    """The VERDICT #6 'done' criterion: a fragmented fixture demuxes to
+    the SAME sample table as its progressive twin — sizes, timeline
+    (dts AND ctts-composed pts), keyframe structure, payload bytes."""
+    payloads = _samples(11)
+    deltas = [1066, 1067, 1067] * 3 + [1066, 1067]
+    keyframes = [0, 4, 8]
+    ctts = [0, 2134, -1067, 0, 1067, 0, -1067, 2134, 0, 1067, 0]
+    prog, _ = build_mp4(payloads, deltas, keyframes=keyframes,
+                        ctts_offsets=ctts)
+    frag = build_fmp4(payloads, deltas, keyframes=keyframes,
+                      ctts_offsets=ctts, fragment_size=4)
+    pt = M.parse_mp4(prog)
+    ft = M.parse_mp4(frag)
+    assert ft.codec == pt.codec
+    assert (ft.width, ft.height) == (pt.width, pt.height)
+    assert ft.timescale == pt.timescale
+    assert ft.nal_length_size == pt.nal_length_size
+    assert ft.sps == pt.sps and ft.pps == pt.pps
+    a, b = _twin_tables(pt, ft, prog, frag)
+    assert a == b
+    assert ft.duration == pytest.approx(sum(deltas) / 12800)
+
+
+def test_fragmented_base_offset_variants():
+    """tfhd base resolution: default-base-is-moof vs an explicit
+    absolute base_data_offset must place identical sample bytes."""
+    payloads = _samples(6)
+    deltas = [1066] * 6
+    a = build_fmp4(payloads, deltas, fragment_size=3)
+    b = build_fmp4(payloads, deltas, fragment_size=3,
+                   explicit_base_offset=True)
+    ta, tb = M.parse_mp4(a), M.parse_mp4(b)
+    assert [M.read_sample(a, s) for s in ta.samples] == payloads
+    assert [M.read_sample(b, s) for s in tb.samples] == payloads
+    assert [s.dts for s in ta.samples] == [s.dts for s in tb.samples]
+
+
+def test_fragmented_trex_defaults_and_no_tfdt():
+    """Durations from the trex default (no per-sample duration in the
+    trun) and decode time accumulated ACROSS fragments without tfdt
+    anchors both reproduce the uniform timeline."""
+    payloads = _samples(8)
+    deltas = [1066] * 8
+    for kwargs in (
+        {"trex_duration": 1066},
+        {"use_tfdt": False},
+        {"trex_duration": 1066, "use_tfdt": False},
+    ):
+        data = build_fmp4(payloads, deltas, fragment_size=3, **kwargs)
+        t = M.parse_mp4(data)
+        assert len(t.samples) == 8
+        for i, s in enumerate(t.samples):
+            assert s.dts == pytest.approx(i * 1066 / 12800)
+            assert M.read_sample(data, s) == payloads[i]
+        assert all(s.keyframe for s in t.samples)  # no flags => sync
+
+
+def test_fragmented_keyframes_from_sample_flags():
+    payloads = _samples(8)
+    deltas = [1066] * 8
+    kf = [0, 5]
+    data = build_fmp4(payloads, deltas, keyframes=kf, fragment_size=8)
+    t = M.parse_mp4(data)
+    assert [i for i, s in enumerate(t.samples) if s.keyframe] == kf
+
+
+def test_bare_segment_without_moov_raises():
+    frag = build_fmp4(_samples(4), [1066] * 4, fragment_size=2)
+    # strip everything before the first moof: a bare media segment
+    i = frag.find(b"moof") - 4
+    seg = box(b"styp", b"cmfc" + struct.pack(">I", 0) + b"cmfc") + frag[i:]
+    assert M.is_mp4(seg)
+    with pytest.raises(M.MP4Error, match="moov"):
+        M.parse_mp4(seg)
+
+
+def test_g1_decode_frames_fragmented_mp4(spark, tmp_path):
+    """G1 e2e on a FRAGMENTED file: same slot count and timecodes as
+    the progressive twin (the sampler only sees the sample table)."""
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.functions import media as MD
+
+    payloads = _samples(24)
+    deltas = [1066, 1067, 1067] * 8
+    kf = [0, 8, 16]
+    prog, _ = build_mp4(payloads, deltas, keyframes=kf)
+    frag = build_fmp4(payloads, deltas, keyframes=kf, fragment_size=5)
+    videos = spark.createDataFrame(
+        [("store/tt1/prog.mp4", prog), ("store/tt2/frag.mp4", frag)],
+        "path string, content binary",
+    )
+    rows = (
+        MD.decode_frames(videos)
+        .select("file", "frame_no", "time")
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"].split("/")[0], []).append(
+            (r["frame_no"], r["time"])
+        )
+    assert sorted(by_file["tt1"]) == sorted(by_file["tt2"])
+    assert len(by_file["tt1"]) > 0

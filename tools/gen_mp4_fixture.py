@@ -227,3 +227,184 @@ def build_mp4(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov, sample_offsets
+
+
+def build_fmp4(
+    samples: list[bytes],
+    deltas: list[int],
+    timescale: int = 12800,
+    keyframes: list[int] | None = None,
+    ctts_offsets: list[int] | None = None,
+    width: int = 320,
+    height: int = 180,
+    sps: list[bytes] | None = None,
+    pps: list[bytes] | None = None,
+    nal_length_size: int = 4,
+    fragment_size: int = 4,
+    use_tfdt: bool = True,
+    explicit_base_offset: bool = False,
+    trex_duration: int = 0,
+) -> bytes:
+    """Fragmented (DASH/CMAF-style) twin of :func:`build_mp4`: ftyp +
+    moov(empty stbl + mvex/trex) + per-fragment [moof(mfhd, traf(tfhd,
+    tfdt?, trun)) + mdat]. ``keyframes`` maps to the per-sample
+    sample_is_non_sync_sample flag (None => all sync); the trun carries
+    per-sample durations/sizes (+ v1 signed cts offsets if given).
+    ``explicit_base_offset`` switches tfhd from default-base-is-moof to
+    an absolute base_data_offset; ``trex_duration``, when nonzero,
+    moves sample durations out of the trun into the trex default
+    (deltas must then all equal it)."""
+    assert len(samples) == len(deltas)
+    n = len(samples)
+    sps = sps or [make_nal(7, b"fake-sps")]
+    pps = pps or [make_nal(8, b"fake-pps")]
+    duration = sum(deltas)
+
+    ftyp = box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6cmfc"
+    )
+    mvhd = fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, 0)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(
+            ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+        + struct.pack(">I", 0) + struct.pack(">I", 0)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(
+            ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b"")
+    )
+    dinf = box(b"dinf", dref)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 0x0018) + struct.pack(">h", -1)
+        + avcc(sps, pps, nal_length_size)
+    )
+    avc1 = box(b"avc1", entry)
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+    empty = struct.pack(">I", 0)
+    stbl = box(
+        b"stbl",
+        stsd
+        + fullbox(b"stts", 0, 0, empty)
+        + fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + fullbox(b"stsc", 0, 0, empty)
+        + fullbox(b"stco", 0, 0, empty),
+    )
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    trex = fullbox(
+        b"trex", 0, 0,
+        struct.pack(">5I", 1, 1, trex_duration, 0, 0),
+    )
+    mvex = box(b"mvex", box(b"mehd", b"\x00" * 4 + struct.pack(">I", duration)) + trex)
+    moov = box(b"moov", mvhd + trak + mvex)
+
+    out = ftyp + moov
+    kf = set(keyframes) if keyframes is not None else None
+    dts = 0
+    seq = 0
+    i = 0
+    while i < n:
+        frag = list(range(i, min(i + fragment_size, n)))
+        seq += 1
+        mfhd = fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tf_flags = 0x020000  # default-base-is-moof
+        tfhd_body = struct.pack(">I", 1)
+        if explicit_base_offset:
+            tf_flags = 0x000001
+            # patched after moof length is known; placeholder
+            tfhd_body += struct.pack(">Q", 0)
+        tfhd = fullbox(b"tfhd", 0, tf_flags, tfhd_body)
+        tfdt = (
+            fullbox(b"tfdt", 1, 0, struct.pack(">Q", dts))
+            if use_tfdt
+            else b""
+        )
+        tr_flags = 0x000001 | 0x000200  # data-offset + sample-size
+        if not trex_duration:
+            tr_flags |= 0x000100  # per-sample duration
+        if kf is not None:
+            tr_flags |= 0x000400  # per-sample flags
+        if ctts_offsets is not None:
+            tr_flags |= 0x000800
+        rows = b""
+        for j in frag:
+            if not trex_duration:
+                rows += struct.pack(">I", deltas[j])
+            else:
+                assert deltas[j] == trex_duration
+            rows += struct.pack(">I", len(samples[j]))
+            if kf is not None:
+                rows += struct.pack(
+                    ">I", 0 if j in kf else 0x00010000
+                )
+            if ctts_offsets is not None:
+                rows += struct.pack(">i", ctts_offsets[j])
+        trun_payload = (
+            struct.pack(">I", len(frag))
+            + struct.pack(">i", 0)  # data_offset patched below
+            + rows
+        )
+        trun = fullbox(b"trun", 1, tr_flags, trun_payload)
+        traf = box(b"traf", tfhd + tfdt + trun)
+        moof = box(b"moof", mfhd + traf)
+        # data_offset: mdat payload starts moof_len + 8 after moof start
+        data_offset = len(moof) + 8
+        doff_pos = len(moof) - len(trun) + 12 + 4  # fullbox hdr + count
+        moof = (
+            moof[:doff_pos]
+            + struct.pack(">i", data_offset)
+            + moof[doff_pos + 4 :]
+        )
+        if explicit_base_offset:
+            # absolute offset of this moof within the file
+            moof_abs = len(out)
+            bdo_pos = len(box(b"mfhd", b"")) + 4 + 8 + 12  # not robust
+            # locate tfhd body inside moof: mfhd is 16 bytes, traf hdr 8,
+            # tfhd fullbox hdr 12, track_id 4 -> base_data_offset
+            bdo_pos = 8 + 16 + 8 + 12 + 4
+            moof = (
+                moof[:bdo_pos]
+                + struct.pack(">Q", moof_abs + data_offset)
+                + moof[bdo_pos + 8 :]
+            )
+            # data_offset is relative to base_data_offset now
+            moof = (
+                moof[:doff_pos]
+                + struct.pack(">i", 0)
+                + moof[doff_pos + 4 :]
+            )
+        mdat = box(b"mdat", b"".join(samples[j] for j in frag))
+        out += moof + mdat
+        dts += sum(deltas[j] for j in frag)
+        i += fragment_size
+    return out
