@@ -1,0 +1,179 @@
+"""Round-6 operator stress: the r5-wave paths at 1 M rows (SCALE_NOTES
+stopped at 100 k for these — r5 VERDICT #5). Deterministic synthesized
+corpus, one JSON line per measurement; results land in SCALE_NOTES.md.
+
+Covers: text embedder train+embed, Kneser-Ney scoring, BM25 index
+build + search, and the streaming index-ingest fold (parquet stream →
+anti-join manifest → embed → IVFIndex.add, availableNow).
+
+Usage: python tools/scale_stress_r6.py [n_docs] [--skip-stream]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.index import ivf
+from shotit_worker_spark.operators import bm25 as B
+from shotit_worker_spark.operators import embedding as E
+from shotit_worker_spark.operators import ngram_lm as NL
+from shotit_worker_spark.session import get_spark
+
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_DOCS = int(_pos[0]) if _pos else 1_000_000
+SKIP_STREAM = "--skip-stream" in sys.argv
+
+
+def bench(name: str, n: int, fn, warm: bool = True) -> float:
+    if warm:
+        fn()
+    t0 = time.time()
+    fn()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "n": n,
+                "sec": round(dt, 2),
+                "rows_per_sec": round(n / dt) if dt > 0 else None,
+            }
+        ),
+        flush=True,
+    )
+    return dt
+
+
+def synth_docs(spark, n, words=40, vocab=5000):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        (
+                            F.xxhash64(F.col("id") * 31 + F.lit(i)) % vocab
+                        ).cast("string"),
+                    )
+                    for i in range(words)
+                ],
+            ).alias("text"),
+        )
+        .repartition(32)
+    )
+
+
+def main() -> None:
+    spark = get_spark("stress-r6", shuffle_partitions=32)
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    docs = synth_docs(spark, N_DOCS).cache()
+    docs.count()
+
+    # text embedder at 1 M: train (df job) + map-only 64-d embed
+    emb = {}
+
+    def _train_embed():
+        emb["m"] = E.train_text_embedder(docs, dim=64)
+
+    bench("text_embedder_train", N_DOCS, _train_embed)
+    bench(
+        "text_embedder_embed_64d",
+        N_DOCS,
+        lambda: emb["m"].embed(docs).count(),
+    )
+
+    # Kneser-Ney: train at 100 k (tables are vocab-bounded), SCORE 1 M
+    kdocs = synth_docs(spark, min(N_DOCS, 100_000), words=30, vocab=200).cache()
+    kdocs.count()
+    kn = {}
+
+    def _train_kn():
+        kn["m"] = NL.train_kn_lm(kdocs, n=3)
+
+    bench("kn_lm_train_n3_100k", kdocs.count(), _train_kn)
+    sdocs = synth_docs(spark, N_DOCS, words=30, vocab=200).cache()
+    sdocs.count()
+    bench("kn_lm_score", N_DOCS, lambda: kn["m"].score(sdocs).count())
+    sdocs.unpersist()
+    kdocs.unpersist()
+
+    # BM25 at 1 M docs: build + save (the postings ARE the index — an
+    # in-memory BM25Index holds a LAZY lineage back to the tokenize/
+    # groupBy, so searching it re-runs the build per query batch;
+    # production serves from the parquet sidecar via open())
+    idx = {}
+    td_bm25 = tempfile.mkdtemp(prefix="stress_r6_bm25_")
+
+    def _build_save():
+        i = B.build_bm25(docs)
+        i.save(os.path.join(td_bm25, "idx"))
+        idx["i"] = B.BM25Index.open(spark, os.path.join(td_bm25, "idx"))
+
+    bench("bm25_build_save_open", N_DOCS, _build_save, warm=False)
+    qs = docs.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bench(
+        "bm25_search_64q_k15",
+        N_DOCS,
+        lambda: idx["i"].search(qs, k=15).count(),
+    )
+    shutil.rmtree(td_bm25, ignore_errors=True)
+
+    if not SKIP_STREAM:
+        # streaming ingest fold: parquet stream -> manifest anti-join ->
+        # embed -> live IVFIndex.add (availableNow drains the backlog)
+        from shotit_worker_spark.streaming.ingest import stream_index_ingest
+
+        td = tempfile.mkdtemp(prefix="stress_r6_")
+        try:
+            src = os.path.join(td, "src")
+            n_stream = min(N_DOCS, 1_000_000)
+            docs.filter(F.col("doc_id") < n_stream).write.mode(
+                "overwrite"
+            ).parquet(src)
+            base = emb["m"].embed(
+                docs.filter(F.col("doc_id") >= N_DOCS - 50_000)
+            ).select("doc_id", F.col("embedding").alias("vector"))
+            index = ivf.build_ivf(base, os.path.join(td, "ivf"), nlist=128)
+            manifest = spark.range(0).select(F.col("id").alias("doc_id"))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "8")
+                .parquet(src)
+            )
+
+            def _ingest():
+                q = stream_index_ingest(
+                    stream,
+                    index,
+                    os.path.join(td, "ckpt"),
+                    embedder=emb["m"],
+                    dedup_manifest=manifest,
+                )
+                q.awaitTermination()
+
+            bench("stream_ingest_embed_add", n_stream, _ingest, warm=False)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
