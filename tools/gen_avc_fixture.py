@@ -1,0 +1,1030 @@
+"""Minimal H.264 baseline I-frame ENCODER for decoder round-trip tests.
+
+Independent counterpart to shotit_worker_spark/functions/avc.py: this
+side implements prediction-mode selection, the FORWARD 4x4 transform,
+quantization, and CAVLC WRITING; the decoder implements inverse
+transform, dequant, and CAVLC READING. The only shared artifacts are
+the published code tables (imported from avc.py so there is a single
+source of truth) — every algorithm is implemented twice, in opposite
+directions, which is what makes the round-trip meaningful: the spec
+requires an encoder's reconstruction loop to reproduce the decoder's
+output exactly, and the encoder's reconstruction here is its own
+independent numpy implementation of the standard's decode math.
+
+Conformance constraints this encoder imposes on itself:
+- disable_deblocking_filter_idc = 1 in every slice (the decoder does
+  not implement the loop filter and refuses filtered streams);
+- at most 12 nonzero coefficients per 4x4 block (smallest coefficients
+  zeroed — ordinary encoder-side rate shaping) so the bitstream stays
+  inside the decoder's validated coeff_token region;
+- one slice per frame, IDR only, 4:2:0, CAVLC (baseline).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shotit_worker_spark.functions.avc import (  # noqa: E402
+    _CBP_INTRA,
+    _CT_TABLES,
+    _RUN_BEFORE,
+    _TOTAL_ZEROS_4x4,
+    _TOTAL_ZEROS_CHROMA_DC,
+    ZIGZAG_4x4,
+    _blk_xy,
+)
+
+# ---------------------------------------------------------------------------
+# bit writing
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def put_str(self, s: str) -> None:
+        for ch in s:
+            self.bits.append(1 if ch == "1" else 0)
+
+    def ue(self, v: int) -> None:
+        v += 1
+        n = v.bit_length()
+        self.u(0, n - 1)
+        self.u(v, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def rbsp_trailing(self) -> None:
+        self.bits.append(1)
+        self.byte_align_zero()
+
+    def to_rbsp(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (00 00 -> 00 00 03 before
+    00/01/02/03)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def make_nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
+    return bytes([(nal_ref_idc << 5) | nal_type]) + escape_rbsp(rbsp)
+
+
+# ---------------------------------------------------------------------------
+# parameter sets
+# ---------------------------------------------------------------------------
+
+
+def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0) -> bytes:
+    w = BitWriter()
+    w.u(66, 8)   # profile_idc baseline
+    w.u(0, 8)    # constraint flags
+    w.u(30, 8)   # level 3.0
+    w.ue(0)      # sps id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # pic_order_cnt_type 2
+    w.ue(1)      # max_num_ref_frames
+    w.u(0, 1)    # gaps_in_frame_num
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)    # frame_mbs_only
+    w.u(0, 1)    # direct_8x8_inference
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)    # vui_parameters_present
+    w.rbsp_trailing()
+    return make_nal(3, 7, w.to_rbsp())
+
+
+def write_pps(pic_init_qp: int = 26) -> bytes:
+    w = BitWriter()
+    w.ue(0)      # pps id
+    w.ue(0)      # sps id
+    w.u(0, 1)    # entropy_coding_mode (CAVLC)
+    w.u(0, 1)    # bottom_field_pic_order_in_frame_present
+    w.ue(0)      # num_slice_groups_minus1
+    w.ue(0)      # num_ref_idx_l0_default_active_minus1
+    w.ue(0)      # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)    # weighted_pred
+    w.u(0, 2)    # weighted_bipred_idc
+    w.se(pic_init_qp - 26)
+    w.se(0)      # pic_init_qs
+    w.se(0)      # chroma_qp_index_offset
+    w.u(1, 1)    # deblocking_filter_control_present
+    w.u(0, 1)    # constrained_intra_pred
+    w.u(0, 1)    # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return make_nal(3, 8, w.to_rbsp())
+
+
+# ---------------------------------------------------------------------------
+# forward transform / quant + the encoder's own reconstruction math
+# ---------------------------------------------------------------------------
+
+_MF_ABC = [
+    (13107, 5243, 8066),
+    (11916, 4660, 7490),
+    (10082, 4194, 6554),
+    (9362, 3647, 5825),
+    (8192, 3355, 5243),
+    (7282, 2893, 4559),
+]
+_V_ABC = [
+    (10, 16, 13),
+    (11, 18, 14),
+    (13, 20, 16),
+    (14, 23, 18),
+    (16, 25, 20),
+    (18, 29, 23),
+]
+
+_CF = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+_CI = np.array(  # decoder-direction core used only for RECONSTRUCTION
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+    dtype=np.int64,
+)
+
+
+def _pos_class(i, j):
+    if (i % 2, j % 2) == (0, 0):
+        return 0
+    if (i % 2, j % 2) == (1, 1):
+        return 1
+    return 2
+
+
+def _mf_matrix(qp):
+    vals = _MF_ABC[qp % 6]
+    return np.array(
+        [[vals[_pos_class(i, j)] for j in range(4)] for i in range(4)],
+        dtype=np.int64,
+    )
+
+
+def _v_matrix(qp):
+    vals = _V_ABC[qp % 6]
+    return np.array(
+        [[vals[_pos_class(i, j)] for j in range(4)] for i in range(4)],
+        dtype=np.int64,
+    ) << (qp // 6)
+
+
+def forward_4x4(res: np.ndarray) -> np.ndarray:
+    return _CF @ res.astype(np.int64) @ _CF.T
+
+
+def quant_4x4(w: np.ndarray, qp: int, skip_dc: bool = False) -> np.ndarray:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
+    mf = _mf_matrix(qp)
+    z = np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+    if skip_dc:
+        z[0, 0] = 0
+    return z.astype(np.int64)
+
+
+def _cap_nonzeros(z: np.ndarray, cap: int = 12, protect_dc: bool = False):
+    """Zero smallest-magnitude coefficients beyond ``cap`` (decoder's
+    validated coeff_token region; ordinary rate shaping)."""
+    flat = z.reshape(-1)
+    nz = np.nonzero(flat)[0]
+    if len(nz) <= cap:
+        return z
+    order = sorted(nz, key=lambda i: (abs(int(flat[i])), -i))
+    for i in order:
+        if protect_dc and i == 0:
+            continue
+        flat[i] = 0
+        if np.count_nonzero(flat) <= cap:
+            break
+    return z
+
+
+def dequant_recon_4x4(z: np.ndarray, qp: int, dc_override=None) -> np.ndarray:
+    """The encoder's OWN spec-math reconstruction (8.5.12): dequant +
+    inverse core + (x+32)>>6."""
+    d = z.astype(np.int64) * _v_matrix(qp)
+    if dc_override is not None:
+        d[0, 0] = dc_override
+    # inverse per spec using butterflies (independent of functions/avc)
+    e = np.empty_like(d)
+    e[:, 0] = d[:, 0] + d[:, 2]
+    e[:, 1] = d[:, 0] - d[:, 2]
+    e[:, 2] = (d[:, 1] >> 1) - d[:, 3]
+    e[:, 3] = d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack(
+        [e[:, 0] + e[:, 3], e[:, 1] + e[:, 2], e[:, 1] - e[:, 2],
+         e[:, 0] - e[:, 3]], axis=1,
+    )
+    g = np.empty_like(f)
+    g[0] = f[0] + f[2]
+    g[1] = f[0] - f[2]
+    g[2] = (f[1] >> 1) - f[3]
+    g[3] = f[1] + (f[3] >> 1)
+    h = np.stack([g[0] + g[3], g[1] + g[2], g[1] - g[2], g[0] - g[3]], axis=0)
+    return (h + 32) >> 6
+
+
+def luma_dc_forward(dc: np.ndarray, qp: int) -> np.ndarray:
+    wd = (_CI @ dc.astype(np.int64) @ _CI) // 2
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    mf0 = _MF_ABC[qp % 6][0]
+    return (np.sign(wd) * ((np.abs(wd) * mf0 + 2 * f) >> (qbits + 1))).astype(
+        np.int64
+    )
+
+
+def luma_dc_recon(zd: np.ndarray, qp: int) -> np.ndarray:
+    fd = _CI @ zd.astype(np.int64) @ _CI
+    a = _V_ABC[qp % 6][0]
+    if qp >= 12:
+        return (fd * a) << (qp // 6 - 2)
+    return (fd * a + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+
+
+def chroma_dc_forward(dc: np.ndarray, qp: int) -> np.ndarray:
+    m = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    wd = m @ dc.astype(np.int64) @ m
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    mf0 = _MF_ABC[qp % 6][0]
+    return (np.sign(wd) * ((np.abs(wd) * mf0 + 2 * f) >> (qbits + 1))).astype(
+        np.int64
+    )
+
+
+def chroma_dc_recon(zd: np.ndarray, qp: int) -> np.ndarray:
+    m = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    fd = m @ zd.astype(np.int64) @ m
+    a = _V_ABC[qp % 6][0]
+    return ((fd * a) << (qp // 6)) >> 5
+
+
+_CHROMA_QP = list(range(30)) + [
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
+    38, 39, 39, 39, 39,
+]
+
+
+# ---------------------------------------------------------------------------
+# CAVLC writing
+# ---------------------------------------------------------------------------
+
+def _bits_of(length: int, code: int) -> str:
+    return format(code, "b").zfill(length)
+
+
+_CT_ENC = {
+    key: {v: _bits_of(length, code) for (length, code), v in tbl.items()}
+    for key, tbl in _CT_TABLES.items()
+}
+_TZ_ENC = {
+    tc: {i: b for i, b in enumerate(line.split())}
+    for tc, line in _TOTAL_ZEROS_4x4.items()
+}
+_TZC_ENC = {
+    tc: {i: b for i, b in enumerate(line.split())}
+    for tc, line in _TOTAL_ZEROS_CHROMA_DC.items()
+}
+_RB_ENC = {
+    zl: {i: b for i, b in enumerate(line.split())}
+    for zl, line in _RUN_BEFORE.items()
+}
+
+
+def write_residual_block(w: BitWriter, coeffs_scan: list[int], nc: int,
+                         max_coeff: int) -> int:
+    """Inverse of the decoder's residual_block_cavlc; returns
+    total_coeff for nC bookkeeping."""
+    nzpos = [i for i, c in enumerate(coeffs_scan) if c != 0]
+    total = len(nzpos)
+    # trailing ones: up to 3 final +-1s
+    t1s = 0
+    for i in reversed(nzpos):
+        if abs(coeffs_scan[i]) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    if nc < 0:
+        tbl = _CT_ENC[-1]
+    elif nc < 2:
+        tbl = _CT_ENC[0]
+    elif nc < 4:
+        tbl = _CT_ENC[2]
+    elif nc < 8:
+        tbl = _CT_ENC[4]
+    else:
+        tbl = None
+    if tbl is not None:
+        code = tbl.get((t1s, total))
+        if code is None:
+            raise ValueError(
+                f"coeff_token ({t1s},{total}) outside encoder table"
+            )
+        w.put_str(code)
+    else:
+        if total == 0:
+            w.u(3, 6)
+        else:
+            w.u(((total - 1) << 2) | t1s, 6)
+    if total == 0:
+        return 0
+    # trailing-one signs, highest frequency first
+    for i in reversed(nzpos[total - t1s :]):
+        w.u(1 if coeffs_scan[i] < 0 else 0, 1)
+    # remaining levels
+    suffix_length = 1 if (total > 10 and t1s < 3) else 0
+    rest = list(reversed(nzpos[: total - t1s]))
+    for n, i in enumerate(rest):
+        level = coeffs_scan[i]
+        level_code = (level << 1) - 2 if level > 0 else (-(level << 1)) - 1
+        if n == 0 and t1s < 3:
+            level_code -= 2
+        if suffix_length == 0:
+            if level_code < 14:
+                w.u(0, level_code)
+                w.u(1, 1)
+            elif level_code < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(level_code - 14, 4)
+            else:
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - 30, 12)
+        else:
+            if level_code < (15 << suffix_length):
+                w.u(0, level_code >> suffix_length)
+                w.u(1, 1)
+                w.u(level_code & ((1 << suffix_length) - 1), suffix_length)
+            else:
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - (15 << suffix_length), 12)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    # total_zeros
+    if total < max_coeff:
+        tz = nzpos[-1] - (total - 1)
+        enc = _TZC_ENC[total] if nc < 0 else _TZ_ENC[total]
+        w.put_str(enc[tz])
+    else:
+        tz = 0
+    # run_before, highest frequency first
+    zeros_left = tz
+    for n in range(total - 1):
+        hi = nzpos[total - 1 - n]
+        lo = nzpos[total - 2 - n]
+        run = hi - lo - 1
+        if zeros_left > 0:
+            w.put_str(_RB_ENC[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return total
+
+
+# ---------------------------------------------------------------------------
+# frame encoding
+# ---------------------------------------------------------------------------
+
+
+def _clip(x):
+    return np.clip(x, 0, 255)
+
+
+class _EncState:
+    def __init__(self, mbw, mbh):
+        self.mbw, self.mbh = mbw, mbh
+        self.Y = np.zeros((mbh * 16, mbw * 16), dtype=np.int64)
+        self.Cb = np.zeros((mbh * 8, mbw * 8), dtype=np.int64)
+        self.Cr = np.zeros((mbh * 8, mbw * 8), dtype=np.int64)
+        self.nzY = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
+        self.nzCb = np.zeros((mbh * 2, mbw * 2), dtype=np.int32)
+        self.nzCr = np.zeros((mbh * 2, mbw * 2), dtype=np.int32)
+        self.modes = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        self.decoded = 0
+
+    def mb_ok(self, mbx, mby):
+        if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
+            return False
+        return mby * self.mbw + mbx < self.decoded
+
+    def luma_nc(self, gx, gy):
+        na = nb = None
+        if gx > 0 and self.mb_ok((gx - 1) // 4, gy // 4):
+            na = int(self.nzY[gy, gx - 1])
+        if gy > 0 and self.mb_ok(gx // 4, (gy - 1) // 4):
+            nb = int(self.nzY[gy - 1, gx])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        return na if na is not None else (nb if nb is not None else 0)
+
+    def chroma_nc(self, grid, gx, gy):
+        na = nb = None
+        if gx > 0 and self.mb_ok((gx - 1) // 2, gy // 2):
+            na = int(grid[gy, gx - 1])
+        if gy > 0 and self.mb_ok(gx // 2, (gy - 1) // 2):
+            nb = int(grid[gy - 1, gx])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        return na if na is not None else (nb if nb is not None else 0)
+
+
+_BLK_OF_XY = {_blk_xy(i): i for i in range(16)}
+
+
+def _blk4_avail(st, gx, gy, cur_mb, cur_blk):
+    if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
+        return False
+    mb = (gy // 4) * st.mbw + (gx // 4)
+    if mb != cur_mb:
+        return st.mb_ok(gx // 4, gy // 4)
+    return _BLK_OF_XY[(gx % 4, gy % 4)] < cur_blk
+
+
+def _scan_of(block: np.ndarray, max_coeff: int) -> list[int]:
+    flat = block.reshape(-1)
+    if max_coeff == 16:
+        return [int(flat[ZIGZAG_4x4[p]]) for p in range(16)]
+    return [int(flat[ZIGZAG_4x4[p + 1]]) for p in range(15)]
+
+
+def _pred4_enc(st, mode, gx, gy, cur_mb, cur_blk):
+    """Encoder-side intra-4x4 prediction on the RECONSTRUCTED planes,
+    written independently of functions/avc (plain formulas)."""
+    px, py = gx * 4, gy * 4
+    have_l = _blk4_avail(st, gx - 1, gy, cur_mb, cur_blk)
+    have_t = _blk4_avail(st, gx, gy - 1, cur_mb, cur_blk)
+    have_tl = _blk4_avail(st, gx - 1, gy - 1, cur_mb, cur_blk)
+    have_tr = _blk4_avail(st, gx + 1, gy - 1, cur_mb, cur_blk)
+    lf = st.Y[py : py + 4, px - 1] if have_l else None
+    t = st.Y[py - 1, px : px + 4] if have_t else None
+    tl = int(st.Y[py - 1, px - 1]) if have_tl else None
+    tr = st.Y[py - 1, px + 4 : px + 8] if have_tr else None
+    p = np.zeros((4, 4), dtype=np.int64)
+    if mode == 0:
+        if t is None:
+            return None
+        p[:, :] = t[None, :]
+    elif mode == 1:
+        if lf is None:
+            return None
+        p[:, :] = lf[:, None]
+    elif mode == 2:
+        if lf is not None and t is not None:
+            p[:, :] = (int(lf.sum()) + int(t.sum()) + 4) >> 3
+        elif lf is not None:
+            p[:, :] = (int(lf.sum()) + 2) >> 2
+        elif t is not None:
+            p[:, :] = (int(t.sum()) + 2) >> 2
+        else:
+            p[:, :] = 128
+    elif mode == 3:  # DDL
+        if t is None:
+            return None
+        tt = list(t) + (list(tr) if tr is not None else [int(t[3])] * 4)
+        for y in range(4):
+            for x in range(4):
+                i = x + y
+                if i == 6:
+                    p[y, x] = (tt[6] + 3 * tt[7] + 2) >> 2
+                else:
+                    p[y, x] = (tt[i] + 2 * tt[i + 1] + tt[i + 2] + 2) >> 2
+    elif mode == 4:  # DDR
+        if t is None or lf is None or tl is None:
+            return None
+        T = lambda i: tl if i == -1 else int(t[i])  # noqa: E731
+        L = lambda i: tl if i == -1 else int(lf[i])  # noqa: E731
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (T(x - y - 2) + 2 * T(x - y - 1) + T(x - y) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (L(y - x - 2) + 2 * L(y - x - 1) + L(y - x) + 2) >> 2
+                else:
+                    p[y, x] = (int(t[0]) + 2 * tl + int(lf[0]) + 2) >> 2
+    elif mode == 5:  # VR
+        if t is None or lf is None or tl is None:
+            return None
+        T = lambda i: tl if i == -1 else int(t[i])  # noqa: E731
+        L = lambda i: tl if i == -1 else int(lf[i])  # noqa: E731
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (T(i - 1) + T(i) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (int(lf[0]) + 2 * tl + int(t[0]) + 2) >> 2
+                else:
+                    p[y, x] = (
+                        L(y - 2 * x - 1) + 2 * L(y - 2 * x - 2)
+                        + L(y - 2 * x - 3) + 2
+                    ) >> 2
+    elif mode == 6:  # HD
+        if t is None or lf is None or tl is None:
+            return None
+        T = lambda i: tl if i == -1 else int(t[i])  # noqa: E731
+        L = lambda i: tl if i == -1 else int(lf[i])  # noqa: E731
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (L(i - 1) + L(i) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (int(t[0]) + 2 * tl + int(lf[0]) + 2) >> 2
+                else:
+                    p[y, x] = (
+                        T(x - 2 * y - 1) + 2 * T(x - 2 * y - 2)
+                        + T(x - 2 * y - 3) + 2
+                    ) >> 2
+    elif mode == 7:  # VL
+        if t is None:
+            return None
+        tt = list(t) + (list(tr) if tr is not None else [int(t[3])] * 4)
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (tt[i] + tt[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (tt[i] + 2 * tt[i + 1] + tt[i + 2] + 2) >> 2
+    elif mode == 8:  # HU
+        if lf is None:
+            return None
+        l_ = [int(v) for v in lf]
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = l_[3]
+                elif z == 5:
+                    p[y, x] = (l_[2] + 3 * l_[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l_[i] + l_[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l_[i] + 2 * l_[i + 1] + l_[i + 2] + 2) >> 2
+    else:
+        return None
+    return p
+
+
+def _encode_pcm(w, st, y, cb, cr, mbx, mby, qp):
+    w.ue(25)
+    w.byte_align_zero()
+    y0, x0 = mby * 16, mbx * 16
+    for yy in range(16):
+        for xx in range(16):
+            w.u(int(y[y0 + yy, x0 + xx]), 8)
+    c0y, c0x = mby * 8, mbx * 8
+    for src, dst in ((cb, st.Cb), (cr, st.Cr)):
+        for yy in range(8):
+            for xx in range(8):
+                w.u(int(src[c0y + yy, c0x + xx]), 8)
+        dst[c0y : c0y + 8, c0x : c0x + 8] = src[
+            c0y : c0y + 8, c0x : c0x + 8
+        ]
+    st.Y[y0 : y0 + 16, x0 : x0 + 16] = y[y0 : y0 + 16, x0 : x0 + 16]
+    st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+    st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+    st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+    st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    return qp
+
+
+def _i16_pred(st, mbx, mby, mode):
+    px, py = mbx * 16, mby * 16
+    left = st.Y[py : py + 16, px - 1] if st.mb_ok(mbx - 1, mby) else None
+    top = st.Y[py - 1, px : px + 16] if st.mb_ok(mbx, mby - 1) else None
+    tl = (
+        int(st.Y[py - 1, px - 1])
+        if st.mb_ok(mbx - 1, mby - 1) and st.mb_ok(mbx, mby - 1)
+        and st.mb_ok(mbx - 1, mby)
+        else None
+    )
+    p = np.zeros((16, 16), dtype=np.int64)
+    if mode == 0:
+        if top is None:
+            return None
+        p[:, :] = top[None, :]
+    elif mode == 1:
+        if left is None:
+            return None
+        p[:, :] = left[:, None]
+    elif mode == 2:
+        if left is not None and top is not None:
+            p[:, :] = (int(left.sum()) + int(top.sum()) + 16) >> 5
+        elif left is not None:
+            p[:, :] = (int(left.sum()) + 8) >> 4
+        elif top is not None:
+            p[:, :] = (int(top.sum()) + 8) >> 4
+        else:
+            p[:, :] = 128
+    elif mode == 3:
+        if left is None or top is None or tl is None:
+            return None
+        t = top.astype(np.int64)
+        lf = left.astype(np.int64)
+        h = sum((x + 1) * (int(t[8 + x]) - (int(t[6 - x]) if 6 - x >= 0 else tl)) for x in range(8))
+        v = sum((yy + 1) * (int(lf[8 + yy]) - (int(lf[6 - yy]) if 6 - yy >= 0 else tl)) for yy in range(8))
+        a = 16 * (int(lf[15]) + int(t[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        ygr, xgr = np.mgrid[0:16, 0:16]
+        p = np.clip((a + b * (xgr - 7) + c * (ygr - 7) + 16) >> 5, 0, 255)
+    return p
+
+
+def _chroma_pred_enc(st, plane, mbx, mby, mode):
+    px, py = mbx * 8, mby * 8
+    left = plane[py : py + 8, px - 1] if st.mb_ok(mbx - 1, mby) else None
+    top = plane[py - 1, px : px + 8] if st.mb_ok(mbx, mby - 1) else None
+    tl = (
+        int(plane[py - 1, px - 1])
+        if st.mb_ok(mbx - 1, mby - 1) and st.mb_ok(mbx - 1, mby)
+        and st.mb_ok(mbx, mby - 1)
+        else None
+    )
+    p = np.zeros((8, 8), dtype=np.int64)
+    if mode == 0:  # DC quadrants
+        for qy in (0, 4):
+            for qx in (0, 4):
+                lp = left[qy : qy + 4] if left is not None else None
+                tp = top[qx : qx + 4] if top is not None else None
+                if (qx, qy) in ((0, 0), (4, 4)):
+                    if lp is not None and tp is not None:
+                        v = (int(lp.sum()) + int(tp.sum()) + 4) >> 3
+                    elif lp is not None:
+                        v = (int(lp.sum()) + 2) >> 2
+                    elif tp is not None:
+                        v = (int(tp.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                elif (qx, qy) == (4, 0):
+                    if tp is not None:
+                        v = (int(tp.sum()) + 2) >> 2
+                    elif lp is not None:
+                        v = (int(lp.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                else:
+                    if lp is not None:
+                        v = (int(lp.sum()) + 2) >> 2
+                    elif tp is not None:
+                        v = (int(tp.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                p[qy : qy + 4, qx : qx + 4] = v
+    elif mode == 1:
+        if left is None:
+            return None
+        p[:, :] = left[:, None]
+    elif mode == 2:
+        if top is None:
+            return None
+        p[:, :] = top[None, :]
+    elif mode == 3:
+        if left is None or top is None or tl is None:
+            return None
+        t = top.astype(np.int64)
+        lf = left.astype(np.int64)
+        h = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else tl)) for x in range(4))
+        v = sum((yy + 1) * (int(lf[4 + yy]) - (int(lf[2 - yy]) if 2 - yy >= 0 else tl)) for yy in range(4))
+        a = 16 * (int(lf[7]) + int(t[7]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        ygr, xgr = np.mgrid[0:8, 0:8]
+        p = np.clip((a + b * (xgr - 3) + c * (ygr - 3) + 16) >> 5, 0, 255)
+    return p
+
+
+def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode):
+    qpc = _CHROMA_QP[max(0, min(51, qp))]
+    px, py = mbx * 8, mby * 8
+    preds = []
+    for src, plane in ((cb, st.Cb), (cr, st.Cr)):
+        p = _chroma_pred_enc(st, plane, mbx, mby, chroma_mode)
+        assert p is not None
+        preds.append(p)
+    if cbp_chroma == 0:
+        for pi, (src, plane) in enumerate(((cb, st.Cb), (cr, st.Cr))):
+            plane[py : py + 8, px : px + 8] = preds[pi]
+        st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+        return
+    # residuals: forward-transform each 4x4, collect DCs
+    all_z = []
+    all_dcz = []
+    for pi, (src, plane) in enumerate(((cb, st.Cb), (cr, st.Cr))):
+        res = src[py : py + 8, px : px + 8].astype(np.int64) - preds[pi]
+        dcs = np.zeros((2, 2), dtype=np.int64)
+        zs = []
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            wq = forward_4x4(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            z = quant_4x4(wq, qpc, skip_dc=False)
+            dcs[by, bx] = wq[0, 0]
+            z[0, 0] = 0
+            if cbp_chroma == 2:
+                _cap_nonzeros(z, 12)
+            else:
+                z[:, :] = 0
+            zs.append(z)
+        dcz = chroma_dc_forward(dcs, qpc)
+        all_z.append(zs)
+        all_dcz.append(dcz)
+    # write chroma DC blocks (Cb then Cr), nC = -1
+    for pi in range(2):
+        dcz = all_dcz[pi]
+        scan = [int(dcz[0, 0]), int(dcz[0, 1]), int(dcz[1, 0]), int(dcz[1, 1])]
+        write_residual_block(w, scan, -1, 4)
+    # write/reconstruct AC + pixels
+    for pi, (src, plane, grid) in enumerate(
+        ((cb, st.Cb, st.nzCb), (cr, st.Cr, st.nzCr))
+    ):
+        dc_rec = chroma_dc_recon(all_dcz[pi], qpc)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            gx, gy = mbx * 2 + bx, mby * 2 + by
+            z = all_z[pi][blk]
+            if cbp_chroma == 2:
+                nc = st.chroma_nc(grid, gx, gy)
+                scan = _scan_of(z, 15)
+                total = write_residual_block(w, scan, nc, 15)
+                grid[gy, gx] = total
+            else:
+                grid[gy, gx] = 0
+            res = dequant_recon_4x4(z, qpc, dc_override=int(dc_rec[by, bx]))
+            cy, cx = py + by * 4, px + bx * 4
+            plane[cy : cy + 4, cx : cx + 4] = _clip(
+                preds[pi][by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res
+            )
+
+
+def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
+    # pick a pred mode that is available
+    for mode in ((mbx + 2 * mby) % 4, 2, 0, 1):
+        pred = _i16_pred(st, mbx, mby, mode)
+        if pred is not None:
+            break
+    px, py = mbx * 16, mby * 16
+    src = y[py : py + 16, px : px + 16].astype(np.int64)
+    res = src - pred
+    # forward transform all 16 blocks, split DC
+    zs = {}
+    dcs = np.zeros((4, 4), dtype=np.int64)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        wq = forward_4x4(res[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
+        dcs[y4, x4] = wq[0, 0]
+        z = quant_4x4(wq, want_qp, skip_dc=True)
+        _cap_nonzeros(z, 12)
+        zs[blk] = z
+    dcz = luma_dc_forward(dcs, want_qp)
+    cbp_luma = 15 if any(np.any(zs[b]) for b in range(16)) else 0
+    cbp_chroma = 2
+    # mb_type encoding
+    mb_type = 1 + (0 if mode is None else mode) + 4 * cbp_chroma + (
+        12 if cbp_luma else 0
+    )
+    w.ue(mb_type)
+    chroma_mode = [2, 1, 0, 3][mode] if mode in (0, 1) else (mbx + mby) % 4
+    # chroma availability constraint: fall back to DC when needed
+    if _chroma_pred_enc(st, st.Cb, mbx, mby, chroma_mode) is None:
+        chroma_mode = 0
+    w.ue(chroma_mode)
+    qp = _mb_qp_delta_write(w, qp, want_qp)
+    # luma DC
+    nc = st.luma_nc(mbx * 4, mby * 4)
+    scan = [int(dcz.reshape(-1)[ZIGZAG_4x4[p]]) for p in range(16)]
+    write_residual_block(w, scan, nc, 16)
+    dc_rec = luma_dc_recon(dcz, want_qp)
+    # luma AC + reconstruction
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        z = zs[blk]
+        if cbp_luma:
+            nc = st.luma_nc(gx, gy)
+            total = write_residual_block(w, _scan_of(z, 15), nc, 15)
+            st.nzY[gy, gx] = total
+        else:
+            st.nzY[gy, gx] = 0
+        rec = dequant_recon_4x4(z, want_qp, dc_override=int(dc_rec[y4, x4]))
+        st.Y[py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4] = (
+            _clip(pred[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] + rec)
+        )
+    st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma, chroma_mode)
+    return qp
+
+
+def _mb_qp_delta_write(w, qp, want_qp):
+    d = want_qp - qp
+    assert -26 <= d <= 25
+    w.se(d)
+    return want_qp
+
+
+def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp):
+    w.ue(0)  # mb_type I_4x4
+    px, py = mbx * 16, mby * 16
+    src = y[py : py + 16, px : px + 16].astype(np.int64)
+    mb = mby * st.mbw + mbx
+
+    # choose modes + residuals block by block; record bits to write
+    chosen = []
+    zs = {}
+    cur = mb  # raster index
+    # first pass: pick modes and quantize using reconstruction as we go,
+    # but the BITSTREAM interleaves mode bits before cbp — so collect
+    # mode decisions first using a trial reconstruction, then write.
+    trial_Y = st.Y.copy()
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        best = None
+        for mode in (0, 1, 2, 3, 4, 5, 6, 7, 8):
+            st_Y = st.Y
+            st.Y = trial_Y
+            pred = _pred4_enc(st, mode, gx, gy, cur, blk)
+            st.Y = st_Y
+            if pred is None:
+                continue
+            sblk = src[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
+            sad = int(np.abs(sblk - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, mode, pred)
+        _, mode, pred = best
+        chosen.append(mode)
+        sblk = src[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
+        z = quant_4x4(forward_4x4(sblk - pred), want_qp)
+        _cap_nonzeros(z, 12)
+        zs[blk] = z
+        rec = dequant_recon_4x4(z, want_qp)
+        trial_Y[
+            py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4
+        ] = _clip(pred + rec)
+        st.modes[gy, gx] = mode
+
+    # write mode bits (prediction per 8.3.1.1 against st.modes)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        ma = (
+            int(st.modes[gy, gx - 1])
+            if _blk4_avail(st, gx - 1, gy, cur, blk) else -1
+        )
+        mbv = (
+            int(st.modes[gy - 1, gx])
+            if _blk4_avail(st, gx, gy - 1, cur, blk) else -1
+        )
+        pred_mode = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        mode = chosen[blk]
+        if mode == pred_mode:
+            w.u(1, 1)
+        else:
+            w.u(0, 1)
+            w.u(mode if mode < pred_mode else mode - 1, 3)
+    chroma_mode = (mbx * 2 + mby) % 4
+    if _chroma_pred_enc(st, st.Cb, mbx, mby, chroma_mode) is None:
+        chroma_mode = 0
+    w.ue(chroma_mode)
+    # cbp: per-8x8 luma bits + chroma 2 (DC+AC)
+    cbp_luma = 0
+    for i8 in range(4):
+        if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
+            cbp_luma |= 1 << i8
+    cbp_chroma = 2
+    cbp = cbp_luma | (cbp_chroma << 4)
+    w.ue(_CBP_INTRA.index(cbp))
+    if cbp:
+        qp = _mb_qp_delta_write(w, qp, want_qp)
+    else:
+        want_qp = qp
+    # residuals + real reconstruction
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        z = zs[blk] if (cbp_luma & (1 << (blk >> 2))) else np.zeros(
+            (4, 4), dtype=np.int64
+        )
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(gx, gy)
+            total = write_residual_block(w, _scan_of(z, 16), nc, 16)
+            st.nzY[gy, gx] = total
+        else:
+            st.nzY[gy, gx] = 0
+        pred = _pred4_enc(st, chosen[blk], gx, gy, cur, blk)
+        rec = dequant_recon_4x4(z, want_qp)
+        st.Y[
+            py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4
+        ] = _clip(pred + rec)
+    _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma, chroma_mode)
+    return qp
+
+
+def encode_stream(y, cb, cr, qp=28, crop_r=0, crop_b=0, mb_plan=None,
+                  qp_wobble=False):
+    """(sps_nal, pps_nal, idr_nal, reconstruction) — reconstruction is
+    the encoder's own decode loop output as an (H, W) luma + chroma
+    tuple BEFORE cropping (callers crop)."""
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b)
+    pps = write_pps(26)
+    global _LAST_STATE
+    _LAST_STATE = None
+    nal = _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble)
+    st = _LAST_STATE
+    return sps, pps, nal, (st.Y.copy(), st.Cb.copy(), st.Cr.copy())
+
+
+_LAST_STATE = None
+
+
+def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble):
+    """encode_iframe variant that captures the final _EncState."""
+    global _LAST_STATE
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    st = _EncState(mbw, mbh)
+    w = BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    slice_qp = qp
+    w.se(slice_qp - 26)
+    w.ue(1)
+    cur_qp = slice_qp
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        kind = mb_plan(mbx, mby) if mb_plan else (
+            "pcm" if (mbx + mby) % 7 == 3 else
+            ("i16" if (mbx + mby) % 2 == 0 else "i4")
+        )
+        want_qp = cur_qp
+        if qp_wobble:
+            want_qp = max(8, min(44, slice_qp + ((mbx * 3 + mby * 5) % 7) - 3))
+        if kind == "pcm":
+            cur_qp = _encode_pcm(w, st, y, cb, cr, mbx, mby, cur_qp)
+        elif kind == "i16":
+            cur_qp = _encode_i16(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
+        else:
+            cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
+        st.decoded += 1
+    w.rbsp_trailing()
+    _LAST_STATE = st
+    return make_nal(3, 5, w.to_rbsp())
