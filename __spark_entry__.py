@@ -1966,16 +1966,19 @@ def q69_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, _ = _rerank_planted_pairs(spark, seed=7)
     test, relevant = _rerank_planted_pairs(spark, seed=99)
-    # 216 test pairs land in 32 createDataFrame slices; 2 partitions
-    # keep the four Arrow scoring jobs from paying 32 task launches
-    test = test.coalesce(2)
-    # 216 training pairs: one partition keeps each of L-BFGS's
-    # treeAggregate rounds a single task; 10 iterations converge the
-    # fully-separable marker feature with margin (probed: top-1 is
-    # already perfect after ONE iteration; pytest pins the same outcome
-    # at the operator default of 50)
+    # python-list-backed DataFrames re-run the Python pickle source on
+    # EVERY job (~2 s per action even for a bare count); the gate runs
+    # ~6 actions over these 216-row frames, so persist both once —
+    # measured 16 s -> ~4 s for the whole gate
+    test = test.coalesce(2).persist()
+    train = train.coalesce(1).persist()
+    test.count()
+    train.count()
+    # 10 iterations converge the fully-separable marker feature with
+    # margin (probed: top-1 is already perfect after ONE iteration;
+    # pytest pins the same outcome at the operator default of 50)
     model = train_pair_scorer(
-        train.drop("query_id", "hash_id").coalesce(1), max_iter=10
+        train.drop("query_id", "hash_id"), max_iter=10
     )
 
     def top1_hits(result_df) -> int:
@@ -2016,6 +2019,8 @@ def q69_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity = ps.keys() == cs.keys() and all(
         abs(ps[k] - cs[k]) <= 1e-12 for k in ps
     )
+    test.unpersist()
+    train.unpersist()
     rows = [
         ("beats_lexical", baseline, learned > baseline),
         ("catalyst_parity", len(ps), parity),

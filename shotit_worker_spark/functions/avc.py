@@ -260,14 +260,17 @@ def parse_pps(nal: bytes) -> PPS:
 # CAVLC tables (T-REC H.264 Table 9-5 / 9-7 / 9-8 / 9-9 / 9-10)
 #
 # Reconstructed from the published standard table. In-environment
-# validation: import-time prefix-freeness asserts, the textbook worked
-# example pinned in tests (coeff_token/total_zeros/run_before/level
-# coding for the classic 5-coefficient block), and encoder
-# round-trips; no reference decoder exists in this container, so the
-# deep tail of the 2<=nC<4 and 4<=nC<8 columns (TotalCoeff >= 13 —
-# extremely dense residual blocks) is deliberately ABSENT rather than
-# guessed: hitting it raises AVCError and the caller falls back to the
-# stub. Correct-or-refuse; never silently wrong.
+# validation: import-time prefix-freeness asserts; Kraft-sum structure
+# pinned in tests (every total_zeros/run_before/chroma-DC table is a
+# COMPLETE prefix code summing to exactly 1 — a single wrong code
+# length breaks the equality; the coeff_token columns match their
+# known near-complete sums); the textbook worked example decoded
+# bit-for-bit; and encoder round-trips. No reference decoder exists in
+# this container, so the deep tail of the 2<=nC<4 and 4<=nC<8 columns
+# (TotalCoeff >= 13 — extremely dense residual blocks) is deliberately
+# ABSENT rather than guessed: hitting it raises AVCError and the
+# caller falls back to the stub. Correct-or-refuse; never silently
+# wrong.
 # ---------------------------------------------------------------------------
 
 _COEFF_TOKEN_NC01 = """

@@ -228,3 +228,59 @@ def test_g1_real_avc_keyframes_in_mp4(spark):
     assert imgs[1] != want and imgs[5] != want
     # stub images decode fine too (real PPMs)
     assert IC.decode_image(imgs[1]).shape[0] == 48
+
+
+def test_exp_golomb_roundtrip_property():
+    """ue/se round-trip across the full small-value range plus big
+    values (hypothesis-style sweep, deterministic)."""
+    w = ENC.BitWriter()
+    vals = list(range(0, 300)) + [2**10, 2**16 - 1, 2**20]
+    for v in vals:
+        w.ue(v)
+    svals = list(range(-150, 151)) + [-(2**12), 2**12]
+    for v in svals:
+        w.se(v)
+    w.u(1, 1)
+    w.byte_align_zero()
+    r = avc.BitReader(w.to_rbsp())
+    for v in vals:
+        assert r.ue() == v
+    for v in svals:
+        assert r.se() == v
+
+
+def test_bitreader_exhaustion_raises():
+    r = avc.BitReader(b"\x00")
+    with pytest.raises(avc.AVCError):
+        r.u(9)
+    r2 = avc.BitReader(b"\x00\x00")
+    with pytest.raises(avc.AVCError):
+        r2.ue()  # all zeros: prefix never terminates
+
+
+def test_vlc_tables_kraft_structure():
+    """Structural validation of the reconstructed CAVLC tables: the
+    standard's VLC tables are (near-)complete prefix codes, so their
+    Kraft sums are fixed constants. Every total_zeros table (4x4 and
+    chroma), every run_before table, and the chroma-DC coeff_token
+    table sum to EXACTLY 1 (complete) — a single wrong code length
+    anywhere breaks the equality. The coeff_token columns sum to their
+    known near-complete values (NC01 leaves one 15-bit slot unused;
+    NC23/NC47 carry the deliberately-absent TotalCoeff>=13 tail)."""
+    from fractions import Fraction
+
+    def kraft(tbl):
+        return sum(Fraction(1, 2 ** l) for (l, c) in tbl)
+
+    assert kraft(avc._CT_TABLES[-1]) == 1
+    assert kraft(avc._CT_TABLES[0]) == Fraction(32767, 32768)
+    assert kraft(avc._CT_TABLES[2]) == Fraction(8179, 8192)
+    assert kraft(avc._CT_TABLES[4]) == Fraction(251, 256)
+    for tc, tbl in avc._TZ_TABLES.items():
+        want = Fraction(511, 512) if tc == 1 else 1
+        assert kraft(tbl) == want, tc
+    for tbl in avc._TZ_CHROMA.values():
+        assert kraft(tbl) == 1
+    for zl, tbl in avc._RB_TABLES.items():
+        want = Fraction(2047, 2048) if zl == 7 else 1
+        assert kraft(tbl) == want, zl
