@@ -1095,10 +1095,21 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
 
 def decode_iframe(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
     """Decode one coded I slice NAL (types 1/5) covering the whole
-    frame into an (H, W, 3) RGB uint8 array (BT.601 full-range via the
-    shared jpegcodec converter is NOT used here — returns YCbCr planes
-    converted with the same fixed-point jdcolor path as the JPEG
-    decoder, so downstream descriptor parity holds across sources)."""
+    frame into an (H, W, 3) RGB uint8 array (YCbCr planes converted
+    with the same fixed-point jdcolor path as the JPEG decoder, so
+    downstream descriptor parity holds across sources). Corrupt-stream
+    failures surface as :class:`AVCError` (the parse_mp4 posture: one
+    except clause for callers), never raw struct/index errors."""
+    try:
+        return _decode_iframe_inner(sps, pps, slice_nal)
+    except AVCError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            MemoryError) as exc:
+        raise AVCError(f"corrupt slice data: {exc}") from exc
+
+
+def _decode_iframe_inner(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
     if not slice_nal:
         raise AVCError("empty slice NAL")
     nal_type = slice_nal[0] & 0x1F

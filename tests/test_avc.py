@@ -284,3 +284,28 @@ def test_vlc_tables_kraft_structure():
     for zl, tbl in avc._RB_TABLES.items():
         want = Fraction(2047, 2048) if zl == 7 else 1
         assert kraft(tbl) == want, zl
+
+
+def test_corrupt_slice_raises_typed_error():
+    """Bit-flipped / garbage slice payloads must surface as AVCError
+    (one except clause for callers), never raw numpy/index errors."""
+    import random
+
+    y, cb, cr = _planes(3, 3, 3)
+    sps_nal, pps_nal, idr_nal, _ = ENC.encode_stream(y, cb, cr, qp=30)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    rng = random.Random(5)
+    survived = 0
+    for _ in range(40):
+        buf = bytearray(idr_nal)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(8, len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            out = avc.decode_iframe(sps, pps, bytes(buf))
+            survived += 1  # a flip can land in dead bits; fine
+            assert out.shape == (48, 48, 3)
+        except avc.AVCError:
+            pass  # the required failure mode
+    # most flips must corrupt SOMETHING detectable
+    assert survived < 40
