@@ -12,7 +12,10 @@ invariants — planted-duplicate recall, differential equality against an
 independent reimplementation, banding-vs-brute-force set equality, HLL
 error bounds — as a (gate, ok) boolean table, and the oracle pins the
 all-true table, so any regression flips a row and the driver records a
-hash mismatch. Every one of the 50 declared queries is hash-checked.
+hash mismatch. Every one of the 60 declared queries is hash-checked:
+the driver records the first 50 (its empirical cap); the ten rows past
+the cap are replayed against the same oracles by
+tests/test_displaced_oracle.py on every pytest run.
 """
 
 from __future__ import annotations

@@ -309,3 +309,62 @@ def test_corrupt_slice_raises_typed_error():
             pass  # the required failure mode
     # most flips must corrupt SOMETHING detectable
     assert survived < 40
+
+
+def test_reference_pipeline_on_real_avc_video(spark):
+    """The reference's full ingest+search shape on REAL decoded video
+    pixels: mp4 (real AVC keyframes) -> G1 decode_frames -> G2
+    embed_images (LIRE descriptor) -> L2 normalize -> self-retrieval
+    top-1. Every stage runs its real code path; the query embedding of
+    a decoded keyframe must retrieve that keyframe's own slot with
+    IP score 1.0."""
+    from gen_mp4_fixture import build_mp4, make_nal as mp4_nal, sample_bytes
+
+    from pyspark.sql import functions as F
+
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions import vector as V
+    from shotit_worker_spark.operators import similarity as S
+
+    # two DIFFERENT real keyframes (distinct scenes)
+    nals = []
+    for seed in (31, 77):
+        y, cb, cr = _planes(seed, 4, 3, noise=24)
+        sps_nal, pps_nal, idr_nal, _ = ENC.encode_stream(y, cb, cr, qp=28)
+        nals.append((sps_nal, pps_nal, idr_nal))
+    sps = avc.parse_sps(nals[0][0])
+    payloads = []
+    for i in range(6):
+        if i == 0:
+            payloads.append(sample_bytes([nals[0][2]]))
+        elif i == 3:
+            payloads.append(sample_bytes([nals[1][2]]))
+        else:
+            payloads.append(sample_bytes([mp4_nal(1, bytes([i]) * 40)]))
+    data, _ = build_mp4(
+        payloads, [1066, 1067, 1067] * 2, keyframes=[0, 3],
+        width=sps.width, height=sps.height,
+        sps=[nals[0][0]], pps=[nals[0][1]],
+    )
+    videos = spark.createDataFrame(
+        [("store/tt5/clip.mp4", data)], "path string, content binary"
+    )
+    frames = M.decode_frames(videos)
+    corpus = M.embed_images(frames).select(
+        "frame_no",
+        V.l2_normalize(V.pad_vector(V.hex_tokens_to_floats("ha"), 100)).alias(
+            "vector"
+        ),
+    )
+    qvec = list(
+        corpus.filter(F.col("frame_no") == 3).first()["vector"]
+    )
+    top = S.exact_topk(
+        corpus, qvec, k=2, vec_col="vector", id_col="frame_no",
+        tie_col=None,
+    ).orderBy(F.desc("score"), "frame_no").collect()
+    assert top[0]["frame_no"] == 3
+    assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    # the OTHER keyframe (different scene) must not tie at 1.0
+    others = [r for r in top if r["frame_no"] != 3]
+    assert all(r["score"] < 0.9999 for r in others)
