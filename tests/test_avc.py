@@ -368,3 +368,50 @@ def test_reference_pipeline_on_real_avc_video(spark):
     # the OTHER keyframe (different scene) must not tie at 1.0
     others = [r for r in top if r["frame_no"] != 3]
     assert all(r["score"] < 0.9999 for r in others)
+
+
+def test_real_avc_keyframes_in_fragmented_mp4(spark):
+    """Composition of the two r6 media features: a FRAGMENTED (moof)
+    mp4 whose keyframes are real AVC I-frames decodes the same real
+    pixels as its progressive twin."""
+    from gen_mp4_fixture import (
+        build_fmp4,
+        build_mp4,
+        make_nal as mp4_nal,
+        sample_bytes,
+    )
+
+    from shotit_worker_spark.functions import media as M
+
+    y, cb, cr = _planes(55, 5, 3, noise=20)
+    sps_nal, pps_nal, idr_nal, _ = ENC.encode_stream(y, cb, cr, qp=30)
+    sps = avc.parse_sps(sps_nal)
+    payloads = [
+        sample_bytes([idr_nal]) if i in (0, 3) else
+        sample_bytes([mp4_nal(1, bytes([i]) * 48)])
+        for i in range(6)
+    ]
+    deltas = [1066, 1067, 1067] * 2
+    prog, _ = build_mp4(
+        payloads, deltas, keyframes=[0, 3],
+        width=sps.width, height=sps.height,
+        sps=[sps_nal], pps=[pps_nal],
+    )
+    frag = build_fmp4(
+        payloads, deltas, keyframes=[0, 3], fragment_size=2,
+        width=sps.width, height=sps.height,
+        sps=[sps_nal], pps=[pps_nal],
+    )
+    videos = spark.createDataFrame(
+        [("store/tt1/p.mp4", prog), ("store/tt2/f.mp4", frag)],
+        "path string, content binary",
+    )
+    rows = M.decode_frames(videos).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["file"].split("/")[0], {})[r["frame_no"]] = bytes(
+            r["image"]
+        )
+    assert by["tt1"].keys() == by["tt2"].keys()
+    for fn in by["tt1"]:
+        assert by["tt1"][fn] == by["tt2"][fn], fn
