@@ -25,11 +25,13 @@ Kernel reality, per stage:
   MJPEG AVI (RIFF demux + the bit-exact JPEG decoder), and for animated
   GIF (`functions/gifcodec.py`, variable-frame-rate timeline), sampled
   and scaled like the reference's ffmpeg invocation. Real `.mp4` (the
-  reference's only accepted input) DEMUXES for real too —
-  `functions/mp4` supplies the true stts/ctts timeline, stss keyframes,
-  and per-sample AVC payloads — with only the inter-frame PIXEL step
-  (h264 entropy decode) falling back to the deterministic stub, seeded
-  from each sample's actual bitstream bytes. Unrecognized container
+  reference's only accepted input) DEMUXES for real —
+  `functions/mp4`, progressive AND fragmented/moof — and since r6 its
+  AVC KEYFRAMES decode to REAL pixels (`functions/avc`, baseline
+  CAVLC I-frame decoder). Inter-coded samples (P/B need cross-GOP
+  motion compensation) and streams the correct-or-refuse decoder
+  declines fall back to the deterministic stub, seeded from each
+  sample's actual bitstream bytes. Unrecognized container
   bytes fall back entirely;
   the fake emits REAL PPM images (seeded block scenes) so downstream
   stays on the real image path either way. With PyAV the fallback
@@ -98,9 +100,12 @@ FRAME_SCHEMA = StructType(
 )
 
 # Real demux/decode: Y4M, MJPEG-AVI, animated GIF; real DEMUX for .mp4
-# (functions/mp4 — true timeline/keyframes/payloads). The stub remains
-# only for the inter-frame pixel step (h264/vp9/...), which needs
-# external codec libraries this environment lacks — see module docstring.
+# (functions/mp4 — progressive AND fragmented) and, since r6, REAL
+# PIXELS for AVC KEYFRAMES (functions/avc — baseline CAVLC I-frame
+# decoder). The stub remains only for inter-coded samples (P/B frames
+# need motion compensation across the GOP) and for streams the
+# correct-or-refuse decoder declines (CABAC, deblocking-enabled,
+# non-baseline features) — see the avc module docstring.
 _STUB_INTERFRAME_CODECS = True
 
 _SYN_FRAME_H = 48  # synthetic thumbnail geometry (aspect 5:3, like
@@ -238,10 +243,12 @@ def _sample_mp4(
     watcher.js:25-29): the ISOBMFF demux is REAL (functions/mp4 —
     sample table, stts/ctts timeline, stss keyframes, per-sample NAL
     payloads), so the sampling grid maps output slots onto the TRUE
-    presentation timeline exactly as ffmpeg's fps filter would. Only
-    the pixel step (entropy-decoding inter-frame AVC) remains the
-    labeled deterministic stub — seeded from each sample's ACTUAL
-    payload bytes, so frame identity tracks the real bitstream.
+    presentation timeline exactly as ffmpeg's fps filter would, and
+    (r6) KEYFRAME samples of AVC tracks decode to REAL pixels through
+    functions/avc. Inter-coded samples (and streams the correct-or-
+    refuse decoder declines) keep the labeled deterministic stub —
+    seeded from each sample's ACTUAL payload bytes, so frame identity
+    still tracks the real bitstream there.
 
     ``track`` reuses a caller's parse (decode_frames probes the file
     first — a feature-length sample table shouldn't be built twice);
@@ -354,13 +361,13 @@ def decode_frames(
     decode FOR REAL — pure-stdlib slicing + numpy color conversion /
     the bit-exact baseline JPEG decoder (_sample_y4m, _sample_avi);
     real .mp4 demuxes FOR REAL too (functions/mp4: ISOBMFF sample
-    tables, stts/ctts timeline, stss keyframes) with only the AVC
-    pixel step stubbed (_sample_mp4 — seeded from the true per-sample
-    NAL payloads);
-    other bytes fall back to the deterministic synthetic-scene stub
-    (no inter-frame codec libraries exist in this environment; with
-    PyAV the fallback body becomes open-container → sample → scale →
-    encode, signature unchanged).
+    tables incl. fragmented/moof, stts/ctts timeline, stss keyframes)
+    and AVC KEYFRAMES decode to real pixels (functions/avc, r6);
+    inter-coded samples keep the deterministic stub seeded from the
+    true per-sample NAL payloads (P/B decode needs cross-GOP motion
+    compensation — with PyAV the stub body becomes open-container →
+    sample → scale → encode, signature unchanged);
+    other bytes fall back to the deterministic synthetic-scene stub.
 
     `thumb_format`: "ppm" (default; uncompressed, cheapest to re-decode
     downstream) or "jpeg" — the reference's own thumbnail wire format

@@ -13,12 +13,13 @@ AVC decoder-config extraction, so G1 on real .mp4 files gets
   walk) and its AVC NAL units (length-prefixed per avcC),
 - the track's declared geometry and SPS/PPS parameter sets.
 
-The PIXEL step (entropy-decoding H.264 macroblocks) still requires a
-codec library this environment lacks; functions/media keeps its
-clearly-labeled deterministic stub for that one step, now seeded from
-the REAL sample payload and stamped with the REAL sample timestamps —
-the sampling grid, timecodes, durations, and frame identities match
-what ffmpeg's ``fps=12`` filter would produce on the same file.
+The PIXEL step: since r6, AVC KEYFRAMES entropy-decode for real
+through functions/avc (baseline CAVLC I-frame decoder, fed by this
+module's SPS/PPS and NAL split); inter-coded samples keep
+functions/media's clearly-labeled deterministic stub, seeded from the
+REAL sample payload and stamped with the REAL sample timestamps — the
+sampling grid, timecodes, durations, and frame identities match what
+ffmpeg's ``fps=12`` filter would produce on the same file.
 
 Box coverage: ftyp, moov/mvhd, trak/tkhd, mdia/mdhd/hdlr,
 minf/stbl/{stsd(avc1|avc3/avcC), stts, ctts(v0/v1), stss, stsz/stz2,
