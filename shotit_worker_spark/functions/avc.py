@@ -67,26 +67,39 @@ def unescape_rbsp(nal: bytes) -> bytes:
 
 
 class BitReader:
-    __slots__ = ("d", "pos")
+    __slots__ = ("d", "pos", "nbits", "_int")
 
     def __init__(self, d: bytes):
         self.d = d
         self.pos = 0  # bit position
+        self.nbits = len(d) * 8
+        # the whole RBSP as one big int: u(k) becomes shift+mask (RBSPs
+        # are slice-sized — a few hundred KB at most — and the one-time
+        # conversion beats per-bit byte indexing ~10x on the CAVLC loop)
+        self._int = int.from_bytes(d, "big") if d else 0
 
     def bits_left(self) -> int:
-        return len(self.d) * 8 - self.pos
+        return self.nbits - self.pos
 
     def u(self, n: int) -> int:
-        if self.pos + n > len(self.d) * 8:
+        end = self.pos + n
+        if end > self.nbits:
             raise AVCError("bitstream exhausted")
-        v = 0
-        pos = self.pos
-        d = self.d
-        for _ in range(n):
-            v = (v << 1) | ((d[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return v
+        self.pos = end
+        return (self._int >> (self.nbits - end)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Up to ``n`` bits without consuming; short reads near the end
+        are 1-padded (T.81-style fill keeps VLC peeks total)."""
+        end = self.pos + n
+        if end <= self.nbits:
+            return (self._int >> (self.nbits - end)) & ((1 << n) - 1)
+        avail = self.nbits - self.pos
+        if avail <= 0:
+            return (1 << n) - 1
+        v = self._int & ((1 << avail) - 1)
+        pad = n - avail
+        return (v << pad) | ((1 << pad) - 1)
 
     def flag(self) -> int:
         return self.u(1)
@@ -527,16 +540,34 @@ _TZ_CHROMA = _parse_runlen(_TOTAL_ZEROS_CHROMA_DC)
 _RB_TABLES = _parse_runlen(_RUN_BEFORE)
 
 
+_VLC_LUTS: dict[int, list] = {}
+
+
+def _vlc_lut(table: dict) -> list:
+    """16-bit-prefix lookup table for a VLC dict: one peek + one list
+    index per symbol instead of a per-bit walk (max code length in any
+    CAVLC table is 16)."""
+    lut = _VLC_LUTS.get(id(table))
+    if lut is None:
+        lut = [None] * (1 << 16)
+        for (length, code), val in table.items():
+            base = code << (16 - length)
+            entry = (length, val)
+            for i in range(1 << (16 - length)):
+                lut[base + i] = entry
+        _VLC_LUTS[id(table)] = lut
+    return lut
+
+
 def _read_vlc(r: BitReader, table: dict, what: str):
-    length = 0
-    code = 0
-    while length < 17:
-        code = (code << 1) | r.u(1)
-        length += 1
-        hit = table.get((length, code))
-        if hit is not None:
-            return hit
-    raise AVCError(f"invalid {what} code")
+    hit = _vlc_lut(table)[r.peek(16)]
+    if hit is None:
+        raise AVCError(f"invalid {what} code")
+    length, val = hit
+    if r.pos + length > r.nbits:
+        raise AVCError("bitstream exhausted")
+    r.pos += length
+    return val
 
 
 def read_coeff_token(r: BitReader, nc: int) -> tuple[int, int]:
@@ -572,11 +603,15 @@ def read_residual_block(
         levels.append(-1 if r.u(1) else 1)
     suffix_length = 1 if (total > 10 and t1s < 3) else 0
     for i in range(t1s, total):
-        prefix = 0
-        while r.u(1) == 0:
-            prefix += 1
-            if prefix > 32:
-                raise AVCError("level_prefix too long")
+        # level_prefix: leading-zero count before the next 1 bit, via
+        # one 32-bit peek (1-padding at stream end terminates the scan)
+        window = r.peek(32)
+        prefix = 32 - window.bit_length()
+        if prefix >= 32:
+            raise AVCError("level_prefix too long")
+        if r.pos + prefix + 1 > r.nbits:
+            raise AVCError("bitstream exhausted")
+        r.pos += prefix + 1
         if prefix >= 15:
             suffix_size = prefix - 3
         elif prefix == 14 and suffix_length == 0:
@@ -653,57 +688,80 @@ _DEQUANT_ABC = [
 ]
 
 
+_DEQUANT_CACHE: dict[int, np.ndarray] = {}
+
+
 def _dequant_matrix(qp: int) -> np.ndarray:
-    a, b, c = _DEQUANT_ABC[qp % 6]
-    m = np.full((4, 4), c, dtype=np.int64)
-    for i in (0, 2):
-        for j in (0, 2):
-            m[i, j] = a
-    for i in (1, 3):
-        for j in (1, 3):
-            m[i, j] = b
-    return m << (qp // 6)
+    m = _DEQUANT_CACHE.get(qp)
+    if m is None:
+        a, b, c = _DEQUANT_ABC[qp % 6]
+        m = np.full((4, 4), c, dtype=np.int64)
+        for i in (0, 2):
+            for j in (0, 2):
+                m[i, j] = a
+        for i in (1, 3):
+            for j in (1, 3):
+                m[i, j] = b
+        m = m << (qp // 6)
+        m.setflags(write=False)
+        _DEQUANT_CACHE[qp] = m
+    return m
 
 
 def inverse_transform_4x4(block: np.ndarray) -> np.ndarray:
     """8.5.12.2 core transform on DEQUANTIZED coefficients; returns the
-    residual BEFORE the (x+32)>>6 rounding (done by the caller after
-    adding nothing — spec adds to prediction after rounding)."""
+    residual BEFORE the (x+32)>>6 rounding. Accepts a single (4, 4)
+    block or a BATCH (..., 4, 4) — per-MB batching is what keeps the
+    numpy call overhead off the per-block decode loop."""
     d = block.astype(np.int64)
-    # horizontal
     e = np.empty_like(d)
-    e[:, 0] = d[:, 0] + d[:, 2]
-    e[:, 1] = d[:, 0] - d[:, 2]
-    e[:, 2] = (d[:, 1] >> 1) - d[:, 3]
-    e[:, 3] = d[:, 1] + (d[:, 3] >> 1)
+    e[..., :, 0] = d[..., :, 0] + d[..., :, 2]
+    e[..., :, 1] = d[..., :, 0] - d[..., :, 2]
+    e[..., :, 2] = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e[..., :, 3] = d[..., :, 1] + (d[..., :, 3] >> 1)
     f = np.empty_like(d)
-    f[:, 0] = e[:, 0] + e[:, 3]
-    f[:, 1] = e[:, 1] + e[:, 2]
-    f[:, 2] = e[:, 1] - e[:, 2]
-    f[:, 3] = e[:, 0] - e[:, 3]
-    # vertical
+    f[..., :, 0] = e[..., :, 0] + e[..., :, 3]
+    f[..., :, 1] = e[..., :, 1] + e[..., :, 2]
+    f[..., :, 2] = e[..., :, 1] - e[..., :, 2]
+    f[..., :, 3] = e[..., :, 0] - e[..., :, 3]
     g = np.empty_like(d)
-    g[0, :] = f[0, :] + f[2, :]
-    g[1, :] = f[0, :] - f[2, :]
-    g[2, :] = (f[1, :] >> 1) - f[3, :]
-    g[3, :] = f[1, :] + (f[3, :] >> 1)
+    g[..., 0, :] = f[..., 0, :] + f[..., 2, :]
+    g[..., 1, :] = f[..., 0, :] - f[..., 2, :]
+    g[..., 2, :] = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g[..., 3, :] = f[..., 1, :] + (f[..., 3, :] >> 1)
     h = np.empty_like(d)
-    h[0, :] = g[0, :] + g[3, :]
-    h[1, :] = g[1, :] + g[2, :]
-    h[2, :] = g[1, :] - g[2, :]
-    h[3, :] = g[0, :] - g[3, :]
+    h[..., 0, :] = g[..., 0, :] + g[..., 3, :]
+    h[..., 1, :] = g[..., 1, :] + g[..., 2, :]
+    h[..., 2, :] = g[..., 1, :] - g[..., 2, :]
+    h[..., 3, :] = g[..., 0, :] - g[..., 3, :]
     return h
 
 
-def _residual_4x4(coeffs_scan: list[int], qp: int, dc_override=None) -> np.ndarray:
-    """scan-order coefficients -> spatial residual ((x+32)>>6 applied)."""
-    blk = np.zeros(16, dtype=np.int64)
-    for pos, v in enumerate(coeffs_scan):
-        blk[ZIGZAG_4x4[pos]] = v
-    blk = blk.reshape(4, 4) * _dequant_matrix(qp)
-    if dc_override is not None:
-        blk[0, 0] = dc_override
+_ZIGZAG_ARR = None
+
+
+def _residual_batch(coeff_rows, qp: int, dc_overrides=None) -> np.ndarray:
+    """N scan-order coefficient lists -> (N, 4, 4) spatial residuals
+    ((x+32)>>6 applied); ``dc_overrides`` replaces each block's (0,0)
+    dequantized coefficient (the Intra16x16/chroma DC path)."""
+    global _ZIGZAG_ARR
+    if _ZIGZAG_ARR is None:
+        _ZIGZAG_ARR = np.array(ZIGZAG_4x4, dtype=np.int64)
+    n = len(coeff_rows)
+    scan = np.asarray(coeff_rows, dtype=np.int64)  # (N, <=16)
+    blk = np.zeros((n, 16), dtype=np.int64)
+    blk[:, _ZIGZAG_ARR[: scan.shape[1]]] = scan
+    blk = blk.reshape(n, 4, 4) * _dequant_matrix(qp)
+    if dc_overrides is not None:
+        blk[:, 0, 0] = dc_overrides
     return (inverse_transform_4x4(blk) + 32) >> 6
+
+
+def _residual_4x4(coeffs_scan: list[int], qp: int, dc_override=None) -> np.ndarray:
+    """scan-order coefficients -> spatial residual (single-block form
+    of :func:`_residual_batch`)."""
+    dc = None if dc_override is None else [dc_override]
+    return _residual_batch([coeffs_scan], qp, dc)[0]
 
 
 def _hadamard_4x4(d: np.ndarray) -> np.ndarray:
@@ -1237,8 +1295,11 @@ def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
     if cbp != 0:
         qp = _mb_qp_delta(r, qp)
 
-    # parse luma residuals in block order (nC needs earlier totals),
-    # reconstruct each block immediately (prediction needs pixels)
+    # parse all 16 residual blocks first (parsing needs only the nC
+    # totals, which are recorded as we go), batch the dequant+IDCT,
+    # then run the sequential predict+add loop (prediction needs the
+    # reconstructed pixels of earlier blocks)
+    rows = []
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
@@ -1246,14 +1307,20 @@ def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
             nc = st.luma_nc(gx, gy)
             coeffs, total = read_residual_block(r, nc, 16)
             st.nzY[gy, gx] = total
-            res = _residual_4x4(coeffs, qp)
+            rows.append(coeffs)
         else:
             st.nzY[gy, gx] = 0
-            res = np.zeros((4, 4), dtype=np.int64)
+            rows.append([0] * 16)
+    residuals = _residual_batch(rows, qp)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
         left, top, tl, tr = _luma_neighbors(st, gx, gy, mb, blk)
         pred = _pred4x4(modes[blk], left, top, tl, tr)
         px, py = gx * 4, gy * 4
-        st.Y[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+        st.Y[py : py + 4, px : px + 4] = np.clip(
+            pred + residuals[blk], 0, 255
+        )
 
     _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
     return qp
@@ -1288,24 +1355,26 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
         dc[ZIGZAG_4x4[pos]] = v
     dc = luma_dc_dequant(_hadamard_4x4(dc.reshape(4, 4)), qp)
 
-    recon = np.empty((16, 16), dtype=np.int64)
+    rows = []
+    dcs = []
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
+        dcs.append(int(dc[y4, x4]))
         if cbp_luma:
             nc = st.luma_nc(gx, gy)
             coeffs, total = read_residual_block(r, nc, 15)
             st.nzY[gy, gx] = total
-            res = _residual_4x4([0] + coeffs, qp, dc_override=int(dc[y4, x4]))
+            rows.append([0] + coeffs)
         else:
             st.nzY[gy, gx] = 0
-            blk00 = np.zeros((4, 4), dtype=np.int64)
-            blk00[0, 0] = int(dc[y4, x4])
-            res = (inverse_transform_4x4(blk00) + 32) >> 6
-        recon[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] = np.clip(
-            pred[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] + res, 0, 255
-        )
-    st.Y[py : py + 16, px : px + 16] = recon
+            rows.append([0] * 16)
+    residuals = _residual_batch(rows, qp, dc_overrides=dcs)
+    recon = np.empty((16, 16), dtype=np.int64)
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        recon[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] = residuals[blk]
+    st.Y[py : py + 16, px : px + 16] = np.clip(pred + recon, 0, 255)
     st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
 
     _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
@@ -1345,22 +1414,24 @@ def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
         dcs.append(chroma_dc_dequant(m @ f @ m, qpc))
 
     for pi, (plane, grid) in enumerate(((st.Cb, st.nzCb), (st.Cr, st.nzCr))):
+        rows = []
+        dcvals = []
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             gx, gy = mbx * 2 + bx, mby * 2 + by
+            dcvals.append(int(dcs[pi][by, bx]))
             if cbp_chroma == 2:
                 nc = st.chroma_nc(grid, gx, gy)
                 coeffs, total = read_residual_block(r, nc, 15)
                 grid[gy, gx] = total
-                res = _residual_4x4(
-                    [0] + coeffs, qpc, dc_override=int(dcs[pi][by, bx])
-                )
+                rows.append([0] + coeffs)
             else:
                 grid[gy, gx] = 0
-                b0 = np.zeros((4, 4), dtype=np.int64)
-                b0[0, 0] = int(dcs[pi][by, bx])
-                res = (inverse_transform_4x4(b0) + 32) >> 6
+                rows.append([0] * 16)
+        residuals = _residual_batch(rows, qpc, dc_overrides=dcvals)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
             cy, cx = py + by * 4, px + bx * 4
             plane[cy : cy + 4, cx : cx + 4] = np.clip(
-                plane[cy : cy + 4, cx : cx + 4] + res, 0, 255
+                plane[cy : cy + 4, cx : cx + 4] + residuals[blk], 0, 255
             )
