@@ -415,3 +415,21 @@ def test_real_avc_keyframes_in_fragmented_mp4(spark):
     assert by["tt1"].keys() == by["tt2"].keys()
     for fn in by["tt1"]:
         assert by["tt1"][fn] == by["tt2"][fn], fn
+
+
+def test_trimmed_coeff_token_tail_refuses():
+    """The deliberately-absent deep tail (TotalCoeff >= 13 at nC in
+    [2,8)) must REFUSE with AVCError, never guess: feed a bit pattern
+    that cannot resolve in the trimmed table (all-zeros prefixes run
+    past every remaining code length)."""
+    r = avc.BitReader(b"\x00\x00\x00\x01")
+    with pytest.raises(avc.AVCError, match="coeff_token"):
+        avc.read_coeff_token(r, 2)
+    r2 = avc.BitReader(b"\x00\x00\x00\x01")
+    with pytest.raises(avc.AVCError, match="coeff_token"):
+        avc.read_coeff_token(r2, 4)
+    # the encoder cannot EMIT into the absent region either
+    w = ENC.BitWriter()
+    coeffs = [2] * 13 + [0, 0, 0]
+    with pytest.raises(ValueError, match="outside encoder table"):
+        ENC.write_residual_block(w, coeffs, 2, 16)
