@@ -24,9 +24,11 @@ Implemented (ITU-T H.264 / ISO 14496-10, baseline profile subset):
   with the 2x2 chroma DC transform), I_PCM;
 - dequant (QP%6 scale tables, QP/6 shift) + the exact 4x4 integer
   inverse transform, constrained_intra/neighbor availability;
-- deblocking is NOT applied (slice headers with
-  disable_deblocking_filter_idc == 1 decode exactly; filtered streams
-  decode with the filter omitted — documented difference).
+- deblocking: slice headers with disable_deblocking_filter_idc == 1
+  decode exactly; streams with the in-loop filter ENABLED currently
+  REFUSE with AVCError (correct-or-refuse — emitting unfiltered
+  pixels for a filtered stream would differ from a conforming
+  decoder) and fall back to the labeled stub.
 
 Verification strategy (no codec library exists in this environment to
 produce ffmpeg goldens): tools/gen_avc_fixture.py is an independent
@@ -145,6 +147,7 @@ class SPS:
         "profile_idc", "level_idc", "seq_parameter_set_id",
         "log2_max_frame_num", "pic_order_cnt_type",
         "log2_max_pic_order_cnt_lsb", "num_ref_frames",
+        "delta_pic_order_always_zero",
         "mb_width", "mb_height", "frame_mbs_only",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
         "chroma_format_idc", "separate_colour_plane",
@@ -187,10 +190,11 @@ def parse_sps(nal: bytes) -> SPS:
             raise AVCError("scaling matrices unsupported")
     s.log2_max_frame_num = r.ue() + 4
     s.pic_order_cnt_type = r.ue()
+    s.delta_pic_order_always_zero = 1
     if s.pic_order_cnt_type == 0:
         s.log2_max_pic_order_cnt_lsb = r.ue() + 4
     elif s.pic_order_cnt_type == 1:
-        r.flag()
+        s.delta_pic_order_always_zero = r.flag()
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -228,6 +232,7 @@ class PPS:
         "chroma_qp_index_offset", "second_chroma_qp_index_offset",
         "deblocking_filter_control_present",
         "constrained_intra_pred", "transform_8x8_mode",
+        "bottom_field_poc_present", "redundant_pic_cnt_present",
     )
 
 
@@ -243,7 +248,7 @@ def parse_pps(nal: bytes) -> PPS:
     p.entropy_coding_mode = r.flag()
     if p.entropy_coding_mode:
         raise AVCError("CABAC unsupported (baseline CAVLC only)")
-    r.flag()  # bottom_field_pic_order_in_frame_present
+    p.bottom_field_poc_present = r.flag()
     n_slice_groups = r.ue() + 1
     if n_slice_groups != 1:
         raise AVCError("slice groups (FMO) unsupported")
@@ -256,7 +261,7 @@ def parse_pps(nal: bytes) -> PPS:
     p.chroma_qp_index_offset = r.se()
     p.deblocking_filter_control_present = r.flag()
     p.constrained_intra_pred = r.flag()
-    r.flag()  # redundant_pic_cnt_present
+    p.redundant_pic_cnt_present = r.flag()
     p.transform_8x8_mode = 0
     p.second_chroma_qp_index_offset = p.chroma_qp_index_offset
     if r.more_rbsp_data():
@@ -1076,12 +1081,18 @@ class _IFrame:
             return False
         return mby * self.mbw + mbx < self.n_decoded_mbs
 
-    def luma_nc(self, gx: int, gy: int) -> int:
-        """nC for the luma 4x4 block at global block coords (gx, gy)."""
+    def luma_nc(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> int:
+        """nC for the luma 4x4 block at global block coords (gx, gy).
+
+        Neighbor availability follows 6.4.8/9.2.1: a neighbor block
+        INSIDE the current macroblock counts as available once decoded
+        earlier in block order (mbAddrN == CurrMbAddr is available) —
+        using only completed MBs here would pick the wrong coeff_token
+        VLC table whenever the true nC crosses a table boundary."""
         na = nb = None
-        if gx > 0 and self.mb_decoded((gx - 1) // 4, gy // 4):
+        if self.blk4_available(gx - 1, gy, cur_mb, cur_blk):
             na = int(self.nzY[gy, gx - 1])
-        if gy > 0 and self.mb_decoded(gx // 4, (gy - 1) // 4):
+        if self.blk4_available(gx, gy - 1, cur_mb, cur_blk):
             nb = int(self.nzY[gy - 1, gx])
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
@@ -1091,11 +1102,16 @@ class _IFrame:
             return nb
         return 0
 
-    def chroma_nc(self, grid: np.ndarray, gx: int, gy: int) -> int:
+    def chroma_nc(
+        self, grid: np.ndarray, gx: int, gy: int, cur_mb: int, cur_blk: int
+    ) -> int:
+        """nC for a chroma 4x4 AC block; same within-MB availability
+        rule as :meth:`luma_nc` (chroma blocks parse in 2x2 raster
+        order inside the MB)."""
         na = nb = None
-        if gx > 0 and self.mb_decoded((gx - 1) // 2, gy // 2):
+        if self.cblk_available(gx - 1, gy, cur_mb, cur_blk):
             na = int(grid[gy, gx - 1])
-        if gy > 0 and self.mb_decoded(gx // 2, (gy - 1) // 2):
+        if self.cblk_available(gx, gy - 1, cur_mb, cur_blk):
             nb = int(grid[gy - 1, gx])
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
@@ -1104,6 +1120,19 @@ class _IFrame:
         if nb is not None:
             return nb
         return 0
+
+    def cblk_available(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> bool:
+        """Is the chroma 4x4 block at chroma-block coords (gx, gy)
+        decoded before block ``cur_blk`` (raster 0..3) of MB
+        ``cur_mb``?"""
+        if gx < 0 or gy < 0 or gx >= self.mbw * 2 or gy >= self.mbh * 2:
+            return False
+        mb = (gy // 2) * self.mbw + (gx // 2)
+        if mb < cur_mb:
+            return True
+        if mb > cur_mb:
+            return False
+        return (gy % 2) * 2 + (gx % 2) < cur_blk
 
     def blk4_available(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> bool:
         """Is the luma 4x4 block at (gx, gy) decoded before block
@@ -1132,7 +1161,17 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
         h["idr_pic_id"] = r.ue()
     if sps.pic_order_cnt_type == 0:
         h["pic_order_cnt_lsb"] = r.u(sps.log2_max_pic_order_cnt_lsb)
-    # no redundant_pic_cnt (flag off in our PPS parse path)
+        if pps.bottom_field_poc_present:
+            r.se()  # delta_pic_order_cnt_bottom (frame coding: parse only)
+    elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero:
+        r.se()  # delta_pic_order_cnt[0]
+        if pps.bottom_field_poc_present:
+            r.se()  # delta_pic_order_cnt[1]
+    if pps.redundant_pic_cnt_present:
+        if r.ue() != 0:
+            # a REDUNDANT coded picture duplicates a primary one;
+            # decoding it is optional and we have no primary to prefer
+            raise AVCError("redundant coded picture unsupported")
     if nal_ref_idc != 0:
         if nal_type == 5:
             r.flag()  # no_output_of_prior_pics
@@ -1304,7 +1343,7 @@ def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
         if cbp_luma & (1 << (blk >> 2)):
-            nc = st.luma_nc(gx, gy)
+            nc = st.luma_nc(gx, gy, mb, blk)
             coeffs, total = read_residual_block(r, nc, 16)
             st.nzY[gy, gx] = total
             rows.append(coeffs)
@@ -1348,7 +1387,7 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
     pred = _pred16x16(pred_mode, left, top, tl)
 
     # luma DC block: nC as for blk 0
-    nc = st.luma_nc(mbx * 4, mby * 4)
+    nc = st.luma_nc(mbx * 4, mby * 4, mb, 0)
     dc_scan, _dc_total = read_residual_block(r, nc, 16)
     dc = np.zeros(16, dtype=np.int64)
     for pos, v in enumerate(dc_scan):
@@ -1362,7 +1401,7 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
         gx, gy = mbx * 4 + x4, mby * 4 + y4
         dcs.append(int(dc[y4, x4]))
         if cbp_luma:
-            nc = st.luma_nc(gx, gy)
+            nc = st.luma_nc(gx, gy, mb, blk)
             coeffs, total = read_residual_block(r, nc, 15)
             st.nzY[gy, gx] = total
             rows.append([0] + coeffs)
@@ -1421,7 +1460,7 @@ def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
             gx, gy = mbx * 2 + bx, mby * 2 + by
             dcvals.append(int(dcs[pi][by, bx]))
             if cbp_chroma == 2:
-                nc = st.chroma_nc(grid, gx, gy)
+                nc = st.chroma_nc(grid, gx, gy, mb, blk)
                 coeffs, total = read_residual_block(r, nc, 15)
                 grid[gy, gx] = total
                 rows.append([0] + coeffs)

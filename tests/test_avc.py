@@ -433,3 +433,196 @@ def test_trimmed_coeff_token_tail_refuses():
     coeffs = [2] * 13 + [0, 0, 0]
     with pytest.raises(ValueError, match="outside encoder table"):
         ENC.write_residual_block(w, coeffs, 2, 16)
+
+
+def _blank_sps(mbw: int = 2, mbh: int = 2) -> avc.SPS:
+    s = avc.SPS()
+    s.mb_width = mbw
+    s.mb_height = mbh
+    return s
+
+
+def test_nc_within_mb_luma_availability():
+    """9.2.1 via 6.4.8: mbAddrN == CurrMbAddr IS available — nC for a
+    luma 4x4 block must use total_coeff of neighbors inside the
+    CURRENT macroblock once they are decoded earlier in block order.
+    (The pre-fix rule treated the whole current MB as unavailable,
+    picking the wrong coeff_token table whenever true nC crossed a
+    0-1/2-3/4-7/>=8 boundary.)"""
+    st = avc._IFrame(_blank_sps())
+    # decoding MB 0 (top-left of the frame): external neighbors of
+    # blk1/blk2/blk3 are all outside the picture, so ONLY the
+    # within-MB rule can make them available.
+    st.nzY[0, 0] = 4      # blk0 at block coords (0, 0)
+    st.nzY[0, 1] = 4      # blk1 at (1, 0)
+    st.nzY[1, 0] = 2      # blk2 at (0, 1)
+    # blk0: nothing decoded yet -> nC = 0
+    assert st.luma_nc(0, 0, 0, 0) == 0
+    # blk1: left neighbor is blk0 (same MB, decoded) -> nC = 4
+    assert st.luma_nc(1, 0, 0, 1) == 4
+    # blk2: top neighbor is blk0 -> nC = 4
+    assert st.luma_nc(0, 1, 0, 2) == 4
+    # blk3: left = blk2 (2), top = blk1 (4) -> (2 + 4 + 1) >> 1 = 3
+    assert st.luma_nc(1, 1, 0, 3) == 3
+    # a within-MB block NOT yet decoded stays unavailable: blk4 is at
+    # (2, 0), parsed AFTER blk1
+    assert not st.blk4_available(2, 0, 0, 1)
+    # and blocks of a LATER MB are never available
+    assert not st.blk4_available(4, 0, 0, 15)
+
+
+def test_nc_within_mb_chroma_availability():
+    """Chroma AC nC follows the same within-MB rule over the 2x2
+    chroma block grid (blocks parse in raster order 0..3)."""
+    st = avc._IFrame(_blank_sps())
+    grid = st.nzCb
+    grid[0, 0] = 3   # chroma blk0 of MB 0
+    grid[0, 1] = 1   # chroma blk1
+    grid[1, 0] = 2   # chroma blk2
+    assert st.chroma_nc(grid, 0, 0, 0, 0) == 0
+    assert st.chroma_nc(grid, 1, 0, 0, 1) == 3      # left = blk0
+    assert st.chroma_nc(grid, 0, 1, 0, 2) == 3      # top = blk0
+    # blk3: left = blk2 (2), top = blk1 (1)
+    assert st.chroma_nc(grid, 1, 1, 0, 3) == (2 + 1 + 1) >> 1
+    # not-yet-decoded within-MB chroma block is unavailable
+    assert not st.cblk_available(1, 0, 0, 1 - 1)
+    # later MB (MB 1 starts at chroma gx=2) is unavailable
+    assert not st.cblk_available(2, 0, 0, 3)
+
+
+def test_nc_table_choice_pinned_by_bits():
+    """Two-block pin: a residual block written under the nC>=4 table
+    (as the within-MB rule dictates for blk1 after a 4-coeff blk0)
+    decodes bit-exactly with that nC — and does NOT parse to the same
+    block under nC=0 (what the pre-fix availability rule would have
+    fed the table selector). Proves the table boundary is load-bearing."""
+    st = avc._IFrame(_blank_sps())
+    st.nzY[0, 0] = 4
+    nc = st.luma_nc(1, 0, 0, 1)
+    assert nc == 4
+    coeffs = [5, -3, 2, 1, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    w = ENC.BitWriter()
+    total = ENC.write_residual_block(w, list(coeffs), nc, 16)
+    assert total == 5
+    w.byte_align_zero()
+    data = w.to_rbsp()
+    got, got_total = avc.read_residual_block(avc.BitReader(data), nc, 16)
+    assert got == coeffs and got_total == 5
+    # same bits under the WRONG (old-rule) nC=0 table: must not
+    # round-trip to the same block
+    try:
+        wrong, wrong_total = avc.read_residual_block(
+            avc.BitReader(data), 0, 16)
+        assert (wrong, wrong_total) != (coeffs, 5)
+    except avc.AVCError:
+        pass  # refusing is equally acceptable evidence
+
+
+def _write_minimal_pps(bottom_poc: int, redundant: int) -> bytes:
+    w = ENC.BitWriter()
+    w.ue(0)            # pic_parameter_set_id
+    w.ue(0)            # seq_parameter_set_id
+    w.u(0, 1)          # entropy_coding_mode (CAVLC)
+    w.u(bottom_poc, 1)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)            # num_slice_groups_minus1
+    w.ue(0)            # num_ref_idx_l0_default_active_minus1
+    w.ue(0)            # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)          # weighted_pred
+    w.u(0, 2)          # weighted_bipred_idc
+    w.se(0)            # pic_init_qp_minus26
+    w.se(0)            # pic_init_qs_minus26
+    w.se(0)            # chroma_qp_index_offset
+    w.u(1, 1)          # deblocking_filter_control_present
+    w.u(0, 1)          # constrained_intra_pred
+    w.u(redundant, 1)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return bytes([0x68]) + w.to_rbsp()
+
+
+def test_slice_header_conditional_poc_fields():
+    """ADVICE r6 (medium): slice headers whose PPS/SPS set
+    bottom_field_pic_order_in_frame_present / redundant_pic_cnt_present
+    / poc-type-1 deltas must not silently desync the parse. Build the
+    header bit-exactly and check every following field still lands."""
+    pps = avc.parse_pps(_write_minimal_pps(bottom_poc=1, redundant=1))
+    assert pps.bottom_field_poc_present == 1
+    assert pps.redundant_pic_cnt_present == 1
+    sps = _blank_sps()
+    sps.log2_max_frame_num = 4
+    sps.pic_order_cnt_type = 0
+    sps.log2_max_pic_order_cnt_lsb = 4
+    sps.delta_pic_order_always_zero = 1
+
+    def header_bits(redundant_cnt: int) -> avc.BitReader:
+        w = ENC.BitWriter()
+        w.ue(0)        # first_mb_in_slice
+        w.ue(7)        # slice_type (I, all-slices form)
+        w.ue(0)        # pps_id
+        w.u(0, 4)      # frame_num
+        w.ue(3)        # idr_pic_id
+        w.u(9, 4)      # pic_order_cnt_lsb
+        w.se(-2)       # delta_pic_order_cnt_bottom (poc present)
+        w.ue(redundant_cnt)  # redundant_pic_cnt
+        w.u(0, 1)      # no_output_of_prior_pics
+        w.u(0, 1)      # long_term_reference_flag
+        w.se(5)        # slice_qp_delta -> qp 31
+        w.ue(1)        # disable_deblocking_filter_idc
+        w.byte_align_zero()
+        return avc.BitReader(w.to_rbsp())
+
+    h = avc.parse_slice_header(header_bits(0), sps, pps, 5, 3)
+    assert h["pic_order_cnt_lsb"] == 9
+    assert h["slice_qp"] == 31          # desync would corrupt this
+    assert h["disable_deblocking"] == 1
+    # a redundant coded picture refuses (no primary to prefer)
+    with pytest.raises(avc.AVCError, match="redundant"):
+        avc.parse_slice_header(header_bits(2), sps, pps, 5, 3)
+
+
+def test_sps_poc_type1_delta_flag_stored():
+    """SPS poc type 1 without delta_pic_order_always_zero_flag: the
+    flag must be STORED (slice headers then carry delta_pic_order_cnt
+    fields); with the flag set those fields are absent."""
+    # poc type 1 path needs a real SPS bitstream; reuse the fixture
+    # encoder's SPS and splice poc fields via a hand-built stream
+    w = ENC.BitWriter()
+    w.u(66, 8)     # profile_idc baseline
+    w.u(0, 8)      # constraint flags + reserved
+    w.u(30, 8)     # level_idc
+    w.ue(0)        # seq_parameter_set_id
+    w.ue(0)        # log2_max_frame_num_minus4
+    w.ue(1)        # pic_order_cnt_type = 1
+    w.u(0, 1)      # delta_pic_order_always_zero_flag = 0
+    w.se(0)        # offset_for_non_ref_pic
+    w.se(0)        # offset_for_top_to_bottom_field
+    w.ue(0)        # num_ref_frames_in_pic_order_cnt_cycle
+    w.ue(1)        # max_num_ref_frames
+    w.u(0, 1)      # gaps_in_frame_num_value_allowed
+    w.ue(1)        # pic_width_in_mbs_minus1
+    w.ue(1)        # pic_height_in_map_units_minus1
+    w.u(1, 1)      # frame_mbs_only_flag
+    w.u(0, 1)      # direct_8x8_inference
+    w.u(0, 1)      # frame_cropping_flag
+    w.u(0, 1)      # vui_parameters_present
+    w.rbsp_trailing()
+    sps = avc.parse_sps(bytes([0x67]) + w.to_rbsp())
+    assert sps.pic_order_cnt_type == 1
+    assert sps.delta_pic_order_always_zero == 0
+    pps = avc.parse_pps(_write_minimal_pps(bottom_poc=1, redundant=0))
+
+    w2 = ENC.BitWriter()
+    w2.ue(0)       # first_mb_in_slice
+    w2.ue(7)       # slice_type
+    w2.ue(0)       # pps_id
+    w2.u(0, 4)     # frame_num
+    w2.ue(0)       # idr_pic_id
+    w2.se(4)       # delta_pic_order_cnt[0]
+    w2.se(-1)      # delta_pic_order_cnt[1] (bottom_poc_present)
+    w2.u(0, 1)     # no_output_of_prior_pics
+    w2.u(0, 1)     # long_term_reference_flag
+    w2.se(0)       # slice_qp_delta -> qp 26
+    w2.ue(1)       # disable_deblocking_filter_idc
+    w2.byte_align_zero()
+    h = avc.parse_slice_header(avc.BitReader(w2.to_rbsp()), sps, pps, 5, 3)
+    assert h["slice_qp"] == 26
+    assert h["disable_deblocking"] == 1

@@ -452,21 +452,23 @@ class _EncState:
             return False
         return mby * self.mbw + mbx < self.decoded
 
-    def luma_nc(self, gx, gy):
+    def luma_nc(self, gx, gy, cur_mb, cur_blk):
+        # 6.4.8/9.2.1: neighbors INSIDE the current MB are available
+        # once written earlier in block order (mbAddrN == CurrMbAddr)
         na = nb = None
-        if gx > 0 and self.mb_ok((gx - 1) // 4, gy // 4):
+        if _blk4_avail(self, gx - 1, gy, cur_mb, cur_blk):
             na = int(self.nzY[gy, gx - 1])
-        if gy > 0 and self.mb_ok(gx // 4, (gy - 1) // 4):
+        if _blk4_avail(self, gx, gy - 1, cur_mb, cur_blk):
             nb = int(self.nzY[gy - 1, gx])
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
         return na if na is not None else (nb if nb is not None else 0)
 
-    def chroma_nc(self, grid, gx, gy):
+    def chroma_nc(self, grid, gx, gy, cur_mb, cur_blk):
         na = nb = None
-        if gx > 0 and self.mb_ok((gx - 1) // 2, gy // 2):
+        if _cblk_avail(self, gx - 1, gy, cur_mb, cur_blk):
             na = int(grid[gy, gx - 1])
-        if gy > 0 and self.mb_ok(gx // 2, (gy - 1) // 2):
+        if _cblk_avail(self, gx, gy - 1, cur_mb, cur_blk):
             nb = int(grid[gy - 1, gx])
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
@@ -483,6 +485,15 @@ def _blk4_avail(st, gx, gy, cur_mb, cur_blk):
     if mb != cur_mb:
         return st.mb_ok(gx // 4, gy // 4)
     return _BLK_OF_XY[(gx % 4, gy % 4)] < cur_blk
+
+
+def _cblk_avail(st, gx, gy, cur_mb, cur_blk):
+    if gx < 0 or gy < 0 or gx >= st.mbw * 2 or gy >= st.mbh * 2:
+        return False
+    mb = (gy // 2) * st.mbw + (gx // 2)
+    if mb != cur_mb:
+        return st.mb_ok(gx // 2, gy // 2)
+    return (gy % 2) * 2 + (gx % 2) < cur_blk
 
 
 def _scan_of(block: np.ndarray, max_coeff: int) -> list[int]:
@@ -798,7 +809,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode):
             gx, gy = mbx * 2 + bx, mby * 2 + by
             z = all_z[pi][blk]
             if cbp_chroma == 2:
-                nc = st.chroma_nc(grid, gx, gy)
+                nc = st.chroma_nc(grid, gx, gy, mby * st.mbw + mbx, blk)
                 scan = _scan_of(z, 15)
                 total = write_residual_block(w, scan, nc, 15)
                 grid[gy, gx] = total
@@ -845,7 +856,7 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
     w.ue(chroma_mode)
     qp = _mb_qp_delta_write(w, qp, want_qp)
     # luma DC
-    nc = st.luma_nc(mbx * 4, mby * 4)
+    nc = st.luma_nc(mbx * 4, mby * 4, mby * st.mbw + mbx, 0)
     scan = [int(dcz.reshape(-1)[ZIGZAG_4x4[p]]) for p in range(16)]
     write_residual_block(w, scan, nc, 16)
     dc_rec = luma_dc_recon(dcz, want_qp)
@@ -855,7 +866,7 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
         gx, gy = mbx * 4 + x4, mby * 4 + y4
         z = zs[blk]
         if cbp_luma:
-            nc = st.luma_nc(gx, gy)
+            nc = st.luma_nc(gx, gy, mby * st.mbw + mbx, blk)
             total = write_residual_block(w, _scan_of(z, 15), nc, 15)
             st.nzY[gy, gx] = total
         else:
@@ -960,7 +971,7 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp):
             (4, 4), dtype=np.int64
         )
         if cbp_luma & (1 << (blk >> 2)):
-            nc = st.luma_nc(gx, gy)
+            nc = st.luma_nc(gx, gy, cur, blk)
             total = write_residual_block(w, _scan_of(z, 16), nc, 16)
             st.nzY[gy, gx] = total
         else:
