@@ -87,6 +87,17 @@ class Mp4VideoTrack:
 
 def _iter_boxes(data: bytes, start: int, end: int):
     """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    for fc, _hs, b, e in _iter_boxes_h(data, start, end):
+        yield fc, b, e
+
+
+def _iter_boxes_h(data: bytes, start: int, end: int):
+    """Like :func:`_iter_boxes` but also yields the HEADER start:
+    (fourcc, header_start, body_start, body_end). The header start is
+    the 'position of the first byte of the enclosing box' that
+    default-base-is-moof offsets resolve against (ISO 14496-12
+    §8.8.7) — body_start - 8 is wrong for a 64-bit largesize header
+    (body at header_start + 16)."""
     pos = start
     while pos + 8 <= end:
         size = struct.unpack_from(">I", data, pos)[0]
@@ -104,7 +115,7 @@ def _iter_boxes(data: bytes, start: int, end: int):
                 f"box {fourcc!r} at {pos} overruns its container "
                 f"(size {size}, container end {end})"
             )
-        yield fourcc, body, pos + size
+        yield fourcc, pos, body, pos + size
         pos += size
     if pos != end:
         raise MP4Error(f"trailing bytes in container at {pos}..{end}")
@@ -330,17 +341,23 @@ def _parse_fragments(
 
     Decode time runs across fragments, re-anchored by tfdt when
     present; data offsets resolve against tfhd's base_data_offset, or
-    the moof start under default-base-is-moof (also the spec's implicit
-    base for a fragment's first traf — the only traf we read)."""
+    the moof HEADER start under default-base-is-moof (also the spec's
+    implicit base for a fragment's first traf). Every traf matching
+    the video track contributes samples (§8.8 allows several per
+    moof); a later traf with the IMPLICIT base (end of the preceding
+    traf's data) refuses rather than guess."""
     samples: list[Mp4Sample] = []
     running_dts = 0  # timescale units
-    for fc, fb, fe in _iter_boxes(data, 0, len(data)):
+    for fc, moof_pos, fb, fe in _iter_boxes_h(data, 0, len(data)):
         if fc != b"moof":
             continue
-        moof_pos = fb - 8  # box header start (base for default-base-is-moof)
+        # moof_pos: HEADER start (handles 64-bit largesize headers) —
+        # the base for default-base-is-moof offsets (§8.8.7)
+        traf_idx = -1
         for tfc, tb, te in _iter_boxes(data, fb, fe):
             if tfc != b"traf":
                 continue
+            traf_idx += 1
             tfhd = _find(data, tb, te, b"tfhd")
             if tfhd is None:
                 raise MP4Error("traf without tfhd")
@@ -366,8 +383,21 @@ def _parse_fragments(
                 (defaults["flags"],) = struct.unpack_from(">I", data, p)
                 p += 4
             if base is None:
-                # default-base-is-moof, or the spec's implicit base for
-                # the fragment's first traf — both the moof start
+                if not (tf_flags & _TFHD_DEFAULT_BASE_IS_MOOF) \
+                        and traf_idx > 0:
+                    # §8.8.7: with neither base flag, a second or
+                    # later traf's implicit base is the END of the
+                    # PRECEDING traf's data — chaining it would need
+                    # run parsing for every other track; refuse
+                    # rather than read wrong sample bytes
+                    raise MP4Error(
+                        "implicit base-data-offset chaining across"
+                        " trafs unsupported (traf"
+                        f" {traf_idx} sets neither base_data_offset"
+                        " nor default-base-is-moof)"
+                    )
+                # default-base-is-moof, or the spec's implicit base
+                # for the fragment's FIRST traf — both the moof start
                 base = moof_pos
             tfdt = _find(data, tb, te, b"tfdt")
             if tfdt is not None:
@@ -448,7 +478,10 @@ def _parse_fragments(
                     )
                     cursor += size
                     running_dts += dur
-            break  # only the video traf of this moof
+            # NO break: §8.8 permits multiple trafs for the same
+            # track in one moof — accumulate every matching traf's
+            # runs (running_dts carries across; a tfdt in a later
+            # traf re-anchors it, same as across moofs)
     return samples, running_dts
 
 

@@ -395,3 +395,55 @@ def test_g1_decode_frames_fragmented_mp4(spark, tmp_path):
         )
     assert sorted(by_file["tt1"]) == sorted(by_file["tt2"])
     assert len(by_file["tt1"]) > 0
+
+
+def test_fragmented_largesize_moof_header():
+    """ADVICE r6 (low): a moof with a 64-bit largesize header puts its
+    body at header+16; default-base-is-moof offsets resolve against
+    the HEADER start, so a demuxer assuming body-8 reads every sample
+    8 bytes late. The largesize twin must demux identically."""
+    payloads = _samples(6)
+    deltas = [1066, 1067, 1067] * 2
+    std = build_fmp4(payloads, deltas, keyframes=[0, 3],
+                     fragment_size=3)
+    big = build_fmp4(payloads, deltas, keyframes=[0, 3],
+                     fragment_size=3, largesize_moof=True)
+    assert len(big) == len(std) + 2 * 8  # two moofs, +8 bytes each
+    ts, tb = M.parse_mp4(std), M.parse_mp4(big)
+    assert [M.read_sample(big, s) for s in tb.samples] == payloads
+    a, b = _twin_tables(ts, tb, std, big)
+    assert a == b
+
+
+def test_fragmented_multiple_trafs_same_track():
+    """ADVICE r6 (low): ISO 14496-12 §8.8 permits several trafs for
+    the same track in one moof — every matching traf's runs must
+    contribute (a first-traf-only demuxer silently truncates the
+    timeline), with decode time carrying from the first traf into the
+    second (which has no tfdt)."""
+    payloads = _samples(8)
+    deltas = [1066, 1067, 1067, 1066] * 2
+    keyframes = [0, 4]
+    one = build_fmp4(payloads, deltas, keyframes=keyframes,
+                     fragment_size=4)
+    two = build_fmp4(payloads, deltas, keyframes=keyframes,
+                     fragment_size=4, split_traf=True)
+    t1, t2 = M.parse_mp4(one), M.parse_mp4(two)
+    assert len(t2.samples) == 8
+    assert [M.read_sample(two, s) for s in t2.samples] == payloads
+    a, b = _twin_tables(t1, t2, one, two)
+    assert a == b
+    assert t2.duration == t1.duration
+
+
+def test_fragmented_second_traf_implicit_base_refuses():
+    """A second same-moof traf with NEITHER base_data_offset nor
+    default-base-is-moof uses the implicit end-of-previous-traf base
+    (§8.8.7); chaining it needs run parsing for every other track, so
+    the demuxer must REFUSE, never read wrong bytes."""
+    payloads = _samples(8)
+    deltas = [1066] * 8
+    bad = build_fmp4(payloads, deltas, fragment_size=4,
+                     split_traf=True, split_traf_implicit_base=True)
+    with pytest.raises(M.MP4Error, match="implicit base"):
+        M.parse_mp4(bad)

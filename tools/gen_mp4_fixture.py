@@ -244,6 +244,9 @@ def build_fmp4(
     use_tfdt: bool = True,
     explicit_base_offset: bool = False,
     trex_duration: int = 0,
+    largesize_moof: bool = False,
+    split_traf: bool = False,
+    split_traf_implicit_base: bool = False,
 ) -> bytes:
     """Fragmented (DASH/CMAF-style) twin of :func:`build_mp4`: ftyp +
     moov(empty stbl + mvex/trex) + per-fragment [moof(mfhd, traf(tfhd,
@@ -253,7 +256,15 @@ def build_fmp4(
     ``explicit_base_offset`` switches tfhd from default-base-is-moof to
     an absolute base_data_offset; ``trex_duration``, when nonzero,
     moves sample durations out of the trun into the trex default
-    (deltas must then all equal it)."""
+    (deltas must then all equal it). ``largesize_moof`` writes every
+    moof with a 64-bit largesize header (body at header + 16) —
+    default-base-is-moof offsets must resolve against the HEADER
+    start, not body - 8. ``split_traf`` emits TWO trafs for the same
+    track per moof (first half / second half of the fragment's
+    samples, the second without tfdt so decode time must carry
+    across); ``split_traf_implicit_base`` additionally clears both
+    base flags on the second traf (§8.8.7 implicit end-of-previous-
+    traf chaining — a correct demuxer refuses it)."""
     assert len(samples) == len(deltas)
     n = len(samples)
     sps = sps or [make_nal(7, b"fake-sps")]
@@ -337,18 +348,11 @@ def build_fmp4(
         frag = list(range(i, min(i + fragment_size, n)))
         seq += 1
         mfhd = fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
-        tf_flags = 0x020000  # default-base-is-moof
-        tfhd_body = struct.pack(">I", 1)
-        if explicit_base_offset:
-            tf_flags = 0x000001
-            # patched after moof length is known; placeholder
-            tfhd_body += struct.pack(">Q", 0)
-        tfhd = fullbox(b"tfhd", 0, tf_flags, tfhd_body)
-        tfdt = (
-            fullbox(b"tfdt", 1, 0, struct.pack(">Q", dts))
-            if use_tfdt
-            else b""
-        )
+        if split_traf and len(frag) >= 2:
+            half = len(frag) // 2
+            groups = [frag[:half], frag[half:]]
+        else:
+            groups = [frag]
         tr_flags = 0x000001 | 0x000200  # data-offset + sample-size
         if not trex_duration:
             tr_flags |= 0x000100  # per-sample duration
@@ -356,39 +360,75 @@ def build_fmp4(
             tr_flags |= 0x000400  # per-sample flags
         if ctts_offsets is not None:
             tr_flags |= 0x000800
-        rows = b""
-        for j in frag:
-            if not trex_duration:
-                rows += struct.pack(">I", deltas[j])
-            else:
-                assert deltas[j] == trex_duration
-            rows += struct.pack(">I", len(samples[j]))
-            if kf is not None:
-                rows += struct.pack(
-                    ">I", 0 if j in kf else 0x00010000
-                )
-            if ctts_offsets is not None:
-                rows += struct.pack(">i", ctts_offsets[j])
-        trun_payload = (
-            struct.pack(">I", len(frag))
-            + struct.pack(">i", 0)  # data_offset patched below
-            + rows
-        )
-        trun = fullbox(b"trun", 1, tr_flags, trun_payload)
-        traf = box(b"traf", tfhd + tfdt + trun)
-        moof = box(b"moof", mfhd + traf)
-        # data_offset: mdat payload starts moof_len + 8 after moof start
+        trafs: list[bytes] = []
+        truns: list[bytes] = []
+        for gi, grp in enumerate(groups):
+            tf_flags = 0x020000  # default-base-is-moof
+            tfhd_body = struct.pack(">I", 1)
+            if explicit_base_offset:
+                tf_flags = 0x000001
+                # patched after moof length is known; placeholder
+                tfhd_body += struct.pack(">Q", 0)
+            if gi > 0 and split_traf_implicit_base:
+                tf_flags = 0  # neither base flag: implicit chaining
+            tfhd = fullbox(b"tfhd", 0, tf_flags, tfhd_body)
+            # only the FIRST traf carries tfdt: decode time must run
+            # across same-moof trafs exactly as across moofs
+            tfdt = (
+                fullbox(b"tfdt", 1, 0, struct.pack(">Q", dts))
+                if use_tfdt and gi == 0
+                else b""
+            )
+            rows = b""
+            for j in grp:
+                if not trex_duration:
+                    rows += struct.pack(">I", deltas[j])
+                else:
+                    assert deltas[j] == trex_duration
+                rows += struct.pack(">I", len(samples[j]))
+                if kf is not None:
+                    rows += struct.pack(
+                        ">I", 0 if j in kf else 0x00010000
+                    )
+                if ctts_offsets is not None:
+                    rows += struct.pack(">i", ctts_offsets[j])
+            trun_payload = (
+                struct.pack(">I", len(grp))
+                + struct.pack(">i", 0)  # data_offset patched below
+                + rows
+            )
+            trun = fullbox(b"trun", 1, tr_flags, trun_payload)
+            trafs.append(box(b"traf", tfhd + tfdt + trun))
+            truns.append(trun)
+        moof = box(b"moof", mfhd + b"".join(trafs),
+                   largesize=largesize_moof)
+        # mdat payload starts moof_len + 8 after the moof HEADER start
+        # (the largesize header is part of moof_len, so this holds for
+        # both header widths)
         data_offset = len(moof) + 8
-        doff_pos = len(moof) - len(trun) + 12 + 4  # fullbox hdr + count
-        moof = (
-            moof[:doff_pos]
-            + struct.pack(">i", data_offset)
-            + moof[doff_pos + 4 :]
-        )
+        # per-trun data_offset positions, walking trafs from the end
+        # (each trun is the last child of its traf; doff sits at
+        # trun_start + 12 fullbox hdr + 4 sample_count)
+        doff_pos_of: list[int] = []
+        tail = 0
+        for traf, trun in zip(reversed(trafs), reversed(truns)):
+            tail += len(traf)
+            doff_pos_of.append(len(moof) - tail
+                               + (len(traf) - len(trun)) + 12 + 4)
+        doff_pos_of.reverse()
+        cum = 0
+        for gi, grp in enumerate(groups):
+            dp = doff_pos_of[gi]
+            moof = (
+                moof[:dp]
+                + struct.pack(">i", data_offset + cum)
+                + moof[dp + 4 :]
+            )
+            cum += sum(len(samples[j]) for j in grp)
         if explicit_base_offset:
+            assert not split_traf and not largesize_moof
             # absolute offset of this moof within the file
             moof_abs = len(out)
-            bdo_pos = len(box(b"mfhd", b"")) + 4 + 8 + 12  # not robust
             # locate tfhd body inside moof: mfhd is 16 bytes, traf hdr 8,
             # tfhd fullbox hdr 12, track_id 4 -> base_data_offset
             bdo_pos = 8 + 16 + 8 + 12 + 4
@@ -398,10 +438,11 @@ def build_fmp4(
                 + moof[bdo_pos + 8 :]
             )
             # data_offset is relative to base_data_offset now
+            dp = doff_pos_of[0]
             moof = (
-                moof[:doff_pos]
+                moof[:dp]
                 + struct.pack(">i", 0)
-                + moof[doff_pos + 4 :]
+                + moof[dp + 4 :]
             )
         mdat = box(b"mdat", b"".join(samples[j] for j in frag))
         out += moof + mdat
