@@ -21,6 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from shotit_worker_spark.session import get_spark
 
+# Query rows added AFTER the frozen r3 baseline (BENCH_r03 = 57.52 s,
+# 50 queries + the shared-build lines). BASELINE.md's like-for-like
+# rule subtracts these gate waves from the total; computing it here
+# ends the by-hand arithmetic (r6 VERDICT "What's wrong" #2). EXTEND
+# this set whenever a new gate wave lands.
+POST_R3_QUERIES = frozenset({
+    # r5 wave (LLM-pipeline gates)
+    "q62_boilerplate", "q63_ngram_lm", "q64_bm25", "q65_span_dedup",
+    "q66_semantic_dedup",
+    # r6 wave (constants/full-value gates)
+    "q67_kn_lm", "q68_text_embedder", "q69_learned_rerank",
+    "q70_url_canonical", "q71_pack_nosplit",
+    # r7 wave (media constants gates)
+    "q72_avc_roundtrip", "q73_progressive_jpeg",
+})
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,7 +45,12 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    # --subset: run ONLY the frozen-r3-comparable rows (every declared
+    # query that is not a post-r3 gate) — the direct apples-to-apples
+    # measurement against BASELINE.md's 57.52 s
+    subset_only = "--subset" in args
+    only = {a for a in args if not a.startswith("--")}
 
     spark = get_spark("bench")
     # warm the JVM/codegen AND the python-worker fleet once so the first
@@ -86,6 +107,8 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        if subset_only and name in POST_R3_QUERIES:
+            continue
         t0 = time.time()
         # collect (not count): count() would let Catalyst prune the very
         # projection columns being measured (e.g. fingerprints)
@@ -102,6 +125,15 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # frozen-baseline comparable: total minus every post-r3 gate row
+    # actually measured this run (BASELINE.md like-for-like rule)
+    gates = sum(t for n, t in timings.items() if n in POST_R3_QUERIES)
+    comparable = total - gates
+    print(
+        f"# comparable (vs frozen r3 57.52s): {comparable:.2f}s = "
+        f"{comparable / 57.52:.3f}x  (gates subtracted: {gates:.2f}s)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -110,6 +142,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "comparable_sec": round(comparable, 3),
+                "gates_sec": round(gates, 3),
+                "comparable_vs_r3_baseline": round(comparable / 57.52, 4),
             }
         )
     )
