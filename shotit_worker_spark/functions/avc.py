@@ -281,14 +281,16 @@ def parse_pps(nal: bytes) -> PPS:
 # validation: import-time prefix-freeness asserts; Kraft-sum structure
 # pinned in tests (every total_zeros/run_before/chroma-DC table is a
 # COMPLETE prefix code summing to exactly 1 — a single wrong code
-# length breaks the equality; the coeff_token columns match their
-# known near-complete sums); the textbook worked example decoded
-# bit-for-bit; and encoder round-trips. No reference decoder exists in
-# this container, so the deep tail of the 2<=nC<4 and 4<=nC<8 columns
-# (TotalCoeff >= 13 — extremely dense residual blocks) is deliberately
-# ABSENT rather than guessed: hitting it raises AVCError and the
-# caller falls back to the stub. Correct-or-refuse; never silently
-# wrong.
+# length breaks the equality); the textbook worked example decoded
+# bit-for-bit; and encoder round-trips. The three luma coeff_token
+# columns each carry all 62 (TrailingOnes, TotalCoeff) combinations
+# and share one structural invariant that pins the deep tail
+# (TotalCoeff >= 13, completed in r7): each column is a prefix code
+# complete EXCEPT for a single unused all-zeros slot — deficit 2^-15
+# (0<=nC<2), 2^-13 (2<=nC<4), 2^-10 (4<=nC<8) — so a long run of
+# zero bits can never decode as a coeff_token (start-code-adjacent
+# robustness), and any transcription slip that moved a code length
+# would break both the Kraft pin and prefix-freeness.
 # ---------------------------------------------------------------------------
 
 _COEFF_TOKEN_NC01 = """
@@ -402,7 +404,23 @@ _COEFF_TOKEN_NC23 = """
 0 12 0000000001111
 1 12 0000000001110
 2 12 0000000001101
-3 12 000000001100"""
+3 12 000000001100
+0 13 0000000001011
+1 13 0000000001010
+2 13 0000000001001
+3 13 0000000001100
+0 14 0000000000111
+1 14 00000000001011
+2 14 0000000000110
+3 14 0000000001000
+0 15 00000000001001
+1 15 00000000001000
+2 15 00000000001010
+3 15 0000000000001
+0 16 00000000000111
+1 16 00000000000110
+2 16 00000000000101
+3 16 00000000000100"""
 
 _COEFF_TOKEN_NC47 = """
 0 0 1111
@@ -450,7 +468,23 @@ _COEFF_TOKEN_NC47 = """
 0 12 000001000
 1 12 000001010
 2 12 000001001
-3 12 00001000"""
+3 12 00001000
+0 13 0000001101
+1 13 000000111
+2 13 000001101
+3 13 000001100
+0 14 0000001001
+1 14 0000001100
+2 14 0000001011
+3 14 0000001010
+0 15 0000000101
+1 15 0000001000
+2 15 0000000111
+3 15 0000000110
+0 16 0000000001
+1 16 0000000100
+2 16 0000000011
+3 16 0000000010"""
 
 _COEFF_TOKEN_CHROMA_DC = """
 0 0 01

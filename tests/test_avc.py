@@ -114,6 +114,11 @@ def _roundtrip(seed, qp, mbw, mbh, **kw):
         (9, 30, {"mb_plan": lambda x, y: "i16"}),
         (10, 30, {"mb_plan": lambda x, y: "pcm"}),
         (11, 8, {"noise": 80}),
+        # r7: QP<=4 + max noise drives TotalCoeff>=13 blocks at
+        # nC in [2,8) — the completed Table 9-5 deep tail
+        (12, 0, {"noise": 120}),
+        (13, 2, {"noise": 120, "mb_plan": lambda x, y: "i4"}),
+        (14, 4, {"noise": 100, "mb_plan": lambda x, y: "i16"}),
     ],
 )
 def test_encode_decode_bit_exact(seed, qp, kw):
@@ -264,18 +269,24 @@ def test_vlc_tables_kraft_structure():
     Kraft sums are fixed constants. Every total_zeros table (4x4 and
     chroma), every run_before table, and the chroma-DC coeff_token
     table sum to EXACTLY 1 (complete) — a single wrong code length
-    anywhere breaks the equality. The coeff_token columns sum to their
-    known near-complete values (NC01 leaves one 15-bit slot unused;
-    NC23/NC47 carry the deliberately-absent TotalCoeff>=13 tail)."""
+    anywhere breaks the equality. Each luma coeff_token column carries
+    all 62 (TrailingOnes, TotalCoeff) combinations and is complete
+    except a SINGLE unused all-zeros slot (15 / 13 / 10 zero bits) —
+    the shared structural invariant that pins the r7-completed
+    TotalCoeff>=13 tail."""
     from fractions import Fraction
 
     def kraft(tbl):
         return sum(Fraction(1, 2 ** l) for (l, c) in tbl)
 
     assert kraft(avc._CT_TABLES[-1]) == 1
-    assert kraft(avc._CT_TABLES[0]) == Fraction(32767, 32768)
-    assert kraft(avc._CT_TABLES[2]) == Fraction(8179, 8192)
-    assert kraft(avc._CT_TABLES[4]) == Fraction(251, 256)
+    for nc_key, deficit_bits in ((0, 15), (2, 13), (4, 10)):
+        tbl = avc._CT_TABLES[nc_key]
+        assert len(tbl) == 62, nc_key
+        assert kraft(tbl) == 1 - Fraction(1, 2 ** deficit_bits), nc_key
+        # the unused slot really is the all-zeros prefix: no code
+        # consists of zero bits only
+        assert all(c != 0 for (_l, c) in tbl), nc_key
     for tc, tbl in avc._TZ_TABLES.items():
         want = Fraction(511, 512) if tc == 1 else 1
         assert kraft(tbl) == want, tc
@@ -417,22 +428,39 @@ def test_real_avc_keyframes_in_fragmented_mp4(spark):
         assert by["tt1"][fn] == by["tt2"][fn], fn
 
 
-def test_trimmed_coeff_token_tail_refuses():
-    """The deliberately-absent deep tail (TotalCoeff >= 13 at nC in
-    [2,8)) must REFUSE with AVCError, never guess: feed a bit pattern
-    that cannot resolve in the trimmed table (all-zeros prefixes run
-    past every remaining code length)."""
-    r = avc.BitReader(b"\x00\x00\x00\x01")
-    with pytest.raises(avc.AVCError, match="coeff_token"):
-        avc.read_coeff_token(r, 2)
-    r2 = avc.BitReader(b"\x00\x00\x00\x01")
-    with pytest.raises(avc.AVCError, match="coeff_token"):
-        avc.read_coeff_token(r2, 4)
-    # the encoder cannot EMIT into the absent region either
-    w = ENC.BitWriter()
-    coeffs = [2] * 13 + [0, 0, 0]
-    with pytest.raises(ValueError, match="outside encoder table"):
-        ENC.write_residual_block(w, coeffs, 2, 16)
+def test_coeff_token_deep_tail_round_trips():
+    """r6 VERDICT #3: the TotalCoeff >= 13 tail of the 2<=nC<4 and
+    4<=nC<8 columns (dense low-QP residual blocks) now decodes instead
+    of refusing. Round-trip every (t1s, total) tail combination
+    through the independent encoder at both column selectors, and keep
+    the all-zeros refusal: the single unused slot in each column IS
+    the all-zeros prefix, so a zero run still cannot decode."""
+    for nc in (2, 3, 4, 7):
+        for total in (13, 14, 15, 16):
+            for t1s in range(4):
+                # build a scan with `total` nonzeros whose trailing
+                # ones count is exactly t1s
+                coeffs = [0] * 16
+                vals = [2] * (total - t1s) + [1] * t1s
+                for i, v in enumerate(vals):
+                    coeffs[i] = v if i % 2 == 0 else -v
+                # trailing ones must be +-1 AND preceded by a non-one
+                # unless t1s == total; write_residual_block derives
+                # t1s itself, so just check the round trip
+                w = ENC.BitWriter()
+                got_total = ENC.write_residual_block(
+                    w, list(coeffs), nc, 16)
+                assert got_total == total
+                w.byte_align_zero()
+                r = avc.BitReader(w.to_rbsp())
+                back, back_total = avc.read_residual_block(r, nc, 16)
+                assert back == coeffs and back_total == total, (
+                    nc, total, t1s)
+    # a long zero run still refuses in every luma column
+    for nc in (0, 2, 4):
+        r = avc.BitReader(b"\x00\x00\x00\x01")
+        with pytest.raises(avc.AVCError, match="coeff_token"):
+            avc.read_coeff_token(r, nc)
 
 
 def _blank_sps(mbw: int = 2, mbh: int = 2) -> avc.SPS:
@@ -626,3 +654,50 @@ def test_sps_poc_type1_delta_flag_stored():
     h = avc.parse_slice_header(avc.BitReader(w2.to_rbsp()), sps, pps, 5, 3)
     assert h["slice_qp"] == 26
     assert h["disable_deblocking"] == 1
+
+
+def test_deep_tail_full_frame_roundtrip():
+    """Full-frame integration for the completed Table 9-5 tail: a
+    smooth-background frame with isolated extreme-noise 4x4 blocks
+    puts DENSE blocks (TotalCoeff >= 13) next to moderate-total
+    neighbors, driving coeff_token reads in the 0<=nC<2, 2<=nC<4 AND
+    4<=nC<8 columns' deep tails within one bit-exact round trip
+    (verified by a decoder-side spy; the pre-r7 tables refused
+    here)."""
+    rng = np.random.default_rng(3)
+    H, W = 48, 64
+    y = np.full((H, W), 128.0) + rng.integers(-3, 4, (H, W))
+    for by in range(H // 4):
+        for bx in range(W // 4):
+            if (bx + 2 * by) % 5 == 0:
+                y[by*4:by*4+4, bx*4:bx*4+4] = rng.integers(0, 256, (4, 4))
+    y = y.clip(0, 255).astype(np.int64)
+    cb = (128 + rng.integers(-3, 4, (24, 32))).clip(0, 255)
+    cr = (128 + rng.integers(-3, 4, (24, 32))).clip(0, 255)
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=16, mb_plan=lambda x, yy: "i4")
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+
+    tail_cols = {0: 0, 2: 0, 4: 0}
+    orig = avc.read_coeff_token
+
+    def spy(r, nc):
+        t1s, total = orig(r, nc)
+        if total >= 13 and 0 <= nc < 8:
+            tail_cols[0 if nc < 2 else (2 if nc < 4 else 4)] += 1
+        return t1s, total
+
+    avc.read_coeff_token = spy
+    try:
+        rgb = avc.decode_iframe(sps, pps, idr_nal)
+    finally:
+        avc.read_coeff_token = orig
+    exp = _ycc_to_rgb(
+        rY[:sps.height, :sps.width].astype(np.int32),
+        _upsample(rCb.astype(np.int32), 2, 2, sps.height, sps.width),
+        _upsample(rCr.astype(np.int32), 2, 2, sps.height, sps.width),
+    )
+    np.testing.assert_array_equal(rgb, exp)
+    assert tail_cols[0] > 0 and tail_cols[2] > 0 and tail_cols[4] > 0, (
+        tail_cols)

@@ -14,9 +14,11 @@ independent numpy implementation of the standard's decode math.
 Conformance constraints this encoder imposes on itself:
 - disable_deblocking_filter_idc = 1 in every slice (the decoder does
   not implement the loop filter and refuses filtered streams);
-- at most 12 nonzero coefficients per 4x4 block (smallest coefficients
-  zeroed — ordinary encoder-side rate shaping) so the bitstream stays
-  inside the decoder's validated coeff_token region;
+- COEFF_CAP nonzero coefficients per 4x4 block at most (smallest
+  coefficients zeroed — ordinary encoder-side rate shaping). Default
+  16 = no thinning, since the decoder's Table 9-5 is complete as of
+  r7; set gen_avc_fixture.COEFF_CAP = 12 to reproduce the historical
+  pre-r7 bitstreams;
 - one slice per frame, IDR only, 4:2:0, CAVLC (baseline).
 """
 
@@ -224,9 +226,16 @@ def quant_4x4(w: np.ndarray, qp: int, skip_dc: bool = False) -> np.ndarray:
     return z.astype(np.int64)
 
 
-def _cap_nonzeros(z: np.ndarray, cap: int = 12, protect_dc: bool = False):
-    """Zero smallest-magnitude coefficients beyond ``cap`` (decoder's
-    validated coeff_token region; ordinary rate shaping)."""
+COEFF_CAP = 16  # 16 = no thinning (full 4x4 block may be nonzero)
+
+
+def _cap_nonzeros(z: np.ndarray, cap: int | None = None,
+                  protect_dc: bool = False):
+    """Zero smallest-magnitude coefficients beyond ``cap`` (ordinary
+    encoder rate shaping; no longer required for decodability now the
+    coeff_token tables are complete)."""
+    if cap is None:
+        cap = COEFF_CAP
     flat = z.reshape(-1)
     nz = np.nonzero(flat)[0]
     if len(nz) <= cap:
@@ -787,7 +796,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode):
             dcs[by, bx] = wq[0, 0]
             z[0, 0] = 0
             if cbp_chroma == 2:
-                _cap_nonzeros(z, 12)
+                _cap_nonzeros(z)
             else:
                 z[:, :] = 0
             zs.append(z)
@@ -839,7 +848,7 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
         wq = forward_4x4(res[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
         dcs[y4, x4] = wq[0, 0]
         z = quant_4x4(wq, want_qp, skip_dc=True)
-        _cap_nonzeros(z, 12)
+        _cap_nonzeros(z)
         zs[blk] = z
     dcz = luma_dc_forward(dcs, want_qp)
     cbp_luma = 15 if any(np.any(zs[b]) for b in range(16)) else 0
@@ -920,7 +929,7 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp):
         chosen.append(mode)
         sblk = src[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
         z = quant_4x4(forward_4x4(sblk - pred), want_qp)
-        _cap_nonzeros(z, 12)
+        _cap_nonzeros(z)
         zs[blk] = z
         rec = dequant_recon_4x4(z, want_qp)
         trial_Y[
