@@ -102,10 +102,11 @@ FRAME_SCHEMA = StructType(
 # Real demux/decode: Y4M, MJPEG-AVI, animated GIF; real DEMUX for .mp4
 # (functions/mp4 — progressive AND fragmented) and, since r6, REAL
 # PIXELS for AVC KEYFRAMES (functions/avc — baseline CAVLC I-frame
-# decoder). The stub remains only for inter-coded samples (P/B frames
-# need motion compensation across the GOP) and for streams the
-# correct-or-refuse decoder declines (CABAC, deblocking-enabled,
-# non-baseline features) — see the avc module docstring.
+# decoder; since r7 including deblocking-enabled streams, the
+# real-world default, via the in-loop filter). The stub remains only
+# for inter-coded samples (P/B frames need motion compensation across
+# the GOP) and for streams the correct-or-refuse decoder declines
+# (CABAC, non-baseline features) — see the avc module docstring.
 _STUB_INTERFRAME_CODECS = True
 
 _SYN_FRAME_H = 48  # synthetic thumbnail geometry (aspect 5:3, like
@@ -289,10 +290,12 @@ def _sample_mp4(
         len(order) * _MAX_DUP_PER_SAMPLE,
     )
     # r6: KEYFRAME samples of AVC tracks decode FOR REAL (functions/avc
-    # — baseline CAVLC I-frame decoder). Parameter sets come from the
-    # avcC config; any per-sample failure (inter-coded slice, CABAC,
-    # deblocking-enabled stream, unsupported feature) falls back to the
-    # labeled stub for that sample only, so the timeline never breaks.
+    # — baseline CAVLC I-frame decoder; r7 adds the 8.7 in-loop
+    # deblocking filter, so filtered streams decode too). Parameter
+    # sets come from the avcC config; any per-sample failure
+    # (inter-coded slice, CABAC, unsupported feature) falls back to
+    # the labeled stub for that sample only, so the timeline never
+    # breaks.
     avc_ctx = None
     if track.sps and track.pps and track.nal_length_size:
         try:

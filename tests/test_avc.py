@@ -159,14 +159,11 @@ def test_error_surface():
         avc.parse_sps(b"\x68\x00")
     with pytest.raises(avc.AVCError):
         avc.parse_pps(b"\x67\x00")
-    # deblocking-enabled slice refuses (decoder has no loop filter)
+    # truncated slice payload raises the typed error
     y, cb, cr = _planes(1, 2, 2)
     sps_nal, pps_nal, idr_nal, _ = ENC.encode_stream(y, cb, cr, qp=30)
     sps = avc.parse_sps(sps_nal)
     pps = avc.parse_pps(pps_nal)
-    # patch the slice header: disable_deblocking ue(1)='010' follows
-    # the qp delta; easiest honest check — reencode with a writer that
-    # sets idc 0 is not exposed, so instead verify truncated stream
     with pytest.raises(avc.AVCError):
         avc.decode_iframe(sps, pps, idr_nal[: len(idr_nal) // 3])
 
@@ -701,3 +698,164 @@ def test_deep_tail_full_frame_roundtrip():
     np.testing.assert_array_equal(rgb, exp)
     assert tail_cols[0] > 0 and tail_cols[2] > 0 and tail_cols[4] > 0, (
         tail_cols)
+
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking filter (8.7)
+# ---------------------------------------------------------------------------
+
+
+def _run_both_filters(line, bs, idx_a, idx_b, chroma):
+    """Apply the decoder's vectorized edge filter AND the encoder's
+    scalar line filter to the same 8-sample line; assert they agree
+    and return the result."""
+    import numpy as np
+
+    # decoder path: a 1-row plane strip, vertical edge at col 4
+    plane = np.array([line], dtype=np.int64)
+    avc._db_edge(plane, True, 4, 0, 1, bs,  idx_a, idx_b, chroma)
+    dec = plane[0].tolist()
+    # encoder path: scalar in-place
+    buf = np.array(line, dtype=np.int64)
+    alpha = avc._DB_ALPHA[idx_a]
+    beta = avc._DB_BETA[idx_b]
+    tc0 = avc._DB_TC0[bs - 1][idx_a] if bs < 4 else 0
+    ENC._db_line(buf, 4, bs, alpha, beta, tc0, chroma)
+    enc = buf.tolist()
+    assert dec == enc, (dec, enc)
+    return dec
+
+
+def test_deblock_normal_filter_hand_computed():
+    """bS=3 normal filter, hand-computed from 8-467..8-470 at
+    indexA=indexB=30 (alpha=25, beta=8, tC0=2): delta saturates at tc,
+    p1/q1 untouched when ap/aq >= beta."""
+    out = _run_both_filters(
+        [100, 112, 116, 120, 130, 136, 138, 140], 3, 30, 30, False)
+    assert out == [100, 112, 116, 122, 128, 136, 138, 140]
+
+
+def test_deblock_normal_filter_p1q1_hand_computed():
+    """Same thresholds with ap/aq < beta: tc grows to 4, p1 moves by
+    clip(-2,2,...) and q1's negative half-step floors (arithmetic
+    shift), all hand-derived."""
+    out = _run_both_filters(
+        [100, 118, 116, 120, 130, 136, 134, 140], 3, 30, 30, False)
+    assert out == [100, 118, 118, 123, 127, 134, 134, 140]
+
+
+def test_deblock_strong_filter_hand_computed():
+    """bS=4 strong filter, hand-computed from 8-476..8-484 at
+    indexA=40 (alpha=80, beta=13): both sides take the 3-sample
+    strong path."""
+    out = _run_both_filters(
+        [60, 70, 75, 80, 100, 105, 110, 115], 4, 40, 40, False)
+    assert out == [60, 73, 81, 86, 94, 99, 106, 115]
+
+
+def test_deblock_strong_filter_weak_fallback():
+    """bS=4 with |p0-q0| >= (alpha>>2)+2: falls to the 3-tap p0/q0
+    formula, p1/p2 untouched (8-479/8-485)."""
+    # indexA=40: alpha=80 -> strong gap bound is 22; use gap 40
+    line = [60, 70, 75, 70, 110, 115, 120, 125]
+    out = _run_both_filters(line, 4, 40, 40, False)
+    # p0' = (2*75 + 70 + 115 + 2) >> 2 = 84; q0' = (2*115+110+75+2)>>2 = 104
+    assert out == [60, 70, 75, 84, 104, 115, 120, 125]
+
+
+def test_deblock_chroma_hand_computed():
+    """Chroma: bS=4 uses the 3-tap pair (8-486/8-487); bS<4 filters
+    p0/q0 only with tc = tC0 + 1."""
+    out = _run_both_filters(
+        [90, 90, 90, 100, 120, 110, 110, 110], 4, 40, 40, True)
+    assert out[3] == 98 and out[4] == 108
+    assert out[:3] == [90, 90, 90] and out[5:] == [110, 110, 110]
+    # normal chroma at indexA=30: tc = tC0(bS2,30)+1 = 1+1 = 2
+    out2 = _run_both_filters(
+        [100, 112, 116, 120, 130, 136, 138, 140], 2, 30, 30, True)
+    assert out2 == [100, 112, 116, 122, 128, 136, 138, 140]
+
+
+def test_deblock_below_threshold_noop():
+    """|p0-q0| >= alpha or |p1-p0| >= beta disables the edge; alpha=0
+    region (indexA < 16, e.g. the I_PCM qp=0 case) never filters."""
+    line = [0, 0, 0, 0, 255, 255, 255, 255]
+    assert _run_both_filters(list(line), 4, 40, 40, False) == line
+    assert _run_both_filters(
+        [100, 112, 116, 120, 130, 136, 138, 140], 3, 10, 10, False
+    ) == [100, 112, 116, 120, 130, 136, 138, 140]
+
+
+@pytest.mark.parametrize(
+    "seed,qp,kw",
+    [
+        (31, 30, {}),                      # default plan incl. PCM MBs
+        (32, 40, {}),                      # strong filtering regime
+        (33, 24, {"qp_wobble": True}),     # per-MB QP averaging
+        (34, 36, {"mb_plan": lambda x, y: "i4"}),
+        (35, 51, {}),                      # max QP saturation
+        (36, 30, {"alpha_off_div2": 3, "beta_off_div2": -2}),
+        (37, 44, {"noise": 40}),
+    ],
+)
+def test_deblocked_stream_bit_exact(seed, qp, kw):
+    """r6 VERDICT #1 'done' criterion: deblocking-ENABLED fixtures
+    (disable_deblocking_filter_idc = 0, real-world default) decode
+    bit-exact against the independent encoder's own filtered
+    reconstruction — including PCM neighbors (QPy=0), per-MB QP
+    averaging across edges, and slice alpha/beta offsets."""
+    _roundtrip(seed, qp, 4, 3, deblock=True, **kw)
+
+
+def test_deblock_filter_actually_fires():
+    """Guard against a vacuous pass: at QP 40 the filtered and
+    unfiltered reconstructions of the same content must differ."""
+    y, cb, cr = _planes(38, 4, 3)
+    _, _, _, (fY, fCb, fCr) = ENC.encode_stream(y, cb, cr, qp=40,
+                                                deblock=True)
+    _, _, _, (uY, uCb, uCr) = ENC.encode_stream(y, cb, cr, qp=40)
+    assert not np.array_equal(fY, uY)
+    assert not np.array_equal(fCb, uCb)
+
+
+def test_g1_deblocked_avc_keyframes_in_mp4(spark):
+    """r6 VERDICT #1 G1 criterion: an .mp4 whose keyframes enable the
+    in-loop filter (disable_deblocking_filter_idc = 0 — what real
+    encoders emit) now yields REAL filtered pixels end-to-end instead
+    of the stub."""
+    from gen_mp4_fixture import build_mp4, make_nal as mp4_nal, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 6, 4
+    y, cb, cr = _planes(41, mbw, mbh)
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=34, deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    h, w = sps.height, sps.width
+    payloads = [
+        sample_bytes([idr_nal]) if i == 0 else
+        sample_bytes([mp4_nal(1, bytes([i]) * 60)])
+        for i in range(6)
+    ]
+    deltas = [1066, 1067, 1067] * 2
+    data, _ = build_mp4(
+        payloads, deltas, keyframes=[0], width=w, height=h,
+        sps=[sps_nal], pps=[pps_nal],
+    )
+    videos = spark.createDataFrame(
+        [("store/tt10/deblocked.mp4", data)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    rgb = _ycc_to_rgb(
+        rY[:h, :w].astype(np.int32),
+        _upsample(rCb.astype(np.int32), 2, 2, h, w),
+        _upsample(rCr.astype(np.int32), 2, 2, h, w),
+    )
+    out_w = max(2, 2 * round(w * M.FRAME_HEIGHT / h / 2))
+    want = IC.encode_ppm(M._bilinear_resize(rgb, M.FRAME_HEIGHT, out_w))
+    imgs = [bytes(r["image"]) for r in rows]
+    assert imgs[0] == want          # real FILTERED pixels, not stub
+    assert imgs[1] != want

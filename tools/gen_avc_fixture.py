@@ -12,8 +12,9 @@ output exactly, and the encoder's reconstruction here is its own
 independent numpy implementation of the standard's decode math.
 
 Conformance constraints this encoder imposes on itself:
-- disable_deblocking_filter_idc = 1 in every slice (the decoder does
-  not implement the loop filter and refuses filtered streams);
+- disable_deblocking_filter_idc = 1 by default; ``deblock=True``
+  writes idc 0 and runs the encoder's own scalar 8.7 loop filter over
+  the reconstruction (independent of the decoder's vectorized one);
 - COEFF_CAP nonzero coefficients per 4x4 block at most (smallest
   coefficients zeroed — ordinary encoder-side rate shaping). Default
   16 = no thinning, since the decoder's Table 9-5 is complete as of
@@ -34,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from shotit_worker_spark.functions.avc import (  # noqa: E402
     _CBP_INTRA,
     _CT_TABLES,
+    _DB_ALPHA,
+    _DB_BETA,
+    _DB_TC0,
     _RUN_BEFORE,
     _TOTAL_ZEROS_4x4,
     _TOTAL_ZEROS_CHROMA_DC,
@@ -455,6 +459,8 @@ class _EncState:
         self.nzCr = np.zeros((mbh * 2, mbw * 2), dtype=np.int32)
         self.modes = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
         self.decoded = 0
+        self.mb_qp: list[int] = []
+        self.mb_pcm: list[bool] = []
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -995,24 +1001,151 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp):
 
 
 def encode_stream(y, cb, cr, qp=28, crop_r=0, crop_b=0, mb_plan=None,
-                  qp_wobble=False):
+                  qp_wobble=False, deblock=False, alpha_off_div2=0,
+                  beta_off_div2=0):
     """(sps_nal, pps_nal, idr_nal, reconstruction) — reconstruction is
     the encoder's own decode loop output as an (H, W) luma + chroma
-    tuple BEFORE cropping (callers crop)."""
+    tuple BEFORE cropping (callers crop). ``deblock`` writes
+    disable_deblocking_filter_idc = 0 (with the given offset_div2
+    values) and runs the encoder's own 8.7 loop filter over the
+    reconstruction, as a conforming encoder must."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b)
     pps = write_pps(26)
     global _LAST_STATE
     _LAST_STATE = None
-    nal = _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble)
+    nal = _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
+                                 deblock, alpha_off_div2, beta_off_div2)
     st = _LAST_STATE
+    if deblock:
+        _deblock_recon(st, 2 * alpha_off_div2, 2 * beta_off_div2)
     return sps, pps, nal, (st.Y.copy(), st.Cb.copy(), st.Cr.copy())
 
 
 _LAST_STATE = None
 
 
-def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble):
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking (8.7) — the encoder's OWN scalar implementation
+# for its reconstruction loop (the decoder's is vectorized numpy; only
+# the threshold tables are shared, per the single-source-table policy)
+# ---------------------------------------------------------------------------
+
+def _clip3(lo, hi, v):
+    return lo if v < lo else (hi if v > hi else v)
+
+
+def _db_line(smp, i_q0, bs, alpha, beta, tc0, chroma):
+    """Filter one line across one edge in place; ``smp`` is a 1-D
+    view, q0 at index ``i_q0``, p side at decreasing indices."""
+    p = [int(smp[i_q0 - 1 - k]) for k in range(4)]
+    q = [int(smp[i_q0 + k]) for k in range(4)]
+    if (abs(p[0] - q[0]) >= alpha or abs(p[1] - p[0]) >= beta
+            or abs(q[1] - q[0]) >= beta):
+        return
+    ap = abs(p[2] - p[0])
+    aq = abs(q[2] - q[0])
+    if bs == 4:
+        if chroma:
+            smp[i_q0 - 1] = (2 * p[1] + p[0] + q[1] + 2) >> 2
+            smp[i_q0] = (2 * q[1] + q[0] + p[1] + 2) >> 2
+            return
+        small_gap = abs(p[0] - q[0]) < ((alpha >> 2) + 2)
+        if ap < beta and small_gap:
+            smp[i_q0 - 1] = (
+                p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3
+            smp[i_q0 - 2] = (p[2] + p[1] + p[0] + q[0] + 2) >> 2
+            smp[i_q0 - 3] = (
+                2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3
+        else:
+            smp[i_q0 - 1] = (2 * p[1] + p[0] + q[1] + 2) >> 2
+        if aq < beta and small_gap:
+            smp[i_q0] = (
+                q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3
+            smp[i_q0 + 1] = (q[2] + q[1] + q[0] + p[0] + 2) >> 2
+            smp[i_q0 + 2] = (
+                2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3
+        else:
+            smp[i_q0] = (2 * q[1] + q[0] + p[1] + 2) >> 2
+        return
+    if chroma:
+        tc = tc0 + 1
+    else:
+        tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+    delta = _clip3(-tc, tc, ((q[0] - p[0]) * 4 + (p[1] - q[1]) + 4) >> 3)
+    smp[i_q0 - 1] = _clip3(0, 255, p[0] + delta)
+    smp[i_q0] = _clip3(0, 255, q[0] - delta)
+    if not chroma:
+        if ap < beta:
+            smp[i_q0 - 2] = p[1] + _clip3(
+                -tc0, tc0,
+                (p[2] + ((p[0] + q[0] + 1) >> 1) - 2 * p[1]) >> 1)
+        if aq < beta:
+            smp[i_q0 + 1] = q[1] + _clip3(
+                -tc0, tc0,
+                (q[2] + ((p[0] + q[0] + 1) >> 1) - 2 * q[1]) >> 1)
+
+
+def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
+    """8.7 over the encoder reconstruction: raster MBs, vertical edges
+    left-to-right then horizontal top-to-bottom, luma + 4:2:0 chroma,
+    bS = 4 on MB edges / 3 internal (all-intra I slice)."""
+    mbw, mbh = st.mbw, st.mbh
+    qps = [0 if pcm else q for q, pcm in zip(st.mb_qp, st.mb_pcm)]
+    qpcs = [_CHROMA_QP[_clip3(0, 51, q + chroma_qp_off)] for q in qps]
+
+    def thr(qa, bs):
+        ia = _clip3(0, 51, qa + alpha_off)
+        ib = _clip3(0, 51, qa + beta_off)
+        return (_DB_ALPHA[ia], _DB_BETA[ib],
+                _DB_TC0[bs - 1][ia] if bs < 4 else 0)
+
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        for k, xo in enumerate((0, 4, 8, 12)):
+            if k == 0 and mbx == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qa = (qps[mb] + qps[mb - 1] + 1) >> 1 if k == 0 else qps[mb]
+            alpha, beta, tc0 = thr(qa, bs)
+            x = mbx * 16 + xo
+            for row in range(mby * 16, mby * 16 + 16):
+                _db_line(st.Y[row], x, bs, alpha, beta, tc0, False)
+        for k, xo in enumerate((0, 4)):
+            if k == 0 and mbx == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qa = (qpcs[mb] + qpcs[mb - 1] + 1) >> 1 if k == 0 else qpcs[mb]
+            alpha, beta, tc0 = thr(qa, bs)
+            x = mbx * 8 + xo
+            for plane in (st.Cb, st.Cr):
+                for row in range(mby * 8, mby * 8 + 8):
+                    _db_line(plane[row], x, bs, alpha, beta, tc0, True)
+        for k, yo in enumerate((0, 4, 8, 12)):
+            if k == 0 and mby == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qa = (qps[mb] + qps[mb - mbw] + 1) >> 1 if k == 0 else qps[mb]
+            alpha, beta, tc0 = thr(qa, bs)
+            yy = mby * 16 + yo
+            for col in range(mbx * 16, mbx * 16 + 16):
+                _db_line(st.Y[:, col], yy, bs, alpha, beta, tc0, False)
+        for k, yo in enumerate((0, 4)):
+            if k == 0 and mby == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qa = (qpcs[mb] + qpcs[mb - mbw] + 1) >> 1 if k == 0 else qpcs[mb]
+            alpha, beta, tc0 = thr(qa, bs)
+            yy = mby * 8 + yo
+            for plane in (st.Cb, st.Cr):
+                for col in range(mbx * 8, mbx * 8 + 8):
+                    _db_line(plane[:, col], yy, bs, alpha, beta, tc0, True)
+
+
+def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
+                           deblock=False, alpha_off_div2=0,
+                           beta_off_div2=0):
     """encode_iframe variant that captures the final _EncState."""
     global _LAST_STATE
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
@@ -1027,7 +1160,12 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble):
     w.u(0, 1)
     slice_qp = qp
     w.se(slice_qp - 26)
-    w.ue(1)
+    if deblock:
+        w.ue(0)  # disable_deblocking_filter_idc: filter everything
+        w.se(alpha_off_div2)
+        w.se(beta_off_div2)
+    else:
+        w.ue(1)
     cur_qp = slice_qp
     for mb in range(mbw * mbh):
         mbx, mby = mb % mbw, mb // mbw
@@ -1044,6 +1182,8 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble):
             cur_qp = _encode_i16(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
         else:
             cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
+        st.mb_qp.append(cur_qp)
+        st.mb_pcm.append(kind == "pcm")
         st.decoded += 1
     w.rbsp_trailing()
     _LAST_STATE = st
