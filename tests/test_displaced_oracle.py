@@ -1,6 +1,6 @@
 """Driver-equivalent oracle verification for the declared queries that
 sit PAST the driver's 50-row CORRECTNESS recording cap (positions
-51-60 of ``queries()``).
+51+ of ``queries()``).
 
 The r5 ADVICE asked that rotated-out queries keep independent
 verification ("rotate displaced queries back in across rounds or add
@@ -48,13 +48,14 @@ def duck():
 
 
 def test_displaced_set_is_the_expected_rotation():
-    # pin the r6 rotation so an accidental reorder of queries() that
+    # pin the r7 rotation so an accidental reorder of queries() that
     # silently drops a NEW gate past the cap fails loudly here
-    assert len(entrymod.queries()) == 60
+    assert len(entrymod.queries()) == 62
     assert set(DISPLACED) == {
-        "q03_top_revenue_orders", "q07_window_lag", "q11_distinct_agg",
-        "q12_rollup", "q14_left_join", "q15_approx_distinct",
-        "q16_avg_quantity_filter", "q17_running_sum", "q18_promo_revenue",
+        "q03_top_revenue_orders", "q07_window_lag", "q08_set_ops",
+        "q11_distinct_agg", "q12_rollup", "q14_left_join",
+        "q15_approx_distinct", "q16_avg_quantity_filter",
+        "q17_running_sum", "q18_promo_revenue", "q19_cube",
         "q47_sequence_pack",
     }
     # and every displaced query still has its oracle declared
