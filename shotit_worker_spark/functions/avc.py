@@ -234,6 +234,7 @@ class PPS:
         "deblocking_filter_control_present",
         "constrained_intra_pred", "transform_8x8_mode",
         "bottom_field_poc_present", "redundant_pic_cnt_present",
+        "weighted_pred", "num_ref_idx_l0_default",
     )
 
 
@@ -253,9 +254,9 @@ def parse_pps(nal: bytes) -> PPS:
     n_slice_groups = r.ue() + 1
     if n_slice_groups != 1:
         raise AVCError("slice groups (FMO) unsupported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    p.num_ref_idx_l0_default = r.ue() + 1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.flag()  # weighted_pred
+    p.weighted_pred = r.flag()
     r.u(2)  # weighted_bipred_idc
     p.pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
@@ -960,14 +961,57 @@ def _db_edge(plane: np.ndarray, vert: bool, pos: int, lo: int, n: int,
         seg[:, 5] = np.where(filt & (aq < beta), q1 + dq1, seg[:, 5])
 
 
+def _bs_luma(st: "_IFrame", gxp: int, gyp: int, gxq: int, gyq: int,
+             mb_edge: bool) -> int:
+    """Boundary strength (8.7.2.1, frame coding) for the edge between
+    luma 4x4 blocks p at (gxp, gyp) and q at (gxq, gyq). With a single
+    reference list the different-reference condition never fires, so
+    past the intra and coded-coefficient cases only the MV-distance
+    test remains."""
+    mbp = (gyp >> 2) * st.mbw + (gxp >> 2)
+    mbq = (gyq >> 2) * st.mbw + (gxq >> 2)
+    if st.mb_intra[mbp] or st.mb_intra[mbq]:
+        return 4 if mb_edge else 3
+    if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
+        return 2
+    if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+            or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4):
+        return 1
+    return 0
+
+
+def _edge_bs_segments(st: "_IFrame", vert: bool, gq: int, gperp: int,
+                      mb_edge: bool) -> list:
+    """Per-4x4-segment bS along one luma MB-internal/MB-boundary edge:
+    q blocks at column gq (vertical) or row gq (horizontal), the four
+    segments starting at block row/col gperp. Adjacent equal-bS
+    segments are merged into (start, count, bs) runs."""
+    runs = []
+    for s in range(4):
+        if vert:
+            bs = _bs_luma(st, gq - 1, gperp + s, gq, gperp + s, mb_edge)
+        else:
+            bs = _bs_luma(st, gperp + s, gq - 1, gperp + s, gq, mb_edge)
+        if runs and runs[-1][2] == bs:
+            runs[-1][1] += 1
+        else:
+            runs.append([s, 1, bs])
+    return runs
+
+
 def deblock_frame(st: "_IFrame", pps: PPS, alpha_off: int,
                   beta_off: int) -> None:
-    """8.7 over a fully reconstructed I frame, in place: macroblocks
-    in raster order, per MB all vertical edges left-to-right then all
-    horizontal edges top-to-bottom, luma and 4:2:0 chroma."""
+    """8.7 over a fully reconstructed frame, in place: macroblocks in
+    raster order, per MB all vertical edges left-to-right then all
+    horizontal edges top-to-bottom, luma and 4:2:0 chroma. All-intra
+    frames use the collapsed bS (4 on MB edges, 3 inside); frames with
+    inter MBs derive bS per 4x4 edge segment from intra/coefficient/MV
+    state (8.7.2.1), with chroma edges inheriting the co-located luma
+    blocks' bS."""
     mbw, mbh = st.mbw, st.mbh
     qps = [0 if st.mb_pcm[i] else st.mb_qp[i] for i in range(mbw * mbh)]
     qpcs = [chroma_qp(q, pps.chroma_qp_index_offset) for q in qps]
+    inter = st.any_inter
 
     def idx(q_avg, off):
         return max(0, min(51, q_avg + off))
@@ -979,43 +1023,83 @@ def deblock_frame(st: "_IFrame", pps: PPS, alpha_off: int,
             if k == 0:
                 if mbx == 0:
                     continue
-                qa, bs = (qps[mb] + qps[mb - 1] + 1) >> 1, 4
+                qa = (qps[mb] + qps[mb - 1] + 1) >> 1
             else:
-                qa, bs = qps[mb], 3
-            _db_edge(st.Y, True, mbx * 16 + xo, mby * 16, 16, bs,
-                     idx(qa, alpha_off), idx(qa, beta_off), False)
+                qa = qps[mb]
+            ia, ib = idx(qa, alpha_off), idx(qa, beta_off)
+            if not inter:
+                _db_edge(st.Y, True, mbx * 16 + xo, mby * 16, 16,
+                         4 if k == 0 else 3, ia, ib, False)
+                continue
+            gq = mbx * 4 + (xo >> 2)
+            for s, n, bs in _edge_bs_segments(st, True, gq, mby * 4,
+                                              k == 0):
+                if bs:
+                    _db_edge(st.Y, True, mbx * 16 + xo,
+                             (mby * 4 + s) * 4, n * 4, bs, ia, ib, False)
         # vertical chroma edges at chroma x = 0, 4 (luma x = 0, 8)
         for k, xo in enumerate((0, 4)):
             if k == 0:
                 if mbx == 0:
                     continue
-                qa, bs = (qpcs[mb] + qpcs[mb - 1] + 1) >> 1, 4
+                qa = (qpcs[mb] + qpcs[mb - 1] + 1) >> 1
             else:
-                qa, bs = qpcs[mb], 3
-            for plane in (st.Cb, st.Cr):
-                _db_edge(plane, True, mbx * 8 + xo, mby * 8, 8, bs,
-                         idx(qa, alpha_off), idx(qa, beta_off), True)
+                qa = qpcs[mb]
+            ia, ib = idx(qa, alpha_off), idx(qa, beta_off)
+            if not inter:
+                for plane in (st.Cb, st.Cr):
+                    _db_edge(plane, True, mbx * 8 + xo, mby * 8, 8,
+                             4 if k == 0 else 3, ia, ib, True)
+                continue
+            gq = mbx * 4 + (xo >> 1)  # co-located luma block column
+            for s, n, bs in _edge_bs_segments(st, True, gq, mby * 4,
+                                              k == 0):
+                if bs:
+                    for plane in (st.Cb, st.Cr):
+                        _db_edge(plane, True, mbx * 8 + xo,
+                                 (mby * 4 + s) * 2, n * 2, bs, ia, ib,
+                                 True)
         # horizontal luma edges at y = 0, 4, 8, 12
         for k, yo in enumerate((0, 4, 8, 12)):
             if k == 0:
                 if mby == 0:
                     continue
-                qa, bs = (qps[mb] + qps[mb - mbw] + 1) >> 1, 4
+                qa = (qps[mb] + qps[mb - mbw] + 1) >> 1
             else:
-                qa, bs = qps[mb], 3
-            _db_edge(st.Y, False, mby * 16 + yo, mbx * 16, 16, bs,
-                     idx(qa, alpha_off), idx(qa, beta_off), False)
+                qa = qps[mb]
+            ia, ib = idx(qa, alpha_off), idx(qa, beta_off)
+            if not inter:
+                _db_edge(st.Y, False, mby * 16 + yo, mbx * 16, 16,
+                         4 if k == 0 else 3, ia, ib, False)
+                continue
+            gq = mby * 4 + (yo >> 2)
+            for s, n, bs in _edge_bs_segments(st, False, gq, mbx * 4,
+                                              k == 0):
+                if bs:
+                    _db_edge(st.Y, False, mby * 16 + yo,
+                             (mbx * 4 + s) * 4, n * 4, bs, ia, ib, False)
         # horizontal chroma edges at chroma y = 0, 4
         for k, yo in enumerate((0, 4)):
             if k == 0:
                 if mby == 0:
                     continue
-                qa, bs = (qpcs[mb] + qpcs[mb - mbw] + 1) >> 1, 4
+                qa = (qpcs[mb] + qpcs[mb - mbw] + 1) >> 1
             else:
-                qa, bs = qpcs[mb], 3
-            for plane in (st.Cb, st.Cr):
-                _db_edge(plane, False, mby * 8 + yo, mbx * 8, 8, bs,
-                         idx(qa, alpha_off), idx(qa, beta_off), True)
+                qa = qpcs[mb]
+            ia, ib = idx(qa, alpha_off), idx(qa, beta_off)
+            if not inter:
+                for plane in (st.Cb, st.Cr):
+                    _db_edge(plane, False, mby * 8 + yo, mbx * 8, 8,
+                             4 if k == 0 else 3, ia, ib, True)
+                continue
+            gq = mby * 4 + (yo >> 1)
+            for s, n, bs in _edge_bs_segments(st, False, gq, mbx * 4,
+                                              k == 0):
+                if bs:
+                    for plane in (st.Cb, st.Cr):
+                        _db_edge(plane, False, mby * 8 + yo,
+                                 (mbx * 4 + s) * 2, n * 2, bs, ia, ib,
+                                 True)
 
 
 # ---------------------------------------------------------------------------
@@ -1262,6 +1346,17 @@ _CBP_INTRA = [
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
 ]
 
+# Table 9-4: codeNum -> coded_block_pattern, Inter column
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+
+# structural pin: both Table 9-4 columns are bijections onto 0..47
+assert sorted(_CBP_INTRA) == list(range(48))
+assert sorted(_CBP_INTER) == list(range(48))
+
 
 def _blk_xy(idx: int) -> tuple[int, int]:
     """luma4x4BlkIdx -> (x, y) in 4x4-block units within the MB
@@ -1277,7 +1372,10 @@ for _i in range(16):
 
 
 class _IFrame:
-    """Mutable decode state for one I frame."""
+    """Mutable decode state for one frame (I or single-ref P).
+
+    The historical name predates P-slice support (r7); it is kept
+    because tests and the fixture encoder address it directly."""
 
     def __init__(self, sps: SPS):
         self.mbw = sps.mb_width
@@ -1297,6 +1395,16 @@ class _IFrame:
         # (8.7.2: an I_PCM macroblock filters as QPy = 0)
         self.mb_qp = [0] * (self.mbw * self.mbh)
         self.mb_pcm = [False] * (self.mbw * self.mbh)
+        # P-slice state: per-MB intra flag (bS derivation 8.7.2.1),
+        # per-4x4-block L0 motion vectors in quarter-pel units, and a
+        # per-4x4 "MV written" marker giving within-MB partition decode
+        # order for the MV prediction neighbors (8.4.1.3.2/6.4.11.7).
+        # Intra blocks keep mv (0,0) with mv_done False -> refIdx -1.
+        self.mb_intra = [True] * (self.mbw * self.mbh)
+        self.mvx = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
+        self.mvy = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
+        self.mv_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
+        self.any_inter = False
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1375,11 +1483,15 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
     h["first_mb_in_slice"] = r.ue()
     st = r.ue()
     h["slice_type"] = st
-    if st % 5 != 2:
-        raise AVCError(f"not an I slice (slice_type {st})")
+    if st % 5 not in (0, 2):
+        raise AVCError(f"not an I or P slice (slice_type {st})")
+    h["is_p"] = st % 5 == 0
     h["pps_id"] = r.ue()
     h["frame_num"] = r.u(sps.log2_max_frame_num)
     if nal_type == 5:
+        if h["is_p"]:
+            # 7.4.3: an IDR picture contains only I/SI slices
+            raise AVCError("P slice inside an IDR NAL")
         h["idr_pic_id"] = r.ue()
     if sps.pic_order_cnt_type == 0:
         h["pic_order_cnt_lsb"] = r.u(sps.log2_max_pic_order_cnt_lsb)
@@ -1394,6 +1506,26 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             # a REDUNDANT coded picture duplicates a primary one;
             # decoding it is optional and we have no primary to prefer
             raise AVCError("redundant coded picture unsupported")
+    if h["is_p"]:
+        n_ref = pps.num_ref_idx_l0_default
+        if r.flag():  # num_ref_idx_active_override_flag
+            n_ref = r.ue() + 1
+        if n_ref != 1:
+            # single-reference scope: ref_idx_l0 is never coded and
+            # the reference is always the previously decoded frame
+            raise AVCError(
+                f"{n_ref} active L0 references unsupported (single-ref"
+                " P decode only)"
+            )
+        if r.flag():  # ref_pic_list_modification_flag_l0
+            raise AVCError("ref_pic_list_modification unsupported")
+        if pps.weighted_pred:
+            raise AVCError("weighted prediction unsupported")
+        if pps.constrained_intra_pred:
+            # 8.3: intra prediction in P slices would have to mark
+            # inter-coded neighbors unavailable; not implemented
+            raise AVCError("constrained_intra_pred with P slices"
+                           " unsupported")
     if nal_ref_idc != 0:
         if nal_type == 5:
             r.flag()  # no_output_of_prior_pics
@@ -1435,7 +1567,42 @@ def decode_iframe(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
         raise AVCError(f"corrupt slice data: {exc}") from exc
 
 
+def _decode_intra_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb,
+                     intra_type, qp) -> int:
+    """Decode one intra macroblock_layer given its I-slice-relative
+    mb_type (0 = I_4x4, 1..24 = I_16x16, 25 = I_PCM); shared by I
+    slices and intra MBs inside P slices (Table 7-13 maps P mb_type
+    N >= 5 to intra type N - 5)."""
+    if intra_type == 25:  # I_PCM
+        r.byte_align()
+        y0, x0 = mby * 16, mbx * 16
+        for yy in range(16):
+            for xx in range(16):
+                st.Y[y0 + yy, x0 + xx] = r.u(8)
+        c0y, c0x = mby * 8, mbx * 8
+        for plane in (st.Cb, st.Cr):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[c0y + yy, c0x + xx] = r.u(8)
+        st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+        st.mb_pcm[mb] = True
+        return qp
+    if intra_type == 0:
+        return _decode_i4x4_mb(r, st, sps, pps, mbx, mby, mb, qp)
+    if 1 <= intra_type <= 24:
+        return _decode_i16x16_mb(r, st, pps, mbx, mby, mb, intra_type, qp)
+    raise AVCError(f"mb_type {intra_type} not valid in I slice")
+
+
 def _decode_iframe_inner(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
+    return _planes_to_rgb(_decode_frame_inner(sps, pps, slice_nal, None), sps)
+
+
+def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
+                        ref: "_IFrame | None") -> "_IFrame":
     if not slice_nal:
         raise AVCError("empty slice NAL")
     nal_type = slice_nal[0] & 0x1F
@@ -1449,43 +1616,26 @@ def _decode_iframe_inner(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
     st = _IFrame(sps)
     qp = h["slice_qp"]
     n_mbs = st.mbw * st.mbh
-    for mb in range(n_mbs):
-        mbx, mby = mb % st.mbw, mb // st.mbw
-        mb_type = r.ue()
-        if mb_type == 25:  # I_PCM
-            r.byte_align()
-            y0, x0 = mby * 16, mbx * 16
-            for yy in range(16):
-                for xx in range(16):
-                    st.Y[y0 + yy, x0 + xx] = r.u(8)
-            c0y, c0x = mby * 8, mbx * 8
-            for plane in (st.Cb, st.Cr):
-                for yy in range(8):
-                    for xx in range(8):
-                        plane[c0y + yy, c0x + xx] = r.u(8)
-            st.nzY[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
-            st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
-            st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
-            st.modes[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
-            st.mb_qp[mb] = qp  # running QP prediction is unchanged
-            st.mb_pcm[mb] = True
+    if h["is_p"]:
+        if ref is None:
+            raise AVCError("P slice without a reference frame")
+        if ref.mbw != st.mbw or ref.mbh != st.mbh:
+            raise AVCError("reference frame geometry mismatch")
+        qp = _decode_p_slice_data(r, st, ref, sps, pps, qp)
+    else:
+        for mb in range(n_mbs):
+            mbx, mby = mb % st.mbw, mb // st.mbw
+            qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
+                                  r.ue(), qp)
+            st.mb_qp[mb] = qp
             st.n_decoded_mbs += 1
-            continue
-        if mb_type == 0:
-            qp = _decode_i4x4_mb(r, st, sps, pps, mbx, mby, mb, qp)
-        elif 1 <= mb_type <= 24:
-            qp = _decode_i16x16_mb(r, st, pps, mbx, mby, mb, mb_type, qp)
-        else:
-            raise AVCError(f"mb_type {mb_type} not valid in I slice")
-        st.mb_qp[mb] = qp
-        st.n_decoded_mbs += 1
 
     if h["disable_deblocking"] != 1:
         # idc 0 filters everything; idc 2 skips slice-boundary edges
         # only — with one slice per frame (enforced above) there are
         # none, so both run the full 8.7 pass
         deblock_frame(st, pps, h["alpha_off"], h["beta_off"])
-    return _planes_to_rgb(st, sps)
+    return st
 
 
 def _planes_to_rgb(st: _IFrame, sps: SPS) -> np.ndarray:
@@ -1649,7 +1799,6 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
 
 
 def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
-    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
     px, py = mbx * 8, mby * 8
     for plane, grid in ((st.Cb, st.nzCb), (st.Cr, st.nzCr)):
         left = top = tl = None
@@ -1662,7 +1811,15 @@ def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
         plane[py : py + 8, px : px + 8] = _pred_chroma(
             chroma_mode, left, top, tl
         )
+    _chroma_residual(r, st, pps, mbx, mby, mb, cbp_chroma, qp)
 
+
+def _chroma_residual(r, st, pps: PPS, mbx, mby, mb, cbp_chroma, qp):
+    """Parse and add the chroma residual (7.3.5.3.1) onto whatever
+    prediction is already in the Cb/Cr planes — intra prediction for
+    I MBs, motion compensation for P MBs."""
+    qpc = chroma_qp(qp, pps.chroma_qp_index_offset)
+    px, py = mbx * 8, mby * 8
     if cbp_chroma == 0:
         st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
         st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
@@ -1702,3 +1859,353 @@ def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
             plane[cy : cy + 4, cx : cx + 4] = np.clip(
                 plane[cy : cy + 4, cx : cx + 4] + residuals[blk], 0, 255
             )
+
+
+# ---------------------------------------------------------------------------
+# P-slice decoding (8.4, single reference frame, CAVLC)
+#
+# Scope (correct-or-refuse, like the rest of the module): one active
+# L0 reference — the previously decoded frame — with no list
+# modification, no weighted prediction and no B slices; everything
+# inside that scope (all partition shapes down to 4x4, quarter-pel
+# luma / eighth-pel chroma interpolation, P_Skip, intra MBs in P
+# slices, MV-aware deblocking strengths) decodes for real. The
+# reference pipeline feeds every frame of a ~12 fps sample grid
+# through ffmpeg (/root/reference/hasher.js:78-91); with this section
+# the inter-coded samples of baseline streams reach real pixels too.
+# ---------------------------------------------------------------------------
+
+
+def _interp_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                 mvx: int, mvy: int) -> np.ndarray:
+    """8.4.2.2.1 quarter-sample luma interpolation: the w x h
+    prediction block whose top-left anchor is full-pel (x, y),
+    displaced by (mvx, mvy) in quarter-pel units. Out-of-picture
+    fetches clamp to the nearest edge sample (the spec's Clip3 on
+    every reference coordinate), so unrestricted MVs need no padded
+    planes and hostile MVs cannot index out of bounds."""
+    H, W = ref.shape
+    x0 = x + (mvx >> 2)
+    y0 = y + (mvy >> 2)
+    fx = mvx & 3
+    fy = mvy & 3
+    if fx == 0 and fy == 0:
+        ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
+        xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int64)
+    ys = np.clip(np.arange(y0 - 2, y0 + h + 3), 0, H - 1)
+    xs = np.clip(np.arange(x0 - 2, x0 + w + 3), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (h + 5, w + 5)
+
+    def hhalf(rows):  # unclipped horizontal 6-tap: (n, w+5) -> (n, w)
+        return (rows[:, 0:w] - 5 * rows[:, 1:w + 1]
+                + 20 * rows[:, 2:w + 2] + 20 * rows[:, 3:w + 3]
+                - 5 * rows[:, 4:w + 4] + rows[:, 5:w + 5])
+
+    def vhalf(cols):  # unclipped vertical 6-tap: (h+5, n) -> (h, n)
+        return (cols[0:h] - 5 * cols[1:h + 1] + 20 * cols[2:h + 2]
+                + 20 * cols[3:h + 3] - 5 * cols[4:h + 4]
+                + cols[5:h + 5])
+
+    def c1(v, add, sh):
+        return np.clip((v + add) >> sh, 0, 255)
+
+    if fy == 0:  # a, b, c — horizontal halves only (8-250, 8-252/253)
+        b = c1(hhalf(win[2:2 + h]), 16, 5)
+        if fx == 1:
+            return (win[2:2 + h, 2:2 + w] + b + 1) >> 1
+        if fx == 2:
+            return b
+        return (win[2:2 + h, 3:3 + w] + b + 1) >> 1
+    if fx == 0:  # d, h, n — vertical halves only
+        hv = c1(vhalf(win[:, 2:2 + w]), 16, 5)
+        if fy == 1:
+            return (win[2:2 + h, 2:2 + w] + hv + 1) >> 1
+        if fy == 2:
+            return hv
+        return (win[3:3 + h, 2:2 + w] + hv + 1) >> 1
+    # mixed positions need j: vertical 6-tap over UNCLIPPED horizontal
+    # halves, (j1 + 512) >> 10 (8-251 with 8-249 intermediates)
+    b_un = hhalf(win)  # (h + 5, w)
+    j = None
+    if fx == 2 or fy == 2:
+        j = c1(vhalf(b_un), 512, 10)
+    if fx == 2 and fy == 2:
+        return j
+    if fy != 2:
+        # b at the anchor row (fy == 1) or s one row below (fy == 3)
+        ro = 2 + (fy >> 1)
+        bb = c1(b_un[ro:ro + h], 16, 5)
+    if fx != 2:
+        # h at the anchor column (fx == 1) or m one column right
+        co = 2 + (fx >> 1)
+        hh = c1(vhalf(win[:, co:co + w]), 16, 5)
+    if fx == 2:  # f (fy == 1) / q (fy == 3)
+        return (j + bb + 1) >> 1
+    if fy == 2:  # i (fx == 1) / k (fx == 3)
+        return (j + hh + 1) >> 1
+    return (bb + hh + 1) >> 1  # e, g, p, r
+
+
+def _interp_chroma(ref: np.ndarray, cx: int, cy: int, w: int, h: int,
+                   mvx: int, mvy: int) -> np.ndarray:
+    """8.4.2.2.2 eighth-sample chroma interpolation (4:2:0 frame
+    coding: the luma quarter-pel MV applies unscaled at chroma
+    resolution, i.e. in eighth-chroma-pel units). Bilinear with the
+    exact (...+32) >> 6 rounding; edge clamp as for luma."""
+    H, W = ref.shape
+    x0 = cx + (mvx >> 3)
+    y0 = cy + (mvy >> 3)
+    fx = mvx & 7
+    fy = mvy & 7
+    ys = np.clip(np.arange(y0, y0 + h + 1), 0, H - 1)
+    xs = np.clip(np.arange(x0, x0 + w + 1), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = win[0:h, 0:w]
+    b = win[0:h, 1:w + 1]
+    c = win[1:h + 1, 0:w]
+    d = win[1:h + 1, 1:w + 1]
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
+def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int):
+    """MV-prediction neighbor at 4x4-block coords (gx, gy): returns
+    (geo_avail, mvx, mvy, refIdx). ``geo_avail`` is the 6.4.8
+    decode-order availability of the covering partition; intra blocks
+    in available MBs report refIdx -1 with mv (0, 0) (8.4.1.3.2)."""
+    if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
+        return False, 0, 0, -1
+    mb = (gy >> 2) * st.mbw + (gx >> 2)
+    if mb > cur_mb:
+        return False, 0, 0, -1
+    if mb == cur_mb:
+        # within the current MB: available once the covering partition
+        # has decoded its MV (partition decode order, 6.4.11.7); intra
+        # MBs never self-neighbor here (sub-partitions are inter-only)
+        if not st.mv_done[gy, gx]:
+            return False, 0, 0, -1
+        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    if st.mb_intra[mb]:
+        return True, 0, 0, -1
+    return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+
+
+def _mv_pred(st: _IFrame, cur_mb: int, px4: int, py4: int,
+             w4: int, h4: int, part_hint: str | None):
+    """Luma MV predictor (8.4.1.3) for the partition whose top-left
+    4x4 block sits at block coords (px4, py4) spanning w4 x h4 blocks.
+    ``part_hint`` names the 16x8/8x16 directional special cases; the
+    median process of 8.4.1.3.1 applies otherwise. Single reference
+    list: every inter neighbor carries refIdx 0."""
+    avail_a, ax, ay, ref_a = _mv_nbr(st, px4 - 1, py4, cur_mb)
+    avail_b, bx, by, ref_b = _mv_nbr(st, px4, py4 - 1, cur_mb)
+    avail_c, cx, cy, ref_c = _mv_nbr(st, px4 + w4, py4 - 1, cur_mb)
+    if not avail_c:
+        avail_c, cx, cy, ref_c = _mv_nbr(st, px4 - 1, py4 - 1, cur_mb)
+    if part_hint == "16x8_0" and ref_b == 0:
+        return bx, by
+    if part_hint == "16x8_1" and ref_a == 0:
+        return ax, ay
+    if part_hint == "8x16_0" and ref_a == 0:
+        return ax, ay
+    if part_hint == "8x16_1" and ref_c == 0:
+        return cx, cy
+    # 8.4.1.3.1 step 1: B and C geometrically unavailable, A available
+    # -> B and C copy A (making the outcome mvA or the all-A median)
+    if not avail_b and not avail_c and avail_a:
+        bx, by, ref_b = ax, ay, ref_a
+        cx, cy, ref_c = ax, ay, ref_a
+    refs = (ref_a, ref_b, ref_c)
+    if refs.count(0) == 1:
+        return ((ax, ay), (bx, by), (cx, cy))[refs.index(0)]
+    return (sorted((ax, bx, cx))[1], sorted((ay, by, cy))[1])
+
+
+def _pskip_mv(st: _IFrame, cur_mb: int, mbx: int, mby: int):
+    """P_Skip luma MV (8.4.1.1): zero if either MB neighbor A/B is
+    unavailable or is a zero-MV ref-0 block, else the 16x16 median
+    predictor."""
+    px4, py4 = mbx * 4, mby * 4
+    avail_a, ax, ay, ref_a = _mv_nbr(st, px4 - 1, py4, cur_mb)
+    avail_b, bx, by, ref_b = _mv_nbr(st, px4, py4 - 1, cur_mb)
+    if (not avail_a or not avail_b
+            or (ref_a == 0 and ax == 0 and ay == 0)
+            or (ref_b == 0 and bx == 0 and by == 0)):
+        return 0, 0
+    return _mv_pred(st, cur_mb, px4, py4, 4, 4, None)
+
+
+def _set_mv(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
+            mvx: int, mvy: int) -> None:
+    st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
+    st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
+
+
+def _mc_partition(st: _IFrame, ref: _IFrame, px4: int, py4: int,
+                  w4: int, h4: int, mvx: int, mvy: int) -> None:
+    """Motion-compensate one partition from the reference frame into
+    the current frame's planes (prediction only; residuals add on
+    top). Units: (px4, py4, w4, h4) in 4x4 luma blocks, MV in
+    quarter-pel luma."""
+    x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
+    st.Y[y:y + h, x:x + w] = _interp_luma(ref.Y, x, y, w, h, mvx, mvy)
+    cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
+    st.Cb[cy:cy + ch, cx:cx + cw] = _interp_chroma(
+        ref.Cb, cx, cy, cw, ch, mvx, mvy)
+    st.Cr[cy:cy + ch, cx:cx + cw] = _interp_chroma(
+        ref.Cr, cx, cy, cw, ch, mvx, mvy)
+
+
+def _finish_inter_mb(st: _IFrame, mbx: int, mby: int, mb: int) -> None:
+    st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+    st.mb_intra[mb] = False
+    st.any_inter = True
+
+
+def _decode_pskip(st: _IFrame, ref: _IFrame, mb: int, qp: int) -> None:
+    mbx, mby = mb % st.mbw, mb // st.mbw
+    mvx, mvy = _pskip_mv(st, mb, mbx, mby)
+    _set_mv(st, mbx * 4, mby * 4, 4, 4, mvx, mvy)
+    _mc_partition(st, ref, mbx * 4, mby * 4, 4, 4, mvx, mvy)
+    _finish_inter_mb(st, mbx, mby, mb)
+    st.mb_qp[mb] = qp  # no mb_qp_delta: running QP carries through
+    st.n_decoded_mbs += 1
+
+
+# P-slice macroblock partitionings (Table 7-13) as lists of
+# (dx4, dy4, w4, h4, part_hint) in 4x4-block units within the MB
+_P_MB_PARTS = {
+    0: [(0, 0, 4, 4, None)],
+    1: [(0, 0, 4, 2, "16x8_0"), (0, 2, 4, 2, "16x8_1")],
+    2: [(0, 0, 2, 4, "8x16_0"), (2, 0, 2, 4, "8x16_1")],
+}
+# sub-macroblock partitionings (Table 7-17), relative to the 8x8
+_P_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _decode_p_mb(r: BitReader, st: _IFrame, ref: _IFrame, pps: PPS,
+                 mbx: int, mby: int, mb: int, mb_type: int,
+                 qp: int) -> int:
+    """One inter macroblock_layer (P_L0_16x16 / 16x8 / 8x16 / P_8x8 /
+    P_8x8ref0): MV parse+prediction per partition in decode order,
+    motion compensation, then the CAVLC residual on top."""
+    px4, py4 = mbx * 4, mby * 4
+    parts: list[tuple[int, int, int, int]] = []
+    if mb_type in (0, 1, 2):
+        for dx4, dy4, w4, h4, hint in _P_MB_PARTS[mb_type]:
+            bx4, by4 = px4 + dx4, py4 + dy4
+            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint)
+            mvx = mvpx + r.se()
+            mvy = mvpy + r.se()
+            _set_mv(st, bx4, by4, w4, h4, mvx, mvy)
+            parts.append((bx4, by4, w4, h4))
+    else:  # P_8x8 (3) / P_8x8ref0 (4): sub_mb_types first, then MVs
+        subs = [r.ue() for _ in range(4)]
+        if any(s > 3 for s in subs):
+            raise AVCError(f"sub_mb_type {max(subs)} not valid in P slice")
+        for s_i in range(4):
+            sx4 = px4 + (s_i & 1) * 2
+            sy4 = py4 + (s_i >> 1) * 2
+            for dx4, dy4, w4, h4 in _P_SUB_PARTS[subs[s_i]]:
+                bx4, by4 = sx4 + dx4, sy4 + dy4
+                mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, None)
+                mvx = mvpx + r.se()
+                mvy = mvpy + r.se()
+                _set_mv(st, bx4, by4, w4, h4, mvx, mvy)
+                parts.append((bx4, by4, w4, h4))
+    for bx4, by4, w4, h4 in parts:
+        _mc_partition(st, ref, bx4, by4, w4, h4,
+                      int(st.mvx[by4, bx4]), int(st.mvy[by4, bx4]))
+    _finish_inter_mb(st, mbx, mby, mb)
+
+    code = r.ue()
+    if code > 47:
+        raise AVCError("coded_block_pattern code out of range")
+    cbp = _CBP_INTER[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp != 0:
+        qp = _mb_qp_delta(r, qp)
+    rows = []
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = px4 + x4, py4 + y4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(gx, gy, mb, blk)
+            coeffs, total = read_residual_block(r, nc, 16)
+            st.nzY[gy, gx] = total
+            rows.append(coeffs)
+        else:
+            st.nzY[gy, gx] = 0
+            rows.append([0] * 16)
+    if cbp_luma:
+        residuals = _residual_batch(rows, qp)
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            x, y = (px4 + x4) * 4, (py4 + y4) * 4
+            st.Y[y:y + 4, x:x + 4] = np.clip(
+                st.Y[y:y + 4, x:x + 4] + residuals[blk], 0, 255)
+    _chroma_residual(r, st, pps, mbx, mby, mb, cbp_chroma, qp)
+    return qp
+
+
+def _decode_p_slice_data(r: BitReader, st: _IFrame, ref: _IFrame,
+                         sps: SPS, pps: PPS, qp: int) -> int:
+    """slice_data (7.3.4) for a CAVLC P slice covering the whole
+    frame: interleaved mb_skip_run / macroblock_layer."""
+    n_mbs = st.mbw * st.mbh
+    mb = 0
+    while True:
+        skip_run = r.ue()
+        if mb + skip_run > n_mbs:
+            raise AVCError("mb_skip_run overruns the frame")
+        for _ in range(skip_run):
+            _decode_pskip(st, ref, mb, qp)
+            mb += 1
+        if mb >= n_mbs or not r.more_rbsp_data():
+            break
+        mbx, mby = mb % st.mbw, mb // st.mbw
+        mb_type = r.ue()
+        if mb_type <= 4:
+            qp = _decode_p_mb(r, st, ref, pps, mbx, mby, mb, mb_type, qp)
+        elif mb_type <= 30:
+            qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
+                                  mb_type - 5, qp)
+        else:
+            raise AVCError(f"mb_type {mb_type} not valid in P slice")
+        st.mb_qp[mb] = qp
+        st.n_decoded_mbs += 1
+        mb += 1
+        if mb >= n_mbs:
+            break
+    if mb != n_mbs:
+        raise AVCError("P slice ended before covering the frame")
+    return qp
+
+
+def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
+                 ref: "_IFrame | None" = None) -> "_IFrame":
+    """Decode one coded slice NAL (I or single-reference P) into its
+    reconstructed frame state (post-deblock, full macroblock grid).
+    ``ref`` is the previously decoded frame's state, required for P
+    slices; convert to RGB with :func:`frame_rgb`. Error posture as
+    :func:`decode_iframe`: anything corrupt raises :class:`AVCError`."""
+    try:
+        return _decode_frame_inner(sps, pps, slice_nal, ref)
+    except AVCError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            MemoryError) as exc:
+        raise AVCError(f"corrupt slice data: {exc}") from exc
+
+
+def frame_rgb(st: "_IFrame", sps: SPS) -> np.ndarray:
+    """Convert a decoded frame state to cropped (H, W, 3) RGB uint8
+    (same fixed-point YCbCr conversion as the JPEG decoder)."""
+    return _planes_to_rgb(st, sps)

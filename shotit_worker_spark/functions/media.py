@@ -289,24 +289,23 @@ def _sample_mp4(
         int(_MAX_MEDIA_SECONDS * fps),
         len(order) * _MAX_DUP_PER_SAMPLE,
     )
-    # r6: KEYFRAME samples of AVC tracks decode FOR REAL (functions/avc
-    # — baseline CAVLC I-frame decoder; r7 adds the 8.7 in-loop
-    # deblocking filter, so filtered streams decode too). Parameter
-    # sets come from the avcC config; any per-sample failure
-    # (inter-coded slice, CABAC, unsupported feature) falls back to
-    # the labeled stub for that sample only, so the timeline never
-    # breaks.
-    avc_ctx = None
+    # r6 decoded KEYFRAME samples of AVC tracks for real (functions/avc
+    # — baseline CAVLC I-frame decoder + the 8.7 in-loop filter); r7
+    # adds single-reference P-slice decode, so INTER samples of
+    # baseline streams now carry real pixels too: a GOP cursor walks
+    # samples in decode order from the governing keyframe, exactly the
+    # all-frames sampling the reference gets from ffmpeg's fps filter
+    # (/root/reference/hasher.js:78-91). Parameter sets come from the
+    # avcC config; any failure in a GOP's chain (B slices, CABAC,
+    # multi-ref, corrupt data) falls back to the labeled stub for the
+    # rest of that GOP only — the next keyframe resets the cursor and
+    # the timeline never breaks.
+    cursor = None
     if track.sps and track.pps and track.nal_length_size:
         try:
-            from . import avc as AV
-
-            avc_ctx = (
-                AV.parse_sps(track.sps[0]),
-                AV.parse_pps(track.pps[0]),
-            )
+            cursor = _AvcGopCursor(content, track)
         except Exception:
-            avc_ctx = None
+            cursor = None
     img_cache: dict[int, bytes] = {}
     for i in range(n_out):
         t = (i + 0.5) / fps
@@ -314,39 +313,95 @@ def _sample_mp4(
         s = order[j]
         img = img_cache.get(j)
         if img is None:
-            payload = MP.read_sample(content, s)
             img = None
-            if avc_ctx is not None and s.keyframe:
-                img = _decode_avc_keyframe(
-                    payload, track.nal_length_size, avc_ctx, encoder
-                )
+            if cursor is not None:
+                img = cursor.decode_sample(s, encoder)
             if img is None:
+                payload = MP.read_sample(content, s)
                 img = _synthetic_frame_image(payload, s.index, encoder)
             img_cache[j] = img
         yield i, round(t, 4), img
 
 
-def _decode_avc_keyframe(
-    payload: bytes, nal_length_size: int, avc_ctx, encoder
-) -> bytes | None:
-    """Decode one keyframe sample's coded-slice NAL through the
-    baseline AVC decoder, scale to the reference geometry, encode.
-    Returns None on ANY failure (caller falls back to the stub)."""
-    from . import avc as AV
-    from . import mp4 as MP
+class _AvcGopCursor:
+    """Sequential AVC GOP decoder over an .mp4 sample table: holds the
+    last decoded frame's reconstruction as the single L0 reference and
+    decodes forward in decode (stsz/index) order, restarting at the
+    governing keyframe when a target precedes the cursor. A decode
+    failure poisons the remainder of its GOP (every later sample up to
+    the next keyframe returns None -> the caller's stub) instead of
+    re-walking the broken chain per sample."""
 
-    sps, pps = avc_ctx
-    try:
-        for nal in MP.iter_nals(payload, nal_length_size):
+    def __init__(self, content: bytes, track):
+        from . import avc as AV
+
+        self._content = content
+        self._nls = track.nal_length_size
+        self.sps = AV.parse_sps(track.sps[0])
+        self.pps = AV.parse_pps(track.pps[0])
+        self._decode_list = sorted(track.samples, key=lambda s: s.index)
+        self._pos_of_index = {
+            s.index: p for p, s in enumerate(self._decode_list)
+        }
+        self._key_positions = [
+            p for p, s in enumerate(self._decode_list) if s.keyframe
+        ]
+        self._pos = -1
+        self._state = None
+        self._broken_key = None
+
+    def _slice_nal(self, sample) -> bytes | None:
+        from . import mp4 as MP
+
+        payload = MP.read_sample(self._content, sample)
+        for nal in MP.iter_nals(payload, self._nls):
             if nal and (nal[0] & 0x1F) in (1, 5):
-                rgb = AV.decode_iframe(sps, pps, nal)
-                h, w = rgb.shape[:2]
-                out_w = max(2, 2 * round(w * FRAME_HEIGHT / h / 2))
-                scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
-                return (encoder or IC.encode_ppm)(scaled)
-    except (AV.AVCError, MP.MP4Error):
+                return nal
         return None
-    return None
+
+    def decode_sample(self, sample, encoder) -> bytes | None:
+        """Decode the given sample's frame (scaled + encoded like every
+        other G1 source); None on any failure in its reference chain."""
+        import bisect as _b
+
+        from . import avc as AV
+        from . import mp4 as MP
+
+        target = self._pos_of_index.get(sample.index)
+        if target is None:
+            return None
+        ki = _b.bisect_right(self._key_positions, target) - 1
+        if ki < 0:
+            return None  # no keyframe governs this sample
+        key = self._key_positions[ki]
+        if key == self._broken_key:
+            return None  # this GOP's chain already failed
+        if self._state is not None and key <= self._pos <= target:
+            start = self._pos + 1
+        else:
+            start = key  # jumped GOPs or went backward: restart
+            self._state = None
+        try:
+            for p in range(start, target + 1):
+                s = self._decode_list[p]
+                nal = self._slice_nal(s)
+                if nal is None:
+                    raise AV.AVCError("sample carries no coded slice")
+                self._state = AV.decode_frame(
+                    self.sps, self.pps, nal,
+                    ref=None if s.keyframe else self._state,
+                )
+                self._pos = p
+        except (AV.AVCError, MP.MP4Error):
+            self._broken_key = key
+            self._state = None
+            self._pos = -1
+            return None
+        rgb = AV.frame_rgb(self._state, self.sps)
+        h, w = rgb.shape[:2]
+        out_w = max(2, 2 * round(w * FRAME_HEIGHT / h / 2))
+        scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
+        return (encoder or IC.encode_ppm)(scaled)
 
 
 def decode_frames(

@@ -859,3 +859,395 @@ def test_g1_deblocked_avc_keyframes_in_mp4(spark):
     imgs = [bytes(r["image"]) for r in rows]
     assert imgs[0] == want          # real FILTERED pixels, not stub
     assert imgs[1] != want
+
+
+# ---------------------------------------------------------------------------
+# P slices (r7): single-reference inter decode
+# ---------------------------------------------------------------------------
+
+
+def _seq_roundtrip(frames, plans, qp=28, **kw):
+    """Encode a sequence with the independent fixture encoder, decode
+    every frame, assert bit-exact reconstruction equality per plane."""
+    sps_nal, pps_nal, nals, recons = ENC.encode_sequence(
+        frames, qp=qp, plans=plans, **kw
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st = None
+    for i, nal in enumerate(nals):
+        st = avc.decode_frame(sps, pps, nal, ref=st)
+        for got, exp in zip((st.Y, st.Cb, st.Cr), recons[i]):
+            assert np.array_equal(got, np.asarray(exp)), (
+                f"frame {i}: max diff "
+                f"{np.abs(got - np.asarray(exp)).max()}"
+            )
+    return sps, pps, nals, recons, st
+
+
+def test_p_all_skip_roundtrip():
+    """An all-P_Skip frame: one trailing mb_skip_run covers the frame;
+    with every skip MV forced to (0,0) at the picture's top-left (A/B
+    unavailable there, then zero-MV ref-0 neighbors everywhere) the
+    frame must equal the reference bit-exactly."""
+    f0, f1 = _planes(61, 4, 3), _planes(62, 4, 3)
+    sps, pps, nals, recons, st1 = _seq_roundtrip([f0, f1], None)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    assert np.array_equal(st1.Y, st0.Y)  # skip chain copies the I frame
+
+
+def test_p16_fractional_phases_roundtrip():
+    """All 16 quarter-pel phase combinations of Table 8-12 (integer,
+    a..n, j center) exercised across MBs, with coded residuals."""
+    f0, f1 = _planes(63, 4, 4), _planes(64, 4, 4)
+
+    def plan(mbx, mby):
+        i = (mby * 4 + mbx) % 16
+        return {"kind": "p16", "mv": (8 + i % 4, -8 + (i // 4)),
+                "code": True}
+
+    _seq_roundtrip([f0, f1], [None, plan], qp=26)
+
+
+def test_p_partitions_roundtrip():
+    """16x8 / 8x16 MB partitions and P_8x8 with every Table 7-17
+    sub-shape, distinct MVs per partition (exercises partition-order
+    MV prediction, including the 16x8/8x16 directional rules)."""
+    f0, f1 = _planes(65, 4, 3), _planes(66, 4, 3)
+
+    def plan(mbx, mby):
+        i = (mby * 4 + mbx) % 5
+        if i == 0:
+            return {"kind": "p16x8", "mvs": [(5, -3), (12, 9)],
+                    "code": True}
+        if i == 1:
+            return {"kind": "p8x16", "mvs": [(-6, 2), (7, 15)],
+                    "code": True}
+        if i == 2:
+            return {"kind": "p8x8", "subs": [0, 1, 2, 3],
+                    "mvs": [(4, 4), (1, -2), (3, 5), (-9, 1), (2, 2),
+                            (0, 7), (6, -1), (5, 5), (-3, -3)],
+                    "code": True}
+        if i == 3:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (9, 6), "code": True}
+
+    _seq_roundtrip([f0, f1], [None, plan], qp=26)
+
+
+def test_p_intra_mbs_and_qp_deltas_roundtrip():
+    """Intra MBs inside a P slice (mb_type - 5 mapping of Table 7-13:
+    I_4x4 / I_16x16 / I_PCM) mixed with inter MBs and per-MB QP
+    changes; intra MBs must act as refIdx -1 neighbors for MV
+    prediction and as bS 3/4 edges for the loop filter."""
+    f0, f1 = _planes(67, 4, 3), _planes(68, 4, 3)
+
+    def plan(mbx, mby):
+        i = (mby * 4 + mbx) % 6
+        if i == 0:
+            return {"kind": "i4", "qp": 24}
+        if i == 1:
+            return {"kind": "i16", "qp": 30}
+        if i == 2:
+            return {"kind": "pcm"}
+        if i == 3:
+            return {"kind": "skip"}
+        if i == 4:
+            return {"kind": "p16", "mv": (6, -10), "code": True,
+                    "qp": 28}
+        return {"kind": "p8x8", "subs": [3, 0, 1, 2],
+                "mvs": [(1, 1), (2, -1), (-1, 3), (0, 0), (5, 2),
+                        (4, 4), (7, 0), (1, 6), (-2, 2)],
+                "code": True}
+
+    _seq_roundtrip([f0, f1], [None, plan], qp=26, deblock=True)
+
+
+def test_p_chain_deblocked_roundtrip():
+    """IDR + three P frames with the in-loop filter on: each frame
+    references the previous FILTERED reconstruction, so any drift in
+    the MV-aware bS derivation (8.7.2.1) compounds and breaks the
+    bit-equality at some frame."""
+    frames = [_planes(s, 4, 3) for s in (69, 70, 71, 72)]
+
+    def plan(mbx, mby):
+        i = (mbx * 3 + mby) % 4
+        if i == 0:
+            return {"kind": "skip"}
+        if i == 1:
+            return {"kind": "p16", "mv": (3, 7), "code": True}
+        if i == 2:
+            return {"kind": "i16"}
+        return {"kind": "p16x8", "mvs": [(0, 0), (10, -5)],
+                "code": True}
+
+    _seq_roundtrip(frames, [None, plan, plan, None], qp=28,
+                   deblock=True)
+
+
+def test_p_unrestricted_mvs_roundtrip():
+    """MVs pointing far outside the picture: every reference fetch
+    edge-clamps (the spec's Clip3 per coordinate), including the
+    6-tap taps that straddle the boundary."""
+    f0, f1 = _planes(73, 4, 3), _planes(74, 4, 3)
+
+    def plan(mbx, mby):
+        return {"kind": "p16",
+                "mv": (-65 - mbx, -33 + 131 * (mby % 2)),
+                "code": (mbx + mby) % 2 == 0}
+
+    _seq_roundtrip([f0, f1], [None, plan], qp=32, deblock=True,
+                   alpha_off_div2=2, beta_off_div2=-1)
+
+
+def _p_frame_state(mbw=4, mbh=3):
+    """Frame state mid-decode for hand-built MV prediction cases."""
+    st = avc._IFrame(_blank_sps(mbw, mbh))
+    return st
+
+
+def _mark_inter_mb(st, mbx, mby, mv):
+    mb = mby * st.mbw + mbx
+    st.mb_intra[mb] = False
+    st.mvx[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = mv[0]
+    st.mvy[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = mv[1]
+
+
+def test_mv_pred_median_hand_case():
+    """8.4.1.3.1 median, hand-derived (NOT a round-trip — the fixture
+    encoder shares the predictor semantics, so this pins the decoder
+    against the spec text directly): A=(4,8), B=(12,-4), C=(0,0), all
+    inter ref-0 -> more than one refIdx match -> component median
+    (4, 0)."""
+    st = _p_frame_state()
+    _mark_inter_mb(st, 0, 1, (4, 8))    # A: left of MB(1,1)
+    _mark_inter_mb(st, 1, 0, (12, -4))  # B: above
+    _mark_inter_mb(st, 2, 0, (0, 0))    # C: above-right
+    cur = 1 * st.mbw + 1
+    assert avc._mv_pred(st, cur, 4, 4, 4, 4, None) == (4, 0)
+
+
+def test_mv_pred_exactly_one_ref_match():
+    """8.4.1.3.1: when exactly ONE of A/B/C has refIdxLXN == refIdxLX
+    (the others intra -> refIdx -1), mvp is that neighbor's MV, not a
+    median."""
+    st = _p_frame_state()
+    _mark_inter_mb(st, 1, 0, (6, 2))    # B inter
+    # A = MB(0,1) and C = MB(2,0) stay intra (mb_intra default True)
+    cur = 1 * st.mbw + 1
+    assert avc._mv_pred(st, cur, 4, 4, 4, 4, None) == (6, 2)
+
+
+def test_mv_pred_copy_rule_top_row():
+    """8.4.1.3.1 step 1: B and C geometrically unavailable (top row of
+    the picture) with A available -> B and C copy A, so mvp = mvA even
+    though A alone would not win the exactly-one rule."""
+    st = _p_frame_state()
+    _mark_inter_mb(st, 0, 0, (10, -6))
+    cur = 1  # MB(1,0), top row
+    assert avc._mv_pred(st, cur, 4, 0, 4, 4, None) == (10, -6)
+    # and with A INTRA the copy rule propagates refIdx -1 everywhere:
+    # no match, median of three (0,0)s -> (0,0)
+    st2 = _p_frame_state()
+    assert avc._mv_pred(st2, 1, 4, 0, 4, 4, None) == (0, 0)
+
+
+def test_mv_pred_c_substitutes_d():
+    """8.4.1.3.2: when C (above-right) is unavailable — right picture
+    edge — D (above-left) substitutes BEFORE the median/one-match
+    logic."""
+    st = _p_frame_state()
+    mbw = st.mbw
+    _mark_inter_mb(st, mbw - 1, 0, (8, 8))   # B above cur
+    _mark_inter_mb(st, mbw - 2, 0, (2, 4))   # D above-left
+    _mark_inter_mb(st, mbw - 2, 1, (0, 16))  # A left
+    cur = 1 * mbw + (mbw - 1)  # right edge, row 1
+    # C outside picture -> D=(2,4); all three ref-0 -> median:
+    # x: med(0,8,2)=2, y: med(16,8,4)=8
+    assert avc._mv_pred(st, cur, (mbw - 1) * 4, 4, 4, 4, None) == (2, 8)
+
+
+def test_mv_pred_directional_16x8_8x16():
+    """8.4.1.3 directional rules: 16x8 top takes B, 16x8 bottom takes
+    A, 8x16 left takes A, 8x16 right takes C — whenever that
+    neighbor's refIdx matches (always 0 here)."""
+    st = _p_frame_state()
+    _mark_inter_mb(st, 0, 1, (3, 3))   # A of MB(1,1)
+    _mark_inter_mb(st, 1, 0, (7, -7))  # B
+    _mark_inter_mb(st, 2, 0, (11, 5))  # C
+    cur = 1 * st.mbw + 1
+    assert avc._mv_pred(st, cur, 4, 4, 4, 2, "16x8_0") == (7, -7)
+    assert avc._mv_pred(st, cur, 4, 6, 4, 2, "16x8_1") == (3, 3)
+    assert avc._mv_pred(st, cur, 4, 4, 2, 4, "8x16_0") == (3, 3)
+    assert avc._mv_pred(st, cur, 6, 4, 2, 4, "8x16_1") == (11, 5)
+    # directional neighbor intra -> rule does not fire -> median path
+    st2 = _p_frame_state()
+    _mark_inter_mb(st2, 0, 1, (3, 3))    # A inter
+    _mark_inter_mb(st2, 2, 0, (11, 5))   # C inter; B stays intra
+    # 16x8 top with B intra: median of A(3,3), B(0,0), C(11,5) = (3,3)
+    assert avc._mv_pred(st2, cur, 4, 4, 4, 2, "16x8_0") == (3, 3)
+
+
+def test_pskip_mv_conditions():
+    """8.4.1.1: P_Skip takes (0,0) when A or B is unavailable OR
+    either is a ref-0 zero-MV block; otherwise the 16x16 median."""
+    st = _p_frame_state()
+    _mark_inter_mb(st, 0, 1, (4, 4))
+    _mark_inter_mb(st, 1, 0, (8, 8))
+    _mark_inter_mb(st, 2, 0, (6, 2))
+    cur = 1 * st.mbw + 1
+    # all nonzero -> median(4,8,6),(4,8,2) = (6, 4)
+    assert avc._pskip_mv(st, cur, 1, 1) == (6, 4)
+    # A zero-MV inter -> forced (0,0) even though the median is not
+    _mark_inter_mb(st, 0, 1, (0, 0))
+    assert avc._pskip_mv(st, cur, 1, 1) == (0, 0)
+    # left picture edge: A unavailable -> (0,0)
+    assert avc._pskip_mv(st, 1 * st.mbw, 0, 1) == (0, 0)
+    # A INTRA (refIdx -1, mv (0,0)) is NOT the zero-MV-ref-0 case:
+    # falls through to the median
+    st3 = _p_frame_state()
+    _mark_inter_mb(st3, 1, 0, (8, 8))
+    _mark_inter_mb(st3, 2, 0, (6, 2))
+    # A intra: median of (0,8,6),(0,8,2) = (6, 2)
+    assert avc._pskip_mv(st3, cur, 1, 1) == (6, 2)
+
+
+def test_interp_luma_worked_half_pel():
+    """Hand-computed 6-tap half-pel values (8.4.2.2.1): b1 = E - 5F +
+    20G + 20H - 5I + J, b = Clip1((b1 + 16) >> 5); derived here with
+    independent literal arithmetic on a known ramp."""
+    ref = np.zeros((8, 8), dtype=np.int64)
+    row = [10, 20, 30, 40, 50, 60, 70, 80]
+    for r in range(8):
+        ref[r] = row
+    # G at x=2 (value 30): b1 = 10 - 100 + 600 + 800 - 250 + 60 = 1120
+    # b = (1120 + 16) >> 5 = 35
+    got = avc._interp_luma(ref, 2, 3, 1, 1, 2, 0)
+    assert got[0, 0] == 35
+    # a = (G + b + 1) >> 1 = (30 + 35 + 1) >> 1 = 33
+    assert avc._interp_luma(ref, 2, 3, 1, 1, 1, 0)[0, 0] == 33
+    # c = (H + b + 1) >> 1 = (40 + 35 + 1) >> 1 = 38
+    assert avc._interp_luma(ref, 2, 3, 1, 1, 3, 0)[0, 0] == 38
+    # vertical on a constant column: h == the constant
+    assert avc._interp_luma(ref, 2, 3, 1, 1, 0, 2)[0, 0] == 30
+    # j on the separable ramp: vertical tap over constant b columns
+    # gives (32 * b1 + 512) >> 10 == b
+    assert avc._interp_luma(ref, 2, 3, 1, 1, 2, 2)[0, 0] == 35
+
+
+def test_interp_luma_edge_clamp():
+    """A far out-of-picture MV must resolve to the replicated corner
+    sample at every fractional phase."""
+    ref = np.full((8, 8), 77, dtype=np.int64)
+    ref[0, 0] = 77
+    for fx in range(4):
+        for fy in range(4):
+            got = avc._interp_luma(ref, 0, 0, 4, 4,
+                                   -4 * 50 + fx, -4 * 50 + fy)
+            assert np.all(got == 77), (fx, fy)
+
+
+def test_interp_chroma_exact_rounding():
+    """8.4.2.2.2 bilinear with hand numbers: A=0, B=8, C=16, D=24 at
+    xFrac=3, yFrac=5: (5*3*0 + 3*3*8 + 5*5*16 + 3*5*24 + 32) >> 6 =
+    (0 + 72 + 400 + 360 + 32) >> 6 = 864 >> 6 = 13."""
+    ref = np.array([[0, 8], [16, 24]], dtype=np.int64)
+    got = avc._interp_chroma(ref, 0, 0, 1, 1, 3, 5)
+    assert got[0, 0] == 13
+
+
+def test_p_slice_header_refusals():
+    """Correct-or-refuse surface for the P scope: B slices, multiple
+    references, list modification, weighted prediction and P-in-IDR
+    all raise AVCError rather than desync."""
+    f0, f1 = _planes(75, 2, 2), _planes(76, 2, 2)
+    sps_nal, pps_nal, nals, recons = ENC.encode_sequence(
+        [f0, f1], qp=28, plans=None
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+
+    def hdr(slice_type, override_bits="0", modif="0", nal_type=1):
+        w = ENC.BitWriter()
+        w.ue(0)               # first_mb_in_slice
+        w.ue(slice_type)
+        w.ue(0)               # pps id
+        w.u(0, 4)             # frame_num
+        if nal_type == 5:
+            w.ue(0)           # idr_pic_id
+        if slice_type % 5 == 0:
+            for b in override_bits:
+                w.u(int(b), 1)
+            w.u(int(modif), 1)
+        w.u(0, 1)             # dec_ref_pic_marking / adaptive flag
+        w.se(0)               # slice_qp_delta
+        w.ue(1)               # disable_deblocking
+        w.u(1, 1)             # stop bit padding
+        w.byte_align_zero()
+        return ENC.make_nal(3, nal_type, w.to_rbsp())
+
+    with pytest.raises(avc.AVCError, match="not an I or P"):
+        avc.decode_frame(sps, pps, hdr(6), ref=st0)  # B slice
+    with pytest.raises(avc.AVCError, match="single-ref"):
+        # override flag 1 + num_ref_idx_l0_active_minus1 ue(1)=010
+        avc.decode_frame(sps, pps, hdr(5, override_bits="1010"),
+                         ref=st0)
+    with pytest.raises(avc.AVCError, match="modification"):
+        avc.decode_frame(sps, pps, hdr(5, modif="1"), ref=st0)
+    with pytest.raises(avc.AVCError, match="IDR"):
+        avc.decode_frame(sps, pps, hdr(5, nal_type=5), ref=st0)
+    with pytest.raises(avc.AVCError, match="reference frame"):
+        avc.decode_frame(sps, pps, nals[1], ref=None)  # P without ref
+
+
+def test_g1_inter_samples_real_pixels_in_mp4(spark):
+    """r7 G1 criterion (VERDICT #6): an .mp4 with an IDR keyframe and
+    coded P frames yields REAL pixels on the INTER samples too — the
+    GOP cursor walks the reference chain exactly as ffmpeg's fps
+    sampler does for the reference pipeline (hasher.js:78-91)."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 6, 4
+    frames = [_planes(80 + i, mbw, mbh) for i in range(3)]
+
+    def plan(mbx, mby):
+        i = (mbx + mby) % 3
+        if i == 0:
+            return {"kind": "skip"}
+        if i == 1:
+            return {"kind": "p16", "mv": (5, -2), "code": True}
+        return {"kind": "i16"}
+
+    sps_nal, pps_nal, nals, recons = ENC.encode_sequence(
+        frames, qp=30, plans=[None, plan, plan], deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    h, w = sps.height, sps.width
+    payloads = [sample_bytes([nal]) for nal in nals]
+    deltas = [1100, 1100, 1100]  # 0.2578 s -> exactly 3 slots at 12 fps
+    data, _ = build_mp4(
+        payloads, deltas, keyframes=[0], width=w, height=h,
+        sps=[sps_nal], pps=[pps_nal],
+    )
+    videos = spark.createDataFrame(
+        [("store/tt11/inter.mp4", data)], "path string, content binary"
+    )
+    rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    assert len(rows) == 3
+    imgs = [bytes(r["image"]) for r in rows]
+    out_w = max(2, 2 * round(w * M.FRAME_HEIGHT / h / 2))
+    for i in range(3):
+        rY, rCb, rCr = recons[i]
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        want = IC.encode_ppm(
+            M._bilinear_resize(rgb, M.FRAME_HEIGHT, out_w))
+        assert imgs[i] == want, f"sample {i} is not the real frame"
+    assert imgs[1] != imgs[0] and imgs[2] != imgs[1]

@@ -33,6 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from shotit_worker_spark.functions.avc import (  # noqa: E402
+    _CBP_INTER,
     _CBP_INTRA,
     _CT_TABLES,
     _DB_ALPHA,
@@ -461,6 +462,13 @@ class _EncState:
         self.decoded = 0
         self.mb_qp: list[int] = []
         self.mb_pcm: list[bool] = []
+        # P-frame reconstruction state (mirrors the spec, not the
+        # decoder's code): per-4x4 L0 MVs in quarter-pel, a per-4x4
+        # partition-parsed marker, per-MB intra flags
+        self.mb_intra: list[bool] = []
+        self.mvx = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
+        self.mvy = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
+        self.mv_done = np.zeros((mbh * 4, mbw * 4), dtype=bool)
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -645,8 +653,8 @@ def _pred4_enc(st, mode, gx, gy, cur_mb, cur_blk):
     return p
 
 
-def _encode_pcm(w, st, y, cb, cr, mbx, mby, qp):
-    w.ue(25)
+def _encode_pcm(w, st, y, cb, cr, mbx, mby, qp, tbase=0):
+    w.ue(tbase + 25)
     w.byte_align_zero()
     y0, x0 = mby * 16, mbx * 16
     for yy in range(16):
@@ -774,14 +782,16 @@ def _chroma_pred_enc(st, plane, mbx, mby, mode):
     return p
 
 
-def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode):
+def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
+                   preds=None):
     qpc = _CHROMA_QP[max(0, min(51, qp))]
     px, py = mbx * 8, mby * 8
-    preds = []
-    for src, plane in ((cb, st.Cb), (cr, st.Cr)):
-        p = _chroma_pred_enc(st, plane, mbx, mby, chroma_mode)
-        assert p is not None
-        preds.append(p)
+    if preds is None:  # intra MB: derive the chroma prediction here
+        preds = []
+        for src, plane in ((cb, st.Cb), (cr, st.Cr)):
+            p = _chroma_pred_enc(st, plane, mbx, mby, chroma_mode)
+            assert p is not None
+            preds.append(p)
     if cbp_chroma == 0:
         for pi, (src, plane) in enumerate(((cb, st.Cb), (cr, st.Cr))):
             plane[py : py + 8, px : px + 8] = preds[pi]
@@ -837,7 +847,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode):
             )
 
 
-def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
+def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     # pick a pred mode that is available
     for mode in ((mbx + 2 * mby) % 4, 2, 0, 1):
         pred = _i16_pred(st, mbx, mby, mode)
@@ -863,7 +873,7 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp):
     mb_type = 1 + (0 if mode is None else mode) + 4 * cbp_chroma + (
         12 if cbp_luma else 0
     )
-    w.ue(mb_type)
+    w.ue(tbase + mb_type)
     chroma_mode = [2, 1, 0, 3][mode] if mode in (0, 1) else (mbx + mby) % 4
     # chroma availability constraint: fall back to DC when needed
     if _chroma_pred_enc(st, st.Cb, mbx, mby, chroma_mode) is None:
@@ -902,8 +912,8 @@ def _mb_qp_delta_write(w, qp, want_qp):
     return want_qp
 
 
-def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp):
-    w.ue(0)  # mb_type I_4x4
+def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
+    w.ue(tbase + 0)  # mb_type I_4x4
     px, py = mbx * 16, mby * 16
     src = y[py : py + 16, px : px + 16].astype(np.int64)
     mb = mby * st.mbw + mbx
@@ -1087,13 +1097,32 @@ def _db_line(smp, i_q0, bs, alpha, beta, tc0, chroma):
                 (q[2] + ((p[0] + q[0] + 1) >> 1) - 2 * q[1]) >> 1)
 
 
+def _bs_enc(st, gxp, gyp, gxq, gyq, mb_edge):
+    """8.7.2.1 boundary strength between luma 4x4 blocks p and q, the
+    encoder's own derivation (single L0 reference: the ref-mismatch
+    clause cannot fire)."""
+    mbp = (gyp // 4) * st.mbw + gxp // 4
+    mbq = (gyq // 4) * st.mbw + gxq // 4
+    if st.mb_intra[mbp] or st.mb_intra[mbq]:
+        return 4 if mb_edge else 3
+    if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
+        return 2
+    if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+            or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4):
+        return 1
+    return 0
+
+
 def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
     """8.7 over the encoder reconstruction: raster MBs, vertical edges
-    left-to-right then horizontal top-to-bottom, luma + 4:2:0 chroma,
-    bS = 4 on MB edges / 3 internal (all-intra I slice)."""
+    left-to-right then horizontal top-to-bottom, luma + 4:2:0 chroma.
+    All-intra frames collapse bS to 4 on MB edges / 3 internal; frames
+    with inter MBs derive bS per 4x4 edge segment (_bs_enc), chroma
+    edges inheriting the co-located luma blocks' strengths."""
     mbw, mbh = st.mbw, st.mbh
     qps = [0 if pcm else q for q, pcm in zip(st.mb_qp, st.mb_pcm)]
     qpcs = [_CHROMA_QP[_clip3(0, 51, q + chroma_qp_off)] for q in qps]
+    inter = not all(st.mb_intra)
 
     def thr(qa, bs):
         ia = _clip3(0, 51, qa + alpha_off)
@@ -1106,40 +1135,68 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
         for k, xo in enumerate((0, 4, 8, 12)):
             if k == 0 and mbx == 0:
                 continue
-            bs = 4 if k == 0 else 3
             qa = (qps[mb] + qps[mb - 1] + 1) >> 1 if k == 0 else qps[mb]
-            alpha, beta, tc0 = thr(qa, bs)
             x = mbx * 16 + xo
+            gqx = x // 4
             for row in range(mby * 16, mby * 16 + 16):
+                if inter:
+                    bs = _bs_enc(st, gqx - 1, row // 4, gqx, row // 4,
+                                 k == 0)
+                    if bs == 0:
+                        continue
+                else:
+                    bs = 4 if k == 0 else 3
+                alpha, beta, tc0 = thr(qa, bs)
                 _db_line(st.Y[row], x, bs, alpha, beta, tc0, False)
         for k, xo in enumerate((0, 4)):
             if k == 0 and mbx == 0:
                 continue
-            bs = 4 if k == 0 else 3
             qa = (qpcs[mb] + qpcs[mb - 1] + 1) >> 1 if k == 0 else qpcs[mb]
-            alpha, beta, tc0 = thr(qa, bs)
             x = mbx * 8 + xo
+            gqx = (x * 2) // 4
             for plane in (st.Cb, st.Cr):
                 for row in range(mby * 8, mby * 8 + 8):
+                    if inter:
+                        bs = _bs_enc(st, gqx - 1, (row * 2) // 4, gqx,
+                                     (row * 2) // 4, k == 0)
+                        if bs == 0:
+                            continue
+                    else:
+                        bs = 4 if k == 0 else 3
+                    alpha, beta, tc0 = thr(qa, bs)
                     _db_line(plane[row], x, bs, alpha, beta, tc0, True)
         for k, yo in enumerate((0, 4, 8, 12)):
             if k == 0 and mby == 0:
                 continue
-            bs = 4 if k == 0 else 3
             qa = (qps[mb] + qps[mb - mbw] + 1) >> 1 if k == 0 else qps[mb]
-            alpha, beta, tc0 = thr(qa, bs)
             yy = mby * 16 + yo
+            gqy = yy // 4
             for col in range(mbx * 16, mbx * 16 + 16):
+                if inter:
+                    bs = _bs_enc(st, col // 4, gqy - 1, col // 4, gqy,
+                                 k == 0)
+                    if bs == 0:
+                        continue
+                else:
+                    bs = 4 if k == 0 else 3
+                alpha, beta, tc0 = thr(qa, bs)
                 _db_line(st.Y[:, col], yy, bs, alpha, beta, tc0, False)
         for k, yo in enumerate((0, 4)):
             if k == 0 and mby == 0:
                 continue
-            bs = 4 if k == 0 else 3
             qa = (qpcs[mb] + qpcs[mb - mbw] + 1) >> 1 if k == 0 else qpcs[mb]
-            alpha, beta, tc0 = thr(qa, bs)
             yy = mby * 8 + yo
+            gqy = (yy * 2) // 4
             for plane in (st.Cb, st.Cr):
                 for col in range(mbx * 8, mbx * 8 + 8):
+                    if inter:
+                        bs = _bs_enc(st, (col * 2) // 4, gqy - 1,
+                                     (col * 2) // 4, gqy, k == 0)
+                        if bs == 0:
+                            continue
+                    else:
+                        bs = 4 if k == 0 else 3
+                    alpha, beta, tc0 = thr(qa, bs)
                     _db_line(plane[:, col], yy, bs, alpha, beta, tc0, True)
 
 
@@ -1184,7 +1241,384 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
             cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
         st.mb_qp.append(cur_qp)
         st.mb_pcm.append(kind == "pcm")
+        st.mb_intra.append(True)
         st.decoded += 1
     w.rbsp_trailing()
     _LAST_STATE = st
     return make_nal(3, 5, w.to_rbsp())
+
+
+# ---------------------------------------------------------------------------
+# P-frame encoding (single L0 reference) — the encoder's own scalar
+# inter-prediction math (8.4.2.2) and MV predictors (8.4.1.3), written
+# against the spec independently of the decoder's vectorized versions.
+# ---------------------------------------------------------------------------
+
+_TAP6 = (1, -5, 20, 20, -5, 1)
+
+
+def _qpel_sample(at, r, c, fx, fy):
+    """One luma prediction sample at full-pel (r, c) + quarter-pel
+    fraction (fx, fy); ``at`` fetches edge-clamped reference pixels."""
+    if fx == 0 and fy == 0:
+        return at(r, c)
+
+    def bh(rr, cc):  # horizontal 6-tap, unclipped intermediate
+        return sum(t * at(rr, cc - 2 + k) for k, t in enumerate(_TAP6))
+
+    def vh(rr, cc):  # vertical 6-tap, unclipped intermediate
+        return sum(t * at(rr - 2 + k, cc) for k, t in enumerate(_TAP6))
+
+    def half_b(rr, cc):
+        return _clip3(0, 255, (bh(rr, cc) + 16) >> 5)
+
+    def half_h(rr, cc):
+        return _clip3(0, 255, (vh(rr, cc) + 16) >> 5)
+
+    if fy == 0:  # a / b / c
+        b = half_b(r, c)
+        if fx == 2:
+            return b
+        return (at(r, c + (1 if fx == 3 else 0)) + b + 1) >> 1
+    if fx == 0:  # d / h / n
+        hv = half_h(r, c)
+        if fy == 2:
+            return hv
+        return (at(r + (1 if fy == 3 else 0), c) + hv + 1) >> 1
+    # center family: j = vertical tap over unclipped horizontal taps
+    j1 = sum(t * bh(r - 2 + k, c) for k, t in enumerate(_TAP6))
+    jj = _clip3(0, 255, (j1 + 512) >> 10)
+    if fx == 2 and fy == 2:
+        return jj
+    if fx == 2:  # f / q
+        return (jj + half_b(r + (1 if fy == 3 else 0), c) + 1) >> 1
+    if fy == 2:  # i / k
+        return (jj + half_h(r, c + (1 if fx == 3 else 0)) + 1) >> 1
+    return (half_b(r + (1 if fy == 3 else 0), c)
+            + half_h(r, c + (1 if fx == 3 else 0)) + 1) >> 1
+
+
+def _mc_luma_enc(ref, x, y, w, h, mvx, mvy):
+    H, W = ref.shape
+    x0, y0 = x + (mvx >> 2), y + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+
+    def at(r, c):
+        return int(ref[_clip3(0, H - 1, r), _clip3(0, W - 1, c)])
+
+    out = np.zeros((h, w), dtype=np.int64)
+    for j in range(h):
+        for i in range(w):
+            out[j, i] = _qpel_sample(at, y0 + j, x0 + i, fx, fy)
+    return out
+
+
+def _mc_chroma_enc(ref, cx, cy, w, h, mvx, mvy):
+    H, W = ref.shape
+    x0, y0 = cx + (mvx >> 3), cy + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+
+    def at(r, c):
+        return int(ref[_clip3(0, H - 1, r), _clip3(0, W - 1, c)])
+
+    out = np.zeros((h, w), dtype=np.int64)
+    for j in range(h):
+        for i in range(w):
+            r0, c0 = y0 + j, x0 + i
+            out[j, i] = ((8 - fx) * (8 - fy) * at(r0, c0)
+                         + fx * (8 - fy) * at(r0, c0 + 1)
+                         + (8 - fx) * fy * at(r0 + 1, c0)
+                         + fx * fy * at(r0 + 1, c0 + 1) + 32) >> 6
+    return out
+
+
+def _mv_nbr_enc(st, gx, gy, cur_mb):
+    """(geo_avail, mvx, mvy, refIdx) of the 4x4 block at (gx, gy) as
+    an 8.4.1.3.2 neighbor; intra blocks are geometrically available
+    with refIdx -1."""
+    if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
+        return False, 0, 0, -1
+    mb = (gy // 4) * st.mbw + (gx // 4)
+    if mb > cur_mb:
+        return False, 0, 0, -1
+    if mb == cur_mb:
+        if not st.mv_done[gy, gx]:
+            return False, 0, 0, -1
+        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    if st.mb_intra[mb]:
+        return True, 0, 0, -1
+    return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+
+
+def _median3(a, b, c):
+    return sorted((a, b, c))[1]
+
+
+def _mv_pred_enc(st, cur_mb, px4, py4, w4, h4, hint):
+    a_av, ax, ay, a_ref = _mv_nbr_enc(st, px4 - 1, py4, cur_mb)
+    b_av, bx, by, b_ref = _mv_nbr_enc(st, px4, py4 - 1, cur_mb)
+    c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 + w4, py4 - 1, cur_mb)
+    if not c_av:
+        c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 - 1, py4 - 1, cur_mb)
+    if hint == "16x8_0" and b_ref == 0:
+        return bx, by
+    if hint == "16x8_1" and a_ref == 0:
+        return ax, ay
+    if hint == "8x16_0" and a_ref == 0:
+        return ax, ay
+    if hint == "8x16_1" and c_ref == 0:
+        return cx, cy
+    if not b_av and not c_av and a_av:
+        bx, by, b_ref = ax, ay, a_ref
+        cx, cy, c_ref = ax, ay, a_ref
+    matches = [(ax, ay, a_ref), (bx, by, b_ref), (cx, cy, c_ref)]
+    hits = [m for m in matches if m[2] == 0]
+    if len(hits) == 1:
+        return hits[0][0], hits[0][1]
+    return _median3(ax, bx, cx), _median3(ay, by, cy)
+
+
+def _pskip_mv_enc(st, cur_mb, mbx, mby):
+    px4, py4 = mbx * 4, mby * 4
+    a_av, ax, ay, a_ref = _mv_nbr_enc(st, px4 - 1, py4, cur_mb)
+    b_av, bx, by, b_ref = _mv_nbr_enc(st, px4, py4 - 1, cur_mb)
+    if (not a_av or not b_av
+            or (a_ref == 0 and (ax, ay) == (0, 0))
+            or (b_ref == 0 and (bx, by) == (0, 0))):
+        return 0, 0
+    return _mv_pred_enc(st, cur_mb, px4, py4, 4, 4, None)
+
+
+def _mark_mv_enc(st, px4, py4, w4, h4, mvx, mvy):
+    st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
+    st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
+
+
+def _mc_mb_parts(st, ref_planes, parts):
+    """Motion-compensate the given partitions ((px4, py4, w4, h4) in
+    4x4-block units, MVs already in the grids) from the reference
+    planes, returning (predY16, predCb8, predCr8) patches is overkill
+    — writes straight into st planes; residual reconstruction adds on
+    top afterwards."""
+    ry, rcb, rcr = ref_planes
+    for px4, py4, w4, h4 in parts:
+        mvx = int(st.mvx[py4, px4])
+        mvy = int(st.mvy[py4, px4])
+        x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
+        st.Y[y:y + h, x:x + w] = _mc_luma_enc(ry, x, y, w, h, mvx, mvy)
+        cx, cy, cw, ch = x // 2, y // 2, w // 2, h // 2
+        st.Cb[cy:cy + ch, cx:cx + cw] = _mc_chroma_enc(
+            rcb, cx, cy, cw, ch, mvx, mvy)
+        st.Cr[cy:cy + ch, cx:cx + cw] = _mc_chroma_enc(
+            rcr, cx, cy, cw, ch, mvx, mvy)
+
+
+_P_PARTS_ENC = {
+    "p16": (0, [(0, 0, 4, 4, None)]),
+    "p16x8": (1, [(0, 0, 4, 2, "16x8_0"), (0, 2, 4, 2, "16x8_1")]),
+    "p8x16": (2, [(0, 0, 2, 4, "8x16_0"), (2, 0, 2, 4, "8x16_1")]),
+}
+_SUB_PARTS_ENC = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
+                    plan):
+    """One inter macroblock_layer. ``plan`` keys: kind (p16 / p16x8 /
+    p8x16 / p8x8), mvs (absolute quarter-pel (x, y) per partition in
+    decode order; p16 may give a single "mv"), subs (four Table 7-17
+    sub_mb_types, p8x8 only), code (False suppresses the residual)."""
+    mb = mby * st.mbw + mbx
+    px4, py4 = mbx * 4, mby * 4
+    kind = plan["kind"]
+    mvs = plan.get("mvs") or [plan["mv"]]
+    parts = []
+    if kind in _P_PARTS_ENC:
+        mb_type, geom = _P_PARTS_ENC[kind]
+        w.ue(mb_type)
+        for (dx4, dy4, w4, h4, hint), (mvx, mvy) in zip(geom, mvs):
+            bx4, by4 = px4 + dx4, py4 + dy4
+            mvpx, mvpy = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint)
+            w.se(mvx - mvpx)
+            w.se(mvy - mvpy)
+            _mark_mv_enc(st, bx4, by4, w4, h4, mvx, mvy)
+            parts.append((bx4, by4, w4, h4))
+    else:
+        assert kind == "p8x8"
+        subs = plan["subs"]
+        w.ue(3)  # P_8x8
+        for s in subs:
+            w.ue(s)
+        mv_i = 0
+        for s_i in range(4):
+            sx4 = px4 + (s_i & 1) * 2
+            sy4 = py4 + (s_i >> 1) * 2
+            for dx4, dy4, w4, h4 in _SUB_PARTS_ENC[subs[s_i]]:
+                bx4, by4 = sx4 + dx4, sy4 + dy4
+                mvx, mvy = mvs[mv_i]
+                mv_i += 1
+                mvpx, mvpy = _mv_pred_enc(st, mb, bx4, by4, w4, h4, None)
+                w.se(mvx - mvpx)
+                w.se(mvy - mvpy)
+                _mark_mv_enc(st, bx4, by4, w4, h4, mvx, mvy)
+                parts.append((bx4, by4, w4, h4))
+    _mc_mb_parts(st, ref_planes, parts)
+    st.modes[py4:py4 + 4, px4:px4 + 4] = 2
+
+    # residual on top of the MC prediction now sitting in st planes
+    pred_y = st.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].copy()
+    pred_cb = st.Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
+    pred_cr = st.Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
+    code = plan.get("code", True)
+    zs = {}
+    cbp_luma = 0
+    if code:
+        src = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].astype(
+            np.int64)
+        res = src - pred_y
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            z = quant_4x4(
+                forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
+                want_qp)
+            _cap_nonzeros(z)
+            zs[blk] = z
+        for i8 in range(4):
+            if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
+                cbp_luma |= 1 << i8
+    cbp_chroma = plan.get("cbp_chroma", 2 if code else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    w.ue(_CBP_INTER.index(cbp))
+    if cbp:
+        qp = _mb_qp_delta_write(w, qp, want_qp)
+    else:
+        want_qp = qp
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = px4 + x4, py4 + y4
+        if cbp_luma & (1 << (blk >> 2)):
+            z = zs[blk]
+            nc = st.luma_nc(gx, gy, mb, blk)
+            total = write_residual_block(w, _scan_of(z, 16), nc, 16)
+            st.nzY[gy, gx] = total
+            rec = dequant_recon_4x4(z, want_qp)
+            yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
+            st.Y[yy:yy + 4, xx:xx + 4] = _clip(
+                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
+        else:
+            st.nzY[gy, gx] = 0
+    _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma,
+                   0, preds=[pred_cb, pred_cr])
+    return qp
+
+
+def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
+                   deblock=False, alpha_off_div2=0, beta_off_div2=0):
+    """Encode one P frame against the (already deblocked) reference
+    planes; returns (nal, _EncState with the frame's reconstruction)."""
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    st = _EncState(mbw, mbh)
+    w = BitWriter()
+    w.ue(0)       # first_mb_in_slice
+    w.ue(5)       # slice_type P (all slices of the picture)
+    w.ue(0)       # pps id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)     # num_ref_idx_active_override_flag
+    w.u(0, 1)     # ref_pic_list_modification_flag_l0
+    w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
+    slice_qp = qp
+    w.se(slice_qp - 26)
+    if deblock:
+        w.ue(0)
+        w.se(alpha_off_div2)
+        w.se(beta_off_div2)
+    else:
+        w.ue(1)
+    cur_qp = slice_qp
+    skip_pending = 0
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        plan = p_plan(mbx, mby) if p_plan else {"kind": "skip"}
+        kind = plan["kind"]
+        if kind == "skip":
+            skip_pending += 1
+            mvx, mvy = _pskip_mv_enc(st, mb, mbx, mby)
+            _mark_mv_enc(st, mbx * 4, mby * 4, 4, 4, mvx, mvy)
+            _mc_mb_parts(st, ref_planes, [(mbx * 4, mby * 4, 4, 4)])
+            st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+            st.mb_qp.append(cur_qp)
+            st.mb_pcm.append(False)
+            st.mb_intra.append(False)
+            st.decoded += 1
+            continue
+        w.ue(skip_pending)  # mb_skip_run before every coded MB
+        skip_pending = 0
+        want_qp = plan.get("qp", cur_qp)
+        if kind in ("p16", "p16x8", "p8x16", "p8x8"):
+            cur_qp = _encode_p_inter(w, st, ref_planes, y, cb, cr,
+                                     mbx, mby, cur_qp, want_qp, plan)
+            st.mb_intra.append(False)
+            st.mb_pcm.append(False)
+        elif kind == "pcm":
+            cur_qp = _encode_pcm(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                 tbase=5)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(True)
+        elif kind == "i16":
+            cur_qp = _encode_i16(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                 want_qp, tbase=5)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
+        elif kind == "i4":
+            cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                want_qp, tbase=5)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
+        else:
+            raise ValueError(f"unknown P MB plan kind {kind!r}")
+        st.mb_qp.append(cur_qp)
+        st.decoded += 1
+    if skip_pending:
+        w.ue(skip_pending)  # trailing skip run
+    w.rbsp_trailing()
+    return make_nal(3, 1, w.to_rbsp()), st
+
+
+def encode_sequence(frames, qp=28, crop_r=0, crop_b=0, plans=None,
+                    deblock=False, alpha_off_div2=0, beta_off_div2=0):
+    """Encode frames[0] as an IDR I frame and the rest as single-ref
+    P frames. ``plans``: one entry per frame — frame 0 takes an I-MB
+    plan (or None for the default mix), P frames a callable
+    (mbx, mby) -> plan dict (None = all-skip). Returns (sps_nal,
+    pps_nal, [slice NALs], [(Y, Cb, Cr) reconstructions])."""
+    y0, cb0, cr0 = frames[0]
+    mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
+    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b)
+    pps = write_pps(26)
+    global _LAST_STATE
+    _LAST_STATE = None
+    nal0 = _encode_iframe_capture(
+        y0, cb0, cr0, qp, plans[0] if plans else None, False,
+        deblock, alpha_off_div2, beta_off_div2)
+    st = _LAST_STATE
+    if deblock:
+        _deblock_recon(st, 2 * alpha_off_div2, 2 * beta_off_div2)
+    nals = [nal0]
+    recons = [(st.Y.copy(), st.Cb.copy(), st.Cr.copy())]
+    ref = recons[0]
+    for fi in range(1, len(frames)):
+        yf, cbf, crf = frames[fi]
+        plan = plans[fi] if plans else None
+        nal, st = _encode_pframe(yf, cbf, crf, ref, qp, plan, fi,
+                                 deblock, alpha_off_div2, beta_off_div2)
+        if deblock:
+            _deblock_recon(st, 2 * alpha_off_div2, 2 * beta_off_div2)
+        nals.append(nal)
+        recons.append((st.Y.copy(), st.Cb.copy(), st.Cr.copy()))
+        ref = recons[-1]
+    return sps, pps, nals, recons
