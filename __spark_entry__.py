@@ -2207,6 +2207,46 @@ _AVC_CASES = (
 )
 _AVC_CASE_BY_ID = {c[0]: c for c in _AVC_CASES}
 
+# r7 P-slice cases: (case_id, qp, deblock, mbw, mbh, noise, plan_name,
+# n_frames) — an IDR followed by n_frames-1 coded P frames; the gate
+# hashes the LAST frame, so the whole reference chain (inter pred, MV
+# prediction, P_Skip, MV-aware deblocking) must be bit-exact.
+_AVC_P_CASES = (
+    ("g_pchain_deblock28", 28, 1, 3, 2, 16, "mixed", 3),
+    ("h_pfrac_qp26", 26, 0, 4, 2, 20, "frac", 2),
+)
+_AVC_P_CASE_BY_ID = {c[0]: c for c in _AVC_P_CASES}
+_AVC_CASE_IDS = tuple(
+    [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
+)
+
+
+def _avc_p_plan(plan_name: str, frame_no: int):
+    """Deterministic per-MB P-frame plan callables for the gate."""
+    if plan_name == "mixed":
+        def plan(mbx, mby):
+            i = (mbx + mby + frame_no) % 4
+            if i == 0:
+                return {"kind": "skip"}
+            if i == 1:
+                return {"kind": "p16", "mv": (5, -2), "code": True}
+            if i == 2:
+                return {"kind": "i16"}
+            return {"kind": "p16x8", "mvs": [(0, 0), (9, -5)],
+                    "code": True}
+        return plan
+
+    def plan(mbx, mby):  # "frac": every quarter-pel phase + sub-8x8
+        i = (mby * 4 + mbx) % 16
+        if i == 15:
+            return {"kind": "p8x8", "subs": [0, 1, 2, 3],
+                    "mvs": [(4, 4), (1, -2), (3, 5), (-9, 1), (2, 2),
+                            (0, 7), (6, -1), (5, 5), (-3, -3)],
+                    "code": True}
+        return {"kind": "p16", "mv": (8 + i % 4, -8 + i // 4),
+                "code": True}
+    return plan
+
 
 def _avc_case_planes(case_id: str):
     import numpy as np
@@ -2245,6 +2285,36 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_P_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise, plan_name, n_frames = \
+            _AVC_P_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(n_frames):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 131 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        plans = [None] + [
+            _avc_p_plan(plan_name, fi) for fi in range(1, n_frames)]
+        sps_nal, pps_nal, nals, recons = GENC.encode_sequence(
+            frames, qp=qp, plans=plans, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     cid, qp, deblock, mbw, mbh, _noise, plan, wobble = \
         _AVC_CASE_BY_ID[case_id]
     y, cb, cr = _avc_case_planes(case_id)
@@ -2268,24 +2338,31 @@ def _avc_decode_rgb(case_id: str):
     deblock the case's bitstream with the engine decoder."""
     from shotit_worker_spark.functions import avc as AV
 
-    sps_nal, pps_nal, idr_nal, _recon = _avc_case_stream(case_id)
+    sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
-    return AV.decode_iframe(sps, pps, idr_nal)
+    if isinstance(nal_or_nals, list):  # P case: decode the whole chain
+        st = None
+        for nal in nal_or_nals:
+            st = AV.decode_frame(sps, pps, nal, ref=st)
+        return AV.frame_rgb(st, sps)
+    return AV.decode_iframe(sps, pps, nal_or_nals)
 
 
 def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H.264 baseline I-frame decoder (functions/avc) constants gate:
-    six streams from the independent fixture encoder — deblocking
+    eight streams from the independent fixture encoder — deblocking
     on/off, the completed coeff_token deep tail at QP 2, per-MB QP
-    wobble, i4/i16/PCM-mixed plans — are DECODED by the engine on the
-    executors and hashed; the oracle states the md5 of the ENCODER's
-    own reconstruction loop (spec: the two must be bit-equal). The
+    wobble, i4/i16/PCM-mixed plans, and (r7) IDR + P-frame chains
+    covering every quarter-pel phase, partitions, P_Skip and MV-aware
+    loop-filter strengths — are DECODED by the engine on the executors
+    and hashed; the oracle states the md5 of the ENCODER's own
+    reconstruction loop (spec: the two must be bit-equal). The
     reference pipeline trusts ffmpeg for this step
     (/root/reference/hasher.js:78-91); here both directions are
     in-repo and the driver hash-checks their agreement."""
     df = spark.createDataFrame(
-        [(c[0],) for c in _AVC_CASES], "case_id string"
+        [(cid,) for cid in _AVC_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
 
@@ -2318,7 +2395,7 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        df.repartition(len(_AVC_CASES))
+        df.repartition(len(_AVC_CASE_IDS))
         .mapInPandas(
             run,
             schema="case_id string, height int, width int, rgb_md5 string",
@@ -2338,11 +2415,11 @@ def _avc_oracle_rows() -> list:
         import hashlib
 
         rows = []
-        for c in _AVC_CASES:
-            _s, _p, _i, rgb = _avc_case_stream(c[0])
+        for cid in _AVC_CASE_IDS:
+            _s, _p, _i, rgb = _avc_case_stream(cid)
             rows.append(
                 (
-                    c[0],
+                    cid,
                     int(rgb.shape[0]),
                     int(rgb.shape[1]),
                     hashlib.md5(rgb.tobytes()).hexdigest(),
