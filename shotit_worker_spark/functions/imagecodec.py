@@ -14,6 +14,9 @@ dropped (descriptors are RGB-only). Palette/16-bit/interlaced raise
 ``UnsupportedImageError`` — callers fall back to the stub kernel.
 JPEG: baseline/extended-sequential AND progressive huffman (see
 functions/jpegcodec); lossless/arithmetic raise.
+WebP: lossless VP8L (see functions/webp); lossy VP8 and animation
+raise — beyond-reference coverage, the reference sniffs only png/jpg
+(searcher.js:151-155).
 """
 
 from __future__ import annotations
@@ -47,6 +50,8 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -77,13 +82,20 @@ def decode_image(data: bytes) -> np.ndarray:
             if frame is None:
                 raise UnsupportedImageError("GIF with no image blocks")
             return frame
+        if fmt == "webp":
+            from .webp import decode_webp
+
+            # lossless (VP8L) only; lossy/animated raise WebPError (a
+            # ValueError) -> UnsupportedImageError fallback below
+            return decode_webp(bytes(data))
     except UnsupportedImageError:
         raise
     except (ValueError, IndexError, struct.error, zlib.error) as exc:
         # includes jpegcodec.JPEGError (a ValueError): unsupported
         # process / corrupt stream both mean "fall back", not "crash"
         raise UnsupportedImageError(f"malformed image bytes: {exc}") from exc
-    raise UnsupportedImageError("not a PNG, JPEG, GIF, or PPM image")
+    raise UnsupportedImageError(
+        "not a PNG, JPEG, GIF, WebP, or PPM image")
 
 
 # -- PPM (P6, maxval 255) ---------------------------------------------------

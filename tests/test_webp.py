@@ -1,0 +1,305 @@
+"""WebP lossless (VP8L) decoder — feature round-trips against the
+independent fixture encoder (lossless: decode(encode(x)) must equal x
+bit-for-bit, no shared reconstruction), structural pins for the
+constants the format defines generatively, container handling, and the
+multimodal integration (imagecodec dispatch + image_dedup collapse)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import gen_webp_fixture as WENC  # noqa: E402
+
+from shotit_worker_spark.functions import webp  # noqa: E402
+from shotit_worker_spark.functions.webp import (  # noqa: E402
+    WebPError,
+    decode_webp,
+)
+
+_rng = np.random.default_rng(20260814)
+
+
+def _img(w, h, levels=256, seed=None):
+    rng = np.random.default_rng(seed) if seed is not None else _rng
+    base = (np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5) % 256
+    noise = rng.integers(0, 40, (h, w, 3))
+    return ((base[:, :, None] + noise) % levels).astype(np.uint8)
+
+
+def _rt(rgb, **kw):
+    got = decode_webp(WENC.encode_vp8l(rgb, **kw))
+    assert got.shape == rgb.shape
+    assert np.array_equal(got, rgb), (
+        f"round-trip mismatch ({kw}): "
+        f"{np.argwhere(got != rgb)[:3].tolist()}"
+    )
+
+
+# -- feature round-trips ----------------------------------------------------
+
+
+def test_plain_literals_roundtrip():
+    _rt(_img(13, 9, seed=1))
+
+
+def test_geometry_edges_roundtrip():
+    _rt(_img(1, 1, seed=2))
+    _rt(_img(1, 17, seed=3))
+    _rt(_img(61, 1, seed=4))
+    _rt(_img(64, 2, seed=5))
+
+
+def test_subtract_green_roundtrip():
+    _rt(_img(21, 11, seed=6), subtract_green=True)
+
+
+def test_color_cache_roundtrip():
+    for bits in (1, 4, 8):
+        _rt(_img(23, 13, levels=17, seed=7), cache_bits=bits)
+
+
+def test_lz77_roundtrip_with_plane_codes():
+    base = _img(8, 4, seed=8)
+    tiled = np.tile(base, (3, 5, 1))[:11, :37]
+    _rt(tiled, lz77=True)
+    _rt(tiled, lz77=True, cache_bits=6)
+
+
+def test_predictor_all_modes_roundtrip():
+    """Every predictor mode 0..13 is exercised across blocks,
+    including the TR wrap at the rightmost column and the top/left
+    border rules."""
+    a = _img(37, 29, seed=9)
+    for tb in (3, 4):
+        _rt(a, predictor=lambda bx, by: (bx + by * 7) % 14,
+            transform_bits=tb)
+
+
+def test_color_transform_roundtrip():
+    _rt(_img(37, 29, seed=10),
+        color_transform=lambda bx, by: (
+            (bx * 37 + 3) % 256, (by * 91 + 200) % 256,
+            (bx + by * 53) % 256))
+
+
+def test_palette_every_packing_width():
+    """2 colors -> 8 px/byte, 4 -> 4, 16 -> 2, >16 unpacked."""
+    for ncol, w, h in ((2, 21, 9), (4, 19, 7), (13, 23, 11),
+                       (200, 40, 15)):
+        cols = _rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        pimg = cols[_rng.integers(0, ncol, (h, w))]
+        _rt(pimg, palette=True)
+
+
+def test_meta_huffman_groups_roundtrip():
+    _rt(_img(37, 29, seed=11), meta_bits=4)
+    _rt(_img(70, 20, seed=12), meta_bits=3)
+
+
+def test_transform_combinations_roundtrip():
+    b = np.tile(_img(16, 8, seed=13), (2, 3, 1))[:15, :45]
+    _rt(b, subtract_green=True,
+        predictor=lambda bx, by: (bx + by) % 14,
+        cache_bits=5, lz77=True, meta_bits=4)
+    _rt(b, subtract_green=True, lz77=True,
+        color_transform=lambda bx, by: (17 * bx % 256, 9, 250))
+    cols = _rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    pimg = cols[_rng.integers(0, 3, (12, 31))]
+    _rt(pimg, palette=True, lz77=True,
+        predictor=lambda bx, by: (bx * 3 + by) % 14)
+
+
+def test_alpha_channel_decodes_but_drops():
+    a = _img(29, 17, seed=14)
+    alpha = _rng.integers(0, 256, (17, 29), dtype=np.uint8).astype(
+        np.uint32)
+    _rt(a, alpha=alpha, subtract_green=True)
+
+
+# -- structural pins --------------------------------------------------------
+
+
+def test_distance_map_generative_rule():
+    """120 distinct short offsets; the spec's explicitly listed head
+    entries; decoder map agrees with the encoder's independently built
+    inverse for every representable distance."""
+    m = webp._DIST_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    assert all(-7 <= x <= 8 and 0 <= y <= 7 for x, y in m)
+    for xsize in (5, 37, 1000):
+        enc_map = WENC._plane_map(xsize)
+        for dist, code in enc_map.items():
+            assert webp._plane_to_distance(code, xsize) == dist
+
+
+def test_prefix_code_inverse_fuzz():
+    """Encoder prefix_encode and decoder _prefix_value are inverses
+    over the whole useful range."""
+    class _FakeR:
+        def __init__(self, v, n):
+            self.v, self.n = v, n
+
+        def u(self, k):
+            assert k == self.n
+            return self.v
+
+    for value in list(range(1, 700)) + [4096, 99999]:
+        code, extra, ev = WENC._prefix_encode(value)
+        assert webp._prefix_value(_FakeR(ev, extra), code) == value
+
+
+def test_canonical_huffman_hand_case():
+    """Canonical assignment pinned by hand: lengths (2,1,3,3) ->
+    codes 10, 0, 110, 111 (shorter first, then symbol order)."""
+    h = webp._Huff([2, 1, 3, 3])
+    assert h.map == {(1, 0): 1, (2, 2): 0, (3, 6): 2, (3, 7): 3}
+
+    class _Bits:
+        def __init__(self, s):
+            self.s = [int(c) for c in s]
+            self.i = 0
+
+        def bit(self):
+            v = self.s[self.i]
+            self.i += 1
+            return v
+
+    assert h.read(_Bits("0")) == 1
+    assert h.read(_Bits("10")) == 0
+    assert h.read(_Bits("110")) == 2
+    assert h.read(_Bits("111")) == 3
+
+
+def test_huffman_completeness_enforced():
+    with pytest.raises(WebPError, match="incomplete|oversubscribed"):
+        webp._Huff([2, 2, 2])          # undersubscribed
+    with pytest.raises(WebPError, match="incomplete|oversubscribed"):
+        webp._Huff([1, 1, 1])          # oversubscribed
+    with pytest.raises(WebPError, match="empty"):
+        webp._Huff([0, 0])
+
+
+def test_lsb_reader_order():
+    r = webp.LSBReader(bytes([0b10110100, 0xFF]))
+    assert r.u(3) == 0b100            # lowest bits first
+    assert r.u(5) == 0b10110
+    assert r.u(4) == 0xF
+    with pytest.raises(WebPError, match="overrun"):
+        r.u(5)
+
+
+# -- container handling -----------------------------------------------------
+
+
+def test_vp8x_wrapped_vp8l_decodes():
+    a = _img(9, 7, seed=15)
+    plain = WENC.encode_vp8l(a)
+    vp8l_chunk = plain[12:]  # the VP8L chunk from the plain container
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(decode_webp(data), a)
+
+
+def test_refusals():
+    a = _img(9, 7, seed=16)
+    good = WENC.encode_vp8l(a)
+    with pytest.raises(WebPError, match="RIFF"):
+        decode_webp(b"not a webp at all")
+    # lossy VP8 chunk
+    body = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(WebPError, match="lossy"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # animation
+    body = b"WEBP" + b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    with pytest.raises(WebPError, match="animated"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # bad VP8L signature byte
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # first payload byte of the VP8L chunk
+    with pytest.raises(WebPError):
+        decode_webp(bytes(bad))
+    # truncation mid-stream
+    with pytest.raises(WebPError):
+        decode_webp(good[: len(good) - max(4, len(good) // 4)])
+    # version != 0
+    hdr = bytearray(good)
+    # byte layout after the 0x2f signature: 14+14+1+3 bits; version is
+    # bits 29..31 of the little-endian 32-bit header -> top bits of
+    # the 4th payload byte
+    hdr[24] |= 0xE0
+    with pytest.raises(WebPError, match="version"):
+        decode_webp(bytes(hdr))
+
+
+def test_truncation_fuzz_never_crashes():
+    a = _img(19, 11, seed=17)
+    good = WENC.encode_vp8l(a, subtract_green=True, cache_bits=3,
+                            lz77=True)
+    for cut in range(12, len(good), 7):
+        try:
+            decode_webp(good[:cut])
+        except WebPError:
+            pass  # refuse, never crash
+
+
+# -- pipeline integration ---------------------------------------------------
+
+
+def test_imagecodec_dispatch():
+    from shotit_worker_spark.functions.imagecodec import (
+        decode_image,
+        sniff_format,
+    )
+
+    a = _img(20, 30, seed=18)
+    enc = WENC.encode_vp8l(a, subtract_green=True)
+    assert sniff_format(enc) == "webp"
+    assert np.array_equal(decode_image(enc), a)
+
+
+def test_webp_twins_collapse_in_image_dedup(spark):
+    """A scene stored as PPM and as lossless WebP decodes to the SAME
+    raster, so image_dedup collapses the pair (before r7, WebP fell to
+    the blake2 singleton path and never matched anything)."""
+    from shotit_worker_spark.functions.imagecodec import encode_ppm
+    from shotit_worker_spark.operators.clustering import image_dedup
+
+    def _scene(seed):
+        # gradient + coarse random 8x8 blocks: scenes with DIFFERENT
+        # seeds get genuinely different ColorLayout descriptors (plain
+        # _img noise averages to the same gray layout for every seed,
+        # so distinct seeds would still collapse at threshold=0.995)
+        rng = np.random.default_rng(seed)
+        h, w = 32, 48
+        img = np.zeros((h, w, 3))
+        img[..., 0] = np.linspace(0, 255, w)[None, :]
+        img[..., 1] = np.linspace(0, 255, h)[:, None]
+        img[..., 2] = (
+            rng.integers(0, 255, size=(4, 6)).repeat(8, 0).repeat(8, 1)
+        )
+        return img.astype(np.uint8)
+
+    scene = _scene(19)
+    other = _scene(77)
+    rows = [
+        ("ppm", encode_ppm(scene)),
+        ("webp", WENC.encode_vp8l(scene, subtract_green=True,
+                                  lz77=True)),
+        ("other", WENC.encode_vp8l(other)),
+    ]
+    images = spark.createDataFrame(rows, "image_id string, image binary")
+    kept = image_dedup(
+        images, threshold=0.995, num_bits=4, num_tables=8
+    ).collect()
+    kept_ids = {r["image_id"] for r in kept}
+    assert "other" in kept_ids
+    assert len(kept_ids & {"ppm", "webp"}) == 1

@@ -1,0 +1,586 @@
+"""Minimal VP8L (WebP lossless) ENCODER for decoder round-trip tests.
+
+Independent counterpart to shotit_worker_spark/functions/webp.py: this
+side builds Huffman codes from frequencies, tokenizes LZ77/cache runs,
+and applies the FORWARD transforms; the decoder reads codes and applies
+the INVERSE transforms. Because the format is lossless, the round-trip
+contract is absolute: decode(encode(rgb)) must equal the source array
+bit-for-bit, with no shared reconstruction loop — any deviation on
+either side breaks equality. No tables are imported from the decoder.
+
+Feature switches exist so tests can exercise each bitstream feature in
+isolation and in combination: subtract-green, per-block predictor
+modes, per-block color transform, palette (color-indexing) with
+sub-byte packing, color cache, greedy LZ77 (with 2D plane codes), and
+meta-Huffman group splits.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit writing
+# ---------------------------------------------------------------------------
+
+
+class LSBWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((val >> i) & 1)
+
+    def code(self, c: int, ln: int) -> None:
+        """A canonical Huffman code word: first written bit is the
+        most significant code bit (tree-walk order)."""
+        for i in range(ln - 1, -1, -1):
+            self.bits.append((c >> i) & 1)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Huffman construction (canonical, <= 15 bits)
+# ---------------------------------------------------------------------------
+
+
+def _huff_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Symbol -> code length from frequencies (plain package heap);
+    fixture data is small so depths stay far below the format's 15."""
+    if not freqs:
+        return {}
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 1}
+    heap = [(f, [s]) for s, f in freqs.items()]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in freqs}
+    while len(heap) > 1:
+        fa, sa = heapq.heappop(heap)
+        fb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, sa + sb))
+    assert max(depth.values()) <= 15, "fixture produced code > 15 bits"
+    return depth
+
+
+def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Symbol -> (length, code) with the canonical assignment (by
+    length, then symbol index)."""
+    if not lengths:
+        return {}
+    if len(lengths) == 1:
+        # a single-symbol code costs ZERO bits on the wire (the
+        # decoder's degenerate-tree rule) even though its stored
+        # length is 1
+        return {next(iter(lengths)): (0, 0)}
+    maxlen = max(lengths.values())
+    bl = [0] * (maxlen + 1)
+    for ln in lengths.values():
+        bl[ln] += 1
+    nxt = [0] * (maxlen + 2)
+    c = 0
+    for ln in range(1, maxlen + 1):
+        c = (c + bl[ln - 1]) << 1
+        nxt[ln] = c
+    out = {}
+    for ln, sym in sorted((ln, s) for s, ln in lengths.items()):
+        out[sym] = (ln, nxt[ln])
+        nxt[ln] += 1
+    return out
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15)
+
+
+def _write_code(w: LSBWriter, lengths: dict[int, int],
+                alphabet: int) -> None:
+    """Serialize one prefix code's symbol lengths (simple form for one
+    or two symbols, else the normal code-length-code form without
+    repeat codes)."""
+    syms = sorted(lengths)
+    if len(syms) == 0:
+        # a code the stream never reads still needs a well-formed
+        # header: emit the 1-symbol simple code for symbol 0
+        syms, lengths = [0], {0: 1}
+    if len(syms) <= 2 and max(syms) < 256:
+        w.u(1, 1)  # simple
+        w.u(len(syms) - 1, 1)
+        if syms[0] > 1:
+            w.u(1, 1)  # first symbol in 8 bits
+            w.u(syms[0], 8)
+        else:
+            w.u(0, 1)
+            w.u(syms[0], 1)
+        if len(syms) == 2:
+            w.u(syms[1], 8)
+        return
+    w.u(0, 1)  # normal form
+    full = [lengths.get(s, 0) for s in range(alphabet)]
+    cl_freq: dict[int, int] = {}
+    for ln in full:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _huff_lengths(cl_freq)
+    assert max(cl_lengths.values()) <= 7, "code-length code > 3-bit field"
+    w.u(15, 4)  # num_code_lengths = 19: every order slot present
+    for s in _CL_ORDER:
+        w.u(cl_lengths.get(s, 0), 3)
+    cl_codes = _canonical(cl_lengths)
+    w.u(0, 1)  # no explicit max_symbol
+    for ln in full:
+        c_ln, c_code = cl_codes[ln]
+        w.code(c_code, c_ln)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix coding and the 2D distance plane-code map
+# ---------------------------------------------------------------------------
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value (>= 1) -> (prefix code, n extra bits, extra value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    code = 4
+    while True:
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset < v <= offset + (1 << extra):
+            return code, extra, v - offset - 1
+        code += 1
+
+
+def _plane_map(xsize: int) -> dict[int, int]:
+    """distance -> plane code (1-based) for the 120 short 2D offsets;
+    built from the defining rule, independently of the decoder."""
+    pairs = []
+    for y in range(8):
+        for x in range(-7, 9):
+            if y == 0 and x < 1:
+                continue
+            pairs.append((x, y))
+    pairs.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1],
+                              abs(p[0]) * 2 + (p[0] < 0)))
+    out: dict[int, int] = {}
+    for i, (x, y) in enumerate(pairs):
+        d = y * xsize + x
+        if d >= 1 and d not in out:
+            out[d] = i + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# one entropy-coded image stream
+# ---------------------------------------------------------------------------
+
+
+_CACHE_MUL = 0x1E35A7BD
+
+
+def _tokenize(px: list[int], xsize: int, cache_bits: int,
+              lz77: bool) -> list[tuple]:
+    """Greedy tokens over the ARGB pixel list: ("lit", argb) /
+    ("cache", idx) / ("copy", length, dist)."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    toks: list[tuple] = []
+    n = len(px)
+    pos = 0
+
+    def insert(p):
+        if cache is not None:
+            cache[(_CACHE_MUL * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+
+    while pos < n:
+        if lz77 and pos >= 1:
+            # candidate distances: short 2D offsets + a few classics
+            best = None
+            for dist in {1, 2, 3, xsize - 1, xsize, xsize + 1,
+                         2 * xsize, 121, 200}:
+                if dist < 1 or dist > pos:
+                    continue
+                ln = 0
+                while (pos + ln < n and ln < 4096
+                       and px[pos + ln - dist] == px[pos + ln]):
+                    ln += 1
+                if ln >= 3 and (best is None or ln > best[0]):
+                    best = (ln, dist)
+            if best is not None:
+                ln, dist = best
+                toks.append(("copy", ln, dist))
+                for k in range(ln):
+                    insert(px[pos + k])
+                pos += ln
+                continue
+        p = px[pos]
+        if cache is not None:
+            idx = (_CACHE_MUL * p & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == p:
+                toks.append(("cache", idx))
+                pos += 1
+                continue
+        toks.append(("lit", p))
+        insert(p)
+        pos += 1
+    return toks
+
+
+def _write_image_stream(w: LSBWriter, px: list[int], xsize: int,
+                        ysize: int, level0: bool, cache_bits: int = 0,
+                        lz77: bool = False, meta_bits: int = 0) -> None:
+    """Entropy-code one pixel stream. ``meta_bits`` > 0 (level 0 only)
+    splits the image into two Huffman groups by block-coordinate
+    parity, writing a real meta-Huffman image."""
+    if cache_bits:
+        w.u(1, 1)
+        w.u(cache_bits, 4)
+    else:
+        w.u(0, 1)
+    cache_syms = (1 << cache_bits) if cache_bits else 0
+
+    groups_of_pixel = [0] * len(px)
+    n_groups = 1
+    if level0:
+        if meta_bits:
+            w.u(1, 1)
+            w.u(meta_bits - 3, 3)
+            hw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+            hh = (ysize + (1 << meta_bits) - 1) >> meta_bits
+            meta_px = []
+            for by in range(hh):
+                for bx in range(hw):
+                    g = (bx + by) & 1
+                    meta_px.append(0xFF000000 | (g << 8))
+            _write_image_stream(w, meta_px, hw, 1 * hh, False)
+            n_groups = 2
+            for i in range(len(px)):
+                x, y = i % xsize, i // xsize
+                groups_of_pixel[i] = ((x >> meta_bits)
+                                      + (y >> meta_bits)) & 1
+        else:
+            w.u(0, 1)
+
+    # tokenize once (cache state is global across groups)
+    toks = _tokenize(px, xsize, cache_bits, lz77)
+
+    # assign each token to the group of its first pixel
+    tok_group = []
+    pos = 0
+    for t in toks:
+        tok_group.append(groups_of_pixel[pos])
+        pos += t[1] if t[0] == "copy" else 1
+
+    green_alpha = 256 + 24 + cache_syms
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}}
+        for _ in range(n_groups)
+    ]
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    plane = _plane_map(xsize)
+    for t, gi in zip(toks, tok_group):
+        f = freqs[gi]
+        if t[0] == "lit":
+            p = t[1]
+            bump(f["g"], (p >> 8) & 0xFF)
+            bump(f["r"], (p >> 16) & 0xFF)
+            bump(f["b"], p & 0xFF)
+            bump(f["a"], (p >> 24) & 0xFF)
+        elif t[0] == "cache":
+            bump(f["g"], 256 + 24 + t[1])
+        else:
+            lcode, _, _ = _prefix_encode(t[1])
+            bump(f["g"], 256 + lcode)
+            dval = plane.get(t[2], t[2] + 120)
+            dcode, _, _ = _prefix_encode(dval)
+            bump(f["d"], dcode)
+
+    codes = []
+    for f in freqs:
+        grp = {}
+        for key, alphabet in (("g", green_alpha), ("r", 256),
+                              ("b", 256), ("a", 256), ("d", 40)):
+            lengths = _huff_lengths(f[key])
+            _write_code(w, lengths, alphabet)
+            grp[key] = _canonical(lengths if lengths else {0: 1})
+        codes.append(grp)
+
+    def emit(grp, key, sym):
+        ln, c = grp[key][sym]
+        w.code(c, ln)
+
+    for t, gi in zip(toks, tok_group):
+        grp = codes[gi]
+        if t[0] == "lit":
+            p = t[1]
+            emit(grp, "g", (p >> 8) & 0xFF)
+            emit(grp, "r", (p >> 16) & 0xFF)
+            emit(grp, "b", p & 0xFF)
+            emit(grp, "a", (p >> 24) & 0xFF)
+        elif t[0] == "cache":
+            emit(grp, "g", 256 + 24 + t[1])
+        else:
+            _ln, dist = t[1], t[2]
+            lcode, lextra, lval = _prefix_encode(_ln)
+            emit(grp, "g", 256 + lcode)
+            w.u(lval, lextra)
+            dval = plane.get(dist, dist + 120)
+            dcode, dextra, dv = _prefix_encode(dval)
+            emit(grp, "d", dcode)
+            w.u(dv, dextra)
+
+
+# ---------------------------------------------------------------------------
+# forward transforms
+# ---------------------------------------------------------------------------
+
+
+def _argb_list(rgb: np.ndarray, alpha: np.ndarray | None = None) -> list:
+    h, wd = rgb.shape[:2]
+    a = alpha if alpha is not None else np.full((h, wd), 255, np.uint32)
+    out = ((a.astype(np.uint32) << 24)
+           | (rgb[:, :, 0].astype(np.uint32) << 16)
+           | (rgb[:, :, 1].astype(np.uint32) << 8)
+           | rgb[:, :, 2].astype(np.uint32))
+    return [int(v) for v in out.reshape(-1)]
+
+
+def _fwd_subtract_green(px: list[int]) -> list[int]:
+    out = []
+    for p in px:
+        g = (p >> 8) & 0xFF
+        r = ((p >> 16) & 0xFF) - g
+        b = (p & 0xFF) - g
+        out.append((p & 0xFF00FF00) | ((r & 0xFF) << 16) | (b & 0xFF))
+    return out
+
+
+def _delta(t: int, c: int) -> int:
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _fwd_color_transform(px: list[int], xsize: int, ysize: int,
+                         bits: int, mults) -> tuple[list[int], list[int]]:
+    """mults: (g2r, g2b, r2b) per block chosen by a callable
+    (bx, by) -> triple of uint8."""
+    bw = (xsize + (1 << bits) - 1) >> bits
+    bh = (ysize + (1 << bits) - 1) >> bits
+    blk_px = []
+    for by in range(bh):
+        for bx in range(bw):
+            g2r, g2b, r2b = mults(bx, by)
+            blk_px.append(0xFF000000 | (r2b << 16) | (g2b << 8) | g2r)
+    out = []
+    for i, p in enumerate(px):
+        x, y = i % xsize, i // xsize
+        g2r, g2b, r2b = mults(x >> bits, y >> bits)
+        g = (p >> 8) & 0xFF
+        r = (p >> 16) & 0xFF
+        b = p & 0xFF
+        rc = (r - _delta(g2r, g)) & 0xFF
+        # the inverse applies red_to_blue to the RESTORED red (the
+        # original value), so the forward must subtract that term
+        bc = (b - _delta(g2b, g) - _delta(r2b, r)) & 0xFF
+        out.append((p & 0xFF00FF00) | (rc << 16) | bc)
+    return out, blk_px
+
+
+def _pred_filter(px: list[int], xsize: int, ysize: int, bits: int,
+                 mode_of) -> tuple[list[int], list[int]]:
+    """Forward predictor: residual = pixel - predictor(neighbors of
+    the ORIGINAL image), channel-wise mod 256."""
+    bw = (xsize + (1 << bits) - 1) >> bits
+    bh = (ysize + (1 << bits) - 1) >> bits
+    blk_px = [0xFF000000 | (mode_of(bx, by) << 8)
+              for by in range(bh) for bx in range(bw)]
+
+    def ch(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                p & 0xFF)
+
+    def avg2(a, b):
+        return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+    out = []
+    for i, p in enumerate(px):
+        x, y = i % xsize, i // xsize
+        if x == 0 and y == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = ch(px[i - 1])
+        elif x == 0:
+            pred = ch(px[i - xsize])
+        else:
+            mode = mode_of(x >> bits, y >> bits)
+            L = ch(px[i - 1])
+            T = ch(px[i - xsize])
+            TL = ch(px[i - xsize - 1])
+            TR = ch(px[i - xsize + 1]) if x + 1 < xsize else ch(
+                px[i - x])  # wraps to the current row's first pixel
+            if mode == 0:
+                pred = (255, 0, 0, 0)
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:
+                pp = [lc + tc - tlc for lc, tc, tlc in zip(L, T, TL)]
+                pl = sum(abs(a - b) for a, b in zip(pp, L))
+                pt = sum(abs(a - b) for a, b in zip(pp, T))
+                pred = L if pl < pt else T
+            elif mode == 12:
+                pred = tuple(min(255, max(0, lc + tc - tlc))
+                             for lc, tc, tlc in zip(L, T, TL))
+            else:
+                av = avg2(L, T)
+                pred = tuple(min(255, max(0, ac + int((ac - tlc) / 2)))
+                             for ac, tlc in zip(av, TL))
+        pc = ch(p)
+        res = tuple((a - b) & 0xFF for a, b in zip(pc, pred))
+        out.append((res[0] << 24) | (res[1] << 16) | (res[2] << 8)
+                   | res[3])
+    return out, blk_px
+
+
+def _fwd_palette(px: list[int], xsize: int):
+    colors = []
+    index = {}
+    for p in px:
+        if p not in index:
+            index[p] = len(colors)
+            colors.append(p)
+    assert len(colors) <= 256, "palette fixture needs <= 256 colors"
+    n = len(colors)
+    if n <= 2:
+        pack = 3
+    elif n <= 4:
+        pack = 2
+    elif n <= 16:
+        pack = 1
+    else:
+        pack = 0
+    # palette deltas, per channel mod 256
+    deltas = []
+    prev = 0
+    for c in colors:
+        d = 0
+        for sh in (0, 8, 16, 24):
+            d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+        deltas.append(d)
+        prev = c
+    idx = [index[p] for p in px]
+    if pack:
+        per = 1 << pack
+        bitw = 8 >> pack
+        new_w = (xsize + per - 1) >> pack
+        ysize = len(px) // xsize
+        packed = []
+        for y in range(ysize):
+            for nx in range(new_w):
+                v = 0
+                for k in range(per):
+                    x = (nx << pack) + k
+                    if x < xsize:
+                        v |= idx[y * xsize + x] << (k * bitw)
+                packed.append(0xFF000000 | (v << 8))
+        return packed, new_w, deltas, pack
+    return [0xFF000000 | (i << 8) for i in idx], xsize, deltas, pack
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def encode_vp8l(rgb: np.ndarray, subtract_green=False, predictor=None,
+                color_transform=None, palette=False, cache_bits=0,
+                lz77=False, meta_bits=0, alpha=None,
+                transform_bits=4) -> bytes:
+    """rgb: (H, W, 3) uint8. ``predictor``: None or (bx, by) -> mode
+    callable; ``color_transform``: None or (bx, by) -> (g2r, g2b, r2b).
+    Returns complete RIFF/WEBP file bytes."""
+    h, wd = rgb.shape[:2]
+    px = _argb_list(rgb, alpha)
+    w = LSBWriter()
+    w.u(wd - 1, 14)
+    w.u(h - 1, 14)
+    w.u(1 if alpha is not None else 0, 1)
+    w.u(0, 3)  # version
+
+    cur_w = wd
+    # transforms, each announced with a 1-bit flag + 2-bit type
+    if palette:
+        w.u(1, 1)
+        w.u(3, 2)
+        px, cur_w, deltas, _pack = _fwd_palette(px, cur_w)
+        w.u(len(deltas) - 1, 8)
+        _write_image_stream(w, deltas, len(deltas), 1, False)
+    if subtract_green:
+        w.u(1, 1)
+        w.u(2, 2)
+        px = _fwd_subtract_green(px)
+    if color_transform is not None:
+        w.u(1, 1)
+        w.u(1, 2)
+        w.u(transform_bits - 3, 3)
+        px, blk = _fwd_color_transform(px, cur_w, h, transform_bits,
+                                       color_transform)
+        bw = (cur_w + (1 << transform_bits) - 1) >> transform_bits
+        _write_image_stream(w, blk, bw, len(blk) // bw, False)
+    if predictor is not None:
+        w.u(1, 1)
+        w.u(0, 2)
+        w.u(transform_bits - 3, 3)
+        px, blk = _pred_filter(px, cur_w, h, transform_bits, predictor)
+        bw = (cur_w + (1 << transform_bits) - 1) >> transform_bits
+        _write_image_stream(w, blk, bw, len(blk) // bw, False)
+    w.u(0, 1)  # end of transforms
+
+    _write_image_stream(w, px, cur_w, h, True, cache_bits=cache_bits,
+                        lz77=lz77, meta_bits=meta_bits)
+    w.u(1, 1)  # spare bit so truncated readers never overrun
+
+    payload = b"\x2f" + w.to_bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
