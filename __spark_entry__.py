@@ -2510,6 +2510,141 @@ def _jpeg_oracle_rows() -> list:
     return _JPEG_ORACLE_CACHE
 
 
+# (case_id, w, h, levels, encoder kwargs) — one case per VP8L
+# bitstream feature plus the all-on combination; geometry varies so
+# sub-byte palette packing and block-grid edges are all exercised
+_WEBP_CASES = (
+    ("a_literals", 23, 17, 256, {}),
+    ("b_sg_cache", 40, 28, 17, {"subtract_green": True,
+                                "cache_bits": 4}),
+    ("c_pred_lz77", 33, 21, 256, {"predictor": "cycle",
+                                  "lz77": True}),
+    ("d_ctrans", 37, 29, 256, {"color_transform": "cycle",
+                               "subtract_green": False}),
+    ("e_palette", 23, 11, 13, {"palette": True}),
+    ("f_combo", 45, 15, 256, {"subtract_green": True,
+                              "predictor": "cycle", "cache_bits": 5,
+                              "lz77": True, "meta_bits": 4}),
+)
+_WEBP_CASE_BY_ID = {c[0]: c for c in _WEBP_CASES}
+_WEBP_CASE_IDS = tuple(c[0] for c in _WEBP_CASES)
+
+
+def _webp_case_rgb(case_id: str):
+    """Deterministic source raster for a q74 case: gradient + coarse
+    8x8 blocks (structured, so every transform has signal to exploit)
+    quantized to `levels` (small palettes for the indexed case)."""
+    import numpy as np
+
+    cid, w, h, levels, _kw = _WEBP_CASE_BY_ID[case_id]
+    rng = np.random.default_rng(sum(ord(ch) for ch in cid))
+    if levels <= 16:  # palette case: few distinct colors
+        cols = rng.integers(0, 256, (levels, 3), dtype=np.uint8)
+        return cols[rng.integers(0, levels, (h, w))]
+    base = (np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5) % 256
+    blocks = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+    img = (base[:, :, None] + blocks.repeat(8, 0).repeat(8, 1)[:h, :w]
+           + rng.integers(0, 24, (h, w, 3))) % levels
+    return img.astype(np.uint8)
+
+
+def _webp_case_bytes(case_id: str) -> bytes:
+    """Fixture-encoder bytes for a q74 case (the encode direction —
+    independent of the decoder under test)."""
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    import gen_webp_fixture as WENC
+
+    kw = dict(_WEBP_CASE_BY_ID[case_id][4])
+    if kw.get("predictor") == "cycle":
+        kw["predictor"] = lambda bx, by: (bx + by * 7) % 14
+    if kw.get("color_transform") == "cycle":
+        kw["color_transform"] = lambda bx, by: (
+            (bx * 37 + 3) % 256, (by * 91 + 200) % 256,
+            (bx + by * 53) % 256)
+    return WENC.encode_vp8l(_webp_case_rgb(case_id), **kw)
+
+
+def q74_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP lossless (VP8L) decoder constants gate: six fixture
+    streams — plain literals, subtract-green + color cache, predictor
+    + LZ77, per-block color transform, sub-byte palette packing, and
+    the meta-Huffman all-on combination — are DECODED by the engine
+    (functions/webp) on the executors and hashed; the oracle states
+    the md5 of the SOURCE raster. The format is lossless, so the
+    contract is absolute bit-equality with no shared reconstruction
+    loop (encoder in tools/gen_webp_fixture.py is independent).
+    Beyond-reference coverage: the reference sniffs only png/jpg
+    (/root/reference/searcher.js:151-155)."""
+    df = spark.createDataFrame(
+        [(cid,) for cid in _WEBP_CASE_IDS], "case_id string"
+    )
+    tools_dir = _TOOLS_DIR
+
+    def run(batches):
+        import hashlib
+        import sys as _s
+
+        import pandas as pd
+
+        root = os.path.dirname(tools_dir)
+        for p in (tools_dir, root):
+            if p not in _s.path:
+                _s.path.insert(0, p)
+        import __spark_entry__ as EM
+        from shotit_worker_spark.functions.webp import decode_webp
+
+        for b in batches:
+            out = []
+            for cid in b["case_id"]:
+                rgb = decode_webp(EM._webp_case_bytes(cid))
+                out.append(
+                    (
+                        cid,
+                        int(rgb.shape[0]),
+                        int(rgb.shape[1]),
+                        hashlib.md5(rgb.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["case_id", "height", "width", "rgb_md5"]
+            )
+
+    return (
+        df.repartition(len(_WEBP_CASE_IDS))
+        .mapInPandas(
+            run,
+            schema="case_id string, height int, width int, rgb_md5 string",
+        )
+        .orderBy("case_id")
+    )
+
+
+_WEBP_ORACLE_CACHE: list | None = None
+
+
+def _webp_oracle_rows() -> list:
+    """Expected q74 rows straight from the SOURCE rasters (lossless:
+    decode(encode(rgb)) must equal rgb bit-for-bit)."""
+    global _WEBP_ORACLE_CACHE
+    if _WEBP_ORACLE_CACHE is None:
+        import hashlib
+
+        rows = []
+        for cid in _WEBP_CASE_IDS:
+            rgb = _webp_case_rgb(cid)
+            rows.append(
+                (
+                    cid,
+                    int(rgb.shape[0]),
+                    int(rgb.shape[1]),
+                    hashlib.md5(rgb.tobytes()).hexdigest(),
+                )
+            )
+        _WEBP_ORACLE_CACHE = rows
+    return _WEBP_ORACLE_CACHE
+
+
 def _values_oracle(rows: list, cols: str) -> str:
     vals = ", ".join(
         "(" + ", ".join(
@@ -2552,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_pack_nosplit": q71_pack_nosplit,
         "q65_span_dedup": q65_span_dedup,
         "q73_progressive_jpeg": q73_progressive_jpeg,
+        "q74_webp_roundtrip": q74_webp_roundtrip,
         "q66_semantic_dedup": q66_semantic_dedup,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
@@ -2629,6 +2765,9 @@ def oracle_sql() -> dict[str, str]:
             _avc_oracle_rows(), "case_id, height, width, rgb_md5"),
         "q73_progressive_jpeg": _values_oracle(
             _jpeg_oracle_rows(), "name, height, width, raster_md5"),
+        # q74: lossless, so the oracle rows are the SOURCE rasters
+        "q74_webp_roundtrip": _values_oracle(
+            _webp_oracle_rows(), "case_id, height, width, rgb_md5"),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -34,7 +34,7 @@ POST_R3_QUERIES = frozenset({
     "q67_kn_lm", "q68_text_embedder", "q69_learned_rerank",
     "q70_url_canonical", "q71_pack_nosplit",
     # r7 wave (media constants gates)
-    "q72_avc_roundtrip", "q73_progressive_jpeg",
+    "q72_avc_roundtrip", "q73_progressive_jpeg", "q74_webp_roundtrip",
 })
 
 
