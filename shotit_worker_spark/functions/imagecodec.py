@@ -9,9 +9,11 @@ stage emits JPEG thumbnails and its search API accepts jpeg/png bodies
 (/root/reference/hasher.js:83-85, searcher.js:133-141).
 
 Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB),
-4 (gray+alpha), 6 (RGBA), no interlace. Gray expands to RGB; alpha is
-dropped (descriptors are RGB-only). Palette/16-bit/interlaced raise
-``UnsupportedImageError`` — callers fall back to the stub kernel.
+4 (gray+alpha), 6 (RGBA), 3 (palette), every legal bit depth
+(1/2/4/8/16 per spec table 11.1), Adam7 interlace. Gray expands to
+RGB; alpha is dropped (descriptors are RGB-only); 16-bit samples take
+the high byte. Malformed streams raise ``UnsupportedImageError`` —
+callers fall back to the stub kernel.
 JPEG: baseline/extended-sequential AND progressive huffman (see
 functions/jpegcodec); lossless/arithmetic raise.
 WebP: lossless VP8L (see functions/webp); lossy VP8 and animation
@@ -133,13 +135,27 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
 
 # -- PNG --------------------------------------------------------------------
 
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _decode_png(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
-    color_type = None
+    depth = color_type = interlace = None
+    plte = None
     idat = []
     while pos + 8 <= len(data):
         (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
@@ -149,11 +165,22 @@ def _decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+            if (
+                color_type not in _PNG_DEPTHS
+                or depth not in _PNG_DEPTHS[color_type]
+                or comp != 0
+                or filt != 0
+                or interlace > 1
+            ):
                 raise UnsupportedImageError(
                     f"PNG depth={depth} color_type={color_type} "
-                    f"interlace={interlace} unsupported"
+                    f"comp={comp} filt={filt} interlace={interlace} "
+                    "unsupported"
                 )
+        elif typ == b"PLTE":
+            if length % 3:
+                raise UnsupportedImageError("PNG PLTE length not 3n")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -162,25 +189,41 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise UnsupportedImageError("PNG missing IHDR/IDAT")
     nch = _CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
+    img = np.zeros((height, width, nch), dtype=np.uint16)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        bpp = max(1, nch * depth // 8)
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise UnsupportedImageError("PNG scanline data size mismatch")
+        sub = np.frombuffer(raw[off : off + need], dtype=np.uint8).reshape(
+            ph, stride + 1
+        )
+        off += need
+        img[y0::dy, x0::dx] = _png_samples(
+            _defilter_pass(sub, bpp), pw, nch, depth
+        )
+    if off != len(raw):
         raise UnsupportedImageError("PNG scanline data size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ftype, line = raw[y, 0], raw[y, 1:].copy()
-        if ftype == 0:
-            pass
-        elif ftype == 2:  # Up
-            line += prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            line = _defilter_serial(ftype, line, prev, nch)
-        else:
-            raise UnsupportedImageError(f"PNG filter type {ftype}")
-        out[y] = line
-        prev = out[y]
-    px = out.reshape(height, width, nch)
+    if color_type == 3:
+        if plte is None:
+            raise UnsupportedImageError("PNG palette image missing PLTE")
+        idx = img[..., 0].astype(np.int64)
+        if idx.max(initial=0) >= len(plte):
+            raise UnsupportedImageError("PNG palette index out of range")
+        return plte[idx]
+    if depth == 16:
+        px = (img >> 8).astype(np.uint8)  # high byte (v*255//65535)
+    elif depth < 8:  # gray: expand to the full 8-bit range
+        px = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = img.astype(np.uint8)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
@@ -188,6 +231,45 @@ def _decode_png(data: bytes) -> np.ndarray:
     if color_type == 4:
         return np.repeat(px[..., :1], 3, axis=2)
     return px[..., :3]  # 6: drop alpha
+
+
+def _defilter_pass(sub: np.ndarray, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering for one (sub)image: sub is
+    (rows, 1+stride) uint8 with the filter byte leading each row."""
+    rows, stride = sub.shape[0], sub.shape[1] - 1
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(rows):
+        ftype, line = sub[y, 0], sub[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            line = _defilter_serial(ftype, line, prev, bpp)
+        else:
+            raise UnsupportedImageError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out
+
+
+def _png_samples(
+    lines: np.ndarray, pw: int, nch: int, depth: int
+) -> np.ndarray:
+    """(rows, stride) defiltered bytes -> (rows, pw, nch) uint16
+    samples at the stored depth (packed sub-byte fields MSB-first,
+    16-bit big-endian, per PNG spec 7.2)."""
+    ph = lines.shape[0]
+    if depth == 8:
+        return lines[:, : pw * nch].reshape(ph, pw, nch).astype(np.uint16)
+    if depth == 16:
+        b = lines[:, : pw * nch * 2].reshape(ph, pw, nch, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]
+    bits = np.unpackbits(lines, axis=1)[:, : pw * nch * depth]
+    fields = bits.reshape(ph, pw, nch, depth).astype(np.uint16)
+    weights = (1 << np.arange(depth - 1, -1, -1, dtype=np.uint16))
+    return (fields * weights).sum(axis=3, dtype=np.uint16)
 
 
 def _defilter_serial(

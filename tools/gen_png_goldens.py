@@ -1,0 +1,279 @@
+"""PNG exotic-format fixtures + JRE parity goldens.
+
+Two jobs:
+
+1. ``encode_png_ex`` — an INDEPENDENT forward PNG encoder (palette /
+   gray / RGB / alpha at every legal bit depth, Adam7 interlace, all
+   five filter types applied forward per row). The decoder in
+   shotit_worker_spark/functions/imagecodec.py reads codes and inverts
+   filters; this side packs samples and subtracts predictors — no
+   shared scanline logic, so decode(encode(x)) == x pins both.
+
+2. ``main()`` — writes tests/goldens/png/*.png plus java_rasters.npz:
+   the SAME files decoded by javax.imageio (an independent third
+   implementation), restricted to cases where Java's sample semantics
+   are unambiguous (8-bit RGB/RGBA via getRGB, palette via
+   IndexColorModel getRGB, 8-bit gray via raw raster samples). 16-bit
+   and sub-byte gray cases are pinned instead by byte-level hand
+   vectors in tests/test_png.py (Java's upsampling policy for those is
+   implementation-defined).
+
+Usage: python tools/gen_png_goldens.py   (needs javac/java)
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+import zlib
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "tests", "goldens", "png")
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + typ + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _pack_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, nch) samples -> (h, stride) scanline bytes at `depth`
+    (sub-byte fields MSB-first with zero pad, 16-bit big-endian)."""
+    h, w, nch = sub.shape
+    if depth == 8:
+        return sub.astype(np.uint8).reshape(h, w * nch)
+    if depth == 16:
+        v = sub.astype(np.uint16).reshape(h, w * nch)
+        out = np.empty((h, w * nch * 2), dtype=np.uint8)
+        out[:, 0::2] = v >> 8
+        out[:, 1::2] = v & 0xFF
+        return out
+    # depth 1/2/4: per-sample bit fields, MSB-first within each byte
+    vals = sub.reshape(h, w * nch).astype(np.uint8)
+    bits = np.zeros((h, w * nch, depth), dtype=np.uint8)
+    for b in range(depth):
+        bits[:, :, b] = (vals >> (depth - 1 - b)) & 1
+    flat = bits.reshape(h, w * nch * depth)
+    stride = (w * nch * depth + 7) // 8
+    padded = np.zeros((h, stride * 8), dtype=np.uint8)
+    padded[:, : flat.shape[1]] = flat
+    return np.packbits(padded, axis=1)
+
+
+def _filter_forward(lines: np.ndarray, bpp: int, filters) -> bytes:
+    """Apply per-row filters FORWARD (raw -> coded): the exact inverse
+    of the decoder's defilter, implemented from the spec's forward
+    formulas (out = raw - pred, predictors over RAW neighbors)."""
+    h, stride = lines.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = filters(y)
+        raw = lines[y].astype(np.int32)
+        if ftype == 0:
+            coded = raw
+        elif ftype == 2:
+            coded = raw - prev
+        else:
+            coded = np.zeros_like(raw)
+            for i in range(stride):
+                a = raw[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # 4: Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                coded[i] = raw[i] - pred
+        out.append(ftype)
+        out.extend((coded & 0xFF).astype(np.uint8).tobytes())
+        prev = raw
+    return bytes(out)
+
+
+def encode_png_ex(
+    samples: np.ndarray,
+    color_type: int,
+    depth: int,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+    filters=None,
+) -> bytes:
+    """samples: (h, w) for color types 0/3, (h, w, nch) otherwise, at
+    the stored depth (palette entries are indices). `filters`: row ->
+    filter-type callable; default cycles 0,1,2,3,4."""
+    if filters is None:
+        filters = lambda y: y % 5  # noqa: E731
+    nch = _NCH[color_type]
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w = samples.shape[:2]
+    bpp = max(1, nch * depth // 8)
+    payload = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        payload.extend(
+            _filter_forward(_pack_rows(sub, depth), bpp, filters)
+        )
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace),
+    )
+    if color_type == 3:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (
+        out
+        + _chunk(b"IDAT", zlib.compress(bytes(payload)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic case content
+# ---------------------------------------------------------------------------
+
+
+def _rng(name: str) -> np.random.Generator:
+    return np.random.default_rng(sum(name.encode()))
+
+
+def build_case(name: str):
+    """-> (png_bytes, expected_rgb uint8 (h,w,3)) for a case name."""
+    r = _rng(name)
+    if name.startswith("rgb8"):
+        il = 1 if "adam7" in name else 0
+        h, w = (21, 33) if "odd" in name else (32, 48)
+        img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return encode_png_ex(img, 2, 8, interlace=il), img
+    if name.startswith("rgba8"):
+        h, w = 19, 27
+        img = r.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        return (
+            encode_png_ex(img, 6, 8, interlace=1 if "adam7" in name else 0),
+            img[..., :3],
+        )
+    if name.startswith("pal"):
+        depth = int(name.split("_")[0][3:])
+        ncol = 1 << depth if depth < 8 else 200
+        il = 1 if "adam7" in name else 0
+        h, w = 23, 29
+        pal = r.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = r.integers(0, ncol, (h, w), dtype=np.uint8)
+        return (
+            encode_png_ex(idx, 3, depth, interlace=il, palette=pal),
+            pal[idx],
+        )
+    if name == "gray8_adam7":
+        h, w = 25, 31
+        g = r.integers(0, 256, (h, w), dtype=np.uint8)
+        return (
+            encode_png_ex(g, 0, 8, interlace=1),
+            np.repeat(g[:, :, None], 3, axis=2),
+        )
+    raise ValueError(name)
+
+
+# cases the JRE can confirm unambiguously (see module docstring)
+JRE_CASES = (
+    "rgb8_filters", "rgb8_adam7", "rgb8_adam7_odd", "rgba8_adam7",
+    "pal8_flat", "pal8_adam7", "pal4_flat", "pal2_flat", "pal1_flat",
+    "gray8_adam7",
+)
+
+HARNESS = r"""
+import javax.imageio.*;
+import java.awt.image.*;
+import java.io.*;
+
+public class PngGold {
+  public static void main(String[] args) throws Exception {
+    // args: inPng outRaw gray(0/1)
+    BufferedImage dec = ImageIO.read(new File(args[0]));
+    boolean gray = args[2].equals("1");
+    DataOutputStream out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(args[1])));
+    int W = dec.getWidth(), H = dec.getHeight();
+    out.writeInt(H); out.writeInt(W); out.writeInt(gray ? 1 : 3);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++) {
+        if (gray) {
+          out.writeByte(dec.getRaster().getSample(x, y, 0));
+        } else {
+          int rgb = dec.getRGB(x, y);
+          out.writeByte((rgb >> 16) & 255);
+          out.writeByte((rgb >> 8) & 255);
+          out.writeByte(rgb & 255);
+        }
+      }
+    out.close();
+  }
+}
+"""
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "PngGold.java")
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-d", td, src], check=True)
+        rasters = {}
+        for name in JRE_CASES:
+            png_bytes, expected = build_case(name)
+            png_path = os.path.join(OUT_DIR, f"{name}.png")
+            with open(png_path, "wb") as f:
+                f.write(png_bytes)
+            raw = os.path.join(td, "out.raw")
+            gray = "1" if name.startswith("gray") else "0"
+            subprocess.run(
+                ["java", "-cp", td, "PngGold", png_path, raw, gray],
+                check=True,
+            )
+            with open(raw, "rb") as f:
+                h, w, c = struct.unpack(">III", f.read(12))
+                arr = np.frombuffer(f.read(), dtype=np.uint8).reshape(
+                    h, w, c
+                )
+            if c == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            if not np.array_equal(arr, expected):
+                raise SystemExit(
+                    f"{name}: JRE decode disagrees with the fixture "
+                    "source — encoder bug, not committing goldens"
+                )
+            rasters[name] = arr
+            print(f"{name}: {h}x{w} OK (JRE == source)")
+        np.savez_compressed(
+            os.path.join(OUT_DIR, "java_rasters.npz"), **rasters
+        )
+    print(f"wrote {len(rasters)} goldens to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
