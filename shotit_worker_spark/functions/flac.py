@@ -1,0 +1,462 @@
+"""FLAC (Free Lossless Audio Codec) decoder, built from the public
+format spec (xiph.org / RFC 9639) — the audio leg of the multimodal
+corpus alongside the stdlib WAV/AIFF paths (functions/media), the way
+functions/{jpegcodec,webp,avc} carry the image/video legs. The
+reference pipeline outsources all media decode to ffmpeg
+(/root/reference/hasher.js:78-91); here the decode is in-engine and
+runs inside the Arrow UDFs.
+
+Coverage: STREAMINFO + metadata walk, frame sync with CRC-8-checked
+headers, UTF-8-style coded numbers, all four subframe types (CONSTANT,
+VERBATIM, FIXED orders 0-4, LPC orders 1-32), Rice residuals (4- and
+5-bit parameters, escape-to-raw partitions, partition orders 0-15),
+wasted bits, all stereo decorrelation modes (left/side, right/side,
+mid/side), 4-32 bps, frame CRC-16, and the STREAMINFO MD5 check over
+the decoded stream (an end-to-end integrity pin the format itself
+provides: the encoder computes it over the SOURCE samples, so a
+matching digest certifies bit-exact decode with zero shared code).
+
+Correct-or-refuse: anything malformed, truncated, or out of spec
+raises ``FlacError`` (a ValueError) — callers fall back to the stub
+feature path, never to silently wrong samples.
+
+Unlike MP3/AAC/Vorbis, FLAC has no psychoacoustic tables: every
+constant below is a small spec-stated value (CRC polynomials 0x07 /
+0x8005, fixed-predictor coefficients) pinned by published check
+values and hand vectors in tests/test_flac.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+__all__ = ["FlacError", "decode_flac", "flac_streaminfo", "sniff_flac"]
+
+
+class FlacError(ValueError):
+    """Malformed / unsupported FLAC stream (refuse, never guess)."""
+
+
+def sniff_flac(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+# -- CRCs (polynomials stated in the spec; check values pinned in tests) ----
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+# -- MSB-first bit reader ---------------------------------------------------
+
+
+class _Bits:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits  # absolute bit position
+        self.n = len(data) * 8
+
+    def u(self, nbits: int) -> int:
+        if self.pos + nbits > self.n:
+            raise FlacError("truncated stream")
+        out = 0
+        pos = self.pos
+        data = self.data
+        while nbits:
+            byte_i, bit_i = divmod(pos, 8)
+            take = min(8 - bit_i, nbits)
+            chunk = (data[byte_i] >> (8 - bit_i - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            pos += take
+            nbits -= take
+        self.pos = pos
+        return out
+
+    def s(self, nbits: int) -> int:
+        v = self.u(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while True:
+            if self.pos >= self.n:
+                raise FlacError("truncated unary code")
+            if self.u(1):
+                return q
+            q += 1
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+# -- frame-header coded values ---------------------------------------------
+
+_BLOCKSIZE_TAB = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_RATE_TAB = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_BPS_TAB = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# fixed predictors, orders 0-4 (spec-stated coefficients)
+_FIXED_COEF = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _coded_number(br: _Bits) -> int:
+    """UTF-8-style variable-length frame/sample number (up to 36 bits)."""
+    first = br.u(8)
+    if first < 0x80:
+        return first
+    n = 0
+    probe = first
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0 or n > 6:
+        raise FlacError("bad coded number prefix")
+    val = first & (0x3F >> n)
+    for _ in range(n):
+        cont = br.u(8)
+        if cont >> 6 != 2:
+            raise FlacError("bad coded number continuation")
+        val = (val << 6) | (cont & 0x3F)
+    return val
+
+
+# -- subframes --------------------------------------------------------------
+
+
+def _residual(br: _Bits, blocksize: int, pred_order: int) -> np.ndarray:
+    method = br.u(2)
+    if method > 1:
+        raise FlacError(f"reserved residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    part_order = br.u(4)
+    nparts = 1 << part_order
+    if blocksize % nparts:
+        raise FlacError("partition order does not divide block size")
+    psize = blocksize >> part_order
+    if psize <= pred_order and nparts == 1:
+        raise FlacError("first partition has no samples")
+    out = np.empty(blocksize - pred_order, dtype=np.int64)
+    idx = 0
+    for p in range(nparts):
+        count = psize - (pred_order if p == 0 else 0)
+        if count < 0:
+            raise FlacError("predictor order exceeds partition size")
+        param = br.u(plen)
+        if param == escape:
+            raw_bits = br.u(5)
+            for _ in range(count):
+                out[idx] = br.s(raw_bits) if raw_bits else 0
+                idx += 1
+        else:
+            for _ in range(count):
+                q = br.unary()
+                low = br.u(param) if param else 0
+                u = (q << param) | low
+                out[idx] = (u >> 1) ^ -(u & 1)  # un-zigzag
+                idx += 1
+    return out
+
+
+def _lpc_restore(
+    warmup: np.ndarray, coefs: list[int], shift: int,
+    residual: np.ndarray, blocksize: int,
+) -> np.ndarray:
+    order = len(warmup)
+    out = np.empty(blocksize, dtype=np.int64)
+    out[:order] = warmup
+    c = np.array(coefs[::-1], dtype=np.int64)  # oldest-first
+    for i in range(order, blocksize):
+        pred = int(np.dot(c, out[i - order : i])) >> shift
+        out[i] = pred + residual[i - order]
+    return out
+
+
+def _subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
+    if br.u(1):
+        raise FlacError("subframe padding bit set")
+    typ = br.u(6)
+    wasted = 0
+    if br.u(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if bps <= 0:
+        raise FlacError("wasted bits exceed sample size")
+    if typ == 0:  # CONSTANT
+        out = np.full(blocksize, br.s(bps), dtype=np.int64)
+    elif typ == 1:  # VERBATIM
+        out = np.fromiter(
+            (br.s(bps) for _ in range(blocksize)), np.int64, blocksize
+        )
+    elif 8 <= typ <= 12:  # FIXED, order = typ - 8
+        order = typ - 8
+        if order > blocksize:
+            raise FlacError("fixed order exceeds block size")
+        warmup = np.fromiter(
+            (br.s(bps) for _ in range(order)), np.int64, order
+        )
+        res = _residual(br, blocksize, order)
+        out = _lpc_restore(
+            warmup, list(_FIXED_COEF[order]), 0, res, blocksize
+        )
+    elif typ >= 32:  # LPC, order = (typ & 31) + 1
+        order = (typ & 0x1F) + 1
+        if order > blocksize:
+            raise FlacError("LPC order exceeds block size")
+        warmup = np.fromiter(
+            (br.s(bps) for _ in range(order)), np.int64, order
+        )
+        precision = br.u(4)
+        if precision == 15:
+            raise FlacError("invalid LPC precision")
+        precision += 1
+        shift = br.s(5)
+        if shift < 0:
+            raise FlacError("negative LPC shift")
+        coefs = [br.s(precision) for _ in range(order)]
+        res = _residual(br, blocksize, order)
+        out = _lpc_restore(warmup, coefs, shift, res, blocksize)
+    else:
+        raise FlacError(f"reserved subframe type {typ}")
+    return out << wasted if wasted else out
+
+
+# -- stream decode ----------------------------------------------------------
+
+
+def flac_streaminfo(data: bytes) -> dict:
+    """Parse just the STREAMINFO block -> {sample_rate, channels,
+    bits_per_sample, total_samples} without decoding any audio."""
+    if not sniff_flac(data):
+        raise FlacError("not a FLAC stream")
+    if len(data) < 8 + 34 or (data[4] & 0x7F) != 0:
+        raise FlacError("first metadata block is not STREAMINFO")
+    si = _Bits(data[8 : 8 + 34])
+    si.u(16), si.u(16), si.u(24), si.u(24)
+    return {
+        "sample_rate": si.u(20),
+        "channels": si.u(3) + 1,
+        "bits_per_sample": si.u(5) + 1,
+        "total_samples": si.u(36),
+    }
+
+
+def decode_flac(
+    data: bytes, verify_md5: bool = True, max_samples: int = 1 << 28
+) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, samples (n, channels) int32). Raises
+    ``FlacError`` on anything malformed; when STREAMINFO carries a
+    non-zero MD5 and ``verify_md5``, the decoded stream's digest must
+    match it (the spec's own end-to-end integrity check)."""
+    if not sniff_flac(data):
+        raise FlacError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    last = False
+    while not last:
+        if pos + 4 > len(data):
+            raise FlacError("truncated metadata")
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            raise FlacError("truncated metadata block")
+        if btype == 0:
+            if length != 34:
+                raise FlacError("bad STREAMINFO length")
+            streaminfo = body
+        elif btype == 127:
+            raise FlacError("invalid metadata block type 127")
+        pos += 4 + length
+    if streaminfo is None:
+        raise FlacError("missing STREAMINFO")
+    si = _Bits(streaminfo)
+    si.u(16)  # min blocksize
+    si.u(16)  # max blocksize
+    si.u(24)  # min framesize
+    si.u(24)  # max framesize
+    si_rate = si.u(20)
+    si_channels = si.u(3) + 1
+    si_bps = si.u(5) + 1
+    si_total = si.u(36)
+    si_md5 = streaminfo[18:34]
+    if si_rate == 0:
+        raise FlacError("STREAMINFO sample rate 0")
+    if si_total > max_samples:
+        raise FlacError(f"stream exceeds max_samples={max_samples}")
+
+    chunks: list[np.ndarray] = []
+    got = 0
+    while pos < len(data) and (si_total == 0 or got < si_total):
+        frame, pos = _decode_frame(data, pos, si_channels, si_bps, si_rate)
+        got += frame.shape[0]
+        if got > max_samples:
+            raise FlacError(f"stream exceeds max_samples={max_samples}")
+        chunks.append(frame)
+    samples = (
+        np.concatenate(chunks)
+        if chunks
+        else np.empty((0, si_channels), dtype=np.int64)
+    )
+    if si_total and samples.shape[0] != si_total:
+        raise FlacError(
+            f"decoded {samples.shape[0]} samples, STREAMINFO says {si_total}"
+        )
+    if verify_md5 and si_md5 != b"\x00" * 16:
+        if hashlib.md5(
+            _pack_samples(samples, si_bps)
+        ).digest() != si_md5:
+            raise FlacError("STREAMINFO MD5 mismatch (corrupt decode)")
+    lo, hi = -(1 << (si_bps - 1)), (1 << (si_bps - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise FlacError("sample out of range for declared bps")
+    return si_rate, samples.astype(np.int32)
+
+
+def _pack_samples(samples: np.ndarray, bps: int) -> bytes:
+    """Interleaved little-endian packing at ceil(bps/8) bytes/sample —
+    the layout the spec defines for the STREAMINFO MD5."""
+    nbytes = (bps + 7) // 8
+    flat = samples.reshape(-1)
+    if nbytes == 1:
+        return (flat & 0xFF).astype(np.uint8).tobytes()
+    if nbytes == 2:
+        return flat.astype("<i2").tobytes()
+    if nbytes == 3:
+        le4 = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        return np.ascontiguousarray(le4[:, :3]).tobytes()
+    return flat.astype("<i4").tobytes()
+
+
+def _decode_frame(
+    data: bytes, pos: int, si_channels: int, si_bps: int, si_rate: int
+) -> tuple[np.ndarray, int]:
+    hdr_start = pos
+    br = _Bits(data, pos * 8)
+    sync = br.u(14)
+    if sync != 0x3FFE:
+        raise FlacError(f"bad frame sync at byte {pos}")
+    if br.u(1):
+        raise FlacError("reserved frame bit set")
+    br.u(1)  # blocking strategy (fixed/variable): coded number absorbs it
+    bs_bits = br.u(4)
+    rate_bits = br.u(4)
+    chan_bits = br.u(4)
+    bps_bits = br.u(3)
+    if br.u(1):
+        raise FlacError("reserved frame header bit set")
+    _coded_number(br)
+
+    if bs_bits == 0:
+        raise FlacError("reserved block size code 0")
+    elif bs_bits == 6:
+        blocksize = br.u(8) + 1
+    elif bs_bits == 7:
+        blocksize = br.u(16) + 1
+    else:
+        blocksize = _BLOCKSIZE_TAB[bs_bits]
+
+    if rate_bits == 0:
+        rate = si_rate
+    elif rate_bits in _RATE_TAB:
+        rate = _RATE_TAB[rate_bits]
+    elif rate_bits == 12:
+        rate = br.u(8) * 1000
+    elif rate_bits == 13:
+        rate = br.u(16)
+    elif rate_bits == 14:
+        rate = br.u(16) * 10
+    else:
+        raise FlacError("invalid sample rate code 15")
+    if rate != si_rate:
+        raise FlacError("frame sample rate differs from STREAMINFO")
+
+    if bps_bits == 0:
+        bps = si_bps
+    elif bps_bits in _BPS_TAB:
+        bps = _BPS_TAB[bps_bits]
+    else:
+        raise FlacError(f"reserved bps code {bps_bits}")
+    if bps != si_bps:
+        raise FlacError("frame bps differs from STREAMINFO")
+
+    if chan_bits <= 7:
+        nch = chan_bits + 1
+        stereo_mode = None
+    elif chan_bits in (8, 9, 10):
+        nch = 2
+        stereo_mode = chan_bits
+    else:
+        raise FlacError(f"reserved channel assignment {chan_bits}")
+    if nch != si_channels:
+        raise FlacError("frame channel count differs from STREAMINFO")
+
+    # CRC-8 covers the header bytes up to (not including) the crc byte
+    br.align()
+    hdr_end = br.pos // 8
+    if _crc8(data[hdr_start:hdr_end]) != br.u(8):
+        raise FlacError("frame header CRC-8 mismatch")
+
+    chans = []
+    for ch in range(nch):
+        ch_bps = bps
+        if stereo_mode == 8 and ch == 1:  # left/side: side has bps+1
+            ch_bps += 1
+        elif stereo_mode == 9 and ch == 0:  # right/side
+            ch_bps += 1
+        elif stereo_mode == 10 and ch == 1:  # mid/side
+            ch_bps += 1
+        chans.append(_subframe(br, blocksize, ch_bps))
+    br.align()
+    frame_end = br.pos // 8
+    if frame_end + 2 > len(data):
+        raise FlacError("truncated frame footer")
+    if _crc16(data[hdr_start:frame_end]) != int.from_bytes(
+        data[frame_end : frame_end + 2], "big"
+    ):
+        raise FlacError("frame CRC-16 mismatch")
+
+    if stereo_mode is None:
+        out = np.stack(chans, axis=1)
+    elif stereo_mode == 8:  # left/side -> right = left - side
+        left, side = chans
+        out = np.stack([left, left - side], axis=1)
+    elif stereo_mode == 9:  # right/side -> left = right + side
+        side, right = chans
+        out = np.stack([right + side, right], axis=1)
+    else:  # mid/side: mid = (L+R)>>1, side = L-R; L+R parity == side&1
+        mid, side = chans
+        lr_sum = (mid << 1) | (side & 1)
+        out = np.stack([(lr_sum + side) >> 1, (lr_sum - side) >> 1], axis=1)
+    return out, frame_end + 2

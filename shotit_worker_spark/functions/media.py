@@ -38,7 +38,8 @@ Kernel reality, per stage:
   becomes open-container → sample at fps → scale → encode; signature
   unchanged.
 - Audio features: REAL for PCM WAV and AIFF/AIFF-C (stdlib `wave` /
-  `aifc` + numpy FFT); stub fallback for other bytes.
+  `aifc` + numpy FFT) and for FLAC (functions/flac, spec-built
+  lossless decode); stub fallback for other bytes.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -939,10 +940,11 @@ def audio_features(
     surface): (file, duration_sec, sample_rate, features: array<float>).
 
     mapInPandas over binaryFile rows, one row per clip. PCM WAV
-    (RIFF/WAVE, 8/16/32-bit integer) and PCM AIFF/AIFF-C decode FOR
-    REAL — stdlib `wave`/`aifc` + a numpy Hann-windowed average power
-    spectrum pooled into `dim` log-energy bands (_wav_features /
-    _aiff_features; VERDICT r3 #4). Other bytes keep the deterministic
+    (RIFF/WAVE, 8/16/32-bit integer), PCM AIFF/AIFF-C, and FLAC
+    (functions/flac — in-engine lossless decode, MD5-verified) decode
+    FOR REAL — then a numpy Hann-windowed average power spectrum
+    pooled into `dim` log-energy bands (_wav_features /
+    _aiff_features / _flac_features). Other bytes keep the deterministic
     blake2 stub so the plumbing stays total; with librosa/soundfile
     that fallback becomes load → resample → log-mel pooling at the
     same schema. Features feed the same similarity/dedup operators as
@@ -978,6 +980,11 @@ def audio_features(
                         real = _aiff_features(content, dim)
                     except Exception:
                         real = None  # malformed/compressed → stub
+                elif content[:4] == b"fLaC":
+                    try:
+                        real = _flac_features(content, dim)
+                    except Exception:
+                        real = None  # malformed stream → stub
                 if real is not None:
                     duration, sr, feats = real
                     out["duration_sec"].append(duration)
@@ -1060,6 +1067,24 @@ def _aiff_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
         raise ValueError(f"unsupported AIFF sample width {sw}")
     if ch > 1:
         x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return _spectral_features(x, n, sr, dim)
+
+
+def _flac_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+    """REAL audio kernel for FLAC: in-engine lossless decode
+    (functions/flac, spec-built, MD5-verified against STREAMINFO) →
+    mono mix normalized by the stream's bit depth → the same spectral
+    pooling as WAV/AIFF. Raises on malformed streams (caller falls
+    back to the stub)."""
+    from .flac import decode_flac, flac_streaminfo
+
+    bps = flac_streaminfo(content)["bits_per_sample"]
+    sr, samples = decode_flac(content)
+    n = samples.shape[0]
+    if n == 0:
+        raise ValueError("empty FLAC stream")
+    # full-scale normalization, same convention as the WAV/AIFF kernels
+    x = samples.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
     return _spectral_features(x, n, sr, dim)
 
 

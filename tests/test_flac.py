@@ -1,0 +1,248 @@
+"""FLAC decoder: round-trip vs the independent fixture encoder,
+CRC check-value pins, hand vectors, refusal paths.
+
+The format is lossless, so decode(encode(x)) == x is absolute; the
+STREAMINFO MD5 (computed by the ENCODER over the SOURCE samples,
+verified by the DECODER over its OUTPUT) closes the loop end-to-end
+with no shared reconstruction code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+)
+import gen_flac_fixture as FENC  # noqa: E402
+
+from shotit_worker_spark.functions.flac import (  # noqa: E402
+    FlacError,
+    _crc8,
+    _crc16,
+    decode_flac,
+    sniff_flac,
+)
+
+
+def _sig(n, ch=1, bps=16, seed=0, smooth=True):
+    """Deterministic band-limited-ish signal (so LPC/fixed predictors
+    have structure to exploit) plus noise, clipped to bps range."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    amp = (1 << (bps - 2)) - 1
+    base = (
+        amp * np.sin(t * 0.03 + np.arange(ch)[None, :])
+        + amp / 3 * np.sin(t * 0.11)
+    )
+    noise = rng.integers(-(1 << (bps - 6)), 1 << (bps - 6), (n, ch))
+    x = (base.astype(np.int64) + noise) if smooth else rng.integers(
+        -(1 << (bps - 1)), 1 << (bps - 1), (n, ch)
+    )
+    lim = (1 << (bps - 1)) - 1
+    return np.clip(x, -lim - 1, lim).astype(np.int64)
+
+
+def _rt(x, **kw):
+    data = FENC.encode_flac(x, **kw)
+    rate, got = decode_flac(data)
+    assert got.shape == x.shape
+    assert np.array_equal(got, x), (
+        f"first diff at {np.argwhere(got != x)[:3]}"
+    )
+    return rate
+
+
+# -- published CRC check values (shared-constant typo guard) ---------------
+
+
+def test_crc_check_values():
+    # CRC-8/SMBUS (poly 0x07, init 0): check("123456789") = 0xF4
+    assert _crc8(b"123456789") == 0xF4
+    # CRC-16/UMTS aka BUYPASS (poly 0x8005, init 0, no reflect): 0xFEE8
+    assert _crc16(b"123456789") == 0xFEE8
+    # and the encoder's copies agree on arbitrary data
+    blob = bytes(range(256)) * 3
+    assert FENC._crc8(blob) == _crc8(blob)
+    assert FENC._crc16(blob) == _crc16(blob)
+
+
+# -- subframe strategies ----------------------------------------------------
+
+
+def test_constant_subframe():
+    x = np.full((600, 1), -1234, dtype=np.int64)
+    _rt(x, strategy="constant", blocksize=256)
+
+
+def test_verbatim_subframe():
+    _rt(_sig(500, smooth=False, seed=1), strategy="verbatim")
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+def test_fixed_orders(order):
+    _rt(_sig(700, seed=2 + order), strategy=f"fixed{order}")
+
+
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 12, 32])
+def test_lpc_orders(order):
+    _rt(_sig(1000, seed=10 + order), strategy=f"lpc{order}")
+
+
+@pytest.mark.parametrize("part_order", [0, 1, 2, 4])
+def test_rice_partitions(part_order):
+    _rt(_sig(1024, seed=20), strategy="fixed2", part_order=part_order)
+
+
+def test_rice_5bit_params_and_escape_partitions():
+    x = _sig(512, seed=21)
+    _rt(x, strategy="fixed1", plen=5, part_order=2)
+    _rt(x, strategy="fixed1", part_order=2, escape_parts=(0, 3))
+    _rt(x, strategy="fixed1", plen=5, part_order=1, escape_parts=(1,))
+
+
+# -- stereo decorrelation ---------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", [None, "left_side", "right_side",
+                                  "mid_side"])
+def test_stereo_modes(mode):
+    _rt(_sig(800, ch=2, seed=30), stereo=mode, strategy="fixed2")
+
+
+def test_mid_side_odd_sums():
+    # force L+R odd everywhere: the lost low bit must come back from
+    # the side channel's parity
+    x = _sig(400, ch=2, seed=31)
+    x[:, 1] = x[:, 0] + 2 * np.arange(400) + 1
+    lim = (1 << 15) - 1
+    x = np.clip(x, -lim - 1, lim)
+    _rt(x, stereo="mid_side", strategy="verbatim")
+
+
+def test_multichannel():
+    _rt(_sig(300, ch=5, seed=32), strategy="fixed2", blocksize=128)
+
+
+# -- bit depths / rates / geometry -----------------------------------------
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24, 32])
+def test_bit_depths(bps):
+    _rt(_sig(400, bps=bps, seed=40 + bps), bps=bps, strategy="fixed2")
+
+
+def test_explicit_blocksize_and_rate_codes():
+    x = _sig(777, seed=41)
+    _rt(x, blocksize=250, sample_rate=11025, explicit_codes=True)
+    _rt(x, blocksize=192, sample_rate=44100)  # table codes
+    _rt(x, blocksize=1024, sample_rate=96000)
+
+
+def test_partial_final_frame_and_single_sample():
+    _rt(_sig(1000, seed=42), blocksize=256)  # 1000 = 3*256 + 232
+    _rt(_sig(1, seed=43), strategy="constant")
+
+
+def test_wasted_bits():
+    x = _sig(600, bps=13, seed=44) << 3  # 3 guaranteed-zero low bits
+    data = FENC.encode_flac(x, strategy="fixed2")
+    rate, got = decode_flac(data)
+    assert np.array_equal(got, x)
+    # and the encoder actually used the wasted-bits path
+    nw = FENC.encode_flac(x, strategy="fixed2", wasted_ok=False)
+    assert len(data) < len(nw)
+
+
+def test_sample_rate_survives():
+    assert _rt(_sig(300, seed=45), sample_rate=22050) == 22050
+    assert _rt(_sig(300, seed=45), sample_rate=11025,
+               explicit_codes=True) == 11025
+
+
+# -- the format's own integrity pin ----------------------------------------
+
+
+def test_streaminfo_md5_verified():
+    x = _sig(512, ch=2, seed=50)
+    data = bytearray(FENC.encode_flac(x, strategy="fixed2"))
+    # flip one bit inside a frame body: CRC-16 must catch it
+    with pytest.raises(FlacError, match="CRC|MD5|truncated|sync"):
+        corrupt = bytearray(data)
+        corrupt[-10] ^= 0x10
+        decode_flac(bytes(corrupt))
+    # zero MD5 means "not provided": decode must still succeed
+    nomd5 = FENC.encode_flac(x, strategy="fixed2", write_md5=False)
+    _, got = decode_flac(nomd5)
+    assert np.array_equal(got, x)
+
+
+def test_md5_mismatch_detected():
+    x = _sig(256, seed=51)
+    data = bytearray(FENC.encode_flac(x, strategy="fixed2"))
+    # corrupt one byte of the STREAMINFO md5 itself (no CRC covers it)
+    data[8 + 4 + 18] ^= 0xFF
+    with pytest.raises(FlacError, match="MD5 mismatch"):
+        decode_flac(bytes(data))
+
+
+# -- hand vectors -----------------------------------------------------------
+
+
+def test_hand_vector_coded_number():
+    w = FENC.MSBWriter()
+    FENC._coded_number(w, 0x7F)
+    assert w.to_bytes() == b"\x7f"
+    w = FENC.MSBWriter()
+    FENC._coded_number(w, 0x80)  # -> 110_00010 10_000000 (UTF-8 style)
+    assert w.to_bytes() == b"\xc2\x80"
+    w = FENC.MSBWriter()
+    FENC._coded_number(w, 0x800)  # 3-byte form
+    assert w.to_bytes() == b"\xe0\xa0\x80"
+
+
+def test_hand_vector_rice_zigzag():
+    # residual 3 at param 0: zigzag 6 -> unary 0000001
+    z = FENC._zigzag(np.array([0, -1, 1, -2, 2]))
+    assert z.tolist() == [0, 1, 2, 3, 4]
+
+
+# -- refusals ---------------------------------------------------------------
+
+
+def test_refusals():
+    x = _sig(300, seed=60)
+    good = FENC.encode_flac(x)
+    assert sniff_flac(good)
+    with pytest.raises(FlacError, match="not a FLAC"):
+        decode_flac(b"NOPE" + good[4:])
+    # truncations at every stage must refuse, never crash or hang
+    for cut in (4, 10, 30, len(good) // 2, len(good) - 3):
+        with pytest.raises(FlacError):
+            decode_flac(good[:cut])
+    # header bit flip: CRC-8 catches it
+    bad = bytearray(good)
+    # first frame starts right after fLaC + block header + STREAMINFO
+    fstart = 4 + 4 + 34
+    assert bad[fstart] == 0xFF  # sync
+    # flip a coded-number bit: still parses, so only CRC-8 catches it
+    bad[fstart + 4] ^= 0x01
+    with pytest.raises(FlacError, match="CRC-8"):
+        decode_flac(bytes(bad))
+    # max_samples guard (driver-side DoS bound)
+    with pytest.raises(FlacError, match="max_samples"):
+        decode_flac(good, max_samples=10)
+
+
+def test_truncation_fuzz_never_crashes():
+    good = FENC.encode_flac(_sig(200, seed=61), blocksize=64)
+    for cut in range(0, len(good), 5):
+        try:
+            decode_flac(good[:cut])
+        except FlacError:
+            pass

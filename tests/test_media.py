@@ -470,6 +470,52 @@ def test_aiff_audio_features_real(spark):
     )
 
 
+def test_flac_audio_features_real(spark):
+    """FLAC decodes for real in-engine: the SAME pcm samples stored as
+    WAV and as FLAC yield IDENTICAL features (lossless decode + shared
+    full-scale normalization + shared spectral kernel), and a corrupt
+    FLAC falls back to the stub path instead of crashing."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools"))
+    import gen_flac_fixture as FENC
+
+    sr, seconds, freq = 8000, 0.5, 880.0
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    x = (0.8 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int64)
+    flac = FENC.encode_flac(
+        x[:, None], sample_rate=sr, bps=16, strategy="lpc4",
+        blocksize=256,
+    )
+    rows = {
+        r["file"]: r
+        for r in M.audio_features(
+            spark.createDataFrame(
+                [
+                    ("store/tt1/clip.flac", bytearray(flac)),
+                    ("store/tt1/clip.wav", bytearray(
+                        _make_wav(freq_hz=freq, sr=sr, seconds=seconds))),
+                    ("store/tt1/bad.flac", bytearray(
+                        flac[: len(flac) // 2])),
+                ],
+                "path string, content binary",
+            )
+        ).collect()
+    }
+    good, wav = rows["tt1/clip.flac"], rows["tt1/clip.wav"]
+    assert good["sample_rate"] == sr
+    assert good["duration_sec"] == pytest.approx(seconds, abs=1e-6)
+    np.testing.assert_allclose(
+        np.array(good["features"]), np.array(wav["features"]), rtol=1e-6
+    )
+    # truncated stream: deterministic stub, not a crash, not silence
+    assert len(rows["tt1/bad.flac"]["features"]) == len(good["features"])
+
+
 def test_mp4_hostile_timeline_bounded():
     """A crafted stts timeline (2 samples, timescale=1, delta≈2^31) must
     not turn the sampling grid into billions of loop iterations (r5

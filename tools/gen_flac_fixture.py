@@ -1,0 +1,383 @@
+"""Minimal FLAC ENCODER for decoder round-trip tests.
+
+Independent counterpart to shotit_worker_spark/functions/flac.py: this
+side chooses predictors (Levinson-Durbin LPC fits, fixed orders),
+zigzags + Rice-codes residuals forward, applies the forward stereo
+decorrelations, and detects wasted bits; the decoder inverts all of
+it. Lossless format, so the round-trip contract is absolute:
+decode(encode(x)) must equal x sample-for-sample, and the STREAMINFO
+MD5 the encoder computes over the SOURCE samples must match the digest
+the decoder computes over its OUTPUT — no shared reconstruction loop.
+
+Feature switches let tests exercise each bitstream feature in
+isolation: subframe strategy (constant/verbatim/fixed/lpc), partition
+order, Rice escape partitions, stereo mode, explicit vs table block
+size and sample-rate codes, wasted bits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+class MSBWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def s(self, val: int, nbits: int) -> None:
+        self.u(val & ((1 << nbits) - 1), nbits)
+
+    def unary(self, q: int) -> None:
+        self.bits.extend([0] * q + [1])
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def to_bytes(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _coded_number(w: MSBWriter, val: int) -> None:
+    if val < 0x80:
+        w.u(val, 8)
+        return
+    # smallest n (continuation bytes) that fits
+    for n in range(1, 7):
+        if val < (1 << (6 * n + (6 - n))):
+            break
+    lead_bits = 6 - n
+    w.u(((0xFF << (lead_bits + 1)) & 0xFF) | (val >> (6 * n)), 8)
+    for i in range(n - 1, -1, -1):
+        w.u(0x80 | ((val >> (6 * i)) & 0x3F), 8)
+
+
+# -- residual coding --------------------------------------------------------
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, v << 1, (-v << 1) - 1)
+
+
+def _best_rice_param(z: np.ndarray, plen: int) -> int:
+    if len(z) == 0:
+        return 0
+    mean = max(float(z.mean()), 0.1)
+    p = max(0, int(np.floor(np.log2(mean))))
+    return min(p, (1 << plen) - 2)
+
+
+def _write_residual(
+    w: MSBWriter, res: np.ndarray, blocksize: int, pred_order: int,
+    part_order: int = 0, plen: int = 4, escape_parts=(),
+) -> None:
+    w.u(0 if plen == 4 else 1, 2)
+    w.u(part_order, 4)
+    nparts = 1 << part_order
+    psize = blocksize >> part_order
+    idx = 0
+    escape = (1 << plen) - 1
+    for p in range(nparts):
+        count = psize - (pred_order if p == 0 else 0)
+        part = res[idx : idx + count]
+        idx += count
+        if p in escape_parts:
+            raw_bits = (
+                int(np.abs(part).max()).bit_length() + 1 if len(part) else 1
+            )
+            w.u(escape, plen)
+            w.u(raw_bits, 5)
+            for v in part:
+                w.s(int(v), raw_bits)
+            continue
+        z = _zigzag(part)
+        param = _best_rice_param(z, plen)
+        w.u(param, plen)
+        for u in z:
+            w.unary(int(u) >> param)
+            if param:
+                w.u(int(u) & ((1 << param) - 1), param)
+
+
+# -- predictors -------------------------------------------------------------
+
+_FIXED_COEF = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _lpc_fit(x: np.ndarray, order: int, precision: int = 12):
+    """Levinson-Durbin on the autocorrelation, quantized to `precision`
+    bits with a derived shift — the classic forward LPC path."""
+    fx = x.astype(np.float64)
+    n = len(fx)
+    ac = np.array(
+        [np.dot(fx[: n - k], fx[k:]) for k in range(order + 1)]
+    )
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[:i] = a[:i] - k * a[i - 1 :: -1][:i] if i else a[:i]
+        a[i] = k
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0:
+        return None
+    shift = min(14, max(1, precision - 1 - int(np.ceil(np.log2(cmax)))))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    order = len(q)
+    xx = x.astype(np.int64)
+    res = np.empty(len(x) - order, dtype=np.int64)
+    c = q[::-1]
+    for i in range(order, len(x)):
+        res[i - order] = xx[i] - (int(np.dot(c, xx[i - order : i])) >> shift)
+    return res
+
+
+# -- subframe write ---------------------------------------------------------
+
+
+def _write_subframe(
+    w: MSBWriter, x: np.ndarray, bps: int, strategy: str,
+    part_order: int = 0, plen: int = 4, escape_parts=(),
+    wasted_ok: bool = True,
+) -> None:
+    blocksize = len(x)
+    wasted = 0
+    if wasted_ok and np.any(x):
+        ors = int(np.bitwise_or.reduce(x.astype(np.int64)))
+        while wasted < bps - 1 and not (ors >> wasted) & 1:
+            wasted += 1
+    coded = (x.astype(np.int64) >> wasted) if wasted else x.astype(np.int64)
+    eff_bps = bps - wasted
+
+    w.u(0, 1)  # padding
+    if strategy == "constant" and np.all(coded == coded[0]):
+        w.u(0, 6)
+        _write_wasted(w, wasted)
+        w.s(int(coded[0]), eff_bps)
+        return
+    if strategy == "verbatim":
+        w.u(1, 6)
+        _write_wasted(w, wasted)
+        for v in coded:
+            w.s(int(v), eff_bps)
+        return
+    if strategy.startswith("fixed"):
+        order = int(strategy[5:])
+        w.u(8 + order, 6)
+        _write_wasted(w, wasted)
+        for v in coded[:order]:
+            w.s(int(v), eff_bps)
+        _write_residual(
+            w, _fixed_residual(coded, order), blocksize, order,
+            part_order, plen, escape_parts,
+        )
+        return
+    if strategy.startswith("lpc"):
+        order = int(strategy[3:])
+        fit = _lpc_fit(coded, order)
+        if fit is None:  # degenerate signal: fall back to fixed1
+            _write_subframe(
+                w.__class__(), coded, eff_bps, "fixed1"
+            )  # pragma: no cover
+            raise ValueError("LPC fit degenerate for this signal")
+        q, shift = fit
+        precision = 12
+        w.u(32 | (order - 1), 6)
+        _write_wasted(w, wasted)
+        for v in coded[:order]:
+            w.s(int(v), eff_bps)
+        w.u(precision - 1, 4)
+        w.s(shift, 5)
+        for c in q:
+            w.s(int(c), precision)
+        _write_residual(
+            w, _lpc_residual(coded, q, shift), blocksize, order,
+            part_order, plen, escape_parts,
+        )
+        return
+    raise ValueError(strategy)
+
+
+def _write_wasted(w: MSBWriter, wasted: int) -> None:
+    if wasted:
+        w.u(1, 1)
+        w.unary(wasted - 1)
+    else:
+        w.u(0, 1)
+
+
+# -- stream assembly --------------------------------------------------------
+
+_BLOCKSIZE_CODE = {
+    192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
+    1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15,
+}
+_RATE_CODE = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+_BPS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+def _pack_md5(samples: np.ndarray, bps: int) -> bytes:
+    nbytes = (bps + 7) // 8
+    flat = samples.reshape(-1).astype(np.int64)
+    out = bytearray()
+    for v in flat:
+        out += int(v & ((1 << (8 * nbytes)) - 1)).to_bytes(nbytes, "little")
+    return hashlib.md5(bytes(out)).digest()
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 44100, bps: int = 16,
+    blocksize: int = 256, stereo: str | None = None,
+    strategy: str = "fixed2", part_order: int = 0, plen: int = 4,
+    escape_parts=(), explicit_codes: bool = False,
+    wasted_ok: bool = True, write_md5: bool = True,
+) -> bytes:
+    """samples: (n, ch) int. `stereo`: None (independent) or one of
+    'left_side' / 'right_side' / 'mid_side' (2-channel only).
+    `strategy`: constant | verbatim | fixedK (K 0-4) | lpcK (K>=1).
+    `explicit_codes` forces 16-bit explicit block-size and sample-rate
+    frame-header fields even when table codes exist."""
+    samples = np.atleast_2d(samples.astype(np.int64))
+    if samples.ndim == 2 and samples.shape[0] < samples.shape[1]:
+        pass  # caller passes (n, ch); no transposing magic
+    n, nch = samples.shape
+    out = bytearray(b"fLaC")
+    si = MSBWriter()
+    si.u(min(blocksize, 65535), 16)
+    si.u(min(blocksize, 65535), 16)
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(sample_rate, 20)
+    si.u(nch - 1, 3)
+    si.u(bps - 1, 5)
+    si.u(n, 36)
+    body = si.to_bytes() + (
+        _pack_md5(samples, bps) if write_md5 else b"\x00" * 16
+    )
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    for fi, start in enumerate(range(0, n, blocksize)):
+        block = samples[start : start + blocksize]
+        out += _encode_frame(
+            block, fi, sample_rate, bps, nch, stereo, strategy,
+            part_order, plen, escape_parts, explicit_codes, wasted_ok,
+        )
+    return bytes(out)
+
+
+def _encode_frame(
+    block, fi, sample_rate, bps, nch, stereo, strategy,
+    part_order, plen, escape_parts, explicit_codes, wasted_ok,
+) -> bytes:
+    bs = len(block)
+    w = MSBWriter()
+    w.u(0x3FFE, 14)
+    w.u(0, 1)
+    w.u(0, 1)  # fixed-blocksize strategy
+    bs_code = None if explicit_codes else _BLOCKSIZE_CODE.get(bs)
+    w.u(bs_code if bs_code else 7, 4)
+    rate_code = None if explicit_codes else _RATE_CODE.get(sample_rate)
+    w.u(rate_code if rate_code else 13, 4)
+    if stereo is None:
+        w.u(nch - 1, 4)
+        chans = [block[:, c] for c in range(nch)]
+        ch_bps = [bps] * nch
+    else:
+        left, right = block[:, 0], block[:, 1]
+        if stereo == "left_side":
+            w.u(8, 4)
+            chans = [left, left - right]
+            ch_bps = [bps, bps + 1]
+        elif stereo == "right_side":
+            w.u(9, 4)
+            chans = [left - right, right]
+            ch_bps = [bps + 1, bps]
+        elif stereo == "mid_side":
+            w.u(10, 4)
+            chans = [(left + right) >> 1, left - right]
+            ch_bps = [bps, bps + 1]
+        else:
+            raise ValueError(stereo)
+    w.u(_BPS_CODE[bps], 3)
+    w.u(0, 1)
+    _coded_number(w, fi)
+    if bs_code is None:
+        w.u(bs - 1, 16)
+    if rate_code is None:
+        w.u(sample_rate, 16)
+    hdr = w.to_bytes()  # header is byte-aligned by construction
+    hdr += bytes([_crc8(hdr)])
+
+    bw = MSBWriter()
+    for x, cb in zip(chans, ch_bps):
+        _write_subframe(
+            bw, np.asarray(x), cb, strategy, part_order, plen,
+            escape_parts, wasted_ok,
+        )
+    body = bw.to_bytes()
+    frame = hdr + body
+    return frame + _crc16(frame).to_bytes(2, "big")
