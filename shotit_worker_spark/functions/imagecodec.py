@@ -245,7 +245,10 @@ def _defilter_pass(sub: np.ndarray, bpp: int) -> np.ndarray:
             pass
         elif ftype == 2:  # Up
             line += prev
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+        elif ftype == 1:  # Sub: per-lane wrapping prefix sum
+            for lane in range(bpp):
+                np.add.accumulate(line[lane::bpp], out=line[lane::bpp])
+        elif ftype in (3, 4):  # Average / Paeth need left-to-right
             line = _defilter_serial(ftype, line, prev, bpp)
         else:
             raise UnsupportedImageError(f"PNG filter type {ftype}")
@@ -275,23 +278,32 @@ def _png_samples(
 def _defilter_serial(
     ftype: int, line: np.ndarray, prev: np.ndarray, nch: int
 ) -> np.ndarray:
-    cur = line.astype(np.int32)
-    up = prev.astype(np.int32)
-    out = np.zeros_like(cur)
-    for i in range(len(cur)):
-        a = out[i - nch] if i >= nch else 0  # left
-        b = up[i]  # up
-        if ftype == 1:
-            pred = a
-        elif ftype == 3:
-            pred = (a + b) // 2
-        else:  # Paeth
+    # plain-python lists: ~4x faster than per-element numpy indexing
+    # in this inherently sequential recurrence (left-neighbor feedback)
+    cur = line.tolist()
+    up = prev.tolist()
+    n = len(cur)
+    out = [0] * n
+    if ftype == 1:  # Sub (kept for callers; the Up-free fast path
+        for i in range(n):  # in _defilter_pass vectorizes this case)
+            a = out[i - nch] if i >= nch else 0
+            out[i] = (cur[i] + a) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            a = out[i - nch] if i >= nch else 0
+            out[i] = (cur[i] + ((a + up[i]) >> 1)) & 0xFF
+    else:  # Paeth
+        for i in range(n):
+            a = out[i - nch] if i >= nch else 0
+            b = up[i]
             c = up[i - nch] if i >= nch else 0
             p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
             pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        out[i] = (cur[i] + pred) & 0xFF
-    return out.astype(np.uint8)
+            out[i] = (cur[i] + pred) & 0xFF
+    return np.asarray(out, dtype=np.uint8)
 
 
 def encode_png(rgb: np.ndarray) -> bytes:
