@@ -2511,23 +2511,31 @@ def _jpeg_oracle_rows() -> list:
 
 
 _PNG_GOLD_DIR = os.path.join(_REPO_DIR, "tests", "goldens", "png")
+_TIFFBMP_GOLD_DIR = os.path.join(_REPO_DIR, "tests", "goldens", "tiffbmp")
 
 
-def q75_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG decoder completeness gate (palette / Adam7 / filters):
-    every committed golden .png (written by the independent forward
-    encoder in tools/gen_png_goldens.py) decodes on the executors and
-    is hashed; the oracle states the md5 of the JRE's rasters
-    (javax.imageio, an independent third implementation — the
-    generator refuses to commit goldens unless JRE == fixture source).
-    Reference parity: searcher.js:151-155 sniffs png and trusts LIRE's
-    ImageIO decode; here the decode is in-engine."""
+def q75_image_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-codec completeness gate for the non-JPEG still formats:
+    every committed golden file — exotic PNGs (palette / Adam7 /
+    filters / gray), TIFFs (LZW with the early-change rule, Deflate
+    strips, PackBits, predictor, palette, bilevel, big-endian), and
+    BMPs (palette widths, RLE8, top-down, 32-bit) — decodes on the
+    executors through the sniff→decode_image dispatch and is hashed;
+    the oracle states the md5 of the JRE's rasters (javax.imageio, an
+    independent third implementation — both generators refuse to
+    commit goldens unless JRE == the independent fixture encoder's
+    source). Reference parity: searcher.js:151-155 sniffs png and
+    trusts ImageIO; here the decode is in-engine and wider."""
     import glob as _glob
 
     rows = []
-    for p in sorted(_glob.glob(os.path.join(_PNG_GOLD_DIR, "*.png"))):
-        with open(p, "rb") as f:
-            rows.append((os.path.basename(p)[:-4], bytearray(f.read())))
+    for d, pat in ((_PNG_GOLD_DIR, "*.png"), (_TIFFBMP_GOLD_DIR, "*.tif"),
+                   (_TIFFBMP_GOLD_DIR, "*.bmp")):
+        for p in sorted(_glob.glob(os.path.join(d, pat))):
+            name = os.path.basename(p)
+            name = name[: name.rindex(".")]
+            with open(p, "rb") as f:
+                rows.append((name, bytearray(f.read())))
     df = spark.createDataFrame(rows, "name string, content binary")
 
     def run(batches):
@@ -2535,12 +2543,12 @@ def q75_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from shotit_worker_spark.functions.imagecodec import _decode_png
+        from shotit_worker_spark.functions.imagecodec import decode_image
 
         for b in batches:
             out = []
             for name, content in zip(b["name"], b["content"]):
-                arr = _decode_png(bytes(content))
+                arr = decode_image(bytes(content))
                 out.append(
                     (
                         name,
@@ -2554,7 +2562,7 @@ def q75_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        df.repartition(10)
+        df.repartition(12)
         .mapInPandas(
             run,
             schema="name string, height int, width int, raster_md5 string",
@@ -2563,32 +2571,33 @@ def q75_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PNG_ORACLE_CACHE: list | None = None
+_IMG_ORACLE_CACHE: list | None = None
 
 
-def _png_oracle_rows() -> list:
+def _image_goldens_oracle_rows() -> list:
     """Expected q75 rows from the JRE rasters (the independent
-    decoder's committed output)."""
-    global _PNG_ORACLE_CACHE
-    if _PNG_ORACLE_CACHE is None:
+    decoder's committed output, both golden sets)."""
+    global _IMG_ORACLE_CACHE
+    if _IMG_ORACLE_CACHE is None:
         import hashlib
 
         import numpy as np
 
-        z = np.load(os.path.join(_PNG_GOLD_DIR, "java_rasters.npz"))
         rows = []
-        for name in sorted(z.files):
-            arr = np.ascontiguousarray(z[name])
-            rows.append(
-                (
-                    name,
-                    int(arr.shape[0]),
-                    int(arr.shape[1]),
-                    hashlib.md5(arr.tobytes()).hexdigest(),
+        for d in (_PNG_GOLD_DIR, _TIFFBMP_GOLD_DIR):
+            z = np.load(os.path.join(d, "java_rasters.npz"))
+            for name in z.files:
+                arr = np.ascontiguousarray(z[name])
+                rows.append(
+                    (
+                        name,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        hashlib.md5(arr.tobytes()).hexdigest(),
+                    )
                 )
-            )
-        _PNG_ORACLE_CACHE = rows
-    return _PNG_ORACLE_CACHE
+        _IMG_ORACLE_CACHE = sorted(rows)
+    return _IMG_ORACLE_CACHE
 
 
 # (case_id, encoder kwargs) — one case per FLAC bitstream feature
@@ -2904,7 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_span_dedup": q65_span_dedup,
         "q73_progressive_jpeg": q73_progressive_jpeg,
         "q74_webp_roundtrip": q74_webp_roundtrip,
-        "q75_png_roundtrip": q75_png_roundtrip,
+        "q75_image_goldens": q75_image_goldens,
         "q76_flac_roundtrip": q76_flac_roundtrip,
         "q66_semantic_dedup": q66_semantic_dedup,
         "q20_vector_norms": q20_vector_norms,
@@ -2992,8 +3001,9 @@ def oracle_sql() -> dict[str, str]:
         # q75: the JRE's committed rasters (independent third decoder)
         "q74_webp_roundtrip": _values_oracle(
             _webp_oracle_rows(), "case_id, height, width, rgb_md5"),
-        "q75_png_roundtrip": _values_oracle(
-            _png_oracle_rows(), "name, height, width, raster_md5"),
+        "q75_image_goldens": _values_oracle(
+            _image_goldens_oracle_rows(),
+            "name, height, width, raster_md5"),
         "q76_flac_roundtrip": _values_oracle(
             _flac_oracle_rows(), "case_id, n, channels, rate, pcm_md5"),
         "q01_pricing_summary": """

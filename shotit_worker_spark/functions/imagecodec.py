@@ -18,7 +18,9 @@ JPEG: baseline/extended-sequential AND progressive huffman (see
 functions/jpegcodec); lossless/arithmetic raise.
 WebP: lossless VP8L (see functions/webp); lossy VP8 and animation
 raise — beyond-reference coverage, the reference sniffs only png/jpg
-(searcher.js:151-155).
+(searcher.js:151-155). TIFF: baseline strips (see functions/tiffcodec).
+BMP: 1/4/8-bit palette (incl. RLE8/RLE4), 16-bit bitfields, 24/32-bit,
+top-down and bottom-up (_decode_bmp below).
 """
 
 from __future__ import annotations
@@ -54,6 +56,10 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:2] == b"BM" and len(data) >= 26:
+        return "bmp"
     return None
 
 
@@ -90,6 +96,12 @@ def decode_image(data: bytes) -> np.ndarray:
             # lossless (VP8L) only; lossy/animated raise WebPError (a
             # ValueError) -> UnsupportedImageError fallback below
             return decode_webp(bytes(data))
+        if fmt == "tiff":
+            from .tiffcodec import decode_tiff
+
+            return decode_tiff(bytes(data))
+        if fmt == "bmp":
+            return _decode_bmp(bytes(data))
     except UnsupportedImageError:
         raise
     except (ValueError, IndexError, struct.error, zlib.error) as exc:
@@ -97,7 +109,7 @@ def decode_image(data: bytes) -> np.ndarray:
         # process / corrupt stream both mean "fall back", not "crash"
         raise UnsupportedImageError(f"malformed image bytes: {exc}") from exc
     raise UnsupportedImageError(
-        "not a PNG, JPEG, GIF, WebP, or PPM image")
+        "not a PNG, JPEG, GIF, WebP, TIFF, BMP, or PPM image")
 
 
 # -- PPM (P6, maxval 255) ---------------------------------------------------
@@ -327,3 +339,179 @@ def encode_png(rgb: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# -- BMP --------------------------------------------------------------------
+
+
+def _mask_shift(mask: int) -> tuple[int, int]:
+    """(right shift, field width) for a contiguous bitfield mask."""
+    if mask == 0:
+        raise UnsupportedImageError("BMP zero channel mask")
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise UnsupportedImageError("BMP non-contiguous channel mask")
+    return shift, width
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (BITMAPINFOHEADER and the V4/V5 supersets):
+    1/4/8-bit palette (BI_RGB + RLE4/RLE8), 16-bit (RGB555 default or
+    BI_BITFIELDS with contiguous masks), 24-bit BGR, 32-bit BGRX,
+    bottom-up and top-down rows, 4-byte row padding. OS/2 core
+    headers and embedded PNG/JPEG (BI_PNG/BI_JPEG) raise."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise UnsupportedImageError("not a BMP")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise UnsupportedImageError(f"BMP header size {hdr_size} (OS/2?)")
+    w, h_raw, planes, bpp, comp, _isz, _xr, _yr, ncol, _imp = struct.unpack(
+        "<iiHHIIiiII", data[18:54]
+    )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h == 0 or w * h > (1 << 26):
+        raise UnsupportedImageError(f"BMP geometry {w}x{h_raw}")
+    if planes != 1:
+        raise UnsupportedImageError(f"BMP planes {planes}")
+    if comp not in (0, 1, 2, 3):
+        raise UnsupportedImageError(f"BMP compression {comp} (PNG/JPEG?)")
+
+    # palette sits after the header (+ 12 mask bytes for old-style
+    # BI_BITFIELDS where hdr_size == 40)
+    pal_off = 14 + hdr_size + (12 if comp == 3 and hdr_size == 40 else 0)
+    if bpp in (1, 4, 8):
+        n = ncol or (1 << bpp)
+        raw = data[pal_off : pal_off + 4 * n]
+        if len(raw) != 4 * n:
+            raise UnsupportedImageError("BMP palette truncated")
+        bgra = np.frombuffer(raw, dtype=np.uint8).reshape(n, 4)
+        pal = bgra[:, [2, 1, 0]].copy()  # BGRX -> RGB
+
+    if comp in (1, 2):  # RLE8 / RLE4
+        if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+            raise UnsupportedImageError("BMP RLE bpp mismatch")
+        if top_down:
+            raise UnsupportedImageError("BMP RLE top-down")
+        idx = _bmp_rle(data[data_off:], w, h, comp == 2)
+        if idx.max(initial=0) >= len(pal):
+            raise UnsupportedImageError("BMP palette index out of range")
+        return pal[idx[::-1]]  # bottom-up
+
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * h
+    raw = data[data_off : data_off + need]
+    if len(raw) != need:
+        raise UnsupportedImageError("BMP pixel data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+
+    if bpp in (1, 4, 8):
+        if bpp == 8:
+            idx = rows[:, :w].astype(np.int64)
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            fields = bits[:, : w * bpp].reshape(h, w, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (fields * weights).sum(axis=2)
+        if idx.max(initial=0) >= len(pal):
+            raise UnsupportedImageError("BMP palette index out of range")
+        return pal[idx]
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        return px[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4)
+        if comp == 3:
+            # RGB masks live at byte 54 for both the old-style
+            # (40-byte header + 12 mask bytes) and V4/V5 layouts
+            masks = struct.unpack("<III", data[54:66])
+            v = np.frombuffer(px.tobytes(), dtype="<u4").reshape(h, w)
+            return _apply_masks(v, masks)
+        return px[:, :, [2, 1, 0]].copy()
+    if bpp == 16:
+        v = np.frombuffer(
+            rows[:, : w * 2].tobytes(), dtype="<u2"
+        ).reshape(h, w).astype(np.uint32)
+        masks = (
+            struct.unpack("<III", data[54:66])
+            if comp == 3
+            else (0x7C00, 0x03E0, 0x001F)  # RGB555 default
+        )
+        return _apply_masks(v, masks)
+    raise UnsupportedImageError(f"BMP {bpp} bpp unsupported")
+
+
+def _apply_masks(v: np.ndarray, masks: tuple[int, int, int]) -> np.ndarray:
+    out = np.empty(v.shape + (3,), dtype=np.uint8)
+    for i, mask in enumerate(masks):
+        shift, width = _mask_shift(mask)
+        field = (v >> shift) & ((1 << width) - 1)
+        if width >= 8:
+            out[..., i] = (field >> (width - 8)).astype(np.uint8)
+        else:
+            # scale to full range with bit replication (v*255/(2^w-1))
+            out[..., i] = (
+                field * 255 // ((1 << width) - 1)
+            ).astype(np.uint8)
+    return out
+
+
+def _bmp_rle(data: bytes, w: int, h: int, rle4: bool) -> np.ndarray:
+    """Decode BI_RLE8/BI_RLE4 into an (h, w) index array in FILE row
+    order (bottom-up; caller flips)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise UnsupportedImageError("BMP RLE truncated")
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:  # encoded run
+            if y >= h:
+                raise UnsupportedImageError("BMP RLE row overflow")
+            end = min(x + cnt, w)
+            if rle4:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                for i in range(end - x):
+                    out[y, x + i] = pair[i & 1]
+            else:
+                out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise UnsupportedImageError("BMP RLE truncated delta")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: val pixels, padded to 16-bit boundary
+            if y >= h:
+                raise UnsupportedImageError("BMP RLE row overflow")
+            if rle4:
+                nbytes = (val + 1) // 2
+                chunk = data[pos : pos + nbytes]
+                if len(chunk) != nbytes:
+                    raise UnsupportedImageError("BMP RLE truncated")
+                for i in range(min(val, w - x)):
+                    b = chunk[i // 2]
+                    out[y, x + i] = (b >> 4) & 0xF if i % 2 == 0 else b & 0xF
+                x = min(x + val, w)
+                pos += nbytes + (nbytes & 1)
+            else:
+                chunk = data[pos : pos + val]
+                if len(chunk) != val:
+                    raise UnsupportedImageError("BMP RLE truncated")
+                take = min(val, w - x)
+                out[y, x : x + take] = np.frombuffer(
+                    chunk[:take], dtype=np.uint8
+                )
+                x = min(x + val, w)
+                pos += val + (val & 1)

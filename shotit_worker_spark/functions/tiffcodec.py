@@ -1,0 +1,303 @@
+"""Baseline TIFF decoder, built from the public TIFF 6.0 spec — the
+document/scan-corpus image leg next to PNG/JPEG/GIF/WebP
+(functions/imagecodec dispatches here on the II*/MM* magic). The
+reference sniffs only png/jpg (searcher.js:151-155); TIFF is
+beyond-reference coverage for the multimodal corpus.
+
+Coverage (the shapes that dominate real scanned/document corpora):
+- both byte orders (II little / MM big), classic 42 magic;
+- strip-organized chunky (PlanarConfiguration=1) images;
+- compressions: 1 (none), 5 (LZW with the TIFF early-change rule),
+  8 / 32946 (zlib Deflate), 32773 (PackBits);
+- photometric 0/1 (bilevel+gray, white-is-zero inverted), 2 (RGB,
+  extra samples dropped), 3 (palette, 16-bit ColorMap >> 8);
+- bits per sample 1 (bilevel), 8, and 16 (big/little per header,
+  high byte kept, same policy as the PNG path);
+- horizontal-differencing predictor (2).
+
+Everything else (tiles, planar, JPEG-in-TIFF, CCITT fax, floats)
+raises ``UnsupportedImageError`` — correct-or-refuse; callers fall
+back to the stub kernel. Validated against javax.imageio rasters on
+committed goldens (tools/gen_tiff_goldens.py) plus independent
+forward-encoder round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .imagecodec import UnsupportedImageError
+
+__all__ = ["decode_tiff", "sniff_tiff"]
+
+
+def sniff_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+# tag ids (TIFF 6.0 §8)
+_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 320: "colormap", 322: "tile_width",
+    323: "tile_length", 338: "extra_samples", 339: "sample_format",
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+
+
+def _read_ifd(data: bytes, bo: str):
+    if len(data) < 8:
+        raise UnsupportedImageError("TIFF too short")
+    magic, off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        raise UnsupportedImageError(f"TIFF magic {magic} != 42 (BigTIFF?)")
+    if off + 2 > len(data):
+        raise UnsupportedImageError("TIFF IFD offset out of range")
+    (count,) = struct.unpack(bo + "H", data[off : off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(count):
+        e = off + 2 + 12 * i
+        if e + 12 > len(data):
+            raise UnsupportedImageError("TIFF IFD truncated")
+        tag, typ, n = struct.unpack(bo + "HHI", data[e : e + 8])
+        name = _TAGS.get(tag)
+        if name is None:
+            continue
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            raise UnsupportedImageError(f"TIFF bad field type {typ}")
+        total = size * n
+        if total <= 4:
+            raw = data[e + 8 : e + 8 + total]
+        else:
+            (voff,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+            raw = data[voff : voff + total]
+            if len(raw) != total:
+                raise UnsupportedImageError("TIFF value out of range")
+        if typ in (1, 6, 7):
+            vals = list(raw)
+        elif typ in (3, 8):
+            vals = list(np.frombuffer(raw, dtype=bo + "u2", count=n))
+        elif typ in (4, 9):
+            vals = list(np.frombuffer(raw, dtype=bo + "u4", count=n))
+        else:
+            raise UnsupportedImageError(
+                f"TIFF field type {typ} for tag {tag} unsupported"
+            )
+        tags[name] = [int(v) for v in vals]
+    return tags
+
+
+# -- LZW (TIFF 6.0 §13: MSB-first codes, early width change) ---------------
+
+
+def _lzw_decode(data: bytes, expect: int) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    width = 9
+    acc = bits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                raise UnsupportedImageError("TIFF LZW truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        bits -= width
+        code = (acc >> bits) & ((1 << width) - 1)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise UnsupportedImageError("TIFF LZW bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise UnsupportedImageError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        # TIFF early change: bump width one code EARLY (§13 note)
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) > expect:
+            raise UnsupportedImageError("TIFF LZW overrun")
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while len(out) < expect:
+        if pos >= n:
+            raise UnsupportedImageError("TIFF PackBits truncated")
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1
+            lit = data[pos : pos + h + 1]
+            if len(lit) != h + 1:
+                raise UnsupportedImageError("TIFF PackBits truncated")
+            out += lit
+            pos += h + 1
+        elif h > 128:  # replicate next byte 257-h times
+            if pos >= n:
+                raise UnsupportedImageError("TIFF PackBits truncated")
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        # h == 128: no-op
+    if len(out) != expect:
+        raise UnsupportedImageError("TIFF PackBits length mismatch")
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """-> (h, w, 3) uint8 RGB. Raises ``UnsupportedImageError`` on
+    anything outside the covered baseline (see module docstring)."""
+    if not sniff_tiff(data):
+        raise UnsupportedImageError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    t = _read_ifd(data, bo)
+    if "tile_width" in t or "tile_length" in t:
+        raise UnsupportedImageError("tiled TIFF unsupported")
+    for req in ("width", "height", "strip_offsets"):
+        if req not in t:
+            raise UnsupportedImageError(f"TIFF missing {req}")
+    w, h = t["width"][0], t["height"][0]
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise UnsupportedImageError(f"TIFF geometry {w}x{h} out of bounds")
+    spp = t.get("spp", [1])[0]
+    bits_l = t.get("bits", [1])
+    if len(set(bits_l)) != 1:
+        raise UnsupportedImageError("TIFF mixed bits-per-sample")
+    bits = bits_l[0]
+    comp = t.get("compression", [1])[0]
+    photo = t.get("photometric", [1])[0]
+    planar = t.get("planar", [1])[0]
+    predictor = t.get("predictor", [1])[0]
+    fmt = t.get("sample_format", [1])[0]
+    if planar != 1:
+        raise UnsupportedImageError(f"TIFF planar config {planar}")
+    if fmt != 1:
+        raise UnsupportedImageError(f"TIFF sample format {fmt}")
+    if bits not in (1, 8, 16):
+        raise UnsupportedImageError(f"TIFF {bits} bits/sample")
+    if bits == 1 and (spp != 1 or photo not in (0, 1)):
+        raise UnsupportedImageError("TIFF bilevel must be 1-channel gray")
+    if predictor not in (1, 2):
+        raise UnsupportedImageError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bits == 1:
+        raise UnsupportedImageError("TIFF predictor on bilevel")
+
+    rows_per = t.get("rows_per_strip", [h])[0] or h
+    offsets = t["strip_offsets"]
+    counts = t.get("strip_counts")
+    if counts is None or len(counts) != len(offsets):
+        raise UnsupportedImageError("TIFF strip counts missing/mismatched")
+    nstrips = (h + rows_per - 1) // rows_per
+    if len(offsets) != nstrips:
+        raise UnsupportedImageError("TIFF strip count != expected")
+
+    row_bytes = (w * spp * bits + 7) // 8
+    chunks = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        raw = data[o : o + c]
+        if len(raw) != c:
+            raise UnsupportedImageError("TIFF strip out of range")
+        rows = min(rows_per, h - si * rows_per)
+        expect = row_bytes * rows
+        if comp == 1:
+            dec = raw
+        elif comp == 5:
+            dec = _lzw_decode(raw, expect)
+        elif comp in (8, 32946):
+            try:
+                dec = zlib.decompress(raw)
+            except zlib.error as e:
+                raise UnsupportedImageError(f"TIFF deflate: {e}") from e
+        elif comp == 32773:
+            dec = _packbits_decode(raw, expect)
+        else:
+            raise UnsupportedImageError(f"TIFF compression {comp}")
+        if len(dec) < expect:
+            raise UnsupportedImageError("TIFF strip shorter than expected")
+        chunks.append(dec[:expect])
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+
+    if bits == 1:
+        rows = flat.reshape(h, row_bytes)
+        px = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8) * 255
+        if photo == 0:  # white-is-zero
+            px = 255 - px
+        return np.repeat(px[:, :, None], 3, axis=2)
+
+    if bits == 16:
+        arr = flat.reshape(h, w, spp, 2)
+        # byte order follows the file header
+        samples = arr[..., 0] if bo == ">" else arr[..., 1]
+        samples = samples.copy()
+        if predictor == 2:
+            # differencing applies to the full 16-bit values
+            full = np.frombuffer(
+                b"".join(chunks), dtype=bo + "u2"
+            ).reshape(h, w, spp).astype(np.uint16)
+            np.add.accumulate(full, axis=1, out=full)
+            samples = (full >> 8).astype(np.uint8)
+    else:
+        samples = flat.reshape(h, w, spp)
+        if predictor == 2:
+            samples = samples.copy()
+            np.add.accumulate(samples, axis=1, out=samples)
+
+    if photo == 3:  # palette
+        cm = t.get("colormap")
+        if not cm or spp != 1:
+            raise UnsupportedImageError("TIFF palette missing ColorMap")
+        ncol = len(cm) // 3
+        if len(cm) != 3 * ncol or ncol == 0:
+            raise UnsupportedImageError("TIFF ColorMap malformed")
+        # 16-bit ColorMap -> 8-bit as a fraction of full scale
+        # (floor(v*255/65535); matches javax.imageio, probed r7)
+        pal = (
+            np.array(cm, dtype=np.uint64).reshape(3, ncol).T * 255 // 65535
+        ).astype(np.uint8)
+        idx = samples[..., 0].astype(np.int64)
+        if idx.max(initial=0) >= ncol:
+            raise UnsupportedImageError("TIFF palette index out of range")
+        return pal[idx]
+    if photo == 2:  # RGB (+ ignored extra samples)
+        if spp < 3:
+            raise UnsupportedImageError("TIFF RGB with <3 samples")
+        return np.ascontiguousarray(samples[:, :, :3])
+    if photo in (0, 1):
+        if spp != 1:
+            raise UnsupportedImageError("TIFF gray with >1 sample")
+        g = samples[..., 0]
+        if photo == 0:
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    raise UnsupportedImageError(f"TIFF photometric {photo}")

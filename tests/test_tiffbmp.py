@@ -1,0 +1,207 @@
+"""TIFF + BMP decoders: JRE golden parity, independent-encoder
+round-trips for the combos outside the JRE-unambiguous set, LZW
+boundary hand checks, refusal paths, dispatch."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+)
+import gen_tiffbmp_goldens as TB  # noqa: E402
+
+from shotit_worker_spark.functions.imagecodec import (  # noqa: E402
+    UnsupportedImageError,
+    _decode_bmp,
+    decode_image,
+    sniff_format,
+)
+from shotit_worker_spark.functions.tiffcodec import (  # noqa: E402
+    _lzw_decode,
+    decode_tiff,
+    sniff_tiff,
+)
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens", "tiffbmp")
+
+
+# -- JRE golden parity ------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", sorted(TB.JRE_CASES))
+def test_golden_matches_jre(name):
+    ext = "tif" if name.startswith("tiff") else "bmp"
+    with open(os.path.join(GOLD, f"{name}.{ext}"), "rb") as f:
+        data = f.read()
+    z = np.load(os.path.join(GOLD, "java_rasters.npz"))
+    got = decode_tiff(data) if ext == "tif" else _decode_bmp(data)
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, z[name]), name
+
+
+# -- round-trips beyond the JRE set ----------------------------------------
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def test_tiff_white_is_zero():
+    g = _rng(1).integers(0, 256, (9, 14), dtype=np.uint8)
+    data = TB.encode_tiff(255 - g, 0)  # photometric 0: 0 means white
+    assert np.array_equal(
+        decode_tiff(data), np.repeat(g[:, :, None], 3, axis=2)
+    )
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiff_16bit_high_byte(comp, pred):
+    s = _rng(comp * 10 + pred).integers(
+        0, 65536, (11, 13, 3), dtype=np.uint16
+    )
+    data = TB.encode_tiff(
+        s, 2, bits=16, compression=comp, predictor=pred
+    )
+    assert np.array_equal(decode_tiff(data), (s >> 8).astype(np.uint8))
+
+
+def test_tiff_16bit_big_endian():
+    s = _rng(9).integers(0, 65536, (7, 9, 3), dtype=np.uint16)
+    data = TB.encode_tiff(s, 2, bits=16, big_endian=True)
+    assert np.array_equal(decode_tiff(data), (s >> 8).astype(np.uint8))
+
+
+def test_tiff_multi_strip_lzw_predictor():
+    """Each strip is an independent LZW stream; the predictor is
+    per-row, so strip boundaries must not leak state."""
+    img = TB._scene("multistrip", 23, 17)
+    data = TB.encode_tiff(
+        img, 2, compression=5, predictor=2, rows_per_strip=3
+    )
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_gray_deflate_strips():
+    g = _rng(3).integers(0, 256, (15, 22), dtype=np.uint8)
+    data = TB.encode_tiff(g, 1, compression=8, rows_per_strip=4)
+    assert np.array_equal(
+        decode_tiff(data), np.repeat(g[:, :, None], 3, axis=2)
+    )
+
+
+def test_lzw_boundary_and_restart():
+    """Cross the 9->10->11->12-bit boundaries AND a table reset: the
+    early-change accounting (decoder widens at table size 2^w - 1)
+    only shows up past 254 distinct-prefix codes."""
+    rng = _rng(4)
+    data = bytes(rng.integers(0, 256, 60000, dtype=np.uint8).tolist())
+    enc = TB.lzw_encode(data)
+    assert _lzw_decode(enc, len(data)) == data
+    rep = (b"the quick brown fox " * 3000)[:50000]
+    assert _lzw_decode(TB.lzw_encode(rep), len(rep)) == rep
+
+
+def test_bmp_16bit_rgb555_and_custom_masks():
+    img = _rng(5).integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    for masks in [(0x7C00, 0x03E0, 0x001F), (0xF800, 0x07E0, 0x001F)]:
+        data = TB.encode_bmp(img, 16, masks=masks)
+        got = _decode_bmp(data)
+        # encoder quantizes to the mask width; decoder scales back —
+        # equal after the same quantize+rescale transform
+        exp = np.empty_like(img)
+        for i, m in enumerate(masks):
+            shift = (m & -m).bit_length() - 1
+            width = (m >> shift).bit_length()
+            q = img[:, :, i] >> (8 - width)
+            exp[:, :, i] = q.astype(np.uint32) * 255 // ((1 << width) - 1)
+        assert np.array_equal(got, exp), masks
+
+
+def test_bmp_rle4():
+    pal = _rng(6).integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = np.repeat(
+        _rng(7).integers(0, 16, (11, 10), dtype=np.uint8), 2, axis=1
+    )[:, :19]
+    data = TB.encode_bmp(idx, 4, palette=pal, rle=True)
+    assert np.array_equal(_decode_bmp(data), pal[idx])
+
+
+def test_bmp_pal8_topdown():
+    pal = _rng(8).integers(0, 256, (100, 3), dtype=np.uint8)
+    idx = _rng(9).integers(0, 100, (7, 9), dtype=np.uint8)
+    data = TB.encode_bmp(idx, 8, palette=pal, top_down=True)
+    assert np.array_equal(_decode_bmp(data), pal[idx])
+
+
+# -- refusals ---------------------------------------------------------------
+
+
+def test_tiff_refusals():
+    img = TB._scene("refuse", 8, 8)
+    good = TB.encode_tiff(img, 2)
+    assert sniff_tiff(good)
+    with pytest.raises(UnsupportedImageError, match="not a TIFF"):
+        decode_tiff(b"XX" + good[2:])
+    # BigTIFF magic (43) is outside the classic sniff
+    with pytest.raises(UnsupportedImageError, match="not a TIFF"):
+        decode_tiff(b"II+\x00" + good[4:])
+    # truncated strip data
+    with pytest.raises(UnsupportedImageError):
+        decode_tiff(good[: len(good) - 20])
+    # corrupt LZW stream refuses
+    lzw = bytearray(TB.encode_tiff(img, 2, compression=5))
+    lzw[-10] ^= 0xFF
+    try:
+        out = decode_tiff(bytes(lzw))
+        assert out.shape == (8, 8, 3)  # may still decode structurally
+    except UnsupportedImageError:
+        pass
+    # truncation fuzz never crashes
+    for cut in range(8, len(good), 11):
+        try:
+            decode_tiff(good[:cut])
+        except UnsupportedImageError:
+            pass
+
+
+def test_bmp_refusals():
+    img = TB._scene("refuse2", 8, 8)
+    good = TB.encode_bmp(img, 24)
+    with pytest.raises(UnsupportedImageError):
+        _decode_bmp(good[:30])
+    # OS/2 core header (size 12) refuses
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 14, 12)
+    with pytest.raises(UnsupportedImageError, match="OS/2"):
+        _decode_bmp(bytes(bad))
+    # BI_JPEG refuses
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 4)
+    with pytest.raises(UnsupportedImageError, match="compression"):
+        _decode_bmp(bytes(bad))
+    for cut in range(2, len(good), 7):
+        try:
+            _decode_bmp(good[:cut])
+        except UnsupportedImageError:
+            pass
+
+
+# -- dispatch ---------------------------------------------------------------
+
+
+def test_decode_image_dispatch():
+    img = TB._scene("dispatch", 12, 16)
+    tif = TB.encode_tiff(img, 2, compression=5, predictor=2)
+    bmp = TB.encode_bmp(img, 24)
+    assert sniff_format(tif) == "tiff"
+    assert sniff_format(bmp) == "bmp"
+    assert np.array_equal(decode_image(tif), img)
+    assert np.array_equal(decode_image(bmp), img)

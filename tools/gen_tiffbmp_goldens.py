@@ -1,0 +1,555 @@
+"""TIFF + BMP fixtures and JRE parity goldens.
+
+Independent FORWARD encoders for both formats (forward LZW with the
+TIFF early-change rule, forward PackBits, forward horizontal
+differencing, BMP RLE8/RLE4 run packing) — the decoders in
+functions/tiffcodec and functions/imagecodec invert them with no
+shared code. ``main()`` writes tests/goldens/tiffbmp/* plus
+java_rasters.npz (javax.imageio's decode of the same files, the
+independent third implementation) and REFUSES to commit anything
+where the JRE disagrees with the fixture source.
+
+Usage: python tools/gen_tiffbmp_goldens.py   (needs javac/java)
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+import zlib
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "tests", "goldens", "tiffbmp")
+
+
+# ---------------------------------------------------------------------------
+# TIFF forward encoder
+# ---------------------------------------------------------------------------
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, Clear=256, EOI=257, width
+    bumps one code EARLY (when the next emitted code could be the
+    first of the wider range), table reset at 4094."""
+    CLEAR, EOI = 256, 257
+    out_bits: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    out_bits.append((CLEAR, width))
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        out_bits.append((table[cur], width))
+        table[cand] = nxt
+        nxt += 1
+        # the decoder (ours AND the JRE's) widens after ITS table hits
+        # 2^width - 1; its size lags nxt by one (no entry for the
+        # first code after Clear), hence the early change lands here
+        # at nxt == 2^width
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4094:
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        out_bits.append((table[cur], width))
+    out_bits.append((EOI, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, wdt in out_bits:
+        acc = (acc << wdt) | code
+        bits += wdt
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # replicate run of length j-i+1
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until next 3-byte replicate or 128 cap
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    samples: np.ndarray, photometric: int, bits: int = 8,
+    compression: int = 1, predictor: int = 1, colormap=None,
+    rows_per_strip: int | None = None, big_endian: bool = False,
+    extra_alpha: bool = False,
+) -> bytes:
+    """samples: (h, w) for gray/palette/bilevel, (h, w, 3[+1]) for RGB
+    at the stored bit depth (uint16 for bits=16)."""
+    bo = ">" if big_endian else "<"
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, spp = samples.shape
+    rps = rows_per_strip or h
+
+    def row_bytes(rows: np.ndarray) -> bytes:
+        if bits == 1:
+            padded = np.zeros(
+                (rows.shape[0], ((w + 7) // 8) * 8), dtype=np.uint8
+            )
+            padded[:, :w] = rows[:, :, 0]
+            return np.packbits(padded, axis=1).tobytes()
+        if bits == 16:
+            v = rows.astype(bo + "u2")
+            if predictor == 2:
+                v = np.concatenate(
+                    [v[:, :1], (rows[:, 1:].astype(np.int64)
+                                - rows[:, :-1].astype(np.int64))
+                     .astype(bo + "u2")], axis=1)
+            return v.tobytes()
+        v = rows.astype(np.uint8)
+        if predictor == 2:
+            v = np.concatenate(
+                [v[:, :1], (rows[:, 1:].astype(np.int16)
+                            - rows[:, :-1].astype(np.int16))
+                 .astype(np.uint8)], axis=1)
+        return v.tobytes()
+
+    strips = []
+    for s0 in range(0, h, rps):
+        raw = row_bytes(samples[s0 : s0 + rps])
+        if compression == 5:
+            strips.append(lzw_encode(raw))
+        elif compression == 8:
+            strips.append(zlib.compress(raw))
+        elif compression == 32773:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    # layout: header(8) | IFD | values | strips
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), list(vals)))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), list(vals)))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([bits] * spp))
+    short(259, compression)
+    short(262, photometric)
+    long_(273, *([0] * len(strips)))  # patched below
+    short(277, spp)
+    short(278, rps)
+    long_(279, *[len(s) for s in strips])
+    if predictor != 1:
+        short(317, predictor)
+    if colormap is not None:
+        short(320, *[int(v) for v in colormap])
+    if extra_alpha:
+        short(338, 2)  # unassociated alpha
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    n_ent = len(entries)
+    values_off = ifd_off + 2 + 12 * n_ent + 4
+    val_blob = bytearray()
+    enc_entries = []
+    for tag, typ, cnt, vals in entries:
+        size = {3: 2, 4: 4}[typ] * cnt
+        packed = b"".join(
+            struct.pack(bo + ("H" if typ == 3 else "I"), v) for v in vals
+        )
+        if size <= 4:
+            enc_entries.append((tag, typ, cnt, packed.ljust(4, b"\x00")))
+        else:
+            enc_entries.append(
+                (tag, typ, cnt,
+                 struct.pack(bo + "I", values_off + len(val_blob)))
+            )
+            val_blob += packed
+    strip_start = values_off + len(val_blob)
+    offs = []
+    pos = strip_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    # patch strip offsets (tag 273)
+    for i, (tag, typ, cnt, payload) in enumerate(enc_entries):
+        if tag == 273:
+            packed = b"".join(struct.pack(bo + "I", o) for o in offs)
+            if len(packed) <= 4:
+                enc_entries[i] = (tag, typ, cnt, packed.ljust(4, b"\x00"))
+            else:
+                # offsets value block was reserved in val_blob pass:
+                # recompute — simplest is to append now and fix pointer
+                enc_entries[i] = (
+                    tag, typ, cnt,
+                    struct.pack(bo + "I", strip_start + sum(
+                        len(s) for s in strips)),
+                )
+                val_blob_extra = packed
+                break
+    else:
+        val_blob_extra = b""
+    if len(offs) > 1 and not val_blob_extra:
+        raise AssertionError("multi-strip offsets must spill")
+
+    out = bytearray()
+    out += (b"II*\x00" if bo == "<" else b"MM\x00*")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_ent)
+    for tag, typ, cnt, payload in enc_entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + payload
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += val_blob
+    for s in strips:
+        out += s
+    out += val_blob_extra
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP forward encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(
+    rgb_or_idx: np.ndarray, bpp: int = 24, palette=None,
+    top_down: bool = False, rle: bool = False,
+    masks: tuple[int, int, int] | None = None,
+) -> bytes:
+    """bpp 24/32: rgb (h, w, 3). bpp 1/4/8: index array (h, w) +
+    palette (n, 3). bpp 16: rgb (h, w, 3) quantized through `masks`
+    (default RGB555)."""
+    a = rgb_or_idx
+    h, w = a.shape[:2]
+    hdr_comp = 0
+    pal_blob = b""
+    extra = b""
+    if bpp in (1, 4, 8):
+        n = len(palette)
+        pal_blob = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette.astype(int)
+        )
+        if rle:
+            hdr_comp = 1 if bpp == 8 else 2
+            body = _rle_encode(a, bpp == 4)
+        else:
+            rows = []
+            for y in range(h):
+                rr = a[h - 1 - y] if not top_down else a[y]
+                if bpp == 8:
+                    rb = bytes(rr.astype(np.uint8))
+                else:
+                    padded_w = ((w * bpp + 7) // 8) * 8 // bpp
+                    vals = np.zeros(padded_w, dtype=np.uint8)
+                    vals[:w] = rr
+                    fields = np.zeros((padded_w, bpp), dtype=np.uint8)
+                    for b_ in range(bpp):
+                        fields[:, b_] = (vals >> (bpp - 1 - b_)) & 1
+                    rb = np.packbits(fields.reshape(-1)).tobytes()
+                rows.append(rb.ljust(((w * bpp + 31) // 32) * 4, b"\x00"))
+            body = b"".join(rows)
+    elif bpp == 16:
+        masks = masks or (0x7C00, 0x03E0, 0x001F)
+        hdr_comp = 3
+        extra = b"".join(struct.pack("<I", m) for m in masks)
+        vals = np.zeros((h, w), dtype=np.uint16)
+        for i, m in enumerate(masks):
+            shift = (m & -m).bit_length() - 1
+            width = (m >> shift).bit_length()
+            vals |= (
+                (a[:, :, i].astype(np.uint16) >> (8 - width)) << shift
+            )
+        rows = []
+        for y in range(h):
+            rr = vals[h - 1 - y] if not top_down else vals[y]
+            rows.append(
+                rr.astype("<u2").tobytes().ljust(((w * 2 + 3) // 4) * 4,
+                                                 b"\x00"))
+        body = b"".join(rows)
+    else:  # 24 / 32
+        rows = []
+        for y in range(h):
+            rr = a[h - 1 - y] if not top_down else a[y]
+            if bpp == 24:
+                rb = rr[:, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+            else:
+                rb = np.concatenate(
+                    [rr[:, ::-1], np.zeros((w, 1), np.uint8)], axis=1
+                ).astype(np.uint8).tobytes()
+            rows.append(rb.ljust(((w * bpp // 8 + 3) // 4) * 4, b"\x00"))
+        body = b"".join(rows)
+
+    data_off = 14 + 40 + len(extra) + len(pal_blob)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, hdr_comp,
+        len(body), 2835, 2835, len(palette) if palette is not None else 0,
+        0,
+    )
+    filehdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0,
+                          data_off)
+    return filehdr + info + extra + pal_blob + body
+
+
+def _rle_encode(idx: np.ndarray, rle4: bool) -> bytes:
+    """Simple runs-only RLE8/RLE4 (encoded runs + EOL + EOB)."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        x = 0
+        row = idx[y]
+        while x < w:
+            run = 1
+            if rle4:
+                # pairs repeat: find how long the 2-periodic pattern runs
+                while (
+                    x + run < w
+                    and run < 253
+                    and row[x + run] == row[x + (run % 2)]
+                ):
+                    run += 1
+                val = (int(row[x]) << 4) | int(
+                    row[x + 1] if x + 1 < w and run > 1 else row[x]
+                )
+            else:
+                while (
+                    x + run < w and run < 255 and row[x + run] == row[x]
+                ):
+                    run += 1
+                val = int(row[x])
+            out += bytes([run, val])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# cases + JRE harness
+# ---------------------------------------------------------------------------
+
+
+def _rng(name):
+    return np.random.default_rng(sum(name.encode()))
+
+
+def _scene(name, h, w):
+    r = _rng(name)
+    base = (np.arange(w)[None, :] * 5 + np.arange(h)[:, None] * 3) % 256
+    blk = r.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+    return (
+        (base[:, :, None] + blk.repeat(8, 0).repeat(8, 1)[:h, :w]) % 256
+    ).astype(np.uint8)
+
+
+def build_case(name):
+    """-> (file_bytes, expected_rgb)"""
+    r = _rng(name)
+    if name.startswith("tiff_"):
+        kind = name[5:]
+        img = _scene(name, 21, 33)
+        if kind == "rgb_lzw":
+            return encode_tiff(img, 2, compression=5), img
+        if kind == "rgb_lzw_pred":
+            return encode_tiff(img, 2, compression=5, predictor=2), img
+        if kind == "rgb_deflate_strips":
+            return (
+                encode_tiff(img, 2, compression=8, rows_per_strip=5), img
+            )
+        if kind == "rgb_packbits_be":
+            return (
+                encode_tiff(img, 2, compression=32773, big_endian=True),
+                img,
+            )
+        if kind == "gray_packbits":
+            g = img[:, :, 0]
+            return (
+                encode_tiff(g, 1, compression=32773),
+                np.repeat(g[:, :, None], 3, axis=2),
+            )
+        if kind == "gray_inverted":
+            g = img[:, :, 1]
+            return (
+                encode_tiff(255 - g, 0, compression=1),
+                np.repeat(g[:, :, None], 3, axis=2),
+            )
+        if kind == "palette_lzw":
+            pal16 = r.integers(0, 65536, (3, 256), dtype=np.uint16)
+            idx = r.integers(0, 256, (19, 27), dtype=np.uint8)
+            expected = (
+                pal16.astype(np.uint64) * 255 // 65535
+            ).astype(np.uint8).T[idx]
+            return (
+                encode_tiff(idx, 3, compression=5,
+                            colormap=pal16.reshape(-1)),
+                expected,
+            )
+        if kind == "bilevel":
+            bits = r.integers(0, 2, (17, 29), dtype=np.uint8)
+            return (
+                encode_tiff(bits, 1, bits=1),
+                np.repeat((bits * 255)[:, :, None], 3, axis=2),
+            )
+        if kind == "rgba_extra":
+            rgba = np.concatenate(
+                [img, r.integers(0, 256, (21, 33, 1), dtype=np.uint8)],
+                axis=2,
+            )
+            return encode_tiff(rgba, 2, extra_alpha=True), img
+    if name.startswith("bmp_"):
+        kind = name[4:]
+        img = _scene(name, 18, 31)
+        if kind == "24":
+            return encode_bmp(img, 24), img
+        if kind == "24_topdown":
+            return encode_bmp(img, 24, top_down=True), img
+        if kind == "32":
+            return encode_bmp(img, 32), img
+        if kind == "pal8":
+            pal = r.integers(0, 256, (200, 3), dtype=np.uint8)
+            idx = r.integers(0, 200, (18, 31), dtype=np.uint8)
+            return encode_bmp(idx, 8, palette=pal), pal[idx]
+        if kind == "pal4":
+            pal = r.integers(0, 256, (16, 3), dtype=np.uint8)
+            idx = r.integers(0, 16, (18, 31), dtype=np.uint8)
+            return encode_bmp(idx, 4, palette=pal), pal[idx]
+        if kind == "pal1":
+            pal = np.array([[250, 10, 30], [20, 200, 100]], np.uint8)
+            idx = r.integers(0, 2, (18, 31), dtype=np.uint8)
+            return encode_bmp(idx, 1, palette=pal), pal[idx]
+        if kind == "rle8":
+            pal = r.integers(0, 256, (64, 3), dtype=np.uint8)
+            idx = np.repeat(
+                r.integers(0, 64, (18, 8), dtype=np.uint8), 4, axis=1
+            )[:, :31]
+            return encode_bmp(idx, 8, palette=pal, rle=True), pal[idx]
+    raise ValueError(name)
+
+
+# name -> JRE dump mode. "rgb" uses getRGB (exact for sRGB-direct and
+# IndexColorModel images); "gray" dumps raw raster samples (getRGB
+# would run gray->sRGB color management); "bilevel" = raw 0/1 samples
+# scaled by 255 on the python side. tiff_gray_inverted (WhiteIsZero)
+# is NOT in the JRE set: readers legitimately differ on whether the
+# inversion lives in the raster or the color model — the spec-stated
+# semantics (0 = white) are pinned in tests/test_tiffbmp.py instead.
+JRE_CASES = {
+    "tiff_rgb_lzw": "rgb", "tiff_rgb_lzw_pred": "rgb",
+    "tiff_rgb_deflate_strips": "rgb", "tiff_rgb_packbits_be": "rgb",
+    "tiff_gray_packbits": "gray", "tiff_palette_lzw": "rgb",
+    "tiff_bilevel": "bilevel", "tiff_rgba_extra": "rgb",
+    "bmp_24": "rgb", "bmp_24_topdown": "rgb", "bmp_32": "rgb",
+    "bmp_pal8": "rgb", "bmp_pal4": "rgb", "bmp_pal1": "rgb",
+    "bmp_rle8": "rgb",
+}
+
+HARNESS = r"""
+import javax.imageio.*;
+import java.awt.image.*;
+import java.io.*;
+
+public class TiffBmpGold {
+  public static void main(String[] args) throws Exception {
+    // args: inFile outRaw mode(rgb|gray|bilevel)
+    BufferedImage dec = ImageIO.read(new File(args[0]));
+    boolean raw = !args[2].equals("rgb");
+    DataOutputStream out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(args[1])));
+    int W = dec.getWidth(), H = dec.getHeight();
+    out.writeInt(H); out.writeInt(W); out.writeInt(raw ? 1 : 3);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++) {
+        if (raw) {
+          out.writeByte(dec.getRaster().getSample(x, y, 0));
+        } else {
+          int rgb = dec.getRGB(x, y);
+          out.writeByte((rgb >> 16) & 255);
+          out.writeByte((rgb >> 8) & 255);
+          out.writeByte(rgb & 255);
+        }
+      }
+    out.close();
+  }
+}
+"""
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "TiffBmpGold.java")
+        with open(src, "w") as f:
+            f.write(HARNESS)
+        subprocess.run(["javac", "-d", td, src], check=True)
+        rasters = {}
+        for name, mode in JRE_CASES.items():
+            blob, expected = build_case(name)
+            ext = "tif" if name.startswith("tiff") else "bmp"
+            path = os.path.join(OUT_DIR, f"{name}.{ext}")
+            with open(path, "wb") as f:
+                f.write(blob)
+            raw = os.path.join(td, "out.raw")
+            subprocess.run(
+                ["java", "-cp", td, "TiffBmpGold", path, raw, mode],
+                check=True,
+            )
+            with open(raw, "rb") as f:
+                h, w, c = struct.unpack(">III", f.read(12))
+                arr = np.frombuffer(f.read(), dtype=np.uint8).reshape(
+                    h, w, c
+                )
+            if c == 1:
+                if mode == "bilevel":
+                    arr = arr * 255
+                arr = np.repeat(arr, 3, axis=2)
+            if not np.array_equal(arr, expected):
+                d = int(np.abs(arr.astype(int) - expected).max())
+                raise SystemExit(
+                    f"{name}: JRE disagrees with fixture source "
+                    f"(max abs diff {d}) — encoder bug, not committing"
+                )
+            rasters[name] = arr
+            print(f"{name}: {h}x{w} OK (JRE == source)")
+        np.savez_compressed(
+            os.path.join(OUT_DIR, "java_rasters.npz"), **rasters
+        )
+    print(f"wrote {len(rasters)} goldens to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
