@@ -103,6 +103,15 @@ class LSBReader:
         self.pos = p + 1
         return (self.d[p >> 3] >> (p & 7)) & 1
 
+    def peek(self, k: int) -> int:
+        """k bits ahead WITHOUT consuming; zero-padded past the end
+        (consumers must still bounds-check before advancing pos)."""
+        p = self.pos
+        b0 = p >> 3
+        nbytes = (k + (p & 7) + 7) >> 3
+        chunk = int.from_bytes(self.d[b0 : b0 + nbytes], "little")
+        return (chunk >> (p & 7)) & ((1 << k) - 1)
+
 
 # ---------------------------------------------------------------------------
 # Canonical Huffman (code lengths -> decoder), complete-code enforced
@@ -116,7 +125,7 @@ class _Huff:
     exactly 1) unless it is the degenerate single-symbol code, which
     consumes zero bits."""
 
-    __slots__ = ("map", "single", "maxlen")
+    __slots__ = ("map", "single", "maxlen", "lut", "lbits")
 
     def __init__(self, lengths):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -150,10 +159,33 @@ class _Huff:
             next_code[ln] += 1
         self.map = m
         self.maxlen = maxlen
+        # single-peek fast path: LUT over the next `lbits` STREAM-order
+        # bits (the first-read bit is the code's MSB, so the LUT index
+        # holds the code bit-reversed); codes longer than lbits fall
+        # back to the exact bit walk
+        k = min(maxlen, 8)
+        self.lbits = k
+        lut: list = [None] * (1 << k)
+        for (ln, code), sym in m.items():
+            if ln > k:
+                continue
+            idx = 0
+            for i in range(ln):
+                idx |= ((code >> (ln - 1 - i)) & 1) << i
+            for free in range(1 << (k - ln)):
+                lut[idx | (free << ln)] = (sym, ln)
+        self.lut = lut
 
     def read(self, r: LSBReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[r.peek(self.lbits)]
+        if e is not None:
+            sym, ln = e
+            if r.pos + ln > r.nbits:
+                raise WebPError("bitstream overrun")
+            r.pos += ln
+            return sym
         code = 0
         for ln in range(1, self.maxlen + 1):
             code = (code << 1) | r.bit()

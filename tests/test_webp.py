@@ -162,20 +162,17 @@ def test_canonical_huffman_hand_case():
     h = webp._Huff([2, 1, 3, 3])
     assert h.map == {(1, 0): 1, (2, 2): 0, (3, 6): 2, (3, 7): 3}
 
-    class _Bits:
-        def __init__(self, s):
-            self.s = [int(c) for c in s]
-            self.i = 0
+    def _reader(s):
+        # pack the MSB-first code bits in stream order (LSB-first)
+        v = 0
+        for i, c in enumerate(s):
+            v |= int(c) << i
+        return webp.LSBReader(bytes([v]))
 
-        def bit(self):
-            v = self.s[self.i]
-            self.i += 1
-            return v
-
-    assert h.read(_Bits("0")) == 1
-    assert h.read(_Bits("10")) == 0
-    assert h.read(_Bits("110")) == 2
-    assert h.read(_Bits("111")) == 3
+    assert h.read(_reader("0")) == 1
+    assert h.read(_reader("10")) == 0
+    assert h.read(_reader("110")) == 2
+    assert h.read(_reader("111")) == 3
 
 
 def test_huffman_completeness_enforced():
