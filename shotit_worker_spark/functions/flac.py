@@ -46,25 +46,50 @@ def sniff_flac(data: bytes) -> bool:
 # -- CRCs (polynomials stated in the spec; check values pinned in tests) ----
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    tab = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+            crc = (
+                ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80
+                else (crc << 1) & 0xFF
+            )
+        tab.append(crc)
+    return tab
 
 
-def _crc16(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _make_crc16_table() -> list[int]:
+    tab = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        tab.append(crc)
+    return tab
+
+
+_CRC8_TAB = _make_crc8_table()
+_CRC16_TAB = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    tab = _CRC8_TAB
+    for b in data:
+        crc = tab[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    tab = _CRC16_TAB
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -99,14 +124,34 @@ class _Bits:
         v = self.u(nbits)
         return v - (1 << nbits) if v >> (nbits - 1) else v
 
+    def peek(self, nbits: int) -> int:
+        """nbits MSB-first WITHOUT consuming (caller bounds-checks)."""
+        pos, out = self.pos, 0
+        data = self.data
+        left = nbits
+        while left:
+            byte_i, bit_i = divmod(pos, 8)
+            take = min(8 - bit_i, left)
+            chunk = (data[byte_i] >> (8 - bit_i - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            pos += take
+            left -= take
+        return out
+
     def unary(self) -> int:
         q = 0
         while True:
-            if self.pos >= self.n:
+            k = min(32, self.n - self.pos)
+            if k <= 0:
                 raise FlacError("truncated unary code")
-            if self.u(1):
-                return q
-            q += 1
+            chunk = self.peek(k)
+            if chunk == 0:
+                q += k
+                self.pos += k
+                continue
+            lead = k - chunk.bit_length()
+            self.pos += lead + 1
+            return q + lead
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -178,27 +223,107 @@ def _residual(br: _Bits, blocksize: int, pred_order: int) -> np.ndarray:
                 out[idx] = br.s(raw_bits) if raw_bits else 0
                 idx += 1
         else:
-            for _ in range(count):
-                q = br.unary()
-                low = br.u(param) if param else 0
-                u = (q << param) | low
-                out[idx] = (u >> 1) ^ -(u & 1)  # un-zigzag
-                idx += 1
+            _rice_block(br, count, param, out, idx)
+            idx += count
     return out
+
+
+def _rice_block(
+    br: _Bits, count: int, param: int, out: np.ndarray, idx: int
+) -> None:
+    """Hot path: decode `count` Rice(param) values with an inlined
+    local-variable bit buffer (one method call per partition instead
+    of two per sample)."""
+    data = br.data
+    pos = br.pos
+    end = br.n
+    # acc holds the next `bits` unread bits, MSB-first (next bit is
+    # bit (bits-1) of acc)
+    acc = bits = 0
+    bytepos, skew = divmod(pos, 8)
+    nbytes = (end + 7) >> 3
+    if skew:
+        acc = data[bytepos] & ((1 << (8 - skew)) - 1)
+        bits = 8 - skew
+        bytepos += 1
+    mask_p = (1 << param) - 1
+    for k in range(count):
+        # unary quotient
+        q = 0
+        while acc == 0:
+            q += bits
+            if bytepos >= nbytes:
+                br.pos = end
+                raise FlacError("truncated unary code")
+            acc = data[bytepos]
+            bytepos += 1
+            bits = 8
+        lead = bits - acc.bit_length()
+        q += lead
+        bits -= lead + 1
+        acc &= (1 << bits) - 1
+        # param low bits
+        while bits < param:
+            if bytepos >= nbytes:
+                br.pos = end
+                raise FlacError("truncated stream")
+            acc = (acc << 8) | data[bytepos]
+            bytepos += 1
+            bits += 8
+        if param:
+            bits -= param
+            low = (acc >> bits) & mask_p
+            acc &= (1 << bits) - 1
+            u = (q << param) | low
+        else:
+            u = q
+        out[idx + k] = (u >> 1) ^ -(u & 1)  # un-zigzag
+    new_pos = bytepos * 8 - bits
+    if new_pos > end:
+        raise FlacError("truncated stream")
+    br.pos = new_pos
 
 
 def _lpc_restore(
     warmup: np.ndarray, coefs: list[int], shift: int,
     residual: np.ndarray, blocksize: int,
 ) -> np.ndarray:
+    """Sequential by nature (the truncating shift feeds back); plain
+    python ints beat per-sample np.dot by ~5x at typical orders."""
     order = len(warmup)
-    out = np.empty(blocksize, dtype=np.int64)
-    out[:order] = warmup
-    c = np.array(coefs[::-1], dtype=np.int64)  # oldest-first
-    for i in range(order, blocksize):
-        pred = int(np.dot(c, out[i - order : i])) >> shift
-        out[i] = pred + residual[i - order]
-    return out
+    out = [int(v) for v in warmup]
+    res = [int(v) for v in residual]
+    c = [int(v) for v in coefs]  # c[0] multiplies lag 1
+    for i in range(blocksize - order):
+        base = order + i - 1
+        acc = 0
+        for j, cj in enumerate(c):
+            acc += cj * out[base - j]
+        out.append((acc >> shift) + res[i])
+    return np.array(out, dtype=np.int64)
+
+
+def _fixed_restore(
+    warmup: np.ndarray, order: int, residual: np.ndarray,
+    blocksize: int,
+) -> np.ndarray:
+    """FIXED subframes are k-fold difference codes, so reconstruction
+    is k iterated prefix sums — fully vectorized (no shift feedback,
+    unlike LPC)."""
+    if order == 0:
+        return residual.astype(np.int64)
+    diffs = [warmup.astype(np.int64)]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    cur = residual.astype(np.int64)  # this is d_order
+    for j in range(order - 1, -1, -1):
+        head = diffs[j]  # the first (order - j) values of d_j
+        k = order - j
+        nxt = np.empty(k + len(cur) - (k - 1), dtype=np.int64)
+        nxt[:k] = head
+        nxt[k:] = head[-1] + np.cumsum(cur[k - 1 :])
+        cur = nxt
+    return cur
 
 
 def _subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
@@ -225,9 +350,7 @@ def _subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
             (br.s(bps) for _ in range(order)), np.int64, order
         )
         res = _residual(br, blocksize, order)
-        out = _lpc_restore(
-            warmup, list(_FIXED_COEF[order]), 0, res, blocksize
-        )
+        out = _fixed_restore(warmup, order, res, blocksize)
     elif typ >= 32:  # LPC, order = (typ & 31) + 1
         order = (typ & 0x1F) + 1
         if order > blocksize:
