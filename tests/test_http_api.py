@@ -139,3 +139,62 @@ def test_search_accepts_jpeg_body(spark, tmp_root):
     finally:
         srv.stop()
         searcher.close()
+
+
+def test_search_accepts_webp_tiff_bmp_bodies(spark, tmp_root):
+    """r7: the same scene stored losslessly in ANY of the still
+    formats decodes to identical pixels, so a WebP / TIFF / BMP query
+    body self-retrieves the PPM-ingested copy at score 1.0 (the
+    reference API accepts only jpeg/png, searcher.js:133-141 — this is
+    the widened in-engine surface)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import gen_tiffbmp_goldens as TB
+    import gen_webp_fixture as WENC
+
+    from shotit_worker_spark.functions.imagecodec import encode_ppm
+
+    scenes = [TB._scene(f"s{i}", 32, 48) for i in range(6)]
+    frames = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(s))) for i, s in enumerate(scenes)],
+        "img_id long, image binary",
+    )
+    corpus = M.embed_images(frames).select(
+        "img_id",
+        V.l2_normalize(
+            V.pad_vector(V.hex_tokens_to_floats("ha"), 100)
+        ).alias("vector"),
+    )
+    index = ivf.build_ivf(corpus, str(tmp_root / "multi_ivf"), nlist=2)
+    searcher = serve.ResidentSearcher(
+        spark, index, id_col="img_id", tie_col=None
+    )
+    srv = http_api.SearchHTTPServer(searcher, k=3, nprobe=2)
+    srv.start()
+    try:
+        bodies = {
+            "webp": WENC.encode_vp8l(scenes[3], subtract_green=True,
+                                     lz77=True),
+            "tiff": TB.encode_tiff(scenes[3], 2, compression=5,
+                                   predictor=2),
+            "bmp": TB.encode_bmp(scenes[3], 24),
+        }
+        for kind, blob in bodies.items():
+            req = urllib.request.Request(
+                _url(srv, "/search"), data=bytes(blob), method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 200, kind
+                body = json.load(r)
+            doc = body["response"]["docs"][0]
+            assert doc["img_id"] == 3, kind
+            assert doc["score"] == pytest.approx(1.0, abs=1e-9), kind
+    finally:
+        srv.stop()
+        searcher.close()
