@@ -1,0 +1,117 @@
+"""Round-7 stress: the media codecs THROUGH Spark (not single-core).
+
+Generates a few thousand mixed-format images (PNG/WebP/TIFF/BMP/PPM)
+and a few hundred FLAC clips with the independent fixture encoders,
+then drives the REAL pipeline operators — embed_images (G2 descriptor
+kernel on decoded pixels) and audio_features — on local[32], printing
+rows/s. Substantiates the SCALE_NOTES claim that per-row decode
+inside Arrow UDFs scales with cores (no shuffle, no driver state).
+
+Usage: python tools/scale_stress_r7.py [n_images] [n_clips]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import gen_flac_fixture as FENC  # noqa: E402
+import gen_png_goldens as PENC  # noqa: E402
+import gen_tiffbmp_goldens as TB  # noqa: E402
+import gen_webp_fixture as WENC  # noqa: E402
+
+from shotit_worker_spark.functions import media as M  # noqa: E402
+from shotit_worker_spark.functions.imagecodec import encode_ppm  # noqa: E402
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def _images(n: int) -> list[tuple[int, bytearray]]:
+    rows = []
+    base = [TB._scene(f"v{i}", 90, 160) for i in range(16)]
+    for i in range(n):
+        img = base[i % 16]
+        k = i % 5
+        if k == 0:
+            blob = PENC.encode_png_ex(img, 2, 8, interlace=i % 2)
+        elif k == 1:
+            blob = WENC.encode_vp8l(img, subtract_green=True, lz77=True)
+        elif k == 2:
+            blob = TB.encode_tiff(img, 2, compression=5, predictor=2)
+        elif k == 3:
+            blob = TB.encode_bmp(img, 24)
+        else:
+            blob = encode_ppm(img)
+        rows.append((i, bytearray(blob)))
+    return rows
+
+
+def _clips(n: int) -> list[tuple[str, bytearray]]:
+    rows = []
+    t = np.arange(8000)[:, None]
+    for i in range(n):
+        x = np.clip(
+            6000 * np.sin(t * (0.02 + 0.001 * (i % 16)))
+            + (np.arange(8000)[:, None] * (i % 7)) % 500 - 250,
+            -32768, 32767,
+        ).astype(np.int64)
+        blob = FENC.encode_flac(
+            x, sample_rate=16000, blocksize=4096,
+            strategy="lpc4" if i % 2 else "fixed2",
+        )
+        rows.append((f"clip/{i}.flac", bytearray(blob)))
+    return rows
+
+
+def main() -> None:
+    n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_clip = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    spark = get_spark("stress_r7")
+    spark.range(10).count()  # warm
+
+    t0 = time.time()
+    img_rows = _images(n_img)
+    gen_img = time.time() - t0
+    frames = spark.createDataFrame(
+        img_rows, "img_id long, image binary"
+    ).repartition(32).persist()
+    frames.count()
+    t0 = time.time()
+    n_ok = (
+        M.embed_images(frames)
+        .where("vector is not null")
+        .count()
+    )
+    dt = time.time() - t0
+    print(
+        f"embed_images: {n_img} mixed-format 160x90 images "
+        f"(png/webp/tiff/bmp/ppm) -> {n_ok} embedded in {dt:.1f}s "
+        f"= {n_img / dt:.0f} img/s on local[32] "
+        f"(fixture gen took {gen_img:.1f}s driver-side)"
+    )
+
+    t0 = time.time()
+    clip_rows = _clips(n_clip)
+    gen_clip = time.time() - t0
+    clips = spark.createDataFrame(
+        clip_rows, "path string, content binary"
+    ).repartition(32).persist()
+    clips.count()
+    t0 = time.time()
+    feats = M.audio_features(clips).where("sample_rate = 16000").count()
+    dt = time.time() - t0
+    print(
+        f"audio_features: {n_clip} FLAC clips (0.5s @16k, fixed+lpc) "
+        f"-> {feats} real-decoded in {dt:.1f}s = {n_clip / dt:.0f} "
+        f"clips/s on local[32] (gen {gen_clip:.1f}s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
