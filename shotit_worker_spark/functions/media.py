@@ -37,9 +37,10 @@ Kernel reality, per stage:
   stays on the real image path either way. With PyAV the fallback
   becomes open-container → sample at fps → scale → encode; signature
   unchanged.
-- Audio features: REAL for PCM WAV and AIFF/AIFF-C (stdlib `wave` /
-  `aifc` + numpy FFT) and for FLAC (functions/flac, spec-built
-  lossless decode); stub fallback for other bytes.
+- Audio features: REAL for WAV (functions/wavcodec — PCM, float,
+  G.711, IMA/MS ADPCM, extensible), AIFF/AIFF-C (stdlib `aifc`), and
+  FLAC (functions/flac, spec-built lossless decode); stub fallback
+  for other bytes.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -939,10 +940,11 @@ def audio_features(
     """Audio → fixed-dim feature row (the audio leg of the multimodal
     surface): (file, duration_sec, sample_rate, features: array<float>).
 
-    mapInPandas over binaryFile rows, one row per clip. PCM WAV
-    (RIFF/WAVE, 8/16/32-bit integer), PCM AIFF/AIFF-C, and FLAC
-    (functions/flac — in-engine lossless decode, MD5-verified) decode
-    FOR REAL — then a numpy Hann-windowed average power spectrum
+    mapInPandas over binaryFile rows, one row per clip. WAV
+    (functions/wavcodec — integer PCM 8/16/24/32, IEEE float, G.711
+    A-law/mu-law, IMA + MS ADPCM, extensible), PCM AIFF/AIFF-C, and
+    FLAC (functions/flac — in-engine lossless decode, MD5-verified)
+    decode FOR REAL — then a numpy Hann-windowed average power spectrum
     pooled into `dim` log-energy bands (_wav_features /
     _aiff_features / _flac_features). Other bytes keep the deterministic
     blake2 stub so the plumbing stays total; with librosa/soundfile
@@ -1010,29 +1012,20 @@ _WAV_HOP = 512
 
 
 def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
-    """REAL audio kernel for PCM WAV: stdlib `wave` decode → mono mix →
-    Hann-windowed average power spectrum (numpy rfft) → `dim` equal
-    frequency bands of log10(1 + mean power). Returns
-    (duration_sec, sample_rate, features). Raises on non-PCM payloads
-    (caller falls back to the stub)."""
-    import io
-    import wave
+    """REAL audio kernel for WAV: in-engine RIFF decode
+    (functions/wavcodec — integer PCM 8/16/24/32, IEEE float, G.711
+    A-law/mu-law, IMA and MS ADPCM, WAVE_FORMAT_EXTENSIBLE) → mono
+    mix → Hann-windowed average power spectrum (numpy rfft) → `dim`
+    equal frequency bands of log10(1 + mean power). Returns
+    (duration_sec, sample_rate, features). Raises WavError on
+    malformed/unsupported payloads (caller falls back to the stub).
+    PCM normalization conventions are identical to the former stdlib
+    `wave` path, so features are unchanged for PCM inputs."""
+    from .wavcodec import decode_wav
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        n, sr, ch, sw = (
-            w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
-        )
-        raw = w.readframes(n)
-    if sw == 2:
-        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-    elif sw == 1:
-        x = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
-    else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
-    if ch > 1:
-        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    sr, samples = decode_wav(content)
+    n = samples.shape[0]
+    x = samples.mean(axis=1)
     return _spectral_features(x, n, sr, dim)
 
 

@@ -1,0 +1,468 @@
+"""RIFF/WAVE decode beyond stdlib `wave`: compressed + extended formats.
+
+The reference pipeline hands every media blob to ffmpeg, which decodes
+any WAV variant (/root/reference/hasher.js:78-91 spawns ffmpeg on the
+raw file). Stdlib `wave` only reads integer PCM, so before this module
+the engine's audio leg silently routed ADPCM / G.711 / float WAVs to
+the deterministic stub. This module closes that gap with a spec-built
+chunk walker and per-format sample decoders:
+
+- 0x0001 PCM         : 8-bit unsigned, 16/24/32-bit signed LE
+- 0x0003 IEEE float  : 32/64-bit
+- 0x0006 A-law       : G.711, 16-bit expansion (Sun/CCITT convention,
+                       cross-checked code-for-code against stdlib
+                       `audioop.alaw2lin` in tests)
+- 0x0007 mu-law      : G.711, 16-bit expansion (same cross-check)
+- 0x0002 MS ADPCM    : block-predictive 4-bit, coefficient table read
+                       from the fmt chunk (falling back to the seven
+                       standard pairs), per-block adaptive delta
+- 0x0011 IMA ADPCM   : DVI/IMA 4-bit, 89-step table, per-channel
+                       4-byte interleave, low-nibble-first
+- 0xFFFE extensible  : unwrapped via the SubFormat GUID (PCM / float /
+                       A-law / mu-law / the two ADPCMs)
+
+Verification strategy (same contract as the image/FLAC codecs:
+correct-or-refuse, never guess):
+
+- G.711: all 256 codes equal stdlib `audioop`'s expansion (an
+  independent implementation), and the independent compressors in
+  tools/gen_wav_fixture.py round-trip encode(decode(code)) == code.
+- IMA: the core nibble recurrence is cross-checked against
+  `audioop.adpcm2lin`, and WAV-framed streams from the independent
+  fixture encoder decode bit-exactly to the encoder's own tracked
+  reconstruction (ADPCM is lossy vs the SOURCE, but decoder-vs-
+  encoder-reconstruction is exact by construction).
+- MS ADPCM: fixture round-trip against the encoder's tracked
+  reconstruction, across predictors, deltas, both channel counts,
+  and partial final blocks.
+
+Scale posture: decoders are pure per-blob byte work invoked inside
+`audio_features`' mapInPandas — no shuffle, no driver state; 100 TB
+of audio decodes at cluster width.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "WavError",
+    "parse_wav",
+    "decode_wav",
+    "alaw_decode_table",
+    "ulaw_decode_table",
+    "ima_adpcm_decode_block",
+    "ms_adpcm_decode_block",
+]
+
+
+class WavError(ValueError):
+    """Typed refusal: malformed or unsupported RIFF/WAVE payload."""
+
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_MS_ADPCM = 0x0002
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# KSDATAFORMAT_SUBTYPE GUIDs share one template: the format tag in the
+# first two bytes (LE), then 00-00 00-10-80-00-00-AA-00-38-9B-71.
+_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+# ---------------------------------------------------------------------------
+# G.711 expansion (A-law / mu-law), 16-bit convention
+# ---------------------------------------------------------------------------
+
+def _alaw_to_linear(code: int) -> int:
+    """One A-law byte -> 16-bit sample (CCITT G.711 segment expansion,
+    toggled by the 0x55 mask; sign bit SET means positive)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_BIAS = 0x84  # 132, the G.711 mu-law bias
+
+
+def _ulaw_to_linear(code: int) -> int:
+    """One mu-law byte -> 16-bit sample (G.711: complement, biased
+    segment expansion, re-subtract the bias)."""
+    u = ~code & 0xFF
+    t = ((u & 0x0F) << 3) + _ULAW_BIAS
+    t <<= (u & 0x70) >> 4
+    return (_ULAW_BIAS - t) if (u & 0x80) else (t - _ULAW_BIAS)
+
+
+def alaw_decode_table() -> np.ndarray:
+    """All 256 A-law expansions as int16 (tests pin this against
+    stdlib audioop's independent table)."""
+    return np.array([_alaw_to_linear(c) for c in range(256)], dtype=np.int16)
+
+
+def ulaw_decode_table() -> np.ndarray:
+    """All 256 mu-law expansions as int16."""
+    return np.array([_ulaw_to_linear(c) for c in range(256)], dtype=np.int16)
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM
+# ---------------------------------------------------------------------------
+
+# The 89-entry step-size table and the 8-entry index-adjust table are
+# the fixed constants of the IMA algorithm (IMA Digital Audio Focus
+# and Technical Working Groups recommendation, 1992; identical in
+# stdlib audioop, which the tests use as the independent pin).
+IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def ima_decode_nibbles(
+    nibbles, predictor: int, index: int
+) -> tuple[list[int], int, int]:
+    """Core IMA recurrence: decode a nibble sequence from (predictor,
+    index) state. Returns (samples, predictor, index). This is the
+    function the audioop cross-check drives directly."""
+    step_tab = IMA_STEP_TABLE
+    idx_tab = IMA_INDEX_TABLE
+    out = []
+    for b in nibbles:
+        step = int(step_tab[index])
+        delta = step >> 3
+        if b & 4:
+            delta += step
+        if b & 2:
+            delta += step >> 1
+        if b & 1:
+            delta += step >> 2
+        if b & 8:
+            predictor -= delta
+        else:
+            predictor += delta
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += int(idx_tab[b & 7])
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        out.append(predictor)
+    return out, predictor, index
+
+
+def ima_adpcm_decode_block(
+    block: bytes, channels: int
+) -> np.ndarray:
+    """Decode one IMA-WAV block -> int16 array (n, channels).
+
+    Block layout (Microsoft WAV framing of IMA): per channel a 4-byte
+    header (initial sample i16 LE — emitted as the first output
+    sample — step index u8, reserved u8), then the nibble payload in
+    4-byte words round-robin per channel, LOW nibble first within
+    each byte."""
+    if len(block) < 4 * channels:
+        raise WavError("IMA block shorter than its headers")
+    preds = []
+    idxs = []
+    for c in range(channels):
+        p, i, _r = struct.unpack_from("<hBB", block, 4 * c)
+        if i > 88:
+            raise WavError(f"IMA step index {i} out of range")
+        preds.append(int(p))
+        idxs.append(int(i))
+    payload = block[4 * channels:]
+    # a truncated final block may end mid word-group; drop the ragged
+    # tail (< 1 word per channel) to keep the round-robin aligned
+    n_words = len(payload) // (4 * channels)
+    payload = payload[: n_words * 4 * channels]
+    cols = [[p] for p in preds]  # header sample leads each channel
+    for w in range(n_words):
+        base = w * 4 * channels
+        for c in range(channels):
+            word = payload[base + 4 * c: base + 4 * c + 4]
+            nibbles = []
+            for byte in word:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            samples, preds[c], idxs[c] = ima_decode_nibbles(
+                nibbles, preds[c], idxs[c]
+            )
+            cols[c].extend(samples)
+    return np.array(cols, dtype=np.int16).T
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM
+# ---------------------------------------------------------------------------
+
+# The seven standard predictor pairs and the 16-entry delta-adaptation
+# table (Microsoft "ADPCM Wave Type" spec; new coefficient pairs may
+# ship in the fmt chunk, which parse_wav honors).
+MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def ms_adpcm_decode_block(
+    block: bytes, channels: int, coeffs=MS_ADPCM_COEFFS
+) -> np.ndarray:
+    """Decode one MS-ADPCM block -> int16 array (n, channels).
+
+    Header (fields grouped across channels): bPredictor u8 per
+    channel, iDelta i16 per channel, iSamp1 i16 per channel, iSamp2
+    i16 per channel; sample2 precedes sample1 in output order. Then
+    4-bit codes, HIGH nibble first, channels round-robin per nibble."""
+    hdr = 7 * channels
+    if len(block) < hdr:
+        raise WavError("MS ADPCM block shorter than its headers")
+    pred_idx = list(block[:channels])
+    for p in pred_idx:
+        if p >= len(coeffs):
+            raise WavError(f"MS ADPCM predictor {p} out of table range")
+    deltas = list(
+        struct.unpack_from(f"<{channels}h", block, channels)
+    )
+    s1 = list(struct.unpack_from(f"<{channels}h", block, 3 * channels))
+    s2 = list(struct.unpack_from(f"<{channels}h", block, 5 * channels))
+    c1 = [coeffs[p][0] for p in pred_idx]
+    c2 = [coeffs[p][1] for p in pred_idx]
+    cols = [[s2[c], s1[c]] for c in range(channels)]
+    nibbles = []
+    for byte in block[hdr:]:
+        nibbles.append(byte >> 4)
+        nibbles.append(byte & 0x0F)
+    ch = 0
+    for b in nibbles:
+        signed = b - 16 if b & 8 else b
+        pred = (s1[ch] * c1[ch] + s2[ch] * c2[ch]) >> 8
+        sample = pred + signed * deltas[ch]
+        if sample > 32767:
+            sample = 32767
+        elif sample < -32768:
+            sample = -32768
+        cols[ch].append(sample)
+        s2[ch] = s1[ch]
+        s1[ch] = sample
+        deltas[ch] = (MS_ADPCM_ADAPT[b] * deltas[ch]) >> 8
+        if deltas[ch] < 16:
+            deltas[ch] = 16
+        ch = (ch + 1) % channels
+    n = min(len(col) for col in cols)
+    return np.array([col[:n] for col in cols], dtype=np.int16).T
+
+
+# ---------------------------------------------------------------------------
+# RIFF chunk walk + format dispatch
+# ---------------------------------------------------------------------------
+
+def _walk_chunks(content: bytes):
+    """Yield (chunk_id, payload) over a RIFF/WAVE body, honoring the
+    even-byte padding rule; tolerates a truncated final chunk the way
+    real-world writers produce them (data chunk sized to EOF)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE stream")
+    pos = 12
+    end = len(content)
+    while pos + 8 <= end:
+        cid = content[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8: pos + 8 + size]
+        yield cid, body
+        pos += 8 + size + (size & 1)
+
+
+def parse_wav(content: bytes) -> dict:
+    """Parse a WAV file to its fmt fields + raw data payload:
+    {tag, channels, sample_rate, block_align, bits, data, n_frames
+    (from fact, else None), coeffs (MS ADPCM table from fmt extra),
+    samples_per_block (ADPCM fmt extra)}. WAVE_FORMAT_EXTENSIBLE is
+    unwrapped to its SubFormat tag here."""
+    fmt = None
+    data = None
+    fact_frames = None
+    for cid, body in _walk_chunks(content):
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
+    if fmt is None or len(fmt) < 16:
+        raise WavError("missing or short fmt chunk")
+    if data is None:
+        raise WavError("missing data chunk")
+    tag, channels, rate, _byterate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if channels < 1 or channels > 32:
+        raise WavError(f"implausible channel count {channels}")
+    extra = b""
+    if len(fmt) >= 18:
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        extra = fmt[18: 18 + cb]
+    if tag == WAVE_FORMAT_EXTENSIBLE:
+        if len(extra) < 22:
+            raise WavError("extensible fmt without a SubFormat GUID")
+        valid_bits, _mask = struct.unpack_from("<HI", extra, 0)
+        guid = extra[6:22]
+        if guid[2:] != _GUID_TAIL:
+            raise WavError(f"unknown SubFormat GUID {guid.hex()}")
+        tag = struct.unpack("<H", guid[:2])[0]
+        if valid_bits:
+            # container width stays `bits`; valid_bits only narrows
+            # the meaningful range — full-scale normalization below
+            # uses the container width, matching ffmpeg's behavior.
+            pass
+        extra = b""
+    info = {
+        "tag": tag,
+        "channels": channels,
+        "sample_rate": rate,
+        "block_align": block_align,
+        "bits": bits,
+        "data": data,
+        "n_frames": fact_frames,
+        "coeffs": None,
+        "samples_per_block": None,
+    }
+    if tag == WAVE_FORMAT_MS_ADPCM and len(extra) >= 4:
+        spb, ncoef = struct.unpack_from("<HH", extra, 0)
+        info["samples_per_block"] = spb
+        if 0 < ncoef <= 64 and len(extra) >= 4 + 4 * ncoef:
+            info["coeffs"] = tuple(
+                struct.unpack_from("<hh", extra, 4 + 4 * i)
+                for i in range(ncoef)
+            )
+    elif tag == WAVE_FORMAT_IMA_ADPCM and len(extra) >= 2:
+        (info["samples_per_block"],) = struct.unpack_from("<H", extra, 0)
+    return info
+
+
+def _decode_pcm(info: dict) -> np.ndarray:
+    bits, ch = info["bits"], info["channels"]
+    data = info["data"]
+    if bits == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.float64)
+        x /= 32768.0
+    elif bits == 24:
+        raw = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        raw = raw.reshape(-1, 3).astype(np.int64)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        x = np.frombuffer(data[: len(data) & ~3], "<i4").astype(np.float64)
+        x /= 2147483648.0
+    else:
+        raise WavError(f"unsupported PCM width {bits}")
+    return x[: (len(x) // ch) * ch].reshape(-1, ch)
+
+
+def _decode_float(info: dict) -> np.ndarray:
+    bits, ch = info["bits"], info["channels"]
+    data = info["data"]
+    if bits == 32:
+        x = np.frombuffer(data[: len(data) & ~3], "<f4").astype(np.float64)
+    elif bits == 64:
+        x = np.frombuffer(data[: len(data) & ~7], "<f8").astype(np.float64)
+    else:
+        raise WavError(f"unsupported float width {bits}")
+    return x[: (len(x) // ch) * ch].reshape(-1, ch)
+
+
+def _decode_g711(info: dict, table: np.ndarray) -> np.ndarray:
+    ch = info["channels"]
+    codes = np.frombuffer(info["data"], np.uint8)
+    x = table[codes].astype(np.float64) / 32768.0
+    return x[: (len(x) // ch) * ch].reshape(-1, ch)
+
+
+def _decode_blocks(info: dict, decode_block, min_header: int) -> np.ndarray:
+    ba, ch = info["block_align"], info["channels"]
+    if ba <= 0:
+        raise WavError("ADPCM stream without a block align")
+    data = info["data"]
+    parts = []
+    for off in range(0, len(data), ba):
+        block = data[off: off + ba]
+        if len(block) < min_header:  # tail smaller than a legal header
+            break
+        parts.append(decode_block(block))
+    if not parts:
+        raise WavError("no decodable ADPCM blocks")
+    x = np.concatenate(parts, axis=0)
+    if info["n_frames"] is not None and info["n_frames"] <= x.shape[0]:
+        x = x[: info["n_frames"]]
+    return x.astype(np.float64) / 32768.0
+
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, float64 samples (n, channels) on the
+    full scale [-1, 1)). Dispatches on the (unwrapped) format tag;
+    raises WavError on anything outside the supported set — callers
+    (media.audio_features) fall back to the labeled stub."""
+    info = parse_wav(content)
+    tag = info["tag"]
+    if tag == WAVE_FORMAT_PCM:
+        x = _decode_pcm(info)
+    elif tag == WAVE_FORMAT_IEEE_FLOAT:
+        x = _decode_float(info)
+    elif tag == WAVE_FORMAT_ALAW:
+        x = _decode_g711(info, alaw_decode_table())
+    elif tag == WAVE_FORMAT_MULAW:
+        x = _decode_g711(info, ulaw_decode_table())
+    elif tag == WAVE_FORMAT_IMA_ADPCM:
+        x = _decode_blocks(
+            info,
+            lambda b: ima_adpcm_decode_block(b, info["channels"]),
+            min_header=4 * info["channels"],
+        )
+    elif tag == WAVE_FORMAT_MS_ADPCM:
+        coeffs = info["coeffs"] or MS_ADPCM_COEFFS
+        x = _decode_blocks(
+            info,
+            lambda b: ms_adpcm_decode_block(b, info["channels"], coeffs),
+            min_header=7 * info["channels"],
+        )
+    else:
+        raise WavError(f"unsupported WAVE format tag 0x{tag:04x}")
+    if x.shape[0] == 0:
+        raise WavError("empty WAV data payload")
+    return int(info["sample_rate"]), x

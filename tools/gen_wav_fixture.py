@@ -1,0 +1,371 @@
+"""Independent WAV fixture encoders for every wavcodec format branch.
+
+Encode-direction counterpart of shotit_worker_spark/functions/wavcodec
+(the decoder) — deliberately written in the opposite direction:
+compressors here quantize by search / arithmetic, the decoder expands
+by table; block framing is assembled field-by-field here and parsed by
+the chunk walker there. Round-trip tests assert:
+
+- PCM / float: decode(encode(x)) == x exactly (lossless framing);
+- G.711: compress(expand(code)) == code for all 256 codes, and
+  expand here == stdlib audioop's independent tables;
+- ADPCM (lossy): decode(encode(x)) == the encoder's OWN tracked
+  reconstruction, bit-exact — the same verification contract as the
+  AVC fixture encoder (tools/gen_avc_fixture.py).
+
+The ADPCM encoders track reconstruction with the spec recurrence
+(mandated: encoder and decoder must share it or the format drifts),
+but the code is written independently — greedy bit-peeling quantizer
+here vs table expansion in the decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# RIFF assembly
+# --------------------------------------------------------------------------
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WAVE"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fmt(tag, ch, rate, avg, align, bits, extra=b"") -> bytes:
+    base = struct.pack("<HHIIHH", tag, ch, rate, avg, align, bits)
+    if extra or tag != 1:
+        base += struct.pack("<H", len(extra)) + extra
+    return base
+
+
+GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def _as2d(x) -> np.ndarray:
+    x = np.asarray(x)
+    return x[:, None] if x.ndim == 1 else x
+
+
+# --------------------------------------------------------------------------
+# PCM / float writers
+# --------------------------------------------------------------------------
+
+
+def encode_pcm_wav(
+    x, bits: int = 16, sample_rate: int = 16000, extensible: bool = False
+) -> bytes:
+    """Integer PCM writer (8 unsigned / 16 / 24 / 32 signed LE).
+    `extensible=True` wraps the same samples in WAVE_FORMAT_EXTENSIBLE
+    with the PCM SubFormat GUID."""
+    x = _as2d(x).astype(np.int64)
+    n, ch = x.shape
+    if bits == 8:
+        data = (x + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = x.astype("<i2").tobytes()
+    elif bits == 24:
+        flat = x.reshape(-1)
+        b = np.zeros((flat.size, 3), np.uint8)
+        u = np.where(flat < 0, flat + (1 << 24), flat)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        data = b.tobytes()
+    elif bits == 32:
+        data = x.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"bits {bits}")
+    align = ch * bits // 8
+    if extensible:
+        extra = struct.pack("<HI", bits, 0) + struct.pack("<H", 1) + GUID_TAIL
+        fmt = _fmt(0xFFFE, ch, sample_rate, sample_rate * align, align, bits,
+                   extra)
+    else:
+        fmt = _fmt(1, ch, sample_rate, sample_rate * align, align, bits)
+    return _riff([(b"fmt ", fmt), (b"data", data)])
+
+
+def encode_float_wav(x, bits: int = 32, sample_rate: int = 16000) -> bytes:
+    x = _as2d(x).astype(np.float64)
+    n, ch = x.shape
+    data = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+    align = ch * bits // 8
+    fmt = _fmt(3, ch, sample_rate, sample_rate * align, align, bits)
+    return _riff([
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", n)),
+        (b"data", data),
+    ])
+
+
+# --------------------------------------------------------------------------
+# G.711 compressors (segment search — the decoder expands by formula)
+# --------------------------------------------------------------------------
+
+
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+_ULAW_SEG_END = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+
+def linear2alaw(sample: int) -> int:
+    """16-bit sample -> A-law byte: the CCITT G.711 compressor on the
+    13-bit magnitude (Sun g711.c convention — tests assert exact
+    equality with stdlib audioop.lin2alaw over all 65536 inputs)."""
+    v = sample >> 3  # 13-bit domain
+    if v >= 0:
+        mask = 0xD5  # sign bit set + the 0x55 toggle
+    else:
+        mask = 0x55
+        v = -v - 1
+    for seg, end in enumerate(_ALAW_SEG_END):
+        if v <= end:
+            break
+    else:
+        return 0x7F ^ mask
+    code = seg << 4
+    code |= (v >> 1 if seg < 2 else v >> seg) & 0x0F
+    return code ^ mask
+
+
+def linear2ulaw(sample: int) -> int:
+    """16-bit sample -> mu-law byte: bias + segment search on the
+    14-bit magnitude (Sun g711.c convention, == audioop.lin2ulaw)."""
+    v = sample >> 2  # 14-bit domain
+    if v < 0:
+        v = -v
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if v > 8159:
+        v = 8159  # 14-bit clip
+    v += _ULAW_BIAS >> 2
+    for seg, end in enumerate(_ULAW_SEG_END):
+        if v <= end:
+            break
+    else:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((v >> (seg + 1)) & 0x0F)) ^ mask
+
+
+_ULAW_BIAS = 0x84
+
+
+def encode_g711_wav(x, law: str, sample_rate: int = 8000) -> bytes:
+    """int16 samples -> G.711 WAV (tag 6 A-law / 7 mu-law)."""
+    x = _as2d(x).astype(np.int64)
+    n, ch = x.shape
+    comp = linear2alaw if law == "alaw" else linear2ulaw
+    data = bytes(comp(int(v)) for v in x.reshape(-1))
+    tag = 6 if law == "alaw" else 7
+    fmt = _fmt(tag, ch, sample_rate, sample_rate * ch, ch, 8)
+    return _riff([
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", n)),
+        (b"data", data),
+    ])
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM encoder
+# --------------------------------------------------------------------------
+
+_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IDX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_quantize(diff: int, step: int) -> tuple[int, int]:
+    """Greedy bit peel: returns (nibble sans sign, reconstructed
+    delta) for a non-negative diff."""
+    code = 0
+    delta = step >> 3
+    if diff >= step:
+        code |= 4
+        diff -= step
+        delta += step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+        delta += step >> 1
+    if diff >= step >> 2:
+        code |= 1
+        delta += step >> 2
+    return code, delta
+
+
+def encode_ima_wav(
+    x, sample_rate: int = 16000, words_per_block: int = 8
+) -> tuple[bytes, np.ndarray]:
+    """int16 (n, ch) -> (IMA ADPCM WAV bytes, tracked reconstruction).
+
+    Each block restarts from its header: frame 0 goes in the header
+    verbatim, the next 8*words_per_block frames are nibbles in 4-byte
+    words round-robin per channel, low nibble first. A short final
+    block pads with zero-diff nibbles; the fact chunk trims them."""
+    x = _as2d(x).astype(np.int64)
+    n, ch = x.shape
+    spb = 1 + 8 * words_per_block
+    align = 4 * ch * (1 + words_per_block)
+    idx = [0] * ch
+    blocks = []
+    recon = np.zeros((0, ch), np.int64)
+    for start in range(0, n, spb):
+        frames = x[start: start + spb]
+        hdr = b""
+        rec_cols = []
+        for c in range(ch):
+            first = int(frames[0, c])
+            hdr += struct.pack("<hBB", first, idx[c], 0)
+            rec_cols.append([first])
+        nib_cols: list[list[int]] = [[] for _ in range(ch)]
+        pred = [int(frames[0, c]) for c in range(ch)]
+        for t in range(1, spb):
+            want = frames[t] if t < len(frames) else frames[-1]
+            for c in range(ch):
+                step = _STEPS[idx[c]]
+                diff = int(want[c]) - pred[c]
+                sign = 8 if diff < 0 else 0
+                code, delta = _ima_quantize(abs(diff), step)
+                pred[c] += -delta if sign else delta
+                pred[c] = max(-32768, min(32767, pred[c]))
+                idx[c] = max(0, min(88, idx[c] + _IDX_ADJ[code]))
+                nib_cols[c].append(sign | code)
+                rec_cols[c].append(pred[c])
+        payload = b""
+        for w in range(words_per_block):
+            for c in range(ch):
+                eight = nib_cols[c][8 * w: 8 * w + 8]
+                payload += bytes(
+                    (eight[k] | (eight[k + 1] << 4)) for k in (0, 2, 4, 6)
+                )
+        blocks.append(hdr + payload)
+        rec = np.array(rec_cols, np.int64).T[: len(frames)]
+        recon = np.concatenate([recon, rec], axis=0)
+    fmt = _fmt(
+        0x11, ch, sample_rate, sample_rate * align // spb, align, 4,
+        struct.pack("<H", spb),
+    )
+    wav = _riff([
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", n)),
+        (b"data", b"".join(blocks)),
+    ])
+    return wav, recon.astype(np.int16)
+
+
+# --------------------------------------------------------------------------
+# MS ADPCM encoder
+# --------------------------------------------------------------------------
+
+_MS_COEF = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def encode_ms_wav(
+    x,
+    sample_rate: int = 16000,
+    frames_per_block: int = 32,
+    predictor_plan=None,
+) -> tuple[bytes, np.ndarray]:
+    """int16 (n, ch) -> (MS ADPCM WAV bytes, tracked reconstruction).
+
+    Per block, the predictor index comes from `predictor_plan`
+    (callable block_index, channel -> 0..6; default cycles through all
+    seven so fixtures exercise the whole coefficient table). The
+    quantizer is nearest-integer over the adaptive delta; the header's
+    two verbatim samples seed each channel."""
+    x = _as2d(x).astype(np.int64)
+    n, ch = x.shape
+    if n < 2:
+        raise ValueError("MS ADPCM needs at least 2 frames")
+    spb = frames_per_block
+    if predictor_plan is None:
+        predictor_plan = lambda blk, c: (blk + c) % 7  # noqa: E731
+    align = 7 * ch + ((spb - 2) * ch + 1) // 2
+    blocks = []
+    recon_parts = []
+    for bi, start in enumerate(range(0, n - 1, spb)):
+        frames = x[start: start + spb]
+        if len(frames) < 2:
+            break
+        preds = [predictor_plan(bi, c) % 7 for c in range(ch)]
+        c1 = [_MS_COEF[p][0] for p in preds]
+        c2 = [_MS_COEF[p][1] for p in preds]
+        s2 = [int(frames[0, c]) for c in range(ch)]
+        s1 = [int(frames[1, c]) for c in range(ch)]
+        # initial delta from the local signal energy (any value >= 16
+        # is legal; the header carries it)
+        deltas = []
+        for c in range(ch):
+            d = int(np.mean(np.abs(np.diff(frames[:, c])))) // 4 if len(
+                frames
+            ) > 2 else 16
+            deltas.append(max(16, min(32767, d)))
+        hdr = bytes(preds)
+        hdr += struct.pack(f"<{ch}h", *deltas)
+        hdr += struct.pack(f"<{ch}h", *s1)
+        hdr += struct.pack(f"<{ch}h", *s2)
+        rec_cols = [[s2[c], s1[c]] for c in range(ch)]
+        codes = []
+        for t in range(2, spb):
+            want = frames[t] if t < len(frames) else frames[-1]
+            for c in range(ch):
+                predicted = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+                q = int(round((int(want[c]) - predicted) / deltas[c]))
+                q = max(-8, min(7, q))
+                val = predicted + q * deltas[c]
+                val = max(-32768, min(32767, val))
+                codes.append(q & 0x0F)
+                s2[c] = s1[c]
+                s1[c] = val
+                rec_cols[c].append(val)
+                deltas[c] = max(
+                    16, (_MS_ADAPT[q & 0x0F] * deltas[c]) >> 8
+                )
+        if len(codes) & 1:
+            codes.append(0)  # pad nibble; fact trims its sample
+        payload = bytes(
+            (codes[k] << 4) | codes[k + 1] for k in range(0, len(codes), 2)
+        )
+        blocks.append(hdr + payload)
+        rec = np.array(rec_cols, np.int64).T[: len(frames)]
+        recon_parts.append(rec)
+    recon = np.concatenate(recon_parts, axis=0)
+    n = recon.shape[0]  # honest fact count (a trailing 1-frame remainder
+    # can't form a block and is dropped)
+    extra = struct.pack("<HH", spb, 7)
+    for a, b in _MS_COEF:
+        extra += struct.pack("<hh", a, b)
+    fmt = _fmt(
+        0x02, ch, sample_rate, max(1, sample_rate * align // spb), align, 4,
+        extra,
+    )
+    wav = _riff([
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", n)),
+        (b"data", b"".join(blocks)),
+    ])
+    return wav, recon.astype(np.int16)
