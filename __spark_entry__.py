@@ -2737,6 +2737,179 @@ def _flac_oracle_rows() -> list:
     return _FLAC_ORACLE_CACHE
 
 
+# (case_id, sample_rate, channels) — one case per wavcodec format
+# branch: wide PCM, IEEE float, both G.711 laws, both ADPCMs, and the
+# WAVE_FORMAT_EXTENSIBLE wrapper
+_WAV_CASES = (
+    ("a_pcm24_stereo", 44100, 2),
+    ("b_float32_mono", 48000, 1),
+    ("c_alaw_mono", 8000, 1),
+    ("d_ulaw_stereo", 8000, 2),
+    ("e_ima_stereo", 22050, 2),
+    ("f_ms_mono", 16000, 1),
+    ("g_ext_pcm16_stereo", 11025, 2),
+)
+_WAV_CASE_BY_ID = {c[0]: c for c in _WAV_CASES}
+_WAV_CASE_IDS = tuple(c[0] for c in _WAV_CASES)
+_WAV_N = 600
+
+
+def _wav_case_samples(case_id: str):
+    """Deterministic int16 source for a q77 case: two sines + seeded
+    noise, per-channel phase offset."""
+    import numpy as np
+
+    _cid, _rate, ch = _WAV_CASE_BY_ID[case_id]
+    rng = np.random.default_rng(sum(ord(c) for c in case_id))
+    t = np.arange(_WAV_N)[:, None]
+    x = (
+        11000 * np.sin(t * 0.045 + np.arange(ch)[None, :])
+        + 2500 * np.sin(t * 0.29)
+        + rng.integers(-500, 500, (_WAV_N, ch))
+    )
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def _wav_case_stream(case_id: str):
+    """(wav_bytes, expected int16 grid) for a q77 case. The expected
+    side never touches the decoder under test: lossless branches state
+    the SOURCE; G.711 expands the fixture compressor's codes through
+    stdlib audioop (an independent implementation); ADPCM states the
+    fixture ENCODER's own tracked reconstruction (the q72 contract)."""
+    import numpy as np
+
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    import gen_wav_fixture as WV
+
+    cid, rate, ch = _WAV_CASE_BY_ID[case_id]
+    src = _wav_case_samples(case_id)
+    if cid.startswith("a_"):
+        return (
+            WV.encode_pcm_wav(
+                src.astype(np.int64) << 8, bits=24, sample_rate=rate
+            ),
+            src,
+        )
+    if cid.startswith("b_"):
+        # int16/32768 is exactly representable in float32 -> lossless
+        return WV.encode_float_wav(src / 32768.0, bits=32,
+                                   sample_rate=rate), src
+    if cid.startswith(("c_", "d_")):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        law = "alaw" if cid.startswith("c_") else "ulaw"
+        comp = WV.linear2alaw if law == "alaw" else WV.linear2ulaw
+        expand = audioop.alaw2lin if law == "alaw" else audioop.ulaw2lin
+        codes = bytes(comp(int(v)) for v in src.reshape(-1))
+        expected = np.frombuffer(expand(codes, 2), "<i2").reshape(-1, ch)
+        return WV.encode_g711_wav(src, law, sample_rate=rate), expected
+    if cid.startswith("e_"):
+        wav, recon = WV.encode_ima_wav(src, sample_rate=rate,
+                                       words_per_block=4)
+        return wav, recon
+    if cid.startswith("f_"):
+        wav, recon = WV.encode_ms_wav(src, sample_rate=rate,
+                                      frames_per_block=25)
+        return wav, recon
+    return WV.encode_pcm_wav(src, bits=16, sample_rate=rate,
+                             extensible=True), src
+
+
+def q77_wav_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV codec constants gate: seven fixture streams — 24-bit PCM,
+    IEEE float32, G.711 A-law + mu-law, IMA ADPCM, MS ADPCM, and an
+    extensible-wrapped PCM — are DECODED by the engine
+    (functions/wavcodec) on the executors, canonicalized to the int16
+    grid, and hashed; the oracle states md5s computed WITHOUT the
+    decoder (source samples / audioop expansion / fixture-encoder
+    reconstruction — see _wav_case_stream). Beyond-reference format
+    coverage: the reference delegates all audio to ffmpeg
+    (/root/reference/hasher.js:78-91)."""
+    df = spark.createDataFrame(
+        [(cid,) for cid in _WAV_CASE_IDS], "case_id string"
+    )
+    tools_dir = _TOOLS_DIR
+
+    def run(batches):
+        import hashlib
+        import sys as _s
+
+        import numpy as np
+        import pandas as pd
+
+        root = os.path.dirname(tools_dir)
+        for p in (tools_dir, root):
+            if p not in _s.path:
+                _s.path.insert(0, p)
+        import __spark_entry__ as EM
+        from shotit_worker_spark.functions.wavcodec import decode_wav
+
+        for b in batches:
+            out = []
+            for cid in b["case_id"]:
+                wav, _expected = EM._wav_case_stream(cid)
+                rate, y = decode_wav(wav)
+                grid = np.rint(y * 32768.0).astype(np.int64)
+                out.append(
+                    (
+                        cid,
+                        int(grid.shape[0]),
+                        int(grid.shape[1]),
+                        int(rate),
+                        hashlib.md5(
+                            grid.astype("<i8").tobytes()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["case_id", "n", "channels", "rate", "pcm_md5"],
+            )
+
+    return (
+        df.repartition(len(_WAV_CASE_IDS))
+        .mapInPandas(
+            run,
+            schema=(
+                "case_id string, n int, channels int, rate int, "
+                "pcm_md5 string"
+            ),
+        )
+        .orderBy("case_id")
+    )
+
+
+_WAV_ORACLE_CACHE: list | None = None
+
+
+def _wav_oracle_rows() -> list:
+    """Expected q77 rows from the decoder-independent side."""
+    global _WAV_ORACLE_CACHE
+    if _WAV_ORACLE_CACHE is None:
+        import hashlib
+
+        rows = []
+        for cid, rate, _ch in _WAV_CASES:
+            _wav, expected = _wav_case_stream(cid)
+            rows.append(
+                (
+                    cid,
+                    int(expected.shape[0]),
+                    int(expected.shape[1]),
+                    int(rate),
+                    hashlib.md5(
+                        expected.astype("<i8").tobytes()
+                    ).hexdigest(),
+                )
+            )
+        _WAV_ORACLE_CACHE = rows
+    return _WAV_ORACLE_CACHE
+
+
 # (case_id, w, h, levels, encoder kwargs) — one case per VP8L
 # bitstream feature plus the all-on combination; geometry varies so
 # sub-byte palette packing and block-grid edges are all exercised
@@ -2915,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_webp_roundtrip": q74_webp_roundtrip,
         "q75_image_goldens": q75_image_goldens,
         "q76_flac_roundtrip": q76_flac_roundtrip,
+        "q77_wav_codecs": q77_wav_codecs,
         "q66_semantic_dedup": q66_semantic_dedup,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
@@ -2946,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_simhash_pairs": q54_simhash_pairs,
         "q55_repetition": q55_repetition,
         "q57_decontaminate": q57_decontaminate,
+        # r7 late rotation: q60 displaced for the q77 WAV-codec gate
+        # (P15 JSON decode stays replayed like every displaced row)
         "q60_json_extract": q60_json_extract,
         "q61_windows": q61_windows,
         # r7: q05/q06 displaced for the q75/q76 codec gates — the
@@ -3006,6 +3182,10 @@ def oracle_sql() -> dict[str, str]:
             "name, height, width, raster_md5"),
         "q76_flac_roundtrip": _values_oracle(
             _flac_oracle_rows(), "case_id, n, channels, rate, pcm_md5"),
+        # q77: decoder-independent rows (source / audioop / fixture
+        # encoder reconstruction, per branch — see _wav_case_stream)
+        "q77_wav_codecs": _values_oracle(
+            _wav_oracle_rows(), "case_id, n, channels, rate, pcm_md5"),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -35,7 +35,7 @@ POST_R3_QUERIES = frozenset({
     "q70_url_canonical", "q71_pack_nosplit",
     # r7 wave (media constants gates)
     "q72_avc_roundtrip", "q73_progressive_jpeg", "q74_webp_roundtrip",
-    "q75_image_goldens", "q76_flac_roundtrip",
+    "q75_image_goldens", "q76_flac_roundtrip", "q77_wav_codecs",
 })
 
 

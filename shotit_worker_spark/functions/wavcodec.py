@@ -419,12 +419,19 @@ def _decode_blocks(info: dict, decode_block, min_header: int) -> np.ndarray:
     if ba <= 0:
         raise WavError("ADPCM stream without a block align")
     data = info["data"]
+    spb = info["samples_per_block"]
     parts = []
     for off in range(0, len(data), ba):
         block = data[off: off + ba]
         if len(block) < min_header:  # tail smaller than a legal header
             break
-        parts.append(decode_block(block))
+        part = decode_block(block)
+        if spb:
+            # wSamplesPerBlock bounds every block: with an odd nibble
+            # count per block the payload carries a pad nibble whose
+            # phantom sample must not leak into the stream
+            part = part[:spb]
+        parts.append(part)
     if not parts:
         raise WavError("no decodable ADPCM blocks")
     x = np.concatenate(parts, axis=0)

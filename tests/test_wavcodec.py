@@ -249,6 +249,17 @@ def test_ms_exercises_all_seven_predictors():
     )
 
 
+def test_ms_odd_samples_per_block_trims_pad_sample_every_block():
+    # odd frames-per-block -> odd nibble count -> one pad nibble PER
+    # block; wSamplesPerBlock must trim its phantom sample mid-stream,
+    # not just at the end
+    x = _sig(25 * 6).astype(np.int16)
+    wav, recon = WENC.encode_ms_wav(x, frames_per_block=25)
+    sr, y = decode_wav(wav)
+    assert y.shape[0] == recon.shape[0] == 150
+    assert np.array_equal(_to_int(y, 16), recon.astype(np.int64))
+
+
 def test_ms_coeff_table_read_from_fmt():
     x = _sig(80).astype(np.int16)
     wav, _recon = WENC.encode_ms_wav(x, frames_per_block=40)
