@@ -1,0 +1,217 @@
+"""APNG (animated PNG) demux + compositor — the PNG leg of the G1
+variable-rate timeline (like animated GIF / animated WebP).
+
+The reference pipeline hands every media blob to ffmpeg, which treats
+an APNG as a video stream (/root/reference/hasher.js:78-91); here the
+animation chunks (acTL / fcTL / fdAT, PNG spec third edition §11.3.4
+— formerly the Mozilla APNG extension) are parsed in-engine and each
+frame's IDAT-equivalent payload is decoded through the existing PNG
+machinery (imagecodec._decode_png with the alpha plane kept), then
+composited per the spec's output-buffer model:
+
+- dispose_op: NONE (leave), BACKGROUND (clear the frame's region to
+  transparent black), PREVIOUS (revert the region); a PREVIOUS on
+  frame 0 degrades to BACKGROUND per spec.
+- blend_op: SOURCE (replace the region incl. alpha) or OVER
+  (Porter-Duff over).
+
+Emitted frames are the RGBA canvas flattened over black (the engine's
+raster space is RGB; same convention as iter_webp_anim_frames).
+Correct-or-refuse: malformed animation chunks, sequence-number gaps,
+or frames the PNG decoder declines raise APNGError, and callers fall
+back to the labeled stub. A PNG without acTL is NOT an APNG — static
+decode stays in imagecodec.
+
+Verification: composited frames are pinned bit-exactly against the
+independent compositor of tools/gen_apng_fixture.py (binary-alpha
+fixtures make integer compositing exact), plus hand-built dispose /
+blend vectors in tests/test_apng.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+
+from .imagecodec import UnsupportedImageError, _decode_png
+
+__all__ = [
+    "APNGError", "is_apng", "apng_info", "iter_apng_frames",
+]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class APNGError(ValueError):
+    """Not a decodable APNG animation."""
+
+
+def _chunks(data: bytes):
+    if data[:8] != _PNG_MAGIC:
+        raise APNGError("not a PNG stream")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        if len(body) < length:
+            raise APNGError(f"truncated {typ!r} chunk")
+        yield typ, body
+        pos += 12 + length
+        if typ == b"IEND":
+            break
+
+
+def is_apng(data: bytes) -> bool:
+    """True when the stream is a PNG carrying an acTL animation
+    control chunk (before IDAT, per spec)."""
+    try:
+        for typ, _ in _chunks(data):
+            if typ == b"acTL":
+                return True
+            if typ == b"IDAT":
+                return False
+    except (APNGError, struct.error):
+        return False
+    return False
+
+
+class _Frame:
+    __slots__ = ("w", "h", "x", "y", "delay", "dispose", "blend", "data")
+
+    def __init__(self, fctl: bytes):
+        if len(fctl) < 26:
+            raise APNGError("fcTL truncated")
+        (_seq, self.w, self.h, self.x, self.y, dnum, dden,
+         self.dispose, self.blend) = struct.unpack(">IIIIIHHBB", fctl[:26])
+        if self.dispose > 2 or self.blend > 1:
+            raise APNGError("bad fcTL dispose/blend op")
+        self.delay = dnum / (dden if dden else 100.0)
+        self.data = []  # raw deflate payload pieces for this frame
+
+
+def _parse(data: bytes):
+    """(ihdr_fields, plte_chunk_or_None, frames, canvas_w, canvas_h).
+    Validates the strictly-increasing sequence numbering across
+    fcTL/fdAT and that frame rects sit inside the canvas."""
+    ihdr = None
+    plte = None
+    n_declared = None
+    frames: list[_Frame] = []
+    seqs: list[int] = []
+    saw_idat = False
+    idat_frame: _Frame | None = None
+    for typ, body in _chunks(data):
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"tRNS":
+            raise APNGError("APNG with tRNS transparency unsupported")
+        elif typ == b"acTL":
+            if len(body) < 8:
+                raise APNGError("acTL truncated")
+            n_declared = struct.unpack(">I", body[:4])[0]
+        elif typ == b"fcTL":
+            seqs.append(struct.unpack(">I", body[:4])[0])
+            f = _Frame(body)
+            frames.append(f)
+            if not saw_idat:
+                idat_frame = f  # IDAT belongs to this frame
+        elif typ == b"IDAT":
+            saw_idat = True
+            if idat_frame is not None:
+                idat_frame.data.append(body)
+        elif typ == b"fdAT":
+            if len(body) < 4:
+                raise APNGError("fdAT truncated")
+            seqs.append(struct.unpack(">I", body[:4])[0])
+            if not frames or frames[-1] is idat_frame:
+                raise APNGError("fdAT before its fcTL")
+            frames[-1].data.append(body[4:])
+    if ihdr is None:
+        raise APNGError("missing IHDR")
+    if n_declared is None:
+        raise APNGError("not an APNG (no acTL)")
+    w, h = struct.unpack(">II", ihdr[:8])
+    # frames whose fcTL precedes IDAT but got no data are impossible;
+    # default-image-not-in-animation means frame list starts at fdATs
+    frames = [f for f in frames if f.data]
+    if len(frames) != n_declared:
+        raise APNGError(
+            f"acTL declares {n_declared} frames, stream has {len(frames)}"
+        )
+    if seqs != sorted(seqs) or len(set(seqs)) != len(seqs):
+        raise APNGError("fcTL/fdAT sequence numbers not increasing")
+    for f in frames:
+        if f.x + f.w > w or f.y + f.h > h or f.w == 0 or f.h == 0:
+            raise APNGError("frame rect outside the canvas")
+    return ihdr, plte, frames, w, h
+
+
+def apng_info(data: bytes) -> tuple[int, int, int, tuple]:
+    """(canvas_w, canvas_h, n_frames, delays_sec) — same shape as
+    gifcodec.parse_gif_info / webp.webp_anim_info. Delays get the
+    10 ms floor viewers apply."""
+    _ihdr, _plte, frames, w, h = _parse(data)
+    return w, h, len(frames), tuple(max(f.delay, 0.01) for f in frames)
+
+
+def _frame_png(ihdr: bytes, plte: bytes | None, f: _Frame) -> bytes:
+    """Wrap one frame's payload as a standalone PNG (fcTL geometry,
+    parent bit depth / color type / palette) for imagecodec."""
+    sub_ihdr = struct.pack(">II", f.w, f.h) + ihdr[8:]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", crc
+        )
+
+    out = [_PNG_MAGIC, chunk(b"IHDR", sub_ihdr)]
+    if plte is not None:
+        out.append(chunk(b"PLTE", plte))
+    out.append(chunk(b"IDAT", b"".join(f.data)))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def iter_apng_frames(data: bytes) -> Iterator[np.ndarray]:
+    """Yield composited (H, W, 3) uint8 RGB frames (RGBA output
+    buffer flattened over black). Spec compositing: SOURCE/OVER blend
+    at the frame rect, then NONE/BACKGROUND/PREVIOUS dispose."""
+    ihdr, plte, frames, w, h = _parse(data)
+    canvas = np.zeros((h, w, 4), dtype=np.float64)
+    for i, f in enumerate(frames):
+        try:
+            rgba = _decode_png(_frame_png(ihdr, plte, f), keep_alpha=True)
+        except UnsupportedImageError as exc:
+            raise APNGError(f"frame {i} undecodable: {exc}") from exc
+        if rgba.shape[:2] != (f.h, f.w):
+            raise APNGError("frame geometry mismatch")
+        dispose = f.dispose
+        if i == 0 and dispose == 2:
+            dispose = 1  # PREVIOUS on the first frame degrades
+        region = canvas[f.y:f.y + f.h, f.x:f.x + f.w]
+        saved = region.copy() if dispose == 2 else None
+        src = rgba.astype(np.float64)
+        if f.blend == 0:  # SOURCE
+            region[:] = src
+        else:  # OVER
+            a = src[:, :, 3:4] / 255.0
+            prev_a = region[:, :, 3:4] / 255.0
+            out_a = a + prev_a * (1.0 - a)
+            safe = np.where(out_a == 0.0, 1.0, out_a)
+            region[:, :, :3] = (
+                src[:, :, :3] * a + region[:, :, :3] * prev_a * (1.0 - a)
+            ) / safe
+            region[:, :, 3:4] = out_a * 255.0
+        flat = canvas[:, :, :3] * (canvas[:, :, 3:4] / 255.0)
+        yield np.rint(flat).astype(np.uint8)
+        if dispose == 1:  # BACKGROUND
+            canvas[f.y:f.y + f.h, f.x:f.x + f.w] = 0.0
+        elif dispose == 2:  # PREVIOUS
+            canvas[f.y:f.y + f.h, f.x:f.x + f.w] = saved

@@ -163,11 +163,15 @@ _ADAM7 = (
 )
 
 
-def _decode_png(data: bytes) -> np.ndarray:
+def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB, or RGBA with ``keep_alpha=True``
+    (the APNG compositor needs the alpha plane; tRNS transparency is
+    refused there rather than silently flattened)."""
     pos = 8
     width = height = None
     depth = color_type = interlace = None
     plte = None
+    has_trns = False
     idat = []
     while pos + 8 <= len(data):
         (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
@@ -193,6 +197,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             if length % 3:
                 raise UnsupportedImageError("PNG PLTE length not 3n")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            has_trns = True
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -223,13 +229,20 @@ def _decode_png(data: bytes) -> np.ndarray:
         )
     if off != len(raw):
         raise UnsupportedImageError("PNG scanline data size mismatch")
+    if keep_alpha and has_trns:
+        raise UnsupportedImageError("PNG tRNS transparency unsupported")
     if color_type == 3:
         if plte is None:
             raise UnsupportedImageError("PNG palette image missing PLTE")
         idx = img[..., 0].astype(np.int64)
         if idx.max(initial=0) >= len(plte):
             raise UnsupportedImageError("PNG palette index out of range")
-        return plte[idx]
+        rgb = plte[idx]
+        if keep_alpha:
+            return np.dstack(
+                [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)]
+            )
+        return rgb
     if depth == 16:
         px = (img >> 8).astype(np.uint8)  # high byte (v*255//65535)
     elif depth < 8:  # gray: expand to the full 8-bit range
@@ -237,12 +250,18 @@ def _decode_png(data: bytes) -> np.ndarray:
     else:
         px = img.astype(np.uint8)
     if color_type == 0:
-        return np.repeat(px, 3, axis=2)
-    if color_type == 2:
-        return px
-    if color_type == 4:
-        return np.repeat(px[..., :1], 3, axis=2)
-    return px[..., :3]  # 6: drop alpha
+        rgb, alpha = np.repeat(px, 3, axis=2), None
+    elif color_type == 2:
+        rgb, alpha = px, None
+    elif color_type == 4:
+        rgb, alpha = np.repeat(px[..., :1], 3, axis=2), px[..., 1]
+    else:  # 6
+        rgb, alpha = px[..., :3], px[..., 3]
+    if not keep_alpha:
+        return rgb
+    if alpha is None:
+        alpha = np.full(rgb.shape[:2], 255, dtype=np.uint8)
+    return np.dstack([rgb, alpha])
 
 
 def _defilter_pass(sub: np.ndarray, bpp: int) -> np.ndarray:

@@ -181,36 +181,82 @@ def _sample_decoded(
             yield i, round((i + 0.5) / fps, 4), blob
 
 
-def _sample_gif(
-    content: bytes, fps: float, encoder=None
+def _sample_varrate(
+    width: int,
+    height: int,
+    delays: "list[float]",
+    frames: Iterator[np.ndarray],
+    fps: float,
+    encoder=None,
 ) -> Iterator[tuple[int, float, bytes]]:
-    """REAL G1 for animated GIF — the first VARIABLE-frame-rate
-    container (per-frame delays, functions/gifcodec.py). Output slots
-    at t=(i+0.5)/fps map onto the source frame whose display interval
-    [start_j, start_{j+1}) contains t."""
+    """Shared G1 core for VARIABLE-frame-rate containers (animated
+    GIF / APNG / animated WebP — per-frame delays): output slots at
+    t=(i+0.5)/fps map onto the source frame whose display interval
+    [start_j, start_{j+1}) contains t. Decodes each source frame at
+    most once, and only the frames actually sampled."""
     import bisect
+    import itertools
 
-    from . import gifcodec as GC
-
-    starts = GC.gif_frame_times(content)
-    if not starts:
+    if not delays:
         return
-    info = GC.parse_gif_info(content)
-    duration = info.duration
+    starts = list(itertools.accumulate([0.0] + list(delays[:-1])))
+    duration = sum(delays)
     n_out = max(1, int(duration * fps))
     wanted: dict[int, list[int]] = {}
     for i in range(n_out):
         t = (i + 0.5) / fps
         j = max(0, min(len(starts) - 1, bisect.bisect_right(starts, t) - 1))
         wanted.setdefault(j, []).append(i)
-    out_w = max(2, 2 * round(info.width * FRAME_HEIGHT / info.height / 2))
-    for j, rgb in enumerate(GC.iter_gif_frames(content)):
+    out_w = max(2, 2 * round(width * FRAME_HEIGHT / height / 2))
+    for j, rgb in enumerate(frames):
         if j not in wanted:
             continue
         scaled = _bilinear_resize(rgb, FRAME_HEIGHT, out_w)
         blob = (encoder or IC.encode_ppm)(scaled)
         for i in wanted[j]:
             yield i, round((i + 0.5) / fps, 4), blob
+
+
+def _sample_gif(
+    content: bytes, fps: float, encoder=None
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for animated GIF (per-frame centisecond delays,
+    functions/gifcodec.py)."""
+    from . import gifcodec as GC
+
+    info = GC.parse_gif_info(content)
+    # the same 1 cs floor gif_frame_times/duration apply
+    delays = [max(d, 1) / 100.0 for d in info.delays_cs]
+    yield from _sample_varrate(
+        info.width, info.height, delays, GC.iter_gif_frames(content), fps,
+        encoder,
+    )
+
+
+def _sample_apng(
+    content: bytes, fps: float, encoder=None
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for APNG (acTL/fcTL/fdAT demux + spec compositing,
+    functions/apng.py)."""
+    from . import apng as AP
+
+    w, h, _n, delays = AP.apng_info(content)
+    yield from _sample_varrate(
+        w, h, list(delays), AP.iter_apng_frames(content), fps, encoder,
+    )
+
+
+def _sample_webp_anim(
+    content: bytes, fps: float, encoder=None
+) -> Iterator[tuple[int, float, bytes]]:
+    """REAL G1 for animated WebP (VP8X/ANIM/ANMF demux + spec
+    compositing, functions/webp.py; VP8L frames only)."""
+    from . import webp as WB
+
+    w, h, _n, delays = WB.webp_anim_info(content)
+    yield from _sample_varrate(
+        w, h, list(delays), WB.iter_webp_anim_frames(content), fps, encoder,
+    )
 
 
 def _sample_y4m(
@@ -420,6 +466,10 @@ def decode_frames(
     Container support: Y4M (YUV4MPEG2) and MJPEG AVI blobs demux +
     decode FOR REAL — pure-stdlib slicing + numpy color conversion /
     the bit-exact baseline JPEG decoder (_sample_y4m, _sample_avi);
+    the animated-image trio — GIF, APNG, animated WebP (VP8L) — plays
+    its variable-rate timeline through the spec compositors
+    (functions/{gifcodec,apng,webp}, _sample_varrate), while STATIC
+    image bytes keep the stub (a still image is not a timeline);
     real .mp4 demuxes FOR REAL too (functions/mp4: ISOBMFF sample
     tables incl. fragmented/moof, stts/ctts timeline, stss keyframes)
     and AVC KEYFRAMES decode to real pixels (functions/avc, r6);
@@ -468,6 +518,25 @@ def decode_frames(
                         if GC.parse_gif_info(content).n_frames >= 1:
                             sampler = _sample_gif
                     except GC.GIFError:
+                        sampler = None
+                elif content[:8] == b"\x89PNG\r\n\x1a\n":
+                    from . import apng as AP
+
+                    try:  # APNG animates; static PNG keeps the stub
+                        # (a still image is not a video timeline)
+                        if AP.is_apng(content):
+                            AP.apng_info(content)  # full validation
+                            sampler = _sample_apng
+                    except AP.APNGError:
+                        sampler = None
+                elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+                    from . import webp as WB
+
+                    try:  # animated WebP only; static/lossy -> stub
+                        if WB.is_animated_webp(content):
+                            WB.webp_anim_info(content)
+                            sampler = _sample_webp_anim
+                    except WB.WebPError:
                         sampler = None
                 elif VC.is_avi(content):
                     try:  # MJPEG only; other AVI codecs fall to the stub

@@ -9,9 +9,13 @@ wrapped in an extended VP8X container): all four transforms
 (predictor, color, subtract-green, color-indexing incl. sub-byte
 width packing), color cache, meta-Huffman code groups, and LZ77
 backward references including the two-dimensional distance plane
-codes. Lossy VP8 payloads, animations and malformed containers raise
-:class:`WebPError` (the module-wide correct-or-refuse posture —
-callers fall back to the labeled stub path).
+codes. Animated WebP (VP8X + ANIM/ANMF with VP8L frame payloads)
+composites through the spec's RGBA canvas model (blend/no-blend,
+dispose-to-background, frame offsets) via iter_webp_anim_frames —
+the G1 variable-rate timeline, like animated GIF. Lossy VP8
+payloads and malformed containers raise :class:`WebPError` (the
+module-wide correct-or-refuse posture — callers fall back to the
+labeled stub path).
 
 Verification model: lossless round-trip against the INDEPENDENT
 fixture encoder (tools/gen_webp_fixture.py) — for a lossless format
@@ -32,7 +36,10 @@ import struct
 
 import numpy as np
 
-__all__ = ["WebPError", "decode_webp", "is_webp"]
+__all__ = [
+    "WebPError", "decode_webp", "is_webp", "is_animated_webp",
+    "webp_anim_info", "iter_webp_anim_frames",
+]
 
 
 class WebPError(ValueError):
@@ -582,7 +589,18 @@ _MAX_DIM = 1 << 14  # 14-bit dimension fields
 
 
 def _decode_webp_inner(data: bytes) -> np.ndarray:
-    body = _vp8l_payload(data)
+    img = _decode_vp8l_argb(_vp8l_payload(data))
+    h, w = img.shape
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (img >> 16) & 0xFF
+    rgb[:, :, 1] = (img >> 8) & 0xFF
+    rgb[:, :, 2] = img & 0xFF
+    return rgb
+
+
+def _decode_vp8l_argb(body: bytes) -> np.ndarray:
+    """Decode one VP8L stream to its native (H, W) uint32 ARGB plane
+    (alpha preserved — the animation compositor needs it)."""
     if not body or body[0] != 0x2F:
         raise WebPError("bad VP8L signature byte")
     r = LSBReader(body[1:])
@@ -658,8 +676,144 @@ def _decode_webp_inner(data: bytes) -> np.ndarray:
 
     if img.shape != (h, w):
         raise WebPError("decoded geometry mismatch")
-    rgb = np.empty((h, w, 3), dtype=np.uint8)
-    rgb[:, :, 0] = (img >> 16) & 0xFF
-    rgb[:, :, 1] = (img >> 8) & 0xFF
-    rgb[:, :, 2] = img & 0xFF
-    return rgb
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF, VP8L frame payloads)
+# ---------------------------------------------------------------------------
+
+def _anim_chunks(data: bytes):
+    """Top-level RIFF chunk walk for the animation path (the static
+    path's _vp8l_payload refuses ANIM/ANMF on purpose)."""
+    if not is_webp(data):
+        raise WebPError("not a RIFF/WEBP container")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise WebPError(f"truncated {tag!r} chunk")
+        yield tag, body
+        pos += 8 + size + (size & 1)
+
+
+def is_animated_webp(data: bytes) -> bool:
+    """True when the container carries an animation (ANIM/ANMF chunks;
+    the VP8X 'A' flag alone is advisory)."""
+    try:
+        return any(t in (b"ANIM", b"ANMF") for t, _ in _anim_chunks(data))
+    except WebPError:
+        return False
+
+
+class _AnimFrame:
+    __slots__ = ("x", "y", "w", "h", "duration_ms", "blend", "dispose",
+                 "vp8l")
+
+    def __init__(self, body: bytes):
+        if len(body) < 16:
+            raise WebPError("ANMF header truncated")
+
+        def u24(o):
+            return body[o] | (body[o + 1] << 8) | (body[o + 2] << 16)
+
+        self.x = u24(0) * 2  # stored in 2-pixel units
+        self.y = u24(3) * 2
+        self.w = u24(6) + 1
+        self.h = u24(9) + 1
+        self.duration_ms = u24(12)
+        flags = body[15]
+        self.blend = not (flags & 0x02)  # bit1 SET = do NOT blend
+        self.dispose = bool(flags & 0x01)  # bit0 SET = dispose to bg
+        self.vp8l = None
+        pos = 16
+        while pos + 8 <= len(body):
+            tag = body[pos:pos + 4]
+            size = struct.unpack_from("<I", body, pos + 4)[0]
+            sub = body[pos + 8:pos + 8 + size]
+            if len(sub) < size:
+                raise WebPError("truncated ANMF subchunk")
+            if tag == b"VP8L":
+                self.vp8l = sub
+            elif tag == b"VP8 ":
+                raise WebPError("lossy VP8 animation frame unsupported")
+            elif tag == b"ALPH":
+                raise WebPError(
+                    "ALPH frame chunk implies lossy VP8 (unsupported)"
+                )
+            pos += 8 + size + (size & 1)
+        if self.vp8l is None:
+            raise WebPError("ANMF without a VP8L payload")
+
+
+def parse_webp_anim(data: bytes):
+    """(canvas_w, canvas_h, frames: list[_AnimFrame]) for an animated
+    WebP. Refuses non-animated containers and lossy/alpha-chunk
+    frames (correct-or-refuse: callers fall back to their stub)."""
+    canvas_w = canvas_h = None
+    frames = []
+    saw_anim = False
+    for tag, body in _anim_chunks(data):
+        if tag == b"VP8X" and len(body) >= 10:
+            canvas_w = (body[4] | (body[5] << 8) | (body[6] << 16)) + 1
+            canvas_h = (body[7] | (body[8] << 8) | (body[9] << 16)) + 1
+        elif tag == b"ANIM":
+            saw_anim = True
+        elif tag == b"ANMF":
+            frames.append(_AnimFrame(body))
+    if not saw_anim or not frames:
+        raise WebPError("no animation in container")
+    if canvas_w is None:
+        raise WebPError("animated WebP without a VP8X canvas")
+    for f in frames:
+        if f.x + f.w > canvas_w or f.y + f.h > canvas_h:
+            raise WebPError("ANMF frame exceeds the canvas")
+    return canvas_w, canvas_h, frames
+
+
+def webp_anim_info(data: bytes) -> tuple[int, int, int, tuple]:
+    """(canvas_w, canvas_h, n_frames, durations_sec) — the G1
+    variable-rate timeline, like gifcodec.parse_gif_info. Zero-length
+    durations get the same 10 ms floor browsers apply to GIF."""
+    w, h, frames = parse_webp_anim(data)
+    durs = tuple(max(f.duration_ms, 10) / 1000.0 for f in frames)
+    return w, h, len(frames), durs
+
+
+def iter_webp_anim_frames(data: bytes):
+    """Yield composited (H, W, 3) uint8 RGB frames of an animated
+    WebP. Spec compositing on an RGBA canvas (transparent black
+    start): per frame alpha-blend or replace at the frame rect, emit
+    the canvas flattened over black, then optionally dispose the rect
+    to transparent. VP8L frames only (lossy refuses at parse)."""
+    _w, _h, frames = parse_webp_anim(data)
+    canvas = np.zeros((_h, _w, 4), dtype=np.float64)  # RGBA, 0..255
+    for f in frames:
+        argb = _decode_vp8l_argb(f.vp8l)
+        if argb.shape != (f.h, f.w):
+            raise WebPError("ANMF geometry mismatch vs VP8L stream")
+        rgba = np.empty((f.h, f.w, 4), dtype=np.float64)
+        rgba[:, :, 0] = (argb >> 16) & 0xFF
+        rgba[:, :, 1] = (argb >> 8) & 0xFF
+        rgba[:, :, 2] = argb & 0xFF
+        rgba[:, :, 3] = (argb >> 24) & 0xFF
+        region = canvas[f.y:f.y + f.h, f.x:f.x + f.w]
+        if f.blend:
+            a = rgba[:, :, 3:4] / 255.0
+            prev_a = region[:, :, 3:4] / 255.0
+            out_a = a + prev_a * (1.0 - a)
+            safe = np.where(out_a == 0.0, 1.0, out_a)
+            region[:, :, :3] = (
+                rgba[:, :, :3] * a + region[:, :, :3] * prev_a * (1.0 - a)
+            ) / safe
+            region[:, :, 3:4] = out_a * 255.0
+        else:
+            region[:] = rgba
+        flat = canvas[:, :, :3] * (canvas[:, :, 3:4] / 255.0)
+        yield np.rint(flat).astype(np.uint8)
+        if f.dispose:
+            canvas[f.y:f.y + f.h, f.x:f.x + f.w] = 0.0

@@ -1,0 +1,301 @@
+"""Animated-image timelines: APNG + animated WebP decode/composite
+pinned against the independent fixture compositors (binary alpha ->
+integer-exact), hand-built dispose/blend semantics vectors, fractional
+alpha against the straight Porter-Duff formula, and the G1
+decode_frames e2e on both containers.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+)
+import gen_apng_fixture as AENC  # noqa: E402
+import gen_png_goldens as PENC  # noqa: E402
+import gen_webp_fixture as WENC  # noqa: E402
+
+from shotit_worker_spark.functions import apng as AP  # noqa: E402
+from shotit_worker_spark.functions import webp as WB  # noqa: E402
+
+RNG = np.random.default_rng(11)
+
+
+def _rgba(h, w):
+    s = RNG.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    s[..., 3] = RNG.integers(0, 2, (h, w)) * 255
+    return s
+
+
+def _rgb(h, w):
+    return RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _opaque(h, w):
+    return np.dstack([_rgb(h, w), np.full((h, w), 255, np.uint8)])
+
+
+# ---------------------------------------------------------------------------
+# APNG
+# ---------------------------------------------------------------------------
+
+def _apng_case():
+    frames = [
+        dict(samples=_opaque(18, 24), delay=(5, 100)),
+        dict(samples=_rgba(8, 10), x=4, y=2, blend=1, delay=(1, 10)),
+        dict(samples=_rgba(6, 8), x=12, y=8, blend=0, dispose=2,
+             delay=(2, 100)),
+        dict(samples=_rgba(10, 12), x=2, y=6, blend=1, dispose=1,
+             delay=(7, 100)),
+        dict(samples=_rgba(18, 24), blend=1, delay=(3, 100)),
+    ]
+    return AENC.encode_apng(24, 18, frames)
+
+
+def test_apng_roundtrip_all_ops():
+    blob, expected = _apng_case()
+    assert AP.is_apng(blob)
+    w, h, n, delays = AP.apng_info(blob)
+    assert (w, h, n) == (24, 18, 5)
+    assert delays == (0.05, 0.1, 0.02, 0.07, 0.03)
+    got = list(AP.iter_apng_frames(blob))
+    assert len(got) == 5
+    for g, e in zip(got, expected):
+        assert np.array_equal(g, e)
+
+
+def test_apng_default_image_excluded_from_animation():
+    frames = [
+        dict(samples=_rgba(8, 10), x=4, y=2, blend=1),
+        dict(samples=_rgba(6, 8), x=0, y=0, blend=0),
+    ]
+    blob, expected = AENC.encode_apng(
+        24, 18, frames, default_image_in_anim=False
+    )
+    got = list(AP.iter_apng_frames(blob))
+    assert len(got) == 2
+    for g, e in zip(got, expected):
+        assert np.array_equal(g, e)
+
+
+def test_apng_rgb_color_type_frames():
+    frames = [
+        dict(samples=_rgb(12, 16), delay=(4, 100)),
+        dict(samples=_rgb(6, 6), x=4, y=4, blend=0, dispose=1),
+        dict(samples=_rgb(12, 16), blend=1),
+    ]
+    blob, expected = AENC.encode_apng(16, 12, frames, color_type=2)
+    got = list(AP.iter_apng_frames(blob))
+    for g, e in zip(got, expected):
+        assert np.array_equal(g, e)
+
+
+def test_apng_dispose_previous_reverts_region():
+    # hand-built expectation: frame2 draws a patch with dispose=
+    # PREVIOUS, so frame3's canvas shows frame1's pixels again
+    base = _opaque(6, 6)
+    patch = _opaque(2, 2)
+    last = np.dstack([_rgb(2, 2), np.zeros((2, 2), np.uint8)])  # all
+    # transparent OVER -> canvas unchanged
+    frames = [
+        dict(samples=base),
+        dict(samples=patch, x=2, y=2, blend=0, dispose=2),
+        dict(samples=last, x=0, y=0, blend=1),
+    ]
+    blob, _ = AENC.encode_apng(6, 6, frames)
+    got = list(AP.iter_apng_frames(blob))
+    assert np.array_equal(got[1][2:4, 2:4], patch[..., :3])
+    assert np.array_equal(got[2], base[..., :3])  # patch reverted
+
+
+def test_apng_static_png_refuses():
+    static = PENC.encode_png_ex(_rgb(8, 8), 2, 8)
+    assert not AP.is_apng(static)
+    with pytest.raises(AP.APNGError):
+        AP.apng_info(static)
+
+
+def test_apng_sequence_gap_refuses():
+    blob, _ = _apng_case()
+    # corrupt one fcTL/fdAT sequence number (find an fdAT, bump seq)
+    i = blob.index(b"fdAT")
+    bad = bytearray(blob)
+    bad[i + 4:i + 8] = struct.pack(">I", 999)
+    with pytest.raises(AP.APNGError):
+        list(AP.iter_apng_frames(bytes(bad)))
+
+
+def test_apng_frame_count_mismatch_refuses():
+    blob, _ = _apng_case()
+    i = blob.index(b"acTL")
+    bad = bytearray(blob)
+    bad[i + 4:i + 8] = struct.pack(">I", 7)  # declare 7, stream has 5
+    with pytest.raises(AP.APNGError):
+        AP.apng_info(bytes(bad))
+
+
+def test_apng_fractional_alpha_matches_porter_duff():
+    # straight-alpha OVER with fractional alpha, checked against the
+    # formula computed independently here (+-1 quantization)
+    h = w = 4
+    a_vals = np.array([[0, 64, 128, 255]] * h, np.uint8)
+    f0 = np.dstack([np.full((h, w, 3), 200, np.uint8),
+                    np.full((h, w), 255, np.uint8)])
+    f1 = np.dstack([np.full((h, w, 3), 40, np.uint8), a_vals])
+    frames = [dict(samples=f0), dict(samples=f1, blend=1)]
+    # bypass the binary-alpha fixture guard: assemble via encode_apng
+    # with blend OVER but compute expectation manually
+    try:
+        blob, _ = AENC.encode_apng(w, h, frames)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised  # the fixture compositor refuses fractional alpha
+    # assemble manually: reuse the encoder but with SOURCE-composited
+    # expectation unused; build chunks directly
+    import zlib
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+
+    def payload(s):
+        raw = b"".join(b"\x00" + s[y].tobytes() for y in range(h))
+        return zlib.compress(raw)
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"acTL", struct.pack(">II", 2, 0))
+            + chunk(b"fcTL", struct.pack(
+                ">IIIIIHHBB", 0, w, h, 0, 0, 3, 100, 0, 0))
+            + chunk(b"IDAT", payload(f0))
+            + chunk(b"fcTL", struct.pack(
+                ">IIIIIHHBB", 1, w, h, 0, 0, 3, 100, 0, 1))
+            + chunk(b"fdAT", struct.pack(">I", 2) + payload(f1))
+            + chunk(b"IEND", b""))
+    got = list(AP.iter_apng_frames(blob))[1]
+    a = a_vals.astype(np.float64)[..., None] / 255.0
+    want = 40 * a + 200 * (1 - a)  # both alphas: out_a = 1
+    assert np.abs(got.astype(np.float64) - want).max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# animated WebP
+# ---------------------------------------------------------------------------
+
+def _webp_case():
+    f0 = _rgb(20, 30)
+    f1 = _rgb(10, 14)
+    a1 = RNG.integers(0, 2, (10, 14), np.uint8) * 255
+    f2 = _rgb(8, 10)
+    frames = [
+        dict(rgb=f0, x=0, y=0, duration_ms=50,
+             enc={"subtract_green": True}),
+        dict(rgb=f1, alpha=a1, x=4, y=2, duration_ms=100, blend=True,
+             enc={"lz77": True}),
+        dict(rgb=f2, x=10, y=6, duration_ms=30, blend=False, dispose=True),
+        dict(rgb=f1, alpha=a1, x=16, y=8, duration_ms=70, blend=True),
+    ]
+    return WENC.encode_animated_webp(30, 20, frames)
+
+
+def test_webp_anim_roundtrip_all_ops():
+    blob, expected = _webp_case()
+    assert WB.is_animated_webp(blob)
+    w, h, n, durs = WB.webp_anim_info(blob)
+    assert (w, h, n) == (30, 20, 4)
+    assert durs == (0.05, 0.1, 0.03, 0.07)
+    got = list(WB.iter_webp_anim_frames(blob))
+    assert len(got) == 4
+    for g, e in zip(got, expected):
+        assert np.array_equal(g, e)
+
+
+def test_webp_anim_dispose_clears_only_frame_rect():
+    f0 = _rgb(12, 12)
+    patch = _rgb(4, 4)
+    frames = [
+        dict(rgb=f0, x=0, y=0, duration_ms=40),
+        dict(rgb=patch, x=4, y=4, duration_ms=40, blend=False,
+             dispose=True),
+        dict(rgb=_rgb(2, 2), x=0, y=0, duration_ms=40, blend=True),
+    ]
+    blob, expected = WENC.encode_animated_webp(12, 12, frames)
+    got = list(WB.iter_webp_anim_frames(blob))
+    # after dispose, the patch rect reads black, rest keeps f0
+    assert np.array_equal(got[2][4:8, 4:8], np.zeros((4, 4, 3), np.uint8))
+    assert np.array_equal(got[2][:4, :], expected[2][:4, :])
+
+
+def test_webp_static_is_not_animated():
+    static = WENC.encode_vp8l(_rgb(8, 8))
+    assert not WB.is_animated_webp(static)
+    with pytest.raises(WB.WebPError):
+        WB.webp_anim_info(static)
+    # and the static decode path still refuses animations
+    blob, _ = _webp_case()
+    with pytest.raises(WB.WebPError):
+        WB.decode_webp(blob)
+
+
+def test_webp_anim_frame_exceeding_canvas_refuses():
+    frames = [dict(rgb=_rgb(10, 10), x=4, y=4, duration_ms=40)]
+    blob, _ = WENC.encode_animated_webp(12, 12, frames)
+    with pytest.raises(WB.WebPError):
+        WB.webp_anim_info(blob)
+
+
+# ---------------------------------------------------------------------------
+# G1 e2e through Spark
+# ---------------------------------------------------------------------------
+
+def test_decode_frames_animated_timelines(spark):
+    from shotit_worker_spark.functions.imagecodec import decode_image
+    from shotit_worker_spark.functions.media import decode_frames
+
+    apng_blob, apng_expected = _apng_case()  # 0.27 s total
+    webp_blob, webp_expected = _webp_case()  # 0.25 s total
+    static = PENC.encode_png_ex(_rgb(8, 8), 2, 8)
+    df = spark.createDataFrame(
+        [
+            ("v/anim.png", bytearray(apng_blob)),
+            ("v/anim.webp", bytearray(webp_blob)),
+            ("v/still.png", bytearray(static)),
+        ],
+        "path string, content binary",
+    )
+    rows = decode_frames(df, fps=12.0).collect()
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r)
+    # 12 fps over ~0.27 s -> 3 slots; ~0.25 s -> 3 slots
+    apng_rows = sorted(by_file["v/anim.png"], key=lambda r: r["frame_no"])
+    webp_rows = sorted(by_file["v/anim.webp"], key=lambda r: r["frame_no"])
+    assert len(apng_rows) == 3 and len(webp_rows) == 3
+    # slot t=(0+0.5)/12=0.0417 falls in frame 0's [0, 0.05) interval:
+    # the decoded thumb must be the REAL composited frame, resized
+    first = decode_image(bytes(apng_rows[0]["image"]))
+    assert first.shape[0] == 180  # FRAME_HEIGHT scaling happened
+    assert apng_rows[0]["time"] == round(0.5 / 12.0, 4)
+    # real pixels: compare against the expected composite resized by
+    # the same kernel
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    want = _bilinear_resize(apng_expected[0], FRAME_HEIGHT, 240)
+    assert np.array_equal(first, want)
+    w_first = decode_image(bytes(webp_rows[0]["image"]))
+    want_w = _bilinear_resize(webp_expected[0], FRAME_HEIGHT, 270)
+    assert np.array_equal(w_first, want_w)
+    # static PNG keeps the deterministic stub (it has frames, but the
+    # image content is the synthetic scene, not the PNG)
+    assert len(by_file["v/still.png"]) >= 1

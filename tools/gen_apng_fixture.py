@@ -1,0 +1,157 @@
+"""Independent APNG fixture encoder (acTL/fcTL/fdAT assembly).
+
+Encode-direction counterpart of shotit_worker_spark/functions/apng:
+per-frame rasters go through gen_png_goldens.encode_png_ex (the
+independent PNG encoder already pinned against the JRE), their IDAT
+payloads are re-framed as the animation's IDAT/fdAT stream, and the
+EXPECTED composites are computed here with an integer select
+compositor (fixtures use binary alpha, so compositing is exact and
+shares no float canvas with the decoder under test).
+
+encode_apng returns (apng_bytes, [expected (H, W, 3) uint8 frames]).
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+import os
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import gen_png_goldens as PENC  # noqa: E402
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+
+def _idat_payload(png: bytes) -> bytes:
+    """Concatenated IDAT bodies of a single-image PNG."""
+    pos = 8
+    out = b""
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack_from(">I", png, pos)
+        typ = png[pos + 4: pos + 8]
+        if typ == b"IDAT":
+            out += png[pos + 8: pos + 8 + length]
+        pos += 12 + length
+    return out
+
+
+def encode_apng(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    color_type: int = 6,
+    default_image_in_anim: bool = True,
+    num_plays: int = 0,
+):
+    """frames: dicts with keys samples ((h, w, nch) uint8 at the shared
+    `color_type` — alpha channel binary 0/255 for ct 6), x, y, delay
+    ((num, den) or seconds treated as num/100), dispose (0/1/2), blend
+    (0 SOURCE / 1 OVER), and optional 'filters' for encode_png_ex.
+
+    With default_image_in_anim the first frame is the file's IDAT
+    (fcTL before IDAT, full-canvas rect enforced); otherwise the IDAT
+    default image is a throwaway full-canvas raster excluded from the
+    animation (frames are all fdAT)."""
+    if color_type not in (2, 6):
+        raise ValueError("fixture supports color types 2 (RGB) / 6 (RGBA)")
+    nch = 4 if color_type == 6 else 3
+    seq = 0
+    body = b""
+    canvas = np.zeros((canvas_h, canvas_w, 3), np.uint8)
+    cover = np.zeros((canvas_h, canvas_w), bool)
+    expected = []
+
+    def fctl(f, w, h, x, y):
+        nonlocal seq
+        delay = f.get("delay", (3, 100))
+        if not isinstance(delay, tuple):
+            delay = (int(round(delay * 100)), 100)
+        out = _chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, w, h, x, y, delay[0], delay[1],
+                f.get("dispose", 0), f.get("blend", 0),
+            ),
+        )
+        seq += 1
+        return out
+
+    def frame_payload(f, w, h):
+        samples = np.asarray(f["samples"], np.uint8)
+        assert samples.shape == (h, w, nch)
+        png = PENC.encode_png_ex(
+            samples, color_type, 8, filters=f.get("filters")
+        )
+        return _idat_payload(png)
+
+    def composite(f, w, h, x, y):
+        samples = np.asarray(f["samples"], np.uint8)
+        rgb = samples[..., :3]
+        if nch == 4:
+            alpha = samples[..., 3]
+            if not np.isin(alpha, (0, 255)).all():
+                raise ValueError("fixture alpha must be binary (0/255)")
+            opaque = alpha.astype(bool)
+        else:
+            opaque = np.ones((h, w), bool)
+        dispose = f.get("dispose", 0)
+        if not expected and dispose == 2:
+            dispose = 1  # PREVIOUS on frame 0 degrades, like the spec
+        reg_rgb = canvas[y:y + h, x:x + w]
+        reg_cov = cover[y:y + h, x:x + w]
+        saved = (reg_rgb.copy(), reg_cov.copy()) if dispose == 2 else None
+        if f.get("blend", 0) == 0:  # SOURCE
+            reg_rgb[:] = np.where(opaque[..., None], rgb, 0)
+            reg_cov[:] = opaque
+        else:  # OVER (binary alpha -> select)
+            reg_rgb[opaque] = rgb[opaque]
+            reg_cov[opaque] = True
+        expected.append(
+            np.where(cover[..., None], canvas, 0).astype(np.uint8)
+        )
+        if dispose == 1:
+            canvas[y:y + h, x:x + w] = 0
+            cover[y:y + h, x:x + w] = False
+        elif dispose == 2:
+            canvas[y:y + h, x:x + w] = saved[0]
+            cover[y:y + h, x:x + w] = saved[1]
+
+    n_anim = len(frames)
+    ihdr = struct.pack(">IIBBBBB", canvas_w, canvas_h, 8, color_type, 0,
+                       0, 0)
+    body += _chunk(b"acTL", struct.pack(">II", n_anim, num_plays))
+
+    rest = frames
+    if default_image_in_anim:
+        f0 = frames[0]
+        h0, w0 = np.asarray(f0["samples"]).shape[:2]
+        if (w0, h0) != (canvas_w, canvas_h):
+            raise ValueError("frame 0 as default image must fill the canvas")
+        body += fctl(f0, w0, h0, 0, 0)
+        body += _chunk(b"IDAT", frame_payload(f0, w0, h0))
+        composite(f0, w0, h0, 0, 0)
+        rest = frames[1:]
+    else:
+        junk = np.zeros((canvas_h, canvas_w, nch), np.uint8)
+        body += _chunk(
+            b"IDAT", frame_payload({"samples": junk}, canvas_w, canvas_h)
+        )
+    for f in rest:
+        h, w = np.asarray(f["samples"]).shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        body += fctl(f, w, h, x, y)
+        payload = frame_payload(f, w, h)
+        body += _chunk(b"fdAT", struct.pack(">I", seq) + payload)
+        seq += 1
+        composite(f, w, h, x, y)
+
+    out = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + body
+           + _chunk(b"IEND", b""))
+    return out, expected

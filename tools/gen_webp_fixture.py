@@ -584,3 +584,88 @@ def encode_vp8l(rgb: np.ndarray, subtract_green=False, predictor=None,
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF) fixture assembly
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    return out + (b"\x00" if len(payload) & 1 else b"")
+
+
+def _u24(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def vp8l_chunk(rgb, alpha=None, **kw) -> bytes:
+    """The bare VP8L chunk (header + payload) for one frame, pulled
+    out of encode_vp8l's single-image RIFF container."""
+    whole = encode_vp8l(rgb, alpha=alpha, **kw)
+    return whole[12:]  # skip RIFF size header + WEBP tag
+
+
+def encode_animated_webp(canvas_w, canvas_h, frames, loop=0):
+    """Assemble an animated WebP + compute expected composites.
+
+    ``frames``: list of dicts with keys rgb (h,w,3 uint8), alpha
+    (h,w uint8 or None = opaque), x, y (even), duration_ms, blend
+    (bool), dispose (bool), plus optional encode_vp8l kwargs under
+    'enc'. Alpha values must be 0 or 255 so the expected composite
+    (computed HERE with integer selects, independent of the decoder's
+    float canvas) is exact.
+
+    Returns (webp_bytes, [expected (canvas_h, canvas_w, 3) uint8]).
+    """
+    body = b""
+    # VP8X: flag byte (bit1 = animation), 3 reserved, canvas w-1/h-1
+    body += _chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                   + _u24(canvas_w - 1) + _u24(canvas_h - 1))
+    body += _chunk(b"ANIM", struct.pack("<IH", 0, loop))
+    # independent compositor state: RGB canvas + coverage mask
+    canvas = np.zeros((canvas_h, canvas_w, 3), np.uint8)
+    cover = np.zeros((canvas_h, canvas_w), bool)
+    expected = []
+    for f in frames:
+        rgb = np.asarray(f["rgb"], np.uint8)
+        h, w = rgb.shape[:2]
+        alpha = f.get("alpha")
+        if alpha is not None:
+            alpha = np.asarray(alpha, np.uint8)
+            if not np.isin(alpha, (0, 255)).all():
+                raise ValueError("fixture alpha must be binary (0/255)")
+        x, y = f["x"], f["y"]
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets are stored in 2px units")
+        hdr = (_u24(x // 2) + _u24(y // 2) + _u24(w - 1) + _u24(h - 1)
+               + _u24(f["duration_ms"])
+               + bytes([(0 if f.get("blend", True) else 0x02)
+                        | (0x01 if f.get("dispose", False) else 0)]))
+        body += _chunk(
+            b"ANMF", hdr + vp8l_chunk(rgb, alpha=alpha, **f.get("enc", {}))
+        )
+        if y + h > canvas_h or x + w > canvas_w:
+            # deliberately malformed fixture (decoder-refusal tests):
+            # emit the chunk but skip the composite
+            expected.append(None)
+            continue
+        # expected composite (integer path, binary alpha)
+        opaque = (np.ones((h, w), bool) if alpha is None
+                  else alpha.astype(bool))
+        reg_rgb = canvas[y:y + h, x:x + w]
+        reg_cov = cover[y:y + h, x:x + w]
+        if f.get("blend", True):
+            reg_rgb[opaque] = rgb[opaque]
+            reg_cov[opaque] = True
+        else:
+            reg_rgb[:] = np.where(opaque[..., None], rgb, 0)
+            reg_cov[:] = opaque
+        out = np.where(cover[..., None], canvas, 0).astype(np.uint8)
+        expected.append(out)
+        if f.get("dispose", False):
+            canvas[y:y + h, x:x + w] = 0
+            cover[y:y + h, x:x + w] = False
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff, expected
