@@ -2883,6 +2883,156 @@ def q77_wav_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (case_id,) — one animated container per case; frame content and
+# animation ops are deterministic (seeded by case id)
+_ANIM_CASE_IDS = ("apng_ops", "webp_ops")
+
+
+def _anim_case_build(case_id: str):
+    """(blob_bytes, expected composited RGB frames) from the
+    INDEPENDENT fixture compositors (integer select over binary
+    alpha — no float canvas shared with the decoders under test)."""
+    import numpy as np
+
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    rng = np.random.default_rng(sum(ord(c) for c in case_id))
+
+    def rgb(h, w):
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def mask(h, w):
+        return (rng.integers(0, 2, (h, w), dtype=np.uint8)) * 255
+
+    if case_id == "apng_ops":
+        import gen_apng_fixture as AE
+
+        def rgba(h, w):
+            return np.dstack([rgb(h, w), mask(h, w)])
+
+        def opaque(h, w):
+            return np.dstack([rgb(h, w), np.full((h, w), 255, np.uint8)])
+
+        frames = [
+            dict(samples=opaque(18, 24), delay=(5, 100)),
+            dict(samples=rgba(8, 10), x=4, y=2, blend=1, delay=(1, 10)),
+            dict(samples=rgba(6, 8), x=12, y=8, blend=0, dispose=2,
+                 delay=(2, 100)),
+            dict(samples=rgba(10, 12), x=2, y=6, blend=1, dispose=1,
+                 delay=(7, 100)),
+            dict(samples=rgba(18, 24), blend=1, delay=(3, 100)),
+        ]
+        return AE.encode_apng(24, 18, frames)
+    import gen_webp_fixture as WE
+
+    frames = [
+        dict(rgb=rgb(20, 30), x=0, y=0, duration_ms=50,
+             enc={"subtract_green": True}),
+        dict(rgb=rgb(10, 14), alpha=mask(10, 14), x=4, y=2,
+             duration_ms=100, blend=True, enc={"lz77": True}),
+        dict(rgb=rgb(8, 10), x=10, y=6, duration_ms=30, blend=False,
+             dispose=True),
+        dict(rgb=rgb(10, 14), alpha=mask(10, 14), x=16, y=8,
+             duration_ms=70, blend=True, enc={"cache_bits": 4}),
+    ]
+    return WE.encode_animated_webp(30, 20, frames)
+
+
+def q78_animated_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-image compositor gate: an APNG exercising all three
+    dispose ops + both blend ops, and an animated WebP exercising
+    blend/no-blend + dispose-to-background with frame offsets, are
+    DECODED and composited by the engine (functions/apng,
+    functions/webp) on the executors; every output frame is hashed.
+    The oracle states the INDEPENDENT fixture compositors' frames
+    (integer select over binary alpha — tools/gen_apng_fixture.py,
+    tools/gen_webp_fixture.py). Beyond-reference coverage: the
+    reference plays animations through ffmpeg
+    (/root/reference/hasher.js:78-91)."""
+    df = spark.createDataFrame(
+        [(cid,) for cid in _ANIM_CASE_IDS], "case_id string"
+    )
+    tools_dir = _TOOLS_DIR
+
+    def run(batches):
+        import hashlib
+        import sys as _s
+
+        import pandas as pd
+
+        root = os.path.dirname(tools_dir)
+        for p in (tools_dir, root):
+            if p not in _s.path:
+                _s.path.insert(0, p)
+        import __spark_entry__ as EM
+        from shotit_worker_spark.functions.apng import iter_apng_frames
+        from shotit_worker_spark.functions.webp import (
+            iter_webp_anim_frames,
+        )
+
+        for b in batches:
+            out = []
+            for cid in b["case_id"]:
+                blob, _exp = EM._anim_case_build(cid)
+                frames = (
+                    iter_apng_frames(blob) if cid.startswith("apng")
+                    else iter_webp_anim_frames(blob)
+                )
+                for i, f in enumerate(frames):
+                    out.append(
+                        (
+                            cid,
+                            i,
+                            int(f.shape[0]),
+                            int(f.shape[1]),
+                            hashlib.md5(f.tobytes()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["case_id", "frame_no", "height", "width",
+                         "rgb_md5"],
+            )
+
+    return (
+        df.repartition(len(_ANIM_CASE_IDS))
+        .mapInPandas(
+            run,
+            schema=(
+                "case_id string, frame_no int, height int, width int, "
+                "rgb_md5 string"
+            ),
+        )
+        .orderBy("case_id", "frame_no")
+    )
+
+
+_ANIM_ORACLE_CACHE: list | None = None
+
+
+def _anim_oracle_rows() -> list:
+    """Expected q78 rows from the fixture compositors."""
+    global _ANIM_ORACLE_CACHE
+    if _ANIM_ORACLE_CACHE is None:
+        import hashlib
+
+        rows = []
+        for cid in _ANIM_CASE_IDS:
+            _blob, expected = _anim_case_build(cid)
+            for i, f in enumerate(expected):
+                rows.append(
+                    (
+                        cid,
+                        i,
+                        int(f.shape[0]),
+                        int(f.shape[1]),
+                        hashlib.md5(f.tobytes()).hexdigest(),
+                    )
+                )
+        _ANIM_ORACLE_CACHE = rows
+    return _ANIM_ORACLE_CACHE
+
+
 _WAV_ORACLE_CACHE: list | None = None
 
 
@@ -3155,6 +3305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_running_sum": q17_running_sum,
         "q18_promo_revenue": q18_promo_revenue,
         "q47_sequence_pack": q47_sequence_pack,
+        # q78 registers PAST the cap by design: the animated-image
+        # compositor gate is enforced by test_displaced_oracle's
+        # driver-exact replay + check_oracle without costing a
+        # recorded slot of a substantive row
+        "q78_animated_frames": q78_animated_frames,
     }
 
 
@@ -3186,6 +3341,11 @@ def oracle_sql() -> dict[str, str]:
         # encoder reconstruction, per branch — see _wav_case_stream)
         "q77_wav_codecs": _values_oracle(
             _wav_oracle_rows(), "case_id, n, channels, rate, pcm_md5"),
+        # q78: the fixture compositors' frames (independent integer
+        # compositing over binary alpha)
+        "q78_animated_frames": _values_oracle(
+            _anim_oracle_rows(),
+            "case_id, frame_no, height, width, rgb_md5"),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
