@@ -37,10 +37,11 @@ Kernel reality, per stage:
   stays on the real image path either way. With PyAV the fallback
   becomes open-container → sample at fps → scale → encode; signature
   unchanged.
-- Audio features: REAL for WAV (functions/wavcodec — PCM, float,
-  G.711, IMA/MS ADPCM, extensible), AIFF/AIFF-C (stdlib `aifc`), and
-  FLAC (functions/flac, spec-built lossless decode); stub fallback
-  for other bytes.
+- Audio features: REAL for WAV and AIFF/AIFF-C (functions/wavcodec —
+  PCM, float, G.711, IMA/MS ADPCM, extensible; AIFF 80-bit COMM
+  rate, NONE/sowt/twos/fl32/fl64/alaw/ulaw) and FLAC
+  (functions/flac, spec-built lossless decode); stub fallback for
+  other bytes.
 
 Multimodal data model (SURVEY §1.3): media is an opaque `binary` column
 with typed metadata columns beside it; provenance stays in `path`.
@@ -1011,9 +1012,10 @@ def audio_features(
 
     mapInPandas over binaryFile rows, one row per clip. WAV
     (functions/wavcodec — integer PCM 8/16/24/32, IEEE float, G.711
-    A-law/mu-law, IMA + MS ADPCM, extensible), PCM AIFF/AIFF-C, and
-    FLAC (functions/flac — in-engine lossless decode, MD5-verified)
-    decode FOR REAL — then a numpy Hann-windowed average power spectrum
+    A-law/mu-law, IMA + MS ADPCM, extensible), AIFF/AIFF-C (same
+    module — 80-bit COMM rate, PCM both byte orders, floats, G.711),
+    and FLAC (functions/flac — in-engine lossless decode,
+    MD5-verified) decode FOR REAL — then a numpy Hann-windowed average power spectrum
     pooled into `dim` log-energy bands (_wav_features /
     _aiff_features / _flac_features). Other bytes keep the deterministic
     blake2 stub so the plumbing stays total; with librosa/soundfile
@@ -1099,37 +1101,18 @@ def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
 
 
 def _aiff_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
-    """REAL audio kernel for PCM AIFF/AIFF-C: stdlib `aifc` decode
-    (big-endian samples), same spectral pooling as WAV. `aifc` is
-    removed in Python 3.13 — ImportError falls back to the stub like
-    any other undecodable format."""
-    import io
-    import warnings
+    """REAL audio kernel for AIFF/AIFF-C: in-engine FORM decode
+    (functions/wavcodec.decode_aiff — PCM NONE/sowt/twos at
+    8/16/24/32-bit, fl32/fl64 floats, G.711 alaw/ulaw; the 80-bit
+    extended-float COMM rate parsed from spec), same spectral pooling
+    as WAV. Formerly stdlib `aifc`, which is removed in Python 3.13;
+    PCM normalization conventions are unchanged, so features are
+    identical for the widths aifc handled."""
+    from .wavcodec import decode_aiff
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        import aifc
-
-    with aifc.open(io.BytesIO(content), "rb") as a:
-        n, sr, ch, sw = (
-            a.getnframes(), a.getframerate(), a.getnchannels(), a.getsampwidth()
-        )
-        comp = a.getcomptype()
-        raw = a.readframes(n)
-    if comp not in (b"NONE", b"sowt"):
-        raise ValueError(f"unsupported AIFF compression {comp!r}")
-    # aifc returns 'sowt' (little-endian AIFC) already byte-swapped
-    if sw == 2:
-        x = np.frombuffer(raw, ">i2").astype(np.float64) / 32768.0
-    elif sw == 1:
-        x = np.frombuffer(raw, "i1").astype(np.float64) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, ">i4").astype(np.float64) / 2147483648.0
-    else:
-        raise ValueError(f"unsupported AIFF sample width {sw}")
-    if ch > 1:
-        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
-    return _spectral_features(x, n, sr, dim)
+    sr, samples = decode_aiff(content)
+    n = samples.shape[0]
+    return _spectral_features(samples.mean(axis=1), n, sr, dim)
 
 
 def _flac_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:

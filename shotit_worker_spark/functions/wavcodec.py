@@ -51,6 +51,9 @@ __all__ = [
     "WavError",
     "parse_wav",
     "decode_wav",
+    "is_aiff",
+    "parse_aiff",
+    "decode_aiff",
     "alaw_decode_table",
     "ulaw_decode_table",
     "ima_adpcm_decode_block",
@@ -473,3 +476,125 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     if x.shape[0] == 0:
         raise WavError("empty WAV data payload")
     return int(info["sample_rate"]), x
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFF-C (stdlib `aifc` is removed in Python 3.13; this keeps
+# the audio leg stdlib-independent, same contract as the WAV side)
+# ---------------------------------------------------------------------------
+
+def _f80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the COMM sample-rate field):
+    1 sign, 15 exponent (bias 16383), 64 explicit-integer-bit
+    mantissa."""
+    if len(b) != 10:
+        raise WavError("bad 80-bit float field")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise WavError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def is_aiff(data: bytes) -> bool:
+    return (len(data) >= 12 and data[:4] == b"FORM"
+            and data[8:12] in (b"AIFF", b"AIFC"))
+
+
+def parse_aiff(content: bytes) -> dict:
+    """{channels, n_frames, bits, sample_rate, comp (fourcc bytes),
+    ssnd (sample bytes after offset/blocksize)} from a FORM AIFF/AIFC
+    stream (big-endian chunk sizes, even padding)."""
+    if not is_aiff(content):
+        raise WavError("not a FORM/AIFF stream")
+    is_aifc = content[8:12] == b"AIFC"
+    pos = 12
+    end = len(content)
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = content[pos: pos + 4]
+        (size,) = struct.unpack_from(">I", content, pos + 4)
+        body = content[pos + 8: pos + 8 + size]
+        if cid == b"COMM" and comm is None:
+            comm = body
+        elif cid == b"SSND" and ssnd is None:
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or len(comm) < 18:
+        raise WavError("missing or short COMM chunk")
+    if ssnd is None or len(ssnd) < 8:
+        raise WavError("missing SSND chunk")
+    ch, n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _f80(comm[8:18])
+    comp = b"NONE"
+    if is_aifc:
+        if len(comm) < 22:
+            raise WavError("AIFC COMM without a compression type")
+        comp = comm[18:22]
+    offset, _blk = struct.unpack_from(">II", ssnd, 0)
+    if ch < 1 or ch > 32 or rate <= 0:
+        raise WavError("implausible COMM fields")
+    return {
+        "channels": ch,
+        "n_frames": n_frames,
+        "bits": bits,
+        "sample_rate": int(round(rate)),
+        "comp": comp,
+        "ssnd": ssnd[8 + offset:],
+    }
+
+
+def decode_aiff(content: bytes) -> tuple[int, np.ndarray]:
+    """AIFF/AIFF-C bytes -> (sample_rate, float64 (n, ch) full-scale).
+    PCM big-endian (NONE) and little-endian (sowt), 8 (signed)/16/24/
+    32-bit; fl32/FL32/fl64 floats; alaw/ALAW/ulaw/ULAW G.711 (the
+    same 16-bit expansion tables as the WAV side). Anything else
+    raises WavError (callers fall back to the stub)."""
+    info = parse_aiff(content)
+    ch, bits, comp = info["channels"], info["bits"], info["comp"]
+    data = info["ssnd"]
+    if comp in (b"NONE", b"sowt", b"twos"):
+        order = "<" if comp == b"sowt" else ">"
+        if bits == 8:
+            x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(
+                data[: len(data) & ~1], f"{order}i2"
+            ).astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(
+                data[: len(data) - len(data) % 3], np.uint8
+            ).reshape(-1, 3).astype(np.int64)
+            if comp == b"sowt":
+                v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            else:
+                v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(
+                data[: len(data) & ~3], f"{order}i4"
+            ).astype(np.float64) / 2147483648.0
+        else:
+            raise WavError(f"unsupported AIFF sample width {bits}")
+    elif comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(data[: len(data) & ~3], ">f4").astype(np.float64)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(data[: len(data) & ~7], ">f8").astype(np.float64)
+    elif comp in (b"alaw", b"ALAW"):
+        codes = np.frombuffer(data, np.uint8)
+        x = alaw_decode_table()[codes].astype(np.float64) / 32768.0
+    elif comp in (b"ulaw", b"ULAW"):
+        codes = np.frombuffer(data, np.uint8)
+        x = ulaw_decode_table()[codes].astype(np.float64) / 32768.0
+    else:
+        raise WavError(f"unsupported AIFF compression {comp!r}")
+    x = x[: (len(x) // ch) * ch].reshape(-1, ch)
+    if info["n_frames"] and info["n_frames"] <= x.shape[0]:
+        x = x[: info["n_frames"]]
+    if x.shape[0] == 0:
+        raise WavError("empty AIFF sample data")
+    return info["sample_rate"], x

@@ -279,6 +279,90 @@ def test_ms_rejects_predictor_out_of_range():
 
 
 # ---------------------------------------------------------------------------
+# AIFF / AIFF-C
+# ---------------------------------------------------------------------------
+
+from shotit_worker_spark.functions.wavcodec import (  # noqa: E402
+    decode_aiff,
+    is_aiff,
+    parse_aiff,
+)
+
+
+@pytest.mark.parametrize("comp", [b"NONE", b"twos", b"sowt"])
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_aiff_pcm_roundtrip(comp, bits):
+    shift = {8: 8, 16: 0, 24: 0, 32: 0}[bits]
+    x = _stereo() >> shift if bits == 8 else _stereo()
+    if bits == 24:
+        x = _stereo() << 8
+    elif bits == 32:
+        x = _stereo() << 16
+    blob = WENC.encode_aiff(x, bits=bits, sample_rate=22050, comp=comp)
+    assert is_aiff(blob)
+    sr, y = decode_aiff(blob)
+    assert sr == 22050
+    assert np.array_equal(_to_int(y, bits), x)
+
+
+@pytest.mark.parametrize("comp", [b"fl32", b"fl64"])
+def test_aiff_float_roundtrip(comp):
+    x = _sig() / 32768.0  # exactly representable in f32
+    sr, y = decode_aiff(WENC.encode_aiff(x, sample_rate=48000, comp=comp))
+    assert sr == 48000
+    assert np.array_equal(y[:, 0], x)
+
+
+@pytest.mark.parametrize("comp", [b"alaw", b"ulaw"])
+def test_aiff_g711_roundtrip(comp):
+    x = _sig().astype(np.int16)
+    table = alaw_decode_table() if comp == b"alaw" else ulaw_decode_table()
+    enc = WENC.linear2alaw if comp == b"alaw" else WENC.linear2ulaw
+    sr, y = decode_aiff(WENC.encode_aiff(x, sample_rate=8000, comp=comp))
+    want = table[[enc(int(v)) for v in x]].astype(np.int64)
+    assert np.array_equal(_to_int(y[:, 0], 16), want)
+
+
+def test_aiff_f80_rate_field():
+    # non-power-of-two and large rates survive the 80-bit field
+    for rate in (8000, 11025, 44100, 96000, 192000):
+        blob = WENC.encode_aiff(_sig(64).astype(np.int16),
+                                sample_rate=rate)
+        assert parse_aiff(blob)["sample_rate"] == rate
+
+
+def test_aiff_unknown_compression_refuses():
+    blob = WENC.encode_aiff(_sig(64).astype(np.int16), comp=b"sowt")
+    bad = blob.replace(b"sowt", b"ima4")  # AIFC IMA is a different
+    # framing (34-byte packets) — must refuse, not guess
+    with pytest.raises(WavError):
+        decode_aiff(bad)
+
+
+def test_aiff_matches_stdlib_aifc_features():
+    # parity with the former stdlib decode path, while it still exists
+    aifc = pytest.importorskip("aifc")
+    import io
+
+    x = _stereo().astype(np.int16)
+
+    class _KeepOpen(io.BytesIO):
+        def close(self):  # aifc closes on exit; keep the bytes
+            pass
+
+    buf = _KeepOpen()
+    with aifc.open(buf, "wb") as a:
+        a.setnchannels(2)
+        a.setsampwidth(2)
+        a.setframerate(16000)
+        a.writeframes(x.astype(">i2").tobytes())
+    blob = buf.getvalue()
+    sr, y = decode_aiff(blob)
+    assert sr == 16000
+    assert np.array_equal(_to_int(y, 16), x.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
 # container-level behavior + refusals
 # ---------------------------------------------------------------------------
 

@@ -369,3 +369,82 @@ def encode_ms_wav(
         (b"data", b"".join(blocks)),
     ])
     return wav, recon.astype(np.int16)
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFF-C writer (independent of the decoder's chunk walker)
+# --------------------------------------------------------------------------
+
+
+def _f80_pack(v: float) -> bytes:
+    """IEEE 80-bit extended float, built from math.frexp (the decoder
+    unpacks by field arithmetic — opposite direction)."""
+    import math
+
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if v < 0 else 0
+    m, e = math.frexp(abs(v))  # v = m * 2**e, m in [0.5, 1)
+    exp = e + 16382
+    mant = int(m * (1 << 64))
+    return struct.pack(">HQ", sign | exp, mant)
+
+
+def encode_aiff(
+    x, bits: int = 16, sample_rate: int = 16000, comp: bytes = b"NONE"
+) -> bytes:
+    """Samples -> FORM/AIFF (comp NONE) or FORM/AIFC (anything else).
+    Integer input for PCM/G.711 paths, float input for fl32/fl64."""
+    arr = _as2d(x)
+    n, ch = arr.shape
+    if comp in (b"NONE", b"twos"):
+        order = ">"
+        data = _pcm_be(arr.astype(np.int64), bits, order)
+    elif comp == b"sowt":
+        data = _pcm_be(arr.astype(np.int64), bits, "<")
+    elif comp == b"fl32":
+        data = arr.astype(">f4").tobytes()
+        bits = 32
+    elif comp == b"fl64":
+        data = arr.astype(">f8").tobytes()
+        bits = 64
+    elif comp in (b"alaw", b"ulaw"):
+        enc = linear2alaw if comp == b"alaw" else linear2ulaw
+        data = bytes(enc(int(v)) for v in arr.astype(np.int64).reshape(-1))
+        bits = 16  # COMM states the UNCOMPRESSED width for G.711
+    else:
+        raise ValueError(f"comp {comp!r}")
+    is_aifc = comp != b"NONE"
+    comm = struct.pack(">HIH", ch, n, bits) + _f80_pack(float(sample_rate))
+    if is_aifc:
+        comm += comp + b"\x00\x00"  # empty pascal-string name, padded
+    ssnd = struct.pack(">II", 0, 0) + data
+
+    def chunk(cid, body):
+        out = cid + struct.pack(">I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    form = (b"AIFC" + chunk(b"FVER", struct.pack(">I", 0xA2805140))
+            if is_aifc else b"AIFF")
+    form += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def _pcm_be(x: np.ndarray, bits: int, order: str) -> bytes:
+    if bits == 8:
+        return x.astype(np.int8).tobytes()  # AIFF 8-bit is SIGNED
+    if bits == 16:
+        return x.astype(f"{order}i2").tobytes()
+    if bits == 24:
+        flat = x.reshape(-1)
+        u = np.where(flat < 0, flat + (1 << 24), flat)
+        b = np.zeros((flat.size, 3), np.uint8)
+        hi, mid, lo = (u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF
+        if order == ">":
+            b[:, 0], b[:, 1], b[:, 2] = hi, mid, lo
+        else:
+            b[:, 0], b[:, 1], b[:, 2] = lo, mid, hi
+        return b.tobytes()
+    if bits == 32:
+        return x.astype(f"{order}i4").tobytes()
+    raise ValueError(f"bits {bits}")
