@@ -91,10 +91,20 @@ def decode_image(data: bytes) -> np.ndarray:
                 raise UnsupportedImageError("GIF with no image blocks")
             return frame
         if fmt == "webp":
-            from .webp import decode_webp
+            from .webp import (
+                decode_webp, is_animated_webp, iter_webp_anim_frames,
+            )
 
-            # lossless (VP8L) only; lossy/animated raise WebPError (a
+            # still-image semantics for animations: first composited
+            # frame (like the GIF branch; an APNG needs no special
+            # case — its IDAT default image IS the still image).
+            # Lossless (VP8L) only; lossy raises WebPError (a
             # ValueError) -> UnsupportedImageError fallback below
+            if is_animated_webp(bytes(data)):
+                frame = next(iter_webp_anim_frames(bytes(data)), None)
+                if frame is None:
+                    raise UnsupportedImageError("animation with no frames")
+                return frame
             return decode_webp(bytes(data))
         if fmt == "tiff":
             from .tiffcodec import decode_tiff

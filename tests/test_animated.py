@@ -254,6 +254,44 @@ def test_webp_anim_frame_exceeding_canvas_refuses():
 
 
 # ---------------------------------------------------------------------------
+# still-image semantics: decode_image on animated inputs
+# ---------------------------------------------------------------------------
+
+def test_decode_image_animated_webp_first_frame():
+    from shotit_worker_spark.functions.imagecodec import decode_image
+
+    blob, expected = _webp_case()
+    assert np.array_equal(decode_image(blob), expected[0])
+
+
+def test_decode_image_apng_default_image():
+    # an APNG's IDAT default image is the still image; the static PNG
+    # decoder reads it transparently (animation chunks are skipped)
+    from shotit_worker_spark.functions.imagecodec import decode_image
+
+    blob, expected = _apng_case()
+    # case: default image is frame 0 of the animation (opaque, full
+    # canvas), so the still == the first composite
+    assert np.array_equal(decode_image(blob), expected[0])
+
+
+def test_image_dedup_collapses_animated_and_static_twin():
+    # an animated WebP whose first frame equals a static PNG must
+    # embed identically (first-frame still semantics) so the dedup
+    # cascade collapses the pair
+    from shotit_worker_spark.functions.imagecodec import decode_image
+
+    first = _rgb(20, 30)
+    frames = [
+        dict(rgb=first, x=0, y=0, duration_ms=50),
+        dict(rgb=_rgb(8, 10), x=2, y=2, duration_ms=40, blend=False),
+    ]
+    blob, _ = WENC.encode_animated_webp(30, 20, frames)
+    static = PENC.encode_png_ex(first, 2, 8)
+    assert np.array_equal(decode_image(blob), decode_image(static))
+
+
+# ---------------------------------------------------------------------------
 # G1 e2e through Spark
 # ---------------------------------------------------------------------------
 
