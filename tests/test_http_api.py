@@ -178,12 +178,19 @@ def test_search_accepts_webp_tiff_bmp_bodies(spark, tmp_root):
     srv = http_api.SearchHTTPServer(searcher, k=3, nprobe=2)
     srv.start()
     try:
+        anim, _ = WENC.encode_animated_webp(
+            48, 32,
+            [dict(rgb=scenes[3], x=0, y=0, duration_ms=50),
+             dict(rgb=scenes[1][:16, :16], x=8, y=8, duration_ms=40)],
+        )
         bodies = {
             "webp": WENC.encode_vp8l(scenes[3], subtract_green=True,
                                      lz77=True),
             "tiff": TB.encode_tiff(scenes[3], 2, compression=5,
                                    predictor=2),
             "bmp": TB.encode_bmp(scenes[3], 24),
+            # animated body: still semantics = first composited frame
+            "webp_anim": anim,
         }
         for kind, blob in bodies.items():
             req = urllib.request.Request(

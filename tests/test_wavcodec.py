@@ -405,6 +405,40 @@ def test_unpadded_odd_chunk_then_data_still_parses():
 # Spark integration: audio_features decodes every branch for real
 # ---------------------------------------------------------------------------
 
+def test_cross_format_audio_dedup(spark):
+    """The same PCM stored as WAV, FLAC, and AIFF(sowt) yields
+    BIT-IDENTICAL feature vectors (shared normalization contract), so
+    exact audio dedup collapses the trio; the A-law transcode of the
+    same signal stays a near-dup by cosine."""
+    import gen_flac_fixture as FENC
+
+    from shotit_worker_spark.functions.media import audio_features
+
+    x = _sig(6000, seed=9).astype(np.int16)
+    rows = [
+        ("c/a.wav", bytearray(WENC.encode_pcm_wav(x, 16, 16000))),
+        ("c/a.flac", bytearray(FENC.encode_flac(
+            x.astype(np.int64)[:, None], sample_rate=16000,
+            blocksize=4096, strategy="lpc4"))),
+        ("c/a.aiff", bytearray(WENC.encode_aiff(
+            x, 16, 16000, comp=b"sowt"))),
+        ("c/a_alaw.wav", bytearray(WENC.encode_g711_wav(
+            x, "alaw", sample_rate=16000))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["file"]: np.array(r["features"])
+           for r in audio_features(df).collect()}
+    assert np.array_equal(out["c/a.wav"], out["c/a.flac"])
+    assert np.array_equal(out["c/a.wav"], out["c/a.aiff"])
+    # lossless trio collapses under an exact group-by on features
+    assert len({tuple(out[f]) for f in
+                ("c/a.wav", "c/a.flac", "c/a.aiff")}) == 1
+    a, b = out["c/a.wav"], out["c/a_alaw.wav"]
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert not np.array_equal(a, b)  # G.711 is lossy
+    assert cos > 0.999  # but a near-dup in feature space
+
+
 def test_audio_features_all_wav_variants(spark):
     from shotit_worker_spark.functions.media import audio_features
 
