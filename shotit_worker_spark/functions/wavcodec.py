@@ -337,19 +337,19 @@ def parse_wav(content: bytes) -> dict:
     if len(fmt) >= 18:
         (cb,) = struct.unpack_from("<H", fmt, 16)
         extra = fmt[18: 18 + cb]
+    ext_samples_field = None
     if tag == WAVE_FORMAT_EXTENSIBLE:
         if len(extra) < 22:
             raise WavError("extensible fmt without a SubFormat GUID")
-        valid_bits, _mask = struct.unpack_from("<HI", extra, 0)
+        samples_union, _mask = struct.unpack_from("<HI", extra, 0)
         guid = extra[6:22]
         if guid[2:] != _GUID_TAIL:
             raise WavError(f"unknown SubFormat GUID {guid.hex()}")
         tag = struct.unpack("<H", guid[:2])[0]
-        if valid_bits:
-            # container width stays `bits`; valid_bits only narrows
-            # the meaningful range — full-scale normalization below
-            # uses the container width, matching ffmpeg's behavior.
-            pass
+        # the 16-bit Samples union is wValidBitsPerSample for PCM
+        # (container width still governs normalization, like ffmpeg)
+        # but wSamplesPerBlock for block-compressed SubFormats
+        ext_samples_field = samples_union
         extra = b""
     info = {
         "tag": tag,
@@ -372,6 +372,13 @@ def parse_wav(content: bytes) -> dict:
             )
     elif tag == WAVE_FORMAT_IMA_ADPCM and len(extra) >= 2:
         (info["samples_per_block"],) = struct.unpack_from("<H", extra, 0)
+    elif (
+        tag in (WAVE_FORMAT_MS_ADPCM, WAVE_FORMAT_IMA_ADPCM)
+        and ext_samples_field
+    ):
+        # EXTENSIBLE-wrapped ADPCM: wSamplesPerBlock rides in the
+        # extensible header's Samples union
+        info["samples_per_block"] = ext_samples_field
     return info
 
 

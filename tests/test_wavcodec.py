@@ -260,6 +260,26 @@ def test_ms_odd_samples_per_block_trims_pad_sample_every_block():
     assert np.array_equal(_to_int(y, 16), recon.astype(np.int64))
 
 
+def test_ms_extensible_wrapper_carries_samples_per_block():
+    # EXTENSIBLE-wrapped ADPCM stores wSamplesPerBlock in the Samples
+    # union; with odd spb the per-block pad sample must still trim
+    x = _sig(25 * 4).astype(np.int16)
+    wav, recon = WENC.encode_ms_wav(x, frames_per_block=25)
+    info = parse_wav(wav)
+    ext_extra = (struct.pack("<HI", 25, 0) + struct.pack("<H", 0x0002)
+                 + bytes.fromhex("000000001000800000aa00389b71"))
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, 16000, 16000, info["block_align"], 4
+    ) + struct.pack("<H", len(ext_extra)) + ext_extra
+    rewrapped = WENC._riff([(b"fmt ", fmt), (b"data", info["data"])])
+    info2 = parse_wav(rewrapped)
+    assert info2["tag"] == 0x0002
+    assert info2["samples_per_block"] == 25
+    assert info2["coeffs"] is None  # falls back to the standard seven
+    sr, y = decode_wav(rewrapped)
+    assert np.array_equal(_to_int(y, 16), recon.astype(np.int64))
+
+
 def test_ms_coeff_table_read_from_fmt():
     x = _sig(80).astype(np.int16)
     wav, _recon = WENC.encode_ms_wav(x, frames_per_block=40)
