@@ -188,7 +188,11 @@ def iter_apng_frames(data: bytes) -> Iterator[np.ndarray]:
     for i, f in enumerate(frames):
         try:
             rgba = _decode_png(_frame_png(ihdr, plte, f), keep_alpha=True)
-        except UnsupportedImageError as exc:
+        except (UnsupportedImageError, ValueError, IndexError,
+                struct.error, zlib.error) as exc:
+            # corrupt deflate payloads surface as zlib.error (NOT a
+            # ValueError subclass) — wrap everything to the module's
+            # typed refusal so callers' stub fallback stays total
             raise APNGError(f"frame {i} undecodable: {exc}") from exc
         if rgba.shape[:2] != (f.h, f.w):
             raise APNGError("frame geometry mismatch")

@@ -793,7 +793,15 @@ def iter_webp_anim_frames(data: bytes):
     _w, _h, frames = parse_webp_anim(data)
     canvas = np.zeros((_h, _w, 4), dtype=np.float64)  # RGBA, 0..255
     for f in frames:
-        argb = _decode_vp8l_argb(f.vp8l)
+        try:
+            argb = _decode_vp8l_argb(f.vp8l)
+        except WebPError:
+            raise
+        except (IndexError, ValueError, KeyError, OverflowError,
+                struct.error, MemoryError) as exc:
+            # same corrupt-stream wrapping as decode_webp: the typed
+            # refusal keeps callers' stub fallback total
+            raise WebPError(f"corrupt VP8L frame data: {exc}") from exc
         if argb.shape != (f.h, f.w):
             raise WebPError("ANMF geometry mismatch vs VP8L stream")
         rgba = np.empty((f.h, f.w, 4), dtype=np.float64)

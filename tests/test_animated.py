@@ -253,6 +253,34 @@ def test_webp_anim_frame_exceeding_canvas_refuses():
         WB.webp_anim_info(blob)
 
 
+def test_animated_fuzz_never_crashes():
+    # truncations and bit flips either decode or raise the module's
+    # typed error — never an unhandled exception (the decode_frames
+    # stub-fallback contract). zlib.error is a ValueError subclass?
+    # No — it isn't, so the APNG module must wrap it itself; this
+    # fuzz is what pins that.
+    rng = np.random.default_rng(17)
+    apng_blob, _ = _apng_case()
+    webp_blob, _ = _webp_case()
+    for blob, it, err in (
+        (apng_blob, AP.iter_apng_frames, AP.APNGError),
+        (webp_blob, WB.iter_webp_anim_frames, WB.WebPError),
+    ):
+        for cut in range(0, len(blob), 97):
+            try:
+                list(it(blob[:cut]))
+            except err:
+                pass
+        for _ in range(60):
+            bad = bytearray(blob)
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                list(it(bytes(bad)))
+            except err:
+                pass
+
+
 # ---------------------------------------------------------------------------
 # still-image semantics: decode_image on animated inputs
 # ---------------------------------------------------------------------------

@@ -421,6 +421,41 @@ def test_unpadded_odd_chunk_then_data_still_parses():
     assert np.array_equal(_to_int(y[:, 0], 16), x.astype(np.int64))
 
 
+def test_truncation_fuzz_never_crashes():
+    # every prefix of every format either decodes or raises WavError —
+    # never an unhandled exception (the audio_features contract)
+    x = _sig(300).astype(np.int16)
+    blobs = [
+        WENC.encode_pcm_wav(x, 16),
+        WENC.encode_float_wav(x / 32768.0),
+        WENC.encode_g711_wav(x, "ulaw"),
+        WENC.encode_ima_wav(x)[0],
+        WENC.encode_ms_wav(x)[0],
+        WENC.encode_aiff(x, comp=b"sowt"),
+    ]
+    for blob in blobs:
+        dec = decode_aiff if blob[:4] == b"FORM" else decode_wav
+        for cut in range(0, len(blob), 7):
+            try:
+                dec(blob[:cut])
+            except WavError:
+                pass
+
+
+def test_bitflip_fuzz_never_crashes():
+    rng = np.random.default_rng(13)
+    x = _sig(300).astype(np.int16)
+    for blob in (WENC.encode_ima_wav(x)[0], WENC.encode_ms_wav(x)[0]):
+        for _ in range(60):
+            bad = bytearray(blob)
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                decode_wav(bytes(bad))
+            except WavError:
+                pass
+
+
 # ---------------------------------------------------------------------------
 # Spark integration: audio_features decodes every branch for real
 # ---------------------------------------------------------------------------
