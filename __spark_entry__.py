@@ -2883,6 +2883,26 @@ def q77_wav_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom→verify incremental dedup (operators/bloom): documents
+    whose md5 digest is NOT in the doc_id%3==0 manifest. The bloom is
+    a pure pruning step under verify=True, so the result EXACTLY
+    equals the anti-join the oracle states — probing is cogrouped
+    per bucket (no driver state, no per-row bitmap replication) and
+    all hashing is JVM-side xxhash64."""
+    from shotit_worker_spark.operators import bloom as BL
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5("text")
+    )
+    manifest = docs.filter(F.col("doc_id") % 3 == 0).select("digest")
+    new = docs.select("doc_id", "digest")
+    out = BL.bloom_dedup_incremental(
+        new, manifest, key_col="digest", fpp=0.01, n_buckets=8
+    )
+    return out.select("doc_id", "digest").orderBy("doc_id")
+
+
 # (case_id,) — one animated container per case; frame content and
 # animation ops are deterministic (seeded by case id)
 _ANIM_CASE_IDS = ("apng_ops", "webp_ops")
@@ -3305,11 +3325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_running_sum": q17_running_sum,
         "q18_promo_revenue": q18_promo_revenue,
         "q47_sequence_pack": q47_sequence_pack,
-        # q78 registers PAST the cap by design: the animated-image
-        # compositor gate is enforced by test_displaced_oracle's
-        # driver-exact replay + check_oracle without costing a
-        # recorded slot of a substantive row
+        # q78/q79 register PAST the cap by design: these gates are
+        # enforced by test_displaced_oracle's driver-exact replay +
+        # check_oracle without costing a recorded slot of a
+        # substantive row
         "q78_animated_frames": q78_animated_frames,
+        "q79_bloom_dedup": q79_bloom_dedup,
     }
 
 
@@ -3346,6 +3367,16 @@ def oracle_sql() -> dict[str, str]:
         "q78_animated_frames": _values_oracle(
             _anim_oracle_rows(),
             "case_id, frame_no, height, width, rgb_md5"),
+        # q79: the bloom is a pruning step; verify=True makes the
+        # cascade exactly the anti-join this SQL states
+        "q79_bloom_dedup": """
+            WITH d AS (SELECT doc_id, md5(text) AS digest
+                       FROM documents),
+            m AS (SELECT DISTINCT digest FROM d WHERE doc_id % 3 = 0)
+            SELECT doc_id, digest FROM d
+            WHERE digest NOT IN (SELECT digest FROM m)
+            ORDER BY doc_id
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -36,7 +36,7 @@ POST_R3_QUERIES = frozenset({
     # r7 wave (media constants gates)
     "q72_avc_roundtrip", "q73_progressive_jpeg", "q74_webp_roundtrip",
     "q75_image_goldens", "q76_flac_roundtrip", "q77_wav_codecs",
-    "q78_animated_frames",
+    "q78_animated_frames", "q79_bloom_dedup",
 })
 
 

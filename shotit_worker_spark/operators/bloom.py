@@ -1,0 +1,338 @@
+"""Bloom-filter membership + dedup (LLM-pipeline surface).
+
+Large training-data pipelines keep a compact "have I seen this key"
+structure across crawl snapshots (URL frontiers, document digests,
+shard manifests) where the exact manifest is billions of rows. A
+Bloom filter answers membership in O(k) bit probes with a bounded
+false-positive rate and ZERO false negatives — the right cascade is
+bloom-probe (cheap, lossy) → exact verify (anti-join only on the
+survivors), which this module wires end-to-end.
+
+Spark-first shape:
+
+- Hashing stays JVM-side: the k probe positions are
+  ``pmod(xxhash64(col, lit(seed)), m)`` — whole-stage-codegen
+  expressions, no Python per-row hashing anywhere.
+- Build is ONE map-side pass: mapInPandas sets bits into a
+  per-partition numpy bitmap (vectorized ``bitwise_or.at``); the
+  driver ORs the <= numPartitions partial bitmaps. Driver memory is
+  the bitmap itself, NOT the keys — guarded by ``max_bits`` with the
+  error naming the scale alternative.
+- The scale path is :func:`build_partitioned_bloom`: keys hash into
+  ``n_buckets`` sub-filters stored AS A DATAFRAME (bucket_id,
+  bitmap); probing cogroups probe rows with their bucket's bitmap
+  (applyInPandas over the cogroup — the bitmap is NOT replicated
+  per row, and no driver-side state exists at any point). 100 TB of
+  keys = many buckets of bounded size, probed at cluster width.
+
+Sizing: m = -n ln(p) / (ln 2)^2 bits, k = (m/n) ln 2 hash functions
+(the classic optima). Tests pin an empirical false-positive rate
+within 3x of the target and the zero-false-negative contract.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, LongType, StructField, StructType,
+)
+
+__all__ = [
+    "BloomFilter",
+    "build_bloom",
+    "bloom_probe",
+    "build_partitioned_bloom",
+    "partitioned_bloom_probe",
+    "bloom_dedup_incremental",
+]
+
+# one driver-held bitmap caps at 256 MiB (~2e9 bits ~ 1.5e8 keys at
+# 1% fpp); beyond that the partitioned form is the honest answer
+MAX_SINGLE_BITS = 1 << 31
+
+
+def _sizing(expected_items: int, fpp: float) -> tuple[int, int]:
+    if expected_items <= 0 or not (0.0 < fpp < 1.0):
+        raise ValueError("need expected_items > 0 and 0 < fpp < 1")
+    m = math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, (m + 7) & ~7)  # whole bytes
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _positions(col: str, m: int, k: int):
+    """k JVM-side probe positions for one key column."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def _set_bits(bitmap: np.ndarray, idx: np.ndarray) -> None:
+    np.bitwise_or.at(
+        bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+    )
+
+
+def _check_bits(bitmap: np.ndarray, pos_rows: pd.Series) -> np.ndarray:
+    """Vectorized all-bits-set check for a Series of position arrays
+    (fixed length k)."""
+    if len(pos_rows) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = np.vstack([np.asarray(p, dtype=np.int64) for p in pos_rows])
+    bits = (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+class BloomFilter:
+    """Immutable driver-held filter: (m bits, k hashes, bitmap)."""
+
+    def __init__(self, m: int, k: int, bitmap: np.ndarray):
+        self.m = m
+        self.k = k
+        self.bitmap = bitmap
+
+    def might_contain_local(self, values, spark: SparkSession) -> list:
+        """Driver-side convenience probe for a SMALL value list (uses
+        a one-row-per-value Spark job so the hash stays the JVM's)."""
+        df = spark.createDataFrame([(v,) for v in values], "key string")
+        probed = bloom_probe(df, "key", self, out_col="hit")
+        got = {r["key"]: r["hit"] for r in probed.collect()}
+        return [bool(got[v]) for v in values]
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump({"m": self.m, "k": self.k}, fh)
+        self.bitmap.tofile(os.path.join(path, "bitmap.bin"))
+
+    @classmethod
+    def open(cls, path: str) -> "BloomFilter":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        bitmap = np.fromfile(
+            os.path.join(path, "bitmap.bin"), dtype=np.uint8
+        )
+        if bitmap.size * 8 != meta["m"]:
+            raise ValueError("bitmap size does not match meta")
+        return cls(meta["m"], meta["k"], bitmap)
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> BloomFilter:
+    """One map-side pass over ``df[col]`` -> driver BloomFilter.
+
+    Raises when the sized bitmap exceeds MAX_SINGLE_BITS — use
+    :func:`build_partitioned_bloom` for corpora that large."""
+    m, k = _sizing(expected_items, fpp)
+    if m > MAX_SINGLE_BITS:
+        raise ValueError(
+            f"bloom bitmap would be {m} bits (> {MAX_SINGLE_BITS}); "
+            "use build_partitioned_bloom for corpora this large"
+        )
+    pos = df.select(_positions(col, m, k).alias("pos"))
+    nbytes = m // 8
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                idx = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+                )
+                _set_bits(bitmap, idx)
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    partials = pos.mapInPandas(
+        _partial, schema=StructType([StructField("bitmap", BinaryType())])
+    ).collect()
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials:  # <= numPartitions rows, never key-sized
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return BloomFilter(m, k, bitmap)
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: BloomFilter,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Adds a boolean ``out_col``: True iff all k bits are set (so
+    False is DEFINITELY-absent; True is present-or-false-positive at
+    the filter's fpp). Bitmap ships once per executor via broadcast;
+    positions are computed JVM-side."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bloom.bitmap.tobytes())
+    k = bloom.k
+
+    @F.pandas_udf(BooleanType())
+    def _probe(pos: pd.Series) -> pd.Series:
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        return pd.Series(_check_bits(bitmap, pos))
+
+    return df.withColumn(
+        out_col, _probe(_positions(col, bloom.m, k))
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned (bucketed) form — the 100-TB path
+# ---------------------------------------------------------------------------
+
+
+def build_partitioned_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(bucket_id, m, k, bitmap) DataFrame — one sub-filter per hash
+    bucket, built with applyInPandas per bucket. No driver state; the
+    result is itself distributed (persist/write it like any table).
+    Each bucket is sized for expected_items/n_buckets keys."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    m, k = _sizing(max(1, expected_items // n_buckets), fpp)
+    nbytes = m // 8
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(col), F.lit(-1)), F.lit(n_buckets))
+        .alias("bucket_id"),
+        _positions(col, m, k).alias("pos"),
+    )
+    out_t = StructType(
+        [
+            StructField("bucket_id", LongType()),
+            StructField("n_buckets", LongType()),
+            StructField("m", LongType()),
+            StructField("k", LongType()),
+            StructField("bitmap", BinaryType()),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
+        idx = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+        )
+        _set_bits(bitmap, idx)
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "n_buckets": [n_buckets],
+                "m": [m],
+                "k": [k],
+                "bitmap": [bitmap.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("bucket_id").applyInPandas(_one, schema=out_t)
+
+
+def partitioned_bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom_df: DataFrame,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe against a partitioned bloom table: cogroup probe rows
+    with their bucket's bitmap (the bitmap is NOT replicated per
+    probe row, and a bucket with no filter row means
+    definitely-absent). Output: df columns + ``out_col``."""
+    first = bloom_df.select("m", "k", "n_buckets").first()
+    if first is None:
+        return df.withColumn(out_col, F.lit(False))
+    # the build's parameters ride in every row, so the probe cannot
+    # mis-derive the modulus when high buckets happen to be empty
+    m, k = int(first["m"]), int(first["k"])
+    n_buckets = int(first["n_buckets"])
+    payload = df.withColumn(
+        "__bucket_id",
+        F.pmod(F.xxhash64(F.col(col), F.lit(-1)), F.lit(n_buckets)),
+    ).withColumn("__pos", _positions(col, m, k))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    drop_cols = ["__bucket_id", "__pos"]
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=[f.name for f in out_schema.fields]
+            )
+        if len(right) == 0:
+            hits = np.zeros(len(left), dtype=bool)
+        else:
+            bitmap = np.frombuffer(
+                right["bitmap"].iloc[0], dtype=np.uint8
+            )
+            hits = _check_bits(bitmap, left["__pos"])
+        out = left.drop(columns=drop_cols)
+        out[out_col] = hits
+        return out
+
+    return payload.groupBy("__bucket_id").cogroup(
+        bloom_df.groupBy("bucket_id")
+    ).applyInPandas(_probe, schema=out_schema)
+
+
+def bloom_dedup_incremental(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    key_col: str = "digest",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    n_buckets: int = 64,
+    verify: bool = True,
+) -> DataFrame:
+    """Rows of ``new_docs`` whose key is NOT in ``manifest`` — the
+    bloom→verify cascade:
+
+    1. build a partitioned bloom over the manifest keys (one pass);
+    2. probe the new rows (definitely-absent rows pass immediately —
+       for an incremental crawl that is typically the vast majority,
+       and they never touch the manifest again);
+    3. exact anti-join ONLY the might-contain survivors against the
+       manifest, eliminating false positives.
+
+    With ``verify=True`` the result is EXACTLY the anti-join (the
+    bloom is a pure pruning step); ``verify=False`` trades the
+    verify join for dropping ~fpp of genuinely-new rows (documented
+    lossy mode for frontier-style dedup where a false drop is
+    harmless)."""
+    if expected_items is None:
+        expected_items = max(1, manifest.count())
+    bloom_df = build_partitioned_bloom(
+        manifest, key_col, expected_items, fpp, n_buckets
+    ).persist()
+    bloom_df.count()
+    probed = partitioned_bloom_probe(new_docs, key_col, bloom_df, "__hit")
+    fresh = probed.filter(~F.col("__hit")).drop("__hit")
+    if not verify:
+        return fresh
+    suspects = probed.filter(F.col("__hit")).drop("__hit")
+    verified = suspects.join(
+        manifest.select(F.col(key_col)).distinct(),
+        on=key_col,
+        how="left_anti",
+    )
+    return fresh.unionByName(verified)

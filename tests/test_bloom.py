@@ -1,0 +1,138 @@
+"""Bloom-filter membership + the bloom→verify dedup cascade.
+
+Contracts pinned here: ZERO false negatives (every inserted key
+probes True), empirical false-positive rate within 3x of the sizing
+target, partitioned == single-filter semantics, the incremental
+dedup cascade EXACTLY equals the plain anti-join when verify=True,
+and the driver-memory guard names the partitioned alternative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import bloom as B
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("key")
+    )
+
+
+def test_sizing_formulas():
+    m, k = B._sizing(1000, 0.01)
+    # classic optima: ~9.59 bits/key, k ~ 7 at 1% fpp
+    assert 9000 <= m <= 10240
+    assert k == 7
+    with pytest.raises(ValueError):
+        B._sizing(0, 0.01)
+    with pytest.raises(ValueError):
+        B._sizing(10, 1.5)
+
+
+def test_no_false_negatives_and_fpp_bound(spark):
+    inserted = _keys(spark, 2000, "in")
+    bloom = B.build_bloom(inserted, "key", expected_items=2000, fpp=0.01)
+    hits = B.bloom_probe(inserted, "key", bloom).agg(
+        F.sum(F.col("might_contain").cast("int")).alias("h")
+    ).first()["h"]
+    assert hits == 2000  # zero false negatives, ever
+    absent = _keys(spark, 5000, "out")
+    fp = B.bloom_probe(absent, "key", bloom).agg(
+        F.sum(F.col("might_contain").cast("int")).alias("h")
+    ).first()["h"]
+    assert fp / 5000.0 < 0.03  # 3x the 1% target
+
+
+def test_save_open_roundtrip(spark, tmp_path):
+    inserted = _keys(spark, 500, "in")
+    bloom = B.build_bloom(inserted, "key", 500, 0.01)
+    bloom.save(str(tmp_path / "bf"))
+    loaded = B.BloomFilter.open(str(tmp_path / "bf"))
+    assert loaded.m == bloom.m and loaded.k == bloom.k
+    assert np.array_equal(loaded.bitmap, bloom.bitmap)
+    assert loaded.might_contain_local(
+        ["in0", "in499", "nope"], spark
+    ) == [True, True, False] or True  # 'nope' may be a false positive
+    # deterministic: the first two MUST be True
+    got = loaded.might_contain_local(["in0", "in499"], spark)
+    assert got == [True, True]
+
+
+def test_single_bitmap_guard_names_alternative(spark):
+    with pytest.raises(ValueError, match="build_partitioned_bloom"):
+        B.build_bloom(_keys(spark, 10, "x"), "key",
+                      expected_items=10_000_000_000, fpp=0.001)
+
+
+def test_partitioned_matches_single_semantics(spark):
+    inserted = _keys(spark, 2000, "in")
+    bloom_df = B.build_partitioned_bloom(
+        inserted, "key", 2000, 0.01, n_buckets=16
+    ).persist()
+    probed_in = B.partitioned_bloom_probe(inserted, "key", bloom_df)
+    assert probed_in.filter(~F.col("might_contain")).count() == 0
+    absent = _keys(spark, 5000, "out")
+    fp = B.partitioned_bloom_probe(absent, "key", bloom_df).filter(
+        F.col("might_contain")
+    ).count()
+    assert fp / 5000.0 < 0.03
+    # schema passthrough: original columns survive the cogroup
+    extra = inserted.withColumn("meta", F.length("key"))
+    out = B.partitioned_bloom_probe(extra, "key", bloom_df)
+    assert set(out.columns) == {"key", "meta", "might_contain"}
+
+
+def test_partitioned_probe_with_sparse_buckets(spark):
+    # only a few buckets non-empty: the modulus must come from the
+    # table metadata, not max(bucket_id)+1
+    few = _keys(spark, 3, "solo")
+    bloom_df = B.build_partitioned_bloom(
+        few, "key", 3, 0.01, n_buckets=64
+    ).persist()
+    assert bloom_df.count() <= 3  # sparse by construction
+    probed = B.partitioned_bloom_probe(few, "key", bloom_df)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_incremental_dedup_equals_anti_join(spark):
+    manifest = _keys(spark, 1500, "seen").withColumnRenamed(
+        "key", "digest"
+    )
+    # new batch: 500 genuinely new + 300 already-seen
+    new = _keys(spark, 500, "new").unionByName(
+        _keys(spark, 300, "seen")
+    ).withColumnRenamed("key", "digest").withColumn(
+        "payload", F.length("digest")
+    )
+    got = B.bloom_dedup_incremental(
+        new, manifest, key_col="digest", n_buckets=8
+    )
+    want = new.join(manifest, on="digest", how="left_anti")
+    assert got.count() == 500
+    assert (
+        sorted(r["digest"] for r in got.collect())
+        == sorted(r["digest"] for r in want.collect())
+    )
+    # columns pass through the cascade
+    assert set(got.columns) == {"digest", "payload"}
+
+
+def test_incremental_dedup_lossy_mode_never_keeps_seen(spark):
+    manifest = _keys(spark, 1000, "seen").withColumnRenamed(
+        "key", "digest"
+    )
+    new = _keys(spark, 400, "new").unionByName(
+        _keys(spark, 200, "seen")
+    ).withColumnRenamed("key", "digest")
+    got = B.bloom_dedup_incremental(
+        new, manifest, key_col="digest", n_buckets=8, verify=False
+    )
+    kept = {r["digest"] for r in got.collect()}
+    seen = {f"seen{i}" for i in range(200)}
+    assert not (kept & seen)  # no false negatives -> no seen row kept
+    assert len(kept) >= 380  # may drop ~fpp of the genuinely new
