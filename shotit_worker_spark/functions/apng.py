@@ -99,6 +99,7 @@ def _parse(data: bytes):
     fcTL/fdAT and that frame rects sit inside the canvas."""
     ihdr = None
     plte = None
+    trns = None
     n_declared = None
     frames: list[_Frame] = []
     seqs: list[int] = []
@@ -110,7 +111,7 @@ def _parse(data: bytes):
         elif typ == b"PLTE":
             plte = body
         elif typ == b"tRNS":
-            raise APNGError("APNG with tRNS transparency unsupported")
+            trns = body  # palette alpha / color key, shared by frames
         elif typ == b"acTL":
             if len(body) < 8:
                 raise APNGError("acTL truncated")
@@ -149,20 +150,23 @@ def _parse(data: bytes):
     for f in frames:
         if f.x + f.w > w or f.y + f.h > h or f.w == 0 or f.h == 0:
             raise APNGError("frame rect outside the canvas")
-    return ihdr, plte, frames, w, h
+    return ihdr, plte, trns, frames, w, h
 
 
 def apng_info(data: bytes) -> tuple[int, int, int, tuple]:
     """(canvas_w, canvas_h, n_frames, delays_sec) — same shape as
     gifcodec.parse_gif_info / webp.webp_anim_info. Delays get the
     10 ms floor viewers apply."""
-    _ihdr, _plte, frames, w, h = _parse(data)
+    _ihdr, _plte, _trns, frames, w, h = _parse(data)
     return w, h, len(frames), tuple(max(f.delay, 0.01) for f in frames)
 
 
-def _frame_png(ihdr: bytes, plte: bytes | None, f: _Frame) -> bytes:
+def _frame_png(
+    ihdr: bytes, plte: bytes | None, trns: bytes | None, f: _Frame
+) -> bytes:
     """Wrap one frame's payload as a standalone PNG (fcTL geometry,
-    parent bit depth / color type / palette) for imagecodec."""
+    parent bit depth / color type / palette / transparency) for
+    imagecodec."""
     sub_ihdr = struct.pack(">II", f.w, f.h) + ihdr[8:]
 
     def chunk(typ: bytes, body: bytes) -> bytes:
@@ -174,6 +178,8 @@ def _frame_png(ihdr: bytes, plte: bytes | None, f: _Frame) -> bytes:
     out = [_PNG_MAGIC, chunk(b"IHDR", sub_ihdr)]
     if plte is not None:
         out.append(chunk(b"PLTE", plte))
+    if trns is not None:
+        out.append(chunk(b"tRNS", trns))
     out.append(chunk(b"IDAT", b"".join(f.data)))
     out.append(chunk(b"IEND", b""))
     return b"".join(out)
@@ -183,11 +189,13 @@ def iter_apng_frames(data: bytes) -> Iterator[np.ndarray]:
     """Yield composited (H, W, 3) uint8 RGB frames (RGBA output
     buffer flattened over black). Spec compositing: SOURCE/OVER blend
     at the frame rect, then NONE/BACKGROUND/PREVIOUS dispose."""
-    ihdr, plte, frames, w, h = _parse(data)
+    ihdr, plte, trns, frames, w, h = _parse(data)
     canvas = np.zeros((h, w, 4), dtype=np.float64)
     for i, f in enumerate(frames):
         try:
-            rgba = _decode_png(_frame_png(ihdr, plte, f), keep_alpha=True)
+            rgba = _decode_png(
+                _frame_png(ihdr, plte, trns, f), keep_alpha=True
+            )
         except (UnsupportedImageError, ValueError, IndexError,
                 struct.error, zlib.error) as exc:
             # corrupt deflate payloads surface as zlib.error (NOT a

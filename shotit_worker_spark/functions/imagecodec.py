@@ -175,13 +175,17 @@ _ADAM7 = (
 
 def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
     """PNG -> (H, W, 3) uint8 RGB, or RGBA with ``keep_alpha=True``
-    (the APNG compositor needs the alpha plane; tRNS transparency is
-    refused there rather than silently flattened)."""
+    (the APNG compositor needs the alpha plane). tRNS transparency:
+    the RGB path keeps the stored colors (same convention as the
+    alpha channel of color types 4/6 — and as javax.imageio's
+    getRGB, which the q75 goldens pin); the RGBA path materializes
+    it (palette alpha table / gray / RGB color key, keys compared at
+    the source bit depth)."""
     pos = 8
     width = height = None
     depth = color_type = interlace = None
     plte = None
-    has_trns = False
+    trns = None
     idat = []
     while pos + 8 <= len(data):
         (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
@@ -208,7 +212,7 @@ def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
                 raise UnsupportedImageError("PNG PLTE length not 3n")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"tRNS":
-            has_trns = True
+            trns = body
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -239,8 +243,10 @@ def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
         )
     if off != len(raw):
         raise UnsupportedImageError("PNG scanline data size mismatch")
-    if keep_alpha and has_trns:
-        raise UnsupportedImageError("PNG tRNS transparency unsupported")
+    if trns is not None and color_type in (4, 6):
+        raise UnsupportedImageError(
+            "tRNS is invalid with an alpha color type"
+        )
     if color_type == 3:
         if plte is None:
             raise UnsupportedImageError("PNG palette image missing PLTE")
@@ -249,9 +255,13 @@ def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
             raise UnsupportedImageError("PNG palette index out of range")
         rgb = plte[idx]
         if keep_alpha:
-            return np.dstack(
-                [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)]
-            )
+            # tRNS holds one alpha byte per leading palette entry;
+            # entries past its end are fully opaque
+            atab = np.full(len(plte), 255, dtype=np.uint8)
+            if trns is not None:
+                n = min(len(trns), len(plte))
+                atab[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+            return np.dstack([rgb, atab[idx]])
         return rgb
     if depth == 16:
         px = (img >> 8).astype(np.uint8)  # high byte (v*255//65535)
@@ -261,8 +271,22 @@ def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
         px = img.astype(np.uint8)
     if color_type == 0:
         rgb, alpha = np.repeat(px, 3, axis=2), None
+        if keep_alpha and trns is not None and len(trns) >= 2:
+            # gray color key, compared at the SOURCE depth (img holds
+            # raw pre-scaling samples)
+            key = struct.unpack(">H", trns[:2])[0]
+            alpha = np.where(
+                img[..., 0] == key, 0, 255
+            ).astype(np.uint8)
     elif color_type == 2:
         rgb, alpha = px, None
+        if keep_alpha and trns is not None and len(trns) >= 6:
+            kr, kg, kb = struct.unpack(">HHH", trns[:6])
+            keyed = (
+                (img[..., 0] == kr) & (img[..., 1] == kg)
+                & (img[..., 2] == kb)
+            )
+            alpha = np.where(keyed, 0, 255).astype(np.uint8)
     elif color_type == 4:
         rgb, alpha = np.repeat(px[..., :1], 3, axis=2), px[..., 1]
     else:  # 6

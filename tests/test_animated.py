@@ -253,6 +253,83 @@ def test_webp_anim_frame_exceeding_canvas_refuses():
         WB.webp_anim_info(blob)
 
 
+def test_png_trns_alpha_materialization():
+    from shotit_worker_spark.functions.imagecodec import _decode_png
+
+    # palette + alpha table
+    pal = RNG.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 8, (6, 9), dtype=np.uint8)
+    atab = bytes([0, 255, 0, 255, 128, 255])  # entries 6-7 default 255
+    png = PENC.encode_png_ex(idx, 3, 8, palette=pal, trns=atab)
+    rgba = _decode_png(png, keep_alpha=True)
+    assert np.array_equal(rgba[..., :3], pal[idx.astype(np.int64)])
+    want_a = np.array(list(atab) + [255, 255], np.uint8)[
+        idx.astype(np.int64)
+    ]
+    assert np.array_equal(rgba[..., 3], want_a)
+    # RGB color key
+    img = RNG.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    key = img[1, 1]
+    import struct as _s
+
+    png = PENC.encode_png_ex(
+        img, 2, 8,
+        trns=_s.pack(">HHH", int(key[0]), int(key[1]), int(key[2])),
+    )
+    rgba = _decode_png(png, keep_alpha=True)
+    keyed = (img == key[None, None, :]).all(axis=2)
+    assert np.array_equal(rgba[..., 3] == 0, keyed)
+    # RGB path ignores transparency (stored colors survive — the
+    # JRE-parity convention pinned by the q75 goldens)
+    assert np.array_equal(_decode_png(png), img)
+
+
+def test_apng_palette_trns_composites():
+    # binary palette alpha: OVER becomes an exact select, so the
+    # fixture compositor contract extends to tRNS frames
+    import struct as _s
+    import zlib as _z
+
+    pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    base = RNG.integers(0, 4, (8, 10), dtype=np.uint8)
+    patch = RNG.integers(0, 4, (4, 5), dtype=np.uint8)
+    atab = bytes([255, 255, 0, 255])  # palette entry 2 transparent
+
+    def chunk(t, b):
+        return (_s.pack(">I", len(b)) + t + b
+                + _s.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF))
+
+    def payload(s):
+        return _z.compress(
+            b"".join(b"\x00" + s[y].tobytes() for y in range(s.shape[0]))
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 10, 8, 8, 3, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"tRNS", atab)
+            + chunk(b"acTL", _s.pack(">II", 2, 0))
+            + chunk(b"fcTL", _s.pack(
+                ">IIIIIHHBB", 0, 10, 8, 0, 0, 4, 100, 0, 0))
+            + chunk(b"IDAT", payload(base))
+            + chunk(b"fcTL", _s.pack(
+                ">IIIIIHHBB", 1, 5, 4, 2, 2, 4, 100, 0, 1))  # OVER
+            + chunk(b"fdAT", _s.pack(">I", 2) + payload(patch))
+            + chunk(b"IEND", b""))
+    got = list(AP.iter_apng_frames(blob))
+    assert len(got) == 2
+    # frame 0: transparent base pixels flatten to black
+    base_rgb = pal[base.astype(np.int64)].copy()
+    base_rgb[base == 2] = 0
+    assert np.array_equal(got[0], base_rgb)
+    # frame 1: opaque patch pixels replace, transparent keep base
+    want = base_rgb.copy()
+    reg = want[2:6, 2:7]
+    opaque = patch != 2
+    reg[opaque] = pal[patch.astype(np.int64)][opaque]
+    assert np.array_equal(got[1], want)
+
+
 def test_animated_fuzz_never_crashes():
     # truncations and bit flips either decode or raise the module's
     # typed error — never an unhandled exception (the decode_frames

@@ -120,10 +120,13 @@ def encode_png_ex(
     interlace: int = 0,
     palette: np.ndarray | None = None,
     filters=None,
+    trns: bytes | None = None,
 ) -> bytes:
     """samples: (h, w) for color types 0/3, (h, w, nch) otherwise, at
     the stored depth (palette entries are indices). `filters`: row ->
-    filter-type callable; default cycles 0,1,2,3,4."""
+    filter-type callable; default cycles 0,1,2,3,4. `trns`: raw tRNS
+    chunk body (palette alpha table for ct 3, 2/6-byte color key for
+    ct 0/2), written after PLTE."""
     if filters is None:
         filters = lambda y: y % 5  # noqa: E731
     nch = _NCH[color_type]
@@ -146,6 +149,8 @@ def encode_png_ex(
     )
     if color_type == 3:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
     return (
         out
         + _chunk(b"IDAT", zlib.compress(bytes(payload)))
@@ -165,6 +170,32 @@ def _rng(name: str) -> np.random.Generator:
 def build_case(name: str):
     """-> (png_bytes, expected_rgb uint8 (h,w,3)) for a case name."""
     r = _rng(name)
+    # tRNS cases: the stored RGB must survive transparency untouched
+    # (JRE getRGB keeps components of transparent pixels; our RGB
+    # path states the same convention)
+    if name == "pal8_trns":
+        h, w = 17, 25
+        pal = r.integers(0, 256, (64, 3), dtype=np.uint8)
+        idx = r.integers(0, 64, (h, w), dtype=np.uint8)
+        atab = r.integers(0, 256, 40, dtype=np.uint8).tobytes()
+        return (
+            encode_png_ex(idx, 3, 8, palette=pal, trns=atab),
+            pal[idx],
+        )
+    if name == "rgb8_colorkey":
+        h, w = 15, 22
+        img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        key = img[3, 4]  # guarantee the key occurs
+        tr = struct.pack(">HHH", int(key[0]), int(key[1]), int(key[2]))
+        return encode_png_ex(img, 2, 8, trns=tr), img
+    if name == "gray8_colorkey":
+        h, w = 14, 19
+        g = r.integers(0, 256, (h, w), dtype=np.uint8)
+        tr = struct.pack(">H", int(g[2, 2]))
+        return (
+            encode_png_ex(g, 0, 8, trns=tr),
+            np.repeat(g[:, :, None], 3, axis=2),
+        )
     if name.startswith("rgb8"):
         il = 1 if "adam7" in name else 0
         h, w = (21, 33) if "odd" in name else (32, 48)
@@ -202,7 +233,7 @@ def build_case(name: str):
 JRE_CASES = (
     "rgb8_filters", "rgb8_adam7", "rgb8_adam7_odd", "rgba8_adam7",
     "pal8_flat", "pal8_adam7", "pal4_flat", "pal2_flat", "pal1_flat",
-    "gray8_adam7",
+    "gray8_adam7", "pal8_trns", "rgb8_colorkey", "gray8_colorkey",
 )
 
 HARNESS = r"""
