@@ -148,7 +148,7 @@ class SPS:
         "profile_idc", "level_idc", "seq_parameter_set_id",
         "log2_max_frame_num", "pic_order_cnt_type",
         "log2_max_pic_order_cnt_lsb", "num_ref_frames",
-        "delta_pic_order_always_zero",
+        "delta_pic_order_always_zero", "direct_8x8_inference",
         "mb_width", "mb_height", "frame_mbs_only",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
         "chroma_format_idc", "separate_colour_plane",
@@ -210,7 +210,7 @@ def parse_sps(nal: bytes) -> SPS:
     s.frame_mbs_only = r.flag()
     if not s.frame_mbs_only:
         raise AVCError("interlaced (frame_mbs_only=0) unsupported")
-    r.flag()  # direct_8x8_inference
+    s.direct_8x8_inference = r.flag()
     if r.flag():  # frame_cropping
         s.crop_left = r.ue()
         s.crop_right = r.ue()
@@ -234,7 +234,8 @@ class PPS:
         "deblocking_filter_control_present",
         "constrained_intra_pred", "transform_8x8_mode",
         "bottom_field_poc_present", "redundant_pic_cnt_present",
-        "weighted_pred", "num_ref_idx_l0_default",
+        "weighted_pred", "weighted_bipred_idc",
+        "num_ref_idx_l0_default", "num_ref_idx_l1_default",
     )
 
 
@@ -255,9 +256,9 @@ def parse_pps(nal: bytes) -> PPS:
     if n_slice_groups != 1:
         raise AVCError("slice groups (FMO) unsupported")
     p.num_ref_idx_l0_default = r.ue() + 1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    p.num_ref_idx_l1_default = r.ue() + 1
     p.weighted_pred = r.flag()
-    r.u(2)  # weighted_bipred_idc
+    p.weighted_bipred_idc = r.u(2)
     p.pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
     p.chroma_qp_index_offset = r.se()
@@ -965,17 +966,30 @@ def _bs_luma(st: "_IFrame", gxp: int, gyp: int, gxq: int, gyq: int,
              mb_edge: bool) -> int:
     """Boundary strength (8.7.2.1, frame coding) for the edge between
     luma 4x4 blocks p at (gxp, gyp) and q at (gxq, gyq). With a single
-    reference list the different-reference condition never fires, so
-    past the intra and coded-coefficient cases only the MV-distance
-    test remains."""
+    reference per list, "different reference pictures or different
+    number of motion vectors" collapses to a pred_flags mismatch (L0
+    and L1 always name DIFFERENT pictures — a past and a future ref),
+    so past the intra and coded-coefficient cases only the per-list
+    MV-distance test remains."""
     mbp = (gyp >> 2) * st.mbw + (gxp >> 2)
     mbq = (gyq >> 2) * st.mbw + (gxq >> 2)
     if st.mb_intra[mbp] or st.mb_intra[mbq]:
         return 4 if mb_edge else 3
     if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
         return 2
-    if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
-            or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4):
+    fp = int(st.pred_flags[gyp, gxp])
+    fq = int(st.pred_flags[gyq, gxq])
+    if fp != fq:
+        return 1
+    if fp & 1 and (
+        abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+        or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4
+    ):
+        return 1
+    if fp & 2 and (
+        abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
+        or abs(int(st.mvy1[gyp, gxp]) - int(st.mvy1[gyq, gxq])) >= 4
+    ):
         return 1
     return 0
 
@@ -1404,6 +1418,14 @@ class _IFrame:
         self.mvx = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
         self.mvy = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
         self.mv_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
+        # B-slice state: list-1 motion field + per-4x4 list-usage
+        # flags (bit0 = L0, bit1 = L1; P inter blocks carry 1); the
+        # colocated picture's fields drive spatial-direct colZeroFlag
+        self.mvx1 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
+        self.mvy1 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int32)
+        self.mv_done1 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
+        self.pred_flags = np.zeros((self.mbh * 4, self.mbw * 4),
+                                   dtype=np.uint8)
         self.any_inter = False
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
@@ -1483,15 +1505,16 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
     h["first_mb_in_slice"] = r.ue()
     st = r.ue()
     h["slice_type"] = st
-    if st % 5 not in (0, 2):
-        raise AVCError(f"not an I or P slice (slice_type {st})")
+    if st % 5 not in (0, 1, 2):
+        raise AVCError(f"not an I, P or B slice (slice_type {st})")
     h["is_p"] = st % 5 == 0
+    h["is_b"] = st % 5 == 1
     h["pps_id"] = r.ue()
     h["frame_num"] = r.u(sps.log2_max_frame_num)
     if nal_type == 5:
-        if h["is_p"]:
+        if h["is_p"] or h["is_b"]:
             # 7.4.3: an IDR picture contains only I/SI slices
-            raise AVCError("P slice inside an IDR NAL")
+            raise AVCError("P/B slice inside an IDR NAL")
         h["idr_pic_id"] = r.ue()
     if sps.pic_order_cnt_type == 0:
         h["pic_order_cnt_lsb"] = r.u(sps.log2_max_pic_order_cnt_lsb)
@@ -1506,25 +1529,42 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             # a REDUNDANT coded picture duplicates a primary one;
             # decoding it is optional and we have no primary to prefer
             raise AVCError("redundant coded picture unsupported")
-    if h["is_p"]:
-        n_ref = pps.num_ref_idx_l0_default
+    if h["is_b"]:
+        # spatial direct is x264's default and needs no POC
+        # arithmetic; temporal direct scales colocated MVs by POC
+        # distances — out of the single-ref scope, refuse
+        if not r.flag():  # direct_spatial_mv_pred_flag
+            raise AVCError("temporal direct mode unsupported "
+                           "(spatial only)")
+        if not sps.direct_8x8_inference:
+            raise AVCError("direct_8x8_inference_flag=0 unsupported")
+    if h["is_p"] or h["is_b"]:
+        n_ref0 = pps.num_ref_idx_l0_default
+        n_ref1 = pps.num_ref_idx_l1_default
         if r.flag():  # num_ref_idx_active_override_flag
-            n_ref = r.ue() + 1
-        if n_ref != 1:
-            # single-reference scope: ref_idx_l0 is never coded and
-            # the reference is always the previously decoded frame
+            n_ref0 = r.ue() + 1
+            if h["is_b"]:
+                n_ref1 = r.ue() + 1
+        if n_ref0 != 1 or (h["is_b"] and n_ref1 != 1):
+            # single-reference-per-list scope: ref_idx is never coded
             raise AVCError(
-                f"{n_ref} active L0 references unsupported (single-ref"
-                " P decode only)"
+                f"{n_ref0}/{n_ref1} active references unsupported "
+                "(single-ref-per-list decode only)"
             )
         if r.flag():  # ref_pic_list_modification_flag_l0
             raise AVCError("ref_pic_list_modification unsupported")
-        if pps.weighted_pred:
+        if h["is_b"] and r.flag():  # ..._flag_l1
+            raise AVCError("ref_pic_list_modification unsupported")
+        if pps.weighted_pred and h["is_p"]:
             raise AVCError("weighted prediction unsupported")
+        if h["is_b"] and pps.weighted_bipred_idc != 0:
+            # idc 1 = explicit weights in the header, idc 2 = implicit
+            # POC-derived weights: both change the prediction math
+            raise AVCError("weighted biprediction unsupported")
         if pps.constrained_intra_pred:
-            # 8.3: intra prediction in P slices would have to mark
+            # 8.3: intra prediction in P/B slices would have to mark
             # inter-coded neighbors unavailable; not implemented
-            raise AVCError("constrained_intra_pred with P slices"
+            raise AVCError("constrained_intra_pred with inter slices"
                            " unsupported")
     if nal_ref_idc != 0:
         if nal_type == 5:
@@ -1602,7 +1642,8 @@ def _decode_iframe_inner(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
 
 
 def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
-                        ref: "_IFrame | None") -> "_IFrame":
+                        ref: "_IFrame | None",
+                        ref1: "_IFrame | None" = None) -> "_IFrame":
     if not slice_nal:
         raise AVCError("empty slice NAL")
     nal_type = slice_nal[0] & 0x1F
@@ -1616,7 +1657,17 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     st = _IFrame(sps)
     qp = h["slice_qp"]
     n_mbs = st.mbw * st.mbh
-    if h["is_p"]:
+    if h["is_b"]:
+        if ref is None or ref1 is None:
+            raise AVCError(
+                "B slice needs both reference frames (ref=L0[0] past,"
+                " ref1=L1[0] future)"
+            )
+        for rf in (ref, ref1):
+            if rf.mbw != st.mbw or rf.mbh != st.mbh:
+                raise AVCError("reference frame geometry mismatch")
+        qp = _decode_b_slice_data(r, st, ref, ref1, sps, pps, qp)
+    elif h["is_p"]:
         if ref is None:
             raise AVCError("P slice without a reference frame")
         if ref.mbw != st.mbw or ref.mbh != st.mbh:
@@ -1969,11 +2020,14 @@ def _interp_chroma(ref: np.ndarray, cx: int, cy: int, w: int, h: int,
             + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
 
 
-def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int):
-    """MV-prediction neighbor at 4x4-block coords (gx, gy): returns
-    (geo_avail, mvx, mvy, refIdx). ``geo_avail`` is the 6.4.8
-    decode-order availability of the covering partition; intra blocks
-    in available MBs report refIdx -1 with mv (0, 0) (8.4.1.3.2)."""
+def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int, lst: int = 0):
+    """MV-prediction neighbor at 4x4-block coords (gx, gy) for
+    reference list ``lst``: returns (geo_avail, mvx, mvy, refIdx).
+    ``geo_avail`` is the 6.4.8 decode-order availability of the
+    covering partition; intra blocks in available MBs — and inter
+    blocks not using list ``lst`` — report refIdx -1 with mv (0, 0)
+    (8.4.1.3.2). Single reference per list: a used list is always
+    refIdx 0."""
     if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
         return False, 0, 0, -1
     mb = (gy >> 2) * st.mbw + (gx >> 2)
@@ -1981,28 +2035,36 @@ def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int):
         return False, 0, 0, -1
     if mb == cur_mb:
         # within the current MB: available once the covering partition
-        # has decoded its MV (partition decode order, 6.4.11.7); intra
+        # has decoded its MVs (partition decode order, 6.4.11.7); intra
         # MBs never self-neighbor here (sub-partitions are inter-only)
         if not st.mv_done[gy, gx]:
             return False, 0, 0, -1
-        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
-    if st.mb_intra[mb]:
+    elif st.mb_intra[mb]:
         return True, 0, 0, -1
-    return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    flags = int(st.pred_flags[gy, gx])
+    if lst == 0:
+        if flags & 1:
+            return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    else:
+        if flags & 2:
+            return True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]), 0
+    return True, 0, 0, -1
 
 
 def _mv_pred(st: _IFrame, cur_mb: int, px4: int, py4: int,
-             w4: int, h4: int, part_hint: str | None):
+             w4: int, h4: int, part_hint: str | None, lst: int = 0):
     """Luma MV predictor (8.4.1.3) for the partition whose top-left
-    4x4 block sits at block coords (px4, py4) spanning w4 x h4 blocks.
-    ``part_hint`` names the 16x8/8x16 directional special cases; the
-    median process of 8.4.1.3.1 applies otherwise. Single reference
-    list: every inter neighbor carries refIdx 0."""
-    avail_a, ax, ay, ref_a = _mv_nbr(st, px4 - 1, py4, cur_mb)
-    avail_b, bx, by, ref_b = _mv_nbr(st, px4, py4 - 1, cur_mb)
-    avail_c, cx, cy, ref_c = _mv_nbr(st, px4 + w4, py4 - 1, cur_mb)
+    4x4 block sits at block coords (px4, py4) spanning w4 x h4 blocks,
+    over reference list ``lst``. ``part_hint`` names the 16x8/8x16
+    directional special cases; the median process of 8.4.1.3.1
+    applies otherwise. Single reference per list: an inter neighbor
+    using the list carries refIdx 0."""
+    avail_a, ax, ay, ref_a = _mv_nbr(st, px4 - 1, py4, cur_mb, lst)
+    avail_b, bx, by, ref_b = _mv_nbr(st, px4, py4 - 1, cur_mb, lst)
+    avail_c, cx, cy, ref_c = _mv_nbr(st, px4 + w4, py4 - 1, cur_mb, lst)
     if not avail_c:
-        avail_c, cx, cy, ref_c = _mv_nbr(st, px4 - 1, py4 - 1, cur_mb)
+        avail_c, cx, cy, ref_c = _mv_nbr(st, px4 - 1, py4 - 1, cur_mb,
+                                         lst)
     if part_hint == "16x8_0" and ref_b == 0:
         return bx, by
     if part_hint == "16x8_1" and ref_a == 0:
@@ -2038,9 +2100,34 @@ def _pskip_mv(st: _IFrame, cur_mb: int, mbx: int, mby: int):
 
 def _set_mv(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
             mvx: int, mvy: int) -> None:
+    """P-path partition MV write: list 0, usage flag 1."""
     st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
     st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.pred_flags[py4:py4 + h4, px4:px4 + w4] = 1
     st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
+
+
+def _set_mv_b(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
+              mv0, mv1, use0: bool, use1: bool) -> None:
+    """B-path partition MV write: both lists atomically (the 8.4.1.3
+    per-partition derivation order — a later partition's list-X
+    prediction may see this partition's list-X MV)."""
+    ys, xs = slice(py4, py4 + h4), slice(px4, px4 + w4)
+    flags = (1 if use0 else 0) | (2 if use1 else 0)
+    if use0:
+        st.mvx[ys, xs] = mv0[0]
+        st.mvy[ys, xs] = mv0[1]
+    else:
+        st.mvx[ys, xs] = 0
+        st.mvy[ys, xs] = 0
+    if use1:
+        st.mvx1[ys, xs] = mv1[0]
+        st.mvy1[ys, xs] = mv1[1]
+    else:
+        st.mvx1[ys, xs] = 0
+        st.mvy1[ys, xs] = 0
+    st.pred_flags[ys, xs] = flags
+    st.mv_done[ys, xs] = True
 
 
 def _mc_partition(st: _IFrame, ref: _IFrame, px4: int, py4: int,
@@ -2189,20 +2276,344 @@ def _decode_p_slice_data(r: BitReader, st: _IFrame, ref: _IFrame,
     return qp
 
 
+# ---------------------------------------------------------------------------
+# B slices (single reference per list, CAVLC, spatial direct)
+# ---------------------------------------------------------------------------
+
+def _b_mb_part_modes() -> dict:
+    """Table 7-14 B macroblock types 0..22, GENERATED from the
+    table's structural rule (16x16 direct/L0/L1/Bi, then the nine
+    (mode0, mode1) pairs each as 16x8 followed by 8x16, then B_8x8).
+    The fixture encoder hardcodes the same table independently;
+    tests assert the two agree."""
+    modes = {0: ("direct", None), 1: ("16x16", ("l0",)),
+             2: ("16x16", ("l1",)), 3: ("16x16", ("bi",))}
+    pairs = (("l0", "l0"), ("l1", "l1"), ("l0", "l1"), ("l1", "l0"),
+             ("l0", "bi"), ("l1", "bi"), ("bi", "l0"), ("bi", "l1"),
+             ("bi", "bi"))
+    t = 4
+    for m0, m1 in pairs:
+        modes[t] = ("16x8", (m0, m1))
+        modes[t + 1] = ("8x16", (m0, m1))
+        t += 2
+    modes[22] = ("8x8", None)
+    return modes
+
+
+_B_MB_MODES = _b_mb_part_modes()
+
+
+def _b_sub_modes() -> dict:
+    """Table 7-18 B sub-macroblock types 0..12, generated from the
+    structural rule (direct, 8x8 by mode, 8x4/4x8 interleaved by
+    mode, 4x4 by mode)."""
+    sub = {0: ("direct", None)}
+    for i, m in enumerate(("l0", "l1", "bi")):
+        sub[1 + i] = ("8x8", m)
+    t = 4
+    for m in ("l0", "l1", "bi"):
+        sub[t] = ("8x4", m)
+        sub[t + 1] = ("4x8", m)
+        t += 2
+    for i, m in enumerate(("l0", "l1", "bi")):
+        sub[10 + i] = ("4x4", m)
+    return sub
+
+
+_B_SUB_MODES = _b_sub_modes()
+
+_B_SHAPES = {"8x8": [(0, 0, 2, 2)],
+             "8x4": [(0, 0, 2, 1), (0, 1, 2, 1)],
+             "4x8": [(0, 0, 1, 2), (1, 0, 1, 2)],
+             "4x4": [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1),
+                     (1, 1, 1, 1)]}
+
+
+def _mc_partition_b(st: _IFrame, ref0, ref1, px4: int, py4: int,
+                    w4: int, h4: int, mv0, mv1, use0: bool,
+                    use1: bool) -> None:
+    """Motion-compensate one B partition: uni-directional from either
+    list, or the default bi-prediction average (8.4.2.3,
+    weighted_bipred_idc 0: (p0 + p1 + 1) >> 1 per sample)."""
+    x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
+    cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
+    if use0 and use1:
+        y0 = _interp_luma(ref0.Y, x, y, w, h, mv0[0], mv0[1])
+        y1 = _interp_luma(ref1.Y, x, y, w, h, mv1[0], mv1[1])
+        st.Y[y:y + h, x:x + w] = (y0 + y1 + 1) >> 1
+        for plane, r0p, r1p in (("Cb", ref0.Cb, ref1.Cb),
+                                ("Cr", ref0.Cr, ref1.Cr)):
+            c0 = _interp_chroma(r0p, cx, cy, cw, ch, mv0[0], mv0[1])
+            c1 = _interp_chroma(r1p, cx, cy, cw, ch, mv1[0], mv1[1])
+            getattr(st, plane)[cy:cy + ch, cx:cx + cw] = (
+                c0 + c1 + 1
+            ) >> 1
+    else:
+        ref = ref0 if use0 else ref1
+        mv = mv0 if use0 else mv1
+        _mc_partition(st, ref, px4, py4, w4, h4, mv[0], mv[1])
+
+
+def _spatial_direct(st: _IFrame, ref1: _IFrame, mb: int, mbx: int,
+                    mby: int):
+    """Spatial direct motion derivation (8.4.1.2.2) for the current
+    MB, with direct_8x8_inference: MB-level reference selection +
+    median MV prediction, then per-8x8 colZeroFlag from the corner
+    4x4 of the colocated MB in RefPicList1[0].
+
+    Returns (use0, use1, [((mv0x, mv0y), (mv1x, mv1y)) per 8x8])."""
+    px4, py4 = mbx * 4, mby * 4
+    use = []
+    mvp = []
+    for lst in (0, 1):
+        _aa, ax, ay, ra = _mv_nbr(st, px4 - 1, py4, mb, lst)
+        _ab, bx, by, rb = _mv_nbr(st, px4, py4 - 1, mb, lst)
+        ac, cx, cy, rc = _mv_nbr(st, px4 + 4, py4 - 1, mb, lst)
+        if not ac:
+            _ad, cx, cy, rc = _mv_nbr(st, px4 - 1, py4 - 1, mb, lst)
+        # MinPositive over single-ref lists: 0 iff any neighbor uses it
+        use.append(max(ra, rb, rc) >= 0)
+        mvp.append(_mv_pred(st, mb, px4, py4, 4, 4, None, lst))
+    if not use[0] and not use[1]:
+        # directZeroPredictionFlag: both lists, zero MVs everywhere
+        return True, True, [((0, 0), (0, 0))] * 4
+    out = []
+    corners = ((0, 0), (3, 0), (0, 3), (3, 3))
+    for i8 in range(4):
+        dx, dy = corners[i8]
+        gx, gy = px4 + dx, py4 + dy
+        col_mb = (gy >> 2) * ref1.mbw + (gx >> 2)
+        if ref1.mb_intra[col_mb]:
+            col_zero = False
+        else:
+            cf = int(ref1.pred_flags[gy, gx])
+            if cf & 1:
+                cmx, cmy = int(ref1.mvx[gy, gx]), int(ref1.mvy[gy, gx])
+            elif cf & 2:
+                cmx, cmy = int(ref1.mvx1[gy, gx]), int(ref1.mvy1[gy, gx])
+            else:
+                cmx = cmy = 0
+            # refIdxCol is always 0 in single-ref streams; the short-
+            # term condition holds (no long-term refs in scope)
+            col_zero = abs(cmx) <= 1 and abs(cmy) <= 1
+        mv0 = (0, 0) if (col_zero and use[0]) else mvp[0]
+        mv1 = (0, 0) if (col_zero and use[1]) else mvp[1]
+        out.append((mv0 if use[0] else (0, 0),
+                    mv1 if use[1] else (0, 0)))
+    return use[0], use[1], out
+
+
+def _apply_direct_8x8(st: _IFrame, ref0, ref1, mbx: int, mby: int,
+                      i8: int, use0: bool, use1: bool, mvs) -> None:
+    """Write + motion-compensate one direct-predicted 8x8."""
+    bx4 = mbx * 4 + (i8 & 1) * 2
+    by4 = mby * 4 + (i8 >> 1) * 2
+    mv0, mv1 = mvs[i8]
+    _set_mv_b(st, bx4, by4, 2, 2, mv0, mv1, use0, use1)
+    _mc_partition_b(st, ref0, ref1, bx4, by4, 2, 2, mv0, mv1,
+                    use0, use1)
+
+
+def _decode_bskip(st: _IFrame, ref0: _IFrame, ref1: _IFrame, mb: int,
+                  qp: int) -> None:
+    mbx, mby = mb % st.mbw, mb // st.mbw
+    use0, use1, mvs = _spatial_direct(st, ref1, mb, mbx, mby)
+    for i8 in range(4):
+        _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0, use1, mvs)
+    _finish_inter_mb(st, mbx, mby, mb)
+    st.mb_qp[mb] = qp
+    st.n_decoded_mbs += 1
+
+
+def _b_inter_residual(r: BitReader, st: _IFrame, pps: PPS, mbx: int,
+                      mby: int, mb: int, qp: int) -> int:
+    """coded_block_pattern + residuals for a non-direct-less inter MB
+    (shared tail of the P and B macroblock layers)."""
+    px4, py4 = mbx * 4, mby * 4
+    code = r.ue()
+    if code > 47:
+        raise AVCError("coded_block_pattern code out of range")
+    cbp = _CBP_INTER[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp != 0:
+        qp = _mb_qp_delta(r, qp)
+    rows = []
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = px4 + x4, py4 + y4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(gx, gy, mb, blk)
+            coeffs, total = read_residual_block(r, nc, 16)
+            st.nzY[gy, gx] = total
+            rows.append(coeffs)
+        else:
+            st.nzY[gy, gx] = 0
+            rows.append([0] * 16)
+    if cbp_luma:
+        residuals = _residual_batch(rows, qp)
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            x, y = (px4 + x4) * 4, (py4 + y4) * 4
+            st.Y[y:y + 4, x:x + 4] = np.clip(
+                st.Y[y:y + 4, x:x + 4] + residuals[blk], 0, 255)
+    _chroma_residual(r, st, pps, mbx, mby, mb, cbp_chroma, qp)
+    return qp
+
+
+def _decode_b_mb(r: BitReader, st: _IFrame, ref0: _IFrame,
+                 ref1: _IFrame, pps: PPS, mbx: int, mby: int, mb: int,
+                 mb_type: int, qp: int) -> int:
+    """One B macroblock_layer: direct / 16x16 / 16x8 / 8x16 / B_8x8
+    with per-partition prediction modes, grouped-by-list mvd parse
+    (7.3.5.1), per-partition per-list MV prediction in decode order,
+    motion compensation (bi = average), then the CAVLC residual."""
+    px4, py4 = mbx * 4, mby * 4
+    shape, modes = _B_MB_MODES[mb_type]
+    # (bx4, by4, w4, h4, hint, mode) in partition decode order
+    plist: list = []
+    direct_state = None
+    if shape == "direct":
+        direct_state = _spatial_direct(st, ref1, mb, mbx, mby)
+    elif shape == "16x16":
+        plist.append((px4, py4, 4, 4, None, modes[0]))
+    elif shape == "16x8":
+        plist.append((px4, py4, 4, 2, "16x8_0", modes[0]))
+        plist.append((px4, py4 + 2, 4, 2, "16x8_1", modes[1]))
+    elif shape == "8x16":
+        plist.append((px4, py4, 2, 4, "8x16_0", modes[0]))
+        plist.append((px4 + 2, py4, 2, 4, "8x16_1", modes[1]))
+    else:  # B_8x8
+        subs = [r.ue() for _ in range(4)]
+        if any(s > 12 for s in subs):
+            raise AVCError(
+                f"sub_mb_type {max(subs)} not valid in B slice"
+            )
+        for s_i in range(4):
+            sx4 = px4 + (s_i & 1) * 2
+            sy4 = py4 + (s_i >> 1) * 2
+            sshape, smode = _B_SUB_MODES[subs[s_i]]
+            if sshape == "direct":
+                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}"))
+                if direct_state is None:
+                    direct_state = _spatial_direct(st, ref1, mb, mbx,
+                                                   mby)
+                continue
+            for dx4, dy4, w4, h4 in _B_SHAPES[sshape]:
+                plist.append((sx4 + dx4, sy4 + dy4, w4, h4, None,
+                              smode))
+    # grouped mvd parse: every L0 mvd in partition order, then L1
+    # (ref_idx fields never appear: one reference per list)
+    mvd0 = [
+        (r.se(), r.se()) if p[5] in ("l0", "bi") else None
+        for p in plist
+    ]
+    mvd1 = [
+        (r.se(), r.se()) if p[5] in ("l1", "bi") else None
+        for p in plist
+    ]
+    # per-partition derivation + MC in decode order
+    for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+        if isinstance(mode, str) and mode.startswith("direct"):
+            i8 = int(mode[6:])
+            use0, use1, mvs = direct_state
+            _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0,
+                              use1, mvs)
+            continue
+        use0 = mode in ("l0", "bi")
+        use1 = mode in ("l1", "bi")
+        mv0 = (0, 0)
+        mv1 = (0, 0)
+        if use0:
+            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 0)
+            mv0 = (mvpx + mvd0[k][0], mvpy + mvd0[k][1])
+        if use1:
+            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 1)
+            mv1 = (mvpx + mvd1[k][0], mvpy + mvd1[k][1])
+        _set_mv_b(st, bx4, by4, w4, h4, mv0, mv1, use0, use1)
+        _mc_partition_b(st, ref0, ref1, bx4, by4, w4, h4, mv0, mv1,
+                        use0, use1)
+    if shape == "direct":
+        use0, use1, mvs = direct_state
+        for i8 in range(4):
+            _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0,
+                              use1, mvs)
+    _finish_inter_mb(st, mbx, mby, mb)
+    return _b_inter_residual(r, st, pps, mbx, mby, mb, qp)
+
+
+def _decode_b_slice_data(r: BitReader, st: _IFrame, ref0: _IFrame,
+                         ref1: _IFrame, sps: SPS, pps: PPS,
+                         qp: int) -> int:
+    """slice_data (7.3.4) for a CAVLC B slice covering the whole
+    frame: interleaved mb_skip_run (B_Skip = spatial direct, no
+    residual) / macroblock_layer."""
+    n_mbs = st.mbw * st.mbh
+    mb = 0
+    while True:
+        skip_run = r.ue()
+        if mb + skip_run > n_mbs:
+            raise AVCError("mb_skip_run overruns the frame")
+        for _ in range(skip_run):
+            _decode_bskip(st, ref0, ref1, mb, qp)
+            mb += 1
+        if mb >= n_mbs or not r.more_rbsp_data():
+            break
+        mbx, mby = mb % st.mbw, mb // st.mbw
+        mb_type = r.ue()
+        if mb_type <= 22:
+            qp = _decode_b_mb(r, st, ref0, ref1, pps, mbx, mby, mb,
+                              mb_type, qp)
+        elif mb_type <= 48:
+            qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
+                                  mb_type - 23, qp)
+        else:
+            raise AVCError(f"mb_type {mb_type} not valid in B slice")
+        st.mb_qp[mb] = qp
+        st.n_decoded_mbs += 1
+        mb += 1
+        if mb >= n_mbs:
+            break
+    if mb != n_mbs:
+        raise AVCError("B slice ended before covering the frame")
+    return qp
+
+
 def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
-                 ref: "_IFrame | None" = None) -> "_IFrame":
-    """Decode one coded slice NAL (I or single-reference P) into its
-    reconstructed frame state (post-deblock, full macroblock grid).
-    ``ref`` is the previously decoded frame's state, required for P
-    slices; convert to RGB with :func:`frame_rgb`. Error posture as
-    :func:`decode_iframe`: anything corrupt raises :class:`AVCError`."""
+                 ref: "_IFrame | None" = None,
+                 ref1: "_IFrame | None" = None) -> "_IFrame":
+    """Decode one coded slice NAL (I, single-reference P, or
+    single-reference-per-list B) into its reconstructed frame state
+    (post-deblock, full macroblock grid). ``ref`` is the L0 reference
+    (the past frame for P and B); ``ref1`` the L1 reference (the
+    future frame, B only — the caller supplies frames in DECODE
+    order, so it is already reconstructed). Convert to RGB with
+    :func:`frame_rgb`. Error posture as :func:`decode_iframe`:
+    anything corrupt raises :class:`AVCError`."""
     try:
-        return _decode_frame_inner(sps, pps, slice_nal, ref)
+        return _decode_frame_inner(sps, pps, slice_nal, ref, ref1)
     except AVCError:
         raise
     except (IndexError, ValueError, KeyError, OverflowError,
             MemoryError) as exc:
         raise AVCError(f"corrupt slice data: {exc}") from exc
+
+
+def slice_kind(slice_nal: bytes) -> str:
+    """Cheap slice-type peek for callers that must route references
+    BEFORE decoding (the G1 GOP cursor): "i", "p" or "b". Raises
+    AVCError on non-slice NALs or exotic types (SP/SI)."""
+    if not slice_nal or (slice_nal[0] & 0x1F) not in (1, 5):
+        raise AVCError("not a coded slice NAL")
+    r = BitReader(unescape_rbsp(slice_nal[1:9]))
+    r.ue()  # first_mb_in_slice
+    st = r.ue() % 5
+    if st == 0:
+        return "p"
+    if st == 1:
+        return "b"
+    if st == 2:
+        return "i"
+    raise AVCError(f"SP/SI slice type {st} unsupported")
 
 
 def frame_rgb(st: "_IFrame", sps: SPS) -> np.ndarray:

@@ -340,15 +340,17 @@ def _sample_mp4(
     )
     # r6 decoded KEYFRAME samples of AVC tracks for real (functions/avc
     # — baseline CAVLC I-frame decoder + the 8.7 in-loop filter); r7
-    # adds single-reference P-slice decode, so INTER samples of
-    # baseline streams now carry real pixels too: a GOP cursor walks
-    # samples in decode order from the governing keyframe, exactly the
-    # all-frames sampling the reference gets from ffmpeg's fps filter
+    # adds single-reference P-slice decode AND single-ref-per-list
+    # B-slice decode (spatial direct), so inter samples of CAVLC
+    # streams carry real pixels for every frame type: a GOP cursor
+    # walks samples in decode order from the governing keyframe with
+    # a small reference DPB, exactly the all-frames sampling the
+    # reference gets from ffmpeg's fps filter
     # (/root/reference/hasher.js:78-91). Parameter sets come from the
-    # avcC config; any failure in a GOP's chain (B slices, CABAC,
-    # multi-ref, corrupt data) falls back to the labeled stub for the
-    # rest of that GOP only — the next keyframe resets the cursor and
-    # the timeline never breaks.
+    # avcC config; any failure in a GOP's chain (CABAC, multi-ref,
+    # weighted/temporal-direct B, corrupt data) falls back to the
+    # labeled stub for the rest of that GOP only — the next keyframe
+    # resets the cursor and the timeline never breaks.
     cursor = None
     if track.sps and track.pps and track.nal_length_size:
         try:
@@ -373,13 +375,18 @@ def _sample_mp4(
 
 
 class _AvcGopCursor:
-    """Sequential AVC GOP decoder over an .mp4 sample table: holds the
-    last decoded frame's reconstruction as the single L0 reference and
-    decodes forward in decode (stsz/index) order, restarting at the
-    governing keyframe when a target precedes the cursor. A decode
-    failure poisons the remainder of its GOP (every later sample up to
-    the next keyframe returns None -> the caller's stub) instead of
-    re-walking the broken chain per sample."""
+    """Sequential AVC GOP decoder over an .mp4 sample table: decodes
+    forward in decode (stsz/index) order, restarting at the governing
+    keyframe when a target precedes the cursor, and keeps a small DPB
+    of the most recent REFERENCE reconstructions (nal_ref_idc != 0)
+    keyed by presentation time. P samples take the latest reference;
+    B samples take the nearest past/future references by pts (the
+    single-ref-per-list default lists). A decode failure poisons the
+    remainder of its GOP (every later sample up to the next keyframe
+    returns None -> the caller's stub) instead of re-walking the
+    broken chain per sample."""
+
+    _DPB = 4  # plenty for single-ref-per-list streams
 
     def __init__(self, content: bytes, track):
         from . import avc as AV
@@ -397,6 +404,7 @@ class _AvcGopCursor:
         ]
         self._pos = -1
         self._state = None
+        self._refs: list = []  # (pts, state) of recent reference pics
         self._broken_key = None
 
     def _slice_nal(self, sample) -> bytes | None:
@@ -430,20 +438,44 @@ class _AvcGopCursor:
         else:
             start = key  # jumped GOPs or went backward: restart
             self._state = None
+            self._refs = []
         try:
             for p in range(start, target + 1):
                 s = self._decode_list[p]
                 nal = self._slice_nal(s)
                 if nal is None:
                     raise AV.AVCError("sample carries no coded slice")
-                self._state = AV.decode_frame(
-                    self.sps, self.pps, nal,
-                    ref=None if s.keyframe else self._state,
-                )
+                kind = AV.slice_kind(nal)
+                if s.keyframe or kind == "i":
+                    st = AV.decode_frame(self.sps, self.pps, nal)
+                elif kind == "p":
+                    if not self._refs:
+                        raise AV.AVCError("P sample without a stored"
+                                          " reference")
+                    st = AV.decode_frame(self.sps, self.pps, nal,
+                                         ref=self._refs[-1][1])
+                else:  # B: nearest stored references around this pts
+                    past = [r for r in self._refs if r[0] < s.pts]
+                    future = [r for r in self._refs if r[0] > s.pts]
+                    if not past or not future:
+                        raise AV.AVCError("B sample without both"
+                                          " references in the DPB")
+                    st = AV.decode_frame(
+                        self.sps, self.pps, nal,
+                        ref=max(past, key=lambda r: r[0])[1],
+                        ref1=min(future, key=lambda r: r[0])[1],
+                    )
+                if nal[0] >> 5:  # nal_ref_idc != 0: a reference pic
+                    if s.keyframe:
+                        self._refs = []  # IDR empties the DPB
+                    self._refs.append((s.pts, st))
+                    self._refs = self._refs[-self._DPB:]
+                self._state = st
                 self._pos = p
         except (AV.AVCError, MP.MP4Error):
             self._broken_key = key
             self._state = None
+            self._refs = []
             self._pos = -1
             return None
         rgb = AV.frame_rgb(self._state, self.sps)

@@ -1006,11 +1006,18 @@ def _p_frame_state(mbw=4, mbh=3):
     return st
 
 
-def _mark_inter_mb(st, mbx, mby, mv):
+def _mark_inter_mb(st, mbx, mby, mv, lst=0):
     mb = mby * st.mbw + mbx
     st.mb_intra[mb] = False
-    st.mvx[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = mv[0]
-    st.mvy[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = mv[1]
+    ys = slice(mby * 4, mby * 4 + 4)
+    xs = slice(mbx * 4, mbx * 4 + 4)
+    if lst == 0:
+        st.mvx[ys, xs] = mv[0]
+        st.mvy[ys, xs] = mv[1]
+    else:
+        st.mvx1[ys, xs] = mv[0]
+        st.mvy1[ys, xs] = mv[1]
+    st.pred_flags[ys, xs] |= 1 << lst
 
 
 def test_mv_pred_median_hand_case():
@@ -1187,8 +1194,11 @@ def test_p_slice_header_refusals():
         w.byte_align_zero()
         return ENC.make_nal(3, nal_type, w.to_rbsp())
 
-    with pytest.raises(avc.AVCError, match="not an I or P"):
-        avc.decode_frame(sps, pps, hdr(6), ref=st0)  # B slice
+    with pytest.raises(avc.AVCError, match="temporal direct"):
+        # B slice whose direct_spatial_mv_pred_flag bit reads 0
+        avc.decode_frame(sps, pps, hdr(6), ref=st0)
+    with pytest.raises(avc.AVCError, match="not an I, P or B"):
+        avc.decode_frame(sps, pps, hdr(3), ref=st0)  # SP slice
     with pytest.raises(avc.AVCError, match="single-ref"):
         # override flag 1 + num_ref_idx_l0_active_minus1 ue(1)=010
         avc.decode_frame(sps, pps, hdr(5, override_bits="1010"),

@@ -1,0 +1,359 @@
+"""B-slice decode (single reference per list, CAVLC, spatial
+direct): round-trips against the independent fixture encoder across
+every prediction mode, hand-built spatial-direct vectors, structural
+table pins, and the correct-or-refuse surface.
+
+The encoder (tools/gen_avc_fixture.py) hardcodes Tables 7-14/7-18
+while the decoder GENERATES them from the tables' structural rules —
+a transposition in either implementation breaks the agreement test
+even though round-trips alone could not see it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+)
+import gen_avc_fixture as ENC  # noqa: E402
+
+from shotit_worker_spark.functions import avc  # noqa: E402
+
+
+def _planes(seed, mbw, mbh):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (mbh * 2, mbw * 2)).repeat(8, 0).repeat(
+        8, 1
+    )
+    y = np.clip(
+        base + rng.integers(-12, 12, (mbh * 16, mbw * 16)), 16, 235
+    ).astype(np.int64)
+    cb = np.clip(
+        128 + rng.integers(-30, 30, (mbh * 8, mbw * 8)), 16, 240
+    ).astype(np.int64)
+    cr = np.clip(
+        128 + rng.integers(-30, 30, (mbh * 8, mbw * 8)), 16, 240
+    ).astype(np.int64)
+    return y, cb, cr
+
+
+def _decode_seq(sps_nal, pps_nal, nals, refs):
+    """refs: per NAL a (ref0_idx, ref1_idx) pair into already-decoded
+    states (None = absent)."""
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    states = []
+    for nal, (r0, r1) in zip(nals, refs):
+        states.append(
+            avc.decode_frame(
+                sps, pps, nal,
+                ref=None if r0 is None else states[r0],
+                ref1=None if r1 is None else states[r1],
+            )
+        )
+    return sps, pps, states
+
+
+def _assert_exact(states, recons):
+    for i, st in enumerate(states):
+        ry, rcb, rcr = recons[i]
+        assert np.array_equal(st.Y, ry), f"frame {i} luma"
+        assert np.array_equal(st.Cb, rcb), f"frame {i} Cb"
+        assert np.array_equal(st.Cr, rcr), f"frame {i} Cr"
+
+
+def test_b_mode_tables_decoder_generated_equals_encoder_hardcoded():
+    # Table 7-14
+    for key, mb_type in ENC.B_MB_TYPES.items():
+        shape, modes = avc._B_MB_MODES[mb_type]
+        if key == "direct":
+            assert shape == "direct"
+        elif key == "8x8":
+            assert shape == "8x8"
+        else:
+            kshape, kmodes = key
+            assert (shape, modes) == (kshape, kmodes), mb_type
+    assert len(ENC.B_MB_TYPES) == len(avc._B_MB_MODES) == 23
+    # Table 7-18
+    for key, sub in ENC.B_SUB_TYPES.items():
+        shape, mode = avc._B_SUB_MODES[sub]
+        if key == "direct":
+            assert shape == "direct"
+        else:
+            assert (shape, mode) == key, sub
+    assert len(ENC.B_SUB_TYPES) == len(avc._B_SUB_MODES) == 13
+
+
+def _mode_matrix_plan(mbw):
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 10
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l0"],
+                    "mvs": [((6, -3), None)]}
+        if k == 3:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (-5, 7))]}
+        if k == 4:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 5))]}
+        if k == 5:
+            return {"kind": "b16x8", "modes": ["l0", "bi"],
+                    "mvs": [((4, 0), None), ((1, 2), (-3, -1))]}
+        if k == 6:
+            return {"kind": "b8x16", "modes": ["bi", "l1"],
+                    "mvs": [((0, 4), (5, -2)), (None, (7, 3))]}
+        if k == 7:
+            return {"kind": "b8x8",
+                    "subs": ["direct", ("8x4", "l0"), ("4x8", "l1"),
+                             ("4x4", "bi")],
+                    "mvs": [((3, 1), None), ((-1, 2), None),
+                            (None, (0, 5)), (None, (2, -2)),
+                            ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                            ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+        if k == 8:
+            return {"kind": "i16", "qp": 24}
+        return {"kind": "b16", "modes": ["bi"],
+                "mvs": [((9, -6), (-7, 2))], "qp": 30}
+
+    return b_plan
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+@pytest.mark.parametrize("qp", [20, 26, 33])
+def test_b_round_trip_all_modes(deblock, qp):
+    """IDR -> P -> B(all 23 shapes incl. every 16x8/8x16 mode pair
+    family member, mixed-sub B_8x8 with a direct sub, intra-in-B,
+    per-MB QP changes), with and without the in-loop filter."""
+    mbw, mbh = 5, 4
+    f = [_planes(200 + i, mbw, mbh) for i in range(3)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": lambda x, y: {
+             "kind": "p16",
+             "mv": ((x * 5 + y * 3) % 9 - 4, (x * 2 - y) % 7 - 3)}},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": _mode_matrix_plan(mbw)},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=qp, deblock=deblock, alpha_off_div2=1
+    )
+    _sps, _pps, states = _decode_seq(
+        sps_nal, pps_nal, nals, [(None, None), (0, None), (0, 1)]
+    )
+    _assert_exact(states, recons)
+
+
+def test_b_chain_with_reference_b():
+    """Decode order I P1 P2 B1(is_ref) B2: B2 predicts from a stored
+    B picture on its L1 side — ref chaining through a B reference and
+    the marking syntax of a referenced B NAL."""
+    mbw, mbh = 4, 3
+    f = [_planes(330 + i, mbw, mbh) for i in range(5)]
+    mix = _mode_matrix_plan(mbw)
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, -2)}},
+        {"kind": "P", "frame": f[4], "ref": 1, "poc": 8,
+         "plan": lambda x, y: {"kind": "p16x8",
+                               "mvs": [(1, 1), (-2, 3)]}},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": mix, "is_ref": True},
+        {"kind": "B", "frame": f[3], "ref0": 3, "ref1": 2, "poc": 6,
+         "plan": mix},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=27, deblock=True
+    )
+    _sps, _pps, states = _decode_seq(
+        sps_nal, pps_nal, nals,
+        [(None, None), (0, None), (1, None), (0, 1), (3, 2)],
+    )
+    _assert_exact(states, recons)
+    # the referenced B NAL carries nal_ref_idc != 0, the last one 0
+    assert (nals[3][0] >> 5) & 3 != 0
+    assert (nals[4][0] >> 5) & 3 == 0
+
+
+def test_spatial_direct_zero_prediction_hand_case():
+    """8.4.1.2.2: no inter neighbor uses either list -> both refIdx
+    become 0 with zero MVs everywhere (directZeroPredictionFlag)."""
+    sps = _blank_sps(3, 2)
+    st = avc._IFrame(sps)
+    col = avc._IFrame(sps)
+    col.mb_intra[0] = False  # colocated inter with big MV
+    col.pred_flags[0:4, 0:4] = 1
+    col.mvx[0:4, 0:4] = 40
+    use0, use1, mvs = avc._spatial_direct(st, col, 0, 0, 0)
+    assert use0 and use1
+    assert all(mv0 == (0, 0) and mv1 == (0, 0) for mv0, mv1 in mvs)
+
+
+def _blank_sps(mbw, mbh):
+    nal = ENC.write_sps(mbw, mbh, poc_type=0, num_ref_frames=2,
+                        direct_8x8=1)
+    return avc.parse_sps(nal)
+
+
+def test_spatial_direct_col_zero_flag_hand_case():
+    """colZeroFlag: a small colocated MV (|mv| <= 1) zeroes the
+    direct MV for lists whose refIdx is 0; a large colocated MV keeps
+    the median predictor."""
+    sps = _blank_sps(3, 2)
+    for col_mv, want_zero in (((1, 1), True), ((5, 0), False)):
+        st = avc._IFrame(sps)
+        # left neighbor MB uses L0 with a nonzero MV -> refIdxL0 = 0,
+        # mvpL0 nonzero (single-match rule picks A)
+        st.mb_intra[0] = False
+        st.pred_flags[0:4, 0:4] = 1
+        st.mvx[0:4, 0:4] = 12
+        st.mvy[0:4, 0:4] = -8
+        st.n_decoded_mbs = 1
+        col = avc._IFrame(sps)
+        cmb = 1
+        col.mb_intra[cmb] = False
+        col.pred_flags[0:4, 4:8] = 1
+        col.mvx[0:4, 4:8] = col_mv[0]
+        col.mvy[0:4, 4:8] = col_mv[1]
+        use0, use1, mvs = avc._spatial_direct(st, col, 1, 1, 0)
+        assert use0 and not use1  # only L0 seen in neighbors
+        want = (0, 0) if want_zero else (12, -8)
+        assert all(mv0 == want for mv0, _mv1 in mvs)
+
+
+def test_b_refusal_surface():
+    mbw, mbh = 2, 2
+    f = [_planes(77 + i, mbw, mbh) for i in range(3)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4, "plan": None},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2},
+    ]
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    # missing either reference refuses
+    with pytest.raises(avc.AVCError, match="both reference"):
+        avc.decode_frame(sps, pps, nals[2], ref=st0)
+    with pytest.raises(avc.AVCError, match="both reference"):
+        avc.decode_frame(sps, pps, nals[2], ref1=st1)
+    # temporal direct (direct_spatial_mv_pred_flag = 0) refuses: flip
+    # the flag bit. Header bit layout after the NAL byte: first_mb
+    # ue(0)=1b, slice_type ue(6)=5b, pps ue(0)=1b, frame_num u(4),
+    # poc_lsb u(6) -> the flag is RBSP bit 17
+    raw = bytearray(nals[2])
+    byte, bit = 1 + 17 // 8, 17 % 8
+    raw[byte] ^= 0x80 >> bit
+    with pytest.raises(avc.AVCError, match="temporal direct"):
+        avc.decode_frame(sps, pps, bytes(raw), ref=st0, ref1=st1)
+    # direct_8x8_inference_flag = 0 refuses
+    sps_no_inf = avc.parse_sps(
+        ENC.write_sps(mbw, mbh, poc_type=0, num_ref_frames=2,
+                      direct_8x8=0)
+    )
+    with pytest.raises(avc.AVCError, match="direct_8x8_inference"):
+        avc.decode_frame(sps_no_inf, pps, nals[2], ref=st0, ref1=st1)
+    # geometry mismatch refuses
+    small = avc._IFrame(_blank_sps(1, 1))
+    with pytest.raises(avc.AVCError, match="geometry"):
+        avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=small)
+
+
+def test_g1_b_samples_real_pixels_in_mp4(spark):
+    """An .mp4 whose track carries IDR + P + B samples (decode order
+    I P B, presentation I B P via ctts) yields REAL pixels on the B
+    sample through the G1 GOP cursor's reference DPB."""
+    from gen_mp4_fixture import avcc, box, build_mp4, sample_bytes  # noqa: F401
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 6, 4
+    f = [_planes(440 + i, mbw, mbh) for i in range(3)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": lambda x, y: {"kind": "p16", "mv": (5, -3)}},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": _mode_matrix_plan(mbw)},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    timescale = 12800
+    dt = timescale // 4  # 0.25 s per frame
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        deltas=[dt, dt, dt],
+        timescale=timescale,
+        keyframes=[0],
+        # dts = 0, dt, 2dt; pts = dts + offset = dt, 3dt, 2dt
+        # (uniform +dt shift keeps ctts v0 offsets unsigned)
+        ctts_offsets=[dt, 2 * dt, 0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/bchain.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=4.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) >= 3
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    sps = avc.parse_sps(sps_nal)
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    # pts order: I at 0.25, B at 0.50, P at 0.75; slots at
+    # t=(i+0.5)/4 = 0.125, 0.375, 0.625 -> I, I, B
+    got_b = IC.decode_image(bytes(rows[2]["image"]))
+    assert np.array_equal(got_b, want_rgb(recons[2]))
+    got_i = IC.decode_image(bytes(rows[0]["image"]))
+    assert np.array_equal(got_i, want_rgb(recons[0]))
+
+
+def test_b_deblock_bs_uses_both_lists():
+    """bS derivation over bi-predicted blocks: a pred-flags mismatch
+    or an L1-only MV jump of >= 4 quarter-pels must trigger bS 1."""
+    sps = _blank_sps(2, 1)
+    st = avc._IFrame(sps)
+    st.mb_intra[0] = st.mb_intra[1] = False
+    # p block: bi with L1 mv (0,0); q block: bi with L1 mv (8,0)
+    st.pred_flags[:, :] = 3
+    st.mvx1[0:4, 4:8] = 8
+    assert avc._bs_luma(st, 3, 0, 4, 0, True) == 1
+    # sub-threshold L1 delta (2 quarter-pels) -> 0
+    st.mvx1[0:4, 4:8] = 2
+    assert avc._bs_luma(st, 3, 0, 4, 0, True) == 0
+    st.mvx1[0:4, 4:8] = 0
+    assert avc._bs_luma(st, 3, 0, 4, 0, True) == 0
+    # flags mismatch (bi vs L0-only) -> 1 even with equal MVs
+    st.pred_flags[0:4, 4:8] = 1
+    assert avc._bs_luma(st, 3, 0, 4, 0, True) == 1

@@ -114,20 +114,24 @@ def make_nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0) -> bytes:
+def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0,
+              poc_type: int = 2, num_ref_frames: int = 1,
+              direct_8x8: int = 0) -> bytes:
     w = BitWriter()
     w.u(66, 8)   # profile_idc baseline
     w.u(0, 8)    # constraint flags
     w.u(30, 8)   # level 3.0
     w.ue(0)      # sps id
     w.ue(0)      # log2_max_frame_num_minus4
-    w.ue(2)      # pic_order_cnt_type 2
-    w.ue(1)      # max_num_ref_frames
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(2)  # log2_max_pic_order_cnt_lsb_minus4 -> 6 bits
+    w.ue(num_ref_frames)
     w.u(0, 1)    # gaps_in_frame_num
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
     w.u(1, 1)    # frame_mbs_only
-    w.u(0, 1)    # direct_8x8_inference
+    w.u(direct_8x8, 1)  # direct_8x8_inference
     if crop_r or crop_b:
         w.u(1, 1)
         w.ue(0)
@@ -469,6 +473,11 @@ class _EncState:
         self.mvx = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
         self.mvy = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
         self.mv_done = np.zeros((mbh * 4, mbw * 4), dtype=bool)
+        # B-frame state: list-1 MVs + per-4x4 list-usage bits
+        # (bit0 = L0, bit1 = L1; P inter partitions carry 1)
+        self.mvx1 = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
+        self.mvy1 = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
+        self.pf = np.zeros((mbh * 4, mbw * 4), dtype=np.uint8)
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1099,16 +1108,25 @@ def _db_line(smp, i_q0, bs, alpha, beta, tc0, chroma):
 
 def _bs_enc(st, gxp, gyp, gxq, gyq, mb_edge):
     """8.7.2.1 boundary strength between luma 4x4 blocks p and q, the
-    encoder's own derivation (single L0 reference: the ref-mismatch
-    clause cannot fire)."""
+    encoder's own derivation (single reference per list: L0 and L1
+    always name different pictures, so ref/count mismatch is exactly
+    a usage-bits mismatch)."""
     mbp = (gyp // 4) * st.mbw + gxp // 4
     mbq = (gyq // 4) * st.mbw + gxq // 4
     if st.mb_intra[mbp] or st.mb_intra[mbq]:
         return 4 if mb_edge else 3
     if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
         return 2
-    if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+    if int(st.pf[gyp, gxp]) != int(st.pf[gyq, gxq]):
+        return 1
+    f = int(st.pf[gyp, gxp])
+    if f & 1 and (
+            abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
             or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4):
+        return 1
+    if f & 2 and (
+            abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
+            or abs(int(st.mvy1[gyp, gxp]) - int(st.mvy1[gyq, gxq])) >= 4):
         return 1
     return 0
 
@@ -1202,8 +1220,10 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
 
 def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
                            deblock=False, alpha_off_div2=0,
-                           beta_off_div2=0):
-    """encode_iframe variant that captures the final _EncState."""
+                           beta_off_div2=0, poc_lsb=None):
+    """encode_iframe variant that captures the final _EncState.
+    ``poc_lsb`` writes the pic_order_cnt_lsb field (u(6)) for
+    sequences whose SPS uses poc_type 0 (the B-frame sequences)."""
     global _LAST_STATE
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     st = _EncState(mbw, mbh)
@@ -1213,6 +1233,8 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
     w.ue(0)
     w.u(0, 4)
     w.ue(0)
+    if poc_lsb is not None:
+        w.u(poc_lsb % 64, 6)
     w.u(0, 1)
     w.u(0, 1)
     slice_qp = qp
@@ -1332,10 +1354,11 @@ def _mc_chroma_enc(ref, cx, cy, w, h, mvx, mvy):
     return out
 
 
-def _mv_nbr_enc(st, gx, gy, cur_mb):
+def _mv_nbr_enc(st, gx, gy, cur_mb, lst=0):
     """(geo_avail, mvx, mvy, refIdx) of the 4x4 block at (gx, gy) as
-    an 8.4.1.3.2 neighbor; intra blocks are geometrically available
-    with refIdx -1."""
+    an 8.4.1.3.2 neighbor over list ``lst``; intra blocks — and inter
+    blocks not using the list — are geometrically available with
+    refIdx -1."""
     if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
         return False, 0, 0, -1
     mb = (gy // 4) * st.mbw + (gx // 4)
@@ -1344,22 +1367,27 @@ def _mv_nbr_enc(st, gx, gy, cur_mb):
     if mb == cur_mb:
         if not st.mv_done[gy, gx]:
             return False, 0, 0, -1
-        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
-    if st.mb_intra[mb]:
+    elif st.mb_intra[mb]:
         return True, 0, 0, -1
-    return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    bit = 1 << lst
+    if not (int(st.pf[gy, gx]) & bit):
+        return True, 0, 0, -1
+    if lst == 0:
+        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+    return True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]), 0
 
 
 def _median3(a, b, c):
     return sorted((a, b, c))[1]
 
 
-def _mv_pred_enc(st, cur_mb, px4, py4, w4, h4, hint):
-    a_av, ax, ay, a_ref = _mv_nbr_enc(st, px4 - 1, py4, cur_mb)
-    b_av, bx, by, b_ref = _mv_nbr_enc(st, px4, py4 - 1, cur_mb)
-    c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 + w4, py4 - 1, cur_mb)
+def _mv_pred_enc(st, cur_mb, px4, py4, w4, h4, hint, lst=0):
+    a_av, ax, ay, a_ref = _mv_nbr_enc(st, px4 - 1, py4, cur_mb, lst)
+    b_av, bx, by, b_ref = _mv_nbr_enc(st, px4, py4 - 1, cur_mb, lst)
+    c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 + w4, py4 - 1, cur_mb, lst)
     if not c_av:
-        c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 - 1, py4 - 1, cur_mb)
+        c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 - 1, py4 - 1, cur_mb,
+                                          lst)
     if hint == "16x8_0" and b_ref == 0:
         return bx, by
     if hint == "16x8_1" and a_ref == 0:
@@ -1392,7 +1420,20 @@ def _pskip_mv_enc(st, cur_mb, mbx, mby):
 def _mark_mv_enc(st, px4, py4, w4, h4, mvx, mvy):
     st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
     st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.pf[py4:py4 + h4, px4:px4 + w4] = 1
     st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
+
+
+def _mark_mv_b_enc(st, px4, py4, w4, h4, mv0, mv1, use0, use1):
+    """Atomic per-partition write of both lists (8.4.1.3 partition
+    decode order)."""
+    ys, xs = slice(py4, py4 + h4), slice(px4, px4 + w4)
+    st.mvx[ys, xs] = mv0[0] if use0 else 0
+    st.mvy[ys, xs] = mv0[1] if use0 else 0
+    st.mvx1[ys, xs] = mv1[0] if use1 else 0
+    st.mvy1[ys, xs] = mv1[1] if use1 else 0
+    st.pf[ys, xs] = (1 if use0 else 0) | (2 if use1 else 0)
+    st.mv_done[ys, xs] = True
 
 
 def _mc_mb_parts(st, ref_planes, parts):
@@ -1518,7 +1559,8 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
 
 
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
-                   deblock=False, alpha_off_div2=0, beta_off_div2=0):
+                   deblock=False, alpha_off_div2=0, beta_off_div2=0,
+                   poc_lsb=None):
     """Encode one P frame against the (already deblocked) reference
     planes; returns (nal, _EncState with the frame's reconstruction)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
@@ -1528,6 +1570,8 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
     w.ue(5)       # slice_type P (all slices of the picture)
     w.ue(0)       # pps id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    if poc_lsb is not None:
+        w.u(poc_lsb % 64, 6)
     w.u(0, 1)     # num_ref_idx_active_override_flag
     w.u(0, 1)     # ref_pic_list_modification_flag_l0
     w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
@@ -1622,3 +1666,409 @@ def encode_sequence(frames, qp=28, crop_r=0, crop_b=0, plans=None,
         recons.append((st.Y.copy(), st.Cb.copy(), st.Cr.copy()))
         ref = recons[-1]
     return sps, pps, nals, recons
+
+
+# ---------------------------------------------------------------------------
+# B-frame encoding (single reference per list, spatial direct) —
+# the encoder's own derivations, independent of the decoder's.
+# ---------------------------------------------------------------------------
+
+# Table 7-14, HARDCODED (the decoder GENERATES it from the table's
+# structural rule; tests assert the two agree)
+B_MB_TYPES = {
+    "direct": 0,
+    ("16x16", ("l0",)): 1, ("16x16", ("l1",)): 2, ("16x16", ("bi",)): 3,
+    ("16x8", ("l0", "l0")): 4, ("8x16", ("l0", "l0")): 5,
+    ("16x8", ("l1", "l1")): 6, ("8x16", ("l1", "l1")): 7,
+    ("16x8", ("l0", "l1")): 8, ("8x16", ("l0", "l1")): 9,
+    ("16x8", ("l1", "l0")): 10, ("8x16", ("l1", "l0")): 11,
+    ("16x8", ("l0", "bi")): 12, ("8x16", ("l0", "bi")): 13,
+    ("16x8", ("l1", "bi")): 14, ("8x16", ("l1", "bi")): 15,
+    ("16x8", ("bi", "l0")): 16, ("8x16", ("bi", "l0")): 17,
+    ("16x8", ("bi", "l1")): 18, ("8x16", ("bi", "l1")): 19,
+    ("16x8", ("bi", "bi")): 20, ("8x16", ("bi", "bi")): 21,
+    "8x8": 22,
+}
+# Table 7-18, hardcoded likewise
+B_SUB_TYPES = {
+    "direct": 0, ("8x8", "l0"): 1, ("8x8", "l1"): 2, ("8x8", "bi"): 3,
+    ("8x4", "l0"): 4, ("4x8", "l0"): 5, ("8x4", "l1"): 6,
+    ("4x8", "l1"): 7, ("8x4", "bi"): 8, ("4x8", "bi"): 9,
+    ("4x4", "l0"): 10, ("4x4", "l1"): 11, ("4x4", "bi"): 12,
+}
+_B_SUB_SHAPES = {
+    "8x8": [(0, 0, 2, 2)],
+    "8x4": [(0, 0, 2, 1), (0, 1, 2, 1)],
+    "4x8": [(0, 0, 1, 2), (1, 0, 1, 2)],
+    "4x4": [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
+    """8.4.1.2.2 spatial direct with direct_8x8_inference, the
+    encoder's derivation: MB-level list usage + median predictors,
+    per-8x8 colZeroFlag from the colocated corner 4x4 in ``col``
+    (the L1 reference's _EncState)."""
+    px4, py4 = mbx * 4, mby * 4
+    use = {}
+    mvp = {}
+    for lst in (0, 1):
+        refs = []
+        for nx, ny in ((px4 - 1, py4), (px4, py4 - 1), (px4 + 4, py4 - 1)):
+            av, _mx, _my, rf = _mv_nbr_enc(st, nx, ny, cur_mb, lst)
+            if nx == px4 + 4 and ny == py4 - 1 and not av:
+                av, _mx, _my, rf = _mv_nbr_enc(st, px4 - 1, py4 - 1,
+                                               cur_mb, lst)
+            refs.append(rf)
+        use[lst] = any(rf >= 0 for rf in refs)
+        mvp[lst] = _mv_pred_enc(st, cur_mb, px4, py4, 4, 4, None, lst)
+    if not use[0] and not use[1]:
+        return True, True, [((0, 0), (0, 0))] * 4
+    mvs = []
+    for i8, (dx, dy) in enumerate(((0, 0), (3, 0), (0, 3), (3, 3))):
+        gx, gy = px4 + dx, py4 + dy
+        col_mb = (gy // 4) * col.mbw + (gx // 4)
+        if col.mb_intra[col_mb]:
+            cz = False
+        else:
+            cf = int(col.pf[gy, gx])
+            if cf & 1:
+                cm = (int(col.mvx[gy, gx]), int(col.mvy[gy, gx]))
+            elif cf & 2:
+                cm = (int(col.mvx1[gy, gx]), int(col.mvy1[gy, gx]))
+            else:
+                cm = (0, 0)
+            cz = abs(cm[0]) <= 1 and abs(cm[1]) <= 1
+        mv0 = (0, 0) if (cz and use[0]) else mvp[0]
+        mv1 = (0, 0) if (cz and use[1]) else mvp[1]
+        mvs.append((mv0 if use[0] else (0, 0),
+                    mv1 if use[1] else (0, 0)))
+    return use[0], use[1], mvs
+
+
+def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
+                   mv0, mv1, use0, use1):
+    """MC one B partition into st planes (bi = (p0 + p1 + 1) >> 1)."""
+    x, y, w, h = bx4 * 4, by4 * 4, w4 * 4, h4 * 4
+    cx, cy, cw, ch = x // 2, y // 2, w // 2, h // 2
+    outs = []
+    for use, mv, planes in ((use0, mv0, ref0_planes),
+                            (use1, mv1, ref1_planes)):
+        if not use:
+            continue
+        ry, rcb, rcr = planes
+        outs.append((
+            _mc_luma_enc(ry, x, y, w, h, mv[0], mv[1]),
+            _mc_chroma_enc(rcb, cx, cy, cw, ch, mv[0], mv[1]),
+            _mc_chroma_enc(rcr, cx, cy, cw, ch, mv[0], mv[1]),
+        ))
+    if len(outs) == 2:
+        py = (outs[0][0] + outs[1][0] + 1) >> 1
+        pcb = (outs[0][1] + outs[1][1] + 1) >> 1
+        pcr = (outs[0][2] + outs[1][2] + 1) >> 1
+    else:
+        py, pcb, pcr = outs[0]
+    st.Y[y:y + h, x:x + w] = py
+    st.Cb[cy:cy + ch, cx:cx + cw] = pcb
+    st.Cr[cy:cy + ch, cx:cx + cw] = pcr
+
+
+def _inter_residual_tail_b(w, st, y, cb, cr, mbx, mby, qp, want_qp,
+                           code, cbp_chroma_req):
+    """CBP + residual tail shared by the B macroblock writer (same
+    structure as the P tail; kept separate so the proven P path stays
+    untouched)."""
+    mb = mby * st.mbw + mbx
+    px4, py4 = mbx * 4, mby * 4
+    pred_y = st.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].copy()
+    pred_cb = st.Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
+    pred_cr = st.Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
+    zs = {}
+    cbp_luma = 0
+    if code:
+        src = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].astype(
+            np.int64)
+        res = src - pred_y
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            z = quant_4x4(
+                forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
+                want_qp)
+            _cap_nonzeros(z)
+            zs[blk] = z
+        for i8 in range(4):
+            if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
+                cbp_luma |= 1 << i8
+    cbp_chroma = cbp_chroma_req if code else 0
+    cbp = cbp_luma | (cbp_chroma << 4)
+    w.ue(_CBP_INTER.index(cbp))
+    if cbp:
+        qp = _mb_qp_delta_write(w, qp, want_qp)
+    else:
+        want_qp = qp
+    for blk in range(16):
+        x4, y4 = _blk_xy(blk)
+        gx, gy = px4 + x4, py4 + y4
+        if cbp_luma & (1 << (blk >> 2)):
+            z = zs[blk]
+            nc = st.luma_nc(gx, gy, mb, blk)
+            total = write_residual_block(w, _scan_of(z, 16), nc, 16)
+            st.nzY[gy, gx] = total
+            rec = dequant_recon_4x4(z, want_qp)
+            yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
+            st.Y[yy:yy + 4, xx:xx + 4] = _clip(
+                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
+        else:
+            st.nzY[gy, gx] = 0
+    _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma,
+                   0, preds=[pred_cb, pred_cr])
+    return qp
+
+
+def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
+                    mbx, mby, qp, want_qp, plan):
+    """One B inter macroblock_layer. ``plan`` keys: kind (bdirect /
+    b16 / b16x8 / b8x16 / b8x8), modes (prediction mode per partition:
+    "l0" / "l1" / "bi"), mvs (per partition per used list, in order:
+    [(mv0, mv1)] with None for unused lists), subs (b8x8: four
+    (shape, mode) pairs or "direct"), code, cbp_chroma."""
+    mb = mby * st.mbw + mbx
+    px4, py4 = mbx * 4, mby * 4
+    kind = plan["kind"]
+    # partition list: (bx4, by4, w4, h4, hint, mode) + direct markers
+    plist = []
+    direct_state = None
+    if kind == "bdirect":
+        w.ue(B_MB_TYPES["direct"])
+        direct_state = _spatial_direct_enc(st, col, mb, mbx, mby)
+    elif kind == "b16":
+        w.ue(B_MB_TYPES[("16x16", (plan["modes"][0],))])
+        plist.append((px4, py4, 4, 4, None, plan["modes"][0]))
+    elif kind == "b16x8":
+        w.ue(B_MB_TYPES[("16x8", tuple(plan["modes"]))])
+        plist.append((px4, py4, 4, 2, "16x8_0", plan["modes"][0]))
+        plist.append((px4, py4 + 2, 4, 2, "16x8_1", plan["modes"][1]))
+    elif kind == "b8x16":
+        w.ue(B_MB_TYPES[("8x16", tuple(plan["modes"]))])
+        plist.append((px4, py4, 2, 4, "8x16_0", plan["modes"][0]))
+        plist.append((px4 + 2, py4, 2, 4, "8x16_1", plan["modes"][1]))
+    else:
+        assert kind == "b8x8"
+        w.ue(B_MB_TYPES["8x8"])
+        for s in plan["subs"]:
+            w.ue(B_SUB_TYPES[s if s == "direct" else tuple(s)])
+        for s_i, s in enumerate(plan["subs"]):
+            sx4 = px4 + (s_i & 1) * 2
+            sy4 = py4 + (s_i >> 1) * 2
+            if s == "direct":
+                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}"))
+                if direct_state is None:
+                    direct_state = _spatial_direct_enc(st, col, mb,
+                                                       mbx, mby)
+                continue
+            shape, mode = s
+            for dx4, dy4, w4, h4 in _B_SUB_SHAPES[shape]:
+                plist.append((sx4 + dx4, sy4 + dy4, w4, h4, None, mode))
+    # grouped mvd write (all L0 then all L1) against predictors
+    # evaluated in PARTITION order — so compute predictions first in
+    # partition order while marking the grids, collecting the mvds
+    # map each non-direct plist entry to its index in plan["mvs"]
+    mv_idx = []
+    n_mv = 0
+    for p in plist:
+        if isinstance(p[5], str) and p[5].startswith("direct"):
+            mv_idx.append(None)
+        else:
+            mv_idx.append(n_mv)
+            n_mv += 1
+    mvd0, mvd1 = [], []
+    for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+        if isinstance(mode, str) and mode.startswith("direct"):
+            i8 = int(mode[6:])
+            use0, use1, mvs = direct_state
+            _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
+                           use0, use1)
+            continue
+        use0 = mode in ("l0", "bi")
+        use1 = mode in ("l1", "bi")
+        mv0, mv1 = plan["mvs"][mv_idx[k]]
+        if use0:
+            p0 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 0)
+            mvd0.append((mv0[0] - p0[0], mv0[1] - p0[1]))
+        if use1:
+            p1 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 1)
+            mvd1.append((mv1[0] - p1[0], mv1[1] - p1[1]))
+        _mark_mv_b_enc(st, bx4, by4, w4, h4,
+                       mv0 if use0 else (0, 0),
+                       mv1 if use1 else (0, 0), use0, use1)
+    for dx, dy in mvd0 + mvd1:
+        w.se(dx)
+        w.se(dy)
+    # MC every partition (direct ones per 8x8) now that MVs are final
+    if kind == "bdirect":
+        use0, use1, mvs = direct_state
+        for i8 in range(4):
+            bx4 = px4 + (i8 & 1) * 2
+            by4 = py4 + (i8 >> 1) * 2
+            _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
+                           use0, use1)
+            _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, 2, 2,
+                           mvs[i8][0], mvs[i8][1], use0, use1)
+    else:
+        for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+            if isinstance(mode, str) and mode.startswith("direct"):
+                i8 = int(mode[6:])
+                use0, use1, mvs = direct_state
+                _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4,
+                               2, 2, mvs[i8][0], mvs[i8][1], use0, use1)
+                continue
+            use0 = mode in ("l0", "bi")
+            use1 = mode in ("l1", "bi")
+            mv0, mv1 = plan["mvs"][mv_idx[k]]
+            _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4,
+                           h4, mv0 or (0, 0), mv1 or (0, 0), use0, use1)
+    st.modes[py4:py4 + 4, px4:px4 + 4] = 2
+    return _inter_residual_tail_b(
+        w, st, y, cb, cr, mbx, mby, qp, want_qp,
+        plan.get("code", True), plan.get("cbp_chroma", 2))
+
+
+def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
+                   b_plan, frame_num, poc_lsb, deblock=False,
+                   alpha_off_div2=0, beta_off_div2=0, is_ref=False):
+    """Encode one B frame against both (already deblocked) reference
+    plane sets; ``col`` is the L1 reference's _EncState (colocated
+    motion for spatial direct). Returns (nal, _EncState)."""
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    st = _EncState(mbw, mbh)
+    w = BitWriter()
+    w.ue(0)            # first_mb_in_slice
+    w.ue(6)            # slice_type B (all slices of the picture)
+    w.ue(0)            # pps id
+    w.u(frame_num % 16, 4)
+    w.u(poc_lsb % 64, 6)
+    w.u(1, 1)          # direct_spatial_mv_pred_flag (spatial)
+    w.u(0, 1)          # num_ref_idx_active_override_flag
+    w.u(0, 1)          # ref_pic_list_modification_flag_l0
+    w.u(0, 1)          # ref_pic_list_modification_flag_l1
+    if is_ref:
+        w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    slice_qp = qp
+    w.se(slice_qp - 26)
+    if deblock:
+        w.ue(0)
+        w.se(alpha_off_div2)
+        w.se(beta_off_div2)
+    else:
+        w.ue(1)
+    cur_qp = slice_qp
+    skip_pending = 0
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        plan = b_plan(mbx, mby) if b_plan else {"kind": "bskip"}
+        kind = plan["kind"]
+        if kind == "bskip":
+            skip_pending += 1
+            use0, use1, mvs = _spatial_direct_enc(st, col, mb, mbx, mby)
+            for i8 in range(4):
+                bx4 = mbx * 4 + (i8 & 1) * 2
+                by4 = mby * 4 + (i8 >> 1) * 2
+                _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0],
+                               mvs[i8][1], use0, use1)
+                _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4,
+                               2, 2, mvs[i8][0], mvs[i8][1], use0, use1)
+            st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+            st.mb_qp.append(cur_qp)
+            st.mb_pcm.append(False)
+            st.mb_intra.append(False)
+            st.decoded += 1
+            continue
+        w.ue(skip_pending)
+        skip_pending = 0
+        want_qp = plan.get("qp", cur_qp)
+        if kind in ("bdirect", "b16", "b16x8", "b8x16", "b8x8"):
+            cur_qp = _encode_b_inter(w, st, ref0_planes, ref1_planes,
+                                     col, y, cb, cr, mbx, mby, cur_qp,
+                                     want_qp, plan)
+            st.mb_intra.append(False)
+            st.mb_pcm.append(False)
+        elif kind == "pcm":
+            cur_qp = _encode_pcm(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                 tbase=23)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(True)
+        elif kind == "i16":
+            cur_qp = _encode_i16(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                 want_qp, tbase=23)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
+        elif kind == "i4":
+            cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                want_qp, tbase=23)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
+        else:
+            raise ValueError(f"unknown B MB plan kind {kind!r}")
+        st.mb_qp.append(cur_qp)
+        st.decoded += 1
+    if skip_pending:
+        w.ue(skip_pending)
+    w.rbsp_trailing()
+    return make_nal(3 if is_ref else 0, 1, w.to_rbsp()), st
+
+
+def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
+                alpha_off_div2=0, beta_off_div2=0):
+    """Encode a mixed I/P/B sequence in DECODE order.
+
+    ``entries``: dicts with kind ("I" / "P" / "B"), frame ((Y, Cb,
+    Cr) source planes), plan (kind-appropriate MB plan or None), and
+    for P: ref (decode index of the L0 reference); for B: ref0, ref1
+    (decode indices) and optional is_ref. POC is assigned from the
+    optional "poc" key (default: 2 * entry index — callers reordering
+    for display should pass explicit POCs).
+
+    Returns (sps_nal, pps_nal, [slice NALs], [(Y, Cb, Cr)
+    reconstructions], [states]) in decode order."""
+    y0 = entries[0]["frame"][0]
+    mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
+    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
+                    poc_type=0, num_ref_frames=2, direct_8x8=1)
+    pps = write_pps(26)
+    global _LAST_STATE
+    nals = []
+    recons = []
+    states = []
+    frame_num = 0
+    for di, e in enumerate(entries):
+        yf, cbf, crf = e["frame"]
+        poc = e.get("poc", 2 * di)
+        if e["kind"] == "I":
+            if di != 0:
+                raise ValueError("only a leading IDR is supported")
+            _LAST_STATE = None
+            nal = _encode_iframe_capture(
+                yf, cbf, crf, qp, e.get("plan"), False, deblock,
+                alpha_off_div2, beta_off_div2, poc_lsb=poc)
+            st = _LAST_STATE
+            frame_num = 1
+        elif e["kind"] == "P":
+            nal, st = _encode_pframe(
+                yf, cbf, crf, recons[e["ref"]], qp, e.get("plan"),
+                frame_num, deblock, alpha_off_div2, beta_off_div2,
+                poc_lsb=poc)
+            frame_num += 1
+        else:
+            is_ref = bool(e.get("is_ref"))
+            nal, st = _encode_bframe(
+                yf, cbf, crf, recons[e["ref0"]], recons[e["ref1"]],
+                states[e["ref1"]], qp, e.get("plan"), frame_num, poc,
+                deblock, alpha_off_div2, beta_off_div2, is_ref)
+            if is_ref:
+                frame_num += 1
+        if deblock:
+            _deblock_recon(st, 2 * alpha_off_div2, 2 * beta_off_div2)
+        nals.append(nal)
+        recons.append((st.Y.copy(), st.Cb.copy(), st.Cr.copy()))
+        states.append(st)
+    return sps, pps, nals, recons, states
