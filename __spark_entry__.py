@@ -2216,9 +2216,66 @@ _AVC_P_CASES = (
     ("h_pfrac_qp26", 26, 0, 4, 2, 20, "frac", 2),
 )
 _AVC_P_CASE_BY_ID = {c[0]: c for c in _AVC_P_CASES}
+
+# r7 late-wave B-slice cases: (case_id, qp, deblock, mbw, mbh, noise)
+# — decode order IDR, P, B (presentation I B P); the gate hashes the
+# B frame, so bi-prediction, both reference lists, spatial direct
+# (incl. colZeroFlag) and two-list deblock strengths must all be
+# bit-exact vs the independent encoder's reconstruction.
+_AVC_B_CASES = (
+    ("i_bchain_deblock27", 27, 1, 4, 3, 16),
+    ("j_bdirect_qp31", 31, 0, 3, 3, 24),
+)
+_AVC_B_CASE_BY_ID = {c[0]: c for c in _AVC_B_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
+    + [c[0] for c in _AVC_B_CASES]
 )
+
+
+def _avc_b_plan(case_id: str):
+    """Per-MB B-frame plan for the gate cases: the deblocked chain
+    walks every prediction shape; the QP-31 case leans on skip/direct
+    (the spatial-direct derivation dominates)."""
+    heavy_direct = case_id.startswith("j_")
+
+    def plan(mbx, mby):
+        k = (mbx + mby * 3 if heavy_direct else mbx + mby * 4) % 10
+        if heavy_direct and k % 3 != 2:
+            return {"kind": "bskip"} if k % 2 else {"kind": "bdirect"}
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l0"],
+                    "mvs": [((6, -3), None)]}
+        if k == 3:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (-5, 7))]}
+        if k == 4:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 5))]}
+        if k == 5:
+            return {"kind": "b16x8", "modes": ["l0", "bi"],
+                    "mvs": [((4, 0), None), ((1, 2), (-3, -1))]}
+        if k == 6:
+            return {"kind": "b8x16", "modes": ["bi", "l1"],
+                    "mvs": [((0, 4), (5, -2)), (None, (7, 3))]}
+        if k == 7:
+            return {"kind": "b8x8",
+                    "subs": ["direct", ("8x4", "l0"), ("4x8", "l1"),
+                             ("4x4", "bi")],
+                    "mvs": [((3, 1), None), ((-1, 2), None),
+                            (None, (0, 5)), (None, (2, -2)),
+                            ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                            ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+        if k == 8:
+            return {"kind": "i16", "qp": 25}
+        return {"kind": "b16", "modes": ["bi"],
+                "mvs": [((9, -6), (-7, 2))], "qp": 29}
+
+    return plan
 
 
 def _avc_p_plan(plan_name: str, frame_no: int):
@@ -2285,6 +2342,40 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_B_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_B_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(3):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 173 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = [
+            {"kind": "I", "frame": frames[0], "poc": 0},
+            {"kind": "P", "frame": frames[2], "ref": 0, "poc": 4,
+             "plan": lambda x, yb: {"kind": "p16", "mv": (5, -3)}},
+            {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
+             "poc": 2, "plan": _avc_b_plan(case_id)},
+        ]
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_P_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise, plan_name, n_frames = \
             _AVC_P_CASE_BY_ID[case_id]
@@ -2341,6 +2432,13 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_B_CASE_BY_ID:
+        # decode order I, P, B: the B takes both stored references
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2], ref=st0,
+                              ref1=st1)
+        return AV.frame_rgb(st2, sps)
     if isinstance(nal_or_nals, list):  # P case: decode the whole chain
         st = None
         for nal in nal_or_nals:
@@ -2350,17 +2448,19 @@ def _avc_decode_rgb(case_id: str):
 
 
 def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H.264 baseline I-frame decoder (functions/avc) constants gate:
-    eight streams from the independent fixture encoder — deblocking
-    on/off, the completed coeff_token deep tail at QP 2, per-MB QP
-    wobble, i4/i16/PCM-mixed plans, and (r7) IDR + P-frame chains
-    covering every quarter-pel phase, partitions, P_Skip and MV-aware
-    loop-filter strengths — are DECODED by the engine on the executors
-    and hashed; the oracle states the md5 of the ENCODER's own
-    reconstruction loop (spec: the two must be bit-equal). The
-    reference pipeline trusts ffmpeg for this step
-    (/root/reference/hasher.js:78-91); here both directions are
-    in-repo and the driver hash-checks their agreement."""
+    """H.264 decoder (functions/avc) constants gate: ten streams from
+    the independent fixture encoder — deblocking on/off, the completed
+    coeff_token deep tail at QP 2, per-MB QP wobble, i4/i16/PCM-mixed
+    plans, (r7) IDR + P-frame chains covering every quarter-pel phase,
+    partitions, P_Skip and MV-aware loop-filter strengths, and (r7
+    late wave) I/P/B chains exercising bi-prediction, both reference
+    lists, spatial direct incl. colZeroFlag, and two-list deblock
+    strengths — are DECODED by the engine on the executors and hashed;
+    the oracle states the md5 of the ENCODER's own reconstruction loop
+    (spec: the two must be bit-equal). The reference pipeline trusts
+    ffmpeg for this step (/root/reference/hasher.js:78-91); here both
+    directions are in-repo and the driver hash-checks their
+    agreement."""
     df = spark.createDataFrame(
         [(cid,) for cid in _AVC_CASE_IDS], "case_id string"
     )
