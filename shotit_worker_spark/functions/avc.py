@@ -1,43 +1,51 @@
-"""H.264/AVC baseline-profile I-frame decoder — pure numpy, from spec.
+"""H.264/AVC CAVLC decoder (I, P, B slices) — pure numpy, from spec.
 
-The last real piece of G1 (r5 VERDICT "What's missing" #1): the
-reference ingests only ``.mp4`` (/root/reference/watcher.js:25-29) and
-ffmpeg decodes it (/root/reference/hasher.js:78-91). functions/mp4
-already demuxes the true sample table; this module entropy-decodes the
-KEYFRAMES of the dominant web codec so their pixels are real too.
-Sampling at fps=12 from keyframes only is the documented approximation
-of the reference's full-ffmpeg output — inter-coded samples still fall
-to the labeled stub (P/B decoding needs motion compensation across the
-whole GOP; out of scope).
+The reference ingests only ``.mp4`` (/root/reference/watcher.js:25-29)
+and ffmpeg decodes it (/root/reference/hasher.js:78-91). functions/mp4
+demuxes the true sample table; this module entropy-decodes the frames
+of the dominant web codec so G1's sampled pixels are real — keyframes
+(r6), single-reference P frames (r7), and single-reference-per-list B
+frames with spatial direct (r7 late wave). The remaining refusal
+surface is CABAC entropy coding and the High-profile 8x8 transform
+(see ROUND_NOTES: the context-init tables cannot be transcribed or
+verified in this container, so those streams keep the typed refusal
+and the labeled stub sample path).
 
-Implemented (ITU-T H.264 / ISO 14496-10, baseline profile subset):
+Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
 
 - Annex-B/avcC NAL handling: emulation-prevention unescape (03 strip),
   RBSP bit reader, ue(v)/se(v) Exp-Golomb;
-- SPS parse (profile/level, log2 frame-num, pic-order, mb dims, frame
-  cropping, VUI skipped) and PPS parse (entropy mode, QP init);
-- I-slice decode, CAVLC entropy coding (baseline has no CABAC):
-  coeff_token / trailing ones / level prefix-suffix / total_zeros /
-  run_before tables, nC context from left+top predictors;
-- Intra_4x4 (all 9 prediction modes), Intra_16x16 (V/H/DC/Plane, with
-  the luma DC 4x4 Hadamard transform), chroma 8x8 intra (DC/H/V/Plane
-  with the 2x2 chroma DC transform), I_PCM;
+- SPS/PPS parse (incl. POC types, direct_8x8_inference, per-list
+  num_ref_idx defaults, weighted-prediction flags — refused when set);
+- CAVLC entropy coding: complete coeff_token (incl. the deep
+  TotalCoeff >= 13 tail) / trailing ones / level prefix-suffix /
+  total_zeros / run_before tables, nC context with within-MB
+  availability per 6.4.8/9.2.1;
+- Intra_4x4 (all 9 modes), Intra_16x16 (V/H/DC/Plane + luma DC
+  Hadamard), chroma 8x8 intra, I_PCM;
+- inter prediction: per-list median MV prediction with the 16x8/8x16
+  directional rules, quarter-pel 6-tap luma + eighth-pel bilinear
+  chroma interpolation, P_Skip, all P/B partitionings incl. sub-8x8,
+  bi-prediction averaging, B_Skip/B_Direct via 8.4.1.2.2 spatial
+  direct (direct_8x8_inference, colocated colZeroFlag);
 - dequant (QP%6 scale tables, QP/6 shift) + the exact 4x4 integer
-  inverse transform, constrained_intra/neighbor availability;
-- the in-loop deblocking filter (8.7): the I-slice specialization
-  (bS = 4 on macroblock edges, 3 on internal 4x4 edges), normal and
-  strong luma filters, chroma filtering, per-MB QP averaging across
-  edges, slice alpha/beta offsets, and the I_PCM QPy=0 rule — so
-  disable_deblocking_filter_idc 0/2 streams (the real-world default)
-  decode exactly, not just idc==1 ones.
+  inverse transform;
+- the in-loop deblocking filter (8.7): bS derivation over intra /
+  coded / motion (both lists; pred-flags mismatch = different
+  refs/count), normal and strong luma filters, chroma filtering,
+  per-MB QP averaging across edges, slice alpha/beta offsets, the
+  I_PCM QPy=0 rule.
 
 Verification strategy (no codec library exists in this environment to
 produce ffmpeg goldens): tools/gen_avc_fixture.py is an independent
-minimal I-frame ENCODER (prediction → forward transform → quant →
-CAVLC write) whose committed streams decode back through this module;
-the spec makes encoder reconstruction == decoder output mandatory, and
-the two directions share no code. CAVLC code tables are additionally
-pinned against worked examples from the standard text.
+minimal ENCODER (prediction → forward transform → quant → CAVLC
+write, its own MV/direct derivations and reconstruction loop) whose
+committed streams decode back through this module; the spec makes
+encoder reconstruction == decoder output mandatory, and the two
+directions share no code. CAVLC code tables are additionally pinned
+against worked examples from the standard text, and the B mode tables
+are generated here from Table 7-14/7-18's structural rules vs
+hardcoded in the encoder (agreement tested).
 """
 
 from __future__ import annotations
