@@ -989,16 +989,20 @@ def _bs_luma(st: "_IFrame", gxp: int, gyp: int, gxq: int, gyq: int,
     fq = int(st.pred_flags[gyq, gxq])
     if fp != fq:
         return 1
-    if fp & 1 and (
-        abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
-        or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4
-    ):
-        return 1
-    if fp & 2 and (
-        abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
-        or abs(int(st.mvy1[gyp, gxp]) - int(st.mvy1[gyq, gxq])) >= 4
-    ):
-        return 1
+    if fp & 1:
+        if int(st.ref_idx0[gyp, gxp]) != int(st.ref_idx0[gyq, gxq]):
+            return 1  # different reference pictures
+        if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+                or abs(int(st.mvy[gyp, gxp])
+                       - int(st.mvy[gyq, gxq])) >= 4):
+            return 1
+    if fp & 2:
+        if int(st.ref_idx1[gyp, gxp]) != int(st.ref_idx1[gyq, gxq]):
+            return 1
+        if (abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
+                or abs(int(st.mvy1[gyp, gxp])
+                       - int(st.mvy1[gyq, gxq])) >= 4):
+            return 1
     return 0
 
 
@@ -1434,6 +1438,12 @@ class _IFrame:
         self.mv_done1 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
         self.pred_flags = np.zeros((self.mbh * 4, self.mbw * 4),
                                    dtype=np.uint8)
+        # multi-reference state: per-4x4 reference index into each
+        # list (-1 = list unused); single-ref streams only ever hold 0
+        self.ref_idx0 = np.full((self.mbh * 4, self.mbw * 4), -1,
+                                dtype=np.int8)
+        self.ref_idx1 = np.full((self.mbh * 4, self.mbw * 4), -1,
+                                dtype=np.int8)
         self.any_inter = False
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
@@ -1553,12 +1563,14 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             n_ref0 = r.ue() + 1
             if h["is_b"]:
                 n_ref1 = r.ue() + 1
-        if n_ref0 != 1 or (h["is_b"] and n_ref1 != 1):
-            # single-reference-per-list scope: ref_idx is never coded
+        if not (1 <= n_ref0 <= 8) or (h["is_b"]
+                                      and not (1 <= n_ref1 <= 8)):
             raise AVCError(
-                f"{n_ref0}/{n_ref1} active references unsupported "
-                "(single-ref-per-list decode only)"
+                f"{n_ref0}/{n_ref1} active references out of the"
+                " supported range (1..8 per list)"
             )
+        h["n_ref0"] = n_ref0
+        h["n_ref1"] = n_ref1 if h["is_b"] else 0
         if r.flag():  # ref_pic_list_modification_flag_l0
             raise AVCError("ref_pic_list_modification unsupported")
         if h["is_b"] and r.flag():  # ..._flag_l1
@@ -1665,22 +1677,38 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     st = _IFrame(sps)
     qp = h["slice_qp"]
     n_mbs = st.mbw * st.mbh
-    if h["is_b"]:
-        if ref is None or ref1 is None:
-            raise AVCError(
-                "B slice needs both reference frames (ref=L0[0] past,"
-                " ref1=L1[0] future)"
-            )
-        for rf in (ref, ref1):
-            if rf.mbw != st.mbw or rf.mbh != st.mbh:
-                raise AVCError("reference frame geometry mismatch")
-        qp = _decode_b_slice_data(r, st, ref, ref1, sps, pps, qp)
-    elif h["is_p"]:
-        if ref is None:
-            raise AVCError("P slice without a reference frame")
-        if ref.mbw != st.mbw or ref.mbh != st.mbh:
+    refs0 = ([] if ref is None
+             else (list(ref) if isinstance(ref, (list, tuple))
+                   else [ref]))
+    refs1 = ([] if ref1 is None
+             else (list(ref1) if isinstance(ref1, (list, tuple))
+                   else [ref1]))
+    for rf in refs0 + refs1:
+        if rf.mbw != st.mbw or rf.mbh != st.mbh:
             raise AVCError("reference frame geometry mismatch")
-        qp = _decode_p_slice_data(r, st, ref, sps, pps, qp)
+    if h["is_b"]:
+        if not refs0 or not refs1:
+            raise AVCError(
+                "B slice needs both reference frames (ref=L0 past,"
+                " ref1=L1 future)"
+            )
+        if len(refs0) < h["n_ref0"] or len(refs1) < h["n_ref1"]:
+            raise AVCError(
+                f"slice activates {h['n_ref0']}/{h['n_ref1']} refs; "
+                f"caller supplied {len(refs0)}/{len(refs1)}"
+            )
+        qp = _decode_b_slice_data(r, st, refs0, refs1, sps, pps, qp,
+                                  h["n_ref0"], h["n_ref1"])
+    elif h["is_p"]:
+        if not refs0:
+            raise AVCError("P slice without a reference frame")
+        if len(refs0) < h["n_ref0"]:
+            raise AVCError(
+                f"slice activates {h['n_ref0']} L0 refs; caller "
+                f"supplied {len(refs0)}"
+            )
+        qp = _decode_p_slice_data(r, st, refs0, sps, pps, qp,
+                                  h["n_ref0"])
     else:
         for mb in range(n_mbs):
             mbx, mby = mb % st.mbw, mb // st.mbw
@@ -2034,8 +2062,7 @@ def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int, lst: int = 0):
     ``geo_avail`` is the 6.4.8 decode-order availability of the
     covering partition; intra blocks in available MBs — and inter
     blocks not using list ``lst`` — report refIdx -1 with mv (0, 0)
-    (8.4.1.3.2). Single reference per list: a used list is always
-    refIdx 0."""
+    (8.4.1.3.2)."""
     if gx < 0 or gy < 0 or gx >= st.mbw * 4 or gy >= st.mbh * 4:
         return False, 0, 0, -1
     mb = (gy >> 2) * st.mbw + (gx >> 2)
@@ -2052,34 +2079,39 @@ def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int, lst: int = 0):
     flags = int(st.pred_flags[gy, gx])
     if lst == 0:
         if flags & 1:
-            return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
+            return (True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]),
+                    int(st.ref_idx0[gy, gx]))
     else:
         if flags & 2:
-            return True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]), 0
+            return (True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]),
+                    int(st.ref_idx1[gy, gx]))
     return True, 0, 0, -1
 
 
 def _mv_pred(st: _IFrame, cur_mb: int, px4: int, py4: int,
-             w4: int, h4: int, part_hint: str | None, lst: int = 0):
+             w4: int, h4: int, part_hint: str | None, lst: int = 0,
+             cur_ref: int = 0):
     """Luma MV predictor (8.4.1.3) for the partition whose top-left
     4x4 block sits at block coords (px4, py4) spanning w4 x h4 blocks,
-    over reference list ``lst``. ``part_hint`` names the 16x8/8x16
-    directional special cases; the median process of 8.4.1.3.1
-    applies otherwise. Single reference per list: an inter neighbor
-    using the list carries refIdx 0."""
+    over reference list ``lst`` with the partition's own reference
+    index ``cur_ref``. ``part_hint`` names the 16x8/8x16 directional
+    special cases (they fire when the named neighbor's refIdx equals
+    the partition's); the median process of 8.4.1.3.1 applies
+    otherwise, picking the single neighbor whose refIdx matches when
+    exactly one does."""
     avail_a, ax, ay, ref_a = _mv_nbr(st, px4 - 1, py4, cur_mb, lst)
     avail_b, bx, by, ref_b = _mv_nbr(st, px4, py4 - 1, cur_mb, lst)
     avail_c, cx, cy, ref_c = _mv_nbr(st, px4 + w4, py4 - 1, cur_mb, lst)
     if not avail_c:
         avail_c, cx, cy, ref_c = _mv_nbr(st, px4 - 1, py4 - 1, cur_mb,
                                          lst)
-    if part_hint == "16x8_0" and ref_b == 0:
+    if part_hint == "16x8_0" and ref_b == cur_ref:
         return bx, by
-    if part_hint == "16x8_1" and ref_a == 0:
+    if part_hint == "16x8_1" and ref_a == cur_ref:
         return ax, ay
-    if part_hint == "8x16_0" and ref_a == 0:
+    if part_hint == "8x16_0" and ref_a == cur_ref:
         return ax, ay
-    if part_hint == "8x16_1" and ref_c == 0:
+    if part_hint == "8x16_1" and ref_c == cur_ref:
         return cx, cy
     # 8.4.1.3.1 step 1: B and C geometrically unavailable, A available
     # -> B and C copy A (making the outcome mvA or the all-A median)
@@ -2087,8 +2119,8 @@ def _mv_pred(st: _IFrame, cur_mb: int, px4: int, py4: int,
         bx, by, ref_b = ax, ay, ref_a
         cx, cy, ref_c = ax, ay, ref_a
     refs = (ref_a, ref_b, ref_c)
-    if refs.count(0) == 1:
-        return ((ax, ay), (bx, by), (cx, cy))[refs.index(0)]
+    if refs.count(cur_ref) == 1:
+        return ((ax, ay), (bx, by), (cx, cy))[refs.index(cur_ref)]
     return (sorted((ax, bx, cx))[1], sorted((ay, by, cy))[1])
 
 
@@ -2107,16 +2139,18 @@ def _pskip_mv(st: _IFrame, cur_mb: int, mbx: int, mby: int):
 
 
 def _set_mv(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
-            mvx: int, mvy: int) -> None:
+            mvx: int, mvy: int, ref: int = 0) -> None:
     """P-path partition MV write: list 0, usage flag 1."""
     st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
     st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.ref_idx0[py4:py4 + h4, px4:px4 + w4] = ref
     st.pred_flags[py4:py4 + h4, px4:px4 + w4] = 1
     st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
 
 
 def _set_mv_b(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
-              mv0, mv1, use0: bool, use1: bool) -> None:
+              mv0, mv1, use0: bool, use1: bool, ref0: int = 0,
+              ref1: int = 0) -> None:
     """B-path partition MV write: both lists atomically (the 8.4.1.3
     per-partition derivation order — a later partition's list-X
     prediction may see this partition's list-X MV)."""
@@ -2125,15 +2159,19 @@ def _set_mv_b(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
     if use0:
         st.mvx[ys, xs] = mv0[0]
         st.mvy[ys, xs] = mv0[1]
+        st.ref_idx0[ys, xs] = ref0
     else:
         st.mvx[ys, xs] = 0
         st.mvy[ys, xs] = 0
+        st.ref_idx0[ys, xs] = -1
     if use1:
         st.mvx1[ys, xs] = mv1[0]
         st.mvy1[ys, xs] = mv1[1]
+        st.ref_idx1[ys, xs] = ref1
     else:
         st.mvx1[ys, xs] = 0
         st.mvy1[ys, xs] = 0
+        st.ref_idx1[ys, xs] = -1
     st.pred_flags[ys, xs] = flags
     st.mv_done[ys, xs] = True
 
@@ -2159,11 +2197,19 @@ def _finish_inter_mb(st: _IFrame, mbx: int, mby: int, mb: int) -> None:
     st.any_inter = True
 
 
-def _decode_pskip(st: _IFrame, ref: _IFrame, mb: int, qp: int) -> None:
+def _te(r: BitReader, cmax: int) -> int:
+    """te(v): truncated Exp-Golomb — a single inverted bit when the
+    range is 0..1, plain ue(v) otherwise (9.1.1)."""
+    if cmax == 1:
+        return 1 - r.u(1)
+    return r.ue()
+
+
+def _decode_pskip(st: _IFrame, refs0: list, mb: int, qp: int) -> None:
     mbx, mby = mb % st.mbw, mb // st.mbw
     mvx, mvy = _pskip_mv(st, mb, mbx, mby)
-    _set_mv(st, mbx * 4, mby * 4, 4, 4, mvx, mvy)
-    _mc_partition(st, ref, mbx * 4, mby * 4, 4, 4, mvx, mvy)
+    _set_mv(st, mbx * 4, mby * 4, 4, 4, mvx, mvy)  # P_Skip: refIdx 0
+    _mc_partition(st, refs0[0], mbx * 4, mby * 4, 4, 4, mvx, mvy)
     _finish_inter_mb(st, mbx, mby, mb)
     st.mb_qp[mb] = qp  # no mb_qp_delta: running QP carries through
     st.n_decoded_mbs += 1
@@ -2185,23 +2231,25 @@ _P_SUB_PARTS = {
 }
 
 
-def _decode_p_mb(r: BitReader, st: _IFrame, ref: _IFrame, pps: PPS,
+def _decode_p_mb(r: BitReader, st: _IFrame, refs0: list, pps: PPS,
                  mbx: int, mby: int, mb: int, mb_type: int,
-                 qp: int) -> int:
+                 qp: int, n_ref0: int) -> int:
     """One inter macroblock_layer (P_L0_16x16 / 16x8 / 8x16 / P_8x8 /
-    P_8x8ref0): MV parse+prediction per partition in decode order,
-    motion compensation, then the CAVLC residual on top."""
+    P_8x8ref0): grouped ref_idx_l0 parse (te(v), absent with one
+    active reference or in P_8x8ref0), grouped mvd parse, MV
+    prediction per partition in decode order with refIdx matching,
+    motion compensation from the indexed reference, then the CAVLC
+    residual on top."""
     px4, py4 = mbx * 4, mby * 4
-    parts: list[tuple[int, int, int, int]] = []
+    # geometry first: (bx4, by4, w4, h4, hint, ref_slot); P_8x8 codes
+    # ONE ref_idx per 8x8 shared by its sub-partitions
+    geo: list = []
     if mb_type in (0, 1, 2):
-        for dx4, dy4, w4, h4, hint in _P_MB_PARTS[mb_type]:
-            bx4, by4 = px4 + dx4, py4 + dy4
-            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint)
-            mvx = mvpx + r.se()
-            mvy = mvpy + r.se()
-            _set_mv(st, bx4, by4, w4, h4, mvx, mvy)
-            parts.append((bx4, by4, w4, h4))
-    else:  # P_8x8 (3) / P_8x8ref0 (4): sub_mb_types first, then MVs
+        for slot, (dx4, dy4, w4, h4, hint) in enumerate(
+                _P_MB_PARTS[mb_type]):
+            geo.append((px4 + dx4, py4 + dy4, w4, h4, hint, slot))
+        n_slots = len(_P_MB_PARTS[mb_type])
+    else:  # P_8x8 (3) / P_8x8ref0 (4)
         subs = [r.ue() for _ in range(4)]
         if any(s > 3 for s in subs):
             raise AVCError(f"sub_mb_type {max(subs)} not valid in P slice")
@@ -2209,14 +2257,25 @@ def _decode_p_mb(r: BitReader, st: _IFrame, ref: _IFrame, pps: PPS,
             sx4 = px4 + (s_i & 1) * 2
             sy4 = py4 + (s_i >> 1) * 2
             for dx4, dy4, w4, h4 in _P_SUB_PARTS[subs[s_i]]:
-                bx4, by4 = sx4 + dx4, sy4 + dy4
-                mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, None)
-                mvx = mvpx + r.se()
-                mvy = mvpy + r.se()
-                _set_mv(st, bx4, by4, w4, h4, mvx, mvy)
-                parts.append((bx4, by4, w4, h4))
-    for bx4, by4, w4, h4 in parts:
-        _mc_partition(st, ref, bx4, by4, w4, h4,
+                geo.append((sx4 + dx4, sy4 + dy4, w4, h4, None, s_i))
+        n_slots = 4
+    if n_ref0 > 1 and mb_type != 4:  # P_8x8ref0 pins every ref to 0
+        slot_refs = [_te(r, n_ref0 - 1) for _ in range(n_slots)]
+        if any(ri >= n_ref0 for ri in slot_refs):
+            raise AVCError("ref_idx_l0 out of the active range")
+    else:
+        slot_refs = [0] * n_slots
+    mvds = [(r.se(), r.se()) for _ in geo]
+    parts: list[tuple[int, int, int, int, int]] = []
+    for (bx4, by4, w4, h4, hint, slot), (dx, dy) in zip(geo, mvds):
+        ri = slot_refs[slot]
+        mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint,
+                              cur_ref=ri)
+        mvx, mvy = mvpx + dx, mvpy + dy
+        _set_mv(st, bx4, by4, w4, h4, mvx, mvy, ref=ri)
+        parts.append((bx4, by4, w4, h4, ri))
+    for bx4, by4, w4, h4, ri in parts:
+        _mc_partition(st, refs0[ri], bx4, by4, w4, h4,
                       int(st.mvx[by4, bx4]), int(st.mvy[by4, bx4]))
     _finish_inter_mb(st, mbx, mby, mb)
 
@@ -2250,8 +2309,9 @@ def _decode_p_mb(r: BitReader, st: _IFrame, ref: _IFrame, pps: PPS,
     return qp
 
 
-def _decode_p_slice_data(r: BitReader, st: _IFrame, ref: _IFrame,
-                         sps: SPS, pps: PPS, qp: int) -> int:
+def _decode_p_slice_data(r: BitReader, st: _IFrame, refs0: list,
+                         sps: SPS, pps: PPS, qp: int,
+                         n_ref0: int) -> int:
     """slice_data (7.3.4) for a CAVLC P slice covering the whole
     frame: interleaved mb_skip_run / macroblock_layer."""
     n_mbs = st.mbw * st.mbh
@@ -2261,14 +2321,15 @@ def _decode_p_slice_data(r: BitReader, st: _IFrame, ref: _IFrame,
         if mb + skip_run > n_mbs:
             raise AVCError("mb_skip_run overruns the frame")
         for _ in range(skip_run):
-            _decode_pskip(st, ref, mb, qp)
+            _decode_pskip(st, refs0, mb, qp)
             mb += 1
         if mb >= n_mbs or not r.more_rbsp_data():
             break
         mbx, mby = mb % st.mbw, mb // st.mbw
         mb_type = r.ue()
         if mb_type <= 4:
-            qp = _decode_p_mb(r, st, ref, pps, mbx, mby, mb, mb_type, qp)
+            qp = _decode_p_mb(r, st, refs0, pps, mbx, mby, mb, mb_type,
+                              qp, n_ref0)
         elif mb_type <= 30:
             qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
                                   mb_type - 5, qp)
@@ -2362,72 +2423,85 @@ def _mc_partition_b(st: _IFrame, ref0, ref1, px4: int, py4: int,
         _mc_partition(st, ref, px4, py4, w4, h4, mv[0], mv[1])
 
 
-def _spatial_direct(st: _IFrame, ref1: _IFrame, mb: int, mbx: int,
+def _spatial_direct(st: _IFrame, col: _IFrame, mb: int, mbx: int,
                     mby: int):
     """Spatial direct motion derivation (8.4.1.2.2) for the current
-    MB, with direct_8x8_inference: MB-level reference selection +
-    median MV prediction, then per-8x8 colZeroFlag from the corner
-    4x4 of the colocated MB in RefPicList1[0].
+    MB, with direct_8x8_inference: MB-level reference selection
+    (MinPositive over the neighbors' refIdx per list) + median MV
+    prediction at the derived refIdx, then per-8x8 colZeroFlag from
+    the corner 4x4 of the colocated MB in RefPicList1[0] (``col``).
 
-    Returns (use0, use1, [((mv0x, mv0y), (mv1x, mv1y)) per 8x8])."""
+    Returns (ref0, ref1, [((mv0x, mv0y), (mv1x, mv1y)) per 8x8]) with
+    refX = -1 when list X is unused."""
     px4, py4 = mbx * 4, mby * 4
-    use = []
+    refs = []
     mvp = []
     for lst in (0, 1):
-        _aa, ax, ay, ra = _mv_nbr(st, px4 - 1, py4, mb, lst)
-        _ab, bx, by, rb = _mv_nbr(st, px4, py4 - 1, mb, lst)
-        ac, cx, cy, rc = _mv_nbr(st, px4 + 4, py4 - 1, mb, lst)
+        _aa, _ax, _ay, ra = _mv_nbr(st, px4 - 1, py4, mb, lst)
+        _ab, _bx, _by, rb = _mv_nbr(st, px4, py4 - 1, mb, lst)
+        ac, _cx, _cy, rc = _mv_nbr(st, px4 + 4, py4 - 1, mb, lst)
         if not ac:
-            _ad, cx, cy, rc = _mv_nbr(st, px4 - 1, py4 - 1, mb, lst)
-        # MinPositive over single-ref lists: 0 iff any neighbor uses it
-        use.append(max(ra, rb, rc) >= 0)
-        mvp.append(_mv_pred(st, mb, px4, py4, 4, 4, None, lst))
-    if not use[0] and not use[1]:
-        # directZeroPredictionFlag: both lists, zero MVs everywhere
-        return True, True, [((0, 0), (0, 0))] * 4
+            _ad, _cx, _cy, rc = _mv_nbr(st, px4 - 1, py4 - 1, mb, lst)
+        pos = [ri for ri in (ra, rb, rc) if ri >= 0]
+        ref = min(pos) if pos else -1  # MinPositive (8.4.1.2.2)
+        refs.append(ref)
+        mvp.append(
+            _mv_pred(st, mb, px4, py4, 4, 4, None, lst,
+                     cur_ref=max(ref, 0))
+        )
+    if refs[0] < 0 and refs[1] < 0:
+        # directZeroPredictionFlag: both lists at refIdx 0, zero MVs
+        return 0, 0, [((0, 0), (0, 0))] * 4
     out = []
     corners = ((0, 0), (3, 0), (0, 3), (3, 3))
     for i8 in range(4):
         dx, dy = corners[i8]
         gx, gy = px4 + dx, py4 + dy
-        col_mb = (gy >> 2) * ref1.mbw + (gx >> 2)
-        if ref1.mb_intra[col_mb]:
+        col_mb = (gy >> 2) * col.mbw + (gx >> 2)
+        if col.mb_intra[col_mb]:
             col_zero = False
         else:
-            cf = int(ref1.pred_flags[gy, gx])
+            cf = int(col.pred_flags[gy, gx])
             if cf & 1:
-                cmx, cmy = int(ref1.mvx[gy, gx]), int(ref1.mvy[gy, gx])
+                cmx, cmy = int(col.mvx[gy, gx]), int(col.mvy[gy, gx])
+                ref_col = int(col.ref_idx0[gy, gx])
             elif cf & 2:
-                cmx, cmy = int(ref1.mvx1[gy, gx]), int(ref1.mvy1[gy, gx])
+                cmx, cmy = int(col.mvx1[gy, gx]), int(col.mvy1[gy, gx])
+                ref_col = int(col.ref_idx1[gy, gx])
             else:
                 cmx = cmy = 0
-            # refIdxCol is always 0 in single-ref streams; the short-
-            # term condition holds (no long-term refs in scope)
-            col_zero = abs(cmx) <= 1 and abs(cmy) <= 1
-        mv0 = (0, 0) if (col_zero and use[0]) else mvp[0]
-        mv1 = (0, 0) if (col_zero and use[1]) else mvp[1]
-        out.append((mv0 if use[0] else (0, 0),
-                    mv1 if use[1] else (0, 0)))
-    return use[0], use[1], out
+                ref_col = -1
+            # short-term condition holds (no long-term refs in scope)
+            col_zero = (ref_col == 0 and abs(cmx) <= 1
+                        and abs(cmy) <= 1)
+        mv0 = (0, 0) if (col_zero and refs[0] == 0) else mvp[0]
+        mv1 = (0, 0) if (col_zero and refs[1] == 0) else mvp[1]
+        out.append((mv0 if refs[0] >= 0 else (0, 0),
+                    mv1 if refs[1] >= 0 else (0, 0)))
+    return refs[0], refs[1], out
 
 
-def _apply_direct_8x8(st: _IFrame, ref0, ref1, mbx: int, mby: int,
-                      i8: int, use0: bool, use1: bool, mvs) -> None:
+def _apply_direct_8x8(st: _IFrame, refs0, refs1, mbx: int, mby: int,
+                      i8: int, dref0: int, dref1: int, mvs) -> None:
     """Write + motion-compensate one direct-predicted 8x8."""
     bx4 = mbx * 4 + (i8 & 1) * 2
     by4 = mby * 4 + (i8 >> 1) * 2
     mv0, mv1 = mvs[i8]
-    _set_mv_b(st, bx4, by4, 2, 2, mv0, mv1, use0, use1)
-    _mc_partition_b(st, ref0, ref1, bx4, by4, 2, 2, mv0, mv1,
-                    use0, use1)
+    use0, use1 = dref0 >= 0, dref1 >= 0
+    _set_mv_b(st, bx4, by4, 2, 2, mv0, mv1, use0, use1,
+              ref0=max(dref0, 0), ref1=max(dref1, 0))
+    _mc_partition_b(st, refs0[max(dref0, 0)] if use0 else None,
+                    refs1[max(dref1, 0)] if use1 else None,
+                    bx4, by4, 2, 2, mv0, mv1, use0, use1)
 
 
-def _decode_bskip(st: _IFrame, ref0: _IFrame, ref1: _IFrame, mb: int,
+def _decode_bskip(st: _IFrame, refs0: list, refs1: list, mb: int,
                   qp: int) -> None:
     mbx, mby = mb % st.mbw, mb // st.mbw
-    use0, use1, mvs = _spatial_direct(st, ref1, mb, mbx, mby)
+    dref0, dref1, mvs = _spatial_direct(st, refs1[0], mb, mbx, mby)
     for i8 in range(4):
-        _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0, use1, mvs)
+        _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
+                          dref1, mvs)
     _finish_inter_mb(st, mbx, mby, mb)
     st.mb_qp[mb] = qp
     st.n_decoded_mbs += 1
@@ -2468,28 +2542,38 @@ def _b_inter_residual(r: BitReader, st: _IFrame, pps: PPS, mbx: int,
     return qp
 
 
-def _decode_b_mb(r: BitReader, st: _IFrame, ref0: _IFrame,
-                 ref1: _IFrame, pps: PPS, mbx: int, mby: int, mb: int,
-                 mb_type: int, qp: int) -> int:
+def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
+                 refs1: list, pps: PPS, mbx: int, mby: int, mb: int,
+                 mb_type: int, qp: int, n_ref0: int,
+                 n_ref1: int) -> int:
     """One B macroblock_layer: direct / 16x16 / 16x8 / 8x16 / B_8x8
-    with per-partition prediction modes, grouped-by-list mvd parse
-    (7.3.5.1), per-partition per-list MV prediction in decode order,
-    motion compensation (bi = average), then the CAVLC residual."""
+    with per-partition prediction modes, grouped ref_idx_l0/l1 parse
+    (te(v), absent with one active reference; one per 8x8 in B_8x8,
+    none for direct subs), grouped-by-list mvd parse (7.3.5.1),
+    per-partition per-list MV prediction in decode order with refIdx
+    matching, motion compensation from the indexed references
+    (bi = average), then the CAVLC residual."""
     px4, py4 = mbx * 4, mby * 4
     shape, modes = _B_MB_MODES[mb_type]
-    # (bx4, by4, w4, h4, hint, mode) in partition decode order
+    # (bx4, by4, w4, h4, hint, mode, slot) in partition decode order;
+    # `slot` indexes the ref_idx fields (partition for 16x16/16x8/
+    # 8x16, the 8x8 for B_8x8)
     plist: list = []
+    slot_modes: list = []
     direct_state = None
     if shape == "direct":
-        direct_state = _spatial_direct(st, ref1, mb, mbx, mby)
+        direct_state = _spatial_direct(st, refs1[0], mb, mbx, mby)
     elif shape == "16x16":
-        plist.append((px4, py4, 4, 4, None, modes[0]))
+        plist.append((px4, py4, 4, 4, None, modes[0], 0))
+        slot_modes = [modes[0]]
     elif shape == "16x8":
-        plist.append((px4, py4, 4, 2, "16x8_0", modes[0]))
-        plist.append((px4, py4 + 2, 4, 2, "16x8_1", modes[1]))
+        plist.append((px4, py4, 4, 2, "16x8_0", modes[0], 0))
+        plist.append((px4, py4 + 2, 4, 2, "16x8_1", modes[1], 1))
+        slot_modes = list(modes)
     elif shape == "8x16":
-        plist.append((px4, py4, 2, 4, "8x16_0", modes[0]))
-        plist.append((px4 + 2, py4, 2, 4, "8x16_1", modes[1]))
+        plist.append((px4, py4, 2, 4, "8x16_0", modes[0], 0))
+        plist.append((px4 + 2, py4, 2, 4, "8x16_1", modes[1], 1))
+        slot_modes = list(modes)
     else:  # B_8x8
         subs = [r.ue() for _ in range(4)]
         if any(s > 12 for s in subs):
@@ -2501,16 +2585,32 @@ def _decode_b_mb(r: BitReader, st: _IFrame, ref0: _IFrame,
             sy4 = py4 + (s_i >> 1) * 2
             sshape, smode = _B_SUB_MODES[subs[s_i]]
             if sshape == "direct":
-                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}"))
+                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}",
+                              s_i))
+                slot_modes.append("direct")
                 if direct_state is None:
-                    direct_state = _spatial_direct(st, ref1, mb, mbx,
-                                                   mby)
+                    direct_state = _spatial_direct(st, refs1[0], mb,
+                                                   mbx, mby)
                 continue
+            slot_modes.append(smode)
             for dx4, dy4, w4, h4 in _B_SHAPES[sshape]:
                 plist.append((sx4 + dx4, sy4 + dy4, w4, h4, None,
-                              smode))
+                              smode, s_i))
+    # grouped ref_idx parse: every L0 index in slot order, then L1
+    ref0_slot = [0] * len(slot_modes)
+    ref1_slot = [0] * len(slot_modes)
+    if n_ref0 > 1:
+        for si, m in enumerate(slot_modes):
+            if m in ("l0", "bi"):
+                ref0_slot[si] = _te(r, n_ref0 - 1)
+    if n_ref1 > 1:
+        for si, m in enumerate(slot_modes):
+            if m in ("l1", "bi"):
+                ref1_slot[si] = _te(r, n_ref1 - 1)
+    if (max(ref0_slot, default=0) >= n_ref0
+            or max(ref1_slot, default=0) >= max(n_ref1, 1)):
+        raise AVCError("ref_idx out of the active range")
     # grouped mvd parse: every L0 mvd in partition order, then L1
-    # (ref_idx fields never appear: one reference per list)
     mvd0 = [
         (r.se(), r.se()) if p[5] in ("l0", "bi") else None
         for p in plist
@@ -2520,38 +2620,43 @@ def _decode_b_mb(r: BitReader, st: _IFrame, ref0: _IFrame,
         for p in plist
     ]
     # per-partition derivation + MC in decode order
-    for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+    for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
         if isinstance(mode, str) and mode.startswith("direct"):
             i8 = int(mode[6:])
-            use0, use1, mvs = direct_state
-            _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0,
-                              use1, mvs)
+            dref0, dref1, mvs = direct_state
+            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
+                              dref1, mvs)
             continue
         use0 = mode in ("l0", "bi")
         use1 = mode in ("l1", "bi")
+        ri0, ri1 = ref0_slot[slot], ref1_slot[slot]
         mv0 = (0, 0)
         mv1 = (0, 0)
         if use0:
-            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 0)
+            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 0,
+                                  cur_ref=ri0)
             mv0 = (mvpx + mvd0[k][0], mvpy + mvd0[k][1])
         if use1:
-            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 1)
+            mvpx, mvpy = _mv_pred(st, mb, bx4, by4, w4, h4, hint, 1,
+                                  cur_ref=ri1)
             mv1 = (mvpx + mvd1[k][0], mvpy + mvd1[k][1])
-        _set_mv_b(st, bx4, by4, w4, h4, mv0, mv1, use0, use1)
-        _mc_partition_b(st, ref0, ref1, bx4, by4, w4, h4, mv0, mv1,
-                        use0, use1)
+        _set_mv_b(st, bx4, by4, w4, h4, mv0, mv1, use0, use1,
+                  ref0=ri0 if use0 else 0, ref1=ri1 if use1 else 0)
+        _mc_partition_b(st, refs0[ri0] if use0 else None,
+                        refs1[ri1] if use1 else None,
+                        bx4, by4, w4, h4, mv0, mv1, use0, use1)
     if shape == "direct":
-        use0, use1, mvs = direct_state
+        dref0, dref1, mvs = direct_state
         for i8 in range(4):
-            _apply_direct_8x8(st, ref0, ref1, mbx, mby, i8, use0,
-                              use1, mvs)
+            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
+                              dref1, mvs)
     _finish_inter_mb(st, mbx, mby, mb)
     return _b_inter_residual(r, st, pps, mbx, mby, mb, qp)
 
 
-def _decode_b_slice_data(r: BitReader, st: _IFrame, ref0: _IFrame,
-                         ref1: _IFrame, sps: SPS, pps: PPS,
-                         qp: int) -> int:
+def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,
+                         refs1: list, sps: SPS, pps: PPS,
+                         qp: int, n_ref0: int, n_ref1: int) -> int:
     """slice_data (7.3.4) for a CAVLC B slice covering the whole
     frame: interleaved mb_skip_run (B_Skip = spatial direct, no
     residual) / macroblock_layer."""
@@ -2562,15 +2667,15 @@ def _decode_b_slice_data(r: BitReader, st: _IFrame, ref0: _IFrame,
         if mb + skip_run > n_mbs:
             raise AVCError("mb_skip_run overruns the frame")
         for _ in range(skip_run):
-            _decode_bskip(st, ref0, ref1, mb, qp)
+            _decode_bskip(st, refs0, refs1, mb, qp)
             mb += 1
         if mb >= n_mbs or not r.more_rbsp_data():
             break
         mbx, mby = mb % st.mbw, mb // st.mbw
         mb_type = r.ue()
         if mb_type <= 22:
-            qp = _decode_b_mb(r, st, ref0, ref1, pps, mbx, mby, mb,
-                              mb_type, qp)
+            qp = _decode_b_mb(r, st, refs0, refs1, pps, mbx, mby, mb,
+                              mb_type, qp, n_ref0, n_ref1)
         elif mb_type <= 48:
             qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
                                   mb_type - 23, qp)
@@ -2587,16 +2692,16 @@ def _decode_b_slice_data(r: BitReader, st: _IFrame, ref0: _IFrame,
 
 
 def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
-                 ref: "_IFrame | None" = None,
-                 ref1: "_IFrame | None" = None) -> "_IFrame":
-    """Decode one coded slice NAL (I, single-reference P, or
-    single-reference-per-list B) into its reconstructed frame state
-    (post-deblock, full macroblock grid). ``ref`` is the L0 reference
-    (the past frame for P and B); ``ref1`` the L1 reference (the
-    future frame, B only — the caller supplies frames in DECODE
-    order, so it is already reconstructed). Convert to RGB with
-    :func:`frame_rgb`. Error posture as :func:`decode_iframe`:
-    anything corrupt raises :class:`AVCError`."""
+                 ref=None, ref1=None) -> "_IFrame":
+    """Decode one coded slice NAL (I, P, or B) into its reconstructed
+    frame state (post-deblock, full macroblock grid). ``ref`` is the
+    L0 reference list — a single _IFrame or a list in RefPicList0
+    order (for P: most recent first; the slice may activate up to 8);
+    ``ref1`` the L1 list (B only — future-first by POC; the caller
+    supplies frames in DECODE order, so they are already
+    reconstructed). Convert to RGB with :func:`frame_rgb`. Error
+    posture as :func:`decode_iframe`: anything corrupt raises
+    :class:`AVCError`."""
     try:
         return _decode_frame_inner(sps, pps, slice_nal, ref, ref1)
     except AVCError:

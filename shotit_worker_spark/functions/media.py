@@ -452,18 +452,27 @@ class _AvcGopCursor:
                     if not self._refs:
                         raise AV.AVCError("P sample without a stored"
                                           " reference")
-                    st = AV.decode_frame(self.sps, self.pps, nal,
-                                         ref=self._refs[-1][1])
-                else:  # B: nearest stored references around this pts
-                    past = [r for r in self._refs if r[0] < s.pts]
-                    future = [r for r in self._refs if r[0] > s.pts]
+                    # default RefPicList0: most recently decoded
+                    # reference first (8.2.4.2.1, frame_num order ==
+                    # decode order in our single-GOP scope)
+                    st = AV.decode_frame(
+                        self.sps, self.pps, nal,
+                        ref=[r[1] for r in reversed(self._refs)],
+                    )
+                else:  # B: default lists around this pts (8.2.4.2.3)
+                    past = sorted((r for r in self._refs
+                                   if r[0] < s.pts),
+                                  key=lambda r: -r[0])
+                    future = sorted((r for r in self._refs
+                                     if r[0] > s.pts),
+                                    key=lambda r: r[0])
                     if not past or not future:
                         raise AV.AVCError("B sample without both"
                                           " references in the DPB")
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
-                        ref=max(past, key=lambda r: r[0])[1],
-                        ref1=min(future, key=lambda r: r[0])[1],
+                        ref=[r[1] for r in past + future],
+                        ref1=[r[1] for r in future + past],
                     )
                 if nal[0] >> 5:  # nal_ref_idc != 0: a reference pic
                     if s.keyframe:

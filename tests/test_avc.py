@@ -1006,7 +1006,7 @@ def _p_frame_state(mbw=4, mbh=3):
     return st
 
 
-def _mark_inter_mb(st, mbx, mby, mv, lst=0):
+def _mark_inter_mb(st, mbx, mby, mv, lst=0, ref=0):
     mb = mby * st.mbw + mbx
     st.mb_intra[mb] = False
     ys = slice(mby * 4, mby * 4 + 4)
@@ -1014,9 +1014,11 @@ def _mark_inter_mb(st, mbx, mby, mv, lst=0):
     if lst == 0:
         st.mvx[ys, xs] = mv[0]
         st.mvy[ys, xs] = mv[1]
+        st.ref_idx0[ys, xs] = ref
     else:
         st.mvx1[ys, xs] = mv[0]
         st.mvy1[ys, xs] = mv[1]
+        st.ref_idx1[ys, xs] = ref
     st.pred_flags[ys, xs] |= 1 << lst
 
 
@@ -1199,8 +1201,9 @@ def test_p_slice_header_refusals():
         avc.decode_frame(sps, pps, hdr(6), ref=st0)
     with pytest.raises(avc.AVCError, match="not an I, P or B"):
         avc.decode_frame(sps, pps, hdr(3), ref=st0)  # SP slice
-    with pytest.raises(avc.AVCError, match="single-ref"):
-        # override flag 1 + num_ref_idx_l0_active_minus1 ue(1)=010
+    with pytest.raises(avc.AVCError, match="caller supplied"):
+        # override flag 1 + num_ref_idx_l0_active_minus1 ue(1)=010:
+        # the slice activates 2 L0 refs but only one is supplied
         avc.decode_frame(sps, pps, hdr(5, override_bits="1010"),
                          ref=st0)
     with pytest.raises(avc.AVCError, match="modification"):

@@ -194,9 +194,10 @@ def test_spatial_direct_zero_prediction_hand_case():
     col = avc._IFrame(sps)
     col.mb_intra[0] = False  # colocated inter with big MV
     col.pred_flags[0:4, 0:4] = 1
+    col.ref_idx0[0:4, 0:4] = 0
     col.mvx[0:4, 0:4] = 40
-    use0, use1, mvs = avc._spatial_direct(st, col, 0, 0, 0)
-    assert use0 and use1
+    dref0, dref1, mvs = avc._spatial_direct(st, col, 0, 0, 0)
+    assert dref0 == 0 and dref1 == 0
     assert all(mv0 == (0, 0) and mv1 == (0, 0) for mv0, mv1 in mvs)
 
 
@@ -217,6 +218,7 @@ def test_spatial_direct_col_zero_flag_hand_case():
         # mvpL0 nonzero (single-match rule picks A)
         st.mb_intra[0] = False
         st.pred_flags[0:4, 0:4] = 1
+        st.ref_idx0[0:4, 0:4] = 0
         st.mvx[0:4, 0:4] = 12
         st.mvy[0:4, 0:4] = -8
         st.n_decoded_mbs = 1
@@ -224,12 +226,132 @@ def test_spatial_direct_col_zero_flag_hand_case():
         cmb = 1
         col.mb_intra[cmb] = False
         col.pred_flags[0:4, 4:8] = 1
+        col.ref_idx0[0:4, 4:8] = 0
         col.mvx[0:4, 4:8] = col_mv[0]
         col.mvy[0:4, 4:8] = col_mv[1]
-        use0, use1, mvs = avc._spatial_direct(st, col, 1, 1, 0)
-        assert use0 and not use1  # only L0 seen in neighbors
+        dref0, dref1, mvs = avc._spatial_direct(st, col, 1, 1, 0)
+        assert dref0 == 0 and dref1 == -1  # only L0 seen in neighbors
         want = (0, 0) if want_zero else (12, -8)
         assert all(mv0 == want for mv0, _mv1 in mvs)
+
+
+def _multi_ref_entries(mbw, mbh, seed=600):
+    f = [_planes(seed + i, mbw, mbh) for i in range(4)]
+
+    def p2_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 5
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (4, -2), "refs": [0]}
+        if k == 2:
+            return {"kind": "p16", "mv": (-6, 3), "refs": [1]}
+        if k == 3:
+            return {"kind": "p16x8", "mvs": [(2, 2), (1, -5)],
+                    "refs": [1, 0]}
+        return {"kind": "p8x8", "subs": [0, 1, 2, 3],
+                "refs": [0, 1, 1, 0],
+                "mvs": [(1, 1), (2, 0), (0, 3), (-1, 2), (4, 4),
+                        (5, -1), (2, 2), (3, 3), (0, 0)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 6
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l0"],
+                    "mvs": [((6, -3), None)], "refs0": [1]}
+        if k == 3:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 5))], "refs0": [1],
+                    "refs1": [0]}
+        if k == 4:
+            return {"kind": "b16x8", "modes": ["l0", "bi"],
+                    "mvs": [((4, 0), None), ((1, 2), (-3, -1))],
+                    "refs0": [0, 1], "refs1": [0, 0]}
+        return {"kind": "b8x8",
+                "subs": ["direct", ("8x4", "l0"), ("4x8", "l1"),
+                         ("4x4", "bi")],
+                "refs0": [0, 1, 0, 1], "refs1": [0, 0, 0, 0],
+                "mvs": [((3, 1), None), ((-1, 2), None),
+                        (None, (0, 5)), (None, (2, -2)),
+                        ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                        ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+
+    return [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        {"kind": "P", "frame": f[3], "refs": [1, 0], "poc": 6,
+         "plan": p2_plan},
+        {"kind": "B", "frame": f[2], "refs0": [1, 0], "refs1": [2],
+         "poc": 4, "plan": b_plan},
+    ]
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_multi_reference_round_trip(deblock):
+    """Multi-ref decode (x264's real-world default is ref=3): a
+    2-reference P frame with per-partition ref_idx_l0 (te(v) single
+    inverted bit), a B frame whose L0 list holds two pictures with
+    per-slot indices incl. inside B_8x8, spatial direct over real
+    MinPositive refIdx, and ref-aware deblock strengths — all
+    bit-exact vs the encoder's reconstruction."""
+    entries = _multi_ref_entries(5, 3)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=[st1, st0])
+    st3 = avc.decode_frame(sps, pps, nals[3], ref=[st1, st0],
+                           ref1=[st2])
+    _assert_exact([st0, st1, st2, st3], recons)
+
+
+def test_three_reference_p_chain():
+    """te(v) falls back to plain ue(v) above two refs; MV prediction
+    refIdx matching over three distinct indices."""
+    mbw, mbh = 4, 2
+    f = [_planes(700 + i, mbw, mbh) for i in range(4)]
+
+    def plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 3:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (2 + k, -k), "refs": [k]}
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2, "plan": None},
+        {"kind": "P", "frame": f[2], "ref": 1, "poc": 4,
+         "plan": lambda x, y: {"kind": "p16", "mv": (1, 1)}},
+        {"kind": "P", "frame": f[3], "refs": [2, 1, 0], "poc": 6,
+         "plan": plan},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(entries, qp=27)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st1)
+    st3 = avc.decode_frame(sps, pps, nals[3], ref=[st2, st1, st0])
+    _assert_exact([st0, st1, st2, st3], recons)
+
+
+def test_multi_ref_insufficient_supply_refuses():
+    entries = _multi_ref_entries(4, 2)
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=28)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    with pytest.raises(avc.AVCError, match="caller supplied"):
+        avc.decode_frame(sps, pps, nals[2], ref=st1)  # needs 2 L0 refs
 
 
 def test_b_refusal_surface():
@@ -339,6 +461,63 @@ def test_g1_b_samples_real_pixels_in_mp4(spark):
     assert np.array_equal(got_i, want_rgb(recons[0]))
 
 
+def test_g1_multi_ref_chain_in_mp4(spark):
+    """The GOP cursor's default-list construction feeds a multi-ref
+    chain: a 2-ref P and a 2-L0-ref B in one mp4 decode to real
+    pixels end-to-end."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 5, 3
+    entries = _multi_ref_entries(mbw, mbh, seed=820)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    timescale = 12800
+    dt = timescale // 4
+    # decode order I P1 P2 B with pts I=0, P1=dt, B=2dt, P2=3dt
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        deltas=[dt] * 4,
+        timescale=timescale,
+        keyframes=[0],
+        ctts_offsets=[dt, dt, 2 * dt, 0],  # +dt uniform shift
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/mref.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=4.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) >= 4
+    sps = avc.parse_sps(sps_nal)
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    # pts: I=0.25, P1=0.5, B=0.75, P2=1.0; slots at 0.125/0.375/
+    # 0.625/0.875 land in the display intervals of I, I, P1, B
+    for slot, recon_idx in ((0, 0), (2, 1), (3, 3)):
+        got = IC.decode_image(bytes(rows[slot]["image"]))
+        assert np.array_equal(got, want_rgb(recons[recon_idx])), slot
+
+
 def test_b_deblock_bs_uses_both_lists():
     """bS derivation over bi-predicted blocks: a pred-flags mismatch
     or an L1-only MV jump of >= 4 quarter-pels must trigger bS 1."""
@@ -347,6 +526,8 @@ def test_b_deblock_bs_uses_both_lists():
     st.mb_intra[0] = st.mb_intra[1] = False
     # p block: bi with L1 mv (0,0); q block: bi with L1 mv (8,0)
     st.pred_flags[:, :] = 3
+    st.ref_idx0[:, :] = 0
+    st.ref_idx1[:, :] = 0
     st.mvx1[0:4, 4:8] = 8
     assert avc._bs_luma(st, 3, 0, 4, 0, True) == 1
     # sub-threshold L1 delta (2 quarter-pels) -> 0

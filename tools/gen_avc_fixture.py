@@ -478,6 +478,9 @@ class _EncState:
         self.mvx1 = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
         self.mvy1 = np.zeros((mbh * 4, mbw * 4), dtype=np.int32)
         self.pf = np.zeros((mbh * 4, mbw * 4), dtype=np.uint8)
+        # per-4x4 reference index per list (-1 = unused)
+        self.ri0 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
+        self.ri1 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1120,14 +1123,20 @@ def _bs_enc(st, gxp, gyp, gxq, gyq, mb_edge):
     if int(st.pf[gyp, gxp]) != int(st.pf[gyq, gxq]):
         return 1
     f = int(st.pf[gyp, gxp])
-    if f & 1 and (
-            abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
-            or abs(int(st.mvy[gyp, gxp]) - int(st.mvy[gyq, gxq])) >= 4):
-        return 1
-    if f & 2 and (
-            abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
-            or abs(int(st.mvy1[gyp, gxp]) - int(st.mvy1[gyq, gxq])) >= 4):
-        return 1
+    if f & 1:
+        if int(st.ri0[gyp, gxp]) != int(st.ri0[gyq, gxq]):
+            return 1
+        if (abs(int(st.mvx[gyp, gxp]) - int(st.mvx[gyq, gxq])) >= 4
+                or abs(int(st.mvy[gyp, gxp])
+                       - int(st.mvy[gyq, gxq])) >= 4):
+            return 1
+    if f & 2:
+        if int(st.ri1[gyp, gxp]) != int(st.ri1[gyq, gxq]):
+            return 1
+        if (abs(int(st.mvx1[gyp, gxp]) - int(st.mvx1[gyq, gxq])) >= 4
+                or abs(int(st.mvy1[gyp, gxp])
+                       - int(st.mvy1[gyq, gxq])) >= 4):
+            return 1
     return 0
 
 
@@ -1373,34 +1382,36 @@ def _mv_nbr_enc(st, gx, gy, cur_mb, lst=0):
     if not (int(st.pf[gy, gx]) & bit):
         return True, 0, 0, -1
     if lst == 0:
-        return True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]), 0
-    return True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]), 0
+        return (True, int(st.mvx[gy, gx]), int(st.mvy[gy, gx]),
+                int(st.ri0[gy, gx]))
+    return (True, int(st.mvx1[gy, gx]), int(st.mvy1[gy, gx]),
+            int(st.ri1[gy, gx]))
 
 
 def _median3(a, b, c):
     return sorted((a, b, c))[1]
 
 
-def _mv_pred_enc(st, cur_mb, px4, py4, w4, h4, hint, lst=0):
+def _mv_pred_enc(st, cur_mb, px4, py4, w4, h4, hint, lst=0, cur_ref=0):
     a_av, ax, ay, a_ref = _mv_nbr_enc(st, px4 - 1, py4, cur_mb, lst)
     b_av, bx, by, b_ref = _mv_nbr_enc(st, px4, py4 - 1, cur_mb, lst)
     c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 + w4, py4 - 1, cur_mb, lst)
     if not c_av:
         c_av, cx, cy, c_ref = _mv_nbr_enc(st, px4 - 1, py4 - 1, cur_mb,
                                           lst)
-    if hint == "16x8_0" and b_ref == 0:
+    if hint == "16x8_0" and b_ref == cur_ref:
         return bx, by
-    if hint == "16x8_1" and a_ref == 0:
+    if hint == "16x8_1" and a_ref == cur_ref:
         return ax, ay
-    if hint == "8x16_0" and a_ref == 0:
+    if hint == "8x16_0" and a_ref == cur_ref:
         return ax, ay
-    if hint == "8x16_1" and c_ref == 0:
+    if hint == "8x16_1" and c_ref == cur_ref:
         return cx, cy
     if not b_av and not c_av and a_av:
         bx, by, b_ref = ax, ay, a_ref
         cx, cy, c_ref = ax, ay, a_ref
     matches = [(ax, ay, a_ref), (bx, by, b_ref), (cx, cy, c_ref)]
-    hits = [m for m in matches if m[2] == 0]
+    hits = [m for m in matches if m[2] == cur_ref]
     if len(hits) == 1:
         return hits[0][0], hits[0][1]
     return _median3(ax, bx, cx), _median3(ay, by, cy)
@@ -1417,14 +1428,16 @@ def _pskip_mv_enc(st, cur_mb, mbx, mby):
     return _mv_pred_enc(st, cur_mb, px4, py4, 4, 4, None)
 
 
-def _mark_mv_enc(st, px4, py4, w4, h4, mvx, mvy):
+def _mark_mv_enc(st, px4, py4, w4, h4, mvx, mvy, ref=0):
     st.mvx[py4:py4 + h4, px4:px4 + w4] = mvx
     st.mvy[py4:py4 + h4, px4:px4 + w4] = mvy
+    st.ri0[py4:py4 + h4, px4:px4 + w4] = ref
     st.pf[py4:py4 + h4, px4:px4 + w4] = 1
     st.mv_done[py4:py4 + h4, px4:px4 + w4] = True
 
 
-def _mark_mv_b_enc(st, px4, py4, w4, h4, mv0, mv1, use0, use1):
+def _mark_mv_b_enc(st, px4, py4, w4, h4, mv0, mv1, use0, use1,
+                   ref0=0, ref1=0):
     """Atomic per-partition write of both lists (8.4.1.3 partition
     decode order)."""
     ys, xs = slice(py4, py4 + h4), slice(px4, px4 + w4)
@@ -1432,6 +1445,8 @@ def _mark_mv_b_enc(st, px4, py4, w4, h4, mv0, mv1, use0, use1):
     st.mvy[ys, xs] = mv0[1] if use0 else 0
     st.mvx1[ys, xs] = mv1[0] if use1 else 0
     st.mvy1[ys, xs] = mv1[1] if use1 else 0
+    st.ri0[ys, xs] = ref0 if use0 else -1
+    st.ri1[ys, xs] = ref1 if use1 else -1
     st.pf[ys, xs] = (1 if use0 else 0) | (2 if use1 else 0)
     st.mv_done[ys, xs] = True
 
@@ -1455,6 +1470,14 @@ def _mc_mb_parts(st, ref_planes, parts):
             rcr, cx, cy, cw, ch, mvx, mvy)
 
 
+def _te_write(w, v, cmax):
+    """te(v) writer: single inverted bit when cmax == 1 (9.1.1)."""
+    if cmax == 1:
+        w.u(1 - v, 1)
+    else:
+        w.ue(v)
+
+
 _P_PARTS_ENC = {
     "p16": (0, [(0, 0, 4, 4, None)]),
     "p16x8": (1, [(0, 0, 4, 2, "16x8_0"), (0, 2, 4, 2, "16x8_1")]),
@@ -1469,7 +1492,7 @@ _SUB_PARTS_ENC = {
 
 
 def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
-                    plan):
+                    plan, n_ref0=1):
     """One inter macroblock_layer. ``plan`` keys: kind (p16 / p16x8 /
     p8x16 / p8x8), mvs (absolute quarter-pel (x, y) per partition in
     decode order; p16 may give a single "mv"), subs (four Table 7-17
@@ -1478,37 +1501,53 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
     px4, py4 = mbx * 4, mby * 4
     kind = plan["kind"]
     mvs = plan.get("mvs") or [plan["mv"]]
-    parts = []
+    # ref planes: a list of (Y, Cb, Cr) in RefPicList0 order (legacy
+    # callers pass one tuple); plan["refs"] gives the per-slot index
+    if isinstance(ref_planes, tuple):
+        ref_list = [ref_planes]
+    else:
+        ref_list = list(ref_planes)
+    # geometry: (bx4, by4, w4, h4, hint, slot) — P_8x8 codes one
+    # ref_idx per 8x8
+    geo = []
     if kind in _P_PARTS_ENC:
         mb_type, geom = _P_PARTS_ENC[kind]
         w.ue(mb_type)
-        for (dx4, dy4, w4, h4, hint), (mvx, mvy) in zip(geom, mvs):
-            bx4, by4 = px4 + dx4, py4 + dy4
-            mvpx, mvpy = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint)
-            w.se(mvx - mvpx)
-            w.se(mvy - mvpy)
-            _mark_mv_enc(st, bx4, by4, w4, h4, mvx, mvy)
-            parts.append((bx4, by4, w4, h4))
+        for slot, (dx4, dy4, w4, h4, hint) in enumerate(geom):
+            geo.append((px4 + dx4, py4 + dy4, w4, h4, hint, slot))
+        n_slots = len(geom)
     else:
         assert kind == "p8x8"
         subs = plan["subs"]
         w.ue(3)  # P_8x8
         for s in subs:
             w.ue(s)
-        mv_i = 0
         for s_i in range(4):
             sx4 = px4 + (s_i & 1) * 2
             sy4 = py4 + (s_i >> 1) * 2
             for dx4, dy4, w4, h4 in _SUB_PARTS_ENC[subs[s_i]]:
-                bx4, by4 = sx4 + dx4, sy4 + dy4
-                mvx, mvy = mvs[mv_i]
-                mv_i += 1
-                mvpx, mvpy = _mv_pred_enc(st, mb, bx4, by4, w4, h4, None)
-                w.se(mvx - mvpx)
-                w.se(mvy - mvpy)
-                _mark_mv_enc(st, bx4, by4, w4, h4, mvx, mvy)
-                parts.append((bx4, by4, w4, h4))
-    _mc_mb_parts(st, ref_planes, parts)
+                geo.append((sx4 + dx4, sy4 + dy4, w4, h4, None, s_i))
+        n_slots = 4
+    slot_refs = plan.get("refs") or [0] * n_slots
+    if n_ref0 > 1:  # grouped te(v) ref_idx_l0 fields
+        for ri in slot_refs:
+            _te_write(w, ri, n_ref0 - 1)
+    # grouped mvd emission: predictions evaluate in partition order
+    # while the grids are marked, the bits follow after the refs
+    mvds = []
+    parts = []
+    for (bx4, by4, w4, h4, hint, slot), (mvx, mvy) in zip(geo, mvs):
+        ri = slot_refs[slot]
+        mvpx, mvpy = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint,
+                                  cur_ref=ri)
+        mvds.append((mvx - mvpx, mvy - mvpy))
+        _mark_mv_enc(st, bx4, by4, w4, h4, mvx, mvy, ref=ri)
+        parts.append((bx4, by4, w4, h4, ri))
+    for dx, dy in mvds:
+        w.se(dx)
+        w.se(dy)
+    for bx4, by4, w4, h4, ri in parts:
+        _mc_mb_parts(st, ref_list[ri], [(bx4, by4, w4, h4)])
     st.modes[py4:py4 + 4, px4:px4 + 4] = 2
 
     # residual on top of the MC prediction now sitting in st planes
@@ -1560,9 +1599,12 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
 
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
-                   poc_lsb=None):
+                   poc_lsb=None, n_ref0=1):
     """Encode one P frame against the (already deblocked) reference
-    planes; returns (nal, _EncState with the frame's reconstruction)."""
+    planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
+    order when ``n_ref0`` > 1 (the slice header then writes the
+    num_ref_idx override); returns (nal, _EncState with the frame's
+    reconstruction)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     st = _EncState(mbw, mbh)
     w = BitWriter()
@@ -1572,7 +1614,11 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
     if poc_lsb is not None:
         w.u(poc_lsb % 64, 6)
-    w.u(0, 1)     # num_ref_idx_active_override_flag
+    if n_ref0 > 1:
+        w.u(1, 1)          # num_ref_idx_active_override_flag
+        w.ue(n_ref0 - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)     # ref_pic_list_modification_flag_l0
     w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
     slice_qp = qp
@@ -1593,7 +1639,9 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
             skip_pending += 1
             mvx, mvy = _pskip_mv_enc(st, mb, mbx, mby)
             _mark_mv_enc(st, mbx * 4, mby * 4, 4, 4, mvx, mvy)
-            _mc_mb_parts(st, ref_planes, [(mbx * 4, mby * 4, 4, 4)])
+            ref0_planes = (ref_planes if isinstance(ref_planes, tuple)
+                           else ref_planes[0])
+            _mc_mb_parts(st, ref0_planes, [(mbx * 4, mby * 4, 4, 4)])
             st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
             st.mb_qp.append(cur_qp)
             st.mb_pcm.append(False)
@@ -1605,7 +1653,8 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         want_qp = plan.get("qp", cur_qp)
         if kind in ("p16", "p16x8", "p8x16", "p8x8"):
             cur_qp = _encode_p_inter(w, st, ref_planes, y, cb, cr,
-                                     mbx, mby, cur_qp, want_qp, plan)
+                                     mbx, mby, cur_qp, want_qp, plan,
+                                     n_ref0=n_ref0)
             st.mb_intra.append(False)
             st.mb_pcm.append(False)
         elif kind == "pcm":
@@ -1710,7 +1759,7 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
     per-8x8 colZeroFlag from the colocated corner 4x4 in ``col``
     (the L1 reference's _EncState)."""
     px4, py4 = mbx * 4, mby * 4
-    use = {}
+    drefs = {}
     mvp = {}
     for lst in (0, 1):
         refs = []
@@ -1720,10 +1769,12 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
                 av, _mx, _my, rf = _mv_nbr_enc(st, px4 - 1, py4 - 1,
                                                cur_mb, lst)
             refs.append(rf)
-        use[lst] = any(rf >= 0 for rf in refs)
-        mvp[lst] = _mv_pred_enc(st, cur_mb, px4, py4, 4, 4, None, lst)
-    if not use[0] and not use[1]:
-        return True, True, [((0, 0), (0, 0))] * 4
+        pos = [rf for rf in refs if rf >= 0]
+        drefs[lst] = min(pos) if pos else -1  # MinPositive
+        mvp[lst] = _mv_pred_enc(st, cur_mb, px4, py4, 4, 4, None, lst,
+                                cur_ref=max(drefs[lst], 0))
+    if drefs[0] < 0 and drefs[1] < 0:
+        return 0, 0, [((0, 0), (0, 0))] * 4
     mvs = []
     for i8, (dx, dy) in enumerate(((0, 0), (3, 0), (0, 3), (3, 3))):
         gx, gy = px4 + dx, py4 + dy
@@ -1734,16 +1785,19 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
             cf = int(col.pf[gy, gx])
             if cf & 1:
                 cm = (int(col.mvx[gy, gx]), int(col.mvy[gy, gx]))
+                rc = int(col.ri0[gy, gx])
             elif cf & 2:
                 cm = (int(col.mvx1[gy, gx]), int(col.mvy1[gy, gx]))
+                rc = int(col.ri1[gy, gx])
             else:
                 cm = (0, 0)
-            cz = abs(cm[0]) <= 1 and abs(cm[1]) <= 1
-        mv0 = (0, 0) if (cz and use[0]) else mvp[0]
-        mv1 = (0, 0) if (cz and use[1]) else mvp[1]
-        mvs.append((mv0 if use[0] else (0, 0),
-                    mv1 if use[1] else (0, 0)))
-    return use[0], use[1], mvs
+                rc = -1
+            cz = rc == 0 and abs(cm[0]) <= 1 and abs(cm[1]) <= 1
+        mv0 = (0, 0) if (cz and drefs[0] == 0) else mvp[0]
+        mv1 = (0, 0) if (cz and drefs[1] == 0) else mvp[1]
+        mvs.append((mv0 if drefs[0] >= 0 else (0, 0),
+                    mv1 if drefs[1] >= 0 else (0, 0)))
+    return drefs[0], drefs[1], mvs
 
 
 def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
@@ -1826,32 +1880,43 @@ def _inter_residual_tail_b(w, st, y, cb, cr, mbx, mby, qp, want_qp,
 
 
 def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
-                    mbx, mby, qp, want_qp, plan):
+                    mbx, mby, qp, want_qp, plan, n_ref0=1, n_ref1=1):
     """One B inter macroblock_layer. ``plan`` keys: kind (bdirect /
     b16 / b16x8 / b8x16 / b8x8), modes (prediction mode per partition:
     "l0" / "l1" / "bi"), mvs (per partition per used list, in order:
-    [(mv0, mv1)] with None for unused lists), subs (b8x8: four
-    (shape, mode) pairs or "direct"), code, cbp_chroma."""
+    [(mv0, mv1)] with None for unused lists), refs0/refs1 (per-slot
+    reference indices when multiple refs are active), subs (b8x8:
+    four (shape, mode) pairs or "direct"), code, cbp_chroma."""
     mb = mby * st.mbw + mbx
     px4, py4 = mbx * 4, mby * 4
     kind = plan["kind"]
-    # partition list: (bx4, by4, w4, h4, hint, mode) + direct markers
+    ref_list0 = ([ref0_planes] if isinstance(ref0_planes, tuple)
+                 else list(ref0_planes))
+    ref_list1 = ([ref1_planes] if isinstance(ref1_planes, tuple)
+                 else list(ref1_planes))
+    # partition list: (bx4, by4, w4, h4, hint, mode, slot)
     plist = []
+    slot_modes = []
     direct_state = None
     if kind == "bdirect":
         w.ue(B_MB_TYPES["direct"])
         direct_state = _spatial_direct_enc(st, col, mb, mbx, mby)
     elif kind == "b16":
         w.ue(B_MB_TYPES[("16x16", (plan["modes"][0],))])
-        plist.append((px4, py4, 4, 4, None, plan["modes"][0]))
+        plist.append((px4, py4, 4, 4, None, plan["modes"][0], 0))
+        slot_modes = [plan["modes"][0]]
     elif kind == "b16x8":
         w.ue(B_MB_TYPES[("16x8", tuple(plan["modes"]))])
-        plist.append((px4, py4, 4, 2, "16x8_0", plan["modes"][0]))
-        plist.append((px4, py4 + 2, 4, 2, "16x8_1", plan["modes"][1]))
+        plist.append((px4, py4, 4, 2, "16x8_0", plan["modes"][0], 0))
+        plist.append((px4, py4 + 2, 4, 2, "16x8_1", plan["modes"][1],
+                      1))
+        slot_modes = list(plan["modes"])
     elif kind == "b8x16":
         w.ue(B_MB_TYPES[("8x16", tuple(plan["modes"]))])
-        plist.append((px4, py4, 2, 4, "8x16_0", plan["modes"][0]))
-        plist.append((px4 + 2, py4, 2, 4, "8x16_1", plan["modes"][1]))
+        plist.append((px4, py4, 2, 4, "8x16_0", plan["modes"][0], 0))
+        plist.append((px4 + 2, py4, 2, 4, "8x16_1", plan["modes"][1],
+                      1))
+        slot_modes = list(plan["modes"])
     else:
         assert kind == "b8x8"
         w.ue(B_MB_TYPES["8x8"])
@@ -1861,14 +1926,29 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
             sx4 = px4 + (s_i & 1) * 2
             sy4 = py4 + (s_i >> 1) * 2
             if s == "direct":
-                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}"))
+                plist.append((sx4, sy4, 2, 2, None, f"direct{s_i}",
+                              s_i))
+                slot_modes.append("direct")
                 if direct_state is None:
                     direct_state = _spatial_direct_enc(st, col, mb,
                                                        mbx, mby)
                 continue
             shape, mode = s
+            slot_modes.append(mode)
             for dx4, dy4, w4, h4 in _B_SUB_SHAPES[shape]:
-                plist.append((sx4 + dx4, sy4 + dy4, w4, h4, None, mode))
+                plist.append((sx4 + dx4, sy4 + dy4, w4, h4, None,
+                              mode, s_i))
+    # grouped ref_idx emission (te(v)): L0 slots then L1 slots
+    refs0_slot = plan.get("refs0") or [0] * len(slot_modes)
+    refs1_slot = plan.get("refs1") or [0] * len(slot_modes)
+    if n_ref0 > 1:
+        for si, m in enumerate(slot_modes):
+            if m in ("l0", "bi"):
+                _te_write(w, refs0_slot[si], n_ref0 - 1)
+    if n_ref1 > 1:
+        for si, m in enumerate(slot_modes):
+            if m in ("l1", "bi"):
+                _te_write(w, refs1_slot[si], n_ref1 - 1)
     # grouped mvd write (all L0 then all L1) against predictors
     # evaluated in PARTITION order — so compute predictions first in
     # partition order while marking the grids, collecting the mvds
@@ -1882,51 +1962,63 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
             mv_idx.append(n_mv)
             n_mv += 1
     mvd0, mvd1 = [], []
-    for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+    for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
         if isinstance(mode, str) and mode.startswith("direct"):
             i8 = int(mode[6:])
-            use0, use1, mvs = direct_state
+            dref0, dref1, mvs = direct_state
             _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
-                           use0, use1)
+                           dref0 >= 0, dref1 >= 0,
+                           ref0=max(dref0, 0), ref1=max(dref1, 0))
             continue
         use0 = mode in ("l0", "bi")
         use1 = mode in ("l1", "bi")
+        ri0, ri1 = refs0_slot[slot], refs1_slot[slot]
         mv0, mv1 = plan["mvs"][mv_idx[k]]
         if use0:
-            p0 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 0)
+            p0 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 0,
+                              cur_ref=ri0)
             mvd0.append((mv0[0] - p0[0], mv0[1] - p0[1]))
         if use1:
-            p1 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 1)
+            p1 = _mv_pred_enc(st, mb, bx4, by4, w4, h4, hint, 1,
+                              cur_ref=ri1)
             mvd1.append((mv1[0] - p1[0], mv1[1] - p1[1]))
         _mark_mv_b_enc(st, bx4, by4, w4, h4,
                        mv0 if use0 else (0, 0),
-                       mv1 if use1 else (0, 0), use0, use1)
+                       mv1 if use1 else (0, 0), use0, use1,
+                       ref0=ri0, ref1=ri1)
     for dx, dy in mvd0 + mvd1:
         w.se(dx)
         w.se(dy)
     # MC every partition (direct ones per 8x8) now that MVs are final
     if kind == "bdirect":
-        use0, use1, mvs = direct_state
+        dref0, dref1, mvs = direct_state
         for i8 in range(4):
             bx4 = px4 + (i8 & 1) * 2
             by4 = py4 + (i8 >> 1) * 2
             _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
-                           use0, use1)
-            _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, 2, 2,
-                           mvs[i8][0], mvs[i8][1], use0, use1)
+                           dref0 >= 0, dref1 >= 0,
+                           ref0=max(dref0, 0), ref1=max(dref1, 0))
+            _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
+                           ref_list1[max(dref1, 0)], bx4, by4, 2, 2,
+                           mvs[i8][0], mvs[i8][1],
+                           dref0 >= 0, dref1 >= 0)
     else:
-        for k, (bx4, by4, w4, h4, hint, mode) in enumerate(plist):
+        for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
             if isinstance(mode, str) and mode.startswith("direct"):
                 i8 = int(mode[6:])
-                use0, use1, mvs = direct_state
-                _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4,
-                               2, 2, mvs[i8][0], mvs[i8][1], use0, use1)
+                dref0, dref1, mvs = direct_state
+                _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
+                               ref_list1[max(dref1, 0)], bx4, by4,
+                               2, 2, mvs[i8][0], mvs[i8][1],
+                               dref0 >= 0, dref1 >= 0)
                 continue
             use0 = mode in ("l0", "bi")
             use1 = mode in ("l1", "bi")
+            ri0, ri1 = refs0_slot[slot], refs1_slot[slot]
             mv0, mv1 = plan["mvs"][mv_idx[k]]
-            _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4,
-                           h4, mv0 or (0, 0), mv1 or (0, 0), use0, use1)
+            _mc_part_b_enc(st, ref_list0[ri0], ref_list1[ri1], bx4,
+                           by4, w4, h4, mv0 or (0, 0), mv1 or (0, 0),
+                           use0, use1)
     st.modes[py4:py4 + 4, px4:px4 + 4] = 2
     return _inter_residual_tail_b(
         w, st, y, cb, cr, mbx, mby, qp, want_qp,
@@ -1935,9 +2027,11 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
 
 def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    b_plan, frame_num, poc_lsb, deblock=False,
-                   alpha_off_div2=0, beta_off_div2=0, is_ref=False):
+                   alpha_off_div2=0, beta_off_div2=0, is_ref=False,
+                   n_ref0=1, n_ref1=1):
     """Encode one B frame against both (already deblocked) reference
-    plane sets; ``col`` is the L1 reference's _EncState (colocated
+    plane sets — single tuples or RefPicListX-ordered lists when
+    n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
     motion for spatial direct). Returns (nal, _EncState)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     st = _EncState(mbw, mbh)
@@ -1948,7 +2042,12 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
     w.u(frame_num % 16, 4)
     w.u(poc_lsb % 64, 6)
     w.u(1, 1)          # direct_spatial_mv_pred_flag (spatial)
-    w.u(0, 1)          # num_ref_idx_active_override_flag
+    if n_ref0 > 1 or n_ref1 > 1:
+        w.u(1, 1)      # num_ref_idx_active_override_flag
+        w.ue(n_ref0 - 1)
+        w.ue(n_ref1 - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)          # ref_pic_list_modification_flag_l0
     w.u(0, 1)          # ref_pic_list_modification_flag_l1
     if is_ref:
@@ -1969,14 +2068,22 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         kind = plan["kind"]
         if kind == "bskip":
             skip_pending += 1
-            use0, use1, mvs = _spatial_direct_enc(st, col, mb, mbx, mby)
+            dref0, dref1, mvs = _spatial_direct_enc(st, col, mb, mbx,
+                                                    mby)
+            rl0 = ([ref0_planes] if isinstance(ref0_planes, tuple)
+                   else list(ref0_planes))
+            rl1 = ([ref1_planes] if isinstance(ref1_planes, tuple)
+                   else list(ref1_planes))
             for i8 in range(4):
                 bx4 = mbx * 4 + (i8 & 1) * 2
                 by4 = mby * 4 + (i8 >> 1) * 2
                 _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0],
-                               mvs[i8][1], use0, use1)
-                _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4,
-                               2, 2, mvs[i8][0], mvs[i8][1], use0, use1)
+                               mvs[i8][1], dref0 >= 0, dref1 >= 0,
+                               ref0=max(dref0, 0), ref1=max(dref1, 0))
+                _mc_part_b_enc(st, rl0[max(dref0, 0)],
+                               rl1[max(dref1, 0)], bx4, by4,
+                               2, 2, mvs[i8][0], mvs[i8][1],
+                               dref0 >= 0, dref1 >= 0)
             st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
             st.mb_qp.append(cur_qp)
             st.mb_pcm.append(False)
@@ -1989,7 +2096,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         if kind in ("bdirect", "b16", "b16x8", "b8x16", "b8x8"):
             cur_qp = _encode_b_inter(w, st, ref0_planes, ref1_planes,
                                      col, y, cb, cr, mbx, mby, cur_qp,
-                                     want_qp, plan)
+                                     want_qp, plan, n_ref0=n_ref0,
+                                     n_ref1=n_ref1)
             st.mb_intra.append(False)
             st.mb_pcm.append(False)
         elif kind == "pcm":
@@ -2053,17 +2161,22 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
             st = _LAST_STATE
             frame_num = 1
         elif e["kind"] == "P":
+            ridx = e.get("refs") or [e["ref"]]
             nal, st = _encode_pframe(
-                yf, cbf, crf, recons[e["ref"]], qp, e.get("plan"),
-                frame_num, deblock, alpha_off_div2, beta_off_div2,
-                poc_lsb=poc)
+                yf, cbf, crf, [recons[i] for i in ridx], qp,
+                e.get("plan"), frame_num, deblock, alpha_off_div2,
+                beta_off_div2, poc_lsb=poc, n_ref0=len(ridx))
             frame_num += 1
         else:
             is_ref = bool(e.get("is_ref"))
+            ridx0 = e.get("refs0") or [e["ref0"]]
+            ridx1 = e.get("refs1") or [e["ref1"]]
             nal, st = _encode_bframe(
-                yf, cbf, crf, recons[e["ref0"]], recons[e["ref1"]],
-                states[e["ref1"]], qp, e.get("plan"), frame_num, poc,
-                deblock, alpha_off_div2, beta_off_div2, is_ref)
+                yf, cbf, crf, [recons[i] for i in ridx0],
+                [recons[i] for i in ridx1],
+                states[ridx1[0]], qp, e.get("plan"), frame_num, poc,
+                deblock, alpha_off_div2, beta_off_div2, is_ref,
+                n_ref0=len(ridx0), n_ref1=len(ridx1))
             if is_ref:
                 frame_num += 1
         if deblock:
