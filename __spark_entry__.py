@@ -2227,10 +2227,72 @@ _AVC_B_CASES = (
     ("j_bdirect_qp31", 31, 0, 3, 3, 24),
 )
 _AVC_B_CASE_BY_ID = {c[0]: c for c in _AVC_B_CASES}
+# r7 late wave: multi-reference chain (x264's default activates
+# several L0 refs) — I, P(1 ref), P(2 refs w/ per-partition ref_idx),
+# B(2 L0 refs + per-slot indices); the gate hashes the LAST decoded
+# frame (the B), so list construction, te(v) ref parse, refIdx-aware
+# MV prediction/direct/deblock must all be bit-exact.
+_AVC_MR_CASES = (("k_multiref_deblock26", 26, 1, 5, 3, 16),)
+_AVC_MR_CASE_BY_ID = {c[0]: c for c in _AVC_MR_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
-    + [c[0] for c in _AVC_B_CASES]
+    + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
 )
+
+
+def _avc_mr_entries(case_id: str, frames, mbw):
+    """Decode-order entries for the multi-ref gate case."""
+    def p2_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 5
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (4, -2), "refs": [0]}
+        if k == 2:
+            return {"kind": "p16", "mv": (-6, 3), "refs": [1]}
+        if k == 3:
+            return {"kind": "p16x8", "mvs": [(2, 2), (1, -5)],
+                    "refs": [1, 0]}
+        return {"kind": "p8x8", "subs": [0, 1, 2, 3],
+                "refs": [0, 1, 1, 0],
+                "mvs": [(1, 1), (2, 0), (0, 3), (-1, 2), (4, 4),
+                        (5, -1), (2, 2), (3, 3), (0, 0)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 6
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l0"],
+                    "mvs": [((6, -3), None)], "refs0": [1]}
+        if k == 3:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 5))], "refs0": [1],
+                    "refs1": [0]}
+        if k == 4:
+            return {"kind": "b16x8", "modes": ["l0", "bi"],
+                    "mvs": [((4, 0), None), ((1, 2), (-3, -1))],
+                    "refs0": [0, 1], "refs1": [0, 0]}
+        return {"kind": "b8x8",
+                "subs": ["direct", ("8x4", "l0"), ("4x8", "l1"),
+                         ("4x4", "bi")],
+                "refs0": [0, 1, 0, 1], "refs1": [0, 0, 0, 0],
+                "mvs": [((3, 1), None), ((-1, 2), None),
+                        (None, (0, 5)), (None, (2, -2)),
+                        ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                        ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0},
+        {"kind": "P", "frame": frames[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        {"kind": "P", "frame": frames[3], "refs": [1, 0], "poc": 6,
+         "plan": p2_plan},
+        {"kind": "B", "frame": frames[2], "refs0": [1, 0],
+         "refs1": [2], "poc": 4, "plan": b_plan},
+    ]
 
 
 def _avc_b_plan(case_id: str):
@@ -2342,6 +2404,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_MR_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_MR_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(4):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 211 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_mr_entries(case_id, frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_B_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_B_CASE_BY_ID[case_id]
         frames = []
@@ -2432,6 +2522,15 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_MR_CASE_BY_ID:
+        # decode order I, P1, P2(2 refs), B(2 L0 refs + 1 L1 ref)
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2],
+                              ref=[st1, st0])
+        st3 = AV.decode_frame(sps, pps, nal_or_nals[3],
+                              ref=[st1, st0], ref1=[st2])
+        return AV.frame_rgb(st3, sps)
     if case_id in _AVC_B_CASE_BY_ID:
         # decode order I, P, B: the B takes both stored references
         st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
@@ -2448,14 +2547,16 @@ def _avc_decode_rgb(case_id: str):
 
 
 def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H.264 decoder (functions/avc) constants gate: ten streams from
-    the independent fixture encoder — deblocking on/off, the completed
-    coeff_token deep tail at QP 2, per-MB QP wobble, i4/i16/PCM-mixed
-    plans, (r7) IDR + P-frame chains covering every quarter-pel phase,
-    partitions, P_Skip and MV-aware loop-filter strengths, and (r7
-    late wave) I/P/B chains exercising bi-prediction, both reference
-    lists, spatial direct incl. colZeroFlag, and two-list deblock
-    strengths — are DECODED by the engine on the executors and hashed;
+    """H.264 decoder (functions/avc) constants gate: eleven streams
+    from the independent fixture encoder — deblocking on/off, the
+    completed coeff_token deep tail at QP 2, per-MB QP wobble,
+    i4/i16/PCM-mixed plans, (r7) IDR + P-frame chains covering every
+    quarter-pel phase, partitions, P_Skip and MV-aware loop-filter
+    strengths, (r7 late wave) I/P/B chains exercising bi-prediction,
+    both reference lists, spatial direct incl. colZeroFlag, two-list
+    deblock strengths, and a MULTI-REFERENCE chain (per-partition
+    te(v) ref_idx, refIdx-aware prediction/direct/deblock) — are
+    DECODED by the engine on the executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both
