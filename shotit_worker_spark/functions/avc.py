@@ -4,9 +4,10 @@ The reference ingests only ``.mp4`` (/root/reference/watcher.js:25-29)
 and ffmpeg decodes it (/root/reference/hasher.js:78-91). functions/mp4
 demuxes the true sample table; this module entropy-decodes the frames
 of the dominant web codec so G1's sampled pixels are real — keyframes
-(r6), single-reference P frames (r7), and single-reference-per-list B
-frames with spatial direct (r7 late wave). The remaining refusal
-surface is CABAC entropy coding and the High-profile 8x8 transform
+(r6), P frames (r7), B frames with spatial direct, and multi-reference
+lists of up to 8 pictures per list (r7 late wave — x264's real-world
+default activates several). The remaining refusal surface is CABAC
+entropy coding and the High-profile 8x8 transform
 (see ROUND_NOTES: the context-init tables cannot be transcribed or
 verified in this container, so those streams keep the typed refusal
 and the labeled stub sample path).
@@ -23,11 +24,12 @@ Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
   availability per 6.4.8/9.2.1;
 - Intra_4x4 (all 9 modes), Intra_16x16 (V/H/DC/Plane + luma DC
   Hadamard), chroma 8x8 intra, I_PCM;
-- inter prediction: per-list median MV prediction with the 16x8/8x16
-  directional rules, quarter-pel 6-tap luma + eighth-pel bilinear
-  chroma interpolation, P_Skip, all P/B partitionings incl. sub-8x8,
-  bi-prediction averaging, B_Skip/B_Direct via 8.4.1.2.2 spatial
-  direct (direct_8x8_inference, colocated colZeroFlag);
+- inter prediction: per-list refIdx-matched median MV prediction with
+  the 16x8/8x16 directional rules, grouped te(v) ref_idx fields,
+  quarter-pel 6-tap luma + eighth-pel bilinear chroma interpolation,
+  P_Skip, all P/B partitionings incl. sub-8x8, bi-prediction
+  averaging, B_Skip/B_Direct via 8.4.1.2.2 spatial direct
+  (direct_8x8_inference, MinPositive refs, colocated colZeroFlag);
 - dequant (QP%6 scale tables, QP/6 shift) + the exact 4x4 integer
   inverse transform;
 - the in-loop deblocking filter (8.7): bS derivation over intra /
