@@ -1047,6 +1047,7 @@ def audio_features(
     dim: int = AUDIO_FEATURE_DIM,
     content_col: str = "content",
     path_col: str = "path",
+    resample_to: int | None = None,
 ) -> DataFrame:
     """Audio → fixed-dim feature row (the audio leg of the multimodal
     surface): (file, duration_sec, sample_rate, features: array<float>).
@@ -1063,6 +1064,12 @@ def audio_features(
     that fallback becomes load → resample → log-mel pooling at the
     same schema. Features feed the same similarity/dedup operators as
     image vectors.
+
+    ``resample_to``: convert every really-decoded clip to one common
+    rate (windowed-sinc, wavcodec.resample) before pooling — band
+    energies are rate-relative, so cross-rate dedup/similarity needs
+    this; the reported sample_rate becomes the common rate. None
+    keeps each clip's native rate (the historical behavior).
     """
     out_t = StructType(
         [
@@ -1084,19 +1091,19 @@ def audio_features(
                 real = None
                 if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                     try:
-                        real = _wav_features(content, dim)
+                        real = _wav_features(content, dim, resample_to)
                     except Exception:
                         real = None  # malformed RIFF → stub fallback
                 elif content[:4] == b"FORM" and content[8:12] in (
                     b"AIFF", b"AIFC",
                 ):
                     try:
-                        real = _aiff_features(content, dim)
+                        real = _aiff_features(content, dim, resample_to)
                     except Exception:
                         real = None  # malformed/compressed → stub
                 elif content[:4] == b"fLaC":
                     try:
-                        real = _flac_features(content, dim)
+                        real = _flac_features(content, dim, resample_to)
                     except Exception:
                         real = None  # malformed stream → stub
                 if real is not None:
@@ -1123,7 +1130,8 @@ _WAV_WIN = 1024  # analysis window (Hann) — ~23 ms at 44.1 kHz
 _WAV_HOP = 512
 
 
-def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+def _wav_features(content: bytes, dim: int,
+        resample_to: int | None = None) -> tuple[float, int, list[float]]:
     """REAL audio kernel for WAV: in-engine RIFF decode
     (functions/wavcodec — integer PCM 8/16/24/32, IEEE float, G.711
     A-law/mu-law, IMA and MS ADPCM, WAVE_FORMAT_EXTENSIBLE) → mono
@@ -1136,12 +1144,11 @@ def _wav_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
     from .wavcodec import decode_wav
 
     sr, samples = decode_wav(content)
-    n = samples.shape[0]
-    x = samples.mean(axis=1)
-    return _spectral_features(x, n, sr, dim)
+    return _pool_clip(samples, sr, dim, resample_to)
 
 
-def _aiff_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+def _aiff_features(content: bytes, dim: int,
+        resample_to: int | None = None) -> tuple[float, int, list[float]]:
     """REAL audio kernel for AIFF/AIFF-C: in-engine FORM decode
     (functions/wavcodec.decode_aiff — PCM NONE/sowt/twos at
     8/16/24/32-bit, fl32/fl64 floats, G.711 alaw/ulaw; the 80-bit
@@ -1152,11 +1159,11 @@ def _aiff_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
     from .wavcodec import decode_aiff
 
     sr, samples = decode_aiff(content)
-    n = samples.shape[0]
-    return _spectral_features(samples.mean(axis=1), n, sr, dim)
+    return _pool_clip(samples, sr, dim, resample_to)
 
 
-def _flac_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
+def _flac_features(content: bytes, dim: int,
+        resample_to: int | None = None) -> tuple[float, int, list[float]]:
     """REAL audio kernel for FLAC: in-engine lossless decode
     (functions/flac, spec-built, MD5-verified against STREAMINFO) →
     mono mix normalized by the stream's bit depth → the same spectral
@@ -1166,12 +1173,30 @@ def _flac_features(content: bytes, dim: int) -> tuple[float, int, list[float]]:
 
     bps = flac_streaminfo(content)["bits_per_sample"]
     sr, samples = decode_flac(content)
-    n = samples.shape[0]
-    if n == 0:
+    if samples.shape[0] == 0:
         raise ValueError("empty FLAC stream")
     # full-scale normalization, same convention as the WAV/AIFF kernels
-    x = samples.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
-    return _spectral_features(x, n, sr, dim)
+    x = samples.astype(np.float64) / float(1 << (bps - 1))
+    return _pool_clip(x, sr, dim, resample_to)
+
+
+def _pool_clip(
+    samples: np.ndarray, sr: int, dim: int, resample_to: int | None
+) -> tuple[float, int, list[float]]:
+    """Shared decode tail: optional common-rate conversion
+    (wavcodec.resample) then mono mix + spectral pooling. Duration is
+    measured at the NATIVE rate (conversion must not change it)."""
+    n_native = samples.shape[0]
+    duration = n_native / float(sr)
+    if resample_to and resample_to != sr:
+        from .wavcodec import resample as _rs
+
+        samples = _rs(samples, sr, resample_to)
+        sr = resample_to
+    d, srr, feats = _spectral_features(
+        samples.mean(axis=1), samples.shape[0], sr, dim
+    )
+    return duration, srr, feats
 
 
 def _spectral_features(

@@ -58,6 +58,7 @@ __all__ = [
     "ulaw_decode_table",
     "ima_adpcm_decode_block",
     "ms_adpcm_decode_block",
+    "resample",
 ]
 
 
@@ -605,3 +606,47 @@ def decode_aiff(content: bytes) -> tuple[int, np.ndarray]:
     if x.shape[0] == 0:
         raise WavError("empty AIFF sample data")
     return info["sample_rate"], x
+
+
+# ---------------------------------------------------------------------------
+# sample-rate conversion (cross-rate feature comparability)
+# ---------------------------------------------------------------------------
+
+def resample(x: np.ndarray, sr_in: int, sr_out: int,
+             taps: int = 32) -> np.ndarray:
+    """Windowed-sinc resampling of (n, ch) float samples.
+
+    Hann-windowed sinc interpolation evaluated at the exact rational
+    output instants (no intermediate upsampling grid), with the sinc
+    cutoff at min(sr_in, sr_out)/2 so downsampling low-passes first
+    (anti-aliasing) and upsampling interpolates transparently. Fully
+    vectorized: one (n_out, taps) gather + weighted sum per channel.
+
+    This feeds ``audio_features(resample_to=...)`` — band energies
+    are rate-relative, so cross-rate dedup/similarity needs a common
+    rate. A unity ratio returns the input unchanged."""
+    if sr_in <= 0 or sr_out <= 0:
+        raise WavError("resample rates must be positive")
+    if sr_in == sr_out or x.shape[0] == 0:
+        return x
+    n_in, ch = x.shape
+    n_out = max(1, int(round(n_in * sr_out / sr_in)))
+    # output instants on the input time axis
+    t = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    base = np.floor(t).astype(np.int64)
+    half = taps // 2
+    offs = np.arange(-half + 1, half + 1)  # taps window positions
+    idx = base[:, None] + offs[None, :]
+    frac = (idx - t[:, None]).astype(np.float64)  # signed distance
+    cutoff = min(1.0, sr_out / sr_in)  # relative to sr_in's Nyquist
+    arg = frac * cutoff
+    kern = cutoff * np.sinc(arg)
+    # Hann window over the tap span
+    win = 0.5 + 0.5 * np.cos(np.pi * np.clip(frac / half, -1.0, 1.0))
+    kern *= win
+    kern /= np.maximum(kern.sum(axis=1, keepdims=True), 1e-12)
+    idx = np.clip(idx, 0, n_in - 1)
+    out = np.empty((n_out, ch), dtype=np.float64)
+    for c in range(ch):
+        out[:, c] = (x[idx, c] * kern).sum(axis=1)
+    return out

@@ -421,6 +421,76 @@ def test_unpadded_odd_chunk_then_data_still_parses():
     assert np.array_equal(_to_int(y[:, 0], 16), x.astype(np.int64))
 
 
+# ---------------------------------------------------------------------------
+# resampling (cross-rate feature comparability)
+# ---------------------------------------------------------------------------
+
+def test_resample_preserves_sine():
+    from shotit_worker_spark.functions.wavcodec import resample
+
+    sr_in, sr_out, f = 8000, 16000, 440.0
+    x = np.sin(2 * np.pi * f * np.arange(8000) / sr_in)[:, None]
+    y = resample(x, sr_in, sr_out)
+    assert y.shape == (16000, 1)
+    want = np.sin(2 * np.pi * f * np.arange(16000) / sr_out)[:, None]
+    assert np.abs(y[50:-50] - want[50:-50]).max() < 1e-3
+
+
+def test_resample_antialiases_on_downsample():
+    from shotit_worker_spark.functions.wavcodec import resample
+
+    # a 7 kHz tone is above the 8 kHz target's Nyquist: it must be
+    # attenuated, not folded to 1 kHz
+    hi = np.sin(2 * np.pi * 7000 * np.arange(16000) / 16000)[:, None]
+    z = resample(hi, 16000, 8000)
+    assert float(np.sqrt((z ** 2).mean())) < 0.02  # source rms 0.707
+
+
+def test_resample_identity_and_validation():
+    from shotit_worker_spark.functions.wavcodec import resample
+
+    x = _sig(100).astype(np.float64)[:, None] / 32768.0
+    assert resample(x, 16000, 16000) is x
+    with pytest.raises(WavError):
+        resample(x, 0, 8000)
+
+
+def test_audio_features_cross_rate_comparability(spark):
+    """The same continuous signal sampled at 8 kHz and 16 kHz yields
+    near-identical features under resample_to (and very different
+    band energies without it)."""
+    from shotit_worker_spark.functions.media import audio_features
+
+    f0 = 700.0
+    dur = 0.5
+    x8 = np.rint(12000 * np.sin(
+        2 * np.pi * f0 * np.arange(int(8000 * dur)) / 8000
+    )).astype(np.int16)
+    x16 = np.rint(12000 * np.sin(
+        2 * np.pi * f0 * np.arange(int(16000 * dur)) / 16000
+    )).astype(np.int16)
+    rows = [
+        ("c/a8.wav", bytearray(WENC.encode_pcm_wav(x8, 16, 8000))),
+        ("c/a16.wav", bytearray(WENC.encode_pcm_wav(x16, 16, 16000))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["file"]: r for r in
+           audio_features(df, resample_to=16000).collect()}
+    a, b = (np.array(out["c/a8.wav"]["features"]),
+            np.array(out["c/a16.wav"]["features"]))
+    assert out["c/a8.wav"]["sample_rate"] == 16000
+    assert abs(out["c/a8.wav"]["duration_sec"] - dur) < 1e-6  # native
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999
+    # without conversion the same tone lands in different bands
+    raw = {r["file"]: np.array(r["features"]) for r in
+           audio_features(df).collect()}
+    ra, rb = raw["c/a8.wav"], raw["c/a16.wav"]
+    cos_raw = float(np.dot(ra, rb)
+                    / (np.linalg.norm(ra) * np.linalg.norm(rb)))
+    assert cos_raw < cos
+
+
 def test_truncation_fuzz_never_crashes():
     # every prefix of every format either decodes or raises WavError —
     # never an unhandled exception (the audio_features contract)
