@@ -1447,6 +1447,9 @@ class _IFrame:
         self.ref_idx1 = np.full((self.mbh * 4, self.mbw * 4), -1,
                                 dtype=np.int8)
         self.any_inter = False
+        # slice-level explicit weighted-prediction table (set by
+        # _decode_frame_inner; None = unweighted prediction)
+        self.wp = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1519,6 +1522,40 @@ class _IFrame:
         return _BLK_IDX_OF_XY[(gx % 4, gy % 4)] < cur_blk
 
 
+def _parse_pred_weight_table(r: BitReader, n_ref0: int,
+                             n_ref1: int) -> dict:
+    """pred_weight_table (7.3.3.2) -> {"d": luma_log2_denom, "dc":
+    chroma_log2_denom, "l0": [entry]*n_ref0, "l1": [entry]*n_ref1}
+    with entry = (wY, oY, wCb, oCb, wCr, oCr); absent flags give the
+    default (1 << denom, 0) identity weights."""
+    d = r.ue()
+    dc = r.ue()
+    if d > 7 or dc > 7:
+        raise AVCError("log2 weight denom out of range")
+
+    def one_list(n):
+        entries = []
+        for _ in range(n):
+            wy, oy = 1 << d, 0
+            if r.flag():  # luma_weight_flag
+                wy, oy = r.se(), r.se()
+                if not (-128 <= wy <= 127 and -128 <= oy <= 127):
+                    raise AVCError("luma weight/offset out of range")
+            wcb, ocb, wcr, ocr = 1 << dc, 0, 1 << dc, 0
+            if r.flag():  # chroma_weight_flag
+                wcb, ocb = r.se(), r.se()
+                wcr, ocr = r.se(), r.se()
+                for v in (wcb, ocb, wcr, ocr):
+                    if not -128 <= v <= 127:
+                        raise AVCError(
+                            "chroma weight/offset out of range")
+            entries.append((wy, oy, wcb, ocb, wcr, ocr))
+        return entries
+
+    return {"d": d, "dc": dc, "l0": one_list(n_ref0),
+            "l1": one_list(n_ref1)}
+
+
 def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
                        nal_ref_idc: int) -> dict:
     h: dict = {}
@@ -1577,12 +1614,18 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             raise AVCError("ref_pic_list_modification unsupported")
         if h["is_b"] and r.flag():  # ..._flag_l1
             raise AVCError("ref_pic_list_modification unsupported")
-        if pps.weighted_pred and h["is_p"]:
-            raise AVCError("weighted prediction unsupported")
-        if h["is_b"] and pps.weighted_bipred_idc != 0:
-            # idc 1 = explicit weights in the header, idc 2 = implicit
-            # POC-derived weights: both change the prediction math
-            raise AVCError("weighted biprediction unsupported")
+        h["wp"] = None
+        if (pps.weighted_pred and h["is_p"]) or (
+                h["is_b"] and pps.weighted_bipred_idc == 1):
+            # explicit weighted prediction (7.3.3.2): per-ref
+            # luma/chroma weight+offset pairs (x264's weightp emits
+            # these on fades)
+            h["wp"] = _parse_pred_weight_table(
+                r, n_ref0, n_ref1 if h["is_b"] else 0)
+        elif h["is_b"] and pps.weighted_bipred_idc == 2:
+            # implicit weights derive from POC distances, which this
+            # decoder does not track — refuse rather than mis-predict
+            raise AVCError("implicit weighted biprediction unsupported")
         if pps.constrained_intra_pred:
             # 8.3: intra prediction in P/B slices would have to mark
             # inter-coded neighbors unavailable; not implemented
@@ -1688,6 +1731,7 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     for rf in refs0 + refs1:
         if rf.mbw != st.mbw or rf.mbh != st.mbh:
             raise AVCError("reference frame geometry mismatch")
+    st.wp = h.get("wp")
     if h["is_b"]:
         if not refs0 or not refs1:
             raise AVCError(
@@ -2178,19 +2222,47 @@ def _set_mv_b(st: _IFrame, px4: int, py4: int, w4: int, h4: int,
     st.mv_done[ys, xs] = True
 
 
+def _weight_uni(patch: np.ndarray, w: int, o: int, d: int) -> np.ndarray:
+    """8.4.2.3.2 explicit uni-directional weighting of a prediction
+    patch (Clip1 back to the sample range)."""
+    if d >= 1:
+        out = ((patch * w + (1 << (d - 1))) >> d) + o
+    else:
+        out = patch * w + o
+    return np.clip(out, 0, 255)
+
+
+def _weight_bi(p0: np.ndarray, p1: np.ndarray, e0, e1, d: int,
+               plane: int) -> np.ndarray:
+    """8.4.2.3.2 explicit bi-directional weighting (plane 0 = luma
+    entry slots, 1 = Cb, 2 = Cr)."""
+    w0, o0 = e0[2 * plane], e0[2 * plane + 1]
+    w1, o1 = e1[2 * plane], e1[2 * plane + 1]
+    out = (((p0 * w0 + p1 * w1 + (1 << d)) >> (d + 1))
+           + ((o0 + o1 + 1) >> 1))
+    return np.clip(out, 0, 255)
+
+
 def _mc_partition(st: _IFrame, ref: _IFrame, px4: int, py4: int,
-                  w4: int, h4: int, mvx: int, mvy: int) -> None:
+                  w4: int, h4: int, mvx: int, mvy: int,
+                  lst: int = 0, ridx: int = 0) -> None:
     """Motion-compensate one partition from the reference frame into
     the current frame's planes (prediction only; residuals add on
-    top). Units: (px4, py4, w4, h4) in 4x4 luma blocks, MV in
-    quarter-pel luma."""
+    top), applying the slice's explicit weights when present. Units:
+    (px4, py4, w4, h4) in 4x4 luma blocks, MV in quarter-pel luma."""
     x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
-    st.Y[y:y + h, x:x + w] = _interp_luma(ref.Y, x, y, w, h, mvx, mvy)
     cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
-    st.Cb[cy:cy + ch, cx:cx + cw] = _interp_chroma(
-        ref.Cb, cx, cy, cw, ch, mvx, mvy)
-    st.Cr[cy:cy + ch, cx:cx + cw] = _interp_chroma(
-        ref.Cr, cx, cy, cw, ch, mvx, mvy)
+    py = _interp_luma(ref.Y, x, y, w, h, mvx, mvy)
+    pcb = _interp_chroma(ref.Cb, cx, cy, cw, ch, mvx, mvy)
+    pcr = _interp_chroma(ref.Cr, cx, cy, cw, ch, mvx, mvy)
+    if st.wp is not None:
+        e = st.wp["l0" if lst == 0 else "l1"][ridx]
+        py = _weight_uni(py, e[0], e[1], st.wp["d"])
+        pcb = _weight_uni(pcb, e[2], e[3], st.wp["dc"])
+        pcr = _weight_uni(pcr, e[4], e[5], st.wp["dc"])
+    st.Y[y:y + h, x:x + w] = py
+    st.Cb[cy:cy + ch, cx:cx + cw] = pcb
+    st.Cr[cy:cy + ch, cx:cx + cw] = pcr
 
 
 def _finish_inter_mb(st: _IFrame, mbx: int, mby: int, mb: int) -> None:
@@ -2278,7 +2350,8 @@ def _decode_p_mb(r: BitReader, st: _IFrame, refs0: list, pps: PPS,
         parts.append((bx4, by4, w4, h4, ri))
     for bx4, by4, w4, h4, ri in parts:
         _mc_partition(st, refs0[ri], bx4, by4, w4, h4,
-                      int(st.mvx[by4, bx4]), int(st.mvy[by4, bx4]))
+                      int(st.mvx[by4, bx4]), int(st.mvy[by4, bx4]),
+                      ridx=ri)
     _finish_inter_mb(st, mbx, mby, mb)
 
     code = r.ue()
@@ -2402,27 +2475,39 @@ _B_SHAPES = {"8x8": [(0, 0, 2, 2)],
 
 def _mc_partition_b(st: _IFrame, ref0, ref1, px4: int, py4: int,
                     w4: int, h4: int, mv0, mv1, use0: bool,
-                    use1: bool) -> None:
+                    use1: bool, ri0: int = 0, ri1: int = 0) -> None:
     """Motion-compensate one B partition: uni-directional from either
-    list, or the default bi-prediction average (8.4.2.3,
-    weighted_bipred_idc 0: (p0 + p1 + 1) >> 1 per sample)."""
+    list, or bi-prediction — the default average (8.4.2.3,
+    weighted_bipred_idc 0: (p0 + p1 + 1) >> 1 per sample) or the
+    explicit weighted combine when the slice carries a table."""
     x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
     cx, cy, cw, ch = x >> 1, y >> 1, w >> 1, h >> 1
     if use0 and use1:
         y0 = _interp_luma(ref0.Y, x, y, w, h, mv0[0], mv0[1])
         y1 = _interp_luma(ref1.Y, x, y, w, h, mv1[0], mv1[1])
-        st.Y[y:y + h, x:x + w] = (y0 + y1 + 1) >> 1
-        for plane, r0p, r1p in (("Cb", ref0.Cb, ref1.Cb),
-                                ("Cr", ref0.Cr, ref1.Cr)):
-            c0 = _interp_chroma(r0p, cx, cy, cw, ch, mv0[0], mv0[1])
-            c1 = _interp_chroma(r1p, cx, cy, cw, ch, mv1[0], mv1[1])
-            getattr(st, plane)[cy:cy + ch, cx:cx + cw] = (
-                c0 + c1 + 1
-            ) >> 1
+        c0b = _interp_chroma(ref0.Cb, cx, cy, cw, ch, mv0[0], mv0[1])
+        c1b = _interp_chroma(ref1.Cb, cx, cy, cw, ch, mv1[0], mv1[1])
+        c0r = _interp_chroma(ref0.Cr, cx, cy, cw, ch, mv0[0], mv0[1])
+        c1r = _interp_chroma(ref1.Cr, cx, cy, cw, ch, mv1[0], mv1[1])
+        if st.wp is not None:
+            e0 = st.wp["l0"][ri0]
+            e1 = st.wp["l1"][ri1]
+            st.Y[y:y + h, x:x + w] = _weight_bi(
+                y0, y1, e0, e1, st.wp["d"], 0)
+            st.Cb[cy:cy + ch, cx:cx + cw] = _weight_bi(
+                c0b, c1b, e0, e1, st.wp["dc"], 1)
+            st.Cr[cy:cy + ch, cx:cx + cw] = _weight_bi(
+                c0r, c1r, e0, e1, st.wp["dc"], 2)
+        else:
+            st.Y[y:y + h, x:x + w] = (y0 + y1 + 1) >> 1
+            st.Cb[cy:cy + ch, cx:cx + cw] = (c0b + c1b + 1) >> 1
+            st.Cr[cy:cy + ch, cx:cx + cw] = (c0r + c1r + 1) >> 1
+    elif use0:
+        _mc_partition(st, ref0, px4, py4, w4, h4, mv0[0], mv0[1],
+                      lst=0, ridx=ri0)
     else:
-        ref = ref0 if use0 else ref1
-        mv = mv0 if use0 else mv1
-        _mc_partition(st, ref, px4, py4, w4, h4, mv[0], mv[1])
+        _mc_partition(st, ref1, px4, py4, w4, h4, mv1[0], mv1[1],
+                      lst=1, ridx=ri1)
 
 
 def _spatial_direct(st: _IFrame, col: _IFrame, mb: int, mbx: int,
@@ -2494,7 +2579,8 @@ def _apply_direct_8x8(st: _IFrame, refs0, refs1, mbx: int, mby: int,
               ref0=max(dref0, 0), ref1=max(dref1, 0))
     _mc_partition_b(st, refs0[max(dref0, 0)] if use0 else None,
                     refs1[max(dref1, 0)] if use1 else None,
-                    bx4, by4, 2, 2, mv0, mv1, use0, use1)
+                    bx4, by4, 2, 2, mv0, mv1, use0, use1,
+                    ri0=max(dref0, 0), ri1=max(dref1, 0))
 
 
 def _decode_bskip(st: _IFrame, refs0: list, refs1: list, mb: int,
@@ -2646,7 +2732,8 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
                   ref0=ri0 if use0 else 0, ref1=ri1 if use1 else 0)
         _mc_partition_b(st, refs0[ri0] if use0 else None,
                         refs1[ri1] if use1 else None,
-                        bx4, by4, w4, h4, mv0, mv1, use0, use1)
+                        bx4, by4, w4, h4, mv0, mv1, use0, use1,
+                        ri0=ri0, ri1=ri1)
     if shape == "direct":
         dref0, dref1, mvs = direct_state
         for i8 in range(4):

@@ -518,6 +518,135 @@ def test_g1_multi_ref_chain_in_mp4(spark):
         assert np.array_equal(got, want_rgb(recons[recon_idx])), slot
 
 
+def _wp_entries(mbw, mbh, seed=900):
+    f = [_planes(seed + i, mbw, mbh) for i in range(3)]
+    wp = {"d": 6, "dc": 5, "l0": [(48, 5, 28, -3, 36, 7)]}
+    wb = {"d": 5, "dc": 4, "l0": [(40, -4, 12, 2, 20, 0)],
+          "l1": [(24, 6, 18, 1, 14, -2)]}
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby) % 3
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (5, -2)}
+        return {"kind": "p16x8", "mvs": [(1, 1), (-3, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))]}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (4, -1))]}
+        return {"kind": "bdirect"}
+
+    return [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": p_plan, "weights": wp},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": b_plan, "weights": wb},
+    ]
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_weighted_prediction_round_trip(deblock):
+    """Explicit weighted prediction (x264's weightp on fades): a P
+    slice with luma+chroma weights/offsets (incl. P_Skip under
+    weights) and a B slice with an explicit bi combine — bit-exact
+    vs the encoder's reconstruction."""
+    entries = _wp_entries(4, 3)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock
+    )
+    pps = avc.parse_pps(pps_nal)
+    assert pps.weighted_pred and pps.weighted_bipred_idc == 1
+    _sps, _pps, states = _decode_seq(
+        sps_nal, pps_nal, nals, [(None, None), (0, None), (0, 1)]
+    )
+    _assert_exact(states, recons)
+
+
+def test_weighted_prediction_hand_value():
+    """8.4.2.3.2 arithmetic pinned by hand: a flat-128 reference
+    through w=96, d=6 (x1.5), o=10 predicts exactly
+    ((128*96 + 32) >> 6) + 10 = 202 on every sample of a zero-MV
+    residual-free P_16x16."""
+    mbw, mbh = 2, 2
+    flat = (np.full((mbh * 16, mbw * 16), 128, np.int64),
+            np.full((mbh * 8, mbw * 8), 128, np.int64),
+            np.full((mbh * 8, mbw * 8), 128, np.int64))
+    wp = {"d": 6, "dc": 6, "l0": [(96, 10, 96, 10, 96, 10)]}
+    entries = [
+        {"kind": "I", "frame": flat, "poc": 0,
+         "plan": lambda x, y: "i16"},
+        {"kind": "P", "frame": flat, "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (0, 0),
+                               "code": False, "cbp_chroma": 0},
+         "weights": wp},
+    ]
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=26)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    assert int(st0.Y[0, 0]) == 128  # flat I frame reconstructs flat
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    assert np.all(st1.Y == ((128 * 96 + 32) >> 6) + 10)
+    assert np.all(st1.Cb == ((128 * 96 + 32) >> 6) + 10)
+
+
+def test_weighted_identity_table_for_unweighted_slices():
+    """With PPS weighted_pred set, weight-less slices carry the
+    identity table (d=0, w=1, o=0) and must reconstruct exactly like
+    the unweighted encoding of the same content."""
+    mbw, mbh = 3, 2
+    f = [_planes(950 + i, mbw, mbh) for i in range(2)]
+    plan = (lambda x, y: {"kind": "p16", "mv": (3, -1)})
+    base_entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2, "plan": plan},
+    ]
+    # same stream, but another weighted P forces the PPS flag on
+    wp_entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2, "plan": plan},
+        {"kind": "P", "frame": f[1], "ref": 1, "poc": 4,
+         "plan": plan, "weights": {"d": 1, "dc": 1,
+                                   "l0": [(2, 0, 2, 0, 2, 0)]}},
+    ]
+    _s0, _p0, nals0, recons0, _ = ENC.encode_bseq(base_entries, qp=25)
+    s1, p1, nals1, recons1, _ = ENC.encode_bseq(wp_entries, qp=25)
+    assert np.array_equal(recons0[1][0], recons1[1][0])  # identity
+    sps = avc.parse_sps(s1)
+    pps = avc.parse_pps(p1)
+    st0 = avc.decode_frame(sps, pps, nals1[0])
+    st1 = avc.decode_frame(sps, pps, nals1[1], ref=st0)
+    assert np.array_equal(st1.Y, recons1[1][0])
+    st2 = avc.decode_frame(sps, pps, nals1[2], ref=st1)
+    assert np.array_equal(st2.Y, recons1[2][0])
+
+
+def test_implicit_weighted_bipred_refuses():
+    mbw, mbh = 2, 2
+    f = [_planes(77 + i, mbw, mbh) for i in range(3)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4, "plan": None},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2},
+    ]
+    sps_nal, _pps_nal, nals, _r, _ = ENC.encode_bseq(entries)
+    sps = avc.parse_sps(sps_nal)
+    pps2 = avc.parse_pps(ENC.write_pps(26, weighted_bipred_idc=2))
+    st0 = avc.decode_frame(sps, pps2, nals[0])
+    st1 = avc.decode_frame(sps, pps2, nals[1], ref=st0)
+    with pytest.raises(avc.AVCError, match="implicit"):
+        avc.decode_frame(sps, pps2, nals[2], ref=st0, ref1=st1)
+
+
 def test_b_deblock_bs_uses_both_lists():
     """bS derivation over bi-predicted blocks: a pred-flags mismatch
     or an L1-only MV jump of >= 4 quarter-pels must trigger bS 1."""

@@ -145,7 +145,8 @@ def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0,
     return make_nal(3, 7, w.to_rbsp())
 
 
-def write_pps(pic_init_qp: int = 26) -> bytes:
+def write_pps(pic_init_qp: int = 26, weighted_pred: int = 0,
+              weighted_bipred_idc: int = 0) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
@@ -154,8 +155,8 @@ def write_pps(pic_init_qp: int = 26) -> bytes:
     w.ue(0)      # num_slice_groups_minus1
     w.ue(0)      # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)    # weighted_pred
-    w.u(0, 2)    # weighted_bipred_idc
+    w.u(weighted_pred, 1)
+    w.u(weighted_bipred_idc, 2)
     w.se(pic_init_qp - 26)
     w.se(0)      # pic_init_qs
     w.se(0)      # chroma_qp_index_offset
@@ -1458,16 +1459,65 @@ def _mc_mb_parts(st, ref_planes, parts):
     — writes straight into st planes; residual reconstruction adds on
     top afterwards."""
     ry, rcb, rcr = ref_planes
+    wp = getattr(st, "wp_enc", None)
     for px4, py4, w4, h4 in parts:
         mvx = int(st.mvx[py4, px4])
         mvy = int(st.mvy[py4, px4])
+        ri = max(int(st.ri0[py4, px4]), 0)
         x, y, w, h = px4 * 4, py4 * 4, w4 * 4, h4 * 4
-        st.Y[y:y + h, x:x + w] = _mc_luma_enc(ry, x, y, w, h, mvx, mvy)
         cx, cy, cw, ch = x // 2, y // 2, w // 2, h // 2
-        st.Cb[cy:cy + ch, cx:cx + cw] = _mc_chroma_enc(
-            rcb, cx, cy, cw, ch, mvx, mvy)
-        st.Cr[cy:cy + ch, cx:cx + cw] = _mc_chroma_enc(
-            rcr, cx, cy, cw, ch, mvx, mvy)
+        py_p = _mc_luma_enc(ry, x, y, w, h, mvx, mvy)
+        pcb = _mc_chroma_enc(rcb, cx, cy, cw, ch, mvx, mvy)
+        pcr = _mc_chroma_enc(rcr, cx, cy, cw, ch, mvx, mvy)
+        if wp is not None:
+            e = _wp_entry(wp, 0, ri)
+            py_p = _w_uni_enc(py_p, e[0], e[1], wp["d"])
+            pcb = _w_uni_enc(pcb, e[2], e[3], wp["dc"])
+            pcr = _w_uni_enc(pcr, e[4], e[5], wp["dc"])
+        st.Y[y:y + h, x:x + w] = py_p
+        st.Cb[cy:cy + ch, cx:cx + cw] = pcb
+        st.Cr[cy:cy + ch, cx:cx + cw] = pcr
+
+
+def _write_pred_weight_table(w, wp, n_ref0, n_ref1):
+    """pred_weight_table writer (7.3.3.2); ``wp`` is {"d", "dc",
+    "l0": [entry-or-None]*n_ref0, "l1": [...]} with entry =
+    (wY, oY, wCb, oCb, wCr, oCr); None writes default-flag zeros."""
+    w.ue(wp["d"])
+    w.ue(wp["dc"])
+    for n, key in ((n_ref0, "l0"), (n_ref1, "l1")):
+        ents = wp.get(key) or [None] * n
+        for i in range(n):
+            e = ents[i] if i < len(ents) else None
+            if e is None:
+                w.u(0, 1)  # luma_weight_flag
+                w.u(0, 1)  # chroma_weight_flag
+                continue
+            w.u(1, 1)
+            w.se(e[0])
+            w.se(e[1])
+            w.u(1, 1)
+            w.se(e[2])
+            w.se(e[3])
+            w.se(e[4])
+            w.se(e[5])
+
+
+def _wp_entry(wp, lst, ridx):
+    ents = wp.get("l0" if lst == 0 else "l1") or []
+    e = ents[ridx] if ridx < len(ents) else None
+    if e is None:
+        d, dc = wp["d"], wp["dc"]
+        return (1 << d, 0, 1 << dc, 0, 1 << dc, 0)
+    return e
+
+
+def _w_uni_enc(patch, wgt, off, d):
+    if d >= 1:
+        out = ((patch * wgt + (1 << (d - 1))) >> d) + off
+    else:
+        out = patch * wgt + off
+    return np.clip(out, 0, 255)
 
 
 def _te_write(w, v, cmax):
@@ -1599,7 +1649,7 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
 
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
-                   poc_lsb=None, n_ref0=1):
+                   poc_lsb=None, n_ref0=1, weights=None):
     """Encode one P frame against the (already deblocked) reference
     planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
     order when ``n_ref0`` > 1 (the slice header then writes the
@@ -1620,7 +1670,10 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
     else:
         w.u(0, 1)
     w.u(0, 1)     # ref_pic_list_modification_flag_l0
+    if weights is not None:  # PPS must set weighted_pred
+        _write_pred_weight_table(w, weights, n_ref0, 0)
     w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
+    st.wp_enc = weights
     slice_qp = qp
     w.se(slice_qp - 26)
     if deblock:
@@ -1801,10 +1854,13 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
 
 
 def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
-                   mv0, mv1, use0, use1):
-    """MC one B partition into st planes (bi = (p0 + p1 + 1) >> 1)."""
+                   mv0, mv1, use0, use1, ri0=0, ri1=0):
+    """MC one B partition into st planes: plain average bi (or the
+    explicit weighted combine when st.wp_enc is set), weighted
+    uni-directional otherwise."""
     x, y, w, h = bx4 * 4, by4 * 4, w4 * 4, h4 * 4
     cx, cy, cw, ch = x // 2, y // 2, w // 2, h // 2
+    wp = getattr(st, "wp_enc", None)
     outs = []
     for use, mv, planes in ((use0, mv0, ref0_planes),
                             (use1, mv1, ref1_planes)):
@@ -1817,11 +1873,33 @@ def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
             _mc_chroma_enc(rcr, cx, cy, cw, ch, mv[0], mv[1]),
         ))
     if len(outs) == 2:
-        py = (outs[0][0] + outs[1][0] + 1) >> 1
-        pcb = (outs[0][1] + outs[1][1] + 1) >> 1
-        pcr = (outs[0][2] + outs[1][2] + 1) >> 1
+        if wp is not None:
+            e0 = _wp_entry(wp, 0, ri0)
+            e1 = _wp_entry(wp, 1, ri1)
+            d, dc = wp["d"], wp["dc"]
+
+            def bi(p0, p1, plane, dd):
+                w0, o0 = e0[2 * plane], e0[2 * plane + 1]
+                w1, o1 = e1[2 * plane], e1[2 * plane + 1]
+                return np.clip(
+                    ((p0 * w0 + p1 * w1 + (1 << dd)) >> (dd + 1))
+                    + ((o0 + o1 + 1) >> 1), 0, 255)
+
+            py = bi(outs[0][0], outs[1][0], 0, d)
+            pcb = bi(outs[0][1], outs[1][1], 1, dc)
+            pcr = bi(outs[0][2], outs[1][2], 2, dc)
+        else:
+            py = (outs[0][0] + outs[1][0] + 1) >> 1
+            pcb = (outs[0][1] + outs[1][1] + 1) >> 1
+            pcr = (outs[0][2] + outs[1][2] + 1) >> 1
     else:
         py, pcb, pcr = outs[0]
+        if wp is not None:
+            lst = 0 if use0 else 1
+            e = _wp_entry(wp, lst, ri0 if use0 else ri1)
+            py = _w_uni_enc(py, e[0], e[1], wp["d"])
+            pcb = _w_uni_enc(pcb, e[2], e[3], wp["dc"])
+            pcr = _w_uni_enc(pcr, e[4], e[5], wp["dc"])
     st.Y[y:y + h, x:x + w] = py
     st.Cb[cy:cy + ch, cx:cx + cw] = pcb
     st.Cr[cy:cy + ch, cx:cx + cw] = pcr
@@ -2001,7 +2079,8 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
             _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
                            ref_list1[max(dref1, 0)], bx4, by4, 2, 2,
                            mvs[i8][0], mvs[i8][1],
-                           dref0 >= 0, dref1 >= 0)
+                           dref0 >= 0, dref1 >= 0,
+                           ri0=max(dref0, 0), ri1=max(dref1, 0))
     else:
         for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
             if isinstance(mode, str) and mode.startswith("direct"):
@@ -2010,7 +2089,8 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
                 _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
                                ref_list1[max(dref1, 0)], bx4, by4,
                                2, 2, mvs[i8][0], mvs[i8][1],
-                               dref0 >= 0, dref1 >= 0)
+                               dref0 >= 0, dref1 >= 0,
+                               ri0=max(dref0, 0), ri1=max(dref1, 0))
                 continue
             use0 = mode in ("l0", "bi")
             use1 = mode in ("l1", "bi")
@@ -2018,7 +2098,7 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
             mv0, mv1 = plan["mvs"][mv_idx[k]]
             _mc_part_b_enc(st, ref_list0[ri0], ref_list1[ri1], bx4,
                            by4, w4, h4, mv0 or (0, 0), mv1 or (0, 0),
-                           use0, use1)
+                           use0, use1, ri0=ri0, ri1=ri1)
     st.modes[py4:py4 + 4, px4:px4 + 4] = 2
     return _inter_residual_tail_b(
         w, st, y, cb, cr, mbx, mby, qp, want_qp,
@@ -2028,7 +2108,7 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
 def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    b_plan, frame_num, poc_lsb, deblock=False,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
-                   n_ref0=1, n_ref1=1):
+                   n_ref0=1, n_ref1=1, weights=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
@@ -2050,6 +2130,9 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         w.u(0, 1)
     w.u(0, 1)          # ref_pic_list_modification_flag_l0
     w.u(0, 1)          # ref_pic_list_modification_flag_l1
+    if weights is not None:  # PPS must say weighted_bipred_idc 1
+        _write_pred_weight_table(w, weights, n_ref0, n_ref1)
+    st.wp_enc = weights
     if is_ref:
         w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
     slice_qp = qp
@@ -2083,7 +2166,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                 _mc_part_b_enc(st, rl0[max(dref0, 0)],
                                rl1[max(dref1, 0)], bx4, by4,
                                2, 2, mvs[i8][0], mvs[i8][1],
-                               dref0 >= 0, dref1 >= 0)
+                               dref0 >= 0, dref1 >= 0,
+                               ri0=max(dref0, 0), ri1=max(dref1, 0))
             st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
             st.mb_qp.append(cur_qp)
             st.mb_pcm.append(False)
@@ -2142,7 +2226,11 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
     mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
     sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
                     poc_type=0, num_ref_frames=2, direct_8x8=1)
-    pps = write_pps(26)
+    any_wp = any(e.get("weights") is not None for e in entries)
+    any_wb = any(e.get("weights") is not None and e["kind"] == "B"
+                 for e in entries)
+    pps = write_pps(26, weighted_pred=1 if any_wp else 0,
+                    weighted_bipred_idc=1 if any_wb else 0)
     global _LAST_STATE
     nals = []
     recons = []
@@ -2162,21 +2250,31 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
             frame_num = 1
         elif e["kind"] == "P":
             ridx = e.get("refs") or [e["ref"]]
+            wts = e.get("weights")
+            if wts is None and any_wp:
+                # PPS weighted_pred covers the whole stream: slices
+                # without explicit weights carry the identity table
+                wts = {"d": 0, "dc": 0}
             nal, st = _encode_pframe(
                 yf, cbf, crf, [recons[i] for i in ridx], qp,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
-                beta_off_div2, poc_lsb=poc, n_ref0=len(ridx))
+                beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
+                weights=wts)
             frame_num += 1
         else:
             is_ref = bool(e.get("is_ref"))
             ridx0 = e.get("refs0") or [e["ref0"]]
             ridx1 = e.get("refs1") or [e["ref1"]]
+            wts = e.get("weights")
+            if wts is None and any_wb:
+                wts = {"d": 0, "dc": 0}
             nal, st = _encode_bframe(
                 yf, cbf, crf, [recons[i] for i in ridx0],
                 [recons[i] for i in ridx1],
                 states[ridx1[0]], qp, e.get("plan"), frame_num, poc,
                 deblock, alpha_off_div2, beta_off_div2, is_ref,
-                n_ref0=len(ridx0), n_ref1=len(ridx1))
+                n_ref0=len(ridx0), n_ref1=len(ridx1),
+                weights=wts)
             if is_ref:
                 frame_num += 1
         if deblock:
