@@ -17,7 +17,9 @@ Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
 - Annex-B/avcC NAL handling: emulation-prevention unescape (03 strip),
   RBSP bit reader, ue(v)/se(v) Exp-Golomb;
 - SPS/PPS parse (incl. POC types, direct_8x8_inference, per-list
-  num_ref_idx defaults, weighted-prediction flags — refused when set);
+  num_ref_idx defaults, weighted-prediction flags) and the explicit
+  pred_weight_table (8.4.2.3.2 uni + bi weighting; implicit
+  POC-derived bipred refuses);
 - CAVLC entropy coding: complete coeff_token (incl. the deep
   TotalCoeff >= 13 tail) / trailing ones / level prefix-suffix /
   total_zeros / run_before tables, nC context with within-MB
