@@ -2234,10 +2234,51 @@ _AVC_B_CASE_BY_ID = {c[0]: c for c in _AVC_B_CASES}
 # MV prediction/direct/deblock must all be bit-exact.
 _AVC_MR_CASES = (("k_multiref_deblock26", 26, 1, 5, 3, 16),)
 _AVC_MR_CASE_BY_ID = {c[0]: c for c in _AVC_MR_CASES}
+# explicit weighted prediction (x264 weightp fades): I, weighted P
+# (luma+chroma weights/offsets incl. P_Skip under the table),
+# weighted-bi B; the gate hashes the B frame
+_AVC_WP_CASES = (("l_weighted_deblock26", 26, 1, 4, 3, 16),)
+_AVC_WP_CASE_BY_ID = {c[0]: c for c in _AVC_WP_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
+    + [c[0] for c in _AVC_WP_CASES]
 )
+
+
+def _avc_wp_entries(frames, mbw):
+    """Decode-order entries for the weighted-prediction gate case."""
+    wp = {"d": 6, "dc": 5, "l0": [(48, 5, 28, -3, 36, 7)]}
+    wb = {"d": 5, "dc": 4, "l0": [(40, -4, 12, 2, 20, 0)],
+          "l1": [(24, 6, 18, 1, 14, -2)]}
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby) % 3
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (5, -2)}
+        return {"kind": "p16x8", "mvs": [(1, 1), (-3, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))]}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (4, -1))]}
+        return {"kind": "bdirect"}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0},
+        {"kind": "P", "frame": frames[2], "ref": 0, "poc": 4,
+         "plan": p_plan, "weights": wp},
+        {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
+         "poc": 2, "plan": b_plan, "weights": wb},
+    ]
 
 
 def _avc_mr_entries(case_id: str, frames, mbw):
@@ -2404,6 +2445,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_WP_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_WP_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(3):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 241 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_wp_entries(frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the weighted-bi B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_MR_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_MR_CASE_BY_ID[case_id]
         frames = []
@@ -2522,6 +2591,13 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_WP_CASE_BY_ID:
+        # decode order I, weighted P, weighted-bi B
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2], ref=st0,
+                              ref1=st1)
+        return AV.frame_rgb(st2, sps)
     if case_id in _AVC_MR_CASE_BY_ID:
         # decode order I, P1, P2(2 refs), B(2 L0 refs + 1 L1 ref)
         st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
@@ -2547,16 +2623,18 @@ def _avc_decode_rgb(case_id: str):
 
 
 def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H.264 decoder (functions/avc) constants gate: eleven streams
+    """H.264 decoder (functions/avc) constants gate: streams
     from the independent fixture encoder — deblocking on/off, the
     completed coeff_token deep tail at QP 2, per-MB QP wobble,
     i4/i16/PCM-mixed plans, (r7) IDR + P-frame chains covering every
     quarter-pel phase, partitions, P_Skip and MV-aware loop-filter
     strengths, (r7 late wave) I/P/B chains exercising bi-prediction,
     both reference lists, spatial direct incl. colZeroFlag, two-list
-    deblock strengths, and a MULTI-REFERENCE chain (per-partition
-    te(v) ref_idx, refIdx-aware prediction/direct/deblock) — are
-    DECODED by the engine on the executors and hashed;
+    deblock strengths, a MULTI-REFERENCE chain (per-partition te(v)
+    ref_idx, refIdx-aware prediction/direct/deblock), and a WEIGHTED
+    chain (explicit pred_weight_table: weighted P fade incl. skips,
+    explicit-bi B) — twelve streams DECODED by the engine on the
+    executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both

@@ -647,6 +647,37 @@ def test_implicit_weighted_bipred_refuses():
         avc.decode_frame(sps, pps2, nals[2], ref=st0, ref1=st1)
 
 
+def test_b_weighted_multiref_bitflip_fuzz():
+    """Corrupt-stream posture over the new syntax surface: bit flips
+    anywhere in a weighted multi-ref B/P NAL either decode (the flip
+    landed in a benign spot) or raise AVCError — never an unhandled
+    exception."""
+    entries = _multi_ref_entries(4, 2, seed=1100)
+    entries[2]["weights"] = {"d": 5, "dc": 4,
+                             "l0": [(40, -4, 12, 2, 20, 0), None]}
+    entries[3]["weights"] = {"d": 4, "dc": 4,
+                             "l0": [(20, 1, 16, 0, 16, 0), None],
+                             "l1": [(12, -2, 16, 0, 16, 0)]}
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=28)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=[st1, st0])
+    rng = np.random.default_rng(23)
+    for target, kwargs in ((nals[2], {"ref": [st1, st0]}),
+                           (nals[3], {"ref": [st1, st0],
+                                      "ref1": [st2]})):
+        for _ in range(80):
+            bad = bytearray(target)
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                avc.decode_frame(sps, pps, bytes(bad), **kwargs)
+            except avc.AVCError:
+                pass
+
+
 def test_b_deblock_bs_uses_both_lists():
     """bS derivation over bi-predicted blocks: a pred-flags mismatch
     or an L1-only MV jump of >= 4 quarter-pels must trigger bS 1."""
