@@ -386,8 +386,6 @@ class _AvcGopCursor:
     returns None -> the caller's stub) instead of re-walking the
     broken chain per sample."""
 
-    _DPB = 4  # plenty for single-ref-per-list streams
-
     def __init__(self, content: bytes, track):
         from . import avc as AV
 
@@ -395,6 +393,15 @@ class _AvcGopCursor:
         self._nls = track.nal_length_size
         self.sps = AV.parse_sps(track.sps[0])
         self.pps = AV.parse_pps(track.pps[0])
+        # DPB capacity: honor the stream's declared sliding-window
+        # size (SPS max_num_ref_frames, §8.2.5.3 keeps the N most
+        # recent references) up to the spec ceiling of 16, with a
+        # floor of 8 so a slice activating up to the decoder's
+        # 8-refs-per-list support always finds its references even
+        # when the SPS under-declares. Keeping MORE than the window
+        # is harmless: default lists order by recency/pts, so the
+        # head entries a slice can activate are unchanged.
+        self._dpb = max(8, min(16, self.sps.num_ref_frames))
         self._decode_list = sorted(track.samples, key=lambda s: s.index)
         self._pos_of_index = {
             s.index: p for p, s in enumerate(self._decode_list)
@@ -478,7 +485,7 @@ class _AvcGopCursor:
                     if s.keyframe:
                         self._refs = []  # IDR empties the DPB
                     self._refs.append((s.pts, st))
-                    self._refs = self._refs[-self._DPB:]
+                    self._refs = self._refs[-self._dpb:]
                 self._state = st
                 self._pos = p
         except (AV.AVCError, MP.MP4Error):

@@ -102,6 +102,24 @@ class BloomFilter:
         self.m = m
         self.k = k
         self.bitmap = bitmap
+        self._bc = None      # cached broadcast of the bitmap
+        self._bc_sc = None   # ... and the SparkContext it belongs to
+
+    def broadcast_bitmap(self, sc):
+        """One broadcast of the bitmap per SparkContext, cached on the
+        instance: probing many DataFrames against the same filter
+        reuses a single broadcast instead of shipping (and leaking)
+        one bitmap copy per :func:`bloom_probe` call."""
+        if self._bc is not None and self._bc_sc is sc:
+            return self._bc
+        if self._bc is not None:
+            try:
+                self._bc.unpersist(blocking=False)
+            except Exception:
+                pass  # context already stopped
+        self._bc = sc.broadcast(self.bitmap.tobytes())
+        self._bc_sc = sc
+        return self._bc
 
     def might_contain_local(self, values, spark: SparkSession) -> list:
         """Driver-side convenience probe for a SMALL value list (uses
@@ -178,10 +196,12 @@ def bloom_probe(
 ) -> DataFrame:
     """Adds a boolean ``out_col``: True iff all k bits are set (so
     False is DEFINITELY-absent; True is present-or-false-positive at
-    the filter's fpp). Bitmap ships once per executor via broadcast;
-    positions are computed JVM-side."""
+    the filter's fpp). Bitmap ships once per executor via a broadcast
+    cached on the BloomFilter instance (one per SparkContext, so
+    probing many DataFrames reuses it); positions are computed
+    JVM-side."""
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(bloom.bitmap.tobytes())
+    bc = bloom.broadcast_bitmap(sc)
     k = bloom.k
 
     @F.pandas_udf(BooleanType())
@@ -318,7 +338,13 @@ def bloom_dedup_incremental(
     bloom is a pure pruning step); ``verify=False`` trades the
     verify join for dropping ~fpp of genuinely-new rows (documented
     lossy mode for frontier-style dedup where a false drop is
-    harmless)."""
+    harmless).
+
+    The returned DataFrame is persisted and already materialized (the
+    bloom bitmap cache this function builds internally is unpersisted
+    before returning, so repeated incremental calls don't accumulate
+    bitmap tables in executor storage); the CALLER owns the returned
+    cache and should ``unpersist()`` it when done."""
     if expected_items is None:
         expected_items = max(1, manifest.count())
     bloom_df = build_partitioned_bloom(
@@ -328,11 +354,19 @@ def bloom_dedup_incremental(
     probed = partitioned_bloom_probe(new_docs, key_col, bloom_df, "__hit")
     fresh = probed.filter(~F.col("__hit")).drop("__hit")
     if not verify:
-        return fresh
-    suspects = probed.filter(F.col("__hit")).drop("__hit")
-    verified = suspects.join(
-        manifest.select(F.col(key_col)).distinct(),
-        on=key_col,
-        how="left_anti",
-    )
-    return fresh.unionByName(verified)
+        result = fresh
+    else:
+        suspects = probed.filter(F.col("__hit")).drop("__hit")
+        verified = suspects.join(
+            manifest.select(F.col(key_col)).distinct(),
+            on=key_col,
+            how="left_anti",
+        )
+        result = fresh.unionByName(verified)
+    # Materialize the result while the bitmap cache is still live,
+    # then release the bitmaps: downstream actions read the persisted
+    # result, never the bloom lineage again.
+    result = result.persist()
+    result.count()
+    bloom_df.unpersist(blocking=False)
+    return result

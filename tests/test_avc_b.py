@@ -698,3 +698,75 @@ def test_b_deblock_bs_uses_both_lists():
     # flags mismatch (bi vs L0-only) -> 1 even with equal MVs
     st.pred_flags[0:4, 4:8] = 1
     assert avc._bs_luma(st, 3, 0, 4, 0, True) == 1
+
+
+def test_g1_five_ref_chain_exceeds_old_dpb(spark):
+    """ADVICE r8: the GOP cursor's DPB must hold enough references
+    for the decoder's 8-per-list support (the old hardcoded cap of 4
+    stubbed any slice activating 5+). A P frame activating 5 L0
+    references decodes to real pixels end-to-end."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    mbw, mbh = 3, 2
+    f = [_planes(900 + i, mbw, mbh) for i in range(6)]
+
+    def plan(mbx, mby):
+        k = (mbx + mby * mbw) % 6
+        if k == 5:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (1 + k, -k), "refs": [k]}
+
+    entries = [{"kind": "I", "frame": f[0], "poc": 0}] + [
+        {"kind": "P", "frame": f[i], "ref": i - 1, "poc": 2 * i,
+         "plan": lambda x, y: {"kind": "p16", "mv": (2, 1)}}
+        for i in range(1, 5)
+    ] + [
+        {"kind": "P", "frame": f[5], "refs": [4, 3, 2, 1, 0],
+         "poc": 10, "plan": plan},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    assert sps.num_ref_frames == 5  # honest sliding-window declaration
+    timescale = 12000
+    dt = timescale // 6
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        deltas=[dt] * 6,
+        timescale=timescale,
+        keyframes=[0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/fiveref.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=6.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 6
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    # slot i at t=(i+0.5)/6 lands inside frame i's display interval
+    got_last = IC.decode_image(bytes(rows[5]["image"]))
+    assert np.array_equal(got_last, want_rgb(recons[5]))
+    got_first = IC.decode_image(bytes(rows[0]["image"]))
+    assert np.array_equal(got_first, want_rgb(recons[0]))

@@ -136,3 +136,43 @@ def test_incremental_dedup_lossy_mode_never_keeps_seen(spark):
     seen = {f"seen{i}" for i in range(200)}
     assert not (kept & seen)  # no false negatives -> no seen row kept
     assert len(kept) >= 380  # may drop ~fpp of the genuinely new
+
+
+def test_probe_broadcast_cached_per_context(spark):
+    """ADVICE r7: bloom_probe must not leak one broadcast per call —
+    the bitmap broadcast is cached on the BloomFilter instance and
+    reused across probes against the same SparkContext."""
+    df = _keys(spark, 200, "bc")
+    bloom = B.build_bloom(df, "key", 200)
+    sc = spark.sparkContext
+    bc1 = bloom.broadcast_bitmap(sc)
+    assert bloom.broadcast_bitmap(sc) is bc1
+    p1 = B.bloom_probe(df, "key", bloom)
+    p2 = B.bloom_probe(df, "key", bloom)
+    assert p1.filter(~F.col("might_contain")).count() == 0
+    assert p2.filter(~F.col("might_contain")).count() == 0
+    assert bloom.broadcast_bitmap(sc) is bc1  # still the same one
+
+
+def test_incremental_dedup_releases_bloom_cache(spark):
+    """ADVICE r7: bloom_dedup_incremental must not leave the bitmap
+    DataFrame cached — after the call only the returned (persisted,
+    caller-owned) result remains; unpersisting it restores the
+    persistent-RDD census."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    manifest = _keys(spark, 300, "seen").withColumnRenamed(
+        "key", "digest"
+    )
+    new = _keys(spark, 100, "new").unionByName(
+        _keys(spark, 100, "seen")
+    ).withColumnRenamed("key", "digest")
+    got = B.bloom_dedup_incremental(
+        new, manifest, key_col="digest", n_buckets=4
+    )
+    assert got.storageLevel.useMemory  # documented: caller owns it
+    assert got.count() == 100
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after == before + 1  # the result only, no bitmap table
+    got.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() == before

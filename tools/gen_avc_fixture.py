@@ -2224,8 +2224,18 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
     reconstructions], [states]) in decode order."""
     y0 = entries[0]["frame"][0]
     mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
+    # declare the sliding window honestly: the widest concurrent
+    # reference need across entries (L0+L1 for B, refs list for P)
+    need = 2
+    for e in entries:
+        if e["kind"] == "P":
+            need = max(need, len(e.get("refs") or [e.get("ref", 0)]))
+        elif e["kind"] == "B":
+            need = max(need, len(e.get("refs0", [e.get("ref0", 0)]))
+                       + len(e.get("refs1", [e.get("ref1", 0)])))
     sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
-                    poc_type=0, num_ref_frames=2, direct_8x8=1)
+                    poc_type=0, num_ref_frames=min(16, need),
+                    direct_8x8=1)
     any_wp = any(e.get("weights") is not None for e in entries)
     any_wb = any(e.get("weights") is not None and e["kind"] == "B"
                  for e in entries)
