@@ -2239,10 +2239,14 @@ _AVC_MR_CASE_BY_ID = {c[0]: c for c in _AVC_MR_CASES}
 # weighted-bi B; the gate hashes the B frame
 _AVC_WP_CASES = (("l_weighted_deblock26", 26, 1, 4, 3, 16),)
 _AVC_WP_CASE_BY_ID = {c[0]: c for c in _AVC_WP_CASES}
+# r8: implicit weighted biprediction (weighted_bipred_idc 2, x264's
+# B default) — POC-distance weights, non-equidistant on purpose
+_AVC_IWP_CASES = (("m_implicit_deblock26", 26, 1, 4, 3, 16),)
+_AVC_IWP_CASE_BY_ID = {c[0]: c for c in _AVC_IWP_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
-    + [c[0] for c in _AVC_WP_CASES]
+    + [c[0] for c in _AVC_WP_CASES] + [c[0] for c in _AVC_IWP_CASES]
 )
 
 
@@ -2278,6 +2282,38 @@ def _avc_wp_entries(frames, mbw):
          "plan": p_plan, "weights": wp},
         {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
          "poc": 2, "plan": b_plan, "weights": wb},
+    ]
+
+
+def _avc_iwp_entries(frames, mbw):
+    """Decode-order entries for the implicit-bipred gate case: the B
+    sits at POC 2 between references at POC 0 and 8, so the implicit
+    table is non-trivial ((48,16) / (16,48) across the list pairs)
+    and a 32/32-only implementation cannot pass."""
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 5
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))], "refs0": [0],
+                    "refs1": [0]}
+        if k == 3:  # bi over the swapped pair -> (16, 48) weights
+            return {"kind": "b16x8", "modes": ["bi", "bi"],
+                    "mvs": [((4, 0), (1, -2)), ((1, 2), (-1, 1))],
+                    "refs0": [0, 1], "refs1": [0, 1]}
+        return {"kind": "b16", "modes": ["l1"],
+                "mvs": [(None, (4, -1))], "refs1": [0]}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0},
+        {"kind": "P", "frame": frames[2], "ref": 0, "poc": 8,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, -1)}},
+        {"kind": "B", "frame": frames[1], "refs0": [0, 1],
+         "refs1": [1, 0], "poc": 2, "plan": b_plan},
     ]
 
 
@@ -2445,6 +2481,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_IWP_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_IWP_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(3):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 257 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_iwp_entries(frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock), implicit_bipred=True)
+        rY, rCb, rCr = recons[-1]  # the implicit-bi B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_WP_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_WP_CASE_BY_ID[case_id]
         frames = []
@@ -2591,6 +2655,17 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_IWP_CASE_BY_ID:
+        # decode order I (POC 0), P (POC 8), implicit-bi B (POC 2)
+        # with both list pairs active — POC context drives the
+        # 8.4.2.3.1 weight table
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2],
+                              ref=[st0, st1], ref1=[st1, st0],
+                              poc=2, ref_pocs=[0, 8],
+                              ref1_pocs=[8, 0])
+        return AV.frame_rgb(st2, sps)
     if case_id in _AVC_WP_CASE_BY_ID:
         # decode order I, weighted P, weighted-bi B
         st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
@@ -2631,10 +2706,12 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     strengths, (r7 late wave) I/P/B chains exercising bi-prediction,
     both reference lists, spatial direct incl. colZeroFlag, two-list
     deblock strengths, a MULTI-REFERENCE chain (per-partition te(v)
-    ref_idx, refIdx-aware prediction/direct/deblock), and a WEIGHTED
+    ref_idx, refIdx-aware prediction/direct/deblock), a WEIGHTED
     chain (explicit pred_weight_table: weighted P fade incl. skips,
-    explicit-bi B) — twelve streams DECODED by the engine on the
-    executors and hashed;
+    explicit-bi B), and (r8) an IMPLICIT-weighted chain
+    (weighted_bipred_idc 2, x264's B default: POC-distance 8.4.2.3.1
+    weights over both list pairs) — thirteen streams DECODED by the
+    engine on the executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both

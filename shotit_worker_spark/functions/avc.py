@@ -1452,6 +1452,9 @@ class _IFrame:
         # slice-level explicit weighted-prediction table (set by
         # _decode_frame_inner; None = unweighted prediction)
         self.wp = None
+        # implicit-bipred weight table [ri0][ri1] -> (w0, w1)
+        # (weighted_bipred_idc == 2; bi-predicted partitions only)
+        self.wp_imp = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1625,9 +1628,11 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             h["wp"] = _parse_pred_weight_table(
                 r, n_ref0, n_ref1 if h["is_b"] else 0)
         elif h["is_b"] and pps.weighted_bipred_idc == 2:
-            # implicit weights derive from POC distances, which this
-            # decoder does not track — refuse rather than mis-predict
-            raise AVCError("implicit weighted biprediction unsupported")
+            # implicit weighted biprediction (8.4.2.3.1): weights
+            # derive from POC distances — no table in the bitstream.
+            # decode_frame needs POC context from the caller (the
+            # GOP cursor tracks it per 8.2.1.1); flag it here.
+            h["implicit_wp"] = True
         if pps.constrained_intra_pred:
             # 8.3: intra prediction in P/B slices would have to mark
             # inter-coded neighbors unavailable; not implemented
@@ -1710,7 +1715,10 @@ def _decode_iframe_inner(sps: SPS, pps: PPS, slice_nal: bytes) -> np.ndarray:
 
 def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
                         ref: "_IFrame | None",
-                        ref1: "_IFrame | None" = None) -> "_IFrame":
+                        ref1: "_IFrame | None" = None,
+                        poc: "int | None" = None,
+                        ref_pocs: "list | None" = None,
+                        ref1_pocs: "list | None" = None) -> "_IFrame":
     if not slice_nal:
         raise AVCError("empty slice NAL")
     nal_type = slice_nal[0] & 0x1F
@@ -1734,6 +1742,21 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
         if rf.mbw != st.mbw or rf.mbh != st.mbh:
             raise AVCError("reference frame geometry mismatch")
     st.wp = h.get("wp")
+    if h.get("implicit_wp"):
+        if poc is None or ref_pocs is None or ref1_pocs is None:
+            raise AVCError(
+                "implicit weighted biprediction needs POC context"
+                " (pass poc/ref_pocs/ref1_pocs to decode_frame)"
+            )
+        if len(ref_pocs) < h["n_ref0"] or len(ref1_pocs) < h["n_ref1"]:
+            raise AVCError(
+                "POC context shorter than the active reference lists"
+            )
+        st.wp_imp = [
+            [implicit_bipred_weights(poc, ref_pocs[i0], ref1_pocs[i1])
+             for i1 in range(h["n_ref1"])]
+            for i0 in range(h["n_ref0"])
+        ]
     if h["is_b"]:
         if not refs0 or not refs1:
             raise AVCError(
@@ -2245,6 +2268,35 @@ def _weight_bi(p0: np.ndarray, p1: np.ndarray, e0, e1, d: int,
     return np.clip(out, 0, 255)
 
 
+def implicit_bipred_weights(poc_cur: int, poc0: int,
+                            poc1: int) -> tuple:
+    """(w0, w1) implicit B-prediction weights (8.4.2.3.1) for one
+    (RefPicList0, RefPicList1) picture pair, derived from POC
+    distances exactly as the temporal-direct DistScaleFactor:
+
+        tb = Clip3(-128, 127, poc_cur - poc0)
+        td = Clip3(-128, 127, poc1  - poc0)
+        tx = (16384 + Abs(td / 2)) / td       (trunc-toward-zero div)
+        DistScaleFactor = Clip3(-1024, 1023, (tb * tx + 32) >> 6)
+
+    w1 = DistScaleFactor >> 2, w0 = 64 - w1, EXCEPT the spec's
+    fall-back-to-default cases (equal POCs, or DistScaleFactor >> 2
+    outside [-64, 128]) which yield (32, 32) — the plain average.
+    logWD is fixed at 5 and both offsets at 0, so the combine is
+    ``(p0*w0 + p1*w1 + 32) >> 6`` for luma AND chroma."""
+    if poc0 == poc1:
+        return (32, 32)
+    tb = min(127, max(-128, poc_cur - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    num = 16384 + (abs(td) >> 1)
+    tx = num // td if td > 0 else -(num // -td)
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return (32, 32)
+    return (64 - w1, w1)
+
+
 def _mc_partition(st: _IFrame, ref: _IFrame, px4: int, py4: int,
                   w4: int, h4: int, mvx: int, mvy: int,
                   lst: int = 0, ridx: int = 0) -> None:
@@ -2500,6 +2552,16 @@ def _mc_partition_b(st: _IFrame, ref0, ref1, px4: int, py4: int,
                 c0b, c1b, e0, e1, st.wp["dc"], 1)
             st.Cr[cy:cy + ch, cx:cx + cw] = _weight_bi(
                 c0r, c1r, e0, e1, st.wp["dc"], 2)
+        elif st.wp_imp is not None:
+            # implicit combine (8.4.2.3.1): logWD=5, zero offsets,
+            # same weight pair for luma and both chroma planes
+            w0, w1 = st.wp_imp[ri0][ri1]
+            st.Y[y:y + h, x:x + w] = np.clip(
+                (y0 * w0 + y1 * w1 + 32) >> 6, 0, 255)
+            st.Cb[cy:cy + ch, cx:cx + cw] = np.clip(
+                (c0b * w0 + c1b * w1 + 32) >> 6, 0, 255)
+            st.Cr[cy:cy + ch, cx:cx + cw] = np.clip(
+                (c0r * w0 + c1r * w1 + 32) >> 6, 0, 255)
         else:
             st.Y[y:y + h, x:x + w] = (y0 + y1 + 1) >> 1
             st.Cb[cy:cy + ch, cx:cx + cw] = (c0b + c1b + 1) >> 1
@@ -2783,18 +2845,24 @@ def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,
 
 
 def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
-                 ref=None, ref1=None) -> "_IFrame":
+                 ref=None, ref1=None, poc=None, ref_pocs=None,
+                 ref1_pocs=None) -> "_IFrame":
     """Decode one coded slice NAL (I, P, or B) into its reconstructed
     frame state (post-deblock, full macroblock grid). ``ref`` is the
     L0 reference list — a single _IFrame or a list in RefPicList0
     order (for P: most recent first; the slice may activate up to 8);
     ``ref1`` the L1 list (B only — future-first by POC; the caller
     supplies frames in DECODE order, so they are already
-    reconstructed). Convert to RGB with :func:`frame_rgb`. Error
-    posture as :func:`decode_iframe`: anything corrupt raises
-    :class:`AVCError`."""
+    reconstructed). For implicit weighted biprediction
+    (PPS weighted_bipred_idc == 2, x264's B default) the caller must
+    also supply ``poc`` (current picture) and ``ref_pocs`` /
+    ``ref1_pocs`` (per-list POCs aligned with ref/ref1) — without
+    them such slices raise the typed refusal. Convert to RGB with
+    :func:`frame_rgb`. Error posture as :func:`decode_iframe`:
+    anything corrupt raises :class:`AVCError`."""
     try:
-        return _decode_frame_inner(sps, pps, slice_nal, ref, ref1)
+        return _decode_frame_inner(sps, pps, slice_nal, ref, ref1,
+                                   poc, ref_pocs, ref1_pocs)
     except AVCError:
         raise
     except (IndexError, ValueError, KeyError, OverflowError,
@@ -2818,6 +2886,27 @@ def slice_kind(slice_nal: bytes) -> str:
     if st == 2:
         return "i"
     raise AVCError(f"SP/SI slice type {st} unsupported")
+
+
+def slice_poc_lsb(slice_nal: bytes, sps: SPS) -> "int | None":
+    """Cheap pic_order_cnt_lsb peek from a coded slice NAL header
+    (the GOP cursor's POC tracking, 8.2.1.1, needs it BEFORE
+    decoding). Returns None for pic_order_cnt_type != 0 streams
+    (their POC doesn't live in the slice header). Raises AVCError on
+    non-slice NALs."""
+    if not slice_nal or (slice_nal[0] & 0x1F) not in (1, 5):
+        raise AVCError("not a coded slice NAL")
+    if sps.pic_order_cnt_type != 0:
+        return None
+    nal_type = slice_nal[0] & 0x1F
+    r = BitReader(unescape_rbsp(slice_nal[1:33]))
+    r.ue()  # first_mb_in_slice
+    r.ue()  # slice_type
+    r.ue()  # pps id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    if nal_type == 5:
+        r.ue()  # idr_pic_id
+    return r.u(sps.log2_max_pic_order_cnt_lsb)
 
 
 def frame_rgb(st: "_IFrame", sps: SPS) -> np.ndarray:

@@ -411,8 +411,38 @@ class _AvcGopCursor:
         ]
         self._pos = -1
         self._state = None
-        self._refs: list = []  # (pts, state) of recent reference pics
+        # (pts, poc, state) of recent reference pics
+        self._refs: list = []
         self._broken_key = None
+        # POC predictor per 8.2.1.1: (PicOrderCntMsb, lsb) of the
+        # previous reference picture in decode order; None = fresh
+        self._poc_prev = None
+
+    def _poc_of(self, nal: bytes, is_idr: bool) -> "int | None":
+        """PicOrderCnt for the next picture in decode order
+        (8.2.1.1, pic_order_cnt_type 0 with MSB wrap tracking; None
+        for other POC types — only implicit weighted biprediction
+        needs the value, and it refuses without one). MUST be called
+        exactly once per decoded sample, in decode order."""
+        from . import avc as AV
+
+        lsb = AV.slice_poc_lsb(nal, self.sps)
+        if lsb is None:
+            return None
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        if is_idr or self._poc_prev is None:
+            prev_msb, prev_lsb = 0, 0
+        else:
+            prev_msb, prev_lsb = self._poc_prev
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        if nal[0] >> 5:  # reference pictures update the predictor
+            self._poc_prev = (msb, lsb)
+        return msb + lsb
 
     def _slice_nal(self, sample) -> bytes | None:
         from . import mp4 as MP
@@ -446,6 +476,7 @@ class _AvcGopCursor:
             start = key  # jumped GOPs or went backward: restart
             self._state = None
             self._refs = []
+            self._poc_prev = None
         try:
             for p in range(start, target + 1):
                 s = self._decode_list[p]
@@ -453,6 +484,7 @@ class _AvcGopCursor:
                 if nal is None:
                     raise AV.AVCError("sample carries no coded slice")
                 kind = AV.slice_kind(nal)
+                poc = self._poc_of(nal, s.keyframe)
                 if s.keyframe or kind == "i":
                     st = AV.decode_frame(self.sps, self.pps, nal)
                 elif kind == "p":
@@ -464,7 +496,7 @@ class _AvcGopCursor:
                     # decode order in our single-GOP scope)
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
-                        ref=[r[1] for r in reversed(self._refs)],
+                        ref=[r[2] for r in reversed(self._refs)],
                     )
                 else:  # B: default lists around this pts (8.2.4.2.3)
                     past = sorted((r for r in self._refs
@@ -476,15 +508,19 @@ class _AvcGopCursor:
                     if not past or not future:
                         raise AV.AVCError("B sample without both"
                                           " references in the DPB")
+                    l0, l1 = past + future, future + past
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
-                        ref=[r[1] for r in past + future],
-                        ref1=[r[1] for r in future + past],
+                        ref=[r[2] for r in l0],
+                        ref1=[r[2] for r in l1],
+                        poc=poc,
+                        ref_pocs=[r[1] for r in l0],
+                        ref1_pocs=[r[1] for r in l1],
                     )
                 if nal[0] >> 5:  # nal_ref_idc != 0: a reference pic
                     if s.keyframe:
                         self._refs = []  # IDR empties the DPB
-                    self._refs.append((s.pts, st))
+                    self._refs.append((s.pts, poc, st))
                     self._refs = self._refs[-self._dpb:]
                 self._state = st
                 self._pos = p

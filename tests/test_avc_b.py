@@ -770,3 +770,215 @@ def test_g1_five_ref_chain_exceeds_old_dpb(spark):
     assert np.array_equal(got_last, want_rgb(recons[5]))
     got_first = IC.decode_image(bytes(rows[0]["image"]))
     assert np.array_equal(got_first, want_rgb(recons[0]))
+
+
+# ---------------------------------------------------------------------------
+# implicit weighted biprediction (8.4.2.3.1, weighted_bipred_idc 2 —
+# x264's B-slice default)
+# ---------------------------------------------------------------------------
+
+
+def test_implicit_weights_hand_pinned():
+    """Worked examples of the POC-distance weights. B at POC 2
+    between refs at 0 and 8: tb=2, td=8, tx=(16384+4)//8=2048,
+    DSF=(2*2048+32)>>6=64, w1=16, w0=48 (the nearer L0 ref weighs
+    more). Equidistant or degenerate pairs fall back to 32/32."""
+    assert avc.implicit_bipred_weights(2, 0, 8) == (48, 16)
+    assert avc.implicit_bipred_weights(6, 0, 8) == (16, 48)
+    assert avc.implicit_bipred_weights(4, 0, 8) == (32, 32)  # equidistant
+    assert avc.implicit_bipred_weights(2, 5, 5) == (32, 32)  # equal POCs
+    # L0 ref in the future, L1 in the past (reversed pair): tb=-6,
+    # td=-8, tx=-2048, DSF=(12288+32)>>6=192, w1=48, w0=16
+    assert avc.implicit_bipred_weights(2, 8, 0) == (16, 48)
+    # extreme distance ratio -> DSF >> 2 > 128 -> default
+    assert avc.implicit_bipred_weights(127, -128, -127) == (32, 32)
+
+
+def test_implicit_weights_decoder_encoder_agree():
+    """The decoder's implementation and the fixture encoder's
+    independently written one agree over a dense POC sweep
+    (including clip edges and both signs)."""
+    pts = list(range(-10, 11)) + [-128, -127, -64, 63, 64, 127, 128]
+    for pc in pts:
+        for p0 in pts:
+            for p1 in pts:
+                assert (avc.implicit_bipred_weights(pc, p0, p1)
+                        == tuple(ENC._implicit_w_enc(pc, p0, p1))), (
+                    pc, p0, p1)
+
+
+def _implicit_entries(mbw, mbh, seed=950):
+    f = [_planes(seed + i, mbw, mbh) for i in range(3)]
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 6
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:  # bi over the near/near pair
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 5))], "refs0": [0],
+                    "refs1": [0]}
+        if k == 3:  # bi over a pair whose weights are NOT 32/32
+            return {"kind": "b16x8", "modes": ["bi", "l0"],
+                    "mvs": [((4, 0), (1, -2)), ((1, 2), None)],
+                    "refs0": [0, 1], "refs1": [0, 0]}
+        if k == 4:  # uni L1 (implicit mode leaves uni unweighted)
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (6, -3))], "refs1": [0]}
+        return {"kind": "b8x8",
+                "subs": ["direct", ("8x4", "bi"), ("4x8", "l0"),
+                         ("4x4", "bi")],
+                "refs0": [0, 1, 0, 0], "refs1": [0, 0, 0, 1],
+                "mvs": [((3, 1), (1, -1)), ((-1, 2), (2, 2)),
+                        ((0, 5), None), ((2, -2), None),
+                        ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                        ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+
+    # POCs 0 / 8 / 2: the B sits NEAR its past ref -> per-pair
+    # implicit table {(0,8):(48,16), (0,0):(32,32), (8,8):(32,32),
+    # (8,0):(16,48)} exercised across partitions
+    return [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 8,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        {"kind": "B", "frame": f[2], "refs0": [0, 1], "refs1": [1, 0],
+         "poc": 2, "plan": b_plan},
+    ]
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_implicit_bipred_round_trip(deblock):
+    entries = _implicit_entries(6, 3)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock, implicit_bipred=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    assert pps.weighted_bipred_idc == 2
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=[st0, st1],
+                           ref1=[st1, st0], poc=2,
+                           ref_pocs=[0, 8], ref1_pocs=[8, 0])
+    _assert_exact([st0, st1, st2], recons)
+
+
+def test_implicit_bipred_refuses_without_poc_context():
+    entries = _implicit_entries(2, 2)
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(
+        entries, qp=28, implicit_bipred=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    with pytest.raises(avc.AVCError, match="POC context"):
+        avc.decode_frame(sps, pps, nals[2], ref=[st0, st1],
+                         ref1=[st1, st0])
+
+
+def test_implicit_weights_actually_change_pixels():
+    """Sanity against a silent no-op: the same implicit B bitstream
+    decoded with equidistant-POC context (32/32) differs from the
+    true non-equidistant weighting."""
+    entries = _implicit_entries(4, 2)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=24, implicit_bipred=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    true_ctx = dict(poc=2, ref_pocs=[0, 8], ref1_pocs=[8, 0])
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=[st0, st1],
+                           ref1=[st1, st0], **true_ctx)
+    assert np.array_equal(st2.Y, recons[2][0])
+    wrong = avc.decode_frame(sps, pps, nals[2], ref=[st0, st1],
+                             ref1=[st1, st0], poc=4,
+                             ref_pocs=[0, 8], ref1_pocs=[8, 0])
+    assert not np.array_equal(wrong.Y, recons[2][0])
+
+
+def test_g1_implicit_bipred_in_mp4(spark):
+    """End-to-end: the GOP cursor tracks POC (8.2.1.1) from the
+    slice headers and feeds implicit-WP B samples — real pixels for
+    the x264-default weighted_bipred_idc=2 shape."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    mbw, mbh = 5, 3
+    entries = _implicit_entries(mbw, mbh, seed=970)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True, implicit_bipred=True
+    )
+    # decode order I P B; pts proportional to POC 0/8/2 -> display
+    # order I B P with a non-midpoint B
+    timescale = 12000
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        # dts 0 / 2000 / 4000; pts = dts + offset: I->0, P->8000,
+        # B->4000 (display order I B P, all ctts offsets >= 0)
+        deltas=[2000, 2000, 8000],
+        timescale=timescale,
+        keyframes=[0],
+        ctts_offsets=[0, 6000, 0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/imp.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=3.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 3
+    sps = avc.parse_sps(sps_nal)
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    # slots at t=1/6, 3/6, 5/6 -> display intervals of I, B, P
+    for slot, recon_idx in ((0, 0), (1, 2), (2, 1)):
+        got = IC.decode_image(bytes(rows[slot]["image"]))
+        assert np.array_equal(got, want_rgb(recons[recon_idx])), slot
+
+
+def test_implicit_bipred_bitflip_fuzz():
+    """Same corrupt-stream posture over the implicit-WP B shape:
+    flips either decode or raise AVCError, never crash — with the
+    POC context supplied (the weights come from it, not the NAL)."""
+    entries = _implicit_entries(4, 2, seed=1150)
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(
+        entries, qp=28, implicit_bipred=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    rng = np.random.default_rng(29)
+    for _ in range(120):
+        bad = bytearray(nals[2])
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            avc.decode_frame(sps, pps, bytes(bad), ref=[st0, st1],
+                             ref1=[st1, st0], poc=2,
+                             ref_pocs=[0, 8], ref1_pocs=[8, 0])
+        except avc.AVCError:
+            pass

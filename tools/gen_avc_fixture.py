@@ -1853,6 +1853,26 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
     return drefs[0], drefs[1], mvs
 
 
+def _implicit_w_enc(poc_cur, p0, p1):
+    """Encoder-side implicit B weights (8.4.2.3.1), written
+    independently of the decoder: sign-split truncating division and
+    floor shifts spelled out with divmod."""
+    if p0 == p1:
+        return 32, 32
+    def clip(lo, hi, v):
+        return lo if v < lo else hi if v > hi else v
+    tb = clip(-128, 127, poc_cur - p0)
+    td = clip(-128, 127, p1 - p0)
+    half = -td // 2 if td < 0 else td // 2
+    numer = 16384 + half
+    tx = -(numer // (-td)) if td < 0 else numer // td
+    dsf = clip(-1024, 1023, (tb * tx + 32) // 64)
+    w1 = dsf // 4 if dsf >= 0 else -((-dsf + 3) // 4)
+    if not (-64 <= w1 <= 128):
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
                    mv0, mv1, use0, use1, ri0=0, ri1=0):
     """MC one B partition into st planes: plain average bi (or the
@@ -1888,6 +1908,15 @@ def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
             py = bi(outs[0][0], outs[1][0], 0, d)
             pcb = bi(outs[0][1], outs[1][1], 1, dc)
             pcr = bi(outs[0][2], outs[1][2], 2, dc)
+        elif getattr(st, "wp_imp_enc", None) is not None:
+            w0, w1 = st.wp_imp_enc[ri0][ri1]
+
+            def bi_imp(p0, p1):
+                return np.clip((p0 * w0 + p1 * w1 + 32) >> 6, 0, 255)
+
+            py = bi_imp(outs[0][0], outs[1][0])
+            pcb = bi_imp(outs[0][1], outs[1][1])
+            pcr = bi_imp(outs[0][2], outs[1][2])
         else:
             py = (outs[0][0] + outs[1][0] + 1) >> 1
             pcb = (outs[0][1] + outs[1][1] + 1) >> 1
@@ -2108,7 +2137,8 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
 def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    b_plan, frame_num, poc_lsb, deblock=False,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
-                   n_ref0=1, n_ref1=1, weights=None):
+                   n_ref0=1, n_ref1=1, weights=None,
+                   implicit_pocs=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
@@ -2133,6 +2163,17 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
     if weights is not None:  # PPS must say weighted_bipred_idc 1
         _write_pred_weight_table(w, weights, n_ref0, n_ref1)
     st.wp_enc = weights
+    if implicit_pocs is not None:  # PPS says weighted_bipred_idc 2
+        if weights is not None:
+            raise ValueError("explicit and implicit WP are exclusive")
+        pc, p0s, p1s = implicit_pocs
+        st.wp_imp_enc = [
+            [_implicit_w_enc(pc, p0s[i0], p1s[i1])
+             for i1 in range(n_ref1)]
+            for i0 in range(n_ref0)
+        ]
+    else:
+        st.wp_imp_enc = None
     if is_ref:
         w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
     slice_qp = qp
@@ -2210,7 +2251,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
 
 
 def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
-                alpha_off_div2=0, beta_off_div2=0):
+                alpha_off_div2=0, beta_off_div2=0,
+                implicit_bipred=False):
     """Encode a mixed I/P/B sequence in DECODE order.
 
     ``entries``: dicts with kind ("I" / "P" / "B"), frame ((Y, Cb,
@@ -2239,12 +2281,16 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
     any_wp = any(e.get("weights") is not None for e in entries)
     any_wb = any(e.get("weights") is not None and e["kind"] == "B"
                  for e in entries)
+    if implicit_bipred and (any_wp or any_wb):
+        raise ValueError("implicit_bipred excludes explicit weights")
     pps = write_pps(26, weighted_pred=1 if any_wp else 0,
-                    weighted_bipred_idc=1 if any_wb else 0)
+                    weighted_bipred_idc=(2 if implicit_bipred
+                                         else 1 if any_wb else 0))
     global _LAST_STATE
     nals = []
     recons = []
     states = []
+    pocs = []
     frame_num = 0
     for di, e in enumerate(entries):
         yf, cbf, crf = e["frame"]
@@ -2284,7 +2330,10 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 states[ridx1[0]], qp, e.get("plan"), frame_num, poc,
                 deblock, alpha_off_div2, beta_off_div2, is_ref,
                 n_ref0=len(ridx0), n_ref1=len(ridx1),
-                weights=wts)
+                weights=wts,
+                implicit_pocs=((poc, [pocs[i] for i in ridx0],
+                                [pocs[i] for i in ridx1])
+                               if implicit_bipred else None))
             if is_ref:
                 frame_num += 1
         if deblock:
@@ -2292,4 +2341,5 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
         nals.append(nal)
         recons.append((st.Y.copy(), st.Cb.copy(), st.Cr.copy()))
         states.append(st)
+        pocs.append(poc)
     return sps, pps, nals, recons, states
