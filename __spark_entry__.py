@@ -2243,10 +2243,16 @@ _AVC_WP_CASE_BY_ID = {c[0]: c for c in _AVC_WP_CASES}
 # B default) — POC-distance weights, non-equidistant on purpose
 _AVC_IWP_CASES = (("m_implicit_deblock26", 26, 1, 4, 3, 16),)
 _AVC_IWP_CASE_BY_ID = {c[0]: c for c in _AVC_IWP_CASES}
+# r8: ref_pic_list_modification (7.3.3.1 / 8.2.4.3) — a P slice whose
+# L0 list is REVERSED by picNum commands and a B slice whose L1 list
+# is promoted, decoded from the DEFAULT initial lists
+_AVC_RPLM_CASES = (("n_rplm_deblock26", 26, 1, 4, 3, 16),)
+_AVC_RPLM_CASE_BY_ID = {c[0]: c for c in _AVC_RPLM_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
     + [c[0] for c in _AVC_WP_CASES] + [c[0] for c in _AVC_IWP_CASES]
+    + [c[0] for c in _AVC_RPLM_CASES]
 )
 
 
@@ -2314,6 +2320,44 @@ def _avc_iwp_entries(frames, mbw):
          "plan": lambda x, y: {"kind": "p16", "mv": (3, -1)}},
         {"kind": "B", "frame": frames[1], "refs0": [0, 1],
          "refs1": [1, 0], "poc": 2, "plan": b_plan},
+    ]
+
+
+def _avc_rplm_entries(frames, mbw):
+    """Decode-order entries for the list-modification gate case:
+    I P1 P2, a P whose L0 is reversed to [I, P1, P2] by the commands
+    [(0,2),(1,0)], and a B whose L1 promotes the PAST reference."""
+
+    def p3_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 3:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (2 + k, -k), "refs": [k]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (4, -1))], "refs1": [0]}
+        if k == 2:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))], "refs0": [0],
+                    "refs1": [1]}
+        return {"kind": "bdirect"}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0},
+        {"kind": "P", "frame": frames[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        {"kind": "P", "frame": frames[2], "ref": 1, "poc": 4,
+         "plan": lambda x, y: {"kind": "p16", "mv": (-2, 2)}},
+        {"kind": "P", "frame": frames[3], "refs": [0, 1, 2], "poc": 6,
+         "rplm0": [(0, 2), (1, 0)], "plan": p3_plan},
+        {"kind": "B", "frame": frames[4], "refs0": [2, 3],
+         "refs1": [2, 3], "poc": 5, "rplm1": [(0, 1)],
+         "plan": b_plan},
     ]
 
 
@@ -2481,6 +2525,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_RPLM_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_RPLM_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(5):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 263 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_rplm_entries(frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the modified-L1 B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_IWP_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_IWP_CASE_BY_ID[case_id]
         frames = []
@@ -2655,6 +2727,18 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_RPLM_CASE_BY_ID:
+        # decode order I P1 P2 P3(rplm-reversed L0) B(rplm L1): the
+        # decoder gets DEFAULT initial lists and must apply the
+        # commands itself to match the encoder's final lists
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2], ref=st1)
+        st3 = AV.decode_frame(sps, pps, nal_or_nals[3],
+                              ref=[st2, st1, st0])
+        st4 = AV.decode_frame(sps, pps, nal_or_nals[4],
+                              ref=[st2, st3], ref1=[st3, st2])
+        return AV.frame_rgb(st4, sps)
     if case_id in _AVC_IWP_CASE_BY_ID:
         # decode order I (POC 0), P (POC 8), implicit-bi B (POC 2)
         # with both list pairs active — POC context drives the
@@ -2710,8 +2794,11 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (explicit pred_weight_table: weighted P fade incl. skips,
     explicit-bi B), and (r8) an IMPLICIT-weighted chain
     (weighted_bipred_idc 2, x264's B default: POC-distance 8.4.2.3.1
-    weights over both list pairs) — thirteen streams DECODED by the
-    engine on the executors and hashed;
+    weights over both list pairs), and an RPLM chain
+    (ref_pic_list_modification: picNum commands reversing L0 on a P
+    and promoting L1[1] on a B, applied from the default initial
+    lists) — fourteen streams DECODED by the engine on the executors
+    and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both

@@ -1455,6 +1455,9 @@ class _IFrame:
         # implicit-bipred weight table [ri0][ri1] -> (w0, w1)
         # (weighted_bipred_idc == 2; bi-predicted partitions only)
         self.wp_imp = None
+        # this picture's frame_num (set by _decode_frame_inner) —
+        # list modification derives reference picNums from it
+        self.frame_num = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1615,10 +1618,10 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             )
         h["n_ref0"] = n_ref0
         h["n_ref1"] = n_ref1 if h["is_b"] else 0
-        if r.flag():  # ref_pic_list_modification_flag_l0
-            raise AVCError("ref_pic_list_modification unsupported")
-        if h["is_b"] and r.flag():  # ..._flag_l1
-            raise AVCError("ref_pic_list_modification unsupported")
+        h["rplm0"] = (_parse_rplm(r)
+                      if r.flag() else None)  # ..._flag_l0
+        h["rplm1"] = (_parse_rplm(r)
+                      if h["is_b"] and r.flag() else None)  # ..._l1
         h["wp"] = None
         if (pps.weighted_pred and h["is_p"]) or (
                 h["is_b"] and pps.weighted_bipred_idc == 1):
@@ -1742,6 +1745,28 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
         if rf.mbw != st.mbw or rf.mbh != st.mbh:
             raise AVCError("reference frame geometry mismatch")
     st.wp = h.get("wp")
+    st.frame_num = h["frame_num"]
+    # list modification BEFORE anything consumes list order (MC and
+    # the implicit-WP table below both index the MODIFIED lists)
+    max_fn = 1 << sps.log2_max_frame_num
+    if h.get("rplm0"):
+        if len(refs0) < h["n_ref0"]:
+            raise AVCError(
+                f"slice activates {h['n_ref0']} L0 refs; caller "
+                f"supplied {len(refs0)}"
+            )
+        refs0, ref_pocs = apply_ref_list_modification(
+            refs0, ref_pocs, h["rplm0"], h["frame_num"], max_fn,
+            h["n_ref0"])
+    if h.get("rplm1"):
+        if len(refs1) < h["n_ref1"]:
+            raise AVCError(
+                f"slice activates {h['n_ref1']} L1 refs; caller "
+                f"supplied {len(refs1)}"
+            )
+        refs1, ref1_pocs = apply_ref_list_modification(
+            refs1, ref1_pocs, h["rplm1"], h["frame_num"], max_fn,
+            h["n_ref1"])
     if h.get("implicit_wp"):
         if poc is None or ref_pocs is None or ref1_pocs is None:
             raise AVCError(
@@ -2266,6 +2291,103 @@ def _weight_bi(p0: np.ndarray, p1: np.ndarray, e0, e1, d: int,
     out = (((p0 * w0 + p1 * w1 + (1 << d)) >> (d + 1))
            + ((o0 + o1 + 1) >> 1))
     return np.clip(out, 0, 255)
+
+
+def _parse_rplm(r: BitReader) -> list:
+    """ref_pic_list_modification command run (7.3.3.1): a list of
+    (modification_of_pic_nums_idc, abs_diff_pic_num_minus1) pairs
+    terminated by idc 3. Short-term picNum commands only — long-term
+    (idc 2) refuses (no long-term marking support anywhere in this
+    decoder), out-of-range idc refuses."""
+    cmds = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            return cmds
+        if idc == 2:
+            raise AVCError(
+                "long-term ref_pic_list_modification unsupported")
+        if idc > 3:
+            raise AVCError(
+                f"modification_of_pic_nums_idc {idc} out of range")
+        cmds.append((idc, r.ue()))
+        if len(cmds) > 32:
+            raise AVCError("ref_pic_list_modification run too long")
+
+
+def apply_ref_list_modification(init_states: list, init_aux,
+                                cmds: list, cur_frame_num: int,
+                                max_frame_num: int,
+                                n_active: int) -> tuple:
+    """RefPicList modification for short-term pictures (8.2.4.3.1):
+    start from the initial list, and for each command derive
+    picNumLX with the wrap rules
+
+        picNumLXNoWrap = picNumLXPred -/+ (abs_diff_pic_num_minus1+1)
+                         (+/- MaxFrameNum on under/overflow)
+        picNumLX = picNumLXNoWrap - MaxFrameNum
+                   if picNumLXNoWrap > CurrPicNum else picNumLXNoWrap
+
+    then place that picture at the next refIdx, shifting the rest
+    back and dropping the later duplicate. Each init state must carry
+    ``frame_num`` (decode_frame sets it); its picNum is frame_num,
+    wrapped below CurrPicNum the same way. Returns the modified
+    (states, aux) truncated to ``n_active`` — ``aux`` is an optional
+    parallel list (the POC values for implicit WP) kept aligned, or
+    None."""
+    def pic_num(stt):
+        fn = getattr(stt, "frame_num", None)
+        if fn is None:
+            raise AVCError(
+                "reference state lacks frame_num (not produced by"
+                " decode_frame?)")
+        return fn - max_frame_num if fn > cur_frame_num else fn
+
+    aux = list(init_aux) if init_aux is not None else None
+    entries = [(s, aux[i] if aux is not None else None)
+               for i, s in enumerate(init_states)]
+    by_picnum = {}
+    for e in entries:
+        by_picnum.setdefault(pic_num(e[0]), e)
+    # working list one slot longer than the active size (the spec's
+    # temporary length n_active + 1)
+    lst = entries[:n_active] + [None]
+    pred = cur_frame_num
+    ref_idx = 0
+    for idc, abs_m1 in cmds:
+        if idc == 0:
+            nowrap = pred - (abs_m1 + 1)
+            if nowrap < 0:
+                nowrap += max_frame_num
+        else:
+            nowrap = pred + (abs_m1 + 1)
+            if nowrap >= max_frame_num:
+                nowrap -= max_frame_num
+        pred = nowrap
+        pn = nowrap - max_frame_num if nowrap > cur_frame_num else nowrap
+        target = by_picnum.get(pn)
+        if target is None:
+            raise AVCError(
+                f"ref_pic_list_modification names picNum {pn} not in"
+                " the supplied reference window")
+        for c in range(min(len(lst) - 1, n_active), ref_idx, -1):
+            lst[c] = lst[c - 1]
+        lst[ref_idx] = target
+        ref_idx += 1
+        keep = ref_idx
+        for c in range(ref_idx, n_active + 1):
+            if lst[c] is not None and pic_num(lst[c][0]) != pn:
+                lst[keep] = lst[c]
+                keep += 1
+        for c in range(keep, n_active + 1):
+            lst[c] = None
+    out = [e for e in lst[:n_active] if e is not None]
+    if len(out) < n_active:
+        raise AVCError(
+            "ref_pic_list_modification left the list shorter than"
+            " the active count")
+    return ([e[0] for e in out],
+            [e[1] for e in out] if aux is not None else None)
 
 
 def implicit_bipred_weights(poc_cur: int, poc0: int,

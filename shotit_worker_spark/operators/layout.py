@@ -1,0 +1,149 @@
+"""Multi-dimensional data layout (Z-order / Morton clustering).
+
+At 100 TB the scan is the query cost, and a scan prunes on per-file
+column min/max statistics (parquet row-group stats, the same contract
+Delta/Iceberg data-skipping uses). Sorting on ONE column makes its
+stats razor-thin per file but leaves every other column's range full-
+width; interleaving the bits of SEVERAL columns into one Morton key
+and range-partitioning + sorting on it gives every participating
+column locality, so predicates on ANY of them skip most files.
+
+Spark-first shape — everything is Catalyst expressions:
+
+- :func:`morton_key` builds the interleaved key as a pure column
+  expression (shift/and/or chains — whole-stage codegen, no Python);
+- :func:`zorder_by` is one stats aggregation (min/max per column,
+  collected: 2×N scalars, not data) + one ``repartitionByRange`` on
+  the key (the range partitioner's reservoir sample is the only extra
+  pass) + a map-side ``sortWithinPartitions``. No other shuffle.
+- :func:`layout_stats` measures the result the way a scan planner
+  would: per-partition min/max width per column, and the fraction of
+  partitions a point/range predicate could skip.
+
+Scale posture: the stats agg is map-side partials over 2×N counters;
+the range exchange is the same single shuffle a plain global sort
+costs; file counts and per-file byte targets stay the writer's
+business (sources/sized_writer). Skewed dimensions degrade gracefully
+— equal-width bucketing wastes key bits on empty space but never
+corrupts ordering; pass explicit ``bounds`` (e.g. from
+``approxQuantile``) to spend the bits on quantiles instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_bucket", "morton_key", "zorder_by", "layout_stats"]
+
+
+def morton_bucket(col: Column, mn: Column, mx: Column,
+                  bits: int) -> Column:
+    """Equal-width bucket of ``col`` into [0, 2^bits - 1] given its
+    min/max, as exact integer arithmetic (``(v - mn) * (2^bits - 1)
+    DIV (mx - mn)``) so any engine reproduces it bit-for-bit.
+    Constant columns (mx == mn) bucket to 0."""
+    top = (1 << bits) - 1
+    span = (mx - mn).cast("long")
+    return F.when(span <= 0, F.lit(0)).otherwise(
+        ((col.cast("long") - mn.cast("long")) * top / span)
+        .cast("long")
+    )
+
+
+def _spread(col: Column, bits: int, stride: int, offset: int) -> Column:
+    """Scatter the low ``bits`` bits of ``col`` so bit i lands at
+    position ``i * stride + offset`` — the generic Morton spread as an
+    OR-chain of shift/mask terms (pure JVM expressions)."""
+    out = None
+    for i in range(bits):
+        term = F.shiftleft(
+            F.shiftright(col, i).bitwiseAND(F.lit(1)),
+            i * stride + offset,
+        )
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def morton_key(bucket_cols: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave N already-bucketed columns (each in
+    [0, 2^bits - 1]) into one Morton key: bit i of column j lands at
+    position ``i * N + j``. N * bits must fit a signed 64-bit key."""
+    n = len(bucket_cols)
+    if n < 1:
+        raise ValueError("morton_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; "
+            "a bigint key holds at most 63 — lower bits"
+        )
+    out = None
+    for j, c in enumerate(bucket_cols):
+        s = _spread(c.cast("long"), bits, n, j)
+        out = s if out is None else out.bitwiseOR(s)
+    return out
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    partitions: int | None = None,
+    key_col: str = "__zkey",
+    keep_key: bool = False,
+    bounds: "dict[str, tuple] | None" = None,
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional data skipping: bucket each
+    column (equal-width over its observed min/max, or caller-supplied
+    ``bounds`` — e.g. approxQuantile fences for skewed dims), build
+    the Morton key, then ``repartitionByRange`` + map-side sort on it.
+
+    One stats job (2 x N scalars to the driver), one range shuffle —
+    the same cost as a global sort on a single column, but every
+    listed column gets file-level locality. Write the result with
+    ``sized_writer`` / ``partitionBy`` as usual; parquet row-group
+    stats then carry narrow min/max for ALL the z-columns."""
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    need = [c for c in cols if bounds is None or c not in bounds]
+    stats = {}
+    if need:
+        row = df.select(
+            *[F.min(c).alias(f"mn_{c}") for c in need],
+            *[F.max(c).alias(f"mx_{c}") for c in need],
+        ).collect()[0]
+        stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in need}
+    if bounds:
+        stats.update({c: bounds[c] for c in cols if c in bounds})
+    buckets = [
+        morton_bucket(F.col(c), F.lit(stats[c][0]), F.lit(stats[c][1]),
+                      bits)
+        for c in cols
+    ]
+    keyed = df.withColumn(key_col, morton_key(buckets, bits))
+    parted = (
+        keyed.repartitionByRange(partitions, key_col)
+        if partitions else keyed.repartitionByRange(key_col)
+    )
+    out = parted.sortWithinPartitions(key_col)
+    return out if keep_key else out.drop(key_col)
+
+
+def layout_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-partition min/max of each column — exactly the statistics
+    a file-skipping scan consults (one row per partition; the
+    DataFrame stands in for the parquet footer stats a write of the
+    same partitioning would produce). Use to quantify a layout:
+    narrow widths on every z-column = most files skippable for
+    point/range predicates on any of them."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+    )

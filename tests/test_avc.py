@@ -1206,7 +1206,11 @@ def test_p_slice_header_refusals():
         # the slice activates 2 L0 refs but only one is supplied
         avc.decode_frame(sps, pps, hdr(5, override_bits="1010"),
                          ref=st0)
-    with pytest.raises(avc.AVCError, match="modification"):
+    # r8: ref_pic_list_modification is now SUPPORTED — this header's
+    # modification flag is followed by garbage bits, so the command
+    # parse overruns and raises the typed corrupt-stream refusal
+    # instead of the old blanket "unsupported"
+    with pytest.raises(avc.AVCError, match="exhausted"):
         avc.decode_frame(sps, pps, hdr(5, modif="1"), ref=st0)
     with pytest.raises(avc.AVCError, match="IDR"):
         avc.decode_frame(sps, pps, hdr(5, nal_type=5), ref=st0)

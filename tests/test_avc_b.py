@@ -982,3 +982,140 @@ def test_implicit_bipred_bitflip_fuzz():
                              ref_pocs=[0, 8], ref1_pocs=[8, 0])
         except avc.AVCError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# ref_pic_list_modification (7.3.3.1 parse, 8.2.4.3 reorder)
+# ---------------------------------------------------------------------------
+
+
+class _FakeRef:
+    def __init__(self, fn):
+        self.frame_num = fn
+
+
+def test_rplm_hand_worked_reorder():
+    """CurrPicNum 3, window picNums [2,1,0]: (idc 0, abs 2) pulls
+    picNum 0 to the front; a following (idc 1, abs 0) continues from
+    the updated predictor (picNum 1)."""
+    a, b, c = _FakeRef(2), _FakeRef(1), _FakeRef(0)
+    got, aux = avc.apply_ref_list_modification(
+        [a, b, c], [20, 10, 0], [(0, 2)], 3, 16, 3)
+    assert [r.frame_num for r in got] == [0, 2, 1]
+    assert aux == [0, 20, 10]  # aux stays aligned
+    got, aux = avc.apply_ref_list_modification(
+        [a, b, c], None, [(0, 2), (1, 0)], 3, 16, 3)
+    assert [r.frame_num for r in got] == [0, 1, 2]
+    assert aux is None
+
+
+def test_rplm_frame_num_wrap():
+    """CurrPicNum 1 just after a frame_num wrap: the previous picture
+    has frame_num 15 -> picNum -1; (idc 0, abs 1) must select it."""
+    prev, idr = _FakeRef(15), _FakeRef(0)
+    got, _ = avc.apply_ref_list_modification(
+        [idr, prev], None, [(0, 1)], 1, 16, 2)
+    assert [r.frame_num for r in got] == [15, 0]
+
+
+def test_rplm_missing_picnum_refuses():
+    with pytest.raises(avc.AVCError, match="picNum"):
+        avc.apply_ref_list_modification(
+            [_FakeRef(2), _FakeRef(1)], None, [(0, 3)], 3, 16, 2)
+
+
+def test_rplm_long_term_refuses():
+    w = ENC.BitWriter()
+    w.ue(2)  # modification_of_pic_nums_idc 2: long-term
+    w.ue(0)
+    w.ue(3)
+    w.rbsp_trailing()
+    r = avc.BitReader(bytes(w.to_rbsp()))
+    with pytest.raises(avc.AVCError, match="long-term"):
+        avc._parse_rplm(r)
+
+
+def _rplm_entries(mbw, mbh, seed=1200):
+    """I P1 P2 then a P whose L0 list is REVERSED by modification
+    commands ([(0,2),(1,0)]: picNum 0 then 1 -> final [fn0,fn1,fn2]),
+    then a B whose L1 list is modified to put the PAST ref first."""
+    f = [_planes(seed + i, mbw, mbh) for i in range(5)]
+
+    def p3_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 3:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (2 + k, -k), "refs": [k]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "b16", "modes": ["l1"],
+                    "mvs": [(None, (4, -1))], "refs1": [0]}
+        if k == 2:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))], "refs0": [0],
+                    "refs1": [1]}
+        return {"kind": "bdirect"}
+
+    return [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        {"kind": "P", "frame": f[2], "ref": 1, "poc": 4,
+         "plan": lambda x, y: {"kind": "p16", "mv": (-2, 2)}},
+        # final L0 = [I, P1, P2] (reversed initial [P2, P1, P1])
+        {"kind": "P", "frame": f[3], "refs": [0, 1, 2], "poc": 6,
+         "rplm0": [(0, 2), (1, 0)], "plan": p3_plan},
+        # B between P2 (poc 4) and P3 (poc 6): default L1 would be
+        # [P3, P2...]; the commands put P2 (picNum 2, via pred
+        # CurrPicNum 4 -> abs_diff 2) first instead
+        {"kind": "B", "frame": f[4], "refs0": [2, 3],
+         "refs1": [2, 3], "poc": 5,
+         "rplm1": [(0, 1)], "plan": b_plan},
+    ]
+
+
+def test_rplm_round_trip():
+    """Bit-exact round-trip of modified-list P and B slices: if the
+    decoder's 8.2.4.3 interpretation of the commands differed from
+    the hand-derived final lists the encoder predicts from, every
+    MC block would mismatch."""
+    entries = _rplm_entries(5, 3)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st1)
+    # caller passes the DEFAULT initial list (recency order); the
+    # decoder's modification must produce the encoder's [I, P1, P2]
+    st3 = avc.decode_frame(sps, pps, nals[3], ref=[st2, st1, st0])
+    # B: default L1 = [P3(fn3), P2(fn2)]; commands promote P2
+    st4 = avc.decode_frame(sps, pps, nals[4], ref=[st2, st3],
+                           ref1=[st3, st2])
+    _assert_exact([st0, st1, st2, st3, st4], recons)
+
+
+def test_rplm_bitflip_fuzz():
+    entries = _rplm_entries(4, 2, seed=1300)
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=28)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st1)
+    rng = np.random.default_rng(31)
+    for _ in range(120):
+        bad = bytearray(nals[3])
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            avc.decode_frame(sps, pps, bytes(bad),
+                             ref=[st2, st1, st0])
+        except avc.AVCError:
+            pass

@@ -1647,9 +1647,17 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
     return qp
 
 
+def _write_rplm(w, cmds):
+    """ref_pic_list_modification command run (7.3.3.1)."""
+    for idc, abs_m1 in cmds:
+        w.ue(idc)
+        w.ue(abs_m1)
+    w.ue(3)  # terminator
+
+
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
-                   poc_lsb=None, n_ref0=1, weights=None):
+                   poc_lsb=None, n_ref0=1, weights=None, rplm0=None):
     """Encode one P frame against the (already deblocked) reference
     planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
     order when ``n_ref0`` > 1 (the slice header then writes the
@@ -1669,7 +1677,11 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         w.ue(n_ref0 - 1)
     else:
         w.u(0, 1)
-    w.u(0, 1)     # ref_pic_list_modification_flag_l0
+    if rplm0:
+        w.u(1, 1)  # ref_pic_list_modification_flag_l0
+        _write_rplm(w, rplm0)
+    else:
+        w.u(0, 1)
     if weights is not None:  # PPS must set weighted_pred
         _write_pred_weight_table(w, weights, n_ref0, 0)
     w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
@@ -2138,7 +2150,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    b_plan, frame_num, poc_lsb, deblock=False,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
                    n_ref0=1, n_ref1=1, weights=None,
-                   implicit_pocs=None):
+                   implicit_pocs=None, rplm0=None, rplm1=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
@@ -2158,8 +2170,16 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         w.ue(n_ref1 - 1)
     else:
         w.u(0, 1)
-    w.u(0, 1)          # ref_pic_list_modification_flag_l0
-    w.u(0, 1)          # ref_pic_list_modification_flag_l1
+    if rplm0:
+        w.u(1, 1)      # ref_pic_list_modification_flag_l0
+        _write_rplm(w, rplm0)
+    else:
+        w.u(0, 1)
+    if rplm1:
+        w.u(1, 1)      # ref_pic_list_modification_flag_l1
+        _write_rplm(w, rplm1)
+    else:
+        w.u(0, 1)
     if weights is not None:  # PPS must say weighted_bipred_idc 1
         _write_pred_weight_table(w, weights, n_ref0, n_ref1)
     st.wp_enc = weights
@@ -2315,7 +2335,7 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 yf, cbf, crf, [recons[i] for i in ridx], qp,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
                 beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
-                weights=wts)
+                weights=wts, rplm0=e.get("rplm0"))
             frame_num += 1
         else:
             is_ref = bool(e.get("is_ref"))
@@ -2330,7 +2350,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 states[ridx1[0]], qp, e.get("plan"), frame_num, poc,
                 deblock, alpha_off_div2, beta_off_div2, is_ref,
                 n_ref0=len(ridx0), n_ref1=len(ridx1),
-                weights=wts,
+                weights=wts, rplm0=e.get("rplm0"),
+                rplm1=e.get("rplm1"),
                 implicit_pocs=((poc, [pocs[i] for i in ridx0],
                                 [pocs[i] for i in ridx1])
                                if implicit_bipred else None))
