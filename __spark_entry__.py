@@ -3346,6 +3346,49 @@ def q79_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "digest").orderBy("doc_id")
 
 
+def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout kernel (operators/layout): the Morton key that
+    zorder_by range-partitions and sorts on, FULL-VALUE checked — the
+    oracle recomputes the equal-width buckets (exact integer
+    ``(v - min) * 65535 DIV span`` over the whole table's min/max)
+    and the 16-bit interleave with plain SQL bit arithmetic on a
+    deterministic lineitem slice. The bucketing + interleave are pure
+    JVM expressions (no Python, no shuffle); zorder_by itself adds
+    one range exchange + map-side sort (plan pinned in
+    tests/test_layout.py). This is the data-skipping layout a 100-TB
+    scan prunes against (parquet row-group min/max on EVERY
+    z-column)."""
+    from shotit_worker_spark.operators import layout as LY
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_orderkey").alias("mno"), F.max("l_orderkey").alias("mxo"),
+        F.min("l_partkey").alias("mnp"), F.max("l_partkey").alias("mxp"),
+    ).collect()[0]
+    bo = LY.morton_bucket(
+        F.col("l_orderkey"), F.lit(st["mno"]), F.lit(st["mxo"]), 16)
+    bp = LY.morton_bucket(
+        F.col("l_partkey"), F.lit(st["mnp"]), F.lit(st["mxp"]), 16)
+    return (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            bo.alias("bucket_orderkey"),
+            bp.alias("bucket_partkey"),
+            LY.morton_key([bo, bp], 16).alias("zkey"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# the q80 oracle's interleave: bit i of bo -> 2i, of bp -> 2i+1
+_ZORDER_INTERLEAVE_SQL = " + ".join(
+    f"(((bo >> {i}) & 1) << {2 * i}) + (((bp >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
 # (case_id,) — one animated container per case; frame content and
 # animation ops are deterministic (seeded by case id)
 _ANIM_CASE_IDS = ("apng_ops", "webp_ops")
@@ -3705,7 +3748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_semantic_dedup": q66_semantic_dedup,
         "q20_vector_norms": q20_vector_norms,
         "q21_topk_ip": q21_topk_ip,
-        "q22_knn_join": q22_knn_join,
+        # r8 rotation: q80 (zorder layout, FULL-VALUE oracle) takes
+        # q22's recorded slot; the batch knn_join shape stays covered
+        # by q21/q24/q49 and q22 replays below like every displaced row
+        "q80_zorder": q80_zorder,
         "q23_near_dup_pairs": q23_near_dup_pairs,
         "q24_ivf_search": q24_ivf_search,
         "q25_srp_near_dup": q25_srp_near_dup,
@@ -3774,6 +3820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # substantive row
         "q78_animated_frames": q78_animated_frames,
         "q79_bloom_dedup": q79_bloom_dedup,
+        # r8: displaced for q80_zorder (see the note at q80's slot)
+        "q22_knn_join": q22_knn_join,
     }
 
 
@@ -3810,6 +3858,33 @@ def oracle_sql() -> dict[str, str]:
         "q78_animated_frames": _values_oracle(
             _anim_oracle_rows(),
             "case_id, frame_no, height, width, rgb_md5"),
+        # q80: FULL-VALUE zorder kernel — exact integer bucketing
+        # over the whole table's min/max, then the 16-bit interleave
+        # as plain bit arithmetic (bo/bp cast to BIGINT so shifts
+        # never touch 32-bit territory)
+        "q80_zorder": f"""
+            WITH st AS (
+                SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+                       min(l_partkey) AS mnp, max(l_partkey) AS mxp
+                FROM lineitem
+            ),
+            b AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN mxo <= mno THEN 0
+                            ELSE CAST((l_orderkey - mno) AS BIGINT)
+                                 * 65535 // (mxo - mno) END AS bo,
+                       CASE WHEN mxp <= mnp THEN 0
+                            ELSE CAST((l_partkey - mnp) AS BIGINT)
+                                 * 65535 // (mxp - mnp) END AS bp
+                FROM lineitem, st
+                WHERE l_orderkey % 97 = 0
+            )
+            SELECT l_orderkey, l_linenumber,
+                   bo AS bucket_orderkey, bp AS bucket_partkey,
+                   CAST({_ZORDER_INTERLEAVE_SQL} AS BIGINT) AS zkey
+            FROM b
+            ORDER BY l_orderkey, l_linenumber
+        """,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states
         "q79_bloom_dedup": """

@@ -47,9 +47,9 @@ def morton_bucket(col: Column, mn: Column, mx: Column,
     Constant columns (mx == mn) bucket to 0."""
     top = (1 << bits) - 1
     span = (mx - mn).cast("long")
+    num = (col.cast("long") - mn.cast("long")) * top
     return F.when(span <= 0, F.lit(0)).otherwise(
-        ((col.cast("long") - mn.cast("long")) * top / span)
-        .cast("long")
+        F.call_function("div", num, span)  # integral div, no doubles
     )
 
 

@@ -48,17 +48,18 @@ def duck():
 
 
 def test_displaced_set_is_the_expected_rotation():
-    # pin the r7 rotation so an accidental reorder of queries() that
+    # pin the r8 rotation so an accidental reorder of queries() that
     # silently drops a NEW gate past the cap fails loudly here
-    assert len(entrymod.queries()) == 68
+    # (r8: q80_zorder took q22's recorded slot; q22 displaced)
+    assert len(entrymod.queries()) == 69
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
         "q12_rollup", "q14_left_join", "q15_approx_distinct",
         "q16_avg_quantity_filter", "q17_running_sum",
-        "q18_promo_revenue", "q19_cube", "q47_sequence_pack",
-        "q60_json_extract", "q61_windows", "q78_animated_frames",
-        "q79_bloom_dedup",
+        "q18_promo_revenue", "q19_cube", "q22_knn_join",
+        "q47_sequence_pack", "q60_json_extract", "q61_windows",
+        "q78_animated_frames", "q79_bloom_dedup",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

@@ -1,0 +1,137 @@
+"""Z-order layout operator (operators/layout.py): Morton key
+correctness vs a pure-python reference, bucketing edge cases, the
+clustering benefit a file-skipping scan would see, and plan shape
+(no extra shuffles beyond the one range exchange)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import layout as L
+
+
+def _py_morton(vals, bits):
+    """Independent reference: interleave per-column bits."""
+    n = len(vals)
+    key = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * n + j)
+    return key
+
+
+def test_morton_key_matches_python_reference(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(a), int(b), int(c)) for a, b, c in
+            rng.integers(0, 1 << 10, (300, 3))]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        L.morton_key([F.col("a"), F.col("b"), F.col("c")],
+                     bits=10).alias("k"),
+    ).collect()
+    for r in got:
+        assert r["k"] == _py_morton((r["a"], r["b"], r["c"]), 10)
+
+
+def test_morton_key_two_cols_orders_like_quadrants(spark):
+    """The 2-D key's defining property: the four quadrants of the
+    value square occupy four disjoint key ranges in Z traversal
+    order (SW < SE < NW < NE for (x lsb, y msb) interleave)."""
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", L.morton_key([F.col("x"), F.col("y")], 4).alias("k")
+    ).collect()
+    quad = {}
+    for r in rows:
+        q = (r["x"] >= 8, r["y"] >= 8)
+        quad.setdefault(q, []).append(r["k"])
+    assert max(quad[(False, False)]) < min(quad[(True, False)])
+    assert max(quad[(True, False)]) < min(quad[(False, True)])
+    assert max(quad[(False, True)]) < min(quad[(True, True)])
+
+
+def test_morton_key_guards():
+    with pytest.raises(ValueError, match="63"):
+        L.morton_key([F.col("a"), F.col("b")], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        L.morton_key([], bits=8)
+
+
+def test_morton_bucket_exact_integer_semantics(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (50,), (99,), (100,)], "v long"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            L.morton_bucket(F.col("v"), F.lit(0), F.lit(100), 8)
+            .alias("b")
+        ).collect()
+    ]
+    # (v * 255) DIV 100 exactly
+    assert got == [v * 255 // 100 for v in (0, 1, 50, 99, 100)]
+    # constant column -> bucket 0, never a division by zero
+    one = spark.createDataFrame([(7,)], "v long").select(
+        L.morton_bucket(F.col("v"), F.lit(7), F.lit(7), 8).alias("b")
+    ).collect()[0]["b"]
+    assert one == 0
+
+
+def test_zorder_narrows_both_dims(spark):
+    """The point of the layout: after zorder_by on (x, y), the
+    average per-partition width of BOTH columns is far below the
+    single-column-sort baseline, where the second column stays
+    full-width in every partition."""
+    rng = np.random.default_rng(11)
+    rows = [(int(a), int(b)) for a, b in
+            rng.integers(0, 100_000, (20_000, 2))]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+
+    def widths(d, col):
+        st = L.layout_stats(d, ["x", "y"]).collect()
+        return float(
+            np.mean([r[f"mx_{col}"] - r[f"mn_{col}"] for r in st])
+        )
+
+    z = L.zorder_by(df, ["x", "y"], bits=12, partitions=16)
+    xw, yw = widths(z, "x"), widths(z, "y")
+    s = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    assert xw < 0.45 * 100_000  # both dims narrowed
+    assert yw < 0.45 * 100_000
+    assert widths(s, "y") > 0.9 * 100_000  # sort baseline: y full-width
+    # row preservation
+    assert z.count() == df.count()
+    assert set(z.columns) == {"x", "y"}
+
+
+def test_zorder_single_shuffle_plan(spark):
+    """Plan shape: exactly one Exchange (the range repartition) —
+    the stats job is separate and the sort is map-side."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("x"), (F.col("id") % 89).alias("y")
+    )
+    z = L.zorder_by(df, ["x", "y"], bits=8, partitions=4,
+                    keep_key=True)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # map-side sort: Sort node with global=false
+    assert "Sort [__zkey" in plan and "false, 0" in plan
+    ks = [r["__zkey"] for r in z.collect()]
+    # sorted within partitions and range-partitioned across them:
+    # the concatenated collect order is globally sorted
+    assert ks == sorted(ks)
+
+
+def test_zorder_explicit_bounds_for_skew(spark):
+    """bounds= spends key bits on caller-chosen fences (quantiles)
+    instead of the observed min/max."""
+    rows = [(i, 10) for i in range(1000)] + [(5000, 10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = L.zorder_by(df, ["x", "y"], bits=8, partitions=2,
+                    bounds={"x": (0, 1000), "y": (0, 20)})
+    assert z.count() == 1001
