@@ -2248,11 +2248,15 @@ _AVC_IWP_CASE_BY_ID = {c[0]: c for c in _AVC_IWP_CASES}
 # is promoted, decoded from the DEFAULT initial lists
 _AVC_RPLM_CASES = (("n_rplm_deblock26", 26, 1, 4, 3, 16),)
 _AVC_RPLM_CASE_BY_ID = {c[0]: c for c in _AVC_RPLM_CASES}
+# r8: temporal direct mode (8.4.1.2.3) — POC-scaled colocated MVs
+# over a P colocated picture mixing skip/intra/real motion
+_AVC_TD_CASES = (("o_temporal_deblock26", 26, 1, 4, 3, 16),)
+_AVC_TD_CASE_BY_ID = {c[0]: c for c in _AVC_TD_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
     + [c[0] for c in _AVC_WP_CASES] + [c[0] for c in _AVC_IWP_CASES]
-    + [c[0] for c in _AVC_RPLM_CASES]
+    + [c[0] for c in _AVC_RPLM_CASES] + [c[0] for c in _AVC_TD_CASES]
 )
 
 
@@ -2320,6 +2324,46 @@ def _avc_iwp_entries(frames, mbw):
          "plan": lambda x, y: {"kind": "p16", "mv": (3, -1)}},
         {"kind": "B", "frame": frames[1], "refs0": [0, 1],
          "refs1": [1, 0], "poc": 2, "plan": b_plan},
+    ]
+
+
+def _avc_td_entries(frames, mbw):
+    """Decode-order entries for the temporal-direct gate case: the
+    colocated P mixes skip, intra and real MVs so the B's scaled
+    derivation exercises every colocated branch."""
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "i16", "qp": 26}
+        if k == 2:
+            return {"kind": "p16", "mv": (9, -6)}
+        return {"kind": "p16x8", "mvs": [(1, 5), (-7, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b8x8",
+                    "subs": ["direct", ("8x4", "l0"), "direct",
+                             ("4x4", "bi")],
+                    "mvs": [((0, 5), None), ((2, -2), None),
+                            ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                            ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+        return {"kind": "b16", "modes": ["bi"],
+                "mvs": [((2, 1), (-2, 3))]}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0},
+        {"kind": "P", "frame": frames[2], "ref": 0, "poc": 8,
+         "plan": p_plan},
+        {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
+         "poc": 2, "plan": b_plan, "direct": "temporal"},
     ]
 
 
@@ -2525,6 +2569,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_TD_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_TD_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(3):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 269 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_td_entries(frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the temporal-direct B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_RPLM_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_RPLM_CASE_BY_ID[case_id]
         frames = []
@@ -2727,6 +2799,16 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_TD_CASE_BY_ID:
+        # decode order I (POC 0), P (POC 8), temporal-direct B
+        # (POC 2): the B's direct MVs are POC-scaled colocated motion
+        st0 = AV.decode_frame(sps, pps, nal_or_nals[0], poc=0)
+        st1 = AV.decode_frame(sps, pps, nal_or_nals[1], ref=st0,
+                              poc=8, ref_pocs=[0])
+        st2 = AV.decode_frame(sps, pps, nal_or_nals[2], ref=st0,
+                              ref1=st1, poc=2, ref_pocs=[0],
+                              ref1_pocs=[8])
+        return AV.frame_rgb(st2, sps)
     if case_id in _AVC_RPLM_CASE_BY_ID:
         # decode order I P1 P2 P3(rplm-reversed L0) B(rplm L1): the
         # decoder gets DEFAULT initial lists and must apply the
@@ -2794,11 +2876,12 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (explicit pred_weight_table: weighted P fade incl. skips,
     explicit-bi B), and (r8) an IMPLICIT-weighted chain
     (weighted_bipred_idc 2, x264's B default: POC-distance 8.4.2.3.1
-    weights over both list pairs), and an RPLM chain
+    weights over both list pairs), an RPLM chain
     (ref_pic_list_modification: picNum commands reversing L0 on a P
     and promoting L1[1] on a B, applied from the default initial
-    lists) — fourteen streams DECODED by the engine on the executors
-    and hashed;
+    lists), and a TEMPORAL-direct chain (8.4.1.2.3 POC-scaled
+    colocated motion over skip/intra/real colocated blocks) — fifteen
+    streams DECODED by the engine on the executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both

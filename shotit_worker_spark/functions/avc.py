@@ -1458,6 +1458,16 @@ class _IFrame:
         # this picture's frame_num (set by _decode_frame_inner) —
         # list modification derives reference picNums from it
         self.frame_num = None
+        # direct-mode context (set by _decode_frame_inner for B
+        # slices): spatial vs temporal, this picture's POC and its
+        # per-list reference POCs. ref0_pocs persists on the state so
+        # a LATER temporal-direct B can map the colocated picture's
+        # refIdx to a POC (pictures are identified by POC, never by
+        # object retention — no frame-lifetime chains)
+        self.direct_spatial = True
+        self.poc = None
+        self.ref0_pocs = None
+        self.ref1_pocs = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1595,12 +1605,10 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             # decoding it is optional and we have no primary to prefer
             raise AVCError("redundant coded picture unsupported")
     if h["is_b"]:
-        # spatial direct is x264's default and needs no POC
-        # arithmetic; temporal direct scales colocated MVs by POC
-        # distances — out of the single-ref scope, refuse
-        if not r.flag():  # direct_spatial_mv_pred_flag
-            raise AVCError("temporal direct mode unsupported "
-                           "(spatial only)")
+        # spatial direct (x264's default) needs no POC arithmetic;
+        # temporal direct (r8) scales colocated MVs by POC distances
+        # — decode_frame then needs the caller's POC context
+        h["direct_spatial"] = bool(r.flag())
         if not sps.direct_8x8_inference:
             raise AVCError("direct_8x8_inference_flag=0 unsupported")
     if h["is_p"] or h["is_b"]:
@@ -1782,7 +1790,17 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
              for i1 in range(h["n_ref1"])]
             for i0 in range(h["n_ref0"])
         ]
+    st.poc = poc
+    st.ref0_pocs = list(ref_pocs) if ref_pocs is not None else None
+    st.ref1_pocs = list(ref1_pocs) if ref1_pocs is not None else None
     if h["is_b"]:
+        st.direct_spatial = h["direct_spatial"]
+        if not st.direct_spatial and (
+                poc is None or ref_pocs is None or ref1_pocs is None):
+            raise AVCError(
+                "temporal direct mode needs POC context (pass"
+                " poc/ref_pocs/ref1_pocs to decode_frame)"
+            )
         if not refs0 or not refs1:
             raise AVCError(
                 "B slice needs both reference frames (ref=L0 past,"
@@ -2754,12 +2772,96 @@ def _spatial_direct(st: _IFrame, col: _IFrame, mb: int, mbx: int,
     return refs[0], refs[1], out
 
 
+def _temporal_direct(st: _IFrame, refs0: list, refs1: list, mb: int,
+                     mbx: int, mby: int) -> list:
+    """Temporal direct motion derivation (8.4.1.2.3, frame coding,
+    direct_8x8_inference): per 8x8, take the colocated corner 4x4 of
+    RefPicList1[0], map its reference picture into the CURRENT L0 by
+    POC identity, and scale the colocated MV by POC distances:
+
+        mvL0 = (DistScaleFactor * mvCol + 128) >> 8
+        mvL1 = mvL0 - mvCol          (refIdxL1 = 0, always bi-pred)
+
+    Intra colocated blocks contribute mvCol = 0 at refIdxL0 = 0;
+    equal-POC pairs (td = 0) take mvL0 = mvCol, mvL1 = 0. Returns the
+    uniform per-8x8 direct shape [(ref0, ref1, mv0, mv1)] * 4."""
+    col = refs1[0]
+    poc_cur = st.poc
+    poc_col = st.ref1_pocs[0]
+    px4, py4 = mbx * 4, mby * 4
+    # direct_8x8_inference: each 8x8 samples the OUTER corner 4x4 of
+    # the macroblock (same corners _spatial_direct's colZero uses)
+    corners = ((0, 0), (3, 0), (0, 3), (3, 3))
+    out = []
+    for i8 in range(4):
+        dx, dy = corners[i8]
+        gx = px4 + dx
+        gy = py4 + dy
+        col_mb = (gy >> 2) * col.mbw + (gx >> 2)
+        if col.mb_intra[col_mb]:
+            ref0 = 0
+            cmx = cmy = 0
+        else:
+            cf = int(col.pred_flags[gy, gx])
+            if cf & 1:
+                cmx, cmy = int(col.mvx[gy, gx]), int(col.mvy[gy, gx])
+                ref_col = int(col.ref_idx0[gy, gx])
+                col_pocs = col.ref0_pocs
+            elif cf & 2:
+                cmx, cmy = int(col.mvx1[gy, gx]), int(col.mvy1[gy, gx])
+                ref_col = int(col.ref_idx1[gy, gx])
+                col_pocs = col.ref1_pocs
+            else:
+                ref_col = 0
+                cmx = cmy = 0
+                col_pocs = col.ref0_pocs
+            if col_pocs is None or ref_col >= len(col_pocs):
+                raise AVCError(
+                    "temporal direct: colocated reference POC"
+                    " unavailable"
+                )
+            poc_ref = col_pocs[ref_col]
+            try:
+                ref0 = st.ref0_pocs.index(poc_ref)
+            except ValueError:
+                raise AVCError(
+                    f"temporal direct: colocated reference (POC"
+                    f" {poc_ref}) is not in the current RefPicList0"
+                ) from None
+        poc_ref0 = st.ref0_pocs[ref0]
+        if poc_col == poc_ref0:
+            mv0 = (cmx, cmy)
+            mv1 = (0, 0)
+        else:
+            tb = min(127, max(-128, poc_cur - poc_ref0))
+            td = min(127, max(-128, poc_col - poc_ref0))
+            num = 16384 + (abs(td) >> 1)
+            tx = num // td if td > 0 else -(num // -td)
+            dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+            mv0 = ((dsf * cmx + 128) >> 8, (dsf * cmy + 128) >> 8)
+            mv1 = (mv0[0] - cmx, mv0[1] - cmy)
+        out.append((ref0, 0, mv0, mv1))
+    return out
+
+
+def _direct_mb_state(st: _IFrame, refs0: list, refs1: list, mb: int,
+                     mbx: int, mby: int) -> list:
+    """Direct motion for one MB in the uniform per-8x8 shape
+    [(ref0, ref1, mv0, mv1)] * 4 (refX = -1 when list X unused) —
+    spatial or temporal per the slice header flag."""
+    if st.direct_spatial:
+        d0, d1, mvs = _spatial_direct(st, refs1[0], mb, mbx, mby)
+        return [(d0, d1, mv0, mv1) for (mv0, mv1) in mvs]
+    return _temporal_direct(st, refs0, refs1, mb, mbx, mby)
+
+
 def _apply_direct_8x8(st: _IFrame, refs0, refs1, mbx: int, mby: int,
-                      i8: int, dref0: int, dref1: int, mvs) -> None:
-    """Write + motion-compensate one direct-predicted 8x8."""
+                      i8: int, direct8) -> None:
+    """Write + motion-compensate one direct-predicted 8x8 from the
+    uniform per-8x8 direct entry (ref0, ref1, mv0, mv1)."""
     bx4 = mbx * 4 + (i8 & 1) * 2
     by4 = mby * 4 + (i8 >> 1) * 2
-    mv0, mv1 = mvs[i8]
+    dref0, dref1, mv0, mv1 = direct8
     use0, use1 = dref0 >= 0, dref1 >= 0
     _set_mv_b(st, bx4, by4, 2, 2, mv0, mv1, use0, use1,
               ref0=max(dref0, 0), ref1=max(dref1, 0))
@@ -2772,10 +2874,9 @@ def _apply_direct_8x8(st: _IFrame, refs0, refs1, mbx: int, mby: int,
 def _decode_bskip(st: _IFrame, refs0: list, refs1: list, mb: int,
                   qp: int) -> None:
     mbx, mby = mb % st.mbw, mb // st.mbw
-    dref0, dref1, mvs = _spatial_direct(st, refs1[0], mb, mbx, mby)
+    d8 = _direct_mb_state(st, refs0, refs1, mb, mbx, mby)
     for i8 in range(4):
-        _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
-                          dref1, mvs)
+        _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, d8[i8])
     _finish_inter_mb(st, mbx, mby, mb)
     st.mb_qp[mb] = qp
     st.n_decoded_mbs += 1
@@ -2836,7 +2937,7 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
     slot_modes: list = []
     direct_state = None
     if shape == "direct":
-        direct_state = _spatial_direct(st, refs1[0], mb, mbx, mby)
+        direct_state = _direct_mb_state(st, refs0, refs1, mb, mbx, mby)
     elif shape == "16x16":
         plist.append((px4, py4, 4, 4, None, modes[0], 0))
         slot_modes = [modes[0]]
@@ -2863,8 +2964,8 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
                               s_i))
                 slot_modes.append("direct")
                 if direct_state is None:
-                    direct_state = _spatial_direct(st, refs1[0], mb,
-                                                   mbx, mby)
+                    direct_state = _direct_mb_state(st, refs0, refs1,
+                                                    mb, mbx, mby)
                 continue
             slot_modes.append(smode)
             for dx4, dy4, w4, h4 in _B_SHAPES[sshape]:
@@ -2897,9 +2998,8 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
     for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
         if isinstance(mode, str) and mode.startswith("direct"):
             i8 = int(mode[6:])
-            dref0, dref1, mvs = direct_state
-            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
-                              dref1, mvs)
+            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8,
+                              direct_state[i8])
             continue
         use0 = mode in ("l0", "bi")
         use1 = mode in ("l1", "bi")
@@ -2921,10 +3021,9 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
                         bx4, by4, w4, h4, mv0, mv1, use0, use1,
                         ri0=ri0, ri1=ri1)
     if shape == "direct":
-        dref0, dref1, mvs = direct_state
         for i8 in range(4):
-            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, dref0,
-                              dref1, mvs)
+            _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8,
+                              direct_state[i8])
     _finish_inter_mb(st, mbx, mby, mb)
     return _b_inter_residual(r, st, pps, mbx, mby, mb, qp)
 

@@ -486,17 +486,23 @@ class _AvcGopCursor:
                 kind = AV.slice_kind(nal)
                 poc = self._poc_of(nal, s.keyframe)
                 if s.keyframe or kind == "i":
-                    st = AV.decode_frame(self.sps, self.pps, nal)
+                    st = AV.decode_frame(self.sps, self.pps, nal,
+                                         poc=poc)
                 elif kind == "p":
                     if not self._refs:
                         raise AV.AVCError("P sample without a stored"
                                           " reference")
                     # default RefPicList0: most recently decoded
                     # reference first (8.2.4.2.1, frame_num order ==
-                    # decode order in our single-GOP scope)
+                    # decode order in our single-GOP scope); POC
+                    # context recorded so a later temporal-direct B
+                    # can map this picture's references
+                    l0 = list(reversed(self._refs))
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
-                        ref=[r[2] for r in reversed(self._refs)],
+                        ref=[r[2] for r in l0],
+                        poc=poc,
+                        ref_pocs=[r[1] for r in l0],
                     )
                 else:  # B: default lists around this pts (8.2.4.2.3)
                     past = sorted((r for r in self._refs

@@ -1196,8 +1196,10 @@ def test_p_slice_header_refusals():
         w.byte_align_zero()
         return ENC.make_nal(3, nal_type, w.to_rbsp())
 
-    with pytest.raises(avc.AVCError, match="temporal direct"):
-        # B slice whose direct_spatial_mv_pred_flag bit reads 0
+    with pytest.raises(avc.AVCError, match="direct_8x8_inference"):
+        # B slice whose direct_spatial_mv_pred_flag bit reads 0:
+        # temporal direct is SUPPORTED since r8, but this sequence's
+        # SPS has direct_8x8_inference=0 — the next refusal in line
         avc.decode_frame(sps, pps, hdr(6), ref=st0)
     with pytest.raises(avc.AVCError, match="not an I, P or B"):
         avc.decode_frame(sps, pps, hdr(3), ref=st0)  # SP slice

@@ -1119,3 +1119,161 @@ def test_rplm_bitflip_fuzz():
                              ref=[st2, st1, st0])
         except avc.AVCError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# temporal direct mode (8.4.1.2.3)
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_direct_hand_pinned():
+    """Hand-worked scaling: B at POC 2, L0=[POC 0], L1=[POC 8]; the
+    colocated block references POC 0 with mvCol (40, -20):
+    tb=2, td=8 -> DistScaleFactor 64; mvL0 = (64*40+128)>>8 = 10,
+    (64*-20+128)>>8 = -5 (floor); mvL1 = mvL0 - mvCol = (-30, 15)."""
+    sps = _blank_sps(2, 1)
+    st = avc._IFrame(sps)
+    st.direct_spatial = False
+    st.poc = 2
+    st.ref0_pocs = [0]
+    st.ref1_pocs = [8]
+    col = avc._IFrame(sps)
+    col.mb_intra[0] = False
+    col.pred_flags[0:4, 0:8] = 1
+    col.ref_idx0[0:4, 0:8] = 0
+    col.mvx[0:4, 0:8] = 40
+    col.mvy[0:4, 0:8] = -20
+    col.ref0_pocs = [0]
+    col.mb_intra[1] = True  # second MB: intra fallback
+    d8 = avc._temporal_direct(st, [st], [col], 0, 0, 0)
+    assert d8 == [(0, 0, (10, -5), (-30, 15))] * 4
+    d8i = avc._temporal_direct(st, [st], [col], 1, 1, 0)
+    assert d8i == [(0, 0, (0, 0), (0, 0))] * 4  # intra col -> zeros
+
+
+def _temporal_entries(mbw, mbh, seed=1400):
+    f = [_planes(seed + i, mbw, mbh) for i in range(3)]
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "i16", "qp": 26}  # intra-in-P: fallback
+        if k == 2:
+            return {"kind": "p16", "mv": (9, -6)}
+        return {"kind": "p16x8", "mvs": [(1, 5), (-7, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b8x8",
+                    "subs": ["direct", ("8x4", "l0"), "direct",
+                             ("4x4", "bi")],
+                    "mvs": [((0, 5), None), ((2, -2), None),
+                            ((1, 1), (0, 0)), ((2, 0), (1, 1)),
+                            ((0, 2), (-1, 0)), ((3, 3), (2, 2))]}
+        return {"kind": "b16", "modes": ["bi"],
+                "mvs": [((2, 1), (-2, 3))]}
+
+    return [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 8,
+         "plan": p_plan},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": b_plan, "direct": "temporal"},
+    ]
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_temporal_direct_round_trip(deblock):
+    """Bit-exact round-trip of a temporal-direct B (B_Skip, B_Direct,
+    direct sub-partitions) against a P colocated picture that mixes
+    skip, intra and real MVs — the decoder's POC-mapped scaling must
+    equal the encoder's independent derivation everywhere."""
+    entries = _temporal_entries(5, 3)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0], poc=0)
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0, poc=8,
+                           ref_pocs=[0])
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=st1,
+                           poc=2, ref_pocs=[0], ref1_pocs=[8])
+    _assert_exact([st0, st1, st2], recons)
+
+
+def test_temporal_direct_refusals():
+    entries = _temporal_entries(2, 2, seed=1450)
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=28)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0], poc=0)
+    # no POC context at the B
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0, poc=8,
+                           ref_pocs=[0])
+    with pytest.raises(avc.AVCError, match="POC context"):
+        avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=st1)
+    # colocated decoded WITHOUT its reference POCs
+    st1b = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    with pytest.raises(avc.AVCError, match="colocated"):
+        avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=st1b,
+                         poc=2, ref_pocs=[0], ref1_pocs=[8])
+
+
+def test_g1_temporal_direct_in_mp4(spark):
+    """End-to-end: the GOP cursor records POC context on P states so
+    a temporal-direct B decodes to real pixels from an mp4."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    mbw, mbh = 4, 3
+    entries = _temporal_entries(mbw, mbh, seed=1500)
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    timescale = 12000
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        deltas=[2000, 2000, 8000],  # dts; pts I=0, P=8000, B=4000
+        timescale=timescale,
+        keyframes=[0],
+        ctts_offsets=[0, 6000, 0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/td.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=3.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 3
+    sps = avc.parse_sps(sps_nal)
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    for slot, recon_idx in ((0, 0), (1, 2), (2, 1)):
+        got = IC.decode_image(bytes(rows[slot]["image"]))
+        assert np.array_equal(got, want_rgb(recons[recon_idx])), slot

@@ -1865,6 +1865,67 @@ def _spatial_direct_enc(st, col, cur_mb, mbx, mby):
     return drefs[0], drefs[1], mvs
 
 
+def _temporal_direct_enc(st, col, mbx, mby, ctx):
+    """8.4.1.2.3 temporal direct, the encoder's own derivation
+    (floor divisions spelled out with // instead of shifts): map the
+    colocated corner block's reference to the current L0 by POC,
+    scale mvCol by the POC-distance factor, always bi-predict with
+    refIdxL1 = 0."""
+    poc_cur, pocs0, pocs1, col_pocs0, col_pocs1 = ctx
+
+    def clip(lo, hi, v):
+        return lo if v < lo else hi if v > hi else v
+
+    px4, py4 = mbx * 4, mby * 4
+    out = []
+    for dx, dy in ((0, 0), (3, 0), (0, 3), (3, 3)):
+        gx, gy = px4 + dx, py4 + dy
+        col_mb = (gy // 4) * col.mbw + (gx // 4)
+        if col.mb_intra[col_mb]:
+            ref0 = 0
+            cm = (0, 0)
+        else:
+            cf = int(col.pf[gy, gx])
+            if cf & 1:
+                cm = (int(col.mvx[gy, gx]), int(col.mvy[gy, gx]))
+                rc = int(col.ri0[gy, gx])
+                cpocs = col_pocs0
+            elif cf & 2:
+                cm = (int(col.mvx1[gy, gx]), int(col.mvy1[gy, gx]))
+                rc = int(col.ri1[gy, gx])
+                cpocs = col_pocs1
+            else:
+                cm = (0, 0)
+                rc = 0
+                cpocs = col_pocs0
+            ref0 = pocs0.index(cpocs[rc])
+        pr = pocs0[ref0]
+        if pocs1[0] == pr:
+            mv0, mv1 = cm, (0, 0)
+        else:
+            tb = clip(-128, 127, poc_cur - pr)
+            td = clip(-128, 127, pocs1[0] - pr)
+            half = -td // 2 if td < 0 else td // 2
+            numer = 16384 + half
+            tx = -(numer // (-td)) if td < 0 else numer // td
+            dsf = clip(-1024, 1023, (tb * tx + 32) // 64)
+            mv0 = ((dsf * cm[0] + 128) // 256,
+                   (dsf * cm[1] + 128) // 256)
+            mv1 = (mv0[0] - cm[0], mv0[1] - cm[1])
+        out.append((ref0, 0, mv0, mv1))
+    return out
+
+
+def _direct_enc(st, col, mb, mbx, mby):
+    """Uniform per-8x8 direct shape [(ref0, ref1, mv0, mv1)] * 4 —
+    temporal when the slice carries a td_enc context, else spatial."""
+    td = getattr(st, "td_enc", None)
+    if td is not None:
+        return _temporal_direct_enc(st, col, mbx, mby, td)
+    d0, d1, mvs = _spatial_direct_enc(st, col, mb, mbx, mby)
+    return [(d0, d1, m0, m1) for m0, m1 in mvs]
+
+
 def _implicit_w_enc(poc_cur, p0, p1):
     """Encoder-side implicit B weights (8.4.2.3.1), written
     independently of the decoder: sign-split truncating division and
@@ -2019,7 +2080,7 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
     direct_state = None
     if kind == "bdirect":
         w.ue(B_MB_TYPES["direct"])
-        direct_state = _spatial_direct_enc(st, col, mb, mbx, mby)
+        direct_state = _direct_enc(st, col, mb, mbx, mby)
     elif kind == "b16":
         w.ue(B_MB_TYPES[("16x16", (plan["modes"][0],))])
         plist.append((px4, py4, 4, 4, None, plan["modes"][0], 0))
@@ -2049,8 +2110,7 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
                               s_i))
                 slot_modes.append("direct")
                 if direct_state is None:
-                    direct_state = _spatial_direct_enc(st, col, mb,
-                                                       mbx, mby)
+                    direct_state = _direct_enc(st, col, mb, mbx, mby)
                 continue
             shape, mode = s
             slot_modes.append(mode)
@@ -2084,8 +2144,8 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
     for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
         if isinstance(mode, str) and mode.startswith("direct"):
             i8 = int(mode[6:])
-            dref0, dref1, mvs = direct_state
-            _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
+            dref0, dref1, m0, m1 = direct_state[i8]
+            _mark_mv_b_enc(st, bx4, by4, 2, 2, m0, m1,
                            dref0 >= 0, dref1 >= 0,
                            ref0=max(dref0, 0), ref1=max(dref1, 0))
             continue
@@ -2110,26 +2170,25 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
         w.se(dy)
     # MC every partition (direct ones per 8x8) now that MVs are final
     if kind == "bdirect":
-        dref0, dref1, mvs = direct_state
         for i8 in range(4):
             bx4 = px4 + (i8 & 1) * 2
             by4 = py4 + (i8 >> 1) * 2
-            _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0], mvs[i8][1],
+            dref0, dref1, m0, m1 = direct_state[i8]
+            _mark_mv_b_enc(st, bx4, by4, 2, 2, m0, m1,
                            dref0 >= 0, dref1 >= 0,
                            ref0=max(dref0, 0), ref1=max(dref1, 0))
             _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
                            ref_list1[max(dref1, 0)], bx4, by4, 2, 2,
-                           mvs[i8][0], mvs[i8][1],
-                           dref0 >= 0, dref1 >= 0,
+                           m0, m1, dref0 >= 0, dref1 >= 0,
                            ri0=max(dref0, 0), ri1=max(dref1, 0))
     else:
         for k, (bx4, by4, w4, h4, hint, mode, slot) in enumerate(plist):
             if isinstance(mode, str) and mode.startswith("direct"):
                 i8 = int(mode[6:])
-                dref0, dref1, mvs = direct_state
+                dref0, dref1, m0, m1 = direct_state[i8]
                 _mc_part_b_enc(st, ref_list0[max(dref0, 0)],
                                ref_list1[max(dref1, 0)], bx4, by4,
-                               2, 2, mvs[i8][0], mvs[i8][1],
+                               2, 2, m0, m1,
                                dref0 >= 0, dref1 >= 0,
                                ri0=max(dref0, 0), ri1=max(dref1, 0))
                 continue
@@ -2150,7 +2209,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    b_plan, frame_num, poc_lsb, deblock=False,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
                    n_ref0=1, n_ref1=1, weights=None,
-                   implicit_pocs=None, rplm0=None, rplm1=None):
+                   implicit_pocs=None, rplm0=None, rplm1=None,
+                   temporal_ctx=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
@@ -2163,7 +2223,10 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
     w.ue(0)            # pps id
     w.u(frame_num % 16, 4)
     w.u(poc_lsb % 64, 6)
-    w.u(1, 1)          # direct_spatial_mv_pred_flag (spatial)
+    # direct_spatial_mv_pred_flag: 0 = temporal (POC-scaled colocated
+    # MVs) when a temporal_ctx is supplied, else spatial
+    w.u(0 if temporal_ctx is not None else 1, 1)
+    st.td_enc = temporal_ctx
     if n_ref0 > 1 or n_ref1 > 1:
         w.u(1, 1)      # num_ref_idx_active_override_flag
         w.ue(n_ref0 - 1)
@@ -2212,8 +2275,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         kind = plan["kind"]
         if kind == "bskip":
             skip_pending += 1
-            dref0, dref1, mvs = _spatial_direct_enc(st, col, mb, mbx,
-                                                    mby)
+            d8 = _direct_enc(st, col, mb, mbx, mby)
             rl0 = ([ref0_planes] if isinstance(ref0_planes, tuple)
                    else list(ref0_planes))
             rl1 = ([ref1_planes] if isinstance(ref1_planes, tuple)
@@ -2221,13 +2283,13 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
             for i8 in range(4):
                 bx4 = mbx * 4 + (i8 & 1) * 2
                 by4 = mby * 4 + (i8 >> 1) * 2
-                _mark_mv_b_enc(st, bx4, by4, 2, 2, mvs[i8][0],
-                               mvs[i8][1], dref0 >= 0, dref1 >= 0,
+                dref0, dref1, m0, m1 = d8[i8]
+                _mark_mv_b_enc(st, bx4, by4, 2, 2, m0, m1,
+                               dref0 >= 0, dref1 >= 0,
                                ref0=max(dref0, 0), ref1=max(dref1, 0))
                 _mc_part_b_enc(st, rl0[max(dref0, 0)],
                                rl1[max(dref1, 0)], bx4, by4,
-                               2, 2, mvs[i8][0], mvs[i8][1],
-                               dref0 >= 0, dref1 >= 0,
+                               2, 2, m0, m1, dref0 >= 0, dref1 >= 0,
                                ri0=max(dref0, 0), ri1=max(dref1, 0))
             st.modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
             st.mb_qp.append(cur_qp)
@@ -2336,6 +2398,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
                 beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
                 weights=wts, rplm0=e.get("rplm0"))
+            st.pocs0_enc = [pocs[i] for i in ridx]
+            st.pocs1_enc = None
             frame_num += 1
         else:
             is_ref = bool(e.get("is_ref"))
@@ -2344,6 +2408,13 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
             wts = e.get("weights")
             if wts is None and any_wb:
                 wts = {"d": 0, "dc": 0}
+            tctx = None
+            if e.get("direct") == "temporal":
+                colst = states[ridx1[0]]
+                tctx = (poc, [pocs[i] for i in ridx0],
+                        [pocs[i] for i in ridx1],
+                        getattr(colst, "pocs0_enc", None),
+                        getattr(colst, "pocs1_enc", None))
             nal, st = _encode_bframe(
                 yf, cbf, crf, [recons[i] for i in ridx0],
                 [recons[i] for i in ridx1],
@@ -2354,7 +2425,10 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 rplm1=e.get("rplm1"),
                 implicit_pocs=((poc, [pocs[i] for i in ridx0],
                                 [pocs[i] for i in ridx1])
-                               if implicit_bipred else None))
+                               if implicit_bipred else None),
+                temporal_ctx=tctx)
+            st.pocs0_enc = [pocs[i] for i in ridx0]
+            st.pocs1_enc = [pocs[i] for i in ridx1]
             if is_ref:
                 frame_num += 1
         if deblock:
