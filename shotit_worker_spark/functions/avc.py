@@ -1468,6 +1468,9 @@ class _IFrame:
         self.poc = None
         self.ref0_pocs = None
         self.ref1_pocs = None
+        # adaptive marking commands (7.3.3.3 op-1 unmarks) parsed
+        # from this picture's header — applied by the DPB owner
+        self.mmco = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1655,7 +1658,32 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             r.flag()  # long_term_reference_flag
         else:
             if r.flag():  # adaptive_ref_pic_marking_mode
-                raise AVCError("adaptive ref pic marking unsupported")
+                # dec_ref_pic_marking (7.3.3.3): short-term unmark
+                # (op 1) is supported — the DPB owner (GOP cursor)
+                # applies it after this picture decodes. Everything
+                # long-term (ops 2/3/4/6) and the MMCO5 full reset
+                # (it also rewrites frame_num/POC state) refuse.
+                ops = []
+                while True:
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    if op == 1:
+                        ops.append((1, r.ue()))
+                    elif op in (2, 3, 4, 5, 6):
+                        raise AVCError(
+                            f"memory_management_control_operation"
+                            f" {op} unsupported (short-term unmark"
+                            " only)"
+                        )
+                    else:
+                        raise AVCError(
+                            f"memory_management_control_operation"
+                            f" {op} out of range"
+                        )
+                    if len(ops) > 32:
+                        raise AVCError("MMCO run too long")
+                h["mmco"] = ops
     h["slice_qp"] = pps.pic_init_qp + r.se()
     h["alpha_off"] = 0
     h["beta_off"] = 0
@@ -1793,6 +1821,8 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     st.poc = poc
     st.ref0_pocs = list(ref_pocs) if ref_pocs is not None else None
     st.ref1_pocs = list(ref1_pocs) if ref1_pocs is not None else None
+    # adaptive marking commands for the caller that owns the DPB
+    st.mmco = h.get("mmco")
     if h["is_b"]:
         st.direct_spatial = h["direct_spatial"]
         if not st.direct_spatial and (

@@ -526,6 +526,23 @@ class _AvcGopCursor:
                 if nal[0] >> 5:  # nal_ref_idc != 0: a reference pic
                     if s.keyframe:
                         self._refs = []  # IDR empties the DPB
+                    for op, diff in (st.mmco or ()):
+                        # op 1 (the only op decode_frame admits):
+                        # unmark the short-term picture at picNum
+                        # CurrPicNum - (diff + 1), with frame_num
+                        # wrap below the current value (8.2.5.4.1)
+                        max_fn = 1 << self.sps.log2_max_frame_num
+                        pnx = st.frame_num - (diff + 1)
+                        if pnx < 0:
+                            pnx += max_fn
+                        self._refs = [
+                            r for r in self._refs
+                            if (r[2].frame_num
+                                if r[2].frame_num <= st.frame_num
+                                else r[2].frame_num - max_fn)
+                            != (pnx if pnx <= st.frame_num
+                                else pnx - max_fn)
+                        ]
                     self._refs.append((s.pts, poc, st))
                     self._refs = self._refs[-self._dpb:]
                 self._state = st

@@ -1277,3 +1277,114 @@ def test_g1_temporal_direct_in_mp4(spark):
     for slot, recon_idx in ((0, 0), (1, 2), (2, 1)):
         got = IC.decode_image(bytes(rows[slot]["image"]))
         assert np.array_equal(got, want_rgb(recons[recon_idx])), slot
+
+
+# ---------------------------------------------------------------------------
+# adaptive reference marking (7.3.3.3 MMCO op 1)
+# ---------------------------------------------------------------------------
+
+
+def test_mmco_unmark_changes_default_list_in_mp4(spark):
+    """I P1 P2(unmarks P1 via MMCO op 1) P3(2 refs): after the
+    unmark, the cursor's default L0 for P3 is [P2, I]. P3's second
+    reference is the IDR — if the marking were ignored the slot would
+    hold P1 and every ref-1 block would mis-predict."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    mbw, mbh = 4, 2
+    f = [_planes(1600 + i, mbw, mbh) for i in range(4)]
+
+    def p3_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 3
+        if k == 0:
+            return {"kind": "skip"}
+        return {"kind": "p16", "mv": (2 + k, -k), "refs": [k - 1]}
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        # CurrPicNum 2, unmark picNum 1 (P1): diff_minus1 = 0
+        {"kind": "P", "frame": f[2], "ref": 1, "poc": 4,
+         "mmco": [(1, 0)],
+         "plan": lambda x, y: {"kind": "p16", "mv": (-2, 2)}},
+        # final L0 after marking: [P2, I] (P1 is gone)
+        {"kind": "P", "frame": f[3], "refs": [2, 0], "poc": 6,
+         "plan": p3_plan},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    # direct decode: the slice parses and carries the ops
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st1)
+    assert st2.mmco == [(1, 0)]
+    st3 = avc.decode_frame(sps, pps, nals[3], ref=[st2, st0])
+    _assert_exact([st0, st1, st2, st3], recons)
+    # through the cursor: the DPB must drop P1 at P2's marking
+    timescale = 12000
+    dt = timescale // 4
+    blob, _offs = build_mp4(
+        [sample_bytes([n]) for n in nals],
+        deltas=[dt] * 4,
+        timescale=timescale,
+        keyframes=[0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/mmco.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=4.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 4
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    got = IC.decode_image(bytes(rows[3]["image"]))
+    assert np.array_equal(got, want_rgb(recons[3]))
+
+
+def test_mmco_long_term_ops_refuse():
+    w = ENC.BitWriter()
+    w.ue(0)       # first_mb_in_slice
+    w.ue(5)       # slice_type P
+    w.ue(0)       # pps id
+    w.u(1, 4)     # frame_num
+    w.u(0, 6)     # poc lsb
+    w.u(0, 1)     # no override
+    w.u(0, 1)     # no rplm
+    w.u(1, 1)     # adaptive marking ON
+    w.ue(4)       # MMCO op 4 (max long-term idx) -> refuse
+    w.ue(0)
+    w.ue(0)
+    w.se(0)
+    w.ue(1)
+    w.rbsp_trailing()
+    nal = ENC.make_nal(3, 1, w.to_rbsp())
+    sps = _blank_sps(2, 1)
+    pps = avc.parse_pps(ENC.write_pps())
+    st0 = avc._IFrame(sps)
+    st0.frame_num = 0
+    with pytest.raises(avc.AVCError, match="management_control"):
+        avc.decode_frame(sps, pps, nal, ref=st0)

@@ -1657,7 +1657,8 @@ def _write_rplm(w, cmds):
 
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
-                   poc_lsb=None, n_ref0=1, weights=None, rplm0=None):
+                   poc_lsb=None, n_ref0=1, weights=None, rplm0=None,
+                   mmco=None):
     """Encode one P frame against the (already deblocked) reference
     planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
     order when ``n_ref0`` > 1 (the slice header then writes the
@@ -1684,7 +1685,15 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         w.u(0, 1)
     if weights is not None:  # PPS must set weighted_pred
         _write_pred_weight_table(w, weights, n_ref0, 0)
-    w.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
+    if mmco:
+        w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+        for op in mmco:
+            w.ue(op[0])
+            if op[0] == 1:
+                w.ue(op[1])
+        w.ue(0)    # end of MMCO run
+    else:
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     st.wp_enc = weights
     slice_qp = qp
     w.se(slice_qp - 26)
@@ -2397,7 +2406,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 yf, cbf, crf, [recons[i] for i in ridx], qp,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
                 beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
-                weights=wts, rplm0=e.get("rplm0"))
+                weights=wts, rplm0=e.get("rplm0"),
+                mmco=e.get("mmco"))
             st.pocs0_enc = [pocs[i] for i in ridx]
             st.pocs1_enc = None
             frame_num += 1
