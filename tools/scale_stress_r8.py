@@ -1,0 +1,73 @@
+"""Round-8 stress: Z-order layout at 1M+ rows on local[32].
+
+Drives operators/layout.zorder_by over synthetic 2-D and 3-D key
+spaces, printing rows/s for the full stats+range-exchange+sort
+pipeline and the file-skipping benefit (mean per-partition width per
+column vs a single-column sort). Substantiates the SCALE_NOTES claim
+that the layout costs one aggregation + one range shuffle — the same
+as a plain global sort — while narrowing EVERY z-column.
+
+Usage: python tools/scale_stress_r8.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.operators import layout as L  # noqa: E402
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def main(n: int = 1_000_000) -> None:
+    spark = get_spark("stress-r8", shuffle_partitions=32)
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id") % 1_000_000).alias("x"),
+            (F.xxhash64("id", F.lit(1)) % 1_000_000).alias("y"),
+            (F.xxhash64("id", F.lit(2)) % 50_000).alias("z"),
+        )
+        .persist()
+    )
+    df.count()
+
+    t0 = time.time()
+    z2 = L.zorder_by(df, ["x", "y"], bits=16, partitions=64)
+    z2.write.mode("overwrite").format("noop").save()
+    t2 = time.time() - t0
+    print(f"zorder 2-D: {n} rows in {t2:.1f}s = {n / t2 / 1e3:.0f}k rows/s")
+
+    t0 = time.time()
+    z3 = L.zorder_by(df, ["x", "y", "z"], bits=16, partitions=64)
+    z3.write.mode("overwrite").format("noop").save()
+    t3 = time.time() - t0
+    print(f"zorder 3-D: {n} rows in {t3:.1f}s = {n / t3 / 1e3:.0f}k rows/s")
+
+    # skipping benefit: mean per-partition width per column
+    def widths(d):
+        st = L.layout_stats(d, ["x", "y"]).collect()
+        span = 2_000_000  # x,y span (-1e6, 1e6)
+        return (
+            float(np.mean([r["mx_x"] - r["mn_x"] for r in st])) / span,
+            float(np.mean([r["mx_y"] - r["mn_y"] for r in st])) / span,
+        )
+
+    zx, zy = widths(L.zorder_by(df, ["x", "y"], bits=16, partitions=64))
+    sx, sy = widths(
+        df.repartitionByRange(64, "x").sortWithinPartitions("x"))
+    print(f"per-partition width (frac of span), 64 parts: "
+          f"zorder x={zx:.3f} y={zy:.3f} | sort-by-x x={sx:.3f} y={sy:.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
