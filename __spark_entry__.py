@@ -2252,11 +2252,16 @@ _AVC_RPLM_CASE_BY_ID = {c[0]: c for c in _AVC_RPLM_CASES}
 # over a P colocated picture mixing skip/intra/real motion
 _AVC_TD_CASES = (("o_temporal_deblock26", 26, 1, 4, 3, 16),)
 _AVC_TD_CASE_BY_ID = {c[0]: c for c in _AVC_TD_CASES}
+# r8: multi-slice pictures — I/P/B each tiled into 2 row-slices;
+# prediction availability resets per slice, deblock crosses
+_AVC_MS_CASES = (("p_multislice_deblock26", 26, 1, 4, 4, 16),)
+_AVC_MS_CASE_BY_ID = {c[0]: c for c in _AVC_MS_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
     + [c[0] for c in _AVC_WP_CASES] + [c[0] for c in _AVC_IWP_CASES]
     + [c[0] for c in _AVC_RPLM_CASES] + [c[0] for c in _AVC_TD_CASES]
+    + [c[0] for c in _AVC_MS_CASES]
 )
 
 
@@ -2364,6 +2369,39 @@ def _avc_td_entries(frames, mbw):
          "plan": p_plan},
         {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
          "poc": 2, "plan": b_plan, "direct": "temporal"},
+    ]
+
+
+def _avc_ms_entries(frames, mbw):
+    """Decode-order entries for the multi-slice gate case: I, P and
+    B pictures each tiled into two row-slices."""
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 3
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (5, -2)}
+        return {"kind": "p16x8", "mvs": [(1, 1), (-3, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))]}
+        return {"kind": "b16", "modes": ["l1"],
+                "mvs": [(None, (4, -1))]}
+
+    return [
+        {"kind": "I", "frame": frames[0], "poc": 0, "slices": 2},
+        {"kind": "P", "frame": frames[2], "ref": 0, "poc": 4,
+         "plan": p_plan, "slices": 2},
+        {"kind": "B", "frame": frames[1], "ref0": 0, "ref1": 1,
+         "poc": 2, "plan": b_plan, "slices": 2},
     ]
 
 
@@ -2569,6 +2607,34 @@ def _avc_case_stream(case_id: str):
         _ycc_to_rgb,
     )
 
+    if case_id in _AVC_MS_CASE_BY_ID:
+        cid, qp, deblock, mbw, mbh, noise = _AVC_MS_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(3):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 271 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        entries = _avc_ms_entries(frames, mbw)
+        sps_nal, pps_nal, nals, recons, _sts = GENC.encode_bseq(
+            entries, qp=qp, deblock=bool(deblock))
+        rY, rCb, rCr = recons[-1]  # the two-slice B frame
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nals, rgb
     if case_id in _AVC_TD_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise = _AVC_TD_CASE_BY_ID[case_id]
         frames = []
@@ -2799,6 +2865,14 @@ def _avc_decode_rgb(case_id: str):
     sps_nal, pps_nal, nal_or_nals, _recon = _avc_case_stream(case_id)
     sps = AV.parse_sps(sps_nal)
     pps = AV.parse_pps(pps_nal)
+    if case_id in _AVC_MS_CASE_BY_ID:
+        # decode order I, P, B — each picture is a LIST of two slice
+        # NALs; decode_picture applies the 6.4.8 boundary rules
+        st0 = AV.decode_picture(sps, pps, nal_or_nals[0])
+        st1 = AV.decode_picture(sps, pps, nal_or_nals[1], ref=st0)
+        st2 = AV.decode_picture(sps, pps, nal_or_nals[2], ref=st0,
+                                ref1=st1)
+        return AV.frame_rgb(st2, sps)
     if case_id in _AVC_TD_CASE_BY_ID:
         # decode order I (POC 0), P (POC 8), temporal-direct B
         # (POC 2): the B's direct MVs are POC-scaled colocated motion
@@ -2879,9 +2953,12 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights over both list pairs), an RPLM chain
     (ref_pic_list_modification: picNum commands reversing L0 on a P
     and promoting L1[1] on a B, applied from the default initial
-    lists), and a TEMPORAL-direct chain (8.4.1.2.3 POC-scaled
-    colocated motion over skip/intra/real colocated blocks) — fifteen
-    streams DECODED by the engine on the executors and hashed;
+    lists), a TEMPORAL-direct chain (8.4.1.2.3 POC-scaled
+    colocated motion over skip/intra/real colocated blocks), and a
+    MULTI-SLICE chain (I/P/B each tiled into two row-slices —
+    prediction availability resets per slice, the loop filter
+    crosses) — sixteen streams DECODED by the engine on the
+    executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both

@@ -1471,11 +1471,22 @@ class _IFrame:
         # adaptive marking commands (7.3.3.3 op-1 unmarks) parsed
         # from this picture's header — applied by the DPB owner
         self.mmco = None
+        # slice map: which slice decoded each MB (-1 = none yet) and
+        # the slice currently decoding — prediction availability
+        # (6.4.8) stops at slice boundaries, deblocking does not
+        # (idc 2, the only mode that skips them, refuses multi-slice)
+        self.mb_slice = np.full(self.mbh * self.mbw, -1,
+                                dtype=np.int32)
+        self.cur_slice = 0
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
             return False
-        return mby * self.mbw + mbx < self.n_decoded_mbs
+        mb = mby * self.mbw + mbx
+        # decoded AND in the current slice (6.4.8: other slices'
+        # macroblocks are unavailable for prediction)
+        return (mb < self.n_decoded_mbs
+                and self.mb_slice[mb] == self.cur_slice)
 
     def luma_nc(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> int:
         """nC for the luma 4x4 block at global block coords (gx, gy).
@@ -1525,7 +1536,7 @@ class _IFrame:
             return False
         mb = (gy // 2) * self.mbw + (gx // 2)
         if mb < cur_mb:
-            return True
+            return self.mb_slice[mb] == self.cur_slice
         if mb > cur_mb:
             return False
         return (gy % 2) * 2 + (gx % 2) < cur_blk
@@ -1537,7 +1548,7 @@ class _IFrame:
             return False
         mb = (gy // 4) * self.mbw + (gx // 4)
         if mb < cur_mb:
-            return True
+            return self.mb_slice[mb] == self.cur_slice
         if mb > cur_mb:
             return False
         return _BLK_IDX_OF_XY[(gx % 4, gy % 4)] < cur_blk
@@ -1758,6 +1769,44 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
                         poc: "int | None" = None,
                         ref_pocs: "list | None" = None,
                         ref1_pocs: "list | None" = None) -> "_IFrame":
+    nals = (list(slice_nal) if isinstance(slice_nal, (list, tuple))
+            else [slice_nal])
+    if not nals:
+        raise AVCError("no slice NALs")
+    st = None
+    pos = 0
+    deblock_params = None
+    for si, nal in enumerate(nals):
+        st, pos, dp = _decode_one_slice(
+            sps, pps, nal, st, si, pos, ref, ref1, poc, ref_pocs,
+            ref1_pocs)
+        if deblock_params is None:
+            deblock_params = dp
+        elif dp != deblock_params:
+            raise AVCError(
+                "per-slice deblocking parameters differ (unsupported)")
+        if len(nals) > 1 and dp[0] == 2:
+            raise AVCError(
+                "disable_deblocking_filter_idc 2 (slice-boundary"
+                " exemption) with multiple slices unsupported")
+    if pos != st.mbw * st.mbh:
+        raise AVCError(
+            f"slices cover {pos}/{st.mbw * st.mbh} macroblocks")
+    if deblock_params[0] != 1:
+        # idc 0 filters everything including slice boundaries — the
+        # only multi-slice mode admitted above, so one full 8.7 pass
+        # over the finished picture is exact
+        deblock_frame(st, pps, deblock_params[1], deblock_params[2])
+    return st
+
+
+def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
+                      st: "_IFrame | None", slice_idx: int,
+                      start_mb: int,
+                      ref, ref1, poc, ref_pocs, ref1_pocs):
+    """Parse + decode ONE coded slice into the shared picture state
+    ``st`` (created at the first slice). Returns (st, end_mb,
+    (disable_idc, alpha_off, beta_off))."""
     if not slice_nal:
         raise AVCError("empty slice NAL")
     nal_type = slice_nal[0] & 0x1F
@@ -1766,9 +1815,15 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
         raise AVCError(f"not a coded slice NAL (type {nal_type})")
     r = BitReader(unescape_rbsp(slice_nal[1:]))
     h = parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
-    if h["first_mb_in_slice"] != 0:
-        raise AVCError("multi-slice frames unsupported")
-    st = _IFrame(sps)
+    if h["first_mb_in_slice"] != start_mb:
+        raise AVCError(
+            f"slice starts at MB {h['first_mb_in_slice']}, expected"
+            f" {start_mb} (slices must tile the picture in order)")
+    if st is None:
+        st = _IFrame(sps)
+    elif h["frame_num"] != st.frame_num:
+        raise AVCError("slices of one picture disagree on frame_num")
+    st.cur_slice = slice_idx
     qp = h["slice_qp"]
     n_mbs = st.mbw * st.mbh
     refs0 = ([] if ref is None
@@ -1822,7 +1877,10 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     st.ref0_pocs = list(ref_pocs) if ref_pocs is not None else None
     st.ref1_pocs = list(ref1_pocs) if ref1_pocs is not None else None
     # adaptive marking commands for the caller that owns the DPB
-    st.mmco = h.get("mmco")
+    # (7.4.3.3 requires identical marking in every slice of a
+    # picture; keep the first slice's run)
+    if h.get("mmco") is not None:
+        st.mmco = h["mmco"]
     if h["is_b"]:
         st.direct_spatial = h["direct_spatial"]
         if not st.direct_spatial and (
@@ -1841,8 +1899,9 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
                 f"slice activates {h['n_ref0']}/{h['n_ref1']} refs; "
                 f"caller supplied {len(refs0)}/{len(refs1)}"
             )
-        qp = _decode_b_slice_data(r, st, refs0, refs1, sps, pps, qp,
-                                  h["n_ref0"], h["n_ref1"])
+        _qp, end = _decode_b_slice_data(r, st, refs0, refs1, sps,
+                                        pps, qp, h["n_ref0"],
+                                        h["n_ref1"], start_mb)
     elif h["is_p"]:
         if not refs0:
             raise AVCError("P slice without a reference frame")
@@ -1851,22 +1910,25 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
                 f"slice activates {h['n_ref0']} L0 refs; caller "
                 f"supplied {len(refs0)}"
             )
-        qp = _decode_p_slice_data(r, st, refs0, sps, pps, qp,
-                                  h["n_ref0"])
+        _qp, end = _decode_p_slice_data(r, st, refs0, sps, pps, qp,
+                                        h["n_ref0"], start_mb)
     else:
-        for mb in range(n_mbs):
+        mb = start_mb
+        while mb < n_mbs:
             mbx, mby = mb % st.mbw, mb // st.mbw
             qp = _decode_intra_mb(r, st, sps, pps, mbx, mby, mb,
                                   r.ue(), qp)
             st.mb_qp[mb] = qp
+            st.mb_slice[mb] = st.cur_slice
             st.n_decoded_mbs += 1
-
-    if h["disable_deblocking"] != 1:
-        # idc 0 filters everything; idc 2 skips slice-boundary edges
-        # only — with one slice per frame (enforced above) there are
-        # none, so both run the full 8.7 pass
-        deblock_frame(st, pps, h["alpha_off"], h["beta_off"])
-    return st
+            mb += 1
+            if not r.more_rbsp_data():
+                break
+        end = mb
+    if end <= start_mb:
+        raise AVCError("slice decoded no macroblocks")
+    return st, end, (h["disable_deblocking"], h["alpha_off"],
+                     h["beta_off"])
 
 
 def _planes_to_rgb(st: _IFrame, sps: SPS) -> np.ndarray:
@@ -2212,6 +2274,8 @@ def _mv_nbr(st: _IFrame, gx: int, gy: int, cur_mb: int, lst: int = 0):
     mb = (gy >> 2) * st.mbw + (gx >> 2)
     if mb > cur_mb:
         return False, 0, 0, -1
+    if mb < cur_mb and st.mb_slice[mb] != st.cur_slice:
+        return False, 0, 0, -1  # other slice: unavailable (6.4.8)
     if mb == cur_mb:
         # within the current MB: available once the covering partition
         # has decoded its MVs (partition decode order, 6.4.11.7); intra
@@ -2510,6 +2574,7 @@ def _decode_pskip(st: _IFrame, refs0: list, mb: int, qp: int) -> None:
     _mc_partition(st, refs0[0], mbx * 4, mby * 4, 4, 4, mvx, mvy)
     _finish_inter_mb(st, mbx, mby, mb)
     st.mb_qp[mb] = qp  # no mb_qp_delta: running QP carries through
+    st.mb_slice[mb] = st.cur_slice
     st.n_decoded_mbs += 1
 
 
@@ -2610,11 +2675,12 @@ def _decode_p_mb(r: BitReader, st: _IFrame, refs0: list, pps: PPS,
 
 def _decode_p_slice_data(r: BitReader, st: _IFrame, refs0: list,
                          sps: SPS, pps: PPS, qp: int,
-                         n_ref0: int) -> int:
-    """slice_data (7.3.4) for a CAVLC P slice covering the whole
-    frame: interleaved mb_skip_run / macroblock_layer."""
+                         n_ref0: int, start_mb: int = 0) -> tuple:
+    """slice_data (7.3.4) for a CAVLC P slice starting at
+    ``start_mb``: interleaved mb_skip_run / macroblock_layer. Returns
+    (qp, end_mb) — the picture level validates slice tiling."""
     n_mbs = st.mbw * st.mbh
-    mb = 0
+    mb = start_mb
     while True:
         skip_run = r.ue()
         if mb + skip_run > n_mbs:
@@ -2635,13 +2701,12 @@ def _decode_p_slice_data(r: BitReader, st: _IFrame, refs0: list,
         else:
             raise AVCError(f"mb_type {mb_type} not valid in P slice")
         st.mb_qp[mb] = qp
+        st.mb_slice[mb] = st.cur_slice
         st.n_decoded_mbs += 1
         mb += 1
         if mb >= n_mbs:
             break
-    if mb != n_mbs:
-        raise AVCError("P slice ended before covering the frame")
-    return qp
+    return qp, mb
 
 
 # ---------------------------------------------------------------------------
@@ -2909,6 +2974,7 @@ def _decode_bskip(st: _IFrame, refs0: list, refs1: list, mb: int,
         _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8, d8[i8])
     _finish_inter_mb(st, mbx, mby, mb)
     st.mb_qp[mb] = qp
+    st.mb_slice[mb] = st.cur_slice
     st.n_decoded_mbs += 1
 
 
@@ -3060,12 +3126,13 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
 
 def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,
                          refs1: list, sps: SPS, pps: PPS,
-                         qp: int, n_ref0: int, n_ref1: int) -> int:
-    """slice_data (7.3.4) for a CAVLC B slice covering the whole
-    frame: interleaved mb_skip_run (B_Skip = spatial direct, no
-    residual) / macroblock_layer."""
+                         qp: int, n_ref0: int, n_ref1: int,
+                         start_mb: int = 0) -> tuple:
+    """slice_data (7.3.4) for a CAVLC B slice starting at
+    ``start_mb``: interleaved mb_skip_run (B_Skip = direct, no
+    residual) / macroblock_layer. Returns (qp, end_mb)."""
     n_mbs = st.mbw * st.mbh
-    mb = 0
+    mb = start_mb
     while True:
         skip_run = r.ue()
         if mb + skip_run > n_mbs:
@@ -3086,13 +3153,12 @@ def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,
         else:
             raise AVCError(f"mb_type {mb_type} not valid in B slice")
         st.mb_qp[mb] = qp
+        st.mb_slice[mb] = st.cur_slice
         st.n_decoded_mbs += 1
         mb += 1
         if mb >= n_mbs:
             break
-    if mb != n_mbs:
-        raise AVCError("B slice ended before covering the frame")
-    return qp
+    return qp, mb
 
 
 def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
@@ -3119,6 +3185,22 @@ def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
     except (IndexError, ValueError, KeyError, OverflowError,
             MemoryError) as exc:
         raise AVCError(f"corrupt slice data: {exc}") from exc
+
+
+def decode_picture(sps: SPS, pps: PPS, slice_nals: list,
+                   ref=None, ref1=None, poc=None, ref_pocs=None,
+                   ref1_pocs=None) -> "_IFrame":
+    """Decode one coded PICTURE from its slice NALs in order (r8:
+    multi-slice pictures — RTP/low-latency encoders tile a frame
+    into several slices). Slices must tile the macroblocks in raster
+    order; prediction availability stops at slice boundaries (6.4.8)
+    while the in-loop filter still crosses them (the
+    disable_deblocking_filter_idc 2 exemption refuses). Reference
+    and POC arguments as :func:`decode_frame`, which is the
+    single-slice special case of this call."""
+    return decode_frame(sps, pps, slice_nals, ref=ref, ref1=ref1,
+                        poc=poc, ref_pocs=ref_pocs,
+                        ref1_pocs=ref1_pocs)
 
 
 def slice_kind(slice_nal: bytes) -> str:

@@ -444,14 +444,16 @@ class _AvcGopCursor:
             self._poc_prev = (msb, lsb)
         return msb + lsb
 
-    def _slice_nal(self, sample) -> bytes | None:
+    def _slice_nal(self, sample) -> "list[bytes] | None":
+        """ALL coded slice NALs of the sample in order (r8: real
+        streams may tile a picture into several slices); None when
+        the sample carries none."""
         from . import mp4 as MP
 
         payload = MP.read_sample(self._content, sample)
-        for nal in MP.iter_nals(payload, self._nls):
-            if nal and (nal[0] & 0x1F) in (1, 5):
-                return nal
-        return None
+        nals = [nal for nal in MP.iter_nals(payload, self._nls)
+                if nal and (nal[0] & 0x1F) in (1, 5)]
+        return nals or None
 
     def decode_sample(self, sample, encoder) -> bytes | None:
         """Decode the given sample's frame (scaled + encoded like every
@@ -483,8 +485,8 @@ class _AvcGopCursor:
                 nal = self._slice_nal(s)
                 if nal is None:
                     raise AV.AVCError("sample carries no coded slice")
-                kind = AV.slice_kind(nal)
-                poc = self._poc_of(nal, s.keyframe)
+                kind = AV.slice_kind(nal[0])
+                poc = self._poc_of(nal[0], s.keyframe)
                 if s.keyframe or kind == "i":
                     st = AV.decode_frame(self.sps, self.pps, nal,
                                          poc=poc)
@@ -523,7 +525,7 @@ class _AvcGopCursor:
                         ref_pocs=[r[1] for r in l0],
                         ref1_pocs=[r[1] for r in l1],
                     )
-                if nal[0] >> 5:  # nal_ref_idc != 0: a reference pic
+                if nal[0][0] >> 5:  # nal_ref_idc != 0: a ref pic
                     if s.keyframe:
                         self._refs = []  # IDR empties the DPB
                     for op, diff in (st.mmco or ()):

@@ -1003,6 +1003,9 @@ def test_p_unrestricted_mvs_roundtrip():
 def _p_frame_state(mbw=4, mbh=3):
     """Frame state mid-decode for hand-built MV prediction cases."""
     st = avc._IFrame(_blank_sps(mbw, mbh))
+    # hand-built neighbors count as decoded in the current slice
+    # (r8: availability is slice-aware)
+    st.mb_slice[:] = 0
     return st
 
 

@@ -214,6 +214,7 @@ def test_spatial_direct_col_zero_flag_hand_case():
     sps = _blank_sps(3, 2)
     for col_mv, want_zero in (((1, 1), True), ((5, 0), False)):
         st = avc._IFrame(sps)
+        st.mb_slice[:] = 0  # r8: availability is slice-aware
         # left neighbor MB uses L0 with a nonzero MV -> refIdxL0 = 0,
         # mvpL0 nonzero (single-match rule picks A)
         st.mb_intra[0] = False
@@ -1388,3 +1389,158 @@ def test_mmco_long_term_ops_refuse():
     st0.frame_num = 0
     with pytest.raises(avc.AVCError, match="management_control"):
         avc.decode_frame(sps, pps, nal, ref=st0)
+
+
+# ---------------------------------------------------------------------------
+# multi-slice pictures (r8): slices tile the MB rows; prediction
+# availability stops at slice boundaries, deblocking does not
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+@pytest.mark.parametrize("slices", [2, 3])
+def test_multi_slice_ipb_round_trip(slices, deblock):
+    """I, P and B pictures each split into row-slices round-trip
+    bit-exact: nC availability, MV prediction, P_Skip/B_Skip
+    inference and intra prediction all restart at each slice (the
+    encoder mirrors the same 6.4.8 rule), while the in-loop filter
+    crosses the boundaries."""
+    mbw, mbh = 4, 3 if slices == 3 else 4
+    f = [_planes(1700 + i + slices, mbw, mbh) for i in range(3)]
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 3
+        if k == 0:
+            return {"kind": "skip"}
+        if k == 1:
+            return {"kind": "p16", "mv": (5, -2)}
+        return {"kind": "p16x8", "mvs": [(1, 1), (-3, 2)]}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 4
+        if k == 0:
+            return {"kind": "bskip"}
+        if k == 1:
+            return {"kind": "bdirect"}
+        if k == 2:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))]}
+        return {"kind": "b16", "modes": ["l1"],
+                "mvs": [(None, (4, -1))]}
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0, "slices": slices},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": p_plan, "slices": slices},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": b_plan, "slices": slices},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock
+    )
+    assert all(isinstance(n, list) and len(n) == slices for n in nals)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_picture(sps, pps, nals[0])
+    st1 = avc.decode_picture(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_picture(sps, pps, nals[2], ref=st0, ref1=st1)
+    _assert_exact([st0, st1, st2], recons)
+
+
+def test_multi_slice_availability_differs_from_single():
+    """The slice boundary is semantically real: the same picture
+    content encoded as 1 slice vs 2 slices produces DIFFERENT
+    bitstreams (predictors reset), yet both decode bit-exact to
+    their own encoder reconstruction."""
+    mbw, mbh = 3, 2
+    f = _planes(1800, mbw, mbh)
+    one = ENC.encode_bseq(
+        [{"kind": "I", "frame": f, "poc": 0}], qp=26)
+    two = ENC.encode_bseq(
+        [{"kind": "I", "frame": f, "poc": 0, "slices": 2}], qp=26)
+    sps = avc.parse_sps(one[0])
+    pps = avc.parse_pps(one[1])
+    st_one = avc.decode_picture(sps, pps, [one[2][0]])
+    st_two = avc.decode_picture(sps, pps, two[2][0])
+    _assert_exact([st_one], one[3][:1])
+    _assert_exact([st_two], two[3][:1])
+    # reconstructions match (same source, lossless-ish at same QP?
+    # not necessarily identical pixels: prediction differs) — the
+    # REAL assertion is that the two bitstreams differ structurally
+    assert one[2][0] != b"".join(two[2][0])
+
+
+def test_multi_slice_tiling_violations_refuse():
+    mbw, mbh = 3, 2
+    f = _planes(1820, mbw, mbh)
+    _sps, _pps, nals, _r, _ = ENC.encode_bseq(
+        [{"kind": "I", "frame": f, "poc": 0, "slices": 2}], qp=26)
+    sps = avc.parse_sps(_sps)
+    pps = avc.parse_pps(_pps)
+    two = nals[0]
+    with pytest.raises(avc.AVCError, match="tile"):
+        avc.decode_picture(sps, pps, [two[1], two[0]])  # out of order
+    with pytest.raises(avc.AVCError, match="cover"):
+        avc.decode_picture(sps, pps, [two[0]])  # missing tail slice
+    # a single-slice decode of a NAL starting mid-picture refuses
+    with pytest.raises(avc.AVCError, match="tile"):
+        avc.decode_frame(sps, pps, two[1])
+
+
+def test_g1_multi_slice_in_mp4(spark):
+    """An mp4 whose samples each carry SEVERAL slice NALs decodes to
+    real pixels end-to-end (the cursor hands the full NAL list to
+    decode_picture)."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    mbw, mbh = 4, 4
+    f = [_planes(1900 + i, mbw, mbh) for i in range(2)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0, "slices": 2},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)},
+         "slices": 2},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    timescale = 12000
+    dt = timescale // 2
+    blob, _offs = build_mp4(
+        [sample_bytes(n) for n in nals],  # several NALs per sample
+        deltas=[dt] * 2,
+        timescale=timescale,
+        keyframes=[0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/ms.mp4", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(
+        M.decode_frames(df, fps=2.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert len(rows) == 2
+    sps = avc.parse_sps(sps_nal)
+
+    def want_rgb(recon):
+        st = avc._IFrame(sps)
+        st.Y, st.Cb, st.Cr = recon
+        rgb = frame_rgb(st, sps)
+        w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                             / rgb.shape[0] / 2))
+        return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+    for slot in (0, 1):
+        got = IC.decode_image(bytes(rows[slot]["image"]))
+        assert np.array_equal(got, want_rgb(recons[slot])), slot

@@ -454,6 +454,20 @@ def _clip(x):
     return np.clip(x, 0, 255)
 
 
+def _slice_bounds(mbw, mbh, slices):
+    """Contiguous MB ranges for a multi-slice picture: split the MB
+    rows as evenly as possible (slices must not exceed rows)."""
+    if slices < 1 or slices > mbh:
+        raise ValueError(f"slices must be in 1..{mbh}")
+    bounds = []
+    row = 0
+    for si in range(slices):
+        rows = (mbh - row) // (slices - si)
+        bounds.append((row * mbw, (row + rows) * mbw))
+        row += rows
+    return bounds
+
+
 class _EncState:
     def __init__(self, mbw, mbh):
         self.mbw, self.mbh = mbw, mbh
@@ -482,11 +496,17 @@ class _EncState:
         # per-4x4 reference index per list (-1 = unused)
         self.ri0 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
         self.ri1 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
+        # slice map (r8 multi-slice): which slice wrote each MB, and
+        # the slice being written — availability stops at boundaries
+        self.mb_slice = np.full(mbh * mbw, -1, dtype=np.int32)
+        self.cur_slice = 0
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
             return False
-        return mby * self.mbw + mbx < self.decoded
+        mb = mby * self.mbw + mbx
+        return (mb < self.decoded
+                and self.mb_slice[mb] == self.cur_slice)
 
     def luma_nc(self, gx, gy, cur_mb, cur_blk):
         # 6.4.8/9.2.1: neighbors INSIDE the current MB are available
@@ -1230,15 +1250,31 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
 
 def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
                            deblock=False, alpha_off_div2=0,
-                           beta_off_div2=0, poc_lsb=None):
+                           beta_off_div2=0, poc_lsb=None,
+                           slices=1, _st=None, _mb0=0, _mb1=None):
     """encode_iframe variant that captures the final _EncState.
     ``poc_lsb`` writes the pic_order_cnt_lsb field (u(6)) for
-    sequences whose SPS uses poc_type 0 (the B-frame sequences)."""
+    sequences whose SPS uses poc_type 0 (the B-frame sequences).
+    ``slices`` > 1 returns a LIST of slice NALs tiling the picture
+    by MB rows (r8 multi-slice)."""
     global _LAST_STATE
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    st = _EncState(mbw, mbh)
+    if slices > 1:
+        st = _EncState(mbw, mbh)
+        nals = []
+        for si, (a, b) in enumerate(_slice_bounds(mbw, mbh, slices)):
+            st.cur_slice = si
+            nals.append(_encode_iframe_capture(
+                y, cb, cr, qp, mb_plan, qp_wobble, deblock,
+                alpha_off_div2, beta_off_div2, poc_lsb,
+                _st=st, _mb0=a, _mb1=b))
+        _LAST_STATE = st
+        return nals
+    st = _st if _st is not None else _EncState(mbw, mbh)
+    if _mb1 is None:
+        _mb1 = mbw * mbh
     w = BitWriter()
-    w.ue(0)
+    w.ue(_mb0)
     w.ue(7)
     w.ue(0)
     w.u(0, 4)
@@ -1256,7 +1292,7 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
     else:
         w.ue(1)
     cur_qp = slice_qp
-    for mb in range(mbw * mbh):
+    for mb in range(_mb0, _mb1):
         mbx, mby = mb % mbw, mb // mbw
         kind = mb_plan(mbx, mby) if mb_plan else (
             "pcm" if (mbx + mby) % 7 == 3 else
@@ -1274,6 +1310,7 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
         st.mb_qp.append(cur_qp)
         st.mb_pcm.append(kind == "pcm")
         st.mb_intra.append(True)
+        st.mb_slice[st.decoded] = st.cur_slice
         st.decoded += 1
     w.rbsp_trailing()
     _LAST_STATE = st
@@ -1374,6 +1411,8 @@ def _mv_nbr_enc(st, gx, gy, cur_mb, lst=0):
     mb = (gy // 4) * st.mbw + (gx // 4)
     if mb > cur_mb:
         return False, 0, 0, -1
+    if mb < cur_mb and st.mb_slice[mb] != st.cur_slice:
+        return False, 0, 0, -1  # other slice (6.4.8)
     if mb == cur_mb:
         if not st.mv_done[gy, gx]:
             return False, 0, 0, -1
@@ -1658,16 +1697,30 @@ def _write_rplm(w, cmds):
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
                    poc_lsb=None, n_ref0=1, weights=None, rplm0=None,
-                   mmco=None):
+                   mmco=None, slices=1, _st=None, _mb0=0, _mb1=None):
     """Encode one P frame against the (already deblocked) reference
     planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
     order when ``n_ref0`` > 1 (the slice header then writes the
     num_ref_idx override); returns (nal, _EncState with the frame's
     reconstruction)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    st = _EncState(mbw, mbh)
+    if slices > 1:
+        st = _EncState(mbw, mbh)
+        nals = []
+        for si, (a, b) in enumerate(_slice_bounds(mbw, mbh, slices)):
+            st.cur_slice = si
+            nal, _ = _encode_pframe(
+                y, cb, cr, ref_planes, qp, p_plan, frame_num,
+                deblock, alpha_off_div2, beta_off_div2, poc_lsb,
+                n_ref0, weights, rplm0, mmco,
+                _st=st, _mb0=a, _mb1=b)
+            nals.append(nal)
+        return nals, st
+    st = _st if _st is not None else _EncState(mbw, mbh)
+    if _mb1 is None:
+        _mb1 = mbw * mbh
     w = BitWriter()
-    w.ue(0)       # first_mb_in_slice
+    w.ue(_mb0)    # first_mb_in_slice
     w.ue(5)       # slice_type P (all slices of the picture)
     w.ue(0)       # pps id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
@@ -1705,7 +1758,7 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         w.ue(1)
     cur_qp = slice_qp
     skip_pending = 0
-    for mb in range(mbw * mbh):
+    for mb in range(_mb0, _mb1):
         mbx, mby = mb % mbw, mb // mbw
         plan = p_plan(mbx, mby) if p_plan else {"kind": "skip"}
         kind = plan["kind"]
@@ -1720,6 +1773,7 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
             st.mb_qp.append(cur_qp)
             st.mb_pcm.append(False)
             st.mb_intra.append(False)
+            st.mb_slice[st.decoded] = st.cur_slice
             st.decoded += 1
             continue
         w.ue(skip_pending)  # mb_skip_run before every coded MB
@@ -1749,6 +1803,7 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         else:
             raise ValueError(f"unknown P MB plan kind {kind!r}")
         st.mb_qp.append(cur_qp)
+        st.mb_slice[st.decoded] = st.cur_slice
         st.decoded += 1
     if skip_pending:
         w.ue(skip_pending)  # trailing skip run
@@ -2219,15 +2274,31 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
                    n_ref0=1, n_ref1=1, weights=None,
                    implicit_pocs=None, rplm0=None, rplm1=None,
-                   temporal_ctx=None):
+                   temporal_ctx=None, slices=1, _st=None, _mb0=0,
+                   _mb1=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
     motion for spatial direct). Returns (nal, _EncState)."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    st = _EncState(mbw, mbh)
+    if slices > 1:
+        st = _EncState(mbw, mbh)
+        nals = []
+        for si, (a, b) in enumerate(_slice_bounds(mbw, mbh, slices)):
+            st.cur_slice = si
+            nal, _ = _encode_bframe(
+                y, cb, cr, ref0_planes, ref1_planes, col, qp,
+                b_plan, frame_num, poc_lsb, deblock, alpha_off_div2,
+                beta_off_div2, is_ref, n_ref0, n_ref1, weights,
+                implicit_pocs, rplm0, rplm1, temporal_ctx,
+                _st=st, _mb0=a, _mb1=b)
+            nals.append(nal)
+        return nals, st
+    st = _st if _st is not None else _EncState(mbw, mbh)
+    if _mb1 is None:
+        _mb1 = mbw * mbh
     w = BitWriter()
-    w.ue(0)            # first_mb_in_slice
+    w.ue(_mb0)         # first_mb_in_slice
     w.ue(6)            # slice_type B (all slices of the picture)
     w.ue(0)            # pps id
     w.u(frame_num % 16, 4)
@@ -2278,7 +2349,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         w.ue(1)
     cur_qp = slice_qp
     skip_pending = 0
-    for mb in range(mbw * mbh):
+    for mb in range(_mb0, _mb1):
         mbx, mby = mb % mbw, mb // mbw
         plan = b_plan(mbx, mby) if b_plan else {"kind": "bskip"}
         kind = plan["kind"]
@@ -2304,6 +2375,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
             st.mb_qp.append(cur_qp)
             st.mb_pcm.append(False)
             st.mb_intra.append(False)
+            st.mb_slice[st.decoded] = st.cur_slice
             st.decoded += 1
             continue
         w.ue(skip_pending)
@@ -2334,6 +2406,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
         else:
             raise ValueError(f"unknown B MB plan kind {kind!r}")
         st.mb_qp.append(cur_qp)
+        st.mb_slice[st.decoded] = st.cur_slice
         st.decoded += 1
     if skip_pending:
         w.ue(skip_pending)
@@ -2392,7 +2465,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
             _LAST_STATE = None
             nal = _encode_iframe_capture(
                 yf, cbf, crf, qp, e.get("plan"), False, deblock,
-                alpha_off_div2, beta_off_div2, poc_lsb=poc)
+                alpha_off_div2, beta_off_div2, poc_lsb=poc,
+                slices=e.get("slices", 1))
             st = _LAST_STATE
             frame_num = 1
         elif e["kind"] == "P":
@@ -2407,7 +2481,7 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
                 beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
                 weights=wts, rplm0=e.get("rplm0"),
-                mmco=e.get("mmco"))
+                mmco=e.get("mmco"), slices=e.get("slices", 1))
             st.pocs0_enc = [pocs[i] for i in ridx]
             st.pocs1_enc = None
             frame_num += 1
@@ -2436,7 +2510,7 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 implicit_pocs=((poc, [pocs[i] for i in ridx0],
                                 [pocs[i] for i in ridx1])
                                if implicit_bipred else None),
-                temporal_ctx=tctx)
+                temporal_ctx=tctx, slices=e.get("slices", 1))
             st.pocs0_enc = [pocs[i] for i in ridx0]
             st.pocs1_enc = [pocs[i] for i in ridx1]
             if is_ref:
