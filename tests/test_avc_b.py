@@ -1544,3 +1544,32 @@ def test_g1_multi_slice_in_mp4(spark):
     for slot in (0, 1):
         got = IC.decode_image(bytes(rows[slot]["image"]))
         assert np.array_equal(got, want_rgb(recons[slot])), slot
+
+
+def test_multi_slice_bitflip_fuzz():
+    """Flips anywhere in a two-slice P picture's NALs decode or raise
+    AVCError — slice tiling/availability never crashes or desyncs
+    into an unhandled exception."""
+    mbw, mbh = 3, 2
+    f = [_planes(2000 + i, mbw, mbh) for i in range(2)]
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0, "slices": 2},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)},
+         "slices": 2},
+    ]
+    sps_nal, pps_nal, nals, _recons, _ = ENC.encode_bseq(entries, qp=28)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_picture(sps, pps, nals[0])
+    rng = np.random.default_rng(37)
+    for _ in range(120):
+        which = int(rng.integers(0, 2))
+        bad = [bytearray(n) for n in nals[1]]
+        i = int(rng.integers(0, len(bad[which])))
+        bad[which][i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            avc.decode_picture(sps, pps, [bytes(b) for b in bad],
+                               ref=st0)
+        except avc.AVCError:
+            pass
