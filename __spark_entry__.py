@@ -3506,6 +3506,29 @@ def q79_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "digest").orderBy("doc_id")
 
 
+def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches) FULL-VALUE
+    gate: the exact top-15 document tokens joined against the k=200
+    sketch candidates. Every top-15 count exceeds n/(k+1) by >6x on
+    this corpus, so the mergeable-summary guarantee (Agarwal et al.,
+    PODS'12) forces captured = true — which the oracle states from
+    EXACT SQL counts without running the sketch. The sketch itself
+    shuffles only <= partitions x k summary rows, never the tokens
+    (the 100-TB story; q41 is the exact-shuffle counterpart)."""
+    from shotit_worker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    return SK.heavy_hitters_with_exact(toks, "tok", k=200, top=15)
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -3982,6 +4005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_bloom_dedup": q79_bloom_dedup,
         # r8: displaced for q80_zorder (see the note at q80's slot)
         "q22_knn_join": q22_knn_join,
+        # r8: past-the-cap by design, like q78/q79 (displaced replay
+        # + check_oracle enforce it without costing a recorded slot)
+        "q81_heavy_hitters": q81_heavy_hitters,
     }
 
 
@@ -4044,6 +4070,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_ZORDER_INTERLEAVE_SQL} AS BIGINT) AS zkey
             FROM b
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # q81: exact counts; captured=TRUE is the Misra-Gries
+        # guarantee (every top-15 count > n/(k+1) on this corpus)
+        "q81_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest({TOKENIZE_SQL.format(col='text')}) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS exact_count,
+                   TRUE AS captured
+            FROM toks
+            GROUP BY term
+            ORDER BY exact_count DESC, term
+            LIMIT 15
         """,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states

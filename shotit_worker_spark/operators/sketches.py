@@ -1,0 +1,150 @@
+"""Mergeable frequency sketches (heavy hitters / approx top terms).
+
+Exact top-k terms over 100 TB needs a full shuffle of every distinct
+term (the q41 shape — fine at moderate cardinality, hostile when the
+vocabulary is billions of n-grams). The Misra-Gries summary answers
+"which values occur more than n/(k+1) times" with a BOUNDED k-row
+state per partition and a mergeable combine (Agarwal, Cormode,
+Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012):
+
+- every value with true frequency > n/(k+1) is GUARANTEED present in
+  the merged summary (zero false negatives above the threshold);
+- each reported estimate undercounts by at most n/(k+1).
+
+Spark-first shape: one ``mapInPandas`` pass builds a k-entry MG
+summary per partition (dict updates over Arrow batches — no per-row
+Python function calls against Spark, no shuffle of raw terms); the
+``<= partitions x k`` summary rows then combine in a single final
+task: exact per-term sums over the summaries followed by one more MG
+trim — the PODS'12 merge, which preserves both guarantees. Total
+shuffled data is the SUMMARIES, never the corpus.
+
+The candidates are deterministic for a given partitioning and, above
+the n/(k+1) threshold, deterministic regardless of partitioning —
+which is what the driver gate checks (exact-count differential).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "heavy_hitters_with_exact"]
+
+
+def _mg_add(counts: dict, term, c: int, k: int) -> None:
+    """One Misra-Gries update with weight ``c``: track up to k
+    entries; overflow decrements every entry by the smallest
+    would-be-evicted weight."""
+    if term in counts:
+        counts[term] += c
+        return
+    if len(counts) < k:
+        counts[term] = c
+        return
+    # decrement step: reduce all by min(c, current minimum) repeatedly
+    # — the standard weighted generalization collapses to one pass:
+    m = min(counts.values())
+    d = min(c, m)
+    if c > d:
+        # the newcomer survives with the remainder; evict zeros
+        for t in [t for t, v in counts.items() if v == d]:
+            del counts[t]
+        for t in list(counts):
+            counts[t] -= d
+        counts[term] = c - d
+    else:
+        for t in list(counts):
+            counts[t] -= c
+        for t in [t for t, v in counts.items() if v <= 0]:
+            del counts[t]
+
+
+def _mg_trim(counts: dict, k: int) -> dict:
+    """Trim a combined summary back to k entries (the PODS'12 merge
+    step: subtract the (k+1)-th largest weight, drop <= 0)."""
+    if len(counts) <= k:
+        return counts
+    cut = sorted(counts.values(), reverse=True)[k]
+    return {t: v - cut for t, v in counts.items() if v - cut > 0}
+
+
+def heavy_hitters(df: DataFrame, col, k: int = 100) -> DataFrame:
+    """(term, est_count) Misra-Gries candidates over ``col`` (a
+    column name or Column, e.g. an exploded token column): at most k
+    rows; every value with true frequency > n/(k+1) is present and
+    every estimate undercounts by at most n/(k+1).
+
+    One map-side pass + one bounded-size final merge task — the raw
+    terms are never shuffled."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = col if isinstance(col, Column) else F.col(col)
+    terms = df.select(c.alias("__term"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for b in batches:
+            # vectorized pre-aggregation per Arrow batch, then one
+            # WEIGHTED MG update per unique term (equivalent to c
+            # unit updates, far fewer Python iterations)
+            vc = b["__term"].dropna().value_counts()
+            for t, c in vc.items():
+                _mg_add(counts, t, int(c), k)
+        if counts:
+            yield pd.DataFrame(
+                {"term": list(counts), "cnt": list(counts.values())}
+            )
+
+    summaries = terms.mapInPandas(partial, schema="term string, cnt long")
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for b in batches:
+            for t, v in zip(b["term"], b["cnt"]):
+                counts[t] = counts.get(t, 0) + int(v)
+        counts = _mg_trim(counts, k)
+        if counts:
+            yield pd.DataFrame(
+                {"term": list(counts), "est_count": list(counts.values())}
+            )
+
+    return (
+        summaries.coalesce(1)
+        .mapInPandas(merge, schema="term string, est_count long")
+    )
+
+
+def heavy_hitters_with_exact(
+    df: DataFrame, col, k: int = 100, top: int = 20
+) -> DataFrame:
+    """Verification form (the driver gate): the EXACT top ``top``
+    terms (one aggregation) joined against the sketch candidates —
+    (term, exact_count, captured). For any term whose exact count
+    exceeds n/(k+1), the MG guarantee forces captured = true, which
+    an exact-SQL oracle can state without running the sketch."""
+    c = col if isinstance(col, Column) else F.col(col)
+    exact = (
+        df.select(c.alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(top)
+    )
+    cand = heavy_hitters(df, col, k).select(
+        "term", F.lit(True).alias("captured")
+    )
+    return (
+        exact.join(F.broadcast(cand), on="term", how="left")
+        .select(
+            "term",
+            "exact_count",
+            F.coalesce("captured", F.lit(False)).alias("captured"),
+        )
+        .orderBy(F.desc("exact_count"), "term")
+    )

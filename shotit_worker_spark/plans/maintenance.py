@@ -79,6 +79,82 @@ def compact_parquet_table(
     }
 
 
+def compact_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Compaction that also CLUSTERS: rewrite a parquet directory in
+    Z-order over ``zorder_cols`` (operators/layout.zorder_by — one
+    stats agg + one range exchange + map-side sort), so after the
+    rewrite every listed column carries narrow per-file min/max stats
+    and point/range scans on ANY of them prune most files. The same
+    temp-dir + rename swap as :func:`compact_parquet_table`.
+
+    Returns {files_before, files_after, rows} plus per-column mean
+    relative width AFTER the rewrite (the data-skipping quality
+    metric; 1.0 = no clustering)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import layout as _layout
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    z = _layout.zorder_by(df, zorder_cols, bits=bits,
+                          partitions=partitions)
+    tmp = f"{path}.zorder-{uuid.uuid4().hex[:8]}"
+    (
+        z.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(tmp)
+    )
+    old = f"{path}.pre-zorder-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out = {
+        "files_before": files_before,
+        "files_after": _count_files(path),
+        "rows": rows,
+    }
+    # per-FILE min/max (exactly the parquet footer stats a scan
+    # prunes on — read-partition packing would blur several files
+    # into one range)
+    back = spark.read.parquet(path)
+    aggs = []
+    for c in zorder_cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    stats = (
+        back.withColumn("__file", F.input_file_name())
+        .groupBy("__file").agg(*aggs).collect()
+    )
+    spans = back.agg(
+        *[f(c).alias(f"{n}_{c}")
+          for c in zorder_cols
+          for n, f in (("mn", F.min), ("mx", F.max))]
+    ).collect()[0]
+    for c in zorder_cols:
+        span = spans[f"mx_{c}"] - spans[f"mn_{c}"]
+        widths = [r[f"mx_{c}"] - r[f"mn_{c}"] for r in stats]
+        out[f"width_{c}"] = (
+            float(sum(widths)) / len(widths) / span if span else 0.0
+        )
+    return out
+
+
 # -- IVF index maintenance (r4 VERDICT #8) ----------------------------------
 #
 # The reference rebuilds a Milvus collection when its index degrades;

@@ -135,3 +135,29 @@ def test_zorder_explicit_bounds_for_skew(spark):
     z = L.zorder_by(df, ["x", "y"], bits=8, partitions=2,
                     bounds={"x": (0, 1000), "y": (0, 20)})
     assert z.count() == 1001
+
+
+def test_compact_zorder_rewrites_and_clusters(spark, tmp_path):
+    """plans/maintenance.compact_zorder: many small files in, few
+    clustered files out, rows preserved, and the reported
+    per-column relative widths show BOTH dims narrowed."""
+    import numpy as np
+
+    from shotit_worker_spark.plans import maintenance as MN
+
+    rng = np.random.default_rng(19)
+    rows = [(int(a), int(b)) for a, b in
+            rng.integers(0, 10_000, (8_000, 2))]
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(rows, "x long, y long").repartition(
+        24).write.parquet(path)
+    out = MN.compact_zorder(spark, path, ["x", "y"], bits=12,
+                            partitions=16)
+    assert out["rows"] == 8_000
+    assert out["files_after"] <= 16 < out["files_before"]
+    # 16 z-range files over 2 dims -> ~1/4-span widths per dim
+    # (vs 1.0 for the unclustered input on either dim)
+    assert out["width_x"] < 0.5 and out["width_y"] < 0.5
+    back = spark.read.parquet(path)
+    assert back.count() == 8_000
+    assert set(back.columns) == {"x", "y"}

@@ -1,0 +1,100 @@
+"""Misra-Gries heavy hitters (operators/sketches): unit-update and
+weighted-update semantics vs a pure-python reference, the mergeable
+guarantee (no false negatives above n/(k+1), undercount bound), and
+the Spark two-stage shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import sketches as SK
+
+
+def test_mg_add_unit_matches_textbook():
+    # classic: k=2 over a b c a b a -> a survives with count >= 1
+    counts = {}
+    for t in ["a", "b", "c", "a", "b", "a"]:
+        SK._mg_add(counts, t, 1, 2)
+    assert "a" in counts
+    assert len(counts) <= 2
+    # undercount bound: est >= true - n/(k+1) = 3 - 2 = 1
+    assert counts["a"] >= 1
+
+
+def test_mg_add_weighted_equals_unit_sequence():
+    rng = np.random.default_rng(5)
+    stream = [f"t{int(v)}" for v in rng.zipf(1.5, 3000) % 40]
+    for k in (3, 8, 17):
+        unit = {}
+        for t in stream:
+            SK._mg_add(unit, t, 1, k)
+        weighted = {}
+        # arbitrary chunking with per-chunk aggregation
+        for i in range(0, len(stream), 257):
+            for t, c in Counter(stream[i:i + 257]).items():
+                SK._mg_add(weighted, t, c, k)
+        # both are valid MG summaries: identical guarantee sets
+        n = len(stream)
+        true = Counter(stream)
+        thr = n / (k + 1)
+        for t, c in true.items():
+            if c > thr:
+                assert t in unit and t in weighted, (k, t, c)
+        for d in (unit, weighted):
+            for t, est in d.items():
+                assert est <= true[t]
+                assert est >= true[t] - thr
+
+
+def test_mg_trim_preserves_guarantee():
+    counts = {f"t{i}": 100 - i for i in range(30)}
+    trimmed = SK._mg_trim(dict(counts), 10)
+    assert len(trimmed) <= 10
+    cut = sorted(counts.values(), reverse=True)[10]
+    for t, v in trimmed.items():
+        assert v == counts[t] - cut > 0
+
+
+def test_heavy_hitters_spark_guarantee(spark):
+    rng = np.random.default_rng(11)
+    terms = [f"w{int(v)}" for v in rng.zipf(1.3, 40_000) % 500]
+    df = spark.createDataFrame([(t,) for t in terms], "tok string")
+    k = 50
+    got = {r["term"]: r["est_count"]
+           for r in SK.heavy_hitters(df, "tok", k=k).collect()}
+    assert len(got) <= k
+    true = Counter(terms)
+    thr = len(terms) / (k + 1)
+    for t, c in true.items():
+        if c > thr:
+            assert t in got, (t, c, thr)
+    for t, est in got.items():
+        assert est <= true[t]
+
+
+def test_heavy_hitters_with_exact_gate_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    out = SK.heavy_hitters_with_exact(toks, "tok", k=200, top=15)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["captured"] for r in rows)  # the MG guarantee
+    counts = [r["exact_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_heavy_hitters_guards():
+    with pytest.raises(ValueError, match="k"):
+        SK.heavy_hitters(None, "tok", k=0)
