@@ -1471,6 +1471,9 @@ class _IFrame:
         # adaptive marking commands (7.3.3.3 op-1 unmarks) parsed
         # from this picture's header — applied by the DPB owner
         self.mmco = None
+        # constrained_intra_pred in a P/B slice (r8): intra
+        # prediction treats INTER neighbors' samples as unavailable
+        self.constrained_intra = False
         # slice map: which slice decoded each MB (-1 = none yet) and
         # the slice currently decoding — prediction availability
         # (6.4.8) stops at slice boundaries, deblocking does not
@@ -1487,6 +1490,28 @@ class _IFrame:
         # macroblocks are unavailable for prediction)
         return (mb < self.n_decoded_mbs
                 and self.mb_slice[mb] == self.cur_slice)
+
+    def intra_mb_ok(self, mbx: int, mby: int) -> bool:
+        """MB-level sample availability for INTRA prediction: decoded,
+        same slice, and — under constrained_intra_pred in an inter
+        slice (8.3.1.2) — itself intra-coded."""
+        if not self.mb_decoded(mbx, mby):
+            return False
+        if self.constrained_intra:
+            return bool(self.mb_intra[mby * self.mbw + mbx])
+        return True
+
+    def intra_blk4_ok(self, gx: int, gy: int, cur_mb: int,
+                      cur_blk: int) -> bool:
+        """4x4-level sample availability for INTRA prediction (the
+        constrained_intra_pred variant of :meth:`blk4_available`;
+        blocks inside the current — intra — MB are never affected)."""
+        if not self.blk4_available(gx, gy, cur_mb, cur_blk):
+            return False
+        mb = (gy // 4) * self.mbw + (gx // 4)
+        if mb == cur_mb or not self.constrained_intra:
+            return True
+        return bool(self.mb_intra[mb])
 
     def luma_nc(self, gx: int, gy: int, cur_mb: int, cur_blk: int) -> int:
         """nC for the luma 4x4 block at global block coords (gx, gy).
@@ -1658,11 +1683,9 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
             # decode_frame needs POC context from the caller (the
             # GOP cursor tracks it per 8.2.1.1); flag it here.
             h["implicit_wp"] = True
-        if pps.constrained_intra_pred:
-            # 8.3: intra prediction in P/B slices would have to mark
-            # inter-coded neighbors unavailable; not implemented
-            raise AVCError("constrained_intra_pred with inter slices"
-                           " unsupported")
+        # constrained_intra_pred (r8): handled per slice — intra
+        # prediction in P/B slices marks inter neighbors' samples
+        # unavailable (_decode_one_slice sets st.constrained_intra)
     if nal_ref_idc != 0:
         if nal_type == 5:
             r.flag()  # no_output_of_prior_pics
@@ -1836,6 +1859,8 @@ def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
         if rf.mbw != st.mbw or rf.mbh != st.mbh:
             raise AVCError("reference frame geometry mismatch")
     st.wp = h.get("wp")
+    st.constrained_intra = bool(
+        pps.constrained_intra_pred and (h["is_p"] or h["is_b"]))
     st.frame_num = h["frame_num"]
     # list modification BEFORE anything consumes list order (MC and
     # the implicit-WP table below both index the MODIFIED lists)
@@ -1956,13 +1981,13 @@ def _luma_neighbors(st: _IFrame, gx: int, gy: int, cur_mb: int, cur_blk: int):
     px, py = gx * 4, gy * 4
     left = top = top_right = None
     top_left = None
-    if st.blk4_available(gx - 1, gy, cur_mb, cur_blk):
+    if st.intra_blk4_ok(gx - 1, gy, cur_mb, cur_blk):
         left = st.Y[py : py + 4, px - 1]
-    if st.blk4_available(gx, gy - 1, cur_mb, cur_blk):
+    if st.intra_blk4_ok(gx, gy - 1, cur_mb, cur_blk):
         top = st.Y[py - 1, px : px + 4]
-    if st.blk4_available(gx - 1, gy - 1, cur_mb, cur_blk):
+    if st.intra_blk4_ok(gx - 1, gy - 1, cur_mb, cur_blk):
         top_left = st.Y[py - 1, px - 1]
-    if st.blk4_available(gx + 1, gy - 1, cur_mb, cur_blk):
+    if st.intra_blk4_ok(gx + 1, gy - 1, cur_mb, cur_blk):
         top_right = st.Y[py - 1, px + 4 : px + 8]
     return left, top, top_left, top_right
 
@@ -2049,11 +2074,11 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
     # prediction from MB-edge neighbors
     px, py = mbx * 16, mby * 16
     left = top = tl = None
-    if mbx > 0 and st.mb_decoded(mbx - 1, mby):
+    if mbx > 0 and st.intra_mb_ok(mbx - 1, mby):
         left = st.Y[py : py + 16, px - 1]
-    if mby > 0 and st.mb_decoded(mbx, mby - 1):
+    if mby > 0 and st.intra_mb_ok(mbx, mby - 1):
         top = st.Y[py - 1, px : px + 16]
-    if mbx > 0 and mby > 0 and st.mb_decoded(mbx - 1, mby - 1):
+    if mbx > 0 and mby > 0 and st.intra_mb_ok(mbx - 1, mby - 1):
         tl = st.Y[py - 1, px - 1]
     pred = _pred16x16(pred_mode, left, top, tl)
 
@@ -2095,11 +2120,11 @@ def _decode_chroma(r, st, pps: PPS, mbx, mby, mb, chroma_mode, cbp_chroma, qp):
     px, py = mbx * 8, mby * 8
     for plane, grid in ((st.Cb, st.nzCb), (st.Cr, st.nzCr)):
         left = top = tl = None
-        if mbx > 0 and st.mb_decoded(mbx - 1, mby):
+        if mbx > 0 and st.intra_mb_ok(mbx - 1, mby):
             left = plane[py : py + 8, px - 1]
-        if mby > 0 and st.mb_decoded(mbx, mby - 1):
+        if mby > 0 and st.intra_mb_ok(mbx, mby - 1):
             top = plane[py - 1, px : px + 8]
-        if mbx > 0 and mby > 0 and st.mb_decoded(mbx - 1, mby - 1):
+        if mbx > 0 and mby > 0 and st.intra_mb_ok(mbx - 1, mby - 1):
             tl = plane[py - 1, px - 1]
         plane[py : py + 8, px : px + 8] = _pred_chroma(
             chroma_mode, left, top, tl

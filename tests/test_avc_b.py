@@ -1573,3 +1573,77 @@ def test_multi_slice_bitflip_fuzz():
                                ref=st0)
         except avc.AVCError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# constrained_intra_pred with inter slices (r8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_constrained_intra_round_trip(deblock):
+    """PPS constrained_intra_pred=1: intra MBs inside P and B slices
+    predict ONLY from intra neighbors (inter neighbors' samples are
+    unavailable, 8.3.1.2). The plan surrounds intra islands with
+    inter MBs so the rule changes real predictions; encoder and
+    decoder apply it independently and must agree bit-exactly."""
+    mbw, mbh = 5, 3
+    f = [_planes(2100 + i, mbw, mbh) for i in range(3)]
+
+    def p_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 3
+        if k == 0:
+            return {"kind": "p16", "mv": (5, -2)}
+        if k == 1:
+            return {"kind": "i16", "qp": 26}
+        return {"kind": "i4", "qp": 26}
+
+    def b_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 3
+        if k == 0:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((2, 1), (-2, 3))]}
+        if k == 1:
+            return {"kind": "i16", "qp": 27}
+        return {"kind": "bskip"}
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[2], "ref": 0, "poc": 4,
+         "plan": p_plan},
+        {"kind": "B", "frame": f[1], "ref0": 0, "ref1": 1, "poc": 2,
+         "plan": b_plan},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=deblock, constrained_intra=True
+    )
+    pps = avc.parse_pps(pps_nal)
+    assert pps.constrained_intra_pred == 1
+    sps = avc.parse_sps(sps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=st1)
+    _assert_exact([st0, st1, st2], recons)
+
+
+def test_constrained_intra_actually_changes_prediction():
+    """Sanity against a silent no-op: the same P-frame content
+    encoded with and without the flag yields different bitstreams
+    (intra islands bordered by inter MBs predict differently)."""
+    mbw, mbh = 4, 2
+    f = [_planes(2200 + i, mbw, mbh) for i in range(2)]
+
+    def p_plan(mbx, mby):
+        return ({"kind": "i16", "qp": 26}
+                if (mbx + mby) % 2 else {"kind": "p16", "mv": (3, 1)})
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": p_plan},
+    ]
+    plain = ENC.encode_bseq(entries, qp=26)
+    con = ENC.encode_bseq(entries, qp=26, constrained_intra=True)
+    assert plain[2][1] != con[2][1]  # the P NAL differs
+    # and the I NAL is unaffected (constrained has no effect there)
+    assert plain[2][0] == con[2][0]

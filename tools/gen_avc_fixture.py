@@ -146,7 +146,8 @@ def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0,
 
 
 def write_pps(pic_init_qp: int = 26, weighted_pred: int = 0,
-              weighted_bipred_idc: int = 0) -> bytes:
+              weighted_bipred_idc: int = 0,
+              constrained_intra: int = 0) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
@@ -161,7 +162,7 @@ def write_pps(pic_init_qp: int = 26, weighted_pred: int = 0,
     w.se(0)      # pic_init_qs
     w.se(0)      # chroma_qp_index_offset
     w.u(1, 1)    # deblocking_filter_control_present
-    w.u(0, 1)    # constrained_intra_pred
+    w.u(constrained_intra, 1)  # constrained_intra_pred
     w.u(0, 1)    # redundant_pic_cnt_present
     w.rbsp_trailing()
     return make_nal(3, 8, w.to_rbsp())
@@ -496,6 +497,8 @@ class _EncState:
         # per-4x4 reference index per list (-1 = unused)
         self.ri0 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
         self.ri1 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int8)
+        # constrained_intra_pred in an inter slice (r8)
+        self.constrained_enc = False
         # slice map (r8 multi-slice): which slice wrote each MB, and
         # the slice being written — availability stops at boundaries
         self.mb_slice = np.full(mbh * mbw, -1, dtype=np.int32)
@@ -507,6 +510,13 @@ class _EncState:
         mb = mby * self.mbw + mbx
         return (mb < self.decoded
                 and self.mb_slice[mb] == self.cur_slice)
+
+    def intra_mb_ok(self, mbx, mby):
+        if not self.mb_ok(mbx, mby):
+            return False
+        if self.constrained_enc:
+            return bool(self.mb_intra[mby * self.mbw + mbx])
+        return True
 
     def luma_nc(self, gx, gy, cur_mb, cur_blk):
         # 6.4.8/9.2.1: neighbors INSIDE the current MB are available
@@ -552,6 +562,17 @@ def _cblk_avail(st, gx, gy, cur_mb, cur_blk):
     return (gy % 2) * 2 + (gx % 2) < cur_blk
 
 
+def _intra_blk4_avail(st, gx, gy, cur_mb, cur_blk):
+    """constrained_intra_pred variant of _blk4_avail for intra
+    SAMPLE availability (mirrors the decoder's rule)."""
+    if not _blk4_avail(st, gx, gy, cur_mb, cur_blk):
+        return False
+    mb = (gy // 4) * st.mbw + (gx // 4)
+    if mb == cur_mb or not st.constrained_enc:
+        return True
+    return bool(st.mb_intra[mb])
+
+
 def _scan_of(block: np.ndarray, max_coeff: int) -> list[int]:
     flat = block.reshape(-1)
     if max_coeff == 16:
@@ -563,10 +584,10 @@ def _pred4_enc(st, mode, gx, gy, cur_mb, cur_blk):
     """Encoder-side intra-4x4 prediction on the RECONSTRUCTED planes,
     written independently of functions/avc (plain formulas)."""
     px, py = gx * 4, gy * 4
-    have_l = _blk4_avail(st, gx - 1, gy, cur_mb, cur_blk)
-    have_t = _blk4_avail(st, gx, gy - 1, cur_mb, cur_blk)
-    have_tl = _blk4_avail(st, gx - 1, gy - 1, cur_mb, cur_blk)
-    have_tr = _blk4_avail(st, gx + 1, gy - 1, cur_mb, cur_blk)
+    have_l = _intra_blk4_avail(st, gx - 1, gy, cur_mb, cur_blk)
+    have_t = _intra_blk4_avail(st, gx, gy - 1, cur_mb, cur_blk)
+    have_tl = _intra_blk4_avail(st, gx - 1, gy - 1, cur_mb, cur_blk)
+    have_tr = _intra_blk4_avail(st, gx + 1, gy - 1, cur_mb, cur_blk)
     lf = st.Y[py : py + 4, px - 1] if have_l else None
     t = st.Y[py - 1, px : px + 4] if have_t else None
     tl = int(st.Y[py - 1, px - 1]) if have_tl else None
@@ -711,12 +732,15 @@ def _encode_pcm(w, st, y, cb, cr, mbx, mby, qp, tbase=0):
 
 def _i16_pred(st, mbx, mby, mode):
     px, py = mbx * 16, mby * 16
-    left = st.Y[py : py + 16, px - 1] if st.mb_ok(mbx - 1, mby) else None
-    top = st.Y[py - 1, px : px + 16] if st.mb_ok(mbx, mby - 1) else None
+    left = (st.Y[py : py + 16, px - 1]
+            if st.intra_mb_ok(mbx - 1, mby) else None)
+    top = (st.Y[py - 1, px : px + 16]
+           if st.intra_mb_ok(mbx, mby - 1) else None)
     tl = (
         int(st.Y[py - 1, px - 1])
-        if st.mb_ok(mbx - 1, mby - 1) and st.mb_ok(mbx, mby - 1)
-        and st.mb_ok(mbx - 1, mby)
+        if st.intra_mb_ok(mbx - 1, mby - 1)
+        and st.intra_mb_ok(mbx, mby - 1)
+        and st.intra_mb_ok(mbx - 1, mby)
         else None
     )
     p = np.zeros((16, 16), dtype=np.int64)
@@ -754,12 +778,15 @@ def _i16_pred(st, mbx, mby, mode):
 
 def _chroma_pred_enc(st, plane, mbx, mby, mode):
     px, py = mbx * 8, mby * 8
-    left = plane[py : py + 8, px - 1] if st.mb_ok(mbx - 1, mby) else None
-    top = plane[py - 1, px : px + 8] if st.mb_ok(mbx, mby - 1) else None
+    left = (plane[py : py + 8, px - 1]
+            if st.intra_mb_ok(mbx - 1, mby) else None)
+    top = (plane[py - 1, px : px + 8]
+           if st.intra_mb_ok(mbx, mby - 1) else None)
     tl = (
         int(plane[py - 1, px - 1])
-        if st.mb_ok(mbx - 1, mby - 1) and st.mb_ok(mbx - 1, mby)
-        and st.mb_ok(mbx, mby - 1)
+        if st.intra_mb_ok(mbx - 1, mby - 1)
+        and st.intra_mb_ok(mbx - 1, mby)
+        and st.intra_mb_ok(mbx, mby - 1)
         else None
     )
     p = np.zeros((8, 8), dtype=np.int64)
@@ -1697,7 +1724,8 @@ def _write_rplm(w, cmds):
 def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
                    poc_lsb=None, n_ref0=1, weights=None, rplm0=None,
-                   mmco=None, slices=1, _st=None, _mb0=0, _mb1=None):
+                   mmco=None, constrained=False, slices=1, _st=None,
+                   _mb0=0, _mb1=None):
     """Encode one P frame against the (already deblocked) reference
     planes — a single (Y, Cb, Cr) tuple or a list in RefPicList0
     order when ``n_ref0`` > 1 (the slice header then writes the
@@ -1712,11 +1740,12 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
             nal, _ = _encode_pframe(
                 y, cb, cr, ref_planes, qp, p_plan, frame_num,
                 deblock, alpha_off_div2, beta_off_div2, poc_lsb,
-                n_ref0, weights, rplm0, mmco,
+                n_ref0, weights, rplm0, mmco, constrained,
                 _st=st, _mb0=a, _mb1=b)
             nals.append(nal)
         return nals, st
     st = _st if _st is not None else _EncState(mbw, mbh)
+    st.constrained_enc = constrained
     if _mb1 is None:
         _mb1 = mbw * mbh
     w = BitWriter()
@@ -2274,8 +2303,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                    alpha_off_div2=0, beta_off_div2=0, is_ref=False,
                    n_ref0=1, n_ref1=1, weights=None,
                    implicit_pocs=None, rplm0=None, rplm1=None,
-                   temporal_ctx=None, slices=1, _st=None, _mb0=0,
-                   _mb1=None):
+                   temporal_ctx=None, constrained=False, slices=1,
+                   _st=None, _mb0=0, _mb1=None):
     """Encode one B frame against both (already deblocked) reference
     plane sets — single tuples or RefPicListX-ordered lists when
     n_refX > 1; ``col`` is RefPicList1[0]'s _EncState (colocated
@@ -2291,10 +2320,11 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                 b_plan, frame_num, poc_lsb, deblock, alpha_off_div2,
                 beta_off_div2, is_ref, n_ref0, n_ref1, weights,
                 implicit_pocs, rplm0, rplm1, temporal_ctx,
-                _st=st, _mb0=a, _mb1=b)
+                constrained, _st=st, _mb0=a, _mb1=b)
             nals.append(nal)
         return nals, st
     st = _st if _st is not None else _EncState(mbw, mbh)
+    st.constrained_enc = constrained
     if _mb1 is None:
         _mb1 = mbw * mbh
     w = BitWriter()
@@ -2416,7 +2446,7 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
 
 def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 alpha_off_div2=0, beta_off_div2=0,
-                implicit_bipred=False):
+                implicit_bipred=False, constrained_intra=False):
     """Encode a mixed I/P/B sequence in DECODE order.
 
     ``entries``: dicts with kind ("I" / "P" / "B"), frame ((Y, Cb,
@@ -2449,7 +2479,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
         raise ValueError("implicit_bipred excludes explicit weights")
     pps = write_pps(26, weighted_pred=1 if any_wp else 0,
                     weighted_bipred_idc=(2 if implicit_bipred
-                                         else 1 if any_wb else 0))
+                                         else 1 if any_wb else 0),
+                    constrained_intra=1 if constrained_intra else 0)
     global _LAST_STATE
     nals = []
     recons = []
@@ -2481,7 +2512,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 e.get("plan"), frame_num, deblock, alpha_off_div2,
                 beta_off_div2, poc_lsb=poc, n_ref0=len(ridx),
                 weights=wts, rplm0=e.get("rplm0"),
-                mmco=e.get("mmco"), slices=e.get("slices", 1))
+                mmco=e.get("mmco"), constrained=constrained_intra,
+                slices=e.get("slices", 1))
             st.pocs0_enc = [pocs[i] for i in ridx]
             st.pocs1_enc = None
             frame_num += 1
@@ -2510,7 +2542,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 implicit_pocs=((poc, [pocs[i] for i in ridx0],
                                 [pocs[i] for i in ridx1])
                                if implicit_bipred else None),
-                temporal_ctx=tctx, slices=e.get("slices", 1))
+                temporal_ctx=tctx, constrained=constrained_intra,
+                slices=e.get("slices", 1))
             st.pocs0_enc = [pocs[i] for i in ridx0]
             st.pocs1_enc = [pocs[i] for i in ridx1]
             if is_ref:
