@@ -4,22 +4,29 @@ The reference ingests only ``.mp4`` (/root/reference/watcher.js:25-29)
 and ffmpeg decodes it (/root/reference/hasher.js:78-91). functions/mp4
 demuxes the true sample table; this module entropy-decodes the frames
 of the dominant web codec so G1's sampled pixels are real — keyframes
-(r6), P frames (r7), B frames with spatial direct, and multi-reference
-lists of up to 8 pictures per list (r7 late wave — x264's real-world
-default activates several). The remaining refusal surface is CABAC
-entropy coding and the High-profile 8x8 transform
-(see ROUND_NOTES: the context-init tables cannot be transcribed or
-verified in this container, so those streams keep the typed refusal
-and the labeled stub sample path).
+(r6), P frames (r7), B frames with spatial direct, multi-reference
+lists of up to 8 pictures per list (r7 late wave), and the r8 wave:
+implicit weighted biprediction (x264's B default), temporal direct,
+ref_pic_list_modification, MMCO short-term unmark, MULTI-SLICE
+pictures (decode_picture), and constrained_intra_pred in inter
+slices. The remaining refusal surface is CABAC entropy coding and
+the High-profile 8x8 transform (see ROUND_NOTES: the context-init
+tables cannot be transcribed or verified in this container, so those
+streams keep the typed refusal and the labeled stub sample path),
+plus interlaced coding, FMO, long-term references, SP/SI slices and
+scaling matrices — all typed refusals.
 
 Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
 
 - Annex-B/avcC NAL handling: emulation-prevention unescape (03 strip),
   RBSP bit reader, ue(v)/se(v) Exp-Golomb;
 - SPS/PPS parse (incl. POC types, direct_8x8_inference, per-list
-  num_ref_idx defaults, weighted-prediction flags) and the explicit
-  pred_weight_table (8.4.2.3.2 uni + bi weighting; implicit
-  POC-derived bipred refuses);
+  num_ref_idx defaults, weighted-prediction flags), the explicit
+  pred_weight_table (8.4.2.3.2 uni + bi weighting) AND implicit
+  POC-derived bipred weights (8.4.2.3.1, caller supplies POC
+  context); ref_pic_list_modification (7.3.3.1/8.2.4.3, short-term)
+  and MMCO op-1 short-term unmark (7.3.3.3, applied by the DPB
+  owner);
 - CAVLC entropy coding: complete coeff_token (incl. the deep
   TotalCoeff >= 13 tail) / trailing ones / level prefix-suffix /
   total_zeros / run_before tables, nC context with within-MB
@@ -31,7 +38,11 @@ Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
   quarter-pel 6-tap luma + eighth-pel bilinear chroma interpolation,
   P_Skip, all P/B partitionings incl. sub-8x8, bi-prediction
   averaging, B_Skip/B_Direct via 8.4.1.2.2 spatial direct
-  (direct_8x8_inference, MinPositive refs, colocated colZeroFlag);
+  (direct_8x8_inference, MinPositive refs, colocated colZeroFlag)
+  AND 8.4.1.2.3 temporal direct (POC-identity colocated-reference
+  mapping, DistScaleFactor MV scaling); multi-slice pictures with
+  6.4.8 slice-boundary availability and constrained_intra_pred
+  sample rules (8.3.1.2) in inter slices;
 - dequant (QP%6 scale tables, QP/6 shift) + the exact 4x4 integer
   inverse transform;
 - the in-loop deblocking filter (8.7): bS derivation over intra /
