@@ -3529,6 +3529,25 @@ def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.heavy_hitters_with_exact(toks, "tok", k=200, top=15)
 
 
+def q82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compactor quantile sketch (operators/quantiles) gate: for
+    five percentiles of l_extendedprice, the sketch's estimated rank
+    is within its TRACKED err_bound of the true rank (computed by
+    one distributed count per percentile), and the bound itself
+    stayed <= 5% of n. The bound is deterministic — every compaction
+    at level h adds exactly 2^h — so the oracle states TRUE from the
+    invariant without running the sketch. Raw values are never
+    shuffled: one mapInPandas pass builds per-partition summaries,
+    the bounded summaries merge in a single task (the 100-TB story;
+    q27 is the exact-percentile counterpart)."""
+    from shotit_worker_spark.operators import quantiles as Q
+
+    li = _t(spark, sf_dir, "lineitem")
+    return Q.quantiles_with_exact(
+        li, "l_extendedprice", ps=(0.01, 0.25, 0.5, 0.75, 0.99), k=256
+    )
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4008,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: past-the-cap by design, like q78/q79 (displaced replay
         # + check_oracle enforce it without costing a recorded slot)
         "q81_heavy_hitters": q81_heavy_hitters,
+        "q82_quantile_sketch": q82_quantile_sketch,
     }
 
 
@@ -4084,6 +4104,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY exact_count DESC, term
             LIMIT 15
+        """,
+        # q82: certified-bound quantile sketch — within_bound is the
+        # deterministic compactor invariant (|est_rank - true_rank|
+        # <= tracked err_bound), bound_tight the summary-stayed-small
+        # check; both hold at every SF by construction
+        "q82_quantile_sketch": """
+            SELECT * FROM (VALUES
+                (0.01, TRUE, TRUE), (0.25, TRUE, TRUE),
+                (0.5, TRUE, TRUE), (0.75, TRUE, TRUE),
+                (0.99, TRUE, TRUE)
+            ) AS t(pct, within_bound, bound_tight) ORDER BY pct
         """,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states

@@ -1,0 +1,335 @@
+"""Mergeable quantile sketch with a CERTIFIED (tracked) error bound.
+
+Exact percentiles over 100 TB need a full sort or a full shuffle of
+every distinct value (the q27 shape). The compactor sketch here
+(the KLL/MRL family — Karnin, Lang, Liberty, FOCS 2016; Manku,
+Rajagopalan, Lindsay, SIGMOD 1998) answers rank/quantile queries
+from a BOUNDED summary per partition and a mergeable combine, and —
+unlike the randomized KLL — uses deterministic compaction and
+*carries its own worst-case rank-error bound*:
+
+- items live in levels; an item at level h represents 2^h original
+  values (total weight is preserved exactly, so n is recoverable
+  from the summary alone);
+- compacting a level sorts its buffer and promotes every other
+  element to the next level; ONE compaction at level h shifts the
+  rank of any query point by at most 2^h (the classic analysis),
+  so the sketch accumulates ``err_bound += 2^h`` per compaction;
+- for EVERY value v, |est_rank(v) - true_rank(v)| <= err_bound,
+  deterministically — not with probability, which is what the
+  driver gate states (tests/hypothesis pin the invariant over
+  random data, random batch splits, and random merge trees).
+
+Spark-first shape (same as the Misra-Gries summary in
+operators/sketches.py): one ``mapInPandas`` pass builds a compactor
+per partition (numpy sort over Arrow batches, lazy compaction so a
+whole batch costs ONE compaction's worth of error); the bounded
+per-partition summaries then merge in a single final task. Total
+shuffled data is the summaries — raw values never shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "CompactorSketch",
+    "quantile_sketch",
+    "sketch_quantiles",
+    "quantiles_with_exact",
+]
+
+
+class CompactorSketch:
+    """Deterministic compactor quantile sketch over float64 values.
+
+    ``k`` is the per-level buffer capacity. Memory is O(k log(n/k));
+    the tracked ``err_bound`` is exact — every compaction at level h
+    adds 2^h — and the invariant |est_rank(v) - true_rank(v)| <=
+    err_bound holds for every v (rank = number of inserted values
+    <= v, weighted).
+    """
+
+    def __init__(self, k: int = 256):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.err_bound = 0
+        self._parity = 0  # alternates per compaction (bias smoothing)
+
+    # -- core -----------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        """Total weight == number of inserted values (preserved
+        exactly by compaction: floor(m/2) promoted at double weight
+        plus an odd leftover kept in place)."""
+        return int(sum(len(b) << h for h, b in enumerate(self.levels)))
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self.k:
+                self._compact(h)
+            h += 1
+
+    def _compact(self, h: int) -> None:
+        """One compaction: sort the level-h buffer, promote every
+        other element to level h+1 (odd leftover stays). Whatever the
+        buffer size, the rank error introduced is <= 2^h."""
+        buf = np.sort(self.levels[h])
+        m = len(buf)
+        if m < 2:
+            return
+        if m % 2 == 1:
+            # keep one element behind so total weight is preserved;
+            # alternate which end to avoid a systematic extreme bias
+            if self._parity:
+                leftover, buf = buf[:1], buf[1:]
+            else:
+                leftover, buf = buf[-1:], buf[:-1]
+        else:
+            leftover = np.empty(0, dtype=np.float64)
+        promoted = buf[self._parity :: 2]
+        self._parity ^= 1
+        self.levels[h] = leftover
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        self.levels[h + 1] = np.concatenate(
+            [self.levels[h + 1], promoted]
+        )
+        self.err_bound += 1 << h
+
+    def merge(self, other: "CompactorSketch") -> "CompactorSketch":
+        """Level-wise concatenation then re-compression; bounds add
+        (plus any new compactions' own contributions, tracked as
+        usual). Associative up to the tracked bound."""
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.err_bound += other.err_bound
+        self._compress()
+        return self
+
+    # -- queries --------------------------------------------------------
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = [b for b in self.levels if len(b)]
+        wts = [
+            np.full(len(b), 1 << h, dtype=np.int64)
+            for h, b in enumerate(self.levels)
+            if len(b)
+        ]
+        if not vals:
+            return (
+                np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.int64),
+            )
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def est_rank(self, value: float) -> int:
+        """Estimated count of inserted values <= value; off from the
+        truth by at most err_bound."""
+        v, w = self._weighted_items()
+        idx = np.searchsorted(v, value, side="right")
+        return int(w[:idx].sum())
+
+    def quantile(self, p: float) -> float:
+        """The summary item whose cumulative weight first reaches
+        p * n. Its TRUE rank is within err_bound of its estimated
+        rank (the certified invariant); the estimated rank is within
+        one item-weight of p * n by construction."""
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("p must be in [0, 1]")
+        v, w = self._weighted_items()
+        if v.size == 0:
+            raise ValueError("empty sketch")
+        target = p * self.n
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        idx = min(idx, len(v) - 1)
+        return float(v[idx])
+
+    # -- (de)serialization to summary rows ------------------------------
+
+    _META_ERR = -1  # level tag for the err_bound carrier row
+
+    def to_rows(self) -> pd.DataFrame:
+        lv, va = [], []
+        for h, buf in enumerate(self.levels):
+            lv.extend([h] * len(buf))
+            va.extend(buf.tolist())
+        lv.append(self._META_ERR)
+        # err_bound rides in the value column; exact as float64 for
+        # any realistic bound (< 2^53)
+        va.append(float(self.err_bound))
+        return pd.DataFrame({"level": lv, "value": va})
+
+    @classmethod
+    def from_rows(
+        cls, levels: Sequence[int], values: Sequence[float], k: int
+    ) -> "CompactorSketch":
+        sk = cls(k)
+        lv = np.asarray(levels, dtype=np.int64)
+        va = np.asarray(values, dtype=np.float64)
+        err = va[lv == cls._META_ERR]
+        sk.err_bound = int(err.sum())
+        top = int(lv.max(initial=0))
+        while len(sk.levels) <= top:
+            sk.levels.append(np.empty(0, dtype=np.float64))
+        for h in range(top + 1):
+            sk.levels[h] = va[lv == h]
+        sk._compress()
+        return sk
+
+
+def quantile_sketch(df: DataFrame, col, k: int = 256) -> DataFrame:
+    """Merged compactor summary of ``col`` as rows (level, value);
+    level -1 rows carry the accumulated err_bound. One map-side pass
+    builds a per-partition sketch; the bounded summaries merge in a
+    single final task — raw values are never shuffled."""
+    c = col if isinstance(col, Column) else F.col(col)
+    vals = df.select(c.cast("double").alias("__v"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CompactorSketch(k)
+        seen = False
+        for b in batches:
+            a = b["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+            sk.update_batch(a)
+            seen = seen or a.size > 0
+        if seen and sk.n:
+            yield sk.to_rows()
+
+    summaries = vals.mapInPandas(partial, schema="level int, value double")
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lv: list[np.ndarray] = []
+        va: list[np.ndarray] = []
+        for b in batches:
+            lv.append(b["level"].to_numpy(dtype=np.int64))
+            va.append(b["value"].to_numpy(dtype=np.float64))
+        if not lv:
+            return
+        sk = CompactorSketch.from_rows(
+            np.concatenate(lv), np.concatenate(va), k
+        )
+        if sk.n:
+            yield sk.to_rows()
+
+    return summaries.coalesce(1).mapInPandas(
+        merge, schema="level int, value double"
+    )
+
+
+_MAX_SUMMARY_ROWS = 1_000_000
+
+
+def sketch_to_local(sketch_df: DataFrame, k: int = 256) -> CompactorSketch:
+    """Rebuild a :class:`CompactorSketch` from summary rows. The
+    collect is bounded: a merged summary holds O(k log(n/k)) rows; a
+    hard guard refuses anything that is clearly not a summary."""
+    rows = sketch_df.limit(_MAX_SUMMARY_ROWS + 1).collect()
+    if len(rows) > _MAX_SUMMARY_ROWS:
+        raise ValueError(
+            f"sketch summary exceeds {_MAX_SUMMARY_ROWS} rows — this "
+            "is raw data, not a summary; build it with quantile_sketch()"
+        )
+    return CompactorSketch.from_rows(
+        [r["level"] for r in rows], [r["value"] for r in rows], k
+    )
+
+
+def sketch_quantiles(
+    df: DataFrame, col, ps: Sequence[float], k: int = 256
+) -> pd.DataFrame:
+    """Driver-side convenience: (p, value, est_rank, err_bound, n)
+    for each requested quantile. The only collect is the bounded
+    summary."""
+    sk = sketch_to_local(quantile_sketch(df, col, k), k)
+    return pd.DataFrame(
+        {
+            "p": list(ps),
+            "value": [sk.quantile(p) for p in ps],
+            "est_rank": [sk.est_rank(sk.quantile(p)) for p in ps],
+            "err_bound": [sk.err_bound] * len(list(ps)),
+            "n": [sk.n] * len(list(ps)),
+        }
+    )
+
+
+def quantiles_with_exact(
+    df: DataFrame,
+    col,
+    ps: Sequence[float],
+    k: int = 256,
+    slack_frac: float = 0.05,
+) -> DataFrame:
+    """Verification form (the driver gate): for each p, the sketch's
+    quantile value joined against its TRUE rank (one distributed
+    count per p over the corpus — the small side is broadcast) —
+    (pct, within_bound, bound_tight):
+
+    - within_bound: |true_rank - est_rank| <= err_bound, the
+      deterministic invariant an exact-SQL oracle can state as TRUE
+      without running the sketch;
+    - bound_tight: err_bound <= slack_frac * n — the summary stayed
+      a summary (compaction count, not data size, drives the bound).
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    est = sketch_quantiles(df, c, ps, k)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (float(r.p), float(r.value), int(r.est_rank),
+             int(r.err_bound), int(r.n))
+            for r in est.itertuples()
+        ],
+        "p double, value double, est_rank long, err_bound long, n long",
+    )
+    vals = df.select(c.cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    true_ranks = (
+        vals.crossJoin(F.broadcast(qdf))
+        .groupBy("p", "value", "est_rank", "err_bound", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("__v") <= F.col("value"), 1).otherwise(0)
+            ).alias("true_rank")
+        )
+    )
+    return (
+        true_ranks.select(
+            F.col("p").alias("pct"),
+            (
+                F.abs(F.col("true_rank") - F.col("est_rank"))
+                <= F.col("err_bound")
+            ).alias("within_bound"),
+            (
+                F.col("err_bound")
+                <= (F.lit(slack_frac) * F.col("n")).cast("long")
+            ).alias("bound_tight"),
+        )
+        .orderBy("pct")
+    )

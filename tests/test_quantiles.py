@@ -1,0 +1,192 @@
+"""Compactor quantile sketch (operators/quantiles): the certified
+rank-error invariant (|est_rank - true_rank| <= tracked err_bound,
+deterministically, for EVERY query point), weight preservation,
+merge behavior over random merge trees, and the Spark two-stage
+shape + gate form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import quantiles as Q
+
+
+def _true_rank(data: np.ndarray, v: float) -> int:
+    return int((data <= v).sum())
+
+
+def _check_invariant(sk: Q.CompactorSketch, data: np.ndarray) -> None:
+    assert sk.n == len(data)
+    probes = np.unique(
+        np.concatenate([data, data - 0.5, data + 0.5])
+    )
+    for v in probes:
+        assert abs(sk.est_rank(v) - _true_rank(data, v)) <= sk.err_bound
+
+
+def test_exact_below_capacity():
+    sk = Q.CompactorSketch(k=64)
+    data = np.arange(50, dtype=np.float64)
+    sk.update_batch(data)
+    assert sk.err_bound == 0
+    for v in data:
+        assert sk.est_rank(v) == _true_rank(data, v)
+    assert sk.quantile(0.0) == 0.0
+    assert sk.quantile(1.0) == 49.0
+    assert sk.quantile(0.5) in data
+
+
+def test_invariant_single_sketch():
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=5000)
+    sk = Q.CompactorSketch(k=32)
+    for i in range(0, len(data), 700):  # uneven batches
+        sk.update_batch(data[i : i + 700])
+    _check_invariant(sk, data)
+    assert sk.err_bound > 0  # compactions definitely happened
+    assert sk.err_bound < len(data) * 0.2
+
+
+def test_weight_preserved_with_odd_buffers():
+    sk = Q.CompactorSketch(k=5)  # forces odd-size compactions
+    data = np.arange(777, dtype=np.float64)
+    for i in range(0, 777, 13):
+        sk.update_batch(data[i : i + 13])
+    assert sk.n == 777
+    _check_invariant(sk, data)
+
+
+def test_merge_invariant_and_bound_addition():
+    rng = np.random.default_rng(21)
+    a_data = rng.uniform(0, 100, 3000)
+    b_data = rng.uniform(50, 150, 2000)
+    a = Q.CompactorSketch(k=48)
+    b = Q.CompactorSketch(k=48)
+    a.update_batch(a_data)
+    b.update_batch(b_data)
+    pre = a.err_bound + b.err_bound
+    a.merge(b)
+    assert a.err_bound >= pre  # merge never forgets accumulated error
+    _check_invariant(a, np.concatenate([a_data, b_data]))
+
+
+def test_serialization_round_trip():
+    rng = np.random.default_rng(3)
+    data = rng.exponential(size=4000)
+    sk = Q.CompactorSketch(k=64)
+    sk.update_batch(data)
+    rows = sk.to_rows()
+    back = Q.CompactorSketch.from_rows(
+        rows["level"].tolist(), rows["value"].tolist(), 64
+    )
+    assert back.n == sk.n
+    assert back.err_bound >= sk.err_bound
+    _check_invariant(back, data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=600
+    ),
+    k=st.integers(2, 40),
+    seed=st.integers(0, 2**16),
+)
+def test_property_certified_bound(data, k, seed):
+    """The invariant holds for arbitrary data, arbitrary batch
+    splits, and an arbitrary two-sketch merge split — the bound is
+    deterministic, not probabilistic."""
+    arr = np.asarray(data, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cut = int(rng.integers(0, len(arr) + 1))
+    a, b = Q.CompactorSketch(k), Q.CompactorSketch(k)
+    for part, sk in ((arr[:cut], a), (arr[cut:], b)):
+        i = 0
+        while i < len(part):
+            step = int(rng.integers(1, 100))
+            sk.update_batch(part[i : i + step])
+            i += step
+    a.merge(b)
+    assert a.n == len(arr)
+    probes = np.unique(arr)
+    for v in probes[:: max(1, len(probes) // 50)]:
+        assert abs(a.est_rank(v) - _true_rank(arr, v)) <= a.err_bound
+
+
+def test_quantile_rank_near_target():
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=20_000)
+    sk = Q.CompactorSketch(k=256)
+    for i in range(0, len(data), 4096):
+        sk.update_batch(data[i : i + 4096])
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+        v = sk.quantile(p)
+        # true rank of the returned item is within err_bound + one
+        # max item weight of the target
+        w_max = 1 << (len(sk.levels) - 1)
+        assert (
+            abs(_true_rank(data, v) - p * sk.n)
+            <= sk.err_bound + w_max
+        )
+
+
+def test_nan_and_empty():
+    sk = Q.CompactorSketch(k=16)
+    sk.update_batch(np.array([np.nan, np.nan]))
+    assert sk.n == 0
+    with pytest.raises(ValueError, match="empty"):
+        sk.quantile(0.5)
+    with pytest.raises(ValueError, match="k must be"):
+        Q.CompactorSketch(k=1)
+    with pytest.raises(ValueError, match="p must be"):
+        Q.CompactorSketch(k=4).quantile(1.5)
+
+
+# ---------------------------------------------------------------------------
+# Spark shape
+# ---------------------------------------------------------------------------
+
+
+def test_spark_sketch_invariant(spark):
+    rng = np.random.default_rng(17)
+    data = rng.lognormal(size=30_000)
+    df = spark.createDataFrame(
+        [(float(v),) for v in data], "x double"
+    ).repartition(8)
+    sk = Q.sketch_to_local(Q.quantile_sketch(df, "x", k=128), k=128)
+    assert sk.n == len(data)
+    assert sk.err_bound < len(data) * 0.05
+    for v in np.quantile(data, [0.1, 0.5, 0.9]):
+        assert abs(sk.est_rank(v) - _true_rank(data, v)) <= sk.err_bound
+
+
+def test_spark_sketch_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "x double"
+    )
+    sk = Q.sketch_to_local(Q.quantile_sketch(df, "x", k=16), k=16)
+    assert sk.n == 3
+    assert sk.est_rank(2.0) == 2
+
+
+def test_quantiles_with_exact_gate(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = Q.quantiles_with_exact(
+        li, "l_extendedprice", ps=(0.01, 0.25, 0.5, 0.75, 0.99), k=256
+    ).collect()
+    assert len(out) == 5
+    assert all(r["within_bound"] for r in out)
+    assert all(r["bound_tight"] for r in out)
+
+
+def test_sketch_to_local_guard(spark):
+    big = spark.range(Q._MAX_SUMMARY_ROWS + 10).select(
+        F.lit(0).alias("level"), F.col("id").cast("double").alias("value")
+    )
+    with pytest.raises(ValueError, match="summary"):
+        Q.sketch_to_local(big)
