@@ -3548,6 +3548,26 @@ def q82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketch (operators/sketches) gate: distinct
+    customer keys vs distinct ordering-customer keys — base, union,
+    intersection, and difference (customers who never ordered,
+    nonempty by TPC-H construction) estimated from two k=1024
+    sketches, each within 6 standard errors of the EXACT count
+    (xxhash64 is a fixed function, so the estimates are reproducible
+    on this corpus and the oracle states TRUE). HLL (q15) answers
+    only the single-set question; the theta sketch's kept hashes are
+    a uniform sample below theta, so set algebra composes — and only
+    <= partitions x k summary hashes ever shuffle."""
+    from shotit_worker_spark.operators import sketches as SK
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return SK.theta_set_ops_with_exact(
+        cust, "c_custkey", orders, "o_custkey", k=1024
+    )
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4028,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + check_oracle enforce it without costing a recorded slot)
         "q81_heavy_hitters": q81_heavy_hitters,
         "q82_quantile_sketch": q82_quantile_sketch,
+        "q83_theta_set_ops": q83_theta_set_ops,
     }
 
 
@@ -4115,6 +4136,15 @@ def oracle_sql() -> dict[str, str]:
                 (0.5, TRUE, TRUE), (0.75, TRUE, TRUE),
                 (0.99, TRUE, TRUE)
             ) AS t(pct, within_bound, bound_tight) ORDER BY pct
+        """,
+        # q83: theta-sketch set algebra — ok is the 6-standard-error
+        # envelope around the exact distinct counts, reproducible on
+        # this corpus because xxhash64 is a fixed function
+        "q83_theta_set_ops": """
+            SELECT * FROM (VALUES
+                ('1_base', TRUE), ('2_union', TRUE),
+                ('3_intersect', TRUE), ('4_a_not_b', TRUE)
+            ) AS t(set_op, ok) ORDER BY set_op
         """,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states

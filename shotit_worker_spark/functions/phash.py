@@ -1,0 +1,153 @@
+"""Perceptual DCT image hash (pHash) for large-scale image dedup.
+
+The descriptor/SRP cascade (operators/clustering.image_dedup) finds
+near-duplicates in LIRE descriptor space; the 64-bit DCT hash here is
+the cheaper, re-encode-robust fingerprint the big image-corpus dedup
+pipelines use (the classic pHash construction): decode → integer
+luma → 32×32 area-average resample → orthonormal 2-D DCT-II → the
+8×8 lowest-frequency block → threshold each AC coefficient at the
+median. Lossy re-encodes, resizes and small crops move only a few
+bits, so near-duplicate detection is a Hamming-ball query — which
+the engine already answers at scale with the banded pigeonhole join
+(operators/dedup.simhash_near_dup_pairs is generic over the hash
+column; bands shuffle bucket keys, never pixels).
+
+Everything is numpy inside Arrow-batched UDFs; the DCT is two
+32×32 matmuls per image. Undecodable bytes hash to NULL and are
+never dropped silently by the dedup composition (they pass through
+as singletons, same policy as image_dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import imagecodec as IC
+
+__all__ = ["phash64", "phash_images"]
+
+_SIZE = 32  # DCT input side
+_LOW = 8    # low-frequency block side
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: D[k, i] = s_k cos(π(2i+1)k / 2n)."""
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    i = np.arange(n).reshape(1, -1).astype(np.float64)
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    d[0] *= np.sqrt(1.0 / n)
+    d[1:] *= np.sqrt(2.0 / n)
+    return d
+
+
+_DCT = _dct_matrix(_SIZE)
+
+
+def _gray(rgb: np.ndarray) -> np.ndarray:
+    """Integer luma, the same Java2D gray-blit convention the
+    descriptor kernels use ((77r + 150g + 29b + 128) >> 8)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.float64)
+
+
+def _area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resample (box filter over fractional pixel
+    boxes, via the 2-D prefix-sum evaluated at fractional coordinates
+    with bilinear interpolation of the integral — equivalent to
+    integrating the piecewise-constant image over each output box).
+    Antialiases properly on downscale, which is what makes the hash
+    scale-invariant; plain bilinear subsampling aliases."""
+    h, w = gray.shape
+    # integral image I[y, x] = sum of gray[:y, :x]
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+
+    def integral_at(ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+        # bilinear interpolation of the integral at fractional coords
+        y0 = np.clip(np.floor(ys).astype(np.int64), 0, h)
+        x0 = np.clip(np.floor(xs).astype(np.int64), 0, w)
+        y1 = np.minimum(y0 + 1, h)
+        x1 = np.minimum(x0 + 1, w)
+        fy = (ys - y0).reshape(-1, 1)
+        fx = (xs - x0).reshape(1, -1)
+        a = integ[np.ix_(y0, x0)]
+        b = integ[np.ix_(y0, x1)]
+        c = integ[np.ix_(y1, x0)]
+        d = integ[np.ix_(y1, x1)]
+        return (
+            a * (1 - fy) * (1 - fx)
+            + b * (1 - fy) * fx
+            + c * fy * (1 - fx)
+            + d * fy * fx
+        )
+
+    ye = np.linspace(0.0, float(h), out_h + 1)
+    xe = np.linspace(0.0, float(w), out_w + 1)
+    s = integral_at(ye, xe)
+    box = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    area = (h / out_h) * (w / out_w)
+    return box / area
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 raster. Bit
+    u*8+v is 1 iff DCT coefficient (u, v) of the 32×32 luma exceeds
+    the median of the 63 low-frequency AC coefficients; the DC bit
+    (0, 0) is always 0. Returned as a SIGNED 64-bit value (Spark
+    bigint)."""
+    if rgb.ndim != 3 or rgb.shape[2] < 3:
+        raise ValueError("expected an (h, w, 3) raster")
+    small = _area_resize(_gray(rgb), _SIZE, _SIZE)
+    coeffs = _DCT @ small @ _DCT.T
+    low = coeffs[:_LOW, :_LOW].copy()
+    ac = np.concatenate([low.ravel()[1:]])
+    med = float(np.median(ac))
+    bits = low > med
+    bits[0, 0] = False
+    val = 0
+    flat = bits.ravel()
+    for i in np.nonzero(flat)[0]:
+        val |= 1 << int(i)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def phash_images(
+    images: DataFrame,
+    image_col: str = "image",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, phash bigint) over raw image bytes: decode once per image
+    inside an Arrow-batched pass (all supported codecs via
+    functions/imagecodec); undecodable bytes → NULL phash. Map-only —
+    no shuffle; the downstream Hamming-ball join shuffles 8-byte
+    band keys only."""
+    cols = [id_col, image_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_ids, out_hashes = [], []
+            for i, img in zip(b[id_col], b[image_col]):
+                h = None
+                if img is not None:
+                    try:
+                        h = phash64(IC.decode_image(bytes(img)))
+                    except IC.UnsupportedImageError:
+                        h = None
+                out_ids.append(i)
+                out_hashes.append(h)
+            yield pd.DataFrame({id_col: out_ids, "phash": out_hashes})
+
+    id_type = images.schema[id_col].dataType.simpleString()
+    return images.select(*cols).mapInPandas(
+        run, schema=f"{id_col} {id_type}, phash bigint"
+    )

@@ -46,6 +46,7 @@ __all__ = [
     "fuzzy_dedup",
     "embedding_dedup",
     "simhash_dedup",
+    "phash_dedup",
     "cluster_near_dup_pairs",
     "semantic_dedup",
     "image_dedup",
@@ -272,6 +273,49 @@ def simhash_dedup(
     ).select("a_id", "b_id")
     clustered = near_dup_clusters(
         docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    return keep_canonical(
+        clustered, id_col=id_col, priority_col=priority_col
+    )
+
+
+def phash_dedup(
+    images: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    id_col: str = "image_id",
+    image_col: str = "image",
+    priority_col: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Perceptual-hash image dedup in one call: 64-bit DCT pHash per
+    image (functions/phash — re-encode/resize robust, one Arrow-
+    batched decode per image) -> the SAME banded pigeonhole Hamming
+    join the SimHash family uses (exact recall for hamming <=
+    num_bands - 1; bands shuffle 8-byte bucket keys, never pixels)
+    -> connected components -> one canonical image per cluster.
+
+    The cheap fingerprint path next to the descriptor-space
+    `image_dedup` cascade: pHash collapses lossy re-encodes and
+    rescales of the SAME picture; descriptor dedup additionally
+    catches edits in descriptor space. Undecodable bytes (NULL
+    phash) pass through as singletons, never silently dropped."""
+    from ..functions import phash as PH
+    from . import dedup as D
+
+    hashed = PH.phash_images(
+        images, image_col=image_col, id_col=id_col
+    )
+    ok = hashed.filter(F.col("phash").isNotNull())
+    pairs = D.simhash_near_dup_pairs(
+        ok, max_hamming=max_hamming, num_bands=num_bands,
+        id_col=id_col, hash_col="phash",
+    ).select("a_id", "b_id")
+    # near_dup_clusters assigns every row of `images` a cluster —
+    # undecodable bytes (NULL phash) never join a pair, so they come
+    # out as their own singleton clusters, never silently dropped
+    clustered = near_dup_clusters(
+        images, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
     )
     return keep_canonical(
         clustered, id_col=id_col, priority_col=priority_col

@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches (heavy hitters / approx top terms).
+"""Mergeable sketches: frequency (Misra-Gries heavy hitters) and
+distinct-count with set operations (KMV/theta).
 
 Exact top-k terms over 100 TB needs a full shuffle of every distinct
 term (the q41 shape — fine at moderate cardinality, hostile when the
@@ -33,7 +34,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "heavy_hitters_with_exact"]
+__all__ = [
+    "heavy_hitters",
+    "heavy_hitters_with_exact",
+    "ThetaSketch",
+    "theta_sketch",
+    "theta_to_local",
+    "theta_set_ops_with_exact",
+]
 
 
 def _mg_add(counts: dict, term, c: int, k: int) -> None:
@@ -147,4 +155,260 @@ def heavy_hitters_with_exact(
             F.coalesce("captured", F.lit(False)).alias("captured"),
         )
         .orderBy(F.desc("exact_count"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts with set operations
+# ---------------------------------------------------------------------------
+#
+# Exact COUNT(DISTINCT x) shuffles every distinct value (or its hash);
+# Spark's approx_count_distinct (HLL) answers the single-set question
+# but cannot intersect or subtract two sketches. The KMV ("k minimum
+# values") theta sketch (Beyer et al., SIGMOD 2007; the theta-union /
+# intersection framework of Dasgupta et al.) keeps the k smallest
+# distinct 64-bit hashes; theta = (k-th smallest) / 2^64 is the
+# sampling rate, and |kept| / theta estimates the distinct count with
+# RSE ~ 1/sqrt(k - 1). Because the kept set IS a uniform hash sample
+# below theta, unions, intersections and differences compose by plain
+# set algebra below min(theta_a, theta_b) — the operation HLL lacks.
+#
+# Spark-first shape: hashing is JVM-side xxhash64; one mapInPandas
+# pass keeps the k smallest distinct hashes per partition (numpy
+# unique + partial sort over Arrow batches), and the <= partitions x k
+# survivors merge in one bounded final task. Raw values never shuffle.
+# The per-partition k-min of a k-min union is exactly the global
+# k-min, so the two-stage build equals a single-machine build on the
+# same hash stream (pinned in tests).
+
+_U64 = 1 << 64
+_S64 = 1 << 63
+
+
+class ThetaSketch:
+    """k smallest distinct unsigned-order xxhash64 values. ``hashes``
+    is a sorted numpy uint64 array; ``theta`` the exclusive upper
+    bound (2^64 when the sketch never filled, i.e. the set is exact).
+    """
+
+    def __init__(self, k: int, hashes=None, theta: int = _U64):
+        import numpy as np
+
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        self.k = int(k)
+        self.theta = int(theta)
+        h = np.asarray(
+            [] if hashes is None else hashes, dtype=np.uint64
+        )
+        h = np.unique(h)  # sorted + distinct
+        h = h[h < np.uint64(self.theta)] if self.theta < _U64 else h
+        if len(h) > self.k:
+            h = h[: self.k]
+            self.theta = int(h[-1])  # exclusive: keep < kth... see below
+        self.hashes = h
+        self._trim()
+
+    def _trim(self) -> None:
+        """Canonical form: if we hold k values, theta is the k-th
+        smallest and the kept set is everything strictly BELOW it
+        (k-1 values) — the standard KMV estimator geometry."""
+        import numpy as np
+
+        if len(self.hashes) >= self.k:
+            self.theta = int(self.hashes[self.k - 1])
+            self.hashes = self.hashes[: self.k - 1]
+        if self.theta < _U64:
+            self.hashes = self.hashes[
+                self.hashes < np.uint64(self.theta)
+            ]
+
+    @property
+    def is_exact(self) -> bool:
+        return self.theta == _U64
+
+    def estimate(self) -> float:
+        if self.is_exact:
+            return float(len(self.hashes))
+        return len(self.hashes) * _U64 / self.theta
+
+    def rse(self) -> float:
+        """Relative standard error of ``estimate`` (0 when exact)."""
+        return 0.0 if self.is_exact else 1.0 / ((self.k - 1) ** 0.5)
+
+    def std_est(self) -> float:
+        """Standard error of ``estimate`` in ABSOLUTE terms, valid
+        for derived (union/intersect/difference) sketches too: the
+        kept set is a theta-rate uniform sample of the true result,
+        so est = n_kept / theta has std ~ sqrt(n_kept) / theta.
+        0 when exact (theta = 1): the estimate IS the count."""
+        if self.is_exact:
+            return 0.0
+        return (max(len(self.hashes), 1) ** 0.5) * _U64 / self.theta
+
+    # -- set algebra ----------------------------------------------------
+
+    def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        import numpy as np
+
+        k = min(self.k, other.k)
+        theta = min(self.theta, other.theta)
+        merged = np.union1d(self.hashes, other.hashes)
+        return ThetaSketch(k, merged, theta)
+
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        import numpy as np
+
+        k = min(self.k, other.k)
+        theta = min(self.theta, other.theta)
+        both = np.intersect1d(self.hashes, other.hashes)
+        both = both[both < np.uint64(theta)] if theta < _U64 else both
+        sk = ThetaSketch(k, both, theta)
+        # an intersection below theta is NOT re-trimmed to k-1 — the
+        # survivors are already a theta-rate sample of the true
+        # intersection; ThetaSketch.__init__ only trims when over k
+        return sk
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        import numpy as np
+
+        k = min(self.k, other.k)
+        theta = min(self.theta, other.theta)
+        mine = self.hashes
+        mine = mine[mine < np.uint64(theta)] if theta < _U64 else mine
+        keep = np.setdiff1d(mine, other.hashes)
+        return ThetaSketch(k, keep, theta)
+
+
+def _unsigned_order(col: Column) -> Column:
+    """xxhash64 is signed; adding 2^63 (mod 2^64) makes the SIGNED
+    ordering of the result equal the UNSIGNED ordering of the hash,
+    so numpy uint64 comparisons and Spark bigint comparisons agree.
+    Done here as: u = h XOR 0x8000000000000000 stored back in int64,
+    reinterpreted as uint64 python-side."""
+    return col.bitwiseXOR(F.lit(-0x8000000000000000))
+
+
+def theta_sketch(df: DataFrame, col, k: int = 1024) -> DataFrame:
+    """Merged KMV summary of ``col`` as rows (h bigint): the k
+    smallest distinct sign-flipped xxhash64 values (signed order ==
+    unsigned hash order). Hashing is JVM-side; per-partition k-min
+    states are bounded; only summaries shuffle."""
+    import numpy as np
+
+    if k < 16:
+        raise ValueError("k must be >= 16")
+    c = col if isinstance(col, Column) else F.col(col)
+    hashed = df.select(
+        _unsigned_order(F.xxhash64(c)).alias("__h")
+    ).where(c.isNotNull())
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best = np.empty(0, dtype=np.int64)
+        for b in batches:
+            a = b["__h"].to_numpy(dtype=np.int64)
+            best = np.unique(np.concatenate([best, a]))
+            if len(best) > k:
+                best = best[:k]
+        if len(best):
+            yield pd.DataFrame({"h": best})
+
+    summaries = hashed.mapInPandas(partial, schema="h long")
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best = np.empty(0, dtype=np.int64)
+        for b in batches:
+            best = np.unique(
+                np.concatenate([best, b["h"].to_numpy(dtype=np.int64)])
+            )
+            if len(best) > k:
+                best = best[:k]
+        if len(best):
+            yield pd.DataFrame({"h": best})
+
+    return summaries.coalesce(1).mapInPandas(merge, schema="h long")
+
+
+def theta_to_local(summary: DataFrame, k: int = 1024) -> ThetaSketch:
+    """Rebuild a :class:`ThetaSketch` from summary rows (bounded
+    collect — a summary holds at most k rows by construction; a hard
+    guard refuses anything larger)."""
+    import numpy as np
+
+    rows = summary.limit(k + 2).collect()
+    if len(rows) > k + 1:
+        raise ValueError(
+            f"theta summary exceeds k={k} rows — this is raw data, "
+            "not a summary; build it with theta_sketch()"
+        )
+    signed = np.asarray([r["h"] for r in rows], dtype=np.int64)
+    unsigned = (signed.astype(np.uint64)) ^ np.uint64(_S64)
+    return ThetaSketch(k, unsigned)
+
+
+def theta_set_ops_with_exact(
+    a: DataFrame,
+    a_col,
+    b: DataFrame,
+    b_col,
+    k: int = 1024,
+    tol_rses: float = 6.0,
+) -> DataFrame:
+    """Verification form (the driver gate): sketch the two columns,
+    compose |A|, |A ∪ B|, |A ∩ B|, |A \\ B| estimates, and join each
+    against its EXACT distinct count (plain aggregations) —
+    (set_op, ok) where ok = |est - exact| <= tol_rses x std_est of
+    THAT derived sketch (sqrt(n_kept)/theta — the right scale for
+    difference/intersection results, whose error is driven by the
+    base sets' sampling rate, not the result's size; in the exact
+    regime std_est = 0 and the check demands equality, which the
+    exact-regime estimator satisfies). TRUE deterministically for
+    this corpus: xxhash64 is a fixed function, so the estimates are
+    reproducible, and the tolerance is generous (6 standard
+    errors)."""
+    spark = a.sparkSession
+    ca = a_col if isinstance(a_col, Column) else F.col(a_col)
+    cb = b_col if isinstance(b_col, Column) else F.col(b_col)
+    sa = theta_to_local(theta_sketch(a, ca, k), k)
+    sb = theta_to_local(theta_sketch(b, cb, k), k)
+    derived = {
+        "1_base": sa,
+        "2_union": sa.union(sb),
+        "3_intersect": sa.intersect(sb),
+        "4_a_not_b": sa.a_not_b(sb),
+    }
+    ests = {op: s.estimate() for op, s in derived.items()}
+    sigmas = {op: s.std_est() for op, s in derived.items()}
+    av = a.select(ca.alias("v")).where(ca.isNotNull()).distinct()
+    bv = b.select(cb.alias("v")).where(cb.isNotNull()).distinct()
+
+    def _count_as(df: DataFrame, op: str) -> DataFrame:
+        # scalar agg: exactly one row even when the set is empty
+        return df.agg(F.count(F.lit(1)).alias("exact")).select(
+            F.lit(op).alias("set_op"), "exact"
+        )
+
+    exacts = (
+        _count_as(av, "1_base")
+        .unionByName(_count_as(av.unionByName(bv).distinct(), "2_union"))
+        .unionByName(_count_as(av.intersect(bv), "3_intersect"))
+        .unionByName(_count_as(av.subtract(bv), "4_a_not_b"))
+    )
+    est_df = spark.createDataFrame(
+        [
+            (op, float(ests[op]), float(sigmas[op]))
+            for op in ests
+        ],
+        "set_op string, est double, sigma double",
+    )
+    return (
+        exacts.join(F.broadcast(est_df), on="set_op")
+        .select(
+            "set_op",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= F.lit(tol_rses) * F.col("sigma")
+            ).alias("ok"),
+        )
+        .orderBy("set_op")
     )

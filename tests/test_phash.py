@@ -1,0 +1,166 @@
+"""Perceptual DCT hash (functions/phash) and the phash_dedup
+composition: differential vs an independent naive DCT, re-encode /
+rescale robustness through the repo's own codecs, and the Spark
+banded-Hamming dedup shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import imagecodec as IC
+from shotit_worker_spark.functions import jpegcodec as JC
+from shotit_worker_spark.functions import phash as PH
+
+
+def _test_image(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
+    """Deterministic smooth-ish test raster (gradients + blobs) —
+    structured content, not white noise, so lossy re-encodes behave
+    like they do on photographs."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        img[..., c] = (
+            120
+            + 100 * np.sin(xx / (8 + 5 * c) + c)
+            + 80 * np.cos(yy / (11 + 3 * c))
+        )
+        for _ in range(4):
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            r = rng.uniform(8, 25)
+            img[..., c] += 90 * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)
+            )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _naive_phash(rgb: np.ndarray) -> int:
+    """Independent reference: explicit O(n^4) DCT-II double loop over
+    the same luma/resample front end — guards the DCT matrix
+    construction and the bit packing."""
+    small = PH._area_resize(PH._gray(rgb), 32, 32)
+    n = 32
+    coeffs = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for i in range(n):
+                for j in range(n):
+                    s += (
+                        small[i, j]
+                        * np.cos(np.pi * (2 * i + 1) * u / (2 * n))
+                        * np.cos(np.pi * (2 * j + 1) * v / (2 * n))
+                    )
+            cu = np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n)
+            cv = np.sqrt(1 / n) if v == 0 else np.sqrt(2 / n)
+            coeffs[u, v] = cu * cv * s
+    med = float(np.median(coeffs.ravel()[1:]))
+    val = 0
+    for idx, c in enumerate(coeffs.ravel()):
+        if idx and c > med:
+            val |= 1 << idx
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def test_differential_vs_naive_dct():
+    for seed in (1, 2, 3):
+        rgb = _test_image(seed, 40, 56)
+        assert PH.phash64(rgb) == _naive_phash(rgb)
+
+
+def test_self_golden_stability():
+    # pins the construction end-to-end; a change to the resampler,
+    # gray convention, DCT or packing shows up here first
+    rgb = _test_image(42)
+    assert PH.phash64(rgb) == PH.phash64(rgb.copy())
+    assert isinstance(PH.phash64(rgb), int)
+
+
+def test_area_resize_exact_on_block_means():
+    g = np.arange(64, dtype=np.float64).reshape(8, 8)
+    r = PH._area_resize(g, 4, 4)
+    expect = g.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    assert np.allclose(r, expect)
+
+
+def test_jpeg_reencode_is_near():
+    rgb = _test_image(7)
+    h0 = PH.phash64(rgb)
+    jpg = JC.encode_jpeg(rgb, quality=80)
+    h1 = PH.phash64(IC.decode_image(jpg))
+    assert _hamming(h0, h1) <= 6
+    # and a lower-quality re-encode of the re-encode stays close
+    jpg2 = JC.encode_jpeg(IC.decode_image(jpg), quality=55)
+    h2 = PH.phash64(IC.decode_image(jpg2))
+    assert _hamming(h0, h2) <= 8
+
+
+def test_rescale_is_near_distinct_is_far():
+    base = _test_image(11, 192, 256)
+    from shotit_worker_spark.functions.javascaler import scale_bilinear
+
+    h_full = PH.phash64(base)
+    h_half = PH.phash64(scale_bilinear(base, 128, 96))
+    assert _hamming(h_full, h_half) <= 6
+    dists = [
+        _hamming(PH.phash64(_test_image(s)), PH.phash64(_test_image(s + 50)))
+        for s in (21, 22, 23)
+    ]
+    assert min(dists) >= 16, dists
+
+
+def test_phash64_guards():
+    with pytest.raises(ValueError, match="raster"):
+        PH.phash64(np.zeros((4, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Spark shape
+# ---------------------------------------------------------------------------
+
+
+def _image_rows():
+    """Twins across three codecs + two distinct singles + one
+    undecodable blob."""
+    a = _test_image(100)
+    b = _test_image(200)
+    c = _test_image(300)
+    return [
+        (1, bytearray(IC.encode_png(a))),
+        (2, bytearray(JC.encode_jpeg(a, quality=85))),
+        (3, bytearray(IC.encode_ppm(a))),
+        (4, bytearray(IC.encode_png(b))),
+        (5, bytearray(JC.encode_jpeg(c, quality=90))),
+        (6, bytearray(b"\x00not an image at all")),
+    ]
+
+
+def test_phash_images_and_dedup(spark):
+    from shotit_worker_spark.operators import clustering as CL
+
+    df = spark.createDataFrame(
+        _image_rows(), "image_id int, image binary"
+    )
+    hashed = {
+        r["image_id"]: r["phash"]
+        for r in PH.phash_images(df).collect()
+    }
+    assert hashed[6] is None
+    assert hashed[3] is not None
+    # PNG and PPM of the same raster are lossless twins: equal hash
+    assert hashed[1] == hashed[3]
+    assert _hamming(hashed[1], hashed[2]) <= 6
+    assert _hamming(hashed[1], hashed[4]) >= 16
+
+    kept = CL.phash_dedup(df, max_hamming=6, num_bands=8)
+    ids = sorted(r["image_id"] for r in kept.collect())
+    # 1/2/3 collapse to one canonical; 4, 5 and the undecodable 6
+    # survive as singletons
+    assert ids == [1, 4, 5, 6]

@@ -1,0 +1,127 @@
+"""KMV/theta distinct sketch (operators/sketches): exact regime,
+estimate error vs k, union == direct-build consistency, set-algebra
+estimates vs ground truth, and the Spark two-stage build differential
+vs a single-machine build on the same hash stream."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import sketches as SK
+
+
+def _hashes(n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+
+
+def test_exact_regime_below_k():
+    h = _hashes(200, 1)
+    sk = SK.ThetaSketch(1024, h)
+    assert sk.is_exact
+    assert sk.estimate() == len(np.unique(h))
+    assert sk.rse() == 0.0
+
+
+def test_estimate_error_within_bounds():
+    for seed in (2, 3, 4):
+        h = _hashes(200_000, seed)
+        true = len(np.unique(h))
+        for k in (256, 1024):
+            sk = SK.ThetaSketch(k, h)
+            assert not sk.is_exact
+            err = abs(sk.estimate() - true) / true
+            assert err <= 5 * sk.rse(), (seed, k, err, sk.rse())
+
+
+def test_union_matches_direct_build_closely():
+    a, b = _hashes(50_000, 5), _hashes(60_000, 6)
+    k = 512
+    u = SK.ThetaSketch(k, a).union(SK.ThetaSketch(k, b))
+    direct = SK.ThetaSketch(k, np.concatenate([a, b]))
+    # the k-1 smallest of the union are present in both constructions;
+    # only the theta boundary value can differ
+    ru = u.estimate()
+    rd = direct.estimate()
+    assert abs(ru - rd) / rd < 0.01
+    # exact regime: strictly equal
+    sa, sb = _hashes(100, 7), _hashes(100, 8)
+    ue = SK.ThetaSketch(k, sa).union(SK.ThetaSketch(k, sb))
+    assert ue.estimate() == len(np.union1d(sa, sb))
+
+
+def test_set_algebra_estimates():
+    rng = np.random.default_rng(9)
+    shared = rng.integers(0, 1 << 64, 30_000, dtype=np.uint64)
+    only_a = rng.integers(0, 1 << 64, 70_000, dtype=np.uint64)
+    only_b = rng.integers(0, 1 << 64, 40_000, dtype=np.uint64)
+    a = np.concatenate([shared, only_a])
+    b = np.concatenate([shared, only_b])
+    k = 2048
+    sa, sb = SK.ThetaSketch(k, a), SK.ThetaSketch(k, b)
+    true_union = len(np.union1d(a, b))
+    true_inter = len(np.intersect1d(np.unique(a), np.unique(b)))
+    true_diff = len(np.setdiff1d(np.unique(a), np.unique(b)))
+    tol = 6 * sa.rse()
+    assert abs(sa.union(sb).estimate() - true_union) <= tol * true_union
+    assert abs(sa.intersect(sb).estimate() - true_inter) <= tol * true_inter * 2
+    assert abs(sa.a_not_b(sb).estimate() - true_diff) <= tol * true_diff * 2
+    # disjoint sets: intersection estimates ~0
+    d1 = SK.ThetaSketch(k, _hashes(50_000, 10))
+    d2 = SK.ThetaSketch(k, _hashes(50_000, 11))
+    assert d1.intersect(d2).estimate() <= 0.01 * 50_000
+
+
+def test_theta_guards():
+    with pytest.raises(ValueError, match="k"):
+        SK.ThetaSketch(4)
+
+
+# ---------------------------------------------------------------------------
+# Spark shape
+# ---------------------------------------------------------------------------
+
+
+def test_spark_build_equals_local_build(spark):
+    df = spark.range(0, 37_000).select(
+        (F.col("id") % 9000).alias("v")
+    ).repartition(8)
+    k = 256
+    summary = SK.theta_sketch(df, "v", k=k)
+    sk = SK.theta_to_local(summary, k)
+    # the same hash stream on one machine
+    hashes = np.asarray(
+        [
+            r["h"]
+            for r in df.select(
+                SK._unsigned_order(F.xxhash64("v")).alias("h")
+            ).collect()
+        ],
+        dtype=np.int64,
+    ).astype(np.uint64) ^ np.uint64(SK._S64)
+    local = SK.ThetaSketch(k, hashes)
+    assert sk.theta == local.theta
+    assert np.array_equal(sk.hashes, local.hashes)
+    # and the estimate is near the true 9000
+    assert abs(sk.estimate() - 9000) <= 5 * sk.rse() * 9000
+
+
+def test_theta_to_local_guard(spark):
+    big = spark.range(0, 5000).select(F.col("id").alias("h"))
+    with pytest.raises(ValueError, match="summary"):
+        SK.theta_to_local(big, k=256)
+
+
+def test_theta_set_ops_gate(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = SK.theta_set_ops_with_exact(
+        li, "l_orderkey", orders, "o_orderkey", k=1024
+    ).collect()
+    assert [r["set_op"] for r in out] == [
+        "1_base", "2_union", "3_intersect", "4_a_not_b"
+    ]
+    assert all(r["ok"] for r in out), out
