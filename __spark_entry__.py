@@ -3568,6 +3568,98 @@ def q83_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph) FULL-VALUE gate: 3
+    power iterations over the bipartite part <-> supplier graph from
+    distinct lineitem pairs (node = 2*partkey / 2*suppkey+1 — both
+    directions, so no node dangles). Every step is integer multiply
+    + integral division on nonnegative values, so the DuckDB oracle
+    replays the SAME iteration as three unrolled CTEs and matches
+    bit-for-bit — no float association anywhere. The operator's
+    per-round shape is one join + one map-side-combining group-by
+    with eager re-materialization (no lineage stacking), the
+    crawl-frontier ranking shape at 100 TB."""
+    from shotit_worker_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    # deterministic slice keeps the gate's edge count (and so its
+    # bench cost) flat across SFs while staying full-value
+    pairs = (
+        li.filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            (F.col("l_partkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("src"),
+                (F.col("l_partkey") * 2).cast("bigint").alias("dst"),
+            )
+        )
+    )
+    return (
+        G.pagerank_int(edges, iters=3)
+        .select(F.col("node").cast("bigint"), "rank_scaled")
+        .orderBy("node")
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """The q84 oracle: r0 then `iters` unrolled rounds of the exact
+    integer recurrence (standard SQL — aggregation per round, which
+    recursive CTEs disallow, hence the unroll)."""
+    tele = f"({15 * scale} // (100 * m.n))"
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+            it{i} AS (
+                SELECT nd.node,
+                       CAST({tele} + (85 * COALESCE(c.s, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes nd CROSS JOIN meta m
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.r // deg.d) AS s
+                    FROM e
+                    JOIN {prev} p ON e.src = p.node
+                    JOIN deg ON e.src = deg.src
+                    GROUP BY e.dst
+                ) c ON nd.node = c.node
+            )""")
+        prev = f"it{i}"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_orderkey % 7 = 0
+        ),
+        e AS (
+            SELECT CAST(l_partkey * 2 AS BIGINT) AS src,
+                   CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM pairs
+            UNION ALL
+            SELECT CAST(l_suppkey * 2 + 1 AS BIGINT),
+                   CAST(l_partkey * 2 AS BIGINT) FROM pairs
+        ),
+        nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src
+        ),
+        meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (
+            SELECT node, CAST({scale} // m.n AS BIGINT) AS r
+            FROM nodes CROSS JOIN meta m
+        ),
+        {",".join(its)}
+        SELECT node, r AS rank_scaled FROM {prev} ORDER BY node
+    """
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4049,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_heavy_hitters": q81_heavy_hitters,
         "q82_quantile_sketch": q82_quantile_sketch,
         "q83_theta_set_ops": q83_theta_set_ops,
+        "q84_pagerank": q84_pagerank,
     }
 
 
@@ -4146,6 +4239,9 @@ def oracle_sql() -> dict[str, str]:
                 ('3_intersect', TRUE), ('4_a_not_b', TRUE)
             ) AS t(set_op, ok) ORDER BY set_op
         """,
+        # q84: FULL-VALUE integer PageRank — the oracle replays the
+        # exact integer recurrence as unrolled CTEs
+        "q84_pagerank": _pagerank_oracle_sql(),
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states
         "q79_bloom_dedup": """

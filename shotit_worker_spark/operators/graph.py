@@ -1,0 +1,211 @@
+"""Link-graph analytics: PageRank over an edge DataFrame.
+
+A crawl-scale corpus pipeline ranks hosts/pages to prioritize its
+frontier and to weight sources (the classic use of PageRank in
+training-data curation). At 100 TB the graph is an edge table, not
+an adjacency object: each iteration is one join (ranks ⋈ edges on
+src) plus one aggregation (sum contributions by dst) — both shuffle
+on node keys and both combine map-side. Iterations re-materialize
+eagerly (persist or a fault-tolerant checkpoint dir) and free the
+superseded round, the same discipline as
+operators/clustering.connected_components; lineage never stacks.
+
+Two variants:
+
+- :func:`pagerank` — float64, with the standard uniform
+  redistribution of dangling mass (one extra scalar agg per round).
+- :func:`pagerank_int` — EXACT integer arithmetic (ranks scaled to
+  ``scale``; every step is integer multiply + integral division), so
+  any engine reproduces it bit-for-bit — that is what the driver
+  gate compares against a plain-SQL unrolled iteration. Dangling
+  mass is dropped (documented; the teleport term keeps ranks
+  positive), which keeps each round expressible as one join + one
+  group-by in ANY SQL dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "pagerank_int"]
+
+
+def _materialize(df: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """Persist + force the new round, then free the superseded one
+    (the per-iteration discipline: no lineage stacking, no cache
+    accumulation)."""
+    df = df.persist()
+    df.count()
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    return df
+
+
+def _edges_with_degree(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    return edges.join(deg, on=src_col).select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        "__deg",
+    )
+
+
+def _nodes(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations with uniform
+    dangling-mass redistribution — ranks sum to 1 every round (up to
+    float association). Per round: one join + one group-by + one
+    scalar agg for the dangling mass; previous rounds are freed
+    eagerly."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)
+    nodes = _materialize(_nodes(edges, src_col, dst_col), None)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge set")
+    ranks = _materialize(
+        nodes.withColumn("rank", F.lit(1.0 / n)), None
+    )
+    # nodes with no out-edge: their rank leaks unless redistributed
+    srcs = ew.select(F.col("__src").alias("node")).distinct()
+    dangling_nodes = _materialize(
+        nodes.join(srcs, on="node", how="left_anti"), None
+    )
+    try:
+        for _ in range(iters):
+            dangling = (
+                ranks.join(F.broadcast(dangling_nodes.select("node")),
+                           on="node")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            ) if dangling_nodes.count() else 0.0
+            contrib = (
+                ew.join(ranks, ew["__src"] == ranks["node"])
+                .select(
+                    F.col("__dst").alias("node"),
+                    (F.col("rank") / F.col("__deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = _materialize(
+                nodes.join(contrib, on="node", how="left").select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    ).alias("rank"),
+                ),
+                ranks,
+            )
+        return ranks
+    finally:
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        dangling_nodes.unpersist(blocking=False)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eager: bool | None = None,
+) -> DataFrame:
+    """(node, rank_scaled bigint) after ``iters`` EXACT-integer power
+    iterations: r0 = scale DIV n for every node; each round
+
+        contrib[v] = SUM over edges (u -> v) of r[u] DIV deg[u]
+        r'[v] = (15 * scale) DIV (100 * n)
+                + (85 * contrib[v]) DIV 100
+
+    (with damping_pct=85). Every operation is integer multiply and
+    integral division on nonnegative values, so truncation == floor
+    and ANY engine — Spark `div`, DuckDB/ANSI `//` — reproduces the
+    ranks bit-for-bit; intermediate magnitudes stay < 100 * scale
+    (comfortably inside int64 for the default scale). Dangling mass
+    is dropped by design (see module docstring).
+
+    ``eager`` controls per-round re-materialization. Default: eager
+    for iters > 4 (lineage growth is real there), lazy below (one
+    job at action time — a 3-round plan is 3 joins deep, which
+    Catalyst handles fine and which avoids per-round job latency).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if eager is None:
+        eager = iters > 4
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)
+    nodes = _materialize(_nodes(edges, src_col, dst_col), None)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge set")
+    tele = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(scale // n).cast("bigint")
+    )
+    if eager:
+        ranks = _materialize(ranks, None)
+
+    def _div(a: Column, b: Column) -> Column:
+        return F.call_function("div", a, b)
+
+    try:
+        for _ in range(iters):
+            contrib = (
+                ew.join(ranks, ew["__src"] == ranks["node"])
+                .select(
+                    F.col("__dst").alias("node"),
+                    _div(
+                        F.col("rank_scaled"),
+                        F.col("__deg").cast("bigint"),
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            nxt = nodes.join(contrib, on="node", how="left").select(
+                "node",
+                (
+                    F.lit(tele)
+                    + _div(
+                        F.lit(damping_pct)
+                        * F.coalesce("c", F.lit(0).cast("bigint")),
+                        F.lit(100).cast("bigint"),
+                    )
+                ).alias("rank_scaled"),
+            )
+            ranks = _materialize(nxt, ranks) if eager else nxt
+        if not eager:
+            # one job materializes the whole chained plan; the
+            # persisted result then outlives the helper caches below
+            ranks = _materialize(ranks, None)
+        return ranks
+    finally:
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)

@@ -1,0 +1,117 @@
+"""PageRank (operators/graph): float variant vs a numpy power
+iteration (dangling mass redistributed), integer variant vs an
+independent pure-python integer implementation (exact equality — the
+property the q84 oracle states in SQL), and persistence hygiene."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators import graph as G
+
+
+EDGES = [
+    # a small digraph with a cycle, a hub, and a dangling node (5)
+    (1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (2, 5),
+    (6, 1), (6, 2), (6, 3),
+]
+
+
+def _numpy_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in idx.values()}
+    for u, _ in edges:
+        out[idx[u]] = out.get(idx[u], 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[i] for i in range(n) if out.get(i, 0) == 0)
+        for u, v in edges:
+            nxt[idx[v]] += r[idx[u]] / out[idx[u]]
+        r = (1 - d) / n + d * nxt + d * dangling / n
+    return {v: r[i] for v, i in idx.items()}
+
+
+def _python_pagerank_int(edges, iters, scale=10**12, dp=85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out: dict = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    tele = (100 - dp) * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // out[u]
+        r = {v: tele + dp * contrib[v] // 100 for v in nodes}
+    return r
+
+
+def test_float_pagerank_matches_numpy(spark):
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, iters=12).collect()
+    }
+    want = _numpy_pagerank(EDGES, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    # mass conserved: dangling redistribution keeps the sum at 1
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # the hub-fed node outranks the pure source
+    assert got[2] > got[6]
+
+
+def test_int_pagerank_exact_differential(spark):
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    for iters in (1, 3, 5):
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in G.pagerank_int(df, iters=iters).collect()
+        }
+        want = _python_pagerank_int(EDGES, iters)
+        assert got == want, iters
+
+
+def test_int_pagerank_random_graph_exact(spark):
+    rng = np.random.default_rng(13)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 60, size=(400, 2))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in G.pagerank_int(df, iters=4).collect()
+    }
+    assert got == _python_pagerank_int(edges, 4)
+
+
+def test_pagerank_guards(spark):
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    with pytest.raises(ValueError, match="iters"):
+        G.pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        G.pagerank_int(df, damping_pct=0)
+
+
+def test_no_cache_leak(spark):
+    from shotit_worker_spark.operators.clustering import (
+        _persistent_rdd_ids,
+    )
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    before = _persistent_rdd_ids(spark)
+    out = G.pagerank_int(df, iters=2)
+    out.count()
+    out.unpersist(blocking=True)
+    after = _persistent_rdd_ids(spark)
+    assert after <= before
