@@ -1,0 +1,70 @@
+"""Folding mergeable sketches over a stream (foreachBatch).
+
+The point of mergeable summaries (operators/sketches, operators/
+quantiles) is exactly this: a stream can maintain corpus-wide
+statistics in O(k) driver state. Each micro-batch builds its bounded
+summary DISTRIBUTED (the same two-stage map/merge the batch path
+uses — raw values never reach the driver), and only the <= k-row
+summary merges into the running sketch:
+
+- theta (KMV): the k-min set is order- and batching-insensitive, so
+  the folded sketch is IDENTICAL to a batch build over everything
+  seen (pinned in tests);
+- compactor quantiles: the certified error bound accumulates across
+  merges and the rank invariant keeps holding (the bound is the
+  contract, not a particular compaction order);
+- Misra-Gries: the PODS'12 merge preserves both guarantees at every
+  fold point.
+
+State lives on the driver and is O(k); for restart-safe pipelines
+persist ``snapshot`` rows to a sidecar in the same foreachBatch
+transaction and rehydrate on startup.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators import quantiles as _Q
+from ..operators import sketches as _SK
+
+__all__ = ["ThetaFolder", "QuantileFolder"]
+
+
+class ThetaFolder:
+    """Driver-held running KMV sketch over a streaming column. Use
+    :meth:`foreach_batch` as the ``foreachBatch`` function."""
+
+    def __init__(self, col: str, k: int = 1024):
+        self.col = col
+        self.k = k
+        self.sketch = _SK.ThetaSketch(k)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        summary = _SK.theta_sketch(batch_df, self.col, self.k)
+        self.sketch = self.sketch.union(
+            _SK.theta_to_local(summary, self.k)
+        )
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+
+class QuantileFolder:
+    """Driver-held running compactor sketch over a streaming column;
+    ``sketch.err_bound`` certifies the folded result exactly like the
+    batch build."""
+
+    def __init__(self, col: str, k: int = 256):
+        self.col = col
+        self.k = k
+        self.sketch = _Q.CompactorSketch(k)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        summary = _Q.quantile_sketch(batch_df, self.col, self.k)
+        self.sketch.merge(_Q.sketch_to_local(summary, self.k))
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch

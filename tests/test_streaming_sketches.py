@@ -1,0 +1,97 @@
+"""Stream-fold == batch for the mergeable sketches: a chunked file
+stream folded through foreachBatch (streaming/sketchfold) must give
+the SAME theta sketch a batch build gives (k-min sets are batching-
+insensitive), and a compactor quantile sketch whose certified
+invariant still holds over everything streamed."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from shotit_worker_spark.operators import quantiles as Q
+from shotit_worker_spark.operators import sketches as SK
+from shotit_worker_spark.streaming import ingest as SI
+from shotit_worker_spark.streaming.sketchfold import (
+    QuantileFolder,
+    ThetaFolder,
+)
+
+
+def test_theta_stream_fold_equals_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 40_000).select(
+        (F.col("id") % 7000).alias("v")
+    )
+    src = tmp_root / "theta_stream"
+    src.mkdir()
+    for i in range(3):
+        chunk = df.filter(F.col("v") % 3 == i).coalesce(1)
+        p = str(src / f"chunk{i}")
+        chunk.write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + i * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    k = 256
+    folder = ThetaFolder("v", k=k)
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=df.schema,
+        max_files_per_trigger=1, glob="*.parquet", recursive=True,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(folder.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = SK.theta_to_local(SK.theta_sketch(df, "v", k), k)
+    assert folder.sketch.theta == batch.theta
+    assert np.array_equal(folder.sketch.hashes, batch.hashes)
+    assert abs(batch.estimate() - 7000) <= 5 * batch.rse() * 7000
+
+
+def test_quantile_stream_fold_invariant(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(23)
+    data = rng.normal(size=20_000)
+    df = spark.createDataFrame([(float(v),) for v in data], "x double")
+    src = tmp_root / "quant_stream"
+    src.mkdir()
+    for i in range(3):
+        chunk = df.filter(
+            F.abs(F.hash("x")) % 3 == i
+        ).coalesce(1)
+        p = str(src / f"chunk{i}")
+        chunk.write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + i * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    folder = QuantileFolder("x", k=128)
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=df.schema,
+        max_files_per_trigger=1, glob="*.parquet", recursive=True,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(folder.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sk = folder.sketch
+    assert sk.n == len(data)
+    assert sk.err_bound < len(data) * 0.05
+    for v in np.quantile(data, [0.05, 0.5, 0.95]):
+        true_rank = int((data <= v).sum())
+        assert abs(sk.est_rank(v) - true_rank) <= sk.err_bound
