@@ -1,0 +1,127 @@
+"""Round-8 late-wave stress: the new sketch/graph/phash operators at
+scale on local[32].
+
+- compactor quantile sketch over 1M doubles: build rate, summary
+  size, tracked err_bound as a fraction of n (the certified bound);
+- theta sketch over 1M rows / 200k distinct: build rate + estimate
+  error, plus set-op composition off two 1M-row columns;
+- integer PageRank over a ~1M-edge random graph, 5 eager rounds;
+- pHash throughput on synthetic PNG bytes (decode + DCT per image).
+
+Usage: python tools/scale_stress_r8b.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.operators import graph as G  # noqa: E402
+from shotit_worker_spark.operators import quantiles as Q  # noqa: E402
+from shotit_worker_spark.operators import sketches as SK  # noqa: E402
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def main(n: int = 1_000_000) -> None:
+    spark = get_spark("stress-r8b", shuffle_partitions=32)
+
+    # -- quantile sketch -----------------------------------------------
+    vals = (
+        spark.range(n)
+        .select((F.xxhash64("id") % 10_000_000 / 97.0).alias("x"))
+        .persist()
+    )
+    vals.count()
+    t0 = time.time()
+    sk = Q.sketch_to_local(Q.quantile_sketch(vals, "x", k=256), k=256)
+    dt = time.time() - t0
+    rows = sum(len(b) for b in sk.levels)
+    print(
+        f"quantile sketch: {n} rows in {dt:.1f}s = "
+        f"{n / dt / 1e3:.0f}k rows/s; summary {rows} items, "
+        f"err_bound {sk.err_bound} = {sk.err_bound / sk.n:.4%} of n"
+    )
+    q50 = sk.quantile(0.5)
+    est = sk.est_rank(q50)
+    true = vals.filter(F.col("x") <= q50).count()
+    print(
+        f"  p50 rank: est {est} true {true} "
+        f"|diff| {abs(est - true)} <= bound {sk.err_bound}: "
+        f"{abs(est - true) <= sk.err_bound}"
+    )
+    assert abs(est - true) <= sk.err_bound
+
+    # -- theta sketch ---------------------------------------------------
+    a = spark.range(n).select((F.col("id") % 200_000).alias("v"))
+    t0 = time.time()
+    sa = SK.theta_to_local(SK.theta_sketch(a, "v", k=2048), k=2048)
+    dt = time.time() - t0
+    err = abs(sa.estimate() - 200_000) / 200_000
+    print(
+        f"theta sketch: {n} rows in {dt:.1f}s = "
+        f"{n / dt / 1e3:.0f}k rows/s; est {sa.estimate():.0f} "
+        f"(err {err:.2%}, rse {sa.rse():.2%})"
+    )
+    b = spark.range(n).select(
+        ((F.col("id") % 200_000) + 100_000).alias("v")
+    )
+    sb = SK.theta_to_local(SK.theta_sketch(b, "v", k=2048), k=2048)
+    inter = sa.intersect(sb).estimate()
+    print(
+        f"  intersect est {inter:.0f} vs true 100000 "
+        f"(err {abs(inter - 100_000) / 100_000:.2%})"
+    )
+
+    # -- integer PageRank ----------------------------------------------
+    m = n
+    edges = (
+        spark.range(m)
+        .select(
+            (F.abs(F.xxhash64("id")) % 50_000).alias("src"),
+            (F.abs(F.xxhash64("id", F.lit(1))) % 50_000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    ne = edges.count()
+    t0 = time.time()
+    pr = G.pagerank_int(edges, iters=5)
+    top = pr.orderBy(F.desc("rank_scaled")).limit(5).collect()
+    dt = time.time() - t0
+    print(
+        f"pagerank_int: {ne} edges x 5 rounds in {dt:.1f}s = "
+        f"{5 * ne / dt / 1e6:.1f}M edge-visits/s; "
+        f"top rank {top[0]['rank_scaled']}"
+    )
+    pr.unpersist(blocking=False)
+
+    # -- pHash ----------------------------------------------------------
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import phash as PH
+
+    rng = np.random.default_rng(5)
+    n_img = 512
+    blobs = []
+    for i in range(n_img):
+        rgb = rng.integers(0, 256, (90, 120, 3), dtype=np.uint8)
+        blobs.append((i, bytearray(IC.encode_png(rgb))))
+    df = spark.createDataFrame(blobs, "image_id int, image binary")
+    t0 = time.time()
+    got = PH.phash_images(df).filter(F.col("phash").isNotNull()).count()
+    dt = time.time() - t0
+    print(
+        f"phash: {got}/{n_img} images in {dt:.1f}s = "
+        f"{got / dt:.0f} imgs/s (90x120 PNG decode + DCT)"
+    )
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
