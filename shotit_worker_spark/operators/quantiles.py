@@ -299,37 +299,29 @@ def quantiles_with_exact(
     c = col if isinstance(col, Column) else F.col(col)
     est = sketch_quantiles(df, c, ps, k)
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [
-            (float(r.p), float(r.value), int(r.est_rank),
-             int(r.err_bound), int(r.n))
-            for r in est.itertuples()
-        ],
-        "p double, value double, est_rank long, err_bound long, n long",
-    )
     vals = df.select(c.cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    true_ranks = (
-        vals.crossJoin(F.broadcast(qdf))
-        .groupBy("p", "value", "est_rank", "err_bound", "n")
-        .agg(
+    # ALL true ranks in one scan + one map-side-combining aggregation
+    # (no join): each quantile value is a literal predicate column
+    true_row = vals.agg(
+        *[
             F.sum(
-                F.when(F.col("__v") <= F.col("value"), 1).otherwise(0)
-            ).alias("true_rank")
-        )
-    )
-    return (
-        true_ranks.select(
-            F.col("p").alias("pct"),
+                (F.col("__v") <= F.lit(float(r.value))).cast("long")
+            ).alias(f"r{i}")
+            for i, r in enumerate(est.itertuples())
+        ]
+    ).collect()[0]
+    rows = []
+    for i, r in enumerate(est.itertuples()):
+        true_rank = int(true_row[f"r{i}"])
+        rows.append(
             (
-                F.abs(F.col("true_rank") - F.col("est_rank"))
-                <= F.col("err_bound")
-            ).alias("within_bound"),
-            (
-                F.col("err_bound")
-                <= (F.lit(slack_frac) * F.col("n")).cast("long")
-            ).alias("bound_tight"),
+                float(r.p),
+                abs(true_rank - int(r.est_rank)) <= int(r.err_bound),
+                int(r.err_bound) <= int(slack_frac * int(r.n)),
+            )
         )
-        .orderBy("pct")
-    )
+    return spark.createDataFrame(
+        rows, "pct double, within_bound boolean, bound_tight boolean"
+    ).orderBy("pct")
