@@ -1,0 +1,239 @@
+"""Audio landmark fingerprinting (constellation hashing) for
+large-scale audio dedup and lookup.
+
+The audio leg of the multimodal dedup triad (text: SimHash/MinHash;
+image: pHash; audio: this). The classic landmark scheme (Wang,
+ISMIR 2003 — the Shazam construction): spectrogram → local
+time-frequency peaks (the "constellation", robust to noise and
+re-encoding because peaks survive while everything quieter moves) →
+hash PAIRS of peaks (anchor freq, target freq, time delta) so each
+hash is discriminative → match by joining on hash and voting on the
+RELATIVE time offset: true matches pile votes on one offset, chance
+collisions spread uniformly.
+
+Spark-first shape: fingerprint extraction is one map-only Arrow pass
+(decode + numpy STFT per clip — the same in-engine WAV/AIFF/FLAC
+decoders audio_features uses); matching is a plain equi-join on the
+32-bit hash followed by a map-side-combining (query, ref, offset)
+count — the same banded-candidate posture as every dedup family
+here: raw audio never shuffles, only (hash, t) rows do.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import flac as FL
+from . import wavcodec as WC
+
+__all__ = [
+    "fingerprint_pcm",
+    "fingerprint_audio",
+    "match_fingerprints",
+    "audio_near_dup_pairs",
+]
+
+_RATE = 11025        # common analysis rate (resampled on decode)
+_WIN = 1024          # Hann window
+_HOP = 256           # frame hop: ~43 frames/s at 11025
+_NBH_T = 3           # peak neighborhood half-width (frames)
+_NBH_F = 9           # peak neighborhood half-height (bins)
+_MIN_DT = 1          # pairing target zone (frames)
+_MAX_DT = 63
+_MAX_DF = 63         # |freq delta| cap (bins)
+_FANOUT = 6          # pairs per anchor
+_FLOOR_DB = -60.0    # ignore peaks below this relative power
+
+
+def _decode_any(content: bytes) -> tuple[int, np.ndarray] | None:
+    """(rate, float64 mono) from WAV/AIFF/FLAC bytes via the
+    in-engine decoders; None when the container is unsupported or
+    malformed (callers keep such clips as NULL-fingerprint rows)."""
+    try:
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            rate, x = WC.decode_wav(content)
+        elif content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+            rate, x = WC.decode_aiff(content)
+        elif content[:4] == b"fLaC":
+            rate, x = FL.decode_flac(content)
+        else:
+            return None
+    except (WC.WavError, FL.FlacError, ValueError, IndexError):
+        return None
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    peak = np.max(np.abs(x)) if x.size else 0.0
+    if peak > 0:
+        x = x / peak
+    return int(rate), x
+
+
+def _spectrogram(x: np.ndarray, rate: int) -> np.ndarray:
+    """|STFT|^2 frames (n_frames, _WIN // 2 + 1) at the common
+    analysis rate (windowed-sinc resample when needed)."""
+    if rate != _RATE:
+        x = WC.resample(x.reshape(-1, 1), rate, _RATE)[:, 0]
+    if len(x) < _WIN:
+        x = np.pad(x, (0, _WIN - len(x)))
+    n_frames = 1 + (len(x) - _WIN) // _HOP
+    idx = (
+        np.arange(_WIN)[None, :]
+        + _HOP * np.arange(n_frames)[:, None]
+    )
+    frames = x[idx] * np.hanning(_WIN)[None, :]
+    return np.abs(np.fft.rfft(frames, axis=1)) ** 2
+
+
+def _peaks(spec: np.ndarray) -> np.ndarray:
+    """(t, f) local maxima of the power spectrogram over a
+    (2*_NBH_T+1) x (2*_NBH_F+1) neighborhood, above a relative power
+    floor — a 2-D max filter built from shifted np.maximum (no
+    scipy)."""
+    s = spec
+    mx = s.copy()
+    for dt in range(-_NBH_T, _NBH_T + 1):
+        rolled_t = np.roll(s, dt, axis=0)
+        # prevent wraparound from creating fake neighbors
+        if dt > 0:
+            rolled_t[:dt] = 0
+        elif dt < 0:
+            rolled_t[dt:] = 0
+        for df in range(-_NBH_F, _NBH_F + 1):
+            if dt == 0 and df == 0:
+                continue
+            r = np.roll(rolled_t, df, axis=1)
+            if df > 0:
+                r[:, :df] = 0
+            elif df < 0:
+                r[:, df:] = 0
+            mx = np.maximum(mx, r)
+    floor = s.max() * (10.0 ** (_FLOOR_DB / 10.0)) if s.size else 0.0
+    is_peak = (s >= mx) & (s > floor) & (s > 0)
+    t, f = np.nonzero(is_peak)
+    return np.stack([t, f], axis=1)
+
+
+def fingerprint_pcm(x: np.ndarray, rate: int) -> np.ndarray:
+    """(n, 2) int64 array of (hash, anchor_frame) landmark pairs for
+    one mono float clip. hash packs (f_anchor[10b] | df+_MAX_DF[7b] |
+    dt[6b]) — 23 bits, stored as int64 for Spark bigint joins."""
+    spec = _spectrogram(np.asarray(x, dtype=np.float64), rate)
+    pts = _peaks(spec)
+    if not len(pts):
+        return np.empty((0, 2), dtype=np.int64)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))  # by time, then freq
+    pts = pts[order]
+    out = []
+    times = pts[:, 0]
+    for i in range(len(pts)):
+        t1, f1 = int(times[i]), int(pts[i, 1])
+        lo = np.searchsorted(times, t1 + _MIN_DT, side="left")
+        hi = np.searchsorted(times, t1 + _MAX_DT, side="right")
+        fan = 0
+        for j in range(lo, hi):
+            if fan >= _FANOUT:
+                break
+            dt = int(times[j]) - t1
+            df = int(pts[j, 1]) - f1
+            if abs(df) > _MAX_DF:
+                continue
+            h = (f1 << 13) | ((df + _MAX_DF) << 6) | dt
+            out.append((h, t1))
+            fan += 1
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.asarray(out, dtype=np.int64)
+
+
+def fingerprint_audio(
+    audio: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """binaryFile-shaped rows → (file, hash bigint, t int) landmark
+    rows (exploded). Map-only Arrow pass; undecodable clips emit a
+    single NULL-hash row so the corpus stays auditable (count them;
+    they never join)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            files, hashes, ts = [], [], []
+            for path, content in zip(b[path_col], b[content_col]):
+                name = "/".join(str(path).split("/")[-2:])
+                dec = _decode_any(bytes(content))
+                if dec is None:
+                    files.append(name)
+                    hashes.append(None)
+                    ts.append(None)
+                    continue
+                fp = fingerprint_pcm(dec[1], dec[0])
+                if not len(fp):
+                    files.append(name)
+                    hashes.append(None)
+                    ts.append(None)
+                    continue
+                files.extend([name] * len(fp))
+                hashes.extend(fp[:, 0].tolist())
+                ts.extend(fp[:, 1].tolist())
+            yield pd.DataFrame({"file": files, "hash": hashes, "t": ts})
+
+    return audio.select(path_col, content_col).mapInPandas(
+        run, schema="file string, hash bigint, t int"
+    )
+
+
+def match_fingerprints(
+    query_fp: DataFrame,
+    ref_fp: DataFrame,
+    min_votes: int = 5,
+) -> DataFrame:
+    """(q_file, r_file, offset, votes) for every (query, reference)
+    pair whose hash matches pile >= min_votes onto one relative
+    frame offset — the constellation vote. One equi-join on the
+    23-bit hash + one map-side-combining count; chance collisions
+    spread over offsets and die under min_votes."""
+    q = query_fp.where(F.col("hash").isNotNull()).select(
+        F.col("file").alias("q_file"),
+        "hash",
+        F.col("t").alias("q_t"),
+    )
+    r = ref_fp.where(F.col("hash").isNotNull()).select(
+        F.col("file").alias("r_file"),
+        "hash",
+        F.col("t").alias("r_t"),
+    )
+    return (
+        q.join(r, on="hash")
+        .groupBy(
+            "q_file",
+            "r_file",
+            (F.col("q_t") - F.col("r_t")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .where(F.col("votes") >= min_votes)
+    )
+
+
+def audio_near_dup_pairs(
+    fp: DataFrame, min_votes: int = 20
+) -> DataFrame:
+    """(a_file, b_file, votes) near-duplicate audio pairs from one
+    fingerprint table: self-match with a < b on file name, best
+    offset per pair. Feed into clustering.near_dup_clusters /
+    keep_canonical exactly like the text/image pair families."""
+    m = match_fingerprints(fp, fp, min_votes=min_votes)
+    return (
+        m.where(F.col("q_file") < F.col("r_file"))
+        .groupBy(
+            F.col("q_file").alias("a_file"),
+            F.col("r_file").alias("b_file"),
+        )
+        .agg(F.max("votes").alias("votes"))
+    )

@@ -1,0 +1,158 @@
+"""Audio landmark fingerprinting (functions/audiofp): lossless twin
+equality (WAV == FLAC of the same PCM), excerpt matching with the
+correct frame offset, noise robustness, distinct-clip rejection, and
+the Spark join/vote shape with undecodable passthrough."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from gen_flac_fixture import encode_flac  # noqa: E402
+from gen_wav_fixture import encode_pcm_wav  # noqa: E402
+
+from shotit_worker_spark.functions import audiofp as AF  # noqa: E402
+
+RATE = AF._RATE  # analyze at the native common rate: exact frames
+
+
+def _clip(seed: int, seconds: float = 3.0) -> np.ndarray:
+    """Synthetic 'music': a sequence of enveloped two-tone notes —
+    strong stable spectral peaks, deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    n = int(RATE * seconds)
+    t = np.arange(n) / RATE
+    x = np.zeros(n)
+    note_len = int(0.15 * RATE)
+    for i in range(0, n, note_len):
+        f1 = float(rng.integers(200, 1200))
+        f2 = float(rng.integers(1200, 2800))
+        f3 = float(rng.integers(2800, 4800))
+        seg = slice(i, min(i + note_len, n))
+        tt = t[seg]
+        env = np.hanning(seg.stop - seg.start)
+        x[seg] += env * (
+            np.sin(2 * np.pi * f1 * tt)
+            + 0.7 * np.sin(2 * np.pi * f2 * tt)
+            + 0.5 * np.sin(2 * np.pi * f3 * tt)
+        )
+    return x / np.max(np.abs(x))
+
+
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(x * 32000), -32768, 32767).astype(
+        np.int64
+    ).reshape(-1, 1)
+
+
+def test_fingerprints_nonempty_and_deterministic():
+    x = _clip(1)
+    fp1 = AF.fingerprint_pcm(x, RATE)
+    fp2 = AF.fingerprint_pcm(x.copy(), RATE)
+    assert len(fp1) > 50
+    assert np.array_equal(fp1, fp2)
+
+
+def test_wav_flac_twins_identical():
+    pcm = _pcm16(_clip(2))
+    wav = encode_pcm_wav(pcm, bits=16, sample_rate=RATE)
+    flac = encode_flac(pcm, sample_rate=RATE, bps=16)
+    dw = AF._decode_any(wav)
+    df_ = AF._decode_any(flac)
+    assert dw is not None and df_ is not None
+    fw = AF.fingerprint_pcm(dw[1], dw[0])
+    ff = AF.fingerprint_pcm(df_[1], df_[0])
+    assert np.array_equal(fw, ff)
+
+
+def _vote(fp_q: np.ndarray, fp_r: np.ndarray) -> tuple[int, int]:
+    """Best (offset, votes) python-side for unit checks."""
+    rmap: dict = {}
+    for h, t in fp_r:
+        rmap.setdefault(int(h), []).append(int(t))
+    votes: dict = {}
+    for h, t in fp_q:
+        for tr in rmap.get(int(h), ()):
+            votes[int(t) - tr] = votes.get(int(t) - tr, 0) + 1
+    if not votes:
+        return (0, 0)
+    off = max(votes, key=lambda o: votes[o])
+    return off, votes[off]
+
+
+def test_excerpt_matches_with_correct_offset():
+    x = _clip(3, seconds=4.0)
+    start_frames = 40
+    start = start_frames * AF._HOP
+    excerpt = x[start : start + RATE]  # 1 s excerpt
+    fp_full = AF.fingerprint_pcm(x, RATE)
+    fp_exc = AF.fingerprint_pcm(excerpt, RATE)
+    off, votes = _vote(fp_exc, fp_full)
+    assert votes >= 20
+    assert off == -start_frames
+    # and the reverse direction reports the mirrored offset
+    off2, votes2 = _vote(fp_full, fp_exc)
+    assert off2 == start_frames and votes2 >= 20
+
+
+def test_noise_robust_and_distinct_rejected():
+    x = _clip(4)
+    rng = np.random.default_rng(99)
+    noisy = x + 10 ** (-30 / 20) * rng.normal(size=len(x))
+    fp_x = AF.fingerprint_pcm(x, RATE)
+    fp_n = AF.fingerprint_pcm(noisy / np.max(np.abs(noisy)), RATE)
+    off, votes = _vote(fp_n, fp_x)
+    assert votes >= 20 and off == 0
+    fp_other = AF.fingerprint_pcm(_clip(5), RATE)
+    _, bad_votes = _vote(fp_other, fp_x)
+    assert bad_votes < 10
+
+
+def test_cross_rate_match():
+    # the same signal delivered at 22050 is resampled to the common
+    # analysis rate inside the fingerprinter
+    x = _clip(6)
+    up = AF.WC.resample(x.reshape(-1, 1), RATE, 2 * RATE)[:, 0]
+    fp_a = AF.fingerprint_pcm(x, RATE)
+    fp_b = AF.fingerprint_pcm(up, 2 * RATE)
+    off, votes = _vote(fp_b, fp_a)
+    assert votes >= 15 and abs(off) <= 1
+
+
+def test_spark_match_and_pairs(spark):
+    pcm_a = _pcm16(_clip(7, seconds=3.0))
+    pcm_b = _pcm16(_clip(8, seconds=3.0))
+    start = 30 * AF._HOP
+    rows = [
+        ("dir/a.wav", bytearray(encode_pcm_wav(pcm_a, 16, RATE))),
+        ("dir/a_twin.flac", bytearray(encode_flac(pcm_a, RATE, 16))),
+        ("dir/a_cut.wav", bytearray(
+            encode_pcm_wav(pcm_a[start : start + RATE], 16, RATE))),
+        ("dir/b.wav", bytearray(encode_pcm_wav(pcm_b, 16, RATE))),
+        ("dir/junk.bin", bytearray(b"\x01\x02 not audio")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    fp = AF.fingerprint_audio(df).persist()
+    files = {r["file"] for r in fp.select("file").distinct().collect()}
+    assert files == {
+        "dir/a.wav", "dir/a_twin.flac", "dir/a_cut.wav",
+        "dir/b.wav", "dir/junk.bin",
+    }
+    assert fp.filter(
+        (fp.file == "dir/junk.bin") & fp.hash.isNotNull()
+    ).count() == 0
+
+    pairs = {
+        (r["a_file"], r["b_file"]): r["votes"]
+        for r in AF.audio_near_dup_pairs(fp, min_votes=20).collect()
+    }
+    assert ("dir/a.wav", "dir/a_twin.flac") in pairs
+    assert ("dir/a.wav", "dir/a_cut.wav") in pairs
+    assert not any("dir/b.wav" in p for p in pairs)
+    fp.unpersist(blocking=False)
