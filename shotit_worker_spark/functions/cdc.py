@@ -1,0 +1,192 @@
+"""Content-defined chunking (FastCDC) for byte-level dedup.
+
+Fixed-size blocks break dedup the moment one byte is inserted —
+every later block shifts. Content-defined chunking cuts where a
+rolling hash of the last 64 bytes hits a mask, so boundaries move
+WITH the content: an edit disturbs only the chunks it touches, and
+chunk-digest dedup finds the shared bytes between near-identical
+large documents (the storage/corpus counterpart of the ExactSubstr
+span dedup, which works on token windows).
+
+This is the FastCDC construction (Xia et al., USENIX ATC 2016):
+gear rolling hash (h = 2h + G[byte], so only the last 64 bytes ever
+matter) with normalized chunking — a HARDER mask before the target
+size and an easier one after, which tightens the size distribution
+around the target without a minimum-size recall cliff.
+
+Spark-first shape: the hash is computed VECTORIZED (the gear
+recurrence unrolls to h_i = sum over s<64 of G[b_(i-s)] << s mod
+2^64 — 64 shifted adds over numpy uint64 arrays, no per-byte Python
+loop), candidate cut points are sparse (~1/avg_size), and the
+per-document chunker runs inside one mapInPandas pass. Dedup after
+chunking is plain digest group-by — map-side combining, the cheapest
+shuffle in the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "gear_hashes",
+    "cdc_boundaries",
+    "cdc_chunk_table",
+    "chunk_dedup_stats",
+]
+
+# deterministic gear table: 256 pseudo-random uint64 draws from a
+# fixed-seed PCG64 — part of the chunking contract (changing it
+# changes every boundary)
+_GEAR = np.random.default_rng(0x5EED_CDC).integers(
+    0, 1 << 64, size=256, dtype=np.uint64
+)
+
+
+def gear_hashes(data: bytes) -> np.ndarray:
+    """uint64 gear hash at every position i (hash of bytes up to and
+    including i; positions < 63 hash the shorter prefix). Vectorized:
+    h_i = sum_{s=0}^{63} G[b_(i-s)] << s (mod 2^64)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    h = np.zeros(n, dtype=np.uint64)
+    g = _GEAR[b]
+    for s in range(64):
+        if s >= n:
+            break
+        shifted = g[: n - s] << np.uint64(s)
+        h[s:] += shifted
+    return h
+
+
+def _masks(avg_size: int) -> tuple[int, int]:
+    """(hard mask before avg, easy mask after): FastCDC uses
+    avg_bits+2 and avg_bits-2 one-bits."""
+    bits = max(int(round(np.log2(avg_size))), 4)
+    hard = (1 << min(bits + 2, 48)) - 1
+    easy = (1 << max(bits - 2, 2)) - 1
+    return hard, easy
+
+
+def cdc_boundaries(
+    data: bytes,
+    min_size: int = 2048,
+    avg_size: int = 8192,
+    max_size: int = 65536,
+) -> list[int]:
+    """Sorted cut positions (exclusive chunk ends; the final end ==
+    len(data) is always included). Each chunk length is in
+    [min_size, max_size] except possibly the last."""
+    if not 64 <= min_size <= avg_size <= max_size:
+        # >= 64 keeps the 64-byte gear window entirely inside the
+        # current chunk at every candidate position, so the global
+        # vectorized hash equals a per-chunk restarted hash
+        raise ValueError("need 64 <= min_size <= avg_size <= max_size")
+    n = len(data)
+    if n == 0:
+        return []
+    h = gear_hashes(data)
+    hard, easy = _masks(avg_size)
+    # sparse candidate positions for each mask, found vectorized
+    cand_hard = np.nonzero((h & np.uint64(hard)) == 0)[0]
+    cand_easy = np.nonzero((h & np.uint64(easy)) == 0)[0]
+    cuts: list[int] = []
+    pos = 0
+    while n - pos > max_size:
+        # normalized chunking: hard mask in [pos+min, pos+avg),
+        # easy mask in [pos+avg, pos+max), forced cut at pos+max
+        cut = None
+        i = np.searchsorted(cand_hard, pos + min_size - 1, side="left")
+        if i < len(cand_hard) and cand_hard[i] < pos + avg_size:
+            cut = int(cand_hard[i]) + 1
+        if cut is None:
+            j = np.searchsorted(cand_easy, pos + avg_size - 1, side="left")
+            if j < len(cand_easy) and cand_easy[j] < pos + max_size:
+                cut = int(cand_easy[j]) + 1
+        if cut is None:
+            cut = pos + max_size
+        cuts.append(cut)
+        pos = cut
+    cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_table(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_size: int = 2048,
+    avg_size: int = 8192,
+    max_size: int = 65536,
+) -> DataFrame:
+    """(id, chunk_no, offset, length, digest md5-hex) — one row per
+    content-defined chunk, computed map-only in one Arrow pass. Feed
+    the digest column to plain group-bys (chunk_dedup_stats), the
+    bloom cascade, or the incremental manifests for batch-vs-corpus
+    byte dedup."""
+    cols = [id_col, content_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, nos, offs, lens, digs = [], [], [], [], []
+            for i, content in zip(b[id_col], b[content_col]):
+                if content is None:
+                    continue
+                data = bytes(content)
+                prev = 0
+                for no, cut in enumerate(
+                    cdc_boundaries(data, min_size, avg_size, max_size)
+                ):
+                    ids.append(i)
+                    nos.append(no)
+                    offs.append(prev)
+                    lens.append(cut - prev)
+                    digs.append(
+                        hashlib.md5(data[prev:cut]).hexdigest()
+                    )
+                    prev = cut
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_no": nos,
+                    "offset": offs,
+                    "length": lens,
+                    "digest": digs,
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(*cols).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, chunk_no int, offset long, "
+            "length long, digest string"
+        ),
+    )
+
+
+def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """One-row dedup audit over a chunk table: total/unique chunk
+    counts and bytes, and the byte dedup ratio (stored_bytes /
+    total_bytes if every duplicate digest were stored once). A single
+    aggregation pair — digests shuffle once, map-side combined."""
+    per_digest = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("refs"),
+        F.first("length").alias("length"),
+    )
+    return per_digest.agg(
+        F.sum("refs").alias("total_chunks"),
+        F.count(F.lit(1)).alias("unique_chunks"),
+        F.sum(F.col("refs") * F.col("length")).alias("total_bytes"),
+        F.sum("length").alias("stored_bytes"),
+        (
+            F.sum("length")
+            / F.sum(F.col("refs") * F.col("length"))
+        ).alias("dedup_ratio"),
+    )
