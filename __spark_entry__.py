@@ -3602,7 +3602,7 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        G.pagerank_int(edges, iters=3)
+        G.pagerank_int(edges, iters=3, persist_result=False)
         .select(F.col("node").cast("bigint"), "rank_scaled")
         .orderBy("node")
     )

@@ -98,22 +98,28 @@ def cdc_boundaries(
     cand_easy = np.nonzero((h & np.uint64(easy)) == 0)[0]
     cuts: list[int] = []
     pos = 0
-    while n - pos > max_size:
+    while pos < n:
+        if n - pos <= min_size:
+            # tail shorter than a searchable window: one final chunk
+            cuts.append(n)
+            break
         # normalized chunking: hard mask in [pos+min, pos+avg),
-        # easy mask in [pos+avg, pos+max), forced cut at pos+max
+        # easy mask in [pos+avg, pos+max), forced cut at pos+max —
+        # the search windows clamp to n so the FINAL region still
+        # gets content-defined cuts (edit locality holds for the
+        # last max_size bytes and for short documents too)
         cut = None
         i = np.searchsorted(cand_hard, pos + min_size - 1, side="left")
-        if i < len(cand_hard) and cand_hard[i] < pos + avg_size:
+        if i < len(cand_hard) and cand_hard[i] < min(pos + avg_size, n):
             cut = int(cand_hard[i]) + 1
         if cut is None:
             j = np.searchsorted(cand_easy, pos + avg_size - 1, side="left")
-            if j < len(cand_easy) and cand_easy[j] < pos + max_size:
+            if j < len(cand_easy) and cand_easy[j] < min(pos + max_size, n):
                 cut = int(cand_easy[j]) + 1
         if cut is None:
-            cut = pos + max_size
+            cut = min(pos + max_size, n)
         cuts.append(cut)
         pos = cut
-    cuts.append(n)
     return cuts
 
 
@@ -137,6 +143,14 @@ def cdc_chunk_table(
             ids, nos, offs, lens, digs = [], [], [], [], []
             for i, content in zip(b[id_col], b[content_col]):
                 if content is None:
+                    # NULL passthrough (same auditability policy as
+                    # phash_images / fingerprint_audio): one NULL row
+                    # per unreadable doc, never silently dropped
+                    ids.append(i)
+                    nos.append(None)
+                    offs.append(None)
+                    lens.append(None)
+                    digs.append(None)
                     continue
                 data = bytes(content)
                 prev = 0
@@ -176,7 +190,9 @@ def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
     counts and bytes, and the byte dedup ratio (stored_bytes /
     total_bytes if every duplicate digest were stored once). A single
     aggregation pair — digests shuffle once, map-side combined."""
-    per_digest = chunks.groupBy("digest").agg(
+    per_digest = chunks.where(
+        F.col("digest").isNotNull()  # NULL-passthrough audit rows
+    ).groupBy("digest").agg(
         F.count(F.lit(1)).alias("refs"),
         F.first("length").alias("length"),
     )

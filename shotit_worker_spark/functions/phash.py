@@ -103,12 +103,17 @@ def phash64(rgb: np.ndarray) -> int:
     the median of the 63 low-frequency AC coefficients; the DC bit
     (0, 0) is always 0. Returned as a SIGNED 64-bit value (Spark
     bigint)."""
-    if rgb.ndim != 3 or rgb.shape[2] < 3:
-        raise ValueError("expected an (h, w, 3) raster")
+    if (
+        rgb.ndim != 3
+        or rgb.shape[2] < 3
+        or rgb.shape[0] == 0
+        or rgb.shape[1] == 0
+    ):
+        raise ValueError("expected a nonempty (h, w, 3) raster")
     small = _area_resize(_gray(rgb), _SIZE, _SIZE)
     coeffs = _DCT @ small @ _DCT.T
     low = coeffs[:_LOW, :_LOW].copy()
-    ac = np.concatenate([low.ravel()[1:]])
+    ac = low.ravel()[1:]
     med = float(np.median(ac))
     bits = low > med
     bits[0, 0] = False
@@ -141,7 +146,9 @@ def phash_images(
                 if img is not None:
                     try:
                         h = phash64(IC.decode_image(bytes(img)))
-                    except IC.UnsupportedImageError:
+                    except (IC.UnsupportedImageError, ValueError):
+                        # undecodable bytes OR a degenerate (empty-
+                        # dimension) raster both surface as NULL
                         h = None
                 out_ids.append(i)
                 out_hashes.append(h)

@@ -90,6 +90,7 @@ def pagerank(
     dangling_nodes = _materialize(
         nodes.join(srcs, on="node", how="left_anti"), None
     )
+    has_dangling = dangling_nodes.count() > 0  # fixed set: count once
     try:
         for _ in range(iters):
             dangling = (
@@ -98,7 +99,7 @@ def pagerank(
                 .agg(F.sum("rank"))
                 .collect()[0][0]
                 or 0.0
-            ) if dangling_nodes.count() else 0.0
+            ) if has_dangling else 0.0
             contrib = (
                 ew.join(ranks, ew["__src"] == ranks["node"])
                 .select(
@@ -134,6 +135,7 @@ def pagerank_int(
     src_col: str = "src",
     dst_col: str = "dst",
     eager: bool | None = None,
+    persist_result: bool = True,
 ) -> DataFrame:
     """(node, rank_scaled bigint) after ``iters`` EXACT-integer power
     iterations: r0 = scale DIV n for every node; each round
@@ -153,6 +155,12 @@ def pagerank_int(
     for iters > 4 (lineage growth is real there), lazy below (one
     job at action time — a 3-round plan is 3 joins deep, which
     Catalyst handles fine and which avoids per-round job latency).
+
+    The returned frame is PERSISTED (here and in :func:`pagerank`) —
+    a caller that discards it should ``unpersist()``. Pass
+    ``persist_result=False`` in lazy mode to get a pure unpersisted
+    plan instead (it recomputes per action — right for one-shot
+    consumers like a driver gate that cannot unpersist afterwards).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -201,7 +209,7 @@ def pagerank_int(
                 ).alias("rank_scaled"),
             )
             ranks = _materialize(nxt, ranks) if eager else nxt
-        if not eager:
+        if not eager and persist_result:
             # one job materializes the whole chained plan; the
             # persisted result then outlives the helper caches below
             ranks = _materialize(ranks, None)

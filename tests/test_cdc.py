@@ -80,6 +80,29 @@ def test_edit_locality():
     assert len(fixed_a & fixed_b) < 0.55 * len(fixed_a)
 
 
+def test_edit_locality_short_docs():
+    # docs <= max_size must STILL get content-defined cuts (the
+    # final-window search): two near-identical 60 KB docs share most
+    # chunk digests
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+    edited = base[:30_000] + b"!" + base[30_000:]
+    import hashlib
+
+    def digests(d):
+        cuts = C.cdc_boundaries(d, 1024, 4096, 16384)
+        prev, out = 0, []
+        for cut in cuts:
+            out.append(hashlib.md5(d[prev:cut]).hexdigest())
+            prev = cut
+        return out
+
+    da, db = digests(base), digests(edited)
+    assert len(da) > 5  # actually chunked, not one 60 KB blob
+    shared = len(set(da) & set(db))
+    assert shared >= len(da) - 3, (shared, len(da))
+
+
 def test_guards():
     with pytest.raises(ValueError, match="min_size"):
         C.cdc_boundaries(b"x" * 100, 10, 20, 40)
@@ -103,6 +126,9 @@ def test_spark_chunk_table_and_stats(spark):
     chunks = C.cdc_chunk_table(
         df, min_size=1024, avg_size=4096, max_size=16384
     ).persist()
+    # NULL passthrough: the unreadable doc keeps one NULL audit row
+    null_rows = chunks.where(chunks.doc_id == 4).collect()
+    assert len(null_rows) == 1 and null_rows[0]["digest"] is None
     # offsets/lengths reconstruct each doc exactly
     for doc_id, blob in ((1, blob_a), (2, blob_b), (3, blob_c)):
         rows = sorted(

@@ -115,3 +115,8 @@ def test_no_cache_leak(spark):
     out.unpersist(blocking=True)
     after = _persistent_rdd_ids(spark)
     assert after <= before
+    # persist_result=False: nothing left pinned even WITHOUT the
+    # caller unpersisting (the one-shot-consumer mode the gate uses)
+    out2 = G.pagerank_int(df, iters=2, persist_result=False)
+    out2.count()
+    assert _persistent_rdd_ids(spark) <= before

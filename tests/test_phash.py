@@ -119,6 +119,12 @@ def test_rescale_is_near_distinct_is_far():
 def test_phash64_guards():
     with pytest.raises(ValueError, match="raster"):
         PH.phash64(np.zeros((4, 4), dtype=np.uint8))
+    # degenerate zero-dimension rasters raise (→ NULL phash in the
+    # Spark pass) instead of silently hashing to 0
+    with pytest.raises(ValueError, match="raster"):
+        PH.phash64(np.zeros((0, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="raster"):
+        PH.phash64(np.zeros((4, 0, 3), dtype=np.uint8))
 
 
 # ---------------------------------------------------------------------------
