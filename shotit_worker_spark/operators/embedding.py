@@ -49,12 +49,20 @@ import json
 import math
 import os
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_PATTERN
 
-__all__ = ["TextEmbedder", "train_text_embedder"]
+__all__ = [
+    "TextEmbedder",
+    "train_text_embedder",
+    "PCACompressor",
+    "train_pca_compressor",
+]
 
 
 def _sign_row(term: str, seed: int, dim: int):
@@ -247,3 +255,170 @@ def train_text_embedder(
     }
     default_idf = math.log(1.0 + n_docs) + 1.0
     return TextEmbedder(dim, seed, idf, default_idf, n_docs)
+
+
+# ---------------------------------------------------------------------------
+# PCA compression for embedding columns
+# ---------------------------------------------------------------------------
+#
+# ANN cost at 100 TB is linear in dimensionality: a 64-dim corpus at
+# 16 dims scans/joins/quantizes 4x cheaper with most of the cosine
+# geometry intact. The fit is ONE map-side pass: each partition
+# reduces to (count, sum_x, sum_xx^T) — d + d^2 floats, tiny for any
+# realistic d — and the driver finishes with a d x d eigensolve (the
+# textbook covariance PCA, deterministic up to eigenvector sign,
+# which we pin by convention). The transform is a broadcast (mean,
+# components) matmul inside an Arrow batch pass — map-only, no
+# shuffle, no MLlib model objects to manage (and unlike
+# ml.feature.PCA the projection IS mean-centered).
+
+
+class PCACompressor:
+    """(mean: d, components: d x k, eigvals: k) — project with
+    ``compress``; persist with ``save`` / ``open``."""
+
+    def __init__(self, mean, components, eigvals, whiten: bool = False):
+        self.mean = np.asarray(mean, dtype=np.float64)
+        self.components = np.asarray(components, dtype=np.float64)
+        self.eigvals = np.asarray(eigvals, dtype=np.float64)
+        self.whiten = bool(whiten)
+
+    @property
+    def out_dim(self) -> int:
+        return self.components.shape[1]
+
+    def _project(self, mat: np.ndarray) -> np.ndarray:
+        y = (mat - self.mean) @ self.components
+        if self.whiten:
+            y = y / np.sqrt(np.maximum(self.eigvals, 1e-12))
+        return y
+
+    def compress(
+        self, df: DataFrame, vec_col: str = "embedding",
+        out_col: str = "compressed",
+    ) -> DataFrame:
+        mean, comp, eig, whiten = (
+            self.mean, self.components, self.eigvals, self.whiten
+        )
+
+        def run(batches):
+            for b in batches:
+                vecs = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+                ) if len(b) else np.zeros((0, len(mean)))
+                y = (vecs - mean) @ comp
+                if whiten:
+                    y = y / np.sqrt(np.maximum(eig, 1e-12))
+                out = b.drop(columns=[vec_col])
+                out[out_col] = [
+                    r.astype(np.float32).tolist() for r in y
+                ]
+                yield out
+
+        fields = [
+            f for f in df.schema.fields if f.name != vec_col
+        ]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
+        )
+        return df.mapInPandas(
+            run, schema=f"{schema}, {out_col} array<float>"
+        )
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        d, k = self.components.shape
+        rows = [
+            (
+                int(j),
+                self.mean.tolist() if j == 0 else None,
+                self.components[:, j].tolist(),
+                float(self.eigvals[j]),
+                self.whiten,
+            )
+            for j in range(k)
+        ]
+        spark.createDataFrame(
+            rows,
+            "j int, mean array<double>, component array<double>, "
+            "eigval double, whiten boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "PCACompressor":
+        rows = sorted(
+            spark.read.parquet(path).collect(), key=lambda r: r["j"]
+        )
+        mean = np.asarray(rows[0]["mean"], dtype=np.float64)
+        comp = np.stack(
+            [np.asarray(r["component"], dtype=np.float64) for r in rows],
+            axis=1,
+        )
+        eig = np.asarray([r["eigval"] for r in rows])
+        return cls(mean, comp, eig, whiten=bool(rows[0]["whiten"]))
+
+
+def train_pca_compressor(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> PCACompressor:
+    """Fit covariance PCA on a vector column: one mapInPandas pass of
+    (count, sum, outer-product sum) partials — d + d^2 numbers per
+    partition — then a driver-side d x d ``eigh``. Eigenvector signs
+    are pinned (largest-magnitude entry positive) so the fit is
+    deterministic regardless of partitioning."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("empty vector column")
+    d = len(first[0])
+    if not 0 < out_dim <= d:
+        raise ValueError(f"out_dim must be in (0, {d}]")
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for b in batches:
+            vecs = [
+                np.asarray(v, dtype=np.float64)
+                for v in b[vec_col]
+                if v is not None
+            ]
+            if not vecs:
+                continue
+            x = np.stack(vecs)  # one BLAS gram per Arrow batch,
+            n += len(x)         # not one outer product per row
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(
+            partials, schema="n long, s array<double>, ss array<double>"
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty vector column")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum(
+        [np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0
+    )
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:out_dim]
+    comp = eigvecs[:, order]
+    eig = np.maximum(eigvals[order], 0.0)
+    # deterministic sign: the largest-|entry| of each component > 0
+    for j in range(comp.shape[1]):
+        i = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    return PCACompressor(mean, comp, eig, whiten=whiten)

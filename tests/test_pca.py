@@ -1,0 +1,130 @@
+"""PCA embedding compression (operators/embedding.PCACompressor):
+differential vs numpy's own eigendecomposition, determinism across
+partitionings, variance capture, persistence round-trip, and the
+ANN-composition e2e (compressed vectors still self-retrieve)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import embedding as E
+
+
+def _clustered(seed: int, n: int = 2000, d: int = 24, k: int = 5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=4.0, size=(k, d))
+    labels = rng.integers(0, k, n)
+    return centers[labels] + rng.normal(scale=0.5, size=(n, d)), labels
+
+
+def _df(spark, mat, ids=None):
+    ids = ids if ids is not None else range(len(mat))
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_fit_matches_numpy(spark):
+    mat, _ = _clustered(1, n=800, d=12)
+    df = _df(spark, mat).repartition(7)
+    pca = E.train_pca_compressor(df, out_dim=5)
+    # numpy reference on the same float32-quantized data the Spark
+    # fit consumed (array<float> round-trips through float32)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    cov = np.cov(m32, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:5]
+    ref = v[:, order]
+    # subspace equality (sign/rotation-free): projection matrices match
+    p_ours = pca.components @ pca.components.T
+    p_ref = ref @ ref.T
+    assert np.allclose(p_ours, p_ref, atol=1e-6)
+    assert np.allclose(
+        np.sort(pca.eigvals)[::-1], np.sort(w[order])[::-1], atol=1e-6
+    )
+    # deterministic across partitionings
+    pca2 = E.train_pca_compressor(df.repartition(3), out_dim=5)
+    assert np.allclose(pca.components, pca2.components, atol=1e-9)
+
+
+def test_variance_capture_and_compress(spark):
+    mat, labels = _clustered(2)
+    df = _df(spark, mat)
+    pca = E.train_pca_compressor(df, out_dim=6)
+    total_var = np.var(mat.astype(np.float32), axis=0).sum()
+    assert pca.eigvals.sum() >= 0.7 * total_var  # 5 clusters -> ~k-1 dims
+    out = pca.compress(df).collect()
+    assert len(out) == len(mat)
+    assert all(len(r["compressed"]) == 6 for r in out)
+    # projection preserves cluster structure: nearest-centroid in
+    # compressed space still groups by label for most points
+    comp = {r["vec_id"]: np.asarray(r["compressed"]) for r in out}
+    y = np.stack([comp[i] for i in range(len(mat))])
+    cents = np.stack([y[labels == c].mean(axis=0) for c in range(5)])
+    assign = np.argmax(
+        y @ cents.T
+        - 0.5 * (cents * cents).sum(axis=1)[None, :],
+        axis=1,
+    )
+    assert (assign == labels).mean() > 0.95
+
+
+def test_whiten_unit_variance(spark):
+    mat, _ = _clustered(3)
+    df = _df(spark, mat)
+    pca = E.train_pca_compressor(df, out_dim=4, whiten=True)
+    y = np.stack(
+        [np.asarray(r["compressed"]) for r in pca.compress(df).collect()]
+    )
+    assert np.allclose(y.var(axis=0), 1.0, atol=0.05)
+
+
+def test_save_open_round_trip(spark, tmp_root):
+    mat, _ = _clustered(4)
+    df = _df(spark, mat)
+    pca = E.train_pca_compressor(df, out_dim=6)
+    path = str(tmp_root / "pca_model")
+    pca.save(spark, path)
+    back = E.PCACompressor.open(spark, path)
+    assert np.allclose(back.mean, pca.mean)
+    assert np.allclose(back.components, pca.components)
+    assert np.allclose(back.eigvals, pca.eigvals)
+    a = pca.compress(df).orderBy("vec_id").collect()
+    b = back.compress(df).orderBy("vec_id").collect()
+    assert all(
+        x["compressed"] == y["compressed"] for x, y in zip(a, b)
+    )
+
+
+def test_compressed_self_retrieval(spark, sf_dir):
+    from shotit_worker_spark.functions.vector import l2_normalize
+    from shotit_worker_spark.operators.similarity import exact_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pca = E.train_pca_compressor(emb, out_dim=16)
+    comp = pca.compress(emb).withColumn(
+        "compressed", l2_normalize(F.col("compressed"))
+    ).persist()
+    q = comp.filter(F.col("vec_id") == 7).select("compressed").first()[0]
+    top = exact_topk(
+        comp, list(q), k=1, vec_col="compressed", id_col="vec_id",
+        tie_col=None,
+    ).collect()
+    assert top[0]["vec_id"] == 7
+    comp.unpersist(blocking=False)
+
+
+def test_guards(spark):
+    mat, _ = _clustered(5, n=50, d=8)
+    df = _df(spark, mat)
+    with pytest.raises(ValueError, match="out_dim"):
+        E.train_pca_compressor(df, out_dim=9)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        E.train_pca_compressor(empty, out_dim=2)
