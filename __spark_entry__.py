@@ -3660,6 +3660,71 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     """
 
 
+def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (operators/funnel) FULL-VALUE gate: greedy
+    signup -> view -> click -> purchase conversion counts within a
+    3-day window over events. The engine runs the ONE-SHUFFLE shape
+    (per-user sorted event array + a pure-Catalyst aggregate() walk
+    — no per-step join); the oracle computes the SAME greedy
+    semantics via the independent min-join CTE formulation, so the
+    two constructions cross-check each other. Timestamps compare as
+    exact integer micros on both sides (nanos truncate identically)
+    — no float boundary cases."""
+    from shotit_worker_spark.operators import funnel as FU
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_type")
+    return FU.funnel_counts(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        max_span_sec=3 * 86400,
+    )
+
+
+_FUNNEL_ORACLE_SQL = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        FROM s1 JOIN e ON e.user_id = s1.user_id
+            AND e.event_type = 'view' AND e.ts > s1.t1
+            AND e.ts <= s1.t1 + INTERVAL 259200 SECOND
+        GROUP BY s1.user_id, s1.t1
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t1, min(e.ts) AS t3
+        FROM s2 JOIN e ON e.user_id = s2.user_id
+            AND e.event_type = 'click' AND e.ts > s2.t2
+            AND e.ts <= s2.t1 + INTERVAL 259200 SECOND
+        GROUP BY s2.user_id, s2.t1
+    ),
+    s4 AS (
+        SELECT s3.user_id, min(e.ts) AS t4
+        FROM s3 JOIN e ON e.user_id = s3.user_id
+            AND e.event_type = 'purchase' AND e.ts > s3.t3
+            AND e.ts <= s3.t1 + INTERVAL 259200 SECOND
+        GROUP BY s3.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS step_no, 'signup' AS step,
+               (SELECT count(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    ) ORDER BY step_no
+"""
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4142,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_quantile_sketch": q82_quantile_sketch,
         "q83_theta_set_ops": q83_theta_set_ops,
         "q84_pagerank": q84_pagerank,
+        "q85_funnel": q85_funnel,
     }
 
 
@@ -4242,6 +4308,9 @@ def oracle_sql() -> dict[str, str]:
         # q84: FULL-VALUE integer PageRank — the oracle replays the
         # exact integer recurrence as unrolled CTEs
         "q84_pagerank": _pagerank_oracle_sql(),
+        # q85: FULL-VALUE funnel — independent min-join formulation
+        # of the same greedy semantics
+        "q85_funnel": _FUNNEL_ORACLE_SQL,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states
         "q79_bloom_dedup": """

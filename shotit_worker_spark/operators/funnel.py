@@ -1,0 +1,152 @@
+"""Funnel / ordered-sequence analysis over an event stream.
+
+"How many users did signup → view → purchase, in order, within a
+week?" is the classic event-analytics query. The naive formulation
+is k−1 self-joins on user (one shuffle per step); the Spark-first
+shape here is ONE shuffle: group each user's events into a
+timestamp-sorted array and run the greedy matcher as a pure
+Catalyst ``aggregate`` higher-order function over that array — no
+Python, no per-step join, and the per-user state is one small
+struct regardless of event count.
+
+Greedy semantics (the standard funnel definition): step 1 matches
+the user's EARLIEST step-1 event; each later step matches the
+earliest qualifying event strictly after the previous match (and,
+with ``max_span_sec``, within that window of the step-1 match).
+Greedy is not globally optimal under a window — if a user's first
+signup is stale, a later signup might have completed the window —
+but it is what every funnel tool computes, and it is what the
+driver gate's independent min-join SQL formulation computes too, so
+the two constructions cross-check each other.
+
+Ties (identical timestamps) break by event-type string order via
+the sorted struct array — deterministic on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_times", "funnel_counts"]
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_sec: float | None = None,
+) -> DataFrame:
+    """(user, t1..tk timestamp) — one row per user who performed
+    step 1; t_i is the greedy match time of step i (NULL from the
+    first uncompleted step on). One groupBy(user) shuffle; the walk
+    is a whole-stage-codegen ``aggregate`` over the sorted event
+    array."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    stepset = list(dict.fromkeys(steps))
+    if len(stepset) != k:
+        raise ValueError("repeated step types are not supported")
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        # NTZ → timestamp → EXACT epoch micros (session tz is pinned
+        # UTC engine-wide, so the NTZ reinterpretation is wall-clock
+        # identical). Integer micros make every window comparison
+        # bit-identical to an oracle's INTERVAL arithmetic — no
+        # float boundary cases.
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(type_col).alias("__y"),
+    ).where(F.col(type_col).isin(list(steps)))
+    arr = (
+        ev.groupBy("__u")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__t", "__y"))
+            ).alias("__evs")
+        )
+    )
+    # greedy walk: acc = (i matched steps, times array); advance when
+    # the event is the (i+1)-th step type, after the last match, and
+    # inside the optional window anchored at the first match
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.array().cast("array<long>").alias("ts"),
+    )
+
+    def visit(acc, x):
+        wanted = F.element_at(steps_arr, acc["i"] + 1)
+        after_prev = (acc["i"] == 0) | (
+            x["__t"] > F.element_at(acc["ts"], -1)
+        )
+        in_window = (
+            F.lit(True)
+            if max_span_sec is None
+            else (acc["i"] == 0)
+            | (
+                x["__t"]
+                <= F.element_at(acc["ts"], 1)
+                + F.lit(int(round(max_span_sec * 1_000_000)))
+            )
+        )
+        advance = (
+            (acc["i"] < k) & (x["__y"] == wanted) & after_prev & in_window
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.concat(acc["ts"], F.array(x["__t"])).alias("ts"),
+            ),
+        ).otherwise(acc)
+
+    walked = arr.select(
+        "__u", F.aggregate("__evs", init, visit).alias("__acc")
+    )
+    out_cols = [F.col("__u").alias(user_col)]
+    for i in range(1, k + 1):
+        out_cols.append(
+            F.when(
+                F.col("__acc")["i"] >= i,
+                F.timestamp_micros(F.element_at(F.col("__acc")["ts"], i)),
+            ).alias(f"t{i}")
+        )
+    return walked.where(F.col("__acc")["i"] >= 1).select(*out_cols)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_sec: float | None = None,
+) -> DataFrame:
+    """(step_no, step, users) conversion table: users whose greedy
+    match reached step i. One shuffle + one tiny aggregation."""
+    times = funnel_times(
+        events, steps, user_col, ts_col, type_col, max_span_sec
+    )
+    aggs = [
+        F.count(F.col(f"t{i}")).alias(f"c{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    row = times.agg(*aggs)
+    pieces = [
+        row.select(
+            F.lit(i).alias("step_no"),
+            F.lit(s).alias("step"),
+            F.col(f"c{i}").alias("users"),
+        )
+        for i, s in enumerate(steps, start=1)
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step_no")

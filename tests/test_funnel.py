@@ -1,0 +1,165 @@
+"""Funnel analysis (operators/funnel): hand-built greedy cases
+(ordering, strict-after, window cutoff, ties), a randomized
+differential vs a pure-python greedy matcher, and the one-shuffle
+no-join plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import funnel as FU
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(m), y) for u, m, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_greedy_hand_cases(spark):
+    rows = [
+        # u1 completes a->b->c in order
+        (1, 0, "a"), (1, 5, "b"), (1, 9, "c"),
+        # u2 has b before a: b must re-occur after a to count
+        (2, 0, "b"), (2, 5, "a"), (2, 9, "c"),
+        # u3 stops after a
+        (3, 2, "a"),
+        # u4 never does a (not in output)
+        (4, 1, "b"), (4, 2, "c"),
+        # u5: greedy anchors at FIRST a (t=0), b at 7, c at 8
+        (5, 0, "a"), (5, 3, "a"), (5, 7, "b"), (5, 8, "c"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in FU.funnel_times(_df(spark, rows), ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["t3"] == _ts(9)
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[3]["t2"] is None
+    assert out[5]["t1"] == _ts(0) and out[5]["t2"] == _ts(7)
+
+
+def test_window_cutoff_and_strict_after(spark):
+    rows = [
+        # u1: b at +10 min is outside a 5-minute window
+        (1, 0, "a"), (1, 10, "b"),
+        # u2: b inside the window
+        (2, 0, "a"), (2, 4, "b"),
+        # u3: b at the SAME timestamp as a — strict-after rejects
+        (3, 0, "a"), (3, 0, "b"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in FU.funnel_times(
+            _df(spark, rows), ["a", "b"], max_span_sec=300
+        ).collect()
+    }
+    assert out[1]["t2"] is None
+    assert out[2]["t2"] == _ts(4)
+    assert out[3]["t2"] is None
+
+
+def _py_greedy(events, steps, span=None):
+    """Independent reference: per-user greedy walk over the sorted
+    (ts, type) stream."""
+    by_user: dict = {}
+    for u, t, y in events:
+        by_user.setdefault(u, []).append((t, y))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        i, times = 0, []
+        for t, y in evs:
+            if i >= len(steps) or y != steps[i]:
+                continue
+            if i > 0 and not (t > times[-1]):
+                continue
+            if span is not None and i > 0 and t > times[0] + span:
+                continue
+            times.append(t)
+            i += 1
+        if times:
+            out[u] = times
+    return out
+
+
+@pytest.mark.parametrize("span", [None, 40.0])
+def test_differential_random(spark, span):
+    rng = np.random.default_rng(31)
+    types = ["s1", "s2", "s3", "zz"]
+    rows = [
+        (
+            int(rng.integers(0, 40)),
+            float(rng.uniform(0, 200)),
+            types[int(rng.integers(0, 4))],
+        )
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(t, dt.timezone.utc), y)
+         for u, t, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: [
+            r[f"t{i}"] for i in (1, 2, 3) if r[f"t{i}"] is not None
+        ]
+        for r in FU.funnel_times(
+            df, ["s1", "s2", "s3"], max_span_sec=span
+        ).collect()
+    }
+    want = _py_greedy(rows, ["s1", "s2", "s3"], span)
+    assert set(got) == set(want)
+    for u, times in want.items():
+        got_secs = [t.timestamp() for t in got[u]]
+        assert len(got_secs) == len(times), u
+        assert np.allclose(got_secs, times, atol=1e-5), u
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    from shotit_worker_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    out = FU.funnel_counts(
+        ev, ["signup", "view", "click", "purchase"],
+        max_span_sec=3 * 86400,
+    ).collect()
+    users = [r["users"] for r in out]
+    assert len(users) == 4
+    assert all(a >= b for a, b in zip(users, users[1:]))  # monotone
+    assert users[0] > 0
+
+
+def test_plan_has_no_join(spark):
+    rows = [(1, 0, "a"), (1, 5, "b")]
+    df = _df(spark, rows)
+    plan = (
+        FU.funnel_times(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_guards(spark):
+    df = _df(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError, match="non-empty"):
+        FU.funnel_times(df, [])
+    with pytest.raises(ValueError, match="repeated"):
+        FU.funnel_times(df, ["a", "a"])
