@@ -3725,6 +3725,28 @@ _FUNNEL_ORACLE_SQL = """
 """
 
 
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-allocation stratified sampling (operators/mixing) FULL-
+    VALUE gate: the 12 orders per o_orderpriority stratum whose
+    md5-ranked key is smallest — Spark's sampleBy draws Bernoulli
+    counts; eval sets need EXACT counts and engine-portable
+    membership, which the md5 ranking gives (the q46 portability
+    contract: DuckDB recomputes the identical row SET, not just
+    counts). One window rank per stratum = one hash-partition
+    shuffle."""
+    from shotit_worker_spark.operators.mixing import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        stratified_sample(
+            orders, "o_orderpriority", 12, key_col="o_orderkey",
+            seed="q86",
+        )
+        .select("o_orderpriority", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4208,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_theta_set_ops": q83_theta_set_ops,
         "q84_pagerank": q84_pagerank,
         "q85_funnel": q85_funnel,
+        "q86_stratified_sample": q86_stratified_sample,
     }
 
 
@@ -4311,6 +4334,22 @@ def oracle_sql() -> dict[str, str]:
         # q85: FULL-VALUE funnel — independent min-join formulation
         # of the same greedy semantics
         "q85_funnel": _FUNNEL_ORACLE_SQL,
+        # q86: FULL-VALUE stratified sample — md5 ranking is
+        # bit-portable, so the oracle reproduces the exact row set
+        "q86_stratified_sample": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY md5('q86' || CAST(o_orderkey AS VARCHAR)),
+                                    CAST(o_orderkey AS VARCHAR)
+                       ) AS rk
+                FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey FROM ranked
+            WHERE rk <= 12
+            ORDER BY o_orderpriority, o_orderkey
+        """,
         # q79: the bloom is a pruning step; verify=True makes the
         # cascade exactly the anti-join this SQL states
         "q79_bloom_dedup": """

@@ -312,3 +312,40 @@ def temperature_weights(
     if total <= 0:
         raise ValueError("temperature_weights: no tokenizable sources")
     return {s: w / total for s, w in raw.items()}
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACT-allocation stratified sample: the ``n_per_stratum``
+    rows of each stratum whose md5(seed || key) ranks smallest —
+    deterministic, content-independent, and bit-for-bit portable
+    across engines (the q46/hash_split portability contract, so a
+    plain-SQL oracle reproduces the EXACT row set, not just the
+    counts). Spark's ``sampleBy`` draws Bernoulli per row — counts
+    only in expectation, different rows per run; eval sets and
+    balanced audits need exact counts and stable membership.
+
+    Shape: one md5 projection + one window rank per stratum key —
+    a single hash-partition shuffle on ``strata_col``. The hash
+    orders rows uniformly, so within a stratum this IS a uniform
+    sample without replacement; ``seed`` selects a fresh sample.
+    Key collisions break by key order (deterministic)."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    rank_key = F.md5(
+        F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(rank_key, F.col(key_col).cast("string"))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -1,0 +1,74 @@
+"""Exact-allocation stratified sampling (mixing.stratified_sample):
+exact per-stratum counts, determinism + seed sensitivity, uniformity
+sanity, and portability of the ranking hash (python md5 == engine)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators.mixing import stratified_sample
+
+
+def _df(spark, n=500, k=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % k).cast("string").alias("stratum"),
+    )
+
+
+def test_exact_counts_and_determinism(spark):
+    df = _df(spark)
+    out = stratified_sample(df, "stratum", 10, key_col="doc_id")
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), "stratum", 10, key_col="doc_id"
+        ).collect()
+    )
+    assert a == b  # partitioning-independent membership
+
+
+def test_matches_python_md5_ranking(spark):
+    df = _df(spark, n=200, k=2)
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "stratum", 5, key_col="doc_id", seed="s1"
+        ).collect()
+    )
+    want = []
+    for stratum in (0, 1):
+        keys = [i for i in range(200) if i % 2 == stratum]
+        ranked = sorted(
+            keys, key=lambda i: (hashlib.md5(f"s1{i}".encode()).hexdigest(), str(i))
+        )
+        want.extend(ranked[:5])
+    assert got == sorted(want)
+
+
+def test_seed_changes_sample_and_small_strata(spark):
+    df = _df(spark)
+    a = {r["doc_id"] for r in stratified_sample(df, "stratum", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df, "stratum", 20, seed="x").collect()
+    }
+    assert a != b
+    # stratum smaller than n keeps all its rows
+    tiny = _df(spark, n=6, k=3)
+    out = stratified_sample(tiny, "stratum", 10)
+    assert out.count() == 6
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "stratum", 0)
