@@ -3747,6 +3747,31 @@ def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches) gate: point-frequency
+    estimates for the exact top-15 document tokens from a 4096x5
+    counter table. never_under is the DETERMINISTIC Count-Min
+    guarantee (min over rows of an always-over-counting counter);
+    bound_ok the 2N/width envelope, which holds on this corpus with
+    depth-5 margin. The build is PURE Catalyst: d hash pairs per
+    token into a group-by whose map-side partial agg bounds the
+    shuffle at partitions x (width x depth) counter rows — terms
+    never shuffle (q41 is the exact-shuffle counterpart, q81 the
+    top-k sketch)."""
+    from shotit_worker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    return SK.cm_with_exact(toks, "tok", width=4096, depth=5, top=15)
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4231,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_pagerank": q84_pagerank,
         "q85_funnel": q85_funnel,
         "q86_stratified_sample": q86_stratified_sample,
+        "q87_count_min": q87_count_min,
     }
 
 
@@ -4293,6 +4319,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_ZORDER_INTERLEAVE_SQL} AS BIGINT) AS zkey
             FROM b
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # q87: exact top-15 counts; never_under is the deterministic
+        # Count-Min guarantee, bound_ok the 2N/width envelope
+        "q87_count_min": f"""
+            WITH toks AS (
+                SELECT unnest({TOKENIZE_SQL.format(col='text')}) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS exact_count,
+                   TRUE AS never_under, TRUE AS bound_ok
+            FROM toks
+            GROUP BY term
+            ORDER BY exact_count DESC, term
+            LIMIT 15
         """,
         # q81: exact counts; captured=TRUE is the Misra-Gries
         # guarantee (every top-15 count > n/(k+1) on this corpus)

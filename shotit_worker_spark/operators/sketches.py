@@ -41,6 +41,9 @@ __all__ = [
     "theta_sketch",
     "theta_to_local",
     "theta_set_ops_with_exact",
+    "cm_build",
+    "cm_estimate",
+    "cm_with_exact",
 ]
 
 
@@ -411,4 +414,122 @@ def theta_set_ops_with_exact(
             ).alias("ok"),
         )
         .orderBy("set_op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point frequency queries over unbounded vocabularies
+# ---------------------------------------------------------------------------
+#
+# Misra-Gries answers "which terms are frequent"; Count-Min (Cormode &
+# Muthukrishnan, 2005) answers "how often does THIS term occur" for
+# ANY term from d x w counters: d hash rows, each counting into w
+# buckets; the estimate is the MIN over rows, never an undercount
+# (deterministically), and overcounts by more than 2N/w with
+# probability < (1/2)^d. Element-wise sums merge sketches exactly.
+#
+# Spark-first shape: the whole build is PURE Catalyst — explode d
+# (row, xxhash64(term, row_seed) % w) pairs per term, then one
+# group-by count. Partial aggregation collapses each partition to at
+# most d x w counter rows before the exchange, so the shuffle carries
+# bounded summaries (never the terms), exactly like the mapInPandas
+# sketches above but with zero Python. Point queries are a broadcast
+# join of the query terms' hash pairs against the counter table.
+
+_CM_SEED = 0x5EED_C0DE
+
+
+def cm_build(
+    df: DataFrame, col, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """(row, idx, cnt) Count-Min counter table over ``col`` (NULLs
+    skipped). At most width x depth rows; shuffle is map-side-combined
+    counter partials."""
+    if width < 16 or depth < 1:
+        raise ValueError("need width >= 16 and depth >= 1")
+    c = col if isinstance(col, Column) else F.col(col)
+    pairs = df.select(c.alias("__term")).where(
+        F.col("__term").isNotNull()
+    ).select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("__term"), F.lit(_CM_SEED + r)),
+                        F.lit(width),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "idx")
+    )
+    return pairs.groupBy("row", "idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_estimate(
+    cm: DataFrame, terms: DataFrame, col, width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """(term, est) point estimates for every row of ``terms``: the
+    same d hash pairs, broadcast-joined against the counter table,
+    min over rows. A missing counter row means 0 hits in that bucket
+    -> the estimate is 0 (the true count must be 0 too)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    q = terms.select(c.alias("term")).where(
+        F.col("term").isNotNull()
+    ).distinct().select(
+        "term",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("term"), F.lit(_CM_SEED + r)),
+                        F.lit(width),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "idx"),
+    )
+    joined = q.join(F.broadcast(cm), on=["row", "idx"], how="left")
+    return (
+        joined.groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cm_with_exact(
+    df: DataFrame, col, width: int = 2048, depth: int = 5,
+    top: int = 15,
+) -> DataFrame:
+    """Verification form (the driver-gate shape): the exact top
+    ``top`` terms with (term, exact_count, never_under, bound_ok):
+    never_under = est >= exact (the DETERMINISTIC Count-Min
+    guarantee), bound_ok = est <= exact + 2 * N / width (holds on
+    this corpus with depth rows of margin)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    vals = df.select(c.alias("term")).where(F.col("term").isNotNull())
+    n = vals.count()
+    exact = (
+        vals.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(top)
+    )
+    cm = cm_build(df, c, width, depth)
+    ests = cm_estimate(cm, exact, "term", width, depth)
+    return (
+        exact.join(F.broadcast(ests), on="term")
+        .select(
+            "term",
+            "exact_count",
+            (F.col("est") >= F.col("exact_count")).alias("never_under"),
+            (
+                F.col("est")
+                <= F.col("exact_count") + F.lit(2.0 * n / width)
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_count"), "term")
     )

@@ -1,0 +1,123 @@
+"""Count-Min sketch (operators/sketches cm_*): the deterministic
+never-undercount guarantee over EVERY term, the overcount envelope,
+merge-by-sum exactness, zero-for-absent behavior, and the
+bounded-summary build shape (pure Catalyst, no Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import sketches as SK
+
+
+def _terms_df(spark, seed=11, n=30_000, vocab=800):
+    rng = np.random.default_rng(seed)
+    terms = [f"w{int(v) % vocab}" for v in rng.zipf(1.4, n)]
+    return spark.createDataFrame(
+        [(t,) for t in terms], "tok string"
+    ), terms
+
+
+def test_never_undercount_every_term(spark):
+    df, terms = _terms_df(spark)
+    from collections import Counter
+
+    true = Counter(terms)
+    w, d = 512, 4
+    cm = SK.cm_build(df, "tok", width=w, depth=d).persist()
+    assert cm.count() <= w * d
+    ests = {
+        r["term"]: r["est"]
+        for r in SK.cm_estimate(
+            cm, df.select("tok").distinct(), "tok", width=w, depth=d
+        ).collect()
+    }
+    n = len(terms)
+    over_bound = 0
+    for t, c in true.items():
+        assert ests[t] >= c, t  # deterministic guarantee
+        if ests[t] > c + 2 * n / w:
+            over_bound += 1
+    # the probabilistic side: < (1/2)^d of terms exceed the envelope,
+    # with generous slack for this fixed corpus
+    assert over_bound <= max(3, 0.1 * len(true))
+    cm.unpersist(blocking=False)
+
+
+def test_absent_terms_estimate_zero(spark):
+    df, _ = _terms_df(spark, n=1000, vocab=50)
+    cm = SK.cm_build(df, "tok", width=1024, depth=4)
+    novel = spark.createDataFrame(
+        [("never-seen-token-xyz",)], "tok string"
+    )
+    out = SK.cm_estimate(cm, novel, "tok", width=1024, depth=4).collect()
+    # width >> vocab: at least one of the 4 rows has an untouched
+    # bucket for a novel term on this corpus
+    assert out[0]["est"] == 0
+
+
+def test_merge_by_sum_equals_single_build(spark):
+    df, terms = _terms_df(spark, seed=21, n=8000)
+    half1 = df.limit(4000)
+    # deterministic complement via subtract of a limited frame is
+    # not stable; split by hash instead
+    a = df.where(F.pmod(F.xxhash64("tok", F.lit(1)), F.lit(2)) == 0)
+    b = df.where(F.pmod(F.xxhash64("tok", F.lit(1)), F.lit(2)) == 1)
+    w, d = 256, 3
+    merged = (
+        SK.cm_build(a, "tok", w, d)
+        .unionByName(SK.cm_build(b, "tok", w, d))
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    single = SK.cm_build(df, "tok", w, d)
+    diff = (
+        merged.join(
+            single.withColumnRenamed("cnt", "cnt2"),
+            on=["row", "idx"],
+            how="full",
+        )
+        .where(
+            F.coalesce("cnt", F.lit(0)) != F.coalesce("cnt2", F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+    del half1
+
+
+def test_cm_with_exact_gate_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    out = SK.cm_with_exact(toks, "tok", width=4096, depth=5, top=15)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["never_under"] for r in rows)
+    assert all(r["bound_ok"] for r in rows)
+
+
+def test_cm_guards(spark):
+    df, _ = _terms_df(spark, n=100)
+    with pytest.raises(ValueError, match="width"):
+        SK.cm_build(df, "tok", width=4)
+
+
+def test_build_is_pure_catalyst(spark):
+    df, _ = _terms_df(spark, n=500)
+    plan = (
+        SK.cm_build(df, "tok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InPandas" not in plan and "EvalPython" not in plan
