@@ -1,0 +1,137 @@
+"""Round-8 late-wave-2 stress: funnel, Count-Min, stratified
+sampling, CDC and audio fingerprinting at scale on local[32].
+
+Usage: python tools/scale_stress_r8c.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.functions import cdc as C  # noqa: E402
+from shotit_worker_spark.operators import funnel as FU  # noqa: E402
+from shotit_worker_spark.operators import sketches as SK  # noqa: E402
+from shotit_worker_spark.operators.mixing import (  # noqa: E402
+    stratified_sample,
+)
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def main(n: int = 1_000_000) -> None:
+    spark = get_spark("stress-r8c", shuffle_partitions=32)
+
+    # -- funnel over n synthetic events, 50k users, 5 types ------------
+    ev = (
+        spark.range(n)
+        .select(
+            (F.abs(F.xxhash64("id")) % 50_000).alias("user_id"),
+            F.timestamp_micros(
+                (F.abs(F.xxhash64("id", F.lit(1))) % (86_400_000_000 * 30))
+            ).alias("ts"),
+            F.element_at(
+                F.array(
+                    F.lit("signup"), F.lit("view"), F.lit("click"),
+                    F.lit("purchase"), F.lit("other"),
+                ),
+                (F.abs(F.xxhash64("id", F.lit(2))) % 5 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        .persist()
+    )
+    ev.count()
+    t0 = time.time()
+    out = FU.funnel_counts(
+        ev, ["signup", "view", "click", "purchase"],
+        max_span_sec=7 * 86400,
+    ).collect()
+    dt = time.time() - t0
+    print(
+        f"funnel: {n} events / 50k users x 4 steps in {dt:.1f}s = "
+        f"{n / dt / 1e3:.0f}k events/s; conversions "
+        f"{[r['users'] for r in out]}"
+    )
+    ev.unpersist(blocking=False)
+
+    # -- Count-Min over n tokens ---------------------------------------
+    toks = spark.range(n).select(
+        F.concat(
+            F.lit("w"), (F.abs(F.xxhash64("id")) % 100_000).cast("string")
+        ).alias("tok")
+    )
+    t0 = time.time()
+    cm = SK.cm_build(toks, "tok", width=4096, depth=5)
+    rows = cm.count()
+    dt = time.time() - t0
+    print(
+        f"count-min: {n} tokens -> {rows} counters in {dt:.1f}s = "
+        f"{n / dt / 1e3:.0f}k tokens/s (pure Catalyst build)"
+    )
+
+    # -- stratified sample over n rows, 20 strata ----------------------
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20).cast("string").alias("stratum"),
+    )
+    t0 = time.time()
+    got = stratified_sample(df, "stratum", 1000, key_col="doc_id").count()
+    dt = time.time() - t0
+    print(
+        f"stratified_sample: {n} rows / 20 strata -> {got} rows in "
+        f"{dt:.1f}s = {n / dt / 1e3:.0f}k rows/s"
+    )
+
+    # -- CDC over ~64 x 1 MB blobs -------------------------------------
+    rng = np.random.default_rng(3)
+    blob = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    docs = spark.createDataFrame(
+        [(i, bytearray(blob[i:] + blob[:i])) for i in range(64)],
+        "doc_id int, content binary",
+    )
+    t0 = time.time()
+    nchunks = C.cdc_chunk_table(docs).count()
+    dt = time.time() - t0
+    mb = 64.0
+    print(
+        f"cdc: {mb:.0f} MB -> {nchunks} chunks in {dt:.1f}s = "
+        f"{mb / dt:.1f} MB/s aggregate"
+    )
+
+    # -- audio fingerprint over 64 x 3 s WAV clips ---------------------
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_wav_fixture import encode_pcm_wav
+
+    from shotit_worker_spark.functions import audiofp as AF
+
+    t = np.arange(3 * AF._RATE) / AF._RATE
+    clips = []
+    for i in range(64):
+        x = np.sin(2 * np.pi * (200 + 13 * i) * t) + 0.5 * np.sin(
+            2 * np.pi * (1500 + 31 * i) * t
+        )
+        pcm = np.clip(np.round(x * 16000), -32768, 32767).astype(
+            np.int64
+        ).reshape(-1, 1)
+        clips.append(
+            (f"c/{i}.wav", bytearray(encode_pcm_wav(pcm, 16, AF._RATE)))
+        )
+    adf = spark.createDataFrame(clips, "path string, content binary")
+    t0 = time.time()
+    nfp = AF.fingerprint_audio(adf).count()
+    dt = time.time() - t0
+    print(
+        f"audiofp: 64 x 3s clips -> {nfp} landmarks in {dt:.1f}s = "
+        f"{64 * 3 / dt:.1f} audio-sec/s"
+    )
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
