@@ -3506,6 +3506,20 @@ def q79_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "digest").orderBy("doc_id")
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """One exploded `tok` column per document token — the ENGINE
+    side of TOKENIZE_SQL; q81 and q87 must tokenize identically to
+    their oracles, so the expression lives once."""
+    return docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+
+
 def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters (operators/sketches) FULL-VALUE
     gate: the exact top-15 document tokens joined against the k=200
@@ -3518,15 +3532,9 @@ def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shotit_worker_spark.operators import sketches as SK
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("tok")
+    return SK.heavy_hitters_with_exact(
+        _doc_tokens(docs), "tok", k=200, top=15
     )
-    return SK.heavy_hitters_with_exact(toks, "tok", k=200, top=15)
 
 
 def q82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3761,15 +3769,9 @@ def q87_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shotit_worker_spark.operators import sketches as SK
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("tok")
+    return SK.cm_with_exact(
+        _doc_tokens(docs), "tok", width=4096, depth=5, top=15
     )
-    return SK.cm_with_exact(toks, "tok", width=4096, depth=5, top=15)
 
 
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:

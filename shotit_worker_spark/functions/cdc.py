@@ -153,6 +153,16 @@ def cdc_chunk_table(
                     digs.append(None)
                     continue
                 data = bytes(content)
+                if not data:
+                    # empty docs keep one zero-length chunk row (the
+                    # md5 of b'') so they reconcile like any other
+                    # doc — absent-from-table always means lost
+                    ids.append(i)
+                    nos.append(0)
+                    offs.append(0)
+                    lens.append(0)
+                    digs.append(hashlib.md5(b"").hexdigest())
+                    continue
                 prev = 0
                 for no, cut in enumerate(
                     cdc_boundaries(data, min_size, avg_size, max_size)

@@ -303,15 +303,29 @@ class PCACompressor:
 
         def run(batches):
             for b in batches:
-                vecs = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
-                ) if len(b) else np.zeros((0, len(mean)))
+                # NULL passthrough (same policy as the fit, which
+                # skips NULL vectors): NULL in -> NULL compressed out
+                ok = [v is not None for v in b[vec_col]]
+                vecs = (
+                    np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v, o in zip(b[vec_col], ok)
+                            if o
+                        ]
+                    )
+                    if any(ok)
+                    else np.zeros((0, len(mean)))
+                )
                 y = (vecs - mean) @ comp
                 if whiten:
                     y = y / np.sqrt(np.maximum(eig, 1e-12))
+                rows = iter(
+                    r.astype(np.float32).tolist() for r in y
+                )
                 out = b.drop(columns=[vec_col])
                 out[out_col] = [
-                    r.astype(np.float32).tolist() for r in y
+                    next(rows) if o else None for o in ok
                 ]
                 yield out
 
@@ -368,7 +382,9 @@ def train_pca_compressor(
     partition — then a driver-side d x d ``eigh``. Eigenvector signs
     are pinned (largest-magnitude entry positive) so the fit is
     deterministic regardless of partitioning."""
-    first = df.select(vec_col).first()
+    first = (
+        df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    )
     if first is None or first[0] is None:
         raise ValueError("empty vector column")
     d = len(first[0])

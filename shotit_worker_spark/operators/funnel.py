@@ -62,7 +62,14 @@ def funnel_times(
         # float boundary cases.
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
         F.col(type_col).alias("__y"),
-    ).where(F.col(type_col).isin(list(steps)))
+    ).where(
+        F.col(type_col).isin(list(steps))
+        # NULL timestamps would otherwise match step 1 (the i==0
+        # branch has no time comparison) and then poison every later
+        # comparison to NULL; dropping them matches what any
+        # min()/join formulation does
+        & F.col(ts_col).isNotNull()
+    )
     arr = (
         ev.groupBy("__u")
         .agg(

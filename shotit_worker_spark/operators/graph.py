@@ -165,7 +165,15 @@ def pagerank_int(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if eager is None:
-        eager = iters > 4
+        # persist_result=False exists for one-shot consumers that
+        # cannot unpersist; eager rounds would pin the final frame,
+        # so the default stays lazy in that mode
+        eager = iters > 4 and persist_result
+    if eager and not persist_result:
+        raise ValueError(
+            "persist_result=False requires lazy mode (eager=False): "
+            "eager iteration materializes the result by construction"
+        )
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)

@@ -442,9 +442,12 @@ _CM_SEED = 0x5EED_C0DE
 def cm_build(
     df: DataFrame, col, width: int = 2048, depth: int = 5
 ) -> DataFrame:
-    """(row, idx, cnt) Count-Min counter table over ``col`` (NULLs
-    skipped). At most width x depth rows; shuffle is map-side-combined
-    counter partials."""
+    """(row, idx, cnt, w, d) Count-Min counter table over ``col``
+    (NULLs skipped). At most width x depth rows; shuffle is
+    map-side-combined counter partials. The (w, d) parameters ride
+    on the table itself so queries can NEVER hash against the wrong
+    geometry (a silent mismatch would undercount — the one failure
+    the structure promises not to have)."""
     if width < 16 or depth < 1:
         raise ValueError("need width >= 16 and depth >= 1")
     c = col if isinstance(col, Column) else F.col(col)
@@ -463,19 +466,27 @@ def cm_build(
             )
         ).alias("row", "idx")
     )
-    return pairs.groupBy("row", "idx").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        pairs.groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "row", "idx", "cnt",
+            F.lit(width).alias("w"), F.lit(depth).alias("d"),
+        )
     )
 
 
-def cm_estimate(
-    cm: DataFrame, terms: DataFrame, col, width: int = 2048,
-    depth: int = 5,
-) -> DataFrame:
+def cm_estimate(cm: DataFrame, terms: DataFrame, col) -> DataFrame:
     """(term, est) point estimates for every row of ``terms``: the
     same d hash pairs, broadcast-joined against the counter table,
     min over rows. A missing counter row means 0 hits in that bucket
-    -> the estimate is 0 (the true count must be 0 too)."""
+    -> the estimate is 0 (the true count must be 0 too). The hash
+    geometry (width, depth) is read off the counter table itself —
+    see cm_build."""
+    geo = cm.select("w", "d").first()
+    if geo is None:
+        raise ValueError("empty Count-Min table")
+    width, depth = int(geo["w"]), int(geo["d"])
     c = col if isinstance(col, Column) else F.col(col)
     q = terms.select(c.alias("term")).where(
         F.col("term").isNotNull()
@@ -493,7 +504,11 @@ def cm_estimate(
             )
         ).alias("row", "idx"),
     )
-    joined = q.join(F.broadcast(cm), on=["row", "idx"], how="left")
+    joined = q.join(
+        F.broadcast(cm.select("row", "idx", "cnt")),
+        on=["row", "idx"],
+        how="left",
+    )
     return (
         joined.groupBy("term")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
@@ -511,25 +526,36 @@ def cm_with_exact(
     this corpus with depth rows of margin)."""
     c = col if isinstance(col, Column) else F.col(col)
     vals = df.select(c.alias("term")).where(F.col("term").isNotNull())
-    n = vals.count()
     exact = (
         vals.groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.desc("exact_count"), "term")
         .limit(top)
     )
-    cm = cm_build(df, c, width, depth)
-    ests = cm_estimate(cm, exact, "term", width, depth)
-    return (
-        exact.join(F.broadcast(ests), on="term")
-        .select(
-            "term",
-            "exact_count",
-            (F.col("est") >= F.col("exact_count")).alias("never_under"),
-            (
-                F.col("est")
-                <= F.col("exact_count") + F.lit(2.0 * n / width)
-            ).alias("bound_ok"),
+    cm = cm_build(df, c, width, depth).persist()
+    try:
+        # N for free from the counter table: every token incremented
+        # exactly `depth` counters — no third scan of the input
+        n = cm.agg(F.sum("cnt")).collect()[0][0] / depth
+        ests = cm_estimate(cm, exact, "term")
+        out = (
+            exact.join(F.broadcast(ests), on="term")
+            .select(
+                "term",
+                "exact_count",
+                (F.col("est") >= F.col("exact_count")).alias(
+                    "never_under"
+                ),
+                (
+                    F.col("est")
+                    <= F.col("exact_count") + F.lit(2.0 * n / width)
+                ).alias("bound_ok"),
+            )
+            .orderBy(F.desc("exact_count"), "term")
         )
-        .orderBy(F.desc("exact_count"), "term")
-    )
+        # <= `top` rows: materialize driver-side so the counter cache
+        # can be released without later actions re-running the build
+        rows = out.collect()
+        return df.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        cm.unpersist(blocking=False)

@@ -129,6 +129,18 @@ def test_spark_chunk_table_and_stats(spark):
     # NULL passthrough: the unreadable doc keeps one NULL audit row
     null_rows = chunks.where(chunks.doc_id == 4).collect()
     assert len(null_rows) == 1 and null_rows[0]["digest"] is None
+    # empty (b'') docs keep one zero-length chunk row — absent from
+    # the table always means lost, never "was empty"
+    import hashlib as _h
+
+    empty = C.cdc_chunk_table(
+        spark.createDataFrame(
+            [(9, bytearray(b""))], "doc_id int, content binary"
+        )
+    ).collect()
+    assert len(empty) == 1
+    assert empty[0]["length"] == 0
+    assert empty[0]["digest"] == _h.md5(b"").hexdigest()
     # offsets/lengths reconstruct each doc exactly
     for doc_id, blob in ((1, blob_a), (2, blob_b), (3, blob_c)):
         rows = sorted(

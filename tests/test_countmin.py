@@ -32,7 +32,7 @@ def test_never_undercount_every_term(spark):
     ests = {
         r["term"]: r["est"]
         for r in SK.cm_estimate(
-            cm, df.select("tok").distinct(), "tok", width=w, depth=d
+            cm, df.select("tok").distinct(), "tok"
         ).collect()
     }
     n = len(terms)
@@ -53,7 +53,7 @@ def test_absent_terms_estimate_zero(spark):
     novel = spark.createDataFrame(
         [("never-seen-token-xyz",)], "tok string"
     )
-    out = SK.cm_estimate(cm, novel, "tok", width=1024, depth=4).collect()
+    out = SK.cm_estimate(cm, novel, "tok").collect()
     # width >> vocab: at least one of the 4 rows has an untouched
     # bucket for a novel term on this corpus
     assert out[0]["est"] == 0
@@ -73,7 +73,7 @@ def test_merge_by_sum_equals_single_build(spark):
         .groupBy("row", "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    single = SK.cm_build(df, "tok", w, d)
+    single = SK.cm_build(df, "tok", w, d).select("row", "idx", "cnt")
     diff = (
         merged.join(
             single.withColumnRenamed("cnt", "cnt2"),
@@ -110,6 +110,16 @@ def test_cm_guards(spark):
     df, _ = _terms_df(spark, n=100)
     with pytest.raises(ValueError, match="width"):
         SK.cm_build(df, "tok", width=4)
+    # geometry rides on the table: an estimate against a 256-wide
+    # table hashes mod 256 even though the default build is 2048
+    cm = SK.cm_build(df, "tok", width=256, depth=3)
+    out = SK.cm_estimate(cm, df.select("tok").distinct(), "tok")
+    assert out.count() > 0
+    empty = spark.createDataFrame(
+        [], "row int, idx bigint, cnt long, w int, d int"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        SK.cm_estimate(empty, df, "tok")
 
 
 def test_build_is_pure_catalyst(spark):

@@ -157,6 +157,18 @@ def test_plan_has_no_join(spark):
     assert "Join" not in plan
 
 
+def test_null_timestamps_ignored(spark):
+    # a NULL-ts step-1 event must not poison the walk (min-join
+    # semantics skip NULLs; so do we)
+    rows = [(1, None, "a"), (1, _ts(10), "a"), (1, _ts(20), "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = FU.funnel_times(df, ["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["t1"] == _ts(10) and out[0]["t2"] == _ts(20)
+
+
 def test_guards(spark):
     df = _df(spark, [(1, 0, "a")])
     with pytest.raises(ValueError, match="non-empty"):

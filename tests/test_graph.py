@@ -116,7 +116,21 @@ def test_no_cache_leak(spark):
     after = _persistent_rdd_ids(spark)
     assert after <= before
     # persist_result=False: nothing left pinned even WITHOUT the
-    # caller unpersisting (the one-shot-consumer mode the gate uses)
+    # caller unpersisting (the one-shot-consumer mode the gate uses).
+    # The helper caches release via unpersist(blocking=False), so
+    # poll briefly rather than race the async removal.
+    import time
+
     out2 = G.pagerank_int(df, iters=2, persist_result=False)
     out2.count()
+    for _ in range(50):
+        if _persistent_rdd_ids(spark) <= before:
+            break
+        time.sleep(0.2)
     assert _persistent_rdd_ids(spark) <= before
+    # eager + persist_result=False is a contradiction and refuses
+    with pytest.raises(ValueError, match="persist_result"):
+        G.pagerank_int(df, iters=6, persist_result=False, eager=True)
+    # default eager threshold respects the one-shot mode
+    out3 = G.pagerank_int(df, iters=6, persist_result=False)
+    out3.count()

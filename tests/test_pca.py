@@ -118,6 +118,19 @@ def test_compressed_self_retrieval(spark, sf_dir):
     comp.unpersist(blocking=False)
 
 
+def test_null_vectors_pass_through(spark):
+    mat, _ = _clustered(6, n=60, d=8)
+    rows = [(int(i), [float(v) for v in r]) for i, r in enumerate(mat)]
+    rows.insert(0, (999, None))  # NULL first: fit must still infer d
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pca = E.train_pca_compressor(df, out_dim=3)
+    out = {r["vec_id"]: r["compressed"] for r in pca.compress(df).collect()}
+    assert out[999] is None
+    assert len(out) == 61 and len(out[0]) == 3
+
+
 def test_guards(spark):
     mat, _ = _clustered(5, n=50, d=8)
     df = _df(spark, mat)
