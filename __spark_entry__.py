@@ -3774,6 +3774,198 @@ def q87_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_case_rasters():
+    """Deterministic structured rasters (gradients + Gaussian blobs
+    — photograph-like content, the regime pHash is built for)."""
+    import numpy as np
+
+    out = []
+    for case_id, seed in (("grad_a", 100), ("grad_b", 200),
+                          ("grad_c", 300)):
+        rng = np.random.default_rng(seed)
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        img = np.zeros((h, w, 3))
+        for c in range(3):
+            img[..., c] = (
+                120
+                + 100 * np.sin(xx / (8 + 5 * c) + c)
+                + 80 * np.cos(yy / (11 + 3 * c))
+            )
+            for _ in range(4):
+                cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+                r = rng.uniform(8, 25)
+                img[..., c] += 90 * np.exp(
+                    -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)
+                )
+        out.append((case_id, np.clip(img, 0, 255).astype(np.uint8)))
+    return out
+
+
+def _phash_oracle_rows():
+    """The INDEPENDENT side: an explicit O(n^4) DCT-II double loop
+    over the SOURCE rasters (no shared DCT matrix, no codec)."""
+    import numpy as np
+
+    from shotit_worker_spark.functions import phash as PH
+
+    rows = []
+    for case_id, rgb in _phash_case_rasters():
+        small = PH._area_resize(PH._gray(rgb), 32, 32)
+        n = 32
+        coeffs = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for i in range(n):
+                    for j in range(n):
+                        s += (
+                            small[i, j]
+                            * np.cos(np.pi * (2 * i + 1) * u / (2 * n))
+                            * np.cos(np.pi * (2 * j + 1) * v / (2 * n))
+                        )
+                cu = np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n)
+                cv = np.sqrt(1 / n) if v == 0 else np.sqrt(2 / n)
+                coeffs[u, v] = cu * cv * s
+        med = float(np.median(coeffs.ravel()[1:]))
+        val = 0
+        for idx, cf in enumerate(coeffs.ravel()):
+            if idx and cf > med:
+                val |= 1 << idx
+        if val >= 1 << 63:
+            val -= 1 << 64
+        rows.append((case_id, val))
+    return sorted(rows)
+
+
+def q88_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (functions/phash) constants gate: the
+    engine decodes PNG encodings of three deterministic rasters
+    inside the Arrow pass and hashes them (matrix DCT); the oracle
+    states the hash of each SOURCE raster computed by an explicit
+    O(n^4) DCT double loop (generated at oracle time, independent of
+    the engine's DCT matrix and of the codec). Bit-equality pins the
+    whole chain: PNG decode, luma, area resample, DCT, packing."""
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import phash as PH
+
+    rows = [
+        (case_id, bytearray(IC.encode_png(rgb)))
+        for case_id, rgb in _phash_case_rasters()
+    ]
+    df = spark.createDataFrame(rows, "case_id string, image binary")
+    return (
+        PH.phash_images(df, image_col="image", id_col="case_id")
+        .orderBy("case_id")
+    )
+
+
+def _audiofp_case_blobs():
+    """(WAV full clip, FLAC twin, WAV excerpt at a known offset) —
+    deterministic synthetic 'music' (enveloped three-tone notes)."""
+    import numpy as np
+
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    from gen_flac_fixture import encode_flac
+    from gen_wav_fixture import encode_pcm_wav
+
+    from shotit_worker_spark.functions import audiofp as AF
+
+    rate = AF._RATE
+    rng = np.random.default_rng(77)
+    n = rate * 4
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    note = int(0.15 * rate)
+    for i in range(0, n, note):
+        f1 = float(rng.integers(200, 1200))
+        f2 = float(rng.integers(1200, 2800))
+        f3 = float(rng.integers(2800, 4800))
+        seg = slice(i, min(i + note, n))
+        env = np.hanning(seg.stop - seg.start)
+        x[seg] = env * (
+            np.sin(2 * np.pi * f1 * t[seg])
+            + 0.7 * np.sin(2 * np.pi * f2 * t[seg])
+            + 0.5 * np.sin(2 * np.pi * f3 * t[seg])
+        )
+    x = x / np.max(np.abs(x))
+    pcm = np.clip(np.round(x * 32000), -32768, 32767).astype(
+        np.int64
+    ).reshape(-1, 1)
+    off_frames = 40
+    start = off_frames * AF._HOP
+    cut = pcm[start : start + rate]
+    return (
+        encode_pcm_wav(pcm, 16, rate),
+        bytes(encode_flac(pcm, rate, 16)),
+        encode_pcm_wav(cut, 16, rate),
+        off_frames,
+    )
+
+
+def q89_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio landmark fingerprinting (functions/audiofp) invariant
+    gate: a WAV clip, its FLAC twin, and a 1-second excerpt cut at a
+    KNOWN frame offset. The constellation construction forces — and
+    the oracle states — (1) twin fingerprints identical (lossless
+    codecs, same PCM), (2) the excerpt matches the full clip at
+    exactly the planted offset with a strong vote pile, (3) twin
+    match votes >> excerpt votes. All checks run through the Spark
+    join+vote path (match_fingerprints), not python."""
+    from shotit_worker_spark.functions import audiofp as AF
+
+    wav, flac, cut, off = _audiofp_case_blobs()
+    df = spark.createDataFrame(
+        [
+            ("a/full.wav", bytearray(wav)),
+            ("a/twin.flac", bytearray(flac)),
+            ("a/cut.wav", bytearray(cut)),
+        ],
+        "path string, content binary",
+    )
+    fp = AF.fingerprint_audio(df)
+    m = AF.match_fingerprints(
+        fp.where(F.col("file") != "a/full.wav"),
+        fp.where(F.col("file") == "a/full.wav"),
+        min_votes=5,
+    )
+    best = (
+        m.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_file").orderBy(
+                    F.desc("votes"), "offset"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("q_file", "offset", "votes")
+        .collect()
+    )
+    by_q = {r["q_file"]: r for r in best}
+    twin = by_q.get("a/twin.flac")
+    cutr = by_q.get("a/cut.wav")
+    n_fp_full = fp.where(
+        (F.col("file") == "a/full.wav") & F.col("hash").isNotNull()
+    ).count()
+    n_fp_twin = fp.where(
+        (F.col("file") == "a/twin.flac") & F.col("hash").isNotNull()
+    ).count()
+    rows = [
+        ("1_twin_identical",
+         twin is not None and twin["offset"] == 0
+         and n_fp_full == n_fp_twin and twin["votes"] == n_fp_full),
+        ("2_excerpt_offset",
+         cutr is not None and cutr["offset"] == -off),
+        ("3_excerpt_votes",
+         cutr is not None and cutr["votes"] >= 20),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
 def q80_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout kernel (operators/layout): the Morton key that
     zorder_by range-partitions and sorts on, FULL-VALUE checked — the
@@ -4259,6 +4451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_funnel": q85_funnel,
         "q86_stratified_sample": q86_stratified_sample,
         "q87_count_min": q87_count_min,
+        "q88_phash": q88_phash,
+        "q89_audio_match": q89_audio_match,
     }
 
 
@@ -4321,6 +4515,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_ZORDER_INTERLEAVE_SQL} AS BIGINT) AS zkey
             FROM b
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # q88: constants gate — the INDEPENDENT O(n^4) DCT loop over
+        # the SOURCE rasters (generated at oracle time); the engine
+        # side goes through PNG decode + the matrix DCT
+        "q88_phash": _values_oracle(
+            _phash_oracle_rows(), "case_id, phash"),
+        # q89: constellation invariants (lossless twins identical,
+        # excerpt matches at the planted offset) — TRUE by
+        # construction, checked through the Spark join+vote path
+        "q89_audio_match": """
+            SELECT * FROM (VALUES
+                ('1_twin_identical', TRUE),
+                ('2_excerpt_offset', TRUE),
+                ('3_excerpt_votes', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
         """,
         # q87: exact top-15 counts; never_under is the deterministic
         # Count-Min guarantee, bound_ok the 2N/width envelope
