@@ -37,6 +37,11 @@ POST_R3_QUERIES = frozenset({
     "q72_avc_roundtrip", "q73_progressive_jpeg", "q74_webp_roundtrip",
     "q75_image_goldens", "q76_flac_roundtrip", "q77_wav_codecs",
     "q78_animated_frames", "q79_bloom_dedup",
+    # r8 waves (layout/sketch/graph/event/multimodal gates)
+    "q80_zorder", "q81_heavy_hitters", "q82_quantile_sketch",
+    "q83_theta_set_ops", "q84_pagerank", "q85_funnel",
+    "q86_stratified_sample", "q87_count_min", "q88_phash",
+    "q89_audio_match",
 })
 
 
