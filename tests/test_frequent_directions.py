@@ -1,0 +1,113 @@
+"""Frequent Directions matrix sketch (operators/embedding): the
+certified PSD bound 0 <= A^T A - B^T B <= sigma * I (eigenvalue
+check against the TRACKED sigma), the F-norm envelope, merge bound
+addition, subspace recovery on decaying spectra, and the Spark
+per-partition build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.embedding import (
+    FrequentDirections,
+    frequent_directions,
+)
+
+
+def _check_bound(fd: FrequentDirections, a: np.ndarray) -> None:
+    b = fd.sketch()
+    diff = a.T @ a - b.T @ b
+    w = np.linalg.eigvalsh(diff)
+    assert w.min() >= -1e-6 * max(1.0, abs(w).max())  # PSD
+    assert w.max() <= fd.sigma + 1e-6 * max(1.0, fd.sigma)
+    # the classical envelope: sigma <= ||A||_F^2 / ell... (the
+    # doubled-buffer variant gives <= 2||A||_F^2 / ell; assert that)
+    assert fd.sigma <= 2 * (a * a).sum() / fd.ell + 1e-9
+
+
+def test_bound_single_stream():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(900, 20))
+    fd = FrequentDirections(8, 20)
+    for i in range(0, 900, 130):  # uneven batches
+        fd.update(a[i : i + 130])
+    assert fd.sigma > 0
+    _check_bound(fd, a)
+
+
+def test_exact_below_capacity():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(6, 10))
+    fd = FrequentDirections(8, 10)
+    fd.update(a)
+    assert fd.sigma == 0.0
+    b = fd.sketch()
+    assert np.allclose(a.T @ a, b.T @ b)
+
+
+def test_merge_bound_addition():
+    rng = np.random.default_rng(3)
+    a1 = rng.normal(size=(400, 16))
+    a2 = rng.normal(size=(300, 16)) * 2.0
+    f1 = FrequentDirections(10, 16)
+    f2 = FrequentDirections(10, 16)
+    f1.update(a1)
+    f2.update(a2)
+    pre = f1.sigma + f2.sigma
+    f1.merge(f2)
+    assert f1.sigma >= pre
+    _check_bound(f1, np.vstack([a1, a2]))
+
+
+def test_subspace_recovery_decaying_spectrum():
+    rng = np.random.default_rng(4)
+    # rank-ish-3 data + small noise: FD must recover the top subspace
+    basis = np.linalg.qr(rng.normal(size=(30, 3)))[0]
+    a = (rng.normal(size=(2000, 3)) * [10, 7, 5]) @ basis.T
+    a += 0.05 * rng.normal(size=a.shape)
+    fd = FrequentDirections(12, 30)
+    fd.update(a)
+    w, v = fd.cov_eigh(len(a))
+    true_w, true_v = np.linalg.eigh(a.T @ a / len(a))
+    order = np.argsort(true_w)[::-1]
+    true_v = true_v[:, order[:3]]
+    # principal angles between top-3 subspaces ~ 0
+    s = np.linalg.svd(true_v.T @ v[:, :3], compute_uv=False)
+    assert s.min() > 0.99
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="ell"):
+        FrequentDirections(1, 4)
+    fd = FrequentDirections(4, 4)
+    with pytest.raises(ValueError, match="dim"):
+        fd.update(np.zeros((2, 5)))
+
+
+def test_spark_build_bound(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(3000, 24)) * np.linspace(5, 0.2, 24)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in r]) for i, r in enumerate(a)],
+        "vec_id long, embedding array<float>",
+    ).repartition(6)
+    fd = frequent_directions(df, "embedding", ell=16)
+    a32 = a.astype(np.float32).astype(np.float64)
+    _check_bound(fd, a32)
+    # NULL rows skipped
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(9999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    fd2 = frequent_directions(df2, "embedding", ell=16)
+    _check_bound(fd2, a32)
+
+
+def test_spark_empty_raises(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        frequent_directions(empty, "embedding", ell=8)
