@@ -44,6 +44,8 @@ __all__ = [
     "cm_build",
     "cm_estimate",
     "cm_with_exact",
+    "heavy_hitters_by_key",
+    "quantiles_by_key",
 ]
 
 
@@ -559,3 +561,95 @@ def cm_with_exact(
         return df.sparkSession.createDataFrame(rows, out.schema)
     finally:
         cm.unpersist(blocking=False)
+
+
+def heavy_hitters_by_key(
+    df: DataFrame, key_col: str, col, k: int = 100
+) -> DataFrame:
+    """(key, term, est_count) Misra-Gries candidates PER KEY (the
+    per-domain / per-language top-terms shape). One hash-partition
+    shuffle on the key; each group folds through a bounded k-entry
+    summary inside applyInPandas (value_counts pre-aggregation per
+    group, weighted MG updates), so per-key state is O(k) no matter
+    how many rows the key has. Guarantees are the global sketch's,
+    per key: no false negatives above n_key/(k+1), undercount <=
+    n_key/(k+1)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = col if isinstance(col, Column) else F.col(col)
+    base = df.select(
+        F.col(key_col).alias("__key"), c.alias("__term")
+    ).where(F.col("__term").isNotNull())
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        vc = pdf["__term"].value_counts()
+        for t, cnt in vc.items():
+            _mg_add(counts, t, int(cnt), k)
+        key = pdf["__key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [key] * len(counts),
+                "term": list(counts),
+                "est_count": list(counts.values()),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return base.groupBy("__key").applyInPandas(
+        fold, schema=f"key {key_type}, term string, est_count long"
+    )
+
+
+def quantiles_by_key(
+    df: DataFrame,
+    key_col: str,
+    col,
+    ps,
+    k: int = 128,
+) -> DataFrame:
+    """(key, p, value, est_rank, err_bound, n) compactor-sketch
+    quantiles PER KEY, each with its own certified rank-error bound
+    (operators/quantiles semantics, grouped). One hash-partition
+    shuffle on the key; per-key state is the O(k log(n/k)) sketch."""
+    from . import quantiles as _Q
+
+    ps = [float(p) for p in ps]
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    c = col if isinstance(col, Column) else F.col(col)
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        c.cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sk = _Q.CompactorSketch(k)
+        sk.update_batch(
+            pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+        )
+        key = pdf["__key"].iloc[0]
+        rows = {
+            "key": [], "p": [], "value": [], "est_rank": [],
+            "err_bound": [], "n": [],
+        }
+        for p in ps:
+            v = sk.quantile(p)
+            rows["key"].append(key)
+            rows["p"].append(p)
+            rows["value"].append(v)
+            rows["est_rank"].append(sk.est_rank(v))
+            rows["err_bound"].append(sk.err_bound)
+            rows["n"].append(sk.n)
+        return pd.DataFrame(rows)
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return base.groupBy("__key").applyInPandas(
+        fold,
+        schema=(
+            f"key {key_type}, p double, value double, est_rank long, "
+            "err_bound long, n long"
+        ),
+    )

@@ -1,0 +1,79 @@
+"""Grouped sketches (operators/sketches heavy_hitters_by_key /
+quantiles_by_key): per-key MG guarantees vs exact counts, per-key
+certified quantile bounds vs exact ranks, and non-string key types."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators import sketches as SK
+
+
+def _keyed_terms(spark, seed=3, n=30_000):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (f"k{int(rng.integers(0, 4))}", f"w{int(v) % 300}")
+        for v in rng.zipf(1.4, n)
+    ]
+    return spark.createDataFrame(rows, "key string, tok string"), rows
+
+
+def test_heavy_hitters_by_key_guarantee(spark):
+    df, rows = _keyed_terms(spark)
+    k = 40
+    got = defaultdict(dict)
+    for r in SK.heavy_hitters_by_key(df, "key", "tok", k=k).collect():
+        got[r["key"]][r["term"]] = r["est_count"]
+    true = defaultdict(Counter)
+    for key, t in rows:
+        true[key][t] += 1
+    assert set(got) == set(true)
+    for key, cnt in true.items():
+        n_key = sum(cnt.values())
+        thr = n_key / (k + 1)
+        assert len(got[key]) <= k
+        for t, c in cnt.items():
+            if c > thr:
+                assert t in got[key], (key, t, c)
+        for t, est in got[key].items():
+            assert est <= cnt[t]
+            assert est >= cnt[t] - thr
+
+
+def test_quantiles_by_key_certified(spark):
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(i % 3), float(v))
+        for i, v in enumerate(rng.normal(size=9000))
+    ]
+    df = spark.createDataFrame(rows, "grp int, x double")
+    out = SK.quantiles_by_key(
+        df, "grp", "x", ps=(0.1, 0.5, 0.9), k=64
+    ).collect()
+    by_key = defaultdict(list)
+    for g, v in rows:
+        by_key[g].append(v)
+    assert {r["key"] for r in out} == {0, 1, 2}
+    for r in out:
+        data = np.asarray(by_key[r["key"]])
+        assert r["n"] == len(data)
+        true_rank = int((data <= r["value"]).sum())
+        assert abs(r["est_rank"] - true_rank) <= r["err_bound"]
+        assert r["err_bound"] <= 0.1 * len(data)
+        # the estimate's rank is near the target percentile
+        assert abs(true_rank - r["p"] * len(data)) <= (
+            r["err_bound"] + 64
+        )
+
+
+def test_grouped_guards(spark):
+    df, _ = _keyed_terms(spark, n=100)
+    with pytest.raises(ValueError, match="k"):
+        SK.heavy_hitters_by_key(df, "key", "tok", k=0)
+    with pytest.raises(ValueError, match="ps"):
+        SK.quantiles_by_key(df, "key", F.length("tok"), ps=())
