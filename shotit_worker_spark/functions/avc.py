@@ -1479,9 +1479,17 @@ class _IFrame:
         self.poc = None
         self.ref0_pocs = None
         self.ref1_pocs = None
-        # adaptive marking commands (7.3.3.3 op-1 unmarks) parsed
-        # from this picture's header — applied by the DPB owner
+        # per-list LongTermPicNum metadata (None entry = short-term;
+        # set by _decode_one_slice) — spatial-direct colZero needs
+        # to know whether RefPicList1[0] is long-term
+        self.ref0_lt = None
+        self.ref1_lt = None
+        # adaptive marking commands (7.3.3.3; op-1 unmark plus the
+        # long-term ops 2/3/4/6) parsed from this picture's header —
+        # applied by the DPB owner. IDR long_term_reference_flag
+        # surfaces as idr_long_term.
         self.mmco = None
+        self.idr_long_term = False
         # constrained_intra_pred in a P/B slice (r8): intra
         # prediction treats INTER neighbors' samples as unavailable
         self.constrained_intra = False
@@ -1700,14 +1708,19 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
     if nal_ref_idc != 0:
         if nal_type == 5:
             r.flag()  # no_output_of_prior_pics
-            r.flag()  # long_term_reference_flag
+            # IDR long_term_reference_flag: the IDR itself becomes a
+            # long-term reference with LongTermFrameIdx 0 (8.2.5.1)
+            h["idr_long_term"] = r.flag()
         else:
             if r.flag():  # adaptive_ref_pic_marking_mode
                 # dec_ref_pic_marking (7.3.3.3): short-term unmark
-                # (op 1) is supported — the DPB owner (GOP cursor)
-                # applies it after this picture decodes. Everything
-                # long-term (ops 2/3/4/6) and the MMCO5 full reset
-                # (it also rewrites frame_num/POC state) refuse.
+                # (op 1) and the long-term family — op 2 (unmark LT
+                # by long_term_pic_num), op 3 (short-term -> LT by
+                # picNum + idx), op 4 (MaxLongTermFrameIdx), op 6
+                # (mark current LT) — are supported; the DPB owner
+                # (GOP cursor) applies them after this picture
+                # decodes. Only the MMCO5 full reset refuses (it
+                # also rewrites frame_num/POC state).
                 ops = []
                 while True:
                     op = r.ue()
@@ -1715,11 +1728,18 @@ def parse_slice_header(r: BitReader, sps: SPS, pps: PPS, nal_type: int,
                         break
                     if op == 1:
                         ops.append((1, r.ue()))
-                    elif op in (2, 3, 4, 5, 6):
+                    elif op == 2:
+                        ops.append((2, r.ue()))
+                    elif op == 3:
+                        ops.append((3, r.ue(), r.ue()))
+                    elif op == 4:
+                        ops.append((4, r.ue()))
+                    elif op == 6:
+                        ops.append((6, r.ue()))
+                    elif op == 5:
                         raise AVCError(
-                            f"memory_management_control_operation"
-                            f" {op} unsupported (short-term unmark"
-                            " only)"
+                            "memory_management_control_operation 5"
+                            " unsupported (frame_num/POC reset)"
                         )
                     else:
                         raise AVCError(
@@ -1802,7 +1822,9 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
                         ref1: "_IFrame | None" = None,
                         poc: "int | None" = None,
                         ref_pocs: "list | None" = None,
-                        ref1_pocs: "list | None" = None) -> "_IFrame":
+                        ref1_pocs: "list | None" = None,
+                        ref_lt: "list | None" = None,
+                        ref1_lt: "list | None" = None) -> "_IFrame":
     nals = (list(slice_nal) if isinstance(slice_nal, (list, tuple))
             else [slice_nal])
     if not nals:
@@ -1813,7 +1835,7 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
     for si, nal in enumerate(nals):
         st, pos, dp = _decode_one_slice(
             sps, pps, nal, st, si, pos, ref, ref1, poc, ref_pocs,
-            ref1_pocs)
+            ref1_pocs, ref_lt, ref1_lt)
         if deblock_params is None:
             deblock_params = dp
         elif dp != deblock_params:
@@ -1837,7 +1859,8 @@ def _decode_frame_inner(sps: SPS, pps: PPS, slice_nal: bytes,
 def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
                       st: "_IFrame | None", slice_idx: int,
                       start_mb: int,
-                      ref, ref1, poc, ref_pocs, ref1_pocs):
+                      ref, ref1, poc, ref_pocs, ref1_pocs,
+                      ref_lt=None, ref1_lt=None):
     """Parse + decode ONE coded slice into the shared picture state
     ``st`` (created at the first slice). Returns (st, end_mb,
     (disable_idc, alpha_off, beta_off))."""
@@ -1873,27 +1896,43 @@ def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
     st.constrained_intra = bool(
         pps.constrained_intra_pred and (h["is_p"] or h["is_b"]))
     st.frame_num = h["frame_num"]
+    # per-entry LongTermPicNum metadata (None = short-term), kept
+    # aligned with the lists through modification
+    lts0 = (list(ref_lt) if ref_lt is not None
+            else [None] * len(refs0))
+    lts1 = (list(ref1_lt) if ref1_lt is not None
+            else [None] * len(refs1))
+    if len(lts0) != len(refs0) or len(lts1) != len(refs1):
+        raise AVCError("ref_lt length mismatch with reference list")
     # list modification BEFORE anything consumes list order (MC and
     # the implicit-WP table below both index the MODIFIED lists)
     max_fn = 1 << sps.log2_max_frame_num
+
+    def _modify(refs, pocs, lts, cmds, n_active, which):
+        if len(refs) < n_active:
+            raise AVCError(
+                f"slice activates {n_active} {which} refs; caller "
+                f"supplied {len(refs)}"
+            )
+        pocs_in = pocs if pocs is not None else [None] * len(refs)
+        packed = list(zip(pocs_in, lts))
+        refs, packed = apply_ref_list_modification(
+            refs, packed, cmds, h["frame_num"], max_fn, n_active,
+            lt_pic_nums=lts)
+        new_pocs = [p for p, _ in packed]
+        new_lts = [l for _, l in packed]
+        return (refs,
+                new_pocs if pocs is not None else None,
+                new_lts)
+
     if h.get("rplm0"):
-        if len(refs0) < h["n_ref0"]:
-            raise AVCError(
-                f"slice activates {h['n_ref0']} L0 refs; caller "
-                f"supplied {len(refs0)}"
-            )
-        refs0, ref_pocs = apply_ref_list_modification(
-            refs0, ref_pocs, h["rplm0"], h["frame_num"], max_fn,
-            h["n_ref0"])
+        refs0, ref_pocs, lts0 = _modify(
+            refs0, ref_pocs, lts0, h["rplm0"], h["n_ref0"], "L0")
     if h.get("rplm1"):
-        if len(refs1) < h["n_ref1"]:
-            raise AVCError(
-                f"slice activates {h['n_ref1']} L1 refs; caller "
-                f"supplied {len(refs1)}"
-            )
-        refs1, ref1_pocs = apply_ref_list_modification(
-            refs1, ref1_pocs, h["rplm1"], h["frame_num"], max_fn,
-            h["n_ref1"])
+        refs1, ref1_pocs, lts1 = _modify(
+            refs1, ref1_pocs, lts1, h["rplm1"], h["n_ref1"], "L1")
+    st.ref0_lt = lts0
+    st.ref1_lt = lts1
     if h.get("implicit_wp"):
         if poc is None or ref_pocs is None or ref1_pocs is None:
             raise AVCError(
@@ -1917,6 +1956,8 @@ def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
     # picture; keep the first slice's run)
     if h.get("mmco") is not None:
         st.mmco = h["mmco"]
+    if h.get("idr_long_term"):
+        st.idr_long_term = True
     if h["is_b"]:
         st.direct_spatial = h["direct_spatial"]
         if not st.direct_spatial and (
@@ -2443,22 +2484,25 @@ def _weight_bi(p0: np.ndarray, p1: np.ndarray, e0, e1, d: int,
 
 def _parse_rplm(r: BitReader) -> list:
     """ref_pic_list_modification command run (7.3.3.1): a list of
-    (modification_of_pic_nums_idc, abs_diff_pic_num_minus1) pairs
-    terminated by idc 3. Short-term picNum commands only — long-term
-    (idc 2) refuses (no long-term marking support anywhere in this
-    decoder), out-of-range idc refuses."""
+    (modification_of_pic_nums_idc, abs_diff_pic_num_minus1) pairs —
+    idc 0/1 short-term picNum commands, idc 2 long-term commands
+    recorded as ("lt", long_term_pic_num) — terminated by idc 3.
+    Out-of-range idc refuses."""
     cmds = []
     while True:
         idc = r.ue()
         if idc == 3:
             return cmds
         if idc == 2:
-            raise AVCError(
-                "long-term ref_pic_list_modification unsupported")
-        if idc > 3:
+            # long-term command: the operand is long_term_pic_num
+            # (r8 late wave: long-term marking is supported end to
+            # end — the DPB owner supplies per-entry LT pic nums)
+            cmds.append(("lt", r.ue()))
+        elif idc > 3:
             raise AVCError(
                 f"modification_of_pic_nums_idc {idc} out of range")
-        cmds.append((idc, r.ue()))
+        else:
+            cmds.append((idc, r.ue()))
         if len(cmds) > 32:
             raise AVCError("ref_pic_list_modification run too long")
 
@@ -2466,23 +2510,32 @@ def _parse_rplm(r: BitReader) -> list:
 def apply_ref_list_modification(init_states: list, init_aux,
                                 cmds: list, cur_frame_num: int,
                                 max_frame_num: int,
-                                n_active: int) -> tuple:
-    """RefPicList modification for short-term pictures (8.2.4.3.1):
-    start from the initial list, and for each command derive
-    picNumLX with the wrap rules
+                                n_active: int,
+                                lt_pic_nums=None) -> tuple:
+    """RefPicList modification (8.2.4.3): start from the initial
+    list; short-term commands derive picNumLX with the wrap rules
 
         picNumLXNoWrap = picNumLXPred -/+ (abs_diff_pic_num_minus1+1)
                          (+/- MaxFrameNum on under/overflow)
         picNumLX = picNumLXNoWrap - MaxFrameNum
                    if picNumLXNoWrap > CurrPicNum else picNumLXNoWrap
 
-    then place that picture at the next refIdx, shifting the rest
-    back and dropping the later duplicate. Each init state must carry
-    ``frame_num`` (decode_frame sets it); its picNum is frame_num,
-    wrapped below CurrPicNum the same way. Returns the modified
-    (states, aux) truncated to ``n_active`` — ``aux`` is an optional
-    parallel list (the POC values for implicit WP) kept aligned, or
-    None."""
+    and long-term ("lt", long_term_pic_num) commands look up by the
+    per-entry ``lt_pic_nums`` (parallel to ``init_states``: the
+    entry's LongTermPicNum, or None for short-term pictures). Each
+    command places its picture at the next refIdx, shifting the rest
+    back and dropping the later duplicate OF THE SAME KIND (the
+    spec's PicNumF/LongTermPicNumF sentinels make a short-term
+    command never evict a long-term entry and vice versa). Each
+    short-term init state must carry ``frame_num`` (decode_frame
+    sets it). Returns the modified (states, aux) truncated to
+    ``n_active`` — ``aux`` is an optional parallel list (e.g. POC
+    values, or (poc, lt) tuples) kept aligned, or None."""
+    lts = (list(lt_pic_nums) if lt_pic_nums is not None
+           else [None] * len(init_states))
+    if len(lts) != len(init_states):
+        raise AVCError("lt_pic_nums length mismatch")
+
     def pic_num(stt):
         fn = getattr(stt, "frame_num", None)
         if fn is None:
@@ -2492,39 +2545,63 @@ def apply_ref_list_modification(init_states: list, init_aux,
         return fn - max_frame_num if fn > cur_frame_num else fn
 
     aux = list(init_aux) if init_aux is not None else None
-    entries = [(s, aux[i] if aux is not None else None)
+    # entry = (state, aux_i, lt_pic_num_or_None)
+    entries = [(s, aux[i] if aux is not None else None, lts[i])
                for i, s in enumerate(init_states)]
     by_picnum = {}
+    by_ltpn = {}
     for e in entries:
-        by_picnum.setdefault(pic_num(e[0]), e)
+        if e[2] is None:
+            by_picnum.setdefault(pic_num(e[0]), e)
+        else:
+            by_ltpn.setdefault(e[2], e)
+
+    def same_kind_match(entry, key, is_lt):
+        if is_lt:
+            return entry[2] is not None and entry[2] == key
+        return entry[2] is None and pic_num(entry[0]) == key
+
     # working list one slot longer than the active size (the spec's
     # temporary length n_active + 1)
     lst = entries[:n_active] + [None]
     pred = cur_frame_num
     ref_idx = 0
-    for idc, abs_m1 in cmds:
-        if idc == 0:
-            nowrap = pred - (abs_m1 + 1)
-            if nowrap < 0:
-                nowrap += max_frame_num
+    for cmd in cmds:
+        if cmd[0] == "lt":
+            key = cmd[1]
+            is_lt = True
+            target = by_ltpn.get(key)
+            if target is None:
+                raise AVCError(
+                    f"ref_pic_list_modification names LongTermPicNum"
+                    f" {key} not in the supplied reference window")
         else:
-            nowrap = pred + (abs_m1 + 1)
-            if nowrap >= max_frame_num:
-                nowrap -= max_frame_num
-        pred = nowrap
-        pn = nowrap - max_frame_num if nowrap > cur_frame_num else nowrap
-        target = by_picnum.get(pn)
-        if target is None:
-            raise AVCError(
-                f"ref_pic_list_modification names picNum {pn} not in"
-                " the supplied reference window")
+            idc, abs_m1 = cmd
+            if idc == 0:
+                nowrap = pred - (abs_m1 + 1)
+                if nowrap < 0:
+                    nowrap += max_frame_num
+            else:
+                nowrap = pred + (abs_m1 + 1)
+                if nowrap >= max_frame_num:
+                    nowrap -= max_frame_num
+            pred = nowrap
+            key = (nowrap - max_frame_num if nowrap > cur_frame_num
+                   else nowrap)
+            is_lt = False
+            target = by_picnum.get(key)
+            if target is None:
+                raise AVCError(
+                    f"ref_pic_list_modification names picNum {key}"
+                    " not in the supplied reference window")
         for c in range(min(len(lst) - 1, n_active), ref_idx, -1):
             lst[c] = lst[c - 1]
         lst[ref_idx] = target
         ref_idx += 1
         keep = ref_idx
         for c in range(ref_idx, n_active + 1):
-            if lst[c] is not None and pic_num(lst[c][0]) != pn:
+            if lst[c] is not None and not same_kind_match(
+                    lst[c], key, is_lt):
                 lst[keep] = lst[c]
                 keep += 1
         for c in range(keep, n_active + 1):
@@ -2893,9 +2970,13 @@ def _spatial_direct(st: _IFrame, col: _IFrame, mb: int, mbx: int,
             else:
                 cmx = cmy = 0
                 ref_col = -1
-            # short-term condition holds (no long-term refs in scope)
-            col_zero = (ref_col == 0 and abs(cmx) <= 1
-                        and abs(cmy) <= 1)
+            # 8.4.1.2.2: colZeroFlag additionally requires the
+            # colocated picture (RefPicList1[0]) to be SHORT-term
+            col_pic_st = (st.ref1_lt is None
+                          or not st.ref1_lt
+                          or st.ref1_lt[0] is None)
+            col_zero = (col_pic_st and ref_col == 0
+                        and abs(cmx) <= 1 and abs(cmy) <= 1)
         mv0 = (0, 0) if (col_zero and refs[0] == 0) else mvp[0]
         mv1 = (0, 0) if (col_zero and refs[1] == 0) else mvp[1]
         out.append((mv0 if refs[0] >= 0 else (0, 0),
@@ -2916,6 +2997,13 @@ def _temporal_direct(st: _IFrame, refs0: list, refs1: list, mb: int,
     Intra colocated blocks contribute mvCol = 0 at refIdxL0 = 0;
     equal-POC pairs (td = 0) take mvL0 = mvCol, mvL1 = 0. Returns the
     uniform per-8x8 direct shape [(ref0, ref1, mv0, mv1)] * 4."""
+    if (st.ref1_lt and st.ref1_lt[0] is not None) or (
+            st.ref0_lt and any(l is not None for l in st.ref0_lt)):
+        # bounded scope: the LT branches of 8.4.1.2.3 (scaling
+        # disabled when the mapped reference is long-term) are not
+        # implemented — refuse rather than scale wrongly
+        raise AVCError(
+            "temporal direct over long-term references unsupported")
     col = refs1[0]
     poc_cur = st.poc
     poc_col = st.ref1_pocs[0]
@@ -3199,7 +3287,8 @@ def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,
 
 def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
                  ref=None, ref1=None, poc=None, ref_pocs=None,
-                 ref1_pocs=None) -> "_IFrame":
+                 ref1_pocs=None, ref_lt=None,
+                 ref1_lt=None) -> "_IFrame":
     """Decode one coded slice NAL (I, P, or B) into its reconstructed
     frame state (post-deblock, full macroblock grid). ``ref`` is the
     L0 reference list — a single _IFrame or a list in RefPicList0
@@ -3215,7 +3304,8 @@ def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
     anything corrupt raises :class:`AVCError`."""
     try:
         return _decode_frame_inner(sps, pps, slice_nal, ref, ref1,
-                                   poc, ref_pocs, ref1_pocs)
+                                   poc, ref_pocs, ref1_pocs,
+                                   ref_lt, ref1_lt)
     except AVCError:
         raise
     except (IndexError, ValueError, KeyError, OverflowError,
@@ -3225,7 +3315,8 @@ def decode_frame(sps: SPS, pps: PPS, slice_nal: bytes,
 
 def decode_picture(sps: SPS, pps: PPS, slice_nals: list,
                    ref=None, ref1=None, poc=None, ref_pocs=None,
-                   ref1_pocs=None) -> "_IFrame":
+                   ref1_pocs=None, ref_lt=None,
+                   ref1_lt=None) -> "_IFrame":
     """Decode one coded PICTURE from its slice NALs in order (r8:
     multi-slice pictures — RTP/low-latency encoders tile a frame
     into several slices). Slices must tile the macroblocks in raster
@@ -3236,7 +3327,8 @@ def decode_picture(sps: SPS, pps: PPS, slice_nals: list,
     single-slice special case of this call."""
     return decode_frame(sps, pps, slice_nals, ref=ref, ref1=ref1,
                         poc=poc, ref_pocs=ref_pocs,
-                        ref1_pocs=ref1_pocs)
+                        ref1_pocs=ref1_pocs, ref_lt=ref_lt,
+                        ref1_lt=ref1_lt)
 
 
 def slice_kind(slice_nal: bytes) -> str:

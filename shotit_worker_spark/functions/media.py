@@ -494,29 +494,41 @@ class _AvcGopCursor:
                     if not self._refs:
                         raise AV.AVCError("P sample without a stored"
                                           " reference")
-                    # default RefPicList0: most recently decoded
-                    # reference first (8.2.4.2.1, frame_num order ==
-                    # decode order in our single-GOP scope); POC
-                    # context recorded so a later temporal-direct B
-                    # can map this picture's references
-                    l0 = list(reversed(self._refs))
+                    # default RefPicList0 (8.2.4.2.1): short-term by
+                    # decode recency, then LONG-term by
+                    # LongTermFrameIdx ascending; POC context
+                    # recorded so a later temporal-direct B can map
+                    # this picture's references
+                    st_refs = [r for r in self._refs if r[3] is None]
+                    lt_refs = sorted(
+                        (r for r in self._refs if r[3] is not None),
+                        key=lambda r: r[3])
+                    l0 = list(reversed(st_refs)) + lt_refs
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
                         ref=[r[2] for r in l0],
                         poc=poc,
                         ref_pocs=[r[1] for r in l0],
+                        ref_lt=[r[3] for r in l0],
                     )
                 else:  # B: default lists around this pts (8.2.4.2.3)
-                    past = sorted((r for r in self._refs
+                    st_pool = [r for r in self._refs if r[3] is None]
+                    lt_refs = sorted(
+                        (r for r in self._refs if r[3] is not None),
+                        key=lambda r: r[3])
+                    past = sorted((r for r in st_pool
                                    if r[0] < s.pts),
                                   key=lambda r: -r[0])
-                    future = sorted((r for r in self._refs
+                    future = sorted((r for r in st_pool
                                      if r[0] > s.pts),
                                     key=lambda r: r[0])
                     if not past or not future:
                         raise AV.AVCError("B sample without both"
                                           " references in the DPB")
-                    l0, l1 = past + future, future + past
+                    # long-term refs append AFTER short-term in BOTH
+                    # lists, ordered by LongTermFrameIdx (8.2.4.2.4)
+                    l0 = past + future + lt_refs
+                    l1 = future + past + lt_refs
                     st = AV.decode_frame(
                         self.sps, self.pps, nal,
                         ref=[r[2] for r in l0],
@@ -524,29 +536,78 @@ class _AvcGopCursor:
                         poc=poc,
                         ref_pocs=[r[1] for r in l0],
                         ref1_pocs=[r[1] for r in l1],
+                        ref_lt=[r[3] for r in l0],
+                        ref1_lt=[r[3] for r in l1],
                     )
                 if nal[0][0] >> 5:  # nal_ref_idc != 0: a ref pic
                     if s.keyframe:
                         self._refs = []  # IDR empties the DPB
-                    for op, diff in (st.mmco or ()):
-                        # op 1 (the only op decode_frame admits):
-                        # unmark the short-term picture at picNum
-                        # CurrPicNum - (diff + 1), with frame_num
-                        # wrap below the current value (8.2.5.4.1)
-                        max_fn = 1 << self.sps.log2_max_frame_num
-                        pnx = st.frame_num - (diff + 1)
-                        if pnx < 0:
-                            pnx += max_fn
-                        self._refs = [
-                            r for r in self._refs
-                            if (r[2].frame_num
-                                if r[2].frame_num <= st.frame_num
-                                else r[2].frame_num - max_fn)
-                            != (pnx if pnx <= st.frame_num
-                                else pnx - max_fn)
-                        ]
-                    self._refs.append((s.pts, poc, st))
-                    self._refs = self._refs[-self._dpb:]
+                    cur_lt = 0 if (s.keyframe
+                                   and st.idr_long_term) else None
+                    max_fn = 1 << self.sps.log2_max_frame_num
+
+                    def pic_num_of(entry):
+                        fn = entry[2].frame_num
+                        fn = fn if fn <= st.frame_num else fn - max_fn
+                        return fn
+
+                    for op in (st.mmco or ()):
+                        # 8.2.5.4: marking ops against this DPB;
+                        # frames, so LongTermPicNum == FrameIdx
+                        if op[0] == 1:
+                            pnx = st.frame_num - (op[1] + 1)
+                            if pnx < 0:
+                                pnx += max_fn
+                            pnx = (pnx if pnx <= st.frame_num
+                                   else pnx - max_fn)
+                            self._refs = [
+                                r for r in self._refs
+                                if r[3] is not None
+                                or pic_num_of(r) != pnx
+                            ]
+                        elif op[0] == 2:
+                            self._refs = [
+                                r for r in self._refs if r[3] != op[1]
+                            ]
+                        elif op[0] == 3:
+                            pnx = st.frame_num - (op[1] + 1)
+                            if pnx < 0:
+                                pnx += max_fn
+                            pnx = (pnx if pnx <= st.frame_num
+                                   else pnx - max_fn)
+                            self._refs = [
+                                r for r in self._refs if r[3] != op[2]
+                            ]
+                            self._refs = [
+                                (r[0], r[1], r[2], op[2])
+                                if (r[3] is None
+                                    and pic_num_of(r) == pnx)
+                                else r
+                                for r in self._refs
+                            ]
+                        elif op[0] == 4:
+                            self._refs = [
+                                r for r in self._refs
+                                if r[3] is None or r[3] <= op[1] - 1
+                            ]
+                        elif op[0] == 6:
+                            self._refs = [
+                                r for r in self._refs if r[3] != op[1]
+                            ]
+                            cur_lt = op[1]
+                    self._refs.append((s.pts, poc, st, cur_lt))
+                    # sliding window (8.2.5.3): long-term pictures
+                    # are never evicted implicitly; trim the OLDEST
+                    # short-term entries past capacity
+                    excess = len(self._refs) - self._dpb
+                    if excess > 0:
+                        kept = []
+                        for r in self._refs:
+                            if excess > 0 and r[3] is None:
+                                excess -= 1
+                                continue
+                            kept.append(r)
+                        self._refs = kept
                 self._state = st
                 self._pos = p
         except (AV.AVCError, MP.MP4Error):

@@ -1025,15 +1025,28 @@ def test_rplm_missing_picnum_refuses():
             [_FakeRef(2), _FakeRef(1)], None, [(0, 3)], 3, 16, 2)
 
 
-def test_rplm_long_term_refuses():
+def test_rplm_long_term_parses():
+    # r8 late wave: idc 2 parses to a ("lt", long_term_pic_num)
+    # command (the decode path resolves it against the DPB owner's
+    # per-entry LT metadata)
     w = ENC.BitWriter()
     w.ue(2)  # modification_of_pic_nums_idc 2: long-term
-    w.ue(0)
+    w.ue(7)  # long_term_pic_num
     w.ue(3)
     w.rbsp_trailing()
     r = avc.BitReader(bytes(w.to_rbsp()))
-    with pytest.raises(avc.AVCError, match="long-term"):
-        avc._parse_rplm(r)
+    assert avc._parse_rplm(r) == [("lt", 7)]
+
+
+def test_rplm_long_term_without_lt_refs_refuses():
+    # the command names a LongTermPicNum, but the supplied window
+    # has only short-term entries -> typed refusal
+    sps = _blank_sps(2, 1)
+    st0 = avc._IFrame(sps)
+    st0.frame_num = 0
+    with pytest.raises(avc.AVCError, match="LongTermPicNum"):
+        avc.apply_ref_list_modification(
+            [st0], None, [("lt", 0)], 1, 16, 1)
 
 
 def _rplm_entries(mbw, mbh, seed=1200):
@@ -1366,29 +1379,212 @@ def test_mmco_unmark_changes_default_list_in_mp4(spark):
     assert np.array_equal(got, want_rgb(recons[3]))
 
 
-def test_mmco_long_term_ops_refuse():
-    w = ENC.BitWriter()
-    w.ue(0)       # first_mb_in_slice
-    w.ue(5)       # slice_type P
-    w.ue(0)       # pps id
-    w.u(1, 4)     # frame_num
-    w.u(0, 6)     # poc lsb
-    w.u(0, 1)     # no override
-    w.u(0, 1)     # no rplm
-    w.u(1, 1)     # adaptive marking ON
-    w.ue(4)       # MMCO op 4 (max long-term idx) -> refuse
-    w.ue(0)
-    w.ue(0)
-    w.se(0)
-    w.ue(1)
-    w.rbsp_trailing()
-    nal = ENC.make_nal(3, 1, w.to_rbsp())
+def test_mmco_op5_refuses_and_lt_ops_parse():
+    def p_with_mmco(emit_ops):
+        w = ENC.BitWriter()
+        w.ue(0)       # first_mb_in_slice
+        w.ue(5)       # slice_type P
+        w.ue(0)       # pps id
+        w.u(1, 4)     # frame_num
+        w.u(0, 6)     # poc lsb
+        w.u(0, 1)     # no override
+        w.u(0, 1)     # no rplm
+        w.u(1, 1)     # adaptive marking ON
+        emit_ops(w)
+        w.ue(0)       # MMCO end
+        w.se(0)       # slice_qp_delta
+        w.ue(0)       # disable_deblocking_filter_idc
+        w.se(0)       # alpha offset
+        w.se(0)       # beta offset
+        w.ue(2)       # all-skip run (mb_skip_run covers both MBs)
+        w.rbsp_trailing()
+        return ENC.make_nal(3, 1, w.to_rbsp())
+
     sps = _blank_sps(2, 1)
     pps = avc.parse_pps(ENC.write_pps())
     st0 = avc._IFrame(sps)
     st0.frame_num = 0
-    with pytest.raises(avc.AVCError, match="management_control"):
+    # r8 late wave: the long-term family parses and surfaces on the
+    # state for the DPB owner
+    nal = p_with_mmco(lambda w: (w.ue(4), w.ue(2)))  # op4 max idx 1
+    st = avc.decode_frame(sps, pps, nal, ref=st0)
+    assert st.mmco == [(4, 2)]
+    nal = p_with_mmco(
+        lambda w: (w.ue(3), w.ue(0), w.ue(1), w.ue(6), w.ue(0),
+                   w.ue(2), w.ue(5)))
+    st = avc.decode_frame(sps, pps, nal, ref=st0)
+    assert st.mmco == [(3, 0, 1), (6, 0), (2, 5)]
+    # the MMCO5 full reset (frame_num/POC rewrite) still refuses
+    nal = p_with_mmco(lambda w: w.ue(5))
+    with pytest.raises(avc.AVCError, match="operation 5"):
         avc.decode_frame(sps, pps, nal, ref=st0)
+
+
+# ---------------------------------------------------------------------------
+# long-term reference pictures (r8 late wave): MMCO ops 2/3/4/6,
+# 8.2.4.2 default-list ordering (short-term by recency, then
+# long-term by LongTermFrameIdx), RPLM long-term commands
+# ---------------------------------------------------------------------------
+
+
+def _avc_mp4_rows(spark, sps_nal, pps_nal, nals, mbw, mbh, fps=4.0):
+    """Wrap per-picture NALs into an mp4 and decode through the GOP
+    cursor; returns rows sorted by frame_no."""
+    from gen_mp4_fixture import build_mp4, sample_bytes
+
+    from shotit_worker_spark.functions import media as M
+
+    timescale = 12000
+    dt = timescale // 4
+    blob, _offs = build_mp4(
+        [sample_bytes(n if isinstance(n, list) else [n])
+         for n in nals],
+        deltas=[dt] * len(nals),
+        timescale=timescale,
+        keyframes=[0],
+        width=mbw * 16,
+        height=mbh * 16,
+        sps=[sps_nal],
+        pps=[pps_nal],
+    )
+    df = spark.createDataFrame(
+        [("v/lt.mp4", bytearray(blob))], "path string, content binary"
+    )
+    return sorted(
+        M.decode_frames(df, fps=fps).collect(),
+        key=lambda r: r["frame_no"],
+    )
+
+
+def _want_cursor_rgb(sps, recon):
+    from shotit_worker_spark.functions.avc import frame_rgb
+    from shotit_worker_spark.functions.media import (
+        FRAME_HEIGHT, _bilinear_resize,
+    )
+
+    st = avc._IFrame(sps)
+    st.Y, st.Cb, st.Cr = recon
+    rgb = frame_rgb(st, sps)
+    w = max(2, 2 * round(rgb.shape[1] * FRAME_HEIGHT
+                         / rgb.shape[0] / 2))
+    return _bilinear_resize(rgb, FRAME_HEIGHT, w)
+
+
+def test_mmco_op6_current_long_term_reorders_default_list(spark):
+    """I P1(MMCO op 6: mark ITSELF long-term, idx 0) P2(2 refs):
+    8.2.4.2.1 puts long-term pictures AFTER every short-term one, so
+    P2's default L0 is [I, P1] — the reverse of the recency order
+    [P1, I] a marking-blind DPB would produce. P2's plan references
+    both slots, so ignoring the op mis-predicts every block."""
+    from shotit_worker_spark.functions import imagecodec as IC
+
+    mbw, mbh = 4, 2
+    f = [_planes(1900 + i, mbw, mbh) for i in range(3)]
+
+    def p2_plan(mbx, mby):
+        k = (mbx + mby * mbw) % 2
+        return {"kind": "p16", "mv": (3 - k, k - 1), "refs": [k]}
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "mmco": [(6, 0)],
+         "plan": lambda x, y: {"kind": "p16", "mv": (2, -1)}},
+        # default L0 after the op-6 marking: [I(short), P1(long)]
+        {"kind": "P", "frame": f[2], "refs": [0, 1], "poc": 4,
+         "plan": p2_plan},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    assert st1.mmco == [(6, 0)]
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=[st0, st1],
+                           ref_lt=[None, 0])
+    _assert_exact([st0, st1, st2], recons)
+    rows = _avc_mp4_rows(spark, sps_nal, pps_nal, nals, mbw, mbh)
+    assert len(rows) == 3
+    got = IC.decode_image(bytes(rows[2]["image"]))
+    assert np.array_equal(got, _want_cursor_rgb(sps, recons[2]))
+
+
+def test_mmco_op3_rplm_lt_chain_in_mp4(spark):
+    """I P1 P2(MMCO op 3: short-term P1 -> long-term idx 0) P3(3
+    refs, default order [P2, I, P1lt]) P4(RPLM 'lt' command promotes
+    the long-term P1 to refIdx 0): the cursor must track the
+    short-term->long-term conversion, order the default lists per
+    8.2.4.2.1, and the decoder must resolve the long-term RPLM
+    command against the per-entry LongTermPicNum metadata."""
+    from shotit_worker_spark.functions import imagecodec as IC
+
+    mbw, mbh = 4, 2
+    f = [_planes(2100 + i, mbw, mbh) for i in range(5)]
+
+    def cycling_plan(n):
+        def plan(mbx, mby):
+            k = (mbx + mby * mbw) % n
+            if k == 0:
+                return {"kind": "skip"}
+            return {"kind": "p16", "mv": (k + 1, -k), "refs": [k]}
+        return plan
+
+    entries = [
+        {"kind": "I", "frame": f[0], "poc": 0},
+        {"kind": "P", "frame": f[1], "ref": 0, "poc": 2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (3, 1)}},
+        # CurrPicNum 2: picNum(P1)=1 -> diff_minus1 0; idx 0
+        {"kind": "P", "frame": f[2], "ref": 1, "poc": 4,
+         "mmco": [(3, 0, 0)],
+         "plan": lambda x, y: {"kind": "p16", "mv": (-2, 2)}},
+        # default L0: short-term recency [P2, I] then long-term [P1]
+        {"kind": "P", "frame": f[3], "refs": [2, 0, 1], "poc": 6,
+         "plan": cycling_plan(3)},
+        # RPLM: long-term 0 (P1) first, then default tail
+        {"kind": "P", "frame": f[4], "refs": [1, 3, 2, 0], "poc": 8,
+         "rplm0": [("lt", 0)],
+         "plan": cycling_plan(4)},
+    ]
+    sps_nal, pps_nal, nals, recons, _ = ENC.encode_bseq(
+        entries, qp=26, deblock=True
+    )
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st1)
+    assert st2.mmco == [(3, 0, 0)]
+    st3 = avc.decode_frame(sps, pps, nals[3], ref=[st2, st0, st1],
+                           ref_lt=[None, None, 0])
+    # P4 decodes from the DEFAULT list + the lt RPLM command
+    st4 = avc.decode_frame(sps, pps, nals[4],
+                           ref=[st3, st2, st0, st1],
+                           ref_lt=[None, None, None, 0])
+    _assert_exact([st0, st1, st2, st3, st4], recons)
+    rows = _avc_mp4_rows(spark, sps_nal, pps_nal, nals, mbw, mbh)
+    assert len(rows) == 5
+    for i in (3, 4):
+        got = IC.decode_image(bytes(rows[i]["image"]))
+        assert np.array_equal(got, _want_cursor_rgb(sps, recons[i])), i
+
+
+def test_mmco_op2_unmark_long_term_in_dpb():
+    """After op 3 converts P1 to long-term, op 2 (unmark by
+    LongTermPicNum) removes it: a later slice activating it via an
+    'lt' RPLM command must refuse, proving the entry left the DPB."""
+    sps = _blank_sps(2, 1)
+    st0 = avc._IFrame(sps)
+    st0.frame_num = 0
+    # window holds one long-term picture with LongTermPicNum 0
+    out, _ = avc.apply_ref_list_modification(
+        [st0], None, [("lt", 0)], 1, 16, 1, lt_pic_nums=[0])
+    assert out == [st0]
+    # the same command against a short-term-only window refuses
+    with pytest.raises(avc.AVCError, match="LongTermPicNum"):
+        avc.apply_ref_list_modification(
+            [st0], None, [("lt", 0)], 1, 16, 1, lt_pic_nums=[None])
 
 
 # ---------------------------------------------------------------------------

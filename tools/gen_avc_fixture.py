@@ -1278,7 +1278,8 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
 def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
                            deblock=False, alpha_off_div2=0,
                            beta_off_div2=0, poc_lsb=None,
-                           slices=1, _st=None, _mb0=0, _mb1=None):
+                           slices=1, _st=None, _mb0=0, _mb1=None,
+                           long_term=False):
     """encode_iframe variant that captures the final _EncState.
     ``poc_lsb`` writes the pic_order_cnt_lsb field (u(6)) for
     sequences whose SPS uses poc_type 0 (the B-frame sequences).
@@ -1294,7 +1295,7 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
             nals.append(_encode_iframe_capture(
                 y, cb, cr, qp, mb_plan, qp_wobble, deblock,
                 alpha_off_div2, beta_off_div2, poc_lsb,
-                _st=st, _mb0=a, _mb1=b))
+                _st=st, _mb0=a, _mb1=b, long_term=long_term))
         _LAST_STATE = st
         return nals
     st = _st if _st is not None else _EncState(mbw, mbh)
@@ -1308,8 +1309,8 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
     w.ue(0)
     if poc_lsb is not None:
         w.u(poc_lsb % 64, 6)
-    w.u(0, 1)
-    w.u(0, 1)
+    w.u(0, 1)  # no_output_of_prior_pics
+    w.u(1 if long_term else 0, 1)  # long_term_reference_flag
     slice_qp = qp
     w.se(slice_qp - 26)
     if deblock:
@@ -1714,10 +1715,15 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
 
 
 def _write_rplm(w, cmds):
-    """ref_pic_list_modification command run (7.3.3.1)."""
-    for idc, abs_m1 in cmds:
-        w.ue(idc)
-        w.ue(abs_m1)
+    """ref_pic_list_modification command run (7.3.3.1): (idc,
+    abs_diff_pic_num_minus1) short-term pairs or ("lt",
+    long_term_pic_num) long-term commands (idc 2)."""
+    for idc, operand in cmds:
+        if idc == "lt":
+            w.ue(2)
+        else:
+            w.ue(idc)
+        w.ue(operand)
     w.ue(3)  # terminator
 
 
@@ -1771,8 +1777,8 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
         w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
         for op in mmco:
             w.ue(op[0])
-            if op[0] == 1:
-                w.ue(op[1])
+            for operand in op[1:]:
+                w.ue(operand)
         w.ue(0)    # end of MMCO run
     else:
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
