@@ -8,13 +8,19 @@ of the dominant web codec so G1's sampled pixels are real — keyframes
 lists of up to 8 pictures per list (r7 late wave), and the r8 wave:
 implicit weighted biprediction (x264's B default), temporal direct,
 ref_pic_list_modification, MMCO short-term unmark, MULTI-SLICE
-pictures (decode_picture), and constrained_intra_pred in inter
-slices. The remaining refusal surface is CABAC entropy coding and
-the High-profile 8x8 transform (see ROUND_NOTES: the context-init
-tables cannot be transcribed or verified in this container, so those
-streams keep the typed refusal and the labeled stub sample path),
-plus interlaced coding, FMO, long-term references, SP/SI slices and
-scaling matrices — all typed refusals.
+pictures (decode_picture), constrained_intra_pred in inter slices,
+long-term reference pictures (MMCO 2/3/4/6), and — the r8 late wave —
+the High-profile CAVLC surface: scaling matrices (7.3.2.1.1 parse,
+Table 7-2 fall-back rules A/B, weighted dequant on every residual
+class incl. both DC paths) and the 8x8 transform (Intra_8x8 with
+8.3.2.2.1 reference filtering, interleaved-CAVLC 8x8 residuals,
+transform_size_8x8_flag on qualifying inter MBs, 8.5.13 inverse
+transform, 8x8-aware deblocking bS/internal-edge rules). The
+remaining refusal surface is CABAC entropy coding (see ROUND_NOTES:
+the context-init tables cannot be transcribed or verified in this
+container, so those streams keep the typed refusal and the labeled
+stub sample path), plus interlaced coding, FMO, SP/SI slices, and
+bit depths beyond 8 — all typed refusals.
 
 Implemented (ITU-T H.264 / ISO 14496-10, CAVLC subset):
 
@@ -175,6 +181,7 @@ class SPS:
         "mb_width", "mb_height", "frame_mbs_only",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
         "chroma_format_idc", "separate_colour_plane",
+        "scal_raw",
     )
 
     @property
@@ -184,6 +191,138 @@ class SPS:
     @property
     def height(self) -> int:
         return self.mb_height * 16 - 2 * (self.crop_top + self.crop_bottom)
+
+
+# --- scaling matrices (7.3.2.1.1, Table 7-2/7-3/7-4) -----------------
+
+# 8x8 zigzag scan: scan position -> raster index (frame coding). The
+# H.264 8x8 frame scan IS the classical JPEG zigzag; a test pins this
+# table equal to jpegcodec.ZIGZAG (independently transcribed there).
+ZIGZAG_8x8 = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Table 7-3 default lists, RASTER order (the spec specifies them in
+# scan order; these are the unscanned matrices). Structural pins in
+# tests: symmetric, monotone rows/cols, the (1,1) "11"/"13" quirk.
+_DEFAULT_4x4_INTRA = np.array([
+    [6, 13, 20, 28], [13, 20, 28, 32], [20, 28, 32, 37],
+    [28, 32, 37, 42]], dtype=np.int64)
+_DEFAULT_4x4_INTER = np.array([
+    [10, 14, 20, 24], [14, 20, 24, 27], [20, 24, 27, 30],
+    [24, 27, 30, 34]], dtype=np.int64)
+_DEFAULT_8x8_INTRA = np.array([
+    [6, 10, 13, 16, 18, 23, 25, 27],
+    [10, 11, 16, 18, 23, 25, 27, 29],
+    [13, 16, 18, 23, 25, 27, 29, 31],
+    [16, 18, 23, 25, 27, 29, 31, 33],
+    [18, 23, 25, 27, 29, 31, 33, 36],
+    [23, 25, 27, 29, 31, 33, 36, 38],
+    [25, 27, 29, 31, 33, 36, 38, 40],
+    [27, 29, 31, 33, 36, 38, 40, 42]], dtype=np.int64)
+_DEFAULT_8x8_INTER = np.array([
+    [9, 13, 15, 17, 19, 21, 22, 24],
+    [13, 13, 17, 19, 21, 22, 24, 25],
+    [15, 17, 19, 21, 22, 24, 25, 27],
+    [17, 19, 21, 22, 24, 25, 27, 28],
+    [19, 21, 22, 24, 25, 27, 28, 30],
+    [21, 22, 24, 25, 27, 28, 30, 32],
+    [22, 24, 25, 27, 28, 30, 32, 33],
+    [24, 25, 27, 28, 30, 32, 33, 35]], dtype=np.int64)
+
+_FLAT_4 = np.full((4, 4), 16, dtype=np.int64)
+_FLAT_8 = np.full((8, 8), 16, dtype=np.int64)
+
+
+def _default_list(i: int) -> np.ndarray:
+    """Designated default scaling list for slot i (0-2 intra 4x4,
+    3-5 inter 4x4, 6 intra 8x8, 7 inter 8x8)."""
+    if i < 3:
+        return _DEFAULT_4x4_INTRA
+    if i < 6:
+        return _DEFAULT_4x4_INTER
+    return _DEFAULT_8x8_INTRA if i == 6 else _DEFAULT_8x8_INTER
+
+
+def _parse_scaling_list(r: BitReader, size: int):
+    """scaling_list() (7.3.2.1.1). Returns a raster (4,4)/(8,8) int64
+    array, or the string "D" when UseDefaultScalingMatrixFlag fired."""
+    last, nxt = 8, 8
+    scan = [0] * size
+    for j in range(size):
+        if nxt != 0:
+            delta = r.se()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                return "D"
+        scan[j] = last if nxt == 0 else nxt
+        last = scan[j]
+    n = 4 if size == 16 else 8
+    zz = ZIGZAG_4x4 if size == 16 else ZIGZAG_8x8
+    out = np.zeros(size, dtype=np.int64)
+    for j in range(size):
+        out[zz[j]] = scan[j]
+    return out.reshape(n, n)
+
+
+def _parse_scaling_raw(r: BitReader, n_lists: int) -> list:
+    """The n_lists scaling_list_present/scaling_list pairs of an
+    SPS/PPS. Entries: None (absent), "D" (use default), or a raster
+    array. Always returned length-8 (missing tail slots = None)."""
+    raw: list = [None] * 8
+    for i in range(n_lists):
+        if r.flag():
+            raw[i] = _parse_scaling_list(r, 16 if i < 6 else 64)
+    return raw
+
+
+def resolve_scaling(sps: "SPS", pps: "PPS"):
+    """Effective weightScale lists for a (SPS, PPS) pair per Table 7-2
+    fall-back rules A (within the SPS, and within the PPS when the SPS
+    carries no matrix) and B (PPS anchors inherit the resolved SPS
+    lists). Returns None when every list is flat-16 (the fast path),
+    else a list of 8 raster arrays."""
+    sps_raw = sps.scal_raw
+    pps_raw = pps.scal_raw
+    if sps_raw is None and pps_raw is None:
+        return None
+
+    def _resolve(raw, anchor):
+        out: list = [None] * 8
+        for i in range(8):
+            e = raw[i]
+            if e is None:
+                if i in (0, 3, 6, 7):
+                    out[i] = anchor(i)
+                else:
+                    out[i] = out[i - 1]
+            elif isinstance(e, str):
+                out[i] = _default_list(i)
+            else:
+                out[i] = e
+        return out
+
+    if sps_raw is not None:
+        sps_lists = _resolve(sps_raw, _default_list)  # rule A
+    else:
+        sps_lists = None
+    if pps_raw is not None:
+        if sps_lists is not None:
+            final = _resolve(pps_raw, lambda i: sps_lists[i])  # rule B
+        else:
+            final = _resolve(pps_raw, _default_list)  # rule A
+        if not pps.transform_8x8_mode and sps_lists is not None:
+            final[6], final[7] = sps_lists[6], sps_lists[7]
+    else:
+        final = sps_lists
+    flat = all(
+        np.array_equal(final[i], _FLAT_4 if i < 6 else _FLAT_8)
+        for i in range(8)
+    )
+    return None if flat else final
 
 
 def parse_sps(nal: bytes) -> SPS:
@@ -201,17 +340,24 @@ def parse_sps(nal: bytes) -> SPS:
     s.seq_parameter_set_id = r.ue()
     s.chroma_format_idc = 1
     s.separate_colour_plane = 0
+    s.scal_raw = None
     if s.profile_idc in (
         100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135,
     ):
         s.chroma_format_idc = r.ue()
         if s.chroma_format_idc == 3:
             s.separate_colour_plane = r.flag()
-        r.ue()  # bit_depth_luma_minus8
-        r.ue()  # bit_depth_chroma_minus8
+        bd_luma = r.ue()  # bit_depth_luma_minus8
+        bd_chroma = r.ue()  # bit_depth_chroma_minus8
+        if bd_luma or bd_chroma:
+            raise AVCError("bit depths beyond 8 unsupported")
         r.flag()  # qpprime_y_zero_transform_bypass
         if r.flag():  # seq_scaling_matrix_present
-            raise AVCError("scaling matrices unsupported")
+            if s.chroma_format_idc == 3:
+                raise AVCError(
+                    "scaling matrices with chroma_format_idc 3"
+                    " unsupported (4:2:0 only)")
+            s.scal_raw = _parse_scaling_raw(r, 8)
     s.log2_max_frame_num = r.ue() + 4
     s.pic_order_cnt_type = r.ue()
     s.delta_pic_order_always_zero = 1
@@ -259,6 +405,7 @@ class PPS:
         "bottom_field_poc_present", "redundant_pic_cnt_present",
         "weighted_pred", "weighted_bipred_idc",
         "num_ref_idx_l0_default", "num_ref_idx_l1_default",
+        "scal_raw", "_sm_cache",
     )
 
 
@@ -271,6 +418,7 @@ def parse_pps(nal: bytes) -> PPS:
     p = PPS()
     p.pic_parameter_set_id = r.ue()
     p.seq_parameter_set_id = r.ue()
+    p.scal_raw = None
     p.entropy_coding_mode = r.flag()
     if p.entropy_coding_mode:
         raise AVCError("CABAC unsupported (baseline CAVLC only)")
@@ -292,10 +440,9 @@ def parse_pps(nal: bytes) -> PPS:
     p.second_chroma_qp_index_offset = p.chroma_qp_index_offset
     if r.more_rbsp_data():
         p.transform_8x8_mode = r.flag()
-        if p.transform_8x8_mode:
-            raise AVCError("8x8 transform unsupported")
-        if r.flag():
-            raise AVCError("pic scaling matrices unsupported")
+        if r.flag():  # pic_scaling_matrix_present
+            p.scal_raw = _parse_scaling_raw(
+                r, 6 + 2 * p.transform_8x8_mode)
         p.second_chroma_qp_index_offset = r.se()
     return p
 
@@ -805,10 +952,13 @@ def inverse_transform_4x4(block: np.ndarray) -> np.ndarray:
 _ZIGZAG_ARR = None
 
 
-def _residual_batch(coeff_rows, qp: int, dc_overrides=None) -> np.ndarray:
+def _residual_batch(coeff_rows, qp: int, dc_overrides=None,
+                    weight=None) -> np.ndarray:
     """N scan-order coefficient lists -> (N, 4, 4) spatial residuals
     ((x+32)>>6 applied); ``dc_overrides`` replaces each block's (0,0)
-    dequantized coefficient (the Intra16x16/chroma DC path)."""
+    dequantized coefficient (the Intra16x16/chroma DC path).
+    ``weight`` is a raster (4, 4) weightScale list (None = flat 16,
+    the fast path — bit-equal to the weighted form at weight 16)."""
     global _ZIGZAG_ARR
     if _ZIGZAG_ARR is None:
         _ZIGZAG_ARR = np.array(ZIGZAG_4x4, dtype=np.int64)
@@ -816,10 +966,34 @@ def _residual_batch(coeff_rows, qp: int, dc_overrides=None) -> np.ndarray:
     scan = np.asarray(coeff_rows, dtype=np.int64)  # (N, <=16)
     blk = np.zeros((n, 16), dtype=np.int64)
     blk[:, _ZIGZAG_ARR[: scan.shape[1]]] = scan
-    blk = blk.reshape(n, 4, 4) * _dequant_matrix(qp)
+    if weight is None:
+        blk = blk.reshape(n, 4, 4) * _dequant_matrix(qp)
+    else:
+        blk = _dequant_weighted(blk.reshape(n, 4, 4), qp, weight,
+                                _NORM4_MATS[qp % 6], 4)
     if dc_overrides is not None:
         blk[:, 0, 0] = dc_overrides
     return (inverse_transform_4x4(blk) + 32) >> 6
+
+
+_ZIGZAG8_ARR = None
+
+
+def _residual_batch8(coeff_rows, qp: int, weight=None) -> np.ndarray:
+    """N 64-entry 8x8-scan coefficient lists -> (N, 8, 8) spatial
+    residuals ((x+32)>>6 applied). ``weight`` is a raster (8, 8)
+    weightScale list (None = flat 16)."""
+    global _ZIGZAG8_ARR
+    if _ZIGZAG8_ARR is None:
+        _ZIGZAG8_ARR = np.array(ZIGZAG_8x8, dtype=np.int64)
+    n = len(coeff_rows)
+    scan = np.asarray(coeff_rows, dtype=np.int64)  # (N, 64)
+    blk = np.zeros((n, 64), dtype=np.int64)
+    blk[:, _ZIGZAG8_ARR[: scan.shape[1]]] = scan
+    blk = _dequant_weighted(
+        blk.reshape(n, 8, 8), qp,
+        _FLAT_8 if weight is None else weight, _NORM8_MATS[qp % 6], 6)
+    return (inverse_transform_8x8(blk) + 32) >> 6
 
 
 def _residual_4x4(coeffs_scan: list[int], qp: int, dc_override=None) -> np.ndarray:
@@ -838,16 +1012,21 @@ def _hadamard_4x4(d: np.ndarray) -> np.ndarray:
     return m @ d.astype(np.int64) @ m.T
 
 
-def luma_dc_dequant(f: np.ndarray, qp: int) -> np.ndarray:
-    a = _DEQUANT_ABC[qp % 6][0]
-    if qp >= 12:
-        return (f * a) << (qp // 6 - 2)
-    return (f * a + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+def luma_dc_dequant(f: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
+    """8.5.10 with the scaling-list DC weight ``w00`` (weightScale
+    (0,0) of the Intra-Y 4x4 list); the general form reduces to the
+    historical flat formula bit-for-bit at w00 = 16 for every qp
+    (pinned by tests)."""
+    a = _DEQUANT_ABC[qp % 6][0] * w00
+    q6 = qp // 6
+    if q6 >= 6:
+        return (f * a) << (q6 - 6)
+    return (f * a + (1 << (5 - q6))) >> (6 - q6)
 
 
-def chroma_dc_dequant(f: np.ndarray, qp: int) -> np.ndarray:
-    a = _DEQUANT_ABC[qp % 6][0]
-    return ((f * a) << (qp // 6)) >> 5
+def chroma_dc_dequant(f: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
+    a = _DEQUANT_ABC[qp % 6][0] * w00
+    return ((f * a) << (qp // 6)) >> 9
 
 
 _CHROMA_QP_MAP = list(range(30)) + [
@@ -858,6 +1037,110 @@ _CHROMA_QP_MAP = list(range(30)) + [
 
 def chroma_qp(qp_y: int, offset: int) -> int:
     return _CHROMA_QP_MAP[max(0, min(51, qp_y + offset))]
+
+
+# ---------------------------------------------------------------------------
+# High-profile pieces: weighted (scaling-list) dequant and the 8x8
+# transform (8.5.9 / 8.5.13)
+# ---------------------------------------------------------------------------
+
+# normAdjust8x8 (8.5.9): six position classes per qp%6. Structural
+# pins in tests: class-0 equals exactly 2x the 4x4 "A" class per row,
+# rows grow geometrically (~2^(m/6)), classes map per the (i%4, j%4)
+# pattern below.
+_NORM8 = [
+    (20, 18, 32, 19, 25, 24),
+    (22, 19, 35, 21, 28, 26),
+    (26, 23, 42, 24, 33, 31),
+    (28, 25, 45, 26, 35, 33),
+    (32, 28, 51, 30, 40, 38),
+    (36, 32, 58, 34, 46, 43),
+]
+# position-class index by (i % 4) * 4 + (j % 4)
+_NORM8_CLASS = (0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1)
+
+
+def _norm8_matrix(m: int) -> np.ndarray:
+    vals = _NORM8[m]
+    out = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = vals[_NORM8_CLASS[(i % 4) * 4 + (j % 4)]]
+    return out
+
+
+_NORM8_MATS = [_norm8_matrix(m) for m in range(6)]
+
+
+def _norm4_matrix(m: int) -> np.ndarray:
+    a, b, c = _DEQUANT_ABC[m]
+    out = np.full((4, 4), c, dtype=np.int64)
+    for i in (0, 2):
+        for j in (0, 2):
+            out[i, j] = a
+    for i in (1, 3):
+        for j in (1, 3):
+            out[i, j] = b
+    return out
+
+
+_NORM4_MATS = [_norm4_matrix(m) for m in range(6)]
+
+
+def _dequant_weighted(blk: np.ndarray, qp: int, weight: np.ndarray,
+                      norm: np.ndarray, bits: int) -> np.ndarray:
+    """General scaling-list dequant (8.5.12.1 for 4x4 with bits=4,
+    8.5.13.2 for 8x8 with bits=6): LevelScale = weight * normAdjust;
+    d = (c*LS) << (qp/6 - bits) when qp/6 >= bits, else the rounded
+    right shift. With flat weight 16 this equals the fast flat path
+    bit-for-bit at every qp (the 2^4 in the weight cancels the spec's
+    extra -4 in the shift exactly; pinned by tests)."""
+    q6 = qp // 6
+    ls = blk.astype(np.int64) * (weight * norm)
+    if q6 >= bits:
+        return ls << (q6 - bits)
+    return (ls + (1 << (bits - 1 - q6))) >> (bits - q6)
+
+
+def inverse_transform_8x8(block: np.ndarray) -> np.ndarray:
+    """8.5.13.3 inverse 8x8 transform on DEQUANTIZED coefficients:
+    horizontal 1-D pass then vertical (the 4x4 convention), returning
+    the residual BEFORE the (x+32)>>6 rounding. Accepts (..., 8, 8)
+    batches like :func:`inverse_transform_4x4`."""
+    d = block.astype(np.int64)
+
+    def _pass(d, row: bool):
+        # index helper: rows (axis -2) when row else columns (axis -1)
+        def g(i):
+            return d[..., i, :] if row else d[..., :, i]
+
+        e = [None] * 8
+        e[0] = g(0) + g(4)
+        e[1] = -g(3) + g(5) - g(7) - (g(7) >> 1)
+        e[2] = g(0) - g(4)
+        e[3] = g(1) + g(7) - g(3) - (g(3) >> 1)
+        e[4] = (g(2) >> 1) - g(6)
+        e[5] = -g(1) + g(7) + g(5) + (g(5) >> 1)
+        e[6] = g(2) + (g(6) >> 1)
+        e[7] = g(3) + g(5) + g(1) + (g(1) >> 1)
+        f = [None] * 8
+        f[0] = e[0] + e[6]
+        f[1] = e[1] + (e[7] >> 2)
+        f[2] = e[2] + e[4]
+        f[3] = e[3] + (e[5] >> 2)
+        f[4] = e[2] - e[4]
+        f[5] = (e[3] >> 2) - e[5]
+        f[6] = e[0] - e[6]
+        f[7] = e[7] - (e[1] >> 2)
+        o = [f[0] + f[7], f[2] + f[5], f[4] + f[3], f[6] + f[1],
+             f[6] - f[1], f[4] - f[3], f[2] - f[5], f[0] - f[7]]
+        return np.stack(o, axis=-2 if row else -1)
+
+    # spec order: each ROW 1-D inverse first, then each COLUMN. A row
+    # pass transforms along the row (mixes columns) = stacking over
+    # the column axis of per-column gathers.
+    h = _pass(d, row=False)   # horizontal: combine d[..., :, k]
+    return _pass(h, row=True)  # vertical: combine h[..., k, :]
 
 
 # ---------------------------------------------------------------------------
@@ -998,7 +1281,13 @@ def _bs_luma(st: "_IFrame", gxp: int, gyp: int, gxq: int, gyq: int,
     mbq = (gyq >> 2) * st.mbw + (gxq >> 2)
     if st.mb_intra[mbp] or st.mb_intra[mbq]:
         return 4 if mb_edge else 3
-    if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
+    # coded-coefficient test: an 8x8-transformed MB's 4x4 positions
+    # answer with the CONTAINING 8x8 block's coded status (8.7.2.1)
+    nzp = (st.nz8[gyp >> 1, gxp >> 1] if st.mb_t8[mbp]
+           else st.nzY[gyp, gxp])
+    nzq = (st.nz8[gyq >> 1, gxq >> 1] if st.mb_t8[mbq]
+           else st.nzY[gyq, gxq])
+    if nzp or nzq:
         return 2
     fp = int(st.pred_flags[gyp, gxp])
     fq = int(st.pred_flags[gyq, gxq])
@@ -1059,8 +1348,13 @@ def deblock_frame(st: "_IFrame", pps: PPS, alpha_off: int,
 
     for mb in range(mbw * mbh):
         mbx, mby = mb % mbw, mb // mbw
-        # vertical luma edges at x = 0, 4, 8, 12 within the MB
+        # vertical luma edges at x = 0, 4, 8, 12 within the MB; an
+        # 8x8-transformed MB has no transform boundary at 4/12, so
+        # those internal edges are not filtered (8.7: filterInternal
+        # edges per transform_size_8x8_flag)
         for k, xo in enumerate((0, 4, 8, 12)):
+            if st.mb_t8[mb] and xo in (4, 12):
+                continue
             if k == 0:
                 if mbx == 0:
                     continue
@@ -1102,6 +1396,8 @@ def deblock_frame(st: "_IFrame", pps: PPS, alpha_off: int,
                                  True)
         # horizontal luma edges at y = 0, 4, 8, 12
         for k, yo in enumerate((0, 4, 8, 12)):
+            if st.mb_t8[mb] and yo in (4, 12):
+                continue
             if k == 0:
                 if mby == 0:
                     continue
@@ -1275,6 +1571,173 @@ def _pred4x4(mode: int, left, top, top_left, top_right) -> np.ndarray:
                             ) >> 2
             else:
                 raise AVCError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def _intra8_refs(left, top, top_left, top_right):
+    """8.3.2.2.1 Intra_8x8 reference-sample filtering. Inputs are the
+    RAW neighbor samples (None where unavailable): ``left`` 8, ``top``
+    8, ``top_left`` scalar, ``top_right`` 8 (substituted with top[7]
+    when absent, per 8.3.2.2). Returns (fl, ft, ftl): filtered left
+    (8,), filtered top+top-right (16,), filtered corner scalar — None
+    where the raw input was unavailable."""
+    fl = ft = ftl = None
+    tl = None if top_left is None else int(top_left)
+    if top is not None:
+        t = np.empty(16, dtype=np.int64)
+        t[:8] = top
+        t[8:] = top_right if top_right is not None else int(top[7])
+        ft = np.empty(16, dtype=np.int64)
+        if tl is not None:
+            ft[0] = (tl + 2 * t[0] + t[1] + 2) >> 2
+        else:
+            ft[0] = (3 * t[0] + t[1] + 2) >> 2
+        ft[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if tl is not None:
+        if top is not None and left is not None:
+            ftl = (int(top[0]) + 2 * tl + int(left[0]) + 2) >> 2
+        elif top is not None:
+            ftl = (3 * tl + int(top[0]) + 2) >> 2
+        elif left is not None:
+            ftl = (3 * tl + int(left[0]) + 2) >> 2
+        else:
+            ftl = tl
+    if left is not None:
+        lf = np.asarray(left, dtype=np.int64)
+        fl = np.empty(8, dtype=np.int64)
+        if tl is not None:
+            fl[0] = (tl + 2 * lf[0] + lf[1] + 2) >> 2
+        else:
+            fl[0] = (3 * lf[0] + lf[1] + 2) >> 2
+        fl[1:7] = (lf[0:6] + 2 * lf[1:7] + lf[2:8] + 2) >> 2
+        fl[7] = (lf[6] + 3 * lf[7] + 2) >> 2
+    return fl, ft, ftl
+
+
+def _pred8x8(mode: int, left, top, top_left, top_right) -> np.ndarray:
+    """Intra_8x8 prediction (8.3.2.2.2-.2.10) on FILTERED reference
+    samples assembled by :func:`_intra8_refs`; the mode geometry is
+    the 4x4 family's at doubled size (same zVR/zHD/zHU walks)."""
+    fl, ft, ftl = _intra8_refs(left, top, top_left, top_right)
+    p = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if ft is None:
+            raise AVCError("intra8x8 V without top")
+        p[:, :] = ft[None, :8]
+    elif mode == 1:  # Horizontal
+        if fl is None:
+            raise AVCError("intra8x8 H without left")
+        p[:, :] = fl[:, None]
+    elif mode == 2:  # DC
+        if fl is not None and ft is not None:
+            p[:, :] = (int(fl.sum()) + int(ft[:8].sum()) + 8) >> 4
+        elif fl is not None:
+            p[:, :] = (int(fl.sum()) + 4) >> 3
+        elif ft is not None:
+            p[:, :] = (int(ft[:8].sum()) + 4) >> 3
+        else:
+            p[:, :] = 128
+    elif mode == 3:  # Diagonal-down-left
+        if ft is None:
+            raise AVCError("intra8x8 DDL without top")
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (ft[14] + 3 * ft[15] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        ft[x + y] + 2 * ft[x + y + 1] + ft[x + y + 2] + 2
+                    ) >> 2
+    elif mode == 4:  # Diagonal-down-right
+        if fl is None or ft is None or ftl is None:
+            raise AVCError("intra8x8 DDR needs left+top+corner")
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    p[y, x] = (
+                        ft[x - y - 2] + 2 * ft[x - y - 1] + ft[x - y] + 2
+                    ) >> 2 if x - y >= 2 else (
+                        ftl + 2 * ft[0] + ft[1] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (
+                        fl[y - x - 2] + 2 * fl[y - x - 1] + fl[y - x] + 2
+                    ) >> 2 if y - x >= 2 else (
+                        ftl + 2 * fl[0] + fl[1] + 2) >> 2
+                else:
+                    p[y, x] = (ft[0] + 2 * ftl + fl[0] + 2) >> 2
+    elif mode == 5:  # Vertical-right
+        if fl is None or ft is None or ftl is None:
+            raise AVCError("intra8x8 VR needs left+top+corner")
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = ((ftl if i == 0 else ft[i - 1])
+                               + ft[i] + 1) >> 1
+                elif z >= 1:
+                    i = x - (y >> 1)
+                    a = ftl if i - 1 == 0 else ft[i - 2]
+                    b = ftl if i == 0 else ft[i - 1]
+                    p[y, x] = (a + 2 * b + ft[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (fl[0] + 2 * ftl + ft[0] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        fl[y - 2 * x - 1] + 2 * fl[y - 2 * x - 2]
+                        + fl[y - 2 * x - 3] + 2
+                    ) >> 2
+    elif mode == 6:  # Horizontal-down
+        if fl is None or ft is None or ftl is None:
+            raise AVCError("intra8x8 HD needs left+top+corner")
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = ((ftl if i == 0 else fl[i - 1])
+                               + fl[i] + 1) >> 1
+                elif z >= 1:
+                    i = y - (x >> 1)
+                    a = ftl if i - 1 == 0 else fl[i - 2]
+                    b = ftl if i == 0 else fl[i - 1]
+                    p[y, x] = (a + 2 * b + fl[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (ft[0] + 2 * ftl + fl[0] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        ft[x - 2 * y - 1] + 2 * ft[x - 2 * y - 2]
+                        + ft[x - 2 * y - 3] + 2
+                    ) >> 2
+    elif mode == 7:  # Vertical-left
+        if ft is None:
+            raise AVCError("intra8x8 VL without top")
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (ft[i] + ft[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (ft[i] + 2 * ft[i + 1] + ft[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-up
+        if fl is None:
+            raise AVCError("intra8x8 HU without left")
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (fl[i] + fl[i + 1] + 1) >> 1
+                elif z < 13:
+                    i = y + (x >> 1)
+                    p[y, x] = (fl[i] + 2 * fl[i + 1] + fl[i + 2] + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (fl[6] + 3 * fl[7] + 2) >> 2
+                else:
+                    p[y, x] = fl[7]
+    else:
+        raise AVCError(f"bad intra8x8 mode {mode}")
     return p
 
 
@@ -1500,6 +1963,17 @@ class _IFrame:
         self.mb_slice = np.full(self.mbh * self.mbw, -1,
                                 dtype=np.int32)
         self.cur_slice = 0
+        # High-profile 8x8 transform state (r8): per-MB
+        # transform_size_8x8_flag and per-8x8-block any-coefficient
+        # marker (8.7.2.1 tests the CONTAINING 8x8 block's coded
+        # status for bS when the MB used the 8x8 transform; the
+        # per-4x4 nzY then carries interleave-slot CAVLC totals whose
+        # spatial meaning is only the nC context)
+        self.mb_t8 = [False] * (self.mbw * self.mbh)
+        self.nz8 = np.zeros((self.mbh * 2, self.mbw * 2), dtype=np.int32)
+        # resolved scaling-list weights (resolve_scaling output; None
+        # = flat-16 fast path), set by _decode_one_slice
+        self.sm = None
 
     def mb_decoded(self, mbx: int, mby: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -1807,6 +2281,10 @@ def _decode_intra_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb,
         st.mb_pcm[mb] = True
         return qp
     if intra_type == 0:
+        # 7.3.5: transform_size_8x8_flag directly follows mb_type for
+        # I_NxN when the PPS enables the 8x8 transform
+        if pps.transform_8x8_mode and r.flag():
+            return _decode_i8x8_mb(r, st, sps, pps, mbx, mby, mb, qp)
         return _decode_i4x4_mb(r, st, sps, pps, mbx, mby, mb, qp)
     if 1 <= intra_type <= 24:
         return _decode_i16x16_mb(r, st, pps, mbx, mby, mb, intra_type, qp)
@@ -1896,6 +2374,13 @@ def _decode_one_slice(sps: SPS, pps: PPS, slice_nal: bytes,
     st.constrained_intra = bool(
         pps.constrained_intra_pred and (h["is_p"] or h["is_b"]))
     st.frame_num = h["frame_num"]
+    # resolved scaling lists (None = flat fast path), cached per
+    # (sps, pps) pair on the PPS object
+    cache = getattr(pps, "_sm_cache", None)
+    if cache is None or cache[0] is not sps:
+        cache = (sps, resolve_scaling(sps, pps))
+        pps._sm_cache = cache
+    st.sm = cache[1]
     # per-entry LongTermPicNum metadata (None = short-term), kept
     # aligned with the lists through modification
     lts0 = (list(ref_lt) if ref_lt is not None
@@ -2098,7 +2583,7 @@ def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
         else:
             st.nzY[gy, gx] = 0
             rows.append([0] * 16)
-    residuals = _residual_batch(rows, qp)
+    residuals = _residual_batch(rows, qp, weight=_w4(st, True, 0))
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
@@ -2108,6 +2593,109 @@ def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
         st.Y[py : py + 4, px : px + 4] = np.clip(
             pred + residuals[blk], 0, 255
         )
+
+    _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
+    return qp
+
+
+def _w4(st, intra: bool, plane: int):
+    """Effective 4x4 weightScale list for this block class (None =
+    flat): plane 0 = Y, 1 = Cb, 2 = Cr; lists 0-2 intra, 3-5 inter."""
+    if st.sm is None:
+        return None
+    return st.sm[(0 if intra else 3) + plane]
+
+
+def _w8(st, intra: bool):
+    if st.sm is None:
+        return None
+    return st.sm[6 if intra else 7]
+
+
+def _read_luma8x8_residual(r, st, mb, mbx, mby, cbp_luma):
+    """CAVLC residual of a transform_size_8x8 luma MB (7.3.5.3.2):
+    each coded 8x8 block arrives as FOUR interleaved 4x4 CAVLC blocks
+    — sub-block i4's scan position k carries 8x8-scan position
+    4*k + i4. Per-4x4 totals land at the 6.4.3 spatial cells (the nC
+    context the spec mandates); the per-8x8 any-coefficient marker
+    feeds deblocking bS. Returns four 64-entry 8x8-scan lists."""
+    rows64 = []
+    for b8 in range(4):
+        scan64 = [0] * 64
+        any_nz = 0
+        for i4 in range(4):
+            blk = b8 * 4 + i4
+            x4, y4 = _blk_xy(blk)
+            gx, gy = mbx * 4 + x4, mby * 4 + y4
+            if cbp_luma & (1 << b8):
+                nc = st.luma_nc(gx, gy, mb, blk)
+                coeffs, total = read_residual_block(r, nc, 16)
+                st.nzY[gy, gx] = total
+                any_nz |= total
+                for k, v in enumerate(coeffs):
+                    scan64[4 * k + i4] = v
+            else:
+                st.nzY[gy, gx] = 0
+        st.nz8[mby * 2 + (b8 >> 1), mbx * 2 + (b8 & 1)] = 1 if any_nz else 0
+        rows64.append(scan64)
+    return rows64
+
+
+def _decode_i8x8_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
+    """Intra_8x8 macroblock (High profile, transform_size_8x8_flag
+    set): four 8x8 prediction modes (8.3.2.1 min-rule over the per-4x4
+    mode map), filtered-reference prediction, interleaved-CAVLC 8x8
+    residual, 8x8 dequant + inverse transform."""
+    st.mb_t8[mb] = True
+    modes8 = [0] * 4
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        cur_blk = b8 * 4
+        ma = (int(st.modes[gy, gx - 1])
+              if st.blk4_available(gx - 1, gy, mb, cur_blk) else -1)
+        mbv = (int(st.modes[gy - 1, gx])
+               if st.blk4_available(gx, gy - 1, mb, cur_blk) else -1)
+        pred = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        if r.flag():
+            mode = pred
+        else:
+            rem = r.u(3)
+            mode = rem if rem < pred else rem + 1
+        modes8[b8] = mode
+        st.modes[gy:gy + 2, gx:gx + 2] = mode
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise AVCError(f"intra_chroma_pred_mode {chroma_mode} invalid")
+    code = r.ue()
+    if code > 47:
+        raise AVCError("coded_block_pattern code out of range")
+    cbp = _CBP_INTRA[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp != 0:
+        qp = _mb_qp_delta(r, qp)
+
+    rows64 = _read_luma8x8_residual(r, st, mb, mbx, mby, cbp_luma)
+    residuals = _residual_batch8(rows64, qp, weight=_w8(st, True))
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        cur_blk = b8 * 4
+        px, py = gx * 4, gy * 4
+        left = top = tr = None
+        top_left = None
+        if st.intra_blk4_ok(gx - 1, gy, mb, cur_blk):
+            left = st.Y[py:py + 8, px - 1]
+        if st.intra_blk4_ok(gx, gy - 1, mb, cur_blk):
+            top = st.Y[py - 1, px:px + 8]
+        if st.intra_blk4_ok(gx - 1, gy - 1, mb, cur_blk):
+            top_left = st.Y[py - 1, px - 1]
+        if top is not None and st.intra_blk4_ok(gx + 2, gy - 1, mb,
+                                                cur_blk):
+            tr = st.Y[py - 1, px + 8:px + 16]
+        pred = _pred8x8(modes8[b8], left, top, top_left, tr)
+        st.Y[py:py + 8, px:px + 8] = np.clip(
+            pred + residuals[b8], 0, 255)
 
     _decode_chroma(r, st, pps, mbx, mby, mb, chroma_mode, cbp_chroma, qp)
     return qp
@@ -2140,7 +2728,9 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
     dc = np.zeros(16, dtype=np.int64)
     for pos, v in enumerate(dc_scan):
         dc[ZIGZAG_4x4[pos]] = v
-    dc = luma_dc_dequant(_hadamard_4x4(dc.reshape(4, 4)), qp)
+    wmat = _w4(st, True, 0)
+    dc = luma_dc_dequant(_hadamard_4x4(dc.reshape(4, 4)), qp,
+                         16 if wmat is None else int(wmat[0, 0]))
 
     rows = []
     dcs = []
@@ -2156,7 +2746,7 @@ def _decode_i16x16_mb(r, st, pps: PPS, mbx, mby, mb, mb_type, qp) -> int:
         else:
             st.nzY[gy, gx] = 0
             rows.append([0] * 16)
-    residuals = _residual_batch(rows, qp, dc_overrides=dcs)
+    residuals = _residual_batch(rows, qp, dc_overrides=dcs, weight=wmat)
     recon = np.empty((16, 16), dtype=np.int64)
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
@@ -2194,10 +2784,11 @@ def _chroma_residual(r, st, pps: PPS, mbx, mby, mb, cbp_chroma, qp):
         st.nzCb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
         st.nzCr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
         return
+    is_intra = bool(st.mb_intra[mb])
 
     # chroma DC: one 2x2 block per plane (Cb first), nC = -1
     dcs = []
-    for _ in range(2):
+    for pi in range(2):
         coeffs, _tot = read_residual_block(r, -1, 4)
         # raster scan for the 2x2 DC block: c00 c01 c10 c11 -- the scan
         # order IS (0,0),(0,1),(1,0),(1,1)
@@ -2205,7 +2796,9 @@ def _chroma_residual(r, st, pps: PPS, mbx, mby, mb, cbp_chroma, qp):
             [[coeffs[0], coeffs[1]], [coeffs[2], coeffs[3]]], dtype=np.int64
         )
         m = np.array([[1, 1], [1, -1]], dtype=np.int64)
-        dcs.append(chroma_dc_dequant(m @ f @ m, qpc))
+        wmat = _w4(st, is_intra, pi + 1)
+        dcs.append(chroma_dc_dequant(
+            m @ f @ m, qpc, 16 if wmat is None else int(wmat[0, 0])))
 
     for pi, (plane, grid) in enumerate(((st.Cb, st.nzCb), (st.Cr, st.nzCr))):
         rows = []
@@ -2222,7 +2815,8 @@ def _chroma_residual(r, st, pps: PPS, mbx, mby, mb, cbp_chroma, qp):
             else:
                 grid[gy, gx] = 0
                 rows.append([0] * 16)
-        residuals = _residual_batch(rows, qpc, dc_overrides=dcvals)
+        residuals = _residual_batch(rows, qpc, dc_overrides=dcvals,
+                                    weight=_w4(st, is_intra, pi + 1))
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             cy, cx = py + by * 4, px + bx * 4
@@ -2755,35 +3349,10 @@ def _decode_p_mb(r: BitReader, st: _IFrame, refs0: list, pps: PPS,
                       int(st.mvx[by4, bx4]), int(st.mvy[by4, bx4]),
                       ridx=ri)
     _finish_inter_mb(st, mbx, mby, mb)
-
-    code = r.ue()
-    if code > 47:
-        raise AVCError("coded_block_pattern code out of range")
-    cbp = _CBP_INTER[code]
-    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    if cbp != 0:
-        qp = _mb_qp_delta(r, qp)
-    rows = []
-    for blk in range(16):
-        x4, y4 = _blk_xy(blk)
-        gx, gy = px4 + x4, py4 + y4
-        if cbp_luma & (1 << (blk >> 2)):
-            nc = st.luma_nc(gx, gy, mb, blk)
-            coeffs, total = read_residual_block(r, nc, 16)
-            st.nzY[gy, gx] = total
-            rows.append(coeffs)
-        else:
-            st.nzY[gy, gx] = 0
-            rows.append([0] * 16)
-    if cbp_luma:
-        residuals = _residual_batch(rows, qp)
-        for blk in range(16):
-            x4, y4 = _blk_xy(blk)
-            x, y = (px4 + x4) * 4, (py4 + y4) * 4
-            st.Y[y:y + 4, x:x + 4] = np.clip(
-                st.Y[y:y + 4, x:x + 4] + residuals[blk], 0, 255)
-    _chroma_residual(r, st, pps, mbx, mby, mb, cbp_chroma, qp)
-    return qp
+    # 7.3.5 noSubMbPartSizeLessThan8x8Flag: every partition >= 8x8
+    t8_allowed = mb_type in (0, 1, 2) or all(s == 0 for s in subs)
+    return _b_inter_residual(r, st, pps, mbx, mby, mb, qp,
+                             t8_allowed=t8_allowed)
 
 
 def _decode_p_slice_data(r: BitReader, st: _IFrame, refs0: list,
@@ -3103,17 +3672,33 @@ def _decode_bskip(st: _IFrame, refs0: list, refs1: list, mb: int,
 
 
 def _b_inter_residual(r: BitReader, st: _IFrame, pps: PPS, mbx: int,
-                      mby: int, mb: int, qp: int) -> int:
-    """coded_block_pattern + residuals for a non-direct-less inter MB
-    (shared tail of the P and B macroblock layers)."""
+                      mby: int, mb: int, qp: int,
+                      t8_allowed: bool = False) -> int:
+    """coded_block_pattern (+ transform_size_8x8_flag when the MB
+    geometry allows it, 7.3.5) + residuals for an inter MB — the
+    shared tail of the P and B macroblock layers."""
     px4, py4 = mbx * 4, mby * 4
     code = r.ue()
     if code > 47:
         raise AVCError("coded_block_pattern code out of range")
     cbp = _CBP_INTER[code]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    if cbp_luma and t8_allowed and pps.transform_8x8_mode:
+        t8 = bool(r.flag())
     if cbp != 0:
         qp = _mb_qp_delta(r, qp)
+    if t8:
+        st.mb_t8[mb] = True
+        rows64 = _read_luma8x8_residual(r, st, mb, mbx, mby, cbp_luma)
+        residuals = _residual_batch8(rows64, qp, weight=_w8(st, False))
+        for b8 in range(4):
+            x = (px4 + (b8 & 1) * 2) * 4
+            y = (py4 + (b8 >> 1) * 2) * 4
+            st.Y[y:y + 8, x:x + 8] = np.clip(
+                st.Y[y:y + 8, x:x + 8] + residuals[b8], 0, 255)
+        _chroma_residual(r, st, pps, mbx, mby, mb, cbp_chroma, qp)
+        return qp
     rows = []
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
@@ -3127,7 +3712,7 @@ def _b_inter_residual(r: BitReader, st: _IFrame, pps: PPS, mbx: int,
             st.nzY[gy, gx] = 0
             rows.append([0] * 16)
     if cbp_luma:
-        residuals = _residual_batch(rows, qp)
+        residuals = _residual_batch(rows, qp, weight=_w4(st, False, 0))
         for blk in range(16):
             x4, y4 = _blk_xy(blk)
             x, y = (px4 + x4) * 4, (py4 + y4) * 4
@@ -3245,7 +3830,16 @@ def _decode_b_mb(r: BitReader, st: _IFrame, refs0: list,
             _apply_direct_8x8(st, refs0, refs1, mbx, mby, i8,
                               direct_state[i8])
     _finish_inter_mb(st, mbx, mby, mb)
-    return _b_inter_residual(r, st, pps, mbx, mby, mb, qp)
+    # 7.3.5: B_Direct_16x16 admits the flag only with
+    # direct_8x8_inference (guaranteed 1 here — the decoder refuses
+    # B slices without it); B_8x8 needs every sub-partition >= 8x8
+    if shape == "8x8":
+        t8_allowed = all(
+            _B_SUB_MODES[s][0] in ("direct", "8x8") for s in subs)
+    else:
+        t8_allowed = True
+    return _b_inter_residual(r, st, pps, mbx, mby, mb, qp,
+                             t8_allowed=t8_allowed)
 
 
 def _decode_b_slice_data(r: BitReader, st: _IFrame, refs0: list,

@@ -1,0 +1,581 @@
+"""High-profile CAVLC: scaling matrices + the 8x8 transform.
+
+Covers the r8 High-profile wave of functions/avc: scaling-list parse
+with the Table 7-2 fall-back rules, weighted dequant (4x4 + DC paths)
+pinned bit-equal to the historical flat formulas at weight 16, the
+8.5.13 inverse 8x8 transform, Intra_8x8 prediction with 8.3.2.2.1
+reference filtering, interleaved-CAVLC 8x8 residuals, inter MBs with
+transform_size_8x8_flag, the 8x8-aware deblocking rules, and the G1
+e2e on a High-profile .mp4. Verification is the independent fixture
+encoder's reconstruction loop (tools/gen_avc_fixture), which shares
+no algorithmic code with the decoder; the forward-quant multipliers
+it derives from the transform pair reproduce the canonical published
+MF8 family — an independent pin on normAdjust8x8.
+
+Reference ingest parity: /root/reference/hasher.js:78-91 decodes any
+profile via ffmpeg; High (CAVLC) streams previously refused to the
+stub."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import gen_avc_fixture as ENC  # noqa: E402
+
+from shotit_worker_spark.functions import avc  # noqa: E402
+from shotit_worker_spark.functions.jpegcodec import (  # noqa: E402
+    ZIGZAG as JPEG_ZIGZAG,
+    _upsample,
+    _ycc_to_rgb,
+)
+
+DEFAULTS = (
+    [avc._DEFAULT_4x4_INTRA] * 3 + [avc._DEFAULT_4x4_INTER] * 3
+    + [avc._DEFAULT_8x8_INTRA, avc._DEFAULT_8x8_INTER]
+)
+
+
+def _custom_lists(seed=9):
+    rng = np.random.default_rng(seed)
+    return (
+        [np.clip(16 + rng.integers(-8, 9, (4, 4)), 4, 60)
+         for _ in range(6)]
+        + [np.clip(16 + rng.integers(-8, 9, (8, 8)), 4, 60)
+           for _ in range(2)]
+    )
+
+
+def _planes(seed, mbw, mbh, noise=16):
+    rng = np.random.default_rng(seed)
+    H, W = mbh * 16, mbw * 16
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+         + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+    cb = (110 + (xx[::2, ::2] // 3) - (yy[::2, ::2] // 5)
+          + rng.integers(-noise // 2, noise // 2 + 1,
+                         (H // 2, W // 2))).clip(0, 255)
+    cr = (140 - (xx[::2, ::2] // 6) + (yy[::2, ::2] // 3)
+          + rng.integers(-noise // 2, noise // 2 + 1,
+                         (H // 2, W // 2))).clip(0, 255)
+    return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# table + transform pins
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag8_matches_jpeg_scan():
+    """The H.264 8x8 frame scan IS the classical zigzag; jpegcodec
+    transcribed the same table independently."""
+    assert list(JPEG_ZIGZAG) == list(avc.ZIGZAG_8x8)
+    assert sorted(avc.ZIGZAG_8x8) == list(range(64))
+
+
+def test_norm8_structure():
+    """normAdjust8x8 pins: class 0 is exactly 2x the 4x4 'A' class
+    per qp%6 row (the published tables share the Qstep ladder), rows
+    grow ~2^(m/6), and the class map tiles (i%4, j%4)."""
+    for m in range(6):
+        assert avc._NORM8[m][0] == 2 * avc._DEQUANT_ABC[m][0]
+        if m:
+            for k in range(6):
+                ratio = avc._NORM8[m][k] / avc._NORM8[m - 1][k]
+                # 2^(1/6) ~ 1.12, +- small-integer rounding
+                assert 1.04 < ratio < 1.25, (m, k, ratio)
+    mat = avc._NORM8_MATS[0]
+    for i in range(8):
+        for j in range(8):
+            assert mat[i, j] == mat[i % 4, j % 4]
+            assert mat[i, j] == mat[j, i]
+
+
+def test_default_scaling_lists_structure():
+    """Table 7-3/7-4 pins: symmetric, rows/cols non-decreasing, the
+    published (1,1) dip below the anti-diagonal in both 8x8 lists,
+    and documented corner values."""
+    for m in DEFAULTS:
+        assert np.array_equal(m, m.T)
+        assert np.all(np.diff(m, axis=0) >= -2)  # (1,1) dip only
+        assert np.all(np.diff(np.diag(m)) >= 0)
+    assert avc._DEFAULT_4x4_INTRA[0, 0] == 6
+    assert avc._DEFAULT_4x4_INTRA[3, 3] == 42
+    assert avc._DEFAULT_4x4_INTER[0, 0] == 10
+    assert avc._DEFAULT_8x8_INTRA[0, 0] == 6
+    assert avc._DEFAULT_8x8_INTRA[7, 7] == 42
+    assert avc._DEFAULT_8x8_INTER[7, 7] == 35
+    # the (1,1) quirk: below both neighbors on the anti-diagonal
+    assert avc._DEFAULT_8x8_INTRA[1, 1] == 11 < avc._DEFAULT_8x8_INTRA[0, 2]
+    assert avc._DEFAULT_8x8_INTER[1, 1] == 13 < avc._DEFAULT_8x8_INTER[0, 2]
+
+
+def test_mf8_calibration_reproduces_published_family():
+    """The encoder derives its 8x8 quant multipliers from the
+    transform pair alone (N@M = diag); landing exactly on the
+    canonical 13107/11428/20972/... family is an independent
+    cross-check of normAdjust8x8 AND both transforms."""
+    assert ENC._MF8[0, 0, 0] == 13107
+    assert ENC._MF8[0, 1, 1] == 11428
+    assert ENC._MF8[0, 0, 1] == 12222
+    assert ENC._MF8[0, 2, 2] == 20972
+    assert ENC._MF8[0, 0, 2] == 16777
+    assert ENC._MF8[4, 0, 0] == 8192
+
+
+def test_weighted_dequant_flat16_bit_equal():
+    """The general scaling-list dequant forms reduce to the verified
+    flat formulas bit-for-bit at weight 16, for every qp — including
+    the rounded low-qp branches."""
+    rng = np.random.default_rng(0)
+    flat4 = np.full((4, 4), 16, dtype=np.int64)
+    for qp in range(52):
+        rows = rng.integers(-300, 300, size=(6, 16)).tolist()
+        assert np.array_equal(
+            avc._residual_batch(rows, qp),
+            avc._residual_batch(rows, qp, weight=flat4))
+        f = rng.integers(-5000, 5000, size=(4, 4)).astype(np.int64)
+        a = avc._DEQUANT_ABC[qp % 6][0]
+        legacy = ((f * a) << (qp // 6 - 2) if qp >= 12
+                  else (f * a + (1 << (1 - qp // 6))) >> (2 - qp // 6))
+        assert np.array_equal(legacy, avc.luma_dc_dequant(f, qp))
+        f2 = rng.integers(-5000, 5000, size=(2, 2)).astype(np.int64)
+        assert np.array_equal(((f2 * a) << (qp // 6)) >> 5,
+                              avc.chroma_dc_dequant(f2, qp))
+
+
+def test_inverse_8x8_basis_shapes():
+    """DC-only input gives a flat block; the unit coefficients
+    reproduce the integer cosine basis (corr > 0.99 against DCT-III
+    rows; freq-4 is the exact +--++--+ pattern)."""
+    d = np.zeros((8, 8), dtype=np.int64)
+    d[0, 0] = 640
+    assert np.all(avc.inverse_transform_8x8(d) == 640)
+    for k in range(1, 8):
+        d = np.zeros((8, 8), dtype=np.int64)
+        d[0, k] = 256
+        o = avc.inverse_transform_8x8(d)[0].astype(float)
+        ref = np.array([np.cos((2 * j + 1) * k * np.pi / 16)
+                        for j in range(8)])
+        assert np.corrcoef(o, ref)[0, 1] > 0.99, k
+    d = np.zeros((8, 8), dtype=np.int64)
+    d[0, 4] = 64
+    assert list(avc.inverse_transform_8x8(d)[0]) == [
+        64, -64, -64, 64, 64, -64, -64, 64]
+
+
+def test_dequant_recon_8x8_mirrors_decoder():
+    """Encoder-side 8x8 recon (own butterflies) == decoder path, flat
+    and weighted, across qp."""
+    rng = np.random.default_rng(5)
+    w8 = avc._DEFAULT_8x8_INTRA
+    for trial in range(120):
+        z = rng.integers(-200, 200, size=(8, 8)).astype(np.int64)
+        qp = int(rng.integers(0, 52))
+        scan = [int(z.reshape(-1)[avc.ZIGZAG_8x8[k]]) for k in range(64)]
+        assert np.array_equal(ENC.dequant_recon_8x8(z, qp),
+                              avc._residual_batch8([scan], qp)[0])
+        assert np.array_equal(
+            ENC.dequant_recon_8x8(z, qp, w8=w8),
+            avc._residual_batch8([scan], qp, weight=w8)[0])
+
+
+# ---------------------------------------------------------------------------
+# scaling-list syntax + fall-back rules
+# ---------------------------------------------------------------------------
+
+
+def _sps_with(seq_scal):
+    nal = ENC.write_sps(4, 3, high=True, seq_scal=seq_scal)
+    return avc.parse_sps(nal)
+
+
+def _pps_with(transform_8x8=0, pic_scal=None):
+    nal = ENC.write_pps(26, transform_8x8=transform_8x8,
+                        pic_scal=pic_scal)
+    return avc.parse_pps(nal)
+
+
+def test_scaling_list_syntax_roundtrip():
+    """Explicit lists written by the fixture encoder parse back to
+    the same raster matrices through scaling_list()."""
+    cust = _custom_lists(3)
+    sps = _sps_with(cust)
+    res = avc.resolve_scaling(sps, _pps_with())
+    for got, want in zip(res, cust):
+        assert np.array_equal(got, want)
+
+
+def test_scaling_fallback_rule_a():
+    """SPS rule A: absent anchors (0/3/6/7) take the designated
+    default list; absent non-anchors inherit the previous list; a
+    first-delta-to-zero signals UseDefaultScalingMatrixFlag."""
+    # only list 1 present (explicit); everything else absent
+    only1 = [None, np.full((4, 4), 20, dtype=np.int64)] + [None] * 6
+    res = avc.resolve_scaling(_sps_with(only1), _pps_with())
+    assert np.array_equal(res[0], avc._DEFAULT_4x4_INTRA)   # anchor
+    assert np.array_equal(res[1], only1[1])                 # explicit
+    assert np.array_equal(res[2], only1[1])                 # previous
+    assert np.array_equal(res[3], avc._DEFAULT_4x4_INTER)
+    assert np.array_equal(res[4], avc._DEFAULT_4x4_INTER)
+    assert np.array_equal(res[6], avc._DEFAULT_8x8_INTRA)
+    assert np.array_equal(res[7], avc._DEFAULT_8x8_INTER)
+    # "use default" marker on a non-anchor slot
+    used = [None, "D"] + [None] * 6
+    res = avc.resolve_scaling(_sps_with(used), _pps_with())
+    assert np.array_equal(res[1], avc._DEFAULT_4x4_INTRA)
+
+
+def test_scaling_fallback_rule_b():
+    """PPS rule B: absent PPS anchors inherit the RESOLVED SPS lists;
+    with no SPS matrix the PPS falls back to rule A (defaults)."""
+    cust = _custom_lists(4)
+    sps = _sps_with(cust)
+    # PPS present with every list absent: ANCHORS (0/3/6/7) inherit
+    # the resolved SPS lists; non-anchors take the PREVIOUS list (the
+    # Table 7-2 quirk — rule B does NOT inherit same-index non-anchor
+    # SPS lists)
+    pps = _pps_with(transform_8x8=1, pic_scal=[None] * 8)
+    res = avc.resolve_scaling(sps, pps)
+    for i in (0, 3, 6, 7):
+        assert np.array_equal(res[i], cust[i]), i
+    for i in (1, 2):
+        assert np.array_equal(res[i], cust[0]), i
+    for i in (4, 5):
+        assert np.array_equal(res[i], cust[3]), i
+    # PPS overrides list 0 only; 1-2 inherit the new previous chain
+    ovr = np.full((4, 4), 24, dtype=np.int64)
+    pps = _pps_with(transform_8x8=1, pic_scal=[ovr] + [None] * 7)
+    res = avc.resolve_scaling(sps, pps)
+    assert np.array_equal(res[0], ovr)
+    assert np.array_equal(res[1], ovr)  # previous-list fallback
+    assert np.array_equal(res[3], cust[3])  # anchor -> SPS
+    # flat SPS + PPS-with-matrix: rule A inside the PPS
+    sps_flat = avc.parse_sps(ENC.write_sps(4, 3))
+    pps = _pps_with(transform_8x8=1, pic_scal=[None] * 8)
+    res = avc.resolve_scaling(sps_flat, pps)
+    assert np.array_equal(res[0], avc._DEFAULT_4x4_INTRA)
+    assert np.array_equal(res[7], avc._DEFAULT_8x8_INTER)
+
+
+def test_resolve_flat_is_none():
+    """All-flat lists normalize to None (the fast path) — explicit
+    flat-16 matrices included."""
+    sps_flat = avc.parse_sps(ENC.write_sps(4, 3))
+    assert avc.resolve_scaling(sps_flat, _pps_with()) is None
+    flat = [np.full((4, 4), 16, dtype=np.int64)] * 6 + [
+        np.full((8, 8), 16, dtype=np.int64)] * 2
+    assert avc.resolve_scaling(_sps_with(flat), _pps_with()) is None
+
+
+# ---------------------------------------------------------------------------
+# encode/decode round trips
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(seed, qp, mbw, mbh, **kw):
+    y, cb, cr = _planes(seed, mbw, mbh, noise=kw.pop("noise", 16))
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=qp, **kw)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st = avc.decode_frame(sps, pps, idr_nal)
+    np.testing.assert_array_equal(st.Y, rY)
+    np.testing.assert_array_equal(st.Cb, rCb)
+    np.testing.assert_array_equal(st.Cr, rCr)
+    return sps, pps
+
+
+MIX = ("i8", "i4", "i16", "i8", "pcm")
+
+
+@pytest.mark.parametrize(
+    "seed,qp,kw",
+    [
+        (1, 26, {"mb_plan": lambda x, y: "i8"}),
+        (2, 26, {"mb_plan": lambda x, y: "i8", "deblock": True}),
+        (3, 24, {"mb_plan": lambda x, y: MIX[(x + 2 * y) % 5],
+                 "deblock": True}),
+        (4, 30, {"mb_plan": lambda x, y: MIX[(x + 2 * y) % 5],
+                 "qp_wobble": True, "deblock": True}),
+        (5, 4, {"mb_plan": lambda x, y: "i8", "noise": 80}),
+        (6, 48, {"mb_plan": lambda x, y: "i8", "deblock": True}),
+        (7, 26, {"mb_plan": lambda x, y: "i8", "crop_r": 3,
+                 "crop_b": 2}),
+    ],
+)
+def test_intra8x8_bit_exact(seed, qp, kw):
+    """Intra_8x8 MBs (pure and mixed with i4/i16/PCM) decode to the
+    encoder's reconstruction bit-exactly across QP, wobble, deblock,
+    and cropping."""
+    _roundtrip(seed, qp, 5, 3, transform_8x8=True, **kw)
+
+
+@pytest.mark.parametrize("scal_fn,qp", [
+    (lambda: DEFAULTS, 26),
+    (lambda: _custom_lists(11), 22),
+    (lambda: _custom_lists(12), 4),
+])
+def test_scaling_lists_bit_exact(scal_fn, qp):
+    """Non-flat scaling lists weight every residual class (intra/
+    inter x Y/Cb/Cr x 4x4/8x8 + both DC paths) — decode equals the
+    encoder's weighted reconstruction."""
+    _roundtrip(21, qp, 5, 3, transform_8x8=True, scal=scal_fn(),
+               mb_plan=lambda x, y: MIX[(x + 2 * y) % 5], deblock=True)
+
+
+def test_scaling_lists_4x4_only():
+    """Scaling lists without the 8x8 transform (Main-style stream
+    with a High SPS): 4x4 weighting alone."""
+    _roundtrip(22, 24, 4, 3, scal=_custom_lists(13),
+               mb_plan=lambda x, y: ("i4", "i16")[(x + y) % 2],
+               deblock=True)
+
+
+def test_intra8x8_multislice():
+    """Multi-slice picture of Intra_8x8 MBs: 6.4.8 slice-boundary
+    availability applies to the 8x8 prediction + nC contexts."""
+    y, cb, cr = _planes(31, 5, 4)
+    ENC._set_enc_profile(True, None)
+    sps_nal = ENC.write_sps(5, 4, high=True)
+    pps_nal = ENC.write_pps(26, transform_8x8=1)
+    nals = ENC._encode_iframe_capture(
+        y, cb, cr, 26, lambda x, yy: "i8", False, slices=3)
+    st_enc = ENC._LAST_STATE
+    sps, pps = avc.parse_sps(sps_nal), avc.parse_pps(pps_nal)
+    st = avc.decode_picture(sps, pps, nals)
+    np.testing.assert_array_equal(st.Y, st_enc.Y)
+    np.testing.assert_array_equal(st.Cb, st_enc.Cb)
+
+
+def _seq_roundtrip(frames, plans, qp=28, **kw):
+    sps_nal, pps_nal, nals, recons = ENC.encode_sequence(
+        frames, qp=qp, plans=plans, **kw)
+    sps = avc.parse_sps(sps_nal)
+    pps = avc.parse_pps(pps_nal)
+    st = None
+    for i, nal in enumerate(nals):
+        st = avc.decode_frame(sps, pps, nal, ref=st)
+        for got, exp in zip((st.Y, st.Cb, st.Cr), recons[i]):
+            assert np.array_equal(got, np.asarray(exp)), (
+                f"frame {i}: max diff "
+                f"{np.abs(got - np.asarray(exp)).max()}")
+    return sps, pps, nals, recons, st
+
+
+def test_p_inter_8x8_transform_bit_exact():
+    """P MBs with transform_size_8x8_flag = 1 (16x16 / 16x8 / all-8x8
+    sub partitions), mixed with flag-0 and intra-8x8 MBs, deblocked:
+    the 8x8-aware bS + internal-edge rules must match the encoder's
+    mirror exactly."""
+    f0, f1 = _planes(41, 5, 3), _planes(42, 5, 3)
+
+    def pplan(mbx, mby):
+        k = (mbx + mby) % 5
+        if k == 0:
+            return {"kind": "p16", "mv": (mbx % 3 - 1, 4), "t8": True}
+        if k == 1:
+            return {"kind": "p16x8", "mvs": [(2, 1), (-1, 0)],
+                    "t8": True}
+        if k == 2:
+            return {"kind": "i8"}
+        if k == 3:
+            return {"kind": "p8x8", "subs": [0, 0, 0, 0],
+                    "mvs": [(1, 0), (0, 1), (-1, 2), (2, -1)],
+                    "t8": True}
+        return {"kind": "p16", "mv": (0, 0)}
+
+    _seq_roundtrip([f0, f1], [lambda x, y: "i8", pplan],
+                   qp=26, deblock=True, transform_8x8=True)
+
+
+def test_p_inter_8x8_with_scaling_lists():
+    f0, f1 = _planes(43, 4, 3), _planes(44, 4, 3)
+
+    def pplan(mbx, mby):
+        return ({"kind": "p16", "mv": (1, 1), "t8": True}
+                if (mbx + mby) % 2 else {"kind": "p16", "mv": (0, 2)})
+
+    _seq_roundtrip([f0, f1], [lambda x, y: "i4", pplan], qp=24,
+                   deblock=True, transform_8x8=True, scal=DEFAULTS)
+
+
+def test_p8x8_small_subs_refuse_flag():
+    """P_8x8 with a sub-partition below 8x8 never carries the flag —
+    the encoder must not write it and the decoder must not read it
+    (a desync here breaks the round trip)."""
+    f0, f1 = _planes(45, 4, 3), _planes(46, 4, 3)
+
+    def pplan(mbx, mby):
+        return {"kind": "p8x8", "subs": [1, 2, 3, 0],
+                "mvs": [(0, 1), (1, 0), (1, 1), (0, 0), (2, 0),
+                        (0, 2), (1, 2), (-1, 0), (0, -1)]}
+
+    _seq_roundtrip([f0, f1], [lambda x, y: "i16", pplan], qp=26,
+                   deblock=True, transform_8x8=True)
+
+
+def test_b_inter_8x8_transform_bit_exact():
+    """B MBs with the 8x8 transform: bi-16x16, B_Direct_16x16 (flag
+    allowed via direct_8x8_inference), B_8x8 with >=8x8 subs, and the
+    flag-0 path, deblocked."""
+    f0 = _planes(51, 4, 3)
+    f2 = _planes(52, 4, 3)
+    f1 = _planes(53, 4, 3)
+
+    def bplan(mbx, mby):
+        k = (mbx + mby) % 4
+        if k == 0:
+            return {"kind": "b16", "modes": ["bi"],
+                    "mvs": [((1, 0), (0, 1))], "t8": True}
+        if k == 1:
+            return {"kind": "bdirect", "t8": True}
+        if k == 2:
+            return {"kind": "b16", "modes": ["l0"],
+                    "mvs": [((2, 1), None)]}
+        return {"kind": "b8x8",
+                "subs": [("8x8", "l0"), ("8x8", "bi"), "direct",
+                         ("8x8", "l1")],
+                "mvs": [((1, 0), None), ((0, 1), (1, 1)),
+                        (None, (-1, 0))], "t8": True}
+
+    entries = [
+        {"kind": "I", "frame": f0, "plan": lambda x, y: "i8",
+         "poc": 0},
+        {"kind": "P", "frame": f2,
+         "plan": lambda x, y: {"kind": "p16", "mv": (0, 2),
+                               "t8": True},
+         "ref": 0, "poc": 4},
+        {"kind": "B", "frame": f1, "plan": bplan, "ref0": 0,
+         "ref1": 1, "poc": 2},
+    ]
+    sps_nal, pps_nal, nals, recons, _states = ENC.encode_bseq(
+        entries, qp=26, deblock=True, transform_8x8=True)
+    sps, pps = avc.parse_sps(sps_nal), avc.parse_pps(pps_nal)
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    np.testing.assert_array_equal(st0.Y, recons[0][0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    np.testing.assert_array_equal(st1.Y, recons[1][0])
+    st2 = avc.decode_frame(sps, pps, nals[2], ref=st0, ref1=st1,
+                           poc=2, ref_pocs=[0], ref1_pocs=[4])
+    for got, exp in zip((st2.Y, st2.Cb, st2.Cr), recons[2]):
+        np.testing.assert_array_equal(got, np.asarray(exp))
+
+
+def test_deblock_8x8_internal_edges_skipped():
+    """The 4/12 internal luma columns of an 8x8-transform MB carry no
+    transform edge: with deblocking ON, samples at those columns must
+    be UNfiltered (equal to the undeblocked reconstruction) wherever
+    the 0/8 edges didn't reach them."""
+    y, cb, cr = _planes(61, 4, 3, noise=30)
+    _, _, _, (rawY, _, _) = ENC.encode_stream(
+        y, cb, cr, qp=30, transform_8x8=True,
+        mb_plan=lambda x, yy: "i8")
+    sps_nal, pps_nal, nal, (dbY, _, _) = ENC.encode_stream(
+        y, cb, cr, qp=30, transform_8x8=True, deblock=True,
+        mb_plan=lambda x, yy: "i8")
+    sps, pps = avc.parse_sps(sps_nal), avc.parse_pps(pps_nal)
+    st = avc.decode_frame(sps, pps, nal)
+    np.testing.assert_array_equal(st.Y, dbY)
+    # the filtered edges at offsets 0/8 reach at most 3 samples each
+    # side (strong bS4), i.e. offsets {13,14,15,0,1,2} and {5..10};
+    # offsets 3,4,11,12 are reachable ONLY from the skipped 4/12
+    # edges — they must be identical to the unfiltered recon (both
+    # axes restricted to the untouched offsets)
+    safe = [3, 4, 11, 12]
+    for mby in range(3):
+        for mbx in range(4):
+            for ro in safe:
+                for co in safe:
+                    r, c = mby * 16 + ro, mbx * 16 + co
+                    assert st.Y[r, c] == rawY[r, c], (r, c)
+
+
+def test_cabac_still_refuses():
+    w = ENC.BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(1, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.rbsp_trailing()
+    nal = ENC.make_nal(3, 8, w.to_rbsp())
+    with pytest.raises(avc.AVCError, match="CABAC"):
+        avc.parse_pps(nal)
+
+
+def test_t8_stream_bitflip_fuzz():
+    """Bit-flipped High-profile streams must fail typed (AVCError)
+    or decode to SOME frame — never raise raw numpy/index errors."""
+    y, cb, cr = _planes(71, 3, 2)
+    sps_nal, pps_nal, nal, _ = ENC.encode_stream(
+        y, cb, cr, qp=26, transform_8x8=True,
+        mb_plan=lambda x, yy: ("i8", "i4")[(x + yy) % 2])
+    sps, pps = avc.parse_sps(sps_nal), avc.parse_pps(pps_nal)
+    rng = np.random.default_rng(2)
+    for _ in range(60):
+        b = bytearray(nal)
+        i = int(rng.integers(1, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            avc.decode_iframe(sps, pps, bytes(b))
+        except avc.AVCError:
+            pass
+
+
+def test_g1_high_profile_keyframes_in_mp4(spark):
+    """G1 e2e: a High-profile (8x8 transform + default scaling lists)
+    .mp4 keyframe decodes to REAL pixels through the media pipeline —
+    the stream class that refused to the stub before r8."""
+    from gen_mp4_fixture import build_mp4, make_nal as mp4_nal, \
+        sample_bytes
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions import media as M
+
+    mbw, mbh = 6, 4
+    y, cb, cr = _planes(81, mbw, mbh)
+    sps_nal, pps_nal, idr_nal, (rY, rCb, rCr) = ENC.encode_stream(
+        y, cb, cr, qp=28, transform_8x8=True, scal=DEFAULTS,
+        deblock=True, mb_plan=lambda x, yy: MIX[(x + 2 * yy) % 5])
+    sps = avc.parse_sps(sps_nal)
+    h, w = sps.height, sps.width
+    payloads = []
+    for i in range(6):
+        if i in (0, 3):
+            payloads.append(sample_bytes([idr_nal]))
+        else:
+            payloads.append(sample_bytes([mp4_nal(1, bytes([i]) * 60)]))
+    deltas = [1066, 1067, 1067] * 2
+    data, _ = build_mp4(
+        payloads, deltas, keyframes=[0, 3], width=w, height=h,
+        sps=[sps_nal], pps=[pps_nal])
+    videos = spark.createDataFrame(
+        [("store/hp/high.mp4", data)], "path string, content binary")
+    rows = M.decode_frames(videos).orderBy("frame_no").collect()
+    assert len(rows) == 6
+    rgb = _ycc_to_rgb(
+        rY[:h, :w].astype(np.int32),
+        _upsample(rCb.astype(np.int32), 2, 2, h, w),
+        _upsample(rCr.astype(np.int32), 2, 2, h, w))
+    out_w = max(2, 2 * round(w * M.FRAME_HEIGHT / h / 2))
+    want = IC.encode_ppm(M._bilinear_resize(rgb, M.FRAME_HEIGHT, out_w))
+    imgs = [bytes(r["image"]) for r in rows]
+    assert imgs[0] == want and imgs[3] == want
+    assert imgs[1] != want  # junk inter samples keep the stub

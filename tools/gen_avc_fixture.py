@@ -39,10 +39,13 @@ from shotit_worker_spark.functions.avc import (  # noqa: E402
     _DB_ALPHA,
     _DB_BETA,
     _DB_TC0,
+    _NORM8,
+    _NORM8_CLASS,
     _RUN_BEFORE,
     _TOTAL_ZEROS_4x4,
     _TOTAL_ZEROS_CHROMA_DC,
     ZIGZAG_4x4,
+    ZIGZAG_8x8,
     _blk_xy,
 )
 
@@ -114,14 +117,61 @@ def make_nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _write_scaling_list(w, ent, size: int) -> None:
+    """One scaling_list() (7.3.2.1.1). ``ent``: raster array, or the
+    string "D" to signal UseDefaultScalingMatrixFlag (first
+    delta_scale drives nextScale to 0)."""
+    if isinstance(ent, str):
+        w.se(-8)  # nextScale = (8 - 8 + 256) % 256 = 0 at j = 0
+        return
+    zz = ZIGZAG_4x4 if size == 16 else ZIGZAG_8x8
+    flat = np.asarray(ent).reshape(-1)
+    last = 8
+    for j in range(size):
+        v = int(flat[zz[j]])
+        delta = (v - last) % 256
+        if delta > 127:
+            delta -= 256
+        w.se(delta)
+        last = v
+
+
+def _write_scaling_raw(w, raw, n_lists: int) -> None:
+    """The n_lists present-flag/scaling_list pairs; raw entries None
+    (absent) / "D" / raster array."""
+    for i in range(n_lists):
+        ent = raw[i] if i < len(raw) else None
+        if ent is None:
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            _write_scaling_list(w, ent, 16 if i < 6 else 64)
+
+
 def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0,
               poc_type: int = 2, num_ref_frames: int = 1,
-              direct_8x8: int = 0) -> bytes:
+              direct_8x8: int = 0, high: bool = False,
+              seq_scal=None) -> bytes:
     w = BitWriter()
-    w.u(66, 8)   # profile_idc baseline
-    w.u(0, 8)    # constraint flags
-    w.u(30, 8)   # level 3.0
-    w.ue(0)      # sps id
+    if high or seq_scal is not None:
+        w.u(100, 8)  # profile_idc High
+        w.u(0, 8)
+        w.u(30, 8)
+        w.ue(0)      # sps id
+        w.ue(1)      # chroma_format_idc 4:2:0
+        w.ue(0)      # bit_depth_luma_minus8
+        w.ue(0)      # bit_depth_chroma_minus8
+        w.u(0, 1)    # qpprime_y_zero_transform_bypass
+        if seq_scal is None:
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            _write_scaling_raw(w, seq_scal, 8)
+    else:
+        w.u(66, 8)   # profile_idc baseline
+        w.u(0, 8)    # constraint flags
+        w.u(30, 8)   # level 3.0
+        w.ue(0)      # sps id
     w.ue(0)      # log2_max_frame_num_minus4
     w.ue(poc_type)
     if poc_type == 0:
@@ -147,7 +197,8 @@ def write_sps(mb_w: int, mb_h: int, crop_r: int = 0, crop_b: int = 0,
 
 def write_pps(pic_init_qp: int = 26, weighted_pred: int = 0,
               weighted_bipred_idc: int = 0,
-              constrained_intra: int = 0) -> bytes:
+              constrained_intra: int = 0, transform_8x8: int = 0,
+              pic_scal=None) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
@@ -164,6 +215,14 @@ def write_pps(pic_init_qp: int = 26, weighted_pred: int = 0,
     w.u(1, 1)    # deblocking_filter_control_present
     w.u(constrained_intra, 1)  # constrained_intra_pred
     w.u(0, 1)    # redundant_pic_cnt_present
+    if transform_8x8 or pic_scal is not None:
+        w.u(transform_8x8, 1)
+        if pic_scal is None:
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            _write_scaling_raw(w, pic_scal, 6 + 2 * transform_8x8)
+        w.se(0)  # second_chroma_qp_index_offset
     w.rbsp_trailing()
     return make_nal(3, 8, w.to_rbsp())
 
@@ -227,10 +286,13 @@ def forward_4x4(res: np.ndarray) -> np.ndarray:
     return _CF @ res.astype(np.int64) @ _CF.T
 
 
-def quant_4x4(w: np.ndarray, qp: int, skip_dc: bool = False) -> np.ndarray:
+def quant_4x4(w: np.ndarray, qp: int, skip_dc: bool = False,
+              w4=None) -> np.ndarray:
     qbits = 15 + qp // 6
     f = (1 << qbits) // 3  # intra rounding
     mf = _mf_matrix(qp)
+    if w4 is not None:
+        mf = np.round(mf * 16.0 / w4).astype(np.int64)
     z = np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
     if skip_dc:
         z[0, 0] = 0
@@ -261,10 +323,23 @@ def _cap_nonzeros(z: np.ndarray, cap: int | None = None,
     return z
 
 
-def dequant_recon_4x4(z: np.ndarray, qp: int, dc_override=None) -> np.ndarray:
+def dequant_recon_4x4(z: np.ndarray, qp: int, dc_override=None,
+                      w4=None) -> np.ndarray:
     """The encoder's OWN spec-math reconstruction (8.5.12): dequant +
-    inverse core + (x+32)>>6."""
-    d = z.astype(np.int64) * _v_matrix(qp)
+    inverse core + (x+32)>>6; ``w4`` is the active raster weightScale
+    list (None = flat 16 — identical results)."""
+    if w4 is None:
+        d = z.astype(np.int64) * _v_matrix(qp)
+    else:
+        base = np.array(
+            [[_V_ABC[qp % 6][_pos_class(i, j)] for j in range(4)]
+             for i in range(4)], dtype=np.int64)
+        ls = z.astype(np.int64) * (w4 * base)
+        q6 = qp // 6
+        if q6 >= 4:
+            d = ls << (q6 - 4)
+        else:
+            d = (ls + (1 << (3 - q6))) >> (4 - q6)
     if dc_override is not None:
         d[0, 0] = dc_override
     # inverse per spec using butterflies (independent of functions/avc)
@@ -286,46 +361,205 @@ def dequant_recon_4x4(z: np.ndarray, qp: int, dc_override=None) -> np.ndarray:
     return (h + 32) >> 6
 
 
-def luma_dc_forward(dc: np.ndarray, qp: int) -> np.ndarray:
+def luma_dc_forward(dc: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
     wd = (_CI @ dc.astype(np.int64) @ _CI) // 2
     qbits = 15 + qp // 6
     f = (1 << qbits) // 3
-    mf0 = _MF_ABC[qp % 6][0]
+    mf0 = int(round(_MF_ABC[qp % 6][0] * 16.0 / w00))
     return (np.sign(wd) * ((np.abs(wd) * mf0 + 2 * f) >> (qbits + 1))).astype(
         np.int64
     )
 
 
-def luma_dc_recon(zd: np.ndarray, qp: int) -> np.ndarray:
+def luma_dc_recon(zd: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
     fd = _CI @ zd.astype(np.int64) @ _CI
-    a = _V_ABC[qp % 6][0]
-    if qp >= 12:
-        return (fd * a) << (qp // 6 - 2)
-    return (fd * a + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+    a = _V_ABC[qp % 6][0] * w00
+    q6 = qp // 6
+    if q6 >= 6:
+        return (fd * a) << (q6 - 6)
+    return (fd * a + (1 << (5 - q6))) >> (6 - q6)
 
 
-def chroma_dc_forward(dc: np.ndarray, qp: int) -> np.ndarray:
+def chroma_dc_forward(dc: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
     m = np.array([[1, 1], [1, -1]], dtype=np.int64)
     wd = m @ dc.astype(np.int64) @ m
     qbits = 15 + qp // 6
     f = (1 << qbits) // 3
-    mf0 = _MF_ABC[qp % 6][0]
+    mf0 = int(round(_MF_ABC[qp % 6][0] * 16.0 / w00))
     return (np.sign(wd) * ((np.abs(wd) * mf0 + 2 * f) >> (qbits + 1))).astype(
         np.int64
     )
 
 
-def chroma_dc_recon(zd: np.ndarray, qp: int) -> np.ndarray:
+def chroma_dc_recon(zd: np.ndarray, qp: int, w00: int = 16) -> np.ndarray:
     m = np.array([[1, 1], [1, -1]], dtype=np.int64)
     fd = m @ zd.astype(np.int64) @ m
-    a = _V_ABC[qp % 6][0]
-    return ((fd * a) << (qp // 6)) >> 5
+    a = _V_ABC[qp % 6][0] * w00
+    return ((fd * a) << (qp // 6)) >> 9
 
 
 _CHROMA_QP = list(range(30)) + [
     29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
     38, 39, 39, 39, 39,
 ]
+
+
+# ---------------------------------------------------------------------------
+# High-profile: scaling lists and the 8x8 transform (encoder side)
+# ---------------------------------------------------------------------------
+
+# active resolved scaling lists (8 raster arrays) for the frame being
+# encoded; None = flat 16. Set by the encode_* entry points. The
+# RECONSTRUCTION loop must weight exactly like the decoder; the
+# forward quantizer scales its multipliers by 16/weight to keep the
+# fixture's quality (non-normative either way).
+_ENC_SCAL = None
+# active PPS transform_8x8_mode: I_NxN / qualifying-inter MB writers
+# must emit transform_size_8x8_flag when this is set
+_ENC_T8 = 0
+
+
+def _sc(i):
+    return None if _ENC_SCAL is None else _ENC_SCAL[i]
+
+
+def _sc00(i):
+    return 16 if _ENC_SCAL is None else int(_ENC_SCAL[i][0, 0])
+
+
+def _norm8_mat():
+    out = np.empty((6, 8, 8), dtype=np.int64)
+    for m in range(6):
+        for i in range(8):
+            for j in range(8):
+                out[m, i, j] = _NORM8[m][_NORM8_CLASS[(i % 4) * 4 + (j % 4)]]
+    return out
+
+
+_V8_BASE = _norm8_mat()  # (6, 8, 8) normAdjust8x8
+
+
+def _fwd8_1d(g, half, quarter):
+    """Integer forward 8-point on axis -1 of ``g`` (``half``/
+    ``quarter`` are >>1 / >>2, or exact float halving when the
+    quantizer calibration probes the linear part)."""
+    s07 = g[..., 0] + g[..., 7]
+    d07 = g[..., 0] - g[..., 7]
+    s16 = g[..., 1] + g[..., 6]
+    d16 = g[..., 1] - g[..., 6]
+    s25 = g[..., 2] + g[..., 5]
+    d25 = g[..., 2] - g[..., 5]
+    s34 = g[..., 3] + g[..., 4]
+    d34 = g[..., 3] - g[..., 4]
+    a0, a1 = s07 + s34, s16 + s25
+    a2, a3 = s07 - s34, s16 - s25
+    a4 = d16 + d25 + (d07 + half(d07))
+    a5 = d07 - d34 - (d25 + half(d25))
+    a6 = d07 + d34 - (d16 + half(d16))
+    a7 = d16 - d25 + (d34 + half(d34))
+    return np.stack([
+        a0 + a1, a4 + quarter(a7), a2 + half(a3), a5 + quarter(a6),
+        a0 - a1, a6 - quarter(a5), half(a2) - a3, quarter(a4) - a7,
+    ], axis=-1)
+
+
+def _fwd8_1d_int(g):
+    return _fwd8_1d(g, lambda x: x >> 1, lambda x: x >> 2)
+
+
+def forward_8x8(res: np.ndarray) -> np.ndarray:
+    """Integer forward 8x8: 1-D on rows then columns."""
+    h = _fwd8_1d_int(res.astype(np.int64))          # along rows
+    return np.swapaxes(
+        _fwd8_1d_int(np.swapaxes(h, -1, -2)), -1, -2)
+
+
+def _inv8_1d(g, half, quarter):
+    """Spec 8.5.13.3 inverse 8-point on axis -1 (the encoder's OWN
+    reconstruction mirror; ``half``/``quarter`` implement >>1 / >>2 so
+    a float variant can calibrate the quantizer)."""
+    e0 = g[..., 0] + g[..., 4]
+    e1 = -g[..., 3] + g[..., 5] - g[..., 7] - half(g[..., 7])
+    e2 = g[..., 0] - g[..., 4]
+    e3 = g[..., 1] + g[..., 7] - g[..., 3] - half(g[..., 3])
+    e4 = half(g[..., 2]) - g[..., 6]
+    e5 = -g[..., 1] + g[..., 7] + g[..., 5] + half(g[..., 5])
+    e6 = g[..., 2] + half(g[..., 6])
+    e7 = g[..., 3] + g[..., 5] + g[..., 1] + half(g[..., 1])
+    f0, f1 = e0 + e6, e1 + quarter(e7)
+    f2, f3 = e2 + e4, e3 + quarter(e5)
+    f4, f5 = e2 - e4, quarter(e3) - e5
+    f6, f7 = e0 - e6, e7 - quarter(e1)
+    return np.stack([
+        f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+        f6 - f1, f4 - f3, f2 - f5, f0 - f7,
+    ], axis=-1)
+
+
+def _inv8_2d_int(d):
+    # spec order: horizontal 1-D pass (within each row) first, then
+    # vertical — the >>1/>>2 rounding makes the order observable
+    h = _inv8_1d(d.astype(np.int64), lambda x: x >> 1, lambda x: x >> 2)
+    return np.swapaxes(
+        _inv8_1d(np.swapaxes(h, -1, -2),
+                 lambda x: x >> 1, lambda x: x >> 2), -1, -2)
+
+
+def _calibrate_mf8() -> np.ndarray:
+    """Forward-quant multipliers for the 8x8 transform, derived from
+    the transform pair itself: with N/M the float 1-D forward/inverse
+    matrices, N @ M = diag(delta) and the end-to-end unit-gain
+    requirement gives MF8(i,j) = 2^28 / (delta_i * delta_j * 16 *
+    normAdjust8x8). (The 4x4 analog reproduces the published Table
+    MF values from 2^25 — same derivation, one fewer shift bit.)"""
+    n_mat = np.stack([
+        _fwd8_1d(np.eye(8)[k], lambda x: x * 0.5, lambda x: x * 0.25)
+        for k in range(8)
+    ], axis=0).T  # columns = transforms of unit vecs
+    m_mat = np.stack([
+        _inv8_1d(np.eye(8)[k], lambda x: x * 0.5, lambda x: x * 0.25)
+        for k in range(8)
+    ], axis=0).T
+    prod = n_mat @ m_mat  # rows of N (analysis) x columns of M (basis)
+    delta = np.diag(prod)
+    off = prod - np.diag(delta)
+    assert np.abs(off).max() < 1e-9, off
+    mf = np.empty((6, 8, 8), dtype=np.int64)
+    for m in range(6):
+        mf[m] = np.round(
+            (1 << 28) / (np.outer(delta, delta) * 16 * _V8_BASE[m])
+        ).astype(np.int64)
+    return mf
+
+
+_MF8 = _calibrate_mf8()
+# pin: the derivation lands on the canonical DC multiplier family
+assert _MF8[0, 0, 0] == 13107 and _MF8[4, 0, 0] == 8192, _MF8[:, 0, 0]
+
+
+def quant_8x8(wq: np.ndarray, qp: int, w8=None) -> np.ndarray:
+    """Forward 8x8 quant: qbits = 16 + qp/6 (one more than 4x4), MF
+    scaled by 16/weight when a scaling list is active."""
+    qbits = 16 + qp // 6
+    f = (1 << qbits) // 3
+    mf = _MF8[qp % 6]
+    if w8 is not None:
+        mf = np.round(mf * 16.0 / w8).astype(np.int64)
+    return (np.sign(wq) * ((np.abs(wq) * mf + f) >> qbits)).astype(
+        np.int64)
+
+
+def dequant_recon_8x8(z: np.ndarray, qp: int, w8=None) -> np.ndarray:
+    """Encoder-side mirror of the decoder's 8x8 dequant (8.5.13.2)
+    + inverse transform + (x+32)>>6; ``z`` is a raster (8, 8)."""
+    w = np.full((8, 8), 16, dtype=np.int64) if w8 is None else w8
+    ls = z.astype(np.int64) * (w * _V8_BASE[qp % 6])
+    q6 = qp // 6
+    if q6 >= 6:
+        d = ls << (q6 - 6)
+    else:
+        d = (ls + (1 << (5 - q6))) >> (6 - q6)
+    return (_inv8_2d_int(d) + 32) >> 6
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +737,9 @@ class _EncState:
         # the slice being written — availability stops at boundaries
         self.mb_slice = np.full(mbh * mbw, -1, dtype=np.int32)
         self.cur_slice = 0
+        # High-profile 8x8 transform state (mirrors the decoder's)
+        self.mb_t8 = [False] * (mbw * mbh)
+        self.nz8 = np.zeros((mbh * 2, mbw * 2), dtype=np.int32)
 
     def mb_ok(self, mbx, mby):
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
@@ -707,6 +944,251 @@ def _pred4_enc(st, mode, gx, gy, cur_mb, cur_blk):
     return p
 
 
+def _pred8_enc(st, mode, gx, gy, cur_mb, cur_blk):
+    """Encoder-side Intra_8x8 prediction on the reconstructed planes
+    (8.3.2.2, its own mirror of the spec: reference assembly +
+    low-pass filtering + the nine modes). ``(gx, gy)`` are the 4x4
+    cell coords of the 8x8's top-left. Returns (8, 8) or None when
+    the mode's references are unavailable."""
+    px, py = gx * 4, gy * 4
+    have_l = _intra_blk4_avail(st, gx - 1, gy, cur_mb, cur_blk)
+    have_t = _intra_blk4_avail(st, gx, gy - 1, cur_mb, cur_blk)
+    have_tl = _intra_blk4_avail(st, gx - 1, gy - 1, cur_mb, cur_blk)
+    have_tr = have_t and _intra_blk4_avail(st, gx + 2, gy - 1, cur_mb,
+                                           cur_blk)
+    if mode in (0, 3, 7) and not have_t:
+        return None
+    if mode in (1, 8) and not have_l:
+        return None
+    if mode in (4, 5, 6) and not (have_l and have_t and have_tl):
+        return None
+    lf = st.Y[py:py + 8, px - 1].astype(np.int64) if have_l else None
+    t = None
+    if have_t:
+        t = np.empty(16, dtype=np.int64)
+        t[:8] = st.Y[py - 1, px:px + 8]
+        t[8:] = (st.Y[py - 1, px + 8:px + 16]
+                 if have_tr else int(t[7]))
+    tl = int(st.Y[py - 1, px - 1]) if have_tl else None
+    # 8.3.2.2.1 filtering
+    ft = fl = ftl = None
+    if t is not None:
+        ft = np.empty(16, dtype=np.int64)
+        ft[0] = ((tl + 2 * t[0] + t[1] + 2) >> 2 if tl is not None
+                 else (3 * t[0] + t[1] + 2) >> 2)
+        for x in range(1, 15):
+            ft[x] = (t[x - 1] + 2 * t[x] + t[x + 1] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if tl is not None:
+        if t is not None and lf is not None:
+            ftl = (int(t[0]) + 2 * tl + int(lf[0]) + 2) >> 2
+        elif t is not None:
+            ftl = (3 * tl + int(t[0]) + 2) >> 2
+        elif lf is not None:
+            ftl = (3 * tl + int(lf[0]) + 2) >> 2
+        else:
+            ftl = tl
+    if lf is not None:
+        fl = np.empty(8, dtype=np.int64)
+        fl[0] = ((tl + 2 * lf[0] + lf[1] + 2) >> 2 if tl is not None
+                 else (3 * lf[0] + lf[1] + 2) >> 2)
+        for yy in range(1, 7):
+            fl[yy] = (lf[yy - 1] + 2 * lf[yy] + lf[yy + 1] + 2) >> 2
+        fl[7] = (lf[6] + 3 * lf[7] + 2) >> 2
+    p = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:
+        p[:, :] = ft[None, :8]
+    elif mode == 1:
+        p[:, :] = fl[:, None]
+    elif mode == 2:
+        if fl is not None and ft is not None:
+            p[:, :] = (int(fl.sum()) + int(ft[:8].sum()) + 8) >> 4
+        elif fl is not None:
+            p[:, :] = (int(fl.sum()) + 4) >> 3
+        elif ft is not None:
+            p[:, :] = (int(ft[:8].sum()) + 4) >> 3
+        else:
+            p[:, :] = 128
+    elif mode == 3:
+        for y in range(8):
+            for x in range(8):
+                p[y, x] = ((ft[14] + 3 * ft[15] + 2) >> 2
+                           if x == 7 and y == 7 else
+                           (ft[x + y] + 2 * ft[x + y + 1]
+                            + ft[x + y + 2] + 2) >> 2)
+    elif mode == 4:
+        ext_t = [ftl] + list(ft)   # ext_t[k] = p'[k-1, -1]
+        ext_l = [ftl] + list(fl)
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    p[y, x] = (ext_t[x - y - 1] + 2 * ext_t[x - y]
+                               + ext_t[x - y + 1] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (ext_l[y - x - 1] + 2 * ext_l[y - x]
+                               + ext_l[y - x + 1] + 2) >> 2
+                else:
+                    p[y, x] = (ft[0] + 2 * ftl + fl[0] + 2) >> 2
+    elif mode == 5:
+        ext_t = [ftl] + list(ft)
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (ext_t[i] + ext_t[i + 1] + 1) >> 1
+                elif z >= 1:
+                    p[y, x] = (ext_t[i - 1] + 2 * ext_t[i]
+                               + ext_t[i + 1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (fl[0] + 2 * ftl + ft[0] + 2) >> 2
+                else:
+                    p[y, x] = (fl[y - 2 * x - 1] + 2 * fl[y - 2 * x - 2]
+                               + fl[y - 2 * x - 3] + 2) >> 2
+    elif mode == 6:
+        ext_l = [ftl] + list(fl)
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (ext_l[i] + ext_l[i + 1] + 1) >> 1
+                elif z >= 1:
+                    p[y, x] = (ext_l[i - 1] + 2 * ext_l[i]
+                               + ext_l[i + 1] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (ft[0] + 2 * ftl + fl[0] + 2) >> 2
+                else:
+                    p[y, x] = (ft[x - 2 * y - 1] + 2 * ft[x - 2 * y - 2]
+                               + ft[x - 2 * y - 3] + 2) >> 2
+    elif mode == 7:
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (ft[i] + ft[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (ft[i] + 2 * ft[i + 1] + ft[i + 2] + 2) >> 2
+    else:  # mode 8
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z < 13 and z % 2 == 0:
+                    p[y, x] = (fl[i] + fl[i + 1] + 1) >> 1
+                elif z < 13:
+                    p[y, x] = (fl[i] + 2 * fl[i + 1] + fl[i + 2] + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (fl[6] + 3 * fl[7] + 2) >> 2
+                else:
+                    p[y, x] = fl[7]
+    return p
+
+
+def _encode_i8(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
+    """One Intra_8x8 macroblock_layer (I_NxN + transform_size_8x8_flag
+    = 1): per-8x8 mode selection over the trial reconstruction,
+    8.3.2.1 mode-bit prediction, interleaved 8x8 CAVLC residual,
+    weighted 8x8 recon."""
+    w.ue(tbase + 0)  # mb_type I_NxN
+    w.u(1, 1)        # transform_size_8x8_flag
+    px, py = mbx * 16, mby * 16
+    src = y[py:py + 16, px:px + 16].astype(np.int64)
+    mb = mby * st.mbw + mbx
+    st.mb_t8[mb] = True
+    w8 = _sc(6)
+    chosen = []
+    zs = {}
+    trial_Y = st.Y.copy()
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        cur_blk = b8 * 4
+        best = None
+        for mode in range(9):
+            st_Y = st.Y
+            st.Y = trial_Y
+            pred = _pred8_enc(st, mode, gx, gy, mb, cur_blk)
+            st.Y = st_Y
+            if pred is None:
+                continue
+            sblk = src[by * 4:by * 4 + 8, bx * 4:bx * 4 + 8]
+            sad = int(np.abs(sblk - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, mode, pred)
+        _, mode, pred = best
+        chosen.append(mode)
+        sblk = src[by * 4:by * 4 + 8, bx * 4:bx * 4 + 8]
+        z = quant_8x8(forward_8x8(sblk - pred), want_qp, w8=w8)
+        zs[b8] = z
+        rec = dequant_recon_8x8(z, want_qp, w8=w8)
+        trial_Y[py + by * 4:py + by * 4 + 8,
+                px + bx * 4:px + bx * 4 + 8] = _clip(pred + rec)
+        st.modes[gy:gy + 2, gx:gx + 2] = mode
+    # mode bits (8.3.2.1 min rule over the per-4x4 mode map)
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        cur_blk = b8 * 4
+        ma = (int(st.modes[gy, gx - 1])
+              if _blk4_avail(st, gx - 1, gy, mb, cur_blk) else -1)
+        mbv = (int(st.modes[gy - 1, gx])
+               if _blk4_avail(st, gx, gy - 1, mb, cur_blk) else -1)
+        pred_mode = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        mode = chosen[b8]
+        if mode == pred_mode:
+            w.u(1, 1)
+        else:
+            w.u(0, 1)
+            w.u(mode if mode < pred_mode else mode - 1, 3)
+    chroma_mode = (mbx * 2 + mby) % 4
+    if _chroma_pred_enc(st, st.Cb, mbx, mby, chroma_mode) is None:
+        chroma_mode = 0
+    w.ue(chroma_mode)
+    cbp_luma = 0
+    for b8 in range(4):
+        if np.any(zs[b8]):
+            cbp_luma |= 1 << b8
+    cbp_chroma = 2
+    cbp = cbp_luma | (cbp_chroma << 4)
+    w.ue(_CBP_INTRA.index(cbp))
+    if cbp:
+        qp = _mb_qp_delta_write(w, qp, want_qp)
+    else:
+        want_qp = qp
+    # interleaved residual + real reconstruction
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        cur_blk = b8 * 4
+        coded = bool(cbp_luma & (1 << b8))
+        any_nz = 0
+        if coded:
+            flat = zs[b8].reshape(-1)
+            scan64 = [int(flat[ZIGZAG_8x8[k]]) for k in range(64)]
+            for i4 in range(4):
+                blk = b8 * 4 + i4
+                x4, y4 = _blk_xy(blk)
+                cgx, cgy = mbx * 4 + x4, mby * 4 + y4
+                sub = [scan64[4 * k + i4] for k in range(16)]
+                nc = st.luma_nc(cgx, cgy, mb, blk)
+                total = write_residual_block(w, sub, nc, 16)
+                st.nzY[cgy, cgx] = total
+                any_nz |= total
+        else:
+            st.nzY[gy:gy + 2, gx:gx + 2] = 0
+        st.nz8[mby * 2 + (b8 >> 1), mbx * 2 + (b8 & 1)] = (
+            1 if any_nz else 0)
+        pred = _pred8_enc(st, chosen[b8], gx, gy, mb, cur_blk)
+        rec = (dequant_recon_8x8(zs[b8], want_qp, w8=w8) if coded
+               else np.zeros((8, 8), dtype=np.int64))
+        st.Y[py + by * 4:py + by * 4 + 8,
+             px + bx * 4:px + bx * 4 + 8] = _clip(pred + rec)
+    _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma,
+                   chroma_mode)
+    return qp
+
+
 def _encode_pcm(w, st, y, cb, cr, mbx, mby, qp, tbase=0):
     w.ue(tbase + 25)
     w.byte_align_zero()
@@ -843,9 +1325,10 @@ def _chroma_pred_enc(st, plane, mbx, mby, mode):
 
 
 def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
-                   preds=None):
+                   preds=None, inter=False):
     qpc = _CHROMA_QP[max(0, min(51, qp))]
     px, py = mbx * 8, mby * 8
+    wbase = 4 if inter else 1  # scaling-list slots (Cb, Cr)
     if preds is None:  # intra MB: derive the chroma prediction here
         preds = []
         for src, plane in ((cb, st.Cb), (cr, st.Cr)):
@@ -868,7 +1351,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             wq = forward_4x4(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
-            z = quant_4x4(wq, qpc, skip_dc=False)
+            z = quant_4x4(wq, qpc, skip_dc=False, w4=_sc(wbase + pi))
             dcs[by, bx] = wq[0, 0]
             z[0, 0] = 0
             if cbp_chroma == 2:
@@ -876,7 +1359,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
             else:
                 z[:, :] = 0
             zs.append(z)
-        dcz = chroma_dc_forward(dcs, qpc)
+        dcz = chroma_dc_forward(dcs, qpc, w00=_sc00(wbase + pi))
         all_z.append(zs)
         all_dcz.append(dcz)
     # write chroma DC blocks (Cb then Cr), nC = -1
@@ -888,7 +1371,7 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
     for pi, (src, plane, grid) in enumerate(
         ((cb, st.Cb, st.nzCb), (cr, st.Cr, st.nzCr))
     ):
-        dc_rec = chroma_dc_recon(all_dcz[pi], qpc)
+        dc_rec = chroma_dc_recon(all_dcz[pi], qpc, w00=_sc00(wbase + pi))
         for blk in range(4):
             bx, by = blk & 1, blk >> 1
             gx, gy = mbx * 2 + bx, mby * 2 + by
@@ -900,7 +1383,8 @@ def _encode_chroma(w, st, cb, cr, mbx, mby, qp, cbp_chroma, chroma_mode,
                 grid[gy, gx] = total
             else:
                 grid[gy, gx] = 0
-            res = dequant_recon_4x4(z, qpc, dc_override=int(dc_rec[by, bx]))
+            res = dequant_recon_4x4(z, qpc, dc_override=int(dc_rec[by, bx]),
+                                    w4=_sc(wbase + pi))
             cy, cx = py + by * 4, px + bx * 4
             plane[cy : cy + 4, cx : cx + 4] = _clip(
                 preds[pi][by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res
@@ -923,10 +1407,10 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
         x4, y4 = _blk_xy(blk)
         wq = forward_4x4(res[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
         dcs[y4, x4] = wq[0, 0]
-        z = quant_4x4(wq, want_qp, skip_dc=True)
+        z = quant_4x4(wq, want_qp, skip_dc=True, w4=_sc(0))
         _cap_nonzeros(z)
         zs[blk] = z
-    dcz = luma_dc_forward(dcs, want_qp)
+    dcz = luma_dc_forward(dcs, want_qp, w00=_sc00(0))
     cbp_luma = 15 if any(np.any(zs[b]) for b in range(16)) else 0
     cbp_chroma = 2
     # mb_type encoding
@@ -944,7 +1428,7 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     nc = st.luma_nc(mbx * 4, mby * 4, mby * st.mbw + mbx, 0)
     scan = [int(dcz.reshape(-1)[ZIGZAG_4x4[p]]) for p in range(16)]
     write_residual_block(w, scan, nc, 16)
-    dc_rec = luma_dc_recon(dcz, want_qp)
+    dc_rec = luma_dc_recon(dcz, want_qp, w00=_sc00(0))
     # luma AC + reconstruction
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
@@ -956,7 +1440,8 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
             st.nzY[gy, gx] = total
         else:
             st.nzY[gy, gx] = 0
-        rec = dequant_recon_4x4(z, want_qp, dc_override=int(dc_rec[y4, x4]))
+        rec = dequant_recon_4x4(z, want_qp, dc_override=int(dc_rec[y4, x4]),
+                                w4=_sc(0))
         st.Y[py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4] = (
             _clip(pred[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4] + rec)
         )
@@ -974,6 +1459,8 @@ def _mb_qp_delta_write(w, qp, want_qp):
 
 def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     w.ue(tbase + 0)  # mb_type I_4x4
+    if _ENC_T8:
+        w.u(0, 1)  # transform_size_8x8_flag (I_NxN, 4x4 chosen)
     px, py = mbx * 16, mby * 16
     src = y[py : py + 16, px : px + 16].astype(np.int64)
     mb = mby * st.mbw + mbx
@@ -1004,10 +1491,10 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
         _, mode, pred = best
         chosen.append(mode)
         sblk = src[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
-        z = quant_4x4(forward_4x4(sblk - pred), want_qp)
+        z = quant_4x4(forward_4x4(sblk - pred), want_qp, w4=_sc(0))
         _cap_nonzeros(z)
         zs[blk] = z
-        rec = dequant_recon_4x4(z, want_qp)
+        rec = dequant_recon_4x4(z, want_qp, w4=_sc(0))
         trial_Y[
             py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4
         ] = _clip(pred + rec)
@@ -1062,7 +1549,7 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
         else:
             st.nzY[gy, gx] = 0
         pred = _pred4_enc(st, chosen[blk], gx, gy, cur, blk)
-        rec = dequant_recon_4x4(z, want_qp)
+        rec = dequant_recon_4x4(z, want_qp, w4=_sc(0))
         st.Y[
             py + y4 * 4 : py + y4 * 4 + 4, px + x4 * 4 : px + x4 * 4 + 4
         ] = _clip(pred + rec)
@@ -1070,18 +1557,41 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     return qp
 
 
+def _set_enc_profile(transform_8x8, scal):
+    """Install the High-profile encoder state (module globals read by
+    every MB writer). ``scal`` is the RESOLVED 8-list of raster
+    weightScale arrays (or None = flat); entry points emit it as an
+    all-explicit seq_scaling_matrix so the decoder resolves to the
+    identical lists."""
+    global _ENC_SCAL, _ENC_T8
+    _ENC_T8 = 1 if transform_8x8 else 0
+    if scal is None:
+        _ENC_SCAL = None
+    else:
+        assert len(scal) == 8
+        _ENC_SCAL = [np.asarray(m, dtype=np.int64) for m in scal]
+        for i, m in enumerate(_ENC_SCAL):
+            assert m.shape == ((4, 4) if i < 6 else (8, 8))
+
+
 def encode_stream(y, cb, cr, qp=28, crop_r=0, crop_b=0, mb_plan=None,
                   qp_wobble=False, deblock=False, alpha_off_div2=0,
-                  beta_off_div2=0):
+                  beta_off_div2=0, transform_8x8=False, scal=None):
     """(sps_nal, pps_nal, idr_nal, reconstruction) — reconstruction is
     the encoder's own decode loop output as an (H, W) luma + chroma
     tuple BEFORE cropping (callers crop). ``deblock`` writes
     disable_deblocking_filter_idc = 0 (with the given offset_div2
     values) and runs the encoder's own 8.7 loop filter over the
-    reconstruction, as a conforming encoder must."""
+    reconstruction, as a conforming encoder must. ``transform_8x8``
+    enables the High-profile PPS flag (mb_plan kind "i8" / inter
+    plan key "t8" select it per MB); ``scal`` installs resolved
+    scaling lists, emitted explicitly in the SPS."""
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b)
-    pps = write_pps(26)
+    _set_enc_profile(transform_8x8, scal)
+    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
+                    high=bool(transform_8x8) or scal is not None,
+                    seq_scal=_ENC_SCAL)
+    pps = write_pps(26, transform_8x8=1 if transform_8x8 else 0)
     global _LAST_STATE
     _LAST_STATE = None
     nal = _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
@@ -1166,7 +1676,11 @@ def _bs_enc(st, gxp, gyp, gxq, gyq, mb_edge):
     mbq = (gyq // 4) * st.mbw + gxq // 4
     if st.mb_intra[mbp] or st.mb_intra[mbq]:
         return 4 if mb_edge else 3
-    if st.nzY[gyp, gxp] or st.nzY[gyq, gxq]:
+    nzp = (st.nz8[gyp >> 1, gxp >> 1] if st.mb_t8[mbp]
+           else st.nzY[gyp, gxp])
+    nzq = (st.nz8[gyq >> 1, gxq >> 1] if st.mb_t8[mbq]
+           else st.nzY[gyq, gxq])
+    if nzp or nzq:
         return 2
     if int(st.pf[gyp, gxp]) != int(st.pf[gyq, gxq]):
         return 1
@@ -1208,6 +1722,8 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
     for mb in range(mbw * mbh):
         mbx, mby = mb % mbw, mb // mbw
         for k, xo in enumerate((0, 4, 8, 12)):
+            if st.mb_t8[mb] and xo in (4, 12):
+                continue  # no 4x4 transform edge in an 8x8 MB
             if k == 0 and mbx == 0:
                 continue
             qa = (qps[mb] + qps[mb - 1] + 1) >> 1 if k == 0 else qps[mb]
@@ -1241,6 +1757,8 @@ def _deblock_recon(st, alpha_off, beta_off, chroma_qp_off=0):
                     alpha, beta, tc0 = thr(qa, bs)
                     _db_line(plane[row], x, bs, alpha, beta, tc0, True)
         for k, yo in enumerate((0, 4, 8, 12)):
+            if st.mb_t8[mb] and yo in (4, 12):
+                continue
             if k == 0 and mby == 0:
                 continue
             qa = (qps[mb] + qps[mb - mbw] + 1) >> 1 if k == 0 else qps[mb]
@@ -1333,6 +1851,8 @@ def _encode_iframe_capture(y, cb, cr, qp, mb_plan, qp_wobble,
             cur_qp = _encode_pcm(w, st, y, cb, cr, mbx, mby, cur_qp)
         elif kind == "i16":
             cur_qp = _encode_i16(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
+        elif kind == "i8":
+            cur_qp = _encode_i8(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
         else:
             cur_qp = _encode_i4(w, st, y, cb, cr, mbx, mby, cur_qp, want_qp)
         st.mb_qp.append(cur_qp)
@@ -1672,46 +2192,100 @@ def _encode_p_inter(w, st, ref_planes, y, cb, cr, mbx, mby, qp, want_qp,
     pred_cb = st.Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
     pred_cr = st.Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
     code = plan.get("code", True)
+    # 7.3.5 geometry gate for transform_size_8x8_flag
+    t8_geom_ok = bool(_ENC_T8) and (
+        kind in ("p16", "p16x8", "p8x16")
+        or (kind == "p8x8" and all(s == 0 for s in plan["subs"])))
+    want_t8 = bool(plan.get("t8")) and t8_geom_ok
     zs = {}
+    z8s = {}
     cbp_luma = 0
     if code:
         src = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].astype(
             np.int64)
         res = src - pred_y
-        for blk in range(16):
-            x4, y4 = _blk_xy(blk)
-            z = quant_4x4(
-                forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
-                want_qp)
-            _cap_nonzeros(z)
-            zs[blk] = z
-        for i8 in range(4):
-            if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
-                cbp_luma |= 1 << i8
+        if want_t8:
+            for b8 in range(4):
+                bx, by = (b8 & 1) * 8, (b8 >> 1) * 8
+                z = quant_8x8(forward_8x8(res[by:by + 8, bx:bx + 8]),
+                              want_qp, w8=_sc(7))
+                z8s[b8] = z
+                if np.any(z):
+                    cbp_luma |= 1 << b8
+        else:
+            for blk in range(16):
+                x4, y4 = _blk_xy(blk)
+                z = quant_4x4(
+                    forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
+                    want_qp, w4=_sc(3))
+                _cap_nonzeros(z)
+                zs[blk] = z
+            for i8 in range(4):
+                if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
+                    cbp_luma |= 1 << i8
     cbp_chroma = plan.get("cbp_chroma", 2 if code else 0)
     cbp = cbp_luma | (cbp_chroma << 4)
     w.ue(_CBP_INTER.index(cbp))
+    if cbp_luma and t8_geom_ok:
+        w.u(1 if want_t8 else 0, 1)  # transform_size_8x8_flag
     if cbp:
         qp = _mb_qp_delta_write(w, qp, want_qp)
     else:
         want_qp = qp
-    for blk in range(16):
-        x4, y4 = _blk_xy(blk)
-        gx, gy = px4 + x4, py4 + y4
-        if cbp_luma & (1 << (blk >> 2)):
-            z = zs[blk]
-            nc = st.luma_nc(gx, gy, mb, blk)
-            total = write_residual_block(w, _scan_of(z, 16), nc, 16)
-            st.nzY[gy, gx] = total
-            rec = dequant_recon_4x4(z, want_qp)
-            yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
-            st.Y[yy:yy + 4, xx:xx + 4] = _clip(
-                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
-        else:
-            st.nzY[gy, gx] = 0
+    if want_t8 and cbp_luma:
+        _write_inter_t8_luma(w, st, mbx, mby, want_qp, z8s, cbp_luma,
+                             pred_y)
+    else:
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            gx, gy = px4 + x4, py4 + y4
+            if cbp_luma & (1 << (blk >> 2)):
+                z = zs[blk]
+                nc = st.luma_nc(gx, gy, mb, blk)
+                total = write_residual_block(w, _scan_of(z, 16), nc, 16)
+                st.nzY[gy, gx] = total
+                rec = dequant_recon_4x4(z, want_qp, w4=_sc(3))
+                yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
+                st.Y[yy:yy + 4, xx:xx + 4] = _clip(
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
+            else:
+                st.nzY[gy, gx] = 0
     _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma,
-                   0, preds=[pred_cb, pred_cr])
+                   0, preds=[pred_cb, pred_cr], inter=True)
     return qp
+
+
+def _write_inter_t8_luma(w, st, mbx, mby, want_qp, z8s, cbp_luma,
+                         pred_y):
+    """Interleaved 8x8 CAVLC luma residual + reconstruction for an
+    inter MB with transform_size_8x8_flag = 1."""
+    mb = mby * st.mbw + mbx
+    st.mb_t8[mb] = True
+    for b8 in range(4):
+        bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+        coded = bool(cbp_luma & (1 << b8))
+        any_nz = 0
+        if coded:
+            flat = z8s[b8].reshape(-1)
+            scan64 = [int(flat[ZIGZAG_8x8[k]]) for k in range(64)]
+            for i4 in range(4):
+                blk = b8 * 4 + i4
+                x4, y4 = _blk_xy(blk)
+                gx, gy = mbx * 4 + x4, mby * 4 + y4
+                sub = [scan64[4 * k + i4] for k in range(16)]
+                nc = st.luma_nc(gx, gy, mb, blk)
+                total = write_residual_block(w, sub, nc, 16)
+                st.nzY[gy, gx] = total
+                any_nz |= total
+            rec = dequant_recon_8x8(z8s[b8], want_qp, w8=_sc(7))
+            yy, xx = mby * 16 + by * 4, mbx * 16 + bx * 4
+            st.Y[yy:yy + 8, xx:xx + 8] = _clip(
+                pred_y[by * 4:by * 4 + 8, bx * 4:bx * 4 + 8] + rec)
+        else:
+            st.nzY[mby * 4 + by:mby * 4 + by + 2,
+                   mbx * 4 + bx:mbx * 4 + bx + 2] = 0
+        st.nz8[mby * 2 + (b8 >> 1), mbx * 2 + (b8 & 1)] = (
+            1 if any_nz else 0)
 
 
 def _write_rplm(w, cmds):
@@ -1835,6 +2409,11 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
                                 want_qp, tbase=5)
             st.mb_intra.append(True)
             st.mb_pcm.append(False)
+        elif kind == "i8":
+            cur_qp = _encode_i8(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                want_qp, tbase=5)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
         else:
             raise ValueError(f"unknown P MB plan kind {kind!r}")
         st.mb_qp.append(cur_qp)
@@ -1847,7 +2426,8 @@ def _encode_pframe(y, cb, cr, ref_planes, qp, p_plan, frame_num,
 
 
 def encode_sequence(frames, qp=28, crop_r=0, crop_b=0, plans=None,
-                    deblock=False, alpha_off_div2=0, beta_off_div2=0):
+                    deblock=False, alpha_off_div2=0, beta_off_div2=0,
+                    transform_8x8=False, scal=None):
     """Encode frames[0] as an IDR I frame and the rest as single-ref
     P frames. ``plans``: one entry per frame — frame 0 takes an I-MB
     plan (or None for the default mix), P frames a callable
@@ -1855,8 +2435,11 @@ def encode_sequence(frames, qp=28, crop_r=0, crop_b=0, plans=None,
     pps_nal, [slice NALs], [(Y, Cb, Cr) reconstructions])."""
     y0, cb0, cr0 = frames[0]
     mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
-    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b)
-    pps = write_pps(26)
+    _set_enc_profile(transform_8x8, scal)
+    sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
+                    high=bool(transform_8x8) or scal is not None,
+                    seq_scal=_ENC_SCAL)
+    pps = write_pps(26, transform_8x8=1 if transform_8x8 else 0)
     global _LAST_STATE
     _LAST_STATE = None
     nal0 = _encode_iframe_capture(
@@ -2107,7 +2690,8 @@ def _mc_part_b_enc(st, ref0_planes, ref1_planes, bx4, by4, w4, h4,
 
 
 def _inter_residual_tail_b(w, st, y, cb, cr, mbx, mby, qp, want_qp,
-                           code, cbp_chroma_req):
+                           code, cbp_chroma_req, t8_geom_ok=False,
+                           want_t8=False):
     """CBP + residual tail shared by the B macroblock writer (same
     structure as the P tail; kept separate so the proven P path stays
     untouched)."""
@@ -2116,45 +2700,63 @@ def _inter_residual_tail_b(w, st, y, cb, cr, mbx, mby, qp, want_qp,
     pred_y = st.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].copy()
     pred_cb = st.Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
     pred_cr = st.Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8].copy()
+    t8_geom_ok = t8_geom_ok and bool(_ENC_T8)
+    want_t8 = want_t8 and t8_geom_ok
     zs = {}
+    z8s = {}
     cbp_luma = 0
     if code:
         src = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16].astype(
             np.int64)
         res = src - pred_y
-        for blk in range(16):
-            x4, y4 = _blk_xy(blk)
-            z = quant_4x4(
-                forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
-                want_qp)
-            _cap_nonzeros(z)
-            zs[blk] = z
-        for i8 in range(4):
-            if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
-                cbp_luma |= 1 << i8
+        if want_t8:
+            for b8 in range(4):
+                bx, by = (b8 & 1) * 8, (b8 >> 1) * 8
+                z = quant_8x8(forward_8x8(res[by:by + 8, bx:bx + 8]),
+                              want_qp, w8=_sc(7))
+                z8s[b8] = z
+                if np.any(z):
+                    cbp_luma |= 1 << b8
+        else:
+            for blk in range(16):
+                x4, y4 = _blk_xy(blk)
+                z = quant_4x4(
+                    forward_4x4(res[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]),
+                    want_qp, w4=_sc(3))
+                _cap_nonzeros(z)
+                zs[blk] = z
+            for i8 in range(4):
+                if any(np.any(zs[i8 * 4 + k]) for k in range(4)):
+                    cbp_luma |= 1 << i8
     cbp_chroma = cbp_chroma_req if code else 0
     cbp = cbp_luma | (cbp_chroma << 4)
     w.ue(_CBP_INTER.index(cbp))
+    if cbp_luma and t8_geom_ok:
+        w.u(1 if want_t8 else 0, 1)  # transform_size_8x8_flag
     if cbp:
         qp = _mb_qp_delta_write(w, qp, want_qp)
     else:
         want_qp = qp
-    for blk in range(16):
-        x4, y4 = _blk_xy(blk)
-        gx, gy = px4 + x4, py4 + y4
-        if cbp_luma & (1 << (blk >> 2)):
-            z = zs[blk]
-            nc = st.luma_nc(gx, gy, mb, blk)
-            total = write_residual_block(w, _scan_of(z, 16), nc, 16)
-            st.nzY[gy, gx] = total
-            rec = dequant_recon_4x4(z, want_qp)
-            yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
-            st.Y[yy:yy + 4, xx:xx + 4] = _clip(
-                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
-        else:
-            st.nzY[gy, gx] = 0
+    if want_t8 and cbp_luma:
+        _write_inter_t8_luma(w, st, mbx, mby, want_qp, z8s, cbp_luma,
+                             pred_y)
+    else:
+        for blk in range(16):
+            x4, y4 = _blk_xy(blk)
+            gx, gy = px4 + x4, py4 + y4
+            if cbp_luma & (1 << (blk >> 2)):
+                z = zs[blk]
+                nc = st.luma_nc(gx, gy, mb, blk)
+                total = write_residual_block(w, _scan_of(z, 16), nc, 16)
+                st.nzY[gy, gx] = total
+                rec = dequant_recon_4x4(z, want_qp, w4=_sc(3))
+                yy, xx = mby * 16 + y4 * 4, mbx * 16 + x4 * 4
+                st.Y[yy:yy + 4, xx:xx + 4] = _clip(
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] + rec)
+            else:
+                st.nzY[gy, gx] = 0
     _encode_chroma(w, st, cb, cr, mbx, mby, want_qp, cbp_chroma,
-                   0, preds=[pred_cb, pred_cr])
+                   0, preds=[pred_cb, pred_cr], inter=True)
     return qp
 
 
@@ -2299,9 +2901,18 @@ def _encode_b_inter(w, st, ref0_planes, ref1_planes, col, y, cb, cr,
                            by4, w4, h4, mv0 or (0, 0), mv1 or (0, 0),
                            use0, use1, ri0=ri0, ri1=ri1)
     st.modes[py4:py4 + 4, px4:px4 + 4] = 2
+    # 7.3.5 geometry gate: 16x16/16x8/8x16 always; B_Direct_16x16
+    # needs direct_8x8_inference (all B fixtures write it); B_8x8
+    # needs every sub-partition >= 8x8
+    if kind == "b8x8":
+        t8_geom_ok = all(
+            s == "direct" or s[0] == "8x8" for s in plan["subs"])
+    else:
+        t8_geom_ok = True
     return _inter_residual_tail_b(
         w, st, y, cb, cr, mbx, mby, qp, want_qp,
-        plan.get("code", True), plan.get("cbp_chroma", 2))
+        plan.get("code", True), plan.get("cbp_chroma", 2),
+        t8_geom_ok=t8_geom_ok, want_t8=bool(plan.get("t8")))
 
 
 def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
@@ -2439,6 +3050,11 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
                                 want_qp, tbase=23)
             st.mb_intra.append(True)
             st.mb_pcm.append(False)
+        elif kind == "i8":
+            cur_qp = _encode_i8(w, st, y, cb, cr, mbx, mby, cur_qp,
+                                want_qp, tbase=23)
+            st.mb_intra.append(True)
+            st.mb_pcm.append(False)
         else:
             raise ValueError(f"unknown B MB plan kind {kind!r}")
         st.mb_qp.append(cur_qp)
@@ -2452,7 +3068,8 @@ def _encode_bframe(y, cb, cr, ref0_planes, ref1_planes, col, qp,
 
 def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
                 alpha_off_div2=0, beta_off_div2=0,
-                implicit_bipred=False, constrained_intra=False):
+                implicit_bipred=False, constrained_intra=False,
+                transform_8x8=False, scal=None):
     """Encode a mixed I/P/B sequence in DECODE order.
 
     ``entries``: dicts with kind ("I" / "P" / "B"), frame ((Y, Cb,
@@ -2475,9 +3092,12 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
         elif e["kind"] == "B":
             need = max(need, len(e.get("refs0", [e.get("ref0", 0)]))
                        + len(e.get("refs1", [e.get("ref1", 0)])))
+    _set_enc_profile(transform_8x8, scal)
     sps = write_sps(mbw, mbh, crop_r=crop_r, crop_b=crop_b,
                     poc_type=0, num_ref_frames=min(16, need),
-                    direct_8x8=1)
+                    direct_8x8=1,
+                    high=bool(transform_8x8) or scal is not None,
+                    seq_scal=_ENC_SCAL)
     any_wp = any(e.get("weights") is not None for e in entries)
     any_wb = any(e.get("weights") is not None and e["kind"] == "B"
                  for e in entries)
@@ -2486,7 +3106,8 @@ def encode_bseq(entries, qp=28, crop_r=0, crop_b=0, deblock=False,
     pps = write_pps(26, weighted_pred=1 if any_wp else 0,
                     weighted_bipred_idc=(2 if implicit_bipred
                                          else 1 if any_wb else 0),
-                    constrained_intra=1 if constrained_intra else 0)
+                    constrained_intra=1 if constrained_intra else 0,
+                    transform_8x8=1 if transform_8x8 else 0)
     global _LAST_STATE
     nals = []
     recons = []
