@@ -2256,12 +2256,21 @@ _AVC_TD_CASE_BY_ID = {c[0]: c for c in _AVC_TD_CASES}
 # prediction availability resets per slice, deblock crosses
 _AVC_MS_CASES = (("p_multislice_deblock26", 26, 1, 4, 4, 16),)
 _AVC_MS_CASE_BY_ID = {c[0]: c for c in _AVC_MS_CASES}
+# r8 late wave: High-profile CAVLC — scaling matrices + the 8x8
+# transform. q: one IDR mixing Intra_8x8/i4/i16/PCM under the spec
+# DEFAULT scaling lists (weighted dequant on every class incl. both
+# DC paths), deblocked with the 8x8 internal-edge rules; r: an
+# I(Intra_8x8) -> P chain whose inter MBs mix transform_size_8x8_flag
+# 1/0 across 16x16 / 16x8 / all-8x8 partitions (8x8-aware bS)
+_AVC_HP_CASES = (("q_high8x8_scal26", 26, 1, 4, 3, 16),
+                 ("r_high8x8_pchain28", 28, 1, 4, 3, 16),)
+_AVC_HP_CASE_BY_ID = {c[0]: c for c in _AVC_HP_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
     + [c[0] for c in _AVC_B_CASES] + [c[0] for c in _AVC_MR_CASES]
     + [c[0] for c in _AVC_WP_CASES] + [c[0] for c in _AVC_IWP_CASES]
     + [c[0] for c in _AVC_RPLM_CASES] + [c[0] for c in _AVC_TD_CASES]
-    + [c[0] for c in _AVC_MS_CASES]
+    + [c[0] for c in _AVC_MS_CASES] + [c[0] for c in _AVC_HP_CASES]
 )
 
 
@@ -2809,6 +2818,65 @@ def _avc_case_stream(case_id: str):
             _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
         )
         return sps_nal, pps_nal, nals, rgb
+    if case_id in _AVC_HP_CASE_BY_ID:
+        from shotit_worker_spark.functions import avc as _AV
+
+        cid, qp, deblock, mbw, mbh, noise = _AVC_HP_CASE_BY_ID[case_id]
+        frames = []
+        for fi in range(2):
+            rng = np.random.default_rng(
+                sum(ord(ch) for ch in case_id) + 277 * fi)
+            H, W = mbh * 16, mbw * 16
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 255 // (W - 1)) + (yy * 97 // (H - 1))
+                 + rng.integers(-noise, noise + 1, (H, W))).clip(0, 255)
+            cb = (110 + (xx[::2, ::2] // 3) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            cr = (140 - (yy[::2, ::2] // 4) + rng.integers(
+                -noise // 2, noise // 2 + 1, (H // 2, W // 2))
+            ).clip(0, 255)
+            frames.append((y, cb, cr))
+        mix = ("i8", "i4", "i16", "i8", "pcm")
+        if cid.startswith("q_"):
+            defaults = (
+                [_AV._DEFAULT_4x4_INTRA] * 3
+                + [_AV._DEFAULT_4x4_INTER] * 3
+                + [_AV._DEFAULT_8x8_INTRA, _AV._DEFAULT_8x8_INTER])
+            y, cb, cr = frames[0]
+            sps_nal, pps_nal, nal_out, (rY, rCb, rCr) = \
+                GENC.encode_stream(
+                    y, cb, cr, qp=qp, deblock=bool(deblock),
+                    transform_8x8=True, scal=defaults,
+                    mb_plan=lambda x, yy: mix[(x + 2 * yy) % 5])
+        else:
+            def pplan(mbx, mby):
+                k = (mbx + mby) % 5
+                if k == 0:
+                    return {"kind": "p16", "mv": (mbx % 3 - 1, 4),
+                            "t8": True}
+                if k == 1:
+                    return {"kind": "p16x8", "mvs": [(2, 1), (-1, 0)],
+                            "t8": True}
+                if k == 2:
+                    return {"kind": "i8"}
+                if k == 3:
+                    return {"kind": "p8x8", "subs": [0, 0, 0, 0],
+                            "mvs": [(1, 0), (0, 1), (-1, 2), (2, -1)],
+                            "t8": True}
+                return {"kind": "p16", "mv": (0, 0)}
+
+            sps_nal, pps_nal, nal_out, recons = GENC.encode_sequence(
+                frames, qp=qp, plans=[lambda x, yy: "i8", pplan],
+                deblock=bool(deblock), transform_8x8=True)
+            rY, rCb, rCr = recons[-1]
+        h, w = mbh * 16, mbw * 16
+        rgb = _ycc_to_rgb(
+            np.asarray(rY)[:h, :w].astype(np.int32),
+            _upsample(np.asarray(rCb).astype(np.int32), 2, 2, h, w),
+            _upsample(np.asarray(rCr).astype(np.int32), 2, 2, h, w),
+        )
+        return sps_nal, pps_nal, nal_out, rgb
     if case_id in _AVC_P_CASE_BY_ID:
         cid, qp, deblock, mbw, mbh, noise, plan_name, n_frames = \
             _AVC_P_CASE_BY_ID[case_id]
@@ -2954,11 +3022,15 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref_pic_list_modification: picNum commands reversing L0 on a P
     and promoting L1[1] on a B, applied from the default initial
     lists), a TEMPORAL-direct chain (8.4.1.2.3 POC-scaled
-    colocated motion over skip/intra/real colocated blocks), and a
+    colocated motion over skip/intra/real colocated blocks), a
     MULTI-SLICE chain (I/P/B each tiled into two row-slices —
     prediction availability resets per slice, the loop filter
-    crosses) — sixteen streams DECODED by the engine on the
-    executors and hashed;
+    crosses), and (r8 late wave) two HIGH-PROFILE streams — an IDR
+    mixing Intra_8x8/i4/i16/PCM under the spec default scaling lists
+    (weighted dequant on every residual class incl. both DC paths,
+    8x8 deblock edge rules) and an I->P chain whose inter MBs mix
+    transform_size_8x8_flag across partitions — eighteen streams
+    DECODED by the engine on the executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both
