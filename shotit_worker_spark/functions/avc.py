@@ -782,16 +782,37 @@ def _read_vlc(r: BitReader, table: dict, what: str):
     return val
 
 
+def _read_lut(r: BitReader, lut: list, what: str):
+    """_read_vlc over a PRE-RESOLVED lookup table (the hot CAVLC loop
+    runs tens of thousands of symbol reads per frame; resolving the
+    table->LUT map once at import removes a dict probe per symbol)."""
+    hit = lut[r.peek(16)]
+    if hit is None:
+        raise AVCError(f"invalid {what} code")
+    length, val = hit
+    if r.pos + length > r.nbits:
+        raise AVCError("bitstream exhausted")
+    r.pos += length
+    return val
+
+
+# pre-resolved LUTs for every fixed CAVLC table (import-time)
+_CT_LUTS = {k: _vlc_lut(t) for k, t in _CT_TABLES.items()}
+_TZ_LUTS = {k: _vlc_lut(t) for k, t in _TZ_TABLES.items()}
+_TZC_LUTS = {k: _vlc_lut(t) for k, t in _TZ_CHROMA.items()}
+_RB_LUTS = {k: _vlc_lut(t) for k, t in _RB_TABLES.items()}
+
+
 def read_coeff_token(r: BitReader, nc: int) -> tuple[int, int]:
     """(trailing_ones, total_coeff)."""
     if nc < 0:
-        return _read_vlc(r, _CT_TABLES[-1], "chroma-dc coeff_token")
+        return _read_lut(r, _CT_LUTS[-1], "chroma-dc coeff_token")
     if nc < 2:
-        return _read_vlc(r, _CT_TABLES[0], "coeff_token")
+        return _read_lut(r, _CT_LUTS[0], "coeff_token")
     if nc < 4:
-        return _read_vlc(r, _CT_TABLES[2], "coeff_token")
+        return _read_lut(r, _CT_LUTS[2], "coeff_token")
     if nc < 8:
-        return _read_vlc(r, _CT_TABLES[4], "coeff_token")
+        return _read_lut(r, _CT_LUTS[4], "coeff_token")
     # nC >= 8: 6-bit FLC; 000011 means (0, 0)
     v = r.u(6)
     if v == 3:
@@ -851,17 +872,17 @@ def read_residual_block(
 
     if total < max_coeff:
         if nc < 0:
-            tz = _read_vlc(r, _TZ_CHROMA[total], "chroma total_zeros")
+            tz = _read_lut(r, _TZC_LUTS[total], "chroma total_zeros")
         else:
-            tz = _read_vlc(r, _TZ_TABLES[total], "total_zeros")
+            tz = _read_lut(r, _TZ_LUTS[total], "total_zeros")
     else:
         tz = 0
     zeros_left = tz
     runs = []
     for i in range(total - 1):
         if zeros_left > 0:
-            tbl = _RB_TABLES[min(zeros_left, 7)]
-            run = _read_vlc(r, tbl, "run_before")
+            lut = _RB_LUTS[min(zeros_left, 7)]
+            run = _read_lut(r, lut, "run_before")
             if run > zeros_left:
                 raise AVCError("run_before exceeds zeros_left")
         else:
