@@ -3765,6 +3765,59 @@ def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
+    signup cohorts x distinct-active-user counts per week offset over
+    events. The engine runs the ONE-PIPELINE shape (a single
+    groupBy(user) computing cohort + distinct activity periods, the
+    sentinel-row explode yielding cells AND cohort sizes from one
+    cohort-keyed agg, ReusedExchange deduplicating the shared
+    subtree); the oracle recomputes every cell through the
+    independent join formulation. Periods are exact integer micros
+    DIV 604800000000 on both sides — no week-start/timezone/float
+    ambiguity."""
+    from shotit_worker_spark.operators.cohort import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_type")
+    return cohort_retention(ev, anchor_type="signup",
+                            activity_type=None, period_days=7)
+
+
+_COHORT_ORACLE_SQL = """
+    WITH e AS (
+        SELECT user_id AS u,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p,
+               event_type AS y
+        FROM events WHERE ts IS NOT NULL
+    ),
+    base AS (
+        SELECT u, min(p) AS c FROM e WHERE y = 'signup' GROUP BY u
+    ),
+    act AS (SELECT DISTINCT u, p FROM e),
+    cells AS (
+        SELECT b.c AS cohort_period,
+               CAST(a.p - b.c AS INT) AS period_offset,
+               count(*) AS n_users
+        FROM act a JOIN base b ON a.u = b.u AND a.p >= b.c
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT c AS cohort_period, count(*) AS cohort_size
+        FROM base GROUP BY 1
+    )
+    SELECT cells.cohort_period, period_offset, n_users,
+           sizes.cohort_size,
+           CAST(n_users AS DOUBLE) / sizes.cohort_size AS retention
+    FROM cells JOIN sizes USING (cohort_period)
+    ORDER BY cohort_period, period_offset
+"""
+
+
 _FUNNEL_ORACLE_SQL = """
     WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
@@ -4525,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_count_min": q87_count_min,
         "q88_phash": q88_phash,
         "q89_audio_match": q89_audio_match,
+        "q90_cohort_retention": q90_cohort_retention,
     }
 
 
@@ -4603,6 +4657,10 @@ def oracle_sql() -> dict[str, str]:
                 ('3_excerpt_votes', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q90: FULL-VALUE cohort retention — exact integer week
+        # periods make every cell reproducible through the
+        # independent join formulation
+        "q90_cohort_retention": _COHORT_ORACLE_SQL,
         # q87: exact top-15 counts; never_under is the deterministic
         # Count-Min guarantee, bound_ok the 2N/width envelope
         "q87_count_min": f"""

@@ -1,0 +1,135 @@
+"""Cohort retention analysis over an event stream.
+
+"Of the users who signed up in week W, how many were active in week
+W+k?" — the standard retention matrix behind every growth dashboard.
+The naive formulation self-joins the activity table against the
+cohort table per offset; the Spark-first shape here is ONE
+groupBy(user) shuffle that computes BOTH the user's cohort period
+(min anchor-event period) and their distinct activity periods in the
+same aggregation, then two small cohort-keyed aggs over the exploded
+offsets. Per-user state is the set of distinct periods — bounded by
+timeline length / period, never by event count.
+
+Periods are exact integer arithmetic on epoch MICROS
+(``period = unix_micros DIV (period_days * 86_400_000_000)``), so a
+SQL oracle reproduces every cell bit-for-bit with ``epoch_us(ts) //
+N`` — no week-start / timezone / float boundary ambiguity. The
+session timezone is pinned UTC engine-wide, making the NTZ
+reinterpretation wall-clock identical (same convention as
+operators/funnel).
+
+Semantics: a user's cohort is the period of their EARLIEST anchor
+event (``anchor_type``; None = any event). A cell (cohort, offset)
+counts DISTINCT cohort users with at least one activity event
+(``activity_type``; None = any event) in period cohort + offset.
+Activity strictly before the cohort period is ignored (possible when
+anchor and activity types differ). ``retention`` is the cell count
+over the cohort's size; offset 0 is 1.0 whenever anchor events also
+qualify as activity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cohort_retention"]
+
+_MICROS_PER_DAY = 86_400_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    anchor_type: str | None = None,
+    activity_type: str | None = None,
+    period_days: int = 7,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """(cohort_period, period_offset, n_users, cohort_size,
+    retention) — one row per non-empty retention-matrix cell, ordered
+    by (cohort_period, period_offset).
+
+    ``cohort_period`` is the integer period index (epoch micros DIV
+    the period length); multiply by ``period_days`` for a calendar
+    label. One user-keyed exchange feeds the whole matrix; the two
+    downstream aggs are keyed by (cohort[, offset]) — a handful of
+    rows per period at any scale.
+    """
+    if period_days <= 0:
+        raise ValueError("period_days must be positive")
+    if max_offset is not None and max_offset < 0:
+        raise ValueError("max_offset must be >= 0")
+    micros = period_days * _MICROS_PER_DAY
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {micros}"
+        ).alias("__p"),
+        F.col(type_col).alias("__y"),
+    ).where(F.col(ts_col).isNotNull())
+
+    anchor_p = (
+        F.when(F.col("__y") == F.lit(anchor_type), F.col("__p"))
+        if anchor_type is not None else F.col("__p")
+    )
+    activity_p = (
+        F.when(F.col("__y") == F.lit(activity_type), F.col("__p"))
+        if activity_type is not None else F.col("__p")
+    )
+    # one shuffle: cohort + distinct activity periods per user
+    # (collect_set drops the NULLs the when() produces)
+    per_user = (
+        ev.groupBy("__u")
+        .agg(
+            F.min(anchor_p).alias("__cohort"),
+            F.collect_set(activity_p).alias("__periods"),
+        )
+        .where(F.col("__cohort").isNotNull())
+    )
+    # per-user offsets as an array expression, PLUS a -1 sentinel row
+    # marking cohort membership: one explode + one (cohort, offset)
+    # agg then yields BOTH the matrix cells (offset >= 0) and the
+    # cohort sizes (offset == -1) from the SAME subtree — the two
+    # consumers' subplans beneath their filters are identical, so
+    # physical planning deduplicates the whole pipeline (scan,
+    # user-keyed exchange, cohort-keyed exchange) via ReuseExchange.
+    # No cache to own, no second scan of the event table.
+    offsets = F.transform(
+        F.filter(
+            "__periods",
+            lambda p: p >= F.col("__cohort"),
+        ),
+        lambda p: (p - F.col("__cohort")).cast("int"),
+    )
+    if max_offset is not None:
+        offsets = F.filter(offsets, lambda o: o <= F.lit(max_offset))
+    grp = (
+        per_user.select(
+            "__cohort",
+            F.explode(
+                F.concat(F.array(F.lit(-1).cast("int")), offsets)
+            ).alias("period_offset"),
+        )
+        .groupBy("__cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = grp.where(F.col("period_offset") == -1).select(
+        "__cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        grp.where(F.col("period_offset") >= 0)
+        .join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_period"),
+            "period_offset",
+            "n_users",
+            "cohort_size",
+            (F.col("n_users") / F.col("cohort_size"))
+            .alias("retention"),
+        )
+        .orderBy("cohort_period", "period_offset")
+    )

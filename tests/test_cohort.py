@@ -1,0 +1,156 @@
+"""Cohort retention (operators/cohort): exact-integer period math,
+anchor/activity semantics, the one-pipeline plan shape (sentinel-row
+trick -> ReusedExchange, single event scan), and a randomized
+differential against a plain-python reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from shotit_worker_spark.operators.cohort import cohort_retention
+
+_BASE = dt.datetime(2024, 1, 1)
+_WEEK_US = 7 * 86_400_000_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, _BASE + dt.timedelta(seconds=s), y) for u, s, y in rows],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+
+
+def _py_cohort(rows, anchor, activity, period_days=7, max_offset=None):
+    per = period_days * 86_400_000_000
+    base_us = int(_BASE.replace(tzinfo=dt.timezone.utc).timestamp()) \
+        * 1_000_000
+    users: dict = {}
+    for u, s, y in rows:
+        p = (base_us + int(s) * 1_000_000) // per
+        d = users.setdefault(u, {"cohort": None, "act": set()})
+        if anchor is None or y == anchor:
+            d["cohort"] = p if d["cohort"] is None else min(d["cohort"], p)
+        if activity is None or y == activity:
+            d["act"].add(p)
+    cells: dict = {}
+    sizes: dict = {}
+    for d in users.values():
+        c = d["cohort"]
+        if c is None:
+            continue
+        sizes[c] = sizes.get(c, 0) + 1
+        for p in d["act"]:
+            off = p - c
+            if off < 0 or (max_offset is not None and off > max_offset):
+                continue
+            cells[(c, off)] = cells.get((c, off), 0) + 1
+    return sorted(
+        (c, o, n, sizes[c], n / sizes[c])
+        for (c, o), n in cells.items()
+    )
+
+
+def test_basic_matrix(spark):
+    day = 86_400
+    rows = [
+        # user 1: signs up week 0, active weeks 0, 1, 3
+        (1, 0, "signup"), (1, 8 * day, "view"), (1, 22 * day, "click"),
+        # user 2: signs up week 0, active week 0 only
+        (2, 2 * day, "signup"),
+        # user 3: signs up week 1, active weeks 1, 2
+        (3, 8 * day, "signup"), (3, 15 * day, "purchase"),
+        # user 4: never signs up -> excluded entirely
+        (4, 0, "view"), (4, 9 * day, "view"),
+    ]
+    got = [tuple(r) for r in cohort_retention(
+        _ev(spark, rows), anchor_type="signup").collect()]
+    want = _py_cohort(rows, "signup", None)
+    assert got == want
+    # sanity on shape: week-0 cohort has 2 members, offset 0 = both
+    c0 = got[0]
+    assert c0[1] == 0 and c0[2] == 2 and c0[3] == 2 and c0[4] == 1.0
+
+
+def test_activity_type_and_pre_cohort_ignored(spark):
+    day = 86_400
+    rows = [
+        # user 1 views BEFORE signing up (week 0 view, week 2 signup):
+        # the view must not create a negative offset
+        (1, 0, "view"), (1, 15 * day, "signup"), (1, 16 * day, "view"),
+        # user 2 signs up week 0 but never views -> in cohort_size,
+        # no cells
+        (2, 0, "signup"),
+    ]
+    got = [tuple(r) for r in cohort_retention(
+        _ev(spark, rows), anchor_type="signup",
+        activity_type="view").collect()]
+    want = _py_cohort(rows, "signup", "view")
+    assert got == want
+    # user 2's cohort (week 0) appears in no cell, but user 1's
+    # offset-0 view counts against a cohort_size of 1
+    assert got == [(2819, 0, 1, 1, 1.0)]
+
+
+def test_max_offset_and_period_days(spark):
+    day = 86_400
+    rows = [(1, 0, "signup"), (1, 3 * day, "view"),
+            (1, 9 * day, "view"), (1, 30 * day, "view")]
+    got = [tuple(r) for r in cohort_retention(
+        _ev(spark, rows), anchor_type="signup", period_days=3,
+        max_offset=4).collect()]
+    want = _py_cohort(rows, "signup", None, period_days=3,
+                      max_offset=4)
+    assert got == want
+    assert all(r[1] <= 4 for r in got)
+
+
+def test_null_ts_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, _BASE, "signup"), (1, None, "view"),
+         (2, None, "signup")],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+    got = [tuple(r) for r in cohort_retention(
+        df, anchor_type="signup").collect()]
+    assert got == [(2817, 0, 1, 1, 1.0)]
+
+
+def test_differential_random(spark):
+    rng = random.Random(17)
+    types = ["signup", "view", "click", "purchase"]
+    rows = [
+        (rng.randrange(40), rng.randrange(0, 90 * 86_400),
+         rng.choice(types))
+        for _ in range(2500)
+    ]
+    for anchor, activity, mo in (("signup", None, None),
+                                 ("signup", "view", 3),
+                                 (None, None, None)):
+        got = [tuple(r) for r in cohort_retention(
+            _ev(spark, rows), anchor_type=anchor,
+            activity_type=activity, max_offset=mo).collect()]
+        want = _py_cohort(rows, anchor, activity, max_offset=mo)
+        assert got == want, (anchor, activity, mo)
+
+
+def test_plan_single_scan(spark):
+    """The sentinel-row construction keeps everything in ONE pipeline:
+    the event scan appears once (ReusedExchange dedups the shared
+    subtree) and there is no Python UDF anywhere."""
+    df = cohort_retention(_ev(spark, [(1, 0, "signup")]),
+                          anchor_type="signup")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_guards(spark):
+    ev = _ev(spark, [(1, 0, "signup")])
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(ev, period_days=0)
+    with pytest.raises(ValueError, match="max_offset"):
+        cohort_retention(ev, max_offset=-1)
