@@ -1,0 +1,114 @@
+"""Stream-stream interval join (streaming/joins): the streamed
+file-replay result must equal the SAME builder run on the batch
+DataFrames, row for row; plus semantics pins (interval bounds
+inclusive, key equality, leftOuter wiring) on batch inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.streaming import ingest as SI
+from shotit_worker_spark.streaming.joins import interval_join
+
+_BASE = dt.datetime(2024, 3, 1)
+
+
+def _mk(spark, rows, name):
+    return spark.createDataFrame(
+        [(u, _BASE + dt.timedelta(seconds=s), v) for u, s, v in rows],
+        f"user_id long, ts timestamp_ntz, {name} string",
+    )
+
+
+def test_batch_semantics(spark):
+    imps = _mk(spark, [
+        (1, 0, "i0"), (1, 500, "i1"), (2, 0, "i2"), (3, 0, "i3"),
+    ], "imp")
+    clicks = _mk(spark, [
+        (1, 300, "c0"),    # joins i0 (300 in [0, 600]); i1 is later
+        (1, 1100, "c1"),   # joins i1 (600 in window); i0 out (1100)
+        (2, 601, "c2"),    # 1s past the bound -> no match
+        (3, 0, "c3"),      # lower bound inclusive: 0 in [0, 600]
+        (9, 10, "c4"),     # no such impression key
+    ], "click")
+    out = interval_join(imps, clicks, lower_sec=0, upper_sec=600)
+    got = sorted((r["l_imp"], r["r_click"]) for r in out.collect())
+    assert got == [("i0", "c0"), ("i1", "c1"), ("i3", "c3")]
+    # leftOuter on batch: unmatched impressions appear with NULLs
+    outer = interval_join(imps, clicks, lower_sec=0, upper_sec=600,
+                          how="leftOuter")
+    rows = outer.collect()
+    unmatched = sorted(r["l_imp"] for r in rows if r["r_click"] is None)
+    assert unmatched == ["i2"]
+
+
+def test_guards(spark):
+    df = _mk(spark, [(1, 0, "x")], "imp")
+    import pytest
+    with pytest.raises(ValueError, match="upper_sec"):
+        interval_join(df, df, lower_sec=10, upper_sec=5)
+    with pytest.raises(ValueError, match="join type"):
+        interval_join(df, df, how="fullOuter")
+
+
+def test_stream_equals_batch(spark, tmp_root):
+    """File-replay both sides through availableNow; the inner
+    interval join's streamed output must equal the batch run
+    exactly (in-order chunks keep nothing late)."""
+    rng_rows_imp = [(u, u * 37 % 900, f"i{u}") for u in range(60)]
+    rng_rows_clk = [(u % 40, (u * 37 % 900) + (u % 13) * 60,
+                     f"c{u}") for u in range(80)]
+    imps = _mk(spark, rng_rows_imp, "imp")
+    clicks = _mk(spark, rng_rows_clk, "click")
+
+    srcs = {}
+    for name, df in (("imp", imps), ("clk", clicks)):
+        src = tmp_root / f"ssj_{name}"
+        src.mkdir()
+        # two chunks per side, in event-time order, staggered mtimes
+        for i, pred in enumerate(
+            (F.col("ts") < _BASE + dt.timedelta(seconds=450),
+             F.col("ts") >= _BASE + dt.timedelta(seconds=450))
+        ):
+            p = str(src / f"chunk{i}")
+            df.filter(pred).coalesce(1).write.mode(
+                "overwrite").parquet(p)
+            t = time.time() - 300 + i * 60
+            for root, _, files in os.walk(p):
+                for f in files:
+                    os.utime(os.path.join(root, f), (t, t))
+        srcs[name] = (str(src), df.schema)
+
+    s_imp = SI.stream_parquet_source(
+        spark, srcs["imp"][0], schema=srcs["imp"][1],
+        max_files_per_trigger=1, glob="*.parquet", recursive=True)
+    s_clk = SI.stream_parquet_source(
+        spark, srcs["clk"][0], schema=srcs["clk"][1],
+        max_files_per_trigger=1, glob="*.parquet", recursive=True)
+
+    joined = interval_join(s_imp, s_clk, lower_sec=0, upper_sec=300,
+                           watermark="5 minutes")
+    sink = str(tmp_root / "ssj_out")
+    chk = str(tmp_root / "ssj_chk")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = interval_join(imps, clicks, lower_sec=0, upper_sec=300,
+                          watermark="5 minutes")
+    want = sorted(
+        (r["l_imp"], r["r_click"]) for r in batch.collect())
+    got = sorted(
+        (r["l_imp"], r["r_click"])
+        for r in spark.read.parquet(sink).collect())
+    assert got == want and len(got) > 20
