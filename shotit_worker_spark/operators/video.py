@@ -1,0 +1,122 @@
+"""Scene-cut detection and scene segmentation over the frame table.
+
+A training-data pipeline samples video per SCENE, not per second —
+scene boundaries drive frame dedup, caption alignment, and clip
+extraction. The detector here is the classic histogram-difference
+method: per-frame color histograms, L1 distance between consecutive
+frames, cut where the distance exceeds a threshold. It operates on
+the frame table media.decode_frames already produces (the pipeline's
+canonical IR), so the video is demuxed/decoded ONCE; histograms are
+one map-only Arrow pass over the thumbnail bytes, and the temporal
+diff is a window lag per file — the only shuffle, keyed by file
+(state bounded by frames-per-video, the same unit decode_frames
+parallelizes on).
+
+Scores are deterministic: histograms are exact integer pixel counts
+normalized at fixed float64 precision, and the thumbnails are the
+byte-stable PPM/JPEG frames the decode gate already pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["frame_histograms", "scene_cuts", "scene_segments"]
+
+
+def frame_histograms(frames: DataFrame, bins: int = 8) -> DataFrame:
+    """(file, frame_no, time, hist) — ``hist`` is the L1-normalized
+    3-channel joint color histogram (bins^3 doubles) of each frame
+    image. Map-only Arrow pass; no shuffle."""
+    if not 2 <= bins <= 16:
+        raise ValueError("bins must be in [2, 16]")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from shotit_worker_spark.functions import imagecodec as IC
+
+        for b in batches:
+            out = {"file": [], "frame_no": [], "time": [], "hist": []}
+            for f, n, t, img in zip(
+                b["file"], b["frame_no"], b["time"], b["image"]
+            ):
+                rgb = IC.decode_image(bytes(img))
+                q = (rgb.astype(np.int32) * bins) >> 8  # 256/bins buckets
+                flat = (q[..., 0] * bins + q[..., 1]) * bins + q[..., 2]
+                h = np.bincount(
+                    flat.reshape(-1), minlength=bins ** 3
+                ).astype(np.float64)
+                h /= max(1.0, h.sum())
+                out["file"].append(f)
+                out["frame_no"].append(int(n))
+                out["time"].append(float(t))
+                out["hist"].append(h.tolist())
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        run,
+        schema="file string, frame_no int, time double,"
+               " hist array<double>",
+    )
+
+
+def scene_cuts(
+    frames: DataFrame, threshold: float = 0.35, bins: int = 8
+) -> DataFrame:
+    """(file, frame_no, time, score, is_cut) — ``score`` is half the
+    L1 distance between this frame's histogram and the previous
+    frame's (0 = identical distribution, 1 = disjoint); the first
+    frame of each file scores NULL and is never a cut. One window
+    shuffle keyed by file."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    h = frame_histograms(frames, bins=bins)
+    w = Window.partitionBy("file").orderBy("frame_no")
+    prev = F.lag("hist").over(w)
+    score = F.when(
+        prev.isNotNull(),
+        F.aggregate(
+            F.zip_with("hist", prev, lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / 2.0,
+    )
+    return (
+        h.select(
+            "file", "frame_no", "time", score.alias("score")
+        )
+        .withColumn(
+            "is_cut",
+            F.coalesce(F.col("score") > threshold, F.lit(False)),
+        )
+    )
+
+
+def scene_segments(
+    frames: DataFrame, threshold: float = 0.35, bins: int = 8
+) -> DataFrame:
+    """(file, scene_id, start_frame, end_frame, start_time, end_time,
+    n_frames) — contiguous scenes split at the detected cuts;
+    scene_id counts from 0 per file. Same single file-keyed window
+    as :func:`scene_cuts` (the running cut count rides the existing
+    sort)."""
+    cuts = scene_cuts(frames, threshold=threshold, bins=bins)
+    w = Window.partitionBy("file").orderBy("frame_no")
+    with_scene = cuts.withColumn(
+        "scene_id",
+        F.sum(F.col("is_cut").cast("int")).over(w).cast("int"),
+    )
+    return (
+        with_scene.groupBy("file", "scene_id")
+        .agg(
+            F.min("frame_no").alias("start_frame"),
+            F.max("frame_no").alias("end_frame"),
+            F.min("time").alias("start_time"),
+            F.max("time").alias("end_time"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .orderBy("file", "scene_id")
+    )
