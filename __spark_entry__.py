@@ -3765,6 +3765,56 @@ def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (operators/video) invariant gate: a
+    two-scene Y4M clip (4 flat dark frames, 3 flat bright frames)
+    decodes through the REAL media path; the histogram-difference
+    detector must place exactly one cut at the scene boundary,
+    segment the timeline into (0..3)(4..6), and pick the middle
+    frame of each scene as its representative. All three checks run
+    through Spark (decode_frames -> Arrow histograms -> window lag),
+    not python."""
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.operators.video import (
+        scene_cuts,
+        scene_representatives,
+        scene_segments,
+    )
+
+    w, h, n_a, n_b = 64, 48, 4, 3
+    hdr = f"YUV4MPEG2 W{w} H{h} F12:1 Ip A1:1 C420jpeg\n".encode()
+    chunks = [hdr]
+    for j in range(n_a + n_b):
+        luma = 60 if j < n_a else 200
+        chunks.append(
+            b"FRAME\n" + bytes([luma]) * (w * h)
+            + bytes([128]) * (w // 2 * h // 2) * 2
+        )
+    videos = spark.createDataFrame(
+        [("store/sc/gate.y4m", bytearray(b"".join(chunks)))],
+        "path string, content binary",
+    )
+    frames = M.decode_frames(videos)
+    cuts = scene_cuts(frames, threshold=0.5).orderBy("frame_no")
+    cut_frames = [r["frame_no"] for r in cuts.collect() if r["is_cut"]]
+    segs = [
+        (r["scene_id"], r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in scene_segments(frames, threshold=0.5).collect()
+    ]
+    reps = [
+        (r["scene_id"], r["frame_no"])
+        for r in scene_representatives(frames, threshold=0.5).collect()
+    ]
+    rows = [
+        ("1_cut_at_boundary", cut_frames == [n_a]),
+        ("2_segments", segs == [(0, 0, 3, 4), (1, 4, 6, 3)]),
+        ("3_representatives", reps == [(0, 2), (1, 5)]),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4579,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_phash": q88_phash,
         "q89_audio_match": q89_audio_match,
         "q90_cohort_retention": q90_cohort_retention,
+        "q91_scene_cuts": q91_scene_cuts,
     }
 
 
@@ -4661,6 +4712,16 @@ def oracle_sql() -> dict[str, str]:
         # periods make every cell reproducible through the
         # independent join formulation
         "q90_cohort_retention": _COHORT_ORACLE_SQL,
+        # q91: scene-cut invariants on a two-scene Y4M (cut exactly
+        # at the boundary; segments; middle-frame representatives) —
+        # TRUE by construction, checked through the Spark media path
+        "q91_scene_cuts": """
+            SELECT * FROM (VALUES
+                ('1_cut_at_boundary', TRUE),
+                ('2_segments', TRUE),
+                ('3_representatives', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
         # q87: exact top-15 counts; never_under is the deterministic
         # Count-Min guarantee, bound_ok the 2N/width envelope
         "q87_count_min": f"""

@@ -41,7 +41,7 @@ POST_R3_QUERIES = frozenset({
     "q80_zorder", "q81_heavy_hitters", "q82_quantile_sketch",
     "q83_theta_set_ops", "q84_pagerank", "q85_funnel",
     "q86_stratified_sample", "q87_count_min", "q88_phash",
-    "q89_audio_match", "q90_cohort_retention",
+    "q89_audio_match", "q90_cohort_retention", "q91_scene_cuts",
 })
 
 

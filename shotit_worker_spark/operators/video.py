@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["frame_histograms", "scene_cuts", "scene_segments"]
+__all__ = [
+    "frame_histograms",
+    "scene_cuts",
+    "scene_segments",
+    "scene_representatives",
+]
 
 
 def frame_histograms(frames: DataFrame, bins: int = 8) -> DataFrame:
@@ -120,3 +125,43 @@ def scene_segments(
         )
         .orderBy("file", "scene_id")
     )
+
+
+def scene_representatives(
+    frames: DataFrame, threshold: float = 0.35, bins: int = 8
+) -> DataFrame:
+    """(file, scene_id, frame_no, time) — ONE representative frame
+    per scene (the middle frame by position: index n//2 of the
+    scene's frame_no order), which is how a training pipeline samples
+    video: one thumbnail per scene instead of per wall-clock second.
+    Same single file-keyed exchange as :func:`scene_cuts`."""
+    cuts = scene_cuts(frames, threshold=threshold, bins=bins)
+    w = Window.partitionBy("file").orderBy("frame_no")
+    with_scene = cuts.withColumn(
+        "scene_id",
+        F.sum(F.col("is_cut").cast("int")).over(w).cast("int"),
+    )
+    picked = (
+        with_scene.groupBy("file", "scene_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("frame_no", "time"))
+            ).alias("__fs")
+        )
+        .select(
+            "file",
+            "scene_id",
+            F.element_at(
+                "__fs",
+                (F.floor(F.size("__fs") / 2) + 1).cast("int"),
+            ).alias("__mid"),
+        )
+        .select(
+            "file",
+            "scene_id",
+            F.col("__mid.frame_no").alias("frame_no"),
+            F.col("__mid.time").alias("time"),
+        )
+        .orderBy("file", "scene_id")
+    )
+    return picked

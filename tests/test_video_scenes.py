@@ -96,6 +96,18 @@ def test_plan_one_window_shuffle(spark, frames):
     assert plan.count("BatchEvalPython") == 0
 
 
+def test_representatives(spark, frames):
+    from shotit_worker_spark.operators.video import (
+        scene_representatives,
+    )
+
+    reps = scene_representatives(frames, threshold=0.5).collect()
+    # scene 0 = frames 0-3 -> middle index 4//2 = 2; scene 1 =
+    # frames 4-6 -> index 4 + 3//2 = 5
+    assert [(r["scene_id"], r["frame_no"]) for r in reps] == [
+        (0, 2), (1, 5)]
+
+
 def test_guards(spark, frames):
     with pytest.raises(ValueError, match="bins"):
         frame_histograms(frames, bins=1)
