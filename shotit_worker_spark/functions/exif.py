@@ -1,0 +1,309 @@
+"""EXIF metadata extraction for the multimodal corpus.
+
+Training pipelines filter and stratify images on capture metadata —
+camera model, capture time, orientation, GPS — and must decode
+pixels ORIENTATION-AWARE (a portrait photo stored rotated reads as
+landscape without tag 274). The reference pipeline gets this for
+free from its media stack; here the reader is built from the public
+TIFF 6.0 / EXIF 2.3 layout: an APP1/"Exif\\0\\0" (JPEG), eXIf chunk
+(PNG), EXIF chunk (WebP/RIFF) or bare TIFF header introduces a TIFF
+structure whose IFD0 carries the camera tags, with the Exif sub-IFD
+behind pointer tag 0x8769 and the GPS sub-IFD behind 0x8825.
+
+The IFD walker here is EXIF-specific (ASCII + RATIONAL/SRATIONAL
+types, sub-IFD chaining, permissive about unknown tags) and separate
+from tiffcodec's image-strip reader by design: a malformed metadata
+block must degrade to "no EXIF", never break pixel decode.
+
+Spark surface: :func:`exif_metadata` (map-only Arrow pass → typed
+columns, NULLs where absent) and :func:`decode_image_oriented`
+(pixel decode + the 8-case orientation transform of EXIF tag 274).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "find_exif_tiff",
+    "parse_exif",
+    "apply_orientation",
+    "decode_image_oriented",
+    "exif_metadata",
+]
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8}
+
+# IFD0 / Exif-IFD / GPS-IFD tags of interest
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_EXIF_IFD = 0x8769
+_TAG_GPS_IFD = 0x8825
+_TAG_EXPOSURE = 0x829A
+_TAG_FNUMBER = 0x829D
+_TAG_ISO = 0x8827
+_TAG_DT_ORIGINAL = 0x9003
+_TAG_FOCAL = 0x920A
+_TAG_PIX_X = 0xA002
+_TAG_PIX_Y = 0xA003
+_GPS_LAT_REF = 0x0001
+_GPS_LAT = 0x0002
+_GPS_LON_REF = 0x0003
+_GPS_LON = 0x0004
+
+
+def find_exif_tiff(content: bytes) -> bytes | None:
+    """Locate the TIFF-structured EXIF blob inside an image file:
+    JPEG APP1 ("Exif\\0\\0"), PNG eXIf chunk, WebP EXIF chunk, or a
+    bare TIFF file. Returns the TIFF bytes or None."""
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return content
+    if content[:2] == b"\xff\xd8":  # JPEG: walk segments
+        i = 2
+        n = len(content)
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xDA:  # SOS: entropy data follows
+                break
+            seg_len = int.from_bytes(content[i + 2:i + 4], "big")
+            if seg_len < 2:
+                break
+            body = content[i + 4:i + 2 + seg_len]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                return body[6:]
+            i += 2 + seg_len
+        return None
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        i = 8
+        n = len(content)
+        while i + 8 <= n:
+            clen = int.from_bytes(content[i:i + 4], "big")
+            ctype = content[i + 4:i + 8]
+            if ctype == b"eXIf":
+                return content[i + 8:i + 8 + clen]
+            if ctype == b"IEND":
+                break
+            i += 12 + clen
+        return None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        i = 12
+        n = len(content)
+        while i + 8 <= n:
+            ctype = content[i:i + 4]
+            clen = int.from_bytes(content[i + 4:i + 8], "little")
+            if ctype == b"EXIF":
+                body = content[i + 8:i + 8 + clen]
+                # some writers keep the JPEG-style Exif\0\0 prefix
+                if body[:6] == b"Exif\x00\x00":
+                    body = body[6:]
+                return body
+            i += 8 + clen + (clen & 1)
+        return None
+    return None
+
+
+def _read_ifd_entries(data: bytes, bo: str, off: int) -> dict:
+    """One IFD at ``off``: {tag: (type, [values])}; ASCII values are
+    decoded strings, RATIONALs (num, den) tuples."""
+    out: dict = {}
+    if off + 2 > len(data):
+        return out
+    (count,) = struct.unpack_from(bo + "H", data, off)
+    for i in range(count):
+        e = off + 2 + 12 * i
+        if e + 12 > len(data):
+            break
+        tag, typ, n = struct.unpack_from(bo + "HHI", data, e)
+        size = _TYPE_SIZE.get(typ)
+        if size is None or n > 1 << 20:
+            continue
+        total = size * n
+        if total <= 4:
+            raw = data[e + 8:e + 8 + total]
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, e + 8)
+            raw = data[voff:voff + total]
+            if len(raw) != total:
+                continue
+        if typ == 2:  # ASCII
+            vals = [raw.split(b"\x00", 1)[0].decode(
+                "ascii", "replace").strip()]
+        elif typ in (1, 6, 7):
+            vals = list(raw)
+        elif typ in (3, 8):
+            vals = list(struct.unpack(bo + "H" * n, raw))
+        elif typ in (4, 9):
+            fmt = "I" if typ == 4 else "i"
+            vals = list(struct.unpack(bo + fmt * n, raw))
+        elif typ in (5, 10):
+            fmt = "II" if typ == 5 else "ii"
+            flat = struct.unpack(bo + fmt * n, raw)
+            vals = [(flat[2 * k], flat[2 * k + 1]) for k in range(n)]
+        else:
+            continue
+        out[tag] = (typ, vals)
+    return out
+
+
+def _rat(entry) -> float | None:
+    if entry is None:
+        return None
+    num, den = entry[1][0]
+    return None if den == 0 else num / den
+
+
+def _first(entry, cast=None):
+    if entry is None or not entry[1]:
+        return None
+    v = entry[1][0]
+    return cast(v) if cast else v
+
+
+def _dms(entry, ref) -> float | None:
+    """GPS (deg, min, sec) rationals + hemisphere ref -> signed
+    decimal degrees."""
+    if entry is None or len(entry[1]) < 3:
+        return None
+    parts = []
+    for num, den in entry[1][:3]:
+        if den == 0:
+            return None
+        parts.append(num / den)
+    val = parts[0] + parts[1] / 60.0 + parts[2] / 3600.0
+    if ref in ("S", "W"):
+        val = -val
+    return val
+
+
+def parse_exif(content: bytes) -> dict | None:
+    """Extract the metadata dict from any supported container, or
+    None when no parseable EXIF exists. Keys: orientation, make,
+    model, datetime, datetime_original, exif_width, exif_height,
+    exposure_time, f_number, iso, focal_length, gps_lat, gps_lon."""
+    try:
+        tiff = find_exif_tiff(bytes(content))
+        if tiff is None or len(tiff) < 8:
+            return None
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return None
+        magic, ifd0 = struct.unpack_from(bo + "HI", tiff, 2)
+        if magic != 42:
+            return None
+        t0 = _read_ifd_entries(tiff, bo, ifd0)
+        te: dict = {}
+        tg: dict = {}
+        p = _first(t0.get(_TAG_EXIF_IFD), int)
+        if p is not None:
+            te = _read_ifd_entries(tiff, bo, p)
+        p = _first(t0.get(_TAG_GPS_IFD), int)
+        if p is not None:
+            tg = _read_ifd_entries(tiff, bo, p)
+        return {
+            "orientation": _first(t0.get(_TAG_ORIENTATION), int),
+            "make": _first(t0.get(_TAG_MAKE)),
+            "model": _first(t0.get(_TAG_MODEL)),
+            "datetime": _first(t0.get(_TAG_DATETIME)),
+            "datetime_original": _first(te.get(_TAG_DT_ORIGINAL)),
+            "exif_width": _first(te.get(_TAG_PIX_X), int),
+            "exif_height": _first(te.get(_TAG_PIX_Y), int),
+            "exposure_time": _rat(te.get(_TAG_EXPOSURE)),
+            "f_number": _rat(te.get(_TAG_FNUMBER)),
+            "iso": _first(te.get(_TAG_ISO), int),
+            "focal_length": _rat(te.get(_TAG_FOCAL)),
+            "gps_lat": _dms(tg.get(_GPS_LAT),
+                            _first(tg.get(_GPS_LAT_REF))),
+            "gps_lon": _dms(tg.get(_GPS_LON),
+                            _first(tg.get(_GPS_LON_REF))),
+        }
+    except (struct.error, IndexError, ValueError, OverflowError):
+        # malformed metadata degrades to "no EXIF", never an error —
+        # pixel decode must not depend on metadata health
+        return None
+
+
+# EXIF tag 274 orientations (TIFF 6.0): transform mapping stored
+# pixels back to the upright image
+def apply_orientation(rgb: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright an (H, W, 3) raster per EXIF orientation 1..8
+    (unknown values pass through)."""
+    if orientation == 2:
+        return rgb[:, ::-1]
+    if orientation == 3:
+        return rgb[::-1, ::-1]
+    if orientation == 4:
+        return rgb[::-1]
+    if orientation == 5:
+        return np.swapaxes(rgb, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(rgb, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(rgb, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(rgb, 0, 1)[::-1]
+    return rgb
+
+
+def decode_image_oriented(content: bytes) -> np.ndarray:
+    """Pixel decode (imagecodec dispatch) + EXIF-orientation
+    uprighting — the raster every downstream descriptor should see."""
+    from . import imagecodec as IC
+
+    rgb = IC.decode_image(bytes(content))
+    meta = parse_exif(content)
+    if meta and meta.get("orientation"):
+        rgb = apply_orientation(
+            np.ascontiguousarray(rgb), int(meta["orientation"]))
+        rgb = np.ascontiguousarray(rgb)
+    return rgb
+
+
+_EXIF_SCHEMA = (
+    "file string, has_exif boolean, orientation int, make string,"
+    " model string, datetime string, datetime_original string,"
+    " exif_width int, exif_height int, exposure_time double,"
+    " f_number double, iso int, focal_length double,"
+    " gps_lat double, gps_lon double"
+)
+
+
+def exif_metadata(images: DataFrame, path_col: str = "path",
+                  content_col: str = "content") -> DataFrame:
+    """Map-only Arrow pass: one typed metadata row per image (all
+    metadata columns NULL when the file carries no parseable EXIF)."""
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["orientation", "make", "model", "datetime",
+                "datetime_original", "exif_width", "exif_height",
+                "exposure_time", "f_number", "iso", "focal_length",
+                "gps_lat", "gps_lon"]
+        for b in batches:
+            out: dict = {"file": [], "has_exif": []}
+            for c in cols:
+                out[c] = []
+            for path, content in zip(b[path_col], b[content_col]):
+                meta = parse_exif(bytes(content))
+                out["file"].append(str(path))
+                out["has_exif"].append(meta is not None)
+                for c in cols:
+                    out[c].append(None if meta is None else meta[c])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=_EXIF_SCHEMA)

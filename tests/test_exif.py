@@ -1,0 +1,166 @@
+"""EXIF metadata (functions/exif): TIFF-structure parse in both byte
+orders through JPEG/PNG/WebP/bare-TIFF locators (fixtures from the
+independent writer in tools/gen_exif_fixture), GPS DMS conversion,
+orientation-aware decode (all 8 cases against numpy), malformed-data
+degradation, and the Spark exif_metadata pass."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import gen_exif_fixture as GX  # noqa: E402
+
+from shotit_worker_spark.functions import exif as EX  # noqa: E402
+from shotit_worker_spark.functions import imagecodec as IC  # noqa: E402
+
+
+def _base_jpeg():
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    return encode_jpeg(img, quality=90)
+
+
+def _base_png():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    return IC.encode_png(img)
+
+
+_EXPECT = {
+    "make": "TestCam", "model": "T1000", "orientation": 6,
+    "datetime": "2024:03:01 10:20:30",
+    "datetime_original": "2024:03:01 10:20:29",
+    "exif_width": 640, "exif_height": 480, "iso": 200,
+}
+
+
+def _check(meta):
+    assert meta is not None
+    for k, v in _EXPECT.items():
+        assert meta[k] == v, (k, meta[k])
+    assert meta["exposure_time"] == pytest.approx(1 / 125)
+    assert meta["f_number"] == pytest.approx(2.8)
+    assert meta["focal_length"] == pytest.approx(50.0)
+    # 48 deg 51' 29.52" N / 2 deg 21' 4.8" E
+    assert meta["gps_lat"] == pytest.approx(
+        48 + 51 / 60 + 29.52 / 3600)
+    assert meta["gps_lon"] == pytest.approx(2 + 21 / 60 + 4.8 / 3600)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_parse_both_byte_orders_bare_tiff(bo):
+    _check(EX.parse_exif(GX.build_exif_tiff(bo=bo)))
+
+
+def test_jpeg_app1_locator():
+    blob = GX.inject_jpeg_app1(_base_jpeg(), GX.build_exif_tiff())
+    _check(EX.parse_exif(blob))
+    # the spliced file still decodes as pixels
+    assert IC.decode_image(blob).shape == (32, 48, 3)
+
+
+def test_png_exif_chunk_locator():
+    blob = GX.inject_png_exif(_base_png(), GX.build_exif_tiff(bo=">"))
+    _check(EX.parse_exif(blob))
+    assert IC.decode_image(blob).shape == (16, 24, 3)
+
+
+def test_webp_exif_chunk_locator():
+    import gen_webp_fixture as GW
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    webp = GW.encode_vp8l(img)
+    blob = GX.inject_webp_exif(webp, GX.build_exif_tiff())
+    _check(EX.parse_exif(blob))
+
+
+def test_no_exif_and_malformed():
+    assert EX.parse_exif(_base_jpeg()) is None
+    assert EX.parse_exif(b"\x00" * 40) is None
+    # truncate the TIFF mid-IFD: degrade, never raise
+    t = GX.build_exif_tiff()
+    for cut in (4, 9, 20, len(t) // 2):
+        EX.parse_exif(GX.inject_jpeg_app1(_base_jpeg(), t[:cut]))
+    # bad magic
+    assert EX.parse_exif(b"II\x2b\x00" + t[4:]) is None
+
+
+def test_gps_south_west_sign():
+    t = GX.build_exif_tiff(gps=((10, 30, 0), "S", (20, 0, 0), "W"))
+    m = EX.parse_exif(t)
+    assert m["gps_lat"] == pytest.approx(-(10 + 0.5))
+    assert m["gps_lon"] == pytest.approx(-20.0)
+
+
+def test_apply_orientation_all_cases():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    want = {
+        1: img,
+        2: img[:, ::-1],
+        3: img[::-1, ::-1],
+        4: img[::-1],
+        5: np.swapaxes(img, 0, 1),
+        6: np.swapaxes(img, 0, 1)[:, ::-1],
+        7: np.swapaxes(img, 0, 1)[::-1, ::-1],
+        8: np.swapaxes(img, 0, 1)[::-1],
+    }
+    for o, exp in want.items():
+        assert np.array_equal(EX.apply_orientation(img, o), exp), o
+    # orientations 5-8 transpose the geometry
+    assert EX.apply_orientation(img, 6).shape == (6, 4, 3)
+    # round-trip sanity: 3 applied twice is identity
+    assert np.array_equal(
+        EX.apply_orientation(EX.apply_orientation(img, 3), 3), img)
+
+
+def test_decode_image_oriented():
+    from shotit_worker_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, quality=92)
+    blob = GX.inject_jpeg_app1(jpg, GX.build_exif_tiff(orientation=6))
+    got = EX.decode_image_oriented(blob)
+    want = EX.apply_orientation(decode_jpeg(jpg), 6)
+    assert np.array_equal(got, want)
+    assert got.shape == (48, 32, 3)
+    # no EXIF -> plain decode
+    assert np.array_equal(EX.decode_image_oriented(jpg),
+                          decode_jpeg(jpg))
+
+
+def test_exif_metadata_spark(spark):
+    rows = [
+        ("store/x/a.jpg",
+         bytearray(GX.inject_jpeg_app1(_base_jpeg(),
+                                       GX.build_exif_tiff()))),
+        ("store/x/plain.jpg", bytearray(_base_jpeg())),
+        ("store/x/b.png",
+         bytearray(GX.inject_png_exif(_base_png(),
+                                      GX.build_exif_tiff(bo=">")))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["file"]: r for r in EX.exif_metadata(df).collect()}
+    assert got["store/x/a.jpg"]["has_exif"]
+    assert got["store/x/a.jpg"]["model"] == "T1000"
+    assert got["store/x/a.jpg"]["orientation"] == 6
+    assert got["store/x/a.jpg"]["gps_lat"] == pytest.approx(
+        48 + 51 / 60 + 29.52 / 3600)
+    assert not got["store/x/plain.jpg"]["has_exif"]
+    assert got["store/x/plain.jpg"]["model"] is None
+    assert got["store/x/b.png"]["has_exif"]
+    assert got["store/x/b.png"]["iso"] == 200

@@ -1,0 +1,141 @@
+"""Independent EXIF fixture WRITER for functions/exif round-trip
+tests: builds TIFF-structured EXIF blobs (IFD0 + Exif/GPS sub-IFDs,
+both byte orders) and splices them into JPEG APP1 / PNG eXIf / WebP
+EXIF containers. Writer and reader share no code — the writer packs
+from the TIFF 6.0 layout directly."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_TYPES = {"BYTE": 1, "ASCII": 2, "SHORT": 3, "LONG": 4, "RATIONAL": 5,
+          "SRATIONAL": 10}
+
+
+def _pack_ifd(bo: str, entries: list, data_base: int):
+    """entries: (tag, type_name, values). Returns (ifd_bytes,
+    overflow_bytes); values > 4 bytes land in the overflow area
+    starting at data_base."""
+    over = bytearray()
+    body = struct.pack(bo + "H", len(entries))
+    for tag, tname, vals in sorted(entries):
+        typ = _TYPES[tname]
+        if tname == "ASCII":
+            raw = vals.encode("ascii") + b"\x00"
+            n = len(raw)
+        elif tname in ("RATIONAL", "SRATIONAL"):
+            fmt = "II" if tname == "RATIONAL" else "ii"
+            raw = b"".join(
+                struct.pack(bo + fmt, a, b) for a, b in vals)
+            n = len(vals)
+        elif tname == "SHORT":
+            raw = b"".join(struct.pack(bo + "H", v) for v in vals)
+            n = len(vals)
+        elif tname == "LONG":
+            raw = b"".join(struct.pack(bo + "I", v) for v in vals)
+            n = len(vals)
+        else:  # BYTE
+            raw = bytes(vals)
+            n = len(vals)
+        if len(raw) <= 4:
+            val_field = raw + b"\x00" * (4 - len(raw))
+        else:
+            val_field = struct.pack(bo + "I", data_base + len(over))
+            over += raw
+        body += struct.pack(bo + "HHI", tag, typ, n) + val_field
+    body += struct.pack(bo + "I", 0)  # next-IFD pointer
+    return body, bytes(over)
+
+
+def build_exif_tiff(bo: str = "<", make: str = "TestCam",
+                    model: str = "T1000", orientation: int = 6,
+                    datetime: str = "2024:03:01 10:20:30",
+                    exposure=(1, 125), f_number=(28, 10), iso=200,
+                    focal=(50, 1), pix=(640, 480),
+                    gps=((48, 51, 2952), "N", (2, 21, 480), "E"),
+                    dt_original: str = "2024:03:01 10:20:29") -> bytes:
+    """A complete little/big-endian EXIF TIFF: IFD0 (camera tags +
+    pointers), Exif IFD, GPS IFD. GPS degrees/minutes are integer
+    rationals, seconds come scaled by 100."""
+    head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
+                       42, 8)
+    # layout: [head 8][ifd0][ifd0 overflow][exif ifd][exif overflow]
+    #         [gps ifd][gps overflow]
+    # two-pass: sizes first with dummy offsets
+    def sizes(entries):
+        b, o = _pack_ifd(bo, entries, 0)
+        return len(b), len(o)
+
+    exif_entries = [
+        (0x829A, "RATIONAL", [exposure]),
+        (0x829D, "RATIONAL", [f_number]),
+        (0x8827, "SHORT", [iso]),
+        (0x9003, "ASCII", dt_original),
+        (0x920A, "RATIONAL", [focal]),
+        (0xA002, "LONG", [pix[0]]),
+        (0xA003, "LONG", [pix[1]]),
+    ]
+    (lat_dms, lat_ref, lon_dms, lon_ref) = gps
+    gps_entries = [
+        (0x0001, "ASCII", lat_ref),
+        (0x0002, "RATIONAL", [(lat_dms[0], 1), (lat_dms[1], 1),
+                              (lat_dms[2], 100)]),
+        (0x0003, "ASCII", lon_ref),
+        (0x0004, "RATIONAL", [(lon_dms[0], 1), (lon_dms[1], 1),
+                              (lon_dms[2], 100)]),
+    ]
+    ifd0_entries = [
+        (0x010F, "ASCII", make),
+        (0x0110, "ASCII", model),
+        (0x0112, "SHORT", [orientation]),
+        (0x0132, "ASCII", datetime),
+        (0x8769, "LONG", [0]),  # patched below
+        (0x8825, "LONG", [0]),
+    ]
+    s0b, s0o = sizes(ifd0_entries)
+    seb, seo = sizes(exif_entries)
+    off_ifd0 = 8
+    off_0over = off_ifd0 + s0b
+    off_exif = off_0over + s0o
+    off_eover = off_exif + seb
+    off_gps = off_eover + seo
+    off_gover = off_gps + sizes(gps_entries)[0]
+    ifd0_entries = [
+        e if e[0] not in (0x8769, 0x8825) else
+        (e[0], "LONG", [off_exif if e[0] == 0x8769 else off_gps])
+        for e in ifd0_entries
+    ]
+    b0, o0 = _pack_ifd(bo, ifd0_entries, off_0over)
+    be, oe = _pack_ifd(bo, exif_entries, off_eover)
+    bg, og = _pack_ifd(bo, gps_entries, off_gover)
+    return head + b0 + o0 + be + oe + bg + og
+
+
+def inject_jpeg_app1(jpeg: bytes, tiff: bytes) -> bytes:
+    """Splice an APP1 Exif segment right after SOI."""
+    assert jpeg[:2] == b"\xff\xd8"
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def inject_png_exif(png: bytes, tiff: bytes) -> bytes:
+    """Insert an eXIf chunk after IHDR."""
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    ihdr_end = 8 + 8 + 13 + 4
+    chunk = (struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+             + struct.pack(">I", zlib.crc32(b"eXIf" + tiff)))
+    return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
+def inject_webp_exif(webp: bytes, tiff: bytes) -> bytes:
+    """Append an EXIF chunk to a RIFF/WEBP container (fixture-grade:
+    VP8X flags are not rewritten — the reader walks chunks
+    directly)."""
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    chunk = b"EXIF" + struct.pack("<I", len(tiff)) + tiff
+    if len(tiff) & 1:
+        chunk += b"\x00"
+    out = webp + chunk
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
