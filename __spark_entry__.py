@@ -3815,6 +3815,133 @@ def q91_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("invariant")
 
 
+def q92_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata (functions/exif) FULL-VALUE gate: three
+    deterministic fixtures — a little-endian APP1 JPEG, a big-endian
+    PNG eXIf, and a plain JPEG with no metadata — parsed through the
+    Spark exif_metadata pass; the oracle states every extracted
+    value literally (the independent writer in tools/gen_exif_fixture
+    packed them, so reader bugs in byte order, RATIONAL decode, DMS
+    signs, or the sub-IFD walk all surface as value mismatches)."""
+    import numpy as np
+
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    import gen_exif_fixture as GX
+
+    from shotit_worker_spark.functions import imagecodec as IC
+    from shotit_worker_spark.functions.exif import exif_metadata
+    from shotit_worker_spark.functions.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(92)
+    jpg = encode_jpeg(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quality=90)
+    png = IC.encode_png(
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    rows = [
+        ("a_jpeg_le",
+         bytearray(GX.inject_jpeg_app1(jpg, GX.build_exif_tiff()))),
+        ("b_png_be",
+         bytearray(GX.inject_png_exif(
+             png, GX.build_exif_tiff(
+                 bo=">", orientation=3, iso=800,
+                 gps=((10, 30, 0), "S", (20, 0, 0), "W"))))),
+        ("c_plain", bytearray(jpg)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    # NULL-free projection (sentinels) so the comparison is typed
+    # identically on both sides regardless of the harness's pandas
+    # int-with-NULL -> float coercion
+    meta = exif_metadata(df)
+    return meta.select(
+        "file",
+        "has_exif",
+        F.coalesce("orientation", F.lit(-1)).alias("orientation"),
+        F.coalesce("make", F.lit("")).alias("make"),
+        F.coalesce("model", F.lit("")).alias("model"),
+        F.coalesce("iso", F.lit(-1)).alias("iso"),
+        F.coalesce("exif_width", F.lit(-1)).alias("exif_width"),
+        F.coalesce("exif_height", F.lit(-1)).alias("exif_height"),
+        F.coalesce("exposure_time", F.lit(-1.0)).alias("exposure_time"),
+        F.coalesce("f_number", F.lit(-1.0)).alias("f_number"),
+        F.coalesce("gps_lat", F.lit(0.0)).alias("gps_lat"),
+        F.coalesce("gps_lon", F.lit(0.0)).alias("gps_lon"),
+    ).orderBy("file")
+
+
+_EXIF_ORACLE_SQL = """
+    SELECT * FROM (VALUES
+        ('a_jpeg_le', TRUE, 6, 'TestCam', 'T1000', 200, 640, 480,
+         CAST(1.0/125 AS DOUBLE), 2.8,
+         48.0 + 51.0/60 + 29.52/3600, 2.0 + 21.0/60 + 4.8/3600),
+        ('b_png_be', TRUE, 3, 'TestCam', 'T1000', 800, 640, 480,
+         CAST(1.0/125 AS DOUBLE), 2.8, -10.5, -20.0),
+        ('c_plain', FALSE, -1, '', '', -1, -1, -1,
+         -1.0, -1.0, 0.0, 0.0)
+    ) AS t(file, has_exif, orientation, make, model, iso,
+           exif_width, exif_height, exposure_time, f_number,
+           gps_lat, gps_lon)
+    ORDER BY file
+"""
+
+
+def q93_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling (operators/timeseries) FULL-VALUE gate:
+    hourly avg(value) per event_type over events, gaps forward-
+    filled. The engine runs the one-raw-shuffle shape (bucket agg ->
+    span agg on the sparse table -> sequence() spine -> left join ->
+    ffill window); the oracle rebuilds every dense row independently
+    with generate_series + the gaps-and-islands forward fill. Buckets
+    are exact integer micros DIV 3600000000 on both sides."""
+    from shotit_worker_spark.operators.timeseries import resample
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return resample(
+        ev.select("event_type", "ts", "value"),
+        key_col="event_type", interval_sec=3600, agg="avg",
+        fill="ffill",
+    ).select("event_type", "bucket", "value", "filled")
+
+
+_RESAMPLE_ORACLE_SQL = """
+    WITH e AS (
+        SELECT event_type AS k,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+               value AS v
+        FROM events WHERE ts IS NOT NULL
+    ),
+    sparse AS (SELECT k, b, avg(v) AS obs FROM e GROUP BY k, b),
+    spans AS (
+        SELECT k, min(b) AS lo, max(b) AS hi FROM sparse GROUP BY k
+    ),
+    spine AS (
+        SELECT k, unnest(generate_series(lo, hi)) AS b FROM spans
+    ),
+    dense AS (
+        SELECT sp.k, sp.b, sq.obs
+        FROM spine sp
+        LEFT JOIN sparse sq ON sq.k = sp.k AND sq.b = sp.b
+    ),
+    grp AS (
+        SELECT k, b, obs,
+               count(obs) OVER (
+                   PARTITION BY k ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS g
+        FROM dense
+    )
+    SELECT k AS event_type, b AS bucket,
+           max(obs) OVER (PARTITION BY k, g) AS value,
+           (obs IS NULL) AS filled
+    FROM grp
+    ORDER BY event_type, bucket
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4630,6 +4757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_audio_match": q89_audio_match,
         "q90_cohort_retention": q90_cohort_retention,
         "q91_scene_cuts": q91_scene_cuts,
+        "q92_exif": q92_exif,
+        "q93_resample": q93_resample,
     }
 
 
@@ -4722,6 +4851,12 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q93: FULL-VALUE dense resample — generate_series +
+        # gaps-and-islands ffill rebuilds every row independently
+        "q93_resample": _RESAMPLE_ORACLE_SQL,
+        # q92: FULL-VALUE EXIF extraction vs the literal values the
+        # independent writer packed
+        "q92_exif": _EXIF_ORACLE_SQL,
         # q87: exact top-15 counts; never_under is the deterministic
         # Count-Min guarantee, bound_ok the 2N/width envelope
         "q87_count_min": f"""

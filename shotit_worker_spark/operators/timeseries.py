@@ -1,0 +1,109 @@
+"""Time-series resampling with gap filling.
+
+Event tables are irregular; models and dashboards want fixed-step
+series ("hourly average per type, gaps carried forward"). The
+Spark-first shape: ONE shuffle over the raw events (the bucket
+aggregation — exact integer buckets, epoch micros DIV the interval),
+then everything else runs on the ALREADY-AGGREGATED sparse table: a
+per-key span agg, a ``sequence()`` explode building the dense spine,
+a left join back, and a forward-fill window. At 100 TB the raw-event
+exchange dominates; the sparse table is keys x observed-buckets.
+
+The dense spine starts at each key's FIRST observed bucket, so
+forward-fill always has an anchor (no leading NULLs) and spine size
+is bounded by keys x span; ``max_buckets_per_key`` guards runaway
+spans (a mis-parsed 1970 timestamp would otherwise explode the
+spine) with an error naming the knob.
+
+Buckets are engine-portable integers: a SQL oracle reproduces every
+row with ``epoch_us(ts) // N`` + ``generate_series`` and a
+gaps-and-islands forward fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["resample"]
+
+_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c).cast("double"),
+}
+
+
+def resample(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str | None = None,
+    interval_sec: int = 3600,
+    agg: str = "avg",
+    fill: str | None = "ffill",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """(key?, bucket, bucket_ts, value, filled) — one row per
+    ``interval_sec`` step from each key's first observed bucket to
+    its last. ``fill``: "ffill" carries the last observed value
+    forward, "zero" fills 0.0, None leaves gap values NULL.
+    ``filled`` marks rows with no observation in that bucket."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    if fill not in (None, "zero", "ffill"):
+        raise ValueError("fill must be None, 'zero' or 'ffill'")
+    if interval_sec <= 0:
+        raise ValueError("interval_sec must be positive")
+    micros = int(interval_sec) * 1_000_000
+
+    keys = [key_col] if key_col else []
+    ev = events.where(F.col(ts_col).isNotNull()).select(
+        *keys,
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {micros}"
+        ).alias("bucket"),
+        F.col(value_col).alias("__v"),
+    )
+    sparse = ev.groupBy(*keys, "bucket").agg(
+        _AGGS[agg]("__v").alias("__obs"))
+    spans = sparse.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+    spans = spans.withColumn(
+        "__n", F.col("__hi") - F.col("__lo") + 1)
+    guard = F.when(
+        F.col("__n") > max_buckets_per_key,
+        F.raise_error(F.concat(
+            F.lit("resample: span of "), F.col("__n").cast("string"),
+            F.lit(" buckets exceeds max_buckets_per_key="
+                  f"{max_buckets_per_key}; raise the knob or widen"
+                  " interval_sec"))),
+    ).otherwise(F.col("__n"))
+    spine = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"),
+                       F.col("__lo") + guard - 1)).alias("bucket"),
+    )
+    dense = spine.join(sparse, keys + ["bucket"], "left")
+    filled_flag = F.col("__obs").isNull()
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys) if keys else
+            Window.partitionBy(F.lit(1))
+        ).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        value = F.last("__obs", ignorenulls=True).over(w)
+    elif fill == "zero":
+        value = F.coalesce("__obs", F.lit(0.0))
+    else:
+        value = F.col("__obs")
+    out_cols = keys + [
+        "bucket",
+        F.timestamp_micros(
+            (F.col("bucket") * micros).cast("long")).alias("bucket_ts"),
+        value.alias("value"),
+        filled_flag.alias("filled"),
+    ]
+    return dense.select(*out_cols).orderBy(*keys, "bucket")

@@ -1,0 +1,142 @@
+"""Resampling with gap fill (operators/timeseries): exact bucket
+math, all three fill modes, per-key spines, the span guard, and a
+randomized differential against a python reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from shotit_worker_spark.operators.timeseries import resample
+
+_BASE = dt.datetime(2024, 1, 1)
+_BASE_US = int(
+    _BASE.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+
+def _df(spark, rows, with_key=False):
+    if with_key:
+        return spark.createDataFrame(
+            [(k, _BASE + dt.timedelta(seconds=s), v)
+             for k, s, v in rows],
+            "event_type string, ts timestamp_ntz, value double",
+        )
+    return spark.createDataFrame(
+        [(_BASE + dt.timedelta(seconds=s), v) for s, v in rows],
+        "ts timestamp_ntz, value double",
+    )
+
+
+def _py_resample(rows, interval, agg="avg", fill="ffill",
+                 with_key=False):
+    micros = interval * 1_000_000
+    per: dict = {}
+    for row in rows:
+        k, s, v = row if with_key else (None, *row)
+        b = (_BASE_US + int(s * 1_000_000)) // micros
+        per.setdefault(k, {}).setdefault(b, []).append(v)
+    out = []
+    for k in sorted(per, key=lambda x: (x is not None, x)):
+        obs = {
+            b: (sum(vs) / len(vs) if agg == "avg" else
+                sum(vs) if agg == "sum" else
+                float(len(vs)) if agg == "count" else
+                min(vs) if agg == "min" else max(vs))
+            for b, vs in per[k].items()
+        }
+        last = None
+        for b in range(min(obs), max(obs) + 1):
+            if b in obs:
+                last = obs[b]
+                val, filled = obs[b], False
+            else:
+                val = (last if fill == "ffill"
+                       else 0.0 if fill == "zero" else None)
+                filled = True
+            rec = (b, val, filled)
+            out.append((k,) + rec if with_key else rec)
+    return out
+
+
+def test_hourly_ffill(spark):
+    rows = [(0, 10.0), (1800, 20.0),      # bucket B: avg 15
+            (3 * 3600 + 5, 7.0)]          # bucket B+3: 7; gaps B+1,B+2
+    got = [(r["bucket"], r["value"], r["filled"])
+           for r in resample(_df(spark, rows)).collect()]
+    b0 = _BASE_US // 3_600_000_000
+    assert got == [(b0, 15.0, False), (b0 + 1, 15.0, True),
+                   (b0 + 2, 15.0, True), (b0 + 3, 7.0, False)]
+
+
+def test_fill_modes_and_aggs(spark):
+    rows = [(0, 4.0), (10, 6.0), (7200, 1.0)]
+    z = {r["bucket"]: (r["value"], r["filled"])
+         for r in resample(_df(spark, rows), fill="zero",
+                           agg="sum").collect()}
+    b0 = _BASE_US // 3_600_000_000
+    assert z[b0] == (10.0, False)
+    assert z[b0 + 1] == (0.0, True)
+    n = {r["bucket"]: r["value"]
+         for r in resample(_df(spark, rows), fill=None,
+                           agg="count").collect()}
+    assert n[b0] == 2.0 and n[b0 + 1] is None and n[b0 + 2] == 1.0
+
+
+def test_bucket_ts_roundtrip(spark):
+    rows = [(0, 1.0)]
+    r = resample(_df(spark, rows)).collect()[0]
+    assert r["bucket_ts"] == _BASE.replace(minute=0, second=0)
+
+
+def test_per_key_spines(spark):
+    rows = [("a", 0, 1.0), ("a", 3 * 3600, 2.0),
+            ("b", 7 * 3600, 5.0)]
+    got = [(r["event_type"], r["bucket"] - _BASE_US // 3_600_000_000,
+            r["value"], r["filled"])
+           for r in resample(_df(spark, rows, True),
+                             key_col="event_type").collect()]
+    assert got == [("a", 0, 1.0, False), ("a", 1, 1.0, True),
+                   ("a", 2, 1.0, True), ("a", 3, 2.0, False),
+                   ("b", 7, 5.0, False)]
+
+
+def test_differential_random(spark):
+    rng = random.Random(23)
+    rows = [(rng.choice(["x", "y", "z"]),
+             rng.uniform(0, 40 * 3600),
+             round(rng.uniform(-5, 5), 3)) for _ in range(600)]
+    for agg in ("avg", "sum", "max"):
+        for fill in ("ffill", "zero"):
+            got = [
+                (r["event_type"], r["bucket"], r["value"], r["filled"])
+                for r in resample(
+                    _df(spark, rows, True), key_col="event_type",
+                    agg=agg, fill=fill).collect()
+            ]
+            want = [
+                (k, b, v, f) for (k, b, v, f) in _py_resample(
+                    rows, 3600, agg=agg, fill=fill, with_key=True)
+            ]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g[:2] == w[:2] and g[3] == w[3]
+                assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_span_guard(spark):
+    rows = [(0, 1.0), (10 * 86400, 2.0)]
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        resample(_df(spark, rows), interval_sec=60,
+                 max_buckets_per_key=1000).collect()
+
+
+def test_guards(spark):
+    df = _df(spark, [(0, 1.0)])
+    with pytest.raises(ValueError, match="agg"):
+        resample(df, agg="median")
+    with pytest.raises(ValueError, match="fill"):
+        resample(df, fill="bfill")
+    with pytest.raises(ValueError, match="interval_sec"):
+        resample(df, interval_sec=0)
