@@ -1,0 +1,154 @@
+"""Mel-spectrogram and MFCC features + fixed-dim clip embeddings.
+
+Landmark fingerprints (functions/audiofp) find EXACT audio copies;
+near-dup beyond that — re-encodes at different rates, level changes,
+light noise — wants a distance in a perceptual feature space. The
+standard one: log-mel energies and their DCT (MFCC). Built on the
+same in-engine decode + Hann STFT stack as audiofp (shared analysis
+rate), from the textbook formulas:
+
+- mel scale m = 2595 log10(1 + f/700), triangular filterbank with
+  band edges equally spaced in mel (HTK convention);
+- log energies floored at -10 (power floor 1e-10);
+- orthonormal DCT-II over the mel axis -> n_mfcc coefficients
+  (c0 carries overall level; embeddings drop it for level
+  invariance).
+
+``audio_embed`` turns a clip into one 2*(n_mfcc-1)-dim vector
+(per-coefficient mean + std over frames, c0 dropped, L2-normalized)
+— ready for operators/similarity's cosine machinery; the map-only
+Arrow pass mirrors fingerprint_audio's shape (NULL rows for
+undecodable clips).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from . import audiofp as AF
+
+__all__ = ["mel_filterbank", "log_mel", "mfcc_pcm", "audio_embed"]
+
+_N_MELS = 40
+_FMIN = 60.0
+_FMAX = 5000.0  # < Nyquist at the 11025 Hz analysis rate
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                             / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64)
+                             / 2595.0) - 1.0)
+
+
+def mel_filterbank(n_mels: int = _N_MELS, n_fft: int = AF._WIN,
+                   rate: int = AF._RATE, fmin: float = _FMIN,
+                   fmax: float = _FMAX) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular filters, band edges equally
+    spaced on the mel scale (HTK)."""
+    if not 2 <= n_mels <= 128:
+        raise ValueError("n_mels out of range")
+    edges_hz = _mel_to_hz(
+        np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+    bins_hz = np.arange(n_fft // 2 + 1) * (rate / n_fft)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, mid, hi = edges_hz[i], edges_hz[i + 1], edges_hz[i + 2]
+        up = (bins_hz - lo) / max(mid - lo, 1e-9)
+        down = (hi - bins_hz) / max(hi - mid, 1e-9)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+_DCT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _dct_ii_ortho(n_out: int, n_in: int) -> np.ndarray:
+    m = _DCT_CACHE.get((n_out, n_in))
+    if m is None:
+        k = np.arange(n_out)[:, None]
+        n = np.arange(n_in)[None, :]
+        m = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in)) \
+            * np.sqrt(2.0 / n_in)
+        m[0] *= np.sqrt(0.5)
+        _DCT_CACHE[(n_out, n_in)] = m
+    return m
+
+
+def log_mel(x: np.ndarray, rate: int,
+            n_mels: int = _N_MELS) -> np.ndarray:
+    """(n_frames, n_mels) log mel-band energies of mono PCM in
+    [-1, 1] at any input rate (resampled to the shared analysis
+    rate inside the STFT)."""
+    spec = AF._spectrogram(np.asarray(x, dtype=np.float64), rate)
+    fb = mel_filterbank(n_mels=n_mels)
+    return np.log(np.maximum(spec @ fb.T, 1e-10))
+
+
+def mfcc_pcm(x: np.ndarray, rate: int, n_mfcc: int = 13,
+             n_mels: int = _N_MELS) -> np.ndarray:
+    """(n_frames, n_mfcc) MFCCs (orthonormal DCT-II of the log-mel
+    rows; c0 = overall level)."""
+    if not 2 <= n_mfcc <= n_mels:
+        raise ValueError("n_mfcc out of range")
+    lm = log_mel(x, rate, n_mels=n_mels)
+    return lm @ _dct_ii_ortho(n_mfcc, n_mels).T
+
+
+def _embed_pcm(x: np.ndarray, rate: int, n_mfcc: int) -> np.ndarray:
+    """Clip embedding: log-mel with a CLIP-RELATIVE power floor
+    (absolute floors make silence dominate the statistics and flip
+    under the faintest noise), voiced-frame masking (frames below
+    1e-3 of the loudest frame's power are silence/noise between
+    notes), then per-coefficient mean + std of the c0-dropped MFCCs,
+    L2-normalized. Level- and rate-invariant by construction."""
+    spec = AF._spectrogram(np.asarray(x, dtype=np.float64), rate)
+    p = spec @ mel_filterbank().T
+    p = p / max(float(p.max()), 1e-30)
+    lm = np.log(np.maximum(p, 1e-8))
+    fpow = p.sum(axis=1)
+    mask = fpow >= 1e-3 * max(float(fpow.max()), 1e-30)
+    if mask.any():
+        lm = lm[mask]
+    mf = (lm @ _dct_ii_ortho(n_mfcc, lm.shape[1]).T)[:, 1:]
+    v = np.concatenate([mf.mean(axis=0), mf.std(axis=0)])
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def audio_embed(audio: DataFrame, n_mfcc: int = 13,
+                path_col: str = "path",
+                content_col: str = "content") -> DataFrame:
+    """(file, embedding array<float>) — one L2-normalized
+    2*(n_mfcc-1)-dim MFCC-statistics vector per decodable clip
+    (NULL embedding otherwise); map-only Arrow pass. Feed to
+    operators/similarity (exact_topk / knn_join) or
+    clustering.embedding_dedup for audio near-dup beyond exact
+    fingerprints."""
+    if not 2 <= n_mfcc <= _N_MELS:
+        raise ValueError("n_mfcc out of range")
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            out = {"file": [], "embedding": []}
+            for path, content in zip(b[path_col], b[content_col]):
+                dec = AF._decode_any(bytes(content))
+                out["file"].append(str(path))
+                if dec is None:
+                    out["embedding"].append(None)
+                    continue
+                rate, x = dec
+                emb = _embed_pcm(x, rate, n_mfcc)
+                out["embedding"].append(
+                    [float(v) for v in emb.astype(np.float32)])
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        run, schema="file string, embedding array<float>")

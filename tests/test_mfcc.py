@@ -1,0 +1,172 @@
+"""Mel/MFCC features (functions/mfcc): filterbank structure vs the
+mel formula, orthonormal DCT, pure-tone band response, lossless-twin
+embedding identity, level invariance, noise-robust vs distinct
+separation, and the Spark audio_embed pass feeding exact_topk."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from gen_flac_fixture import encode_flac  # noqa: E402
+from gen_wav_fixture import encode_pcm_wav  # noqa: E402
+
+from shotit_worker_spark.functions import audiofp as AF  # noqa: E402
+from shotit_worker_spark.functions import mfcc as MF  # noqa: E402
+
+RATE = AF._RATE
+
+
+def _clip(seed: int, seconds: float = 2.0,
+          timbre: str = "sine") -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(RATE * seconds)
+    t = np.arange(n) / RATE
+    x = np.zeros(n)
+    note = int(0.15 * RATE)
+    for i in range(0, n, note):
+        f1 = float(rng.integers(200, 1200))
+        f2 = float(rng.integers(1200, 2800))
+        seg = slice(i, min(i + note, n))
+        env = np.hanning(seg.stop - seg.start)
+        if timbre == "sine":
+            w = (np.sin(2 * np.pi * f1 * t[seg])
+                 + 0.6 * np.sin(2 * np.pi * f2 * t[seg]))
+        else:  # square: odd-harmonic-rich, different timbre
+            w = np.sign(np.sin(2 * np.pi * f1 * t[seg])) * 0.8
+        x[seg] += env * w
+    return x / np.max(np.abs(x))
+
+
+def _pcm16(x):
+    return np.clip(np.round(x * 32000), -32768, 32767).astype(
+        np.int64).reshape(-1, 1)
+
+
+def test_filterbank_structure():
+    fb = MF.mel_filterbank()
+    assert fb.shape == (40, AF._WIN // 2 + 1)
+    assert np.all(fb >= 0)
+    # each filter is unimodal with a single peak at its center bin
+    for i in range(40):
+        peak = fb[i].argmax()
+        assert fb[i, peak] > 0.5
+        assert np.all(np.diff(fb[i, :peak + 1]) >= -1e-12)
+        assert np.all(np.diff(fb[i, peak:]) <= 1e-12)
+    # centers follow the mel formula: mel spacing is uniform
+    bins_hz = np.arange(AF._WIN // 2 + 1) * (RATE / AF._WIN)
+    centers = bins_hz[fb.argmax(axis=1)]
+    mels = 2595.0 * np.log10(1.0 + centers / 700.0)
+    spacing = np.diff(mels)
+    assert spacing.std() / spacing.mean() < 0.08  # bin quantization
+
+
+def test_dct_orthonormal():
+    m = MF._dct_ii_ortho(40, 40)
+    assert np.allclose(m @ m.T, np.eye(40), atol=1e-12)
+
+
+def test_pure_tone_hits_right_band():
+    """A 1 kHz tone's energy concentrates in the filterbank band
+    whose center is nearest 1 kHz."""
+    t = np.arange(RATE) / RATE
+    x = np.sin(2 * np.pi * 1000.0 * t)
+    lm = MF.log_mel(x, RATE)
+    fb = MF.mel_filterbank()
+    bins_hz = np.arange(AF._WIN // 2 + 1) * (RATE / AF._WIN)
+    centers = bins_hz[fb.argmax(axis=1)]
+    hot = lm.mean(axis=0).argmax()
+    assert abs(centers[hot] - 1000.0) < 120.0
+
+
+def test_twin_identity_and_level_invariance():
+    x = _clip(5)
+    wav = encode_pcm_wav(_pcm16(x), bits=16, sample_rate=RATE)
+    flac = encode_flac(_pcm16(x), sample_rate=RATE, bps=16)
+    dec_w = AF._decode_any(wav)
+    dec_f = AF._decode_any(flac)
+    e_w = MF._embed_pcm(dec_w[1], dec_w[0], 13)
+    e_f = MF._embed_pcm(dec_f[1], dec_f[0], 13)
+    assert np.array_equal(e_w, e_f)  # lossless twins: same PCM
+    assert abs(np.linalg.norm(e_w) - 1.0) < 1e-9
+    # relative power floor + c0 drop: a 12 dB level change leaves
+    # the embedding essentially identical
+    quiet = encode_pcm_wav(_pcm16(0.25 * x), bits=16,
+                           sample_rate=RATE)
+    dec_q = AF._decode_any(quiet)
+    e_q = MF._embed_pcm(dec_q[1], dec_q[0], 13)
+    assert float(e_w @ e_q) > 0.9999
+
+
+def test_noise_robust_vs_distinct():
+    """The dedup contract of a timbre-stats embedding: light noise
+    (-35 dB) keeps a clip closer to itself than to ANY other clip
+    (even one from the same synth), and a different timbre is far.
+    (Exact copies are the landmark fingerprints' job; this embedding
+    is the near-dup candidate metric.)"""
+    rng = np.random.default_rng(9)
+    a = _clip(11)
+    noisy = a + 10 ** (-35 / 20) * rng.standard_normal(len(a))
+    same_timbre = _clip(12)
+    diff_timbre = _clip(13, timbre="square")
+    ea = MF._embed_pcm(a, RATE, 13)
+    en = MF._embed_pcm(noisy / np.max(np.abs(noisy)), RATE, 13)
+    eb = MF._embed_pcm(same_timbre, RATE, 13)
+    ec = MF._embed_pcm(diff_timbre, RATE, 13)
+    assert float(ea @ en) > 0.93
+    assert float(ea @ en) > float(ea @ eb)
+    assert float(ea @ ec) < float(ea @ eb) - 0.15
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="n_mfcc"):
+        MF.mfcc_pcm(np.zeros(4096), RATE, n_mfcc=1)
+    with pytest.raises(ValueError, match="n_mels"):
+        MF.mel_filterbank(n_mels=1)
+
+
+def test_spark_audio_embed_topk(spark):
+    from shotit_worker_spark.operators.similarity import exact_topk
+
+    x = _clip(21)
+    rows = [
+        ("a/full.wav",
+         bytearray(encode_pcm_wav(_pcm16(x), bits=16,
+                                  sample_rate=RATE))),
+        ("a/twin.flac",
+         bytearray(encode_flac(_pcm16(x), sample_rate=RATE, bps=16))),
+        ("a/other.wav",
+         bytearray(encode_pcm_wav(_pcm16(_clip(22, timbre="square")),
+                                  bits=16, sample_rate=RATE))),
+        ("a/junk.bin", bytearray(b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    emb = MF.audio_embed(df)
+    got = {r["file"]: r["embedding"] for r in emb.collect()}
+    assert got["a/junk.bin"] is None
+    assert got["a/full.wav"] == got["a/twin.flac"]
+    # cosine top-1 of the full clip (excluding itself) is its twin
+    corpus = emb.where(
+        "embedding is not null and file <> 'a/full.wav'"
+    ).selectExpr("file as hash_id", "file as primary_key",
+                 "cast(embedding as array<double>) as vector")
+    r = exact_topk(corpus, [float(v) for v in got["a/full.wav"]],
+                   k=1).collect()[0]
+    assert r["hash_id"] == "a/twin.flac" and r["score"] > 0.9999
+
+
+def test_cross_rate_embedding_close():
+    """The same clip delivered at 22.05 kHz embeds near-identically
+    (the STFT resamples to the shared analysis rate)."""
+    x = _clip(31)
+    e1 = MF._embed_pcm(x, RATE, 13)
+    # naive 2x upsample by linear interp, then embed at 2*RATE
+    up = np.interp(np.arange(2 * len(x)) / 2.0, np.arange(len(x)), x)
+    e2 = MF._embed_pcm(up, 2 * RATE, 13)
+    assert float(e1 @ e2) > 0.97
