@@ -3942,6 +3942,49 @@ _RESAMPLE_ORACLE_SQL = """
 """
 
 
+def q94_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (operators/simjoin) FULL-VALUE gate:
+    every document pair with token-Jaccard >= 0.5 over the pinned
+    doc_id < 500 sample (the q52 convention — the ORACLE is the
+    brute-force token equi-join, quadratic in token frequency, so the
+    gate pins a sample; pytest brute-forces the full sf0.001 corpus).
+    The engine runs prefix filtering + the PPJoin length filter +
+    exact verify — completeness is the pigeonhole guarantee, so any
+    dropped true pair is a value mismatch here."""
+    from shotit_worker_spark.operators.simjoin import (
+        jaccard_similarity_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    return jaccard_similarity_join(
+        docs.select("doc_id", "text"), threshold=0.5)
+
+
+# formatted inside oracle_sql() — TOKENIZE_SQL is defined later in
+# the module
+_JACCARD_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest({tok}) AS tok
+        FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 - 1e-12
+    ORDER BY a_id, b_id
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4759,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_scene_cuts": q91_scene_cuts,
         "q92_exif": q92_exif,
         "q93_resample": q93_resample,
+        "q94_jaccard_join": q94_jaccard_join,
     }
 
 
@@ -4851,6 +4895,10 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q94: FULL-VALUE exact similarity join on the pinned
+        # sample — oracle is the brute-force token equi-join
+        "q94_jaccard_join": _JACCARD_ORACLE_SQL.format(
+            tok=TOKENIZE_SQL.format(col="text")),
         # q93: FULL-VALUE dense resample — generate_series +
         # gaps-and-islands ffill rebuilds every row independently
         "q93_resample": _RESAMPLE_ORACLE_SQL,

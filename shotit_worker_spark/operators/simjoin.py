@@ -1,0 +1,127 @@
+"""Exact set-similarity self-join with prefix filtering (AllPairs /
+PPJoin family, WWW'07/SIGMOD'06 public algorithms).
+
+MinHash-LSH (operators/dedup) finds near-dup candidates
+PROBABILISTICALLY — its S-curve misses some true pairs. When the
+pipeline needs EVERY pair with Jaccard >= tau (legal/contamination
+sweeps), the classic exact trick avoids the n^2 join: order each
+document's distinct tokens by GLOBAL rarity and index only each
+document's PREFIX — the first |x| - ceil(tau*|x|) + 1 tokens. Two
+documents with Jaccard >= tau MUST share a prefix token (pigeonhole:
+a pair sharing none shares fewer than the required overlap), so the
+prefix inverted-index equi-join is a complete candidate generator;
+PPJoin's length filter (tau*|x| <= |y|) prunes further, and an exact
+array-intersection verify keeps only true pairs.
+
+Spark shape: one token-frequency agg (map-side combined), one
+groupBy(doc) building the rarity-sorted token array, a self equi-join
+on prefix tokens (the ONLY quadratic-risk step, bounded by prefix
+rarity), and a broadcast-free verify join on doc ids. Every stage is
+pure Catalyst; results are EXACT, so a brute-force SQL oracle
+reproduces them row for row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["jaccard_similarity_join"]
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, jaccard) — every pair with token-set Jaccard >=
+    ``threshold`` (a_id < b_id), exactly. Tokens are the engine's
+    shared [^a-z0-9]+ split."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    tau = float(threshold)
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)),
+                                "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    # global rarity order: (frequency, token) ascending — ties broken
+    # by the token string so the order is engine-portable
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(freq, "tok").select(
+        "id", F.struct("df", "tok").alias("rt"))
+    per_doc = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list("rt")).alias("rts"))
+    per_doc = per_doc.select(
+        "id",
+        F.transform("rts", lambda s: s["tok"]).alias("toks"),
+        F.size("rts").alias("n"),
+    )
+    # prefix length |x| - ceil(tau*|x|) + 1
+    prefix = per_doc.select(
+        "id", "n",
+        F.explode(
+            F.slice(
+                "toks", 1,
+                (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
+                .cast("int"),
+            )
+        ).alias("tok"),
+    )
+    a = prefix.select(F.col("id").alias("a_id"),
+                      F.col("n").alias("na"), "tok")
+    b = prefix.select(F.col("id").alias("b_id"),
+                      F.col("n").alias("nb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            # PPJoin length filter: tau*|x| <= |y| <= |x|/tau
+            & (F.col("nb") * F.lit(tau) <= F.col("na"))
+            & (F.col("na") * F.lit(tau) <= F.col("nb"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = per_doc.select("id", "toks", "n")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("a_id"),
+                              F.col("toks").alias("ta"),
+                              F.col("n").alias("na")), "a_id")
+        .join(sets.select(F.col("id").alias("b_id"),
+                          F.col("toks").alias("tb"),
+                          F.col("n").alias("nb")), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.size(F.array_intersect("ta", "tb")).alias("__i"),
+            "na", "nb",
+        )
+        .select(
+            "a_id", "b_id",
+            (F.col("__i")
+             / (F.col("na") + F.col("nb") - F.col("__i")))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau - 1e-12)
+        .orderBy("a_id", "b_id")
+    )
+    return verified
+
+
+def _prefix_len(n: int, tau: float) -> int:
+    """Reference prefix length (tests pin the Catalyst expression
+    against this)."""
+    return n - math.ceil(tau * n) + 1

@@ -1,0 +1,111 @@
+"""Exact Jaccard similarity join (operators/simjoin): completeness
+vs a brute-force python reference (prefix filtering must drop NO
+true pair), exactness of the scores, the prefix-length rule, and
+planted near-dup retrieval on the documents fixture."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+import re
+
+import pytest
+
+from shotit_worker_spark.operators.simjoin import (
+    _prefix_len,
+    jaccard_similarity_join,
+)
+
+
+def _tok(s):
+    return {t for t in re.split(r"[^a-z0-9]+", s.lower()) if t}
+
+
+def _brute(rows, tau):
+    out = []
+    for (ia, ta), (ib, tb) in itertools.combinations(
+            [(i, _tok(t)) for i, t in rows], 2):
+        if not ta or not tb:
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= tau - 1e-12:
+            a, b = min(ia, ib), max(ia, ib)
+            out.append((a, b, j))
+    return sorted(out)
+
+
+_WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa"
+          " lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _corpus(seed, n=60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        base = rng.sample(_WORDS, rng.randint(4, 12))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # planted near-dup: drop/add a word
+            twin = list(base)
+            if rng.random() < 0.5 and len(twin) > 4:
+                twin.pop(rng.randrange(len(twin)))
+            else:
+                twin.append(rng.choice(_WORDS))
+            rows.append((1000 + i, " ".join(twin)))
+    return rows
+
+
+def test_prefix_length_rule():
+    for n in range(1, 40):
+        for tau in (0.5, 0.6, 0.8, 0.9, 1.0):
+            lp = _prefix_len(n, tau)
+            assert 1 <= lp <= n
+            # pigeonhole: removing the prefix leaves ceil(tau*n)-1
+            # tokens — fewer than any tau-similar pair must share
+            assert n - lp == math.ceil(tau * n) - 1
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.7, 0.9])
+def test_complete_and_exact_vs_brute_force(spark, tau):
+    rows = _corpus(3)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_similarity_join(df, threshold=tau).collect()
+    ]
+    want = _brute(rows, tau)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-12)
+
+
+def test_identical_docs_and_threshold_one(spark):
+    rows = [(1, "x y z"), (2, "x y z"), (3, "x y q"), (4, "unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["a_id"], r["b_id"])
+           for r in jaccard_similarity_join(df, 1.0).collect()]
+    assert got == [(1, 2)]
+
+
+def test_fixture_documents_brute_force(spark):
+    """The real 500-doc fixture corpus at tau=0.5: the prefix-
+    filtered join must equal the brute-force pair set exactly."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["text"] or "")
+            for r in docs.select("doc_id", "text").collect()]
+    got = [
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_similarity_join(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold=0.5).collect()
+    ]
+    want = _brute(rows, 0.5)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    assert len(got) > 0  # the corpus does contain tau=0.5 pairs
+
+
+def test_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(df, 0.0)
