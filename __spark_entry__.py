@@ -3985,6 +3985,46 @@ _JACCARD_ORACLE_SQL = """
 """
 
 
+def q95_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/clustering, the iterative
+    path-halving min-label propagation every near-dup clusterer rides
+    on) FULL-VALUE gate: a deterministic 500-node graph — leaves i
+    join hub i%17, hubs join their group root h%5, plus md5-derived
+    cross edges WITHIN each group (they merge subtrees without
+    changing the partition) — whose components have the closed form
+    component(i) = (i%17)%5 = the group's minimum node id. The engine
+    must CONVERGE to exactly these labels; the oracle states the
+    closed form over the same node range."""
+    from shotit_worker_spark.operators.clustering import (
+        connected_components,
+    )
+
+    n = 500
+    nodes = spark.range(n).select(F.col("id").cast("long").alias("i"))
+    leaf = nodes.select(
+        F.col("i").alias("a_id"), (F.col("i") % 17).alias("b_id"))
+    hubs = spark.range(17).select(
+        F.col("id").alias("a_id"), (F.col("id") % 5).alias("b_id"))
+    # md5-keyed cross edges inside a group: i -- (i + 85) when the
+    # digest condition fires (85 = 17*5 keeps both endpoints in the
+    # same group); reproducible in any engine
+    cross = nodes.where(
+        (F.col("i") < n - 85)
+        & (F.substring(F.md5(F.concat(F.lit("q95"),
+                                      F.col("i").cast("string"))),
+                       1, 1) < F.lit("4"))
+    ).select(F.col("i").alias("a_id"), (F.col("i") + 85).alias("b_id"))
+    pairs = leaf.unionAll(hubs).unionAll(cross)
+    return connected_components(pairs).orderBy("node")
+
+
+_COMPONENTS_ORACLE_SQL = """
+    SELECT i AS node, (i % 17) % 5 AS component
+    FROM (SELECT unnest(generate_series(0, 499)) AS i)
+    ORDER BY node
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4803,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_exif": q92_exif,
         "q93_resample": q93_resample,
         "q94_jaccard_join": q94_jaccard_join,
+        "q95_components": q95_components,
     }
 
 
@@ -4895,6 +4936,9 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q95: FULL-VALUE components — the fixture graph has a
+        # closed-form partition the engine must converge to
+        "q95_components": _COMPONENTS_ORACLE_SQL,
         # q94: FULL-VALUE exact similarity join on the pinned
         # sample — oracle is the brute-force token equi-join
         "q94_jaccard_join": _JACCARD_ORACLE_SQL.format(
