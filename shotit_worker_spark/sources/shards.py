@@ -1,0 +1,142 @@
+"""WebDataset-style tar shards and zip bundles as Spark sources.
+
+Large multimodal corpora ship as TAR SHARDS: each .tar holds samples
+whose members share a basename key and differ by extension
+(``000123.jpg`` + ``000123.json`` + ``000123.txt`` = one sample) —
+the WebDataset convention. Zip bundles are the other common wrapper
+for scraped image sets. Both explode here from ``binaryFile`` rows
+via stdlib tarfile/zipfile over in-memory bytes: one shard = one
+task, members never land on local disk, and the downstream engine
+sees ordinary (shard, key, ext, content) rows.
+
+Scale posture: shards are the parallelism unit (a 1 GB tar is one
+task — size shards accordingly, exactly as WebDataset prescribes);
+``grouped=True`` assembles per-key samples WITHIN the member stream
+of each shard (tar members of one key are adjacent by convention,
+but assembly here is hash-based so out-of-order members still group
+— per-shard state is one dict of the shard's keys, bounded by shard
+size, no shuffle)."""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import tarfile
+import zipfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = ["explode_shards", "read_webdataset"]
+
+_MEMBER_SCHEMA = (
+    "shard string, key string, ext string, member string,"
+    " size long, content binary"
+)
+
+
+def _split_key(name: str) -> tuple[str, str]:
+    """WebDataset key split: everything up to the FIRST dot of the
+    basename is the key; the rest is the (possibly dotted)
+    extension."""
+    base = posixpath.basename(name)
+    if "." in base:
+        key, ext = base.split(".", 1)
+    else:
+        key, ext = base, ""
+    dirn = posixpath.dirname(name)
+    return (posixpath.join(dirn, key) if dirn else key), ext.lower()
+
+
+def _iter_members(path: str, blob: bytes):
+    """(member_name, bytes) for every regular member of a tar
+    (plain/gz) or zip blob; non-archives yield nothing."""
+    bio = io.BytesIO(blob)
+    if zipfile.is_zipfile(bio):
+        bio.seek(0)
+        with zipfile.ZipFile(bio) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                yield info.filename, zf.read(info)
+        return
+    bio.seek(0)
+    try:
+        with tarfile.open(fileobj=bio, mode="r:*") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                f = tf.extractfile(m)
+                if f is None:
+                    continue
+                yield m.name, f.read()
+    except tarfile.TarError:
+        return
+
+
+def explode_shards(shards: DataFrame, path_col: str = "path",
+                   content_col: str = "content") -> DataFrame:
+    """1 shard row -> N member rows (shard, key, ext, member, size,
+    content). Unreadable blobs yield zero rows (a corrupt shard must
+    not kill the scan); map-only."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for b in batches:
+            out: dict = {"shard": [], "key": [], "ext": [],
+                         "member": [], "size": [], "content": []}
+            for path, blob in zip(b[path_col], b[content_col]):
+                for name, data in _iter_members(str(path),
+                                                bytes(blob)):
+                    key, ext = _split_key(name)
+                    out["shard"].append(str(path))
+                    out["key"].append(key)
+                    out["ext"].append(ext)
+                    out["member"].append(name)
+                    out["size"].append(len(data))
+                    out["content"].append(bytearray(data))
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(run, schema=_MEMBER_SCHEMA)
+
+
+def read_webdataset(shards: DataFrame, exts: tuple = ("jpg", "json",
+                                                      "txt"),
+                    path_col: str = "path",
+                    content_col: str = "content") -> DataFrame:
+    """WebDataset samples: one row per key with a binary column per
+    requested extension (NULL where the member is absent). Assembly
+    happens INSIDE each shard's task (dict keyed by sample key —
+    bounded by shard size, no shuffle); dotted/unknown extensions
+    are matched by their full lowercase suffix."""
+    for e in exts:
+        if not e or e != e.lower():
+            raise ValueError(f"extensions must be lowercase: {e!r}")
+    cols = ", ".join(f"`{e.replace('.', '_')}` binary" for e in exts)
+    schema = f"shard string, key string, {cols}"
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for b in batches:
+            out: dict = {"shard": [], "key": []}
+            for e in exts:
+                out[e.replace(".", "_")] = []
+            for path, blob in zip(b[path_col], b[content_col]):
+                samples: dict = {}
+                for name, data in _iter_members(str(path),
+                                                bytes(blob)):
+                    key, ext = _split_key(name)
+                    if ext in exts:
+                        samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    out["shard"].append(str(path))
+                    out["key"].append(key)
+                    for e in exts:
+                        v = samples[key].get(e)
+                        out[e.replace(".", "_")].append(
+                            None if v is None else bytearray(v))
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(run, schema=schema)

@@ -1,0 +1,120 @@
+"""WebDataset tar shards / zip bundles (sources/shards): member
+explode for tar, tar.gz and zip, key/extension splitting, per-key
+sample assembly with absent members NULL, corrupt-shard resilience,
+and an end-to-end decode of shard-delivered images through the
+engine codec."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.functions import imagecodec as IC
+from shotit_worker_spark.sources.shards import (
+    _split_key,
+    explode_shards,
+    read_webdataset,
+)
+
+
+def _png(seed):
+    rng = np.random.default_rng(seed)
+    return IC.encode_png(rng.integers(0, 256, (8, 8, 3),
+                                      dtype=np.uint8))
+
+
+def _tar(members, gz=False):
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = bio.getvalue()
+    return gzip.compress(raw) if gz else raw
+
+
+def _zip(members):
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return bio.getvalue()
+
+
+_MEMBERS = [
+    ("000000.png", _png(0)),
+    ("000000.txt", b"a red square"),
+    ("000000.meta.json", b'{"w": 8}'),
+    ("000001.png", _png(1)),
+    ("000001.txt", b"a blue circle"),
+    # key 2 misses the txt member
+    ("000002.png", _png(2)),
+]
+
+
+def test_split_key():
+    assert _split_key("000123.jpg") == ("000123", "jpg")
+    assert _split_key("a/b/000123.meta.json") == ("a/b/000123",
+                                                  "meta.json")
+    assert _split_key("README") == ("README", "")
+
+
+@pytest.mark.parametrize("maker,name", [
+    (lambda: _tar(_MEMBERS), "s.tar"),
+    (lambda: _tar(_MEMBERS, gz=True), "s.tar.gz"),
+    (lambda: _zip(_MEMBERS), "s.zip"),
+])
+def test_explode_members(spark, maker, name):
+    df = spark.createDataFrame(
+        [(f"store/{name}", bytearray(maker()))],
+        "path string, content binary")
+    rows = explode_shards(df).orderBy("member").collect()
+    assert [(r["key"], r["ext"]) for r in rows] == [
+        ("000000", "meta.json"), ("000000", "png"), ("000000", "txt"),
+        ("000001", "png"), ("000001", "txt"), ("000002", "png")]
+    by = {r["member"]: bytes(r["content"]) for r in rows}
+    assert by["000000.txt"] == b"a red square"
+    assert by["000001.png"] == _png(1)
+    assert all(r["size"] == len(bytes(r["content"])) for r in rows)
+
+
+def test_webdataset_samples(spark):
+    df = spark.createDataFrame(
+        [("store/a.tar", bytearray(_tar(_MEMBERS)))],
+        "path string, content binary")
+    out = read_webdataset(df, exts=("png", "txt", "meta.json"))
+    rows = out.orderBy("key").collect()
+    assert [r["key"] for r in rows] == ["000000", "000001", "000002"]
+    assert bytes(rows[0]["meta_json"]) == b'{"w": 8}'
+    assert bytes(rows[1]["txt"]) == b"a blue circle"
+    assert rows[2]["txt"] is None          # absent member -> NULL
+    assert rows[1]["meta_json"] is None
+    # shard-delivered images decode through the engine codec
+    img = IC.decode_image(bytes(rows[0]["png"]))
+    assert img.shape == (8, 8, 3)
+
+
+def test_corrupt_and_mixed_shards(spark):
+    df = spark.createDataFrame(
+        [("store/good.tar", bytearray(_tar(_MEMBERS))),
+         ("store/junk.tar", bytearray(b"\x00" * 300)),
+         ("store/trunc.tar", bytearray(_tar(_MEMBERS)[:100]))],
+        "path string, content binary")
+    rows = explode_shards(df).collect()
+    shards = {r["shard"] for r in rows}
+    assert shards == {"store/good.tar"}  # corrupt shards yield 0 rows
+    assert len(rows) == len(_MEMBERS)
+
+
+def test_guard(spark):
+    df = spark.createDataFrame(
+        [("s.tar", bytearray(_tar(_MEMBERS)))],
+        "path string, content binary")
+    with pytest.raises(ValueError, match="lowercase"):
+        read_webdataset(df, exts=("PNG",))
