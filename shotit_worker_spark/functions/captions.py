@@ -1,0 +1,163 @@
+"""Subtitle parsing (SRT / WebVTT) and caption-to-scene alignment.
+
+Video training samples are (clip, caption) pairs; captions ship as
+.srt or .vtt sidecars. The parsers here cover the public formats:
+SRT cue blocks (index line optional in the wild, HH:MM:SS,mmm
+timestamps) and WebVTT (WEBVTT header, optional cue ids, dot
+milliseconds, optional hour field, cue settings after the arrow,
+NOTE/STYLE blocks skipped). Times land as float seconds.
+
+``align_captions_to_scenes`` joins cues to the scene table
+operators/video.scene_segments produces, on temporal OVERLAP within
+the same file — the canonical interval join (file equi-key bounds
+the state; scenes and cues per file are both small)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_srt", "parse_vtt", "parse_captions", "captions_df",
+           "align_captions_to_scenes"]
+
+_TS = re.compile(
+    r"(?:(\d{1,3}):)?(\d{1,2}):(\d{2})[.,](\d{1,3})")
+
+
+def _ts_sec(token: str) -> float | None:
+    m = _TS.fullmatch(token.strip())
+    if not m:
+        return None
+    h = int(m.group(1) or 0)
+    return (h * 3600 + int(m.group(2)) * 60 + int(m.group(3))
+            + int(m.group(4).ljust(3, "0")) / 1000.0)
+
+
+def _parse_blocks(lines: list) -> list:
+    """Shared cue-block walk: a block is [optional id line],
+    timing line with '-->', then text lines until a blank."""
+    cues = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i].strip()
+        if not line:
+            i += 1
+            continue
+        if line.startswith(("NOTE", "STYLE", "REGION")):
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        # cue id line (no arrow) directly before a timing line
+        if "-->" not in line:
+            if i + 1 < n and "-->" in lines[i + 1]:
+                i += 1
+                line = lines[i].strip()
+            else:
+                i += 1
+                continue
+        parts = line.split("-->")
+        if len(parts) != 2:
+            i += 1
+            continue
+        start = _ts_sec(parts[0])
+        # cue settings may follow the end timestamp
+        end = _ts_sec(parts[1].strip().split(" ", 1)[0])
+        i += 1
+        text_lines = []
+        while i < n and lines[i].strip():
+            text_lines.append(lines[i].strip())
+            i += 1
+        if start is None or end is None or end < start:
+            continue
+        cues.append((start, end, "\n".join(text_lines)))
+    return [(k, s, e, t) for k, (s, e, t) in enumerate(cues)]
+
+
+def parse_srt(text: str) -> list:
+    """[(cue_no, start_sec, end_sec, text)] from SRT content (the
+    numeric index lines are treated as cue ids)."""
+    return _parse_blocks(text.replace("\r\n", "\n").split("\n"))
+
+
+def parse_vtt(text: str) -> list:
+    """[(cue_no, start_sec, end_sec, text)] from WebVTT content;
+    raises ValueError without the WEBVTT magic."""
+    body = text.lstrip("﻿")
+    if not body.startswith("WEBVTT"):
+        raise ValueError("not a WebVTT file (missing WEBVTT header)")
+    lines = body.replace("\r\n", "\n").split("\n")[1:]
+    return _parse_blocks(lines)
+
+
+def parse_captions(content: bytes) -> list:
+    """Sniff + parse either format from raw bytes (utf-8, lenient);
+    [] when neither parses."""
+    try:
+        text = content.decode("utf-8", "replace")
+    except Exception:
+        return []
+    if text.lstrip("﻿").startswith("WEBVTT"):
+        return parse_vtt(text)
+    return parse_srt(text)
+
+
+def captions_df(files: DataFrame, path_col: str = "path",
+                content_col: str = "content") -> DataFrame:
+    """(file, cue_no, start_sec, end_sec, text) — map-only explode of
+    caption sidecar files."""
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            out: dict = {"file": [], "cue_no": [], "start_sec": [],
+                         "end_sec": [], "text": []}
+            for path, content in zip(b[path_col], b[content_col]):
+                for no, s, e, t in parse_captions(bytes(content)):
+                    out["file"].append(str(path))
+                    out["cue_no"].append(no)
+                    out["start_sec"].append(s)
+                    out["end_sec"].append(e)
+                    out["text"].append(t)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        run,
+        schema="file string, cue_no int, start_sec double,"
+               " end_sec double, text string",
+    )
+
+
+def align_captions_to_scenes(captions: DataFrame,
+                             scenes: DataFrame) -> DataFrame:
+    """(file, scene_id, cue_no, overlap_sec, text) — every (cue,
+    scene) pair of the same file whose time ranges overlap, with the
+    overlap length; ordered for deterministic comparison. ``scenes``
+    is scene_segments output (start_time/end_time are the sampled
+    frame times; the scene interval extends to the last frame's
+    time)."""
+    c = captions.select(
+        F.col("file").alias("c_file"), "cue_no",
+        "start_sec", "end_sec", "text")
+    s = scenes.select(
+        F.col("file").alias("s_file"), "scene_id",
+        "start_time", "end_time")
+    joined = c.join(
+        s,
+        (F.col("c_file") == F.col("s_file"))
+        & (F.col("start_sec") < F.col("end_time"))
+        & (F.col("end_sec") > F.col("start_time")),
+    )
+    overlap = (
+        F.least("end_sec", "end_time")
+        - F.greatest("start_sec", "start_time")
+    )
+    return (
+        joined.select(
+            F.col("c_file").alias("file"), "scene_id", "cue_no",
+            overlap.alias("overlap_sec"), "text")
+        .orderBy("file", "scene_id", "cue_no")
+    )

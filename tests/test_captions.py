@@ -1,0 +1,110 @@
+"""SRT/WebVTT parsing + scene alignment (functions/captions):
+timestamp formats (comma/dot ms, optional hours, cue settings),
+block structure (ids, NOTE/STYLE skip, multi-line text), malformed
+degradation, the Spark explode, and alignment against real
+scene_segments output from the two-scene Y4M clip."""
+
+from __future__ import annotations
+
+import pytest
+
+from shotit_worker_spark.functions.captions import (
+    align_captions_to_scenes,
+    captions_df,
+    parse_captions,
+    parse_srt,
+    parse_vtt,
+)
+
+_SRT = """1
+00:00:01,000 --> 00:00:02,500
+hello there
+
+2
+00:00:03,200 --> 00:00:04,000
+second cue
+two lines
+
+"""
+
+_VTT = """WEBVTT
+
+NOTE this is a comment
+spanning lines
+
+intro
+00:01.000 --> 00:02.500 position:50%
+hello there
+
+01:00:03.200 --> 01:00:04.000
+with hours
+"""
+
+
+def test_srt_basic():
+    cues = parse_srt(_SRT)
+    assert cues == [
+        (0, 1.0, 2.5, "hello there"),
+        (1, 3.2, 4.0, "second cue\ntwo lines"),
+    ]
+
+
+def test_vtt_formats():
+    cues = parse_vtt(_VTT)
+    assert cues[0] == (0, 1.0, 2.5, "hello there")
+    assert cues[1] == (1, 3603.2, 3604.0, "with hours")
+    with pytest.raises(ValueError, match="WEBVTT"):
+        parse_vtt("1\n00:00:01,000 --> 00:00:02,000\nx\n")
+
+
+def test_sniff_and_malformed():
+    assert parse_captions(_SRT.encode()) == parse_srt(_SRT)
+    assert parse_captions(_VTT.encode()) == parse_vtt(_VTT)
+    assert parse_captions(b"\x00\xff garbage") == []
+    # end before start / broken timing lines drop, survivors keep
+    bad = "1\n00:00:05,000 --> 00:00:01,000\nskip\n\n" \
+          "2\n00:00:06,000 --> 00:00:07,000\nkeep\n"
+    assert [c[3] for c in parse_srt(bad)] == ["keep"]
+
+
+def test_captions_df(spark):
+    df = spark.createDataFrame(
+        [("store/v/a.srt", bytearray(_SRT.encode())),
+         ("store/v/b.vtt", bytearray(_VTT.encode())),
+         ("store/v/junk.bin", bytearray(b"\x00" * 10))],
+        "path string, content binary")
+    rows = captions_df(df).orderBy("file", "cue_no").collect()
+    assert [(r["file"], r["cue_no"]) for r in rows] == [
+        ("store/v/a.srt", 0), ("store/v/a.srt", 1),
+        ("store/v/b.vtt", 0), ("store/v/b.vtt", 1)]
+    assert rows[0]["start_sec"] == 1.0 and rows[0]["end_sec"] == 2.5
+
+
+def test_align_to_real_scenes(spark):
+    """Scenes from the two-scene Y4M (12 fps, cut at frame 4 ->
+    scene 0 spans ~0.04-0.29 s, scene 1 ~0.375-0.54 s); cues placed
+    inside, across, and past the scenes align accordingly."""
+    from shotit_worker_spark.functions import media as M
+    from shotit_worker_spark.operators.video import scene_segments
+    from tests.test_video_scenes import _y4m_two_scenes
+
+    videos = spark.createDataFrame(
+        [("store/v/clip.y4m", bytearray(_y4m_two_scenes()))],
+        "path string, content binary")
+    scenes = scene_segments(M.decode_frames(videos), threshold=0.5)
+    srt = ("1\n00:00:00,050 --> 00:00:00,200\nin scene zero\n\n"
+           "2\n00:00:00,250 --> 00:00:00,450\nspans the cut\n\n"
+           "3\n00:00:05,000 --> 00:00:06,000\nafter the clip\n")
+    # decode_frames keys frames by the last two path segments; the
+    # caption rows must carry the same key to join
+    caps = captions_df(spark.createDataFrame(
+        [("v/clip.y4m", bytearray(srt.encode()))],
+        "path string, content binary"))
+    got = [(r["scene_id"], r["cue_no"], r["text"])
+           for r in align_captions_to_scenes(caps, scenes).collect()]
+    assert (0, 0, "in scene zero") in got
+    assert (0, 1, "spans the cut") in got
+    assert (1, 1, "spans the cut") in got
+    assert all(c != 2 for _, c, _t in got)  # past-clip cue unmatched
+    # the in-scene-zero cue must NOT reach scene 1
+    assert (1, 0, "in scene zero") not in got
