@@ -4025,6 +4025,53 @@ _COMPONENTS_ORACLE_SQL = """
 """
 
 
+def q96_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard source (sources/shards) FULL-VALUE gate: a
+    deterministic in-memory tar (nested member paths, dotted
+    extensions, ASCII payloads) explodes through the Spark pass; the
+    oracle restates every (key, ext, size, md5) row, with DuckDB
+    computing the md5 of the SAME payload strings — byte fidelity of
+    the member extraction is the thing under test."""
+    import io as _io
+    import tarfile as _tarfile
+
+    from shotit_worker_spark.sources.shards import explode_shards
+
+    members = [
+        ("000001.txt", b"alpha"),
+        ("000001.meta.json", b'{"a": 1}'),
+        ("000002.txt", b"beta beta"),
+        ("d/000003.txt", b"nested payload"),
+    ]
+    bio = _io.BytesIO()
+    with _tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, data in members:
+            info = _tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    df = spark.createDataFrame(
+        [("store/w/gate.tar", bytearray(bio.getvalue()))],
+        "path string, content binary",
+    )
+    return (
+        explode_shards(df)
+        .select("key", "ext", "size",
+                F.md5("content").alias("content_md5"))
+        .orderBy("key", "ext")
+    )
+
+
+_SHARDS_ORACLE_SQL = """
+    SELECT * FROM (VALUES
+        ('000001', 'meta.json', 8, md5('{"a": 1}')),
+        ('000001', 'txt', 5, md5('alpha')),
+        ('000002', 'txt', 9, md5('beta beta')),
+        ('d/000003', 'txt', 14, md5('nested payload'))
+    ) AS t(key, ext, size, content_md5)
+    ORDER BY key, ext
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4844,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_resample": q93_resample,
         "q94_jaccard_join": q94_jaccard_join,
         "q95_components": q95_components,
+        "q96_shards": q96_shards,
     }
 
 
@@ -4936,6 +4984,8 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q96: FULL-VALUE shard-member extraction, md5-pinned
+        "q96_shards": _SHARDS_ORACLE_SQL,
         # q95: FULL-VALUE components — the fixture graph has a
         # closed-form partition the engine must converge to
         "q95_components": _COMPONENTS_ORACLE_SQL,

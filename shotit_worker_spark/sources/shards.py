@@ -27,7 +27,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-__all__ = ["explode_shards", "read_webdataset"]
+__all__ = ["explode_shards", "read_webdataset", "write_webdataset"]
 
 _MEMBER_SCHEMA = (
     "shard string, key string, ext string, member string,"
@@ -140,3 +140,89 @@ def read_webdataset(shards: DataFrame, exts: tuple = ("jpg", "json",
             yield pd.DataFrame(out)
 
     return shards.mapInPandas(run, schema=schema)
+
+
+def write_webdataset(
+    samples: DataFrame,
+    out_dir: str,
+    target_shard_bytes: int = 256 << 20,
+    key_col: str = "key",
+    prefix: str = "shard",
+) -> list:
+    """The sink half of the WebDataset loop: rows with a ``key``
+    column and one binary column per member extension (underscores
+    map back to dots: ``meta_json`` -> ``.meta.json``) become .tar
+    shards of ~``target_shard_bytes`` under ``out_dir``, named
+    ``{prefix}-{partition:05d}-{seq:04d}.tar``. Returns the manifest
+    [(shard_path, n_samples, n_bytes)].
+
+    Sharding is per partition (repartition upstream to set shard
+    count/locality); samples never split across shards. Executors
+    write locally-visible paths — on a real cluster point ``out_dir``
+    at shared storage, exactly like sized_writer."""
+    import os
+
+    exts = [c for c in samples.columns if c != key_col]
+    if not exts:
+        raise ValueError("samples need at least one member column")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        cur: tarfile.TarFile | None = None
+        bio: io.BytesIO | None = None
+        n_in_cur = 0
+        manifest = []
+
+        def _open():
+            nonlocal cur, bio, n_in_cur
+            bio = io.BytesIO()
+            cur = tarfile.open(fileobj=bio, mode="w")
+            n_in_cur = 0
+
+        def _close():
+            nonlocal cur, seq
+            if cur is None or n_in_cur == 0:
+                cur = None
+                return
+            cur.close()
+            path = os.path.join(
+                out_dir, f"{prefix}-{pid:05d}-{seq:04d}.tar")
+            data = bio.getvalue()
+            with open(path, "wb") as f:
+                f.write(data)
+            manifest.append((path, n_in_cur, len(data)))
+            seq += 1
+            cur = None
+
+        _open()
+        for b in batches:
+            for _, row in b.iterrows():
+                key = str(row[key_col])
+                for c in exts:
+                    v = row[c]
+                    if v is None:
+                        continue
+                    data = bytes(v)
+                    info = tarfile.TarInfo(
+                        f"{key}.{c.replace('_', '.')}")
+                    info.size = len(data)
+                    cur.addfile(info, io.BytesIO(data))
+                n_in_cur += 1
+                if bio.tell() >= target_shard_bytes:
+                    _close()
+                    _open()
+        _close()
+        yield pd.DataFrame(
+            manifest, columns=["shard", "n_samples", "n_bytes"])
+
+    return [
+        (r["shard"], int(r["n_samples"]), int(r["n_bytes"]))
+        for r in samples.mapInPandas(
+            run, schema="shard string, n_samples long, n_bytes long"
+        ).collect()
+    ]

@@ -118,3 +118,42 @@ def test_guard(spark):
         "path string, content binary")
     with pytest.raises(ValueError, match="lowercase"):
         read_webdataset(df, exts=("PNG",))
+
+
+def test_write_webdataset_roundtrip(spark, tmp_root):
+    """samples -> tar shards -> explode_shards reads back EVERY
+    member byte-identically; shard sizing respects the target."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"{i:06d}", bytearray(_png(i)),
+         bytearray(f"caption {i}".encode()),
+         None if i % 3 == 2 else bytearray(b'{"k":%d}' % i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, png binary, txt binary, meta_json binary"
+    ).repartition(2)
+    out = str(tmp_root / "wds_out")
+    manifest = __import__(
+        "shotit_worker_spark.sources.shards", fromlist=["x"]
+    ).write_webdataset(df, out, target_shard_bytes=2000)
+    assert sum(n for _, n, _ in manifest) == 30
+    assert len(manifest) >= 4  # 2 partitions x several small shards
+    back = explode_shards(
+        spark.read.format("binaryFile").load(out)
+        .selectExpr("path", "content"))
+    got = {(r["key"].split("/")[-1], r["ext"]): bytes(r["content"])
+           for r in back.collect()}
+    for key, png, txt, meta in rows:
+        assert got[(key, "png")] == bytes(png)
+        assert got[(key, "txt")] == bytes(txt)
+        if meta is None:
+            assert (key, "meta.json") not in got
+        else:
+            assert got[(key, "meta.json")] == bytes(meta)
+    # read_webdataset sees complete samples again
+    samples = read_webdataset(
+        spark.read.format("binaryFile").load(out)
+        .selectExpr("path", "content"),
+        exts=("png", "txt", "meta.json"))
+    assert samples.count() == 30
