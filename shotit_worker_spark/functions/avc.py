@@ -772,14 +772,9 @@ def _vlc_lut(table: dict) -> list:
 
 
 def _read_vlc(r: BitReader, table: dict, what: str):
-    hit = _vlc_lut(table)[r.peek(16)]
-    if hit is None:
-        raise AVCError(f"invalid {what} code")
-    length, val = hit
-    if r.pos + length > r.nbits:
-        raise AVCError("bitstream exhausted")
-    r.pos += length
-    return val
+    """Table-dict form of :func:`_read_lut` (tests and one-off
+    callers; the hot paths use the pre-resolved LUTs)."""
+    return _read_lut(r, _vlc_lut(table), what)
 
 
 def _read_lut(r: BitReader, lut: list, what: str):
@@ -2550,26 +2545,35 @@ def _luma_neighbors(st: _IFrame, gx: int, gy: int, cur_mb: int, cur_blk: int):
     return left, top, top_left, top_right
 
 
+def _intra_mxm_pred(st, gx, gy, mb, blk) -> int:
+    """predIntraMxMPredMode (8.3.1.1 / 8.3.2.1) for the luma block
+    whose left neighbor is cell (gx-1, gy) and top neighbor cell
+    (gx, gy-1). dcPredModePredictedFlag structure: DC (2) when either
+    neighbor is unavailable OR — under constrained_intra_pred in an
+    inter slice — when an available neighbor macroblock is
+    inter-coded (the CIP term makes the WHOLE prediction DC, it does
+    not just feed 2 into the Min); otherwise Min of the neighbors'
+    modes, where non-I4x4/I8x8 intra neighbors contribute 2 (the
+    stored convention)."""
+    avail_a = st.blk4_available(gx - 1, gy, mb, blk)
+    avail_b = st.blk4_available(gx, gy - 1, mb, blk)
+    if not (avail_a and avail_b):
+        return 2
+    if st.constrained_intra:
+        mba = (gy // 4) * st.mbw + ((gx - 1) // 4)
+        mbb = ((gy - 1) // 4) * st.mbw + (gx // 4)
+        if not (st.mb_intra[mba] and st.mb_intra[mbb]):
+            return 2
+    return min(int(st.modes[gy, gx - 1]), int(st.modes[gy - 1, gx]))
+
+
 def _decode_i4x4_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
     # prediction modes for the 16 blocks (8.3.1.1)
     modes = [0] * 16
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
-        ma = (
-            int(st.modes[gy, gx - 1])
-            if st.blk4_available(gx - 1, gy, mb, blk)
-            else -1
-        )
-        mbv = (
-            int(st.modes[gy - 1, gx])
-            if st.blk4_available(gx, gy - 1, mb, blk)
-            else -1
-        )
-        if ma < 0 or mbv < 0:
-            pred = 2
-        else:
-            pred = min(ma, mbv)
+        pred = _intra_mxm_pred(st, gx, gy, mb, blk)
         if r.flag():
             mode = pred
         else:
@@ -2673,11 +2677,7 @@ def _decode_i8x8_mb(r, st, sps: SPS, pps: PPS, mbx, mby, mb, qp) -> int:
         bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
         gx, gy = mbx * 4 + bx, mby * 4 + by
         cur_blk = b8 * 4
-        ma = (int(st.modes[gy, gx - 1])
-              if st.blk4_available(gx - 1, gy, mb, cur_blk) else -1)
-        mbv = (int(st.modes[gy - 1, gx])
-               if st.blk4_available(gx, gy - 1, mb, cur_blk) else -1)
-        pred = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        pred = _intra_mxm_pred(st, gx, gy, mb, cur_blk)
         if r.flag():
             mode = pred
         else:

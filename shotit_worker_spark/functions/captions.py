@@ -63,8 +63,11 @@ def _parse_blocks(lines: list) -> list:
             i += 1
             continue
         start = _ts_sec(parts[0])
-        # cue settings may follow the end timestamp
-        end = _ts_sec(parts[1].strip().split(" ", 1)[0])
+        # cue settings may follow the end timestamp, separated by
+        # "one or more spaces or TABS" (WebVTT) — split on any
+        # whitespace
+        tail = parts[1].split()
+        end = _ts_sec(tail[0]) if tail else None
         i += 1
         text_lines = []
         while i < n and lines[i].strip():

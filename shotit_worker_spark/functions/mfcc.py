@@ -46,11 +46,19 @@ def _mel_to_hz(m):
                              / 2595.0) - 1.0)
 
 
+_FB_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def mel_filterbank(n_mels: int = _N_MELS, n_fft: int = AF._WIN,
                    rate: int = AF._RATE, fmin: float = _FMIN,
                    fmax: float = _FMAX) -> np.ndarray:
     """(n_mels, n_fft//2 + 1) triangular filters, band edges equally
-    spaced on the mel scale (HTK)."""
+    spaced on the mel scale (HTK). Cached per parameter set — the
+    embed hot loop calls this once per clip."""
+    key = (n_mels, n_fft, rate, fmin, fmax)
+    fb = _FB_CACHE.get(key)
+    if fb is not None:
+        return fb
     if not 2 <= n_mels <= 128:
         raise ValueError("n_mels out of range")
     edges_hz = _mel_to_hz(
@@ -62,6 +70,8 @@ def mel_filterbank(n_mels: int = _N_MELS, n_fft: int = AF._WIN,
         up = (bins_hz - lo) / max(mid - lo, 1e-9)
         down = (hi - bins_hz) / max(hi - mid, 1e-9)
         fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    fb.setflags(write=False)
+    _FB_CACHE[key] = fb
     return fb
 
 

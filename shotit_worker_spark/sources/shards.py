@@ -23,6 +23,7 @@ import io
 import posixpath
 import tarfile
 import zipfile
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -50,18 +51,21 @@ def _split_key(name: str) -> tuple[str, str]:
 
 def _iter_members(path: str, blob: bytes):
     """(member_name, bytes) for every regular member of a tar
-    (plain/gz) or zip blob; non-archives yield nothing."""
+    (plain/gz) or zip blob; non-archives and corrupt/truncated
+    archives yield only what was readable — member extraction
+    failures (BadZipFile, zlib/gzip EOF, TarError, ...) end the walk
+    quietly rather than killing the scan (the documented contract)."""
     bio = io.BytesIO(blob)
-    if zipfile.is_zipfile(bio):
-        bio.seek(0)
-        with zipfile.ZipFile(bio) as zf:
-            for info in zf.infolist():
-                if info.is_dir():
-                    continue
-                yield info.filename, zf.read(info)
-        return
-    bio.seek(0)
     try:
+        if zipfile.is_zipfile(bio):
+            bio.seek(0)
+            with zipfile.ZipFile(bio) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    yield info.filename, zf.read(info)
+            return
+        bio.seek(0)
         with tarfile.open(fileobj=bio, mode="r:*") as tf:
             for m in tf:
                 if not m.isfile():
@@ -70,7 +74,8 @@ def _iter_members(path: str, blob: bytes):
                 if f is None:
                     continue
                 yield m.name, f.read()
-    except tarfile.TarError:
+    except (tarfile.TarError, zipfile.BadZipFile, zlib.error,
+            EOFError, OSError, ValueError):
         return
 
 
@@ -203,6 +208,7 @@ def write_webdataset(
         for b in batches:
             for _, row in b.iterrows():
                 key = str(row[key_col])
+                wrote = 0
                 for c in exts:
                     v = row[c]
                     if v is None:
@@ -212,6 +218,9 @@ def write_webdataset(
                         f"{key}.{c.replace('_', '.')}")
                     info.size = len(data)
                     cur.addfile(info, io.BytesIO(data))
+                    wrote += 1
+                if wrote == 0:
+                    continue  # all-NULL row is not a sample
                 n_in_cur += 1
                 if bio.tell() >= target_shard_bytes:
                     _close()

@@ -579,3 +579,78 @@ def test_g1_high_profile_keyframes_in_mp4(spark):
     imgs = [bytes(r["image"]) for r in rows]
     assert imgs[0] == want and imgs[3] == want
     assert imgs[1] != want  # junk inter samples keep the stub
+
+
+def test_intra_mode_pred_cip_rule():
+    """8.3.1.1 dcPredModePredictedFlag: under constrained_intra_pred
+    in an inter slice, an AVAILABLE inter-coded neighbor forces the
+    WHOLE prediction to DC — it does not just contribute 2 to the
+    Min (the bug class the shared encoder mirror cannot catch)."""
+    sps = avc.parse_sps(ENC.write_sps(2, 2))
+    st = avc._IFrame(sps)
+    st.n_decoded_mbs = 3  # MBs 0,1,2 decoded; current MB = 3
+    st.mb_slice[:4] = 0
+    st.cur_slice = 0
+    # left neighbor MB 2 is INTRA with mode 0; top neighbor MB 1 is
+    # INTER (stored mode 2)
+    st.mb_intra[0] = st.mb_intra[2] = True
+    st.mb_intra[1] = False
+    st.modes[:, :] = 2
+    st.modes[4:8, 0:4] = 0  # MB 2 cells (left of MB 3)
+    gx, gy = 4, 4  # first cell of MB 3
+    st.constrained_intra = False
+    assert avc._intra_mxm_pred(st, gx, gy, 3, 0) == 0  # min(0, 2)
+    st.constrained_intra = True
+    assert avc._intra_mxm_pred(st, gx, gy, 3, 0) == 2  # CIP forces DC
+    # both neighbors intra under CIP: normal Min applies
+    st.mb_intra[1] = True
+    assert avc._intra_mxm_pred(st, gx, gy, 3, 0) == 0
+    # unavailable neighbor (frame edge): DC regardless
+    assert avc._intra_mxm_pred(st, 0, 0, 0, 0) == 2
+    # encoder mirror agrees on every case
+    import gen_avc_fixture as GENC
+
+    est = GENC._EncState(2, 2)
+    est.decoded = 3
+    est.mb_slice[:4] = 0
+    est.mb_intra = [True, False, True]
+    est.modes[:, :] = 2
+    est.modes[4:8, 0:4] = 0
+    est.constrained_enc = False
+    assert GENC._intra_mxm_pred_enc(est, gx, gy, 3, 0) == 0
+    est.constrained_enc = True
+    assert GENC._intra_mxm_pred_enc(est, gx, gy, 3, 0) == 2
+    est.mb_intra = [True, True, True]
+    assert GENC._intra_mxm_pred_enc(est, gx, gy, 3, 0) == 0
+
+
+def test_cip_intra_modes_roundtrip():
+    """P frame with constrained_intra_pred: intra MBs interleaved
+    with inter MBs so the CIP mode-prediction branch fires on real
+    bitstreams (both i4 and i8 paths), round-tripped bit-exactly."""
+    f0, f1 = _planes(91, 4, 3), _planes(92, 4, 3)
+
+    def pplan(mbx, mby):
+        k = (mbx + mby) % 4
+        if k == 0:
+            return {"kind": "p16", "mv": (1, 1), "t8": True}
+        if k == 1:
+            return {"kind": "i8"}
+        if k == 2:
+            return {"kind": "p16", "mv": (0, 2)}
+        return {"kind": "i4"}
+
+    sps_nal, pps_nal, nals, recons, _sts = ENC.encode_bseq(
+        [{"kind": "I", "frame": f0, "plan": lambda x, y: "i8",
+          "poc": 0},
+         {"kind": "P", "frame": f1, "plan": pplan, "ref": 0,
+          "poc": 2}],
+        qp=26, deblock=True, transform_8x8=True,
+        constrained_intra=True)
+    sps, pps = avc.parse_sps(sps_nal), avc.parse_pps(pps_nal)
+    assert pps.constrained_intra_pred == 1
+    st0 = avc.decode_frame(sps, pps, nals[0])
+    np.testing.assert_array_equal(st0.Y, recons[0][0])
+    st1 = avc.decode_frame(sps, pps, nals[1], ref=st0)
+    for got, exp in zip((st1.Y, st1.Cb, st1.Cr), recons[1]):
+        np.testing.assert_array_equal(got, np.asarray(exp))

@@ -108,3 +108,13 @@ def test_align_to_real_scenes(spark):
     assert all(c != 2 for _, c, _t in got)  # past-clip cue unmatched
     # the in-scene-zero cue must NOT reach scene 1
     assert (1, 0, "in scene zero") not in got
+
+
+def test_vtt_tab_before_cue_settings():
+    """Review fix: WebVTT permits TABS between the end timestamp and
+    cue settings."""
+    vtt = ("WEBVTT\n\n"
+           "00:00:01.000 --> 00:00:02.000\tposition:50% line:90%\n"
+           "tabbed settings\n")
+    cues = parse_vtt(vtt)
+    assert cues == [(0, 1.0, 2.0, "tabbed settings")]

@@ -157,3 +157,46 @@ def test_write_webdataset_roundtrip(spark, tmp_root):
         .selectExpr("path", "content"),
         exts=("png", "txt", "meta.json"))
     assert samples.count() == 30
+
+
+def test_corrupt_zip_member_and_truncated_gz(spark):
+    """Review fix: a zip with a valid directory but corrupt member
+    data, and a truncated tar.gz, must yield only the readable
+    members — never a task error."""
+    good = _zip(_MEMBERS)
+    # corrupt the FIRST member's compressed payload in place: the
+    # central directory at the end stays valid, zf.read() raises
+    corrupt = bytearray(good)
+    start = corrupt.index(b"000000.png") + len(b"000000.png")
+    corrupt[start + 5:start + 25] = b"\xff" * 20
+    gz = _tar(_MEMBERS, gz=True)
+    df = spark.createDataFrame(
+        [("store/bad.zip", bytearray(corrupt)),
+         ("store/trunc.tar.gz", bytearray(gz[: len(gz) // 3])),
+         ("store/ok.tar", bytearray(_tar(_MEMBERS)))],
+        "path string, content binary")
+    rows = explode_shards(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # the good shard is complete; the damaged ones yielded at most a
+    # readable prefix and, crucially, the job reached this line
+    assert len(by_shard.get("store/ok.tar", [])) == len(_MEMBERS)
+
+
+def test_write_webdataset_skips_all_null_rows(spark, tmp_root):
+    df = spark.createDataFrame(
+        [("k0", bytearray(b"x"), bytearray(b"y")),
+         ("k1", None, None),
+         ("k2", bytearray(b"z"), None)],
+        "key string, png binary, txt binary").coalesce(1)
+    from shotit_worker_spark.sources.shards import write_webdataset
+
+    out = str(tmp_root / "wds_null")
+    manifest = write_webdataset(df, out)
+    assert sum(n for _, n, _ in manifest) == 2  # k1 is not a sample
+    back = explode_shards(
+        spark.read.format("binaryFile").load(out)
+        .selectExpr("path", "content"))
+    assert {r["key"].split("/")[-1] for r in back.collect()} == {
+        "k0", "k2"}

@@ -1130,11 +1130,7 @@ def _encode_i8(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
         bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
         gx, gy = mbx * 4 + bx, mby * 4 + by
         cur_blk = b8 * 4
-        ma = (int(st.modes[gy, gx - 1])
-              if _blk4_avail(st, gx - 1, gy, mb, cur_blk) else -1)
-        mbv = (int(st.modes[gy - 1, gx])
-               if _blk4_avail(st, gx, gy - 1, mb, cur_blk) else -1)
-        pred_mode = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        pred_mode = _intra_mxm_pred_enc(st, gx, gy, mb, cur_blk)
         mode = chosen[b8]
         if mode == pred_mode:
             w.u(1, 1)
@@ -1450,6 +1446,25 @@ def _encode_i16(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     return qp
 
 
+def _intra_mxm_pred_enc(st, gx, gy, mb, blk):
+    """predIntraMxMPredMode mirror (8.3.1.1/8.3.2.1 incl. the
+    dcPredModePredictedFlag CIP term: an available INTER neighbor MB
+    under constrained_intra_pred forces DC prediction globally)."""
+    avail_a = _blk4_avail(st, gx - 1, gy, mb, blk)
+    avail_b = _blk4_avail(st, gx, gy - 1, mb, blk)
+    if not (avail_a and avail_b):
+        return 2
+    if st.constrained_enc:
+        def _is_intra(m):
+            # the MB being written is not appended yet — it is intra
+            return m >= len(st.mb_intra) or bool(st.mb_intra[m])
+        mba = (gy // 4) * st.mbw + ((gx - 1) // 4)
+        mbb = ((gy - 1) // 4) * st.mbw + (gx // 4)
+        if not (_is_intra(mba) and _is_intra(mbb)):
+            return 2
+    return min(int(st.modes[gy, gx - 1]), int(st.modes[gy - 1, gx]))
+
+
 def _mb_qp_delta_write(w, qp, want_qp):
     d = want_qp - qp
     assert -26 <= d <= 25
@@ -1504,15 +1519,7 @@ def _encode_i4(w, st, y, cb, cr, mbx, mby, qp, want_qp, tbase=0):
     for blk in range(16):
         x4, y4 = _blk_xy(blk)
         gx, gy = mbx * 4 + x4, mby * 4 + y4
-        ma = (
-            int(st.modes[gy, gx - 1])
-            if _blk4_avail(st, gx - 1, gy, cur, blk) else -1
-        )
-        mbv = (
-            int(st.modes[gy - 1, gx])
-            if _blk4_avail(st, gx, gy - 1, cur, blk) else -1
-        )
-        pred_mode = 2 if (ma < 0 or mbv < 0) else min(ma, mbv)
+        pred_mode = _intra_mxm_pred_enc(st, gx, gy, cur, blk)
         mode = chosen[blk]
         if mode == pred_mode:
             w.u(1, 1)
