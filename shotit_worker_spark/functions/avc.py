@@ -780,14 +780,29 @@ def _read_vlc(r: BitReader, table: dict, what: str):
 def _read_lut(r: BitReader, lut: list, what: str):
     """_read_vlc over a PRE-RESOLVED lookup table (the hot CAVLC loop
     runs tens of thousands of symbol reads per frame; resolving the
-    table->LUT map once at import removes a dict probe per symbol)."""
-    hit = lut[r.peek(16)]
+    table->LUT map once at import removes a dict probe per symbol,
+    and the 16-bit peek is inlined — one method call fewer per
+    symbol, same 1-padded-tail semantics as BitReader.peek)."""
+    pos = r.pos
+    nbits = r.nbits
+    end = pos + 16
+    if end <= nbits:
+        window = (r._int >> (nbits - end)) & 0xFFFF
+    else:
+        avail = nbits - pos
+        if avail <= 0:
+            window = 0xFFFF
+        else:
+            pad = 16 - avail
+            window = (((r._int & ((1 << avail) - 1)) << pad)
+                      | ((1 << pad) - 1))
+    hit = lut[window]
     if hit is None:
         raise AVCError(f"invalid {what} code")
     length, val = hit
-    if r.pos + length > r.nbits:
+    if pos + length > nbits:
         raise AVCError("bitstream exhausted")
-    r.pos += length
+    r.pos = pos + length
     return val
 
 
