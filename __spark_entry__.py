@@ -2263,7 +2263,13 @@ _AVC_MS_CASE_BY_ID = {c[0]: c for c in _AVC_MS_CASES}
 # I(Intra_8x8) -> P chain whose inter MBs mix transform_size_8x8_flag
 # 1/0 across 16x16 / 16x8 / all-8x8 partitions (8x8-aware bS)
 _AVC_HP_CASES = (("q_high8x8_scal26", 26, 1, 4, 3, 16),
-                 ("r_high8x8_pchain28", 28, 1, 4, 3, 16),)
+                 ("r_high8x8_pchain28", 28, 1, 4, 3, 16),
+                 # s: constrained_intra_pred P chain mixing i4/i8
+                 # intra MBs with inter neighbors — drives the
+                 # 8.3.1.1 dcPredModePredictedFlag CIP branch (the
+                 # review-found rule both directions used to get
+                 # wrong) through driver enforcement
+                 ("s_cip_high26", 26, 1, 4, 3, 16),)
 _AVC_HP_CASE_BY_ID = {c[0]: c for c in _AVC_HP_CASES}
 _AVC_CASE_IDS = tuple(
     [c[0] for c in _AVC_CASES] + [c[0] for c in _AVC_P_CASES]
@@ -2838,7 +2844,28 @@ def _avc_case_stream(case_id: str):
             ).clip(0, 255)
             frames.append((y, cb, cr))
         mix = ("i8", "i4", "i16", "i8", "pcm")
-        if cid.startswith("q_"):
+        if cid.startswith("s_"):
+            def cip_pplan(mbx, mby):
+                k = (mbx + mby) % 4
+                if k == 0:
+                    return {"kind": "p16", "mv": (1, 1), "t8": True}
+                if k == 1:
+                    return {"kind": "i8"}
+                if k == 2:
+                    return {"kind": "p16", "mv": (0, 2)}
+                return {"kind": "i4"}
+
+            entries = [
+                {"kind": "I", "frame": frames[0],
+                 "plan": (lambda x, yy: "i8"), "poc": 0},
+                {"kind": "P", "frame": frames[1], "plan": cip_pplan,
+                 "ref": 0, "poc": 2},
+            ]
+            sps_nal, pps_nal, nal_out, recons, _sts = GENC.encode_bseq(
+                entries, qp=qp, deblock=bool(deblock),
+                transform_8x8=True, constrained_intra=True)
+            rY, rCb, rCr = recons[-1]
+        elif cid.startswith("q_"):
             defaults = (
                 [_AV._DEFAULT_4x4_INTRA] * 3
                 + [_AV._DEFAULT_4x4_INTER] * 3
@@ -3029,7 +3056,9 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing Intra_8x8/i4/i16/PCM under the spec default scaling lists
     (weighted dequant on every residual class incl. both DC paths,
     8x8 deblock edge rules) and an I->P chain whose inter MBs mix
-    transform_size_8x8_flag across partitions — eighteen streams
+    transform_size_8x8_flag across partitions, plus a
+    constrained-intra P chain driving the 8.3.1.1
+    dcPredModePredictedFlag CIP branch — nineteen streams
     DECODED by the engine on the executors and hashed;
     the oracle states the md5 of the ENCODER's own reconstruction loop
     (spec: the two must be bit-equal). The reference pipeline trusts
