@@ -4101,6 +4101,46 @@ _SHARDS_ORACLE_SQL = """
 """
 
 
+def q97_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/relational.salted_join) FULL-VALUE
+    gate: lineitem (l_orderkey is the skewed fact side) joined to a
+    small orders dimension through the salt/explode construction must
+    produce EXACTLY the plain equi-join's rows — the salt column is
+    internal plumbing that must never change semantics. Aggregated
+    per order for a stable row set (revenue + line count over the
+    salted join's output)."""
+    from shotit_worker_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    ).selectExpr("o_orderkey as l_orderkey", "o_custkey")
+    joined = salted_join(li, orders, on="l_orderkey",
+                         salt_buckets=8)
+    return (
+        joined.groupBy("l_orderkey", "o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_SALTED_ORACLE_SQL = """
+    SELECT l.l_orderkey, o.o_custkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_orderkey, o.o_custkey
+    ORDER BY l.l_orderkey
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4921,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_jaccard_join": q94_jaccard_join,
         "q95_components": q95_components,
         "q96_shards": q96_shards,
+        "q97_salted_join": q97_salted_join,
     }
 
 
@@ -5013,6 +5054,8 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q97: the salt plumbing must not change join semantics
+        "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned
         "q96_shards": _SHARDS_ORACLE_SQL,
         # q95: FULL-VALUE components — the fixture graph has a
