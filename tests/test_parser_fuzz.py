@@ -1,0 +1,77 @@
+"""Degrade-contract fuzz for the r8 late-wave parsers: EXIF,
+captions, and shard archives must NEVER raise on arbitrary or
+mutated input — their contract is 'no metadata / no cues / no
+members', because pixel/text processing must not depend on sidecar
+health."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import tarfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import gen_exif_fixture as GX  # noqa: E402
+
+from shotit_worker_spark.functions.captions import parse_captions  # noqa: E402
+from shotit_worker_spark.functions.exif import parse_exif  # noqa: E402
+from shotit_worker_spark.sources.shards import _iter_members  # noqa: E402
+
+
+def _mutations(base: bytes, rng, n=120):
+    yield b""
+    yield b"\x00"
+    yield base[: len(base) // 3]
+    for _ in range(n):
+        b = bytearray(base)
+        op = rng.integers(0, 3)
+        if op == 0 and b:  # flip bytes
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] = int(
+                    rng.integers(0, 256))
+        elif op == 1:  # truncate
+            b = b[: int(rng.integers(0, len(b) + 1))]
+        else:  # splice random tail
+            b = b[: int(rng.integers(0, len(b)))] + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 64))))
+        yield bytes(b)
+
+
+def test_exif_never_raises():
+    rng = np.random.default_rng(1)
+    base = GX.inject_jpeg_app1(
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9",
+        GX.build_exif_tiff())
+    for blob in _mutations(base, rng):
+        parse_exif(blob)  # None or a dict; never an exception
+    for blob in _mutations(GX.build_exif_tiff(bo=">"), rng, n=80):
+        parse_exif(blob)
+
+
+def test_captions_never_raise():
+    rng = np.random.default_rng(2)
+    base = ("WEBVTT\n\n00:01.000 --> 00:02.000\nhello\n\n"
+            "bad --> worse\nx\n").encode()
+    for blob in _mutations(base, rng):
+        parse_captions(blob)
+    srt = b"1\n00:00:01,000 --> 00:00:02,000\nhi\n"
+    for blob in _mutations(srt, rng, n=80):
+        parse_captions(blob)
+
+
+def test_shards_never_raise():
+    rng = np.random.default_rng(3)
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        info = tarfile.TarInfo("a.txt")
+        data = b"payload" * 20
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    base = bio.getvalue()
+    for blob in _mutations(base, rng):
+        list(_iter_members("x.tar", blob))
