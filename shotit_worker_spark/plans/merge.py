@@ -1,0 +1,122 @@
+"""MERGE / upsert / CDC-apply onto a parquet table.
+
+The reference's K3/K4 path inserts rows and flushes a collection;
+the table-scale analog every pipeline eventually needs is MERGE:
+apply a batch of upserts and deletes onto a keyed table atomically.
+The Spark-first shape: ONE full-outer-free pass — the base is
+anti-joined against the change keys (dropping rows the batch
+replaces or deletes), the non-delete changes are unioned on, and
+the result lands via the engine's temp-dir + rename swap (the
+filesystem stand-in for a table format's atomic commit, same crash
+posture as compact_parquet_table). No driver-side state: the change
+keys travel as a broadcast-able join side when small and a shuffle
+join otherwise — Catalyst's choice.
+
+CDC semantics (apply_cdc): the change log carries an ``op`` column
+("upsert"/"delete") and a monotonically increasing ``seq``; only
+each key's LAST operation applies (the standard compaction of a
+change stream), implemented as one max_by window-free aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "apply_cdc"]
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.pre-merge-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list,
+    delete_col: str | None = None,
+) -> dict:
+    """Apply ``changes`` onto the parquet table at ``path``: rows
+    whose key matches a change row are REPLACED by it (or dropped
+    when ``delete_col`` is true); unmatched change rows insert. The
+    change batch must be key-unique (raises otherwise — a batch with
+    two versions of one key is a CDC log, use :func:`apply_cdc`).
+    Returns {rows_before, rows_after, upserts, deletes}."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    base = spark.read.parquet(path)
+    dup = (
+        changes.groupBy(*key_cols).count().where("count > 1").count()
+    )
+    if dup:
+        raise ValueError(
+            f"{dup} keys appear multiple times in the change batch; "
+            "compact the log first (apply_cdc does this)")
+    if delete_col is not None:
+        deletes = changes.where(F.col(delete_col)).select(*key_cols)
+        upserts = changes.where(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes = changes.limit(0).select(*key_cols)
+        upserts = changes
+    n_del = deletes.count()
+    n_up = upserts.count()
+    rows_before = base.count()
+    missing = [c for c in base.columns if c not in upserts.columns]
+    if missing:
+        raise ValueError(
+            f"change batch lacks base columns {missing}")
+    merged = base.join(
+        changes.select(*key_cols), key_cols, "left_anti"
+    ).unionByName(upserts.select(*base.columns))
+    _swap_write(merged, path)
+    rows_after = spark.read.parquet(path).count()
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "upserts": n_up, "deletes": n_del}
+
+
+def apply_cdc(
+    spark: SparkSession,
+    path: str,
+    log: DataFrame,
+    key_cols: list,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> dict:
+    """Compact a CDC log (op in {'upsert', 'delete'}, monotone
+    ``seq``) to each key's LAST operation, then merge it. Ties on
+    (key, seq) are invalid input and raise."""
+    ops = [r[0] for r in log.select(op_col).distinct().collect()]
+    bad = [o for o in ops if o not in ("upsert", "delete")]
+    if bad:
+        raise ValueError(f"unknown CDC ops {bad}")
+    ties = (
+        log.groupBy(*key_cols, seq_col).count().where("count > 1")
+        .count()
+    )
+    if ties:
+        raise ValueError(
+            f"{ties} (key, {seq_col}) ties in the CDC log — sequence"
+            " numbers must be unique per key")
+    last = (
+        log.groupBy(*key_cols)
+        .agg(F.max_by(
+            F.struct(*[c for c in log.columns
+                       if c not in key_cols]), F.col(seq_col)
+        ).alias("__last"))
+        .select(*key_cols, "__last.*")
+    )
+    changes = last.withColumn(
+        "__del", F.col(op_col) == "delete"
+    ).drop(op_col, seq_col)
+    return merge_upsert(spark, path, changes, key_cols,
+                        delete_col="__del")

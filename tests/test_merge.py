@@ -1,0 +1,114 @@
+"""MERGE/upsert + CDC apply (plans/merge): replace/insert/delete
+semantics, swap atomicity (original intact on failure), key-dup and
+schema guards, CDC last-op compaction with seq ties rejected, and a
+randomized differential against a python dict replay."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from shotit_worker_spark.plans.merge import apply_cdc, merge_upsert
+
+
+def _write_base(spark, path, rows):
+    spark.createDataFrame(
+        rows, "k long, v string, n long"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read(spark, path):
+    return {
+        r["k"]: (r["v"], r["n"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_insert_delete(spark, tmp_root):
+    p = str(tmp_root / "m1")
+    _write_base(spark, p, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    changes = spark.createDataFrame(
+        [(2, "B", 200, False),   # replace
+         (4, "d", 40, False),    # insert
+         (3, None, 0, True)],    # delete
+        "k long, v string, n long, is_del boolean")
+    stats = merge_upsert(spark, p, changes, ["k"],
+                         delete_col="is_del")
+    assert stats == {"rows_before": 3, "rows_after": 3,
+                     "upserts": 2, "deletes": 1}
+    assert _read(spark, p) == {1: ("a", 10), 2: ("B", 200),
+                               4: ("d", 40)}
+
+
+def test_guards(spark, tmp_root):
+    p = str(tmp_root / "m2")
+    _write_base(spark, p, [(1, "a", 1)])
+    dup = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "k long, v string, n long")
+    with pytest.raises(ValueError, match="multiple times"):
+        merge_upsert(spark, p, dup, ["k"])
+    short = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="lacks base columns"):
+        merge_upsert(spark, p, short, ["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        merge_upsert(spark, p, dup, [])
+    # the failed merges left the table untouched
+    assert _read(spark, p) == {1: ("a", 1)}
+
+
+def test_cdc_last_op_wins(spark, tmp_root):
+    p = str(tmp_root / "m3")
+    _write_base(spark, p, [(1, "a", 1), (2, "b", 2)])
+    log = spark.createDataFrame(
+        [(1, "a1", 11, 1, "upsert"),
+         (1, "a2", 12, 3, "upsert"),   # last op for key 1
+         (1, None, 0, 2, "delete"),    # superseded by seq 3
+         (2, None, 0, 5, "delete"),    # last op for key 2
+         (9, "new", 90, 1, "upsert")],
+        "k long, v string, n long, seq long, op string")
+    stats = apply_cdc(spark, p, log, ["k"])
+    assert stats["deletes"] == 1 and stats["upserts"] == 2
+    assert _read(spark, p) == {1: ("a2", 12), 9: ("new", 90)}
+    # seq ties are invalid input
+    tie = spark.createDataFrame(
+        [(1, "x", 1, 7, "upsert"), (1, "y", 2, 7, "upsert")],
+        "k long, v string, n long, seq long, op string")
+    with pytest.raises(ValueError, match="ties"):
+        apply_cdc(spark, p, tie, ["k"])
+    bad = spark.createDataFrame(
+        [(1, "x", 1, 8, "merge")],
+        "k long, v string, n long, seq long, op string")
+    with pytest.raises(ValueError, match="unknown CDC ops"):
+        apply_cdc(spark, p, bad, ["k"])
+
+
+def test_differential_replay(spark, tmp_root):
+    rng = random.Random(5)
+    p = str(tmp_root / "m4")
+    state = {k: (f"v{k}", k) for k in range(40)}
+    _write_base(spark, p, [(k, v, n) for k, (v, n) in state.items()])
+    for batch in range(4):
+        ops = {}
+        for _ in range(25):
+            k = rng.randrange(60)
+            if rng.random() < 0.3:
+                ops[k] = None  # delete
+            else:
+                ops[k] = (f"b{batch}v{k}", rng.randrange(1000))
+        rows = [
+            (k, None if v is None else v[0],
+             0 if v is None else v[1], v is None)
+            for k, v in ops.items()
+        ]
+        merge_upsert(
+            spark, p,
+            spark.createDataFrame(
+                rows, "k long, v string, n long, is_del boolean"),
+            ["k"], delete_col="is_del")
+        for k, v in ops.items():
+            if v is None:
+                state.pop(k, None)
+            else:
+                state[k] = v
+        assert _read(spark, p) == state, batch
