@@ -4141,6 +4141,88 @@ _SALTED_ORACLE_SQL = """
 """
 
 
+def q98_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary evaluation metrics (operators/evalmetrics) FULL-VALUE
+    gate: an md5-derived scored table over orders (score = hash
+    promille; label correlated with the score through an all-integer
+    rule, so both engines build the identical dataset), evaluated by
+    the score-aggregated Mann-Whitney AUC + brier/accuracy/precision/
+    recall/f1. The oracle recomputes AUC through the INDEPENDENT
+    tie-averaged rank-sum formulation — two constructions of the
+    same definition cross-check each other."""
+    from shotit_worker_spark.operators.evalmetrics import (
+        binary_metrics,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def _h(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix),
+                               F.col("o_orderkey").cast("string"))),
+                1, 8),
+            16, 10).cast("long") % 1000
+
+    s1 = _h("q98s")
+    h2 = _h("q98l")
+    scored = orders.select(
+        (s1 / 1000.0).alias("score"),
+        F.when(h2 * 10 < 2000 + 6 * s1, 1).otherwise(0)
+        .alias("label"),
+    )
+    return binary_metrics(scored)
+
+
+_EVAL_ORACLE_SQL = """
+    WITH scored AS (
+        SELECT CAST('0x' || substring(
+                   md5('q98s' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000 AS s1,
+               CAST('0x' || substring(
+                   md5('q98l' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000 AS h2
+        FROM orders
+    ),
+    t AS (
+        SELECT s1 / 1000.0 AS score,
+               CASE WHEN h2 * 10 < 2000 + 6 * s1 THEN 1 ELSE 0 END
+                   AS label
+        FROM scored
+    ),
+    r AS (
+        SELECT score, label,
+               row_number() OVER (ORDER BY score) AS rn
+        FROM t
+    ),
+    ar AS (
+        SELECT score, label,
+               avg(rn) OVER (PARTITION BY score) AS arank
+        FROM r
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               CAST(sum(label) AS BIGINT) AS np,
+               CAST(count(*) - sum(label) AS BIGINT) AS nn,
+               sum(CASE WHEN label = 1 THEN arank ELSE 0 END) AS rs,
+               avg((score - label) * (score - label)) AS brier,
+               avg(CASE WHEN (score >= 0.5) = (label = 1)
+                        THEN 1.0 ELSE 0.0 END) AS accuracy,
+               sum(CASE WHEN score >= 0.5 AND label = 1
+                        THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS pp
+        FROM ar
+    )
+    SELECT n, np AS n_pos, nn AS n_neg,
+           (rs - np * (np + 1) / 2.0) / (np * nn) AS auc,
+           brier, accuracy,
+           CAST(tp AS DOUBLE) / pp AS "precision",
+           CAST(tp AS DOUBLE) / np AS recall,
+           2.0 * tp / (pp + np) AS f1
+    FROM agg
+"""
+
+
 def q90_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort) FULL-VALUE gate: weekly
     signup cohorts x distinct-active-user counts per week offset over
@@ -4962,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_components": q95_components,
         "q96_shards": q96_shards,
         "q97_salted_join": q97_salted_join,
+        "q98_eval_metrics": q98_eval_metrics,
     }
 
 
@@ -5054,6 +5137,9 @@ def oracle_sql() -> dict[str, str]:
                 ('3_representatives', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q98: exact AUC — the oracle uses the independent
+        # tie-averaged rank-sum formulation
+        "q98_eval_metrics": _EVAL_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

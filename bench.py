@@ -44,6 +44,7 @@ POST_R3_QUERIES = frozenset({
     "q89_audio_match", "q90_cohort_retention", "q91_scene_cuts",
     "q92_exif", "q93_resample", "q94_jaccard_join",
     "q95_components", "q96_shards", "q97_salted_join",
+    "q98_eval_metrics",
 })
 
 

@@ -1,0 +1,124 @@
+"""Binary-classifier evaluation at table scale.
+
+The quality/lang-id classifiers (operators/classifier) gate corpus
+admission; choosing their thresholds needs exact evaluation over
+scored tables. Everything here is pure Catalyst and engine-portable:
+
+- ``auc``: the exact Mann-Whitney AUC computed over the SCORE-
+  AGGREGATED table: per distinct score s, positives contribute
+  n_pos(s) * (negatives_below(s) + n_neg(s)/2) — identical to the
+  tie-averaged rank-sum definition, but the only window runs over
+  DISTINCT scores (model outputs are fixed-precision; quantize
+  continuous scores first if distinct-count ~ row-count), never a
+  per-row global sort;
+- ``brier``: mean squared error of the score against the 0/1 label;
+- ``accuracy/precision/recall/f1`` at a threshold;
+- ``calibration_bins``: predicted-vs-empirical rate per score bin
+  (the reliability diagram's table).
+
+Exact integer/double arithmetic, so a SQL oracle reproduces every
+number bit-for-bit on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["binary_metrics", "calibration_bins"]
+
+
+def binary_metrics(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One row: (n, n_pos, n_neg, auc, brier, accuracy, precision,
+    recall, f1). AUC = (rank_sum_pos - n_pos*(n_pos+1)/2) /
+    (n_pos*n_neg) with tie-averaged ranks; degenerate single-class
+    inputs yield NULL auc/precision/recall/f1 rather than dividing
+    by zero."""
+    s = scored.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).where(F.col(score_col).isNotNull()
+            & F.col(label_col).isNotNull())
+    pred = (F.col("__s") >= F.lit(float(threshold))).cast("int")
+    # one map-side-combined agg per distinct score: the raw table
+    # never sorts globally
+    per_score = s.groupBy("__s").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__g"),
+        F.sum(F.col("__s") * F.col("__s")
+              - 2 * F.col("__s") * F.col("__y")
+              + F.col("__y")).alias("__se"),
+        F.sum((pred == F.col("__y")).cast("long")).alias("__ok"),
+        F.sum(((pred == 1) & (F.col("__y") == 1)).cast("long"))
+        .alias("__tp"),
+        F.sum((pred == 1).cast("long")).alias("__pp"),
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1)
+    contrib = per_score.withColumn(
+        "__below", F.coalesce(F.sum("__g").over(w), F.lit(0)))
+    agg = contrib.agg(
+        F.sum(F.col("__p") + F.col("__g")).alias("n"),
+        F.sum("__p").alias("n_pos"),
+        F.sum("__g").alias("n_neg"),
+        F.sum(F.col("__p")
+              * (F.col("__below") + F.col("__g") / 2.0))
+        .alias("__pairs"),
+        (F.sum("__se")
+         / F.sum(F.col("__p") + F.col("__g"))).alias("brier"),
+        (F.sum("__ok")
+         / F.sum(F.col("__p") + F.col("__g"))).alias("accuracy"),
+        F.sum("__tp").alias("__tp"),
+        F.sum("__pp").alias("__pp"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__pairs") / (F.col("n_pos") * F.col("n_neg")),
+    )
+    precision = F.when(F.col("__pp") > 0,
+                       F.col("__tp") / F.col("__pp"))
+    recall = F.when(F.col("n_pos") > 0,
+                    F.col("__tp") / F.col("n_pos"))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull()
+        & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return agg.select(
+        "n", "n_pos", "n_neg", auc.alias("auc"), "brier",
+        "accuracy", precision.alias("precision"),
+        recall.alias("recall"), f1.alias("f1"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """(bin, n, mean_score, pos_rate) per occupied score bin —
+    bin = floor(score * bins) clamped into [0, bins-1]."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    s = scored.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).where(F.col(score_col).isNotNull()
+            & F.col(label_col).isNotNull())
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0),
+                   F.floor(F.col("__s") * bins).cast("int")))
+    return (
+        s.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("__s").alias("mean_score"),
+             F.avg(F.col("__y").cast("double")).alias("pos_rate"))
+        .orderBy("bin")
+    )

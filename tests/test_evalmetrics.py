@@ -1,0 +1,103 @@
+"""Binary evaluation metrics (operators/evalmetrics): exact AUC vs
+explicit pair counting (ties included), brier/accuracy/precision/
+recall/f1 vs numpy, degenerate single-class NULLs, calibration bins,
+and the scale plan shape (window only over distinct scores)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from shotit_worker_spark.operators.evalmetrics import (
+    binary_metrics,
+    calibration_bins,
+)
+
+
+def _pairs_auc(rows):
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def _ref(rows, thr=0.5):
+    n = len(rows)
+    brier = sum((s - y) ** 2 for s, y in rows) / n
+    acc = sum(1 for s, y in rows if (s >= thr) == (y == 1)) / n
+    tp = sum(1 for s, y in rows if s >= thr and y == 1)
+    pp = sum(1 for s, y in rows if s >= thr)
+    npos = sum(y for _, y in rows)
+    prec = tp / pp if pp else None
+    rec = tp / npos if npos else None
+    f1 = (2 * prec * rec / (prec + rec)
+          if prec is not None and rec is not None and prec + rec
+          else None)
+    return brier, acc, prec, rec, f1
+
+
+def test_auc_with_ties_and_metrics(spark):
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.7, 1),
+            (0.7, 0), (0.4, 0), (0.4, 1), (0.1, 0), (0.9, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = binary_metrics(df).collect()[0]
+    assert m["auc"] == pytest.approx(_pairs_auc(rows), abs=1e-12)
+    brier, acc, prec, rec, f1 = _ref(rows)
+    assert m["brier"] == pytest.approx(brier, abs=1e-12)
+    assert m["accuracy"] == pytest.approx(acc, abs=1e-12)
+    assert m["precision"] == pytest.approx(prec, abs=1e-12)
+    assert m["recall"] == pytest.approx(rec, abs=1e-12)
+    assert m["f1"] == pytest.approx(f1, abs=1e-12)
+    assert (m["n"], m["n_pos"], m["n_neg"]) == (10, 5, 5)
+
+
+def test_differential_random(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        rows = [(round(rng.random(), 2),  # coarse scores force ties
+                 1 if rng.random() < 0.4 else 0)
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        m = binary_metrics(df, threshold=0.6).collect()[0]
+        assert m["auc"] == pytest.approx(_pairs_auc(rows), abs=1e-10)
+        brier, acc, prec, rec, f1 = _ref(rows, 0.6)
+        assert m["brier"] == pytest.approx(brier, abs=1e-10)
+        assert m["accuracy"] == pytest.approx(acc, abs=1e-10)
+
+
+def test_degenerate_single_class(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.2, 1)], "score double, label int")
+    m = binary_metrics(df).collect()[0]
+    assert m["auc"] is None and m["n_neg"] == 0
+    assert m["recall"] == 0.5  # only the 0.9 positive clears thr 0.5
+
+
+def test_calibration_bins(spark):
+    rows = [(0.05, 0), (0.08, 0), (0.55, 1), (0.52, 0),
+            (0.95, 1), (0.99, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: (r["n"], r["pos_rate"])
+           for r in calibration_bins(df, bins=10).collect()}
+    assert got[0] == (2, 0.0)
+    assert got[5] == (2, 0.5)
+    assert got[9] == (3, 1.0)  # score 1.0 clamps into the top bin
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(df, bins=1)
+
+
+def test_plan_window_over_distinct_scores(spark):
+    df = spark.createDataFrame(
+        [(i / 10 % 1, i % 2) for i in range(100)],
+        "score double, label int")
+    out = binary_metrics(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the global-order window must sit ABOVE the per-score aggregate
+    # (never a per-row global sort): one partial-agg exchange feeds it
+    assert "Window" in plan and "HashAggregate" in plan
