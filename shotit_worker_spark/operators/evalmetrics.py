@@ -39,9 +39,18 @@ def binary_metrics(
     (n_pos*n_neg) with tie-averaged ranks; degenerate single-class
     inputs yield NULL auc/precision/recall/f1 rather than dividing
     by zero."""
+    ld = F.col(label_col).cast("double")
+    # the brier expansion and n_neg = sum(1-y) hold only for y in
+    # {0,1}: anything else fails loudly at execution time (no extra
+    # Spark action — the check rides the existing scan)
+    checked = F.when(
+        ld.isin(0.0, 1.0), ld.cast("int")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("binary_metrics: label outside {0,1}: "),
+        ld.cast("string"))))
     s = scored.select(
         F.col(score_col).cast("double").alias("__s"),
-        F.col(label_col).cast("int").alias("__y"),
+        checked.alias("__y"),
     ).where(F.col(score_col).isNotNull()
             & F.col(label_col).isNotNull())
     pred = (F.col("__s") >= F.lit(float(threshold))).cast("int")

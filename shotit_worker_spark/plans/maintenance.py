@@ -17,6 +17,18 @@ import uuid
 from pyspark.sql import SparkSession
 
 
+def swap_into(path: str, tmp: str) -> None:
+    """The engine's atomic-swap idiom in ONE place (the crash
+    posture every rewrite shares): the fully-written ``tmp``
+    directory replaces ``path`` via two renames, and the superseded
+    directory is removed only after the swap — a failure at any
+    point leaves either the original or the complete replacement."""
+    old = f"{path}.pre-swap-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet_table(
     spark: SparkSession,
     path: str,
@@ -68,10 +80,7 @@ def compact_parquet_table(
             .parquet(tmp)
         )
 
-    old = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_into(path, tmp)
     return {
         "files_before": files_before,
         "files_after": _count_files(path),
@@ -120,10 +129,7 @@ def compact_zorder(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(tmp)
     )
-    old = f"{path}.pre-zorder-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_into(path, tmp)
     out = {
         "files_before": files_before,
         "files_after": _count_files(path),
@@ -406,10 +412,7 @@ def rebuild_if_drifted(
     # (cache() could evict and recompute; localCheckpoint cannot)
     rows = rows.localCheckpoint(eager=True)
     new_index = _builder(rows, tmp, **params)
-    old = f"{index.path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
-    os.rename(index.path, old)
-    os.rename(tmp, index.path)
-    shutil.rmtree(old)
+    swap_into(index.path, tmp)
     new_index.path = index.path
     new_index.save_meta(spark)
     record_ivf_baseline(spark, new_index)

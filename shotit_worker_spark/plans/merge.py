@@ -31,12 +31,11 @@ __all__ = ["merge_upsert", "apply_cdc"]
 
 
 def _swap_write(df: DataFrame, path: str) -> None:
+    from .maintenance import swap_into
+
     tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.pre-merge-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_into(path, tmp)
 
 
 def merge_upsert(
@@ -55,30 +54,57 @@ def merge_upsert(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     base = spark.read.parquet(path)
-    dup = (
-        changes.groupBy(*key_cols).count().where("count > 1").count()
-    )
-    if dup:
-        raise ValueError(
-            f"{dup} keys appear multiple times in the change batch; "
-            "compact the log first (apply_cdc does this)")
-    if delete_col is not None:
-        deletes = changes.where(F.col(delete_col)).select(*key_cols)
-        upserts = changes.where(~F.col(delete_col)).drop(delete_col)
-    else:
-        deletes = changes.limit(0).select(*key_cols)
-        upserts = changes
-    n_del = deletes.count()
-    n_up = upserts.count()
-    rows_before = base.count()
-    missing = [c for c in base.columns if c not in upserts.columns]
-    if missing:
-        raise ValueError(
-            f"change batch lacks base columns {missing}")
-    merged = base.join(
-        changes.select(*key_cols), key_cols, "left_anti"
-    ).unionByName(upserts.select(*base.columns))
-    _swap_write(merged, path)
+    changes = changes.persist()
+    try:
+        # one action for every batch guard (dup keys, NULL delete
+        # flags) + the stat counts — the change lineage (possibly a
+        # CDC compaction) runs once here, then once in the write
+        flag = (F.col(delete_col) if delete_col is not None
+                else F.lit(False))
+        g = changes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols])
+            .alias("nk"),
+            F.sum(flag.isNull().cast("long")).alias("null_flags"),
+            F.sum(F.coalesce(flag.cast("long"), F.lit(0)))
+            .alias("n_del"),
+        ).collect()[0]
+        if g["nk"] != g["n"]:
+            raise ValueError(
+                f"{g['n'] - g['nk']} duplicate keys in the change "
+                "batch; compact the log first (apply_cdc does this)")
+        if g["null_flags"]:
+            raise ValueError(
+                f"{g['null_flags']} change rows have a NULL "
+                f"{delete_col} flag — NULL is neither upsert nor "
+                "delete (three-valued logic would silently drop the "
+                "row); coalesce it explicitly")
+        if delete_col is not None:
+            deletes = changes.where(F.col(delete_col)).select(*key_cols)
+            upserts = changes.where(~F.col(delete_col)).drop(delete_col)
+        else:
+            deletes = changes.limit(0).select(*key_cols)
+            upserts = changes
+        n_del = int(g["n_del"])
+        n_up = int(g["n"]) - n_del
+        rows_before = base.count()
+        missing = [c for c in base.columns if c not in upserts.columns]
+        if missing:
+            raise ValueError(
+                f"change batch lacks base columns {missing}")
+        extra = [c for c in upserts.columns
+                 if c not in base.columns and c not in key_cols]
+        if extra:
+            raise ValueError(
+                f"change batch carries columns {extra} the base "
+                "table lacks — schema evolution is not implicit; "
+                "drop them or migrate the table first")
+        merged = base.join(
+            changes.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(upserts.select(*base.columns))
+        _swap_write(merged, path)
+    finally:
+        changes.unpersist(blocking=False)
     rows_after = spark.read.parquet(path).count()
     return {"rows_before": rows_before, "rows_after": rows_after,
             "upserts": n_up, "deletes": n_del}
@@ -99,6 +125,11 @@ def apply_cdc(
     bad = [o for o in ops if o not in ("upsert", "delete")]
     if bad:
         raise ValueError(f"unknown CDC ops {bad}")
+    n_null_seq = log.where(F.col(seq_col).isNull()).count()
+    if n_null_seq:
+        raise ValueError(
+            f"{n_null_seq} CDC rows have NULL {seq_col} — max_by "
+            "would skip them and silently drop the key's operations")
     ties = (
         log.groupBy(*key_cols, seq_col).count().where("count > 1")
         .count()

@@ -98,6 +98,19 @@ def test_plan_window_over_distinct_scores(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    # the global-order window must sit ABOVE the per-score aggregate
-    # (never a per-row global sort): one partial-agg exchange feeds it
-    assert "Window" in plan and "HashAggregate" in plan
+    # the global-order window must consume the PER-SCORE aggregate's
+    # outputs (it sums the per-score negative counters __g), never
+    # raw rows — a regression to a per-row global rank would window
+    # over __y/__rn instead
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 1
+    assert "__g" in win_lines[0]
+    assert "__y" not in win_lines[0]
+
+
+def test_label_domain_guard(spark):
+    df = spark.createDataFrame(
+        [(0.5, 2)], "score double, label int")
+    import pytest as _pt
+    with _pt.raises(Exception, match="label outside"):
+        binary_metrics(df).collect()

@@ -46,7 +46,7 @@ def test_guards(spark, tmp_root):
     _write_base(spark, p, [(1, "a", 1)])
     dup = spark.createDataFrame(
         [(1, "x", 1), (1, "y", 2)], "k long, v string, n long")
-    with pytest.raises(ValueError, match="multiple times"):
+    with pytest.raises(ValueError, match="duplicate keys"):
         merge_upsert(spark, p, dup, ["k"])
     short = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError, match="lacks base columns"):
@@ -112,3 +112,32 @@ def test_differential_replay(spark, tmp_root):
             else:
                 state[k] = v
         assert _read(spark, p) == state, batch
+
+
+def test_null_delete_flag_rejected(spark, tmp_root):
+    """Review fix: a NULL delete flag is neither upsert nor delete —
+    three-valued logic used to anti-join the key out SILENTLY."""
+    p = str(tmp_root / "m5")
+    _write_base(spark, p, [(1, "a", 1), (2, "b", 2)])
+    changes = spark.createDataFrame(
+        [(2, "B", 200, None)],
+        "k long, v string, n long, is_del boolean")
+    with pytest.raises(ValueError, match="NULL is_del"):
+        merge_upsert(spark, p, changes, ["k"], delete_col="is_del")
+    assert _read(spark, p) == {1: ("a", 1), 2: ("b", 2)}
+
+
+def test_null_seq_and_extra_columns_rejected(spark, tmp_root):
+    p = str(tmp_root / "m6")
+    _write_base(spark, p, [(1, "a", 1)])
+    log = spark.createDataFrame(
+        [(1, "x", 1, None, "upsert")],
+        "k long, v string, n long, seq long, op string")
+    with pytest.raises(ValueError, match="NULL seq"):
+        apply_cdc(spark, p, log, ["k"])
+    extra = spark.createDataFrame(
+        [(1, "x", 1, "surprise")],
+        "k long, v string, n long, status string")
+    with pytest.raises(ValueError, match="schema evolution"):
+        merge_upsert(spark, p, extra, ["k"])
+    assert _read(spark, p) == {1: ("a", 1)}
