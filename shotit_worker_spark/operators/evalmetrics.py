@@ -7,10 +7,13 @@ scored tables. Everything here is pure Catalyst and engine-portable:
 - ``auc``: the exact Mann-Whitney AUC computed over the SCORE-
   AGGREGATED table: per distinct score s, positives contribute
   n_pos(s) * (negatives_below(s) + n_neg(s)/2) — identical to the
-  tie-averaged rank-sum definition, but the only window runs over
-  DISTINCT scores (model outputs are fixed-precision; quantize
-  continuous scores first if distinct-count ~ row-count), never a
-  per-row global sort;
+  tie-averaged rank-sum definition. negatives_below is a TWO-LEVEL
+  cumulative sum: distinct scores land in fixed-width buckets (a
+  monotone affine map from the observed [min, max]), per-bucket
+  negative totals prefix-sum in one bounded <=2^16-row task, the
+  tiny prefix table broadcasts back, and the per-score window runs
+  PARTITIONED BY bucket — so even continuous float scores (distinct
+  ~ row count) never funnel through a single global sort task;
 - ``brier``: mean squared error of the score against the 0/1 label;
 - ``accuracy/precision/recall/f1`` at a threshold;
 - ``calibration_bins``: predicted-vs-empirical rate per score bin
@@ -26,6 +29,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["binary_metrics", "calibration_bins"]
+
+# fixed bucket count for the two-level cumulative: small enough that
+# the bucket-prefix table is one trivially-bounded task (and a cheap
+# broadcast), large enough that per-bucket distinct scores stay tiny
+# (1e9 distinct scores -> ~15k per bucket-task)
+_AUC_BUCKETS = 1 << 16
+
+
+def _score_bucket(mn, mx) -> Column:
+    """Monotone map of ``__s`` into [0, _AUC_BUCKETS) fixed-width
+    buckets of the observed [mn, mx] range. Each step (subtract a
+    constant, divide/multiply by a positive constant, floor) is
+    weakly monotone even under IEEE rounding, so s1 <= s2 implies
+    bucket(s1) <= bucket(s2) — the only property the two-level
+    cumulative needs. NaN (sorts greatest in Spark) and +-inf clamp
+    to the end buckets via greatest/least."""
+    if mn is None or mx is None or not (mx > mn):
+        # empty input or a single distinct score: one bucket
+        return F.lit(0)
+    raw = F.floor(
+        (F.col("__s") - F.lit(float(mn)))
+        / F.lit(float(mx) - float(mn))
+        * F.lit(float(_AUC_BUCKETS))
+    )
+    return F.least(
+        F.lit(_AUC_BUCKETS - 1), F.greatest(F.lit(0), raw)
+    ).cast("int")
 
 
 def binary_metrics(
@@ -67,10 +97,32 @@ def binary_metrics(
         .alias("__tp"),
         F.sum((pred == 1).cast("long")).alias("__pp"),
     )
-    w = Window.orderBy("__s").rowsBetween(
+    # two-level cumulative negatives-below (see module docstring):
+    # the observed range costs one extra scalar agg over the raw
+    # projection (a columnar min/max scan — it neither recomputes
+    # nor caches the per-score aggregate, whose shuffle the two
+    # consumers below share via ReusedExchange)
+    mn, mx = s.agg(F.min("__s"), F.max("__s")).collect()[0]
+    bs = per_score.withColumn("__b", _score_bucket(mn, mx))
+    btot = bs.groupBy("__b").agg(F.sum("__g").alias("__bg"))
+    # prefix over the bucket table: unpartitioned BY CONSTRUCTION
+    # bounded to <= _AUC_BUCKETS rows (Spark's "No Partition
+    # Defined" warning here is expected and harmless)
+    wb = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1)
-    contrib = per_score.withColumn(
-        "__below", F.coalesce(F.sum("__g").over(w), F.lit(0)))
+    bprefix = btot.withColumn(
+        "__bbelow", F.coalesce(F.sum("__bg").over(wb), F.lit(0))
+    ).select("__b", "__bbelow")
+    ws = Window.partitionBy("__b").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1)
+    contrib = (
+        bs.join(F.broadcast(bprefix), on="__b")
+        .withColumn(
+            "__below",
+            F.col("__bbelow")
+            + F.coalesce(F.sum("__g").over(ws), F.lit(0)),
+        )
+    )
     agg = contrib.agg(
         F.sum(F.col("__p") + F.col("__g")).alias("n"),
         F.sum("__p").alias("n_pos"),

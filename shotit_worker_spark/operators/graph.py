@@ -82,20 +82,36 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
-    ranks = _materialize(
-        nodes.withColumn("rank", F.lit(1.0 / n)), None
-    )
-    # nodes with no out-edge: their rank leaks unless redistributed
+    # Nodes with no out-edge leak rank unless redistributed. On a web
+    # graph dangling nodes are commonly 20-50% of ALL nodes, so the
+    # dangling set is node-scale: never broadcast it (collecting a
+    # node-scale table through the driver is the bottleneck at 100x).
+    # Instead the flag is computed ONCE (one join) and then CARRIED
+    # inside the rank frame itself, so the per-round dangling mass is
+    # a plain conditional scalar agg over ranks — zero extra joins,
+    # zero broadcasts, per round.
     srcs = ew.select(F.col("__src").alias("node")).distinct()
-    dangling_nodes = _materialize(
-        nodes.join(srcs, on="node", how="left_anti"), None
+    nodes_f = _materialize(
+        nodes.join(
+            srcs.withColumn("__has_out", F.lit(True)),
+            on="node", how="left",
+        ).select(
+            "node",
+            F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+        ),
+        None,
     )
-    has_dangling = dangling_nodes.count() > 0  # fixed set: count once
+    # fixed set: count once
+    has_dangling = (
+        nodes_f.where(~F.col("__has_out")).limit(1).count() > 0
+    )
+    ranks = _materialize(
+        nodes_f.withColumn("rank", F.lit(1.0 / n)), None
+    )
     try:
-        for _ in range(iters):
+        for it in range(iters):
             dangling = (
-                ranks.join(F.broadcast(dangling_nodes.select("node")),
-                           on="node")
+                ranks.where(~F.col("__has_out"))
                 .agg(F.sum("rank"))
                 .collect()[0][0]
                 or 0.0
@@ -110,21 +126,27 @@ def pagerank(
                 .agg(F.sum("c").alias("c"))
             )
             base = (1.0 - damping) / n + damping * dangling / n
+            new_rank = (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+            ).alias("rank")
+            # the flag rides along between rounds; the FINAL round
+            # drops it so the returned (persisted) frame is (node,
+            # rank) — the caller's unpersist() contract holds
+            cols = (
+                ["node", new_rank] if it == iters - 1
+                else ["node", "__has_out", new_rank]
+            )
             ranks = _materialize(
-                nodes.join(contrib, on="node", how="left").select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                    ).alias("rank"),
-                ),
+                nodes_f.join(contrib, on="node", how="left")
+                .select(*cols),
                 ranks,
             )
         return ranks
     finally:
         ew.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
-        dangling_nodes.unpersist(blocking=False)
+        nodes_f.unpersist(blocking=False)
 
 
 def pagerank_int(

@@ -567,12 +567,19 @@ def heavy_hitters_by_key(
     df: DataFrame, key_col: str, col, k: int = 100
 ) -> DataFrame:
     """(key, term, est_count) Misra-Gries candidates PER KEY (the
-    per-domain / per-language top-terms shape). One hash-partition
-    shuffle on the key; each group folds through a bounded k-entry
-    summary inside applyInPandas (value_counts pre-aggregation per
-    group, weighted MG updates), so per-key state is O(k) no matter
-    how many rows the key has. Guarantees are the global sketch's,
-    per key: no false negatives above n_key/(k+1), undercount <=
+    per-domain / per-language top-terms shape). TWO-PHASE mergeable
+    summaries, like the global sketch: one mapInPandas pass folds
+    each partition into a per-key k-entry MG summary (value_counts
+    pre-aggregation per Arrow batch, weighted updates), then ONLY
+    the bounded partials — <= k rows per (partition, key) — shuffle
+    by key and merge per key (exact sums + one PODS'12 trim). A
+    group at the merge is summary-sized (<= partitions x k rows), so
+    a key holding half a 100-TB corpus never materializes as one
+    pandas group; raw terms never shuffle at all. Per-partition
+    state is O(k x distinct keys in the partition) — for key
+    cardinalities beyond memory, repartition by key first so each
+    partition sees few keys. Guarantees are the global sketch's, per
+    key: no false negatives above n_key/(k+1), undercount <=
     n_key/(k+1)."""
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -580,13 +587,44 @@ def heavy_hitters_by_key(
     base = df.select(
         F.col(key_col).alias("__key"), c.alias("__term")
     ).where(F.col("__term").isNotNull())
+    key_type = df.schema[key_col].dataType.simpleString()
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partial(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        per_key: dict = {}
+        for b in batches:
+            vc = b.groupby("__key", dropna=False)[
+                "__term"
+            ].value_counts()
+            for (key, t), cnt in vc.items():
+                _mg_add(per_key.setdefault(key, {}), t, int(cnt), k)
+        if per_key:
+            yield pd.DataFrame(
+                {
+                    "key": [
+                        key for key, cs in per_key.items() for _ in cs
+                    ],
+                    "term": [
+                        t for cs in per_key.values() for t in cs
+                    ],
+                    "cnt": [
+                        v for cs in per_key.values()
+                        for v in cs.values()
+                    ],
+                }
+            )
+
+    parts = base.mapInPandas(
+        partial, schema=f"key {key_type}, term string, cnt long"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         counts: dict = {}
-        vc = pdf["__term"].value_counts()
-        for t, cnt in vc.items():
-            _mg_add(counts, t, int(cnt), k)
-        key = pdf["__key"].iloc[0]
+        for t, v in zip(pdf["term"], pdf["cnt"]):
+            counts[t] = counts.get(t, 0) + int(v)
+        counts = _mg_trim(counts, k)
+        key = pdf["key"].iloc[0]
         return pd.DataFrame(
             {
                 "key": [key] * len(counts),
@@ -595,9 +633,8 @@ def heavy_hitters_by_key(
             }
         )
 
-    key_type = df.schema[key_col].dataType.simpleString()
-    return base.groupBy("__key").applyInPandas(
-        fold, schema=f"key {key_type}, term string, est_count long"
+    return parts.groupBy("key").applyInPandas(
+        merge, schema=f"key {key_type}, term string, est_count long"
     )
 
 
@@ -610,8 +647,16 @@ def quantiles_by_key(
 ) -> DataFrame:
     """(key, p, value, est_rank, err_bound, n) compactor-sketch
     quantiles PER KEY, each with its own certified rank-error bound
-    (operators/quantiles semantics, grouped). One hash-partition
-    shuffle on the key; per-key state is the O(k log(n/k)) sketch."""
+    (operators/quantiles semantics, grouped). TWO-PHASE mergeable
+    summaries: one mapInPandas pass builds a compactor per
+    (partition, key); only the bounded O(k log(n/k))-row summaries
+    shuffle by key and merge per key — a key holding half the corpus
+    never materializes as one pandas group, and raw values never
+    shuffle. Per-partition state is O(k x distinct keys in the
+    partition) — repartition by key first for key cardinalities
+    beyond memory. The tracked err_bound survives the merge exactly
+    (compactor merge adds the two bounds plus any merge-time
+    compactions), so every per-key row still certifies itself."""
     from . import quantiles as _Q
 
     ps = [float(p) for p in ps]
@@ -622,15 +667,42 @@ def quantiles_by_key(
         F.col(key_col).alias("__key"),
         c.cast("double").alias("__v"),
     ).where(F.col("__v").isNotNull())
+    key_type = df.schema[key_col].dataType.simpleString()
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partial(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        sk = _Q.CompactorSketch(k)
-        sk.update_batch(
-            pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+        per_key: dict = {}
+        for b in batches:
+            for key, grp in b.groupby("__key", dropna=False)["__v"]:
+                sk = per_key.get(key)
+                if sk is None:
+                    sk = per_key[key] = _Q.CompactorSketch(k)
+                sk.update_batch(
+                    grp.to_numpy(dtype=np.float64, na_value=np.nan)
+                )
+        for key, sk in per_key.items():
+            if sk.n:
+                rows = sk.to_rows()
+                rows.insert(0, "key", [key] * len(rows))
+                yield rows
+
+    parts = base.mapInPandas(
+        partial,
+        schema=f"key {key_type}, level int, value double",
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sk = _Q.CompactorSketch.from_rows(
+            pdf["level"].to_numpy(dtype=np.int64),
+            pdf["value"].to_numpy(dtype=np.float64),
+            k,
         )
-        key = pdf["__key"].iloc[0]
+        key = pdf["key"].iloc[0]
         rows = {
             "key": [], "p": [], "value": [], "est_rank": [],
             "err_bound": [], "n": [],
@@ -645,9 +717,8 @@ def quantiles_by_key(
             rows["n"].append(sk.n)
         return pd.DataFrame(rows)
 
-    key_type = df.schema[key_col].dataType.simpleString()
-    return base.groupBy("__key").applyInPandas(
-        fold,
+    return parts.groupBy("key").applyInPandas(
+        merge,
         schema=(
             f"key {key_type}, p double, value double, est_rank long, "
             "err_bound long, n long"

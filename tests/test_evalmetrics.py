@@ -90,7 +90,7 @@ def test_calibration_bins(spark):
         calibration_bins(df, bins=1)
 
 
-def test_plan_window_over_distinct_scores(spark):
+def test_plan_window_two_level(spark):
     df = spark.createDataFrame(
         [(i / 10 % 1, i % 2) for i in range(100)],
         "score double, label int")
@@ -98,14 +98,61 @@ def test_plan_window_over_distinct_scores(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    # the global-order window must consume the PER-SCORE aggregate's
-    # outputs (it sums the per-score negative counters __g), never
-    # raw rows — a regression to a per-row global rank would window
-    # over __y/__rn instead
+    # two windows: (1) the per-score cumulative PARTITIONED BY the
+    # score bucket — the one that sees a row per distinct score and
+    # must never be a single global task; (2) the bucket-prefix sum,
+    # unpartitioned but bounded <= 2^16 rows by construction. A
+    # regression to a per-row global rank would window over __y/__rn;
+    # a regression to the single-task cumulative would drop the
+    # partitionBy from the __g window.
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
-    assert len(win_lines) == 1
-    assert "__g" in win_lines[0]
-    assert "__y" not in win_lines[0]
+    assert len(win_lines) == 2
+    per_score = [ln for ln in win_lines
+                 if "__g" in ln and "__bg" not in ln]
+    bucket_prefix = [ln for ln in win_lines if "__bg" in ln]
+    assert len(per_score) == 1 and len(bucket_prefix) == 1
+    # partitioned by the bucket column: windowspecdefinition lists
+    # partition cols first, so the per-score window line names BOTH
+    # __b and __s; the single-task regression would drop __b
+    assert "__b" in per_score[0] and "__s" in per_score[0]
+    assert "__y" not in per_score[0]
+    # the bucket prefix broadcasts back (no shuffle join on scores)
+    assert "BroadcastExchange" in plan
+
+
+def test_continuous_scores_exact(spark):
+    # distinct scores ~ row count (the realistic classifier output):
+    # the two-level cumulative must stay EXACT vs pair counting
+    rng = random.Random(23)
+    rows = [(rng.random(), 1 if rng.random() < 0.35 else 0)
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    m = binary_metrics(df).collect()[0]
+    assert m["auc"] == pytest.approx(_pairs_auc(rows), abs=1e-10)
+    assert m["n"] == 500
+
+
+def test_score_bucket_monotone():
+    # bucket assignment must be weakly monotone in the score even
+    # under IEEE rounding (the correctness hinge of the two-level
+    # cumulative); probe adversarial near-boundary floats
+    import numpy as np
+
+    from shotit_worker_spark.operators.evalmetrics import (
+        _AUC_BUCKETS,
+    )
+
+    rng = np.random.default_rng(5)
+    mn, mx = -1e-9, 1.0 + 1e-9
+    xs = np.sort(np.concatenate([
+        rng.uniform(mn, mx, 5000),
+        np.nextafter(np.linspace(mn, mx, 200), -np.inf),
+        np.linspace(mn, mx, 200),
+    ]))
+    span = mx - mn
+    raw = np.floor((xs - mn) / span * float(_AUC_BUCKETS))
+    b = np.clip(raw, 0, _AUC_BUCKETS - 1)
+    assert (np.diff(b) >= 0).all()
 
 
 def test_label_domain_guard(spark):

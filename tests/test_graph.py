@@ -95,6 +95,31 @@ def test_int_pagerank_random_graph_exact(spark):
     assert got == _python_pagerank_int(edges, 4)
 
 
+def test_float_pagerank_no_node_scale_broadcast(spark):
+    # the dangling set is node-scale on a web graph (20-50% of all
+    # nodes): its mass must come from a conditional scalar agg over
+    # the flag CARRIED in the rank frame, never a forced broadcast
+    # of a node-scale table through the driver
+    import inspect
+
+    src = inspect.getsource(G.pagerank)
+    assert "F.broadcast" not in src
+    from shotit_worker_spark.operators.clustering import (
+        _persistent_rdd_ids,
+    )
+
+    df = spark.createDataFrame(EDGES, "src int, dst int")
+    before = _persistent_rdd_ids(spark)
+    out = G.pagerank(df, iters=2)
+    assert out.columns == ["node", "rank"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the returned frame is the persisted final round (the caller's
+    # unpersist() contract): InMemoryTableScan at the root
+    assert "InMemoryTableScan" in plan
+    out.unpersist(blocking=True)
+    assert _persistent_rdd_ids(spark) <= before
+
+
 def test_pagerank_guards(spark):
     df = spark.createDataFrame(EDGES, "src int, dst int")
     with pytest.raises(ValueError, match="iters"):
