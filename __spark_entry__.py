@@ -20,6 +20,8 @@ tests/test_displaced_oracle.py on every pytest run.
 
 from __future__ import annotations
 
+import hashlib
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -4904,10 +4906,556 @@ def _webp_oracle_rows() -> list:
     return _WEBP_ORACLE_CACHE
 
 
+# ---------------------------------------------------------------------------
+# r9 gate wave: driver enforcement for the r8 pytest-only operators
+# (VERDICT r8 #1): interval join, grouped sketches, MERGE/CDC,
+# FastCDC, captions alignment, PCA, MFCC embeddings
+# ---------------------------------------------------------------------------
+
+
+_CDC_PARAMS = dict(min_size=256, avg_size=1024, max_size=4096)
+_Q100_LAST_DIR = None
+
+
+def _cdc_case_docs() -> list[tuple[str, bytes]]:
+    """Planted chunking corpus: a base pseudo-random doc, an
+    insertion-shifted twin (the FastCDC resync property: all chunks
+    past the edit realign), a middle-mutated twin, and an empty doc.
+    Deterministic (fixed-seed PCG64), shared fixture — only the
+    CHUNKING of it is computed twice, independently."""
+    import numpy as np
+
+    rng = np.random.default_rng(0x0C0DE)
+    a = rng.integers(0, 256, size=20480, dtype=np.uint8).tobytes()
+    b = (b"CHANGELOG ENTRY: shifted prefix. " * 33)[:1063] + a
+    c = a[:8000] + bytes(255 - x for x in a[8000:8900]) + a[8900:]
+    return [("docA", a), ("docB", b), ("docC", c), ("docEmpty", b"")]
+
+
+def _cdc_independent_chunks(data: bytes, min_size: int,
+                            avg_size: int, max_size: int) -> list:
+    """INDEPENDENT per-byte FastCDC chunker (Xia et al., USENIX ATC
+    2016 semantics as contracted by functions/cdc.py's docstrings):
+    rolling gear hash h = (h*2 + G[byte]) mod 2^64, normalized
+    two-mask search (hard mask in [min, avg), easy mask in
+    [avg, max), forced cut at max). Only the 256-entry gear table is
+    shared — it is part of the chunking contract; the engine's
+    implementation is a vectorized global-position numpy kernel,
+    this one is a scalar loop, so a vectorization bug in either
+    breaks the q99 diff."""
+    from shotit_worker_spark.functions.cdc import _GEAR
+
+    gear = [int(x) for x in _GEAR]
+    mask64 = (1 << 64) - 1
+    bits = max(int(round(math.log2(avg_size))), 4)
+    hard = (1 << min(bits + 2, 48)) - 1
+    easy = (1 << max(bits - 2, 2)) - 1
+    n = len(data)
+    cuts = []
+    pos = 0
+    while pos < n:
+        if n - pos <= min_size:
+            cuts.append(n)
+            break
+        # roll the hash from the chunk start; candidates only become
+        # eligible at index >= pos + min_size - 1 (64-byte window is
+        # then fully inside the chunk, matching the global kernel)
+        h = 0
+        cut = None
+        hard_end = min(pos + avg_size, n)
+        easy_end = min(pos + max_size, n)
+        for i in range(pos, easy_end):
+            h = ((h << 1) + gear[data[i]]) & mask64
+            if i < pos + min_size - 1:
+                continue
+            if i < hard_end and (h & hard) == 0:
+                cut = i + 1
+                break
+            if i >= pos + avg_size - 1 and (h & easy) == 0:
+                cut = i + 1
+                break
+        if cut is None:
+            cut = easy_end
+        cuts.append(cut)
+        pos = cut
+    out = []
+    prev = 0
+    for no, cut in enumerate(cuts):
+        out.append((no, prev, cut - prev,
+                    hashlib.md5(data[prev:cut]).hexdigest()))
+        prev = cut
+    if not out:  # empty doc: one zero-length chunk row
+        out.append((0, 0, 0, hashlib.md5(b"").hexdigest()))
+    return out
+
+
+_CDC_ORACLE_CACHE = None
+
+
+def _cdc_oracle_rows() -> list:
+    global _CDC_ORACLE_CACHE
+    if _CDC_ORACLE_CACHE is None:
+        rows = []
+        for doc_id, data in _cdc_case_docs():
+            for no, off, ln, dig in _cdc_independent_chunks(
+                data, **_CDC_PARAMS
+            ):
+                rows.append((doc_id, no, off, ln, dig))
+        _CDC_ORACLE_CACHE = rows
+    return _CDC_ORACLE_CACHE
+
+
+def q99_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC content-defined chunking (functions/cdc) FULL-VALUE
+    gate: chunk boundaries + md5 digests of the planted corpus
+    (random base doc, insertion-shifted twin, middle-mutated twin,
+    empty doc) computed by the engine's vectorized Arrow kernel; the
+    oracle states the rows from an INDEPENDENT per-byte rolling-gear
+    reimplementation. The shifted twin also exercises the resync
+    property end-to-end: its tail chunks must carry the same digests
+    as the base doc's."""
+    from shotit_worker_spark.functions.cdc import cdc_chunk_table
+
+    df = spark.createDataFrame(
+        [(i, bytearray(d)) for i, d in _cdc_case_docs()],
+        "doc_id string, content binary",
+    )
+    return cdc_chunk_table(df, content_col="content",
+                           id_col="doc_id",
+                           **_CDC_PARAMS).orderBy("doc_id", "chunk_no")
+
+
+def q105_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join (streaming/joins.interval_join, batch form
+    of the stream-stream interval join) FULL-VALUE gate: every signup
+    event joined to the same user's view events within the following
+    72 hours. The engine path is the SAME function the streaming
+    tests replay (watermarks are no-op hints in batch); the oracle is
+    the plain SQL time-bounded join."""
+    from shotit_worker_spark.streaming.joins import interval_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts",
+                                       "event_type")
+    left = ev.where(F.col("event_type") == "signup").drop("event_type")
+    right = ev.where(F.col("event_type") == "view").drop("event_type")
+    out = interval_join(
+        left, right, key="user_id", lower_sec=0, upper_sec=259200,
+        watermark="1 hour", how="inner",
+    )
+    return out.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("signup_event_id"),
+        F.col("l_ts").alias("signup_ts"),
+        F.col("r_event_id").alias("view_event_id"),
+        F.col("r_ts").alias("view_ts"),
+    ).orderBy("user_id", "signup_event_id", "view_event_id")
+
+
+_INTERVAL_JOIN_ORACLE_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type
+        FROM events
+    )
+    SELECT s.user_id AS user_id,
+           s.event_id AS signup_event_id, s.ts AS signup_ts,
+           v.event_id AS view_event_id, v.ts AS view_ts
+    FROM e s JOIN e v
+      ON v.user_id = s.user_id
+     AND v.ts >= s.ts
+     AND v.ts <= s.ts + INTERVAL 259200 SECOND
+    WHERE s.event_type = 'signup' AND v.event_type = 'view'
+    ORDER BY 1, 2, 4
+"""
+
+
+def q103_grouped_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Misra-Gries (operators/sketches.heavy_hitters_by_key)
+    FULL-VALUE gate: per-language token counts over documents with
+    k=64 > the per-language vocabulary, where the mergeable-summary
+    algebra (per-partition partials, summary-only shuffle, per-key
+    PODS'12 merge) provably performs NO evictions and therefore
+    returns every count EXACT — which the oracle states from plain
+    SQL group-by counts. The plan shuffles only the bounded partial
+    summaries, never the exploded tokens."""
+    from shotit_worker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    return SK.heavy_hitters_by_key(toks, "lang", "tok", k=64).orderBy(
+        "key", "term"
+    )
+
+
+# authored caption cues: (file, cue_no, start_sec, end_sec, text) —
+# the literal times/texts WRITTEN into the SRT/VTT bytes below, and
+# the rows the oracle joins from; if the parser mis-reads the bytes,
+# the engine side diverges from these
+_CAPTION_CUES = [
+    ("vid_a.srt", 0, 1.0, 4.5, "Intro line"),
+    ("vid_a.srt", 1, 5.0, 9.25, "Scene two begins"),
+    ("vid_a.srt", 2, 9.5, 12.0, "Crossing cue"),
+    ("vid_a.srt", 3, 13.0, 14.0, "Outro"),
+    ("vid_b.vtt", 0, 0.5, 3.0, "B one"),
+    ("vid_b.vtt", 1, 3.5, 7.75, "B two"),
+    ("vid_b.vtt", 2, 8.0, 9.0, "B three"),
+]
+
+_CAPTION_SCENES = [
+    ("vid_a.srt", 0, 0.0, 5.0),
+    ("vid_a.srt", 1, 5.0, 10.0),
+    ("vid_a.srt", 2, 10.0, 15.0),
+    ("vid_b.vtt", 0, 0.0, 4.0),
+    ("vid_b.vtt", 1, 4.0, 9.5),
+]
+
+
+def _caption_blobs() -> list[tuple[str, bytes]]:
+    """Render _CAPTION_CUES into real SRT and VTT bytes (block ids,
+    comma vs dot millisecond separators, a WEBVTT header, a NOTE
+    block, and a cue-settings suffix — the format features the
+    parser must step over)."""
+
+    def _hms(sec: float, msep: str) -> str:
+        ms = int(round(sec * 1000))
+        return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                f"{ms // 1000 % 60:02d}{msep}{ms % 1000:03d}")
+
+    srt = []
+    for _, no, s, e, t in [c for c in _CAPTION_CUES
+                           if c[0] == "vid_a.srt"]:
+        srt.append(f"{no + 1}\n{_hms(s, ',')} --> {_hms(e, ',')}\n"
+                   f"{t}\n")
+    vtt = ["WEBVTT\n", "NOTE deterministic fixture\n"]
+    for idx, (_, no, s, e, t) in enumerate(
+        [c for c in _CAPTION_CUES if c[0] == "vid_b.vtt"]
+    ):
+        settings = " align:start" if idx == 1 else ""
+        vtt.append(f"{_hms(s, '.')} --> {_hms(e, '.')}{settings}\n"
+                   f"{t}\n")
+    return [("vid_a.srt", "\n".join(srt).encode()),
+            ("vid_b.vtt", "\n".join(vtt).encode())]
+
+
+def q101_captions_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption sidecar parsing + scene alignment (functions/captions)
+    FULL-VALUE gate: real SRT and VTT bytes parse through the Arrow
+    pass and interval-join against a literal scene table; the oracle
+    re-derives every (cue, scene) overlap from the AUTHORED cue
+    literals with a plain SQL interval join — a parse error (times,
+    text, cue numbering, header/NOTE/settings handling) or an
+    alignment error (strict-overlap predicate, overlap arithmetic)
+    each flips rows."""
+    from shotit_worker_spark.functions.captions import (
+        align_captions_to_scenes,
+        captions_df,
+    )
+
+    files = spark.createDataFrame(
+        [(p, bytearray(b)) for p, b in _caption_blobs()],
+        "path string, content binary",
+    )
+    cues = captions_df(files)
+    scenes = spark.createDataFrame(
+        _CAPTION_SCENES,
+        "file string, scene_id int, start_time double, "
+        "end_time double",
+    )
+    return align_captions_to_scenes(cues, scenes)
+
+
+def _sql_rows(rows: list) -> str:
+    return ", ".join(
+        "(" + ", ".join(
+            f"'{v}'" if isinstance(v, str) else repr(float(v))
+            if isinstance(v, float) else str(v) for v in r
+        ) + ")"
+        for r in rows
+    )
+
+
+_CAPTIONS_ORACLE_SQL = f"""
+    WITH cues AS (
+        SELECT * FROM (VALUES {_sql_rows(_CAPTION_CUES)})
+        AS t(file, cue_no, start_sec, end_sec, text)
+    ),
+    scenes AS (
+        SELECT * FROM (VALUES {_sql_rows(_CAPTION_SCENES)})
+        AS t(file, scene_id, start_time, end_time)
+    )
+    SELECT c.file, s.scene_id, c.cue_no,
+           CAST(least(c.end_sec, s.end_time)
+                - greatest(c.start_sec, s.start_time)
+                AS DOUBLE) AS overlap_sec,
+           c.text
+    FROM cues c JOIN scenes s ON c.file = s.file
+     AND c.start_sec < s.end_time AND c.end_sec > s.start_time
+    ORDER BY c.file, s.scene_id, c.cue_no
+"""
+
+
+# planted PCA construction (q102): orthonormal dyadic basis H
+# (scaled Hadamard-4, entries exactly +-0.5), latent coordinates
+# a_j * (+-1 balanced patterns) with variances 16/4/1/0.25 — the
+# sample covariance is EXACTLY H diag(a^2) H^T (all arithmetic is
+# dyadic), so the sign-pinned principal axes are the H columns and
+# the explained variances are a_j^2, in closed form
+_PCA_H = [
+    [0.5, 0.5, 0.5, 0.5],
+    [0.5, -0.5, 0.5, -0.5],
+    [0.5, 0.5, -0.5, -0.5],
+    [0.5, -0.5, -0.5, 0.5],
+]
+_PCA_A = [4.0, 2.0, 1.0, 0.5]
+_PCA_OUT_DIM = 2
+
+
+def _pca_case_rows() -> list:
+    import numpy as np
+
+    h2 = np.array([[1, 1], [1, -1]])
+    h8 = np.kron(np.kron(h2, h2), h2)
+    pats = h8[[1, 2, 4, 7]]  # orthogonal, zero-mean +-1 patterns
+    H = np.array(_PCA_H)
+    rows = []
+    for i in range(800):
+        z = np.array([a * pats[j][i % 8]
+                      for j, a in enumerate(_PCA_A)])
+        x = H @ z
+        rows.append((i, [float(v) for v in x]))
+    return rows
+
+
+def _pca_oracle_rows() -> list:
+    return [
+        (j, i, _PCA_H[i][j], _PCA_A[j] * _PCA_A[j])
+        for j in range(_PCA_OUT_DIM)
+        for i in range(4)
+    ]
+
+
+def q102_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA compressor (operators/embedding.train_pca_compressor)
+    FULL-VALUE gate: the one-pass (count, sum, gram) partials +
+    driver eigh fit on the planted dyadic construction must
+    reproduce the closed-form principal axes (loadings exactly
+    +-0.5 after sign pinning) and explained variances (16, 4). Any
+    error in the partials algebra, the covariance assembly, the
+    eigen-ordering, or the sign pin shifts a loading or an
+    eigenvalue."""
+    from shotit_worker_spark.operators.embedding import (
+        train_pca_compressor,
+    )
+
+    df = spark.createDataFrame(
+        _pca_case_rows(), "row_id long, embedding array<double>"
+    )
+    pca = train_pca_compressor(df, out_dim=_PCA_OUT_DIM,
+                               vec_col="embedding")
+    rows = [
+        (j, i, float(pca.components[i][j]), float(pca.eigvals[j]))
+        for j in range(_PCA_OUT_DIM)
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigval double"
+    ).orderBy("component", "dim")
+
+
+def _mfcc_other_clip() -> bytes:
+    """A timbrally different clip (low square-wave drone with a slow
+    amplitude wobble) — its MFCC-statistics embedding must sit
+    farther from the tonal fixture clip than the clip's own
+    excerpt does."""
+    import numpy as np
+
+    if _TOOLS_DIR not in sys.path:
+        sys.path.insert(0, _TOOLS_DIR)
+    from gen_wav_fixture import encode_pcm_wav
+
+    from shotit_worker_spark.functions import audiofp as AF
+
+    rate = AF._RATE
+    n = rate * 4
+    t = np.arange(n) / rate
+    x = np.sign(np.sin(2 * np.pi * 110.0 * t)) * (
+        0.6 + 0.4 * np.sin(2 * np.pi * 0.5 * t)
+    )
+    pcm = np.clip(np.round(x * 20000), -32768, 32767).astype(
+        np.int64
+    ).reshape(-1, 1)
+    return encode_pcm_wav(pcm, 16, rate)
+
+
+def q104_mfcc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC clip embeddings (functions/mfcc.audio_embed) invariant
+    gate: a WAV clip, its FLAC twin, a 1-second excerpt, and a
+    timbrally different clip. The oracle states (1) twin embedding
+    IDENTICAL to the full clip's (lossless codecs, same PCM, exact
+    float equality), (2) the excerpt's cosine to the full clip
+    clears 0.9, (3) the different clip sits strictly farther than
+    the excerpt. Cosines run through the Spark zip_with/aggregate
+    path over the L2-normalized embeddings."""
+    from shotit_worker_spark.functions import mfcc as MF
+
+    wav, flac, cut, _ = _audiofp_case_blobs()
+    df = spark.createDataFrame(
+        [
+            ("m/full.wav", bytearray(wav)),
+            ("m/twin.flac", bytearray(flac)),
+            ("m/cut.wav", bytearray(cut)),
+            ("m/other.wav", bytearray(_mfcc_other_clip())),
+        ],
+        "path string, content binary",
+    )
+    emb = MF.audio_embed(df)
+    full = emb.where(F.col("file") == "m/full.wav").select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.where(F.col("file") != "m/full.wav")
+        .crossJoin(F.broadcast(full))
+        .select(
+            "file",
+            (F.col("embedding") == F.col("qe")).alias("same"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "qe",
+                    lambda a, b: a.cast("double") * b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    by_f = {r["file"]: r for r in scored}
+    twin, cut_r, other = (by_f["m/twin.flac"], by_f["m/cut.wav"],
+                          by_f["m/other.wav"])
+    rows = [
+        ("1_twin_identical", bool(twin["same"])),
+        ("2_excerpt_close", bool(cut_r["cos"] >= 0.9)),
+        ("3_other_clip_farther",
+         bool(other["cos"] < cut_r["cos"])),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
+def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
+    gate: a parquet base table (the o_orderkey%7 slice of orders)
+    receives a CDC log with upsert-then-delete, upsert-then-upsert,
+    lone-upsert and brand-new-key rows (seq 1..3); the log compacts
+    to each key's last operation (max_by) and merges (replaced /
+    deleted / inserted / untouched). The oracle rebuilds the final
+    table relationally: arg_max compaction + anti-join + union. The
+    gate re-derives everything from orders, so it is idempotent per
+    call (fresh private dir each time; the previous call's dir is
+    removed to keep /tmp bounded)."""
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.plans.merge import apply_cdc
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderstatus")
+    )
+    global _Q100_LAST_DIR
+    if _Q100_LAST_DIR:
+        shutil.rmtree(_Q100_LAST_DIR, ignore_errors=True)
+    _Q100_LAST_DIR = tempfile.mkdtemp(prefix="q100merge_")
+    path = os.path.join(_Q100_LAST_DIR, "base")
+    base.write.mode("overwrite").parquet(path)
+    k = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    up1 = base.where(k % 3 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1).alias("seq"), F.lit("upsert").alias("op"),
+    )
+    del2 = base.where(k % 6 == 0).select(
+        *cols, F.lit(2).alias("seq"), F.lit("delete").alias("op")
+    )
+    up3 = base.where(k % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 2000.0).alias("o_totalprice"),
+        F.lit("V").alias("o_orderstatus"),
+        F.lit(3).alias("seq"), F.lit("upsert").alias("op"),
+    )
+    ins = base.where(k % 11 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_custkey",
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1).alias("seq"), F.lit("upsert").alias("op"),
+    )
+    log = up1.unionByName(del2).unionByName(up3).unionByName(ins)
+    apply_cdc(spark, path, log, ["o_orderkey"], seq_col="seq",
+              op_col="op")
+    return spark.read.parquet(path).orderBy("o_orderkey")
+
+
+_MERGE_CDC_ORACLE_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    log AS (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS o_totalprice,
+               'U' AS o_orderstatus, 1 AS seq, 'upsert' AS op
+        FROM base WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               2, 'delete'
+        FROM base WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 2000.0, 'V', 3, 'upsert'
+        FROM base WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT -o_orderkey - 1, o_custkey, 42.0, 'N', 1, 'upsert'
+        FROM base WHERE o_orderkey % 11 = 0
+    ),
+    last AS (
+        SELECT o_orderkey,
+               arg_max(op, seq) AS op,
+               arg_max(o_custkey, seq) AS o_custkey,
+               arg_max(o_totalprice, seq) AS o_totalprice,
+               arg_max(o_orderstatus, seq) AS o_orderstatus
+        FROM log GROUP BY o_orderkey
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+    FROM base b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM last)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM last WHERE op = 'upsert'
+    ORDER BY o_orderkey
+"""
+
+
 def _values_oracle(rows: list, cols: str) -> str:
+    # floats cast explicitly: a bare 0.5 literal is DECIMAL in
+    # DuckDB, which canonicalizes as "0.5", not the driver's %.4f
     vals = ", ".join(
         "(" + ", ".join(
-            f"'{v}'" if isinstance(v, str) else str(v) for v in r
+            f"'{v}'" if isinstance(v, str)
+            else f"CAST({v!r} AS DOUBLE)" if isinstance(v, float)
+            else str(v) for v in r
         ) + ")"
         for r in rows
     )
@@ -5045,6 +5593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_shards": q96_shards,
         "q97_salted_join": q97_salted_join,
         "q98_eval_metrics": q98_eval_metrics,
+        # r9: past-the-cap by design (same enforcement as q78+: the
+        # displaced replay + check_oracle run the driver-exact
+        # compare on every pytest run)
+        "q99_cdc_chunks": q99_cdc_chunks,
+        "q100_merge_cdc": q100_merge_cdc,
+        "q101_captions_align": q101_captions_align,
+        "q102_pca": q102_pca,
+        "q103_grouped_topterms": q103_grouped_topterms,
+        "q104_mfcc_embed": q104_mfcc_embed,
+        "q105_interval_join": q105_interval_join,
     }
 
 
@@ -5140,6 +5698,50 @@ def oracle_sql() -> dict[str, str]:
         # q98: exact AUC — the oracle uses the independent
         # tie-averaged rank-sum formulation
         "q98_eval_metrics": _EVAL_ORACLE_SQL,
+        # q99: FULL-VALUE FastCDC chunk table — the oracle rows come
+        # from an INDEPENDENT per-byte rolling-gear chunker (the
+        # engine's is vectorized numpy over global hash positions)
+        "q99_cdc_chunks": _values_oracle(
+            _cdc_oracle_rows(),
+            "doc_id, chunk_no, \"offset\", length, digest"),
+        # q100: FULL-VALUE MERGE/CDC — arg_max compaction + anti-join
+        # + union rebuilds the merged table relationally
+        "q100_merge_cdc": _MERGE_CDC_ORACLE_SQL,
+        # q101: captions->scenes alignment — the oracle re-derives
+        # every (cue, scene) overlap from the AUTHORED cue literals
+        # (times/text as written into the SRT/VTT bytes) with a plain
+        # SQL interval join, pinning parse AND alignment
+        "q101_captions_align": _CAPTIONS_ORACLE_SQL,
+        # q102: FULL-VALUE PCA on a planted dyadic construction whose
+        # principal axes/variances are known in closed form (loadings
+        # +-0.5 exactly); sign-pinned eigh must reproduce them
+        "q102_pca": _values_oracle(
+            _pca_oracle_rows(), "component, dim, loading, eigval"),
+        # q103: FULL-VALUE per-key Misra-Gries in the provably-exact
+        # regime (k > per-key vocabulary => zero evictions)
+        "q103_grouped_topterms": f"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest({TOKENIZE_SQL.format(col='text')}) AS term
+                FROM documents
+            )
+            SELECT lang AS key, term,
+                   CAST(count(*) AS BIGINT) AS est_count
+            FROM toks GROUP BY 1, 2
+            ORDER BY key, term
+        """,
+        # q104: MFCC clip-embedding invariants (lossless twins
+        # identical; excerpt closer than a different clip) — TRUE by
+        # construction, checked through the Spark join path
+        "q104_mfcc_embed": """
+            SELECT * FROM (VALUES
+                ('1_twin_identical', TRUE),
+                ('2_excerpt_close', TRUE),
+                ('3_other_clip_farther', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
+        # q105: FULL-VALUE time-interval join — plain SQL bounded join
+        "q105_interval_join": _INTERVAL_JOIN_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -45,6 +45,10 @@ POST_R3_QUERIES = frozenset({
     "q92_exif", "q93_resample", "q94_jaccard_join",
     "q95_components", "q96_shards", "q97_salted_join",
     "q98_eval_metrics",
+    # r9 wave (promoted r8 pytest-only operators)
+    "q99_cdc_chunks", "q100_merge_cdc", "q101_captions_align",
+    "q102_pca", "q103_grouped_topterms", "q104_mfcc_embed",
+    "q105_interval_join",
 })
 
 
