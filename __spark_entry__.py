@@ -5095,6 +5095,106 @@ def q103_grouped_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q106_CACHE: dict = {}
+
+
+def q106_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF sizing rule (index/ivf.plan_ivf + calibrate_nprobe)
+    constants gate. nlist=128 is reference parity (loader.js:334) but
+    wrong at 100x — IVF wants nlist ~ sqrt(n) with nprobe calibrated
+    to a recall floor (VERDICT r8 #5). The gate builds a SECOND index
+    at the planned NON-default nlist and pins:
+
+    - 1_plan_nondefault: the plan obeys the min-points clamp and
+      differs from both the reference default (128) and the fixture
+      index's nlist (16);
+    - 2_fullprobe_exact: recall vs the exact top-k at nprobe = nlist
+      is EXACTLY 1.0 — layout + scoring stay correct at the planned
+      geometry, not just at reference parity;
+    - 3_calibrated_floor: the measured doubling search reaches the
+      0.9 recall floor at some nprobe <= nlist (calibrate_nprobe
+      measures, never models)."""
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.index import ivf
+
+    n_queries, k = 10, 15
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    )
+    # build-once/query-many (the q24/q49 _shared_ivf_index
+    # precedent): the planned index is cached per sf_dir; the exact
+    # ground truth + the measured calibration recompute per call
+    cached = _Q106_CACHE.get(sf_dir)
+    if cached is None:
+        n = nemb.count()
+        plan = ivf.plan_ivf(n)
+        d = tempfile.mkdtemp(prefix="q106ivf_")
+        index = ivf.build_ivf(
+            nemb, d + "/index", nlist=plan["nlist"],
+            sample_cap=plan["train_sample"],
+        )
+        cached = _Q106_CACHE[sf_dir] = (index, plan, n)
+    index, plan, n = cached
+    nlist = plan["nlist"]
+    qrows = (
+        nemb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id").collect()
+    )
+    queries = [(int(r["vec_id"]), np.asarray(r["vector"]))
+               for r in qrows]
+    # tie-tolerant exact top-k (the q49 boundary rule: include every
+    # row within 1e-9 of the k-th score, fetched as top k+5)
+    exact_kp = S.knn_join(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in q]) for qid, q in queries],
+            "query_id long, query_vec array<double>",
+        ),
+        nemb, k=k + 5, vec_col="vector", id_col="vec_id",
+        tie_col="vec_id",
+    ).select("query_id", "vec_id", "score")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact_kp = exact_kp.withColumn(
+        "rank", F.row_number().over(rank_w))
+    kth = exact_kp.filter(F.col("rank") == k).select(
+        "query_id", F.col("score").alias("kth_score"))
+    exact_df = (
+        exact_kp.join(kth, "query_id")
+        .filter(F.col("score") >= F.col("kth_score") - F.lit(1e-9))
+        .select("query_id", "vec_id")
+    )
+    exact = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    full = index.search_batch(
+        spark, queries, k=k, nprobe=nlist, id_col="vec_id",
+        tie_col="vec_id",
+    ).select("query_id", "vec_id")
+    full_hits = full.join(exact_df, ["query_id", "vec_id"]).count()
+    cal = ivf.calibrate_nprobe(
+        spark, index, queries, exact, k=k, target_recall=0.9,
+        start_nprobe=plan["nprobe0"], id_col="vec_id",
+        tie_col="vec_id",
+    )
+    rows = [
+        ("1_plan_nondefault",
+         nlist not in (16, 128)
+         and 1 <= nlist <= max(1, n // 39)),
+        ("2_fullprobe_exact",
+         full_hits == len(queries) * k),
+        ("3_calibrated_floor",
+         cal["recall"] >= 0.9 and cal["nprobe"] <= nlist),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
 # authored caption cues: (file, cue_no, start_sec, end_sec, text) —
 # the literal times/texts WRITTEN into the SRT/VTT bytes below, and
 # the rows the oracle joins from; if the parser mis-reads the bytes,
@@ -5603,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_grouped_topterms": q103_grouped_topterms,
         "q104_mfcc_embed": q104_mfcc_embed,
         "q105_interval_join": q105_interval_join,
+        "q106_ivf_plan": q106_ivf_plan,
     }
 
 
@@ -5742,6 +5843,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q105: FULL-VALUE time-interval join — plain SQL bounded join
         "q105_interval_join": _INTERVAL_JOIN_ORACLE_SQL,
+        # q106: IVF sizing-rule invariants (non-default sqrt(n) nlist
+        # obeys the clamp; full probe exact; measured calibration
+        # reaches the floor) — TRUE by construction
+        "q106_ivf_plan": """
+            SELECT * FROM (VALUES
+                ('1_plan_nondefault', TRUE),
+                ('2_fullprobe_exact', TRUE),
+                ('3_calibrated_floor', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

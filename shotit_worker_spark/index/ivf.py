@@ -688,3 +688,95 @@ def recall_at_k(approx: list, exact: list) -> float:
     if not exact:
         return 1.0
     return len(set(approx) & set(exact)) / len(exact)
+
+
+def plan_ivf(
+    n: int,
+    min_points_per_list: int = 39,
+    scan_budget_frac: float = 0.01,
+) -> dict:
+    """Size an IVF layout for an ``n``-vector corpus — driver
+    arithmetic only, no Spark job.
+
+    ``nlist=128`` is reference parity (loader.js:334) and fine at
+    reference scale, but wrong at 100x: per-probe scan cost is
+    ~n/nlist rows and the centroid argmin costs nlist, so the two
+    balance at nlist ~ sqrt(n) — the published coarse-quantizer
+    guidance (FAISS wiki "Guidelines to choose an index"; IVFADC,
+    Jegou et al., TPAMI 2011). Returns:
+
+    - ``nlist``: round(sqrt(n)) clamped to
+      [1, n // min_points_per_list] — k-means wants a minimum number
+      of training points per centroid (the public FAISS floor is 39)
+      or the fit is noise;
+    - ``nprobe0``: the probe count whose expected scan is
+      ``scan_budget_frac`` of the corpus (>= 1) — a STARTING point,
+      not a promise: recall-vs-nprobe depends on the data, so hold a
+      recall floor with :func:`calibrate_nprobe`, which measures
+      instead of modeling;
+    - ``rows_per_probe``: expected n / nlist;
+    - ``train_sample``: max(10_000, 50 * nlist) capped at n — the
+      sample_cap to pass to :func:`build_ivf`.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_points_per_list < 1:
+        raise ValueError("min_points_per_list must be >= 1")
+    if not 0.0 < scan_budget_frac <= 1.0:
+        raise ValueError("scan_budget_frac must be in (0, 1]")
+    nlist = int(round(n ** 0.5))
+    nlist = max(1, min(nlist, n // min_points_per_list or 1))
+    nprobe0 = max(1, min(nlist, int(-(-scan_budget_frac * nlist // 1))))
+    return {
+        "nlist": nlist,
+        "nprobe0": nprobe0,
+        "rows_per_probe": n / nlist,
+        "train_sample": min(n, max(10_000, 50 * nlist)),
+    }
+
+
+def calibrate_nprobe(
+    spark: SparkSession,
+    index: IVFIndex,
+    queries: list,
+    exact: dict,
+    k: int = DEFAULT_TOPK,
+    target_recall: float = 0.9,
+    start_nprobe: int = 1,
+    id_col: str = "hash_id",
+    tie_col: str | None = "primary_key",
+) -> dict:
+    """Smallest nprobe (doubling search from ``start_nprobe``) whose
+    MEASURED mean recall@k over the sample ``queries`` meets
+    ``target_recall``; terminates at nprobe = nlist, where the probe
+    set is every partition and recall vs the exact top-k is 1.0 by
+    construction. O(log nlist) batch-search jobs, each reading only
+    its probed partitions; ground truth (``exact``: query_id -> set
+    of ids, e.g. from operators.similarity.knn_join) is computed by
+    the caller ONCE, not per step.
+
+    Returns {"nprobe", "recall", "curve": [(nprobe, recall), ...]}.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    nlist = len(index.centroids)
+    nprobe = max(1, min(start_nprobe, nlist))
+    curve = []
+    while True:
+        got = index.search_batch(
+            spark, queries, k=k, nprobe=nprobe,
+            id_col=id_col, tie_col=tie_col,
+        ).collect()
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r[id_col])
+        recall = sum(
+            recall_at_k(by_q.get(qid, []), sorted(exact[qid]))
+            for qid, _ in queries
+        ) / len(queries)
+        curve.append((nprobe, recall))
+        if recall >= target_recall or nprobe >= nlist:
+            return {"nprobe": nprobe, "recall": recall, "curve": curve}
+        nprobe = min(nlist, nprobe * 2)

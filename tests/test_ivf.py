@@ -408,3 +408,64 @@ def test_add_clamps_out_of_range_vectors(spark, corpus, tmp_root):
     got = idx.search(spark, q, k=3, nprobe=NLIST, id_col="vec_id",
                      tie_col=None).collect()
     assert len(got) == 3
+
+
+def test_plan_ivf_arithmetic():
+    from shotit_worker_spark.index.ivf import plan_ivf
+
+    p = plan_ivf(1_000_000)
+    assert p["nlist"] == 1000
+    assert p["nprobe0"] == 10  # 1% scan budget
+    assert p["train_sample"] == 50_000
+    assert p["rows_per_probe"] == 1000.0
+    # min-points clamp: tiny corpora can't support sqrt(n) centroids
+    assert plan_ivf(500)["nlist"] == 12  # 500 // 39, not round(22.4)
+    assert plan_ivf(1)["nlist"] == 1
+    assert plan_ivf(10_000_000_000)["nlist"] == 100_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n must"):
+        plan_ivf(0)
+    with _pt.raises(ValueError, match="scan_budget_frac"):
+        plan_ivf(100, scan_budget_frac=0.0)
+
+
+def test_calibrate_nprobe_clustered(spark, tmp_path):
+    # 3 tight clusters: a within-cluster query needs only its own
+    # list, so calibration must stop at nprobe=1 with recall 1.0
+    import numpy as np
+
+    from shotit_worker_spark.index import ivf
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(300):
+        v = centers[i % 3] + rng.normal(0, 0.05, 8)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, vector array<double>")
+    index = ivf.build_ivf(df, str(tmp_path / "idx"), nlist=3)
+    queries = [(i, np.asarray(r[1])) for i, r in enumerate(rows[:4])]
+    # exact ground truth: brute force per query on the driver (300x8)
+    mat = np.array([r[1] for r in rows])
+    exact = {}
+    for qid, q in queries:
+        top = np.argsort(-(mat @ q))[:5]
+        exact[qid] = {int(rows[j][0]) for j in top}
+    cal = ivf.calibrate_nprobe(
+        spark, index, queries, exact, k=5, target_recall=0.99,
+        id_col="vec_id", tie_col="vec_id",
+    )
+    assert cal["nprobe"] == 1 and cal["recall"] >= 0.99
+    assert cal["curve"][0][0] == 1
+    # unreachable-without-full-probe target still terminates at nlist
+    cal2 = ivf.calibrate_nprobe(
+        spark, index, queries, exact, k=5, target_recall=1.0,
+        start_nprobe=1, id_col="vec_id", tie_col="vec_id",
+    )
+    assert cal2["nprobe"] <= 3 and cal2["recall"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="queries"):
+        ivf.calibrate_nprobe(spark, index, [], exact)
