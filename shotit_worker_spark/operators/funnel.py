@@ -33,27 +33,17 @@ from pyspark.sql import functions as F
 __all__ = ["funnel_times", "funnel_counts"]
 
 
-def funnel_times(
+def _prepared_events(
     events: DataFrame,
     steps: Sequence[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    max_span_sec: float | None = None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
 ) -> DataFrame:
-    """(user, t1..tk timestamp) — one row per user who performed
-    step 1; t_i is the greedy match time of step i (NULL from the
-    first uncompleted step on). One groupBy(user) shuffle; the walk
-    is a whole-stage-codegen ``aggregate`` over the sorted event
-    array."""
-    if not steps:
-        raise ValueError("steps must be non-empty")
-    k = len(steps)
-    stepset = list(dict.fromkeys(steps))
-    if len(stepset) != k:
-        raise ValueError("repeated step types are not supported")
-
-    ev = events.select(
+    """(__u, __t micros, __y) — step events only, NULL timestamps
+    dropped (a NULL would match step 1 unconditionally and then
+    poison every later comparison)."""
+    return events.select(
         F.col(user_col).alias("__u"),
         # NTZ → timestamp → EXACT epoch micros (session tz is pinned
         # UTC engine-wide, so the NTZ reinterpretation is wall-clock
@@ -63,29 +53,35 @@ def funnel_times(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
         F.col(type_col).alias("__y"),
     ).where(
-        F.col(type_col).isin(list(steps))
-        # NULL timestamps would otherwise match step 1 (the i==0
-        # branch has no time comparison) and then poison every later
-        # comparison to NULL; dropping them matches what any
-        # min()/join formulation does
-        & F.col(ts_col).isNotNull()
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
     )
-    arr = (
-        ev.groupBy("__u")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("__t", "__y"))
-            ).alias("__evs")
+
+
+def _event_arrays(ev: DataFrame) -> DataFrame:
+    """(__u, __evs sorted array<struct<__t,__y>>) — one groupBy(user)
+    shuffle."""
+    return ev.groupBy("__u").agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__y"))).alias(
+            "__evs"
         )
     )
-    # greedy walk: acc = (i matched steps, times array); advance when
-    # the event is the (i+1)-th step type, after the last match, and
-    # inside the optional window anchored at the first match
-    steps_arr = F.array(*[F.lit(s) for s in steps])
-    init = F.struct(
+
+
+def _empty_acc():
+    return F.struct(
         F.lit(0).alias("i"),
         F.array().cast("array<long>").alias("ts"),
     )
+
+
+def _walk_visit(steps: Sequence[str], max_span_sec: float | None):
+    """The greedy-walk step for F.aggregate: acc = (i matched steps,
+    times array); advance when the event is the (i+1)-th step type,
+    after the last match, and inside the optional window anchored at
+    the first match. Seedable: the streaming fold resumes the walk
+    from a STORED accumulator by passing it as the aggregate init."""
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
 
     def visit(acc, x):
         wanted = F.element_at(steps_arr, acc["i"] + 1)
@@ -113,8 +109,37 @@ def funnel_times(
             ),
         ).otherwise(acc)
 
+    return visit
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_sec: float | None = None,
+) -> DataFrame:
+    """(user, t1..tk timestamp) — one row per user who performed
+    step 1; t_i is the greedy match time of step i (NULL from the
+    first uncompleted step on). One groupBy(user) shuffle; the walk
+    is a whole-stage-codegen ``aggregate`` over the sorted event
+    array."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    stepset = list(dict.fromkeys(steps))
+    if len(stepset) != k:
+        raise ValueError("repeated step types are not supported")
+
+    arr = _event_arrays(
+        _prepared_events(events, steps, user_col, ts_col, type_col)
+    )
     walked = arr.select(
-        "__u", F.aggregate("__evs", init, visit).alias("__acc")
+        "__u",
+        F.aggregate(
+            "__evs", _empty_acc(), _walk_visit(steps, max_span_sec)
+        ).alias("__acc"),
     )
     out_cols = [F.col("__u").alias(user_col)]
     for i in range(1, k + 1):

@@ -1,0 +1,154 @@
+"""Incremental funnel over a stream (foreachBatch).
+
+The batch funnel (operators/funnel) walks each user's FULL sorted
+event array — fine for a corpus job, wrong for a stream that should
+not replay history every trigger. The fold here keeps the walk
+accumulator (matched-step count + matched times — O(steps) per user)
+as a DISTRIBUTED parquet state table, never on the driver (unlike
+sketchfold's O(k) global summaries, funnel state is per-user, so
+driver-held state would be a node-scale collect — the same failure
+mode the r8 pagerank broadcast review flagged). Each micro-batch:
+
+1. walks its OWN events per user (one groupBy(user) over the batch),
+2. full-outer-joins the prior state (hash join on user — both sides
+   shuffle on the key; at 100 TB the state table is bucketed by the
+   same key, so AQE keeps this a co-partitioned join),
+3. RESUMES the greedy walk by seeding ``F.aggregate`` with the
+   stored accumulator (the exact batch-walk expression, exported by
+   operators/funnel._walk_visit),
+4. swap-writes the updated state atomically (plans/merge discipline),
+   so a crashed trigger replays idempotently from the checkpoint.
+
+Correctness contract: batches must arrive in event-time order ACROSS
+triggers (file replay / log-compaction order). Within that contract
+the fold is EXACTLY the batch walk — pinned by the stream==batch
+equivalence test — because greedy matching never looks behind the
+last matched time. Equal-timestamp events that straddle a trigger
+boundary resolve in arrival order instead of the batch walk's
+(time, type) sort order; keep event timestamps distinct (or
+sub-batch granular) if that tie matters.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import funnel as _FN
+from ..plans.merge import _swap_write
+
+__all__ = ["FunnelFolder"]
+
+
+class FunnelFolder:
+    """Streaming funnel with parquet-backed per-user state. Use
+    :meth:`foreach_batch` as the ``foreachBatch`` function; read
+    conversion totals with :meth:`counts` (same shape as
+    operators/funnel.funnel_counts)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        steps: Sequence[str],
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        max_span_sec: float | None = None,
+    ):
+        if not steps:
+            raise ValueError("steps must be non-empty")
+        if len(set(steps)) != len(steps):
+            raise ValueError("repeated step types are not supported")
+        self.spark = spark
+        self.state_path = state_path
+        self.steps = list(steps)
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.type_col = type_col
+        self.max_span_sec = max_span_sec
+        self._has_state = False
+
+    def _state(self) -> DataFrame | None:
+        if not self._has_state:
+            try:
+                df = self.spark.read.parquet(self.state_path)
+                self._has_state = True
+                return df
+            except Exception:
+                return None
+        return self.spark.read.parquet(self.state_path)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        arr = _FN._event_arrays(
+            _FN._prepared_events(
+                batch_df, self.steps, self.user_col, self.ts_col,
+                self.type_col,
+            )
+        )
+        state = self._state()
+        if state is not None:
+            joined = arr.join(
+                state.select(
+                    F.col("user").alias("__u"),
+                    F.struct(
+                        F.col("i").alias("i"), F.col("ts").alias("ts")
+                    ).alias("__prev"),
+                ),
+                on="__u",
+                how="full_outer",
+            )
+        else:
+            joined = arr.withColumn(
+                "__prev",
+                F.lit(None).cast("struct<i:int,ts:array<long>>"),
+            )
+        init = F.coalesce(F.col("__prev"), _FN._empty_acc())
+        visit = _FN._walk_visit(self.steps, self.max_span_sec)
+        acc = F.when(
+            F.col("__evs").isNull(), init
+        ).otherwise(F.aggregate("__evs", init, visit))
+        new_state = (
+            joined.select(F.col("__u").alias("user"), acc.alias("__a"))
+            .where(F.col("__a")["i"] >= 1)
+            .select(
+                "user",
+                F.col("__a")["i"].alias("i"),
+                F.col("__a")["ts"].alias("ts"),
+            )
+        )
+        if state is None:
+            # first batch: nothing to swap out yet
+            new_state.write.mode("overwrite").parquet(self.state_path)
+        else:
+            _swap_write(new_state, self.state_path)
+        self._has_state = True
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+    def counts(self) -> DataFrame:
+        """(step_no, step, users) — users whose stored walk reached
+        each step; identical shape (and, under the ordering contract,
+        identical values) to funnel_counts over everything folded."""
+        state = self._state()
+        k = len(self.steps)
+        if state is None:
+            rows = [(i + 1, s, 0) for i, s in enumerate(self.steps)]
+            return self.spark.createDataFrame(
+                rows, "step_no int, step string, users long"
+            )
+        aggs = [
+            F.sum((F.col("i") >= i).cast("long")).alias(f"c{i}")
+            for i in range(1, k + 1)
+        ]
+        row = state.agg(*aggs).collect()[0]
+        rows = [
+            (i, self.steps[i - 1], int(row[f"c{i}"] or 0))
+            for i in range(1, k + 1)
+        ]
+        return self.spark.createDataFrame(
+            rows, "step_no int, step string, users long"
+        )

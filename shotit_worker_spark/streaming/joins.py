@@ -54,7 +54,18 @@ def interval_join(
     and ``leftOuter`` (outer emission requires the watermark to pass
     the row's bound, so trailing unmatched rows of a finite replay
     flush only when later data advances the watermark — standard
-    Structured Streaming semantics)."""
+    Structured Streaming semantics).
+
+    Plan shape: STREAMING inputs keep the raw equality+range
+    condition — Structured Streaming needs it verbatim to bound and
+    clean the join state. BATCH inner joins instead route through the
+    bucketed rewrite (operators/relational.range_join): the raw
+    condition compiles to a sort-merge join on the key with the range
+    as a post-filter, which is QUADRATIC inside each key group — a
+    power-law key (one user holding 0.5% of 10M events) turned the
+    raw plan into a 194 s straggler where the bucketed plan takes
+    seconds (tools/scale_stress_r9.py). Results are identical; only
+    the join strategy changes."""
     if upper_sec < lower_sec:
         raise ValueError("upper_sec must be >= lower_sec")
     if how not in ("inner", "leftOuter"):
@@ -65,6 +76,17 @@ def interval_join(
         [F.col(c).alias(f"l_{c}") for c in lw.columns])
     rp = rw.select(
         [F.col(c).alias(f"r_{c}") for c in rw.columns])
+    if how == "inner" and not left.isStreaming and not right.isStreaming:
+        from ..operators.relational import range_join
+
+        lt = lp.withColumn("__k", F.col(f"l_{key}"))
+        rt = rp.withColumn("__k", F.col(f"r_{key}"))
+        return range_join(
+            lt, rt,
+            left_ts=f"l_{left_ts}", right_ts=f"r_{right_ts}",
+            lower_sec=float(lower_sec), upper_sec=float(upper_sec),
+            keys=["__k"],
+        ).drop("__k")
     cond = (
         (F.col(f"l_{key}") == F.col(f"r_{key}"))
         & (F.col(f"r_{right_ts}")

@@ -1,0 +1,124 @@
+"""Streaming funnel fold (streaming/funnelfold): a time-ordered
+chunked file replay folded through foreachBatch must produce EXACTLY
+the batch funnel's conversion table (the ordering contract the module
+documents), per-user state stays O(steps) rows, crash-replay of a
+batch is idempotent, and the guards refuse bad step lists."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+from shotit_worker_spark.operators.funnel import funnel_counts
+from shotit_worker_spark.streaming import ingest as SI
+from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+
+STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _events(spark, n_users=120, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    t = 0
+    for _ in range(n_users * 12):
+        t += int(rng.integers(1, 50))  # strictly increasing: no ties
+        rows.append(
+            (
+                int(rng.integers(0, n_users)),
+                base + dt.timedelta(seconds=t),
+                STEPS[int(rng.integers(0, 4))]
+                if rng.random() > 0.2
+                else "noise",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def _replay(spark, df, src, folder, chunks=4):
+    import pyspark.sql.functions as F
+
+    # time-ordered chunks (the module's ordering contract): ntile
+    # over ts puts every event of chunk i before chunk i+1
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts")
+    parts = df.withColumn("__c", F.ntile(chunks).over(w))
+    src.mkdir()
+    for i in range(1, chunks + 1):
+        p = str(src / f"chunk{i}")
+        parts.where(F.col("__c") == i).drop("__c").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + i * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=df.drop("__c").schema,
+        max_files_per_trigger=1, glob="*.parquet", recursive=True,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(folder.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_fold_equals_batch(spark, tmp_root):
+    df = _events(spark)
+    folder = FunnelFolder(
+        spark, str(tmp_root / "funnel_state"), STEPS,
+        max_span_sec=3600.0,
+    )
+    _replay(spark, df, tmp_root / "funnel_stream", folder)
+    got = {(r["step_no"], r["step"]): r["users"]
+           for r in folder.counts().collect()}
+    want = {
+        (r["step_no"], r["step"]): r["users"]
+        for r in funnel_counts(df, STEPS, max_span_sec=3600.0).collect()
+    }
+    assert got == want
+    assert got[(1, "signup")] > got[(4, "purchase")] >= 0
+    assert got[(1, "signup")] > 0
+    # state is O(steps) per user: one row per user who started,
+    # 2 + len(ts) columns
+    state = spark.read.parquet(str(tmp_root / "funnel_state"))
+    assert state.columns == ["user", "i", "ts"]
+    assert state.count() == want[(1, "signup")]
+    assert state.agg({"i": "max"}).collect()[0][0] <= len(STEPS)
+
+
+def test_batch_replay_idempotent_and_empty_counts(spark, tmp_root):
+    df = _events(spark, n_users=30, seed=9)
+    folder = FunnelFolder(
+        spark, str(tmp_root / "funnel_state2"), STEPS
+    )
+    # empty counts before any batch
+    pre = {r["step"]: r["users"] for r in folder.counts().collect()}
+    assert set(pre.values()) == {0}
+    folder.foreach_batch(df, 0)
+    once = sorted(folder.counts().collect())
+    # crash-replay: folding the SAME batch again must not double-
+    # count (greedy walk can't advance on events at or before the
+    # last matched time, and the state swap is atomic)
+    folder.foreach_batch(df, 0)
+    assert sorted(folder.counts().collect()) == once
+    batch = sorted(funnel_counts(df, STEPS).collect())
+    assert once == batch
+
+
+def test_funnelfold_guards(spark, tmp_root):
+    with pytest.raises(ValueError, match="non-empty"):
+        FunnelFolder(spark, str(tmp_root / "x"), [])
+    with pytest.raises(ValueError, match="repeated"):
+        FunnelFolder(spark, str(tmp_root / "x"), ["a", "a"])

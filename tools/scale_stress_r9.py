@@ -1,0 +1,179 @@
+"""Round-9 stress: the r8/r9 analytics wave at 10M rows on local[32]
+(VERDICT r8 #4).
+
+Drives funnel, cohort retention, resample, pagerank_int, the sketch
+family (MG / KLL quantiles / theta / Count-Min), the TWO-PHASE grouped
+sketches, and the rewritten two-level binary_metrics on CONTINUOUS
+scores (distinct ~ row count — the case the r8 single-task window
+could not survive), printing rows/s per operator. Event data uses a
+power-law user distribution with a planted mega-user (0.5% of all
+events) to exercise the per-user array paths under skew.
+
+Usage: python tools/scale_stress_r9.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, n, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{label}: {n} rows in {dt:.1f}s = {n / dt / 1e6:.2f}M rows/s",
+          flush=True)
+    return out, dt
+
+
+def main(n: int = 10_000_000) -> None:
+    spark = get_spark("stress-r9", shuffle_partitions=64)
+    spark.range(100).selectExpr("sum(id)").collect()  # warm JVM
+
+    # ---- event table: power-law users (+ one mega-user at 0.5% of
+    # all events), 4 step types, 30-day timeline ----------------------
+    u_hash = (F.xxhash64("id") % 1_000_000 + 1_000_000) % 1_000_000
+    # cube the uniform to concentrate mass (polynomial head), then
+    # plant the mega-user explicitly
+    u_pow = (
+        F.pow(u_hash.cast("double") / 1e6, F.lit(3.0)) * 200_000
+    ).cast("long")
+    user = F.when(F.col("id") % 200 == 0, F.lit(0)).otherwise(u_pow + 1)
+    t_hash = (F.xxhash64("id", F.lit(7)) % 2_592_000 + 2_592_000) % 2_592_000
+    step = (F.xxhash64("id", F.lit(9)) % 4 + 4) % 4
+    ev = (
+        spark.range(n)
+        .select(
+            user.alias("user_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + t_hash).alias("ts"),
+            F.element_at(
+                F.array(F.lit("signup"), F.lit("view"), F.lit("click"),
+                        F.lit("purchase")),
+                (step + 1).cast("int"),
+            ).alias("event_type"),
+            (t_hash % 997).cast("double").alias("value"),
+        )
+        .persist()
+    )
+    ev.count()
+    mega = ev.where(F.col("user_id") == 0).count()
+    print(f"events: {n} rows, mega-user holds {mega} "
+          f"({100.0 * mega / n:.2f}%)", flush=True)
+
+    from shotit_worker_spark.operators.funnel import funnel_counts
+
+    timed("funnel_counts (4 steps, power-law users)", n, lambda: (
+        funnel_counts(ev, ["signup", "view", "click", "purchase"],
+                      max_span_sec=7 * 86400).collect()
+    ))
+
+    from shotit_worker_spark.operators.cohort import cohort_retention
+
+    timed("cohort_retention (weekly)", n, lambda: (
+        cohort_retention(ev, anchor_type="signup",
+                         period_days=7).collect()
+    ))
+
+    from shotit_worker_spark.operators.timeseries import resample
+
+    rs = ev.withColumn("key", F.col("user_id") % 200)
+    timed("resample (hourly, 200 keys, ffill)", n, lambda: (
+        resample(rs, key_col="key", interval_sec=3600,
+                 agg="avg").count()
+    ))
+
+    from shotit_worker_spark.streaming.joins import interval_join
+
+    left = ev.where(F.col("event_type") == "signup")
+    right = ev.where(F.col("event_type") == "view")
+    timed("interval_join (signup->view, 1h)", n, lambda: (
+        interval_join(left, right, key="user_id", lower_sec=0,
+                      upper_sec=3600).count()
+    ))
+
+    # ---- binary_metrics on CONTINUOUS scores: distinct ~ n ----------
+    from shotit_worker_spark.operators.evalmetrics import binary_metrics
+
+    sc_h = (F.xxhash64("id", F.lit(3)) % (1 << 52) + (1 << 52)) % (1 << 52)
+    scored = spark.range(n).select(
+        (sc_h.cast("double") / (1 << 52)).alias("score"),
+        (F.xxhash64("id", F.lit(5)) % 2 == 0).cast("int").alias("label"),
+    )
+    timed("binary_metrics (continuous scores, two-level AUC)", n,
+          lambda: binary_metrics(scored).collect())
+
+    # ---- sketch family ----------------------------------------------
+    from shotit_worker_spark.operators import sketches as SK
+    from shotit_worker_spark.operators import quantiles as Q
+
+    # Zipf-ish tokens: rank = floor(1/u) capped, vocabulary ~ 1e6
+    tok_u = ((F.xxhash64("id", F.lit(11)) % (1 << 30) + (1 << 30))
+             % (1 << 30)).cast("double") / (1 << 30)
+    toks = spark.range(n).select(
+        F.concat(F.lit("t"), F.least(
+            F.lit(1_000_000),
+            F.floor(1.0 / (tok_u + 1e-9)).cast("long")
+        ).cast("string")).alias("tok"),
+        (F.xxhash64("id", F.lit(13)) % 5 + 5).cast("int").alias("grp5"),
+        ((F.xxhash64("id", F.lit(17)) % 100_000 + 100_000) % 100_000)
+        .alias("grp100k"),
+        ((F.xxhash64("id", F.lit(19)) % 997 + 997) % 997).cast("double")
+        .alias("v"),
+    ).persist()
+    toks.count()
+
+    timed("heavy_hitters k=200 (Zipf 1M vocab)", n, lambda: (
+        SK.heavy_hitters(toks, "tok", k=200).collect()
+    ))
+    timed("quantile_sketch k=256", n, lambda: (
+        Q.quantile_sketch(toks, "v", k=256).collect()
+    ))
+    timed("theta_sketch k=1024", n, lambda: (
+        SK.theta_sketch(toks, "tok", k=1024).collect()
+    ))
+    timed("cm_build 4096x5", n, lambda: (
+        SK.cm_build(toks, "tok", width=4096, depth=5).collect()
+    ))
+    timed("heavy_hitters_by_key (5 keys) two-phase", n, lambda: (
+        SK.heavy_hitters_by_key(toks, "grp5", "tok", k=200).collect()
+    ))
+    timed("heavy_hitters_by_key (100k keys) two-phase", n, lambda: (
+        SK.heavy_hitters_by_key(toks, "grp100k", "tok", k=20).count()
+    ))
+    timed("quantiles_by_key (5 keys) two-phase", n, lambda: (
+        SK.quantiles_by_key(toks, "grp5", "v",
+                            ps=[0.5, 0.99], k=128).collect()
+    ))
+
+    # ---- pagerank_int: n edges over ~n/10 nodes ---------------------
+    from shotit_worker_spark.operators.graph import pagerank_int
+
+    nn = n // 10
+    edges = spark.range(n).select(
+        ((F.xxhash64("id") % nn + nn) % nn).alias("src"),
+        ((F.xxhash64("id", F.lit(1)) % nn + nn) % nn).alias("dst"),
+    ).persist()
+    edges.count()
+    pr, _ = timed(f"pagerank_int (3 iters, {nn} nodes)", n, lambda: (
+        pagerank_int(edges, iters=3, persist_result=False)
+    ))
+    t0 = time.time()
+    cnt = pr.count()
+    print(f"  materialize: {cnt} ranks in {time.time() - t0:.1f}s",
+          flush=True)
+    edges.unpersist()
+    toks.unpersist()
+    ev.unpersist()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
