@@ -5451,6 +5451,40 @@ def q104_mfcc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("invariant")
 
 
+def q107_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key KMV/theta distinct counts (operators/sketches.
+    distinct_by_key) FULL-VALUE gate: distinct customer buckets per
+    order priority. The counted value is bounded by construction
+    (custkey % 800 -> <= 800 distinct per key at EVERY sf), so
+    k=1024 keeps every key in the PROVABLY-exact regime: the k-min
+    set never overflows, the sketch holds every distinct hash, and
+    the estimate IS the exact count — which the oracle states from
+    plain SQL count(DISTINCT). The two-phase plan shuffles only
+    bounded k-min partials, never the rows."""
+    from shotit_worker_spark.operators.sketches import distinct_by_key
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_custkey") % 800).alias("cust_bucket")
+    )
+    return (
+        distinct_by_key(orders, "o_orderpriority", "cust_bucket",
+                        k=1024)
+        .orderBy("key")
+    )
+
+
+_GROUPED_DISTINCT_ORACLE_SQL = """
+    SELECT o_orderpriority AS key,
+           CAST(count(DISTINCT o_custkey % 800) AS DOUBLE)
+               AS est_distinct,
+           count(DISTINCT o_custkey % 800) AS retained,
+           TRUE AS is_exact
+    FROM orders
+    GROUP BY 1
+    ORDER BY key
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -5704,6 +5738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_mfcc_embed": q104_mfcc_embed,
         "q105_interval_join": q105_interval_join,
         "q106_ivf_plan": q106_ivf_plan,
+        "q107_grouped_distinct": q107_grouped_distinct,
     }
 
 
@@ -5853,6 +5888,9 @@ def oracle_sql() -> dict[str, str]:
                 ('3_calibrated_floor', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
+        # q107: FULL-VALUE per-key theta distinct in the provably-
+        # exact regime (value domain bounded below k by construction)
+        "q107_grouped_distinct": _GROUPED_DISTINCT_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -90,14 +90,23 @@ def cohort_retention(
         )
         .where(F.col("__cohort").isNotNull())
     )
-    # per-user offsets as an array expression, PLUS a -1 sentinel row
-    # marking cohort membership: one explode + one (cohort, offset)
-    # agg then yields BOTH the matrix cells (offset >= 0) and the
-    # cohort sizes (offset == -1) from the SAME subtree — the two
-    # consumers' subplans beneath their filters are identical, so
-    # physical planning deduplicates the whole pipeline (scan,
-    # user-keyed exchange, cohort-keyed exchange) via ReuseExchange.
-    # No cache to own, no second scan of the event table.
+    return _matrix_from_per_user(per_user, max_offset)
+
+
+def _matrix_from_per_user(
+    per_user: DataFrame, max_offset: int | None = None
+) -> DataFrame:
+    """Retention matrix from a (__cohort, __periods) per-user frame —
+    shared by the batch path and the streaming fold's state table.
+
+    Per-user offsets as an array expression, PLUS a -1 sentinel row
+    marking cohort membership: one explode + one (cohort, offset)
+    agg then yields BOTH the matrix cells (offset >= 0) and the
+    cohort sizes (offset == -1) from the SAME subtree — the two
+    consumers' subplans beneath their filters are identical, so
+    physical planning deduplicates the whole pipeline (scan,
+    user-keyed exchange, cohort-keyed exchange) via ReuseExchange.
+    No cache to own, no second scan of the event table."""
     offsets = F.transform(
         F.filter(
             "__periods",

@@ -45,6 +45,7 @@ __all__ = [
     "cm_estimate",
     "cm_with_exact",
     "heavy_hitters_by_key",
+    "distinct_by_key",
     "quantiles_by_key",
 ]
 
@@ -635,6 +636,82 @@ def heavy_hitters_by_key(
 
     return parts.groupBy("key").applyInPandas(
         merge, schema=f"key {key_type}, term string, est_count long"
+    )
+
+
+def distinct_by_key(
+    df: DataFrame, key_col: str, col, k: int = 1024
+) -> DataFrame:
+    """(key, est_distinct, retained, is_exact) KMV/theta distinct
+    counts PER KEY (the per-domain / per-language cardinality shape;
+    q15's HLL answers only the global question). TWO-PHASE mergeable
+    summaries like the other grouped sketches: one mapInPandas pass
+    keeps a k-min hash set per (partition, key); only those bounded
+    partials shuffle by key and merge per key. ``is_exact`` marks
+    keys whose merged set never overflowed k — there the KMV kept
+    EVERY distinct hash and est_distinct is the exact distinct count
+    (xxhash64 collisions aside); above k the estimate is the
+    standard (k-1)/theta with the ThetaSketch class's error bars.
+    Per-partition state is O(k x distinct keys in the partition) —
+    repartition by key first for key cardinalities beyond memory."""
+    import numpy as np
+
+    if k < 16:
+        raise ValueError("k must be >= 16")
+    c = col if isinstance(col, Column) else F.col(col)
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        _unsigned_order(F.xxhash64(c)).alias("__h"),
+    ).where(c.isNotNull())
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def partial(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        per_key: dict = {}
+        for b in batches:
+            for key, grp in b.groupby("__key", dropna=False)["__h"]:
+                a = grp.to_numpy(dtype=np.int64)
+                best = per_key.get(key)
+                merged = (
+                    a if best is None else np.concatenate([best, a])
+                )
+                merged = np.unique(merged)
+                if len(merged) > k:
+                    merged = merged[:k]
+                per_key[key] = merged
+        for key, best in per_key.items():
+            if len(best):
+                yield pd.DataFrame({"key": key, "h": best})
+
+    parts = base.mapInPandas(
+        partial, schema=f"key {key_type}, h long"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        best = np.unique(pdf["h"].to_numpy(dtype=np.int64))
+        if len(best) > k:
+            best = best[:k]
+        unsigned = best.astype(np.uint64) ^ np.uint64(_S64)
+        sk = ThetaSketch(k, unsigned)
+        # exactness is the sketch's own canonical-geometry notion
+        # (theta still 2^64): a key whose distinct count REACHED k
+        # trims to the (k-1)-below-theta form and is an estimate
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "est_distinct": [float(sk.estimate())],
+                "retained": [len(sk.hashes)],
+                "is_exact": [sk.is_exact],
+            }
+        )
+
+    return parts.groupBy("key").applyInPandas(
+        merge,
+        schema=(
+            f"key {key_type}, est_distinct double, retained long, "
+            "is_exact boolean"
+        ),
     )
 
 

@@ -77,3 +77,63 @@ def test_grouped_guards(spark):
         SK.heavy_hitters_by_key(df, "key", "tok", k=0)
     with pytest.raises(ValueError, match="ps"):
         SK.quantiles_by_key(df, "key", F.length("tok"), ps=())
+
+
+def test_distinct_by_key_exact_regime(spark):
+    import pyspark.sql.functions as F
+
+    from shotit_worker_spark.operators.sketches import distinct_by_key
+
+    # per-key distinct far below k: every row exact
+    df = spark.range(30_000).select(
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") % (100 + 7 * (F.col("id") % 4))).alias("v"),
+    )
+    got = {r["key"]: r for r in
+           distinct_by_key(df, "grp", "v", k=1024).collect()}
+    want = {r["grp"]: r["d"] for r in df.groupBy("grp").agg(
+        F.countDistinct("v").alias("d")).collect()}
+    assert set(got) == set(want)
+    for g, d in want.items():
+        assert got[g]["is_exact"] is True
+        assert got[g]["est_distinct"] == float(d)
+        assert got[g]["retained"] == d
+
+
+def test_distinct_by_key_estimate_regime(spark):
+    import pyspark.sql.functions as F
+
+    from shotit_worker_spark.operators.sketches import distinct_by_key
+
+    # one key far above k (50k distinct, k=256): estimate within
+    # 6 standard errors; the small key stays exact in the same run
+    big = spark.range(50_000).select(
+        F.lit("big").alias("grp"), F.col("id").alias("v"))
+    small = spark.range(40).select(
+        F.lit("small").alias("grp"), F.col("id").alias("v"))
+    got = {r["key"]: r for r in distinct_by_key(
+        big.unionByName(small), "grp", "v", k=256).collect()}
+    assert got["small"]["is_exact"] is True
+    assert got["small"]["est_distinct"] == 40.0
+    b = got["big"]
+    assert b["is_exact"] is False and b["retained"] == 255
+    rse = 1.0 / (256 - 1) ** 0.5
+    assert abs(b["est_distinct"] - 50_000) <= 6 * rse * 50_000
+
+
+def test_distinct_by_key_guards_and_nulls(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from shotit_worker_spark.operators.sketches import distinct_by_key
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("grp"),
+        F.when(F.col("id") < 8, F.col("id")).alias("v"),
+    )
+    with _pt.raises(ValueError, match="k must"):
+        distinct_by_key(df, "grp", "v", k=8)
+    got = {r["key"]: r["est_distinct"] for r in
+           distinct_by_key(df, "grp", "v", k=16).collect()}
+    # NULL values dropped (ids 8, 9), like the global sketch
+    assert got == {0: 4.0, 1: 4.0}
