@@ -5485,6 +5485,65 @@ _GROUPED_DISTINCT_ORACLE_SQL = """
 """
 
 
+def q108_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key certified-bound quantiles (operators/sketches.
+    quantiles_by_key) gate, the grouped form of q82: for three
+    percentiles of l_extendedprice per l_returnflag, each key's
+    sketch estimate carries its OWN tracked err_bound and the true
+    rank (one distributed conditional agg per key set, computed via
+    a single join) must sit within it; the bound itself stays <= 5%
+    of the key's n. Booleans are TRUE by the compactor invariant at
+    every sf, so the oracle is a constants table over the known
+    (key, p) grid."""
+    from shotit_worker_spark.operators.sketches import quantiles_by_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (0.25, 0.5, 0.9)
+    est = quantiles_by_key(
+        li, "l_returnflag", "l_extendedprice", ps=ps, k=256
+    )
+    vals = li.select(
+        F.col("l_returnflag").alias("key"),
+        F.col("l_extendedprice").cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    # one join + one agg: true rank of every estimated value in its
+    # own key group (count of values <= v, the est_rank convention)
+    ranks = (
+        vals.join(
+            F.broadcast(est.select("key", "p", "value")), on="key"
+        )
+        .groupBy("key", "p")
+        .agg(F.sum((F.col("__v") <= F.col("value")).cast("long"))
+             .alias("true_rank"))
+    )
+    out = (
+        est.join(ranks, on=["key", "p"])
+        .select(
+            "key",
+            F.col("p").alias("pct"),
+            (F.abs(F.col("est_rank") - F.col("true_rank"))
+             <= F.col("err_bound")).alias("within_bound"),
+            (F.col("err_bound") <= F.col("n") * 0.05)
+            .alias("bound_tight"),
+        )
+        .orderBy("key", "pct")
+    )
+    return out
+
+
+def _grouped_quantiles_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{k}', CAST({p!r} AS DOUBLE), TRUE, TRUE)"
+        for k in ("A", "N", "R")
+        for p in (0.25, 0.5, 0.9)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(key, pct, within_bound, bound_tight) "
+        "ORDER BY key, pct"
+    )
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -5739,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_interval_join": q105_interval_join,
         "q106_ivf_plan": q106_ivf_plan,
         "q107_grouped_distinct": q107_grouped_distinct,
+        "q108_grouped_quantiles": q108_grouped_quantiles,
     }
 
 
@@ -5891,6 +5951,9 @@ def oracle_sql() -> dict[str, str]:
         # q107: FULL-VALUE per-key theta distinct in the provably-
         # exact regime (value domain bounded below k by construction)
         "q107_grouped_distinct": _GROUPED_DISTINCT_ORACLE_SQL,
+        # q108: per-key compactor-quantile invariants over the known
+        # (returnflag, percentile) grid — TRUE by the tracked bound
+        "q108_grouped_quantiles": _grouped_quantiles_oracle_sql(),
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -49,6 +49,7 @@ POST_R3_QUERIES = frozenset({
     "q99_cdc_chunks", "q100_merge_cdc", "q101_captions_align",
     "q102_pca", "q103_grouped_topterms", "q104_mfcc_embed",
     "q105_interval_join", "q106_ivf_plan", "q107_grouped_distinct",
+    "q108_grouped_quantiles",
 })
 
 
