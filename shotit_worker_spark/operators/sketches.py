@@ -762,25 +762,90 @@ def quantiles_by_key(
     ).where(F.col("__v").isNotNull())
     key_type = df.schema[key_col].dataType.simpleString()
 
+    # VECTORIZED partial: a pandas groupby Series per (batch, key)
+    # costs ~50us of object construction each, which dominates at
+    # high key cardinality (170.9 s -> 17 s at 10M rows x 100k keys,
+    # tools/scale_stress_r9.py). Instead, batches accumulate into
+    # bounded numpy buffers; each fold factorizes the keys once and
+    # feeds each sketch ONE contiguous slice via argsort boundaries.
+    trim_rows = 4_000_000
+    _NULLKEY = object()  # factorize NaN is a fresh float per fold
+
+    def _fold(per_key: dict, kb: pd.Series, vb) -> None:
+        import numpy as np
+
+        codes, uniques = pd.factorize(kb, use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        counts = np.bincount(codes, minlength=len(uniques))
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        vs = vb[order]
+        for i in range(len(uniques)):
+            key = uniques[i]
+            if pd.isna(key):
+                key = _NULLKEY
+            sk = per_key.get(key)
+            if sk is None:
+                sk = per_key[key] = _Q.CompactorSketch(k)
+            sk.update_batch(vs[bounds[i]:bounds[i + 1]])
+
     def partial(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         per_key: dict = {}
+        kacc: list = []
+        vacc: list = []
+        nacc = 0
         for b in batches:
-            for key, grp in b.groupby("__key", dropna=False)["__v"]:
-                sk = per_key.get(key)
-                if sk is None:
-                    sk = per_key[key] = _Q.CompactorSketch(k)
-                sk.update_batch(
-                    grp.to_numpy(dtype=np.float64, na_value=np.nan)
-                )
+            kacc.append(b["__key"])
+            vacc.append(
+                b["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+            )
+            nacc += len(b)
+            if nacc > trim_rows:
+                _fold(per_key, pd.concat(kacc, ignore_index=True),
+                      np.concatenate(vacc))
+                kacc, vacc, nacc = [], [], 0
+        if nacc:
+            _fold(per_key, pd.concat(kacc, ignore_index=True),
+                  np.concatenate(vacc))
+        if not per_key:
+            return
+        # one output frame for the whole partition (a DataFrame per
+        # key would re-pay the per-key object cost on emission)
+        keys_out: list = []
+        reps: list = []
+        lv_parts: list = []
+        va_parts: list = []
         for key, sk in per_key.items():
-            if sk.n:
-                rows = sk.to_rows()
-                rows.insert(0, "key", [key] * len(rows))
-                yield rows
+            if not sk.n:
+                continue
+            l_ = [
+                np.full(len(buf), h, dtype=np.int64)
+                for h, buf in enumerate(sk.levels)
+                if len(buf)
+            ]
+            v_ = [buf for buf in sk.levels if len(buf)]
+            l_.append(np.array([_Q.CompactorSketch._META_ERR],
+                               dtype=np.int64))
+            v_.append(np.array([float(sk.err_bound)]))
+            lcat = np.concatenate(l_)
+            lv_parts.append(lcat)
+            va_parts.append(np.concatenate(v_))
+            keys_out.append(None if key is _NULLKEY else key)
+            reps.append(len(lcat))
+        if not keys_out:
+            return
+        yield pd.DataFrame(
+            {
+                "key": np.repeat(
+                    np.asarray(keys_out, dtype=object), reps
+                ),
+                "level": np.concatenate(lv_parts),
+                "value": np.concatenate(va_parts),
+            }
+        )
 
     parts = base.mapInPandas(
         partial,
