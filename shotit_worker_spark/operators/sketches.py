@@ -590,52 +590,128 @@ def heavy_hitters_by_key(
     ).where(F.col("__term").isNotNull())
     key_type = df.schema[key_col].dataType.simpleString()
 
+    # VECTORIZED partial: the per-(batch, key) value_counts walk pays
+    # python-dict _mg_add per pair, which dominates at high key
+    # cardinality (same pathology as distinct/quantiles_by_key —
+    # tools/scale_stress_r9.py). Instead, raw (key, term) pairs
+    # accumulate into bounded buffers; each fold factorizes once,
+    # exact-sums via np.unique+bincount, and applies ONE vectorized
+    # PODS'12 trim per key (subtract the (k+1)-th largest count,
+    # drop non-positives). Periodic exact-sum + trim preserves the
+    # MG bound: a trim of amount m discharges >= (k+1)*m input mass,
+    # so cumulative decrements per key stay <= n_key/(k+1). After a
+    # trim the accumulator holds <= k rows per key seen, so state is
+    # bounded by max(trim_rows, keys_in_partition * k) as before.
+    trim_rows = 4_000_000
+
+    def _fold(kb: pd.Series, tb: pd.Series, cb):
+        import numpy as np
+
+        kc, ku = pd.factorize(kb, use_na_sentinel=False)
+        tc, tu = pd.factorize(tb)
+        comb = kc.astype(np.int64) * np.int64(len(tu)) + tc
+        uc, inv = np.unique(comb, return_inverse=True)
+        sums = np.bincount(inv, weights=cb).astype(np.int64)
+        kcode = (uc // len(tu)).astype(np.int64)
+        tcode = (uc % len(tu)).astype(np.int64)
+        # per-key trim to <= k entries: sort each key's counts
+        # descending, threshold = the (k+1)-th largest (0 if the key
+        # holds <= k terms), subtract, keep strictly-positive
+        order = np.lexsort((-sums, kcode))
+        kk, ss, tt = kcode[order], sums[order], tcode[order]
+        change = np.nonzero(np.diff(kk))[0] + 1
+        starts = np.concatenate(([0], change))
+        lens = np.diff(np.concatenate((starts, [len(kk)])))
+        thr_seg = np.where(
+            lens > k,
+            ss[np.minimum(starts + k, max(len(ss) - 1, 0))],
+            0,
+        )
+        cnew = ss - np.repeat(thr_seg, lens)
+        keep = cnew > 0
+        return (
+            pd.Series(ku[kk[keep]]),
+            pd.Series(tu[tt[keep]]),
+            cnew[keep],
+        )
+
     def partial(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        per_key: dict = {}
+        import numpy as np
+
+        kacc: list = []
+        tacc: list = []
+        cacc: list = []
+        nacc = 0
         for b in batches:
-            vc = b.groupby("__key", dropna=False)[
-                "__term"
-            ].value_counts()
-            for (key, t), cnt in vc.items():
-                _mg_add(per_key.setdefault(key, {}), t, int(cnt), k)
-        if per_key:
-            yield pd.DataFrame(
-                {
-                    "key": [
-                        key for key, cs in per_key.items() for _ in cs
-                    ],
-                    "term": [
-                        t for cs in per_key.values() for t in cs
-                    ],
-                    "cnt": [
-                        v for cs in per_key.values()
-                        for v in cs.values()
-                    ],
-                }
-            )
+            kacc.append(b["__key"])
+            tacc.append(b["__term"])
+            cacc.append(np.ones(len(b), dtype=np.int64))
+            nacc += len(b)
+            if nacc > trim_rows:
+                ks, ts, cs = _fold(
+                    pd.concat(kacc, ignore_index=True),
+                    pd.concat(tacc, ignore_index=True),
+                    np.concatenate(cacc),
+                )
+                kacc, tacc, cacc, nacc = [ks], [ts], [cs], len(ks)
+        if not nacc:
+            return
+        ks, ts, cs = _fold(
+            pd.concat(kacc, ignore_index=True),
+            pd.concat(tacc, ignore_index=True),
+            np.concatenate(cacc),
+        )
+        if len(ks):
+            yield pd.DataFrame({"key": ks, "term": ts, "cnt": cs})
 
     parts = base.mapInPandas(
         partial, schema=f"key {key_type}, term string, cnt long"
     )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        counts: dict = {}
-        for t, v in zip(pdf["term"], pdf["cnt"]):
-            counts[t] = counts.get(t, 0) + int(v)
-        counts = _mg_trim(counts, k)
-        key = pdf["key"].iloc[0]
-        return pd.DataFrame(
-            {
-                "key": [key] * len(counts),
-                "term": list(counts),
-                "est_count": list(counts.values()),
-            }
-        )
+    # VECTORIZED merge: groupBy().applyInPandas pays ~100us of pandas
+    # group construction per key, which dominates at 100k keys. A
+    # hash repartition colocates every key's partials in one
+    # partition, so one mapInPandas fold per partition (exact sums +
+    # one PODS'12 trim per key, all factorized) is the same merge
+    # without the per-group objects. Partition input stays
+    # summary-sized: <= input_partitions x k rows per key.
+    def merged(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
 
-    return parts.groupBy("key").applyInPandas(
-        merge, schema=f"key {key_type}, term string, est_count long"
+        kacc: list = []
+        tacc: list = []
+        cacc: list = []
+        nacc = 0
+        for b in batches:
+            kacc.append(b["key"])
+            tacc.append(b["term"])
+            cacc.append(b["cnt"].to_numpy(dtype=np.int64))
+            nacc += len(b)
+            if nacc > trim_rows:
+                ks, ts, cs = _fold(
+                    pd.concat(kacc, ignore_index=True),
+                    pd.concat(tacc, ignore_index=True),
+                    np.concatenate(cacc),
+                )
+                kacc, tacc, cacc, nacc = [ks], [ts], [cs], len(ks)
+        if not nacc:
+            return
+        ks, ts, cs = _fold(
+            pd.concat(kacc, ignore_index=True),
+            pd.concat(tacc, ignore_index=True),
+            np.concatenate(cacc),
+        )
+        if len(ks):
+            yield pd.DataFrame(
+                {"key": ks, "term": ts, "est_count": cs}
+            )
+
+    return parts.repartition("key").mapInPandas(
+        merged, schema=f"key {key_type}, term string, est_count long"
     )
 
 
