@@ -19,6 +19,15 @@ mode the r8 pagerank broadcast review flagged). Each micro-batch:
 4. swap-writes the updated state atomically (plans/merge discipline),
    so a crashed trigger replays idempotently from the checkpoint.
 
+With ``n_buckets`` set, the state table is instead hash-partitioned
+by ``pmod(xxhash64(user), n_buckets)`` and each trigger reads
+(partition pruning) and rewrites (dynamic partition overwrite) ONLY
+the buckets its users hash into — O(touched buckets) I/O per trigger
+instead of an O(state) swap write, the right shape when micro-batches
+are tiny relative to accumulated state. Replay stays idempotent even
+though per-bucket overwrites aren't jointly atomic, because the fold
+itself is idempotent (pinned by test_batch_replay_idempotent).
+
 Correctness contract: batches must arrive in event-time order ACROSS
 triggers (file replay / log-compaction order). Within that contract
 the fold is EXACTLY the batch walk — pinned by the stream==batch
@@ -57,11 +66,14 @@ class FunnelFolder:
         ts_col: str = "ts",
         type_col: str = "event_type",
         max_span_sec: float | None = None,
+        n_buckets: int | None = None,
     ):
         if not steps:
             raise ValueError("steps must be non-empty")
         if len(set(steps)) != len(steps):
             raise ValueError("repeated step types are not supported")
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.spark = spark
         self.state_path = state_path
         self.steps = list(steps)
@@ -69,7 +81,24 @@ class FunnelFolder:
         self.ts_col = ts_col
         self.type_col = type_col
         self.max_span_sec = max_span_sec
+        # bucketed state: hash-partition the parquet state by
+        # pmod(xxhash64(user), n_buckets) so a micro-batch touching
+        # few users reads and REWRITES only its buckets (partition
+        # pruning on the scan, dynamic partition overwrite on the
+        # write) instead of swap-writing the whole table — O(touched
+        # buckets) per trigger, the right shape when micro-batches
+        # are tiny relative to accumulated state. Crash-replay
+        # stays safe without an all-bucket atomic swap because the
+        # fold itself is idempotent (greedy walk can't advance on
+        # events at or before the last matched time — pinned by
+        # test_batch_replay_idempotent): a trigger that died after
+        # overwriting some buckets re-folds into the same state.
+        self.n_buckets = n_buckets
         self._has_state = False
+
+    def _bucket(self, col):
+        n = F.lit(self.n_buckets)
+        return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     def _state(self) -> DataFrame | None:
         if not self._has_state:
@@ -89,6 +118,20 @@ class FunnelFolder:
             )
         )
         state = self._state()
+        touched: list[int] | None = None
+        if self.n_buckets is not None:
+            # bounded driver list (<= n_buckets ints); pruning the
+            # state scan AND the overwrite to these partitions is
+            # the whole point of bucketing
+            arr = arr.persist()
+            touched = [
+                r[0]
+                for r in arr.select(
+                    self._bucket(F.col("__u")).alias("__b")
+                ).distinct().collect()
+            ]
+            if state is not None:
+                state = state.where(F.col("bucket").isin(touched))
         if state is not None:
             joined = arr.join(
                 state.select(
@@ -119,7 +162,23 @@ class FunnelFolder:
                 F.col("__a")["ts"].alias("ts"),
             )
         )
-        if state is None:
+        if self.n_buckets is not None:
+            # dynamic partition overwrite replaces ONLY the bucket
+            # directories present in new_state (every touched bucket
+            # that holds any walker: prior users never drop below
+            # i=1, so a previously-populated touched bucket always
+            # reappears in the write); untouched buckets' files are
+            # never read or rewritten
+            (
+                new_state.withColumn("bucket", self._bucket("user"))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.state_path)
+            )
+            arr.unpersist(blocking=False)
+        elif state is None:
             # first batch: nothing to swap out yet
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:

@@ -122,3 +122,72 @@ def test_funnelfold_guards(spark, tmp_root):
         FunnelFolder(spark, str(tmp_root / "x"), [])
     with pytest.raises(ValueError, match="repeated"):
         FunnelFolder(spark, str(tmp_root / "x"), ["a", "a"])
+
+
+def _bucket_files(root):
+    out = {}
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("bucket="):
+            continue
+        p = os.path.join(root, d)
+        out[d] = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_bucketed_fold_equals_batch(spark, tmp_root):
+    df = _events(spark, n_users=80, seed=11)
+    folder = FunnelFolder(
+        spark, str(tmp_root / "funnel_state_b"), STEPS,
+        max_span_sec=3600.0, n_buckets=8,
+    )
+    _replay(spark, df, tmp_root / "funnel_stream_b", folder)
+    got = sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in folder.counts().collect()
+    )
+    want = sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in funnel_counts(
+            df, STEPS, max_span_sec=3600.0
+        ).collect()
+    )
+    assert got == want
+    # state is physically partitioned by bucket
+    dirs = _bucket_files(str(tmp_root / "funnel_state_b"))
+    assert dirs and all(d.startswith("bucket=") for d in dirs)
+
+
+def test_bucketed_untouched_buckets_not_rewritten(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_root / "funnel_state_b2")
+    folder = FunnelFolder(
+        spark, root, STEPS, n_buckets=16
+    )
+    df = _events(spark, n_users=60, seed=13)
+    folder.foreach_batch(df, 0)
+    before = _bucket_files(root)
+    assert len(before) > 2
+    # a second batch touching ONE user must rewrite only that
+    # user's bucket directory
+    one = spark.createDataFrame(
+        [(7, dt.datetime(2024, 2, 1), "signup")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    the_bucket = folder._bucket(F.lit(7).cast("long"))
+    bid = spark.range(1).select(the_bucket.alias("b")).collect()[0][0]
+    folder.foreach_batch(one, 1)
+    after = _bucket_files(root)
+    for d, files in before.items():
+        if d == f"bucket={bid}":
+            assert after[d] != files
+        else:
+            assert after[d] == files, d
+    # replay of the same batch is still idempotent under buckets
+    once = sorted(folder.counts().collect())
+    folder.foreach_batch(one, 1)
+    assert sorted(folder.counts().collect()) == once
+    with pytest.raises(ValueError, match="n_buckets"):
+        FunnelFolder(spark, root, STEPS, n_buckets=0)
