@@ -5544,6 +5544,116 @@ def _grouped_quantiles_oracle_sql() -> str:
     )
 
 
+_Q109_LAST_DIR = None
+_Q110_LAST_DIR = None
+
+
+def _event_time_chunks(ev, n_chunks: int = 4):
+    """Split events into ``n_chunks`` event-time-ordered chunks, cut
+    at exact timestamp percentiles with STRICT comparisons so
+    equal-timestamp events never straddle a chunk boundary (the
+    funnel fold's ordering contract; the cohort fold needs no
+    contract at all). Returns the list of chunk DataFrames."""
+    # ts may be TIMESTAMP_NTZ (parquet) — cast before unix_micros;
+    # the same expression drives both the cuts and the assignment,
+    # so chunking is self-consistent regardless of session timezone
+    tsm = F.unix_micros(F.col("ts").cast("timestamp"))
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = (
+        ev.select(
+            F.expr(
+                "percentile(unix_micros(cast(ts as timestamp)),"
+                " array("
+                + ",".join(str(q) for q in qs)
+                + "))"
+            ).alias("c")
+        ).collect()[0]["c"]
+    )
+    chunk = sum(
+        (tsm > F.lit(float(c))).cast("int") for c in cuts
+    )
+    marked = ev.withColumn("__chunk", chunk)
+    return [
+        marked.where(F.col("__chunk") == i).drop("__chunk")
+        for i in range(n_chunks)
+    ]
+
+
+def q109_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel fold (streaming/funnelfold.FunnelFolder)
+    FULL-VALUE gate: the events table replays through foreach_batch
+    in four event-time-ordered chunks (strict percentile cuts keep
+    equal-timestamp events inside one trigger, honoring the module's
+    ordering contract) with BUCKETED parquet state (n_buckets=8 —
+    each trigger prunes its state scan and rewrites only touched
+    bucket partitions). The folded counts() must equal the batch
+    funnel exactly, so the oracle is q85's independent min-join CTE
+    formulation. Fresh private state dir per call; the previous
+    call's dir is removed to keep /tmp bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_type")
+    global _Q109_LAST_DIR
+    if _Q109_LAST_DIR:
+        shutil.rmtree(_Q109_LAST_DIR, ignore_errors=True)
+    _Q109_LAST_DIR = tempfile.mkdtemp(prefix="q109funnel_")
+    folder = FunnelFolder(
+        spark,
+        os.path.join(_Q109_LAST_DIR, "state"),
+        ["signup", "view", "click", "purchase"],
+        max_span_sec=3 * 86400,
+        n_buckets=8,
+    )
+    for i, chunk in enumerate(_event_time_chunks(ev)):
+        folder.foreach_batch(chunk, i)
+    return folder.counts()
+
+
+def q110_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort fold (streaming/cohortfold.CohortFolder)
+    FULL-VALUE gate: the events table replays through foreach_batch
+    in four chunks; the per-user (min anchor, distinct-period set)
+    state is commutative and idempotent, so the folded matrix() must
+    equal the batch cohort_retention exactly — the oracle is q90's
+    independent join formulation. Fresh private state dir per call;
+    the previous call's dir is removed to keep /tmp bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.cohortfold import CohortFolder
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_type")
+    global _Q110_LAST_DIR
+    if _Q110_LAST_DIR:
+        shutil.rmtree(_Q110_LAST_DIR, ignore_errors=True)
+    _Q110_LAST_DIR = tempfile.mkdtemp(prefix="q110cohort_")
+    folder = CohortFolder(
+        spark,
+        os.path.join(_Q110_LAST_DIR, "state"),
+        anchor_type="signup",
+        activity_type=None,
+        period_days=7,
+    )
+    for i, chunk in enumerate(_event_time_chunks(ev)):
+        folder.foreach_batch(chunk, i)
+    return folder.matrix()
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -5799,6 +5909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_ivf_plan": q106_ivf_plan,
         "q107_grouped_distinct": q107_grouped_distinct,
         "q108_grouped_quantiles": q108_grouped_quantiles,
+        "q109_stream_funnel": q109_stream_funnel,
+        "q110_stream_cohort": q110_stream_cohort,
     }
 
 
@@ -5954,6 +6066,10 @@ def oracle_sql() -> dict[str, str]:
         # q108: per-key compactor-quantile invariants over the known
         # (returnflag, percentile) grid — TRUE by the tracked bound
         "q108_grouped_quantiles": _grouped_quantiles_oracle_sql(),
+        # q109/q110: the streaming folds must reproduce the batch
+        # funnel/cohort tables exactly, so they share those oracles
+        "q109_stream_funnel": _FUNNEL_ORACLE_SQL,
+        "q110_stream_cohort": _COHORT_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned
