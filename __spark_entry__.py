@@ -5654,6 +5654,176 @@ def q110_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folder.matrix()
 
 
+def q111_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions) FULL-VALUE gate:
+    30-minute-gap sessions per user over events — one row per
+    session with start/end (exact integer micros, the q93 bucket
+    convention), event count, and duration. The engine runs the
+    one-exchange gaps-and-islands shape (lag + running sum + agg all
+    on the user hash partitioning — plan-pinned in test_sessions);
+    the oracle recomputes every session with the ANSI lag/cumsum
+    formulation, tie-broken by event_id on BOTH sides so equal
+    timestamps order identically."""
+    from shotit_worker_spark.operators.sessions import session_stats
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_id")
+    out = session_stats(
+        ev, gap_sec=1800.0, tiebreak_col="event_id"
+    )
+    return out.select(
+        "user",
+        "session_no",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+_SESSIONIZE_ORACLE_SQL = """
+    WITH e AS (
+        SELECT user_id AS u,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+               event_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    flagged AS (
+        SELECT u, tsm, event_id,
+               CASE WHEN lag(tsm) OVER w IS NULL
+                         OR tsm - lag(tsm) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM e
+        WINDOW w AS (PARTITION BY u ORDER BY tsm, event_id)
+    ),
+    sess AS (
+        SELECT u, tsm,
+               CAST(sum(ns) OVER (
+                   PARTITION BY u ORDER BY tsm, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INT) AS session_no
+        FROM flagged
+    )
+    SELECT u AS user, session_no,
+           min(tsm) AS start_us, max(tsm) AS end_us,
+           count(*) AS n_events,
+           (max(tsm) - min(tsm)) / 1e6 AS duration_sec
+    FROM sess GROUP BY u, session_no
+    ORDER BY u, session_no
+"""
+
+
+def q112_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history builder (plans/scd2.build_scd2) FULL-VALUE gate:
+    a 5-sequence change log derived from the o_orderkey%7 orders
+    slice — initial load, a no-op re-emit (%21, must collapse), a
+    real price/status change (%14), a delete (%35), and a
+    post-delete re-upsert (%70, must open a NEW version despite the
+    delete barrier) — builds the full type-2 history. The engine
+    runs the one-exchange lag-collapse + lead-close shape
+    (plan-pinned in test_scd2); the oracle rebuilds every interval
+    with the ANSI lag/lead formulation over the same log."""
+    from shotit_worker_spark.plans.scd2 import build_scd2
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderstatus")
+    )
+    k = F.col("o_orderkey")
+    up = F.lit("upsert")
+    v1 = base.select(
+        "*", F.lit(1).alias("seq"), up.alias("op")
+    )
+    v2 = base.where(k % 21 == 0).select(
+        "*", F.lit(2).alias("seq"), up.alias("op")
+    )
+    v3 = base.where(k % 14 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(3).alias("seq"), up.alias("op"),
+    )
+    v4 = base.where(k % 35 == 0).select(
+        "*", F.lit(4).alias("seq"), F.lit("delete").alias("op")
+    )
+    v5 = base.where(k % 70 == 0).select(
+        "*", F.lit(5).alias("seq"), up.alias("op")
+    )
+    log = (
+        v1.unionByName(v2).unionByName(v3).unionByName(v4)
+        .unionByName(v5)
+    )
+    hist = build_scd2(
+        log,
+        keys=["o_orderkey"],
+        attr_cols=["o_custkey", "o_totalprice", "o_orderstatus"],
+        seq_col="seq",
+        op_col="op",
+    )
+    # valid_to is the one NULLABLE int column; DuckDB's pandas fetch
+    # upcasts such columns to float64, so compare it as double on
+    # both sides (NaN canonicalizes as NULL)
+    return hist.withColumn(
+        "valid_to", F.col("valid_to").cast("double")
+    ).orderBy("o_orderkey", "valid_from")
+
+
+_SCD2_ORACLE_SQL = """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               o_totalprice AS p, o_orderstatus AS s
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    log AS (
+        SELECT k, c, p, s, 1 AS seq, FALSE AS del FROM base
+        UNION ALL
+        SELECT k, c, p, s, 2, FALSE FROM base WHERE k % 21 = 0
+        UNION ALL
+        SELECT k, c, p + 100.0, 'U', 3, FALSE FROM base
+        WHERE k % 14 = 0
+        UNION ALL
+        SELECT k, c, p, s, 4, TRUE FROM base WHERE k % 35 = 0
+        UNION ALL
+        SELECT k, c, p, s, 5, FALSE FROM base WHERE k % 70 = 0
+    ),
+    flagged AS (
+        SELECT *,
+               lag(del) OVER w AS pd, lag(c) OVER w AS pc,
+               lag(p) OVER w AS pp, lag(s) OVER w AS ps,
+               lag(seq) OVER w AS pq
+        FROM log WINDOW w AS (PARTITION BY k ORDER BY seq)
+    ),
+    survivors AS (
+        SELECT k, c, p, s, seq, del FROM flagged
+        WHERE del OR pq IS NULL
+           OR NOT (pd IS NOT DISTINCT FROM del
+                   AND pc IS NOT DISTINCT FROM c
+                   AND pp IS NOT DISTINCT FROM p
+                   AND ps IS NOT DISTINCT FROM s)
+    ),
+    closed AS (
+        SELECT k, c, p, s, seq AS valid_from,
+               lead(seq) OVER (
+                   PARTITION BY k ORDER BY seq
+               ) AS valid_to,
+               del
+        FROM survivors
+    )
+    SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice,
+           s AS o_orderstatus, valid_from,
+           CAST(valid_to AS DOUBLE) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM closed WHERE NOT del
+    ORDER BY o_orderkey, valid_from
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -5911,6 +6081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_grouped_quantiles": q108_grouped_quantiles,
         "q109_stream_funnel": q109_stream_funnel,
         "q110_stream_cohort": q110_stream_cohort,
+        "q111_sessionize": q111_sessionize,
+        "q112_scd2": q112_scd2,
     }
 
 
@@ -6070,6 +6242,8 @@ def oracle_sql() -> dict[str, str]:
         # funnel/cohort tables exactly, so they share those oracles
         "q109_stream_funnel": _FUNNEL_ORACLE_SQL,
         "q110_stream_cohort": _COHORT_ORACLE_SQL,
+        "q111_sessionize": _SESSIONIZE_ORACLE_SQL,
+        "q112_scd2": _SCD2_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -50,8 +50,9 @@ POST_R3_QUERIES = frozenset({
     "q102_pca", "q103_grouped_topterms", "q104_mfcc_embed",
     "q105_interval_join", "q106_ivf_plan", "q107_grouped_distinct",
     "q108_grouped_quantiles",
-    # r9 wave 2 (streaming fold gates)
-    "q109_stream_funnel", "q110_stream_cohort",
+    # r9 wave 2 (streaming fold + sessionization gates)
+    "q109_stream_funnel", "q110_stream_cohort", "q111_sessionize",
+    "q112_scd2",
 })
 
 

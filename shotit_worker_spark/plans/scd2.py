@@ -1,0 +1,98 @@
+"""Slowly-changing-dimension type-2 history from a change log.
+
+plans/merge gives the WAREHOUSE-current view (last writer wins);
+training pipelines and audits also want the full version HISTORY —
+"what did this row look like when the snapshot was taken" — which is
+the classic SCD2 table: one row per version with
+``valid_from``/``valid_to`` half-open intervals and an
+``is_current`` flag.
+
+Spark-first shape, ONE exchange end-to-end: hash-partition by key,
+then every step is a window or filter on that same partitioning —
+
+1. no-op collapse: ``lag`` of the attribute struct per key in
+   ``seq`` order drops an upsert identical to its immediate
+   predecessor (a re-upsert after a DELETE never collapses — the
+   delete row sits between them, and deletes always survive this
+   step, so the comparison sees it),
+2. interval close: ``lead(seq)`` over the SURVIVORS per key is each
+   version's ``valid_to`` (collapsed no-ops are gone by then, so
+   they never split an interval); the last version's lead is NULL =
+   open interval,
+3. delete rows bound their predecessor's ``valid_to`` but emit no
+   version themselves.
+
+Determinism contract: one change per (key, seq) — compact upstream
+first (plans/merge.apply_cdc's max_by discipline) if a feed can emit
+several ops at one sequence number. ``seq`` can be any orderable
+engine-portable column (CDC LSN, epoch micros); it is carried into
+valid_from/valid_to unchanged, so a SQL oracle reproduces the table
+exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["build_scd2"]
+
+
+def build_scd2(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str | None = None,
+    delete_op: str = "delete",
+    collapse_noops: bool = True,
+) -> DataFrame:
+    """(keys..., attrs..., valid_from, valid_to, is_current) — the
+    type-2 history of ``changes``. Without ``op_col`` every row is
+    an upsert; with it, rows whose op equals ``delete_op`` close the
+    previous version's interval and emit nothing."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    overlap = set(keys) & set(attr_cols)
+    if overlap:
+        raise ValueError(f"keys and attr_cols overlap: {sorted(overlap)}")
+
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    is_del = (
+        (F.col(op_col) == F.lit(delete_op))
+        if op_col is not None
+        else F.lit(False)
+    )
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    cur = changes.withColumn("__del", is_del)
+    if collapse_noops:
+        # a delete's attrs compare as a distinct marker (struct of
+        # NULLs never equals a real row's struct via null-safe eq
+        # unless the row is itself all-NULL — so tag explicitly)
+        tagged = F.struct(
+            F.col("__del").alias("__d"), attrs.alias("__a")
+        )
+        prev = F.lag(tagged).over(w)
+        keep = (
+            F.col("__del")
+            | prev.isNull()
+            | ~prev.eqNullSafe(tagged)
+        )
+        cur = cur.withColumn("__keep", keep).where("__keep")
+    survivors = Window.partitionBy(*keys).orderBy(seq_col)
+    out = (
+        cur.withColumn("__to", F.lead(seq_col).over(survivors))
+        .where(~F.col("__del"))
+        .select(
+            *keys,
+            *attr_cols,
+            F.col(seq_col).alias("valid_from"),
+            F.col("__to").alias("valid_to"),
+            F.col("__to").isNull().alias("is_current"),
+        )
+    )
+    return out

@@ -1,0 +1,87 @@
+"""SCD2 history builder (plans/scd2.build_scd2): interval chaining,
+no-op collapse, the delete barrier (a re-upsert after a delete opens
+a NEW version even with identical attrs), guards, and the
+one-exchange plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from shotit_worker_spark.plans.scd2 import build_scd2
+
+
+def _hist(spark, rows):
+    df = spark.createDataFrame(
+        rows, "k long, seq int, a string, op string"
+    )
+    out = build_scd2(
+        df, keys=["k"], attr_cols=["a"], seq_col="seq",
+        op_col="op",
+    )
+    return sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["a"],
+         r["is_current"])
+        for r in out.collect()
+    )
+
+
+def test_versions_chain_and_current(spark):
+    rows = [
+        (1, 1, "x", "upsert"),
+        (1, 3, "y", "upsert"),
+        (1, 7, "z", "upsert"),
+    ]
+    assert _hist(spark, rows) == [
+        (1, 1, 3, "x", False),
+        (1, 3, 7, "y", False),
+        (1, 7, None, "z", True),
+    ]
+
+
+def test_noop_collapse_and_delete_barrier(spark):
+    rows = [
+        (2, 1, "x", "upsert"),
+        (2, 2, "x", "upsert"),      # no-op: collapses into seq 1
+        (2, 3, "y", "upsert"),
+        (2, 4, "y", "delete"),      # closes y at seq 4
+        (2, 5, "y", "upsert"),      # after delete: NEW version
+        (3, 1, None, "upsert"),     # NULL attrs version
+        (3, 2, None, "upsert"),     # null-safe collapse
+    ]
+    assert _hist(spark, rows) == [
+        (2, 1, 3, "x", False),
+        (2, 3, 4, "y", False),
+        (2, 5, None, "y", True),
+        (3, 1, None, None, True),
+    ]
+
+
+def test_collapse_off_and_no_ops_col(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x")], "k long, seq int, a string"
+    )
+    out = build_scd2(
+        df, keys=["k"], attr_cols=["a"], collapse_noops=False
+    )
+    assert sorted(
+        (r["valid_from"], r["valid_to"]) for r in out.collect()
+    ) == [(1, 2), (2, None)]
+
+
+def test_guards_and_plan(spark):
+    df = spark.createDataFrame([(1, 1, "x")], "k long, seq int, a string")
+    with pytest.raises(ValueError, match="keys"):
+        build_scd2(df, keys=[], attr_cols=["a"])
+    with pytest.raises(ValueError, match="attr_cols"):
+        build_scd2(df, keys=["k"], attr_cols=[])
+    with pytest.raises(ValueError, match="overlap"):
+        build_scd2(df, keys=["k"], attr_cols=["k", "a"])
+    big = spark.range(5000).selectExpr(
+        "id % 100 as k", "cast(id as int) as seq",
+        "cast(id % 7 as string) as a",
+    )
+    plan = (
+        build_scd2(big, keys=["k"], attr_cols=["a"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

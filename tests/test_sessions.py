@@ -1,0 +1,115 @@
+"""Batch sessionization (operators/sessions): membership vs a
+brute-force python walk, the at-the-boundary-extends semantics,
+NULL-ts drop, the gap guard, and the one-exchange plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+BASE = dt.datetime(2024, 3, 1)
+
+
+def _events(spark, n_users=40, n=1500, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                int(rng.integers(0, n_users)),
+                BASE + dt.timedelta(
+                    seconds=int(rng.integers(0, 200_000))
+                ),
+                int(i),
+            )
+        )
+    return (
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ),
+        rows,
+    )
+
+
+def _brute(rows, gap_sec):
+    out = {}
+    by_user: dict = {}
+    for u, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sno = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_sec:
+                sno += 1
+            out[eid] = (u, sno)
+            prev = ts
+    return out
+
+
+def test_sessionize_matches_brute_force(spark):
+    df, rows = _events(spark)
+    gap = 3600.0
+    got = {
+        r["event_id"]: (r["user_id"], r["session_no"])
+        for r in sessionize(
+            df, gap_sec=gap, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == _brute(rows, gap)
+
+
+def test_boundary_gap_extends_session(spark):
+    # events exactly gap_sec apart stay in ONE session (strictly-
+    # greater opens a new one, matching session_window semantics)
+    rows = [
+        (1, BASE, 0),
+        (1, BASE + dt.timedelta(seconds=60), 1),
+        (1, BASE + dt.timedelta(seconds=121), 2),  # 61s > 60 -> new
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    got = {
+        r["event_id"]: r["session_no"]
+        for r in sessionize(df, gap_sec=60.0).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2}
+
+
+def test_session_stats_and_null_drop(spark):
+    rows = [
+        (1, BASE, 0),
+        (1, BASE + dt.timedelta(seconds=30), 1),
+        (1, None, 2),
+        (2, BASE + dt.timedelta(seconds=5000), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    stats = {
+        (r["user"], r["session_no"]): (
+            r["n_events"], r["duration_sec"]
+        )
+        for r in session_stats(df, gap_sec=1800.0).collect()
+    }
+    assert stats == {(1, 1): (2, 30.0), (2, 1): (1, 0.0)}
+
+
+def test_sessionize_guard_and_plan(spark):
+    df, _ = _events(spark, n=200)
+    with pytest.raises(ValueError, match="gap_sec"):
+        sessionize(df, gap_sec=0)
+    # one exchange end-to-end: the two windows and the stats agg all
+    # reuse the user hash partitioning
+    plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
