@@ -5824,6 +5824,75 @@ _SCD2_ORACLE_SQL = """
 """
 
 
+_Q113_LAST_DIR = None
+
+
+def q113_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMB bucketed-table join (plans/bucketed) FULL-VALUE gate:
+    customer and orders lay out as same-key same-n bucketed parquet
+    tables (bucketBy 8 on custkey, sorted within buckets), then the
+    revenue-per-segment join runs THROUGH THE CATALOG — the plan is
+    asserted Exchange-free on both join inputs before collection
+    (the SMB contract; the whole point of paying the layout shuffle
+    once). The oracle computes the same aggregate from the raw
+    tables in plain SQL, proving the bucketed layout changed the
+    PLAN, not the answer. Fresh private warehouse dir per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.plans.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    global _Q113_LAST_DIR
+    if _Q113_LAST_DIR:
+        shutil.rmtree(_Q113_LAST_DIR, ignore_errors=True)
+    _Q113_LAST_DIR = tempfile.mkdtemp(prefix="q113smb_")
+    write_bucketed(
+        cust, "q113_cust", os.path.join(_Q113_LAST_DIR, "cust"),
+        "c_custkey", 8, sort_cols="c_custkey",
+    )
+    write_bucketed(
+        orders, "q113_ord", os.path.join(_Q113_LAST_DIR, "ord"),
+        "o_custkey", 8, sort_cols="o_custkey",
+    )
+    bc = read_bucketed(spark, "q113_cust")
+    bo = read_bucketed(spark, "q113_ord")
+    joined = bc.hint("merge").join(
+        bo, bc["c_custkey"] == bo["o_custkey"]
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join planned an Exchange:\n" + plan
+        )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_JOIN_ORACLE_SQL = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(o_totalprice) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6083,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_stream_cohort": q110_stream_cohort,
         "q111_sessionize": q111_sessionize,
         "q112_scd2": q112_scd2,
+        "q113_bucketed_join": q113_bucketed_join,
     }
 
 
@@ -6244,6 +6314,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_stream_cohort": _COHORT_ORACLE_SQL,
         "q111_sessionize": _SESSIONIZE_ORACLE_SQL,
         "q112_scd2": _SCD2_ORACLE_SQL,
+        "q113_bucketed_join": _BUCKETED_JOIN_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -1,0 +1,89 @@
+"""Sort-merge-bucket (SMB) table layout: shuffle-free co-located joins.
+
+At 100 TB the single biggest recurring cost is re-shuffling fact
+tables for every key join. Spark's native answer is BUCKETED tables:
+``bucketBy(n, key)`` at write time hash-splits each output partition
+into n bucket files, and a join of two tables bucketed by the same
+key into the same n needs NO Exchange on either side — the
+SortMergeJoin reads bucket i against bucket i. Pay the shuffle once
+at layout time, then every downstream join, groupBy, and dedup on
+that key is exchange-free (pinned in test_bucketed: zero
+``Exchange`` operators in the joined plan, and equality filters on
+the bucket key prune to one bucket — ``SelectedBucketsCount``).
+
+Bucketing metadata lives in the session catalog, so writes go
+through ``saveAsTable``. The helpers here force an EXPLICIT external
+``path`` — nothing lands in a default spark-warehouse directory —
+and drop/recreate the catalog entry idempotently (the table NAME is
+session-scoped metadata; the parquet at ``path`` is the durable
+artifact, re-registrable by any later session).
+
+Sizing rule of thumb at scale: pick n_buckets so one bucket of the
+BIGGER table is ~128-512 MB (a task's comfortable working set), and
+use the SAME n for every table that joins on the key — mismatched
+bucket counts fall back to a shuffle on the smaller side.
+
+Knob worth knowing: filter-only queries carry no distribution
+requirement, so Spark's DisableUnnecessaryBucketedScan rule turns
+the bucketed scan — and with it bucket PRUNING — off; set
+``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` for
+point-lookup workloads to read 1 of n buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "read_bucketed"]
+
+
+def _valid_name(name: str) -> str:
+    if not name or not all(c.isalnum() or c == "_" for c in name):
+        raise ValueError(
+            f"table name must be [A-Za-z0-9_]+, got {name!r}"
+        )
+    return name
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: Sequence[str] | str,
+    n_buckets: int,
+    sort_cols: Sequence[str] | str | None = None,
+) -> None:
+    """Write ``df`` as an external parquet table bucketed (and
+    optionally sorted within buckets) by ``bucket_cols`` into
+    ``n_buckets``, registered in the session catalog as ``name``.
+    Sorting by the join key makes the downstream SortMergeJoin skip
+    its per-task sort too."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {_valid_name(name)}")
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(sort_cols[0], *sort_cols[1:])
+    w.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """The catalog-registered bucketed table — reading through the
+    catalog (not ``spark.read.parquet``) is what carries the bucket
+    spec into the planner; a raw path read would lose it and
+    re-shuffle."""
+    return spark.table(_valid_name(name))

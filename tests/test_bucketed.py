@@ -1,0 +1,95 @@
+"""SMB bucketed tables (plans/bucketed): a same-key same-n bucketed
+join must plan with ZERO Exchange operators, equality filters on the
+bucket key must prune buckets (SelectedBucketsCount), results match
+the plain join, and the guards refuse bad specs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.plans.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def two_tables(spark, tmp_root):
+    left = spark.range(10_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(5_000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    write_bucketed(
+        left, "t_bleft", str(tmp_root / "bleft"), "k", 8,
+        sort_cols="k",
+    )
+    write_bucketed(
+        right, "t_bright", str(tmp_root / "bright"), "k", 8,
+        sort_cols="k",
+    )
+    return left, right
+
+
+def test_bucketed_join_no_exchange_and_values(spark, two_tables):
+    left, right = two_tables
+    bl, br = read_bucketed(spark, "t_bleft"), read_bucketed(
+        spark, "t_bright"
+    )
+    joined = bl.hint("merge").join(br, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = joined.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lv").alias("s")
+    ).collect()[0]
+    want = (
+        left.join(right, "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lv").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_bucket_pruning_on_equality_filter(spark, two_tables):
+    # a filter-only query has no distribution requirement, so
+    # Spark's DisableUnnecessaryBucketedScan rule turns the bucketed
+    # scan (and with it, pruning) off; flip the knob to get the
+    # 1-of-8 bucket read for point lookups
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        bl = read_bucketed(spark, "t_bleft")
+        plan = (
+            bl.where(F.col("k") == 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert bl.where(F.col("k") == 5).count() == (
+            10_000 + 997 - 1 - 5
+        ) // 997
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_bucketed_groupby_no_exchange(spark, two_tables):
+    # aggregation on the bucket key rides the same layout
+    bl = read_bucketed(spark, "t_bleft")
+    plan = (
+        bl.groupBy("k").agg(F.sum("lv"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_guards(spark, tmp_root):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(df, "t_x", str(tmp_root / "x"), "k", 0)
+    with pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(df, "t_x", str(tmp_root / "x"), [], 4)
+    with pytest.raises(ValueError, match="table name"):
+        write_bucketed(df, "bad-name;", str(tmp_root / "x"), "k", 4)
