@@ -37,7 +37,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["build_scd2"]
+__all__ = ["build_scd2", "snapshot_at"]
 
 
 def build_scd2(
@@ -96,3 +96,16 @@ def build_scd2(
         )
     )
     return out
+
+
+def snapshot_at(history: DataFrame, seq) -> DataFrame:
+    """The dimension as of sequence point ``seq`` (half-open
+    intervals: a version is live at its own valid_from, dead at its
+    valid_to): one row per key that existed then, without the
+    interval columns. A pure filter — partition-prunable if the
+    history is stored partitioned on a valid_from range."""
+    s = F.lit(seq)
+    return history.where(
+        (F.col("valid_from") <= s)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > s))
+    ).drop("valid_from", "valid_to", "is_current")

@@ -85,3 +85,32 @@ def test_guards_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_at(spark):
+    from shotit_worker_spark.plans.scd2 import snapshot_at
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "x", "upsert"),
+            (1, 3, "y", "upsert"),
+            (1, 5, "y", "delete"),
+            (2, 2, "a", "upsert"),
+        ],
+        "k long, seq int, a string, op string",
+    )
+    hist = build_scd2(
+        df, keys=["k"], attr_cols=["a"], op_col="op"
+    )
+
+    def snap(s):
+        return sorted(
+            (r["k"], r["a"]) for r in snapshot_at(hist, s).collect()
+        )
+
+    assert snap(0) == []
+    assert snap(1) == [(1, "x")]          # live AT valid_from
+    assert snap(2) == [(1, "x"), (2, "a")]
+    assert snap(3) == [(1, "y"), (2, "a")]  # dead at valid_to
+    assert snap(5) == [(2, "a")]          # delete closed k=1
+    assert snap(99) == [(2, "a")]
