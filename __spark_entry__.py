@@ -5893,6 +5893,104 @@ _BUCKETED_JOIN_ORACLE_SQL = """
 """
 
 
+def q114_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (plans/expectations) FULL-VALUE
+    gate: an eight-check suite over orders — null fraction,
+    uniqueness of the pk AND of a deliberately non-unique column,
+    a deliberately violated range, accepted status values, priority
+    regex conformance, row count, and o_custkey referential
+    containment in customer — where the OBSERVED fractions (not just
+    the booleans) must match the oracle's exact SQL arithmetic. All
+    column-local checks ride ONE aggregation scan; the referential
+    check is the one anti-join."""
+    from shotit_worker_spark.plans import expectations as X
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rep = X.run_checks(
+        orders,
+        [
+            X.not_null("o_custkey"),
+            X.unique("o_orderkey"),
+            X.unique("o_custkey"),
+            X.in_range("o_totalprice", 0.0, 1000.0),
+            X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            X.matches_regex("o_orderpriority", "[1-5]-[A-Z]+"),
+            X.row_count_between(1),
+            X.referential("o_custkey", customer, "c_custkey"),
+        ],
+    )
+    return rep.orderBy("check")
+
+
+_EXPECTATIONS_ORACLE_SQL = """
+    WITH t AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS nn_cust,
+               count(o_orderkey) AS c_ok,
+               count(DISTINCT o_orderkey) AS d_ok,
+               count(o_custkey) AS c_ck,
+               count(DISTINCT o_custkey) AS d_ck,
+               count(o_totalprice) AS c_tp,
+               sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND (o_totalprice < 0.0
+                                  OR o_totalprice > 1000.0)
+                        THEN 1 ELSE 0 END) AS v_tp,
+               count(o_orderstatus) AS c_st,
+               sum(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS v_st,
+               count(o_orderpriority) AS c_pr,
+               sum(CASE WHEN regexp_full_match(
+                                 o_orderpriority, '[1-5]-[A-Z]+')
+                        THEN 1 ELSE 0 END) AS m_pr
+        FROM orders
+    ),
+    fk AS (
+        SELECT count(*) AS denom,
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS orph
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL
+    )
+    SELECT * FROM (
+        SELECT 'not_null(o_custkey)' AS "check",
+               (CAST(nn_cust AS DOUBLE)/n) <= 0.0 AS passed,
+               CAST(nn_cust AS DOUBLE)/n AS observed,
+               0.0 AS threshold FROM t
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               (CAST(c_ok - d_ok AS DOUBLE)/c_ok) <= 0.0,
+               CAST(c_ok - d_ok AS DOUBLE)/c_ok, 0.0 FROM t
+        UNION ALL
+        SELECT 'unique(o_custkey)',
+               (CAST(c_ck - d_ck AS DOUBLE)/c_ck) <= 0.0,
+               CAST(c_ck - d_ck AS DOUBLE)/c_ck, 0.0 FROM t
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               (CAST(v_tp AS DOUBLE)/c_tp) <= 0.0,
+               CAST(v_tp AS DOUBLE)/c_tp, 0.0 FROM t
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)',
+               (CAST(v_st AS DOUBLE)/c_st) <= 0.0,
+               CAST(v_st AS DOUBLE)/c_st, 0.0 FROM t
+        UNION ALL
+        SELECT 'matches_regex(o_orderpriority)',
+               (CAST(m_pr AS DOUBLE)/c_pr) >= 1.0,
+               CAST(m_pr AS DOUBLE)/c_pr, 1.0 FROM t
+        UNION ALL
+        SELECT 'row_count', n >= 1, CAST(n AS DOUBLE), 1.0 FROM t
+        UNION ALL
+        SELECT 'referential(o_custkey)',
+               (CAST(orph AS DOUBLE)/denom) <= 0.0,
+               CAST(orph AS DOUBLE)/denom, 0.0 FROM fk
+    ) ORDER BY "check"
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6153,6 +6251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_sessionize": q111_sessionize,
         "q112_scd2": q112_scd2,
         "q113_bucketed_join": q113_bucketed_join,
+        "q114_expectations": q114_expectations,
     }
 
 
@@ -6315,6 +6414,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_sessionize": _SESSIONIZE_ORACLE_SQL,
         "q112_scd2": _SCD2_ORACLE_SQL,
         "q113_bucketed_join": _BUCKETED_JOIN_ORACLE_SQL,
+        "q114_expectations": _EXPECTATIONS_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -1,0 +1,216 @@
+"""Data-quality expectations: declarative PASS/FAIL constraint checks.
+
+plans/datacard DESCRIBES a corpus; releases also need to GATE one —
+"o_orderkey is unique, totalprice is positive, every order's
+customer exists" — the Deequ/Great-Expectations shape, re-expressed
+Spark-first:
+
+- Every column-local check (null fraction, uniqueness, range,
+  accepted values, regex conformance, row count) contributes plain
+  aggregate expressions to ONE hash aggregation — a single scan of
+  the table regardless of how many checks run. Uniqueness rides
+  ``count - count_distinct`` (exact; the scan's one memory-heavy
+  term — swap in approx_count_distinct upstream if a report-grade
+  answer is enough).
+- Referential checks (foreign-key containment) each add one
+  left-anti join against the referenced key set, counting orphans —
+  broadcast when the dimension is small, shuffle otherwise; Catalyst
+  decides.
+
+The result is a small report table (one row per check: observed
+metric, threshold, passed), built driver-side from the single
+collected aggregation row — a bounded collect, #checks rows.
+
+Check tuples are (kind, params...) via the module constructors, so a
+suite is data, storable next to the dataset it guards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "not_null",
+    "unique",
+    "in_range",
+    "accepted_values",
+    "matches_regex",
+    "row_count_between",
+    "referential",
+    "run_checks",
+]
+
+
+def not_null(col: str, max_null_frac: float = 0.0) -> dict:
+    """Fraction of NULLs in ``col`` must be <= ``max_null_frac``."""
+    return {"kind": "not_null", "col": col, "thr": float(max_null_frac)}
+
+
+def unique(col: str) -> dict:
+    """Duplicate-row fraction over ``col`` (rows beyond the first
+    per value, NULLs excluded) must be 0."""
+    return {"kind": "unique", "col": col, "thr": 0.0}
+
+
+def in_range(col: str, lo: float, hi: float) -> dict:
+    """Fraction of non-NULL values outside [lo, hi] must be 0."""
+    return {
+        "kind": "in_range", "col": col, "lo": float(lo),
+        "hi": float(hi), "thr": 0.0,
+    }
+
+
+def accepted_values(
+    col: str, values: Sequence[Any], max_other_frac: float = 0.0
+) -> dict:
+    """Fraction of non-NULL values outside ``values`` must be <=
+    ``max_other_frac``."""
+    return {
+        "kind": "accepted_values", "col": col,
+        "values": list(values), "thr": float(max_other_frac),
+    }
+
+
+def matches_regex(
+    col: str, pattern: str, min_match_frac: float = 1.0
+) -> dict:
+    """Fraction of non-NULL values fully matching ``pattern`` must
+    be >= ``min_match_frac``."""
+    return {
+        "kind": "matches_regex", "col": col, "pattern": pattern,
+        "thr": float(min_match_frac),
+    }
+
+
+def row_count_between(lo: int, hi: int | None = None) -> dict:
+    """Total row count must sit in [lo, hi] (hi=None: unbounded)."""
+    return {"kind": "row_count", "lo": int(lo),
+            "hi": None if hi is None else int(hi), "thr": 0.0}
+
+
+def referential(
+    col: str, dim: DataFrame, dim_col: str, max_orphan_frac: float = 0.0
+) -> dict:
+    """Fraction of non-NULL ``col`` rows with no match in
+    ``dim[dim_col]`` must be <= ``max_orphan_frac``."""
+    return {
+        "kind": "referential", "col": col, "dim": dim,
+        "dim_col": dim_col, "thr": float(max_orphan_frac),
+    }
+
+
+def _check_name(c: dict) -> str:
+    k = c["kind"]
+    if k == "row_count":
+        return "row_count"
+    return f"{k}({c['col']})"
+
+
+def run_checks(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """(check, passed, observed, threshold) — one row per check.
+    ``observed`` is the violating fraction (or the row count for
+    row_count checks); column-local checks share ONE aggregation
+    scan, referential checks add one anti-join count each."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(checks):
+        k, a = c["kind"], f"__c{i}"
+        if k == "not_null":
+            aggs.append(
+                F.sum(F.col(c["col"]).isNull().cast("long")).alias(a)
+            )
+        elif k == "unique":
+            aggs.append(
+                (F.count(c["col"])
+                 - F.countDistinct(c["col"])).alias(a)
+            )
+        elif k == "in_range":
+            v = F.col(c["col"])
+            aggs.append(F.sum(
+                (v.isNotNull()
+                 & ((v < F.lit(c["lo"])) | (v > F.lit(c["hi"]))))
+                .cast("long")).alias(a))
+            aggs.append(F.count(c["col"]).alias(a + "d"))
+        elif k == "accepted_values":
+            v = F.col(c["col"])
+            aggs.append(F.sum(
+                (v.isNotNull() & ~v.isin(c["values"]))
+                .cast("long")).alias(a))
+            aggs.append(F.count(c["col"]).alias(a + "d"))
+        elif k == "matches_regex":
+            v = F.col(c["col"])
+            aggs.append(F.sum(
+                v.rlike("^(?:" + c["pattern"] + ")$")
+                .cast("long")).alias(a))
+            aggs.append(F.count(c["col"]).alias(a + "d"))
+        elif k == "row_count":
+            pass  # rides __n
+        elif k == "referential":
+            pass  # separate join below
+        else:
+            raise ValueError(f"unknown check kind: {k}")
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+
+    spark = df.sparkSession
+    out = []
+    for i, c in enumerate(checks):
+        k, a = c["kind"], f"__c{i}"
+        name = _check_name(c)
+        if k == "row_count":
+            observed = float(n)
+            passed = n >= c["lo"] and (
+                c["hi"] is None or n <= c["hi"]
+            )
+            out.append((name, passed, observed, float(c["lo"])))
+            continue
+        if k == "referential":
+            fk = df.select(F.col(c["col"]).alias("__k")).where(
+                F.col("__k").isNotNull()
+            )
+            denom = fk.count()
+            orphans = fk.join(
+                c["dim"].select(
+                    F.col(c["dim_col"]).alias("__k")
+                ).distinct(),
+                on="__k",
+                how="left_anti",
+            ).count()
+            observed = 0.0 if denom == 0 else orphans / denom
+            out.append(
+                (name, observed <= c["thr"], observed, c["thr"])
+            )
+            continue
+        if k == "not_null":
+            observed = 0.0 if n == 0 else row[a] / n
+            out.append(
+                (name, observed <= c["thr"], observed, c["thr"])
+            )
+        elif k == "unique":
+            nn = row.get(a, 0) or 0
+            denom = n
+            observed = 0.0 if denom == 0 else nn / denom
+            out.append(
+                (name, observed <= c["thr"], observed, c["thr"])
+            )
+        elif k in ("in_range", "accepted_values"):
+            denom = row[a + "d"]
+            observed = 0.0 if denom == 0 else (row[a] or 0) / denom
+            out.append(
+                (name, observed <= c["thr"], observed, c["thr"])
+            )
+        elif k == "matches_regex":
+            denom = row[a + "d"]
+            observed = 1.0 if denom == 0 else (row[a] or 0) / denom
+            out.append(
+                (name, observed >= c["thr"], observed, c["thr"])
+            )
+    return spark.createDataFrame(
+        out,
+        "check string, passed boolean, observed double,"
+        " threshold double",
+    )

@@ -1,0 +1,108 @@
+"""Expectations engine (plans/expectations): each check kind against
+hand-computable fixtures, the one-scan shape for column-local checks,
+and the empty/degenerate denominators."""
+
+from __future__ import annotations
+
+import pytest
+
+from shotit_worker_spark.plans import expectations as X
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, 10.0, "A", "a1"),
+        (2, 20.0, "A", "b2"),
+        (2, -5.0, "B", "c3"),      # dup id, below range
+        (None, 30.0, "C", "dd"),   # null id, bad status, bad regex
+        (4, 200.0, "B", "e5"),     # above range
+    ]
+    return spark.createDataFrame(
+        rows, "id long, price double, status string, code string"
+    )
+
+
+def test_each_kind(spark, df):
+    dim = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    rep = {
+        r["check"]: (r["passed"], r["observed"])
+        for r in X.run_checks(
+            df,
+            [
+                X.not_null("id"),
+                X.unique("id"),
+                X.in_range("price", 0.0, 100.0),
+                X.accepted_values("status", ["A", "B"]),
+                X.matches_regex("code", "[a-z][0-9]",
+                                min_match_frac=0.8),
+                X.row_count_between(5, 5),
+                X.referential("id", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (False, 0.2)
+    assert rep["unique(id)"] == (False, 0.2)  # 4 non-null, 3 distinct
+    assert rep["in_range(price)"] == (False, 0.4)
+    assert rep["accepted_values(status)"] == (False, 0.2)
+    assert rep["matches_regex(code)"] == (True, 0.8)
+    assert rep["row_count"] == (True, 5.0)
+    assert rep["referential(id)"] == (True, 0.0)
+    # the duplicate not_null with a loose threshold passes
+    passed = [
+        r["passed"]
+        for r in X.run_checks(
+            df, [X.not_null("id", max_null_frac=0.25)]
+        ).collect()
+    ]
+    assert passed == [True]
+
+
+def test_referential_orphans(spark, df):
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    (r,) = X.run_checks(
+        df, [X.referential("id", dim, "k", max_orphan_frac=0.2)]
+    ).collect()
+    # one orphan (id=4) of 4 non-null fk rows
+    assert (r["passed"], r["observed"]) == (False, 0.25)
+
+
+def test_empty_table_and_guard(spark):
+    empty = spark.createDataFrame([], "id long, price double")
+    rep = {
+        r["check"]: (r["passed"], r["observed"])
+        for r in X.run_checks(
+            empty,
+            [
+                X.not_null("id"),
+                X.in_range("price", 0, 1),
+                X.matches_regex("id", r"\d"),
+                X.row_count_between(1),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (True, 0.0)
+    assert rep["in_range(price)"] == (True, 0.0)
+    # vacuous regex over zero rows passes
+    assert rep["matches_regex(id)"] == (True, 1.0)
+    assert rep["row_count"] == (False, 0.0)
+    with pytest.raises(ValueError, match="checks"):
+        X.run_checks(empty, [])
+    with pytest.raises(ValueError, match="unknown check"):
+        X.run_checks(empty, [{"kind": "nope"}])
+
+
+def test_single_scan_plan(spark, df):
+    # all column-local checks collapse into ONE aggregation over one
+    # scan: exactly one Exchange (the final single-partition agg ...
+    # countDistinct plans partial/final pairs, but only one scan)
+    import io
+    from contextlib import redirect_stdout
+
+    checks = [
+        X.not_null("id"), X.unique("id"),
+        X.in_range("price", 0, 100),
+        X.accepted_values("status", ["A", "B"]),
+    ]
+    aggs = [r for r in X.run_checks(df, checks).collect()]
+    assert len(aggs) == len(checks)
