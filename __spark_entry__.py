@@ -5991,6 +5991,80 @@ _EXPECTATIONS_ORACLE_SQL = """
 """
 
 
+def q115_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling feature engineering (operators/features) FULL-VALUE
+    gate: per-user trailing-hour mean/min/max/count (inclusive
+    time-RANGE window, not row window), lag_1 (event_id tiebreak),
+    and the trailing-day anomaly z-score (EXCLUSIVE window — the
+    point under test never vouches for itself; NULL below 5 prior
+    points or at zero std) over events. One hash exchange feeds
+    every window spec (plan-pinned in test_features); the oracle
+    reproduces every value with ANSI RANGE frames over the same
+    integer micros."""
+    from shotit_worker_spark.operators.features import (
+        rolling_features,
+        rolling_zscore,
+    )
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("event_id", "user_id", "ts", "value")
+    feats = rolling_features(
+        ev, "user_id", "ts", "value", window_secs=(3600,),
+        lags=(1,), tiebreak_col="event_id",
+    )
+    z = rolling_zscore(
+        ev, "user_id", "ts", "value", window_sec=86400,
+        min_points=5,
+    ).select("event_id", "zscore")
+    return (
+        feats.join(z, on="event_id")
+        .select(
+            "event_id", "user_id", "value",
+            "mean_3600s", "min_3600s", "max_3600s", "cnt_3600s",
+            "lag_1", "zscore",
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLING_FEATURES_ORACLE_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, value
+        FROM events WHERE ts IS NOT NULL
+    ),
+    f AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER wr AS mean_3600s,
+               min(value) OVER wr AS min_3600s,
+               max(value) OVER wr AS max_3600s,
+               count(value) OVER wr AS cnt_3600s,
+               lag(value) OVER wo AS lag_1,
+               avg(value) OVER wz AS mu,
+               stddev_samp(value) OVER wz AS sd,
+               count(value) OVER wz AS zc
+        FROM e
+        WINDOW
+            wr AS (PARTITION BY user_id ORDER BY tsm
+                   RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW),
+            wo AS (PARTITION BY user_id ORDER BY tsm, event_id),
+            wz AS (PARTITION BY user_id ORDER BY tsm
+                   RANGE BETWEEN 86400000000 PRECEDING
+                             AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           mean_3600s, min_3600s, max_3600s, cnt_3600s, lag_1,
+           CASE WHEN zc >= 5 AND sd > 0
+                THEN (value - mu) / sd END AS zscore
+    FROM f ORDER BY event_id
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6252,6 +6326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_scd2": q112_scd2,
         "q113_bucketed_join": q113_bucketed_join,
         "q114_expectations": q114_expectations,
+        "q115_rolling_features": q115_rolling_features,
     }
 
 
@@ -6415,6 +6490,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_scd2": _SCD2_ORACLE_SQL,
         "q113_bucketed_join": _BUCKETED_JOIN_ORACLE_SQL,
         "q114_expectations": _EXPECTATIONS_ORACLE_SQL,
+        "q115_rolling_features": _ROLLING_FEATURES_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -1,0 +1,124 @@
+"""Time-windowed feature engineering and rolling anomaly scores.
+
+Training pipelines turn event streams into per-entity model features
+("this user's mean/max/count over the trailing hour, the value's
+z-score against their trailing week") — per-key TIME-RANGE windows,
+not row windows: an entity with bursty traffic must not see its
+window shrink to the last N rows.
+
+Spark-first shape: ONE hash exchange on the key; every feature is a
+``rangeBetween`` window over integer event-time micros on that same
+partitioning, so adding windows/features widens the plan, not the
+shuffle count. Catalyst evaluates all same-spec window functions in
+one Window operator pass.
+
+Semantics worth pinning:
+- rolling_features windows are TRAILING INCLUSIVE: [t − w, t] — the
+  current event contributes to its own features (the usual serving
+  parity: at inference time "now" has happened).
+- rolling_zscore excludes the current point ([t − w, t) — an
+  anomaly must not vouch for itself) and emits NULL until
+  ``min_points`` PRIOR events exist or when the trailing std is 0 —
+  a cold entity scores unknown, not infinite.
+- stddev is the n−1 sample form (Spark and ANSI default), so a SQL
+  oracle reproduces every value.
+
+Skew: one entity's events sort in one task — bounded by the entity's
+own rate, the same posture as sessionize/funnel (SCALE_NOTES).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_features", "rolling_zscore"]
+
+
+def _tsm(ts_col: str):
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def rolling_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_secs: Sequence[int] = (3600,),
+    lags: Sequence[int] = (),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """All input columns plus, per window w: ``mean_{w}s``,
+    ``min_{w}s``, ``max_{w}s``, ``cnt_{w}s`` over the trailing
+    inclusive [t − w, t]; plus ``lag_{k}`` row lags per entry in
+    ``lags`` (pass ``tiebreak_col`` to make lags deterministic
+    under equal timestamps). NULL timestamps are dropped (no window
+    membership)."""
+    if not window_secs and not lags:
+        raise ValueError("need at least one window or lag")
+    if any(w <= 0 for w in window_secs):
+        raise ValueError("window_secs must be positive")
+    if any(k <= 0 for k in lags):
+        raise ValueError("lags must be positive")
+    out = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__tsm", _tsm(ts_col)
+    )
+    v = F.col(value_col)
+    for w in window_secs:
+        spec = (
+            Window.partitionBy(key_col)
+            .orderBy("__tsm")
+            .rangeBetween(-w * 1_000_000, 0)
+        )
+        out = (
+            out.withColumn(f"mean_{w}s", F.avg(v).over(spec))
+            .withColumn(f"min_{w}s", F.min(v).over(spec))
+            .withColumn(f"max_{w}s", F.max(v).over(spec))
+            .withColumn(f"cnt_{w}s", F.count(v).over(spec))
+        )
+    if lags:
+        order = ["__tsm"] + (
+            [tiebreak_col] if tiebreak_col is not None else []
+        )
+        row_spec = Window.partitionBy(key_col).orderBy(*order)
+        for k in lags:
+            out = out.withColumn(
+                f"lag_{k}", F.lag(v, k).over(row_spec)
+            )
+    return out.drop("__tsm")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int = 86400,
+    min_points: int = 5,
+) -> DataFrame:
+    """All input columns plus ``zscore``: the value against the
+    key's trailing [t − w, t) EXCLUSIVE window (the point under test
+    never vouches for itself). NULL until ``min_points`` prior
+    events exist in the window, or when their std is 0."""
+    if window_sec <= 0:
+        raise ValueError("window_sec must be positive")
+    if min_points < 2:
+        raise ValueError("min_points must be >= 2")
+    out = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__tsm", _tsm(ts_col)
+    )
+    spec = (
+        Window.partitionBy(key_col)
+        .orderBy("__tsm")
+        .rangeBetween(-window_sec * 1_000_000, -1)
+    )
+    v = F.col(value_col)
+    mu = F.avg(v).over(spec)
+    sd = F.stddev_samp(v).over(spec)
+    cnt = F.count(v).over(spec)
+    z = F.when(
+        (cnt >= min_points) & (sd > 0), (v - mu) / sd
+    )
+    return out.withColumn("zscore", z).drop("__tsm")

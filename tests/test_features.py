@@ -1,0 +1,134 @@
+"""Rolling features / anomaly z-scores (operators/features): window
+membership and values vs a brute-force python walk, the exclusive
+z-window + cold-start NULLs, a planted spike scoring high, guards,
+and the one-exchange plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.features import (
+    rolling_features,
+    rolling_zscore,
+)
+
+BASE = dt.datetime(2024, 5, 1)
+
+
+def _events(spark, n=800, n_keys=6, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            int(rng.integers(0, n_keys)),
+            BASE + dt.timedelta(seconds=int(rng.integers(0, 50_000))),
+            round(float(rng.normal(50, 10)), 2),
+            i,
+        )
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "k long, ts timestamp, v double, eid long"
+        ),
+        rows,
+    )
+
+
+def test_rolling_features_match_brute_force(spark):
+    df, rows = _events(spark)
+    w = 3600
+    got = {
+        r["eid"]: (r["mean_3600s"], r["min_3600s"], r["max_3600s"],
+                   r["cnt_3600s"], r["lag_1"])
+        for r in rolling_features(
+            df, "k", "ts", "v", window_secs=(w,), lags=(1,),
+            tiebreak_col="eid",
+        ).collect()
+    }
+    by_key: dict = {}
+    for k, ts, v, eid in rows:
+        by_key.setdefault(k, []).append((ts, eid, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        for i, (ts, eid, v) in enumerate(evs):
+            in_w = [
+                x for t2, _, x in evs
+                if ts - dt.timedelta(seconds=w) <= t2 <= ts
+            ]
+            mean, mn, mx, cnt, lag1 = got[eid]
+            assert cnt == len(in_w)
+            assert mn == min(in_w) and mx == max(in_w)
+            assert math.isclose(mean, sum(in_w) / len(in_w),
+                                rel_tol=1e-9)
+            assert lag1 == (evs[i - 1][2] if i else None)
+
+
+def test_zscore_exclusive_window_and_cold_start(spark):
+    # 10 calm points then a spike: the spike's own value must not
+    # damp its score, and the first min_points rows are NULL
+    rows = [
+        (1, BASE + dt.timedelta(seconds=60 * i), 10.0 + (i % 2), i)
+        for i in range(10)
+    ]
+    rows.append((1, BASE + dt.timedelta(seconds=700), 100.0, 10))
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, v double, eid long"
+    )
+    out = {
+        r["eid"]: r["zscore"]
+        for r in rolling_zscore(
+            df, "k", "ts", "v", window_sec=86400, min_points=5
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i] is None  # fewer than 5 PRIOR points
+    assert out[10] is not None and out[10] > 20
+    # equal-timestamp twin: prior window is strictly-earlier, so a
+    # same-instant event is NOT its own context
+    twin = spark.createDataFrame(
+        rows + [(1, rows[-1][1], 100.0, 11)],
+        "k long, ts timestamp, v double, eid long",
+    )
+    z = {
+        r["eid"]: r["zscore"]
+        for r in rolling_zscore(
+            twin, "k", "ts", "v", window_sec=86400, min_points=5
+        ).collect()
+    }
+    assert z[10] == z[11]
+
+
+def test_zero_std_is_null(spark):
+    rows = [
+        (1, BASE + dt.timedelta(seconds=i), 5.0, i) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, v double, eid long"
+    )
+    out = rolling_zscore(
+        df, "k", "ts", "v", window_sec=3600, min_points=3
+    )
+    assert all(r["zscore"] is None for r in out.collect())
+
+
+def test_guards_and_plan(spark):
+    df, _ = _events(spark, n=100)
+    with pytest.raises(ValueError, match="window or lag"):
+        rolling_features(df, "k", "ts", "v", window_secs=(), lags=())
+    with pytest.raises(ValueError, match="positive"):
+        rolling_features(df, "k", "ts", "v", window_secs=(0,))
+    with pytest.raises(ValueError, match="min_points"):
+        rolling_zscore(df, "k", "ts", "v", min_points=1)
+    plan = (
+        rolling_features(
+            df, "k", "ts", "v", window_secs=(60, 3600), lags=(1, 2),
+            tiebreak_col="eid",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange feeds every window spec
+    assert plan.count("Exchange hashpartitioning") == 1, plan
