@@ -6065,6 +6065,75 @@ _ROLLING_FEATURES_ORACLE_SQL = """
 """
 
 
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity",
+                 "l_tax")
+
+
+def q116_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profiling.profile_table) FULL-VALUE
+    gate: null counts, EXACT cardinality, and min/max/mean/sample-std
+    for the four lineitem numerics — every statistic from ONE
+    aggregation scan (k columns → one agg, one Exchange, one row
+    pivoted driver-side). The oracle recomputes each column's row
+    with plain SQL aggregates."""
+    from shotit_worker_spark.operators.profiling import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, list(_PROFILE_COLS), exact=True
+    ).orderBy("column")
+
+
+def _profile_oracle_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", count(*) AS n,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nulls,
+               count(DISTINCT {c}) AS "distinct",
+               CAST(min({c}) AS DOUBLE) AS min,
+               CAST(max({c}) AS DOUBLE) AS max,
+               avg(CAST({c} AS DOUBLE)) AS mean,
+               stddev_samp(CAST({c} AS DOUBLE)) AS std
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts)
+        + ') ORDER BY "column"'
+    )
+
+
+def q117_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix (operators/profiling.correlation_matrix)
+    FULL-VALUE gate: Pearson correlations of every unordered pair of
+    the four lineitem numerics — all six pairs in ONE aggregation
+    scan (k(k-1)/2 corr expressions, one Exchange), vs DuckDB's
+    corr() pair by pair."""
+    from shotit_worker_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, list(_PROFILE_COLS)).orderBy(
+        "col_a", "col_b"
+    )
+
+
+def _correlation_oracle_sql() -> str:
+    cols = list(_PROFILE_COLS)
+    parts = [
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)) AS corr
+        FROM lineitem"""
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    ]
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts)
+        + ") ORDER BY col_a, col_b"
+    )
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6327,6 +6396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_bucketed_join": q113_bucketed_join,
         "q114_expectations": q114_expectations,
         "q115_rolling_features": q115_rolling_features,
+        "q116_profile": q116_profile,
+        "q117_correlation": q117_correlation,
     }
 
 
@@ -6491,6 +6562,8 @@ def oracle_sql() -> dict[str, str]:
         "q113_bucketed_join": _BUCKETED_JOIN_ORACLE_SQL,
         "q114_expectations": _EXPECTATIONS_ORACLE_SQL,
         "q115_rolling_features": _ROLLING_FEATURES_ORACLE_SQL,
+        "q116_profile": _profile_oracle_sql(),
+        "q117_correlation": _correlation_oracle_sql(),
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

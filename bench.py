@@ -53,7 +53,7 @@ POST_R3_QUERIES = frozenset({
     # r9 wave 2 (streaming fold + sessionization gates)
     "q109_stream_funnel", "q110_stream_cohort", "q111_sessionize",
     "q112_scd2", "q113_bucketed_join", "q114_expectations",
-    "q115_rolling_features",
+    "q115_rolling_features", "q116_profile", "q117_correlation",
 })
 
 

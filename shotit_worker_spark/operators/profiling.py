@@ -1,0 +1,127 @@
+"""Table profiling: per-column statistics and correlation structure.
+
+The read side of the data-quality pair (plans/expectations GATES a
+table; this DESCRIBES it): per-column null counts, cardinality,
+range, moments — the numbers a datacard, a drift monitor, or an
+expectations-suite author reads first.
+
+Spark-first shape: ONE aggregation scan for everything —
+``profile_table`` folds every column's statistics into a single
+``agg`` (k columns → ~6k aggregate expressions, one Exchange, one
+row out), then pivots the one collected row into the long-form
+report driver-side (bounded, #columns rows). ``correlation_matrix``
+likewise: k·(k−1)/2 ``corr`` expressions in one agg — Pearson over
+a 100-TB table is one scan, not k² scans.
+
+Cardinality is exact (``count_distinct``) when ``exact=True`` — the
+oracle-checkable form — and ``approx_count_distinct`` at a
+documented 5% rsd otherwise (the at-scale default: exact distinct
+per column is the one memory-heavy term, same tradeoff the datacard
+documents).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table", "correlation_matrix"]
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float",
+            "double", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """(column, n, nulls, distinct, min, max, mean, std) — one row
+    per profiled column, one scan total. min/max/mean/std are NULL
+    for non-numeric columns (min/max on strings would force a
+    separate comparator path; keep the report numeric and
+    portable)."""
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = list(dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    cd = F.count_distinct if exact else (
+        lambda c: F.approx_count_distinct(c, rsd=0.05)
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        v = F.col(c)
+        aggs.append(F.sum(v.isNull().cast("long")).alias(f"__nn{i}"))
+        aggs.append(cd(v).alias(f"__d{i}"))
+        if _is_numeric(dtypes[c]):
+            vd = v.cast("double")
+            aggs += [
+                F.min(vd).alias(f"__mn{i}"),
+                F.max(vd).alias(f"__mx{i}"),
+                F.avg(vd).alias(f"__mu{i}"),
+                F.stddev_samp(vd).alias(f"__sd{i}"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for i, c in enumerate(cols):
+        num = _is_numeric(dtypes[c])
+        out.append(
+            (
+                c,
+                row["__n"],
+                row[f"__nn{i}"] or 0,
+                row[f"__d{i}"],
+                row.get(f"__mn{i}") if num else None,
+                row.get(f"__mx{i}") if num else None,
+                row.get(f"__mu{i}") if num else None,
+                row.get(f"__sd{i}") if num else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n long, nulls long, distinct long,"
+        " min double, max double, mean double, std double",
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """(col_a, col_b, corr) for every unordered pair (col_a <
+    col_b lexicographically): Pearson correlations, ALL pairs in one
+    aggregation scan."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols if c not in dtypes
+           or not _is_numeric(dtypes[c])]
+    if bad:
+        raise ValueError(f"non-numeric or unknown columns: {bad}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cols)
+        for b in list(cols)[i + 1:]
+    ]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+        .alias(f"__p{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (min(a, b), max(a, b), row[f"__p{i}"])
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double"
+    )

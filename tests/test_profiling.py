@@ -1,0 +1,77 @@
+"""Profiling (operators/profiling): per-column stats vs hand
+computation, exact vs approx cardinality, numeric-only moments,
+correlation values vs numpy, and guards."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.profiling import (
+    correlation_matrix,
+    profile_table,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, 2.0, "a"),
+        (2, 4.0, "b"),
+        (3, 6.5, None),
+        (None, 8.0, "a"),
+        (5, None, "c"),
+    ]
+    return spark.createDataFrame(rows, "x long, y double, s string")
+
+
+def test_profile_exact(spark, df):
+    rep = {r["column"]: r for r in profile_table(
+        df, exact=True
+    ).collect()}
+    assert set(rep) == {"x", "y", "s"}
+    x = rep["x"]
+    assert (x["n"], x["nulls"], x["distinct"]) == (5, 1, 4)
+    assert (x["min"], x["max"]) == (1.0, 5.0)
+    assert math.isclose(x["mean"], 11 / 4)
+    assert math.isclose(
+        x["std"], float(np.std([1, 2, 3, 5], ddof=1))
+    )
+    s = rep["s"]
+    assert (s["nulls"], s["distinct"]) == (1, 3)
+    assert s["min"] is None and s["std"] is None
+
+
+def test_profile_approx_close_and_subset(spark):
+    big = spark.range(50_000).selectExpr("id % 1000 as v")
+    (r,) = profile_table(big, ["v"]).collect()
+    assert abs(r["distinct"] - 1000) <= 1000 * 0.15
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(big, ["nope"])
+
+
+def test_correlation_matrix(spark):
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=400)
+    b = 2 * a + rng.normal(scale=0.1, size=400)
+    c = rng.normal(size=400)
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    want = np.corrcoef(np.vstack([a, b, c]))
+    assert math.isclose(got[("a", "b")], want[0, 1], rel_tol=1e-9)
+    assert math.isclose(got[("a", "c")], want[0, 2], rel_tol=1e-9)
+    with pytest.raises(ValueError, match="two columns"):
+        correlation_matrix(df, ["a"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        correlation_matrix(
+            df.withColumn("s", df.a.cast("string")), ["a", "s"]
+        )
