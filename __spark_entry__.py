@@ -6134,6 +6134,70 @@ def _correlation_oracle_sql() -> str:
     )
 
 
+def q118_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/drift.drift_bins) FULL-VALUE
+    gate: even-event values are the reference, odd-event values
+    scaled x1.3 are the drifted current cohort; the per-bin table
+    (counts, Laplace-smoothed probabilities, PSI and KL terms over
+    10 fixed bins on [0, 250]) must match the oracle's arithmetic
+    exactly — fixed edges and identical IEEE expressions on both
+    sides make every term portable. Two aggregation scans + a
+    10-row join; nothing else grows with the data."""
+    from shotit_worker_spark.operators.drift import drift_bins
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    ref = ev.where(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.3).alias("value")
+    )
+    return drift_bins(
+        ref, cur, "value", 0.0, 250.0, n_bins=10, alpha=0.5
+    ).orderBy("bin")
+
+
+_DRIFT_ORACLE_SQL = """
+    WITH ref AS (
+        SELECT value AS x FROM events
+        WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    cur AS (
+        SELECT value * 1.3 AS x FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    rc AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                   (x - 0.0) / 250.0 * 10) AS INT), 0), 9) AS bin,
+               count(*) AS n
+        FROM ref GROUP BY 1
+    ),
+    cc AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                   (x - 0.0) / 250.0 * 10) AS INT), 0), 9) AS bin,
+               count(*) AS n
+        FROM cur GROUP BY 1
+    ),
+    j AS (
+        SELECT spine.bin,
+               COALESCE(rc.n, 0) AS n_ref,
+               COALESCE(cc.n, 0) AS n_cur
+        FROM spine LEFT JOIN rc USING (bin)
+                   LEFT JOIN cc USING (bin)
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT bin, n_ref, n_cur,
+           (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+           (n_cur + 0.5) / (tc + 5.0) AS p_cur,
+           ((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+               * ln(((n_cur + 0.5) / (tc + 5.0))
+                    / ((n_ref + 0.5) / (tr + 5.0))) AS psi_term,
+           ((n_ref + 0.5) / (tr + 5.0))
+               * ln(((n_ref + 0.5) / (tr + 5.0))
+                    / ((n_cur + 0.5) / (tc + 5.0))) AS kl_term
+    FROM j, t ORDER BY bin
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6398,6 +6462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_rolling_features": q115_rolling_features,
         "q116_profile": q116_profile,
         "q117_correlation": q117_correlation,
+        "q118_drift": q118_drift,
     }
 
 
@@ -6564,6 +6629,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_rolling_features": _ROLLING_FEATURES_ORACLE_SQL,
         "q116_profile": _profile_oracle_sql(),
         "q117_correlation": _correlation_oracle_sql(),
+        "q118_drift": _DRIFT_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

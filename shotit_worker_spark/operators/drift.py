@@ -1,0 +1,126 @@
+"""Distribution drift between two datasets: PSI / KL over fixed bins.
+
+Model monitors compare today's feature distribution against the
+training reference — Population Stability Index and KL divergence
+over a FIXED binning (fixed edges make runs comparable over time and
+the arithmetic engine-portable; quantile-based edges would move with
+the data under test).
+
+Spark-first shape: one aggregation scan per side (bucket =
+clamped ``floor((x − lo)/(hi − lo)·n)``, then a bucket count), a
+full-outer join of two n_bins-row tables, and pure column arithmetic
+for the per-bin terms — at 100 TB the two scans dominate and nothing
+else grows with the data. Laplace smoothing (``alpha`` added to
+every bin) keeps empty bins finite on BOTH sides, the standard PSI
+practice; totals use the smoothed mass so probabilities sum to 1.
+
+Out-of-range values clamp into the edge bins (a monitor must see
+mass that LEFT the training range — dropping it would hide exactly
+the drift being measured); NULLs are excluded and reported by count
+upstream (plans/expectations.not_null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["drift_bins", "drift_metrics"]
+
+
+def _bucket(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    raw = F.floor(
+        (col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+    ).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def _side_counts(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int,
+    alias: str,
+) -> DataFrame:
+    v = F.col(col).cast("double")
+    return (
+        df.where(v.isNotNull())
+        .select(_bucket(v, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def drift_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, kl_term) — one
+    row per bin (bins with zero mass on both sides included, so the
+    table is always exactly ``n_bins`` rows and term sums are
+    comparable across runs)."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if alpha <= 0:
+        raise ValueError(
+            "alpha must be positive (zero bins break PSI/KL)"
+        )
+    spark = ref.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    r = _side_counts(ref, col, lo, hi, n_bins, "n_ref")
+    c = _side_counts(cur, col, lo, hi, n_bins, "n_cur")
+    joined = (
+        spine.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(c), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot_r = F.sum("n_ref").over(_all()) + F.lit(alpha * n_bins)
+    tot_c = F.sum("n_cur").over(_all()) + F.lit(alpha * n_bins)
+    p = (F.col("n_ref") + F.lit(alpha)) / tot_r
+    q = (F.col("n_cur") + F.lit(alpha)) / tot_c
+    out = joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+        ((q - p) * F.log(q / p)).alias("psi_term"),
+        (p * F.log(p / q)).alias("kl_term"),
+    )
+    return out
+
+
+def _all():
+    from pyspark.sql import Window
+
+    # a window over the whole n_bins-row table: bounded by
+    # construction (n_bins rows), never data-scale
+    return Window.partitionBy(F.lit(1))
+
+
+def drift_metrics(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(psi, kl, n_ref, n_cur): the scalar summary — PSI ≥ 0.2 is
+    the conventional "investigate" line."""
+    bins = drift_bins(ref, cur, col, lo, hi, n_bins, alpha)
+    return bins.agg(
+        F.sum("psi_term").alias("psi"),
+        F.sum("kl_term").alias("kl"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+    )

@@ -1,0 +1,86 @@
+"""Drift metrics (operators/drift): identical distributions score
+~0, a shifted distribution scores high, terms match a numpy
+recomputation exactly, clamping keeps out-of-range mass, and the
+guards refuse bad configs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.drift import (
+    drift_bins,
+    drift_metrics,
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame(
+        [(float(v),) for v in values], "x double"
+    )
+
+
+def test_identical_is_near_zero_and_shift_is_large(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(50, 10, 4000)
+    b = rng.normal(50, 10, 4000)
+    c = rng.normal(70, 10, 4000)
+    same = drift_metrics(
+        _df(spark, a), _df(spark, b), "x", 0, 100, n_bins=10
+    ).collect()[0]
+    moved = drift_metrics(
+        _df(spark, a), _df(spark, c), "x", 0, 100, n_bins=10
+    ).collect()[0]
+    assert same["psi"] < 0.02
+    assert moved["psi"] > 0.5
+    assert moved["kl"] > 0.2
+    assert same["n_ref"] == 4000 and same["n_cur"] == 4000
+
+
+def test_terms_match_numpy(spark):
+    a = [1, 2, 2, 3, 9]
+    b = [1, 8, 8, 9, 9, 9]
+    n_bins, lo, hi, alpha = 5, 0.0, 10.0, 0.5
+    rows = drift_bins(
+        _df(spark, a), _df(spark, b), "x", lo, hi, n_bins,
+        alpha,
+    ).orderBy("bin").collect()
+    ca = np.bincount(
+        np.clip(((np.array(a) - lo) / (hi - lo) * n_bins).astype(int),
+                0, n_bins - 1), minlength=n_bins)
+    cb = np.bincount(
+        np.clip(((np.array(b) - lo) / (hi - lo) * n_bins).astype(int),
+                0, n_bins - 1), minlength=n_bins)
+    p = (ca + alpha) / (len(a) + alpha * n_bins)
+    q = (cb + alpha) / (len(b) + alpha * n_bins)
+    assert len(rows) == n_bins
+    for i, r in enumerate(rows):
+        assert (r["n_ref"], r["n_cur"]) == (int(ca[i]), int(cb[i]))
+        assert math.isclose(r["p_ref"], p[i], rel_tol=1e-12)
+        assert math.isclose(
+            r["psi_term"], (q[i] - p[i]) * math.log(q[i] / p[i]),
+            rel_tol=1e-12,
+        )
+        assert math.isclose(
+            r["kl_term"], p[i] * math.log(p[i] / q[i]),
+            rel_tol=1e-12,
+        )
+
+
+def test_clamping_and_guards(spark):
+    # out-of-range mass lands in the edge bins, not dropped
+    rows = drift_bins(
+        _df(spark, [-100, 0.4, 999]), _df(spark, [0.4]),
+        "x", 0, 1, n_bins=2,
+    ).orderBy("bin").collect()
+    assert rows[0]["n_ref"] == 2  # -100 clamped into bin 0
+    assert rows[1]["n_ref"] == 1  # 999 clamped into bin 1
+    with pytest.raises(ValueError, match="hi > lo"):
+        drift_bins(_df(spark, [1]), _df(spark, [1]), "x", 1, 1)
+    with pytest.raises(ValueError, match="n_bins"):
+        drift_bins(_df(spark, [1]), _df(spark, [1]), "x", 0, 1, 1)
+    with pytest.raises(ValueError, match="alpha"):
+        drift_bins(_df(spark, [1]), _df(spark, [1]), "x", 0, 1,
+                   4, alpha=0)
