@@ -1,0 +1,132 @@
+"""Folding the drift monitor over a stream (foreachBatch).
+
+operators/drift compares two static tables; a serving monitor wants
+the CURRENT side to accumulate from the live stream while the
+reference histogram stays fixed (the training snapshot). Bin counts
+are mergeable by plain addition, so the fold keeps O(n_bins) driver
+state — the sketchfold discipline: each micro-batch reduces to its
+n_bins-row summary DISTRIBUTED (one aggregation scan; raw values
+never reach the driver), and only those counts add into the running
+histogram.
+
+Unlike KMV set-union, count addition is NOT replay-idempotent, so
+the folder applies the standard foreachBatch exactly-once recipe: it
+records the last applied ``batch_id`` and skips replays at or below
+the watermark (Structured Streaming re-delivers a failed trigger
+under the SAME batch_id). For restart-safe pipelines persist
+``(last_batch_id, counts)`` in the same transaction and rehydrate on
+startup, as sketchfold documents.
+
+``metrics()``/``bins()`` reproduce operators/drift.drift_bins'
+arithmetic exactly over everything folded — pinned by the
+stream==batch equivalence test.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+from ..operators.drift import _side_counts
+
+__all__ = ["DriftFolder"]
+
+
+class DriftFolder:
+    """Streaming drift monitor: fixed reference histogram, bin
+    counts folded from the stream. Use :meth:`foreach_batch` as the
+    ``foreachBatch`` function; read :meth:`bins` / :meth:`metrics`."""
+
+    def __init__(
+        self,
+        ref: DataFrame,
+        col: str,
+        lo: float,
+        hi: float,
+        n_bins: int = 10,
+        alpha: float = 0.5,
+    ):
+        if hi <= lo:
+            raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        if n_bins < 2:
+            raise ValueError("n_bins must be >= 2")
+        if alpha <= 0:
+            raise ValueError("alpha must be positive")
+        self.col = col
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.n_bins = n_bins
+        self.alpha = float(alpha)
+        self.spark = ref.sparkSession
+        self.ref_counts = self._histogram(ref)
+        self.cur_counts = [0] * n_bins
+        self.last_batch_id: int | None = None
+
+    def _histogram(self, df: DataFrame) -> list[int]:
+        rows = _side_counts(
+            df, self.col, self.lo, self.hi, self.n_bins, "n"
+        ).collect()
+        out = [0] * self.n_bins
+        for r in rows:
+            out[r["bin"]] = r["n"]
+        return out
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            self.last_batch_id is not None
+            and batch_id <= self.last_batch_id
+        ):
+            return  # replayed trigger: already applied
+        for i, n in enumerate(self._histogram(batch_df)):
+            self.cur_counts[i] += n
+        self.last_batch_id = batch_id
+
+    def writer(self):
+        return self.foreach_batch
+
+    def bins(self) -> DataFrame:
+        """Same shape and arithmetic as drift_bins over the
+        reference vs everything folded so far."""
+        a, n = self.alpha, self.n_bins
+        tr = sum(self.ref_counts) + a * n
+        tc = sum(self.cur_counts) + a * n
+        rows = []
+        for i in range(n):
+            p = (self.ref_counts[i] + a) / tr
+            q = (self.cur_counts[i] + a) / tc
+            rows.append(
+                (
+                    i,
+                    self.ref_counts[i],
+                    self.cur_counts[i],
+                    p,
+                    q,
+                    (q - p) * math.log(q / p),
+                    p * math.log(p / q),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "bin int, n_ref long, n_cur long, p_ref double,"
+            " p_cur double, psi_term double, kl_term double",
+        )
+
+    def metrics(self) -> dict:
+        """{'psi': float, 'kl': float, 'n_ref': int, 'n_cur': int} —
+        driver-side scalars for alerting without a Spark job."""
+        a, n = self.alpha, self.n_bins
+        tr = sum(self.ref_counts) + a * n
+        tc = sum(self.cur_counts) + a * n
+        psi = kl = 0.0
+        for i in range(n):
+            p = (self.ref_counts[i] + a) / tr
+            q = (self.cur_counts[i] + a) / tc
+            psi += (q - p) * math.log(q / p)
+            kl += p * math.log(p / q)
+        return {
+            "psi": psi,
+            "kl": kl,
+            "n_ref": sum(self.ref_counts),
+            "n_cur": sum(self.cur_counts),
+        }

@@ -1,0 +1,89 @@
+"""Streaming drift fold (streaming/driftfold): a chunked file replay
+must produce EXACTLY the batch drift_bins table, replay of a trigger
+under the same batch_id is a no-op, and guards refuse bad configs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.operators.drift import drift_bins
+from shotit_worker_spark.streaming import ingest as SI
+from shotit_worker_spark.streaming.driftfold import DriftFolder
+
+
+def _vals(spark, values):
+    return spark.createDataFrame(
+        [(float(v),) for v in values], "x double"
+    )
+
+
+def _rows(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stream_fold_equals_batch(spark, tmp_root):
+    rng = np.random.default_rng(11)
+    ref = _vals(spark, rng.normal(40, 10, 3000))
+    cur_vals = rng.normal(55, 12, 2800)
+    cur = _vals(spark, cur_vals)
+    folder = DriftFolder(ref, "x", 0.0, 100.0, n_bins=8)
+
+    src = tmp_root / "drift_stream"
+    src.mkdir()
+    chunks = np.array_split(cur_vals, 4)
+    for i, ch in enumerate(chunks):
+        p = str(src / f"chunk{i}")
+        _vals(spark, ch).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + i * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = SI.stream_parquet_source(
+        spark, str(src), schema=cur.schema,
+        max_files_per_trigger=1, glob="*.parquet", recursive=True,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(folder.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = drift_bins(ref, cur, "x", 0.0, 100.0, n_bins=8)
+    got_rows = _rows(folder.bins().collect())
+    want_rows = _rows(want.collect())
+    # counts exact; float terms to 1 ulp (JVM vs python libm log)
+    for g, w in zip(got_rows, want_rows):
+        assert g[:3] == w[:3]
+        assert g[3:] == pytest.approx(w[3:], rel=1e-14)
+    m = folder.metrics()
+    assert m["n_cur"] == 2800 and m["psi"] > 0.2
+
+
+def test_replay_same_batch_id_is_noop(spark):
+    ref = _vals(spark, [1, 2, 3, 8, 9])
+    folder = DriftFolder(ref, "x", 0.0, 10.0, n_bins=5)
+    b = _vals(spark, [1, 1, 9])
+    folder.foreach_batch(b, 0)
+    once = folder.metrics()
+    folder.foreach_batch(b, 0)  # crash-replay, same id
+    assert folder.metrics() == once
+    folder.foreach_batch(b, 1)  # genuinely new trigger
+    assert folder.metrics()["n_cur"] == 2 * once["n_cur"]
+
+
+def test_guards(spark):
+    ref = _vals(spark, [1.0])
+    with pytest.raises(ValueError, match="hi > lo"):
+        DriftFolder(ref, "x", 5, 5)
+    with pytest.raises(ValueError, match="n_bins"):
+        DriftFolder(ref, "x", 0, 1, n_bins=1)
+    with pytest.raises(ValueError, match="alpha"):
+        DriftFolder(ref, "x", 0, 1, alpha=0.0)
