@@ -97,28 +97,69 @@ def rolling_zscore(
     value_col: str,
     window_sec: int = 86400,
     min_points: int = 5,
+    method: str = "prefix",
 ) -> DataFrame:
     """All input columns plus ``zscore``: the value against the
     key's trailing [t − w, t) EXCLUSIVE window (the point under test
     never vouches for itself). NULL until ``min_points`` prior
-    events exist in the window, or when their std is 0."""
+    events exist in the window, or when their std is 0.
+
+    ``method="prefix"`` (default, the at-scale form) evaluates the
+    frame by PREFIX SUBTRACTION: two growing range frames
+    (UnboundedPreceding → moving upper bound), which Spark computes
+    incrementally in O(n), give count/sum/sum-of-squares strictly
+    before t and strictly before t − w; their differences are the
+    frame moments and the sample variance follows algebraically.
+    A direct sliding frame (``method="sliding"``) re-evaluates its
+    whole buffer per row — O(rows × frame) — which measured 110 s
+    vs 5 s at 10M rows with day-wide frames (SCALE_NOTES); it is
+    kept for differential testing and for callers needing Welford
+    summation (the algebraic variance subtracts two large terms —
+    fine for |value|/std ratios into the ~1e6 range at float64,
+    pinned against sliding in tests)."""
     if window_sec <= 0:
         raise ValueError("window_sec must be positive")
     if min_points < 2:
         raise ValueError("min_points must be >= 2")
+    if method not in ("prefix", "sliding"):
+        raise ValueError(f"unknown method: {method!r}")
     out = df.where(F.col(ts_col).isNotNull()).withColumn(
         "__tsm", _tsm(ts_col)
     )
-    spec = (
-        Window.partitionBy(key_col)
-        .orderBy("__tsm")
-        .rangeBetween(-window_sec * 1_000_000, -1)
-    )
     v = F.col(value_col)
-    mu = F.avg(v).over(spec)
-    sd = F.stddev_samp(v).over(spec)
-    cnt = F.count(v).over(spec)
+    base = Window.partitionBy(key_col).orderBy("__tsm")
+    if method == "sliding":
+        spec = base.rangeBetween(-window_sec * 1_000_000, -1)
+        mu = F.avg(v).over(spec)
+        sd = F.stddev_samp(v).over(spec)
+        cnt = F.count(v).over(spec)
+        z = F.when(
+            (cnt >= min_points) & (sd > 0), (v - mu) / sd
+        )
+        return out.withColumn("zscore", z).drop("__tsm")
+    # prefix subtraction: strictly-before-t minus strictly-before-
+    # (t − w) leaves exactly [t − w, t)
+    before = base.rangeBetween(Window.unboundedPreceding, -1)
+    old = base.rangeBetween(
+        Window.unboundedPreceding, -window_sec * 1_000_000 - 1
+    )
+
+    def moments(spec):
+        return (
+            F.count(v).over(spec),
+            F.sum(v).over(spec),
+            F.sum(v * v).over(spec),
+        )
+
+    cb, sb, qb = moments(before)
+    co, so, qo = moments(old)
+    cnt = cb - F.coalesce(co, F.lit(0))
+    s = F.coalesce(sb, F.lit(0.0)) - F.coalesce(so, F.lit(0.0))
+    q = F.coalesce(qb, F.lit(0.0)) - F.coalesce(qo, F.lit(0.0))
+    mu = s / cnt
+    var = (q - cnt * mu * mu) / (cnt - 1)
     z = F.when(
-        (cnt >= min_points) & (sd > 0), (v - mu) / sd
+        (cnt >= min_points) & (var > 0),
+        (v - mu) / F.sqrt(var),
     )
     return out.withColumn("zscore", z).drop("__tsm")

@@ -132,3 +132,29 @@ def test_guards_and_plan(spark):
     )
     # one hash exchange feeds every window spec
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zscore_prefix_equals_sliding(spark):
+    df, _ = _events(spark, n=600, n_keys=5, seed=9)
+    a = {
+        r["eid"]: r["zscore"]
+        for r in rolling_zscore(
+            df, "k", "ts", "v", window_sec=7200, min_points=4,
+            method="prefix",
+        ).collect()
+    }
+    b = {
+        r["eid"]: r["zscore"]
+        for r in rolling_zscore(
+            df, "k", "ts", "v", window_sec=7200, min_points=4,
+            method="sliding",
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for eid in a:
+        if b[eid] is None:
+            assert a[eid] is None, eid
+        else:
+            assert a[eid] == pytest.approx(b[eid], rel=1e-9), eid
+    with pytest.raises(ValueError, match="method"):
+        rolling_zscore(df, "k", "ts", "v", method="nope")
