@@ -49,35 +49,61 @@ def rolling_features(
     window_secs: Sequence[int] = (3600,),
     lags: Sequence[int] = (),
     tiebreak_col: str | None = None,
+    features: Sequence[str] = ("mean", "min", "max", "cnt"),
 ) -> DataFrame:
-    """All input columns plus, per window w: ``mean_{w}s``,
-    ``min_{w}s``, ``max_{w}s``, ``cnt_{w}s`` over the trailing
-    inclusive [t − w, t]; plus ``lag_{k}`` row lags per entry in
-    ``lags`` (pass ``tiebreak_col`` to make lags deterministic
-    under equal timestamps). NULL timestamps are dropped (no window
-    membership)."""
+    """All input columns plus, per window w and requested feature:
+    ``mean_{w}s``, ``min_{w}s``, ``max_{w}s``, ``cnt_{w}s`` over the
+    trailing inclusive [t − w, t]; plus ``lag_{k}`` row lags per
+    entry in ``lags`` (pass ``tiebreak_col`` to make lags
+    deterministic under equal timestamps). NULL timestamps are
+    dropped (no window membership). For WIDE windows request only
+    mean/cnt — min/max are the two features that must pay Spark's
+    O(rows × frame) sliding evaluation (not prefix-subtractable)."""
     if not window_secs and not lags:
         raise ValueError("need at least one window or lag")
     if any(w <= 0 for w in window_secs):
         raise ValueError("window_secs must be positive")
     if any(k <= 0 for k in lags):
         raise ValueError("lags must be positive")
+    bad = set(features) - {"mean", "min", "max", "cnt"}
+    if bad or (window_secs and not features):
+        raise ValueError(
+            f"features must be a non-empty subset of"
+            f" mean/min/max/cnt, got {sorted(features)!r}"
+        )
     out = df.where(F.col(ts_col).isNotNull()).withColumn(
         "__tsm", _tsm(ts_col)
     )
     v = F.col(value_col)
+    base = Window.partitionBy(key_col).orderBy("__tsm")
     for w in window_secs:
-        spec = (
-            Window.partitionBy(key_col)
-            .orderBy("__tsm")
-            .rangeBetween(-w * 1_000_000, 0)
+        # mean/cnt by PREFIX SUBTRACTION (two growing range frames,
+        # O(n) incremental — see rolling_zscore): a sliding frame
+        # re-evaluates its buffer per row, O(rows x frame), which
+        # measured 23x slower at day-wide frames (SCALE_NOTES).
+        # min/max are not subtractable — they keep the sliding
+        # frame, so day-wide windows pay it only for those two.
+        incl = base.rangeBetween(Window.unboundedPreceding, 0)
+        old = base.rangeBetween(
+            Window.unboundedPreceding, -w * 1_000_000 - 1
         )
-        out = (
-            out.withColumn(f"mean_{w}s", F.avg(v).over(spec))
-            .withColumn(f"min_{w}s", F.min(v).over(spec))
-            .withColumn(f"max_{w}s", F.max(v).over(spec))
-            .withColumn(f"cnt_{w}s", F.count(v).over(spec))
+        cnt = F.count(v).over(incl) - F.coalesce(
+            F.count(v).over(old), F.lit(0)
         )
+        s = F.coalesce(F.sum(v).over(incl), F.lit(0.0)) - F.coalesce(
+            F.sum(v).over(old), F.lit(0.0)
+        )
+        spec = base.rangeBetween(-w * 1_000_000, 0)
+        if "mean" in features:
+            out = out.withColumn(
+                f"mean_{w}s", F.when(cnt > 0, s / cnt)
+            )
+        if "min" in features:
+            out = out.withColumn(f"min_{w}s", F.min(v).over(spec))
+        if "max" in features:
+            out = out.withColumn(f"max_{w}s", F.max(v).over(spec))
+        if "cnt" in features:
+            out = out.withColumn(f"cnt_{w}s", cnt)
     if lags:
         order = ["__tsm"] + (
             [tiebreak_col] if tiebreak_col is not None else []

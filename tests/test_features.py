@@ -158,3 +158,25 @@ def test_zscore_prefix_equals_sliding(spark):
             assert a[eid] == pytest.approx(b[eid], rel=1e-9), eid
     with pytest.raises(ValueError, match="method"):
         rolling_zscore(df, "k", "ts", "v", method="nope")
+
+
+def test_feature_selector(spark):
+    df, _ = _events(spark, n=200)
+    out = rolling_features(
+        df, "k", "ts", "v", window_secs=(86400,),
+        features=("mean", "cnt"),
+    )
+    assert "mean_86400s" in out.columns
+    assert "cnt_86400s" in out.columns
+    assert "min_86400s" not in out.columns
+    # wide mean/cnt-only plan carries NO sliding frame (every range
+    # frame is growing: unboundedpreceding)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    sliding = [
+        m for m in re.findall(r"specifiedwindowframe\([^)]*\)", plan)
+        if "unboundedpreceding" not in m
+    ]
+    assert not sliding, sliding
+    with pytest.raises(ValueError, match="features"):
+        rolling_features(df, "k", "ts", "v", features=("huh",))
