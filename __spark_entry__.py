@@ -6198,6 +6198,86 @@ _DRIFT_ORACLE_SQL = """
 """
 
 
+def q119_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample contrast (operators/stats.ab_test) FULL-VALUE
+    gate: Welch's z of l_extendedprice between the N and R return
+    flags — counts, means, difference, unpooled standard error, and
+    z in ONE conditional-aggregate scan (no split, no join). The
+    raw variances stay internal (at ~9e8 magnitude the driver's
+    %.4f fixed-point canon would amplify benign last-ulp engine
+    differences); every exported column is exact at the compare."""
+    from shotit_worker_spark.operators.stats import ab_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ab_test(
+        li, "l_returnflag", "l_extendedprice", "N", "R"
+    ).select("n_c", "n_t", "mean_c", "mean_t", "diff", "se", "z")
+
+
+_AB_TEST_ORACLE_SQL = """
+    WITH s AS (
+        SELECT
+            count(CASE WHEN l_returnflag = 'N'
+                       THEN l_extendedprice END) AS n_c,
+            count(CASE WHEN l_returnflag = 'R'
+                       THEN l_extendedprice END) AS n_t,
+            avg(CASE WHEN l_returnflag = 'N'
+                     THEN l_extendedprice END) AS mean_c,
+            avg(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice END) AS mean_t,
+            var_samp(CASE WHEN l_returnflag = 'N'
+                          THEN l_extendedprice END) AS var_c,
+            var_samp(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice END) AS var_t
+        FROM lineitem
+    )
+    SELECT n_c, n_t, mean_c, mean_t,
+           mean_t - mean_c AS diff,
+           sqrt(var_c / n_c + var_t / n_t) AS se,
+           CASE WHEN sqrt(var_c / n_c + var_t / n_t) > 0
+                THEN (mean_t - mean_c)
+                     / sqrt(var_c / n_c + var_t / n_t) END AS z
+    FROM s
+"""
+
+
+def q120_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/stats.mutual_information)
+    FULL-VALUE gate: natural-log MI and marginal entropies between
+    l_returnflag and l_linestatus — one data-scale shuffle (the
+    joint groupBy), marginals via window sums over the bounded
+    contingency table. The oracle rebuilds the same quantities from
+    the joint counts in plain SQL."""
+    from shotit_worker_spark.operators.stats import (
+        mutual_information,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+_MUTUAL_INFO_ORACLE_SQL = """
+    WITH j AS (
+        SELECT l_returnflag AS x, l_linestatus AS y,
+               count(*) AS nxy
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+          AND l_linestatus IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM j),
+    mx AS (SELECT x, CAST(sum(nxy) AS DOUBLE) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS DOUBLE) AS ny FROM j GROUP BY 1)
+    SELECT
+        sum((nxy / n) * ln(nxy * n / (nx * ny))) AS mi,
+        -sum((nxy / n) * ln(nx / n)) AS h_x,
+        -sum((nxy / n) * ln(ny / n)) AS h_y,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(sum(nxy) AS BIGINT) AS n
+    FROM j JOIN mx USING (x) JOIN my USING (y), t
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6463,6 +6543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_profile": q116_profile,
         "q117_correlation": q117_correlation,
         "q118_drift": q118_drift,
+        "q119_ab_test": q119_ab_test,
+        "q120_mutual_info": q120_mutual_info,
     }
 
 
@@ -6630,6 +6712,8 @@ def oracle_sql() -> dict[str, str]:
         "q116_profile": _profile_oracle_sql(),
         "q117_correlation": _correlation_oracle_sql(),
         "q118_drift": _DRIFT_ORACLE_SQL,
+        "q119_ab_test": _AB_TEST_ORACLE_SQL,
+        "q120_mutual_info": _MUTUAL_INFO_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

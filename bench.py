@@ -54,7 +54,7 @@ POST_R3_QUERIES = frozenset({
     "q109_stream_funnel", "q110_stream_cohort", "q111_sessionize",
     "q112_scd2", "q113_bucketed_join", "q114_expectations",
     "q115_rolling_features", "q116_profile", "q117_correlation",
-    "q118_drift",
+    "q118_drift", "q119_ab_test", "q120_mutual_info",
 })
 
 

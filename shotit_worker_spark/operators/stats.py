@@ -1,0 +1,101 @@
+"""Experiment and dependence statistics: A/B contrasts, mutual
+information.
+
+The measurement side of a pipeline that ships experiments and
+features: did the treatment move the metric (two-sample z), and how
+much does one categorical column tell you about another (mutual
+information — the feature-selection / leakage-screening number).
+
+Spark-first shapes:
+- ``ab_test``: per-group count/mean/sample-variance in ONE
+  aggregation scan (conditional aggregates — no split, no join),
+  then the z statistic by Welch's unpooled form. The output is the
+  full contrast row (means, variances, standard error, z) — all
+  portable arithmetic; significance thresholds are the caller's
+  (z ≈ 1.96 for two-sided 5%).
+- ``mutual_information``: one groupBy over the (x, y) pair gives
+  the joint distribution; the marginals derive from window sums
+  over the ALREADY-AGGREGATED contingency table (cells × 1 rows,
+  never data-scale), so the whole computation is one data-scale
+  shuffle + bounded-table arithmetic. Natural-log MI; NULLs in
+  either column are excluded (they form their own dependence
+  structure — screen them with plans/expectations first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ab_test", "mutual_information"]
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control,
+    treatment,
+) -> DataFrame:
+    """One row: (n_c, n_t, mean_c, mean_t, var_c, var_t, diff, se,
+    z) — Welch's two-sample contrast of ``treatment`` −
+    ``control``. One aggregation scan via conditional aggregates."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    vc = F.when(g == F.lit(control), v)
+    vt = F.when(g == F.lit(treatment), v)
+    agg = df.agg(
+        F.count(vc).alias("n_c"),
+        F.count(vt).alias("n_t"),
+        F.avg(vc).alias("mean_c"),
+        F.avg(vt).alias("mean_t"),
+        F.var_samp(vc).alias("var_c"),
+        F.var_samp(vt).alias("var_t"),
+    )
+    diff = F.col("mean_t") - F.col("mean_c")
+    se = F.sqrt(
+        F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t")
+    )
+    return agg.select(
+        "n_c", "n_t", "mean_c", "mean_t", "var_c", "var_t",
+        diff.alias("diff"),
+        se.alias("se"),
+        F.when(se > 0, diff / se).alias("z"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One row: (mi, h_x, h_y, n_cells, n) — natural-log mutual
+    information and the two marginal entropies (so callers can
+    normalize: MI ≤ min(H_x, H_y); MI = 0 ⇔ independent). One
+    data-scale shuffle (the joint groupBy); marginals and the MI sum
+    run over the bounded contingency table."""
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__nxy"))
+    )
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy(F.lit(1))
+    n = F.sum("__nxy").over(wall)
+    nx = F.sum("__nxy").over(wx)
+    ny = F.sum("__nxy").over(wy)
+    pxy = F.col("__nxy") / n
+    terms = joint.select(
+        (pxy * F.log(F.col("__nxy") * n / (nx * ny))).alias("__mi"),
+        (F.col("__nxy") / n).alias("__p"),
+        (nx / n).alias("__px"),
+        (ny / n).alias("__py"),
+        F.col("__nxy").alias("__nxy"),
+    )
+    return terms.agg(
+        F.sum("__mi").alias("mi"),
+        (-F.sum(F.col("__p") * F.log("__px"))).alias("h_x"),
+        (-F.sum(F.col("__p") * F.log("__py"))).alias("h_y"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("__nxy").alias("n"),
+    )

@@ -1,0 +1,89 @@
+"""Experiment stats (operators/stats): ab_test against scipy-free
+hand arithmetic, a real effect scores |z| large while a null effect
+stays small, MI against sklearn-free numpy recomputation, the
+independence zero, and the deterministic-function maximum."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from shotit_worker_spark.operators.stats import (
+    ab_test,
+    mutual_information,
+)
+
+
+def test_ab_test_arithmetic_and_power(spark):
+    rng = np.random.default_rng(3)
+    c = rng.normal(100, 10, 2000)
+    t = rng.normal(101.5, 10, 2200)
+    rows = [("control", float(v)) for v in c] + [
+        ("treatment", float(v)) for v in t
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    (r,) = ab_test(df, "grp", "v", "control", "treatment").collect()
+    assert (r["n_c"], r["n_t"]) == (2000, 2200)
+    assert math.isclose(r["mean_c"], c.mean(), rel_tol=1e-12)
+    assert math.isclose(r["var_t"], t.var(ddof=1), rel_tol=1e-12)
+    se = math.sqrt(c.var(ddof=1) / 2000 + t.var(ddof=1) / 2200)
+    assert math.isclose(r["se"], se, rel_tol=1e-12)
+    assert math.isclose(
+        r["z"], (t.mean() - c.mean()) / se, rel_tol=1e-12
+    )
+    assert r["z"] > 3  # the planted 1.5-sigma-scaled effect
+    # A/A: same distribution, small z
+    rows_aa = [("control", float(v)) for v in c[:1000]] + [
+        ("treatment", float(v)) for v in c[1000:]
+    ]
+    (aa,) = ab_test(
+        spark.createDataFrame(rows_aa, "grp string, v double"),
+        "grp", "v", "control", "treatment",
+    ).collect()
+    assert abs(aa["z"]) < 3
+
+
+def test_mutual_information_values(spark):
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 4, 5000)
+    noise = rng.integers(0, 3, 5000)
+    y = (x + noise) % 4  # dependent but noisy
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], "x long, y long"
+    )
+    (r,) = mutual_information(df, "x", "y").collect()
+    # numpy recomputation
+    joint = np.zeros((4, 4))
+    for a, b in zip(x, y):
+        joint[a, b] += 1
+    p = joint / joint.sum()
+    px, py = p.sum(1), p.sum(0)
+    mi = sum(
+        p[i, j] * math.log(p[i, j] / (px[i] * py[j]))
+        for i in range(4) for j in range(4) if p[i, j] > 0
+    )
+    hx = -sum(q * math.log(q) for q in px if q > 0)
+    assert math.isclose(r["mi"], mi, rel_tol=1e-9)
+    assert math.isclose(r["h_x"], hx, rel_tol=1e-9)
+    assert 0 < r["mi"] < min(r["h_x"], r["h_y"]) + 1e-12
+    assert r["n"] == 5000
+
+
+def test_mi_independence_and_function_extremes(spark):
+    # independent columns: MI ~ 0; deterministic function: MI = H_x
+    n = 35_000  # multiple of 7*5: the joint is EXACTLY balanced
+    df = spark.range(n).selectExpr(
+        "id % 7 as x", "(id div 7) % 5 as y",
+        "id % 3 as fx",
+    )
+    (ind,) = mutual_information(df, "x", "y").collect()
+    assert abs(ind["mi"]) < 1e-9  # exact balanced independence
+    (fn,) = mutual_information(
+        df.selectExpr("x", "x % 3 as y"), "x", "y"
+    ).collect()
+    (hx,) = mutual_information(
+        df.selectExpr("x % 3 as x", "x % 3 as y"), "x", "y"
+    ).collect()
+    assert math.isclose(fn["mi"], hx["h_x"], rel_tol=1e-9)
