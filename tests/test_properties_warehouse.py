@@ -1,0 +1,121 @@
+"""Property-based differentials for the round-9 warehouse/event
+operators: build_scd2 and sessionize against pure-python references
+on hypothesis-generated logs (few examples — each costs a Spark
+round-trip — but shrinking finds minimal counterexamples)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from shotit_worker_spark.operators.sessions import sessionize
+from shotit_worker_spark.plans.scd2 import build_scd2
+
+spark_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a change log: per-key unique seqs, tiny attr alphabet (None
+# included — the null-safe collapse path), ~20% deletes
+_logs = st.lists(
+    st.tuples(
+        st.integers(0, 3),                          # key
+        st.integers(0, 30),                         # seq
+        st.sampled_from(["a", "b", None]),          # attr
+        st.sampled_from(["upsert"] * 4 + ["delete"]),
+    ),
+    min_size=1,
+    max_size=40,
+).map(
+    # drop duplicate (key, seq) pairs — the module's documented
+    # determinism precondition
+    lambda rows: list(
+        {(k, s): (k, s, a, o) for k, s, a, o in rows}.values()
+    )
+)
+
+
+def _ref_scd2(rows):
+    by_key: dict = {}
+    for k, s, a, o in rows:
+        by_key.setdefault(k, []).append((s, a, o == "delete"))
+    out = []
+    for k, evs in by_key.items():
+        evs.sort()
+        survivors = []
+        prev = None  # (del, attrs) of the immediately preceding row
+        for s, a, is_del in evs:
+            if is_del or prev is None or prev != (is_del, a):
+                survivors.append((s, a, is_del))
+            prev = (is_del, a)
+        for i, (s, a, is_del) in enumerate(survivors):
+            if is_del:
+                continue
+            nxt = survivors[i + 1][0] if i + 1 < len(survivors) else None
+            out.append((k, a, s, nxt, nxt is None))
+    return sorted(out, key=lambda t: (t[0], t[2]))
+
+
+@spark_settings
+@given(_logs)
+def test_scd2_matches_reference(spark, rows):
+    df = spark.createDataFrame(
+        rows, "k long, seq int, a string, op string"
+    )
+    got = sorted(
+        (
+            (r["k"], r["a"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in build_scd2(
+                df, keys=["k"], attr_cols=["a"], op_col="op"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == _ref_scd2(rows)
+
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user
+        st.integers(0, 5000),     # offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@spark_settings
+@given(_events_strategy, st.integers(10, 600))
+def test_sessionize_matches_reference(spark, evs, gap):
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, eid long"
+    )
+    got = {
+        r["eid"]: (r["user_id"], r["session_no"])
+        for r in sessionize(
+            df, gap_sec=float(gap), tiebreak_col="eid"
+        ).collect()
+    }
+    want = {}
+    by_user: dict = {}
+    for u, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, es in by_user.items():
+        es.sort()
+        sno, prev = 0, None
+        for ts, eid in es:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sno += 1
+            want[eid] = (u, sno)
+            prev = ts
+    assert got == want
