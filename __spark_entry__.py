@@ -6278,6 +6278,39 @@ _MUTUAL_INFO_ORACLE_SQL = """
 """
 
 
+def q121_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities (operators/graph.
+    label_propagation) constants gate: two 6-cliques bridged by one
+    edge must converge to each clique's minimum node id (synchronous
+    rounds, modal neighbor label, smallest-label tie-break — the
+    DETERMINISTIC variant; async LPA's arrival-order sensitivity is
+    exactly what a pipeline can't have). Each round is one edge join
+    + one modal agg on the node partitioning, eager persist/free —
+    the pagerank discipline. The oracle is the closed-form
+    assignment."""
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    edges = []
+    for base in (0, 100):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((5, 100))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return label_propagation(df, max_rounds=8).orderBy("node")
+
+
+def _label_prop_oracle_sql() -> str:
+    rows = ", ".join(
+        [f"({n}, 0)" for n in range(6)]
+        + [f"({n}, 100)" for n in range(100, 106)]
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(node, label)"
+        " ORDER BY node"
+    )
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6545,6 +6578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_drift": q118_drift,
         "q119_ab_test": q119_ab_test,
         "q120_mutual_info": q120_mutual_info,
+        "q121_label_prop": q121_label_prop,
     }
 
 
@@ -6714,6 +6748,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_drift": _DRIFT_ORACLE_SQL,
         "q119_ab_test": _AB_TEST_ORACLE_SQL,
         "q120_mutual_info": _MUTUAL_INFO_ORACLE_SQL,
+        "q121_label_prop": _label_prop_oracle_sql(),
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

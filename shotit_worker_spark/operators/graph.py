@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_int"]
+__all__ = ["pagerank", "pagerank_int", "label_propagation"]
 
 
 def _materialize(df: DataFrame, prev: DataFrame | None) -> DataFrame:
@@ -247,3 +247,91 @@ def pagerank_int(
     finally:
         ew.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, label) community assignment by SYNCHRONOUS label
+    propagation with deterministic tie-breaking: every node starts
+    as its own label; each round every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label —
+    so runs are reproducible (async LPA's arrival-order sensitivity
+    is exactly what a data pipeline can't have), and a round is one
+    join + one max_by aggregation, the pagerank shape: edge-table
+    equi-join on node ids, map-side-combining agg, eager
+    persist/free per round (no lineage stacking). Terminates at
+    ``max_rounds`` or earlier when no label changes (checked with a
+    one-row anti-join count per round — cheap against the
+    already-persisted frame).
+
+    Undirected by default (edges mirrored once up front — community
+    structure, not flow). Known LPA caveat at any scale: synchronous
+    updates can 2-cycle on bipartite-ish regions; the no-change
+    termination then stops at max_rounds with the last assignment —
+    deterministic, documented, and why max_rounds stays bounded
+    instead of spinning."""
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).where(F.col("__src") != F.col("__dst")).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("__dst").alias("__src"),
+                F.col("__src").alias("__dst"),
+            )
+        ).distinct()
+    e = e.persist()
+    labels = _materialize(
+        _nodes(e, "__src", "__dst").select(
+            "node", F.col("node").alias("label")
+        ),
+        None,
+    )
+    for _ in range(max_rounds):
+        # neighbor labels: join edge dst -> current label, then per
+        # src the modal label (count desc, label asc — max_by over a
+        # struct gives the deterministic argmax in one agg)
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("__dst"),
+                    F.col("label").alias("__nl"),
+                ),
+                on="__dst",
+            )
+            .groupBy(F.col("__src").alias("node"), F.col("__nl"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # deterministic argmax for ANY orderable label type: keep
+        # the rows at the modal count (window max on the same
+        # node partitioning — no extra exchange), then the smallest
+        # label among them
+        from pyspark.sql import Window as _W
+
+        wn = _W.partitionBy("node")
+        new = (
+            votes.withColumn("__mx", F.max("__c").over(wn))
+            .where(F.col("__c") == F.col("__mx"))
+            .groupBy("node")
+            .agg(F.min("__nl").alias("label"))
+        )
+        new = _materialize(new, None)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist(blocking=False)
+    return labels

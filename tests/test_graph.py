@@ -159,3 +159,37 @@ def test_no_cache_leak(spark):
     # default eager threshold respects the one-shot mode
     out3 = G.pagerank_int(df, iters=6, persist_result=False)
     out3.count()
+
+def test_label_propagation_planted_cliques(spark):
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    # two 6-cliques bridged by one edge: LPA converges to each
+    # clique's minimum node id; the bridge can't flip a clique
+    edges = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((5, 10))  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_rounds=8).collect()
+    }
+    assert set(got) == set(range(6)) | set(range(10, 16))
+    assert all(got[n] == 0 for n in range(6)), got
+    assert all(got[n] == 10 for n in range(10, 16)), got
+
+
+def test_label_propagation_determinism_and_guard(spark):
+    import pytest
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 1)], "src long, dst long"
+    )
+    a = sorted(map(tuple, label_propagation(df, max_rounds=6).collect()))
+    b = sorted(map(tuple, label_propagation(df, max_rounds=6).collect()))
+    assert a == b  # synchronous + min-tie-break: reproducible
+    with pytest.raises(ValueError, match="max_rounds"):
+        label_propagation(df, max_rounds=0)
