@@ -309,19 +309,35 @@ def label_propagation(
             .groupBy(F.col("__src").alias("node"), F.col("__nl"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        # deterministic argmax for ANY orderable label type: keep
-        # the rows at the modal count (window max on the same
-        # node partitioning — no extra exchange), then the smallest
-        # label among them
-        from pyspark.sql import Window as _W
-
-        wn = _W.partitionBy("node")
-        new = (
-            votes.withColumn("__mx", F.max("__c").over(wn))
-            .where(F.col("__c") == F.col("__mx"))
-            .groupBy("node")
-            .agg(F.min("__nl").alias("label"))
+        # deterministic argmax (modal count, smallest label on
+        # ties). Numeric ids — the common case — take the ONE-
+        # SHUFFLE form: max of struct(count, -label) inverts the
+        # label order inside a single agg, so each round is one
+        # groupBy(node, label) + one map-side-combining agg, the
+        # pagerank budget. Other orderable types fall back to the
+        # window-modal form (a second exchange on node).
+        numeric_label = votes.schema["__nl"].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
         )
+        if numeric_label:
+            new = votes.groupBy("node").agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("__nl")).alias("negl"),
+                    )
+                ).alias("__m")
+            ).select("node", (-F.col("__m")["negl"]).alias("label"))
+        else:
+            from pyspark.sql import Window as _W
+
+            wn = _W.partitionBy("node")
+            new = (
+                votes.withColumn("__mx", F.max("__c").over(wn))
+                .where(F.col("__c") == F.col("__mx"))
+                .groupBy("node")
+                .agg(F.min("__nl").alias("label"))
+            )
         new = _materialize(new, None)
         changed = (
             new.alias("n")

@@ -193,3 +193,19 @@ def test_label_propagation_determinism_and_guard(spark):
     assert a == b  # synchronous + min-tie-break: reproducible
     with pytest.raises(ValueError, match="max_rounds"):
         label_propagation(df, max_rounds=0)
+
+
+def test_label_propagation_string_ids_fallback(spark):
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    # string ids exercise the window-modal fallback; two triangles
+    # converge to each one's lexicographic minimum
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_rounds=6).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
