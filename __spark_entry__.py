@@ -6311,6 +6311,42 @@ def _label_prop_oracle_sql() -> str:
     )
 
 
+def q122_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (index/ivf.IVFIndex.search(where=…))
+    FULL-VALUE gate: full-probe search constrained to vec_id%3==0
+    must return the exact filtered top-10 with exact scores — the
+    predicate applies to the probed scan BEFORE scoring (true
+    pre-filtering; parquet evaluates predicates, so no over-fetch
+    heuristics), and at nprobe=nlist the result is the exact top-k
+    of the filtered corpus, which the oracle recomputes from the raw
+    embeddings. Pushdown itself is plan-pinned in test_ivf."""
+    import numpy as np
+
+    index = _shared_ivf_index(spark, sf_dir)
+    q = np.array(_query_vec(spark, sf_dir, 0))
+    return index.search(
+        spark, q, k=10, nprobe=16, id_col="vec_id",
+        tie_col="vec_id", where=F.col("vec_id") % 3 == 0,
+    ).select("vec_id", "score")
+
+
+_FILTERED_ANN_ORACLE_SQL = """
+    WITH t AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_sum(
+                     list_transform(v, y -> y * y)))) AS nv
+          FROM t),
+    q AS (SELECT nv AS qv FROM n WHERE vec_id = 0)
+    SELECT n.vec_id, list_dot_product(n.nv, q.qv) AS score
+    FROM n, q
+    WHERE n.vec_id % 3 = 0
+    ORDER BY score DESC, n.vec_id ASC
+    LIMIT 10
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6579,6 +6615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_ab_test": q119_ab_test,
         "q120_mutual_info": q120_mutual_info,
         "q121_label_prop": q121_label_prop,
+        "q122_filtered_ann": q122_filtered_ann,
     }
 
 
@@ -6749,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "q119_ab_test": _AB_TEST_ORACLE_SQL,
         "q120_mutual_info": _MUTUAL_INFO_ORACLE_SQL,
         "q121_label_prop": _label_prop_oracle_sql(),
+        "q122_filtered_ann": _FILTERED_ANN_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -445,8 +445,19 @@ class IVFIndex:
         id_col: str = "hash_id",
         tie_col: str | None = "primary_key",
         rerank_factor: int | None = None,
+        where=None,
     ) -> DataFrame:
         """nprobe search: partition-pruned scan → flat IP score → top-k.
+
+        ``where`` (a Column or SQL string over the index's payload
+        columns — build_ivf stores every input column beside the
+        vectors) makes this a FILTERED search: the predicate applies
+        to the probed scan BEFORE scoring, i.e. true PRE-filtering.
+        Dedicated vector engines need over-fetch heuristics here
+        because their index scan can't evaluate predicates; a parquet
+        scan can — the filter pushes down beside the partition
+        pruning, and the result is the exact top-k of the filtered
+        subset within the probed lists (recall gated in test_ivf).
 
         Multi-assignment layouts score a replicated row once per probed
         copy; a groupBy(id).max(score) folds them (the shuffle is over the
@@ -462,6 +473,8 @@ class IVFIndex:
         error inside the pool is corrected."""
         probes = self.probe_ids(query, nprobe)
         df = self.load(spark).filter(F.col("centroid_id").isin(probes))
+        if where is not None:
+            df = df.where(where)
         cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
         scored = self._scored(df, query, cols)
         if self.n_assign > 1:
@@ -494,8 +507,14 @@ class IVFIndex:
         nprobe: int = DEFAULT_NPROBE,
         id_col: str = "hash_id",
         tie_col: str | None = "primary_key",
+        where=None,
     ) -> DataFrame:
         """Batch nprobe search — ONE job for all queries.
+
+        ``where`` pre-filters the probed scan exactly as in
+        :meth:`search` (one shared predicate for the whole batch —
+        per-query predicates would forfeit the single-scan design;
+        run per-predicate batches instead).
 
         Each query probes its own nprobe lists; the (query_id,
         centroid_id, qvec) probe table is broadcast (queries are the
@@ -535,6 +554,8 @@ class IVFIndex:
         df = self.load(spark).filter(
             F.col("centroid_id").isin(sorted(probed))
         )
+        if where is not None:
+            df = df.where(where)
         cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
         if sq8:
             probe_df = spark.createDataFrame(

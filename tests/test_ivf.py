@@ -469,3 +469,33 @@ def test_calibrate_nprobe_clustered(spark, tmp_path):
 
     with _pt.raises(ValueError, match="queries"):
         ivf.calibrate_nprobe(spark, index, [], exact)
+
+
+def test_filtered_search_prefilter_exact(spark, corpus, index):
+    """where= is TRUE pre-filtering: full-probe filtered search must
+    equal the exact top-k of the filtered corpus, every hit satisfies
+    the predicate, and the parquet scan carries the pushed filter."""
+    q = np.array(corpus.filter(F.col("vec_id") == 3).first()["vector"])
+    pred = F.col("vec_id") >= 200
+    got = index.search(
+        spark, q, k=10, nprobe=NLIST, id_col="vec_id",
+        tie_col=None, where=pred,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(vec_id,200)" in plan, plan
+    hits = [r["vec_id"] for r in got.collect()]
+    assert hits and all(v >= 200 for v in hits)
+    exact = [
+        r["vec_id"]
+        for r in S.exact_topk(
+            corpus.filter(pred), list(q), k=10, vec_col="vector",
+            id_col="vec_id", tie_col=None,
+        ).collect()
+    ]
+    assert hits == exact
+    # batch form: same predicate, both queries constrained
+    batch = index.search_batch(
+        spark, [(0, q), (1, -q)], k=5, nprobe=NLIST,
+        id_col="vec_id", tie_col=None, where=pred,
+    ).collect()
+    assert batch and all(r["vec_id"] >= 200 for r in batch)
