@@ -6347,6 +6347,57 @@ _FILTERED_ANN_ORACLE_SQL = """
 """
 
 
+def q123_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (operators/bm25.tfidf_keywords)
+    FULL-VALUE gate: each document's top-3 salient terms (classic
+    idf = ln(N/df), min_df=2, term-tiebroken ranks) over the
+    documents table — one explode, one (doc, term) tf agg, a
+    broadcast vocabulary-sized df table, one per-doc window. The
+    oracle recomputes every score with the q41 tokenizer fragment
+    in plain SQL."""
+    from shotit_worker_spark.operators.bm25 import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(
+        docs, k=3, min_df=2
+    ).orderBy("doc_id", "rank")
+
+
+_TFIDF_ORACLE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dft AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ln(nn.n / dft.df) AS tfidf
+        FROM tf JOIN dft USING (term), nn
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6616,6 +6667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_mutual_info": q120_mutual_info,
         "q121_label_prop": q121_label_prop,
         "q122_filtered_ann": q122_filtered_ann,
+        "q123_tfidf_keywords": q123_tfidf_keywords,
     }
 
 
@@ -6787,6 +6839,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_mutual_info": _MUTUAL_INFO_ORACLE_SQL,
         "q121_label_prop": _label_prop_oracle_sql(),
         "q122_filtered_ann": _FILTERED_ANN_ORACLE_SQL,
+        "q123_tfidf_keywords": _TFIDF_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

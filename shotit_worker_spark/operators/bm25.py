@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 
-__all__ = ["BM25Index", "build_bm25"]
+__all__ = ["BM25Index", "build_bm25", "tfidf_keywords"]
 
 
 def _term_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -261,4 +261,55 @@ def build_bm25(
         id_col,
         total_tokens=float(stats["toks"] or 0),
         n_scored=int(stats["n_scored"] or 0),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, term, tf, tfidf, rank) — each document's top-k
+    TF-IDF terms (classic idf = ln(N/df); raw tf — keyword RANKING
+    within a doc is length-invariant, so dl-normalization buys
+    nothing here), ties broken by term for reproducibility.
+    ``min_df`` drops hapax noise before ranking.
+
+    Spark-first shape: one explode + one (doc, term) count, a
+    term-keyed df agg whose result is vocabulary-sized and
+    broadcast back, and one per-doc window top-k — two data-scale
+    shuffles (the tf agg, the window), both on term/doc hash
+    partitioning. The inverse of q41's corpus top-terms: per-doc
+    salience, not global frequency."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    n_docs = docs.where(F.col(text_col).isNotNull()).count()
+    terms = _term_rows(
+        docs.where(F.col(text_col).isNotNull()), text_col, id_col
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

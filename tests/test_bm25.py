@@ -210,3 +210,41 @@ def test_save_open_preserves_token_totals(spark, tmp_root):
     reopened = B.BM25Index.open(spark, path)
     assert reopened.total_tokens == pytest.approx(idx.total_tokens)
     assert reopened.n_scored == idx.n_scored
+
+
+def test_tfidf_keywords(spark):
+    import math
+
+    import pytest
+    from shotit_worker_spark.operators.bm25 import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only common"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["tfidf"])
+        )
+    for v in got.values():
+        v.sort()
+    # N=3 (null text excluded). doc1: apple tf2 df1 -> 2*ln(3),
+    # banana tf1 df2, common tf2 df3 idf=0
+    assert [t for _, t, _, _ in got[1]] == ["apple", "banana"]
+    assert got[1][0][3] == pytest.approx(2 * math.log(3), rel=1e-12)
+    assert got[1][1][3] == pytest.approx(math.log(1.5), rel=1e-12)
+    # doc3 has only idf-0 'common' + hapax 'words' 'only'
+    assert [t for _, t, _, _ in got[3]] == ["only", "words"]
+    assert 4 not in got
+    # min_df=2 drops every hapax
+    out2 = tfidf_keywords(docs, k=2, min_df=2).collect()
+    assert all(r["term"] in ("banana", "common") for r in out2)
+    with pytest.raises(ValueError, match="k"):
+        tfidf_keywords(docs, k=0)
