@@ -299,7 +299,11 @@ def tfidf_keywords(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    scored = tf.join(F.broadcast(df_t), "term").select(
+    # no broadcast hint: a web-scale vocabulary is NOT the small
+    # side by construction (unlike BM25's query-side dictionary) —
+    # AQE broadcasts when the df table measures small and falls back
+    # to a shuffle join when it doesn't
+    scored = tf.join(df_t, "term").select(
         id_col,
         "term",
         "tf",

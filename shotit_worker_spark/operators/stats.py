@@ -65,19 +65,34 @@ def ab_test(
 
 
 def mutual_information(
-    df: DataFrame, x_col: str, y_col: str
+    df: DataFrame, x_col: str, y_col: str,
+    max_cells: int = 10_000_000,
 ) -> DataFrame:
     """One row: (mi, h_x, h_y, n_cells, n) — natural-log mutual
     information and the two marginal entropies (so callers can
     normalize: MI ≤ min(H_x, H_y); MI = 0 ⇔ independent). One
     data-scale shuffle (the joint groupBy); marginals and the MI sum
-    run over the bounded contingency table."""
+    run over the contingency table, which is bounded ONLY when the
+    columns are genuinely categorical — two id-like columns make
+    |cells| ≈ |rows| and the "summary" becomes data-scale, so the
+    cell count is guarded (raise ``max_cells`` deliberately, or
+    bucket continuous columns first — operators/drift._bucket is the
+    fixed-edge form)."""
     x, y = F.col(x_col), F.col(y_col)
     joint = (
         df.where(x.isNotNull() & y.isNotNull())
         .groupBy(x.alias("__x"), y.alias("__y"))
         .agg(F.count(F.lit(1)).alias("__nxy"))
     )
+    n_cells = joint.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"contingency table has {n_cells} cells >"
+            f" max_cells={max_cells}: these columns are id-like,"
+            " not categorical — bucket them first (e.g."
+            " operators/drift fixed-edge bins) or raise max_cells"
+            " deliberately"
+        )
     wx = Window.partitionBy("__x")
     wy = Window.partitionBy("__y")
     wall = Window.partitionBy(F.lit(1))

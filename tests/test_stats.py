@@ -87,3 +87,9 @@ def test_mi_independence_and_function_extremes(spark):
         df.selectExpr("x % 3 as x", "x % 3 as y"), "x", "y"
     ).collect()
     assert math.isclose(fn["mi"], hx["h_x"], rel_tol=1e-9)
+
+
+def test_mi_cell_guard(spark):
+    df = spark.range(5000).selectExpr("id as x", "id as y")
+    with pytest.raises(ValueError, match="max_cells"):
+        mutual_information(df, "x", "y", max_cells=1000)
