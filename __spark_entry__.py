@@ -5556,16 +5556,21 @@ def _event_time_chunks(ev, n_chunks: int = 4):
     contract at all). Returns the list of chunk DataFrames."""
     # ts may be TIMESTAMP_NTZ (parquet) — cast before unix_micros;
     # the same expression drives both the cuts and the assignment,
-    # so chunking is self-consistent regardless of session timezone
+    # so chunking is self-consistent regardless of session timezone.
+    # approx_percentile, not exact percentile: the exact aggregate
+    # buffers every value in executor memory, and cut PLACEMENT is
+    # free here — the folds reproduce the batch answer under ANY
+    # time-ordered chunking (strictness of the cuts is what matters,
+    # not their position)
     tsm = F.unix_micros(F.col("ts").cast("timestamp"))
     qs = [i / n_chunks for i in range(1, n_chunks)]
     cuts = (
         ev.select(
             F.expr(
-                "percentile(unix_micros(cast(ts as timestamp)),"
-                " array("
+                "approx_percentile("
+                "unix_micros(cast(ts as timestamp)), array("
                 + ",".join(str(q) for q in qs)
-                + "))"
+                + "), 1000)"
             ).alias("c")
         ).collect()[0]["c"]
     )
