@@ -1,0 +1,195 @@
+"""Folding data-quality expectations over a stream (foreachBatch).
+
+plans/expectations gates a static table; a pipeline also wants the
+same suite holding over everything that EVER flowed through a stream
+("no nulls so far, ids unique so far, fewer than 0.1% out of
+range"). Every column-local check statistic is a pair of mergeable
+counters (violations, denominator), so the fold keeps O(#checks)
+driver state: each micro-batch reduces to ONE aggregation row
+DISTRIBUTED (the run_checks scan shape) and only the counters merge.
+
+Uniqueness is the one non-counter statistic — exact distinct needs
+unbounded state — so ``unique`` checks fold a KMV/theta sketch of
+the column (streaming/sketchfold's machinery): below the sketch's k
+the duplicate fraction is EXACT (the k-min set held every distinct
+hash); beyond it the estimate carries theta's standard error, and
+the report row says which regime it is in.
+
+``referential`` folds exact orphan counts: each batch anti-joins the
+STATIC dimension key set once (broadcast or shuffle — Catalyst's
+call), and counts merge. A dimension that itself grows over time is
+out of scope — re-run the batch suite at publish time for that.
+
+Replay: count addition is not idempotent, so the folder applies the
+batch_id high-watermark (the driftfold/foreachBatch exactly-once
+recipe); replayed triggers are no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import sketches as _SK
+
+__all__ = ["ChecksFolder"]
+
+
+class ChecksFolder:
+    """Streaming expectations: pass the check dicts built by
+    plans/expectations constructors (not_null / unique / in_range /
+    accepted_values / matches_regex / row_count_between /
+    referential). Use :meth:`foreach_batch` as the ``foreachBatch``
+    function; read :meth:`report`."""
+
+    def __init__(self, checks, theta_k: int = 4096):
+        if not checks:
+            raise ValueError("checks must be non-empty")
+        self.checks = list(checks)
+        self.n_rows = 0
+        self.num = [0] * len(self.checks)
+        self.den = [0] * len(self.checks)
+        self.sketches: dict[int, _SK.ThetaSketch] = {}
+        self.theta_k = theta_k
+        self.last_batch_id: int | None = None
+        for i, c in enumerate(self.checks):
+            kind = c["kind"]
+            if kind not in (
+                "not_null", "unique", "in_range", "accepted_values",
+                "matches_regex", "row_count", "referential",
+            ):
+                raise ValueError(f"unknown check kind: {kind}")
+            if kind == "unique":
+                self.sketches[i] = _SK.ThetaSketch(theta_k)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            self.last_batch_id is not None
+            and batch_id <= self.last_batch_id
+        ):
+            return  # replayed trigger: already applied
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(self.checks):
+            k, a = c["kind"], f"__c{i}"
+            if k == "not_null":
+                aggs.append(
+                    F.sum(F.col(c["col"]).isNull().cast("long"))
+                    .alias(a)
+                )
+            elif k == "unique":
+                aggs.append(F.count(c["col"]).alias(a))
+            elif k == "in_range":
+                v = F.col(c["col"])
+                aggs.append(F.sum(
+                    (v.isNotNull()
+                     & ((v < F.lit(c["lo"])) | (v > F.lit(c["hi"]))))
+                    .cast("long")).alias(a))
+                aggs.append(F.count(c["col"]).alias(a + "d"))
+            elif k == "accepted_values":
+                v = F.col(c["col"])
+                aggs.append(F.sum(
+                    (v.isNotNull() & ~v.isin(c["values"]))
+                    .cast("long")).alias(a))
+                aggs.append(F.count(c["col"]).alias(a + "d"))
+            elif k == "matches_regex":
+                v = F.col(c["col"])
+                aggs.append(F.sum(
+                    v.rlike("^(?:" + c["pattern"] + ")$")
+                    .cast("long")).alias(a))
+                aggs.append(F.count(c["col"]).alias(a + "d"))
+        row = batch_df.agg(*aggs).collect()[0].asDict()
+        self.n_rows += row["__n"]
+        for i, c in enumerate(self.checks):
+            k, a = c["kind"], f"__c{i}"
+            if k == "row_count":
+                continue
+            if k == "unique":
+                self.den[i] += row[a] or 0
+                self.sketches[i] = self.sketches[i].union(
+                    _SK.theta_to_local(
+                        _SK.theta_sketch(
+                            batch_df, c["col"], self.theta_k
+                        ),
+                        self.theta_k,
+                    )
+                )
+                continue
+            if k == "referential":
+                fk = batch_df.select(
+                    F.col(c["col"]).alias("__k")
+                ).where(F.col("__k").isNotNull())
+                self.den[i] += fk.count()
+                self.num[i] += fk.join(
+                    c["dim"].select(
+                        F.col(c["dim_col"]).alias("__k")
+                    ).distinct(),
+                    on="__k",
+                    how="left_anti",
+                ).count()
+                continue
+            self.num[i] += row[a] or 0
+            if a + "d" in row:
+                self.den[i] += row[a + "d"] or 0
+            else:
+                self.den[i] += row["__n"]
+        self.last_batch_id = batch_id
+
+    def writer(self):
+        return self.foreach_batch
+
+    def report(self, spark) -> DataFrame:
+        """(check, passed, observed, threshold, exact) — like
+        run_checks over everything folded; ``exact`` is False only
+        for a unique check whose theta sketch overflowed k (the
+        duplicate fraction is then KMV-estimated)."""
+        from ..plans.expectations import _check_name
+
+        out = []
+        for i, c in enumerate(self.checks):
+            k = c["kind"]
+            name = _check_name(c)
+            exact = True
+            if k == "row_count":
+                observed = float(self.n_rows)
+                passed = self.n_rows >= c["lo"] and (
+                    c["hi"] is None or self.n_rows <= c["hi"]
+                )
+                out.append(
+                    (name, passed, observed, float(c["lo"]), exact)
+                )
+                continue
+            if k == "unique":
+                sk = self.sketches[i]
+                est = sk.estimate()
+                exact = sk.is_exact
+                dup = max(0.0, self.den[i] - est)
+                observed = (
+                    0.0 if self.den[i] == 0 else dup / self.den[i]
+                )
+                out.append(
+                    (name, observed <= c["thr"], observed,
+                     c["thr"], exact)
+                )
+                continue
+            if k == "matches_regex":
+                observed = (
+                    1.0 if self.den[i] == 0
+                    else self.num[i] / self.den[i]
+                )
+                out.append(
+                    (name, observed >= c["thr"], observed,
+                     c["thr"], exact)
+                )
+                continue
+            observed = (
+                0.0 if self.den[i] == 0 else self.num[i] / self.den[i]
+            )
+            out.append(
+                (name, observed <= c["thr"], observed, c["thr"],
+                 exact)
+            )
+        return spark.createDataFrame(
+            out,
+            "check string, passed boolean, observed double,"
+            " threshold double, exact boolean",
+        )

@@ -1,0 +1,78 @@
+"""Streaming expectations fold (streaming/checksfold): chunked
+batches must reproduce the batch run_checks fractions exactly
+(unique exactly in the below-k regime), replay under the same
+batch_id is a no-op, and the guards refuse bad suites."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.plans import expectations as X
+from shotit_worker_spark.streaming.checksfold import ChecksFolder
+
+
+def _table(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.when(F.col("id") % 50 == 0, None)
+        .otherwise(F.col("id")).alias("id2"),
+        (F.col("id") % 40).alias("dup"),
+        (F.col("id") % 997).cast("double").alias("price"),
+        F.when(F.col("id") % 7 == 0, F.lit("X"))
+        .otherwise(F.lit("A")).alias("status"),
+        F.col("id").alias("fk"),
+    )
+
+
+def _suite(spark):
+    dim = spark.range(0, 900).select(F.col("id").alias("k"))
+    return [
+        X.not_null("id2", max_null_frac=0.01),
+        X.unique("dup"),
+        X.in_range("price", 0.0, 500.0),
+        X.accepted_values("status", ["A"]),
+        X.row_count_between(1),
+        X.referential("fk", dim, "k", max_orphan_frac=0.05),
+    ]
+
+
+def test_folded_equals_batch(spark):
+    checks = _suite(spark)
+    folder = ChecksFolder(checks)
+    full = _table(spark, 0, 1000)
+    for i, (lo, hi) in enumerate([(0, 300), (300, 700), (700, 1000)]):
+        folder.foreach_batch(_table(spark, lo, hi), i)
+    want = {
+        r["check"]: (r["passed"], r["observed"])
+        for r in X.run_checks(full, checks).collect()
+    }
+    got = {
+        r["check"]: (r["passed"], r["observed"], r["exact"])
+        for r in folder.report(spark).collect()
+    }
+    assert set(got) == set(want)
+    for name, (p, o) in want.items():
+        gp, go, gx = got[name]
+        assert gx is True, name  # 40 distinct dups << theta k
+        assert (gp, go) == (p, o), name
+
+
+def test_replay_noop_and_guards(spark):
+    checks = [X.not_null("id2"), X.row_count_between(1)]
+    folder = ChecksFolder(checks)
+    b = _table(spark, 0, 200)
+    folder.foreach_batch(b, 0)
+    once = sorted(map(tuple, folder.report(spark).collect()))
+    folder.foreach_batch(b, 0)  # crash replay
+    assert sorted(map(tuple, folder.report(spark).collect())) == once
+    folder.foreach_batch(b, 1)
+    rc = {
+        r["check"]: r["observed"]
+        for r in folder.report(spark).collect()
+    }
+    assert rc["row_count"] == 400.0
+    with pytest.raises(ValueError, match="checks"):
+        ChecksFolder([])
+    with pytest.raises(ValueError, match="unknown check"):
+        ChecksFolder([{"kind": "nope"}])
