@@ -6403,6 +6403,43 @@ _TFIDF_ORACLE_SQL = """
 """
 
 
+def q124_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report (operators/profiling.key_skew) FULL-VALUE
+    gate: the ten heaviest o_custkey values in orders with their row
+    share and skew factor (count over the all-keys mean — the
+    straggler predictor that pairs with the q97 salted-join remedy).
+    One data-scale shuffle; the global rank window runs only on the
+    TakeOrdered top slice. Tie-broken by key on both sides."""
+    from shotit_worker_spark.operators.profiling import key_skew
+
+    return key_skew(
+        _t(spark, sf_dir, "orders"), "o_custkey", top=10
+    ).orderBy("rank")
+
+
+_KEY_SKEW_ORACLE_SQL = """
+    WITH c AS (
+        SELECT o_custkey AS key, count(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS tt,
+               CAST(count(*) AS DOUBLE) AS kk
+        FROM c
+    ),
+    h AS (
+        SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key ASC)
+                   AS rank
+        FROM c
+    )
+    SELECT key, cnt, cnt / tt AS share,
+           cnt * kk / tt AS skew_factor, CAST(rank AS INT) AS rank
+    FROM h, t WHERE rank <= 10
+    ORDER BY rank
+"""
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6673,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_label_prop": q121_label_prop,
         "q122_filtered_ann": q122_filtered_ann,
         "q123_tfidf_keywords": q123_tfidf_keywords,
+        "q124_key_skew": q124_key_skew,
     }
 
 
@@ -6845,6 +6883,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_label_prop": _label_prop_oracle_sql(),
         "q122_filtered_ann": _FILTERED_ANN_ORACLE_SQL,
         "q123_tfidf_keywords": _TFIDF_ORACLE_SQL,
+        "q124_key_skew": _KEY_SKEW_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

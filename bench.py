@@ -56,6 +56,7 @@ POST_R3_QUERIES = frozenset({
     "q115_rolling_features", "q116_profile", "q117_correlation",
     "q118_drift", "q119_ab_test", "q120_mutual_info",
     "q121_label_prop", "q122_filtered_ann", "q123_tfidf_keywords",
+    "q124_key_skew",
 })
 
 

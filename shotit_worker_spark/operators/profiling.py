@@ -24,10 +24,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "correlation_matrix"]
+__all__ = ["profile_table", "correlation_matrix", "key_skew"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float",
             "double", "decimal"}
@@ -124,4 +124,42 @@ def correlation_matrix(
     ]
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double"
+    )
+
+
+def key_skew(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """(key, cnt, share, skew_factor, rank) — the ``top`` heaviest
+    keys, where ``share`` is the key's fraction of all rows and
+    ``skew_factor`` its count over the all-keys mean (1.0 =
+    perfectly balanced; the number that predicts a straggler task
+    before a join or window pays for it — the detect side of the
+    salted-join/AQE-skew remedies). One data-scale shuffle (the key
+    count); totals and the top-N run on the keys-scale count table
+    (a scalar agg + TakeOrdered), NULL keys counted as a key like
+    any other."""
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    # rank over the already-TakeOrdered top slice only: the global
+    # window never sees the keys-scale table
+    head = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return head.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "cnt",
+        (F.col("cnt") / F.col("__t")).alias("share"),
+        (F.col("cnt") * F.col("__k") / F.col("__t"))
+        .alias("skew_factor"),
+        "rank",
     )

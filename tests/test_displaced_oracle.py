@@ -52,7 +52,7 @@ def test_displaced_set_is_the_expected_rotation():
     # silently drops a NEW gate past the cap fails loudly here
     # (r8: q80_zorder took q22's recorded slot; q22 displaced;
     # q81_heavy_hitters registers past the cap by design)
-    assert len(entrymod.queries()) == 112
+    assert len(entrymod.queries()) == 113
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
@@ -80,6 +80,7 @@ def test_displaced_set_is_the_expected_rotation():
         "q116_profile", "q117_correlation", "q118_drift",
         "q119_ab_test", "q120_mutual_info", "q121_label_prop",
         "q122_filtered_ann", "q123_tfidf_keywords",
+        "q124_key_skew",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

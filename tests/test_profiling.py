@@ -75,3 +75,21 @@ def test_correlation_matrix(spark):
         correlation_matrix(
             df.withColumn("s", df.a.cast("string")), ["a", "s"]
         )
+
+
+def test_key_skew(spark):
+    from shotit_worker_spark.operators.profiling import key_skew
+
+    # 3 keys: 60 / 30 / 10 rows -> shares .6/.3/.1, factors 1.8/.9/.3
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id < 60 THEN 'a' WHEN id < 90 THEN 'b'"
+        " ELSE 'c' END AS k"
+    )
+    rows = {r["key"]: r for r in key_skew(df, "k", top=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert (rows["a"]["cnt"], rows["a"]["rank"]) == (60, 1)
+    assert rows["a"]["share"] == pytest.approx(0.6)
+    assert rows["a"]["skew_factor"] == pytest.approx(1.8)
+    assert rows["b"]["skew_factor"] == pytest.approx(0.9)
+    with pytest.raises(ValueError, match="top"):
+        key_skew(df, "k", top=0)
