@@ -143,10 +143,14 @@ def key_skew(
         raise ValueError("top must be >= 1")
     counts = df.groupBy(
         F.col(key_col).alias("key")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # two scalars — a bounded collect beats a nested-loop scalar
+    # join in the report plan; the count table is persisted so the
+    # top-N scan below reuses it instead of re-aggregating
     tot = counts.agg(
         F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__k")
-    )
+    ).collect()[0]
+    t, nk = float(tot["__t"] or 0), float(tot["__k"] or 0)
     w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
     # rank over the already-TakeOrdered top slice only: the global
     # window never sees the keys-scale table
@@ -155,11 +159,13 @@ def key_skew(
         .limit(top)
         .withColumn("rank", F.row_number().over(w))
     )
-    return head.crossJoin(F.broadcast(tot)).select(
+    out = head.select(
         "key",
         "cnt",
-        (F.col("cnt") / F.col("__t")).alias("share"),
-        (F.col("cnt") * F.col("__k") / F.col("__t"))
-        .alias("skew_factor"),
+        (F.col("cnt") / F.lit(t)).alias("share"),
+        (F.col("cnt") * F.lit(nk) / F.lit(t)).alias("skew_factor"),
         "rank",
     )
+    rows = out.collect()
+    counts.unpersist(blocking=False)
+    return df.sparkSession.createDataFrame(rows, out.schema)
