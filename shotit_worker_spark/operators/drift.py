@@ -41,7 +41,10 @@ def _side_counts(
 ) -> DataFrame:
     v = F.col(col).cast("double")
     return (
-        df.where(v.isNotNull())
+        # NaN passes isNotNull and floor/cast would clamp it into bin
+        # 0, silently attributing NaN mass to low-edge drift — treat
+        # NaN like NULL (excluded; report upstream via expectations)
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(_bucket(v, lo, hi, n_bins).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias(alias))

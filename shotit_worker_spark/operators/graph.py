@@ -338,6 +338,24 @@ def label_propagation(
                 .groupBy("node")
                 .agg(F.min("__nl").alias("label"))
             )
+        if directed:
+            # directed graphs: a node with no out-edges appears in no
+            # __src group, so it gets NO vote row, and replacing
+            # labels wholesale would drop it — losses then cascade
+            # (nodes voting only through it stall, and `changed`
+            # reads 0 on an emptied frame). Keep the full node set:
+            # left-
+            # join the votes onto the current labels and coalesce to
+            # the previous label for voteless nodes. Undirected
+            # graphs mirror edges up front, so every node votes and
+            # the extra join is skipped.
+            new = labels.select("node", F.col("label").alias("__ol")).join(
+                new.select("node", F.col("label").alias("__vl")),
+                on="node",
+                how="left",
+            ).select(
+                "node", F.coalesce("__vl", "__ol").alias("label")
+            )
         new = _materialize(new, None)
         changed = (
             new.alias("n")

@@ -24,7 +24,7 @@ Spark-first shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ab_test", "mutual_information"]
@@ -83,34 +83,54 @@ def mutual_information(
         df.where(x.isNotNull() & y.isNotNull())
         .groupBy(x.alias("__x"), y.alias("__y"))
         .agg(F.count(F.lit(1)).alias("__nxy"))
-    )
-    n_cells = joint.count()
-    if n_cells > max_cells:
-        raise ValueError(
-            f"contingency table has {n_cells} cells >"
-            f" max_cells={max_cells}: these columns are id-like,"
-            " not categorical — bucket them first (e.g."
-            " operators/drift fixed-edge bins) or raise max_cells"
-            " deliberately"
+    ).persist()
+    try:
+        # one job gives BOTH the guard count and the grand total
+        # (the old joint.count() was a second pass before the guard)
+        head = joint.agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__nxy").alias("__n"),
+        ).first()
+        n_cells = int(head["__c"])
+        if n_cells > max_cells:
+            raise ValueError(
+                f"contingency table has {n_cells} cells >"
+                f" max_cells={max_cells}: these columns are id-like,"
+                " not categorical — bucket them first (e.g."
+                " operators/drift fixed-edge bins) or raise max_cells"
+                " deliberately"
+            )
+        n_total = int(head["__n"] or 0)
+        # marginals as groupBy aggregations joined back — never a
+        # Window.partitionBy(lit(1)) forcing up to max_cells rows
+        # into one task; the grand total rides in as a literal
+        n = F.lit(float(n_total))
+        mx = joint.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+        my = joint.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+        nx, ny = F.col("__nx"), F.col("__ny")
+        terms = joint.join(mx, "__x").join(my, "__y").select(
+            (
+                (F.col("__nxy") / n)
+                * F.log(F.col("__nxy") * n / (nx * ny))
+            ).alias("__mi"),
+            (F.col("__nxy") / n).alias("__p"),
+            (nx / n).alias("__px"),
+            (ny / n).alias("__py"),
+            F.col("__nxy").alias("__nxy"),
         )
-    wx = Window.partitionBy("__x")
-    wy = Window.partitionBy("__y")
-    wall = Window.partitionBy(F.lit(1))
-    n = F.sum("__nxy").over(wall)
-    nx = F.sum("__nxy").over(wx)
-    ny = F.sum("__nxy").over(wy)
-    pxy = F.col("__nxy") / n
-    terms = joint.select(
-        (pxy * F.log(F.col("__nxy") * n / (nx * ny))).alias("__mi"),
-        (F.col("__nxy") / n).alias("__p"),
-        (nx / n).alias("__px"),
-        (ny / n).alias("__py"),
-        F.col("__nxy").alias("__nxy"),
-    )
-    return terms.agg(
-        F.sum("__mi").alias("mi"),
-        (-F.sum(F.col("__p") * F.log("__px"))).alias("h_x"),
-        (-F.sum(F.col("__p") * F.log("__py"))).alias("h_y"),
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("__nxy").alias("n"),
-    )
+        row = terms.agg(
+            F.sum("__mi").alias("mi"),
+            (-F.sum(F.col("__p") * F.log("__px"))).alias("h_x"),
+            (-F.sum(F.col("__p") * F.log("__py"))).alias("h_y"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("__nxy").alias("n"),
+        ).first()
+        # one-row summary — return it materialized so the joint
+        # cache can be freed here instead of leaking to the caller
+        return df.sparkSession.createDataFrame(
+            [row],
+            "mi double, h_x double, h_y double,"
+            " n_cells bigint, n bigint",
+        )
+    finally:
+        joint.unpersist(blocking=False)

@@ -68,19 +68,22 @@ def test_displaced_set_is_the_expected_rotation():
         "q91_scene_cuts", "q92_exif", "q93_resample",
         "q94_jaccard_join", "q95_components", "q96_shards",
         "q97_salted_join", "q98_eval_metrics",
-        # r9 gate wave (promoted r8 pytest-only operators)
+        # r9 gate wave (promoted r8 pytest-only operators; r10
+        # rotation moved q105/q106 INTO the recorded window)
         "q99_cdc_chunks", "q100_merge_cdc", "q101_captions_align",
         "q102_pca", "q103_grouped_topterms", "q104_mfcc_embed",
-        "q105_interval_join", "q106_ivf_plan",
         "q107_grouped_distinct", "q108_grouped_quantiles",
-        # r9 wave 2 (streaming folds, sessionization, SCD2, SMB)
-        "q109_stream_funnel", "q110_stream_cohort",
-        "q111_sessionize", "q112_scd2", "q113_bucketed_join",
-        "q114_expectations", "q115_rolling_features",
+        # r9 wave 2 (r10 rotation moved q109/q111-q115 INTO the
+        # recorded window)
+        "q110_stream_cohort",
         "q116_profile", "q117_correlation", "q118_drift",
         "q119_ab_test", "q120_mutual_info", "q121_label_prop",
         "q122_filtered_ann", "q123_tfidf_keywords",
         "q124_key_skew",
+        # r10: displaced for the q105/q106/q109/q111-q115 rotation
+        "q26_pivot", "q27_percentiles", "q35_session",
+        "q40_doc_stats", "q41_top_terms", "q46_hash_split",
+        "q51_ngram_jaccard", "q55_repetition",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

@@ -84,3 +84,16 @@ def test_clamping_and_guards(spark):
     with pytest.raises(ValueError, match="alpha"):
         drift_bins(_df(spark, [1]), _df(spark, [1]), "x", 0, 1,
                    4, alpha=0)
+
+
+def test_nan_excluded_from_counts(spark):
+    # r9 ADVICE: NaN passed isNotNull and clamped into bin 0,
+    # silently attributing NaN mass to low-edge drift — now treated
+    # like NULL (excluded from both sides' counts)
+    ref = _df(spark, [0.1, 0.9])
+    cur = _df(spark, [float("nan"), float("nan"), 0.1])
+    rows = drift_bins(ref, cur, "x", 0, 1, n_bins=2).orderBy(
+        "bin").collect()
+    assert rows[0]["n_cur"] == 1  # only the real 0.1, not the NaNs
+    assert rows[1]["n_cur"] == 0
+    assert rows[0]["n_ref"] == 1 and rows[1]["n_ref"] == 1

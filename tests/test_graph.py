@@ -209,3 +209,35 @@ def test_label_propagation_string_ids_fallback(spark):
     }
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_directed_keeps_voteless_nodes(spark):
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    # r9 ADVICE (high): with directed=True a node with no out-edges
+    # has no vote group; replacing labels wholesale dropped it and
+    # losses cascaded until `changed` read 0 on an emptied frame.
+    # 1->2, 2->3: node 3 has no out-edges; every node must survive.
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_rounds=4,
+                                   directed=True).collect()
+    }
+    assert set(got) == {1, 2, 3}, got
+    # directed votes flow src <- label(dst): 1 adopts 2's label, 2
+    # adopts 3's, 3 keeps its own (voteless) — fixed point {3,3,3}
+    assert got == {1: 3, 2: 3, 3: 3}, got
+
+
+def test_label_propagation_directed_chain_star(spark):
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    # sink-star: all spokes point at the hub; hub (no out-edges)
+    # keeps its label, spokes adopt it — node count must not shrink
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    rows = label_propagation(df, max_rounds=3, directed=True).collect()
+    assert len(rows) == 6
+    assert all(r["label"] == 0 for r in rows)
