@@ -17,6 +17,19 @@ import uuid
 from pyspark.sql import SparkSession
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Quiet existence probe through the Hadoop FileSystem API — the
+    streaming folds use it instead of try/except around
+    ``read.parquet``, whose failure path prints a JVM
+    FileNotFoundException stack into the driver log on every cold
+    start (r9 VERDICT wrong #3). Works on any Hadoop-visible scheme
+    (file://, hdfs://, s3a://), unlike os.path.exists."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def swap_into(path: str, tmp: str) -> None:
     """The engine's atomic-swap idiom in ONE place (the crash
     posture every rewrite shares): the fully-written ``tmp``

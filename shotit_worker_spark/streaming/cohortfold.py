@@ -14,6 +14,12 @@ Each micro-batch: one groupBy(user) over the batch, a full-outer
 merge with the state (least for the anchor, array_distinct-concat for
 the periods), and an atomic swap write — a replayed batch is a
 no-op, so checkpoint-replayed triggers stay correct.
+
+With ``n_buckets`` set, the state table is hash-partitioned by
+``pmod(xxhash64(user), n_buckets)`` and each trigger reads (partition
+pruning) and rewrites (dynamic partition overwrite) ONLY the buckets
+its users hash into — O(touched buckets) I/O per trigger instead of
+an O(state) swap write, the same treatment FunnelFolder has.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cohort import _MICROS_PER_DAY, _matrix_from_per_user
+from ..plans.maintenance import path_exists
 from ..plans.merge import _swap_write
 
 __all__ = ["CohortFolder"]
@@ -46,9 +53,12 @@ class CohortFolder:
         anchor_type: str | None = None,
         activity_type: str | None = None,
         period_days: int = 7,
+        n_buckets: int | None = None,
     ):
         if period_days <= 0:
             raise ValueError("period_days must be positive")
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.spark = spark
         self.state_path = state_path
         self.user_col = user_col
@@ -57,16 +67,29 @@ class CohortFolder:
         self.anchor_type = anchor_type
         self.activity_type = activity_type
         self.period_days = period_days
+        # bucketed state, the FunnelFolder treatment (r9 VERDICT #4):
+        # hash-partition the parquet state by pmod(xxhash64(user),
+        # n_buckets); each trigger prunes the state scan to the
+        # buckets its users hash into and rewrites ONLY those bucket
+        # directories (dynamic partition overwrite) — O(touched
+        # buckets) I/O per trigger instead of the O(state) swap
+        # write. Safe without an all-bucket atomic swap because the
+        # merge is commutative AND idempotent (min / set-union): a
+        # trigger that died after overwriting some buckets re-merges
+        # the replayed batch into the same state.
+        self.n_buckets = n_buckets
         self._has_state = False
+
+    def _bucket(self, col):
+        n = F.lit(self.n_buckets)
+        return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     def _state(self) -> DataFrame | None:
         if not self._has_state:
-            try:
-                df = self.spark.read.parquet(self.state_path)
-                self._has_state = True
-                return df
-            except Exception:
+            # quiet Hadoop-FS probe (see FunnelFolder._state)
+            if not path_exists(self.spark, self.state_path):
                 return None
+            self._has_state = True
         return self.spark.read.parquet(self.state_path)
 
     def _per_batch(self, batch_df: DataFrame) -> DataFrame:
@@ -100,6 +123,19 @@ class CohortFolder:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch = self._per_batch(batch_df)
         state = self._state()
+        touched: list[int] | None = None
+        if self.n_buckets is not None:
+            # bounded driver list (<= n_buckets ints) driving both
+            # the pruned state scan and the pruned overwrite
+            batch = batch.persist()
+            touched = [
+                r[0]
+                for r in batch.select(
+                    self._bucket(F.col("user")).alias("__b")
+                ).distinct().collect()
+            ]
+            if state is not None:
+                state = state.where(F.col("bucket").isin(touched))
         if state is None:
             new_state = batch
         else:
@@ -130,7 +166,23 @@ class CohortFolder:
                     ).alias("periods"),
                 )
             )
-        if state is None:
+        if self.n_buckets is not None:
+            # dynamic partition overwrite replaces ONLY the bucket
+            # directories present in new_state; every state user in a
+            # touched bucket survives the full-outer merge, so a
+            # previously-populated touched bucket always reappears in
+            # the write, and untouched buckets are never read or
+            # rewritten
+            (
+                new_state.withColumn("bucket", self._bucket("user"))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.state_path)
+            )
+            batch.unpersist(blocking=False)
+        elif state is None:
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:
             _swap_write(new_state, self.state_path)

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import funnel as _FN
+from ..plans.maintenance import path_exists
 from ..plans.merge import _swap_write
 
 __all__ = ["FunnelFolder"]
@@ -102,12 +103,12 @@ class FunnelFolder:
 
     def _state(self) -> DataFrame | None:
         if not self._has_state:
-            try:
-                df = self.spark.read.parquet(self.state_path)
-                self._has_state = True
-                return df
-            except Exception:
+            # quiet Hadoop-FS probe: try/except around read.parquet
+            # printed a JVM FileNotFoundException stack on the first
+            # (state-less) trigger
+            if not path_exists(self.spark, self.state_path):
                 return None
+            self._has_state = True
         return self.spark.read.parquet(self.state_path)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -124,3 +124,67 @@ def test_late_anchor_and_replay_idempotent(spark, tmp_root):
 def test_cohortfold_guard(spark, tmp_root):
     with pytest.raises(ValueError, match="period_days"):
         CohortFolder(spark, str(tmp_root / "x"), period_days=0)
+
+
+def _bucket_files(root):
+    out = {}
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("bucket="):
+            continue
+        p = os.path.join(root, d)
+        out[d] = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_bucketed_fold_equals_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    df = _events(spark, n=1200, seed=23)
+    folder = CohortFolder(
+        spark, str(tmp_root / "cohort_state_b"), anchor_type="signup",
+        period_days=7, n_buckets=8,
+    )
+    # arbitrary hash-split batches (the commutative-state claim holds
+    # under buckets too)
+    for i in range(3):
+        folder.foreach_batch(
+            df.where(F.abs(F.hash("ts")) % 3 == i), i
+        )
+    want = cohort_retention(df, anchor_type="signup", period_days=7)
+    assert _key(folder.matrix().collect()) == _key(want.collect())
+    dirs = _bucket_files(str(tmp_root / "cohort_state_b"))
+    assert dirs and all(d.startswith("bucket=") for d in dirs)
+
+
+def test_bucketed_untouched_buckets_not_rewritten(spark, tmp_root):
+    root = str(tmp_root / "cohort_state_b2")
+    folder = CohortFolder(
+        spark, root, anchor_type="signup", period_days=7, n_buckets=16,
+    )
+    folder.foreach_batch(_events(spark, n=900, seed=29), 0)
+    before = _bucket_files(root)
+    assert len(before) > 2
+    one = spark.createDataFrame(
+        [(7, dt.datetime(2024, 2, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    import pyspark.sql.functions as F
+
+    bid = spark.range(1).select(
+        folder._bucket(F.lit(7).cast("long")).alias("b")
+    ).collect()[0][0]
+    folder.foreach_batch(one, 1)
+    after = _bucket_files(root)
+    for d, files in before.items():
+        if d == f"bucket={bid}":
+            assert after[d] != files
+        else:
+            assert after[d] == files, d
+    # replay of the same batch is a no-op under buckets too
+    m1 = _key(folder.matrix().collect())
+    folder.foreach_batch(one, 1)
+    assert _key(folder.matrix().collect()) == m1
+    with pytest.raises(ValueError, match="n_buckets"):
+        CohortFolder(spark, root, n_buckets=0)
