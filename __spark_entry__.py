@@ -5722,18 +5722,10 @@ _SESSIONIZE_ORACLE_SQL = """
 """
 
 
-def q112_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 history builder (plans/scd2.build_scd2) FULL-VALUE gate:
-    a 5-sequence change log derived from the o_orderkey%7 orders
-    slice — initial load, a no-op re-emit (%21, must collapse), a
-    real price/status change (%14), a delete (%35), and a
-    post-delete re-upsert (%70, must open a NEW version despite the
-    delete barrier) — builds the full type-2 history. The engine
-    runs the one-exchange lag-collapse + lead-close shape
-    (plan-pinned in test_scd2); the oracle rebuilds every interval
-    with the ANSI lag/lead formulation over the same log."""
-    from shotit_worker_spark.plans.scd2 import build_scd2
-
+def _scd2_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-sequence CDC log q112 and q126 share: initial load,
+    no-op re-emit (%21), real change (%14), delete (%35), post-
+    delete re-upsert (%70) over the o_orderkey%7 orders slice."""
     base = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 7 == 0)
@@ -5760,10 +5752,25 @@ def q112_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     v5 = base.where(k % 70 == 0).select(
         "*", F.lit(5).alias("seq"), up.alias("op")
     )
-    log = (
+    return (
         v1.unionByName(v2).unionByName(v3).unionByName(v4)
         .unionByName(v5)
     )
+
+
+def q112_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history builder (plans/scd2.build_scd2) FULL-VALUE gate:
+    a 5-sequence change log derived from the o_orderkey%7 orders
+    slice — initial load, a no-op re-emit (%21, must collapse), a
+    real price/status change (%14), a delete (%35), and a
+    post-delete re-upsert (%70, must open a NEW version despite the
+    delete barrier) — builds the full type-2 history. The engine
+    runs the one-exchange lag-collapse + lead-close shape
+    (plan-pinned in test_scd2); the oracle rebuilds every interval
+    with the ANSI lag/lead formulation over the same log."""
+    from shotit_worker_spark.plans.scd2 import build_scd2
+
+    log = _scd2_change_log(spark, sf_dir)
     hist = build_scd2(
         log,
         keys=["o_orderkey"],
@@ -6440,6 +6447,92 @@ _KEY_SKEW_ORACLE_SQL = """
 """
 
 
+_Q125_LAST_DIR = None
+_Q126_LAST_DIR = None
+
+
+def q125_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization fold (streaming/sessionfold.
+    SessionFolder) FULL-VALUE gate: the events table replays through
+    foreach_batch in four event-time-ordered chunks with BUCKETED
+    open-session state (n_buckets=8 — each trigger prunes its open
+    scan and rewrites only touched bucket partitions; closed
+    sessions append to a (batch_id, bucket)-partitioned table).
+    Sessions that straddle trigger boundaries must merge through the
+    open state, so stats() equals the batch session_stats exactly
+    and the oracle is q111's independent ANSI lag/cumsum
+    formulation. Fresh private state dir per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts")
+    global _Q125_LAST_DIR
+    if _Q125_LAST_DIR:
+        shutil.rmtree(_Q125_LAST_DIR, ignore_errors=True)
+    _Q125_LAST_DIR = tempfile.mkdtemp(prefix="q125sess_")
+    folder = SessionFolder(
+        spark,
+        os.path.join(_Q125_LAST_DIR, "state"),
+        gap_sec=1800.0,
+        n_buckets=8,
+    )
+    for i, chunk in enumerate(_event_time_chunks(ev)):
+        folder.foreach_batch(chunk, i)
+    return folder.stats().select(
+        "user",
+        "session_no",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+def q126_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 fold (streaming/scd2fold.Scd2Folder)
+    FULL-VALUE gate: the q112 change log replays as CDC batches in
+    DELIBERATELY out-of-order seq groups ([4,3], [1,5], [2]) with
+    bucketed history state (n_buckets=8) — the fold reconstructs
+    each touched key's change log from its history rows (plus the
+    dangling-delete tombstones) and rebuilds it with build_scd2, so
+    arrival order cannot matter. table() must equal build_scd2 over
+    the whole log: the oracle is q112's independent ANSI lag/lead
+    formulation. Fresh private state dir per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+
+    log = _scd2_change_log(spark, sf_dir)
+    global _Q126_LAST_DIR
+    if _Q126_LAST_DIR:
+        shutil.rmtree(_Q126_LAST_DIR, ignore_errors=True)
+    _Q126_LAST_DIR = tempfile.mkdtemp(prefix="q126scd2_")
+    folder = Scd2Folder(
+        spark,
+        os.path.join(_Q126_LAST_DIR, "table"),
+        keys=["o_orderkey"],
+        attr_cols=["o_custkey", "o_totalprice", "o_orderstatus"],
+        seq_col="seq",
+        op_col="op",
+        n_buckets=8,
+    )
+    for i, seqs in enumerate([[4, 3], [1, 5], [2]]):
+        folder.foreach_batch(log.where(F.col("seq").isin(seqs)), i)
+    return folder.table().withColumn(
+        "valid_to", F.col("valid_to").cast("double")
+    ).orderBy("o_orderkey", "valid_from")
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6728,6 +6821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_filtered_ann": q122_filtered_ann,
         "q123_tfidf_keywords": q123_tfidf_keywords,
         "q124_key_skew": q124_key_skew,
+        # r10: streaming sessionize + SCD2 folds (past-the-cap by
+        # design; the displaced replay + check_oracle enforce them)
+        "q125_stream_sessionize": q125_stream_sessionize,
+        "q126_stream_scd2": q126_stream_scd2,
     }
 
 
@@ -6901,6 +6998,10 @@ def oracle_sql() -> dict[str, str]:
         "q122_filtered_ann": _FILTERED_ANN_ORACLE_SQL,
         "q123_tfidf_keywords": _TFIDF_ORACLE_SQL,
         "q124_key_skew": _KEY_SKEW_ORACLE_SQL,
+        # q125/q126: the streaming folds must equal their batch
+        # operators, so they share q111's / q112's oracles
+        "q125_stream_sessionize": _SESSIONIZE_ORACLE_SQL,
+        "q126_stream_scd2": _SCD2_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

@@ -57,6 +57,8 @@ POST_R3_QUERIES = frozenset({
     "q118_drift", "q119_ab_test", "q120_mutual_info",
     "q121_label_prop", "q122_filtered_ann", "q123_tfidf_keywords",
     "q124_key_skew",
+    # r10 wave (streaming sessionize + SCD2 folds)
+    "q125_stream_sessionize", "q126_stream_scd2",
 })
 
 

@@ -1,0 +1,300 @@
+"""Incremental SCD2 maintenance over a CDC stream (foreachBatch).
+
+plans/scd2.build_scd2 builds the full type-2 history from a complete
+change log; a CDC stream must not re-scan the whole log every
+trigger. The fold here keeps the HISTORY TABLE ITSELF as the state —
+which is what makes it contract-free per key: a type-2 history is
+invertible back into its (collapsed) change log, so each micro-batch
+
+1. splits the table into keys the batch touches and keys it does not
+   (one semi/anti join pair — the batch's distinct keys are the
+   small side, Catalyst broadcasts them),
+2. RECONSTRUCTS the touched keys' change log from their history rows
+   (each version row is an upsert at ``valid_from``; a closed
+   interval whose ``valid_to`` is not the next version's
+   ``valid_from`` was closed by a DELETE, re-synthesized at
+   ``valid_to`` — one lead() window over the touched slice),
+3. unions the new CDC rows, de-duplicates (key, seq) — which is what
+   keeps a checkpoint-replayed trigger idempotent: replayed changes
+   collide with their own reconstruction — and REBUILDS just those
+   keys with build_scd2 (correct by construction: same collapse and
+   delete-barrier semantics, any seq arrival order, late rows
+   included),
+4. swap-writes rebuilt ∪ untouched (plans/merge discipline).
+
+One history row type is NOT invertible: a delete whose version has
+not arrived yet (build_scd2 emits nothing for it, so a later
+out-of-order version would reopen an interval the delete should
+close). Those DANGLING deletes persist in a small TOMBSTONE side
+table (``tomb/`` next to ``hist/``) and are re-fed into every
+rebuild of their key; once a version absorbs one (its valid_to now
+records the delete) the tombstone is dropped — and a stale tombstone
+is harmless anyway, because re-applying a delete the history already
+encodes is a rebuild no-op (deletes are idempotent in build_scd2).
+
+No ordering contract: out-of-order and late CDC rows land in their
+correct interval because touched keys are rebuilt from the full
+reconstructed log. The determinism contract is build_scd2's own —
+at most one change per (key, seq).
+
+With ``n_buckets`` set, both tables are hash-partitioned by
+``pmod(xxhash64(keys...), n_buckets)``; a trigger reads ONLY the
+buckets its keys hash into (rows for untouched keys inside a touched
+bucket ride through unchanged) and rewrites only those partitions
+(dynamic partition overwrite) — O(touched buckets) I/O per trigger
+instead of an O(table) swap write.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.maintenance import path_exists
+from ..plans.merge import _swap_write
+from ..plans.scd2 import build_scd2
+
+__all__ = ["Scd2Folder"]
+
+
+class Scd2Folder:
+    """Streaming SCD2 apply with the parquet history table as state.
+    Use :meth:`foreach_batch` as the ``foreachBatch`` function; read
+    the history with :meth:`table` (identical values to build_scd2
+    over the union of all folded change batches — pinned by the
+    stream==batch test)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        keys: Sequence[str],
+        attr_cols: Sequence[str],
+        seq_col: str = "seq",
+        op_col: str | None = None,
+        delete_op: str = "delete",
+        n_buckets: int | None = None,
+    ):
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        if not attr_cols:
+            raise ValueError("attr_cols must be non-empty")
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.spark = spark
+        self.table_path = table_path
+        self.hist_path = os.path.join(table_path, "hist")
+        self.tomb_path = os.path.join(table_path, "tomb")
+        self.keys = list(keys)
+        self.attr_cols = list(attr_cols)
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.delete_op = delete_op
+        self.n_buckets = n_buckets
+        self._has_hist = False
+        self._has_tomb = False
+
+    def _bucket_expr(self):
+        n = F.lit(self.n_buckets)
+        h = F.xxhash64(*[F.col(k) for k in self.keys])
+        return ((h % n + n) % n).cast("int")
+
+    def _hist(self) -> DataFrame | None:
+        if not self._has_hist:
+            if not path_exists(self.spark, self.hist_path):
+                return None
+            self._has_hist = True
+        return self.spark.read.parquet(self.hist_path)
+
+    def _tomb(self) -> DataFrame | None:
+        if not self._has_tomb and not path_exists(
+            self.spark, self.tomb_path
+        ):
+            return None
+        try:
+            df = self.spark.read.parquet(self.tomb_path)
+        except Exception:
+            # a bucketed write of ZERO tombstones lands no partition
+            # files (dynamic overwrite), so the directory exists but
+            # holds no schema to infer — an empty tomb either way
+            return None
+        self._has_tomb = True
+        return df
+
+    def _as_log(self, changes: DataFrame) -> DataFrame:
+        """Normalize a CDC batch to (keys..., attrs..., __seq, __op)."""
+        op = (
+            F.when(
+                F.col(self.op_col) == F.lit(self.delete_op),
+                F.lit("delete"),
+            ).otherwise(F.lit("upsert"))
+            if self.op_col is not None
+            else F.lit("upsert")
+        )
+        return changes.select(
+            *self.keys,
+            *self.attr_cols,
+            F.col(self.seq_col).alias("__seq"),
+            op.alias("__op"),
+        )
+
+    def _reconstruct(self, hist: DataFrame) -> DataFrame:
+        """Invert history rows back into their collapsed change log
+        (same columns as _as_log's output)."""
+        w = Window.partitionBy(*self.keys).orderBy("valid_from")
+        rec = hist.withColumn(
+            "__lead", F.lead("valid_from").over(w)
+        )
+        ups = rec.select(
+            *self.keys,
+            *self.attr_cols,
+            F.col("valid_from").alias("__seq"),
+            F.lit("upsert").alias("__op"),
+        )
+        # a closed interval not continued by the next version's
+        # valid_from was closed by a delete at valid_to
+        dels = rec.where(
+            F.col("valid_to").isNotNull()
+            & (
+                F.col("__lead").isNull()
+                | (F.col("valid_to") < F.col("__lead"))
+            )
+        ).select(
+            *self.keys,
+            *self.attr_cols,
+            F.col("valid_to").alias("__seq"),
+            F.lit("delete").alias("__op"),
+        )
+        return ups.unionByName(dels)
+
+    def _tomb_as_log(
+        self, tomb: DataFrame, template: DataFrame
+    ) -> DataFrame:
+        # typed NULL attrs (delete attrs are ignored by build_scd2,
+        # but the union needs matching column types)
+        dt = dict(template.dtypes)
+        return tomb.select(
+            *self.keys,
+            *[
+                F.lit(None).cast(dt[c]).alias(c)
+                for c in self.attr_cols
+            ],
+            "__seq",
+            F.lit("delete").alias("__op"),
+        )
+
+    def _rebuild(self, log: DataFrame) -> DataFrame:
+        return build_scd2(
+            log,
+            keys=self.keys,
+            attr_cols=self.attr_cols,
+            seq_col="__seq",
+            op_col="__op",
+        )
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        if self.n_buckets is not None:
+            (
+                df.withColumn("bucket", self._bucket_expr())
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+        elif not path_exists(self.spark, path):
+            df.write.mode("overwrite").parquet(path)
+        else:
+            _swap_write(df, path)
+
+    def foreach_batch(self, changes: DataFrame, batch_id: int) -> None:
+        log = self._as_log(changes).persist()
+        hist = self._hist()
+        tomb = self._tomb()
+        bkeys = log.select(*self.keys).distinct()
+        if self.n_buckets is not None and (
+            hist is not None or tomb is not None
+        ):
+            touched = [
+                r[0]
+                for r in bkeys.select(
+                    self._bucket_expr().alias("__b")
+                ).distinct().collect()
+            ]
+            if hist is not None:
+                hist = hist.where(F.col("bucket").isin(touched))
+            if tomb is not None:
+                tomb = tomb.where(F.col("bucket").isin(touched))
+        recon = log.limit(0)
+        pass_hist = None
+        pass_tomb = None
+        if hist is not None:
+            touched_hist = hist.join(bkeys, on=self.keys, how="left_semi")
+            pass_hist = hist.join(bkeys, on=self.keys, how="left_anti")
+            recon = recon.unionByName(
+                self._reconstruct(
+                    touched_hist.select(
+                        *self.keys, *self.attr_cols,
+                        "valid_from", "valid_to",
+                    )
+                )
+            )
+        if tomb is not None:
+            touched_tomb = tomb.join(bkeys, on=self.keys, how="left_semi")
+            pass_tomb = tomb.join(bkeys, on=self.keys, how="left_anti")
+            recon = recon.unionByName(
+                self._tomb_as_log(touched_tomb, log)
+            )
+        merged_log = (
+            recon.unionByName(log)
+            # replayed changes collide with their own reconstruction;
+            # one change per (key, seq) is the module contract, so
+            # which duplicate survives is immaterial
+            .dropDuplicates(self.keys + ["__seq"])
+        ).persist()
+        rebuilt = self._rebuild(merged_log).persist()
+        # dangling deletes: delete changes no rebuilt interval records
+        closed_at = rebuilt.where(F.col("valid_to").isNotNull()).select(
+            *self.keys, F.col("valid_to").alias("__seq")
+        ).distinct()
+        new_tomb = (
+            merged_log.where(F.col("__op") == "delete")
+            .select(*self.keys, "__seq")
+            .join(closed_at, on=self.keys + ["__seq"], how="left_anti")
+        )
+        out_hist = rebuilt
+        if pass_hist is not None:
+            out_hist = out_hist.unionByName(
+                pass_hist.select(*rebuilt.columns)
+            )
+        out_tomb = new_tomb
+        if pass_tomb is not None:
+            out_tomb = out_tomb.unionByName(
+                pass_tomb.select(*new_tomb.columns)
+            )
+        # tomb first: a crash between the writes replays against a
+        # hist that has not advanced, and a stale tombstone is a
+        # rebuild no-op (see the module docstring)
+        self._write(out_tomb, self.tomb_path)
+        self._write(out_hist, self.hist_path)
+        for df in (log, merged_log, rebuilt):
+            df.unpersist(blocking=False)
+        self._has_hist = True
+        self._has_tomb = True
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+    def table(self) -> DataFrame:
+        """The maintained SCD2 history (keys..., attrs...,
+        valid_from, valid_to, is_current)."""
+        t = self._hist()
+        if t is None:
+            raise ValueError("no batches folded yet")
+        return t.select(
+            *self.keys, *self.attr_cols,
+            "valid_from", "valid_to", "is_current",
+        )

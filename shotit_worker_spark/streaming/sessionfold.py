@@ -1,0 +1,331 @@
+"""Incremental sessionization over a stream (foreachBatch).
+
+The batch operator (operators/sessions) numbers gap-based sessions
+with one lag + running-sum exchange over the event HISTORY; a stream
+must not re-walk history every trigger. The fold here keeps exactly
+ONE open session per user — (start, last event, count), O(1) rows —
+as a DISTRIBUTED parquet state table, and appends each session the
+moment the gap rule closes it to a batch_id-partitioned CLOSED table
+(facts, not state: the closed side only ever grows by finished
+sessions, the append-only shape any warehouse sink has). Each
+micro-batch:
+
+1. sessionizes its OWN events with the batch operator (one
+   groupBy(user) after the lag/cumsum window — micro-batch sized),
+2. full-outer-joins the open-session state on user,
+3. merges the user's sorted partial sessions into the open session
+   with an ``F.aggregate`` chain fold — extend while the gap from
+   the open session's end is <= gap (the batch operator's EXACT
+   boundary rule: an event at precisely gap_sec still extends; we
+   deliberately do NOT use ``F.session_window`` here, whose window-
+   overlap merge is strict-< at the boundary and would split where
+   the pinned batch/oracle semantics merge),
+4. writes newly closed sessions to ``closed/batch_id=N`` (dynamic
+   partition overwrite), then swap-writes the open state.
+
+Unlike the funnel/cohort folds, the session merge is NOT naturally
+idempotent (event counts add), so every open-state row carries the
+``bid`` of the batch that wrote it and a checkpoint-replayed trigger
+is detected and SKIPPED: a crash can only happen before the open
+write (closed is written first, and recomputes deterministically
+from the old state) or after it (``bid`` equals the replayed
+batch_id, so the whole batch — or, under buckets, exactly the
+already-written buckets — is a no-op; the closed table is
+partitioned by (batch_id, bucket) there so undone buckets' rewrites
+never clobber done ones).
+
+``stats()`` unions closed + open and numbers each user's sessions by
+start time — identical shape and, under the ordering contract,
+identical values to operators/sessions.session_stats over everything
+folded (pinned by the stream==batch test).
+
+Correctness contract: batches arrive in event-time order ACROSS
+triggers with equal-timestamp events inside one trigger (the
+FunnelFolder default contract; file replay / log-compaction order).
+
+With ``n_buckets`` set, the OPEN state is hash-partitioned by
+``pmod(xxhash64(user), n_buckets)`` and each trigger reads and
+rewrites only touched buckets (open sessions never disappear without
+new events, so touched buckets always reappear in the write); the
+closed side is already pruned by its batch_id partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessions import sessionize
+from ..plans.maintenance import path_exists
+from ..plans.merge import _swap_write
+
+__all__ = ["SessionFolder"]
+
+_SESS_T = "struct<s:bigint,e:bigint,n:bigint>"
+_ACC_T = f"struct<cur:{_SESS_T},closed:array<{_SESS_T}>>"
+
+
+class SessionFolder:
+    """Streaming gap sessionization with parquet-backed open-session
+    state and an append-shaped closed-session table. Use
+    :meth:`foreach_batch` as the ``foreachBatch`` function; read the
+    numbered session table with :meth:`stats`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        gap_sec: float = 1800.0,
+        n_buckets: int | None = None,
+    ):
+        if gap_sec <= 0:
+            raise ValueError(f"gap_sec must be positive, got {gap_sec}")
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.spark = spark
+        self.state_path = state_path
+        self.open_path = os.path.join(state_path, "open")
+        self.closed_path = os.path.join(state_path, "closed")
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.gap_sec = gap_sec
+        self.n_buckets = n_buckets
+        self._has_open = False
+        self._has_closed = False
+
+    def _bucket(self, col):
+        n = F.lit(self.n_buckets)
+        return ((F.xxhash64(col) % n + n) % n).cast("int")
+
+    def _open(self) -> DataFrame | None:
+        if not self._has_open:
+            if not path_exists(self.spark, self.open_path):
+                return None
+            self._has_open = True
+        return self.spark.read.parquet(self.open_path)
+
+    def _closed(self) -> DataFrame | None:
+        if not self._has_closed:
+            if not path_exists(self.spark, self.closed_path):
+                return None
+            self._has_closed = True
+        return self.spark.read.parquet(self.closed_path)
+
+    def _partials(self, batch_df: DataFrame) -> DataFrame:
+        """(user, __ps sorted array<struct<s,e,n>>) — the batch's own
+        sessions via the batch operator, collapsed per user."""
+        sess = sessionize(
+            batch_df, self.user_col, self.ts_col, self.gap_sec
+        )
+        tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        per = (
+            sess.groupBy(
+                F.col(self.user_col).alias("user"), "session_no"
+            )
+            .agg(
+                F.min(tsm).alias("s"),
+                F.max(tsm).alias("e"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        return per.groupBy("user").agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "e", "n"))
+            ).alias("__ps")
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        parts = self._partials(batch_df)
+        openst = self._open()
+        parts0 = parts  # the persisted frame (parts may be refiltered)
+        if self.n_buckets is not None:
+            parts = parts0 = parts.persist()
+            touched = [
+                r[0]
+                for r in parts.select(
+                    self._bucket(F.col("user")).alias("__b")
+                ).distinct().collect()
+            ]
+            if openst is not None:
+                openst = openst.where(F.col("bucket").isin(touched))
+                # replay detection per bucket: a bucket whose last
+                # writer was THIS batch is already fully applied
+                # (its closed/(batch_id,bucket) partition included —
+                # closed lands before open)
+                done = {
+                    r[0]
+                    for r in openst.where(
+                        F.col("bid") == F.lit(int(batch_id))
+                    ).select("bucket").distinct().collect()
+                }
+                if done:
+                    touched = [b for b in touched if b not in done]
+                    if not touched:
+                        parts0.unpersist(blocking=False)
+                        return
+                    openst = openst.where(
+                        F.col("bucket").isin(touched)
+                    )
+                    parts = parts.where(
+                        self._bucket(F.col("user")).isin(touched)
+                    )
+        elif openst is not None:
+            # non-bucketed: the open swap is atomic, so either the
+            # whole batch was applied (every row's bid == batch_id)
+            # or none of it was
+            last = openst.agg(F.max("bid")).collect()[0][0]
+            if last is not None and int(last) == int(batch_id):
+                return
+        if openst is not None:
+            joined = parts.join(
+                openst.select(
+                    "user",
+                    F.struct("s", "e", "n").alias("__open"),
+                ),
+                on="user",
+                how="full_outer",
+            )
+        else:
+            joined = parts.withColumn(
+                "__open", F.lit(None).cast(_SESS_T)
+            )
+        gap_us = F.lit(int(round(self.gap_sec * 1_000_000)))
+
+        def visit(acc, p):
+            extend = (
+                acc["cur"].isNotNull()
+                & (p["s"] - acc["cur"]["e"] <= gap_us)
+            )
+            return (
+                F.when(
+                    extend,
+                    F.struct(
+                        F.struct(
+                            acc["cur"]["s"].alias("s"),
+                            F.greatest(acc["cur"]["e"], p["e"]).alias("e"),
+                            (acc["cur"]["n"] + p["n"]).alias("n"),
+                        ).alias("cur"),
+                        acc["closed"].alias("closed"),
+                    ),
+                )
+                .when(
+                    acc["cur"].isNull(),
+                    F.struct(
+                        p.alias("cur"), acc["closed"].alias("closed")
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        p.alias("cur"),
+                        F.concat(
+                            acc["closed"], F.array(acc["cur"])
+                        ).alias("closed"),
+                    )
+                )
+            )
+
+        init = F.struct(
+            F.col("__open").alias("cur"),
+            F.array().cast(f"array<{_SESS_T}>").alias("closed"),
+        )
+        folded = joined.select(
+            "user",
+            F.aggregate(
+                F.coalesce("__ps", F.array().cast(f"array<{_SESS_T}>")),
+                init.cast(_ACC_T),
+                visit,
+            ).alias("__a"),
+        ).persist()
+        # closed first, open second: a crash between the two replays
+        # against the OLD open state and deterministically rewrites
+        # the same batch_id partition
+        closed_out = (
+            folded.select(
+                "user",
+                F.explode(F.col("__a")["closed"]).alias("__c"),
+            )
+            .select(
+                "user",
+                F.col("__c")["s"].alias("s"),
+                F.col("__c")["e"].alias("e"),
+                F.col("__c")["n"].alias("n"),
+                F.lit(int(batch_id)).alias("batch_id"),
+            )
+        )
+        closed_parts = ["batch_id"]
+        if self.n_buckets is not None:
+            closed_out = closed_out.withColumn(
+                "bucket", self._bucket("user")
+            )
+            closed_parts.append("bucket")
+        (
+            closed_out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*closed_parts)
+            .parquet(self.closed_path)
+        )
+        new_open = folded.where(F.col("__a")["cur"].isNotNull()).select(
+            "user",
+            F.col("__a")["cur"]["s"].alias("s"),
+            F.col("__a")["cur"]["e"].alias("e"),
+            F.col("__a")["cur"]["n"].alias("n"),
+            F.lit(int(batch_id)).alias("bid"),
+        )
+        if self.n_buckets is not None:
+            (
+                new_open.withColumn("bucket", self._bucket("user"))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.open_path)
+            )
+        elif not path_exists(self.spark, self.open_path):
+            new_open.write.mode("overwrite").parquet(self.open_path)
+        else:
+            _swap_write(new_open, self.open_path)
+        folded.unpersist(blocking=False)
+        if self.n_buckets is not None:
+            parts0.unpersist(blocking=False)
+        self._has_open = True
+        self._has_closed = True
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+    def stats(self) -> DataFrame:
+        """(user, session_no, session_start, session_end, n_events,
+        duration_sec) over everything folded — closed sessions plus
+        each user's still-open one, numbered by start time; the
+        session_stats shape."""
+        pieces = []
+        closed = self._closed()
+        if closed is not None:
+            pieces.append(closed.select("user", "s", "e", "n"))
+        openst = self._open()
+        if openst is not None:
+            pieces.append(openst.select("user", "s", "e", "n"))
+        if not pieces:
+            return self.spark.createDataFrame(
+                [],
+                "user long, session_no int, session_start timestamp,"
+                " session_end timestamp, n_events long,"
+                " duration_sec double",
+            )
+        allses = pieces[0]
+        for p in pieces[1:]:
+            allses = allses.unionByName(p)
+        w = Window.partitionBy("user").orderBy("s")
+        return allses.select(
+            "user",
+            F.row_number().over(w).alias("session_no"),
+            F.timestamp_micros(F.col("s")).alias("session_start"),
+            F.timestamp_micros(F.col("e")).alias("session_end"),
+            F.col("n").alias("n_events"),
+            ((F.col("e") - F.col("s")) / 1e6).alias("duration_sec"),
+        )

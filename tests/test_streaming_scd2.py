@@ -1,0 +1,158 @@
+"""Streaming SCD2 fold (streaming/scd2fold): CDC batches applied
+through foreachBatch must produce EXACTLY build_scd2 over the union
+of all batches — in ANY batch/seq arrival order (touched keys are
+rebuilt from the history's reconstructed change log), with no-op
+collapse and the delete barrier intact, idempotent under replay, and
+bucketed tables rewriting only touched buckets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from shotit_worker_spark.plans.scd2 import build_scd2
+from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+
+SCHEMA = "k long, a string, p double, seq long, op string"
+
+
+def _log(spark):
+    rows = []
+    for k in range(40):
+        rows.append((k, f"v1-{k}", 10.0 + k, 1, "upsert"))
+        if k % 3 == 0:  # no-op re-emit: must collapse
+            rows.append((k, f"v1-{k}", 10.0 + k, 2, "upsert"))
+        if k % 2 == 0:  # real change
+            rows.append((k, f"v2-{k}", 20.0 + k, 3, "upsert"))
+        if k % 5 == 0:  # delete
+            rows.append((k, None, None, 4, "delete"))
+        if k % 10 == 0:  # post-delete re-upsert: new version
+            rows.append((k, f"v3-{k}", 30.0 + k, 5, "upsert"))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _hist_key(rows):
+    return sorted(
+        (r["k"], r["a"], r["p"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in rows
+    )
+
+
+def _want(spark):
+    return _hist_key(
+        build_scd2(
+            _log(spark), keys=["k"], attr_cols=["a", "p"],
+            seq_col="seq", op_col="op",
+        ).collect()
+    )
+
+
+def test_seq_ordered_batches_equal_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    log = _log(spark)
+    folder = Scd2Folder(
+        spark, str(tmp_root / "scd2_t1"), keys=["k"],
+        attr_cols=["a", "p"], seq_col="seq", op_col="op",
+    )
+    for i, s in enumerate([1, 2, 3, 4, 5]):
+        folder.foreach_batch(log.where(F.col("seq") == s), i)
+    assert _hist_key(folder.table().collect()) == _want(spark)
+
+
+def test_out_of_order_and_late_rows_equal_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    # contract-free arrival: late seq-2 no-ops land LAST, the delete
+    # arrives before the version it closes — rebuild absorbs all
+    log = _log(spark)
+    folder = Scd2Folder(
+        spark, str(tmp_root / "scd2_t2"), keys=["k"],
+        attr_cols=["a", "p"], seq_col="seq", op_col="op",
+    )
+    for i, seqs in enumerate([[4, 3], [1, 5], [2]]):
+        folder.foreach_batch(log.where(F.col("seq").isin(seqs)), i)
+    assert _hist_key(folder.table().collect()) == _want(spark)
+
+
+def test_replay_idempotent(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    log = _log(spark)
+    folder = Scd2Folder(
+        spark, str(tmp_root / "scd2_t3"), keys=["k"],
+        attr_cols=["a", "p"], seq_col="seq", op_col="op",
+    )
+    b2 = log.where(F.col("seq").isin([3, 4, 5]))
+    folder.foreach_batch(log.where(F.col("seq").isin([1, 2])), 0)
+    folder.foreach_batch(b2, 1)
+    once = _hist_key(folder.table().collect())
+    assert once == _want(spark)
+    folder.foreach_batch(b2, 1)  # crash-replay
+    assert _hist_key(folder.table().collect()) == once
+
+
+def test_bucketed_equals_and_untouched_stable(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_root / "scd2_tb")
+    log = _log(spark)
+    folder = Scd2Folder(
+        spark, root, keys=["k"], attr_cols=["a", "p"],
+        seq_col="seq", op_col="op", n_buckets=16,
+    )
+    for i, s in enumerate([1, 2, 3]):
+        folder.foreach_batch(log.where(F.col("seq") == s), i)
+    want3 = _hist_key(
+        build_scd2(
+            log.where(F.col("seq") <= 3), keys=["k"],
+            attr_cols=["a", "p"], seq_col="seq", op_col="op",
+        ).collect()
+    )
+    assert _hist_key(folder.table().collect()) == want3
+
+    def bucket_files():
+        out = {}
+        hp = os.path.join(root, "hist")
+        for d in sorted(os.listdir(hp)):
+            if d.startswith("bucket="):
+                out[d] = sorted(os.listdir(os.path.join(hp, d)))
+        return out
+
+    before = bucket_files()
+    assert len(before) > 2
+    one = spark.createDataFrame(
+        [(7, "vX", 99.0, 6, "upsert")], SCHEMA
+    )
+    bid = spark.range(1).select(
+        ((F.xxhash64(F.lit(7).cast("long")) % 16 + 16) % 16)
+        .cast("int").alias("b")
+    ).collect()[0][0]
+    folder.foreach_batch(one, 3)
+    after = bucket_files()
+    for d, files in before.items():
+        if d == f"bucket={bid}":
+            assert after[d] != files
+        else:
+            assert after[d] == files, d
+    # and the single-key update landed correctly
+    got7 = sorted(
+        (r["valid_from"], r["a"], r["is_current"])
+        for r in folder.table().where("k = 7").collect()
+    )
+    assert got7[-1] == (6, "vX", True)
+
+
+def test_guards(spark, tmp_root):
+    with pytest.raises(ValueError, match="keys"):
+        Scd2Folder(spark, "x", keys=[], attr_cols=["a"])
+    with pytest.raises(ValueError, match="attr_cols"):
+        Scd2Folder(spark, "x", keys=["k"], attr_cols=[])
+    with pytest.raises(ValueError, match="n_buckets"):
+        Scd2Folder(spark, "x", keys=["k"], attr_cols=["a"], n_buckets=0)
+    f = Scd2Folder(spark, str(tmp_root / "none"), keys=["k"],
+                   attr_cols=["a"])
+    with pytest.raises(ValueError, match="no batches"):
+        f.table()

@@ -1,0 +1,149 @@
+"""Streaming sessionization fold (streaming/sessionfold): a
+time-ordered chunked replay folded through foreachBatch must produce
+EXACTLY the batch session_stats table (sessions that straddle trigger
+boundaries merge through the open-session state), replay of a batch
+is idempotent, bucketed state rewrites only touched buckets, and the
+guards refuse bad parameters."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from shotit_worker_spark.operators.sessions import session_stats
+from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+
+def _events(spark, n_users=40, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    t = 0
+    for _ in range(n_users * 15):
+        t += int(rng.integers(1, 2400))  # gaps straddle 1800 s
+        rows.append(
+            (
+                int(rng.integers(0, n_users)),
+                base + dt.timedelta(seconds=t),
+            )
+        )
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def _time_chunks(df, k=4):
+    import pyspark.sql.functions as F
+
+    d = df.withColumn("__us", F.unix_micros(F.col("ts")))
+    cuts = d.approxQuantile("__us", [i / k for i in range(1, k)], 0.0)
+    chunks, lo = [], None
+    for hi in cuts + [None]:
+        c = d
+        if lo is not None:
+            c = c.where(F.col("__us") > lo)
+        if hi is not None:
+            c = c.where(F.col("__us") <= hi)
+        chunks.append(c.drop("__us"))
+        lo = hi
+    return chunks
+
+
+def _key(rows):
+    return sorted(
+        (
+            r["user"],
+            r["session_no"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["duration_sec"], 9),
+        )
+        for r in rows
+    )
+
+
+def test_stream_fold_equals_batch(spark, tmp_root):
+    df = _events(spark)
+    folder = SessionFolder(
+        spark, str(tmp_root / "sess_state"), gap_sec=1800.0
+    )
+    for i, c in enumerate(_time_chunks(df)):
+        folder.foreach_batch(c, i)
+    want = session_stats(df, gap_sec=1800.0)
+    assert _key(folder.stats().collect()) == _key(want.collect())
+
+
+def test_cross_boundary_merge_and_replay_idempotent(spark, tmp_root):
+    # a single user's session split across THREE triggers must come
+    # back as ONE session (the open-state merge), and replaying the
+    # last trigger must not double-count
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 10, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 20, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),  # exactly gap: extends
+        (1, dt.datetime(2024, 1, 1, 2, 0, 0)),  # new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    folder = SessionFolder(
+        spark, str(tmp_root / "sess_state2"), gap_sec=600.0
+    )
+    batches = [df.limit(0), df.where("ts <= '2024-01-01 00:10:00'"),
+               df.where("ts > '2024-01-01 00:10:00' and"
+                        " ts <= '2024-01-01 00:30:00'"),
+               df.where("ts > '2024-01-01 00:30:00'")]
+    for i, b in enumerate(batches):
+        folder.foreach_batch(b, i)
+    got = _key(folder.stats().collect())
+    want = _key(session_stats(df, gap_sec=600.0).collect())
+    assert got == want
+    assert len(got) == 2 and got[0][4] == 4  # one 4-event session
+    folder.foreach_batch(batches[-1], 3)  # crash-replay of trigger 3
+    assert _key(folder.stats().collect()) == want
+
+
+def test_bucketed_equals_batch_and_untouched_stable(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_root / "sess_state_b")
+    df = _events(spark, n_users=30, seed=13)
+    folder = SessionFolder(spark, root, gap_sec=1800.0, n_buckets=16)
+    chunks = _time_chunks(df, 3)
+    for i, c in enumerate(chunks):
+        folder.foreach_batch(c, i)
+    want = session_stats(df, gap_sec=1800.0)
+    assert _key(folder.stats().collect()) == _key(want.collect())
+
+    def bucket_files():
+        out = {}
+        op = os.path.join(root, "open")
+        for d in sorted(os.listdir(op)):
+            if d.startswith("bucket="):
+                out[d] = sorted(os.listdir(os.path.join(op, d)))
+        return out
+
+    before = bucket_files()
+    assert len(before) > 2
+    one = spark.createDataFrame(
+        [(5, dt.datetime(2025, 1, 1))], "user_id long, ts timestamp"
+    )
+    bid = spark.range(1).select(
+        folder._bucket(F.lit(5).cast("long")).alias("b")
+    ).collect()[0][0]
+    folder.foreach_batch(one, 9)
+    after = bucket_files()
+    for d, files in before.items():
+        if d == f"bucket={bid}":
+            assert after[d] != files
+        else:
+            assert after[d] == files, d
+
+
+def test_guards(spark, tmp_root):
+    with pytest.raises(ValueError, match="gap_sec"):
+        SessionFolder(spark, "x", gap_sec=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        SessionFolder(spark, "x", n_buckets=0)
