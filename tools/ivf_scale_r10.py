@@ -1,0 +1,167 @@
+"""Round-10 IVF sizing validation at 1M vectors (VERDICT r9 #6).
+
+q106 pins plan_ivf/calibrate_nprobe on fixture scale; this tool
+builds ONE real 1M-vector index with plan_ivf's own sizing
+(nlist ~= sqrt(1M) = 1000, train_sample 50k) and measures what the
+plan promises: build time, the calibrated nprobe for a 0.9
+recall@15 floor (against brute-force exact top-15 ground truth),
+and per-query probe latency at that nprobe.
+
+Corpus: 64-dim vectors drawn from 2000 latent clusters (center +
+noise, all hash-deterministic), L2-normalized — clustered data is
+what IVF exists for; uniform noise would make every nprobe curve
+look flat. Queries are 16 held-out re-noisings of cluster members
+(same center, different noise seed), so they are near but not in
+the corpus.
+
+Usage: python tools/ivf_scale_r10.py [n] [dim]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+from shotit_worker_spark.functions import vector as V  # noqa: E402
+from shotit_worker_spark.index.ivf import (  # noqa: E402
+    build_ivf,
+    calibrate_nprobe,
+    plan_ivf,
+    recall_at_k,
+)
+
+N_CLUSTERS = 2000
+NOISE = 0.35
+
+
+def _u(col, salt):
+    """hash-uniform in [-1, 1)."""
+    h = (F.xxhash64(col, F.lit(salt)) % (1 << 20) + (1 << 20)) % (1 << 20)
+    return h.cast("double") / (1 << 19) - 1.0
+
+
+def _vec(id_col, dim, noise_salt):
+    c = (F.xxhash64(id_col) % N_CLUSTERS + N_CLUSTERS) % N_CLUSTERS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: _u(c * dim + i, 1)
+        + F.lit(NOISE) * _u(id_col * F.lit(dim) + i, noise_salt),
+    )
+
+
+def _normalized(df, vec_col):
+    nrm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x / nrm)
+    )
+
+
+def main(n: int = 1_000_000, dim: int = 64) -> None:
+    spark = get_spark("ivf-scale-r10", shuffle_partitions=64)
+    plan = plan_ivf(n)
+    print(f"plan_ivf({n}): {plan}", flush=True)
+
+    rows = _normalized(
+        spark.range(n).select(
+            F.col("id").alias("primary_key"),
+            F.concat(F.lit("h"), F.col("id")).alias("hash_id"),
+            _vec(F.col("id"), dim, noise_salt=2).alias("vector"),
+        ),
+        "vector",
+    )
+    root = tempfile.mkdtemp(prefix="r10ivf_")
+    try:
+        t0 = time.time()
+        index = build_ivf(
+            rows,
+            os.path.join(root, "index"),
+            nlist=plan["nlist"],
+            sample_cap=plan["train_sample"],
+            quantize=True,
+            sq8_mode="global",
+        )
+        t_build = time.time() - t0
+        print(f"build_ivf nlist={plan['nlist']} SQ8: {t_build:.1f}s "
+              f"({n / t_build / 1e6:.2f}M vec/s)", flush=True)
+
+        # held-out queries: same centers as corpus ids 0..15, fresh
+        # noise seed
+        qdf = _normalized(
+            spark.range(16).select(
+                F.col("id").alias("qid"),
+                _vec(F.col("id"), dim, noise_salt=7).alias("vector"),
+            ),
+            "vector",
+        )
+        queries = [
+            (int(r["qid"]), np.array(r["vector"], dtype=np.float64))
+            for r in qdf.collect()
+        ]
+
+        # brute-force exact top-15 ground truth (one scan per query)
+        t0 = time.time()
+        exact = {}
+        base = rows.persist()
+        base.count()
+        for qid, qv in queries:
+            top = (
+                base.select(
+                    "hash_id",
+                    V.dot_literal("vector", list(qv)).alias("s"),
+                )
+                .orderBy(F.col("s").desc(), F.col("hash_id").asc())
+                .limit(15)
+                .collect()
+            )
+            exact[qid] = {r["hash_id"] for r in top}
+        print(f"exact ground truth (16 queries x {n}): "
+              f"{time.time() - t0:.1f}s", flush=True)
+
+        t0 = time.time()
+        cal = calibrate_nprobe(
+            spark, index, queries, exact, k=15,
+            target_recall=0.9, start_nprobe=plan["nprobe0"],
+        )
+        print(f"calibrate_nprobe: {time.time() - t0:.1f}s -> "
+              f"nprobe={cal['nprobe']} recall={cal['recall']:.3f} "
+              f"curve={[(p, round(r, 3)) for p, r in cal['curve']]}",
+              flush=True)
+
+        # single-query latency at the calibrated nprobe
+        lat = []
+        for qid, qv in queries[:8]:
+            t0 = time.time()
+            got = index.search(
+                spark, qv, k=15, nprobe=cal["nprobe"]
+            ).collect()
+            lat.append(time.time() - t0)
+            _ = recall_at_k([r["hash_id"] for r in got],
+                            sorted(exact[qid]))
+        lat.sort()
+        print(f"search latency @nprobe={cal['nprobe']}: "
+              f"median {lat[len(lat) // 2] * 1000:.0f}ms "
+              f"min {lat[0] * 1000:.0f}ms max {lat[-1] * 1000:.0f}ms "
+              f"(scan ~{cal['nprobe'] * plan['rows_per_probe']:.0f} "
+              f"rows/query)", flush=True)
+        base.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+    )

@@ -1,0 +1,246 @@
+"""Round-10 stress: the operators r9's sweep did not yet measure at
+scale (VERDICT r9 #5), plus this round's new streaming folds and the
+rewritten kernels (directed label propagation, groupBy-marginal
+mutual information).
+
+- tfidf_keywords at 1M docs / ~500k-term Zipf vocabulary — and a
+  plan assertion that the deliberately-unhinted vocab join stays a
+  SortMergeJoin (a web-scale vocabulary must not broadcast)
+- key_skew at 10M rows / 100k keys
+- run_checks with a WIDE suite (16 checks incl. two exact uniques)
+- mutual_information at 10M rows (50x200 contingency) after the
+  marginal rewrite (no more single-task global window)
+- label_propagation(directed=True) at 10M edges / 1M nodes after the
+  voteless-node fix (each round now carries one extra keyed join)
+- SessionFolder: 10M events folded in 4 event-time chunks with
+  bucketed state; stats() row count cross-checked against the batch
+  session_stats
+- Scd2Folder: ~3M-change CDC log over 1M keys folded in 3 seq
+  batches with bucketed history; table() cross-checked against
+  build_scd2 of the full log
+
+Usage: python tools/scale_stress_r10.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, n, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{label}: {n} rows in {dt:.1f}s = {n / dt / 1e6:.2f}M rows/s",
+          flush=True)
+    return out, dt
+
+
+def main(n: int = 10_000_000) -> None:
+    spark = get_spark("stress-r10", shuffle_partitions=64)
+    spark.range(100).selectExpr("sum(id)").collect()  # warm JVM
+
+    # ---- tfidf_keywords: 1M docs, Zipf vocab ------------------------
+    from shotit_worker_spark.operators.bm25 import tfidf_keywords
+
+    ndocs = max(n // 10, 1000)
+    terms_per_doc = 20
+
+    def zipf_tok(salt):
+        u = ((F.xxhash64("id", F.lit(salt)) % (1 << 30) + (1 << 30))
+             % (1 << 30)).cast("double") / (1 << 30)
+        return F.concat(
+            F.lit("w"),
+            F.least(F.lit(500_000),
+                    F.floor(1.0 / (u + 2e-6)).cast("long"))
+            .cast("string"),
+        )
+
+    docs = spark.range(ndocs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[zipf_tok(s) for s in range(terms_per_doc)]
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    kw = tfidf_keywords(docs, k=5, min_df=2)
+    plan = kw._jdf.queryExecution().executedPlan().toString()
+    n_smj = plan.count("SortMergeJoin")
+    n_bhj = plan.count("BroadcastHashJoin")
+    print(f"tfidf plan: SortMergeJoin x{n_smj}, "
+          f"BroadcastHashJoin x{n_bhj} (vocab join must not "
+          f"broadcast at web scale)", flush=True)
+    timed(f"tfidf_keywords ({ndocs} docs x {terms_per_doc} terms)",
+          ndocs * terms_per_doc, lambda: kw.count())
+    docs.unpersist()
+
+    # ---- key_skew at 100k keys --------------------------------------
+    from shotit_worker_spark.operators.profiling import key_skew
+
+    u_hash = (F.xxhash64("id") % 100_000 + 100_000) % 100_000
+    u_pow = (
+        F.pow(u_hash.cast("double") / 1e5, F.lit(3.0)) * 100_000
+    ).cast("long")
+    keyed = spark.range(n).select(
+        F.when(F.col("id") % 200 == 0, F.lit(0))
+        .otherwise(u_pow + 1).alias("k"),
+        (F.xxhash64("id", F.lit(3)) % 997).cast("double").alias("v"),
+        F.when(F.col("id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+        ).alias("s"),
+    ).persist()
+    keyed.count()
+    timed("key_skew (100k keys, planted mega-key)", n, lambda: (
+        key_skew(keyed, "k", top=10).collect()
+    ))
+
+    # ---- run_checks: wide suite -------------------------------------
+    from shotit_worker_spark.plans import expectations as EX
+
+    checks = (
+        [EX.not_null("k"), EX.not_null("v"),
+         EX.not_null("s", max_null_frac=0.02),
+         EX.in_range("v", 0, 996),
+         EX.in_range("k", 0, 100_001),
+         EX.accepted_values("s", ["s0", "s1", "s2", "s3", "s4"]),
+         EX.matches_regex("s", "^s[0-9]$"),
+         EX.row_count_between(1, None),
+         EX.unique("id2"), EX.unique("id3")]
+        + [EX.in_range("v", 0, 1000 + i) for i in range(6)]
+    )
+    wide = keyed.withColumn("id2", F.monotonically_increasing_id()) \
+        .withColumn("id3", F.expr("id2 * 2"))
+    timed(f"run_checks ({len(checks)} checks, 2 exact uniques)", n,
+          lambda: EX.run_checks(wide, checks).collect())
+    keyed.unpersist()
+
+    # ---- mutual_information after the marginal rewrite --------------
+    from shotit_worker_spark.operators.stats import mutual_information
+
+    mi_df = spark.range(n).select(
+        ((F.xxhash64("id") % 50 + 50) % 50).alias("x"),
+        ((F.xxhash64("id", F.lit(1)) % 200 + 200) % 200).alias("y"),
+    )
+    timed("mutual_information (50x200 cells)", n, lambda: (
+        mutual_information(mi_df, "x", "y").collect()
+    ))
+
+    # ---- directed label propagation ---------------------------------
+    from shotit_worker_spark.operators.graph import label_propagation
+
+    nn = n // 10
+    edges = spark.range(n).select(
+        ((F.xxhash64("id") % nn + nn) % nn).alias("src"),
+        ((F.xxhash64("id", F.lit(1)) % nn + nn) % nn).alias("dst"),
+    ).persist()
+    edges.count()
+    lp, _ = timed(f"label_propagation directed ({nn} nodes, 3 rounds)",
+                  n, lambda: label_propagation(
+                      edges, max_rounds=3, directed=True))
+    t0 = time.time()
+    cnt = lp.count()
+    print(f"  materialize: {cnt} labels in {time.time() - t0:.1f}s "
+          f"(must equal node count — voteless nodes kept)",
+          flush=True)
+    edges.unpersist()
+
+    # ---- SessionFolder fold at 10M events ---------------------------
+    from shotit_worker_spark.operators.sessions import session_stats
+    from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+    u2 = (F.xxhash64("id", F.lit(23)) % 500_000 + 500_000) % 500_000
+    t2 = (F.xxhash64("id", F.lit(29)) % 2_592_000 + 2_592_000) % 2_592_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") % 200 == 0, F.lit(0)).otherwise(u2 + 1)
+        .alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + t2).alias("ts"),
+    ).persist()
+    ev.count()
+    root = tempfile.mkdtemp(prefix="r10sessfold_")
+    try:
+        folder = SessionFolder(
+            spark, os.path.join(root, "state"), gap_sec=1800.0,
+            n_buckets=32,
+        )
+        day = 7 * 86400
+
+        def fold_all():
+            for i in range(4):
+                lo = 1_700_000_000 + i * day
+                c = ev.where(F.unix_timestamp("ts") >= lo)
+                if i < 3:  # last chunk unbounded: 30-day timeline
+                    c = c.where(F.unix_timestamp("ts") < lo + day)
+                folder.foreach_batch(c, i)
+            return folder.stats().count()
+
+        (got, _) = timed("SessionFolder fold (4 chunks, 32 buckets)",
+                         n, fold_all)
+        want = session_stats(ev, gap_sec=1800.0).count()
+        print(f"  stream sessions={got} batch sessions={want} "
+              f"match={got == want}", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ev.unpersist()
+
+    # ---- Scd2Folder fold: 1M keys, ~3 versions ----------------------
+    from shotit_worker_spark.plans.scd2 import build_scd2
+    from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+
+    nk = n // 10
+    ch = []
+    base = spark.range(nk)
+    ch.append(base.select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("a"),
+        F.lit(1).alias("seq"), F.lit("upsert").alias("op"),
+    ))
+    ch.append(base.where(F.col("id") % 3 == 0).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v2-"), F.col("id")).alias("a"),
+        F.lit(2).alias("seq"), F.lit("upsert").alias("op"),
+    ))
+    ch.append(base.where(F.col("id") % 20 == 0).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("a"),
+        F.lit(3).alias("seq"), F.lit("delete").alias("op"),
+    ))
+    log = ch[0].unionByName(ch[1]).unionByName(ch[2]).persist()
+    nch = log.count()
+    root2 = tempfile.mkdtemp(prefix="r10scd2fold_")
+    try:
+        f2 = Scd2Folder(
+            spark, os.path.join(root2, "table"), keys=["k"],
+            attr_cols=["a"], seq_col="seq", op_col="op",
+            n_buckets=32,
+        )
+
+        def fold_scd2():
+            for i, b in enumerate(ch):
+                f2.foreach_batch(b, i)
+            return f2.table().count()
+
+        (got2, _) = timed(
+            f"Scd2Folder fold ({nch} changes, {nk} keys, 3 batches)",
+            nch, fold_scd2)
+        want2 = build_scd2(log, keys=["k"], attr_cols=["a"],
+                           seq_col="seq", op_col="op").count()
+        print(f"  stream hist={got2} batch hist={want2} "
+              f"match={got2 == want2}", flush=True)
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
+    log.unpersist()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
