@@ -45,7 +45,10 @@ KMEANS_SEED = 42
 # distributed path wins — this interpreter's numpy has no threaded BLAS,
 # so driver-side matmuls run single-core (measured: 100 k×64, k=128,
 # 20 iters ≈ 3 min driver-side vs well under a minute in MLlib)
-NUMPY_FIT_CAP = 20_000
+# auto-fit sample ceiling: large enough to honor plan_ivf's
+# train_sample (50 points/centroid up to nlist=4000) while keeping
+# the driver-side Lloyd array bounded (200k x 128d doubles = 200 MB)
+NUMPY_FIT_CAP = 200_000
 
 
 def _fit_centroids(
@@ -58,27 +61,44 @@ def _fit_centroids(
 ) -> np.ndarray:
     """KMeans centroids, seed-pinned either way (SURVEY §5.2.3).
 
-    method='mllib': distributed MLlib KMeans — the 100-TB path (every
-    Lloyd iteration is one pass over the corpus, executors do the work).
-    method='numpy': Lloyd iterations on a driver-side sample bounded by
-    `sample_cap` — for corpora that fit comfortably in one numpy array,
-    where MLlib's per-iteration job overhead dominates (an IVF codebook
-    trained on a ≤200 k-row sample is standard practice; Milvus likewise
-    trains on a segment sample). 'auto' picks numpy iff the corpus is
-    within sample_cap (then the "sample" is exact).
+    method='mllib': distributed MLlib KMeans over the FULL corpus —
+    use when you explicitly want every Lloyd iteration to be a
+    distributed pass (each one reads the whole corpus; at 1M x
+    k=1000 that is already ~20 full scans of JVM distance math).
+    method='numpy'/'auto': Lloyd iterations on a driver-side SAMPLE
+    bounded by `sample_cap` — an IVF codebook trained on a bounded
+    sample is standard practice (FAISS trains on ~39-256 points per
+    centroid; Milvus trains on a segment sample), and it is the only
+    build shape that survives 100 TB: codebook cost must not scale
+    with the corpus. The sample is deterministic and order-unbiased
+    (TakeOrdered on xxhash64(vector, seed) — one pass, a cap-sized
+    heap per partition, no full sort); when the corpus is within the
+    cap the "sample" is exact. The r10 1M-vector validation is what
+    retired the old auto→mllib switch: full-corpus MLlib at nlist=
+    1000 ran 10+ minutes where the 50k-sample numpy fit takes
+    seconds at equal measured recall (SCALE_NOTES Round 10).
     """
     rows = None
     if method in ("auto", "numpy"):
-        # one job decides the path AND fetches the sample: if fewer than
-        # the cap rows come back, the "sample" is the whole corpus
         cap = min(sample_cap, NUMPY_FIT_CAP) if method == "auto" else sample_cap
-        rows = (
-            index_rows.select(F.col(vec_col).cast("array<double>").alias("v"))
-            .limit(cap)
-            .collect()
+        sel = index_rows.select(
+            F.col(vec_col).cast("array<double>").alias("v")
         )
-        if method == "auto":
-            method = "numpy" if len(rows) < cap else "mllib"
+        n = sel.count()
+        if n > cap:
+            # Bernoulli hash filter at ~1.3x the cap, then limit:
+            # survivors are filtered EXECUTOR-side so only ~cap rows
+            # ever cross to the driver (a TakeOrdered sample would
+            # ship cap rows PER PARTITION — 1 GB at 32 partitions,
+            # worse with 1000 executors)
+            thresh = int(min(1.0, 1.3 * cap / n) * (1 << 30))
+            h = (
+                F.xxhash64(F.col("v"), F.lit(int(seed))) % (1 << 30)
+                + (1 << 30)
+            ) % (1 << 30)
+            sel = sel.where(h < F.lit(thresh))
+        rows = sel.limit(cap).collect()
+        method = "numpy"
     if method == "mllib":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
