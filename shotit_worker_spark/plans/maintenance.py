@@ -30,6 +30,21 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def read_state_parquet(spark: SparkSession, path: str):
+    """Read a fold's parquet state table, or None when there is
+    nothing to read: the path is absent, OR it exists but holds no
+    parquet files — which a dynamic-partition-overwrite of ZERO rows
+    legitimately produces (only _SUCCESS lands), so schema inference
+    has nothing to work with. All streaming folds read state through
+    this so an empty first trigger can never poison the next one."""
+    if not path_exists(spark, path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
 def swap_into(path: str, tmp: str) -> None:
     """The engine's atomic-swap idiom in ONE place (the crash
     posture every rewrite shares): the fully-written ``tmp``

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cohort import _MICROS_PER_DAY, _matrix_from_per_user
-from ..plans.maintenance import path_exists
+from ..plans.maintenance import read_state_parquet
 from ..plans.merge import _swap_write
 
 __all__ = ["CohortFolder"]
@@ -78,19 +78,15 @@ class CohortFolder:
         # trigger that died after overwriting some buckets re-merges
         # the replayed batch into the same state.
         self.n_buckets = n_buckets
-        self._has_state = False
 
     def _bucket(self, col):
         n = F.lit(self.n_buckets)
         return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     def _state(self) -> DataFrame | None:
-        if not self._has_state:
-            # quiet Hadoop-FS probe (see FunnelFolder._state)
-            if not path_exists(self.spark, self.state_path):
-                return None
-            self._has_state = True
-        return self.spark.read.parquet(self.state_path)
+        # quiet probe + schema-less-dir tolerance (see
+        # FunnelFolder._state)
+        return read_state_parquet(self.spark, self.state_path)
 
     def _per_batch(self, batch_df: DataFrame) -> DataFrame:
         micros = self.period_days * _MICROS_PER_DAY
@@ -186,7 +182,6 @@ class CohortFolder:
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:
             _swap_write(new_state, self.state_path)
-        self._has_state = True
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -65,7 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import funnel as _FN
-from ..plans.maintenance import path_exists
+from ..plans.maintenance import read_state_parquet
 from ..plans.merge import _swap_write
 
 __all__ = ["FunnelFolder"]
@@ -120,21 +120,15 @@ class FunnelFolder:
         # bounded-lateness reorder buffer (r9 VERDICT wrong #1): see
         # the module docstring's watermark contract
         self.lateness_sec = lateness_sec
-        self._has_state = False
 
     def _bucket(self, col):
         n = F.lit(self.n_buckets)
         return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     def _state(self) -> DataFrame | None:
-        if not self._has_state:
-            # quiet Hadoop-FS probe: try/except around read.parquet
-            # printed a JVM FileNotFoundException stack on the first
-            # (state-less) trigger
-            if not path_exists(self.spark, self.state_path):
-                return None
-            self._has_state = True
-        return self.spark.read.parquet(self.state_path)
+        # quiet probe + schema-less-dir tolerance (an all-empty
+        # bucketed write lands only _SUCCESS): read_state_parquet
+        return read_state_parquet(self.spark, self.state_path)
 
     _PEND_T = "array<struct<__t:bigint,__y:string>>"
 
@@ -225,7 +219,6 @@ class FunnelFolder:
             _swap_write(new_state, self.state_path)
         if self.n_buckets is not None or self.lateness_sec is not None:
             persisted.unpersist(blocking=False)
-        self._has_state = True
 
     def _fold_with_lateness(
         self, arr: DataFrame, state: DataFrame | None

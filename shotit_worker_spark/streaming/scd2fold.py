@@ -53,7 +53,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.maintenance import path_exists
+from ..plans.maintenance import path_exists, read_state_parquet
 from ..plans.merge import _swap_write
 from ..plans.scd2 import build_scd2
 
@@ -94,8 +94,6 @@ class Scd2Folder:
         self.op_col = op_col
         self.delete_op = delete_op
         self.n_buckets = n_buckets
-        self._has_hist = False
-        self._has_tomb = False
 
     def _bucket_expr(self):
         n = F.lit(self.n_buckets)
@@ -103,26 +101,13 @@ class Scd2Folder:
         return ((h % n + n) % n).cast("int")
 
     def _hist(self) -> DataFrame | None:
-        if not self._has_hist:
-            if not path_exists(self.spark, self.hist_path):
-                return None
-            self._has_hist = True
-        return self.spark.read.parquet(self.hist_path)
+        # quiet probe + schema-less-dir tolerance: a bucketed write
+        # of zero rows lands no partition files (dynamic overwrite),
+        # so the directory can exist with no schema to infer
+        return read_state_parquet(self.spark, self.hist_path)
 
     def _tomb(self) -> DataFrame | None:
-        if not self._has_tomb and not path_exists(
-            self.spark, self.tomb_path
-        ):
-            return None
-        try:
-            df = self.spark.read.parquet(self.tomb_path)
-        except Exception:
-            # a bucketed write of ZERO tombstones lands no partition
-            # files (dynamic overwrite), so the directory exists but
-            # holds no schema to infer — an empty tomb either way
-            return None
-        self._has_tomb = True
-        return df
+        return read_state_parquet(self.spark, self.tomb_path)
 
     def _as_log(self, changes: DataFrame) -> DataFrame:
         """Normalize a CDC batch to (keys..., attrs..., __seq, __op)."""
@@ -282,8 +267,6 @@ class Scd2Folder:
         self._write(out_hist, self.hist_path)
         for df in (log, merged_log, rebuilt):
             df.unpersist(blocking=False)
-        self._has_hist = True
-        self._has_tomb = True
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sessions import sessionize
-from ..plans.maintenance import path_exists
+from ..plans.maintenance import path_exists, read_state_parquet
 from ..plans.merge import _swap_write
 
 __all__ = ["SessionFolder"]
@@ -95,26 +95,18 @@ class SessionFolder:
         self.ts_col = ts_col
         self.gap_sec = gap_sec
         self.n_buckets = n_buckets
-        self._has_open = False
-        self._has_closed = False
 
     def _bucket(self, col):
         n = F.lit(self.n_buckets)
         return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     def _open(self) -> DataFrame | None:
-        if not self._has_open:
-            if not path_exists(self.spark, self.open_path):
-                return None
-            self._has_open = True
-        return self.spark.read.parquet(self.open_path)
+        # quiet probe + schema-less-dir tolerance (an all-empty
+        # bucketed write lands only _SUCCESS)
+        return read_state_parquet(self.spark, self.open_path)
 
     def _closed(self) -> DataFrame | None:
-        if not self._has_closed:
-            if not path_exists(self.spark, self.closed_path):
-                return None
-            self._has_closed = True
-        return self.spark.read.parquet(self.closed_path)
+        return read_state_parquet(self.spark, self.closed_path)
 
     def _partials(self, batch_df: DataFrame) -> DataFrame:
         """(user, __ps sorted array<struct<s,e,n>>) — the batch's own
@@ -292,8 +284,6 @@ class SessionFolder:
         folded.unpersist(blocking=False)
         if self.n_buckets is not None:
             parts0.unpersist(blocking=False)
-        self._has_open = True
-        self._has_closed = True
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -1,0 +1,52 @@
+"""Empty-first-trigger resilience for every streaming fold: a
+bucketed dynamic-partition-overwrite of ZERO rows creates a state
+directory holding only _SUCCESS — no parquet footer to infer a
+schema from — and the next trigger's state read must treat that as
+"no state yet" instead of crashing (plans/maintenance.
+read_state_parquet)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from shotit_worker_spark.streaming.cohortfold import CohortFolder
+from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+ES = "user_id long, ts timestamp, event_type string"
+
+
+def test_empty_first_bucketed_batch_all_folds(spark, tmp_root):
+    empty = spark.createDataFrame([], ES)
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")], ES
+    )
+
+    f = FunnelFolder(spark, str(tmp_root / "f"), ["a", "b"],
+                     n_buckets=4)
+    f.foreach_batch(empty, 0)
+    f.foreach_batch(one, 1)
+    got = {r["step"]: r["users"] for r in f.counts().collect()}
+    assert got == {"a": 1, "b": 0}
+
+    c = CohortFolder(spark, str(tmp_root / "c"), anchor_type="a",
+                     n_buckets=4)
+    c.foreach_batch(empty, 0)
+    c.foreach_batch(one, 1)
+    assert c.matrix().count() == 1
+
+    s = SessionFolder(spark, str(tmp_root / "s"), n_buckets=4)
+    s.foreach_batch(empty.select("user_id", "ts"), 0)
+    s.foreach_batch(one.select("user_id", "ts"), 1)
+    assert s.stats().count() == 1
+
+    cs = "k long, a string, seq long, op string"
+    z = Scd2Folder(spark, str(tmp_root / "z"), keys=["k"],
+                   attr_cols=["a"], seq_col="seq", op_col="op",
+                   n_buckets=4)
+    z.foreach_batch(spark.createDataFrame([], cs), 0)
+    z.foreach_batch(
+        spark.createDataFrame([(1, "x", 1, "upsert")], cs), 1
+    )
+    assert z.table().count() == 1
