@@ -48,6 +48,14 @@ With ``n_buckets`` set, the OPEN state is hash-partitioned by
 rewrites only touched buckets (open sessions never disappear without
 new events, so touched buckets always reappear in the write); the
 closed side is already pruned by its batch_id partitioning.
+
+Maintenance: a long-running stream accrues one ``batch_id=N``
+partition per trigger on the closed side. Compact them with the
+engine's standard rewrite (plans/maintenance.compact_parquet_table /
+the T6 cron-flush discipline) — but only partitions BELOW the
+stream's committed checkpoint floor: a batch at-or-above it could
+still be replayed and would dynamic-overwrite its partition,
+duplicating whatever a premature compaction had already absorbed.
 """
 
 from __future__ import annotations
