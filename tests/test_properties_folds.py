@@ -1,0 +1,144 @@
+"""Property-based differentials for the round-10 streaming folds:
+Scd2Folder against build_scd2 under hypothesis-generated logs AND
+hypothesis-chosen batch splits in ARBITRARY order (the contract-free
+claim), and SessionFolder against session_stats under random events
+with a random time-ordered chunking. Few examples — each costs
+several Spark jobs — but shrinking finds minimal counterexamples."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from shotit_worker_spark.operators.sessions import session_stats
+from shotit_worker_spark.plans.scd2 import build_scd2
+from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+spark_settings = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_logs = st.lists(
+    st.tuples(
+        st.integers(0, 3),                          # key
+        st.integers(0, 20),                         # seq
+        st.sampled_from(["a", "b", None]),          # attr
+        st.sampled_from(["upsert"] * 3 + ["delete"]),
+    ),
+    min_size=1,
+    max_size=30,
+).map(
+    lambda rows: list(
+        {(k, s): (k, s, a, o) for k, s, a, o in rows}.values()
+    )
+)
+
+# how to scatter log rows into 3 batches, in an arbitrary order
+_splits = st.lists(st.integers(0, 2), min_size=30, max_size=30)
+_batch_order = st.permutations([0, 1, 2])
+
+SCHEMA = "k long, seq long, a string, op string"  # tuple order
+
+
+def _hist_key(rows):
+    # (k, valid_from) is unique per version row — sort on it so
+    # None attrs never hit tuple comparison
+    return sorted(
+        (
+            (r["k"], r["a"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in rows
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+
+
+@spark_settings
+@given(log=_logs, split=_splits, order=_batch_order)
+def test_scd2fold_any_batching_equals_batch(
+    spark, tmp_root, log, split, order
+):
+    full = spark.createDataFrame(log, SCHEMA)
+    want = _hist_key(
+        build_scd2(full, keys=["k"], attr_cols=["a"],
+                   seq_col="seq", op_col="op").collect()
+    )
+    folder = Scd2Folder(
+        spark, str(tmp_root / f"scd2p_{uuid.uuid4().hex[:8]}"),
+        keys=["k"], attr_cols=["a"], seq_col="seq", op_col="op",
+    )
+    batches = {i: [] for i in range(3)}
+    for row, b in zip(log, itertools.cycle(split)):
+        batches[b].append(row)
+    folded_any = False
+    for i, b in enumerate(order):
+        rows = batches[b]
+        if not rows:
+            continue
+        folder.foreach_batch(spark.createDataFrame(rows, SCHEMA), i)
+        folded_any = True
+    if not folded_any:
+        return
+    assert _hist_key(folder.table().collect()) == want
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # user
+        st.integers(0, 500),          # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@spark_settings
+@given(evs=_events, cut1=st.integers(0, 500), cut2=st.integers(0, 500))
+def test_sessionfold_chunked_equals_batch(
+    spark, tmp_root, evs, cut1, cut2
+):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s)) for u, s in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    want = sorted(
+        (r["user"], r["session_no"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in session_stats(df, gap_sec=60.0).collect()
+    )
+    lo, hi = sorted([cut1, cut2])
+    folder = SessionFolder(
+        spark, str(tmp_root / f"sessp_{uuid.uuid4().hex[:8]}"),
+        gap_sec=60.0,
+    )
+    # three event-time-ordered chunks at arbitrary cut points
+    # (inclusive cuts keep equal timestamps inside one trigger —
+    # the module's ordering contract)
+    chunks = [
+        [r for r in rows if (r[1] - base).total_seconds() <= lo],
+        [r for r in rows
+         if lo < (r[1] - base).total_seconds() <= hi],
+        [r for r in rows if (r[1] - base).total_seconds() > hi],
+    ]
+    i = 0
+    for c in chunks:
+        if not c:
+            continue
+        folder.foreach_batch(
+            spark.createDataFrame(c, df.schema), i
+        )
+        i += 1
+    got = sorted(
+        (r["user"], r["session_no"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in folder.stats().collect()
+    )
+    assert got == want
