@@ -43,6 +43,17 @@ Correctness contract: batches arrive in event-time order ACROSS
 triggers with equal-timestamp events inside one trigger (the
 FunnelFolder default contract; file replay / log-compaction order).
 
+With ``lateness_sec`` set the contract drops to the watermark one
+(the FunnelFolder lateness treatment): state holds each user's
+PENDING EVENT SET; every trigger re-segments pending ∪ batch and
+finalizes only sessions with ``end + gap <= batch_max − lateness``
+(finality is a prefix of the time-ordered session list, so pending
+shrinks to the tail), and :meth:`stats` segments the pending tail at
+read time. A late event within the horizon can therefore extend or
+even BRIDGE two previously separate sessions, exactly like the batch
+operator — pinned by the shuffled-replay and bridge tests. Duplicate
+(user, ts) events collapse in the set form.
+
 With ``n_buckets`` set, the OPEN state is hash-partitioned by
 ``pmod(xxhash64(user), n_buckets)`` and each trigger reads and
 rewrites only touched buckets (open sessions never disappear without
@@ -90,11 +101,14 @@ class SessionFolder:
         ts_col: str = "ts",
         gap_sec: float = 1800.0,
         n_buckets: int | None = None,
+        lateness_sec: float | None = None,
     ):
         if gap_sec <= 0:
             raise ValueError(f"gap_sec must be positive, got {gap_sec}")
         if n_buckets is not None and n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if lateness_sec is not None and lateness_sec < 0:
+            raise ValueError("lateness_sec must be >= 0")
         self.spark = spark
         self.state_path = state_path
         self.open_path = os.path.join(state_path, "open")
@@ -103,6 +117,8 @@ class SessionFolder:
         self.ts_col = ts_col
         self.gap_sec = gap_sec
         self.n_buckets = n_buckets
+        # bounded-lateness mode: see the module docstring
+        self.lateness_sec = lateness_sec
 
     def _bucket(self, col):
         n = F.lit(self.n_buckets)
@@ -140,6 +156,9 @@ class SessionFolder:
         )
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.lateness_sec is not None:
+            self._fold_with_lateness(batch_df, batch_id)
+            return
         parts = self._partials(batch_df)
         openst = self._open()
         parts0 = parts  # the persisted frame (parts may be refiltered)
@@ -293,6 +312,192 @@ class SessionFolder:
         if self.n_buckets is not None:
             parts0.unpersist(blocking=False)
 
+    def _gap_us(self):
+        return F.lit(int(round(self.gap_sec * 1_000_000)))
+
+    def _segment(self, times_col):
+        """array<long> of sorted event micros -> array<struct<s,e,n>>
+        of gap sessions (the batch operator's <=-gap rule)."""
+        gap_us = self._gap_us()
+        empty = F.array().cast(f"array<{_SESS_T}>")
+
+        def seg(acc, t):
+            last = F.element_at(acc, -1)
+            ext = (F.size(acc) > 0) & ((t - last["e"]) <= gap_us)
+            newlast = F.struct(
+                last["s"].alias("s"), t.alias("e"),
+                (last["n"] + 1).alias("n"),
+            )
+            head = F.when(
+                F.size(acc) > 1,
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+            ).otherwise(empty)
+            fresh = F.struct(
+                t.alias("s"), t.alias("e"),
+                F.lit(1).cast("bigint").alias("n"),
+            )
+            return F.when(
+                ext, F.concat(head, F.array(newlast))
+            ).otherwise(F.concat(acc, F.array(fresh)))
+
+        return F.aggregate(times_col, empty, seg)
+
+    def _fold_with_lateness(
+        self, batch_df: DataFrame, batch_id: int
+    ) -> None:
+        """Contract-free mode: per-user PENDING EVENT SET in state; a
+        session finalizes (moves to closed) only once
+        ``end + gap <= batch_max − lateness`` — no in-contract future
+        event can extend or bridge it (finality is a prefix of the
+        time-ordered session list, so pending shrinks to events after
+        the last final session's end). Late events within the horizon
+        re-segment the pending set, so they can extend or even BRIDGE
+        previously separate sessions, exactly like the batch
+        operator. Duplicate (user, ts) events collapse in the set —
+        keep a tiebreak-distinct timestamp if duplicate events must
+        count separately. The bid skip guards replay: re-segmenting
+        the pending set is idempotent, but a replayed batch after the
+        state write would re-finalize sessions whose older events
+        were already dropped from pending."""
+        tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        ev = batch_df.select(
+            F.col(self.user_col).alias("user"), tsm.alias("__t")
+        ).where(F.col(self.ts_col).isNotNull())
+        arr = ev.groupBy("user").agg(
+            F.collect_list("__t").alias("__ev"),
+            F.max("__t").alias("__bm"),
+        )
+        arr0 = arr
+        openst = self._open()
+        if self.n_buckets is not None:
+            arr = arr0 = arr.persist()
+            touched = [
+                r[0]
+                for r in arr.select(
+                    self._bucket(F.col("user")).alias("__b")
+                ).distinct().collect()
+            ]
+            if openst is not None:
+                openst = openst.where(F.col("bucket").isin(touched))
+                done = {
+                    r[0]
+                    for r in openst.where(
+                        F.col("bid") == F.lit(int(batch_id))
+                    ).select("bucket").distinct().collect()
+                }
+                if done:
+                    touched = [b for b in touched if b not in done]
+                    if not touched:
+                        arr0.unpersist(blocking=False)
+                        return
+                    openst = openst.where(
+                        F.col("bucket").isin(touched)
+                    )
+                    arr = arr.where(
+                        self._bucket(F.col("user")).isin(touched)
+                    )
+        elif openst is not None:
+            last = openst.agg(F.max("bid")).collect()[0][0]
+            if last is not None and int(last) == int(batch_id):
+                return
+        row = arr.agg(F.max("__bm").alias("m")).collect()[0]
+        horizon = (
+            None
+            if row["m"] is None
+            else int(row["m"])
+            - int(round(self.lateness_sec * 1_000_000))
+        )
+        if openst is not None:
+            joined = arr.join(
+                openst.select("user", F.col("pend").alias("__pp")),
+                on="user",
+                how="full_outer",
+            )
+        else:
+            joined = arr.select(
+                "user", "__ev",
+                F.lit(None).cast("array<bigint>").alias("__pp"),
+            )
+        empty_t = F.array().cast("array<bigint>")
+        merged = F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("__pp", empty_t),
+                    F.coalesce("__ev", empty_t),
+                )
+            )
+        )
+        gap_us = self._gap_us()
+        sessions = self._segment(merged)
+        if horizon is None:
+            final = F.array().cast(f"array<{_SESS_T}>")
+        else:
+            final = F.filter(
+                sessions,
+                lambda s: s["e"] + gap_us <= F.lit(horizon),
+            )
+        pend2 = F.when(
+            F.size(final) > 0,
+            F.filter(
+                merged,
+                lambda t: t
+                > F.element_at(final, F.size(final))["e"],
+            ),
+        ).otherwise(merged)
+        folded = joined.select(
+            "user",
+            final.alias("__fin"),
+            pend2.alias("pend"),
+            F.col("__pp").isNotNull().alias("__had"),
+        ).persist()
+        closed_out = (
+            folded.select(
+                "user", F.explode("__fin").alias("__c")
+            )
+            .select(
+                "user",
+                F.col("__c")["s"].alias("s"),
+                F.col("__c")["e"].alias("e"),
+                F.col("__c")["n"].alias("n"),
+                F.lit(int(batch_id)).alias("batch_id"),
+            )
+        )
+        closed_parts = ["batch_id"]
+        if self.n_buckets is not None:
+            closed_out = closed_out.withColumn(
+                "bucket", self._bucket("user")
+            )
+            closed_parts.append("bucket")
+        (
+            closed_out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*closed_parts)
+            .parquet(self.closed_path)
+        )
+        # state rows are always kept (empty pend included) so a
+        # touched bucket never silently retains stale rows
+        new_open = folded.where(
+            (F.size("pend") > 0) | F.col("__had")
+        ).select(
+            "user", "pend", F.lit(int(batch_id)).alias("bid")
+        )
+        if self.n_buckets is not None:
+            (
+                new_open.withColumn("bucket", self._bucket("user"))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.open_path)
+            )
+        elif not path_exists(self.spark, self.open_path):
+            new_open.write.mode("overwrite").parquet(self.open_path)
+        else:
+            _swap_write(new_open, self.open_path)
+        folded.unpersist(blocking=False)
+        if self.n_buckets is not None:
+            arr0.unpersist(blocking=False)
+
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch
 
@@ -307,7 +512,22 @@ class SessionFolder:
             pieces.append(closed.select("user", "s", "e", "n"))
         openst = self._open()
         if openst is not None:
-            pieces.append(openst.select("user", "s", "e", "n"))
+            if self.lateness_sec is not None:
+                # segment the still-pending event tail at read time
+                pieces.append(
+                    openst.select(
+                        "user",
+                        F.explode(self._segment(F.col("pend")))
+                        .alias("__c"),
+                    ).select(
+                        "user",
+                        F.col("__c")["s"].alias("s"),
+                        F.col("__c")["e"].alias("e"),
+                        F.col("__c")["n"].alias("n"),
+                    )
+                )
+            else:
+                pieces.append(openst.select("user", "s", "e", "n"))
         if not pieces:
             return self.spark.createDataFrame(
                 [],

@@ -147,3 +147,88 @@ def test_guards(spark, tmp_root):
         SessionFolder(spark, "x", gap_sec=0)
     with pytest.raises(ValueError, match="n_buckets"):
         SessionFolder(spark, "x", n_buckets=0)
+
+
+def test_lateness_shuffled_chunks_equal_batch(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    # hash-split chunks, NO time order; lateness covers the spread
+    df = _events(spark, n_users=25, seed=31)
+    folder = SessionFolder(
+        spark, str(tmp_root / "sessl1"), gap_sec=1800.0,
+        lateness_sec=120 * 86400.0,
+    )
+    for i in range(4):
+        folder.foreach_batch(
+            df.where(F.abs(F.hash("ts")) % 4 == i), i
+        )
+    want = session_stats(df, gap_sec=1800.0)
+    assert _key(folder.stats().collect()) == _key(want.collect())
+
+
+def test_lateness_bridges_sessions(spark, tmp_root):
+    # the case the ordered mode cannot do: a late mid-gap event
+    # BRIDGES two sessions that an earlier trigger saw as separate
+    t0 = dt.datetime(2024, 1, 1)
+    early = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(seconds=100))],
+        "user_id long, ts timestamp",
+    )
+    late = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=50)),
+         (1, t0 + dt.timedelta(seconds=400))],
+        "user_id long, ts timestamp",
+    )
+    folder = SessionFolder(
+        spark, str(tmp_root / "sessl2"), gap_sec=60.0,
+        lateness_sec=500.0,
+    )
+    folder.foreach_batch(early, 0)
+    # before the bridge: two 1-event pending sessions
+    assert folder.stats().count() == 2
+    folder.foreach_batch(late, 1)
+    both = early.unionByName(late)
+    want = _key(session_stats(both, gap_sec=60.0).collect())
+    got = _key(folder.stats().collect())
+    assert got == want
+    # 0,50,100 merged into ONE 3-event session; 400 separate
+    assert len(got) == 2 and got[0][4] == 3
+
+
+def test_lateness_seals_replays_and_buckets(spark, tmp_root):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    root = str(tmp_root / "sessl3")
+    df = _events(spark, n_users=20, seed=37)
+    rng = np.random.default_rng(41)
+    rows = sorted(
+        df.collect(),
+        key=lambda r: r["ts"].timestamp() + rng.uniform(-30, 30),
+    )
+    folder = SessionFolder(
+        spark, root, gap_sec=600.0, lateness_sec=60.0, n_buckets=8,
+    )
+    k = len(rows) // 4 + 1
+    chunks = [rows[i * k:(i + 1) * k] for i in range(4)]
+    for i, c in enumerate(chunks):
+        if c:
+            folder.foreach_batch(
+                spark.createDataFrame(c, df.schema), i
+            )
+    want = _key(session_stats(df, gap_sec=600.0).collect())
+    assert _key(folder.stats().collect()) == want
+    # sealing is ACTIVE: closed table holds finalized sessions and
+    # the pending tails are a small fraction of history
+    closed = spark.read.parquet(os.path.join(root, "closed"))
+    assert closed.count() > 0
+    st = spark.read.parquet(os.path.join(root, "open"))
+    total_pend = st.agg(F.sum(F.size("pend"))).collect()[0][0] or 0
+    assert total_pend < len(rows) / 2
+    # crash-replay of the final batch is a no-op (bid skip)
+    folder.foreach_batch(
+        spark.createDataFrame(chunks[-1], df.schema), 3
+    )
+    assert _key(folder.stats().collect()) == want
+    with pytest.raises(ValueError, match="lateness_sec"):
+        SessionFolder(spark, root, lateness_sec=-1)
