@@ -142,3 +142,59 @@ def test_sessionfold_chunked_equals_batch(
         for r in folder.stats().collect()
     )
     assert got == want
+
+
+_fevents = st.lists(
+    st.tuples(
+        st.integers(0, 2),                     # user
+        st.integers(0, 300),                   # seconds offset
+        st.sampled_from(["a", "b", "noise"]),  # event type
+    ),
+    min_size=1,
+    max_size=30,
+).map(
+    # distinct (user, ts) pairs: equal-timestamp ties are the
+    # documented ambiguity, not what this property tests
+    lambda rows: list({(u, s): (u, s, y) for u, s, y in rows}.values())
+)
+
+
+@spark_settings
+@given(evs=_fevents, order=st.randoms(use_true_random=False))
+def test_funnelfold_lateness_any_order_equals_batch(
+    spark, tmp_root, evs, order
+):
+    from shotit_worker_spark.operators.funnel import funnel_counts
+    from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), y) for u, s, y in evs
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in funnel_counts(df, ["a", "b"]).collect()
+    )
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    folder = FunnelFolder(
+        spark, str(tmp_root / f"fl_{uuid.uuid4().hex[:8]}"),
+        ["a", "b"], lateness_sec=3600.0,  # covers any disorder here
+    )
+    k = len(shuffled) // 3 + 1
+    i = 0
+    for j in range(3):
+        chunk = shuffled[j * k:(j + 1) * k]
+        if not chunk:
+            continue
+        folder.foreach_batch(
+            spark.createDataFrame(chunk, schema), i
+        )
+        i += 1
+    got = sorted(
+        (r["step_no"], r["step"], r["users"])
+        for r in folder.counts().collect()
+    )
+    assert got == want

@@ -156,3 +156,40 @@ def test_guards(spark, tmp_root):
                    attr_cols=["a"])
     with pytest.raises(ValueError, match="no batches"):
         f.table()
+
+
+def test_composite_keys(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    # two-column key: the bucket hash, semi/anti joins, window
+    # reconstruction and the (keys, seq) dedup all run over BOTH
+    cs = "k1 long, k2 string, a string, seq long, op string"
+    rows = []
+    for k1 in range(6):
+        for k2 in ("x", "y"):
+            rows.append((k1, k2, f"v1-{k1}{k2}", 1, "upsert"))
+            if k1 % 2 == 0:
+                rows.append((k1, k2, f"v2-{k1}{k2}", 2, "upsert"))
+            if k1 % 3 == 0 and k2 == "x":
+                rows.append((k1, k2, None, 3, "delete"))
+    log = spark.createDataFrame(rows, cs)
+    want = sorted(
+        (r["k1"], r["k2"], r["valid_from"], r["a"], r["valid_to"],
+         r["is_current"])
+        for r in build_scd2(
+            log, keys=["k1", "k2"], attr_cols=["a"],
+            seq_col="seq", op_col="op",
+        ).collect()
+    )
+    folder = Scd2Folder(
+        spark, str(tmp_root / "scd2_ck"), keys=["k1", "k2"],
+        attr_cols=["a"], seq_col="seq", op_col="op", n_buckets=4,
+    )
+    for i, s in enumerate([3, 1, 2]):  # out of order again
+        folder.foreach_batch(log.where(F.col("seq") == s), i)
+    got = sorted(
+        (r["k1"], r["k2"], r["valid_from"], r["a"], r["valid_to"],
+         r["is_current"])
+        for r in folder.table().collect()
+    )
+    assert got == want
