@@ -192,6 +192,37 @@ def main(n: int = 10_000_000) -> None:
               f"match={got == want}", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    # lateness mode over the same events: pending-set state, 1 h
+    # horizon — buffer must stay bounded by rate x (lateness + gap)
+    root = tempfile.mkdtemp(prefix="r10sessfold_lat_")
+    try:
+        lfolder = SessionFolder(
+            spark, os.path.join(root, "state"), gap_sec=1800.0,
+            n_buckets=32, lateness_sec=3600.0,
+        )
+        day = 7 * 86400
+
+        def fold_lat():
+            for i in range(4):
+                lo = 1_700_000_000 + i * day
+                c = ev.where(F.unix_timestamp("ts") >= lo)
+                if i < 3:
+                    c = c.where(F.unix_timestamp("ts") < lo + day)
+                lfolder.foreach_batch(c, i)
+            return lfolder.stats().count()
+
+        (lgot, _) = timed(
+            "SessionFolder LATENESS fold (4 chunks, 1h horizon)",
+            n, fold_lat)
+        print(f"  stream sessions={lgot} match={lgot == want}",
+              flush=True)
+        st = spark.read.parquet(os.path.join(root, "state", "open"))
+        tp = st.agg(F.sum(F.size("pend"))).collect()[0][0] or 0
+        print(f"  pending events after last trigger: {tp} "
+              f"({100.0 * tp / n:.2f}% of input)", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     ev.unpersist()
 
     # ---- Scd2Folder fold: 1M keys, ~3 versions ----------------------
