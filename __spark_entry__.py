@@ -6533,6 +6533,137 @@ def q126_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey", "valid_from")
 
 
+def _disordered_chunks(ev, ts_col="ts", n_time=4, n_sub=2):
+    """Time-quartile chunks (EXACT percentile cuts — approximate
+    cuts could make a quartile wider than the lateness we derive
+    from it), each hash-split into ``n_sub`` sub-batches: arrival
+    disorder is bounded by one quartile's width (a quartile's
+    sub-batches arrive in hash order, not time order), which is
+    exactly the bounded-lateness contract the watermark folds drop
+    to. Returns (chunks, max_quartile_width_sec)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    qs = ", ".join(str((i + 1) / n_time) for i in range(n_time - 1))
+    row = ev.agg(
+        F.min(us).alias("lo"),
+        F.max(us).alias("hi"),
+        F.expr(
+            f"percentile(unix_micros(cast({ts_col} as timestamp)),"
+            f" array({qs}))"
+        ).alias("cuts"),
+    ).collect()[0]
+    bounds = (
+        [int(row["lo"]) - 1]
+        + [int(c) for c in row["cuts"]]
+        + [int(row["hi"])]
+    )
+    width_sec = max(
+        b - a for a, b in zip(bounds, bounds[1:])
+    ) / 1e6 + 1.0
+    chunks = []
+    for a, b in zip(bounds, bounds[1:]):
+        tc = ev.where((us > F.lit(a)) & (us <= F.lit(b)))
+        for j in range(n_sub):
+            chunks.append(
+                tc.where(
+                    (F.abs(F.xxhash64(F.col(ts_col).cast("string")))
+                     % n_sub) == j
+                )
+            )
+    return chunks, width_sec
+
+
+def q127_stream_funnel_late(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FunnelFolder bounded-lateness mode (streaming/funnelfold)
+    FULL-VALUE gate: the events table replays in eight DISORDERED
+    batches — time quartiles each hash-split into two sub-batches
+    that arrive in hash order, so events inside a quartile are NOT
+    time-ordered across triggers (the exact contract q109's ordered
+    mode cannot accept). With lateness covering one quartile's width
+    the pending-buffer fold must still reproduce the batch funnel
+    EXACTLY; the oracle is q85's independent min-join CTE. Fresh
+    private state dir per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts", "event_type")
+    chunks, width = _disordered_chunks(ev)
+    global _Q127_LAST_DIR
+    if _Q127_LAST_DIR:
+        shutil.rmtree(_Q127_LAST_DIR, ignore_errors=True)
+    _Q127_LAST_DIR = tempfile.mkdtemp(prefix="q127funnel_")
+    folder = FunnelFolder(
+        spark,
+        os.path.join(_Q127_LAST_DIR, "state"),
+        ["signup", "view", "click", "purchase"],
+        max_span_sec=3 * 86400,
+        n_buckets=8,
+        lateness_sec=width,
+    )
+    for i, chunk in enumerate(chunks):
+        folder.foreach_batch(chunk, i)
+    return folder.counts()
+
+
+def q128_stream_sessionize_late(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SessionFolder bounded-lateness mode (streaming/sessionfold)
+    FULL-VALUE gate: the same eight disordered batches as q127 —
+    within-quartile arrival is hash-ordered, so late events must
+    re-segment (and can bridge) pending sessions. With lateness
+    covering one quartile's width stats() must equal the batch
+    session_stats exactly; the oracle is q111's ANSI lag/cumsum
+    formulation. Fresh private state dir per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+    ev = _events(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanosAsLong sessions
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    ev = ev.select("user_id", "ts")
+    chunks, width = _disordered_chunks(ev)
+    global _Q128_LAST_DIR
+    if _Q128_LAST_DIR:
+        shutil.rmtree(_Q128_LAST_DIR, ignore_errors=True)
+    _Q128_LAST_DIR = tempfile.mkdtemp(prefix="q128sess_")
+    folder = SessionFolder(
+        spark,
+        os.path.join(_Q128_LAST_DIR, "state"),
+        gap_sec=1800.0,
+        n_buckets=8,
+        lateness_sec=width,
+    )
+    for i, chunk in enumerate(chunks):
+        folder.foreach_batch(chunk, i)
+    return folder.stats().select(
+        "user",
+        "session_no",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+_Q127_LAST_DIR = None
+_Q128_LAST_DIR = None
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -6825,6 +6956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design; the displaced replay + check_oracle enforce them)
         "q125_stream_sessionize": q125_stream_sessionize,
         "q126_stream_scd2": q126_stream_scd2,
+        # r10 wave 2: the bounded-lateness (contract-free) fold modes
+        # under DISORDERED replay
+        "q127_stream_funnel_late": q127_stream_funnel_late,
+        "q128_stream_sessionize_late": q128_stream_sessionize_late,
     }
 
 
@@ -7002,6 +7137,10 @@ def oracle_sql() -> dict[str, str]:
         # operators, so they share q111's / q112's oracles
         "q125_stream_sessionize": _SESSIONIZE_ORACLE_SQL,
         "q126_stream_scd2": _SCD2_ORACLE_SQL,
+        # q127/q128: the lateness folds must equal the SAME batch
+        # semantics under disordered replay
+        "q127_stream_funnel_late": _FUNNEL_ORACLE_SQL,
+        "q128_stream_sessionize_late": _SESSIONIZE_ORACLE_SQL,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

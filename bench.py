@@ -57,8 +57,9 @@ POST_R3_QUERIES = frozenset({
     "q118_drift", "q119_ab_test", "q120_mutual_info",
     "q121_label_prop", "q122_filtered_ann", "q123_tfidf_keywords",
     "q124_key_skew",
-    # r10 wave (streaming sessionize + SCD2 folds)
+    # r10 wave (streaming sessionize + SCD2 folds + lateness modes)
     "q125_stream_sessionize", "q126_stream_scd2",
+    "q127_stream_funnel_late", "q128_stream_sessionize_late",
 })
 
 

@@ -52,7 +52,7 @@ def test_displaced_set_is_the_expected_rotation():
     # silently drops a NEW gate past the cap fails loudly here
     # (r8: q80_zorder took q22's recorded slot; q22 displaced;
     # q81_heavy_hitters registers past the cap by design)
-    assert len(entrymod.queries()) == 115
+    assert len(entrymod.queries()) == 117
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
@@ -84,8 +84,10 @@ def test_displaced_set_is_the_expected_rotation():
         "q26_pivot", "q27_percentiles", "q35_session",
         "q40_doc_stats", "q41_top_terms", "q46_hash_split",
         "q51_ngram_jaccard", "q55_repetition",
-        # r10 wave (streaming sessionize + SCD2 folds, past-cap)
+        # r10 wave (streaming sessionize + SCD2 folds + the
+        # bounded-lateness disordered-replay gates, past-cap)
         "q125_stream_sessionize", "q126_stream_scd2",
+        "q127_stream_funnel_late", "q128_stream_sessionize_late",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()
