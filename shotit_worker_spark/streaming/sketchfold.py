@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from ..operators import quantiles as _Q
 from ..operators import sketches as _SK
 
-__all__ = ["ThetaFolder", "QuantileFolder"]
+__all__ = ["ThetaFolder", "QuantileFolder", "HeavyHittersFolder"]
 
 
 class ThetaFolder:
@@ -65,6 +65,62 @@ class QuantileFolder:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         summary = _Q.quantile_sketch(batch_df, self.col, self.k)
         self.sketch.merge(_Q.sketch_to_local(summary, self.k))
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+
+class HeavyHittersFolder:
+    """Driver-held running Misra-Gries summary over a streaming
+    column (at most ``k`` counters). Each micro-batch builds its
+    <= k-row MG summary DISTRIBUTED (operators/sketches.
+    heavy_hitters — raw terms never shuffle) and merges it with the
+    PODS'12 rule: add counters, then subtract the (k+1)-th largest
+    count from all and drop the non-positive — which preserves both
+    guarantees at every fold point: every term with true frequency
+    > n/(k+1) is present, and every estimate undercounts its true
+    frequency by at most ``err_bound`` = n/(k+1) (n = total non-NULL
+    values folded). Batching-INSENSITIVE in the guarantees, not the
+    exact counter values (MG summaries are not canonical)."""
+
+    def __init__(self, col: str, k: int = 100):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.col = col
+        self.k = k
+        self.counters: dict = {}
+        self.n = 0
+
+    @property
+    def err_bound(self) -> int:
+        return self.n // (self.k + 1)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        rows = _SK.heavy_hitters(
+            batch_df, self.col, self.k
+        ).collect()
+        self.n += int(
+            batch_df.where(F.col(self.col).isNotNull()).count()
+        )
+        for r in rows:
+            self.counters[r[0]] = (
+                self.counters.get(r[0], 0) + int(r[1])
+            )
+        if len(self.counters) > self.k:
+            # PODS'12 merge: subtract the (k+1)-th largest count
+            cut = sorted(self.counters.values(), reverse=True)[self.k]
+            self.counters = {
+                t: c - cut
+                for t, c in self.counters.items()
+                if c - cut > 0
+            }
+
+    def estimates(self) -> dict:
+        """term -> estimated count (each underestimates its true
+        count by at most :attr:`err_bound`)."""
+        return dict(self.counters)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

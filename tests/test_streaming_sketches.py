@@ -95,3 +95,44 @@ def test_quantile_stream_fold_invariant(spark, tmp_root):
     for v in np.quantile(data, [0.05, 0.5, 0.95]):
         true_rank = int((data <= v).sum())
         assert abs(sk.est_rank(v) - true_rank) <= sk.err_bound
+
+
+def test_heavy_hitters_fold_guarantees(spark):
+    import pyspark.sql.functions as F
+
+    from shotit_worker_spark.streaming.sketchfold import (
+        HeavyHittersFolder,
+    )
+
+    # Zipf-ish terms over 30k rows, folded in 4 hash-split batches;
+    # the MG guarantees must hold over EVERYTHING folded
+    n = 30_000
+    u = ((F.xxhash64("id", F.lit(3)) % (1 << 30) + (1 << 30))
+         % (1 << 30)).cast("double") / (1 << 30)
+    df = spark.range(n).select(
+        F.concat(
+            F.lit("t"),
+            F.least(F.lit(5000),
+                    F.floor(1.0 / (u + 1e-4)).cast("long"))
+            .cast("string"),
+        ).alias("tok")
+    ).persist()
+    exact = {r["tok"]: r["c"] for r in df.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    folder = HeavyHittersFolder("tok", k=50)
+    for i in range(4):
+        folder.foreach_batch(
+            df.where(F.abs(F.xxhash64("tok", F.lit(7))) % 4 == i), i
+        )
+    df.unpersist()
+    assert folder.n == n
+    bound = folder.err_bound
+    est = folder.estimates()
+    assert len(est) <= 50
+    thresh = n / (50 + 1)
+    for t, c in exact.items():
+        if c > thresh:  # every heavy term must be present
+            assert t in est, (t, c)
+    for t, e in est.items():  # every estimate within the MG bound
+        assert e <= exact[t]
+        assert exact[t] - e <= bound, (t, exact[t], e, bound)
