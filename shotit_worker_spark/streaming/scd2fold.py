@@ -260,11 +260,18 @@ class Scd2Folder:
             out_tomb = out_tomb.unionByName(
                 pass_tomb.select(*new_tomb.columns)
             )
-        # tomb first: a crash between the writes replays against a
-        # hist that has not advanced, and a stale tombstone is a
-        # rebuild no-op (see the module docstring)
-        self._write(out_tomb, self.tomb_path)
+        # hist FIRST, tomb second. The asymmetry matters: a stale
+        # tombstone is a rebuild no-op (the delete it re-adds is
+        # already encoded or deduped), but a LOST one is not — if a
+        # batch's version absorbs a tombstone, new_tomb drops it, and
+        # writing tomb before hist would leave a crash window where
+        # neither the tombstone nor the interval that encodes the
+        # delete is on disk (the replay would then resurrect the
+        # deleted version as open). With hist first, the crash
+        # window's worst case is hist_new + tomb_old: the replay
+        # re-adds an already-encoded delete, which dedup absorbs.
         self._write(out_hist, self.hist_path)
+        self._write(out_tomb, self.tomb_path)
         for df in (log, merged_log, rebuilt):
             df.unpersist(blocking=False)
 

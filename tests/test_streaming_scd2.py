@@ -193,3 +193,46 @@ def test_composite_keys(spark, tmp_root):
         for r in folder.table().collect()
     )
     assert got == want
+
+
+def test_crash_between_hist_and_tomb_writes(spark, tmp_root):
+    import shutil
+
+    # hist lands before tomb: simulate a crash in between by
+    # restoring the PRE-batch tomb after a fold that consumed a
+    # tombstone, then replaying the batch — the stale tombstone must
+    # be a no-op (the delete is already encoded in hist), never a
+    # loss. The reverse write order would instead have a window
+    # where a consumed tombstone is gone but hist has not advanced,
+    # resurrecting a deleted version.
+    root = str(tmp_root / "scd2_crash")
+    cs = "k long, a string, seq long, op string"
+    folder = Scd2Folder(
+        spark, root, keys=["k"], attr_cols=["a"],
+        seq_col="seq", op_col="op",
+    )
+    # batch 0: a DANGLING delete (no version yet) -> tombstone
+    b0 = spark.createDataFrame([(1, None, 4, "delete")], cs)
+    folder.foreach_batch(b0, 0)
+    tomb_snap = str(tmp_root / "scd2_crash_tombsnap")
+    shutil.copytree(os.path.join(root, "tomb"), tomb_snap)
+    # batch 1: the version arrives late; hist now encodes the delete
+    # (valid_to=4) and the tombstone is consumed
+    b1 = spark.createDataFrame([(1, "v1", 1, "upsert")], cs)
+    folder.foreach_batch(b1, 1)
+    want = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in folder.table().collect()
+    )
+    assert want == [(1, "v1", 1, 4, False)]
+    # crash simulation: hist written, tomb write lost
+    shutil.rmtree(os.path.join(root, "tomb"))
+    shutil.copytree(tomb_snap, os.path.join(root, "tomb"))
+    folder.foreach_batch(b1, 1)  # checkpoint replay
+    got = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in folder.table().collect()
+    )
+    assert got == want
