@@ -501,6 +501,54 @@ class SessionFolder:
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch
 
+    def compact_closed(self, below_batch_id: int) -> dict:
+        """Fold closed partitions with ``batch_id < below_batch_id``
+        into the single archive partition ``batch_id=-1`` (one atomic
+        swap of the closed table — plans/maintenance.swap_into, so a
+        crash leaves either the original layout or the complete
+        compacted one, never duplicates). ONLY pass a bound at or
+        below the stream's committed checkpoint floor: a trigger
+        at-or-above it can still be replayed and would rewrite its
+        partition, duplicating whatever the archive absorbed.
+        Returns {archived_rows, partitions_before, partitions_after}.
+        """
+        closed = self._closed()
+        if closed is None:
+            return {"archived_rows": 0, "partitions_before": 0,
+                    "partitions_after": 0}
+        import uuid
+
+        from ..plans.maintenance import swap_into
+
+        p_before = closed.select("batch_id").distinct().count()
+        arch = F.when(
+            (F.col("batch_id") >= 0)
+            & (F.col("batch_id") < F.lit(int(below_batch_id))),
+            F.lit(-1),
+        ).otherwise(F.col("batch_id"))
+        rewritten = closed.withColumn("batch_id", arch)
+        n_arch = int(
+            rewritten.where(F.col("batch_id") == -1).count()
+        )
+        parts = ["batch_id"]
+        if self.n_buckets is not None:
+            parts.append("bucket")
+        tmp = f"{self.closed_path}.compact-{uuid.uuid4().hex[:8]}"
+        (
+            rewritten.repartition(*[F.col(c) for c in parts])
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(tmp)
+        )
+        swap_into(self.closed_path, tmp)
+        p_after = (
+            self.spark.read.parquet(self.closed_path)
+            .select("batch_id").distinct().count()
+        )
+        return {"archived_rows": n_arch,
+                "partitions_before": int(p_before),
+                "partitions_after": int(p_after)}
+
     def stats(self) -> DataFrame:
         """(user, session_no, session_start, session_end, n_events,
         duration_sec) over everything folded — closed sessions plus

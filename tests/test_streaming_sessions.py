@@ -232,3 +232,30 @@ def test_lateness_seals_replays_and_buckets(spark, tmp_root):
     assert _key(folder.stats().collect()) == want
     with pytest.raises(ValueError, match="lateness_sec"):
         SessionFolder(spark, root, lateness_sec=-1)
+
+
+def test_compact_closed(spark, tmp_root):
+    root = str(tmp_root / "sess_compact")
+    df = _events(spark, n_users=20, seed=41)
+    folder = SessionFolder(spark, root, gap_sec=1800.0)
+    chunks = _time_chunks(df, 4)
+    for i, c in enumerate(chunks):
+        folder.foreach_batch(c, i)
+    before = _key(folder.stats().collect())
+    # archive everything below the (simulated) checkpoint floor
+    out = folder.compact_closed(below_batch_id=3)
+    assert out["archived_rows"] > 0
+    assert out["partitions_after"] < out["partitions_before"]
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(root, "closed"))
+        if d.startswith("batch_id=")
+    )
+    assert "batch_id=-1" in dirs
+    assert not any(d in dirs for d in
+                   ("batch_id=0", "batch_id=1", "batch_id=2"))
+    # stats unchanged by compaction
+    assert _key(folder.stats().collect()) == before
+    # a trigger AT the floor still replays idempotently (its
+    # partition was not archived)
+    folder.foreach_batch(chunks[3], 3)
+    assert _key(folder.stats().collect()) == before
