@@ -256,19 +256,41 @@ class FunnelFolder:
                 .alias("__prev"),
                 F.lit(None).cast(self._PEND_T).alias("__pp"),
             )
-        # merge buffer + batch; collapse exact duplicates (a
-        # duplicate can never advance the walk, and distinctness
-        # keeps crash-replayed triggers from growing the buffer)
-        merged = F.array_distinct(
-            F.concat(
-                F.coalesce("__pp", F.array().cast(self._PEND_T)),
-                F.coalesce("__evs", F.array().cast(self._PEND_T)),
-            )
+        # merge buffer + batch: sort ONCE, then collapse exact
+        # duplicates with an indexed prefix compare over the BOUND
+        # sorted attribute (a duplicate can never advance the walk,
+        # and distinctness keeps crash-replayed triggers from growing
+        # the buffer). NOT array_distinct: its struct-element path is
+        # quadratic per array — the 10M stress measured a 0.5%
+        # mega-user's 12.5k-event trigger arrays at ~3 s EACH through
+        # array_distinct (33 s at 50k) vs 0.4 s for sort + indexed
+        # dedup, and the whole fold went 639 s -> linear.
+        sorted_all = joined.select(
+            "__u",
+            "__prev",
+            F.sort_array(
+                F.concat(
+                    F.coalesce("__pp", F.array().cast(self._PEND_T)),
+                    F.coalesce("__evs", F.array().cast(self._PEND_T)),
+                )
+            ).alias("__all"),
         )
+        deduped = sorted_all.select(
+            "__u",
+            "__prev",
+            F.filter(
+                "__all",
+                lambda x, i: (i == F.lit(0))
+                | (x != F.element_at(F.col("__all"), i)),
+            ).alias("__m"),
+        )
+        merged = F.col("__m")  # sorted AND distinct
         if horizon is None:
             sealed = F.array().cast(self._PEND_T)
             rest = merged
         else:
+            # sorted by (t, y): the sealed prefix and pending suffix
+            # are contiguous slices, O(n) filters
             sealed = F.filter(
                 merged, lambda e: e["__t"] <= F.lit(horizon)
             )
@@ -277,9 +299,9 @@ class FunnelFolder:
             )
         init = F.coalesce(F.col("__prev"), _FN._empty_acc())
         visit = _FN._walk_visit(self.steps, self.max_span_sec)
-        acc = F.aggregate(F.sort_array(sealed), init, visit)
+        acc = F.aggregate(sealed, init, visit)  # already sorted
         new_state = (
-            joined.select(
+            deduped.select(
                 F.col("__u").alias("user"),
                 acc.alias("__a"),
                 rest.alias("pend"),
