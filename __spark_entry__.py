@@ -84,25 +84,37 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
 
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: multi-agg groupBy (A-family scaffolding)."""
+    """TPC-H Q1 shape: multi-agg groupBy (A-family scaffolding).
+
+    Money aggregates sum EXACT CENTS (long) and divide once, so the
+    result is independent of Spark's partial-aggregation tree: a raw
+    sum(double) at ~1e9 magnitude has 2-3 legal %.4f canonicalizations
+    one ulp apart depending on addition order (the r10 q113 driver
+    flake), while integer sums are order-exact.  The testdata's money
+    columns are 2-decimal (verified <=4e-9 off the cent grid), so
+    round(x*100) is the true cent value; products of the cent-scaled
+    factors stay far below 2^63 at gate SFs.  At 100 TB the same
+    pattern would use decimal(38,0) cents instead of long.
+    """
     li = _t(spark, sf_dir, "lineitem")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
+    d_c = F.round(F.col("l_discount") * 100).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
+            (F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(ep_c * disc_c) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ep_c * disc_c * tax_c) / F.lit(1000000.0)).alias(
+                "sum_charge"
             ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (F.sum(ep_c) / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(d_c) / F.lit(100.0) / n).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -132,7 +144,15 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            # exact cents x discount-percent (long) summed order-exact,
+            # divided once — see q01's canonicalization note
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -5890,7 +5910,13 @@ def q113_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("revenue"),
+            # r10 driver flake: raw sum(double) at ~7.5e9 magnitude has
+            # order-dependent %.4f canonicalizations one ulp apart; sum
+            # exact cents (long, order-exact) and divide once instead
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -5898,7 +5924,7 @@ def q113_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_JOIN_ORACLE_SQL = """
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(o_totalprice) AS revenue
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -6533,32 +6559,51 @@ def q126_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey", "valid_from")
 
 
-def _disordered_chunks(ev, ts_col="ts", n_time=4, n_sub=2):
-    """Time-quartile chunks (EXACT percentile cuts — approximate
-    cuts could make a quartile wider than the lateness we derive
-    from it), each hash-split into ``n_sub`` sub-batches: arrival
-    disorder is bounded by one quartile's width (a quartile's
-    sub-batches arrive in hash order, not time order), which is
-    exactly the bounded-lateness contract the watermark folds drop
-    to. Returns (chunks, max_quartile_width_sec)."""
+_DISORDERED_BOUNDS_CACHE: dict = {}
+
+
+def _disordered_chunks(ev, ts_col="ts", n_time=2, n_sub=2,
+                       cache_key=None):
+    """Time-slice chunks (EXACT percentile cuts — approximate cuts
+    could make a slice wider than the lateness we derive from it),
+    each hash-split into ``n_sub`` sub-batches: arrival disorder is
+    bounded by one slice's width (a slice's sub-batches arrive in
+    hash order, not time order), which is exactly the
+    bounded-lateness contract the watermark folds drop to. Returns
+    (chunks, max_slice_width_sec).
+
+    r11 gate-cost trim (r10 VERDICT #4): n_time dropped 4 -> 2 (four
+    triggers per gate, not eight — per-trigger state I/O dominated
+    the lateness gates' wall time, and two hash sub-batches per
+    time-half still exercise re-segmentation and bridging), and the
+    percentile scan is computed ONCE per ``cache_key`` (q127 and
+    q128 share it)."""
+    if cache_key is not None and cache_key in _DISORDERED_BOUNDS_CACHE:
+        bounds, width_sec = _DISORDERED_BOUNDS_CACHE[cache_key]
+    else:
+        us0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        qs = ", ".join(
+            str((i + 1) / n_time) for i in range(n_time - 1)
+        )
+        row = ev.agg(
+            F.min(us0).alias("lo"),
+            F.max(us0).alias("hi"),
+            F.expr(
+                f"percentile(unix_micros(cast({ts_col} as timestamp)),"
+                f" array({qs}))"
+            ).alias("cuts"),
+        ).collect()[0]
+        bounds = (
+            [int(row["lo"]) - 1]
+            + [int(c) for c in row["cuts"]]
+            + [int(row["hi"])]
+        )
+        width_sec = max(
+            b - a for a, b in zip(bounds, bounds[1:])
+        ) / 1e6 + 1.0
+        if cache_key is not None:
+            _DISORDERED_BOUNDS_CACHE[cache_key] = (bounds, width_sec)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    qs = ", ".join(str((i + 1) / n_time) for i in range(n_time - 1))
-    row = ev.agg(
-        F.min(us).alias("lo"),
-        F.max(us).alias("hi"),
-        F.expr(
-            f"percentile(unix_micros(cast({ts_col} as timestamp)),"
-            f" array({qs}))"
-        ).alias("cuts"),
-    ).collect()[0]
-    bounds = (
-        [int(row["lo"]) - 1]
-        + [int(c) for c in row["cuts"]]
-        + [int(row["hi"])]
-    )
-    width_sec = max(
-        b - a for a, b in zip(bounds, bounds[1:])
-    ) / 1e6 + 1.0
     chunks = []
     for a, b in zip(bounds, bounds[1:]):
         tc = ev.where((us > F.lit(a)) & (us <= F.lit(b)))
@@ -6576,11 +6621,11 @@ def q127_stream_funnel_late(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """FunnelFolder bounded-lateness mode (streaming/funnelfold)
-    FULL-VALUE gate: the events table replays in eight DISORDERED
-    batches — time quartiles each hash-split into two sub-batches
-    that arrive in hash order, so events inside a quartile are NOT
+    FULL-VALUE gate: the events table replays in four DISORDERED
+    batches — time halves each hash-split into two sub-batches
+    that arrive in hash order, so events inside a half are NOT
     time-ordered across triggers (the exact contract q109's ordered
-    mode cannot accept). With lateness covering one quartile's width
+    mode cannot accept). With lateness covering one half's width
     the pending-buffer fold must still reproduce the batch funnel
     EXACTLY; the oracle is q85's independent min-join CTE. Fresh
     private state dir per call."""
@@ -6596,7 +6641,7 @@ def q127_stream_funnel_late(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
     ev = ev.select("user_id", "ts", "event_type")
-    chunks, width = _disordered_chunks(ev)
+    chunks, width = _disordered_chunks(ev, cache_key=("events", sf_dir))
     global _Q127_LAST_DIR
     if _Q127_LAST_DIR:
         shutil.rmtree(_Q127_LAST_DIR, ignore_errors=True)
@@ -6618,10 +6663,10 @@ def q128_stream_sessionize_late(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """SessionFolder bounded-lateness mode (streaming/sessionfold)
-    FULL-VALUE gate: the same eight disordered batches as q127 —
-    within-quartile arrival is hash-ordered, so late events must
+    FULL-VALUE gate: the same four disordered batches as q127 —
+    within-half arrival is hash-ordered, so late events must
     re-segment (and can bridge) pending sessions. With lateness
-    covering one quartile's width stats() must equal the batch
+    covering one half's width stats() must equal the batch
     session_stats exactly; the oracle is q111's ANSI lag/cumsum
     formulation. Fresh private state dir per call."""
     import os
@@ -6636,7 +6681,7 @@ def q128_stream_sessionize_late(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
     ev = ev.select("user_id", "ts")
-    chunks, width = _disordered_chunks(ev)
+    chunks, width = _disordered_chunks(ev, cache_key=("events", sf_dir))
     global _Q128_LAST_DIR
     if _Q128_LAST_DIR:
         shutil.rmtree(_Q128_LAST_DIR, ignore_errors=True)
@@ -6790,17 +6835,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r11 rotation per r10 VERDICT #2: the r10 streaming-warehouse
+        # folds (q125 sessionize, q126 SCD2, q127 funnel-lateness) and
+        # the strongest r9-wave-2 leftovers (q116_profile,
+        # q121_label_prop, q123_tfidf_keywords) move INTO the recorded
+        # window, displacing redundant-coverage rows: q04_semi_join
+        # (the q13/q28/q29/q105/q113 join family keeps semi/anti
+        # replayed via q05), q25_srp_near_dup + q54_simhash_pairs
+        # (~ the q52 simhash / q53 minhash / q23 near-dup family),
+        # q63_ngram_lm (~ q67's stronger KN LM), q69_learned_rerank
+        # (~ q64's BM25 ranking family), q70_url_canonical (map-only
+        # string kernel, replayed).  All displaced rows keep the
+        # driver-exact replay in tests/test_displaced_oracle.py.
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_nation": q02_revenue_by_nation,
         "q67_kn_lm": q67_kn_lm,
-        "q04_semi_join": q04_semi_join,
+        "q116_profile": q116_profile,
         "q68_text_embedder": q68_text_embedder,
         "q72_avc_roundtrip": q72_avc_roundtrip,
         "q62_boilerplate": q62_boilerplate,
-        "q63_ngram_lm": q63_ngram_lm,
+        "q121_label_prop": q121_label_prop,
         "q13_zip_join": q13_zip_join,
-        "q69_learned_rerank": q69_learned_rerank,
-        "q70_url_canonical": q70_url_canonical,
+        "q123_tfidf_keywords": q123_tfidf_keywords,
+        "q125_stream_sessionize": q125_stream_sessionize,
         "q64_bm25": q64_bm25,
         "q71_pack_nosplit": q71_pack_nosplit,
         "q65_span_dedup": q65_span_dedup,
@@ -6818,7 +6875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_zorder": q80_zorder,
         "q23_near_dup_pairs": q23_near_dup_pairs,
         "q24_ivf_search": q24_ivf_search,
-        "q25_srp_near_dup": q25_srp_near_dup,
+        "q126_stream_scd2": q126_stream_scd2,
         # r10 rotation per r9 VERDICT #1: the eight highest-value r9
         # gates move INTO the recorded window — q105_interval_join,
         # q106_ivf_plan, q109_stream_funnel, q111_sessionize,
@@ -6854,7 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_expectations": q114_expectations,
         "q52_simhash": q52_simhash,
         "q53_minhash_lsh": q53_minhash_lsh,
-        "q54_simhash_pairs": q54_simhash_pairs,
+        "q127_stream_funnel_late": q127_stream_funnel_late,
         "q115_rolling_features": q115_rolling_features,
         "q57_decontaminate": q57_decontaminate,
         # r7 late rotation: q60 displaced for the q77 WAV-codec gate
@@ -6943,23 +7000,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_grouped_distinct": q107_grouped_distinct,
         "q108_grouped_quantiles": q108_grouped_quantiles,
         "q110_stream_cohort": q110_stream_cohort,
-        "q116_profile": q116_profile,
         "q117_correlation": q117_correlation,
         "q118_drift": q118_drift,
         "q119_ab_test": q119_ab_test,
         "q120_mutual_info": q120_mutual_info,
-        "q121_label_prop": q121_label_prop,
         "q122_filtered_ann": q122_filtered_ann,
-        "q123_tfidf_keywords": q123_tfidf_keywords,
         "q124_key_skew": q124_key_skew,
-        # r10: streaming sessionize + SCD2 folds (past-the-cap by
-        # design; the displaced replay + check_oracle enforce them)
-        "q125_stream_sessionize": q125_stream_sessionize,
-        "q126_stream_scd2": q126_stream_scd2,
-        # r10 wave 2: the bounded-lateness (contract-free) fold modes
-        # under DISORDERED replay
-        "q127_stream_funnel_late": q127_stream_funnel_late,
+        # r10 wave 2: sessionize-lateness under DISORDERED replay
+        # (q127, its funnel sibling, is recorded; q128 stays past-cap
+        # by design — displaced replay + check_oracle enforce it)
         "q128_stream_sessionize_late": q128_stream_sessionize_late,
+        # r11: displaced for the q116/q121/q123/q125-q127 rotation
+        # (see the note at the top of the recorded window)
+        "q04_semi_join": q04_semi_join,
+        "q25_srp_near_dup": q25_srp_near_dup,
+        "q54_simhash_pairs": q54_simhash_pairs,
+        "q63_ngram_lm": q63_ngram_lm,
+        "q69_learned_rerank": q69_learned_rerank,
+        "q70_url_canonical": q70_url_canonical,
     }
 
 
@@ -7238,24 +7296,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE digest NOT IN (SELECT digest FROM m)
             ORDER BY doc_id
         """,
+        # q01/q02: money aggregates in exact cents (order-independent —
+        # see q01_pricing_summary's canonicalization note); division
+        # sequence mirrors the Spark side exactly
         "q01_pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+                       CAST(round((1 - l_discount) * 100) AS BIGINT) AS disc_c,
+                       CAST(round((1 + l_tax) * 100) AS BIGINT) AS tax_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d_c
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   sum(ep_c) / 100.0 AS sum_base_price,
+                   sum(ep_c * disc_c) / 10000.0 AS sum_disc_price,
+                   sum(ep_c * disc_c * tax_c) / 1000000.0 AS sum_charge,
                    avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   sum(ep_c) / 100.0 / count(*) AS avg_price,
+                   sum(d_c) / 100.0 / count(*) AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            FROM c
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "q02_revenue_by_nation": """
             SELECT n_name,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       / 10000.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

@@ -51,6 +51,58 @@ KMEANS_SEED = 42
 NUMPY_FIT_CAP = 200_000
 
 
+# _hash_sample: expected on-disk bytes of survivors per scan; the
+# driver holds the decoded rows, so this also bounds driver memory
+# (~2-3x cap rows for dense float vectors)
+SAMPLE_TARGET_BYTES = 256 << 20
+
+
+def _hash_sample(sel, cap: int, seed: int,
+                 target_bytes: int = SAMPLE_TARGET_BYTES) -> list:
+    """The ``cap`` rows of ``sel`` (single column ``v``) with the
+    smallest ``pmod(xxhash64(v, seed), 2^30)`` — a seed-pinned sample
+    that does not depend on partition layout, scan order, or the
+    Bernoulli threshold (any threshold that retains >= cap survivors
+    retains the global cap-smallest, and the driver truncates to
+    exactly those).
+
+    ONE corpus scan in the common case: the Bernoulli rate comes from
+    the optimizer's sizeInBytes statistic (metadata, no job) so no
+    dedicated count() pass runs (r10 VERDICT #5 — the old path's
+    count() was a full corpus scan whose only output was the
+    threshold). Only when the estimate starves the sample (fewer than
+    cap survivors at a sub-1.0 rate — e.g. a tiny corpus behind a fat
+    size estimate) does it escalate the rate 16x and rescan; at
+    rate >= 1.0 the scan is exhaustive, so a corpus within the cap is
+    sampled exactly.
+    """
+    h = (
+        (F.xxhash64(F.col("v"), F.lit(int(seed))) % (1 << 30))
+        + (1 << 30)
+    ) % (1 << 30)
+    try:
+        size = int(
+            sel._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:
+        size = 0
+    rate = min(1.0, float(target_bytes) / max(size, 1))
+    hcol = sel.withColumn("__h", h)
+    while True:
+        if rate >= 1.0:
+            rows = hcol.collect()
+            break
+        rows = hcol.where(
+            F.col("__h") < F.lit(int(rate * (1 << 30)))
+        ).collect()
+        if len(rows) >= cap:
+            break
+        rate = min(1.0, rate * 16.0)
+    rows.sort(key=lambda r: (r["__h"], r["v"]))
+    return rows[:cap]
+
+
 def _fit_centroids(
     index_rows: DataFrame,
     vec_col: str,
@@ -70,13 +122,15 @@ def _fit_centroids(
     sample is standard practice (FAISS trains on ~39-256 points per
     centroid; Milvus trains on a segment sample), and it is the only
     build shape that survives 100 TB: codebook cost must not scale
-    with the corpus. The sample is deterministic and order-unbiased
-    (TakeOrdered on xxhash64(vector, seed) — one pass, a cap-sized
-    heap per partition, no full sort); when the corpus is within the
-    cap the "sample" is exact. The r10 1M-vector validation is what
-    retired the old auto→mllib switch: full-corpus MLlib at nlist=
-    1000 ran 10+ minutes where the 50k-sample numpy fit takes
-    seconds at equal measured recall (SCALE_NOTES Round 10).
+    with the corpus. The sample is the `cap` rows with the SMALLEST
+    xxhash64(vector, seed) — deterministic, order- and
+    layout-independent — selected by _hash_sample in ONE corpus scan
+    in the common case (no dedicated count() job; r10 VERDICT #5);
+    when the corpus is within the cap the "sample" is exact. The r10
+    1M-vector validation is what retired the old auto→mllib switch:
+    full-corpus MLlib at nlist=1000 ran 10+ minutes where the
+    50k-sample numpy fit takes seconds at equal measured recall
+    (SCALE_NOTES Round 10).
     """
     rows = None
     if method in ("auto", "numpy"):
@@ -84,20 +138,7 @@ def _fit_centroids(
         sel = index_rows.select(
             F.col(vec_col).cast("array<double>").alias("v")
         )
-        n = sel.count()
-        if n > cap:
-            # Bernoulli hash filter at ~1.3x the cap, then limit:
-            # survivors are filtered EXECUTOR-side so only ~cap rows
-            # ever cross to the driver (a TakeOrdered sample would
-            # ship cap rows PER PARTITION — 1 GB at 32 partitions,
-            # worse with 1000 executors)
-            thresh = int(min(1.0, 1.3 * cap / n) * (1 << 30))
-            h = (
-                F.xxhash64(F.col("v"), F.lit(int(seed))) % (1 << 30)
-                + (1 << 30)
-            ) % (1 << 30)
-            sel = sel.where(h < F.lit(thresh))
-        rows = sel.limit(cap).collect()
+        rows = _hash_sample(sel, cap, seed)
         method = "numpy"
     if method == "mllib":
         from pyspark.ml.clustering import KMeans
@@ -120,7 +161,25 @@ def _fit_centroids(
         )
     k = min(nlist, max(1, len(x)))
     rng = np.random.RandomState(seed)
-    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    # k-means++ init (Arthur & Vassilvitskii, SODA'07), deterministic
+    # under the pinned rng: each next center drawn proportionally to
+    # the squared distance from the nearest chosen one — for
+    # normalized vectors dist^2 = 2 - 2*ip, so maximize via min-ip.
+    # Plain uniform init could seat two centers in one cluster and
+    # leave another cluster split across probes.
+    centroids = np.empty((k, x.shape[1]))
+    centroids[0] = x[rng.randint(len(x))]
+    best_ip = x @ centroids[0]
+    for c in range(1, k):
+        d2 = np.maximum(0.0, 2.0 - 2.0 * best_ip)
+        tot = d2.sum()
+        if tot <= 0:
+            centroids[c] = x[rng.randint(len(x))]
+        else:
+            centroids[c] = x[
+                int(rng.choice(len(x), p=d2 / tot))
+            ]
+        best_ip = np.maximum(best_ip, x @ centroids[c])
     for _ in range(20):
         assign = np.argmax(x @ centroids.T, axis=1)
         for c in range(len(centroids)):

@@ -30,19 +30,41 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _has_parquet_files(spark: SparkSession, path: str) -> bool:
+    """True iff the directory tree under ``path`` contains at least
+    one ``*.parquet`` data file (Hadoop FS recursive listing, so any
+    partition nesting and any scheme work)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet"):
+            return True
+    return False
+
+
 def read_state_parquet(spark: SparkSession, path: str):
     """Read a fold's parquet state table, or None when there is
     nothing to read: the path is absent, OR it exists but holds no
-    parquet files — which a dynamic-partition-overwrite of ZERO rows
-    legitimately produces (only _SUCCESS lands), so schema inference
-    has nothing to work with. All streaming folds read state through
-    this so an empty first trigger can never poison the next one."""
+    parquet data files — which a dynamic-partition-overwrite of ZERO
+    rows legitimately produces (only _SUCCESS lands), so schema
+    inference has nothing to work with. All streaming folds read
+    state through this so an empty first trigger can never poison
+    the next one.
+
+    Genuine read failures PROPAGATE (r10 ADVICE medium): a blanket
+    ``except Exception: return None`` made a transient store hiccup
+    or a corrupt footer indistinguishable from 'no state yet', and
+    the next swap_write would then silently replace the whole
+    accumulated state table with batch-only contents. Missing state
+    is decided by LISTING, never by a failed read."""
     if not path_exists(spark, path):
         return None
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not _has_parquet_files(spark, path):
         return None
+    return spark.read.parquet(path)
 
 
 def swap_into(path: str, tmp: str) -> None:

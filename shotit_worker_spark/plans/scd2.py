@@ -98,6 +98,63 @@ def build_scd2(
     return out
 
 
+def collapse_history(
+    history: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Merge CONTIGUOUS identical versions of an (uncollapsed) SCD2
+    history into single intervals — the read-time equivalent of
+    ``build_scd2(collapse_noops=True)``.
+
+    Two adjacent version rows merge iff their attribute structs are
+    null-safe-equal AND the earlier row's ``valid_to`` equals the
+    later row's ``valid_from`` (a delete between identical versions
+    leaves a gap, so a re-upsert after a delete never merges — the
+    same rule build-time collapse enforces via the surviving delete
+    row).  Classic gaps-and-islands: flag island starts, running-sum
+    an island id, aggregate each island to [min(valid_from), last
+    valid_to).
+
+    Why this exists: a fold that PERSISTS collapsed history is not
+    invertible — if upsert@1(A) and a no-op re-emit upsert@2(A)
+    collapse on disk, a later out-of-order change at seq 1.5 rebuilds
+    to A[1,1.5), C[1.5,null) and the @2 re-emit (which is no longer a
+    no-op once C sits between them) is silently lost.  Storing the
+    uncollapsed table and collapsing here keeps the stored state a
+    true inverse of the change log (streaming/scd2fold).
+    """
+    w = Window.partitionBy(*keys).orderBy("valid_from")
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    prev_attrs = F.lag(attrs).over(w)
+    prev_to = F.lag("valid_to").over(w)
+    start = (
+        prev_attrs.isNull()
+        | ~prev_attrs.eqNullSafe(attrs)
+        | ~prev_to.eqNullSafe(F.col("valid_from"))
+    )
+    isl = F.sum(start.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        history.withColumn("__isl", isl)
+        .groupBy(*keys, "__isl")
+        .agg(
+            *[F.first(c).alias(c) for c in attr_cols],
+            F.min("valid_from").alias("valid_from"),
+            F.max_by("valid_to", "valid_from").alias("__last_to"),
+            F.max_by("is_current", "valid_from").alias("is_current"),
+        )
+        .select(
+            *keys,
+            *attr_cols,
+            "valid_from",
+            F.col("__last_to").alias("valid_to"),
+            "is_current",
+        )
+    )
+
+
 def snapshot_at(history: DataFrame, seq) -> DataFrame:
     """The dimension as of sequence point ``seq`` (half-open
     intervals: a version is live at its own valid_from, dead at its

@@ -290,12 +290,17 @@ class FunnelFolder:
             rest = merged
         else:
             # sorted by (t, y): the sealed prefix and pending suffix
-            # are contiguous slices, O(n) filters
+            # are contiguous slices, O(n) filters.  STRICT <: an
+            # in-contract event can still arrive with
+            # ts == batch_max - lateness == horizon exactly, and by
+            # the (t, y) sort it may belong BEFORE an event already
+            # at the horizon — sealing at <= would walk the latter
+            # too early (r10 ADVICE)
             sealed = F.filter(
-                merged, lambda e: e["__t"] <= F.lit(horizon)
+                merged, lambda e: e["__t"] < F.lit(horizon)
             )
             rest = F.filter(
-                merged, lambda e: e["__t"] > F.lit(horizon)
+                merged, lambda e: e["__t"] >= F.lit(horizon)
             )
         init = F.coalesce(F.col("__prev"), _FN._empty_acc())
         visit = _FN._walk_visit(self.steps, self.max_span_sec)

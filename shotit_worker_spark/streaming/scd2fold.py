@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from ..plans.maintenance import path_exists, read_state_parquet
 from ..plans.merge import _swap_write
-from ..plans.scd2 import build_scd2
+from ..plans.scd2 import build_scd2, collapse_history
 
 __all__ = ["Scd2Folder"]
 
@@ -172,12 +172,21 @@ class Scd2Folder:
         )
 
     def _rebuild(self, log: DataFrame) -> DataFrame:
+        # collapse_noops=False: the STORED history must stay a true
+        # inverse of the change log.  A collapsed store loses no-op
+        # re-emits (upsert@1(A), upsert@2(A) -> one row), and a later
+        # out-of-order change at seq 1.5 then rebuilds to
+        # A[1,1.5), C[1.5,null) instead of the correct
+        # A[1,1.5), C[1.5,2), A[2,null) — the @2 re-emit is no longer
+        # a no-op once C sits between them.  table() collapses
+        # adjacent identical versions at READ time instead.
         return build_scd2(
             log,
             keys=self.keys,
             attr_cols=self.attr_cols,
             seq_col="__seq",
             op_col="__op",
+            collapse_noops=False,
         )
 
     def _write(self, df: DataFrame, path: str) -> None:
@@ -280,11 +289,18 @@ class Scd2Folder:
 
     def table(self) -> DataFrame:
         """The maintained SCD2 history (keys..., attrs...,
-        valid_from, valid_to, is_current)."""
+        valid_from, valid_to, is_current) — identical to
+        ``build_scd2`` (collapse_noops=True) over the union of all
+        folded change batches.  The store is uncollapsed (see
+        _rebuild); contiguous identical versions merge here."""
         t = self._hist()
         if t is None:
             raise ValueError("no batches folded yet")
-        return t.select(
-            *self.keys, *self.attr_cols,
-            "valid_from", "valid_to", "is_current",
+        return collapse_history(
+            t.select(
+                *self.keys, *self.attr_cols,
+                "valid_from", "valid_to", "is_current",
+            ),
+            keys=self.keys,
+            attr_cols=self.attr_cols,
         )

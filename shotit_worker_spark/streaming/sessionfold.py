@@ -45,14 +45,19 @@ FunnelFolder default contract; file replay / log-compaction order).
 
 With ``lateness_sec`` set the contract drops to the watermark one
 (the FunnelFolder lateness treatment): state holds each user's
-PENDING EVENT SET; every trigger re-segments pending ∪ batch and
-finalizes only sessions with ``end + gap <= batch_max − lateness``
+PENDING set as session PARTIALS (struct<s,e,n>; a raw event is the
+(t,t,1) partial); every trigger re-segments pending ∪ batch and
+finalizes only sessions with ``end + gap < batch_max − lateness``
 (finality is a prefix of the time-ordered session list, so pending
 shrinks to the tail), and :meth:`stats` segments the pending tail at
 read time. A late event within the horizon can therefore extend or
 even BRIDGE two previously separate sessions, exactly like the batch
 operator — pinned by the shuffled-replay and bridge tests. Duplicate
-(user, ts) events collapse in the set form.
+(user, ts) events collapse while raw. Pending state is BOUNDED: the
+sub-horizon prefix (provably confined to the first pending session)
+compacts into one partial each trigger, so a never-idle user holds
+O(lateness × rate) state, not O(history) — see
+_fold_with_lateness's docstring for the argument.
 
 With ``n_buckets`` set, the OPEN state is hash-partitioned by
 ``pmod(xxhash64(user), n_buckets)`` and each trigger reads and
@@ -342,30 +347,89 @@ class SessionFolder:
 
         return F.aggregate(times_col, empty, seg)
 
+    def _segment_partials(self, parts_col):
+        """Sorted array<struct<s,e,n>> of non-overlapping session
+        PARTIALS -> array<struct<s,e,n>> of gap sessions: merge a
+        partial into the last session when its start is within gap of
+        that session's end (the same <=-gap rule; a raw event is the
+        (t,t,1) partial, so this generalizes _segment)."""
+        gap_us = self._gap_us()
+        empty = F.array().cast(f"array<{_SESS_T}>")
+
+        def seg(acc, p):
+            last = F.element_at(acc, -1)
+            ext = (F.size(acc) > 0) & (
+                (p["s"] - last["e"]) <= gap_us
+            )
+            newlast = F.struct(
+                last["s"].alias("s"),
+                F.greatest(last["e"], p["e"]).alias("e"),
+                (last["n"] + p["n"]).alias("n"),
+            )
+            head = F.when(
+                F.size(acc) > 1,
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+            ).otherwise(empty)
+            return F.when(
+                ext, F.concat(head, F.array(newlast))
+            ).otherwise(F.concat(acc, F.array(p)))
+
+        return F.aggregate(parts_col, empty, seg)
+
     def _fold_with_lateness(
         self, batch_df: DataFrame, batch_id: int
     ) -> None:
-        """Contract-free mode: per-user PENDING EVENT SET in state; a
+        """Contract-free mode: per-user PENDING SET in state as
+        session PARTIALS (struct<s,e,n>; a raw event is (t,t,1)); a
         session finalizes (moves to closed) only once
-        ``end + gap <= batch_max − lateness`` — no in-contract future
+        ``end + gap < batch_max − lateness`` — no in-contract future
         event can extend or bridge it (finality is a prefix of the
-        time-ordered session list, so pending shrinks to events after
-        the last final session's end). Late events within the horizon
-        re-segment the pending set, so they can extend or even BRIDGE
-        previously separate sessions, exactly like the batch
-        operator. Duplicate (user, ts) events collapse in the set —
-        keep a tiebreak-distinct timestamp if duplicate events must
-        count separately. The bid skip guards replay: re-segmenting
-        the pending set is idempotent, but a replayed batch after the
-        state write would re-finalize sessions whose older events
-        were already dropped from pending."""
+        time-ordered session list, so pending shrinks to partials
+        after the last final session's end). Late events within the
+        horizon re-segment the pending set, so they can extend or
+        even BRIDGE previously separate sessions, exactly like the
+        batch operator. Duplicate (user, ts) events collapse while
+        still raw (identical (t,t,1) partials dedup in the sorted
+        merge) — keep a tiebreak-distinct timestamp if duplicate
+        events must count separately. The bid skip guards replay:
+        re-segmenting the pending set is idempotent, but a replayed
+        batch after the state write would re-finalize sessions whose
+        older partials were already dropped from pending.
+
+        BOUNDED STATE (r10 VERDICT #3): a user who never idles longer
+        than gap never finalizes, so a raw pending set would grow
+        with history (a gapless bot at 100 TB = one monster row).
+        After finalization, every pending partial with e < horizon
+        provably belongs to the FIRST pending session — an earlier
+        session with e + gap < horizon was finalized, and the next
+        session starts > e + gap >= horizon — and a session's members
+        can never be re-segmented apart (adding events only merges or
+        extends sessions), so that sub-horizon prefix collapses into
+        ONE (s,e,n) partial. Pending is then O(lateness x event rate)
+        raw partials + 1 collapsed partial per user, independent of
+        history. The one semantic narrowing: a duplicate re-delivered
+        BELOW the compaction cutoff (i.e. out of the lateness
+        contract anyway) lands next to the collapsed partial instead
+        of deduping into it and inflates that session's n."""
         tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
         ev = batch_df.select(
             F.col(self.user_col).alias("user"), tsm.alias("__t")
         ).where(F.col(self.ts_col).isNotNull())
+        one = F.lit(1).cast("bigint")
         arr = ev.groupBy("user").agg(
-            F.collect_list("__t").alias("__ev"),
+            F.array_sort(
+                F.array_distinct(F.collect_list("__t"))
+            ).alias("__tt"),
             F.max("__t").alias("__bm"),
+        ).select(
+            "user",
+            F.transform(
+                "__tt",
+                lambda t: F.struct(
+                    t.alias("s"), t.alias("e"), one.alias("n")
+                ),
+            ).alias("__ev"),
+            "__bm",
         )
         arr0 = arr
         openst = self._open()
@@ -416,39 +480,98 @@ class SessionFolder:
         else:
             joined = arr.select(
                 "user", "__ev",
-                F.lit(None).cast("array<bigint>").alias("__pp"),
+                F.lit(None).cast(f"array<{_SESS_T}>").alias("__pp"),
             )
-        empty_t = F.array().cast("array<bigint>")
-        merged = F.array_sort(
-            F.array_distinct(
+        empty_p = F.array().cast(f"array<{_SESS_T}>")
+        # sort ONCE then collapse exact duplicates with an indexed
+        # prefix compare (the FunnelFolder discipline — array_distinct
+        # on struct elements is quadratic per array): a replayed raw
+        # event collides with its own (t,t,1) partial
+        sorted_all = joined.select(
+            "user",
+            F.col("__pp").isNotNull().alias("__had"),
+            F.array_sort(
                 F.concat(
-                    F.coalesce("__pp", empty_t),
-                    F.coalesce("__ev", empty_t),
+                    F.coalesce("__pp", empty_p),
+                    F.coalesce("__ev", empty_p),
                 )
-            )
+            ).alias("__all"),
+        )
+        deduped = sorted_all.select(
+            "user",
+            "__had",
+            F.filter(
+                "__all",
+                lambda x, i: (i == F.lit(0))
+                | (x != F.element_at(F.col("__all"), i)),
+            ).alias("__m"),
         )
         gap_us = self._gap_us()
-        sessions = self._segment(merged)
+        staged = deduped.withColumn(
+            "__sess", self._segment_partials(F.col("__m"))
+        )
         if horizon is None:
-            final = F.array().cast(f"array<{_SESS_T}>")
+            staged = staged.withColumn("__fin", empty_p)
         else:
-            final = F.filter(
-                sessions,
-                lambda s: s["e"] + gap_us <= F.lit(horizon),
+            # STRICT <: an in-contract event can still arrive with
+            # ts == batch_max - lateness == horizon exactly, and when
+            # end + gap == horizon that event extends the session
+            # under the <=-gap rule — finalizing at <= would diverge
+            # from the batch operator at the boundary (r10 ADVICE)
+            staged = staged.withColumn(
+                "__fin",
+                F.filter(
+                    F.col("__sess"),
+                    lambda s: s["e"] + gap_us < F.lit(horizon),
+                ),
             )
-        pend2 = F.when(
-            F.size(final) > 0,
-            F.filter(
-                merged,
-                lambda t: t
-                > F.element_at(final, F.size(final))["e"],
-            ),
-        ).otherwise(merged)
-        folded = joined.select(
+        staged = staged.withColumn(
+            "__kept",
+            F.when(
+                F.size("__fin") > 0,
+                F.filter(
+                    F.col("__m"),
+                    lambda p: p["s"]
+                    > F.element_at(
+                        F.col("__fin"), F.size("__fin")
+                    )["e"],
+                ),
+            ).otherwise(F.col("__m")),
+        )
+        if horizon is None:
+            pend2 = F.col("__kept")
+        else:
+            # compact the sub-horizon prefix (all provably members of
+            # the first pending session — see the docstring) into one
+            # (s,e,n) partial; the raw tail stays within the lateness
+            # window, so state is O(lateness x rate) per user
+            cut = F.lit(horizon)
+            prefix = F.filter(
+                F.col("__kept"), lambda p: p["e"] < cut
+            )
+            tail = F.filter(
+                F.col("__kept"), lambda p: p["e"] >= cut
+            )
+            collapsed = F.when(
+                F.size(prefix) >= 2,
+                F.array(
+                    F.struct(
+                        F.element_at(prefix, 1)["s"].alias("s"),
+                        F.element_at(prefix, -1)["e"].alias("e"),
+                        F.aggregate(
+                            prefix,
+                            F.lit(0).cast("bigint"),
+                            lambda a, p: a + p["n"],
+                        ).alias("n"),
+                    )
+                ),
+            ).otherwise(prefix)
+            pend2 = F.concat(collapsed, tail)
+        folded = staged.select(
             "user",
-            final.alias("__fin"),
+            F.col("__fin"),
             pend2.alias("pend"),
-            F.col("__pp").isNotNull().alias("__had"),
+            "__had",
         ).persist()
         closed_out = (
             folded.select(
@@ -561,12 +684,13 @@ class SessionFolder:
         openst = self._open()
         if openst is not None:
             if self.lateness_sec is not None:
-                # segment the still-pending event tail at read time
+                # segment the still-pending partial tail at read time
                 pieces.append(
                     openst.select(
                         "user",
-                        F.explode(self._segment(F.col("pend")))
-                        .alias("__c"),
+                        F.explode(
+                            self._segment_partials(F.col("pend"))
+                        ).alias("__c"),
                     ).select(
                         "user",
                         F.col("__c")["s"].alias("s"),

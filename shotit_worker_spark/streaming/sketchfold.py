@@ -35,7 +35,9 @@ __all__ = ["ThetaFolder", "QuantileFolder", "HeavyHittersFolder"]
 
 class ThetaFolder:
     """Driver-held running KMV sketch over a streaming column. Use
-    :meth:`foreach_batch` as the ``foreachBatch`` function."""
+    :meth:`foreach_batch` as the ``foreachBatch`` function.
+    Replay-idempotent by construction: union with a replayed batch's
+    summary is a set union of the same k-min hashes."""
 
     def __init__(self, col: str, k: int = 1024):
         self.col = col
@@ -61,10 +63,17 @@ class QuantileFolder:
         self.col = col
         self.k = k
         self.sketch = _Q.CompactorSketch(k)
+        self._last_bid: int | None = None
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # merge is NOT idempotent (items would re-count); skip a
+        # replayed trigger. Same-process replay only — driver-held
+        # state does not survive a restart (see module docstring).
+        if self._last_bid is not None and int(batch_id) == self._last_bid:
+            return
         summary = _Q.quantile_sketch(batch_df, self.col, self.k)
         self.sketch.merge(_Q.sketch_to_local(summary, self.k))
+        self._last_bid = int(batch_id)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch
@@ -81,7 +90,14 @@ class HeavyHittersFolder:
     > n/(k+1) is present, and every estimate undercounts its true
     frequency by at most ``err_bound`` = n/(k+1) (n = total non-NULL
     values folded). Batching-INSENSITIVE in the guarantees, not the
-    exact counter values (MG summaries are not canonical)."""
+    exact counter values (MG summaries are not canonical).
+
+    A replayed trigger is skipped by batch_id (adding the same MG
+    summary twice would let estimates EXCEED true frequencies,
+    silently breaking the undercount-only guarantee — r10 ADVICE).
+    Same-process replay only: driver-held state does not survive a
+    restart; persist :meth:`estimates` rows to a sidecar for
+    restart-safe pipelines (module docstring)."""
 
     def __init__(self, col: str, k: int = 100):
         if k < 1:
@@ -90,6 +106,7 @@ class HeavyHittersFolder:
         self.k = k
         self.counters: dict = {}
         self.n = 0
+        self._last_bid: int | None = None
 
     @property
     def err_bound(self) -> int:
@@ -98,6 +115,9 @@ class HeavyHittersFolder:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        if self._last_bid is not None and int(batch_id) == self._last_bid:
+            return
+        self._last_bid = int(batch_id)
         rows = _SK.heavy_hitters(
             batch_df, self.col, self.k
         ).collect()

@@ -74,20 +74,22 @@ def test_displaced_set_is_the_expected_rotation():
         "q102_pca", "q103_grouped_topterms", "q104_mfcc_embed",
         "q107_grouped_distinct", "q108_grouped_quantiles",
         # r9 wave 2 (r10 rotation moved q109/q111-q115 INTO the
-        # recorded window)
+        # recorded window; r11 moved q116/q121/q123 in too)
         "q110_stream_cohort",
-        "q116_profile", "q117_correlation", "q118_drift",
-        "q119_ab_test", "q120_mutual_info", "q121_label_prop",
-        "q122_filtered_ann", "q123_tfidf_keywords",
+        "q117_correlation", "q118_drift",
+        "q119_ab_test", "q120_mutual_info",
+        "q122_filtered_ann",
         "q124_key_skew",
         # r10: displaced for the q105/q106/q109/q111-q115 rotation
         "q26_pivot", "q27_percentiles", "q35_session",
         "q40_doc_stats", "q41_top_terms", "q46_hash_split",
         "q51_ngram_jaccard", "q55_repetition",
-        # r10 wave (streaming sessionize + SCD2 folds + the
-        # bounded-lateness disordered-replay gates, past-cap)
-        "q125_stream_sessionize", "q126_stream_scd2",
-        "q127_stream_funnel_late", "q128_stream_sessionize_late",
+        # r10 wave remnant: q128 stays past-cap by design (r11 moved
+        # q125/q126/q127 into the recorded window)
+        "q128_stream_sessionize_late",
+        # r11: displaced for the q116/q121/q123/q125-q127 rotation
+        "q04_semi_join", "q25_srp_near_dup", "q54_simhash_pairs",
+        "q63_ngram_lm", "q69_learned_rerank", "q70_url_canonical",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

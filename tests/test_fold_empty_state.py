@@ -50,3 +50,29 @@ def test_empty_first_bucketed_batch_all_folds(spark, tmp_root):
         spark.createDataFrame([(1, "x", 1, "upsert")], cs), 1
     )
     assert z.table().count() == 1
+
+
+def test_corrupt_state_propagates_not_none(spark, tmp_path):
+    # r10 ADVICE (medium): a real read failure must NOT be
+    # indistinguishable from 'no state yet' — returning None there
+    # would let the next swap_write replace the whole accumulated
+    # state table with batch-only contents.
+    import pytest as _pytest
+
+    from shotit_worker_spark.plans.maintenance import (
+        read_state_parquet,
+    )
+
+    d = tmp_path / "state"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    with _pytest.raises(Exception):
+        df = read_state_parquet(spark, str(d))
+        assert df is not None
+        df.collect()  # footer read may be lazy — force it
+    # and the legitimate empty cases still return None
+    e = tmp_path / "empty"
+    e.mkdir()
+    (e / "_SUCCESS").write_bytes(b"")
+    assert read_state_parquet(spark, str(e)) is None
+    assert read_state_parquet(spark, str(tmp_path / "absent")) is None

@@ -288,3 +288,29 @@ def test_lateness_replay_idempotent_and_bucketed(spark, tmp_root):
     assert dirs and all(d.startswith("bucket=") for d in dirs)
     with pytest.raises(ValueError, match="lateness_sec"):
         FunnelFolder(spark, "x", STEPS, lateness_sec=-1.0)
+
+
+def test_lateness_boundary_event_exactly_at_horizon(spark, tmp_root):
+    # r10 ADVICE (low): sealing at t <= horizon walks an event at
+    # exactly the lateness bound too early — an in-contract event can
+    # still arrive with ts == batch_max - lateness == horizon, and by
+    # the (t, y) sort it may belong BEFORE the one already there.
+    # lateness=20: batch 0 has "view"@80 and noise@100 (horizon 80);
+    # batch 1 delivers "signup"@80, which sorts before "view"@80 —
+    # the funnel must still convert through step 1.
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(1, t0 + dt.timedelta(seconds=s), y) for s, y in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+
+    folder = FunnelFolder(
+        spark, str(tmp_root / "fl_boundary"), STEPS,
+        lateness_sec=20.0,
+    )
+    folder.foreach_batch(_df([(80, "view"), (100, "noise")]), 0)
+    folder.foreach_batch(_df([(80, "signup")]), 1)
+    both = _df([(80, "view"), (100, "noise"), (80, "signup")])
+    assert _counts_key(folder) == _batch_key(both)

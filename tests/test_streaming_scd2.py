@@ -236,3 +236,47 @@ def test_crash_between_hist_and_tomb_writes(spark, tmp_root):
         for r in folder.table().collect()
     )
     assert got == want
+
+
+def test_late_change_between_collapsed_noop_and_predecessor(
+    spark, tmp_root
+):
+    # r10 ADVICE (high): if the STORE collapsed no-ops, a batch with
+    # upsert@1(A) + no-op re-emit upsert@2(A) would persist one row,
+    # and a later out-of-order real change at seq 1.5 would rebuild
+    # to A[1,1.5), C[1.5,null) — losing the @2 re-emit, which is no
+    # longer a no-op once C sits between them.  The fold must match
+    # build_scd2 over the union: A[1,1.5), C[1.5,2), A[2,null).
+    cs = "k long, a string, seq double, op string"
+    folder = Scd2Folder(
+        spark, str(tmp_root / "scd2_noop_inv"), keys=["k"],
+        attr_cols=["a"], seq_col="seq", op_col="op",
+    )
+    b0 = spark.createDataFrame(
+        [(1, "A", 1.0, "upsert"), (1, "A", 2.0, "upsert")], cs
+    )
+    folder.foreach_batch(b0, 0)
+    # the collapsed READ view after batch 0 is still one interval
+    assert sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"],
+         r["is_current"]) for r in folder.table().collect()
+    ) == [(1, "A", 1.0, None, True)]
+    b1 = spark.createDataFrame([(1, "C", 1.5, "upsert")], cs)
+    folder.foreach_batch(b1, 1)
+    got = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"],
+         r["is_current"]) for r in folder.table().collect()
+    )
+    want = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in build_scd2(
+            b0.unionByName(b1), keys=["k"], attr_cols=["a"],
+            seq_col="seq", op_col="op",
+        ).collect()
+    )
+    assert got == want == [
+        (1, "A", 1.0, 1.5, False),
+        (1, "A", 2.0, None, True),
+        (1, "C", 1.5, 2.0, False),
+    ]

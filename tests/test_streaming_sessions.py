@@ -259,3 +259,73 @@ def test_compact_closed(spark, tmp_root):
     # partition was not archived)
     folder.foreach_batch(chunks[3], 3)
     assert _key(folder.stats().collect()) == before
+
+
+def test_lateness_boundary_event_exactly_at_horizon(spark, tmp_root):
+    # r10 ADVICE (low): with horizon = batch_max - lateness, an
+    # in-contract event can still arrive with ts == horizon exactly;
+    # when end + gap == horizon that event EXTENDS the session under
+    # the <=-gap rule, so finality must be STRICT (end + gap <
+    # horizon).  gap=10, lateness=20: batch 0 max is t=100 ->
+    # horizon 80; session [60,70] has end+gap == 80 and must stay
+    # pending, because batch 1 delivers the tying event at ts=80.
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _df(secs):
+        return spark.createDataFrame(
+            [(1, t0 + dt.timedelta(seconds=s)) for s in secs],
+            "user_id long, ts timestamp",
+        )
+
+    folder = SessionFolder(
+        spark, str(tmp_root / "sessl_boundary"), gap_sec=10.0,
+        lateness_sec=20.0,
+    )
+    folder.foreach_batch(_df([60, 70, 100]), 0)
+    folder.foreach_batch(_df([80]), 1)
+    both = _df([60, 70, 80, 100])
+    want = _key(session_stats(both, gap_sec=10.0).collect())
+    got = _key(folder.stats().collect())
+    assert got == want
+    # [60,70,80] one 3-event session; [100] separate
+    assert len(got) == 2 and got[0][4] == 3
+
+
+def test_lateness_pending_state_bounded_for_gapless_user(
+    spark, tmp_root
+):
+    import pyspark.sql.functions as F
+
+    # r10 VERDICT #3: a user who never idles longer than gap never
+    # finalizes a session, so an uncompacted pending set grows with
+    # history. The compacted fold must hold O(lateness x rate) state
+    # — here ~1 collapsed partial + the raw tail inside the 10 s
+    # lateness window — while stats() still equals batch exactly.
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _df(lo, hi):
+        return spark.createDataFrame(
+            [(1, t0 + dt.timedelta(seconds=s)) for s in range(lo, hi)],
+            "user_id long, ts timestamp",
+        )
+
+    root = str(tmp_root / "sessl_gapless")
+    folder = SessionFolder(
+        spark, root, gap_sec=5.0, lateness_sec=10.0,
+    )
+    sizes = []
+    for i in range(4):
+        folder.foreach_batch(_df(i * 250, (i + 1) * 250), i)
+        st = spark.read.parquet(os.path.join(root, "open"))
+        sizes.append(st.agg(
+            F.max(F.size("pend"))).collect()[0][0])
+    # flat, small, and far below per-trigger event volume
+    assert max(sizes) <= 16, sizes
+    assert sizes[-1] <= sizes[0] + 2, sizes
+    # and the result is still exactly the batch table
+    both = _df(0, 1000)
+    want = _key(session_stats(both, gap_sec=5.0).collect())
+    got = _key(folder.stats().collect())
+    assert got == want
+    # one continuous session, 1000 events
+    assert len(got) == 1 and got[0][4] == 1000

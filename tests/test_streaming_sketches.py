@@ -136,3 +136,41 @@ def test_heavy_hitters_fold_guarantees(spark):
     for t, e in est.items():  # every estimate within the MG bound
         assert e <= exact[t]
         assert exact[t] - e <= bound, (t, exact[t], e, bound)
+
+
+def test_replayed_trigger_skipped_not_recounted(spark):
+    # r10 ADVICE (low): re-applying a batch's MG summary would let
+    # estimates exceed true frequencies (breaking the undercount-only
+    # guarantee); re-merging a quantile summary would double-count n.
+    import pyspark.sql.functions as F
+
+    from shotit_worker_spark.streaming.sketchfold import (
+        HeavyHittersFolder,
+        QuantileFolder,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("tok"),
+        F.col("id").cast("double").alias("x"),
+    ).persist()
+
+    hh = HeavyHittersFolder("tok", k=10)
+    hh.foreach_batch(df, 0)
+    snap_n, snap_counters = hh.n, dict(hh.counters)
+    hh.foreach_batch(df, 0)  # checkpoint replay: must be a no-op
+    assert hh.n == snap_n and hh.counters == snap_counters
+    exact = {r["tok"]: r["c"] for r in df.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for t, e in hh.estimates().items():
+        assert e <= exact[t]
+    hh.foreach_batch(df, 1)  # a NEW batch still folds
+    assert hh.n == 2 * snap_n
+
+    qf = QuantileFolder("x", k=64)
+    qf.foreach_batch(df, 0)
+    n1 = qf.sketch.n
+    qf.foreach_batch(df, 0)
+    assert qf.sketch.n == n1
+    qf.foreach_batch(df, 1)
+    assert qf.sketch.n == 2 * n1
+    df.unpersist()
