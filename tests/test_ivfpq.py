@@ -38,12 +38,17 @@ def _vecs(corpus):
 
 def test_codes_match_numpy_oracle(spark, corpus, index):
     df = index.load(spark)
-    rows = {r["vec_id"]: np.array(r["pq_code"], dtype=np.int64) + 128 for r in df.collect()}
+    rows = {}
+    cents = {}
+    for r in df.collect():
+        rows[r["vec_id"]] = np.array(r["pq_code"], dtype=np.int64) + 128
+        cents[r["vec_id"]] = int(r["centroid_id"])
     vecs = _vecs(corpus)
     cb = index.codebooks
     m, ksub, dsub = cb.shape
     for vid in list(vecs)[:40]:
-        v = vecs[vid]
+        # residual encoding: codes quantize (x - coarse centroid)
+        v = vecs[vid] - index.centroids[cents[vid]]
         for j in range(m):
             sub = v[j * dsub : (j + 1) * dsub]
             expect = int(np.argmin(((cb[j] - sub) ** 2).sum(axis=1)))
@@ -62,11 +67,17 @@ def test_adc_equals_reconstructed_dot(spark, corpus, index):
         ).collect()
     }
     df = index.load(spark)
-    codes = {r["vec_id"]: np.array(r["pq_code"], dtype=np.int64) + 128 for r in df.collect()}
+    codes = {}
+    cents = {}
+    for r in df.collect():
+        codes[r["vec_id"]] = np.array(r["pq_code"], dtype=np.int64) + 128
+        cents[r["vec_id"]] = int(r["centroid_id"])
     cb = index.codebooks
     m, ksub, dsub = cb.shape
     for vid in list(got)[:50]:
+        # residual ADC: score = <q, centroid> + LUT-sum(residual code)
         recon = np.concatenate([cb[j][codes[vid][j]] for j in range(m)])
+        recon = recon + index.centroids[cents[vid]]
         assert got[vid] == pytest.approx(float(recon @ q), rel=1e-9)
 
 
@@ -175,3 +186,107 @@ def test_resident_searcher_serves_pq(spark, corpus, index):
         assert served == direct
     finally:
         searcher.close()
+
+
+def test_refine_sq8_rerank(spark, corpus, tmp_root):
+    # refine="sq8" stores a 1-byte/dim payload next to the PQ codes;
+    # rerank_factor re-scores ADC's top pool against the decoded SQ8
+    # vector in the SAME kernel. Final ordering must be near-SQ8:
+    # strictly better-or-equal recall than raw ADC on this corpus.
+    vecs = _vecs(corpus)
+    path = str(tmp_root / "ivfpq_refine")
+    idx = PQ.build_ivfpq(corpus, path, nlist=NLIST, m=M, refine="sq8")
+    df = idx.load(spark)
+    assert "sq8_code" in df.columns
+    assert len(df.first()["sq8_code"]) == 64
+
+    def recall(ix, **kw):
+        hits = 0
+        for vid in [0, 7, 42, 123, 321]:
+            approx = {
+                r["vec_id"]
+                for r in ix.search(spark, vecs[vid], k=10, nprobe=NLIST,
+                                   id_col="vec_id", tie_col=None,
+                                   **kw).collect()
+            }
+            exact = {
+                r["vec_id"]
+                for r in S.exact_topk(
+                    corpus, list(vecs[vid]), k=10, vec_col="vector",
+                    id_col="vec_id", tie_col=None).collect()
+            }
+            hits += len(approx & exact)
+        return hits / 50
+
+    base = recall(idx)
+    rr = recall(idx, rerank_factor=4)
+    assert rr >= base
+    assert rr >= 0.9  # SQ8-quality ordering over the ADC pool
+
+    # self-retrieval must be exact under rerank (SQ8 decode of the
+    # row itself is the nearest candidate by construction)
+    top = [
+        r["vec_id"]
+        for r in idx.search(spark, vecs[7], k=5, nprobe=NLIST,
+                            id_col="vec_id", tie_col=None,
+                            rerank_factor=4).collect()
+    ]
+    assert top[0] == 7
+
+    # open() roundtrips the refine params; add() keeps the payload
+    reopened = PQ.IVFPQIndex.open(spark, path)
+    assert reopened.refine
+    assert np.allclose(reopened.sq8_mins, idx.sq8_mins)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in reopened.search(spark, vecs[42], k=5, nprobe=NLIST,
+                                 id_col="vec_id", tie_col=None,
+                                 rerank_factor=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in idx.search(spark, vecs[42], k=5, nprobe=NLIST,
+                            id_col="vec_id", tie_col=None,
+                            rerank_factor=4).collect()
+    ]
+    assert got == want
+
+    # batch == single under rerank
+    queries = [(11, vecs[11]), (22, vecs[22])]
+    batch = idx.search_batch(spark, queries, k=5, nprobe=3,
+                             id_col="vec_id", tie_col=None,
+                             rerank_factor=4).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for qid, q in queries:
+        single = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in idx.search(spark, q, k=5, nprobe=3,
+                                id_col="vec_id", tie_col=None,
+                                rerank_factor=4).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+    # a non-refine build refuses rerank loudly
+    plain = PQ.build_ivfpq(
+        corpus, str(tmp_root / "ivfpq_norefine"), nlist=NLIST, m=M)
+    with pytest.raises(ValueError, match="refine"):
+        plain.search(spark, vecs[0], k=5, nprobe=2, id_col="vec_id",
+                     tie_col=None, rerank_factor=4).collect()
+
+
+def test_plan_pq_arithmetic():
+    from shotit_worker_spark.index.pq import plan_pq
+
+    p = plan_pq(64)
+    assert p["m"] == 16 and p["dsub"] == 4 and p["code_bytes"] == 16
+    assert p["refine"] == "sq8" and p["refine_bytes"] == 64
+    # non-power-of-two dims pick the largest divisor <= dim/4
+    assert plan_pq(60)["m"] == 15
+    assert plan_pq(6)["m"] == 1  # dim//4 = 1
+    assert plan_pq(7)["m"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        plan_pq(0)

@@ -1,0 +1,193 @@
+"""Round-11 IVF_PQ validation at 1M vectors (r10 VERDICT #6).
+
+The r10 run validated IVF_SQ8 sizing; this measures the PQ family at
+the same scale and corpus shape: codebooks-per-subspace fit + encode
+build time, index bytes/vector vs SQ8 vs float, and recall@15 vs the
+SAME brute-force exact ground truth — PQ's ADC scoring is lossier
+than SQ8, so the interesting numbers are the recall gap and the
+nprobe needed to close it.
+
+Corpus: identical to tools/ivf_scale_r10.py (64-dim, 2000 latent
+clusters, hash-deterministic, L2-normalized); queries are 16 held-out
+re-noisings of cluster members.
+
+Usage: python tools/ivfpq_scale_r11.py [n] [dim] [m]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+from shotit_worker_spark.functions import vector as V  # noqa: E402
+from shotit_worker_spark.index.ivf import (  # noqa: E402
+    build_ivf,
+    plan_ivf,
+    recall_at_k,
+)
+from shotit_worker_spark.index.pq import build_ivfpq  # noqa: E402
+
+N_CLUSTERS = 2000
+NOISE = 0.35
+
+
+def _u(col, salt):
+    h = (F.xxhash64(col, F.lit(salt)) % (1 << 20) + (1 << 20)) % (1 << 20)
+    return h.cast("double") / (1 << 19) - 1.0
+
+
+def _vec(id_col, dim, noise_salt):
+    c = (F.xxhash64(id_col) % N_CLUSTERS + N_CLUSTERS) % N_CLUSTERS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: _u(c * dim + i, 1)
+        + F.lit(NOISE) * _u(id_col * F.lit(dim) + i, noise_salt),
+    )
+
+
+def _normalized(df, vec_col):
+    nrm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x / nrm)
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main(n: int = 1_000_000, dim: int = 64, m: int = 8) -> None:
+    spark = get_spark("ivfpq-scale-r11", shuffle_partitions=64)
+    plan = plan_ivf(n)
+    print(f"plan_ivf({n}): {plan}", flush=True)
+
+    rows = _normalized(
+        spark.range(n).select(
+            F.col("id").alias("primary_key"),
+            F.concat(F.lit("h"), F.col("id")).alias("hash_id"),
+            _vec(F.col("id"), dim, noise_salt=2).alias("vector"),
+        ),
+        "vector",
+    )
+    root = tempfile.mkdtemp(prefix="r11ivfpq_")
+    try:
+        # ---- exact ground truth (shared by both indexes) ----------
+        qdf = _normalized(
+            spark.range(16).select(
+                F.col("id").alias("qid"),
+                _vec(F.col("id"), dim, noise_salt=7).alias("vector"),
+            ),
+            "vector",
+        )
+        queries = [
+            (int(r["qid"]), np.array(r["vector"], dtype=np.float64))
+            for r in qdf.collect()
+        ]
+        base = rows.persist()
+        base.count()
+        t0 = time.time()
+        exact = {}
+        for qid, qv in queries:
+            top = (
+                base.select(
+                    "hash_id",
+                    V.dot_literal("vector", list(qv)).alias("s"),
+                )
+                .orderBy(F.col("s").desc(), F.col("hash_id").asc())
+                .limit(15)
+                .collect()
+            )
+            exact[qid] = {r["hash_id"] for r in top}
+        print(f"exact ground truth (16 queries x {n}): "
+              f"{time.time() - t0:.1f}s", flush=True)
+
+        # ---- IVF_PQ build ------------------------------------------
+        t0 = time.time()
+        pq = build_ivfpq(
+            rows,
+            os.path.join(root, "pq"),
+            nlist=plan["nlist"],
+            m=m,
+            sample_cap=plan["train_sample"],
+            refine="sq8",
+        )
+        t_pq = time.time() - t0
+        pq_bytes = _dir_bytes(os.path.join(root, "pq"))
+        print(f"build_ivfpq nlist={plan['nlist']} m={m}: {t_pq:.1f}s "
+              f"({n / t_pq / 1e6:.2f}M vec/s), "
+              f"{pq_bytes / n:.1f} bytes/vector on disk", flush=True)
+
+        # ---- IVF_SQ8 build (the r10 reference point) ---------------
+        t0 = time.time()
+        sq8 = build_ivf(
+            rows,
+            os.path.join(root, "sq8"),
+            nlist=plan["nlist"],
+            sample_cap=plan["train_sample"],
+            quantize=True,
+            sq8_mode="global",
+        )
+        t_sq8 = time.time() - t0
+        sq8_bytes = _dir_bytes(os.path.join(root, "sq8"))
+        print(f"build_ivf SQ8: {t_sq8:.1f}s, "
+              f"{sq8_bytes / n:.1f} bytes/vector on disk", flush=True)
+
+        # ---- recall@15 sweep: PQ vs SQ8 at the same nprobe ---------
+        for nprobe in (plan["nprobe0"], 2 * plan["nprobe0"],
+                       4 * plan["nprobe0"]):
+            rec_pq, rec_rr, rec_sq = [], [], []
+            lat_pq, lat_rr, lat_sq = [], [], []
+            for qid, qv in queries:
+                t0 = time.time()
+                got = pq.search(spark, qv, k=15, nprobe=nprobe).collect()
+                lat_pq.append(time.time() - t0)
+                rec_pq.append(recall_at_k(
+                    [r["hash_id"] for r in got], sorted(exact[qid])))
+                t0 = time.time()
+                got = pq.search(spark, qv, k=15, nprobe=nprobe,
+                                rerank_factor=int(os.environ.get(
+                                    "PQ_RERANK", "4"))).collect()
+                lat_rr.append(time.time() - t0)
+                rec_rr.append(recall_at_k(
+                    [r["hash_id"] for r in got], sorted(exact[qid])))
+                t0 = time.time()
+                got = sq8.search(spark, qv, k=15, nprobe=nprobe).collect()
+                lat_sq.append(time.time() - t0)
+                rec_sq.append(recall_at_k(
+                    [r["hash_id"] for r in got], sorted(exact[qid])))
+            rrf = os.environ.get("PQ_RERANK", "4")
+            print(
+                f"nprobe={nprobe}: recall@15 PQ={np.mean(rec_pq):.3f} "
+                f"PQ+rr{rrf}={np.mean(rec_rr):.3f} "
+                f"SQ8={np.mean(rec_sq):.3f} | median latency "
+                f"PQ={sorted(lat_pq)[len(lat_pq) // 2] * 1000:.0f}ms "
+                f"PQ+rr={sorted(lat_rr)[len(lat_rr) // 2] * 1000:.0f}ms "
+                f"SQ8={sorted(lat_sq)[len(lat_sq) // 2] * 1000:.0f}ms",
+                flush=True,
+            )
+        base.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    main(n, dim, m)

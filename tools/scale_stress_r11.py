@@ -1,0 +1,261 @@
+"""Round-11 stress: bounded lateness state + crash-replay at 10M
+(r10 VERDICT #3 and #7).
+
+- GAPLESS MEGA-USER: one user, one event per second for the whole
+  span (n events total), folded through SessionFolder lateness mode.
+  Without the r11 partial-compaction this user's pending set grows
+  with history (the "gapless bot at 100 TB = one monster row");
+  with it, per-trigger state must stay O(lateness x rate) — the
+  stress prints pend size and state bytes per trigger and fails if
+  they grow — while stats() still equals the batch operator exactly
+  (one n-event session).
+
+- CRASH-REPLAY at scale: the r10 fold stresses reasoned crash
+  windows in comments and pinned them at unit scale; here a MIDDLE
+  trigger of each fold (funnel, session, scd2) is applied TWICE at
+  10M-row scale (the foreachBatch replay a restarted stream
+  delivers) and the folded table must still equal the batch build.
+
+Usage: python tools/scale_stress_r11.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, n, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{label}: {n} rows in {dt:.1f}s = {n / dt / 1e6:.2f}M rows/s",
+          flush=True)
+    return out, dt
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def gapless_mega_user(spark, n: int) -> None:
+    from shotit_worker_spark.operators.sessions import session_stats
+    from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+    base = 1_700_000_000
+    ev = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(base + F.col("id")).alias("ts"),
+    ).persist()
+    ev.count()
+    n_triggers = 8
+    span = n // n_triggers
+    root = tempfile.mkdtemp(prefix="r11gapless_")
+    try:
+        folder = SessionFolder(
+            spark, os.path.join(root, "state"), gap_sec=5.0,
+            lateness_sec=3600.0,
+        )
+        pend_sizes, state_bytes = [], []
+
+        def fold_all():
+            for i in range(n_triggers):
+                lo = base + i * span
+                c = ev.where(F.unix_timestamp("ts") >= lo)
+                if i < n_triggers - 1:
+                    c = c.where(F.unix_timestamp("ts") < lo + span)
+                folder.foreach_batch(c, i)
+                st = spark.read.parquet(os.path.join(root, "state", "open"))
+                pend_sizes.append(
+                    st.agg(F.max(F.size("pend"))).collect()[0][0]
+                )
+                state_bytes.append(
+                    _dir_bytes(os.path.join(root, "state", "open"))
+                )
+            return folder.stats().collect()
+
+        (got, _) = timed(
+            f"GAPLESS mega-user lateness fold ({n_triggers} triggers, "
+            "1h lateness, 5s gap)", n, fold_all)
+        print(f"  per-trigger max pend partials: {pend_sizes}", flush=True)
+        print(f"  per-trigger open-state bytes:  {state_bytes}", flush=True)
+        flat = max(pend_sizes) <= 3700  # lateness x rate + slack
+        growth = state_bytes[-1] <= 4 * state_bytes[0] + 65536
+        want = [
+            (r["user"], r["n_events"])
+            for r in session_stats(ev, gap_sec=5.0).collect()
+        ]
+        gotk = [(r["user"], r["n_events"]) for r in got]
+        print(f"  stream == batch: {sorted(gotk) == sorted(want)} "
+              f"(sessions={len(gotk)}, n_events={gotk[0][1] if gotk else 0})",
+              flush=True)
+        print(f"  state flat: pend {flat}, bytes {growth}", flush=True)
+        if not (flat and growth and sorted(gotk) == sorted(want)):
+            raise AssertionError("gapless mega-user stress failed")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ev.unpersist()
+
+
+def crash_replay_folds(spark, n: int) -> None:
+    """Apply a middle trigger twice (restart replay) in each fold."""
+    from shotit_worker_spark.operators.funnel import funnel_counts
+    from shotit_worker_spark.operators.sessions import session_stats
+    from shotit_worker_spark.plans.scd2 import build_scd2
+    from shotit_worker_spark.streaming.funnelfold import FunnelFolder
+    from shotit_worker_spark.streaming.scd2fold import Scd2Folder
+    from shotit_worker_spark.streaming.sessionfold import SessionFolder
+
+    base = 1_700_000_000
+    day = 7 * 86400
+    nu = max(n // 10, 1)
+    steps = ["signup", "view", "click", "purchase"]
+    ev = spark.range(n).select(
+        ((F.xxhash64("id") % nu + nu) % nu).alias("user_id"),
+        F.timestamp_seconds(
+            base
+            + ((F.xxhash64("id", F.lit(3)) % (4 * day) + 4 * day)
+               % (4 * day)) * 7
+        ).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps + ["noise", "noise"]]),
+            ((F.xxhash64("id", F.lit(5)) % 6 + 6) % 6 + 1).cast("int"),
+        ).alias("event_type"),
+    ).persist()
+    ev.count()
+
+    def chunks():
+        out = []
+        for i in range(4):
+            lo = base + i * day * 7
+            c = ev.where(F.unix_timestamp("ts") >= lo)
+            if i < 3:
+                c = c.where(F.unix_timestamp("ts") < lo + day * 7)
+            out.append(c)
+        return out
+
+    # ---- FunnelFolder: replay trigger 2 ------------------------------
+    root = tempfile.mkdtemp(prefix="r11crashfunnel_")
+    try:
+        folder = FunnelFolder(
+            spark, os.path.join(root, "state"), steps, n_buckets=32,
+        )
+
+        def fold():
+            for i, c in enumerate(chunks()):
+                folder.foreach_batch(c, i)
+                if i == 2:  # crash + restart: trigger replayed
+                    folder.foreach_batch(c, i)
+            return {
+                (r["step_no"], r["users"])
+                for r in folder.counts().collect()
+            }
+
+        (got, _) = timed("FunnelFolder fold + trigger-2 REPLAY", n, fold)
+        want = {
+            (r["step_no"], r["users"])
+            for r in funnel_counts(ev, steps).collect()
+        }
+        print(f"  replayed fold == batch: {got == want}", flush=True)
+        if got != want:
+            raise AssertionError("funnel crash-replay mismatch")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # ---- SessionFolder: replay trigger 2 -----------------------------
+    root = tempfile.mkdtemp(prefix="r11crashsess_")
+    try:
+        sfolder = SessionFolder(
+            spark, os.path.join(root, "state"), gap_sec=1800.0,
+            n_buckets=32,
+        )
+
+        def folds():
+            for i, c in enumerate(chunks()):
+                sfolder.foreach_batch(c, i)
+                if i == 2:
+                    sfolder.foreach_batch(c, i)
+            return sfolder.stats().count()
+
+        (gots, _) = timed("SessionFolder fold + trigger-2 REPLAY", n, folds)
+        wants = session_stats(ev, gap_sec=1800.0).count()
+        print(f"  replayed fold == batch: {gots == wants} "
+              f"({gots} sessions)", flush=True)
+        if gots != wants:
+            raise AssertionError("session crash-replay mismatch")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ev.unpersist()
+
+    # ---- Scd2Folder: replay the middle seq batch ---------------------
+    nk = max(n // 10, 1)
+    basekeys = spark.range(nk)
+    ch = [
+        basekeys.select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v1-"), F.col("id")).alias("a"),
+            F.lit(1).alias("seq"), F.lit("upsert").alias("op"),
+        ),
+        basekeys.where(F.col("id") % 3 == 0).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v2-"), F.col("id")).alias("a"),
+            F.lit(2).alias("seq"), F.lit("upsert").alias("op"),
+        ),
+        basekeys.where(F.col("id") % 20 == 0).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("a"),
+            F.lit(3).alias("seq"), F.lit("delete").alias("op"),
+        ),
+    ]
+    log = ch[0].unionByName(ch[1]).unionByName(ch[2]).persist()
+    nch = log.count()
+    root = tempfile.mkdtemp(prefix="r11crashscd2_")
+    try:
+        f2 = Scd2Folder(
+            spark, os.path.join(root, "table"), keys=["k"],
+            attr_cols=["a"], seq_col="seq", op_col="op", n_buckets=32,
+        )
+
+        def fold2():
+            for i, b in enumerate(ch):
+                f2.foreach_batch(b, i)
+                if i == 1:
+                    f2.foreach_batch(b, i)
+            return f2.table().count()
+
+        (got2, _) = timed(
+            f"Scd2Folder fold + batch-1 REPLAY ({nch} changes)", nch, fold2)
+        want2 = build_scd2(log, keys=["k"], attr_cols=["a"],
+                           seq_col="seq", op_col="op").count()
+        print(f"  replayed fold == batch: {got2 == want2} "
+              f"({got2} versions)", flush=True)
+        if got2 != want2:
+            raise AssertionError("scd2 crash-replay mismatch")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    log.unpersist()
+
+
+def main(n: int = 10_000_000) -> None:
+    spark = get_spark("stress-r11", shuffle_partitions=64)
+    spark.range(100).selectExpr("sum(id)").collect()  # warm JVM
+    gapless_mega_user(spark, n)
+    crash_replay_folds(spark, n)
+    print("ALL r11 STRESS CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
