@@ -413,7 +413,12 @@ def _decode_pixels(r: LSBReader, w: int, h: int, level0: bool):
 
 
 def _block_params(r: LSBReader, w: int, h: int):
-    bits = 3 + r.u(3)
+    # spec: size_bits = ReadBits(3) + 2 (a shared +3 encoder/decoder
+    # typo round-tripped green against our own fixtures for four
+    # rounds; the r11 libwebp fuzz caught it — libwebp-encoded
+    # predictor/color-transform streams desynced and committed
+    # fixtures were non-compliant for real decoders)
+    bits = 2 + r.u(3)
     bw = (w + (1 << bits) - 1) >> bits
     bh = (h + (1 << bits) - 1) >> bits
     return bits, bw, bh

@@ -391,7 +391,14 @@ def _fwd_color_transform(px: list[int], xsize: int, ysize: int,
     for by in range(bh):
         for bx in range(bw):
             g2r, g2b, r2b = mults(bx, by)
-            blk_px.append(0xFF000000 | (r2b << 16) | (g2b << 8) | g2r)
+            # multipliers are SIGNED 8-bit — mask before packing (a
+            # negative python int shifted/or'd corrupts the word; the
+            # r11 libwebp compliance test caught blue-channel drift
+            # from exactly this)
+            blk_px.append(
+                0xFF000000 | ((r2b & 0xFF) << 16)
+                | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+            )
     out = []
     for i, p in enumerate(px):
         x, y = i % xsize, i // xsize
@@ -560,7 +567,7 @@ def encode_vp8l(rgb: np.ndarray, subtract_green=False, predictor=None,
     if color_transform is not None:
         w.u(1, 1)
         w.u(1, 2)
-        w.u(transform_bits - 3, 3)
+        w.u(transform_bits - 2, 3)  # spec: size_bits - 2
         px, blk = _fwd_color_transform(px, cur_w, h, transform_bits,
                                        color_transform)
         bw = (cur_w + (1 << transform_bits) - 1) >> transform_bits
@@ -568,7 +575,7 @@ def encode_vp8l(rgb: np.ndarray, subtract_green=False, predictor=None,
     if predictor is not None:
         w.u(1, 1)
         w.u(0, 2)
-        w.u(transform_bits - 3, 3)
+        w.u(transform_bits - 2, 3)  # spec: size_bits - 2
         px, blk = _pred_filter(px, cur_w, h, transform_bits, predictor)
         bw = (cur_w + (1 << transform_bits) - 1) >> transform_bits
         _write_image_stream(w, blk, bw, len(blk) // bw, False)
