@@ -6709,6 +6709,143 @@ _Q127_LAST_DIR = None
 _Q128_LAST_DIR = None
 
 
+def q129_stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HeavyHittersFolder (streaming/sketchfold) FULL-VALUE gate in
+    the provably-exact regime: orders 'arrives' in four deterministic
+    chunks (o_orderkey % 4) and the driver-held Misra-Gries fold
+    summarizes term = o_custkey % 997 with k = 2000 — the term domain
+    (<= 997 values at ANY scale factor, bounded by construction) never
+    exceeds k, so no counter is ever evicted and no PODS'12 merge trim
+    ever fires: the folded estimates must EQUAL the exact group counts
+    (the q103 regime, here across driver-side fold merges instead of
+    per-key partials). Oracle: the plain SQL group-count."""
+    from shotit_worker_spark.streaming.sketchfold import (
+        HeavyHittersFolder,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    folder = HeavyHittersFolder("term", k=2000)
+    for i in range(4):
+        folder.foreach_batch(
+            orders.where(F.col("o_orderkey") % 4 == i).select(
+                (F.col("o_custkey") % 997).cast("string").alias("term")
+            ),
+            i,
+        )
+    rows = sorted(
+        (str(t), int(c)) for t, c in folder.estimates().items()
+    )
+    return spark.createDataFrame(
+        rows, "term string, est_count bigint"
+    ).orderBy("term")
+
+
+_STREAM_HH_ORACLE_SQL = """
+    SELECT CAST(o_custkey % 997 AS VARCHAR) AS term,
+           count(*) AS est_count
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+_Q130_CACHE: dict = {}
+
+
+def q130_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_PQ (index/pq) invariants gate, q106's constants style:
+    residual-encoded product quantization with the SQ8 refine payload
+    over the embeddings table at plan_pq sizing, pinned through the
+    REAL build + ADC search path:
+
+    - 1_code_bytes_planned: every stored row carries exactly
+      plan_pq(dim)['m'] PQ bytes and dim SQ8-refine bytes (the
+      m + dim bytes/vector the plan promises);
+    - 2_selfretrieval_rerank: each of 8 corpus vectors retrieves
+      ITSELF top-1 at full probe with rerank (the SQ8 decode of the
+      row is the nearest candidate by construction — a codebook,
+      offset, or LUT bug breaks this first);
+    - 3_rerank_recall_floor: recall@10 vs the exact float kernel
+      (tie-tolerant, the q49/q106 boundary rule) with rerank_factor=4
+      at full probe >= 0.9 — near-SQ8 ordering over the ADC pool.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.index import pq as PQ
+
+    k = 10
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    )
+    cached = _Q130_CACHE.get(sf_dir)
+    if cached is None:
+        dim = len(nemb.select("vector").first()["vector"])
+        plan = PQ.plan_pq(dim)
+        d = tempfile.mkdtemp(prefix="q130pq_")
+        index = PQ.build_ivfpq(
+            nemb, d + "/index", nlist=8, m=plan["m"], refine="sq8"
+        )
+        cached = _Q130_CACHE[sf_dir] = (index, plan, dim)
+    index, plan, dim = cached
+    row0 = index.load(spark).select("pq_code", "sq8_code").first()
+    bytes_ok = (
+        len(row0["pq_code"]) == plan["m"]
+        and len(row0["sq8_code"]) == dim
+    )
+    qrows = (
+        nemb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    )
+    queries = [(int(r["vec_id"]), np.asarray(r["vector"]))
+               for r in qrows]
+    top1 = index.search_batch(
+        spark, queries, k=1, nprobe=8, id_col="vec_id",
+        tie_col="vec_id", rerank_factor=4,
+    ).collect()
+    self_ok = (
+        len(top1) == len(queries)
+        and all(r["vec_id"] == r["query_id"] for r in top1)
+    )
+    # tie-tolerant exact top-k (q106's boundary rule)
+    exact_kp = S.knn_join(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in q]) for qid, q in queries],
+            "query_id long, query_vec array<double>",
+        ),
+        nemb, k=k + 5, vec_col="vector", id_col="vec_id",
+        tie_col="vec_id",
+    ).select("query_id", "vec_id", "score")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact_kp = exact_kp.withColumn(
+        "rank", F.row_number().over(rank_w))
+    kth = exact_kp.filter(F.col("rank") == k).select(
+        "query_id", F.col("score").alias("kth_score"))
+    exact_df = (
+        exact_kp.join(kth, "query_id")
+        .filter(F.col("score") >= F.col("kth_score") - F.lit(1e-9))
+        .select("query_id", "vec_id")
+    )
+    rr = index.search_batch(
+        spark, queries, k=k, nprobe=8, id_col="vec_id",
+        tie_col="vec_id", rerank_factor=4,
+    ).select("query_id", "vec_id")
+    hits = rr.join(exact_df, ["query_id", "vec_id"]).count()
+    recall_ok = hits >= 0.9 * len(queries) * k
+    rows = [
+        ("1_code_bytes_planned", bool(bytes_ok)),
+        ("2_selfretrieval_rerank", bool(self_ok)),
+        ("3_rerank_recall_floor", bool(recall_ok)),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -7010,6 +7147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q127, its funnel sibling, is recorded; q128 stays past-cap
         # by design — displaced replay + check_oracle enforce it)
         "q128_stream_sessionize_late": q128_stream_sessionize_late,
+        # r11 wave: streaming heavy-hitters exact-regime gate +
+        # IVF_PQ invariants gate (past-the-cap by design; displaced
+        # replay + check_oracle enforce them like q78+)
+        "q129_stream_heavy_hitters": q129_stream_heavy_hitters,
+        "q130_ivfpq_search": q130_ivfpq_search,
         # r11: displaced for the q116/q121/q123/q125-q127 rotation
         # (see the note at the top of the recorded window)
         "q04_semi_join": q04_semi_join,
@@ -7199,6 +7341,19 @@ def oracle_sql() -> dict[str, str]:
         # semantics under disordered replay
         "q127_stream_funnel_late": _FUNNEL_ORACLE_SQL,
         "q128_stream_sessionize_late": _SESSIONIZE_ORACLE_SQL,
+        # q129: FULL-VALUE — MG fold in the provably-exact regime
+        # (term domain bounded below k by construction)
+        "q129_stream_heavy_hitters": _STREAM_HH_ORACLE_SQL,
+        # q130: IVF_PQ invariants (code bytes / self-retrieval with
+        # rerank / rerank recall floor) — TRUE by construction,
+        # checked through the real build + ADC + refine path
+        "q130_ivfpq_search": """
+            SELECT * FROM (VALUES
+                ('1_code_bytes_planned', TRUE),
+                ('2_selfretrieval_rerank', TRUE),
+                ('3_rerank_recall_floor', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
         # q97: the salt plumbing must not change join semantics
         "q97_salted_join": _SALTED_ORACLE_SQL,
         # q96: FULL-VALUE shard-member extraction, md5-pinned

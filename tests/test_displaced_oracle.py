@@ -52,7 +52,7 @@ def test_displaced_set_is_the_expected_rotation():
     # silently drops a NEW gate past the cap fails loudly here
     # (r8: q80_zorder took q22's recorded slot; q22 displaced;
     # q81_heavy_hitters registers past the cap by design)
-    assert len(entrymod.queries()) == 117
+    assert len(entrymod.queries()) == 119
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
@@ -90,6 +90,9 @@ def test_displaced_set_is_the_expected_rotation():
         # r11: displaced for the q116/q121/q123/q125-q127 rotation
         "q04_semi_join", "q25_srp_near_dup", "q54_simhash_pairs",
         "q63_ngram_lm", "q69_learned_rerank", "q70_url_canonical",
+        # r11 wave: past-the-cap by design (displaced replay +
+        # check_oracle enforce them like q78+)
+        "q129_stream_heavy_hitters", "q130_ivfpq_search",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()
