@@ -232,24 +232,54 @@ def _ivf_float_vec(spark: SparkSession, index, df):
     cols = df.columns
     if index.vec_col in cols:
         return df, index.vec_col
+    if getattr(index, "sq8_mins", None) is not None and "sq8_code" in cols:
+        # IVF_PQ refine payload: a full global-SQ8 copy of the vector
+        # — a strictly better proxy than the PQ reconstruction
+        out_col = "__mx_vec"
+        m = F.array(*[F.lit(float(x)) for x in index.sq8_mins])
+        s = F.array(*[F.lit(float(x)) for x in index.sq8_scales])
+        dec = F.zip_with(
+            F.zip_with(
+                F.col("sq8_code"), s,
+                lambda c, sc: (c.cast("double") + 128.0) * sc,
+            ),
+            m,
+            lambda v, lo: v + lo,
+        )
+        return df.withColumn(out_col, dec), out_col
     if getattr(index, "codebooks", None) is not None and "pq_code" in cols:
         import numpy as np
         import pandas as pd
 
         cb = index.codebooks.astype(np.float64)  # (m, 256, dsub)
         m = cb.shape[0]
+        # residual PQ (r11 default): the codes quantize
+        # (x - coarse centroid), so reconstruction adds it back
+        cents = (
+            index.centroids.astype(np.float64)
+            if getattr(index, "residual", False)
+            else None
+        )
 
-        def _recon(s: pd.Series) -> pd.Series:
+        def _recon(s: pd.Series, cid: pd.Series) -> pd.Series:
             codes = np.array(s.tolist(), dtype=np.int64) + 128  # (n, m)
             parts = [cb[j][codes[:, j]] for j in range(m)]
-            return pd.Series(
-                [row.tolist() for row in np.concatenate(parts, axis=1)]
-            )
+            x = np.concatenate(parts, axis=1)
+            if cents is not None:
+                x = x + cents[cid.to_numpy(dtype=np.int64)]
+            return pd.Series([row.tolist() for row in x])
 
-        _recon.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _recon.__annotations__ = {
+            "s": pd.Series, "cid": pd.Series, "return": pd.Series
+        }
         out_col = "__mx_vec"
         udf = F.pandas_udf(_recon, "array<double>")
-        return df.withColumn(out_col, udf(F.col("pq_code"))), out_col
+        return (
+            df.withColumn(
+                out_col, udf(F.col("pq_code"), F.col("centroid_id"))
+            ),
+            out_col,
+        )
     if getattr(index, "mins", None) is None or "sq8_code" not in cols:
         raise ValueError(
             f"index at {index.path} has neither {index.vec_col!r}, "
