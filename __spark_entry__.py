@@ -6751,6 +6751,80 @@ _STREAM_HH_ORACLE_SQL = """
 """
 
 
+def q131_stream_lsh_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup dedup fold
+    (streaming/lshfold.LshDedupFolder) invariants gate — the q53
+    batch cascade's STREAMING form, with the banded manifest of kept
+    documents as partition-pruned parquet state and exact keep-first
+    greedy semantics (cross-batch via the manifest, within-batch per
+    band-collision component). xxhash64 keeps signatures outside
+    DuckDB's reach, so like q53 the gate pins deterministic
+    invariants through the real fold path:
+
+    - 1_copies_dropped: verbatim copies of ALL eligible early
+      documents, arriving in a LATER trigger, drop — deterministic
+      whatever happened to the original: a kept original's bands are
+      in the manifest (identical signature => every band collides),
+      and a dropped original was dropped because some KEPT document
+      shares a band with its bands == the copy's bands;
+    - 2_min_id_kept: the corpus' minimum doc_id is always kept
+      (first in greedy order — nothing earlier can collide with it;
+      bandless first docs are kept by the no-shingles rule);
+    - 3_replay_noop: re-delivering a middle trigger (checkpoint
+      replay) leaves the kept set unchanged (partition-pruned state
+      read + dynamic partition overwrite);
+    - 4_bandless_kept: planted empty/short documents (no shingles,
+      all-NULL signatures) are always kept.
+    Fresh private state dir per call."""
+    import shutil
+    import tempfile
+
+    from shotit_worker_spark.streaming.lshfold import LshDedupFolder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = docs.filter(F.col("doc_id") < 25).filter(
+        F.size(TX.tokenize("text")) >= 3
+    )
+    elig_ids = {r["doc_id"] for r in eligible.select("doc_id").collect()}
+    copies = eligible.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    empties = spark.createDataFrame(
+        [(999998, ""), (999999, "w1 w2")], "doc_id long, text string"
+    )
+    global _Q131_LAST_DIR
+    if _Q131_LAST_DIR:
+        shutil.rmtree(_Q131_LAST_DIR, ignore_errors=True)
+    _Q131_LAST_DIR = tempfile.mkdtemp(prefix="q131lsh_")
+    folder = LshDedupFolder(
+        spark, os.path.join(_Q131_LAST_DIR, "state"),
+        num_hashes=32, num_bands=8,
+    )
+    folder.foreach_batch(docs, 0)
+    snap = {r["doc_id"] for r in folder.kept().collect()}
+    folder.foreach_batch(docs, 0)  # checkpoint replay of trigger 0
+    replay_ok = {r["doc_id"] for r in folder.kept().collect()} == snap
+    folder.foreach_batch(copies.unionByName(empties), 1)
+    kept = {r["doc_id"] for r in folder.kept().collect()}
+    min_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    rows = [
+        ("1_copies_dropped",
+         all(i + 100000 not in kept for i in elig_ids)
+         and len(elig_ids) > 0),
+        ("2_min_id_kept", min_id in kept),
+        ("3_replay_noop", bool(replay_ok)),
+        ("4_bandless_kept", 999998 in kept and 999999 in kept),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
+_Q131_LAST_DIR = None
+
+
 _Q130_CACHE: dict = {}
 
 
@@ -7152,6 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay + check_oracle enforce them like q78+)
         "q129_stream_heavy_hitters": q129_stream_heavy_hitters,
         "q130_ivfpq_search": q130_ivfpq_search,
+        "q131_stream_lsh_dedup": q131_stream_lsh_dedup,
         # r11: displaced for the q116/q121/q123/q125-q127 rotation
         # (see the note at the top of the recorded window)
         "q04_semi_join": q04_semi_join,
@@ -7352,6 +7427,16 @@ def oracle_sql() -> dict[str, str]:
                 ('1_code_bytes_planned', TRUE),
                 ('2_selfretrieval_rerank', TRUE),
                 ('3_rerank_recall_floor', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
+        # q131: streaming LSH dedup invariants (q53's determinism
+        # argument applied to the fold) — TRUE by construction
+        "q131_stream_lsh_dedup": """
+            SELECT * FROM (VALUES
+                ('1_copies_dropped', TRUE),
+                ('2_min_id_kept', TRUE),
+                ('3_replay_noop', TRUE),
+                ('4_bandless_kept', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
         # q97: the salt plumbing must not change join semantics

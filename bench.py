@@ -60,8 +60,10 @@ POST_R3_QUERIES = frozenset({
     # r10 wave (streaming sessionize + SCD2 folds + lateness modes)
     "q125_stream_sessionize", "q126_stream_scd2",
     "q127_stream_funnel_late", "q128_stream_sessionize_late",
-    # r11 wave (exact-regime streaming heavy hitters + IVF_PQ)
+    # r11 wave (exact-regime streaming heavy hitters + IVF_PQ +
+    # streaming LSH dedup)
     "q129_stream_heavy_hitters", "q130_ivfpq_search",
+    "q131_stream_lsh_dedup",
 })
 
 

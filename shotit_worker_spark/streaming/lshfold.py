@@ -1,0 +1,264 @@
+"""Incremental MinHash-LSH near-dup dedup over a stream (foreachBatch).
+
+Completes the dedup family's stream/batch parity: exact dedup already
+folds (operators/dedup.exact_dedup_incremental + streaming manifests);
+this is the NEAR-DUP side. The fold keeps the banded signature
+manifest of every KEPT document as distributed parquet state and
+admits each micro-batch with the classic keep-first greedy semantics:
+
+    a document is KEPT iff none of its minhash bands collides with a
+    band of any previously-KEPT document (earlier batches via the
+    manifest, earlier ids in the same batch via the within-batch
+    greedy below).
+
+Collision-implies-duplicate, like operators/dedup.
+fuzzy_dedup_incremental (the verify stage would need historical
+shingle sets the manifest deliberately doesn't carry; precision is
+the banding's, tunable via plan_lsh_bands). Verbatim copies are
+ALWAYS caught: identical text ⇒ identical signature ⇒ every band
+collides.
+
+Within-batch semantics are the EXACT sequential greedy, distributed
+by its real dependency structure: documents sharing no band with any
+other batch document are kept trivially (the overwhelming majority);
+the rest form band-collision connected components, and the greedy
+chain is resolved per component with applyInPandas — components are
+independent (a band shared across components would merge them), so
+per-component greedy equals the global id-ordered greedy.
+
+Batching-invariance (pinned by tests): folding id-ordered chunks in
+any split produces EXACTLY the single-batch result, because both
+execute the same greedy over the same (batch, id) order.
+
+State layout and replay: ``bands/batch_id=N`` and ``kept/batch_id=N``
+parquet partitions (append-shaped, like SessionFolder's closed table).
+Each trigger reads only ``batch_id < N`` (partition-pruned), so a
+checkpoint-replayed trigger recomputes from the same pre-state and
+dynamic partition overwrite rewrites its own partitions idempotently.
+The per-trigger collision check is ONE (band_id, band_hash) equi-join
+against the manifest — never O(batch x corpus) pair comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clustering import connected_components
+from ..operators.dedup import minhash_band_table, minhash_signatures
+from ..plans.maintenance import read_state_parquet
+
+__all__ = ["LshDedupFolder"]
+
+
+class LshDedupFolder:
+    """Streaming near-dup dedup with a parquet band manifest as state.
+    Use :meth:`foreach_batch` as the ``foreachBatch`` function; read
+    kept ids with :meth:`kept`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        num_hashes: int = 32,
+        num_bands: int = 8,
+        shingle_n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        if num_hashes < 2:
+            raise ValueError("num_hashes must be >= 2")
+        if not 1 <= num_bands <= num_hashes:
+            raise ValueError("num_bands must be in [1, num_hashes]")
+        self.spark = spark
+        self.state_path = state_path
+        self.bands_path = os.path.join(state_path, "bands")
+        self.kept_path = os.path.join(state_path, "kept")
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    # colliding-subset size under which components resolve with a
+    # driver union-find instead of the distributed min-label rounds —
+    # dedup workloads keep the collision graph tiny relative to the
+    # batch, and each distributed CC round is a join + materialization
+    # (the guarded-driver-kernel pattern; above the cap the
+    # distributed path keeps the fold scale-safe)
+    DRIVER_CC_CAP = 200_000
+
+    def _components(self, edges: DataFrame, n_edges: int) -> DataFrame:
+        if n_edges > self.DRIVER_CC_CAP:
+            return connected_components(
+                edges, a_col="a_id", b_col="b_id"
+            ).withColumnRenamed("node", self.id_col)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in edges.collect():
+            a, b = int(r["a_id"]), int(r["b_id"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return self.spark.createDataFrame(
+            rows, f"{self.id_col} long, component long"
+        )
+
+    def _greedy_components(self, edges: DataFrame, n_edges: int,
+                           bands: DataFrame) -> DataFrame:
+        """Resolve the colliding subset's keep-first greedy per
+        connected component; returns the kept ids of that subset."""
+        comp = self._components(edges, n_edges)
+        grouped = bands.join(comp, self.id_col)
+
+        id_col = self.id_col
+
+        def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            kept_hashes: set = set()
+            kept_ids = []
+            for did, grp in pdf.sort_values(id_col).groupby(
+                id_col, sort=True
+            ):
+                pairs = set(
+                    zip(grp["band_id"].tolist(),
+                        grp["band_hash"].tolist())
+                )
+                if pairs & kept_hashes:
+                    continue
+                kept_hashes |= pairs
+                kept_ids.append(did)
+            return pd.DataFrame({id_col: kept_ids})
+
+        return grouped.groupBy("component").applyInPandas(
+            _greedy, schema=f"{id_col} long"
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        docs = batch_df.select(self.id_col, self.text_col)
+        sigs = minhash_signatures(
+            docs, num_hashes=self.num_hashes, shingle_n=self.shingle_n,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+        bands = minhash_band_table(
+            sigs, self.num_bands, self.id_col, self.num_hashes
+        )
+        spark = self.spark
+        empty_ids = docs.select(self.id_col).limit(0)
+        if bands is None:
+            kept_ids = docs.select(self.id_col)
+            new_bands = spark.createDataFrame(
+                [], f"{self.id_col} long, band_id int, band_hash bigint"
+            )
+        else:
+            bands = bands.persist()
+            # 1) cross-batch: collide against the KEPT manifest of
+            #    earlier triggers only (partition-pruned by batch_id —
+            #    this is also what makes a replayed trigger recompute
+            #    from its exact pre-state)
+            seen = read_state_parquet(spark, self.bands_path)
+            if seen is not None:
+                seen = seen.where(F.col("batch_id") < F.lit(bid))
+                hit = (
+                    bands.join(
+                        seen.select("band_id", "band_hash").distinct(),
+                        ["band_id", "band_hash"],
+                        "left_semi",
+                    )
+                    .select(self.id_col)
+                    .distinct()
+                )
+                surv_bands = bands.join(hit, self.id_col, "left_anti")
+            else:
+                surv_bands = bands
+            surv_bands = surv_bands.persist()
+            # 2) within-batch: docs sharing no band with another
+            #    surviving batch doc are kept trivially; the colliding
+            #    subset resolves its greedy chains per component
+            b2 = surv_bands.select(
+                F.col(self.id_col).alias("b_id"),
+                "band_id",
+                "band_hash",
+            )
+            edges = (
+                surv_bands.withColumnRenamed(self.id_col, "a_id")
+                .join(b2, ["band_id", "band_hash"])
+                .where(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id")
+                .distinct()
+            ).persist()
+            colliding = (
+                edges.select(F.col("a_id").alias(self.id_col))
+                .unionByName(
+                    edges.select(F.col("b_id").alias(self.id_col))
+                )
+                .distinct()
+            )
+            trivially_kept = (
+                surv_bands.select(self.id_col).distinct()
+                .join(colliding, self.id_col, "left_anti")
+            )
+            n_edges = edges.count()
+            if n_edges == 0:
+                greedy_kept = empty_ids
+            else:
+                greedy_kept = self._greedy_components(
+                    edges, n_edges, surv_bands
+                )
+            # docs with no bands at all (empty/short text: all-NULL
+            # signatures) can never collide — always kept
+            bandless = docs.select(self.id_col).join(
+                bands.select(self.id_col).distinct(),
+                self.id_col, "left_anti",
+            )
+            kept_ids = (
+                trivially_kept.unionByName(greedy_kept)
+                .unionByName(bandless)
+            )
+            new_bands = surv_bands.join(kept_ids, self.id_col,
+                                        "left_semi")
+        kept_ids = kept_ids.persist()
+        (
+            new_bands.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.bands_path)
+        )
+        (
+            kept_ids.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.kept_path)
+        )
+        kept_ids.unpersist(blocking=False)
+        if bands is not None:
+            for df in (bands, surv_bands, edges):
+                df.unpersist(blocking=False)
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+    def kept(self) -> DataFrame:
+        """(id_col, batch_id) of every document kept so far."""
+        t = read_state_parquet(self.spark, self.kept_path)
+        if t is None:
+            raise ValueError("no batches folded yet")
+        return t.select(self.id_col, "batch_id")

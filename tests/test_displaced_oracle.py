@@ -52,7 +52,7 @@ def test_displaced_set_is_the_expected_rotation():
     # silently drops a NEW gate past the cap fails loudly here
     # (r8: q80_zorder took q22's recorded slot; q22 displaced;
     # q81_heavy_hitters registers past the cap by design)
-    assert len(entrymod.queries()) == 119
+    assert len(entrymod.queries()) == 120
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
@@ -93,6 +93,7 @@ def test_displaced_set_is_the_expected_rotation():
         # r11 wave: past-the-cap by design (displaced replay +
         # check_oracle enforce them like q78+)
         "q129_stream_heavy_hitters", "q130_ivfpq_search",
+        "q131_stream_lsh_dedup",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

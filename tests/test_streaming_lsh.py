@@ -1,0 +1,151 @@
+"""Streaming MinHash-LSH near-dup dedup fold (streaming/lshfold):
+id-ordered chunked folds must equal the single-batch fold exactly
+(same keep-first greedy over the same order), verbatim copies always
+drop against the manifest, within-batch greedy chains resolve exactly
+(A~B, B~C, A!~C keeps A and C), replay of a trigger is idempotent,
+and band-less (empty/short) documents are always kept."""
+
+from __future__ import annotations
+
+import pytest
+
+from shotit_worker_spark.streaming.lshfold import LshDedupFolder
+
+
+def _corpus(spark, n=120, seed=13):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(220)]
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(6, 18))
+        rows.append(
+            (i, " ".join(vocab[int(j)]
+                         for j in rng.integers(0, len(vocab), k)))
+        )
+    # verbatim copies of the first 15 docs, landing at high ids
+    for i in range(15):
+        rows.append((100000 + i, rows[i][1]))
+    # near-verbatim: one appended token (high but sub-1.0 jaccard)
+    for i in range(15, 25):
+        rows.append((100000 + i, rows[i][1] + " w0 w1"))
+    # empty + too-short: no shingles, never collide, always kept
+    rows.append((200000, ""))
+    rows.append((200001, "w1 w2"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _kept(folder):
+    return sorted(r["doc_id"] for r in folder.kept().collect())
+
+
+def _fold(spark, df, root, chunks, **kw):
+    import pyspark.sql.functions as F
+
+    folder = LshDedupFolder(spark, root, **kw)
+    bounds = [0, 40, 80, 100000, 10**9][: chunks + 1] if chunks == 4 \
+        else None
+    if bounds is None:
+        folder.foreach_batch(df, 0)
+    else:
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            folder.foreach_batch(
+                df.where((F.col("doc_id") >= lo)
+                         & (F.col("doc_id") < hi)), i)
+    return folder
+
+
+def test_stream_fold_equals_single_batch(spark, tmp_root):
+    df = _corpus(spark)
+    chunked = _fold(spark, df, str(tmp_root / "lsh_c"), 4)
+    single = _fold(spark, df, str(tmp_root / "lsh_s"), 1)
+    got, want = _kept(chunked), _kept(single)
+    assert got == want
+    # verbatim copies (identical signature => every band collides)
+    # all dropped; their originals kept
+    assert all(100000 + i not in got for i in range(15))
+    assert all(i in got for i in range(15))
+    # band-less docs always kept
+    assert 200000 in got and 200001 in got
+    # sanity: some docs were actually deduped, most kept
+    assert 120 <= len(got) < 147
+
+
+def test_within_batch_greedy_chain(spark, tmp_root):
+    # A~B and B~C by construction, A!~C: greedy keeps A, drops B
+    # (collides kept A), keeps C (B was not kept; C shares no band
+    # with A) — the rule a drop-any-collider implementation gets wrong
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = a + " iota kappa lambda mu nu xi omicron pi"
+    c = "iota kappa lambda mu nu xi omicron pi rho sigma tau phi"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    folder = LshDedupFolder(
+        spark, str(tmp_root / "lsh_chain"), num_hashes=32, num_bands=16,
+    )
+    folder.foreach_batch(df, 0)
+    kept = _kept(folder)
+    assert 1 in kept
+    if kept == [1, 3]:
+        # the intended chain shape: B collided both ways
+        assert 2 not in kept
+    else:
+        # banding is probabilistic for non-verbatim text: whatever it
+        # decided, it must match the single-batch greedy semantics,
+        # which a 3-doc oracle can state directly — recompute edges
+        from shotit_worker_spark.operators.dedup import (
+            minhash_band_table,
+            minhash_signatures,
+        )
+
+        bands = minhash_band_table(
+            minhash_signatures(df, num_hashes=32, shingle_n=3), 16,
+        )
+        rows = bands.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add(
+                (r["band_id"], r["band_hash"]))
+        kept_hashes, want = set(), []
+        for did in (1, 2, 3):
+            if by_doc.get(did, set()) & kept_hashes:
+                continue
+            kept_hashes |= by_doc.get(did, set())
+            want.append(did)
+        assert kept == want
+
+
+def test_replay_idempotent(spark, tmp_root):
+    import pyspark.sql.functions as F
+
+    df = _corpus(spark, seed=29)
+    folder = LshDedupFolder(spark, str(tmp_root / "lsh_rp"))
+    parts = [
+        df.where(F.col("doc_id") < 50),
+        df.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100000)),
+        df.where(F.col("doc_id") >= 100000),
+    ]
+    folder.foreach_batch(parts[0], 0)
+    folder.foreach_batch(parts[1], 1)
+    snap = _kept(folder)
+    folder.foreach_batch(parts[1], 1)  # checkpoint replay
+    assert _kept(folder) == snap
+    folder.foreach_batch(parts[2], 2)
+    final = _kept(folder)
+    # copies of docs kept in earlier triggers must drop cross-batch
+    kept_set = set(final)
+    for i in range(15):
+        if i in kept_set:
+            assert 100000 + i not in kept_set
+
+
+def test_guards(spark, tmp_root):
+    with pytest.raises(ValueError, match="num_hashes"):
+        LshDedupFolder(spark, "x", num_hashes=1)
+    with pytest.raises(ValueError, match="num_bands"):
+        LshDedupFolder(spark, "x", num_bands=0)
+    f = LshDedupFolder(spark, str(tmp_root / "lsh_none"))
+    with pytest.raises(ValueError, match="no batches"):
+        f.kept()
