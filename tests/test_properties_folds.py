@@ -198,3 +198,77 @@ def test_funnelfold_lateness_any_order_equals_batch(
         for r in folder.counts().collect()
     )
     assert got == want
+
+
+# --- r11: LshDedupFolder vs the single-batch fold under random
+# corpora and random id-ordered chunkings (the fold's documented
+# batching-invariance: any split along the id order must produce
+# exactly the single-batch kept set)
+
+_lsh_docs = st.lists(
+    st.tuples(
+        st.integers(0, 400),                     # doc id pool (dups ok)
+        st.integers(0, 6),                       # text template
+        st.integers(0, 3),                       # mutation
+    ),
+    min_size=4,
+    max_size=24,
+).map(
+    lambda rows: sorted(
+        {did: (did, t, m) for did, t, m in rows}.values()
+    )
+)
+
+_lsh_cuts = st.sets(st.integers(1, 399), min_size=0, max_size=3)
+
+
+def _lsh_text(t: int, m: int) -> str:
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs again today",
+        "how vexingly quick daft zebras jump over fences now",
+        "sphinx of black quartz judge my vow once more kindly",
+        "the quick brown fox jumps over the lazy dog tonight",  # dup of 0
+        "",                                                     # bandless
+        "tiny doc",                                             # bandless
+    ][t]
+    if m and base:
+        base = base + f" extra{m % 2}"
+    return base
+
+
+@given(docs=_lsh_docs, cuts=_lsh_cuts)
+@spark_settings
+def test_lshfold_chunked_equals_single_batch(spark, tmp_path_factory,
+                                             docs, cuts):
+    from shotit_worker_spark.streaming.lshfold import LshDedupFolder
+
+    rows = [(did, _lsh_text(t, m)) for did, t, m in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bounds = [0] + sorted(cuts) + [500]
+    root = str(tmp_path_factory.mktemp("lshprop") / uuid.uuid4().hex[:8])
+    chunked = LshDedupFolder(spark, root + "_c", num_hashes=16,
+                             num_bands=8)
+    i = 0
+    import pyspark.sql.functions as F
+
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        chunked.foreach_batch(chunk, i)
+        i += 1
+    single = LshDedupFolder(spark, root + "_s", num_hashes=16,
+                            num_bands=8)
+    single.foreach_batch(df, 0)
+    got = sorted(r["doc_id"] for r in chunked.kept().collect())
+    want = sorted(r["doc_id"] for r in single.kept().collect())
+    assert got == want
+    # verbatim duplicates of template 0 (t=0/t=4, same mutation) can
+    # never BOTH survive
+    by_text = {}
+    for did, text in rows:
+        if text:
+            by_text.setdefault(text, []).append(did)
+    kept = set(got)
+    for text, ids in by_text.items():
+        if len(ids) > 1 and len(text.split()) >= 3:
+            assert len(kept & set(ids)) <= 1, (text, ids)
