@@ -7078,7 +7078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_flac_roundtrip": q76_flac_roundtrip,
         "q77_wav_codecs": q77_wav_codecs,
         "q66_semantic_dedup": q66_semantic_dedup,
-        "q20_vector_norms": q20_vector_norms,
+        "q130_ivfpq_search": q130_ivfpq_search,
         "q21_topk_ip": q21_topk_ip,
         # r8 rotation: q80 (zorder layout, FULL-VALUE oracle) takes
         # q22's recorded slot; the batch knn_join shape stays covered
@@ -7103,7 +7103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_displaced_oracle.py like every prior rotation.
         "q105_interval_join": q105_interval_join,
         "q106_ivf_plan": q106_ivf_plan,
-        "q28_range_join": q28_range_join,
+        # r12 rotation per r11 VERDICT #1: the r11 wave (q128
+        # sessionize-lateness, q129 exact-regime streaming MG, q130
+        # IVF_PQ residual+refine, q131 streaming LSH dedup) moves INTO
+        # the recorded window, displacing redundant-coverage rows:
+        # q28_range_join (~ the q13/q29/q105/q113 join family),
+        # q20_vector_norms (~ the q21/q24/q49 vector family),
+        # q43_fingerprint (~ the q42/q44/q45 text-heuristic family),
+        # q52_simhash (~ the q23/q50/q53/q65/q66 dedup family). All
+        # displaced rows keep the driver-exact replay in
+        # tests/test_displaced_oracle.py.
+        "q128_stream_sessionize_late": q128_stream_sessionize_late,
         "q29_asof_join": q29_asof_join,
         "q30_loader_kernels": q30_loader_kernels,
         "q33_loader_transform": q33_loader_transform,
@@ -7112,7 +7122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_sessionize": q111_sessionize,
         "q112_scd2": q112_scd2,
         "q42_lang_id": q42_lang_id,
-        "q43_fingerprint": q43_fingerprint,
+        "q129_stream_heavy_hitters": q129_stream_heavy_hitters,
         "q44_quality": q44_quality,
         "q45_token_budget": q45_token_budget,
         "q113_bucketed_join": q113_bucketed_join,
@@ -7120,7 +7130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_ivf_recall": q49_ivf_recall,
         "q50_exact_dedup": q50_exact_dedup,
         "q114_expectations": q114_expectations,
-        "q52_simhash": q52_simhash,
+        "q131_stream_lsh_dedup": q131_stream_lsh_dedup,
         "q53_minhash_lsh": q53_minhash_lsh,
         "q127_stream_funnel_late": q127_stream_funnel_late,
         "q115_rolling_features": q115_rolling_features,
@@ -7217,16 +7227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_mutual_info": q120_mutual_info,
         "q122_filtered_ann": q122_filtered_ann,
         "q124_key_skew": q124_key_skew,
-        # r10 wave 2: sessionize-lateness under DISORDERED replay
-        # (q127, its funnel sibling, is recorded; q128 stays past-cap
-        # by design — displaced replay + check_oracle enforce it)
-        "q128_stream_sessionize_late": q128_stream_sessionize_late,
-        # r11 wave: streaming heavy-hitters exact-regime gate +
-        # IVF_PQ invariants gate (past-the-cap by design; displaced
-        # replay + check_oracle enforce them like q78+)
-        "q129_stream_heavy_hitters": q129_stream_heavy_hitters,
-        "q130_ivfpq_search": q130_ivfpq_search,
-        "q131_stream_lsh_dedup": q131_stream_lsh_dedup,
+        # r12: displaced for the q128-q131 rotation (see the note at
+        # q128's slot); each stays under the driver-exact displaced
+        # replay like every prior rotation
+        "q20_vector_norms": q20_vector_norms,
+        "q28_range_join": q28_range_join,
+        "q43_fingerprint": q43_fingerprint,
+        "q52_simhash": q52_simhash,
         # r11: displaced for the q116/q121/q123/q125-q127 rotation
         # (see the note at the top of the recorded window)
         "q04_semi_join": q04_semi_join,

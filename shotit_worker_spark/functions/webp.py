@@ -341,7 +341,10 @@ def _decode_pixels(r: LSBReader, w: int, h: int, level0: bool):
     huff_bits = 0
     n_groups = 1
     if level0 and r.u(1):  # meta-Huffman
-        huff_bits = 3 + r.u(3)
+        # spec: huffman_bits = ReadBits(3) + 2 (same +2 dialect as the
+        # predictor/color-transform size_bits — the r11 libwebp
+        # cross-validation fixed those; r12 ADVICE caught this one)
+        huff_bits = 2 + r.u(3)
         hw = (w + (1 << huff_bits) - 1) >> huff_bits
         hh = (h + (1 << huff_bits) - 1) >> huff_bits
         huff_image = _decode_pixels(r, hw, hh, False)

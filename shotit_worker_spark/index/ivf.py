@@ -81,13 +81,28 @@ def _hash_sample(sel, cap: int, seed: int,
         + (1 << 30)
     ) % (1 << 30)
     try:
-        size = int(
+        raw = (
             sel._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
+            .sizeInBytes()
         )
+        # py4j hands scala.math.BigInt back as a plain Python int;
+        # only fall back to toString() for boxed returns (the old
+        # unconditional .toString() threw AttributeError on every
+        # call, so the estimate was never actually read and the
+        # fallback collected exhaustively — found by the r12 ADVICE
+        # fix's test fallout)
+        size = int(raw) if isinstance(raw, int) else int(raw.toString())
     except Exception:
-        size = 0
-    rate = min(1.0, float(target_bytes) / max(size, 1))
+        size = None
+    if size is None or size <= 0:
+        # stats unavailable: rate=1.0 here would collect() the ENTIRE
+        # corpus — an OOM at exactly the scale this sampling path
+        # exists for (r12 ADVICE). Start conservative and let the 16x
+        # escalation loop converge (<= 8 rescans to exhaustive even
+        # from 1/2^30; tiny corpora just pay a few cheap extra scans).
+        rate = 1.0 / 1024.0
+    else:
+        rate = min(1.0, float(target_bytes) / max(size, 1))
     hcol = sel.withColumn("__h", h)
     while True:
         if rate >= 1.0:

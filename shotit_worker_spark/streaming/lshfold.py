@@ -36,7 +36,27 @@ Each trigger reads only ``batch_id < N`` (partition-pruned), so a
 checkpoint-replayed trigger recomputes from the same pre-state and
 dynamic partition overwrite rewrites its own partitions idempotently.
 The per-trigger collision check is ONE (band_id, band_hash) equi-join
-against the manifest — never O(batch x corpus) pair comparisons.
+against the manifest — never O(batch x corpus) pair comparisons — and
+it probes the manifest DIRECTLY: a left_semi join dedups its build
+side inherently, so there is no pre-``distinct()`` and no aggregate
+Exchange over the accumulated state per trigger (r11 VERDICT #1).
+
+With ``n_buckets`` set, the band manifest is additionally
+hash-partitioned by ``pmod(xxhash64(band_hash), n_buckets)`` (the
+FunnelFolder state-bucketing precedent): equal band hashes land in
+equal buckets, so each trigger's probe partition-prunes the manifest
+scan to the buckets its own bands hash into — O(touched buckets) I/O
+per trigger instead of O(corpus), the right shape when micro-batches
+are small relative to accumulated state. Replay is unaffected: the
+fold recomputes deterministically from ``batch_id < N`` either way.
+
+Maintenance: a long-running stream accrues one ``batch_id=N``
+partition per trigger on both state tables. :meth:`compact_below`
+folds partitions below the stream's committed checkpoint floor into
+the archive partition ``batch_id=-1`` (one atomic swap per table —
+the SessionFolder.compact_closed precedent); never pass a bound
+above the floor, because a replayed trigger would dynamic-overwrite
+its partition and duplicate what the archive absorbed.
 """
 
 from __future__ import annotations
@@ -70,11 +90,14 @@ class LshDedupFolder:
         shingle_n: int = 3,
         text_col: str = "text",
         id_col: str = "doc_id",
+        n_buckets: int | None = None,
     ):
         if num_hashes < 2:
             raise ValueError("num_hashes must be >= 2")
         if not 1 <= num_bands <= num_hashes:
             raise ValueError("num_bands must be in [1, num_hashes]")
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.spark = spark
         self.state_path = state_path
         self.bands_path = os.path.join(state_path, "bands")
@@ -84,6 +107,13 @@ class LshDedupFolder:
         self.shingle_n = shingle_n
         self.text_col = text_col
         self.id_col = id_col
+        # manifest bucketing by band_hash (module docstring): equal
+        # hashes collide only within equal buckets, so probes prune
+        self.n_buckets = n_buckets
+
+    def _bucket(self, col):
+        n = F.lit(self.n_buckets)
+        return ((F.xxhash64(col) % n + n) % n).cast("int")
 
     # colliding-subset size under which components resolve with a
     # driver union-find instead of the distributed min-label rounds —
@@ -149,6 +179,24 @@ class LshDedupFolder:
             _greedy, schema=f"{id_col} long"
         )
 
+    def _probe_hits(self, bands: DataFrame, seen: DataFrame) -> DataFrame:
+        """Batch ids colliding with the kept-band manifest: ONE
+        (band_id, band_hash) left_semi probe. The manifest side is
+        probed DIRECTLY — left_semi dedups its build side inherently,
+        so a pre-``distinct()`` would only add a full-manifest
+        shuffle+aggregate per trigger for identical results (r11
+        VERDICT #1; the no-aggregate-Exchange shape is pinned by
+        tests/test_streaming_lsh.py)."""
+        return (
+            bands.join(
+                seen.select("band_id", "band_hash"),
+                ["band_id", "band_hash"],
+                "left_semi",
+            )
+            .select(self.id_col)
+            .distinct()
+        )
+
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         docs = batch_df.select(self.id_col, self.text_col)
@@ -171,19 +219,24 @@ class LshDedupFolder:
             # 1) cross-batch: collide against the KEPT manifest of
             #    earlier triggers only (partition-pruned by batch_id —
             #    this is also what makes a replayed trigger recompute
-            #    from its exact pre-state)
+            #    from its exact pre-state — and, when bucketed, by
+            #    the batch's own touched band_hash buckets)
             seen = read_state_parquet(spark, self.bands_path)
             if seen is not None:
                 seen = seen.where(F.col("batch_id") < F.lit(bid))
-                hit = (
-                    bands.join(
-                        seen.select("band_id", "band_hash").distinct(),
-                        ["band_id", "band_hash"],
-                        "left_semi",
-                    )
-                    .select(self.id_col)
-                    .distinct()
-                )
+                if self.n_buckets is not None:
+                    # bounded driver list (<= n_buckets ints): prune
+                    # the manifest scan to the buckets this batch's
+                    # bands hash into — O(touched) I/O, not O(corpus)
+                    touched = [
+                        r[0]
+                        for r in bands.select(
+                            self._bucket(F.col("band_hash"))
+                            .alias("__b")
+                        ).distinct().collect()
+                    ]
+                    seen = seen.where(F.col("bucket").isin(touched))
+                hit = self._probe_hits(bands, seen)
                 surv_bands = bands.join(hit, self.id_col, "left_anti")
             else:
                 surv_bands = bands
@@ -234,11 +287,20 @@ class LshDedupFolder:
             new_bands = surv_bands.join(kept_ids, self.id_col,
                                         "left_semi")
         kept_ids = kept_ids.persist()
+        bands_out = new_bands.withColumn("batch_id", F.lit(bid))
+        band_parts = ["batch_id"]
+        if self.n_buckets is not None:
+            # bucket outermost so a bucket's history co-locates under
+            # one directory (compact_below folds within it) while the
+            # probe prunes on BOTH partition columns
+            bands_out = bands_out.withColumn(
+                "bucket", self._bucket("band_hash")
+            ).repartition("bucket")
+            band_parts = ["bucket", "batch_id"]
         (
-            new_bands.withColumn("batch_id", F.lit(bid))
-            .write.mode("overwrite")
+            bands_out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy(*band_parts)
             .parquet(self.bands_path)
         )
         (
@@ -255,6 +317,68 @@ class LshDedupFolder:
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch
+
+    def compact_below(self, below_batch_id: int) -> dict:
+        """Fold ``batch_id`` partitions with ``0 <= batch_id <
+        below_batch_id`` of BOTH state tables into the archive
+        partition ``batch_id=-1`` (one atomic swap per table —
+        plans/maintenance.swap_into, the SessionFolder.compact_closed
+        precedent: a crash leaves either the original layout or the
+        complete compacted one). ONLY pass a bound at or below the
+        stream's committed checkpoint floor: a trigger at-or-above it
+        can still be replayed and would rewrite its partition,
+        duplicating whatever the archive absorbed. The archive keeps
+        satisfying every probe's ``batch_id < N`` pre-state filter
+        (-1 < any N), so folding continues unchanged over compacted
+        state. Returns per-table {archived_rows, partitions_before,
+        partitions_after}."""
+        import uuid
+
+        from ..plans.maintenance import swap_into
+
+        out = {}
+        for name, path, parts in (
+            (
+                "bands",
+                self.bands_path,
+                ["bucket", "batch_id"]
+                if self.n_buckets is not None
+                else ["batch_id"],
+            ),
+            ("kept", self.kept_path, ["batch_id"]),
+        ):
+            t = read_state_parquet(self.spark, path)
+            if t is None:
+                out[name] = {"archived_rows": 0,
+                             "partitions_before": 0,
+                             "partitions_after": 0}
+                continue
+            p_before = t.select("batch_id").distinct().count()
+            arch = F.when(
+                (F.col("batch_id") >= 0)
+                & (F.col("batch_id") < F.lit(int(below_batch_id))),
+                F.lit(-1),
+            ).otherwise(F.col("batch_id"))
+            rewritten = t.withColumn("batch_id", arch)
+            n_arch = int(
+                rewritten.where(F.col("batch_id") == -1).count()
+            )
+            tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+            (
+                rewritten.repartition(*[F.col(c) for c in parts])
+                .write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(tmp)
+            )
+            swap_into(path, tmp)
+            p_after = (
+                self.spark.read.parquet(path)
+                .select("batch_id").distinct().count()
+            )
+            out[name] = {"archived_rows": n_arch,
+                         "partitions_before": int(p_before),
+                         "partitions_after": int(p_after)}
+        return out
 
     def kept(self) -> DataFrame:
         """(id_col, batch_id) of every document kept so far."""

@@ -566,7 +566,13 @@ class SessionFolder:
                     )
                 ),
             ).otherwise(prefix)
-            pend2 = F.concat(collapsed, tail)
+            # re-sort: a batch of only-older events REGRESSES the
+            # horizon, and then a collapsed partial (small s, e >= new
+            # cut) lands in `tail` while later-starting raw partials
+            # with e < cut land in `prefix` — concat order alone would
+            # persist pend out of s-order, and stats()/_segment_partials
+            # require sorted input (r12 ADVICE)
+            pend2 = F.array_sort(F.concat(collapsed, tail))
         folded = staged.select(
             "user",
             F.col("__fin"),

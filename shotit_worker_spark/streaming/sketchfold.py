@@ -117,7 +117,6 @@ class HeavyHittersFolder:
 
         if self._last_bid is not None and int(batch_id) == self._last_bid:
             return
-        self._last_bid = int(batch_id)
         rows = _SK.heavy_hitters(
             batch_df, self.col, self.k
         ).collect()
@@ -136,6 +135,11 @@ class HeavyHittersFolder:
                 for t, c in self.counters.items()
                 if c - cut > 0
             }
+        # mark applied only AFTER the merge succeeded (QuantileFolder
+        # discipline): a throw above leaves the batch retryable instead
+        # of silently dropped — dropping would break the
+        # undercount-only guarantee the replay guard protects
+        self._last_bid = int(batch_id)
 
     def estimates(self) -> dict:
         """term -> estimated count (each underestimates its true

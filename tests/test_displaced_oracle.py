@@ -84,16 +84,13 @@ def test_displaced_set_is_the_expected_rotation():
         "q26_pivot", "q27_percentiles", "q35_session",
         "q40_doc_stats", "q41_top_terms", "q46_hash_split",
         "q51_ngram_jaccard", "q55_repetition",
-        # r10 wave remnant: q128 stays past-cap by design (r11 moved
-        # q125/q126/q127 into the recorded window)
-        "q128_stream_sessionize_late",
         # r11: displaced for the q116/q121/q123/q125-q127 rotation
         "q04_semi_join", "q25_srp_near_dup", "q54_simhash_pairs",
         "q63_ngram_lm", "q69_learned_rerank", "q70_url_canonical",
-        # r11 wave: past-the-cap by design (displaced replay +
-        # check_oracle enforce them like q78+)
-        "q129_stream_heavy_hitters", "q130_ivfpq_search",
-        "q131_stream_lsh_dedup",
+        # r12: displaced for the q128-q131 rotation (the whole r11
+        # wave is now recorded)
+        "q20_vector_norms", "q28_range_join", "q43_fingerprint",
+        "q52_simhash",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

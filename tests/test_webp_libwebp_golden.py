@@ -128,10 +128,19 @@ def test_our_fixture_encoder_is_spec_compliant_under_libwebp():
         "palette": WENC.encode_vp8l(pal_img, palette=True),
         "cache_lz77": WENC.encode_vp8l(pal_img, cache_bits=4,
                                        lz77=True),
+        # meta-Huffman (entropy image) cases: the one header field the
+        # r11 compliance set never exercised — exactly where the shared
+        # "+3 size_bits" typo survived its fix (r12 ADVICE)
+        "meta": WENC.encode_vp8l(rgb, meta_bits=4),
+        "meta_min": WENC.encode_vp8l(rgb, meta_bits=2),
+        "meta_combo": WENC.encode_vp8l(rgb, subtract_green=True,
+                                       cache_bits=4, lz77=True,
+                                       meta_bits=3),
     }
     for name, data in cases.items():
         theirs = _libwebp_decode_rgb(data)
-        src_img = pal_img if name in ("palette", "cache_lz77") else rgb
+        src_img = (pal_img if name in ("palette", "cache_lz77")
+                   else rgb)
         assert theirs.shape == src_img.shape, name
         assert np.array_equal(theirs, src_img), name
         # and our decoder agrees (round-trip already pinned elsewhere)
@@ -158,6 +167,20 @@ def _rasters():
     photo = (grad.astype(np.int32)
              + rng.integers(-12, 13, grad.shape)).clip(0, 255)
     yield "photo", photo.astype(np.uint8)
+    # large raster with regionally DISTINCT statistics: big enough
+    # (and varied enough) that libwebp's encoder emits an entropy
+    # image (meta-Huffman) — the sub-64x64 rasters above never do,
+    # which is how the meta-Huffman "+3" dialect typo survived the
+    # r11 compliance sweep (r12 ADVICE)
+    big = np.empty((192, 256, 3), dtype=np.uint8)
+    by, bx = np.mgrid[0:192, 0:256]
+    big[..., 0] = (by * 2) % 256
+    big[..., 1] = (bx * 3) % 256
+    big[..., 2] = ((by + bx) * 2) % 256
+    big[:96, :128] = rng.integers(0, 256, (96, 128, 3))  # noise quad
+    pal8 = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    big[96:, 128:] = pal8[rng.integers(0, 8, (96, 128))]  # palette quad
+    yield "regions_big", big
 
 
 def test_libwebp_encoded_streams_decode_losslessly():

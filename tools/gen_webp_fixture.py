@@ -258,8 +258,10 @@ def _write_image_stream(w: LSBWriter, px: list[int], xsize: int,
     n_groups = 1
     if level0:
         if meta_bits:
+            if not 2 <= meta_bits <= 9:
+                raise ValueError("meta_bits must be in [2, 9]")
             w.u(1, 1)
-            w.u(meta_bits - 3, 3)
+            w.u(meta_bits - 2, 3)  # spec: ReadBits(3) + 2
             hw = (xsize + (1 << meta_bits) - 1) >> meta_bits
             hh = (ysize + (1 << meta_bits) - 1) >> meta_bits
             meta_px = []
