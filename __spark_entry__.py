@@ -163,12 +163,16 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-agg → global top-k (TakeOrderedAndProject)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # exact-cents revenue (r12 canon sweep: same money-sum shape as
+    # q01/q02/q113 — order-exact long sum, one division at the end)
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-        )
+        .agg((F.sum(rev_c) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -319,10 +323,14 @@ def q16_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("q_thresh")
     )
+    # the threshold avg is over integer-valued quantities (sums of
+    # integers are order-exact in double), so only the money sum needs
+    # the exact-cents treatment (r12 canon sweep: 4e7 magnitude)
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.join(thresh, "l_partkey")
         .filter(F.col("l_quantity") < F.col("q_thresh"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg((F.sum(ep_c) / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -381,14 +389,21 @@ def q18_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate (string predicates + broadcast dim join)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact-cents numerator AND denominator (r12 canon sweep: the
+    # ratio is small but both operand sums are ~1e9-magnitude raw
+    # double sums — long sums make the division deterministic)
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    zero = F.lit(0).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             (
-                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                F.sum(F.when(F.col("p_type").like("PROMO%"), rev_c).otherwise(zero))
                 * 100.0
-                / F.sum(rev)
+                / F.sum(rev_c)
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_items"),
         )
@@ -398,9 +413,15 @@ def q18_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping over two keys (all 4 grouping sets)."""
     orders = _t(spark, sf_dir, "orders")
+    # exact-cents sum (r12 canon sweep: the all-rows cube cell is a
+    # 3.8e9-magnitude money sum — the q113-flake shape)
+    tp_c = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(tp_c) / F.lit(100.0)).alias("sum_price"),
+        )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
 
@@ -412,10 +433,12 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide-to-long shuffle gymnastics."""
     orders = _t(spark, sf_dir, "orders")
     pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    # exact-cents per-cell sums (r12 canon sweep: 2.6e8 magnitude)
+    tp_c = F.round(F.col("o_totalprice") * 100).cast("long")
     out = (
         orders.groupBy("o_orderstatus")
         .pivot("o_orderpriority", pri)
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(tp_c) / F.lit(100.0))
         .orderBy("o_orderstatus")
     )
     renames = {p: f"sum_p{p[0]}" for p in pri}
@@ -7588,7 +7611,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_top_revenue_orders": """
             SELECT o_orderkey, o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       / 10000.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_orderpriority
             ORDER BY revenue DESC, o_orderkey ASC
@@ -7690,27 +7715,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_custkey, o_orderkey
         """,
         "q18_promo_revenue": """
+            WITH c AS (
+                SELECT p_type,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       AS rev_c
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
             SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END) * 100.0
-                   / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct,
+                            THEN rev_c ELSE 0 END) * 100.0
+                   / sum(rev_c) AS promo_revenue_pct,
                    count(*) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
+            FROM c
         """,
         "q19_cube": """
             SELECT o_orderstatus, o_orderpriority,
-                   count(*) AS n_orders, sum(o_totalprice) AS sum_price
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   / 100.0 AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
         """,
         "q26_pivot": """
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS "sum_p1",
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS "sum_p2",
-                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS "sum_p3",
-                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS "sum_p4",
-                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS "sum_p5"
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS "sum_p1",
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS "sum_p2",
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS "sum_p3",
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS "sum_p4",
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS "sum_p5"
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "q27_percentiles": """
@@ -7749,7 +7782,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "q16_avg_quantity_filter": """
-            SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+            SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   / 100.0 / 7.0 AS avg_yearly
             FROM lineitem l
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
                   FROM lineitem GROUP BY l_partkey) t

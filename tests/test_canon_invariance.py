@@ -32,7 +32,14 @@ from check_oracle import canon_rows  # noqa: E402
 SF_GATE = "/root/testdata/sf0.01"
 
 SWEPT = ["q01_pricing_summary", "q02_revenue_by_nation",
-         "q113_bucketed_join"]
+         "q113_bucketed_join",
+         # r12: the full-surface sweep (tools/canon_sweep.py over all
+         # 120 at sf0.01) flagged these displaced money-sum rows at
+         # >= 1e7 magnitude (q19 3.8e9, q26 2.6e8, q16 4.1e7); q03 and
+         # q18 are the same shape at smaller magnitude today and were
+         # named by the r11 VERDICT — all five now sum exact cents
+         "q03_top_revenue_orders", "q16_avg_quantity_filter",
+         "q18_promo_revenue", "q19_cube", "q26_pivot"]
 
 
 def _canon(spark, name):
