@@ -429,6 +429,8 @@ def rebuild_if_drifted(
     residual_ratio: float = 1.5,
     max_imbalance: float = 8.0,
     id_col: str | None = None,
+    byte_budget_per_vec: float | None = None,
+    near_dup_dense: bool = False,
     **build_kwargs,
 ):
     """Check drift; when past threshold, rebuild the index IN PLACE
@@ -439,10 +441,17 @@ def rebuild_if_drifted(
     Build parameters default to the current layout (nlist, n_assign,
     quantize mode — or nlist/m for an IVF_PQ index, rebuilt via
     build_ivfpq from codebook-reconstructed vectors when the float
-    column was dropped); override via ``build_kwargs``. A multi-assign
-    layout replicates rows, so ``id_col`` is required then to fold
-    replicas before re-assigning. The rebuild writes to a sibling temp
-    dir and swaps, the compact_parquet_table crash posture."""
+    column was dropped); override via ``build_kwargs``. With
+    ``byte_budget_per_vec`` set, the rebuild instead RE-CHOOSES the
+    family through index.family.plan_index_family (the r11 measured
+    decision rule: SQ8 beats PQ+refine unless bytes dominate) sized
+    to the corpus as it is NOW — so a drift-rebuild cron picks up
+    both fresh centroids and the right family/nlist as the corpus
+    grows; the chosen plan lands in ``report["plan"]``. A
+    multi-assign layout replicates rows, so ``id_col`` is required
+    then to fold replicas before re-assigning. The rebuild writes to
+    a sibling temp dir and swaps, the compact_parquet_table crash
+    posture."""
     from pyspark.sql import functions as F
 
     report = ivf_drift(spark, index, residual_ratio, max_imbalance)
@@ -491,7 +500,23 @@ def rebuild_if_drifted(
     # these rows and nothing may re-read the directory being replaced
     # (cache() could evict and recompute; localCheckpoint cannot)
     rows = rows.localCheckpoint(eager=True)
-    new_index = _builder(rows, tmp, **params)
+    if byte_budget_per_vec is not None:
+        from ..index.family import build_planned, plan_index_family
+
+        plan = plan_index_family(
+            dim=int(index.centroids.shape[1]),
+            n=int(rows.count()),  # post-checkpoint: no recompute
+            byte_budget_per_vec=byte_budget_per_vec,
+            near_dup_dense=near_dup_dense,
+        )
+        report["plan"] = plan
+        new_index = build_planned(
+            rows, tmp, plan, vec_col=index.vec_col,
+            **{k: v for k, v in build_kwargs.items()
+               if k not in ("nlist", "quantize", "m")},
+        )
+    else:
+        new_index = _builder(rows, tmp, **params)
     swap_into(index.path, tmp)
     new_index.path = index.path
     new_index.save_meta(spark)

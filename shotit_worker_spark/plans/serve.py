@@ -59,10 +59,15 @@ class ResidentSearcher:
         tie_col: str | None = "primary_key",
     ) -> "ResidentSearcher":
         """Serve an index built by a PREVIOUS session: reopen from the
-        sidecar (IVFIndex.open — no refit) and hold it resident. This is
-        the real serving boot path: the index job and the serving tier
-        are different applications."""
-        return cls(spark, IVFIndex.open(spark, path), id_col, tie_col)
+        sidecar (no refit) and hold it resident. This is the real
+        serving boot path: the index job and the serving tier are
+        different applications. Family-dispatching (index.family.
+        open_index): an IVF_PQ sidecar boots an IVFPQIndex — both
+        families share the load/probe_ids/_scored serving interface,
+        so the chooser's output serves through the same tier."""
+        from ..index.family import open_index
+
+        return cls(spark, open_index(spark, path), id_col, tie_col)
 
     def warm(self) -> int:
         """Materialize the cache; returns row count (one full pass)."""

@@ -1,0 +1,150 @@
+"""Round-12 stress: LshDedupFolder at 10M docs (r11 VERDICT next #3).
+
+Every other fold has a 10M SCALE_NOTES row; the LSH fold shipped in
+r11 without one. This folds a near-dup-dense corpus through
+LshDedupFolder in 4 triggers of 2.5M docs and records per-trigger
+wall, band-manifest state bytes, and edge counts, with:
+
+- ~10% verbatim duplicates pointing at per-kilo-block base docs
+  (cross- and within-trigger dedup pressure at volume), and
+- ONE planted HOT BAND: 5000 verbatim copies of a single novel doc
+  inside trigger 2 — the within-batch case the r11 VERDICT flagged
+  as O(c^2) in the pairwise candidate self-join (5000 copies = 100M
+  pair rows). The star-edge rewrite (streaming/lshfold.py: bucket-min
+  -> member, same components, O(c) rows) is what this stress
+  validates: trigger 2 must not blow up, and EXACTLY ONE of the
+  5000 hot docs may survive.
+
+Then compact_below() folds the per-trigger partitions and the kept
+set must be byte-identical before/after.
+
+Text is generated entirely JVM-side (deterministic word ids from
+the base-doc id), so the stress measures the fold, not Python UDFs.
+
+Usage: python tools/scale_stress_r12.py [n_rows] [n_buckets]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+from shotit_worker_spark.streaming.lshfold import LshDedupFolder  # noqa: E402
+
+HOT_COPIES = 5_000
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def corpus(spark, n: int):
+    """(doc_id, text): ~10% verbatim copies of kilo-block base docs,
+    plus HOT_COPIES verbatim copies of doc hot0 = 2*(n//4) (trigger
+    2's first id) planted INSIDE trigger 2."""
+    doc = F.col("id")
+    hot0 = 2 * (n // 4)
+    base = (
+        F.when(
+            (doc >= hot0) & (doc < hot0 + HOT_COPIES), F.lit(hot0)
+        )
+        .when(doc % 10 == 7, (doc / 1000).cast("long") * 1000)
+        .otherwise(doc)
+    )
+    # word ids need REAL mixing: an affine formula (base*31 + j*c)
+    # makes shifted word sequences coincide across bases (docs at
+    # fixed base offsets share 11 of 12 words), turning the whole
+    # corpus into one near-dup chain — xxhash64(base, j) keeps
+    # distinct bases' shingle sets disjoint with overwhelming
+    # probability, so dedup pressure is exactly the planted 10% + hot
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base, j), F.lit(200003)).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        doc.alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark("lsh-stress-r12", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="lsh10m-")
+    try:
+        df = corpus(spark, n)
+        folder = LshDedupFolder(
+            spark, os.path.join(root, "state"), num_hashes=32,
+            num_bands=8, n_buckets=n_buckets,
+        )
+        chunk = n // 4
+        hot0 = 2 * chunk
+        t_all = time.time()
+        for i in range(4):
+            lo, hi = i * chunk, (i + 1) * chunk
+            part = df.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            t0 = time.time()
+            folder.foreach_batch(part, i)
+            dt = time.time() - t0
+            sb = _dir_bytes(folder.bands_path)
+            print(
+                f"trigger {i}: {chunk} docs in {dt:.1f}s "
+                f"({chunk / dt / 1e6:.2f}M docs/s), "
+                f"band-state {sb / 1e6:.1f} MB",
+                flush=True,
+            )
+        wall = time.time() - t_all
+        kept = folder.kept().persist()
+        n_kept = kept.count()
+        hot_kept = kept.where(
+            (F.col("doc_id") >= hot0)
+            & (F.col("doc_id") < hot0 + HOT_COPIES)
+        ).count()
+        print(f"total: {n} docs in {wall:.1f}s = "
+              f"{n / wall / 1e6:.2f}M docs/s; kept {n_kept}")
+        print(f"hot band: {hot_kept} of {HOT_COPIES} verbatim copies "
+              f"kept (MUST be 1)")
+        assert hot_kept == 1, hot_kept
+        # duplicate pressure sanity: every id%10==7 doc is a verbatim
+        # copy of its kilo-block base, so ~10% of the corpus (minus
+        # the bases themselves) must have been dropped
+        assert n_kept < n * 0.95, n_kept
+        kept_ids_before = {
+            r[0] for r in kept.select("doc_id").collect()
+        } if n <= 2_000_000 else None
+        kept.unpersist()
+        t0 = time.time()
+        rep = folder.compact_below(4)
+        print(f"compact_below(4): {time.time() - t0:.1f}s -> {rep}")
+        assert rep["kept"]["partitions_after"] == 1
+        if kept_ids_before is not None:
+            after = {r[0] for r in folder.kept().collect()}
+            assert after == kept_ids_before
+            print("kept set identical post-compaction")
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
