@@ -6799,7 +6799,11 @@ def q131_stream_lsh_dedup(
       replay) leaves the kept set unchanged (partition-pruned state
       read + dynamic partition overwrite);
     - 4_bandless_kept: planted empty/short documents (no shingles,
-      all-NULL signatures) are always kept.
+      all-NULL signatures) are always kept;
+    - 5_compacted_noop (r12): with the band_hash-bucketed manifest
+      (n_buckets=8 — the partition-pruned probe path), folding the
+      sub-checkpoint-floor batch_id partitions into the archive via
+      compact_below leaves the kept set identical.
     Fresh private state dir per call."""
     import shutil
     import tempfile
@@ -6823,7 +6827,7 @@ def q131_stream_lsh_dedup(
     _Q131_LAST_DIR = tempfile.mkdtemp(prefix="q131lsh_")
     folder = LshDedupFolder(
         spark, os.path.join(_Q131_LAST_DIR, "state"),
-        num_hashes=32, num_bands=8,
+        num_hashes=32, num_bands=8, n_buckets=8,
     )
     folder.foreach_batch(docs, 0)
     snap = {r["doc_id"] for r in folder.kept().collect()}
@@ -6831,6 +6835,8 @@ def q131_stream_lsh_dedup(
     replay_ok = {r["doc_id"] for r in folder.kept().collect()} == snap
     folder.foreach_batch(copies.unionByName(empties), 1)
     kept = {r["doc_id"] for r in folder.kept().collect()}
+    rep = folder.compact_below(1)  # archive trigger 0 (< floor)
+    kept_after = {r["doc_id"] for r in folder.kept().collect()}
     min_id = docs.agg(F.min("doc_id")).collect()[0][0]
     rows = [
         ("1_copies_dropped",
@@ -6839,6 +6845,8 @@ def q131_stream_lsh_dedup(
         ("2_min_id_kept", min_id in kept),
         ("3_replay_noop", bool(replay_ok)),
         ("4_bandless_kept", 999998 in kept and 999999 in kept),
+        ("5_compacted_noop",
+         kept_after == kept and rep["bands"]["archived_rows"] > 0),
     ]
     return spark.createDataFrame(
         rows, "invariant string, ok boolean"
@@ -6937,6 +6945,103 @@ def q130_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("1_code_bytes_planned", bool(bytes_ok)),
         ("2_selfretrieval_rerank", bool(self_ok)),
         ("3_rerank_recall_floor", bool(recall_ok)),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
+_Q132_CACHE: dict = {}
+
+
+def q132_index_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-family chooser gate (index/family.plan_index_family +
+    build_planned/open_index + the plans/serve dispatch). The
+    reference delegates the family choice to Milvus and pins IVF_SQ8
+    (loader.js:329-335); this engine has three families, and the r11
+    1M measurements fixed the rule (SCALE_NOTES Round 11: SQ8 0.933
+    recall at 1 byte/dim BEATS PQ+SQ8-refine's 0.842 at m+dim bytes;
+    PQ-alone is the sub-byte/dim point and collapses on
+    near-duplicate-dense data). Invariants, end-to-end on the corpus
+    embeddings:
+
+    - 1_flat_unconstrained: no budget -> raw vectors (4 bytes/dim);
+    - 2_sq8_at_byte_per_dim: budget = dim -> SQ8, sized by plan_ivf;
+    - 3_refine_loses_on_bytes: an ADC-narrowing request whose m+dim
+      payload busts the budget falls back to SQ8 (the measured rule:
+      refine stores MORE and ranks worse);
+    - 4_pq_subbyte_warns: a sub-byte/dim budget picks PQ-alone with
+      m within budget and dividing dim, and the near-dup-dense
+      warning fires exactly there;
+    - 5_dispatch_sq8_serves: the chosen SQ8 plan BUILDS via
+      build_planned, REOPENS family-dispatched (open_index), and
+      SERVES through ResidentSearcher.open — self-retrieval of a
+      normalized corpus vector at full probe returns itself with
+      score 1.0 within SQ8 quantization error."""
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.index.family import (
+        build_planned,
+        open_index,
+        plan_index_family,
+    )
+    from shotit_worker_spark.plans.serve import ResidentSearcher
+
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    )
+    cached = _Q132_CACHE.get(sf_dir)
+    if cached is None:
+        n = nemb.count()
+        dim = len(nemb.select("vector").first()["vector"])
+        plan = plan_index_family(dim, n, byte_budget_per_vec=dim)
+        d = tempfile.mkdtemp(prefix="q132fam_")
+        build_planned(nemb, d + "/index", plan, vec_col="vector")
+        cached = _Q132_CACHE[sf_dir] = (d + "/index", plan, n, dim)
+    path, plan, n, dim = cached
+    reopened = open_index(spark, path)
+    srv = ResidentSearcher.open(
+        spark, path, id_col="vec_id", tie_col="vec_id"
+    )
+    try:
+        q0 = np.asarray(
+            nemb.filter(F.col("vec_id") == 0).first()["vector"]
+        )
+        top = srv.search(q0, k=1, nprobe=plan["nlist"]).first()
+    finally:
+        srv.close()
+    p_flat = plan_index_family(dim, n)
+    p_refine = plan_index_family(
+        dim, n, byte_budget_per_vec=dim + 1, want_adc_narrowing=True
+    )
+    sub = max(1, dim // 8)
+    p_pq = plan_index_family(
+        dim, n, byte_budget_per_vec=sub, near_dup_dense=True
+    )
+    from shotit_worker_spark.index.ivf import plan_ivf as _plan_ivf
+
+    rows = [
+        ("1_flat_unconstrained",
+         p_flat["family"] == "ivf_flat"
+         and p_flat["bytes_per_vec"] == 4 * dim
+         and p_flat["warning"] is None),
+        ("2_sq8_at_byte_per_dim",
+         plan["family"] == "ivf_sq8"
+         and plan["bytes_per_vec"] == dim
+         and plan["nlist"] == _plan_ivf(n)["nlist"]),
+        ("3_refine_loses_on_bytes", p_refine["family"] == "ivf_sq8"),
+        ("4_pq_subbyte_warns",
+         p_pq["family"] == "ivf_pq"
+         and p_pq["m"] <= sub
+         and dim % p_pq["m"] == 0
+         and bool(p_pq["warning"])),
+        ("5_dispatch_sq8_serves",
+         reopened.mins is not None
+         and top is not None
+         and int(top["vec_id"]) == 0
+         and float(top["score"]) > 0.98),
     ]
     return spark.createDataFrame(
         rows, "invariant string, ok boolean"
@@ -7250,6 +7355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_mutual_info": q120_mutual_info,
         "q122_filtered_ann": q122_filtered_ann,
         "q124_key_skew": q124_key_skew,
+        # r12 wave: the index-family chooser gate (past-the-cap by
+        # design; displaced replay + check_oracle enforce it like
+        # q78+; rotation candidate next round)
+        "q132_index_family": q132_index_family,
         # r12: displaced for the q128-q131 rotation (see the note at
         # q128's slot); each stays under the driver-exact displaced
         # replay like every prior rotation
@@ -7466,7 +7575,20 @@ def oracle_sql() -> dict[str, str]:
                 ('1_copies_dropped', TRUE),
                 ('2_min_id_kept', TRUE),
                 ('3_replay_noop', TRUE),
-                ('4_bandless_kept', TRUE)
+                ('4_bandless_kept', TRUE),
+                ('5_compacted_noop', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
+        # q132: the index-family chooser's measured decision rule +
+        # family-dispatched build/open/serve, end-to-end on the
+        # corpus embeddings (invariants gate like q106)
+        "q132_index_family": """
+            SELECT * FROM (VALUES
+                ('1_flat_unconstrained', TRUE),
+                ('2_sq8_at_byte_per_dim', TRUE),
+                ('3_refine_loses_on_bytes', TRUE),
+                ('4_pq_subbyte_warns', TRUE),
+                ('5_dispatch_sq8_serves', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
         # q97: the salt plumbing must not change join semantics
