@@ -7048,6 +7048,161 @@ def q132_index_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("invariant")
 
 
+_Q133_LAST_DIR = None
+
+
+def q133_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingestion fold (streaming/indexfold.IndexFolder)
+    invariants gate — K3/K5 as a FOLD: the reference streams 2000-row
+    batches into a live Milvus collection and re-indexes on
+    degradation (loader.js:267-288); here the corpus embeddings fold
+    in three triggers (bootstrap trains the family-chosen index on
+    trigger 0; later triggers assign+encode into a replay-idempotent
+    epoch/batch_id adds layout), then drift forces an epoch-guarded
+    rebuild.
+
+    - 1_fullprobe_exact: at nprobe = nlist the folded search over
+      base ∪ adds returns only rows of the tie-tolerant exact top-k
+      (flat family: scoring is exact, so full probe IS exhaustive);
+    - 2_replay_noop: re-delivering the bootstrap trigger AND a
+      middle adds trigger changes nothing (bootstrap_bid skip +
+      dynamic partition overwrite);
+    - 3_compact_noop: folding sub-floor adds partitions into the
+      batch_id=-1 archive leaves search results identical;
+    - 4_epoch_rebuild: an out-of-distribution batch trips the drift
+      rule; rebuild_if_drifted re-chooses through the family planner
+      into epoch 1, every row survives, stale epoch-0 adds are
+      excluded from all reads, and drift is cleared.
+    Fresh private state dir per call."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from shotit_worker_spark.streaming.indexfold import IndexFolder
+
+    global _Q133_LAST_DIR
+    if _Q133_LAST_DIR:
+        shutil.rmtree(_Q133_LAST_DIR, ignore_errors=True)
+    _Q133_LAST_DIR = tempfile.mkdtemp(prefix="q133ix_")
+    nemb = _normalized_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("nv").alias("vector")
+    ).persist()
+    n = nemb.count()
+    c1, c2 = n // 3, 2 * (n // 3)
+    chunks = [
+        nemb.where(F.col("vec_id") < c1),
+        nemb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2)),
+        nemb.where(F.col("vec_id") >= c2),
+    ]
+    folder = IndexFolder(spark, os.path.join(_Q133_LAST_DIR, "state"))
+    for i, ch in enumerate(chunks):
+        folder.foreach_batch(ch, i)
+    index = folder._index()
+    nlist = len(index.centroids)
+    k, qids = 10, [0, int(c1) + 1, int(c2) + 1]
+    qrows = nemb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = {int(r["vec_id"]): np.asarray(r["vector"])
+               for r in qrows}
+    # tie-tolerant exact membership sets, ONE batched knn_join for
+    # all three queries (the q106 rule, without 3 separate scans)
+    ex = S.knn_join(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in q])
+             for qid, q in queries.items()],
+            "query_id long, query_vec array<double>",
+        ),
+        nemb, k=k + 5, vec_col="vector", id_col="vec_id",
+        tie_col="vec_id",
+    ).orderBy("query_id", F.col("score").desc(),
+              F.col("vec_id").asc()).collect()
+    by_q: dict = {}
+    for r in ex:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    exact_sets = {}
+    for qid, rows_q in by_q.items():
+        kth = rows_q[k - 1]["score"]
+        exact_sets[qid] = {
+            int(r["vec_id"]) for r in rows_q
+            if r["score"] >= kth - 1e-9
+        }
+
+    def _probe(qid):
+        return [
+            int(r["vec_id"])
+            for r in folder.search(
+                queries[qid], k=k, nprobe=nlist, id_col="vec_id",
+                tie_col="vec_id",
+            ).collect()
+        ]
+
+    probes0 = {qid: _probe(qid) for qid in qids}
+    full_ok = all(
+        set(probes0[qid]) <= exact_sets[qid]
+        and len(probes0[qid]) == k
+        for qid in qids
+    )
+    snap_count = folder.table().count()
+    snap_res = probes0[qids[1]]
+    folder.foreach_batch(chunks[0], 0)  # bootstrap replay
+    folder.foreach_batch(chunks[1], 1)  # adds replay
+    replay_ok = (
+        folder.table().count() == snap_count
+        and _probe(qids[1]) == snap_res
+    )
+    rep_c = folder.compact_adds(3)
+    compact_ok = (
+        _probe(qids[1]) == snap_res
+        and rep_c["archived_rows"] > 0
+    )
+    dim = int(index.centroids.shape[1])
+    # far cluster, deterministically jittered at a spread comparable
+    # to the normalized cloud: far enough that residuals against the
+    # bootstrap centroids trip the drift rule, tight enough that the
+    # REBUILT kmeans gives it ~one list (a wide far cloud would
+    # absorb most centroids and leave the embedding cloud as one
+    # genuinely fat list — skew no rebuild can clear)
+    ood = spark.createDataFrame(
+        [
+            (
+                9_000_000 + i,
+                [25.0 + ((i * 31 + j * 7) % 100) / 2500.0
+                 for j in range(dim)],
+            )
+            for i in range(200)
+        ],
+        "vec_id long, vector array<double>",
+    )
+    folder.foreach_batch(ood, 3)
+    rep_r = folder.rebuild_if_drifted()
+    index2 = folder._index()
+    # post-rebuild clearing is judged on the RESIDUAL rule alone: the
+    # corpus embeddings carry a near-duplicate mega-blob (~87% of
+    # rows within one tight cluster) that kmeans has no SSE incentive
+    # to split, so max_list/mean_list stays above the 8x heuristic on
+    # this data forever — that is data skew, not centroid drift, and
+    # a rebuild can never clear it
+    cleared = folder.rebuild_if_drifted(max_imbalance=1e18)
+    rebuild_ok = (
+        bool(rep_r.get("rebuilt"))
+        and folder._epoch(index2) == 1
+        and folder.table().count() == snap_count + 200
+        and index2.load(spark).count() == snap_count + 200
+        and not cleared["needs_rebuild"]
+        and cleared["residual_ratio"] < 1.5
+    )
+    nemb.unpersist(blocking=False)
+    rows = [
+        ("1_fullprobe_exact", bool(full_ok)),
+        ("2_replay_noop", bool(replay_ok)),
+        ("3_compact_noop", bool(compact_ok)),
+        ("4_epoch_rebuild", bool(rebuild_ok)),
+    ]
+    return spark.createDataFrame(
+        rows, "invariant string, ok boolean"
+    ).orderBy("invariant")
+
+
 def q100_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/CDC (plans/merge.apply_cdc -> merge_upsert) FULL-VALUE
     gate: a parquet base table (the o_orderkey%7 slice of orders)
@@ -7355,10 +7510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_mutual_info": q120_mutual_info,
         "q122_filtered_ann": q122_filtered_ann,
         "q124_key_skew": q124_key_skew,
-        # r12 wave: the index-family chooser gate (past-the-cap by
-        # design; displaced replay + check_oracle enforce it like
-        # q78+; rotation candidate next round)
+        # r12 wave: the index-family chooser gate + the streaming IVF
+        # ingestion fold gate (past-the-cap by design; displaced
+        # replay + check_oracle enforce them like q78+; rotation
+        # candidates next round)
         "q132_index_family": q132_index_family,
+        "q133_stream_index": q133_stream_index,
         # r12: displaced for the q128-q131 rotation (see the note at
         # q128's slot); each stays under the driver-exact displaced
         # replay like every prior rotation
@@ -7589,6 +7746,17 @@ def oracle_sql() -> dict[str, str]:
                 ('3_refine_loses_on_bytes', TRUE),
                 ('4_pq_subbyte_warns', TRUE),
                 ('5_dispatch_sq8_serves', TRUE)
+            ) AS t(invariant, ok) ORDER BY invariant
+        """,
+        # q133: streaming IVF ingestion fold — full-probe exactness
+        # over base ∪ adds, replay/compaction no-ops, epoch-guarded
+        # drift rebuild (invariants gate like q131)
+        "q133_stream_index": """
+            SELECT * FROM (VALUES
+                ('1_fullprobe_exact', TRUE),
+                ('2_replay_noop', TRUE),
+                ('3_compact_noop', TRUE),
+                ('4_epoch_rebuild', TRUE)
             ) AS t(invariant, ok) ORDER BY invariant
         """,
         # q97: the salt plumbing must not change join semantics

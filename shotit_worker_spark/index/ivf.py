@@ -427,6 +427,19 @@ class IVFIndex:
         """
         spark = new_rows.sparkSession
         existing_cols = spark.read.parquet(self.path).columns
+        assigned = self._encode_new_rows(new_rows, existing_cols)
+        assigned.select(*existing_cols).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self.path)
+
+    def _encode_new_rows(
+        self, new_rows: DataFrame, existing_cols: list[str]
+    ) -> DataFrame:
+        """Assign to the EXISTING centroids and quantize with the
+        EXISTING SQ8 params (add()'s encode step, factored out so
+        streaming ingestion can write the same rows into its own
+        replay-idempotent layout instead of append mode)."""
+        spark = new_rows.sparkSession
         assigned = assign_centroids(
             new_rows, self.centroids, self.vec_col, n_assign=self.n_assign
         ).repartition(F.col("centroid_id"))
@@ -469,9 +482,7 @@ class IVFIndex:
                 )
             if not keep_vec:
                 assigned = assigned.drop(self.vec_col)
-        assigned.select(*existing_cols).write.mode("append").partitionBy(
-            "centroid_id"
-        ).parquet(self.path)
+        return assigned
 
     def probe_ids(self, query: np.ndarray, nprobe: int = DEFAULT_NPROBE) -> list[int]:
         scores = self.centroids @ np.asarray(query, dtype=np.float64)

@@ -1,0 +1,371 @@
+"""Streaming vector-index ingestion (foreachBatch) — K3/K5 as a FOLD.
+
+The reference streams 2000-row batches into a LIVE Milvus collection
+(`insert` + `flush`, /root/reference/loader.js:267-288) and rebuilds
+the collection when the index degrades. The batch analogs exist here
+(IVFIndex.add, plans/maintenance.rebuild_if_drifted); this fold makes
+ingestion REPLAY-SAFE and maintenance epoch-atomic for a real stream:
+
+- BOOTSTRAP (first trigger): the index family is CHOSEN by the r12
+  measured rule (index/family.plan_index_family under the configured
+  byte budget) and trained on the first micro-batch — the
+  FAISS/Milvus segment-sample training shape. Meta is written after
+  data, so a crash mid-build leaves no sidecar and the replayed
+  trigger rebuilds from scratch; a bootstrap that DID complete
+  records its batch_id and replays no-op.
+- INGEST (later triggers): rows assign to the EXISTING centroids and
+  quantize with the EXISTING params (IVFIndex._encode_new_rows — no
+  refit), but land in ``adds/epoch=E/batch_id=N/centroid_id=*`` via
+  dynamic partition overwrite instead of append: a checkpoint-
+  replayed trigger rewrites its own partitions idempotently, the
+  property bare ``add()``'s append mode cannot give. Searches prune
+  on centroid_id exactly as on the base layout.
+- REBUILD (drift): :meth:`rebuild_if_drifted` measures drift over
+  base ∪ adds with the standard maintenance rule, and on trigger
+  rebuilds from the UNION through the family chooser into a fresh
+  base whose meta carries ``fold_epoch + 1``. Stale adds (prior
+  epoch) are ignored by every read — their rows are already in the
+  new base — so the two-directory update needs no cross-directory
+  atomicity: crash before the base swap changes nothing; crash after
+  it leaves a complete new epoch. (Old-epoch add directories are
+  garbage, removable any time via :meth:`vacuum_stale_adds`.)
+- COMPACTION: one parquet partition per trigger accrues under adds;
+  :meth:`compact_adds` folds batch_id partitions below the stream's
+  committed checkpoint floor into the ``batch_id=-1`` archive (one
+  atomic swap of the adds directory — the LshDedupFolder.
+  compact_below discipline; same floor warning).
+
+Scale posture: every step is one assignment pass over the micro-batch
+(broadcast centroid matrix), state is partitioned parquet pruned on
+(epoch, centroid_id), and nothing driver-side grows with the corpus —
+the sidecar holds the O(nlist x dim) centroids only. PQ bases are
+rejected at construction: incremental PQ encoding is a different
+write path (IVFPQIndex has no add()), and silently degrading to it
+would be dishonest.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.family import open_index, plan_index_family
+from ..index.ivf import IVFIndex, _read_meta, _write_meta
+from ..plans.maintenance import path_exists, read_state_parquet, swap_into
+
+__all__ = ["IndexFolder"]
+
+
+class IndexFolder:
+    """Streaming IVF ingestion with a replay-idempotent adds layout
+    and epoch-guarded drift rebuild. Use :meth:`foreach_batch` as the
+    ``foreachBatch`` function; search with :meth:`search`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        vec_col: str = "vector",
+        byte_budget_per_vec: float | None = None,
+        near_dup_dense: bool = False,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.base_path = os.path.join(state_path, "base")
+        self.adds_path = os.path.join(state_path, "adds")
+        self.vec_col = vec_col
+        self.byte_budget_per_vec = byte_budget_per_vec
+        self.near_dup_dense = near_dup_dense
+
+    # -- state probes ---------------------------------------------------
+
+    def _index(self) -> IVFIndex | None:
+        """The base index, or None before a COMPLETE bootstrap (meta
+        is written after data, so a crash mid-build reads as absent —
+        the replayed trigger rebuilds)."""
+        if not path_exists(self.spark, self.base_path):
+            return None
+        try:
+            meta = _read_meta(self.spark, self.base_path)
+        except Exception:
+            return None  # data without sidecar: incomplete bootstrap
+        idx = open_index(self.spark, self.base_path)
+        if not isinstance(idx, IVFIndex):
+            raise ValueError(
+                "IndexFolder ingests into IVF flat/SQ8 bases only — "
+                "a PQ base has no incremental encode path"
+            )
+        idx._fold_meta = meta  # bootstrap_bid / fold_epoch
+        return idx
+
+    def _epoch(self, index: IVFIndex) -> int:
+        return int(index._fold_meta.get("fold_epoch", 0))
+
+    # -- the fold -------------------------------------------------------
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        index = self._index()
+        if index is None:
+            rows = batch_df.persist()
+            try:
+                n = rows.count()
+                if n == 0:
+                    return  # nothing to train on yet
+                dim = len(rows.select(self.vec_col).first()[0])
+                plan = plan_index_family(
+                    dim, n,
+                    byte_budget_per_vec=self.byte_budget_per_vec,
+                    near_dup_dense=self.near_dup_dense,
+                )
+                if plan["family"] not in ("ivf_flat", "ivf_sq8"):
+                    raise ValueError(
+                        f"chooser picked {plan['family']}: IndexFolder "
+                        "needs an incremental encode path (flat/sq8) — "
+                        "raise byte_budget_per_vec"
+                    )
+                from ..index.family import build_planned
+                from ..plans.maintenance import record_ivf_baseline
+
+                # build into a sibling tmp and finalize EVERYTHING
+                # there (fold meta, drift baseline), then one atomic
+                # rename publishes the base — a crash anywhere before
+                # it leaves no base and the replayed trigger
+                # re-bootstraps; a crash after it replays as the
+                # bootstrap_bid no-op. Without this, a crash between
+                # the build and the meta finalize would leave a base
+                # whose replay re-ingests the bootstrap batch as adds.
+                tmp = f"{self.base_path}.boot-{uuid.uuid4().hex[:8]}"
+                built = build_planned(
+                    rows, tmp, plan, vec_col=self.vec_col
+                )
+                meta = _read_meta(self.spark, tmp)
+                meta["bootstrap_bid"] = bid
+                meta["fold_epoch"] = 0
+                meta["plan"] = {
+                    k: v for k, v in plan.items() if k != "notes"
+                }
+                _write_meta(self.spark, tmp, meta)
+                record_ivf_baseline(self.spark, built)
+                os.rename(tmp, self.base_path)
+            finally:
+                rows.unpersist(blocking=False)
+            return
+        if int(index._fold_meta.get("bootstrap_bid", -1)) == bid:
+            return  # replayed bootstrap trigger: already the base
+        base_cols = index.load(self.spark).columns
+        encoded = index._encode_new_rows(batch_df, base_cols)
+        (
+            encoded.select(*base_cols)
+            .withColumn("epoch", F.lit(self._epoch(index)))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "batch_id", "centroid_id")
+            .parquet(self.adds_path)
+        )
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        return self.foreach_batch
+
+    # -- reads ----------------------------------------------------------
+
+    def _adds(self, index: IVFIndex) -> DataFrame | None:
+        t = read_state_parquet(self.spark, self.adds_path)
+        if t is None:
+            return None
+        return t.where(F.col("epoch") == F.lit(self._epoch(index)))
+
+    def table(self) -> DataFrame:
+        """base ∪ current-epoch adds, base columns only (the folded
+        index table a batch job would scan)."""
+        index = self._index()
+        if index is None:
+            raise ValueError("no batches folded yet")
+        base = index.load(self.spark)
+        adds = self._adds(index)
+        if adds is None:
+            return base
+        return base.unionByName(adds.select(*base.columns))
+
+    def _view(self):
+        """An index-shaped object whose load() is the folded union —
+        every maintenance helper (residual stats, drift) and the
+        scoring kernel work through it unchanged."""
+        folder = self
+        index = self._index()
+        if index is None:
+            raise ValueError("no batches folded yet")
+
+        class _FoldedView(IVFIndex):
+            def load(self, spark):  # noqa: D401 - delegation
+                base = IVFIndex.load(self, spark)
+                adds = folder._adds(index)
+                if adds is None:
+                    return base
+                return base.unionByName(adds.select(*base.columns))
+
+        v = _FoldedView(
+            path=index.path, centroids=index.centroids,
+            vec_col=index.vec_col, mins=index.mins,
+            scales=index.scales, n_assign=index.n_assign,
+        )
+        v._fold_meta = index._fold_meta
+        return v
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 15,
+        nprobe: int = 10,
+        id_col: str = "vec_id",
+        tie_col: str | None = None,
+    ) -> DataFrame:
+        """Top-k over base ∪ adds — centroid partition pruning applies
+        to BOTH layouts (adds is sub-partitioned by centroid_id)."""
+        index = self._index()
+        if index is None:
+            raise ValueError("no batches folded yet")
+        probes = index.probe_ids(query, nprobe)
+        df = self.table().filter(F.col("centroid_id").isin(probes))
+        cols = [id_col] + (
+            [tie_col] if tie_col and tie_col != id_col else []
+        )
+        scored = index._scored(df, query, cols)
+        order = [F.col("score").desc()] + (
+            [F.col(tie_col).asc()] if tie_col else []
+        )
+        return scored.orderBy(*order).limit(k)
+
+    # -- maintenance ----------------------------------------------------
+
+    def rebuild_if_drifted(
+        self,
+        residual_ratio: float = 1.5,
+        max_imbalance: float = 8.0,
+        **chooser_kwargs,
+    ) -> dict:
+        """Drift check over base ∪ adds; past threshold, rebuild from
+        the union through the family chooser into a fresh base at
+        ``fold_epoch + 1`` (tmp build + atomic base swap; stale adds
+        are excluded by their epoch — their rows are in the new
+        base). Returns the drift report (+ ``rebuilt``/``plan``)."""
+        from ..plans.maintenance import (
+            ivf_drift,
+            record_ivf_baseline,
+        )
+
+        view = self._view()
+        report = ivf_drift(
+            self.spark, view, residual_ratio, max_imbalance
+        )
+        if not report["needs_rebuild"]:
+            return report
+        from ..index.family import build_planned
+
+        rows = view.load(self.spark).localCheckpoint(eager=True)
+        n = int(rows.count())
+        dim = int(view.centroids.shape[1])
+        plan = plan_index_family(
+            dim, n,
+            byte_budget_per_vec=chooser_kwargs.pop(
+                "byte_budget_per_vec", self.byte_budget_per_vec
+            ),
+            near_dup_dense=self.near_dup_dense,
+            **chooser_kwargs,
+        )
+        if plan["family"] not in ("ivf_flat", "ivf_sq8"):
+            raise ValueError(
+                f"chooser picked {plan['family']}: IndexFolder needs "
+                "an incremental encode path (flat/sq8)"
+            )
+        src = rows
+        if view.mins is not None and view.vec_col not in rows.columns:
+            from ..plans.maintenance import _ivf_float_vec
+
+            src, vcol = _ivf_float_vec(self.spark, view, rows)
+            if vcol != view.vec_col:
+                src = src.withColumnRenamed(vcol, view.vec_col)
+        src = src.drop("centroid_id", "sq8_code", "epoch", "batch_id")
+        tmp = f"{self.base_path}.rebuild-{uuid.uuid4().hex[:8]}"
+        new_index = build_planned(src, tmp, plan, vec_col=self.vec_col)
+        old_meta = view._fold_meta
+        # finalize meta (epoch bump, baseline) in the TMP dir, THEN
+        # swap: the epoch and the data publish in the same atomic
+        # rename, so no crash window can pair the new base with the
+        # old epoch (which would resurrect stale adds as duplicates)
+        meta = _read_meta(self.spark, tmp)
+        meta["fold_epoch"] = int(old_meta.get("fold_epoch", 0)) + 1
+        meta["bootstrap_bid"] = old_meta.get("bootstrap_bid", -1)
+        meta["plan"] = {k: v for k, v in plan.items() if k != "notes"}
+        _write_meta(self.spark, tmp, meta)
+        record_ivf_baseline(self.spark, new_index)
+        swap_into(self.base_path, tmp)
+        report["rebuilt"] = True
+        report["plan"] = plan
+        return report
+
+    def compact_adds(self, below_batch_id: int) -> dict:
+        """Fold current-epoch ``batch_id`` partitions below the
+        stream's committed checkpoint floor into ``batch_id=-1`` (one
+        atomic swap of the adds directory). Same floor warning as
+        LshDedupFolder.compact_below: never pass a bound a replayable
+        trigger could still rewrite."""
+        t = read_state_parquet(self.spark, self.adds_path)
+        if t is None:
+            return {"archived_rows": 0, "partitions_before": 0,
+                    "partitions_after": 0}
+        p_before = t.select("batch_id").distinct().count()
+        arch = F.when(
+            (F.col("batch_id") >= 0)
+            & (F.col("batch_id") < F.lit(int(below_batch_id))),
+            F.lit(-1),
+        ).otherwise(F.col("batch_id"))
+        rewritten = t.withColumn("batch_id", arch)
+        n_arch = int(rewritten.where(F.col("batch_id") == -1).count())
+        tmp = f"{self.adds_path}.compact-{uuid.uuid4().hex[:8]}"
+        (
+            rewritten.repartition("epoch", "batch_id", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch", "batch_id", "centroid_id")
+            .parquet(tmp)
+        )
+        swap_into(self.adds_path, tmp)
+        p_after = (
+            self.spark.read.parquet(self.adds_path)
+            .select("batch_id").distinct().count()
+        )
+        return {"archived_rows": n_arch,
+                "partitions_before": int(p_before),
+                "partitions_after": int(p_after)}
+
+    def vacuum_stale_adds(self) -> int:
+        """Drop add partitions from epochs BELOW the current one
+        (their rows live in the rebuilt base). Returns directories
+        removed. Safe any time: no read ever selects them."""
+        index = self._index()
+        if index is None:
+            return 0
+        cur = self._epoch(index)
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.adds_path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(hpath):
+            return 0
+        removed = 0
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("epoch=") and int(
+                name.split("=", 1)[1]
+            ) < cur:
+                fs.delete(st.getPath(), True)
+                removed += 1
+        return removed

@@ -52,7 +52,7 @@ def test_displaced_set_is_the_expected_rotation():
     # silently drops a NEW gate past the cap fails loudly here
     # (r8: q80_zorder took q22's recorded slot; q22 displaced;
     # q81_heavy_hitters registers past the cap by design)
-    assert len(entrymod.queries()) == 121
+    assert len(entrymod.queries()) == 122
     assert set(DISPLACED) == {
         "q03_top_revenue_orders", "q05_anti_join", "q06_window_topk",
         "q07_window_lag", "q08_set_ops", "q11_distinct_agg",
@@ -92,8 +92,8 @@ def test_displaced_set_is_the_expected_rotation():
         "q20_vector_norms", "q28_range_join", "q43_fingerprint",
         "q52_simhash",
         # r12 wave: past-the-cap by design (displaced replay +
-        # check_oracle enforce it like q78+)
-        "q132_index_family",
+        # check_oracle enforce them like q78+)
+        "q132_index_family", "q133_stream_index",
     }
     # and every displaced query still has its oracle declared
     oracles = entrymod.oracle_sql()

@@ -1,0 +1,183 @@
+"""Streaming IVF ingestion fold (streaming/indexfold.IndexFolder):
+bootstrap-on-first-trigger through the family chooser, replay-
+idempotent adds (dynamic partition overwrite, not append), full-probe
+exactness over base ∪ adds, epoch-guarded drift rebuild, and adds
+compaction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.streaming.indexfold import IndexFolder
+
+DIM = 8
+
+
+def _batch(spark, n, seed, id_base, centers=None, spread=0.05):
+    rng = np.random.RandomState(seed)
+    if centers is None:
+        centers = rng.randn(4, DIM) * 3.0
+    rows = []
+    for i in range(n):
+        v = centers[i % len(centers)] + rng.randn(DIM) * spread
+        rows.append((id_base + i, [float(x) for x in v]))
+    return centers, spark.createDataFrame(
+        rows, "vec_id long, vector array<double>"
+    )
+
+
+def _exact_topk(rows, q, k):
+    scored = sorted(
+        ((float(np.dot(np.asarray(v), q)), i) for i, v in rows),
+        reverse=True,
+    )
+    return [i for _, i in scored[:k]]
+
+
+def _fold_three(spark, tmp_root, name, budget=None):
+    centers, b0 = _batch(spark, 200, seed=1, id_base=0)
+    _, b1 = _batch(spark, 100, seed=2, id_base=1000, centers=centers)
+    _, b2 = _batch(spark, 100, seed=3, id_base=2000, centers=centers)
+    folder = IndexFolder(
+        spark, str(tmp_root / name), byte_budget_per_vec=budget
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        folder.foreach_batch(b, i)
+    allrows = [
+        (int(r["vec_id"]), list(r["vector"]))
+        for df in (b0, b1, b2)
+        for r in df.collect()
+    ]
+    return folder, centers, allrows
+
+
+def test_bootstrap_ingest_and_fullprobe_exact(spark, tmp_root):
+    folder, _, allrows = _fold_three(spark, tmp_root, "ix_exact")
+    assert folder.table().count() == 400
+    index = folder._index()
+    assert index.mins is None  # unconstrained budget -> flat family
+    nlist = len(index.centroids)
+    for qid in (5, 1003, 2007):
+        q = np.asarray(dict(allrows)[qid])
+        got = [
+            r["vec_id"]
+            for r in folder.search(q, k=5, nprobe=nlist).collect()
+        ]
+        # flat base + flat adds at full probe is EXACT
+        assert got == _exact_topk(allrows, q, 5), qid
+
+
+def test_replay_idempotent(spark, tmp_root):
+    folder, centers, _ = _fold_three(spark, tmp_root, "ix_rp")
+    snap = folder.table().count()
+    q = np.asarray(
+        folder.table().filter(F.col("vec_id") == 1003)
+        .first()["vector"]
+    )
+    nlist = len(folder._index().centroids)
+    before = [(r["vec_id"], round(r["score"], 9))
+              for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    # replay the BOOTSTRAP trigger and a middle adds trigger
+    _, b0 = _batch(spark, 200, seed=1, id_base=0, centers=centers)
+    _, b1 = _batch(spark, 100, seed=2, id_base=1000, centers=centers)
+    folder.foreach_batch(b0, 0)
+    folder.foreach_batch(b1, 1)
+    assert folder.table().count() == snap
+    after = [(r["vec_id"], round(r["score"], 9))
+             for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    assert after == before
+
+
+def test_compact_adds(spark, tmp_root):
+    folder, _, allrows = _fold_three(spark, tmp_root, "ix_cmp")
+    rep = folder.compact_adds(3)
+    assert rep["archived_rows"] == 200  # both add batches
+    assert rep["partitions_after"] == 1
+    assert folder.table().count() == 400
+    q = np.asarray(dict(allrows)[2007])
+    nlist = len(folder._index().centroids)
+    got = [r["vec_id"]
+           for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    assert got == _exact_topk(allrows, q, 5)
+
+
+def test_drift_rebuild_bumps_epoch_and_ignores_stale_adds(
+    spark, tmp_root
+):
+    folder, _, allrows = _fold_three(spark, tmp_root, "ix_drift")
+    # in-distribution: no rebuild
+    rep = folder.rebuild_if_drifted()
+    assert not rep["needs_rebuild"]
+    # out-of-distribution batch the bootstrap centroids never saw
+    far = np.ones((1, DIM)) * 25.0
+    _, ood = _batch(spark, 150, seed=9, id_base=5000, centers=far)
+    folder.foreach_batch(ood, 3)
+    allrows += [
+        (int(r["vec_id"]), list(r["vector"])) for r in ood.collect()
+    ]
+    rep = folder.rebuild_if_drifted()
+    assert rep.get("rebuilt") and rep["plan"]["family"] == "ivf_flat"
+    index = folder._index()
+    assert folder._epoch(index) == 1
+    # every row survived into the new base; stale epoch-0 adds are
+    # excluded from every read
+    assert folder.table().count() == 550
+    assert index.load(spark).count() == 550
+    # drift cleared and the fold continues into the NEW epoch
+    assert not folder.rebuild_if_drifted()["needs_rebuild"]
+    _, b4 = _batch(spark, 50, seed=11, id_base=7000, centers=far)
+    folder.foreach_batch(b4, 4)
+    allrows += [
+        (int(r["vec_id"]), list(r["vector"])) for r in b4.collect()
+    ]
+    assert folder.table().count() == 600
+    q = np.asarray(dict(allrows)[5003])
+    nlist = len(index.centroids)
+    got = [r["vec_id"]
+           for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    assert got == _exact_topk(allrows, q, 5)
+    assert folder.vacuum_stale_adds() == 1
+
+
+def test_sq8_budget_flows_through_chooser(spark, tmp_root):
+    folder, _, allrows = _fold_three(
+        spark, tmp_root, "ix_sq8", budget=DIM
+    )
+    index = folder._index()
+    assert index.mins is not None  # SQ8 family chosen
+    assert index._fold_meta["plan"]["family"] == "ivf_sq8"
+    # SQ8 adds quantize with the BASE params: full-probe top-5 must
+    # track the float-exact top-5 within quantization tolerance
+    # (unnormalized IP has no self-retrieval guarantee even exact, so
+    # the pin is set overlap, not identity)
+    q = np.asarray(dict(allrows)[1003])
+    got = {
+        int(r["vec_id"])
+        for r in folder.search(
+            q, k=5, nprobe=len(index.centroids)
+        ).collect()
+    }
+    want = set(_exact_topk(allrows, q, 5))
+    assert len(got & want) >= 3, (got, want)
+
+
+def test_guards(spark, tmp_root):
+    folder = IndexFolder(spark, str(tmp_root / "ix_none"))
+    with pytest.raises(ValueError, match="no batches"):
+        folder.table()
+    # a sub-byte/dim budget chooses PQ, which has no incremental
+    # encode path — the fold must refuse loudly, not degrade
+    _, b0 = _batch(spark, 100, seed=1, id_base=0)
+    bad = IndexFolder(
+        spark, str(tmp_root / "ix_pq"), byte_budget_per_vec=2
+    )
+    with pytest.raises(ValueError, match="ivf_pq"):
+        bad.foreach_batch(b0, 0)
+    # an empty first trigger trains nothing and poisons nothing
+    folder.foreach_batch(b0.limit(0), 0)
+    with pytest.raises(ValueError, match="no batches"):
+        folder.table()
+    folder.foreach_batch(b0, 1)
+    assert folder.table().count() == 100
