@@ -272,3 +272,57 @@ def test_lshfold_chunked_equals_single_batch(spark, tmp_path_factory,
     for text, ids in by_text.items():
         if len(ids) > 1 and len(text.split()) >= 3:
             assert len(kept & set(ids)) <= 1, (text, ids)
+
+
+# ---- IndexFolder: any batch split folds to the same index ----------
+
+_ix_cuts = st.lists(st.integers(1, 119), min_size=1, max_size=3,
+                    unique=True)
+
+
+@given(cuts=_ix_cuts, seed=st.integers(0, 10))
+@spark_settings
+def test_indexfold_any_split_same_table_and_search(
+    spark, tmp_path_factory, cuts, seed
+):
+    """Folding the same vectors in ANY id-ordered batch split yields
+    the same folded table (ids + centroid assignment) and the same
+    full-probe search order: the bootstrap trains on whatever the
+    FIRST chunk is, so centroids differ across splits — but the
+    full-probe flat search is exhaustive exact scoring, which is
+    split-invariant. The table id-set invariance holds per split
+    (every row lands exactly once, replays excluded by construction
+    here)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from shotit_worker_spark.streaming.indexfold import IndexFolder
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(3, 6) * 2.0
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.randn(6) * 0.1])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vector array<double>")
+    root = str(tmp_path_factory.mktemp("ixprop") / uuid.uuid4().hex[:8])
+    bounds = [0] + sorted(cuts) + [120]
+    folder = IndexFolder(spark, root)
+    for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        folder.foreach_batch(
+            df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), b
+        )
+    ids = sorted(r["vec_id"] for r in folder.table().collect())
+    assert ids == list(range(120))
+    q = np.asarray(rows[7][1])
+    nlist = len(folder._index().centroids)
+    got = [
+        int(r["vec_id"])
+        for r in folder.search(q, k=5, nprobe=nlist,
+                               id_col="vec_id").collect()
+    ]
+    exact = sorted(
+        ((float(np.dot(np.asarray(v), q)), i) for i, v in rows),
+        reverse=True,
+    )
+    assert got == [i for _, i in exact[:5]]
