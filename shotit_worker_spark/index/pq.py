@@ -436,6 +436,18 @@ class IVFPQIndex:
         codebooks — same contract as IVFIndex.add."""
         spark = new_rows.sparkSession
         existing_cols = spark.read.parquet(self.path).columns
+        coded = self._encode_new_rows(new_rows, existing_cols)
+        coded.select(*existing_cols).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self.path)
+
+    def _encode_new_rows(
+        self, new_rows: DataFrame, existing_cols: list[str]
+    ) -> DataFrame:
+        """Assign + PQ-encode (+SQ8 refine) against the EXISTING
+        layout — add()'s encode step, factored out like
+        IVFIndex._encode_new_rows so streaming ingestion can write
+        the same rows into its replay-idempotent adds layout."""
         assigned = assign_centroids(
             new_rows, self.centroids, self.vec_col
         ).repartition(F.col("centroid_id"))
@@ -453,10 +465,9 @@ class IVFPQIndex:
                     self.sq8_mins, self.sq8_scales, self.vec_col
                 ),
             )
-        coded = coded.drop(self.vec_col)
-        coded.select(*existing_cols).write.mode("append").partitionBy(
-            "centroid_id"
-        ).parquet(self.path)
+        if self.vec_col not in existing_cols:
+            coded = coded.drop(self.vec_col)
+        return coded
 
 
 def plan_pq(dim: int, n: int | None = None) -> dict:

@@ -36,12 +36,13 @@ ingestion REPLAY-SAFE and maintenance epoch-atomic for a real stream:
   compact_below discipline; same floor warning).
 
 Scale posture: every step is one assignment pass over the micro-batch
-(broadcast centroid matrix), state is partitioned parquet pruned on
-(epoch, centroid_id), and nothing driver-side grows with the corpus —
-the sidecar holds the O(nlist x dim) centroids only. PQ bases are
-rejected at construction: incremental PQ encoding is a different
-write path (IVFPQIndex has no add()), and silently degrading to it
-would be dishonest.
+(broadcast centroid matrix + codebooks), state is partitioned parquet
+pruned on (epoch, centroid_id), and nothing driver-side grows with
+the corpus — the sidecar holds the O(nlist x dim) centroids (+ PQ
+codebooks) only. ALL four chooser families fold: flat and SQ8 encode
+through IVFIndex._encode_new_rows, PQ (± SQ8 refine) through
+IVFPQIndex._encode_new_rows — the same assign+encode kernels their
+batch add() uses.
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.family import open_index, plan_index_family
-from ..index.ivf import IVFIndex, _read_meta, _write_meta
+from ..index.ivf import _read_meta, _write_meta
 from ..plans.maintenance import path_exists, read_state_parquet, swap_into
 
 __all__ = ["IndexFolder"]
@@ -85,10 +86,10 @@ class IndexFolder:
 
     # -- state probes ---------------------------------------------------
 
-    def _index(self) -> IVFIndex | None:
-        """The base index, or None before a COMPLETE bootstrap (meta
-        is written after data, so a crash mid-build reads as absent —
-        the replayed trigger rebuilds)."""
+    def _index(self):
+        """The base index (IVFIndex or IVFPQIndex), or None before a
+        COMPLETE bootstrap (meta is written after data, so a crash
+        mid-build reads as absent — the replayed trigger rebuilds)."""
         if not path_exists(self.spark, self.base_path):
             return None
         try:
@@ -96,15 +97,10 @@ class IndexFolder:
         except Exception:
             return None  # data without sidecar: incomplete bootstrap
         idx = open_index(self.spark, self.base_path)
-        if not isinstance(idx, IVFIndex):
-            raise ValueError(
-                "IndexFolder ingests into IVF flat/SQ8 bases only — "
-                "a PQ base has no incremental encode path"
-            )
         idx._fold_meta = meta  # bootstrap_bid / fold_epoch
         return idx
 
-    def _epoch(self, index: IVFIndex) -> int:
+    def _epoch(self, index) -> int:
         return int(index._fold_meta.get("fold_epoch", 0))
 
     # -- the fold -------------------------------------------------------
@@ -124,12 +120,6 @@ class IndexFolder:
                     byte_budget_per_vec=self.byte_budget_per_vec,
                     near_dup_dense=self.near_dup_dense,
                 )
-                if plan["family"] not in ("ivf_flat", "ivf_sq8"):
-                    raise ValueError(
-                        f"chooser picked {plan['family']}: IndexFolder "
-                        "needs an incremental encode path (flat/sq8) — "
-                        "raise byte_budget_per_vec"
-                    )
                 from ..index.family import build_planned
                 from ..plans.maintenance import record_ivf_baseline
 
@@ -176,7 +166,7 @@ class IndexFolder:
 
     # -- reads ----------------------------------------------------------
 
-    def _adds(self, index: IVFIndex) -> DataFrame | None:
+    def _adds(self, index) -> DataFrame | None:
         t = read_state_parquet(self.spark, self.adds_path)
         if t is None:
             return None
@@ -197,26 +187,26 @@ class IndexFolder:
     def _view(self):
         """An index-shaped object whose load() is the folded union —
         every maintenance helper (residual stats, drift) and the
-        scoring kernel work through it unchanged."""
+        scoring kernels work through it unchanged, whatever the
+        family (the view subclasses the base's own class)."""
+        import copy
+
         folder = self
         index = self._index()
         if index is None:
             raise ValueError("no batches folded yet")
+        base_cls = type(index)
 
-        class _FoldedView(IVFIndex):
+        class _FoldedView(base_cls):
             def load(self, spark):  # noqa: D401 - delegation
-                base = IVFIndex.load(self, spark)
+                base = base_cls.load(self, spark)
                 adds = folder._adds(index)
                 if adds is None:
                     return base
                 return base.unionByName(adds.select(*base.columns))
 
-        v = _FoldedView(
-            path=index.path, centroids=index.centroids,
-            vec_col=index.vec_col, mins=index.mins,
-            scales=index.scales, n_assign=index.n_assign,
-        )
-        v._fold_meta = index._fold_meta
+        v = copy.copy(index)
+        v.__class__ = _FoldedView
         return v
 
     def search(
@@ -280,19 +270,19 @@ class IndexFolder:
             near_dup_dense=self.near_dup_dense,
             **chooser_kwargs,
         )
-        if plan["family"] not in ("ivf_flat", "ivf_sq8"):
-            raise ValueError(
-                f"chooser picked {plan['family']}: IndexFolder needs "
-                "an incremental encode path (flat/sq8)"
-            )
         src = rows
-        if view.mins is not None and view.vec_col not in rows.columns:
+        if view.vec_col not in rows.columns:
+            # quantized base (SQ8 codes or PQ codes ± refine): rebuild
+            # from the best available float proxy, the maintenance
+            # rebuild's established rule
             from ..plans.maintenance import _ivf_float_vec
 
             src, vcol = _ivf_float_vec(self.spark, view, rows)
             if vcol != view.vec_col:
                 src = src.withColumnRenamed(vcol, view.vec_col)
-        src = src.drop("centroid_id", "sq8_code", "epoch", "batch_id")
+        src = src.drop(
+            "centroid_id", "sq8_code", "pq_code", "epoch", "batch_id"
+        )
         tmp = f"{self.base_path}.rebuild-{uuid.uuid4().hex[:8]}"
         new_index = build_planned(src, tmp, plan, vec_col=self.vec_col)
         old_meta = view._fold_meta

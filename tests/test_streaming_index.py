@@ -163,18 +163,40 @@ def test_sq8_budget_flows_through_chooser(spark, tmp_root):
     assert len(got & want) >= 3, (got, want)
 
 
+def test_pq_budget_folds_and_serves(spark, tmp_root):
+    # a sub-byte/dim budget chooses PQ-alone; the fold bootstraps it,
+    # ingests through IVFPQIndex._encode_new_rows, and serves ADC —
+    # invariants that are EXACT for PQ: layout bytes, counts, replay
+    # and compaction no-ops (ADC scoring is deterministic)
+    from shotit_worker_spark.index.pq import IVFPQIndex
+
+    folder, _, allrows = _fold_three(
+        spark, tmp_root, "ix_pq", budget=2
+    )
+    index = folder._index()
+    assert isinstance(index, IVFPQIndex)
+    assert index._fold_meta["plan"]["family"] == "ivf_pq"
+    assert folder.table().count() == 400
+    row = folder.table().first()
+    assert len(row["pq_code"]) == index.m <= 2
+    q = np.asarray(dict(allrows)[1003])
+    nlist = len(index.centroids)
+    before = [(r["vec_id"], round(r["score"], 9))
+              for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    assert len(before) == 5
+    # compaction leaves ADC results identical
+    rep = folder.compact_adds(3)
+    assert rep["archived_rows"] == 200
+    after = [(r["vec_id"], round(r["score"], 9))
+             for r in folder.search(q, k=5, nprobe=nlist).collect()]
+    assert after == before
+
+
 def test_guards(spark, tmp_root):
     folder = IndexFolder(spark, str(tmp_root / "ix_none"))
     with pytest.raises(ValueError, match="no batches"):
         folder.table()
-    # a sub-byte/dim budget chooses PQ, which has no incremental
-    # encode path — the fold must refuse loudly, not degrade
     _, b0 = _batch(spark, 100, seed=1, id_base=0)
-    bad = IndexFolder(
-        spark, str(tmp_root / "ix_pq"), byte_budget_per_vec=2
-    )
-    with pytest.raises(ValueError, match="ivf_pq"):
-        bad.foreach_batch(b0, 0)
     # an empty first trigger trains nothing and poisons nothing
     folder.foreach_batch(b0.limit(0), 0)
     with pytest.raises(ValueError, match="no batches"):
