@@ -1,0 +1,149 @@
+"""Round-12 stress: IndexFolder (streaming IVF ingestion) at 1M.
+
+Every fold carries a SCALE_NOTES row; this measures the new
+streaming-index fold end-to-end at 1M x 64d under the SQ8 budget:
+
+- bootstrap (trigger 0, 250k rows): family-chosen build — codebook
+  fit on the plan_ivf train sample, distributed assign/encode/write;
+- ingest (triggers 1-3, 250k rows each): assign+SQ8-encode against
+  the FROZEN bootstrap params into epoch/batch_id/centroid_id adds
+  partitions (dynamic overwrite) — per-trigger wall must be flat
+  (each trigger touches only its own rows; no state re-read);
+- replay of a middle trigger: byte-identical no-op;
+- compact_adds: one atomic swap folds 750k add rows to the archive;
+- drift-rebuild: a 100k out-of-distribution cloud trips the residual
+  rule; the rebuild re-chooses and re-trains on the 1.1M union and
+  bumps the epoch (stale adds excluded);
+- full-probe search sanity on a corpus vector.
+
+Usage: python tools/ix_scale_r12.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from shotit_worker_spark.session import get_spark  # noqa: E402
+from shotit_worker_spark.streaming.indexfold import IndexFolder  # noqa: E402
+
+DIM = 64
+N_CLUSTERS = 1000
+
+
+def corpus(spark, n, id_base=0, center_scale=3.0, offset=0.0):
+    """Clustered vectors, generated JVM-side: center from the row's
+    cluster id via xxhash64 components, plus per-row jitter."""
+    did = F.col("id") + F.lit(id_base)
+    cl = F.pmod(F.xxhash64(did % N_CLUSTERS), F.lit(10_000))
+    comps = []
+    for j in range(DIM):
+        c = (
+            F.pmod(F.xxhash64(cl, F.lit(j)), F.lit(2001)) - 1000
+        ) / 1000.0 * center_scale + offset
+        jit = (
+            F.pmod(F.xxhash64(did, F.lit(j + DIM)), F.lit(2001)) - 1000
+        ) / 1000.0 * 0.05
+        comps.append(c + jit)
+    return spark.range(n).select(
+        did.alias("vec_id"), F.array(*comps).alias("vector")
+    )
+
+
+def _dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("ix-stress-r12", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ix1m-")
+    try:
+        folder = IndexFolder(
+            spark, os.path.join(root, "state"),
+            byte_budget_per_vec=DIM,  # -> ivf_sq8
+        )
+        chunk = n // 4
+        df = corpus(spark, n)
+        walls = []
+        for i in range(4):
+            part = df.where(
+                (F.col("vec_id") >= i * chunk)
+                & (F.col("vec_id") < (i + 1) * chunk)
+            )
+            t0 = time.time()
+            folder.foreach_batch(part, i)
+            dt = time.time() - t0
+            walls.append(dt)
+            ab = (
+                _dir_bytes(folder.adds_path)
+                if os.path.exists(folder.adds_path) else 0
+            )
+            print(f"trigger {i}: {chunk} rows in {dt:.1f}s "
+                  f"({chunk / dt / 1e3:.0f}k rows/s), adds "
+                  f"{ab / 1e6:.1f} MB", flush=True)
+        index = folder._index()
+        print(f"family={index._fold_meta['plan']['family']} "
+              f"nlist={len(index.centroids)}")
+        assert folder.table().count() == n
+        # replay a middle trigger: no-op
+        part1 = df.where(
+            (F.col("vec_id") >= chunk) & (F.col("vec_id") < 2 * chunk)
+        )
+        t0 = time.time()
+        folder.foreach_batch(part1, 1)
+        print(f"replay trigger 1: {time.time() - t0:.1f}s")
+        assert folder.table().count() == n
+        t0 = time.time()
+        rep = folder.compact_adds(4)
+        print(f"compact_adds: {time.time() - t0:.1f}s -> {rep}")
+        assert folder.table().count() == n
+        # drift: far cloud, tight spread (one-listable)
+        ood = corpus(spark, n // 10, id_base=10 * n, center_scale=0.2,
+                     offset=25.0)
+        t0 = time.time()
+        folder.foreach_batch(ood, 4)
+        print(f"OOD trigger: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        rep = folder.rebuild_if_drifted()
+        dt = time.time() - t0
+        print(f"rebuild_if_drifted: {dt:.1f}s rebuilt={rep.get('rebuilt')} "
+              f"family={rep.get('plan', {}).get('family')} "
+              f"rr={rep.get('residual_ratio', 0):.1f}")
+        assert rep.get("rebuilt")
+        index = folder._index()
+        assert folder._epoch(index) == 1
+        total = n + n // 10
+        assert folder.table().count() == total
+        assert index.load(spark).count() == total
+        # search sanity at default probes
+        q = np.asarray(
+            df.where(F.col("vec_id") == 7).first()["vector"]
+        )
+        t0 = time.time()
+        top = folder.search(q, k=5, nprobe=10).collect()
+        print(f"search nprobe=10: {time.time() - t0:.1f}s "
+              f"top1={top[0]['vec_id']}")
+        print("OK")
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
