@@ -64,6 +64,8 @@ POST_R3_QUERIES = frozenset({
     # streaming LSH dedup)
     "q129_stream_heavy_hitters", "q130_ivfpq_search",
     "q131_stream_lsh_dedup",
+    # r12 wave (index-family chooser + streaming IVF ingestion fold)
+    "q132_index_family", "q133_stream_index",
 })
 
 
