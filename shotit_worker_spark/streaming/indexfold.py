@@ -184,11 +184,15 @@ class IndexFolder:
             return base
         return base.unionByName(adds.select(*base.columns))
 
-    def _view(self):
+    def view(self):
         """An index-shaped object whose load() is the folded union —
-        every maintenance helper (residual stats, drift) and the
-        scoring kernels work through it unchanged, whatever the
-        family (the view subclasses the base's own class)."""
+        every index API (search_batch, plans/serve.ResidentSearcher)
+        and every maintenance helper (residual stats, drift) works
+        through it unchanged, whatever the family (the view
+        subclasses the base's own class). Reads resolve the adds
+        epoch at call time, so a view taken before a rebuild keeps
+        working after it (it re-reads the CURRENT meta's epoch only
+        through fresh views — take a new view after rebuilds)."""
         import copy
 
         folder = self
@@ -251,7 +255,7 @@ class IndexFolder:
             record_ivf_baseline,
         )
 
-        view = self._view()
+        view = self.view()
         report = ivf_drift(
             self.spark, view, residual_ratio, max_imbalance
         )

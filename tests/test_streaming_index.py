@@ -192,6 +192,34 @@ def test_pq_budget_folds_and_serves(spark, tmp_root):
     assert after == before
 
 
+def test_view_serves_batch_and_resident(spark, tmp_root):
+    # the folded view IS an index object: search_batch and the
+    # serving tier work over base ∪ adds unchanged
+    from shotit_worker_spark.plans.serve import ResidentSearcher
+
+    folder, _, allrows = _fold_three(spark, tmp_root, "ix_view")
+    view = folder.view()
+    nlist = len(view.centroids)
+    qs = [(5, np.asarray(dict(allrows)[5])),
+          (1003, np.asarray(dict(allrows)[1003]))]
+    got = view.search_batch(
+        spark, qs, k=5, nprobe=nlist, id_col="vec_id", tie_col="vec_id"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+    for qid, q in qs:
+        assert by_q[qid] == _exact_topk(allrows, q, 5), qid
+    srv = ResidentSearcher(spark, view, id_col="vec_id", tie_col=None)
+    try:
+        assert srv.warm() == 400
+        got1 = [int(r["vec_id"])
+                for r in srv.search(qs[0][1], k=5, nprobe=nlist).collect()]
+        assert got1 == _exact_topk(allrows, qs[0][1], 5)
+    finally:
+        srv.close()
+
+
 def test_guards(spark, tmp_root):
     folder = IndexFolder(spark, str(tmp_root / "ix_none"))
     with pytest.raises(ValueError, match="no batches"):
