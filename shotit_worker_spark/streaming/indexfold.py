@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.family import open_index, plan_index_family
-from ..index.ivf import _read_meta, _write_meta
+from ..index.ivf import _meta_jpath, _read_meta, _write_meta
 from ..plans.maintenance import path_exists, read_state_parquet, swap_into
 
 __all__ = ["IndexFolder"]
@@ -88,14 +88,19 @@ class IndexFolder:
 
     def _index(self):
         """The base index (IVFIndex or IVFPQIndex), or None before a
-        COMPLETE bootstrap (meta is written after data, so a crash
-        mid-build reads as absent — the replayed trigger rebuilds)."""
+        COMPLETE bootstrap. 'No base yet' is decided by LISTING (the
+        meta sidecar lands after data, so a crash mid-build lists as
+        absent and the replayed trigger re-bootstraps); a real read
+        failure PROPAGATES — swallowing it would make a transient
+        store hiccup indistinguishable from cold start and send the
+        fold off to re-bootstrap over live state (the r10 state-read
+        honesty rule, plans/maintenance.read_state_parquet)."""
         if not path_exists(self.spark, self.base_path):
             return None
-        try:
-            meta = _read_meta(self.spark, self.base_path)
-        except Exception:
+        fs, p = _meta_jpath(self.spark, self.base_path)
+        if not fs.exists(p):
             return None  # data without sidecar: incomplete bootstrap
+        meta = _read_meta(self.spark, self.base_path)
         idx = open_index(self.spark, self.base_path)
         idx._fold_meta = meta  # bootstrap_bid / fold_epoch
         return idx

@@ -220,6 +220,30 @@ def test_view_serves_batch_and_resident(spark, tmp_root):
         srv.close()
 
 
+def test_state_read_honesty(spark, tmp_root):
+    # missing sidecar (crash mid-bootstrap) = 'no base yet' by
+    # LISTING; a corrupt sidecar = real read failure that PROPAGATES
+    # (never re-bootstrap over live state on a store hiccup)
+    import os
+
+    from shotit_worker_spark.index.ivf import META_FILE
+
+    _, b0 = _batch(spark, 80, seed=1, id_base=0)
+    folder = IndexFolder(spark, str(tmp_root / "ix_honest"))
+    folder.foreach_batch(b0, 0)
+    meta_path = os.path.join(folder.base_path, META_FILE)
+    # crash-mid-build simulation: data present, sidecar gone
+    os.rename(meta_path, meta_path + ".bak")
+    assert folder._index() is None
+    os.rename(meta_path + ".bak", meta_path)
+    assert folder._index() is not None
+    # corrupt sidecar: must raise, not read as cold start
+    with open(meta_path, "w") as f:
+        f.write("{not json")
+    with pytest.raises(Exception):
+        folder._index()
+
+
 def test_guards(spark, tmp_root):
     folder = IndexFolder(spark, str(tmp_root / "ix_none"))
     with pytest.raises(ValueError, match="no batches"):
