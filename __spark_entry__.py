@@ -7025,7 +7025,7 @@ def q132_index_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("1_flat_unconstrained",
          p_flat["family"] == "ivf_flat"
-         and p_flat["bytes_per_vec"] == 4 * dim
+         and p_flat["bytes_per_vec"] == 8 * dim
          and p_flat["warning"] is None),
         ("2_sq8_at_byte_per_dim",
          plan["family"] == "ivf_sq8"

@@ -7,9 +7,9 @@ the choice for it; this engine has three parquet-IVF variants
 validation (tools/ivfpq_scale_r11.py, SCALE_NOTES Round 11) measured
 where each wins:
 
-- IVF_FLAT (raw float vectors, 4 bytes/dim): exact per-probe scoring
-  — recall limited only by nprobe. The operating point when bytes
-  are no constraint.
+- IVF_FLAT (raw vectors; this engine stores array<double>, so
+  8 bytes/dim on disk): exact per-probe scoring — recall limited
+  only by nprobe. The operating point when bytes are no constraint.
 - IVF_SQ8 (1 byte/dim): recall 0.933 on the near-duplicate-dense 1M
   fixture — the measured default whenever 1 byte/dim fits the
   budget.
@@ -70,7 +70,11 @@ def plan_index_family(
     budget = byte_budget_per_vec
     notes: list[str] = []
     warning = None
-    if budget is None or budget >= 4 * dim:
+    # flat payload accounting: the engine's vector schema is
+    # array<double> end-to-end (build, adds, scoring), so raw storage
+    # is 8 bytes/dim — budgets between dim and 8*dim therefore get
+    # SQ8, which actually fits, not flat, which wouldn't
+    if budget is None or budget >= 8 * dim:
         if want_adc_narrowing:
             family, bytes_per_vec = "ivf_pq_refine", pq["m"] + dim
             notes.append(
@@ -79,9 +83,9 @@ def plan_index_family(
                 "costs m bytes MORE than SQ8"
             )
         else:
-            family, bytes_per_vec = "ivf_flat", 4 * dim
-            notes.append("unconstrained budget: raw vectors, exact "
-                         "per-probe scoring")
+            family, bytes_per_vec = "ivf_flat", 8 * dim
+            notes.append("unconstrained budget: raw array<double> "
+                         "vectors, exact per-probe scoring")
     elif budget >= dim:
         if want_adc_narrowing:
             family, bytes_per_vec = "ivf_pq_refine", pq["m"] + dim
@@ -115,6 +119,15 @@ def plan_index_family(
             "sub-byte/dim budget: PQ-alone at m="
             f"{m} ({dim // m} dims/subspace)"
         )
+        if bytes_per_vec > budget:
+            # m floors at 1: a sub-1-byte budget cannot be met — say
+            # so instead of silently claiming to fit (the refine
+            # branch reports its violations the same way)
+            notes.append(
+                f"budget {budget} < 1 byte/vec is unsatisfiable: "
+                f"plan uses m={m} ({bytes_per_vec} bytes/vec), OVER "
+                "budget"
+            )
         notes.append(
             "byte-bounded refine fallback if the recall floor is "
             "unmet: IVFPQR (second-level PQ, +m bytes) — "

@@ -67,6 +67,54 @@ def read_state_parquet(spark: SparkSession, path: str):
     return spark.read.parquet(path)
 
 
+def archive_partitions_below(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    below_batch_id: int,
+    batch_col: str = "batch_id",
+) -> dict:
+    """Fold ``batch_col`` partitions with ``0 <= batch_col < bound``
+    into the ``-1`` archive partition via one atomic directory swap —
+    the shared fold-below-checkpoint-floor compaction the streaming
+    folds use (LshDedupFolder.compact_below, IndexFolder.
+    compact_adds). The caller owns the floor discipline: never pass a
+    bound a replayable trigger could still rewrite. Returns
+    {archived_rows, partitions_before, partitions_after};
+    ``archived_rows`` counts ONLY the rows newly folded this call
+    (rows already in the archive from earlier compactions are not
+    re-counted)."""
+    t = read_state_parquet(spark, path)
+    if t is None:
+        return {"archived_rows": 0, "partitions_before": 0,
+                "partitions_after": 0}
+    from pyspark.sql import functions as F
+
+    bc = F.col(batch_col)
+    p_before = t.select(batch_col).distinct().count()
+    n_arch = int(
+        t.where((bc >= 0) & (bc < F.lit(int(below_batch_id)))).count()
+    )
+    arch = F.when(
+        (bc >= 0) & (bc < F.lit(int(below_batch_id))), F.lit(-1)
+    ).otherwise(bc)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        t.withColumn(batch_col, arch)
+        .repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    swap_into(path, tmp)
+    p_after = (
+        spark.read.parquet(path).select(batch_col).distinct().count()
+    )
+    return {"archived_rows": n_arch,
+            "partitions_before": int(p_before),
+            "partitions_after": int(p_after)}
+
+
 def swap_into(path: str, tmp: str) -> None:
     """The engine's atomic-swap idiom in ONE place (the crash
     posture every rewrite shares): the fully-written ``tmp``
@@ -510,10 +558,21 @@ def rebuild_if_drifted(
             near_dup_dense=near_dup_dense,
         )
         report["plan"] = plan
+        # on the budgeted path the PLAN owns the layout AND the
+        # family: drop layout kwargs (nlist/quantize/m) plus
+        # family-specific ones that would crash a cross-family
+        # re-choice (sq8_mode/keep_vectors/n_assign are IVF-only;
+        # vec_col is passed explicitly) — a cron call written for the
+        # non-budget path must not become a latent TypeError when a
+        # budget is added to it
+        passthrough = {
+            k: v for k, v in build_kwargs.items()
+            if k not in ("nlist", "quantize", "m", "vec_col",
+                         "sq8_mode", "keep_vectors", "n_assign",
+                         "residual", "refine")
+        }
         new_index = build_planned(
-            rows, tmp, plan, vec_col=index.vec_col,
-            **{k: v for k, v in build_kwargs.items()
-               if k not in ("nlist", "quantize", "m")},
+            rows, tmp, plan, vec_col=index.vec_col, **passthrough
         )
     else:
         new_index = _builder(rows, tmp, **params)

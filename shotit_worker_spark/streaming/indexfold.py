@@ -227,16 +227,19 @@ class IndexFolder:
         tie_col: str | None = None,
     ) -> DataFrame:
         """Top-k over base ∪ adds — centroid partition pruning applies
-        to BOTH layouts (adds is sub-partitioned by centroid_id)."""
-        index = self._index()
-        if index is None:
-            raise ValueError("no batches folded yet")
-        probes = index.probe_ids(query, nprobe)
-        df = self.table().filter(F.col("centroid_id").isin(probes))
+        to BOTH layouts (adds is sub-partitioned by centroid_id).
+        ONE index open per call (the view carries the parsed
+        sidecar); hold a ResidentSearcher over :meth:`view` for a
+        serving loop that should not re-open at all."""
+        view = self.view()
+        probes = view.probe_ids(query, nprobe)
+        df = view.load(self.spark).filter(
+            F.col("centroid_id").isin(probes)
+        )
         cols = [id_col] + (
             [tie_col] if tie_col and tie_col != id_col else []
         )
-        scored = index._scored(df, query, cols)
+        scored = view._scored(df, query, cols)
         order = [F.col("score").desc()] + (
             [F.col(tie_col).asc()] if tie_col else []
         )
@@ -248,13 +251,30 @@ class IndexFolder:
         self,
         residual_ratio: float = 1.5,
         max_imbalance: float = 8.0,
+        floor_batch_id: int | None = None,
         **chooser_kwargs,
     ) -> dict:
-        """Drift check over base ∪ adds; past threshold, rebuild from
-        the union through the family chooser into a fresh base at
+        """Drift check over base ∪ adds; past threshold, rebuild
+        through the family chooser into a fresh base at
         ``fold_epoch + 1`` (tmp build + atomic base swap; stale adds
-        are excluded by their epoch — their rows are in the new
-        base). Returns the drift report (+ ``rebuilt``/``plan``)."""
+        are excluded by their epoch). Returns the drift report
+        (+ ``rebuilt``/``plan``).
+
+        ``floor_batch_id`` is the stream's committed checkpoint
+        floor, the SAME discipline compact_adds documents: add
+        batches at-or-above it can still be REPLAYED, so folding
+        them into the new base would double their rows when the
+        replay re-ingests them under the new epoch (and a batch
+        written concurrently with the rebuild would be silently
+        dropped as stale). With the floor set, only adds with
+        ``batch_id < floor`` (plus the archive) fold into the base;
+        adds at-or-above the floor are CARRIED — re-encoded against
+        the NEW index into the new epoch's partitions BEFORE the
+        swap, so a later replay of those triggers lands as a
+        dynamic-overwrite no-op. ``floor_batch_id=None`` asserts the
+        stream is QUIESCED (no uncommitted or in-flight trigger) and
+        folds everything — fine for operator-driven maintenance
+        windows, wrong for a live stream."""
         from ..plans.maintenance import (
             ivf_drift,
             record_ivf_baseline,
@@ -268,7 +288,22 @@ class IndexFolder:
             return report
         from ..index.family import build_planned
 
-        rows = view.load(self.spark).localCheckpoint(eager=True)
+        index = self._index()
+        base = index.load(self.spark)
+        adds = self._adds(index)
+        carry = None
+        if adds is not None and floor_batch_id is not None:
+            fb = F.lit(int(floor_batch_id))
+            carry = adds.where(F.col("batch_id") >= fb)
+            adds = adds.where(F.col("batch_id") < fb)
+        folded = base if adds is None else base.unionByName(
+            adds.select(*base.columns)
+        )
+        rows = folded.localCheckpoint(eager=True)
+        carry_rows = (
+            None if carry is None
+            else carry.localCheckpoint(eager=True)
+        )
         n = int(rows.count())
         dim = int(view.centroids.shape[1])
         plan = plan_index_family(
@@ -276,95 +311,132 @@ class IndexFolder:
             byte_budget_per_vec=chooser_kwargs.pop(
                 "byte_budget_per_vec", self.byte_budget_per_vec
             ),
-            near_dup_dense=self.near_dup_dense,
+            near_dup_dense=chooser_kwargs.pop(
+                "near_dup_dense", self.near_dup_dense
+            ),
             **chooser_kwargs,
         )
-        src = rows
-        if view.vec_col not in rows.columns:
-            # quantized base (SQ8 codes or PQ codes ± refine): rebuild
-            # from the best available float proxy, the maintenance
-            # rebuild's established rule
-            from ..plans.maintenance import _ivf_float_vec
 
-            src, vcol = _ivf_float_vec(self.spark, view, rows)
-            if vcol != view.vec_col:
-                src = src.withColumnRenamed(vcol, view.vec_col)
-        src = src.drop(
-            "centroid_id", "sq8_code", "pq_code", "epoch", "batch_id"
-        )
+        def _proxy(df):
+            src = df
+            if view.vec_col not in df.columns:
+                # quantized rows (SQ8 or PQ codes ± refine): the best
+                # available float proxy, the maintenance rebuild's
+                # established rule
+                from ..plans.maintenance import _ivf_float_vec
+
+                src, vcol = _ivf_float_vec(self.spark, view, df)
+                if vcol != view.vec_col:
+                    src = src.withColumnRenamed(vcol, view.vec_col)
+            return src.drop("centroid_id", "sq8_code", "pq_code")
+
+        src = _proxy(rows).drop("epoch", "batch_id")
         tmp = f"{self.base_path}.rebuild-{uuid.uuid4().hex[:8]}"
         new_index = build_planned(src, tmp, plan, vec_col=self.vec_col)
         old_meta = view._fold_meta
+        new_epoch = int(old_meta.get("fold_epoch", 0)) + 1
         # finalize meta (epoch bump, baseline) in the TMP dir, THEN
         # swap: the epoch and the data publish in the same atomic
         # rename, so no crash window can pair the new base with the
         # old epoch (which would resurrect stale adds as duplicates)
         meta = _read_meta(self.spark, tmp)
-        meta["fold_epoch"] = int(old_meta.get("fold_epoch", 0)) + 1
+        meta["fold_epoch"] = new_epoch
         meta["bootstrap_bid"] = old_meta.get("bootstrap_bid", -1)
         meta["plan"] = {k: v for k, v in plan.items() if k != "notes"}
         _write_meta(self.spark, tmp, meta)
         record_ivf_baseline(self.spark, new_index)
+        # carry the above-floor adds into the NEW epoch before the
+        # swap: clear the target epoch dir first (a previous crashed
+        # rebuild with a DIFFERENT floor may have left carry
+        # partitions there that this rebuild folds into the base —
+        # they would surface as duplicates after the swap), then
+        # re-encode each carried batch against the new index into its
+        # own (epoch, batch_id) partitions so a later checkpoint
+        # replay of those triggers overwrites them idempotently
+        self._delete_dir(
+            os.path.join(self.adds_path, f"epoch={new_epoch}")
+        )
+        if carry_rows is not None and carry_rows.limit(1).count() > 0:
+            base_cols = new_index.load(self.spark).columns
+            enc = new_index._encode_new_rows(
+                _proxy(carry_rows).drop("epoch"), base_cols
+            )
+            (
+                enc.select(*base_cols, "batch_id")
+                .withColumn("epoch", F.lit(new_epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "batch_id", "centroid_id")
+                .parquet(self.adds_path)
+            )
         swap_into(self.base_path, tmp)
         report["rebuilt"] = True
         report["plan"] = plan
+        if carry_rows is not None:
+            report["carried_rows"] = int(carry_rows.count())
         return report
+
+    def _delete_dir(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+            return True
+        return False
 
     def compact_adds(self, below_batch_id: int) -> dict:
         """Fold current-epoch ``batch_id`` partitions below the
         stream's committed checkpoint floor into ``batch_id=-1`` (one
-        atomic swap of the adds directory). Same floor warning as
-        LshDedupFolder.compact_below: never pass a bound a replayable
-        trigger could still rewrite."""
-        t = read_state_parquet(self.spark, self.adds_path)
-        if t is None:
-            return {"archived_rows": 0, "partitions_before": 0,
-                    "partitions_after": 0}
-        p_before = t.select("batch_id").distinct().count()
-        arch = F.when(
-            (F.col("batch_id") >= 0)
-            & (F.col("batch_id") < F.lit(int(below_batch_id))),
-            F.lit(-1),
-        ).otherwise(F.col("batch_id"))
-        rewritten = t.withColumn("batch_id", arch)
-        n_arch = int(rewritten.where(F.col("batch_id") == -1).count())
-        tmp = f"{self.adds_path}.compact-{uuid.uuid4().hex[:8]}"
-        (
-            rewritten.repartition("epoch", "batch_id", "centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("epoch", "batch_id", "centroid_id")
-            .parquet(tmp)
+        atomic swap of the adds directory — the shared
+        plans/maintenance.archive_partitions_below). Same floor
+        warning as LshDedupFolder.compact_below: never pass a bound a
+        replayable trigger could still rewrite."""
+        from ..plans.maintenance import archive_partitions_below
+
+        return archive_partitions_below(
+            self.spark, self.adds_path,
+            ["epoch", "batch_id", "centroid_id"], below_batch_id,
         )
-        swap_into(self.adds_path, tmp)
-        p_after = (
-            self.spark.read.parquet(self.adds_path)
-            .select("batch_id").distinct().count()
-        )
-        return {"archived_rows": n_arch,
-                "partitions_before": int(p_before),
-                "partitions_after": int(p_after)}
 
     def vacuum_stale_adds(self) -> int:
         """Drop add partitions from epochs BELOW the current one
-        (their rows live in the rebuilt base). Returns directories
-        removed. Safe any time: no read ever selects them."""
-        index = self._index()
-        if index is None:
-            return 0
-        cur = self._epoch(index)
+        (their rows live in the rebuilt base) AND crash-orphaned
+        build/compact temp directories (``base.boot-*``,
+        ``base.rebuild-*``, ``adds.compact-*`` — a crashed bootstrap
+        or rebuild retries under a fresh uuid, so its abandoned tmp
+        is garbage at full-index size). Returns directories removed.
+        Stale epochs are safe to drop any time (no read selects
+        them); call the vacuum only when no bootstrap/rebuild/compact
+        is IN FLIGHT — the same single-maintainer discipline the
+        floor arguments assume."""
         jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.adds_path)
-        fs = hpath.getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
-        if not fs.exists(hpath):
-            return 0
+        conf = self.spark._jsc.hadoopConfiguration()
         removed = 0
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if name.startswith("epoch=") and int(
-                name.split("=", 1)[1]
-            ) < cur:
-                fs.delete(st.getPath(), True)
-                removed += 1
+        index = self._index()
+        if index is not None:
+            cur = self._epoch(index)
+            hpath = jvm.org.apache.hadoop.fs.Path(self.adds_path)
+            fs = hpath.getFileSystem(conf)
+            if fs.exists(hpath):
+                for st in fs.listStatus(hpath):
+                    name = st.getPath().getName()
+                    if name.startswith("epoch=") and int(
+                        name.split("=", 1)[1]
+                    ) < cur:
+                        fs.delete(st.getPath(), True)
+                        removed += 1
+        root = jvm.org.apache.hadoop.fs.Path(self.state_path)
+        fs = root.getFileSystem(conf)
+        if fs.exists(root):
+            orphan_prefixes = (
+                "base.boot-", "base.rebuild-", "adds.compact-",
+            )
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if any(name.startswith(p) for p in orphan_prefixes):
+                    fs.delete(st.getPath(), True)
+                    removed += 1
         return removed

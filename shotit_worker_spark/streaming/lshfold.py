@@ -345,10 +345,9 @@ class LshDedupFolder:
         satisfying every probe's ``batch_id < N`` pre-state filter
         (-1 < any N), so folding continues unchanged over compacted
         state. Returns per-table {archived_rows, partitions_before,
-        partitions_after}."""
-        import uuid
-
-        from ..plans.maintenance import swap_into
+        partitions_after} (archived_rows counts only rows NEWLY
+        folded this call)."""
+        from ..plans.maintenance import archive_partitions_below
 
         out = {}
         for name, path, parts in (
@@ -361,37 +360,9 @@ class LshDedupFolder:
             ),
             ("kept", self.kept_path, ["batch_id"]),
         ):
-            t = read_state_parquet(self.spark, path)
-            if t is None:
-                out[name] = {"archived_rows": 0,
-                             "partitions_before": 0,
-                             "partitions_after": 0}
-                continue
-            p_before = t.select("batch_id").distinct().count()
-            arch = F.when(
-                (F.col("batch_id") >= 0)
-                & (F.col("batch_id") < F.lit(int(below_batch_id))),
-                F.lit(-1),
-            ).otherwise(F.col("batch_id"))
-            rewritten = t.withColumn("batch_id", arch)
-            n_arch = int(
-                rewritten.where(F.col("batch_id") == -1).count()
+            out[name] = archive_partitions_below(
+                self.spark, path, parts, below_batch_id
             )
-            tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-            (
-                rewritten.repartition(*[F.col(c) for c in parts])
-                .write.mode("overwrite")
-                .partitionBy(*parts)
-                .parquet(tmp)
-            )
-            swap_into(path, tmp)
-            p_after = (
-                self.spark.read.parquet(path)
-                .select("batch_id").distinct().count()
-            )
-            out[name] = {"archived_rows": n_arch,
-                         "partitions_before": int(p_before),
-                         "partitions_after": int(p_after)}
         return out
 
     def kept(self) -> DataFrame:

@@ -36,10 +36,18 @@ def _vecs(spark, n, dim=8, seed=5, id_base=0, centers=None):
 
 def test_decision_rule():
     d, n = 64, 100_000
-    # unconstrained -> raw vectors
+    # unconstrained -> raw vectors (array<double>: 8 bytes/dim)
     p = plan_index_family(d, n)
-    assert p["family"] == "ivf_flat" and p["bytes_per_vec"] == 4 * d
+    assert p["family"] == "ivf_flat" and p["bytes_per_vec"] == 8 * d
     assert p["warning"] is None
+    # a budget that fits float32 but NOT array<double> must get SQ8,
+    # not a flat plan it cannot store
+    p = plan_index_family(d, n, byte_budget_per_vec=4 * d)
+    assert p["family"] == "ivf_sq8"
+    # sub-1-byte budgets are unsatisfiable and say so
+    p = plan_index_family(d, n, byte_budget_per_vec=0.5)
+    assert p["family"] == "ivf_pq" and p["m"] == 1
+    assert any("OVER" in s for s in p["notes"])
     # 1 byte/dim fits -> SQ8 (the measured default), NOT PQ+refine
     p = plan_index_family(d, n, byte_budget_per_vec=d)
     assert p["family"] == "ivf_sq8" and p["bytes_per_vec"] == d
@@ -119,8 +127,12 @@ def test_budgeted_drift_rebuild_rechooses_family(spark, tmp_path):
     far = np.ones((1, 8)) * 25.0
     _, batch = _vecs(spark, 200, seed=7, id_base=20_000, centers=far)
     idx.add(batch)
+    # kwargs valid on the non-budget path must not crash the budgeted
+    # one (the plan owns layout/family there): vec_col is passed
+    # explicitly inside, sq8_mode is IVF-only
     new_idx, rep = MNT.rebuild_if_drifted(
-        spark, idx, byte_budget_per_vec=8  # 1 byte/dim -> SQ8
+        spark, idx, byte_budget_per_vec=8,  # 1 byte/dim -> SQ8
+        vec_col="vector", sq8_mode="global",
     )
     assert rep.get("rebuilt")
     assert rep["plan"]["family"] == "ivf_sq8"

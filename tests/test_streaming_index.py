@@ -141,6 +141,50 @@ def test_drift_rebuild_bumps_epoch_and_ignores_stale_adds(
     assert folder.vacuum_stale_adds() == 1
 
 
+def test_floor_rebuild_carries_uncommitted_batches(spark, tmp_root):
+    # the checkpoint-floor contract: a trigger delivered but NOT yet
+    # committed when the rebuild runs must not be folded into the new
+    # base — its later replay would re-ingest the same rows under the
+    # new epoch and duplicate them. With floor_batch_id set, batches
+    # >= floor are CARRIED (re-encoded into the new epoch), so the
+    # replay lands as a dynamic-overwrite no-op.
+    folder, _, allrows = _fold_three(spark, tmp_root, "ix_floor")
+    far = np.ones((1, DIM)) * 25.0
+    _, ood = _batch(spark, 150, seed=9, id_base=5000, centers=far)
+    folder.foreach_batch(ood, 3)  # delivered, NOT committed
+    rep = folder.rebuild_if_drifted(floor_batch_id=3)
+    assert rep.get("rebuilt") and rep.get("carried_rows") == 150
+    index = folder._index()
+    assert folder._epoch(index) == 1
+    # base holds only the committed 400; the carried batch lives in
+    # the NEW epoch's adds under its own batch_id
+    assert index.load(spark).count() == 400
+    assert folder.table().count() == 550
+    # the checkpoint replay of trigger 3 is a no-op, NOT a duplicate
+    folder.foreach_batch(ood, 3)
+    assert folder.table().count() == 550
+    # and the fold continues normally after it
+    _, b4 = _batch(spark, 50, seed=11, id_base=7000, centers=far)
+    folder.foreach_batch(b4, 4)
+    assert folder.table().count() == 600
+
+
+def test_vacuum_removes_orphan_build_dirs(spark, tmp_root):
+    import os
+
+    folder, _, _ = _fold_three(spark, tmp_root, "ix_vac")
+    orphan = os.path.join(folder.state_path, "base.boot-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    orphan2 = os.path.join(folder.state_path, "adds.compact-feedface")
+    os.makedirs(orphan2)
+    assert folder.vacuum_stale_adds() == 2
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan2)
+    assert folder.table().count() == 400  # live state untouched
+
+
 def test_sq8_budget_flows_through_chooser(spark, tmp_root):
     folder, _, allrows = _fold_three(
         spark, tmp_root, "ix_sq8", budget=DIM
