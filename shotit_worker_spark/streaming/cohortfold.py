@@ -122,12 +122,19 @@ class CohortFolder:
         touched: list[int] | None = None
         if self.n_buckets is not None:
             # bounded driver list (<= n_buckets ints) driving both
-            # the pruned state scan and the pruned overwrite
-            batch = batch.persist()
+            # the pruned state scan and the pruned overwrite. Probe
+            # the RAW batch (project user, distinct over <= n_buckets
+            # values) instead of materializing + persisting the
+            # per-user aggregation just to learn the bucket list —
+            # the aggregation then runs exactly once, inside the
+            # state-write job (same user set: _per_batch keeps every
+            # non-NULL-ts user).
             touched = [
                 r[0]
-                for r in batch.select(
-                    self._bucket(F.col("user")).alias("__b")
+                for r in batch_df.where(
+                    F.col(self.ts_col).isNotNull()
+                ).select(
+                    self._bucket(F.col(self.user_col)).alias("__b")
                 ).distinct().collect()
             ]
             if state is not None:
@@ -177,7 +184,6 @@ class CohortFolder:
                 .partitionBy("bucket")
                 .parquet(self.state_path)
             )
-            batch.unpersist(blocking=False)
         elif state is None:
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:

@@ -133,30 +133,41 @@ class FunnelFolder:
     _PEND_T = "array<struct<__t:bigint,__y:string>>"
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        arr = _FN._event_arrays(
-            _FN._prepared_events(
-                batch_df, self.steps, self.user_col, self.ts_col,
-                self.type_col,
-            )
+        ev = _FN._prepared_events(
+            batch_df, self.steps, self.user_col, self.ts_col,
+            self.type_col,
         )
+        arr = _FN._event_arrays(ev)
         state = self._state()
-        touched: list[int] | None = None
-        if self.n_buckets is not None or self.lateness_sec is not None:
-            arr = arr.persist()
+        bmax: int | None = None
         if self.n_buckets is not None:
-            # bounded driver list (<= n_buckets ints); pruning the
-            # state scan AND the overwrite to these partitions is
-            # the whole point of bucketing
-            touched = [
-                r[0]
-                for r in arr.select(
+            # ONE bounded probe job (<= n_buckets rows) over the RAW
+            # prepared events — never the per-user aggregation, which
+            # the former probe materialized (and persisted) just to
+            # learn the bucket list. In lateness mode the same
+            # aggregate also yields the seal horizon's batch max, so
+            # probe + horizon cost one light scan instead of two
+            # aggregation jobs.
+            if self.lateness_sec is not None:
+                probe = ev.groupBy(
                     self._bucket(F.col("__u")).alias("__b")
-                ).distinct().collect()
-            ]
+                ).agg(F.max("__t").alias("m")).collect()
+                touched = [r["__b"] for r in probe]
+                bmax = max((r["m"] for r in probe), default=None)
+            else:
+                touched = [
+                    r[0]
+                    for r in ev.select(
+                        self._bucket(F.col("__u")).alias("__b")
+                    ).distinct().collect()
+                ]
             if state is not None:
                 state = state.where(F.col("bucket").isin(touched))
+        elif self.lateness_sec is not None:
+            row = ev.agg(F.max("__t").alias("m")).collect()[0]
+            bmax = row["m"]
         if self.lateness_sec is not None:
-            self._fold_with_lateness(arr, state)
+            self._fold_with_lateness(arr, state, bmax)
             return
         if state is not None:
             joined = arr.join(
@@ -188,13 +199,12 @@ class FunnelFolder:
                 F.col("__a")["ts"].alias("ts"),
             )
         )
-        self._write_state(new_state, state is None, arr)
+        self._write_state(new_state, state is None)
 
     def _write_state(
         self,
         new_state: DataFrame,
         state_was_none: bool,
-        persisted: DataFrame,
     ) -> None:
         if self.n_buckets is not None:
             # dynamic partition overwrite replaces ONLY the bucket
@@ -217,23 +227,21 @@ class FunnelFolder:
             new_state.write.mode("overwrite").parquet(self.state_path)
         else:
             _swap_write(new_state, self.state_path)
-        if self.n_buckets is not None or self.lateness_sec is not None:
-            persisted.unpersist(blocking=False)
 
     def _fold_with_lateness(
-        self, arr: DataFrame, state: DataFrame | None
+        self,
+        arr: DataFrame,
+        state: DataFrame | None,
+        bmax: int | None,
     ) -> None:
-        # seal horizon from THIS batch's max event time (arrays are
-        # (time, type)-sorted, so the per-user max is the last
-        # element); an empty batch seals nothing — later sealing is
+        # seal horizon from THIS batch's max event time (computed by
+        # the caller in the same probe job that found the touched
+        # buckets); an empty batch seals nothing — later sealing is
         # always safe because counts() folds the pending tail
-        row = arr.agg(
-            F.max(F.element_at("__evs", -1)["__t"]).alias("m")
-        ).collect()[0]
         horizon = (
             None
-            if row["m"] is None
-            else int(row["m"]) - int(round(self.lateness_sec * 1_000_000))
+            if bmax is None
+            else int(bmax) - int(round(self.lateness_sec * 1_000_000))
         )
         if state is not None:
             joined = arr.join(
@@ -327,7 +335,7 @@ class FunnelFolder:
                 "pend",
             )
         )
-        self._write_state(new_state, state is None, arr)
+        self._write_state(new_state, state is None)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -242,14 +242,28 @@ class Scd2Folder:
             recon = recon.unionByName(
                 self._tomb_as_log(touched_tomb, log)
             )
-        merged_log = (
-            recon.unionByName(log)
-            # replayed changes collide with their own reconstruction;
-            # one change per (key, seq) is the module contract, so
-            # which duplicate survives is immaterial
-            .dropDuplicates(self.keys + ["__seq"])
-        ).persist()
-        rebuilt = self._rebuild(merged_log).persist()
+        merged_log = recon.unionByName(log).persist()
+        # replayed changes collide with their own reconstruction; one
+        # change per (key, seq) is the module contract, so which
+        # duplicate survives is immaterial. Dedup with a lag() over
+        # the SAME hash(keys) window partitioning build_scd2 needs —
+        # a dropDuplicates(keys+seq) here cost one extra full
+        # exchange of the merged log per trigger for the same result
+        # (hash(keys) co-locates equal (key, seq) rows; among
+        # equal-seq duplicates lag sees an arbitrary order, exactly
+        # like dropDuplicates' arbitrary survivor).
+        wd = Window.partitionBy(*self.keys).orderBy("__seq")
+        deduped = (
+            merged_log.withColumn(
+                "__pseq", F.lag("__seq").over(wd)
+            )
+            .where(
+                F.col("__pseq").isNull()
+                | (F.col("__pseq") != F.col("__seq"))
+            )
+            .drop("__pseq")
+        )
+        rebuilt = self._rebuild(deduped).persist()
         # dangling deletes: delete changes no rebuilt interval records
         closed_at = rebuilt.where(F.col("valid_to").isNotNull()).select(
             *self.keys, F.col("valid_to").alias("__seq")
@@ -257,6 +271,11 @@ class Scd2Folder:
         new_tomb = (
             merged_log.where(F.col("__op") == "delete")
             .select(*self.keys, "__seq")
+            # merged_log is no longer pre-deduped: drop duplicate
+            # (key, seq) deletes here (delete rows only — a tiny
+            # slice of the log) so the tombstone table's contents
+            # stay exactly as before
+            .dropDuplicates(self.keys + ["__seq"])
             .join(closed_at, on=self.keys + ["__seq"], how="left_anti")
         )
         out_hist = rebuilt

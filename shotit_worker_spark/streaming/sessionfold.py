@@ -10,8 +10,9 @@ moment the gap rule closes it to a batch_id-partitioned CLOSED table
 sessions, the append-only shape any warehouse sink has). Each
 micro-batch:
 
-1. sessionizes its OWN events with the batch operator (one
-   groupBy(user) after the lag/cumsum window — micro-batch sized),
+1. sessionizes its OWN events in one keyed exchange (groupBy(user)
+   gathers sorted event times; the ``_segment`` fold applies the
+   batch operator's exact <=-gap rule — micro-batch sized),
 2. full-outer-joins the open-session state on user,
 3. merges the user's sorted partial sessions into the open session
    with an ``F.aggregate`` chain fold — extend while the gap from
@@ -82,7 +83,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.sessions import sessionize
 from ..plans.maintenance import path_exists, read_state_parquet
 from ..plans.merge import _swap_write
 
@@ -139,26 +139,41 @@ class SessionFolder:
 
     def _partials(self, batch_df: DataFrame) -> DataFrame:
         """(user, __ps sorted array<struct<s,e,n>>) — the batch's own
-        sessions via the batch operator, collapsed per user."""
-        sess = sessionize(
-            batch_df, self.user_col, self.ts_col, self.gap_sec
-        )
+        sessions, collapsed per user in ONE keyed exchange:
+        groupBy(user) gathers the sorted event times and
+        :meth:`_segment` folds them with the batch operator's exact
+        <=-gap rule (the same kernel the lateness path uses — pinned
+        equal to operators/sessions.sessionize by the stream==batch
+        tests). The former formulation went through sessionize's
+        window (lag + cumsum sorts) plus TWO follow-up aggregations;
+        all three hash to the same user partitioning, but each added
+        a sort/agg phase to the trigger's write job for identical
+        output. Per-user arrays are micro-batch sized — the fold's
+        standing state contract."""
         tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
-        per = (
-            sess.groupBy(
-                F.col(self.user_col).alias("user"), "session_no"
-            )
-            .agg(
-                F.min(tsm).alias("s"),
-                F.max(tsm).alias("e"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        ev = batch_df.where(F.col(self.ts_col).isNotNull()).select(
+            F.col(self.user_col).alias("user"), tsm.alias("__t")
         )
-        return per.groupBy("user").agg(
-            F.sort_array(
-                F.collect_list(F.struct("s", "e", "n"))
-            ).alias("__ps")
-        )
+        return ev.groupBy("user").agg(
+            F.sort_array(F.collect_list("__t")).alias("__tt")
+        ).select("user", self._segment(F.col("__tt")).alias("__ps"))
+
+    def _touched_buckets(self, batch_df: DataFrame) -> list[int]:
+        """Distinct state buckets of the batch's users — the ONE
+        driver-bounded probe job per trigger (<= n_buckets ints). It
+        scans the RAW batch (project user, distinct over <= n_buckets
+        values), never the sessionized partials: the former probe
+        materialized (and persisted) the full per-user aggregation
+        just to learn the bucket list, paying the batch's whole
+        groupBy once more per trigger. Same set either way: the
+        partials keep exactly the non-NULL-ts users."""
+        return [
+            r[0]
+            for r in batch_df.where(F.col(self.ts_col).isNotNull())
+            .select(self._bucket(F.col(self.user_col)).alias("__b"))
+            .distinct()
+            .collect()
+        ]
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.lateness_sec is not None:
@@ -166,15 +181,8 @@ class SessionFolder:
             return
         parts = self._partials(batch_df)
         openst = self._open()
-        parts0 = parts  # the persisted frame (parts may be refiltered)
         if self.n_buckets is not None:
-            parts = parts0 = parts.persist()
-            touched = [
-                r[0]
-                for r in parts.select(
-                    self._bucket(F.col("user")).alias("__b")
-                ).distinct().collect()
-            ]
+            touched = self._touched_buckets(batch_df)
             if openst is not None:
                 openst = openst.where(F.col("bucket").isin(touched))
                 # replay detection per bucket: a bucket whose last
@@ -190,7 +198,6 @@ class SessionFolder:
                 if done:
                     touched = [b for b in touched if b not in done]
                     if not touched:
-                        parts0.unpersist(blocking=False)
                         return
                     openst = openst.where(
                         F.col("bucket").isin(touched)
@@ -314,8 +321,6 @@ class SessionFolder:
         else:
             _swap_write(new_open, self.open_path)
         folded.unpersist(blocking=False)
-        if self.n_buckets is not None:
-            parts0.unpersist(blocking=False)
 
     def _gap_us(self):
         return F.lit(int(round(self.gap_sec * 1_000_000)))
@@ -420,7 +425,6 @@ class SessionFolder:
             F.array_sort(
                 F.array_distinct(F.collect_list("__t"))
             ).alias("__tt"),
-            F.max("__t").alias("__bm"),
         ).select(
             "user",
             F.transform(
@@ -429,18 +433,23 @@ class SessionFolder:
                     t.alias("s"), t.alias("e"), one.alias("n")
                 ),
             ).alias("__ev"),
-            "__bm",
         )
-        arr0 = arr
         openst = self._open()
+        # ONE raw-scan probe job: the seal horizon (global batch max)
+        # and the touched-bucket list come from the same bounded
+        # aggregate (<= n_buckets rows), instead of the former pair of
+        # jobs that each materialized (and persisted) the per-user
+        # aggregation. Horizon note: the batch's GLOBAL max is the
+        # normal-path horizon; on a partially-replayed trigger the old
+        # code derived it from the not-yet-done buckets only (a lower
+        # cut) — both are safe (sealing later is always safe, and any
+        # horizon <= the batch max respects the lateness contract).
         if self.n_buckets is not None:
-            arr = arr0 = arr.persist()
-            touched = [
-                r[0]
-                for r in arr.select(
-                    self._bucket(F.col("user")).alias("__b")
-                ).distinct().collect()
-            ]
+            probe = ev.groupBy(
+                self._bucket(F.col("user")).alias("__b")
+            ).agg(F.max("__t").alias("m")).collect()
+            touched = [r["__b"] for r in probe]
+            bmax = max((r["m"] for r in probe), default=None)
             if openst is not None:
                 openst = openst.where(F.col("bucket").isin(touched))
                 done = {
@@ -452,7 +461,6 @@ class SessionFolder:
                 if done:
                     touched = [b for b in touched if b not in done]
                     if not touched:
-                        arr0.unpersist(blocking=False)
                         return
                     openst = openst.where(
                         F.col("bucket").isin(touched)
@@ -460,15 +468,16 @@ class SessionFolder:
                     arr = arr.where(
                         self._bucket(F.col("user")).isin(touched)
                     )
-        elif openst is not None:
-            last = openst.agg(F.max("bid")).collect()[0][0]
-            if last is not None and int(last) == int(batch_id):
-                return
-        row = arr.agg(F.max("__bm").alias("m")).collect()[0]
+        else:
+            if openst is not None:
+                last = openst.agg(F.max("bid")).collect()[0][0]
+                if last is not None and int(last) == int(batch_id):
+                    return
+            bmax = ev.agg(F.max("__t")).collect()[0][0]
         horizon = (
             None
-            if row["m"] is None
-            else int(row["m"])
+            if bmax is None
+            else int(bmax)
             - int(round(self.lateness_sec * 1_000_000))
         )
         if openst is not None:
@@ -624,8 +633,6 @@ class SessionFolder:
         else:
             _swap_write(new_open, self.open_path)
         folded.unpersist(blocking=False)
-        if self.n_buckets is not None:
-            arr0.unpersist(blocking=False)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -1,0 +1,50 @@
+"""Dump .explain('formatted') for declared queries into plans/r12/.
+
+Usage:
+    python tools/explain_r12.py before q125_stream_sessionize q131_stream_lsh_dedup
+    python tools/explain_r12.py after  q125_stream_sessionize
+
+Writes plans/r12/<query>_<tag>.txt for each named query (the plan of the
+DataFrame the query RETURNS — the one bench.py collects). Queries whose
+optimization lives in a per-trigger internal frame additionally get a
+hand-captured companion file (see OPTIMIZATION_r12.md for which frame
+each file shows).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from shotit_worker_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("explain-r12")
+    qs = entrymod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
