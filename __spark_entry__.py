@@ -1986,8 +1986,22 @@ def _rerank_planted_pairs(spark: SparkSession, seed: int):
             else:
                 dtext = " ".join(rng.choice(filler) for _ in range(6))
             rows.append((q, doc_id, qtext, dtext, 1.0 if d == 0 else 0.0))
-    df = spark.createDataFrame(
+    import pandas as pd
+
+    # pandas-backed → Arrow createDataFrame: the JVM holds the rows as
+    # Arrow batches, so downstream persists/counts never re-run a
+    # Python pickle source. The former list-backed form parallelized
+    # into defaultParallelism pickle partitions, and the gate's
+    # coalesce(1) then paid one Python-worker round trip PER SOURCE
+    # PARTITION serially — ~6 s to count 216 rows.
+    pdf = pd.DataFrame(
         rows,
+        columns=[
+            "query_id", "hash_id", "query_text", "doc_text", "label",
+        ],
+    )
+    df = spark.createDataFrame(
+        pdf,
         "query_id long, hash_id long, query_text string, "
         "doc_text string, label double",
     )
@@ -2014,12 +2028,12 @@ def q69_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, _ = _rerank_planted_pairs(spark, seed=7)
     test, relevant = _rerank_planted_pairs(spark, seed=99)
-    # python-list-backed DataFrames re-run the Python pickle source on
-    # EVERY job (~2 s per action even for a bare count); the gate runs
-    # ~6 actions over these 216-row frames, so persist both once —
-    # measured 16 s -> ~4 s for the whole gate
-    test = test.coalesce(2).persist()
-    train = train.coalesce(1).persist()
+    # the gate runs ~6 actions over these 216-row frames, so persist
+    # both once (Arrow-backed source — see _rerank_planted_pairs; the
+    # former coalesce-over-pickle-partitions persist cost ~6 s per
+    # frame by itself)
+    test = test.persist()
+    train = train.persist()
     test.count()
     train.count()
     # 10 iterations converge the fully-separable marker feature with
@@ -7127,16 +7141,30 @@ def q133_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["score"] >= kth - 1e-9
         }
 
-    def _probe(qid):
-        return [
-            int(r["vec_id"])
-            for r in folder.search(
-                queries[qid], k=k, nprobe=nlist, id_col="vec_id",
-                tie_col="vec_id",
-            ).collect()
-        ]
+    def _probe_many(qid_list):
+        """One search_batch job for the whole probe list (instead of
+        one folded-search job per query): row_number over (score
+        DESC, tie ASC) <= k is the same deterministic boundary rule
+        as folder.search's orderBy+limit, and the flat family scores
+        both paths with the identical dot kernel, so the per-query id
+        lists are unchanged — every probe checkpoint below uses this
+        same method, so replay/compact equality checks compare
+        like-with-like."""
+        res = folder.view().search_batch(
+            spark, [(qid, queries[qid]) for qid in qid_list], k=k,
+            nprobe=nlist, id_col="vec_id", tie_col="vec_id",
+        ).collect()
+        out: dict = {qid: [] for qid in qid_list}
+        for r in sorted(
+            res, key=lambda r: (r["query_id"], -r["score"], r["vec_id"])
+        ):
+            out[int(r["query_id"])].append(int(r["vec_id"]))
+        return out
 
-    probes0 = {qid: _probe(qid) for qid in qids}
+    def _probe(qid):
+        return _probe_many([qid])[qid]
+
+    probes0 = _probe_many(qids)
     full_ok = all(
         set(probes0[qid]) <= exact_sets[qid]
         and len(probes0[qid]) == k

@@ -284,9 +284,25 @@ class LshDedupFolder:
             n_edges = edges.count()
             if n_edges == 0:
                 greedy_kept = empty_ids
+                # no collisions: every surviving band row is kept —
+                # the common trigger at scale skips the manifest
+                # filter join entirely
+                new_bands = surv_bands
             else:
                 greedy_kept = self._greedy_components(
                     edges, n_edges, surv_bands
+                )
+                # filter the manifest by the DROPPED side: colliding
+                # minus greedy-kept is the tiny set (collision graphs
+                # are small relative to the batch), so the anti-join's
+                # build side broadcasts, where the former left_semi
+                # against kept_ids built a hash table of nearly every
+                # batch doc for the same surviving rows
+                dropped_within = colliding.join(
+                    greedy_kept, self.id_col, "left_anti"
+                )
+                new_bands = surv_bands.join(
+                    dropped_within, self.id_col, "left_anti"
                 )
             # docs with no bands at all (empty/short text: all-NULL
             # signatures) can never collide — always kept
@@ -298,8 +314,6 @@ class LshDedupFolder:
                 trivially_kept.unionByName(greedy_kept)
                 .unionByName(bandless)
             )
-            new_bands = surv_bands.join(kept_ids, self.id_col,
-                                        "left_semi")
         kept_ids = kept_ids.persist()
         bands_out = new_bands.withColumn("batch_id", F.lit(bid))
         band_parts = ["batch_id"]
