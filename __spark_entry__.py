@@ -38,6 +38,7 @@ from shotit_worker_spark.operators import dedup as D
 from shotit_worker_spark.operators import packing as P
 from shotit_worker_spark.operators import relational as R
 from shotit_worker_spark.operators import similarity as S
+from shotit_worker_spark.smallframe import arrow_rows as _arrow_rows
 from shotit_worker_spark.streaming import windows as SW
 
 SF0001 = "/root/testdata/sf0.001"
@@ -601,7 +602,7 @@ def q24_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("scores_exact", scores_exact),
         ("self_top1", sub_ids[0] == 0 and full_ids[0] == 0),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 def q25_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,7 +662,7 @@ def q25_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("precision_exact", int(agg["any_below_threshold"] or 0) == 0),
         ("score_is_cosine", float(agg["max_dev"] or 0.0) <= 1e-9),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 # ---------------------------------------------------------------------------
@@ -761,7 +762,7 @@ def q34_loader_with_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("row_count_match", len(engine) == len(reference)),
         ("rows_identical", engine == reference),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,7 +1049,7 @@ def q49_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — >5-way boundary ties don't happen on random float embeddings),
     # keeping the full-probe == 1.0 gate deterministic across BLAS.
     exact_kp = S.knn_join(
-        spark.createDataFrame(
+        _arrow_rows(spark, 
             [(qid, [float(x) for x in q]) for qid, q in queries],
             "query_id long, query_vec array<double>",
         ),
@@ -1084,7 +1085,7 @@ def q49_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("full16", len(queries), mean_recall(16) == 1.0),
         ("nprobe4", len(queries), mean_recall(4) >= 0.40),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "probe_mode string, n_queries long, floor_met boolean"
     ).orderBy("probe_mode")
 
@@ -1132,7 +1133,7 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    empty = spark.createDataFrame([(999999, "")], "doc_id long, text string")
+    empty = _arrow_rows(spark, [(999999, "")], "doc_id long, text string")
     # base corpus fingerprints come from the shared cache (q52+q54);
     # only the planted extras run the partial-agg plan here. Cache the
     # union: the gate agg below reads fps twice (main + twin branch).
@@ -1201,7 +1202,7 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dup_text_same_fp", int(agg["twin_diffs"] or 0) == 0),
         ("empty_doc_zero", int(agg["empty_fp"] or 0) == 0),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,7 +1231,7 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = eligible.select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    empties = spark.createDataFrame(
+    empties = _arrow_rows(spark, 
         [(999998, ""), (999999, "")], "doc_id long, text string"
     )
     corpus = docs.unionByName(copies).unionByName(empties)
@@ -1292,7 +1293,7 @@ def q53_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("planted_verified_1", n_verified_1 == n_planted),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 # ---------------------------------------------------------------------------
@@ -1371,7 +1372,7 @@ def q54_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact_dups_found", int(agg["dups_found"] or 0) == 5),
         ("hamming_values_match", int(agg["value_mismatch"] or 0) == 0),
     ]
-    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+    return _arrow_rows(spark, rows, "gate string, ok boolean").orderBy("gate")
 
 
 def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,7 +1433,7 @@ def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor storage for the rest of the session (ADVICE r3)
     rows = summary.collect()
     staged.unpersist()
-    return spark.createDataFrame(rows, summary.schema)
+    return _arrow_rows(spark, rows, summary.schema)
 
 
 def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,7 +1608,7 @@ def q63_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("score_parity", len(texts), score_ok),
         ("total_tokens", 1, int(lm.total_tokens) == int(total)),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -1719,7 +1720,7 @@ def q65_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 30 planted docs (150/5); >=29 rewritten (the globally-first
     # occurrence of the chunk windows is spared, which may leave ONE
     # planted doc untouched when its copy is the first occurrence)
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -1756,7 +1757,7 @@ def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("count_exact", len(base_ids), len(kept_ids) == len(base_ids)),
         ("originals_kept", len(base_ids), base_ids <= kept_ids),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -1797,7 +1798,7 @@ def q67_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 120)
         .coalesce(2)
     )
-    probes = spark.createDataFrame(
+    probes = _arrow_rows(spark, 
         [(9001, ""), (9002, "zzq qqw wwz unseen tokens entirely")],
         "doc_id long, text string",
     )
@@ -1893,7 +1894,7 @@ def q67_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("perplexity_form", len(texts), ppl_ok),
         ("score_parity", len(texts), score_ok),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -1958,7 +1959,7 @@ def q68_text_embedder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("originals_kept", len(base_ids), kept_ids == base_ids),
         ("unit_norm", len(a), norm_ok),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -2088,7 +2089,7 @@ def q69_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("catalyst_parity", len(ps), parity),
         ("learned_top1_all", len(relevant), learned == len(relevant)),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -2238,7 +2239,7 @@ def q71_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nf_budget", len(inp), nf_budget and nf_cons),
         ("nf_oversize_isolated", 1, nf_over),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "gate string, n long, ok boolean"
     ).orderBy("gate")
 
@@ -3124,7 +3125,7 @@ def q72_avc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ffmpeg for this step (/root/reference/hasher.js:78-91); here both
     directions are in-repo and the driver hash-checks their
     agreement."""
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(cid,) for cid in _AVC_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
@@ -3206,7 +3207,7 @@ def q73_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in sorted(_glob.glob(os.path.join(_JPEG_GOLD_DIR, "*.jpg"))):
         with open(p, "rb") as f:
             rows.append((os.path.basename(p)[:-4], bytearray(f.read())))
-    df = spark.createDataFrame(rows, "name string, content binary")
+    df = _arrow_rows(spark, rows, "name string, content binary")
 
     def run(batches):
         import hashlib
@@ -3299,7 +3300,7 @@ def q75_image_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
             name = name[: name.rindex(".")]
             with open(p, "rb") as f:
                 rows.append((name, bytearray(f.read())))
-    df = spark.createDataFrame(rows, "name string, content binary")
+    df = _arrow_rows(spark, rows, "name string, content binary")
 
     def run(batches):
         import hashlib
@@ -3423,7 +3424,7 @@ def q76_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction code (encoder in tools/gen_flac_fixture.py is
     independent; the in-stream STREAMINFO MD5 is verified during
     decode as well)."""
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(cid,) for cid in _FLAC_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
@@ -3592,7 +3593,7 @@ def q77_wav_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction — see _wav_case_stream). Beyond-reference format
     coverage: the reference delegates all audio to ffmpeg
     (/root/reference/hasher.js:78-91)."""
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(cid,) for cid in _WAV_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
@@ -3878,7 +3879,7 @@ def q91_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             b"FRAME\n" + bytes([luma]) * (w * h)
             + bytes([128]) * (w // 2 * h // 2) * 2
         )
-    videos = spark.createDataFrame(
+    videos = _arrow_rows(spark, 
         [("store/sc/gate.y4m", bytearray(b"".join(chunks)))],
         "path string, content binary",
     )
@@ -3898,7 +3899,7 @@ def q91_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("2_segments", segs == [(0, 0, 3, 4), (1, 4, 6, 3)]),
         ("3_representatives", reps == [(0, 2), (1, 5)]),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -3936,7 +3937,7 @@ def q92_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
                  gps=((10, 30, 0), "S", (20, 0, 0), "W"))))),
         ("c_plain", bytearray(jpg)),
     ]
-    df = spark.createDataFrame(rows, "path string, content binary")
+    df = _arrow_rows(spark, rows, "path string, content binary")
     # NULL-free projection (sentinels) so the comparison is typed
     # identically on both sides regardless of the harness's pandas
     # int-with-NULL -> float coercion
@@ -4137,7 +4138,7 @@ def q96_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             info = _tarfile.TarInfo(name)
             info.size = len(data)
             tf.addfile(info, _io.BytesIO(data))
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [("store/w/gate.tar", bytearray(bio.getvalue()))],
         "path string, content binary",
     )
@@ -4495,7 +4496,7 @@ def q88_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (case_id, bytearray(IC.encode_png(rgb)))
         for case_id, rgb in _phash_case_rasters()
     ]
-    df = spark.createDataFrame(rows, "case_id string, image binary")
+    df = _arrow_rows(spark, rows, "case_id string, image binary")
     return (
         PH.phash_images(df, image_col="image", id_col="case_id")
         .orderBy("case_id")
@@ -4558,7 +4559,7 @@ def q89_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shotit_worker_spark.functions import audiofp as AF
 
     wav, flac, cut, off = _audiofp_case_blobs()
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [
             ("a/full.wav", bytearray(wav)),
             ("a/twin.flac", bytearray(flac)),
@@ -4603,7 +4604,7 @@ def q89_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_excerpt_votes",
          cutr is not None and cutr["votes"] >= 20),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -4717,7 +4718,7 @@ def q78_animated_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/gen_webp_fixture.py). Beyond-reference coverage: the
     reference plays animations through ffmpeg
     (/root/reference/hasher.js:78-91)."""
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(cid,) for cid in _ANIM_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
@@ -4894,7 +4895,7 @@ def q74_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (encoder in tools/gen_webp_fixture.py is independent).
     Beyond-reference coverage: the reference sniffs only png/jpg
     (/root/reference/searcher.js:151-155)."""
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(cid,) for cid in _WEBP_CASE_IDS], "case_id string"
     )
     tools_dir = _TOOLS_DIR
@@ -5073,7 +5074,7 @@ def q99_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the base doc's."""
     from shotit_worker_spark.functions.cdc import cdc_chunk_table
 
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [(i, bytearray(d)) for i, d in _cdc_case_docs()],
         "doc_id string, content binary",
     )
@@ -5205,7 +5206,7 @@ def q106_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-tolerant exact top-k (the q49 boundary rule: include every
     # row within 1e-9 of the k-th score, fetched as top k+5)
     exact_kp = S.knn_join(
-        spark.createDataFrame(
+        _arrow_rows(spark, 
             [(qid, [float(x) for x in q]) for qid, q in queries],
             "query_id long, query_vec array<double>",
         ),
@@ -5247,7 +5248,7 @@ def q106_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_calibrated_floor",
          cal["recall"] >= 0.9 and cal["nprobe"] <= nlist),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -5316,12 +5317,12 @@ def q101_captions_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         captions_df,
     )
 
-    files = spark.createDataFrame(
+    files = _arrow_rows(spark, 
         [(p, bytearray(b)) for p, b in _caption_blobs()],
         "path string, content binary",
     )
     cues = captions_df(files)
-    scenes = spark.createDataFrame(
+    scenes = _arrow_rows(spark, 
         _CAPTION_SCENES,
         "file string, scene_id int, start_time double, "
         "end_time double",
@@ -5412,7 +5413,7 @@ def q102_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pca_compressor,
     )
 
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         _pca_case_rows(), "row_id long, embedding array<double>"
     )
     pca = train_pca_compressor(df, out_dim=_PCA_OUT_DIM,
@@ -5422,7 +5423,7 @@ def q102_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_PCA_OUT_DIM)
         for i in range(4)
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "component int, dim int, loading double, eigval double"
     ).orderBy("component", "dim")
 
@@ -5464,7 +5465,7 @@ def q104_mfcc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shotit_worker_spark.functions import mfcc as MF
 
     wav, flac, cut, _ = _audiofp_case_blobs()
-    df = spark.createDataFrame(
+    df = _arrow_rows(spark, 
         [
             ("m/full.wav", bytearray(wav)),
             ("m/twin.flac", bytearray(flac)),
@@ -5503,7 +5504,7 @@ def q104_mfcc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_other_clip_farther",
          bool(other["cos"] < cut_r["cos"])),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -6371,7 +6372,7 @@ def q121_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(i + 1, 6):
                 edges.append((base + i, base + j))
     edges.append((5, 100))
-    df = spark.createDataFrame(edges, "src long, dst long")
+    df = _arrow_rows(spark, edges, "src long, dst long")
     return label_propagation(df, max_rounds=8).orderBy("node")
 
 
@@ -6774,7 +6775,7 @@ def q129_stream_heavy_hitters(
     rows = sorted(
         (str(t), int(c)) for t, c in folder.estimates().items()
     )
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "term string, est_count bigint"
     ).orderBy("term")
 
@@ -6832,7 +6833,7 @@ def q131_stream_lsh_dedup(
     copies = eligible.select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    empties = spark.createDataFrame(
+    empties = _arrow_rows(spark, 
         [(999998, ""), (999999, "w1 w2")], "doc_id long, text string"
     )
     global _Q131_LAST_DIR
@@ -6862,7 +6863,7 @@ def q131_stream_lsh_dedup(
         ("5_compacted_noop",
          kept_after == kept and rep["bands"]["archived_rows"] > 0),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -6930,7 +6931,7 @@ def q130_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tie-tolerant exact top-k (q106's boundary rule)
     exact_kp = S.knn_join(
-        spark.createDataFrame(
+        _arrow_rows(spark, 
             [(qid, [float(x) for x in q]) for qid, q in queries],
             "query_id long, query_vec array<double>",
         ),
@@ -6960,7 +6961,7 @@ def q130_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("2_selfretrieval_rerank", bool(self_ok)),
         ("3_rerank_recall_floor", bool(recall_ok)),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -7057,7 +7058,7 @@ def q132_index_family(spark: SparkSession, sf_dir: str) -> DataFrame:
          and int(top["vec_id"]) == 0
          and float(top["score"]) > 0.98),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 
@@ -7121,7 +7122,7 @@ def q133_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-tolerant exact membership sets, ONE batched knn_join for
     # all three queries (the q106 rule, without 3 separate scans)
     ex = S.knn_join(
-        spark.createDataFrame(
+        _arrow_rows(spark, 
             [(qid, [float(x) for x in q])
              for qid, q in queries.items()],
             "query_id long, query_vec array<double>",
@@ -7190,7 +7191,7 @@ def q133_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REBUILT kmeans gives it ~one list (a wide far cloud would
     # absorb most centroids and leave the embedding cloud as one
     # genuinely fat list — skew no rebuild can clear)
-    ood = spark.createDataFrame(
+    ood = _arrow_rows(spark, 
         [
             (
                 9_000_000 + i,
@@ -7226,7 +7227,7 @@ def q133_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_compact_noop", bool(compact_ok)),
         ("4_epoch_rebuild", bool(rebuild_ok)),
     ]
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "invariant string, ok boolean"
     ).orderBy("invariant")
 

@@ -32,6 +32,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..smallframe import arrow_rows as _arrow_rows
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions import vector as V
@@ -453,7 +455,7 @@ class IVFIndex:
                 ).cast("tinyint")
 
             if self.sq8_per_centroid:
-                params = spark.createDataFrame(
+                params = _arrow_rows(spark, 
                     [
                         (
                             int(c),
@@ -517,7 +519,7 @@ class IVFIndex:
         # a tiny (nlist-row) broadcast-joined table — no per-row branching,
         # and the plan size stays O(1) in nprobe
         spark = df.sparkSession
-        params = spark.createDataFrame(
+        params = _arrow_rows(spark, 
             [
                 (
                     int(c),
@@ -663,7 +665,7 @@ class IVFIndex:
             df = df.where(where)
         cols = [id_col, *([tie_col] if tie_col and tie_col != id_col else [])]
         if sq8:
-            probe_df = spark.createDataFrame(
+            probe_df = _arrow_rows(spark, 
                 pairs,
                 "query_id long, centroid_id int, __const double, "
                 "__qs array<double>",
@@ -678,7 +680,7 @@ class IVFIndex:
                 lambda s, x: s + x,
             )
         else:
-            probe_df = spark.createDataFrame(
+            probe_df = _arrow_rows(spark, 
                 pairs, "query_id long, centroid_id int, __q array<double>"
             )
             if self.vec_col not in df.columns:
@@ -758,7 +760,7 @@ def build_ivf(
             assigned, vec_col, dim, len(centroids)
         )
         spark = index_rows.sparkSession
-        params = spark.createDataFrame(
+        params = _arrow_rows(spark, 
             [
                 (int(c), [float(x) for x in mins[c]], [float(x) for x in scales[c]])
                 for c in range(len(centroids))

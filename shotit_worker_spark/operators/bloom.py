@@ -42,6 +42,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..smallframe import arrow_rows as _arrow_rows
 from pyspark.sql.types import (
     BinaryType, BooleanType, LongType, StructField, StructType,
 )
@@ -124,7 +126,7 @@ class BloomFilter:
     def might_contain_local(self, values, spark: SparkSession) -> list:
         """Driver-side convenience probe for a SMALL value list (uses
         a one-row-per-value Spark job so the hash stays the JVM's)."""
-        df = spark.createDataFrame([(v,) for v in values], "key string")
+        df = _arrow_rows(spark, [(v,) for v in values], "key string")
         probed = bloom_probe(df, "key", self, out_col="hit")
         got = {r["key"]: r["hit"] for r in probed.collect()}
         return [bool(got[v]) for v in values]

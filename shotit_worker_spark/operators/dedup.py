@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..functions import text as TX
 
 # ---------------------------------------------------------------------------
@@ -246,7 +248,7 @@ def minhash_lsh_candidates(
     """
     banded = minhash_band_table(signatures, num_bands, id_col, num_hashes)
     if banded is None:
-        return signatures.sparkSession.createDataFrame([], "a_id long, b_id long")
+        return _arrow_rows(signatures.sparkSession, [], "a_id long, b_id long")
 
     a = banded.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("a_id")
@@ -473,7 +475,7 @@ def fuzzy_dedup_incremental(
     )
     new_bands = minhash_band_table(sigs, num_bands, id_col, num_hashes)
     if new_bands is None:
-        return new_docs, new_docs.sparkSession.createDataFrame(
+        return new_docs, _arrow_rows(new_docs.sparkSession, 
             [], f"{id_col} long, band_id int, band_hash bigint"
         )
     hits = (

@@ -55,6 +55,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..functions.text import TOKEN_SPLIT_PATTERN
 
 __all__ = [
@@ -183,7 +185,7 @@ class TextEmbedder:
 
     def save(self, path: str, spark: SparkSession) -> None:
         os.makedirs(path, exist_ok=True)
-        idf_df = spark.createDataFrame(
+        idf_df = _arrow_rows(spark, 
             list(self.idf.items()), "term string, idf double"
         )
         idf_df.write.mode("overwrite").parquet(os.path.join(path, "idf"))
@@ -353,7 +355,7 @@ class PCACompressor:
             )
             for j in range(k)
         ]
-        spark.createDataFrame(
+        _arrow_rows(spark, 
             rows,
             "j int, mean array<double>, component array<double>, "
             "eigval double, whiten boolean",

@@ -27,6 +27,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 __all__ = ["profile_table", "correlation_matrix", "key_skew"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float",
@@ -87,7 +89,7 @@ def profile_table(
                 row.get(f"__sd{i}") if num else None,
             )
         )
-    return df.sparkSession.createDataFrame(
+    return _arrow_rows(df.sparkSession, 
         out,
         "column string, n long, nulls long, distinct long,"
         " min double, max double, mean double, std double",
@@ -122,7 +124,7 @@ def correlation_matrix(
         (min(a, b), max(a, b), row[f"__p{i}"])
         for i, (a, b) in enumerate(pairs)
     ]
-    return df.sparkSession.createDataFrame(
+    return _arrow_rows(df.sparkSession, 
         out, "col_a string, col_b string, corr double"
     )
 
@@ -168,4 +170,4 @@ def key_skew(
     )
     rows = out.collect()
     counts.unpersist(blocking=False)
-    return df.sparkSession.createDataFrame(rows, out.schema)
+    return _arrow_rows(df.sparkSession, rows, out.schema)

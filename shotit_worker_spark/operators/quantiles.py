@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 __all__ = [
     "CompactorSketch",
     "quantile_sketch",
@@ -322,6 +324,6 @@ def quantiles_with_exact(
                 int(r.err_bound) <= int(slack_frac * int(r.n)),
             )
         )
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         rows, "pct double, within_bound boolean, bound_tight boolean"
     ).orderBy("pct")

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..functions import vector as V
 
 
@@ -56,7 +58,7 @@ def exact_topk(
     """
     if not extra_cols:
         spark = index_df.sparkSession
-        queries_df = spark.createDataFrame(
+        queries_df = _arrow_rows(spark, 
             [(0, [float(x) for x in query])], "query_id long, query_vec array<double>"
         )
         out = _knn_join_matmul(
@@ -184,7 +186,7 @@ def _knn_join_matmul(
                 f"{tie_col} {index_df.schema[tie_col].dataType.simpleString()}"
             )
         fields0.append("score double")
-        return spark.createDataFrame([], ", ".join(fields0))
+        return _arrow_rows(spark, [], ", ".join(fields0))
     q_ids = [r[query_id_col] for r in qrows]
     q_mat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64).T  # (dim, Q)
     b_qids = spark.sparkContext.broadcast(q_ids)
@@ -328,7 +330,7 @@ def srp_sketches(
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         id_t = df.schema[id_col].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
+        return _arrow_rows(df.sparkSession, 
             [], f"id {id_t}, sketches array<bigint>"
         )
     dim = first["d"]

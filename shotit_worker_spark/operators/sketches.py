@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 __all__ = [
     "heavy_hitters",
     "heavy_hitters_with_exact",
@@ -400,7 +402,7 @@ def theta_set_ops_with_exact(
         .unionByName(_count_as(av.intersect(bv), "3_intersect"))
         .unionByName(_count_as(av.subtract(bv), "4_a_not_b"))
     )
-    est_df = spark.createDataFrame(
+    est_df = _arrow_rows(spark, 
         [
             (op, float(ests[op]), float(sigmas[op]))
             for op in ests
@@ -559,7 +561,7 @@ def cm_with_exact(
         # <= `top` rows: materialize driver-side so the counter cache
         # can be released without later actions re-running the build
         rows = out.collect()
-        return df.sparkSession.createDataFrame(rows, out.schema)
+        return _arrow_rows(df.sparkSession, rows, out.schema)
     finally:
         cm.unpersist(blocking=False)
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 __all__ = ["ab_test", "mutual_information"]
 
 
@@ -127,7 +129,7 @@ def mutual_information(
         ).first()
         # one-row summary — return it materialized so the joint
         # cache can be freed here instead of leaking to the caller
-        return df.sparkSession.createDataFrame(
+        return _arrow_rows(df.sparkSession, 
             [row],
             "mi double, h_x double, h_y double,"
             " n_cells bigint, n bigint",

@@ -32,6 +32,8 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 __all__ = [
     "not_null",
     "unique",
@@ -209,7 +211,7 @@ def run_checks(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             out.append(
                 (name, observed >= c["thr"], observed, c["thr"])
             )
-    return spark.createDataFrame(
+    return _arrow_rows(spark, 
         out,
         "check string, passed boolean, observed double,"
         " threshold double",

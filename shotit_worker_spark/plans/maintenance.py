@@ -16,6 +16,8 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 
 def path_exists(spark: SparkSession, path: str) -> bool:
     """Quiet existence probe through the Hadoop FileSystem API — the
@@ -335,7 +337,7 @@ def _ivf_float_vec(spark: SparkSession, index, df):
         )
     out_col = "__mx_vec"
     if index.sq8_per_centroid:
-        params = spark.createDataFrame(
+        params = _arrow_rows(spark, 
             [
                 (
                     int(c),
@@ -379,7 +381,7 @@ def ivf_residual_stats(spark: SparkSession, index) -> dict:
 
     df = index.load(spark)
     df, vcol = _ivf_float_vec(spark, index, df)
-    cents = spark.createDataFrame(
+    cents = _arrow_rows(spark, 
         [
             (int(i), [float(x) for x in c])
             for i, c in enumerate(index.centroids)

@@ -1,0 +1,42 @@
+"""Tiny driver-side literal frames through ONE Arrow batch.
+
+``spark.createDataFrame(list, schema)`` parallelizes the list into
+``defaultParallelism`` pickled partitions; EVERY action over the frame
+then pays that many Python-worker round trips — measured 0.4-0.8 s per
+collect of a 3-row gate frame at local[32], and ~6 s for a
+coalesce(1)+persist over such a source (guide §4: the Python boundary).
+Routing the same rows through a pandas DataFrame keeps them in one
+Arrow batch materialized JVM-side — same rows, same schema, no Python
+source at action time. The ``dtype=object`` construction preserves
+``None`` as SQL NULL (a numeric pandas column would coerce it to NaN).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType, _parse_datatype_string
+
+__all__ = ["arrow_rows"]
+
+
+def arrow_rows(
+    spark: SparkSession,
+    rows: Iterable,
+    schema: str | StructType,
+) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` for small driver-side
+    row lists, backed by a single Arrow batch instead of pickled
+    partitions. Supports the engine's literal-frame shapes: scalars,
+    booleans, None, and array<...> list cells."""
+    import pandas as pd
+
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string(schema)
+    )
+    rows = list(rows)
+    pdf = pd.DataFrame(rows, columns=st.fieldNames(), dtype=object)
+    return spark.createDataFrame(pdf, st)

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..operators import sketches as _SK
 
 __all__ = ["ChecksFolder"]
@@ -188,7 +190,7 @@ class ChecksFolder:
                 (name, observed <= c["thr"], observed, c["thr"],
                  exact)
             )
-        return spark.createDataFrame(
+        return _arrow_rows(spark, 
             out,
             "check string, passed boolean, observed double,"
             " threshold double, exact boolean",

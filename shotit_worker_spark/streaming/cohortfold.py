@@ -29,6 +29,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..operators.cohort import _MICROS_PER_DAY, _matrix_from_per_user
 from ..plans.maintenance import read_state_parquet
 from ..plans.merge import _swap_write
@@ -197,7 +199,7 @@ class CohortFolder:
         retention) over everything folded so far."""
         state = self._state()
         if state is None:
-            return self.spark.createDataFrame(
+            return _arrow_rows(self.spark, 
                 [],
                 "cohort_period long, period_offset int, n_users long,"
                 " cohort_size long, retention double",

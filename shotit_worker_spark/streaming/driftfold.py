@@ -28,6 +28,8 @@ import math
 
 from pyspark.sql import DataFrame
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..operators.drift import _side_counts
 
 __all__ = ["DriftFolder"]
@@ -106,7 +108,7 @@ class DriftFolder:
                     p * math.log(p / q),
                 )
             )
-        return self.spark.createDataFrame(
+        return _arrow_rows(self.spark, 
             rows,
             "bin int, n_ref long, n_cur long, p_ref double,"
             " p_cur double, psi_term double, kl_term double",

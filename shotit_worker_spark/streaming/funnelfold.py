@@ -64,6 +64,8 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..operators import funnel as _FN
 from ..plans.maintenance import read_state_parquet
 from ..plans.merge import _swap_write
@@ -348,7 +350,7 @@ class FunnelFolder:
         k = len(self.steps)
         if state is None:
             rows = [(i + 1, s, 0) for i, s in enumerate(self.steps)]
-            return self.spark.createDataFrame(
+            return _arrow_rows(self.spark, 
                 rows, "step_no int, step string, users long"
             )
         if self.lateness_sec is not None:
@@ -370,6 +372,6 @@ class FunnelFolder:
             (i, self.steps[i - 1], int(row[f"c{i}"] or 0))
             for i in range(1, k + 1)
         ]
-        return self.spark.createDataFrame(
+        return _arrow_rows(self.spark, 
             rows, "step_no int, step string, users long"
         )

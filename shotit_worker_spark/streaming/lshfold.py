@@ -69,6 +69,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..operators.clustering import connected_components
 from ..operators.dedup import minhash_band_table, minhash_signatures
 from ..plans.maintenance import read_state_parquet
@@ -146,7 +148,7 @@ class LshDedupFolder:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
-        return self.spark.createDataFrame(
+        return _arrow_rows(self.spark, 
             rows, f"{self.id_col} long, component long"
         )
 
@@ -211,7 +213,7 @@ class LshDedupFolder:
         empty_ids = docs.select(self.id_col).limit(0)
         if bands is None:
             kept_ids = docs.select(self.id_col)
-            new_bands = spark.createDataFrame(
+            new_bands = _arrow_rows(spark, 
                 [], f"{self.id_col} long, band_id int, band_hash bigint"
             )
         else:

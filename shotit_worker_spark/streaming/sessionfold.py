@@ -83,6 +83,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..smallframe import arrow_rows as _arrow_rows
+
 from ..plans.maintenance import path_exists, read_state_parquet
 from ..plans.merge import _swap_write
 
@@ -714,7 +716,7 @@ class SessionFolder:
             else:
                 pieces.append(openst.select("user", "s", "e", "n"))
         if not pieces:
-            return self.spark.createDataFrame(
+            return _arrow_rows(self.spark, 
                 [],
                 "user long, session_no int, session_start timestamp,"
                 " session_end timestamp, n_events long,"
