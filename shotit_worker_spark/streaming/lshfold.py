@@ -210,7 +210,6 @@ class LshDedupFolder:
             sigs, self.num_bands, self.id_col, self.num_hashes
         )
         spark = self.spark
-        empty_ids = docs.select(self.id_col).limit(0)
         if bands is None:
             kept_ids = docs.select(self.id_col)
             new_bands = _arrow_rows(spark, 
@@ -238,9 +237,10 @@ class LshDedupFolder:
                         ).distinct().collect()
                     ]
                     seen = seen.where(F.col("bucket").isin(touched))
-                hit = self._probe_hits(bands, seen)
+                hit = self._probe_hits(bands, seen).persist()
                 surv_bands = bands.join(hit, self.id_col, "left_anti")
             else:
+                hit = None
                 surv_bands = bands
             surv_bands = surv_bands.persist()
             # 2) within-batch: docs sharing no band with another
@@ -279,13 +279,9 @@ class LshDedupFolder:
                 )
                 .distinct()
             )
-            trivially_kept = (
-                surv_bands.select(self.id_col).distinct()
-                .join(colliding, self.id_col, "left_anti")
-            )
             n_edges = edges.count()
             if n_edges == 0:
-                greedy_kept = empty_ids
+                dropped_within = None
                 # no collisions: every surviving band row is kept —
                 # the common trigger at scale skips the manifest
                 # filter join entirely
@@ -306,26 +302,57 @@ class LshDedupFolder:
                 new_bands = surv_bands.join(
                     dropped_within, self.id_col, "left_anti"
                 )
-            # docs with no bands at all (empty/short text: all-NULL
-            # signatures) can never collide — always kept
-            bandless = docs.select(self.id_col).join(
-                bands.select(self.id_col).distinct(),
-                self.id_col, "left_anti",
-            )
-            kept_ids = (
-                trivially_kept.unionByName(greedy_kept)
-                .unionByName(bandless)
-            )
+            # kept = batch docs minus every DROPPED id — cross-batch
+            # manifest hits plus within-batch greedy losers, both tiny
+            # by construction, so ONE broadcast anti-join over the raw
+            # batch ids replaces the former three-way union
+            # (trivially-kept ∪ greedy-kept ∪ bandless) whose two
+            # N×num_bands-row distincts re-aggregated the whole
+            # batch's band table per trigger for the same set (guide
+            # §2.3: aggregate the small side, not the big one).
+            # Bandless docs fall out for free: they are in neither
+            # dropped set.
+            dropped = hit
+            if dropped_within is not None:
+                dropped = (
+                    dropped.unionByName(dropped_within)
+                    if dropped is not None else dropped_within
+                )
+            if dropped is None:
+                kept_ids = docs.select(self.id_col)
+            else:
+                kept_ids = docs.select(self.id_col).join(
+                    dropped, self.id_col, "left_anti"
+                )
         kept_ids = kept_ids.persist()
         bands_out = new_bands.withColumn("batch_id", F.lit(bid))
         band_parts = ["batch_id"]
         if self.n_buckets is not None:
             # bucket outermost so a bucket's history co-locates under
             # one directory (compact_below folds within it) while the
-            # probe prunes on BOTH partition columns
+            # probe prunes on BOTH partition columns.
+            # repartition on bucket ALONE caps the write at n_buckets
+            # tasks (few distinct values hash into few partitions —
+            # guide §2.5's synthetic-key trap); a coarse deterministic
+            # per-doc salt widens the write to ~defaultParallelism
+            # tasks at <= salt files per (bucket, batch_id) partition
+            # (compact_below folds them away below the floor)
+            salt = max(
+                1,
+                self.spark.sparkContext.defaultParallelism
+                // max(1, self.n_buckets),
+            )
             bands_out = bands_out.withColumn(
                 "bucket", self._bucket("band_hash")
-            ).repartition("bucket")
+            )
+            if salt > 1:
+                bands_out = bands_out.repartition(
+                    self.n_buckets * salt,
+                    F.col("bucket"),
+                    F.pmod(F.xxhash64(self.id_col), F.lit(salt)),
+                )
+            else:
+                bands_out = bands_out.repartition("bucket")
             band_parts = ["bucket", "batch_id"]
         (
             bands_out.write.mode("overwrite")
@@ -344,6 +371,8 @@ class LshDedupFolder:
         if bands is not None:
             for df in (bands, surv_bands, edges):
                 df.unpersist(blocking=False)
+            if hit is not None:
+                hit.unpersist(blocking=False)
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         return self.foreach_batch

@@ -160,23 +160,6 @@ class SessionFolder:
             F.sort_array(F.collect_list("__t")).alias("__tt")
         ).select("user", self._segment(F.col("__tt")).alias("__ps"))
 
-    def _touched_buckets(self, batch_df: DataFrame) -> list[int]:
-        """Distinct state buckets of the batch's users — the ONE
-        driver-bounded probe job per trigger (<= n_buckets ints). It
-        scans the RAW batch (project user, distinct over <= n_buckets
-        values), never the sessionized partials: the former probe
-        materialized (and persisted) the full per-user aggregation
-        just to learn the bucket list, paying the batch's whole
-        groupBy once more per trigger. Same set either way: the
-        partials keep exactly the non-NULL-ts users."""
-        return [
-            r[0]
-            for r in batch_df.where(F.col(self.ts_col).isNotNull())
-            .select(self._bucket(F.col(self.user_col)).alias("__b"))
-            .distinct()
-            .collect()
-        ]
-
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.lateness_sec is not None:
             self._fold_with_lateness(batch_df, batch_id)
@@ -184,19 +167,35 @@ class SessionFolder:
         parts = self._partials(batch_df)
         openst = self._open()
         if self.n_buckets is not None:
-            touched = self._touched_buckets(batch_df)
+            # ONE bounded probe job (<= 2 x n_buckets rows): the
+            # batch's touched buckets UNIONED with the open state's
+            # already-applied buckets (bid == this batch — replay
+            # detection: closed lands before open, so a bucket whose
+            # last open writer was this batch is fully applied). The
+            # former shape paid a second collect over the pruned open
+            # state per trigger for the done set alone.
+            probe = batch_df.where(
+                F.col(self.ts_col).isNotNull()
+            ).select(
+                self._bucket(F.col(self.user_col)).alias("__b"),
+                F.lit(False).alias("__done"),
+            ).distinct()
+            if openst is not None:
+                probe = probe.unionByName(
+                    openst.where(F.col("bid") == F.lit(int(batch_id)))
+                    .select(
+                        F.col("bucket").alias("__b"),
+                        F.lit(True).alias("__done"),
+                    )
+                    .distinct()
+                )
+            rows = probe.collect()
+            touched = [r["__b"] for r in rows if not r["__done"]]
             if openst is not None:
                 openst = openst.where(F.col("bucket").isin(touched))
-                # replay detection per bucket: a bucket whose last
-                # writer was THIS batch is already fully applied
-                # (its closed/(batch_id,bucket) partition included —
-                # closed lands before open)
                 done = {
-                    r[0]
-                    for r in openst.where(
-                        F.col("bid") == F.lit(int(batch_id))
-                    ).select("bucket").distinct().collect()
-                }
+                    r["__b"] for r in rows if r["__done"]
+                } & set(touched)
                 if done:
                     touched = [b for b in touched if b not in done]
                     if not touched:
@@ -447,19 +446,35 @@ class SessionFolder:
         # cut) — both are safe (sealing later is always safe, and any
         # horizon <= the batch max respects the lateness contract).
         if self.n_buckets is not None:
-            probe = ev.groupBy(
+            # the done (already-applied) buckets ride the SAME probe
+            # job as a NULL-m union branch (bid == this batch — ev's
+            # side never yields NULL m, its ts are non-NULL), so the
+            # trigger pays one bounded collect, not two
+            tb = ev.groupBy(
                 self._bucket(F.col("user")).alias("__b")
-            ).agg(F.max("__t").alias("m")).collect()
-            touched = [r["__b"] for r in probe]
-            bmax = max((r["m"] for r in probe), default=None)
+            ).agg(F.max("__t").alias("m"))
+            if openst is not None:
+                tb = tb.unionByName(
+                    openst.where(F.col("bid") == F.lit(int(batch_id)))
+                    .select(F.col("bucket").alias("__b"))
+                    .distinct()
+                    .select(
+                        "__b", F.lit(None).cast("long").alias("m")
+                    )
+                )
+            probe = tb.collect()
+            touched = [
+                r["__b"] for r in probe if r["m"] is not None
+            ]
+            bmax = max(
+                (r["m"] for r in probe if r["m"] is not None),
+                default=None,
+            )
             if openst is not None:
                 openst = openst.where(F.col("bucket").isin(touched))
                 done = {
-                    r[0]
-                    for r in openst.where(
-                        F.col("bid") == F.lit(int(batch_id))
-                    ).select("bucket").distinct().collect()
-                }
+                    r["__b"] for r in probe if r["m"] is None
+                } & set(touched)
                 if done:
                     touched = [b for b in touched if b not in done]
                     if not touched:
