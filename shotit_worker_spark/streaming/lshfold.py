@@ -74,6 +74,7 @@ from ..smallframe import arrow_rows as _arrow_rows
 from ..operators.clustering import connected_components
 from ..operators.dedup import minhash_band_table, minhash_signatures
 from ..plans.maintenance import read_state_parquet
+from ..spread import spread
 
 __all__ = ["LshDedupFolder"]
 
@@ -124,6 +125,18 @@ class LshDedupFolder:
     # (the guarded-driver-kernel pattern; above the cap the
     # distributed path keeps the fold scale-safe)
     DRIVER_CC_CAP = 200_000
+    # edge bound under which the WHOLE within-batch greedy runs on the
+    # driver from one bounded collect of the colliding subset's band
+    # rows (<= 2 x cap ids x num_bands small rows). The common trigger
+    # has a tiny collision graph, and the distributed resolution paid
+    # ~4 fixed-overhead jobs (component frame build + join +
+    # applyInPandas exchange + Python workers) to greedy a few hundred
+    # rows. Components are independent (shared band => same
+    # component), so one id-ordered walk over the colliding subset
+    # with a single kept-band set equals the per-component greedy
+    # exactly. Above this bound the established tiers stand
+    # (driver union-find to DRIVER_CC_CAP, distributed CC past it).
+    DRIVER_GREEDY_CAP = 20_000
 
     def _components(self, edges: DataFrame, n_edges: int) -> DataFrame:
         if n_edges > self.DRIVER_CC_CAP:
@@ -181,6 +194,43 @@ class LshDedupFolder:
             _greedy, schema=f"{id_col} long"
         )
 
+    def _greedy_driver(
+        self, erows: list, surv_bands: DataFrame
+    ) -> DataFrame:
+        """Resolve the within-batch keep-first greedy entirely on the
+        driver from the (bounded) collected edge list: one broadcast
+        semi-join collects the colliding subset's band rows
+        (O(ids x num_bands)), then a single id-ordered walk with one
+        kept-band set — identical to the per-component greedy because
+        components share no bands. Returns the DROPPED ids as a
+        one-Arrow-batch frame (tiny by construction)."""
+        ids = sorted(
+            {int(r["a_id"]) for r in erows}
+            | {int(r["b_id"]) for r in erows}
+        )
+        idf = _arrow_rows(
+            self.spark, [(i,) for i in ids], f"{self.id_col} long"
+        )
+        brows = surv_bands.join(
+            F.broadcast(idf), self.id_col, "left_semi"
+        ).collect()
+        by_id: dict = {}
+        for r in brows:
+            by_id.setdefault(int(r[self.id_col]), set()).add(
+                (r["band_id"], r["band_hash"])
+            )
+        kept_hashes: set = set()
+        dropped = []
+        for did in sorted(by_id):
+            pairs = by_id[did]
+            if pairs & kept_hashes:
+                dropped.append(did)
+            else:
+                kept_hashes |= pairs
+        return _arrow_rows(
+            self.spark, [(i,) for i in dropped], f"{self.id_col} long"
+        )
+
     def _probe_hits(self, bands: DataFrame, seen: DataFrame) -> DataFrame:
         """Batch ids colliding with the kept-band manifest: ONE
         (band_id, band_hash) left_semi probe. The manifest side is
@@ -201,7 +251,14 @@ class LshDedupFolder:
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        docs = batch_df.select(self.id_col, self.text_col)
+        # single-row-group local batches decode in ONE task; hash-
+        # spread on the id so the tokenize→shingle→minhash pipeline
+        # runs wide AND the signature groupBy(id) reuses the
+        # partitioning (no added exchange at scale — spread no-ops on
+        # already-parallel input)
+        docs = spread(
+            batch_df.select(self.id_col, self.text_col), by=self.id_col
+        )
         sigs = minhash_signatures(
             docs, num_hashes=self.num_hashes, shingle_n=self.shingle_n,
             text_col=self.text_col, id_col=self.id_col,
@@ -279,14 +336,25 @@ class LshDedupFolder:
                 )
                 .distinct()
             )
-            n_edges = edges.count()
+            # one bounded collect decides the tier AND (in the common
+            # tiny-graph case) already holds the edge list — replacing
+            # the former count() + re-collect pair of jobs
+            erows = edges.limit(self.DRIVER_GREEDY_CAP + 1).collect()
+            n_edges = len(erows)
             if n_edges == 0:
                 dropped_within = None
                 # no collisions: every surviving band row is kept —
                 # the common trigger at scale skips the manifest
                 # filter join entirely
                 new_bands = surv_bands
+            elif n_edges <= self.DRIVER_GREEDY_CAP:
+                dropped_within = self._greedy_driver(erows, surv_bands)
+                new_bands = surv_bands.join(
+                    F.broadcast(dropped_within),
+                    self.id_col, "left_anti",
+                )
             else:
+                n_edges = edges.count()
                 greedy_kept = self._greedy_components(
                     edges, n_edges, surv_bands
                 )
