@@ -1,0 +1,68 @@
+"""Dump EXECUTED physical plans for declared queries (r12 evidence).
+
+Runs each named queries() entry end-to-end and then reads the session's
+SQLAppStatusStore, writing every SQL execution the query issued —
+description, wall ms, and the full AQE-resolved formatted plan — to
+``<outdir>/<query>_<tag>.txt``.  Unlike ``df.explain()`` on the gate's
+returned frame (a tiny literal scan), this captures the real internal
+trigger/job plans of the streaming folds and multi-action gates, so
+optimization claims (Exchange counts, join strategies, scan sources)
+are checkable against what actually ran.
+
+Usage:
+    python tools/dump_plans.py <outdir> <tag> <sf_dir> <query> [query ...]
+
+Run from the repo (or worktree) whose code should be measured; the
+script imports ``__spark_entry__`` from its own tree.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from shotit_worker_spark.session import get_spark
+
+
+def main() -> int:
+    outdir, tag, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    names = sys.argv[4:]
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("dump-plans")
+    qs = entrymod.queries()
+    store = spark._jsparkSession.sharedState().statusStore()
+    for name in names:
+        start = store.executionsCount()
+        df = qs[name](spark, sf_dir)
+        rows = df.collect()
+        lst = store.executionsList()
+        n = lst.size()
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(
+                f"# {name} [{tag}] — {n - start} SQL executions, "
+                f"result {len(rows)} rows\n"
+                f"# every execution the gate issued, in order; plans are\n"
+                f"# the AQE-resolved physical plans that actually ran\n"
+            )
+            for i in range(n):
+                e = lst.apply(i)
+                if e.executionId() < start:
+                    continue
+                dur = (e.completionTime().get().getTime()
+                       - e.submissionTime()) if e.completionTime().isDefined() else -1
+                fh.write(
+                    f"\n{'=' * 72}\n== execution {e.executionId()} "
+                    f"({dur} ms): {e.description()}\n{'=' * 72}\n"
+                )
+                fh.write(e.physicalPlanDescription())
+                fh.write("\n")
+        print(f"wrote {path} ({n - start} executions)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
