@@ -39,6 +39,7 @@ from shotit_worker_spark.operators import packing as P
 from shotit_worker_spark.operators import relational as R
 from shotit_worker_spark.operators import similarity as S
 from shotit_worker_spark.smallframe import arrow_rows as _arrow_rows
+from shotit_worker_spark.spread import spread as _spread
 from shotit_worker_spark.streaming import windows as SW
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1382,7 +1383,10 @@ def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE behind non-cheap aliases (CollapseProject keeps multi-referenced
     non-cheap aliases materialized — the q44 pattern), then referenced by
     the ratio expressions; pure Catalyst, one scan, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the per-doc token/trigram pipeline is the whole cost and
+    # otherwise runs in ONE task on the single-row-group fixture scan
+    # (spread module docstring); outputs are per-row, order-canonical
+    docs = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     staged = docs.select(
         "doc_id",
         TX.tokenize("text").alias("tk"),
@@ -1417,7 +1421,9 @@ def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     three consumers, so without the cache the tokenize/ngram pipeline
     (the expensive part) would run three times. At 100 TB the same
     spot is a MEMORY_AND_DISK persist or checkpoint of the gram table."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread: parallelize the tokenize/5-gram build AND distribute the
+    # cached blocks (1-task otherwise); summary counts are exact ints
+    docs = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     staged = docs.select(
         "doc_id",
         _hash_split().alias("split"),

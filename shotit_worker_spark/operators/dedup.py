@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..smallframe import arrow_rows as _arrow_rows
+from ..spread import spread
 
 from ..functions import text as TX
 
@@ -166,7 +167,12 @@ def minhash_signatures(
     stage), so the shuffle carries only num_hashes longs per doc — the
     scale-correct shape at 100 TB.
     """
-    sh = docs.select(
+    # single-row-group local scans otherwise run the whole tokenize→
+    # shingle→hash pipeline in ONE task; hashing on the id lets the
+    # groupBy below reuse the partitioning (no added exchange), and
+    # spread() no-ops on already-parallel input at cluster scale. The
+    # aggregate is min(bigint) — exact under any regrouping.
+    sh = spread(docs, by=id_col).select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n))
@@ -277,7 +283,10 @@ def ngram_jaccard_pairs(
     the corpus) twice against per-doc shingle sets; set math via
     array_intersect/array_union on deduped shingle arrays.
     """
-    shingle_sets = docs.select(
+    # candidates is typically broadcast, so without a spread the whole
+    # shingle build AND the verify math run on the degenerate scan's
+    # single task (spread module docstring); exact set math throughout
+    shingle_sets = spread(docs, by=id_col).select(
         F.col(id_col),
         F.array_distinct(TX.ngrams(TX.tokenize(F.col(text_col)), shingle_n)).alias(
             "shingles"
@@ -325,7 +334,12 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = TX.tokenize(F.col(text_col))
     # explode_outer keeps empty docs (NULL token row); the guard keeps
     # xxhash64 from hashing just-the-seed for NULLs
-    exploded = docs.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    # same degenerate-scan repair as minhash_signatures: the 65 bit
+    # sums are exact integer aggregates, so regrouping cannot change
+    # the fingerprint
+    exploded = spread(docs, by=id_col).select(
+        F.col(id_col), F.explode_outer(toks).alias("tok")
+    )
     hashed = exploded.select(
         F.col(id_col),
         F.when(F.col("tok").isNotNull(), F.xxhash64(F.col("tok"))).alias("h"),

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..spread import spread
 
 __all__ = [
     "NGramLM",
@@ -335,7 +336,10 @@ def train_ngram_lm(
         raise ValueError(f"n must be >= 1, got {n}")
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    padded = docs.select(_padded_tokens(text_col, n).alias("__toks"))
+    # degenerate-scan repair (spread module docstring): the per-order
+    # tokenize→explode otherwise runs in ONE task on single-row-group
+    # local fixtures; counts are exact ints, regrouping-safe
+    padded = spread(docs).select(_padded_tokens(text_col, n).alias("__toks"))
     counts: dict[int, DataFrame] = {}
     ctxs: dict[int, DataFrame] = {}
     for k in range(1, n + 1):
@@ -583,7 +587,9 @@ def train_kn_lm(
     # the source — persist the padded token stream so the source is
     # scanned once, not once per action (released before returning;
     # the model's count tables re-derive lazily like NGramLM's)
-    padded = docs.select(_padded_tokens(text_col, n).alias("__toks")).persist()
+    padded = spread(docs).select(
+        _padded_tokens(text_col, n).alias("__toks")
+    ).persist()
     raw: dict[int, DataFrame] = {}
     for k in range(1, n + 1):
         grams = padded.select(

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..smallframe import arrow_rows as _arrow_rows
+from ..spread import spread
 
 from ..functions import vector as V
 
@@ -334,6 +335,11 @@ def srp_sketches(
             [], f"id {id_t}, sketches array<bigint>"
         )
     dim = first["d"]
+    # the per-vector sketch matmul is the whole per-row cost and runs
+    # on the scan's partitioning — ONE task on single-row-group local
+    # fixtures (spread module docstring); sketches are per-row
+    # deterministic, so placement cannot change any result
+    df = spread(df, by=id_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, num_tables * num_bits))
     b_planes = df.sparkSession.sparkContext.broadcast(planes)

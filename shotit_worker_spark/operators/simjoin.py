@@ -27,6 +27,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..spread import spread
 
 __all__ = ["jaccard_similarity_join"]
 
@@ -44,8 +45,10 @@ def jaccard_similarity_join(
         raise ValueError("threshold must be in (0, 1]")
     tau = float(threshold)
 
+    # degenerate-scan repair (spread module docstring): parallelize the
+    # tokenize/explode; every downstream aggregate is an exact int
     toks = (
-        docs.select(
+        spread(docs, by=id_col).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(
