@@ -1149,21 +1149,22 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(TX.tokenize("text"), lambda t: F.xxhash64(t)).alias("h"),
     )
-    n = F.size("h")
 
-    def _bit_set(b: int):
-        # closure (not a default arg): a 2-parameter lambda would make
-        # pyspark's HOF arity inspection pass the element index as `b`
-        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == F.lit(1)
-
-    fp2 = F.lit(0).cast("bigint")
-    for b in range(64):
-        cnt = F.size(F.filter(F.col("h"), _bit_set(b)))
-        bit = F.when(cnt * 2 > n, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fp2 = fp2.bitwiseOR(F.shiftleft(bit, b))
-    arrayform = staged.select("doc_id", fp2.alias("simhash2"))
+    # the independent array-form fingerprint, built as ONE SQL string:
+    # the former 64 python HOF closures cost ~2 s of py4j round trips
+    # per call (the simhash64 build-tax rule); the string parses to the
+    # same filter/size expressions, and the formulation stays
+    # independent of the operator's aggregation shape
+    fp2_sql = " | ".join(
+        ["cast(0 as bigint)"]
+        + [
+            f"shiftleft(case when size(filter(h, x -> "
+            f"(shiftright(x, {b}) & 1) = 1)) * 2 > size(h) "
+            f"then cast(1 as bigint) else cast(0 as bigint) end, {b})"
+            for b in range(64)
+        ]
+    )
+    arrayform = staged.select("doc_id", F.expr(fp2_sql).alias("simhash2"))
 
     # all three checks in ONE aggregation job: left-join the sample
     # array-form and the twin mapping onto the cached fingerprints and
