@@ -518,6 +518,36 @@ def q23_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CACHE: dict[str, object] = {}
 _SIMHASH_CACHE: dict[str, object] = {}
+_LR_WARMED: dict[str, bool] = {}
+
+
+def _shared_lr_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """One tiny LogisticRegression fit per process so MLlib's
+    first-call cost (breeze L-BFGS class loading + aggregator JIT,
+    ~10 s on a cold JVM) lands in its own separately-timed
+    shared-artifact bench row instead of inside whichever query fits
+    the first model (q69 — the r12 VERDICT: its recorded 14.8 s was
+    ~10 s JIT + ~1.5 s operator, and the bench's min-of-2 shares the
+    process so neither run escaped it). The 8-row frame is built
+    JVM-side (range + array_to_vector — no Python source), the fit is
+    2 L-BFGS iterations; the model is discarded. Same rationale and
+    protocol as warm_ivf_build/warm_simhash_build (bench.py)."""
+    if _LR_WARMED.get("done"):
+        return
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    df = spark.range(8).select(
+        array_to_vector(
+            F.array(
+                (F.col("id") % 2).cast("double"),
+                ((F.col("id") + 1) % 2).cast("double"),
+            )
+        ).alias("features"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    LogisticRegression(maxIter=2, regParam=1e-4).fit(df)
+    _LR_WARMED["done"] = True
 
 
 def _shared_base_simhash(spark: SparkSession, sf_dir: str):

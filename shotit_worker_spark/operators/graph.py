@@ -42,16 +42,54 @@ def _materialize(df: DataFrame, prev: DataFrame | None) -> DataFrame:
     return df
 
 
+def _truncate_round(df: DataFrame, prev_handle: set) -> tuple:
+    """Materialize an ITERATION frame with TRUNCATED lineage
+    (localCheckpoint) and free the superseded round's blocks — the
+    clustering.connected_components discipline applied to the rank
+    rounds (guide §3.3: on iterative plans the logical tree grows
+    per round and Catalyst re-analyzes ALL of it on every action;
+    measured r13: the float variant's 8-round call took 317 s of
+    which the jobs were trivial — pure planning blow-up — vs ~1 s/
+    round with the truncation). persist() alone does NOT cut the
+    logical plan, only the physical recompute. Same non-reliable-
+    checkpoint posture clustering documents: executor loss
+    mid-iteration fails the job (retry is the recovery)."""
+    from .clustering import _persistent_rdd_ids, _unpersist_rdds
+
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    handle = _persistent_rdd_ids(spark) - before
+    if prev_handle:
+        _unpersist_rdds(spark, prev_handle)
+    return out, handle
+
+
 def _edges_with_degree(
     edges: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
     deg = edges.groupBy(src_col).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    return edges.join(deg, on=src_col).select(
-        F.col(src_col).alias("__src"),
-        F.col(dst_col).alias("__dst"),
-        "__deg",
+    # pre-partition AND pre-sort on the per-round join key BEFORE the
+    # persist (r12 VERDICT #5, guide §2.4/§3.3): every iteration joins
+    # this frame on __src, and the degree join above often broadcasts
+    # (deg is small), leaving the cached frame unpartitioned — each
+    # round then re-exchanged and re-sorted the full edge table. The
+    # cached hashpartitioning(__src) + ascending order satisfy the
+    # sort-merge join's requirements directly, so the per-round plan
+    # keeps exactly ONE exchange (the contribution groupBy — the
+    # algorithm's fundamental shuffle). Placement-only: row values are
+    # untouched.
+    return (
+        edges.join(deg, on=src_col)
+        .select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            "__deg",
+        )
+        .repartition(F.col("__src"))
+        .sortWithinPartitions("__src")
     )
 
 
@@ -78,7 +116,10 @@ def pagerank(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)
-    nodes = _materialize(_nodes(edges, src_col, dst_col), None)
+    # persist + the SAME count job materializes AND supplies n (the
+    # former _materialize + count pair paid two jobs over the cached
+    # frame — r13, guide §1.2)
+    nodes = _nodes(edges, src_col, dst_col).persist()
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
@@ -105,8 +146,13 @@ def pagerank(
     has_dangling = (
         nodes_f.where(~F.col("__has_out")).limit(1).count() > 0
     )
-    ranks = _materialize(
-        nodes_f.withColumn("rank", F.lit(1.0 / n)), None
+    # intermediate rounds are lineage-TRUNCATED (see _truncate_round);
+    # only the FINAL round is persist-materialized, preserving the
+    # caller's unpersist() contract (pinned by test_graph)
+    from .clustering import _unpersist_rdds
+
+    ranks, rk_h = _truncate_round(
+        nodes_f.withColumn("rank", F.lit(1.0 / n)), set()
     )
     try:
         for it in range(iters):
@@ -133,15 +179,21 @@ def pagerank(
             # the flag rides along between rounds; the FINAL round
             # drops it so the returned (persisted) frame is (node,
             # rank) — the caller's unpersist() contract holds
-            cols = (
-                ["node", new_rank] if it == iters - 1
-                else ["node", "__has_out", new_rank]
-            )
-            ranks = _materialize(
-                nodes_f.join(contrib, on="node", how="left")
-                .select(*cols),
-                ranks,
-            )
+            nxt = nodes_f.join(contrib, on="node", how="left")
+            if it == iters - 1:
+                ranks = _materialize(nxt.select("node", new_rank), None)
+                # the final frame is persisted AND counted; the last
+                # intermediate's checkpoint blocks are only needed to
+                # RECOMPUTE it after a cache loss, which in the
+                # non-reliable-checkpoint posture is already a job
+                # failure — free them so the unpersist() contract
+                # leaves nothing pinned
+                _unpersist_rdds(nxt.sparkSession, rk_h)
+                rk_h = set()
+            else:
+                ranks, rk_h = _truncate_round(
+                    nxt.select("node", "__has_out", new_rank), rk_h
+                )
         return ranks
     finally:
         ew.unpersist(blocking=False)
@@ -199,7 +251,9 @@ def pagerank_int(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)
-    nodes = _materialize(_nodes(edges, src_col, dst_col), None)
+    # persist + one count job materializes AND supplies n (see
+    # pagerank — the former _materialize + count pair was two jobs)
+    nodes = _nodes(edges, src_col, dst_col).persist()
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
@@ -207,14 +261,17 @@ def pagerank_int(
     ranks = nodes.withColumn(
         "rank_scaled", F.lit(scale // n).cast("bigint")
     )
+    rk_h: set = set()
     if eager:
-        ranks = _materialize(ranks, None)
+        ranks, rk_h = _truncate_round(ranks, rk_h)
 
     def _div(a: Column, b: Column) -> Column:
         return F.call_function("div", a, b)
 
+    from .clustering import _unpersist_rdds
+
     try:
-        for _ in range(iters):
+        for it in range(iters):
             contrib = (
                 ew.join(ranks, ew["__src"] == ranks["node"])
                 .select(
@@ -238,7 +295,17 @@ def pagerank_int(
                     )
                 ).alias("rank_scaled"),
             )
-            ranks = _materialize(nxt, ranks) if eager else nxt
+            if not eager:
+                ranks = nxt
+            elif it == iters - 1:
+                # final round: persist-materialized (the caller's
+                # unpersist() contract), intermediates freed — see
+                # pagerank
+                ranks = _materialize(nxt, None)
+                _unpersist_rdds(nxt.sparkSession, rk_h)
+                rk_h = set()
+            else:
+                ranks, rk_h = _truncate_round(nxt, rk_h)
         if not eager and persist_result:
             # one job materializes the whole chained plan; the
             # persisted result then outlives the helper caches below
@@ -287,12 +354,21 @@ def label_propagation(
                 F.col("__src").alias("__dst"),
             )
         ).distinct()
+    # pre-partition + pre-sort on the per-round join key before the
+    # persist (r12 VERDICT #5): the dedup distinct leaves the cache
+    # partitioned by (__src, __dst), which no round's __dst join can
+    # reuse — each round re-exchanged the full edge table. Same
+    # placement-only rationale as _edges_with_degree.
+    e = e.repartition(F.col("__dst")).sortWithinPartitions("__dst")
     e = e.persist()
-    labels = _materialize(
+    # rounds are lineage-truncated (see _truncate_round; without it
+    # Catalyst re-analyzes the whole growing round tree per action);
+    # the RETURNED frame is persist-materialized at the end
+    labels, lb_h = _truncate_round(
         _nodes(e, "__src", "__dst").select(
             "node", F.col("node").alias("label")
         ),
-        None,
+        set(),
     )
     for _ in range(max_rounds):
         # neighbor labels: join edge dst -> current label, then per
@@ -338,34 +414,52 @@ def label_propagation(
                 .groupBy("node")
                 .agg(F.min("__nl").alias("label"))
             )
+        old = labels.select("node", F.col("label").alias("__ol"))
         if directed:
             # directed graphs: a node with no out-edges appears in no
             # __src group, so it gets NO vote row, and replacing
             # labels wholesale would drop it — losses then cascade
             # (nodes voting only through it stall, and `changed`
             # reads 0 on an emptied frame). Keep the full node set:
-            # left-
-            # join the votes onto the current labels and coalesce to
-            # the previous label for voteless nodes. Undirected
-            # graphs mirror edges up front, so every node votes and
-            # the extra join is skipped.
-            new = labels.select("node", F.col("label").alias("__ol")).join(
+            # left-join the votes onto the current labels and
+            # coalesce to the previous label for voteless nodes.
+            # Undirected graphs mirror edges up front, so every node
+            # votes and an inner join carries the old label instead.
+            new = old.join(
                 new.select("node", F.col("label").alias("__vl")),
                 on="node",
                 how="left",
             ).select(
-                "node", F.coalesce("__vl", "__ol").alias("label")
+                "node", F.coalesce("__vl", "__ol").alias("label"),
+                "__ol",
             )
-        new = _materialize(new, None)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist(blocking=False)
-        labels = new
+        else:
+            new = new.join(old, on="node")
+        # the change flag is computed INSIDE the round frame (the
+        # old-label join adds no exchange — both sides are node-
+        # partitioned) and the round is materialized with TRUNCATED
+        # lineage, so the former full join+count job per round
+        # becomes a limit(1) existence probe over the checkpointed
+        # rows with an O(1) plan. (An Observation metric would fuse
+        # the probe into the materialize job entirely, but
+        # registering one poisons the session for every LATER task
+        # closure that serializes a SparkSession-referencing object —
+        # MLlib model summaries hit
+        # java.io.NotSerializableException: ObservationManager — so
+        # the fold uses the checkpoint probe instead; found by
+        # test_rerank failing after test_graph in one session.)
+        new = new.withColumn(
+            "__chg", F.col("label") != F.col("__ol")
+        ).select("node", "label", "__chg")
+        labels, lb_h = _truncate_round(new, lb_h)
+        changed = labels.where("__chg").limit(1).count()
         if changed == 0:
             break
+    from .clustering import _unpersist_rdds
+
+    # the returned frame is persist-materialized (node, label) —
+    # the intermediate checkpoint blocks are then freed
+    out = _materialize(labels.select("node", "label"), None)
+    _unpersist_rdds(e.sparkSession, lb_h)
     e.unpersist(blocking=False)
-    return labels
+    return out

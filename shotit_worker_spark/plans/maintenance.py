@@ -93,12 +93,30 @@ def archive_partitions_below(
     from pyspark.sql import functions as F
 
     bc = F.col(batch_col)
-    p_before = t.select(batch_col).distinct().count()
-    n_arch = int(
-        t.where((bc >= 0) & (bc < F.lit(int(below_batch_id)))).count()
+    # ONE bounded probe (<= #batch partitions rows) supplies all
+    # three report numbers: the former shape paid a distinct-count
+    # job for partitions_before, a count job for archived_rows, and
+    # a post-swap re-read + distinct-count for partitions_after — two
+    # of them full scans of the table being compacted (r13, guide
+    # §1.2). partitions_after is exact arithmetic on the same rows:
+    # the written table is t with batch_col mapped by the fold rule,
+    # so its distinct batch set is the image of the before set.
+    bound = int(below_batch_id)
+    per_batch = (
+        t.groupBy(batch_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
     )
+    before_ids = {int(r[batch_col]) for r in per_batch}
+    n_arch = sum(
+        int(r["__n"]) for r in per_batch
+        if 0 <= int(r[batch_col]) < bound
+    )
+    after_ids = {
+        -1 if 0 <= b < bound else b for b in before_ids
+    }
     arch = F.when(
-        (bc >= 0) & (bc < F.lit(int(below_batch_id))), F.lit(-1)
+        (bc >= 0) & (bc < F.lit(bound)), F.lit(-1)
     ).otherwise(bc)
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     (
@@ -109,12 +127,9 @@ def archive_partitions_below(
         .parquet(tmp)
     )
     swap_into(path, tmp)
-    p_after = (
-        spark.read.parquet(path).select(batch_col).distinct().count()
-    )
-    return {"archived_rows": n_arch,
-            "partitions_before": int(p_before),
-            "partitions_after": int(p_after)}
+    return {"archived_rows": int(n_arch),
+            "partitions_before": len(before_ids),
+            "partitions_after": len(after_ids)}
 
 
 def swap_into(path: str, tmp: str) -> None:

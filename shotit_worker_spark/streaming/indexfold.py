@@ -116,10 +116,18 @@ class IndexFolder:
         if index is None:
             rows = batch_df.persist()
             try:
-                n = rows.count()
+                # ONE probe job for count AND dim (the former
+                # count() + first() pair paid two executions over the
+                # same persisted batch — r13, guide §1.2; any row's
+                # vector length works, the dim is fixed per stream)
+                probe = rows.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.first(F.size(F.col(self.vec_col))).alias("__d"),
+                ).collect()[0]
+                n = int(probe["__n"])
                 if n == 0:
                     return  # nothing to train on yet
-                dim = len(rows.select(self.vec_col).first()[0])
+                dim = int(probe["__d"])
                 plan = plan_index_family(
                     dim, n,
                     byte_budget_per_vec=self.byte_budget_per_vec,
@@ -304,7 +312,15 @@ class IndexFolder:
             None if carry is None
             else carry.localCheckpoint(eager=True)
         )
-        n = int(rows.count())
+        # with no floor, folded is exactly the view the drift stats
+        # just aggregated — reuse their row count instead of paying a
+        # count job over the checkpoint (r13, guide §1.2); the floor
+        # path excludes carried adds, so it still counts
+        n = (
+            int(report["stats"]["rows"])
+            if carry is None
+            else int(rows.count())
+        )
         dim = int(view.centroids.shape[1])
         plan = plan_index_family(
             dim, n,

@@ -74,7 +74,6 @@ from ..smallframe import arrow_rows as _arrow_rows
 from ..operators.clustering import connected_components
 from ..operators.dedup import minhash_band_table, minhash_signatures
 from ..plans.maintenance import read_state_parquet
-from ..spread import spread
 
 __all__ = ["LshDedupFolder"]
 
@@ -251,14 +250,14 @@ class LshDedupFolder:
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        # single-row-group local batches decode in ONE task; hash-
-        # spread on the id so the tokenize→shingle→minhash pipeline
-        # runs wide AND the signature groupBy(id) reuses the
-        # partitioning (no added exchange at scale — spread no-ops on
-        # already-parallel input)
-        docs = spread(
-            batch_df.select(self.id_col, self.text_col), by=self.id_col
-        )
+        # minhash_signatures spreads its input on id_col itself
+        # (single-row-group local batches decode in ONE task; the
+        # signature groupBy(id) reuses the hash partitioning). The
+        # former OUTER spread here double-spread the frame: the inner
+        # spread()'s df.rdd probe then ran on a post-shuffle plan and
+        # materialized the AQE shuffle stage — one extra job per
+        # trigger whose output no job reused (r12 ADVICE #1).
+        docs = batch_df.select(self.id_col, self.text_col)
         sigs = minhash_signatures(
             docs, num_hashes=self.num_hashes, shingle_n=self.shingle_n,
             text_col=self.text_col, id_col=self.id_col,

@@ -212,9 +212,14 @@ class Scd2Folder:
         if self.n_buckets is not None and (
             hist is not None or tomb is not None
         ):
+            # raw-batch probe (the q125 restructure, r12 VERDICT #3):
+            # one distinct over <= n_buckets bucket ints straight off
+            # the batch log — partial aggregation collapses it map-
+            # side, where the former bkeys→bucket chain paid a full
+            # distinct-by-key exchange before the bucket distinct
             touched = [
                 r[0]
-                for r in bkeys.select(
+                for r in log.select(
                     self._bucket_expr().alias("__b")
                 ).distinct().collect()
             ]
@@ -242,7 +247,7 @@ class Scd2Folder:
             recon = recon.unionByName(
                 self._tomb_as_log(touched_tomb, log)
             )
-        merged_log = recon.unionByName(log).persist()
+        merged_log = recon.unionByName(log)
         # replayed changes collide with their own reconstruction; one
         # change per (key, seq) is the module contract, so which
         # duplicate survives is immaterial. Dedup with a lag() over
@@ -251,7 +256,13 @@ class Scd2Folder:
         # exchange of the merged log per trigger for the same result
         # (hash(keys) co-locates equal (key, seq) rows; among
         # equal-seq duplicates lag sees an arbitrary order, exactly
-        # like dropDuplicates' arbitrary survivor).
+        # like dropDuplicates' arbitrary survivor). DEDUPED is what
+        # persists (r13): both the hist rebuild and the tombstone
+        # extraction read it, and the cached relation keeps the
+        # hash(keys) partitioning and (keys, __seq) sort order, so
+        # the tomb job below re-exchanges NOTHING where it used to
+        # re-aggregate the delete slice and anti-join the rebuilt
+        # history.
         wd = Window.partitionBy(*self.keys).orderBy("__seq")
         deduped = (
             merged_log.withColumn(
@@ -262,21 +273,31 @@ class Scd2Folder:
                 | (F.col("__pseq") != F.col("__seq"))
             )
             .drop("__pseq")
-        )
-        rebuilt = self._rebuild(deduped).persist()
-        # dangling deletes: delete changes no rebuilt interval records
-        closed_at = rebuilt.where(F.col("valid_to").isNotNull()).select(
-            *self.keys, F.col("valid_to").alias("__seq")
-        ).distinct()
+        ).persist()
+        rebuilt = self._rebuild(deduped)
+        # dangling deletes, from the SAME (keys, __seq) window pass
+        # (r12 VERDICT #3): build_scd2(collapse_noops=False) sets a
+        # version's valid_to = lead(__seq) over ALL surviving rows,
+        # so a delete's seq appears as some valid_to iff its
+        # immediate predecessor in the deduped key order is an
+        # upsert (the version it closes). A delete therefore dangles
+        # iff it is first in its key or follows another delete —
+        # exactly the rows the former formulation kept by
+        # anti-joining the rebuilt history's closed_at set, without
+        # re-scanning the rebuild: one lag() on the cached
+        # partitioning replaces dropDuplicates(keys+seq) over the
+        # delete slice + the left_anti join (equivalence pinned by
+        # test_streaming_scd2 and the q126/q112 oracle).
         new_tomb = (
-            merged_log.where(F.col("__op") == "delete")
+            deduped.withColumn("__pop", F.lag("__op").over(wd))
+            .where(
+                (F.col("__op") == "delete")
+                & (
+                    F.col("__pop").isNull()
+                    | (F.col("__pop") == F.lit("delete"))
+                )
+            )
             .select(*self.keys, "__seq")
-            # merged_log is no longer pre-deduped: drop duplicate
-            # (key, seq) deletes here (delete rows only — a tiny
-            # slice of the log) so the tombstone table's contents
-            # stay exactly as before
-            .dropDuplicates(self.keys + ["__seq"])
-            .join(closed_at, on=self.keys + ["__seq"], how="left_anti")
         )
         out_hist = rebuilt
         if pass_hist is not None:
@@ -300,7 +321,7 @@ class Scd2Folder:
         # re-adds an already-encoded delete, which dedup absorbs.
         self._write(out_hist, self.hist_path)
         self._write(out_tomb, self.tomb_path)
-        for df in (log, merged_log, rebuilt):
+        for df in (log, deduped):
             df.unpersist(blocking=False)
 
     def writer(self) -> Callable[[DataFrame, int], None]:

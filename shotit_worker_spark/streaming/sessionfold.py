@@ -174,6 +174,14 @@ class SessionFolder:
             # last open writer was this batch is fully applied). The
             # former shape paid a second collect over the pruned open
             # state per trigger for the done set alone.
+            # Scale note (r12 ADVICE #3): the bid filter runs before
+            # bucket pruning, but every open-state file stores bid as
+            # a per-trigger LITERAL (each dynamic overwrite rewrites
+            # a whole bucket dir with one bid), so the pushed-down
+            # bid == batch_id predicate prunes all other files at the
+            # parquet row-group-stats level — the probe's data read
+            # is O(buckets this batch last wrote), with only footer
+            # reads across the rest of the state.
             probe = batch_df.where(
                 F.col(self.ts_col).isNotNull()
             ).select(
@@ -449,7 +457,11 @@ class SessionFolder:
             # the done (already-applied) buckets ride the SAME probe
             # job as a NULL-m union branch (bid == this batch — ev's
             # side never yields NULL m, its ts are non-NULL), so the
-            # trigger pays one bounded collect, not two
+            # trigger pays one bounded collect, not two. Scale note
+            # (r12 ADVICE #3): bid is a per-trigger literal in every
+            # open-state file, so the pushed bid == batch_id filter
+            # prunes the un-replayed state at the parquet
+            # row-group-stats level (see the ordered-mode probe).
             tb = ev.groupBy(
                 self._bucket(F.col("user")).alias("__b")
             ).agg(F.max("__t").alias("m"))

@@ -261,6 +261,72 @@ def test_compact_closed(spark, tmp_root):
     assert _key(folder.stats().collect()) == before
 
 
+def test_lateness_partial_replay_global_horizon(spark, tmp_root):
+    """r12 ADVICE #4: on a PARTIALLY-replayed bucketed lateness
+    trigger the seal horizon is the batch GLOBAL max (including
+    already-done buckets' events) — the r12 probe fusion's documented
+    drift from the old not-yet-done-bucket max. Pin the safety
+    argument: simulate the real crash window (the dynamic-overwrite
+    open write landing for only SOME touched buckets), replay, and
+    assert the state tables match the no-crash run bit-for-bit (the
+    pre-crash trigger sealed with the same global-max horizon)."""
+    import shutil
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    root = str(tmp_root / "sessl_partial")
+    snap = str(tmp_root / "sessl_partial_snap")
+    df = _events(spark, n_users=20, seed=53)
+    rng = np.random.default_rng(7)
+    rows = sorted(
+        df.collect(),
+        key=lambda r: r["ts"].timestamp() + rng.uniform(-30, 30),
+    )
+    k = len(rows) // 3 + 1
+    chunks = [rows[i * k:(i + 1) * k] for i in range(3)]
+    folder = SessionFolder(
+        spark, root, gap_sec=600.0, lateness_sec=60.0, n_buckets=8,
+    )
+    for i, c in enumerate(chunks[:2]):
+        folder.foreach_batch(spark.createDataFrame(c, df.schema), i)
+    shutil.copytree(root, snap)  # state as of the end of trigger 1
+    last = spark.createDataFrame(chunks[2], df.schema)
+    folder.foreach_batch(last, 2)  # the no-crash run
+    want_stats = _key(folder.stats().collect())
+
+    def table_key(sub):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(root, sub)
+            ).collect()
+        )
+
+    want_closed = table_key("closed")
+    want_open = table_key("open")
+    touched = sorted(
+        r[0]
+        for r in last.select(
+            folder._bucket(F.col("user_id")).alias("__b")
+        ).distinct().collect()
+    )
+    assert len(touched) >= 2  # a partial replay needs >= 2 buckets
+    undone = touched[: max(1, len(touched) // 2)]
+    # crash simulation: those buckets' open-state rename never landed
+    # (closed landed first and fully — the fold's write order)
+    for b in undone:
+        cur = os.path.join(root, "open", f"bucket={b}")
+        old = os.path.join(snap, "open", f"bucket={b}")
+        shutil.rmtree(cur, ignore_errors=True)
+        if os.path.isdir(old):
+            shutil.copytree(old, cur)
+    folder.foreach_batch(last, 2)  # replay: done skip, undone redo
+    assert _key(folder.stats().collect()) == want_stats
+    assert table_key("closed") == want_closed
+    assert table_key("open") == want_open
+
+
 def test_lateness_boundary_event_exactly_at_horizon(spark, tmp_root):
     # r10 ADVICE (low): with horizon = batch_max - lateness, an
     # in-contract event can still arrive with ts == horizon exactly;

@@ -1,0 +1,99 @@
+"""Synthesize a larger-SF anchor dataset for the scaling measurement
+(r12 VERDICT #6: at sf0.1 every bench row is 1-3 s of fixed job
+overhead, so the 8-vs-32-CPU ratio cannot show parallelism; SCALE_NOTES
+stress scripts were the only evidence).
+
+Replicates the deterministic sf0.1 tables K times with disjoint key
+ranges (ids shifted by replica x offset, offset > max id), so the
+heavy bench rows see K x the keys/users/vectors with identical
+per-key distributions. Document texts get a per-replica suffix token
+so replicas are not verbatim near-duplicates of each other (verbatim
+copies would turn the LSH fold into one giant collision component —
+a different workload, not a bigger one). NOT an oracle dataset: the
+driver's correctness SFs are untouched; this exists only so
+BASELINE.md can record a driver-checkable 32-vs-8-CPU anchor on the
+fold rows.
+
+Usage:
+    python tools/gen_scale_anchor.py <outdir> [k]
+
+Then:
+    SPARK_GRAFT_SF_DIR=<outdir> SPARK_GRAFT_CPUS=32 python bench.py \
+        q125_stream_sessionize q126_stream_scd2 q131_stream_lsh_dedup \
+        q133_stream_index q128_stream_sessionize_late q84_pagerank
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shotit_worker_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+# id columns shifted per replica (disjoint key ranges); every other
+# column rides through unchanged
+SHIFT_COLS = {
+    "events": ["user_id", "event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+COPY_TABLES = ["customer", "supplier", "part", "nation", "region"]
+
+
+def main() -> int:
+    outdir = sys.argv[1]
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("scale-anchor")
+    os.makedirs(outdir, exist_ok=True)
+    for t in COPY_TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"{t}.parquet")
+        )
+        print(f"copied {t}")
+    for t, cols in SHIFT_COLS.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        offs = {
+            c: int(df.agg(F.max(c)).collect()[0][0]) + 1 for c in cols
+        }
+        reps = []
+        for i in range(k):
+            r = df
+            for c in cols:
+                r = r.withColumn(
+                    c, (F.col(c) + F.lit(i * offs[c])).cast(
+                        dict(df.dtypes)[c]
+                    )
+                )
+            if t == "documents" and i > 0:
+                # unique-ify text per replica: a scaled corpus, not a
+                # 5x verbatim-duplicate corpus
+                r = r.withColumn(
+                    "text",
+                    F.concat(
+                        F.col("text"),
+                        F.lit(f" replica{i} anchor{i}tok"),
+                    ),
+                )
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"{t}.parquet")
+        )
+        print(f"replicated {t} x{k} (offsets {offs})")
+    print("done:", outdir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
