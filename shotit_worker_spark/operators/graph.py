@@ -250,11 +250,27 @@ def pagerank_int(
         )
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    ew = _materialize(_edges_with_degree(edges, src_col, dst_col), None)
-    # persist + one count job materializes AND supplies n (see
-    # pagerank — the former _materialize + count pair was two jobs)
-    nodes = _nodes(edges, src_col, dst_col).persist()
-    n = nodes.count()
+    # one-shot lazy mode (persist_result=False): the function runs NO
+    # action over the round chain — the caller's first action executes
+    # the returned plan AFTER the finally below has unpersisted the
+    # helpers, so persisting ew/nodes here only buys a wasted
+    # materialize job (r13, measured: the executed gate plan contains
+    # zero InMemoryTableScan — AQE's ReusedExchange is what dedups the
+    # recompute). Persist only when an in-function action will read
+    # the caches (eager rounds, or the persist_result materialize).
+    one_shot = not persist_result
+    if one_shot:
+        ew = _edges_with_degree(edges, src_col, dst_col)
+        nodes = _nodes(edges, src_col, dst_col)
+        n = nodes.count()
+    else:
+        ew = _materialize(
+            _edges_with_degree(edges, src_col, dst_col), None
+        )
+        # persist + one count job materializes AND supplies n (the
+        # former _materialize + count pair was two jobs)
+        nodes = _nodes(edges, src_col, dst_col).persist()
+        n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
     tele = ((100 - damping_pct) * scale) // (100 * n)
@@ -312,8 +328,9 @@ def pagerank_int(
             ranks = _materialize(ranks, None)
         return ranks
     finally:
-        ew.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
+        if not one_shot:
+            ew.unpersist(blocking=False)
+            nodes.unpersist(blocking=False)
 
 
 def label_propagation(

@@ -238,6 +238,60 @@ def test_crash_between_hist_and_tomb_writes(spark, tmp_root):
     assert got == want
 
 
+def test_consecutive_deletes_tombstone_rule(spark, tmp_root):
+    """r13 (VERDICT #3): tombstones now derive from a lag(__op)
+    filter in the SAME (keys, __seq) window pass as the rebuild —
+    a delete dangles iff it is first in its key or follows another
+    delete (build_scd2 sets valid_to = lead(seq) over ALL surviving
+    rows, so exactly the other deletes' seqs appear as some
+    version's valid_to). Pin both dangling cases, the absorbed
+    middle delete, and consumption by late versions."""
+    root = str(tmp_root / "scd2_twodel")
+    cs = "k long, a string, seq long, op string"
+    folder = Scd2Folder(
+        spark, root, keys=["k"], attr_cols=["a"],
+        seq_col="seq", op_col="op",
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, "v1", 1, "upsert"),
+            (1, None, 2, "delete"),   # closes v1 -> NOT dangling
+            (1, None, 5, "delete"),   # follows a delete -> dangles
+            (2, None, 3, "delete"),   # first in key -> dangles
+        ],
+        cs,
+    )
+    folder.foreach_batch(b0, 0)
+    hist = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"])
+        for r in folder.table().collect()
+    )
+    assert hist == [(1, "v1", 1, 2)]
+    tomb = sorted(
+        (r["k"], r["__seq"])
+        for r in spark.read.parquet(
+            os.path.join(root, "tomb")
+        ).collect()
+    )
+    assert tomb == [(1, 5), (2, 3)]
+    # late versions slot under the pending tombstones and consume
+    # them: v2@4 is closed by the k=1 tombstone at 5, w1@2 by the
+    # k=2 tombstone at 3
+    b1 = spark.createDataFrame(
+        [(1, "v2", 4, "upsert"), (2, "w1", 2, "upsert")], cs
+    )
+    folder.foreach_batch(b1, 1)
+    hist = sorted(
+        (r["k"], r["a"], r["valid_from"], r["valid_to"])
+        for r in folder.table().collect()
+    )
+    assert hist == [
+        (1, "v1", 1, 2), (1, "v2", 4, 5), (2, "w1", 2, 3),
+    ]
+    tomb = spark.read.parquet(os.path.join(root, "tomb")).collect()
+    assert tomb == []
+
+
 def test_late_change_between_collapsed_noop_and_predecessor(
     spark, tmp_root
 ):
